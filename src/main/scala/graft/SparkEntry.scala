@@ -1,13 +1,716 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det.{roundTo, sqlRound}
+import graft.sources.Tables
+import graft.operators.{Dedup, Flatten}
+import graft.medallion.{Bronze, Gold, Silver}
+import graft.quality.QualityChecks
+import graft.text.TextFunctions
+import graft.dedup.NearDup
+import graft.similarity.Similarity
+import graft.streaming.Streams
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Cross-engine determinism rules used throughout (the DuckDB oracle
+  * must hash-match bit-for-bit):
+  *  - double SUMs go through exact decimal accumulation:
+  *    `sum(round(x,2)::decimal(18,2))::double` — immune to
+  *    summation-order FP drift, schema stays DOUBLE.
+  *  - averages divide the exact decimal sum by the count, then round.
+  *  - event timestamps (ns in parquet) are emitted as epoch millis
+  *    (both engines truncate), order-date timestamps as DATE.
+  *  - every query ends in a deterministic total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- cross-engine-deterministic aggregation helpers ----
+  private def sumD(c: Column): Column =
+    sum(roundTo(c, 2).cast("decimal(18,2)")).cast("double")
+  private def avgD(c: Column): Column =
+    roundTo(sum(roundTo(c, 2).cast("decimal(18,2)")).cast("double") / count(lit(1)), 4)
+  private def sqlSumD(e: String): String =
+    s"CAST(SUM(CAST(${sqlRound(e, 2)} AS DECIMAL(18,2))) AS DOUBLE)"
+  private def sqlAvgD(e: String): String =
+    sqlRound(s"CAST(SUM(CAST(${sqlRound(e, 2)} AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)", 4)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("fact_sales")(spark, "/root/testdata/sf0.001")
+
+  // ================= gold dimension builders (shared) =================
+
+  private def dimCustomer(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        col("c_custkey").as("customer_id"),
+        col("c_name").as("name"),
+        lower(col("n_name")).as("nation"),
+        lower(col("r_name")).as("region"),
+        lower(col("c_mktsegment")).as("segment"),
+        roundTo(col("c_acctbal"), 2).as("acctbal"))
+      .filter(col("customer_id").isNotNull)
+  }
+
+  private def dimPart(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey").as("product_id"),
+      col("p_name").as("product_name"),
+      lower(col("p_type")).as("category"),
+      lower(col("p_brand")).as("brand"),
+      roundTo(col("p_retailprice"), 2).as("price"))
+      .filter(col("product_id").isNotNull && col("price") > 0)
+
+  private val dimCustomerSql =
+    """SELECT c_custkey AS customer_id, c_name AS name, lower(n_name) AS nation,
+      | lower(r_name) AS region, lower(c_mktsegment) AS segment, floor((c_acctbal)*100 + 0.5)/100 AS acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE c_custkey IS NOT NULL""".stripMargin
+  private val dimPartSql =
+    """SELECT p_partkey AS product_id, p_name AS product_name, lower(p_type) AS category,
+      | lower(p_brand) AS brand, floor((p_retailprice)*100 + 0.5)/100 AS price
+      |FROM part WHERE p_partkey IS NOT NULL AND floor((p_retailprice)*100 + 0.5)/100 > 0""".stripMargin
+
+  // ================= queries =================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational / analytics core ----
+
+    "q1_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumD(col("l_quantity")).as("sum_qty"),
+          sumD(col("l_extendedprice")).as("sum_base_price"),
+          sumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sumD(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avgD(col("l_quantity")).as("avg_qty"),
+          avgD(col("l_extendedprice")).as("avg_price"),
+          avgD(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_revenue_nation" -> ((s, d) => {
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("nation").asc)
+    }),
+
+    "q_top_orders_per_cust" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+          roundTo(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy("o_custkey", "rank")
+    }),
+
+    "q_rollup_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sumD(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_cust_no_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o95 = Tables.orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+      c.join(o95, c("c_custkey") === o95("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_status_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sumD(when(col("l_linestatus") === "O", col("l_extendedprice")).otherwise(lit(0.0))).as("revenue_open"),
+          sumD(when(col("l_linestatus") === "F", col("l_extendedprice")).otherwise(lit(0.0))).as("revenue_filled"),
+          count(when(col("l_linestatus") === "O", lit(1))).as("n_open"),
+          count(when(col("l_linestatus") === "F", lit(1))).as("n_filled"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_events_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("window_start_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sumD(col("value")).as("total_value"))
+        .orderBy("window_start_ms", "event_type")
+    }),
+
+    "q_sessionize" -> ((s, d) => {
+      Streams.sessionizeBatch(Tables.events(s, d), gapSeconds = 1800)
+        .select(col("user_id"), col("session_seq"),
+          unix_millis(col("session_start")).as("session_start_ms"),
+          unix_millis(col("session_end")).as("session_end_ms"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    "q_json_props" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("k"))
+        .filter(col("k") > 80)
+        .orderBy("event_id")
+    }),
+
+    "q_latest_event" -> ((s, d) => {
+      Dedup.keepLatest(Tables.events(s, d), Seq("user_id"), "ts")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // ---- medallion core ----
+
+    "bronze_ingest" -> ((s, d) => {
+      Bronze.wrapDeterministic(Tables.customer(s, d))
+        .select(col("payload.c_custkey").as("c_custkey"),
+          col("payload.c_name").as("c_name"),
+          col("payload.c_mktsegment").as("c_mktsegment"),
+          unix_millis(col("bronze_ingest_ts")).as("ingest_ms"))
+        .orderBy("c_custkey")
+    }),
+
+    "silver_flatten" -> ((s, d) => {
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      val nested = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), roundTo(col("c_acctbal"), 2).as("acctbal")).as("profile"),
+          struct(col("n_name").as("nation")).as("geo"))
+      Flatten(nested).orderBy("c_custkey")
+    }),
+
+    "silver_explode" -> ((s, d) => {
+      val arr = Tables.orders(s, d).select(col("o_orderkey"),
+        array(
+          struct(lit("base").as("tag"), roundTo(col("o_totalprice") * 0.5, 2).as("amt")),
+          struct(lit("fee").as("tag"), roundTo(col("o_totalprice") * 0.1, 2).as("amt"))).as("charges"))
+      Flatten(arr).orderBy("o_orderkey", "charges_tag")
+    }),
+
+    "silver_orders" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dupes = o.withColumn("src", lit(1)).unionAll(o.withColumn("src", lit(2)))
+      Silver.transformDeterministic(Bronze.wrapDeterministic(dupes),
+        Seq("o_orderkey"), "src")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          roundTo(col("o_totalprice"), 2).as("totalprice"),
+          col("o_orderdate").cast("date").as("orderdate"),
+          col("o_orderpriority"), col("src"))
+        .orderBy("o_orderkey")
+    }),
+
+    "dedup_pk" -> ((s, d) => {
+      Dedup.keepFirst(Tables.lineitem(s, d), Seq("l_orderkey"), "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          roundTo(col("l_extendedprice"), 2).as("price"))
+        .orderBy("l_orderkey")
+    }),
+
+    "dim_customer" -> ((s, d) => dimCustomer(s, d).orderBy("customer_id")),
+
+    "dim_part" -> ((s, d) => dimPart(s, d).orderBy("product_id")),
+
+    "fact_sales" -> ((s, d) => {
+      val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val fact = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(dimCustomer(s, d)), o("o_custkey") === col("customer_id"))
+        .join(broadcast(dimPart(s, d)), l("l_partkey") === col("product_id"))
+        .select(
+          col("l_orderkey").as("order_id"),
+          col("l_linenumber").as("line_number"),
+          col("o_orderdate").cast("date").as("order_date"),
+          col("customer_id"), col("name").as("customer_name"), col("nation"),
+          col("product_id"), col("product_name"), col("category"),
+          col("l_quantity").as("quantity"),
+          roundTo(col("l_extendedprice"), 2).as("price"),
+          roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_revenue"))
+      fact.filter(col("order_id").isNotNull && col("quantity") > 0 && col("net_revenue") > 0)
+        .orderBy("order_id", "line_number")
+    }),
+
+    // ---- data-quality framework ----
+
+    "dq_null_pk" -> ((s, d) =>
+      QualityChecks.nullPks(Tables.orders(s, d), Seq("o_orderkey"))
+        .select(col("o_orderkey")).orderBy("o_orderkey")),
+
+    "dq_whitespace" -> ((s, d) =>
+      QualityChecks.unwantedSpaces(Tables.part(s, d), Seq("p_name", "p_brand", "p_type"))
+        .select(col("p_partkey")).orderBy("p_partkey")),
+
+    "dq_date_range" -> ((s, d) =>
+      QualityChecks.invalidDates(Tables.events(s, d), Seq("ts"),
+        minDate = "2024-01-01", maxDate = "2024-01-15")
+        .select(col("event_id")).orderBy("event_id")),
+
+    "dq_nonpositive" -> ((s, d) =>
+      QualityChecks.nonPositive(Tables.lineitem(s, d), Seq("l_discount"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          roundTo(col("l_discount"), 2).as("discount"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "dq_format" -> ((s, d) =>
+      QualityChecks.invalidFormat(Tables.documents(s, d), "lang", "^(en|de|fr|es)$")
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    "dq_integer_qty" -> ((s, d) =>
+      QualityChecks.nonIntegerValued(Tables.events(s, d), "value")
+        .select(col("event_id"), roundTo(col("value"), 2).as("value"))
+        .orderBy("event_id")),
+
+    "dq_orphans" -> ((s, d) => {
+      val smallParts = Tables.part(s, d).filter(col("p_size") <= 25)
+      QualityChecks.orphans(Tables.lineitem(s, d), smallParts, "l_partkey", "p_partkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "dq_summary" -> ((s, d) => {
+      import QualityChecks._
+      val li = Tables.lineitem(s, d); val ev = Tables.events(s, d)
+      val checks = Seq(
+        CheckSpec("null_pk_orders", nullPks(Tables.orders(s, d), Seq("o_orderkey"))),
+        CheckSpec("whitespace_part", unwantedSpaces(Tables.part(s, d), Seq("p_name", "p_brand"))),
+        CheckSpec("date_range_events", invalidDates(ev, Seq("ts"), "2024-01-01", "2024-01-15")),
+        CheckSpec("nonpositive_discount", nonPositive(li, Seq("l_discount"))),
+        CheckSpec("format_lang", invalidFormat(Tables.documents(s, d), "lang", "^(en|de|fr|es)$")),
+        CheckSpec("integer_value_events", nonIntegerValued(ev, "value")))
+      summary(checks).orderBy("check_name")
+    }),
+
+    // ---- text analysis ----
+
+    "text_tokens" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextFunctions.bpeTokenEstimate(col("text")).cast("bigint").as("n_bpe_tokens"),
+        TextFunctions.stopwordCount(col("text")).cast("bigint").as("n_stopwords"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        roundTo(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        roundTo(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        roundTo(TextFunctions.meanTokenLength(col("text")), 6).as("mean_token_len"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")),
+
+    "text_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp_md5"),
+        TextFunctions.fingerprint60(col("text")).as("fp60"))
+        .orderBy("doc_id")),
+
+    // ---- LLM-pipeline dedup / similarity ----
+
+    "dedup_exact_text" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val withClones = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      withClones
+        .groupBy(TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"))
+        .orderBy("canonical_id")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_minhash" -> ((s, d) =>
+      NearDup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), NearDup.simHash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "dedup_embed_cosine" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy("id_a", "id_b")),
+
+    "ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 100), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 100), k = 5, nBits = 4)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  // ================= oracle SQL =================
+
+  private val stop = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+  private def sqlTokens(t: String): String =
+    s"CASE WHEN length(trim($t)) = 0 THEN [] ELSE regexp_split_to_array(trim($t), '\\s+') END"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${sqlSumD("l_quantity")} AS sum_qty,
+         | ${sqlSumD("l_extendedprice")} AS sum_base_price,
+         | ${sqlSumD("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+         | ${sqlSumD("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+         | ${sqlAvgD("l_quantity")} AS avg_qty,
+         | ${sqlAvgD("l_extendedprice")} AS avg_price,
+         | ${sqlAvgD("l_discount")} AS avg_disc,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_revenue_nation" ->
+      s"""SELECT n_name AS nation, ${sqlSumD("l_extendedprice*(1-l_discount)")} AS revenue,
+         | COUNT(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY revenue DESC, nation ASC""".stripMargin,
+
+    "q_top_orders_per_cust" ->
+      """SELECT o_custkey, rank, o_orderkey, totalprice FROM (
+        | SELECT o_custkey, o_orderkey, floor((o_totalprice)*100 + 0.5)/100 AS totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        | FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q_rollup_revenue" ->
+      s"""SELECT l_returnflag, l_linestatus, ${sqlSumD("l_extendedprice")} AS revenue,
+         | COUNT(*) AS n_lines
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_cust_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_status_pivot" ->
+      s"""SELECT l_returnflag,
+         | ${sqlSumD("CASE WHEN l_linestatus='O' THEN l_extendedprice ELSE 0.0 END")} AS revenue_open,
+         | ${sqlSumD("CASE WHEN l_linestatus='F' THEN l_extendedprice ELSE 0.0 END")} AS revenue_filled,
+         | COUNT(*) FILTER (WHERE l_linestatus='O') AS n_open,
+         | COUNT(*) FILTER (WHERE l_linestatus='F') AS n_filled
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_events_window" ->
+      s"""SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+         | COUNT(*) AS n_events, ${sqlSumD("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH g AS (
+         | SELECT user_id, event_id, ts, value,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_s
+         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         |s AS (
+         | SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         | FROM g)
+         |SELECT user_id, session_seq, epoch_ms(MIN(ts)) AS session_start_ms,
+         | epoch_ms(MAX(ts)) AS session_end_ms, COUNT(*) AS n_events,
+         | ${sqlSumD("value")} AS total_value
+         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |FROM events WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 80
+        |ORDER BY event_id""".stripMargin,
+
+    "q_latest_event" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "bronze_ingest" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        | epoch_ms(TIMESTAMP '2026-01-01 00:00:00') AS ingest_ms
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "silver_flatten" ->
+      """SELECT c_custkey, c_name AS profile_name, floor((c_acctbal)*100 + 0.5)/100 AS profile_acctbal,
+        | n_name AS geo_nation
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey""".stripMargin,
+
+    "silver_explode" ->
+      """SELECT o_orderkey, tag AS charges_tag, amt AS charges_amt FROM (
+        | SELECT o_orderkey, 'base' AS tag, floor((o_totalprice*0.5)*100 + 0.5)/100 AS amt FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, 'fee' AS tag, floor((o_totalprice*0.1)*100 + 0.5)/100 AS amt FROM orders)
+        |ORDER BY o_orderkey, charges_tag""".stripMargin,
+
+    "silver_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, floor((o_totalprice)*100 + 0.5)/100 AS totalprice,
+        | CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority, 1 AS src
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "dedup_pk" ->
+      """SELECT l_orderkey, l_linenumber, price FROM (
+        | SELECT l_orderkey, l_linenumber, floor((l_extendedprice)*100 + 0.5)/100 AS price,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC) AS rn
+        | FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "dim_customer" -> s"$dimCustomerSql ORDER BY customer_id",
+
+    "dim_part" -> s"$dimPartSql ORDER BY product_id",
+
+    "fact_sales" ->
+      s"""WITH dim_c AS ($dimCustomerSql), dim_p AS ($dimPartSql)
+         |SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+         | CAST(o_orderdate AS DATE) AS order_date,
+         | customer_id, name AS customer_name, nation,
+         | product_id, product_name, category,
+         | l_quantity AS quantity, floor((l_extendedprice)*100 + 0.5)/100 AS price,
+         | floor((l_extendedprice*(1-l_discount))*100 + 0.5)/100 AS net_revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN dim_c ON o_custkey = customer_id
+         | JOIN dim_p ON l_partkey = product_id
+         |WHERE l_orderkey IS NOT NULL AND l_quantity > 0
+         | AND floor((l_extendedprice*(1-l_discount))*100 + 0.5)/100 > 0
+         |ORDER BY order_id, line_number""".stripMargin,
+
+    "dq_null_pk" ->
+      "SELECT o_orderkey FROM orders WHERE o_orderkey IS NULL ORDER BY o_orderkey",
+
+    "dq_whitespace" ->
+      """SELECT p_partkey FROM part
+        |WHERE length(p_name) != length(trim(p_name))
+        |   OR length(p_brand) != length(trim(p_brand))
+        |   OR length(p_type) != length(trim(p_type))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "dq_date_range" ->
+      """SELECT event_id FROM events
+        |WHERE ts IS NULL OR ts < TIMESTAMP '2024-01-01 00:00:00'
+        |   OR ts > TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "dq_nonpositive" ->
+      """SELECT l_orderkey, l_linenumber, floor((l_discount)*100 + 0.5)/100 AS discount
+        |FROM lineitem WHERE l_discount <= 0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "dq_format" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE NOT regexp_full_match(lang, '(en|de|fr|es)') ORDER BY doc_id""".stripMargin,
+
+    "dq_integer_qty" ->
+      """SELECT event_id, floor((value)*100 + 0.5)/100 AS value FROM events
+        |WHERE value % 1 != 0 ORDER BY event_id""".stripMargin,
+
+    "dq_orphans" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM part
+        |  WHERE p_partkey = l_partkey AND p_size <= 25)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "dq_summary" ->
+      """SELECT check_name, violation_count FROM (
+        | SELECT 'null_pk_orders' AS check_name,
+        |   (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS violation_count
+        | UNION ALL SELECT 'whitespace_part',
+        |   (SELECT COUNT(*) FROM part WHERE length(p_name)!=length(trim(p_name))
+        |     OR length(p_brand)!=length(trim(p_brand)))
+        | UNION ALL SELECT 'date_range_events',
+        |   (SELECT COUNT(*) FROM events WHERE ts IS NULL
+        |     OR ts < TIMESTAMP '2024-01-01 00:00:00' OR ts > TIMESTAMP '2024-01-15 00:00:00')
+        | UNION ALL SELECT 'nonpositive_discount',
+        |   (SELECT COUNT(*) FROM lineitem WHERE l_discount <= 0)
+        | UNION ALL SELECT 'format_lang',
+        |   (SELECT COUNT(*) FROM documents WHERE NOT regexp_full_match(lang, '(en|de|fr|es)'))
+        | UNION ALL SELECT 'integer_value_events',
+        |   (SELECT COUNT(*) FROM events WHERE value % 1 != 0))
+        |ORDER BY check_name""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id, len(${sqlTokens("text")}) AS n_tokens,
+         | CAST(list_sum(list_transform(${sqlTokens("text")},
+         |   t -> greatest(1, CAST(ceil(length(t)/4.0) AS BIGINT)))) AS BIGINT) AS n_bpe_tokens,
+         | len(list_filter(${sqlTokens("text")}, t -> t IN ($stop))) AS n_stopwords
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" -> textQualityOracle,
+
+    "text_lang_id" -> textLangIdOracle,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5,
+        | ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact_text" ->
+      """WITH u AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM u GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |ORDER BY canonical_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+    "dedup_minhash" -> minHashOracle,
+
+    "dedup_simhash" -> simHashOracle,
+
+    "dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v)
+        |  / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  list_inner_product(q.v, c.v)
+        |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+        | FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id != q.vec_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        | SELECT query_id, corpus_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    // ann_lsh: intentionally omitted (rows-only check; Spark-hash bucketing
+    // is not reproducible in DuckDB)
+  )
+
+  // ---- long generated oracles ----
+
+  private def textQualityOracle: String = {
+    val toks = sqlTokens("text")
+    val punct = s"(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    val punctRatio = s"(CASE WHEN length(text)=0 THEN 0.0 ELSE $punct::DOUBLE/length(text) END)"
+    val nTok = s"len($toks)"
+    val nStop = s"len(list_filter($toks, t -> t IN ($stop)))"
+    val stopRatio = s"(CASE WHEN $nTok=0 THEN 0.0 ELSE $nStop::DOUBLE/$nTok END)"
+    val meanLen = s"(CASE WHEN $nTok=0 THEN 0.0 ELSE CAST(list_sum(list_transform($toks, t -> length(t)::BIGINT)) AS DOUBLE)/$nTok END)"
+    val lenScore = s"least($nTok::DOUBLE/50.0, 1.0)"
+    val punctPen = s"least($punctRatio*5.0, 1.0)"
+    val stopScore = s"least($stopRatio*4.0, 1.0)"
+    s"""SELECT doc_id, ${sqlRound(punctRatio, 6)} AS punct_ratio,
+       | ${sqlRound(stopRatio, 6)} AS stopword_ratio,
+       | ${sqlRound(meanLen, 6)} AS mean_token_len,
+       | ${sqlRound(s"$lenScore*0.5 + $stopScore*0.3 + (1.0-$punctPen)*0.2", 6)} AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private def textLangIdOracle: String = {
+    val toks = sqlTokens("text")
+    val counts = TextFunctions.LangMarkers.map { case (lang, ms) =>
+      lang -> s"len(list_filter($toks, t -> t IN (${ms.map(w => s"'$w'").mkString(", ")})))"
+    }
+    val best = counts.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val cases = counts.map { case (lang, c) => s"WHEN best > 0 AND $c = best THEN '$lang'" }
+      .mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'unknown' END AS lang_pred
+       |FROM (SELECT doc_id, text, $best AS best FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared shingle CTE: distinct word-3-gram shingles per doc. */
+  private def shingleCte: String =
+    s"""t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_transform(range(0, greatest(0, len(toks)-2)),
+       |    i -> array_to_string(toks[i+1:i+3], ' ')) AS shingles
+       | FROM t WHERE len(toks) >= 3)""".stripMargin
+
+  private def jaccardExpr(a: String, b: String): String = {
+    val inter = s"len(list_intersect(list_distinct($a), list_distinct($b)))"
+    val uni = s"(len(list_distinct($a)) + len(list_distinct($b)) - $inter)"
+    s"(CASE WHEN $uni = 0 THEN 0.0 ELSE $inter::DOUBLE / $uni END)"
+  }
+
+  private def ngramJaccardOracle: String =
+    s"""WITH $shingleCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       | ${sqlRound(jaccardExpr("a.shingles", "b.shingles"), 6)} AS jaccard_sim
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE ${sqlRound(jaccardExpr("a.shingles", "b.shingles"), 6)} >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB replica of the MinHash+LSH pipeline — same md5-derived
+    * base hash, same affine coefficients (interpolated from
+    * [[NearDup.coeffs]]), same banding, same Jaccard verify. */
+  private def minHashOracle: String = {
+    val P = NearDup.P
+    val base = s"(('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
+    val sigExprs = NearDup.coeffs.map { case (a, b) =>
+      s"list_min(list_transform(bh, x -> ($a * x + $b) % $P))"
+    }
+    val sigList = sigExprs.mkString("[", ",\n    ", "]")
+    val bands = (0 until NearDup.Bands).map { i =>
+      val lo = i * NearDup.RowsPerBand + 1
+      val hi = (i + 1) * NearDup.RowsPerBand
+      s"SELECT doc_id, $i AS band_idx, array_to_string(sig[$lo:$hi], '-') AS band_key FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH $shingleCte,
+       |bh AS (SELECT doc_id, shingles,
+       |  list_transform(shingles, s -> $base) AS bh FROM sh),
+       |sig AS (SELECT doc_id, shingles, $sigList AS sig FROM bh WHERE len(bh) > 0),
+       |bands AS ($bands),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       | ${sqlRound(jaccardExpr("sa.shingles", "sb.shingles"), 6)} AS jaccard_sim
+       |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+       |WHERE ${sqlRound(jaccardExpr("sa.shingles", "sb.shingles"), 6)} >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replica of the 30-bit SimHash. */
+  private def simHashOracle: String = {
+    val P = NearDup.P
+    val base = s"(('0x' || substr(md5(t), 1, 15))::BIGINT % $P)"
+    val bitExprs = (0 until 30).map { j =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n  + ")
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |h AS (SELECT doc_id, list_transform(toks, t -> $base) AS hs FROM t)
+       |SELECT doc_id,
+       | CASE WHEN len(hs) = 0 THEN NULL ELSE
+       |  $bitExprs
+       | END AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
 }

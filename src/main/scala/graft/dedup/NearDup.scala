@@ -1,0 +1,156 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Design constraints:
+  *  - Every hash is derived from md5 (portable: any engine with md5 +
+  *    hex parsing reproduces signatures bit-for-bit — this is what
+  *    lets the DuckDB oracle verify LSH output exactly).
+  *  - All arithmetic stays below 2^63 (no silent overflow ambiguity):
+  *    base hashes are folded mod P=1e9+7 (<2^30) before the affine
+  *    permutations, so a*x+b < 2^60.
+  *  - Everything is built-in Spark functions (array higher-order
+  *    functions) — whole-stage codegen, zero UDFs.
+  *
+  * Scale path: LSH banding turns O(n^2) near-dup search into
+  * |bands| * (groupBy-shuffle + within-bucket join). Only candidate
+  * pairs (tiny fraction) pay the exact-Jaccard verification.
+  */
+object NearDup {
+
+  /** Modulus for permutation hashes (fits products in 60 bits). */
+  val P = 1000000007L
+
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand = 4 // NumHashes / Bands
+
+  /** Deterministic affine coefficients (a, b) from a fixed LCG —
+    * the same constants are interpolated into the oracle SQL. */
+  val coeffs: Seq[(Long, Long)] = {
+    var s = 42L
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33) % (P - 1)
+    }
+    Seq.fill(NumHashes)((next() + 1, next()))
+  }
+
+  /** Portable 60-bit base hash of a string, folded into [0, P). */
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
+
+  /** MinHash signature (array of NumHashes longs) over word
+    * n-gram shingles of `text`. Rows with no shingles get NULL. */
+  def minHashSignature(text: Column, shingleSize: Int = 3): Column = {
+    val base = transform(TextFunctions.shingles(text, shingleSize), s => baseHash(s))
+    when(size(base) === 0, lit(null).cast("array<bigint>")).otherwise(
+      // one array per permutation; array_min reduces each
+      array(coeffs.map { case (a, b) =>
+        array_min(transform(base, x => (lit(a) * x + lit(b)) % P))
+      }: _*))
+  }
+
+  /** Explode a signature into (band_idx, band_key) rows for LSH
+    * bucketing. band_key is the joined slice of the signature. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String): DataFrame = {
+    val bands = transform(sequence(lit(0), lit(Bands - 1)), i =>
+      struct(i.as("band_idx"),
+        concat_ws("-",
+          transform(slice(col(sigCol), lit(i * RowsPerBand + 1), lit(RowsPerBand)),
+            x => x.cast("string"))).as("band_key")))
+    df.filter(col(sigCol).isNotNull)
+      .select(col(idCol), explode(bands).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_key"))
+  }
+
+  /** Candidate pairs from LSH buckets: ids sharing any band. */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val b = bands.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns (distinct
+    * semantics on both sides — matches DuckDB list fns). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val uni = (size(da) + size(db) - size(array_intersect(da, db))).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → signature → band →
+    * bucket-join → exact-Jaccard verify. Returns (id_a, id_b) pairs
+    * with verified Jaccard >= threshold. */
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // persist: the signature frame feeds three plan branches (banding
+    // + both sides of the verify join) — without it Spark recomputes
+    // the md5 shingle hashing 3x.
+    val withSig = docs.select(col(idCol),
+      TextFunctions.shingles(col(textCol), shingleSize).as("__sh"),
+      minHashSignature(col(textCol), shingleSize).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(lshBands(withSig, idCol, "__sig"), idCol)
+    val sh = withSig.select(col(idCol), col("__sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("jaccard_sim", graft.functions.Det.roundTo(jaccard(col("__sh_a"), col("__sh_b")), 6))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+  }
+
+  /** Brute-force n-gram Jaccard pairs (correctness baseline for
+    * LSH; O(n^2) — only for bounded inputs / oracle checks). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard_sim", graft.functions.Det.roundTo(jaccard(col("__sh_a"), col("__sh_b")), 6))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+  }
+
+  /** SimHash bits (60-bit, md5-portable): per-bit majority vote over
+    * token hashes. Built from array higher-order functions; a custom
+    * codegen Expression is the planned r2 optimization for the
+    * 100 TB hot path. */
+  def simHash(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => baseHash(t) )
+    // baseHash < 2^30 — use 30 bits
+    val bits = (0 until 30).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    when(size(hashes) === 0, lit(null).cast("bigint"))
+      .otherwise(bits.reduce(_ + _))
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= maxDist.
+    * (Bounded-input baseline; the scale path buckets on band slices
+    * of the simhash exactly like MinHash LSH.) */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 6): DataFrame = {
+    val h = docs.select(col(idCol), simHash(col(textCol)).as("__sh"))
+      .filter(col("__sh").isNotNull)
+    val a = h.select(col(idCol).as("id_a"), col("__sh").as("__h_a"))
+    val b = h.select(col(idCol).as("id_b"), col("__sh").as("__h_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("__h_a").bitwiseXOR(col("__h_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns beside typed metadata —
+  * the Spark-side contract (schema, partition-sized batching,
+  * per-partition decoder amortization) is real and tested; the codec
+  * itself is a clearly-marked deterministic STUB because no media
+  * libraries ship in this container. Swapping `StubCodec` for a real
+  * decoder (e.g. javacpp/ffmpeg) changes no plan shape.
+  *
+  * Scale notes: decode runs inside `mapPartitions` so a real decoder
+  * is initialized once per partition (not per row), and rows flow
+  * through as an iterator — no materialization of a partition in
+  * memory. Binary columns are parquet-encoded and column-pruned like
+  * any other: metadata-only queries never read the payload bytes.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = true)))
+
+  /** STUB codec: deterministic byte-statistics "decode" standing in
+    * for a real image/audio decoder. Real plumbing, fake math. */
+  object StubCodec {
+    /** ??? real decoder goes here; deterministic fake: 8 moments of
+      * the byte histogram as the "feature vector". */
+    def extractFeature(payload: Array[Byte]): Array[Float] = {
+      if (payload == null || payload.isEmpty) return Array.fill(8)(0.0f)
+      val hist = new Array[Long](256)
+      payload.foreach(b => hist(b & 0xff) += 1)
+      val n = payload.length.toDouble
+      val mean = payload.map(b => (b & 0xff).toDouble).sum / n
+      Array(
+        n.toFloat, mean.toFloat,
+        hist.max.toFloat, hist.count(_ > 0).toFloat,
+        (payload.head & 0xff).toFloat, (payload.last & 0xff).toFloat,
+        hist.indexOf(hist.max).toFloat,
+        (payload.map(b => (b & 0xff).toDouble - mean).map(d => d * d).sum / n).toFloat)
+    }
+  }
+
+  /** Synthesize a deterministic media table from the documents table
+    * (payload = utf-8 bytes of text — a stand-in binary source). */
+  def syntheticMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit(64).as("width"), lit(64).as("height"),
+      (col("n_chars") * 10L).as("duration_ms"))
+
+  /** Feature extraction over binary payloads: mapPartitions so a real
+    * decoder initializes once per partition. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "media_type", "payload").rdd.mapPartitions { it =>
+      // per-partition decoder init would happen here
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        Row(r.getLong(0), r.getString(1),
+          if (payload == null) 0L else payload.length.toLong,
+          StubCodec.extractFeature(payload).toSeq)
+      }
+    }
+    spark.createDataFrame(out, featureSchema)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `array<float>` embedding column.
+  *
+  * All vector math is done with array higher-order functions in
+  * DOUBLE precision with strict left-to-right summation — making
+  * results bit-reproducible across engines (the DuckDB oracle
+  * computes the same cosine with `list_inner_product` on
+  * double-cast lists).
+  *
+  * Scale path: `lshTopK` buckets vectors by random-hyperplane sign
+  * bits so each query only scores its bucket (candidate set ~n/2^b),
+  * vs `bruteForceTopK`'s O(n*q) full scan. The brute force is the
+  * correctness baseline and is itself shuffle-light: one broadcast of
+  * the (smaller) query side, no shuffle of the corpus.
+  */
+object Similarity {
+
+  /** Cast array<float> → array<double> (deterministic upcast before
+    * any arithmetic — avoids engine-specific float accumulation). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself when ids collide). Query side
+    * is broadcast; ranking via window on (query, score desc, id). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), toDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id").as("neighbor_id"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of dot products with
+    * `nBits` fixed pseudo-random hyperplanes (deterministic LCG
+    * seeds, dimension-agnostic via index-hash). */
+  def lshBucket(vec: Column, nBits: Int = 8): Column = {
+    // hyperplane component h_{b,i} in {-1, +1} from a hash of (b, i):
+    // deterministic, no stored planes — works at any dimensionality.
+    val bits = (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
+          i => when(pmod(hash(i, lit(b)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+          (x, s) => x * s),
+        lit(0.0), _ + _)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: score only within matching buckets. Recall is
+    * traded for a ~2^nBits candidate reduction; multi-probe (flip one
+    * bit) can be layered on for higher recall. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nBits: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__bucket", lshBucket(col("__cv"), nBits))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__bucket", lshBucket(col("__qv"), nBits))
+    val scored = c.join(q, "__bucket")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id").as("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs: all (a < b) pairs with cosine
+    * >= threshold. Baseline O(n^2); scale path = lshBucket + join. */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+    val a = v.select(col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = v.select(col(idCol).as("id_b"), col("__v").as("__vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", cosine(col("__va"), col("__vb")))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}

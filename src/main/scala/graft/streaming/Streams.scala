@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming pipeline pieces.
+  *
+  * The reference runs every layer as a stream with
+  * `trigger(once=True)` + checkpoints (reference:
+  * data_lakehouse/etl_scripts/bronze_layer/bronze_ingestion.py:80-87,
+  * silver_transformation.py:104-112, gold_transformation.py:54-61).
+  * Here the same transform functions (Bronze.wrap, Silver.transform,
+  * Gold.*) apply unchanged to streaming DataFrames; this module adds
+  * the stream-only operators: watermarked windowed aggregation,
+  * streaming dedup, and stateful gap sessionization.
+  */
+object Streams {
+
+  /** Tumbling-window event aggregation with a watermark bounding
+    * state (the 100 TB/day requirement: state is O(windows in the
+    * watermark horizon), not O(stream)). */
+  def windowedEventCounts(events: DataFrame, windowDur: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup by key within the watermark horizon —
+    * the streaming analog of Silver's dropDuplicates. */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(keys :+ "ts")
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int, totalValue: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Stateful gap-based sessionization over a stream:
+    * flatMapGroupsWithState keyed by user, ProcessingTimeTimeout-free
+    * (event-time watermark closes sessions). Emits a session when a
+    * gap > gapMs is observed or state times out. */
+  def sessionize(events: Dataset[Event], gapMs: Long)
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // gap elapsed with no new events — close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.sessionStart),
+              new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  out ::= Session(userId, new java.sql.Timestamp(s.sessionStart),
+                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must be beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Batch gap-based sessionization (oracle-checkable equivalent of
+    * the streaming path): lag + cumulative-sum session ids. Two
+    * window passes over one user-partitioned sort — a single shuffle
+    * at any scale. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val withGap = events
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("__prev_ts")) > gapSeconds * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(graft.functions.Det.roundTo(col("value"), 2).cast("decimal(18,2)"))
+          .cast("double").as("total_value"))
+  }
+
+  /** Run a streaming query once over a bounded source and return the
+    * sink table contents (trigger-once semantics like the reference;
+    * used by specs). */
+  def runOnce(df: DataFrame, checkpoint: String, tableName: String): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+import graft.streaming.Streams
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+class SimilarityAndStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(Similarity.toDouble(col("a")), Similarity.toDouble(col("b"))).as("ab"),
+      Similarity.cosine(Similarity.toDouble(col("a")), Similarity.toDouble(col("c"))).as("ac"))
+      .as[(Double, Double)].head()
+    assert(math.abs(r._1 - 1.0) < 1e-12 && math.abs(r._2) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 4)
+    val rows = out.orderBy("query_id", "rank").collect()
+    assert(rows.length === 12)
+    assert(rows.map(_.getInt(1)).take(4).toSeq === Seq(1, 2, 3, 4))
+  }
+
+  test("lshTopK neighbors are a subset of brute-force candidates (same bucket)") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 3, nBits = 2)
+    assert(out.count() > 0)
+    // ranks are contiguous from 1 per query
+    val perQ = out.groupBy("query_id").agg(max("rank").as("m"), count(lit(1)).as("n"))
+    assert(perQ.filter(col("m") =!= col("n")).count() === 0)
+  }
+
+  test("batch sessionization splits on gap and aggregates") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "a", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 7L, "a", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 7L, "a", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = Streams.sessionizeBatch(ev, gapSeconds = 1800).orderBy("session_seq")
+    assert(s.count() === 2)
+    assert(s.select("n_events").as[Long].collect().toSeq === Seq(2L, 1L))
+  }
+
+  test("streaming windowed aggregation over file source matches batch semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Tables.events(spark, sf).coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val agg = Streams.windowedEventCounts(stream, "1 hour", "2 hours")
+    Streams.runOnce(agg, s"$dir/ckpt", "win_out")
+    // append mode emits only windows closed by the watermark — the
+    // open tail (last <= 2h+1h of events) is retained as state.
+    val got = spark.table("win_out").agg(sum("n_events")).as[Long].head()
+    val total = Tables.events(spark, sf).count()
+    assert(got > 0 && got <= total)
+    // every emitted closed window must match the batch aggregation exactly
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_batch"))
+    val joined = spark.table("win_out").join(batch, Seq("window_start", "event_type"))
+    assert(joined.filter(col("n_events") =!= col("n_batch")).count() === 0)
+    assert(joined.count() === spark.table("win_out").count())
+  }
+
+  test("streaming sessionize emits closed sessions") {
+    import Streams._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event](
+      org.apache.spark.sql.Encoders.product[Event])
+    val sessions = sessionize(stream, gapMs = 1800 * 1000L)(spark)
+    Streams.runOnce(sessions.toDF(), s"$dir/ckpt", "sess_out")
+    // watermark holds back the open tail sessions; closed ones must match batch
+    val batch = Streams.sessionizeBatch(
+      Tables.events(spark, sf).select("event_id", "ts", "user_id", "event_type", "value"),
+      1800)
+    assert(spark.table("sess_out").count() > 0)
+    assert(spark.table("sess_out").count() <= batch.count())
+  }
+
+  test("multimodal feature extraction preserves schema and row count") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema === Multimodal.featureSchema)
+    assert(feats.count() === media.count())
+    val r = feats.orderBy("media_id").head()
+    assert(r.getAs[Seq[Float]]("feature").length === 8)
+    assert(r.getAs[Long]("n_bytes") > 0)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+import graft.dedup.NearDup
+import graft.quality.QualityChecks
+
+class TextAndDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    Seq("x").toDF("dummy").select(c).head()
+
+  test("tokens splits on whitespace runs; empty text -> 0 tokens") {
+    val df = Seq("  a  b\tc ", "", "   ").toDF("t")
+      .select(TextFunctions.tokenCount(col("t")).as("n"))
+    assert(df.as[Int].collect().toSeq === Seq(3, 0, 0))
+  }
+
+  test("shingles builds word n-grams; short docs -> empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3).as("s"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) === Seq("a b c", "b c d"))
+    assert(rows(1) === Seq.empty)
+  }
+
+  test("langId picks marker-majority language, unknown when no markers") {
+    val df = Seq("the cat and the dog", "der hund und die katze", "zzz qqq")
+      .toDF("t").select(TextFunctions.langId(col("t")).as("l"))
+    assert(df.as[String].collect().toSeq === Seq("en", "de", "unknown"))
+  }
+
+  test("fingerprintMd5 normalizes whitespace and case") {
+    val df = Seq(("A  b", "a b")).toDF("x", "y")
+    val r = df.select(
+      (TextFunctions.fingerprintMd5(col("x")) ===
+        TextFunctions.fingerprintMd5(col("y"))).as("eq")).as[Boolean].head()
+    assert(r)
+  }
+
+  test("qualityScore in [0,1] and deterministic") {
+    val df = Seq("the quick brown fox jumps over the lazy dog.").toDF("t")
+      .select(TextFunctions.qualityScore(col("t")).as("q"))
+    val q = df.as[Double].head()
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("minhash signature has NumHashes entries and detects identical docs") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w v u t"))
+      .toDF("doc_id", "text")
+    val sig = df.select(col("doc_id"), NearDup.minHashSignature(col("text")).as("s"))
+    val rows = sig.orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    assert(rows(0)._2.length === NearDup.NumHashes)
+    assert(rows(0)._2 === rows(1)._2) // identical docs -> identical signatures
+    assert(rows(0)._2 !== rows(2)._2)
+  }
+
+  test("minHashPairs finds exact dup pair with jaccard 1.0") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "p q r s t u v"))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.minHashPairs(df, "doc_id", "text").collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L)
+    assert(pairs(0).getDouble(2) === 1.0)
+  }
+
+  test("simHash: identical docs equal, disjoint docs differ") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "zz yy xx ww"))
+      .toDF("doc_id", "text")
+    val h = df.select(NearDup.simHash(col("text")).as("h")).as[Long].collect()
+    assert(h(0) === h(1))
+    assert(h(0) !== h(2))
+  }
+
+  test("jaccard distinct-set semantics") {
+    val df = Seq(1).toDF("d").select(
+      NearDup.jaccard(array(lit("a"), lit("a"), lit("b")), array(lit("b"), lit("c"))).as("j"))
+    assert(math.abs(df.as[Double].head() - 1.0 / 3.0) < 1e-9)
+  }
+
+  test("quality checks find seeded violations") {
+    val df = Seq((Some(1), " padded", 5.0, "a@b.com"),
+      (None, "clean", -1.0, "bad-email")).toDF("id", "s", "v", "email")
+    assert(QualityChecks.nullPks(df, Seq("id")).count() === 1)
+    assert(QualityChecks.unwantedSpaces(df, Seq("s")).count() === 1)
+    assert(QualityChecks.nonPositive(df, Seq("v")).count() === 1)
+    assert(QualityChecks.invalidFormat(df, "email").count() === 1)
+  }
+
+  test("orphans finds fact rows without dims") {
+    val fact = Seq((1, 10), (2, 99)).toDF("id", "fk")
+    val dim = Seq(10).toDF("pk")
+    val o = QualityChecks.orphans(fact, dim, "fk", "pk")
+    assert(o.select("id").as[Int].collect().toSeq === Seq(2))
+  }
+}
