@@ -177,7 +177,7 @@ object SparkEntry {
     }),
 
     "q_latest_event" -> ((s, d) => {
-      Dedup.keepLatest(Tables.events(s, d), Seq("user_id"), "ts")
+      Dedup.keepLatest(Tables.events(s, d), Seq("user_id"), "ts", "event_id")
         .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("event_type"))
         .orderBy("user_id")
@@ -224,7 +224,8 @@ object SparkEntry {
     }),
 
     "dedup_pk" -> ((s, d) => {
-      Dedup.keepFirst(Tables.lineitem(s, d), Seq("l_orderkey"), "l_linenumber")
+      Dedup.keepFirst(Tables.lineitem(s, d), Seq("l_orderkey"),
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
         .select(col("l_orderkey"), col("l_linenumber"),
           roundTo(col("l_extendedprice"), 2).as("price"))
         .orderBy("l_orderkey")
@@ -344,7 +345,8 @@ object SparkEntry {
     }),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
-      NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      NearDup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 1000), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
@@ -359,7 +361,8 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "dedup_embed_cosine" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
+      Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") < 1000), threshold = 0.45)
         .orderBy("id_a", "id_b")),
 
     "ann_topk" -> ((s, d) => {
@@ -485,7 +488,9 @@ object SparkEntry {
     "dedup_pk" ->
       """SELECT l_orderkey, l_linenumber, price FROM (
         | SELECT l_orderkey, l_linenumber, floor((l_extendedprice)*100 + 0.5)/100 AS price,
-        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC) AS rn
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC,
+        |             l_extendedprice ASC) AS rn
         | FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
 
     "dim_customer" -> s"$dimCustomerSql ORDER BY customer_id",
@@ -591,7 +596,7 @@ object SparkEntry {
     "dedup_simhash" -> simHashOracle,
 
     "dedup_embed_cosine" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id < 1000)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v)
@@ -663,7 +668,7 @@ object SparkEntry {
     s"""WITH $shingleCte
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        | ${sqlRound(jaccardExpr("a.shingles", "b.shingles"), 6)} AS jaccard_sim
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
        |WHERE ${sqlRound(jaccardExpr("a.shingles", "b.shingles"), 6)} >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 

@@ -45,15 +45,13 @@ object NearDup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
 
   /** MinHash signature (array of NumHashes longs) over word
-    * n-gram shingles of `text`. Rows with no shingles get NULL. */
-  def minHashSignature(text: Column, shingleSize: Int = 3): Column = {
-    val base = transform(TextFunctions.shingles(text, shingleSize), s => baseHash(s))
-    when(size(base) === 0, lit(null).cast("array<bigint>")).otherwise(
-      // one array per permutation; array_min reduces each
-      array(coeffs.map { case (a, b) =>
-        array_min(transform(base, x => (lit(a) * x + lit(b)) % P))
-      }: _*))
-  }
+    * n-gram shingles of `text`. Rows with no shingles get NULL.
+    * Implemented as a custom Catalyst expression
+    * ([[graft.functions.MinHashSigExpr]]): one md5 pass per shingle
+    * with the k permutations in a tight loop, vs k re-hashes in the
+    * equivalent higher-order-function formulation. */
+  def minHashSignature(text: Column, shingleSize: Int = 3): Column =
+    graft.functions.HashExpressions.minHashSignature(text, shingleSize, coeffs)
 
   /** Explode a signature into (band_idx, band_key) rows for LSH
     * bucketing. band_key is the joined slice of the signature. */
@@ -123,21 +121,11 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }
 
-  /** SimHash bits (60-bit, md5-portable): per-bit majority vote over
-    * token hashes. Built from array higher-order functions; a custom
-    * codegen Expression is the planned r2 optimization for the
-    * 100 TB hot path. */
-  def simHash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => baseHash(t) )
-    // baseHash < 2^30 — use 30 bits
-    val bits = (0 until 30).map { j =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L)))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    when(size(hashes) === 0, lit(null).cast("bigint"))
-      .otherwise(bits.reduce(_ + _))
-  }
+  /** SimHash bits (30-bit, md5-portable): per-bit majority vote over
+    * token hashes — custom Catalyst expression
+    * ([[graft.functions.SimHashExpr]]), one md5 pass per token. */
+  def simHash(text: Column): Column =
+    graft.functions.HashExpressions.simHash(text)
 
   /** SimHash near-dup pairs: hamming distance <= maxDist.
     * (Bounded-input baseline; the scale path buckets on band slices

@@ -25,20 +25,23 @@ object Dedup {
   def byKey(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
-  /** Deterministic keep-first: survivor is the row with the smallest
-    * `orderCol` per key (row_number over a key-partitioned window).
-    */
-  def keepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+  /** Deterministic keep-first: survivor is the row that sorts first
+    * by `orderCols` per key (row_number over a key-partitioned
+    * window). Pass enough order columns to make the sort total —
+    * ties on the ordering make the survivor engine-dependent. */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderCols: String*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).asc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
 
-  /** Keep-latest by a timestamp/version column (CDC-style upsert
+  /** Keep-latest by timestamp/version columns (CDC-style upsert
     * compaction — the batch analog of streaming dropDuplicates). */
-  def keepLatest(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+  def keepLatest(df: DataFrame, keys: Seq[String], orderCols: String*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
