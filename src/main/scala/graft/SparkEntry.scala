@@ -345,8 +345,7 @@ object SparkEntry {
     }),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
-      NearDup.ngramJaccardPairs(
-        Tables.documents(s, d).filter(col("doc_id") < 1000), "doc_id", "text",
+      NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
@@ -361,8 +360,7 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "dedup_embed_cosine" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(
-        Tables.embeddings(s, d).filter(col("vec_id") < 1000), threshold = 0.45)
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy("id_a", "id_b")),
 
     "ann_topk" -> ((s, d) => {
@@ -596,7 +594,7 @@ object SparkEntry {
     "dedup_simhash" -> simHashOracle,
 
     "dedup_embed_cosine" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id < 1000)
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v)
@@ -664,13 +662,18 @@ object SparkEntry {
     s"(CASE WHEN $uni = 0 THEN 0.0 ELSE $inter::DOUBLE / $uni END)"
   }
 
-  private def ngramJaccardOracle: String =
-    s"""WITH $shingleCte
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       | ${sqlRound(jaccardExpr("a.shingles", "b.shingles"), 6)} AS jaccard_sim
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
-       |WHERE ${sqlRound(jaccardExpr("a.shingles", "b.shingles"), 6)} >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+  private def ngramJaccardOracle: String = {
+    val j = sqlRound("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 6)
+    s"""WITH $shingleCte,
+       |dsh AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM dsh),
+       |e AS (SELECT doc_id, unnest(shingles) AS g FROM dsh),
+       |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, $j AS jaccard_sim
+       |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE $j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** DuckDB replica of the MinHash+LSH pipeline — same md5-derived
     * base hash, same affine coefficients (interpolated from

@@ -107,16 +107,34 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }
 
-  /** Brute-force n-gram Jaccard pairs (correctness baseline for
-    * LSH; O(n^2) — only for bounded inputs / oracle checks). */
+  /** Exact n-gram Jaccard pairs via an inverted shingle index:
+    * explode distinct shingles, self-join on the shingle, count
+    * common shingles per pair, then jaccard = c / (|a|+|b|-c).
+    *
+    * No cross join and no per-pair array intersection — pairs sharing
+    * zero shingles (jaccard 0) never materialize. Cost is
+    * sum-over-shingles(docs_per_shingle^2): near-linear on real
+    * corpora, vs O(n^2) for the naive formulation. Hot shingles are
+    * the skew risk at scale — cap them upstream (drop shingles with
+    * document frequency above a cutoff; stopword-like shingles carry
+    * no near-dup signal anyway). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol),
       array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
-    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard_sim", graft.functions.Det.roundTo(jaccard(col("__sh_a"), col("__sh_b")), 6))
+      .filter(size(col("__sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col(idCol), size(col("__sh")).as("__n"))
+    val inv = sh.select(col(idCol), explode(col("__sh")).as("__g"))
+    val common = inv.select(col(idCol).as("id_a"), col("__g"))
+      .join(inv.select(col(idCol).as("id_b"), col("__g")), Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("jaccard_sim", graft.functions.Det.roundTo(
+        col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }
