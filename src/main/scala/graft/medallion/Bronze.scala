@@ -50,5 +50,6 @@ object Bronze {
     * payload-wrap; caller attaches the sink/checkpoint. */
   def readStream(spark: SparkSession, path: String, schema: StructType,
                  format: String = "json"): DataFrame =
-    wrap(spark.readStream.format(format).schema(schema).load(path))
+    wrap(spark.readStream.format(format).option("multiLine", true)
+      .schema(schema).load(path))
 }

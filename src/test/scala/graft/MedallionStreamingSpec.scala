@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.medallion.{Bronze, Gold, Silver}
+import graft.streaming.Streams
+
+/** End-to-end medallion pipeline over streaming JSON — the
+  * reference's actual topology (bronze_ingestion.py →
+  * silver_transformation.py → gold_transformation.py) driven as
+  * Structured Streaming with trigger-once semantics.
+  */
+class MedallionStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Nested JSON fixtures shaped like the reference entities:
+    * customers {customer_id, name, email, address{city,postal_code,
+    * country}}, orders {order_id, timestamp, customer{...}, items[
+    * {item_id, product_name, quantity, price}], payment{...}}. */
+  private def writeFixtures(dir: String): Unit = {
+    val customers =
+      """[{"customer_id": 1, "name": "Ada", "email": "ada@x.com",
+        |  "address": {"city": "new york", "postal_code": "10001", "country": "usa"}},
+        | {"customer_id": 2, "name": "Bo", "email": "bo@x.com",
+        |  "address": {"city": "chicago", "postal_code": "60601", "country": "usa"}},
+        | {"customer_id": 2, "name": "Bo", "email": "bo@x.com",
+        |  "address": {"city": "chicago", "postal_code": "60601", "country": "usa"}}]""".stripMargin
+    val orders =
+      """[{"order_id": "O1", "timestamp": "2024-01-01T10:00:00Z",
+        |  "customer": {"customer_id": 1, "name": "Ada"},
+        |  "items": [{"item_id": "P1", "product_name": "laptop", "quantity": 1, "price": 1200.5},
+        |            {"item_id": "P2", "product_name": "mouse", "quantity": 2, "price": 25.0}],
+        |  "payment": {"method": "card", "transaction_id": "T1"}},
+        | {"order_id": "O2", "timestamp": "2024-01-02T11:00:00Z",
+        |  "customer": {"customer_id": 2, "name": "Bo"},
+        |  "items": [{"item_id": "P1", "product_name": "laptop", "quantity": -1, "price": 1200.5}],
+        |  "payment": {"method": "paypal", "transaction_id": "T2"}}]""".stripMargin
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/customers"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/orders"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/customers/part1.json"), customers)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/orders/part1.json"), orders)
+  }
+
+  test("bronze: schema inference + streaming JSON ingest wraps payload") {
+    val dir = Files.createTempDirectory("graft_medallion").toString
+    writeFixtures(dir)
+    val schema = Bronze.inferSchema(spark, s"$dir/customers")
+    assert(schema.fieldNames.toSet === Set("customer_id", "name", "email", "address"))
+
+    val bronze = Bronze.readStream(spark, s"$dir/customers", schema)
+    Streams.runOnce(bronze.drop("bronze_ingest_ts"), s"$dir/ckpt_b", "bronze_customers")
+    val out = spark.table("bronze_customers")
+    assert(out.columns.toSet === Set("payload", "ingest_file"))
+    assert(out.count() === 3)
+    assert(out.select("payload.address.city").as[String].collect().toSet
+      === Set("new york", "chicago"))
+    assert(out.select("ingest_file").as[String].head().contains("part1.json"))
+  }
+
+  test("silver: streaming flatten + dedup over bronze") {
+    val dir = Files.createTempDirectory("graft_medallion2").toString
+    writeFixtures(dir)
+    val schema = Bronze.inferSchema(spark, s"$dir/customers")
+    val bronze = Bronze.readStream(spark, s"$dir/customers", schema)
+    val silver = Silver.transform(bronze, Seq("customer_id"))
+    Streams.runOnce(silver, s"$dir/ckpt_s", "silver_customers")
+    val out = spark.table("silver_customers")
+    assert(out.count() === 2) // dup customer 2 removed
+    assert(out.columns.toSet === Set("customer_id", "name", "email",
+      "address_city", "address_postal_code", "address_country",
+      "ingest_file", "bronze_ingest_ts", "silver_ingest_ts"))
+  }
+
+  test("silver explodes order items; gold builds fact with DQ filters") {
+    val dir = Files.createTempDirectory("graft_medallion3").toString
+    writeFixtures(dir)
+    val oschema = Bronze.inferSchema(spark, s"$dir/orders")
+    val bronzeOrders = Bronze.readStream(spark, s"$dir/orders", oschema)
+    val silverOrders = Silver.transform(bronzeOrders, Seq("order_id"))
+    Streams.runOnce(silverOrders, s"$dir/ckpt_o", "silver_orders_t")
+    val so = spark.table("silver_orders_t")
+    // Reference semantics (silver_transformation.py:85-90): dedup by
+    // order_id runs AFTER flatten+explode — an order with 2 items
+    // keeps exactly one (arbitrary) item row. 2 orders -> 2 rows.
+    assert(so.count() === 2)
+    assert(so.columns.contains("items_item_id") && so.columns.contains("customer_customer_id"))
+
+    // gold fact: derived measure + DQ filter drops the negative-qty line
+    val fact = so
+      .select(col("order_id"), col("customer_customer_id").as("customer_id"),
+        col("items_item_id").as("product_id"),
+        col("items_quantity").as("quantity"),
+        col("items_price").as("price"),
+        (col("items_quantity") * col("items_price")).as("total_order_value"))
+      .filter(col("order_id").isNotNull && col("quantity") > 0 && col("total_order_value") > 0)
+    assert(fact.count() === 1) // O2's only line has negative quantity
+    val total = fact.agg(sum("total_order_value")).as[Double].head()
+    assert(total === 1200.5 || total === 50.0) // whichever O1 item survived
+  }
+
+  test("gold dimension normalization matches reference initcap semantics") {
+    val dim = Seq((1, "new york", "usa"), (2, "chicago", "usa"))
+      .toDF("customer_id", "city", "country")
+    val out = Gold.dimension(dim, "customer_id",
+      Seq("customer_id" -> "customer_id", "city" -> "city", "country" -> "country"),
+      Map("city" -> initcap(col("city")), "country" -> upper(col("country"))))
+    assert(out.orderBy("customer_id").select("city").as[String].collect().toSeq
+      === Seq("New York", "Chicago"))
+  }
+}
