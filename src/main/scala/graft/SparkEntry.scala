@@ -359,6 +359,30 @@ object SparkEntry {
         .select(col("doc_id"), NearDup.simHash(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
+    "dedup_simhash_pairs" -> ((s, d) =>
+      NearDup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 6)
+        .withColumn("hamming", col("hamming").cast("bigint"))
+        .orderBy("id_a", "id_b")),
+
+    "q_label_centroid" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(roundTo(col("x").cast("double"), 10).cast("decimal(28,10)"))
+            .cast("double").as("dim_sum"))
+        .withColumn("dim", col("dim").cast("bigint"))
+        .orderBy("label", "dim")),
+
+    "text_vocab" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token").asc)
+        .limit(100)),
+
     "dedup_embed_cosine" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy("id_a", "id_b")),
@@ -593,6 +617,20 @@ object SparkEntry {
 
     "dedup_simhash" -> simHashOracle,
 
+    "dedup_simhash_pairs" -> simHashPairsOracle,
+
+    "q_label_centroid" ->
+      """SELECT label, dim, COUNT(*) AS n_vectors,
+        | CAST(SUM(CAST(floor((embedding[dim+1]::DOUBLE)*10000000000 + 0.5)/10000000000
+        |   AS DECIMAL(28,10))) AS DOUBLE) AS dim_sum
+        |FROM embeddings CROSS JOIN generate_series(0, 63) AS g(dim)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "text_vocab" ->
+      s"""SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS token FROM documents)
+         |GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT 100""".stripMargin,
+
     "dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -705,6 +743,16 @@ object SparkEntry {
        |WHERE ${sqlRound(jaccardExpr("sa.shingles", "sb.shingles"), 6)} >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** DuckDB replica of SimHash hamming-distance pairs. */
+  private def simHashPairsOracle: String =
+    s"""WITH hsrc AS (${simHashOracle.replace("ORDER BY doc_id", "")})
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM hsrc a JOIN hsrc b ON a.doc_id < b.doc_id
+       |WHERE a.simhash IS NOT NULL AND b.simhash IS NOT NULL
+       | AND bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** DuckDB replica of the 30-bit SimHash. */
   private def simHashOracle: String = {
