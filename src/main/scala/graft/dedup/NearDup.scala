@@ -145,16 +145,46 @@ object NearDup {
   def simHash(text: Column): Column =
     graft.functions.HashExpressions.simHash(text)
 
-  /** SimHash near-dup pairs: hamming distance <= maxDist.
-    * (Bounded-input baseline; the scale path buckets on band slices
-    * of the simhash exactly like MinHash LSH.) */
+  /** SimHash band layout: 7 bands over the 30 bits (sizes 5,5,4,4,
+    * 4,4,4). By pigeonhole, two hashes within hamming distance
+    * maxDist < 7 share at least one identical band — so the banded
+    * bucket join below is EXACT (same output as the O(n^2) cross
+    * join) while only materializing same-band candidates. */
+  private val SimBandOffsets: Seq[(Int, Int)] = // (offset, width)
+    Seq((0, 5), (5, 5), (10, 4), (14, 4), (18, 4), (22, 4), (26, 4))
+
+  /** SimHash near-dup pairs: hamming distance <= maxDist (< 7),
+    * via exact banded LSH — candidates from a bucket join on band
+    * values, then the precise hamming filter. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 6): DataFrame = {
+    require(maxDist < SimBandOffsets.length,
+      s"banded join is only exact for maxDist < ${SimBandOffsets.length}")
     val h = docs.select(col(idCol), simHash(col(textCol)).as("__sh"))
       .filter(col("__sh").isNotNull)
-    val a = h.select(col(idCol).as("id_a"), col("__sh").as("__h_a"))
-    val b = h.select(col(idCol).as("id_b"), col("__sh").as("__h_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    def bandVal(hc: Column, band: Int): Column = {
+      val (off, w) = SimBandOffsets(band)
+      shiftright(hc, off).bitwiseAND(lit((1L << w) - 1))
+    }
+    val bandStructs = SimBandOffsets.indices.map { i =>
+      struct(lit(i).as("band_idx"), bandVal(col("__sh"), i).as("band_val"))
+    }
+    // carry the full hash through the band explode: the join emits the
+    // pair ONLY at its first matching band (all earlier bands differ),
+    // so every qualifying pair appears exactly once — no distinct(),
+    // and the hamming filter runs map-side right after the join.
+    val bands = h.select(col(idCol), col("__sh"),
+      explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("__sh"), col("b.band_idx"), col("b.band_val"))
+    val a = bands.select(col(idCol).as("id_a"), col("__sh").as("__h_a"),
+      col("band_idx"), col("band_val"))
+    val b = bands.select(col(idCol).as("id_b"), col("__sh").as("__h_b"),
+      col("band_idx"), col("band_val"))
+    val firstMatch = SimBandOffsets.indices.map { j =>
+      col("band_idx") <= j || bandVal(col("__h_a"), j) =!= bandVal(col("__h_b"), j)
+    }.reduce(_ && _)
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b") && firstMatch)
       .withColumn("hamming", bit_count(col("__h_a").bitwiseXOR(col("__h_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
