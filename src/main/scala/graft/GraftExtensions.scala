@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.dedup.NearDup
+import graft.functions.{DotProductExpr, MinHashSigExpr, SimHashExpr}
+
+/** SparkSessionExtensions hook exposing graft's custom Catalyst
+  * expressions as SQL functions:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * then `SELECT graft_simhash(text), graft_minhash_sig(text),
+  * graft_dot(a, b) FROM ...`. [[GraftFunctions.register]] does the
+  * same on an already-built session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  type Description =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val descriptions: Seq[Description] = Seq(
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHashExpr(args.head)),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => MinHashSigExpr(args.head, 3, NearDup.coeffs)),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+
+  /** Register on a live session (equivalent to the extension). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptions.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerFunction(spark, ident, info, builder)
+    }
+}

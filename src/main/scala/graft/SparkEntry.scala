@@ -176,6 +176,33 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_asof_prior_signup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin.lastPrior(
+        purchases, signups, "user_id", "ts",
+        valueCol = "event_id", asCol = "prior_signup_id",
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          coalesce(col("prior_signup_id"), lit(-1L)).as("prior_signup_id"))
+        .orderBy("event_id")
+    }),
+
+    "q_scd1_merge" -> ((s, d) => {
+      val base = Tables.orders(s, d).withColumn("version", lit(1L))
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("version", lit(2L))
+      Dedup.keepLatest(base.unionByName(updates), Seq("o_orderkey"), "version")
+        .select(col("o_orderkey"), col("version"),
+          roundTo(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_latest_event" -> ((s, d) => {
       Dedup.keepLatest(Tables.events(s, d), Seq("user_id"), "ts", "event_id")
         .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
@@ -479,6 +506,33 @@ object SparkEntry {
       """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         |FROM events WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 80
         |ORDER BY event_id""".stripMargin,
+
+    "q_asof_prior_signup" ->
+      """WITH u AS (
+        | SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS sid, 1 AS isleft
+        | FROM events WHERE event_type = 'purchase'
+        | UNION ALL
+        | SELECT user_id, ts, event_id, event_id AS sid, 0
+        | FROM events WHERE event_type = 'signup'),
+        |m AS (
+        | SELECT *, last_value(sid IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY ts ASC, isleft ASC, event_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_signup_id
+        | FROM u)
+        |SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        | COALESCE(prior_signup_id, -1) AS prior_signup_id
+        |FROM m WHERE isleft = 1 ORDER BY event_id""".stripMargin,
+
+    "q_scd1_merge" ->
+      """SELECT o_orderkey, version, totalprice FROM (
+        | SELECT o_orderkey, version,
+        |  floor((price)*100 + 0.5)/100 AS totalprice,
+        |  row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        | FROM (
+        |  SELECT o_orderkey, o_totalprice AS price, 1 AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 1.1, 2 FROM orders WHERE o_orderkey % 10 = 0))
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
 
     "q_latest_event" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM (

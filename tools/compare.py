@@ -15,6 +15,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(v):
     if isinstance(v, float):
+        if v != v:  # NaN (e.g. nulls through pandas) — make comparable
+            return None
         return round(v, 9)
     return v
 
