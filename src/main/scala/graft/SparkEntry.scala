@@ -210,6 +210,46 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q_split_assign" -> ((s, d) => {
+      // deterministic train/val/test split on a portable content hash
+      val h = pmod(conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(100L))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    "q_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("moving_avg", roundTo(avg(col("value")).over(w), 6))
+        .select(col("event_id"), col("user_id"), col("moving_avg"))
+        .orderBy("event_id")
+    }),
+
+    "q_median_price" -> ((s, d) => {
+      // exact median-by-rank (deterministic: value at ceil(n/2) in the
+      // (price, orderkey, linenumber) total order)
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val n = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(n))
+        .filter(col("__rn") === ceil(col("__n") / 2))
+        .select(col("l_returnflag"), roundTo(col("l_extendedprice"), 2).as("median_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_length_hist" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy((floor(col("n_chars") / 50) * 50).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket")),
+
     // ---- medallion core ----
 
     "bronze_ingest" -> ((s, d) => {
@@ -538,6 +578,31 @@ object SparkEntry {
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM (
         | SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id,
+        | CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  (('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 + 100) % 100 AS h
+        | FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "q_moving_avg" ->
+      s"""SELECT event_id, user_id,
+         | ${sqlRound("AVG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)", 6)} AS moving_avg
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_median_price" ->
+      """SELECT l_returnflag, floor((l_extendedprice)*100 + 0.5)/100 AS median_price FROM (
+        | SELECT l_returnflag, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem)
+        |WHERE rn = CAST(ceil(n / 2.0) AS BIGINT) ORDER BY l_returnflag""".stripMargin,
+
+    "q_length_hist" ->
+      """SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "bronze_ingest" ->
       """SELECT c_custkey, c_name, c_mktsegment,
