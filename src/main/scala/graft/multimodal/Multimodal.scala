@@ -81,4 +81,51 @@ object Multimodal {
     }
     spark.createDataFrame(out, featureSchema)
   }
+
+  /** Image resize: payload -> payload at (w, h), metadata updated.
+    * STUB codec (deterministic byte subsampling standing in for a
+    * real scaler); the Spark-side contract — binary in/binary out,
+    * metadata columns updated in the same projection, narrow op, no
+    * shuffle — is the real plumbing. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = media.schema
+    val out = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val resized =
+          if (payload == null) null
+          else {
+            // ??? real scaler goes here; deterministic fake: sample
+            // w*h bytes evenly across the payload
+            val n = math.min(w * h, payload.length)
+            Array.tabulate(n)(i => payload((i.toLong * payload.length / n).toInt))
+          }
+        Row.fromSeq(r.toSeq.zipWithIndex.map {
+          case (_, i) if schema(i).name == "payload" => resized
+          case (_, i) if schema(i).name == "width" => w
+          case (_, i) if schema(i).name == "height" => h
+          case (v, _) => v
+        })
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Video frame sampling: one output row per sampled frame at
+    * `everyMs` intervals within duration_ms. The 1->N row fanout is
+    * the real contract (posexplode over a frame-index sequence,
+    * fully codegen'd); the frame "decode" is the stub byte-slice. */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
+    val n = greatest(lit(1L),
+      (coalesce(col("duration_ms"), lit(0L)) / everyMs).cast("long"))
+    media.filter(col("media_type") === "video")
+      .select(col("media_id"), col("payload"), col("duration_ms"),
+        posexplode(sequence(lit(0L), n - 1)).as(Seq("frame_idx", "__f")))
+      .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        (col("frame_idx") * everyMs).cast("bigint").as("frame_ts_ms"),
+        // ??? real frame decode; stub: a 16-byte slice at the frame offset
+        expr("substring(payload, cast(frame_idx * 16 % greatest(length(payload), 1) as int) + 1, 16)")
+          .as("frame_bytes"))
+  }
 }

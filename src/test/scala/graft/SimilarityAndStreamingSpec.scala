@@ -96,4 +96,25 @@ class SimilarityAndStreamingSpec extends SparkSpec {
     assert(r.getAs[Seq[Float]]("feature").length === 8)
     assert(r.getAs[Long]("n_bytes") > 0)
   }
+
+  test("multimodal resize updates payload and metadata, keeps schema") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
+    val resized = Multimodal.resize(media, 8, 8)
+    assert(resized.schema === media.schema)
+    val r = resized.filter(col("media_id") === 0).head()
+    assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 8)
+    assert(r.getAs[Array[Byte]]("payload").length <= 64)
+  }
+
+  test("multimodal frame sampling fans out one row per frame") {
+    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000)
+    val perVideo = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .join(media.filter(col("media_type") === "video")
+        .select(col("media_id"), col("duration_ms")), "media_id")
+    // n frames == max(1, duration/1000) for every video
+    assert(perVideo.filter(
+      col("n") =!= greatest(lit(1L), (col("duration_ms") / 1000).cast("long"))).count() === 0)
+    assert(frames.filter(length(col("frame_bytes")) === 0).count() === 0)
+  }
 }
