@@ -462,7 +462,7 @@ object SparkEntry {
 
     "ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 100), k = 5, nBits = 4)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 100), k = 5, nBits = 4, dim = 64)
         .orderBy("query_id", "rank")
     })
   )
@@ -768,10 +768,33 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id FROM (
         | SELECT query_id, corpus_id AS neighbor_id,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
-        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    // ann_lsh: intentionally omitted (rows-only check; Spark-hash bucketing
-    // is not reproducible in DuckDB)
+        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh" -> annLshOracle
   )
+
+  /** DuckDB replica of the LSH-bucketed ANN: the hyperplane sign
+    * vectors are the same plan-time constants
+    * ([[Similarity.hyperplaneSigns]]) interpolated as list literals. */
+  private def annLshOracle: String = {
+    val buckets = (0 until 4).map { b =>
+      val plane = Similarity.hyperplaneSigns(64, b)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product(v, $plane) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |  $buckets AS bucket FROM e),
+       |scored AS (
+       | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |  list_inner_product(q.v, c.v)
+       |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+       | FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 100 AND c.vec_id != q.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       | SELECT query_id, corpus_id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+       | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   // ---- long generated oracles ----
 

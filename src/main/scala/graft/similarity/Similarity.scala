@@ -52,19 +52,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id").as("neighbor_id"))
   }
 
+  /** Deterministic ±1 hyperplane components from the portable md5
+    * hash of "i:b" — data-independent, computed ONCE at plan time and
+    * baked into the plan as literal arrays (zero per-row hashing).
+    * The oracle SQL interpolates the same constants. */
+  def hyperplaneSigns(dim: Int, b: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      if (graft.functions.PortableHash.baseHash(md, s"$i:$b") % 2 == 0) 1.0 else -1.0
+    }
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of dot products with
-    * `nBits` fixed pseudo-random hyperplanes (deterministic hash
-    * seeds, dimension-agnostic via index-hash). */
-  def lshBucket(vec: Column, nBits: Int = 8): Column = {
-    // hyperplane component h_{b,i} in {-1, +1} from a hash of (b, i):
-    // deterministic, no stored planes — works at any dimensionality.
+    * `nBits` fixed hyperplanes over `dim`-dimensional vectors. */
+  def lshBucket(vec: Column, nBits: Int, dim: Int): Column = {
     val bits = (0 until nBits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
-          i => when(pmod(hash(i, lit(b)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-          (x, s) => x * s),
-        lit(0.0), _ + _)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+      val plane = array(hyperplaneSigns(dim, b).map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -73,14 +77,14 @@ object Similarity {
     * traded for a ~2^nBits candidate reduction; multi-probe (flip one
     * bit) can be layered on for higher recall. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nBits: Int = 4,
+              nBits: Int = 4, dim: Int = 64,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), toDouble(col(vecCol)).as("__cv"))
-      .withColumn("__bucket", lshBucket(col("__cv"), nBits))
+      .withColumn("__bucket", lshBucket(col("__cv"), nBits, dim))
       .withColumn("__cn", norm(col("__cv")))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
-      .withColumn("__bucket", lshBucket(col("__qv"), nBits))
+      .withColumn("__bucket", lshBucket(col("__qv"), nBits, dim))
       .withColumn("__qn", norm(col("__qv")))
     val scored = c.join(q, "__bucket")
       .filter(col("corpus_id") =!= col("query_id"))

@@ -8,9 +8,8 @@ class EntryContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("every query has an oracle or is a documented rows-only check") {
-    val rowsOnly = Set("ann_lsh") // Spark-hash bucketing not reproducible in DuckDB
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"query without oracle: $missing")
   }
 
