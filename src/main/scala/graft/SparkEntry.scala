@@ -534,8 +534,8 @@ object SparkEntry {
          |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_s
          | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
          |s AS (
-         | SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         | SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
          | FROM g)
          |SELECT user_id, session_seq, epoch_ms(MIN(ts)) AS session_start_ms,
          | epoch_ms(MAX(ts)) AS session_end_ms, COUNT(*) AS n_events,

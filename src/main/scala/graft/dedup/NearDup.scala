@@ -19,6 +19,12 @@ import graft.text.TextFunctions
   * Scale path: LSH banding turns O(n^2) near-dup search into
   * |bands| * (groupBy-shuffle + within-bucket join). Only candidate
   * pairs (tiny fraction) pay the exact-Jaccard verification.
+  *
+  * Caching contract: pair-finding pipelines persist their signature
+  * frame (it feeds 3 plan branches). The persist lives as long as the
+  * returned plan; CALLERS own cleanup — run `spark.catalog
+  * .clearCache()` (or unpersist) after the consuming action, as
+  * Bench/Verify do between queries.
   */
 object NearDup {
 

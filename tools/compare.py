@@ -5,20 +5,47 @@ Usage: python3 tools/compare.py <sfDir> <outDir>
 
 Registers each test parquet as a view, runs every oracle_sql.json
 query, loads the corresponding Spark result parquet, sorts columns by
-name and rows by all columns, and compares values.
+name and rows by rendered text, and compares:
+  1. row counts
+  2. pandas dtypes per column (catches e.g. DuckDB HUGEINT -> float64
+     vs Spark BIGINT -> int64, which the driver's hash check fails on)
+  3. md5 of the exact rendered row text (no rounding, no float
+     coercion) -- mirrors the driver's hash gate.
 """
-import sys, json, glob, os
+import sys, json, glob, hashlib
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        if v != v:  # NaN (e.g. nulls through pandas) — make comparable
-            return None
-        return round(v, 9)
-    return v
+import numpy as np
+
+def render(v):
+    # NaN (nulls through pandas) -> canonical token. Integers of any
+    # width render identically ("1"); floats render with the decimal
+    # point ("1.0") -- so an int-vs-float type difference fails (the
+    # driver's HUGEINT->float64 case) while int32-vs-int64 passes
+    # (driver r1 passed those).
+    if v is None:
+        return "<null>"
+    if isinstance(v, (float, np.floating)):
+        if v != v:
+            return "<null>"
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+        return str(int(v))
+    return repr(v)
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = sorted("|".join(render(v) for v in r)
+                  for r in df.itertuples(index=False, name=None))
+    h = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    # kind-level dtype: int vs float vs object vs datetime matters;
+    # width does not (driver renders values, so i4 == i8).
+    dtypes = {c: df[c].dtype.kind for c in cols}
+    return cols, dtypes, rows, h
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -40,24 +67,29 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
-        wc, gc = sorted(want.columns), sorted(got.columns)
+        wc, wt, wrows, wh = canon(want)
+        gc, gt, grows, gh = canon(got)
         if wc != gc:
             print(f"SCHEMA   {name}: oracle={wc} spark={gc}")
             n_fail += 1
             continue
-        w = [tuple(norm(v) for v in r) for r in want[wc].itertuples(index=False)]
-        g = [tuple(norm(v) for v in r) for r in got[wc].itertuples(index=False)]
-        w.sort(key=repr); g.sort(key=repr)
-        if len(w) != len(g):
-            print(f"ROWS     {name}: oracle={len(w)} spark={len(g)}")
+        if len(wrows) != len(grows):
+            print(f"ROWS     {name}: oracle={len(wrows)} spark={len(grows)}")
             n_fail += 1
-        elif w != g:
-            diffs = [(a, b) for a, b in zip(w, g) if a != b][:3]
-            print(f"VALUES   {name}: {len([1 for a,b in zip(w,g) if a!=b])} differing rows; e.g. {diffs}")
+            continue
+        if wt != gt:
+            bad = {c: (wt[c], gt[c]) for c in wc if wt[c] != gt[c]}
+            print(f"DTYPE    {name}: oracle vs spark {bad}")
             n_fail += 1
-        else:
-            print(f"OK       {name} ({len(g)} rows)")
-            n_pass += 1
+            continue
+        if wh != gh:
+            diffs = [(a, b) for a, b in zip(wrows, grows) if a != b][:3]
+            nd = sum(1 for a, b in zip(wrows, grows) if a != b)
+            print(f"HASH     {name}: {nd} differing rendered rows; e.g. {diffs}")
+            n_fail += 1
+            continue
+        print(f"OK       {name} ({len(grows)} rows, md5={gh[:12]})")
+        n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
 
 if __name__ == "__main__":
