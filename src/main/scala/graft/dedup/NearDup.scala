@@ -83,12 +83,17 @@ object NearDup {
 
   /** Exact Jaccard similarity of two shingle-set columns (distinct
     * semantics on both sides — matches DuckDB list fns). */
-  def jaccard(a: Column, b: Column): Column = {
-    val da = array_distinct(a)
-    val db = array_distinct(b)
-    val inter = size(array_intersect(da, db)).cast("double")
-    val uni = (size(da) + size(db) - size(array_intersect(da, db))).cast("double")
-    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  def jaccard(a: Column, b: Column): Column =
+    jaccardDistinct(array_distinct(a), array_distinct(b))
+
+  /** Jaccard for inputs already known distinct: ONE array_intersect
+    * (intersection c, union = |a|+|b|-c). Array functions are
+    * interpreted with no common-subexpression elimination, so a second
+    * intersect literally doubles the verify cost. */
+  def jaccardDistinct(da: Column, db: Column): Column = {
+    val c = size(array_intersect(da, db)).cast("double")
+    val uni = size(da) + size(db) - c
+    when(uni === 0, lit(0.0)).otherwise(c / uni)
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → signature → band →
@@ -98,9 +103,9 @@ object NearDup {
                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     // persist: the signature frame feeds three plan branches (banding
     // + both sides of the verify join) — without it Spark recomputes
-    // the md5 shingle hashing 3x.
+    // the shingle hashing 3x.
     val withSig = docs.select(col(idCol),
-      TextFunctions.shingles(col(textCol), shingleSize).as("__sh"),
+      TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh"),
       minHashSignature(col(textCol), shingleSize).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(lshBands(withSig, idCol, "__sig"), idCol)
@@ -108,7 +113,8 @@ object NearDup {
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
-      .withColumn("jaccard_sim", graft.functions.Det.roundTo(jaccard(col("__sh_a"), col("__sh_b")), 6))
+      .withColumn("jaccard_sim", graft.functions.Det.roundTo(
+        jaccardDistinct(col("__sh_a"), col("__sh_b")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }

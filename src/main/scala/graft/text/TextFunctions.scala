@@ -100,13 +100,15 @@ object TextFunctions {
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")
 
   /** Word n-gram shingles: array of space-joined n-grams (empty when
-    * fewer than n tokens). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // `sequence` bound clamped to 0 — the otherwise-branch expression
-    // is evaluated even for rows the `when` filters out.
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), greatest(lit(0), size(toks) - n)),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
+    * fewer than n tokens). Single-pass custom expression — the HOF
+    * formulation (transform over sequence + slice + concat_ws) is
+    * interpreted and re-evaluates the regex split per element, which
+    * made shingling dominate the near-dup suite (~1.5 ms/doc vs ~µs). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShinglesExpr.shingles(text, n)
+
+  /** Distinct shingles (first-occurrence order, matching
+    * `array_distinct`), deduped inside the same single pass. */
+  def shinglesDistinct(text: Column, n: Int): Column =
+    graft.functions.ShinglesExpr.shingles(text, n, distinct = true)
 }
