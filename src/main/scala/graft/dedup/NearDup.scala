@@ -132,19 +132,29 @@ object NearDup {
     * no near-dup signal anyway). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
+    // Inverted rows carry the doc's shingle-set size so the final
+    // jaccard needs no size-lookup joins, and join on a 64-bit hash of
+    // the shingle instead of the string (same shuffle cardinality,
+    // ~3x smaller shuffle rows; a hash collision would need two
+    // distinct shingles of the corpus to collide in 2^64).
+    val inv = docs.select(col(idCol),
+      TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .select(col(idCol), size(col("__sh")).as("__n"), explode(col("__sh")).as("__g0"))
+      .select(col(idCol), col("__n"), xxhash64(col("__g0")).as("__g"))
+      // feeds both sides of the self-join (caching contract above)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.select(col(idCol), size(col("__sh")).as("__n"))
-    val inv = sh.select(col(idCol), explode(col("__sh")).as("__g"))
-    val common = inv.select(col(idCol).as("id_a"), col("__g"))
-      .join(inv.select(col(idCol).as("id_b"), col("__g")), Seq("__g"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
-    common
-      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
+    // Size-compatibility prune BEFORE the pair aggregation: max
+    // possible jaccard is min(na,nb)/max(na,nb) (c <= min and
+    // union >= max), so incompatible sizes can never pass the
+    // threshold — exact, and it drops skew-heavy joined rows map-side.
+    val a = inv.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__g"))
+    val b = inv.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__g"))
+    a.join(b, Seq("__g"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("__na"), col("__nb")).cast("double") >=
+          lit(threshold) * greatest(col("__na"), col("__nb")))
+      .groupBy("id_a", "id_b", "__na", "__nb").agg(count(lit(1)).as("__c"))
       .withColumn("jaccard_sim", graft.functions.Det.roundTo(
         col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")), 6))
       .filter(col("jaccard_sim") >= threshold)
