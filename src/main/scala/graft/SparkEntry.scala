@@ -464,6 +464,12 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 100), k = 5, nBits = 4, dim = 64)
         .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 100), k = 5, nCells = 16, nProbe = 2)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -770,8 +776,41 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
         | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "ann_lsh" -> annLshOracle
+    "ann_lsh" -> annLshOracle,
+    "ann_ivf" -> annIvfOracle
   )
+
+  /** DuckDB replica of the IVF ANN: centroids are the 16 lowest-id
+    * corpus vectors (same deterministic seed rule as
+    * [[Similarity.ivfTopK]]); cell assignment and probe ranking use
+    * the identical cosine expression shape, so cells and rankings are
+    * bit-equal across engines. */
+  private def annIvfOracle: String = {
+    def cos(a: String, b: String) =
+      s"""list_inner_product($a, $b)
+         |   / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |cent AS (SELECT cid, v FROM (
+       |  SELECT v, row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid FROM e) WHERE cid < 16),
+       |ca AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, cent.cid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${cos("e.v", "cent.v")} DESC, cent.cid ASC) AS rn
+       |  FROM e CROSS JOIN cent) WHERE rn = 1),
+       |qc AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, cent.cid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${cos("e.v", "cent.v")} DESC, cent.cid ASC) AS rn
+       |  FROM e CROSS JOIN cent WHERE e.vec_id < 100) WHERE rn <= 2),
+       |scored AS (
+       | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |  ${cos("q.v", "c.v")} AS cos
+       | FROM qc q JOIN ca c ON q.cid = c.cid AND c.vec_id != q.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       | SELECT query_id, corpus_id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+       | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** DuckDB replica of the LSH-bucketed ANN: the hyperplane sign
     * vectors are the same plan-time constants

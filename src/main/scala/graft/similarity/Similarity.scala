@@ -96,6 +96,61 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id").as("neighbor_id"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nCells`
+    * Voronoi cells around centroid vectors, search only the `nProbe`
+    * cells nearest each query.
+    *
+    * Centroids here are the `nCells` corpus vectors with the smallest
+    * ids — deterministic and exactly reproducible by the SQL oracle.
+    * Production would plug k-means centroids into the same plumbing
+    * (the assign/probe plans are identical; only the centroid list
+    * changes). Centroids are collected once at plan-build time (tiny:
+    * nCells rows) and baked into the plan as literals, so cell
+    * assignment is a narrow map — no join, no shuffle — and the only
+    * shuffle is the probe join keyed by cell id.
+    *
+    * Scale: corpus is scored only against queries probing its cell —
+    * candidate volume ~ nProbe/nCells of brute force; the corpus side
+    * is never re-partitioned beyond the cell-id join. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 2,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val centroids: Array[Seq[Double]] = corpus
+      .select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .orderBy(col(idCol).asc).limit(nCells)
+      .collect().map(_.getSeq[Double](1))
+    // cosine against centroid i, with the same expression shape the
+    // oracle uses (dot / (norm*norm)) so float results are bit-equal
+    def centCos(v: Column, vn: Column, i: Int): Column = {
+      val c = centroids(i)
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      dot(v, array(c.map(lit): _*)) / (vn * lit(cn))
+    }
+    // argmax over cells via struct ordering: max cosine, then the
+    // SMALLEST cell id on ties (ni = -i, so max ni = min i)
+    def bestCells(v: Column, vn: Column, take: Int): Column = {
+      val scored = centroids.indices.map(i =>
+        struct(centCos(v, vn, i).as("c"), lit(-i).as("ni")))
+      slice(reverse(array_sort(array(scored: _*))), 1, take)
+    }
+    val c = corpus.select(col(idCol).as("corpus_id"), toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("__cell", -bestCells(col("__cv"), col("__cn"), 1)(0).getField("ni"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("__cell", explode(transform(
+        bestCells(col("__qv"), col("__qn"), nProbe), s => -s.getField("ni"))))
+    val scored = c.join(q, "__cell")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("__cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id").as("neighbor_id"))
+  }
+
   /** Embedding-cosine near-dup pairs: all (a < b) pairs with cosine
     * >= threshold. Baseline O(n^2); scale path = lshBucket + join. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,

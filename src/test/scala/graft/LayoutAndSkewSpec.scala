@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Layout, Tables}
+import graft.operators.Skew
+import graft.similarity.Similarity
+
+class LayoutAndSkewSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("partitioned write prunes partitions on read") {
+    val dir = tmp("graft-part")
+    Layout.writePartitioned(
+      Tables.orders(spark, sf).withColumn("status", col("o_orderstatus")),
+      dir, Seq("status"))
+    val pruned = spark.read.parquet(dir).filter(col("status") === "F")
+    // physical plan must carry the partition filter (pruned listing)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("status"))
+    val full = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F").count()
+    assert(pruned.count() === full)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.writeBucketed(Tables.orders(spark, sf), "b_orders", "o_custkey", 4,
+        sortCols = Seq("o_custkey"))
+      Layout.writeBucketed(Tables.customer(spark, sf), "b_customer", "c_custkey", 4,
+        sortCols = Seq("c_custkey"))
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      j.count() // materialize (finalizes the AQE plan)
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(planStr.contains("Bucketed: true"), s"not a bucketed scan:\n$planStr")
+      assert(!planStr.contains("ShuffleExchange"),
+        s"expected no shuffle exchange in bucketed join:\n$planStr")
+      val expected = Tables.orders(spark, sf).join(
+        Tables.customer(spark, sf), col("o_custkey") === col("c_custkey")).count()
+      assert(j.count() === expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("clusterBy produces non-overlapping per-file ranges (data skipping)") {
+    val dir = tmp("graft-cluster")
+    Layout.clusterBy(Tables.lineitem(spark, sf), nFiles = 4, "l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    // per output file, [min, max] of the cluster key must not overlap
+    val ranges = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("l_orderkey"))
+      .groupBy("f").agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .orderBy("lo").collect()
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+        s"file ranges overlap: $a vs $b")
+    }
+  }
+
+  test("compact merges small files without changing data") {
+    val dir = tmp("graft-small")
+    val out = tmp("graft-compacted")
+    Tables.nation(spark, sf).repartition(8).write.mode("overwrite").parquet(dir)
+    Layout.compact(spark, dir, out, nFiles = 1)
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === 1)
+    assert(spark.read.parquet(out).count() === Tables.nation(spark, sf).count())
+  }
+
+  test("orc/csv/json round-trips preserve row counts") {
+    for (fmt <- Seq("orc", "json", "csv")) {
+      val dir = tmp(s"graft-$fmt")
+      Layout.writeAs(Tables.region(spark, sf), fmt, dir)
+      assert(Layout.readAs(spark, fmt, dir).count() ===
+        Tables.region(spark, sf).count(), s"format $fmt")
+    }
+  }
+
+  test("salted join equals the plain join") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val plain = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_name")
+    val salted = Skew.saltedJoin(orders,
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        keys = Seq("o_custkey"), nSalts = 8,
+        bigUniqueCols = Seq("o_orderkey"))
+      .select("o_orderkey", "c_name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("IVF ANN recall vs brute force is high and plumbing is exact") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(e, q, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, q, k = 5, nCells = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+}
