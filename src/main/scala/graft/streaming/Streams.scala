@@ -111,6 +111,40 @@ object Streams {
           .cast("double").as("total_value"))
   }
 
+  /** foreachBatch incremental SCD1 upsert into a plain-parquet
+    * target — the Delta `MERGE WHEN MATCHED UPDATE` analog without a
+    * table format: per micro-batch, union target + batch, keep the
+    * latest version per key, atomically swap the target directory.
+    *
+    * Scale notes: last-writer-wins by `versionCol` makes replays
+    * idempotent (exactly-once effect on the target even with
+    * at-least-once batches). The rewrite is O(target); a production
+    * target would be hash-partitioned by key so each batch rewrites
+    * only partitions it touches. */
+  def runUpsertOnce(stream: DataFrame, keys: Seq[String], versionCol: String,
+                    targetPath: String, checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = target.getFileSystem(conf)
+        val all =
+          if (fs.exists(target)) spark.read.parquet(targetPath).unionByName(batch.toDF())
+          else batch.toDF()
+        val merged = graft.operators.Dedup.keepLatest(all, keys, versionCol)
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(target, true)
+        fs.rename(tmp, target)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query once over a bounded source and return the
     * sink table contents (trigger-once semantics like the reference;
     * used by specs). */

@@ -99,6 +99,55 @@ class MedallionStreamingSpec extends SparkSpec {
     assert(total === 1200.5 || total === 50.0) // whichever O1 item survived
   }
 
+  test("stream-static gold fact: streaming lines broadcast-join static dims") {
+    val dir = Files.createTempDirectory("graft_medallion4").toString
+    writeFixtures(dir)
+    val oschema = Bronze.inferSchema(spark, s"$dir/orders")
+    val bronzeOrders = Bronze.readStream(spark, s"$dir/orders", oschema)
+    // dedup on (order, item) keeps every line — 3 item rows
+    val lines = Silver.transform(bronzeOrders, Seq("order_id", "items_item_id"))
+    val dimProducts = Seq(("P1", "laptop", "electronics"), ("P2", "mouse", "accessories"))
+      .toDF("product_id", "product_name_dim", "category")
+    val fact = Gold.fact(
+      lines,
+      dims = Seq((dimProducts, col("items_item_id") === col("product_id"))),
+      select = Seq(col("order_id"), col("product_id"), col("category"),
+        col("items_quantity").as("quantity"),
+        (col("items_quantity") * col("items_price")).as("total_order_value")),
+      filters = Seq(col("order_id").isNotNull, col("quantity") > 0,
+        col("total_order_value") > 0))
+    assert(fact.isStreaming, "fact build must stay a streaming plan")
+    Streams.runOnce(fact, s"$dir/ckpt_f", "stream_fact")
+    val out = spark.table("stream_fact")
+    // O1's two lines survive; O2's negative-qty line is filtered
+    assert(out.count() === 2)
+    assert(out.select("category").as[String].collect().toSet
+      === Set("electronics", "accessories"))
+  }
+
+  test("foreachBatch upsert keeps the latest version per key across batches") {
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/updates"))
+    // two files -> two micro-batches (maxFilesPerTrigger=1)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/updates/b1.json"),
+      """[{"id": 1, "version": 1, "value": "a"},
+        | {"id": 2, "version": 1, "value": "b"}]""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/updates/b2.json"),
+      """[{"id": 2, "version": 2, "value": "b2"},
+        | {"id": 3, "version": 1, "value": "c"}]""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, version BIGINT, value STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("multiLine", "true").json(s"$dir/updates")
+    Streams.runUpsertOnce(stream, Seq("id"), "version",
+      s"$dir/target", s"$dir/ckpt_u")
+    val out = spark.read.parquet(s"$dir/target")
+      .orderBy("id").select("id", "version", "value")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq((1L, 1L, "a"), (2L, 2L, "b2"), (3L, 1L, "c")))
+  }
+
   test("gold dimension normalization matches reference initcap semantics") {
     val dim = Seq((1, "new york", "usa"), (2, "chicago", "usa"))
       .toDF("customer_id", "city", "country")
