@@ -131,7 +131,8 @@ object NearDup {
     * document frequency above a cutoff; stopword-like shingles carry
     * no near-dup signal anyway). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleSize: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
     // Inverted rows carry the doc's shingle-set size so the final
     // jaccard needs no size-lookup joins, and join on a 64-bit hash of
     // the shingle instead of the string (same shuffle cardinality,
@@ -144,12 +145,23 @@ object NearDup {
       .select(col(idCol), col("__n"), xxhash64(col("__g0")).as("__g"))
       // feeds both sides of the self-join (caching contract above)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Skew knob for 100 TB corpora: drop shingles whose document
+    // frequency exceeds the cutoff. A shingle in d docs contributes
+    // d^2 joined rows but near-zero near-dup signal when d is huge
+    // (boilerplate); excluding it makes the measure slightly
+    // conservative (hot-shingle overlap is not counted). Default:
+    // exact (no cutoff).
+    val pruned = maxDocFreq.fold(inv) { cap =>
+      val df = inv.groupBy("__g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select("__g")
+      inv.join(df, "__g")
+    }
     // Size-compatibility prune BEFORE the pair aggregation: max
     // possible jaccard is min(na,nb)/max(na,nb) (c <= min and
     // union >= max), so incompatible sizes can never pass the
     // threshold — exact, and it drops skew-heavy joined rows map-side.
-    val a = inv.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__g"))
-    val b = inv.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__g"))
+    val a = pruned.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__g"))
+    val b = pruned.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__g"))
     a.join(b, Seq("__g"))
       .filter(col("id_a") < col("id_b") &&
         least(col("__na"), col("__nb")).cast("double") >=

@@ -94,4 +94,22 @@ class TextAndDedupSpec extends SparkSpec {
     val o = QualityChecks.orphans(fact, dim, "fk", "pk")
     assert(o.select("id").as[Int].collect().toSeq === Seq(2))
   }
+
+  test("ngram jaccard df-cutoff: no cutoff is exact, cutoff=1 drops shared pairs") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), // near-dups
+      (3L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    val exact = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3,
+      maxDocFreq = Some(Long.MaxValue)).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(exact === Set((1L, 2L)))
+    assert(uncapped === exact)
+    // every shared shingle has df=2; cutting df>1 removes all evidence
+    val capped = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3,
+      maxDocFreq = Some(1L))
+    assert(capped.count() === 0)
+  }
 }
