@@ -52,6 +52,41 @@ object Layout {
     df.repartitionByRange(nFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
 
+  /** Multi-column Z-ORDER clustering — the reference's
+    * `OPTIMIZE ... ZORDER BY (customer_id, product_id)`
+    * (gold_transformation.py:160) without Delta table services.
+    *
+    * Each column is rank-quantized to `bits` bits against quantile
+    * boundaries estimated once at plan time (approxQuantile on the
+    * driver — one sampled pass, baked into the plan as literals);
+    * ranks are bit-interleaved into a Z-value; rows are
+    * range-partitioned and sorted by it. Result: every output file
+    * covers a small hyper-rectangle of the key space, so min/max
+    * stats prune files for predicates on ANY of the Z columns — the
+    * property a single-column sort only gives the leading column. */
+  def zorderBy(df: DataFrame, nFiles: Int, cols: Seq[String],
+               bits: Int = 8): DataFrame = {
+    require(cols.nonEmpty && bits >= 1 && bits * cols.length <= 62)
+    val nb = (1 << bits) - 1
+    val rankCols = cols.map { c =>
+      val qs = df.stat.approxQuantile(c,
+        (1 to nb).map(_.toDouble / (nb + 1)).toArray, 0.01)
+      // rank = #boundaries <= value, in [0, nb]
+      size(filter(array(qs.map(lit): _*), b => col(c).cast("double") >= b))
+        .cast("long")
+    }
+    val z = (0 until bits).flatMap { i =>
+      rankCols.zipWithIndex.map { case (r, j) =>
+        shiftleft(shiftright(r, i).bitwiseAND(lit(1L)),
+          i * cols.length + (cols.length - 1 - j))
+      }
+    }.reduce(_ + _)
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+  }
+
   /** Compact a directory of (many small) parquet files into
     * `nFiles` outputs — the OPTIMIZE/compaction maintenance pass.
     * Uses coalesce: no shuffle, just fewer, larger output files. */

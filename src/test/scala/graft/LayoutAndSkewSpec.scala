@@ -65,6 +65,26 @@ class LayoutAndSkewSpec extends SparkSpec {
     }
   }
 
+  test("zorderBy gives file-level locality on BOTH cluster columns") {
+    val dir = tmp("graft-zorder")
+    val li = Tables.lineitem(spark, sf)
+    Layout.zorderBy(li, nFiles = 8, Seq("l_orderkey", "l_partkey"))
+      .write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir)
+    val nFiles = out.select(input_file_name()).distinct().count()
+    assert(nFiles >= 4, s"expected several files, got $nFiles")
+    // a narrow band on EITHER column should touch a minority of files
+    def filesTouched(c: String, lo: Long, hi: Long): Long =
+      out.filter(col(c).between(lo, hi))
+        .select(input_file_name()).distinct().count()
+    val Array(okLo, okHi) = li.stat.approxQuantile("l_orderkey", Array(0.0, 0.1), 0.0)
+    val Array(pkLo, pkHi) = li.stat.approxQuantile("l_partkey", Array(0.0, 0.1), 0.0)
+    val fo = filesTouched("l_orderkey", okLo.toLong, okHi.toLong)
+    val fp = filesTouched("l_partkey", pkLo.toLong, pkHi.toLong)
+    assert(fo < nFiles, s"orderkey band touched all $nFiles files")
+    assert(fp < nFiles, s"partkey band touched all $nFiles files")
+  }
+
   test("compact merges small files without changing data") {
     val dir = tmp("graft-small")
     val out = tmp("graft-compacted")
