@@ -26,24 +26,35 @@ object Dedup {
     df.dropDuplicates(keys)
 
   /** Deterministic keep-first: survivor is the row that sorts first
-    * by `orderCols` per key (row_number over a key-partitioned
-    * window). Pass enough order columns to make the sort total —
-    * ties on the ordering make the survivor engine-dependent. */
-  def keepFirst(df: DataFrame, keys: Seq[String], orderCols: String*): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(orderCols.map(c => col(c).asc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+    * by `orderCols` per key. Pass enough order columns to make the
+    * sort total — ties on the ordering make the survivor
+    * engine-dependent.
+    *
+    * Implemented as `min_by(whole-row, ordering-struct)` aggregation,
+    * NOT a row_number window: hash aggregation gets true map-side
+    * partial combine (one candidate row per key per map partition
+    * crosses the wire, no per-partition sort), which is the cheaper
+    * shape when keys are many and rows per key are few — the common
+    * dedup case. Struct ordering compares orderCols
+    * lexicographically with null-first asc semantics, matching the
+    * window formulation exactly. */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderCols: String*): DataFrame =
+    keepBy(df, keys, orderCols, latest = false)
 
   /** Keep-latest by timestamp/version columns (CDC-style upsert
-    * compaction — the batch analog of streaming dropDuplicates). */
-  def keepLatest(df: DataFrame, keys: Seq[String], orderCols: String*): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(orderCols.map(c => col(c).desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    * compaction — the batch analog of streaming dropDuplicates).
+    * `max_by` aggregation; desc with nulls-last semantics (null
+    * ordering keys never beat non-null), as the window version. */
+  def keepLatest(df: DataFrame, keys: Seq[String], orderCols: String*): DataFrame =
+    keepBy(df, keys, orderCols, latest = true)
+
+  private def keepBy(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                     latest: Boolean): DataFrame = {
+    val row = struct(df.columns.map(col): _*)
+    val ord = struct(orderCols.map(col): _*)
+    val pick = if (latest) max_by(row, ord) else min_by(row, ord)
+    df.groupBy(keys.map(col): _*)
+      .agg(pick.as("__row"))
+      .select(col("__row.*"))
   }
 }
