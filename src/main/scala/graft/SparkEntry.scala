@@ -470,6 +470,43 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 100), k = 5, nCells = 16, nProbe = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    "q_stratified_sample" -> ((s, d) => {
+      // deterministic 20% sample per stratum via a portable content
+      // hash — reproducible under task retries (no rand()), and the
+      // same rows fall in the sample on ANY engine
+      val h = pmod(conv(substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(100L))
+      Tables.documents(s, d).filter(h < 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_decontaminate" -> ((s, d) => {
+      // benchmark-contamination removal: drop corpus docs whose
+      // normalized fingerprint appears in the holdout set (docs with
+      // doc_id%97==0 stand in for the benchmark). The tiny holdout
+      // fingerprint set broadcasts — the corpus is never shuffled.
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(TextFunctions.fingerprintMd5(col("text")).as("__fp")).distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench),
+          TextFunctions.fingerprintMd5(col("text")) === col("__fp"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    "text_repetition" -> ((s, d) => {
+      // repeated-token ratio (Gopher-style repetition signal):
+      // 1 - distinct_tokens/tokens, 0 for empty docs
+      val toks = TextFunctions.tokens(col("text"))
+      val n = size(toks)
+      Tables.documents(s, d).select(col("doc_id"),
+        roundTo(when(n === 0, lit(0.0))
+          .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / n), 6)
+          .as("repetition_ratio"))
+        .orderBy("doc_id")
     })
   )
 
@@ -777,7 +814,27 @@ object SparkEntry {
         | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ann_lsh" -> annLshOracle,
-    "ann_ivf" -> annIvfOracle
+    "ann_ivf" -> annIvfOracle,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 100 + 100) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_decontaminate" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents)
+        |SELECT doc_id FROM fp
+        |WHERE doc_id % 97 != 0
+        |  AND f NOT IN (SELECT f FROM fp WHERE doc_id % 97 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" -> {
+      val toks = sqlTokens("text")
+      val rep = s"CASE WHEN len($toks) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct($toks))::DOUBLE / len($toks) END"
+      s"""SELECT doc_id, ${graft.functions.Det.sqlRound(rep, 6)} AS repetition_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** DuckDB replica of the IVF ANN: centroids are the 16 lowest-id
