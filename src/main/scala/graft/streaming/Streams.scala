@@ -111,6 +111,24 @@ object Streams {
           .cast("double").as("total_value"))
   }
 
+  /** Watermarked stream-stream inner join within a time bound: rows
+    * match when keys are equal AND |l.ts - r.ts| <= boundSeconds.
+    * With both sides watermarked, join state is bounded by
+    * watermark + bound (each side can discard buffered rows once the
+    * other side's watermark passes its join window) — the shape that
+    * keeps a 100 TB/day dual-stream join's state finite. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       keys: Seq[String], boundSeconds: Long,
+                       watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond =
+      col("r.ts") >= col("l.ts") - expr(s"INTERVAL $boundSeconds SECONDS") &&
+      col("r.ts") <= col("l.ts") + expr(s"INTERVAL $boundSeconds SECONDS")
+    l.join(r, keyCond && timeCond, "inner")
+  }
+
   /** foreachBatch incremental SCD1 upsert into a plain-parquet
     * target — the Delta `MERGE WHEN MATCHED UPDATE` analog without a
     * table format: per micro-batch, union target + batch, keep the

@@ -148,6 +148,36 @@ class MedallionStreamingSpec extends SparkSpec {
     assert(out === Seq((1L, 1L, "a"), (2L, 2L, "b2"), (3L, 1L, "c")))
   }
 
+  test("stream-stream join within time bound matches batch semantics") {
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/clicks"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/buys"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/clicks/c.json"),
+      """[{"k": 1, "ts": "2024-01-01T10:00:00Z", "page": "home"},
+        | {"k": 1, "ts": "2024-01-01T10:10:00Z", "page": "item"},
+        | {"k": 2, "ts": "2024-01-01T10:00:00Z", "page": "home"}]""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/buys/b.json"),
+      """[{"k": 1, "ts": "2024-01-01T10:10:30Z", "amount": 5.0},
+        | {"k": 2, "ts": "2024-01-01T11:30:00Z", "amount": 7.0}]""".stripMargin)
+    val cSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP, page STRING")
+    val bSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, ts TIMESTAMP, amount DOUBLE")
+    def clicks = spark.readStream.schema(cSchema).option("multiLine", "true")
+      .json(s"$dir/clicks")
+    def buys = spark.readStream.schema(bSchema).option("multiLine", "true")
+      .json(s"$dir/buys")
+    val joined = Streams.streamStreamJoin(clicks, buys, Seq("k"), boundSeconds = 60)
+      .select(col("l.k").as("k"), col("l.page").as("page"), col("r.amount").as("amount"))
+    assert(joined.isStreaming)
+    Streams.runOnce(joined, s"$dir/ckpt_j", "ssj_out")
+    val got = spark.table("ssj_out").orderBy("k", "page")
+      .as[(Long, String, Double)].collect().toSeq
+    // k=1: only the 10:10 click is within 60s of the 10:10:30 buy;
+    // k=2: the buy is 90 min after the click — no match
+    assert(got === Seq((1L, "item", 5.0)))
+  }
+
   test("gold dimension normalization matches reference initcap semantics") {
     val dim = Seq((1, "new york", "usa"), (2, "chicago", "usa"))
       .toDF("customer_id", "city", "country")
