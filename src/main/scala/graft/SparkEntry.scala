@@ -232,7 +232,11 @@ object SparkEntry {
 
     "q_median_price" -> ((s, d) => {
       // exact median-by-rank (deterministic: value at ceil(n/2) in the
-      // (price, orderkey, linenumber) total order)
+      // (price, orderkey, linenumber) total order). Exact grouped
+      // medians need a per-group order; at true scale use
+      // percentile_approx (bounded-memory t-digest — see SketchSpec)
+      // — a distinct-value pre-aggregation was tried and loses here
+      // because prices are near-unique.
       val w = Window.partitionBy("l_returnflag")
         .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
       val n = Window.partitionBy("l_returnflag")
