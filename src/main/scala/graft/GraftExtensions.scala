@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.dedup.NearDup
-import graft.functions.{DotProductExpr, MinHashSigExpr, SimHashExpr}
+import graft.functions.{DotProductExpr, MinHashSigExpr, ShinglesExpr, SimHashExpr}
 
 /** SparkSessionExtensions hook exposing graft's custom Catalyst
   * expressions as SQL functions:
@@ -35,7 +35,16 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHashSigExpr(args.head, 3, NearDup.coeffs)),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      // graft_shingles(text[, n[, distinct]]) — n and distinct must be
+      // foldable literals (they parameterize the expression itself)
+      (args: Seq[Expression]) => {
+        val n = if (args.length > 1) args(1).eval().asInstanceOf[Int] else 3
+        val distinct = args.length > 2 && args(2).eval() == true
+        ShinglesExpr(args.head, n, distinct)
+      }))
 
   /** Register on a live session (equivalent to the extension). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -49,5 +49,12 @@ class AsOfAndExtensionsSpec extends SparkSpec {
     val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .as[Double].head()
     assert(d === 11.0)
+
+    val sh = spark.sql("SELECT graft_shingles('a b c d', 3) AS s")
+      .as[Seq[String]].head()
+    assert(sh === Seq("a b c", "b c d"))
+    val shd = spark.sql("SELECT graft_shingles('a b a b a b', 2, true) AS s")
+      .as[Seq[String]].head()
+    assert(shd === Seq("a b", "b a"))
   }
 }
