@@ -996,11 +996,10 @@ object SparkEntry {
        | AND bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** DuckDB replica of the 30-bit SimHash. */
+  /** DuckDB replica of the 60-bit SimHash. */
   private def simHashOracle: String = {
-    val P = NearDup.P
-    val base = s"(('0x' || substr(md5(t), 1, 15))::BIGINT % $P)"
-    val bitExprs = (0 until 30).map { j =>
+    val base = s"('0x' || substr(md5(t), 1, 15))::BIGINT"
+    val bitExprs = (0 until 60).map { j =>
       s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("\n  + ")
     s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),

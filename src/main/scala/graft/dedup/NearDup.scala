@@ -173,19 +173,21 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }
 
-  /** SimHash bits (30-bit, md5-portable): per-bit majority vote over
+  /** SimHash bits (60-bit, md5-portable): per-bit majority vote over
     * token hashes — custom Catalyst expression
     * ([[graft.functions.SimHashExpr]]), one md5 pass per token. */
   def simHash(text: Column): Column =
     graft.functions.HashExpressions.simHash(text)
 
-  /** SimHash band layout: 7 bands over the 30 bits (sizes 5,5,4,4,
-    * 4,4,4). By pigeonhole, two hashes within hamming distance
+  /** SimHash band layout: 7 bands over the 60 bits (sizes 9,9,9,9,
+    * 8,8,8). By pigeonhole, two hashes within hamming distance
     * maxDist < 7 share at least one identical band — so the banded
     * bucket join below is EXACT (same output as the O(n^2) cross
-    * join) while only materializing same-band candidates. */
+    * join) while only materializing same-band candidates. 8-9-bit
+    * bands give 256-512 buckets each: candidate volume per band is
+    * ~n^2/2^9, the knob that keeps the join subquadratic at scale. */
   private val SimBandOffsets: Seq[(Int, Int)] = // (offset, width)
-    Seq((0, 5), (5, 5), (10, 4), (14, 4), (18, 4), (22, 4), (26, 4))
+    Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 8), (44, 8), (52, 8))
 
   /** SimHash near-dup pairs: hamming distance <= maxDist (< 7),
     * via exact banded LSH — candidates from a bucket join on band

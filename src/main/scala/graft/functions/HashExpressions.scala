@@ -42,6 +42,18 @@ object PortableHash {
     v % P
   }
 
+  /** Raw 60-bit hash (no modulus) — matches DuckDB
+    * `('0x'||substr(md5(s),1,15))::BIGINT`. Used where all 60 bits
+    * carry signal (SimHash bit votes). */
+  def baseHash60(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
   /** Whitespace tokenization matching split(trim(s), "\\s+"). */
   def tokenize(s: String): Array[String] = {
     val t = s.trim
@@ -49,9 +61,14 @@ object PortableHash {
   }
 }
 
-/** 30-bit SimHash over whitespace tokens; NULL when no tokens. */
+/** 60-bit SimHash over whitespace tokens; NULL when no tokens.
+  * 60 bits (vs the r1 30) double the hamming resolution AND give the
+  * banded pair join 8-9-bit bands (256-512 buckets each) instead of
+  * 4-5-bit ones — ~16x fewer bucket-join candidates at equal recall. */
 case class SimHashExpr(child: Expression)
   extends UnaryExpression with CodegenFallback {
+
+  val Bits = 60
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -61,18 +78,18 @@ case class SimHashExpr(child: Expression)
     val toks = PortableHash.tokenize(input.asInstanceOf[UTF8String].toString)
     if (toks.isEmpty) return null
     val md = MessageDigest.getInstance("MD5")
-    val votes = new Array[Int](30)
+    val votes = new Array[Int](Bits)
     toks.foreach { t =>
-      val h = PortableHash.baseHash(md, t)
+      val h = PortableHash.baseHash60(md, t)
       var j = 0
-      while (j < 30) {
+      while (j < Bits) {
         if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
     }
     var out = 0L
     var j = 0
-    while (j < 30) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    while (j < Bits) { if (votes(j) > 0) out |= (1L << j); j += 1 }
     out
   }
 
