@@ -151,6 +151,10 @@ object NearDup {
     // (boilerplate); excluding it makes the measure slightly
     // conservative (hot-shingle overlap is not counted). Default:
     // exact (no cutoff).
+    // (A df>=2 prefilter — df=1 shingles can't pair — was measured
+    // and loses on this corpus: the extra agg+join costs more than
+    // the rows it removes. Worth revisiting for corpora with mostly
+    // unique shingles.)
     val pruned = maxDocFreq.fold(inv) { cap =>
       val df = inv.groupBy("__g").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= cap).select("__g")
