@@ -152,7 +152,8 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs: all (a < b) pairs with cosine
-    * >= threshold. Baseline O(n^2); scale path = lshBucket + join. */
+    * >= threshold. Baseline O(n^2); scale path =
+    * [[cosineNearDupPairsLsh]]. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
@@ -161,6 +162,37 @@ object Similarity {
     val a = v.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = v.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** LSH-bucketed cosine near-dup pairs — the subquadratic scale
+    * path for the cross join above. Candidates are pairs whose
+    * hyperplane-sign buckets differ in at most `probeBits` bits
+    * (multi-probe: side a probes every bucket within hamming
+    * probeBits of its own; probe values are distinct and side b
+    * keeps its single bucket, so each qualifying pair matches on
+    * exactly ONE probe value — no dedup pass). Every emitted pair
+    * passes the exact cosine filter — precision is 1.0; recall is
+    * the tunable (more bits = fewer candidates, lower recall;
+    * bounded empirically in the spec). */
+  def cosineNearDupPairsLsh(vectors: DataFrame, threshold: Double,
+                            nBits: Int = 6, probeBits: Int = 2, dim: Int = 64,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val masks: Seq[Long] = (0L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeBits)
+    val v = vectors.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("__bucket", lshBucket(col("__v"), nBits, dim))
+    val probes = array(masks.map(m => col("__bucket").bitwiseXOR(lit(m))): _*)
+    val a = v.select(col(idCol).as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na"), explode(probes).as("__probe"))
+    val b = v.select(col(idCol).as("id_b"), col("__v").as("__vb"),
+      col("__n").as("__nb"), col("__bucket").as("__probe"))
+    a.join(b, "__probe")
+      .filter(col("id_a") < col("id_b"))
       .withColumn("__cos", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("__cos") >= threshold)
       .select(col("id_a"), col("id_b"))

@@ -36,6 +36,18 @@ class SimilarityAndStreamingSpec extends SparkSpec {
     assert(perQ.filter(col("m") =!= col("n")).count() === 0)
   }
 
+  test("LSH near-dup pairs: perfect precision, bounded recall vs exact") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Similarity.cosineNearDupPairs(e, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(e, threshold = 0.45, nBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must pass the exact cosine filter")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("batch sessionization splits on gap and aggregates") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "a", 1.0, "{}"),
