@@ -363,15 +363,21 @@ object SparkEntry {
 
     "dq_summary" -> ((s, d) => {
       import QualityChecks._
-      val li = Tables.lineitem(s, d); val ev = Tables.events(s, d)
-      val checks = Seq(
-        CheckSpec("null_pk_orders", nullPks(Tables.orders(s, d), Seq("o_orderkey"))),
-        CheckSpec("whitespace_part", unwantedSpaces(Tables.part(s, d), Seq("p_name", "p_brand"))),
-        CheckSpec("date_range_events", invalidDates(ev, Seq("ts"), "2024-01-01", "2024-01-15")),
-        CheckSpec("nonpositive_discount", nonPositive(li, Seq("l_discount"))),
-        CheckSpec("format_lang", invalidFormat(Tables.documents(s, d), "lang", "^(en|de|fr|es)$")),
-        CheckSpec("integer_value_events", nonIntegerValued(ev, "value")))
-      summary(checks).orderBy("check_name")
+      // one conditional-aggregation pass per SOURCE (events carries
+      // two checks in one scan), not one scan per check
+      Seq(
+        summarizeOnePass(Tables.orders(s, d),
+          Seq("null_pk_orders" -> nullPkCond(Seq("o_orderkey")))),
+        summarizeOnePass(Tables.part(s, d),
+          Seq("whitespace_part" -> unwantedSpacesCond(Seq("p_name", "p_brand")))),
+        summarizeOnePass(Tables.events(s, d),
+          Seq("date_range_events" -> invalidDatesCond(Seq("ts"), "2024-01-01", "2024-01-15"),
+            "integer_value_events" -> nonIntegerValuedCond("value"))),
+        summarizeOnePass(Tables.lineitem(s, d),
+          Seq("nonpositive_discount" -> nonPositiveCond(Seq("l_discount")))),
+        summarizeOnePass(Tables.documents(s, d),
+          Seq("format_lang" -> invalidFormatCond("lang", "^(en|de|fr|es)$"))))
+        .reduce(_.unionAll(_)).orderBy("check_name")
     }),
 
     // ---- text analysis ----

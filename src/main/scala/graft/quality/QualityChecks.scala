@@ -22,37 +22,60 @@ object QualityChecks {
   private def anyOf(conds: Seq[Column]): Column =
     conds.reduceOption(_ || _).getOrElse(lit(false))
 
+  // ---- violation predicates (Column forms, shared by the row-level
+  // checks and the one-pass summary) ----
+
+  def nullPkCond(pkCols: Seq[String]): Column =
+    anyOf(pkCols.map(c => col(c).isNull))
+
+  def unwantedSpacesCond(stringCols: Seq[String]): Column =
+    anyOf(stringCols.map(c => length(col(c)) =!= length(trim(col(c)))))
+
+  def invalidDatesCond(dateCols: Seq[String],
+                       minDate: String = "1900-01-01",
+                       maxDate: String = "2100-01-01"): Column =
+    anyOf(dateCols.map { c =>
+      val ts = to_timestamp(col(c))
+      ts.isNull || ts < to_timestamp(lit(minDate)) || ts > to_timestamp(lit(maxDate))
+    })
+
+  def nonPositiveCond(numCols: Seq[String]): Column =
+    anyOf(numCols.map(c => col(c) <= 0))
+
+  def invalidFormatCond(column: String, pattern: String = EmailRegex): Column =
+    !col(column).rlike(pattern)
+
+  def nonIntegerValuedCond(column: String): Column =
+    col(column) % 1 =!= 0
+
   /** Rows whose primary-key columns contain nulls. */
   def nullPks(df: DataFrame, pkCols: Seq[String]): DataFrame =
-    df.filter(anyOf(pkCols.map(c => col(c).isNull)))
+    df.filter(nullPkCond(pkCols))
 
   /** Rows with leading/trailing whitespace in any listed string col. */
   def unwantedSpaces(df: DataFrame, stringCols: Seq[String]): DataFrame =
-    df.filter(anyOf(stringCols.map(c => length(col(c)) =!= length(trim(col(c))))))
+    df.filter(unwantedSpacesCond(stringCols))
 
   /** Rows with null / out-of-range timestamps (reference bounds
     * 1900-01-01 .. 2100-01-01). */
   def invalidDates(df: DataFrame, dateCols: Seq[String],
                    minDate: String = "1900-01-01",
                    maxDate: String = "2100-01-01"): DataFrame =
-    df.filter(anyOf(dateCols.map { c =>
-      val ts = to_timestamp(col(c))
-      ts.isNull || ts < to_timestamp(lit(minDate)) || ts > to_timestamp(lit(maxDate))
-    }))
+    df.filter(invalidDatesCond(dateCols, minDate, maxDate))
 
   /** Rows with non-positive values in the listed numeric columns. */
   def nonPositive(df: DataFrame, numCols: Seq[String]): DataFrame =
-    df.filter(anyOf(numCols.map(c => col(c) <= 0)))
+    df.filter(nonPositiveCond(numCols))
 
   /** Rows whose column fails a regex format (e.g. email). */
   def invalidFormat(df: DataFrame, column: String,
                     pattern: String = EmailRegex): DataFrame =
-    df.filter(!col(column).rlike(pattern))
+    df.filter(invalidFormatCond(column, pattern))
 
   /** Rows whose numeric column is not integer-valued
     * (reference: quantity % 1 != 0). */
   def nonIntegerValued(df: DataFrame, column: String): DataFrame =
-    df.filter(col(column) % 1 =!= 0)
+    df.filter(nonIntegerValuedCond(column))
 
   /** Fact rows with no matching dimension row (referential
     * integrity; reference: gold_layer_data_quality_checks.py:95-105).
@@ -72,5 +95,17 @@ object QualityChecks {
       c.violations.agg(count(lit(1)).cast("long").as("violation_count"))
         .select(lit(c.name).as("check_name"), col("violation_count"))
     }.reduce(_.unionAll(_))
+  }
+
+  /** One scan, many checks: all violation counts for a table come
+    * from a single conditional aggregation — at 100 TB the summary
+    * costs one pass over each source instead of one pass PER check. */
+  def summarizeOnePass(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = checks.map { case (name, cond) =>
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(name)
+    }
+    val kv = checks.flatMap { case (name, _) => Seq(lit(name), col(name)) }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(map(kv: _*)).as(Seq("check_name", "violation_count")))
   }
 }
