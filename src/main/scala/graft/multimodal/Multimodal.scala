@@ -31,9 +31,10 @@ object Multimodal {
 
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("media_type", StringType, nullable = false),
+    StructField("media_type", StringType, nullable = true),
     StructField("n_bytes", LongType, nullable = false),
-    StructField("feature", ArrayType(FloatType), nullable = true)))
+    StructField("feature", ArrayType(FloatType, containsNull = false),
+      nullable = true)))
 
   /** STUB codec: deterministic byte-statistics "decode" standing in
     * for a real image/audio decoder. Real plumbing, fake math. */
@@ -66,20 +67,26 @@ object Multimodal {
       lit(64).as("width"), lit(64).as("height"),
       (col("n_chars") * 10L).as("duration_ms"))
 
-  /** Feature extraction over binary payloads: mapPartitions so a real
-    * decoder initializes once per partition. */
+  case class MediaIn(media_id: Long, media_type: String, payload: Array[Byte])
+  case class FeatureOut(media_id: Long, media_type: String, n_bytes: Long,
+                        feature: Array[Float])
+
+  /** Feature extraction over binary payloads: Dataset.mapPartitions
+    * (typed, Encoder-backed — no RDD round-trip) so a real decoder
+    * initializes once per partition and rows stream through as an
+    * iterator. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val out = media.select("media_id", "media_type", "payload").rdd.mapPartitions { it =>
-      // per-partition decoder init would happen here
-      it.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        Row(r.getLong(0), r.getString(1),
-          if (payload == null) 0L else payload.length.toLong,
-          StubCodec.extractFeature(payload).toSeq)
-      }
-    }
-    spark.createDataFrame(out, featureSchema)
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload").as[MediaIn]
+      .mapPartitions { it =>
+        // per-partition decoder init would happen here
+        it.map { m =>
+          FeatureOut(m.media_id, m.media_type,
+            if (m.payload == null) 0L else m.payload.length.toLong,
+            StubCodec.extractFeature(m.payload))
+        }
+      }.toDF()
   }
 
   /** Image resize: payload -> payload at (w, h), metadata updated.
