@@ -132,6 +132,24 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    "q_cube_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sumD(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_repeat_buyers" -> ((s, d) => {
+      // set operations: customers ordering in both 1996 and 1997 (INTERSECT)
+      // tagged repeat, in 1996 but not 1997 (EXCEPT) tagged lapsed
+      def buyers(yr: Int) = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey")).distinct()
+      buyers(1996).intersect(buyers(1997)).withColumn("status", lit("repeat"))
+        .unionAll(buyers(1996).except(buyers(1997)).withColumn("status", lit("lapsed")))
+        .orderBy("status", "o_custkey")
+    }),
+
     "q_cust_no_orders" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val o95 = Tables.orders(s, d)
@@ -566,6 +584,20 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_cube_revenue" ->
+      s"""SELECT l_returnflag, l_linestatus, ${sqlSumD("l_extendedprice")} AS revenue,
+         | COUNT(*) AS n_lines
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_repeat_buyers" ->
+      """WITH b94 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        | b95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT o_custkey, 'repeat' AS status FROM (SELECT * FROM b94 INTERSECT SELECT * FROM b95)
+        |UNION ALL
+        |SELECT o_custkey, 'lapsed' AS status FROM (SELECT * FROM b94 EXCEPT SELECT * FROM b95)
+        |ORDER BY status, o_custkey""".stripMargin,
 
     "q_status_pivot" ->
       s"""SELECT l_returnflag,
