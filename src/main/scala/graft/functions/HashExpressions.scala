@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,6 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PortableHash {
   val P = 1000000007L
+
+  /** Per-thread MD5 instance — getInstance per row is measurable at
+    * millions of rows, and MessageDigest is not thread-safe. */
+  private val localMd: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  def md(): MessageDigest = localMd.get()
 
   /** int(first 15 hex chars of md5(utf8), 16) % P — matches
     * `conv(substring(md5(c),1,15),16,10) % P` and DuckDB
@@ -66,7 +72,7 @@ object PortableHash {
   * banded pair join 8-9-bit bands (256-512 buckets each) instead of
   * 4-5-bit ones — ~16x fewer bucket-join candidates at equal recall. */
 case class SimHashExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   val Bits = 60
 
@@ -74,10 +80,12 @@ case class SimHashExpr(child: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = PortableHash.tokenize(input.asInstanceOf[UTF8String].toString)
+  /** Boxed Long, or null when the input has no tokens. Public: the
+    * generated code calls it through a reference object. */
+  def kernel(input: UTF8String): java.lang.Long = {
+    val toks = PortableHash.tokenize(input.toString)
     if (toks.isEmpty) return null
-    val md = MessageDigest.getInstance("MD5")
+    val md = PortableHash.md()
     val votes = new Array[Int](Bits)
     toks.foreach { t =>
       val h = PortableHash.baseHash60(md, t)
@@ -93,6 +101,17 @@ case class SimHashExpr(child: Expression)
     out
   }
 
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHashExpr", this, classOf[SimHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long r = $ref.kernel($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+    """)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
 }
@@ -102,7 +121,7 @@ case class SimHashExpr(child: Expression)
   * oracle SQL generator and this expression share one constant list. */
 case class MinHashSigExpr(child: Expression, shingleSize: Int,
                           coeffs: Seq[(Long, Long)])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -111,10 +130,12 @@ case class MinHashSigExpr(child: Expression, shingleSize: Int,
   private val as = coeffs.map(_._1).toArray
   private val bs = coeffs.map(_._2).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = PortableHash.tokenize(input.asInstanceOf[UTF8String].toString)
+  /** GenericArrayData signature, or null when fewer than shingleSize
+    * tokens. Public: called from generated code via reference obj. */
+  def kernel(input: UTF8String): ArrayData = {
+    val toks = PortableHash.tokenize(input.toString)
     if (toks.length < shingleSize) return null
-    val md = MessageDigest.getInstance("MD5")
+    val md = PortableHash.md()
     val k = as.length
     val mins = Array.fill(k)(Long.MaxValue)
     val sb = new java.lang.StringBuilder
@@ -137,6 +158,17 @@ case class MinHashSigExpr(child: Expression, shingleSize: Int,
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSigExpr", this, classOf[MinHashSigExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r = $ref.kernel($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =

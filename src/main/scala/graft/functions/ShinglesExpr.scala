@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,14 +23,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * (matching `array_distinct` order semantics).
   */
 case class ShinglesExpr(child: Expression, shingleSize: Int, distinct: Boolean)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = PortableHash.tokenize(input.asInstanceOf[UTF8String].toString)
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shinglesExpr", this, classOf[ShinglesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($c);")
+  }
+
+  /** Never null for non-null input (empty array when too few tokens).
+    * Public: called from generated code via reference obj. */
+  def kernel(input: UTF8String): ArrayData = {
+    val toks = PortableHash.tokenize(input.toString)
     val n = toks.length - shingleSize + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val sb = new java.lang.StringBuilder

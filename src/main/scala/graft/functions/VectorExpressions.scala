@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -18,7 +18,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * over double-cast lists.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -43,6 +43,27 @@ case class DotProductExpr(left: Expression, right: Expression)
       i += 1
     }
     s
+  }
+
+  /** The dot-product loop is emitted INLINE into the enclosing
+    * whole-stage-codegen function — no row materialization, no
+    * virtual dispatch per element. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (lf, rf) = (leftFloat, rightFloat)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      double $s = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        $s += ${if (lf) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"}
+            * ${if (rf) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"};
+      }
+      ${ev.value} = $s;
+      """
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
