@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession builder encoding graft's scale defaults
+  * in one place, so every entrypoint (Verify/Bench/user code) runs
+  * with the same, documented knobs.
+  *
+  * The settings and why they matter at 100 TB:
+  *  - AQE on (default in Spark 4) + skew-join splitting: hot keys in
+  *    fact joins re-plan into split partitions at runtime.
+  *  - `shuffle.partitions` sized to the cluster (pass total cores;
+  *    AQE coalesces small partitions back down, so erring high is
+  *    safe).
+  *  - `files.maxPartitionBytes` 256 MB: fewer, fuller scan tasks for
+  *    columnar reads (default 128 MB doubles task count for wide
+  *    parquet).
+  *  - UTC session timezone: cross-engine-deterministic timestamps.
+  *  - `parquet.nanosAsLong`: the events table ships TIMESTAMP(NANOS)
+  *    which Spark otherwise refuses to read.
+  */
+object GraftSession {
+
+  def builder(master: String, cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Local session for tests/benchmarks on this machine. */
+  def local(cores: Int): SparkSession = {
+    val s = builder(s"local[$cores]", cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
