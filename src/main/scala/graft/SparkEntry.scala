@@ -459,6 +459,17 @@ object SparkEntry {
         .withColumn("hamming", col("hamming").cast("bigint"))
         .orderBy("id_a", "id_b")),
 
+    "dedup_clusters" -> ((s, d) => {
+      // near-dup cluster formation: connected components over the
+      // simhash pair graph; every member labeled with the smallest
+      // reachable doc_id (the canonical survivor)
+      val edges = NearDup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 6)
+        .select("id_a", "id_b")
+      graft.dedup.Clusters.connectedComponents(edges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q_label_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -823,6 +834,8 @@ object SparkEntry {
 
     "dedup_simhash_pairs" -> simHashPairsOracle,
 
+    "dedup_clusters" -> dedupClustersOracle,
+
     "q_label_centroid" ->
       """SELECT label, dim, COUNT(*) AS n_vectors,
         | CAST(SUM(CAST(floor((embedding[dim+1]::DOUBLE)*10000000000 + 0.5)/10000000000
@@ -1033,6 +1046,23 @@ object SparkEntry {
        |WHERE a.simhash IS NOT NULL AND b.simhash IS NOT NULL
        | AND bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB replica of near-dup cluster formation: recursive
+    * transitive closure over the simhash pair graph, min reachable id
+    * per node. MATERIALIZED CTEs keep the simhash computation out of
+    * the recursion (0.1s vs 30s). Spark's iterative min-label
+    * propagation converges to the same unique fixpoint. */
+  private def dedupClustersOracle: String =
+    s"""WITH RECURSIVE hsrc AS MATERIALIZED (${simHashOracle.replace("ORDER BY doc_id", "")}),
+       |e AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst FROM hsrc a JOIN hsrc b
+       |  ON a.doc_id != b.doc_id AND a.simhash IS NOT NULL AND b.simhash IS NOT NULL
+       |  AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+       |SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_rep
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** DuckDB replica of the 60-bit SimHash. */
   private def simHashOracle: String = {

@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Near-dup cluster formation: connected components over a pair
+  * graph, labeling every member with the smallest doc id reachable
+  * from it — the canonical-survivor step that follows pair detection
+  * in a dedup pipeline (keep the representative, drop the rest).
+  *
+  * Algorithm: iterative min-label propagation. Each round every node
+  * takes the min of its own label and its neighbors' labels; the
+  * fixpoint (min id of the component) is reached after O(component
+  * diameter) rounds. Each round is one join + one aggregation — the
+  * standard scalable CC formulation on Spark (no driver-side graph,
+  * no recursion depth tied to data size). Near-dup components are
+  * short-diameter in practice (dup clusters are dense), so rounds
+  * stay in the single digits.
+  *
+  * Deterministic: the fixpoint is unique regardless of execution
+  * order, so results are engine-reproducible (DuckDB oracle uses a
+  * recursive transitive-closure CTE over the same edges).
+  */
+object Clusters {
+
+  /** (id, cluster_rep) for every node of `edges` (id_a, id_b);
+    * cluster_rep = min node id in the connected component.
+    *
+    * Each round is eagerly `localCheckpoint`ed: iterative DataFrame
+    * algorithms otherwise accumulate the whole history into one
+    * Catalyst plan, and analysis cost grows superlinearly with
+    * rounds. Checkpointing truncates the lineage so every round
+    * plans against a materialized table. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val bidir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // phase 1: min over own label and every neighbor's label;
+      // phase 2 (pointer jumping): adopt the label's own label —
+      // halves the rounds to O(log diameter). The change flag rides
+      // along so convergence needs no extra join.
+      val l1 = bidir
+        .join(labels.select(col("id").as("dst"), col("label").as("__nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__minN"))
+        .join(labels, "id")
+        .select(col("id"), least(col("label"), col("__minN")).as("__l1"),
+          col("label").as("__old"))
+      val next = l1
+        .join(l1.select(col("id").as("__l1"), col("__l1").as("__l2")), "__l1")
+        .select(col("id"), col("__l2").as("label"),
+          (col("__old") =!= col("__l2")).cast("long").as("__chg"))
+        .localCheckpoint(true)
+      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head().getLong(0)
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_rep"))
+  }
+}

@@ -95,6 +95,16 @@ class TextAndDedupSpec extends SparkSpec {
     assert(o.select("id").as[Int].collect().toSeq === Seq(2))
   }
 
+  test("connectedComponents labels chains, stars and singletons-by-absence") {
+    // chain 1-2-3-4, star 10-{11,12,13}, pair 20-21; 99 has no edges
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = graft.dedup.Clusters.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("ngram jaccard df-cutoff: no cutoff is exact, cutoff=1 drops shared pairs") {
     val docs = Seq(
       (1L, "a b c d e f"), (2L, "a b c d e g"), // near-dups
