@@ -221,6 +221,27 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_scd2_history" -> ((s, d) => {
+      // SCD type-2: every version becomes a history row with a
+      // validity range; the current row has valid_to NULL. One
+      // window (lead over version per key) — single shuffle.
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), roundTo(col("o_totalprice"), 2).as("price"),
+          lit(1L).as("version"))
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), roundTo(col("o_totalprice") * 1.1, 2).as("price"),
+          lit(2L).as("version"))
+      val w = Window.partitionBy("o_orderkey").orderBy(col("version").asc)
+      base.unionByName(updates)
+        .withColumn("valid_from", col("version"))
+        .withColumn("valid_to", lead(col("version"), 1).over(w) - 1L)
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("o_orderkey"), col("version"), col("price"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("o_orderkey", "version")
+    }),
+
     "q_latest_event" -> ((s, d) => {
       Dedup.keepLatest(Tables.events(s, d), Seq("user_id"), "ts", "event_id")
         .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
@@ -669,6 +690,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice * 1.1, 2 FROM orders WHERE o_orderkey % 10 = 0))
         |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q_scd2_history" ->
+      """SELECT o_orderkey, version, price, valid_from, valid_to,
+        | valid_to IS NULL AS is_current FROM (
+        | SELECT o_orderkey, version, price, version AS valid_from,
+        |  lead(version) OVER (PARTITION BY o_orderkey ORDER BY version ASC) - 1 AS valid_to
+        | FROM (
+        |  SELECT o_orderkey, floor((o_totalprice)*100 + 0.5)/100 AS price, CAST(1 AS BIGINT) AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, floor((o_totalprice*1.1)*100 + 0.5)/100, 2 FROM orders WHERE o_orderkey % 10 = 0))
+        |ORDER BY o_orderkey, version""".stripMargin,
 
     "q_latest_event" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM (

@@ -95,6 +95,15 @@ object Layout {
     spark.read.parquet(inPath).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
 
+  /** Schema-evolution read: merge the schemas of parquet files
+    * written at different pipeline versions (columns added over
+    * time); rows from files lacking a column read as NULL — the
+    * plain-parquet analog of Delta's schema evolution. Off by
+    * default in Spark because footer-merging scans every file's
+    * metadata; turn it on only for evolving tables. */
+  def readMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Format-agnostic read/write (parquet | orc | json | csv): the
     * bronze layer ingests whatever lands. CSV/JSON write headers /
     * line-delimited records; schemas should be supplied by the caller

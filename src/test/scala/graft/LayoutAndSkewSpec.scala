@@ -7,6 +7,7 @@ import graft.operators.Skew
 import graft.similarity.Similarity
 
 class LayoutAndSkewSpec extends SparkSpec {
+  import spark.implicits._
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
@@ -93,6 +94,19 @@ class LayoutAndSkewSpec extends SparkSpec {
     val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files === 1)
     assert(spark.read.parquet(out).count() === Tables.nation(spark, sf).count())
+  }
+
+  test("mergeSchema read unifies files written with evolving schemas") {
+    val dir = tmp("graft-evolve")
+    Seq((1L, "a")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", 3.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = Layout.readMergedSchema(spark, dir)
+    assert(merged.columns.toSet === Set("id", "name", "score"))
+    val rows = merged.orderBy("id")
+      .select("id", "score").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getDouble(1) === 3.5)
   }
 
   test("orc/csv/json round-trips preserve row counts") {
