@@ -159,6 +159,28 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q_acctbal_quartiles" -> ((s, d) => {
+      // ntile over a TOTAL order (acctbal, custkey) — deterministic
+      // bucket assignment on any engine
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+        .groupBy("quartile")
+        .agg(count(lit(1)).as("n_customers"),
+          sumD(col("c_acctbal")).as("total_balance"))
+        .orderBy("quartile")
+    }),
+
+    "text_char_ngrams" -> ((s, d) => {
+      // char trigram frequencies (top 50): substring-slide via the
+      // same single-pass shingle expression over the char sequence
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.charNgrams(col("text"), 3)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(50)
+    }),
+
     "q_status_pivot" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -630,6 +652,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_custkey, 'lapsed' AS status FROM (SELECT * FROM b94 EXCEPT SELECT * FROM b95)
         |ORDER BY status, o_custkey""".stripMargin,
+
+    "q_acctbal_quartiles" ->
+      s"""SELECT quartile, COUNT(*) AS n_customers,
+         | ${sqlSumD("c_acctbal")} AS total_balance
+         |FROM (SELECT c_acctbal,
+         |  CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS quartile
+         | FROM customer)
+         |GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "text_char_ngrams" ->
+      """SELECT gram, COUNT(*) AS n FROM (
+        | SELECT unnest(CASE WHEN length(text) < 3 THEN []
+        |   ELSE list_transform(range(1, length(text) - 1), i -> substr(text, i, 3)) END) AS gram
+        | FROM documents)
+        |GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 50""".stripMargin,
 
     "q_status_pivot" ->
       s"""SELECT l_returnflag,

@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * With `distinct = true`, keeps the first occurrence of each shingle
   * (matching `array_distinct` order semantics).
   */
-case class ShinglesExpr(child: Expression, shingleSize: Int, distinct: Boolean)
+case class ShinglesExpr(child: Expression, shingleSize: Int, distinct: Boolean,
+                        chars: Boolean = false)
   extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -39,9 +40,14 @@ case class ShinglesExpr(child: Expression, shingleSize: Int, distinct: Boolean)
   }
 
   /** Never null for non-null input (empty array when too few tokens).
-    * Public: called from generated code via reference obj. */
+    * Public: called from generated code via reference obj.
+    * `chars = true` slides over raw characters (no trim, no
+    * separator) instead of whitespace tokens. */
   def kernel(input: UTF8String): ArrayData = {
-    val toks = PortableHash.tokenize(input.toString)
+    val str = input.toString
+    val toks: Array[String] =
+      if (chars) Array.tabulate(str.length)(i => String.valueOf(str.charAt(i)))
+      else PortableHash.tokenize(str)
     val n = toks.length - shingleSize + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val sb = new java.lang.StringBuilder
@@ -52,7 +58,7 @@ case class ShinglesExpr(child: Expression, shingleSize: Int, distinct: Boolean)
       sb.setLength(0)
       var j = 0
       while (j < shingleSize) {
-        if (j > 0) sb.append(' ')
+        if (j > 0 && !chars) sb.append(' ')
         sb.append(toks(i + j))
         j += 1
       }
@@ -78,4 +84,8 @@ object ShinglesExpr {
 
   def shingles(c: Column, n: Int, distinct: Boolean = false): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(c), n, distinct))
+
+  def charNgrams(c: Column, n: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(c), n,
+      distinct = false, chars = true))
 }

@@ -111,4 +111,10 @@ object TextFunctions {
     * `array_distinct`), deduped inside the same single pass. */
   def shinglesDistinct(text: Column, n: Int): Column =
     graft.functions.ShinglesExpr.shingles(text, n, distinct = true)
+
+  /** Character n-grams over the raw text (no trim, no separator) —
+    * the char-level analog of [[shingles]]; same single-pass
+    * expression. */
+  def charNgrams(text: Column, n: Int): Column =
+    graft.functions.ShinglesExpr.charNgrams(text, n)
 }
