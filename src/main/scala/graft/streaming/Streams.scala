@@ -30,6 +30,22 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Gap-based session aggregation via Spark's NATIVE session_window
+    * (dynamic windows that merge as events arrive; state bounded by
+    * the watermark) — the built-in alternative to the custom
+    * flatMapGroupsWithState sessionizer below when per-session logic
+    * is pure aggregation. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup by key within the watermark horizon —
     * the streaming analog of Silver's dropDuplicates. */
   def streamingDedup(events: DataFrame, keys: Seq[String],

@@ -80,6 +80,17 @@ class SimilarityAndStreamingSpec extends SparkSpec {
     assert(joined.count() === spark.table("win_out").count())
   }
 
+  test("native session_window agg matches the custom batch sessionizer") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val native = Streams.sessionWindowCounts(ev, gap = "30 minutes")
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val custom = Streams.sessionizeBatch(ev, gapSeconds = 1800)
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(native === custom)
+  }
+
   test("streaming sessionize emits closed sessions") {
     import Streams._
     val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
