@@ -37,8 +37,9 @@ object Clusters {
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with round 1 for free: label = min(id, min neighbor id)
+    var labels = bidir.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
