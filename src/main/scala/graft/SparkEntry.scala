@@ -513,6 +513,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_apply" -> ((s, d) => {
+      // the final dedup decision: drop every non-representative
+      // cluster member, keep everything else. The drop list (cluster
+      // members minus reps) is tiny relative to the corpus —
+      // broadcast anti-join, corpus never shuffles.
+      val docs = Tables.documents(s, d)
+      val edges = NearDup.simHashPairs(docs, "doc_id", "text", maxDist = 6)
+        .select("id_a", "id_b")
+      val drops = graft.dedup.Clusters.connectedComponents(edges)
+        .filter(col("id") =!= col("cluster_rep"))
+        .select(col("id").as("doc_id"))
+      docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "q_label_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -905,6 +920,8 @@ object SparkEntry {
 
     "dedup_clusters" -> dedupClustersOracle,
 
+    "dedup_apply" -> dedupApplyOracle,
+
     "q_label_centroid" ->
       """SELECT label, dim, COUNT(*) AS n_vectors,
         | CAST(SUM(CAST(floor((embedding[dim+1]::DOUBLE)*10000000000 + 0.5)/10000000000
@@ -1116,12 +1133,10 @@ object SparkEntry {
        | AND bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** DuckDB replica of near-dup cluster formation: recursive
-    * transitive closure over the simhash pair graph, min reachable id
-    * per node. MATERIALIZED CTEs keep the simhash computation out of
-    * the recursion (0.1s vs 30s). Spark's iterative min-label
-    * propagation converges to the same unique fixpoint. */
-  private def dedupClustersOracle: String =
+  /** Shared CTE prefix for the cluster oracles: recursive transitive
+    * closure over the simhash pair graph. MATERIALIZED CTEs keep the
+    * simhash computation out of the recursion (0.1s vs 30s). */
+  private def clustersReachCte: String =
     s"""WITH RECURSIVE hsrc AS MATERIALIZED (${simHashOracle.replace("ORDER BY doc_id", "")}),
        |e AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst FROM hsrc a JOIN hsrc b
        |  ON a.doc_id != b.doc_id AND a.simhash IS NOT NULL AND b.simhash IS NOT NULL
@@ -1129,9 +1144,22 @@ object SparkEntry {
        |reach(src, dst) AS (
        |  SELECT src, dst FROM e
        |  UNION
-       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)""".stripMargin
+
+  /** Min reachable id per node — Spark's iterative min-label
+    * propagation converges to the same unique fixpoint. */
+  private def dedupClustersOracle: String =
+    s"""$clustersReachCte
        |SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_rep
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Survivor corpus: documents minus non-representative cluster
+    * members. */
+  private def dedupApplyOracle: String =
+    s"""${clustersReachCte.replace("ON r.dst = e2.src)", "ON r.dst = e2.src),")}
+       |drops AS (SELECT src FROM reach GROUP BY src HAVING least(src, MIN(dst)) != src)
+       |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT src FROM drops)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB replica of the 60-bit SimHash. */
   private def simHashOracle: String = {
