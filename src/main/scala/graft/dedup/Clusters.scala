@@ -27,12 +27,57 @@ object Clusters {
   /** (id, cluster_rep) for every node of `edges` (id_a, id_b);
     * cluster_rep = min node id in the connected component.
     *
-    * Each round is eagerly `localCheckpoint`ed: iterative DataFrame
-    * algorithms otherwise accumulate the whole history into one
-    * Catalyst plan, and analysis cost grows superlinearly with
-    * rounds. Checkpointing truncates the lineage so every round
-    * plans against a materialized table. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    * Hybrid execution: the pair graph after LSH banding is usually
+    * MUCH smaller than the corpus, so below `driverThreshold` edges
+    * the components come from a driver-side union-find (micro-
+    * seconds, no iterative jobs); above it, the distributed
+    * min-label-propagation loop runs. Both produce the identical
+    * fixpoint.
+    *
+    * Each distributed round is eagerly `localCheckpoint`ed:
+    * iterative DataFrame algorithms otherwise accumulate the whole
+    * history into one Catalyst plan, and analysis cost grows
+    * superlinearly with rounds. Checkpointing truncates the lineage
+    * so every round plans against a materialized table. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          driverThreshold: Long = 4L * 1000 * 1000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // materialize the (usually expensive) pair pipeline exactly once
+    val e = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].persist(StorageLevel.MEMORY_AND_DISK)
+    val pairCount = e.count()
+    if (pairCount <= driverThreshold) {
+      // union-find with the MIN id as every root (attach larger root
+      // under smaller), path-compressed
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      val arr = e.collect()
+      e.unpersist()
+      arr.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = parent.keySet().iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (out.hasNext) { val id = out.next(); buf += ((id, find(id))) }
+      return buf.toSeq.toDF("id", "cluster_rep")
+    }
+    val result = connectedComponentsDistributed(e.toDF("id_a", "id_b"), maxIter)
+    e.unpersist()
+    result
+  }
+
+  /** The distributed path: iterative min-label propagation with
+    * pointer jumping. */
+  def connectedComponentsDistributed(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val bidir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

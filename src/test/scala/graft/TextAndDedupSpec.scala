@@ -99,10 +99,16 @@ class TextAndDedupSpec extends SparkSpec {
     // chain 1-2-3-4, star 10-{11,12,13}, pair 20-21; 99 has no edges
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
       (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
-    val got = graft.dedup.Clusters.connectedComponents(edges)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find path
+    val small = graft.dedup.Clusters.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(small === expected)
+    // distributed min-label-propagation path
+    val dist = graft.dedup.Clusters.connectedComponentsDistributed(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === expected)
   }
 
   test("ngram jaccard df-cutoff: no cutoff is exact, cutoff=1 drops shared pairs") {
