@@ -161,7 +161,9 @@ object SparkEntry {
 
     "q_acctbal_quartiles" -> ((s, d) => {
       // ntile over a TOTAL order (acctbal, custkey) — deterministic
-      // bucket assignment on any engine
+      // bucket assignment on any engine. A global window is a single
+      // reducer: the scale path for quantile bucketing is
+      // approxQuantile boundaries + width_bucket (see SketchSpec).
       val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
       Tables.customer(s, d)
         .withColumn("quartile", ntile(4).over(w).cast("bigint"))
