@@ -1,0 +1,39 @@
+package graft
+
+/** Plan regression guard: every driver query's physical plan is
+  * checked for shapes that must never appear by accident. A change
+  * that silently turns a bucket/broadcast join into a Cartesian
+  * product fails here, not at 100 TB. */
+class PlanLintSpec extends SparkSpec {
+
+  /** Queries whose ALGORITHM is an intentional all-pairs scan —
+    * documented baselines with subquadratic scale-path variants. */
+  private val allPairsBaselines = Set("ann_topk", "dedup_embed_cosine")
+
+  test("no query plan contains an accidental Cartesian product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!allPairsBaselines(name)) {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plan contains CartesianProduct:\n$plan")
+      }
+    }
+  }
+
+  test("filtered fact scans push predicates into the parquet reader") {
+    // representative pushdown checks: the scan node must carry
+    // PushedFilters for plan-level filters on scan columns (plan
+    // strings truncate metadata at 100 chars by default — raise it)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val q1 = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(q1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+        s"q1 scan lost shipdate pushdown:\n$q1")
+      val fact = SparkEntry.queries("fact_sales")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(fact.contains("PushedFilters") && fact.contains("GreaterThan(l_quantity"),
+        s"fact_sales scan lost DQ-filter pushdown:\n$fact")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+  }
+}
