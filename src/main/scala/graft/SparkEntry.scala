@@ -159,6 +159,25 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q_pivot_revenue" -> ((s, d) =>
+      // native pivot API (explicit value list keeps the schema
+      // static and skips the distinct-values discovery job)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(sumD(col("l_extendedprice")))
+        .withColumnRenamed("O", "revenue_o").withColumnRenamed("F", "revenue_f")
+        .orderBy("l_returnflag")),
+
+    "q_unpivot_part" -> ((s, d) =>
+      // unpivot/melt: wide numeric columns -> (attribute, value) rows
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          roundTo(col("p_retailprice"), 2).as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "attribute", "value")
+        .orderBy("p_partkey", "attribute")),
+
     "q_acctbal_quartiles" -> ((s, d) => {
       // ntile over a TOTAL order (acctbal, custkey) — deterministic
       // bucket assignment on any engine. A global window is a single
@@ -669,6 +688,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_custkey, 'lapsed' AS status FROM (SELECT * FROM b94 EXCEPT SELECT * FROM b95)
         |ORDER BY status, o_custkey""".stripMargin,
+
+    "q_pivot_revenue" ->
+      s"""SELECT l_returnflag,
+         | ${sqlSumD("CASE WHEN l_linestatus='O' THEN l_extendedprice END")} AS revenue_o,
+         | ${sqlSumD("CASE WHEN l_linestatus='F' THEN l_extendedprice END")} AS revenue_f
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_unpivot_part" ->
+      """SELECT p_partkey, attribute, value FROM (
+        | SELECT p_partkey, 'size' AS attribute, p_size::DOUBLE AS value FROM part
+        | UNION ALL
+        | SELECT p_partkey, 'retailprice', floor((p_retailprice)*100 + 0.5)/100 FROM part)
+        |ORDER BY p_partkey, attribute""".stripMargin,
 
     "q_acctbal_quartiles" ->
       s"""SELECT quartile, COUNT(*) AS n_customers,
