@@ -1,0 +1,29 @@
+package graft
+
+/** Two runs of the same query must produce IDENTICAL row order —
+  * the driver hashes rendered rows, so an under-specified ORDER BY
+  * (ties broken by partition timing) fails the gate
+  * nondeterministically. This guard catches it locally. Covers a
+  * representative sample across operator families (windows, LSH,
+  * iterative CC, pivot, sampling). */
+class DeterminismSpec extends SparkSpec {
+
+  private val sample = Seq(
+    "q1_pricing_summary", "q_sessionize", "q_top_orders_per_cust",
+    "dedup_minhash", "dedup_simhash_pairs", "dedup_clusters",
+    "ann_ivf", "q_split_assign", "q_pivot_revenue", "text_vocab")
+
+  test("repeated runs return byte-identical ordered output") {
+    sample.foreach { name =>
+      def run(): Seq[String] = {
+        val rows = SparkEntry.queries(name)(spark, sf).collect()
+          .map(_.toString).toSeq
+        spark.catalog.clearCache()
+        rows
+      }
+      val (a, b) = (run(), run())
+      assert(a == b, s"$name output differs across runs")
+      assert(a.nonEmpty, s"$name returned no rows")
+    }
+  }
+}
