@@ -133,6 +133,15 @@ class LayoutAndSkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted LEFT join keeps unmatched big-side rows exactly once") {
+    val big = Seq((1L, 10), (2L, 10), (3L, 99)).toDF("pk", "k") // k=99 unmatched
+    val small = Seq((10, "dim10")).toDF("k", "name")
+    val got = Skew.saltedJoin(big, small, Seq("k"), nSalts = 4,
+        bigUniqueCols = Seq("pk"), joinType = "left")
+      .select("pk", "name").as[(Long, Option[String])].collect().toSet
+    assert(got === Set((1L, Some("dim10")), (2L, Some("dim10")), (3L, None)))
+  }
+
   test("IVF ANN recall vs brute force is high and plumbing is exact") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 20)
