@@ -53,12 +53,20 @@ object SparkEntry {
       .select(
         col("c_custkey").as("customer_id"),
         col("c_name").as("name"),
-        lower(col("n_name")).as("nation"),
-        lower(col("r_name")).as("region"),
+        // initcap normalization exactly as the reference dims
+        // (gold_transformation.py:45-46 initcap(city/country));
+        // the DuckDB replica re-derives it by word-splitting
+        initcap(col("n_name")).as("nation"),
+        initcap(col("r_name")).as("region"),
         lower(col("c_mktsegment")).as("segment"),
         roundTo(col("c_acctbal"), 2).as("acctbal"))
       .filter(col("customer_id").isNotNull)
   }
+
+  /** DuckDB replica of Spark `initcap` (DuckDB 1.x has no initcap):
+    * lowercase, split on single spaces, capitalize each word head. */
+  private def sqlInitcap(e: String): String =
+    s"array_to_string(list_transform(string_split(lower($e), ' '), w -> upper(w[1]) || w[2:]), ' ')"
 
   private def dimPart(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d).select(
@@ -69,12 +77,12 @@ object SparkEntry {
       roundTo(col("p_retailprice"), 2).as("price"))
       .filter(col("product_id").isNotNull && col("price") > 0)
 
-  private val dimCustomerSql =
-    """SELECT c_custkey AS customer_id, c_name AS name, lower(n_name) AS nation,
-      | lower(r_name) AS region, lower(c_mktsegment) AS segment, floor((c_acctbal)*100 + 0.5)/100 AS acctbal
-      |FROM customer JOIN nation ON c_nationkey = n_nationkey
-      | JOIN region ON n_regionkey = r_regionkey
-      |WHERE c_custkey IS NOT NULL""".stripMargin
+  private def dimCustomerSql =
+    s"""SELECT c_custkey AS customer_id, c_name AS name, ${sqlInitcap("n_name")} AS nation,
+       | ${sqlInitcap("r_name")} AS region, lower(c_mktsegment) AS segment, floor((c_acctbal)*100 + 0.5)/100 AS acctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       |WHERE c_custkey IS NOT NULL""".stripMargin
   private val dimPartSql =
     """SELECT p_partkey AS product_id, p_name AS product_name, lower(p_type) AS category,
       | lower(p_brand) AS brand, floor((p_retailprice)*100 + 0.5)/100 AS price
@@ -179,13 +187,17 @@ object SparkEntry {
         .orderBy("p_partkey", "attribute")),
 
     "q_acctbal_quartiles" -> ((s, d) => {
-      // ntile over a TOTAL order (acctbal, custkey) — deterministic
-      // bucket assignment on any engine. A global window is a single
-      // reducer: the scale path for quantile bucketing is
-      // approxQuantile boundaries + width_bucket (see SketchSpec).
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      Tables.customer(s, d)
-        .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      // ntile over a TOTAL order (acctbal, custkey) — identical
+      // output to a global-window ntile(4), but computed with the
+      // range-bucketed two-pass exact rank (Ranks.withExactRank):
+      // no single-reducer window, sort work spread over the buckets.
+      val ranked = graft.operators.Ranks.withExactRank(
+        Tables.customer(s, d), Seq.empty,
+        Seq(col("c_acctbal").asc, col("c_custkey").asc), "c_acctbal",
+        rankCol = "__rank", countCol = "__n")
+      ranked
+        .withColumn("quartile",
+          graft.operators.Ranks.ntileFromRank(col("__rank"), col("__n"), 4))
         .groupBy("quartile")
         .agg(count(lit(1)).as("n_customers"),
           sumD(col("c_acctbal")).as("total_balance"))
@@ -314,17 +326,18 @@ object SparkEntry {
 
     "q_median_price" -> ((s, d) => {
       // exact median-by-rank (deterministic: value at ceil(n/2) in the
-      // (price, orderkey, linenumber) total order). Exact grouped
-      // medians need a per-group order; at true scale use
-      // percentile_approx (bounded-memory t-digest — see SketchSpec)
-      // — a distinct-value pre-aggregation was tried and loses here
-      // because prices are near-unique.
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-      val n = Window.partitionBy("l_returnflag")
-      Tables.lineitem(s, d)
-        .withColumn("__rn", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(n))
+      // (price, orderkey, linenumber) total order per returnflag).
+      // The naive per-group window sorts each of the 3 groups in ONE
+      // task (~2 TB/reducer at 100 TB); Ranks.withExactRank splits
+      // every group over range buckets so each sort is bucket-sized.
+      // At true scale with approximate tolerance, percentile_approx
+      // (bounded-memory t-digest — see SketchSpec) is the alternative.
+      val ranked = graft.operators.Ranks.withExactRank(
+        Tables.lineitem(s, d), Seq("l_returnflag"),
+        Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc), "l_extendedprice",
+        rankCol = "__rn", countCol = "__n")
+      ranked
         .filter(col("__rn") === ceil(col("__n") / 2))
         .select(col("l_returnflag"), roundTo(col("l_extendedprice"), 2).as("median_price"))
         .orderBy("l_returnflag")
@@ -430,6 +443,21 @@ object SparkEntry {
     "dq_format" -> ((s, d) =>
       QualityChecks.invalidFormat(Tables.documents(s, d), "lang", "^(en|de|fr|es)$")
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    "dq_email" -> ((s, d) => {
+      // the reference's real email check (silver_layer_data_quality_
+      // checks.py:100): the test tables carry no email column, so a
+      // deterministic one is derived from c_name — every 7th customer
+      // gets a malformed address ('@' -> '_at_') and must be caught
+      // by the reference EmailRegex
+      val local = lower(regexp_replace(col("c_name"), "#", "."))
+      val emails = Tables.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, concat(local, lit("_at_example.com")))
+          .otherwise(concat(local, lit("@example.com"))).as("email"))
+      QualityChecks.invalidFormat(emails, "email", QualityChecks.EmailRegex)
+        .select(col("c_custkey"), col("email"))
+        .orderBy("c_custkey")
+    }),
 
     "dq_integer_qty" -> ((s, d) =>
       QualityChecks.nonIntegerValued(Tables.events(s, d), "value")
@@ -570,6 +598,14 @@ object SparkEntry {
 
     "dedup_embed_cosine" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_embed_cosine_lsh" -> ((s, d) =>
+      // the subquadratic scale path: multi-probe hyperplane LSH
+      // (candidates = pairs within hamming<=probeBits of each other's
+      // sign buckets), exact cosine verify — precision 1.0
+      Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, d), threshold = 0.45,
+        nBits = 6, probeBits = 2, dim = 64)
         .orderBy("id_a", "id_b")),
 
     "ann_topk" -> ((s, d) => {
@@ -891,6 +927,16 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE NOT regexp_full_match(lang, '(en|de|fr|es)') ORDER BY doc_id""".stripMargin,
 
+    "dq_email" ->
+      s"""WITH em AS (SELECT c_custkey,
+         |  CASE WHEN c_custkey % 7 = 0
+         |   THEN lower(replace(c_name, '#', '.')) || '_at_example.com'
+         |   ELSE lower(replace(c_name, '#', '.')) || '@example.com' END AS email
+         | FROM customer)
+         |SELECT c_custkey, email FROM em
+         |WHERE NOT regexp_matches(email, '${QualityChecks.EmailRegex}')
+         |ORDER BY c_custkey""".stripMargin,
+
     "dq_integer_qty" ->
       """SELECT event_id, floor((value)*100 + 0.5)/100 AS value FROM events
         |WHERE value % 1 != 0 ORDER BY event_id""".stripMargin,
@@ -990,6 +1036,7 @@ object SparkEntry {
 
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
+    "dedup_embed_cosine_lsh" -> embedCosineLshOracle,
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
@@ -1065,6 +1112,27 @@ object SparkEntry {
        | SELECT query_id, corpus_id AS neighbor_id,
        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replica of the multi-probe LSH embedding near-dup: the
+    * 6 hyperplane sign vectors are the same plan-time constants as
+    * [[Similarity.cosineNearDupPairsLsh]]; the candidate set is all
+    * (a<b) pairs whose sign buckets differ in <= probeBits bits, and
+    * every candidate passes the identical exact-cosine verify. */
+  private def embedCosineLshOracle: String = {
+    val buckets = (0 until 6).map { b =>
+      val plane = Similarity.hyperplaneSigns(64, b)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product(v, $plane) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $buckets AS bucket FROM e)
+       |SELECT a.vec_id AS id_a, c.vec_id AS id_b
+       |FROM b a JOIN b c ON a.vec_id < c.vec_id
+       | AND bit_count(xor(a.bucket, c.bucket)) <= 2
+       |WHERE list_inner_product(a.v, c.v)
+       |  / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.v, c.v))) >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   // ---- long generated oracles ----

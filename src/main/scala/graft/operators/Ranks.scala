@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global / per-group rank WITHOUT a single-reducer window.
+  *
+  * `row_number() OVER (ORDER BY ...)` (no PARTITION BY) moves the
+  * whole table through one task — Spark itself warns "Moving all
+  * data to a single partition". This operator computes the identical
+  * rank with a two-pass range-bucketed plan that stays parallel:
+  *
+  *  1. approxQuantile on the leading order column → ~`nBuckets`
+  *     boundary values (plan-time, tiny driver-side list — same
+  *     pattern as the IVF centroids / z-order cuts);
+  *  2. narrow bucket assignment by boundary comparison (all ties of
+  *     a boundary value land in the SAME bucket, so the secondary
+  *     order columns only ever break ties within one bucket);
+  *  3. per-(group, bucket) counts → cumulative offsets via a window
+  *     over the tiny counts table (nBuckets × groups rows);
+  *  4. `row_number` within (group, bucket) + bucket offset = the
+  *     exact global rank. Each bucket sorts independently — at
+  *     100 TB the sort work spreads over `nBuckets` × groups tasks
+  *     instead of one per group.
+  *
+  * The result is EXACT for any boundary set (boundaries only choose
+  * how work is split, never the rank values), so approxQuantile's
+  * approximation — and any run-to-run wobble in it — cannot change
+  * the output. Determinism of the output therefore only requires
+  * the usual total order on (orderCols).
+  *
+  * The offsets table is broadcast: it has nBuckets rows per group.
+  * With a very high-cardinality group column prefer a plain window
+  * `row_number` partitioned by the group (that is already parallel);
+  * this operator is for FEW/NO groups — exactly where the naive
+  * window collapses to one reducer.
+  */
+object Ranks {
+
+  private val B = "__rk_bucket"
+  private val OFF = "__rk_off"
+  private val CNT = "__rk_cnt"
+
+  /** Adds `rankCol` (1-based row_number in the total order
+    * (partitionCols, orderCols)) and `countCol` (rows per group) to
+    * `df`. `bucketOn` must be the leading order column, ascending,
+    * numeric (the range-bucketing key). */
+  def withExactRank(df: DataFrame, partitionCols: Seq[String],
+                    orderCols: Seq[Column], bucketOn: String,
+                    rankCol: String, countCol: String,
+                    nBuckets: Int = 32): DataFrame = {
+    require(nBuckets > 1, "nBuckets must be > 1")
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // distinct sorted boundary values (actual data values; 1% error
+    // only skews bucket balance, never rank correctness)
+    val bounds = df.stat.approxQuantile(bucketOn, probes, 0.01).distinct.sorted
+    val bucketExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((bnd, i), acc) => when(col(bucketOn) < bnd, lit(i)).otherwise(acc)
+    }
+    // nulls sort first under asc (Spark default) — give them bucket -1
+    val withB = df.withColumn(B,
+      when(col(bucketOn).isNull, lit(-1)).otherwise(bucketExpr))
+    val counts = withB.groupBy(partitionCols.map(col) :+ col(B): _*)
+      .agg(count(lit(1)).as(CNT))
+    val offsets: DataFrame =
+      if (partitionCols.isEmpty) {
+        // global case: the counts table is ≤ nBuckets+1 rows — fold
+        // the cumulative offsets on the driver at plan time (same
+        // bounded-collect pattern as the IVF centroids / z-order
+        // cuts) instead of a partition-less window that would gather
+        // to a single task.
+        val cs = counts.collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val n = cs.map(_._2).sum
+        val offs = cs.map(_._2).scanLeft(0L)(_ + _)
+        val spark = df.sparkSession
+        import spark.implicits._
+        cs.zipWithIndex.map { case ((b, _), i) => (b, offs(i), n) }
+          .toSeq.toDF(B, OFF, countCol)
+      } else {
+        // grouped case: cumulative offsets via a window over the tiny
+        // (groups × nBuckets) counts table — partitioned by the real
+        // group columns, so the partitionSpec is never empty
+        val grp = partitionCols.map(col)
+        val wOff = Window.partitionBy(grp: _*).orderBy(col(B).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(grp: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        counts
+          .withColumn(OFF, coalesce(sum(col(CNT)).over(wOff), lit(0L)))
+          .withColumn(countCol, sum(col(CNT)).over(wTot))
+          .drop(CNT)
+      }
+    val joinKeys = partitionCols :+ B
+    val wIn = Window.partitionBy(joinKeys.map(col): _*).orderBy(orderCols: _*)
+    withB.join(broadcast(offsets), joinKeys)
+      .withColumn(rankCol, col(OFF) + row_number().over(wIn).cast("long"))
+      .drop(B, OFF)
+  }
+
+  /** ntile(k)-equivalent bucket id from an exact rank: the first
+    * (n mod k) buckets take ceil(n/k) rows, the rest floor(n/k) —
+    * identical to SQL NTILE over the same total order. */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val base = floor(n / k).cast("long")           // rows per small bucket
+    val rem = n % k                                 // buckets with base+1
+    val cut = (base + 1) * rem                      // ranks in big buckets
+    when(rank <= cut, floor((rank - 1) / (base + 1)).cast("long") + 1)
+      .otherwise(rem + floor((rank - cut - 1) / base).cast("long") + 1)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Ranks
+import graft.sources.Tables
+
+/** Ranks.withExactRank must reproduce the single-reducer window
+  * formulations bit-for-bit while keeping every window in the plan
+  * partitioned (no "move all data to one partition" plans). */
+class RanksSpec extends SparkSpec {
+
+  test("exact global rank == row_number over global window") {
+    val c = Tables.customer(spark, sf)
+    val got = Ranks.withExactRank(c, Seq.empty,
+      Seq(col("c_acctbal").asc, col("c_custkey").asc), "c_acctbal",
+      "rank", "n", nBuckets = 8)
+      .select(col("c_custkey"), col("rank"), col("n"))
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val want = c.select(col("c_custkey"),
+      row_number().over(w).cast("long").as("rank"),
+      count(lit(1)).over(Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("exact per-group rank == row_number over per-group window") {
+    val l = Tables.lineitem(spark, sf)
+    val order = Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    val got = Ranks.withExactRank(l, Seq("l_returnflag"), order,
+      "l_extendedprice", "rank", "n", nBuckets = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("rank"), col("n"))
+    val w = Window.partitionBy("l_returnflag").orderBy(order: _*)
+    val want = l.select(col("l_orderkey"), col("l_linenumber"),
+      row_number().over(w).cast("long").as("rank"),
+      count(lit(1)).over(Window.partitionBy("l_returnflag")).as("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("ntileFromRank == ntile over the same total order") {
+    for (k <- Seq(3, 4, 7)) {
+      val c = Tables.customer(spark, sf)
+      val got = Ranks.withExactRank(c, Seq.empty,
+        Seq(col("c_acctbal").asc, col("c_custkey").asc), "c_acctbal",
+        "rank", "n", nBuckets = 8)
+        .select(col("c_custkey"),
+          Ranks.ntileFromRank(col("rank"), col("n"), k).as("b"))
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val want = c.select(col("c_custkey"),
+        ntile(k).over(w).cast("long").as("b"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"ntile($k) mismatch")
+    }
+  }
+
+  test("rewritten quartile/median plans never gather to one partition") {
+    // a partition-less window (or any other all-to-one-task shape)
+    // plans an `Exchange SinglePartition` — the exact thing the
+    // rewrite removes. The final presentation orderBy is a RANGE
+    // repartition, so a clean plan has no SinglePartition exchange.
+    for (q <- Seq("q_acctbal_quartiles", "q_median_price")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"),
+        s"$q plan gathers to a single partition:\n$plan")
+    }
+  }
+}
