@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,8 +8,10 @@ import org.apache.spark.sql.types._
   *
   * Media payloads are opaque `binary` columns beside typed metadata —
   * the Spark-side contract (schema, partition-sized batching,
-  * per-partition decoder amortization) is real and tested; the codec
-  * itself is a clearly-marked deterministic STUB because no media
+  * per-partition decoder amortization) is real and tested. IMAGES go
+  * through a REAL codec ([[ImageCodec]]: JDK `javax.imageio`
+  * PNG/JPEG decode, nearest-neighbor rescale, PNG encode); audio and
+  * video keep a clearly-marked deterministic STUB because no media
   * libraries ship in this container. Swapping `StubCodec` for a real
   * decoder (e.g. javacpp/ffmpeg) changes no plan shape.
   *
@@ -36,8 +38,46 @@ object Multimodal {
     StructField("feature", ArrayType(FloatType, containsNull = false),
       nullable = true)))
 
+  /** REAL image codec over JDK-only `javax.imageio` — PNG/JPEG/BMP/
+    * GIF decode, nearest-neighbor resize, PNG encode. No external
+    * deps; runs headless. Audio/video stay on [[StubCodec]] (no
+    * media libs in this container). */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+
+    def decode(payload: Array[Byte]): Option[BufferedImage] =
+      if (payload == null || payload.isEmpty) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    /** Deterministic nearest-neighbor scale (no AA, no filtering —
+      * bit-reproducible across JVMs, unlike Graphics2D hints). */
+    def resizeImage(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * img.getHeight / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * img.getWidth / w).toInt
+          out.setRGB(x, y, img.getRGB(sx, sy))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** STUB codec: deterministic byte-statistics "decode" standing in
-    * for a real image/audio decoder. Real plumbing, fake math. */
+    * for a real audio/video decoder. Real plumbing, fake math. */
   object StubCodec {
     /** ??? real decoder goes here; deterministic fake: 8 moments of
       * the byte histogram as the "feature vector". */
@@ -89,34 +129,42 @@ object Multimodal {
       }.toDF()
   }
 
+  case class MediaRow(media_id: Long, media_type: String,
+                      payload: Array[Byte], width: Option[Int],
+                      height: Option[Int], duration_ms: Option[Long])
+
   /** Image resize: payload -> payload at (w, h), metadata updated.
-    * STUB codec (deterministic byte subsampling standing in for a
-    * real scaler); the Spark-side contract — binary in/binary out,
-    * metadata columns updated in the same projection, narrow op, no
-    * shuffle — is the real plumbing. */
+    * Typed Dataset.mapPartitions (Encoder-backed, no RDD round-trip);
+    * images go through the REAL `javax.imageio` decode -> nearest-
+    * neighbor rescale -> PNG encode; non-image payloads (audio/video)
+    * keep the deterministic stub byte-subsample. Narrow op — no
+    * shuffle; a real codec initializes per partition, rows stream
+    * through as an iterator. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
-    val schema = media.schema
-    val out = media.rdd.mapPartitions { it =>
-      it.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val resized =
-          if (payload == null) null
-          else {
-            // ??? real scaler goes here; deterministic fake: sample
-            // w*h bytes evenly across the payload
-            val n = math.min(w * h, payload.length)
-            Array.tabulate(n)(i => payload((i.toLong * payload.length / n).toInt))
-          }
-        Row.fromSeq(r.toSeq.zipWithIndex.map {
-          case (_, i) if schema(i).name == "payload" => resized
-          case (_, i) if schema(i).name == "width" => w
-          case (_, i) if schema(i).name == "height" => h
-          case (v, _) => v
-        })
-      }
-    }
-    spark.createDataFrame(out, schema)
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload", "width", "height",
+        "duration_ms").as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          val resized =
+            if (m.payload == null) null
+            else if (m.media_type == "image")
+              ImageCodec.decode(m.payload) match {
+                case Some(img) =>
+                  ImageCodec.encodePng(ImageCodec.resizeImage(img, w, h))
+                case None => stubResize(m.payload, w, h) // not a decodable image
+              }
+            else stubResize(m.payload, w, h)
+          m.copy(payload = resized, width = Some(w), height = Some(h))
+        }
+      }.toDF()
+  }
+
+  /** Stub scaler for non-image media: sample w*h bytes evenly. */
+  private def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.min(w * h, payload.length)
+    Array.tabulate(n)(i => payload((i.toLong * payload.length / n).toInt))
   }
 
   /** Video frame sampling: one output row per sampled frame at

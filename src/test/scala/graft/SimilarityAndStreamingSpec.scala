@@ -123,10 +123,35 @@ class SimilarityAndStreamingSpec extends SparkSpec {
   test("multimodal resize updates payload and metadata, keeps schema") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
     val resized = Multimodal.resize(media, 8, 8)
-    assert(resized.schema === media.schema)
+    // same column names and types (typed-Dataset round trip widens
+    // literal-column nullability, which is semantically safe)
+    assert(resized.schema.map(f => (f.name, f.dataType))
+      === media.schema.map(f => (f.name, f.dataType)))
     val r = resized.filter(col("media_id") === 0).head()
     assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 8)
+    // media_id 0 is typed "image" but its payload is text bytes —
+    // not decodable, so it takes the stub subsample path
     assert(r.getAs[Array[Byte]]("payload").length <= 64)
+  }
+
+  test("image codec: real PNG decode + nearest-neighbor resize") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, 0xFF000000 | (x * 60 + y * 13))
+    val png = Multimodal.ImageCodec.encodePng(img)
+    val sess = spark; import sess.implicits._
+    val df = Seq((1L, "image", png, Option(4), Option(4), Option.empty[Long]))
+      .toDF("media_id", "media_type", "payload", "width", "height", "duration_ms")
+    val out = Multimodal.resize(df, 2, 2).head()
+    assert(out.getAs[Int]("width") === 2 && out.getAs[Int]("height") === 2)
+    val decoded = Multimodal.ImageCodec.decode(out.getAs[Array[Byte]]("payload")).get
+    assert(decoded.getWidth === 2 && decoded.getHeight === 2)
+    // nearest-neighbor mapping: out(x,y) == in(2x, 2y); PNG+ARGB is
+    // lossless so pixel words survive the encode/decode round trip
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert(decoded.getRGB(x, y) === img.getRGB(2 * x, 2 * y),
+        s"pixel ($x,$y)")
   }
 
   test("multimodal frame sampling fans out one row per frame") {
