@@ -41,10 +41,34 @@ object GraftFunctions {
       // graft_shingles(text[, n[, distinct]]) — n and distinct must be
       // foldable literals (they parameterize the expression itself)
       (args: Seq[Expression]) => {
-        val n = if (args.length > 1) args(1).eval().asInstanceOf[Int] else 3
-        val distinct = args.length > 2 && args(2).eval() == true
+        val n = if (args.length > 1) intLiteral(args(1), "graft_shingles", "n") else 3
+        val distinct = args.length > 2 &&
+          (foldableValue(args(2), "graft_shingles", "distinct") == true)
         ShinglesExpr(args.head, n, distinct)
       }))
+
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg), None)
+
+  private def foldableValue(e: Expression, fn: String, param: String): Any = {
+    if (!e.foldable)
+      analysisError(s"$fn: parameter '$param' must be a literal, got ${e.sql}")
+    e.eval()
+  }
+
+  /** Int parameter from any integral literal (INT/BIGINT/SMALLINT/
+    * TINYINT or a CAST of one) — a BIGINT literal like `3L` must not
+    * surface as an opaque ClassCastException. */
+  private def intLiteral(e: Expression, fn: String, param: String): Int =
+    foldableValue(e, fn, param) match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => analysisError(
+        s"$fn: parameter '$param' must be an integer literal, got $other (${e.sql})")
+    }
 
   /** Register on a live session (equivalent to the extension). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -40,7 +40,7 @@ object Clusters {
     * superlinearly with rounds. Checkpointing truncates the lineage
     * so every round plans against a materialized table. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          driverThreshold: Long = 4L * 1000 * 1000): DataFrame = {
+                          driverThreshold: Long = 1L * 1000 * 1000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // materialize the (usually expensive) pair pipeline exactly once
@@ -49,8 +49,11 @@ object Clusters {
     val pairCount = e.count()
     if (pairCount <= driverThreshold) {
       // union-find with the MIN id as every root (attach larger root
-      // under smaller), path-compressed
-      val parent = new java.util.HashMap[Long, Long]()
+      // under smaller), path-compressed. Parent pointers live in a
+      // primitive open-addressing map (two long arrays, no boxing):
+      // at the 1M-edge threshold that is ~64 MB worst case instead of
+      // several hundred MB of boxed HashMap entries.
+      val parent = new LongLongMap(math.min(pairCount * 2 + 16, 1L << 28).toInt)
       def find(x: Long): Long = {
         var r = x
         while (parent.get(r) != r) r = parent.get(r)
@@ -65,14 +68,66 @@ object Clusters {
         val (ra, rb) = (find(a), find(b))
         if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
       }
-      val out = parent.keySet().iterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      while (out.hasNext) { val id = out.next(); buf += ((id, find(id))) }
+      parent.foreachKey(id => buf += ((id, find(id))))
       return buf.toSeq.toDF("id", "cluster_rep")
     }
     val result = connectedComponentsDistributed(e.toDF("id_a", "id_b"), maxIter)
     e.unpersist()
     result
+  }
+
+  /** Minimal primitive long->long open-addressing hash map (linear
+    * probing, power-of-two capacity, load factor 1/2). Exists to keep
+    * the bounded driver-side union-find off the boxed-Long heap. */
+  private final class LongLongMap(expected: Int) {
+    private var cap = java.lang.Integer.highestOneBit(math.max(16, expected) * 2 - 1) << 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var occupied = new Array[Boolean](cap)
+    private var n = 0
+
+    private def slot(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & (cap - 1)
+      while (occupied(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+
+    def get(k: Long): Long = {
+      val i = slot(k)
+      if (occupied(i)) vals(i) else k // identity default: unseen node is its own root
+    }
+
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!occupied(i)) {
+        if ((n + 1) * 2 > cap) { grow(); put(k, v); return }
+        occupied(i) = true; keys(i) = k; n += 1
+      }
+      vals(i) = v
+    }
+
+    def putIfAbsent(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!occupied(i)) put(k, v)
+    }
+
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (occupied(i)) f(keys(i)); i += 1 }
+    }
+
+    private def grow(): Unit = {
+      val (ok, okeys, ovals, ocap) = (occupied, keys, vals, cap)
+      cap = ocap << 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      occupied = new Array[Boolean](cap); n = 0
+      var i = 0
+      while (i < ocap) {
+        if (ok(i)) put(okeys(i), ovals(i))
+        i += 1
+      }
+    }
   }
 
   /** The distributed path: iterative min-label propagation with

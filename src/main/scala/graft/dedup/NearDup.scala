@@ -22,11 +22,31 @@ import graft.text.TextFunctions
   *
   * Caching contract: pair-finding pipelines persist their signature
   * frame (it feeds 3 plan branches). The persist lives as long as the
-  * returned plan; CALLERS own cleanup — run `spark.catalog
-  * .clearCache()` (or unpersist) after the consuming action, as
-  * Bench/Verify do between queries.
+  * returned plan; after the consuming action, call
+  * [[NearDup.unpersistAll]] to drop every block the pipelines
+  * created (tracked internally — no need to know which frames were
+  * cached). `spark.catalog.clearCache()` also works, as Bench/Verify
+  * do between queries, but clears unrelated caches too.
   */
 object NearDup {
+
+  /** Cache blocks created by the pair pipelines, awaiting cleanup. */
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def trackedPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(p)
+    p
+  }
+
+  /** Unpersist every cache block any NearDup pipeline has created
+    * (scoped cleanup for library callers — leaves caches persisted
+    * by OTHER code untouched, unlike `catalog.clearCache()`). */
+  def unpersistAll(blocking: Boolean = false): Unit = {
+    var d = persistedFrames.poll()
+    while (d != null) { d.unpersist(blocking); d = persistedFrames.poll() }
+  }
 
   /** Modulus for permutation hashes (fits products in 60 bits). */
   val P = 1000000007L
@@ -104,10 +124,9 @@ object NearDup {
     // persist: the signature frame feeds three plan branches (banding
     // + both sides of the verify join) — without it Spark recomputes
     // the shingle hashing 3x.
-    val withSig = docs.select(col(idCol),
+    val withSig = trackedPersist(docs.select(col(idCol),
       TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh"),
-      minHashSignature(col(textCol), shingleSize).as("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minHashSignature(col(textCol), shingleSize).as("__sig")))
     val cands = lshCandidates(lshBands(withSig, idCol, "__sig"), idCol)
     val sh = withSig.select(col(idCol), col("__sh"))
     cands
@@ -138,13 +157,12 @@ object NearDup {
     // the shingle instead of the string (same shuffle cardinality,
     // ~3x smaller shuffle rows; a hash collision would need two
     // distinct shingles of the corpus to collide in 2^64).
-    val inv = docs.select(col(idCol),
+    val inv = trackedPersist(docs.select(col(idCol),
       TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .select(col(idCol), size(col("__sh")).as("__n"), explode(col("__sh")).as("__g0"))
-      .select(col(idCol), col("__n"), xxhash64(col("__g0")).as("__g"))
+      .select(col(idCol), col("__n"), xxhash64(col("__g0")).as("__g")))
       // feeds both sides of the self-join (caching contract above)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Skew knob for 100 TB corpora: drop shingles whose document
     // frequency exceeds the cutoff. A shingle in d docs contributes
     // d^2 joined rows but near-zero near-dup signal when d is huge

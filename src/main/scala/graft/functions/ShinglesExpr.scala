@@ -46,8 +46,12 @@ case class ShinglesExpr(child: Expression, shingleSize: Int, distinct: Boolean,
   def kernel(input: UTF8String): ArrayData = {
     val str = input.toString
     val toks: Array[String] =
-      if (chars) Array.tabulate(str.length)(i => String.valueOf(str.charAt(i)))
-      else PortableHash.tokenize(str)
+      if (chars) {
+        // slide over CODEPOINTS, not UTF-16 units — a surrogate pair
+        // (emoji, CJK-ext) must stay one "character", matching the
+        // codepoint semantics of DuckDB substr in the oracle
+        str.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      } else PortableHash.tokenize(str)
     val n = toks.length - shingleSize + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val sb = new java.lang.StringBuilder

@@ -97,6 +97,46 @@ object QualityChecks {
     }.reduce(_.unionAll(_))
   }
 
+  /** One row per (violating source row, violated check): every row is
+    * tagged with the names of all checks it fails, then exploded.
+    * Rows violating nothing disappear (explode of an empty array) —
+    * a single narrow pass, no shuffle. Shared by the batch and
+    * streaming routing below. */
+  def tagViolations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val tags = array(checks.map { case (name, cond) =>
+      when(coalesce(cond, lit(false)), lit(name))
+    }: _*)
+    df.withColumn("check_name", explode(array_compact(tags)))
+  }
+
+  /** Route violating rows to a persisted quality table, one partition
+    * per check (reference: gold_layer_data_quality_checks.py:205-210
+    * writes failing rows to a quality schema). partitionBy(check_name)
+    * means a per-check audit read prunes to one partition. */
+  def routeViolations(df: DataFrame, checks: Seq[(String, Column)],
+                      qualityPath: String,
+                      mode: org.apache.spark.sql.SaveMode =
+                        org.apache.spark.sql.SaveMode.Append): Unit =
+    tagViolations(df, checks).write.mode(mode)
+      .partitionBy("check_name").parquet(qualityPath)
+
+  /** Streaming variant: route each micro-batch's violations to the
+    * same partitioned quality table via foreachBatch (append — the
+    * quality log is an audit trail, replays only add duplicate audit
+    * rows, never lose any). */
+  def routeViolationsOnce(stream: DataFrame, checks: Seq[(String, Column)],
+                          qualityPath: String, checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          routeViolations(batch.toDF(), checks, qualityPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** One scan, many checks: all violation counts for a table come
     * from a single conditional aggregation — at 100 TB the summary
     * costs one pass over each source instead of one pass PER check. */

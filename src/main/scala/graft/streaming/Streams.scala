@@ -148,7 +148,15 @@ object Streams {
   /** foreachBatch incremental SCD1 upsert into a plain-parquet
     * target — the Delta `MERGE WHEN MATCHED UPDATE` analog without a
     * table format: per micro-batch, union target + batch, keep the
-    * latest version per key, atomically swap the target directory.
+    * latest version per key, swap the target directory.
+    *
+    * Crash-safe swap protocol (single renames only — no window where
+    * the merged history exists nowhere durable): write `__tmp`, move
+    * current target aside to `__old`, move `__tmp` into place, drop
+    * `__old`. On (re)start, a missing target with a leftover `__old`
+    * (crash between the two renames) is restored before merging, so
+    * a replayed batch always merges against the full history; a
+    * leftover `__tmp` is discarded (its batch will be replayed).
     *
     * Scale notes: last-writer-wins by `versionCol` makes replays
     * idempotent (exactly-once effect on the target even with
@@ -164,15 +172,22 @@ object Streams {
         val spark = batch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration
         val target = new org.apache.hadoop.fs.Path(targetPath)
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
+        val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
         val fs = target.getFileSystem(conf)
+        // recover from a crash between the two swap renames: the full
+        // merged history is in __old — put it back before merging
+        if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+        if (fs.exists(tmp)) fs.delete(tmp, true) // incomplete write
         val all =
           if (fs.exists(target)) spark.read.parquet(targetPath).unionByName(batch.toDF())
           else batch.toDF()
         val merged = graft.operators.Dedup.keepLatest(all, keys, versionCol)
-        val tmp = new org.apache.hadoop.fs.Path(targetPath + "__tmp")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(target, true)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(target)) fs.rename(target, old)
         fs.rename(tmp, target)
+        fs.delete(old, true)
         ()
       }
       .start()

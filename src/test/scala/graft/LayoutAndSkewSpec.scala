@@ -133,6 +133,50 @@ class LayoutAndSkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted join beats unsalted wall-time on a 50%-hot key (exact)") {
+    // deliberate heavy tail at sf0.1: half of lineitem lands on one
+    // key; the other half spreads over 1000 keys. AQE + broadcast are
+    // disabled so both plans are shuffled joins — the scenario
+    // salting exists for (small side too big to broadcast, engine
+    // without runtime skew splitting).
+    val sf01 = "/root/testdata/sf0.1"
+    val li = Tables.lineitem(spark, sf01)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        when(col("l_orderkey") % 2 === 0, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(1000L))).as("k"))
+    // 16 small rows per key: the hot key's single unsalted reducer
+    // must produce 16 × |hot rows| join outputs — the skew cost that
+    // dominates at scale, amplified enough to measure at sf0.1
+    val small = spark.range(0, 1000)
+      .select(col("id").as("k"),
+        explode(sequence(lit(0L), lit(15L))).as("j"))
+      .select(col("k"), (col("k") * 16 + col("j")).as("w"))
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = li.join(small, Seq("k"))
+      val salted = Skew.saltedJoin(li, small, Seq("k"), nSalts = 16,
+        bigUniqueCols = Seq("l_orderkey", "l_linenumber"))
+      def fingerprint(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), sum(col("w")),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))).collect()(0)
+      def timeMs(df: org.apache.spark.sql.DataFrame): Long = {
+        val t0 = System.nanoTime(); fingerprint(df); (System.nanoTime() - t0) / 1000000
+      }
+      assert(fingerprint(plain) === fingerprint(salted)) // exact (also warmup)
+      val (tPlain, tSalted) = (timeMs(plain), timeMs(salted))
+      info(f"hot-key join: unsalted ${tPlain}ms, salted(16) ${tSalted}ms, " +
+        f"ratio ${tSalted.toDouble / tPlain}%.2f")
+      assert(tSalted < tPlain,
+        s"salting should beat the single-reducer hot key ($tSalted vs $tPlain ms)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
   test("salted LEFT join keeps unmatched big-side rows exactly once") {
     val big = Seq((1L, 10), (2L, 10), (3L, 99)).toDF("pk", "k") // k=99 unmatched
     val small = Seq((10, "dim10")).toDF("k", "name")

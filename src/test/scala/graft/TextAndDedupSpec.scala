@@ -128,4 +128,50 @@ class TextAndDedupSpec extends SparkSpec {
       maxDocFreq = Some(1L))
     assert(capped.count() === 0)
   }
+
+  test("violation routing persists failing rows per check (batch + stream)") {
+    import org.apache.spark.sql.SaveMode
+    val src = java.nio.file.Files.createTempDirectory("graft-q-src").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-out").toString
+    val df = Seq((1L, "ok", 5.0), (2L, " pad", -1.0), (3L, null.asInstanceOf[String], 2.5))
+      .toDF("id", "name", "v")
+    val checks = Seq(
+      "whitespace_name" -> QualityChecks.unwantedSpacesCond(Seq("name")),
+      "nonpositive_v" -> QualityChecks.nonPositiveCond(Seq("v")),
+      "null_name" -> QualityChecks.nullPkCond(Seq("name")))
+    QualityChecks.routeViolations(df, checks, dir, SaveMode.Overwrite)
+    val back = spark.read.parquet(dir)
+    def ids(check: String): Set[Long] =
+      back.filter(col("check_name") === check).select("id").as[Long].collect().toSet
+    assert(ids("whitespace_name") === Set(2L))
+    assert(ids("nonpositive_v") === Set(2L)) // row 2 routed once PER check
+    assert(ids("null_name") === Set(3L))
+    // per-check audit reads prune to one partition
+    val scan = back.filter(col("check_name") === "null_name")
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("check_name"))
+    // streaming variant lands the same rows
+    df.write.mode("overwrite").parquet(src)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-q-out2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q-ckpt").toString
+    QualityChecks.routeViolationsOnce(
+      spark.readStream.schema(df.schema).parquet(src), checks, dir2, ckpt)
+    val sBack = spark.read.parquet(dir2)
+    assert(sBack.count() === back.count())
+    assert(sBack.select("id", "check_name").exceptAll(
+      back.select("id", "check_name")).isEmpty)
+  }
+
+  test("unpersistAll drops every pair-pipeline cache block") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // baseline: blocks persisted by OTHER code (shared test session)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    NearDup.minHashPairs(docs, "doc_id", "text").count()
+    NearDup.ngramJaccardPairs(docs, "doc_id", "text").count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "pipelines should have persisted signature frames")
+    NearDup.unpersistAll(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "unpersistAll must leave no pipeline block behind")
+  }
 }
