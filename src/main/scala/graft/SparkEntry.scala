@@ -187,17 +187,29 @@ object SparkEntry {
         .orderBy("p_partkey", "attribute")),
 
     "q_acctbal_quartiles" -> ((s, d) => {
-      // ntile over a TOTAL order (acctbal, custkey) — identical
-      // output to a global-window ntile(4), but computed with the
-      // range-bucketed two-pass exact rank (Ranks.withExactRank):
-      // no single-reducer window, sort work spread over the buckets.
-      val ranked = graft.operators.Ranks.withExactRank(
-        Tables.customer(s, d), Seq.empty,
-        Seq(col("c_acctbal").asc, col("c_custkey").asc), "c_acctbal",
-        rankCol = "__rank", countCol = "__n")
-      ranked
-        .withColumn("quartile",
-          graft.operators.Ranks.ntileFromRank(col("__rank"), col("__n"), 4))
+      // ntile(4) over the TOTAL order (acctbal, custkey) — identical
+      // output to a global-window ntile, computed scale-safe: the
+      // three exact quartile cut VALUES come from two-pass rank
+      // selection (Ranks.valuesAtRanks — counts per range bucket,
+      // then a row_number over only the 3 cut-containing buckets),
+      // and every row's quartile is then a narrow comparison against
+      // those cut tuples. No global window, no join, no full sort.
+      val c = Tables.customer(s, d)
+      // ntile cut positions: cut_k = k*floor(n/4) + min(k, n mod 4)
+      val cuts = graft.operators.Ranks.valuesAtRanks(
+        c, Seq.empty, Seq("c_acctbal", "c_custkey"), "c_acctbal",
+        n => Seq.tabulate(3)(i => (i + 1) * (n / 4) + math.min(i + 1, n % 4)))
+      // rank(row) > cut_k  <=>  (acctbal, custkey) > cut tuple
+      // cut row layout: (rank, c_acctbal, c_custkey)
+      val afterCut = cuts.map { r =>
+        val (a, k) = (r.getDouble(1), r.getLong(2))
+        (col("c_acctbal") > a) ||
+          (col("c_acctbal") === a && col("c_custkey") > k)
+      }
+      val quartile = afterCut
+        .map(gt => when(gt, 1L).otherwise(0L))
+        .foldLeft(lit(1L): Column)(_ + _)
+      c.withColumn("quartile", quartile)
         .groupBy("quartile")
         .agg(count(lit(1)).as("n_customers"),
           sumD(col("c_acctbal")).as("total_balance"))
@@ -328,18 +340,20 @@ object SparkEntry {
       // exact median-by-rank (deterministic: value at ceil(n/2) in the
       // (price, orderkey, linenumber) total order per returnflag).
       // The naive per-group window sorts each of the 3 groups in ONE
-      // task (~2 TB/reducer at 100 TB); Ranks.withExactRank splits
-      // every group over range buckets so each sort is bucket-sized.
-      // At true scale with approximate tolerance, percentile_approx
-      // (bounded-memory t-digest — see SketchSpec) is the alternative.
-      val ranked = graft.operators.Ranks.withExactRank(
+      // task (~2 TB/reducer at 100 TB); two-pass rank SELECTION
+      // (Ranks.valuesAtRanks) instead sorts only the one range bucket
+      // per group that contains the median rank. At true scale with
+      // approximate tolerance, percentile_approx (bounded-memory
+      // t-digest — see SketchSpec) is the alternative.
+      val medians = graft.operators.Ranks.valuesAtRanks(
         Tables.lineitem(s, d), Seq("l_returnflag"),
-        Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc), "l_extendedprice",
-        rankCol = "__rn", countCol = "__n")
-      ranked
-        .filter(col("__rn") === ceil(col("__n") / 2))
-        .select(col("l_returnflag"), roundTo(col("l_extendedprice"), 2).as("median_price"))
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+        "l_extendedprice", n => Seq((n + 1) / 2)) // ceil(n/2)
+      import s.implicits._
+      // row layout: (l_returnflag, rank, price, orderkey, linenumber)
+      medians.toSeq.map(r => (r.getString(0), r.getDouble(2)))
+        .toDF("l_returnflag", "__p")
+        .select(col("l_returnflag"), roundTo(col("__p"), 2).as("median_price"))
         .orderBy("l_returnflag")
     }),
 

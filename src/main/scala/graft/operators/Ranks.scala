@@ -42,6 +42,22 @@ object Ranks {
   private val OFF = "__rk_off"
   private val CNT = "__rk_cnt"
 
+  /** Range-bucket assignment for `bucketOn`: boundaries from
+    * approxQuantile (actual data values; the 1% error only skews
+    * bucket balance, never rank correctness — all ties of a boundary
+    * value land in the same bucket). Nulls sort first under asc
+    * (Spark default) — they get bucket -1. */
+  private def withBucket(df: DataFrame, bucketOn: String,
+                         nBuckets: Int): DataFrame = {
+    require(nBuckets > 1, "nBuckets must be > 1")
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = df.stat.approxQuantile(bucketOn, probes, 0.01).distinct.sorted
+    val bucketExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((bnd, i), acc) => when(col(bucketOn) < bnd, lit(i)).otherwise(acc)
+    }
+    df.withColumn(B, when(col(bucketOn).isNull, lit(-1)).otherwise(bucketExpr))
+  }
+
   /** Adds `rankCol` (1-based row_number in the total order
     * (partitionCols, orderCols)) and `countCol` (rows per group) to
     * `df`. `bucketOn` must be the leading order column, ascending,
@@ -50,17 +66,7 @@ object Ranks {
                     orderCols: Seq[Column], bucketOn: String,
                     rankCol: String, countCol: String,
                     nBuckets: Int = 32): DataFrame = {
-    require(nBuckets > 1, "nBuckets must be > 1")
-    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    // distinct sorted boundary values (actual data values; 1% error
-    // only skews bucket balance, never rank correctness)
-    val bounds = df.stat.approxQuantile(bucketOn, probes, 0.01).distinct.sorted
-    val bucketExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
-      case ((bnd, i), acc) => when(col(bucketOn) < bnd, lit(i)).otherwise(acc)
-    }
-    // nulls sort first under asc (Spark default) — give them bucket -1
-    val withB = df.withColumn(B,
-      when(col(bucketOn).isNull, lit(-1)).otherwise(bucketExpr))
+    val withB = withBucket(df, bucketOn, nBuckets)
     val counts = withB.groupBy(partitionCols.map(col) :+ col(B): _*)
       .agg(count(lit(1)).as(CNT))
     val offsets: DataFrame =
@@ -97,6 +103,72 @@ object Ranks {
     withB.join(broadcast(offsets), joinKeys)
       .withColumn(rankCol, col(OFF) + row_number().over(wIn).cast("long"))
       .drop(B, OFF)
+  }
+
+  /** Exact order-statistic SELECTION: for each group, the row values
+    * of `orderCols` at the requested 1-based rank positions in the
+    * total order (partitionCols, orderCols asc) — WITHOUT ranking the
+    * whole table. Returns driver-side rows
+    * `(partitionCols..., rank, orderCols...)`, one per requested rank
+    * (ranks outside [1, n] are silently dropped).
+    *
+    * Plan shape (the classic two-pass selection): (1) one scan
+    * aggregating row counts per (group, range-bucket) — the counts
+    * table (groups × nBuckets rows) folds to cumulative offsets on
+    * the driver; (2) one scan filtered to ONLY the buckets containing
+    * a target rank, with a row_number window partitioned per
+    * (group, bucket) over that small slice. The expensive total sort
+    * never happens: at 100 TB pass 2 sorts ~1/nBuckets of each
+    * group, in parallel. `ranksOf` maps each group's row count n to
+    * its target ranks (e.g. `n => Seq((n + 1) / 2)` for the median).
+    *
+    * Groups are assumed bounded (the counts table is collected);
+    * with very many groups use [[withExactRank]]'s distributed
+    * offsets instead. */
+  def valuesAtRanks(df: DataFrame, partitionCols: Seq[String],
+                    orderCols: Seq[String], bucketOn: String,
+                    ranksOf: Long => Seq[Long],
+                    nBuckets: Int = 32): Array[org.apache.spark.sql.Row] = {
+    val withB = withBucket(df, bucketOn, nBuckets)
+    val nG = partitionCols.length
+    val cnts = withB.groupBy((partitionCols :+ B).map(col): _*)
+      .agg(count(lit(1)).as(CNT)).collect()
+    // (groupKey, bucket, rankWithinBucket, globalRank) per target
+    val targets: Seq[(Seq[Any], Int, Long, Long)] =
+      cnts.groupBy(r => Seq.tabulate(nG)(r.get)).toSeq.flatMap {
+        case (g, rows) =>
+          val sorted = rows.map(r => (r.getInt(nG), r.getLong(nG + 1))).sortBy(_._1)
+          val n = sorted.map(_._2).sum
+          val cum = sorted.map(_._2).scanLeft(0L)(_ + _)
+          ranksOf(n).distinct.filter(rk => rk >= 1 && rk <= n).map { rk =>
+            val bi = sorted.indices.find(i => cum(i) < rk && rk <= cum(i + 1)).get
+            (g, sorted(bi)._1, rk - cum(bi), rk)
+          }
+      }
+    if (targets.isEmpty) return Array.empty
+    def groupCond(g: Seq[Any]): Column =
+      partitionCols.zip(g).map { case (c, v) => col(c) <=> lit(v) }
+        .foldLeft(lit(true))(_ && _)
+    val needed = targets.map { case (g, b, _, _) => groupCond(g) && col(B) === b }
+      .reduce(_ || _)
+    val w = Window.partitionBy((partitionCols :+ B).map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+    val rn = "__rk_rn"
+    val hits = withB.filter(needed)
+      .withColumn(rn, row_number().over(w).cast("long"))
+      .filter(targets.map { case (g, b, rIn, _) =>
+        groupCond(g) && col(B) === b && col(rn) === rIn
+      }.reduce(_ || _))
+      .select((partitionCols :+ B :+ rn).map(col) ++ orderCols.map(col): _*)
+      .collect()
+    hits.map { r =>
+      val g = Seq.tabulate(nG)(r.get)
+      val (b, rIn) = (r.getInt(nG), r.getLong(nG + 1))
+      val global = targets
+        .find(t => t._1 == g && t._2 == b && t._3 == rIn).get._4
+      org.apache.spark.sql.Row.fromSeq(
+        g ++ Seq(global) ++ orderCols.indices.map(i => r.get(nG + 2 + i)))
+    }.sortBy(_.toString) // deterministic order for callers
   }
 
   /** ntile(k)-equivalent bucket id from an exact rank: the first

@@ -194,6 +194,25 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming MERGE into a [[graft.sources.VersionedTable]]: each
+    * micro-batch commits a new table version through the atomic
+    * pointer-swap protocol — the streaming Delta-MERGE analog with
+    * snapshot isolation (readers of any committed version are never
+    * disturbed) and idempotent replays (keepLatest by `versionCol`). */
+  def runVersionedMergeOnce(stream: DataFrame, keys: Seq[String],
+                            versionCol: String, table: String,
+                            checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.VersionedTable.merge(batch.toDF(), table, keys, versionCol)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query once over a bounded source and return the
     * sink table contents (trigger-once semantics like the reference;
     * used by specs). */

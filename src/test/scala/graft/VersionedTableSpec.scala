@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** Versioned-table layer: commit protocol, time travel, MERGE,
+  * OPTIMIZE, VACUUM — the reference's Delta surface re-expressed
+  * over plain parquet. */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl(): String =
+    Files.createTempDirectory("graft-vt").toString + "/t"
+
+  test("write/read round trip, append semantics, version counter") {
+    val t = tbl()
+    assert(VersionedTable.currentVersion(spark, t) === 0)
+    val v1 = VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    assert(v1 === 1)
+    val v2 = VersionedTable.write(Seq((3L, "c")).toDF("id", "s"), t) // append
+    assert(v2 === 2)
+    assert(VersionedTable.read(spark, t).count() === 3)
+    val v3 = VersionedTable.write(Seq((9L, "z")).toDF("id", "s"), t,
+      overwrite = true)
+    assert(v3 === 3)
+    assert(VersionedTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((9L, "z")))
+  }
+
+  test("time travel reads any committed version; history lists them") {
+    val t = tbl()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
+    VersionedTable.write(Seq((2L, "b")).toDF("id", "s"), t)
+    assert(VersionedTable.readVersion(spark, t, 1).count() === 1)
+    assert(VersionedTable.readVersion(spark, t, 2).count() === 2)
+    val hist = VersionedTable.history(spark, t).orderBy("version").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(hist.forall(_.getLong(2) > 0))
+  }
+
+  test("merge upserts by key with last-writer-wins, old version intact") {
+    val t = tbl()
+    VersionedTable.write(
+      Seq((1L, "old", 1L), (2L, "keep", 1L)).toDF("id", "s", "ver"), t)
+    VersionedTable.merge(
+      Seq((1L, "new", 2L), (3L, "ins", 2L)).toDF("id", "s", "ver"),
+      t, keys = Seq("id"), versionCol = "ver")
+    val now = VersionedTable.read(spark, t)
+      .select("id", "s").as[(Long, String)].collect().toSet
+    assert(now === Set((1L, "new"), (2L, "keep"), (3L, "ins")))
+    // snapshot isolation: version 1 still shows the pre-merge rows
+    val before = VersionedTable.readVersion(spark, t, 1)
+      .select("id", "s").as[(Long, String)].collect().toSet
+    assert(before === Set((1L, "old"), (2L, "keep")))
+  }
+
+  test("optimize compacts files as a new version without changing data") {
+    val t = tbl()
+    VersionedTable.write(
+      spark.range(0, 1000).select(col("id"), (col("id") % 7).as("g"))
+        .repartition(8), t)
+    val filesBefore = VersionedTable.history(spark, t)
+      .orderBy(col("version").desc).head().getLong(1)
+    assert(filesBefore > 1)
+    VersionedTable.optimize(spark, t, nFiles = 1, clusterCols = Seq("id"))
+    val latest = VersionedTable.history(spark, t)
+      .orderBy(col("version").desc).head()
+    assert(latest.getLong(1) === 1) // one file now
+    assert(VersionedTable.read(spark, t).count() === 1000)
+    assert(VersionedTable.read(spark, t).agg(sum("id")).head().getLong(0)
+      === (0L until 1000L).sum)
+  }
+
+  test("vacuum drops old snapshots but keeps the retained window") {
+    val t = tbl()
+    (1 to 4).foreach(i => VersionedTable.write(Seq((i.toLong, "x")).toDF("id", "s"), t))
+    VersionedTable.vacuum(spark, t, keepVersions = 2)
+    // versions 3 and 4 remain readable; 1 and 2 are gone
+    assert(VersionedTable.readVersion(spark, t, 4).count() === 4)
+    assert(VersionedTable.readVersion(spark, t, 3).count() === 3)
+    assert(VersionedTable.history(spark, t).select("version")
+      .as[Long].collect().toSet === Set(3L, 4L))
+  }
+
+  test("streaming merge commits versions through the pointer protocol") {
+    val t = tbl()
+    val src = Files.createTempDirectory("graft-vt-src").toString
+    val ckpt = Files.createTempDirectory("graft-vt-ckpt").toString
+    VersionedTable.write(
+      Seq((1L, "old", 1L), (2L, "keep", 1L)).toDF("id", "s", "ver"), t)
+    val updates = Seq((1L, "new", 2L), (3L, "ins", 2L)).toDF("id", "s", "ver")
+    updates.write.mode("overwrite").parquet(src)
+    graft.streaming.Streams.runVersionedMergeOnce(
+      spark.readStream.schema(updates.schema).parquet(src),
+      keys = Seq("id"), versionCol = "ver", table = t, checkpoint = ckpt)
+    assert(VersionedTable.read(spark, t)
+      .select("id", "s").as[(Long, String)].collect().toSet
+      === Set((1L, "new"), (2L, "keep"), (3L, "ins")))
+    // pre-merge snapshot still readable (snapshot isolation)
+    assert(VersionedTable.readVersion(spark, t, 1).count() === 2)
+  }
+
+  test("a torn pointer swap never exposes a partial version") {
+    val t = tbl()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
+    // simulate a crashed writer: a half-written _vN dir with NO
+    // pointer update — readers must keep resolving version 1
+    val orphan = new java.io.File(t, "_v00000002")
+    orphan.mkdirs()
+    new java.io.File(orphan, "part-garbage.parquet").createNewFile()
+    assert(VersionedTable.currentVersion(spark, t) === 1)
+    assert(VersionedTable.read(spark, t).count() === 1)
+    // the next commit claims version 2 and overwrites the orphan
+    VersionedTable.write(Seq((2L, "b")).toDF("id", "s"), t)
+    assert(VersionedTable.read(spark, t).count() === 2)
+  }
+}
