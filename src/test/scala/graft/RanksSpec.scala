@@ -54,6 +54,24 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("valuesAtRanks selects exact order statistics per group") {
+    val l = Tables.lineitem(spark, sf)
+    val order = Seq("l_extendedprice", "l_orderkey", "l_linenumber")
+    val got = Ranks.valuesAtRanks(l, Seq("l_returnflag"), order,
+      "l_extendedprice", n => Seq(1L, (n + 1) / 2, n), nBuckets = 8)
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(order.map(col(_).asc): _*)
+    val want = l
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .filter(col("rn") === 1 || col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === col("n"))
+      .select(col("l_returnflag"), col("rn"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+  }
+
   test("rewritten quartile/median plans never gather to one partition") {
     // a partition-less window (or any other all-to-one-task shape)
     // plans an `Exchange SinglePartition` — the exact thing the
