@@ -665,6 +665,63 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "text_redact_pii" -> ((s, d) => {
+      // PII scrubbing (training-data hygiene): deterministic emails +
+      // phone numbers are synthesized into the corpus (test tables
+      // carry none), then redacted with the same regexes a production
+      // scrub pass would use. Narrow codegen'd transform, no shuffle.
+      val id = col("doc_id").cast("string")
+      val aug = concat(col("text"), lit(" contact user"), id,
+        lit("@mail.example.com call +1-555-"), id)
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+[0-9][0-9\\-]{5,}[0-9]"
+      Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(regexp_replace(aug, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_decontaminate_ngram" -> ((s, d) => {
+      // n-gram-overlap decontamination (the practical benchmark-leak
+      // check: exact-fingerprint match misses partial inclusion):
+      // drop corpus docs sharing ANY 5-gram with the holdout set
+      // (doc_id%97==0). The holdout gram set is tiny — broadcast
+      // semi-join + broadcast anti-join; the corpus never shuffles.
+      val docs = Tables.documents(s, d)
+      val g5 = (t: Column) => TextFunctions.shinglesDistinct(t, 5)
+      val benchGrams = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(g5(col("text"))).as("__g")).distinct()
+      val contaminated = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(g5(col("text"))).as("__g"))
+        .join(broadcast(benchGrams), "__g")
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    "text_dup_spans" -> ((s, d) => {
+      // inter-document repetition signal (RefinedWeb-style): per doc,
+      // how many of its distinct 5-grams appear in at least one OTHER
+      // doc. Inverted-index join on the gram (same scale shape as
+      // ngramJaccardPairs — no pairs materialize, one shuffle).
+      val docs = Tables.documents(s, d)
+      val g = docs.select(col("doc_id"),
+        explode(TextFunctions.shinglesDistinct(col("text"), 5)).as("__g"))
+      val dfreq = g.groupBy("__g").agg(count(lit(1)).as("__df"))
+      val stats = g.join(dfreq, "__g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          roundTo(coalesce(col("n_dup_grams").cast("double") / col("n_grams"),
+            lit(0.0)), 6).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, d) => {
       // repeated-token ratio (Gopher-style repetition signal):
       // 1 - distinct_tokens/tokens, 0 for empty docs
@@ -1065,6 +1122,12 @@ object SparkEntry {
         |  AND f NOT IN (SELECT f FROM fp WHERE doc_id % 97 = 0)
         |ORDER BY doc_id""".stripMargin,
 
+    "text_redact_pii" -> textRedactPiiOracle,
+
+    "dedup_decontaminate_ngram" -> decontaminateNgramOracle,
+
+    "text_dup_spans" -> textDupSpansOracle,
+
     "text_repetition" -> {
       val toks = sqlTokens("text")
       val rep = s"CASE WHEN len($toks) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct($toks))::DOUBLE / len($toks) END"
@@ -1179,6 +1242,47 @@ object SparkEntry {
       .mkString(" ")
     s"""SELECT doc_id, CASE $cases ELSE 'unknown' END AS lang_pred
        |FROM (SELECT doc_id, text, $best AS best FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB word-n-gram shingle list over a token-list expression. */
+  private def sqlShingleList(toks: String, n: Int): String =
+    s"list_transform(range(0, greatest(0, len($toks)-${n - 1})), i -> array_to_string($toks[i+1:i+$n], ' '))"
+
+  private def textRedactPiiOracle: String =
+    """SELECT doc_id,
+      | regexp_replace(regexp_replace(
+      |   text || ' contact user' || doc_id || '@mail.example.com call +1-555-' || doc_id,
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |  '\+[0-9][0-9\-]{5,}[0-9]', '<PHONE>', 'g') AS redacted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def decontaminateNgramOracle: String =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(${sqlShingleList("toks", 5)}) AS g
+       |  FROM t WHERE len(toks) >= 5),
+       |bg AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0),
+       |bad AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 97 != 0)
+       |  WHERE gram IN (SELECT gram FROM bg))
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
+
+  private def textDupSpansOracle: String = {
+    val ratio = "COALESCE(CAST(st.n_dup_grams AS DOUBLE) / st.n_grams, 0.0)"
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(${sqlShingleList("toks", 5)}) AS g
+       |  FROM t WHERE len(toks) >= 5),
+       |e AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+       |dfreq AS (SELECT gram, COUNT(*) AS df FROM e GROUP BY gram),
+       |st AS (SELECT e.doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+       | FROM e JOIN dfreq USING (gram) GROUP BY e.doc_id)
+       |SELECT d.doc_id, COALESCE(st.n_grams, 0) AS n_grams,
+       | COALESCE(st.n_dup_grams, 0) AS n_dup_grams,
+       | ${sqlRound(ratio, 6)} AS dup_ratio
+       |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Shared shingle CTE: distinct word-3-gram shingles per doc. */
