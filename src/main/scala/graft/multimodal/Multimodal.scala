@@ -76,8 +76,97 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec for PCM RIFF/WAVE payloads — JDK-only manual
+    * header parse + sample decode (8/16-bit PCM, any channel count).
+    * Compressed formats (mp3/ogg) would need external libs and fall
+    * back to [[StubCodec]]. */
+  object WavCodec {
+    final case class Wav(sampleRate: Int, channels: Int, bits: Int,
+                         samples: Array[Float]) {
+      def nFrames: Int = if (channels == 0) 0 else samples.length / channels
+      def durationMs: Long =
+        if (sampleRate == 0) 0L else nFrames * 1000L / sampleRate
+    }
+
+    def decode(b: Array[Byte]): Option[Wav] = {
+      if (b == null || b.length < 44) return None
+      def le32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var rate = 0; var ch = 0; var bits = 0; var fmtOk = false
+      var samples: Array[Float] = null
+      while (off + 8 <= b.length) {
+        val id = tag(off); val sz = le32(off + 4)
+        if (id == "fmt " && off + 24 <= b.length) {
+          val audioFormat = le16(off + 8)
+          ch = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
+          fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) && ch > 0 && rate > 0
+        } else if (id == "data" && fmtOk && samples == null) {
+          val n = math.max(0, math.min(sz, b.length - off - 8))
+          samples =
+            if (bits == 16) Array.tabulate(n / 2)(i =>
+              le16(off + 8 + 2 * i).toShort.toFloat / 32768f)
+            else Array.tabulate(n)(i =>
+              ((b(off + 8 + i) & 0xff) - 128).toFloat / 128f)
+        }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (samples != null) Some(Wav(rate, ch, bits, samples)) else None
+    }
+
+    /** 8 deterministic features: frames, rate, channels, duration,
+      * RMS, peak, zero-crossing count, mean. */
+    def features(w: Wav): Array[Float] = {
+      val s = w.samples
+      if (s.isEmpty) return Array(0f, w.sampleRate.toFloat, w.channels.toFloat,
+        0f, 0f, 0f, 0f, 0f)
+      var sum = 0.0; var sq = 0.0; var peak = 0.0; var zc = 0
+      var i = 0
+      while (i < s.length) {
+        val v = s(i)
+        sum += v; sq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && (s(i - 1) >= 0) != (v >= 0)) zc += 1
+        i += 1
+      }
+      Array(w.nFrames.toFloat, w.sampleRate.toFloat, w.channels.toFloat,
+        w.durationMs.toFloat, math.sqrt(sq / s.length).toFloat,
+        peak.toFloat, zc.toFloat, (sum / s.length).toFloat)
+    }
+  }
+
+  /** 8 deterministic image features: width, height, mean A/R/G/B,
+    * min/max luma — real pixel statistics over the decoded image. */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sa, sr, sg, sb) = (0L, 0L, 0L, 0L)
+    var minL = 255.0; var maxL = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val (a, r, g, b) = ((p >>> 24) & 0xff, (p >>> 16) & 0xff,
+          (p >>> 8) & 0xff, p & 0xff)
+        sa += a; sr += r; sg += g; sb += b
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        if (l < minL) minL = l
+        if (l > maxL) maxL = l
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    Array(w.toFloat, h.toFloat, (sa / n).toFloat, (sr / n).toFloat,
+      (sg / n).toFloat, (sb / n).toFloat, minL.toFloat, maxL.toFloat)
+  }
+
   /** STUB codec: deterministic byte-statistics "decode" standing in
-    * for a real audio/video decoder. Real plumbing, fake math. */
+    * for codecs that need external libs (video, compressed audio).
+    * Real plumbing, fake math. */
   object StubCodec {
     /** ??? real decoder goes here; deterministic fake: 8 moments of
       * the byte histogram as the "feature vector". */
@@ -114,7 +203,10 @@ object Multimodal {
   /** Feature extraction over binary payloads: Dataset.mapPartitions
     * (typed, Encoder-backed — no RDD round-trip) so a real decoder
     * initializes once per partition and rows stream through as an
-    * iterator. */
+    * iterator. Images and PCM WAV audio go through the REAL codecs
+    * (pixel / sample statistics); undecodable payloads and video
+    * fall back to the deterministic stub. Every variant emits 8
+    * floats, so the schema is codec-independent. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -122,9 +214,15 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder init would happen here
         it.map { m =>
+          val feature = m.media_type match {
+            case "image" => ImageCodec.decode(m.payload).map(imageFeatures)
+              .getOrElse(StubCodec.extractFeature(m.payload))
+            case "audio" => WavCodec.decode(m.payload).map(WavCodec.features)
+              .getOrElse(StubCodec.extractFeature(m.payload))
+            case _ => StubCodec.extractFeature(m.payload)
+          }
           FeatureOut(m.media_id, m.media_type,
-            if (m.payload == null) 0L else m.payload.length.toLong,
-            StubCodec.extractFeature(m.payload))
+            if (m.payload == null) 0L else m.payload.length.toLong, feature)
         }
       }.toDF()
   }

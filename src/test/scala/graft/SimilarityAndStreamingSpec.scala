@@ -154,6 +154,35 @@ class SimilarityAndStreamingSpec extends SparkSpec {
         s"pixel ($x,$y)")
   }
 
+  test("audio codec: real PCM WAV decode with duration, RMS and features") {
+    // hand-built 16-bit mono 8 kHz WAV: 100-sample square wave ±0.5
+    val nS = 100; val rate = 8000
+    val bb = java.nio.ByteBuffer.allocate(44 + nS * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nS * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(nS * 2)
+    (0 until nS).foreach(i =>
+      bb.putShort(if (i % 8 < 4) 16384 else -16384)) // ±0.5 amplitude
+    val wavBytes = bb.array()
+    val w = Multimodal.WavCodec.decode(wavBytes).get
+    assert(w.sampleRate === rate && w.channels === 1 && w.nFrames === nS)
+    assert(w.durationMs === nS * 1000L / rate)
+    val f = Multimodal.WavCodec.features(w)
+    assert(math.abs(f(4) - 0.5f) < 1e-5, s"rms ${f(4)}") // RMS of ±0.5 square
+    assert(f(5) === 0.5f) // peak
+    // through the Spark pipeline: audio rows get WAV features
+    val sess = spark; import sess.implicits._
+    val df = Seq((7L, "audio", wavBytes)).toDF("media_id", "media_type", "payload")
+    val row = Multimodal.extractFeatures(df).head()
+    val feat = row.getAs[scala.collection.Seq[Float]]("feature")
+    assert(feat(0) === nS.toFloat && feat(1) === rate.toFloat)
+    assert(math.abs(feat(4) - 0.5f) < 1e-5)
+  }
+
   test("multimodal frame sampling fans out one row per frame") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, everyMs = 1000)
