@@ -52,6 +52,16 @@ object Streams {
                      watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keys :+ "ts")
 
+  /** Native `dropDuplicatesWithinWatermark`: dedup by KEY ALONE (no
+    * event-time in the key), with state evicted once the watermark
+    * passes a key's first-seen time. The right tool when duplicates
+    * carry different timestamps (retries, at-least-once sources) —
+    * `dropDuplicates(keys :+ ts)` would keep each retry. */
+  def streamingDedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                                    watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Int, totalValue: Double)

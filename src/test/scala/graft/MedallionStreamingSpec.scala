@@ -223,6 +223,31 @@ class MedallionStreamingSpec extends SparkSpec {
     assert(out === Seq((1L, "a"), (2L, "b")))
   }
 
+  test("dropDuplicatesWithinWatermark dedups retries with differing timestamps") {
+    val dir = Files.createTempDirectory("graft-ddww").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // event 1 is delivered twice with DIFFERENT timestamps (an
+    // at-least-once retry) — key-only dedup must keep one
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 00:00:05"), 10.0),
+      (2L, ts("2024-01-01 00:01:00"), 20.0))
+    val df = rows.toDF("event_id", "ts", "value")
+    df.write.mode("overwrite").parquet(s"$dir/src")
+    val stream = spark.readStream.schema(df.schema).parquet(s"$dir/src")
+    Streams.runOnce(
+      Streams.streamingDedupWithinWatermark(stream, Seq("event_id")),
+      s"$dir/ckpt", "ddww_out")
+    val out = spark.table("ddww_out")
+    assert(out.count() === 2)
+    assert(out.select("event_id").as[Long].collect().toSet === Set(1L, 2L))
+    // the timestamp-in-key variant would have kept the retry
+    val naive = Streams.streamingDedup(
+      spark.readStream.schema(df.schema).parquet(s"$dir/src"), Seq("event_id"))
+    Streams.runOnce(naive, s"$dir/ckpt2", "ddww_naive")
+    assert(spark.table("ddww_naive").count() === 3)
+  }
+
   test("gold dimension normalization matches reference initcap semantics") {
     val dim = Seq((1, "new york", "usa"), (2, "chicago", "usa"))
       .toDF("customer_id", "city", "country")

@@ -22,6 +22,17 @@ class SketchSpec extends SparkSpec {
     assert(err <= 0.06, s"HLL error $err (exact=$exact approx=$approx)")
   }
 
+  test("freqItems heavy-hitter sketch finds the hot key, one pass") {
+    // a key holding 50% of rows MUST be reported at support 0.1
+    // (freqItems guarantees no false negatives above the support)
+    val li = Tables.lineitem(spark, sf)
+      .select(when(col("l_orderkey") % 2 === 0, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"))
+    val hits = li.stat.freqItems(Array("k"), 0.1)
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(hits.contains(1L), s"hot key missing from $hits")
+  }
+
   test("percentile_approx close to exact rank median") {
     val li = Tables.lineitem(spark, sf)
     val approx = li.groupBy("l_returnflag")
