@@ -640,6 +640,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_embed_quantize" -> ((s, d) => {
+      // int8 symmetric quantization round trip (embedding storage
+      // compression): q = clamp(round(x/scale)), scale = amax/127;
+      // reports per-vector scale and max reconstruction error.
+      // Portable rounding floor(v+0.5); HOF lambdas are fine at this
+      // width (64 dims) — a custom Expression is the faster variant
+      // if this became a hot path (see DotProductExpr).
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val amax = array_max(transform(v, x => abs(x)))
+      val scale = when(amax === 0, lit(0.0)).otherwise(amax / 127.0)
+      val err = when(amax === 0, lit(0.0)).otherwise(
+        array_max(transform(v, x =>
+          abs(x - least(greatest(floor(x / scale + 0.5), lit(-127L)),
+            lit(127L)) * scale))))
+      Tables.embeddings(s, d).select(col("vec_id"),
+        roundTo(scale, 9).as("scale"),
+        roundTo(err, 9).as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     "q_stratified_sample" -> ((s, d) => {
       // deterministic 20% sample per stratum via a portable content
       // hash — reproducible under task retries (no rand()), and the
@@ -1108,6 +1128,20 @@ object SparkEntry {
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
     "dedup_embed_cosine_lsh" -> embedCosineLshOracle,
+
+    "q_embed_quantize" -> {
+      val scale = "(CASE WHEN amax = 0 THEN 0.0 ELSE amax/127.0 END)"
+      val err = s"""(CASE WHEN amax = 0 THEN 0.0 ELSE
+         | list_max(list_transform(v, x ->
+         |  abs(x - least(greatest(floor(x/$scale + 0.5), -127), 127)*$scale)))
+         | END)""".stripMargin
+      s"""SELECT vec_id, ${sqlRound(scale, 9)} AS scale,
+         | ${sqlRound(err, 9)} AS max_err
+         |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+         | FROM embeddings)
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
