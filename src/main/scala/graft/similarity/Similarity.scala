@@ -151,6 +151,68 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id").as("neighbor_id"))
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column — the
+    * centroid TRAINING step for [[ivfTopK]] ("production would plug
+    * k-means centroids into the same plumbing"). Seeds are the k
+    * lowest-id vectors (reproducible); each round is one narrow
+    * assignment map against centroid LITERALS (squared euclidean via
+    * the codegen'd dot product: |v|^2 - 2 v.c + |c|^2) plus one
+    * per-(cell, dim) aggregation (the q_label_centroid shape). Only
+    * k x dim doubles cross to the driver per round; the corpus is
+    * scanned once per round and never shuffled beyond the tiny agg.
+    * Empty cells keep their previous centroid. */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val v = vectors.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+    var centroids: Array[Array[Double]] = v
+      .orderBy(col(idCol).asc).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val dim = centroids.head.length
+    for (_ <- 1 to iters) {
+      def dist2(vc: Column, i: Int): Column = {
+        val c = centroids(i)
+        val c2 = c.map(x => x * x).sum
+        dot(vc, vc) - lit(2.0) * dot(vc, array(c.map(lit): _*)) + lit(c2)
+      }
+      // argmin cell via struct sort: (dist, cell) ascending
+      val scored = centroids.indices.map(i =>
+        struct(dist2(col("__v"), i).as("d"), lit(i).as("c")))
+      val cell = array_sort(array(scored: _*))(0).getField("c")
+      // decimal accumulation: double sums depend on partial-merge
+      // order (nondeterministic across runs); exact decimal sums make
+      // the trained centroids byte-reproducible
+      val sums = v.select(cell.as("__cell"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy("__cell", "__d")
+        .agg(count(lit(1)).as("__n"),
+          sum(col("__x").cast("decimal(38,18)")).cast("double").as("__s"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.groupBy(_.getInt(0)).foreach { case (c, rows) =>
+        rows.foreach { r =>
+          next(c)(r.getInt(1)) = r.getDouble(3) / r.getLong(2)
+        }
+      }
+      centroids = next
+    }
+    require(centroids.forall(_.length == dim))
+    centroids
+  }
+
+  /** Mean squared distance of every vector to its nearest centroid —
+    * the k-means objective, for convergence checks. */
+  def kmeansInertia(vectors: DataFrame, centroids: Array[Array[Double]],
+                    vecCol: String = "embedding"): Double = {
+    val v = toDouble(col(vecCol))
+    def dist2(i: Int): Column = {
+      val c = centroids(i)
+      dot(v, v) - lit(2.0) * dot(v, array(c.map(lit): _*)) +
+        lit(c.map(x => x * x).sum)
+    }
+    val best = array_min(array(centroids.indices.map(dist2): _*))
+    vectors.agg(avg(best)).head().getDouble(0)
+  }
+
   /** Embedding-cosine near-dup pairs: all (a < b) pairs with cosine
     * >= threshold. Baseline O(n^2); scale path =
     * [[cosineNearDupPairsLsh]]. */

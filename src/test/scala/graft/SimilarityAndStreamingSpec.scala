@@ -110,6 +110,21 @@ class SimilarityAndStreamingSpec extends SparkSpec {
     assert(spark.table("sess_out").count() <= batch.count())
   }
 
+  test("kmeans centroid training: inertia non-increasing and deterministic") {
+    val e = Tables.embeddings(spark, sf)
+    val seed = Similarity.kmeansCentroids(e, k = 8, iters = 0)
+    val t1 = Similarity.kmeansCentroids(e, k = 8, iters = 1)
+    val t4 = Similarity.kmeansCentroids(e, k = 8, iters = 4)
+    val (i0, i1, i4) = (Similarity.kmeansInertia(e, seed),
+      Similarity.kmeansInertia(e, t1), Similarity.kmeansInertia(e, t4))
+    assert(i1 <= i0 + 1e-9, s"one Lloyd round must not increase inertia ($i0 -> $i1)")
+    assert(i4 <= i1 + 1e-9, s"more rounds must not increase inertia ($i1 -> $i4)")
+    assert(i4 < i0, s"training should beat the raw seeds ($i0 -> $i4)")
+    // fixed seeds + deterministic aggregation => identical reruns
+    val t4b = Similarity.kmeansCentroids(e, k = 8, iters = 4)
+    assert(t4.map(_.toSeq).toSeq === t4b.map(_.toSeq).toSeq)
+  }
+
   test("multimodal feature extraction preserves schema and row count") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
     val feats = Multimodal.extractFeatures(media)
