@@ -115,11 +115,18 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 2,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val centroids: Array[Seq[Double]] = corpus
-      .select(col(idCol), toDouble(col(vecCol)).as("__v"))
-      .orderBy(col(idCol).asc).limit(nCells)
-      .collect().map(_.getSeq[Double](1))
+              vecCol: String = "embedding",
+              trainedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    // default centroid rule: the nCells lowest-id corpus vectors
+    // (deterministic, oracle-replicable); pass [[kmeansCentroids]]
+    // output for production-quality cells — the assign/probe plans
+    // are identical, only the literals change
+    val centroids: Array[Seq[Double]] = trainedCentroids
+      .map(_.map(_.toSeq))
+      .getOrElse(corpus
+        .select(col(idCol), toDouble(col(vecCol)).as("__v"))
+        .orderBy(col(idCol).asc).limit(nCells)
+        .collect().map(_.getSeq[Double](1)))
     // cosine against centroid i, with the same expression shape the
     // oracle uses (dot / (norm*norm)) so float results are bit-equal
     def centCos(v: Column, vn: Column, i: Int): Column = {

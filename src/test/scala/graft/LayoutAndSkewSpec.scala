@@ -198,5 +198,15 @@ class LayoutAndSkewSpec extends SparkSpec {
     assert(ivf.nonEmpty)
     val recall = (bf intersect ivf).size.toDouble / bf.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // k-means-trained centroids plug into the identical plumbing;
+    // balanced cells should not hurt recall materially
+    val trained = Similarity.kmeansCentroids(e, k = 8, iters = 3)
+    val ivfT = Similarity.ivfTopK(e, q, k = 5, nCells = 8, nProbe = 3,
+      trainedCentroids = Some(trained))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallT = (bf intersect ivfT).size.toDouble / bf.size
+    assert(recallT >= 0.5, s"trained-IVF recall too low: $recallT (default $recall)")
+    info(f"IVF recall: lowest-id cells $recall%.2f, k-means cells $recallT%.2f")
   }
 }
