@@ -485,6 +485,16 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "dq_profile" -> ((s, d) => {
+      import QualityChecks.ProfileCol
+      QualityChecks.profile(Tables.orders(s, d), Seq(
+        ProfileCol("o_orderkey", col("o_orderkey")),
+        ProfileCol("o_custkey", col("o_custkey")),
+        ProfileCol("o_totalprice", roundTo(col("o_totalprice"), 2)),
+        ProfileCol("o_orderstatus", col("o_orderstatus"), numeric = false)))
+        .orderBy("column_name")
+    }),
+
     "dq_summary" -> ((s, d) => {
       import QualityChecks._
       // one conditional-aggregation pass per SOURCE (events carries
@@ -1037,6 +1047,28 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM part
         |  WHERE p_partkey = l_partkey AND p_size <= 25)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "dq_profile" ->
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+        |  COUNT(DISTINCT o_orderkey) AS k_dist,
+        |  CAST(MIN(o_orderkey) AS DOUBLE) AS k_min, CAST(MAX(o_orderkey) AS DOUBLE) AS k_max,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls,
+        |  COUNT(DISTINCT o_custkey) AS c_dist,
+        |  CAST(MIN(o_custkey) AS DOUBLE) AS c_min, CAST(MAX(o_custkey) AS DOUBLE) AS c_max,
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
+        |  COUNT(DISTINCT floor((o_totalprice)*100 + 0.5)/100) AS t_dist,
+        |  MIN(floor((o_totalprice)*100 + 0.5)/100) AS t_min,
+        |  MAX(floor((o_totalprice)*100 + 0.5)/100) AS t_max,
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+        |  COUNT(DISTINCT o_orderstatus) AS s_dist
+        | FROM orders)
+        |SELECT 'o_orderkey' AS column_name, n AS n_rows, k_nulls AS n_nulls,
+        |  k_dist AS n_distinct, k_min AS min_value, k_max AS max_value FROM a
+        |UNION ALL SELECT 'o_custkey', n, c_nulls, c_dist, c_min, c_max FROM a
+        |UNION ALL SELECT 'o_totalprice', n, t_nulls, t_dist, t_min, t_max FROM a
+        |UNION ALL SELECT 'o_orderstatus', n, s_nulls, s_dist, NULL, NULL FROM a
+        |ORDER BY column_name""".stripMargin,
 
     "dq_summary" ->
       """SELECT check_name, violation_count FROM (

@@ -97,6 +97,38 @@ object QualityChecks {
     }.reduce(_.unionAll(_))
   }
 
+  /** One-pass column profiling (the stats a DQ triage starts from):
+    * per listed column — null count, exact distinct count, min/max
+    * (numeric columns only; pass `numeric = false` to skip). One
+    * aggregation over one scan; multiple exact distincts expand the
+    * scan k-ways map-side (Spark's Expand) but never rescan source.
+    * At 100 TB swap `countDistinct` for `approx_count_distinct`. */
+  case class ProfileCol(name: String, expr: Column, numeric: Boolean = true)
+
+  def profile(df: DataFrame, cols: Seq[ProfileCol]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(c.expr.isNull, 1L).otherwise(0L)).as(s"__nulls_${c.name}"),
+        countDistinct(c.expr).as(s"__dist_${c.name}")) ++
+        (if (c.numeric) Seq(
+          min(c.expr).cast("double").as(s"__min_${c.name}"),
+          max(c.expr).cast("double").as(s"__max_${c.name}"))
+        else Nil)
+    } :+ count(lit(1)).as("__n")
+    val rows = cols.map { c =>
+      struct(lit(c.name).as("column_name"), col("__n").as("n_rows"),
+        col(s"__nulls_${c.name}").as("n_nulls"),
+        col(s"__dist_${c.name}").as("n_distinct"),
+        (if (c.numeric) col(s"__min_${c.name}")
+        else lit(null).cast("double")).as("min_value"),
+        (if (c.numeric) col(s"__max_${c.name}")
+        else lit(null).cast("double")).as("max_value"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("p"))
+      .select("p.*")
+  }
+
   /** One row per (violating source row, violated check): every row is
     * tagged with the names of all checks it fails, then exploded.
     * Rows violating nothing disappear (explode of an empty array) —
