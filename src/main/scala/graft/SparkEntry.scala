@@ -695,6 +695,25 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "text_chunk" -> ((s, d) => {
+      // training-prep chunking: split each doc into 40-token windows
+      // with stride 32 (8-token overlap). Narrow per-row fanout —
+      // sequence + posexplode + slice, all codegen'd, no shuffle.
+      val chunkLen = 40; val stride = 32
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+        .filter(size(col("__t")) > 0)
+        .select(col("doc_id"), col("__t"),
+          posexplode(sequence(lit(0), size(col("__t")) - 1, lit(stride)))
+            .as(Seq("chunk_idx", "__start")))
+        .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+          slice(col("__t"), col("__start") + 1, lit(chunkLen)).as("__c"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("__c")).cast("bigint").as("n_tokens"),
+          concat_ws(" ", col("__c")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "text_redact_pii" -> ((s, d) => {
       // PII scrubbing (training-data hygiene): deterministic emails +
       // phone numbers are synthesized into the corpus (test tables
@@ -1187,6 +1206,16 @@ object SparkEntry {
         |WHERE doc_id % 97 != 0
         |  AND f NOT IN (SELECT f FROM fp WHERE doc_id % 97 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |e AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS s
+         |  FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, CAST(s/32 AS BIGINT) AS chunk_idx,
+         |  toks[s+1:s+40] AS ck FROM e)
+         |SELECT doc_id, chunk_idx, len(ck) AS n_tokens,
+         | array_to_string(ck, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_redact_pii" -> textRedactPiiOracle,
 

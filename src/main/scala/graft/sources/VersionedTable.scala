@@ -112,6 +112,30 @@ object VersionedTable {
     next
   }
 
+  /** Additive MERGE (incremental aggregation): per key, SUM the
+    * `sumCols` of the current snapshot and the (possibly
+    * unaggregated) update rows, commit as a new version — the
+    * maintained-gold-table pattern (running counts/revenue) without
+    * reprocessing history. Use exact-additive column types
+    * (long/decimal): double sums would drift with merge order. */
+  def mergeAggregate(updates: DataFrame, table: String, keys: Seq[String],
+                     sumCols: Seq[String]): Long = {
+    val spark = updates.sparkSession
+    val cur = currentVersion(spark, table)
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(sum(col(sumCols.head)).as(sumCols.head),
+          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    val merged =
+      if (cur == 0) agg(updates)
+      else agg(read(spark, table).select((keys ++ sumCols).map(col): _*)
+        .unionByName(updates.select((keys ++ sumCols).map(col): _*)))
+    val next = cur + 1
+    merged.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
+    commitPointer(spark, table, next)
+    next
+  }
+
   /** OPTIMIZE as a table service: rewrite the current snapshot into
     * `nFiles` files (optionally range-clustered on `clusterCols` for
     * min/max data skipping) and commit it as a new version — readers

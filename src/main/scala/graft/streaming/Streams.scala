@@ -223,6 +223,25 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming incremental aggregation into a versioned table: each
+    * micro-batch's rows are summed into the running per-key totals
+    * and committed as a new version — maintained gold aggregates
+    * without reprocessing history. */
+  def runIncrementalAggOnce(stream: DataFrame, keys: Seq[String],
+                            sumCols: Seq[String], table: String,
+                            checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.VersionedTable.mergeAggregate(
+          batch.toDF(), table, keys, sumCols)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query once over a bounded source and return the
     * sink table contents (trigger-once semantics like the reference;
     * used by specs). */

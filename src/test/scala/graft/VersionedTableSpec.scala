@@ -101,6 +101,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, t, 1).count() === 2)
   }
 
+  test("streaming incremental aggregation accumulates across micro-batches") {
+    val t = tbl()
+    val src = Files.createTempDirectory("graft-vt-agg").toString
+    val ckpt = Files.createTempDirectory("graft-vt-aggck").toString
+    // two source files + maxFilesPerTrigger=1 => two micro-batches
+    Seq((1L, 2L), (2L, 5L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq((1L, 3L), (3L, 7L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/f2")
+    val schema = Seq((0L, 0L)).toDF("k", "v").schema
+    graft.streaming.Streams.runIncrementalAggOnce(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*"),
+      keys = Seq("k"), sumCols = Seq("v"), table = t, checkpoint = ckpt)
+    val got = VersionedTable.read(spark, t)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 5L), (2L, 5L), (3L, 7L)))
+    assert(VersionedTable.currentVersion(spark, t) === 2) // one commit per batch
+  }
+
   test("a torn pointer swap never exposes a partial version") {
     val t = tbl()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
