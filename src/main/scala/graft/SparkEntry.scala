@@ -681,6 +681,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_weighted_sample" -> ((s, d) => {
+      // deterministic weighted sampling (quality-weighted corpus
+      // selection): keep a doc with probability proportional to its
+      // weight, via a portable uniform hash — reproducible under
+      // retries and across engines, unlike rand()
+      val u = pmod(conv(substring(md5(concat(lit("wsample:"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(1000000L)) / 1000000.0
+      val w = least(col("n_chars") / 500.0, lit(1.0))
+      Tables.documents(s, d).filter(u < w)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "q_shuffle_order" -> ((s, d) => {
+      // deterministic global shuffle for training shards: every doc
+      // gets a shard (hash mod nShards) and a reproducible position
+      // within its shard (rank of the hash). The window partitions
+      // by shard — parallelism = shard count, no global sort.
+      val h = conv(substring(md5(concat(lit("shuffle:"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy("shard").orderBy(col("__h").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), pmod(h, lit(8L)).as("shard"), h.as("__h"))
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
     "dedup_decontaminate" -> ((s, d) => {
       // benchmark-contamination removal: drop corpus docs whose
       // normalized fingerprint appears in the holdout set (docs with
@@ -1198,6 +1226,21 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE (('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 100 + 100) % 100 < 20
         |ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ((('0x' || substr(md5('wsample:' || doc_id), 1, 15))::BIGINT % 1000000 + 1000000) % 1000000) / 1000000.0
+        |   < least(n_chars / 500.0, 1.0)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_shuffle_order" ->
+      """WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5('shuffle:' || doc_id), 1, 15))::BIGINT AS hv
+        | FROM documents)
+        |SELECT doc_id, ((hv % 8) + 8) % 8 AS shard,
+        | row_number() OVER (PARTITION BY ((hv % 8) + 8) % 8
+        |   ORDER BY hv ASC, doc_id ASC) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
 
     "dedup_decontaminate" ->
       """WITH fp AS (SELECT doc_id,

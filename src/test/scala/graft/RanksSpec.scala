@@ -9,6 +9,7 @@ import graft.sources.Tables
   * formulations bit-for-bit while keeping every window in the plan
   * partitioned (no "move all data to one partition" plans). */
 class RanksSpec extends SparkSpec {
+  import spark.implicits._
 
   test("exact global rank == row_number over global window") {
     val c = Tables.customer(spark, sf)
@@ -70,6 +71,33 @@ class RanksSpec extends SparkSpec {
       .select(col("l_returnflag"), col("rn"), col("l_extendedprice"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === want)
+  }
+
+  test("ntileFromRank obeys NTILE size laws for many (n, k)") {
+    // property sweep: for each k, evaluate the formula for every rank
+    // of several population sizes in ONE job, then check the SQL
+    // NTILE laws: first (n mod k) buckets hold ceil(n/k) rows, the
+    // rest floor(n/k); bucket ids are non-decreasing in rank
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 97L, 100L, 101L)
+    for (k <- Seq(1, 2, 3, 4, 7, 10)) {
+      val rows = ns.flatMap(n => (1L to n).map(r => (n, r)))
+      val got = rows.toDF("n", "rank")
+        .select(col("n"), col("rank"),
+          Ranks.ntileFromRank(col("rank"), col("n"), k).as("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      for (n <- ns) {
+        val buckets = got.filter(_._1 == n).sortBy(_._2).map(_._3)
+        assert(buckets.head === 1L)
+        assert(buckets.zip(buckets.tail).forall { case (a, b) => a <= b },
+          s"n=$n k=$k not monotone")
+        val sizes = buckets.groupBy(identity).view.mapValues(_.length).toMap
+        val (base, rem) = ((n / k), (n % k).toInt)
+        sizes.foreach { case (b, sz) =>
+          val want = if (b <= rem) base + 1 else base
+          assert(sz === want, s"n=$n k=$k bucket $b size $sz != $want")
+        }
+      }
+    }
   }
 
   test("rewritten quartile/median plans never gather to one partition") {
