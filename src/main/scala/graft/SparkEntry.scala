@@ -698,7 +698,11 @@ object SparkEntry {
       // deterministic global shuffle for training shards: every doc
       // gets a shard (hash mod nShards) and a reproducible position
       // within its shard (rank of the hash). The window partitions
-      // by shard — parallelism = shard count, no global sort.
+      // by shard — parallelism = shard count, no global sort. At
+      // 100 TB pick nShards so one shard fits a task (thousands), or
+      // drop the dense pos and repartitionByRange(shard, hash) +
+      // sortWithinPartitions for the write path; for an explicit pos
+      // over huge shards, Ranks.withExactRank is the bucketed form.
       val h = conv(substring(md5(concat(lit("shuffle:"), col("doc_id"))), 1, 15), 16, 10)
         .cast("long")
       val w = Window.partitionBy("shard").orderBy(col("__h").asc, col("doc_id").asc)

@@ -11,7 +11,12 @@ class DeterminismSpec extends SparkSpec {
   private val sample = Seq(
     "q1_pricing_summary", "q_sessionize", "q_top_orders_per_cust",
     "dedup_minhash", "dedup_simhash_pairs", "dedup_clusters",
-    "ann_ivf", "q_split_assign", "q_pivot_revenue", "text_vocab")
+    "ann_ivf", "q_split_assign", "q_pivot_revenue", "text_vocab",
+    // round-3 families: two-pass rank selection (approxQuantile
+    // boundary wobble must never reach the output), multi-probe LSH,
+    // shard shuffle
+    "q_acctbal_quartiles", "q_median_price", "dedup_embed_cosine_lsh",
+    "q_shuffle_order")
 
   test("repeated runs return byte-identical ordered output") {
     sample.foreach { name =>
