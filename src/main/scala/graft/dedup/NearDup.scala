@@ -218,8 +218,11 @@ object NearDup {
                    maxDist: Int = 6): DataFrame = {
     require(maxDist < SimBandOffsets.length,
       s"banded join is only exact for maxDist < ${SimBandOffsets.length}")
-    val h = docs.select(col(idCol), simHash(col(textCol)).as("__sh"))
-      .filter(col("__sh").isNotNull)
+    // persist: the hash frame feeds BOTH sides of the band join —
+    // without it the per-token md5 SimHash computes twice. Tiny rows
+    // (id + 8-byte hash), so the block is cheap even at corpus scale.
+    val h = trackedPersist(docs.select(col(idCol), simHash(col(textCol)).as("__sh"))
+      .filter(col("__sh").isNotNull))
     def bandVal(hc: Column, band: Int): Column = {
       val (off, w) = SimBandOffsets(band)
       shiftright(hc, off).bitwiseAND(lit((1L << w) - 1))
