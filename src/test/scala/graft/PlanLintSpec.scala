@@ -20,6 +20,24 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  /** Queries whose plan may legitimately carry an Exchange
+    * SinglePartition: global (ungrouped) aggregates reduce to ONE
+    * output row, and the exchange moves only map-side partial-agg
+    * rows (one per task), never the data. Anything else gathering to
+    * one partition (a partition-less window, a global sort feeding
+    * more work) is a scale bug. */
+  private val globalAggQueries = Set("dq_summary", "dq_profile")
+
+  test("no query gathers data to a single partition (except 1-row aggs)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!globalAggQueries(name)) {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("SinglePartition"),
+          s"$name plan gathers to a single partition:\n$plan")
+      }
+    }
+  }
+
   test("filtered fact scans push predicates into the parquet reader") {
     // representative pushdown checks: the scan node must carry
     // PushedFilters for plan-level filters on scan columns (plan
