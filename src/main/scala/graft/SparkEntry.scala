@@ -707,7 +707,7 @@ object SparkEntry {
         .cast("long")
       val w = Window.partitionBy("shard").orderBy(col("__h").asc, col("doc_id").asc)
       Tables.documents(s, d)
-        .select(col("doc_id"), pmod(h, lit(8L)).as("shard"), h.as("__h"))
+        .select(col("doc_id"), pmod(h, lit(64L)).as("shard"), h.as("__h"))
         .withColumn("pos", row_number().over(w).cast("bigint"))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
@@ -1241,8 +1241,8 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id,
         |  ('0x' || substr(md5('shuffle:' || doc_id), 1, 15))::BIGINT AS hv
         | FROM documents)
-        |SELECT doc_id, ((hv % 8) + 8) % 8 AS shard,
-        | row_number() OVER (PARTITION BY ((hv % 8) + 8) % 8
+        |SELECT doc_id, ((hv % 64) + 64) % 64 AS shard,
+        | row_number() OVER (PARTITION BY ((hv % 64) + 64) % 64
         |   ORDER BY hv ASC, doc_id ASC) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
 
