@@ -169,6 +169,39 @@ object QualityChecks {
     q.awaitTermination()
   }
 
+  /** Per-entity check configuration — the reference's
+    * entity_configs shape (gold_layer_data_quality_checks.py:108-131:
+    * pk_cols / string_cols / date_cols / num_cols / extra_checks). */
+  case class EntityConfig(pkCols: Seq[String] = Nil,
+                          stringCols: Seq[String] = Nil,
+                          dateCols: Seq[String] = Nil,
+                          numCols: Seq[String] = Nil,
+                          emailCol: Option[String] = None,
+                          integerCol: Option[String] = None) {
+    def checks: Seq[(String, Column)] =
+      (if (pkCols.nonEmpty) Seq("null_pk" -> nullPkCond(pkCols)) else Nil) ++
+      (if (stringCols.nonEmpty) Seq("unwanted_spaces" -> unwantedSpacesCond(stringCols)) else Nil) ++
+      (if (dateCols.nonEmpty) Seq("invalid_dates" -> invalidDatesCond(dateCols)) else Nil) ++
+      (if (numCols.nonEmpty) Seq("nonpositive" -> nonPositiveCond(numCols)) else Nil) ++
+      emailCol.map(c => "invalid_email" -> invalidFormatCond(c, EmailRegex)).toSeq ++
+      integerCol.map(c => "non_integer" -> nonIntegerValuedCond(c)).toSeq
+  }
+
+  /** Run an entity's configured check suite in ONE pass: returns the
+    * per-check violation-count summary (tagged with the entity), and
+    * if `qualityPath` is given, appends every violating row to the
+    * check-partitioned quality table with the entity recorded —
+    * the reference's run_gold_quality_checks loop
+    * (gold_layer_data_quality_checks.py:140-210) as a library call. */
+  def runEntityChecks(df: DataFrame, entity: String, cfg: EntityConfig,
+                      qualityPath: Option[String] = None): DataFrame = {
+    qualityPath.foreach(p =>
+      routeViolations(df.withColumn("entity", lit(entity)), cfg.checks, p))
+    summarizeOnePass(df, cfg.checks)
+      .select(lit(entity).as("entity"), col("check_name"),
+        col("violation_count"))
+  }
+
   /** One scan, many checks: all violation counts for a table come
     * from a single conditional aggregation — at 100 TB the summary
     * costs one pass over each source instead of one pass PER check. */

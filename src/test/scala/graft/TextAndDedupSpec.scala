@@ -162,6 +162,30 @@ class TextAndDedupSpec extends SparkSpec {
       back.select("id", "check_name")).isEmpty)
   }
 
+  test("entity check suite mirrors the reference config loop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-entity-q").toString
+    val df = Seq(
+      (1L, "Ada ", "ada@x.com", 10.0, 1.0),
+      (2L, "Bo", "bad_email", -5.0, 1.5),
+      (3L, null.asInstanceOf[String], "c@x.com", 3.0, 2.0))
+      .toDF("id", "name", "email", "price", "qty")
+    val cfg = QualityChecks.EntityConfig(
+      pkCols = Seq("id"), stringCols = Seq("name"), numCols = Seq("price"),
+      emailCol = Some("email"), integerCol = Some("qty"))
+    val summary = QualityChecks.runEntityChecks(df, "dim_test", cfg, Some(dir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(summary.forall(_._1 == "dim_test"))
+    assert(summary.map(t => t._2 -> t._3).toMap === Map(
+      "null_pk" -> 0L, "unwanted_spaces" -> 1L, "nonpositive" -> 1L,
+      "invalid_email" -> 1L, "non_integer" -> 1L))
+    // violating rows landed in the quality table, entity recorded
+    val routed = spark.read.parquet(dir)
+    assert(routed.filter(col("check_name") === "invalid_email")
+      .select("id").as[Long].collect().toSet === Set(2L))
+    assert(routed.select("entity").distinct().as[String].collect().toSeq
+      === Seq("dim_test"))
+  }
+
   test("unpersistAll drops every pair-pipeline cache block") {
     val docs = graft.sources.Tables.documents(spark, sf)
     // baseline: blocks persisted by OTHER code (shared test session)
