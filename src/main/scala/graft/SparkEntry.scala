@@ -167,6 +167,21 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q_full_outer" -> ((s, d) => {
+      // FULL OUTER join: customers without orders survive with zeroed
+      // stats, order groups without a customer row would survive with
+      // a null name — the one outer-join shape semi/anti don't cover
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("total_spent"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+        .orderBy("custkey")
+    }),
+
     "q_pivot_revenue" -> ((s, d) =>
       // native pivot API (explicit value list keeps the schema
       // static and skips the distinct-values discovery job)
@@ -876,6 +891,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_custkey, 'lapsed' AS status FROM (SELECT * FROM b94 EXCEPT SELECT * FROM b95)
         |ORDER BY status, o_custkey""".stripMargin,
+
+    "q_full_outer" ->
+      s"""SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name,
+         | COALESCE(n_orders, 0) AS n_orders,
+         | COALESCE(total_spent, 0.0) AS total_spent
+         |FROM customer FULL OUTER JOIN (
+         | SELECT o_custkey, COUNT(*) AS n_orders,
+         |  ${sqlSumD("o_totalprice")} AS total_spent
+         | FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+         |ORDER BY custkey""".stripMargin,
 
     "q_pivot_revenue" ->
       s"""SELECT l_returnflag,
