@@ -147,6 +147,34 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    "q_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS (not derivable from rollup/cube):
+      // (flag, status), (status), () — native Dataset API
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sumD(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_range_frame" -> ((s, d) => {
+      // RANGE frame (value-bounded, not row-bounded): per user, the
+      // rolling 1h sum of event values. Tie-safe determinism: a range
+      // frame includes ALL peers of the current order value.
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_millis(col("ts")))
+        .rangeBetween(-3600000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          sum(roundTo(col("value"), 2).cast("decimal(18,2)")).over(w)
+            .cast("double").as("rolling_value"))
+        .orderBy("event_id")
+    }),
+
     "q_repeat_buyers" -> ((s, d) => {
       // set operations: customers ordering in both 1996 and 1997 (INTERSECT)
       // tagged repeat, in 1996 but not 1997 (EXCEPT) tagged lapsed
@@ -883,6 +911,20 @@ object SparkEntry {
          | COUNT(*) AS n_lines
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, ${sqlSumD("l_extendedprice")} AS revenue,
+         | COUNT(*) AS n_lines
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT event_id, user_id,
+        | CAST(SUM(CAST(floor((value)*100 + 0.5)/100 AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_repeat_buyers" ->
       """WITH b94 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
