@@ -186,6 +186,16 @@ object SparkEntry {
         .orderBy("status", "o_custkey")
     }),
 
+    "q_correlated_sub" -> ((s, d) => {
+      // correlated scalar subquery through the SQL surface: Catalyst
+      // decorrelates it into an aggregate + join. The EXACT same SQL
+      // text is the DuckDB oracle — full SQL-dialect parity (the
+      // subquery average uses decimal accumulation so the threshold
+      // is bit-identical on both engines).
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(correlatedSubSql)
+    }),
+
     "q_cust_no_orders" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val o95 = Tables.orders(s, d)
@@ -859,6 +869,15 @@ object SparkEntry {
     })
   )
 
+  /** One SQL text, two engines: runs verbatim on Spark AND DuckDB. */
+  private val correlatedSubSql =
+    """SELECT c_custkey, floor(c_acctbal*100 + 0.5)/100 AS acctbal
+      |FROM customer c1
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(floor(c_acctbal*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   // ================= oracle SQL =================
 
   private val stop = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
@@ -899,6 +918,8 @@ object SparkEntry {
          | COUNT(*) AS n_lines
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_correlated_sub" -> correlatedSubSql,
 
     "q_cust_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
