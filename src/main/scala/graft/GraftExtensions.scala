@@ -36,6 +36,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+    (FunctionIdentifier("graft_minhash_merge"),
+      new ExpressionInfo(classOf[graft.functions.MinHashMergeAgg].getName,
+        "graft_minhash_merge"),
+      // AGGREGATE: elementwise-min merge of MinHash signatures
+      (args: Seq[Expression]) =>
+        graft.functions.MinHashMergeAgg(args.head, NearDup.NumHashes)),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
       // graft_shingles(text[, n[, distinct]]) — n and distinct must be

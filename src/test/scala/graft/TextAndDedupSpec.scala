@@ -186,6 +186,35 @@ class TextAndDedupSpec extends SparkSpec {
       === Seq("dim_test"))
   }
 
+  test("minhash-merge aggregate: union property, partition invariance, SQL surface") {
+    import graft.functions.MinHashMergeAgg
+    // with 1-gram shingles the shingle SET of "a b c x y" IS the
+    // union of the sets of "a b c" and "x y" — so the merged
+    // signature must equal the union's directly-computed signature
+    val docs = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val sigs = docs.select(NearDup.minHashSignature(col("text"), 1).as("sig"))
+    val merged = sigs.agg(MinHashMergeAgg.merge(col("sig")).as("m"))
+      .head().getAs[scala.collection.Seq[Long]]("m")
+    val unionSig = Seq("a b c x y").toDF("text")
+      .select(NearDup.minHashSignature(col("text"), 1).as("sig"))
+      .head().getAs[scala.collection.Seq[Long]]("sig")
+    assert(merged === unionSig)
+    // merge order cannot matter: any partitioning, same result
+    val many = graft.sources.Tables.documents(spark, sf)
+      .select(NearDup.minHashSignature(col("text"), 3).as("sig"))
+    def mergedWith(n: Int) = many.repartition(n)
+      .agg(MinHashMergeAgg.merge(col("sig")).as("m"))
+      .head().getAs[scala.collection.Seq[Long]]("m")
+    assert(mergedWith(1) === mergedWith(7))
+    // SQL surface (registered aggregate)
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("mh_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_minhash_merge(graft_minhash_sig(text)) AS m FROM mh_docs")
+      .head().getAs[scala.collection.Seq[Long]]("m")
+    assert(viaSql.length === NearDup.NumHashes)
+  }
+
   test("unpersistAll drops every pair-pipeline cache block") {
     val docs = graft.sources.Tables.documents(spark, sf)
     // baseline: blocks persisted by OTHER code (shared test session)
