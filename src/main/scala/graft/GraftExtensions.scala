@@ -16,10 +16,44 @@ import graft.functions.{DotProductExpr, MinHashSigExpr, ShinglesExpr, SimHashExp
   * then `SELECT graft_simhash(text), graft_minhash_sig(text),
   * graft_dot(a, b) FROM ...`. [[GraftFunctions.register]] does the
   * same on an already-built session (tests, notebooks).
+  *
+  * Also injects [[GraftGuardrails]] — opt-in analysis-time checks
+  * for plan shapes that melt down at cluster scale.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    ext.injectCheckRule(GraftGuardrails.check)
+  }
+}
+
+/** Analysis-time scale guardrails, injected as a check rule.
+  *
+  * `spark.graft.failOnGlobalWindow=true` turns a partition-less
+  * window (`row_number() OVER (ORDER BY ...)` with no PARTITION BY —
+  * Spark funnels the WHOLE input through one task) from a silent
+  * scale cliff into an immediate AnalysisException naming the fix
+  * ([[graft.operators.Ranks]]). Off by default: ad-hoc small-data
+  * sessions are legitimate.
+  */
+object GraftGuardrails {
+  def check(session: org.apache.spark.sql.SparkSession)
+  : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Unit = plan => {
+    if (session.conf.getOption("spark.graft.failOnGlobalWindow").contains("true")) {
+      plan.foreach {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty =>
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION",
+            Map("errorMessage" ->
+              ("partition-less window moves ALL rows through one task " +
+                "(graft guardrail: spark.graft.failOnGlobalWindow). " +
+                "Partition the window, or use graft.operators.Ranks for " +
+                "exact global ranks/order statistics.")), None)
+        case _ =>
+      }
+    }
+  }
 }
 
 object GraftFunctions {

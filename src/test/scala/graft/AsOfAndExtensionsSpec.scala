@@ -57,4 +57,24 @@ class AsOfAndExtensionsSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(shd === Seq("a b", "b a"))
   }
+
+  test("guardrail check rule rejects partition-less windows when enabled") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val df = Seq((1L, 2.0), (2L, 1.0)).toDF("id", "v")
+    val global = df.withColumn("r",
+      row_number().over(Window.orderBy("v"))).queryExecution.analyzed
+    val partitioned = df.withColumn("r",
+      row_number().over(Window.partitionBy("id").orderBy("v")))
+      .queryExecution.analyzed
+    val guard = GraftGuardrails.check(spark)
+    // off by default: both pass
+    guard(global); guard(partitioned)
+    spark.conf.set("spark.graft.failOnGlobalWindow", "true")
+    try {
+      val e = intercept[org.apache.spark.sql.AnalysisException](guard(global))
+      assert(e.getMessage.contains("partition-less window"))
+      guard(partitioned) // partitioned windows stay legal
+    } finally spark.conf.unset("spark.graft.failOnGlobalWindow")
+  }
 }
