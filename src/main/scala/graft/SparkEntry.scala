@@ -639,6 +639,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_cluster_sizes" -> ((s, d) => {
+      // dedup tuning diagnostic: the cluster-size histogram (how big
+      // are the near-dup groups at this threshold). Singletons are
+      // docs absent from the pair graph.
+      val docs = Tables.documents(s, d)
+      val edges = NearDup.simHashPairs(docs, "doc_id", "text", maxDist = 6)
+        .select("id_a", "id_b")
+      val members = graft.dedup.Clusters.connectedComponents(edges)
+      val nDocs = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
+      val clustered = members.groupBy("cluster_rep")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      val nClustered = members.count()
+      import s.implicits._
+      val singletons = Seq((1L, nDocs - nClustered))
+        .toDF("cluster_size", "n_clusters")
+      clustered.unionByName(singletons)
+        .groupBy("cluster_size")
+        .agg(sum(col("n_clusters")).as("n_clusters"))
+        .filter(col("n_clusters") > 0)
+        .orderBy("cluster_size")
+    }),
+
     "dedup_apply" -> ((s, d) => {
       // the final dedup decision: drop every non-representative
       // cluster member, keep everything else. The drop list (cluster
@@ -1262,6 +1285,8 @@ object SparkEntry {
 
     "dedup_clusters" -> dedupClustersOracle,
 
+    "dedup_cluster_sizes" -> dedupClusterSizesOracle,
+
     "dedup_apply" -> dedupApplyOracle,
 
     "q_label_centroid" ->
@@ -1602,6 +1627,23 @@ object SparkEntry {
     s"""$clustersReachCte
        |SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_rep
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Cluster-size histogram incl. singletons (docs absent from the
+    * pair graph). */
+  private def dedupClusterSizesOracle: String =
+    s"""${clustersReachCte.replace("ON r.dst = e2.src)", "ON r.dst = e2.src),")}
+       |members AS (SELECT src AS doc_id, least(src, MIN(dst)) AS rep
+       |  FROM reach GROUP BY src),
+       |ch AS (SELECT cluster_size, COUNT(*) AS n_clusters FROM
+       |  (SELECT rep, COUNT(*) AS cluster_size FROM members GROUP BY rep)
+       |  GROUP BY cluster_size),
+       |singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |  (SELECT COUNT(DISTINCT doc_id) FROM documents)
+       |   - (SELECT COUNT(*) FROM members) AS n_clusters)
+       |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+       |FROM (SELECT * FROM ch UNION ALL SELECT * FROM singles)
+       |GROUP BY cluster_size HAVING SUM(n_clusters) > 0
+       |ORDER BY cluster_size""".stripMargin
 
   /** Survivor corpus: documents minus non-representative cluster
     * members. */
