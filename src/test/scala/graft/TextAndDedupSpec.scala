@@ -129,6 +129,23 @@ class TextAndDedupSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("prefix-filtered (PPJoin) jaccard equals the full inverted index") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val full = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = NearDup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix === full)
+    assert(full.nonEmpty)
+    // lower thresholds stress the prefix-length formula
+    val full3 = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .count()
+    val prefix3 = NearDup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.3)
+      .count()
+    assert(prefix3 === full3)
+    NearDup.unpersistAll()
+  }
+
   test("violation routing persists failing rows per check (batch + stream)") {
     import org.apache.spark.sql.SaveMode
     val src = java.nio.file.Files.createTempDirectory("graft-q-src").toString
