@@ -70,6 +70,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+    (FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[graft.functions.NormalizeTextExpr].getName,
+        "graft_normalize_text"),
+      (args: Seq[Expression]) =>
+        graft.functions.NormalizeTextExpr(args.head)),
     (FunctionIdentifier("graft_minhash_merge"),
       new ExpressionInfo(classOf[graft.functions.MinHashMergeAgg].getName,
         "graft_minhash_merge"),

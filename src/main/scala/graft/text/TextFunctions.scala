@@ -93,6 +93,14 @@ object TextFunctions {
   def fingerprintMd5(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Full Unicode normalization (NFKC, accent fold, casefold,
+    * whitespace collapse) — the dedup-key normalizer a multilingual
+    * corpus needs; ASCII-only corpora can use the lighter
+    * [[fingerprintMd5]] normalization. Custom codegen'd expression
+    * ([[graft.functions.NormalizeTextExpr]]). */
+  def normalizeText(text: Column): Column =
+    graft.functions.NormalizeTextExpr.normalize(text)
+
   /** 60-bit numeric fingerprint derived from md5 — portable to any
     * engine with md5 + hex parsing; used as the hash base for MinHash
     * so oracle SQL can reproduce signatures bit-for-bit. */

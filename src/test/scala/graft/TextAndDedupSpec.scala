@@ -129,6 +129,28 @@ class TextAndDedupSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("normalize_text folds accents, ligatures, case, and whitespace") {
+    def norm(s: String): String =
+      one(TextFunctions.normalizeText(lit(s))).getString(0)
+    assert(norm("Café  NAÏVE\t ﬁle") === "cafe naive file")
+    assert(norm("  x  ") === "x")
+    assert(norm("") === "")
+    // idempotent: normalizing twice changes nothing
+    val once = norm("Ça Va; ＡBC")
+    assert(norm(once) === once)
+    assert(once === "ca va; abc") // fullwidth A folds via NFKC
+    // null-safe + SQL surface
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_normalize_text('Café ﬁle') AS n")
+      .head().getString(0)
+    assert(viaSql === "cafe file")
+    val df = Seq(Option.empty[String], Some("A")).toDF("t")
+      .select(TextFunctions.normalizeText(col("t")).as("n"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSet
+      === Set(None, Some("a")))
+  }
+
   test("prefix-filtered (PPJoin) jaccard equals the full inverted index") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val full = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
