@@ -116,6 +116,44 @@ object Streams {
       }
   }
 
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Spark 4's `transformWithState` (the modern arbitrary-state API
+    * replacing flatMapGroupsWithState): per-user RUNNING totals
+    * maintained in a named ValueState, one updated row emitted per
+    * key per micro-batch. State is keyed and incremental — O(users),
+    * never O(events); TTLConfig bounds it in production. */
+  class RunningUserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStats] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("stats",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
+      var (n, v) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; v += e.value }
+      state.update((n, v))
+      Iterator.single(UserStats(key, n, math.floor(v * 100 + 0.5) / 100))
+    }
+  }
+
+  /** Running per-user stats over a stream via transformWithState. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningUserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Batch gap-based sessionization (oracle-checkable equivalent of
     * the streaming path): lag + cumulative-sum session ids. Two
     * window passes over one user-partitioned sort — a single shuffle

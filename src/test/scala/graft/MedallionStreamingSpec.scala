@@ -248,6 +248,45 @@ class MedallionStreamingSpec extends SparkSpec {
     assert(spark.table("ddww_naive").count() === 3)
   }
 
+  test("transformWithState maintains running per-user totals across batches") {
+    val dir = Files.createTempDirectory("graft-tws").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(
+      Streams.Event(1L, ts("2024-01-01 00:00:00"), 10L, "click", 1.5),
+      Streams.Event(2L, ts("2024-01-01 00:00:10"), 10L, "click", 2.0),
+      Streams.Event(3L, ts("2024-01-01 00:00:20"), 20L, "view", 4.0))
+    val b2 = Seq(
+      Streams.Event(4L, ts("2024-01-01 00:01:00"), 10L, "click", 0.5))
+    b1.toDF().coalesce(1).write.parquet(s"$dir/src/f1")
+    b2.toDF().coalesce(1).write.parquet(s"$dir/src/f2")
+    val stream = spark.readStream.schema(b1.toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src/*")
+      .as[Streams.Event]
+    // transformWithState needs the RocksDB state store (multiple
+    // column families); the HDFS-backed default cannot host it
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streams.runningUserStats(stream).toDF().writeStream
+        .format("memory").queryName("tws_out").outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val rows = spark.table("tws_out")
+      .as[(Long, Long, Double)].collect()
+    // user 10 appears in both batches: the LAST update is cumulative
+    val user10 = rows.filter(_._1 == 10L).maxBy(_._2)
+    assert(user10 === ((10L, 3L, 4.0)))
+    val user20 = rows.filter(_._1 == 20L).maxBy(_._2)
+    assert(user20 === ((20L, 1L, 4.0)))
+  }
+
   test("gold dimension normalization matches reference initcap semantics") {
     val dim = Seq((1, "new york", "usa"), (2, "chicago", "usa"))
       .toDF("customer_id", "city", "country")
