@@ -144,6 +144,75 @@ object Streams {
     }
   }
 
+  /** Gap sessionization on the transformWithState API — the modern
+    * twin of [[sessionize]], using named ValueState + EVENT-TIME
+    * TIMERS: each open session registers a timer at lastTs+gap
+    * (clamped past the watermark); `handleExpiredTimer` closes and
+    * emits it when the watermark passes with no new events. */
+  class TwsSessionizer(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def toSession(userId: Long, s: SessionState): Session =
+      Session(userId, new java.sql.Timestamp(s.sessionStart),
+        new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[Session]
+      var cur = if (state.exists()) Some(state.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTs <= gapMs =>
+            cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+              totalValue = s.totalValue + e.value))
+          case Some(s) =>
+            out ::= toSession(userId, s)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // one live timer per key: re-arm at the new session end
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(
+          math.max(s.lastTs + gapMs, timers.getCurrentWatermarkInMs() + 1))
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator.single(toSession(userId, s))
+      } else Iterator.empty
+    }
+  }
+
+  /** Sessionize a stream via transformWithState + event-time timers. */
+  def sessionizeTws(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new TwsSessionizer(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Running per-user stats over a stream via transformWithState. */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
     val spark = events.sparkSession

@@ -110,6 +110,33 @@ class SimilarityAndStreamingSpec extends SparkSpec {
     assert(spark.table("sess_out").count() <= batch.count())
   }
 
+  test("transformWithState sessionizer matches the fMGWS one") {
+    import Streams._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws_sess").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event](
+      org.apache.spark.sql.Encoders.product[Event])
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try Streams.runOnce(sessionizeTws(stream, 1800 * 1000L).toDF(),
+      s"$dir/ckpt_tws", "tws_sess_out")
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    Streams.runOnce(sessionize(stream, 1800 * 1000L)(spark).toDF(),
+      s"$dir/ckpt_old", "fmgws_sess_out")
+    // identical emitted (closed) sessions from both state APIs
+    val tws = spark.table("tws_sess_out")
+    val old = spark.table("fmgws_sess_out")
+    assert(tws.count() > 0)
+    assert(tws.exceptAll(old).isEmpty && old.exceptAll(tws).isEmpty)
+  }
+
   test("kmeans centroid training: inertia non-increasing and deterministic") {
     val e = Tables.embeddings(spark, sf)
     val seed = Similarity.kmeansCentroids(e, k = 8, iters = 0)
