@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * orphan `_vN` dir that the next commit ignores (version numbers
   * come from the pointer, not from listing).
   *
+  * Concurrency: readers are always safe (snapshot isolation via the
+  * pointer). WRITERS assume a single committer per table (the
+  * reference's checkpointed-stream topology guarantees this): two
+  * concurrent committers would race the pointer last-wins, orphaning
+  * the loser's snapshot dir — a real table format adds
+  * compare-and-swap commits (e.g. conditional puts) for multi-writer
+  * optimistic concurrency.
+  *
   * Scale notes: snapshots can be arbitrarily large — the protocol
   * costs one pointer swap per commit regardless of data size.
   * `merge` is the SCD1 MERGE analog (O(target) rewrite into a NEW
