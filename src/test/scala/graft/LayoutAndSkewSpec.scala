@@ -166,7 +166,11 @@ class LayoutAndSkewSpec extends SparkSpec {
         val t0 = System.nanoTime(); fingerprint(df); (System.nanoTime() - t0) / 1000000
       }
       assert(fingerprint(plain) === fingerprint(salted)) // exact (also warmup)
-      val (tPlain, tSalted) = (timeMs(plain), timeMs(salted))
+      // min of two timed runs per variant: resilient to background
+      // load spikes on a shared box (the signal is the plan, not the
+      // scheduler's mood)
+      val tPlain = math.min(timeMs(plain), timeMs(plain))
+      val tSalted = math.min(timeMs(salted), timeMs(salted))
       info(f"hot-key join: unsalted ${tPlain}ms, salted(16) ${tSalted}ms, " +
         f"ratio ${tSalted.toDouble / tPlain}%.2f")
       assert(tSalted < tPlain,
