@@ -36,6 +36,13 @@ object NearDup {
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   private def trackedPersist(df: DataFrame): DataFrame = {
+    // prune entries whose blocks are already gone (callers using
+    // catalog.clearCache() instead of unpersistAll) — otherwise the
+    // queue retains every plan ever persisted in a long session
+    val it = persistedFrames.iterator()
+    while (it.hasNext)
+      if (it.next().storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        it.remove()
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add(p)
     p

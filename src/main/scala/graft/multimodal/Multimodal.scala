@@ -95,26 +95,31 @@ object Multimodal {
       def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
       def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
       if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-      var off = 12
+      var off = 12L
       var rate = 0; var ch = 0; var bits = 0; var fmtOk = false
       var samples: Array[Float] = null
-      while (off + 8 <= b.length) {
-        val id = tag(off); val sz = le32(off + 4)
-        if (id == "fmt " && off + 24 <= b.length) {
-          val audioFormat = le16(off + 8)
-          ch = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
-          fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) && ch > 0 && rate > 0
-        } else if (id == "data" && fmtOk && samples == null) {
-          val n = math.max(0, math.min(sz, b.length - off - 8))
-          samples =
-            if (bits == 16) Array.tabulate(n / 2)(i =>
-              le16(off + 8 + 2 * i).toShort.toFloat / 32768f)
-            else Array.tabulate(n)(i =>
-              ((b(off + 8 + i) & 0xff) - 128).toFloat / 128f)
+      var corrupt = false
+      while (!corrupt && off + 8 <= b.length) {
+        val o = off.toInt
+        val id = tag(o); val sz = le32(o + 4)
+        if (sz < 0) corrupt = true // malformed size: bail, don't spin
+        else {
+          if (id == "fmt " && o + 24 <= b.length) {
+            val audioFormat = le16(o + 8)
+            ch = le16(o + 10); rate = le32(o + 12); bits = le16(o + 22)
+            fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) && ch > 0 && rate > 0
+          } else if (id == "data" && fmtOk && samples == null) {
+            val n = math.max(0, math.min(sz, b.length - o - 8))
+            samples =
+              if (bits == 16) Array.tabulate(n / 2)(i =>
+                le16(o + 8 + 2 * i).toShort.toFloat / 32768f)
+              else Array.tabulate(n)(i =>
+                ((b(o + 8 + i) & 0xff) - 128).toFloat / 128f)
+          }
+          off += 8L + sz + (sz & 1) // word-aligned; long math, no overflow
         }
-        off += 8 + sz + (sz & 1) // chunks are word-aligned
       }
-      if (samples != null) Some(Wav(rate, ch, bits, samples)) else None
+      if (!corrupt && samples != null) Some(Wav(rate, ch, bits, samples)) else None
     }
 
     /** 8 deterministic features: frames, rate, channels, duration,
@@ -227,36 +232,45 @@ object Multimodal {
       }.toDF()
   }
 
-  case class MediaRow(media_id: Long, media_type: String,
-                      payload: Array[Byte], width: Option[Int],
-                      height: Option[Int], duration_ms: Option[Long])
-
   /** Image resize: payload -> payload at (w, h), metadata updated.
-    * Typed Dataset.mapPartitions (Encoder-backed, no RDD round-trip);
-    * images go through the REAL `javax.imageio` decode -> nearest-
-    * neighbor rescale -> PNG encode; non-image payloads (audio/video)
-    * keep the deterministic stub byte-subsample. Narrow op — no
-    * shuffle; a real codec initializes per partition, rows stream
-    * through as an iterator. */
+    * Encoder-backed Dataset.mapPartitions with a row encoder (no RDD
+    * round-trip) so the FULL input schema — including any caller
+    * extras like uri/caption — passes through unchanged; images go
+    * through the REAL `javax.imageio` decode -> nearest-neighbor
+    * rescale -> PNG encode; non-image payloads (audio/video) keep
+    * the deterministic stub byte-subsample. Narrow op — no shuffle;
+    * a real codec initializes per partition, rows stream through as
+    * an iterator. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select("media_id", "media_type", "payload", "width", "height",
-        "duration_ms").as[MediaRow]
-      .mapPartitions { it =>
-        it.map { m =>
-          val resized =
-            if (m.payload == null) null
-            else if (m.media_type == "image")
-              ImageCodec.decode(m.payload) match {
-                case Some(img) =>
-                  ImageCodec.encodePng(ImageCodec.resizeImage(img, w, h))
-                case None => stubResize(m.payload, w, h) // not a decodable image
-              }
-            else stubResize(m.payload, w, h)
-          m.copy(payload = resized, width = Some(w), height = Some(h))
-        }
-      }.toDF()
+    val schema = media.schema
+    val pi = schema.fieldIndex("payload")
+    val wi = schema.fieldIndex("width")
+    val hi = schema.fieldIndex("height")
+    val ti = schema.fieldIndex("media_type")
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { it =>
+      // per-partition decoder init would happen here
+      it.map { r =>
+        val payload = if (r.isNullAt(pi)) null else r.getAs[Array[Byte]](pi)
+        val mediaType = if (r.isNullAt(ti)) null else r.getString(ti)
+        val resized =
+          if (payload == null) null
+          else if (mediaType == "image")
+            ImageCodec.decode(payload) match {
+              case Some(img) =>
+                ImageCodec.encodePng(ImageCodec.resizeImage(img, w, h))
+              case None => stubResize(payload, w, h) // not a decodable image
+            }
+          else stubResize(payload, w, h)
+        org.apache.spark.sql.Row.fromSeq(Seq.tabulate(schema.length) { i =>
+          if (i == pi) resized
+          else if (i == wi) w
+          else if (i == hi) h
+          else r.get(i)
+        })
+      }
+    }
   }
 
   /** Stub scaler for non-image media: sample w*h bytes evenly. */

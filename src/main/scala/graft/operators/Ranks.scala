@@ -100,8 +100,14 @@ object Ranks {
       }
     val joinKeys = partitionCols :+ B
     val wIn = Window.partitionBy(joinKeys.map(col): _*).orderBy(orderCols: _*)
-    withB.join(broadcast(offsets), joinKeys)
+    // null-safe (<=>) join: a null GROUP value must still receive its
+    // rank — a USING join would silently drop the whole null group
+    val renamed = joinKeys.foldLeft(offsets)((d, c) =>
+      d.withColumnRenamed(c, s"__rk_j_$c"))
+    val cond = joinKeys.map(c => col(c) <=> col(s"__rk_j_$c")).reduce(_ && _)
+    withB.join(broadcast(renamed), cond)
       .withColumn(rankCol, col(OFF) + row_number().over(wIn).cast("long"))
+      .drop(joinKeys.map(c => s"__rk_j_$c"): _*)
       .drop(B, OFF)
   }
 

@@ -50,27 +50,65 @@ object VersionedTable {
   private def versionDir(table: String, v: Long): String =
     f"$table/_v$v%08d"
 
-  /** Current committed version, 0 if the table does not exist yet. */
+  private val MarkerName = "_COMMITTED"
+
+  private def marker(table: String, v: Long): Path =
+    new Path(versionDir(table, v), MarkerName)
+
+  /** Current committed version, 0 if the table does not exist yet.
+    * If the pointer file is transiently missing (a committer on a
+    * strict-rename store is mid-swap, or the pointer was lost), fall
+    * back to the highest snapshot dir carrying a `_COMMITTED` marker
+    * — markers are written BEFORE the pointer swap, so a marked dir
+    * is always complete and a crashed writer's orphan (no marker) is
+    * never read. */
   def currentVersion(spark: SparkSession, table: String): Long = {
     val ptr = new Path(table, PtrName)
     val f = fs(spark, table)
-    if (!f.exists(ptr)) 0L
-    else {
+    if (f.exists(ptr)) {
       val in = f.open(ptr)
       try scala.io.Source.fromInputStream(in).mkString.trim.toLong
       finally in.close()
+    } else {
+      val root = new Path(table)
+      if (!f.exists(root)) 0L
+      else f.listStatus(root).map(_.getPath.getName)
+        .filter(_.matches("_v\\d{8}"))
+        .map(_.drop(2).toLong)
+        .filter(v => f.exists(marker(table, v)))
+        .foldLeft(0L)(math.max)
     }
   }
 
-  private def commitPointer(spark: SparkSession, table: String, v: Long): Unit = {
+  /** The commit tag recorded with a version (for exactly-once batch
+    * replay detection); None if untagged or the table is empty. */
+  def commitTagOf(spark: SparkSession, table: String, v: Long): Option[String] = {
     val f = fs(spark, table)
+    val m = marker(table, v)
+    if (v < 1 || !f.exists(m)) None
+    else {
+      val in = f.open(m)
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      if (s.isEmpty) None else Some(s)
+    }
+  }
+
+  private def commitPointer(spark: SparkSession, table: String, v: Long,
+                            tag: Option[String] = None): Unit = {
+    val f = fs(spark, table)
+    // 1. mark the snapshot complete (readers' pointer-less fallback
+    //    and replay detection both key off this, so it must precede
+    //    the pointer swap)
+    val out0 = f.create(marker(table, v), true)
+    try out0.write(tag.getOrElse("").getBytes("UTF-8")) finally out0.close()
+    // 2. swap the pointer
     val tmp = new Path(table, PtrName + "__tmp")
     val ptr = new Path(table, PtrName)
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     // rename-over is atomic on POSIX; on stores where rename refuses
-    // to overwrite, delete-then-rename still never exposes a partial
-    // pointer (the pointer payload is written before the swap)
+    // to overwrite, delete-then-rename leaves a pointer-less window —
+    // covered by currentVersion's marker fallback
     if (!f.rename(tmp, ptr)) { f.delete(ptr, false); f.rename(tmp, ptr) }
   }
 
@@ -127,9 +165,16 @@ object VersionedTable {
     * reprocessing history. Use exact-additive column types
     * (long/decimal): double sums would drift with merge order. */
   def mergeAggregate(updates: DataFrame, table: String, keys: Seq[String],
-                     sumCols: Seq[String]): Long = {
+                     sumCols: Seq[String],
+                     commitTag: Option[String] = None): Long = {
     val spark = updates.sparkSession
     val cur = currentVersion(spark, table)
+    // exactly-once under at-least-once replay: additive merges are
+    // NOT idempotent, so a batch tag rides inside the atomically
+    // committed snapshot — a replayed batch whose tag is already the
+    // current version's tag is a no-op
+    if (commitTag.isDefined && commitTagOf(spark, table, cur) == commitTag)
+      return cur
     def agg(df: DataFrame): DataFrame =
       df.groupBy(keys.map(col): _*)
         .agg(sum(col(sumCols.head)).as(sumCols.head),
@@ -140,7 +185,7 @@ object VersionedTable {
         .unionByName(updates.select((keys ++ sumCols).map(col): _*)))
     val next = cur + 1
     merged.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
-    commitPointer(spark, table, next)
+    commitPointer(spark, table, next, commitTag)
     next
   }
 

@@ -95,7 +95,13 @@ object Streams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                  // min/max guards: a cross-batch late event inside the
+                  // gap extends the session BACKWARD, never moves its
+                  // end before its start
+                  cur = Some(s.copy(
+                    sessionStart = math.min(s.sessionStart, t),
+                    lastTs = math.max(s.lastTs, t),
+                    nEvents = s.nEvents + 1,
                     totalValue = s.totalValue + e.value))
                 case Some(s) =>
                   out ::= Session(userId, new java.sql.Timestamp(s.sessionStart),
@@ -171,7 +177,11 @@ object Streams {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.lastTs <= gapMs =>
-            cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+            // same min/max guards as [[sessionize]] for late events
+            cur = Some(s.copy(
+              sessionStart = math.min(s.sessionStart, t),
+              lastTs = math.max(s.lastTs, t),
+              nEvents = s.nEvents + 1,
               totalValue = s.totalValue + e.value))
           case Some(s) =>
             out ::= toSession(userId, s)
@@ -340,9 +350,12 @@ object Streams {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // batchId tags the commit: foreachBatch is at-least-once, and
+        // an additive merge would double-count a replayed batch
         graft.sources.VersionedTable.mergeAggregate(
-          batch.toDF(), table, keys, sumCols)
+          batch.toDF(), table, keys, sumCols,
+          commitTag = Some(s"batch-$batchId"))
         ()
       }
       .start()

@@ -39,6 +39,17 @@ class RanksSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("withExactRank keeps null-group rows (null-safe offsets join)") {
+    val df = Seq((Option("a"), 1.0, 1L), (Option.empty[String], 2.0, 2L),
+      (Option.empty[String], 1.0, 3L)).toDF("g", "v", "id")
+    val got = Ranks.withExactRank(df, Seq("g"),
+      Seq(col("v").asc, col("id").asc), "v", "rank", "n", nBuckets = 2)
+    assert(got.count() === 3)
+    val nulls = got.filter(col("g").isNull)
+      .select("id", "rank", "n").as[(Long, Long, Long)].collect().toSet
+    assert(nulls === Set((3L, 1L, 2L), (2L, 2L, 2L)))
+  }
+
   test("ntileFromRank == ntile over the same total order") {
     for (k <- Seq(3, 4, 7)) {
       val c = Tables.customer(spark, sf)

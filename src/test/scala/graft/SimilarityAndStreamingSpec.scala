@@ -164,12 +164,11 @@ class SimilarityAndStreamingSpec extends SparkSpec {
 
   test("multimodal resize updates payload and metadata, keeps schema") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
+      .withColumn("caption", concat(lit("cap"), col("media_id"))) // caller extra
     val resized = Multimodal.resize(media, 8, 8)
-    // same column names and types (typed-Dataset round trip widens
-    // literal-column nullability, which is semantically safe)
-    assert(resized.schema.map(f => (f.name, f.dataType))
-      === media.schema.map(f => (f.name, f.dataType)))
+    assert(resized.schema === media.schema) // full schema incl. extras
     val r = resized.filter(col("media_id") === 0).head()
+    assert(r.getAs[String]("caption") === "cap0") // extras pass through
     assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 8)
     // media_id 0 is typed "image" but its payload is text bytes —
     // not decodable, so it takes the stub subsample path
@@ -213,6 +212,13 @@ class SimilarityAndStreamingSpec extends SparkSpec {
     val w = Multimodal.WavCodec.decode(wavBytes).get
     assert(w.sampleRate === rate && w.channels === 1 && w.nFrames === nS)
     assert(w.durationMs === nS * 1000L / rate)
+    // corrupt payloads must fail CLOSED (None -> stub fallback), not
+    // hang: negative chunk size, truncated header, wrong magic
+    val evil = wavBytes.clone()
+    evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = -1 // fmt size = -1
+    assert(Multimodal.WavCodec.decode(evil).isEmpty)
+    assert(Multimodal.WavCodec.decode("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.WavCodec.decode("nope".getBytes).isEmpty)
     val f = Multimodal.WavCodec.features(w)
     assert(math.abs(f(4) - 0.5f) < 1e-5, s"rms ${f(4)}") // RMS of ±0.5 square
     assert(f(5) === 0.5f) // peak

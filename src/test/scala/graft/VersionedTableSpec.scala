@@ -121,6 +121,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.currentVersion(spark, t) === 2) // one commit per batch
   }
 
+  test("tagged additive merge is a no-op when the batch was already applied") {
+    val t = tbl()
+    val b0 = Seq((1L, 2L), (2L, 5L)).toDF("k", "v")
+    VersionedTable.mergeAggregate(b0, t, Seq("k"), Seq("v"),
+      commitTag = Some("batch-0"))
+    // replay of batch-0 (foreachBatch at-least-once): totals unchanged
+    val vAfterReplay = VersionedTable.mergeAggregate(b0, t, Seq("k"), Seq("v"),
+      commitTag = Some("batch-0"))
+    assert(vAfterReplay === 1)
+    assert(VersionedTable.read(spark, t).as[(Long, Long)].collect().toSet
+      === Set((1L, 2L), (2L, 5L)))
+    // the NEXT batch applies normally
+    VersionedTable.mergeAggregate(Seq((1L, 3L)).toDF("k", "v"), t,
+      Seq("k"), Seq("v"), commitTag = Some("batch-1"))
+    assert(VersionedTable.read(spark, t).as[(Long, Long)].collect().toSet
+      === Set((1L, 5L), (2L, 5L)))
+  }
+
+  test("a lost pointer falls back to the highest COMMITTED snapshot") {
+    val t = tbl()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
+    VersionedTable.write(Seq((2L, "b")).toDF("id", "s"), t)
+    // crashed writer orphan: version dir WITHOUT a commit marker
+    val orphan = new java.io.File(t, "_v00000003")
+    orphan.mkdirs()
+    new java.io.File(orphan, "part-garbage.parquet").createNewFile()
+    // simulate a committer mid-swap on a strict-rename store (pointer
+    // transiently absent): readers must resolve the marked version 2,
+    // never the unmarked orphan 3
+    new java.io.File(t, "_LATEST").delete()
+    assert(VersionedTable.currentVersion(spark, t) === 2)
+    assert(VersionedTable.read(spark, t).count() === 2)
+  }
+
   test("a torn pointer swap never exposes a partial version") {
     val t = tbl()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
