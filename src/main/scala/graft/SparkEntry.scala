@@ -314,6 +314,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_variant_props" -> ((s, d) =>
+      // Spark 4 VARIANT type: parse the JSON once into a variant,
+      // extract typed paths with variant_get — the modern
+      // semi-structured path (vs q_json_props' regexp fallback)
+      Tables.events(s, d)
+        .select(expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_events"))
+        .orderBy("k")),
+
     "q_asof_prior_signup" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1048,6 +1057,10 @@ object SparkEntry {
       """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         |FROM events WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 80
         |ORDER BY event_id""".stripMargin,
+
+    "q_variant_props" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q_asof_prior_signup" ->
       """WITH u AS (
