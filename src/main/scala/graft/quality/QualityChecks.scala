@@ -169,6 +169,19 @@ object QualityChecks {
     q.awaitTermination()
   }
 
+  /** Pipeline telemetry WITHOUT an extra scan: attach aggregate
+    * metrics (row counts, violation counts, sums) to a pass via
+    * `Dataset.observe`; the metrics accumulate during whatever
+    * action the caller runs and are read from the Observation
+    * afterwards. At 100 TB this is the difference between free
+    * monitoring and doubling the pipeline's IO with count() calls. */
+  def observed(df: DataFrame, name: String, metrics: (String, Column)*)
+  : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val named = metrics.map { case (n, c) => c.as(n) }
+    (df.observe(obs, named.head, named.tail: _*), obs)
+  }
+
   /** Per-entity check configuration — the reference's
     * entity_configs shape (gold_layer_data_quality_checks.py:108-131:
     * pk_cols / string_cols / date_cols / num_cols / extra_checks). */

@@ -201,6 +201,18 @@ class TextAndDedupSpec extends SparkSpec {
       back.select("id", "check_name")).isEmpty)
   }
 
+  test("observed metrics ride the action without an extra scan") {
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, 2.0)).toDF("id", "v")
+    val (observedDf, obs) = QualityChecks.observed(df, "pass_metrics",
+      "rows" -> count(lit(1)),
+      "nonpositive" -> sum(when(QualityChecks.nonPositiveCond(Seq("v")), 1L)
+        .otherwise(0L)))
+    val kept = observedDf.filter(col("v") > 0).count() // the ONLY action
+    assert(kept === 2)
+    val m = obs.get
+    assert(m("rows") === 3L && m("nonpositive") === 1L)
+  }
+
   test("entity check suite mirrors the reference config loop") {
     val dir = java.nio.file.Files.createTempDirectory("graft-entity-q").toString
     val df = Seq(
