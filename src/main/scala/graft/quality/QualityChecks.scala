@@ -177,6 +177,7 @@ object QualityChecks {
     * monitoring and doubling the pipeline's IO with count() calls. */
   def observed(df: DataFrame, name: String, metrics: (String, Column)*)
   : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "observed: at least one metric is required")
     val obs = org.apache.spark.sql.Observation(name)
     val named = metrics.map { case (n, c) => c.as(n) }
     (df.observe(obs, named.head, named.tail: _*), obs)

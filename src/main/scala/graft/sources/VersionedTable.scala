@@ -73,7 +73,7 @@ object VersionedTable {
       val root = new Path(table)
       if (!f.exists(root)) 0L
       else f.listStatus(root).map(_.getPath.getName)
-        .filter(_.matches("_v\\d{8}"))
+        .filter(_.matches("_v\\d{8,}")) // %08d widens past 1e8 commits
         .map(_.drop(2).toLong)
         .filter(v => f.exists(marker(table, v)))
         .foldLeft(0L)(math.max)
@@ -91,6 +91,19 @@ object VersionedTable {
       val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
       if (s.isEmpty) None else Some(s)
     }
+  }
+
+  /** Whether `tag` was recorded with any RETAINED snapshot <= cur
+    * (vacuum bounds the scan). */
+  private def tagSeen(spark: SparkSession, table: String, cur: Long,
+                      tag: String): Boolean = {
+    val f = fs(spark, table)
+    var v = cur
+    while (v >= 1 && f.exists(new Path(versionDir(table, v)))) {
+      if (commitTagOf(spark, table, v).contains(tag)) return true
+      v -= 1
+    }
+    false
   }
 
   private def commitPointer(spark: SparkSession, table: String, v: Long,
@@ -171,9 +184,13 @@ object VersionedTable {
     val cur = currentVersion(spark, table)
     // exactly-once under at-least-once replay: additive merges are
     // NOT idempotent, so a batch tag rides inside the atomically
-    // committed snapshot — a replayed batch whose tag is already the
-    // current version's tag is a no-op
-    if (commitTag.isDefined && commitTagOf(spark, table, cur) == commitTag)
+    // committed snapshot — a replayed batch whose tag appears in ANY
+    // retained snapshot is a no-op (checking only the current version
+    // would be fooled by an interleaved untagged commit, e.g. an
+    // optimize() between the crash and the replay). Retention must
+    // therefore exceed the replay horizon — vacuum keepVersions >= 2
+    // covers foreachBatch, which only ever replays the LAST batch.
+    if (commitTag.isDefined && tagSeen(spark, table, cur, commitTag.get))
       return cur
     def agg(df: DataFrame): DataFrame =
       df.groupBy(keys.map(col): _*)

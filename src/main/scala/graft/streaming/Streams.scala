@@ -94,10 +94,14 @@ object Streams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                case Some(s) if t < s.sessionStart - gapMs =>
+                  // cross-batch late event farther than the gap BEFORE
+                  // the open session: its own (already-closed) session
+                  out ::= Session(userId, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1, e.value)
                 case Some(s) if t - s.lastTs <= gapMs =>
-                  // min/max guards: a cross-batch late event inside the
-                  // gap extends the session BACKWARD, never moves its
-                  // end before its start
+                  // min/max guards: a late event INSIDE the gap extends
+                  // the session backward, never moves end before start
                   cur = Some(s.copy(
                     sessionStart = math.min(s.sessionStart, t),
                     lastTs = math.max(s.lastTs, t),
@@ -176,8 +180,12 @@ object Streams {
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
+          case Some(s) if t < s.sessionStart - gapMs =>
+            // same late-event handling as [[sessionize]]: a gap-plus
+            // stale event is its own already-closed session
+            out ::= Session(userId, new java.sql.Timestamp(t),
+              new java.sql.Timestamp(t), 1, e.value)
           case Some(s) if t - s.lastTs <= gapMs =>
-            // same min/max guards as [[sessionize]] for late events
             cur = Some(s.copy(
               sessionStart = math.min(s.sessionStart, t),
               lastTs = math.max(s.lastTs, t),

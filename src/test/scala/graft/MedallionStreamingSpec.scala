@@ -248,6 +248,33 @@ class MedallionStreamingSpec extends SparkSpec {
     assert(spark.table("ddww_naive").count() === 3)
   }
 
+  test("sessionizer: a beyond-gap late event becomes its own session") {
+    val dir = Files.createTempDirectory("graft-late").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1 opens a session at 12:00; batch 2 delivers a 10:30
+    // event — inside the 2h watermark but 90min (> 30min gap) before
+    // the open session, so it must NOT merge into it
+    Seq(Streams.Event(1L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0))
+      .toDF().coalesce(1).write.parquet(s"$dir/src/f1")
+    Seq(Streams.Event(2L, ts("2024-01-01 10:30:00"), 1L, "click", 2.0))
+      .toDF().coalesce(1).write.parquet(s"$dir/src/f2")
+    val schema = spark.read.parquet(s"$dir/src/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src/*")
+      .as[Streams.Event](org.apache.spark.sql.Encoders.product[Streams.Event])
+    Streams.runOnce(
+      Streams.sessionize(stream, gapMs = 1800 * 1000L)(spark).toDF(),
+      s"$dir/ckpt", "late_sess_out")
+    val emitted = spark.table("late_sess_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getInt(3))).toSet
+    // only the stale singleton closes (the 12:00 session stays open
+    // behind the watermark); it must be [10:30, 10:30], 1 event
+    assert(emitted === Set((1L, ts("2024-01-01 10:30:00"),
+      ts("2024-01-01 10:30:00"), 1)))
+  }
+
   test("transformWithState maintains running per-user totals across batches") {
     val dir = Files.createTempDirectory("graft-tws").toString
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

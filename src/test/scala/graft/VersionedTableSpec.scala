@@ -139,6 +139,19 @@ class VersionedTableSpec extends SparkSpec {
       === Set((1L, 5L), (2L, 5L)))
   }
 
+  test("replay guard survives an interleaved untagged commit") {
+    val t = tbl()
+    VersionedTable.mergeAggregate(Seq((1L, 2L)).toDF("k", "v"), t,
+      Seq("k"), Seq("v"), commitTag = Some("batch-0"))
+    // an operator runs optimize between the crash and the replay:
+    // the tag must still be found in the retained history
+    VersionedTable.optimize(spark, t, nFiles = 1)
+    VersionedTable.mergeAggregate(Seq((1L, 2L)).toDF("k", "v"), t,
+      Seq("k"), Seq("v"), commitTag = Some("batch-0")) // replay: no-op
+    assert(VersionedTable.read(spark, t).as[(Long, Long)].collect().toSet
+      === Set((1L, 2L)))
+  }
+
   test("a lost pointer falls back to the highest COMMITTED snapshot") {
     val t = tbl()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
