@@ -89,39 +89,17 @@ object Streams {
               new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue))
           } else {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var out = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t < s.sessionStart - gapMs =>
-                  // cross-batch late event farther than the gap BEFORE
-                  // the open session: its own (already-closed) session
-                  out ::= Session(userId, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1, e.value)
-                case Some(s) if t - s.lastTs <= gapMs =>
-                  // min/max guards: a late event INSIDE the gap extends
-                  // the session backward, never moves end before start
-                  cur = Some(s.copy(
-                    sessionStart = math.min(s.sessionStart, t),
-                    lastTs = math.max(s.lastTs, t),
-                    nEvents = s.nEvents + 1,
-                    totalValue = s.totalValue + e.value))
-                case Some(s) =>
-                  out ::= Session(userId, new java.sql.Timestamp(s.sessionStart),
-                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
+            val (closed, cur) = foldGapSessions(
+              sorted.map(e => (e.ts.getTime, e.value)), state.getOption, gapMs)
             cur.foreach { s =>
               state.update(s)
               // timeout must be beyond the current watermark
               state.setTimeoutTimestamp(
                 math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
-            out.reverseIterator
+            closed.iterator.map(s =>
+              Session(userId, new java.sql.Timestamp(s.sessionStart),
+                new java.sql.Timestamp(s.lastTs), s.nEvents, s.totalValue))
           }
       }
   }
@@ -175,29 +153,9 @@ object Streams {
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
       val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var out = List.empty[Session]
-      var cur = if (state.exists()) Some(state.get()) else None
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t < s.sessionStart - gapMs =>
-            // same late-event handling as [[sessionize]]: a gap-plus
-            // stale event is its own already-closed session
-            out ::= Session(userId, new java.sql.Timestamp(t),
-              new java.sql.Timestamp(t), 1, e.value)
-          case Some(s) if t - s.lastTs <= gapMs =>
-            cur = Some(s.copy(
-              sessionStart = math.min(s.sessionStart, t),
-              lastTs = math.max(s.lastTs, t),
-              nEvents = s.nEvents + 1,
-              totalValue = s.totalValue + e.value))
-          case Some(s) =>
-            out ::= toSession(userId, s)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
-      }
+      val (closed, cur) = foldGapSessions(
+        sorted.map(e => (e.ts.getTime, e.value)),
+        if (state.exists()) Some(state.get()) else None, gapMs)
       cur.foreach { s =>
         state.update(s)
         // one live timer per key: re-arm at the new session end
@@ -205,7 +163,7 @@ object Streams {
         getHandle.registerTimer(
           math.max(s.lastTs + gapMs, timers.getCurrentWatermarkInMs() + 1))
       }
-      out.reverseIterator
+      closed.iterator.map(toSession(userId, _))
     }
 
     override def handleExpiredTimer(userId: Long,
@@ -239,6 +197,44 @@ object Streams {
       .transformWithState(new RunningUserStatsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Shared gap-session fold for the two stateful sessionizers: fold
+    * a SORTED batch of (ts, value) events into sessions. Events more
+    * than `gapMs` BEFORE the open session ("stale": cross-batch late
+    * arrivals inside the watermark) gap-merge among THEMSELVES and
+    * close immediately — they can never rejoin the live session. The
+    * rest extend/replace the open session with min/max guards so a
+    * late in-gap event never moves an end before a start. Returns
+    * (closed sessions oldest-first, new open state). */
+  private[streaming] def foldGapSessions(
+      sorted: Seq[(Long, Double)], open: Option[SessionState],
+      gapMs: Long): (List[SessionState], Option[SessionState]) = {
+    var closed = List.empty[SessionState]
+    val (stale, live) = open match {
+      case Some(s) => sorted.partition(_._1 < s.sessionStart - gapMs)
+      case None => (Seq.empty[(Long, Double)], sorted)
+    }
+    def fold(events: Seq[(Long, Double)],
+             start: Option[SessionState]): Option[SessionState] =
+      events.foldLeft(start) { case (cur, (t, v)) =>
+        cur match {
+          case Some(s) if t - s.lastTs <= gapMs =>
+            Some(s.copy(
+              sessionStart = math.min(s.sessionStart, t),
+              lastTs = math.max(s.lastTs, t),
+              nEvents = s.nEvents + 1,
+              totalValue = s.totalValue + v))
+          case Some(s) =>
+            closed ::= s
+            Some(SessionState(t, t, 1, v))
+          case None =>
+            Some(SessionState(t, t, 1, v))
+        }
+      }
+    fold(stale, None).foreach(s => closed ::= s) // stale runs close now
+    val cur = fold(live, open)
+    (closed.reverse, cur)
   }
 
   /** Batch gap-based sessionization (oracle-checkable equivalent of

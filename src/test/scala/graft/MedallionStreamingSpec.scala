@@ -256,7 +256,10 @@ class MedallionStreamingSpec extends SparkSpec {
     // the open session, so it must NOT merge into it
     Seq(Streams.Event(1L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0))
       .toDF().coalesce(1).write.parquet(s"$dir/src/f1")
-    Seq(Streams.Event(2L, ts("2024-01-01 10:30:00"), 1L, "click", 2.0))
+    // TWO stale events within the gap of each other: they must merge
+    // into ONE late session, not two singletons
+    Seq(Streams.Event(2L, ts("2024-01-01 10:30:00"), 1L, "click", 2.0),
+      Streams.Event(3L, ts("2024-01-01 10:45:00"), 1L, "click", 3.0))
       .toDF().coalesce(1).write.parquet(s"$dir/src/f2")
     val schema = spark.read.parquet(s"$dir/src/f1").schema
     val stream = spark.readStream.schema(schema)
@@ -269,10 +272,10 @@ class MedallionStreamingSpec extends SparkSpec {
       .select("user_id", "session_start", "session_end", "n_events")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
         r.getInt(3))).toSet
-    // only the stale singleton closes (the 12:00 session stays open
-    // behind the watermark); it must be [10:30, 10:30], 1 event
+    // only the merged stale session closes (the 12:00 session stays
+    // open behind the watermark): [10:30, 10:45], 2 events
     assert(emitted === Set((1L, ts("2024-01-01 10:30:00"),
-      ts("2024-01-01 10:30:00"), 1)))
+      ts("2024-01-01 10:45:00"), 2)))
   }
 
   test("transformWithState maintains running per-user totals across batches") {
