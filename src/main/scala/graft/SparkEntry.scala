@@ -61,6 +61,11 @@ object SparkEntry {
         lower(col("c_mktsegment")).as("segment"),
         roundTo(col("c_acctbal"), 2).as("acctbal"))
       .filter(col("customer_id").isNotNull)
+      // gold-layer lineage timestamp exactly as the reference adds to
+      // every gold table (gold_transformation.py:50,76) — fixed epoch
+      // (the deterministic-ts pattern Bronze uses) so hashes are
+      // stable; production would use current_timestamp()
+      .withColumn("gold_ingest_ts", to_timestamp(lit("2026-01-01 00:00:00")))
   }
 
   /** DuckDB replica of Spark `initcap` (DuckDB 1.x has no initcap):
@@ -76,16 +81,19 @@ object SparkEntry {
       lower(col("p_brand")).as("brand"),
       roundTo(col("p_retailprice"), 2).as("price"))
       .filter(col("product_id").isNotNull && col("price") > 0)
+      .withColumn("gold_ingest_ts", to_timestamp(lit("2026-01-01 00:00:00")))
 
   private def dimCustomerSql =
     s"""SELECT c_custkey AS customer_id, c_name AS name, ${sqlInitcap("n_name")} AS nation,
-       | ${sqlInitcap("r_name")} AS region, lower(c_mktsegment) AS segment, floor((c_acctbal)*100 + 0.5)/100 AS acctbal
+       | ${sqlInitcap("r_name")} AS region, lower(c_mktsegment) AS segment, floor((c_acctbal)*100 + 0.5)/100 AS acctbal,
+       | epoch_ms(TIMESTAMP '2026-01-01 00:00:00') AS gold_ingest_ms
        |FROM customer JOIN nation ON c_nationkey = n_nationkey
        | JOIN region ON n_regionkey = r_regionkey
        |WHERE c_custkey IS NOT NULL""".stripMargin
   private val dimPartSql =
     """SELECT p_partkey AS product_id, p_name AS product_name, lower(p_type) AS category,
-      | lower(p_brand) AS brand, floor((p_retailprice)*100 + 0.5)/100 AS price
+      | lower(p_brand) AS brand, floor((p_retailprice)*100 + 0.5)/100 AS price,
+      | epoch_ms(TIMESTAMP '2026-01-01 00:00:00') AS gold_ingest_ms
       |FROM part WHERE p_partkey IS NOT NULL AND floor((p_retailprice)*100 + 0.5)/100 > 0""".stripMargin
 
   // ================= queries =================
@@ -176,13 +184,22 @@ object SparkEntry {
     }),
 
     "q_repeat_buyers" -> ((s, d) => {
-      // set operations: customers ordering in both 1996 and 1997 (INTERSECT)
-      // tagged repeat, in 1996 but not 1997 (EXCEPT) tagged lapsed
-      def buyers(yr: Int) = Tables.orders(s, d)
-        .filter(year(col("o_orderdate")) === yr)
-        .select(col("o_custkey")).distinct()
-      buyers(1996).intersect(buyers(1997)).withColumn("status", lit("repeat"))
-        .unionAll(buyers(1996).except(buyers(1997)).withColumn("status", lit("lapsed")))
+      // set-operation semantics (1996∩1997 = repeat, 1996∖1997 =
+      // lapsed) computed as ONE conditional-aggregation scan: the
+      // INTERSECT/EXCEPT formulation built each year's buyer set
+      // twice (4 scans of orders); per-custkey year flags read the
+      // table once and shuffle once. The oracle keeps the
+      // INTERSECT/EXCEPT SQL — cross-formulation equivalence is part
+      // of the check.
+      val yr = year(col("o_orderdate"))
+      Tables.orders(s, d)
+        .filter(yr === 1996 || yr === 1997)
+        .groupBy(col("o_custkey"))
+        .agg(max(when(yr === 1996, lit(1)).otherwise(lit(0))).as("__y96"),
+          max(when(yr === 1997, lit(1)).otherwise(lit(0))).as("__y97"))
+        .filter(col("__y96") === 1)
+        .select(col("o_custkey"),
+          when(col("__y97") === 1, lit("repeat")).otherwise(lit("lapsed")).as("status"))
         .orderBy("status", "o_custkey")
     }),
 
@@ -473,9 +490,19 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
 
-    "dim_customer" -> ((s, d) => dimCustomer(s, d).orderBy("customer_id")),
+    "dim_customer" -> ((s, d) =>
+      // timestamps hash as epoch millis (both engines truncate the
+      // same way) — the bronze_ingest pattern
+      dimCustomer(s, d)
+        .withColumn("gold_ingest_ms", unix_millis(col("gold_ingest_ts")))
+        .drop("gold_ingest_ts")
+        .orderBy("customer_id")),
 
-    "dim_part" -> ((s, d) => dimPart(s, d).orderBy("product_id")),
+    "dim_part" -> ((s, d) =>
+      dimPart(s, d)
+        .withColumn("gold_ingest_ms", unix_millis(col("gold_ingest_ts")))
+        .drop("gold_ingest_ts")
+        .orderBy("product_id")),
 
     "fact_sales" -> ((s, d) => {
       val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)

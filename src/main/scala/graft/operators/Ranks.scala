@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Exact global / per-group rank WITHOUT a single-reducer window.
   *
@@ -66,7 +67,12 @@ object Ranks {
                     orderCols: Seq[Column], bucketOn: String,
                     rankCol: String, countCol: String,
                     nBuckets: Int = 32): DataFrame = {
+    // the bucketed frame feeds BOTH the counts pass and the final
+    // ranked join — persist it so the source is scanned once and the
+    // bucket comparison chain evaluates once (cache lives with the
+    // returned plan; callers may drop it via catalog/unpersist)
     val withB = withBucket(df, bucketOn, nBuckets)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = withB.groupBy(partitionCols.map(col) :+ col(B): _*)
       .agg(count(lit(1)).as(CNT))
     val offsets: DataFrame =
@@ -135,6 +141,24 @@ object Ranks {
                     orderCols: Seq[String], bucketOn: String,
                     ranksOf: Long => Seq[Long],
                     nBuckets: Int = 32): Array[org.apache.spark.sql.Row] = {
+    // one scan of the source, three consumers: the narrow projection
+    // of just the rank-relevant columns is persisted, so the boundary
+    // probe (approxQuantile, which materializes the cache), the
+    // counts pass and the bucket-filtered selection pass all read the
+    // same cached columnar blocks instead of re-scanning the source.
+    // The cache holds only (partitionCols ++ orderCols) — a few
+    // numeric/string columns, spilling to disk past memory — and is
+    // dropped before returning (this method is eager end-to-end).
+    val proj = df.select((partitionCols ++ orderCols).distinct.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try valuesAtRanksOn(proj, partitionCols, orderCols, bucketOn, ranksOf, nBuckets)
+    finally proj.unpersist(false)
+  }
+
+  private def valuesAtRanksOn(df: DataFrame, partitionCols: Seq[String],
+                              orderCols: Seq[String], bucketOn: String,
+                              ranksOf: Long => Seq[Long],
+                              nBuckets: Int): Array[org.apache.spark.sql.Row] = {
     val withB = withBucket(df, bucketOn, nBuckets)
     val nG = partitionCols.length
     val cnts = withB.groupBy((partitionCols :+ B).map(col): _*)
