@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+
+import graft.functions.SortableBucketExpr.sortableBucket
 
 /** Exact global / per-group rank WITHOUT a single-reducer window.
   *
@@ -12,30 +13,33 @@ import org.apache.spark.storage.StorageLevel
   * data to a single partition". This operator computes the identical
   * rank with a two-pass range-bucketed plan that stays parallel:
   *
-  *  1. approxQuantile on the leading order column → ~`nBuckets`
-  *     boundary values (plan-time, tiny driver-side list — same
-  *     pattern as the IVF centroids / z-order cuts);
-  *  2. narrow bucket assignment by boundary comparison (all ties of
-  *     a boundary value land in the SAME bucket, so the secondary
-  *     order columns only ever break ties within one bucket);
-  *  3. per-(group, bucket) counts → cumulative offsets via a window
-  *     over the tiny counts table (nBuckets × groups rows);
-  *  4. `row_number` within (group, bucket) + bucket offset = the
+  *  1. narrow bucket assignment on a FIXED order-preserving value
+  *     grid ([[graft.functions.SortableBucketExpr]] — sign, exponent
+  *     and top mantissa bits of the double). The grid is a pure
+  *     function of the value, so no sampling/boundary-probe job is
+  *     needed: the counts pass below discovers the populated buckets
+  *     and their boundaries in the SAME job;
+  *  2. per-(group, bucket) counts → cumulative offsets (driver fold
+  *     for the global case, tiny window over the counts table for
+  *     the grouped case);
+  *  3. `row_number` within (group, bucket) + bucket offset = the
   *     exact global rank. Each bucket sorts independently — at
-  *     100 TB the sort work spreads over `nBuckets` × groups tasks
-  *     instead of one per group.
+  *     100 TB the sort work spreads over populated-buckets × groups
+  *     tasks instead of one per group.
   *
-  * The result is EXACT for any boundary set (boundaries only choose
-  * how work is split, never the rank values), so approxQuantile's
-  * approximation — and any run-to-run wobble in it — cannot change
-  * the output. Determinism of the output therefore only requires
-  * the usual total order on (orderCols).
+  * The result is EXACT for any grid (equal values always share a
+  * bucket, and buckets only choose how work is split, never the rank
+  * values). The grid being data-independent also makes the split
+  * deterministic across runs — there is no approxQuantile wobble.
+  * Determinism of the output therefore only requires the usual total
+  * order on (orderCols).
   *
-  * The offsets table is broadcast: it has nBuckets rows per group.
-  * With a very high-cardinality group column prefer a plain window
-  * `row_number` partitioned by the group (that is already parallel);
-  * this operator is for FEW/NO groups — exactly where the naive
-  * window collapses to one reducer.
+  * The offsets table is broadcast: at most 2^(64-shift) rows per
+  * group (65k at the default shift). With a very high-cardinality
+  * group column prefer a plain window `row_number` partitioned by
+  * the group (that is already parallel); this operator is for
+  * FEW/NO groups — exactly where the naive window collapses to one
+  * reducer.
   */
 object Ranks {
 
@@ -43,47 +47,44 @@ object Ranks {
   private val OFF = "__rk_off"
   private val CNT = "__rk_cnt"
 
-  /** Range-bucket assignment for `bucketOn`: boundaries from
-    * approxQuantile (actual data values; the 1% error only skews
-    * bucket balance, never rank correctness — all ties of a boundary
-    * value land in the same bucket). Nulls sort first under asc
-    * (Spark default) — they get bucket -1. */
+  /** Fixed-grid bucket assignment for `bucketOn`: an order-preserving
+    * pure function of the value (no data pass). Nulls sort first
+    * under asc (Spark default) — they get bucket Long.MinValue, below
+    * every finite bucket id. */
   private def withBucket(df: DataFrame, bucketOn: String,
-                         nBuckets: Int): DataFrame = {
-    require(nBuckets > 1, "nBuckets must be > 1")
-    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = df.stat.approxQuantile(bucketOn, probes, 0.01).distinct.sorted
-    val bucketExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
-      case ((bnd, i), acc) => when(col(bucketOn) < bnd, lit(i)).otherwise(acc)
-    }
-    df.withColumn(B, when(col(bucketOn).isNull, lit(-1)).otherwise(bucketExpr))
+                         shift: Int): DataFrame = {
+    require(shift >= 32 && shift <= 60, "shift must be in [32, 60]")
+    df.withColumn(B, when(col(bucketOn).isNull, lit(Long.MinValue))
+      .otherwise(sortableBucket(col(bucketOn).cast("double"), shift)))
   }
 
   /** Adds `rankCol` (1-based row_number in the total order
     * (partitionCols, orderCols)) and `countCol` (rows per group) to
     * `df`. `bucketOn` must be the leading order column, ascending,
-    * numeric (the range-bucketing key). */
+    * numeric (the range-bucketing key). `shift` sets the grid
+    * granularity (see [[graft.functions.SortableBucketExpr]]).
+    *
+    * Two scans of `df` (counts pass + ranked join), both narrow — no
+    * persist: at scale, re-reading a columnar scan twice beats
+    * caching the whole input, and the bucket id is a single cheap
+    * expression. */
   def withExactRank(df: DataFrame, partitionCols: Seq[String],
                     orderCols: Seq[Column], bucketOn: String,
                     rankCol: String, countCol: String,
-                    nBuckets: Int = 32): DataFrame = {
-    // the bucketed frame feeds BOTH the counts pass and the final
-    // ranked join — persist it so the source is scanned once and the
-    // bucket comparison chain evaluates once (cache lives with the
-    // returned plan; callers may drop it via catalog/unpersist)
-    val withB = withBucket(df, bucketOn, nBuckets)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+                    shift: Int = 48): DataFrame = {
+    val withB = withBucket(df, bucketOn, shift)
     val counts = withB.groupBy(partitionCols.map(col) :+ col(B): _*)
       .agg(count(lit(1)).as(CNT))
     val offsets: DataFrame =
       if (partitionCols.isEmpty) {
-        // global case: the counts table is ≤ nBuckets+1 rows — fold
-        // the cumulative offsets on the driver at plan time (same
+        // global case: the counts table has one row per POPULATED
+        // bucket (bounded by the grid, not the data) — fold the
+        // cumulative offsets on the driver at plan time (same
         // bounded-collect pattern as the IVF centroids / z-order
         // cuts) instead of a partition-less window that would gather
         // to a single task.
         val cs = counts.collect()
-          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
         val n = cs.map(_._2).sum
         val offs = cs.map(_._2).scanLeft(0L)(_ + _)
         val spark = df.sparkSession
@@ -92,7 +93,7 @@ object Ranks {
           .toSeq.toDF(B, OFF, countCol)
       } else {
         // grouped case: cumulative offsets via a window over the tiny
-        // (groups × nBuckets) counts table — partitioned by the real
+        // (groups × buckets) counts table — partitioned by the real
         // group columns, so the partitionSpec is never empty
         val grp = partitionCols.map(col)
         val wOff = Window.partitionBy(grp: _*).orderBy(col(B).asc)
@@ -124,15 +125,19 @@ object Ranks {
     * `(partitionCols..., rank, orderCols...)`, one per requested rank
     * (ranks outside [1, n] are silently dropped).
     *
-    * Plan shape (the classic two-pass selection): (1) one scan
-    * aggregating row counts per (group, range-bucket) — the counts
-    * table (groups × nBuckets rows) folds to cumulative offsets on
-    * the driver; (2) one scan filtered to ONLY the buckets containing
-    * a target rank, with a row_number window partitioned per
-    * (group, bucket) over that small slice. The expensive total sort
-    * never happens: at 100 TB pass 2 sorts ~1/nBuckets of each
-    * group, in parallel. `ranksOf` maps each group's row count n to
-    * its target ranks (e.g. `n => Seq((n + 1) / 2)` for the median).
+    * Plan shape (the classic two-pass selection, TWO driver actions
+    * total): (1) ONE scan aggregating row counts per (group,
+    * fixed-grid range bucket) — because the grid is a pure function
+    * of the value, this single job yields both the bucket boundaries
+    * AND the counts (no separate sampling/approxQuantile probe); the
+    * counts table (groups × populated buckets) folds to cumulative
+    * offsets on the driver; (2) one scan filtered to ONLY the buckets
+    * containing a target rank, with a row_number window partitioned
+    * per (group, bucket) over that small slice. The expensive total
+    * sort never happens: at 100 TB pass 2 sorts only the cut
+    * buckets, in parallel. `ranksOf` maps each group's row count n
+    * to its target ranks (e.g. `n => Seq((n + 1) / 2)` for the
+    * median).
     *
     * Groups are assumed bounded (the counts table is collected);
     * with very many groups use [[withExactRank]]'s distributed
@@ -140,34 +145,21 @@ object Ranks {
   def valuesAtRanks(df: DataFrame, partitionCols: Seq[String],
                     orderCols: Seq[String], bucketOn: String,
                     ranksOf: Long => Seq[Long],
-                    nBuckets: Int = 32): Array[org.apache.spark.sql.Row] = {
-    // one scan of the source, three consumers: the narrow projection
-    // of just the rank-relevant columns is persisted, so the boundary
-    // probe (approxQuantile, which materializes the cache), the
-    // counts pass and the bucket-filtered selection pass all read the
-    // same cached columnar blocks instead of re-scanning the source.
-    // The cache holds only (partitionCols ++ orderCols) — a few
-    // numeric/string columns, spilling to disk past memory — and is
-    // dropped before returning (this method is eager end-to-end).
+                    shift: Int = 48): Array[org.apache.spark.sql.Row] = {
+    // narrow projection of just the rank-relevant columns so both
+    // scans prune to (partitionCols ++ orderCols) at the source
     val proj = df.select((partitionCols ++ orderCols).distinct.map(col): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try valuesAtRanksOn(proj, partitionCols, orderCols, bucketOn, ranksOf, nBuckets)
-    finally proj.unpersist(false)
-  }
-
-  private def valuesAtRanksOn(df: DataFrame, partitionCols: Seq[String],
-                              orderCols: Seq[String], bucketOn: String,
-                              ranksOf: Long => Seq[Long],
-                              nBuckets: Int): Array[org.apache.spark.sql.Row] = {
-    val withB = withBucket(df, bucketOn, nBuckets)
+    val withB = withBucket(proj, bucketOn, shift)
     val nG = partitionCols.length
+    // action 1 of 2: per-(group, bucket) counts — boundaries and
+    // offsets in one job
     val cnts = withB.groupBy((partitionCols :+ B).map(col): _*)
       .agg(count(lit(1)).as(CNT)).collect()
     // (groupKey, bucket, rankWithinBucket, globalRank) per target
-    val targets: Seq[(Seq[Any], Int, Long, Long)] =
+    val targets: Seq[(Seq[Any], Long, Long, Long)] =
       cnts.groupBy(r => Seq.tabulate(nG)(r.get)).toSeq.flatMap {
         case (g, rows) =>
-          val sorted = rows.map(r => (r.getInt(nG), r.getLong(nG + 1))).sortBy(_._1)
+          val sorted = rows.map(r => (r.getLong(nG), r.getLong(nG + 1))).sortBy(_._1)
           val n = sorted.map(_._2).sum
           val cum = sorted.map(_._2).scanLeft(0L)(_ + _)
           ranksOf(n).distinct.filter(rk => rk >= 1 && rk <= n).map { rk =>
@@ -184,6 +176,7 @@ object Ranks {
     val w = Window.partitionBy((partitionCols :+ B).map(col): _*)
       .orderBy(orderCols.map(col(_).asc): _*)
     val rn = "__rk_rn"
+    // action 2 of 2: row_number over only the cut-containing buckets
     val hits = withB.filter(needed)
       .withColumn(rn, row_number().over(w).cast("long"))
       .filter(targets.map { case (g, b, rIn, _) =>
@@ -193,7 +186,7 @@ object Ranks {
       .collect()
     hits.map { r =>
       val g = Seq.tabulate(nG)(r.get)
-      val (b, rIn) = (r.getInt(nG), r.getLong(nG + 1))
+      val (b, rIn) = (r.getLong(nG), r.getLong(nG + 1))
       val global = targets
         .find(t => t._1 == g && t._2 == b && t._3 == rIn).get._4
       org.apache.spark.sql.Row.fromSeq(

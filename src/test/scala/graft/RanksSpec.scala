@@ -15,7 +15,7 @@ class RanksSpec extends SparkSpec {
     val c = Tables.customer(spark, sf)
     val got = Ranks.withExactRank(c, Seq.empty,
       Seq(col("c_acctbal").asc, col("c_custkey").asc), "c_acctbal",
-      "rank", "n", nBuckets = 8)
+      "rank", "n", shift = 52)
       .select(col("c_custkey"), col("rank"), col("n"))
     val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
     val want = c.select(col("c_custkey"),
@@ -30,7 +30,7 @@ class RanksSpec extends SparkSpec {
     val order = Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
       col("l_linenumber").asc)
     val got = Ranks.withExactRank(l, Seq("l_returnflag"), order,
-      "l_extendedprice", "rank", "n", nBuckets = 8)
+      "l_extendedprice", "rank", "n", shift = 52)
       .select(col("l_orderkey"), col("l_linenumber"), col("rank"), col("n"))
     val w = Window.partitionBy("l_returnflag").orderBy(order: _*)
     val want = l.select(col("l_orderkey"), col("l_linenumber"),
@@ -43,7 +43,7 @@ class RanksSpec extends SparkSpec {
     val df = Seq((Option("a"), 1.0, 1L), (Option.empty[String], 2.0, 2L),
       (Option.empty[String], 1.0, 3L)).toDF("g", "v", "id")
     val got = Ranks.withExactRank(df, Seq("g"),
-      Seq(col("v").asc, col("id").asc), "v", "rank", "n", nBuckets = 2)
+      Seq(col("v").asc, col("id").asc), "v", "rank", "n", shift = 56)
     assert(got.count() === 3)
     val nulls = got.filter(col("g").isNull)
       .select("id", "rank", "n").as[(Long, Long, Long)].collect().toSet
@@ -55,7 +55,7 @@ class RanksSpec extends SparkSpec {
       val c = Tables.customer(spark, sf)
       val got = Ranks.withExactRank(c, Seq.empty,
         Seq(col("c_acctbal").asc, col("c_custkey").asc), "c_acctbal",
-        "rank", "n", nBuckets = 8)
+        "rank", "n", shift = 52)
         .select(col("c_custkey"),
           Ranks.ntileFromRank(col("rank"), col("n"), k).as("b"))
       val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
@@ -70,7 +70,7 @@ class RanksSpec extends SparkSpec {
     val l = Tables.lineitem(spark, sf)
     val order = Seq("l_extendedprice", "l_orderkey", "l_linenumber")
     val got = Ranks.valuesAtRanks(l, Seq("l_returnflag"), order,
-      "l_extendedprice", n => Seq(1L, (n + 1) / 2, n), nBuckets = 8)
+      "l_extendedprice", n => Seq(1L, (n + 1) / 2, n), shift = 52)
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     val w = Window.partitionBy("l_returnflag")
       .orderBy(order.map(col(_).asc): _*)
@@ -108,6 +108,23 @@ class RanksSpec extends SparkSpec {
           assert(sz === want, s"n=$n k=$k bucket $b size $sz != $want")
         }
       }
+    }
+  }
+
+  test("sortable-bucket grid is order-preserving over the full double line") {
+    import graft.functions.SortableBucketExpr.bucket
+    val probes = Seq(Double.NegativeInfinity, -1.7e308, -105000.0, -999.99,
+      -2.0, -1.0, -Double.MinPositiveValue, -0.0, 0.0,
+      Double.MinPositiveValue, 0.015625, 0.5, 1.0, 1.5, 2.0, 900.0,
+      904.25, 105000.0, 1.7e308, Double.PositiveInfinity)
+    for (shift <- Seq(44, 48, 52)) {
+      val ids = probes.map(bucket(_, shift))
+      assert(ids.zip(ids.tail).forall { case (a, b) => a <= b },
+        s"bucket ids not monotone at shift=$shift: $ids")
+      // -0.0 and 0.0 are equal values — same bucket
+      assert(bucket(-0.0, shift) === bucket(0.0, shift))
+      // NaN sorts after +Infinity (Spark's NaN ordering)
+      assert(bucket(Double.NaN, shift) >= bucket(Double.PositiveInfinity, shift))
     }
   }
 
