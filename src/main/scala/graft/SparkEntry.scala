@@ -517,9 +517,33 @@ object SparkEntry {
           col("product_id"), col("product_name"), col("category"),
           col("l_quantity").as("quantity"),
           roundTo(col("l_extendedprice"), 2).as("price"),
-          roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_revenue"))
+          roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_revenue"),
+          // the reference stamps the FACT table too, not just the dims
+          // (gold_transformation.py:140 current_timestamp()) — same
+          // deterministic-epoch + epoch-ms pattern as dim_customer/
+          // dim_part so hashes stay stable
+          unix_millis(to_timestamp(lit("2026-01-01 00:00:00"))).as("gold_ingest_ms"))
       fact.filter(col("order_id").isNotNull && col("quantity") > 0 && col("net_revenue") > 0)
         .orderBy("order_id", "line_number")
+    }),
+
+    "q_pruned_read" -> ((s, d) => {
+      // partition pruning end-to-end: write a hive-partitioned layout
+      // (the Layout.writePartitioned shape), read back ONE partition.
+      // The scan plans PartitionFilters on event_type and lists only
+      // that directory (asserted in LayoutAndSkewSpec) — at 100 TB
+      // the difference between scanning 1/K of the table and all of
+      // it. The oracle reads the same rows straight off the source.
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_pruned_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("event_type"))
+        .orderBy("event_id")
     }),
 
     // ---- data-quality framework ----
@@ -713,6 +737,19 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "dedup_pipeline" -> ((s, d) => {
+      // the three stages above composed as a user would run them:
+      // ONE pair graph -> clusters -> survivor apply with merge
+      // accounting. The pair pipeline and the CC fixpoint execute
+      // exactly once (Clusters.dedupPipeline); the graded result is
+      // the survivor corpus with how many originals each row absorbed
+      val docs = Tables.documents(s, d)
+      val edges = NearDup.simHashPairs(docs, "doc_id", "text", maxDist = 6)
+        .select("id_a", "id_b")
+      graft.dedup.Clusters.dedupPipeline(docs.select("doc_id"), edges)
+        .orderBy("doc_id")
+    }),
+
     "q_label_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -759,6 +796,23 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 100), k = 5, nCells = 16, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_kmeans" -> ((s, d) => {
+      // IVF with TRAINED centroids: 2 deterministic Lloyd iterations
+      // from the 16-lowest-id seeds, then the identical probe plan as
+      // ann_ivf with the trained centroids baked in as literals.
+      // Vectors are pre-rounded to 10 decimal digits and sums
+      // accumulate at decimal scale 10 — the portable grid (see
+      // q_label_centroid) that makes the trained centroids
+      // byte-identical in DuckDB, whose oracle re-runs the same two
+      // unrolled iterations in SQL.
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => roundTo(x.cast("double"), 10)).as("embedding"))
+      val cents = Similarity.kmeansCentroids(e, k = 16, iters = 2, sumScale = 10)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 100), k = 5, nCells = 16,
+        nProbe = 2, trainedCentroids = Some(cents))
         .orderBy("query_id", "rank")
     }),
 
@@ -1198,13 +1252,18 @@ object SparkEntry {
          | customer_id, name AS customer_name, nation,
          | product_id, product_name, category,
          | l_quantity AS quantity, floor((l_extendedprice)*100 + 0.5)/100 AS price,
-         | floor((l_extendedprice*(1-l_discount))*100 + 0.5)/100 AS net_revenue
+         | floor((l_extendedprice*(1-l_discount))*100 + 0.5)/100 AS net_revenue,
+         | epoch_ms(TIMESTAMP '2026-01-01 00:00:00') AS gold_ingest_ms
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          | JOIN dim_c ON o_custkey = customer_id
          | JOIN dim_p ON l_partkey = product_id
          |WHERE l_orderkey IS NOT NULL AND l_quantity > 0
          | AND floor((l_extendedprice*(1-l_discount))*100 + 0.5)/100 > 0
          |ORDER BY order_id, line_number""".stripMargin,
+
+    "q_pruned_read" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+        |FROM events WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
 
     "dq_null_pk" ->
       "SELECT o_orderkey FROM orders WHERE o_orderkey IS NULL ORDER BY o_orderkey",
@@ -1329,6 +1388,8 @@ object SparkEntry {
 
     "dedup_apply" -> dedupApplyOracle,
 
+    "dedup_pipeline" -> dedupPipelineOracle,
+
     "q_label_centroid" ->
       """SELECT label, dim, COUNT(*) AS n_vectors,
         | CAST(SUM(CAST(floor((embedding[dim+1]::DOUBLE)*10000000000 + 0.5)/10000000000
@@ -1363,6 +1424,7 @@ object SparkEntry {
 
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
+    "ann_ivf_kmeans" -> annIvfKmeansOracle,
     "dedup_embed_cosine_lsh" -> embedCosineLshOracle,
 
     "q_embed_quantize" -> {
@@ -1453,6 +1515,62 @@ object SparkEntry {
        |   row_number() OVER (PARTITION BY e.vec_id
        |     ORDER BY ${cos("e.v", "cent.v")} DESC, cent.cid ASC) AS rn
        |  FROM e CROSS JOIN cent WHERE e.vec_id < 100) WHERE rn <= 2),
+       |scored AS (
+       | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |  ${cos("q.v", "c.v")} AS cos
+       | FROM qc q JOIN ca c ON q.cid = c.cid AND c.vec_id != q.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       | SELECT query_id, corpus_id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+       | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replica of the k-means-trained IVF: the SAME two Lloyd
+    * iterations [[Similarity.kmeansCentroids]] runs (seeds = 16
+    * lowest-id vectors; assignment = argmin of the identical
+    * dist2 shape `v.v - 2 v.c + c.c` with ties to the smallest cell;
+    * means = exact DECIMAL(38,10) sums over 10-digit pre-rounded
+    * elements, divided as doubles; empty cells keep their centroid),
+    * unrolled as CTEs, then the ann_ivf probe plan over the trained
+    * cells. Every float op has the same shape and operand order as
+    * the Spark side, so the centroids — and therefore cells, probes
+    * and rankings — are byte-equal across engines. */
+  private def annIvfKmeansOracle: String = {
+    def cos(a: String, b: String) =
+      s"""list_inner_product($a, $b)
+         |   / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))""".stripMargin
+    def d2(v: String, c: String) =
+      s"(list_inner_product($v, $v) - 2.0*list_inner_product($v, $c) + list_inner_product($c, $c))"
+    // one Lloyd iteration: assign to argmin-dist2 cell, re-center
+    // with exact decimal sums, keep empty cells' previous centroid
+    def iterate(i: Int, prev: String): String =
+      s"""a$i AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, $prev.cid,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY ${d2("e.v", s"$prev.v")} ASC, $prev.cid ASC) AS rn
+         |  FROM e CROSS JOIN $prev) WHERE rn = 1),
+         |m$i AS (SELECT cid, dim,
+         |   CAST(SUM(CAST(v[dim+1] AS DECIMAL(38,10))) AS DOUBLE)/COUNT(*) AS m
+         |  FROM a$i CROSS JOIN generate_series(0, 63) AS g(dim) GROUP BY cid, dim),
+         |c$i AS (SELECT $prev.cid, COALESCE(mv.v, $prev.v) AS v FROM $prev
+         |  LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS v FROM m$i GROUP BY cid) mv
+         |  ON $prev.cid = mv.cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> ${sqlRound("x::DOUBLE", 10)}) AS v FROM embeddings),
+       |c0 AS (SELECT cid, v FROM (
+       |  SELECT v, row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid FROM e) WHERE cid < 16),
+       |${iterate(1, "c0")},
+       |${iterate(2, "c1")},
+       |ca AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, c2.cid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${cos("e.v", "c2.v")} DESC, c2.cid ASC) AS rn
+       |  FROM e CROSS JOIN c2) WHERE rn = 1),
+       |qc AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, c2.cid,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${cos("e.v", "c2.v")} DESC, c2.cid ASC) AS rn
+       |  FROM e CROSS JOIN c2 WHERE e.vec_id < 100) WHERE rn <= 2),
        |scored AS (
        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
        |  ${cos("q.v", "c.v")} AS cos
@@ -1691,6 +1809,21 @@ object SparkEntry {
     s"""${clustersReachCte.replace("ON r.dst = e2.src)", "ON r.dst = e2.src),")}
        |drops AS (SELECT src FROM reach GROUP BY src HAVING least(src, MIN(dst)) != src)
        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT src FROM drops)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The composed pipeline: survivors (docs that are not
+    * non-representative cluster members) with the count of originals
+    * each absorbed (cluster size for reps, 1 for unclustered). */
+  private def dedupPipelineOracle: String =
+    s"""${clustersReachCte.replace("ON r.dst = e2.src)", "ON r.dst = e2.src),")}
+       |members AS (SELECT src AS doc_id, least(src, MIN(dst)) AS rep
+       |  FROM reach GROUP BY src),
+       |sizes AS (SELECT rep, COUNT(*) AS n_merged FROM members GROUP BY rep)
+       |SELECT d.doc_id AS doc_id, CAST(COALESCE(s.n_merged, 1) AS BIGINT) AS n_merged
+       |FROM documents d
+       |LEFT JOIN members m ON d.doc_id = m.doc_id
+       |LEFT JOIN sizes s ON d.doc_id = s.rep
+       |WHERE m.doc_id IS NULL OR m.rep = d.doc_id
        |ORDER BY doc_id""".stripMargin
 
   /** DuckDB replica of the 60-bit SimHash. */

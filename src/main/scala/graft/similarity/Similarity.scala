@@ -170,7 +170,8 @@ object Similarity {
     * Empty cells keep their previous centroid. */
   def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Array[Array[Double]] = {
+                      vecCol: String = "embedding",
+                      sumScale: Int = 18): Array[Array[Double]] = {
     val v = vectors.select(col(idCol), toDouble(col(vecCol)).as("__v"))
     var centroids: Array[Array[Double]] = v
       .orderBy(col(idCol).asc).limit(k)
@@ -188,11 +189,16 @@ object Similarity {
       val cell = array_sort(array(scored: _*))(0).getField("c")
       // decimal accumulation: double sums depend on partial-merge
       // order (nondeterministic across runs); exact decimal sums make
-      // the trained centroids byte-reproducible
+      // the trained centroids byte-reproducible. `sumScale` sets the
+      // decimal scale — pass 10 with 10-digit pre-rounded inputs for
+      // CROSS-ENGINE byte equality (a double that is the nearest
+      // double of a 10-digit decimal re-rounds to that decimal
+      // unambiguously in any engine; scale 18 sits at the binary
+      // noise floor and is Spark-reproducible only)
       val sums = v.select(cell.as("__cell"), posexplode(col("__v")).as(Seq("__d", "__x")))
         .groupBy("__cell", "__d")
         .agg(count(lit(1)).as("__n"),
-          sum(col("__x").cast("decimal(38,18)")).cast("double").as("__s"))
+          sum(col("__x").cast(s"decimal(38,$sumScale)")).cast("double").as("__s"))
         .collect()
       val next = centroids.map(_.clone())
       sums.groupBy(_.getInt(0)).foreach { case (c, rows) =>

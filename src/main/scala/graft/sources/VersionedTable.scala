@@ -7,42 +7,56 @@ import org.apache.spark.sql.functions._
 /** Minimal versioned-table layer over plain parquet — the in-sandbox
   * analog of the Delta tables the reference writes everywhere
   * (reference: bronze_ingestion.py:86, silver_transformation.py:101,
-  * gold_transformation.py:80,85,160 — `format("delta")`, MERGE,
-  * OPTIMIZE). No Delta/Iceberg jars exist in this environment, so
-  * the same capabilities are re-expressed with a directory-version
-  * commit protocol:
+  * gold_transformation.py:56-60,80-85,152-158 — `format("delta")`,
+  * MERGE, OPTIMIZE). No Delta/Iceberg jars exist in this
+  * environment, so the same capabilities are re-expressed with a
+  * commit-file protocol:
   *
   *   table/
   *     _v00000001/  _v00000002/ ...   immutable data snapshots
-  *     _LATEST                        pointer file: current version
+  *     _c00000001   _c00000002  ...   commit files (the log)
+  *     _stage_<uuid>/                 in-flight staged snapshots
+  *     _LATEST                        pointer CACHE: probe start
   *
-  * Commit = write the new snapshot dir, then atomically swap the
-  * pointer (write `_LATEST__tmp`, rename over `_LATEST` — a rename
-  * is atomic on HDFS-like stores and POSIX). Readers resolve the
-  * pointer first, then read only that snapshot — a reader never sees
-  * a half-written version, and a crashed writer leaves at most an
-  * orphan `_vN` dir that the next commit ignores (version numbers
-  * come from the pointer, not from listing).
+  * Commit (multi-writer safe, Delta-style optimistic concurrency):
   *
-  * Concurrency: readers are always safe (snapshot isolation via the
-  * pointer). WRITERS assume a single committer per table (the
-  * reference's checkpointed-stream topology guarantees this): two
-  * concurrent committers would race the pointer last-wins, orphaning
-  * the loser's snapshot dir — a real table format adds
-  * compare-and-swap commits (e.g. conditional puts) for multi-writer
-  * optimistic concurrency.
+  *  1. stage the new snapshot into a UNIQUELY named `_stage_<uuid>`
+  *     dir — concurrent writers never touch each other's files;
+  *  2. CAS: create the next version's commit file `_cN`
+  *     create-EXCLUSIVE (an atomic namenode op on HDFS-like stores;
+  *     O_EXCL via java.nio on local files). Its content names the
+  *     stage dir. Exactly ONE writer wins version N; the loser
+  *     deletes its stage, re-reads the table — now including the
+  *     winner's rows — recomputes its content and retries at N+1.
+  *     No lost updates, linear history;
+  *  3. finish: rename the stage to `_vN` (atomic) and advance the
+  *     `_LATEST` pointer cache monotonically. Finishing is
+  *     idempotent and ANYONE may do it — a reader that sees a
+  *     claimed-but-unfinished commit completes the rename itself, so
+  *     a writer crashing between CAS and rename blocks nobody.
+  *
+  * Readers resolve the version by probing commit files forward from
+  * the pointer cache — commit files are the source of truth, the
+  * pointer only saves probe steps, so a stale/raced/lost pointer can
+  * never expose a wrong version. A crashed writer leaves at most an
+  * orphan stage dir (cleaned by vacuum after an age threshold — an
+  * IN-FLIGHT writer's stage is always younger).
   *
   * Scale notes: snapshots can be arbitrarily large — the protocol
-  * costs one pointer swap per commit regardless of data size.
-  * `merge` is the SCD1 MERGE analog (O(target) rewrite into a NEW
-  * version — the old version stays readable: readers racing the
-  * commit are snapshot-isolated). `optimize` rewrites the CURRENT
-  * snapshot compacted as a new version — table-service style, fully
-  * concurrent with readers of older versions.
+  * costs one staged write + one commit-file create per commit
+  * regardless of data size. `merge` is the SCD1 MERGE analog
+  * (O(target) rewrite into a NEW version — the old version stays
+  * readable: readers racing the commit are snapshot-isolated).
+  * `optimize` rewrites the CURRENT snapshot compacted as a new
+  * version — table-service style, fully concurrent with readers of
+  * older versions.
   */
 object VersionedTable {
 
   private val PtrName = "_LATEST"
+  private val MaxCommitRetries = 20
+  /** vacuum deletes unreferenced stage dirs older than this. */
+  private val StageOrphanAgeMs = 60L * 60 * 1000
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -50,95 +64,182 @@ object VersionedTable {
   private def versionDir(table: String, v: Long): String =
     f"$table/_v$v%08d"
 
-  private val MarkerName = "_COMMITTED"
+  private def commitFile(table: String, v: Long): Path =
+    new Path(table, f"_c$v%08d") // %08d widens past 1e8 commits
 
-  private def marker(table: String, v: Long): Path =
-    new Path(versionDir(table, v), MarkerName)
+  private def readSmall(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in).mkString finally in.close()
+  }
 
   /** Current committed version, 0 if the table does not exist yet.
-    * If the pointer file is transiently missing (a committer on a
-    * strict-rename store is mid-swap, or the pointer was lost), fall
-    * back to the highest snapshot dir carrying a `_COMMITTED` marker
-    * — markers are written BEFORE the pointer swap, so a marked dir
-    * is always complete and a crashed writer's orphan (no marker) is
-    * never read. */
+    * Commit files are authoritative; `_LATEST` is only the probe
+    * start (it may lag — it is advanced AFTER the CAS). Unfinished
+    * commits found on the way are completed (see [[finishCommit]]). */
   def currentVersion(spark: SparkSession, table: String): Long = {
-    val ptr = new Path(table, PtrName)
     val f = fs(spark, table)
-    if (f.exists(ptr)) {
-      val in = f.open(ptr)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
-    } else {
-      val root = new Path(table)
-      if (!f.exists(root)) 0L
-      else f.listStatus(root).map(_.getPath.getName)
-        .filter(_.matches("_v\\d{8,}")) // %08d widens past 1e8 commits
-        .map(_.drop(2).toLong)
-        .filter(v => f.exists(marker(table, v)))
-        .foldLeft(0L)(math.max)
+    if (!f.exists(new Path(table))) return 0L
+    val ptr = new Path(table, PtrName)
+    var v =
+      if (f.exists(ptr))
+        try math.max(0L, readSmall(f, ptr).trim.toLong)
+        catch { case _: Throwable => 0L }
+      else 0L
+    while (f.exists(commitFile(table, v + 1))) {
+      finishCommit(spark, table, v + 1)
+      v += 1
     }
+    v
   }
 
   /** The commit tag recorded with a version (for exactly-once batch
-    * replay detection); None if untagged or the table is empty. */
+    * replay detection); None if untagged or not committed. Tags live
+    * in the commit file, which is retained even after vacuum. */
   def commitTagOf(spark: SparkSession, table: String, v: Long): Option[String] = {
     val f = fs(spark, table)
-    val m = marker(table, v)
-    if (v < 1 || !f.exists(m)) None
-    else {
-      val in = f.open(m)
-      val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      if (s.isEmpty) None else Some(s)
+    val cf = commitFile(table, v)
+    if (v < 1 || !f.exists(cf)) None
+    else readSmall(f, cf).split("\n", -1) match {
+      case arr if arr.length >= 2 && arr(1).nonEmpty => Some(arr(1))
+      case _ => None
     }
   }
 
-  /** Whether `tag` was recorded with any RETAINED snapshot <= cur
-    * (vacuum bounds the scan). */
+  /** How far back tagSeen scans. Commit files are retained forever,
+    * so the replay-detection window is bounded explicitly; it only
+    * needs to exceed the replay horizon (foreachBatch replays at
+    * most the LAST batch — interleaved service commits push it a few
+    * versions back at most). */
+  private val TagScanBound = 64
+
+  /** Whether `tag` was recorded with any commit in the scan window. */
   private def tagSeen(spark: SparkSession, table: String, cur: Long,
                       tag: String): Boolean = {
-    val f = fs(spark, table)
     var v = cur
-    while (v >= 1 && f.exists(new Path(versionDir(table, v)))) {
+    while (v >= 1 && v > cur - TagScanBound) {
       if (commitTagOf(spark, table, v).contains(tag)) return true
       v -= 1
     }
     false
   }
 
-  private def commitPointer(spark: SparkSession, table: String, v: Long,
-                            tag: Option[String] = None): Unit = {
+  /** The CAS: atomically claim version `v` by creating its commit
+    * file create-exclusive, content naming the staged snapshot.
+    * Returns false if another writer holds `v`. On success the
+    * commit is also finished (rename + pointer) before returning.
+    * `v` must be currentVersion+1 — versions are claimed in order. */
+  private[graft] def tryCommit(spark: SparkSession, table: String, v: Long,
+                               stageName: String, tag: Option[String]): Boolean = {
     val f = fs(spark, table)
-    // 1. mark the snapshot complete (readers' pointer-less fallback
-    //    and replay detection both key off this, so it must precede
-    //    the pointer swap)
-    val out0 = f.create(marker(table, v), true)
-    try out0.write(tag.getOrElse("").getBytes("UTF-8")) finally out0.close()
-    // 2. swap the pointer
-    val tmp = new Path(table, PtrName + "__tmp")
+    val cf = commitFile(table, v)
+    val payload = (stageName + "\n" + tag.getOrElse("")).getBytes("UTF-8")
+    val uri = cf.toUri
+    val created =
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        // local fs: CREATE_NEW opens with O_EXCL — truly atomic
+        // (FileSystem.create(path, false) on LocalFileSystem is
+        // check-then-create, a TOCTOU window)
+        val local = if (uri.getScheme == "file") uri.getPath else cf.toString
+        try {
+          java.nio.file.Files.write(java.nio.file.Paths.get(local), payload,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        // HDFS-like: create(overwrite=false) is an atomic namenode op
+        try {
+          val out = f.create(cf, false)
+          try out.write(payload) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+    if (created) {
+      // winner-only: clear any orphan dir squatting on the target
+      // version (a legacy/garbage dir — this protocol itself never
+      // writes `_vN` directly). Only the CAS winner may delete here;
+      // helpers in finishCommit never remove an existing dir.
+      val dir = new Path(versionDir(table, v))
+      if (f.exists(dir)) f.delete(dir, true)
+      finishCommit(spark, table, v)
+    }
+    created
+  }
+
+  /** Complete a claimed commit — idempotent, and ANYONE may call it
+    * (the Delta "anyone can finish the job" property): rename the
+    * staged dir into place if still pending, then advance the
+    * pointer cache. If both stage and version dir are gone the
+    * version was vacuumed; the claim stands. */
+  private[graft] def finishCommit(spark: SparkSession, table: String, v: Long): Unit = {
+    val f = fs(spark, table)
+    val cf = commitFile(table, v)
+    if (!f.exists(cf)) return
+    val stageName = readSmall(f, cf).split("\n", -1)(0)
+    if (stageName.nonEmpty) {
+      val stage = new Path(table, stageName)
+      val dir = new Path(versionDir(table, v))
+      if (!f.exists(dir) && f.exists(stage)) f.rename(stage, dir)
+    }
+    advancePointer(spark, table, v)
+  }
+
+  /** Monotonically advance the `_LATEST` probe-start cache. Races
+    * here are harmless: commit files are authoritative and
+    * currentVersion probes FORWARD from whatever the pointer says. */
+  private def advancePointer(spark: SparkSession, table: String, v: Long): Unit = {
+    val f = fs(spark, table)
     val ptr = new Path(table, PtrName)
+    val cur =
+      if (f.exists(ptr))
+        try readSmall(f, ptr).trim.toLong catch { case _: Throwable => 0L }
+      else 0L
+    if (cur >= v) return
+    val tmp = new Path(table, PtrName + "__tmp" +
+      java.util.UUID.randomUUID().toString.take(8))
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    // rename-over is atomic on POSIX; on stores where rename refuses
-    // to overwrite, delete-then-rename leaves a pointer-less window —
-    // covered by currentVersion's marker fallback
     if (!f.rename(tmp, ptr)) { f.delete(ptr, false); f.rename(tmp, ptr) }
+  }
+
+  /** Optimistic-concurrency commit loop: compute content against the
+    * current version, stage it uniquely, CAS the next version. A
+    * losing writer discards its stage and recomputes against the
+    * winner's result. `content` returning None means "already
+    * applied, no-op" (replayed tagged batch). */
+  private def commitLoop(spark: SparkSession, table: String,
+                         tag: Option[String] = None)
+                        (content: Long => Option[DataFrame]): Long = {
+    val f = fs(spark, table)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val cur = currentVersion(spark, table)
+      content(cur) match {
+        case None => return cur
+        case Some(df) =>
+          val stageName = "_stage_" + java.util.UUID.randomUUID().toString.take(12)
+          df.write.mode(SaveMode.Overwrite).parquet(s"$table/$stageName")
+          if (tryCommit(spark, table, cur + 1, stageName, tag)) return cur + 1
+          f.delete(new Path(table, stageName), true) // lost the race
+      }
+      attempt += 1
+    }
+    sys.error(s"commit of $table lost $MaxCommitRetries optimistic races; giving up")
   }
 
   /** Write `df` as the next version. `overwrite=false` appends to the
     * current snapshot's logical content (union semantics, realized as
     * a full new snapshot — plain parquet has no manifest to extend;
-    * a production format would add data files + a manifest entry). */
+    * a production format would add data files + a manifest entry).
+    * Multi-writer safe: concurrent appends serialize through the CAS
+    * and each recomputes on loss, so no append is lost. */
   def write(df: DataFrame, table: String, overwrite: Boolean = false): Long = {
     val spark = df.sparkSession
-    val cur = currentVersion(spark, table)
-    val next = cur + 1
-    val content =
-      if (overwrite || cur == 0) df
-      else read(spark, table).unionByName(df)
-    content.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
-    commitPointer(spark, table, next)
-    next
+    commitLoop(spark, table) { cur =>
+      Some(if (overwrite || cur == 0) df
+           else readVersion(spark, table, cur).unionByName(df))
+    }
   }
 
   /** Read the table at its current version (snapshot-isolated: the
@@ -160,15 +261,11 @@ object VersionedTable {
   def merge(updates: DataFrame, table: String, keys: Seq[String],
             versionCol: String): Long = {
     val spark = updates.sparkSession
-    val cur = currentVersion(spark, table)
-    val merged =
-      if (cur == 0) updates
-      else graft.operators.Dedup.keepLatest(
-        read(spark, table).unionByName(updates), keys, versionCol)
-    val next = cur + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
-    commitPointer(spark, table, next)
-    next
+    commitLoop(spark, table) { cur =>
+      Some(if (cur == 0) updates
+           else graft.operators.Dedup.keepLatest(
+             readVersion(spark, table, cur).unionByName(updates), keys, versionCol))
+    }
   }
 
   /** Additive MERGE (incremental aggregation): per key, SUM the
@@ -181,52 +278,48 @@ object VersionedTable {
                      sumCols: Seq[String],
                      commitTag: Option[String] = None): Long = {
     val spark = updates.sparkSession
-    val cur = currentVersion(spark, table)
-    // exactly-once under at-least-once replay: additive merges are
-    // NOT idempotent, so a batch tag rides inside the atomically
-    // committed snapshot — a replayed batch whose tag appears in ANY
-    // retained snapshot is a no-op (checking only the current version
-    // would be fooled by an interleaved untagged commit, e.g. an
-    // optimize() between the crash and the replay). Retention must
-    // therefore exceed the replay horizon — vacuum keepVersions >= 2
-    // covers foreachBatch, which only ever replays the LAST batch.
-    if (commitTag.isDefined && tagSeen(spark, table, cur, commitTag.get))
-      return cur
     def agg(df: DataFrame): DataFrame =
       df.groupBy(keys.map(col): _*)
         .agg(sum(col(sumCols.head)).as(sumCols.head),
           sumCols.tail.map(c => sum(col(c)).as(c)): _*)
-    val merged =
-      if (cur == 0) agg(updates)
-      else agg(read(spark, table).select((keys ++ sumCols).map(col): _*)
-        .unionByName(updates.select((keys ++ sumCols).map(col): _*)))
-    val next = cur + 1
-    merged.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
-    commitPointer(spark, table, next, commitTag)
-    next
+    commitLoop(spark, table, commitTag) { cur =>
+      // exactly-once under at-least-once replay: additive merges are
+      // NOT idempotent, so a batch tag rides inside the atomically
+      // created commit file — a replayed batch whose tag appears in
+      // the scan window is a no-op. The check re-runs on every
+      // optimistic retry, so a racing duplicate of the same batch
+      // cannot double-apply either.
+      if (commitTag.isDefined && tagSeen(spark, table, cur, commitTag.get)) None
+      else Some(
+        if (cur == 0) agg(updates)
+        else agg(readVersion(spark, table, cur)
+          .select((keys ++ sumCols).map(col): _*)
+          .unionByName(updates.select((keys ++ sumCols).map(col): _*))))
+    }
   }
 
   /** OPTIMIZE as a table service: rewrite the current snapshot into
     * `nFiles` files (optionally range-clustered on `clusterCols` for
     * min/max data skipping) and commit it as a new version — readers
-    * of any committed version are never disturbed. */
+    * of any committed version are never disturbed, and a concurrent
+    * writer beating the service to the CAS simply makes the service
+    * recompact the newer snapshot on retry. */
   def optimize(spark: SparkSession, table: String, nFiles: Int,
                clusterCols: Seq[String] = Nil): Long = {
-    val cur = currentVersion(spark, table)
-    require(cur >= 1, s"cannot optimize empty table $table")
-    val data = read(spark, table)
-    val compacted =
-      if (clusterCols.isEmpty) data.coalesce(nFiles)
-      else Layout.clusterBy(data, nFiles, clusterCols: _*)
-    val next = cur + 1
-    compacted.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next))
-    commitPointer(spark, table, next)
-    next
+    commitLoop(spark, table) { cur =>
+      require(cur >= 1, s"cannot optimize empty table $table")
+      val data = readVersion(spark, table, cur)
+      Some(if (clusterCols.isEmpty) data.coalesce(nFiles)
+           else Layout.clusterBy(data, nFiles, clusterCols: _*))
+    }
   }
 
   /** VACUUM analog: drop snapshot dirs older than `keepVersions`
-    * behind the current pointer (bounds storage; time travel then
-    * reaches only the retained window). */
+    * behind the current version (bounds storage; time travel then
+    * reaches only the retained window — commit files stay, so
+    * history/tags survive). Also sweeps orphan stage dirs left by
+    * crashed LOSERS, age-guarded so an in-flight writer's stage is
+    * never touched. */
   def vacuum(spark: SparkSession, table: String, keepVersions: Int = 2): Unit = {
     val cur = currentVersion(spark, table)
     val f = fs(spark, table)
@@ -235,6 +328,10 @@ object VersionedTable {
       f.delete(new Path(versionDir(table, v)), true)
       v -= 1
     }
+    f.listStatus(new Path(table))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_stage_"))
+      .filter(s => System.currentTimeMillis() - s.getModificationTime > StageOrphanAgeMs)
+      .foreach(s => f.delete(s.getPath, true))
   }
 
   /** Committed version history (from the retained snapshot dirs):

@@ -25,6 +25,47 @@ class LayoutAndSkewSpec extends SparkSpec {
     assert(pruned.count() === full)
   }
 
+  test("q_pruned_read scans exactly one partition (graded pruning)") {
+    val df = SparkEntry.queries("q_pruned_read")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("PartitionFilters"))
+    assert(scan.isDefined, "no scan with PartitionFilters in q_pruned_read plan")
+    assert(scan.get.contains("event_type"),
+      s"partition filter does not mention event_type:\n${scan.get}")
+    // only the 'click' directory is listed: every surviving row is
+    // that partition's, and the file-index selection is 1 of 5
+    val types = df.select(col("event_type")).distinct().collect().map(_.getString(0))
+    assert(types.toSeq === Seq("click"))
+  }
+
+  test("dedup_pipeline reuses ONE materialized pair graph across stages") {
+    val df = SparkEntry.queries("dedup_pipeline")(spark, sf)
+    // the pair pipeline (shingle -> simhash -> banded join) is
+    // consumed exactly once, at connectedComponents build time; the
+    // graded plan must NOT contain the simhash expression — both the
+    // drop-list and size-map branches read the materialized CC result
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_simhash"),
+      s"dedup_pipeline plan recomputes the pair graph:\n$plan")
+    // cross-check against the three independently graded stages
+    val docs = Tables.documents(spark, sf)
+    val edges = graft.dedup.NearDup.simHashPairs(docs, "doc_id", "text", maxDist = 6)
+      .select("id_a", "id_b")
+    val members = graft.dedup.Clusters.connectedComponents(edges)
+    val survivors = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val drops = members.filter(col("id") =!= col("cluster_rep"))
+      .collect().map(_.getLong(0)).toSet
+    val reps = members.groupBy("cluster_rep").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(drops.forall(d => !survivors.contains(d)), "a dropped doc survived")
+    reps.foreach { case (rep, size) =>
+      assert(survivors.get(rep).contains(size), s"rep $rep size mismatch")
+    }
+    val nDocs = docs.count()
+    assert(survivors.size.toLong === nDocs - drops.size)
+    assert(survivors.values.sum === nDocs, "merge accounting must cover every doc")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

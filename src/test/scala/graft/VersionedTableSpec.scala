@@ -152,6 +152,66 @@ class VersionedTableSpec extends SparkSpec {
       === Set((1L, 2L)))
   }
 
+  test("CAS: exactly one of two claims on the same version wins") {
+    val t = tbl()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(s"$t/_stage_A")
+    Seq((1L, "a"), (3L, "c")).toDF("id", "s").write.parquet(s"$t/_stage_B")
+    val winA = VersionedTable.tryCommit(spark, t, 2L, "_stage_A", None)
+    val winB = VersionedTable.tryCommit(spark, t, 2L, "_stage_B", None)
+    assert(winA && !winB, "create-exclusive must admit exactly one claim")
+    assert(VersionedTable.currentVersion(spark, t) === 2)
+    assert(VersionedTable.read(spark, t).select("id").as[Long].collect().toSet
+      === Set(1L, 2L))
+  }
+
+  test("two concurrent committers: no lost update, linear history") {
+    val t = tbl()
+    VersionedTable.write(Seq((0L, "base")).toDF("id", "s"), t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val futures = (1 to 2).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          latch.await()
+          (0 until 3).map { i =>
+            VersionedTable.write(Seq((w * 100L + i, s"w$w-$i")).toDF("id", "s"), t)
+          }.max
+        }
+      })
+    }
+    latch.countDown()
+    val maxV = futures.map(_.get()).max
+    pool.shutdown()
+    // 1 base + 6 appends = 7 linear versions, every append retained
+    assert(maxV === 7)
+    assert(VersionedTable.currentVersion(spark, t) === 7)
+    assert(VersionedTable.read(spark, t).select("id").as[Long].collect().toSet
+      === Set(0L, 100L, 101L, 102L, 200L, 201L, 202L))
+    // linearity: version v is exactly v appends deep
+    (1L to 7L).foreach(v =>
+      assert(VersionedTable.readVersion(spark, t, v).count() === v))
+  }
+
+  test("a claimed-but-unfinished commit is completed by the next reader") {
+    val t = tbl()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
+    // simulate a winner that crashed right after the CAS: stage and
+    // commit file exist, rename/pointer never happened
+    VersionedTable.read(spark, t).unionByName(Seq((2L, "b")).toDF("id", "s"))
+      .write.parquet(s"$t/_stage_crashsim")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$t/_c00000002"),
+      "_stage_crashsim\n".getBytes("UTF-8"))
+    // any reader finishes the job and sees the committed rows
+    assert(VersionedTable.currentVersion(spark, t) === 2)
+    assert(VersionedTable.read(spark, t).count() === 2)
+    // and the next writer builds on top of it — the crashed writer's
+    // rows are not lost under the newcomer's append
+    VersionedTable.write(Seq((3L, "c")).toDF("id", "s"), t)
+    assert(VersionedTable.read(spark, t).select("id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+  }
+
   test("a lost pointer falls back to the highest COMMITTED snapshot") {
     val t = tbl()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
