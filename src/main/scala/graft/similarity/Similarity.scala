@@ -195,7 +195,12 @@ object Similarity {
       // double of a 10-digit decimal re-rounds to that decimal
       // unambiguously in any engine; scale 18 sits at the binary
       // noise floor and is Spark-reproducible only)
-      val sums = v.select(cell.as("__cell"), posexplode(col("__v")).as(Seq("__d", "__x")))
+      // the argmin-cell expression must be materialized BELOW the
+      // generator: selecting it alongside posexplode would plan it in
+      // the Project ABOVE Generate, re-evaluating all k dist2
+      // expressions once per exploded element (64x per row)
+      val sums = v.select(cell.as("__cell"), col("__v"))
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__d", "__x")))
         .groupBy("__cell", "__d")
         .agg(count(lit(1)).as("__n"),
           sum(col("__x").cast(s"decimal(38,$sumScale)")).cast("double").as("__s"))
