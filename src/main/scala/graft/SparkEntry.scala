@@ -755,6 +755,36 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "pipeline_curate" -> ((s, d) => {
+      // END-TO-END corpus curation as a training-data user runs it:
+      // language gate -> quality & length gates -> exact-dup
+      // keep-first -> benchmark decontamination -> split assignment
+      // + token counts, ONE declarative plan. Narrow per-row
+      // scoring, ONE shuffle for the keep-first dedup (min_by
+      // aggregation, map-side combinable), broadcast anti-join
+      // against the (small) holdout fingerprints — the corpus never
+      // shuffles again. Shifted clones are unioned in (this corpus
+      // has no exact dupes) so the dedup stage does real work.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withClones = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val gated = withClones
+        .withColumn("__fp", TextFunctions.fingerprintMd5(col("text")))
+        .filter(TextFunctions.langId(col("text")) === "en" &&
+          roundTo(TextFunctions.qualityScore(col("text")), 6) >= 0.5 &&
+          length(col("text")) >= 100)
+      val kept = Dedup.keepFirst(gated, Seq("__fp"), "doc_id")
+      val holdout = docs.filter(col("doc_id") % 97 === 0)
+        .select(TextFunctions.fingerprintMd5(col("text")).as("__fp")).distinct()
+      val h = pmod(conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(100L))
+      kept.join(broadcast(holdout), Seq("__fp"), "left_anti")
+        .select(col("doc_id"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_pipeline" -> ((s, d) => {
       // the three stages above composed as a user would run them:
       // ONE pair graph -> clusters -> survivor apply with merge
@@ -1420,6 +1450,8 @@ object SparkEntry {
 
     "dedup_pipeline" -> dedupPipelineOracle,
 
+    "pipeline_curate" -> pipelineCurateOracle,
+
     "q_label_centroid" ->
       """SELECT label, dim, COUNT(*) AS n_vectors,
         | CAST(SUM(CAST(floor((embedding[dim+1]::DOUBLE)*10000000000 + 0.5)/10000000000
@@ -1840,6 +1872,56 @@ object SparkEntry {
        |drops AS (SELECT src FROM reach GROUP BY src HAVING least(src, MIN(dst)) != src)
        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT src FROM drops)
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replica of the end-to-end curation pass: the same
+    * lang/quality/length gates ([[textLangIdOracle]] /
+    * [[textQualityOracle]] expression shapes), keep-first exact
+    * dedup, holdout decontamination, split hash and token count —
+    * composed exactly as the Spark plan composes them. */
+  private def pipelineCurateOracle: String = {
+    val toks = sqlTokens("text")
+    // lang-id expressions (same as textLangIdOracle)
+    val counts = TextFunctions.LangMarkers.map { case (lang, ms) =>
+      lang -> s"len(list_filter($toks, t -> t IN (${ms.map(w => s"'$w'").mkString(", ")})))"
+    }
+    val best = counts.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val cases = counts.map { case (lang, c) => s"WHEN best > 0 AND $c = best THEN '$lang'" }
+      .mkString(" ")
+    // quality-score expression (same as textQualityOracle)
+    val punct = s"(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    val punctRatio = s"(CASE WHEN length(text)=0 THEN 0.0 ELSE $punct::DOUBLE/length(text) END)"
+    val nTok = s"len($toks)"
+    val nStop = s"len(list_filter($toks, t -> t IN ($stop)))"
+    val stopRatio = s"(CASE WHEN $nTok=0 THEN 0.0 ELSE $nStop::DOUBLE/$nTok END)"
+    val lenScore = s"least($nTok::DOUBLE/50.0, 1.0)"
+    val punctPen = s"least($punctRatio*5.0, 1.0)"
+    val stopScore = s"least($stopRatio*4.0, 1.0)"
+    val q = sqlRound(s"$lenScore*0.5 + $stopScore*0.3 + (1.0-$punctPen)*0.2", 6)
+    val fp = """md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"""
+    s"""WITH u AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL SELECT doc_id + 100000, text FROM documents),
+       |lb AS (SELECT doc_id, text, $best AS best FROM u),
+       |scored AS (SELECT doc_id, text, $fp AS fp,
+       |  CASE $cases ELSE 'unknown' END AS lang_pred, $q AS q
+       | FROM lb),
+       |gated AS (SELECT * FROM scored
+       | WHERE lang_pred = 'en' AND q >= 0.5 AND length(text) >= 100),
+       |kept AS (SELECT doc_id, text, fp FROM (
+       |  SELECT doc_id, text, fp,
+       |   row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+       |  FROM gated) WHERE rn = 1),
+       |hold AS (SELECT DISTINCT $fp AS fp
+       | FROM documents WHERE doc_id % 97 = 0)
+       |SELECT doc_id,
+       | CASE WHEN hsplit < 80 THEN 'train' WHEN hsplit < 90 THEN 'val'
+       |  ELSE 'test' END AS split,
+       | len($toks) AS n_tokens
+       |FROM (SELECT doc_id, text,
+       |   (('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 + 100) % 100 AS hsplit
+       |  FROM kept WHERE fp NOT IN (SELECT fp FROM hold))
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** The composed pipeline: survivors (docs that are not
     * non-representative cluster members) with the count of originals
