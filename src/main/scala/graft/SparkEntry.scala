@@ -423,6 +423,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_range_join" -> ((s, d) => {
+      // range join via fixed-grid bucketing (RangeJoin operator —
+      // a plain non-equi join would plan a nested loop): every event
+      // joined to the ±2-minute incident windows around same-user
+      // error events, counted per event.
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      val inc = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(col("user_id"),
+          (unix_millis(col("ts")) - 120000L).as("lo_ms"),
+          (unix_millis(col("ts")) + 120000L).as("hi_ms"))
+      graft.operators.RangeJoin.pointInInterval(ev, inc, Seq("user_id"),
+        "ts_ms", "lo_ms", "hi_ms", bucketMs = 60000L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_incident_windows"))
+        .orderBy("event_id")
+    }),
+
+    "q_lag_lead" -> ((s, d) => {
+      // lag/lead offset windows (inter-event gaps + next action) —
+      // partitioned by user, so the window never gathers globally
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
+            .as("ms_since_prev"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("event_id")
+    }),
+
     "q_moving_avg" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -1252,6 +1282,22 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |  (('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 + 100) % 100 AS h
         | FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_id AS event_id, COUNT(*) AS n_incident_windows
+        |FROM events e JOIN events r ON e.user_id = r.user_id
+        | AND r.event_type = 'error'
+        | AND epoch_ms(e.ts) BETWEEN epoch_ms(r.ts) - 120000
+        |  AND epoch_ms(r.ts) + 120000
+        |GROUP BY e.event_id ORDER BY event_id""".stripMargin,
+
+    "q_lag_lead" ->
+      """SELECT event_id, user_id,
+        | epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER
+        |  (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS ms_since_prev,
+        | lead(event_type, 1) OVER
+        |  (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_moving_avg" ->
       s"""SELECT event_id, user_id,

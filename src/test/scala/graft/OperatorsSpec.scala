@@ -78,4 +78,37 @@ class OperatorsSpec extends SparkSpec {
       Seq(col("total") > 0))
     assert(out.select("order_id").as[Int].collect().toSeq === Seq(1))
   }
+
+  test("RangeJoin.pointInInterval == naive non-equi join, no nested loop") {
+    import graft.operators.RangeJoin
+    import graft.sources.Tables
+    // realistic shape: events vs ±2min windows around error events
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("ts_ms"))
+    val inc = Tables.events(spark, sf).filter(col("event_type") === "error")
+      .select(col("user_id").as("iu"),
+        (unix_millis(col("ts")) - 120000L).as("lo_ms"),
+        (unix_millis(col("ts")) + 120000L).as("hi_ms"))
+    val got = RangeJoin.pointInInterval(ev,
+      inc.withColumnRenamed("iu", "user_id"), Seq("user_id"),
+      "ts_ms", "lo_ms", "hi_ms", bucketMs = 60000L)
+      .groupBy("event_id").count()
+    val want = ev.join(inc, col("user_id") === col("iu") &&
+        col("ts_ms") >= col("lo_ms") && col("ts_ms") <= col("hi_ms"))
+      .groupBy("event_id").count()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and with a bucket much narrower/wider than the interval, still exact
+    for (b <- Seq(7000L, 999999L)) {
+      val alt = RangeJoin.pointInInterval(ev,
+        inc.withColumnRenamed("iu", "user_id"), Seq("user_id"),
+        "ts_ms", "lo_ms", "hi_ms", bucketMs = b)
+        .groupBy("event_id").count()
+      assert(alt.exceptAll(want).isEmpty && want.exceptAll(alt).isEmpty,
+        s"bucketMs=$b mismatch")
+    }
+    // the bucketed plan is an EQUI join — never a nested loop/cartesian
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"range join planned a nested loop:\n$plan")
+  }
 }
