@@ -128,6 +128,25 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("sortable-bucket monotonicity holds for random doubles (property sweep)") {
+    import graft.functions.SortableBucketExpr.bucket
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // full-range doubles incl. subnormals, negatives, zeros and the
+    // occasional special value
+    val anyDouble = Gen.frequency(
+      7 -> Gen.chooseNum(Double.MinValue, Double.MaxValue),
+      2 -> Gen.chooseNum(-1e-300, 1e-300),
+      1 -> Gen.oneOf(0.0, -0.0, Double.PositiveInfinity,
+        Double.NegativeInfinity, Double.MinPositiveValue))
+    val prop = Prop.forAll(anyDouble, anyDouble, Gen.oneOf(40, 44, 48, 52)) {
+      (a: Double, b: Double, shift: Int) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        bucket(lo, shift) <= bucket(hi, shift)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("rewritten quartile/median plans never gather to one partition") {
     // a partition-less window (or any other all-to-one-task shape)
     // plans an `Exchange SinglePartition` — the exact thing the
