@@ -323,6 +323,7 @@ object VersionedTable {
   def vacuum(spark: SparkSession, table: String, keepVersions: Int = 2): Unit = {
     val cur = currentVersion(spark, table)
     val f = fs(spark, table)
+    if (!f.exists(new Path(table))) return
     var v = cur - keepVersions
     while (v >= 1 && f.exists(new Path(versionDir(table, v)))) {
       f.delete(new Path(versionDir(table, v)), true)
