@@ -9,7 +9,7 @@ import graft.sources.Tables
 import graft.operators.{Dedup, Flatten}
 import graft.medallion.{Bronze, Gold, Silver}
 import graft.quality.QualityChecks
-import graft.text.TextFunctions
+import graft.text.{Relevance, TextFunctions}
 import graft.dedup.NearDup
 import graft.similarity.Similarity
 import graft.streaming.Streams
@@ -1063,6 +1063,97 @@ object SparkEntry {
           .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / n), 6)
           .as("repetition_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // top-3 characteristic terms per document by smoothed TF-IDF:
+    // two map-side-combinable shuffles (tf, df) + a token join; the
+    // per-doc window is partitioned by doc_id (never global)
+    "text_tfidf" -> ((s, d) =>
+      Relevance.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")),
+
+    // Okapi BM25 keyword retrieval over the corpus for a fixed query
+    // bag; corpus scalars (N, avgdl) ride in as 1-row broadcasts and
+    // the global top-20 is TakeOrderedAndProject (no single-partition
+    // exchange)
+    "text_bm25" -> ((s, d) =>
+      Relevance.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "fast", "vector"), k1 = 1.2, b = 0.75, topK = 20)
+        .orderBy(col("bm25").desc, col("doc_id").asc)),
+
+    // distribution-position window functions (percent_rank /
+    // cume_dist / ntile / first-last value) per nation — ANSI
+    // semantics identical across engines; ties broken by c_custkey so
+    // every rank is deterministic
+    "q_window_stats" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val ord = Window.partitionBy(col("c_nationkey"))
+        .orderBy(roundTo(col("c_acctbal"), 2).asc, col("c_custkey").asc)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      c.select(col("c_custkey"), col("c_nationkey"),
+        roundTo(percent_rank().over(ord), 6).as("pct_rank"),
+        roundTo(cume_dist().over(ord), 6).as("cum_dist"),
+        ntile(4).over(ord).cast("bigint").as("quartile"),
+        first(col("c_custkey")).over(full).as("poorest_custkey"),
+        last(col("c_custkey")).over(full).as("richest_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    // blocked edit-distance near-dup: candidate pairs form only
+    // inside (lang, length-band) blocks — never all-pairs — then an
+    // exact levenshtein on a fixed 40-char prefix filters them.
+    // Mutated clones (first 2 chars replaced) plant true near-dups
+    // the same way dedup_exact_text plants exact ones.
+    "dedup_levenshtein" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val clones = base.select((col("doc_id") + 200000).as("doc_id"),
+        col("lang"), col("n_chars"),
+        concat(lit("zz"), substring(col("text"), 3, 1000000)).as("text"))
+      val all = base.unionAll(clones)
+        .select(col("doc_id"), col("lang"), floor(col("n_chars") / 8).as("band"),
+          substring(col("text"), 1, 40).as("prefix"))
+      val a = all.select(col("doc_id").as("id_a"), col("lang"), col("band"),
+        col("prefix").as("p_a"))
+      val b = all.select(col("doc_id").as("id_b"), col("lang"), col("band"),
+        col("prefix").as("p_b"))
+      a.join(b, Seq("lang", "band"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("lev_dist", levenshtein(col("p_a"), col("p_b")).cast("bigint"))
+        .where(col("lev_dist") <= 6)
+        .select(col("id_a"), col("id_b"), col("lev_dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // bigram collocations by pointwise mutual information: adjacent
+    // token pairs extracted with a narrow array transform (no
+    // positional self-join), unigram/bigram counts are two combinable
+    // shuffles, corpus totals ride in as 1-row broadcasts; top-50 is
+    // TakeOrderedAndProject
+    "text_pmi_bigrams" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextFunctions.tokens(col("text"))
+      val nt = size(toks)
+      val bg = docs.select(explode(when(nt < lit(2),
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), nt - 2), i =>
+          struct(element_at(toks, i + 1).as("w1"), element_at(toks, i + 2).as("w2")))))
+        .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      val uni = docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w"))
+      val totals = uni.agg(sum(col("n_w")).as("n_uni"))
+        .crossJoin(cab.agg(sum(col("n_ab")).as("n_bg")))
+      cab.where(col("n_ab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("n_ab"),
+          roundTo(log(col("n_ab").cast("double") * col("n_uni") * col("n_uni") /
+            (col("n_bg").cast("double") * col("n_a") * col("n_b"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(50)
     })
   )
 
@@ -1598,6 +1689,87 @@ object SparkEntry {
       val rep = s"CASE WHEN len($toks) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct($toks))::DOUBLE / len($toks) END"
       s"""SELECT doc_id, ${graft.functions.Det.sqlRound(rep, 6)} AS repetition_ratio
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "text_tfidf" -> {
+      val score = "tf.tf * (ln((n.n_docs + 1.0)/(df.df + 1.0)) + 1.0)"
+      s"""WITH toks AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.token, ${sqlRound(score, 6)} AS tfidf
+         |  FROM tf JOIN df USING (token) CROSS JOIN n)
+         |SELECT doc_id, rank, token, tfidf FROM (
+         |  SELECT doc_id, token, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+    },
+
+    "text_bm25" -> {
+      val ts = "ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))" +
+        " * (q.tf * (1.2 + 1.0)) / (q.tf + 1.2*(1.0 - 0.75 + 0.75*l.dl/s.avgdl))"
+      s"""WITH toks AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+         |qtf AS (SELECT * FROM tf WHERE token IN ('spark','join','fast','vector')),
+         |df AS (SELECT token, COUNT(*) AS df FROM qtf GROUP BY token),
+         |lens AS (SELECT doc_id, len(${sqlTokens("text")})::DOUBLE AS dl FROM documents),
+         |stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl)/COUNT(*) AS avgdl FROM lens),
+         |per AS (SELECT q.doc_id, CAST(${sqlRound(ts, 10)} AS DECIMAL(28,10)) AS ts
+         |  FROM qtf q JOIN df d USING (token) JOIN lens l ON l.doc_id = q.doc_id
+         |  CROSS JOIN stats s),
+         |scored AS (SELECT doc_id, ${sqlRound("CAST(SUM(ts) AS DOUBLE)", 6)} AS bm25
+         |  FROM per GROUP BY doc_id)
+         |SELECT doc_id, bm25 FROM scored
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    "q_window_stats" ->
+      s"""SELECT c_custkey, c_nationkey,
+         | ${sqlRound("percent_rank() OVER ord", 6)} AS pct_rank,
+         | ${sqlRound("cume_dist() OVER ord", 6)} AS cum_dist,
+         | CAST(ntile(4) OVER ord AS BIGINT) AS quartile,
+         | first_value(c_custkey) OVER w_full AS poorest_custkey,
+         | last_value(c_custkey) OVER w_full AS richest_custkey
+         |FROM customer
+         |WINDOW ord AS (PARTITION BY c_nationkey
+         |    ORDER BY floor(c_acctbal*100 + 0.5)/100 ASC, c_custkey ASC),
+         |  w_full AS (PARTITION BY c_nationkey
+         |    ORDER BY floor(c_acctbal*100 + 0.5)/100 ASC, c_custkey ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |ORDER BY c_custkey""".stripMargin,
+
+    "dedup_levenshtein" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, lang, n_chars, 'zz' || substr(text, 3) FROM documents),
+        |blocked AS (SELECT doc_id, lang, floor(n_chars/8) AS band,
+        |    substr(text, 1, 40) AS prefix FROM base)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev_dist
+        |FROM blocked a JOIN blocked b
+        |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_pmi_bigrams" -> {
+      val pmi = "ln(n_ab::DOUBLE * n_uni * n_uni / (n_bg::DOUBLE * n_a * n_b))"
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)),
+         |cab AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY w1, w2),
+         |uni AS (SELECT unnest(toks) AS w FROM t),
+         |cu AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+         |totals AS (SELECT (SELECT SUM(n_w) FROM cu) AS n_uni,
+         |  (SELECT SUM(n_ab) FROM cab) AS n_bg)
+         |SELECT w1, w2, n_ab, ${sqlRound(pmi, 6)} AS pmi
+         |FROM cab
+         |JOIN (SELECT w AS wa, n_w AS n_a FROM cu) ca ON ca.wa = cab.w1
+         |JOIN (SELECT w AS wb, n_w AS n_b FROM cu) cb ON cb.wb = cab.w2
+         |CROSS JOIN totals
+         |WHERE n_ab >= 5
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
     }
   )
 

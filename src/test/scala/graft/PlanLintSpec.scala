@@ -26,7 +26,10 @@ class PlanLintSpec extends SparkSpec {
     * rows (one per task), never the data. Anything else gathering to
     * one partition (a partition-less window, a global sort feeding
     * more work) is a scale bug. */
-  private val globalAggQueries = Set("dq_summary", "dq_profile")
+  private val globalAggQueries = Set("dq_summary", "dq_profile",
+    // corpus-statistics scalars (N, avgdl, unigram/bigram totals):
+    // 1-row ungrouped aggs broadcast back into the scoring join
+    "text_tfidf", "text_bm25", "text_pmi_bigrams")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
