@@ -1113,47 +1113,68 @@ object SparkEntry {
       val all = base.unionAll(clones)
         .select(col("doc_id"), col("lang"), floor(col("n_chars") / 8).as("band"),
           substring(col("text"), 1, 40).as("prefix"))
-      val a = all.select(col("doc_id").as("id_a"), col("lang"), col("band"),
-        col("prefix").as("p_a"))
+      // the probe side must be spread across the cluster BEFORE the
+      // broadcast join: the corpus arrives in file-granular splits
+      // (one small file = one partition), and the per-pair DP below
+      // is the hot loop — repartition by block key so it parallelizes
+      val a = all.repartition(col("lang"), col("band"))
+        .select(col("doc_id").as("id_a"), col("lang"), col("band"),
+          col("prefix").as("p_a"))
       val b = all.select(col("doc_id").as("id_b"), col("lang"), col("band"),
         col("prefix").as("p_b"))
+      // banded threshold levenshtein: O(len·k) instead of O(len²),
+      // returns -1 past the threshold (filtered out with the same
+      // semantics as `dist <= 6`)
       a.join(b, Seq("lang", "band"))
         .where(col("id_a") < col("id_b"))
-        .withColumn("lev_dist", levenshtein(col("p_a"), col("p_b")).cast("bigint"))
-        .where(col("lev_dist") <= 6)
+        .withColumn("lev_dist",
+          levenshtein(col("p_a"), col("p_b"), 6).cast("bigint"))
+        .where(col("lev_dist") >= 0)
         .select(col("id_a"), col("id_b"), col("lev_dist"))
         .orderBy("id_a", "id_b")
     }),
 
-    // bigram collocations by pointwise mutual information: adjacent
-    // token pairs extracted with a narrow array transform (no
-    // positional self-join), unigram/bigram counts are two combinable
-    // shuffles, corpus totals ride in as 1-row broadcasts; top-50 is
-    // TakeOrderedAndProject
-    "text_pmi_bigrams" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = TextFunctions.tokens(col("text"))
-      val nt = size(toks)
-      val bg = docs.select(explode(when(nt < lit(2),
-          array().cast("array<struct<w1:string,w2:string>>"))
-        .otherwise(transform(sequence(lit(0), nt - 2), i =>
-          struct(element_at(toks, i + 1).as("w1"), element_at(toks, i + 2).as("w2")))))
-        .as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
-      val uni = docs.select(explode(toks).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("n_w"))
-      val totals = uni.agg(sum(col("n_w")).as("n_uni"))
-        .crossJoin(cab.agg(sum(col("n_ab")).as("n_bg")))
-      cab.where(col("n_ab") >= 5)
-        .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
-        .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
-        .crossJoin(broadcast(totals))
-        .select(col("w1"), col("w2"), col("n_ab"),
-          roundTo(log(col("n_ab").cast("double") * col("n_uni") * col("n_uni") /
-            (col("n_bg").cast("double") * col("n_a") * col("n_b"))), 6).as("pmi"))
-        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
-        .limit(50)
+    // bigram collocations by pointwise mutual information — see
+    // Relevance.pmiBigrams for the codegen'd extraction and the
+    // shuffle-exchange reuse that keeps totals off the raw scan
+    "text_pmi_bigrams" -> ((s, d) =>
+      Relevance.pmiBigrams(Tables.documents(s, d), "doc_id", "text",
+        minCount = 5, topK = 50)),
+
+    // ordered conversion funnel (view → click → purchase, each stage
+    // STRICTLY after the previous one's first hit): three combinable
+    // per-user aggregations chained by user_id equi-joins — every
+    // shuffle is on user_id, so at scale the stage joins co-locate
+    "q_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ms")).as("first_view_ms"))
+      val c = e.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ms") > col("first_view_ms"))
+        .groupBy("user_id").agg(min(col("ms")).as("first_click_ms"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ms") > col("first_click_ms"))
+        .groupBy("user_id").agg(min(col("ms")).as("first_purchase_ms"))
+      v.join(c.select(col("user_id"), col("first_click_ms")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("first_purchase_ms")), Seq("user_id"), "left")
+        .orderBy("user_id")
+    }),
+
+    // cohort retention: users grouped by first-activity week, counted
+    // per week-offset of later activity. Weeks are integer epoch-day
+    // buckets (floor(day/7)) — identical arithmetic in any engine, no
+    // calendar-week-boundary semantics to disagree on
+    "q_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        floor(floor(unix_millis(col("ts")) / lit(86400000L)) / 7).as("week"))
+      val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      val active = ev.distinct()
+      active.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
     })
   )
 
@@ -1770,7 +1791,32 @@ object SparkEntry {
          |CROSS JOIN totals
          |WHERE n_ab >= 5
          |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
-    }
+    },
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, MIN(ms) AS first_view_ms FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(ms) AS first_click_ms FROM e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND ms > first_view_ms GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(ms) AS first_purchase_ms FROM e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND ms > first_click_ms GROUP BY e.user_id)
+        |SELECT v.user_id, v.first_view_ms, c.first_click_ms, p.first_purchase_ms
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q_retention_cohorts" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |  CAST(floor(floor(epoch_ms(ts)/86400000)/7) AS BIGINT) AS week FROM events),
+        |cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_active_users
+        |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
   )
 
   /** DuckDB replica of the IVF ANN: centroids are the 16 lowest-id

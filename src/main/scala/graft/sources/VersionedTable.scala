@@ -327,12 +327,134 @@ object VersionedTable {
     var v = cur - keepVersions
     while (v >= 1 && f.exists(new Path(versionDir(table, v)))) {
       f.delete(new Path(versionDir(table, v)), true)
+      if (f.exists(statsFile(table, v))) f.delete(statsFile(table, v), false)
       v -= 1
     }
     f.listStatus(new Path(table))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_stage_"))
       .filter(s => System.currentTimeMillis() - s.getModificationTime > StageOrphanAgeMs)
       .foreach(s => f.delete(s.getPath, true))
+  }
+
+  // ---------------- data skipping (per-file column stats) ----------------
+
+  private def statsFile(table: String, v: Long): Path =
+    new Path(table, f"_t$v%08d")
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Collect per-file min/max stats for `cols` of version `v` into a
+    * sidecar `_tN` file — the in-sandbox analog of the per-file stats
+    * a Delta log / Iceberg manifest records at commit time. ONE cheap
+    * metadata-shaped job (`groupBy(input_file_name())` — map-side
+    * combinable, one row per file). Stats are an OPTIMIZATION only:
+    * a missing/partial sidecar just disables skipping, never
+    * correctness. Call after `write`/`merge`/`optimize`; typically on
+    * a snapshot range-clustered by `optimize(clusterCols=...)`, which
+    * is what makes min/max ranges disjoint and skipping effective. */
+  def collectStats(spark: SparkSession, table: String, v: Long,
+                   cols: Seq[String]): Unit = {
+    val data = readVersion(spark, table, v)
+    // min/max in the column's NATIVE type (numeric order for
+    // numerics), rendered to string only for serialization —
+    // aggregating the cast would give lexicographic bounds and prune
+    // wrong files
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val rows = data.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per data file of one version
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val fileName = r.getString(0).split('/').last
+      cols.foreach { c =>
+        val mn = Option(r.getAs[String](s"__min_$c"))
+        val mx = Option(r.getAs[String](s"__max_$c"))
+        // all-null files carry no range — recorded as absent (kept
+        // conservatively by every prune)
+        if (mn.isDefined && mx.isDefined)
+          sb.append(s"${enc(fileName)}\t${enc(c)}\t${enc(mn.get)}\t${enc(mx.get)}\n")
+      }
+    }
+    val f = fs(spark, table)
+    val out = f.create(statsFile(table, v), true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Data-skipping read: version `v`'s files whose [min,max] range
+    * for `column` intersects [lo,hi] — files provably outside the
+    * range are never opened. Numeric bounds compare numerically,
+    * anything else lexicographically (ISO dates order correctly).
+    * The residual `BETWEEN` filter stays in the plan (file pruning is
+    * file-granular, not row-granular), so the result is identical to
+    * an unpruned scan+filter even with stale/missing stats. */
+  def prunedRead(spark: SparkSession, table: String, column: String,
+                 lo: Any, hi: Any, version: Long = -1L): DataFrame = {
+    val v = if (version >= 1) version else currentVersion(spark, table)
+    val f = fs(spark, table)
+    val dir = new Path(versionDir(table, v))
+    val all = f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val sfp = statsFile(table, v)
+    val numeric = lo.isInstanceOf[Number] && hi.isInstanceOf[Number]
+    val ranges: Map[String, (String, String)] =
+      if (!f.exists(sfp)) Map.empty
+      else readSmall(f, sfp).split("\n").filter(_.nonEmpty).flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(file, c, mn, mx) if dec(c) == column =>
+            Some(dec(file) -> (dec(mn), dec(mx)))
+          case _ => None
+        }
+      }.toMap
+    def overlaps(mn: String, mx: String): Boolean =
+      if (numeric)
+        try {
+          val (l, h) = (lo.asInstanceOf[Number].doubleValue(),
+            hi.asInstanceOf[Number].doubleValue())
+          mx.toDouble >= l && mn.toDouble <= h
+        } catch { case _: NumberFormatException => true } // conservative
+      else mx >= lo.toString && mn <= hi.toString
+    val kept = all.filter { p =>
+      ranges.get(p.getName) match {
+        case Some((mn, mx)) => overlaps(mn, mx)
+        case None => true // no stats for this file — must read it
+      }
+    }
+    val residual = col(column).between(lit(lo), lit(hi))
+    if (kept.isEmpty)
+      readVersion(spark, table, v).where(residual).limit(0)
+    else
+      spark.read.parquet(kept.map(_.toString): _*).where(residual)
+  }
+
+  // ---------------- CDC: version-diff changes read ----------------
+
+  /** Change-data-feed analog: the row-level diff between two
+    * committed versions, tagged `insert` / `delete` in a
+    * `_change_type` column (an update appears as delete+insert, as in
+    * Delta CDF without column-level diffing). Plain-parquet snapshots
+    * carry no per-commit file diff, so this is an exceptAll in both
+    * directions — two hash shuffles over the two snapshots. A
+    * production format reads the commit log's file-level diff
+    * instead; the API (and its consumers) stay the same. */
+  def changes(spark: SparkSession, table: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"bad change range [$fromVersion, $toVersion]")
+    def snap(v: Long): Option[DataFrame] =
+      if (v == 0) None else Some(readVersion(spark, table, v))
+    (snap(fromVersion), snap(toVersion)) match {
+      case (None, None) => sys.error("empty change range on empty table")
+      case (None, Some(b)) => b.withColumn("_change_type", lit("insert"))
+      case (Some(_), None) => sys.error("toVersion predates fromVersion")
+      case (Some(a), Some(b)) =>
+        b.exceptAll(a).withColumn("_change_type", lit("insert"))
+          .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+    }
   }
 
   /** Committed version history (from the retained snapshot dirs):

@@ -95,4 +95,41 @@ object Relevance {
     scored.orderBy(col("bm25").desc, col(idCol).asc).limit(topK)
       .select(col(idCol), col("bm25"))
   }
+
+  /** Bigram collocations ranked by pointwise mutual information:
+    * PMI(a,b) = ln( p(ab) / (p(a)p(b)) ) with corpus-level
+    * probabilities, keeping pairs seen at least `minCount` times.
+    *
+    * Adjacent pairs come from a codegen'd `posexplode` + per-doc
+    * `lead` window (HigherOrderFunction lambdas — transform/zip_with
+    * — run interpreted per row, an order of magnitude slower on wide
+    * corpora). The window is partitioned by document, unigram and
+    * bigram counts are map-side-combinable shuffles, and the corpus
+    * totals are 1-row aggregates over the ALREADY-AGGREGATED count
+    * frames (vocabulary-sized, with their shuffle exchanges reused —
+    * the raw token explode is never rescanned for totals). Top-K is
+    * TakeOrderedAndProject.
+    */
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Long, topK: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("__doc"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "w")))
+    val byDoc = Window.partitionBy("__doc").orderBy("__pos")
+    val bg = tok.withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .where(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val cu = tok.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = cu.agg(sum(col("n_w")).as("n_uni"))
+      .crossJoin(cab.agg(sum(col("n_ab")).as("n_bg")))
+    cab.where(col("n_ab") >= minCount)
+      .join(cu.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(cu.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        roundTo(log(col("n_ab").cast("double") * col("n_uni") * col("n_uni") /
+          (col("n_bg").cast("double") * col("n_a") * col("n_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
 }

@@ -242,4 +242,57 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.write(Seq((2L, "b")).toDF("id", "s"), t)
     assert(VersionedTable.read(spark, t).count() === 2)
   }
+
+  test("data skipping: pruned read opens only files whose range matches") {
+    val t = tbl()
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") % 7).as("k"))
+    VersionedTable.write(df, t)
+    // cluster by id into 8 files → disjoint min/max ranges, then stats
+    val v = VersionedTable.optimize(spark, t, 8, Seq("id"))
+    VersionedTable.collectStats(spark, t, v, Seq("id"))
+    val pruned = VersionedTable.prunedRead(spark, t, "id", 100, 140)
+    val full = VersionedTable.read(spark, t)
+      .where(col("id").between(100, 140))
+    // correctness: identical result to the unpruned scan+filter
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq
+      === full.select("id").as[Long].collect().sorted.toSeq)
+    // skipping: strictly fewer files opened than the snapshot holds
+    val opened = pruned.inputFiles.length
+    val total = VersionedTable.read(spark, t).inputFiles.length
+    assert(total === 8)
+    assert(opened < total, s"expected pruning, opened $opened of $total")
+    assert(opened >= 1)
+  }
+
+  test("data skipping degrades safely without stats and on string ranges") {
+    val t = tbl()
+    VersionedTable.write(
+      Seq((1L, "apple"), (2L, "mango"), (3L, "zebra")).toDF("id", "s"), t)
+    // no collectStats call: every file must be kept, result still right
+    val noStats = VersionedTable.prunedRead(spark, t, "id", 2, 3)
+    assert(noStats.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    // string-range prune after stats (lexicographic bounds)
+    VersionedTable.collectStats(spark, t, 1, Seq("s"))
+    val strs = VersionedTable.prunedRead(spark, t, "s", "a", "n")
+    assert(strs.select("s").as[String].collect().sorted.toSeq
+      === Seq("apple", "mango"))
+  }
+
+  test("CDC: changes between versions tags inserts and deletes") {
+    val t = tbl()
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    VersionedTable.merge(Seq((2L, "b2"), (3L, "c")).toDF("id", "s"), t,
+      Seq("id"), "s")
+    val ch = VersionedTable.changes(spark, t, 1, 2)
+      .as[(Long, String, String)].collect().toSet
+    assert(ch === Set(
+      (2L, "b2", "insert"), (3L, "c", "insert"), (2L, "b", "delete")))
+    // from the empty table: everything in v1 is an insert
+    val fromEmpty = VersionedTable.changes(spark, t, 0, 1)
+      .as[(Long, String, String)].collect().toSet
+    assert(fromEmpty === Set((1L, "a", "insert"), (2L, "b", "insert")))
+    // identical versions: empty diff
+    assert(VersionedTable.changes(spark, t, 2, 2).count() === 0)
+  }
 }
