@@ -159,6 +159,42 @@ class LayoutAndSkewSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes a shuffled fact join on a selective dim") {
+    // Spark 4's InjectRuntimeFilter: when a shuffle join's build side
+    // carries a selective filter, a bloom filter of its join keys is
+    // pushed into the probe-side scan — at 100 TB this is what keeps
+    // a fact-dim join from shuffling fact rows that can never match.
+    // Thresholds are production defaults (10MB creation side / 10GB
+    // probe side); only the probe-side size gate is lowered to make
+    // the toy-scale fact eligible.
+    val c = spark.conf
+    val savedBroadcast = c.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val savedScan = c.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val dim = Tables.part(spark, sf).where(col("p_size") === 1)
+      val fact = Tables.lineitem(spark, sf)
+      val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom runtime filter on the fact side:\n${plan.take(2000)}")
+      // the filter is a pure optimization — row count must equal the
+      // unfiltered broadcast-join result
+      val n = joined.count()
+      c.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        savedScan)
+      assert(fact.join(dim, col("l_partkey") === col("p_partkey")).count() === n)
+    } finally {
+      c.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        savedScan)
+    }
+  }
+
   test("salted join equals the plain join") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
