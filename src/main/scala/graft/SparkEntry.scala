@@ -1161,6 +1161,36 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // sliding (hopping) time-window aggregation: native window() with
+    // a 1h length / 15min hop — each event lands in length/hop = 4
+    // overlapping epoch-aligned windows. The oracle unrolls the same
+    // 4 hops arithmetically, proving the native operator's alignment
+    "q_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sumD(col("value")).as("total_value"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("window_start_ms", "event_type")),
+
+    // order-insensitive table content checksum — the migration /
+    // replication validation primitive: two engines (or two copies of
+    // a 100 TB table) agree iff every row agrees, with ONE combinable
+    // aggregation and no sort. Doubles ride as exact integer cents so
+    // the canonical row rendering is engine-independent.
+    "q_table_checksum" -> ((s, d) => {
+      val canon = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"),
+        col("l_returnflag"), col("l_linestatus"))
+      val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(rowHash).cast("string").as("checksum"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // cohort retention: users grouped by first-activity week, counted
     // per week-offset of later activity. Weeks are integer epoch-day
     // buckets (floor(day/7)) — identical arithmetic in any engine, no
@@ -1808,6 +1838,29 @@ object SparkEntry {
         |LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+
+    "q_sliding_window" ->
+      s"""WITH ev AS (SELECT epoch_ms(ts) AS ms, event_type, value FROM events),
+         |hopped AS (SELECT
+         |   CAST((floor(ms/900000) - k)*900000 AS BIGINT) AS window_start_ms,
+         |   event_type, value
+         |  FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+         |SELECT window_start_ms, event_type, COUNT(*) AS n_events,
+         | ${sqlSumD("value")} AS total_value
+         |FROM hopped GROUP BY 1, 2
+         |ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "q_table_checksum" ->
+      """WITH rows_c AS (SELECT l_returnflag, l_linestatus,
+        |  ('0x' || substr(md5(
+        |    l_orderkey || '|' || l_linenumber || '|' ||
+        |    CAST(floor(l_quantity*100 + 0.5) AS BIGINT) || '|' ||
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) || '|' ||
+        |    l_returnflag || '|' || l_linestatus), 1, 15))::BIGINT::DECIMAL(38,0) AS h
+        | FROM lineitem)
+        |SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        | CAST(SUM(h) AS VARCHAR) AS checksum
+        |FROM rows_c GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH ev AS (SELECT DISTINCT user_id,
