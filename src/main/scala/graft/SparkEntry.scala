@@ -1205,8 +1205,125 @@ object SparkEntry {
           (col("week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_active_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // calendar gap-fill / resample: daily order counts with missing
+    // days emitted as zero rows — the time-series densification
+    // primitive. The calendar frame is sequence(min, max) over the
+    // 1-row bounds aggregate (its size is bounded by the DATE SPAN,
+    // never by row count), exploded and left-joined back; the only
+    // data-sized shuffle is the map-side-combinable daily aggregation
+    "q_gapfill_daily" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("total_price"))
+      val cal = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        // spread the exploded calendar before the join: explode of a
+        // 1-row frame otherwise leaves every calendar row in ONE task
+        .repartition(col("day"))
+      cal.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_price"), lit(0.0)).as("total_price"))
+        .orderBy("day")
+    }),
+
+    // exact interpolated percentiles (percentile_cont semantics) per
+    // group via the built-in `percentile` aggregate — the in-group
+    // exact-quantile primitive for BOUNDED group row counts (it
+    // buffers each group's values; for quantiles over data-sized
+    // groups use the two-pass Ranks.valuesAtRanks selection instead,
+    // which never materializes a group). Inputs pre-rounded to cents
+    // so the linear interpolation arithmetic is bit-identical in both
+    // engines (same a, b, fraction → same IEEE result)
+    "q_percentiles" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), roundTo(col("o_totalprice"), 2).as("p"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          roundTo(expr("percentile(p, 0.25D)"), 4).as("p25"),
+          roundTo(expr("percentile(p, 0.5D)"), 4).as("p50"),
+          roundTo(expr("percentile(p, 0.75D)"), 4).as("p75"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // per-group z-score outliers: mean/std from ONE combinable
+    // aggregation (exact decimal sums of x and x², so the moments are
+    // summation-order-independent), broadcast back onto the rows —
+    // two narrow scans, one tiny shuffle, no window. The anomaly-
+    // detection building block for DQ at scale
+    "q_zscore_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), roundTo(col("value"), 2).as("v"))
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(roundTo(col("v"), 2).cast("decimal(18,2)")).cast("double").as("s1"),
+        sum(roundTo(col("v") * col("v"), 4).cast("decimal(28,4)")).cast("double").as("s2"))
+        .select(col("event_type"), (col("s1") / col("n")).as("mean"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - lit(1))).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .where(col("sd") > 0)
+        .withColumn("z", roundTo((col("v") - col("mean")) / col("sd"), 4))
+        .where(abs(col("z")) > lit(2.5))
+        .select(col("event_id"), col("event_type"), col("v"), col("z"))
+        .orderBy("event_id")
+    }),
+
+    // order-invariant token-SET fingerprint dedup: md5 over the
+    // sorted distinct token list — catches shuffled/reordered copies
+    // that exact-text dedup misses. Same one-shuffle hash-groupBy
+    // shape as dedup_exact_text
+    "dedup_tokenset" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(TextFunctions.tokens(col("text")))))).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .select(col("keep_id"), col("n_docs"), col("fp"))
+        .orderBy("keep_id")),
+
+    // Johnson-Lindenstrauss random projection 64 → 8 dims: each
+    // output coordinate is one strict left-to-right dot product
+    // ([[graft.functions.DotProductExpr]], codegen'd) against a
+    // deterministic projection matrix of exactly-representable
+    // doubles (k/1024) — a pure narrow transform, zero shuffle, and
+    // the oracle interpolates the identical literals so every
+    // coordinate is bit-equal cross-engine
+    "q_embed_project" -> ((s, d) => {
+      val cols = projMatrix.zipWithIndex.map { case (row, j) =>
+        roundTo(Similarity.dot(col("embedding"), typedLit(row)), 6).as(s"p$j")
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: cols: _*)
+        .orderBy("vec_id")
+    }),
+
+    // directional containment (|A∩B| / |A|) — excerpt/sub-document
+    // detection: 15-token head excerpts planted per doc score 1.0
+    // against their source (a token-prefix's shingles are a subset of
+    // the source's) while their Jaccard stays tiny. Inverted shingle
+    // index, exact size prune — see NearDup.containmentPairs
+    "dedup_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val excerpts = docs.select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 15)).as("text"))
+      NearDup.containmentPairs(docs.unionAll(excerpts), "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+        .orderBy("id_a", "id_b")
     })
   )
+
+  /** Deterministic JL projection matrix (8 × 64): entries k/1024 with
+    * k a Weyl-style multiplicative hash in [-512, 512) — every entry
+    * is an exactly-representable double whose shortest decimal
+    * rendering round-trips, so interpolating `toString` into the
+    * DuckDB oracle reproduces bit-identical literals. */
+  private val projMatrix: Seq[Seq[Double]] =
+    Seq.tabulate(8, 64) { (j, i) =>
+      ((j * 64 + i + 1) * 2654435761L % 1024 - 512).toDouble / 1024.0
+    }
 
   /** One SQL text, two engines: runs verbatim on Spark AND DuckDB. */
   private val correlatedSubSql =
@@ -1869,8 +1986,93 @@ object SparkEntry {
         |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
         |  COUNT(DISTINCT e.user_id) AS n_active_users
         |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_gapfill_daily" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+         |  ${sqlSumD("o_totalprice")} AS total_price FROM orders GROUP BY 1),
+         |cal AS (SELECT CAST(unnest(generate_series(
+         |  (SELECT MIN(day) FROM daily)::TIMESTAMP,
+         |  (SELECT MAX(day) FROM daily)::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day)
+         |SELECT cal.day, COALESCE(n_orders, 0) AS n_orders,
+         |  COALESCE(total_price, 0.0) AS total_price
+         |FROM cal LEFT JOIN daily ON cal.day = daily.day
+         |ORDER BY cal.day""".stripMargin,
+
+    "q_percentiles" -> {
+      def q(p: String) = sqlRound(s"quantile_cont(p, $p)", 4)
+      s"""WITH o AS (SELECT o_orderpriority, floor(o_totalprice*100 + 0.5)/100 AS p FROM orders)
+         |SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${q("0.25")} AS p25, ${q("0.5")} AS p50, ${q("0.75")} AS p75
+         |FROM o GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+    },
+
+    "q_zscore_outliers" ->
+      s"""WITH e AS (SELECT event_id, event_type, floor(value*100 + 0.5)/100 AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |st AS (SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(floor(v*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         |  CAST(SUM(CAST(floor(v*v*10000 + 0.5)/10000 AS DECIMAL(28,4))) AS DOUBLE) AS s2
+         |  FROM e GROUP BY 1),
+         |m AS (SELECT event_type, s1/n AS mean,
+         |  sqrt((s2 - s1*s1/n) / (n - 1)) AS sd FROM st)
+         |SELECT event_id, e.event_type, v,
+         |  ${sqlRound("(v - mean)/sd", 4)} AS z
+         |FROM e JOIN m ON e.event_type = m.event_type
+         |WHERE sd > 0 AND abs(${sqlRound("(v - mean)/sd", 4)}) > 2.5
+         |ORDER BY event_id""".stripMargin,
+
+    "dedup_tokenset" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(${sqlTokens("text")})), ' ')) AS fp
+         | FROM documents)
+         |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_docs, fp
+         |FROM f GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    "q_embed_project" -> embedProjectOracle,
+
+    "dedup_containment" -> containmentOracle
   )
+
+  /** DuckDB replica of the JL projection: the SAME 8×64 literal
+    * matrix ([[projMatrix]] — exactly-representable doubles whose
+    * toString round-trips) and the same strict left-to-right dot
+    * product (list_inner_product ≡ DotProductExpr, proven bit-equal
+    * by the ANN queries). */
+  private def embedProjectOracle: String = {
+    val rows = projMatrix.zipWithIndex.map { case (row, j) =>
+      val litv = row.mkString("[", ", ", "]")
+      s"${sqlRound(s"list_inner_product(v, $litv)", 6)} AS p$j"
+    }
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+       |SELECT vec_id, ${rows.mkString(",\n  ")}
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB replica of the directional-containment pairs: the same
+    * base+excerpt corpus, shingle CTE shape and c/|A| measure as
+    * NearDup.containmentPairs, with both directions emitted. */
+  private def containmentOracle: String = {
+    val cm = sqlRound("CAST(c AS DOUBLE) / sa.n", 6)
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000,
+       |    array_to_string((${sqlTokens("text")})[1:15], ' ') FROM documents),
+       |t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM corpus),
+       |sh AS (SELECT doc_id,
+       |  list_transform(range(0, greatest(0, len(toks)-2)),
+       |    i -> array_to_string(toks[i+1:i+3], ' ')) AS shingles
+       | FROM t WHERE len(toks) >= 3),
+       |dsh AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM dsh),
+       |e AS (SELECT doc_id, unnest(shingles) AS g FROM dsh),
+       |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id != b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, $cm AS containment
+       |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE $cm >= 0.9 ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** DuckDB replica of the IVF ANN: centroids are the 16 lowest-id
     * corpus vectors (same deterministic seed rule as

@@ -253,6 +253,44 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }
 
+  /** Directional shingle-containment pairs: containment(a in b) =
+    * |A ∩ B| / |A| — the sub-document / excerpt detector. Unlike
+    * Jaccard it is ASYMMETRIC: a short excerpt wholly inside a long
+    * document scores ~1.0 while their Jaccard is tiny, so this is the
+    * right measure for quote/boilerplate/excerpt dedup in training
+    * corpora.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] (explode →
+    * hash-join on shingle hash → count), emitting BOTH directions of
+    * each overlapping pair, with the analogous exact prune: c <= nb,
+    * so containment >= t requires nb >= t*na — size-incompatible
+    * pairs drop map-side before the pair aggregation. Bucketed, never
+    * all-pairs; the `maxDocFreq` skew knob carries over unchanged. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.9,
+                       maxDocFreq: Option[Long] = None): DataFrame = {
+    val inv = trackedPersist(docs.select(col(idCol),
+      TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), size(col("__sh")).as("__n"), explode(col("__sh")).as("__g0"))
+      .select(col(idCol), col("__n"), xxhash64(col("__g0")).as("__g")))
+    val pruned = maxDocFreq.fold(inv) { cap =>
+      val df = inv.groupBy("__g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select("__g")
+      inv.join(df, "__g")
+    }
+    val a = pruned.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__g"))
+    val b = pruned.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__g"))
+    a.join(b, Seq("__g"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("__nb").cast("double") >= lit(threshold) * col("__na"))
+      .groupBy("id_a", "id_b", "__na").agg(count(lit(1)).as("__c"))
+      .withColumn("containment", graft.functions.Det.roundTo(
+        col("__c").cast("double") / col("__na"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** SimHash bits (60-bit, md5-portable): per-bit majority vote over
     * token hashes — custom Catalyst expression
     * ([[graft.functions.SimHashExpr]]), one md5 pass per token. */

@@ -298,6 +298,62 @@ object VersionedTable {
     }
   }
 
+  /** RESTORE analog (Delta `RESTORE TABLE ... VERSION AS OF v`):
+    * re-commit the CONTENT of an older committed version as a NEW
+    * version. History stays linear and append-only — nothing is
+    * rewound, so concurrent readers, time travel to intermediate
+    * versions, and the tag ledger are all unaffected; a concurrent
+    * writer racing the restore serializes through the CAS like any
+    * other commit. Fails if the source version was vacuumed. */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    commitLoop(spark, table) { cur =>
+      require(toVersion >= 1 && toVersion <= cur,
+        s"cannot restore $table to $toVersion (current $cur)")
+      require(fs(spark, table).exists(new Path(versionDir(table, toVersion))),
+        s"version $toVersion of $table was vacuumed; cannot restore")
+      if (toVersion == cur) None // already that content — no-op
+      else Some(readVersion(spark, table, toVersion))
+    }
+  }
+
+  /** A named row-level CHECK constraint (Delta
+    * `ALTER TABLE ADD CONSTRAINT ... CHECK` analog): `predicate` must
+    * hold on EVERY row of the post-commit snapshot. */
+  final case class Check(name: String, predicate: org.apache.spark.sql.Column)
+
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
+  /** `write` with CHECK enforcement: validates the WHOLE would-be
+    * snapshot (current content + incoming rows under append) before
+    * the CAS — a violating batch commits NOTHING, like a Delta write
+    * into a constrained table. Validation is ONE combinable
+    * aggregation (a sum of violation flags per constraint) over the
+    * candidate content, re-run on every optimistic retry so a racing
+    * writer can never sneak a violating merge through. NULL predicate
+    * results count as violations (ANSI CHECK treats NULL as pass;
+    * data-pipeline DQ wants the strict reading — a null-valued row
+    * slipping a `price > 0` gate is exactly the bug being guarded). */
+  def writeChecked(df: DataFrame, table: String, checks: Seq[Check],
+                   overwrite: Boolean = false): Long = {
+    val spark = df.sparkSession
+    commitLoop(spark, table) { cur =>
+      val content =
+        if (overwrite || cur == 0) df
+        else readVersion(spark, table, cur).unionByName(df)
+      val aggs = checks.map(c =>
+        sum(when(coalesce(c.predicate, lit(false)), 0L).otherwise(1L))
+          .as(c.name))
+      val counts = content.agg(aggs.head, aggs.tail: _*).collect()(0)
+      checks.zipWithIndex.foreach { case (c, i) =>
+        val bad = counts.getLong(i)
+        if (bad > 0) throw new ConstraintViolationException(
+          s"CHECK constraint '${c.name}' violated by $bad row(s); commit of $table aborted")
+      }
+      Some(content)
+    }
+  }
+
   /** OPTIMIZE as a table service: rewrite the current snapshot into
     * `nFiles` files (optionally range-clustered on `clusterCols` for
     * min/max data skipping) and commit it as a new version — readers

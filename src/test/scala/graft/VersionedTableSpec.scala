@@ -295,4 +295,50 @@ class VersionedTableSpec extends SparkSpec {
     // identical versions: empty diff
     assert(VersionedTable.changes(spark, t, 2, 2).count() === 0)
   }
+
+  test("restore re-commits an old version's content as a NEW version") {
+    val t = tbl()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
+    VersionedTable.write(Seq((2L, "b")).toDF("id", "s"), t) // append → v2
+    val v3 = VersionedTable.restore(spark, t, 1)
+    assert(v3 === 3)
+    assert(VersionedTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a")))
+    // history is append-only: the intermediate version is untouched
+    assert(VersionedTable.readVersion(spark, t, 2).count() === 2)
+    // restoring to the current content is a no-op (no empty commit)
+    assert(VersionedTable.restore(spark, t, 3) === 3)
+    // a vacuumed source version refuses to restore
+    VersionedTable.vacuum(spark, t, keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, t, 1)
+    }
+  }
+
+  test("CHECK constraints reject the whole batch, nothing committed") {
+    val t = tbl()
+    val checks = Seq(
+      VersionedTable.Check("price_positive", col("price") > 0),
+      VersionedTable.Check("id_not_null", col("id").isNotNull))
+    val v1 = VersionedTable.writeChecked(
+      Seq((1L, 10.0), (2L, 5.0)).toDF("id", "price"), t, checks)
+    assert(v1 === 1)
+    // violating append: nothing commits, version unchanged
+    val ex = intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.writeChecked(
+        Seq((3L, 7.0), (4L, -1.0)).toDF("id", "price"), t, checks)
+    }
+    assert(ex.getMessage.contains("price_positive"))
+    assert(VersionedTable.currentVersion(spark, t) === 1)
+    assert(VersionedTable.read(spark, t).count() === 2)
+    // NULL predicate result counts as a violation (strict DQ reading)
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.writeChecked(
+        Seq((Some(5L), None: Option[Double])).toDF("id", "price"), t, checks)
+    }
+    // clean append still goes through
+    assert(VersionedTable.writeChecked(
+      Seq((6L, 1.0)).toDF("id", "price"), t, checks) === 2)
+    assert(VersionedTable.read(spark, t).count() === 3)
+  }
 }
