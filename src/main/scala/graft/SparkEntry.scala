@@ -1300,6 +1300,66 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // deterministic MODE per group: the most frequent value with a
+    // total tie-break (count desc, value asc) — SQL's mode() is
+    // tie-arbitrary in both engines, so both sides spell out the
+    // rank. Two map-side-combinable shuffles + a window over the
+    // (group × distinct-value) counts frame — the window never sees
+    // data-sized input
+    "q_mode_segment" -> ((s, d) => {
+      val counts = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("n_customers").desc, col("c_mktsegment").asc)
+      counts.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"),
+          col("n_customers"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ordered string aggregation (LISTAGG / string_agg parity):
+    // collect_set → array_sort → array_join makes the concatenation
+    // order deterministic where the SQL aggregates leave it to
+    // arrival order. Grouped collect is bounded here (≤3 distinct
+    // statuses); unbounded-cardinality groups should aggregate, not
+    // concatenate
+    "q_string_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), "|")
+          .as("statuses"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // day-of-week seasonality with the dow as PURE integer arithmetic
+    // ((epoch_day + 4) % 7 → 0=Sunday … 6=Saturday): no engine
+    // calendar/locale/week-start semantics to disagree on — the same
+    // trick the retention query uses for weeks
+    "q_weekday_revenue" -> ((s, d) => {
+      val epochDay = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+      Tables.orders(s, d)
+        .groupBy(((epochDay + 4) % 7).cast("bigint").as("dow"))
+        .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("revenue"))
+        .orderBy("dow")
+    }),
+
+    // robust (10%-trimmed) mean per group: exact interpolated p10/p90
+    // bounds (tiny frame, broadcast back) gate an exact-decimal
+    // average — outlier-resistant central tendency composed from the
+    // proven percentile + sumD building blocks
+    "q_trimmed_mean" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority"), roundTo(col("o_totalprice"), 2).as("p"))
+      val bounds = o.groupBy("o_orderpriority")
+        .agg(expr("percentile(p, 0.1D)").as("lo"), expr("percentile(p, 0.9D)").as("hi"))
+      o.join(broadcast(bounds), "o_orderpriority")
+        .where(col("p") >= col("lo") && col("p") <= col("hi"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_kept"), avgD(col("p")).as("trimmed_mean"))
+        .orderBy("o_orderpriority")
+    }),
+
     // directional containment (|A∩B| / |A|) — excerpt/sub-document
     // detection: 15-token head excerpts planted per doc score 1.0
     // against their source (a token-prefix's shingles are a subset of
@@ -2030,6 +2090,34 @@ object SparkEntry {
          |FROM f GROUP BY fp ORDER BY keep_id""".stripMargin,
 
     "q_embed_project" -> embedProjectOracle,
+
+    "q_mode_segment" ->
+      """SELECT c_nationkey, c_mktsegment AS mode_segment, n_customers FROM (
+        | SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_customers,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
+        | FROM customer GROUP BY 1, 2)
+        |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT o_orderpriority,
+        | string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q_weekday_revenue" ->
+      s"""SELECT CAST((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 4) % 7 AS BIGINT) AS dow,
+         | COUNT(*) AS n_orders, ${sqlSumD("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1 ORDER BY dow""".stripMargin,
+
+    "q_trimmed_mean" ->
+      s"""WITH o AS (SELECT o_orderpriority, floor(o_totalprice*100 + 0.5)/100 AS p FROM orders),
+         |b AS (SELECT o_orderpriority, quantile_cont(p, 0.1) AS lo,
+         |  quantile_cont(p, 0.9) AS hi FROM o GROUP BY 1)
+         |SELECT o.o_orderpriority, COUNT(*) AS n_kept, ${sqlAvgD("p")} AS trimmed_mean
+         |FROM o JOIN b ON o.o_orderpriority = b.o_orderpriority
+         |WHERE p >= lo AND p <= hi
+         |GROUP BY 1 ORDER BY o.o_orderpriority""".stripMargin,
 
     "dedup_containment" -> containmentOracle
   )
