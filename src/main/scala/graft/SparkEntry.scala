@@ -1372,6 +1372,135 @@ object SparkEntry {
       NearDup.containmentPairs(docs.unionAll(excerpts), "doc_id", "text",
         shingleSize = 3, threshold = 0.9)
         .orderBy("id_a", "id_b")
+    }),
+
+    // greedy sequence packing for training shards: docs land in a
+    // deterministic hash shard, are laid out in hash order within it,
+    // and a running token count cuts packs of `capacity` tokens
+    // (pack = floor(exclusive-prefix-sum / capacity), so a pack holds
+    // whole documents and overflows only by the straddling doc). The
+    // cumulative sum partitions by shard — parallelism = shard count;
+    // the classic packing pitfall (ONE window over the whole corpus =
+    // one reducer sorting 100 TB) never appears. At scale raise
+    // nShards so a shard fits a task.
+    "q_pack_sequences" -> ((s, d) => {
+      val capacity = 512; val nShards = 16L
+      val h = conv(substring(md5(concat(lit("pack:"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy("shard")
+        .orderBy(col("__h").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), pmod(h, lit(nShards)).as("shard"), h.as("__h"),
+          size(TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .withColumn("pack_id",
+          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / capacity)
+            .cast("bigint"))
+        .select(col("doc_id"), col("shard"), col("pack_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // domain-mixture rebalancing: hit a target lang mixture by
+    // deterministic downsampling. Per-lang keep fraction =
+    // min(1, share * N / n_lang) comes from ONE tiny grouped counts
+    // agg plus a 1-row total, both broadcast back — the corpus itself
+    // never shuffles, it narrows in place. Membership via the
+    // portable content hash: the same rows survive on any engine and
+    // under task retries (no rand()).
+    "q_domain_mix" -> ((s, d) => {
+      val share = typedLit(Map(
+        "en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125, "zh" -> 0.125))
+      val docs = Tables.documents(s, d)
+      val perLang = docs.groupBy("lang").agg(count(lit(1)).as("__n_lang"))
+      val total = docs.agg(count(lit(1)).as("__n_total"))
+      val u = pmod(conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(1000000L)) / 1000000.0
+      docs.join(broadcast(perLang), "lang").crossJoin(broadcast(total))
+        .withColumn("__f", least(lit(1.0),
+          element_at(share, col("lang")) * col("__n_total") / col("__n_lang")))
+        .filter(u < col("__f"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // exact Pearson correlation + population covariance per group
+    // from ONE combinable aggregation of decimal power sums —
+    // corr()/covar_pop() parity without the engine's streaming-moment
+    // implementations, whose float accumulation is partition-order-
+    // dependent (hence not reproducible across engines or reruns).
+    // The five sums are exact decimals; the final combine runs once
+    // per group in double with identical operand order on both sides.
+    "q_corr_price_qty" -> ((s, d) => {
+      val x = roundTo(col("l_quantity"), 2).cast("decimal(18,2)")
+      val y = roundTo(col("l_extendedprice"), 2).cast("decimal(18,2)")
+      val g = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+          sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+      def D(c: String) = col(c).cast("double")
+      val n = col("n").cast("double")
+      val cov = (n * D("__sxy") - D("__sx") * D("__sy")) / (n * n)
+      val corr = (n * D("__sxy") - D("__sx") * D("__sy")) /
+        sqrt((n * D("__sxx") - D("__sx") * D("__sx")) *
+          (n * D("__syy") - D("__sy") * D("__sy")))
+      g.select(col("l_returnflag"), col("n"),
+        roundTo(cov, 4).as("covar_pop"), roundTo(corr, 6).as("corr"))
+        .orderBy("l_returnflag")
+    }),
+
+    // exact deterministic k-per-group sample (eval-set carving): the
+    // k docs with the smallest portable hash per lang. Scale path: a
+    // tiny per-group counts agg broadcasts back a hash threshold with
+    // an 8x margin over k/n, so the corpus narrows to ~8k survivors
+    // per group BEFORE the per-group window — huge groups never hit
+    // the single-reducer-per-group sort. Exact whenever every group
+    // keeps >= min(k, n) survivors (threshold capped at 1.0 handles
+    // groups smaller than k; the 8x margin is spec-asserted).
+    "q_group_sample" -> ((s, d) => {
+      val k = 25; val m = 1000000L
+      val docs = Tables.documents(s, d).withColumn("__u",
+        pmod(conv(substring(md5(concat(lit("gsample:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long"), lit(m)))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("__n"))
+      val w = Window.partitionBy("lang").orderBy(col("__u").asc, col("doc_id").asc)
+      docs.join(broadcast(counts), "lang")
+        .filter(col("__u") < least(lit(m.toDouble), lit(8.0 * k * m) / col("__n")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .select(col("doc_id"), col("lang"), col("__rn").cast("bigint").as("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    }),
+
+    // market-basket co-occurrence with lift: item pairs that appear
+    // for the same user more often than independence predicts.
+    // Distinct (user, item) first — ONE shuffle that also bounds the
+    // self-join fanout by the item domain, not the event count — then
+    // the pair join shuffles on user_id and tiny per-item user counts
+    // broadcast back. For unbounded item domains, cap per-user fanout
+    // with a doc-frequency knob like NearDup's maxDocFreq.
+    "q_item_cooccurrence" -> ((s, d) => {
+      val ui = Tables.events(s, d)
+        .select(col("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
+        .where(col("item").isNotNull).distinct()
+      val itemUsers = ui.groupBy("item").agg(count(lit(1)).as("__n_item"))
+      val nUsers = ui.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("__n_users"))
+      val a = ui.as("a"); val b = ui.as("b")
+      a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 3)
+        .join(broadcast(itemUsers.withColumnRenamed("item", "item_a")
+          .withColumnRenamed("__n_item", "__n_a")), "item_a")
+        .join(broadcast(itemUsers.withColumnRenamed("item", "item_b")
+          .withColumnRenamed("__n_item", "__n_b")), "item_b")
+        .crossJoin(broadcast(nUsers))
+        .select(col("item_a"), col("item_b"), col("n_both"),
+          roundTo((col("n_both") * col("__n_users")).cast("double") /
+            (col("__n_a") * col("__n_b")).cast("double"), 6).as("lift"))
+        .orderBy("item_a", "item_b")
     })
   )
 
@@ -2119,7 +2248,77 @@ object SparkEntry {
          |WHERE p >= lo AND p <= hi
          |GROUP BY 1 ORDER BY o.o_orderpriority""".stripMargin,
 
-    "dedup_containment" -> containmentOracle
+    "dedup_containment" -> containmentOracle,
+
+    "q_pack_sequences" ->
+      s"""WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT AS hv,
+        |  len(${sqlTokens("text")})::BIGINT AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, ((hv % 16) + 16) % 16 AS shard,
+        | CAST(floor(COALESCE(SUM(n_tokens) OVER (
+        |   PARTITION BY ((hv % 16) + 16) % 16 ORDER BY hv ASC, doc_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS pack_id,
+        | n_tokens
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_domain_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT COUNT(*) AS n_total FROM documents),
+        |f AS (SELECT lang, least(1.0::DOUBLE,
+        |   (CASE lang WHEN 'en' THEN 0.5::DOUBLE ELSE 0.125::DOUBLE END) * n_total / n_lang) AS f
+        |  FROM c, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN f ON d.lang = f.lang
+        |WHERE ((('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 1000000 + 1000000) % 1000000) / 1000000.0 < f.f
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corr_price_qty" -> {
+      val x = s"CAST(${sqlRound("l_quantity", 2)} AS DECIMAL(18,2))"
+      val y = s"CAST(${sqlRound("l_extendedprice", 2)} AS DECIMAL(18,2))"
+      s"""WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM($x) AS DOUBLE) AS sx, CAST(SUM($y) AS DOUBLE) AS sy,
+        |  CAST(SUM($x * $y) AS DOUBLE) AS sxy,
+        |  CAST(SUM($x * $x) AS DOUBLE) AS sxx,
+        |  CAST(SUM($y * $y) AS DOUBLE) AS syy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | ${sqlRound("(n*sxy - sx*sy) / (n*n)", 4)} AS covar_pop,
+        | ${sqlRound("(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))", 6)} AS corr
+        |FROM g ORDER BY l_returnflag""".stripMargin
+    },
+
+    // cross-formulation equivalence: the oracle ranks the FULL group
+    // by the hash — the Spark plan's broadcast-threshold prefilter
+    // must select exactly the same k rows
+    "q_group_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  ((('0x' || substr(md5('gsample:' || doc_id), 1, 15))::BIGINT % 1000000) + 1000000) % 1000000 AS u
+        | FROM documents)
+        |SELECT doc_id, lang, sample_rank FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY u ASC, doc_id ASC) AS sample_rank
+        | FROM h)
+        |WHERE sample_rank <= 25 ORDER BY lang, sample_rank""".stripMargin,
+
+    "q_item_cooccurrence" -> {
+      val lift = sqlRound(
+        "CAST(n_both * n_users AS DOUBLE) / CAST(na.n_item * nb.n_item AS DOUBLE)", 6)
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+        |  TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
+        | FROM events),
+        |uin AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
+        |iu AS (SELECT item, COUNT(*) AS n_item FROM uin GROUP BY item),
+        |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM uin),
+        |pairs AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+        | FROM uin a JOIN uin b ON a.user_id = b.user_id AND a.item < b.item
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT item_a, item_b, n_both, $lift AS lift
+        |FROM pairs
+        |CROSS JOIN nu
+        |JOIN iu na ON na.item = pairs.item_a
+        |JOIN iu nb ON nb.item = pairs.item_b
+        |ORDER BY item_a, item_b""".stripMargin
+    }
   )
 
   /** DuckDB replica of the JL projection: the SAME 8×64 literal

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Invariants for the packing / mixing / sampling / co-occurrence
+  * graded queries (value equality vs the oracle is the driver gate;
+  * these assert the properties the SQL can't see). */
+class CurationQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_pack_sequences packs whole docs and only straddling docs overflow") {
+    val rows = SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .select("shard", "pack_id", "n_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // every (shard, pack) except possibly the straddler holds <= capacity:
+    // a pack's token sum minus its LAST (straddling) doc must fit
+    val capacity = 512L
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((shard, pack), docs) =>
+      val total = docs.map(_._3).sum
+      val maxDoc = docs.map(_._3).max
+      assert(total - maxDoc < capacity,
+        s"pack ($shard,$pack) holds $total tokens beyond its straddler")
+    }
+    // pack ids are dense from 0 within each shard
+    rows.groupBy(_._1).foreach { case (shard, docs) =>
+      val ids = docs.map(_._2).distinct.sorted
+      assert(ids.sameElements(0L until ids.length),
+        s"shard $shard pack ids not dense: ${ids.take(5).mkString(",")}")
+    }
+  }
+
+  test("q_domain_mix keeps every doc of an under-represented lang and downsamples the rest") {
+    val before = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val after = SparkEntry.queries("q_domain_mix")(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = before.values.sum
+    val share = Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+      "fr" -> 0.125, "zh" -> 0.125)
+    before.foreach { case (lang, n) =>
+      val target = share(lang) * total
+      if (n <= target) // fraction capped at 1 — nothing dropped
+        assert(after(lang) == n, s"$lang lost rows despite f=1")
+      else // downsampled to ~target (hash sampling is binomial-tight)
+        assert(after(lang) <= n && after(lang) > 0, s"$lang not downsampled")
+    }
+  }
+
+  test("q_corr_price_qty matches a driver-side exact computation") {
+    val got = SparkEntry.queries("q_corr_price_qty")(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_returnflag",
+        $"l_quantity".cast("double"), $"l_extendedprice".cast("double"))
+      .as[(String, Double, Double)].collect()
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val n = rs.length.toDouble
+      val xs = rs.map(r => BigDecimal(r2(r._2))); val ys = rs.map(r => BigDecimal(r2(r._3)))
+      val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+      val sxx = xs.map(a => a * a).sum.toDouble; val syy = ys.map(a => a * a).sum.toDouble
+      val cov = (n * sxy - sx * sy) / (n * n)
+      val corr = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val (gn, gcov, gcorr) = got(flag)
+      assert(gn == rs.length)
+      assert(math.abs(gcov - cov) < 1e-4, s"$flag covar: $gcov vs $cov")
+      assert(math.abs(gcorr - corr) < 1e-6, s"$flag corr: $gcorr vs $corr")
+    }
+  }
+
+  test("q_group_sample prefilter is exact: equals the full-window top-k per group") {
+    val k = 25
+    val got = SparkEntry.queries("q_group_sample")(spark, sf)
+      .as[(Long, String, Long)].collect().toSet
+    // reference: rank the FULL group (no prefilter) — the graded
+    // plan's 8x hash-threshold margin must never cut a winner
+    val m = 1000000L
+    val u = pmod(conv(substring(md5(concat(lit("gsample:"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long"), lit(m))
+    val w = Window.partitionBy("lang").orderBy(u.asc, col("doc_id").asc)
+    val full = Tables.documents(spark, sf)
+      .withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .filter(col("sample_rank") <= k)
+      .select("doc_id", "lang", "sample_rank")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == full)
+    // and every group yields exactly min(k, group size) rows
+    val sizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.size == math.min(k.toLong, sizes(lang)), s"$lang sample size")
+    }
+  }
+
+  test("q_item_cooccurrence lift is symmetric-complete and correctly normalized") {
+    val df = SparkEntry.queries("q_item_cooccurrence")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(df.nonEmpty)
+    // pairs are strictly ordered, no self-pairs, no duplicates
+    assert(df.forall(r => r._1 < r._2))
+    assert(df.map(r => (r._1, r._2)).distinct.length == df.length)
+    // spot-check one pair's lift against a direct computation
+    val ui = Tables.events(spark, sf)
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
+      .where(col("item").isNotNull).distinct()
+      .as[(Long, Long)].collect()
+    val nUsers = ui.map(_._1).distinct.length.toDouble
+    val byItem = ui.groupBy(_._2).map { case (i, rs) => i -> rs.length.toDouble }
+    val (ia, ib, nBoth, lift) = df.head
+    val both = ui.groupBy(_._1).count(rs =>
+      rs._2.exists(_._2 == ia) && rs._2.exists(_._2 == ib))
+    assert(both.toLong == nBoth)
+    val expect = nBoth * nUsers / (byItem(ia) * byItem(ib))
+    assert(math.abs(lift - expect) < 1e-6)
+  }
+}
