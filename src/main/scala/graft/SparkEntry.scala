@@ -1501,6 +1501,101 @@ object SparkEntry {
           roundTo((col("n_both") * col("__n_users")).cast("double") /
             (col("__n_a") * col("__n_b")).cast("double"), 6).as("lift"))
         .orderBy("item_a", "item_b")
+    }),
+
+    // point-in-time (as-of) lookup against an SCD2 dimension: each
+    // probe reads the dimension version that was valid at its asof
+    // time — the correctness primitive behind reproducible training
+    // snapshots and "report as of last month". The join is an
+    // equi-join on the business key PLUS a validity-range predicate:
+    // one shuffle on the key, and per-key history is short so there
+    // is no fanout (the range clause prunes to exactly one row).
+    "q_scd2_pointintime" -> ((s, d) => {
+      val hist = {
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), roundTo(col("o_totalprice"), 2).as("price"),
+            lit(1L).as("version"))
+        val updates = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").as("k"), roundTo(col("o_totalprice") * 1.1, 2).as("price"),
+            lit(2L).as("version"))
+        val w = Window.partitionBy("k").orderBy(col("version").asc)
+        base.unionByName(updates)
+          .withColumn("valid_from", col("version"))
+          .withColumn("valid_to", lead(col("version"), 1).over(w) - 1L)
+      }
+      val probes = Tables.orders(s, d)
+        .select(col("o_orderkey"), (lit(1L) + pmod(col("o_orderkey"), lit(2L))).as("asof_v"))
+      probes.join(hist, probes("o_orderkey") === hist("k") &&
+          col("asof_v") >= col("valid_from") &&
+          (col("valid_to").isNull || col("asof_v") <= col("valid_to")))
+        .select(col("o_orderkey"), col("asof_v"), col("version"), col("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // PageRank over the item co-occurrence graph, 3 exact Lloyd-style
+    // unrolled iterations: centrality for curriculum/importance
+    // weighting. Per-iteration contributions are rounded to 12
+    // digits and summed as exact decimals, so every iteration is
+    // summation-order-independent and the DuckDB oracle (the same 3
+    // iterations as CTEs) is byte-equal. Each iteration is one
+    // shuffle (groupBy dst) plus a broadcast of the tiny node frame;
+    // identical edge subtrees collapse via exchange reuse.
+    "q_pagerank_items" -> ((s, d) => {
+      val ui = Tables.events(s, d)
+        .select(col("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
+        .where(col("item").isNotNull).distinct()
+      val a = ui.as("a"); val b = ui.as("b")
+      val pairs = a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("s"), col("b.item").as("t"))
+        .agg(count(lit(1)).as("n_both")).filter(col("n_both") >= 3)
+        .select("s", "t")
+      val edges = pairs.unionByName(pairs.select(col("t").as("s"), col("s").as("t")))
+      val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+      val nNodes = deg.agg(count(lit(1)).as("__n"))
+      var pr = deg.crossJoin(broadcast(nNodes))
+        .select(col("s").as("item"), col("deg"),
+          (lit(1.0) / col("__n")).as("pr"), col("__n"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.select(col("item"), col("deg").as("__dg"), col("pr").as("__pr")),
+            edges("s") === col("item"))
+          .select(col("t"),
+            roundTo(col("__pr") / col("__dg"), 12).cast("decimal(28,12)").as("c"))
+          .groupBy("t").agg(sum(col("c")).cast("double").as("cs"))
+        pr = pr.join(contrib, pr("item") === contrib("t"), "left")
+          .select(col("item"), col("deg"),
+            roundTo(lit(0.15) / col("__n") + lit(0.85) * coalesce(col("cs"), lit(0.0)), 12)
+              .as("pr"), col("__n"))
+      }
+      pr.select(col("item"), roundTo(col("pr"), 8).as("pagerank"))
+        .orderBy("item")
+    }),
+
+    // robust anomaly detection via median absolute deviation: the
+    // outlier gate that, unlike z-scores, no single corrupt value can
+    // move. Two bounded grouped percentile aggs (groups = event
+    // types) with the tiny median frame broadcast back between them —
+    // the corpus scans twice, shuffles never. Data-sized groups would
+    // route the median through Ranks.valuesAtRanks instead.
+    "q_mad_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), roundTo(col("value"), 2).as("v"))
+      val med = e.groupBy("event_type")
+        .agg(roundTo(expr("percentile(v, 0.5D)"), 4).as("median"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("__dev", roundTo(abs(col("v") - col("median")), 4))
+      val mad = dev.groupBy("event_type")
+        .agg(roundTo(expr("percentile(__dev, 0.5D)"), 4).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), first(col("median")).as("median"),
+          first(col("mad")).as("mad"),
+          sum(when(col("__dev") > lit(3.0 * 1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
     })
   )
 
@@ -2318,8 +2413,75 @@ object SparkEntry {
         |JOIN iu na ON na.item = pairs.item_a
         |JOIN iu nb ON nb.item = pairs.item_b
         |ORDER BY item_a, item_b""".stripMargin
-    }
+    },
+
+    "q_scd2_pointintime" ->
+      """WITH hist AS (
+        | SELECT k, price, version, version AS valid_from,
+        |  lead(version) OVER (PARTITION BY k ORDER BY version ASC) - 1 AS valid_to
+        | FROM (
+        |  SELECT o_orderkey AS k, floor((o_totalprice)*100 + 0.5)/100 AS price,
+        |   CAST(1 AS BIGINT) AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, floor((o_totalprice*1.1)*100 + 0.5)/100, 2
+        |  FROM orders WHERE o_orderkey % 10 = 0)),
+        |probes AS (SELECT o_orderkey, 1 + (o_orderkey % 2) AS asof_v FROM orders)
+        |SELECT p.o_orderkey, p.asof_v, h.version, h.price
+        |FROM probes p JOIN hist h ON p.o_orderkey = h.k
+        | AND p.asof_v >= h.valid_from
+        | AND (h.valid_to IS NULL OR p.asof_v <= h.valid_to)
+        |ORDER BY p.o_orderkey""".stripMargin,
+
+    "q_pagerank_items" -> pagerankOracle,
+
+    "q_mad_outliers" ->
+      s"""WITH e AS (SELECT event_type, ${sqlRound("value", 2)} AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT event_type,
+        |  ${sqlRound("quantile_cont(v, 0.5)", 4)} AS median
+        | FROM e GROUP BY event_type),
+        |dev AS (SELECT e.event_type, e.v, med.median,
+        |  ${sqlRound("abs(e.v - med.median)", 4)} AS d
+        | FROM e JOIN med ON e.event_type = med.event_type),
+        |mad AS (SELECT event_type, ${sqlRound("quantile_cont(d, 0.5)", 4)} AS mad
+        | FROM dev GROUP BY event_type)
+        |SELECT dev.event_type, COUNT(*) AS n, MIN(dev.median) AS median,
+        | MIN(mad.mad) AS mad,
+        | CAST(SUM(CASE WHEN dev.d > (3.0::DOUBLE * 1.4826::DOUBLE) * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin
   )
+
+  /** DuckDB replica of the 3-iteration PageRank: the same
+    * co-occurrence edge set, the same per-iteration shape
+    * (contribution = 12-digit-rounded pr/deg summed as
+    * DECIMAL(28,12); pr = round(0.15/n + 0.85*sum, 12)) unrolled as
+    * CTEs — every float op has the same operand order as the Spark
+    * loop, so all three iterations are byte-equal cross-engine. */
+  private def pagerankOracle: String = {
+    def iter(i: Int, prev: String): String =
+      s"""c$i AS (SELECT e.t AS item,
+         |  CAST(SUM(CAST(${sqlRound(s"p.pr / p.deg", 12)} AS DECIMAL(28,12))) AS DOUBLE) AS cs
+         | FROM e JOIN $prev p ON e.s = p.item GROUP BY e.t),
+         |pr$i AS (SELECT p.item, p.deg,
+         |  ${sqlRound(s"0.15::DOUBLE / (SELECT n FROM nn) + 0.85::DOUBLE * COALESCE(c$i.cs, 0.0::DOUBLE)", 12)} AS pr
+         | FROM $prev p LEFT JOIN c$i ON p.item = c$i.item)""".stripMargin
+    s"""WITH ui AS (SELECT DISTINCT user_id,
+       |  TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
+       | FROM events),
+       |uin AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
+       |pairs AS (SELECT a.item AS s, b.item AS t
+       | FROM uin a JOIN uin b ON a.user_id = b.user_id AND a.item < b.item
+       | GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |e AS (SELECT s, t FROM pairs UNION ALL SELECT t, s FROM pairs),
+       |deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |pr0 AS (SELECT s AS item, deg, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM deg),
+       |${iter(1, "pr0")},
+       |${iter(2, "pr1")},
+       |${iter(3, "pr2")}
+       |SELECT item, ${sqlRound("pr", 8)} AS pagerank FROM pr3 ORDER BY item""".stripMargin
+  }
 
   /** DuckDB replica of the JL projection: the SAME 8×64 literal
     * matrix ([[projMatrix]] — exactly-representable doubles whose

@@ -98,6 +98,58 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2_pointintime resolves each probe to exactly one validity window") {
+    val rows = SparkEntry.queries("q_scd2_pointintime")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    // exactly one dim version per probe — the range predicate must
+    // never fan out (two windows) or drop (gap)
+    assert(rows.length == nOrders)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // asof semantics: an updated key (orderkey%10==0) probed at v2
+    // must read version 2; any key probed at v1 must read version 1
+    rows.foreach { case (k, asof, ver, _) =>
+      val expected = if (asof == 2 && k % 10 == 0) 2L else 1L
+      assert(ver == expected, s"key $k asof $asof resolved version $ver")
+    }
+  }
+
+  test("q_pagerank_items sums to ~1 and converges toward degree proportionality") {
+    val pr = SparkEntry.queries("q_pagerank_items")(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    assert(pr.nonEmpty)
+    // total rank is conserved (damping redistributes, never leaks):
+    // sum over nodes stays 1 within rounding slack
+    val total = pr.values.sum
+    assert(math.abs(total - 1.0) < 1e-4, s"rank total $total")
+    assert(pr.values.forall(v => v > 0 && v < 1))
+  }
+
+  test("q_mad_outliers flags exactly the rows a driver-side MAD computation flags") {
+    val got = SparkEntry.queries("q_mad_outliers")(spark, sf)
+      .as[(String, Long, Double, Double, Long)].collect()
+    val vals = Tables.events(spark, sf).where(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect()
+    def r(x: Double, s: Int) = { val f = math.pow(10, s); math.floor(x * f + 0.5) / f }
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else {
+        val lo = s(n / 2 - 1); val hi = s(n / 2); lo + (hi - lo) * 0.5
+      }
+    }
+    got.foreach { case (et, n, med, mad, nOut) =>
+      val xs = vals.filter(_._1 == et).map(v => r(v._2, 2)).toSeq
+      assert(n == xs.length)
+      val m = r(medianOf(xs), 4)
+      assert(math.abs(med - m) < 1e-9, s"$et median $med vs $m")
+      val devs = xs.map(x => r(math.abs(x - m), 4))
+      val md = r(medianOf(devs), 4)
+      assert(math.abs(mad - md) < 1e-9, s"$et mad $mad vs $md")
+      assert(nOut == devs.count(_ > 3.0 * 1.4826 * md), s"$et outlier count")
+    }
+  }
+
   test("q_item_cooccurrence lift is symmetric-complete and correctly normalized") {
     val df = SparkEntry.queries("q_item_cooccurrence")(spark, sf)
       .as[(Long, Long, Long, Double)].collect()

@@ -35,7 +35,9 @@ class PlanLintSpec extends SparkSpec {
     "q_gapfill_daily",
     // corpus-total / distinct-user-count scalars: 1-row ungrouped
     // aggs broadcast back into the keep-fraction / lift expressions
-    "q_domain_mix", "q_item_cooccurrence")
+    "q_domain_mix", "q_item_cooccurrence",
+    // node-count scalar seeding the uniform initial rank
+    "q_pagerank_items")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
