@@ -129,10 +129,12 @@ object VersionedTable {
     * commit is also finished (rename + pointer) before returning.
     * `v` must be currentVersion+1 — versions are claimed in order. */
   private[graft] def tryCommit(spark: SparkSession, table: String, v: Long,
-                               stageName: String, tag: Option[String]): Boolean = {
+                               stageName: String, tag: Option[String],
+                               external: String = ""): Boolean = {
     val f = fs(spark, table)
     val cf = commitFile(table, v)
-    val payload = (stageName + "\n" + tag.getOrElse("")).getBytes("UTF-8")
+    val payload =
+      (stageName + "\n" + tag.getOrElse("") + "\n" + external).getBytes("UTF-8")
     val uri = cf.toUri
     val created =
       if (uri.getScheme == null || uri.getScheme == "file") {
@@ -247,11 +249,83 @@ object VersionedTable {
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, currentVersion(spark, table))
 
+  /** Snapshot path referenced OUTSIDE this table's directory (set by
+    * [[cloneShallow]]); None for ordinary staged commits. */
+  private def externalPathOf(spark: SparkSession, table: String,
+                             v: Long): Option[String] = {
+    val f = fs(spark, table)
+    val cf = commitFile(table, v)
+    if (!f.exists(cf)) None
+    else readSmall(f, cf).split("\n", -1) match {
+      case arr if arr.length >= 3 && arr(2).nonEmpty => Some(arr(2))
+      case _ => None
+    }
+  }
+
+  /** The directory actually holding version `v`'s data: the local
+    * `_vN` snapshot, or — for a shallow-cloned version — the source
+    * snapshot the commit file points at. */
+  private def versionPath(spark: SparkSession, table: String, v: Long): String = {
+    val f = fs(spark, table)
+    val dir = versionDir(table, v)
+    if (f.exists(new Path(dir))) dir
+    else externalPathOf(spark, table, v).getOrElse(dir)
+  }
+
   /** Time travel: read an older committed version (reference Delta
     * `VERSION AS OF` analog). */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     require(version >= 1, s"no committed version $version in $table")
-    spark.read.parquet(versionDir(table, version))
+    spark.read.parquet(versionPath(spark, table, version))
+  }
+
+  /** `TIMESTAMP AS OF` analog: read the last version whose commit
+    * landed at or before `tsMillis`. Commit times come from the
+    * commit files' filesystem modification time — exactly Delta's
+    * rule (per-commit timestamps from the log files), including its
+    * caveat that copying a table without preserving mtimes rewrites
+    * perceived commit history. */
+  def readAsOfTimestamp(spark: SparkSession, table: String,
+                        tsMillis: Long): DataFrame = {
+    val f = fs(spark, table)
+    val cur = currentVersion(spark, table)
+    var chosen = 0L
+    var v = 1L
+    while (v <= cur) {
+      if (f.getFileStatus(commitFile(table, v)).getModificationTime <= tsMillis)
+        chosen = v
+      v += 1
+    }
+    require(chosen >= 1,
+      s"no version of $table committed at or before $tsMillis")
+    readVersion(spark, table, chosen)
+  }
+
+  /** Shallow CLONE analog (Delta `CREATE TABLE ... SHALLOW CLONE`):
+    * `dst`'s next version is a metadata-only commit whose commit file
+    * points at `src`'s current snapshot directory — zero data copied,
+    * cost independent of table size. The clone then evolves
+    * independently: its next write materializes a full snapshot of
+    * its own, and writes to `src` never appear in `dst` (the clone
+    * pinned ONE source version). Clone-of-clone chains flatten: the
+    * reference always targets a real snapshot dir. Caveat (same as
+    * Delta): vacuuming `src` past the referenced version breaks the
+    * clone's un-materialized version — clone sources should retain
+    * that snapshot. */
+  def cloneShallow(spark: SparkSession, src: String, dst: String): Long = {
+    val srcV = currentVersion(spark, src)
+    require(srcV >= 1, s"cannot shallow-clone $src: no committed version")
+    val srcPath = versionPath(spark, src, srcV)
+    val f = fs(spark, dst)
+    f.mkdirs(new Path(dst))
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val cur = currentVersion(spark, dst)
+      if (tryCommit(spark, dst, cur + 1, "", None, external = srcPath))
+        return cur + 1
+      attempt += 1
+    }
+    sys.error(s"shallow clone into $dst lost $MaxCommitRetries races; giving up")
   }
 
   /** MERGE (SCD1 upsert) analog of the reference's Delta
@@ -309,7 +383,7 @@ object VersionedTable {
     commitLoop(spark, table) { cur =>
       require(toVersion >= 1 && toVersion <= cur,
         s"cannot restore $table to $toVersion (current $cur)")
-      require(fs(spark, table).exists(new Path(versionDir(table, toVersion))),
+      require(fs(spark, table).exists(new Path(versionPath(spark, table, toVersion))),
         s"version $toVersion of $table was vacuumed; cannot restore")
       if (toVersion == cur) None // already that content — no-op
       else Some(readVersion(spark, table, toVersion))
@@ -452,7 +526,7 @@ object VersionedTable {
                  lo: Any, hi: Any, version: Long = -1L): DataFrame = {
     val v = if (version >= 1) version else currentVersion(spark, table)
     val f = fs(spark, table)
-    val dir = new Path(versionDir(table, v))
+    val dir = new Path(versionPath(spark, table, v))
     val all = f.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
     val sfp = statsFile(table, v)
@@ -521,7 +595,7 @@ object VersionedTable {
     val f = fs(spark, table)
     val cur = currentVersion(spark, table)
     (1L to cur).flatMap { v =>
-      val p = new Path(versionDir(table, v))
+      val p = new Path(versionPath(spark, table, v))
       if (!f.exists(p)) None
       else {
         val files = f.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))

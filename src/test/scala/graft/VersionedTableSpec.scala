@@ -39,6 +39,49 @@ class VersionedTableSpec extends SparkSpec {
     assert(hist.forall(_.getLong(2) > 0))
   }
 
+  test("shallow clone copies zero data and evolves independently") {
+    val src = tbl(); val dst = tbl()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), src)
+    VersionedTable.write(Seq((2L, "b")).toDF("id", "s"), src)
+    val v = VersionedTable.cloneShallow(spark, src, dst)
+    assert(v === 1)
+    // content equality at clone time
+    assert(VersionedTable.read(spark, dst).as[(Long, String)].collect().toSet
+      === VersionedTable.read(spark, src).as[(Long, String)].collect().toSet)
+    // metadata only: no parquet landed under dst (just the commit file
+    // and pointer cache)
+    val dstFiles = new java.io.File(dst).listFiles().map(_.getName).toSet
+    assert(!dstFiles.exists(_.startsWith("_v")), s"clone materialized: $dstFiles")
+    // the clone pinned ONE source version: later writes to src are
+    // invisible to dst...
+    VersionedTable.write(Seq((3L, "c")).toDF("id", "s"), src)
+    assert(VersionedTable.read(spark, dst).count() === 2)
+    // ...and dst's own append materializes a snapshot without
+    // touching src
+    VersionedTable.write(Seq((9L, "z")).toDF("id", "s"), dst)
+    assert(VersionedTable.read(spark, dst).count() === 3)
+    assert(VersionedTable.read(spark, src).count() === 3)
+    assert(VersionedTable.currentVersion(spark, src) === 3)
+    // history resolves the un-materialized clone version through the
+    // external reference
+    assert(VersionedTable.history(spark, dst).count() === 2)
+  }
+
+  test("timestamp time travel resolves the last commit at or before the timestamp") {
+    val t = tbl()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    VersionedTable.write(Seq((2L, "b")).toDF("id", "s"), t)
+    assert(VersionedTable.readAsOfTimestamp(spark, t, between).count() === 1)
+    assert(VersionedTable
+      .readAsOfTimestamp(spark, t, System.currentTimeMillis()).count() === 2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOfTimestamp(spark, t, between - 60000)
+    }
+  }
+
   test("merge upserts by key with last-writer-wins, old version intact") {
     val t = tbl()
     VersionedTable.write(
