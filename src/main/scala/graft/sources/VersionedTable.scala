@@ -587,6 +587,23 @@ object VersionedTable {
     }
   }
 
+  /** Incremental consumption (the poll-based analog of a Delta
+    * streaming source reading the change feed): the row-level changes
+    * committed AFTER `lastVersion`, plus the version the consumer is
+    * carried to. A consumer loop persists the returned version as its
+    * offset and applies the `_change_type`-tagged rows to its
+    * downstream state — exactly-once replication when the apply and
+    * the offset commit are atomic on the consumer side (the same
+    * contract a checkpointed streaming source gives its sink). A full
+    * DataSourceV2 MicroBatchStream would expose this as
+    * `readStream.format(...)`; the per-batch work is identical. */
+  def syncChanges(spark: SparkSession, table: String,
+                  lastVersion: Long): (Long, Option[DataFrame]) = {
+    val cur = currentVersion(spark, table)
+    if (cur <= lastVersion) (cur, None)
+    else (cur, Some(changes(spark, table, lastVersion, cur)))
+  }
+
   /** Committed version history (from the retained snapshot dirs):
     * (version, n_files, total_bytes) — DESCRIBE HISTORY analog. */
   def history(spark: SparkSession, table: String): DataFrame = {

@@ -339,6 +339,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.changes(spark, t, 2, 2).count() === 0)
   }
 
+  test("syncChanges replicates a table exactly through incremental CDC polls") {
+    val t = tbl()
+    VersionedTable.write(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "s", "ver"), t)
+    VersionedTable.write(Seq((3L, "c", 1L)).toDF("id", "s", "ver"), t)
+    // poll 1 from offset 0: carried to v2 with the full content as inserts
+    val (v1, d1) = VersionedTable.syncChanges(spark, t, 0L)
+    assert(v1 === 2)
+    var replica = Set.empty[(Long, String, Long)]
+    def applyDelta(df: org.apache.spark.sql.DataFrame): Unit =
+      df.as[(Long, String, Long, String)].collect().foreach {
+        case (id, s, ver, "insert") => replica += ((id, s, ver))
+        case (id, s, ver, "delete") => replica -= ((id, s, ver))
+        case other => fail(s"unexpected change row $other")
+      }
+    applyDelta(d1.get.select(col("id"), col("s"), col("ver"), col("_change_type")))
+    assert(replica === Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)))
+    // no new commits: poll is a cheap no-op at the same offset
+    val (v2, d2) = VersionedTable.syncChanges(spark, t, v1)
+    assert(v2 === 2 && d2.isEmpty)
+    // an upsert produces delete+insert; applying the delta converges
+    // the replica to the new snapshot
+    VersionedTable.merge(Seq((2L, "B2", 2L)).toDF("id", "s", "ver"), t,
+      Seq("id"), "ver")
+    val (v3, d3) = VersionedTable.syncChanges(spark, t, v1)
+    assert(v3 === 3 && d3.isDefined)
+    applyDelta(d3.get.select(col("id"), col("s"), col("ver"), col("_change_type")))
+    val want = VersionedTable.read(spark, t).select("id", "s", "ver")
+      .as[(Long, String, Long)].collect().toSet
+    assert(replica === want)
+  }
+
   test("restore re-commits an old version's content as a NEW version") {
     val t = tbl()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
