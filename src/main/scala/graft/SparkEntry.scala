@@ -1596,6 +1596,36 @@ object SparkEntry {
           sum(when(col("__dev") > lit(3.0 * 1.4826) * col("mad"), 1L)
             .otherwise(0L)).as("n_outliers"))
         .orderBy("event_type")
+    }),
+
+    // exponentially-decayed engagement score: for each event, the
+    // half-life-weighted sum of the user's last 8 values
+    // (sum of v_i * 0.5^lag). Exact cross-engine: the decay factors
+    // are 8 LITERAL powers of two (never runtime pow()), each term
+    // scales a 2-decimal value by 2^-k (an exact double op), and
+    // terms accumulate as decimals, so partial-agg merge order can't
+    // move the result. The lag pairing is an equi-join on user_id
+    // with an rn-band predicate — fanout bounded by the window width,
+    // every shuffle on user_id.
+    "q_ewma_value" -> ((s, d) => {
+      val wRn = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          roundTo(col("value"), 2).as("v"))
+        .withColumn("rn", row_number().over(wRn).cast("long"))
+      val decay = (0 to 7).foldLeft(when(lit(false), lit(0.0))) {
+        case (c, k) => c.when(col("__lag") === k, lit(math.pow(2.0, -k)))
+      }
+      val cur = e.select(col("event_id"), col("user_id"), col("rn"))
+      val past = e.select(col("user_id").as("__u"), col("rn").as("__rn"), col("v"))
+      cur.join(past, col("user_id") === col("__u") &&
+          col("__rn") <= col("rn") && col("__rn") > col("rn") - 8)
+        .withColumn("__lag", col("rn") - col("__rn"))
+        .select(col("event_id"),
+          roundTo(col("v") * decay, 8).cast("decimal(28,8)").as("__t"))
+        .groupBy("event_id")
+        .agg(roundTo(sum(col("__t")).cast("double"), 6).as("ewma"))
+        .orderBy("event_id")
     })
   )
 
@@ -2449,7 +2479,20 @@ object SparkEntry {
         | MIN(mad.mad) AS mad,
         | CAST(SUM(CASE WHEN dev.d > (3.0::DOUBLE * 1.4826::DOUBLE) * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev JOIN mad ON dev.event_type = mad.event_type
-        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
+
+    "q_ewma_value" -> {
+      val decay = (0 to 7).map(k =>
+        s"WHEN ${"%d".format(k)} THEN ${math.pow(2.0, -k)}").mkString(" ")
+      s"""WITH e AS (SELECT event_id, user_id, ${sqlRound("value", 2)} AS v,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        | FROM events WHERE value IS NOT NULL)
+        |SELECT cur.event_id,
+        | ${sqlRound("CAST(SUM(CAST(" + sqlRound("past.v * (CASE cur.rn - past.rn " + decay + " END)", 8) + " AS DECIMAL(28,8))) AS DOUBLE)", 6)} AS ewma
+        |FROM e cur JOIN e past ON cur.user_id = past.user_id
+        | AND past.rn <= cur.rn AND past.rn > cur.rn - 8
+        |GROUP BY cur.event_id ORDER BY cur.event_id""".stripMargin
+    }
   )
 
   /** DuckDB replica of the 3-iteration PageRank: the same

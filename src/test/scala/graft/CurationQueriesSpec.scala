@@ -150,6 +150,28 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_ewma_value matches a driver-side fold over each user's event history") {
+    val got = SparkEntry.queries("q_ewma_value")(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    val events = Tables.events(spark, sf).where(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, Long, Long, Double)].collect()
+    def r(x: Double, s: Int) = { val f = math.pow(10, s); math.floor(x * f + 0.5) / f }
+    assert(got.size == events.length)
+    events.groupBy(_._2).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._1)).map(e => (e._1, r(e._4, 2)))
+      ordered.indices.foreach { i =>
+        val window = ordered.slice(math.max(0, i - 7), i + 1)
+        val expect = window.zipWithIndex.map { case ((_, v), j) =>
+          BigDecimal(r(v * math.pow(2.0, -(window.length - 1 - j)), 8))
+        }.sum.toDouble
+        assert(math.abs(got(ordered(i)._1) - r(expect, 6)) < 1e-9,
+          s"event ${ordered(i)._1}")
+      }
+    }
+  }
+
   test("q_item_cooccurrence lift is symmetric-complete and correctly normalized") {
     val df = SparkEntry.queries("q_item_cooccurrence")(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
