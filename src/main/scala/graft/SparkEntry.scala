@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det.{roundTo, sqlRound}
-import graft.sources.Tables
+import graft.sources.{Layout, Tables}
 import graft.operators.{Dedup, Flatten}
 import graft.medallion.{Bronze, Gold, Silver}
 import graft.quality.QualityChecks
@@ -1552,7 +1552,12 @@ object SparkEntry {
         .groupBy(col("a.item").as("s"), col("b.item").as("t"))
         .agg(count(lit(1)).as("n_both")).filter(col("n_both") >= 3)
         .select("s", "t")
+      // the pair graph feeds every iteration plus the degree/count
+      // frames — persist it so the expensive co-occurrence subtree
+      // executes ONCE, not once per iteration (query-owned cache;
+      // Bench/Verify clear caches between queries)
       val edges = pairs.unionByName(pairs.select(col("t").as("s"), col("s").as("t")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
       val nNodes = deg.agg(count(lit(1)).as("__n"))
       var pr = deg.crossJoin(broadcast(nNodes))
@@ -1618,14 +1623,44 @@ object SparkEntry {
       }
       val cur = e.select(col("event_id"), col("user_id"), col("rn"))
       val past = e.select(col("user_id").as("__u"), col("rn").as("__rn"), col("v"))
-      cur.join(past, col("user_id") === col("__u") &&
+      // hint("merge"): at toy scale Catalyst would broadcast the full
+      // event history as the build side — at 100 TB the history is the
+      // BIG side; the sort-merge join shuffles both sides once on
+      // user_id. Grouping on (user_id, event_id) then lets the final
+      // agg reuse that partitioning (user_id ⊆ group key → no second
+      // shuffle), vs a full re-shuffle grouping on event_id alone.
+      cur.join(past.hint("merge"), col("user_id") === col("__u") &&
           col("__rn") <= col("rn") && col("__rn") > col("rn") - 8)
         .withColumn("__lag", col("rn") - col("__rn"))
-        .select(col("event_id"),
+        .select(col("user_id"), col("event_id"),
           roundTo(col("v") * decay, 8).cast("decimal(28,8)").as("__t"))
-        .groupBy("event_id")
+        .groupBy("user_id", "event_id")
         .agg(roundTo(sum(col("__t")).cast("double"), 6).as("ewma"))
+        .select(col("event_id"), col("ewma"))
         .orderBy("event_id")
+    }),
+
+    // co-located (bucketed) join end-to-end: both sides are written
+    // bucketBy(custkey) into the session warehouse, then sort-merge
+    // joined — the scans read pre-shuffled buckets, so NO hash
+    // exchange appears in the join (asserted in LayoutAndSkewSpec).
+    // At 100 TB this is the difference between re-shuffling the fact
+    // table on every join and reading it join-ready; the oracle runs
+    // the plain SQL join (bucketing must never change results).
+    "q_bucketed_join" -> ((s, d) => {
+      val sfx = Integer.toHexString(d.hashCode)
+      Layout.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          roundTo(col("o_totalprice"), 2).as("price")),
+        s"graft_bk_orders_$sfx", "o_custkey", 8, sortCols = Seq("o_custkey"))
+      Layout.writeBucketed(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        s"graft_bk_customer_$sfx", "c_custkey", 8, sortCols = Seq("c_custkey"))
+      s.table(s"graft_bk_orders_$sfx").hint("merge")
+        .join(s.table(s"graft_bk_customer_$sfx"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"), col("price"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -2492,7 +2527,15 @@ object SparkEntry {
         |FROM e cur JOIN e past ON cur.user_id = past.user_id
         | AND past.rn <= cur.rn AND past.rn > cur.rn - 8
         |GROUP BY cur.event_id ORDER BY cur.event_id""".stripMargin
-    }
+    },
+
+    // bucketing is a physical layout choice — the oracle is the plain
+    // join, and the bucketed plan must reproduce it bit-for-bit
+    "q_bucketed_join" ->
+      s"""SELECT o_orderkey, o_custkey, c_mktsegment,
+        | ${sqlRound("o_totalprice", 2)} AS price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 
   /** DuckDB replica of the 3-iteration PageRank: the same

@@ -25,6 +25,17 @@ class LayoutAndSkewSpec extends SparkSpec {
     assert(pruned.count() === full)
   }
 
+  test("q_bucketed_join reads bucketed scans and never hash-shuffles the join") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+    df.count() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"join inputs not bucketed:\n$plan")
+    // the only exchange allowed is the output ORDER BY's range
+    // partitioning — the join itself must read co-located buckets
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still hash-shuffles:\n$plan")
+  }
+
   test("q_pruned_read scans exactly one partition (graded pruning)") {
     val df = SparkEntry.queries("q_pruned_read")(spark, sf)
     val scan = df.queryExecution.executedPlan.collectLeaves()
