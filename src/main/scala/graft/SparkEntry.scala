@@ -1649,6 +1649,18 @@ object SparkEntry {
     // the plain SQL join (bucketing must never change results).
     "q_bucketed_join" -> ((s, d) => {
       val sfx = Integer.toHexString(d.hashCode)
+      // reset BOTH the catalog entry and the warehouse directory: a
+      // fresh session's in-memory catalog does not know tables a
+      // previous JVM wrote, but their non-empty locations survive and
+      // would fail saveAsTable with LOCATION_ALREADY_EXISTS
+      def reset(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+      }
+      reset(s"graft_bk_orders_$sfx"); reset(s"graft_bk_customer_$sfx")
       Layout.writeBucketed(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
           roundTo(col("o_totalprice"), 2).as("price")),

@@ -249,6 +249,52 @@ object VersionedTable {
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, currentVersion(spark, table))
 
+  /** Schema-evolving append (Delta `mergeSchema` analog): columns
+    * present on only one side null-fill on the other, so a producer
+    * may add columns without coordinating a rewrite. Plain `write`
+    * stays strict — silent widening is usually a bug; evolution is
+    * opt-in here, as in Delta. */
+  def writeEvolve(df: DataFrame, table: String): Long = {
+    val spark = df.sparkSession
+    commitLoop(spark, table) { cur =>
+      Some(if (cur == 0) df
+           else readVersion(spark, table, cur)
+             .unionByName(df, allowMissingColumns = true))
+    }
+  }
+
+  /** DELETE FROM ... WHERE analog: commits a new version without the
+    * matching rows (an O(table) rewrite on plain parquet — a log
+    * format would rewrite only the touched files; same API, same
+    * snapshot isolation: older versions still hold the rows). */
+  def deleteWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    commitLoop(spark, table) { cur =>
+      require(cur >= 1, s"cannot DELETE from empty table $table")
+      // strict NULL reading as in writeChecked: a NULL predicate
+      // neither matches nor silently drops — it keeps the row
+      Some(readVersion(spark, table, cur)
+        .where(!coalesce(predicate, lit(false))))
+    }
+  }
+
+  /** UPDATE ... SET ... WHERE analog: rows matching `predicate` get
+    * `assignments` applied; everything else is untouched. Committed
+    * as one new version through the same optimistic CAS. */
+  def updateWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    commitLoop(spark, table) { cur =>
+      require(cur >= 1, s"cannot UPDATE empty table $table")
+      val snap = readVersion(spark, table, cur)
+      val hit = coalesce(predicate, lit(false))
+      Some(assignments.foldLeft(snap) { case (df, (c, expr)) =>
+        require(snap.columns.contains(c), s"UPDATE of unknown column $c")
+        df.withColumn(c, when(hit, expr).otherwise(col(c)))
+      })
+    }
+  }
+
   /** Snapshot path referenced OUTSIDE this table's directory (set by
     * [[cloneShallow]]); None for ordinary staged commits. */
   private def externalPathOf(spark: SparkSession, table: String,
@@ -441,6 +487,20 @@ object VersionedTable {
       val data = readVersion(spark, table, cur)
       Some(if (clusterCols.isEmpty) data.coalesce(nFiles)
            else Layout.clusterBy(data, nFiles, clusterCols: _*))
+    }
+  }
+
+  /** `OPTIMIZE ... ZORDER BY` as a table service (the reference runs
+    * exactly this on its Delta gold tables,
+    * gold_transformation.py:160): rewrite the current snapshot
+    * Z-ORDER-clustered on `cols` as a new version, so file-level
+    * min/max stats prune reads on ANY of the Z columns (pair with
+    * [[collectStats]] + [[prunedRead]]). */
+  def optimizeZorder(spark: SparkSession, table: String, nFiles: Int,
+                     cols: Seq[String], bits: Int = 8): Long = {
+    commitLoop(spark, table) { cur =>
+      require(cur >= 1, s"cannot optimize empty table $table")
+      Some(Layout.zorderBy(readVersion(spark, table, cur), nFiles, cols, bits))
     }
   }
 

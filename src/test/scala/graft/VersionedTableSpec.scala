@@ -370,6 +370,70 @@ class VersionedTableSpec extends SparkSpec {
     assert(replica === want)
   }
 
+  test("deleteWhere and updateWhere commit new versions with DML semantics") {
+    val t = tbl()
+    VersionedTable.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", -5.0)).toDF("id", "s", "x"), t)
+    // UPDATE x = x * 2 WHERE x > 0
+    VersionedTable.updateWhere(spark, t, col("x") > 0,
+      Map("x" -> (col("x") * 2)))
+    assert(VersionedTable.read(spark, t).select("id", "x")
+      .as[(Long, Double)].collect().toSet
+      === Set((1L, 20.0), (2L, 40.0), (3L, -5.0)))
+    // DELETE WHERE x < 0
+    VersionedTable.deleteWhere(spark, t, col("x") < 0)
+    assert(VersionedTable.read(spark, t).select("id").as[Long].collect().toSet
+      === Set(1L, 2L))
+    // snapshot isolation: v1 still holds all three original rows
+    assert(VersionedTable.readVersion(spark, t, 1).count() === 3)
+    // a NULL predicate row is kept by DELETE and untouched by UPDATE
+    val t2 = tbl()
+    VersionedTable.write(Seq((1L, Some(1.0)), (2L, None)).toDF("id", "x"), t2)
+    VersionedTable.deleteWhere(spark, t2, col("x") > 100)
+    assert(VersionedTable.read(spark, t2).count() === 2)
+    VersionedTable.updateWhere(spark, t2, col("x") > 0, Map("x" -> lit(9.0)))
+    assert(VersionedTable.read(spark, t2).select("id", "x")
+      .as[(Long, Option[Double])].collect().toSet
+      === Set((1L, Some(9.0)), (2L, None)))
+    // unknown column is rejected before anything commits
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, t2, lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
+  test("writeEvolve appends a frame with new columns, null-filling both sides") {
+    val t = tbl()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
+    // strict write refuses the widened schema...
+    intercept[org.apache.spark.sql.AnalysisException] {
+      VersionedTable.write(Seq((2L, "b", 7.5)).toDF("id", "s", "score"), t)
+    }
+    // ...writeEvolve accepts it
+    VersionedTable.writeEvolve(Seq((2L, "b", 7.5)).toDF("id", "s", "score"), t)
+    val rows = VersionedTable.read(spark, t)
+      .select("id", "s", "score").as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(rows === Set((1L, "a", None), (2L, "b", Some(7.5))))
+  }
+
+  test("optimizeZorder rewrites the snapshot Z-clustered; stats prune both columns") {
+    val t = tbl()
+    val df = spark.range(0, 512).select(col("id"),
+      (col("id") % 16).as("a"), ((col("id") / 16) % 16).as("b"))
+    VersionedTable.write(df, t)
+    val v = VersionedTable.optimizeZorder(spark, t, nFiles = 8, cols = Seq("a", "b"))
+    // content unchanged
+    assert(VersionedTable.readVersion(spark, t, v).count() === 512)
+    VersionedTable.collectStats(spark, t, v, Seq("a", "b"))
+    // a selective range on EITHER z-column must open fewer files than
+    // the snapshot holds — the multi-column locality zorder gives
+    def opened(colName: String): Long =
+      VersionedTable.prunedRead(spark, t, colName, 0, 1, version = v)
+        .select(input_file_name()).distinct().count()
+    assert(opened("a") < 8, "no pruning on a")
+    assert(opened("b") < 8, "no pruning on b")
+  }
+
   test("restore re-commits an old version's content as a NEW version") {
     val t = tbl()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), t)
