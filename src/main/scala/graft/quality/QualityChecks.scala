@@ -129,6 +129,49 @@ object QualityChecks {
       .select("p.*")
   }
 
+  /** Distribution drift between two snapshots of the same table —
+    * the monitoring a training-data pipeline runs between versions
+    * before a snapshot is allowed into a run. Per numeric column:
+    * mean/std on each side from ONE combinable agg per snapshot
+    * (exact decimal sums of x and x², so results are
+    * partition-order-independent), a pooled-σ z-score of the mean
+    * shift, and a drifted flag at `zThreshold`. Both aggs reduce to
+    * one row per snapshot — nothing is joined at data size; at
+    * 100 TB each side costs one map-side-combinable scan. Pair with
+    * [[graft.sources.VersionedTable.readVersion]] to compare
+    * committed versions. */
+  def driftStats(before: DataFrame, after: DataFrame, cols: Seq[String],
+                 zThreshold: Double = 3.0): DataFrame = {
+    def moments(df: DataFrame, side: String): DataFrame = {
+      val aggs = cols.flatMap { c =>
+        val x = col(c).cast("double")
+        Seq(count(when(x.isNotNull, 1L)).as(s"__n_${side}_$c"),
+          sum(graft.functions.Det.roundTo(x, 6).cast("decimal(38,6)"))
+            .cast("double").as(s"__s1_${side}_$c"),
+          sum(graft.functions.Det.roundTo(x * x, 6).cast("decimal(38,6)"))
+            .cast("double").as(s"__s2_${side}_$c"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val joined = moments(before, "a").crossJoin(moments(after, "b"))
+    val rows = cols.map { c =>
+      def n(s: String) = col(s"__n_${s}_$c").cast("double")
+      def mean(s: String) = col(s"__s1_${s}_$c") / n(s)
+      def variance(s: String) =
+        (col(s"__s2_${s}_$c") - col(s"__s1_${s}_$c") * mean(s)) /
+          greatest(n(s) - 1.0, lit(1.0))
+      // pooled standard error of the difference of means
+      val se = sqrt(variance("a") / n("a") + variance("b") / n("b"))
+      val z = when(se > 0, abs(mean("b") - mean("a")) / se).otherwise(
+        when(mean("b") === mean("a"), 0.0).otherwise(Double.PositiveInfinity))
+      struct(lit(c).as("column_name"),
+        n("a").cast("long").as("n_before"), n("b").cast("long").as("n_after"),
+        mean("a").as("mean_before"), mean("b").as("mean_after"),
+        z.as("z_shift"), (z > zThreshold).as("drifted"))
+    }
+    joined.select(explode(array(rows: _*)).as("d")).select("d.*")
+  }
+
   /** One row per (violating source row, violated check): every row is
     * tagged with the names of all checks it fails, then exploded.
     * Rows violating nothing disappear (explode of an empty array) —

@@ -201,6 +201,25 @@ class TextAndDedupSpec extends SparkSpec {
       back.select("id", "check_name")).isEmpty)
   }
 
+  test("driftStats flags a planted mean shift and clears identical snapshots") {
+    val before = spark.range(0, 2000).select(col("id"),
+      (col("id") % 100).cast("double").as("x"),
+      (col("id") % 7).cast("double").as("y"))
+    // x drifts by +30 (vs σ≈29 per-row, n=2000 → huge z); y unchanged
+    val after = before.withColumn("x", col("x") + 30.0)
+    val d = QualityChecks.driftStats(before, after, Seq("x", "y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    val (mxa, mxb, zx, dx) = d("x")
+    assert(math.abs(mxb - mxa - 30.0) < 1e-6)
+    assert(zx > 3.0 && dx, s"x shift not flagged: z=$zx")
+    val (_, _, zy, dy) = d("y")
+    assert(zy == 0.0 && !dy, s"y falsely drifted: z=$zy")
+    // identical snapshots never drift
+    assert(QualityChecks.driftStats(before, before, Seq("x", "y"))
+      .filter(col("drifted")).count() === 0)
+  }
+
   test("observed metrics ride the action without an extra scan") {
     val df = Seq((1L, 5.0), (2L, -1.0), (3L, 2.0)).toDF("id", "v")
     val (observedDf, obs) = QualityChecks.observed(df, "pass_metrics",
