@@ -1673,6 +1673,26 @@ object SparkEntry {
           col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"), col("price"))
         .orderBy("o_orderkey")
+    }),
+
+    // snapshot drift monitoring as a graded query: a planted +15%
+    // price shift on a quarter of the rows must light up the price
+    // column's pooled-σ z-score while the untouched key column reads
+    // exactly zero. Each side is ONE combinable exact-decimal agg
+    // reduced to a single row (QualityChecks.driftStats); the oracle
+    // replays the identical moment arithmetic.
+    "q_drift_snapshots" -> ((s, d) => {
+      val before = Tables.orders(s, d).select(
+        roundTo(col("o_totalprice"), 2).as("price"), col("o_custkey"))
+      val after = Tables.orders(s, d).select(
+        roundTo(when(col("o_orderkey") % 4 === 0, col("o_totalprice") * 1.15)
+          .otherwise(col("o_totalprice")), 2).as("price"), col("o_custkey"))
+      QualityChecks.driftStats(before, after, Seq("price", "o_custkey"))
+        .select(col("column_name"), col("n_before"), col("n_after"),
+          roundTo(col("mean_before"), 6).as("mean_before"),
+          roundTo(col("mean_after"), 6).as("mean_after"),
+          roundTo(col("z_shift"), 6).as("z_shift"), col("drifted"))
+        .orderBy("column_name")
     })
   )
 
@@ -2547,8 +2567,50 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, c_mktsegment,
         | ${sqlRound("o_totalprice", 2)} AS price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_drift_snapshots" -> driftOracle
   )
+
+  /** DuckDB replica of the drift monitor: the same per-side moment
+    * aggregation ([[QualityChecks.driftStats]] — exact DECIMAL(38,6)
+    * sums of 6-digit-rounded x and x², counts of non-nulls) and the
+    * identical pooled-σ z arithmetic, one UNION ALL branch per
+    * monitored column. */
+  private def driftOracle: String = {
+    def side(alias: String, sel: String): String = {
+      val cols = Seq("price", "o_custkey").flatMap { c =>
+        val x = sqlRound(s"CAST($c AS DOUBLE)", 6)
+        val x2 = sqlRound(s"CAST($c AS DOUBLE) * CAST($c AS DOUBLE)", 6)
+        Seq(s"COUNT(CASE WHEN $c IS NOT NULL THEN 1 END) AS n_$c",
+          s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE) AS s1_$c",
+          s"CAST(SUM(CAST($x2 AS DECIMAL(38,6))) AS DOUBLE) AS s2_$c")
+      }.mkString(",\n   ")
+      s"$alias AS (SELECT $cols FROM ($sel))"
+    }
+    def branch(c: String): String = {
+      def n(s: String) = s"CAST($s.n_$c AS DOUBLE)"
+      def mean(s: String) = s"($s.s1_$c / ${n(s)})"
+      def va(s: String) =
+        s"(($s.s2_$c - $s.s1_$c * ${mean(s)}) / greatest(${n(s)} - 1.0, 1.0))"
+      val se = s"sqrt(${va("a")} / ${n("a")} + ${va("b")} / ${n("b")})"
+      val z = s"""CASE WHEN $se > 0 THEN abs(${mean("b")} - ${mean("a")}) / $se
+                 | ELSE CASE WHEN ${mean("b")} = ${mean("a")} THEN 0.0 ELSE CAST('inf' AS DOUBLE) END END""".stripMargin
+      s"""SELECT '$c' AS column_name, a.n_$c AS n_before, b.n_$c AS n_after,
+         | ${sqlRound(mean("a"), 6)} AS mean_before,
+         | ${sqlRound(mean("b"), 6)} AS mean_after,
+         | ${sqlRound(z, 6)} AS z_shift, ($z) > 3.0::DOUBLE AS drifted
+         |FROM a CROSS JOIN b""".stripMargin
+    }
+    val bsel = s"SELECT ${sqlRound("o_totalprice", 2)} AS price, o_custkey FROM orders"
+    val asel = s"SELECT ${sqlRound("CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 1.15 ELSE o_totalprice END", 2)} AS price, o_custkey FROM orders"
+    s"""WITH ${side("a", bsel)},
+       |${side("b", asel)}
+       |${branch("price")}
+       |UNION ALL
+       |${branch("o_custkey")}
+       |ORDER BY column_name""".stripMargin
+  }
 
   /** DuckDB replica of the 3-iteration PageRank: the same
     * co-occurrence edge set, the same per-iteration shape

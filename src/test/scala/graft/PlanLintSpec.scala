@@ -37,7 +37,9 @@ class PlanLintSpec extends SparkSpec {
     // aggs broadcast back into the keep-fraction / lift expressions
     "q_domain_mix", "q_item_cooccurrence",
     // node-count scalar seeding the uniform initial rank
-    "q_pagerank_items")
+    "q_pagerank_items",
+    // two per-snapshot moment aggs, each ONE row, cross-joined
+    "q_drift_snapshots")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
