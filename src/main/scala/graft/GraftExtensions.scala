@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
     ext.injectCheckRule(GraftGuardrails.check)
+    // whole-operator custom-plan path: rewrite
+    // `row_number() OVER (PARTITION BY..ORDER BY..) <= k` into the
+    // heap-based two-phase top-k operator (see graft.plans.TopKPerGroup)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTopKPerGroup)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

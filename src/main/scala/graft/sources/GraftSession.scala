@@ -24,6 +24,9 @@ object GraftSession {
   def builder(master: String, cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // graft's Catalyst extensions: SQL functions, opt-in guardrail
+      // checks, and the top-k-per-group rewrite + strategy
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
