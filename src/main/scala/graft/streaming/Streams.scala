@@ -132,6 +132,48 @@ object Streams {
     }
   }
 
+  case class Leader(event_type: String, rank: Int, event_id: Long, value: Double)
+  case class LeaderState(ids: Seq[Long], values: Seq[Double])
+
+  /** Streaming top-k-per-group — the continuous twin of the batch
+    * [[graft.plans.TopKPerGroup]] operator: a per-key leaderboard
+    * maintained in bounded ValueState (exactly k entries per group,
+    * O(groups×k) total — never O(events)). Each micro-batch merges
+    * its rows into the stored top-k under (value desc, event_id asc)
+    * and re-emits the group's CURRENT leaderboard in Update mode. */
+  class StreamingTopKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, Leader] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[LeaderState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LeaderState]("topk",
+        org.apache.spark.sql.Encoders.product[LeaderState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Leader] = {
+      val prev = if (state.exists()) {
+        val s = state.get(); s.ids.zip(s.values)
+      } else Seq.empty
+      val merged = (prev ++ rows.map(e => (e.event_id, e.value)))
+        .sortBy { case (id, v) => (-v, id) }.take(k)
+      state.update(LeaderState(merged.map(_._1), merged.map(_._2)))
+      merged.iterator.zipWithIndex.map { case ((id, v), i) =>
+        Leader(key, i + 1, id, v)
+      }
+    }
+  }
+
+  /** Continuous per-event-type leaderboard over a stream. */
+  def streamingTopK(events: Dataset[Event], k: Int): Dataset[Leader] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new StreamingTopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Gap sessionization on the transformWithState API — the modern
     * twin of [[sessionize]], using named ValueState + EVENT-TIME
     * TIMERS: each open session registers a timer at lastTs+gap
@@ -360,6 +402,24 @@ object Streams {
         graft.sources.VersionedTable.mergeAggregate(
           batch.toDF(), table, keys, sumCols,
           commitTag = Some(s"batch-$batchId"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Run an Update-mode stateful stream once, materializing each
+    * micro-batch's emission over `outPath` (last batch wins — the
+    * serving pattern for re-emitted per-key results like the top-k
+    * leaderboard). foreachBatch, so the checkpoint RESUMES across
+    * runs, unlike the memory sink. */
+  def runOnceUpdate(df: DataFrame, checkpoint: String, outPath: String): Unit = {
+    val q = df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outPath)
         ()
       }
       .start()

@@ -110,6 +110,47 @@ class SimilarityAndStreamingSpec extends SparkSpec {
     assert(spark.table("sess_out").count() <= batch.count())
   }
 
+  test("streaming top-k leaderboard converges to the batch top-k") {
+    import Streams._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws_topk").toString
+    // two micro-batch files: state must carry batch 1's leaders into
+    // batch 2's merge
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .where(col("value").isNotNull)
+    ev.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event](
+      org.apache.spark.sql.Encoders.product[Event])
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Streams.runOnceUpdate(streamingTopK(stream, 5).toDF(),
+        s"$dir/ckpt", s"$dir/out")
+      ev.where(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+      Streams.runOnceUpdate(streamingTopK(stream, 5).toDF(),
+        s"$dir/ckpt", s"$dir/out")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    // after the second batch the emitted leaderboard equals the batch
+    // top-5 per event_type over ALL events
+    val got = spark.read.parquet(s"$dir/out")
+      .select("event_type", "rank", "event_id")
+      .as[(String, Int, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
+    val expected = ev.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("event_type", "rank", "event_id")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("transformWithState sessionizer matches the fMGWS one") {
     import Streams._
     val dir = java.nio.file.Files.createTempDirectory("graft_tws_sess").toString
