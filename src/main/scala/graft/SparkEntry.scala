@@ -828,6 +828,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_best_rep" -> ((s, d) => {
+      // survivor selection by QUALITY, not min-id: within each
+      // near-dup cluster keep the highest-quality member (ties to
+      // the smallest id) — the curation policy that retains the
+      // cleanest copy instead of an arbitrary one. Same pair graph /
+      // CC as dedup_pipeline; quality joins happen on the
+      // member-bounded cluster frame, and survivors carry how many
+      // originals they absorbed.
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val edges = NearDup.simHashPairs(docs, "doc_id", "text", maxDist = 6)
+        .select("id_a", "id_b")
+      val members = graft.dedup.Clusters.connectedComponents(edges)
+      val winners = members
+        .join(scored, members("id") === scored("doc_id"))
+        .groupBy(col("cluster_rep"))
+        .agg(max_by(col("doc_id"),
+          struct(col("quality"), (-col("doc_id")).as("nid"))).as("doc_id"),
+          count(lit(1)).as("n_merged"))
+        .select(col("doc_id"), col("n_merged"))
+      val singles = docs
+        .join(broadcast(members.select(col("id").as("doc_id"))),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(1L).as("n_merged"))
+      winners.unionByName(singles)
+        .join(scored, "doc_id")
+        .select(col("doc_id"), col("n_merged"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     "q_label_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -2569,7 +2600,28 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
 
-    "q_drift_snapshots" -> driftOracle
+    "q_drift_snapshots" -> driftOracle,
+
+    // quality-based survivor selection: same recursive cluster CTE as
+    // the other dedup oracles, winner = row_number 1 under
+    // (quality DESC, doc_id ASC) per cluster, singletons pass through
+    "dedup_best_rep" ->
+      s"""${clustersReachCte.replace("ON r.dst = e2.src)", "ON r.dst = e2.src),")}
+        |members AS (SELECT src AS doc_id, least(src, MIN(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |q AS (SELECT doc_id, $sqlQualityScore AS quality FROM documents),
+        |winners AS (SELECT doc_id, n_merged FROM (
+        |  SELECT m.doc_id,
+        |   row_number() OVER (PARTITION BY m.rep
+        |     ORDER BY q.quality DESC, m.doc_id ASC) AS rn,
+        |   COUNT(*) OVER (PARTITION BY m.rep) AS n_merged
+        |  FROM members m JOIN q ON m.doc_id = q.doc_id) WHERE rn = 1),
+        |singles AS (SELECT doc_id, CAST(1 AS BIGINT) AS n_merged FROM documents
+        | WHERE doc_id NOT IN (SELECT doc_id FROM members))
+        |SELECT u.doc_id, u.n_merged, q.quality
+        |FROM (SELECT * FROM winners UNION ALL SELECT * FROM singles) u
+        |JOIN q ON u.doc_id = q.doc_id
+        |ORDER BY u.doc_id""".stripMargin
   )
 
   /** DuckDB replica of the drift monitor: the same per-side moment
@@ -2817,6 +2869,21 @@ object SparkEntry {
 
   // ---- long generated oracles ----
 
+  /** DuckDB text of the rounded quality score (shared by
+    * text_quality, dedup_best_rep). */
+  private def sqlQualityScore: String = {
+    val toks = sqlTokens("text")
+    val punct = s"(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    val punctRatio = s"(CASE WHEN length(text)=0 THEN 0.0 ELSE $punct::DOUBLE/length(text) END)"
+    val nTok = s"len($toks)"
+    val nStop = s"len(list_filter($toks, t -> t IN ($stop)))"
+    val stopRatio = s"(CASE WHEN $nTok=0 THEN 0.0 ELSE $nStop::DOUBLE/$nTok END)"
+    val lenScore = s"least($nTok::DOUBLE/50.0, 1.0)"
+    val punctPen = s"least($punctRatio*5.0, 1.0)"
+    val stopScore = s"least($stopRatio*4.0, 1.0)"
+    sqlRound(s"$lenScore*0.5 + $stopScore*0.3 + (1.0-$punctPen)*0.2", 6)
+  }
+
   private def textQualityOracle: String = {
     val toks = sqlTokens("text")
     val punct = s"(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
@@ -2825,13 +2892,10 @@ object SparkEntry {
     val nStop = s"len(list_filter($toks, t -> t IN ($stop)))"
     val stopRatio = s"(CASE WHEN $nTok=0 THEN 0.0 ELSE $nStop::DOUBLE/$nTok END)"
     val meanLen = s"(CASE WHEN $nTok=0 THEN 0.0 ELSE CAST(list_sum(list_transform($toks, t -> length(t)::BIGINT)) AS DOUBLE)/$nTok END)"
-    val lenScore = s"least($nTok::DOUBLE/50.0, 1.0)"
-    val punctPen = s"least($punctRatio*5.0, 1.0)"
-    val stopScore = s"least($stopRatio*4.0, 1.0)"
     s"""SELECT doc_id, ${sqlRound(punctRatio, 6)} AS punct_ratio,
        | ${sqlRound(stopRatio, 6)} AS stopword_ratio,
        | ${sqlRound(meanLen, 6)} AS mean_token_len,
-       | ${sqlRound(s"$lenScore*0.5 + $stopScore*0.3 + (1.0-$punctPen)*0.2", 6)} AS quality_score
+       | $sqlQualityScore AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

@@ -172,6 +172,27 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_best_rep keeps the highest-quality member of every cluster") {
+    val survivors = SparkEntry.queries("dedup_best_rep")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .as[(Long, Long)].collect() // (doc_id, cluster_rep)
+    val quality = SparkEntry.queries("text_quality")(spark, sf)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    // every doc is accounted for exactly once across survivors' merges
+    assert(survivors.map(_._2).sum == nDocs)
+    // per cluster: the survivor is a member with the max quality
+    clusters.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1).toSet
+      val win = survivors.filter(s => ids.contains(s._1))
+      assert(win.length == 1, s"cluster $ids kept ${win.length} survivors")
+      assert(win.head._3 == ids.map(quality).max,
+        s"survivor ${win.head._1} not max-quality in $ids")
+      assert(win.head._2 == ids.size)
+    }
+  }
+
   test("q_item_cooccurrence lift is symmetric-complete and correctly normalized") {
     val df = SparkEntry.queries("q_item_cooccurrence")(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
