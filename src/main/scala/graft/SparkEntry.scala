@@ -859,6 +859,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus-level similarity from MERGED MinHash signatures — the
+    // custom Catalyst AGGREGATE (MinHashMergeAgg) graded end-to-end:
+    // per-doc signatures (custom expression, one md5 pass) reduce to
+    // ONE 32-long signature per lang via elementwise-min merge
+    // (combinable: any partitioning, same result), then the tiny
+    // lang-pair frame estimates cross-corpus Jaccard as matching
+    // signature fraction. The corpus is touched once; everything
+    // after the groupBy is constant-size.
+    "dedup_minhash_corpus_sim" -> ((s, d) => {
+      val sigs = Tables.documents(s, d)
+        .select(col("lang"), NearDup.minHashSignature(col("text"), 3).as("sig"))
+        .where(col("sig").isNotNull)
+      val langSig = sigs.groupBy("lang")
+        .agg(graft.functions.MinHashMergeAgg.merge(col("sig")).as("sig"))
+      val a = langSig.select(col("lang").as("lang_a"), col("sig").as("__sa"))
+      val b = langSig.select(col("lang").as("lang_b"), col("sig").as("__sb"))
+      val matches = aggregate(
+        zip_with(col("__sa"), col("__sb"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
+      a.join(b, col("lang_a") < col("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          roundTo(matches.cast("double") / NearDup.NumHashes, 6).as("est_jaccard"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     "q_label_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -2621,8 +2646,44 @@ object SparkEntry {
         |SELECT u.doc_id, u.n_merged, q.quality
         |FROM (SELECT * FROM winners UNION ALL SELECT * FROM singles) u
         |JOIN q ON u.doc_id = q.doc_id
-        |ORDER BY u.doc_id""".stripMargin
+        |ORDER BY u.doc_id""".stripMargin,
+
+    "dedup_minhash_corpus_sim" -> minHashCorpusSimOracle
   )
+
+  /** DuckDB replica of the merged-signature corpus similarity: the
+    * same md5 base hash and affine coefficients as [[minHashOracle]],
+    * per-lang elementwise MIN over doc signatures (32 MIN aggs — the
+    * SQL spelling of MinHashMergeAgg), matching-fraction per lang
+    * pair. */
+  private def minHashCorpusSimOracle: String = {
+    val P = NearDup.P
+    val base = s"(('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
+    val sigExprs = NearDup.coeffs.map { case (a, b) =>
+      s"list_min(list_transform(bh, x -> ($a * x + $b) % $P))"
+    }
+    val k = NearDup.NumHashes
+    val mins = (1 to k).map(i => s"MIN(s$i) AS s$i").mkString(", ")
+    val cols = sigExprs.zipWithIndex
+      .map { case (e, i) => s"$e AS s${i + 1}" }.mkString(",\n  ")
+    val eq = (1 to k).map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, lang,
+       |  list_transform(range(0, greatest(0, len(toks)-2)),
+       |    i -> array_to_string(toks[i+1:i+3], ' ')) AS shingles
+       | FROM t WHERE len(toks) >= 3),
+       |bh AS (SELECT doc_id, lang,
+       |  list_transform(shingles, s -> $base) AS bh FROM sh),
+       |sig AS (SELECT lang,
+       |  $cols
+       | FROM bh WHERE len(bh) > 0),
+       |langsig AS (SELECT lang, $mins FROM sig GROUP BY lang)
+       |SELECT a.lang AS lang_a, b.lang AS lang_b,
+       | ${sqlRound(s"($eq) / $k.0", 6)} AS est_jaccard
+       |FROM langsig a JOIN langsig b ON a.lang < b.lang
+       |ORDER BY lang_a, lang_b""".stripMargin
+  }
 
   /** DuckDB replica of the drift monitor: the same per-side moment
     * aggregation ([[QualityChecks.driftStats]] — exact DECIMAL(38,6)
