@@ -212,6 +212,57 @@ object QualityChecks {
     q.awaitTermination()
   }
 
+  /** Declarative-pipeline expectations (the Delta Live Tables
+    * `@expect` / `@expect_or_drop` / `@expect_or_fail` triad): each
+    * expectation names a predicate rows SHOULD satisfy and an
+    * enforcement level —
+    *
+    *  - [[Warn]]: violating rows pass through; the violation count
+    *    rides the caller's action as an observe metric (no extra
+    *    scan);
+    *  - [[Drop]]: violating rows are filtered out (strict NULLs —
+    *    a NULL predicate is a violation, as everywhere in this
+    *    module);
+    *  - [[Fail]]: any violating row aborts the pass at action time
+    *    (implemented as a runtime assert INSIDE the row pipeline, so
+    *    the job fails fast on the first bad row instead of scanning
+    *    everything first — batch-atomicity against a committed sink
+    *    comes from pairing with VersionedTable.writeChecked).
+    *
+    * Returns the gated frame plus the Observation carrying
+    * `warn_<name>` / `drop_<name>` counts for every non-fail
+    * expectation. ONE narrow pass, no shuffle. */
+  sealed trait Enforcement
+  case object Warn extends Enforcement
+  case object Drop extends Enforcement
+  case object Fail extends Enforcement
+  final case class Expectation(name: String, predicate: Column,
+                               enforcement: Enforcement = Warn)
+
+  def expect(df: DataFrame, expectations: Seq[Expectation])
+  : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(expectations.nonEmpty, "expect: no expectations given")
+    def holds(e: Expectation): Column = coalesce(e.predicate, lit(false))
+    // fail gates first: any violating row aborts the action
+    val gated = expectations.filter(_.enforcement == Fail).foldLeft(df) {
+      (d, e) =>
+        d.where(when(holds(e), true).otherwise(raise_error(concat(
+          lit(s"expectation '${e.name}' violated by row: "),
+          to_json(struct(col("*")))))))
+    }
+    // observe BELOW the drop filters: metrics count violations over
+    // every surviving-the-fail-gate row, including ones Drop removes
+    val obs = org.apache.spark.sql.Observation()
+    val metrics = expectations.filterNot(_.enforcement == Fail).map { e =>
+      val label = if (e.enforcement == Drop) "drop" else "warn"
+      sum(when(holds(e), 0L).otherwise(1L)).as(s"${label}_${e.name}")
+    } :+ count(lit(1)).as("n_rows")
+    val watched = gated.observe(obs, metrics.head, metrics.tail: _*)
+    val out = expectations.filter(_.enforcement == Drop)
+      .foldLeft(watched)((d, e) => d.where(holds(e)))
+    (out, obs)
+  }
+
   /** Pipeline telemetry WITHOUT an extra scan: attach aggregate
     * metrics (row counts, violation counts, sums) to a pass via
     * `Dataset.observe`; the metrics accumulate during whatever

@@ -211,7 +211,8 @@ object VersionedTable {
     * winner's result. `content` returning None means "already
     * applied, no-op" (replayed tagged batch). */
   private def commitLoop(spark: SparkSession, table: String,
-                         tag: Option[String] = None)
+                         tag: Option[String] = None,
+                         partitionBy: Seq[String] = Nil)
                         (content: Long => Option[DataFrame]): Long = {
     val f = fs(spark, table)
     var attempt = 0
@@ -221,7 +222,9 @@ object VersionedTable {
         case None => return cur
         case Some(df) =>
           val stageName = "_stage_" + java.util.UUID.randomUUID().toString.take(12)
-          df.write.mode(SaveMode.Overwrite).parquet(s"$table/$stageName")
+          val w = df.write.mode(SaveMode.Overwrite)
+          (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+            .parquet(s"$table/$stageName")
           if (tryCommit(spark, table, cur + 1, stageName, tag)) return cur + 1
           f.delete(new Path(table, stageName), true) // lost the race
       }
@@ -239,6 +242,26 @@ object VersionedTable {
   def write(df: DataFrame, table: String, overwrite: Boolean = false): Long = {
     val spark = df.sparkSession
     commitLoop(spark, table) { cur =>
+      Some(if (overwrite || cur == 0) df
+           else readVersion(spark, table, cur).unionByName(df))
+    }
+  }
+
+  /** Partition EVOLUTION (Iceberg-style): commit the next version
+    * hive-partitioned on `partitionCols` — each version owns its
+    * layout, so a table can change (or drop) its partitioning at any
+    * commit without rewriting history, and reads of any version are
+    * layout-transparent (`spark.read.parquet` restores partition
+    * columns from the directory structure; they surface LAST in the
+    * read schema, and their types follow partition-column inference —
+    * keep them string/int-stable across layouts). `overwrite=false`
+    * appends to the logical content and re-lays-out the whole
+    * snapshot, as `write` does. */
+  def writeLayout(df: DataFrame, table: String, partitionCols: Seq[String],
+                  overwrite: Boolean = false): Long = {
+    require(partitionCols.nonEmpty, "writeLayout: no partition columns")
+    val spark = df.sparkSession
+    commitLoop(spark, table, partitionBy = partitionCols) { cur =>
       Some(if (overwrite || cur == 0) df
            else readVersion(spark, table, cur).unionByName(df))
     }

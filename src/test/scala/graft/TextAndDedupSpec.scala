@@ -220,6 +220,34 @@ class TextAndDedupSpec extends SparkSpec {
       .filter(col("drifted")).count() === 0)
   }
 
+  test("expectations: warn counts, drop filters, fail aborts (DLT triad)") {
+    import QualityChecks._
+    val df = Seq((1L, 10.0, "ok"), (2L, -3.0, "ok"), (3L, 5.0, " pad"),
+      (4L, Double.NaN, "ok")).toDF("id", "v", "s")
+      .withColumn("v", when(col("id") === 4, lit(null)).otherwise(col("v")))
+    // warn on whitespace, drop non-positive/null v
+    val (out, obs) = expect(df, Seq(
+      Expectation("trimmed_s", col("s") === trim(col("s")), Warn),
+      Expectation("positive_v", col("v") > 0, Drop)))
+    val kept = out.select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L)) // 2 fails v>0; 4's NULL is a strict violation
+    val m = obs.get
+    assert(m("warn_trimmed_s") === 1L) // id 3
+    assert(m("drop_positive_v") === 2L) // ids 2 and 4 — counted BEFORE the drop
+    assert(m("n_rows") === 4L)
+    // fail aborts the whole action on the first violating row
+    val (bad, _) = expect(df, Seq(
+      Expectation("positive_v", col("v") > 0, Fail)))
+    val ex = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("positive_v")), ex.toString)
+    // a clean frame passes a fail gate untouched
+    val (ok, _) = expect(df.where(col("v") > 0), Seq(
+      Expectation("positive_v", col("v") > 0, Fail)))
+    assert(ok.count() === 2)
+  }
+
   test("observed metrics ride the action without an extra scan") {
     val df = Seq((1L, 5.0), (2L, -1.0), (3L, 2.0)).toDF("id", "v")
     val (observedDf, obs) = QualityChecks.observed(df, "pass_metrics",

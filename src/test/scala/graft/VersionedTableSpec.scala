@@ -370,6 +370,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(replica === want)
   }
 
+  test("partition evolution: each version owns its layout, reads stay transparent") {
+    val t = tbl()
+    val rows = Seq((1L, "en", "s1"), (2L, "de", "s1"), (3L, "en", "s2"))
+    VersionedTable.write(rows.toDF("id", "lang", "src"), t) // v1 unpartitioned
+    VersionedTable.writeLayout(
+      Seq((4L, "fr", "s2")).toDF("id", "lang", "src"), t, Seq("lang")) // v2 by lang
+    VersionedTable.writeLayout(
+      Seq((5L, "en", "s3")).toDF("id", "lang", "src"), t, Seq("src")) // v3 by src
+    def content(v: Long) = VersionedTable.readVersion(spark, t, v)
+      .select("id", "lang", "src").as[(Long, String, String)].collect().toSet
+    assert(content(1) === rows.toSet)
+    assert(content(2) === rows.toSet + ((4L, "fr", "s2")))
+    assert(content(3) === rows.toSet + ((4L, "fr", "s2")) + ((5L, "en", "s3")))
+    // the physical layouts really differ per version
+    def subdirs(v: Long) = new java.io.File(f"$t/_v$v%08d")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs(2).forall(_.startsWith("lang=")) && subdirs(2).nonEmpty)
+    assert(subdirs(3).forall(_.startsWith("src=")) && subdirs(3).nonEmpty)
+    // and a partition-pruned read on the current layout lists one dir
+    val pruned = VersionedTable.readVersion(spark, t, 3)
+      .filter(col("src") === "s3")
+    assert(pruned.count() === 1)
+  }
+
   test("deleteWhere and updateWhere commit new versions with DML semantics") {
     val t = tbl()
     VersionedTable.write(
