@@ -31,6 +31,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * any total ordering (ties behave like row_number: arbitrary —
   * graded queries always order by a total key).
   *
+  * Memory profile: each phase holds the per-partition winners —
+  * groups×k rows = exactly the OUTPUT size — in heap maps, with no
+  * spill path; the window it replaces buffers the whole INPUT
+  * partition (with spill). Top-k workloads have output ≪ input, so
+  * the trade is favorable everywhere the idiom is actually used; in
+  * the degenerate group-cardinality≈rows case output≈input and the
+  * kill-switch below restores the spilling window.
+  *
   * Kill-switch: `spark.graft.rewrite.topk=false` (the rewrite is
   * semantics-preserving, but a scale guardrail you can't disable is
   * a liability). The rewrite only fires on a single-expression
