@@ -9,45 +9,64 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
+/** Which ranking function the rewritten filter bounded. Semantics of
+  * "keep rank ≤ k" per mode:
+  *  - [[RowNum]]: exactly k rows per group (ties split arbitrarily,
+  *    as row_number does);
+  *  - [[Rnk]]: every row with fewer than k strict predecessors —
+  *    boundary ties ALL survive, so a group may keep more than k;
+  *  - [[DenseRnk]]: every row among the k smallest DISTINCT order
+  *    values. */
+sealed trait RankMode
+case object RowNum extends RankMode
+case object Rnk extends RankMode
+case object DenseRnk extends RankMode
+
 /** Native top-k-per-group: the whole-operator custom-plan path
   * (LogicalPlan + Rule + SparkStrategy + SparkPlan, registered via
   * [[graft.GraftExtensions]]).
   *
   * The standard Spark idiom
   *
-  *   row_number() OVER (PARTITION BY g ORDER BY o) <= k
+  *   row_number()/rank()/dense_rank()
+  *     OVER (PARTITION BY g ORDER BY o) <= k
   *
   * executes as Exchange → SORT THE ENTIRE PARTITION → Window →
   * Filter: O(n log n) comparisons and a full buffered sort per
-  * partition, all to keep k rows per group. [[RewriteTopKPerGroup]]
+  * partition, all to keep ~k rows per group. [[RewriteTopKPerGroup]]
   * recognizes exactly that pattern in the optimized plan and
   * replaces it with [[TopKPerGroup]], planned by
   * [[TopKPerGroupStrategy]] as a TWO-PHASE [[TopKPerGroupExec]]:
-  * a partial pass keeps a size-k heap per group per input partition
-  * (so at most groups×k rows reach the exchange — map-side
-  * reduction the window can never do), then the post-shuffle final
-  * pass merges heaps and emits each group's k rows with their rank.
-  * O(n log k), memory bounded by groups×k, bit-identical output for
-  * any total ordering (ties behave like row_number: arbitrary —
-  * graded queries always order by a total key).
+  * a partial pass keeps each group's per-partition winners (so at
+  * most winners-per-group×partitions rows reach the exchange —
+  * map-side reduction the window can never do), then the
+  * post-shuffle final pass merges winners and emits each surviving
+  * row with its rank. The subset argument is mode-uniform: a row's
+  * strict-predecessor (or distinct-predecessor) count in any SUBSET
+  * is ≤ its global count, so per-partition winners always contain
+  * the global winners. O(n log k), bit-identical output for any
+  * total ordering (ties behave exactly as the window function does).
   *
   * Memory profile: each phase holds the per-partition winners —
-  * groups×k rows = exactly the OUTPUT size — in heap maps, with no
-  * spill path; the window it replaces buffers the whole INPUT
-  * partition (with spill). Top-k workloads have output ≪ input, so
-  * the trade is favorable everywhere the idiom is actually used; in
-  * the degenerate group-cardinality≈rows case output≈input and the
-  * kill-switch below restores the spilling window.
+  * for row_number exactly groups×k rows = the OUTPUT size — in heap
+  * maps, with no spill path; the window it replaces buffers the
+  * whole INPUT partition (with spill). rank/dense_rank keep boundary
+  * ties too, which is still exactly their output size. Top-k
+  * workloads have output ≪ input, so the trade is favorable
+  * everywhere the idiom is actually used; in the degenerate
+  * group-cardinality≈rows case output≈input and the kill-switch
+  * below restores the spilling window.
   *
   * Kill-switch: `spark.graft.rewrite.topk=false` (the rewrite is
   * semantics-preserving, but a scale guardrail you can't disable is
   * a liability). The rewrite only fires on a single-expression
-  * row_number window with a non-empty PARTITION BY — the global
+  * ranking window with a non-empty PARTITION BY — the global
   * (partition-less) case is the single-reducer anti-pattern
   * [[graft.operators.Ranks]] exists for.
   */
 case class TopKPerGroup(partition: Seq[Expression], order: Seq[SortOrder],
-                        k: Int, rnAttr: Attribute, child: LogicalPlan)
+                        k: Int, mode: RankMode, rnAttr: Attribute,
+                        child: LogicalPlan)
   extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rnAttr
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
@@ -59,7 +78,7 @@ object RewriteTopKPerGroup extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rewrite.topk", "true") == "true"
 
-  /** rank bound from the filter condition, in row_number terms:
+  /** rank bound from the filter condition:
     * rn <= k / rn < k+1 / rn = 1 (top-1). */
   private def bound(cond: Expression, rn: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k))
@@ -71,13 +90,22 @@ object RewriteTopKPerGroup extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def isRowNumberWindow(e: NamedExpression): Option[Alias] = e match {
-    case a @ Alias(WindowExpression(_: RowNumber,
-        WindowSpecDefinition(_, _,
-          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _) =>
-      Some(a)
-    case _ => None
-  }
+  /** The ranking window functions all carry an UNBOUNDED PRECEDING →
+    * CURRENT ROW frame (ROWS for row_number, RANGE for rank family);
+    * the frame carries no extra semantics for them. */
+  private def isRankingWindow(e: NamedExpression): Option[(Alias, RankMode)] =
+    e match {
+      case a @ Alias(WindowExpression(fn,
+          WindowSpecDefinition(_, _,
+            SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))), _) =>
+        fn match {
+          case _: RowNumber => Some((a, RowNum))
+          case _: Rank => Some((a, Rnk))
+          case _: DenseRank => Some((a, DenseRnk))
+          case _ => None
+        }
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -85,11 +113,11 @@ object RewriteTopKPerGroup extends Rule[LogicalPlan] {
       case f @ LFilter(cond, w: LWindow)
         if w.windowExpressions.length == 1 && w.partitionSpec.nonEmpty &&
           w.orderSpec.nonEmpty =>
-        isRowNumberWindow(w.windowExpressions.head) match {
-          case Some(alias) =>
+        isRankingWindow(w.windowExpressions.head) match {
+          case Some((alias, mode)) =>
             bound(cond, alias.exprId) match {
               case Some(k) if k >= 1 =>
-                TopKPerGroup(w.partitionSpec, w.orderSpec, k,
+                TopKPerGroup(w.partitionSpec, w.orderSpec, k, mode,
                   alias.toAttribute, w.child)
               case Some(_) => // k <= 0: filter is always false
                 org.apache.spark.sql.catalyst.plans.logical.LocalRelation(f.output)
@@ -103,21 +131,93 @@ object RewriteTopKPerGroup extends Rule[LogicalPlan] {
 
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(p, o, k, rn, child) =>
+    case TopKPerGroup(p, o, k, mode, rn, child) =>
       val partial =
-        TopKPerGroupExec(p, o, k, rn, partial = true, planLater(child))
-      TopKPerGroupExec(p, o, k, rn, partial = false, partial) :: Nil
+        TopKPerGroupExec(p, o, k, mode, rn, partial = true, planLater(child))
+      TopKPerGroupExec(p, o, k, mode, rn, partial = false, partial) :: Nil
     case _ => Nil
   }
 }
 
-/** Heap-based per-group top-k. `partial = true` runs before the
-  * exchange with no distribution requirement (map-side reduction to
-  * ≤ groups×k rows per partition, no rank emitted); the final pass
-  * requires clustering on the group key and appends the 1-based
-  * rank. */
+/** Winners of one group under [[RowNum]]: bounded max-heap (the head
+  * is the worst of the current k — evicted when a better row
+  * arrives). */
+private[plans] final class HeapGroup(k: Int,
+                                     ord: java.util.Comparator[InternalRow]) {
+  private val heap = new java.util.PriorityQueue[InternalRow](k,
+    new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int =
+        ord.compare(b, a)
+    })
+  def add(row: InternalRow): Unit =
+    if (heap.size < k) heap.add(row.copy())
+    else if (ord.compare(row, heap.peek()) < 0) {
+      heap.poll(); heap.add(row.copy())
+    }
+  /** rows ascending with their 1-based row_number. */
+  def emit(): Iterator[(InternalRow, Int)] = {
+    val arr = heap.toArray(new Array[InternalRow](heap.size))
+    java.util.Arrays.sort(arr, ord)
+    arr.iterator.zipWithIndex.map { case (r, i) => (r, i + 1) }
+  }
+}
+
+/** Winners of one group under [[Rnk]]/[[DenseRnk]]: an ordered map
+  * of tie buckets keyed by a representative row (the comparator sees
+  * only the ORDER BY columns, so tied rows share a bucket), trimmed
+  * from the top so only keys that can still produce rank ≤ k
+  * remain. */
+private[plans] final class TieGroup(k: Int,
+                                    ord: java.util.Comparator[InternalRow],
+                                    dense: Boolean) {
+  private val buckets =
+    new java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]](ord)
+  private var total = 0
+
+  def add(row: InternalRow): Unit = {
+    val copied = row.copy()
+    var bucket = buckets.get(copied)
+    if (bucket == null) {
+      bucket = new java.util.ArrayList[InternalRow]()
+      buckets.put(copied, bucket)
+    }
+    bucket.add(copied); total += 1
+    // trim keys that can no longer reach rank <= k
+    var done = false
+    while (!done && buckets.size > 0) {
+      val last = buckets.lastEntry()
+      val droppable =
+        if (dense) buckets.size > k
+        else total - last.getValue.size >= k // strict predecessors of last
+      if (droppable) {
+        total -= last.getValue.size
+        buckets.remove(last.getKey)
+      } else done = true
+    }
+  }
+
+  /** (row, rank) ascending; rank per the mode's semantics. */
+  def emit(): Iterator[(InternalRow, Int)] = {
+    import scala.jdk.CollectionConverters._
+    var cum = 0
+    buckets.values().iterator().asScala.zipWithIndex.flatMap {
+      case (bucket, denseIdx) =>
+        val rank = if (dense) denseIdx + 1 else cum + 1
+        cum += bucket.size
+        bucket.iterator().asScala.map(r => (r, rank))
+    }
+  }
+}
+
+/** Per-group top-k winners. `partial = true` runs before the
+  * exchange with no distribution requirement (map-side reduction, no
+  * rank emitted); the final pass requires clustering on the group
+  * key and appends the mode's 1-based rank. row_number uses a plain
+  * size-k max-heap; rank/dense_rank keep a tie-aware ordered bucket
+  * map so boundary ties survive exactly as the window emits them. */
 case class TopKPerGroupExec(partition: Seq[Expression], order: Seq[SortOrder],
-                            k: Int, rnAttr: Attribute, partial: Boolean,
+                            k: Int, mode: RankMode, rnAttr: Attribute,
+                            partial: Boolean,
                             child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -139,31 +239,30 @@ case class TopKPerGroupExec(partition: Seq[Expression], order: Seq[SortOrder],
     val childOutput = child.output
     val partExprs = partition
     val sortOrder = order
-    val kk = k
     val isPartial = partial
+    val rnkMode = mode
+    val kk = k
     val rn = rnAttr
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
-      val ord = GenerateOrdering.generate(sortOrder, childOutput)
-      // max-heap under the sort order: the head is the WORST of the
-      // current k — evicted when a better row arrives
-      val revOrd = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int =
-          ord.compare(b, a)
-      }
-      val heaps =
-        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      val ord: java.util.Comparator[InternalRow] =
+        GenerateOrdering.generate(sortOrder, childOutput)
+      val groups = new java.util.HashMap[UnsafeRow, AnyRef]()
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk, revOrd)
-          heaps.put(key.copy(), heap)
+        var group = groups.get(key)
+        if (group == null) {
+          group = rnkMode match {
+            case RowNum => new HeapGroup(kk, ord)
+            case Rnk => new TieGroup(kk, ord, dense = false)
+            case DenseRnk => new TieGroup(kk, ord, dense = true)
+          }
+          groups.put(key.copy(), group)
         }
-        if (heap.size < kk) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+        group match {
+          case g: HeapGroup => g.add(row)
+          case g: TieGroup => g.add(row)
         }
       }
       val outProj =
@@ -171,12 +270,14 @@ case class TopKPerGroupExec(partition: Seq[Expression], order: Seq[SortOrder],
         else UnsafeProjection.create(childOutput :+ rn, childOutput :+ rn)
       val joined = new JoinedRow
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val arr = heap.toArray(new Array[InternalRow](heap.size))
-        java.util.Arrays.sort(arr, ord)
-        if (isPartial) arr.iterator
-        else arr.iterator.zipWithIndex.map { case (r, i) =>
-          outProj(joined(r, InternalRow(i + 1))): InternalRow
+      groups.values().iterator().asScala.flatMap { group =>
+        val ranked = group match {
+          case g: HeapGroup => g.emit()
+          case g: TieGroup => g.emit()
+        }
+        if (isPartial) ranked.map(_._1)
+        else ranked.map { case (r, rank) =>
+          outProj(joined(r, InternalRow(rank))): InternalRow
         }
       }
     }

@@ -68,6 +68,32 @@ class TopKPerGroupSpec extends SparkSpec {
       === Set((1, 9), (2, 3)))
   }
 
+  test("rank() and dense_rank() <= k rewrite with exact tie semantics") {
+    // heavy ties: values drawn from a tiny domain so boundary ties
+    // are common — rank must keep MORE than k rows when tied at the
+    // boundary; dense_rank keeps the k smallest distinct values
+    val tied = Seq.fill(400)((rnd.nextInt(7), rnd.nextInt(5)))
+      .zipWithIndex.map { case ((g, v), id) => (g, v, id.toLong) }
+    for ((fn, name) <- Seq((rank(), "rank"), (dense_rank(), "dense_rank"));
+         k <- Seq(1, 2, 4)) {
+      val w = Window.partitionBy("g").orderBy(col("v").asc)
+      def run() = tied.toDF("g", "v", "id").repartition(5)
+        .withColumn("rk", fn.over(w)).filter(col("rk") <= k)
+        .as[(Int, Int, Long, Int)].collect().toSet
+      val gotPlan = tied.toDF("g", "v", "id").repartition(5)
+        .withColumn("rk", fn.over(w)).filter(col("rk") <= k)
+      assert(gotPlan.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        s"$name k=$k did not rewrite")
+      val got = run()
+      val expected = {
+        spark.conf.set("spark.graft.rewrite.topk", "false")
+        try run()
+        finally spark.conf.set("spark.graft.rewrite.topk", "true")
+      }
+      assert(got == expected, s"$name k=$k mismatch")
+    }
+  }
+
   test("graded q_top_orders_per_cust runs on the custom operator") {
     val df = SparkEntry.queries("q_top_orders_per_cust")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
