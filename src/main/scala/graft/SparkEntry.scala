@@ -1731,6 +1731,45 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // deterministic arg-min: the cheapest (supplier, line) per part
+    // via min_by over a TOTAL order struct — ties can't exist because
+    // (orderkey, linenumber) is unique, so the result is reproducible
+    // on any engine/partitioning (bare arg_min/min_by tie behavior is
+    // engine-arbitrary). ONE combinable agg; the oracle formulates it
+    // as a rn=1 window — cross-formulation equivalence.
+    "q_cheapest_supplier" -> ((s, d) => {
+      val ord = struct(roundTo(col("l_extendedprice"), 2).as("p"),
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(min_by(col("l_suppkey"), ord).as("cheapest_suppkey"),
+          min(roundTo(col("l_extendedprice"), 2)).as("min_price"))
+        .orderBy("l_partkey")
+    }),
+
+    // exact weighted average (quantity-weighted mean price): both the
+    // numerator and denominator accumulate as exact decimals, so the
+    // ratio is partition-order-independent — the correct form of a
+    // metric avg(price) silently gets wrong when line sizes vary
+    "q_weighted_avg_price" -> ((s, d) => {
+      val w = roundTo(col("l_quantity"), 2).cast("decimal(18,2)")
+      val wx = (roundTo(col("l_extendedprice"), 2).cast("decimal(18,2)") * w)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(roundTo(sum(wx).cast("double") / sum(w).cast("double"), 6)
+          .as("weighted_avg_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // calendar-month revenue rollup: date_trunc month boundaries are
+    // pure Gregorian arithmetic both engines implement identically
+    // (unlike locale-dependent week truncation), emitted as epoch ms
+    "q_monthly_revenue" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(unix_millis(date_trunc("month", col("o_orderdate"))).as("month_ms"))
+        .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("revenue"))
+        .orderBy("month_ms")),
+
     // snapshot drift monitoring as a graded query: a planted +15%
     // price shift on a quarter of the rows must light up the price
     // column's pooled-σ z-score while the untouched key column reads
@@ -2648,7 +2687,30 @@ object SparkEntry {
         |JOIN q ON u.doc_id = q.doc_id
         |ORDER BY u.doc_id""".stripMargin,
 
-    "dedup_minhash_corpus_sim" -> minHashCorpusSimOracle
+    "dedup_minhash_corpus_sim" -> minHashCorpusSimOracle,
+
+    "q_cheapest_supplier" ->
+      s"""SELECT l_partkey, l_suppkey AS cheapest_suppkey, min_price FROM (
+        | SELECT l_partkey, l_suppkey,
+        |  MIN(${sqlRound("l_extendedprice", 2)}) OVER (PARTITION BY l_partkey) AS min_price,
+        |  row_number() OVER (PARTITION BY l_partkey
+        |   ORDER BY ${sqlRound("l_extendedprice", 2)} ASC, l_suppkey ASC,
+        |            l_orderkey ASC, l_linenumber ASC) AS rn
+        | FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
+
+    "q_weighted_avg_price" -> {
+      val w = s"CAST(${sqlRound("l_quantity", 2)} AS DECIMAL(18,2))"
+      val wx = s"(CAST(${sqlRound("l_extendedprice", 2)} AS DECIMAL(18,2)) * $w)"
+      s"""SELECT l_returnflag,
+        | ${sqlRound(s"CAST(SUM($wx) AS DOUBLE) / CAST(SUM($w) AS DOUBLE)", 6)} AS weighted_avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q_monthly_revenue" ->
+      s"""SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+        | COUNT(*) AS n_orders, ${sqlSumD("o_totalprice")} AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month_ms""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the
