@@ -1770,6 +1770,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("revenue"))
         .orderBy("month_ms")),
 
+    // top-k-with-ties: every line at one of the TWO highest
+    // quantities per returnflag via dense_rank — integer-valued
+    // quantities make ties massive, so this exercises the
+    // TieGroup (rank-mode) path of the custom TopKPerGroup operator
+    // through the full oracle gate: the rewrite fires on the
+    // dense_rank()<=k idiom and must keep every boundary tie
+    "q_top_qty_lines" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(roundTo(col("l_quantity"), 2).desc)
+      Tables.lineitem(s, d)
+        .withColumn("qty_rank", dense_rank().over(w))
+        .filter(col("qty_rank") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          roundTo(col("l_quantity"), 2).as("quantity"), col("qty_rank"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // snapshot drift monitoring as a graded query: a planted +15%
     // price shift on a quarter of the rows must light up the price
     // column's pooled-σ z-score while the untouched key column reads
@@ -2710,7 +2727,16 @@ object SparkEntry {
     "q_monthly_revenue" ->
       s"""SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
         | COUNT(*) AS n_orders, ${sqlSumD("o_totalprice")} AS revenue
-        |FROM orders GROUP BY 1 ORDER BY month_ms""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY month_ms""".stripMargin,
+
+    "q_top_qty_lines" ->
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag,
+        | ${sqlRound("l_quantity", 2)} AS quantity, qty_rank FROM (
+        | SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  dense_rank() OVER (PARTITION BY l_returnflag
+        |    ORDER BY ${sqlRound("l_quantity", 2)} DESC) AS qty_rank
+        | FROM lineitem)
+        |WHERE qty_rank <= 2 ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -100,6 +100,16 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("graded q_top_qty_lines runs the dense_rank tie path on the operator") {
+    val df = SparkEntry.queries("q_top_qty_lines")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    // ties are the point: more rows than 2-per-group, all at rank 1 or 2
+    val rows = df.select("l_returnflag", "qty_rank")
+      .as[(String, Int)].collect()
+    assert(rows.length > 2 * rows.map(_._1).distinct.length)
+    assert(rows.forall(r => r._2 == 1 || r._2 == 2))
+  }
+
   test("multi-expression windows and global windows are left alone") {
     val w = Window.partitionBy("g").orderBy(col("v").asc)
     val df = Seq((1, 5), (1, 9)).toDF("g", "v")
