@@ -1805,6 +1805,105 @@ object SparkEntry {
           roundTo(col("mean_after"), 6).as("mean_after"),
           roundTo(col("z_shift"), 6).as("z_shift"), col("drifted"))
         .orderBy("column_name")
+    }),
+
+    // exact simple OLS regression (regr_slope / regr_intercept /
+    // regr_r2 parity) from the SAME one-pass combinable decimal
+    // power-sum aggregation as q_corr_price_qty: the five sums are
+    // exact decimals (partition-order-independent), the closed-form
+    // combine runs once per group in double with identical operand
+    // order on both engines. The engines' own regr_* use streaming
+    // float moments, which are not reproducible across partitionings.
+    "q_regression_price" -> ((s, d) => {
+      val x = roundTo(col("l_quantity"), 2).cast("decimal(18,2)")
+      val y = roundTo(col("l_extendedprice"), 2).cast("decimal(18,2)")
+      val g = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+          sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+      def D(c: String) = col(c).cast("double")
+      val n = col("n").cast("double")
+      val sxxC = n * D("__sxx") - D("__sx") * D("__sx")
+      val syyC = n * D("__syy") - D("__sy") * D("__sy")
+      val sxyC = n * D("__sxy") - D("__sx") * D("__sy")
+      val slope = sxyC / sxxC
+      val intercept = (D("__sy") - slope * D("__sx")) / n
+      g.select(col("l_returnflag"), col("n"),
+        roundTo(slope, 6).as("slope"),
+        roundTo(intercept, 4).as("intercept"),
+        roundTo((sxyC * sxyC) / (sxxC * syyC), 6).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
+    // per-doc Shannon token entropy H = ln(n) - (Σ c·ln c)/n — the
+    // repetitiveness / information-density signal LLM-curation
+    // filters threshold on. Each c·ln c term is rounded to 6 decimals
+    // and accumulated as an exact decimal, so the per-doc sum is
+    // independent of partition order and of either engine's float
+    // summation; empty docs (no tokens) drop out on both sides.
+    "text_entropy" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(roundTo(col("c").cast("double") * log(col("c").cast("double")), 6)
+            .cast("decimal(28,6)")).as("__clogc"))
+        .select(col("doc_id"), col("n_tokens"),
+          roundTo(log(col("n_tokens").cast("double")) -
+            col("__clogc").cast("double") / col("n_tokens").cast("double"), 4)
+            .as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus unigram-LM per-doc average log-probability — the
+    // perplexity-proxy quality score (add-one smoothed p(w) =
+    // (c_w+1)/(N+V)). Shape at scale: (doc,token) tf and the corpus
+    // unigram table co-shuffle on token (equi-join, vocab-bounded);
+    // the (N, V) totals are a 1-row broadcast; per-token terms are
+    // rounded then decimal-accumulated per doc, so scoring never
+    // depends on partition order. Low (very negative) scores flag
+    // gibberish / OOV-heavy docs; high scores flag boilerplate.
+    "text_unigram_logprob" -> ((s, d) => {
+      val dtf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      val corpus = dtf.groupBy("token").agg(sum(col("c")).as("cw"))
+      val totals = corpus.agg(sum(col("cw")).as("n_total"), count(lit(1)).as("vocab"))
+      dtf.join(corpus, "token")
+        .crossJoin(broadcast(totals))
+        .withColumn("__t", roundTo(col("c").cast("double") *
+          log((col("cw") + 1).cast("double") /
+            (col("n_total") + col("vocab")).cast("double")), 6)
+          .cast("decimal(28,6)"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"), sum(col("__t")).as("__s"))
+        .select(col("doc_id"), col("n_tokens"),
+          roundTo(col("__s").cast("double") / col("n_tokens").cast("double"), 4)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // per-nation Gini concentration of account balances via the
+    // scale-safe exact-rank operator (Ranks.withExactRank — value-grid
+    // bucketing, never a whole-group single-reducer sort), then the
+    // closed form G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) from exact
+    // decimal sums. The oracle ranks with a plain window — proving the
+    // bucketed rank reproduces row_number()'s total order exactly.
+    "q_gini_acctbal" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey"),
+        col("c_custkey"), roundTo(col("c_acctbal"), 2).as("bal"))
+      val ranked = graft.operators.Ranks.withExactRank(c, Seq("c_nationkey"),
+        Seq(col("bal").asc, col("c_custkey").asc), "bal", "rk", "__n")
+      val g = ranked.groupBy("c_nationkey").agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("bal").cast("decimal(18,2)")).as("__sx"),
+        sum(col("rk") * col("bal").cast("decimal(18,2)")).as("__srx"))
+      g.select(col("c_nationkey"), col("n_cust"),
+        roundTo((lit(2.0) * col("__srx").cast("double") -
+          (col("n_cust") + 1).cast("double") * col("__sx").cast("double")) /
+          (col("n_cust").cast("double") * col("__sx").cast("double")), 6).as("gini"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -2736,7 +2835,61 @@ object SparkEntry {
         |  dense_rank() OVER (PARTITION BY l_returnflag
         |    ORDER BY ${sqlRound("l_quantity", 2)} DESC) AS qty_rank
         | FROM lineitem)
-        |WHERE qty_rank <= 2 ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |WHERE qty_rank <= 2 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_regression_price" -> {
+      val x = s"CAST(${sqlRound("l_quantity", 2)} AS DECIMAL(18,2))"
+      val y = s"CAST(${sqlRound("l_extendedprice", 2)} AS DECIMAL(18,2))"
+      s"""WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM($x) AS DOUBLE) AS sx, CAST(SUM($y) AS DOUBLE) AS sy,
+        |  CAST(SUM($x * $y) AS DOUBLE) AS sxy,
+        |  CAST(SUM($x * $x) AS DOUBLE) AS sxx,
+        |  CAST(SUM($y * $y) AS DOUBLE) AS syy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | ${sqlRound("(n*sxy - sx*sy) / (n*sxx - sx*sx)", 6)} AS slope,
+        | ${sqlRound("(sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n", 4)} AS intercept,
+        | ${sqlRound("((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy))", 6)} AS r2
+        |FROM g ORDER BY l_returnflag""".stripMargin
+    },
+
+    "text_entropy" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |c AS (SELECT doc_id, token, COUNT(*) AS c FROM u GROUP BY doc_id, token),
+        |g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  SUM(CAST(${sqlRound("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))", 6)} AS DECIMAL(28,6))) AS clogc
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        | ${sqlRound("ln(CAST(n_tokens AS DOUBLE)) - CAST(clogc AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)} AS entropy
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |dtf AS (SELECT doc_id, token, COUNT(*) AS c FROM u GROUP BY doc_id, token),
+        |corpus AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cw FROM dtf GROUP BY token),
+        |totals AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_total,
+        |  COUNT(*) AS vocab FROM corpus),
+        |terms AS (SELECT doc_id, c,
+        |  CAST(${sqlRound("CAST(c AS DOUBLE) * ln(CAST(cw + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE))", 6)} AS DECIMAL(28,6)) AS t
+        | FROM dtf JOIN corpus USING (token) CROSS JOIN totals)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        | ${sqlRound("CAST(SUM(t) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)", 4)} AS avg_logprob
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_gini_acctbal" ->
+      s"""WITH r AS (SELECT c_nationkey, c_custkey,
+        |  ${sqlRound("c_acctbal", 2)} AS bal,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY ${sqlRound("c_acctbal", 2)} ASC, c_custkey ASC) AS rk
+        | FROM customer),
+        |g AS (SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  SUM(CAST(bal AS DECIMAL(18,2))) AS sx,
+        |  SUM(rk * CAST(bal AS DECIMAL(18,2))) AS srx FROM r GROUP BY c_nationkey)
+        |SELECT c_nationkey, n_cust,
+        | ${sqlRound("(2.0 * CAST(srx AS DOUBLE) - CAST(n_cust + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n_cust AS DOUBLE) * CAST(sx AS DOUBLE))", 6)} AS gini
+        |FROM g ORDER BY c_nationkey""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -215,4 +215,68 @@ class CurationQueriesSpec extends SparkSpec {
     val expect = nBoth * nUsers / (byItem(ia) * byItem(ib))
     assert(math.abs(lift - expect) < 1e-6)
   }
+
+  test("q_regression_price r2 equals q_corr_price_qty corr squared") {
+    val r2 = SparkEntry.queries("q_regression_price")(spark, sf)
+      .select("l_returnflag", "r2").as[(String, Double)].collect().toMap
+    val corr = SparkEntry.queries("q_corr_price_qty")(spark, sf)
+      .select("l_returnflag", "corr").as[(String, Double)].collect().toMap
+    assert(r2.keySet == corr.keySet && r2.nonEmpty)
+    r2.foreach { case (g, v) =>
+      assert(math.abs(v - corr(g) * corr(g)) < 1e-5, s"group $g: r2=$v corr=${corr(g)}")
+    }
+  }
+
+  test("text_entropy matches a driver-side fold and respects the ln(n) bound") {
+    val got = SparkEntry.queries("text_entropy")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, n, h) =>
+      val toks = texts(id).trim.split("\\s+").filter(_.nonEmpty)
+      assert(toks.length.toLong == n)
+      val ref = math.log(n.toDouble) - toks.groupBy(identity).values
+        .map(g => g.length.toDouble * math.log(g.length.toDouble)).sum / n
+      assert(math.abs(h - ref) < 1e-3, s"doc $id: got $h want $ref")
+      // 5e-5 slack: the emitted value is rounded to 4 decimals
+      assert(h >= -5e-5 && h <= math.log(n.toDouble) + 5e-5)
+    }
+  }
+
+  test("text_unigram_logprob matches a driver-side add-one LM fold") {
+    val got = SparkEntry.queries("text_unigram_logprob")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.forall(_._3 < 0.0))
+    val toksById = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.split("\\s+").filter(_.nonEmpty) }.toMap
+    val corpus = toksById.values.flatten.groupBy(identity).map { case (w, g) => w -> g.size }
+    val nTotal = corpus.values.map(_.toLong).sum
+    val vocab = corpus.size
+    got.foreach { case (id, n, lp) =>
+      val toks = toksById(id)
+      val ref = toks.map(w => math.log((corpus(w) + 1).toDouble / (nTotal + vocab).toDouble)).sum / n
+      assert(math.abs(lp - ref) < 1e-3, s"doc $id: got $lp want $ref")
+    }
+  }
+
+  test("q_gini_acctbal matches the exact rank-weighted fold per nation") {
+    val got = SparkEntry.queries("q_gini_acctbal")(spark, sf)
+      .as[(Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_custkey"),
+        graft.functions.Det.roundTo(col("c_acctbal"), 2).as("bal"))
+      .as[(Int, Long, Double)].collect()
+    val byNation = cust.groupBy(_._1)
+    got.foreach { case (nk, n, gini) =>
+      val xs = byNation(nk).sortBy(c => (c._3, c._2)).map(_._3)
+      assert(xs.length.toLong == n)
+      val sx = xs.sum
+      val srx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val ref = (2.0 * srx - (n + 1) * sx) / (n * sx)
+      assert(math.abs(gini - ref) < 1e-4, s"nation $nk: got $gini want $ref")
+    }
+  }
 }

@@ -29,7 +29,7 @@ class PlanLintSpec extends SparkSpec {
   private val globalAggQueries = Set("dq_summary", "dq_profile",
     // corpus-statistics scalars (N, avgdl, unigram/bigram totals):
     // 1-row ungrouped aggs broadcast back into the scoring join
-    "text_tfidf", "text_bm25", "text_pmi_bigrams",
+    "text_tfidf", "text_bm25", "text_pmi_bigrams", "text_unigram_logprob",
     // calendar bounds: a 1-row min/max agg that seeds the date-span
     // frame (the exploded calendar is re-spread by repartition(day))
     "q_gapfill_daily",
