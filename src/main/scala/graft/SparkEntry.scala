@@ -1904,6 +1904,79 @@ object SparkEntry {
           (col("n_cust") + 1).cast("double") * col("__sx").cast("double")) /
           (col("n_cust").cast("double") * col("__sx").cast("double")), 6).as("gini"))
         .orderBy("c_nationkey")
+    }),
+
+    // sweep-line interval-overlap aggregation: how many order lines
+    // are OPEN (ordered, not yet shipped) on each day — the classic
+    // "concurrent intervals" operator. Each line explodes to two
+    // delta events (+1 at order day, −1 after ship day) in the same
+    // narrow pass as the orderkey equi-join; the per-day delta frame
+    // is bounded by the calendar span (~2.5k days at ANY data scale),
+    // so the running sum never needs a partition-less window: tiny
+    // per-256-day-bucket totals fold to carry-in offsets on the
+    // driver (the Ranks global-offsets pattern) and the cumulative
+    // window runs per bucket, ≤256 rows each.
+    "q_backlog_daily" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          // NTZ parquet timestamps; session TZ is UTC so the cast is identity
+          floor(unix_millis(col("l_shipdate").cast("timestamp")) / 86400000L)
+            .cast("long").as("ship_day"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          floor(unix_millis(col("o_orderdate").cast("timestamp")) / 86400000L)
+            .cast("long").as("order_day")),
+          col("l_orderkey") === col("o_orderkey"))
+      val deltas = iv.select(explode(array(
+          struct(col("order_day").as("day"), lit(1L).as("delta")),
+          struct((col("ship_day") + 1).as("day"), lit(-1L).as("delta")))).as("e"))
+        .select(col("e.day").as("day"), col("e.delta").as("delta"))
+        .groupBy("day").agg(sum(col("delta")).as("d"))
+      val withB = deltas.withColumn("__b", floor(col("day") / 256).cast("long"))
+      // bounded collect: one row per populated 256-day bucket
+      val bs = withB.groupBy("__b").agg(sum(col("d")).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val carry = bs.map(_._1).zip(bs.map(_._2).scanLeft(0L)(_ + _))
+      val carryDf = {
+        import s.implicits._
+        carry.toSeq.toDF("__b", "__carry")
+      }
+      val w = Window.partitionBy("__b").orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withB.join(broadcast(carryDf), "__b")
+        .select(col("day"), (col("__carry") + sum(col("d")).over(w)).as("n_open"))
+        .orderBy("day")
+    }),
+
+    // year-over-year growth of monthly revenue. The natural self-join
+    // formulation scans orders twice; instead each order contributes
+    // to TWO conditional-agg slots in one pass — its own month's
+    // `cur` and month+12's `prev` — so ONE scan and ONE map-side-
+    // combinable shuffle produce the joined frame directly (the
+    // q_repeat_buyers rewrite pattern). The oracle keeps the plain
+    // self-join SQL: cross-formulation equivalence is the check.
+    // Month key is pure integer arithmetic (year*12+month), no
+    // interval/calendar-offset semantics.
+    "q_yoy_growth" -> ((s, d) => {
+      val dec = "decimal(18,2)"
+      Tables.orders(s, d)
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+          roundTo(col("o_totalprice"), 2).cast(dec).as("p"))
+        .select(explode(array(
+          struct(col("m").as("midx"), col("p").as("cur"),
+            lit(null).cast(dec).as("prev")),
+          struct((col("m") + 12).as("midx"), lit(null).cast(dec).as("cur"),
+            col("p").as("prev")))).as("e"))
+        .select(col("e.midx").as("midx"), col("e.cur").as("cur"), col("e.prev").as("prev"))
+        .groupBy("midx")
+        .agg(sum(col("cur")).cast("double").as("revenue"),
+          sum(col("prev")).cast("double").as("prev_revenue"))
+        // months that exist only as +12 shadows past the data's end
+        .filter(col("revenue").isNotNull)
+        .select(col("midx"), col("revenue"), col("prev_revenue"),
+          roundTo((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 6)
+            .as("yoy_growth"))
+        .orderBy("midx")
     })
   )
 
@@ -2889,7 +2962,28 @@ object SparkEntry {
         |  SUM(rk * CAST(bal AS DECIMAL(18,2))) AS srx FROM r GROUP BY c_nationkey)
         |SELECT c_nationkey, n_cust,
         | ${sqlRound("(2.0 * CAST(srx AS DOUBLE) - CAST(n_cust + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n_cust AS DOUBLE) * CAST(sx AS DOUBLE))", 6)} AS gini
-        |FROM g ORDER BY c_nationkey""".stripMargin
+        |FROM g ORDER BY c_nationkey""".stripMargin,
+
+    "q_backlog_daily" ->
+      """WITH iv AS (SELECT
+        |  CAST(floor(epoch_ms(o_orderdate)/86400000) AS BIGINT) AS order_day,
+        |  CAST(floor(epoch_ms(l_shipdate)/86400000) AS BIGINT) AS ship_day
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deltas AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS d FROM (
+        |  SELECT order_day AS day, 1 AS delta FROM iv
+        |  UNION ALL SELECT ship_day + 1, -1 FROM iv) GROUP BY day)
+        |SELECT day, CAST(SUM(d) OVER (ORDER BY day) AS BIGINT) AS n_open
+        |FROM deltas ORDER BY day""".stripMargin,
+
+    "q_yoy_growth" ->
+      s"""WITH rev AS (SELECT
+        |  CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS midx,
+        |  ${sqlSumD("o_totalprice")} AS revenue
+        | FROM orders GROUP BY 1)
+        |SELECT r.midx, r.revenue, p.revenue AS prev_revenue,
+        | ${sqlRound("(r.revenue - p.revenue) / p.revenue", 6)} AS yoy_growth
+        |FROM rev r LEFT JOIN rev p ON p.midx = r.midx - 12
+        |ORDER BY r.midx""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -261,6 +261,44 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_backlog_daily sweep-line equals a driver-side fold and closes to zero") {
+    val got = SparkEntry.queries("q_backlog_daily")(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 >= 0L))
+    assert(got.last._2 == 0L, "every opened interval must close")
+    // reference: fold the raw intervals on the driver
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        floor(unix_millis(col("l_shipdate").cast("timestamp")) / 86400000L).as("sd"))
+      .as[(Long, Long)].collect()
+    val od = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        floor(unix_millis(col("o_orderdate").cast("timestamp")) / 86400000L).as("od"))
+      .as[(Long, Long)].collect().toMap
+    val deltas = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    li.foreach { case (ok, sd) =>
+      deltas(od(ok)) += 1L; deltas(sd + 1) -= 1L
+    }
+    var run = 0L
+    val ref = deltas.toSeq.sortBy(_._1).map { case (day, d) => run += d; (day, run) }
+    assert(got.toSeq == ref, "bucketed carry-in cumulative != global fold")
+  }
+
+  test("q_yoy_growth conditional-agg plan scans orders exactly once") {
+    val df = SparkEntry.queries("q_yoy_growth")(spark, sf)
+    val nScans = "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(nScans == 1, s"expected a single orders scan, saw $nScans")
+    val rows = df.as[(Long, Double, Option[Double], Option[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rev, prev, growth) =>
+      assert(prev.isDefined == growth.isDefined)
+      prev.foreach { p =>
+        assert(math.abs(growth.get - (rev - p) / p) < 1e-5)
+      }
+    }
+  }
+
   test("q_gini_acctbal matches the exact rank-weighted fold per nation") {
     val got = SparkEntry.queries("q_gini_acctbal")(spark, sf)
       .as[(Int, Long, Double)].collect()
