@@ -721,6 +721,16 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // the PPJoin/AllPairs prefix-filtered formulation, graded against
+    // the SAME oracle as dedup_ngram_jaccard: both are exact, so the
+    // hash gate proves the prefix filter drops no qualifying pair.
+    // (Inverted-index vs prefix-filter is a per-corpus trade — see
+    // NearDup scaladoc; boilerplate-heavy corpora favor this one.)
+    "dedup_ppjoin" -> ((s, d) =>
+      NearDup.ngramJaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
     "dedup_minhash" -> ((s, d) =>
       NearDup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
@@ -1977,6 +1987,64 @@ object SparkEntry {
           roundTo((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 6)
             .as("yoy_growth"))
         .orderBy("midx")
+    }),
+
+    // exact sliding-window distinct count — 7-day active users per
+    // day. Sliding exact distinct can't be a window agg (distinct
+    // doesn't combine across frames); the scalable shape is
+    // delta-replication: each (day, user) distinct fact lands in the
+    // 7 window ends it can serve, then one more distinct collapses a
+    // user active on several days of the same window. Three shuffles,
+    // all combinable/keyed, no windows at all — survives any scale
+    // where (days × users) distinct pairs fit a shuffle (they are the
+    // data's own cardinality floor).
+    "q_rolling_active_users" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+          col("user_id")).distinct()
+      du.select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id")).distinct()
+        .groupBy("day").agg(count(lit(1)).as("active_users_7d"))
+        .orderBy("day")
+    }),
+
+    // triangle counting on the lift-filtered co-occurrence graph —
+    // graph motif analysis (community density / clustering signal).
+    // Edges: item pairs whose rounded lift ≥ 1.05 (relative
+    // threshold — scale-invariant where absolute support saturates);
+    // triangles close wedges via the ordered 3-way self-join
+    // (i<j<k, each edge stored once), then per-item participation
+    // counts come from exploding the 3 corners. Edge-table shuffles
+    // are keyed on items; the wedge join fans out by the filtered
+    // degree, which the lift gate bounds.
+    "q_triangle_count" -> ((s, d) => {
+      val ui = Tables.events(s, d)
+        .select(col("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
+        .where(col("item").isNotNull).distinct()
+      val itemUsers = ui.groupBy("item").agg(count(lit(1)).as("__ni"))
+      val nUsers = ui.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("__n"))
+      val a = ui.as("a"); val b = ui.as("b")
+      val e = a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).as("__nb"))
+        .join(broadcast(itemUsers.withColumnRenamed("item", "i")
+          .withColumnRenamed("__ni", "__na")), "i")
+        .join(broadcast(itemUsers.withColumnRenamed("item", "j")
+          .withColumnRenamed("__ni", "__nbj")), "j")
+        .crossJoin(broadcast(nUsers))
+        .filter(roundTo((col("__nb") * col("__n")).cast("double") /
+          (col("__na") * col("__nbj")).cast("double"), 6) >= 1.05)
+        .select(col("i"), col("j"))
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.j") === col("e2.i"))
+        .join(e.as("e3"), col("e1.i") === col("e3.i") && col("e2.j") === col("e3.j"))
+        .select(col("e1.i").as("ti"), col("e1.j").as("tj"), col("e2.j").as("tk"))
+      tri.select(explode(array(col("ti"), col("tj"), col("tk"))).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("item")
     })
   )
 
@@ -2405,6 +2473,8 @@ object SparkEntry {
         |ORDER BY canonical_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    // exact-equivalence grading of the prefix-filtered formulation
+    "dedup_ppjoin" -> ngramJaccardOracle,
 
     "dedup_minhash" -> minHashOracle,
 
@@ -2983,7 +3053,40 @@ object SparkEntry {
         |SELECT r.midx, r.revenue, p.revenue AS prev_revenue,
         | ${sqlRound("(r.revenue - p.revenue) / p.revenue", 6)} AS yoy_growth
         |FROM rev r LEFT JOIN rev p ON p.midx = r.midx - 12
-        |ORDER BY r.midx""".stripMargin
+        |ORDER BY r.midx""".stripMargin,
+
+    "q_rolling_active_users" ->
+      """WITH du AS (SELECT DISTINCT
+        |  CAST(floor(epoch_ms(ts)/86400000) AS BIGINT) AS day, user_id
+        | FROM events),
+        |w AS (SELECT DISTINCT day + k AS day, user_id
+        | FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS k))
+        |SELECT day, COUNT(*) AS active_users_7d
+        |FROM w GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_triangle_count" -> {
+      val lift = sqlRound(
+        "CAST(nb * n AS DOUBLE) / CAST(ia.ni * ib.ni AS DOUBLE)", 6)
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+        |  TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
+        | FROM events),
+        |uin AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
+        |iu AS (SELECT item, COUNT(*) AS ni FROM uin GROUP BY item),
+        |nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM uin),
+        |e0 AS (SELECT a.item AS i, b.item AS j, COUNT(*) AS nb
+        | FROM uin a JOIN uin b ON a.user_id = b.user_id AND a.item < b.item
+        | GROUP BY 1, 2),
+        |e AS (SELECT i, j FROM e0
+        | JOIN iu ia ON ia.item = e0.i JOIN iu ib ON ib.item = e0.j
+        | CROSS JOIN nu WHERE $lift >= 1.05),
+        |tri AS (SELECT e1.i AS ti, e1.j AS tj, e2.j AS tk
+        | FROM e e1 JOIN e e2 ON e1.j = e2.i
+        | JOIN e e3 ON e3.i = e1.i AND e3.j = e2.j),
+        |corners AS (SELECT ti AS item FROM tri
+        | UNION ALL SELECT tj FROM tri UNION ALL SELECT tk FROM tri)
+        |SELECT item, COUNT(*) AS n_triangles
+        |FROM corners GROUP BY item ORDER BY item""".stripMargin
+    }
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -299,6 +299,48 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_rolling_active_users equals a driver-side sliding-distinct fold") {
+    val got = SparkEntry.queries("q_rolling_active_users")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    val du = Tables.events(spark, sf)
+      .select(floor(unix_millis(col("ts")) / 86400000L).as("day"), col("user_id"))
+      .distinct().as[(Long, Long)].collect()
+    val ref = du.flatMap { case (day, u) => (day to day + 6).map(d => (d, u)) }
+      .distinct.groupBy(_._1).map { case (d, us) => d -> us.length.toLong }
+    assert(got == ref)
+  }
+
+  test("q_triangle_count corners sum to 3x the triangle total and match a driver fold") {
+    val got = SparkEntry.queries("q_triangle_count")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    val ui = Tables.events(spark, sf)
+      .select(col("user_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
+      .where(col("item").isNotNull).distinct()
+      .as[(Long, Long)].collect()
+    val byItem = ui.groupBy(_._2).map { case (i, rs) => i -> rs.length.toLong }
+    val nUsers = ui.map(_._1).distinct.length.toLong
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val pairCounts = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    ui.groupBy(_._1).values.foreach { rs =>
+      val items: Seq[Long] = rs.map(_._2).distinct.sorted.toSeq
+      for (a <- items; b <- items if a < b) pairCounts((a, b)) += 1L
+    }
+    // .iterator: collect on a Map of pairs would re-merge by key
+    val edges: Set[(Long, Long)] = pairCounts.iterator.collect { case ((a, b), nb)
+        if r6(nb.toDouble * nUsers / (byItem(a) * byItem(b)).toDouble) >= 1.05 =>
+      (a, b)
+    }.toSet
+    val ref = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((i, j) <- edges; (j2, k) <- edges if j2 == j && edges((i, k))) {
+      ref(i) += 1; ref(j) += 1; ref(k) += 1
+    }
+    assert(got == ref.toMap)
+    assert(got.values.sum % 3 == 0)
+  }
+
   test("q_gini_acctbal matches the exact rank-weighted fold per nation") {
     val got = SparkEntry.queries("q_gini_acctbal")(spark, sf)
       .as[(Int, Long, Double)].collect()

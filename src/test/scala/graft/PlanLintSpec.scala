@@ -35,7 +35,7 @@ class PlanLintSpec extends SparkSpec {
     "q_gapfill_daily",
     // corpus-total / distinct-user-count scalars: 1-row ungrouped
     // aggs broadcast back into the keep-fraction / lift expressions
-    "q_domain_mix", "q_item_cooccurrence",
+    "q_domain_mix", "q_item_cooccurrence", "q_triangle_count",
     // node-count scalar seeding the uniform initial rank
     "q_pagerank_items",
     // two per-snapshot moment aggs, each ONE row, cross-joined
