@@ -2045,6 +2045,62 @@ object SparkEntry {
       tri.select(explode(array(col("ti"), col("tj"), col("tk"))).as("item"))
         .groupBy("item").agg(count(lit(1)).as("n_triangles"))
         .orderBy("item")
+    }),
+
+    // percent-of-parent contribution analysis (nation revenue share
+    // within region): ONE scan+shuffle reduces orders to the bounded
+    // (region, nation) frame as EXACT DECIMAL sums; the parent total
+    // is a window over that tiny frame (partitioned by region — never
+    // the raw data), and the share divides in double only at the end.
+    // Decimal window-summation keeps the parent total independent of
+    // partition order, so the ratio is bit-stable cross-engine.
+    "q_revenue_share" -> ((s, d) => {
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val nat = Tables.orders(s, d)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(roundTo(col("o_totalprice"), 2).cast("decimal(18,2)")).as("__rev"))
+      nat.withColumn("__reg", sum(col("__rev")).over(Window.partitionBy("region")))
+        .select(col("region"), col("nation"),
+          col("__rev").cast("double").as("revenue"),
+          roundTo(col("__rev").cast("double") / col("__reg").cast("double"), 6)
+            .as("revenue_share"))
+        .orderBy("region", "nation")
+    }),
+
+    // Markov transition matrix over per-user event sequences — the
+    // sequential-pattern primitive (what follows what, and with what
+    // probability). Per-user ordered sequences come from ONE grouped
+    // collect + sort_array (per-user event counts are bounded; the
+    // total order (ms, event_id) is unique so the sort is
+    // deterministic); adjacent pairs via the same codegen'd
+    // slice/arrays_zip/explode shape the PMI query uses — no window
+    // over the raw events, no per-user row_number. Transition
+    // probabilities row-normalize on the tiny (from,to) matrix.
+    "q_event_transitions" -> ((s, d) => {
+      val seqs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ms"), col("event_id"), col("event_type")))).as("seq"))
+        .filter(size(col("seq")) >= 2)
+      val pairs = seqs.select(explode(arrays_zip(
+          slice(col("seq"), lit(1), size(col("seq")) - 1),
+          slice(col("seq"), lit(2), size(col("seq")) - 1))).as("p"))
+        .select(col("p.0.event_type").as("from_type"),
+          col("p.1.event_type").as("to_type"))
+      val m = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n_transitions"))
+      m.withColumn("__tot",
+          sum(col("n_transitions")).over(Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"), col("n_transitions"),
+          roundTo(col("n_transitions").cast("double") / col("__tot").cast("double"), 6)
+            .as("p_transition"))
+        .orderBy("from_type", "to_type")
     })
   )
 
@@ -3086,7 +3142,31 @@ object SparkEntry {
         | UNION ALL SELECT tj FROM tri UNION ALL SELECT tk FROM tri)
         |SELECT item, COUNT(*) AS n_triangles
         |FROM corners GROUP BY item ORDER BY item""".stripMargin
-    }
+    },
+
+    "q_revenue_share" ->
+      s"""WITH nat AS (SELECT r_name AS region, n_name AS nation,
+        |  SUM(CAST(${sqlRound("o_totalprice", 2)} AS DECIMAL(18,2))) AS rev
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2)
+        |SELECT region, nation, CAST(rev AS DOUBLE) AS revenue,
+        | ${sqlRound("CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)", 6)} AS revenue_share
+        |FROM nat ORDER BY region, nation""".stripMargin,
+
+    "q_event_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+        | FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ms ASC, event_id ASC) AS to_type
+        | FROM e),
+        |m AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+        | FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        | ${sqlRound("CAST(n_transitions AS DOUBLE) / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)", 6)} AS p_transition
+        |FROM m ORDER BY from_type, to_type""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -341,6 +341,38 @@ class CurationQueriesSpec extends SparkSpec {
     assert(got.values.sum % 3 == 0)
   }
 
+  test("q_revenue_share shares sum to one within each region") {
+    val rows = SparkEntry.queries("q_revenue_share")(spark, sf)
+      .as[(String, String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    rows.groupBy(_._1).foreach { case (region, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"region $region shares")
+    }
+  }
+
+  test("q_event_transitions counts match a driver-side sequence fold and rows normalize") {
+    val got = SparkEntry.queries("q_event_transitions")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (from, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"from $from probs")
+    }
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val ref = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { rs =>
+      val ordered = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => ref((a, b)) += 1L
+        case _ =>
+      }
+    }
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == ref.toMap)
+  }
+
   test("q_gini_acctbal matches the exact rank-weighted fold per nation") {
     val got = SparkEntry.queries("q_gini_acctbal")(spark, sf)
       .as[(Int, Long, Double)].collect()
