@@ -2101,6 +2101,56 @@ object SparkEntry {
           roundTo(col("n_transitions").cast("double") / col("__tot").cast("double"), 6)
             .as("p_transition"))
         .orderBy("from_type", "to_type")
+    }),
+
+    // largest-remainder proration: allocate each order's total price
+    // across its lineitems proportionally to extended price, in WHOLE
+    // CENTS, preserving the order total EXACTLY (Σ allocations ==
+    // order total, always — the property float proration can't give).
+    // Everything is int64 cent arithmetic: base = floor(Ct·e/Σe) via
+    // subtract-mod-then-divide (exact in IEEE double because the
+    // quotient is an integer), then the leftover cents go to the
+    // largest division remainders (ties by line number). Windows are
+    // per-order (bounded by lines-per-order), never data-wide.
+    "q_allocate_price" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("__e"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("__ct"))
+      val wSum = Window.partitionBy("l_orderkey")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("__se", sum(col("__e")).over(wSum))
+        .withColumn("__p", col("__ct") * col("__e"))
+        .withColumn("__rm", pmod(col("__p"), col("__se")))
+        .withColumn("__base", ((col("__p") - col("__rm")) / col("__se")).cast("long"))
+      val wRank = Window.partitionBy("l_orderkey")
+        .orderBy(col("__rm").desc, col("l_linenumber").asc)
+      j.withColumn("__left", col("__ct") - sum(col("__base")).over(wSum))
+        .withColumn("__rn", row_number().over(wRank))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ((col("__base") + when(col("__rn") <= col("__left"), 1L).otherwise(0L))
+            .cast("double") / 100.0).as("allocated"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // last-observation-carried-forward imputation over per-user event
+    // series (time-series gap repair before feature extraction).
+    // Nulls are planted deterministically (event_id % 7) so both
+    // engines see the same holes; the fill is last(ignoreNulls) over
+    // the per-user time order — bounded per-key windows, identical
+    // IGNORE NULLS frame semantics in the oracle. Rows before a
+    // user's first observation stay null on both sides.
+    "q_locf_value" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(roundTo(col("value"), 2)).as("__v"))
+        .withColumn("value_filled", last(col("__v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("ms"), col("value_filled"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -3166,7 +3216,40 @@ object SparkEntry {
         | FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n_transitions,
         | ${sqlRound("CAST(n_transitions AS DOUBLE) / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)", 6)} AS p_transition
-        |FROM m ORDER BY from_type, to_type""".stripMargin
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    "q_allocate_price" ->
+      """WITH j AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS e,
+        |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS ct
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (SELECT l_orderkey, l_linenumber, ct,
+        |  ct * e AS p, SUM(e) OVER (PARTITION BY l_orderkey) AS se
+        | FROM j),
+        |c AS (SELECT l_orderkey, l_linenumber, ct, se,
+        |  ((p % se) + se) % se AS rm,
+        |  CAST((p - (((p % se) + se) % se)) / se AS BIGINT) AS base
+        | FROM b),
+        |r AS (SELECT l_orderkey, l_linenumber, base,
+        |  ct - SUM(base) OVER (PARTITION BY l_orderkey) AS leftover,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY rm DESC, l_linenumber ASC) AS rn
+        | FROM c)
+        |SELECT l_orderkey, l_linenumber,
+        | CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS DOUBLE)/100.0
+        |   AS allocated
+        |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_locf_value" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |       ELSE ${sqlRound("value", 2)} END AS v
+        | FROM events)
+        |SELECT user_id, event_id, ms,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY ms ASC, event_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM e ORDER BY user_id, event_id""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -373,6 +373,68 @@ class CurationQueriesSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2) -> r._3).toMap == ref.toMap)
   }
 
+  test("q_allocate_price preserves order totals exactly and stays within one cent of exact shares") {
+    val got = SparkEntry.queries("q_allocate_price")(spark, sf)
+      .as[(Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    val totals = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("ct"))
+      .as[(Long, Long)].collect().toMap
+    // lineitem carries duplicate (orderkey, linenumber) rows (dirty
+    // bronze); allocations are a deterministic MULTISET per order —
+    // compare against a full largest-remainder reference fold
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("e"))
+      .as[(Long, Int, Long)].collect()
+    val refByOrder = li.groupBy(_._1).map { case (ok, rows) =>
+      val ct = totals(ok); val se = rows.map(_._3).sum
+      val withBase = rows.map { case (_, ln, e) =>
+        val p = ct * e; (ln, p % se, p / se)
+      }
+      val leftover = (ct - withBase.map(_._3).sum).toInt
+      val ranked = withBase.sortBy { case (ln, rm, _) => (-rm, ln) }
+      val cents = ranked.zipWithIndex.map { case ((_, _, base), i) =>
+        base + (if (i < leftover) 1L else 0L)
+      }
+      // every allocation within 1 cent of its exact share
+      ranked.zip(cents).foreach { case ((ln, rm, base), c) =>
+        val e = rows.find(r => r._2 == ln && (ct * r._3) % se == rm).get._3
+        val exact = ct.toDouble * e / se
+        assert(math.abs(c - exact) < 1.0 + 1e-9, s"order $ok line $ln drift")
+      }
+      ok -> cents.sorted.toSeq
+    }
+    got.groupBy(_._1).foreach { case (ok, lines) =>
+      val cents = lines.map(r => math.round(r._3 * 100))
+      assert(cents.sum == totals(ok), s"order $ok total not preserved")
+      assert(cents.sorted.toSeq == refByOrder(ok), s"order $ok multiset mismatch")
+    }
+  }
+
+  test("q_locf_value matches a driver-side carry-forward fold") {
+    val got = SparkEntry.queries("q_locf_value")(spark, sf)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.nonEmpty)
+    assert(got.exists(_._4.isEmpty) || got.length < 7,
+      "planted nulls before any observation should survive somewhere")
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        graft.functions.Det.roundTo(col("value"), 2).as("v"))
+      .as[(Long, Long, Long, Double)].collect()
+    val ref = ev.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+      var lastSeen: Option[Double] = None
+      rs.sortBy(r => (r._3, r._2)).iterator.map { case (u, id, _, v) =>
+        if (id % 7 != 0) lastSeen = Some(v)
+        (u, id) -> lastSeen
+      }
+    }.toMap
+    got.foreach { case (u, id, _, filled) =>
+      assert(filled == ref((u, id)), s"user $u event $id")
+    }
+  }
+
   test("q_gini_acctbal matches the exact rank-weighted fold per nation") {
     val got = SparkEntry.queries("q_gini_acctbal")(spark, sf)
       .as[(Int, Long, Double)].collect()
