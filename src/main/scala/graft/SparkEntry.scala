@@ -2151,6 +2151,32 @@ object SparkEntry {
         .withColumn("value_filled", last(col("__v"), ignoreNulls = true).over(w))
         .select(col("user_id"), col("event_id"), col("ms"), col("value_filled"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // accumulating-snapshot fact (Kimball): one row per order
+    // carrying its lifecycle milestones — placement, first and last
+    // ship — and the derived durations. ONE combinable min/max agg
+    // over the lines joined to the order grain; milestone math is
+    // pure epoch-day integer arithmetic. The pattern behind
+    // fulfillment-latency dashboards; at scale it's a single
+    // co-keyed shuffle on orderkey.
+    "q_order_lifecycle" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        floor(unix_millis(col("l_shipdate").cast("timestamp")) / 86400000L)
+          .cast("long").as("__sd"))
+      val miles = li.groupBy("l_orderkey").agg(
+        count(lit(1)).as("n_lines"),
+        min(col("__sd")).as("first_ship_day"),
+        max(col("__sd")).as("last_ship_day"))
+      Tables.orders(s, d).select(col("o_orderkey"),
+          floor(unix_millis(col("o_orderdate").cast("timestamp")) / 86400000L)
+            .cast("long").as("order_day"))
+        .join(miles, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("order_day"), col("n_lines"),
+          col("first_ship_day"), col("last_ship_day"),
+          (col("first_ship_day") - col("order_day")).as("days_to_first_ship"),
+          (col("last_ship_day") - col("order_day")).as("days_to_complete"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -3249,7 +3275,19 @@ object SparkEntry {
         | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
         |   ORDER BY ms ASC, event_id ASC
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
-        |FROM e ORDER BY user_id, event_id""".stripMargin
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q_order_lifecycle" ->
+      """WITH m AS (SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  MIN(CAST(floor(epoch_ms(l_shipdate)/86400000) AS BIGINT)) AS first_ship_day,
+        |  MAX(CAST(floor(epoch_ms(l_shipdate)/86400000) AS BIGINT)) AS last_ship_day
+        | FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey, CAST(floor(epoch_ms(o_orderdate)/86400000) AS BIGINT) AS order_day,
+        | n_lines, first_ship_day, last_ship_day,
+        | first_ship_day - CAST(floor(epoch_ms(o_orderdate)/86400000) AS BIGINT) AS days_to_first_ship,
+        | last_ship_day - CAST(floor(epoch_ms(o_orderdate)/86400000) AS BIGINT) AS days_to_complete
+        |FROM orders JOIN m ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

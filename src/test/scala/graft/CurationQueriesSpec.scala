@@ -435,6 +435,21 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_order_lifecycle milestones are ordered and cover every order with lines") {
+    val got = SparkEntry.queries("q_order_lifecycle")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (ok, _, nLines, first, lastD, dFirst, dComplete) =>
+      assert(nLines >= 1)
+      assert(first <= lastD, s"order $ok milestones out of order")
+      assert(dFirst <= dComplete, s"order $ok durations inconsistent")
+      assert(dComplete == lastD - (first - dFirst), s"order $ok arithmetic")
+    }
+    val nOrdersWithLines = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    assert(got.length.toLong == nOrdersWithLines)
+  }
+
   test("q_gini_acctbal matches the exact rank-weighted fold per nation") {
     val got = SparkEntry.queries("q_gini_acctbal")(spark, sf)
       .as[(Int, Long, Double)].collect()
