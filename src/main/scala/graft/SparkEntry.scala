@@ -222,6 +222,81 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q_late_orders" -> ((s, d) => {
+      // TPC-H Q4 shape: EXISTS semi-join whose predicate spans both
+      // sides — orders having ANY lineitem shipped >90 days after
+      // the order date, counted by priority. The o_orderkey equi-key
+      // keeps the plan a hash/sort-merge semi-join (the inequality
+      // rides along as a post-probe filter, never a cartesian);
+      // integer epoch-day arithmetic matches both engines exactly.
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          datediff(l("l_shipdate").cast("date"), o("o_orderdate").cast("date")) > 90,
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_cust_order_dist" -> ((s, d) => {
+      // TPC-H Q13 shape: count-of-counts — orders per customer
+      // through a filtered LEFT join (zero-order customers kept at
+      // count 0), then the histogram of those counts. Both
+      // aggregations are map-side combinable; the second shuffles
+      // only the tiny count domain.
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q_part_supp_cnt" -> ((s, d) => {
+      // TPC-H Q16 shape: distinct-supplier counts per part attribute
+      // with a NOT-IN exclusion. The exclusion list (suppliers in
+      // debt) is a broadcast anti-join, part is broadcast onto
+      // lineitem — the only wide operation is the distinct
+      // aggregation on (brand, size).
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val badSupp = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      l.join(broadcast(badSupp), l("l_suppkey") === badSupp("s_suppkey"), "left_anti")
+        .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+
+    "q_skyline_parts" -> ((s, d) => {
+      // Per-brand Pareto frontier (skyline): keep a part iff no
+      // same-brand part is cheaper-with-at-least-its-size or
+      // same-price-with-larger-size. Computed WITHOUT the all-pairs
+      // join: max size per (brand, price) group, a running
+      // strict-prior max over the per-price rows (bounded per-brand
+      // window), then a join back — p survives iff it tops its own
+      // price group and beats every cheaper group's max. The oracle
+      // is the textbook NOT-EXISTS dominance formulation, so the
+      // hash gate checks cross-formulation equivalence.
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))
+      val g = p.groupBy(col("p_brand"), col("p_retailprice"))
+        .agg(max(col("p_size")).as("grp_max"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val g2 = g.withColumn("prior_max", max(col("grp_max")).over(w))
+      p.join(g2, Seq("p_brand", "p_retailprice"))
+        .filter(col("p_size") === col("grp_max") &&
+          (col("prior_max").isNull || col("prior_max") < col("p_size")))
+        .select(col("p_brand"), col("p_partkey"),
+          roundTo(col("p_retailprice"), 2).as("price"), col("p_size"))
+        .orderBy("p_brand", "p_partkey")
+    }),
+
     "q_full_outer" -> ((s, d) => {
       // FULL OUTER join: customers without orders survive with zeroed
       // stats, order groups without a customer row would survive with
@@ -2247,6 +2322,39 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate::DATE - o_orderdate::DATE > 90)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_cust_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_part_supp_cnt" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q_skyline_parts" ->
+      s"""SELECT p.p_brand, p.p_partkey, ${sqlRound("p.p_retailprice", 2)} AS price,
+         | p.p_size
+         |FROM part p
+         |WHERE NOT EXISTS (SELECT 1 FROM part q WHERE q.p_brand = p.p_brand
+         |  AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+         |  AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+         |ORDER BY p.p_brand, p.p_partkey""".stripMargin,
 
     "q_cube_revenue" ->
       s"""SELECT l_returnflag, l_linestatus, ${sqlSumD("l_extendedprice")} AS revenue,
