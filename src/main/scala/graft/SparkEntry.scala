@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Det.{roundTo, sqlRound}
 import graft.sources.{Layout, Tables}
-import graft.operators.{Dedup, Flatten}
+import graft.operators.{Dedup, Flatten, Hierarchy}
 import graft.medallion.{Bronze, Gold, Silver}
 import graft.quality.QualityChecks
 import graft.text.{Relevance, TextFunctions}
@@ -295,6 +295,49 @@ object SparkEntry {
         .select(col("p_brand"), col("p_partkey"),
           roundTo(col("p_retailprice"), 2).as("price"), col("p_size"))
         .orderBy("p_brand", "p_partkey")
+    }),
+
+    "q_attribution" -> ((s, d) => {
+      // Last-touch conversion attribution: each purchase credits the
+      // user's most recent PRECEDING non-purchase event (IGNORE NULLS
+      // over a strictly-prior frame — same cross-engine frame parity
+      // as q_locf_value), rolled up to conversions + attributed
+      // revenue per channel. Bounded per-user windows only.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+          col("event_type"), col("value"))
+        .withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("conversions"),
+          sumD(col("value")).as("attributed_value"))
+        .orderBy("channel")
+    }),
+
+    "q_hierarchy_closure" -> ((s, d) => {
+      // Recursive-CTE analog: flatten the order→customer→nation→
+      // region hierarchy into (node, ancestor, depth) path rows via
+      // Hierarchy.closure (bounded unrolled BFS — Spark has no WITH
+      // RECURSIVE; the DuckDB oracle IS one, and both sides share
+      // path-multiset UNION ALL semantics). Edge lists are DISTINCT
+      // (orders carry dirty PKs) and node ids are type-prefixed so
+      // the key spaces can't collide.
+      val o = Tables.orders(s, d).select(
+        concat(lit("O"), col("o_orderkey")).as("child"),
+        concat(lit("C"), col("o_custkey")).as("parent")).distinct()
+      val c = Tables.customer(s, d).select(
+        concat(lit("C"), col("c_custkey")).as("child"),
+        concat(lit("N"), col("c_nationkey")).as("parent")).distinct()
+      val n = Tables.nation(s, d).select(
+        concat(lit("N"), col("n_nationkey")).as("child"),
+        concat(lit("R"), col("n_regionkey")).as("parent")).distinct()
+      Hierarchy.closure(o.unionAll(c).unionAll(n), maxDepth = 3)
+        .orderBy("node", "ancestor", "depth")
     }),
 
     "q_full_outer" -> ((s, d) => {
@@ -770,6 +813,14 @@ object SparkEntry {
     "text_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "text_lexicon_score" -> ((s, d) =>
+      // weighted-lexicon curation gate (profanity / promo / quality
+      // keyword lists): pure narrow codegen'd array ops, zero shuffle
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.lexiconHits(col("text")).as("n_hits"),
+        TextFunctions.lexiconScore(col("text")).as("lex_score"))
         .orderBy("doc_id")),
 
     "text_fingerprint" -> ((s, d) =>
@@ -2356,6 +2407,35 @@ object SparkEntry {
          |  AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
          |ORDER BY p.p_brand, p.p_partkey""".stripMargin,
 
+    "q_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value
+         |  FROM events),
+         |a AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+         |    THEN event_type END IGNORE NULLS)
+         |  OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+         | FROM e)
+         |SELECT COALESCE(channel, 'none') AS channel, COUNT(*) AS conversions,
+         | ${sqlSumD("value")} AS attributed_value
+         |FROM a WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hierarchy_closure" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 'O' || o_orderkey AS child, 'C' || o_custkey AS parent
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT DISTINCT 'C' || c_custkey, 'N' || c_nationkey FROM customer
+        |  UNION ALL
+        |  SELECT DISTINCT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+        |closure AS (
+        |  SELECT child AS node, parent AS ancestor, 1 AS depth FROM edges
+        |  UNION ALL
+        |  SELECT c.node, e.parent, c.depth + 1
+        |  FROM closure c JOIN edges e ON c.ancestor = e.child)
+        |SELECT node, ancestor, depth FROM closure
+        |ORDER BY node, ancestor, depth""".stripMargin,
+
     "q_cube_revenue" ->
       s"""SELECT l_returnflag, l_linestatus, ${sqlSumD("l_extendedprice")} AS revenue,
          | COUNT(*) AS n_lines
@@ -2697,6 +2777,19 @@ object SparkEntry {
     "text_quality" -> textQualityOracle,
 
     "text_lang_id" -> textLangIdOracle,
+
+    "text_lexicon_score" -> {
+      val raw = TextFunctions.Lexicon.map { case (w, wt) =>
+        s"($wt)*len(list_filter(toks, x -> x = '$w'))"
+      }.mkString(" + ")
+      val hits = TextFunctions.Lexicon.map(l => s"'${l._1}'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+         |SELECT doc_id,
+         | len(list_filter(toks, x -> x IN ($hits))) AS n_hits,
+         | CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE ${sqlRound(s"($raw)::DOUBLE / len(toks)", 6)} END AS lex_score
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -88,6 +88,26 @@ object TextFunctions {
     }
   }
 
+  /** Weighted keyword lexicon for the lexicon-gate curation filter
+    * (the shape of profanity / promotional / quality keyword lists).
+    * Fixed deterministic weights, oracle-matched. */
+  val Lexicon: Seq[(String, Int)] = Seq(
+    "fast" -> 2, "small" -> 1, "slow" -> -2, "big" -> -1, "dup" -> -3)
+
+  def lexiconHits(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(Lexicon.map(_._1))))
+
+  /** Σ weight(w)·count(w) over the lexicon, normalized by token
+    * count — pure narrow array arithmetic, zero shuffle. */
+  def lexiconScore(text: Column): Column = {
+    val raw = Lexicon.map { case (w, wt) =>
+      size(filter(tokens(text), t => t === w)) * lit(wt)
+    }.reduce(_ + _)
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      graft.functions.Det.roundTo(raw.cast("double") / n, 6))
+  }
+
   /** Content fingerprint: md5 of normalized text (lower, collapsed
     * whitespace). Stable across engines — the exact-dedup key. */
   def fingerprintMd5(text: Column): Column =

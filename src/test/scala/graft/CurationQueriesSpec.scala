@@ -479,6 +479,24 @@ class CurationQueriesSpec extends SparkSpec {
     assert(got.forall(_._1 >= 0L))
   }
 
+  test("q_attribution matches a driver-side last-touch replay") {
+    val got = SparkEntry.queries("q_attribution")(spark, sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+      var lastTouch: String = null
+      ordered.flatMap { e =>
+        if (e._4 == "purchase") Some(Option(lastTouch).getOrElse("none"))
+        else { lastTouch = e._4; None }
+      }
+    }.groupBy(identity).map { case (ch, xs) => ch -> xs.length.toLong }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("q_gini_acctbal matches the exact rank-weighted fold per nation") {
     val got = SparkEntry.queries("q_gini_acctbal")(spark, sf)
       .as[(Int, Long, Double)].collect()

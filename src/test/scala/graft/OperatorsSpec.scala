@@ -111,4 +111,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
       s"range join planned a nested loop:\n$plan")
   }
+
+  test("Hierarchy.closure keeps path multiplicity and honors maxDepth") {
+    import spark.implicits._
+    // diamond DAG (child -> parent): A->B, A->C, B->D, C->D, D->E.
+    // A reaches D through TWO paths -> (A, D, 2) must appear twice
+    // (recursive-CTE UNION ALL semantics), and (A, E, 3) twice more.
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "E"))
+      .toDF("child", "parent")
+    val full = graft.operators.Hierarchy.closure(edges, maxDepth = 3)
+      .as[(String, String, Int)].collect().toSeq
+    val want = Seq(
+      ("A", "B", 1), ("A", "C", 1), ("B", "D", 1), ("C", "D", 1), ("D", "E", 1),
+      ("A", "D", 2), ("A", "D", 2), ("B", "E", 2), ("C", "E", 2),
+      ("A", "E", 3), ("A", "E", 3))
+    assert(full.sorted == want.sorted)
+    // depth bound truncates, never probes: depth-4 paths don't exist here,
+    // but maxDepth=1 must return exactly the edge list
+    val d1 = graft.operators.Hierarchy.closure(edges, maxDepth = 1)
+      .as[(String, String, Int)].collect().toSeq
+    assert(d1.sorted == want.filter(_._3 == 1).sorted)
+  }
 }
