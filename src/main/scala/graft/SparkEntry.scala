@@ -340,6 +340,79 @@ object SparkEntry {
         .orderBy("node", "ancestor", "depth")
     }),
 
+    "q_abc_parts" -> ((s, d) => {
+      // ABC / Pareto inventory classification: parts ranked by
+      // revenue DESC with their EXACT running share of total revenue
+      // (A ≤ 80%, B ≤ 95%, C rest). The global running sum is the
+      // classic single-reducer-window trap — Ranks.withRunningSum
+      // computes it scale-safe on the fixed value grid (per-bucket
+      // decimal partials, driver-folded priors, per-bucket windows).
+      // Class cuts compare in integer CENTS (10·cum ≤ 8·tot etc.) so
+      // boundary ties can never flip on floating point; the oracle
+      // is the plain window formulation — cross-formulation
+      // equivalence is hash-checked.
+      val rev = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(sum(roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .cast("decimal(18,2)")).as("rev"))
+      val run = graft.operators.Ranks.withRunningSum(rev, "rev",
+        Seq(col("rev").desc, col("l_partkey").asc), bucketOn = "rev",
+        ascending = false, cumCol = "cum", totalCol = "tot")
+      val cumC = (col("cum") * 100).cast("long")
+      val totC = (col("tot") * 100).cast("long")
+      run.select(col("l_partkey"),
+          col("rev").cast("double").as("revenue"),
+          roundTo(col("cum").cast("double") / col("tot").cast("double"), 6)
+            .as("cum_share"),
+          when(cumC * 10 <= totC * 8, lit("A"))
+            .when(cumC * 20 <= totC * 19, lit("B"))
+            .otherwise(lit("C")).as("abc_class"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+    }),
+
+    "q_rfm_segments" -> ((s, d) => {
+      // RFM customer segmentation: recency / frequency / monetary
+      // quintile scores with EXACT NTILE(5) parity, each computed
+      // scale-safe via two-pass rank selection (Ranks.valuesAtRanks)
+      // + narrow cut-tuple comparisons — no global window anywhere.
+      // The per-customer base is persisted for the six bounded cut
+      // actions, then released; the returned plan recomputes it once.
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(
+          max(floor(unix_millis(col("o_orderdate").cast("timestamp")) / 86400000L)
+            .cast("long")).as("recency_day"),
+          count(lit(1)).as("frequency"),
+          sumD(col("o_totalprice")).as("monetary"))
+      base.persist()
+      try {
+        def quintile(metric: String): Column = {
+          // ntile cut positions: cut_k = k*(n/5) + min(k, n mod 5);
+          // score = 1 + #cuts strictly before the row's (metric, key)
+          val cuts = graft.operators.Ranks.valuesAtRanks(
+            base, Seq.empty, Seq(metric, "custkey"), metric,
+            n => Seq.tabulate(4)(i => (i + 1) * (n / 5) + math.min(i + 1, n % 5)))
+          cuts.map { r =>
+            val after = (col(metric) > lit(r.get(1))) ||
+              (col(metric) === lit(r.get(1)) && col("custkey") > lit(r.get(2)))
+            when(after, 1).otherwise(0)
+          }.reduce(_ + _) + lit(1)
+        }
+        val scored = base.select(col("custkey"), col("recency_day"),
+            col("frequency"), col("monetary"),
+            quintile("recency_day").as("r_score"),
+            quintile("frequency").as("f_score"),
+            quintile("monetary").as("m_score"))
+        scored.withColumn("segment",
+            when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+              lit("champion"))
+              .when(col("r_score") >= 4 && col("f_score") <= 2, lit("recent_light"))
+              .when(col("r_score") <= 2 && col("f_score") >= 4, lit("lapsing_loyal"))
+              .when(col("r_score") <= 2 && col("m_score") <= 2, lit("at_risk"))
+              .otherwise(lit("regular")))
+          .orderBy("custkey")
+      } finally base.unpersist(false)
+    }),
+
     "q_full_outer" -> ((s, d) => {
       // FULL OUTER join: customers without orders survive with zeroed
       // stats, order groups without a customer row would survive with
@@ -2419,6 +2492,47 @@ object SparkEntry {
          | ${sqlSumD("value")} AS attributed_value
          |FROM a WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_abc_parts" ->
+      s"""WITH rev AS (
+         |  SELECT l_partkey,
+         |    CAST(SUM(CAST(${sqlRound("l_extendedprice*(1-l_discount)", 2)}
+         |      AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS rev
+         |  FROM lineitem GROUP BY l_partkey),
+         |run AS (
+         |  SELECT l_partkey, rev,
+         |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(rev) OVER () AS tot
+         |  FROM rev)
+         |SELECT l_partkey, rev::DOUBLE AS revenue,
+         |  ${sqlRound("(cum::DOUBLE)/(tot::DOUBLE)", 6)} AS cum_share,
+         |  CASE WHEN CAST(cum*100 AS BIGINT)*10 <= CAST(tot*100 AS BIGINT)*8 THEN 'A'
+         |       WHEN CAST(cum*100 AS BIGINT)*20 <= CAST(tot*100 AS BIGINT)*19 THEN 'B'
+         |       ELSE 'C' END AS abc_class
+         |FROM run ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    "q_rfm_segments" ->
+      s"""WITH base AS (
+         |  SELECT o_custkey AS custkey,
+         |    MAX(CAST(floor(epoch_ms(o_orderdate)/86400000) AS BIGINT)) AS recency_day,
+         |    COUNT(*) AS frequency,
+         |    ${sqlSumD("o_totalprice")} AS monetary
+         |  FROM orders GROUP BY o_custkey),
+         |s AS (
+         |  SELECT *,
+         |    NTILE(5) OVER (ORDER BY recency_day, custkey) AS r_score,
+         |    NTILE(5) OVER (ORDER BY frequency, custkey) AS f_score,
+         |    NTILE(5) OVER (ORDER BY monetary, custkey) AS m_score
+         |  FROM base)
+         |SELECT custkey, recency_day, frequency, monetary,
+         |  r_score, f_score, m_score,
+         |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+         |       WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+         |       WHEN r_score <= 2 AND f_score >= 4 THEN 'lapsing_loyal'
+         |       WHEN r_score <= 2 AND m_score <= 2 THEN 'at_risk'
+         |       ELSE 'regular' END AS segment
+         |FROM s ORDER BY custkey""".stripMargin,
 
     "q_hierarchy_closure" ->
       """WITH RECURSIVE edges AS (

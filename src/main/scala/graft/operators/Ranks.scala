@@ -118,6 +118,46 @@ object Ranks {
       .drop(B, OFF)
   }
 
+  /** Adds `cumCol` — the EXACT running sum of the DECIMAL `valueCol`
+    * in the global total order (orderCols) — plus `totalCol` (the
+    * grand total), WITHOUT a single-reducer window. Same fixed-grid
+    * two-pass as [[withExactRank]]: one job computes per-bucket
+    * decimal partial sums, whose cumulative prior-offsets fold on the
+    * driver (bounded by the grid, not the data); the in-bucket
+    * running sum is a window partitioned per bucket, so the sort
+    * work spreads across populated buckets. Exactness comes from
+    * decimal arithmetic end-to-end: bucket partials, driver fold
+    * (BigDecimal) and the window sum never touch floating point.
+    *
+    * `ascending` is the direction of the leading (bucketOn) order
+    * column; `orderCols` must spell the SAME total order including
+    * the direction. */
+  def withRunningSum(df: DataFrame, valueCol: String, orderCols: Seq[Column],
+                     bucketOn: String, ascending: Boolean,
+                     cumCol: String, totalCol: String,
+                     shift: Int = 48): DataFrame = {
+    val withB = withBucket(df, bucketOn, shift)
+    val partials = withB.groupBy(col(B)).agg(sum(col(valueCol)).as(CNT)).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1)))
+    val ordered = if (ascending) partials.sortBy(_._1) else partials.sortBy(-_._1)
+    val total = ordered.map(_._2)
+      .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+    val priors = ordered.map(_._2).scanLeft(java.math.BigDecimal.ZERO)(_ add _)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val jB = s"__rs_j_$B"
+    val offDf = ordered.zipWithIndex.map { case ((b, _), i) =>
+      (b, scala.math.BigDecimal(priors(i)), scala.math.BigDecimal(total))
+    }.toSeq.toDF(jB, OFF, totalCol)
+      .select(col(jB), col(OFF).cast("decimal(38,2)").as(OFF),
+        col(totalCol).cast("decimal(38,2)").as(totalCol))
+    val wIn = Window.partitionBy(col(B)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(offDf), col(B) === col(jB))
+      .withColumn(cumCol, col(OFF) + sum(col(valueCol)).over(wIn))
+      .drop(B, jB, OFF)
+  }
+
   /** Exact order-statistic SELECTION: for each group, the row values
     * of `orderCols` at the requested 1-based rank positions in the
     * total order (partitionCols, orderCols asc) — WITHOUT ranking the

@@ -159,4 +159,47 @@ class RanksSpec extends SparkSpec {
         s"$q plan gathers to a single partition:\n$plan")
     }
   }
+
+  test("withRunningSum == driver-side decimal prefix sums, asc and desc, with ties") {
+    // values engineered so several rows share a value (tie-break on id)
+    // and several distinct values share a grid bucket at shift=60
+    val rows = Seq.tabulate(97)(i =>
+      (i.toLong, new java.math.BigDecimal(s"${(i * 37) % 11}.${(i * 7) % 100}")))
+    val df = rows.toDF("id", "v")
+      .select(col("id"), col("v").cast("decimal(18,2)").as("v"))
+    for (asc <- Seq(true, false)) {
+      val ord = if (asc) Seq(col("v").asc, col("id").asc)
+                else Seq(col("v").desc, col("id").asc)
+      val got = Ranks.withRunningSum(df, "v", ord, "v", asc, "cum", "tot", shift = 60)
+        .select(col("id"), col("cum").cast("string"), col("tot").cast("string"))
+        .as[(Long, String, String)].collect()
+        .map { case (id, c, t) => id -> ((BigDecimal(c), BigDecimal(t))) }.toMap
+      val sorted = if (asc) rows.sortBy(r => (BigDecimal(r._2), r._1))
+                   else rows.sortBy(r => (-BigDecimal(r._2), r._1))
+      val tot = rows.map(r => BigDecimal(r._2)).sum
+      var cum = BigDecimal(0)
+      sorted.foreach { case (id, v) =>
+        cum += BigDecimal(v)
+        assert(got(id) == ((cum, tot)), s"asc=$asc id=$id: got ${got(id)} want ($cum, $tot)")
+      }
+    }
+  }
+
+  test("q_abc_parts plan has no single-reducer stage and classes are monotone") {
+    val q = SparkEntry.queries("q_abc_parts")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"q_abc_parts plan gathers to a single partition:\n$plan")
+    val rows = q.select("cum_share", "abc_class")
+      .as[(Double, String)].collect()
+    assert(rows.nonEmpty)
+    // in output order (revenue desc) shares are non-decreasing and
+    // classes only ever step A -> B -> C
+    rows.sliding(2).foreach {
+      case Array((s1, c1), (s2, c2)) =>
+        assert(s1 <= s2 + 1e-9); assert(c1 <= c2)
+      case _ =>
+    }
+    assert(math.abs(rows.last._1 - 1.0) < 1e-6, "last share must be 1.0")
+  }
 }
