@@ -369,6 +369,84 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    "q_active_streaks" -> ((s, d) => {
+      // gaps-and-islands: longest consecutive-day activity streak per
+      // user. Distinct activity days, island id = day − row_number
+      // (equal along a consecutive run), then two bounded per-user
+      // aggs. The canonical SQL-pattern formulation IS the oracle.
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+      val streaks = days
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+      streaks.groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
+    "q_top_growth_parts" -> ((s, d) => {
+      // YoY growth leaderboard: per-part 1995→1996 revenue growth
+      // from ONE conditional-agg scan (shadow-slot style — no
+      // self-join), then top-3 movers per brand through the
+      // row_number≤k idiom, which RewriteTopKPerGroup replaces with
+      // the two-phase heap operator. Growth compares exact cents;
+      // the ratio is a deterministic double division both engines
+      // perform identically.
+      val dec = "decimal(18,2)"
+      val byPart = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_partkey"),
+          year(col("l_shipdate").cast("date")).as("yr"),
+          roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .cast(dec).as("p"))
+        .groupBy(col("p_brand"), col("l_partkey"))
+        .agg(sum(when(col("yr") === 1995, col("p"))).as("prev"),
+          sum(when(col("yr") === 1996, col("p"))).as("cur"))
+        .filter((col("prev") * 100).cast("long") > 0 &&
+          (col("cur") * 100).cast("long") > 0)
+        .select(col("p_brand"), col("l_partkey"),
+          col("prev").cast("double").as("rev_1995"),
+          col("cur").cast("double").as("rev_1996"),
+          roundTo(col("cur").cast("double") / col("prev").cast("double"), 6)
+            .as("growth"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("growth").desc, col("l_partkey").asc)
+      byPart.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    }),
+
+    "q_calendar_dim" -> ((s, d) => {
+      // date-spine calendar dimension: the warehouse staple generated
+      // from the fact's own bounds (1-row min/max agg, broadcast) —
+      // epoch-day spine exploded then RE-SPREAD by repartition(day)
+      // (explode of a 1-row frame otherwise leaves the whole spine in
+      // one task), attributes by pure Gregorian arithmetic shared by
+      // both engines.
+      val bounds = Tables.orders(s, d)
+        .agg(min(floor(unix_millis(col("o_orderdate").cast("timestamp")) / 86400000L)
+            .cast("long")).as("d0"),
+          max(floor(unix_millis(col("o_orderdate").cast("timestamp")) / 86400000L)
+            .cast("long")).as("d1"))
+      bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .repartition(col("day"))
+        .withColumn("cal_date",
+          date_add(to_date(lit("1970-01-01")), col("day").cast("int")))
+        .select(col("day"), col("cal_date"),
+          (((col("day") + 3) % 7) + 1).as("dow_iso"),
+          year(col("cal_date")).cast("long").as("yr"),
+          month(col("cal_date")).cast("long").as("mon"),
+          quarter(col("cal_date")).cast("long").as("qtr"),
+          ((((col("day") + 3) % 7) + 1) >= 6).as("is_weekend"))
+        .orderBy("day")
+    }),
+
     "q_rfm_segments" -> ((s, d) => {
       // RFM customer segmentation: recency / frequency / monetary
       // quintile scores with EXACT NTILE(5) parity, each computed
@@ -2511,6 +2589,57 @@ object SparkEntry {
          |       WHEN CAST(cum*100 AS BIGINT)*20 <= CAST(tot*100 AS BIGINT)*19 THEN 'B'
          |       ELSE 'C' END AS abc_class
          |FROM run ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    "q_active_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_ms(ts)/86400000) AS BIGINT) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day ASC) AS island
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, island, COUNT(*) AS len
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+        |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_top_growth_parts" ->
+      s"""WITH byp AS (
+         |  SELECT p_brand, l_partkey,
+         |    SUM(CASE WHEN year(l_shipdate) = 1995
+         |      THEN CAST(${sqlRound("l_extendedprice*(1-l_discount)", 2)} AS DECIMAL(18,2)) END) AS prev,
+         |    SUM(CASE WHEN year(l_shipdate) = 1996
+         |      THEN CAST(${sqlRound("l_extendedprice*(1-l_discount)", 2)} AS DECIMAL(18,2)) END) AS cur
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY p_brand, l_partkey),
+         |g AS (
+         |  SELECT p_brand, l_partkey,
+         |    prev::DOUBLE AS rev_1995, cur::DOUBLE AS rev_1996,
+         |    ${sqlRound("(cur::DOUBLE)/(prev::DOUBLE)", 6)} AS growth
+         |  FROM byp
+         |  WHERE CAST(prev*100 AS BIGINT) > 0 AND CAST(cur*100 AS BIGINT) > 0),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+         |    ORDER BY growth DESC, l_partkey ASC) AS rn
+         |  FROM g)
+         |SELECT p_brand, l_partkey, rev_1995, rev_1996, growth, rn
+         |FROM r WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "q_calendar_dim" ->
+      """WITH b AS (
+        |  SELECT MIN(CAST(floor(epoch_ms(o_orderdate)/86400000) AS BIGINT)) AS d0,
+        |         MAX(CAST(floor(epoch_ms(o_orderdate)/86400000) AS BIGINT)) AS d1
+        |  FROM orders),
+        |s AS (SELECT UNNEST(generate_series(d0, d1)) AS day FROM b),
+        |c AS (SELECT day, DATE '1970-01-01' + day::INTEGER AS cal_date FROM s)
+        |SELECT day, cal_date, ((day + 3) % 7) + 1 AS dow_iso,
+        |  CAST(year(cal_date) AS BIGINT) AS yr,
+        |  CAST(month(cal_date) AS BIGINT) AS mon,
+        |  CAST(quarter(cal_date) AS BIGINT) AS qtr,
+        |  ((day + 3) % 7) + 1 >= 6 AS is_weekend
+        |FROM c ORDER BY day""".stripMargin,
 
     "q_rfm_segments" ->
       s"""WITH base AS (

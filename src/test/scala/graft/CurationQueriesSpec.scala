@@ -497,6 +497,42 @@ class CurationQueriesSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("q_active_streaks matches a driver-side islands fold") {
+    val got = SparkEntry.queries("q_active_streaks")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), floor(unix_millis(col("ts")) / 86400000L)
+        .cast("long").as("day"))
+      .distinct().as[(Long, Long)].collect()
+    val want = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).distinct.sorted
+      val runs = scala.collection.mutable.ListBuffer.empty[Long]
+      var cur = 0L
+      var prev = Long.MinValue
+      for (day <- sorted) {
+        if (day == prev + 1) cur += 1
+        else { if (cur > 0) runs += cur; cur = 1 }
+        prev = day
+      }
+      runs += cur
+      u -> ((runs.max, runs.length.toLong))
+    }
+    assert(got == want)
+  }
+
+  test("q_top_growth_parts executes on the top-k operator with exactly 3 per brand") {
+    val q = SparkEntry.queries("q_top_growth_parts")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"rewrite did not fire:\n$plan")
+    val rows = q.select("p_brand", "rn").as[(String, Long)].collect()
+    rows.groupBy(_._1).foreach { case (b, rs) =>
+      val rns = rs.map(_._2).sorted
+      assert(rns.sameElements(1L to rns.length) && rns.length <= 3,
+        s"brand $b ranks ${rns.mkString(",")}")
+    }
+  }
+
   test("q_gini_acctbal matches the exact rank-weighted fold per nation") {
     val got = SparkEntry.queries("q_gini_acctbal")(spark, sf)
       .as[(Int, Long, Double)].collect()

@@ -32,7 +32,7 @@ class PlanLintSpec extends SparkSpec {
     "text_tfidf", "text_bm25", "text_pmi_bigrams", "text_unigram_logprob",
     // calendar bounds: a 1-row min/max agg that seeds the date-span
     // frame (the exploded calendar is re-spread by repartition(day))
-    "q_gapfill_daily",
+    "q_gapfill_daily", "q_calendar_dim",
     // corpus-total / distinct-user-count scalars: 1-row ungrouped
     // aggs broadcast back into the keep-fraction / lift expressions
     "q_domain_mix", "q_item_cooccurrence", "q_triangle_count",
