@@ -369,6 +369,66 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    "q_boolean_search" -> ((s, d) => {
+      // boolean AND keyword retrieval: docs containing ALL query
+      // terms, scored by total term occurrences. With no prebuilt
+      // index the right plan IS the narrow codegen'd scan below
+      // (zero shuffle); the posting-list path for repeated queries
+      // is the Relevance inverted index (text_bm25).
+      val terms = Seq("window", "hash", "stream")
+      val toks = TextFunctions.tokens(col("text"))
+      val nMatches = terms.map(t => size(filter(toks, x => x === t)))
+        .reduce(_ + _)
+      Tables.documents(s, d)
+        .filter(terms.map(t => array_contains(toks, t)).reduce(_ && _))
+        .select(col("doc_id"), nMatches.as("n_matches"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "q_iqr_outliers" -> ((s, d) => {
+      // Tukey-fence (IQR) robust outliers per event type — completes
+      // the z-score / MAD robust-anomaly triad. Quartiles via the
+      // proven percentile_cont parity recipe (bounded groups), fences
+      // broadcast back, outliers from a narrow comparison. Fence
+      // arithmetic happens on 4-dp-rounded quartiles so both engines
+      // compute bit-identical cutoffs.
+      val e = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          roundTo(col("value"), 2).as("v"))
+      val fences = e.groupBy("event_type")
+        .agg(roundTo(expr("percentile(v, 0.25D)"), 4).as("q1"),
+          roundTo(expr("percentile(v, 0.75D)"), 4).as("q3"))
+        .select(col("event_type").as("ft"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      e.join(broadcast(fences), col("event_type") === col("ft"))
+        .filter(col("v") < col("lo") || col("v") > col("hi"))
+        .select(col("event_type"), col("event_id"), col("v"),
+          roundTo(col("lo"), 4).as("fence_lo"),
+          roundTo(col("hi"), 4).as("fence_hi"))
+        .orderBy("event_type", "event_id")
+    }),
+
+    "q_event_paths" -> ((s, d) => {
+      // path mining: each user's first-3-event journey as a path
+      // string, counted. Deterministic sort_array sequences (the
+      // transition-matrix recipe); element_at + concat_ws keeps the
+      // path build codegen'd (null fields of short journeys are
+      // skipped identically by both engines' string join).
+      val seqs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ms"), col("event_id"), col("event_type")))).as("seq"))
+      seqs.select(concat_ws(">",
+          element_at(col("seq"), 1)("event_type"),
+          element_at(col("seq"), 2)("event_type"),
+          element_at(col("seq"), 3)("event_type")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+    }),
+
     "q_active_streaks" -> ((s, d) => {
       // gaps-and-islands: longest consecutive-day activity streak per
       // user. Distinct activity days, island id = day − row_number
@@ -2589,6 +2649,41 @@ object SparkEntry {
          |       WHEN CAST(cum*100 AS BIGINT)*20 <= CAST(tot*100 AS BIGINT)*19 THEN 'B'
          |       ELSE 'C' END AS abc_class
          |FROM run ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    "q_boolean_search" -> {
+      val terms = Seq("window", "hash", "stream")
+      val cnt = terms.map(t => s"len(list_filter(toks, x -> x = '$t'))")
+      s"""WITH t AS (SELECT doc_id, n_chars, ${sqlTokens("text")} AS toks
+         |  FROM documents)
+         |SELECT doc_id, ${cnt.mkString(" + ")} AS n_matches, n_chars
+         |FROM t
+         |WHERE ${cnt.map(c => s"$c > 0").mkString(" AND ")}
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_iqr_outliers" ->
+      s"""WITH e AS (SELECT event_type, event_id,
+         |  ${sqlRound("value", 2)} AS v FROM events WHERE value IS NOT NULL),
+         |f AS (SELECT event_type AS ft,
+         |    ${sqlRound("quantile_cont(v, 0.25)", 4)} AS q1,
+         |    ${sqlRound("quantile_cont(v, 0.75)", 4)} AS q3
+         |  FROM e GROUP BY event_type),
+         |w AS (SELECT ft, q1 - (q3 - q1)*1.5 AS lo, q3 + (q3 - q1)*1.5 AS hi FROM f)
+         |SELECT event_type, event_id, v,
+         |  ${sqlRound("lo", 4)} AS fence_lo, ${sqlRound("hi", 4)} AS fence_hi
+         |FROM e JOIN w ON event_type = ft
+         |WHERE v < lo OR v > hi
+         |ORDER BY event_type, event_id""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    list(event_type ORDER BY epoch_ms(ts) ASC, event_id ASC) AS seq
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT array_to_string(seq[1:3], '>') AS path FROM s)
+        |SELECT path, COUNT(*) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path""".stripMargin,
 
     "q_active_streaks" ->
       """WITH days AS (

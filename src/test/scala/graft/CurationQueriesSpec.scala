@@ -533,6 +533,22 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_boolean_search is a narrow scan: its only exchange is the output sort") {
+    val q = SparkEntry.queries("q_boolean_search")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"boolean search should not shuffle data:\n$plan")
+    // every hit really contains all three terms
+    val hits = q.select("doc_id").as[Long].collect().toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val want = docs.filter { case (_, t) =>
+      val ws = t.trim.split("\\s+").toSet
+      Seq("window", "hash", "stream").forall(ws.contains)
+    }.map(_._1).toSet
+    assert(hits == want)
+  }
+
   test("q_gini_acctbal matches the exact rank-weighted fold per nation") {
     val got = SparkEntry.queries("q_gini_acctbal")(spark, sf)
       .as[(Int, Long, Double)].collect()
