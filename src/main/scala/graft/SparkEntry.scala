@@ -369,6 +369,107 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    "q_revenue_bridge" -> ((s, d) => {
+      // YoY revenue-bridge decomposition (finance staple): each
+      // customer's 1995→1996 spend delta classified as new /
+      // churned / expansion / contraction from ONE conditional-agg
+      // scan (no self-join); classes and deltas compare in exact
+      // integer CENTS. Net delta returns to dollars by an exact /100.
+      val dec = "decimal(18,2)"
+      val byCust = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          year(col("o_orderdate").cast("date")).as("yr"),
+          roundTo(col("o_totalprice"), 2).cast(dec).as("p"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(when(col("yr") === 1995, col("p"))).as("prev"),
+          sum(when(col("yr") === 1996, col("p"))).as("cur"))
+      val pc = (coalesce(col("prev"), lit(0).cast(dec)) * 100).cast("long")
+      val cc = (coalesce(col("cur"), lit(0).cast(dec)) * 100).cast("long")
+      byCust
+        .select(col("o_custkey"), pc.as("pc"), cc.as("cc"))
+        .filter(col("pc") > 0 || col("cc") > 0)
+        .withColumn("bridge_class",
+          when(col("pc") === 0, lit("new"))
+            .when(col("cc") === 0, lit("churned"))
+            .when(col("cc") > col("pc"), lit("expansion"))
+            .when(col("cc") < col("pc"), lit("contraction"))
+            .otherwise(lit("flat")))
+        .groupBy("bridge_class")
+        .agg(count(lit(1)).as("n_customers"),
+          (sum(col("cc") - col("pc")).cast("double") / 100).as("net_delta"))
+        .orderBy("bridge_class")
+    }),
+
+    "q_ltv_cohorts" -> ((s, d) => {
+      // cumulative LTV curves by acquisition cohort: first-seen week
+      // is the cohort, purchase revenue accrues per weeks-since-
+      // acquisition, and the running LTV is a BOUNDED window per
+      // cohort over the (cohort, week_index) aggregate — never over
+      // raw events. Exact decimal accumulation end-to-end.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+          col("value"))
+      val firstSeen = ev.groupBy("user_id")
+        .agg(floor(min(col("day")) / 7).cast("long").as("cohort_week"))
+      val weekly = ev.filter(col("event_type") === "purchase")
+        .join(firstSeen, Seq("user_id"))
+        .select(col("cohort_week"),
+          (floor(col("day") / 7).cast("long") - col("cohort_week")).as("week_index"),
+          roundTo(col("value"), 2).cast("decimal(18,2)").as("v"))
+        .groupBy("cohort_week", "week_index")
+        .agg(count(lit(1)).as("n_purchases"), sum(col("v")).as("rev"))
+      val w = Window.partitionBy("cohort_week").orderBy(col("week_index").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly
+        .withColumn("cum_ltv", sum(col("rev")).over(w))
+        .select(col("cohort_week"), col("week_index"), col("n_purchases"),
+          col("rev").cast("double").as("rev"),
+          col("cum_ltv").cast("double").as("cum_ltv"))
+        .orderBy("cohort_week", "week_index")
+    }),
+
+    "q_decile_lift" -> ((s, d) => {
+      // gains/lift table (ML-eval staple): customers ranked by 1995
+      // spend, EXACT NTILE(10) deciles via the scale-safe rank grid
+      // (score negated so the grid's ascending order IS the NTILE's
+      // descending one, ties on custkey ASC preserved), responder =
+      // bought in 1996. Per-decile response rate, lift vs the
+      // overall rate and cumulative capture — the cumulative over
+      // the 10-row decile table is a broadcast triangular self-join,
+      // not a window.
+      val dec = "decimal(18,2)"
+      val base = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"),
+          year(col("o_orderdate").cast("date")).as("yr"),
+          roundTo(col("o_totalprice"), 2).cast(dec).as("p"))
+        .groupBy("custkey")
+        .agg(sum(when(col("yr") === 1995, col("p"))).as("spend95"),
+          max(when(col("yr") === 1996, lit(1)).otherwise(lit(0))).as("resp"))
+        .filter((coalesce(col("spend95"), lit(0).cast(dec)) * 100).cast("long") > 0)
+        .select(col("custkey"), col("spend95").cast("double").as("score"),
+          col("resp"))
+        .withColumn("score_neg", -col("score"))
+      val ranked = graft.operators.Ranks.withExactRank(base, Seq.empty,
+        Seq(col("score_neg").asc, col("custkey").asc), "score_neg", "rk", "n")
+      val tbl = ranked
+        .withColumn("decile", graft.operators.Ranks.ntileFromRank(col("rk"), col("n"), 10))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum(col("resp")).cast("long").as("n_resp"))
+      val tot = tbl.agg(sum(col("n_cust")).as("tc"), sum(col("n_resp")).as("tr"))
+      val cum = tbl.select(col("decile").as("cd"), col("n_resp").as("cr"))
+      tbl.join(broadcast(cum), col("cd") <= col("decile"))
+        .groupBy(col("decile"), col("n_cust"), col("n_resp"))
+        .agg(sum(col("cr")).as("cum_resp"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_cust"), col("n_resp"),
+          roundTo(col("n_resp") / col("n_cust"), 6).as("response_rate"),
+          roundTo((col("n_resp") / col("n_cust")) / (col("tr") / col("tc")), 6)
+            .as("lift"),
+          roundTo(col("cum_resp") / col("tr"), 6).as("cum_capture"))
+        .orderBy("decile")
+    }),
+
     "q_boolean_search" -> ((s, d) => {
       // boolean AND keyword retrieval: docs containing ALL query
       // terms, scored by total term occurrences. With no prebuilt
@@ -2649,6 +2750,74 @@ object SparkEntry {
          |       WHEN CAST(cum*100 AS BIGINT)*20 <= CAST(tot*100 AS BIGINT)*19 THEN 'B'
          |       ELSE 'C' END AS abc_class
          |FROM run ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    "q_revenue_bridge" ->
+      s"""WITH byc AS (
+         |  SELECT o_custkey,
+         |    SUM(CASE WHEN year(o_orderdate) = 1995
+         |      THEN CAST(${sqlRound("o_totalprice", 2)} AS DECIMAL(18,2)) END) AS prev,
+         |    SUM(CASE WHEN year(o_orderdate) = 1996
+         |      THEN CAST(${sqlRound("o_totalprice", 2)} AS DECIMAL(18,2)) END) AS cur
+         |  FROM orders GROUP BY o_custkey),
+         |cents AS (
+         |  SELECT o_custkey,
+         |    CAST(COALESCE(prev, 0)*100 AS BIGINT) AS pc,
+         |    CAST(COALESCE(cur, 0)*100 AS BIGINT) AS cc
+         |  FROM byc),
+         |cls AS (
+         |  SELECT *, CASE WHEN pc = 0 THEN 'new'
+         |    WHEN cc = 0 THEN 'churned'
+         |    WHEN cc > pc THEN 'expansion'
+         |    WHEN cc < pc THEN 'contraction'
+         |    ELSE 'flat' END AS bridge_class
+         |  FROM cents WHERE pc > 0 OR cc > 0)
+         |SELECT bridge_class, COUNT(*) AS n_customers,
+         |  CAST(SUM(cc - pc) AS BIGINT) / 100 AS net_delta
+         |FROM cls GROUP BY bridge_class ORDER BY bridge_class""".stripMargin,
+
+    "q_ltv_cohorts" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |  CAST(floor(epoch_ms(ts)/86400000) AS BIGINT) AS day, value FROM events),
+         |fs AS (SELECT user_id,
+         |  CAST(floor(MIN(day)/7) AS BIGINT) AS cohort_week
+         | FROM ev GROUP BY user_id),
+         |weekly AS (
+         |  SELECT cohort_week,
+         |    CAST(floor(day/7) AS BIGINT) - cohort_week AS week_index,
+         |    COUNT(*) AS n_purchases,
+         |    SUM(CAST(${sqlRound("value", 2)} AS DECIMAL(18,2))) AS rev
+         |  FROM ev JOIN fs USING (user_id)
+         |  WHERE event_type = 'purchase'
+         |  GROUP BY 1, 2)
+         |SELECT cohort_week, week_index, n_purchases, rev::DOUBLE AS rev,
+         |  (SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_index ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS cum_ltv
+         |FROM weekly ORDER BY cohort_week, week_index""".stripMargin,
+
+    "q_decile_lift" ->
+      s"""WITH base AS (
+         |  SELECT o_custkey AS custkey,
+         |    SUM(CASE WHEN year(o_orderdate) = 1995
+         |      THEN CAST(${sqlRound("o_totalprice", 2)} AS DECIMAL(18,2)) END) AS spend95,
+         |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS resp
+         |  FROM orders GROUP BY o_custkey),
+         |b AS (SELECT custkey, spend95::DOUBLE AS score, resp FROM base
+         |  WHERE CAST(COALESCE(spend95, 0)*100 AS BIGINT) > 0),
+         |r AS (SELECT *, NTILE(10) OVER (ORDER BY score DESC, custkey ASC) AS decile
+         |  FROM b),
+         |t AS (SELECT decile, COUNT(*) AS n_cust,
+         |    CAST(SUM(resp) AS BIGINT) AS n_resp
+         |  FROM r GROUP BY decile),
+         |tot AS (SELECT CAST(SUM(n_cust) AS BIGINT) AS tc,
+         |    CAST(SUM(n_resp) AS BIGINT) AS tr FROM t),
+         |c AS (SELECT a.decile, CAST(SUM(b.n_resp) AS BIGINT) AS cum_resp
+         |  FROM t a JOIN t b ON b.decile <= a.decile GROUP BY a.decile)
+         |SELECT t.decile, t.n_cust, t.n_resp,
+         |  ${sqlRound("n_resp / n_cust", 6)} AS response_rate,
+         |  ${sqlRound("(n_resp / n_cust) / (tr / tc)", 6)} AS lift,
+         |  ${sqlRound("cum_resp / tr", 6)} AS cum_capture
+         |FROM t JOIN c ON t.decile = c.decile CROSS JOIN tot
+         |ORDER BY t.decile""".stripMargin,
 
     "q_boolean_search" -> {
       val terms = Seq("window", "hash", "stream")

@@ -549,6 +549,42 @@ class CurationQueriesSpec extends SparkSpec {
     assert(hits == want)
   }
 
+  test("q_decile_lift deciles partition the scored customers and capture reaches 1") {
+    val rows = SparkEntry.queries("q_decile_lift")(spark, sf)
+      .select("decile", "n_cust", "n_resp", "cum_capture")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(1L to rows.length))
+    // NTILE law: sizes differ by at most one and are non-increasing
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.sameElements(sizes.sortBy(-_)))
+    // capture is monotone and ends at 1.0 (some responders exist)
+    val caps = rows.map(_._4)
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(math.abs(caps.last - 1.0) < 1e-6)
+  }
+
+  test("q_revenue_bridge classes partition active customers and deltas reconcile") {
+    val rows = SparkEntry.queries("q_revenue_bridge")(spark, sf)
+      .as[(String, Long, Double)].collect()
+    val dec = "decimal(18,2)"
+    val byCust = Tables.orders(spark, sf)
+      .select(col("o_custkey"), year(col("o_orderdate").cast("date")).as("yr"),
+        graft.functions.Det.roundTo(col("o_totalprice"), 2).cast(dec).as("p"))
+      .groupBy("o_custkey")
+      .agg((coalesce(sum(when(col("yr") === 1995, col("p"))), lit(0).cast(dec)) * 100)
+          .cast("long").as("pc"),
+        (coalesce(sum(when(col("yr") === 1996, col("p"))), lit(0).cast(dec)) * 100)
+          .cast("long").as("cc"))
+      .filter(col("pc") > 0 || col("cc") > 0)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum == byCust.length.toLong)
+    val totalDeltaCents = byCust.map(c => c._3 - c._2).sum
+    val gotDelta = rows.map(_._3).sum
+    assert(math.abs(gotDelta - totalDeltaCents / 100.0) < 1e-4,
+      s"net deltas $gotDelta vs ${totalDeltaCents / 100.0}")
+  }
+
   test("q_gini_acctbal matches the exact rank-weighted fold per nation") {
     val got = SparkEntry.queries("q_gini_acctbal")(spark, sf)
       .as[(Int, Long, Double)].collect()

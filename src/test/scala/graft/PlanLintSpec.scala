@@ -39,7 +39,9 @@ class PlanLintSpec extends SparkSpec {
     // node-count scalar seeding the uniform initial rank
     "q_pagerank_items",
     // two per-snapshot moment aggs, each ONE row, cross-joined
-    "q_drift_snapshots")
+    "q_drift_snapshots",
+    // 1-row totals agg over the 10-row decile table, cross-joined
+    "q_decile_lift")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
