@@ -369,6 +369,60 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_partkey"))
     }),
 
+    "q_weighted_median" -> ((s, d) => {
+      // exact quantity-weighted median price per returnflag — the
+      // robust stat a plain median can't give when rows carry
+      // multiplicity. Ranks.weightedMedians is valuesAtRanks
+      // generalized to weight sums: the per-group sort touches ONLY
+      // the crossing range bucket. Weights are integer CENTS of
+      // l_quantity (spec-checked integral), so the crossing test
+      // 2·cum ≥ total never sees floating point.
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        roundTo(col("l_extendedprice"), 2).as("price"),
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 100).cast("long").as("wc"))
+      val meds = graft.operators.Ranks.weightedMedians(li, Seq("l_returnflag"),
+        Seq("price", "l_orderkey", "l_linenumber"), "price", "wc")
+      import s.implicits._
+      // row layout: (l_returnflag, price, orderkey, linenumber)
+      meds.toSeq.map(r => (r.getString(0), r.getDouble(1)))
+        .toDF("l_returnflag", "__p")
+        .select(col("l_returnflag"), roundTo(col("__p"), 2).as("w_median_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_chi2_independence" -> ((s, d) => {
+      // chi-squared independence test on the priority × status
+      // contingency table: observed counts (one shuffle), row/col
+      // totals as windows over the TINY cells frame, expected counts
+      // and per-cell contributions in deterministic double
+      // arithmetic (terms rounded to 6, accumulated as
+      // DECIMAL(28,6) — the ln()-score recipe), the 1-row N and chi2
+      // aggs cross-joined back.
+      val cells = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("observed"))
+      val n = cells.agg(sum(col("observed")).as("n_total"))
+      val wRow = Window.partitionBy("o_orderpriority")
+      val wCol = Window.partitionBy("o_orderstatus")
+      val contrib = cells.crossJoin(broadcast(n))
+        .withColumn("row_tot", sum(col("observed")).over(wRow))
+        .withColumn("col_tot", sum(col("observed")).over(wCol))
+        .withColumn("expected",
+          col("row_tot").cast("double") * col("col_tot").cast("double") /
+            col("n_total").cast("double"))
+        .withColumn("contrib", roundTo(
+          (col("observed") - col("expected")) * (col("observed") - col("expected")) /
+            col("expected"), 6))
+      val chi2 = contrib
+        .agg(roundTo(sum(col("contrib").cast("decimal(28,6)")).cast("double"), 4)
+          .as("chi2"))
+      contrib.crossJoin(broadcast(chi2))
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("observed"),
+          roundTo(col("expected"), 6).as("expected"), col("contrib"), col("chi2"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+
     "q_revenue_bridge" -> ((s, d) => {
       // YoY revenue-bridge decomposition (finance staple): each
       // customer's 1995→1996 spend delta classified as new /
@@ -2750,6 +2804,42 @@ object SparkEntry {
          |       WHEN CAST(cum*100 AS BIGINT)*20 <= CAST(tot*100 AS BIGINT)*19 THEN 'B'
          |       ELSE 'C' END AS abc_class
          |FROM run ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    "q_weighted_median" ->
+      s"""WITH li AS (SELECT l_returnflag,
+         |  ${sqlRound("l_extendedprice", 2)} AS price, l_orderkey, l_linenumber,
+         |  CAST(l_quantity*100 AS BIGINT) AS wc FROM lineitem),
+         |c AS (SELECT *,
+         |  SUM(wc) OVER (PARTITION BY l_returnflag
+         |    ORDER BY price ASC, l_orderkey ASC, l_linenumber ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         |  SUM(wc) OVER (PARTITION BY l_returnflag) AS tw
+         | FROM li)
+         |SELECT l_returnflag,
+         |  ${sqlRound("MIN(price)", 2)} AS w_median_price
+         |FROM c WHERE 2*cw >= tw
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_chi2_independence" ->
+      s"""WITH cells AS (
+         |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS observed
+         |  FROM orders GROUP BY 1, 2),
+         |t AS (SELECT *,
+         |  CAST(SUM(observed) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS row_tot,
+         |  CAST(SUM(observed) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS col_tot,
+         |  CAST(SUM(observed) OVER () AS BIGINT) AS n_total
+         | FROM cells),
+         |e AS (SELECT *,
+         |  CAST(row_tot AS DOUBLE)*CAST(col_tot AS DOUBLE)/CAST(n_total AS DOUBLE)
+         |    AS expected FROM t),
+         |k AS (SELECT *,
+         |  ${sqlRound("(observed - expected)*(observed - expected)/expected", 6)}
+         |    AS contrib FROM e)
+         |SELECT o_orderpriority, o_orderstatus, observed,
+         |  ${sqlRound("expected", 6)} AS expected, contrib,
+         |  (SELECT ${sqlRound("CAST(SUM(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE)", 4)}
+         |   FROM k) AS chi2
+         |FROM k ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
 
     "q_revenue_bridge" ->
       s"""WITH byc AS (

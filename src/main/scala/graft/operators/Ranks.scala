@@ -234,6 +234,67 @@ object Ranks {
     }.sortBy(_.toString) // deterministic order for callers
   }
 
+  /** Exact LOWER weighted median per group: the smallest value in the
+    * (orderCols asc) total order whose running integer weight
+    * satisfies 2·cum ≥ total. [[valuesAtRanks]] generalized from row
+    * counts to weight sums: pass 1 aggregates per-(group, bucket)
+    * weights — crossing buckets and in-bucket weight targets fold on
+    * the driver; pass 2 runs a running-weight window over ONLY the
+    * crossing buckets and keeps the single crossing row per group.
+    * Weights must be non-negative integral LONGs (fixed-point-scale
+    * fractional weights upstream, e.g. cents); groups bounded.
+    * Returns rows (partitionCols..., orderCols...) like
+    * [[valuesAtRanks]], sorted deterministically. */
+  def weightedMedians(df: DataFrame, partitionCols: Seq[String],
+                      orderCols: Seq[String], bucketOn: String,
+                      weightCol: String,
+                      shift: Int = 48): Array[org.apache.spark.sql.Row] = {
+    val proj = df.select(
+      ((partitionCols ++ orderCols) :+ weightCol).distinct.map(col): _*)
+    val withB = withBucket(proj, bucketOn, shift)
+    val nG = partitionCols.length
+    // pass 1 of 2: per-(group, bucket) weight sums
+    val sums = withB.groupBy((partitionCols :+ B).map(col): _*)
+      .agg(sum(col(weightCol)).as(CNT)).collect()
+    // (groupKey, crossing bucket, in-bucket weight target)
+    val targets: Seq[(Seq[Any], Long, Long)] =
+      sums.groupBy(r => Seq.tabulate(nG)(r.get)).toSeq.flatMap { case (g, rows) =>
+        val sorted = rows.map(r => (r.getLong(nG), r.getLong(nG + 1))).sortBy(_._1)
+        val total = sorted.map(_._2).sum
+        if (total <= 0) None
+        else {
+          val half = (total + 1) / 2 // smallest cum with 2*cum >= total
+          val cum = sorted.map(_._2).scanLeft(0L)(_ + _)
+          val bi = sorted.indices.find(i => cum(i) < half && half <= cum(i + 1)).get
+          Some((g, sorted(bi)._1, half - cum(bi)))
+        }
+      }
+    if (targets.isEmpty) return Array.empty
+    def groupCond(g: Seq[Any]): Column =
+      partitionCols.zip(g).map { case (c, v) => col(c) <=> lit(v) }
+        .foldLeft(lit(true))(_ && _)
+    val needed = targets.map { case (g, b, _) => groupCond(g) && col(B) === b }
+      .reduce(_ || _)
+    val w = Window.partitionBy((partitionCols :+ B).map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rw = "__rk_rw"
+    // pass 2 of 2: running weight over only the crossing buckets; the
+    // crossing row is the unique one with cum >= t and cum - w < t
+    val hits = withB.filter(needed)
+      .withColumn(rw, sum(col(weightCol)).over(w))
+      .filter(targets.map { case (g, b, t) =>
+        groupCond(g) && col(B) === b &&
+          col(rw) >= t && (col(rw) - col(weightCol)) < t
+      }.reduce(_ || _))
+      .select((partitionCols :+ B).map(col) ++ orderCols.map(col): _*)
+      .collect()
+    hits.map { r =>
+      org.apache.spark.sql.Row.fromSeq(
+        Seq.tabulate(nG)(r.get) ++ orderCols.indices.map(i => r.get(nG + 1 + i)))
+    }.sortBy(_.toString)
+  }
+
   /** ntile(k)-equivalent bucket id from an exact rank: the first
     * (n mod k) buckets take ceil(n/k) rows, the rest floor(n/k) —
     * identical to SQL NTILE over the same total order. */

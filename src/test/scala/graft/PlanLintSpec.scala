@@ -41,7 +41,9 @@ class PlanLintSpec extends SparkSpec {
     // two per-snapshot moment aggs, each ONE row, cross-joined
     "q_drift_snapshots",
     // 1-row totals agg over the 10-row decile table, cross-joined
-    "q_decile_lift")
+    "q_decile_lift",
+    // 1-row N and chi2 aggs over the ~25-cell contingency table
+    "q_chi2_independence")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -185,6 +185,30 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("weightedMedians == driver-side running-weight fold; zero weights never selected") {
+    // synthetic: zero-weight rows may sit exactly at the crossing
+    val tiny = Seq((1.0, 0L, 1L), (2.0, 3L, 2L), (3.0, 0L, 3L), (4.0, 3L, 4L))
+      .toDF("v", "w", "id")
+    val m = Ranks.weightedMedians(tiny, Seq.empty, Seq("v", "id"), "v", "w")
+    assert(m.length == 1 && m(0).getDouble(0) == 2.0, m.mkString(","))
+    // real data: quantity-cent-weighted price median per returnflag
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag"),
+      graft.functions.Det.roundTo(col("l_extendedprice"), 2).as("price"),
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_quantity") * 100).cast("long").as("wc"))
+    val got = Ranks.weightedMedians(li, Seq("l_returnflag"),
+      Seq("price", "l_orderkey", "l_linenumber"), "price", "wc")
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = li.as[(String, Double, Long, Long, Long)].collect()
+    val want = rows.groupBy(_._1).map { case (f, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3, r._4))
+      val total = sorted.map(_._5).sum
+      var cum = 0L
+      f -> sorted.find { r => cum += r._5; 2 * cum >= total }.get._2
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
   test("q_abc_parts plan has no single-reducer stage and classes are monotone") {
     val q = SparkEntry.queries("q_abc_parts")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
