@@ -423,6 +423,97 @@ object SparkEntry {
         .orderBy("o_orderpriority", "o_orderstatus")
     }),
 
+    "q_auc_mw" -> ((s, d) => {
+      // ROC AUC of account balance as a one-vs-rest classifier for
+      // the BUILDING market segment, per nation — computed exactly
+      // via the Mann-Whitney rank-sum identity. Raw rows never see a
+      // window: counts collapse to per-(nation, balance) cells in one
+      // map-side-combinable shuffle, the rank prefix is a running sum
+      // over the CELLS frame (bounded by the cent-granular balance
+      // domain at ANY data scale), and the tie-averaged rank-sum
+      // stays in BIGINT (2·avg_rank = 2·prefix + cnt + 1) until the
+      // single final division — partition-order independent. The
+      // oracle uses DuckDB's plain RANK() formulation, so the gate
+      // checks cross-formulation equivalence of the identity.
+      val c = Tables.customer(s, d).select(col("c_nationkey"),
+        roundTo(col("c_acctbal"), 2).as("bal"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("pos"))
+      val cells = c.groupBy("c_nationkey", "bal")
+        .agg(sum(col("pos")).as("p"), count(lit(1)).as("t"))
+      val w = Window.partitionBy("c_nationkey").orderBy(col("bal").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = cells.withColumn("pre", sum(col("t")).over(w) - col("t"))
+      ranked.groupBy("c_nationkey").agg(
+          sum(col("p")).as("n_pos"),
+          sum(col("t") - col("p")).as("n_neg"),
+          sum(col("p") * (lit(2L) * col("pre") + col("t") + 1)).as("rs2"))
+        .filter(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(col("c_nationkey"), col("n_pos"), col("n_neg"),
+          roundTo((col("rs2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+            6).as("auc"))
+        .orderBy("c_nationkey")
+    }),
+
+    "q_ks_test" -> ((s, d) => {
+      // two-sample Kolmogorov-Smirnov distance between the
+      // total-price distributions of fulfilled ('F') and open ('O')
+      // orders, per order priority: D = sup over the merged value
+      // domain of |ECDF_F − ECDF_O|. Same scale shape as q_auc_mw —
+      // per-(priority, price) cells in one shuffle, running counts
+      // over the bounded cells frame — and the sup is taken on the
+      // cross-multiplied BIGINT |cumF·nO − cumO·nF| so no float
+      // enters until the final division.
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_orderpriority").as("prio"),
+          roundTo(col("o_totalprice"), 2).as("price"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("f"))
+      val cells = o.groupBy("prio", "price")
+        .agg(sum(col("f")).as("cf"), sum(lit(1L) - col("f")).as("co"))
+      val wRun = Window.partitionBy("prio").orderBy(col("price").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("prio")
+      val run = cells
+        .withColumn("cumf", sum(col("cf")).over(wRun))
+        .withColumn("cumo", sum(col("co")).over(wRun))
+        .withColumn("nf", sum(col("cf")).over(wAll))
+        .withColumn("nn", sum(col("co")).over(wAll))
+      run.groupBy(col("prio").as("o_orderpriority"))
+        .agg(max(col("nf")).as("n_f"), max(col("nn")).as("n_o"),
+          max(abs(col("cumf") * col("nn") - col("cumo") * col("nf"))).as("d2"))
+        .filter(col("n_f") > 0 && col("n_o") > 0)
+        .select(col("o_orderpriority"), col("n_f"), col("n_o"),
+          roundTo(col("d2").cast("double") /
+            (col("n_f").cast("double") * col("n_o").cast("double")), 6).as("ks"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "dq_benford" -> ((s, d) => {
+      // Benford first-digit audit on order totals — the classic
+      // fraud/anomaly screen on financial amounts. The leading digit
+      // comes from the CENTS integer rendered as a string (exact in
+      // both engines — no log10 of a double near a power-of-ten
+      // boundary), the 9-row digit frame is one map-side-combinable
+      // shuffle, and the 1-row total broadcasts back. Expected
+      // shares are Benford's log10(1 + 1/d); shares and deviations
+      // round to 6 before compare so libm last-ulp drift can't
+      // reach the hash.
+      val digits = Tables.orders(s, d)
+        .select(substring(roundTo(col("o_totalprice") * 100, 0)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("observed"))
+      val n = digits.agg(sum(col("observed")).as("n_total"))
+      digits.crossJoin(broadcast(n))
+        .withColumn("obs_share", roundTo(col("observed").cast("double") /
+          col("n_total").cast("double"), 6))
+        .withColumn("exp_share",
+          roundTo(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+        .select(col("digit"), col("observed"), col("obs_share"), col("exp_share"),
+          roundTo(abs(col("obs_share") - col("exp_share")), 6).as("abs_dev"))
+        .orderBy("digit")
+    }),
+
     "q_revenue_bridge" -> ((s, d) => {
       // YoY revenue-bridge decomposition (finance staple): each
       // customer's 1995→1996 spend delta classified as new /
@@ -2840,6 +2931,66 @@ object SparkEntry {
          |  (SELECT ${sqlRound("CAST(SUM(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE)", 4)}
          |   FROM k) AS chi2
          |FROM k ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "q_auc_mw" ->
+      s"""WITH r AS (SELECT c_nationkey,
+         |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS pos,
+         |  RANK() OVER (PARTITION BY c_nationkey
+         |    ORDER BY ${sqlRound("c_acctbal", 2)} ASC) AS rk,
+         |  COUNT(*) OVER (PARTITION BY c_nationkey,
+         |    ${sqlRound("c_acctbal", 2)}) AS cnt
+         | FROM customer),
+         |g AS (SELECT c_nationkey,
+         |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |  CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+         |  CAST(SUM(CASE WHEN pos = 1 THEN 2*rk + cnt - 1 ELSE 0 END) AS BIGINT)
+         |    AS rs2
+         | FROM r GROUP BY c_nationkey)
+         |SELECT c_nationkey, n_pos, n_neg,
+         | ${sqlRound("CAST(rs2 - n_pos*(n_pos+1) AS DOUBLE) / " +
+             "(CAST(2 AS DOUBLE)*n_pos*n_neg)", 6)} AS auc
+         |FROM g WHERE n_pos > 0 AND n_neg > 0
+         |ORDER BY c_nationkey""".stripMargin,
+
+    "q_ks_test" ->
+      s"""WITH o AS (SELECT o_orderpriority AS prio,
+         |  ${sqlRound("o_totalprice", 2)} AS price,
+         |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+         | FROM orders WHERE o_orderstatus IN ('F', 'O')),
+         |cells AS (SELECT prio, price,
+         |  CAST(SUM(f) AS BIGINT) AS cf, CAST(SUM(1 - f) AS BIGINT) AS co
+         | FROM o GROUP BY 1, 2),
+         |run AS (SELECT *,
+         |  CAST(SUM(cf) OVER (PARTITION BY prio ORDER BY price ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumf,
+         |  CAST(SUM(co) OVER (PARTITION BY prio ORDER BY price ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumo,
+         |  CAST(SUM(cf) OVER (PARTITION BY prio) AS BIGINT) AS nf,
+         |  CAST(SUM(co) OVER (PARTITION BY prio) AS BIGINT) AS nn
+         | FROM cells)
+         |SELECT prio AS o_orderpriority,
+         |  MAX(nf) AS n_f, MAX(nn) AS n_o,
+         |  ${sqlRound("CAST(MAX(ABS(cumf*nn - cumo*nf)) AS DOUBLE) / " +
+             "(CAST(MAX(nf) AS DOUBLE)*MAX(nn))", 6)} AS ks
+         |FROM run GROUP BY prio HAVING MAX(nf) > 0 AND MAX(nn) > 0
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "dq_benford" ->
+      s"""WITH d AS (SELECT CAST(SUBSTRING(CAST(CAST(
+         |    ${sqlRound("o_totalprice*100", 0)} AS BIGINT) AS VARCHAR),
+         |    1, 1) AS INT) AS digit
+         | FROM orders),
+         |g AS (SELECT digit, COUNT(*) AS observed FROM d GROUP BY digit),
+         |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM g),
+         |s AS (SELECT digit, observed,
+         |  ${sqlRound("CAST(observed AS DOUBLE)/CAST(n_total AS DOUBLE)", 6)}
+         |    AS obs_share,
+         |  ${sqlRound("log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE)/digit)", 6)}
+         |    AS exp_share
+         | FROM g CROSS JOIN n)
+         |SELECT digit, observed, obs_share, exp_share,
+         |  ${sqlRound("ABS(obs_share - exp_share)", 6)} AS abs_dev
+         |FROM s ORDER BY digit""".stripMargin,
 
     "q_revenue_bridge" ->
       s"""WITH byc AS (

@@ -603,4 +603,67 @@ class CurationQueriesSpec extends SparkSpec {
       assert(math.abs(gini - ref) < 1e-4, s"nation $nk: got $gini want $ref")
     }
   }
+
+  test("q_auc_mw equals brute-force tie-aware pair counting per nation") {
+    val got = SparkEntry.queries("q_auc_mw")(spark, sf)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val cust = Tables.customer(spark, sf).select(col("c_nationkey"),
+        graft.functions.Det.roundTo(col("c_acctbal"), 2), col("c_mktsegment"))
+      .as[(Int, Double, String)].collect()
+    val byNation = cust.groupBy(_._1)
+    got.foreach { case (nk, np, nn, auc) =>
+      val pos = byNation(nk).filter(_._3 == "BUILDING").map(_._2)
+      val neg = byNation(nk).filter(_._3 != "BUILDING").map(_._2)
+      assert(pos.length.toLong == np && neg.length.toLong == nn)
+      val wins = (for (p <- pos; q <- neg)
+        yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+      val ref = wins / (np * nn)
+      assert(math.abs(auc - ref) < 1e-5, s"nation $nk: got $auc want $ref")
+    }
+    // every nation holding both classes is present in the output
+    val covered = byNation.filter { case (_, rs) =>
+      rs.exists(_._3 == "BUILDING") && rs.exists(_._3 != "BUILDING") }.keySet
+    assert(got.map(_._1).toSet == covered)
+  }
+
+  test("q_ks_test equals the driver ECDF sup fold and lies in [0,1]") {
+    val got = SparkEntry.queries("q_ks_test")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderpriority"),
+        graft.functions.Det.roundTo(col("o_totalprice"), 2), col("o_orderstatus"))
+      .as[(String, Double, String)].collect()
+    val byPrio = o.groupBy(_._1)
+    got.foreach { case (prio, nf, no, ks) =>
+      val fs = byPrio(prio).filter(_._3 == "F").map(_._2)
+      val os = byPrio(prio).filter(_._3 == "O").map(_._2)
+      assert(fs.length.toLong == nf && os.length.toLong == no)
+      val ref = (fs ++ os).distinct.map { v =>
+        math.abs(fs.count(_ <= v).toDouble / nf - os.count(_ <= v).toDouble / no)
+      }.max
+      assert(ks >= 0.0 && ks <= 1.0 && math.abs(ks - ref) < 1e-5,
+        s"$prio: got $ks want $ref")
+    }
+  }
+
+  test("dq_benford digits cover 1-9, counts partition orders, fold matches") {
+    val got = SparkEntry.queries("dq_benford")(spark, sf)
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty && got.map(_._1).toSet.subsetOf((1 to 9).toSet))
+    val cents = Tables.orders(spark, sf)
+      .select(graft.functions.Det.roundTo(col("o_totalprice") * 100, 0)
+        .cast("long"))
+      .as[Long].collect()
+    assert(got.map(_._2).sum == cents.length.toLong)
+    val wantCounts = cents.map(_.toString.head.asDigit).groupBy(identity)
+      .map { case (dd, xs) => dd -> xs.length.toLong }
+    assert(got.map(r => r._1 -> r._2).toMap == wantCounts)
+    got.foreach { case (dd, _, obs, exp, dev) =>
+      assert(math.abs(exp - math.log10(1.0 + 1.0 / dd)) < 1e-5)
+      assert(math.abs(dev - math.abs(obs - exp)) < 1e-5)
+    }
+  }
 }

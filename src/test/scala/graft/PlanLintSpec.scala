@@ -43,7 +43,9 @@ class PlanLintSpec extends SparkSpec {
     // 1-row totals agg over the 10-row decile table, cross-joined
     "q_decile_lift",
     // 1-row N and chi2 aggs over the ~25-cell contingency table
-    "q_chi2_independence")
+    "q_chi2_independence",
+    // 1-row total over the 9-row first-digit frame, cross-joined
+    "dq_benford")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
