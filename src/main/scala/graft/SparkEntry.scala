@@ -514,6 +514,104 @@ object SparkEntry {
         .orderBy("digit")
     }),
 
+    "q_psi_drift" -> ((s, d) => {
+      // population-stability-index drift of the order-price
+      // distribution 1995 → 1996 — the ML-ops screen for feature
+      // drift between a reference and a current window. Fixed-width
+      // value buckets (25k), ONE conditional-agg scan yields both
+      // years' bucket counts, the 1-row totals broadcast back, and
+      // each (pa−pb)·ln(pa/pb) term is rounded to 6 and accumulated
+      // as DECIMAL(28,6) (the ln-score recipe). Buckets seen in only
+      // one year carry a NULL term and are excluded from the PSI sum
+      // (no-smoothing convention — the oracle encodes the same rule).
+      val o = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .select(floor(roundTo(col("o_totalprice"), 2) / 25000)
+          .cast("long").as("bucket"),
+          (year(col("o_orderdate")) === 1995).as("isA"))
+      val cells = o.groupBy("bucket").agg(
+        sum(when(col("isA"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("isA"), 0L).otherwise(1L)).as("n_b"))
+      val tot = cells.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+      val shares = cells.crossJoin(broadcast(tot))
+        .withColumn("share_a",
+          roundTo(col("n_a").cast("double") / col("t_a").cast("double"), 6))
+        .withColumn("share_b",
+          roundTo(col("n_b").cast("double") / col("t_b").cast("double"), 6))
+        .withColumn("term", when(col("n_a") > 0 && col("n_b") > 0,
+          roundTo((col("share_a") - col("share_b")) *
+            log(col("share_a") / col("share_b")), 6)))
+      val psi = shares.agg(
+        roundTo(sum(col("term").cast("decimal(28,6)")).cast("double"), 4)
+          .as("psi"))
+      shares.crossJoin(broadcast(psi))
+        .select(col("bucket"), col("n_a"), col("n_b"), col("share_a"),
+          col("share_b"), col("term"), col("psi"))
+        .orderBy("bucket")
+    }),
+
+    "text_zipf_fit" -> ((s, d) => {
+      // Zipf rank-frequency fit over the top-200 vocabulary: OLS of
+      // log10(freq) on log10(rank) — the corpus-health check that a
+      // natural-language corpus shows slope ≈ −1. The top-k arrives
+      // via TakeOrderedAndProject (no global sort); each kept term's
+      // rank is a broadcast triangular self-join over the ≤200-row
+      // frame (never a partition-less window — the q_decile_lift
+      // pattern); power sums use per-term rounding + decimal
+      // accumulation like q_regression_price.
+      val vocab = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(200)
+      val a = vocab.select(col("token").as("t_a"), col("freq").as("f_a"))
+      val b = vocab.select(col("token").as("t_b"), col("freq").as("f_b"))
+      val ranked = a.join(broadcast(b),
+          col("f_b") > col("f_a") ||
+            (col("f_b") === col("f_a") && col("t_b") <= col("t_a")))
+        .groupBy(col("t_a"), col("f_a")).agg(count(lit(1)).as("rank"))
+      val lx = roundTo(log10(col("rank").cast("double")), 6)
+      val ly = roundTo(log10(col("f_a").cast("double")), 6)
+      val g = ranked.agg(count(lit(1)).as("n_terms"),
+        sum(lx.cast("decimal(28,6)")).as("__sx"),
+        sum(ly.cast("decimal(28,6)")).as("__sy"),
+        sum(roundTo(lx * ly, 12).cast("decimal(28,12)")).as("__sxy"),
+        sum(roundTo(lx * lx, 12).cast("decimal(28,12)")).as("__sxx"),
+        sum(roundTo(ly * ly, 12).cast("decimal(28,12)")).as("__syy"))
+      def D(c: String) = col(c).cast("double")
+      val n = col("n_terms").cast("double")
+      val sxxC = n * D("__sxx") - D("__sx") * D("__sx")
+      val syyC = n * D("__syy") - D("__sy") * D("__sy")
+      val sxyC = n * D("__sxy") - D("__sx") * D("__sy")
+      val slope = sxyC / sxxC
+      g.select(col("n_terms"),
+        roundTo(slope, 6).as("slope"),
+        roundTo((D("__sy") - slope * D("__sx")) / n, 4).as("intercept"),
+        roundTo((sxyC * sxyC) / (sxxC * syyC), 6).as("r2"))
+    }),
+
+    "q_mean_kpis" -> ((s, d) => {
+      // arithmetic / geometric / harmonic price means per returnflag
+      // in ONE map-side-combinable scan: geometric via the ln-term
+      // recipe (terms rounded 6, DECIMAL(28,6)), harmonic via
+      // reciprocal terms rounded 12 and DECIMAL(28,12) — both
+      // partition-order independent; cross-engine exp() last-ulp
+      // drift is absorbed by the final 4-dp rounding.
+      val p = roundTo(col("l_extendedprice"), 2)
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(p.cast("decimal(18,2)")).as("__s"),
+          sum(roundTo(log(p), 6).cast("decimal(28,6)")).as("__sln"),
+          sum(roundTo(lit(1.0) / p, 12).cast("decimal(28,12)")).as("__srec"))
+        .select(col("l_returnflag"), col("n"),
+          roundTo(col("__s").cast("double") / col("n"), 4).as("mean_price"),
+          roundTo(exp(col("__sln").cast("double") / col("n")), 4)
+            .as("geo_mean_price"),
+          roundTo(col("n").cast("double") / col("__srec").cast("double"), 4)
+            .as("harm_mean_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_revenue_bridge" -> ((s, d) => {
       // YoY revenue-bridge decomposition (finance staple): each
       // customer's 1995→1996 spend delta classified as new /
@@ -2991,6 +3089,70 @@ object SparkEntry {
          |SELECT digit, observed, obs_share, exp_share,
          |  ${sqlRound("ABS(obs_share - exp_share)", 6)} AS abs_dev
          |FROM s ORDER BY digit""".stripMargin,
+
+    "q_psi_drift" ->
+      s"""WITH o AS (SELECT
+         |  CAST(floor(${sqlRound("o_totalprice", 2)} / 25000) AS BIGINT) AS bucket,
+         |  CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS ia
+         | FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+         |cells AS (SELECT bucket, CAST(SUM(ia) AS BIGINT) AS n_a,
+         |  CAST(SUM(1 - ia) AS BIGINT) AS n_b FROM o GROUP BY bucket),
+         |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+         |  CAST(SUM(n_b) AS BIGINT) AS t_b FROM cells),
+         |s AS (SELECT bucket, n_a, n_b,
+         |  ${sqlRound("CAST(n_a AS DOUBLE)/t_a", 6)} AS share_a,
+         |  ${sqlRound("CAST(n_b AS DOUBLE)/t_b", 6)} AS share_b
+         | FROM cells CROSS JOIN tot),
+         |k AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |  ${sqlRound("(share_a - share_b) * ln(share_a/share_b)", 6)} END AS term
+         | FROM s)
+         |SELECT bucket, n_a, n_b, share_a, share_b, term,
+         |  (SELECT ${sqlRound("CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE)", 4)}
+         |   FROM k) AS psi
+         |FROM k ORDER BY bucket""".stripMargin,
+
+    "text_zipf_fit" ->
+      s"""WITH u AS (SELECT unnest(${sqlTokens("text")}) AS token FROM documents),
+         |v AS (SELECT token, COUNT(*) AS freq FROM u GROUP BY token
+         |      ORDER BY freq DESC, token ASC LIMIT 200),
+         |r AS (SELECT freq,
+         |  ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank FROM v),
+         |terms AS (SELECT
+         |  ${sqlRound("log10(CAST(rank AS DOUBLE))", 6)} AS lx,
+         |  ${sqlRound("log10(CAST(freq AS DOUBLE))", 6)} AS ly FROM r),
+         |g AS (SELECT COUNT(*) AS n_terms,
+         |  CAST(SUM(CAST(lx AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         |  CAST(SUM(CAST(ly AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         |  CAST(SUM(CAST(${sqlRound("lx*ly", 12)} AS DECIMAL(28,12))) AS DOUBLE)
+         |    AS sxy,
+         |  CAST(SUM(CAST(${sqlRound("lx*lx", 12)} AS DECIMAL(28,12))) AS DOUBLE)
+         |    AS sxx,
+         |  CAST(SUM(CAST(${sqlRound("ly*ly", 12)} AS DECIMAL(28,12))) AS DOUBLE)
+         |    AS syy
+         | FROM terms)
+         |SELECT n_terms,
+         | ${sqlRound("(n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx)", 6)} AS slope,
+         | ${sqlRound("(sy - ((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx)) * sx) " +
+             "/ n_terms", 4)} AS intercept,
+         | ${sqlRound("((n_terms*sxy - sx*sy) * (n_terms*sxy - sx*sy)) / " +
+             "((n_terms*sxx - sx*sx) * (n_terms*syy - sy*sy))", 6)} AS r2
+         |FROM g""".stripMargin,
+
+    "q_mean_kpis" -> {
+      val p = sqlRound("l_extendedprice", 2)
+      s"""WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+         |  CAST(SUM(CAST($p AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         |  CAST(SUM(CAST(${sqlRound(s"ln($p)", 6)} AS DECIMAL(28,6))) AS DOUBLE)
+         |    AS sln,
+         |  CAST(SUM(CAST(${sqlRound(s"CAST(1 AS DOUBLE)/($p)", 12)}
+         |    AS DECIMAL(28,12))) AS DOUBLE) AS srec
+         | FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  ${sqlRound("s/n", 4)} AS mean_price,
+         |  ${sqlRound("exp(sln/n)", 4)} AS geo_mean_price,
+         |  ${sqlRound("CAST(n AS DOUBLE)/srec", 4)} AS harm_mean_price
+         |FROM g ORDER BY l_returnflag""".stripMargin
+    },
 
     "q_revenue_bridge" ->
       s"""WITH byc AS (

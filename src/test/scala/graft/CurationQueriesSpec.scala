@@ -649,6 +649,60 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_psi_drift shares sum to ~1 per year and PSI equals the term fold") {
+    val got = SparkEntry.queries("q_psi_drift")(spark, sf)
+      .select("n_a", "n_b", "share_a", "share_b", "term", "psi")
+      .as[(Long, Long, Double, Double, Option[Double], Double)].collect()
+    assert(got.nonEmpty)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-3)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-3)
+    // one-year-only buckets carry no term; PSI is the sum of the rest
+    got.foreach { case (na, nb, _, _, term, _) =>
+      assert(term.isDefined == (na > 0 && nb > 0)) }
+    val ref = got.flatMap(_._5).sum
+    assert(math.abs(got.head._6 - ref) < 1e-3, s"psi ${got.head._6} want $ref")
+  }
+
+  test("text_zipf_fit slope is negative and matches the driver OLS fold") {
+    val got = SparkEntry.queries("text_zipf_fit")(spark, sf)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got.length == 1)
+    val (n, slope, intercept, r2) = got.head
+    assert(n > 2 && slope < 0.0 && r2 >= 0.0 && r2 <= 1.0)
+    val freqs = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+      .sortBy { case (t, f) => (-f, t) }.take(200)
+    assert(freqs.length.toLong == n)
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.log10(i + 1.0), math.log10(f.toDouble)) }
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val refSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - refSlope) < 1e-3, s"slope $slope want $refSlope")
+    assert(math.abs(intercept - (sy - refSlope * sx) / n) < 1e-2)
+  }
+
+  test("q_mean_kpis satisfies the AM >= GM >= HM inequality and the fold") {
+    val got = SparkEntry.queries("q_mean_kpis")(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val prices = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        graft.functions.Det.roundTo(col("l_extendedprice"), 2))
+      .as[(String, Double)].collect().groupBy(_._1)
+    got.foreach { case (flag, n, am, gm, hm) =>
+      assert(am >= gm && gm >= hm, s"$flag: $am >= $gm >= $hm violated")
+      val xs = prices(flag).map(_._2)
+      assert(xs.length.toLong == n)
+      assert(math.abs(am - xs.sum / n) < 1e-2)
+      assert(math.abs(gm - math.exp(xs.map(math.log).sum / n)) < 1e-2)
+      assert(math.abs(hm - n / xs.map(1.0 / _).sum) < 1e-2)
+    }
+  }
+
   test("dq_benford digits cover 1-9, counts partition orders, fold matches") {
     val got = SparkEntry.queries("dq_benford")(spark, sf)
       .as[(Int, Long, Double, Double, Double)].collect()

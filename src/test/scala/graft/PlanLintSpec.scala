@@ -45,7 +45,11 @@ class PlanLintSpec extends SparkSpec {
     // 1-row N and chi2 aggs over the ~25-cell contingency table
     "q_chi2_independence",
     // 1-row total over the 9-row first-digit frame, cross-joined
-    "dq_benford")
+    "dq_benford",
+    // 1-row year totals + 1-row PSI over the ~25-bucket frame
+    "q_psi_drift",
+    // 1-row OLS power sums over the <=200-row ranked-vocab frame
+    "text_zipf_fit")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
