@@ -514,6 +514,95 @@ object SparkEntry {
         .orderBy("digit")
     }),
 
+    "q_weighted_quartiles" -> ((s, d) => {
+      // quantity-weighted p25/p50/p75 price per returnflag —
+      // Ranks.weightedQuantiles resolves ALL THREE targets from one
+      // counts pass plus one crossing-bucket window pass (a broadcast
+      // join against the tiny targets frame ties each crossing row to
+      // its quantile, so a row satisfying several quantiles of a
+      // small group still yields one output row per target).
+      // Integer-cent weights keep 100·cum ≥ p·total exact.
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        roundTo(col("l_extendedprice"), 2).as("price"),
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 100).cast("long").as("wc"))
+      val qs = graft.operators.Ranks.weightedQuantiles(li, Seq("l_returnflag"),
+        Seq("price", "l_orderkey", "l_linenumber"), "price", "wc",
+        Seq(25, 50, 75))
+      import s.implicits._
+      // row layout: (l_returnflag, pct, price, orderkey, linenumber)
+      qs.toSeq.map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+        .toDF("l_returnflag", "pct", "__p")
+        .select(col("l_returnflag"), col("pct"),
+          roundTo(col("__p"), 2).as("w_price"))
+        .orderBy("l_returnflag", "pct")
+    }),
+
+    "q_percent_rank" -> ((s, d) => {
+      // SQL percent_rank()/cume_dist() parity from the bucketed exact
+      // rank: with a unique total order (bal, custkey) both reduce to
+      // closed forms of row_number — pr = (rn−1)/(n−1), cd = rn/n.
+      // The oracle runs DuckDB's NATIVE window functions, so the gate
+      // proves the fixed-grid rank reproduces them with no
+      // single-reducer window on the Spark side. Single-row groups
+      // pin pr to 0 like the SQL standard.
+      val c = Tables.customer(s, d).select(col("c_nationkey"),
+        col("c_custkey"), roundTo(col("c_acctbal"), 2).as("bal"))
+      val ranked = graft.operators.Ranks.withExactRank(c, Seq("c_nationkey"),
+        Seq(col("bal").asc, col("c_custkey").asc), "bal", "rk", "__n")
+      ranked.select(col("c_nationkey"), col("c_custkey"), col("bal"),
+          when(col("__n") > 1, roundTo((col("rk") - 1).cast("double") /
+            (col("__n") - 1).cast("double"), 6)).otherwise(lit(0.0))
+            .as("pct_rank"),
+          roundTo(col("rk").cast("double") / col("__n").cast("double"), 6)
+            .as("cume_dist"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    "q_assoc_rules" -> ((s, d) => {
+      // directed association rules a→b over per-user item sets — the
+      // market-basket classic. Support comes from the SAME undirected
+      // pair-counting shape as q_item_cooccurrence (a<b, one shuffle);
+      // each supported pair then fans out to both directions with
+      // confidence n_ab/n_a and lift n_ab·N/(n_a·n_b), gated on
+      // support ≥ 3 and confidence ≥ 0.2. Item user-counts and the
+      // user total stay broadcast.
+      val ui = Tables.events(s, d)
+        .select(col("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+            .cast("bigint").as("item"))
+        .where(col("item").isNotNull).distinct()
+      val itemUsers = ui.groupBy("item").agg(count(lit(1)).as("__n_item"))
+      val nUsers = ui.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("__n_users"))
+      val a = ui.as("a"); val b = ui.as("b")
+      val pairs = a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 3)
+      val directed = pairs.select(explode(array(
+          struct(col("i").as("antecedent"), col("j").as("consequent"),
+            col("n_both")),
+          struct(col("j").as("antecedent"), col("i").as("consequent"),
+            col("n_both")))).as("r"))
+        .select(col("r.antecedent"), col("r.consequent"), col("r.n_both"))
+      directed
+        .join(broadcast(itemUsers.withColumnRenamed("item", "antecedent")
+          .withColumnRenamed("__n_item", "__n_a")), "antecedent")
+        .join(broadcast(itemUsers.withColumnRenamed("item", "consequent")
+          .withColumnRenamed("__n_item", "__n_c")), "consequent")
+        .crossJoin(broadcast(nUsers))
+        .withColumn("confidence",
+          roundTo(col("n_both").cast("double") / col("__n_a").cast("double"), 6))
+        .filter(col("confidence") >= 0.2)
+        .select(col("antecedent"), col("consequent"), col("n_both"),
+          col("confidence"),
+          roundTo((col("n_both") * col("__n_users")).cast("double") /
+            (col("__n_a") * col("__n_c")).cast("double"), 6).as("lift"))
+        .orderBy("antecedent", "consequent")
+    }),
+
     "q_psi_drift" -> ((s, d) => {
       // population-stability-index drift of the order-price
       // distribution 1995 → 1996 — the ML-ops screen for feature
@@ -3089,6 +3178,58 @@ object SparkEntry {
          |SELECT digit, observed, obs_share, exp_share,
          |  ${sqlRound("ABS(obs_share - exp_share)", 6)} AS abs_dev
          |FROM s ORDER BY digit""".stripMargin,
+
+    "q_weighted_quartiles" ->
+      s"""WITH li AS (SELECT l_returnflag,
+         |  ${sqlRound("l_extendedprice", 2)} AS price, l_orderkey, l_linenumber,
+         |  CAST(l_quantity*100 AS BIGINT) AS wc FROM lineitem),
+         |c AS (SELECT *,
+         |  SUM(wc) OVER (PARTITION BY l_returnflag
+         |    ORDER BY price ASC, l_orderkey ASC, l_linenumber ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         |  SUM(wc) OVER (PARTITION BY l_returnflag) AS tw
+         | FROM li)
+         |SELECT l_returnflag, p AS pct,
+         |  ${sqlRound("MIN(price)", 2)} AS w_price
+         |FROM c CROSS JOIN (VALUES (25), (50), (75)) pcts(p)
+         |WHERE 100*cw >= p*tw
+         |GROUP BY l_returnflag, p ORDER BY l_returnflag, p""".stripMargin,
+
+    "q_percent_rank" ->
+      s"""WITH c AS (SELECT c_nationkey, c_custkey,
+         |  ${sqlRound("c_acctbal", 2)} AS bal FROM customer)
+         |SELECT c_nationkey, c_custkey, bal,
+         |  ${sqlRound("percent_rank() OVER (PARTITION BY c_nationkey " +
+             "ORDER BY bal ASC, c_custkey ASC)", 6)} AS pct_rank,
+         |  ${sqlRound("cume_dist() OVER (PARTITION BY c_nationkey " +
+             "ORDER BY bal ASC, c_custkey ASC)", 6)} AS cume_dist
+         |FROM c ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q_assoc_rules" -> {
+      val conf = sqlRound("CAST(n_both AS DOUBLE) / na.n_item", 6)
+      val lift = sqlRound(
+        "CAST(n_both * n_users AS DOUBLE) / CAST(na.n_item * nc.n_item AS DOUBLE)", 6)
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+         |  TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
+         | FROM events),
+         |uin AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
+         |iu AS (SELECT item, COUNT(*) AS n_item FROM uin GROUP BY item),
+         |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM uin),
+         |pairs AS (SELECT a.item AS i, b.item AS j, COUNT(*) AS n_both
+         | FROM uin a JOIN uin b ON a.user_id = b.user_id AND a.item < b.item
+         | GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |directed AS (
+         | SELECT i AS antecedent, j AS consequent, n_both FROM pairs
+         | UNION ALL
+         | SELECT j AS antecedent, i AS consequent, n_both FROM pairs)
+         |SELECT antecedent, consequent, n_both, $conf AS confidence, $lift AS lift
+         |FROM directed
+         |CROSS JOIN nu
+         |JOIN iu na ON na.item = directed.antecedent
+         |JOIN iu nc ON nc.item = directed.consequent
+         |WHERE $conf >= 0.2::DOUBLE
+         |ORDER BY antecedent, consequent""".stripMargin
+    },
 
     "q_psi_drift" ->
       s"""WITH o AS (SELECT

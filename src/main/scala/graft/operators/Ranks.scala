@@ -234,21 +234,27 @@ object Ranks {
     }.sortBy(_.toString) // deterministic order for callers
   }
 
-  /** Exact LOWER weighted median per group: the smallest value in the
-    * (orderCols asc) total order whose running integer weight
-    * satisfies 2·cum ≥ total. [[valuesAtRanks]] generalized from row
-    * counts to weight sums: pass 1 aggregates per-(group, bucket)
-    * weights — crossing buckets and in-bucket weight targets fold on
-    * the driver; pass 2 runs a running-weight window over ONLY the
-    * crossing buckets and keeps the single crossing row per group.
-    * Weights must be non-negative integral LONGs (fixed-point-scale
-    * fractional weights upstream, e.g. cents); groups bounded.
-    * Returns rows (partitionCols..., orderCols...) like
-    * [[valuesAtRanks]], sorted deterministically. */
-  def weightedMedians(df: DataFrame, partitionCols: Seq[String],
-                      orderCols: Seq[String], bucketOn: String,
-                      weightCol: String,
-                      shift: Int = 48): Array[org.apache.spark.sql.Row] = {
+  /** Exact LOWER weighted quantiles per group: for each percent p in
+    * `pcts` (1..100), the smallest value in the (orderCols asc) total
+    * order whose running integer weight satisfies 100·cum ≥ p·total.
+    * [[valuesAtRanks]] generalized from row counts to weight sums:
+    * pass 1 aggregates per-(group, bucket) weights — crossing buckets
+    * and in-bucket weight targets for EVERY requested quantile fold
+    * on the driver; pass 2 runs one running-weight window over ONLY
+    * the union of crossing buckets and resolves each (group, pct)
+    * target with a broadcast join against the tiny targets frame (a
+    * crossing row may satisfy several quantiles of a small group — the
+    * join keeps one output row per target). Weights must be
+    * non-negative integral LONGs (fixed-point-scale fractional
+    * weights upstream, e.g. cents); groups bounded. Returns rows
+    * (partitionCols..., pct, orderCols...), sorted deterministically. */
+  def weightedQuantiles(df: DataFrame, partitionCols: Seq[String],
+                        orderCols: Seq[String], bucketOn: String,
+                        weightCol: String, pcts: Seq[Int],
+                        shift: Int = 48): Array[org.apache.spark.sql.Row] = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "pcts must be percents in [1, 100]")
+    val spark = df.sparkSession
     val proj = df.select(
       ((partitionCols ++ orderCols) :+ weightCol).distinct.map(col): _*)
     val withB = withBucket(proj, bucketOn, shift)
@@ -256,43 +262,75 @@ object Ranks {
     // pass 1 of 2: per-(group, bucket) weight sums
     val sums = withB.groupBy((partitionCols :+ B).map(col): _*)
       .agg(sum(col(weightCol)).as(CNT)).collect()
-    // (groupKey, crossing bucket, in-bucket weight target)
-    val targets: Seq[(Seq[Any], Long, Long)] =
+    // (groupKey, crossing bucket, pct, in-bucket weight target)
+    val targets: Seq[(Seq[Any], Long, Int, Long)] =
       sums.groupBy(r => Seq.tabulate(nG)(r.get)).toSeq.flatMap { case (g, rows) =>
         val sorted = rows.map(r => (r.getLong(nG), r.getLong(nG + 1))).sortBy(_._1)
         val total = sorted.map(_._2).sum
-        if (total <= 0) None
+        if (total <= 0) Nil
         else {
-          val half = (total + 1) / 2 // smallest cum with 2*cum >= total
           val cum = sorted.map(_._2).scanLeft(0L)(_ + _)
-          val bi = sorted.indices.find(i => cum(i) < half && half <= cum(i + 1)).get
-          Some((g, sorted(bi)._1, half - cum(bi)))
+          pcts.map { p =>
+            // smallest cum with 100*cum >= p*total
+            val t = (total * p + 99) / 100
+            val bi = sorted.indices.find(i => cum(i) < t && t <= cum(i + 1)).get
+            (g, sorted(bi)._1, p, t - cum(bi))
+          }
         }
       }
     if (targets.isEmpty) return Array.empty
     def groupCond(g: Seq[Any]): Column =
       partitionCols.zip(g).map { case (c, v) => col(c) <=> lit(v) }
         .foldLeft(lit(true))(_ && _)
-    val needed = targets.map { case (g, b, _) => groupCond(g) && col(B) === b }
-      .reduce(_ || _)
+    val needed = targets.map { case (g, b, _, _) => groupCond(g) && col(B) === b }
+      .distinct.reduce(_ || _)
     val w = Window.partitionBy((partitionCols :+ B).map(col): _*)
       .orderBy(orderCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rw = "__rk_rw"
+    // tiny targets frame: (group..., bucket, pct, in-bucket target)
+    val tSchema = org.apache.spark.sql.types.StructType(
+      partitionCols.map(c => proj.schema(c).copy(name = "__t_" + c)) ++ Seq(
+        org.apache.spark.sql.types.StructField("__t_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pct",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__t_t",
+          org.apache.spark.sql.types.LongType)))
+    val tRows = targets.map { case (g, b, p, t) =>
+      // Seq(b, p, t) alone would widen the Int pct to Long
+      org.apache.spark.sql.Row.fromSeq(g ++ Seq[Any](b, p, t)) }
+    val tDf = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(tRows).asJava), tSchema)
     // pass 2 of 2: running weight over only the crossing buckets; the
-    // crossing row is the unique one with cum >= t and cum - w < t
+    // crossing row for target t is the unique one with cum >= t and
+    // cum - weight < t
+    val joinCond = partitionCols.map(c => col(c) <=> col("__t_" + c))
+      .foldLeft(col(B) === col("__t_b"))(_ && _) &&
+      col(rw) >= col("__t_t") && (col(rw) - col(weightCol)) < col("__t_t")
     val hits = withB.filter(needed)
       .withColumn(rw, sum(col(weightCol)).over(w))
-      .filter(targets.map { case (g, b, t) =>
-        groupCond(g) && col(B) === b &&
-          col(rw) >= t && (col(rw) - col(weightCol)) < t
-      }.reduce(_ || _))
-      .select((partitionCols :+ B).map(col) ++ orderCols.map(col): _*)
+      .join(broadcast(tDf), joinCond)
+      .select((partitionCols.map(col) :+ col("pct")) ++ orderCols.map(col): _*)
       .collect()
-    hits.map { r =>
-      org.apache.spark.sql.Row.fromSeq(
-        Seq.tabulate(nG)(r.get) ++ orderCols.indices.map(i => r.get(nG + 1 + i)))
-    }.sortBy(_.toString)
+    hits.sortBy(_.toString)
+  }
+
+  /** Exact LOWER weighted median per group — [[weightedQuantiles]] at
+    * p=50 (2·cum ≥ total), with the pct column dropped. Returns rows
+    * (partitionCols..., orderCols...) like [[valuesAtRanks]]. */
+  def weightedMedians(df: DataFrame, partitionCols: Seq[String],
+                      orderCols: Seq[String], bucketOn: String,
+                      weightCol: String,
+                      shift: Int = 48): Array[org.apache.spark.sql.Row] = {
+    val nG = partitionCols.length
+    weightedQuantiles(df, partitionCols, orderCols, bucketOn, weightCol,
+      Seq(50), shift)
+      .map { r =>
+        org.apache.spark.sql.Row.fromSeq(
+          Seq.tabulate(nG)(r.get) ++ orderCols.indices.map(i => r.get(nG + 1 + i)))
+      }.sortBy(_.toString)
   }
 
   /** ntile(k)-equivalent bucket id from an exact rank: the first

@@ -703,6 +703,66 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_weighted_quartiles matches the driver running-weight fold and is monotone") {
+    val got = SparkEntry.queries("q_weighted_quartiles")(spark, sf)
+      .as[(String, Int, Double)].collect()
+    assert(got.nonEmpty)
+    val rows = Tables.lineitem(spark, sf).select(col("l_returnflag"),
+        graft.functions.Det.roundTo(col("l_extendedprice"), 2),
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 100).cast("long"))
+      .as[(String, Double, Long, Long, Long)].collect()
+    val want = rows.groupBy(_._1).flatMap { case (f, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3, r._4))
+      val total = sorted.map(_._5).sum
+      Seq(25, 50, 75).map { p =>
+        var cum = 0L
+        (f, p) -> sorted.find { r => cum += r._5; 100 * cum >= p * total }.get._2
+      }
+    }
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+    got.groupBy(_._1).foreach { case (f, qs) =>
+      val m = qs.map(r => r._2 -> r._3).toMap
+      assert(m(25) <= m(50) && m(50) <= m(75), s"$f quartiles not monotone")
+    }
+  }
+
+  test("q_percent_rank endpoints and step sizes follow the closed forms") {
+    val got = SparkEntry.queries("q_percent_rank")(spark, sf)
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (nk, rs) =>
+      val n = rs.length
+      val pr = rs.map(_._4).sorted
+      val cd = rs.map(_._5).sorted
+      assert(math.abs(pr.head) < 1e-9 && math.abs(cd.last - 1.0) < 1e-9)
+      if (n > 1) {
+        assert(math.abs(pr.last - 1.0) < 1e-9, s"nation $nk max pct_rank")
+        // unique total order => evenly spaced grids
+        pr.zipWithIndex.foreach { case (v, i) =>
+          assert(math.abs(v - i.toDouble / (n - 1)) < 1e-5) }
+        cd.zipWithIndex.foreach { case (v, i) =>
+          assert(math.abs(v - (i + 1).toDouble / n) < 1e-5) }
+      }
+    }
+  }
+
+  test("q_assoc_rules confidence and lift are consistent and symmetric in lift") {
+    val got = SparkEntry.queries("q_assoc_rules")(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, n, conf, lift) =>
+      assert(n >= 3 && conf >= 0.2 && conf <= 1.0 && lift > 0.0) }
+    // lift is direction-independent: wherever both directions survive
+    // the confidence gate they must carry the same lift
+    val byPair = got.groupBy(r => (math.min(r._1, r._2), math.max(r._1, r._2)))
+    assert(byPair.exists(_._2.length == 2))
+    byPair.values.filter(_.length == 2).foreach { rs =>
+      assert(math.abs(rs(0)._5 - rs(1)._5) < 1e-9)
+      assert(rs(0)._3 == rs(1)._3)
+    }
+  }
+
   test("dq_benford digits cover 1-9, counts partition orders, fold matches") {
     val got = SparkEntry.queries("dq_benford")(spark, sf)
       .as[(Int, Long, Double, Double, Double)].collect()

@@ -49,7 +49,9 @@ class PlanLintSpec extends SparkSpec {
     // 1-row year totals + 1-row PSI over the ~25-bucket frame
     "q_psi_drift",
     // 1-row OLS power sums over the <=200-row ranked-vocab frame
-    "text_zipf_fit")
+    "text_zipf_fit",
+    // 1-row user-total broadcast, same shape as q_item_cooccurrence
+    "q_assoc_rules")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>

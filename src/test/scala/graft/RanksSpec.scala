@@ -209,6 +209,22 @@ class RanksSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("weightedQuantiles emits one row per (group, pct) even when one row covers all pcts") {
+    // single-row group: the same row is the p25/p50/p75 crossing
+    val tiny = Seq(("g1", 5.0, 2L, 1L), ("g2", 1.0, 1L, 2L), ("g2", 2.0, 1L, 3L),
+      ("g2", 3.0, 1L, 4L), ("g2", 4.0, 1L, 5L))
+      .toDF("g", "v", "w", "id")
+    val qs = Ranks.weightedQuantiles(tiny, Seq("g"), Seq("v", "id"), "v", "w",
+      Seq(25, 50, 75))
+    val byKey = qs.map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(qs.length == 6, qs.mkString(","))
+    assert(byKey(("g1", 25)) == 5.0 && byKey(("g1", 50)) == 5.0 &&
+      byKey(("g1", 75)) == 5.0)
+    // g2 weights are uniform: lower quartiles land on values 1, 2, 3
+    assert(byKey(("g2", 25)) == 1.0 && byKey(("g2", 50)) == 2.0 &&
+      byKey(("g2", 75)) == 3.0)
+  }
+
   test("q_abc_parts plan has no single-reducer stage and classes are monotone") {
     val q = SparkEntry.queries("q_abc_parts")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
