@@ -297,6 +297,349 @@ object SparkEntry {
         .orderBy("p_brand", "p_partkey")
     }),
 
+    "q_km_survival" -> ((s, d) => {
+      // Kaplan-Meier survival of days-from-order-to-first-shipment per
+      // order priority, right-censored at 60 days. Order durations are
+      // one combinable min-shuffle + a co-keyed join; the KM table
+      // lives entirely on the bounded priority × day cells frame:
+      // at-risk counts from running sums, per-step ln(1 − d/n) terms
+      // rounded 6 and accumulated as DECIMAL(28,6) into the
+      // log-survival curve (the ln-score recipe — exp is NOT applied
+      // because libm exp isn't bit-stable cross-engine, ln at 6 dp
+      // is). Censored-only days carry no KM step and are dropped.
+      // Negative durations (the synthetic data ships some lines
+      // before the order date) are invalid observations and are
+      // DQ-filtered, keeping the cells frame on the 0..60-day grid.
+      val first = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("ship1"))
+      val dur = Tables.orders(s, d)
+        .join(first, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("ship1").cast("date"), col("o_orderdate").cast("date"))
+            .as("t"))
+        .filter(col("t") >= 0)
+        .select(col("priority"),
+          when(col("t") > 60, 60).otherwise(col("t")).as("day"),
+          when(col("t") <= 60, 1L).otherwise(0L).as("ev"))
+      val cells = dur.groupBy(col("priority"), col("day"))
+        .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+      val wPrior = Window.partitionBy("priority").orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy("priority")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wCum = Window.partitionBy("priority").orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("n_risk", sum(col("d") + col("c")).over(wTot) -
+          coalesce(sum(col("d") + col("c")).over(wPrior), lit(0L)))
+        .withColumn("__term", roundTo(log(lit(1.0) -
+          col("d").cast("double") / col("n_risk").cast("double")), 6))
+        .withColumn("km_log_s", roundTo(
+          sum(when(col("d") > 0, col("__term")).otherwise(lit(0.0))
+            .cast("decimal(28,6)")).over(wCum).cast("double"), 6))
+        .filter(col("d") > 0)
+        .select(col("priority"), col("day"), col("d"), col("n_risk"),
+          roundTo(col("d").cast("double") / col("n_risk").cast("double"), 6)
+            .as("hazard"),
+          col("km_log_s"))
+        .orderBy("priority", "day")
+    }),
+
+    "q_small_qty_revenue" -> ((s, d) => {
+      // TPC-H Q17 shape: revenue locked in small-quantity lines —
+      // lines whose quantity is below 20% of their part's average.
+      // The per-part (sum, count) frame is ONE combinable shuffle and
+      // joins back to the fact co-keyed on partkey; the 20%-of-avg
+      // gate is the exact integer cross-multiply 5·q·n < Σq in
+      // quantity cents (no FP ratio near the cut). Final 1-row
+      // avg-yearly agg is combinable (whitelisted in the lint).
+      val qc = floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), qc.as("qc"), col("l_extendedprice"))
+      val stats = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qc")).as("sum_qc"), count(lit(1)).as("n_lines"))
+      li.join(stats, "l_partkey")
+        .filter(col("qc") * 5 * col("n_lines") < col("sum_qc"))
+        .agg(roundTo(sum(roundTo(col("l_extendedprice"), 2)
+          .cast("decimal(18,2)")).cast("double") / 7, 2).as("avg_yearly"))
+    }),
+
+    "q_big_orders" -> ((s, d) => {
+      // TPC-H Q18 shape: orders whose line quantities sum past a
+      // threshold, joined back to order/customer detail. The per-order
+      // quantity sum is a combinable cents shuffle; the survivors
+      // frame is tiny, so the joins back to orders (co-keyed) and
+      // customer stay cheap and the HAVING never rescans the fact.
+      val qc = floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(qc).as("qty_cents"))
+        .filter(col("qty_cents") > 200 * 100)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          roundTo(col("o_totalprice"), 2).as("total_price"),
+          roundTo(col("qty_cents").cast("double") / 100, 2).as("total_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_idle_rich_customers" -> ((s, d) => {
+      // TPC-H Q22 shape: customers strictly above the positive-balance
+      // average with no orders in the early era (< 1994) — the
+      // untapped-prospects roll-up per nation. The average is a 1-row
+      // combinable agg (whitelisted) applied as the exact
+      // cross-multiply bal·n > Σbal in cents; "no early orders" is a
+      // left-anti join on custkey whose probe side is date-pruned and
+      // projects only the key, so the anti side shuffles narrow.
+      val bc = floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), bc.as("bal_cents"))
+      val avgPos = cust.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+      cust.crossJoin(broadcast(avgPos))
+        .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < to_timestamp(lit("1994-01-01 00:00:00")))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          roundTo(sum(col("bal_cents")).cast("double") / 100, 2).as("total_bal"))
+        .orderBy("c_nationkey")
+    }),
+
+    "q_ohlc_monthly" -> ((s, d) => {
+      // monthly OHLC bars over order prices — the candlestick
+      // aggregation. open/close are min_by/max_by on the total-order
+      // key struct(date, orderkey): all four legs are COMBINABLE
+      // aggregates, so the whole query is one map-side-combined
+      // shuffle with bounded output (one row per month) — no windows,
+      // no second scan. The oracle reproduces open/close with
+      // first_value windows over the same total order.
+      val o = Tables.orders(s, d).select(
+        unix_millis(date_trunc("month", col("o_orderdate"))).as("month_ms"),
+        roundTo(col("o_totalprice"), 2).as("p"),
+        col("o_orderdate"), col("o_orderkey"))
+      o.groupBy("month_ms")
+        .agg(
+          min_by(col("p"), struct(col("o_orderdate"), col("o_orderkey"))).as("open"),
+          max(col("p")).as("high"),
+          min(col("p")).as("low"),
+          max_by(col("p"), struct(col("o_orderdate"), col("o_orderkey"))).as("close"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("month_ms")
+    }),
+
+    "q_max_drawdown" -> ((s, d) => {
+      // maximum drawdown of each brand's monthly revenue series: the
+      // largest peak-to-trough fraction (peak_so_far − v)/peak_so_far.
+      // The raw fact reduces to a bounded brand × month cents frame in
+      // ONE combinable shuffle; the running peak is a window over that
+      // tiny frame (never over raw lineitems), drawdown terms are
+      // rounded 6 before the per-brand max so the statistic is
+      // reproducible cross-engine.
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100 + lit(0.5)).cast("long")
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), lower(col("p_brand")).as("brand"))
+      val cells = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("brand"),
+          unix_millis(date_trunc("month", col("l_shipdate"))).as("mm"))
+        .agg(sum(cents).as("cents"))
+      val w = Window.partitionBy("brand").orderBy(col("mm").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("__peak", max(col("cents")).over(w))
+        .withColumn("__dd", roundTo((col("__peak") - col("cents")).cast("double") /
+          col("__peak").cast("double"), 6))
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_months"), max(col("__dd")).as("max_drawdown"))
+        .orderBy("brand")
+    }),
+
+    "q_systematic_sample" -> ((s, d) => {
+      // systematic (every k-th) sampling on the EXACT global rank:
+      // customers ordered by (acctbal desc, custkey), every 20th row
+      // kept. The rank comes from the scale-safe fixed-grid operator
+      // (Ranks.withExactRank, no single-reducer window); the balance
+      // is negated via 0.0−x so the grid's ascending order IS the
+      // descending one (0.0−0.0 = +0.0, so zero balances can't land
+      // in a separate sign bucket). The oracle's plain partition-less
+      // row_number proves rank parity.
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), roundTo(col("c_acctbal"), 2).as("bal"))
+        .withColumn("__negbal", lit(0.0) - col("bal"))
+      graft.operators.Ranks.withExactRank(c, Seq.empty,
+          Seq(col("__negbal").asc, col("c_custkey").asc), "__negbal", "rk", "__n")
+        .filter((col("rk") - 1) % 20 === 0)
+        .select(col("c_custkey"), col("bal"), col("rk"))
+        .orderBy("rk")
+    }),
+
+    "q_mutual_info" -> ((s, d) => {
+      // mutual information + Cramér's V on the priority × status
+      // contingency table — completes the dependence-measure family
+      // started by q_chi2_independence and reuses its exact shape:
+      // cells one shuffle, row/col totals as windows over the TINY
+      // cells frame, MI/chi2 terms rounded 6 and accumulated as
+      // DECIMAL(28,6) so the statistics are partition-order-free.
+      // V = sqrt(chi2/(N·min(r−1,c−1))) — IEEE sqrt is correctly
+      // rounded, so it is deterministic cross-engine.
+      val cells = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("obs"))
+      val tot = cells.agg(sum(col("obs")).as("n_total"),
+        countDistinct(col("o_orderpriority")).as("__r"),
+        countDistinct(col("o_orderstatus")).as("__c"))
+      val wRow = Window.partitionBy("o_orderpriority")
+      val wCol = Window.partitionBy("o_orderstatus")
+      def D(c: Column) = c.cast("double")
+      val terms = cells.crossJoin(broadcast(tot))
+        .withColumn("row_tot", sum(col("obs")).over(wRow))
+        .withColumn("col_tot", sum(col("obs")).over(wCol))
+        .withColumn("mi_term", roundTo(D(col("obs")) / D(col("n_total")) *
+          log(D(col("obs")) * D(col("n_total")) /
+            (D(col("row_tot")) * D(col("col_tot")))), 6))
+        .withColumn("chi_term", {
+          val e = D(col("row_tot")) * D(col("col_tot")) / D(col("n_total"))
+          roundTo((D(col("obs")) - e) * (D(col("obs")) - e) / e, 6)
+        })
+      terms.groupBy(col("n_total"), col("__r"), col("__c"))
+        .agg(sum(col("mi_term").cast("decimal(28,6)")).cast("double").as("__mi"),
+          sum(col("chi_term").cast("decimal(28,6)")).cast("double").as("__chi2"))
+        .select(col("n_total"),
+          roundTo(col("__mi"), 4).as("mi_nats"),
+          roundTo(col("__chi2"), 4).as("chi2"),
+          roundTo(sqrt(col("__chi2") / (D(col("n_total")) *
+            least(col("__r") - 1, col("__c") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    }),
+
+    "q_hhi_market" -> ((s, d) => {
+      // Herfindahl-Hirschman concentration of brand revenue within
+      // each part category: (category, brand) revenue cells are ONE
+      // combinable cents shuffle; category totals are a window over
+      // the bounded cells frame (|types|×|brands|), never over raw
+      // lineitems. Shares rounded 6, share² terms rounded 12 and
+      // accumulated DECIMAL(28,12) — partition-order-independent HHI.
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100 + lit(0.5)).cast("long")
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        lower(col("p_type")).as("category"), lower(col("p_brand")).as("brand"))
+      val cells = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("category"), col("brand"))
+        .agg(sum(cents).as("brand_cents"))
+      val wCat = Window.partitionBy("category")
+      val share = roundTo(col("brand_cents").cast("double") /
+        sum(col("brand_cents")).over(wCat).cast("double"), 6)
+      cells.withColumn("__term", roundTo(share * share, 12))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n_brands"),
+          roundTo(sum(col("__term").cast("decimal(28,12)")).cast("double"), 6)
+            .as("hhi"))
+        .orderBy("category")
+    }),
+
+    "q_trend_mk" -> ((s, d) => {
+      // Mann-Kendall monotone-trend test on the monthly revenue
+      // series: S = Σ_{i<j} sign(rev_j − rev_i), Kendall's tau-a =
+      // S/(n(n−1)/2). The series is first reduced to a bounded
+      // ~80-row monthly frame (one combinable cents shuffle); the
+      // triangular pair comparison is a broadcast self-join over that
+      // frame (the text_zipf_fit pattern — no partition-less window),
+      // and S stays integer until the final tau division.
+      val m = Tables.orders(s, d)
+        .groupBy(unix_millis(date_trunc("month", col("o_orderdate"))).as("mm"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      val a = m.select(col("mm").as("mm_a"), col("cents").as("c_a"))
+      val b = m.select(col("mm").as("mm_b"), col("cents").as("c_b"))
+      val signs = a.join(broadcast(b), col("mm_a") < col("mm_b"))
+        .select(when(col("c_b") > col("c_a"), 1L)
+          .when(col("c_b") < col("c_a"), -1L).otherwise(0L).as("sg"))
+      val nM = m.agg(count(lit(1)).as("n_months"))
+      signs.agg(sum(col("sg")).as("s_stat")).crossJoin(broadcast(nM))
+        .select(col("n_months"), col("s_stat"),
+          roundTo(col("s_stat").cast("double") /
+            (col("n_months").cast("double") * (col("n_months") - 1).cast("double") / 2),
+            6).as("tau_a"))
+    }),
+
+    "q_trade_volume" -> ((s, d) => {
+      // TPC-H Q7 shape: shipping volume between supplier-nation and
+      // customer-nation pairs by ship year. The fact joins ride their
+      // natural keys (lineitem⋈orders co-keyed on orderkey, then
+      // customer/supplier equi-shuffles); the two nation legs are
+      // broadcast. Output is bounded: |nations|² × years.
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n1), sup("s_nationkey") === n1("sk"))
+        .join(broadcast(n2), c("c_nationkey") === n2("ck"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("date")).as("ship_year"))
+        .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    }),
+
+    "q_important_parts" -> ((s, d) => {
+      // TPC-H Q11 shape: HAVING against a GLOBAL scalar — parts whose
+      // revenue exceeds 1/2000 of total revenue. Revenue is summed in
+      // integer cents so the share gate is the exact cross-multiply
+      // 2000·part > total (no FP ratio near the cut); the 1-row total
+      // aggregates the ALREADY-REDUCED per-part frame (combinable
+      // partials, whitelisted in the single-partition lint) and comes
+      // back as a broadcast. share is reporting-only, rounded 6.
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100 + lit(0.5)).cast("long")
+      val perPart = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents).as("part_cents"))
+      val total = perPart.agg(sum(col("part_cents")).as("total_cents"))
+      perPart.join(broadcast(total))
+        .filter(col("part_cents") * 2000 > col("total_cents"))
+        .select(col("l_partkey"),
+          roundTo(col("part_cents").cast("double") / 100, 2).as("revenue"),
+          roundTo(col("part_cents").cast("double") / col("total_cents"), 6).as("share"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+    }),
+
+    "q_top_supplier" -> ((s, d) => {
+      // TPC-H Q15 shape: the supplier(s) with maximum revenue over a
+      // quarter — a MAX taken over an aggregated frame, ties kept.
+      // Per-supplier revenue is one combinable shuffle in exact cents;
+      // the 1-row max reduces that bounded frame and broadcasts back
+      // as the equi-filter (no window, no second scan of the fact).
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100 + lit(0.5)).cast("long")
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents).as("rev_cents"))
+      val mx = rev.agg(max(col("rev_cents")).as("max_cents"))
+      rev.join(broadcast(mx), col("rev_cents") === col("max_cents"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          roundTo(col("rev_cents").cast("double") / 100, 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     "q_attribution" -> ((s, d) => {
       // Last-touch conversion attribution: each purchase credits the
       // user's most recent PRECEDING non-purchase event (IGNORE NULLS
@@ -3050,6 +3393,205 @@ object SparkEntry {
          |  AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
          |  AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
          |ORDER BY p.p_brand, p.p_partkey""".stripMargin,
+
+    "q_km_survival" -> {
+      val term = sqlRound("ln(1 - CAST(d AS DOUBLE)/n_risk)", 6)
+      s"""WITH f AS (SELECT l_orderkey, MIN(l_shipdate) AS ship1
+         | FROM lineitem GROUP BY l_orderkey),
+         |dur AS (SELECT o_orderpriority AS priority,
+         |  date_diff('day', CAST(o_orderdate AS DATE), CAST(ship1 AS DATE)) AS t
+         | FROM orders JOIN f ON o_orderkey = l_orderkey
+         | WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(ship1 AS DATE)) >= 0),
+         |cells AS (SELECT priority,
+         |  CASE WHEN t > 60 THEN 60 ELSE t END AS day,
+         |  CAST(SUM(CASE WHEN t <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         |  CAST(SUM(CASE WHEN t <= 60 THEN 0 ELSE 1 END) AS BIGINT) AS c
+         | FROM dur GROUP BY 1, 2),
+         |r AS (SELECT *,
+         |  CAST(SUM(d + c) OVER (PARTITION BY priority) -
+         |    COALESCE(SUM(d + c) OVER (PARTITION BY priority ORDER BY day ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS n_risk
+         | FROM cells),
+         |k AS (SELECT *,
+         |  ${sqlRound("CAST(SUM(CAST(CASE WHEN d > 0 THEN " + term +
+             " ELSE 0 END AS DECIMAL(28,6))) OVER (PARTITION BY priority " +
+             "ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+             " AS DOUBLE)", 6)} AS km_log_s
+         | FROM r)
+         |SELECT priority, day, d, n_risk,
+         | ${sqlRound("CAST(d AS DOUBLE)/n_risk", 6)} AS hazard, km_log_s
+         |FROM k WHERE d > 0 ORDER BY priority, day""".stripMargin
+    },
+
+    "q_small_qty_revenue" ->
+      s"""WITH li AS (SELECT l_partkey,
+         |  CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qc, l_extendedprice
+         | FROM lineitem),
+         |st AS (SELECT l_partkey, CAST(SUM(qc) AS BIGINT) AS sum_qc,
+         |  COUNT(*) AS n_lines FROM li GROUP BY l_partkey)
+         |SELECT ${sqlRound(s"${sqlSumD("l_extendedprice")}/7", 2)} AS avg_yearly
+         |FROM li JOIN st USING (l_partkey)
+         |WHERE qc * 5 * n_lines < sum_qc ORDER BY avg_yearly""".stripMargin,
+
+    "q_big_orders" ->
+      s"""WITH big AS (SELECT l_orderkey,
+         |  CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS qty_cents
+         | FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(floor(l_quantity*100
+         |   + 0.5) AS BIGINT)) > 20000)
+         |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         | ${sqlRound("o_totalprice", 2)} AS total_price,
+         | ${sqlRound("CAST(qty_cents AS DOUBLE)/100", 2)} AS total_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_idle_rich_customers" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey,
+         |  CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents FROM customer),
+         |a AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+         |  COUNT(*) AS n_pos FROM c WHERE bal_cents > 0)
+         |SELECT c_nationkey, COUNT(*) AS n_cust,
+         | ${sqlRound("CAST(SUM(bal_cents) AS DOUBLE)/100", 2)} AS total_bal
+         |FROM c CROSS JOIN a
+         |WHERE bal_cents * n_pos > sum_cents
+         | AND c_custkey NOT IN (SELECT o_custkey FROM orders
+         |   WHERE o_orderdate < TIMESTAMP '1994-01-01 00:00:00')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_ohlc_monthly" ->
+      s"""WITH o AS (SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+         |  ${sqlRound("o_totalprice", 2)} AS p, o_orderdate, o_orderkey FROM orders),
+         |w AS (SELECT month_ms,
+         |  first_value(p) OVER (PARTITION BY month_ms
+         |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS open,
+         |  MAX(p) OVER (PARTITION BY month_ms) AS high,
+         |  MIN(p) OVER (PARTITION BY month_ms) AS low,
+         |  first_value(p) OVER (PARTITION BY month_ms
+         |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS close,
+         |  COUNT(*) OVER (PARTITION BY month_ms) AS n_orders
+         | FROM o)
+         |SELECT DISTINCT month_ms, open, high, low, close, n_orders
+         |FROM w ORDER BY month_ms""".stripMargin,
+
+    "q_max_drawdown" ->
+      s"""WITH cells AS (SELECT lower(p_brand) AS brand,
+         |  epoch_ms(date_trunc('month', l_shipdate)) AS mm,
+         |  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+         |    AS cents
+         | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+         |w AS (SELECT brand, cents,
+         |  MAX(cents) OVER (PARTITION BY brand ORDER BY mm ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         | FROM cells)
+         |SELECT brand, COUNT(*) AS n_months,
+         | MAX(${sqlRound("CAST(peak - cents AS DOUBLE)/peak", 6)}) AS max_drawdown
+         |FROM w GROUP BY brand ORDER BY brand""".stripMargin,
+
+    "q_systematic_sample" ->
+      s"""WITH c AS (SELECT c_custkey, ${sqlRound("c_acctbal", 2)} AS bal,
+         |  0.0 - ${sqlRound("c_acctbal", 2)} AS negbal FROM customer),
+         |r AS (SELECT c_custkey, bal,
+         |  row_number() OVER (ORDER BY negbal ASC, c_custkey ASC) AS rk FROM c)
+         |SELECT c_custkey, bal, rk FROM r
+         |WHERE (rk - 1) % 20 = 0 ORDER BY rk""".stripMargin,
+
+    "q_mutual_info" -> {
+      val mi = sqlRound(
+        "CAST(obs AS DOUBLE)/n_total * ln(CAST(obs AS DOUBLE)*n_total/(CAST(row_tot AS DOUBLE)*col_tot))", 6)
+      val chi = sqlRound(
+        "(obs - CAST(row_tot AS DOUBLE)*col_tot/n_total)*(obs - CAST(row_tot AS DOUBLE)*col_tot/n_total)/(CAST(row_tot AS DOUBLE)*col_tot/n_total)", 6)
+      s"""WITH cells AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+         | FROM orders GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_total,
+         |  COUNT(DISTINCT o_orderpriority) AS r, COUNT(DISTINCT o_orderstatus) AS c
+         | FROM cells),
+         |w AS (SELECT cells.*, n_total, r, c,
+         |  SUM(obs) OVER (PARTITION BY o_orderpriority) AS row_tot,
+         |  SUM(obs) OVER (PARTITION BY o_orderstatus) AS col_tot
+         | FROM cells CROSS JOIN tot),
+         |agg AS (SELECT n_total, r, c,
+         |  CAST(SUM(CAST($mi AS DECIMAL(28,6))) AS DOUBLE) AS mi,
+         |  CAST(SUM(CAST($chi AS DECIMAL(28,6))) AS DOUBLE) AS chi2
+         | FROM w GROUP BY 1, 2, 3)
+         |SELECT n_total, ${sqlRound("mi", 4)} AS mi_nats,
+         | ${sqlRound("chi2", 4)} AS chi2,
+         | ${sqlRound("sqrt(chi2/(CAST(n_total AS DOUBLE)*least(r-1, c-1)))", 6)}
+         |   AS cramers_v
+         |FROM agg ORDER BY n_total""".stripMargin
+    },
+
+    "q_hhi_market" -> {
+      val share = sqlRound(
+        "CAST(brand_cents AS DOUBLE)/CAST(cat_cents AS DOUBLE)", 6)
+      s"""WITH cells AS (SELECT lower(p_type) AS category, lower(p_brand) AS brand,
+         |  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+         |    AS brand_cents
+         | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+         |w AS (SELECT cells.*,
+         |  SUM(brand_cents) OVER (PARTITION BY category) AS cat_cents
+         | FROM cells)
+         |SELECT category, COUNT(*) AS n_brands,
+         | ${sqlRound("CAST(SUM(CAST(" + sqlRound(s"($share)*($share)", 12) +
+             " AS DECIMAL(28,12))) AS DOUBLE)", 6)} AS hhi
+         |FROM w GROUP BY category ORDER BY category""".stripMargin
+    },
+
+    "q_trend_mk" ->
+      s"""WITH m AS (SELECT epoch_ms(date_trunc('month', o_orderdate)) AS mm,
+         |  SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS cents
+         | FROM orders GROUP BY 1),
+         |p AS (SELECT CASE WHEN b.cents > a.cents THEN 1
+         |    WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sg
+         | FROM m a JOIN m b ON a.mm < b.mm),
+         |n AS (SELECT COUNT(*) AS n_months FROM m),
+         |s AS (SELECT CAST(SUM(sg) AS BIGINT) AS s_stat FROM p)
+         |SELECT n_months, s_stat,
+         | ${sqlRound("CAST(s_stat AS DOUBLE)/(CAST(n_months AS DOUBLE)*(n_months-1)/2)", 6)}
+         |   AS tau_a
+         |FROM s CROSS JOIN n ORDER BY n_months""".stripMargin,
+
+    "q_trade_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         | year(CAST(l_shipdate AS DATE)) AS ship_year,
+         | ${sqlSumD("l_extendedprice * (1 - l_discount)")} AS volume
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name <> n2.n_name
+         | AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+
+    "q_important_parts" ->
+      s"""WITH pp AS (SELECT l_partkey,
+         |  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+         |    AS part_cents
+         | FROM lineitem GROUP BY l_partkey),
+         |t AS (SELECT SUM(part_cents) AS total_cents FROM pp)
+         |SELECT l_partkey, ${sqlRound("CAST(part_cents AS DOUBLE)/100", 2)} AS revenue,
+         | ${sqlRound("CAST(part_cents AS DOUBLE)/total_cents", 6)} AS share
+         |FROM pp CROSS JOIN t
+         |WHERE part_cents * 2000 > total_cents
+         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    "q_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+         |    AS rev_cents
+         | FROM lineitem
+         | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         | GROUP BY l_suppkey),
+         |m AS (SELECT MAX(rev_cents) AS max_cents FROM rev)
+         |SELECT s_suppkey, s_name,
+         | ${sqlRound("CAST(rev_cents AS DOUBLE)/100", 2)} AS total_revenue
+         |FROM rev CROSS JOIN m JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_cents = max_cents
+         |ORDER BY s_suppkey""".stripMargin,
 
     "q_attribution" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value

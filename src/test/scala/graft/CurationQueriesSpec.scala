@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Det.roundTo
 import graft.sources.Tables
 
 /** Invariants for the packing / mixing / sampling / co-occurrence
@@ -466,6 +467,267 @@ class CurationQueriesSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(got == want,
       s"skyline mismatch: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
+  test("q_trade_volume pairs are asymmetric-complete and total the filtered revenue") {
+    val got = SparkEntry.queries("q_trade_volume")(spark, sf)
+      .as[(String, String, Int, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (sn, cn, yr, vol) =>
+      assert(sn != cn && (yr == 1995 || yr == 1996) && vol > 0) }
+    // the pair cells partition the filtered cross-nation revenue
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val want = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .select(col("l_extendedprice"), col("l_discount"))
+      .as[(Double, Double)].collect()
+      .map(p => BigDecimal(r2(p._1 * (1 - p._2)))).sum
+    assert((got.map(r => BigDecimal(r._4)).sum - want).abs < BigDecimal(0.01))
+  }
+
+  test("q_important_parts selects exactly the parts above the 1/2000 share gate") {
+    val cents = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        floor(roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2) * 100
+          + lit(0.5)).cast("long").as("c"))
+      .as[(Long, Long)].collect()
+    val perPart = cents.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = perPart.values.sum
+    val want = perPart.filter { case (_, c) => c * 2000 > total }.keySet
+    val got = SparkEntry.queries("q_important_parts")(spark, sf)
+      .select("l_partkey").as[Long].collect().toSet
+    assert(got.nonEmpty && got == want,
+      s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
+  test("q_top_supplier keeps every supplier tied at the quarter max") {
+    val cents = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .select(col("l_suppkey"),
+        floor(roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2) * 100
+          + lit(0.5)).cast("long").as("c"))
+      .as[(Long, Long)].collect()
+    val perSupp = cents.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val mx = perSupp.values.max
+    val want = perSupp.filter(_._2 == mx).keySet
+    val got = SparkEntry.queries("q_top_supplier")(spark, sf)
+      .as[(Long, String, Double)].collect()
+    assert(got.map(_._1).toSet == want)
+    got.foreach { case (_, _, rev) =>
+      assert(math.abs(rev - mx.toDouble / 100) < 1e-9) }
+  }
+
+  test("q_km_survival matches a driver KM replay and curves are monotone") {
+    val got = SparkEntry.queries("q_km_survival")(spark, sf)
+      .as[(String, Int, Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // at-risk shrinks, log-survival falls, hazard in (0,1]
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 > b._4 && a._6 >= b._6, s"$p day ${b._2}")
+      case _ => () }
+      sorted.foreach { r => assert(r._5 > 0 && r._5 <= 1.0) }
+    }
+    // driver replay
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val first = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("ship1"))
+    val durs = Tables.orders(spark, sf)
+      .join(first, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("ship1").cast("date"), col("o_orderdate").cast("date")))
+      .as[(String, Int)].collect().filter(_._2 >= 0)
+    val want = durs.groupBy(_._1).flatMap { case (p, rs) =>
+      val obs = rs.map(r => (math.min(r._2, 60), r._2 <= 60))
+      val byDay = obs.groupBy(_._1).view
+        .mapValues(v => (v.count(_._2).toLong, v.count(!_._2).toLong)).toSeq
+        .sortBy(_._1)
+      var atRisk = obs.length.toLong
+      var logS = BigDecimal(0)
+      byDay.flatMap { case (day, (dd, cc)) =>
+        val row = if (dd > 0) {
+          logS += BigDecimal(r6(math.log(1.0 - dd.toDouble / atRisk)))
+          Some((p, day) -> (dd, atRisk, r6(logS.toDouble)))
+        } else None
+        atRisk -= dd + cc
+        row
+      }
+    }
+    assert(got.length == want.size)
+    got.foreach { case (p, day, dd, n, _, ls) =>
+      val (wd, wn, wls) = want((p, day))
+      assert(dd == wd && n == wn && ls == wls, s"$p day $day") }
+  }
+
+  test("q_small_qty_revenue matches the driver cross-multiply fold") {
+    val Array(got) = SparkEntry.queries("q_small_qty_revenue")(spark, sf)
+      .as[Double].collect()
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long"),
+        col("l_extendedprice"))
+      .as[(Long, Long, Double)].collect()
+    val stats = rows.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.length.toLong)).toMap
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val kept = rows.filter { case (pk, qc, _) =>
+      val (s0, n) = stats(pk); qc * 5 * n < s0 }
+    val want = r2(kept.map(r => BigDecimal(r2(r._3))).sum.toDouble / 7)
+    assert(kept.nonEmpty && got == want)
+  }
+
+  test("q_big_orders keeps exactly the orders past the quantity threshold") {
+    val got = SparkEntry.queries("q_big_orders")(spark, sf)
+      .as[(Long, String, Long, java.sql.Date, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val sums = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = sums.filter(_._2 > 20000).keySet
+    assert(got.map(_._3).toSet == want)
+    got.foreach { case (_, _, ok, _, _, qty) =>
+      assert(qty == sums(ok).toDouble / 100, s"order $ok qty") }
+  }
+
+  test("q_idle_rich_customers selects above-average customers with no orders") {
+    val got = SparkEntry.queries("q_idle_rich_customers")(spark, sf)
+      .as[(Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long"))
+      .as[(Long, Int, Long)].collect()
+    val withOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < to_timestamp(lit("1994-01-01 00:00:00")))
+      .select("o_custkey").as[Long].collect().toSet
+    val pos = cust.filter(_._3 > 0)
+    val (sc, np) = (pos.map(_._3).sum, pos.length.toLong)
+    val sel = cust.filter(c => c._3 * np > sc && !withOrders(c._1))
+    val want = sel.groupBy(_._2).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._3).sum.toDouble / 100) }.toMap
+    assert(got.length == want.size)
+    got.foreach { case (nk, n, bal) =>
+      val (wn, wb) = want(nk)
+      assert(n == wn && math.abs(bal - wb) < 1e-6, s"nation $nk") }
+  }
+
+  test("q_ohlc_monthly bars are internally consistent and match a driver fold") {
+    val got = SparkEntry.queries("q_ohlc_monthly")(spark, sf)
+      .as[(Long, Double, Double, Double, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (mm, o, h, l, c, n) =>
+      assert(l <= o && o <= h && l <= c && c <= h && n >= 1, s"month $mm") }
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val rows = Tables.orders(spark, sf)
+      .select(unix_millis(date_trunc("month", col("o_orderdate"))),
+        col("o_totalprice"), unix_millis(col("o_orderdate").cast("timestamp")),
+        col("o_orderkey"))
+      .as[(Long, Double, Long, Long)].collect()
+    val want = rows.groupBy(_._1).view.mapValues { rs =>
+      val sorted = rs.sortBy(r => (r._3, r._4))
+      (r2(sorted.head._2), rs.map(r => r2(r._2)).max,
+        rs.map(r => r2(r._2)).min, r2(sorted.last._2), rs.length.toLong)
+    }.toMap
+    got.foreach { case (mm, o, h, l, c, n) =>
+      assert(want(mm) == ((o, h, l, c, n)), s"month $mm bar mismatch") }
+  }
+
+  test("q_max_drawdown is 0 for peak-ending series and within [0,1)") {
+    val got = SparkEntry.queries("q_max_drawdown")(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (b, n, dd) =>
+      assert(n >= 1 && dd >= 0.0 && dd < 1.0, s"$b dd=$dd") }
+    // driver replay on one brand: fold the monthly cents and track peak
+    val cells = Tables.lineitem(spark, sf)
+      .join(broadcast(Tables.part(spark, sf)
+        .select(col("p_partkey"), lower(col("p_brand")).as("brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("brand"),
+        unix_millis(date_trunc("month", col("l_shipdate"))).as("mm"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+        + lit(0.5)).cast("long")).as("c"))
+      .as[(String, Long, Long)].collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = cells.groupBy(_._1).view.mapValues { rs =>
+      val sorted = rs.sortBy(_._2)
+      var peak = Long.MinValue; var mx = 0.0
+      sorted.foreach { r =>
+        peak = math.max(peak, r._3)
+        mx = math.max(mx, r6((peak - r._3).toDouble / peak)) }
+      (rs.length.toLong, mx)
+    }.toMap
+    got.foreach { case (b, n, dd) => assert(want(b) == ((n, dd)), s"brand $b") }
+  }
+
+  test("q_systematic_sample strides the exact rank and covers ceil(n/20) rows") {
+    val got = SparkEntry.queries("q_systematic_sample")(spark, sf)
+      .as[(Long, Double, Long)].collect()
+    val n = Tables.customer(spark, sf).count()
+    assert(got.length == ((n + 19) / 20).toInt)
+    assert(got.map(_._3).toSeq == got.indices.map(i => 20L * i + 1))
+    // descending-balance order: sampled balances are non-increasing
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, s"ranks ${a._3},${b._3} out of order")
+    case _ => () }
+  }
+
+  test("q_mutual_info statistics match the driver contingency fold") {
+    val Array((n, mi, chi2, v)) = SparkEntry.queries("q_mutual_info")(spark, sf)
+      .as[(Long, Double, Double, Double)].collect()
+    def r(x: Double, s: Int) = { val f = math.pow(10, s); math.floor(x * f + 0.5) / f }
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+      .as[(String, String)].collect()
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nT = rows.length.toLong
+    val rowT = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colT = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val miW = cells.map { case ((p, st), obs) =>
+      BigDecimal(r(obs.toDouble / nT *
+        math.log(obs.toDouble * nT / (rowT(p).toDouble * colT(st))), 6)) }.sum
+    val chiW = cells.map { case ((p, st), obs) =>
+      val e = rowT(p).toDouble * colT(st) / nT
+      BigDecimal(r((obs - e) * (obs - e) / e, 6)) }.sum
+    assert(n == nT && mi == r(miW.toDouble, 4) && chi2 == r(chiW.toDouble, 4))
+    val vW = r(math.sqrt(chiW.toDouble / (nT *
+      math.min(rowT.size - 1, colT.size - 1))), 6)
+    assert(v == vW && v >= 0 && v <= 1 && mi >= -1e-4)
+  }
+
+  test("q_hhi_market HHI is bounded by the uniform floor and 1") {
+    val got = SparkEntry.queries("q_hhi_market")(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (cat, nB, hhi) =>
+      assert(nB >= 1 && hhi > 0 && hhi <= 1.0 + 1e-6, s"$cat hhi=$hhi")
+      // Σ share² is minimized at equal shares: hhi ≥ 1/n (up to rounding)
+      assert(hhi >= 1.0 / nB - 1e-4, s"$cat hhi below uniform floor") }
+  }
+
+  test("q_trend_mk matches the driver pair fold and tau is bounded") {
+    val Array((n, sStat, tau)) = SparkEntry.queries("q_trend_mk")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val months = Tables.orders(spark, sf)
+      .select(unix_millis(date_trunc("month", col("o_orderdate"))).as("mm"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val sW = (for { i <- months.indices; j <- i + 1 until months.length }
+      yield java.lang.Long.signum(months(j)._2 - months(i)._2).toLong).sum
+    assert(n == months.length && sStat == sW)
+    assert(math.abs(tau) <= 1.0 + 1e-9)
+    val nPairs = n * (n - 1) / 2
+    assert(math.abs(tau - sStat.toDouble / nPairs) < 1e-6)
   }
 
   test("q_cust_order_dist histogram covers every customer exactly once") {

@@ -51,7 +51,15 @@ class PlanLintSpec extends SparkSpec {
     // 1-row OLS power sums over the <=200-row ranked-vocab frame
     "text_zipf_fit",
     // 1-row user-total broadcast, same shape as q_item_cooccurrence
-    "q_assoc_rules")
+    "q_assoc_rules",
+    // 1-row global total / max over the already-reduced per-key frame
+    "q_important_parts", "q_top_supplier",
+    // 1-row MI/chi2 aggs over the ~15-cell contingency table
+    "q_mutual_info",
+    // 1-row S/n aggs over the ~80-month pair frame
+    "q_trend_mk",
+    // 1-row combinable final avg / positive-balance average scalar
+    "q_small_qty_revenue", "q_idle_rich_customers")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
