@@ -3290,6 +3290,127 @@ object SparkEntry {
           (col("first_ship_day") - col("order_day")).as("days_to_first_ship"),
           (col("last_ship_day") - col("order_day")).as("days_to_complete"))
         .orderBy("o_orderkey")
+    }),
+
+    "q_ship_priority" -> ((s, d) => {
+      // TPC-H Q3 shape: shipping-priority candidates — revenue still
+      // in flight for one market segment's orders placed before a
+      // cutoff whose lines ship after it, top 10 by revenue. The
+      // filtered customer keys reduce orders first (equi-shuffle),
+      // lineitem joins co-keyed on orderkey, and the top-10 runs as
+      // TakeOrderedAndProject over the already-reduced per-order
+      // frame — no global sort materializes at scale.
+      val cut = to_timestamp(lit("1996-06-15 00:00:00"))
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          floor(unix_millis(col("o_orderdate").cast("timestamp")) / 86400000L)
+            .cast("long").as("order_day"),
+          col("o_orderpriority"))
+        .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q_market_share" -> ((s, d) => {
+      // TPC-H Q8 shape: one supplier nation's share of a regional
+      // market, by order year. The market is AMERICA-region customers
+      // buying ECONOMY parts; the share of supplier nation NATION_6 is
+      // a conditional integer-cent sum over the same reduced frame —
+      // one scan of the fact, dims broadcast, exact cents until the
+      // final rounded ratio. Output is bounded (one row per year).
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100 + lit(0.5)).cast("long")
+      val p = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate").cast("date")).as("order_year"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val nc = Tables.nation(s, d).join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .select(col("n_nationkey").as("cust_nk"))
+      val ns = Tables.nation(s, d)
+        .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), cents.as("__c"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(nc), c("c_nationkey") === col("cust_nk"))
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(ns), sup("s_nationkey") === col("supp_nk"))
+        .groupBy(col("order_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_6", col("__c")).otherwise(0L))
+            .as("__nat"),
+          sum(col("__c")).as("__tot"))
+        .select(col("order_year"),
+          roundTo(col("__nat").cast("double") / 100, 2).as("nation_revenue"),
+          roundTo(col("__tot").cast("double") / 100, 2).as("market_revenue"),
+          roundTo(col("__nat").cast("double") / col("__tot"), 6).as("mkt_share"))
+        .orderBy("order_year")
+    }),
+
+    "q_returned_items" -> ((s, d) => {
+      // TPC-H Q10 shape: customers ranked by revenue lost to returns
+      // in one quarter (l_returnflag = 'R'), top 20. Returned lines
+      // reduce per order first (co-keyed on orderkey), then one
+      // equi-shuffle to the customer grain; nation is broadcast. The
+      // top-20 is TakeOrderedAndProject on the reduced frame.
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("nation"))
+      li.join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(Tables.customer(s, d), o("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("nation"),
+          roundTo(col("c_acctbal"), 2).as("acctbal"))
+        .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("lost_revenue"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    "q_promo_share" -> ((s, d) => {
+      // TPC-H Q14 shape: promo revenue as a percent of total revenue
+      // by ship month — a conditional ratio in ONE scan of the fact.
+      // The part flag joins co-keyed on partkey (no broadcast hint:
+      // part scales with the fact at 100 TB, AQE may still elect
+      // broadcast at toy SF); both numerator and denominator are
+      // exact integer cents, divided once and rounded for reporting.
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100 + lit(0.5)).cast("long")
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("__promo"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          unix_millis(date_trunc("month", col("l_shipdate").cast("timestamp")))
+            .as("ship_month"),
+          cents.as("__c"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("ship_month"))
+        .agg(sum(when(col("__promo"), col("__c")).otherwise(0L)).as("__promo_c"),
+          sum(col("__c")).as("__tot_c"))
+        .select(col("ship_month"),
+          roundTo(col("__promo_c").cast("double") / 100, 2).as("promo_revenue"),
+          roundTo(col("__tot_c").cast("double") / 100, 2).as("total_revenue"),
+          roundTo(lit(100.0) * col("__promo_c").cast("double") / col("__tot_c"), 6)
+            .as("promo_pct"))
+        .orderBy("ship_month")
     })
   )
 
@@ -5081,7 +5202,70 @@ object SparkEntry {
         | first_ship_day - CAST(floor(epoch_ms(o_orderdate)/86400000) AS BIGINT) AS days_to_first_ship,
         | last_ship_day - CAST(floor(epoch_ms(o_orderdate)/86400000) AS BIGINT) AS days_to_complete
         |FROM orders JOIN m ON o_orderkey = l_orderkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_ship_priority" ->
+      s"""SELECT l_orderkey,
+         | CAST(floor(epoch_ms(o_orderdate)/86400000) AS BIGINT) AS order_day,
+         | o_orderpriority,
+         | ${sqlSumD("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         | AND o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+         | AND l_shipdate > TIMESTAMP '1996-06-15 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_market_share" ->
+      s"""WITH f AS (SELECT year(CAST(o_orderdate AS DATE)) AS order_year,
+         |  n2.n_name AS supp_nation,
+         |  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS c
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         | WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'),
+         |g AS (SELECT order_year,
+         |  SUM(CASE WHEN supp_nation = 'NATION_6' THEN c ELSE 0 END) AS nat,
+         |  SUM(c) AS tot
+         | FROM f GROUP BY order_year)
+         |SELECT order_year,
+         | ${sqlRound("CAST(nat AS DOUBLE)/100", 2)} AS nation_revenue,
+         | ${sqlRound("CAST(tot AS DOUBLE)/100", 2)} AS market_revenue,
+         | ${sqlRound("CAST(nat AS DOUBLE)/tot", 6)} AS mkt_share
+         |FROM g ORDER BY order_year""".stripMargin,
+
+    "q_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name AS nation,
+         | ${sqlRound("c_acctbal", 2)} AS acctbal,
+         | ${sqlSumD("l_extendedprice * (1 - l_discount)")} AS lost_revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_promo_share" ->
+      s"""WITH f AS (SELECT epoch_ms(date_trunc('month', l_shipdate)) AS ship_month,
+         |  CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo,
+         |  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS c
+         | FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |g AS (SELECT ship_month,
+         |  SUM(CASE WHEN is_promo = 1 THEN c ELSE 0 END) AS promo_c,
+         |  SUM(c) AS tot_c
+         | FROM f GROUP BY ship_month)
+         |SELECT ship_month,
+         | ${sqlRound("CAST(promo_c AS DOUBLE)/100", 2)} AS promo_revenue,
+         | ${sqlRound("CAST(tot_c AS DOUBLE)/100", 2)} AS total_revenue,
+         | ${sqlRound("100.0*CAST(promo_c AS DOUBLE)/tot_c", 6)} AS promo_pct
+         |FROM g ORDER BY ship_month""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -1042,4 +1042,81 @@ class CurationQueriesSpec extends SparkSpec {
       assert(math.abs(dev - math.abs(obs - exp)) < 1e-5)
     }
   }
+
+  test("q_ship_priority is the true revenue top-10 under the driver fold") {
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val cut = "1996-06-15 00:00:00"
+    val lines = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") > to_timestamp(lit(cut)))
+      .join(Tables.orders(spark, sf).filter(col("o_orderdate") < to_timestamp(lit(cut))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Double, Double)].collect()
+    val perOrder = lines.groupBy(_._1).view
+      .mapValues(_.map(p => BigDecimal(r2(p._2 * (1 - p._3)))).sum).toMap
+    val want = perOrder.toSeq.sortBy { case (k, v) => (-v, k) }.take(10)
+    val got = SparkEntry.queries("q_ship_priority")(spark, sf)
+      .select("l_orderkey", "revenue").as[(Long, Double)].collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gk, gv), (wk, wv)) =>
+      assert(gk == wk && (BigDecimal(gv) - wv).abs < BigDecimal("0.01")) }
+  }
+
+  test("q_market_share bounds hold and the market totals match the fold") {
+    val got = SparkEntry.queries("q_market_share")(spark, sf)
+      .as[(Int, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, nat, tot, share) =>
+      assert(nat >= 0 && nat <= tot && share >= 0 && share <= 1) }
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val want = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_regionkey") === 1)
+      .select(col("l_extendedprice"), col("l_discount"))
+      .as[(Double, Double)].collect()
+      .map(p => BigDecimal(r2(p._1 * (1 - p._2)))).sum
+    assert((got.map(r => BigDecimal(r._3)).sum - want).abs < BigDecimal("0.01"))
+  }
+
+  test("q_returned_items is the global lost-revenue top-20") {
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val lines = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sf)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Double, Double)].collect()
+    val perCust = lines.groupBy(_._1).view
+      .mapValues(_.map(p => BigDecimal(r2(p._2 * (1 - p._3)))).sum).toMap
+    val want = perCust.toSeq.sortBy { case (k, v) => (-v, k) }.take(20)
+    val got = SparkEntry.queries("q_returned_items")(spark, sf)
+      .select("c_custkey", "lost_revenue").as[(Long, Double)].collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gk, gv), (wk, wv)) =>
+      assert(gk == wk && (BigDecimal(gv) - wv).abs < BigDecimal("0.01")) }
+  }
+
+  test("q_promo_share months partition the joined revenue and pct is exact") {
+    val got = SparkEntry.queries("q_promo_share")(spark, sf)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, promo, tot, pct) =>
+      assert(promo >= 0 && promo <= tot)
+      assert(math.abs(pct - math.floor(100.0 * (promo / tot) * 1e6 + 0.5) / 1e6) < 1e-4)
+    }
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val want = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_extendedprice"), col("l_discount"))
+      .as[(Double, Double)].collect()
+      .map(p => BigDecimal(r2(p._1 * (1 - p._2)))).sum
+    assert((got.map(r => BigDecimal(r._3)).sum - want).abs < BigDecimal("0.01"))
+  }
 }
