@@ -3411,6 +3411,123 @@ object SparkEntry {
           roundTo(lit(100.0) * col("__promo_c").cast("double") / col("__tot_c"), 6)
             .as("promo_pct"))
         .orderBy("ship_month")
+    }),
+
+    "q_forecast_revenue" -> ((s, d) => {
+      // TPC-H Q6 shape: the what-if discount-elimination aggregate —
+      // a pure filter-and-sum with NO join. Its whole value at 100 TB
+      // is pushdown: all three predicates (shipdate range, discount
+      // band, quantity cap) reach the parquet scan as PushedFilters
+      // (plan-asserted in spec), so row groups outside the year are
+      // never read. One combinable 1-row agg (lint-whitelisted).
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount") >= lit(0.05) && col("l_discount") <= lit(0.07) &&
+          col("l_quantity") < lit(24.0))
+        .agg(sumD(col("l_extendedprice") * col("l_discount"))
+            .as("potential_revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q_brand_promo_revenue" -> ((s, d) => {
+      // TPC-H Q19 shape: revenue under an OR of three conjunctive
+      // brand/size/quantity clauses. The disjunction splits per side:
+      // part-only conjuncts (brand, size) prune the dim scan, the
+      // joint clause evaluates after the co-keyed partkey join — no
+      // fact re-scan per clause, ONE pass. 1-row agg, whitelisted.
+      val p = Tables.part(s, d)
+        .filter((col("p_brand") === "Brand#4" && col("p_size").between(1, 15)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(10, 30)) ||
+          (col("p_brand") === "Brand#8" && col("p_size").between(20, 50)))
+        .select(col("p_partkey"), col("p_brand"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .filter((col("p_brand") === "Brand#4" && col("l_quantity").between(1.0, 20.0)) ||
+          (col("p_brand") === "Brand#19" && col("l_quantity").between(10.0, 30.0)) ||
+          (col("p_brand") === "Brand#8" && col("l_quantity").between(20.0, 40.0)))
+        .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("promo_revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q_nation_profit" -> ((s, d) => {
+      // TPC-H Q9 shape: product-line profit by supplier nation and
+      // order year. The schema has no partsupp/supplycost, so cost is
+      // modeled as 60% of retail price × quantity — preserving the
+      // shape: a name-filtered part dim, the fact joined co-keyed on
+      // partkey then orderkey, nation broadcast, and a per-line
+      // profit EXPRESSION (revenue minus cost) summed in exact cents.
+      val revC = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100 + lit(0.5)).cast("long")
+      val costC = floor(lit(0.6) * col("p_retailprice") * col("l_quantity")
+        * 100 + lit(0.5)).cast("long")
+      val p = Tables.part(s, d).filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate").cast("date")).as("order_year"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("nation"))
+      Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("nation"), col("order_year"))
+        .agg(sum(revC - costC).as("__pc"))
+        .select(col("nation"), col("order_year"),
+          roundTo(col("__pc").cast("double") / 100, 2).as("profit"))
+        .orderBy("nation", "order_year")
+    }),
+
+    "q_dominant_suppliers" -> ((s, d) => {
+      // TPC-H Q20 shape: suppliers holding an outsized share of some
+      // part's flow — here >20% of a part's total shipped quantity
+      // (the schema has no availqty). ONE shuffle reduces to the
+      // (part, supplier) grain; the part total is a window over that
+      // REDUCED frame (bounded rows per part, never raw lines); the
+      // gate is the exact integer cross-multiply 5·q > total.
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val w = Window.partitionBy("l_partkey")
+      ps.withColumn("tq", sum(col("q")).over(w))
+        .filter(col("q") * 5 > col("tq"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_parts_dominated"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
+        .orderBy(col("n_parts_dominated").desc, col("s_suppkey").asc)
+    }),
+
+    "q_sole_late_shipper" -> ((s, d) => {
+      // TPC-H Q21 shape: the double-correlated EXISTS / NOT EXISTS —
+      // suppliers who were the SOLE latest shipper on multi-supplier
+      // orders (no receipt/commit dates in this schema). Lines reduce
+      // co-keyed to the (order, supplier) grain; order max, supplier
+      // count, and the count-at-max are windows over that reduced
+      // frame (bounded per order); qualifying orders credit their
+      // unique attaining supplier. Output is one bounded row per
+      // supplier.
+      val perSupp = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(unix_millis(col("l_shipdate").cast("timestamp"))).as("supp_max"))
+      val w = Window.partitionBy("l_orderkey")
+      perSupp
+        .withColumn("order_max", max(col("supp_max")).over(w))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_at_max",
+          sum(when(col("supp_max") === col("order_max"), 1L).otherwise(0L)).over(w))
+        .filter(col("n_supp") >= 2 && col("n_at_max") === 1 &&
+          col("supp_max") === col("order_max"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("waiting_orders"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("waiting_orders"))
+        .orderBy(col("waiting_orders").desc, col("s_suppkey").asc)
     })
   )
 
@@ -5265,7 +5382,73 @@ object SparkEntry {
          | ${sqlRound("CAST(promo_c AS DOUBLE)/100", 2)} AS promo_revenue,
          | ${sqlRound("CAST(tot_c AS DOUBLE)/100", 2)} AS total_revenue,
          | ${sqlRound("100.0*CAST(promo_c AS DOUBLE)/tot_c", 6)} AS promo_pct
-         |FROM g ORDER BY ship_month""".stripMargin
+         |FROM g ORDER BY ship_month""".stripMargin,
+
+    "q_forecast_revenue" ->
+      s"""SELECT ${sqlSumD("l_extendedprice * l_discount")} AS potential_revenue,
+         | COUNT(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         | AND l_discount >= CAST(0.05 AS DOUBLE)
+         | AND l_discount <= CAST(0.07 AS DOUBLE)
+         | AND l_quantity < 24
+         |ORDER BY n_lines""".stripMargin,
+
+    "q_brand_promo_revenue" ->
+      s"""SELECT ${sqlSumD("l_extendedprice * (1 - l_discount)")} AS promo_revenue,
+         | COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 20)
+         | OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+         |    AND l_quantity BETWEEN 10 AND 30)
+         | OR (p_brand = 'Brand#8' AND p_size BETWEEN 20 AND 50
+         |    AND l_quantity BETWEEN 20 AND 40)
+         |ORDER BY n_lines""".stripMargin,
+
+    "q_nation_profit" ->
+      s"""SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS order_year,
+         | ${sqlRound(
+          "CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)" +
+          " - CAST(floor(CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)/100", 2)}
+         |   AS profit
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2 ORDER BY nation, order_year""".stripMargin,
+
+    "q_dominant_suppliers" ->
+      s"""WITH ps AS (SELECT l_partkey, l_suppkey,
+         |  SUM(CAST(l_quantity AS BIGINT)) AS q
+         | FROM lineitem GROUP BY 1, 2),
+         |g AS (SELECT l_suppkey, COUNT(*) AS n_parts_dominated
+         | FROM (SELECT *, SUM(q) OVER (PARTITION BY l_partkey) AS tq FROM ps)
+         | WHERE q * 5 > tq GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, n_parts_dominated
+         |FROM g JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY n_parts_dominated DESC, s_suppkey""".stripMargin,
+
+    "q_sole_late_shipper" ->
+      s"""WITH ps AS (SELECT l_orderkey, l_suppkey,
+         |  MAX(epoch_ms(l_shipdate)) AS supp_max
+         | FROM lineitem GROUP BY 1, 2),
+         |f0 AS (SELECT *,
+         |  MAX(supp_max) OVER (PARTITION BY l_orderkey) AS order_max,
+         |  COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp
+         | FROM ps),
+         |f AS (SELECT *,
+         |  SUM(CASE WHEN supp_max = order_max THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY l_orderkey) AS n_at_max
+         | FROM f0),
+         |g AS (SELECT l_suppkey, COUNT(*) AS waiting_orders
+         | FROM f WHERE n_supp >= 2 AND n_at_max = 1 AND supp_max = order_max
+         | GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, waiting_orders
+         |FROM g JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY waiting_orders DESC, s_suppkey""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -1119,4 +1119,91 @@ class CurationQueriesSpec extends SparkSpec {
       .map(p => BigDecimal(r2(p._1 * (1 - p._2)))).sum
     assert((got.map(r => BigDecimal(r._3)).sum - want).abs < BigDecimal("0.01"))
   }
+
+  test("q_forecast_revenue pushes all three predicates into the parquet scan") {
+    val df = SparkEntry.queries("q_forecast_revenue")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan node must carry pushed filters on every predicate column
+    val scanLine = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(scanLine.contains(c), s"$c not pushed to scan:\n$scanLine")
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_shipdate").cast("string"), col("l_discount"),
+        col("l_quantity"), col("l_extendedprice"))
+      .as[(String, Double, Double, Double)].collect()
+      .filter(r => r._1 >= "1996-01-01" && r._1 < "1997-01-01" &&
+        r._2 >= 0.05 && r._2 <= 0.07 && r._3 < 24.0)
+    val want = lines.map(r => BigDecimal(r2(r._4 * r._2))).sum
+    val Array((rev, n)) = df.as[(Double, Long)].collect()
+    assert(n == lines.length && (BigDecimal(rev) - want).abs < BigDecimal("0.01"))
+  }
+
+  test("q_brand_promo_revenue matches the three-clause driver fold") {
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val rows = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_size"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .as[(String, Int, Double, Double, Double)].collect()
+      .filter { case (b, sz, q, _, _) =>
+        (b == "Brand#4" && sz >= 1 && sz <= 15 && q >= 1 && q <= 20) ||
+        (b == "Brand#19" && sz >= 10 && sz <= 30 && q >= 10 && q <= 30) ||
+        (b == "Brand#8" && sz >= 20 && sz <= 50 && q >= 20 && q <= 40)
+      }
+    val want = rows.map(r => BigDecimal(r2(r._4 * (1 - r._5)))).sum
+    val Array((rev, n)) =
+      SparkEntry.queries("q_brand_promo_revenue")(spark, sf)
+        .as[(Double, Long)].collect()
+    assert(n == rows.length && (BigDecimal(rev) - want).abs < BigDecimal("0.01"))
+  }
+
+  test("q_nation_profit totals the per-line rev-minus-cost cents") {
+    val rows = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_name").like("%gear%")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_extendedprice"), col("l_discount"),
+        col("p_retailprice"), col("l_quantity"))
+      .as[(Double, Double, Double, Double)].collect()
+    val wantCents = rows.map { case (ep, disc, rp, q) =>
+      (math.floor(ep * (1 - disc) * 100 + 0.5) -
+        math.floor(0.6 * rp * q * 100 + 0.5)).toLong
+    }.sum
+    val got = SparkEntry.queries("q_nation_profit")(spark, sf)
+      .select("profit").as[Double].collect()
+    assert(got.nonEmpty)
+    val gotCents = got.map(p => math.round(p * 100)).sum
+    assert(gotCents == wantCents, s"$gotCents != $wantCents")
+  }
+
+  test("q_dominant_suppliers is exactly the >20% cross-multiply set") {
+    val qty = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val ps = qty.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    val totals = qty.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val want = ps.iterator.collect {
+      case ((p, su), q) if q * 5 > totals(p) => su -> p
+    }.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q_dominant_suppliers")(spark, sf)
+      .select("s_suppkey", "n_parts_dominated").as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty && got == want,
+      s"extra=${(got.keySet -- want.keySet).take(5)} missing=${(want.keySet -- got.keySet).take(5)}")
+  }
+
+  test("q_sole_late_shipper credits the unique max shipper on multi-supplier orders") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")))
+      .as[(Long, Long, Long)].collect()
+    val want = rows.groupBy(_._1).iterator.flatMap { case (_, ls) =>
+      val perSupp = ls.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+      val om = perSupp.values.max
+      val atMax = perSupp.filter(_._2 == om).keys
+      if (perSupp.size >= 2 && atMax.size == 1) Some(atMax.head) else None
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q_sole_late_shipper")(spark, sf)
+      .select("s_suppkey", "waiting_orders").as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty && got == want)
+  }
 }

@@ -59,7 +59,9 @@ class PlanLintSpec extends SparkSpec {
     // 1-row S/n aggs over the ~80-month pair frame
     "q_trend_mk",
     // 1-row combinable final avg / positive-balance average scalar
-    "q_small_qty_revenue", "q_idle_rich_customers")
+    "q_small_qty_revenue", "q_idle_rich_customers",
+    // 1-row filter-and-sum aggregates (TPC-H Q6 / Q19 shapes)
+    "q_forecast_revenue", "q_brand_promo_revenue")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
