@@ -3528,6 +3528,132 @@ object SparkEntry {
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("waiting_orders"))
         .orderBy(col("waiting_orders").desc, col("s_suppkey").asc)
+    }),
+
+    "q_spearman_corr" -> ((s, d) => {
+      // Spearman rank correlation between monthly revenue and monthly
+      // order count. The series reduces to the bounded monthly frame
+      // first (one combinable cents shuffle); tied AVERAGE ranks come
+      // from the broadcast triangular pair join as the exact integer
+      // 2r = 2·|less| + |equal| + 1 (the q_trend_mk pattern — no
+      // partition-less window), and rho is Pearson over the doubled
+      // ranks (scale-invariant) from exact integer power sums. FP
+      // appears only in the final guarded sqrt/division, rounded 6.
+      val m = Tables.orders(s, d)
+        .groupBy(unix_millis(date_trunc("month", col("o_orderdate"))).as("mm"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("c"),
+          count(lit(1)).as("k"))
+      val b = m.select(col("mm").as("mm_b"), col("c").as("c_b"), col("k").as("k_b"))
+      val ranks = m.crossJoin(broadcast(b))
+        .groupBy(col("mm"))
+        .agg(
+          (sum(when(col("c_b") < col("c"), 1L).otherwise(0L)) * 2 +
+            sum(when(col("c_b") === col("c"), 1L).otherwise(0L)) + 1).as("x"),
+          (sum(when(col("k_b") < col("k"), 1L).otherwise(0L)) * 2 +
+            sum(when(col("k_b") === col("k"), 1L).otherwise(0L)) + 1).as("y"))
+      ranks.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+        .select(col("n").as("n_months"),
+          roundTo((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6).as("rho"))
+    }),
+
+    "q_welch_ttest" -> ((s, d) => {
+      // Welch's unequal-variance t-test: URGENT vs LOW order totals.
+      // ONE conditional-aggregation scan accumulates n / Σc / Σc² per
+      // group in exact integer cents (DECIMAL(38,0) — Σc² overflows
+      // BIGINT at fleet scale); mean, variance, t and the
+      // Welch–Satterthwaite df are then pure double arithmetic over
+      // those six exact scalars, written identically in the oracle.
+      val c = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val ga = (col("o_orderpriority") === "1-URGENT").cast("long")
+      val agg = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(ga.as("ga"), c.as("c"))
+        .agg(sum(col("ga")).as("n1"), sum(lit(1L) - col("ga")).as("n2"),
+          sum(when(col("ga") === 1, col("c")).otherwise(0L)
+            .cast("decimal(38,0)")).as("s1"),
+          sum(when(col("ga") === 0, col("c")).otherwise(0L)
+            .cast("decimal(38,0)")).as("s2"),
+          sum(when(col("ga") === 1, col("c") * col("c")).otherwise(0L)
+            .cast("decimal(38,0)")).as("q1"),
+          sum(when(col("ga") === 0, col("c") * col("c")).otherwise(0L)
+            .cast("decimal(38,0)")).as("q2"))
+      val (n1d, n2d) = (col("n1").cast("double"), col("n2").cast("double"))
+      val (s1d, s2d) = (col("s1").cast("double"), col("s2").cast("double"))
+      val (q1d, q2d) = (col("q1").cast("double"), col("q2").cast("double"))
+      val v1 = (q1d - s1d * s1d / n1d) / (n1d - 1)
+      val v2 = (q2d - s2d * s2d / n2d) / (n2d - 1)
+      val se2 = v1 / n1d + v2 / n2d
+      agg.select(col("n1").as("n_urgent"), col("n2").as("n_low"),
+        roundTo(s1d / n1d / 100, 4).as("mean_urgent"),
+        roundTo(s2d / n2d / 100, 4).as("mean_low"),
+        roundTo((s1d / n1d - s2d / n2d) / sqrt(se2), 6).as("t_stat"),
+        roundTo(se2 * se2 / ((v1 / n1d) * (v1 / n1d) / (n1d - 1) +
+          (v2 / n2d) * (v2 / n2d) / (n2d - 1)), 4).as("df"))
+    }),
+
+    "q_autocorr" -> ((s, d) => {
+      // Lag-1..3 autocorrelation of the monthly revenue series. The
+      // series reduces to the bounded (month-index, cents) frame;
+      // each lag's pairs come from an equi-join of the frame to
+      // itself shifted by the broadcast lag table (midx_b = midx+lag
+      // — a hash join, never a window or a sort); Pearson r per lag
+      // uses DECIMAL(38,0)-exact power sums (cents products overflow
+      // BIGINT) cast to double only in the final expression.
+      val m = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate").cast("date")).cast("long") * 12 +
+          month(col("o_orderdate").cast("date")).cast("long") - 1).as("midx"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("c"))
+      val lags = s.range(1, 4).select(col("id").as("lag"))
+      val b = m.select(col("midx").as("midx_b"), col("c").as("c_b"))
+      val dec = (x: Column) => x.cast("decimal(19,0)")
+      val pairs = m.crossJoin(broadcast(lags))
+        .join(broadcast(b), col("midx_b") === col("midx") + col("lag"))
+      val agg = pairs.groupBy(col("lag")).agg(count(lit(1)).as("n"),
+        sum(dec(col("c"))).as("sx"), sum(dec(col("c_b"))).as("sy"),
+        sum((dec(col("c")) * dec(col("c_b"))).cast("decimal(38,0)")).as("sxy"),
+        sum((dec(col("c")) * dec(col("c"))).cast("decimal(38,0)")).as("sxx"),
+        sum((dec(col("c_b")) * dec(col("c_b"))).cast("decimal(38,0)")).as("syy"))
+      val nd = col("n").cast("double")
+      val (sxd, syd) = (col("sx").cast("double"), col("sy").cast("double"))
+      val (xyd, xxd, yyd) =
+        (col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+      agg.select(col("lag"), col("n").as("n_pairs"),
+          roundTo((nd * xyd - sxd * syd) /
+            sqrt((nd * xxd - sxd * sxd) * (nd * yyd - syd * syd)), 6).as("acf"))
+        .orderBy("lag")
+    }),
+
+    "q_ab_conversion" -> ((s, d) => {
+      // Two-proportion z-test on a deterministic 50/50 user split
+      // (portable md5 hash — the q_split_assign pattern, no rand()):
+      // did variant A's users convert (≥1 purchase) more than B's?
+      // One shuffle to the user grain, then a 1-row conditional agg;
+      // the pooled z-statistic is pure double arithmetic over exact
+      // integer counts. Guarded: NULL if a variant is empty or the
+      // pooled rate is degenerate (0 or 1).
+      val h = pmod(conv(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 15), 16, 10)
+        .cast("long"), lit(2L))
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .select((h === 0L).cast("long").as("a"), col("conv"))
+      val agg = users.agg(
+        sum(col("a")).as("n_a"), sum(lit(1L) - col("a")).as("n_b"),
+        sum(col("a") * col("conv")).as("conv_a"),
+        sum((lit(1L) - col("a")) * col("conv")).as("conv_b"))
+      val (nad, nbd) = (col("n_a").cast("double"), col("n_b").cast("double"))
+      val (cad, cbd) = (col("conv_a").cast("double"), col("conv_b").cast("double"))
+      val p = (cad + cbd) / (nad + nbd)
+      agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        roundTo(cad / nad, 6).as("rate_a"),
+        roundTo(cbd / nbd, 6).as("rate_b"),
+        roundTo((cad / nad - cbd / nbd) /
+          sqrt(p * (lit(1) - p) * (lit(1.0) / nad + lit(1.0) / nbd)), 6).as("z_stat"))
     })
   )
 
