@@ -3631,16 +3631,20 @@ object SparkEntry {
     "q_ab_conversion" -> ((s, d) => {
       // Two-proportion z-test on a deterministic 50/50 user split
       // (portable md5 hash — the q_split_assign pattern, no rand()):
-      // did variant A's users convert (≥1 purchase) more than B's?
-      // One shuffle to the user grain, then a 1-row conditional agg;
-      // the pooled z-statistic is pure double arithmetic over exact
-      // integer counts. Guarded: NULL if a variant is empty or the
-      // pooled rate is degenerate (0 or 1).
+      // do variant A's users "convert" (≥14 purchases — purchases per
+      // user are scale-invariant ≈13, so the rate stays interior at
+      // every SF) more than B's? One shuffle to the user grain, then
+      // a 1-row conditional agg; the pooled z-statistic is pure
+      // double arithmetic over exact integer counts. Guarded: z is
+      // NULL when a variant is empty or the pooled rate is
+      // degenerate (0 or 1) — CaseWhen short-circuits, so the ANSI
+      // division never sees a zero denominator.
       val h = pmod(conv(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 15), 16, 10)
         .cast("long"), lit(2L))
       val users = Tables.events(s, d)
         .groupBy(col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14L)
+          .cast("long").as("conv"))
         .select((h === 0L).cast("long").as("a"), col("conv"))
       val agg = users.agg(
         sum(col("a")).as("n_a"), sum(lit(1L) - col("a")).as("n_b"),
@@ -3649,11 +3653,16 @@ object SparkEntry {
       val (nad, nbd) = (col("n_a").cast("double"), col("n_b").cast("double"))
       val (cad, cbd) = (col("conv_a").cast("double"), col("conv_b").cast("double"))
       val p = (cad + cbd) / (nad + nbd)
+      val degenerate = col("n_a") === 0L || col("n_b") === 0L ||
+        col("conv_a") + col("conv_b") === 0L ||
+        col("conv_a") + col("conv_b") === col("n_a") + col("n_b")
       agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
         roundTo(cad / nad, 6).as("rate_a"),
         roundTo(cbd / nbd, 6).as("rate_b"),
-        roundTo((cad / nad - cbd / nbd) /
-          sqrt(p * (lit(1) - p) * (lit(1.0) / nad + lit(1.0) / nbd)), 6).as("z_stat"))
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(roundTo((cad / nad - cbd / nbd) /
+            sqrt(p * (lit(1) - p) * (lit(1.0) / nad + lit(1.0) / nbd)), 6))
+          .as("z_stat"))
     })
   )
 
@@ -5574,7 +5583,104 @@ object SparkEntry {
          | GROUP BY l_suppkey)
          |SELECT s_suppkey, s_name, waiting_orders
          |FROM g JOIN supplier ON l_suppkey = s_suppkey
-         |ORDER BY waiting_orders DESC, s_suppkey""".stripMargin
+         |ORDER BY waiting_orders DESC, s_suppkey""".stripMargin,
+
+    "q_spearman_corr" ->
+      s"""WITH m AS (SELECT epoch_ms(date_trunc('month', o_orderdate)) AS mm,
+         |  SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS c,
+         |  CAST(COUNT(*) AS BIGINT) AS k
+         | FROM orders GROUP BY 1),
+         |r AS (SELECT a.mm,
+         |  CAST(2*SUM(CASE WHEN b.c < a.c THEN 1 ELSE 0 END) +
+         |    SUM(CASE WHEN b.c = a.c THEN 1 ELSE 0 END) + 1 AS BIGINT) AS x,
+         |  CAST(2*SUM(CASE WHEN b.k < a.k THEN 1 ELSE 0 END) +
+         |    SUM(CASE WHEN b.k = a.k THEN 1 ELSE 0 END) + 1 AS BIGINT) AS y
+         | FROM m a CROSS JOIN m b GROUP BY a.mm),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |  CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+         |  CAST(SUM(y*y) AS BIGINT) AS syy FROM r)
+         |SELECT n AS n_months,
+         | ${sqlRound("CAST(n*sxy - sx*sy AS DOUBLE)/" +
+             "sqrt(CAST(n*sxx - sx*sx AS DOUBLE)*CAST(n*syy - sy*sy AS DOUBLE))", 6)}
+         |   AS rho
+         |FROM g""".stripMargin,
+
+    "q_welch_ttest" -> {
+      val v1 = "(q1d - s1d*s1d/n1d)/(n1d - 1)"
+      val v2 = "(q2d - s2d*s2d/n2d)/(n2d - 1)"
+      s"""WITH a AS (SELECT
+         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga,
+         |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
+         | FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         |g AS (SELECT CAST(SUM(ga) AS BIGINT) AS n1, CAST(SUM(1 - ga) AS BIGINT) AS n2,
+         |  SUM(CAST(CASE WHEN ga = 1 THEN c ELSE 0 END AS DECIMAL(38,0))) AS s1,
+         |  SUM(CAST(CASE WHEN ga = 0 THEN c ELSE 0 END AS DECIMAL(38,0))) AS s2,
+         |  SUM(CAST(CASE WHEN ga = 1 THEN c*c ELSE 0 END AS DECIMAL(38,0))) AS q1,
+         |  SUM(CAST(CASE WHEN ga = 0 THEN c*c ELSE 0 END AS DECIMAL(38,0))) AS q2
+         | FROM a),
+         |d AS (SELECT n1, n2,
+         |  CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+         |  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+         |  CAST(q1 AS DOUBLE) AS q1d, CAST(q2 AS DOUBLE) AS q2d FROM g),
+         |w AS (SELECT *, ($v1)/n1d + ($v2)/n2d AS se2 FROM d)
+         |SELECT n1 AS n_urgent, n2 AS n_low,
+         | ${sqlRound("s1d/n1d/100", 4)} AS mean_urgent,
+         | ${sqlRound("s2d/n2d/100", 4)} AS mean_low,
+         | ${sqlRound("(s1d/n1d - s2d/n2d)/sqrt(se2)", 6)} AS t_stat,
+         | ${sqlRound(s"se2*se2/(($v1/n1d)*($v1/n1d)/(n1d - 1) + " +
+             s"($v2/n2d)*($v2/n2d)/(n2d - 1))", 4)} AS df
+         |FROM w""".stripMargin
+    },
+
+    "q_autocorr" ->
+      s"""WITH m AS (SELECT
+         |  year(CAST(o_orderdate AS DATE))*12 + month(CAST(o_orderdate AS DATE)) - 1
+         |    AS midx,
+         |  SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS c
+         | FROM orders GROUP BY 1),
+         |p AS (SELECT CAST(l.lag AS BIGINT) AS lag, a.c AS c, b.c AS c_b
+         | FROM m a CROSS JOIN (VALUES (1), (2), (3)) AS l(lag)
+         |  JOIN m b ON b.midx = a.midx + l.lag),
+         |g AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         |  SUM(CAST(c AS DECIMAL(19,0))) AS sx, SUM(CAST(c_b AS DECIMAL(19,0))) AS sy,
+         |  SUM(CAST(CAST(c AS DECIMAL(19,0))*CAST(c_b AS DECIMAL(19,0))
+         |    AS DECIMAL(38,0))) AS sxy,
+         |  SUM(CAST(CAST(c AS DECIMAL(19,0))*CAST(c AS DECIMAL(19,0))
+         |    AS DECIMAL(38,0))) AS sxx,
+         |  SUM(CAST(CAST(c_b AS DECIMAL(19,0))*CAST(c_b AS DECIMAL(19,0))
+         |    AS DECIMAL(38,0))) AS syy
+         | FROM p GROUP BY lag)
+         |SELECT lag, n AS n_pairs,
+         | ${sqlRound("(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - " +
+             "CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))/" +
+             "sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - " +
+             "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))*" +
+             "(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - " +
+             "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))", 6)} AS acf
+         |FROM g ORDER BY lag""".stripMargin,
+
+    "q_ab_conversion" ->
+      s"""WITH u AS (SELECT user_id,
+         |  CASE WHEN (('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT % 2 + 2) % 2 = 0
+         |    THEN 1 ELSE 0 END AS a,
+         |  CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+         |    THEN 1 ELSE 0 END AS conv
+         | FROM events GROUP BY user_id),
+         |g AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(1 - a) AS BIGINT) AS n_b,
+         |  CAST(SUM(a*conv) AS BIGINT) AS conv_a,
+         |  CAST(SUM((1 - a)*conv) AS BIGINT) AS conv_b FROM u),
+         |d AS (SELECT *, CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         |  CAST(conv_a AS DOUBLE) AS cad, CAST(conv_b AS DOUBLE) AS cbd FROM g),
+         |w AS (SELECT *, (cad + cbd)/(nad + nbd) AS p FROM d)
+         |SELECT n_a, n_b, conv_a, conv_b,
+         | ${sqlRound("cad/nad", 6)} AS rate_a,
+         | ${sqlRound("cbd/nbd", 6)} AS rate_b,
+         | CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+         |     OR conv_a + conv_b = n_a + n_b THEN NULL
+         |   ELSE ${sqlRound("(cad/nad - cbd/nbd)/" +
+             "sqrt(p*(1 - p)*(1.0/nad + 1.0/nbd))", 6)} END AS z_stat
+         |FROM w""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the
