@@ -33,19 +33,26 @@ object Bench {
       }.min
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(rs: Iterable[(String, Double)]): String = rs
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"agg":"min"}"""
-    println(json)
-    // the one-line JSON also lands in bench_out.json so the driver /
-    // judge can parse the full result even when only a log TAIL is
-    // captured (BENCH_r04's parsed field was null for that reason)
+    // full per-query map → bench_out.json (parsable whole even when
+    // the driver only captures a log tail)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","passes":$passes,"agg":"min"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-        (json + "\n").getBytes("UTF-8"))
+        (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // stdout line stays under a log-tail capture window (~4 KB): with
+    // 180+ queries the full map overflowed it and BENCH_r04/r05's
+    // parsed field came back null — print the headline total plus the
+    // slowest-30 queries at ms precision, full map in bench_out.json
+    val slowest = results.toSeq.sortBy(-_._2).take(30)
+      .map { case (k, v) => k -> (math.round(v * 1000) / 1000.0) }
+    val compact =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":${fmt(slowest)},"n_queries":${results.size},"queries_full":"bench_out.json","sf":"$sfDir","passes":$passes,"agg":"min"}"""
+    println(compact)
     spark.stop()
   }
 }

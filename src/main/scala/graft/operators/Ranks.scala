@@ -136,10 +136,24 @@ object Ranks {
                      bucketOn: String, ascending: Boolean,
                      cumCol: String, totalCol: String,
                      shift: Int = 48): DataFrame = {
+    val valueScale = df.schema(valueCol).dataType match {
+      case dt: org.apache.spark.sql.types.DecimalType => dt.scale
+      case other => throw new IllegalArgumentException(
+        s"withRunningSum needs a DECIMAL valueCol for exactness; " +
+          s"'$valueCol' is $other — fixed-point-scale it upstream")
+    }
     val withB = withBucket(df, bucketOn, shift)
+    // a bucket whose rows are all NULL in valueCol sums to NULL —
+    // fold it as zero (SQL SUM skips nulls)
     val partials = withB.groupBy(col(B)).agg(sum(col(valueCol)).as(CNT)).collect()
-      .map(r => (r.getLong(0), r.getDecimal(1)))
-    val ordered = if (ascending) partials.sortBy(_._1) else partials.sortBy(-_._1)
+      .map(r => (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO)))
+    // desc: Ordering.reverse, NOT sortBy(-_) — negating the null
+    // bucket id Long.MinValue overflows back to itself, which would
+    // put the null bucket FIRST where Spark's desc sorts nulls LAST
+    val ordered =
+      if (ascending) partials.sortBy(_._1)
+      else partials.sortBy(_._1)(Ordering[Long].reverse)
     val total = ordered.map(_._2)
       .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
     val priors = ordered.map(_._2).scanLeft(java.math.BigDecimal.ZERO)(_ add _)
@@ -149,8 +163,10 @@ object Ranks {
     val offDf = ordered.zipWithIndex.map { case ((b, _), i) =>
       (b, scala.math.BigDecimal(priors(i)), scala.math.BigDecimal(total))
     }.toSeq.toDF(jB, OFF, totalCol)
-      .select(col(jB), col(OFF).cast("decimal(38,2)").as(OFF),
-        col(totalCol).cast("decimal(38,2)").as(totalCol))
+      // offsets keep the input's decimal scale — hardcoding a scale
+      // would silently round prior-offsets of finer-scaled values
+      .select(col(jB), col(OFF).cast(s"decimal(38,$valueScale)").as(OFF),
+        col(totalCol).cast(s"decimal(38,$valueScale)").as(totalCol))
     val wIn = Window.partitionBy(col(B)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB.join(broadcast(offDf), col(B) === col(jB))

@@ -47,15 +47,18 @@ case object DenseRnk extends RankMode
   * the global winners. O(n log k), bit-identical output for any
   * total ordering (ties behave exactly as the window function does).
   *
-  * Memory profile: each phase holds the per-partition winners —
-  * for row_number exactly groups×k rows = the OUTPUT size — in heap
-  * maps, with no spill path; the window it replaces buffers the
-  * whole INPUT partition (with spill). rank/dense_rank keep boundary
-  * ties too, which is still exactly their output size. Top-k
-  * workloads have output ≪ input, so the trade is favorable
-  * everywhere the idiom is actually used; in the degenerate
-  * group-cardinality≈rows case output≈input and the kill-switch
-  * below restores the spilling window.
+  * Memory profile: the PARTIAL pass holds per-partition winners —
+  * for row_number exactly groups×k rows — in a heap map, guarded by
+  * a task row budget (`spark.graft.topk.taskRowBudget`, default 4M
+  * retained rows): past the budget the pass stops absorbing and
+  * passes the remaining rows through unchanged, which is always
+  * sound (the partial pass only needs to emit a SUPERSET of each
+  * group's winners), so a near-unique group key degrades to a plain
+  * shuffle instead of an OOM. The FINAL pass holds O(1) state: it
+  * requires a (group, order) child ordering — Spark plans its
+  * spillable SortExec over just the map-side winners (output-sized,
+  * ≪ input) — and streams each group counting ranks, so no task
+  * ever buffers a group.
   *
   * Kill-switch: `spark.graft.rewrite.topk=false` (the rewrite is
   * semantics-preserving, but a scale guardrail you can't disable is
@@ -211,10 +214,15 @@ private[plans] final class TieGroup(k: Int,
 
 /** Per-group top-k winners. `partial = true` runs before the
   * exchange with no distribution requirement (map-side reduction, no
-  * rank emitted); the final pass requires clustering on the group
-  * key and appends the mode's 1-based rank. row_number uses a plain
-  * size-k max-heap; rank/dense_rank keep a tie-aware ordered bucket
-  * map so boundary ties survive exactly as the window emits them. */
+  * rank emitted): row_number uses a plain size-k max-heap,
+  * rank/dense_rank a tie-aware ordered bucket map, and a retained-row
+  * budget caps the task's heap — past it, remaining rows pass through
+  * unchanged (a valid partial reduction is any per-group SUPERSET of
+  * the winners). The final pass requires clustering AND (group,
+  * order) ordering — Spark's spillable sort — and streams rows
+  * counting the mode's 1-based rank with O(1) state; rank of a
+  * winner among the winner superset equals its global rank because
+  * every predecessor of a winner is itself a winner. */
 case class TopKPerGroupExec(partition: Seq[Expression], order: Seq[SortOrder],
                             k: Int, mode: RankMode, rnAttr: Attribute,
                             partial: Boolean,
@@ -230,6 +238,15 @@ case class TopKPerGroupExec(partition: Seq[Expression], order: Seq[SortOrder],
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(partition))
 
+  private def groupOrdering: Seq[SortOrder] =
+    partition.map(SortOrder(_, Ascending)) ++ order
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil) else Seq(groupOrdering)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else groupOrdering
+
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
@@ -239,16 +256,22 @@ case class TopKPerGroupExec(partition: Seq[Expression], order: Seq[SortOrder],
     val childOutput = child.output
     val partExprs = partition
     val sortOrder = order
-    val isPartial = partial
     val rnkMode = mode
     val kk = k
     val rn = rnAttr
-    child.execute().mapPartitions { iter =>
+    // resolved on the driver: retained-row budget for the partial
+    // pass's heap (HeapGroup caps at k rows/group, TieGroup at the
+    // tie-trimmed winner set), sized so a task's buffered winners
+    // stay far below executor memory even at wide rows
+    val budget = conf.getConfString("spark.graft.topk.taskRowBudget",
+      "4000000").toLong
+    if (partial) child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val ord: java.util.Comparator[InternalRow] =
         GenerateOrdering.generate(sortOrder, childOutput)
       val groups = new java.util.HashMap[UnsafeRow, AnyRef]()
-      while (iter.hasNext) {
+      var overBudget = false
+      while (iter.hasNext && !overBudget) {
         val row = iter.next()
         val key = keyProj(row)
         var group = groups.get(key)
@@ -259,25 +282,66 @@ case class TopKPerGroupExec(partition: Seq[Expression], order: Seq[SortOrder],
             case DenseRnk => new TieGroup(kk, ord, dense = true)
           }
           groups.put(key.copy(), group)
+          // worst-case retained rows ≈ groups×k; checked on group
+          // creation so the common few-groups path never pays it
+          if (groups.size().toLong * kk > budget) overBudget = true
         }
         group match {
           case g: HeapGroup => g.add(row)
           case g: TieGroup => g.add(row)
         }
       }
-      val outProj =
-        if (isPartial) null
-        else UnsafeProjection.create(childOutput :+ rn, childOutput :+ rn)
-      val joined = new JoinedRow
       import scala.jdk.CollectionConverters._
-      groups.values().iterator().asScala.flatMap { group =>
+      val winners = groups.values().iterator().asScala.flatMap { group =>
         val ranked = group match {
           case g: HeapGroup => g.emit()
           case g: TieGroup => g.emit()
         }
-        if (isPartial) ranked.map(_._1)
-        else ranked.map { case (r, rank) =>
-          outProj(joined(r, InternalRow(rank))): InternalRow
+        ranked.map(_._1)
+      }
+      // budget exceeded: ship the rest unreduced — the final pass is
+      // exact over any winner superset, so this only costs shuffle
+      winners ++ iter
+    } else child.execute().mapPartitions { iter =>
+      // clustered + sorted input: stream each group, count ranks,
+      // emit while rank <= k — no per-group buffering at all
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val ord: java.util.Comparator[InternalRow] =
+        GenerateOrdering.generate(sortOrder, childOutput)
+      val outProj = UnsafeProjection.create(childOutput :+ rn, childOutput :+ rn)
+      val joined = new JoinedRow
+      new Iterator[InternalRow] {
+        private var curKey: UnsafeRow = null
+        private var seen = 0        // row_number within group
+        private var prevRank = 0    // rank of the previous row
+        private var prevRow: InternalRow = null
+        private var ready = false
+        private var out: InternalRow = null
+        private def advance(): Unit = {
+          while (!ready && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            if (curKey == null || key != curKey) {
+              curKey = key.copy(); seen = 0; prevRank = 0; prevRow = null
+            }
+            seen += 1
+            val tied = prevRow != null && ord.compare(row, prevRow) == 0
+            val rank = rnkMode match {
+              case RowNum => seen
+              case Rnk => if (tied) prevRank else seen
+              case DenseRnk => if (tied) prevRank else prevRank + 1
+            }
+            prevRow = row.copy(); prevRank = rank
+            if (rank <= kk) {
+              out = outProj(joined(row, InternalRow(rank)))
+              ready = true
+            }
+          }
+        }
+        override def hasNext: Boolean = { if (!ready) advance(); ready }
+        override def next(): InternalRow = {
+          if (!ready) advance()
+          ready = false; out
         }
       }
     }

@@ -408,18 +408,43 @@ object Streams {
     q.awaitTermination()
   }
 
-  /** Run an Update-mode stateful stream once, materializing each
-    * micro-batch's emission over `outPath` (last batch wins — the
-    * serving pattern for re-emitted per-key results like the top-k
-    * leaderboard). foreachBatch, so the checkpoint RESUMES across
-    * runs, unlike the memory sink. */
-  def runOnceUpdate(df: DataFrame, checkpoint: String, outPath: String): Unit = {
+  /** Run an Update-mode stateful stream once, merging each
+    * micro-batch's emission into `outPath` BY KEY — Update mode only
+    * re-emits keys touched in that batch, so a whole-path overwrite
+    * would drop every key absent from the final batch whenever
+    * AvailableNow splits the input into several micro-batches. Batch
+    * rows replace same-key rows; untouched keys survive. Uses the
+    * [[runUpsertOnce]] crash-safe swap protocol; `keys` must be
+    * non-null in the emission (they are grouping keys upstream).
+    * foreachBatch, so the checkpoint RESUMES across runs, unlike the
+    * memory sink. */
+  def runOnceUpdate(df: DataFrame, keys: Seq[String], checkpoint: String,
+                    outPath: String): Unit = {
     val q = df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outPath)
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val target = new org.apache.hadoop.fs.Path(outPath)
+        val tmp = new org.apache.hadoop.fs.Path(outPath + "__tmp")
+        val old = new org.apache.hadoop.fs.Path(outPath + "__old")
+        val fs = target.getFileSystem(conf)
+        if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        val b = batch.toDF()
+        val merged =
+          if (fs.exists(target))
+            spark.read.parquet(outPath)
+              .join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
+              .unionByName(b)
+          else b
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(target)) fs.rename(target, old)
+        fs.rename(tmp, target)
+        fs.delete(old, true)
         ()
       }
       .start()

@@ -185,6 +185,46 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("withRunningSum: null bucketOn sorts last under desc, first under asc; scale-4 stays exact") {
+    // bucketOn (b) differs from valueCol (v): null-b rows land in the
+    // Long.MinValue bucket but still carry non-null decimal values, so
+    // a mis-sorted null bucket silently corrupts every offset. Also a
+    // scale-4 valueCol — a hardcoded (38,2) offset cast would round it.
+    val rows = Seq.tabulate(40) { i =>
+      val b = if (i % 7 == 0) None else Some(((i * 13) % 9).toDouble)
+      (i.toLong, b, s"${(i * 31) % 5}.${1000 + (i * 97) % 9000}")
+    }
+    val df = rows.toDF("id", "b", "v")
+      .select(col("id"), col("b"), col("v").cast("decimal(18,4)").as("v"))
+    for (asc <- Seq(true, false)) {
+      val ord = if (asc) Seq(col("b").asc, col("id").asc)
+                else Seq(col("b").desc, col("id").asc)
+      val got = Ranks.withRunningSum(df, "v", ord, "b", asc, "cum", "tot")
+        .select(col("id"), col("cum").cast("string"), col("tot").cast("string"))
+        .as[(Long, String, String)].collect()
+        .map { case (id, c, t) => id -> ((BigDecimal(c), BigDecimal(t))) }.toMap
+      // Spark null ordering: asc = NULLS FIRST, desc = NULLS LAST
+      val sorted =
+        if (asc) rows.sortBy(r => (r._2.isDefined, r._2.getOrElse(0.0), r._1))
+        else rows.sortBy(r => (r._2.isEmpty, -r._2.getOrElse(0.0), r._1))
+      val tot = rows.map(r => BigDecimal(r._3)).sum
+      var cum = BigDecimal(0)
+      sorted.foreach { case (id, _, v) =>
+        cum += BigDecimal(v)
+        assert(got(id) == ((cum, tot)),
+          s"asc=$asc id=$id: got ${got(id)} want ($cum, $tot)")
+      }
+    }
+  }
+
+  test("withRunningSum rejects non-decimal valueCol") {
+    val df = Seq((1L, 1.5)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Ranks.withRunningSum(df, "v", Seq(col("v").asc), "v", ascending = true,
+        "cum", "tot")
+    }
+  }
+
   test("weightedMedians == driver-side running-weight fold; zero weights never selected") {
     // synthetic: zero-weight rows may sit exactly at the crossing
     val tiny = Seq((1.0, 0L, 1L), (2.0, 3L, 2L), (3.0, 0L, 3L), (4.0, 3L, 4L))

@@ -128,11 +128,11 @@ class SimilarityAndStreamingSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       Streams.runOnceUpdate(streamingTopK(stream, 5).toDF(),
-        s"$dir/ckpt", s"$dir/out")
+        Seq("event_type"), s"$dir/ckpt", s"$dir/out")
       ev.where(col("event_id") % 2 === 1).coalesce(1)
         .write.mode("append").parquet(s"$dir/in")
       Streams.runOnceUpdate(streamingTopK(stream, 5).toDF(),
-        s"$dir/ckpt", s"$dir/out")
+        Seq("event_type"), s"$dir/ckpt", s"$dir/out")
     } finally saved match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -149,6 +149,26 @@ class SimilarityAndStreamingSpec extends SparkSpec {
       .select("event_type", "rank", "event_id")
       .as[(String, Int, Long)].collect().toSet
     assert(got == expected)
+  }
+
+  test("runOnceUpdate keeps keys untouched by the final micro-batch") {
+    // Update mode only re-emits keys touched in a batch: a key seen
+    // only in an EARLIER micro-batch must survive in the materialized
+    // output (the old whole-path overwrite dropped it)
+    val dir = java.nio.file.Files.createTempDirectory("graft_upd_merge").toString
+    Seq(("x", 1L), ("y", 2L)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def counts = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .groupBy("k").agg(sum("v").as("total"))
+    Streams.runOnceUpdate(counts, Seq("k"), s"$dir/ckpt", s"$dir/out")
+    // second run's only batch touches y — x must still be served
+    Seq(("y", 5L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    Streams.runOnceUpdate(counts, Seq("k"), s"$dir/ckpt", s"$dir/out")
+    val got = spark.read.parquet(s"$dir/out")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 1L, "y" -> 7L), got.toString)
   }
 
   test("transformWithState sessionizer matches the fMGWS one") {

@@ -110,6 +110,30 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(rows.forall(r => r._2 == 1 || r._2 == 2))
   }
 
+  test("partial-pass row budget: pass-through fallback stays exact") {
+    // budget of 10 retained rows with 13 groups × k=3 forces every
+    // partial task over budget mid-stream — remaining rows ship
+    // unreduced and the sort-streaming final pass must still be exact
+    spark.conf.set("spark.graft.topk.taskRowBudget", "10")
+    try {
+      val got = topkDf(3).as[(Int, Int, Long, Int)].collect().toSet
+      val expected = {
+        spark.conf.set("spark.graft.rewrite.topk", "false")
+        try topkDf(3).as[(Int, Int, Long, Int)].collect().toSet
+        finally spark.conf.set("spark.graft.rewrite.topk", "true")
+      }
+      assert(got == expected)
+    } finally spark.conf.unset("spark.graft.topk.taskRowBudget")
+  }
+
+  test("final pass rides a spillable sort, not a heap map") {
+    // the final exec declares a (group, order) requiredChildOrdering:
+    // EnsureRequirements must plan Spark's spillable SortExec between
+    // the exchange and the final TopKPerGroup
+    val plan = topkDf(3).queryExecution.executedPlan.toString
+    assert(plan.contains("Sort "), s"no sort below the final pass:\n$plan")
+  }
+
   test("multi-expression windows and global windows are left alone") {
     val w = Window.partitionBy("g").orderBy(col("v").asc)
     val df = Seq((1, 5), (1, 9)).toDF("g", "v")
