@@ -4,12 +4,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // optional comma-separated query filter for targeted profiling
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q_abc_parts,q_triangle_count)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
     val spark = graft.sources.GraftSession.local(cpus)
     // Untimed warmup pass: first execution pays JVM JIT + Janino
     // whole-stage-codegen compilation (cached per plan within the
     // session), not query work — the timed passes below measure
     // steady-state throughput.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
@@ -18,7 +26,7 @@ object Bench {
     // tails incomparable; the min is the least-noise estimator of the
     // query's actual cost on this machine.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val best = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

@@ -33,6 +33,14 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tz-less parquet TIMESTAMP(MICROS) columns read as plain
+      // TIMESTAMP (UTC session), not TIMESTAMP_NTZ: the generator
+      // writes naive-UTC micros and every time function downstream
+      // (unix_millis, window, date_trunc) expects the LTZ type —
+      // same values either way under a UTC session, and this keeps
+      // one timestamp type across both the nanos and micros shapes
+      // of the events table
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   /** Local session for tests/benchmarks on this machine. */
   def local(cores: Int): SparkSession = {
