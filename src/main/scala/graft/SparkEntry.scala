@@ -904,26 +904,22 @@ object SparkEntry {
 
     "q_assoc_rules" -> ((s, d) => {
       // directed association rules a→b over per-user item sets — the
-      // market-basket classic. Support comes from the SAME undirected
-      // pair-counting shape as q_item_cooccurrence (a<b, one shuffle);
+      // market-basket classic. Support comes from the SAME Baskets
+      // pair-counting shape as q_item_cooccurrence (collect_set per
+      // user, in-array i<j pairs — two wide stages, no self-join);
       // each supported pair then fans out to both directions with
       // confidence n_ab/n_a and lift n_ab·N/(n_a·n_b), gated on
       // support ≥ 3 and confidence ≥ 0.2. Item user-counts and the
       // user total stay broadcast.
-      val ui = Tables.events(s, d)
-        .select(col("user_id"),
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1)
-            .cast("bigint").as("item"))
-        .where(col("item").isNotNull).distinct()
-      val itemUsers = ui.groupBy("item").agg(count(lit(1)).as("__n_item"))
-      val nUsers = ui.select(col("user_id")).distinct()
-        .agg(count(lit(1)).as("__n_users"))
-      val a = ui.as("a"); val b = ui.as("b")
-      val pairs = a.join(b, col("a.user_id") === col("b.user_id") &&
-          col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
-        .agg(count(lit(1)).as("n_both"))
-        .filter(col("n_both") >= 3)
+      val B = graft.operators.Baskets
+      val sets = B.userItemSets(
+        Tables.events(s, d).select(col("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item")),
+        "user_id", "item")
+      val itemUsers = B.itemUserCounts(sets)
+        .withColumnRenamed("n_users", "__n_item")
+      val nUsers = B.userCount(sets).withColumnRenamed("n_users", "__n_users")
+      val pairs = B.pairCounts(sets).filter(col("n_both") >= 3)
       val directed = pairs.select(explode(array(
           struct(col("i").as("antecedent"), col("j").as("consequent"),
             col("n_both")),
@@ -2652,24 +2648,24 @@ object SparkEntry {
 
     // market-basket co-occurrence with lift: item pairs that appear
     // for the same user more often than independence predicts.
-    // Distinct (user, item) first — ONE shuffle that also bounds the
-    // self-join fanout by the item domain, not the event count — then
-    // the pair join shuffles on user_id and tiny per-item user counts
-    // broadcast back. For unbounded item domains, cap per-user fanout
-    // with a doc-frequency knob like NearDup's maxDocFreq.
+    // Pair counting via Baskets: ONE groupBy-user shuffle gathers each
+    // user's sorted distinct item set (collect_set dedups in the same
+    // pass), pairs are generated INSIDE the array (narrow, codegen'd)
+    // and the pair groupBy is the only other wide stage — no self-join,
+    // no sort-merge sorts. Tiny per-item user counts broadcast back.
+    // For unbounded item domains, cap per-user fanout with Baskets'
+    // maxItems knob (NearDup's maxDocFreq analog).
     "q_item_cooccurrence" -> ((s, d) => {
-      val ui = Tables.events(s, d)
-        .select(col("user_id"),
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
-        .where(col("item").isNotNull).distinct()
-      val itemUsers = ui.groupBy("item").agg(count(lit(1)).as("__n_item"))
-      val nUsers = ui.select(col("user_id")).distinct()
-        .agg(count(lit(1)).as("__n_users"))
-      val a = ui.as("a"); val b = ui.as("b")
-      a.join(b, col("a.user_id") === col("b.user_id") &&
-          col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
-        .agg(count(lit(1)).as("n_both"))
+      val sets = graft.operators.Baskets.userItemSets(
+        Tables.events(s, d).select(col("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item")),
+        "user_id", "item")
+      val itemUsers = graft.operators.Baskets.itemUserCounts(sets)
+        .withColumnRenamed("n_users", "__n_item")
+      val nUsers = graft.operators.Baskets.userCount(sets)
+        .withColumnRenamed("n_users", "__n_users")
+      graft.operators.Baskets.pairCounts(sets)
+        .withColumnRenamed("i", "item_a").withColumnRenamed("j", "item_b")
         .filter(col("n_both") >= 3)
         .join(broadcast(itemUsers.withColumnRenamed("item", "item_a")
           .withColumnRenamed("__n_item", "__n_a")), "item_a")
@@ -2721,16 +2717,13 @@ object SparkEntry {
     // shuffle (groupBy dst) plus a broadcast of the tiny node frame;
     // identical edge subtrees collapse via exchange reuse.
     "q_pagerank_items" -> ((s, d) => {
-      val ui = Tables.events(s, d)
-        .select(col("user_id"),
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
-        .where(col("item").isNotNull).distinct()
-      val a = ui.as("a"); val b = ui.as("b")
-      val pairs = a.join(b, col("a.user_id") === col("b.user_id") &&
-          col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("s"), col("b.item").as("t"))
-        .agg(count(lit(1)).as("n_both")).filter(col("n_both") >= 3)
-        .select("s", "t")
+      val pairs = graft.operators.Baskets.pairCounts(
+        graft.operators.Baskets.userItemSets(
+          Tables.events(s, d).select(col("user_id"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item")),
+          "user_id", "item"))
+        .filter(col("n_both") >= 3)
+        .select(col("i").as("s"), col("j").as("t"))
       // the pair graph feeds every iteration plus the degree/count
       // frames — persist it so the expensive co-occurrence subtree
       // executes ONCE, not once per iteration (query-owned cache;
@@ -3131,18 +3124,18 @@ object SparkEntry {
     // are keyed on items; the wedge join fans out by the filtered
     // degree, which the lift gate bounds.
     "q_triangle_count" -> ((s, d) => {
-      val ui = Tables.events(s, d)
-        .select(col("user_id"),
-          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
-        .where(col("item").isNotNull).distinct()
-      val itemUsers = ui.groupBy("item").agg(count(lit(1)).as("__ni"))
-      val nUsers = ui.select(col("user_id")).distinct()
-        .agg(count(lit(1)).as("__n"))
-      val a = ui.as("a"); val b = ui.as("b")
-      val e = a.join(b, col("a.user_id") === col("b.user_id") &&
-          col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
-        .agg(count(lit(1)).as("__nb"))
+      val B = graft.operators.Baskets
+      val sets = B.userItemSets(
+        Tables.events(s, d).select(col("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item")),
+        "user_id", "item")
+      val itemUsers = B.itemUserCounts(sets).withColumnRenamed("n_users", "__ni")
+      val nUsers = B.userCount(sets).withColumnRenamed("n_users", "__n")
+      // the edge list feeds the 3-way wedge join — persist it so the
+      // pair-counting subtree executes ONCE (query-owned cache;
+      // Bench/Verify clear caches between queries)
+      val e = B.pairCounts(sets)
+        .withColumnRenamed("n_both", "__nb")
         .join(broadcast(itemUsers.withColumnRenamed("item", "i")
           .withColumnRenamed("__ni", "__na")), "i")
         .join(broadcast(itemUsers.withColumnRenamed("item", "j")
@@ -3151,6 +3144,7 @@ object SparkEntry {
         .filter(roundTo((col("__nb") * col("__n")).cast("double") /
           (col("__na") * col("__nbj")).cast("double"), 6) >= 1.05)
         .select(col("i"), col("j"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.j") === col("e2.i"))
         .join(e.as("e3"), col("e1.i") === col("e3.i") && col("e2.j") === col("e3.j"))
@@ -5604,7 +5598,7 @@ object SparkEntry {
          | ${sqlRound("CAST(n*sxy - sx*sy AS DOUBLE)/" +
              "sqrt(CAST(n*sxx - sx*sx AS DOUBLE)*CAST(n*syy - sy*sy AS DOUBLE))", 6)}
          |   AS rho
-         |FROM g""".stripMargin,
+         |FROM g ORDER BY n_months""".stripMargin,
 
     "q_welch_ttest" -> {
       val v1 = "(q1d - s1d*s1d/n1d)/(n1d - 1)"
@@ -5630,7 +5624,7 @@ object SparkEntry {
          | ${sqlRound("(s1d/n1d - s2d/n2d)/sqrt(se2)", 6)} AS t_stat,
          | ${sqlRound(s"se2*se2/(($v1/n1d)*($v1/n1d)/(n1d - 1) + " +
              s"($v2/n2d)*($v2/n2d)/(n2d - 1))", 4)} AS df
-         |FROM w""".stripMargin
+         |FROM w ORDER BY n_urgent""".stripMargin
     },
 
     "q_autocorr" ->
@@ -5680,7 +5674,7 @@ object SparkEntry {
          |     OR conv_a + conv_b = n_a + n_b THEN NULL
          |   ELSE ${sqlRound("(cad/nad - cbd/nbd)/" +
              "sqrt(p*(1 - p)*(1.0/nad + 1.0/nbd))", 6)} END AS z_stat
-         |FROM w""".stripMargin
+         |FROM w ORDER BY n_a""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket / co-occurrence primitives over (user, item) event
+  * streams — the shared core of item co-occurrence, association
+  * rules, item-graph triangles and item PageRank.
+  *
+  * The naive pair-counting plan is a distinct + self-join on user:
+  * FOUR wide stages (distinct, two join-side exchanges with their
+  * sort-merge sorts, then the pair groupBy). This operator instead
+  * gathers each user's distinct items into ONE sorted array
+  * (`collect_set` both dedups and gathers, map-side combined — one
+  * shuffle) and generates the i&lt;j pairs INSIDE the array with
+  * posexplode + slice: a narrow, whole-stage-codegen'd fanout. The
+  * pair groupBy is then the only other shuffle — two wide stages
+  * total, no sorts.
+  *
+  * Scale note: the per-user array is bounded by the user's distinct
+  * item count — the same bound that governs the self-join's fanout
+  * (both emit O(k²) pairs for a k-item user). A pathological user
+  * with millions of distinct items would need the `maxItems` cap
+  * (drop power users, exactly NearDup's maxDocFreq knob) BEFORE the
+  * quadratic step; the cap applies to either formulation equally.
+  */
+object Baskets {
+
+  /** One row per user: `(userCol, items)` where `items` is the
+    * SORTED distinct item array. ONE shuffle; null items dropped. */
+  def userItemSets(events: DataFrame, userCol: String, itemCol: String,
+                   maxItems: Option[Int] = None): DataFrame = {
+    val sets = events.where(col(itemCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_set(col(itemCol))).as("items"))
+    maxItems.fold(sets)(m => sets.where(size(col("items")) <= m))
+  }
+
+  /** Undirected co-occurrence counts from [[userItemSets]] output:
+    * `(i, j, n_both)` with i &lt; j, n_both = users having both.
+    * Pair generation is narrow (posexplode + slice over the sorted
+    * array); the groupBy on (i, j) is the single wide stage. */
+  def pairCounts(sets: DataFrame): DataFrame =
+    sets
+      .select(posexplode(col("items")).as(Seq("__p", "i")), col("items"))
+      // elements after position __p are exactly the j > i partners
+      .select(col("i"), explode(
+        slice(col("items"), col("__p") + 2, size(col("items")) - col("__p") - 1))
+        .as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_both"))
+
+  /** Per-item distinct-user counts from [[userItemSets]] output:
+    * `(item, n_users)`. Narrow explode, then a tiny item-domain
+    * shuffle (map-side combined). */
+  def itemUserCounts(sets: DataFrame): DataFrame =
+    sets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_users"))
+
+  /** 1-row frame with the distinct-user count (users with ≥1 item). */
+  def userCount(sets: DataFrame): DataFrame =
+    sets.agg(count(lit(1)).as("n_users"))
+}

@@ -61,7 +61,10 @@ class PlanLintSpec extends SparkSpec {
     // 1-row combinable final avg / positive-balance average scalar
     "q_small_qty_revenue", "q_idle_rich_customers",
     // 1-row filter-and-sum aggregates (TPC-H Q6 / Q19 shapes)
-    "q_forecast_revenue", "q_brand_promo_revenue")
+    "q_forecast_revenue", "q_brand_promo_revenue",
+    // 1-row statistical-test aggs over already-reduced frames
+    // (monthly series / six power-sum scalars / four split counts)
+    "q_spearman_corr", "q_welch_ttest", "q_autocorr", "q_ab_conversion")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
