@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Baskets
+
+class BasketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    ("u1", 1L), ("u1", 2L), ("u1", 3L), ("u1", 2L), // dup (u1,2)
+    ("u2", 2L), ("u2", 3L),
+    ("u3", 3L), ("u3", 1L), ("u3", 2L),
+    ("u4", 9L) // singleton user: no pairs, but counts as a user
+  ).toDF("user_id", "item")
+    .unionByName(Seq(("u5", Option.empty[java.lang.Long])) // null item drops
+      .toDF("user_id", "item"))
+
+  test("pairCounts equals the distinct self-join formulation") {
+    val sets = Baskets.userItemSets(events, "user_id", "item")
+    val viaArrays = Baskets.pairCounts(sets)
+      .orderBy("i", "j").as[(Long, Long, Long)].collect().toSeq
+
+    val ui = events.where(col("item").isNotNull).distinct()
+    val viaJoin = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+      .agg(count(lit(1)).as("n_both"))
+      .orderBy("i", "j").as[(Long, Long, Long)].collect().toSeq
+
+    assert(viaArrays == viaJoin)
+    assert(viaArrays == Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 3L)))
+  }
+
+  test("itemUserCounts and userCount match distinct semantics") {
+    val sets = Baskets.userItemSets(events, "user_id", "item")
+    val iu = Baskets.itemUserCounts(sets)
+      .orderBy("item").as[(Long, Long)].collect().toSeq
+    assert(iu == Seq((1L, 2L), (2L, 3L), (3L, 3L), (9L, 1L)))
+    assert(Baskets.userCount(sets).as[Long].head() == 4L)
+  }
+
+  test("maxItems drops power users before the quadratic step") {
+    val sets = Baskets.userItemSets(events, "user_id", "item", maxItems = Some(2))
+    // u1 (3 items) and u3 (3 items) dropped; only u2's pair remains
+    val pairs = Baskets.pairCounts(sets)
+      .orderBy("i", "j").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((2L, 3L, 1L)))
+  }
+
+  test("pair generation is narrow: one shuffle to sets, one to pairs") {
+    val sets = Baskets.userItemSets(events, "user_id", "item")
+    val plan = Baskets.pairCounts(sets).queryExecution.executedPlan.toString
+    // exactly two exchanges: groupBy user, groupBy (i, j)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+  }
+}
