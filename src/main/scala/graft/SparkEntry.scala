@@ -2152,6 +2152,32 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "dedup_decontaminate_bloom" -> ((s, d) => {
+      // dedup_decontaminate's scale path for a holdout too big to
+      // broadcast as an exact set: a Bloom of the holdout
+      // fingerprints (built distributed, ~1.2 MB per million items
+      // at 1% fpp) prefilters the corpus IN THE SCAN STAGE — a
+      // codegen'd literal probe, no join, no shuffle. Probe misses
+      // are DEFINITELY clean (blooms have no false negatives) and
+      // never shuffle; only the suspect sliver (true hits + fpp of
+      // the corpus) reaches the exact anti-join that rescues false
+      // positives. The result is therefore EXACT — same rows as
+      // dedup_decontaminate, same oracle SQL.
+      val docs = Tables.documents(s, d)
+      val fp = TextFunctions.fingerprintMd5(col("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(fp.as("__fp")).distinct()
+      val bloom = graft.functions.BloomExpressions
+        .buildBloom(bench, col("__fp"), expectedItems = 100000L, fpp = 0.01)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val suspect = graft.functions.BloomExpressions.mightContain(bloom, fp)
+      corpus.filter(!suspect).select(col("doc_id"))
+        .unionByName(corpus.filter(suspect)
+          .join(bench, fp === col("__fp"), "left_anti")
+          .select(col("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     "text_chunk" -> ((s, d) => {
       // training-prep chunking: split each doc into 40-token windows
       // with stride 32 (8-token overlap). Narrow per-row fanout —
@@ -4857,6 +4883,16 @@ object SparkEntry {
         |FROM h ORDER BY shard, pos""".stripMargin,
 
     "dedup_decontaminate" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents)
+        |SELECT doc_id FROM fp
+        |WHERE doc_id % 97 != 0
+        |  AND f NOT IN (SELECT f FROM fp WHERE doc_id % 97 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // bloom prefilter + exact rescue = exact result: same oracle as
+    // the exact formulation
+    "dedup_decontaminate_bloom" ->
       """WITH fp AS (SELECT doc_id,
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents)
         |SELECT doc_id FROM fp
