@@ -2282,6 +2282,46 @@ object SparkEntry {
         Seq("spark", "join", "fast", "vector"), k1 = 1.2, b = 0.75, topK = 20)
         .orderBy(col("bm25").desc, col("doc_id").asc)),
 
+    // hybrid retrieval via reciprocal-rank fusion: the lexical leg
+    // (BM25 top-20 for a fixed query bag) and the vector leg (cosine
+    // top-20 against a fixed query embedding, interpolated as a
+    // plan-time literal — the IVF-centroid bounded-collect pattern)
+    // fuse as RRF(d) = Σ 1/(60 + rank_leg(d)). Each leg is
+    // TakeOrdered (no single-partition exchange); ranks inside the
+    // 20-row legs come from the triangular broadcast count (the
+    // q_trend_mk pattern — no partition-less window), and the legs
+    // full-outer join so docs surfaced by only one retriever still
+    // score. At 100 TB each leg is an independent distributed top-k;
+    // the fusion itself only ever touches 2×topK rows.
+    "text_hybrid_rrf" -> ((s, d) => {
+      val topK = 20
+      def rankDesc(leg: DataFrame, score: String, rankCol: String): DataFrame = {
+        val b = leg.select(col("doc_id").as("__b_id"), col(score).as("__b_s"))
+        leg.crossJoin(broadcast(b))
+          .groupBy(col("doc_id"))
+          .agg((sum(when(col("__b_s") > col(score) ||
+              (col("__b_s") === col(score) && col("__b_id") < col("doc_id")), 1L)
+            .otherwise(0L)) + 1L).as(rankCol))
+      }
+      val lex = Relevance.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "fast", "vector"), k1 = 1.2, b = 0.75, topK = topK)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(topK)
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      val qLit = array(qv.map(lit(_)): _*)
+      val e = Tables.embeddings(s, d)
+      val vec = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          Similarity.cosine(Similarity.toDouble(col("embedding")), qLit).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(topK)
+      rankDesc(lex, "bm25", "lex_rank")
+        .join(rankDesc(vec, "cos", "vec_rank"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          roundTo(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+    }),
+
     // distribution-position window functions (percent_rank /
     // cume_dist / ntile / first-last value) per nation — ANSI
     // semantics identical across engines; ties broken by c_custkey so
@@ -4954,6 +4994,47 @@ object SparkEntry {
          |  FROM per GROUP BY doc_id)
          |SELECT doc_id, bm25 FROM scored
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // both legs replicate their stand-alone oracles (text_bm25 /
+    // ann_topk patterns); ranks are correlated counts over the 20-row
+    // legs, fusion is the standard RRF k=60
+    "text_hybrid_rrf" -> {
+      val ts = "ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))" +
+        " * (q.tf * (1.2 + 1.0)) / (q.tf + 1.2*(1.0 - 0.75 + 0.75*l.dl/s.avgdl))"
+      s"""WITH toks AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+         |qtf AS (SELECT * FROM tf WHERE token IN ('spark','join','fast','vector')),
+         |df AS (SELECT token, COUNT(*) AS df FROM qtf GROUP BY token),
+         |lens AS (SELECT doc_id, len(${sqlTokens("text")})::DOUBLE AS dl FROM documents),
+         |stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl)/COUNT(*) AS avgdl FROM lens),
+         |per AS (SELECT q.doc_id, CAST(${sqlRound(ts, 10)} AS DECIMAL(28,10)) AS ts
+         |  FROM qtf q JOIN df d USING (token) JOIN lens l ON l.doc_id = q.doc_id
+         |  CROSS JOIN stats s),
+         |bscored AS (SELECT doc_id, ${sqlRound("CAST(SUM(ts) AS DOUBLE)", 6)} AS bm25
+         |  FROM per GROUP BY doc_id),
+         |lex AS (SELECT doc_id, bm25 FROM bscored
+         |  ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+         |lexr AS (SELECT a.doc_id, (SELECT COUNT(*) FROM lex b
+         |    WHERE b.bm25 > a.bm25 OR (b.bm25 = a.bm25 AND b.doc_id < a.doc_id))
+         |    + 1 AS lex_rank FROM lex a),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |qv AS (SELECT v FROM e WHERE vec_id = 0),
+         |vscored AS (SELECT c.vec_id AS doc_id,
+         |  list_inner_product(c.v, qv.v)
+         |   / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(qv.v, qv.v)))
+         |   AS cos
+         | FROM e c CROSS JOIN qv WHERE c.vec_id != 0),
+         |vec AS (SELECT doc_id, cos FROM vscored
+         |  ORDER BY cos DESC, doc_id ASC LIMIT 20),
+         |vecr AS (SELECT a.doc_id, (SELECT COUNT(*) FROM vec b
+         |    WHERE b.cos > a.cos OR (b.cos = a.cos AND b.doc_id < a.doc_id))
+         |    + 1 AS vec_rank FROM vec a)
+         |SELECT doc_id, lex_rank, vec_rank,
+         | ${sqlRound("COALESCE(1.0/(60 + lex_rank), 0) + COALESCE(1.0/(60 + vec_rank), 0)", 6)} AS rrf
+         |FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+         |ORDER BY rrf DESC, doc_id ASC""".stripMargin
     },
 
     "q_window_stats" ->

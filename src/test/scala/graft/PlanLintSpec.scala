@@ -30,6 +30,8 @@ class PlanLintSpec extends SparkSpec {
     // corpus-statistics scalars (N, avgdl, unigram/bigram totals):
     // 1-row ungrouped aggs broadcast back into the scoring join
     "text_tfidf", "text_bm25", "text_pmi_bigrams", "text_unigram_logprob",
+    // embeds the bm25 leg's corpus scalars (and 20-row leg aggs)
+    "text_hybrid_rrf",
     // calendar bounds: a 1-row min/max agg that seeds the date-span
     // frame (the exploded calendar is re-spread by repartition(day))
     "q_gapfill_daily", "q_calendar_dim",
