@@ -857,6 +857,22 @@ object SparkEntry {
         .orderBy("digit")
     }),
 
+    "dq_k_anonymity" -> ((s, d) => {
+      // k-anonymity audit (release-governance screen): customers
+      // whose quasi-identifier tuple (nation, market segment,
+      // $1000 balance band) is shared by fewer than k=5 rows are
+      // re-identifiable in a published extract. ONE map-side
+      // combinable groupBy to the bounded class frame, then the
+      // size gate — the raw table never shuffles twice and the
+      // output is the risky-class list with exposure counts.
+      val bd = floor(roundTo(col("c_acctbal"), 2) / 1000).cast("long")
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), bd.as("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .filter(col("class_size") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    }),
+
     "q_weighted_quartiles" -> ((s, d) => {
       // quantity-weighted p25/p50/p75 price per returnflag —
       // Ranks.weightedQuantiles resolves ALL THREE targets from one
@@ -4153,6 +4169,15 @@ object SparkEntry {
          |SELECT digit, observed, obs_share, exp_share,
          |  ${sqlRound("ABS(obs_share - exp_share)", 6)} AS abs_dev
          |FROM s ORDER BY digit""".stripMargin,
+
+    "dq_k_anonymity" ->
+      s"""SELECT c_nationkey, c_mktsegment,
+         | CAST(floor(${sqlRound("c_acctbal", 2)}/1000) AS BIGINT) AS bal_band,
+         | COUNT(*) AS class_size
+         |FROM customer
+         |GROUP BY 1, 2, 3
+         |HAVING COUNT(*) < 5
+         |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
 
     "q_weighted_quartiles" ->
       s"""WITH li AS (SELECT l_returnflag,
