@@ -2056,6 +2056,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // metadata-filtered vector search: top-5 same-LABEL neighbors per
+    // query — the filter rides in the join key (candidates shrink by
+    // label selectivity; a label-partitioned corpus prunes files),
+    // and the rank ≤ k idiom executes on the TopKPerGroup operator
+    "ann_topk_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.filteredTopK(e, e.filter(col("vec_id") < 100), k = 5,
+        filterCol = "label")
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 100), k = 5, nBits = 4, dim = 64)
@@ -4905,6 +4916,20 @@ object SparkEntry {
         | FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id != q.vec_id)
         |SELECT query_id, rank, neighbor_id FROM (
         | SELECT query_id, corpus_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_topk_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS corpus_id,
+        |  list_inner_product(q.v, c.v)
+        |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+        | FROM e q JOIN e c ON q.vec_id < 100 AND c.label = q.label
+        |  AND c.vec_id != q.vec_id)
+        |SELECT query_id, label, rank, neighbor_id FROM (
+        | SELECT query_id, label, corpus_id AS neighbor_id,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
         | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 

@@ -52,6 +52,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id").as("neighbor_id"))
   }
 
+  /** Metadata-filtered cosine top-k — the vector-DB "filtered
+    * search": each query ranks ONLY corpus vectors whose `filterCol`
+    * equals the query's. Unlike [[bruteForceTopK]]'s documented
+    * all-pairs baseline, the metadata equality is part of the JOIN
+    * KEY, so the broadcast-hash probe touches only same-key
+    * candidates — with a selective filter column the candidate set
+    * (and the work) shrinks by the key's selectivity, and at 100 TB
+    * a corpus PARTITIONED BY the filter column prunes whole files
+    * before the probe. Ranking is the row_number ≤ k idiom, which
+    * the TopKPerGroup rewrite executes as the two-phase heap. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   filterCol: String, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(filterCol).as("__cf"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(filterCol).as("__qf"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val scored = c.join(broadcast(q), col("__cf") === col("__qf"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("__cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("__qf").as(filterCol), col("rank"),
+        col("corpus_id").as("neighbor_id"))
+  }
+
   /** Deterministic ±1 hyperplane components from the portable md5
     * hash of "i:b" — data-independent, computed ONCE at plan time and
     * baked into the plan as literal arrays (zero per-row hashing).
