@@ -694,9 +694,16 @@ object SparkEntry {
       // boundary ties can never flip on floating point; the oracle
       // is the plain window formulation — cross-formulation
       // equivalence is hash-checked.
+      // persist the REDUCED per-part frame (n_parts rows, not
+      // lineitem): withRunningSum's partials action and the ranked
+      // join would otherwise each re-run the lineitem scan+shuffle
+      // (query-owned cache; Bench/Verify clear caches between
+      // queries — caching post-aggregation output is the case where
+      // a persist pays, unlike the r4 raw-scan persists)
       val rev = Tables.lineitem(s, d).groupBy(col("l_partkey"))
         .agg(sum(roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
           .cast("decimal(18,2)")).as("rev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val run = graft.operators.Ranks.withRunningSum(rev, "rev",
         Seq(col("rev").desc, col("l_partkey").asc), bucketOn = "rev",
         ascending = false, cumCol = "cum", totalCol = "tot")
