@@ -1970,6 +1970,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_pipeline_semantic" -> ((s, d) => {
+      // dedup_pipeline's EMBEDDING-space twin: semantic near-dup
+      // survivors. Multi-probe hyperplane-LSH candidate pairs with
+      // exact-cosine verify (the subquadratic scale path — never
+      // all-pairs) feed ONE connected-components fixpoint, and each
+      // surviving representative carries how many near-duplicate
+      // vectors it absorbed. The oracle replays the identical
+      // hyperplane constants and a recursive-CTE reachability.
+      val vecs = Tables.embeddings(s, d)
+      val edges = Similarity.cosineNearDupPairsLsh(vecs, threshold = 0.45,
+        nBits = 6, probeBits = 2, dim = 64).select("id_a", "id_b")
+      graft.dedup.Clusters.dedupPipeline(vecs.select("vec_id"), edges,
+        idCol = "vec_id")
+        .orderBy("vec_id")
+    }),
+
     "dedup_best_rep" -> ((s, d) => {
       // survivor selection by QUALITY, not min-id: within each
       // near-dup cluster keep the highest-quality member (ties to
@@ -4891,6 +4907,7 @@ object SparkEntry {
     "dedup_apply" -> dedupApplyOracle,
 
     "dedup_pipeline" -> dedupPipelineOracle,
+    "dedup_pipeline_semantic" -> semanticPipelineOracle,
 
     "pipeline_curate" -> pipelineCurateOracle,
 
@@ -6126,6 +6143,40 @@ object SparkEntry {
        |WHERE list_inner_product(a.v, c.v)
        |  / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.v, c.v))) >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Embedding-space dedup pipeline: the [[embedCosineLshOracle]]
+    * pair condition emitted SYMMETRICALLY (hamming and cosine are
+    * symmetric, so `!=` yields both directions) feeding the same
+    * recursive reachability + survivor accounting as
+    * [[dedupPipelineOracle]]. */
+  private def semanticPipelineOracle: String = {
+    val buckets = (0 until 6).map { b =>
+      val plane = Similarity.hyperplaneSigns(64, b)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product(v, $plane) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE ev AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |bk AS MATERIALIZED (SELECT vec_id, v, $buckets AS bucket FROM ev),
+       |e AS MATERIALIZED (SELECT a.vec_id AS src, c.vec_id AS dst
+       | FROM bk a JOIN bk c ON a.vec_id != c.vec_id
+       |  AND bit_count(xor(a.bucket, c.bucket)) <= 2
+       | WHERE list_inner_product(a.v, c.v)
+       |  / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.v, c.v))) >= 0.45),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+       |members AS (SELECT src AS vec_id, least(src, MIN(dst)) AS rep
+       |  FROM reach GROUP BY src),
+       |sizes AS (SELECT rep, COUNT(*) AS n_merged FROM members GROUP BY rep)
+       |SELECT t.vec_id AS vec_id, CAST(COALESCE(s.n_merged, 1) AS BIGINT) AS n_merged
+       |FROM embeddings t
+       |LEFT JOIN members m ON t.vec_id = m.vec_id
+       |LEFT JOIN sizes s ON t.vec_id = s.rep
+       |WHERE m.vec_id IS NULL OR m.rep = t.vec_id
+       |ORDER BY t.vec_id""".stripMargin
   }
 
   // ---- long generated oracles ----
