@@ -2052,6 +2052,64 @@ object SparkEntry {
         .withColumn("dim", col("dim").cast("bigint"))
         .orderBy("label", "dim")),
 
+    "q_classifier_eval" -> ((s, d) => {
+      // nearest-centroid classification eval — the per-class
+      // precision/recall/F1 scoreboard an embedding-quality gate
+      // needs. Per-label centroids come from decimal-exact dim sums
+      // (the q_label_centroid recipe); each vector's dot against
+      // each centroid and both norms accumulate as round-12 DECIMALs
+      // (summation-order-independent), so the cosine, the argmax
+      // (ties to the smallest label) and every metric are bit-stable
+      // cross-engine. Label domain is bounded: the centroid/norm
+      // frames broadcast, the 64x dim fanout is narrow, and the only
+      // wide stages are the dim-sum and per-(vector,label) dot aggs.
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          roundTo(col("x").cast("double"), 10).as("x"))
+      val cent = dims.groupBy(col("label").as("c_label"), col("dim"))
+        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("m0"))
+        .select(col("c_label"), col("dim"), roundTo(col("m0"), 10).as("m"))
+      val mn = cent.groupBy("c_label")
+        .agg(sum(roundTo(col("m") * col("m"), 12).cast("decimal(38,12)"))
+          .cast("double").as("mn2"))
+      val xn = dims.groupBy("vec_id")
+        .agg(sum(roundTo(col("x") * col("x"), 12).cast("decimal(38,12)"))
+          .cast("double").as("xn2"))
+      val dots = dims.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("label"), col("c_label"))
+        .agg(sum(roundTo(col("x") * col("m"), 12).cast("decimal(38,12)"))
+          .cast("double").as("dot"))
+      val scored = dots.join(broadcast(mn), "c_label").join(xn, "vec_id")
+        .select(col("vec_id"), col("label"), col("c_label"),
+          roundTo(col("dot") / sqrt(col("xn2") * col("mn2")), 9).as("cos"))
+      val pred = scored.groupBy(col("vec_id"), col("label"))
+        .agg(max_by(col("c_label"),
+          struct(col("cos"), (-col("c_label")).as("nl"))).as("pred"))
+      val byTrue = pred.groupBy(col("label").as("class"))
+        .agg(count(lit(1)).as("n_true"))
+      val byPred = pred.groupBy(col("pred").as("class"))
+        .agg(count(lit(1)).as("n_pred"))
+      val tp = pred.filter(col("label") === col("pred"))
+        .groupBy(col("label").as("class")).agg(count(lit(1)).as("tp"))
+      byTrue.join(byPred, Seq("class"), "full_outer")
+        .join(tp, Seq("class"), "full_outer")
+        .select(col("class"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("precision", when(col("n_pred") > 0,
+          roundTo(col("tp").cast("double") / col("n_pred"), 6)))
+        .withColumn("recall", when(col("n_true") > 0,
+          roundTo(col("tp").cast("double") / col("n_true"), 6)))
+        .withColumn("f1", when(col("precision") + col("recall") > 0,
+          roundTo(lit(2) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6)).otherwise(lit(0.0)))
+        .orderBy("class")
+    }),
+
     "text_vocab" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
@@ -4917,6 +4975,49 @@ object SparkEntry {
         |   AS DECIMAL(28,10))) AS DOUBLE) AS dim_sum
         |FROM embeddings CROSS JOIN generate_series(0, 63) AS g(dim)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q_classifier_eval" ->
+      s"""WITH dims AS (SELECT vec_id, label, g.dim AS dim,
+         |  ${sqlRound("embedding[g.dim+1]::DOUBLE", 10)} AS x
+         | FROM embeddings CROSS JOIN generate_series(0, 63) AS g(dim)),
+         |cent AS (SELECT label AS c_label, dim,
+         |  ${sqlRound("CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*)", 10)} AS m
+         | FROM dims GROUP BY label, dim),
+         |mn AS (SELECT c_label,
+         |  CAST(SUM(CAST(${sqlRound("m*m", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS mn2
+         | FROM cent GROUP BY c_label),
+         |xn AS (SELECT vec_id,
+         |  CAST(SUM(CAST(${sqlRound("x*x", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS xn2
+         | FROM dims GROUP BY vec_id),
+         |dots AS (SELECT d.vec_id, d.label, c.c_label,
+         |  CAST(SUM(CAST(${sqlRound("d.x*c.m", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         | FROM dims d JOIN cent c ON d.dim = c.dim GROUP BY 1, 2, 3),
+         |scored AS (SELECT t.vec_id, t.label, t.c_label,
+         |  ${sqlRound("t.dot/sqrt(x.xn2*m.mn2)", 9)} AS cos
+         | FROM dots t JOIN mn m ON t.c_label = m.c_label
+         |  JOIN xn x ON t.vec_id = x.vec_id),
+         |pred AS (SELECT vec_id, label, c_label AS pred FROM (
+         |  SELECT vec_id, label, c_label,
+         |   row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY cos DESC, c_label ASC) AS rn FROM scored) WHERE rn = 1),
+         |bt AS (SELECT label AS class, COUNT(*) AS n_true FROM pred GROUP BY 1),
+         |bp AS (SELECT pred AS class, COUNT(*) AS n_pred FROM pred GROUP BY 1),
+         |tpc AS (SELECT label AS class, COUNT(*) AS tp FROM pred
+         |  WHERE label = pred GROUP BY 1),
+         |base AS (SELECT class, COALESCE(n_true, 0) AS n_true,
+         |  COALESCE(n_pred, 0) AS n_pred, COALESCE(tp, 0) AS tp
+         | FROM bt FULL OUTER JOIN bp USING (class) FULL OUTER JOIN tpc USING (class)),
+         |pr AS (SELECT class, n_true, n_pred, tp,
+         |  CASE WHEN n_pred > 0
+         |   THEN ${sqlRound("CAST(tp AS DOUBLE)/n_pred", 6)} END AS precision,
+         |  CASE WHEN n_true > 0
+         |   THEN ${sqlRound("CAST(tp AS DOUBLE)/n_true", 6)} END AS recall
+         | FROM base)
+         |SELECT class, n_true, n_pred, tp, precision, recall,
+         | CASE WHEN precision + recall > 0
+         |  THEN ${sqlRound("2*precision*recall/(precision + recall)", 6)}
+         |  ELSE 0.0 END AS f1
+         |FROM pr ORDER BY class""".stripMargin,
 
     "text_vocab" ->
       s"""SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
