@@ -2154,6 +2154,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // index-quality evaluation: per-query recall@5 of the LSH index
+    // against the exact brute-force ground truth — the measurement a
+    // team runs before trusting an approximate index. Both runs are
+    // the graded operators above; the eval itself is one equi-join on
+    // (query, neighbor) + a bounded per-query agg. At 100 TB ground
+    // truth comes from a SAMPLE of queries — the join and agg shapes
+    // are unchanged.
+    "ann_recall_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(e, q, k = 5, nBits = 4, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          roundTo(col("n_hits").cast("double") / 5, 6).as("recall_at_5"))
+        .orderBy("query_id")
+    }),
+
     "ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 100), k = 5, nCells = 16, nProbe = 2)
@@ -5032,17 +5054,18 @@ object SparkEntry {
         |  / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "ann_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |scored AS (
-        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-        |  list_inner_product(q.v, c.v)
-        |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
-        | FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id != q.vec_id)
-        |SELECT query_id, rank, neighbor_id FROM (
-        | SELECT query_id, corpus_id AS neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
-        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_topk" -> annTopkOracle,
+
+    // composes the two graded runs as subqueries: exact left-joins
+    // approx on (query, neighbor), hits counted per query
+    "ann_recall_eval" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annTopkOracle) t1),
+         |approx AS (SELECT query_id, neighbor_id FROM ($annLshOracle) t2)
+         |SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         | ${sqlRound("CAST(COUNT(a.neighbor_id) AS DOUBLE)/5", 6)} AS recall_at_5
+         |FROM exact e LEFT JOIN approx a
+         | ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     "ann_topk_filtered" ->
       """WITH e AS (SELECT vec_id, label,
@@ -6119,6 +6142,18 @@ object SparkEntry {
     * [[Similarity.ivfTopK]]); cell assignment and probe ranking use
     * the identical cosine expression shape, so cells and rankings are
     * bit-equal across engines. */
+  private def annTopkOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |scored AS (
+      | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |  list_inner_product(q.v, c.v)
+      |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+      | FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id != q.vec_id)
+      |SELECT query_id, rank, neighbor_id FROM (
+      | SELECT query_id, corpus_id AS neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+      | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def annIvfOracle: String = {
     def cos(a: String, b: String) =
       s"""list_inner_product($a, $b)
