@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   * with millions of distinct items would need the `maxItems` cap
   * (drop power users, exactly NearDup's maxDocFreq knob) BEFORE the
   * quadratic step; the cap applies to either formulation equally.
+  *
+  * Reuse note: queries that consume [[userItemSets]] several times
+  * (pairs + item counts + user total) rely on AQE's runtime stage
+  * reuse to share the user shuffle; measured at local[32]/sf0.1 that
+  * beats an explicit MEMORY_AND_DISK persist of the sets frame
+  * (cache materialization cost exceeded the partially-redundant
+  * recompute). With a genuinely expensive upstream (a joined or
+  * decoded source rather than a parquet scan) callers should persist
+  * the sets frame themselves before fanning out.
   */
 object Baskets {
 
