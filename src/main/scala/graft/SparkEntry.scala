@@ -2056,38 +2056,46 @@ object SparkEntry {
       // nearest-centroid classification eval — the per-class
       // precision/recall/F1 scoreboard an embedding-quality gate
       // needs. Per-label centroids come from decimal-exact dim sums
-      // (the q_label_centroid recipe); each vector's dot against
-      // each centroid and both norms accumulate as round-12 DECIMALs
-      // (summation-order-independent), so the cosine, the argmax
-      // (ties to the smallest label) and every metric are bit-stable
-      // cross-engine. Label domain is bounded: the centroid/norm
-      // frames broadcast, the 64x dim fanout is narrow, and the only
-      // wide stages are the dim-sum and per-(vector,label) dot aggs.
-      val dims = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("dim", "x")))
-        .select(col("vec_id"), col("label"), col("dim"),
-          roundTo(col("x").cast("double"), 10).as("x"))
-      val cent = dims.groupBy(col("label").as("c_label"), col("dim"))
+      // (the q_label_centroid recipe) and are collected ONCE as
+      // plan-time literals (bounded: labels × 64 — the IVF-centroid
+      // pattern); scoring is then a SINGLE narrow pass over the
+      // embeddings: DotProductExpr against each centroid literal,
+      // argmax via struct-greatest (ties to the smallest label).
+      // The oracle builds the same centroids and scores with
+      // list_inner_product over the dim-ordered centroid list — both
+      // engines sum sequentially, so the cosine is bit-equal (the
+      // ann_topk convention).
+      val e = Tables.embeddings(s, d)
+      val centRows = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"), roundTo(col("x").cast("double"), 10).as("x"))
+        .groupBy(col("label"), col("dim"))
         .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
           count(lit(1))).as("m0"))
-        .select(col("c_label"), col("dim"), roundTo(col("m0"), 10).as("m"))
-      val mn = cent.groupBy("c_label")
-        .agg(sum(roundTo(col("m") * col("m"), 12).cast("decimal(38,12)"))
-          .cast("double").as("mn2"))
-      val xn = dims.groupBy("vec_id")
-        .agg(sum(roundTo(col("x") * col("x"), 12).cast("decimal(38,12)"))
-          .cast("double").as("xn2"))
-      val dots = dims.join(broadcast(cent), "dim")
-        .groupBy(col("vec_id"), col("label"), col("c_label"))
-        .agg(sum(roundTo(col("x") * col("m"), 12).cast("decimal(38,12)"))
-          .cast("double").as("dot"))
-      val scored = dots.join(broadcast(mn), "c_label").join(xn, "vec_id")
-        .select(col("vec_id"), col("label"), col("c_label"),
-          roundTo(col("dot") / sqrt(col("xn2") * col("mn2")), 9).as("cos"))
-      val pred = scored.groupBy(col("vec_id"), col("label"))
-        .agg(max_by(col("c_label"),
-          struct(col("cos"), (-col("c_label")).as("nl"))).as("pred"))
+        .select(col("label"), col("dim"), roundTo(col("m0"), 10).as("m"))
+        .collect()
+      val cents: Seq[(Int, Array[Double])] = centRows
+        .groupBy(_.getInt(0)).toSeq.map { case (l, rows) =>
+          val arr = new Array[Double](64)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          (l, arr)
+        }.sortBy(_._1)
+      // centroid norms driver-side with the same sequential IEEE
+      // order DuckDB's list_inner_product uses — bit-equal
+      def seqNorm(m: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < m.length) { acc += m(i) * m(i); i += 1 }
+        math.sqrt(acc)
+      }
+      val v = Similarity.toDouble(col("embedding"))
+      val vn = Similarity.norm(v)
+      val scoreStructs = cents.map { case (l, m) =>
+        val mLit = array(m.map(lit(_)): _*)
+        struct(roundTo(Similarity.dot(v, mLit) / (vn * lit(seqNorm(m))), 9)
+          .as("cos"), lit(-l).as("nl"))
+      }
+      val pred = e.select(col("vec_id"), col("label"),
+        (-greatest(scoreStructs: _*).getField("nl")).as("pred"))
       val byTrue = pred.groupBy(col("label").as("class"))
         .agg(count(lit(1)).as("n_true"))
       val byPred = pred.groupBy(col("pred").as("class"))
@@ -5005,19 +5013,15 @@ object SparkEntry {
          |cent AS (SELECT label AS c_label, dim,
          |  ${sqlRound("CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)/COUNT(*)", 10)} AS m
          | FROM dims GROUP BY label, dim),
-         |mn AS (SELECT c_label,
-         |  CAST(SUM(CAST(${sqlRound("m*m", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS mn2
+         |cvec AS (SELECT c_label, list(m ORDER BY dim) AS mv
          | FROM cent GROUP BY c_label),
-         |xn AS (SELECT vec_id,
-         |  CAST(SUM(CAST(${sqlRound("x*x", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS xn2
-         | FROM dims GROUP BY vec_id),
-         |dots AS (SELECT d.vec_id, d.label, c.c_label,
-         |  CAST(SUM(CAST(${sqlRound("d.x*c.m", 12)} AS DECIMAL(38,12))) AS DOUBLE) AS dot
-         | FROM dims d JOIN cent c ON d.dim = c.dim GROUP BY 1, 2, 3),
-         |scored AS (SELECT t.vec_id, t.label, t.c_label,
-         |  ${sqlRound("t.dot/sqrt(x.xn2*m.mn2)", 9)} AS cos
-         | FROM dots t JOIN mn m ON t.c_label = m.c_label
-         |  JOIN xn x ON t.vec_id = x.vec_id),
+         |ev AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |scored AS (SELECT e.vec_id, e.label, c.c_label,
+         |  ${sqlRound("list_inner_product(e.v, c.mv)" +
+             "/(sqrt(list_inner_product(e.v, e.v))" +
+             "*sqrt(list_inner_product(c.mv, c.mv)))", 9)} AS cos
+         | FROM ev e CROSS JOIN cvec c),
          |pred AS (SELECT vec_id, label, c_label AS pred FROM (
          |  SELECT vec_id, label, c_label,
          |   row_number() OVER (PARTITION BY vec_id
