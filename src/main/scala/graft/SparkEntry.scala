@@ -864,6 +864,31 @@ object SparkEntry {
         .orderBy("digit")
     }),
 
+    "dq_key_skew" -> ((s, d) => {
+      // join-key skew diagnosis — the measurement that decides
+      // whether a key needs Skew.saltedJoin BEFORE a fleet-scale
+      // shuffle goes sideways. Per candidate key: one map-side
+      // combinable groupBy to per-key counts, then a 1-row stats
+      // agg; skew_ratio = max_freq / mean_freq (1.0 = uniform).
+      // Hottest key ties break to the smallest key.
+      def stats(df: DataFrame, table: String, key: String): DataFrame =
+        df.groupBy(col(key).cast("long").as("k")).agg(count(lit(1)).as("n"))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum(col("n")).as("n_rows"),
+            max(col("n")).as("max_freq"),
+            max_by(col("k"), struct(col("n"), (-col("k")).as("nk")))
+              .as("hottest_key"))
+          .select(lit(table).as("table_name"), lit(key).as("key_col"),
+            col("n_keys"), col("n_rows"), col("max_freq"), col("hottest_key"),
+            roundTo(col("max_freq").cast("double") * col("n_keys") /
+              col("n_rows"), 6).as("skew_ratio"))
+      stats(Tables.orders(s, d), "orders", "o_custkey")
+        .unionByName(stats(Tables.lineitem(s, d), "lineitem", "l_orderkey"))
+        .unionByName(stats(Tables.events(s, d), "events", "user_id"))
+        .orderBy("table_name")
+    }),
+
     "dq_k_anonymity" -> ((s, d) => {
       // k-anonymity audit (release-governance screen): customers
       // whose quasi-identifier tuple (nation, market segment,
@@ -4291,6 +4316,31 @@ object SparkEntry {
          |SELECT digit, observed, obs_share, exp_share,
          |  ${sqlRound("ABS(obs_share - exp_share)", 6)} AS abs_dev
          |FROM s ORDER BY digit""".stripMargin,
+
+    "dq_key_skew" -> {
+      def leg(table: String, key: String) =
+        s"""SELECT '$table' AS table_name, '$key' AS key_col,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(SUM(n) AS BIGINT) AS n_rows,
+           |  CAST(MAX(n) AS BIGINT) AS max_freq,
+           |  (SELECT CAST(k AS BIGINT) FROM cnt_$table
+           |    ORDER BY n DESC, k ASC LIMIT 1) AS hottest_key,
+           |  ${sqlRound("CAST(MAX(n) AS DOUBLE)*COUNT(*)/SUM(n)", 6)} AS skew_ratio
+           | FROM cnt_$table""".stripMargin
+      s"""WITH cnt_orders AS (SELECT o_custkey AS k, COUNT(*) AS n
+         |  FROM orders GROUP BY 1),
+         |cnt_lineitem AS (SELECT l_orderkey AS k, COUNT(*) AS n
+         |  FROM lineitem GROUP BY 1),
+         |cnt_events AS (SELECT user_id AS k, COUNT(*) AS n
+         |  FROM events GROUP BY 1)
+         |SELECT * FROM (
+         |${leg("orders", "o_custkey")}
+         |UNION ALL
+         |${leg("lineitem", "l_orderkey")}
+         |UNION ALL
+         |${leg("events", "user_id")})
+         |ORDER BY table_name""".stripMargin
+    },
 
     "dq_k_anonymity" ->
       s"""SELECT c_nationkey, c_mktsegment,

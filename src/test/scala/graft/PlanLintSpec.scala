@@ -66,7 +66,9 @@ class PlanLintSpec extends SparkSpec {
     "q_forecast_revenue", "q_brand_promo_revenue",
     // 1-row statistical-test aggs over already-reduced frames
     // (monthly series / six power-sum scalars / four split counts)
-    "q_spearman_corr", "q_welch_ttest", "q_autocorr", "q_ab_conversion")
+    "q_spearman_corr", "q_welch_ttest", "q_autocorr", "q_ab_conversion",
+    // three 1-row key-stats aggs over per-key count frames
+    "dq_key_skew")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
