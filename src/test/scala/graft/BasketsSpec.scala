@@ -49,6 +49,30 @@ class BasketsSpec extends SparkSpec {
     assert(pairs == Seq((2L, 3L, 1L)))
   }
 
+  test("property: pairCounts equals the self-join on random event multisets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val events = Gen.listOfN(60, for {
+      u <- Gen.choose(0, 7)
+      i <- Gen.choose(0L, 11L)
+    } yield (s"u$u", i))
+    val prop = Prop.forAll(events) { evs =>
+      val df = evs.toDF("user_id", "item")
+      val viaArrays = Baskets.pairCounts(
+        Baskets.userItemSets(df, "user_id", "item"))
+        .orderBy("i", "j").as[(Long, Long, Long)].collect().toSeq
+      val ui = df.where(col("item").isNotNull).distinct()
+      val viaJoin = ui.as("a")
+        .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).as("n_both"))
+        .orderBy("i", "j").as[(Long, Long, Long)].collect().toSeq
+      viaArrays == viaJoin
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pair generation is narrow: one shuffle to sets, one to pairs") {
     val sets = Baskets.userItemSets(events, "user_id", "item")
     val plan = Baskets.pairCounts(sets).queryExecution.executedPlan.toString
