@@ -16,7 +16,11 @@ class DeterminismSpec extends SparkSpec {
     // boundary wobble must never reach the output), multi-probe LSH,
     // shard shuffle
     "q_acctbal_quartiles", "q_median_price", "dedup_embed_cosine_lsh",
-    "q_shuffle_order")
+    "q_shuffle_order",
+    // round-6 families: in-array pair counting, plan-literal bloom
+    // probe, two-leg rank fusion, centroid-literal argmax scoring
+    "q_item_cooccurrence", "dedup_decontaminate_bloom",
+    "text_hybrid_rrf", "q_classifier_eval")
 
   test("repeated runs return byte-identical ordered output") {
     sample.foreach { name =>
