@@ -2315,6 +2315,28 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "dedup_incremental" -> ((s, d) => {
+      // incremental-ingest dedup: a NEW batch (doc_id%10==3 stands in
+      // for today's arrivals) is deduped keep-first WITHIN the batch
+      // (one groupBy on the fingerprint) and then anti-joined against
+      // the standing corpus's fingerprints — the daily-append
+      // hygiene pass. At 100 TB the corpus side is the big one:
+      // either shuffle both on the fingerprint (batch is small, the
+      // corpus side is scan+shuffle-once), or maintain a corpus
+      // BLOOM as a versioned artifact and prefilter the batch in the
+      // scan stage (BloomExpressions), rescuing exactly as
+      // dedup_decontaminate_bloom does.
+      val docs = Tables.documents(s, d)
+      val fp = TextFunctions.fingerprintMd5(col("text"))
+      val batchFirst = docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), fp.as("__fp"))
+        .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+      val corpusFps = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(fp.as("__fp")).distinct()
+      batchFirst.join(corpusFps, Seq("__fp"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "dedup_decontaminate_bloom" -> ((s, d) => {
       // dedup_decontaminate's scale path for a holdout too big to
       // broadcast as an exact set: a Bloom of the holdout
@@ -5180,6 +5202,15 @@ object SparkEntry {
         |SELECT doc_id FROM fp
         |WHERE doc_id % 97 != 0
         |  AND f NOT IN (SELECT f FROM fp WHERE doc_id % 97 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f FROM documents),
+        |batch AS (SELECT MIN(doc_id) AS doc_id, f FROM fp
+        |  WHERE doc_id % 10 = 3 GROUP BY f)
+        |SELECT doc_id FROM batch
+        |WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 10 != 3)
         |ORDER BY doc_id""".stripMargin,
 
     // bloom prefilter + exact rescue = exact result: same oracle as
