@@ -3208,6 +3208,24 @@ object SparkEntry {
     // and accumulated as an exact decimal, so the per-doc sum is
     // independent of partition order and of either engine's float
     // summation; empty docs (no tokens) drop out on both sides.
+    "text_ttr" -> ((s, d) => {
+      // type-token ratio (lexical diversity) — the curation gate that
+      // catches keyword-stuffed or template-generated docs a length
+      // filter misses. size(array_distinct(tokens))/size(tokens),
+      // entirely narrow codegen'd array ops, no shuffle; empty docs
+      // yield NULL (no tokens to be diverse over).
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("bigint").as("n_tokens"),
+          size(array_distinct(col("__t"))).cast("bigint").as("n_types"),
+          when(size(col("__t")) > 0,
+            roundTo(size(array_distinct(col("__t"))).cast("double") /
+              size(col("__t")).cast("double"), 6)).as("ttr"))
+        .orderBy("doc_id")
+    }),
+
     "text_entropy" -> ((s, d) => {
       val counts = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
@@ -5688,6 +5706,16 @@ object SparkEntry {
         | ${sqlRound("((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy))", 6)} AS r2
         |FROM g ORDER BY l_returnflag""".stripMargin
     },
+
+    "text_ttr" ->
+      s"""SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         | CASE WHEN len(toks) > 0 THEN
+         |  ${sqlRound("CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)", 6)}
+         | END AS ttr
+         |FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_entropy" ->
       s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
