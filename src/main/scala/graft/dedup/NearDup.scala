@@ -165,12 +165,16 @@ object NearDup {
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               shingleSize: Int = 3, threshold: Double = 0.5,
                               maxDocFreq: Option[Long] = None): DataFrame = {
+    // shingles hash to 64-bit ONCE per doc (same hash-equality
+    // convention the inverted-index default joins on); the exact
+    // verify then intersects LONG arrays — far cheaper per candidate
+    // than string-array intersection
     val sets = trackedPersist(docs.select(col(idCol),
-      TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh"))
-      .filter(size(col("__sh")) > 0))
+      TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh0"))
+      .filter(size(col("__sh0")) > 0)
+      .select(col(idCol), transform(col("__sh0"), x => xxhash64(x)).as("__sh")))
     val inv = sets.select(col(idCol), size(col("__sh")).as("__n"),
-        explode(col("__sh")).as("__g0"))
-      .select(col(idCol), col("__n"), xxhash64(col("__g0")).as("__g"))
+      explode(col("__sh")).as("__g"))
     val dfreq = inv.groupBy("__g").agg(count(lit(1)).as("__df"))
     val capped = maxDocFreq.fold(inv.join(dfreq, "__g"))(cap =>
       inv.join(dfreq.filter(col("__df") <= cap), "__g"))
