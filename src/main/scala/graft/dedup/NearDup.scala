@@ -323,25 +323,52 @@ object NearDup {
     // (id + 8-byte hash), so the block is cheap even at corpus scale.
     val h = trackedPersist(docs.select(col(idCol), simHash(col(textCol)).as("__sh"))
       .filter(col("__sh").isNotNull))
+    bandedHammingPairs(h, idCol, "__sh", SimBandOffsets, maxDist)
+  }
+
+  /** Exact Hamming pairs over ANY 64-bit hash column (e.g. image
+    * dHash): pigeonhole-exact banded LSH with maxDist+1 bands —
+    * a pair within maxDist must agree on at least one band. Caller
+    * persists the hash frame if it is expensive to recompute. */
+  def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
+                     maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32,
+      s"need 0 <= maxDist < 32 for sensible 64-bit bands; got $maxDist")
+    val nBands = maxDist + 1
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    val widths = Seq.tabulate(nBands)(i => base + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).zip(widths)
+    bandedHammingPairs(hashes.select(col(idCol), col(hashCol).as("__bh"))
+      .filter(col("__bh").isNotNull), idCol, "__bh", offsets, maxDist)
+  }
+
+  /** Shared banded-Hamming core: candidates from a bucket join on
+    * band values; the join emits each pair ONLY at its first
+    * matching band (all earlier bands differ), so every qualifying
+    * pair appears exactly once — no distinct() — and the exact
+    * hamming filter runs map-side right after the join. */
+  private def bandedHammingPairs(h: DataFrame, idCol: String, hashCol: String,
+                                 offsets: Seq[(Int, Int)],
+                                 maxDist: Int): DataFrame = {
     def bandVal(hc: Column, band: Int): Column = {
-      val (off, w) = SimBandOffsets(band)
-      shiftright(hc, off).bitwiseAND(lit((1L << w) - 1))
+      val (off, w) = offsets(band)
+      // w == 64 (single band, maxDist 0): 1L << 64 wraps to 1 — use
+      // the all-ones mask explicitly
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftright(hc, off).bitwiseAND(lit(mask))
     }
-    val bandStructs = SimBandOffsets.indices.map { i =>
-      struct(lit(i).as("band_idx"), bandVal(col("__sh"), i).as("band_val"))
+    val bandStructs = offsets.indices.map { i =>
+      struct(lit(i).as("band_idx"), bandVal(col(hashCol), i).as("band_val"))
     }
-    // carry the full hash through the band explode: the join emits the
-    // pair ONLY at its first matching band (all earlier bands differ),
-    // so every qualifying pair appears exactly once — no distinct(),
-    // and the hamming filter runs map-side right after the join.
-    val bands = h.select(col(idCol), col("__sh"),
+    val bands = h.select(col(idCol), col(hashCol),
       explode(array(bandStructs: _*)).as("b"))
-      .select(col(idCol), col("__sh"), col("b.band_idx"), col("b.band_val"))
-    val a = bands.select(col(idCol).as("id_a"), col("__sh").as("__h_a"),
+      .select(col(idCol), col(hashCol), col("b.band_idx"), col("b.band_val"))
+    val a = bands.select(col(idCol).as("id_a"), col(hashCol).as("__h_a"),
       col("band_idx"), col("band_val"))
-    val b = bands.select(col(idCol).as("id_b"), col("__sh").as("__h_b"),
+    val b = bands.select(col(idCol).as("id_b"), col(hashCol).as("__h_b"),
       col("band_idx"), col("band_val"))
-    val firstMatch = SimBandOffsets.indices.map { j =>
+    val firstMatch = offsets.indices.map { j =>
       col("band_idx") <= j || bandVal(col("__h_a"), j) =!= bandVal(col("__h_b"), j)
     }.reduce(_ && _)
     a.join(b, Seq("band_idx", "band_val"))

@@ -74,6 +74,34 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** 64-bit perceptual difference hash (dHash): nearest-neighbor
+      * resize to 9x8, integer-weight luminance, bit j set when
+      * lum(x,y) > lum(x+1,y). Robust to rescaling / recompression /
+      * small edits — the image analog of SimHash, and exactly what
+      * pairs with [[graft.dedup.NearDup.hammingPairs64]] for
+      * perceptual image dedup. Pure integer arithmetic end-to-end,
+      * so the hash is bit-reproducible across JVMs. */
+    def dHash(img: BufferedImage): Long = {
+      val g = resizeImage(img, 9, 8)
+      def lum(px: Int): Int = {
+        val r = (px >> 16) & 0xff; val gn = (px >> 8) & 0xff; val b = px & 0xff
+        (299 * r + 587 * gn + 114 * b) / 1000
+      }
+      var h = 0L
+      var bit = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (lum(g.getRGB(x, y)) > lum(g.getRGB(x + 1, y))) h |= (1L << bit)
+          bit += 1
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
   }
 
   /** REAL audio codec for PCM RIFF/WAVE payloads — JDK-only manual
@@ -272,6 +300,32 @@ object Multimodal {
       }
     }
   }
+
+  case class DHashOut(media_id: Long, dhash: Option[Long])
+
+  /** Perceptual hashes for every decodable image payload: typed
+    * mapPartitions through the REAL codec (decode once per row,
+    * stream as an iterator), 64-bit [[ImageCodec.dHash]] out,
+    * undecodable rows get NULL. Narrow op — no shuffle. */
+  def imageDHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select("media_id", "media_type", "payload").as[MediaIn]
+      .mapPartitions { it =>
+        it.map(m => DHashOut(m.media_id,
+          ImageCodec.decode(m.payload).map(ImageCodec.dHash)))
+      }.toDF()
+  }
+
+  /** Perceptual image near-dup pairs: dHash + the pigeonhole-exact
+    * banded Hamming join ([[graft.dedup.NearDup.hammingPairs64]]) —
+    * the image-side twin of SimHash text dedup. Rescaled,
+    * re-encoded or lightly edited copies land within `maxDist` bits;
+    * the band join keeps the plan subquadratic (never all-pairs). */
+  def imageNearDupPairs(media: DataFrame, maxDist: Int = 6): DataFrame =
+    graft.dedup.NearDup.hammingPairs64(
+      imageDHashes(media), "media_id", "dhash", maxDist)
 
   /** Stub scaler for non-image media: sample w*h bytes evenly. */
   private def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {

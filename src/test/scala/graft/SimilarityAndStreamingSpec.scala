@@ -310,6 +310,62 @@ class SimilarityAndStreamingSpec extends SparkSpec {
         s"pixel ($x,$y)")
   }
 
+  test("perceptual image dedup: dHash + banded Hamming pairs") {
+    import java.awt.image.BufferedImage
+    def gradient(seed: Int): BufferedImage = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_ARGB)
+      for (y <- 0 until 32; x <- 0 until 32)
+        img.setRGB(x, y, 0xFF000000 | ((x * 7 + seed) % 256 << 16) |
+          ((y * 5) % 256 << 8) | ((x + y) % 256))
+      img
+    }
+    val base = gradient(0)
+    // near-dup: same image rescaled 2x (dHash is scale-invariant by
+    // construction: both resize to 9x8 first)
+    val scaled = Multimodal.ImageCodec.resizeImage(base, 64, 64)
+    // unrelated: different gradient phase
+    val other = gradient(128)
+    val h0 = Multimodal.ImageCodec.dHash(base)
+    assert(Integer.bitCount(((h0 ^ Multimodal.ImageCodec.dHash(scaled)) >>> 32).toInt) +
+      Integer.bitCount((h0 ^ Multimodal.ImageCodec.dHash(scaled)).toInt) <= 6)
+    val sess = spark; import sess.implicits._
+    val df = Seq(
+      (0L, "image", Multimodal.ImageCodec.encodePng(base)),
+      (1L, "image", Multimodal.ImageCodec.encodePng(scaled)),
+      (2L, "image", Multimodal.ImageCodec.encodePng(other)),
+      (3L, "image", "not an image".getBytes("UTF-8")), // undecodable -> null
+      (4L, "audio", Multimodal.ImageCodec.encodePng(base)) // filtered out
+    ).toDF("media_id", "media_type", "payload")
+    val hashes = Multimodal.imageDHashes(df)
+    assert(hashes.count() === 4) // images only, incl. the undecodable row
+    assert(hashes.filter(col("dhash").isNull).count() === 1)
+    val pairs = Multimodal.imageNearDupPairs(df, maxDist = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"rescaled copy not paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated image paired: $pairs")
+  }
+
+  test("hammingPairs64 equals brute force on random 64-bit hashes") {
+    val sess = spark; import sess.implicits._
+    val rnd = new scala.util.Random(7)
+    val hashes = Seq.tabulate(120)(i =>
+      (i.toLong, if (i % 3 == 0) rnd.nextLong()
+      else rnd.nextLong() ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64))))
+    // plant near-dups: pairs differing in <= 4 bits
+    val planted = hashes.take(10).map { case (id, h) =>
+      (id + 1000L, h ^ (1L << 3) ^ (1L << 40)) }
+    val all = hashes ++ planted
+    val df = all.toDF("id", "h")
+    val got = graft.dedup.NearDup.hammingPairs64(df, "id", "h", maxDist = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ia, ib)).toSet
+    assert(got === want)
+  }
+
   test("audio codec: real PCM WAV decode with duration, RMS and features") {
     // hand-built 16-bit mono 8 kHz WAV: 100-sample square wave ±0.5
     val nS = 100; val rate = 8000
