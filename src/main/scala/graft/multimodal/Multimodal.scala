@@ -169,6 +169,58 @@ object Multimodal {
         w.durationMs.toFloat, math.sqrt(sq / s.length).toFloat,
         peak.toFloat, zc.toFloat, (sum / s.length).toFloat)
     }
+
+    /** 64-bit audio perceptual hash — the dHash idea applied to a
+      * tiny spectrogram: the mono mix splits into 9 equal time
+      * windows, each window gets 8 Goertzel band energies (bands at
+      * rate·(k+1)/32, all below Nyquist), and bit (t·8 + b) is set
+      * when band b's energy RISES from window t to t+1. Uniform
+      * amplitude scaling (volume) multiplies every energy by the
+      * same factor, so the adjacent-window comparisons — and the
+      * hash — are volume-invariant; a different tone flips the band
+      * pattern. JDK-only, deterministic sequential arithmetic. */
+    def aHash(w: Wav): Long = {
+      val nWin = 9; val nBands = 8
+      val mono: Array[Double] = {
+        val ch = math.max(w.channels, 1)
+        val n = w.samples.length / ch
+        Array.tabulate(n) { i =>
+          var s = 0.0; var c = 0
+          while (c < ch) { s += w.samples(i * ch + c); c += 1 }
+          s / ch
+        }
+      }
+      if (mono.length < nWin) return 0L
+      def bandEnergy(lo: Int, hi: Int, band: Int): Double = {
+        // Goertzel at f = rate*(band+1)/32 over mono[lo, hi)
+        val wNorm = 2.0 * math.Pi * (band + 1) / 32.0
+        val coeff = 2.0 * math.cos(wNorm)
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        var i = lo
+        while (i < hi) {
+          s0 = mono(i) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          i += 1
+        }
+        s1 * s1 + s2 * s2 - coeff * s1 * s2
+      }
+      val e = Array.tabulate(nWin, nBands) { (t, b) =>
+        val lo = (t.toLong * mono.length / nWin).toInt
+        val hi = ((t + 1).toLong * mono.length / nWin).toInt
+        bandEnergy(lo, hi, b)
+      }
+      var h = 0L
+      var t = 0
+      while (t < nWin - 1) {
+        var b = 0
+        while (b < nBands) {
+          if (e(t + 1)(b) > e(t)(b)) h |= (1L << (t * nBands + b))
+          b += 1
+        }
+        t += 1
+      }
+      h
+    }
   }
 
   /** 8 deterministic image features: width, height, mean A/R/G/B,
@@ -326,6 +378,26 @@ object Multimodal {
   def imageNearDupPairs(media: DataFrame, maxDist: Int = 6): DataFrame =
     graft.dedup.NearDup.hammingPairs64(
       imageDHashes(media), "media_id", "dhash", maxDist)
+
+  /** Perceptual hashes for every decodable PCM-WAV payload
+    * ([[WavCodec.aHash]]); undecodable rows get NULL. Narrow op. */
+  def audioAHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "audio")
+      .select("media_id", "media_type", "payload").as[MediaIn]
+      .mapPartitions { it =>
+        it.map(m => DHashOut(m.media_id,
+          WavCodec.decode(m.payload).map(WavCodec.aHash)))
+      }.toDF()
+  }
+
+  /** Perceptual audio near-dup pairs — volume-shifted or re-encoded
+    * copies land within `maxDist` bits of the spectrogram hash;
+    * same banded subquadratic join as the image path. */
+  def audioNearDupPairs(media: DataFrame, maxDist: Int = 6): DataFrame =
+    graft.dedup.NearDup.hammingPairs64(
+      audioAHashes(media), "media_id", "dhash", maxDist)
 
   /** Stub scaler for non-image media: sample w*h bytes evenly. */
   private def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {

@@ -402,6 +402,46 @@ class SimilarityAndStreamingSpec extends SparkSpec {
     assert(math.abs(feat(4) - 0.5f) < 1e-5)
   }
 
+  test("perceptual audio dedup: aHash volume-invariant, tone-sensitive") {
+    def wav(nS: Int, rate: Int, amp: Int, period: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + nS * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nS * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(nS * 2)
+      // square wave with a slow amplitude ramp so adjacent-window
+      // band energies are non-constant (the hash has signal)
+      (0 until nS).foreach { i =>
+        val a = amp * (1 + i / (nS / 4)) / 4
+        bb.putShort((if (i % period < period / 2) a else -a).toShort)
+      }
+      bb.array()
+    }
+    val base = wav(4000, 8000, 16384, 8)
+    val quieter = wav(4000, 8000, 4096, 8) // same tone, 1/4 volume
+    val otherTone = wav(4000, 8000, 16384, 26)
+    val h = Multimodal.WavCodec.decode(base).map(Multimodal.WavCodec.aHash).get
+    val hq = Multimodal.WavCodec.decode(quieter).map(Multimodal.WavCodec.aHash).get
+    val ho = Multimodal.WavCodec.decode(otherTone).map(Multimodal.WavCodec.aHash).get
+    assert(h === hq, "uniform volume change must not move the hash")
+    assert(java.lang.Long.bitCount(h ^ ho) > 6,
+      s"different tone too close: ${java.lang.Long.bitCount(h ^ ho)}")
+    val sess = spark; import sess.implicits._
+    val df = Seq(
+      (0L, "audio", base), (1L, "audio", quieter), (2L, "audio", otherTone),
+      (3L, "audio", "not a wav".getBytes("UTF-8"))
+    ).toDF("media_id", "media_type", "payload")
+    assert(Multimodal.audioAHashes(df).filter(col("dhash").isNull).count() === 1)
+    val pairs = Multimodal.audioNearDupPairs(df, maxDist = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"volume-shifted copy not paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"different tone paired: $pairs")
+  }
+
   test("multimodal frame sampling fans out one row per frame") {
     val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, everyMs = 1000)
