@@ -3137,6 +3137,54 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("revenue"))
         .orderBy("month_ms")),
 
+    "q_new_vs_returning" -> ((s, d) => {
+      // monthly acquisition split: distinct customers active each
+      // month, partitioned into NEW (their first-ever order month)
+      // vs RETURNING — the growth-vs-retention board metric. One
+      // shuffle reduces orders to the distinct (month, cust) grain
+      // while the same-keyed min-month frame broadcasts back; the
+      // month frame is bounded so the final agg is tiny.
+      val mm = unix_millis(date_trunc("month", col("o_orderdate")))
+      val byCustMonth = Tables.orders(s, d)
+        .select(col("o_custkey").as("cust"), mm.as("month_ms")).distinct()
+      val firstMonth = byCustMonth.groupBy("cust")
+        .agg(min(col("month_ms")).as("__first"))
+      byCustMonth.join(firstMonth, "cust")
+        .groupBy("month_ms")
+        .agg(
+          sum(when(col("month_ms") === col("__first"), 1L).otherwise(0L))
+            .as("new_customers"),
+          sum(when(col("month_ms") =!= col("__first"), 1L).otherwise(0L))
+            .as("returning_customers"))
+        .orderBy("month_ms")
+    }),
+
+    "q_seasonal_index" -> ((s, d) => {
+      // month-of-year seasonality index: each calendar month's mean
+      // monthly revenue over the years divided by the overall mean —
+      // the deseasonalization factor (1.0 = no seasonal effect).
+      // Orders reduce once to the bounded (year, month) frame in
+      // exact cents; both means derive from that tiny frame, and the
+      // 1-row overall mean broadcasts back.
+      val monthly = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yy"),
+          month(col("o_orderdate")).as("moy"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      val perMoy = monthly.groupBy(col("moy"))
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_years"))
+      val overall = perMoy.agg(sum(col("sum_cents")).as("t_cents"),
+        sum(col("n_years")).as("t_months"))
+      perMoy.crossJoin(broadcast(overall))
+        .select(col("moy"),
+          roundTo(col("sum_cents").cast("double") / col("n_years") / 100, 2)
+            .as("mean_revenue"),
+          roundTo((col("sum_cents").cast("double") / col("n_years")) /
+            (col("t_cents").cast("double") / col("t_months")), 6)
+            .as("seasonal_index"))
+        .orderBy("moy")
+    }),
+
     // top-k-with-ties: every line at one of the TWO highest
     // quantities per returnflag via dense_rank — integer-valued
     // quantities make ties massive, so this exercises the
@@ -5681,6 +5729,33 @@ object SparkEntry {
       s"""SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
         | COUNT(*) AS n_orders, ${sqlSumD("o_totalprice")} AS revenue
         |FROM orders GROUP BY 1 ORDER BY month_ms""".stripMargin,
+
+    "q_new_vs_returning" ->
+      """WITH cm AS (SELECT DISTINCT o_custkey AS cust,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_ms FROM orders),
+        |fm AS (SELECT cust, MIN(month_ms) AS f FROM cm GROUP BY cust)
+        |SELECT month_ms,
+        | CAST(SUM(CASE WHEN month_ms = f THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS new_customers,
+        | CAST(SUM(CASE WHEN month_ms != f THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS returning_customers
+        |FROM cm JOIN fm USING (cust)
+        |GROUP BY month_ms ORDER BY month_ms""".stripMargin,
+
+    "q_seasonal_index" -> {
+      s"""WITH m AS (SELECT year(o_orderdate) AS yy, month(o_orderdate) AS moy,
+         |  SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS cents
+         | FROM orders GROUP BY 1, 2),
+         |p AS (SELECT moy, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         |  CAST(COUNT(*) AS BIGINT) AS n_years FROM m GROUP BY moy),
+         |o AS (SELECT CAST(SUM(sum_cents) AS BIGINT) AS t_cents,
+         |  CAST(SUM(n_years) AS BIGINT) AS t_months FROM p)
+         |SELECT moy,
+         | ${sqlRound("CAST(sum_cents AS DOUBLE)/n_years/100", 2)} AS mean_revenue,
+         | ${sqlRound("(CAST(sum_cents AS DOUBLE)/n_years)/" +
+             "(CAST(t_cents AS DOUBLE)/t_months)", 6)} AS seasonal_index
+         |FROM p CROSS JOIN o ORDER BY moy""".stripMargin
+    },
 
     "q_top_qty_lines" ->
       s"""SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -68,7 +68,9 @@ class PlanLintSpec extends SparkSpec {
     // (monthly series / six power-sum scalars / four split counts)
     "q_spearman_corr", "q_welch_ttest", "q_autocorr", "q_ab_conversion",
     // three 1-row key-stats aggs over per-key count frames
-    "dq_key_skew")
+    "dq_key_skew",
+    // 1-row overall mean over the bounded 12-row month frame
+    "q_seasonal_index")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
