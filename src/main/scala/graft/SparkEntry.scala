@@ -2674,6 +2674,32 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "q_order_gap_stats" -> ((s, d) => {
+      // purchase-cadence distribution: exact integer-day gaps between
+      // a customer's consecutive orders (lag over the per-customer
+      // order sequence — parallel by customer, never a global
+      // window), then per-priority n / mean / exact interpolated
+      // quartiles of the gap (the q_percentiles recipe). The gap
+      // frame carries the SECOND order's priority, answering "how
+      // long since the previous order for orders of this class".
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("__day").asc, col("o_orderkey").asc)
+      val gaps = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+          floor(unix_millis(col("o_orderdate").cast("timestamp")) / 86400000L)
+            .cast("long").as("__day"))
+        .withColumn("gap_days", col("__day") - lag(col("__day"), 1).over(w))
+        .where(col("gap_days").isNotNull)
+      gaps.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_gaps"),
+          roundTo(sum(col("gap_days")).cast("double") / count(lit(1)), 4)
+            .as("mean_gap_days"),
+          roundTo(expr("percentile(gap_days, 0.25D)"), 4).as("p25"),
+          roundTo(expr("percentile(gap_days, 0.5D)"), 4).as("p50"),
+          roundTo(expr("percentile(gap_days, 0.75D)"), 4).as("p75"))
+        .orderBy("o_orderpriority")
+    }),
+
     // per-group z-score outliers: mean/std from ONE combinable
     // aggregation (exact decimal sums of x and x², so the moments are
     // summation-order-independent), broadcast back onto the rows —
@@ -5499,6 +5525,22 @@ object SparkEntry {
          |SELECT o_orderpriority, COUNT(*) AS n_orders,
          |  ${q("0.25")} AS p25, ${q("0.5")} AS p50, ${q("0.75")} AS p75
          |FROM o GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+    },
+
+    "q_order_gap_stats" -> {
+      def q(p: String) = sqlRound(s"quantile_cont(gap_days, $p)", 4)
+      s"""WITH d AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+         |  CAST(floor(epoch_ms(o_orderdate)/86400000) AS BIGINT) AS day
+         | FROM orders),
+         |g AS (SELECT o_orderpriority,
+         |  day - lag(day) OVER (PARTITION BY o_custkey
+         |    ORDER BY day ASC, o_orderkey ASC) AS gap_days
+         | FROM d)
+         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         | ${sqlRound("CAST(SUM(gap_days) AS DOUBLE)/COUNT(*)", 4)} AS mean_gap_days,
+         | ${q("0.25")} AS p25, ${q("0.5")} AS p50, ${q("0.75")} AS p75
+         |FROM g WHERE gap_days IS NOT NULL
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
     },
 
     "q_zscore_outliers" ->
