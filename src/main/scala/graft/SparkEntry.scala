@@ -28,6 +28,17 @@ import graft.streaming.Streams
   */
 object SparkEntry {
 
+  /** Id-space tag for synthetic clone/excerpt rows planted by the
+    * dedup queries: real doc_ids are dense small integers at every
+    * SF, so `doc_id | 2^40` is provably disjoint from the natural id
+    * space up to a trillion-document corpus (a low additive offset
+    * like +100000 collides with real ids as soon as the SF produces
+    * that many docs — and because the oracle drifts identically, the
+    * gate would keep passing while the query's semantics silently
+    * changed). High-bit tag rather than negation so min(doc_id)
+    * still selects the ORIGINAL as the canonical survivor. */
+  private val SyntheticIdTag = 1L << 40 // 1099511627776
+
   // ---- cross-engine-deterministic aggregation helpers ----
   private def sumD(c: Column): Column =
     sum(roundTo(c, 2).cast("decimal(18,2)")).cast("double")
@@ -703,7 +714,7 @@ object SparkEntry {
       val rev = Tables.lineitem(s, d).groupBy(col("l_partkey"))
         .agg(sum(roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
           .cast("decimal(18,2)")).as("rev"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Caches.tracked)
       val run = graft.operators.Ranks.withRunningSum(rev, "rev",
         Seq(col("rev").desc, col("l_partkey").asc), bucketOn = "rev",
         ascending = false, cumCol = "cum", totalCol = "tot")
@@ -1865,7 +1876,7 @@ object SparkEntry {
     "dedup_exact_text" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val withClones = docs.select(col("doc_id"), col("text"))
-        .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionAll(docs.select((col("doc_id") + SyntheticIdTag).as("doc_id"), col("text")))
       withClones
         .groupBy(TextFunctions.fingerprintMd5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
@@ -1964,7 +1975,7 @@ object SparkEntry {
       // has no exact dupes) so the dedup stage does real work.
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val withClones = docs.unionByName(
-        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        docs.select((col("doc_id") + SyntheticIdTag).as("doc_id"), col("text")))
       val gated = withClones
         .withColumn("__fp", TextFunctions.fingerprintMd5(col("text")))
         .filter(TextFunctions.langId(col("text")) === "en" &&
@@ -2231,7 +2242,7 @@ object SparkEntry {
       // Bench/Verify clear caches between queries)
       val e = Tables.embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"), x => roundTo(x.cast("double"), 10)).as("embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Caches.tracked)
       val cents = Similarity.kmeansCentroids(e, k = 16, iters = 2, sumScale = 10)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 100), k = 5, nCells = 16,
         nProbe = 2, trainedCentroids = Some(cents))
@@ -2533,7 +2544,7 @@ object SparkEntry {
     "dedup_levenshtein" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-      val clones = base.select((col("doc_id") + 200000).as("doc_id"),
+      val clones = base.select((col("doc_id") + SyntheticIdTag).as("doc_id"),
         col("lang"), col("n_chars"),
         concat(lit("zz"), substring(col("text"), 3, 1000000)).as("text"))
       val all = base.unionAll(clones)
@@ -2815,14 +2826,27 @@ object SparkEntry {
     // directional containment (|A∩B| / |A|) — excerpt/sub-document
     // detection: 15-token head excerpts planted per doc score 1.0
     // against their source (a token-prefix's shingles are a subset of
-    // the source's) while their Jaccard stays tiny. Inverted shingle
-    // index, exact size prune — see NearDup.containmentPairs
+    // the source's) while their Jaccard stays tiny. Prefix-filtered
+    // inverted index (NearDup.containmentPairsPrefix): the contained
+    // side only indexes its rarest ~(1-t) fraction of shingles, so
+    // the hot head of the df distribution — which made the plain
+    // index's join volume grow ~df² per shingle, the measured
+    // output-bound superlinear row in docs/SCALING.md — drops out of
+    // candidate generation while the result stays EXACT. maxDocFreq
+    // = 1000 is an absolute fanout guard on top: measured shingle df
+    // grows ~0.003·corpus_rows on this corpus (max df 10 at 1k rows,
+    // 32 at 10k — zero recall impact at every tested SF), so the cap
+    // binds only beyond ~300k docs, where a shingle shared by >1000
+    // docs is boilerplate with no excerpt-evidence value; discovery
+    // of pairs overlapping ONLY in such shingles is forgone
+    // (conservative), scores are never perturbed (verify runs on
+    // full shingle arrays). The oracle applies the same rule.
     "dedup_containment" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val excerpts = docs.select((col("doc_id") + 200000).as("doc_id"),
+      val excerpts = docs.select((col("doc_id") + SyntheticIdTag).as("doc_id"),
         concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 15)).as("text"))
-      NearDup.containmentPairs(docs.unionAll(excerpts), "doc_id", "text",
-        shingleSize = 3, threshold = 0.9)
+      NearDup.containmentPairsPrefix(docs.unionAll(excerpts), "doc_id", "text",
+        shingleSize = 3, threshold = 0.9, maxDocFreq = Some(1000L))
         .orderBy("id_a", "id_b")
     }),
 
@@ -3006,7 +3030,7 @@ object SparkEntry {
       // executes ONCE, not once per iteration (query-owned cache;
       // Bench/Verify clear caches between queries)
       val edges = pairs.unionByName(pairs.select(col("t").as("s"), col("s").as("t")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Caches.tracked)
       val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
       val nNodes = deg.agg(count(lit(1)).as("__n"))
       var pr = deg.crossJoin(broadcast(nNodes))
@@ -3019,10 +3043,19 @@ object SparkEntry {
           .select(col("t"),
             roundTo(col("__pr") / col("__dg"), 12).cast("decimal(28,12)").as("c"))
           .groupBy("t").agg(sum(col("c")).cast("double").as("cs"))
+        // localCheckpoint truncates the lineage between iterations:
+        // without it each round's pr plan embeds every prior round's
+        // join subtree, and analysis/optimization re-plans the whole
+        // growing tree per iteration — plan time, not data, becomes
+        // the cost at higher iteration counts. eager+non-replicated
+        // is fine here: a lost executor in local mode fails the
+        // query either way, and on a cluster the 3-round recompute
+        // from the persisted edge graph is cheap.
         pr = pr.join(contrib, pr("item") === contrib("t"), "left")
           .select(col("item"), col("deg"),
             roundTo(lit(0.15) / col("__n") + lit(0.85) * coalesce(col("cs"), lit(0.0)), 12)
               .as("pr"), col("__n"))
+          .localCheckpoint(true)
       }
       pr.select(col("item"), roundTo(col("pr"), 8).as("pagerank"))
         .orderBy("item")
@@ -3487,7 +3520,7 @@ object SparkEntry {
         .filter(roundTo((col("__nb") * col("__n")).cast("double") /
           (col("__na") * col("__nbj")).cast("double"), 6) >= 1.05)
         .select(col("i"), col("j"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Caches.tracked)
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.j") === col("e2.i"))
         .join(e.as("e3"), col("e1.i") === col("e3.i") && col("e2.j") === col("e3.j"))
@@ -5137,7 +5170,7 @@ object SparkEntry {
     "dedup_exact_text" ->
       """WITH u AS (
         | SELECT doc_id, text FROM documents
-        | UNION ALL SELECT doc_id + 100000, text FROM documents)
+        | UNION ALL SELECT doc_id + 1099511627776, text FROM documents)
         |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM u GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
         |ORDER BY canonical_id""".stripMargin,
@@ -5431,7 +5464,7 @@ object SparkEntry {
       """WITH base AS (
         |  SELECT doc_id, lang, n_chars, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 200000, lang, n_chars, 'zz' || substr(text, 3) FROM documents),
+        |  SELECT doc_id + 1099511627776, lang, n_chars, 'zz' || substr(text, 3) FROM documents),
         |blocked AS (SELECT doc_id, lang, floor(n_chars/8) AS band,
         |    substr(text, 1, 40) AS prefix FROM base)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -6350,7 +6383,7 @@ object SparkEntry {
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 200000,
+       |  SELECT doc_id + 1099511627776,
        |    array_to_string((${sqlTokens("text")})[1:15], ' ') FROM documents),
        |t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM corpus),
        |sh AS (SELECT doc_id,
@@ -6360,10 +6393,15 @@ object SparkEntry {
        |dsh AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
        |sz AS (SELECT doc_id, len(shingles) AS n FROM dsh),
        |e AS (SELECT doc_id, unnest(shingles) AS g FROM dsh),
+       |df AS (SELECT g, COUNT(*) AS df FROM e GROUP BY 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id != b.doc_id
+       |  JOIN df ON df.g = a.g WHERE df.df <= 1000),
        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id != b.doc_id GROUP BY 1, 2)
        |SELECT id_a, id_b, $cm AS containment
-       |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |FROM c JOIN cand USING (id_a, id_b)
+       |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |WHERE $cm >= 0.9 ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -6770,7 +6808,7 @@ object SparkEntry {
     val fp = """md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"""
     s"""WITH u AS (
        | SELECT doc_id, text FROM documents
-       | UNION ALL SELECT doc_id + 100000, text FROM documents),
+       | UNION ALL SELECT doc_id + 1099511627776, text FROM documents),
        |lb AS (SELECT doc_id, text, $best AS best FROM u),
        |scored AS (SELECT doc_id, text, $fp AS fp,
        |  CASE $cases ELSE 'unknown' END AS lang_pred, $q AS q

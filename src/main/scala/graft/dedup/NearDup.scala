@@ -31,30 +31,15 @@ import graft.text.TextFunctions
   */
 object NearDup {
 
-  /** Cache blocks created by the pair pipelines, awaiting cleanup. */
-  private val persistedFrames =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  private def trackedPersist(df: DataFrame): DataFrame = {
-    // prune entries whose blocks are already gone (callers using
-    // catalog.clearCache() instead of unpersistAll) — otherwise the
-    // queue retains every plan ever persisted in a long session
-    val it = persistedFrames.iterator()
-    while (it.hasNext)
-      if (it.next().storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        it.remove()
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(p)
-    p
-  }
+  private def trackedPersist(df: DataFrame): DataFrame = graft.Caches.tracked(df)
 
   /** Unpersist every cache block any NearDup pipeline has created
     * (scoped cleanup for library callers — leaves caches persisted
-    * by OTHER code untouched, unlike `catalog.clearCache()`). */
-  def unpersistAll(blocking: Boolean = false): Unit = {
-    var d = persistedFrames.poll()
-    while (d != null) { d.unpersist(blocking); d = persistedFrames.poll() }
-  }
+    * by OTHER code untouched, unlike `catalog.clearCache()`).
+    * Delegates to the library-wide [[graft.Caches]] registry, which
+    * also covers graded-query persists in SparkEntry. */
+  def unpersistAll(blocking: Boolean = false): Unit =
+    graft.Caches.unpersistAll(blocking)
 
   /** Modulus for permutation hashes (fits products in 60 bits). */
   val P = 1000000007L
@@ -152,8 +137,12 @@ object NearDup {
     * `m - ceil(t*m) + 1` shingles — if Jaccard(A,B) >= t the two
     * prefixes MUST share a shingle (pigeonhole: the intersection
     * cannot fit in either suffix), so joining prefixes finds every
-    * qualifying pair. Candidates then get an exact set-intersection
-    * verify, so precision is exact too.
+    * qualifying pair. Candidates then get a set-intersection verify
+    * over the xxhash64-hashed shingle arrays — exact up to 64-bit
+    * shingle-hash collisions (a colliding pair of distinct shingles
+    * WITHIN a candidate pair would perturb its Jaccard score;
+    * probability ~2^-64 per shingle pair, same caveat as
+    * [[ngramJaccardPairs]]).
     *
     * Why it scales: the naive inverted index pays sum-over-shingles
     * df^2 joined rows and HOT shingles dominate that sum; hot
@@ -179,20 +168,27 @@ object NearDup {
     val capped = maxDocFreq.fold(inv.join(dfreq, "__g"))(cap =>
       inv.join(dfreq.filter(col("__df") <= cap), "__g"))
     // rare-first canonical order; prefix length from the per-doc
-    // posting count m (== set size when uncapped)
+    // posting count m (== set size when uncapped). ceil(t·m) runs in
+    // EXACT integer arithmetic (threshold scaled to parts per
+    // million): float evaluation silently misjudges boundaries —
+    // e.g. 0.3*20 = 6.000000000000001 ceils to 7, shrinking the
+    // prefix one below the pigeonhole minimum.
+    val tPpm = math.round(threshold * 1e6)
+    def ceilT(n: org.apache.spark.sql.Column) =
+      floor((lit(tPpm) * n + lit(999999L)) / lit(1000000L))
     val wDoc = Window.partitionBy(idCol).orderBy(col("__df").asc, col("__g").asc)
     val wCnt = Window.partitionBy(idCol)
     val prefix = trackedPersist(capped
       .withColumn("__m", count(lit(1)).over(wCnt))
       .withColumn("__pos", row_number().over(wDoc))
-      .filter(col("__pos") <= col("__m") - ceil(lit(threshold) * col("__m")) + 1)
+      .filter(col("__pos") <= col("__m") - ceilT(col("__m")) + 1)
       .select(col(idCol), col("__n"), col("__g")))
     val a = prefix.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__g"))
     val b = prefix.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__g"))
     val cand = a.join(b, Seq("__g"))
       .filter(col("id_a") < col("id_b") &&
-        least(col("__na"), col("__nb")).cast("double") >=
-          lit(threshold) * greatest(col("__na"), col("__nb")))
+        least(col("__na"), col("__nb")) * lit(1000000L) >=
+          lit(tPpm) * greatest(col("__na"), col("__nb")))
       .select("id_a", "id_b").distinct()
     cand
       .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
@@ -247,9 +243,12 @@ object NearDup {
     val a = pruned.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__g"))
     val b = pruned.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__g"))
     a.join(b, Seq("__g"))
+      // ppm-integer boundary compare — float t·n misjudges near-
+      // integer products (0.9*20 = 18.000000000000004), see
+      // containmentPairsPrefix
       .filter(col("id_a") < col("id_b") &&
-        least(col("__na"), col("__nb")).cast("double") >=
-          lit(threshold) * greatest(col("__na"), col("__nb")))
+        least(col("__na"), col("__nb")) * lit(1000000L) >=
+          lit(math.round(threshold * 1e6)) * greatest(col("__na"), col("__nb")))
       .groupBy("id_a", "id_b", "__na", "__nb").agg(count(lit(1)).as("__c"))
       .withColumn("jaccard_sim", graft.functions.Det.roundTo(
         col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")), 6))
@@ -286,11 +285,84 @@ object NearDup {
     val a = pruned.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__g"))
     val b = pruned.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__g"))
     a.join(b, Seq("__g"))
+      // ppm-integer boundary compare, see containmentPairsPrefix
       .filter(col("id_a") =!= col("id_b") &&
-        col("__nb").cast("double") >= lit(threshold) * col("__na"))
+        col("__nb") * lit(1000000L) >=
+          lit(math.round(threshold * 1e6)) * col("__na"))
       .groupBy("id_a", "id_b", "__na").agg(count(lit(1)).as("__c"))
       .withColumn("containment", graft.functions.Det.roundTo(
         col("__c").cast("double") / col("__na"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** [[containmentPairs]] with a PREFIX FILTER on the contained side
+    * — the asymmetric AllPairs/PPJoin argument applied to
+    * containment: if |A ∩ B| >= t·|A| then at most floor((1-t)·|A|)
+    * of A's shingles miss B, so under a global rare-first shingle
+    * order (document frequency asc) A's first floor((1-t)·|A|)+1
+    * postings MUST contain one shingle that is also in B
+    * (pigeonhole). Joining A-prefixes against B's FULL posting list
+    * therefore finds every qualifying (a contained-in b) direction;
+    * candidates then get an exact verify over the full hashed
+    * shingle arrays, so scores are exact (up to the 2^-64
+    * shingle-hash collision caveat shared with
+    * [[ngramJaccardPairs]]).
+    *
+    * Why it scales where the plain inverted index cannot: the index
+    * join pays sum-over-shingles prefix_df(g)·df(g) rows instead of
+    * df(g)², and HOT shingles sort last in the rare-first order so
+    * they almost never land in a prefix — at t=0.9 a doc indexes
+    * ~10% of its shingles, and the hot head of the df distribution
+    * (the quadratic term that made the uncapped index output-bound
+    * superlinear) contributes almost nothing. `maxDocFreq`
+    * additionally drops df > cap shingles from CANDIDATE GENERATION
+    * on both sides as an absolute fanout guard (join rows per
+    * shingle <= cap·prefix_df); unlike [[containmentPairs]] the cap
+    * here never perturbs scores — the verify always runs on full
+    * arrays — it only means a pair whose overlap lies ENTIRELY in
+    * hot shingles is not discovered (conservative). */
+  def containmentPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                             shingleSize: Int = 3, threshold: Double = 0.9,
+                             maxDocFreq: Option[Long] = None): DataFrame = {
+    // hash shingles to 64-bit ONCE per doc; the frame feeds the
+    // index, the prefix window and both verify sides
+    val sets = trackedPersist(docs.select(col(idCol),
+      TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh0"))
+      .filter(size(col("__sh0")) > 0)
+      .select(col(idCol), transform(col("__sh0"), x => xxhash64(x)).as("__sh")))
+    val inv = sets.select(col(idCol), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__g"))
+    val dfreq = inv.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val postings = maxDocFreq.fold(inv.join(dfreq, "__g"))(cap =>
+      inv.join(dfreq.filter(col("__df") <= cap), "__g"))
+    // EXACT-INTEGER boundary arithmetic (threshold scaled to parts
+    // per million): containment >= t needs c >= ceil(t·na) matches,
+    // so A may miss at most na - ceil(t·na) shingles and the prefix
+    // must cover one more than that. Float evaluation of the same
+    // bounds silently loses boundary pairs — (1.0-0.9)*10 = 0.999…8
+    // floors to 0 where the true bound is 1, which shrank the prefix
+    // below the pigeonhole minimum for na=10 docs at t=0.9.
+    val tPpm = math.round(threshold * 1e6)
+    val minMatch = floor((lit(tPpm) * col("__n") + lit(999999L)) / lit(1000000L))
+    val wDoc = Window.partitionBy(idCol).orderBy(col("__df").asc, col("__g").asc)
+    val prefix = postings
+      .withColumn("__pos", row_number().over(wDoc))
+      .filter(col("__pos") <= col("__n") - minMatch + 1)
+      .select(col(idCol), col("__n"), col("__g"))
+    val a = prefix.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__g"))
+    val b = postings.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__g"))
+    // exact size prune: c <= nb, so containment >= t needs nb >= t*na
+    val cand = a.join(b, Seq("__g"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("__nb") * lit(1000000L) >= lit(tPpm) * col("__na"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("containment", graft.functions.Det.roundTo(
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(col("__sh_a")), 6))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }

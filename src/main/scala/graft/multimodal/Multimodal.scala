@@ -178,8 +178,12 @@ object Multimodal {
       * amplitude scaling (volume) multiplies every energy by the
       * same factor, so the adjacent-window comparisons — and the
       * hash — are volume-invariant; a different tone flips the band
-      * pattern. JDK-only, deterministic sequential arithmetic. */
-    def aHash(w: Wav): Long = {
+      * pattern. JDK-only, deterministic sequential arithmetic.
+      * Clips with fewer mono samples than time windows have no
+      * spectral structure to hash — they are UNHASHABLE (None), not
+      * hash 0: collapsing every ultra-short clip onto the 0L bucket
+      * would report all of them as mutual distance-0 near-dups. */
+    def aHash(w: Wav): Option[Long] = {
       val nWin = 9; val nBands = 8
       val mono: Array[Double] = {
         val ch = math.max(w.channels, 1)
@@ -190,7 +194,7 @@ object Multimodal {
           s / ch
         }
       }
-      if (mono.length < nWin) return 0L
+      if (mono.length < nWin) return None
       def bandEnergy(lo: Int, hi: Int, band: Int): Double = {
         // Goertzel at f = rate*(band+1)/32 over mono[lo, hi)
         val wNorm = 2.0 * math.Pi * (band + 1) / 32.0
@@ -219,7 +223,7 @@ object Multimodal {
         }
         t += 1
       }
-      h
+      Some(h)
     }
   }
 
@@ -380,7 +384,8 @@ object Multimodal {
       imageDHashes(media), "media_id", "dhash", maxDist)
 
   /** Perceptual hashes for every decodable PCM-WAV payload
-    * ([[WavCodec.aHash]]); undecodable rows get NULL. Narrow op. */
+    * ([[WavCodec.aHash]]); undecodable rows AND sub-window (too
+    * short to hash) clips get NULL. Narrow op. */
   def audioAHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -388,7 +393,7 @@ object Multimodal {
       .select("media_id", "media_type", "payload").as[MediaIn]
       .mapPartitions { it =>
         it.map(m => DHashOut(m.media_id,
-          WavCodec.decode(m.payload).map(WavCodec.aHash)))
+          WavCodec.decode(m.payload).flatMap(WavCodec.aHash)))
       }.toDF()
   }
 

@@ -36,10 +36,15 @@ import org.apache.spark.sql.functions._
 object Baskets {
 
   /** One row per user: `(userCol, items)` where `items` is the
-    * SORTED distinct item array. ONE shuffle; null items dropped. */
+    * SORTED distinct item array. ONE shuffle; null items AND null
+    * users dropped — a NULL user is an unattributed event, not a
+    * basket, and groupBy would otherwise collapse ALL null-user rows
+    * into one giant phantom basket whose pairs pollute every
+    * co-occurrence count (the self-join formulation this operator
+    * replaced excluded them implicitly via null-rejecting equality). */
   def userItemSets(events: DataFrame, userCol: String, itemCol: String,
                    maxItems: Option[Int] = None): DataFrame = {
-    val sets = events.where(col(itemCol).isNotNull)
+    val sets = events.where(col(itemCol).isNotNull && col(userCol).isNotNull)
       .groupBy(col(userCol))
       .agg(sort_array(collect_set(col(itemCol))).as("items"))
     maxItems.fold(sets)(m => sets.where(size(col("items")) <= m))

@@ -52,9 +52,11 @@ class BasketsSpec extends SparkSpec {
   test("property: pairCounts equals the self-join on random event multisets") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val events = Gen.listOfN(60, for {
-      u <- Gen.choose(0, 7)
+      // ~1/9 of events carry a NULL user: unattributed rows must be
+      // dropped, never pooled into one phantom basket
+      u <- Gen.choose(0, 8).map(n => if (n == 8) null else s"u$n")
       i <- Gen.choose(0L, 11L)
-    } yield (s"u$u", i))
+    } yield (u, i))
     val prop = Prop.forAll(events) { evs =>
       val df = evs.toDF("user_id", "item")
       val viaArrays = Baskets.pairCounts(

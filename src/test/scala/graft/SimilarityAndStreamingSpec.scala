@@ -423,9 +423,16 @@ class SimilarityAndStreamingSpec extends SparkSpec {
     val base = wav(4000, 8000, 16384, 8)
     val quieter = wav(4000, 8000, 4096, 8) // same tone, 1/4 volume
     val otherTone = wav(4000, 8000, 16384, 26)
-    val h = Multimodal.WavCodec.decode(base).map(Multimodal.WavCodec.aHash).get
-    val hq = Multimodal.WavCodec.decode(quieter).map(Multimodal.WavCodec.aHash).get
-    val ho = Multimodal.WavCodec.decode(otherTone).map(Multimodal.WavCodec.aHash).get
+    val h = Multimodal.WavCodec.decode(base).flatMap(Multimodal.WavCodec.aHash).get
+    val hq = Multimodal.WavCodec.decode(quieter).flatMap(Multimodal.WavCodec.aHash).get
+    val ho = Multimodal.WavCodec.decode(otherTone).flatMap(Multimodal.WavCodec.aHash).get
+    // sub-window clip (decodable, but fewer mono samples than the 9
+    // hash windows) is UNHASHABLE, not hash-0 — otherwise every
+    // ultra-short clip would pair with every other at distance 0
+    val tiny = wav(4, 8000, 16384, 8)
+    assert(Multimodal.WavCodec.decode(tiny)
+      .flatMap(Multimodal.WavCodec.aHash).isEmpty,
+      "sub-window clip must be unhashable, not 0L")
     assert(h === hq, "uniform volume change must not move the hash")
     assert(java.lang.Long.bitCount(h ^ ho) > 6,
       s"different tone too close: ${java.lang.Long.bitCount(h ^ ho)}")

@@ -168,6 +168,29 @@ class TextAndDedupSpec extends SparkSpec {
     NearDup.unpersistAll()
   }
 
+  test("prefix-filtered containment equals the full inverted index") {
+    val base = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    // plant head excerpts so true containment-1.0 pairs exist
+    val docs = base.unionAll(base.select((col("doc_id") + 500000).as("doc_id"),
+      concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 12)).as("text")))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = collect(NearDup.containmentPairs(docs, "doc_id", "text", 3, 0.9))
+    val prefix = collect(NearDup.containmentPairsPrefix(docs, "doc_id", "text", 3, 0.9))
+    assert(prefix === full)
+    assert(full.nonEmpty)
+    // a cap far above every df must not change the result; a lower
+    // threshold stresses the floor((1-t)n)+1 prefix-length formula
+    val capped = collect(NearDup.containmentPairsPrefix(docs, "doc_id", "text",
+      3, 0.9, maxDocFreq = Some(1000L)))
+    assert(capped === full)
+    val full6 = NearDup.containmentPairs(docs, "doc_id", "text", 3, 0.6).count()
+    val prefix6 = NearDup.containmentPairsPrefix(docs, "doc_id", "text", 3, 0.6).count()
+    assert(prefix6 === full6)
+    NearDup.unpersistAll()
+  }
+
   test("violation routing persists failing rows per check (batch + stream)") {
     import org.apache.spark.sql.SaveMode
     val src = java.nio.file.Files.createTempDirectory("graft-q-src").toString
