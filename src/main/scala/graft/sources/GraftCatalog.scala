@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 `TableCatalog` giving graft tables the reference's
+  * three-level SQL naming (`pyspark_dwh.<layer>.<table>`,
+  * reference gold_transformation.py:35-37,100-102 — consumers
+  * address every table as `catalog.schema.name` via `spark.table` /
+  * `saveAsTable`). Configure:
+  *
+  * {{{
+  * spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.root = /warehouse/graft
+  * }}}
+  *
+  * then `SELECT * FROM graft.gold.dim_customers` resolves
+  * `<root>/gold/dim_customers`, `df.write.saveAsTable("graft.gold.t")`
+  * creates it, and `VERSION AS OF` / `TIMESTAMP AS OF` time-travel
+  * SQL works on versioned and Delta-format tables.
+  *
+  * One namespace level = one directory level; a table directory is
+  * served by STORAGE FLAVOR, detected per load:
+  *  - `_delta_log/` present → native Delta-log replay
+  *    ([[DeltaLog.snapshot]]): the live add-file list at the
+  *    requested version becomes the scan's file list.
+  *  - graft [[VersionedTable]] marker → the current (or requested)
+  *    version's snapshot directory.
+  *  - otherwise → plain parquet directory.
+  *
+  * The returned table is Spark's own parquet `FileTable` pointed at
+  * the resolved file list, so scans get the full native read path —
+  * pushed filters, column pruning, vectorized reader, file-index
+  * partition pruning — and writes (`saveAsTable`, `INSERT INTO`) get
+  * the native parquet writer. (`ParquetTable` lives under
+  * `o.a.s.sql.execution` — Spark's internal-but-public layer; the
+  * public-API alternative is reimplementing a parquet
+  * reader/writer, which buys nothing here.)
+  *
+  * Delta-flavor tables with non-empty `partitionColumns` are
+  * rejected with a pointer to [[DeltaLog.read]] (their partition
+  * values live in the log, which a plain parquet scan cannot see —
+  * serving them here would silently drop columns).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"spark.sql.catalog.$name.root must point at the warehouse directory"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirFor(ident: Identifier): Path =
+    new Path((root +: ident.namespace().toSeq :+ ident.name()).mkString("/"))
+
+  private def dirFor(ns: Array[String]): Path =
+    new Path((root +: ns.toSeq).mkString("/"))
+
+  private def isVersioned(dir: Path): Boolean =
+    fs.exists(new Path(dir, "_LATEST")) || // VersionedTable pointer
+      fs.globStatus(new Path(dir, "_c0*")).nonEmpty // or commit files
+
+  private def isDelta(dir: Path): Boolean =
+    fs.exists(new Path(dir, "_delta_log"))
+
+  /** Resolve a table to (file list or directory, optional schema). */
+  private def resolve(ident: Identifier,
+                      versionAsOf: Option[Long],
+                      timestampAsOf: Option[Long]): (Seq[String], Option[StructType]) = {
+    val dir = dirFor(ident)
+    // the DSv2 contract type — Spark catches it to decide CTAS vs load
+    if (!fs.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    if (isDelta(dir)) {
+      val snap = DeltaLog.snapshot(spark, dir.toString, versionAsOf, timestampAsOf)
+      if (snap.partitionColumns.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"partitioned Delta table ${ident} — partition values live in the " +
+            "log; read it with graft.sources.DeltaLog.read instead")
+      (snap.files.map(_.path), Some(snap.schema))
+    } else if (isVersioned(dir)) {
+      val v = versionAsOf.getOrElse(
+        timestampAsOf.fold(VersionedTable.currentVersion(spark, dir.toString)) {
+          ts =>
+            // reuse VersionedTable's commit-mtime rule
+            val df = VersionedTable.readAsOfTimestamp(spark, dir.toString, ts)
+            return (df.inputFiles.toSeq, Some(df.schema))
+        })
+      val df = VersionedTable.readVersion(spark, dir.toString, v)
+      (df.inputFiles.toSeq, Some(df.schema))
+    } else {
+      require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
+        s"plain parquet table $ident has no version history")
+      (Seq(dir.toString), None)
+    }
+  }
+
+  private def parquetTable(ident: Identifier, paths: Seq[String],
+                           schema: Option[StructType]): Table =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      catalogName + "." + ident.toString, spark,
+      CaseInsensitiveStringMap.empty(), paths, schema,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
+  override def loadTable(ident: Identifier): Table = {
+    val (paths, schema) = resolve(ident, None, None)
+    parquetTable(ident, paths, schema)
+  }
+
+  /** `VERSION AS OF <v>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (paths, schema) = resolve(ident, Some(version.toLong), None)
+    parquetTable(ident, paths, schema)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` time travel; Spark hands MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val (paths, schema) = resolve(ident, None, Some(timestamp / 1000L))
+    parquetTable(ident, paths, schema)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = fs.exists(dirFor(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirFor(namespace)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).filter(_.isDirectory)
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables are unpartitioned directories; use " +
+        "VersionedTable.writeLayout for partition layouts")
+    val dir = dirFor(ident)
+    if (fs.exists(dir)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(ident)
+    fs.mkdirs(dir)
+    parquetTable(ident, Seq(dir.toString), Some(schema))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE on graft catalog")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    fs.exists(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!fs.rename(dirFor(oldIdent), dirFor(newIdent)))
+      throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
+  }
+
+  // ---- namespaces: one directory level each ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = new Path(root)
+    if (!fs.exists(r)) return Array.empty
+    fs.listStatus(r).filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val dir = dirFor(namespace)
+      if (!fs.exists(dir)) Array.empty
+      else fs.listStatus(dir).filter(_.isDirectory)
+        .map(st => namespace :+ st.getPath.getName)
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    fs.exists(dirFor(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    Map("location" -> dirFor(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(dirFor(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE on graft catalog")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = dirFor(namespace)
+    if (!fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
+    fs.delete(dir, true)
+  }
+}

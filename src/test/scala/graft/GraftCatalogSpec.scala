@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DeltaLog, VersionedTable}
+
+/** Three-level SQL naming over the DSv2 catalog: plain parquet,
+  * VersionedTable and native-Delta table flavors all resolve as
+  * `graft_t.<schema>.<table>`, with time-travel SQL on the flavors
+  * that version. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.graft_t", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_t.root", r)
+    r
+  }
+
+  test("gold-layer tables resolve by name for all three storage flavors") {
+    // plain parquet directory
+    Seq((1L, "ann"), (2L, "bob")).toDF("c_key", "c_name")
+      .write.parquet(s"$root/gold/dim_customers")
+    // versioned table
+    VersionedTable.write(Seq((10L, "p1"), (20L, "p2")).toDF("p_key", "p_name"),
+      s"$root/gold/dim_parts")
+    // real Delta log (via the export writer)
+    val vt = Files.createTempDirectory("graft-cat-vt").toString + "/t"
+    VersionedTable.write(Seq((100L, 5L)).toDF("o_key", "qty"), vt)
+    DeltaLog.exportFromVersioned(spark, vt, s"$root/gold/fact_sales")
+
+    assert(spark.sql("SELECT c_name FROM graft_t.gold.dim_customers ORDER BY c_key")
+      .as[String].collect().toSeq === Seq("ann", "bob"))
+    assert(spark.sql("SELECT p_name FROM graft_t.gold.dim_parts ORDER BY p_key")
+      .as[String].collect().toSeq === Seq("p1", "p2"))
+    assert(spark.sql("SELECT qty FROM graft_t.gold.fact_sales")
+      .as[Long].collect().toSeq === Seq(5L))
+    // joins across flavors through pure SQL
+    assert(spark.sql(
+      """SELECT c.c_name FROM graft_t.gold.dim_customers c
+        |JOIN graft_t.gold.dim_parts p ON c.c_key * 10 = p.p_key
+        |ORDER BY c.c_key""".stripMargin).as[String].collect().toSeq
+      === Seq("ann", "bob"))
+    // catalog surface
+    assert(spark.sql("SHOW TABLES IN graft_t.gold").count() === 3)
+    assert(spark.sql("SHOW NAMESPACES IN graft_t").as[String].collect()
+      .contains("gold"))
+  }
+
+  test("VERSION AS OF travels versioned and delta flavors; filters push down") {
+    VersionedTable.write(Seq((1L, "v1")).toDF("k", "v"), s"$root/silver/events")
+    VersionedTable.write(Seq((1L, "v2")).toDF("k", "v"), s"$root/silver/events",
+      overwrite = true)
+    assert(spark.sql("SELECT v FROM graft_t.silver.events").as[String].head()
+      === "v2")
+    assert(spark.sql("SELECT v FROM graft_t.silver.events VERSION AS OF 1")
+      .as[String].head() === "v1")
+    // delta flavor time travel (delta versions are 0-based)
+    val vt = Files.createTempDirectory("graft-cat-tt").toString + "/t"
+    VersionedTable.write(Seq(Tuple1("a")).toDF("x"), vt)
+    VersionedTable.write(Seq(Tuple1("b")).toDF("x"), vt, overwrite = true)
+    DeltaLog.exportFromVersioned(spark, vt, s"$root/silver/delta_ev")
+    assert(spark.sql("SELECT x FROM graft_t.silver.delta_ev VERSION AS OF 0")
+      .as[String].head() === "a")
+    assert(spark.sql("SELECT x FROM graft_t.silver.delta_ev").as[String].head()
+      === "b")
+    // native parquet scan: the filter reaches the file format
+    val plan = spark.sql(
+      "SELECT k FROM graft_t.silver.events WHERE k = 1").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,1)]"), plan)
+  }
+
+  test("saveAsTable + INSERT INTO create and extend catalog tables") {
+    root // force catalog registration
+    // the pure-V2 writer API needs no conf
+    Seq((1L, "x")).toDF("id", "s").writeTo("graft_t.bronze.raw_v2").create()
+    assert(spark.sql("SELECT s FROM graft_t.bronze.raw_v2").as[String].head()
+      === "x")
+    // DataFrameWriter.saveAsTable (the reference's API) only routes
+    // file sources to a V2 catalog when parquet is off the V1
+    // fallback list — scope the toggle to this test
+    val old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      Seq((1L, "x")).toDF("id", "s").write.saveAsTable("graft_t.bronze.raw")
+      spark.sql("INSERT INTO graft_t.bronze.raw VALUES (2, 'y')")
+      assert(spark.sql("SELECT s FROM graft_t.bronze.raw ORDER BY id")
+        .as[String].collect().toSeq === Seq("x", "y"))
+    } finally spark.conf.set("spark.sql.sources.useV1SourceList", old)
+    // drop removes the directory
+    spark.sql("DROP TABLE graft_t.bronze.raw")
+    assert(!new java.io.File(s"$root/bronze/raw").exists())
+  }
+}
