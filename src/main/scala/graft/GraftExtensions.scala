@@ -23,6 +23,7 @@ import graft.functions.{DotProductExpr, MinHashSigExpr, ShinglesExpr, SimHashExp
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    GraftTableFunctions.descriptions.foreach(ext.injectTableFunction)
     ext.injectCheckRule(GraftGuardrails.check)
     // whole-operator custom-plan path: rewrite
     // `row_number() OVER (PARTITION BY..ORDER BY..) <= k` into the
@@ -121,9 +122,149 @@ object GraftFunctions {
     }
 
   /** Register on a live session (equivalent to the extension). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     descriptions.foreach { case (ident, info, builder) =>
       org.apache.spark.sql.graftbridge.ColumnBridge
         .registerFunction(spark, ident, info, builder)
+    }
+    GraftTableFunctions.register(spark)
+  }
+}
+
+/** SQL TABLE functions over the operator library — the notebook-SQL
+  * entry points the reference's audience expects (its users never
+  * leave `spark.sql`). Each TVF takes a TABLE OR VIEW NAME plus
+  * literal parameters and returns the operator's result relation:
+  *
+  * {{{
+  * SELECT * FROM graft_minhash_pairs('docs', 'doc_id', 'text', 3, 0.5)
+  * SELECT * FROM graft_dedup('docs', 'doc_id', 'text', 6)
+  * SELECT * FROM graft_ann_topk('corpus', 'queries', 5)
+  * SELECT * FROM graft_curate('docs', 'holdout')
+  * }}}
+  *
+  * The builder resolves the named relation through the ACTIVE
+  * session's catalog at analysis time and splices the operator's
+  * full logical plan in as the TVF result — so Catalyst optimizes
+  * the operator pipeline and the outer query as ONE plan (filters
+  * the user writes above the TVF push into the operator's scans
+  * where semantics allow). Mutating the plan is out of scope: these
+  * are pure table-valued FUNCTIONS.
+  */
+object GraftTableFunctions {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.SparkSession
+
+  type TableDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg), None)
+
+  private def strLit(args: Seq[Expression], i: Int, fn: String,
+                     param: String): String = {
+    if (args.length <= i)
+      analysisError(s"$fn: missing required parameter '$param'")
+    val e = args(i)
+    if (!e.foldable) analysisError(
+      s"$fn: parameter '$param' must be a string literal, got ${e.sql}")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => analysisError(
+        s"$fn: parameter '$param' must be a string literal, got $other")
+    }
+  }
+
+  private def intLit(args: Seq[Expression], i: Int, default: Int,
+                     fn: String, param: String): Int =
+    if (args.length <= i) default
+    else args(i).eval() match {
+      case n: Int => n
+      case n: Long if n.isValidInt => n.toInt
+      case other => analysisError(
+        s"$fn: parameter '$param' must be an integer literal, got $other")
+    }
+
+  private def dblLit(args: Seq[Expression], i: Int, default: Double,
+                     fn: String, param: String): Double =
+    if (args.length <= i) default
+    else args(i).eval() match {
+      case d: Double => d
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Int => n.toDouble
+      case other => analysisError(
+        s"$fn: parameter '$param' must be a numeric literal, got $other")
+    }
+
+  private def table(name: String): org.apache.spark.sql.DataFrame =
+    SparkSession.active.table(name)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    org.apache.spark.sql.graftbridge.ColumnBridge.plan(df)
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, name)
+
+  val descriptions: Seq[TableDescription] = Seq(
+    // graft_minhash_pairs(table, idCol, textCol[, shingleSize, threshold])
+    (FunctionIdentifier("graft_minhash_pairs"), info("graft_minhash_pairs"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_minhash_pairs"
+        plan(NearDup.minHashPairs(
+          table(strLit(args, 0, fn, "table")),
+          strLit(args, 1, fn, "idCol"), strLit(args, 2, fn, "textCol"),
+          intLit(args, 3, 3, fn, "shingleSize"),
+          dblLit(args, 4, 0.5, fn, "threshold")))
+      }),
+    // graft_dedup(table, idCol, textCol[, maxDist]) — the FULL
+    // pipeline: simhash pairs -> connected components -> surviving
+    // representatives with absorb counts
+    (FunctionIdentifier("graft_dedup"), info("graft_dedup"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_dedup"
+        val docs = table(strLit(args, 0, fn, "table"))
+        val idCol = strLit(args, 1, fn, "idCol")
+        val textCol = strLit(args, 2, fn, "textCol")
+        val edges = NearDup.simHashPairs(docs, idCol, textCol,
+          maxDist = intLit(args, 3, 6, fn, "maxDist"))
+          .select("id_a", "id_b")
+        plan(graft.dedup.Clusters.dedupPipeline(
+          docs.select(org.apache.spark.sql.functions.col(idCol)), edges))
+      }),
+    // graft_ann_topk(corpusTable, queriesTable, k[, nBits, dim,
+    //   idCol, vecCol]) — multi-probe LSH cosine top-k
+    (FunctionIdentifier("graft_ann_topk"), info("graft_ann_topk"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_ann_topk"
+        plan(graft.similarity.Similarity.lshTopK(
+          table(strLit(args, 0, fn, "corpusTable")),
+          table(strLit(args, 1, fn, "queriesTable")),
+          intLit(args, 2, 5, fn, "k"),
+          nBits = intLit(args, 3, 4, fn, "nBits"),
+          dim = intLit(args, 4, 64, fn, "dim"),
+          idCol = if (args.length > 5) strLit(args, 5, fn, "idCol") else "vec_id",
+          vecCol = if (args.length > 6) strLit(args, 6, fn, "vecCol") else "embedding"))
+      }),
+    // graft_curate(docsTable, holdoutTable[, idCol, textCol]) — the
+    // full curation pipeline (gates -> dedup -> decontaminate ->
+    // split + token counts)
+    (FunctionIdentifier("graft_curate"), info("graft_curate"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_curate"
+        plan(graft.text.Curation.curate(
+          table(strLit(args, 0, fn, "docsTable")),
+          table(strLit(args, 1, fn, "holdoutTable")),
+          idCol = if (args.length > 2) strLit(args, 2, fn, "idCol") else "doc_id",
+          textCol = if (args.length > 3) strLit(args, 3, fn, "textCol") else "text"))
+      }))
+
+  /** Register on a live session (equivalent to the extension). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptions.foreach { case (ident, fnInfo, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerTableFunction(spark, ident, fnInfo, builder)
     }
 }

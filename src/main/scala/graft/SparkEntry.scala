@@ -1976,20 +1976,8 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val withClones = docs.unionByName(
         docs.select((col("doc_id") + SyntheticIdTag).as("doc_id"), col("text")))
-      val gated = withClones
-        .withColumn("__fp", TextFunctions.fingerprintMd5(col("text")))
-        .filter(TextFunctions.langId(col("text")) === "en" &&
-          roundTo(TextFunctions.qualityScore(col("text")), 6) >= 0.5 &&
-          length(col("text")) >= 100)
-      val kept = Dedup.keepFirst(gated, Seq("__fp"), "doc_id")
-      val holdout = docs.filter(col("doc_id") % 97 === 0)
-        .select(TextFunctions.fingerprintMd5(col("text")).as("__fp")).distinct()
-      val h = pmod(conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
-        .cast("long"), lit(100L))
-      kept.join(broadcast(holdout), Seq("__fp"), "left_anti")
-        .select(col("doc_id"),
-          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
-          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      graft.text.Curation.curate(withClones,
+          holdout = docs.filter(col("doc_id") % 97 === 0))
         .orderBy("doc_id")
     }),
 

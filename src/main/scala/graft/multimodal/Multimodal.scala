@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * the Spark-side contract (schema, partition-sized batching,
   * per-partition decoder amortization) is real and tested. IMAGES go
   * through a REAL codec ([[ImageCodec]]: JDK `javax.imageio`
-  * PNG/JPEG decode, nearest-neighbor rescale, PNG encode); audio and
-  * video keep a clearly-marked deterministic STUB because no media
-  * libraries ship in this container. Swapping `StubCodec` for a real
-  * decoder (e.g. javacpp/ffmpeg) changes no plan shape.
+  * PNG/JPEG decode, nearest-neighbor rescale, PNG encode), AUDIO
+  * through a REAL PCM RIFF/WAVE codec ([[WavCodec]]), and VIDEO
+  * through a REAL MJPEG-in-AVI codec ([[VideoCodec]]: RIFF container
+  * parse + per-frame JDK JPEG decode). Only COMPRESSED audio
+  * (mp3/ogg) keeps a clearly-marked deterministic STUB because no
+  * media libraries ship in this container; swapping `StubCodec` for
+  * a real decoder (e.g. javacpp/ffmpeg) changes no plan shape.
   *
   * Scale notes: decode runs inside `mapPartitions` so a real decoder
   * is initialized once per partition (not per row), and rows flow
@@ -227,6 +230,205 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec for MJPEG-in-AVI payloads — JDK-only RIFF
+    * container parse (the same chunk grammar as WAV) + per-frame
+    * `javax.imageio` JPEG decode. MJPEG is the classic
+    * capture/surveillance interchange format: each frame is an
+    * independent JPEG, so decode is embarrassingly parallel and
+    * needs no inter-frame state — exactly the codec you CAN do pure-
+    * JVM. Inter-coded formats (H.264/VP9) still need external libs
+    * and fall back to [[StubCodec]].
+    *
+    * Container grammar: `RIFF('AVI ' LIST('hdrl' 'avih' ...)
+    * LIST('movi' '00dc'/'00db' <jpeg bytes> ...))`; chunks are
+    * even-aligned. `avih` carries µs/frame + width/height. The
+    * parser scans top-level LISTs, so index chunks (`idx1`) and
+    * extra stream headers are skipped gracefully. */
+  object VideoCodec {
+    /** Decoded container: per-frame JPEG payloads (lazily decodable
+      * via [[decodeFrame]]) + timing metadata. */
+    final case class Video(width: Int, height: Int, usPerFrame: Long,
+                           frames: IndexedSeq[Array[Byte]]) {
+      def nFrames: Int = frames.length
+      def durationMs: Long = nFrames.toLong * usPerFrame / 1000L
+    }
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** Strict-but-tolerant parse; None for anything that is not a
+      * well-formed MJPEG AVI (corrupt rows must not kill a batch —
+      * same contract as [[ImageCodec.decode]]/[[WavCodec.decode]]). */
+    def decode(payload: Array[Byte]): Option[Video] = {
+      if (payload == null || payload.length < 24) return None
+      if (fourcc(payload, 0) != "RIFF" || fourcc(payload, 8) != "AVI ") return None
+      var usPerFrame = 0L; var w = 0; var h = 0
+      val frames = IndexedSeq.newBuilder[Array[Byte]]
+      var ok = true
+
+      def scanChunks(lo: Int, hi: Int, inMovi: Boolean, inHdrl: Boolean): Unit = {
+        var p = lo
+        while (ok && p + 8 <= hi) {
+          val id = fourcc(payload, p)
+          val sz = u32(payload, p + 4)
+          if (sz < 0 || p + 8 + sz > hi) { ok = false; return }
+          val body = p + 8
+          val bodyEnd = body + sz.toInt
+          if (id == "LIST" && sz >= 4) {
+            val listType = fourcc(payload, body)
+            scanChunks(body + 4, bodyEnd,
+              inMovi || listType == "movi", inHdrl || listType == "hdrl")
+          } else if (inHdrl && id == "avih" && sz >= 40) {
+            usPerFrame = u32(payload, body)
+            w = u32(payload, body + 32).toInt
+            h = u32(payload, body + 36).toInt
+          } else if (inMovi && id.length == 4 &&
+            (id.endsWith("dc") || id.endsWith("db")) && sz > 0) {
+            frames += java.util.Arrays.copyOfRange(payload, body, bodyEnd)
+          }
+          p = bodyEnd + (sz.toInt & 1) // even alignment
+        }
+      }
+      scanChunks(12, math.min(payload.length, 8 + u32(payload, 4).toInt + 8), false, false)
+      val fr = frames.result()
+      if (!ok || fr.isEmpty || usPerFrame <= 0) None
+      else Some(Video(w, h, usPerFrame, fr))
+    }
+
+    /** One frame's pixels via the real JDK JPEG decoder. */
+    def decodeFrame(jpegBytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      ImageCodec.decode(jpegBytes)
+
+    /** Minimal MJPEG-AVI writer (spec fixtures + interop export):
+      * avih + one 'vids'/'MJPG' stream header + movi of '00dc' JPEG
+      * chunks. Readable by this codec and by standard players. */
+    def encode(frames: Seq[java.awt.image.BufferedImage], usPerFrame: Long): Array[Byte] = {
+      require(frames.nonEmpty && usPerFrame > 0)
+      val jpegs = frames.map { img0 =>
+        // the JDK JPEG writer rejects alpha channels (returns false,
+        // writes nothing) — drop alpha via a deterministic per-pixel
+        // copy, never Graphics2D (rendering hints are JVM-variable)
+        val img =
+          if (img0.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img0
+          else {
+            val rgb = new java.awt.image.BufferedImage(img0.getWidth,
+              img0.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < img0.getHeight) {
+              var x = 0
+              while (x < img0.getWidth) {
+                rgb.setRGB(x, y, img0.getRGB(x, y) & 0xffffff)
+                x += 1
+              }
+              y += 1
+            }
+            rgb
+          }
+        val bos = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(img, "jpg", bos))
+          throw new IllegalStateException("JDK JPEG writer refused frame")
+        bos.toByteArray
+      }
+      val w = frames.head.getWidth; val h = frames.head.getHeight
+      val bb = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        bb.write((v & 0xff).toInt); bb.write(((v >> 8) & 0xff).toInt)
+        bb.write(((v >> 16) & 0xff).toInt); bb.write(((v >> 24) & 0xff).toInt)
+      }
+      def cc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+      // sizes, computed inner-out
+      val strf = 40L // BITMAPINFOHEADER
+      val strh = 56L
+      val strl = 4 + 8 + strh + 8 + strf
+      val avih = 56L
+      val hdrl = 4 + 8 + avih + 8 + strl
+      val moviBody = jpegs.map(j => 8L + j.length + (j.length & 1)).sum
+      val movi = 4 + moviBody
+      val riff = 4 + 8 + hdrl + 8 + movi
+      cc("RIFF"); w32(riff); cc("AVI ")
+      cc("LIST"); w32(hdrl); cc("hdrl")
+      cc("avih"); w32(avih)
+      w32(usPerFrame); w32(0); w32(0); w32(0) // usPerFrame, maxBps, pad, flags
+      w32(jpegs.length); w32(0); w32(1); w32(0) // totalFrames, initial, streams, bufSz
+      w32(w); w32(h); w32(0); w32(0); w32(0); w32(0) // width, height, reserved[4]
+      cc("LIST"); w32(strl); cc("strl")
+      cc("strh"); w32(strh)
+      cc("vids"); cc("MJPG")
+      w32(0); w32(0); w32(0) // flags, prio+lang, initialFrames
+      w32(usPerFrame); w32(1000000L) // scale, rate (rate/scale = fps)
+      w32(0); w32(jpegs.length); w32(0); w32(0); w32(0) // start, length, bufSz, quality, sampleSz
+      w32(0); w32((h.toLong << 16) | w.toLong) // rcFrame
+      cc("strf"); w32(strf)
+      w32(40); w32(w); w32(h); w32((24 << 16) | 1) // biSize, w, h, planes|bpp
+      cc("MJPG"); w32(w.toLong * h * 3); w32(0); w32(0); w32(0); w32(0)
+      cc("LIST"); w32(movi); cc("movi")
+      jpegs.foreach { j =>
+        cc("00dc"); w32(j.length); bb.write(j)
+        if ((j.length & 1) == 1) bb.write(0)
+      }
+      bb.toByteArray
+    }
+
+    /** 64-bit perceptual video hash: per-frame [[ImageCodec.dHash]],
+      * then a PER-BIT MAJORITY VOTE across frames — stable under
+      * re-encode/rescale (each frame hash is) AND under dropping or
+      * duplicating a few frames (majorities don't move), which is
+      * what distinguishes a temporal hash from hashing one frame.
+      * Feeds [[graft.dedup.NearDup.hammingPairs64]] like the image
+      * and audio hashes. None when no frame decodes. */
+    def vHash(v: Video): Option[Long] = {
+      val hashes = v.frames.flatMap(f => decodeFrame(f).map(ImageCodec.dHash))
+      if (hashes.isEmpty) return None
+      var h = 0L
+      var bit = 0
+      while (bit < 64) {
+        var ones = 0
+        hashes.foreach(x => if (((x >> bit) & 1L) == 1L) ones += 1)
+        if (ones * 2 >= hashes.length) h |= (1L << bit)
+        bit += 1
+      }
+      Some(h)
+    }
+
+    /** 8 real video features: n_frames, width, height, duration_ms,
+      * mean luma of first / middle / last frames, mean inter-frame
+      * luma delta (motion proxy). Integer pixel statistics over the
+      * REAL decode, bit-reproducible. */
+    def features(v: Video): Array[Float] = {
+      def meanLuma(bytes: Array[Byte]): Float = decodeFrame(bytes).map { img =>
+        var s = 0L; var n = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            s += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)) / 1000
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        if (n == 0) 0f else (s.toDouble / n).toFloat
+      }.getOrElse(0f)
+      val first = meanLuma(v.frames.head)
+      val mid = meanLuma(v.frames(v.nFrames / 2))
+      val last = meanLuma(v.frames.last)
+      val motion =
+        if (v.nFrames < 2) 0f
+        else {
+          val lumas = v.frames.map(meanLuma)
+          (lumas.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum /
+            (v.nFrames - 1)).toFloat
+        }
+      Array(v.nFrames.toFloat, v.width.toFloat, v.height.toFloat,
+        v.durationMs.toFloat, first, mid, last, motion)
+    }
+  }
+
   /** 8 deterministic image features: width, height, mean A/R/G/B,
     * min/max luma — real pixel statistics over the decoded image. */
   def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
@@ -254,8 +456,9 @@ object Multimodal {
   }
 
   /** STUB codec: deterministic byte-statistics "decode" standing in
-    * for codecs that need external libs (video, compressed audio).
-    * Real plumbing, fake math. */
+    * for codecs that need external libs (compressed audio — mp3/ogg
+    * — and inter-coded video — H.264/VP9; MJPEG-AVI video decodes
+    * for real via [[VideoCodec]]). Real plumbing, fake math. */
   object StubCodec {
     /** ??? real decoder goes here; deterministic fake: 8 moments of
       * the byte histogram as the "feature vector". */
@@ -308,6 +511,8 @@ object Multimodal {
               .getOrElse(StubCodec.extractFeature(m.payload))
             case "audio" => WavCodec.decode(m.payload).map(WavCodec.features)
               .getOrElse(StubCodec.extractFeature(m.payload))
+            case "video" => VideoCodec.decode(m.payload).map(VideoCodec.features)
+              .getOrElse(StubCodec.extractFeature(m.payload))
             case _ => StubCodec.extractFeature(m.payload)
           }
           FeatureOut(m.media_id, m.media_type,
@@ -345,6 +550,13 @@ object Multimodal {
               case Some(img) =>
                 ImageCodec.encodePng(ImageCodec.resizeImage(img, w, h))
               case None => stubResize(payload, w, h) // not a decodable image
+            }
+          else if (mediaType == "video")
+            VideoCodec.decode(payload) match {
+              case Some(v) => // real per-frame rescale, re-encoded MJPEG
+                VideoCodec.encode(v.frames.flatMap(VideoCodec.decodeFrame)
+                  .map(ImageCodec.resizeImage(_, w, h)), v.usPerFrame)
+              case None => stubResize(payload, w, h)
             }
           else stubResize(payload, w, h)
         org.apache.spark.sql.Row.fromSeq(Seq.tabulate(schema.length) { i =>
@@ -410,20 +622,56 @@ object Multimodal {
     Array.tabulate(n)(i => payload((i.toLong * payload.length / n).toInt))
   }
 
-  /** Video frame sampling: one output row per sampled frame at
-    * `everyMs` intervals within duration_ms. The 1->N row fanout is
-    * the real contract (posexplode over a frame-index sequence,
-    * fully codegen'd); the frame "decode" is the stub byte-slice. */
+  private case class FrameOut(media_id: Long, frame_idx: Long,
+                              frame_ts_ms: Long, frame_bytes: Array[Byte])
+
+  /** REAL video frame sampling: decode each MJPEG-AVI payload
+    * ([[VideoCodec]]) and emit one row per sampled frame at
+    * `everyMs` intervals across the clip — `frame_bytes` is the
+    * frame's actual JPEG, ready for [[ImageCodec.decode]] /
+    * [[ImageCodec.dHash]] downstream. The 1→N fanout happens inside
+    * `mapPartitions` via a lazy iterator (no per-partition
+    * materialization of all frames); undecodable payloads yield no
+    * rows — same corrupt-row contract as the other codecs. Narrow
+    * op: sampling shuffles nothing. */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
-    val n = greatest(lit(1L),
-      (coalesce(col("duration_ms"), lit(0L)) / everyMs).cast("long"))
+    require(everyMs > 0, "everyMs must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
     media.filter(col("media_type") === "video")
-      .select(col("media_id"), col("payload"), col("duration_ms"),
-        posexplode(sequence(lit(0L), n - 1)).as(Seq("frame_idx", "__f")))
-      .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"),
-        (col("frame_idx") * everyMs).cast("bigint").as("frame_ts_ms"),
-        // ??? real frame decode; stub: a 16-byte slice at the frame offset
-        expr("substring(payload, cast(frame_idx * 16 % greatest(length(payload), 1) as int) + 1, 16)")
-          .as("frame_bytes"))
+      .select("media_id", "media_type", "payload").as[MediaIn]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          VideoCodec.decode(m.payload).iterator.flatMap { v =>
+            val n = math.max(1L, v.durationMs / everyMs)
+            (0L until n).iterator.map { i =>
+              val ts = i * everyMs
+              val idx = math.min(v.nFrames - 1L, ts * 1000L / v.usPerFrame)
+              FrameOut(m.media_id, idx, ts, v.frames(idx.toInt))
+            }
+          }
+        }
+      }.toDF()
   }
+
+  /** Perceptual hashes for every decodable MJPEG-AVI payload
+    * ([[VideoCodec.vHash]]); undecodable rows get NULL. Narrow. */
+  def videoVHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "video")
+      .select("media_id", "media_type", "payload").as[MediaIn]
+      .mapPartitions { it =>
+        it.map(m => DHashOut(m.media_id,
+          VideoCodec.decode(m.payload).flatMap(VideoCodec.vHash)))
+      }.toDF()
+  }
+
+  /** Perceptual video near-dup pairs — re-encoded / rescaled /
+    * few-frames-trimmed copies land within `maxDist` bits of the
+    * majority-vote temporal hash; same banded subquadratic join as
+    * the image and audio paths. */
+  def videoNearDupPairs(media: DataFrame, maxDist: Int = 6): DataFrame =
+    graft.dedup.NearDup.hammingPairs64(
+      videoVHashes(media), "media_id", "dhash", maxDist)
 }

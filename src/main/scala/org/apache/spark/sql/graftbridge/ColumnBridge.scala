@@ -18,4 +18,18 @@ object ColumnBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(ident, info, builder)
+
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession,
+                            ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                            info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                            builder: Seq[Expression] =>
+                              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+
+  /** The analyzed-or-not logical plan of a DataFrame, for building
+    * table-function results from library operators. */
+  def plan(df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.logical
 }

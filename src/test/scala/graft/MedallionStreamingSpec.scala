@@ -58,6 +58,51 @@ class MedallionStreamingSpec extends SparkSpec {
     assert(out.select("ingest_file").as[String].head().contains("part1.json"))
   }
 
+  test("bronze rescue: drifted rows keep typed fields, lose nothing") {
+    val dir = Files.createTempDirectory("graft_rescue").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    Files.writeString(java.nio.file.Paths.get(dir, "batch.json"),
+      Seq(
+        """{"id": 1, "name": "ok"}""", // conforming
+        """{"id": 2, "name": "x", "extra_col": "surprise"}""", // drifted: new col
+        """{"id": "not-a-number", "name": "y"}""", // type violation
+        """{"id": 4, "name": null}""", // legitimate null: NOT a violation
+        """this is not json at all""" // wholly corrupt
+      ).mkString("\n"))
+    val out = Bronze.readRescued(spark, dir, schema)
+    assert(out.columns.toSeq === Seq("id", "name", "_rescued"))
+    assert(out.count() === 5, "rescue must lose ZERO rows")
+    val rows = out.collect().map(r =>
+      (Option(r.get(0)), Option(r.get(1)), Option(r.getString(2)))).toSet
+    assert(rows.contains((Some(1L), Some("ok"), None)))
+    assert(rows.contains((Some(4L), None, None))) // null stays clean
+    // drifted row: typed fields intact, extra field rescued
+    assert(rows.exists { case (id, n, resc) =>
+      id == Some(2L) && n == Some("x") &&
+        resc.exists(_.contains(""""extra_col":"surprise"""")) })
+    // type violation: other field intact, bad value rescued
+    assert(rows.exists { case (id, n, resc) =>
+      id.isEmpty && n == Some("y") &&
+        resc.exists(_.contains(""""id":"not-a-number"""")) })
+    // corrupt line: whole text under _raw
+    assert(rows.exists { case (id, _, resc) =>
+      id.isEmpty && resc.exists(_.contains("not json")) })
+    // drift monitor: exactly the 3 non-conforming rows flagged
+    assert(out.filter(col("_rescued").isNotNull).count() === 3)
+
+    // streaming twin lands the same 5 rows
+    val ckpt = Files.createTempDirectory("graft_rescue_ck").toString
+    Streams.runOnce(Bronze.readStreamRescued(spark, dir, schema),
+      ckpt, "bronze_rescued")
+    assert(spark.table("bronze_rescued").count() === 5)
+    assert(spark.table("bronze_rescued")
+      .filter(col("_rescued").isNotNull).count() === 3)
+  }
+
   test("silver: streaming flatten + dedup over bronze") {
     val dir = Files.createTempDirectory("graft_medallion2").toString
     writeFixtures(dir)

@@ -449,15 +449,107 @@ class SimilarityAndStreamingSpec extends SparkSpec {
       s"different tone paired: $pairs")
   }
 
-  test("multimodal frame sampling fans out one row per frame") {
-    val media = Multimodal.syntheticMedia(Tables.documents(spark, sf))
+  // deterministic gradient frame: base shifts the luma pattern
+  private def vframe(base: Int, w: Int = 32, h: Int = 24) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val l = math.min(255, (x * 8 + base) % 256)
+      img.setRGB(x, y, (l << 16) | (l << 8) | l)
+    }
+    img
+  }
+
+  test("video codec: MJPEG-AVI round-trip through the real decoder") {
+    val frames = (0 until 6).map(i => vframe(i * 10))
+    val avi = Multimodal.VideoCodec.encode(frames, usPerFrame = 500000L) // 2 fps
+    val v = Multimodal.VideoCodec.decode(avi).get
+    assert(v.nFrames === 6 && v.width === 32 && v.height === 24)
+    assert(v.durationMs === 3000L)
+    // every frame is a real JPEG the JDK decodes
+    val decoded = v.frames.flatMap(Multimodal.VideoCodec.decodeFrame)
+    assert(decoded.length === 6)
+    assert(decoded.head.getWidth === 32 && decoded.head.getHeight === 24)
+    // garbage and truncation are rejected, not mis-parsed
+    assert(Multimodal.VideoCodec.decode("not an avi".getBytes).isEmpty)
+    assert(Multimodal.VideoCodec.decode(avi.take(60).toArray).isEmpty)
+    // real features: n_frames, w, h, duration lead the vector
+    val f = Multimodal.VideoCodec.features(v)
+    assert(f.take(4).toSeq === Seq(6f, 32f, 24f, 3000f))
+  }
+
+  test("multimodal frame sampling decodes real frames at the asked cadence") {
+    val sess = spark; import sess.implicits._
+    val avi6 = Multimodal.VideoCodec.encode(
+      (0 until 6).map(i => vframe(i * 10)), usPerFrame = 500000L) // 3000 ms
+    val avi2 = Multimodal.VideoCodec.encode(
+      (0 until 2).map(i => vframe(i * 40)), usPerFrame = 250000L) // 500 ms
+    val media = Seq(
+      (0L, "video", avi6), (1L, "video", avi2),
+      (2L, "video", "garbage".getBytes("UTF-8")), // undecodable: no rows
+      (3L, "image", avi6) // wrong type: filtered out
+    ).toDF("media_id", "media_type", "payload")
     val frames = Multimodal.sampleFrames(media, everyMs = 1000)
-    val perVideo = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
-      .join(media.filter(col("media_type") === "video")
-        .select(col("media_id"), col("duration_ms")), "media_id")
-    // n frames == max(1, duration/1000) for every video
-    assert(perVideo.filter(
-      col("n") =!= greatest(lit(1L), (col("duration_ms") / 1000).cast("long"))).count() === 0)
-    assert(frames.filter(length(col("frame_bytes")) === 0).count() === 0)
+    val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts === Map(0L -> 3L, 1L -> 1L)) // 3000/1000=3; max(1, 500/1000)=1
+    // frame_bytes are REAL decodable JPEGs of the source frames
+    val f0 = frames.filter(col("media_id") === 0 && col("frame_idx") === 0)
+      .select("frame_bytes").head().getAs[Array[Byte]](0)
+    val img = Multimodal.VideoCodec.decodeFrame(f0).get
+    assert(img.getWidth === 32 && img.getHeight === 24)
+    // sampled indices advance with the timestamp (2 fps, 1000 ms step)
+    assert(frames.filter(col("media_id") === 0)
+      .orderBy("frame_idx").select("frame_idx")
+      .as[Long].collect().toSeq === Seq(0L, 2L, 4L))
+  }
+
+  test("perceptual video dedup: majority-vote hash survives re-encode and trim") {
+    val sess = spark; import sess.implicits._
+    val frames = (0 until 8).map(i => vframe(i * 12))
+    val base = Multimodal.VideoCodec.encode(frames, 200000L)
+    // re-encode: decode frames and re-compress (JPEG gen-2)
+    val reenc = Multimodal.VideoCodec.encode(
+      Multimodal.VideoCodec.decode(base).get.frames
+        .flatMap(Multimodal.VideoCodec.decodeFrame), 200000L)
+    // trim: drop the last frame — majorities must not move
+    val trimmed = Multimodal.VideoCodec.encode(frames.dropRight(1), 200000L)
+    // different content: reversed gradient direction
+    val other = Multimodal.VideoCodec.encode(
+      (0 until 8).map { i =>
+        val img = new java.awt.image.BufferedImage(32, 24,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 24; x <- 0 until 32) {
+          val l = math.min(255, ((31 - x) * 8 + i * 12) % 256)
+          img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        }
+        img
+      }, 200000L)
+    val media = Seq(
+      (0L, "video", base), (1L, "video", reenc),
+      (2L, "video", trimmed), (3L, "video", other),
+      (4L, "video", "junk".getBytes("UTF-8"))
+    ).toDF("media_id", "media_type", "payload")
+    assert(Multimodal.videoVHashes(media).filter(col("dhash").isNull)
+      .count() === 1)
+    val pairs = Multimodal.videoNearDupPairs(media, maxDist = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"re-encoded copy not paired: $pairs")
+    assert(pairs.contains((0L, 2L)), s"trimmed copy not paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"different content paired: $pairs")
+  }
+
+  test("video resize rescales every frame through the real codec") {
+    val sess = spark; import sess.implicits._
+    val avi = Multimodal.VideoCodec.encode(
+      (0 until 3).map(i => vframe(i * 20)), 400000L)
+    val media = Seq((0L, "video", avi, Option(32), Option(24), Option(1200L)))
+      .toDF("media_id", "media_type", "payload", "width", "height", "duration_ms")
+    val out = Multimodal.resize(media, 8, 6).head()
+    val v = Multimodal.VideoCodec.decode(out.getAs[Array[Byte]]("payload")).get
+    assert(v.nFrames === 3 && v.width === 8 && v.height === 6)
+    val img = Multimodal.VideoCodec.decodeFrame(v.frames.head).get
+    assert(img.getWidth === 8 && img.getHeight === 6)
   }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Clusters, NearDup}
+import graft.similarity.Similarity
+import graft.sources.Tables
+import graft.text.Curation
+
+/** The operator library driven ENTIRELY from `spark.sql` strings —
+  * the reference's audience (notebook SQL users) never leaves SQL.
+  * Each table function's SQL result must hash-match the Scala
+  * operator it wraps. */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def viewDocs(): Unit =
+    Tables.documents(spark, sf).createOrReplaceTempView("sql_docs")
+
+  test("graft_minhash_pairs TVF equals NearDup.minHashPairs") {
+    viewDocs()
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_minhash_pairs('sql_docs', 'doc_id', 'text', 3, 0.5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaScala = NearDup.minHashPairs(
+      Tables.documents(spark, sf), "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaSql === viaScala)
+    assert(viaSql.nonEmpty)
+    NearDup.unpersistAll()
+  }
+
+  test("graft_dedup TVF runs the full pipeline from SQL") {
+    viewDocs()
+    val viaSql = spark.sql("SELECT * FROM graft_dedup('sql_docs', 'doc_id', 'text', 6)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, sf)
+    val edges = NearDup.simHashPairs(docs, "doc_id", "text", maxDist = 6)
+      .select("id_a", "id_b")
+    val viaScala = Clusters.dedupPipeline(docs.select("doc_id"), edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql === viaScala)
+    NearDup.unpersistAll()
+  }
+
+  test("graft_ann_topk TVF equals Similarity.lshTopK") {
+    val emb = Tables.embeddings(spark, sf)
+    emb.createOrReplaceTempView("sql_emb")
+    spark.sql("CREATE OR REPLACE TEMP VIEW sql_q AS " +
+      "SELECT * FROM sql_emb WHERE vec_id < 20")
+    val viaSql = spark.sql("SELECT * FROM graft_ann_topk('sql_emb', 'sql_q', 5)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaScala = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaSql === viaScala)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("graft_curate TVF runs the curation pipeline from SQL") {
+    viewDocs()
+    spark.sql("CREATE OR REPLACE TEMP VIEW sql_hold AS " +
+      "SELECT * FROM sql_docs WHERE doc_id % 97 = 0")
+    val viaSql = spark.sql("SELECT * FROM graft_curate('sql_docs', 'sql_hold')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val docs = Tables.documents(spark, sf)
+    val viaScala = Curation.curate(docs, docs.filter(col("doc_id") % 97 === 0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaSql === viaScala)
+    assert(viaSql.nonEmpty)
+    // SQL composes OVER the TVF — aggregation on the result relation
+    val counts = spark.sql(
+      """SELECT split, count(*) AS n FROM graft_curate('sql_docs', 'sql_hold')
+        |GROUP BY split""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts.values.sum === viaScala.size)
+  }
+
+  test("TVF misuse fails at analysis with a named parameter error") {
+    viewDocs()
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_minhash_pairs('sql_docs')").collect()
+    }
+    assert(e.getMessage.contains("idCol"), e.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_ann_topk('sql_emb', 'sql_q', 'five')").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+  }
+}
