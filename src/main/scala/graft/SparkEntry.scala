@@ -3024,26 +3024,27 @@ object SparkEntry {
       var pr = deg.crossJoin(broadcast(nNodes))
         .select(col("s").as("item"), col("deg"),
           (lit(1.0) / col("__n")).as("pr"), col("__n"))
-      for (_ <- 1 to 3) {
+      val iters = 3
+      for (i <- 1 to iters) {
         val contrib = edges
           .join(pr.select(col("item"), col("deg").as("__dg"), col("pr").as("__pr")),
             edges("s") === col("item"))
           .select(col("t"),
             roundTo(col("__pr") / col("__dg"), 12).cast("decimal(28,12)").as("c"))
           .groupBy("t").agg(sum(col("c")).cast("double").as("cs"))
-        // localCheckpoint truncates the lineage between iterations:
-        // without it each round's pr plan embeds every prior round's
-        // join subtree, and analysis/optimization re-plans the whole
-        // growing tree per iteration — plan time, not data, becomes
-        // the cost at higher iteration counts. eager+non-replicated
-        // is fine here: a lost executor in local mode fails the
-        // query either way, and on a cluster the 3-round recompute
-        // from the persisted edge graph is cheap.
         pr = pr.join(contrib, pr("item") === contrib("t"), "left")
           .select(col("item"), col("deg"),
             roundTo(lit(0.15) / col("__n") + lit(0.85) * coalesce(col("cs"), lit(0.0)), 12)
               .as("pr"), col("__n"))
-          .localCheckpoint(true)
+        // PERIODIC lineage checkpoint: each round's pr plan embeds
+        // every prior round's join subtree, so at high iteration
+        // counts analysis re-plans a growing tree — localCheckpoint
+        // truncates it. But a checkpoint is NOT free (measured here:
+        // ~+1s per query at sf0.1 on a 100-row pr frame, eager or
+        // lazy — the materialize/persist machinery dominates), so it
+        // runs every 5th iteration only: a 3-iteration run pays
+        // nothing, a 50-iteration run caps plan depth at 5 rounds.
+        if (i % 5 == 0 && i < iters) pr = pr.localCheckpoint(false)
       }
       pr.select(col("item"), roundTo(col("pr"), 8).as("pagerank"))
         .orderBy("item")
