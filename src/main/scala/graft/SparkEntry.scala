@@ -4022,6 +4022,239 @@ object SparkEntry {
           .otherwise(roundTo((cad / nad - cbd / nbd) /
             sqrt(p * (lit(1) - p) * (lit(1.0) / nad + lit(1.0) / nbd)), 6))
           .as("z_stat"))
+    }),
+
+    // ---- round-7 additions ----
+
+    // cumulative audience reach: distinct users EVER seen, per day.
+    // The scale trap is a running DISTINCT over raw events (distinct
+    // doesn't combine across window frames); the scalable shape
+    // reduces each user to their FIRST day (one combinable min
+    // shuffle), counts firsts per day, and cumulates over the
+    // CALENDAR-BOUNDED day frame with the bucketed carry-in pattern
+    // (q_backlog_daily): per-256-day-bucket totals fold to carry
+    // offsets on the driver, the window runs per bucket — no
+    // partition-less window at any scale.
+    "q_daily_reach" -> ((s, d) => {
+      val firsts = Tables.events(s, d).where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(min(floor(unix_millis(col("ts")) / 86400000L).cast("long")).as("day"))
+      val perDay = firsts.groupBy("day").agg(count(lit(1)).as("new_users"))
+      val withB = perDay.withColumn("__b", floor(col("day") / 256).cast("long"))
+      val bs = withB.groupBy("__b").agg(sum(col("new_users")).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val carry = bs.map(_._1).zip(bs.map(_._2).scanLeft(0L)(_ + _))
+      val carryDf = { import s.implicits._; carry.toSeq.toDF("__b", "__carry") }
+      val w = Window.partitionBy("__b").orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withB.join(broadcast(carryDf), "__b")
+        .select(col("day"), col("new_users"),
+          (col("__carry") + sum(col("new_users")).over(w)).as("cum_users"))
+        .orderBy("day")
+    }),
+
+    // Gopher-style quality RULE GATE (vs text_quality's scalar
+    // score): the published MassiveText filter is a conjunction of
+    // hard rules — token count bounds, mean word length band,
+    // max-word-length cap, minimum stopword evidence. Each rule is a
+    // named boolean so curation dashboards can attribute drops to
+    // rules; pure narrow codegen'd array ops, zero shuffle.
+    "text_gopher_rules" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val n = size(toks)
+      val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val maxLen = aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => greatest(acc, x))
+      val meanLen = roundTo(sumLen.cast("double") / n, 6)
+      val nStop = size(array_intersect(array_distinct(toks),
+        array(TextFunctions.Stopwords.map(lit): _*)))
+      Tables.documents(s, d).select(col("doc_id"), n.cast("bigint").as("n_tokens"),
+          when(n === 0, lit(null).cast("double")).otherwise(meanLen).as("mean_word_len"),
+          maxLen.as("max_word_len"), nStop.cast("bigint").as("n_stopwords"))
+        .withColumn("r_count", col("n_tokens") >= 20 && col("n_tokens") <= 100000)
+        .withColumn("r_mean_len",
+          coalesce(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0, lit(false)))
+        .withColumn("r_max_len", col("max_word_len") <= 15)
+        .withColumn("r_stopwords", col("n_stopwords") >= 2)
+        .withColumn("pass_gopher",
+          col("r_count") && col("r_mean_len") && col("r_max_len") && col("r_stopwords"))
+        .orderBy("doc_id")
+    }),
+
+    // per-(event_type, day) exact p50/p95 time series — the ops
+    // latency board. Groups are bounded (types × calendar days), so
+    // grouped exact percentiles are safe at any event volume; values
+    // round to cents first and percentiles to 4dp for cross-engine
+    // interpolation parity (the q_mad_outliers convention).
+    "q_pctl_value_daily" -> ((s, d) => {
+      Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+          roundTo(col("value"), 2).as("v"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_events"),
+          roundTo(expr("percentile(v, 0.5D)"), 4).as("p50"),
+          roundTo(expr("percentile(v, 0.95D)"), 4).as("p95"))
+        .orderBy("event_type", "day")
+    }),
+
+    // year-over-year RANK movers: each part's revenue rank within its
+    // brand for 1995 vs 1996 and the rank delta — the assortment
+    // review board. ONE conditional-agg scan produces both years'
+    // cent-exact revenue per (brand, part); the two rank windows run
+    // on that reduced frame partitioned by brand (bounded), never on
+    // raw lineitem.
+    "q_rank_movers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_partkey"),
+          year(col("l_shipdate")).as("y"),
+          roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .cast("decimal(18,2)").as("rev"))
+        .filter(col("y").isin(1995, 1996))
+      val byPart = li.groupBy("p_brand", "l_partkey")
+        .agg(sum(when(col("y") === 1995, col("rev"))).as("rev95"),
+          sum(when(col("y") === 1996, col("rev"))).as("rev96"))
+        .filter(col("rev95").isNotNull && col("rev96").isNotNull)
+      val w95 = Window.partitionBy("p_brand")
+        .orderBy(col("rev95").desc, col("l_partkey").asc)
+      val w96 = Window.partitionBy("p_brand")
+        .orderBy(col("rev96").desc, col("l_partkey").asc)
+      byPart
+        .withColumn("rank95", row_number().over(w95).cast("bigint"))
+        .withColumn("rank96", row_number().over(w96).cast("bigint"))
+        .select(col("p_brand"), col("l_partkey"),
+          col("rev95").cast("double").as("rev95"),
+          col("rev96").cast("double").as("rev96"),
+          col("rank95"), col("rank96"),
+          (col("rank95") - col("rank96")).as("rank_gain"))
+        .orderBy("p_brand", "l_partkey")
+    }),
+
+    // INCREMENTAL MinHash dedup: the daily-ingest shape — near-dup
+    // pairs between a new batch (doc_id % 10 == 0) and the standing
+    // corpus, banded so candidates are new×standing ONLY (a small
+    // batch against a huge corpus never pays corpus-pair volume);
+    // complements dedup_incremental's exact-fingerprint variant with
+    // NEAR-dup power.
+    "dedup_incremental_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      NearDup.minHashPairsIncremental(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // per-source corpus profile: the curation dashboard's top table —
+    // docs, token volume, mean quality, English share and dup-text
+    // rate per ingest source. ONE combinable shuffle on the bounded
+    // source domain; the dup rate needs a distinct-fingerprint count,
+    // which rides a (source, fp) pre-aggregation (two keyed
+    // combinable shuffles total, no windows).
+    "corpus_source_profile" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tok"),
+        roundTo(TextFunctions.qualityScore(col("text")), 6).as("q"),
+        (TextFunctions.langId(col("text")) === "en").cast("long").as("is_en"),
+        TextFunctions.fingerprintMd5(col("text")).as("__fp"))
+      val perFp = scored.groupBy("source", "__fp")
+        .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok"),
+          sum(roundTo(col("q"), 6).cast("decimal(18,6)")).as("qs"),
+          sum(col("is_en")).as("en"))
+      perFp.groupBy("source")
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_distinct_texts"),
+          sum(col("tok")).as("n_tokens"),
+          roundTo(sum(col("qs")).cast("double") / sum(col("n")), 6)
+            .as("mean_quality"),
+          roundTo(sum(col("en")).cast("double") / sum(col("n")), 6)
+            .as("en_share"))
+        .select(col("source"), col("n_docs"), col("n_distinct_texts"),
+          col("n_tokens"), col("mean_quality"), col("en_share"),
+          roundTo(lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"))
+        .orderBy("source")
+    }),
+
+    // top-3 terms per source by frequency, EXECUTED ON the custom
+    // TopKPerGroup operator (rank <= k over a reduced (source, term)
+    // frame rewrites to the two-phase heap exec — no full sort of
+    // the term domain). Stopwords excluded so the board shows
+    // content-bearing terms.
+    "text_keyword_trends" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(!col("term").isInCollection(TextFunctions.Stopwords))
+        .groupBy("source", "term").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n").desc, col("term").asc)
+      tf.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("term"), col("n"))
+        .orderBy("source", "rank")
+    }),
+
+    // cart abandonment: users who clicked on a day but purchased
+    // nothing that day — per-day abandonment rate. The (day, user)
+    // activity grain reduces first (combinable), then one conditional
+    // aggregation; no joins, no windows.
+    "q_cart_abandonment" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("user_id").isNotNull)
+        .select(floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+          col("user_id"),
+          (col("event_type") === "click").cast("long").as("c"),
+          (col("event_type") === "purchase").cast("long").as("p"))
+        .groupBy("day", "user_id")
+        .agg(max(col("c")).as("clicked"), max(col("p")).as("purchased"))
+      act.filter(col("clicked") === 1L)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_clickers"),
+          sum(lit(1L) - col("purchased")).as("n_abandoned"))
+        .select(col("day"), col("n_clickers"), col("n_abandoned"),
+          roundTo(col("n_abandoned").cast("double") / col("n_clickers"), 6)
+            .as("abandon_rate"))
+        .orderBy("day")
+    }),
+
+    // FUZZY benchmark decontamination: dedup_decontaminate's exact
+    // fingerprint match misses paraphrased / lightly-edited
+    // contamination — the variant real eval hygiene needs. Corpus
+    // docs near-dup (jaccard >= 0.5) to ANY holdout doc are dropped
+    // via the incremental banded join (corpus × holdout candidates
+    // only), then a broadcast anti-join on the flagged ids. The
+    // corpus never pays corpus-pair volume; at 100 TB the holdout
+    // (benchmark suites: thousands of docs) is the tiny side.
+    "dedup_decontaminate_fuzzy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val contaminated = NearDup.minHashPairsIncremental(
+        corpus, bench, "doc_id", "text", shingleSize = 3, threshold = 0.5)
+        .select(col("id_a").as("doc_id")).distinct()
+      corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // daily bounce rate: share of sessions with exactly one event —
+    // the engagement headline. Rides the existing 30-min
+    // sessionization (bounded per-user windows); the day rollup is
+    // one combinable shuffle over the session frame.
+    "q_bounce_rate" -> ((s, d) => {
+      val sess = graft.streaming.Streams.sessionizeBatch(
+        Tables.events(s, d), gapSeconds = 1800)
+      sess.select(
+          floor(unix_millis(col("session_start")) / 86400000L).cast("long").as("day"),
+          when(col("n_events") === 1, 1L).otherwise(0L).as("b"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("b")).as("n_bounces"))
+        .select(col("day"), col("n_sessions"), col("n_bounces"),
+          roundTo(col("n_bounces").cast("double") / col("n_sessions"), 6)
+            .as("bounce_rate"))
+        .orderBy("day")
     })
   )
 
@@ -6241,7 +6474,172 @@ object SparkEntry {
          |     OR conv_a + conv_b = n_a + n_b THEN NULL
          |   ELSE ${sqlRound("(cad/nad - cbd/nbd)/" +
              "sqrt(p*(1 - p)*(1.0/nad + 1.0/nbd))", 6)} END AS z_stat
-         |FROM w ORDER BY n_a""".stripMargin
+         |FROM w ORDER BY n_a""".stripMargin,
+
+    // ---- round-7 additions ----
+
+    "q_daily_reach" ->
+      """WITH f AS (SELECT user_id,
+        |  MIN(CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT)) AS day
+        | FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |p AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY day)
+        |SELECT day, new_users,
+        | CAST(SUM(new_users) OVER (ORDER BY day ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM p ORDER BY day""".stripMargin,
+
+    "text_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len,
+         |  CAST(coalesce(list_max(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS max_word_len,
+         |  CAST(len(list_intersect(list_distinct(toks), [$stop])) AS BIGINT) AS n_stopwords
+         | FROM t),
+         |s AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens = 0 THEN NULL
+         |    ELSE ${sqlRound("CAST(sum_len AS DOUBLE)/n_tokens", 6)} END AS mean_word_len,
+         |  max_word_len, n_stopwords FROM m)
+         |SELECT *,
+         | n_tokens >= 20 AND n_tokens <= 100000 AS r_count,
+         | coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, false) AS r_mean_len,
+         | max_word_len <= 15 AS r_max_len,
+         | n_stopwords >= 2 AS r_stopwords,
+         | (n_tokens >= 20 AND n_tokens <= 100000)
+         |   AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, false)
+         |   AND max_word_len <= 15 AND n_stopwords >= 2 AS pass_gopher
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_pctl_value_daily" ->
+      s"""SELECT event_type,
+         | CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT) AS day,
+         | COUNT(*) AS n_events,
+         | ${sqlRound("quantile_cont(floor(value*100 + 0.5)/100, 0.5)", 4)} AS p50,
+         | ${sqlRound("quantile_cont(floor(value*100 + 0.5)/100, 0.95)", 4)} AS p95
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY event_type, day ORDER BY event_type, day""".stripMargin,
+
+    "q_rank_movers" ->
+      s"""WITH li AS (
+         | SELECT p.p_brand, l.l_partkey, year(l.l_shipdate) AS y,
+         |  CAST(${sqlRound("l.l_extendedprice*(1-l.l_discount)", 2)} AS DECIMAL(18,2)) AS rev
+         | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         | WHERE year(l.l_shipdate) IN (1995, 1996)),
+         |bp AS (
+         | SELECT p_brand, l_partkey,
+         |  SUM(CASE WHEN y = 1995 THEN rev END) AS rev95,
+         |  SUM(CASE WHEN y = 1996 THEN rev END) AS rev96
+         | FROM li GROUP BY p_brand, l_partkey
+         | HAVING SUM(CASE WHEN y = 1995 THEN rev END) IS NOT NULL
+         |    AND SUM(CASE WHEN y = 1996 THEN rev END) IS NOT NULL),
+         |r AS (SELECT *,
+         |  CAST(row_number() OVER (PARTITION BY p_brand
+         |    ORDER BY rev95 DESC, l_partkey ASC) AS BIGINT) AS rank95,
+         |  CAST(row_number() OVER (PARTITION BY p_brand
+         |    ORDER BY rev96 DESC, l_partkey ASC) AS BIGINT) AS rank96
+         | FROM bp)
+         |SELECT p_brand, l_partkey, CAST(rev95 AS DOUBLE) AS rev95,
+         | CAST(rev96 AS DOUBLE) AS rev96, rank95, rank96,
+         | rank95 - rank96 AS rank_gain
+         |FROM r ORDER BY p_brand, l_partkey""".stripMargin,
+
+    "q_bounce_rate" ->
+      s"""WITH g AS (
+         | SELECT user_id, event_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_s
+         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         |s AS (
+         | SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         | FROM g),
+         |sess AS (
+         | SELECT user_id, session_seq,
+         |  CAST(floor(epoch_ms(MIN(ts))/86400000.0) AS BIGINT) AS day,
+         |  COUNT(*) AS n FROM s GROUP BY user_id, session_seq)
+         |SELECT day, COUNT(*) AS n_sessions,
+         | CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+         | ${sqlRound("CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*)", 6)} AS bounce_rate
+         |FROM sess GROUP BY day ORDER BY day""".stripMargin,
+
+    "dedup_incremental_minhash" -> minHashIncrementalOracle,
+
+    "dedup_decontaminate_fuzzy" -> {
+      // the incremental-minhash oracle shape with corpus = non-97
+      // docs, holdout = %97 docs, then the anti-join on flagged ids
+      val P = NearDup.P
+      val base = s"(('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
+      val sigExprs = NearDup.coeffs.map { case (a, b) =>
+        s"list_min(list_transform(bh, x -> ($a * x + $b) % $P))"
+      }
+      val sigList = sigExprs.mkString("[", ",\n    ", "]")
+      val bands = (0 until NearDup.Bands).map { i =>
+        val lo = i * NearDup.RowsPerBand + 1
+        val hi = (i + 1) * NearDup.RowsPerBand
+        s"SELECT doc_id, $i AS band_idx, array_to_string(sig[$lo:$hi], '-') AS band_key FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""WITH $shingleCte,
+         |bh AS (SELECT doc_id, shingles,
+         |  list_transform(shingles, s -> $base) AS bh FROM sh),
+         |sig AS (SELECT doc_id, shingles, $sigList AS sig FROM bh WHERE len(bh) > 0),
+         |bands AS ($bands),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id % 97 != 0 AND b.doc_id % 97 = 0),
+         |flagged AS (SELECT DISTINCT id_a AS doc_id
+         | FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+         | WHERE ${sqlRound(jaccardExpr("sa.shingles", "sb.shingles"), 6)} >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_source_profile" -> {
+      val toks = sqlTokens("text")
+      val counts = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        lang -> s"len(list_filter($toks, t -> t IN (${ms.map(w => s"'$w'").mkString(", ")})))"
+      }
+      val best = counts.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+      val enCount = counts.toMap.apply("en")
+      s"""WITH scored AS (SELECT source,
+         |  CAST(len($toks) AS BIGINT) AS n_tok,
+         |  $sqlQualityScore AS q,
+         |  CASE WHEN $best > 0 AND $enCount = $best THEN 1 ELSE 0 END AS is_en,
+         |  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+         | FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         | CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+         | CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         | ${sqlRound("CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*)", 6)} AS mean_quality,
+         | ${sqlRound("CAST(SUM(is_en) AS DOUBLE)/COUNT(*)", 6)} AS en_share,
+         | ${sqlRound("1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE)/COUNT(*)", 6)} AS dup_rate
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "text_keyword_trends" ->
+      s"""WITH tf AS (
+         | SELECT source, term, COUNT(*) AS n FROM (
+         |  SELECT source, unnest(${sqlTokens("text")}) AS term FROM documents)
+         | WHERE term NOT IN ($stop) GROUP BY source, term),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |   ORDER BY n DESC, term ASC) AS BIGINT) AS rank FROM tf)
+         |SELECT source, rank, term, n FROM r WHERE rank <= 3
+         |ORDER BY source, rank""".stripMargin,
+
+    "q_cart_abandonment" ->
+      s"""WITH act AS (
+         | SELECT CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT) AS day, user_id,
+         |  MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+         | FROM events
+         | WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
+         | GROUP BY day, user_id)
+         |SELECT day, COUNT(*) AS n_clickers,
+         | CAST(SUM(1 - purchased) AS BIGINT) AS n_abandoned,
+         | ${sqlRound("CAST(SUM(1 - purchased) AS DOUBLE)/COUNT(*)", 6)} AS abandon_rate
+         |FROM act WHERE clicked = 1 GROUP BY day ORDER BY day""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the
@@ -6708,6 +7106,39 @@ object SparkEntry {
        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        | FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       | ${sqlRound(jaccardExpr("sa.shingles", "sb.shingles"), 6)} AS jaccard_sim
+       |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+       |WHERE ${sqlRound(jaccardExpr("sa.shingles", "sb.shingles"), 6)} >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** [[minHashOracle]] with the INCREMENTAL candidate rule: bucket
+    * join only pairs a new-batch doc (doc_id % 10 = 0) with a
+    * standing-corpus doc — the exact exclusion
+    * [[NearDup.minHashPairsIncremental]] applies in the banded join. */
+  private def minHashIncrementalOracle: String = {
+    val P = NearDup.P
+    val base = s"(('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
+    val sigExprs = NearDup.coeffs.map { case (a, b) =>
+      s"list_min(list_transform(bh, x -> ($a * x + $b) % $P))"
+    }
+    val sigList = sigExprs.mkString("[", ",\n    ", "]")
+    val bands = (0 until NearDup.Bands).map { i =>
+      val lo = i * NearDup.RowsPerBand + 1
+      val hi = (i + 1) * NearDup.RowsPerBand
+      s"SELECT doc_id, $i AS band_idx, array_to_string(sig[$lo:$hi], '-') AS band_key FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH $shingleCte,
+       |bh AS (SELECT doc_id, shingles,
+       |  list_transform(shingles, s -> $base) AS bh FROM sh),
+       |sig AS (SELECT doc_id, shingles, $sigList AS sig FROM bh WHERE len(bh) > 0),
+       |bands AS ($bands),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id % 10 = 0 AND b.doc_id % 10 != 0)
        |SELECT id_a, id_b,
        | ${sqlRound(jaccardExpr("sa.shingles", "sb.shingles"), 6)} AS jaccard_sim
        |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b

@@ -131,6 +131,42 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }
 
+  /** INCREMENTAL MinHash near-dup: pairs between a NEW batch and a
+    * STANDING corpus only — the daily-ingest dedup shape. Both sides
+    * band, but the bucket join is new×standing (never standing×
+    * standing), so a small batch against a huge corpus pays
+    * |batch_bands| ⋈ |corpus_bands| candidates instead of the full
+    * corpus pair volume; at steady state the corpus-side signature
+    * frame is precomputed-and-stored (the signature column is a pure
+    * function of the text — recompute here for self-containment).
+    * Returns (id_a = new id, id_b = corpus id, jaccard_sim >=
+    * threshold), exact-verified like [[minHashPairs]]. Ids may
+    * overlap between sides; a shared id never pairs with itself. */
+  def minHashPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleSize: Int = 3,
+                              threshold: Double = 0.5): DataFrame = {
+    def sigs(df: DataFrame) = trackedPersist(df.select(col(idCol),
+      TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh"),
+      minHashSignature(col(textCol), shingleSize).as("__sig")))
+    val n = sigs(newDocs)
+    val c = sigs(corpus)
+    val nb = lshBands(n, idCol, "__sig")
+      .select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val cb = lshBands(c, idCol, "__sig")
+      .select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    val cand = nb.join(cb, Seq("band_idx", "band_key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(n.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(c.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("jaccard_sim", graft.functions.Det.roundTo(
+        jaccardDistinct(col("__sh_a"), col("__sh_b")), 6))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+  }
+
   /** Exact n-gram Jaccard pairs via PREFIX-FILTERED inverted index
     * (the AllPairs/PPJoin alternative formulation): under a global rare-first shingle
     * order (document frequency asc), a set only indexes its first

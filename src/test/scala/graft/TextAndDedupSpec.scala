@@ -168,6 +168,53 @@ class TextAndDedupSpec extends SparkSpec {
     NearDup.unpersistAll()
   }
 
+  test("streaming incremental near-dup dedup against a standing corpus") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_incdedup").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // batch 1: two distinct docs; batch 2: one fresh doc + one
+    // near-dup of batch 1's doc 1 (same text, one word changed)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/b1.json"),
+      s"""[{"doc_id": 1, "text": "$base"},
+         | {"doc_id": 2, "text": "completely different content about spark shuffles and joins"}]""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/b2.json"),
+      s"""[{"doc_id": 3, "text": "${base.replace("dog", "cat")}"},
+         | {"doc_id": 4, "text": "yet another unrelated document mentioning catalyst expressions"}]""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    val standing = s"$dir/standing"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("multiLine", "true")
+      .json(s"$dir/in")
+    // per micro-batch: drop arrivals near-dup to the STANDING corpus
+    // (banded new×standing join only), append survivors — the
+    // streaming composition of minHashPairsIncremental +
+    // VersionedTable. Batches arrive in file order (AvailableNow +
+    // maxFilesPerTrigger=1).
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = if (graft.sources.VersionedTable.currentVersion(spark, standing) >= 1)
+          graft.sources.VersionedTable.read(spark, standing)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val dupes = NearDup.minHashPairsIncremental(
+          batch, cur, "doc_id", "text", threshold = 0.5)
+          .select(col("id_a").as("doc_id")).distinct()
+        val survivors = batch.join(broadcast(dupes), Seq("doc_id"), "left_anti")
+        graft.sources.VersionedTable.write(survivors, standing)
+        NearDup.unpersistAll()
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    val out = graft.sources.VersionedTable.read(spark, standing)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 3 (near-dup of standing doc 1) dropped; everything else kept
+    assert(out === Set(1L, 2L, 4L))
+  }
+
   test("prefix-filtered containment equals the full inverted index") {
     val base = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
