@@ -107,11 +107,96 @@ object Multimodal {
     }
   }
 
-  /** REAL audio codec for PCM RIFF/WAVE payloads — JDK-only manual
-    * header parse + sample decode (8/16-bit PCM, any channel count).
-    * Compressed formats (mp3/ogg) would need external libs and fall
-    * back to [[StubCodec]]. */
+  /** REAL audio codec for RIFF/WAVE payloads — JDK-only manual
+    * header parse + sample decode. Uncompressed: 8/16-bit PCM
+    * (format tag 1), any channel count. COMPRESSED encodings with
+    * public table-driven decodes are decoded natively too:
+    * G.711 A-law (tag 6) and µ-law (tag 7) logarithmic companding
+    * (2:1, the telephony standard), and IMA/DVI ADPCM (tag 0x11,
+    * 4:1 adaptive delta PCM with per-block predictor state and the
+    * standard 89-entry step table). Perceptual-media formats that
+    * need external libs (mp3/ogg/aac) still fall back to
+    * [[StubCodec]]. */
   object WavCodec {
+
+    /** G.711 µ-law byte → 16-bit linear (CCITT reference expand). */
+    private[multimodal] def mulawExpand(uIn: Int): Int = {
+      val u = ~uIn & 0xff
+      var t = ((u & 0x0f) << 3) + 0x84
+      t <<= (u & 0x70) >> 4
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** G.711 A-law byte → 16-bit linear (CCITT reference expand). */
+    private[multimodal] def alawExpand(aIn: Int): Int = {
+      val a = (aIn ^ 0x55) & 0xff
+      var t = (a & 0x0f) << 4
+      val seg = (a & 0x70) >> 4
+      if (seg == 0) t += 8
+      else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+      if ((a & 0x80) != 0) t else -t
+    }
+
+    private val ImaStepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+      37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+      544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+      1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+      4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+      12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+      29794, 32767)
+
+    private val ImaIndexTable: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** Decode one IMA ADPCM block (WAV layout: per-channel 4-byte
+      * header, then channel data interleaved in 4-byte groups) into
+      * `out` starting at frame `outFrame`. Returns frames decoded. */
+    private def decodeImaBlock(b: Array[Byte], blockOff: Int, blockLen: Int,
+                               ch: Int, samplesPerBlock: Int,
+                               out: Array[Float], outFrame: Int): Int = {
+      val pred = new Array[Int](ch)
+      val idx = new Array[Int](ch)
+      var c = 0
+      while (c < ch) {
+        val o = blockOff + 4 * c
+        pred(c) = ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toShort.toInt
+        idx(c) = math.min(88, math.max(0, b(o + 2) & 0xff))
+        // header carries sample 0 of the block
+        out((outFrame * ch) + c) = pred(c) / 32768f
+        c += 1
+      }
+      var frame = 1 // frames decoded within this block (0 = header)
+      var dataOff = blockOff + 4 * ch
+      val blockEnd = blockOff + blockLen
+      while (frame < samplesPerBlock && dataOff + 4 * ch <= blockEnd) {
+        // one interleave group: 4 bytes (8 nibbles = 8 frames) per channel
+        var g = 0
+        while (g < 8 && frame + g < samplesPerBlock) {
+          c = 0
+          while (c < ch) {
+            val byte = b(dataOff + 4 * c + g / 2) & 0xff
+            val n = if (g % 2 == 0) byte & 0x0f else (byte >> 4) & 0x0f
+            val step = ImaStepTable(idx(c))
+            var diff = step >> 3
+            if ((n & 1) != 0) diff += step >> 2
+            if ((n & 2) != 0) diff += step >> 1
+            if ((n & 4) != 0) diff += step
+            pred(c) = if ((n & 8) != 0) pred(c) - diff else pred(c) + diff
+            if (pred(c) > 32767) pred(c) = 32767
+            if (pred(c) < -32768) pred(c) = -32768
+            idx(c) = math.min(88, math.max(0, idx(c) + ImaIndexTable(n)))
+            out((outFrame + frame + g) * ch + c) = pred(c) / 32768f
+            c += 1
+          }
+          g += 1
+        }
+        frame += 8
+        dataOff += 4 * ch
+      }
+      math.min(frame, samplesPerBlock)
+    }
     final case class Wav(sampleRate: Int, channels: Int, bits: Int,
                          samples: Array[Float]) {
       def nFrames: Int = if (channels == 0) 0 else samples.length / channels
@@ -127,7 +212,8 @@ object Multimodal {
       def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
       if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
       var off = 12L
-      var rate = 0; var ch = 0; var bits = 0; var fmtOk = false
+      var rate = 0; var ch = 0; var bits = 0; var fmtTag = 0
+      var blockAlign = 0; var samplesPerBlock = 0; var fmtOk = false
       var samples: Array[Float] = null
       var corrupt = false
       while (!corrupt && off + 8 <= b.length) {
@@ -136,16 +222,47 @@ object Multimodal {
         if (sz < 0) corrupt = true // malformed size: bail, don't spin
         else {
           if (id == "fmt " && o + 24 <= b.length) {
-            val audioFormat = le16(o + 8)
-            ch = le16(o + 10); rate = le32(o + 12); bits = le16(o + 22)
-            fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) && ch > 0 && rate > 0
+            fmtTag = le16(o + 8)
+            ch = le16(o + 10); rate = le32(o + 12)
+            blockAlign = le16(o + 20); bits = le16(o + 22)
+            // samplesPerBlock rides in the fmt extension for ADPCM;
+            // derivable from blockAlign when the extension is absent
+            samplesPerBlock =
+              if (sz >= 20 && o + 28 <= b.length) le16(o + 26)
+              else if (ch > 0) (blockAlign - 4 * ch) * 2 / ch + 1
+              else 0
+            fmtOk = ch > 0 && rate > 0 && (fmtTag match {
+              case 1 => bits == 8 || bits == 16 // linear PCM
+              case 6 | 7 => bits == 8 // G.711 A-law / µ-law
+              case 0x11 => bits == 4 && blockAlign > 4 * ch &&
+                samplesPerBlock > 0 // IMA/DVI ADPCM
+              case _ => false
+            })
           } else if (id == "data" && fmtOk && samples == null) {
             val n = math.max(0, math.min(sz, b.length - o - 8))
-            samples =
-              if (bits == 16) Array.tabulate(n / 2)(i =>
-                le16(o + 8 + 2 * i).toShort.toFloat / 32768f)
-              else Array.tabulate(n)(i =>
-                ((b(o + 8 + i) & 0xff) - 128).toFloat / 128f)
+            samples = fmtTag match {
+              case 1 =>
+                if (bits == 16) Array.tabulate(n / 2)(i =>
+                  le16(o + 8 + 2 * i).toShort.toFloat / 32768f)
+                else Array.tabulate(n)(i =>
+                  ((b(o + 8 + i) & 0xff) - 128).toFloat / 128f)
+              case 6 => Array.tabulate(n)(i =>
+                alawExpand(b(o + 8 + i) & 0xff) / 32768f)
+              case 7 => Array.tabulate(n)(i =>
+                mulawExpand(b(o + 8 + i) & 0xff) / 32768f)
+              case 0x11 =>
+                val nBlocks = n / blockAlign
+                val out = new Array[Float](nBlocks * samplesPerBlock * ch)
+                var blk = 0; var outFrame = 0
+                while (blk < nBlocks) {
+                  outFrame += decodeImaBlock(b, o + 8 + blk * blockAlign,
+                    blockAlign, ch, samplesPerBlock, out, outFrame)
+                  blk += 1
+                }
+                if (outFrame * ch == out.length) out
+                else java.util.Arrays.copyOf(out, outFrame * ch)
+              case _ => null // unreachable: fmtOk gates the tags above
+            }
           }
           off += 8L + sz + (sz & 1) // word-aligned; long math, no overflow
         }

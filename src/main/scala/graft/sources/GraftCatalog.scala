@@ -32,6 +32,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `_delta_log/` present → native Delta-log replay
   *    ([[DeltaLog.snapshot]]): the live add-file list at the
   *    requested version becomes the scan's file list.
+  *  - `metadata/v*.metadata.json` present → native Iceberg snapshot
+  *    resolution ([[IcebergTable.snapshot]]); `VERSION AS OF` carries
+  *    the snapshot id, `TIMESTAMP AS OF` the snapshot timestamp.
   *  - graft [[VersionedTable]] marker → the current (or requested)
   *    version's snapshot directory.
   *  - otherwise → plain parquet directory.
@@ -81,6 +84,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isDelta(dir: Path): Boolean =
     fs.exists(new Path(dir, "_delta_log"))
 
+  private def isIceberg(dir: Path): Boolean =
+    fs.globStatus(new Path(new Path(dir, "metadata"), "v*.metadata.json")).nonEmpty
+
   /** Resolve a table to (file list or directory, optional schema). */
   private def resolve(ident: Identifier,
                       versionAsOf: Option[Long],
@@ -95,6 +101,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new UnsupportedOperationException(
           s"partitioned Delta table ${ident} — partition values live in the " +
             "log; read it with graft.sources.DeltaLog.read instead")
+      (snap.files.map(_.path), Some(snap.schema))
+    } else if (isIceberg(dir)) {
+      // VERSION AS OF carries the Iceberg snapshot id
+      val snap = IcebergTable.snapshot(spark, dir.toString, versionAsOf, timestampAsOf)
       (snap.files.map(_.path), Some(snap.schema))
     } else if (isVersioned(dir)) {
       val v = versionAsOf.getOrElse(

@@ -1,0 +1,519 @@
+package graft.sources
+
+import scala.collection.JavaConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native reader (and minimal exporter) for the PUBLIC Apache Iceberg
+  * table format (iceberg.apache.org/spec — format versions 1 and 2):
+  * a `metadata/` directory of `v<N>.metadata.json` files, each
+  * describing the table schema and the list of snapshots; every
+  * snapshot points at an Avro *manifest list*, whose entries point at
+  * Avro *manifest files*, whose entries are the snapshot's data
+  * files. Unlike Delta there is NO log replay: a snapshot's manifest
+  * list fully enumerates its live files, so time travel is "pick the
+  * snapshot, read its lists".
+  *
+  * This is the Iceberg twin of [[DeltaLog]] (reference tables are
+  * lakehouse-format managed tables, gold_transformation.py:57-62):
+  *
+  *  - [[snapshot]] / [[read]]: resolve a real Iceberg table at a
+  *    snapshot id or timestamp and read it as a DataFrame through
+  *    Spark's native parquet path.
+  *  - [[exportFromVersioned]]: emit real Iceberg metadata for an
+  *    existing [[VersionedTable]] (one Iceberg snapshot per graft
+  *    version) so Iceberg-reading engines can time-travel graft
+  *    output.
+  *
+  * Scale shape: `metadata.json` and the manifest LIST are one small
+  * file each (bounded by snapshot count / manifest count, not data).
+  * Manifest files — the actual file list, the only part that grows
+  * with the table — are opened lazily and streamed entry-by-entry;
+  * the result is the same bounded "live file list on the driver" that
+  * [[DeltaLog.snapshot]] produces, and the data files themselves are
+  * always read distributed by `spark.read.parquet`. (At true 100 TB
+  * scale the manifest reads parallelize trivially — one task per
+  * manifest — but a manifest holds thousands of entries, so the
+  * driver-side stream stays proportional to file COUNT, as with
+  * Delta checkpoints' live rows.)
+  *
+  * Unsupported (checked, explicit error — never silent wrong
+  * results): format-version 3+, delete manifests / delete files
+  * (v2 merge-on-read), non-parquet data files. Partition TRANSFORMS
+  * need no gate: Iceberg data files always carry full rows (the
+  * table schema's columns are all physically present — hidden
+  * partitioning lives in metadata only), so a direct scan is correct
+  * regardless of spec; we merely forgo manifest-level pruning.
+  */
+object IcebergTable {
+
+  private val M = new ObjectMapper()
+
+  /** One live data file of a snapshot. */
+  final case class DataFile(path: String, format: String, records: Long,
+                            sizeBytes: Long)
+
+  /** A resolved Iceberg table state at one snapshot. */
+  final case class Snapshot(tablePath: String, snapshotId: Long,
+                            timestampMs: Long, schema: StructType,
+                            files: Seq[DataFile])
+
+  private def metaDir(tablePath: String) = new Path(tablePath, "metadata")
+
+  private def fsFor(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest metadata file: honor `version-hint.text` when present
+    * (the HadoopTables convention), else the highest
+    * `v<N>.metadata.json`. */
+  private def latestMetadataFile(spark: SparkSession, tablePath: String): Path = {
+    val dir = metaDir(tablePath)
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) throw new IllegalArgumentException(
+      s"not an Iceberg table (no metadata dir): $tablePath")
+    val hint = new Path(dir, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      val p = new Path(dir, s"v$v.metadata.json")
+      if (fs.exists(p)) return p
+    }
+    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
+    if (versions.isEmpty) throw new IllegalArgumentException(
+      s"no v<N>.metadata.json under $dir")
+    new Path(dir, s"v${versions.max}.metadata.json")
+  }
+
+  private def readJson(spark: SparkSession, p: Path): JsonNode = {
+    val fs = fsFor(spark, p)
+    val in = fs.open(p)
+    try M.readTree(in) finally in.close()
+  }
+
+  // ---------------- Iceberg schema JSON <-> Spark ----------------
+
+  private val DecimalRe = "decimal\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+  private val FixedRe = "fixed\\[(\\d+)\\]".r
+
+  /** Iceberg type JSON (string primitive or object) → Spark type. */
+  private[sources] def icebergTypeToSpark(t: JsonNode): DataType =
+    if (t.isTextual) t.asText() match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "string" => StringType
+      case "uuid" => StringType
+      case "binary" => BinaryType
+      case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case FixedRe(_) => BinaryType
+      case other => throw new UnsupportedOperationException(
+        s"unsupported Iceberg type: $other")
+    } else t.get("type").asText() match {
+      case "struct" => StructType(
+        t.get("fields").elements().asScala.map { f =>
+          StructField(f.get("name").asText(), icebergTypeToSpark(f.get("type")),
+            nullable = !f.get("required").asBoolean())
+        }.toSeq)
+      case "list" => ArrayType(icebergTypeToSpark(t.get("element")),
+        containsNull = !t.get("element-required").asBoolean())
+      case "map" => MapType(icebergTypeToSpark(t.get("key")),
+        icebergTypeToSpark(t.get("value")),
+        valueContainsNull = !t.get("value-required").asBoolean())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported Iceberg type: $other")
+    }
+
+  /** Spark type → Iceberg type JSON node; `nextId` allocates the
+    * spec-required unique field/element ids. */
+  private def sparkTypeToIceberg(dt: DataType, nextId: () => Int): JsonNode =
+    dt match {
+      case BooleanType => M.getNodeFactory.textNode("boolean")
+      case IntegerType | ShortType | ByteType => M.getNodeFactory.textNode("int")
+      case LongType => M.getNodeFactory.textNode("long")
+      case FloatType => M.getNodeFactory.textNode("float")
+      case DoubleType => M.getNodeFactory.textNode("double")
+      case DateType => M.getNodeFactory.textNode("date")
+      case TimestampNTZType => M.getNodeFactory.textNode("timestamp")
+      case TimestampType => M.getNodeFactory.textNode("timestamptz")
+      case StringType => M.getNodeFactory.textNode("string")
+      case BinaryType => M.getNodeFactory.textNode("binary")
+      case d: DecimalType =>
+        M.getNodeFactory.textNode(s"decimal(${d.precision}, ${d.scale})")
+      case s: StructType =>
+        val o = M.createObjectNode()
+        o.put("type", "struct")
+        val arr = o.putArray("fields")
+        s.fields.foreach { f =>
+          val fo = arr.addObject()
+          fo.put("id", nextId())
+          fo.put("name", f.name)
+          fo.put("required", !f.nullable)
+          fo.set[JsonNode]("type", sparkTypeToIceberg(f.dataType, nextId))
+        }
+        o
+      case a: ArrayType =>
+        val o = M.createObjectNode()
+        o.put("type", "list")
+        o.put("element-id", nextId())
+        o.put("element-required", !a.containsNull)
+        o.set[JsonNode]("element", sparkTypeToIceberg(a.elementType, nextId))
+        o
+      case m: MapType =>
+        val o = M.createObjectNode()
+        o.put("type", "map")
+        o.put("key-id", nextId())
+        o.put("value-id", nextId())
+        o.put("value-required", !m.valueContainsNull)
+        o.set[JsonNode]("key", sparkTypeToIceberg(m.keyType, nextId))
+        o.set[JsonNode]("value", sparkTypeToIceberg(m.valueType, nextId))
+        o
+      case other => throw new UnsupportedOperationException(
+        s"cannot export Spark type $other to Iceberg")
+    }
+
+  // ---------------- Avro helpers ----------------
+
+  /** Stream every record of an Avro file through `f` (reader uses the
+    * file's embedded writer schema — robust to v1/v2 field layouts). */
+  private def foreachAvro(spark: SparkSession, p: Path)(f: GenericRecord => Unit): Unit = {
+    val fs = fsFor(spark, p)
+    val in = fs.open(p)
+    val stream = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try stream.iterator().asScala.foreach(f) finally { stream.close() }
+  }
+
+  private def fieldOpt(r: GenericRecord, names: String*): Option[AnyRef] =
+    names.iterator.flatMap { n =>
+      if (r.getSchema.getField(n) != null) Option(r.get(n)) else None
+    }.toSeq.headOption
+
+  private def longOf(v: AnyRef): Long = v match {
+    case n: java.lang.Number => n.longValue()
+    case other => other.toString.toLong
+  }
+
+  // ---------------- snapshot resolution ----------------
+
+  /** Resolve the snapshot at `snapshotIdAsOf` (default: the table's
+    * current snapshot), or the latest snapshot whose `timestamp-ms`
+    * is <= `timestampAsOf`. Exactly one selector may be set. */
+  def snapshot(spark: SparkSession, tablePath: String,
+               snapshotIdAsOf: Option[Long] = None,
+               timestampAsOf: Option[Long] = None): Snapshot = {
+    require(snapshotIdAsOf.isEmpty || timestampAsOf.isEmpty,
+      "set at most one of snapshotIdAsOf / timestampAsOf")
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    val fv = meta.get("format-version").asInt()
+    if (fv > 2) throw new UnsupportedOperationException(
+      s"Iceberg format-version $fv is not supported (v1/v2 only)")
+
+    // schema: v2 keeps a `schemas` list keyed by current-schema-id;
+    // v1 has a single top-level `schema`
+    val schemaNode: JsonNode =
+      if (meta.has("schemas")) {
+        val cur = meta.get("current-schema-id").asInt()
+        meta.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == cur)
+          .getOrElse(throw new IllegalStateException(
+            s"current-schema-id $cur not in schemas list"))
+      } else meta.get("schema")
+    val schema = icebergTypeToSpark(schemaNode).asInstanceOf[StructType]
+
+    val snaps = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+    if (snaps.isEmpty) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty)
+
+    val chosen: JsonNode = (snapshotIdAsOf, timestampAsOf) match {
+      case (Some(id), _) => snaps.find(_.get("snapshot-id").asLong() == id)
+        .getOrElse(throw new IllegalArgumentException(
+          s"snapshot $id not in ${tablePath}"))
+      case (_, Some(ts)) =>
+        val ok = snaps.filter(_.get("timestamp-ms").asLong() <= ts)
+        require(ok.nonEmpty, s"no snapshot at or before timestamp $ts")
+        ok.maxBy(_.get("timestamp-ms").asLong())
+      case _ =>
+        val cur = meta.get("current-snapshot-id").asLong()
+        snaps.find(_.get("snapshot-id").asLong() == cur)
+          .getOrElse(throw new IllegalStateException(
+            s"current-snapshot-id $cur not in snapshots list"))
+    }
+    val snapId = chosen.get("snapshot-id").asLong()
+    val snapTs = chosen.get("timestamp-ms").asLong()
+
+    // v2 (and late v1): snapshot → manifest-list avro → manifest paths.
+    // early v1 alternative: inline `manifests` array on the snapshot.
+    val manifests: Seq[(String, Int)] = // (path, content: 0=data 1=deletes)
+      if (chosen.has("manifest-list")) {
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+        foreachAvro(spark, new Path(chosen.get("manifest-list").asText())) { r =>
+          val content = fieldOpt(r, "content").map(longOf(_).toInt).getOrElse(0)
+          buf += ((r.get("manifest_path").toString, content))
+        }
+        buf.toSeq
+      } else chosen.get("manifests").elements().asScala
+        .map(n => (n.asText(), 0)).toSeq
+
+    manifests.find(_._2 == 1).foreach { case (p, _) =>
+      throw new UnsupportedOperationException(
+        s"Iceberg DELETE manifests (merge-on-read) are not supported: $p")
+    }
+
+    val files = scala.collection.mutable.ArrayBuffer[DataFile]()
+    manifests.foreach { case (mp, _) =>
+      foreachAvro(spark, new Path(mp)) { entry =>
+        val status = longOf(entry.get("status")).toInt // 0 existing 1 added 2 deleted
+        if (status != 2) {
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          fieldOpt(df, "content").map(longOf(_).toInt).filter(_ != 0).foreach { c =>
+            throw new UnsupportedOperationException(
+              s"Iceberg delete files (content=$c) are not supported")
+          }
+          val fmt = df.get("file_format").toString
+          if (!fmt.equalsIgnoreCase("parquet"))
+            throw new UnsupportedOperationException(
+              s"non-parquet Iceberg data file ($fmt) is not supported")
+          files += DataFile(df.get("file_path").toString, fmt,
+            longOf(df.get("record_count")),
+            fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L))
+        }
+      }
+    }
+    Snapshot(tablePath, snapId, snapTs, schema, files.toSeq)
+  }
+
+  /** Read an Iceberg table as a DataFrame (native distributed parquet
+    * scan over the snapshot's live file list). */
+  def read(spark: SparkSession, tablePath: String,
+           snapshotIdAsOf: Option[Long] = None,
+           timestampAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, snapshotIdAsOf, timestampAsOf)
+    if (snap.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
+  }
+
+  /** Snapshot history (`snapshot_id`, `timestamp_ms`, `operation`) —
+    * the `SELECT * FROM t.snapshots` analog. */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+      .map(s => (s.get("snapshot-id").asLong(), s.get("timestamp-ms").asLong(),
+        Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+          .map(_.asText()).getOrElse("")))
+      .toDF("snapshot_id", "timestamp_ms", "operation")
+  }
+
+  // ---------------- VersionedTable → Iceberg export ----------------
+
+  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int","field-id":134},
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin)
+
+  private val ManifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  private def writeAvro(spark: SparkSession, p: Path, schema: Schema,
+                        meta: Map[String, String],
+                        records: Seq[GenericRecord]): Long = {
+    val fs = fsFor(spark, p)
+    val out = fs.create(p, false)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, out)
+    try records.foreach(w.append) finally w.close()
+    fs.getFileStatus(p).getLen
+  }
+
+  /** Export a [[VersionedTable]] as a REAL Iceberg table (HadoopTables
+    * layout): copy each graft version's parquet files and write one
+    * Iceberg snapshot per version — metadata/v<N>.metadata.json +
+    * manifest list + manifest, `version-hint.text` pointing at the
+    * head. Each snapshot is a full overwrite (VersionedTable versions
+    * are full snapshots), so its manifest list references exactly its
+    * own manifest. Returns the head snapshot id. */
+  def exportFromVersioned(spark: SparkSession, table: String,
+                          icebergPath: String): Long = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(icebergPath)
+    val fs = dst.getFileSystem(fsConf)
+    val mdir = new Path(dst, "metadata")
+    fs.mkdirs(mdir)
+    fs.mkdirs(new Path(dst, "data"))
+    val cur = VersionedTable.currentVersion(spark, table)
+    require(cur >= 1, s"no versions in $table")
+
+    val tableUuid = java.util.UUID.nameUUIDFromBytes(
+      ("iceberg:" + table).getBytes("UTF-8")).toString
+    val snapsArr: ArrayNode = M.createArrayNode()
+    val logArr: ArrayNode = M.createArrayNode()
+    var headSchemaJson: JsonNode = null
+    var lastColumnId = 0
+
+    (1L to cur).foreach { v =>
+      val df = VersionedTable.readVersion(spark, table, v)
+      var idCounter = 0
+      val nextId = () => { idCounter += 1; idCounter }
+      val schemaObj = sparkTypeToIceberg(df.schema, nextId).asInstanceOf[ObjectNode]
+      schemaObj.put("schema-id", 0)
+      headSchemaJson = schemaObj
+      lastColumnId = idCounter
+      val now = System.currentTimeMillis()
+      val snapId = v // deterministic, 1-based like graft versions
+
+      // per-source-file row counts in one job (Iceberg readers use
+      // record_count for count(*) pushdown — it must be REAL)
+      val perFileCounts: Map[String, Long] = df
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
+        .count().collect()
+        .map(r => (new Path(new java.net.URI(r.getString(0))).toString,
+          r.getLong(1))).toMap
+      // copy data files under the iceberg root
+      val copied = df.inputFiles.toSeq.zipWithIndex.map { case (src, i) =>
+        val rel = new Path(new Path(dst, "data"), s"v$v-part-$i.parquet")
+        val srcP = new Path(new java.net.URI(src))
+        org.apache.hadoop.fs.FileUtil.copy(
+          srcP.getFileSystem(fsConf), srcP, fs, rel, false, fsConf)
+        (fs.makeQualified(rel).toString,
+          fs.getFileStatus(rel).getLen,
+          perFileCounts.getOrElse(srcP.toString, 0L))
+      }
+      val rowCount = copied.map(_._3).sum
+
+      // manifest: every file of this version, status=ADDED
+      val entries = copied.map { case (path, size, nrec) =>
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapId)
+        e.put("sequence_number", v)
+        e.put("file_sequence_number", v)
+        val d = new GenericData.Record(
+          ManifestEntrySchema.getField("data_file").schema())
+        d.put("content", 0)
+        d.put("file_path", path)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new GenericData.Record(
+          d.getSchema.getField("partition").schema()))
+        d.put("record_count", nrec)
+        d.put("file_size_in_bytes", size)
+        e.put("data_file", d)
+        e
+      }
+      val manifestPath = fs.makeQualified(
+        new Path(mdir, s"manifest-$v.avro"))
+      val manifestLen = writeAvro(spark, manifestPath, ManifestEntrySchema,
+        Map("schema" -> M.writeValueAsString(schemaObj),
+          "partition-spec" -> "[]", "partition-spec-id" -> "0",
+          "format-version" -> "2", "content" -> "data"),
+        entries)
+
+      // manifest list: exactly this version's manifest
+      val mf = new GenericData.Record(ManifestFileSchema)
+      mf.put("manifest_path", manifestPath.toString)
+      mf.put("manifest_length", manifestLen)
+      mf.put("partition_spec_id", 0)
+      mf.put("content", 0)
+      mf.put("sequence_number", v)
+      mf.put("min_sequence_number", v)
+      mf.put("added_snapshot_id", snapId)
+      mf.put("added_files_count", copied.size)
+      mf.put("existing_files_count", 0)
+      mf.put("deleted_files_count", 0)
+      mf.put("added_rows_count", rowCount)
+      mf.put("existing_rows_count", 0L)
+      mf.put("deleted_rows_count", 0L)
+      val listPath = fs.makeQualified(
+        new Path(mdir, s"snap-$snapId-manifest-list.avro"))
+      writeAvro(spark, listPath, ManifestFileSchema,
+        Map("format-version" -> "2"), Seq(mf))
+
+      val sn = snapsArr.addObject()
+      sn.put("snapshot-id", snapId)
+      sn.put("sequence-number", v)
+      sn.put("timestamp-ms", now)
+      sn.put("manifest-list", listPath.toString)
+      sn.put("schema-id", 0)
+      sn.putObject("summary").put("operation", "overwrite")
+      val lg = logArr.addObject()
+      lg.put("snapshot-id", snapId)
+      lg.put("timestamp-ms", now)
+
+      // metadata/v<v>.metadata.json with all snapshots so far
+      val root = M.createObjectNode()
+      root.put("format-version", 2)
+      root.put("table-uuid", tableUuid)
+      root.put("location", fs.makeQualified(dst).toString)
+      root.put("last-sequence-number", v)
+      root.put("last-updated-ms", now)
+      root.put("last-column-id", lastColumnId)
+      root.put("current-schema-id", 0)
+      root.putArray("schemas").add(headSchemaJson)
+      val spec = root.putArray("partition-specs").addObject()
+      spec.put("spec-id", 0)
+      spec.putArray("fields")
+      root.put("default-spec-id", 0)
+      root.put("last-partition-id", 999)
+      root.put("default-sort-order-id", 0)
+      val so = root.putArray("sort-orders").addObject()
+      so.put("order-id", 0)
+      so.putArray("fields")
+      root.put("current-snapshot-id", snapId)
+      root.set[JsonNode]("snapshots", snapsArr.deepCopy())
+      root.set[JsonNode]("snapshot-log", logArr.deepCopy())
+      root.putArray("metadata-log")
+      root.putObject("properties")
+      val mp = new Path(mdir, s"v$v.metadata.json")
+      val out = fs.create(mp, false)
+      try out.write(M.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(root))
+      finally out.close()
+    }
+    // HadoopTables head pointer
+    val hint = new Path(mdir, "version-hint.text")
+    val out = fs.create(hint, true)
+    try out.write(cur.toString.getBytes("UTF-8")) finally out.close()
+    cur
+  }
+}

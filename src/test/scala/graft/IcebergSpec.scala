@@ -1,0 +1,271 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+import graft.sources.{IcebergTable, VersionedTable}
+
+/** Native Iceberg reader against HAND-BUILT minimal tables (v1-style
+  * metadata.json + avro manifest list + manifests written directly
+  * per the public table-format spec — no Iceberg jars on either
+  * side), plus the VersionedTable → Iceberg export round trip. */
+class IcebergSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- low-level writers for hand-committed tables ----
+
+  private def writeAvro(path: String, schema: Schema,
+                        records: Seq[GenericRecord]): Long = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    try records.foreach(w.append) finally w.close()
+    f.length()
+  }
+
+  /** v1-layout manifest entry: no `content` fields anywhere, plain
+    * (non-union) snapshot_id — exercises the reader's field-variant
+    * handling (the export writer covers the v2 layout). */
+  private val V1Entry: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":"long"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private val V1List: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+
+  /** v2-layout manifest list WITH the `content` discriminator, for
+    * the delete-manifest gate. */
+  private val V2List: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+
+  private def entry(status: Int, path: String, fmt: String = "PARQUET",
+                    nrec: Long = 1L, size: Long = 1L): GenericRecord = {
+    val e = new GenericData.Record(V1Entry)
+    e.put("status", status)
+    e.put("snapshot_id", 1L)
+    val d = new GenericData.Record(V1Entry.getField("data_file").schema())
+    d.put("file_path", path)
+    d.put("file_format", fmt)
+    d.put("partition", new GenericData.Record(
+      d.getSchema.getField("partition").schema()))
+    d.put("record_count", nrec)
+    d.put("file_size_in_bytes", size)
+    e.put("data_file", d)
+    e
+  }
+
+  private def listEntry(manifestPath: String, len: Long): GenericRecord = {
+    val r = new GenericData.Record(V1List)
+    r.put("manifest_path", manifestPath)
+    r.put("manifest_length", len)
+    r.put("partition_spec_id", 0)
+    r.put("added_snapshot_id", 1L)
+    r
+  }
+
+  private def writeDataFile(dir: String, name: String,
+                            df: org.apache.spark.sql.DataFrame): String = {
+    val tmp = Files.createTempDirectory("graft-ice-part").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = Paths.get(dir, name)
+    Files.createDirectories(dst.getParent)
+    Files.copy(part.toPath, dst)
+    dst.toString
+  }
+
+  private val schemaV1Json =
+    """"schema":{"type":"struct","fields":[
+      |{"id":1,"name":"id","required":false,"type":"long"},
+      |{"id":2,"name":"s","required":false,"type":"string"}]}""".stripMargin
+
+  private def metadataJson(dir: String, currentSnap: Long,
+                           snaps: Seq[(Long, Long, String)],
+                           formatVersion: Int = 1): String = {
+    val snapJson = snaps.map { case (id, ts, list) =>
+      s"""{"snapshot-id":$id,"timestamp-ms":$ts,"manifest-list":"$list","summary":{"operation":"overwrite"}}"""
+    }.mkString("[", ",", "]")
+    s"""{"format-version":$formatVersion,"table-uuid":"11111111-2222-3333-4444-555555555555",
+       |"location":"$dir","last-updated-ms":99,"last-column-id":2,
+       |$schemaV1Json,
+       |"partition-spec":[],"current-snapshot-id":$currentSnap,
+       |"snapshots":$snapJson}""".stripMargin
+  }
+
+  private def commitMetadata(dir: String, v: Int, json: String): Unit = {
+    val mdir = Paths.get(dir, "metadata")
+    Files.createDirectories(mdir)
+    Files.writeString(mdir.resolve(s"v$v.metadata.json"), json)
+  }
+
+  test("hand-built v1 table: snapshot + timestamp travel, deleted entries skipped") {
+    val t = Files.createTempDirectory("graft-ice").toString
+    val f1 = writeDataFile(t, "data/f1.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val f2 = writeDataFile(t, "data/f2.parquet", Seq((3L, "c")).toDF("id", "s"))
+    val f3 = writeDataFile(t, "data/f3.parquet", Seq((4L, "d")).toDF("id", "s"))
+
+    // snapshot 10: f1+f2 · snapshot 11: f1 existing, f2 DELETED, f3 added
+    val m1 = s"$t/metadata/m1.avro"
+    val l1 = writeAvro(m1, V1Entry, Seq(entry(1, f1), entry(1, f2)))
+    val m2 = s"$t/metadata/m2.avro"
+    val l2 = writeAvro(m2, V1Entry,
+      Seq(entry(0, f1), entry(2, f2), entry(1, f3)))
+    val list1 = s"$t/metadata/sl1.avro"
+    writeAvro(list1, V1List, Seq(listEntry(m1, l1)))
+    val list2 = s"$t/metadata/sl2.avro"
+    writeAvro(list2, V1List, Seq(listEntry(m2, l2)))
+    commitMetadata(t, 1, metadataJson(t, 10L, Seq((10L, 1000L, list1))))
+    commitMetadata(t, 2, metadataJson(t, 11L,
+      Seq((10L, 1000L, list1), (11L, 2000L, list2))))
+
+    val latest = IcebergTable.read(spark, t)
+    assert(latest.as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (4L, "d")))
+    assert(IcebergTable.snapshot(spark, t).snapshotId === 11L)
+
+    // snapshot-id travel
+    val s10 = IcebergTable.read(spark, t, snapshotIdAsOf = Some(10L))
+    assert(s10.as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // timestamp travel between the two snapshots → 10
+    val ts = IcebergTable.read(spark, t, timestampAsOf = Some(1500L))
+    assert(ts.as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    intercept[IllegalArgumentException] {
+      IcebergTable.snapshot(spark, t, timestampAsOf = Some(500L))
+    }
+    assert(IcebergTable.history(spark, t)
+      .as[(Long, Long, String)].collect().toSet
+      === Set((10L, 1000L, "overwrite"), (11L, 2000L, "overwrite")))
+  }
+
+  test("version-hint.text pins the metadata version") {
+    val t = Files.createTempDirectory("graft-ice-hint").toString
+    val f1 = writeDataFile(t, "data/f1.parquet", Seq((1L, "a")).toDF("id", "s"))
+    val f2 = writeDataFile(t, "data/f2.parquet", Seq((2L, "b")).toDF("id", "s"))
+    val m1 = s"$t/metadata/m1.avro"
+    val l1 = writeAvro(m1, V1Entry, Seq(entry(1, f1)))
+    val m2 = s"$t/metadata/m2.avro"
+    val l2 = writeAvro(m2, V1Entry, Seq(entry(1, f2)))
+    val list1 = s"$t/metadata/sl1.avro"
+    writeAvro(list1, V1List, Seq(listEntry(m1, l1)))
+    val list2 = s"$t/metadata/sl2.avro"
+    writeAvro(list2, V1List, Seq(listEntry(m2, l2)))
+    commitMetadata(t, 1, metadataJson(t, 10L, Seq((10L, 1000L, list1))))
+    commitMetadata(t, 2, metadataJson(t, 11L, Seq((11L, 2000L, list2))))
+    // no hint → v2 wins
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((2L, "b")))
+    Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "1")
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a")))
+  }
+
+  test("unsupported features fail loudly, never read wrong") {
+    // format-version 3
+    val t1 = Files.createTempDirectory("graft-ice-v3").toString
+    commitMetadata(t1, 1, metadataJson(t1, 10L, Seq.empty, formatVersion = 3))
+    val e1 = intercept[UnsupportedOperationException] {
+      IcebergTable.snapshot(spark, t1)
+    }
+    assert(e1.getMessage.contains("format-version"))
+
+    // delete manifest (v2 list with content=1)
+    val t2 = Files.createTempDirectory("graft-ice-del").toString
+    val f1 = writeDataFile(t2, "data/f1.parquet", Seq((1L, "a")).toDF("id", "s"))
+    val m1 = s"$t2/metadata/m1.avro"
+    val l1 = writeAvro(m1, V1Entry, Seq(entry(1, f1)))
+    val r = new GenericData.Record(V2List)
+    r.put("manifest_path", m1); r.put("manifest_length", l1)
+    r.put("partition_spec_id", 0); r.put("content", 1)
+    r.put("sequence_number", 1L); r.put("min_sequence_number", 1L)
+    r.put("added_snapshot_id", 1L)
+    val list = s"$t2/metadata/sl.avro"
+    writeAvro(list, V2List, Seq(r))
+    commitMetadata(t2, 1, metadataJson(t2, 10L, Seq((10L, 1000L, list))))
+    val e2 = intercept[UnsupportedOperationException] {
+      IcebergTable.snapshot(spark, t2)
+    }
+    assert(e2.getMessage.toLowerCase.contains("delete"))
+
+    // non-parquet data file
+    val t3 = Files.createTempDirectory("graft-ice-orc").toString
+    val m3 = s"$t3/metadata/m1.avro"
+    val l3 = writeAvro(m3, V1Entry, Seq(entry(1, "/nope.orc", fmt = "ORC")))
+    val list3 = s"$t3/metadata/sl.avro"
+    writeAvro(list3, V1List, Seq(listEntry(m3, l3)))
+    commitMetadata(t3, 1, metadataJson(t3, 10L, Seq((10L, 1000L, list3))))
+    val e3 = intercept[UnsupportedOperationException] {
+      IcebergTable.snapshot(spark, t3)
+    }
+    assert(e3.getMessage.contains("ORC"))
+
+    // not an iceberg table at all
+    intercept[IllegalArgumentException] {
+      IcebergTable.snapshot(spark,
+        Files.createTempDirectory("graft-ice-none").toString)
+    }
+  }
+
+  test("VersionedTable export round-trips through the Iceberg reader") {
+    val t = Files.createTempDirectory("graft-vt-ice").toString + "/t"
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    VersionedTable.write(Seq((1L, "a"), (3L, "c")).toDF("k", "v"), t,
+      overwrite = true)
+    val out = Files.createTempDirectory("graft-vt-ice-out").toString + "/i"
+    val head = IcebergTable.exportFromVersioned(spark, t, out)
+    assert(head === 2L)
+    assert(IcebergTable.read(spark, out).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (3L, "c")))
+    assert(IcebergTable.read(spark, out, snapshotIdAsOf = Some(1L))
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    // record_count in the manifests is REAL (count(*) pushdown safety)
+    val snap = IcebergTable.snapshot(spark, out)
+    assert(snap.files.map(_.records).sum === 2L)
+    assert(IcebergTable.history(spark, out).count() === 2L)
+  }
+
+  test("catalog serves the iceberg flavor by name, with time travel") {
+    val root = Files.createTempDirectory("graft-cat-ice").toString
+    val t = Files.createTempDirectory("graft-cat-vt").toString + "/t"
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    VersionedTable.write(Seq((9L, "z")).toDF("k", "v"), t, overwrite = true)
+    Files.createDirectories(Paths.get(root, "lake"))
+    IcebergTable.exportFromVersioned(spark, t, s"$root/lake/docs")
+    spark.conf.set("spark.sql.catalog.icecat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.icecat.root", root)
+    try {
+      assert(spark.sql("SELECT k, v FROM icecat.lake.docs ORDER BY k")
+        .as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+      assert(spark.sql("SELECT k, v FROM icecat.lake.docs VERSION AS OF 1 ORDER BY k")
+        .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.icecat")
+      spark.conf.unset("spark.sql.catalog.icecat.root")
+    }
+  }
+}
