@@ -4255,6 +4255,142 @@ object SparkEntry {
           roundTo(col("n_bounces").cast("double") / col("n_sessions"), 6)
             .as("bounce_rate"))
         .orderBy("day")
+    }),
+
+    // bounded BFS reachability over the item co-participation graph
+    // (min hops from the first catalog item, ≤3): level-synchronous
+    // frontier expansion — each level is frontier ⋈ edges, distinct,
+    // anti-join against the reached set — over ONE persisted edge
+    // frame. The distributed-graph shape: every shuffle keys on item,
+    // frontier stays small relative to the graph, and hop count (not
+    // graph diameter) bounds the iterations. Oracle: recursive CTE.
+    "q_reachability" -> ((s, d) => {
+      import s.implicits._
+      val ui = Tables.events(s, d)
+        .select(col("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
+        .where(col("item").isNotNull && col("user_id").isNotNull)
+        .distinct()
+      val e = ui.as("a").join(ui.as("b"), col("a.user_id") === col("b.user_id"))
+        .where(col("a.item") =!= col("b.item"))
+        .select(col("a.item").as("src"), col("b.item").as("dst"))
+        .distinct()
+        .transform(graft.Caches.tracked)
+      val seed = ui.agg(min(col("item"))).as[Long].head()
+      var reach = Seq((seed, 0L)).toDF("item", "hops")
+      var frontier = reach
+      for (h <- 1 to 3) {
+        frontier = frontier.join(e, frontier("item") === e("src"))
+          .select(col("dst").as("item")).distinct()
+          .join(reach, Seq("item"), "left_anti")
+          .withColumn("hops", lit(h.toLong))
+          .transform(graft.Caches.tracked)
+        reach = reach.unionAll(frontier).transform(graft.Caches.tracked)
+      }
+      reach.orderBy("item")
+    }),
+
+    // sorted-neighborhood near-dup (the classic entity-resolution
+    // blocking METHOD, complementing dedup_levenshtein's length-band
+    // blocks): docs sort by a normalized key inside 4-char key-prefix
+    // blocks, and only rank-neighbors within w=3 compare — candidate
+    // volume is O(n·w) by construction regardless of data skew. The
+    // rank window partitions by block (never partition-less), and the
+    // verify is the banded prefix levenshtein. Clones mutate chars
+    // 30-31 so the sort key stays adjacent — planted the
+    // dedup_exact_text way (2^40 id tag).
+    "dedup_sorted_neighborhood" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val clones = base.select((col("doc_id") + SyntheticIdTag).as("doc_id"),
+        concat(substring(col("text"), 1, 29), lit("qq"),
+          substring(col("text"), 32, 1000000)).as("text"))
+      val keyed = base.unionAll(clones)
+        .withColumn("__k", regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+        .withColumn("__blk", substring(col("__k"), 1, 4))
+      val w = Window.partitionBy("__blk").orderBy(col("__k").asc, col("doc_id").asc)
+      val ranked = keyed
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("__p"),
+          col("__blk"), row_number().over(w).cast("long").as("__rn"))
+        .transform(graft.Caches.tracked)
+      val a = ranked.select(col("__blk"), col("doc_id").as("__ida"),
+        col("__p").as("__pa"), col("__rn").as("__rna"))
+      val b = ranked.select(col("__blk"), col("doc_id").as("__idb"),
+        col("__p").as("__pb"), col("__rn").as("__rnb"))
+      a.join(b, Seq("__blk"))
+        .where(col("__rnb") > col("__rna") && col("__rnb") <= col("__rna") + 3)
+        .withColumn("lev_dist", levenshtein(col("__pa"), col("__pb"), 6).cast("bigint"))
+        .where(col("lev_dist") >= 0)
+        .select(least(col("__ida"), col("__idb")).as("id_a"),
+          greatest(col("__ida"), col("__idb")).as("id_b"), col("lev_dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // exponential time-decay engagement score (half-life 7 days, in
+    // whole-week steps): the feature-engineering staple for "recent
+    // activity matters more". One combinable per-user shuffle; the
+    // global anchor day is a 1-row broadcast. Weights are exact
+    // powers of two (0.5^k, k integer) and each term rounds to 6dp
+    // into exact decimal accumulation — bit-stable cross-engine with
+    // no transcendental-libm drift.
+    "q_decayed_score" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .where(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("value"),
+          floor(unix_millis(col("ts")) / 86400000L).cast("long").as("__day"))
+      val anchor = e.agg(max(col("__day")).as("__anchor"))
+      e.crossJoin(broadcast(anchor))
+        .withColumn("__w", pow(lit(0.5),
+          floor((col("__anchor") - col("__day")) / 7L).cast("double")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(roundTo(col("value") * col("__w"), 6).cast("decimal(28,6)"))
+            .cast("double").as("decayed_score"))
+        .orderBy("user_id")
+    }),
+
+    // local clustering coefficient per item over the SAME
+    // lift-filtered co-occurrence graph as q_triangle_count:
+    // 2·T(v) / (deg(v)·(deg(v)−1)) — how interconnected each item's
+    // neighborhood is. The triangle subtree reuses the persisted
+    // canonical (i<j) edge frame; degree is one combinable shuffle
+    // over the symmetrized edges.
+    "q_clustering_coeff" -> ((s, d) => {
+      val B = graft.operators.Baskets
+      val sets = B.userItemSets(
+        Tables.events(s, d).select(col("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item")),
+        "user_id", "item")
+      val itemUsers = B.itemUserCounts(sets).withColumnRenamed("n_users", "__ni")
+      val nUsers = B.userCount(sets).withColumnRenamed("n_users", "__n")
+      val e = B.pairCounts(sets)
+        .withColumnRenamed("n_both", "__nb")
+        .join(broadcast(itemUsers.withColumnRenamed("item", "i")
+          .withColumnRenamed("__ni", "__na")), "i")
+        .join(broadcast(itemUsers.withColumnRenamed("item", "j")
+          .withColumnRenamed("__ni", "__nbj")), "j")
+        .crossJoin(broadcast(nUsers))
+        .filter(roundTo((col("__nb") * col("__n")).cast("double") /
+          (col("__na") * col("__nbj")).cast("double"), 6) >= 1.05)
+        .select(col("i"), col("j"))
+        .transform(graft.Caches.tracked)
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.j") === col("e2.i"))
+        .join(e.as("e3"), col("e1.i") === col("e3.i") && col("e2.j") === col("e3.j"))
+        .select(col("e1.i").as("ti"), col("e1.j").as("tj"), col("e2.j").as("tk"))
+      val triCounts = tri
+        .select(explode(array(col("ti"), col("tj"), col("tk"))).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("n_triangles"))
+      val deg = e.select(col("i").as("item"))
+        .unionAll(e.select(col("j").as("item")))
+        .groupBy("item").agg(count(lit(1)).as("degree"))
+      deg.join(triCounts, Seq("item"), "left")
+        .select(col("item"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          when(col("degree") >= 2, roundTo(
+            lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double"), 6))
+            .otherwise(lit(0.0)).as("clustering_coeff"))
+        .orderBy("item")
     })
   )
 
@@ -6639,7 +6775,84 @@ object SparkEntry {
          |SELECT day, COUNT(*) AS n_clickers,
          | CAST(SUM(1 - purchased) AS BIGINT) AS n_abandoned,
          | ${sqlRound("CAST(SUM(1 - purchased) AS DOUBLE)/COUNT(*)", 6)} AS abandon_rate
-         |FROM act WHERE clicked = 1 GROUP BY day ORDER BY day""".stripMargin
+         |FROM act WHERE clicked = 1 GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_reachability" ->
+      s"""WITH RECURSIVE uin AS (
+        | SELECT DISTINCT user_id,
+        |  TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
+        | FROM events WHERE user_id IS NOT NULL),
+        |ui AS (SELECT user_id, item FROM uin WHERE item IS NOT NULL),
+        |e0 AS (SELECT DISTINCT a.item AS src, b.item AS dst
+        | FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item),
+        |reach(item, hops) AS (
+        | SELECT (SELECT MIN(item) FROM ui), CAST(0 AS BIGINT)
+        | UNION
+        | SELECT e0.dst, r.hops + 1 FROM reach r
+        |  JOIN e0 ON e0.src = r.item WHERE r.hops < 3)
+        |SELECT item, MIN(hops) AS hops FROM reach
+        |GROUP BY item ORDER BY item""".stripMargin,
+
+    "dedup_sorted_neighborhood" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+        |clones AS (SELECT doc_id + $SyntheticIdTag AS doc_id,
+        |  concat(substr(text, 1, 29), 'qq', substr(text, 32)) AS text FROM base),
+        |all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+        |keyed AS (SELECT doc_id, substr(text, 1, 40) AS p,
+        |  regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS k FROM all_docs),
+        |ranked AS (SELECT doc_id, p, substr(k, 1, 4) AS blk,
+        |  CAST(row_number() OVER (PARTITION BY substr(k, 1, 4)
+        |    ORDER BY k, doc_id) AS BIGINT) AS rn FROM keyed),
+        |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev_dist
+        | FROM ranked a JOIN ranked b
+        |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3)
+        |SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b, lev_dist
+        |FROM cand WHERE lev_dist <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_decayed_score" ->
+      s"""WITH e AS (SELECT user_id, value,
+        |  CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT) AS day
+        | FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |a AS (SELECT MAX(day) AS anchor FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(${sqlRound(
+             "value * pow(0.5, floor((anchor - day)/7.0))", 6)}
+        |   AS DECIMAL(28,6))) AS DOUBLE) AS decayed_score
+        |FROM e CROSS JOIN a GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_clustering_coeff" -> {
+      val lift = sqlRound(
+        "CAST(nb * n AS DOUBLE) / CAST(ia.ni * ib.ni AS DOUBLE)", 6)
+      s"""WITH uix AS (SELECT DISTINCT user_id,
+        |  TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
+        | FROM events),
+        |uin AS (SELECT user_id, item FROM uix WHERE item IS NOT NULL),
+        |iu AS (SELECT item, COUNT(*) AS ni FROM uin GROUP BY item),
+        |nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM uin),
+        |e0 AS (SELECT a.item AS i, b.item AS j, COUNT(*) AS nb
+        | FROM uin a JOIN uin b ON a.user_id = b.user_id AND a.item < b.item
+        | GROUP BY 1, 2),
+        |e AS (SELECT i, j FROM e0
+        | JOIN iu ia ON ia.item = e0.i JOIN iu ib ON ib.item = e0.j
+        | CROSS JOIN nu WHERE $lift >= 1.05),
+        |tri AS (SELECT e1.i AS ti, e1.j AS tj, e2.j AS tk
+        | FROM e e1 JOIN e e2 ON e1.j = e2.i
+        | JOIN e e3 ON e3.i = e1.i AND e3.j = e2.j),
+        |corners AS (SELECT ti AS item FROM tri
+        | UNION ALL SELECT tj FROM tri UNION ALL SELECT tk FROM tri),
+        |tc AS (SELECT item, COUNT(*) AS n_triangles FROM corners GROUP BY item),
+        |deg AS (SELECT item, COUNT(*) AS degree FROM (
+        |  SELECT i AS item FROM e UNION ALL SELECT j FROM e) GROUP BY item)
+        |SELECT deg.item, deg.degree,
+        | COALESCE(tc.n_triangles, 0) AS n_triangles,
+        | CASE WHEN deg.degree >= 2 THEN ${sqlRound(
+             "2.0 * COALESCE(tc.n_triangles, 0) / " +
+               "CAST(deg.degree * (deg.degree - 1) AS DOUBLE)", 6)}
+        |  ELSE 0.0 END AS clustering_coeff
+        |FROM deg LEFT JOIN tc ON tc.item = deg.item
+        |ORDER BY deg.item""".stripMargin
+    }
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the
