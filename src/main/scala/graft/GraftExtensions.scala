@@ -141,6 +141,8 @@ object GraftFunctions {
   * SELECT * FROM graft_dedup('docs', 'doc_id', 'text', 6)
   * SELECT * FROM graft_ann_topk('corpus', 'queries', 5)
   * SELECT * FROM graft_curate('docs', 'holdout')
+  * SELECT * FROM graft_delta('/lake/t', 2)     -- VERSION AS OF 2
+  * SELECT * FROM graft_iceberg('/lake/i')      -- current snapshot
   * }}}
   *
   * The builder resolves the named relation through the ACTIVE
@@ -183,6 +185,16 @@ object GraftTableFunctions {
     else args(i).eval() match {
       case n: Int => n
       case n: Long if n.isValidInt => n.toInt
+      case other => analysisError(
+        s"$fn: parameter '$param' must be an integer literal, got $other")
+    }
+
+  private def longLitOpt(args: Seq[Expression], i: Int, fn: String,
+                         param: String): Option[Long] =
+    if (args.length <= i) None
+    else args(i).eval() match {
+      case n: Int => Some(n.toLong)
+      case n: Long => Some(n)
       case other => analysisError(
         s"$fn: parameter '$param' must be an integer literal, got $other")
     }
@@ -259,6 +271,24 @@ object GraftTableFunctions {
           table(strLit(args, 1, fn, "holdoutTable")),
           idCol = if (args.length > 2) strLit(args, 2, fn, "idCol") else "doc_id",
           textCol = if (args.length > 3) strLit(args, 3, fn, "textCol") else "text"))
+      }),
+    // graft_delta(path[, versionAsOf]) — read a REAL Delta table via
+    // the native transaction-log replay, no catalog config needed
+    (FunctionIdentifier("graft_delta"), info("graft_delta"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_delta"
+        plan(graft.sources.DeltaLog.read(SparkSession.active,
+          strLit(args, 0, fn, "path"),
+          versionAsOf = longLitOpt(args, 1, fn, "versionAsOf")))
+      }),
+    // graft_iceberg(path[, snapshotIdAsOf]) — read a REAL Iceberg
+    // table via the native metadata/manifest resolution
+    (FunctionIdentifier("graft_iceberg"), info("graft_iceberg"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_iceberg"
+        plan(graft.sources.IcebergTable.read(SparkSession.active,
+          strLit(args, 0, fn, "path"),
+          snapshotIdAsOf = longLitOpt(args, 1, fn, "snapshotIdAsOf")))
       }))
 
   /** Register on a live session (equivalent to the extension). */

@@ -4391,6 +4391,69 @@ object SparkEntry {
               (col("degree") * (col("degree") - 1)).cast("double"), 6))
             .otherwise(lit(0.0)).as("clustering_coeff"))
         .orderBy("item")
+    }),
+
+    // item-to-item collaborative filtering: top-3 recommendations per
+    // user scored by summed co-occurrence counts of the user's items,
+    // minus what the user already has. The classic rec-serving batch:
+    // edge frame persisted once (Baskets bounds pair volume), scoring
+    // shuffle keys on (user, candidate), the already-owned filter is
+    // an anti-join on the same keys, and the rank-≤3 window rewrites
+    // to the heap-based TopKPerGroup operator.
+    "q_item_recs" -> ((s, d) => {
+      val B = graft.operators.Baskets
+      val ui = Tables.events(s, d)
+        .select(col("user_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
+        .where(col("item").isNotNull && col("user_id").isNotNull)
+        .distinct()
+        .transform(graft.Caches.tracked)
+      // both symmetrization legs read pc — persist so pair counting
+      // executes once (query-owned cache, cleared by Bench/Verify)
+      val pc = B.pairCounts(B.userItemSets(ui, "user_id", "item"))
+        .transform(graft.Caches.tracked)
+      val edges = pc.select(col("i").as("src"), col("j").as("dst"), col("n_both"))
+        .unionAll(pc.select(col("j").as("src"), col("i").as("dst"), col("n_both")))
+      val scored = ui.join(edges, ui("item") === edges("src"))
+        .groupBy(col("user_id"), col("dst").as("rec_item"))
+        .agg(sum(col("n_both")).as("score"))
+      val fresh = scored.join(
+        ui.select(col("user_id"), col("item").as("rec_item")),
+        Seq("user_id", "rec_item"), "left_anti")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("score").desc, col("rec_item").asc)
+      fresh.withColumn("rank", row_number().over(w).cast("bigint"))
+        .where(col("rank") <= 3)
+        .select(col("user_id"), col("rank"), col("rec_item"), col("score"))
+        .orderBy("user_id", "rank")
+    }),
+
+    // KPI anomaly days: daily total value vs the series' global
+    // mean ± 2σ — one keyed day rollup, then the global stats ride a
+    // 1-row broadcast. Determinism the q_zscore_outliers way: the
+    // day totals are cents-exact decimals, and mean/σ derive from
+    // EXACT decimal Σx and Σx² via closed formulas — no
+    // accumulation-order drift on either engine.
+    "q_value_spike_days" -> ((s, d) => {
+      val daily = Tables.events(s, d).where(col("value").isNotNull)
+        .groupBy(floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+        .agg(sum(roundTo(col("value"), 2).cast("decimal(18,2)")).as("__t"))
+        .select(col("day"), col("__t").cast("double").as("day_total"))
+      val stats = daily.agg(
+        count(lit(1)).as("__n"),
+        sum(col("day_total").cast("decimal(18,2)")).cast("double").as("__s1"),
+        sum(roundTo(col("day_total") * col("day_total"), 4)
+          .cast("decimal(28,4)")).cast("double").as("__s2"))
+        .select(col("__n"), (col("__s1") / col("__n")).as("__mu"),
+          sqrt(col("__s2") / col("__n") -
+            (col("__s1") / col("__n")) * (col("__s1") / col("__n"))).as("__sigma"))
+      daily.crossJoin(broadcast(stats))
+        .where(col("__sigma") > 0)
+        .withColumn("z_score",
+          roundTo((col("day_total") - col("__mu")) / col("__sigma"), 4))
+        .where(abs(col("z_score")) > 2.0)
+        .select(col("day"), col("day_total"), col("z_score"))
+        .orderBy("day")
     })
   )
 
@@ -6852,6 +6915,44 @@ object SparkEntry {
         |  ELSE 0.0 END AS clustering_coeff
         |FROM deg LEFT JOIN tc ON tc.item = deg.item
         |ORDER BY deg.item""".stripMargin
+    },
+
+    "q_item_recs" ->
+      s"""WITH uix AS (SELECT DISTINCT user_id,
+        |  TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS item
+        | FROM events WHERE user_id IS NOT NULL),
+        |uin AS (SELECT user_id, item FROM uix WHERE item IS NOT NULL),
+        |pc AS (SELECT a.item AS i, b.item AS j, COUNT(*) AS nb
+        | FROM uin a JOIN uin b ON a.user_id = b.user_id AND a.item < b.item
+        | GROUP BY 1, 2),
+        |e AS (SELECT i AS src, j AS dst, nb FROM pc
+        | UNION ALL SELECT j, i, nb FROM pc),
+        |scored AS (SELECT u.user_id, e.dst AS rec_item,
+        |  CAST(SUM(e.nb) AS BIGINT) AS score
+        | FROM uin u JOIN e ON e.src = u.item GROUP BY 1, 2),
+        |fresh AS (SELECT s.* FROM scored s
+        | WHERE NOT EXISTS (SELECT 1 FROM uin u
+        |   WHERE u.user_id = s.user_id AND u.item = s.rec_item)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+        |  ORDER BY score DESC, rec_item ASC) AS BIGINT) AS rank FROM fresh)
+        |SELECT user_id, rank, rec_item, score FROM r WHERE rank <= 3
+        |ORDER BY user_id, rank""".stripMargin,
+
+    "q_value_spike_days" -> {
+      val z = sqlRound("(day_total - st.mu) / st.sigma", 4)
+      s"""WITH daily AS (SELECT
+        |  CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT) AS day,
+        |  CAST(SUM(CAST(${sqlRound("value", 2)} AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        | FROM events WHERE value IS NOT NULL GROUP BY day),
+        |sums AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(day_total AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(${sqlRound("day_total * day_total", 4)}
+        |    AS DECIMAL(28,4))) AS DOUBLE) AS s2
+        | FROM daily),
+        |st AS (SELECT s1/n AS mu, sqrt(s2/n - (s1/n)*(s1/n)) AS sigma FROM sums)
+        |SELECT day, day_total, $z AS z_score
+        |FROM daily CROSS JOIN st
+        |WHERE st.sigma > 0 AND abs($z) > 2.0 ORDER BY day""".stripMargin
     }
   )
 

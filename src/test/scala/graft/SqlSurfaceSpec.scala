@@ -75,6 +75,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(counts.values.sum === viaScala.size)
   }
 
+  test("graft_delta / graft_iceberg TVFs read interop tables from SQL") {
+    import java.nio.file.Files
+    val t = Files.createTempDirectory("graft-sql-vt").toString + "/t"
+    graft.sources.VersionedTable.write(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    graft.sources.VersionedTable.write(
+      Seq((9L, "z")).toDF("k", "v"), t, overwrite = true)
+    val dOut = Files.createTempDirectory("graft-sql-delta").toString + "/d"
+    graft.sources.DeltaLog.exportFromVersioned(spark, t, dOut)
+    val iOut = Files.createTempDirectory("graft-sql-ice").toString + "/i"
+    graft.sources.IcebergTable.exportFromVersioned(spark, t, iOut)
+    assert(spark.sql(s"SELECT k, v FROM graft_delta('$dOut') ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    assert(spark.sql(s"SELECT k, v FROM graft_delta('$dOut', 0) ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    assert(spark.sql(s"SELECT k, v FROM graft_iceberg('$iOut') ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    assert(spark.sql(s"SELECT k, v FROM graft_iceberg('$iOut', 1) ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    // SQL composes over the TVF: filters/aggregates on the relation
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_iceberg('$iOut', 1) WHERE k > 1")
+      .as[Long].head() === 1L)
+  }
+
   test("TVF misuse fails at analysis with a named parameter error") {
     viewDocs()
     val e = intercept[org.apache.spark.sql.AnalysisException] {
