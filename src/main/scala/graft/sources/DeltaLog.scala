@@ -304,6 +304,102 @@ object DeltaLog {
     versionTimes(spark, tablePath).toDF("version", "timestamp_ms")
   }
 
+  // ---------------- direct writer ----------------
+
+  private def jsEscape(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append("\"").toString
+  }
+
+  private def metaDataLine(tableId: String, schemaJson: String, now: Long): String =
+    s"""{"metaData":{"id":${jsEscape(tableId)},"format":{"provider":"parquet","options":{}},"schemaString":${jsEscape(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":$now}}"""
+
+  /** Write `df` as ONE new commit of a real Delta table at
+    * `deltaPath` — append by default, full overwrite with
+    * `overwrite = true`; creates the table (commit 0 with
+    * protocol/metaData) when the log doesn't exist yet. Appends to an
+    * existing table require an identical schema (loud error, never a
+    * silently forked log). The commit file is created with
+    * exclusive-create semantics, so two racing writers cannot both
+    * claim the same version on filesystems honoring atomic create
+    * (the same contract VersionedTable's CAS commit documents).
+    * Returns the committed Delta version. */
+  def write(spark: SparkSession, df: DataFrame, deltaPath: String,
+            overwrite: Boolean = false): Long = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(deltaPath)
+    val fs = dst.getFileSystem(fsConf)
+    fs.mkdirs(new Path(dst, "_delta_log"))
+    val existing =
+      if (fs.exists(logDir(deltaPath)))
+        fs.listStatus(logDir(deltaPath)).toSeq.map(_.getPath.getName)
+          .collect { case n if n.matches("\\d{20}\\.json") =>
+            n.stripSuffix(".json").toLong }.sorted
+      else Seq.empty
+    val v = existing.lastOption.map(_ + 1).getOrElse(0L)
+    val now = System.currentTimeMillis()
+
+    if (existing.nonEmpty && !overwrite) {
+      val prior = snapshot(spark, deltaPath)
+      require(prior.schema == df.schema,
+        s"append schema ${df.schema.simpleString} does not match table " +
+          s"schema ${prior.schema.simpleString}; use overwrite to replace")
+    }
+
+    // stage the data through a scratch dir, then adopt the parts
+    // under stable names (never leave half-written files at paths the
+    // log references)
+    val tmp = new Path(dst, s".tmp-$v-${java.util.UUID.randomUUID()}")
+    df.write.parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    val adopted = parts.zipWithIndex.map { case (st, i) =>
+      val rel = s"part-$v-$i.parquet"
+      if (!fs.rename(st.getPath, new Path(dst, rel)))
+        throw new IllegalStateException(s"rename failed for $rel")
+      (rel, fs.getFileStatus(new Path(dst, rel)).getLen)
+    }
+    fs.delete(tmp, true)
+
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    if (v == 0L) {
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      lines += metaDataLine(
+        java.util.UUID.nameUUIDFromBytes(deltaPath.getBytes("UTF-8")).toString,
+        df.schema.json, now)
+    } else if (overwrite) {
+      val prior = snapshot(spark, deltaPath)
+      if (prior.schema != df.schema)
+        lines += metaDataLine(
+          java.util.UUID.nameUUIDFromBytes(deltaPath.getBytes("UTF-8")).toString,
+          df.schema.json, now)
+      // snapshot paths are absolute; the log stores table-relative —
+      // normalize the scheme off both sides before stripping
+      def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+      val root = deScheme(fs.makeQualified(dst).toString)
+      prior.files.foreach { f =>
+        val rel = deScheme(new Path(f.path).toString)
+          .stripPrefix(root).stripPrefix("/")
+        lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+      }
+    }
+    adopted.foreach { case (rel, sz) =>
+      lines += s"""{"add":{"path":${jsEscape(rel)},"partitionValues":{},"size":$sz,"modificationTime":$now,"dataChange":true}}"""
+    }
+    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
   // ---------------- VersionedTable interop ----------------
 
   /** A [[VersionedTable]] version as the SAME [[Snapshot]]
@@ -348,27 +444,18 @@ object DeltaLog {
         (rel, fs.getFileStatus(new Path(dst, rel)).getLen)
       }
       val now = System.currentTimeMillis()
-      def js(s: String): String = {
-        val b = new StringBuilder("\"")
-        s.foreach {
-          case '"' => b.append("\\\"")
-          case '\\' => b.append("\\\\")
-          case '\n' => b.append("\\n")
-          case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
-          case c => b.append(c)
-        }
-        b.append("\"").toString
-      }
       val lines = scala.collection.mutable.ArrayBuffer[String]()
       if (v == 1L) {
         lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-        lines += s"""{"metaData":{"id":${js(java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":$now}}"""
+        lines += metaDataLine(
+          java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString,
+          schemaJson, now)
       }
       prevFiles.foreach { case (rel, _) =>
-        lines += s"""{"remove":{"path":${js(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+        lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
       }
       copied.foreach { case (rel, sz) =>
-        lines += s"""{"add":{"path":${js(rel)},"partitionValues":{},"size":$sz,"modificationTime":$now,"dataChange":true}}"""
+        lines += s"""{"add":{"path":${jsEscape(rel)},"partitionValues":{},"size":$sz,"modificationTime":$now,"dataChange":true}}"""
       }
       val commit = new Path(new Path(dst, "_delta_log"), pad20(v - 1) + ".json")
       val out = fs.create(commit, false)

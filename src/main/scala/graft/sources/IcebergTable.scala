@@ -223,17 +223,21 @@ object IcebergTable {
     if (fv > 2) throw new UnsupportedOperationException(
       s"Iceberg format-version $fv is not supported (v1/v2 only)")
 
-    // schema: v2 keeps a `schemas` list keyed by current-schema-id;
-    // v1 has a single top-level `schema`
-    val schemaNode: JsonNode =
-      if (meta.has("schemas")) {
-        val cur = meta.get("current-schema-id").asInt()
+    // schema: v2 keeps a `schemas` list keyed by schema-id (the
+    // TABLE's current one by default; a snapshot may pin its own —
+    // resolved after snapshot selection below); v1 has a single
+    // top-level `schema`
+    def schemaById(id: Int): JsonNode =
+      if (meta.has("schemas"))
         meta.get("schemas").elements().asScala
-          .find(_.get("schema-id").asInt() == cur)
+          .find(n => n.has("schema-id") && n.get("schema-id").asInt() == id)
           .getOrElse(throw new IllegalStateException(
-            s"current-schema-id $cur not in schemas list"))
-      } else meta.get("schema")
-    val schema = icebergTypeToSpark(schemaNode).asInstanceOf[StructType]
+            s"schema-id $id not in schemas list"))
+      else meta.get("schema")
+    val currentSchemaId =
+      if (meta.has("current-schema-id")) meta.get("current-schema-id").asInt() else 0
+    val schema = icebergTypeToSpark(schemaById(currentSchemaId))
+      .asInstanceOf[StructType]
 
     val snaps = Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
@@ -255,6 +259,12 @@ object IcebergTable {
     }
     val snapId = chosen.get("snapshot-id").asLong()
     val snapTs = chosen.get("timestamp-ms").asLong()
+    // a snapshot written under an older schema reads with THAT schema
+    val snapSchema =
+      if (chosen.has("schema-id") && meta.has("schemas"))
+        icebergTypeToSpark(schemaById(chosen.get("schema-id").asInt()))
+          .asInstanceOf[StructType]
+      else schema
 
     // v2 (and late v1): snapshot → manifest-list avro → manifest paths.
     // early v1 alternative: inline `manifests` array on the snapshot.
@@ -294,7 +304,7 @@ object IcebergTable {
         }
       }
     }
-    Snapshot(tablePath, snapId, snapTs, schema, files.toSeq)
+    Snapshot(tablePath, snapId, snapTs, snapSchema, files.toSeq)
   }
 
   /** Read an Iceberg table as a DataFrame (native distributed parquet
@@ -365,6 +375,227 @@ object IcebergTable {
     w.create(schema, out)
     try records.foreach(w.append) finally w.close()
     fs.getFileStatus(p).getLen
+  }
+
+  /** Write one manifest + its manifest-list entry for a set of data
+    * files; returns the populated manifest_file record. */
+  private def writeManifest(spark: SparkSession, mdir: Path,
+                            tag: String, schemaJson: String,
+                            files: Seq[(String, Long, Long)],
+                            snapId: Long, seq: Long): GenericRecord = {
+    val fs = fsFor(spark, mdir)
+    val entries = files.map { case (path, size, nrec) =>
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      val d = new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema())
+      d.put("content", 0)
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(
+        d.getSchema.getField("partition").schema()))
+      d.put("record_count", nrec)
+      d.put("file_size_in_bytes", size)
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = fs.makeQualified(new Path(mdir, s"manifest-$tag.avro"))
+    val len = writeAvro(spark, manifestPath, ManifestEntrySchema,
+      Map("schema" -> schemaJson,
+        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "format-version" -> "2", "content" -> "data"),
+      entries)
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", len)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number", seq)
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_files_count", files.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", files.map(_._3).sum)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    mf
+  }
+
+  /** Copy a manifest-list avro's records (for append snapshots: prior
+    * manifests stay valid — avro manifest files are immutable). */
+  private def readManifestList(spark: SparkSession, p: Path): Seq[GenericRecord] = {
+    val buf = scala.collection.mutable.ArrayBuffer[GenericRecord]()
+    foreachAvro(spark, p) { r =>
+      val mf = new GenericData.Record(ManifestFileSchema)
+      ManifestFileSchema.getFields.asScala.foreach { f =>
+        val src = r.getSchema.getField(f.name())
+        mf.put(f.name(),
+          if (src != null) r.get(f.name())
+          else f.name() match {
+            case "content" => 0
+            case "manifest_path" | "manifest_length" => null
+            case _ => 0L
+          })
+      }
+      buf += mf
+    }
+    buf.toSeq
+  }
+
+  /** Write `df` as ONE new Iceberg snapshot at `tablePath` — append
+    * by default, full overwrite with `overwrite = true`; creates the
+    * table when no metadata exists. Appends require an identical
+    * schema (loud error). Mirrors [[DeltaLog.write]]; a streaming
+    * Iceberg sink is `foreachBatch((b, _) => IcebergTable.write(...))`.
+    * Returns the committed snapshot id. */
+  def write(spark: SparkSession, df: DataFrame, tablePath: String,
+            overwrite: Boolean = false): Long = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(tablePath)
+    val fs = dst.getFileSystem(fsConf)
+    val mdir = new Path(dst, "metadata")
+    fs.mkdirs(mdir)
+    fs.mkdirs(new Path(dst, "data"))
+
+    val exists = fs.globStatus(new Path(mdir, "v*.metadata.json")).nonEmpty
+    val (metaVersion, prior) =
+      if (exists) {
+        val p = latestMetadataFile(spark, tablePath)
+        val mv = p.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+        (mv, Some(readJson(spark, p)))
+      } else (0L, None)
+
+    prior.foreach { _ =>
+      if (!overwrite) {
+        val cur = snapshot(spark, tablePath)
+        require(cur.schema == df.schema,
+          s"append schema ${df.schema.simpleString} does not match table " +
+            s"schema ${cur.schema.simpleString}; use overwrite to replace")
+      }
+    }
+
+    val priorSnaps: Seq[JsonNode] = prior.toSeq
+      .flatMap(m => Option(m.get("snapshots")).toSeq.flatMap(_.elements().asScala))
+    val snapId = priorSnaps.map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
+    val seq = prior.flatMap(m => Option(m.get("last-sequence-number")))
+      .map(_.asLong()).getOrElse(0L) + 1
+    val now = System.currentTimeMillis()
+
+    // stage data through a scratch dir, adopt under stable names
+    val tmp = new Path(dst, s".tmp-$snapId-${java.util.UUID.randomUUID()}")
+    df.write.parquet(tmp.toString)
+    val perFileCounts: Map[String, Long] = spark.read.parquet(tmp.toString)
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
+      .count().collect()
+      .map(r => (new Path(new java.net.URI(r.getString(0))).getName, r.getLong(1)))
+      .toMap
+    val adopted = fs.listStatus(tmp).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      .zipWithIndex.map { case (st, i) =>
+        val rel = new Path(new Path(dst, "data"), s"s$snapId-part-$i.parquet")
+        if (!fs.rename(st.getPath, rel))
+          throw new IllegalStateException(s"rename failed for $rel")
+        (fs.makeQualified(rel).toString, fs.getFileStatus(rel).getLen,
+          perFileCounts.getOrElse(st.getPath.getName, 0L))
+      }
+    fs.delete(tmp, true)
+
+    // schema registry: reuse a structurally-equal prior schema's id,
+    // else append under a fresh id — old snapshots keep reading with
+    // the schema they were written under
+    val priorSchemas: Seq[JsonNode] = prior.toSeq.flatMap { m =>
+      if (m.has("schemas")) m.get("schemas").elements().asScala.toSeq
+      else Option(m.get("schema")).toSeq
+    }
+    var idCounter = 0
+    val nextId = () => { idCounter += 1; idCounter }
+    val schemaObj = sparkTypeToIceberg(df.schema, nextId).asInstanceOf[ObjectNode]
+    val matching = priorSchemas.find(n =>
+      icebergTypeToSpark(n) == df.schema && n.has("schema-id"))
+    val schemaId = matching.map(_.get("schema-id").asInt()).getOrElse(
+      priorSchemas.flatMap(n => Option(n.get("schema-id")).map(_.asInt()))
+        .foldLeft(-1)(math.max) + 1)
+    schemaObj.put("schema-id", schemaId)
+    val schemasOut: Seq[JsonNode] =
+      if (matching.isDefined) priorSchemas else priorSchemas :+ schemaObj
+    val schemaJson = M.writeValueAsString(schemaObj)
+
+    val newManifest = writeManifest(spark, mdir, s"$snapId", schemaJson,
+      adopted, snapId, seq)
+    val listEntries =
+      if (overwrite || prior.isEmpty) Seq(newManifest)
+      else {
+        // append: prior snapshot's manifests carry over
+        val curSnap = priorSnaps.find(_.get("snapshot-id").asLong() ==
+          prior.get.get("current-snapshot-id").asLong())
+        val carried = curSnap.filter(_.has("manifest-list")).toSeq.flatMap(sn =>
+          readManifestList(spark, new Path(sn.get("manifest-list").asText())))
+        carried :+ newManifest
+      }
+    val listPath = fs.makeQualified(
+      new Path(mdir, s"snap-$snapId-manifest-list.avro"))
+    writeAvro(spark, listPath, ManifestFileSchema,
+      Map("format-version" -> "2"), listEntries)
+
+    // metadata: copy prior snapshots, add the new one
+    val snapsArr = M.createArrayNode()
+    priorSnaps.foreach(snapsArr.add)
+    val sn = snapsArr.addObject()
+    sn.put("snapshot-id", snapId)
+    sn.put("sequence-number", seq)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath.toString)
+    sn.put("schema-id", schemaId)
+    sn.putObject("summary").put("operation",
+      if (overwrite) "overwrite" else "append")
+    val logArr = M.createArrayNode()
+    prior.foreach(m => Option(m.get("snapshot-log")).foreach(
+      _.elements().asScala.foreach(logArr.add)))
+    val lg = logArr.addObject()
+    lg.put("snapshot-id", snapId)
+    lg.put("timestamp-ms", now)
+
+    val root = M.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", prior.flatMap(m => Option(m.get("table-uuid")))
+      .map(_.asText()).getOrElse(java.util.UUID.nameUUIDFromBytes(
+        ("iceberg:" + tablePath).getBytes("UTF-8")).toString))
+    root.put("location", fs.makeQualified(dst).toString)
+    root.put("last-sequence-number", seq)
+    root.put("last-updated-ms", now)
+    root.put("last-column-id", math.max(idCounter,
+      prior.flatMap(m => Option(m.get("last-column-id")))
+        .map(_.asInt()).getOrElse(0)))
+    root.put("current-schema-id", schemaId)
+    val schemasArr = root.putArray("schemas")
+    schemasOut.foreach(schemasArr.add)
+    val spec = root.putArray("partition-specs").addObject()
+    spec.put("spec-id", 0)
+    spec.putArray("fields")
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999)
+    root.put("default-sort-order-id", 0)
+    val so = root.putArray("sort-orders").addObject()
+    so.put("order-id", 0)
+    so.putArray("fields")
+    root.put("current-snapshot-id", snapId)
+    root.set[JsonNode]("snapshots", snapsArr)
+    root.set[JsonNode]("snapshot-log", logArr)
+    root.putArray("metadata-log")
+    root.putObject("properties")
+    val mp = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
+    val out = fs.create(mp, false) // exclusive create = the CAS
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+    val hint = new Path(mdir, "version-hint.text")
+    val hintOut = fs.create(hint, true)
+    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    snapId
   }
 
   /** Export a [[VersionedTable]] as a REAL Iceberg table (HadoopTables

@@ -169,6 +169,78 @@ class DeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("direct writer: create, append, overwrite, schema gate, CAS") {
+    val t = Files.createTempDirectory("graft-delta-w").toString + "/t"
+    // commit 0 creates the table (protocol + metaData)
+    assert(DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), t) === 0L)
+    // commit 1 appends
+    assert(DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v"), t) === 1L)
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    assert(DeltaLog.read(spark, t, versionAsOf = Some(0L))
+      .as[(Long, String)].collect().toSet === Set((1L, "a")))
+    // appending a different schema fails loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.write(spark, Seq((3L, 9L)).toDF("k", "n"), t)
+    }
+    assert(e.getMessage.contains("schema"))
+    // overwrite replaces the live set (old files removed in the log)
+    assert(DeltaLog.write(spark, Seq((9L, "z")).toDF("k", "v"), t,
+      overwrite = true) === 2L)
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((9L, "z")))
+    // ...but history is intact
+    assert(DeltaLog.read(spark, t, versionAsOf = Some(1L))
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    // overwrite may change the schema (new metaData action)
+    DeltaLog.write(spark, Seq((7L, 7L)).toDF("k", "n"), t, overwrite = true)
+    assert(DeltaLog.snapshot(spark, t).schema.fieldNames.toSeq === Seq("k", "n"))
+    // (concurrent-writer safety rides on fs.create's exclusive-create
+    // semantics — the same contract VersionedTable's CAS documents)
+  }
+
+  test("direct writer: schema gate message and exclusive commit file") {
+    val t = Files.createTempDirectory("graft-delta-w2").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    // simulate a racing writer that claimed version 1 between our
+    // version listing and commit: exclusive create must throw
+    val claimed = Paths.get(t, "_delta_log", f"${1L}%020d.json")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(claimed.toString), false)
+    out.close()
+    intercept[java.io.IOException] {
+      val again = fs.create(new org.apache.hadoop.fs.Path(claimed.toString), false)
+      again.close()
+    }
+  }
+
+  test("streaming foreachBatch sink writes real Delta commits") {
+    val dir = Files.createTempDirectory("graft-delta-stream").toString
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Files.writeString(Paths.get(s"$dir/in/b1.json"),
+      """[{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]""")
+    Files.writeString(Paths.get(s"$dir/in/b2.json"),
+      """[{"k": 3, "v": "c"}]""")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    val delta = s"$dir/delta"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("multiLine", "true")
+      .json(s"$dir/in")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        DeltaLog.write(spark, batch, delta); ()
+      }.start()
+    q.awaitTermination(120000)
+    // one Delta commit per micro-batch, all rows live
+    assert(DeltaLog.read(spark, delta).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(DeltaLog.history(spark, delta).count() === 2L)
+  }
+
   test("VersionedTable export round-trips through the Delta reader") {
     val t = Files.createTempDirectory("graft-vt-delta").toString + "/t"
     VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)

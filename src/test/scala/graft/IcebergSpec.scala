@@ -249,6 +249,62 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.history(spark, out).count() === 2L)
   }
 
+  test("direct writer: create, append, overwrite, schema evolution") {
+    val t = Files.createTempDirectory("graft-ice-w").toString + "/t"
+    val s1 = IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    val s2 = IcebergTable.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    assert(Seq(s1, s2) === Seq(1L, 2L))
+    // append accumulated both snapshots' files
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    assert(IcebergTable.read(spark, t, snapshotIdAsOf = Some(1L))
+      .as[(Long, String)].collect().toSet === Set((1L, "a")))
+    // appending a different schema fails loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.write(spark, Seq((3L, 9L)).toDF("k", "n"), t)
+    }
+    assert(e.getMessage.contains("schema"))
+    // overwrite replaces the live set AND may evolve the schema
+    val s3 = IcebergTable.write(spark, Seq((7L, 7L)).toDF("k", "n"), t,
+      overwrite = true)
+    assert(IcebergTable.read(spark, t).as[(Long, Long)].collect().toSet
+      === Set((7L, 7L)))
+    // old snapshots still read with the schema they were written under
+    val old = IcebergTable.snapshot(spark, t, snapshotIdAsOf = Some(2L))
+    assert(old.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(IcebergTable.read(spark, t, snapshotIdAsOf = Some(2L))
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    // record counts stay real through the writer
+    assert(IcebergTable.snapshot(spark, t, snapshotIdAsOf = Some(s3))
+      .files.map(_.records).sum === 1L)
+    assert(IcebergTable.history(spark, t).count() === 3L)
+  }
+
+  test("streaming foreachBatch sink writes real Iceberg snapshots") {
+    val dir = Files.createTempDirectory("graft-ice-stream").toString
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Files.writeString(Paths.get(s"$dir/in/b1.json"),
+      """[{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]""")
+    Files.writeString(Paths.get(s"$dir/in/b2.json"),
+      """[{"k": 3, "v": "c"}]""")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    val ice = s"$dir/ice"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("multiLine", "true")
+      .json(s"$dir/in")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IcebergTable.write(spark, batch, ice); ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(IcebergTable.read(spark, ice).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(IcebergTable.history(spark, ice).count() === 2L)
+  }
+
   test("catalog serves the iceberg flavor by name, with time travel") {
     val root = Files.createTempDirectory("graft-cat-ice").toString
     val t = Files.createTempDirectory("graft-cat-vt").toString + "/t"
