@@ -4454,6 +4454,76 @@ object SparkEntry {
         .where(abs(col("z_score")) > 2.0)
         .select(col("day"), col("day_total"), col("z_score"))
         .orderBy("day")
+    }),
+
+    // Flesch-style readability per doc: sentences from [.!?]+ splits,
+    // syllables as vowel-group counts — the curation-quality signal
+    // layered ABOVE word stats. Pure narrow codegen'd array ops, no
+    // shuffle; the formula's double arithmetic is identical
+    // left-to-right on both engines and rounds to 4dp.
+    "text_readability" -> ((s, d) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val nWords = size(toks).cast("bigint")
+      val nSent = size(filter(split(col("text"), "[.!?]+"),
+        x => length(trim(x)) > 0)).cast("bigint")
+      val nSyl = aggregate(
+        transform(toks, w => regexp_count(lower(w), lit("[aeiouy]+")).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      Tables.documents(s, d).select(col("doc_id"),
+          nWords.as("n_words"), nSent.as("n_sentences"), nSyl.as("n_syllables"))
+        .withColumn("flesch",
+          when(col("n_words") > 0 && col("n_sentences") > 0,
+            roundTo(lit(206.835) -
+              lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+              lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4)))
+        .orderBy("doc_id")
+    }),
+
+    // code-vs-prose heuristic (the curation splitter that keeps code
+    // out of prose corpora and vice versa): structural-symbol count
+    // via length-minus-translate — one narrow codegen'd pass, no
+    // regex engine in the loop, no shuffle.
+    "text_code_score" -> ((s, d) => {
+      val symbols = (length(col("text")) -
+        length(translate(col("text"), "{}();=<>[]", ""))).cast("bigint")
+      Tables.documents(s, d).select(col("doc_id"),
+          length(col("text")).cast("bigint").as("n_chars"),
+          symbols.as("n_symbols"))
+        .withColumn("symbol_density",
+          when(col("n_chars") > 0,
+            roundTo(col("n_symbols").cast("double") / col("n_chars"), 6))
+            .otherwise(lit(0.0)))
+        .withColumn("is_code", col("symbol_density") > 0.02)
+        .orderBy("doc_id")
+    }),
+
+    // golden-record survivorship (MDM's field-level merge, vs
+    // dedup_best_rep's whole-row survivor): duplicate customer
+    // variants merge per FIELD — latest non-null version wins via
+    // max_by with a null-demoting weight, so a v2 null never
+    // clobbers a v1 value. One combinable shuffle on the natural
+    // key; planted variants use the 2^40 id-tag convention.
+    "dedup_golden_record" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          roundTo(col("c_acctbal"), 2).as("c_acctbal"), lit(1L).as("__v"))
+      // variants: every 3rd customer gets a v2 row with a corrected
+      // balance but a MISSING segment (field-level gaps, the MDM case)
+      val variants = base.where(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + SyntheticIdTag).as("c_custkey"),
+          col("c_name"),
+          lit(null).cast("string").as("c_mktsegment"),
+          roundTo(col("c_acctbal") + 100.0, 2).as("c_acctbal"),
+          lit(2L).as("__v"))
+      def pick(f: String) = max_by(col(f),
+        when(col(f).isNotNull, col("__v")).otherwise(lit(-1L))).as(f)
+      base.unionAll(variants)
+        .groupBy((col("c_custkey") % SyntheticIdTag).as("custkey"))
+        .agg(count(lit(1)).as("n_sources"),
+          pick("c_name"), pick("c_mktsegment"), pick("c_acctbal"))
+        .select(col("custkey"), col("n_sources"),
+          col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy("custkey")
     })
   )
 
@@ -6953,7 +7023,53 @@ object SparkEntry {
         |SELECT day, day_total, $z AS z_score
         |FROM daily CROSS JOIN st
         |WHERE st.sigma > 0 AND abs($z) > 2.0 ORDER BY day""".stripMargin
-    }
+    },
+
+    "text_readability" -> {
+      val flesch = sqlRound(
+        "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) " +
+          "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)", 4)
+      s"""WITH t AS (SELECT doc_id,
+        |  CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |    x -> len(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+        |  CAST(COALESCE(list_sum(list_transform(${sqlTokens("text")},
+        |    w -> len(regexp_extract_all(lower(w), '[aeiouy]+')))), 0)
+        |   AS BIGINT) AS n_syllables
+        | FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | CASE WHEN n_words > 0 AND n_sentences > 0 THEN $flesch END AS flesch
+        |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "text_code_score" -> {
+      val dens = sqlRound("CAST(n_symbols AS DOUBLE) / n_chars", 6)
+      s"""WITH t AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(
+        |    regexp_replace(text, '[{}();=<>\\[\\]]', '', 'g')) AS BIGINT) AS n_symbols
+        | FROM documents)
+        |SELECT doc_id, n_chars, n_symbols,
+        | CASE WHEN n_chars > 0 THEN $dens ELSE 0.0 END AS symbol_density,
+        | (CASE WHEN n_chars > 0 THEN $dens ELSE 0.0 END) > 0.02 AS is_code
+        |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_golden_record" ->
+      s"""WITH base AS (SELECT c_custkey, c_name, c_mktsegment,
+        |  ${sqlRound("c_acctbal", 2)} AS c_acctbal, CAST(1 AS BIGINT) AS v
+        | FROM customer),
+        |variants AS (SELECT c_custkey + $SyntheticIdTag, c_name,
+        |  CAST(NULL AS VARCHAR), ${sqlRound("c_acctbal + 100.0", 2)},
+        |  CAST(2 AS BIGINT)
+        | FROM base WHERE c_custkey % 3 = 0),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM variants)
+        |SELECT c_custkey % $SyntheticIdTag AS custkey,
+        | COUNT(*) AS n_sources,
+        | max_by(c_name, CASE WHEN c_name IS NOT NULL THEN v ELSE -1 END) AS c_name,
+        | max_by(c_mktsegment, CASE WHEN c_mktsegment IS NOT NULL THEN v ELSE -1 END) AS c_mktsegment,
+        | max_by(c_acctbal, CASE WHEN c_acctbal IS NOT NULL THEN v ELSE -1 END) AS c_acctbal
+        |FROM allr GROUP BY 1 ORDER BY custkey""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

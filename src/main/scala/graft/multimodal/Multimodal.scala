@@ -739,8 +739,13 @@ object Multimodal {
     Array.tabulate(n)(i => payload((i.toLong * payload.length / n).toInt))
   }
 
-  private case class FrameOut(media_id: Long, frame_idx: Long,
-                              frame_ts_ms: Long, frame_bytes: Array[Byte])
+  // private[multimodal], not private: a Scala-private nested class
+  // compiles to a bytecode-private accessor that Janino-generated
+  // encoder code cannot call — the projection silently falls back to
+  // interpreter mode (WARN UnsafeProjection). Package-private stays
+  // out of the public API but keeps codegen on.
+  private[multimodal] case class FrameOut(media_id: Long, frame_idx: Long,
+                                          frame_ts_ms: Long, frame_bytes: Array[Byte])
 
   /** REAL video frame sampling: decode each MJPEG-AVI payload
     * ([[VideoCodec]]) and emit one row per sampled frame at

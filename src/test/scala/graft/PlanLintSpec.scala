@@ -70,7 +70,13 @@ class PlanLintSpec extends SparkSpec {
     // three 1-row key-stats aggs over per-key count frames
     "dq_key_skew",
     // 1-row overall mean over the bounded 12-row month frame
-    "q_seasonal_index")
+    "q_seasonal_index",
+    // 1-row anchor-day max over the events scan
+    "q_decayed_score",
+    // 1-row Σx/Σx² moment agg over the bounded daily frame
+    "q_value_spike_days",
+    // 1-row distinct-user-count scalar, same shape as q_triangle_count
+    "q_clustering_coeff")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
