@@ -20,7 +20,13 @@ class DeterminismSpec extends SparkSpec {
     // round-6 families: in-array pair counting, plan-literal bloom
     // probe, two-leg rank fusion, centroid-literal argmax scoring
     "q_item_cooccurrence", "dedup_decontaminate_bloom",
-    "text_hybrid_rrf", "q_classifier_eval")
+    "text_hybrid_rrf", "q_classifier_eval",
+    // round-7 families: level-synchronous BFS (frontier order must
+    // not leak), block-ranked sorted-neighborhood pairs, truncated
+    // item-kNN scoring, null-demoting field survivorship, closed-form
+    // moment stats
+    "q_reachability", "dedup_sorted_neighborhood", "q_item_recs",
+    "dedup_golden_record", "q_value_spike_days")
 
   test("repeated runs return byte-identical ordered output") {
     sample.foreach { name =>
