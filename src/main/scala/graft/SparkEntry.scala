@@ -4535,6 +4535,50 @@ object SparkEntry {
         .select(col("custkey"), col("n_sources"),
           col("c_name"), col("c_mktsegment"), col("c_acctbal"))
         .orderBy("custkey")
+    }),
+
+    // kNN majority-vote classification (the non-parametric
+    // counterpart to q_classifier_eval's nearest-centroid): unlabeled
+    // probes (vec_id < 100) classify by the majority label of their 5
+    // nearest labeled neighbors, ties to the smallest label. Probe
+    // side broadcasts (the corpus never shuffles); the vote rollup
+    // and argmax ride the reduced ≤5-rows-per-query frame.
+    "ann_knn_classify" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val labeled = e.filter(col("vec_id") >= 100)
+      val queries = e.filter(col("vec_id") < 100)
+      val nn = Similarity.bruteForceTopK(labeled, queries, k = 5)
+      val votes = nn.join(broadcast(labeled.select(
+          col("vec_id").as("neighbor_id"), col("label"))), "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val wv = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("label").asc)
+      votes.withColumn("__r", row_number().over(wv)).where(col("__r") === 1)
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("label").cast("bigint").as("true_label"))), "query_id")
+        .select(col("query_id"), col("label").cast("bigint").as("pred_label"),
+          col("votes"), col("true_label"))
+        .orderBy("query_id")
+    }),
+
+    // behavioral diversity per user: Shannon entropy over the user's
+    // event-type distribution — the engagement-breadth signal. Two
+    // keyed shuffles on user_id; per-term 9dp rounding into exact
+    // decimal accumulation makes Σ p·ln p order-independent, the
+    // text_tfidf ln-parity convention.
+    "q_user_entropy" -> ((s, d) => {
+      val ct = Tables.events(s, d).where(col("user_id").isNotNull)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("__c"))
+      val wn = Window.partitionBy("user_id")
+      ct.withColumn("__n", sum(col("__c")).over(wn))
+        .withColumn("__p", col("__c").cast("double") / col("__n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_types"),
+          max(col("__n")).as("n_events"),
+          roundTo(sum(roundTo(-(col("__p") * log(col("__p"))), 9)
+            .cast("decimal(28,9)")).cast("double"), 6).as("entropy"))
+        .orderBy("user_id")
     })
   )
 
@@ -7083,7 +7127,43 @@ object SparkEntry {
         | max_by(c_name, CASE WHEN c_name IS NOT NULL THEN v ELSE -1 END) AS c_name,
         | max_by(c_mktsegment, CASE WHEN c_mktsegment IS NOT NULL THEN v ELSE -1 END) AS c_mktsegment,
         | max_by(c_acctbal, CASE WHEN c_acctbal IS NOT NULL THEN v ELSE -1 END) AS c_acctbal
-        |FROM allr GROUP BY 1 ORDER BY custkey""".stripMargin
+        |FROM allr GROUP BY 1 ORDER BY custkey""".stripMargin,
+
+    "ann_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  list_inner_product(q.v, c.v)
+        |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+        | FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id >= 100),
+        |nn AS (SELECT query_id, corpus_id FROM (
+        | SELECT query_id, corpus_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5),
+        |votes AS (SELECT nn.query_id, e.label, COUNT(*) AS votes
+        | FROM nn JOIN e ON e.vec_id = nn.corpus_id GROUP BY 1, 2),
+        |win AS (SELECT query_id, label, votes,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY votes DESC, label ASC) AS r FROM votes)
+        |SELECT w.query_id, CAST(w.label AS BIGINT) AS pred_label, w.votes,
+        | CAST(q.label AS BIGINT) AS true_label
+        |FROM win w JOIN e q ON q.vec_id = w.query_id
+        |WHERE w.r = 1 ORDER BY query_id""".stripMargin,
+
+    "q_user_entropy" -> {
+      val term = sqlRound(
+        "-((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))", 9)
+      s"""WITH ct AS (SELECT user_id, event_type, COUNT(*) AS c
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |wn AS (SELECT user_id, c,
+        |  SUM(c) OVER (PARTITION BY user_id) AS n FROM ct)
+        |SELECT user_id, COUNT(*) AS n_types,
+        | CAST(MAX(n) AS BIGINT) AS n_events,
+        | ${sqlRound("CAST(SUM(CAST(" + term +
+             " AS DECIMAL(28,9))) AS DOUBLE)", 6)} AS entropy
+        |FROM wn GROUP BY user_id ORDER BY user_id""".stripMargin
+    }
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the
