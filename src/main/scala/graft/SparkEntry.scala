@@ -4579,6 +4579,69 @@ object SparkEntry {
           roundTo(sum(roundTo(-(col("__p") * log(col("__p"))), 9)
             .cast("decimal(28,9)")).cast("double"), 6).as("entropy"))
         .orderBy("user_id")
+    }),
+
+    // lang-id heuristic EVALUATED against the gold lang column: the
+    // confusion matrix (true × predicted counts + within-true share)
+    // every classifier needs before it gates a corpus. Prediction is
+    // a narrow codegen'd expression; the rollup is one bounded
+    // (langs²) shuffle.
+    "text_langid_eval" -> ((s, d) => {
+      val pred = Tables.documents(s, d).select(col("lang").as("true_lang"),
+        TextFunctions.langId(col("text")).as("pred_lang"))
+      val cm = pred.groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy("true_lang")
+      cm.withColumn("share",
+          roundTo(col("n").cast("double") / sum(col("n")).over(wt), 6))
+        .orderBy("true_lang", "pred_lang")
+    }),
+
+    // promo-vs-base difference-in-differences across the 1995 cut:
+    // the causal-flavored board for "did promo parts outgrow the
+    // rest". ONE conditional-agg scan of lineitem⋈part produces the
+    // 2×2 cents-exact cells; means and the DiD derive on the 1-row
+    // frame.
+    "q_promo_did" -> ((s, d) => {
+      val rev = roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+      val cells = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_type"))), col("l_partkey") === col("p_partkey"))
+        .select(col("p_type").startsWith("PROMO").as("__promo"),
+          (col("l_shipdate") >= lit("1995-01-01")).as("__after"),
+          rev.cast("decimal(18,2)").as("__rev"))
+      def cell(promo: Boolean, after: Boolean, tag: String) = Seq(
+        sum(when(col("__promo") === promo && col("__after") === after,
+          col("__rev"))).cast("double").as(s"rev_$tag"),
+        sum(when(col("__promo") === promo && col("__after") === after,
+          1L)).as(s"n_$tag"))
+      val exprs = cell(true, false, "promo_before") ++
+        cell(true, true, "promo_after") ++
+        cell(false, false, "base_before") ++ cell(false, true, "base_after")
+      def mean(tag: String) =
+        roundTo(col(s"rev_$tag") / col(s"n_$tag"), 6).as(s"mean_$tag")
+      cells.agg(exprs.head, exprs.tail: _*)
+        .select(mean("promo_before"), mean("promo_after"),
+          mean("base_before"), mean("base_after"))
+        .withColumn("did", roundTo(
+          (col("mean_promo_after") - col("mean_promo_before")) -
+            (col("mean_base_after") - col("mean_base_before")), 6))
+    }),
+
+    // per-event-type freshness check (the pipeline-health DQ row):
+    // latest arrival vs the global high-water mark, staleness in
+    // whole days, flag past 7. One keyed rollup + a 1-row broadcast.
+    "dq_freshness" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(max(unix_millis(col("ts"))).as("last_ms"),
+          count(lit(1)).as("n_events"))
+      val hwm = perType.agg(max(col("last_ms")).as("__hwm"))
+      perType.crossJoin(broadcast(hwm))
+        .select(col("event_type"), col("n_events"), col("last_ms"),
+          floor((col("__hwm") - col("last_ms")) / 86400000L).cast("long")
+            .as("days_stale"))
+        .withColumn("is_stale", col("days_stale") > 7)
+        .orderBy("event_type")
     })
   )
 
@@ -7163,7 +7226,66 @@ object SparkEntry {
         | ${sqlRound("CAST(SUM(CAST(" + term +
              " AS DECIMAL(28,9))) AS DOUBLE)", 6)} AS entropy
         |FROM wn GROUP BY user_id ORDER BY user_id""".stripMargin
-    }
+    },
+
+    "text_langid_eval" -> {
+      val toks = sqlTokens("text")
+      val counts = TextFunctions.LangMarkers.map { case (lang, ms) =>
+        lang -> s"len(list_filter($toks, t -> t IN (${ms.map(w => s"'$w'").mkString(", ")})))"
+      }
+      val best = counts.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+      val cases = counts.map { case (lang, c) =>
+        s"WHEN best > 0 AND $c = best THEN '$lang'" }.mkString(" ")
+      s"""WITH pred AS (SELECT lang AS true_lang,
+        |  CASE $cases ELSE 'unknown' END AS pred_lang
+        | FROM (SELECT lang, text, $best AS best FROM documents)),
+        |cm AS (SELECT true_lang, pred_lang, COUNT(*) AS n
+        | FROM pred GROUP BY 1, 2)
+        |SELECT true_lang, pred_lang, n,
+        | ${sqlRound("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY true_lang)", 6)} AS share
+        |FROM cm ORDER BY true_lang, pred_lang""".stripMargin
+    },
+
+    "q_promo_did" -> {
+      def cellRev(promo: String, after: String, tag: String) =
+        s"CAST(SUM(CASE WHEN promo = $promo AND after_cut = $after THEN rev END) AS DOUBLE) AS rev_$tag"
+      def cellN(promo: String, after: String, tag: String) =
+        s"SUM(CASE WHEN promo = $promo AND after_cut = $after THEN 1 ELSE 0 END) AS n_$tag"
+      def mean(tag: String) = sqlRound(s"rev_$tag / n_$tag", 6)
+      s"""WITH rows0 AS (SELECT
+        |  p_type LIKE 'PROMO%' AS promo,
+        |  l_shipdate >= DATE '1995-01-01' AS after_cut,
+        |  CAST(${sqlRound("l_extendedprice * (1 - l_discount)", 2)}
+        |    AS DECIMAL(18,2)) AS rev
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |cells AS (SELECT
+        |  ${cellRev("true", "false", "promo_before")}, ${cellN("true", "false", "promo_before")},
+        |  ${cellRev("true", "true", "promo_after")}, ${cellN("true", "true", "promo_after")},
+        |  ${cellRev("false", "false", "base_before")}, ${cellN("false", "false", "base_before")},
+        |  ${cellRev("false", "true", "base_after")}, ${cellN("false", "true", "base_after")}
+        | FROM rows0),
+        |means AS (SELECT
+        |  ${mean("promo_before")} AS mean_promo_before,
+        |  ${mean("promo_after")} AS mean_promo_after,
+        |  ${mean("base_before")} AS mean_base_before,
+        |  ${mean("base_after")} AS mean_base_after
+        | FROM cells)
+        |SELECT mean_promo_before, mean_promo_after, mean_base_before,
+        | mean_base_after,
+        | ${sqlRound("(mean_promo_after - mean_promo_before) - " +
+             "(mean_base_after - mean_base_before)", 6)} AS did
+        |FROM means""".stripMargin
+    },
+
+    "dq_freshness" ->
+      s"""WITH pt AS (SELECT event_type,
+        |  MAX(epoch_ms(ts)) AS last_ms, COUNT(*) AS n_events
+        | FROM events GROUP BY event_type),
+        |h AS (SELECT MAX(last_ms) AS hwm FROM pt)
+        |SELECT event_type, n_events, last_ms,
+        | CAST(floor((h.hwm - last_ms) / 86400000.0) AS BIGINT) AS days_stale,
+        | CAST(floor((h.hwm - last_ms) / 86400000.0) AS BIGINT) > 7 AS is_stale
+        |FROM pt CROSS JOIN h ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

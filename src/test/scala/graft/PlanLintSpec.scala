@@ -76,7 +76,9 @@ class PlanLintSpec extends SparkSpec {
     // 1-row Σx/Σx² moment agg over the bounded daily frame
     "q_value_spike_days",
     // 1-row distinct-user-count scalar, same shape as q_triangle_count
-    "q_clustering_coeff")
+    "q_clustering_coeff",
+    // 1-row 2×2 conditional-agg cells / high-water-mark scalar
+    "q_promo_did", "dq_freshness")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
