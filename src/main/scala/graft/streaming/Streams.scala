@@ -306,16 +306,23 @@ object Streams {
     * watermark + bound (each side can discard buffered rows once the
     * other side's watermark passes its join window) — the shape that
     * keeps a 100 TB/day dual-stream join's state finite. */
+  /** `joinType` additionally supports `left_outer`/`right_outer`:
+    * Spark emits the unmatched side's rows (other side NULL) once the
+    * watermark passes their join window — the watermark+bound is
+    * exactly what makes OUTER stream-stream joins well-defined (an
+    * unmatched row is only *known* unmatched when no future match can
+    * arrive). */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        keys: Seq[String], boundSeconds: Long,
-                       watermark: String = "2 hours"): DataFrame = {
+                       watermark: String = "2 hours",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
     val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
     val timeCond =
       col("r.ts") >= col("l.ts") - expr(s"INTERVAL $boundSeconds SECONDS") &&
       col("r.ts") <= col("l.ts") + expr(s"INTERVAL $boundSeconds SECONDS")
-    l.join(r, keyCond && timeCond, "inner")
+    l.join(r, keyCond && timeCond, joinType)
   }
 
   /** foreachBatch incremental SCD1 upsert into a plain-parquet

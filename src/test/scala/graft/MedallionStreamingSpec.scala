@@ -223,6 +223,45 @@ class MedallionStreamingSpec extends SparkSpec {
     assert(got === Seq((1L, "item", 5.0)))
   }
 
+  test("left-outer stream-stream join emits unmatched rows after watermark") {
+    val dir = Files.createTempDirectory("graft_ssj_outer").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // BOTH sides ride the same files (side tag + filter) so the two
+    // sources batch in lockstep and their watermarks advance together
+    // — independent per-source file pacing would manufacture
+    // artificial late data. f1: a matched pair (k=1) + a
+    // never-matched click (k=2); f2/f3 advance the watermark past
+    // k=2's 60s window on both branches.
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/f1.json"),
+      """[{"side": "c", "k": 1, "ts": "2024-01-01T10:00:00Z", "page": "home", "amount": null},
+        | {"side": "c", "k": 2, "ts": "2024-01-01T10:00:00Z", "page": "promo", "amount": null},
+        | {"side": "b", "k": 1, "ts": "2024-01-01T10:00:30Z", "page": null, "amount": 5.0}]""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/f2.json"),
+      """[{"side": "c", "k": 8, "ts": "2024-01-01T16:00:00Z", "page": "x", "amount": null},
+        | {"side": "b", "k": 7, "ts": "2024-01-01T16:00:00Z", "page": null, "amount": 1.0}]""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/f3.json"),
+      """[{"side": "c", "k": 8, "ts": "2024-01-01T23:00:00Z", "page": "y", "amount": null},
+        | {"side": "b", "k": 7, "ts": "2024-01-01T23:00:00Z", "page": null, "amount": 1.0}]""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "side STRING, k BIGINT, ts TIMESTAMP, page STRING, amount DOUBLE")
+    def src = spark.readStream.schema(schema).option("multiLine", "true")
+      .option("maxFilesPerTrigger", "1").json(s"$dir/in")
+    val clicks = src.filter(col("side") === "c").select("k", "ts", "page")
+    val buys = src.filter(col("side") === "b").select("k", "ts", "amount")
+    val joined = Streams.streamStreamJoin(clicks, buys, Seq("k"),
+      boundSeconds = 60, watermark = "10 minutes", joinType = "left_outer")
+      .select(col("l.k").as("k"), col("l.page").as("page"), col("r.amount").as("amount"))
+    Streams.runOnce(joined, s"$dir/ckpt_oj", "ssj_outer_out")
+    val got = spark.table("ssj_outer_out")
+      .select(col("k"), col("page"), col("amount")).orderBy("k", "page")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq
+    // k=1 matched; k=2's click emits with NULL amount once the
+    // watermark passed its 60s window
+    assert(got.contains((1L, "home", Some(5.0))))
+    assert(got.contains((2L, "promo", None)))
+  }
+
   test("foreachBatch upsert is idempotent under full replay") {
     val dir = Files.createTempDirectory("graft_replay").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/updates"))
