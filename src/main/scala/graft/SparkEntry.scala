@@ -4266,21 +4266,20 @@ object SparkEntry {
     // graph diameter) bounds the iterations. Oracle: recursive CTE.
     "q_reachability" -> ((s, d) => {
       import s.implicits._
-      val ui = Tables.events(s, d)
+      val raw = Tables.events(s, d)
         .select(col("user_id"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
         .where(col("item").isNotNull && col("user_id").isNotNull)
-        .distinct()
-        .transform(graft.Caches.tracked)
       // edge list through the Baskets core (per-user in-array pair
-      // generation — one keyed shuffle) instead of a ui⋈ui self-join
-      // whose pre-distinct pair volume is Σ|basket|² rows
+      // generation, collect_set dedups — ONE keyed shuffle; no
+      // separate distinct pass, no ui⋈ui self-join whose
+      // pre-distinct pair volume is Σ|basket|² rows)
       val pc = graft.operators.Baskets.pairCounts(
-        graft.operators.Baskets.userItemSets(ui, "user_id", "item"))
+        graft.operators.Baskets.userItemSets(raw, "user_id", "item"))
       val e = pc.select(col("i").as("src"), col("j").as("dst"))
         .unionAll(pc.select(col("j").as("src"), col("i").as("dst")))
         .transform(graft.Caches.tracked)
-      val seed = ui.agg(min(col("item"))).as[Long].head()
+      val seed = raw.agg(min(col("item"))).as[Long].head()
       var reach = Seq((seed, 0L)).toDF("item", "hops")
       var frontier = reach
       for (h <- 1 to 3) {
@@ -4408,15 +4407,20 @@ object SparkEntry {
     // score rollup. The rank-≤3 window rewrites to TopKPerGroup.
     "q_item_recs" -> ((s, d) => {
       val B = graft.operators.Baskets
-      val ui = Tables.events(s, d)
+      // ONE wide stage builds the per-user item sets (collect_set
+      // dedups — no separate distinct shuffle over the raw events);
+      // the distinct (user, item) frame is a NARROW explode of the
+      // persisted sets
+      val sets = B.userItemSets(Tables.events(s, d)
         .select(col("user_id"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
-        .where(col("item").isNotNull && col("user_id").isNotNull)
-        .distinct()
+        .where(col("item").isNotNull && col("user_id").isNotNull),
+        "user_id", "item")
         .transform(graft.Caches.tracked)
+      val ui = sets.select(col("user_id"), explode(col("items")).as("item"))
       // both symmetrization legs read pc — persist so pair counting
       // executes once (query-owned cache, cleared by Bench/Verify)
-      val pc = B.pairCounts(B.userItemSets(ui, "user_id", "item"))
+      val pc = B.pairCounts(sets)
         .transform(graft.Caches.tracked)
       val sym = pc.select(col("i").as("src"), col("j").as("dst"), col("n_both"))
         .unionAll(pc.select(col("j").as("src"), col("i").as("dst"), col("n_both")))
@@ -4625,6 +4629,45 @@ object SparkEntry {
         .withColumn("did", roundTo(
           (col("mean_promo_after") - col("mean_promo_before")) -
             (col("mean_base_after") - col("mean_base_before")), 6))
+    }),
+
+    // l-diversity audit (k-anonymity's companion: a k-anonymous
+    // class whose SENSITIVE attribute is uniform still leaks it):
+    // per quasi-identifier class, the distinct sensitive-value count
+    // l; classes with l < 2 are homogeneous disclosures. Same
+    // one-shuffle bounded-class shape as dq_k_anonymity.
+    "dq_l_diversity" -> ((s, d) => {
+      val bd = floor(roundTo(col("c_acctbal"), 2) / 1000).cast("long")
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"), bd.as("bal_band"))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("c_mktsegment")).as("l_diversity"))
+        .withColumn("homogeneous", col("l_diversity") < 2)
+        .orderBy("c_nationkey", "bal_band")
+    }),
+
+    // cross-field consistency DQ rule (the family the single-column
+    // checks can't see): line revenue vs quantity × catalog price —
+    // per brand, how many lines deviate more than 50% from the
+    // catalog-implied amount. Dim broadcast, one combinable brand
+    // rollup; the ratio rounds before the gate so the flag is
+    // bit-stable.
+    "dq_cross_field" -> ((s, d) => {
+      val expected = col("l_quantity") * col("p_retailprice")
+      val dev = roundTo(abs(col("l_extendedprice") - expected) /
+        when(expected === 0, lit(1.0)).otherwise(expected), 6)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), (dev > 0.5).as("__viol"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("__viol"), 1L).otherwise(0L)).as("n_violations"))
+        .withColumn("violation_rate",
+          roundTo(col("n_violations").cast("double") / col("n_lines"), 6))
+        .orderBy("p_brand")
     }),
 
     // per-event-type freshness check (the pipeline-health DQ row):
@@ -7275,6 +7318,28 @@ object SparkEntry {
         | ${sqlRound("(mean_promo_after - mean_promo_before) - " +
              "(mean_base_after - mean_base_before)", 6)} AS did
         |FROM means""".stripMargin
+    },
+
+    "dq_l_diversity" ->
+      s"""SELECT c_nationkey,
+        | CAST(floor(${sqlRound("c_acctbal", 2)} / 1000) AS BIGINT) AS bal_band,
+        | COUNT(*) AS class_size,
+        | CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_diversity,
+        | COUNT(DISTINCT c_mktsegment) < 2 AS homogeneous
+        |FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, bal_band""".stripMargin,
+
+    "dq_cross_field" -> {
+      val dev = sqlRound(
+        "abs(l_extendedprice - l_quantity * p_retailprice) / " +
+          "(CASE WHEN l_quantity * p_retailprice = 0 THEN 1.0 " +
+          "ELSE l_quantity * p_retailprice END)", 6)
+      s"""WITH j AS (SELECT p_brand,
+        |  CASE WHEN $dev > 0.5 THEN 1 ELSE 0 END AS viol
+        | FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT p_brand, COUNT(*) AS n_lines,
+        | CAST(SUM(viol) AS BIGINT) AS n_violations,
+        | ${sqlRound("CAST(SUM(viol) AS DOUBLE) / COUNT(*)", 6)} AS violation_rate
+        |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin
     },
 
     "dq_freshness" ->
