@@ -1354,23 +1354,37 @@ object SparkEntry {
           sumD(col("o_totalprice")).as("monetary"))
       base.persist()
       try {
-        def quintile(metric: String): Column = {
+        // ALL THREE metrics resolve their ntile cuts in ONE grouped
+        // two-pass rank selection (metric tag = group column): 2
+        // driver actions total instead of 6. Values stack as doubles
+        // — day counts and frequencies are exactly representable, so
+        // the order (and the cuts) are unchanged.
+        val stacked = base.selectExpr(
+          """stack(3,
+            | 'r', CAST(recency_day AS DOUBLE), custkey,
+            | 'f', CAST(frequency AS DOUBLE), custkey,
+            | 'm', monetary, custkey) AS (__m, value, custkey)""".stripMargin)
+        val cuts = graft.operators.Ranks.valuesAtRanks(
+          stacked, Seq("__m"), Seq("value", "custkey"), "value",
+          n => Seq.tabulate(4)(i => (i + 1) * (n / 5) + math.min(i + 1, n % 5)))
+        val cutsByMetric: Map[String, Seq[(Double, Long)]] =
+          cuts.toSeq.groupBy(_.getString(0)).map { case (tag, rs) =>
+            tag -> rs.map(r => (r.getDouble(2), r.getLong(3)))
+          }
+        def quintile(tag: String, metric: String): Column = {
           // ntile cut positions: cut_k = k*(n/5) + min(k, n mod 5);
           // score = 1 + #cuts strictly before the row's (metric, key)
-          val cuts = graft.operators.Ranks.valuesAtRanks(
-            base, Seq.empty, Seq(metric, "custkey"), metric,
-            n => Seq.tabulate(4)(i => (i + 1) * (n / 5) + math.min(i + 1, n % 5)))
-          cuts.map { r =>
-            val after = (col(metric) > lit(r.get(1))) ||
-              (col(metric) === lit(r.get(1)) && col("custkey") > lit(r.get(2)))
+          cutsByMetric(tag).map { case (v, ck) =>
+            val after = (col(metric).cast("double") > lit(v)) ||
+              (col(metric).cast("double") === lit(v) && col("custkey") > lit(ck))
             when(after, 1).otherwise(0)
           }.reduce(_ + _) + lit(1)
         }
         val scored = base.select(col("custkey"), col("recency_day"),
             col("frequency"), col("monetary"),
-            quintile("recency_day").as("r_score"),
-            quintile("frequency").as("f_score"),
-            quintile("monetary").as("m_score"))
+            quintile("r", "recency_day").as("r_score"),
+            quintile("f", "frequency").as("f_score"),
+            quintile("m", "monetary").as("m_score"))
         scored.withColumn("segment",
             when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
               lit("champion"))
