@@ -109,6 +109,26 @@ object NearDup {
     when(uni === 0, lit(0.0)).otherwise(c / uni)
   }
 
+  /** |A ∩ B| over SORTED distinct hashed (bigint) shingle arrays —
+    * the allocation-free two-pointer codegen kernel
+    * ([[graft.functions.SortedLongIntersectCountExpr]]) instead of
+    * `size(array_intersect)`, which materializes the intersection
+    * array per candidate pair. Callers must build the arrays with
+    * `array_sort` (the verifies in this module do). */
+  private def sortedIntersectCount(da: Column, db: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SortedLongIntersectCountExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(da),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(db)))
+
+  /** Jaccard over sorted distinct hashed shingle arrays (two-pointer
+    * kernel; the usual 2^-64 shingle-hash collision caveat). */
+  private def jaccardSortedHashed(da: Column, db: Column): Column = {
+    val c = sortedIntersectCount(da, db).cast("double")
+    val uni = size(da) + size(db) - c
+    when(uni === 0, lit(0.0)).otherwise(c / uni)
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle → signature → band →
     * bucket-join → exact-Jaccard verify. Returns (id_a, id_b) pairs
     * with verified Jaccard >= threshold. */
@@ -117,8 +137,12 @@ object NearDup {
     // persist: the signature frame feeds three plan branches (banding
     // + both sides of the verify join) — without it Spark recomputes
     // the shingle hashing 3x.
+    // verify sets are SORTED HASHED shingles (two-pointer kernel;
+    // jaccard value unchanged up to the 2^-64 collision caveat)
     val withSig = trackedPersist(docs.select(col(idCol),
-      TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh"),
+      array_sort(transform(
+        TextFunctions.shinglesDistinct(col(textCol), shingleSize),
+        x => xxhash64(x))).as("__sh"),
       minHashSignature(col(textCol), shingleSize).as("__sig")))
     val cands = lshCandidates(lshBands(withSig, idCol, "__sig"), idCol)
     val sh = withSig.select(col(idCol), col("__sh"))
@@ -126,7 +150,7 @@ object NearDup {
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("jaccard_sim", graft.functions.Det.roundTo(
-        jaccardDistinct(col("__sh_a"), col("__sh_b")), 6))
+        jaccardSortedHashed(col("__sh_a"), col("__sh_b")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }
@@ -147,7 +171,9 @@ object NearDup {
                               shingleSize: Int = 3,
                               threshold: Double = 0.5): DataFrame = {
     def sigs(df: DataFrame) = trackedPersist(df.select(col(idCol),
-      TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh"),
+      array_sort(transform(
+        TextFunctions.shinglesDistinct(col(textCol), shingleSize),
+        x => xxhash64(x))).as("__sh"),
       minHashSignature(col(textCol), shingleSize).as("__sig")))
     val n = sigs(newDocs)
     val c = sigs(corpus)
@@ -162,7 +188,7 @@ object NearDup {
       .join(n.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(c.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("jaccard_sim", graft.functions.Det.roundTo(
-        jaccardDistinct(col("__sh_a"), col("__sh_b")), 6))
+        jaccardSortedHashed(col("__sh_a"), col("__sh_b")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }
@@ -197,7 +223,10 @@ object NearDup {
     val sets = trackedPersist(docs.select(col(idCol),
       TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh0"))
       .filter(size(col("__sh0")) > 0)
-      .select(col(idCol), transform(col("__sh0"), x => xxhash64(x)).as("__sh")))
+      // SORTED hashed sets: the verify below runs the two-pointer
+      // intersect kernel, which requires sorted inputs
+      .select(col(idCol),
+        array_sort(transform(col("__sh0"), x => xxhash64(x))).as("__sh")))
     val inv = sets.select(col(idCol), size(col("__sh")).as("__n"),
       explode(col("__sh")).as("__g"))
     val dfreq = inv.groupBy("__g").agg(count(lit(1)).as("__df"))
@@ -230,7 +259,7 @@ object NearDup {
       .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("jaccard_sim", graft.functions.Det.roundTo(
-        jaccardDistinct(col("__sh_a"), col("__sh_b")), 6))
+        jaccardSortedHashed(col("__sh_a"), col("__sh_b")), 6))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
   }
@@ -366,7 +395,9 @@ object NearDup {
     val sets = trackedPersist(docs.select(col(idCol),
       TextFunctions.shinglesDistinct(col(textCol), shingleSize).as("__sh0"))
       .filter(size(col("__sh0")) > 0)
-      .select(col(idCol), transform(col("__sh0"), x => xxhash64(x)).as("__sh")))
+      // sorted for the two-pointer verify kernel below
+      .select(col(idCol),
+        array_sort(transform(col("__sh0"), x => xxhash64(x))).as("__sh")))
     val inv = sets.select(col(idCol), size(col("__sh")).as("__n"),
       explode(col("__sh")).as("__g"))
     val dfreq = inv.groupBy("__g").agg(count(lit(1)).as("__df"))
@@ -397,7 +428,7 @@ object NearDup {
       .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("containment", graft.functions.Det.roundTo(
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+        sortedIntersectCount(col("__sh_a"), col("__sh_b")).cast("double") /
           size(col("__sh_a")), 6))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
