@@ -130,22 +130,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       CaseInsensitiveStringMap.empty(), paths, schema,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
-  override def loadTable(ident: Identifier): Table = {
-    val (paths, schema) = resolve(ident, None, None)
-    parquetTable(ident, paths, schema)
+  /** Log-backed flavors (Delta / Iceberg / versioned) resolve to a
+    * live FILE LIST for reads — but a DSv2 write through that table
+    * would dump parquet files the transaction log never references
+    * (or clobber files it does): silent corruption. Those flavors
+    * are served READ-ONLY; writes go through `DeltaLog.write` /
+    * `IcebergTable.write` / `VersionedTable.write`, which commit
+    * properly. */
+  private class ReadOnlyTable(inner: Table, flavor: String) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    override def name(): String = inner.name()
+    override def schema(): StructType = inner.schema()
+    override def capabilities(): util.Set[TableCapability] = {
+      val ro = new util.HashSet[TableCapability](inner.capabilities())
+      ro.remove(TableCapability.BATCH_WRITE)
+      ro.remove(TableCapability.V1_BATCH_WRITE)
+      ro.remove(TableCapability.STREAMING_WRITE)
+      ro.remove(TableCapability.OVERWRITE_BY_FILTER)
+      ro.remove(TableCapability.OVERWRITE_DYNAMIC)
+      ro.remove(TableCapability.TRUNCATE)
+      ro
+    }
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+    : org.apache.spark.sql.connector.read.ScanBuilder =
+      inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(options)
   }
+
+  private def serve(ident: Identifier, versionAsOf: Option[Long],
+                    timestampAsOf: Option[Long]): Table = {
+    val dir = dirFor(ident)
+    val (paths, schema) = resolve(ident, versionAsOf, timestampAsOf)
+    val t = parquetTable(ident, paths, schema)
+    if (isDelta(dir)) new ReadOnlyTable(t, "delta")
+    else if (isIceberg(dir)) new ReadOnlyTable(t, "iceberg")
+    else if (isVersioned(dir)) new ReadOnlyTable(t, "versioned")
+    else t
+  }
+
+  override def loadTable(ident: Identifier): Table = serve(ident, None, None)
 
   /** `VERSION AS OF <v>` time travel. */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val (paths, schema) = resolve(ident, Some(version.toLong), None)
-    parquetTable(ident, paths, schema)
-  }
+  override def loadTable(ident: Identifier, version: String): Table =
+    serve(ident, Some(version.toLong), None)
 
   /** `TIMESTAMP AS OF <ts>` time travel; Spark hands MICROseconds. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val (paths, schema) = resolve(ident, None, Some(timestamp / 1000L))
-    parquetTable(ident, paths, schema)
-  }
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    serve(ident, None, Some(timestamp / 1000L))
 
   override def tableExists(ident: Identifier): Boolean = fs.exists(dirFor(ident))
 

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{DeltaLog, VersionedTable}
+import graft.sources.{DeltaLog, IcebergTable, VersionedTable}
 
 /** Three-level SQL naming over the DSv2 catalog: plain parquet,
   * VersionedTable and native-Delta table flavors all resolve as
@@ -94,5 +94,27 @@ class GraftCatalogSpec extends SparkSpec {
     // drop removes the directory
     spark.sql("DROP TABLE graft_t.bronze.raw")
     assert(!new java.io.File(s"$root/bronze/raw").exists())
+  }
+
+  test("log-backed flavors are read-only through the catalog") {
+    // a DSv2 write into a Delta/versioned/Iceberg directory would
+    // dump files the log never references — the catalog must refuse,
+    // pointing writers at the committing APIs
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), s"$root/ro/vt")
+    val vt2 = java.nio.file.Files.createTempDirectory("cat-ro").toString + "/t"
+    VersionedTable.write(Seq((2L, "b")).toDF("k", "v"), vt2)
+    DeltaLog.exportFromVersioned(spark, vt2, s"$root/ro/dt")
+    IcebergTable.exportFromVersioned(spark, vt2, s"$root/ro/it")
+    for (t <- Seq("vt", "dt", "it")) {
+      // reads still serve
+      assert(spark.sql(s"SELECT count(*) AS n FROM graft_t.ro.$t")
+        .as[Long].head() === 1L)
+      // writes refuse at analysis
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO graft_t.ro.$t VALUES (9, 'z')")
+      }
+      assert(e.getMessage.toLowerCase.contains("does not support") ||
+        e.getMessage.toLowerCase.contains("unsupported"), s"$t: ${e.getMessage}")
+    }
   }
 }
