@@ -7331,7 +7331,7 @@ object SparkEntry {
         | mean_base_after,
         | ${sqlRound("(mean_promo_after - mean_promo_before) - " +
              "(mean_base_after - mean_base_before)", 6)} AS did
-        |FROM means""".stripMargin
+        |FROM means ORDER BY did""".stripMargin
     },
 
     "dq_l_diversity" ->
