@@ -4684,6 +4684,68 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // bigram-LM fluency score (the sequential companion to
+    // text_unigram_logprob): per doc, mean log P(w2|w1) under the
+    // corpus bigram model with add-one smoothing over the unigram
+    // vocabulary — repetitive or shuffled text scores low even when
+    // its unigram profile looks normal. Keyed shuffles only; the
+    // (n_total, vocab)-style scalars ride a 1-row broadcast, and
+    // per-term 6dp decimal accumulation keeps Σ c·ln(p)
+    // order-independent.
+    "text_bigram_logprob" -> ((s, d) => {
+      val dbf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val cb = dbf.groupBy("bg").agg(sum(col("c")).as("cb"))
+      val uni = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cw"))
+      val vocab = uni.agg(count(lit(1)).as("vocab"))
+      dbf.join(cb, "bg")
+        .withColumn("__w1", substring_index(col("bg"), " ", 1))
+        .join(uni.select(col("token").as("__w1"), col("cw")), "__w1")
+        .crossJoin(broadcast(vocab))
+        .withColumn("__t", roundTo(col("c").cast("double") *
+          log((col("cb") + 1).cast("double") /
+            (col("cw") + col("vocab")).cast("double")), 6)
+          .cast("decimal(28,6)"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_bigrams"), sum(col("__t")).as("__s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          roundTo(col("__s").cast("double") / col("n_bigrams").cast("double"), 4)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // customer spend-band migration 1995→1996 (the value-tier
+    // transition matrix: who upgraded, who churned down): ONE
+    // conditional-agg scan reduces orders to per-customer year
+    // revenues, fixed cents-exact band edges classify both years,
+    // and the matrix is a bounded bands² rollup with within-origin
+    // shares.
+    "q_band_migration" -> ((s, d) => {
+      val yr = year(col("o_orderdate").cast("date"))
+      val rev = roundTo(col("o_totalprice"), 2).cast("decimal(18,2)")
+      val per = Tables.orders(s, d)
+        .where(yr.isin(1995, 1996))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(when(yr === 1995, rev)).cast("double").as("__r95"),
+          sum(when(yr === 1996, rev)).cast("double").as("__r96"))
+      def band(c: Column) = when(c.isNull, "none")
+        .when(c < 100000.0, "low")
+        .when(c < 300000.0, "mid")
+        .otherwise("high")
+      val mat = per.select(band(col("__r95")).as("band_1995"),
+          band(col("__r96")).as("band_1996"))
+        .groupBy("band_1995", "band_1996").agg(count(lit(1)).as("n_customers"))
+      val wb = Window.partitionBy("band_1995")
+      mat.withColumn("share_of_origin", roundTo(
+          col("n_customers").cast("double") /
+            sum(col("n_customers")).over(wb), 6))
+        .orderBy("band_1995", "band_1996")
+    }),
+
     // per-event-type freshness check (the pipeline-health DQ row):
     // latest arrival vs the global high-water mark, staleness in
     // whole days, flag past 7. One keyed rollup + a 1-row broadcast.
@@ -7334,6 +7396,24 @@ object SparkEntry {
         |FROM means ORDER BY did""".stripMargin
     },
 
+    "text_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+        |bg0 AS (SELECT doc_id, unnest(${sqlShingleList("toks", 2)}) AS bg
+        | FROM t WHERE len(toks) >= 2),
+        |dbf AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg0 GROUP BY doc_id, bg),
+        |cb AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS cb FROM dbf GROUP BY bg),
+        |uni AS (SELECT token, COUNT(*) AS cw FROM
+        |  (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+        |v AS (SELECT COUNT(*) AS vocab FROM uni),
+        |terms AS (SELECT doc_id, c,
+        |  CAST(${sqlRound("CAST(c AS DOUBLE) * ln(CAST(cb + 1 AS DOUBLE) / CAST(cw + vocab AS DOUBLE))", 6)} AS DECIMAL(28,6)) AS t
+        | FROM dbf JOIN cb USING (bg)
+        |  JOIN uni ON uni.token = split_part(dbf.bg, ' ', 1)
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        | ${sqlRound("CAST(SUM(t) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)", 4)} AS avg_logprob
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dq_l_diversity" ->
       s"""SELECT c_nationkey,
         | CAST(floor(${sqlRound("c_acctbal", 2)} / 1000) AS BIGINT) AS bal_band,
@@ -7354,6 +7434,30 @@ object SparkEntry {
         | CAST(SUM(viol) AS BIGINT) AS n_violations,
         | ${sqlRound("CAST(SUM(viol) AS DOUBLE) / COUNT(*)", 6)} AS violation_rate
         |FROM j GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    },
+
+    "q_band_migration" -> {
+      def band(c: String) =
+        s"""CASE WHEN $c IS NULL THEN 'none'
+           | WHEN $c < 100000.0 THEN 'low'
+           | WHEN $c < 300000.0 THEN 'mid'
+           | ELSE 'high' END""".stripMargin
+      s"""WITH per AS (SELECT o_custkey,
+        |  CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+        |    THEN CAST(${sqlRound("o_totalprice", 2)} AS DECIMAL(18,2)) END)
+        |   AS DOUBLE) AS r95,
+        |  CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+        |    THEN CAST(${sqlRound("o_totalprice", 2)} AS DECIMAL(18,2)) END)
+        |   AS DOUBLE) AS r96
+        | FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        | GROUP BY o_custkey),
+        |mat AS (SELECT ${band("r95")} AS band_1995,
+        |  ${band("r96")} AS band_1996, COUNT(*) AS n_customers
+        | FROM per GROUP BY 1, 2)
+        |SELECT band_1995, band_1996, n_customers,
+        | ${sqlRound("CAST(n_customers AS DOUBLE) / " +
+             "SUM(n_customers) OVER (PARTITION BY band_1995)", 6)} AS share_of_origin
+        |FROM mat ORDER BY band_1995, band_1996""".stripMargin
     },
 
     "dq_freshness" ->

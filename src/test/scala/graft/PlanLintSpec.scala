@@ -78,7 +78,9 @@ class PlanLintSpec extends SparkSpec {
     // 1-row distinct-user-count scalar, same shape as q_triangle_count
     "q_clustering_coeff",
     // 1-row 2×2 conditional-agg cells / high-water-mark scalar
-    "q_promo_did", "dq_freshness")
+    "q_promo_did", "dq_freshness",
+    // 1-row vocab scalar, same shape as text_unigram_logprob
+    "text_bigram_logprob")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
