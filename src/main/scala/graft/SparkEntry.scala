@@ -4746,6 +4746,29 @@ object SparkEntry {
         .orderBy("band_1995", "band_1996")
     }),
 
+    // discount-depth response curve: per discount level, volume,
+    // mean quantity and share of total revenue — does deeper
+    // discounting actually move quantity? ONE combinable rollup on
+    // the (discrete) discount key; the share denominator is a 1-row
+    // exact-decimal total broadcast back over the bounded levels
+    // frame (never a partition-less window).
+    "q_discount_depth" -> ((s, d) => {
+      val rev = roundTo(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+      val per = Tables.lineitem(s, d)
+        .groupBy(roundTo(col("l_discount"), 2).as("discount"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("__q"),
+          sum(rev.cast("decimal(18,2)")).as("__r"))
+      val total = per.agg(sum(col("__r")).as("__tot"))
+      per.crossJoin(broadcast(total))
+        .select(col("discount"), col("n_lines"),
+          roundTo(col("__q").cast("double") / col("n_lines"), 4).as("avg_qty"),
+          col("__r").cast("double").as("revenue"),
+          roundTo(col("__r").cast("double") / col("__tot").cast("double"), 6)
+            .as("revenue_share"))
+        .orderBy("discount")
+    }),
+
     // per-event-type freshness check (the pipeline-health DQ row):
     // latest arrival vs the global high-water mark, staleness in
     // whole days, flag past 7. One keyed rollup + a 1-row broadcast.
@@ -7459,6 +7482,20 @@ object SparkEntry {
              "SUM(n_customers) OVER (PARTITION BY band_1995)", 6)} AS share_of_origin
         |FROM mat ORDER BY band_1995, band_1996""".stripMargin
     },
+
+    "q_discount_depth" ->
+      s"""WITH per AS (SELECT ${sqlRound("l_discount", 2)} AS discount,
+        |  COUNT(*) AS n_lines,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+        |  SUM(CAST(${sqlRound("l_extendedprice * (1 - l_discount)", 2)}
+        |    AS DECIMAL(18,2))) AS r
+        | FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(r) AS t FROM per)
+        |SELECT discount, n_lines,
+        | ${sqlRound("CAST(q AS DOUBLE) / n_lines", 4)} AS avg_qty,
+        | CAST(r AS DOUBLE) AS revenue,
+        | ${sqlRound("CAST(r AS DOUBLE) / CAST(t AS DOUBLE)", 6)} AS revenue_share
+        |FROM per CROSS JOIN tot ORDER BY discount""".stripMargin,
 
     "dq_freshness" ->
       s"""WITH pt AS (SELECT event_type,

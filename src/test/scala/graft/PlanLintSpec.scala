@@ -80,7 +80,9 @@ class PlanLintSpec extends SparkSpec {
     // 1-row 2×2 conditional-agg cells / high-water-mark scalar
     "q_promo_did", "dq_freshness",
     // 1-row vocab scalar, same shape as text_unigram_logprob
-    "text_bigram_logprob")
+    "text_bigram_logprob",
+    // 1-row revenue-total scalar over the bounded levels frame
+    "q_discount_depth")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
