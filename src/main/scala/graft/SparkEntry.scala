@@ -2024,6 +2024,32 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // cluster-quality eval for the semantic dedup: label PURITY of
+    // each embedding near-dup cluster (majority-label share) — if
+    // clusters mix labels, the threshold is too loose. Same LSH pair
+    // graph + min-id components as dedup_pipeline_semantic;
+    // singletons join back via coalesce and drop from the report
+    // (trivially pure).
+    "dedup_embed_cluster_purity" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val edges = Similarity.cosineNearDupPairsLsh(vecs, threshold = 0.45,
+        nBits = 6, probeBits = 2, dim = 64).select("id_a", "id_b")
+      val cc = graft.dedup.Clusters.connectedComponents(edges)
+        .withColumnRenamed("id", "vec_id")
+      val members = vecs.select(col("vec_id"), col("label"))
+        .join(cc, Seq("vec_id"), "left")
+        .select(col("label"),
+          coalesce(col("cluster_rep"), col("vec_id")).as("rep"))
+      val cnt = members.groupBy("rep", "label").agg(count(lit(1)).as("__c"))
+      cnt.groupBy(col("rep").as("cluster_rep"))
+        .agg(sum(col("__c")).as("n_members"),
+          count(lit(1)).as("n_labels"), max(col("__c")).as("__mx"))
+        .where(col("n_members") >= 2)
+        .select(col("cluster_rep"), col("n_members"), col("n_labels"),
+          roundTo(col("__mx").cast("double") / col("n_members"), 6).as("purity"))
+        .orderBy("cluster_rep")
+    }),
+
     "dedup_best_rep" -> ((s, d) => {
       // survivor selection by QUALITY, not min-id: within each
       // near-dup cluster keep the highest-quality member (ties to
@@ -5937,6 +5963,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> simHashPairsOracle,
 
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_embed_cluster_purity" -> embedClusterPurityOracle,
 
     "dedup_cluster_sizes" -> dedupClusterSizesOracle,
 
@@ -7834,6 +7861,39 @@ object SparkEntry {
        |LEFT JOIN sizes s ON t.vec_id = s.rep
        |WHERE m.vec_id IS NULL OR m.rep = t.vec_id
        |ORDER BY t.vec_id""".stripMargin
+  }
+
+  /** Label purity per embedding near-dup cluster — the same
+    * hyperplane buckets / LSH edges / recursive reachability as
+    * [[semanticPipelineOracle]], rolled up to majority-label share. */
+  private def embedClusterPurityOracle: String = {
+    val buckets = (0 until 6).map { b =>
+      val plane = Similarity.hyperplaneSigns(64, b)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product(v, $plane) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE ev AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |bk AS MATERIALIZED (SELECT vec_id, v, $buckets AS bucket FROM ev),
+       |e AS MATERIALIZED (SELECT a.vec_id AS src, c.vec_id AS dst
+       | FROM bk a JOIN bk c ON a.vec_id != c.vec_id
+       |  AND bit_count(xor(a.bucket, c.bucket)) <= 2
+       | WHERE list_inner_product(a.v, c.v)
+       |  / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.v, c.v))) >= 0.45),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+       |members0 AS (SELECT src AS vec_id, least(src, MIN(dst)) AS rep
+       |  FROM reach GROUP BY src),
+       |allm AS (SELECT t.label, COALESCE(m.rep, t.vec_id) AS rep
+       |  FROM embeddings t LEFT JOIN members0 m ON t.vec_id = m.vec_id),
+       |cnt AS (SELECT rep, label, COUNT(*) AS c FROM allm GROUP BY 1, 2),
+       |agg AS (SELECT rep AS cluster_rep, CAST(SUM(c) AS BIGINT) AS n_members,
+       |  COUNT(*) AS n_labels, MAX(c) AS mx FROM cnt GROUP BY 1)
+       |SELECT cluster_rep, n_members, n_labels,
+       | ${graft.functions.Det.sqlRound("CAST(mx AS DOUBLE) / n_members", 6)} AS purity
+       |FROM agg WHERE n_members >= 2 ORDER BY cluster_rep""".stripMargin
   }
 
   // ---- long generated oracles ----
