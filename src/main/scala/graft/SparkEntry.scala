@@ -2254,6 +2254,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // recall@5 of the IVF index against exact ground truth — the
+    // companion to ann_recall_eval (which scores the LSH index):
+    // together they quantify BOTH approximate indexes' quality, the
+    // number that justifies nProbe/nCells at scale.
+    "ann_ivf_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(e, q, k = 5, nCells = 16, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          roundTo(col("n_hits").cast("double") / 5, 6).as("recall_at_5"))
+        .orderBy("query_id")
+    }),
+
     "ann_ivf_kmeans" -> ((s, d) => {
       // IVF with TRAINED centroids: 2 deterministic Lloyd iterations
       // from the 16-lowest-id seeds, then the identical probe plan as
@@ -6062,6 +6081,15 @@ object SparkEntry {
 
     "ann_lsh" -> annLshOracle,
     "ann_ivf" -> annIvfOracle,
+
+    "ann_ivf_recall" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annTopkOracle) t1),
+         |approx AS (SELECT query_id, neighbor_id FROM ($annIvfOracle) t2)
+         |SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         | ${sqlRound("CAST(COUNT(a.neighbor_id) AS DOUBLE)/5", 6)} AS recall_at_5
+         |FROM exact e LEFT JOIN approx a
+         | ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "ann_ivf_kmeans" -> annIvfKmeansOracle,
     "dedup_embed_cosine_lsh" -> embedCosineLshOracle,
 
