@@ -4814,6 +4814,46 @@ object SparkEntry {
         .orderBy("discount")
     }),
 
+    // weekly growth accounting (the canonical NEW / RETAINED /
+    // RESURRECTED / CHURNED user split, at the week grain the
+    // events table's one-month span supports): per-user week
+    // sequence classifies each active week by its lag (new = first
+    // week, retained = consecutive, resurrected = gap), and churn
+    // events land in the week AFTER a gap or final appearance —
+    // bounded by the data's last week via a 1-row broadcast. All
+    // windows partition by user; rollups are bounded week frames.
+    "q_growth_accounting" -> ((s, d) => {
+      val um = Tables.events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / (86400000L * 7)).cast("long").as("m"))
+        .distinct()
+        .transform(graft.Caches.tracked)
+      val w = Window.partitionBy("user_id").orderBy("m")
+      val wAllU = Window.partitionBy("user_id")
+      val flags = um
+        .withColumn("__prev", lag(col("m"), 1).over(w))
+        .withColumn("__lead", lead(col("m"), 1).over(w))
+        .withColumn("__first", min(col("m")).over(wAllU))
+      val active = flags.groupBy("m").agg(
+        sum(when(col("m") === col("__first"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__prev") === col("m") - 1, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("__prev").isNotNull && col("__prev") < col("m") - 1, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+      val maxM = um.agg(max(col("m")).as("__max"))
+      val churn = flags.crossJoin(broadcast(maxM))
+        .where((col("__lead").isNull || col("__lead") > col("m") + 1) &&
+          col("m") < col("__max"))
+        .select((col("m") + 1).as("m"))
+        .groupBy("m").agg(count(lit(1)).as("n_churned"))
+      active.join(churn, Seq("m"), "full_outer")
+        .select(col("m").as("week"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy("week")
+    }),
+
     // per-event-type freshness check (the pipeline-health DQ row):
     // latest arrival vs the global high-water mark, staleness in
     // whole days, flag past 7. One keyed rollup + a 1-row broadcast.
@@ -7551,6 +7591,33 @@ object SparkEntry {
         | CAST(r AS DOUBLE) AS revenue,
         | ${sqlRound("CAST(r AS DOUBLE) / CAST(t AS DOUBLE)", 6)} AS revenue_share
         |FROM per CROSS JOIN tot ORDER BY discount""".stripMargin,
+
+    "q_growth_accounting" ->
+      s"""WITH um AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch_ms(ts) / (86400000.0 * 7)) AS BIGINT) AS m
+        | FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, m,
+        |  lag(m) OVER (PARTITION BY user_id ORDER BY m) AS prv,
+        |  lead(m) OVER (PARTITION BY user_id ORDER BY m) AS nxt,
+        |  MIN(m) OVER (PARTITION BY user_id) AS frst FROM um),
+        |mx AS (SELECT MAX(m) AS maxm FROM um),
+        |act AS (SELECT m,
+        |  CAST(SUM(CASE WHEN m = frst THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN prv = m - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN prv IS NOT NULL AND prv < m - 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_resurrected
+        | FROM f GROUP BY m),
+        |ch AS (SELECT m + 1 AS m, CAST(COUNT(*) AS BIGINT) AS n_churned
+        | FROM f CROSS JOIN mx
+        | WHERE (nxt IS NULL OR nxt > m + 1) AND m < maxm
+        | GROUP BY m + 1)
+        |SELECT m AS week,
+        | COALESCE(n_new, 0) AS n_new,
+        | COALESCE(n_retained, 0) AS n_retained,
+        | COALESCE(n_resurrected, 0) AS n_resurrected,
+        | COALESCE(n_churned, 0) AS n_churned
+        |FROM act FULL OUTER JOIN ch USING (m)
+        |ORDER BY week""".stripMargin,
 
     "dq_freshness" ->
       s"""WITH pt AS (SELECT event_type,

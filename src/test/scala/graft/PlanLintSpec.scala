@@ -82,7 +82,9 @@ class PlanLintSpec extends SparkSpec {
     // 1-row vocab scalar, same shape as text_unigram_logprob
     "text_bigram_logprob",
     // 1-row revenue-total scalar over the bounded levels frame
-    "q_discount_depth")
+    "q_discount_depth",
+    // 1-row last-month scalar bounding churn attribution
+    "q_growth_accounting")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
