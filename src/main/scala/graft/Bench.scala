@@ -34,33 +34,44 @@ object Bench {
     // auditable in the artifact itself.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
+    // failure visibility: a failed run must NEVER contribute a
+    // fast-looking elapsed time to the min — record the error per
+    // query in the artifact instead and aggregate over clean passes
+    // only (a query with zero clean passes reports -1)
+    val errors = scala.collection.mutable.Map[String, String]()
     names.foreach(n => times(n) = Vector.empty)
     (1 to passes).foreach { _ =>
       names.foreach { name =>
         val fn = selected(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .take(200).replaceAll("[\"\\\\\n\r\t]", " ")
+            false
         }
         // operators persist intermediates they own within one query;
         // drop them between queries so storage doesn't accumulate
         spark.catalog.clearCache()
-        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        if (ok) times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
     }
-    val results: Seq[(String, Double)] = names.map(n => n -> times(n).min)
+    val results: Seq[(String, Double)] = names.map(n =>
+      n -> (if (times(n).nonEmpty) times(n).min else -1.0))
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     def fmt(rs: Iterable[(String, Double)]): String = rs
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def fmtPasses(rs: Iterable[(String, Vector[Double])]): String = rs
       .map { case (k, vs) => s"\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     // full per-query map + per-pass matrix → bench_out.json (parsable
     // whole even when the driver only captures a log tail)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"passes_detail":${fmtPasses(names.map(n => n -> times(n)))},"sf":"$sfDir","passes":$passes,"agg":"min","interleaved":true}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"passes_detail":${fmtPasses(names.map(n => n -> times(n)))},"errors":$errJson,"sf":"$sfDir","passes":$passes,"agg":"min","interleaved":true}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
         (full + "\n").getBytes("UTF-8"))
@@ -72,7 +83,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(30)
       .map { case (k, v) => k -> r3(v) }
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(slowest)},"n_queries":${results.size},"queries_full":"bench_out.json","sf":"$sfDir","passes":$passes,"agg":"min","interleaved":true}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(slowest)},"n_queries":${results.size},"n_errors":${errors.size},"queries_full":"bench_out.json","sf":"$sfDir","passes":$passes,"agg":"min","interleaved":true}"""
     println(compact)
     spark.stop()
   }

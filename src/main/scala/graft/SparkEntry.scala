@@ -1898,9 +1898,18 @@ object SparkEntry {
         .orderBy("canonical_id")
     }),
 
+    // The inverted-index formulation with the df<=1000 hot-shingle
+    // cap wired (mirrored in the oracle — the same pigeonhole-style
+    // guard dedup_containment grades with). Uncapped, the hot-shingle
+    // df^2 candidate term grows 4.7x per 10x data step (docs/
+    // SCALING.md r7) — the one scale-killer left in the dedup family;
+    // capped, a boilerplate shingle shared by >1000 docs is excluded
+    // from the intersection count (sizes stay exact), making the
+    // measure slightly conservative on hot shingles and the join
+    // volume bounded at df_cap * corpus instead of df^2.
     "dedup_ngram_jaccard" -> ((s, d) =>
       NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+        shingleSize = 3, threshold = 0.5, maxDocFreq = Some(1000L))
         .orderBy("id_a", "id_b")),
 
     // the PPJoin/AllPairs prefix-filtered formulation, graded against
@@ -4458,47 +4467,24 @@ object SparkEntry {
     // item-to-item collaborative filtering: top-3 recommendations per
     // user scored by summed co-occurrence counts of the user's items,
     // minus what the user already has. The classic rec-serving batch,
-    // in its SCALABLE item-kNN form: each item keeps only its top-20
-    // neighbors (the standard serving truncation — candidate volume
-    // becomes O(|ui|·20) instead of O(|ui|·degree)), the truncated
-    // edge frame BROADCASTS so the big ui side never shuffles for
-    // the join, and the only wide stage is the (user, candidate)
-    // score rollup. The rank-≤3 window rewrites to TopKPerGroup.
+    // in its SCALABLE item-kNN form via Baskets.itemRecs: each item
+    // keeps only its top-20 neighbors (the standard serving
+    // truncation — candidate volume becomes O(|ui|·20) instead of
+    // O(|ui|·degree)), and the truncated edge frame broadcasts ONLY
+    // under a counted ≤10⁶-edge bound (the SURVEY §5 contract) — a
+    // 10⁸-item catalog takes the shuffled-join arm instead of
+    // force-broadcasting a frame that no longer fits an executor.
     "q_item_recs" -> ((s, d) => {
       val B = graft.operators.Baskets
       // ONE wide stage builds the per-user item sets (collect_set
-      // dedups — no separate distinct shuffle over the raw events);
-      // the distinct (user, item) frame is a NARROW explode of the
-      // persisted sets
+      // dedups — no separate distinct shuffle over the raw events)
       val sets = B.userItemSets(Tables.events(s, d)
         .select(col("user_id"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("item"))
         .where(col("item").isNotNull && col("user_id").isNotNull),
         "user_id", "item")
         .transform(graft.Caches.tracked)
-      val ui = sets.select(col("user_id"), explode(col("items")).as("item"))
-      // both symmetrization legs read pc — persist so pair counting
-      // executes once (query-owned cache, cleared by Bench/Verify)
-      val pc = B.pairCounts(sets)
-        .transform(graft.Caches.tracked)
-      val sym = pc.select(col("i").as("src"), col("j").as("dst"), col("n_both"))
-        .unionAll(pc.select(col("j").as("src"), col("i").as("dst"), col("n_both")))
-      // item-kNN truncation: top-20 neighbors per item (ties by id)
-      val wN = Window.partitionBy("src")
-        .orderBy(col("n_both").desc, col("dst").asc)
-      val edges = sym.withColumn("__nr", row_number().over(wN))
-        .where(col("__nr") <= 20).drop("__nr")
-      val scored = ui.join(broadcast(edges), ui("item") === edges("src"))
-        .groupBy(col("user_id"), col("dst").as("rec_item"))
-        .agg(sum(col("n_both")).as("score"))
-      val fresh = scored.join(
-        ui.select(col("user_id"), col("item").as("rec_item")),
-        Seq("user_id", "rec_item"), "left_anti")
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("score").desc, col("rec_item").asc)
-      fresh.withColumn("rank", row_number().over(w).cast("bigint"))
-        .where(col("rank") <= 3)
-        .select(col("user_id"), col("rank"), col("rec_item"), col("score"))
+      B.itemRecs(sets, "user_id", topNeighbors = 20, topRecs = 3)
         .orderBy("user_id", "rank")
     }),
 
@@ -6011,7 +5997,7 @@ object SparkEntry {
         |FROM u GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
         |ORDER BY canonical_id""".stripMargin,
 
-    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardCappedOracle,
     // exact-equivalence grading of the prefix-filtered formulation
     "dedup_ppjoin" -> ngramJaccardOracle,
 
@@ -8088,6 +8074,27 @@ object SparkEntry {
     val inter = s"len(list_intersect(list_distinct($a), list_distinct($b)))"
     val uni = s"(len(list_distinct($a)) + len(list_distinct($b)) - $inter)"
     s"(CASE WHEN $uni = 0 THEN 0.0 ELSE $inter::DOUBLE / $uni END)"
+  }
+
+  /** [[ngramJaccardOracle]] with the df<=1000 hot-shingle cap the
+    * graded query wires ([[NearDup.ngramJaccardPairs]] maxDocFreq):
+    * the intersection count runs over shingles whose document
+    * frequency is <= 1000, while set SIZES stay exact (full distinct
+    * shingle sets) — the same conservative-on-hot-shingles semantics
+    * the Spark side computes, expressed independently in DuckDB. */
+  private def ngramJaccardCappedOracle: String = {
+    val j = sqlRound("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 6)
+    s"""WITH $shingleCte,
+       |dsh AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM dsh),
+       |e AS (SELECT doc_id, unnest(shingles) AS g FROM dsh),
+       |df AS (SELECT g, COUNT(*) AS df FROM e GROUP BY 1),
+       |ep AS (SELECT e.doc_id, e.g FROM e JOIN df ON df.g = e.g WHERE df.df <= 1000),
+       |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       |  FROM ep a JOIN ep b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, $j AS jaccard_sim
+       |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE $j >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
   private def ngramJaccardOracle: String = {

@@ -73,4 +73,54 @@ object Baskets {
   /** 1-row frame with the distinct-user count (users with ≥1 item). */
   def userCount(sets: DataFrame): DataFrame =
     sets.agg(count(lit(1)).as("n_users"))
+
+  /** Item-kNN recommendations from [[userItemSets]] output: for each
+    * user, the `topRecs` highest-scoring items the user does NOT
+    * already have, where score(user, candidate) = Σ co-occurrence
+    * count over the user's items' top-`topNeighbors` neighbor edges
+    * (the standard serving truncation — candidate volume is
+    * O(|user-item rows| · topNeighbors), never O(·degree)).
+    *
+    * Broadcast is GATED on a counted bound, not forced: the truncated
+    * neighbor frame is ≤ topNeighbors·|items| rows — for bounded
+    * catalogs (≲10⁶ edges by default) it broadcasts so the big
+    * user-item side never shuffles for the join; above the bound the
+    * hint is omitted and the join shuffles on item (AQE may still
+    * choose broadcast from runtime stats). The edge frame is counted
+    * on its own persisted materialization, so the gate costs one
+    * cheap action on an already-needed intermediate. Both arms are
+    * the same dataflow — results are identical by construction.
+    *
+    * Output: (userCol, rank, rec_item, score), rank 1..topRecs by
+    * score DESC with ties to the smaller item id. */
+  def itemRecs(sets: DataFrame, userCol: String,
+               topNeighbors: Int = 20, topRecs: Int = 3,
+               broadcastEdgeLimit: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the distinct (user, item) frame is a NARROW explode of the sets
+    val ui = sets.select(col(userCol), explode(col("items")).as("item"))
+    // both symmetrization legs read pc — persist so pair counting
+    // executes once (query-owned cache, cleared by Bench/Verify)
+    val pc = graft.Caches.tracked(pairCounts(sets))
+    val sym = pc.select(col("i").as("src"), col("j").as("dst"), col("n_both"))
+      .unionAll(pc.select(col("j").as("src"), col("i").as("dst"), col("n_both")))
+    val wN = Window.partitionBy("src")
+      .orderBy(col("n_both").desc, col("dst").asc)
+    val edges = graft.Caches.tracked(
+      sym.withColumn("__nr", row_number().over(wN))
+        .where(col("__nr") <= topNeighbors).drop("__nr"))
+    val edgesSide =
+      if (edges.count() <= broadcastEdgeLimit) broadcast(edges) else edges
+    val scored = ui.join(edgesSide, ui("item") === edgesSide("src"))
+      .groupBy(col(userCol), col("dst").as("rec_item"))
+      .agg(sum(col("n_both")).as("score"))
+    val fresh = scored.join(
+      ui.select(col(userCol), col("item").as("rec_item")),
+      Seq(userCol, "rec_item"), "left_anti")
+    val w = Window.partitionBy(userCol)
+      .orderBy(col("score").desc, col("rec_item").asc)
+    fresh.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= topRecs)
+      .select(col(userCol), col("rank"), col("rec_item"), col("score"))
+  }
 }

@@ -132,8 +132,11 @@ object AvroFiles {
   def read(spark: SparkSession, path: String): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // globStatus returns NULL (not empty) for a non-existent
+    // wildcard-free path — guard so the caller gets the intended
+    // "no .avro files" message instead of an NPE
     val files = (if (fs.isDirectory(p)) fs.listStatus(p).toSeq
-      else fs.globStatus(p).toSeq)
+      else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty))
       .map(_.getPath).filter(_.getName.endsWith(".avro")).sortBy(_.getName)
     require(files.nonEmpty, s"no .avro files under $path")
     val writerSchemaJson = {
@@ -259,16 +262,29 @@ object AvroFiles {
     df.rdd.foreachPartition { it =>
       if (it.hasNext) {
         val s = new Schema.Parser().parse(schema)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val p = new Path(dirB, f"part-$pid%05d.avro")
-        val fs = p.getFileSystem(conf.value)
-        val out = fs.create(p, true)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        // stage-then-adopt commit protocol (the DeltaLog.write
+        // pattern): write to a task-attempt-unique temp name, rename
+        // into place on success. Two racing attempts (speculation, a
+        // retry after a partial write) then never interleave bytes in
+        // the final file — the loser's rename fails or both rename
+        // complete files, last-writer-wins with a whole file.
+        val fin = new Path(dirB, f"part-$pid%05d.avro")
+        val tmp = new Path(dirB, f".part-$pid%05d-attempt-${tc.taskAttemptId()}.avro.tmp")
+        val fs = fin.getFileSystem(conf.value)
+        val out = fs.create(tmp, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](s))
         w.create(s, out)
         try it.foreach(r => w.append(
           toAvroValue(r, s).asInstanceOf[GenericRecord]))
         finally w.close()
+        fs.delete(fin, false) // replace a prior attempt's whole file
+        if (!fs.rename(tmp, fin)) {
+          fs.delete(tmp, false)
+          throw new IllegalStateException(s"commit rename failed for $fin")
+        }
       }
     }
     val p = new Path(dir)

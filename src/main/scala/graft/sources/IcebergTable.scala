@@ -252,7 +252,12 @@ object IcebergTable {
         require(ok.nonEmpty, s"no snapshot at or before timestamp $ts")
         ok.maxBy(_.get("timestamp-ms").asLong())
       case _ =>
-        val cur = meta.get("current-snapshot-id").asLong()
+        // optional in v1, and -1 is the spec's explicit "no current
+        // snapshot" sentinel — both resolve to the empty snapshot,
+        // matching the empty-snapshots branch above
+        val cur = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
+          .map(_.asLong()).getOrElse(-1L)
+        if (cur == -1L) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty)
         snaps.find(_.get("snapshot-id").asLong() == cur)
           .getOrElse(throw new IllegalStateException(
             s"current-snapshot-id $cur not in snapshots list"))
@@ -427,19 +432,39 @@ object IcebergTable {
 
   /** Copy a manifest-list avro's records (for append snapshots: prior
     * manifests stay valid — avro manifest files are immutable). */
+  /** v1 manifest lists (Java writer) use `*_data_files_count` names
+    * for the fields v2 calls `*_files_count`. */
+  private val ManifestFieldAliases = Map(
+    "added_files_count" -> "added_data_files_count",
+    "existing_files_count" -> "existing_data_files_count",
+    "deleted_files_count" -> "deleted_data_files_count")
+
   private def readManifestList(spark: SparkSession, p: Path): Seq[GenericRecord] = {
     val buf = scala.collection.mutable.ArrayBuffer[GenericRecord]()
     foreachAvro(spark, p) { r =>
       val mf = new GenericData.Record(ManifestFileSchema)
       ManifestFileSchema.getFields.asScala.foreach { f =>
-        val src = r.getSchema.getField(f.name())
-        mf.put(f.name(),
-          if (src != null) r.get(f.name())
-          else f.name() match {
-            case "content" => 0
-            case "manifest_path" | "manifest_length" => null
-            case _ => 0L
-          })
+        val srcName =
+          if (r.getSchema.getField(f.name()) != null) f.name()
+          else ManifestFieldAliases.get(f.name())
+            .filter(a => r.getSchema.getField(a) != null).orNull
+        // default (and coerce) by the TARGET field's Avro type — a
+        // java.lang.Long in an int field (or vice versa) fails the
+        // subsequent manifest-list write with a ClassCastException
+        val v: AnyRef =
+          if (srcName != null) r.get(srcName) else null
+        val out: AnyRef = f.schema().getType match {
+          case Schema.Type.INT => v match {
+            case n: java.lang.Number => Int.box(n.intValue())
+            case _ => Int.box(0)
+          }
+          case Schema.Type.LONG => v match {
+            case n: java.lang.Number => Long.box(n.longValue())
+            case _ => Long.box(0L)
+          }
+          case _ => v
+        }
+        mf.put(f.name(), out)
       }
       buf += mf
     }
@@ -530,10 +555,38 @@ object IcebergTable {
       if (overwrite || prior.isEmpty) Seq(newManifest)
       else {
         // append: prior snapshot's manifests carry over
-        val curSnap = priorSnaps.find(_.get("snapshot-id").asLong() ==
-          prior.get.get("current-snapshot-id").asLong())
-        val carried = curSnap.filter(_.has("manifest-list")).toSeq.flatMap(sn =>
-          readManifestList(spark, new Path(sn.get("manifest-list").asText())))
+        val curId = prior.flatMap(m => Option(m.get("current-snapshot-id")))
+          .filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
+        val curSnap = priorSnaps.find(_.get("snapshot-id").asLong() == curId)
+        val carried = curSnap.toSeq.flatMap { sn =>
+          if (sn.has("manifest-list"))
+            readManifestList(spark, new Path(sn.get("manifest-list").asText()))
+          else if (sn.has("manifests")) {
+            // early-v1 inline manifest paths: wrap each into a
+            // manifest_file record so the append's manifest list
+            // still references them — silently carrying NOTHING
+            // here would drop every pre-append file from the table
+            // (the 'loud error, never silent wrong results' contract)
+            sn.get("manifests").elements().asScala.toSeq.map { pn =>
+              val p = new Path(pn.asText())
+              val mf = new GenericData.Record(ManifestFileSchema)
+              mf.put("manifest_path", p.toString)
+              mf.put("manifest_length", fsFor(spark, p).getFileStatus(p).getLen)
+              mf.put("partition_spec_id", 0)
+              mf.put("content", 0)
+              mf.put("sequence_number", 0L)
+              mf.put("min_sequence_number", 0L)
+              mf.put("added_snapshot_id", curId)
+              mf.put("added_files_count", 0)
+              mf.put("existing_files_count", 0)
+              mf.put("deleted_files_count", 0)
+              mf.put("added_rows_count", 0L)
+              mf.put("existing_rows_count", 0L)
+              mf.put("deleted_rows_count", 0L)
+              mf: GenericRecord
+            }
+          } else Seq.empty
+        }
         carried :+ newManifest
       }
     val listPath = fs.makeQualified(

@@ -75,6 +75,32 @@ class BasketsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("itemRecs broadcast gate: both arms fire under forced bounds, same rows") {
+    val sets = Baskets.userItemSets(events, "user_id", "item")
+    // forced-broadcast arm: the counted edge bound always passes
+    val hinted = Baskets.itemRecs(sets, "user_id",
+      broadcastEdgeLimit = Long.MaxValue)
+    // forced-shuffle arm: the bound never passes, hint omitted
+    val unhinted = Baskets.itemRecs(sets, "user_id", broadcastEdgeLimit = 0L)
+    // the gate decides at the LOGICAL level (the hint is present or
+    // absent) — physical join choice on toy data would broadcast both
+    // ways from size stats, so assert on the analyzed plan
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val a = hinted.orderBy("user_id", "rank")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val b = unhinted.orderBy("user_id", "rank")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    // sanity: u4 has only item 9 (no co-occurrence) -> no recs for u4
+    assert(!a.exists(_._1 == "u4"))
+    // itemRecs persists query-owned intermediates; drop them so the
+    // shared session's cache manager can't substitute InMemoryScans
+    // into later tests' plan-shape assertions
+    graft.Caches.unpersistAll()
+  }
+
   test("pair generation is narrow: one shuffle to sets, one to pairs") {
     val sets = Baskets.userItemSets(events, "user_id", "item")
     val plan = Baskets.pairCounts(sets).queryExecution.executedPlan.toString
