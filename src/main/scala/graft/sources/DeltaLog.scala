@@ -264,8 +264,65 @@ object DeltaLog {
     readSnapshot(spark, snap)
   }
 
-  /** Materialize any [[Snapshot]] (real-Delta or VersionedTable). */
-  def readSnapshot(spark: SparkSession, snap: Snapshot): DataFrame = {
+  /** Read with a predicate, pruning partitions BEFORE the scan: files
+    * whose log-side `partitionValues` cannot satisfy `predicate` are
+    * dropped from the planned file list (the 100×-scale behavior a
+    * partitioned layout exists for — a date-partitioned 100 TB table
+    * reads one partition's files, not all of them), then the full
+    * predicate applies as a normal residual filter so non-partition
+    * conjuncts behave identically. Result rows are exactly
+    * `read(...).where(predicate)`. */
+  def readWhere(spark: SparkSession, tablePath: String,
+                predicate: org.apache.spark.sql.Column,
+                versionAsOf: Option[Long] = None,
+                timestampAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, versionAsOf, timestampAsOf)
+    readSnapshot(spark, snap, Some(predicate)).where(predicate)
+  }
+
+  /** The subset of `snap.files` whose partitionValues satisfy
+    * `predicate` with every non-partition column left unconstrained:
+    * the predicate is evaluated by Catalyst over a file-list-sized
+    * local frame of TYPED partition values with non-partition columns
+    * bound to null, keeping only files where it does NOT evaluate to
+    * false — null (unknown, because a data column was involved) keeps
+    * the file, so any residual-filterable predicate prunes soundly. */
+  def prunedFiles(spark: SparkSession, snap: Snapshot,
+                  predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+    if (snap.partitionColumns.isEmpty || snap.files.isEmpty) return snap.files
+    import spark.implicits._
+    val pc = snap.partitionColumns
+    val rows = snap.files.zipWithIndex.map { case (f, i) =>
+      (i, pc.map(c => f.partitionValues.getOrElse(c, null)))
+    }
+    val typed = rows.toDF("__idx", "__pv").select(
+      col("__idx") +: snap.schema.map(fl =>
+        if (pc.contains(fl.name))
+          element_at(col("__pv"), pc.indexOf(fl.name) + 1)
+            .cast(fl.dataType).as(fl.name)
+        else lit(null).cast(fl.dataType).as(fl.name)): _*)
+    // keep unless provably false: NOT(coalesce(pred, true)) drops
+    // only files where the predicate is definitely unsatisfiable on
+    // partition values alone
+    val keep = typed.filter(coalesce(predicate, lit(true)))
+      .select("__idx").as[Int].collect().toSet
+    snap.files.zipWithIndex.collect { case (f, i) if keep(i) => f }
+  }
+
+  /** Materialize any [[Snapshot]] (real-Delta or VersionedTable),
+    * optionally pruning the file list on a partition predicate first
+    * (see [[prunedFiles]] — sound for any predicate; prunes when it
+    * references partition columns). */
+  def readSnapshot(spark: SparkSession, snap: Snapshot,
+                   partitionFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val pruned = partitionFilter match {
+      case Some(p) => snap.copy(files = prunedFiles(spark, snap, p))
+      case None => snap
+    }
+    readSnapshotAll(spark, pruned)
+  }
+
+  private def readSnapshotAll(spark: SparkSession, snap: Snapshot): DataFrame = {
     val dataSchema = StructType(snap.schema.filterNot(
       f => snap.partitionColumns.contains(f.name)))
     if (snap.files.isEmpty)
@@ -304,6 +361,143 @@ object DeltaLog {
     versionTimes(spark, tablePath).toDF("version", "timestamp_ms")
   }
 
+  // ---------------- incremental / CDC reads ----------------
+
+  /** Row-level change feed of a REAL Delta table for the commits in
+    * `(fromVersion, toVersion]` — the `startingVersion` incremental
+    * poll the reference's silver/gold layers stream from. Each
+    * commit's file-level diff comes straight from its JSON actions
+    * (never a snapshot diff): added files' rows are tagged `insert`,
+    * removed files' rows `delete`, each with `_commit_version` — an
+    * update written as remove+add in one commit appears as
+    * delete+insert, the same shape real Delta CDF gives without
+    * `_change_data` files. Removed files' content is still readable
+    * because Delta removes are logical (tombstones; data files
+    * survive until VACUUM — a vacuumed-away removed file is a loud
+    * read error, not silent emptiness).
+    *
+    * Scale shape: only the requested JSON tail is parsed (bounded by
+    * the poll cadence, same as any checkpointed streaming source);
+    * data reads are distributed parquet scans of exactly the changed
+    * files. Partition values re-attach per file like [[readSnapshot]].
+    * Schema changes INSIDE the polled range are rejected loudly —
+    * poll up to the metaData boundary, adapt, continue. */
+  def changes(spark: SparkSession, tablePath: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    require(toVersion >= fromVersion,
+      s"bad change range ($fromVersion, $toVersion]")
+    val versions = listVersions(spark, tablePath)
+      .filter(j => j > fromVersion && j <= toVersion)
+    val endSnap = snapshot(spark, tablePath,
+      versionAsOf = Some(versions.lastOption.getOrElse(toVersion)))
+    val withVersionCol = StructType(endSnap.schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+    if (versions.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withVersionCol)
+    val jsonPaths = versions
+      .map(j => new Path(logDir(tablePath), pad20(j) + ".json").toString)
+    val acts = spark.read.text(jsonPaths: _*)
+      .select(from_json(col("value"), ActionSchema).as("a"),
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
+          .cast("long").as("__v"))
+      .select(col("a.*"), col("__v"))
+    // a metaData action in range is fine iff it declares the SAME
+    // schema/partitioning the range ends with (table creation at
+    // commit 0, a no-op metaData rewrite) — an actual schema change
+    // mid-range is the loud-error case
+    acts.filter(col("metaData").isNotNull)
+      .select("metaData.schemaString", "metaData.partitionColumns")
+      .collect().foreach { m =>
+        val sch = DataType.fromJson(m.getAs[String]("schemaString"))
+          .asInstanceOf[StructType]
+        val pcs = Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+          .map(_.toSeq).getOrElse(Seq.empty)
+        if (sch != endSnap.schema || pcs != endSnap.partitionColumns)
+          throw new UnsupportedOperationException(
+            s"schema/metadata change inside polled range ($fromVersion, " +
+              s"$toVersion] of $tablePath — poll up to the boundary, adapt, continue")
+      }
+    val fileActs = acts.select(
+      coalesce(col("add.path"), col("remove.path")).as("path"),
+      col("add.path").isNotNull.as("is_add"),
+      col("add.partitionValues").as("pv"),
+      col("add.size").as("size"),
+      col("add.modificationTime").as("mtime"), col("__v"))
+      .filter(col("path").isNotNull).collect()
+    // removed files carry no partitionValues on the tombstone — they
+    // were added earlier: resolve pv from the fromVersion snapshot,
+    // or from an add WITHIN the polled range (add+remove both inside
+    // the poll window)
+    lazy val priorPv: Map[String, Map[String, String]] = {
+      if (endSnap.partitionColumns.isEmpty) Map.empty
+      else {
+        val baseV = listVersions(spark, tablePath).filter(_ <= fromVersion)
+          .reduceOption(_ max _)
+        val fromSnap = baseV.map(b =>
+          snapshot(spark, tablePath, versionAsOf = Some(b))
+            .files.map(f => f.path -> f.partitionValues).toMap)
+          .getOrElse(Map.empty[String, Map[String, String]])
+        val inRange = fileActs.filter(_.getAs[Boolean]("is_add")).map { r =>
+          new Path(tablePath, decodePath(r.getAs[String]("path"))).toString ->
+            Option(r.getAs[scala.collection.Map[String, String]]("pv"))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+        }.toMap
+        fromSnap ++ inRange
+      }
+    }
+    def group(isAdd: Boolean): Seq[(Long, Seq[AddFile])] =
+      fileActs.filter(_.getAs[Boolean]("is_add") == isAdd)
+        .groupBy(_.getAs[Long]("__v")).toSeq.sortBy(_._1)
+        .map { case (cv, rows) =>
+          cv -> rows.toSeq.map { r =>
+            val abs = new Path(tablePath,
+              decodePath(r.getAs[String]("path"))).toString
+            val pv =
+              if (isAdd) Option(r.getAs[scala.collection.Map[String, String]]("pv"))
+                .map(_.toMap).getOrElse(Map.empty[String, String])
+              else priorPv.getOrElse(abs, Map.empty[String, String])
+            AddFile(abs,
+              pv,
+              if (isAdd) Option(r.getAs[java.lang.Long]("size"))
+                .map(_.toLong).getOrElse(0L) else 0L,
+              if (isAdd) Option(r.getAs[java.lang.Long]("mtime"))
+                .map(_.toLong).getOrElse(0L) else 0L)
+          }
+        }
+    // the polled tail is bounded, so a per-commit union keeps the
+    // plan small while every leg stays a distributed parquet scan
+    val legs: Seq[DataFrame] =
+      group(isAdd = true).map { case (cv, fls) =>
+        readSnapshotAll(spark, endSnap.copy(files = fls))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(cv))
+      } ++ group(isAdd = false).map { case (cv, fls) =>
+        readSnapshotAll(spark, endSnap.copy(files = fls))
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(cv))
+      }
+    legs.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withVersionCol))
+  }
+
+  /** Incremental consumption of a real Delta table — the poll-based
+    * analog of `readStream.option("startingVersion", …)`, the SAME
+    * contract [[VersionedTable.syncChanges]] gives for graft tables:
+    * returns the changes committed AFTER `lastVersion` plus the
+    * version the consumer is carried to. A foreachBatch-style loop
+    * persists the returned version as its offset and applies the
+    * tagged rows downstream; exactly-once when apply + offset commit
+    * are atomic on the consumer side. */
+  def syncChanges(spark: SparkSession, tablePath: String,
+                  lastVersion: Long): (Long, Option[DataFrame]) = {
+    val cur = listVersions(spark, tablePath).lastOption.getOrElse(-1L)
+    if (cur <= lastVersion) (lastVersion, None)
+    else (cur, Some(changes(spark, tablePath, lastVersion, cur)))
+  }
+
   // ---------------- direct writer ----------------
 
   private def jsEscape(s: String): String = {
@@ -318,21 +512,91 @@ object DeltaLog {
     b.append("\"").toString
   }
 
-  private def metaDataLine(tableId: String, schemaJson: String, now: Long): String =
-    s"""{"metaData":{"id":${jsEscape(tableId)},"format":{"provider":"parquet","options":{}},"schemaString":${jsEscape(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":$now}}"""
+  private def metaDataLine(tableId: String, schemaJson: String,
+                           partitionColumns: Seq[String], now: Long): String = {
+    val pcJson = partitionColumns.map(jsEscape).mkString("[", ",", "]")
+    s"""{"metaData":{"id":${jsEscape(tableId)},"format":{"provider":"parquet","options":{}},"schemaString":${jsEscape(schemaJson)},"partitionColumns":$pcJson,"configuration":{},"createdTime":$now}}"""
+  }
+
+  /** Table-relative path → percent-encoded log path. The reader's
+    * [[decodePath]] is URLDecoder, so URLEncoder per path SEGMENT
+    * ('/' preserved) is its exact inverse — any literal '%', '+', or
+    * non-ASCII byte in a staged file/dir name (hive-escaped partition
+    * dirs contain '%') round-trips to the on-disk literal. Standard
+    * percent-decoders (real Delta readers use URI decoding) restore
+    * the same string. */
+  private def encodePath(rel: String): String =
+    rel.split('/').map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("/")
+
+  /** Hive-style partition-dir unescape: %XX only (Spark's
+    * ExternalCatalogUtils.escapePathName never emits '+', so a
+    * literal '+' in a value must survive — URLDecoder would eat it). */
+  private def hiveUnescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => b.append(c); i += 1 }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Parse hive-style partition directory segments of a staged
+    * relative path into (partitionValues, fileName). */
+  private def parsePartitionDirs(relDirs: Seq[String],
+                                 partCols: Seq[String]): Map[String, String] = {
+    val kv = relDirs.map { seg =>
+      val eq = seg.indexOf('=')
+      require(eq > 0, s"expected hive-style partition dir, got: $seg")
+      val k = hiveUnescape(seg.substring(0, eq))
+      val raw = hiveUnescape(seg.substring(eq + 1))
+      k -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
+    }.toMap
+    require(kv.keySet == partCols.toSet,
+      s"staged partition dirs ${kv.keySet} do not match declared $partCols")
+    kv
+  }
+
+  /** How often [[write]] consolidates the log: every Nth commit
+    * authors `<v>.checkpoint.parquet` + `_last_checkpoint`, so a
+    * reader replays ONE distributed parquet read plus a bounded JSON
+    * tail instead of the whole commit history — the difference
+    * between O(1) and O(commits) planning for a streaming sink that
+    * commits per micro-batch (real Delta's default cadence is also
+    * 10). */
+  val DefaultCheckpointInterval: Int = 10
 
   /** Write `df` as ONE new commit of a real Delta table at
     * `deltaPath` — append by default, full overwrite with
     * `overwrite = true`; creates the table (commit 0 with
-    * protocol/metaData) when the log doesn't exist yet. Appends to an
-    * existing table require an identical schema (loud error, never a
-    * silently forked log). The commit file is created with
-    * exclusive-create semantics, so two racing writers cannot both
-    * claim the same version on filesystems honoring atomic create
-    * (the same contract VersionedTable's CAS commit documents).
+    * protocol/metaData) when the log doesn't exist yet.
+    *
+    * `partitionBy` lays the data out hive-style (one directory level
+    * per partition column) with REAL `partitionValues` in the add
+    * actions — partition columns are dropped from the data files per
+    * the Delta spec (values live only in the log), and
+    * [[readSnapshot]] prunes on them before the scan. Appends to a
+    * partitioned table inherit its partitioning; passing a DIFFERENT
+    * `partitionBy` on append is a loud error, never a silently
+    * forked layout.
+    *
+    * Appends to an existing table require an identical schema (loud
+    * error, never a silently forked log). The commit file is created
+    * with exclusive-create semantics, so two racing writers cannot
+    * both claim the same version on filesystems honoring atomic
+    * create (the same contract VersionedTable's CAS commit
+    * documents). Every `checkpointInterval`-th commit also authors a
+    * classic single-file checkpoint parquet and `_last_checkpoint`.
     * Returns the committed Delta version. */
   def write(spark: SparkSession, df: DataFrame, deltaPath: String,
-            overwrite: Boolean = false): Long = {
+            overwrite: Boolean = false,
+            partitionBy: Seq[String] = Seq.empty,
+            checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(deltaPath)
     val fs = dst.getFileSystem(fsConf)
@@ -346,58 +610,188 @@ object DeltaLog {
     val v = existing.lastOption.map(_ + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
 
-    if (existing.nonEmpty && !overwrite) {
-      val prior = snapshot(spark, deltaPath)
-      require(prior.schema == df.schema,
-        s"append schema ${df.schema.simpleString} does not match table " +
-          s"schema ${prior.schema.simpleString}; use overwrite to replace")
+    val prior: Option[Snapshot] =
+      if (existing.nonEmpty) Some(snapshot(spark, deltaPath)) else None
+    // names + types must match exactly; nullability and metadata are
+    // presentation details parquet does not enforce (a non-nullable
+    // frame appends fine into a nullable table)
+    def normType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, normType(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(normType(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(normType(m.keyType), normType(m.valueType), valueContainsNull = true)
+      case other => other
     }
+    def shape(s: StructType): StructType =
+      normType(s).asInstanceOf[StructType]
+    prior.filter(_ => !overwrite).foreach { p =>
+      require(shape(p.schema) == shape(df.schema),
+        s"append schema ${df.schema.simpleString} does not match table " +
+          s"schema ${p.schema.simpleString}; use overwrite to replace")
+      require(partitionBy.isEmpty || partitionBy == p.partitionColumns,
+        s"append partitionBy $partitionBy does not match table " +
+          s"partitioning ${p.partitionColumns}")
+    }
+    // append AND overwrite inherit the table's partitioning when
+    // partitionBy is not given (an overwrite must never SILENTLY
+    // de-partition a table); an overwrite with an explicit different
+    // partitionBy re-lays the table out
+    val effParts: Seq[String] = prior match {
+      case Some(p) if partitionBy.isEmpty => p.partitionColumns
+      case _ => partitionBy
+    }
+    effParts.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in ${df.columns.mkString(",")}"))
 
     // stage the data through a scratch dir, then adopt the parts
     // under stable names (never leave half-written files at paths the
     // log references)
     val tmp = new Path(dst, s".tmp-$v-${java.util.UUID.randomUUID()}")
-    df.write.parquet(tmp.toString)
-    val parts = fs.listStatus(tmp).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
-    val adopted = parts.zipWithIndex.map { case (st, i) =>
-      val rel = s"part-$v-$i.parquet"
-      if (!fs.rename(st.getPath, new Path(dst, rel)))
-        throw new IllegalStateException(s"rename failed for $rel")
-      (rel, fs.getFileStatus(new Path(dst, rel)).getLen)
+    if (effParts.isEmpty) df.write.parquet(tmp.toString)
+    else df.write.partitionBy(effParts: _*).parquet(tmp.toString)
+    // walk the staged tree: data files sit under one hive-style dir
+    // level per partition column
+    def walk(p: Path): Seq[Path] = {
+      val sts = fs.listStatus(p).toSeq.filterNot(
+        _.getPath.getName.startsWith("_"))
+      sts.flatMap(st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty)
     }
+    val tmpRoot = fs.makeQualified(tmp).toString
+    val staged = walk(tmp).sortBy(_.toString)
+    val adopted: Seq[(String, Map[String, String], Long)] =
+      staged.zipWithIndex.map { case (src, i) =>
+        val relStaged = fs.makeQualified(src).toString
+          .stripPrefix(tmpRoot).stripPrefix("/")
+        val dirs = relStaged.split('/').dropRight(1).toSeq
+        val pv = parsePartitionDirs(dirs, effParts)
+        val rel = (dirs :+ s"part-$v-$i.parquet").mkString("/")
+        val fin = new Path(dst, rel)
+        fs.mkdirs(fin.getParent)
+        if (!fs.rename(src, fin))
+          throw new IllegalStateException(s"rename failed for $rel")
+        (rel, pv, fs.getFileStatus(fin).getLen)
+      }
     fs.delete(tmp, true)
+
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
+      }.mkString("{", ",", "}")
+    // the log's schemaString keeps ALL columns (partition cols
+    // included) in the df's declared order; data files carry the rest
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      deltaPath.getBytes("UTF-8")).toString
 
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     if (v == 0L) {
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      lines += metaDataLine(
-        java.util.UUID.nameUUIDFromBytes(deltaPath.getBytes("UTF-8")).toString,
-        df.schema.json, now)
+      lines += metaDataLine(tableId, df.schema.json, effParts, now)
     } else if (overwrite) {
-      val prior = snapshot(spark, deltaPath)
-      if (prior.schema != df.schema)
-        lines += metaDataLine(
-          java.util.UUID.nameUUIDFromBytes(deltaPath.getBytes("UTF-8")).toString,
-          df.schema.json, now)
+      val p = prior.get
+      if (p.schema != df.schema || p.partitionColumns != effParts)
+        lines += metaDataLine(tableId, df.schema.json, effParts, now)
       // snapshot paths are absolute; the log stores table-relative —
       // normalize the scheme off both sides before stripping
       def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
       val root = deScheme(fs.makeQualified(dst).toString)
-      prior.files.foreach { f =>
-        val rel = deScheme(new Path(f.path).toString)
-          .stripPrefix(root).stripPrefix("/")
+      p.files.foreach { f =>
+        val rel = encodePath(deScheme(new Path(f.path).toString)
+          .stripPrefix(root).stripPrefix("/"))
         lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
       }
     }
-    adopted.foreach { case (rel, sz) =>
-      lines += s"""{"add":{"path":${jsEscape(rel)},"partitionValues":{},"size":$sz,"modificationTime":$now,"dataChange":true}}"""
+    adopted.foreach { case (rel, pv, sz) =>
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true}}"""
     }
     val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
+      checkpoint(spark, deltaPath, v)
     v
+  }
+
+  /** `ALTER TABLE … ADD COLUMNS` — commit a metaData-only version
+    * declaring the widened schema. No data files change: existing
+    * files read the new columns as null via parquet schema-on-read,
+    * older versions still read with THEIR metaData (time travel
+    * unaffected), and appends are now gated on the widened schema.
+    * Returns the committed version. */
+  def addColumns(spark: SparkSession, deltaPath: String,
+                 newFields: Seq[StructField]): Long = {
+    require(newFields.nonEmpty, "ADD COLUMNS with no columns")
+    val prior = snapshot(spark, deltaPath)
+    newFields.foreach(f => require(!prior.schema.fieldNames.contains(f.name),
+      s"column ${f.name} already exists in ${prior.schema.simpleString}"))
+    val widened = StructType(prior.schema.fields ++ newFields)
+    val fs = new Path(deltaPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v = listVersions(spark, deltaPath).last + 1
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      deltaPath.getBytes("UTF-8")).toString
+    val line = metaDataLine(tableId, widened.json, prior.partitionColumns,
+      System.currentTimeMillis())
+    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((line + "\n").getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** Author a classic single-file checkpoint at `version`:
+    * `<v>.checkpoint.parquet` holding the reconciled state (protocol
+    * + metaData + every live add action) plus the `_last_checkpoint`
+    * pointer. Readers (ours and real Delta) then replay ONE parquet
+    * read + the post-checkpoint JSON tail instead of every commit.
+    * Idempotent — re-checkpointing a version overwrites the same
+    * consolidated content. */
+  def checkpoint(spark: SparkSession, deltaPath: String, version: Long): Unit = {
+    import org.apache.spark.sql.Row
+    val snap = snapshot(spark, deltaPath, versionAsOf = Some(version))
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(deltaPath)
+    val fs = dst.getFileSystem(fsConf)
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val root = deScheme(fs.makeQualified(dst).toString)
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      deltaPath.getBytes("UTF-8")).toString
+    val protoRow = Row(1, 2, null, null)
+    val metaRow = Row(tableId, null, snap.schema.json,
+      snap.partitionColumns, snap.configuration, Row("parquet"))
+    val addRows = snap.files.map { f =>
+      val rel = encodePath(deScheme(new Path(f.path).toString)
+        .stripPrefix(root).stripPrefix("/"))
+      Row(rel, f.partitionValues, f.size, f.modificationTime,
+        java.lang.Boolean.TRUE, null, null)
+    }
+    val rows: Seq[Row] =
+      (Row(protoRow, null, null, null) +: Row(null, metaRow, null, null) +:
+        addRows.map(a => Row(null, null, a, null)))
+    val cpDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(ActionSchema.fields))
+    // stage-then-adopt: parquet wants a directory; the classic
+    // checkpoint is one file
+    val tmp = new Path(dst, s".tmp-cp-$version-${java.util.UUID.randomUUID()}")
+    cpDf.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).toSeq
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no checkpoint part written"))
+    val cpPath = new Path(logDir(deltaPath), pad20(version) + ".checkpoint.parquet")
+    fs.delete(cpPath, false)
+    if (!fs.rename(part.getPath, cpPath))
+      throw new IllegalStateException(s"rename failed for $cpPath")
+    fs.delete(tmp, true)
+    val lc = new Path(logDir(deltaPath), "_last_checkpoint")
+    val out = fs.create(lc, true) // pointer file: last-writer-wins
+    try out.write(
+      s"""{"version":$version,"size":${rows.size}}\n""".getBytes("UTF-8"))
+    finally out.close()
   }
 
   // ---------------- VersionedTable interop ----------------
@@ -449,7 +843,7 @@ object DeltaLog {
         lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
         lines += metaDataLine(
           java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString,
-          schemaJson, now)
+          schemaJson, Seq.empty, now)
       }
       prevFiles.foreach { case (rel, _) =>
         lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""

@@ -119,7 +119,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     } else {
       require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
         s"plain parquet table $ident has no version history")
-      (Seq(dir.toString), None)
+      (Seq(dir.toString), sidecarSchema(dir))
+    }
+  }
+
+  /** Plain-parquet tables have no transaction log to carry DDL, so
+    * `ALTER TABLE ADD COLUMNS` records the widened schema in an
+    * underscore-prefixed sidecar (`_graft_schema.json`, invisible to
+    * parquet scans). When present it becomes the serving schema:
+    * files written before the ALTER read the new columns as null via
+    * parquet schema-on-read; INSERTs are validated against it. */
+  private def sidecarPath(dir: Path): Path = new Path(dir, "_graft_schema.json")
+
+  private def sidecarSchema(dir: Path): Option[StructType] = {
+    val p = sidecarPath(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[StructType])
     }
   }
 
@@ -197,11 +217,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (fs.exists(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(ident)
     fs.mkdirs(dir)
+    // persist the declared schema in the sidecar so an empty table
+    // loads (and can be ALTERed) before its first INSERT
+    val out = fs.create(sidecarPath(dir), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
     parquetTable(ident, Seq(dir.toString), Some(schema))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE on graft catalog")
+  /** `ALTER TABLE … ADD COLUMN(S)`, mapped per storage flavor to the
+    * format's own evolution machinery:
+    *  - versioned → one schema-evolving overwrite commit (the §2
+    *    writeEvolve machinery): a NEW version with the columns
+    *    null-filled; older versions still read with their own schema.
+    *  - delta → a metaData-only commit via [[DeltaLog.addColumns]];
+    *    existing files read the columns as null, appends are gated on
+    *    the widened schema, time travel unaffected.
+    *  - plain parquet → the `_graft_schema.json` sidecar.
+    * Anything other than a top-level AddColumn stays a loud
+    * UnsupportedOperationException — never a silently dropped DDL. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    if (!fs.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"only top-level ADD COLUMN is supported, got ${a.fieldNames().mkString(".")}")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), a.isNullable)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change on graft catalog: $other")
+    }
+    if (isDelta(dir)) {
+      DeltaLog.addColumns(spark, dir.toString, adds)
+    } else if (isIceberg(dir)) {
+      throw new UnsupportedOperationException(
+        "ALTER TABLE on an iceberg-flavor table: evolve the schema with " +
+          "IcebergTable.write of the widened frame instead")
+    } else if (isVersioned(dir)) {
+      val cur = VersionedTable.read(spark, dir.toString)
+      val widened = adds.foldLeft(cur) { (df, f) =>
+        require(!df.columns.contains(f.name),
+          s"column ${f.name} already exists on $ident")
+        df.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+      }
+      VersionedTable.write(widened, dir.toString, overwrite = true)
+    } else {
+      val cur = sidecarSchema(dir).getOrElse(
+        spark.read.parquet(dir.toString).schema)
+      adds.foreach(f => require(!cur.fieldNames.contains(f.name),
+        s"column ${f.name} already exists on $ident"))
+      val widened = StructType(cur.fields ++ adds)
+      val out = fs.create(sidecarPath(dir), true)
+      try out.write(widened.json.getBytes("UTF-8")) finally out.close()
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)

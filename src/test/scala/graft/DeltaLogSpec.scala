@@ -241,6 +241,158 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.history(spark, delta).count() === 2L)
   }
 
+  test("partitioned writer: hive layout, REAL partitionValues, pruning plans fewer files") {
+    val t = Files.createTempDirectory("graft-delta-pw").toString + "/t"
+    val df = Seq((1L, "x", 10), (2L, "x", 20), (3L, "y", 30), (4L, "z", 40))
+      .toDF("id", "p", "n")
+    assert(DeltaLog.write(spark, df, t, partitionBy = Seq("p")) === 0L)
+    // the log's add actions carry real partitionValues, never {}
+    val log0 = Files.readString(Paths.get(t, "_delta_log", f"${0L}%020d.json"))
+    assert(log0.contains(""""partitionValues":{"p":"x"}"""), log0)
+    assert(log0.contains(""""partitionColumns":["p"]"""), log0)
+    assert(!log0.contains(""""partitionValues":{}"""), log0)
+    // data files sit under hive-style dirs and do NOT contain p
+    val snap0 = DeltaLog.snapshot(spark, t)
+    assert(snap0.files.forall(_.path.contains("/p=")), snap0.files)
+    assert(spark.read.parquet(snap0.files.head.path).columns.toSet === Set("id", "n"))
+    // round trip: full read re-attaches typed partition values
+    assert(DeltaLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+      === Set((1L, "x", 10), (2L, "x", 20), (3L, "y", 30), (4L, "z", 40)))
+    // append INHERITS the partitioning (no partitionBy passed)
+    assert(DeltaLog.write(spark, Seq((5L, "y", 50)).toDF("id", "p", "n"), t) === 1L)
+    // ...but a DIFFERENT partitionBy on append is a loud error
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.write(spark, Seq((6L, "y", 60)).toDF("id", "p", "n"), t,
+        partitionBy = Seq("n"))
+    }
+    assert(e.getMessage.contains("partition"))
+    // partition-predicate read: the planned file list is STRICTLY
+    // smaller than the snapshot's, rows hash-equal to filter-after-read
+    val snap = DeltaLog.snapshot(spark, t)
+    val prunedList = DeltaLog.prunedFiles(spark, snap, col("p") === "y")
+    assert(prunedList.size < snap.files.size,
+      s"${prunedList.size} vs ${snap.files.size}")
+    assert(prunedList.nonEmpty)
+    val viaPrune = DeltaLog.readWhere(spark, t, col("p") === "y")
+      .as[(Long, String, Int)].collect().toSet
+    val viaFilter = DeltaLog.read(spark, t).where(col("p") === "y")
+      .as[(Long, String, Int)].collect().toSet
+    assert(viaPrune === viaFilter)
+    assert(viaPrune === Set((3L, "y", 30), (5L, "y", 50)))
+    // a predicate mixing partition and data columns prunes soundly
+    val mixed = DeltaLog.readWhere(spark, t,
+      col("p") === "x" && col("n") > 10).as[(Long, String, Int)].collect().toSet
+    assert(mixed === Set((2L, "x", 20)))
+    assert(DeltaLog.prunedFiles(spark, snap,
+      col("p") === "x" && col("n") > 10).size < snap.files.size)
+  }
+
+  test("writer checkpoints: 15-commit log reads via its checkpoint") {
+    val t = Files.createTempDirectory("graft-delta-cp15").toString + "/t"
+    (0 until 15).foreach { i =>
+      DeltaLog.write(spark, Seq((i.toLong, s"r$i")).toDF("k", "v"), t)
+    }
+    // commit 10 authored the classic checkpoint + _last_checkpoint
+    assert(Files.exists(Paths.get(t, "_delta_log",
+      f"${10L}%020d.checkpoint.parquet")))
+    val lc = Files.readString(Paths.get(t, "_delta_log", "_last_checkpoint"))
+    assert(lc.contains("\"version\":10"), lc)
+    // replay = checkpoint parquet + json tail (11..14) — full content
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+      === (0 until 15).map(i => (i.toLong, s"r$i")).toSet)
+    assert(DeltaLog.snapshot(spark, t).version === 14L)
+    // pre-checkpoint versions still replay from json
+    assert(DeltaLog.read(spark, t, versionAsOf = Some(3L))
+      .as[(Long, String)].collect().toSet
+      === (0 until 4).map(i => (i.toLong, s"r$i")).toSet)
+    // a checkpointed PARTITIONED table keeps partitionValues through
+    // the checkpoint parquet
+    val tp = Files.createTempDirectory("graft-delta-cp-p").toString + "/t"
+    (0 until 11).foreach { i =>
+      DeltaLog.write(spark, Seq((i.toLong, s"p${i % 2}")).toDF("k", "p"), tp,
+        partitionBy = Seq("p"))
+    }
+    assert(Files.exists(Paths.get(tp, "_delta_log",
+      f"${10L}%020d.checkpoint.parquet")))
+    assert(DeltaLog.read(spark, tp).as[(Long, String)].collect().toSet
+      === (0 until 11).map(i => (i.toLong, s"p${i % 2}")).toSet)
+    val snapP = DeltaLog.snapshot(spark, tp)
+    assert(DeltaLog.prunedFiles(spark, snapP, col("p") === "p0").size
+      < snapP.files.size)
+  }
+
+  test("changes: per-commit insert/delete feed with partition values") {
+    val t = Files.createTempDirectory("graft-delta-cdc").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "x"), (2L, "y")).toDF("k", "p"), t,
+      partitionBy = Seq("p"))
+    DeltaLog.write(spark, Seq((3L, "x")).toDF("k", "p"), t)
+    DeltaLog.write(spark, Seq((9L, "z")).toDF("k", "p"), t, overwrite = true)
+    val ch = DeltaLog.changes(spark, t, fromVersion = -1L, toVersion = 2L)
+      .select("k", "p", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(ch === Set(
+      (1L, "x", "insert", 0L), (2L, "y", "insert", 0L),
+      (3L, "x", "insert", 1L),
+      // the overwrite removes all three prior rows (pv resolved from
+      // the pre-range snapshot for v0 files, from in-range adds for v1)
+      (1L, "x", "delete", 2L), (2L, "y", "delete", 2L), (3L, "x", "delete", 2L),
+      (9L, "z", "insert", 2L)))
+    // a sub-range poll sees only its commits
+    val tail = DeltaLog.changes(spark, t, fromVersion = 1L, toVersion = 2L)
+    assert(tail.where(col("_change_type") === "insert")
+      .select("k").as[Long].collect().toSeq === Seq(9L))
+  }
+
+  test("foreachBatch consumer converges a replica across three commits") {
+    val dir = Files.createTempDirectory("graft-delta-replica").toString
+    Files.createDirectories(Paths.get(s"$dir/in"))
+    Files.writeString(Paths.get(s"$dir/in/b1.json"),
+      """[{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]""")
+    Files.writeString(Paths.get(s"$dir/in/b2.json"),
+      """[{"k": 3, "v": "c"}]""")
+    Files.writeString(Paths.get(s"$dir/in/b3.json"),
+      """[{"k": 9, "v": "z"}]""")
+    // deterministic micro-batch order: the file source orders by mtime
+    Seq("b1", "b2", "b3").zipWithIndex.foreach { case (n, i) =>
+      Paths.get(s"$dir/in/$n.json").toFile.setLastModified(1000000L * (i + 1))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    val delta = s"$dir/delta"
+    // consumer state: CDC offset + replica rows, advanced per batch —
+    // the VersionedTable.syncChanges contract applied to a REAL log
+    var offset = -1L
+    val replica = scala.collection.mutable.Set[(Long, String)]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("multiLine", "true")
+      .json(s"$dir/in")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // producer: last micro-batch overwrites (exercises deletes)
+        DeltaLog.write(spark, batch, delta, overwrite = batchId >= 2)
+        // consumer: poll the change feed, apply to the replica
+        val (next, diff) = DeltaLog.syncChanges(spark, delta, offset)
+        diff.foreach { d =>
+          val rows = d.select("k", "v", "_change_type", "_commit_version")
+            .as[(Long, String, String, Long)].collect().sortBy(_._4)
+          rows.foreach {
+            case (k, v, "insert", _) => replica += ((k, v))
+            case (k, v, "delete", _) => replica -= ((k, v))
+            case other => fail(s"unexpected change row $other")
+          }
+        }
+        offset = next
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(offset === 2L)
+    assert(replica.toSet ===
+      DeltaLog.read(spark, delta).as[(Long, String)].collect().toSet)
+    assert(replica.toSet === Set((9L, "z")))
+  }
+
   test("VersionedTable export round-trips through the Delta reader") {
     val t = Files.createTempDirectory("graft-vt-delta").toString + "/t"
     VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)

@@ -96,6 +96,59 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/bronze/raw").exists())
   }
 
+  test("ALTER TABLE ADD COLUMN: versioned, delta and plain flavors") {
+    // versioned flavor: DDL commits a schema-evolving version
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      s"$root/ddl/vt")
+    spark.sql("ALTER TABLE graft_t.ddl.vt ADD COLUMN score DOUBLE")
+    assert(spark.sql("SELECT k, v, score FROM graft_t.ddl.vt ORDER BY k")
+      .as[(Long, String, Option[Double])].collect().toSeq
+      === Seq((1L, "a", None), (2L, "b", None)))
+    // old snapshot still reads with its own schema
+    assert(spark.sql("SELECT * FROM graft_t.ddl.vt VERSION AS OF 1")
+      .columns.toSeq === Seq("k", "v"))
+    // new writes carry the column (writeEvolve machinery)
+    VersionedTable.writeEvolve(Seq((3L, "c", 0.5)).toDF("k", "v", "score"),
+      s"$root/ddl/vt")
+    assert(spark.sql("SELECT score FROM graft_t.ddl.vt WHERE k = 3")
+      .as[Double].head() === 0.5)
+
+    // delta flavor: DDL commits a metaData-only version
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), s"$root/ddl/dt")
+    spark.sql("ALTER TABLE graft_t.ddl.dt ADD COLUMN n BIGINT")
+    // existing files read the column as null via schema-on-read
+    assert(spark.sql("SELECT k, v, n FROM graft_t.ddl.dt")
+      .as[(Long, String, Option[Long])].collect().toSeq
+      === Seq((1L, "a", None)))
+    // the pre-DDL version still reads narrow
+    assert(spark.sql("SELECT * FROM graft_t.ddl.dt VERSION AS OF 0")
+      .columns.toSeq === Seq("k", "v"))
+    // appends are now gated on the widened schema...
+    intercept[IllegalArgumentException] {
+      DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v"), s"$root/ddl/dt")
+    }
+    // ...and a widened append round-trips
+    DeltaLog.write(spark, Seq((2L, "b", 7L)).toDF("k", "v", "n"), s"$root/ddl/dt")
+    assert(spark.sql("SELECT k, n FROM graft_t.ddl.dt ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq
+      === Seq((1L, None), (2L, Some(7L))))
+
+    // plain flavor: sidecar records the widened schema
+    Seq((1L, "x")).toDF("id", "s").write.parquet(s"$root/ddl/pt")
+    spark.sql("ALTER TABLE graft_t.ddl.pt ADD COLUMN extra STRING")
+    assert(spark.sql("SELECT id, s, extra FROM graft_t.ddl.pt")
+      .as[(Long, String, Option[String])].collect().toSeq
+      === Seq((1L, "x", None)))
+    // duplicate column is a loud error on every flavor
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_t.ddl.pt ADD COLUMN extra STRING")
+    }
+    // non-AddColumn changes stay loudly unsupported
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_t.ddl.pt DROP COLUMN extra")
+    }
+  }
+
   test("log-backed flavors are read-only through the catalog") {
     // a DSv2 write into a Delta/versioned/Iceberg directory would
     // dump files the log never references — the catalog must refuse,
