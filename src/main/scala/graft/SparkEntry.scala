@@ -4840,6 +4840,121 @@ object SparkEntry {
         .orderBy("week")
     }),
 
+    // MRR of the LSH ANN index against exact ground truth — the
+    // ORDER-sensitive companion to recall@5 (ann_recall_eval): the
+    // reciprocal position of the first relevant (exact-top-5)
+    // neighbor in the approx ranking, 0 when the index misses
+    // entirely. 1/rank is binary-exact for ranks 1/2/4; 6dp rounding
+    // covers the rest. Same broadcast-probe plan as the graded runs
+    // it composes.
+    "ann_mrr_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(e, q, k = 5, nBits = 4, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(coalesce(min(col("rank")), lit(0)).cast("bigint").as("first_hit_rank"))
+        .select(col("query_id"), col("first_hit_rank"),
+          roundTo(when(col("first_hit_rank") > 0,
+            lit(1.0) / col("first_hit_rank")).otherwise(lit(0.0)), 6).as("mrr"))
+        .orderBy("query_id")
+    }),
+
+    // cross-source duplication matrix — the corpus-level dedup
+    // diagnostic: for every pair of sources, how many normalized
+    // content fingerprints they SHARE (which feeds "which crawls
+    // overlap, which mirror should we drop wholesale"). Planted
+    // mirror source (every 5th doc cloned under the 2^40 id tag)
+    // keeps the gate meaningful on corpora with no natural overlap.
+    // Distinct (source, fp) first, so the fp self-join fans out per
+    // source-pair — never per duplicate-pair; group sizes are bounded
+    // by the source count.
+    "dedup_cross_source_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("source"), col("text"))
+        .unionAll(docs.where(col("doc_id") % 5 === 0)
+          .select(lit("zz_mirror").as("source"), col("text")))
+      val fp = corpus
+        .select(col("source"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .distinct()
+      val a = fp.select(col("source").as("source_a"), col("fp"))
+      val b = fp.select(col("source").as("source_b"), col("fp"))
+      a.join(b, "fp").where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared_fp"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // training-mix temperature rebalancing (the multilingual-corpus
+    // alpha-sampling rule at alpha = 0.5, i.e. sqrt scaling): a
+    // source's sampling share goes from size/total to
+    // sqrt(size)/sum(sqrt(size)), lifting small sources. Size is
+    // total characters (doc counts are near-uniform here). sqrt of
+    // an integer-valued double is IEEE exactly-rounded on BOTH
+    // engines, and the sqrt terms accumulate at decimal scale 9 —
+    // the portable grid, no pow() libm drift anywhere. One keyed
+    // rollup + a 1-row broadcast.
+    "corpus_mix_temperature" -> ((s, d) => {
+      val counts = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val sq = counts.select(col("source"), col("n_docs"), col("n_chars"),
+        roundTo(sqrt(col("n_chars").cast("double")), 9).as("__sq"))
+      val tot = sq.agg(sum(col("n_chars")).as("__tc"),
+        sum(col("__sq").cast("decimal(28,9)")).as("__tsq"))
+      sq.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          roundTo(col("n_chars").cast("double") / col("__tc"), 6).as("raw_share"),
+          roundTo(col("__sq") / col("__tsq").cast("double"), 6).as("temp_share"))
+        .orderBy("source")
+    }),
+
+    // embedding-corpus hygiene gate (the vector twin of the text DQ
+    // rows): vector count, zero vectors (undefined cosine — these
+    // break normalization downstream), norm extremes and mean norm.
+    // Norms ride the codegen'd dot product; the mean divides an
+    // exact decimal sum of 9dp-rounded norms. ONE global rollup —
+    // 1 output row.
+    "embed_quality_stats" -> ((s, d) => {
+      val n = Tables.embeddings(s, d).select(
+        roundTo(Similarity.norm(transform(col("embedding"),
+          x => x.cast("double"))), 9).as("norm"))
+      n.agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        roundTo(min(col("norm")), 9).as("min_norm"),
+        roundTo(max(col("norm")), 9).as("max_norm"))
+        .crossJoin(broadcast(n.agg(
+          sum(col("norm").cast("decimal(28,9)")).as("__s"),
+          count(lit(1)).as("__n"))))
+        .select(col("n_vecs"), col("n_zero"), col("min_norm"), col("max_norm"),
+          roundTo(col("__s").cast("double") / col("__n"), 6).as("mean_norm"))
+    }),
+
+    // behavioral Markov transition matrix: per user (event-time
+    // order, event_id tiebreak), each event's NEXT event type,
+    // rolled up to (from, to) counts with the row-share within each
+    // from-type — session-flow analytics' standard first artifact.
+    // Per-user bounded windows; the share window partitions by
+    // from_type over the tiny type-pair frame.
+    "q_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms").asc, col("event_id").asc)
+      val pairs = Tables.events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs.withColumn("share", roundTo(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")), 6))
+        .orderBy("from_type", "to_type")
+    }),
+
     // per-event-type freshness check (the pipeline-health DQ row):
     // latest arrival vs the global high-water mark, staleness in
     // whole days, flag past 7. One keyed rollup + a 1-row broadcast.
@@ -7613,7 +7728,67 @@ object SparkEntry {
         |SELECT event_type, n_events, last_ms,
         | CAST(floor((h.hwm - last_ms) / 86400000.0) AS BIGINT) AS days_stale,
         | CAST(floor((h.hwm - last_ms) / 86400000.0) AS BIGINT) > 7 AS is_stale
-        |FROM pt CROSS JOIN h ORDER BY event_type""".stripMargin
+        |FROM pt CROSS JOIN h ORDER BY event_type""".stripMargin,
+
+    // composes the exact and LSH graded runs; first relevant hit's
+    // reciprocal rank per query
+    "ann_mrr_eval" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annTopkOracle) t1),
+         |approx AS (SELECT query_id, rank, neighbor_id FROM ($annLshOracle) t2)
+         |SELECT e.query_id,
+         | CAST(COALESCE(MIN(a.rank), 0) AS BIGINT) AS first_hit_rank,
+         | ${sqlRound("COALESCE(CAST(1 AS DOUBLE) / MIN(a.rank), 0)", 6)} AS mrr
+         |FROM exact e LEFT JOIN approx a
+         | ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
+    "dedup_cross_source_matrix" ->
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'zz_mirror' AS source, text FROM documents WHERE doc_id % 5 = 0),
+        |fp AS (SELECT DISTINCT source,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        | FROM corpus)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    "corpus_mix_temperature" ->
+      s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY 1),
+         |s AS (SELECT source, n_docs, n_chars,
+         |  ${sqlRound("sqrt(CAST(n_chars AS DOUBLE))", 9)} AS sq FROM c),
+         |t AS (SELECT SUM(n_chars) AS tc,
+         |  SUM(CAST(sq AS DECIMAL(28,9))) AS tsq FROM s)
+         |SELECT source, n_docs, n_chars,
+         | ${sqlRound("CAST(n_chars AS DOUBLE) / tc", 6)} AS raw_share,
+         | ${sqlRound("sq / CAST(tsq AS DOUBLE)", 6)} AS temp_share
+         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "embed_quality_stats" ->
+      s"""WITH n AS (SELECT
+         |  ${sqlRound("sqrt(list_inner_product(list_transform(embedding, x -> x::DOUBLE), list_transform(embedding, x -> x::DOUBLE)))", 9)} AS norm
+         | FROM embeddings)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         | CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         | ${sqlRound("MIN(norm)", 9)} AS min_norm,
+         | ${sqlRound("MAX(norm)", 9)} AS max_norm,
+         | ${sqlRound("CAST(SUM(CAST(norm AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)", 6)} AS mean_norm
+         |FROM n ORDER BY n_vecs""".stripMargin,
+
+    "q_event_transitions" ->
+      s"""WITH t AS (SELECT event_type,
+         |  lead(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY ts ASC, event_id ASC) AS next_type
+         | FROM events WHERE user_id IS NOT NULL),
+         |c AS (SELECT event_type AS from_type, next_type AS to_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         | FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, n,
+         | ${sqlRound("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)", 6)} AS share
+         |FROM c ORDER BY from_type, to_type""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -84,7 +84,11 @@ class PlanLintSpec extends SparkSpec {
     // 1-row revenue-total scalar over the bounded levels frame
     "q_discount_depth",
     // 1-row last-month scalar bounding churn attribution
-    "q_growth_accounting")
+    "q_growth_accounting",
+    // two 1-row corpus-hygiene aggs (counts/extremes + decimal mean)
+    "embed_quality_stats",
+    // 1-row char-total + decimal sqrt-sum scalars, cross-joined
+    "corpus_mix_temperature")
 
   test("no query gathers data to a single partition (except 1-row aggs)") {
     SparkEntry.queries.foreach { case (name, fn) =>
