@@ -716,6 +716,144 @@ object DeltaLog {
     v
   }
 
+  /** Hive-style partition-dir escape — inverse of [[hiveUnescape]]
+    * for the characters that would corrupt a path segment. */
+  private def hiveEscape(s: String): String = {
+    val bad = "\u0001%/:=\\#?*\"<>|"
+    val b = new StringBuilder
+    s.foreach { c =>
+      if (c < ' ' || bad.indexOf(c) >= 0) b.append(f"%%${c.toInt}%02X")
+      else b.append(c)
+    }
+    b.toString
+  }
+
+  /** `OPTIMIZE` (compaction, optionally Z-ORDER) — rewrite each
+    * partition's data files into ~`targetFileBytes` outputs and
+    * commit the swap as ONE `dataChange=false` version: readers at
+    * the new version see identical rows in fewer, larger files
+    * (small-file pressure is what kills a per-micro-batch streaming
+    * sink's scan planning at scale); older versions still reference
+    * the old files — nothing is deleted here, that is [[vacuum]]'s
+    * explicit job. With `zorderBy` the rewritten rows are
+    * multi-column Z-clustered ([[Layout.zorderBy]] — the reference's
+    * `OPTIMIZE ... ZORDER BY`, gold_transformation.py:160) so file
+    * min/max stats prune on ANY Z column. Partitions already at one
+    * file are left alone unless Z-ordering was requested. Returns
+    * the committed version, or the current version when there was
+    * nothing to do (no empty commits). */
+  def optimize(spark: SparkSession, deltaPath: String,
+               targetFileBytes: Long = 128L << 20,
+               zorderBy: Seq[String] = Nil,
+               checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val snap = snapshot(spark, deltaPath)
+    zorderBy.foreach { c =>
+      require(snap.schema.fieldNames.contains(c), s"unknown Z-ORDER column $c")
+      require(!snap.partitionColumns.contains(c),
+        s"Z-ORDER column $c is a partition column — already file-separated")
+    }
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(deltaPath)
+    val fs = dst.getFileSystem(fsConf)
+    val dataSchema = StructType(snap.schema.filterNot(
+      f => snap.partitionColumns.contains(f.name)))
+    val groups = snap.files.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+    val rewrite = groups.filter { case (_, fls) =>
+      fls.size > 1 || zorderBy.nonEmpty }
+    if (rewrite.isEmpty) return snap.version
+    val v = listVersions(spark, deltaPath).last + 1
+    val now = System.currentTimeMillis()
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val root = deScheme(fs.makeQualified(dst).toString)
+
+    val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long)]()
+    rewrite.zipWithIndex.foreach { case ((pv, fls), gi) =>
+      val df = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
+      val nFiles = math.max(1L,
+        (fls.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+      val out =
+        if (zorderBy.nonEmpty) Layout.zorderBy(df, nFiles, zorderBy)
+        else df.coalesce(nFiles)
+      val tmp = new Path(dst, s".tmp-opt-$v-$gi-${java.util.UUID.randomUUID()}")
+      out.write.parquet(tmp.toString)
+      val dirs = snap.partitionColumns.map(c =>
+        s"${hiveEscape(c)}=${Option(pv.getOrElse(c, null))
+          .map(hiveEscape).getOrElse("__HIVE_DEFAULT_PARTITION__")}")
+      val parts = fs.listStatus(tmp).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      parts.zipWithIndex.foreach { case (st, i) =>
+        val rel = (dirs :+ s"part-$v-$gi-$i.parquet").mkString("/")
+        val fin = new Path(dst, rel)
+        fs.mkdirs(fin.getParent)
+        if (!fs.rename(st.getPath, fin))
+          throw new IllegalStateException(s"rename failed for $rel")
+        adds += ((rel, pv, fs.getFileStatus(fin).getLen))
+      }
+      fs.delete(tmp, true)
+    }
+
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
+      }.mkString("{", ",", "}")
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    rewrite.foreach { case (_, fls) =>
+      fls.foreach { f =>
+        val rel = encodePath(deScheme(new Path(f.path).toString)
+          .stripPrefix(root).stripPrefix("/"))
+        lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
+      }
+    }
+    adds.foreach { case (rel, pv, sz) =>
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":false}}"""
+    }
+    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (checkpointInterval > 0 && v % checkpointInterval == 0)
+      checkpoint(spark, deltaPath, v)
+    v
+  }
+
+  /** `VACUUM` — physically delete data files referenced by NONE of
+    * the most recent `keepVersions` snapshots. This is the ONE
+    * destructive operation in the module: time travel (and
+    * [[changes]] delete-row reads) older than the horizon become a
+    * LOUD missing-file read error afterward, exactly like Delta past
+    * its retention window. The `_delta_log` itself is never touched;
+    * staged `.tmp-*` scratch dirs are cleaned opportunistically.
+    * Returns the deleted (or, with `dryRun`, would-be-deleted)
+    * table-relative paths. */
+  def vacuum(spark: SparkSession, deltaPath: String,
+             keepVersions: Int = 1, dryRun: Boolean = false): Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(deltaPath)
+    val fs = dst.getFileSystem(fsConf)
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val root = deScheme(fs.makeQualified(dst).toString)
+    val versions = listVersions(spark, deltaPath)
+    val referenced: Set[String] = versions.takeRight(keepVersions)
+      .flatMap(kv => snapshot(spark, deltaPath, versionAsOf = Some(kv)).files
+        .map(f => deScheme(fs.makeQualified(new Path(f.path)).toString)))
+      .toSet
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty
+      }
+    val victims = walk(dst).filterNot(p =>
+      referenced(deScheme(fs.makeQualified(p).toString)))
+    if (!dryRun) victims.foreach(p => fs.delete(p, false))
+    victims.map(p => deScheme(fs.makeQualified(p).toString)
+      .stripPrefix(root).stripPrefix("/"))
+  }
+
   /** `ALTER TABLE … ADD COLUMNS` — commit a metaData-only version
     * declaring the widened schema. No data files change: existing
     * files read the new columns as null via parquet schema-on-read,

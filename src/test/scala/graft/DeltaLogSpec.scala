@@ -393,6 +393,59 @@ class DeltaLogSpec extends SparkSpec {
     assert(replica.toSet === Set((9L, "z")))
   }
 
+  test("OPTIMIZE compacts per partition (dataChange=false); VACUUM deletes only past the horizon") {
+    val t = Files.createTempDirectory("graft-delta-opt").toString + "/t"
+    (0 until 3).foreach { i =>
+      DeltaLog.write(spark,
+        Seq((i.toLong, "x"), (i + 100L, "y")).toDF("k", "p"), t,
+        partitionBy = Seq("p"))
+    }
+    val before = DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+    val preFiles = DeltaLog.snapshot(spark, t).files.size
+    assert(preFiles >= 6) // 3 appends x 2 partitions
+    val v = DeltaLog.optimize(spark, t, targetFileBytes = Long.MaxValue)
+    assert(v === 3L)
+    val optSnap = DeltaLog.snapshot(spark, t)
+    // one file per partition now, rows identical
+    assert(optSnap.files.size === 2, optSnap.files.map(_.path))
+    assert(optSnap.files.forall(_.partitionValues.nonEmpty))
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet === before)
+    // the rewrite commit is dataChange=false on every action
+    val log3 = Files.readString(Paths.get(t, "_delta_log", f"${3L}%020d.json"))
+    assert(!log3.contains(""""dataChange":true"""), log3)
+    // pre-optimize versions still read — nothing was deleted
+    assert(DeltaLog.read(spark, t, versionAsOf = Some(2L))
+      .as[(Long, String)].collect().toSet === before)
+    // already-compacted: no empty commit, returns current version
+    assert(DeltaLog.optimize(spark, t, targetFileBytes = Long.MaxValue) === 3L)
+    assert(DeltaLog.snapshot(spark, t).version === 3L)
+
+    // VACUUM: dry run lists, real run deletes the same set; latest
+    // still reads, pre-horizon time travel now fails LOUDLY
+    val dry = DeltaLog.vacuum(spark, t, keepVersions = 1, dryRun = true)
+    assert(dry.nonEmpty)
+    val deleted = DeltaLog.vacuum(spark, t, keepVersions = 1)
+    assert(deleted.toSet === dry.toSet)
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet === before)
+    intercept[Exception] {
+      DeltaLog.read(spark, t, versionAsOf = Some(0L)).collect()
+    }
+
+    // Z-ORDER variant: multi-column clustering, content unchanged
+    val tz = Files.createTempDirectory("graft-delta-z").toString + "/t"
+    val rows = (0 until 64).map(i => (i.toLong, (i * 37 % 64).toLong))
+    DeltaLog.write(spark, rows.toDF("a", "b").repartition(8), tz)
+    val zBefore = DeltaLog.read(spark, tz).as[(Long, Long)].collect().toSet
+    DeltaLog.optimize(spark, tz, targetFileBytes = Long.MaxValue,
+      zorderBy = Seq("a", "b"))
+    assert(DeltaLog.read(spark, tz).as[(Long, Long)].collect().toSet === zBefore)
+    assert(DeltaLog.snapshot(spark, tz).files.size === 1)
+    // Z-ORDER on a partition column is refused
+    intercept[IllegalArgumentException] {
+      DeltaLog.optimize(spark, t, zorderBy = Seq("p"))
+    }
+  }
+
   test("VersionedTable export round-trips through the Delta reader") {
     val t = Files.createTempDirectory("graft-vt-delta").toString + "/t"
     VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
