@@ -305,6 +305,49 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.history(spark, ice).count() === 2L)
   }
 
+  test("incremental changes feed converges a replica across three snapshots") {
+    val t = Files.createTempDirectory("graft-ice-cdc").toString + "/t"
+    val s1 = IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val s2 = IcebergTable.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    val s3 = IcebergTable.write(spark, Seq((9L, "z")).toDF("k", "v"), t,
+      overwrite = true)
+    assert(IcebergTable.snapshotIds(spark, t) === Seq(s1, s2, s3))
+    // full-range poll: appends insert, the overwrite deletes + inserts
+    val ch = IcebergTable.changes(spark, t, -1L, s3)
+      .select("k", "v", "_change_type", "_commit_snapshot_id")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(ch === Set(
+      (1L, "a", "insert", s1), (2L, "b", "insert", s1),
+      (3L, "c", "insert", s2),
+      (1L, "a", "delete", s3), (2L, "b", "delete", s3), (3L, "c", "delete", s3),
+      (9L, "z", "insert", s3)))
+    // incremental replica through syncChanges polls
+    var offset = -1L
+    val replica = scala.collection.mutable.Set[(Long, String)]()
+    def poll(): Unit = {
+      val (next, diff) = IcebergTable.syncChanges(spark, t, offset)
+      diff.foreach(_.select("k", "v", "_change_type", "_commit_snapshot_id")
+        .as[(Long, String, String, Long)].collect().sortBy(_._4)
+        .foreach {
+          case (k, v, "insert", _) => replica += ((k, v))
+          case (k, v, "delete", _) => replica -= ((k, v))
+          case other => fail(s"unexpected change row $other")
+        })
+      offset = next
+    }
+    poll() // catches up through all three snapshots at once
+    assert(offset === s3)
+    assert(replica.toSet ===
+      IcebergTable.read(spark, t).as[(Long, String)].collect().toSet)
+    // idle poll: no diff, offset unchanged
+    val (again, none) = IcebergTable.syncChanges(spark, t, offset)
+    assert(again === s3 && none.isEmpty)
+    // sub-range poll sees only its snapshot's diff
+    val tail = IcebergTable.changes(spark, t, s2, s3)
+    assert(tail.where($"_change_type" === "insert").select("k")
+      .as[Long].collect().toSeq === Seq(9L))
+  }
+
   test("catalog serves the iceberg flavor by name, with time travel") {
     val root = Files.createTempDirectory("graft-cat-ice").toString
     val t = Files.createTempDirectory("graft-cat-vt").toString + "/t"
