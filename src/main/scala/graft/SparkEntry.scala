@@ -4955,6 +4955,68 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     }),
 
+    // train/eval n-gram overlap rate — the MEMORIZATION-surface
+    // metric decontamination complements: per eval doc (doc_id%10==0,
+    // the established eval-split rule), the share of its distinct
+    // 3-shingles that ALSO appear anywhere in the train split. High
+    // overlap = eval loss is measuring recall of training text, not
+    // generalization. Shuffle shape: one explode + hash-join on the
+    // 64-bit shingle hash (same-cardinality, ~3x smaller rows than
+    // the string) + one per-doc rollup; the train side is a distinct
+    // shingle set, never doc-pairs.
+    "text_train_overlap" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.shinglesDistinct(col("text"), 3).as("__sh"))
+        .where(size(col("__sh")) > 0)
+      val ev = sh.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), size(col("__sh")).as("n_sh"),
+          explode(col("__sh")).as("__g0"))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("__g0")).as("__g"))
+      val tr = sh.where(col("doc_id") % 10 =!= 0)
+        .select(explode(col("__sh")).as("__g0"))
+        .select(xxhash64(col("__g0")).as("__g")).distinct()
+        .withColumn("__hit", lit(1L))
+      ev.join(tr, Seq("__g"), "left_outer")
+        .groupBy("doc_id", "n_sh")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+        .select(col("doc_id"), col("n_sh").cast("bigint").as("n_sh"),
+          col("n_overlap"),
+          roundTo(col("n_overlap").cast("double") / col("n_sh"), 6)
+            .as("overlap_rate"))
+        .orderBy("doc_id")
+    }),
+
+    // duplicated-mass report per source — "how much of each source is
+    // redundant bytes": a doc is REDUNDANT when its normalized
+    // fingerprint has a lower-id copy anywhere in the corpus (the
+    // canonical-survivor rule every dedup query shares); per source,
+    // redundant doc count and the redundant share of characters.
+    // Planted clones (every 4th doc, 2^40 id tag) keep the gate
+    // meaningful. Window partitions by fingerprint — group size =
+    // duplicate multiplicity, never corpus-scale.
+    "corpus_dup_inflation" -> ((s, d) => {
+      val docs0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      val corpus = docs0.unionAll(docs0.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + SyntheticIdTag).as("doc_id"),
+          col("source"), col("text"), col("n_chars")))
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      corpus.withColumn("fp", TextFunctions.fingerprintMd5(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_redundant"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("__rn") > 1, col("n_chars")).otherwise(lit(0L)))
+            .as("redundant_chars"))
+        .select(col("source"), col("n_docs"), col("n_redundant"),
+          col("total_chars"), col("redundant_chars"),
+          roundTo(col("redundant_chars").cast("double") / col("total_chars"), 6)
+            .as("redundant_share"))
+        .orderBy("source")
+    }),
+
     // per-event-type freshness check (the pipeline-health DQ row):
     // latest arrival vs the global high-water mark, staleness in
     // whole days, flag past 7. One keyed rollup + a 1-row broadcast.
@@ -7777,6 +7839,38 @@ object SparkEntry {
          | ${sqlRound("MAX(norm)", 9)} AS max_norm,
          | ${sqlRound("CAST(SUM(CAST(norm AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)", 6)} AS mean_norm
          |FROM n ORDER BY n_vecs""".stripMargin,
+
+    "text_train_overlap" ->
+      s"""WITH $shingleCte,
+         |dsh AS (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh),
+         |ev AS (SELECT doc_id, len(dsh) AS n_sh, unnest(dsh) AS g
+         |  FROM dsh WHERE doc_id % 10 = 0),
+         |tr AS (SELECT DISTINCT g FROM (
+         |  SELECT unnest(dsh) AS g FROM dsh WHERE doc_id % 10 != 0)),
+         |hits AS (SELECT e.doc_id, e.n_sh,
+         |  CAST(COUNT(t.g) AS BIGINT) AS n_overlap
+         | FROM ev e LEFT JOIN tr t ON e.g = t.g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh, n_overlap,
+         | ${sqlRound("CAST(n_overlap AS DOUBLE) / n_sh", 6)} AS overlap_rate
+         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "corpus_dup_inflation" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, source, text, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1099511627776, source, text, n_chars
+         |   FROM documents WHERE doc_id % 4 = 0),
+         |f AS (SELECT doc_id, source, n_chars,
+         |  row_number() OVER (
+         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         |    ORDER BY doc_id) AS rn
+         | FROM corpus)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+         | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         | CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS redundant_chars,
+         | ${sqlRound("CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS DOUBLE) / SUM(n_chars)", 6)} AS redundant_share
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "q_event_transitions" ->
       s"""WITH t AS (SELECT event_type,
