@@ -300,9 +300,19 @@ object NearDup {
     // the rows it removes. Worth revisiting for corpora with mostly
     // unique shingles.)
     val pruned = maxDocFreq.fold(inv) { cap =>
-      val df = inv.groupBy("__g").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= cap).select("__g")
-      inv.join(df, "__g")
+      // exclusion formulation: the HOT set (df > cap) is bounded at
+      // inv_rows/cap — typically tiny (often empty) — so an anti-join
+      // against it beats joining inv with the big keep-list (which
+      // costs a second full shuffle of inv). Broadcast is GATED on
+      // the counted hot size (inv is persisted, so the df agg + count
+      // are one cheap cached pass); a pathological corpus with more
+      // hot shingles than the bound falls back to a shuffled
+      // anti-join instead of overflowing an executor.
+      val hot = trackedPersist(
+        inv.groupBy("__g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select("__g"))
+      val hotSide = if (hot.count() <= 1000000L) broadcast(hot) else hot
+      inv.join(hotSide, Seq("__g"), "left_anti")
     }
     // Size-compatibility prune BEFORE the pair aggregation: max
     // possible jaccard is min(na,nb)/max(na,nb) (c <= min and
@@ -346,9 +356,19 @@ object NearDup {
       .select(col(idCol), size(col("__sh")).as("__n"), explode(col("__sh")).as("__g0"))
       .select(col(idCol), col("__n"), xxhash64(col("__g0")).as("__g")))
     val pruned = maxDocFreq.fold(inv) { cap =>
-      val df = inv.groupBy("__g").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= cap).select("__g")
-      inv.join(df, "__g")
+      // exclusion formulation: the HOT set (df > cap) is bounded at
+      // inv_rows/cap — typically tiny (often empty) — so an anti-join
+      // against it beats joining inv with the big keep-list (which
+      // costs a second full shuffle of inv). Broadcast is GATED on
+      // the counted hot size (inv is persisted, so the df agg + count
+      // are one cheap cached pass); a pathological corpus with more
+      // hot shingles than the bound falls back to a shuffled
+      // anti-join instead of overflowing an executor.
+      val hot = trackedPersist(
+        inv.groupBy("__g").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select("__g"))
+      val hotSide = if (hot.count() <= 1000000L) broadcast(hot) else hot
+      inv.join(hotSide, Seq("__g"), "left_anti")
     }
     val a = pruned.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__g"))
     val b = pruned.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__g"))

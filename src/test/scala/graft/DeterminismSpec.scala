@@ -26,7 +26,12 @@ class DeterminismSpec extends SparkSpec {
     // item-kNN scoring, null-demoting field survivorship, closed-form
     // moment stats
     "q_reachability", "dedup_sorted_neighborhood", "q_item_recs",
-    "dedup_golden_record", "q_value_spike_days")
+    "dedup_golden_record", "q_value_spike_days",
+    // round-8 families: rank-composed index eval (min-rank over a
+    // left join), distinct-set semi-join coverage, sqrt-share mix,
+    // fingerprint-window survivorship
+    "ann_mrr_eval", "text_train_overlap", "corpus_mix_temperature",
+    "corpus_dup_inflation")
 
   test("repeated runs return byte-identical ordered output") {
     sample.foreach { name =>
