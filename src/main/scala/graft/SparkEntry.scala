@@ -5017,6 +5017,68 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // EXACT edit-distance entity resolution on part names (planted
+    // typos: every 10th name loses its 8th character, 2^40 id tag)
+    // via NearDup.editDistancePairs — PassJoin segment blocking, so
+    // candidates come from an equi-join on (segment idx, len, bytes),
+    // never all-pairs; the all-pairs DuckDB oracle hash-proves the
+    // blocking lossless. levenshtein is the classic unit-cost DP on
+    // both engines — integer-exact parity.
+    "dedup_fuzzy_names" -> ((s, d) => {
+      // entity strings = catalog labels (name + brand + size), and
+      // resolution runs on the DISTINCT label space with the min
+      // partkey as canonical id (resolving the name-space, not the
+      // row-space — p_name alone has 64 values with huge
+      // multiplicity, which would make pair volume m² per string)
+      val labels = Tables.part(s, d)
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit(" "), col("p_brand"),
+            lit(" size "), col("p_size")).as("label"))
+        .groupBy("label").agg(min(col("p_partkey")).as("id"))
+      val typos = labels.where(col("id") % 10 === 0)
+        .select((col("id") + SyntheticIdTag).as("id"),
+          expr("concat(substring(label, 1, 7), substring(label, 9))").as("label"))
+      NearDup.editDistancePairs(labels.select(col("id"), col("label"))
+        .unionAll(typos), "id", "label", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // inter-event cadence percentiles: per event type, the EXACT
+    // median and p90 of same-user consecutive-event gaps (ms) — the
+    // at-rank convention (value at ceil(q·n), no interpolation), via
+    // two-pass rank selection (Ranks.valuesAtRanks: bucket counts,
+    // then row_number over only the cut-containing buckets — no
+    // global sort, no single-reducer window). Gap frame persists:
+    // it feeds the counts pass and both rank passes.
+    "q_interevent_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ms").asc, col("event_id").asc)
+      val gaps = Tables.events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+        .where(col("gap_ms").isNotNull)
+        .select(col("event_type"), col("gap_ms"), col("user_id"), col("event_id"))
+        .transform(graft.Caches.tracked)
+      val ns: Map[String, Long] = gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def p50r(n: Long) = (n + 1) / 2
+      def p90r(n: Long) = (9 * n + 9) / 10 // ceil(0.9 n)
+      val rows = graft.operators.Ranks.valuesAtRanks(gaps, Seq("event_type"),
+        Seq("gap_ms", "user_id", "event_id"), "gap_ms",
+        n => Seq(p50r(n), p90r(n)))
+      // row layout: (event_type, rank, gap_ms, user_id, event_id)
+      val byType = rows.groupBy(_.getString(0))
+      import s.implicits._
+      ns.toSeq.sortBy(_._1).map { case (t, n) =>
+        def at(rk: Long): Long = byType(t).find(_.getLong(1) == rk)
+          .getOrElse(sys.error(s"rank $rk missing for $t")).getLong(2)
+        (t, n, at(p50r(n)), at(p90r(n)))
+      }.toDF("event_type", "n_gaps", "p50_gap_ms", "p90_gap_ms")
+        .orderBy("event_type")
+    }),
+
     // per-event-type freshness check (the pipeline-health DQ row):
     // latest arrival vs the global high-water mark, staleness in
     // whole days, flag past 7. One keyed rollup + a 1-row broadcast.
@@ -7871,6 +7933,41 @@ object SparkEntry {
          | CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS redundant_chars,
          | ${sqlRound("CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS DOUBLE) / SUM(n_chars)", 6)} AS redundant_share
          |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // all-pairs formulation — hash-equality proves the PassJoin
+    // segment blocking drops no qualifying pair
+    "dedup_fuzzy_names" ->
+      s"""WITH labels AS (
+         |  SELECT p_name || ' ' || p_brand || ' size ' || p_size AS label,
+         |   MIN(p_partkey) AS id
+         |  FROM part GROUP BY 1),
+         |corpus AS (
+         |  SELECT id, label FROM labels
+         |  UNION ALL
+         |  SELECT id + 1099511627776, substr(label, 1, 7) || substr(label, 9)
+         |   FROM labels WHERE id % 10 = 0)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         | CAST(levenshtein(a.label, b.label) AS BIGINT) AS edit_dist
+         |FROM corpus a JOIN corpus b
+         | ON a.id < b.id AND abs(length(a.label) - length(b.label)) <= 1
+         |WHERE levenshtein(a.label, b.label) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_interevent_gaps" ->
+      s"""WITH g AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+         |  FROM events WHERE user_id IS NOT NULL),
+         |dd AS (SELECT event_type, user_id, event_id,
+         |  ms - lag(ms) OVER (PARTITION BY user_id, event_type
+         |    ORDER BY ms ASC, event_id ASC) AS gap_ms FROM g),
+         |e AS (SELECT * FROM dd WHERE gap_ms IS NOT NULL),
+         |r AS (SELECT event_type, gap_ms,
+         |  row_number() OVER (PARTITION BY event_type
+         |    ORDER BY gap_ms ASC, user_id ASC, event_id ASC) AS rk,
+         |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM e)
+         |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+         | CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN gap_ms END) AS BIGINT) AS p50_gap_ms,
+         | CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN gap_ms END) AS BIGINT) AS p90_gap_ms
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_event_transitions" ->
       s"""WITH t AS (SELECT event_type,

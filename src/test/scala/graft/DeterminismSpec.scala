@@ -31,7 +31,9 @@ class DeterminismSpec extends SparkSpec {
     // left join), distinct-set semi-join coverage, sqrt-share mix,
     // fingerprint-window survivorship
     "ann_mrr_eval", "text_train_overlap", "corpus_mix_temperature",
-    "corpus_dup_inflation")
+    "corpus_dup_inflation",
+    // PassJoin blocked lev-join; at-rank gap percentiles
+    "dedup_fuzzy_names", "q_interevent_gaps")
 
   test("repeated runs return byte-identical ordered output") {
     sample.foreach { name =>

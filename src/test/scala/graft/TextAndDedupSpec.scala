@@ -395,4 +395,45 @@ class TextAndDedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
       "unpersistAll must leave no pipeline block behind")
   }
+
+  test("editDistancePairs: PassJoin blocking is lossless vs brute force") {
+    import spark.implicits._
+    // hand-picked cases: deletion, substitution, insertion, far pair,
+    // identical strings, short strings below the segment count
+    val fixed = Seq(
+      (1L, "alphabet"), (2L, "alphabt"), (3L, "alphabex"),
+      (4L, "zzzzzzzz"), (5L, "alphabet"), (6L, "ab"), (7L, "b"), (8L, ""))
+      .toDF("id", "s")
+    def brute(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] = {
+      val a = df.select(col("id").as("id_a"), col("s").as("s_a"))
+      val b = df.select(col("id").as("id_b"), col("s").as("s_b"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .withColumn("d", levenshtein(col("s_a"), col("s_b")).cast("bigint"))
+        .where(col("d") <= 2)
+        .select("id_a", "id_b", "d").as[(Long, Long, Long)].collect().toSet
+    }
+    val got = NearDup.editDistancePairs(fixed, "id", "s", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute(fixed))
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 5L, 0L)))
+
+    // property: random low-alphabet strings (collisions + near-misses
+    // abundant), blocked join == brute force at k = 1 and k = 2
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val strs = Gen.listOfN(40, for {
+      n <- Gen.choose(0, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+    val prop = Prop.forAll(strs) { ss =>
+      val df = ss.zipWithIndex.map { case (st, i) => (i.toLong, st) }.toDF("id", "s")
+      (1 to 2).forall { k =>
+        val blocked = NearDup.editDistancePairs(df, "id", "s", maxDist = k)
+          .as[(Long, Long, Long)].collect().toSet
+        val bf = brute(df).filter(_._3 <= k)
+        blocked == bf
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
