@@ -289,6 +289,39 @@ object GraftTableFunctions {
         plan(graft.sources.IcebergTable.read(SparkSession.active,
           strLit(args, 0, fn, "path"),
           snapshotIdAsOf = longLitOpt(args, 1, fn, "snapshotIdAsOf")))
+      }),
+    // graft_fuzzy_pairs(table, idCol, strCol[, maxDist]) — exact
+    // edit-distance self-join via PassJoin segment blocking
+    (FunctionIdentifier("graft_fuzzy_pairs"), info("graft_fuzzy_pairs"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_fuzzy_pairs"
+        plan(NearDup.editDistancePairs(
+          table(strLit(args, 0, fn, "table")),
+          strLit(args, 1, fn, "idCol"), strLit(args, 2, fn, "strCol"),
+          maxDist = intLit(args, 3, 1, fn, "maxDist")))
+      }),
+    // graft_delta_changes(path, fromVersion, toVersion) — the
+    // incremental CDC row feed over a real _delta_log
+    (FunctionIdentifier("graft_delta_changes"), info("graft_delta_changes"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_delta_changes"
+        plan(graft.sources.DeltaLog.changes(SparkSession.active,
+          strLit(args, 0, fn, "path"),
+          longLitOpt(args, 1, fn, "fromVersion").getOrElse(
+            analysisError(s"$fn: missing required parameter 'fromVersion'")),
+          longLitOpt(args, 2, fn, "toVersion").getOrElse(
+            analysisError(s"$fn: missing required parameter 'toVersion'"))))
+      }),
+    // graft_iceberg_changes(path, fromSnapshotId, toSnapshotId)
+    (FunctionIdentifier("graft_iceberg_changes"), info("graft_iceberg_changes"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_iceberg_changes"
+        plan(graft.sources.IcebergTable.changes(SparkSession.active,
+          strLit(args, 0, fn, "path"),
+          longLitOpt(args, 1, fn, "fromSnapshotId").getOrElse(
+            analysisError(s"$fn: missing required parameter 'fromSnapshotId'")),
+          longLitOpt(args, 2, fn, "toSnapshotId").getOrElse(
+            analysisError(s"$fn: missing required parameter 'toSnapshotId'"))))
       }))
 
   /** Register on a live session (equivalent to the extension). */

@@ -100,6 +100,31 @@ class SqlSurfaceSpec extends SparkSpec {
       .as[Long].head() === 1L)
   }
 
+  test("graft_fuzzy_pairs / CDC TVFs expose the round-8 operators in SQL") {
+    import java.nio.file.Files
+    // fuzzy pairs: SQL result equals the Scala operator
+    Seq((1L, "alphabet"), (2L, "alphabt"), (3L, "zzz"))
+      .toDF("id", "s").createOrReplaceTempView("sql_fuzzy")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_fuzzy_pairs('sql_fuzzy', 'id', 's', 1) ORDER BY id_a, id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaSql === Seq((1L, 2L, 1L)))
+    // delta CDC feed from SQL
+    val d = Files.createTempDirectory("graft-sql-dcdc").toString + "/d"
+    graft.sources.DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), d)
+    graft.sources.DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v"), d)
+    assert(spark.sql(
+      s"SELECT k, _change_type FROM graft_delta_changes('$d', 0, 1)")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "insert")))
+    // iceberg CDC feed from SQL
+    val i = Files.createTempDirectory("graft-sql-icdc").toString + "/i"
+    val s1 = graft.sources.IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"), i)
+    val s2 = graft.sources.IcebergTable.write(spark, Seq((2L, "b")).toDF("k", "v"), i)
+    assert(spark.sql(
+      s"SELECT k, _change_type FROM graft_iceberg_changes('$i', $s1, $s2)")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "insert")))
+  }
+
   test("TVF misuse fails at analysis with a named parameter error") {
     viewDocs()
     val e = intercept[org.apache.spark.sql.AnalysisException] {
