@@ -4933,26 +4933,26 @@ object SparkEntry {
           roundTo(col("__s").cast("double") / col("__n"), 6).as("mean_norm"))
     }),
 
-    // behavioral Markov transition matrix: per user (event-time
-    // order, event_id tiebreak), each event's NEXT event type,
-    // rolled up to (from, to) counts with the row-share within each
-    // from-type — session-flow analytics' standard first artifact.
-    // Per-user bounded windows; the share window partitions by
-    // from_type over the tiny type-pair frame.
-    "q_event_transitions" -> ((s, d) => {
+    // FIRST-touch conversion attribution — the channel-credit twin of
+    // q_attribution (last-touch): each purchase credits the user's
+    // EARLIEST preceding non-purchase event, so acquisition channels
+    // get the credit instead of closing ones. Same strictly-prior
+    // per-user frame, first() IGNORE NULLS instead of last().
+    "q_first_touch_attribution" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ms").asc, col("event_id").asc)
-      val pairs = Tables.events(s, d).where(col("user_id").isNotNull)
-        .select(col("user_id"), col("event_id"),
-          unix_millis(col("ts")).as("ms"), col("event_type"))
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .where(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"),
-          col("next_type").as("to_type"))
-        .agg(count(lit(1)).as("n"))
-      pairs.withColumn("share", roundTo(col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy("from_type")), 6))
-        .orderBy("from_type", "to_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+          col("event_type"), col("value"))
+        .withColumn("channel",
+          first(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("conversions"),
+          sumD(col("value")).as("attributed_value"))
+        .orderBy("channel")
     }),
 
     // train/eval n-gram overlap rate — the MEMORIZATION-surface
@@ -7969,17 +7969,18 @@ object SparkEntry {
          | CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN gap_ms END) AS BIGINT) AS p90_gap_ms
          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "q_event_transitions" ->
-      s"""WITH t AS (SELECT event_type,
-         |  lead(event_type) OVER (PARTITION BY user_id
-         |    ORDER BY ts ASC, event_id ASC) AS next_type
-         | FROM events WHERE user_id IS NOT NULL),
-         |c AS (SELECT event_type AS from_type, next_type AS to_type,
-         |  CAST(COUNT(*) AS BIGINT) AS n
-         | FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
-         |SELECT from_type, to_type, n,
-         | ${sqlRound("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)", 6)} AS share
-         |FROM c ORDER BY from_type, to_type""".stripMargin
+    "q_first_touch_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value
+         |  FROM events),
+         |a AS (SELECT *, first_value(CASE WHEN event_type <> 'purchase'
+         |    THEN event_type END IGNORE NULLS)
+         |  OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+         | FROM e)
+         |SELECT COALESCE(channel, 'none') AS channel, COUNT(*) AS conversions,
+         | ${sqlSumD("value")} AS attributed_value
+         |FROM a WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the
