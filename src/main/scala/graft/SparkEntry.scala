@@ -5079,6 +5079,78 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // shingle document-frequency profile — THE diagnostic behind the
+    // maxDocFreq knob: how many distinct shingles sit at each log2
+    // df band, and what share of inverted-index candidate volume
+    // (sum df^2) each band carries. Read: if the top band carries
+    // most of the df^2 mass, a cap pays; if mass is flat, it won't.
+    // Two keyed rollups (shingle df, then band), both combinable.
+    "dedup_shingle_profile" -> ((s, d) => {
+      val df = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shinglesDistinct(col("text"), 3)).as("g"))
+        .groupBy(xxhash64(col("g")).as("__g"))
+        .agg(count(lit(1)).as("__df"))
+      // floor(log2(df)) via binary-string length — integer-exact on
+      // both engines (floor(ln x / ln 2) misjudges exact powers of 2)
+      val banded = df.select(
+        (length(conv(col("__df"), 10, 2)) - 1).cast("bigint").as("df_band"),
+        col("__df"))
+        .groupBy("df_band")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("__df") * col("__df")).as("__cand"))
+      val tot = banded.agg(sum(col("__cand")).as("__tot"))
+      banded.crossJoin(broadcast(tot))
+        .select(col("df_band"), col("n_shingles"),
+          col("__cand").as("candidate_rows"),
+          roundTo(col("__cand").cast("double") / col("__tot"), 6)
+            .as("candidate_share"))
+        .orderBy("df_band")
+    }),
+
+    // near-dup threshold sweep — the tuning artifact for picking the
+    // dedup similarity cutoff: qualifying pair counts per jaccard
+    // band over the SAME capped inverted-index pipeline the graded
+    // dedup runs, in one pass over the pairs frame.
+    "text_dedup_threshold_sweep" -> ((s, d) =>
+      NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5, maxDocFreq = Some(1000L))
+        .select(when(col("jaccard_sim") >= 0.9, "0.9")
+          .when(col("jaccard_sim") >= 0.7, "0.7")
+          .otherwise("0.5").as("threshold_band"))
+        .groupBy("threshold_band")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("threshold_band")),
+
+    // retrieval-confidence margin: per query, the exact top-1 vs
+    // top-2 cosine gap — a small margin means the nearest neighbor is
+    // ambiguous (the number that decides whether an ANN shortlist
+    // needs re-ranking). Same broadcast-probe plan as ann_topk;
+    // 6dp-rounded cosines (dot-product parity established).
+    "ann_margin_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val c = e.select(col("vec_id").as("corpus_id"), v.as("__cv"))
+        .withColumn("__cn", Similarity.norm(col("__cv")))
+      val q = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), v.as("__qv"))
+        .withColumn("__qn", Similarity.norm(col("__qv")))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("corpus_id") =!= col("query_id"))
+        .withColumn("__cos", Similarity.dot(col("__qv"), col("__cv")) /
+          (col("__qn") * col("__cn")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__cos").desc, col("corpus_id").asc)
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 2)
+        .groupBy("query_id")
+        .agg(
+          roundTo(max(when(col("__rk") === 1, col("__cos"))), 6).as("cos_top1"),
+          roundTo(max(when(col("__rk") === 2, col("__cos"))), 6).as("cos_top2"))
+        .withColumn("margin", roundTo(col("cos_top1") - col("cos_top2"), 6))
+        .orderBy("query_id")
+    }),
+
     // per-event-type freshness check (the pipeline-health DQ row):
     // latest arrival vs the global high-water mark, staleness in
     // whole days, flag past 7. One keyed rollup + a 1-row broadcast.
@@ -7968,6 +8040,43 @@ object SparkEntry {
          | CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN gap_ms END) AS BIGINT) AS p50_gap_ms,
          | CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN gap_ms END) AS BIGINT) AS p90_gap_ms
          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dedup_shingle_profile" ->
+      s"""WITH $shingleCte,
+         |dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS g FROM sh),
+         |df AS (SELECT g, COUNT(*) AS df FROM dsh GROUP BY 1),
+         |banded AS (SELECT CAST(length(printf('%b', df)) - 1 AS BIGINT) AS df_band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(df * df) AS BIGINT) AS candidate_rows
+         | FROM df GROUP BY 1),
+         |tt AS (SELECT SUM(candidate_rows) AS tot FROM banded)
+         |SELECT df_band, n_shingles, candidate_rows,
+         | ${sqlRound("CAST(candidate_rows AS DOUBLE) / tot", 6)} AS candidate_share
+         |FROM banded CROSS JOIN tt ORDER BY df_band""".stripMargin,
+
+    "text_dedup_threshold_sweep" ->
+      s"""WITH pairs AS (SELECT jaccard_sim FROM ($ngramJaccardCappedOracle) t)
+         |SELECT CASE WHEN jaccard_sim >= 0.9 THEN '0.9'
+         |  WHEN jaccard_sim >= 0.7 THEN '0.7' ELSE '0.5' END AS threshold_band,
+         | CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM pairs GROUP BY 1 ORDER BY threshold_band""".stripMargin,
+
+    "ann_margin_eval" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |scored AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |  list_inner_product(q.v, c.v)
+         |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+         | FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id != q.vec_id),
+         |rk AS (SELECT query_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS r
+         | FROM scored)
+         |SELECT query_id,
+         | ${sqlRound("MAX(CASE WHEN r = 1 THEN cos END)", 6)} AS cos_top1,
+         | ${sqlRound("MAX(CASE WHEN r = 2 THEN cos END)", 6)} AS cos_top2,
+         | ${sqlRound(s"${sqlRound("MAX(CASE WHEN r = 1 THEN cos END)", 6)} - ${sqlRound("MAX(CASE WHEN r = 2 THEN cos END)", 6)}", 6)} AS margin
+         |FROM rk WHERE r <= 2 GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     "q_first_touch_attribution" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value

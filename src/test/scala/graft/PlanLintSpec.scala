@@ -87,6 +87,8 @@ class PlanLintSpec extends SparkSpec {
     "q_growth_accounting",
     // two 1-row corpus-hygiene aggs (counts/extremes + decimal mean)
     "embed_quality_stats",
+    // 1-row candidate-mass total over the <=40-row df-band frame
+    "dedup_shingle_profile",
     // 1-row char-total + decimal sqrt-sum scalars, cross-joined
     "corpus_mix_temperature")
 
