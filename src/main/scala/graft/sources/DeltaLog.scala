@@ -78,10 +78,13 @@ object DeltaLog {
   val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "columnMapping") // columnMapping only in mode none
 
-  /** One live data file of a snapshot. `path` is absolute. */
+  /** One live data file of a snapshot. `path` is absolute; `stats`
+    * is the Delta per-file stats JSON (numRecords/minValues/
+    * maxValues/nullCount) when the writer recorded it. */
   final case class AddFile(path: String,
                            partitionValues: Map[String, String],
-                           size: Long, modificationTime: Long)
+                           size: Long, modificationTime: Long,
+                           stats: Option[String] = None)
 
   /** A resolved table state at one version — the common abstraction
     * over real Delta tables ([[snapshot]]) and graft
@@ -228,6 +231,7 @@ object DeltaLog {
       col("add.partitionValues").as("pv"),
       col("add.size").as("size"),
       col("add.modificationTime").as("mtime"),
+      col("add.stats").as("stats"),
       col("add.deletionVector.storageType").as("dv"),
       col("__v"))
       .filter(col("path").isNotNull)
@@ -236,7 +240,7 @@ object DeltaLog {
         org.apache.spark.sql.expressions.Window.partitionBy("path")
           .orderBy(col("__v").desc, col("is_add").asc)))
       .filter(col("__rn") === 1 && col("is_add"))
-    val rows = live.select("path", "pv", "size", "mtime", "dv").collect()
+    val rows = live.select("path", "pv", "size", "mtime", "stats", "dv").collect()
     rows.find(_.getAs[String]("dv") != null).foreach { _ =>
       throw new UnsupportedOperationException(
         "Delta deletion vectors are not supported by this reader")
@@ -246,7 +250,8 @@ object DeltaLog {
         Option(r.getAs[scala.collection.Map[String, String]]("pv"))
           .map(_.toMap).getOrElse(Map.empty),
         Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
-        Option(r.getAs[java.lang.Long]("mtime")).map(_.toLong).getOrElse(0L))
+        Option(r.getAs[java.lang.Long]("mtime")).map(_.toLong).getOrElse(0L),
+        Option(r.getAs[String]("stats")))
     }.toSeq
     Snapshot(tablePath, v, schema, partCols, files, conf)
   }
@@ -280,6 +285,113 @@ object DeltaLog {
     readSnapshot(spark, snap, Some(predicate)).where(predicate)
   }
 
+  /** Files of `snap` that could satisfy `predicate` by their per-file
+    * STATS (add.stats min/max/nullCount): only top-level AND
+    * conjuncts of the form `<numeric column> <op> <literal>` are
+    * consulted; a file without stats (or a conjunct of any other
+    * shape) never skips — sound by construction, and the caller
+    * applies the full predicate as a residual filter anyway. */
+  def statsPrunedFiles(spark: SparkSession, snap: Snapshot,
+                       predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, _}
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      // analysis widens the attribute side for mixed-type compares
+      // (int col vs long/double literal) — widening preserves values,
+      // so the ORIGINAL column's stats bounds stay valid
+      case c: Cast => attrName(c.child)
+      case _ => None
+    }
+    def litNum(e: Expression): Option[BigDecimal] = e match {
+      case Literal(v, _) => v match {
+        case n: java.lang.Integer => Some(BigDecimal(n.intValue()))
+        case n: java.lang.Long => Some(BigDecimal(n.longValue()))
+        case n: java.lang.Short => Some(BigDecimal(n.intValue()))
+        case n: java.lang.Byte => Some(BigDecimal(n.intValue()))
+        case n: java.lang.Double => Some(BigDecimal(n.doubleValue()))
+        case n: java.lang.Float => Some(BigDecimal(n.floatValue().toDouble))
+        case n: Decimal => Some(n.toBigDecimal)
+        case _ => None
+      }
+      case _ => None
+    }
+    // (column, op, literal) with op normalized so the attribute is on
+    // the LEFT; op in {=, <, <=, >, >=}
+    // normalize so the attribute is on the LEFT; a literal-on-the-left
+    // comparison flips the operator (both orientations share one case
+    // arm — two structurally identical patterns would shadow)
+    def both(x: Expression, y: Expression, opAttrLeft: String,
+             opAttrRight: String): Option[(String, String, BigDecimal)] =
+      (for (n <- attrName(x); v <- litNum(y)) yield (n, opAttrLeft, v))
+        .orElse(for (n <- attrName(y); v <- litNum(x)) yield (n, opAttrRight, v))
+    def normalize(e: Expression): Option[(String, String, BigDecimal)] = e match {
+      case EqualTo(x, y) => both(x, y, "=", "=")
+      case LessThan(x, y) => both(x, y, "<", ">")
+      case LessThanOrEqual(x, y) => both(x, y, "<=", ">=")
+      case GreaterThan(x, y) => both(x, y, ">", "<")
+      case GreaterThanOrEqual(x, y) => both(x, y, ">=", "<=")
+      case _ => None
+    }
+    // ANALYZE the predicate against a schema-only frame: the Filter
+    // condition comes back as a resolved catalyst tree
+    // (AttributeReference/Literal with type coercions made explicit),
+    // independent of the Column API's internal node representation
+    val cond: Expression = {
+      val dummy = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      dummy.where(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(return snap.files)
+    }
+    val checks = conjuncts(cond).flatMap(normalize)
+    if (checks.isEmpty) return snap.files
+    snap.files.filter { f =>
+      f.stats.forall { js =>
+        val root = try M.readTree(js) catch { case _: Exception => null }
+        root == null || checks.forall { case (c, op, v) =>
+          val mn = Option(root.path("minValues").get(c)).filterNot(_.isNull)
+            .map(n => BigDecimal(n.asText()))
+          val mx = Option(root.path("maxValues").get(c)).filterNot(_.isNull)
+            .map(n => BigDecimal(n.asText()))
+          val nr = Option(root.get("numRecords")).map(_.asLong())
+          val nc = Option(root.path("nullCount").get(c)).filterNot(_.isNull)
+            .map(_.asLong())
+          // an all-null file can satisfy NO comparison conjunct
+          val allNull = (nr, nc) match {
+            case (Some(n), Some(k)) => n > 0 && k == n
+            case _ => false
+          }
+          if (allNull) false
+          else (mn, mx) match {
+            case (Some(lo), Some(hi)) => op match {
+              case "=" => v >= lo && v <= hi
+              case "<" => lo < v
+              case "<=" => lo <= v
+              case ">" => hi > v
+              case ">=" => hi >= v
+            }
+            case _ => true // no bounds recorded — keep
+          }
+        }
+      }
+    }
+  }
+
+  /** The planned file list for a predicated read: per-file STATS
+    * skipping ([[statsPrunedFiles]]) composed with PARTITION pruning
+    * ([[partitionPrunedFiles]]) — both keep-unless-provably-false, so
+    * any residual-filterable predicate prunes soundly. */
+  def prunedFiles(spark: SparkSession, snap: Snapshot,
+                  predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+    val statsPruned = snap.copy(files = statsPrunedFiles(spark, snap, predicate))
+    partitionPrunedFiles(spark, statsPruned, predicate)
+  }
+
   /** The subset of `snap.files` whose partitionValues satisfy
     * `predicate` with every non-partition column left unconstrained:
     * the predicate is evaluated by Catalyst over a file-list-sized
@@ -287,8 +399,8 @@ object DeltaLog {
     * bound to null, keeping only files where it does NOT evaluate to
     * false — null (unknown, because a data column was involved) keeps
     * the file, so any residual-filterable predicate prunes soundly. */
-  def prunedFiles(spark: SparkSession, snap: Snapshot,
-                  predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+  private def partitionPrunedFiles(spark: SparkSession, snap: Snapshot,
+                                   predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
     if (snap.partitionColumns.isEmpty || snap.files.isEmpty) return snap.files
     import spark.implicits._
     val pc = snap.partitionColumns
@@ -562,6 +674,72 @@ object DeltaLog {
     kv
   }
 
+  /** Per-file Delta stats JSON read from the parquet FOOTER (no data
+    * scan — one bounded driver-side footer read per adopted file):
+    * `numRecords` plus min/max/nullCount for TOP-LEVEL NUMERIC leaf
+    * columns (int32/int64/float/double). Strings, dates and nested
+    * fields are deliberately omitted — a column without stats simply
+    * never skips, which is always sound; recording truncated string
+    * bounds correctly (min rounds down, max must round UP) is where
+    * real engines have shipped wrong-results bugs. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          p: Path): Option[String] = try {
+    import scala.collection.JavaConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      final class Agg {
+        var min: Option[BigDecimal] = None
+        var max: Option[BigDecimal] = None
+        var nulls = 0L
+        var isFloating = false
+        var ok = true
+      }
+      val aggs = scala.collection.mutable.LinkedHashMap[String, Agg]()
+      blocks.foreach(_.getColumns.asScala.foreach { cc =>
+        val path = cc.getPath.toArray
+        if (path.length == 1) {
+          val a = aggs.getOrElseUpdate(path(0), new Agg)
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty || st.getNumNulls < 0) a.ok = false
+          else {
+            a.nulls += st.getNumNulls
+            if (st.hasNonNullValue) {
+              import org.apache.parquet.column.statistics._
+              val mnmx: Option[(BigDecimal, BigDecimal)] = st match {
+                case s: IntStatistics => Some((BigDecimal(s.getMin), BigDecimal(s.getMax)))
+                case s: LongStatistics => Some((BigDecimal(s.getMin), BigDecimal(s.getMax)))
+                case s: FloatStatistics =>
+                  a.isFloating = true
+                  Some((BigDecimal(s.getMin.toDouble), BigDecimal(s.getMax.toDouble)))
+                case s: DoubleStatistics =>
+                  a.isFloating = true
+                  Some((BigDecimal(s.getMin), BigDecimal(s.getMax)))
+                case _ => a.ok = false; None
+              }
+              mnmx.foreach { case (mn, mx) =>
+                a.min = Some(a.min.fold(mn)(_.min(mn)))
+                a.max = Some(a.max.fold(mx)(_.max(mx)))
+              }
+            }
+          }
+        }
+      })
+      def num(a: Agg, v: BigDecimal): String =
+        if (a.isFloating) v.toDouble.toString else v.toBigIntExact
+          .map(_.toString).getOrElse(v.toDouble.toString)
+      val withStats = aggs.toSeq.filter(_._2.ok)
+      val mins = withStats.collect { case (n, a) if a.min.isDefined =>
+        s"${jsEscape(n)}:${num(a, a.min.get)}" }
+      val maxs = withStats.collect { case (n, a) if a.max.isDefined =>
+        s"${jsEscape(n)}:${num(a, a.max.get)}" }
+      val nulls = withStats.map { case (n, a) => s"${jsEscape(n)}:${a.nulls}" }
+      Some(s"""{"numRecords":$numRecords,"minValues":{${mins.mkString(",")}},"maxValues":{${maxs.mkString(",")}},"nullCount":{${nulls.mkString(",")}}}""")
+    } finally r.close()
+  } catch { case scala.util.control.NonFatal(_) => None } // no stats, never wrong stats
+
   /** How often [[write]] consolidates the log: every Nth commit
     * authors `<v>.checkpoint.parquet` + `_last_checkpoint`, so a
     * reader replays ONE distributed parquet read plus a bounded JSON
@@ -662,7 +840,7 @@ object DeltaLog {
     }
     val tmpRoot = fs.makeQualified(tmp).toString
     val staged = walk(tmp).sortBy(_.toString)
-    val adopted: Seq[(String, Map[String, String], Long)] =
+    val adopted: Seq[(String, Map[String, String], Long, Option[String])] =
       staged.zipWithIndex.map { case (src, i) =>
         val relStaged = fs.makeQualified(src).toString
           .stripPrefix(tmpRoot).stripPrefix("/")
@@ -673,7 +851,7 @@ object DeltaLog {
         fs.mkdirs(fin.getParent)
         if (!fs.rename(src, fin))
           throw new IllegalStateException(s"rename failed for $rel")
-        (rel, pv, fs.getFileStatus(fin).getLen)
+        (rel, pv, fs.getFileStatus(fin).getLen, footerStats(fsConf, fin))
       }
     fs.delete(tmp, true)
 
@@ -704,8 +882,9 @@ object DeltaLog {
         lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
       }
     }
-    adopted.foreach { case (rel, pv, sz) =>
-      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true}}"""
+    adopted.foreach { case (rel, pv, sz, st) =>
+      val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
     val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
     val out = fs.create(commit, false) // exclusive create = the CAS
@@ -767,7 +946,7 @@ object DeltaLog {
     def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
     val root = deScheme(fs.makeQualified(dst).toString)
 
-    val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long)]()
+    val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long, Option[String])]()
     rewrite.zipWithIndex.foreach { case ((pv, fls), gi) =>
       val df = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
       val nFiles = math.max(1L,
@@ -788,7 +967,8 @@ object DeltaLog {
         fs.mkdirs(fin.getParent)
         if (!fs.rename(st.getPath, fin))
           throw new IllegalStateException(s"rename failed for $rel")
-        adds += ((rel, pv, fs.getFileStatus(fin).getLen))
+        adds += ((rel, pv, fs.getFileStatus(fin).getLen,
+          footerStats(fsConf, fin)))
       }
       fs.delete(tmp, true)
     }
@@ -805,8 +985,9 @@ object DeltaLog {
         lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     }
-    adds.foreach { case (rel, pv, sz) =>
-      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":false}}"""
+    adds.foreach { case (rel, pv, sz, st) =>
+      val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":false$statsPart}}"""
     }
     val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
     val out = fs.create(commit, false) // exclusive create = the CAS
@@ -905,7 +1086,7 @@ object DeltaLog {
       val rel = encodePath(deScheme(new Path(f.path).toString)
         .stripPrefix(root).stripPrefix("/"))
       Row(rel, f.partitionValues, f.size, f.modificationTime,
-        java.lang.Boolean.TRUE, null, null)
+        java.lang.Boolean.TRUE, f.stats.orNull, null)
     }
     val rows: Seq[Row] =
       (Row(protoRow, null, null, null) +: Row(null, metaRow, null, null) +:

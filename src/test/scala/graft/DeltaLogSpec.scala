@@ -446,6 +446,47 @@ class DeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("per-file stats skip files on numeric predicates; soundness under odd conjuncts") {
+    val t = Files.createTempDirectory("graft-delta-stats").toString + "/t"
+    // three commits with DISJOINT k ranges -> three files with
+    // disjoint min/max footer stats (table is UNPARTITIONED, so any
+    // pruning comes from stats alone)
+    DeltaLog.write(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x").coalesce(1), t)
+    DeltaLog.write(spark, Seq((11L, 30.0), (12L, 40.0)).toDF("k", "x").coalesce(1), t)
+    DeltaLog.write(spark, Seq((21L, 50.0), (22L, 60.0)).toDF("k", "x").coalesce(1), t)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.size === 3)
+    assert(snap.files.forall(_.stats.isDefined), snap.files)
+    assert(snap.files.head.stats.get.contains("\"numRecords\":2"))
+    // equality predicate plans ONE file
+    assert(DeltaLog.prunedFiles(spark, snap, col("k") === 11L).size === 1)
+    // range predicates
+    assert(DeltaLog.prunedFiles(spark, snap, col("k") > 12L).size === 1)
+    assert(DeltaLog.prunedFiles(spark, snap, col("k") <= 2L).size === 1)
+    assert(DeltaLog.prunedFiles(spark, snap, lit(21L) <= col("k")).size === 1)
+    // conjunct on two stats columns composes
+    assert(DeltaLog.prunedFiles(spark, snap,
+      col("k") >= 11L && col("x") < 35.0).size === 1)
+    // a non-analyzable conjunct never skips extra files
+    assert(DeltaLog.prunedFiles(spark, snap,
+      col("k") > 12L && (col("x") + 1 > 0)).size === 1)
+    // OR at top level is not a conjunct -> no skipping, all files
+    assert(DeltaLog.prunedFiles(spark, snap,
+      col("k") === 1L || col("k") === 21L).size === 3)
+    // rows are exactly filter-after-read for every shape above
+    for (p <- Seq(col("k") === 11L, col("k") > 12L,
+      col("k") >= 11L && col("x") < 35.0,
+      col("k") === 1L || col("k") === 21L)) {
+      assert(DeltaLog.readWhere(spark, t, p).as[(Long, Double)].collect().toSet
+        === DeltaLog.read(spark, t).where(p).as[(Long, Double)].collect().toSet)
+    }
+    // stats survive the checkpoint consolidation
+    DeltaLog.checkpoint(spark, t, 2L)
+    val viaCp = DeltaLog.snapshot(spark, t)
+    assert(viaCp.files.forall(_.stats.isDefined))
+    assert(DeltaLog.prunedFiles(spark, viaCp, col("k") === 11L).size === 1)
+  }
+
   test("VersionedTable export round-trips through the Delta reader") {
     val t = Files.createTempDirectory("graft-vt-delta").toString + "/t"
     VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
