@@ -5151,6 +5151,52 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // weekly stickiness (avg-DAU / WAU) — the engagement-intensity
+    // KPI next to growth accounting's who-is-active split: how much
+    // of the weekly audience shows up on an average day. One
+    // distinct (user, day) shuffle feeds both the daily counts and
+    // the weekly distinct-user counts; the ratio is exact integer
+    // arithmetic until one 6dp rounding.
+    "q_user_stickiness" -> ((s, d) => {
+      val active = Tables.events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+        .distinct()
+        .withColumn("week", floor(col("day") / 7).cast("long"))
+        .transform(graft.Caches.tracked)
+      val daily = active.groupBy("week", "day").agg(count(lit(1)).as("dau"))
+        .groupBy("week").agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      val wau = active.select("week", "user_id").distinct()
+        .groupBy("week").agg(count(lit(1)).as("wau"))
+      daily.join(wau, "week")
+        .select(col("week"), col("n_days"), col("wau"),
+          roundTo(col("sum_dau").cast("double") / (col("n_days") * col("wau")), 6)
+            .as("stickiness"))
+        .orderBy("week")
+    }),
+
+    // MinHash LSH band-collision profile — the index-tuning
+    // diagnostic for Bands x RowsPerBand (the minhash twin of
+    // dedup_shingle_profile): per band, how many buckets collide,
+    // the largest bucket, and the candidate-pair volume the band
+    // contributes. A band whose max bucket explodes says the band
+    // key is too short for this corpus.
+    "dedup_minhash_band_stats" -> ((s, d) => {
+      val sig = Tables.documents(s, d).select(col("doc_id"),
+        NearDup.minHashSignature(col("text"), 3).as("__sig"))
+      NearDup.lshBands(sig, "doc_id", "__sig")
+        .groupBy("band_idx", "band_key").agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1) // singleton buckets generate no pairs
+        .groupBy(col("band_idx").cast("bigint").as("band_idx"))
+        .agg(count(lit(1)).as("n_colliding_buckets"),
+          max(col("__n")).as("max_bucket"),
+          // `/` on longs is DOUBLE division in Spark SQL — n(n-1) is
+          // even, so integer semantics need an explicit cast back
+          sum((col("__n") * (col("__n") - 1) / 2).cast("long"))
+            .as("candidate_pairs"))
+        .orderBy("band_idx")
+    }),
+
     // per-event-type freshness check (the pipeline-health DQ row):
     // latest arrival vs the global high-water mark, staleness in
     // whole days, flag past 7. One keyed rollup + a 1-row broadcast.
@@ -8078,6 +8124,24 @@ object SparkEntry {
          | ${sqlRound(s"${sqlRound("MAX(CASE WHEN r = 1 THEN cos END)", 6)} - ${sqlRound("MAX(CASE WHEN r = 2 THEN cos END)", 6)}", 6)} AS margin
          |FROM rk WHERE r <= 2 GROUP BY query_id ORDER BY query_id""".stripMargin,
 
+    "q_user_stickiness" ->
+      s"""WITH active AS (SELECT DISTINCT user_id,
+         |  CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+         | FROM events WHERE user_id IS NOT NULL),
+         |aw AS (SELECT user_id, day,
+         |  CAST(floor(day / 7.0) AS BIGINT) AS week FROM active),
+         |d AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(dau) AS BIGINT) AS sum_dau FROM (
+         |   SELECT week, day, COUNT(*) AS dau FROM aw GROUP BY 1, 2)
+         | GROUP BY week),
+         |w AS (SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+         | FROM aw GROUP BY 1)
+         |SELECT week, n_days, wau,
+         | ${sqlRound("CAST(sum_dau AS DOUBLE) / (n_days * wau)", 6)} AS stickiness
+         |FROM d JOIN w USING (week) ORDER BY week""".stripMargin,
+
+    "dedup_minhash_band_stats" -> minHashBandStatsOracle,
+
     "q_first_touch_attribution" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value
          |  FROM events),
@@ -8584,6 +8648,35 @@ object SparkEntry {
        |SELECT id_a, id_b, $j AS jaccard_sim
        |FROM c JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |WHERE $j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replica of the LSH band-collision profile: the same
+    * signature/banding CTEs as [[minHashOracle]], rolled up to
+    * per-band colliding-bucket stats instead of candidate pairs. */
+  private def minHashBandStatsOracle: String = {
+    val P = NearDup.P
+    val base = s"(('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
+    val sigExprs = NearDup.coeffs.map { case (a, b) =>
+      s"list_min(list_transform(bh, x -> ($a * x + $b) % $P))"
+    }
+    val sigList = sigExprs.mkString("[", ",\n    ", "]")
+    val bands = (0 until NearDup.Bands).map { i =>
+      val lo = i * NearDup.RowsPerBand + 1
+      val hi = (i + 1) * NearDup.RowsPerBand
+      s"SELECT doc_id, $i AS band_idx, array_to_string(sig[$lo:$hi], '-') AS band_key FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH $shingleCte,
+       |bh AS (SELECT doc_id, shingles,
+       |  list_transform(shingles, s -> $base) AS bh FROM sh),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM bh WHERE len(bh) > 0),
+       |bands AS ($bands),
+       |buckets AS (SELECT band_idx, band_key, COUNT(*) AS n
+       | FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 1)
+       |SELECT CAST(band_idx AS BIGINT) AS band_idx,
+       | CAST(COUNT(*) AS BIGINT) AS n_colliding_buckets,
+       | CAST(MAX(n) AS BIGINT) AS max_bucket,
+       | CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+       |FROM buckets GROUP BY 1 ORDER BY band_idx""".stripMargin
   }
 
   /** DuckDB replica of the MinHash+LSH pipeline — same md5-derived
