@@ -5197,6 +5197,40 @@ object SparkEntry {
         .orderBy("band_idx")
     }),
 
+    // EXACT Gini coefficient of customer revenue — the
+    // revenue-concentration KPI next to ABC/HHI. Identity: with x
+    // sorted ASC and cum_i the inclusive running sum,
+    // Σ i·x_i = (n+1)·Σx − Σ cum_i, so
+    // G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n needs only the running sum —
+    // which Ranks.withRunningSum computes scale-safe (per-bucket
+    // decimal partials + driver-folded priors; no global window, no
+    // single reducer). All terms are exact cent-decimals until the
+    // one final 6dp-rounded division.
+    "q_revenue_gini" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(roundTo(col("l_extendedprice"), 2).cast("decimal(18,2)"))
+          .as("rev"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev")).cast("decimal(18,2)").as("rev"))
+        .transform(graft.Caches.tracked)
+      val run = graft.operators.Ranks.withRunningSum(rev, "rev",
+        Seq(col("rev").asc, col("o_custkey").asc), bucketOn = "rev",
+        ascending = true, cumCol = "cum", totalCol = "tot")
+      run.agg(
+        count(lit(1)).as("__n"),
+        sum(col("cum").cast("decimal(28,2)")).as("__sc"),
+        max(col("tot")).as("__tot"))
+        .select(col("__n").as("n_customers"),
+          col("__tot").cast("double").as("total_revenue"),
+          roundTo(
+            lit(2.0) * ((col("__n") + 1) * col("__tot").cast("double") -
+              col("__sc").cast("double")) /
+              (col("__n") * col("__tot").cast("double")) -
+              (col("__n") + 1).cast("double") / col("__n"), 6).as("gini"))
+    }),
+
     // per-event-type freshness check (the pipeline-health DQ row):
     // latest arrival vs the global high-water mark, staleness in
     // whole days, flag past 7. One keyed rollup + a 1-row broadcast.
@@ -8123,6 +8157,22 @@ object SparkEntry {
          | ${sqlRound("MAX(CASE WHEN r = 2 THEN cos END)", 6)} AS cos_top2,
          | ${sqlRound(s"${sqlRound("MAX(CASE WHEN r = 1 THEN cos END)", 6)} - ${sqlRound("MAX(CASE WHEN r = 2 THEN cos END)", 6)}", 6)} AS margin
          |FROM rk WHERE r <= 2 GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    // plain-window formulation — cross-formulation equivalence with
+    // the bucketed running-sum machinery is hash-checked
+    "q_revenue_gini" ->
+      s"""WITH rev AS (SELECT o_custkey,
+         |  CAST(SUM(CAST(${sqlRound("l_extendedprice", 2)} AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | GROUP BY o_custkey),
+         |r AS (SELECT rev, SUM(rev) OVER (ORDER BY rev ASC, o_custkey ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM rev),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(cum AS DECIMAL(28,2))) AS DOUBLE) AS sc,
+         |  CAST(SUM(rev) AS DOUBLE) AS tot FROM r)
+         |SELECT n AS n_customers, tot AS total_revenue,
+         | ${sqlRound("2.0 * ((n + 1) * tot - sc) / (n * tot) - CAST(n + 1 AS DOUBLE) / n", 6)} AS gini
+         |FROM agg ORDER BY n_customers""".stripMargin,
 
     "q_user_stickiness" ->
       s"""WITH active AS (SELECT DISTINCT user_id,

@@ -89,6 +89,8 @@ class PlanLintSpec extends SparkSpec {
     "embed_quality_stats",
     // 1-row candidate-mass total over the <=40-row df-band frame
     "dedup_shingle_profile",
+    // 1-row Gini moment agg over the per-customer cum frame
+    "q_revenue_gini",
     // 1-row char-total + decimal sqrt-sum scalars, cross-joined
     "corpus_mix_temperature")
 
