@@ -139,9 +139,25 @@ object DeltaLog {
       .filter(_ <= v).sorted.lastOption
   }
 
-  /** Delta percent-encodes paths in the log (RFC 2396). */
-  private def decodePath(p: String): String =
-    java.net.URLDecoder.decode(p, "UTF-8")
+  /** Delta percent-encodes paths in the log (RFC 2396). Percent-decode
+    * %XX UTF-8 byte sequences ONLY — URI decoding, not form decoding:
+    * a literal '+' in a real Delta writer's path means '+', never
+    * space (URLDecoder would eat it). Malformed escapes pass through
+    * verbatim rather than failing the whole replay. */
+  private def decodePath(p: String): String = {
+    val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '%' && i + 3 <= p.length &&
+        p.substring(i + 1, i + 3).forall(h =>
+          (h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') || (h >= 'A' && h <= 'F'))) {
+        bytes += Integer.parseInt(p.substring(i + 1, i + 3), 16).toByte
+        i += 3
+      } else { bytes ++= c.toString.getBytes("UTF-8"); i += 1 }
+    }
+    new String(bytes.toArray, "UTF-8")
+  }
 
   /** Resolve the snapshot at `versionAsOf` (default: latest), or at
     * the greatest version whose commit time is <= `timestampAsOf`
@@ -307,8 +323,12 @@ object DeltaLog {
       case c: Cast => attrName(c.child)
       case _ => None
     }
+    // gate on the literal's declared NUMERIC type, not its boxed
+    // runtime class — Date (Int-backed) and Timestamp (Long-backed)
+    // literals must never be compared against stats that real Delta
+    // writers record as strings for those types
     def litNum(e: Expression): Option[BigDecimal] = e match {
-      case Literal(v, _) => v match {
+      case Literal(v, dt) if dt.isInstanceOf[NumericType] => v match {
         case n: java.lang.Integer => Some(BigDecimal(n.intValue()))
         case n: java.lang.Long => Some(BigDecimal(n.longValue()))
         case n: java.lang.Short => Some(BigDecimal(n.intValue()))
@@ -320,6 +340,11 @@ object DeltaLog {
       }
       case _ => None
     }
+    // consult stats only for columns the TABLE schema declares numeric:
+    // a Cast-unwrapped string column with numeric-looking lexicographic
+    // min/max would silently wrong-prune otherwise
+    def numericCol(n: String): Boolean =
+      snap.schema.find(_.name == n).exists(_.dataType.isInstanceOf[NumericType])
     // (column, op, literal) with op normalized so the attribute is on
     // the LEFT; op in {=, <, <=, >, >=}
     // normalize so the attribute is on the LEFT; a literal-on-the-left
@@ -349,15 +374,21 @@ object DeltaLog {
       }.getOrElse(return snap.files)
     }
     val checks = conjuncts(cond).flatMap(normalize)
+      .filter { case (c, _, _) => numericCol(c) }
     if (checks.isEmpty) return snap.files
+    // an unparseable recorded bound (real tables may carry stats in
+    // shapes we did not author) keeps the file, never throws
+    def parseNum(n: com.fasterxml.jackson.databind.JsonNode): Option[BigDecimal] =
+      try Some(BigDecimal(n.asText()))
+      catch { case _: NumberFormatException => None }
     snap.files.filter { f =>
       f.stats.forall { js =>
         val root = try M.readTree(js) catch { case _: Exception => null }
         root == null || checks.forall { case (c, op, v) =>
           val mn = Option(root.path("minValues").get(c)).filterNot(_.isNull)
-            .map(n => BigDecimal(n.asText()))
+            .flatMap(parseNum)
           val mx = Option(root.path("maxValues").get(c)).filterNot(_.isNull)
-            .map(n => BigDecimal(n.asText()))
+            .flatMap(parseNum)
           val nr = Option(root.get("numRecords")).map(_.asLong())
           val nc = Option(root.path("nullCount").get(c)).filterNot(_.isNull)
             .map(_.asLong())
@@ -392,32 +423,58 @@ object DeltaLog {
     partitionPrunedFiles(spark, statsPruned, predicate)
   }
 
-  /** The subset of `snap.files` whose partitionValues satisfy
-    * `predicate` with every non-partition column left unconstrained:
-    * the predicate is evaluated by Catalyst over a file-list-sized
-    * local frame of TYPED partition values with non-partition columns
-    * bound to null, keeping only files where it does NOT evaluate to
-    * false — null (unknown, because a data column was involved) keeps
-    * the file, so any residual-filterable predicate prunes soundly. */
+  /** The subset of `snap.files` whose partitionValues satisfy the
+    * PARTITION-ONLY top-level AND conjuncts of `predicate`: conjuncts
+    * referencing any data column are ignored entirely (they stay
+    * residual filters on the caller's side). Evaluating the FULL
+    * predicate with data columns bound to null would wrong-prune
+    * null-intolerant shapes — `p === "x" && n.isNotNull` evaluates
+    * false under the null binding even for files that hold matches —
+    * so only conjuncts whose attribute references are a subset of the
+    * partition columns are consulted, each evaluated by Catalyst over
+    * a file-list-sized local frame of TYPED partition values (null =
+    * unknown keeps the file). Any conjunct that does not round-trip
+    * through its SQL form keeps all files: pruning is an optimization,
+    * never a filter. */
   private def partitionPrunedFiles(spark: SparkSession, snap: Snapshot,
                                    predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression, SubqueryExpression}
     if (snap.partitionColumns.isEmpty || snap.files.isEmpty) return snap.files
     import spark.implicits._
     val pc = snap.partitionColumns
+    val cond: Expression = {
+      val dummy = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      dummy.where(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(return snap.files)
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val pcSet = pc.toSet
+    val partOnly = conjuncts(cond).filter { c =>
+      val refs = c.references.toSeq.map(_.name)
+      refs.nonEmpty && refs.forall(pcSet.contains) && c.deterministic &&
+        !c.exists(_.isInstanceOf[SubqueryExpression])
+    }
+    if (partOnly.isEmpty) return snap.files
+    val pruneCol = try partOnly.map(c => expr(c.sql)).reduce(_ && _)
+    catch { case scala.util.control.NonFatal(_) => return snap.files }
     val rows = snap.files.zipWithIndex.map { case (f, i) =>
       (i, pc.map(c => f.partitionValues.getOrElse(c, null)))
     }
     val typed = rows.toDF("__idx", "__pv").select(
-      col("__idx") +: snap.schema.map(fl =>
-        if (pc.contains(fl.name))
-          element_at(col("__pv"), pc.indexOf(fl.name) + 1)
-            .cast(fl.dataType).as(fl.name)
-        else lit(null).cast(fl.dataType).as(fl.name)): _*)
-    // keep unless provably false: NOT(coalesce(pred, true)) drops
-    // only files where the predicate is definitely unsatisfiable on
-    // partition values alone
-    val keep = typed.filter(coalesce(predicate, lit(true)))
+      col("__idx") +: pc.map(c =>
+        element_at(col("__pv"), pc.indexOf(c) + 1)
+          .cast(snap.schema(c).dataType).as(c)): _*)
+    // keep unless provably false: coalesce(pred, true) drops only
+    // files whose partition values definitely fail a partition-only
+    // conjunct
+    val keep = try typed.filter(coalesce(pruneCol, lit(true)))
       .select("__idx").as[Int].collect().toSet
+    catch { case scala.util.control.NonFatal(_) => return snap.files }
     snap.files.zipWithIndex.collect { case (f, i) if keep(i) => f }
   }
 
@@ -444,10 +501,13 @@ object DeltaLog {
     if (snap.partitionColumns.isEmpty) base
     else {
       import spark.implicits._
-      // normalize to scheme-less absolute path on both sides
+      // input_file_name() reports SparkPath's URL-encoded form (space
+      // as %20) — encode the file list the same way, then normalize to
+      // scheme-less absolute path on both sides
       def norm(p: String) = p.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
       val pvRows = snap.files.map(f =>
-        (norm(f.path), snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null))))
+        (norm(org.apache.spark.paths.SparkPath.fromPathString(f.path).urlEncoded),
+          snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null))))
       val pvDf = broadcast(pvRows.toDF("__path", "__pv"))
       val withPath = base.withColumn("__path",
         regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
@@ -531,12 +591,20 @@ object DeltaLog {
             s"schema/metadata change inside polled range ($fromVersion, " +
               s"$toVersion] of $tablePath — poll up to the boundary, adapt, continue")
       }
-    val fileActs = acts.select(
-      coalesce(col("add.path"), col("remove.path")).as("path"),
-      col("add.path").isNotNull.as("is_add"),
-      col("add.partitionValues").as("pv"),
-      col("add.size").as("size"),
-      col("add.modificationTime").as("mtime"), col("__v"))
+    // dataChange=false actions (OPTIMIZE / Z-ORDER rewrites) rearrange
+    // bytes without changing rows — surfacing them as delete+insert
+    // would let a replica consumer drop rows (within-commit apply
+    // order of identical delete/insert rows is unspecified), so the
+    // change feed skips them, exactly like real Delta CDF
+    val fileActs = acts
+      .filter(coalesce(col("add.dataChange"), col("remove.dataChange"),
+        lit(true)))
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.path").isNotNull.as("is_add"),
+        col("add.partitionValues").as("pv"),
+        col("add.size").as("size"),
+        col("add.modificationTime").as("mtime"), col("__v"))
       .filter(col("path").isNotNull).collect()
     // removed files carry no partitionValues on the tombstone — they
     // were added earlier: resolve pv from the fromVersion snapshot,
@@ -630,15 +698,25 @@ object DeltaLog {
     s"""{"metaData":{"id":${jsEscape(tableId)},"format":{"provider":"parquet","options":{}},"schemaString":${jsEscape(schemaJson)},"partitionColumns":$pcJson,"configuration":{},"createdTime":$now}}"""
   }
 
-  /** Table-relative path → percent-encoded log path. The reader's
-    * [[decodePath]] is URLDecoder, so URLEncoder per path SEGMENT
-    * ('/' preserved) is its exact inverse — any literal '%', '+', or
-    * non-ASCII byte in a staged file/dir name (hive-escaped partition
-    * dirs contain '%') round-trips to the on-disk literal. Standard
-    * percent-decoders (real Delta readers use URI decoding) restore
-    * the same string. */
-  private def encodePath(rel: String): String =
-    rel.split('/').map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("/")
+  /** Table-relative path → percent-encoded log path, RFC 2396 per
+    * SEGMENT ('/' preserved): unreserved bytes pass through, everything
+    * else (including space → %20 and '+' → %2B — NOT form encoding's
+    * '+' for space) becomes %XX over UTF-8 bytes. [[decodePath]] is the
+    * exact inverse, and real Delta readers URI-decode to the same
+    * on-disk literal — staged paths with spaces stay interoperable. */
+  private def encodePath(rel: String): String = {
+    def seg(s: String): String = {
+      val b = new StringBuilder
+      s.getBytes("UTF-8").foreach { byte =>
+        val c = (byte & 0xff).toChar
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || "-_.~!*'()".indexOf(c.toInt) >= 0) b.append(c)
+        else b.append(f"%%${byte & 0xff}%02X")
+      }
+      b.toString
+    }
+    rel.split('/').map(seg).mkString("/")
+  }
 
   /** Hive-style partition-dir unescape: %XX only (Spark's
     * ExternalCatalogUtils.escapePathName never emits '+', so a

@@ -487,6 +487,95 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.prunedFiles(spark, viaCp, col("k") === 11L).size === 1)
   }
 
+  test("partition pruning ignores data-column conjuncts: null-intolerant shapes keep their rows") {
+    val t = Files.createTempDirectory("graft-delta-ni").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "x", 10), (3L, "y", 30), (4L, "z", 40))
+      .toDF("id", "p", "n"), t, partitionBy = Seq("p"))
+    // isNotNull over a data column inside the conjunction: under the
+    // old null-binding evaluation this silently returned NO rows
+    val got = DeltaLog.readWhere(spark, t,
+      col("p") === "y" && col("n").isNotNull)
+      .as[(Long, String, Int)].collect().toSet
+    assert(got === Set((3L, "y", 30)))
+    // and the partition conjunct still prunes the planned file list
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(DeltaLog.prunedFiles(spark, snap,
+      col("p") === "y" && col("n").isNotNull).size < snap.files.size)
+    // other null-intolerant shapes over data columns: sound, full rows
+    for (p <- Seq(
+      col("p") === "y" && coalesce(col("n"), lit(0)) >= 0,
+      col("p") === "y" && when(col("n") > 0, true).otherwise(false)))
+      assert(DeltaLog.readWhere(spark, t, p).count() === 1L, p.toString)
+  }
+
+  test("stats pruning is gated on NUMERIC schema types; odd recorded stats keep files") {
+    val t = Files.createTempDirectory("graft-delta-strst").toString + "/t"
+    // string column with numeric-LOOKING values whose lexicographic
+    // bounds invert the numeric order: min="10" < max="9"
+    val df = Seq(("10", 1L), ("9", 2L)).toDF("s", "k")
+    val sz = writeDataFile(t, "f1.parquet", df)
+    val statsJson = ujson(
+      """{"numRecords":2,"minValues":{"s":"10","k":1},"maxValues":{"s":"9","k":2},"nullCount":{"s":0,"k":0}}""".stripMargin)
+    commit(t, 0, Seq(protoLine, metaLine(df.schema.json),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,"modificationTime":5,"dataChange":true,"stats":$statsJson}}"""))
+    val snap = DeltaLog.snapshot(spark, t)
+    // s > 5 analysis casts the string column — consulting the
+    // lexicographic bounds would wrong-prune; the numeric gate keeps it
+    assert(DeltaLog.prunedFiles(spark, snap, expr("s > 5")).size === 1)
+    assert(DeltaLog.readWhere(spark, t, expr("s > 5"))
+      .select("k").as[Long].collect().toSet === Set(1L, 2L))
+    // a date column whose recorded min/max are date STRINGS: the old
+    // BigDecimal parse threw; now the conjunct simply never consults
+    val t2 = Files.createTempDirectory("graft-delta-dtst").toString + "/t"
+    val df2 = Seq(("2024-01-03", 7L)).toDF("ds", "k")
+      .select(col("ds").cast("date").as("d"), col("k"))
+    val sz2 = writeDataFile(t2, "f1.parquet", df2)
+    val st2 = ujson(
+      """{"numRecords":1,"minValues":{"d":"2024-01-03"},"maxValues":{"d":"2024-01-03"},"nullCount":{"d":0}}""")
+    commit(t2, 0, Seq(protoLine, metaLine(df2.schema.json),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz2,"modificationTime":5,"dataChange":true,"stats":$st2}}"""))
+    val got = DeltaLog.readWhere(spark, t2,
+      col("d") === lit(java.sql.Date.valueOf("2024-01-03")))
+    assert(got.select("k").as[Long].collect().toSeq === Seq(7L))
+  }
+
+  test("change feed skips dataChange=false commits (OPTIMIZE is invisible to CDC)") {
+    val t = Files.createTempDirectory("graft-delta-cdcopt").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    val optV = DeltaLog.optimize(spark, t, targetFileBytes = Long.MaxValue)
+    assert(optV === 2L)
+    val ch = DeltaLog.changes(spark, t, fromVersion = -1L, toVersion = optV)
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    // two inserts, NOTHING from the compaction commit — a replica
+    // consumer applying this feed cannot drop rows
+    assert(ch === Set((1L, "insert", 0L), (2L, "insert", 1L)))
+    assert(DeltaLog.changes(spark, t, fromVersion = 1L, toVersion = optV)
+      .count() === 0L)
+  }
+
+  test("log paths percent-encode spaces as %20 and '+' as %2B (URI, not form encoding)") {
+    val t = Files.createTempDirectory("graft-delta-enc").toString + "/t"
+    // partition values with a space and a literal '+' land in hive
+    // dir names, which the log must percent-encode interoperably
+    DeltaLog.write(spark, Seq((1L, "a b"), (2L, "a+b")).toDF("k", "p"), t,
+      partitionBy = Seq("p"))
+    val log0 = Files.readString(Paths.get(t, "_delta_log", f"${0L}%020d.json"))
+    assert(log0.contains("%20"), log0) // space → %20, never '+'
+    assert(log0.contains("%2B"), log0) // literal '+' → %2B
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a b"), (2L, "a+b")))
+    // a hand-committed path with %20 (what a real Delta writer emits)
+    // decodes to the on-disk space
+    val t2 = Files.createTempDirectory("graft-delta-enc2").toString + "/t"
+    val df = Seq(Tuple1(5L)).toDF("id")
+    val sz = writeDataFile(t2, "my file.parquet", df)
+    commit(t2, 0, Seq(protoLine, metaLine(df.schema.json),
+      addLine("my%20file.parquet", sz)))
+    assert(DeltaLog.read(spark, t2).as[Long].collect().toSeq === Seq(5L))
+  }
+
   test("VersionedTable export round-trips through the Delta reader") {
     val t = Files.createTempDirectory("graft-vt-delta").toString + "/t"
     VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
