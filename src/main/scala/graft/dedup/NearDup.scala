@@ -557,13 +557,25 @@ object NearDup {
     *
     * Lossless by the partition argument — the graded query's
     * all-pairs DuckDB oracle hash-proves it; the property spec
-    * re-proves it against brute force on random strings. Segment
-    * selectivity is corpus-dependent (a shared constant prefix makes
-    * segment 0 a hot bucket — the usual skew caveat; PassJoin's
-    * position constraints are kept so hot buckets stay as small as
-    * the scheme allows). */
+    * re-proves it against brute force on random strings.
+    *
+    * Skew arm (exact): a shared constant prefix makes segment-0
+    * buckets hot — candidate fanout goes pc x ic on those keys and a
+    * single reducer would own it. Buckets whose PROBE multiplicity
+    * exceeds `maxProbePerBucket` (counted on the cheap (k+1)-per-
+    * string probe frame, then size-gated and broadcast) are routed
+    * through a SALTED join: each hot probe row takes one
+    * deterministic salt from its id, hot index rows replicate across
+    * all `nSalts` — identical pair set, spread over nSalts reducers
+    * ([[graft.operators.Skew]]'s recipe inlined because only the HOT
+    * arm may pay the replication). Cold buckets join unsalted. The
+    * verify is the THRESHOLD levenshtein (banded O(k·len) with early
+    * exit, -1 past the bound) — candidates from a hot prefix mostly
+    * differ far beyond k, so the early exit, not the salt, is what
+    * caps per-pair cost. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int): DataFrame = {
+                        maxDist: Int, maxProbePerBucket: Int = 256,
+                        nSalts: Int = 32): DataFrame = {
     require(maxDist >= 1 && maxDist <= 4, s"maxDist in [1,4], got $maxDist")
     val k = maxDist
     val nSeg = k + 1
@@ -615,11 +627,46 @@ object NearDup {
     // index substring generated for probe length L only meets probes
     // of EXACTLY that length — cross-length false candidates never
     // reach the verify, and the length-band filter is subsumed
-    probe.join(index, Seq("__i", "__l", "__alen", "__seg"))
+    val keys = Seq("__i", "__l", "__alen", "__seg")
+    val probeP = trackedPersist(probe)
+    // hot-bucket detection on the probe frame ((k+1) rows per string
+    // — the cheap side): shared-prefix skew IS many probes with one
+    // segment value, so probe multiplicity is the direct signal
+    val hotKeys = trackedPersist(
+      probeP.groupBy(keys.map(col): _*).count()
+        .where(col("count") > maxProbePerBucket)
+        .select(keys.map(col): _*))
+    val nHot = hotKeys.count() // bounded driver gate, like the df cap
+    val candidates =
+      if (nHot == 0L) probeP.join(index, keys)
+      else {
+        require(nHot <= 4000000L,
+          s"$nHot hot segment buckets (> $maxProbePerBucket probes each) — " +
+            "corpus is pathologically repetitive; raise maxProbePerBucket " +
+            "or dedup exact copies first (editDistancePairs already runs " +
+            "on the distinct string space)")
+        val hot = broadcast(hotKeys.withColumn("__hot", lit(true)))
+        val pTag = probeP.join(hot, keys, "left")
+        val iTag = index.join(hot, keys, "left")
+        val cold = pTag.where(col("__hot").isNull).drop("__hot")
+          .join(iTag.where(col("__hot").isNull).drop("__hot"), keys)
+        // hot arm: probe takes ONE deterministic salt from its id,
+        // index replicates across all salts — same pairs, nSalts
+        // reducers per hot bucket instead of one
+        val pHot = pTag.where(col("__hot").isNotNull).drop("__hot")
+          .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(nSalts)).cast("int"))
+        val iHot = iTag.where(col("__hot").isNotNull).drop("__hot")
+          .withColumn("__salt",
+            explode(sequence(lit(0), lit(nSalts - 1)).cast("array<int>")))
+        cold.unionByName(
+          pHot.join(iHot, keys :+ "__salt").drop("__salt"))
+      }
+    candidates
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
-      .withColumn("edit_dist", levenshtein(col("s_a"), col("s_b")).cast("bigint"))
-      .where(col("edit_dist") <= k)
+      // threshold form: banded O(k·len) DP with early exit, -1 past k
+      .withColumn("edit_dist", levenshtein(col("s_a"), col("s_b"), k).cast("bigint"))
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= k)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 }

@@ -436,4 +436,51 @@ class TextAndDedupSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("editDistancePairs: planted-common-prefix skew routes hot buckets through the salted arm, losslessly") {
+    import spark.implicits._
+    // 400 strings sharing a LONG constant prefix: every segment-0 (and
+    // most early-segment) bucket holds all of them — the documented
+    // hot-bucket shape. Suffixes make a known pair structure: i and
+    // i+1 differ by one substitution when they share a tens-block.
+    val n = 400
+    val rows = (0 until n).map { i =>
+      (i.toLong, f"CUSTOMER-RECORD-PREFIX-${i / 10}%04d${i % 10}")
+    }
+    val df = rows.toDF("id", "s")
+    def brute(k: Int): Set[(Long, Long, Long)] = {
+      val a = df.select(col("id").as("id_a"), col("s").as("s_a"))
+      val b = df.select(col("id").as("id_b"), col("s").as("s_b"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .withColumn("d", levenshtein(col("s_a"), col("s_b")).cast("bigint"))
+        .where(col("d") <= k)
+        .select("id_a", "id_b", "d").as[(Long, Long, Long)].collect().toSet
+    }
+    // threshold low enough that the hot arm MUST engage (400 probes
+    // per shared-prefix bucket > 8)
+    val salted = NearDup.editDistancePairs(df, "id", "s", maxDist = 2,
+      maxProbePerBucket = 8, nSalts = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted === brute(2))
+    assert(salted.nonEmpty)
+    // and with the default threshold (cold path for n=400 buckets of
+    // 400? no — 400 > 256, hot arm engages at defaults too) the same
+    // exact set comes back
+    val defaults = NearDup.editDistancePairs(df, "id", "s", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(defaults === salted)
+    // a non-skewed corpus takes the cold path (no hot buckets) and is
+    // still exact — the gate itself never changes results
+    val plain = (0 until 50).map(i => (i.toLong, s"v${i}x${i * 7 % 13}"))
+      .toDF("id", "s")
+    val coldGot = NearDup.editDistancePairs(plain, "id", "s", maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val a = plain.select(col("id").as("id_a"), col("s").as("s_a"))
+    val b = plain.select(col("id").as("id_b"), col("s").as("s_b"))
+    val coldBrute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("d", levenshtein(col("s_a"), col("s_b")).cast("bigint"))
+      .where(col("d") <= 1)
+      .select("id_a", "id_b", "d").as[(Long, Long, Long)].collect().toSet
+    assert(coldGot === coldBrute)
+  }
 }
