@@ -68,36 +68,50 @@ object DeltaLog {
       StructField("dataChange", BooleanType),
       StructField("stats", StringType),
       StructField("deletionVector", StructType(Seq(
-        StructField("storageType", StringType))))))),
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
-      StructField("dataChange", BooleanType))))))
+      StructField("dataChange", BooleanType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))))))
 
   /** readerFeatures this reader actually honors for protocol v3. */
   val SupportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "columnMapping") // columnMapping only in mode none
+    Set("timestampNtz", "columnMapping", // columnMapping only in mode none
+      "deletionVectors") // applied as a row filter at scan
 
   /** One live data file of a snapshot. `path` is absolute; `stats`
     * is the Delta per-file stats JSON (numRecords/minValues/
-    * maxValues/nullCount) when the writer recorded it. */
+    * maxValues/nullCount) when the writer recorded it; `dv` the
+    * deletion-vector descriptor when rows of the file are logically
+    * deleted (merge-on-read — applied by [[readSnapshot]]). */
   final case class AddFile(path: String,
                            partitionValues: Map[String, String],
                            size: Long, modificationTime: Long,
-                           stats: Option[String] = None)
+                           stats: Option[String] = None,
+                           dv: Option[DeletionVectors.Descriptor] = None)
 
   /** A resolved table state at one version — the common abstraction
     * over real Delta tables ([[snapshot]]) and graft
-    * [[VersionedTable]]s ([[snapshotFromVersioned]]). */
+    * [[VersionedTable]]s ([[snapshotFromVersioned]]). `txns` carries
+    * the highest committed `txn` action version per appId — the
+    * idempotence watermark a streaming sink consults on restart. */
   final case class Snapshot(tablePath: String, version: Long,
                             schema: StructType,
                             partitionColumns: Seq[String],
                             files: Seq[AddFile],
-                            configuration: Map[String, String])
+                            configuration: Map[String, String],
+                            txns: Map[String, Long] = Map.empty)
 
-  private def logDir(tablePath: String) = new Path(tablePath, "_delta_log")
+  private[sources] def logDir(tablePath: String) = new Path(tablePath, "_delta_log")
 
-  private def pad20(v: Long): String = f"$v%020d"
+  private[sources] def pad20(v: Long): String = f"$v%020d"
 
   /** List available commit versions (from `<v>.json` file names). */
   def listVersions(spark: SparkSession, tablePath: String): Seq[Long] = {
@@ -144,7 +158,7 @@ object DeltaLog {
     * a literal '+' in a real Delta writer's path means '+', never
     * space (URLDecoder would eat it). Malformed escapes pass through
     * verbatim rather than failing the whole replay. */
-  private def decodePath(p: String): String = {
+  private[sources] def decodePath(p: String): String = {
     val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
     var i = 0
     while (i < p.length) {
@@ -202,6 +216,7 @@ object DeltaLog {
       df.select(colOrNull("protocol").as("protocol"),
         colOrNull("metaData").as("metaData"),
         colOrNull("add").as("add"), colOrNull("remove").as("remove"),
+        colOrNull("txn").as("txn"),
         lit(c).as("__v"))
     }
 
@@ -248,7 +263,7 @@ object DeltaLog {
       col("add.size").as("size"),
       col("add.modificationTime").as("mtime"),
       col("add.stats").as("stats"),
-      col("add.deletionVector.storageType").as("dv"),
+      col("add.deletionVector").as("dv"),
       col("__v"))
       .filter(col("path").isNotNull)
     val live = fileActions
@@ -257,19 +272,33 @@ object DeltaLog {
           .orderBy(col("__v").desc, col("is_add").asc)))
       .filter(col("__rn") === 1 && col("is_add"))
     val rows = live.select("path", "pv", "size", "mtime", "stats", "dv").collect()
-    rows.find(_.getAs[String]("dv") != null).foreach { _ =>
-      throw new UnsupportedOperationException(
-        "Delta deletion vectors are not supported by this reader")
-    }
     val files = rows.map { r =>
+      val dv = Option(r.getAs[org.apache.spark.sql.Row]("dv")).map { d =>
+        DeletionVectors.Descriptor(
+          d.getAs[String]("storageType"),
+          d.getAs[String]("pathOrInlineDv"),
+          Option(d.getAs[java.lang.Integer]("offset")).map(_.toInt),
+          Option(d.getAs[java.lang.Integer]("sizeInBytes")).map(_.toInt)
+            .getOrElse(0),
+          Option(d.getAs[java.lang.Long]("cardinality")).map(_.toLong)
+            .getOrElse(0L))
+      }
       AddFile(new Path(tablePath, decodePath(r.getAs[String]("path"))).toString,
         Option(r.getAs[scala.collection.Map[String, String]]("pv"))
           .map(_.toMap).getOrElse(Map.empty),
         Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
         Option(r.getAs[java.lang.Long]("mtime")).map(_.toLong).getOrElse(0L),
-        Option(r.getAs[String]("stats")))
+        Option(r.getAs[String]("stats")),
+        dv)
     }.toSeq
-    Snapshot(tablePath, v, schema, partCols, files, conf)
+    // txn replay: highest committed version per appId (the streaming
+    // sink's exactly-once watermark — a replayed micro-batch with
+    // version <= this is a no-op)
+    val txns = actions.filter(col("txn").isNotNull)
+      .groupBy(col("txn.appId").as("appId"))
+      .agg(max(col("txn.version")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Snapshot(tablePath, v, schema, partCols, files, conf, txns)
   }
 
   /** Read a snapshot as a DataFrame. Partition-column values live in
@@ -492,26 +521,58 @@ object DeltaLog {
   }
 
   private def readSnapshotAll(spark: SparkSession, snap: Snapshot): DataFrame = {
+    import spark.implicits._
     val dataSchema = StructType(snap.schema.filterNot(
       f => snap.partitionColumns.contains(f.name)))
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    val base = spark.read.schema(dataSchema).parquet(snap.files.map(_.path): _*)
-    if (snap.partitionColumns.isEmpty) base
+    // input_file_name() reports SparkPath's URL-encoded form (space
+    // as %20) — encode the file list the same way, then normalize to
+    // scheme-less absolute path on both sides
+    def norm(p: String) = p.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    def fileKey(p: String) =
+      norm(org.apache.spark.paths.SparkPath.fromPathString(p).urlEncoded)
+    def scanWithPath(files: Seq[AddFile]) =
+      spark.read.schema(dataSchema).parquet(files.map(_.path): _*)
+        .withColumn("__path",
+          regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+
+    // deletion vectors: files with a DV read with their physical row
+    // index and anti-join the deleted-position set. Bytes are fetched
+    // once per sidecar (KB–MB, bounded by the descriptors' recorded
+    // sizeInBytes); EXPANSION to positions happens on executors. The
+    // join side broadcasts only when total cardinality is small.
+    val (dvFiles, plainFiles) = snap.files.partition(_.dv.exists(_.cardinality != 0L))
+    val plain = if (plainFiles.nonEmpty) Some(scanWithPath(plainFiles)) else None
+    val dvScan = if (dvFiles.isEmpty) None else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dvData: Seq[(String, Array[Byte])] = dvFiles.map(f =>
+        (fileKey(f.path),
+          DeletionVectors.loadData(conf, snap.tablePath, f.dv.get)))
+      val posDf = spark.createDataset(dvData).flatMap { case (p, bytes) =>
+        DeletionVectors.deletedRows(bytes).map(r => (p, r))
+      }.toDF("__path", "__ri")
+      val totalCard = dvFiles.flatMap(_.dv).map(_.cardinality).sum
+      val posSide = if (totalCard <= 5000000L) broadcast(posDf) else posDf
+      val scanned = spark.read.schema(dataSchema)
+        .parquet(dvFiles.map(_.path): _*)
+        .select(col("*"),
+          col("_metadata.row_index").as("__ri"))
+        .withColumn("__path",
+          regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+      Some(scanned.join(posSide, Seq("__path", "__ri"), "left_anti").drop("__ri"))
+    }
+    val base = (plain.toSeq ++ dvScan.toSeq).reduce(_.unionByName(_))
+
+    if (snap.partitionColumns.isEmpty)
+      base.select(dataSchema.fieldNames.map(col): _*)
     else {
-      import spark.implicits._
-      // input_file_name() reports SparkPath's URL-encoded form (space
-      // as %20) — encode the file list the same way, then normalize to
-      // scheme-less absolute path on both sides
-      def norm(p: String) = p.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
       val pvRows = snap.files.map(f =>
-        (norm(org.apache.spark.paths.SparkPath.fromPathString(f.path).urlEncoded),
+        (fileKey(f.path),
           snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null))))
       val pvDf = broadcast(pvRows.toDF("__path", "__pv"))
-      val withPath = base.withColumn("__path",
-        regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
-      val joined = withPath.join(pvDf, Seq("__path"), "left")
+      val joined = base.join(pvDf, Seq("__path"), "left")
       // cast partition strings to their declared types; Delta's
       // partitionValues serialization for primitives is the plain
       // string form, which Spark's cast parses
@@ -591,6 +652,15 @@ object DeltaLog {
             s"schema/metadata change inside polled range ($fromVersion, " +
               s"$toVersion] of $tablePath — poll up to the boundary, adapt, continue")
       }
+    // deletion-vector commits express row-level deletes by re-adding
+    // the SAME path with a DV — a file-level delete+insert feed would
+    // replay the whole file's rows on both sides; gate loudly until a
+    // row-diff arm exists (snapshot READS apply DVs fine)
+    if (acts.filter(col("add.deletionVector").isNotNull).limit(1).count() > 0)
+      throw new UnsupportedOperationException(
+        s"deletion-vector commit inside polled range ($fromVersion, " +
+          s"$toVersion] of $tablePath — the change feed cannot express " +
+          "row-level DV deletes yet; read snapshots instead")
     // dataChange=false actions (OPTIMIZE / Z-ORDER rewrites) rearrange
     // bytes without changing rows — surfacing them as delete+insert
     // would let a replica consumer drop rows (within-commit apply
@@ -852,7 +922,8 @@ object DeltaLog {
   def write(spark: SparkSession, df: DataFrame, deltaPath: String,
             overwrite: Boolean = false,
             partitionBy: Seq[String] = Seq.empty,
-            checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+            checkpointInterval: Int = DefaultCheckpointInterval,
+            txn: Option[(String, Long)] = None): Long = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(deltaPath)
     val fs = dst.getFileSystem(fsConf)
@@ -963,6 +1034,12 @@ object DeltaLog {
     adopted.foreach { case (rel, pv, sz, st) =>
       val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
       lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
+    }
+    // the txn action (appId, version) is the public Delta idempotence
+    // marker: a streaming sink stamps (queryId, batchId) and skips any
+    // batch at or below the table's replayed watermark on restart
+    txn.foreach { case (appId, tv) =>
+      lines += s"""{"txn":{"appId":${jsEscape(appId)},"version":$tv,"lastUpdated":$now}}"""
     }
     val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
     val out = fs.create(commit, false) // exclusive create = the CAS
@@ -1113,6 +1190,162 @@ object DeltaLog {
       .stripPrefix(root).stripPrefix("/"))
   }
 
+  /** Row-level `DELETE FROM … WHERE predicate` as COPY-ON-WRITE, the
+    * way real Delta executes it: only files that can contain matches
+    * (by partition values + per-file stats, [[prunedFiles]]) are even
+    * scanned; of those, only files with >= 1 ACTUAL matching row are
+    * rewritten (one match-detection job over the candidate set);
+    * every other file is untouched — at 100 TB a selective delete
+    * rewrites a handful of files, not the table. The swap commits as
+    * ONE dataChange=true version (remove old + add rewritten, stats
+    * recomputed from the new footers), so time travel still reads the
+    * deleted rows at older versions and [[changes]] surfaces the
+    * delete+reinsert pair. Rows where the predicate is NULL survive
+    * (SQL DELETE semantics). Returns the committed version — or the
+    * current one when nothing matched (no empty commits). */
+  def delete(spark: SparkSession, deltaPath: String,
+             predicate: org.apache.spark.sql.Column,
+             checkpointInterval: Int = DefaultCheckpointInterval): Long =
+    copyOnWrite(spark, deltaPath, predicate, checkpointInterval) {
+      (full, pred) => full.where(!coalesce(pred, lit(false)))
+    }
+
+  /** Row-level `UPDATE … SET assignments WHERE predicate`, copy-on-
+    * write like [[delete]]: matched files are rewritten with matching
+    * rows transformed and everything else byte-identical in content.
+    * Assignments on PARTITION columns are refused (rows would have to
+    * move directories — split that into delete + append). */
+  def update(spark: SparkSession, deltaPath: String,
+             predicate: org.apache.spark.sql.Column,
+             assignments: Map[String, org.apache.spark.sql.Column],
+             checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    require(assignments.nonEmpty, "UPDATE with no assignments")
+    val snap0 = snapshot(spark, deltaPath)
+    assignments.keys.foreach { c =>
+      require(snap0.schema.fieldNames.contains(c), s"unknown column $c")
+      require(!snap0.partitionColumns.contains(c),
+        s"UPDATE on partition column $c would move rows across " +
+          "partition directories — delete + append instead")
+    }
+    copyOnWrite(spark, deltaPath, predicate, checkpointInterval) {
+      (full, pred) =>
+        assignments.foldLeft(full) { case (df, (c, v)) =>
+          df.withColumn(c,
+            when(coalesce(pred, lit(false)), v.cast(snap0.schema(c).dataType))
+              .otherwise(col(c)))
+        }
+    }
+  }
+
+  /** Shared copy-on-write core: locate files with actual matches,
+    * rewrite them through `transform` (applied with the predicate over
+    * the FULL schema — partition values attached as typed literals),
+    * commit remove+add as one version. */
+  private def copyOnWrite(spark: SparkSession, deltaPath: String,
+                          predicate: org.apache.spark.sql.Column,
+                          checkpointInterval: Int)
+                         (transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
+    import spark.implicits._
+    val snap = snapshot(spark, deltaPath)
+    val candidates = prunedFiles(spark, snap, predicate)
+    if (candidates.isEmpty) return snap.version
+    val dataSchema = StructType(snap.schema.filterNot(
+      f => snap.partitionColumns.contains(f.name)))
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(deltaPath)
+    val fs = dst.getFileSystem(fsConf)
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    def fileKey(p: String) = deScheme(
+      org.apache.spark.paths.SparkPath.fromPathString(p).urlEncoded)
+
+    // ONE match-detection job over all candidate files: which files
+    // hold at least one matching row
+    val pc = snap.partitionColumns
+    val base = spark.read.schema(dataSchema).parquet(candidates.map(_.path): _*)
+      .withColumn("__path",
+        regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+    val withPv =
+      if (pc.isEmpty) base
+      else {
+        val pvDf = broadcast(candidates.map(f =>
+          (fileKey(f.path), pc.map(c => f.partitionValues.getOrElse(c, null))))
+          .toDF("__path", "__pv"))
+        val joined = base.join(pvDf, Seq("__path"), "left")
+        joined.select(col("__path") +: snap.schema.map(f =>
+          if (pc.contains(f.name))
+            element_at(col("__pv"), pc.indexOf(f.name) + 1)
+              .cast(f.dataType).as(f.name)
+          else col(f.name)): _*)
+      }
+    val matched = withPv.where(predicate)
+      .select("__path").distinct().as[String].collect().toSet
+    if (matched.isEmpty) return snap.version
+    val toRewrite = candidates.filter(f => matched(fileKey(f.path)))
+
+    // rewrite per partition group (pv is a constant inside a group,
+    // attached as typed literals so the predicate sees the full row)
+    val v = listVersions(spark, deltaPath).last + 1
+    val now = System.currentTimeMillis()
+    val root = deScheme(fs.makeQualified(dst).toString)
+    val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long, Option[String])]()
+    toRewrite.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+      .zipWithIndex.foreach { case ((pv, fls), gi) =>
+        val grp = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
+        val full = grp.select(snap.schema.map(f =>
+          if (pc.contains(f.name))
+            lit(pv.getOrElse(f.name, null)).cast(f.dataType).as(f.name)
+          else col(f.name)): _*)
+        val out = transform(full, predicate)
+          .select(dataSchema.fieldNames.map(col): _*)
+        val tmp = new Path(dst, s".tmp-cow-$v-$gi-${java.util.UUID.randomUUID()}")
+        out.write.parquet(tmp.toString)
+        val dirs = pc.map(c =>
+          s"${hiveEscape(c)}=${Option(pv.getOrElse(c, null))
+            .map(hiveEscape).getOrElse("__HIVE_DEFAULT_PARTITION__")}")
+        val parts = fs.listStatus(tmp).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+        parts.zipWithIndex.foreach { case (st, i) =>
+          // an empty survivor part (all rows of the group deleted)
+          // stays un-adopted: a pure remove, no 0-row add files —
+          // emptiness comes from the footer (no scan job)
+          val stats = footerStats(fsConf, st.getPath)
+          val isEmpty = stats.exists(_.contains("\"numRecords\":0"))
+          if (!isEmpty) {
+            val rel = (dirs :+ s"part-$v-$gi-$i.parquet").mkString("/")
+            val fin = new Path(dst, rel)
+            fs.mkdirs(fin.getParent)
+            if (!fs.rename(st.getPath, fin))
+              throw new IllegalStateException(s"rename failed for $rel")
+            adds += ((rel, pv, fs.getFileStatus(fin).getLen, stats))
+          }
+        }
+        fs.delete(tmp, true)
+      }
+
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
+      }.mkString("{", ",", "}")
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    toRewrite.foreach { f =>
+      val rel = encodePath(deScheme(new Path(f.path).toString)
+        .stripPrefix(root).stripPrefix("/"))
+      lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    adds.foreach { case (rel, pv, sz, st) =>
+      val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
+    }
+    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (checkpointInterval > 0 && v % checkpointInterval == 0)
+      checkpoint(spark, deltaPath, v)
+    v
+  }
+
   /** `ALTER TABLE … ADD COLUMNS` — commit a metaData-only version
     * declaring the widened schema. No data files change: existing
     * files read the new columns as null via parquet schema-on-read,
@@ -1166,9 +1399,17 @@ object DeltaLog {
       Row(rel, f.partitionValues, f.size, f.modificationTime,
         java.lang.Boolean.TRUE, f.stats.orNull, null)
     }
+    // txn watermarks MUST survive consolidation: a checkpoint that
+    // dropped them would reset the streaming sink's idempotence gate
+    // and duplicate replayed batches after a restart
+    val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
+      Row(app, tv)
+    }
     val rows: Seq[Row] =
-      (Row(protoRow, null, null, null) +: Row(null, metaRow, null, null) +:
-        addRows.map(a => Row(null, null, a, null)))
+      (Row(protoRow, null, null, null, null) +:
+        Row(null, metaRow, null, null, null) +:
+        (addRows.map(a => Row(null, null, a, null, null)) ++
+          txnRows.map(t => Row(null, null, null, null, t))))
     val cpDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(ActionSchema.fields))

@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DeletionVectors, DeltaLog}
+
+/** Deletion-vector READ support against hand-committed Delta logs —
+  * the public PROTOCOL.md sidecar format (z-base85 ids, versioned
+  * `.bin` files with size/crc framing, magic + portable
+  * RoaringBitmapArray): rows marked deleted are filtered at scan,
+  * counts match, non-DV files are untouched, and the paths that
+  * cannot apply DVs yet (CDC, the DSv2 batch scan) stay loud. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDataFile(table: String, rel: String,
+                            df: org.apache.spark.sql.DataFrame): Long = {
+    val tmp = Files.createTempDirectory("graft-dv-part").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = Paths.get(table, rel)
+    Files.createDirectories(dst.getParent)
+    Files.copy(part.toPath, dst)
+    dst.toFile.length()
+  }
+
+  private def commit(table: String, v: Long, lines: Seq[String]): Unit = {
+    val dir = Paths.get(table, "_delta_log")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(f"$v%020d.json"), lines.mkString("\n") + "\n")
+  }
+
+  private def ujson(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private val dvProto =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  private def metaLine(schemaJson: String, partCols: Seq[String] = Nil): String = {
+    val pc = partCols.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metaData":{"id":"t-dv","format":{"provider":"parquet","options":{}},"schemaString":${ujson(schemaJson)},"partitionColumns":$pc,"configuration":{},"createdTime":1}}"""
+  }
+
+  private def dvJson(d: DeletionVectors.Descriptor): String = {
+    val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
+    s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}"$off,"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+  }
+
+  test("roaring codec round-trips across keys and bitmaps; base85 round-trips") {
+    val cases = Seq(
+      Seq.empty[Long],
+      Seq(0L),
+      Seq(1L, 3L, 7L),
+      Seq(65535L, 65536L, 131071L), // across 16-bit keys
+      (0L until 5000L by 3L).toSeq, // many values, several... one key
+      Seq(1L, (1L << 32) + 5L, (3L << 32) + 9L)) // across 32-bit bitmaps
+    cases.foreach { ps =>
+      val got = DeletionVectors.deletedRows(DeletionVectors.serializeData(ps))
+      assert(got.toSeq === ps.sorted.distinct, s"case $ps")
+    }
+    val bytes = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    assert(DeletionVectors.base85Decode(
+      DeletionVectors.base85Encode(bytes)).toSeq === bytes.toSeq)
+
+    // hand-built BITMAP container (cardinality > 4096) and RUN
+    // container, which the array-only serializer never emits
+    def bitmapContainer(): Array[Byte] = {
+      val members = (0 until 5000).map(_ * 2) // even values < 10000
+      val bb = ByteBuffer.allocate(4 + 8 + 4 + 4 + 4 + 4 + 8192)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1681511377); bb.putLong(1L) // magic, one bitmap
+      bb.putInt(12346); bb.putInt(1) // no-run cookie, 1 container
+      bb.putShort(0.toShort); bb.putShort((members.size - 1).toShort)
+      bb.putInt(4 + 4 + 4 + 4) // offset header
+      val words = new Array[Long](1024)
+      members.foreach(v => words(v / 64) |= (1L << (v % 64)))
+      words.foreach(bb.putLong)
+      bb.array()
+    }
+    assert(DeletionVectors.deletedRows(bitmapContainer()).toSeq
+      === (0 until 5000).map(v => (v * 2).toLong))
+    def runContainer(): Array[Byte] = {
+      // run cookie, 1 container, runs [10..14] and [100..100]
+      val bb = ByteBuffer.allocate(4 + 8 + 4 + 1 + 4 + 2 + 4 + 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1681511377); bb.putLong(1L)
+      bb.putInt(12347 | (0 << 16)) // run cookie, size-1=0
+      bb.put(1.toByte) // run bitset: container 0 is a run container
+      bb.putShort(0.toShort); bb.putShort(5.toShort) // key 0, card 6
+      // < 4 containers -> no offset header
+      bb.putShort(2.toShort) // 2 runs
+      bb.putShort(10.toShort); bb.putShort(4.toShort)
+      bb.putShort(100.toShort); bb.putShort(0.toShort)
+      bb.array()
+    }
+    assert(DeletionVectors.deletedRows(runContainer()).toSeq
+      === Seq(10L, 11L, 12L, 13L, 14L, 100L))
+  }
+
+  test("DV table read filters deleted rows; non-DV files untouched; gates stay loud") {
+    val t = Files.createTempDirectory("graft-dv").toString + "/t"
+    val df1 = Seq((0L, "r0"), (1L, "r1"), (2L, "r2"), (3L, "r3"), (4L, "r4"))
+      .toDF("k", "v")
+    val df2 = Seq((10L, "s0"), (11L, "s1")).toDF("k", "v")
+    val s1 = writeDataFile(t, "f1.parquet", df1)
+    val s2 = writeDataFile(t, "f2.parquet", df2)
+    // physical rows 1 and 3 of f1 are deleted via a u-form DV file
+    val d = DeletionVectors.writeDvFile(
+      spark.sparkContext.hadoopConfiguration, t, Seq(1L, 3L))
+    commit(t, 0, Seq(dvProto, metaLine(df1.schema.json),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":5,"dataChange":true,"deletionVector":${dvJson(d)}}}""",
+      s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":$s2,"modificationTime":5,"dataChange":true}}"""))
+    val got = DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got === Set((0L, "r0"), (2L, "r2"), (4L, "r4"),
+      (10L, "s0"), (11L, "s1")))
+    assert(DeltaLog.read(spark, t).count() === 5L)
+    // the snapshot surfaces the descriptor
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.flatMap(_.dv).map(_.cardinality) === Seq(2L))
+    // CDC over a DV commit is loud, never wrong
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.changes(spark, t, -1L, 0L).count()
+    }
+    assert(e.getMessage.contains("deletion-vector"))
+    // the DSv2 batch scan gates too (no row-index arm there yet)
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-delta").load(t).collect()
+    }
+    assert(e2.getMessage.contains("deletion vectors") ||
+      Option(e2.getCause).exists(_.getMessage.contains("deletion vectors")))
+  }
+
+  test("inline DVs and partitioned DV tables filter correctly") {
+    // inline: the descriptor carries the base85 of the bitmap data
+    val t = Files.createTempDirectory("graft-dv-i").toString + "/t"
+    val df1 = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val s1 = writeDataFile(t, "f1.parquet", df1)
+    val data = DeletionVectors.serializeData(Seq(0L, 2L))
+    val padded = data ++ Array.fill[Byte]((4 - data.length % 4) % 4)(0)
+    val inline = DeletionVectors.Descriptor("i",
+      DeletionVectors.base85Encode(padded), None, data.length, 2L)
+    commit(t, 0, Seq(dvProto, metaLine(df1.schema.json),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":5,"dataChange":true,"deletionVector":${dvJson(inline)}}}"""))
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "b")))
+
+    // partitioned: DV on one partition's file, pv re-attach intact
+    val tp = Files.createTempDirectory("graft-dv-p").toString + "/t"
+    val full = Seq((0L, "x"), (1L, "x"), (9L, "y")).toDF("k", "p")
+    val sx = writeDataFile(tp, "p=x/f1.parquet",
+      Seq(Tuple1(0L), Tuple1(1L)).toDF("k"))
+    val sy = writeDataFile(tp, "p=y/f2.parquet", Seq(Tuple1(9L)).toDF("k"))
+    val dp = DeletionVectors.writeDvFile(
+      spark.sparkContext.hadoopConfiguration, tp, Seq(0L))
+    commit(tp, 0, Seq(dvProto, metaLine(full.schema.json, Seq("p")),
+      s"""{"add":{"path":"p=x/f1.parquet","partitionValues":{"p":"x"},"size":$sx,"modificationTime":5,"dataChange":true,"deletionVector":${dvJson(dp)}}}""",
+      s"""{"add":{"path":"p=y/f2.parquet","partitionValues":{"p":"y"},"size":$sy,"modificationTime":5,"dataChange":true}}"""))
+    assert(DeltaLog.read(spark, tp).as[(Long, String)].collect().toSet
+      === Set((1L, "x"), (9L, "y")))
+    // partition pruning composes with the DV filter
+    assert(DeltaLog.readWhere(spark, tp, col("p") === "x")
+      .as[(Long, String)].collect().toSet === Set((1L, "x")))
+  }
+}

@@ -150,12 +150,12 @@ class DeltaLogSpec extends SparkSpec {
     val schema = Seq(Tuple1(1L)).toDF("id").schema
     val s1 = writeDataFile(t, "f1.parquet", Seq(Tuple1(1L)).toDF("id"))
     commit(t, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
       metaLine(schema.json), addLine("f1.parquet", s1)))
     val e = intercept[UnsupportedOperationException] {
       DeltaLog.snapshot(spark, t)
     }
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("v2Checkpoint"))
     // column mapping mode other than none
     val t2 = Files.createTempDirectory("graft-delta-bad2").toString
     writeDataFile(t2, "f1.parquet", Seq(Tuple1(1L)).toDF("id"))
@@ -574,6 +574,95 @@ class DeltaLogSpec extends SparkSpec {
     commit(t2, 0, Seq(protoLine, metaLine(df.schema.json),
       addLine("my%20file.parquet", sz)))
     assert(DeltaLog.read(spark, t2).as[Long].collect().toSeq === Seq(5L))
+  }
+
+  test("copy-on-write DELETE rewrites only files with matches; time travel + CDC intact") {
+    val t = Files.createTempDirectory("graft-delta-del").toString + "/t"
+    // three commits -> three files with disjoint k ranges (stats prune)
+    DeltaLog.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    DeltaLog.write(spark, Seq((11L, "c"), (12L, "d")).toDF("k", "v").coalesce(1), t)
+    DeltaLog.write(spark, Seq((21L, "e")).toDF("k", "v").coalesce(1), t)
+    val before = DeltaLog.snapshot(spark, t)
+    val v = DeltaLog.delete(spark, t, col("k") === 11L)
+    assert(v === 3L)
+    val after = DeltaLog.snapshot(spark, t)
+    // rows: only the matching one is gone
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (12L, "d"), (21L, "e")))
+    // non-matching files UNTOUCHED, asserted by path identity
+    val beforePaths = before.files.map(_.path).toSet
+    val afterPaths = after.files.map(_.path).toSet
+    assert((beforePaths intersect afterPaths).size === 2,
+      s"expected exactly the two no-match files kept: $beforePaths vs $afterPaths")
+    // exactly one file rewritten, stats recomputed on it
+    val rewritten = (afterPaths -- beforePaths).toSeq
+    assert(rewritten.size === 1)
+    assert(after.files.find(f => rewritten.contains(f.path)).get.stats.isDefined)
+    // time travel still reads the deleted row
+    assert(DeltaLog.read(spark, t, versionAsOf = Some(2L))
+      .as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (11L, "c"), (12L, "d"), (21L, "e")))
+    // the CDC feed shows the delete as remove+reinsert of the file
+    val ch = DeltaLog.changes(spark, t, fromVersion = 2L, toVersion = v)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch === Set((11L, "delete"), (12L, "delete"), (12L, "insert")))
+    // a no-match delete commits nothing
+    assert(DeltaLog.delete(spark, t, col("k") === 999L) === v)
+    // null-predicate rows SURVIVE (SQL DELETE semantics)
+    val t2 = Files.createTempDirectory("graft-delta-del2").toString + "/t"
+    DeltaLog.write(spark,
+      Seq((1L, Some(5L)), (2L, None), (3L, Some(9L)))
+        .toDF("k", "n").coalesce(1), t2)
+    DeltaLog.delete(spark, t2, col("n") > 4L)
+    assert(DeltaLog.read(spark, t2).select("k").as[Long].collect().toSet
+      === Set(2L))
+  }
+
+  test("copy-on-write DELETE and UPDATE on partitioned tables; SQL DELETE FROM via the catalog") {
+    val t = Files.createTempDirectory("graft-delta-delp").toString + "/t"
+    DeltaLog.write(spark,
+      Seq((1L, "x", 10), (2L, "x", 20), (3L, "y", 30), (4L, "z", 40))
+        .toDF("id", "p", "n"), t, partitionBy = Seq("p"))
+    val before = DeltaLog.snapshot(spark, t)
+    // predicate mixes a partition column and a data column
+    DeltaLog.delete(spark, t, col("p") === "x" && col("n") >= 20)
+    assert(DeltaLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+      === Set((1L, "x", 10), (3L, "y", 30), (4L, "z", 40)))
+    // y and z partition files untouched by path; every REWRITTEN
+    // file sits in the matched partition (file-level COW may keep
+    // p=x files that held no matching rows)
+    val after = DeltaLog.snapshot(spark, t)
+    val kept = before.files.map(_.path).toSet intersect after.files.map(_.path).toSet
+    assert(kept.exists(_.contains("p=y")) && kept.exists(_.contains("p=z")))
+    val removed = before.files.map(_.path).toSet -- after.files.map(_.path).toSet
+    assert(removed.nonEmpty && removed.forall(_.contains("p=x")), removed)
+    // a whole-partition delete leaves a pure remove (no 0-row files)
+    DeltaLog.delete(spark, t, col("p") === "y")
+    val afterY = DeltaLog.snapshot(spark, t)
+    assert(!afterY.files.exists(_.path.contains("p=y")))
+    assert(DeltaLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+      === Set((1L, "x", 10), (4L, "z", 40)))
+
+    // UPDATE: matched rows transformed, others byte-identical
+    DeltaLog.update(spark, t, col("id") === 1L, Map("n" -> lit(99)))
+    assert(DeltaLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+      === Set((1L, "x", 99), (4L, "z", 40)))
+    // partition-column assignment refused
+    intercept[IllegalArgumentException] {
+      DeltaLog.update(spark, t, col("id") === 1L, Map("p" -> lit("q")))
+    }
+
+    // SQL DELETE FROM through the catalog (SupportsDelete)
+    val root = Files.createTempDirectory("graft-cat-del").toString
+    spark.conf.set("spark.sql.catalog.graft_d", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_d.root", root)
+    DeltaLog.write(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      s"$root/ns/t")
+    spark.sql("DELETE FROM graft_d.ns.t WHERE k >= 2")
+    assert(spark.sql("SELECT k FROM graft_d.ns.t").as[Long].collect().toSeq
+      === Seq(1L))
+    assert(DeltaLog.read(spark, s"$root/ns/t", versionAsOf = Some(0L))
+      .count() === 3L)
   }
 
   test("VersionedTable export round-trips through the Delta reader") {
