@@ -95,14 +95,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // the DSv2 contract type — Spark catches it to decide CTAS vs load
     if (!fs.exists(dir))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    if (isDelta(dir)) {
-      val snap = DeltaLog.snapshot(spark, dir.toString, versionAsOf, timestampAsOf)
-      if (snap.partitionColumns.nonEmpty)
-        throw new UnsupportedOperationException(
-          s"partitioned Delta table ${ident} — partition values live in the " +
-            "log; read it with graft.sources.DeltaLog.read instead")
-      (snap.files.map(_.path), Some(snap.schema))
-    } else if (isIceberg(dir)) {
+    if (isIceberg(dir)) {
       // VERSION AS OF carries the Iceberg snapshot id
       val snap = IcebergTable.snapshot(spark, dir.toString, versionAsOf, timestampAsOf)
       (snap.files.map(_.path), Some(snap.schema))
@@ -150,41 +143,77 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       CaseInsensitiveStringMap.empty(), paths, schema,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
-  /** Log-backed flavors (Delta / Iceberg / versioned) resolve to a
-    * live FILE LIST for reads — but a DSv2 write through that table
-    * would dump parquet files the transaction log never references
-    * (or clobber files it does): silent corruption. Those flavors
-    * are served READ-ONLY; writes go through `DeltaLog.write` /
-    * `IcebergTable.write` / `VersionedTable.write`, which commit
-    * properly. */
-  private class ReadOnlyTable(inner: Table, flavor: String) extends Table
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  /** Log-backed flavors (Iceberg / versioned) resolve to a live FILE
+    * LIST for reads — but a raw DSv2 write through the parquet table
+    * would dump files the transaction log never references (or
+    * clobber files it does): silent corruption. So reads serve
+    * through the parquet scan, while `INSERT INTO` / `INSERT
+    * OVERWRITE` route through the flavor's COMMITTING writer
+    * (`IcebergTable.write` / `VersionedTable.write`) as a V1 write —
+    * SQL-only users get real new snapshots/versions, never a forked
+    * log. (Delta-flavor tables are served by [[GraftDeltaTable]],
+    * which owns both directions natively.) */
+  private class CommittingWriteTable(inner: Table,
+                                     insertFn: (org.apache.spark.sql.DataFrame, Boolean) => Unit)
+    extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
     override def name(): String = inner.name()
     override def schema(): StructType = inner.schema()
     override def capabilities(): util.Set[TableCapability] = {
-      val ro = new util.HashSet[TableCapability](inner.capabilities())
-      ro.remove(TableCapability.BATCH_WRITE)
-      ro.remove(TableCapability.V1_BATCH_WRITE)
-      ro.remove(TableCapability.STREAMING_WRITE)
-      ro.remove(TableCapability.OVERWRITE_BY_FILTER)
-      ro.remove(TableCapability.OVERWRITE_DYNAMIC)
-      ro.remove(TableCapability.TRUNCATE)
-      ro
+      val caps = new util.HashSet[TableCapability]()
+      caps.add(TableCapability.BATCH_READ)
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+      caps
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap)
     : org.apache.spark.sql.connector.read.ScanBuilder =
       inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
         .newScanBuilder(options)
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder =
+      new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+          overwrite = true; this
+        }
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new org.apache.spark.sql.connector.write.V1Write {
+            override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+              new org.apache.spark.sql.sources.InsertableRelation {
+                override def insert(data: org.apache.spark.sql.DataFrame,
+                                    ov: Boolean): Unit =
+                  insertFn(data, overwrite || ov)
+              }
+          }
+      }
   }
 
   private def serve(ident: Identifier, versionAsOf: Option[Long],
                     timestampAsOf: Option[Long]): Table = {
     val dir = dirFor(ident)
+    if (!fs.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    if (isDelta(dir))
+      // native DSv2 Delta table: batch + micro-batch streaming reads
+      // (spark.readStream.table), committing INSERTs, partitioned
+      // tables fully served with log-side pruning
+      return new GraftDeltaTable(spark, dir.toString, versionAsOf,
+        timestampAsOf, cdf = false,
+        nameOverride = catalogName + "." + ident.toString)
     val (paths, schema) = resolve(ident, versionAsOf, timestampAsOf)
     val t = parquetTable(ident, paths, schema)
-    if (isDelta(dir)) new ReadOnlyTable(t, "delta")
-    else if (isIceberg(dir)) new ReadOnlyTable(t, "iceberg")
-    else if (isVersioned(dir)) new ReadOnlyTable(t, "versioned")
+    if (isIceberg(dir))
+      new CommittingWriteTable(t, (df, ov) =>
+        IcebergTable.write(spark, df, dir.toString, overwrite = ov))
+    else if (isVersioned(dir))
+      new CommittingWriteTable(t, (df, ov) => {
+        VersionedTable.write(df, dir.toString, overwrite = ov); ()
+      })
     else t
   }
 

@@ -1,0 +1,588 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, Literal}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, Statistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusCache, InMemoryFileIndex, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{And => FAnd, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not => FNot, Or => FOr, StreamSinkProvider, StringContains, StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 table over a REAL `_delta_log` directory — the missing leg
+  * that makes graft's Delta interop first-class inside Spark's own
+  * machinery instead of only behind [[DeltaLog]]'s Scala API:
+  *
+  *  - **Batch reads** (`spark.read.format("graft-delta").load(path)`,
+  *    or `spark.table("graft.ns.t")` through [[GraftCatalog]]):
+  *    the scan's file list comes from the log replay, pushed filters
+  *    prune it FILE-level first (partition values + per-file stats,
+  *    [[DeltaLog.prunedFiles]]) and then row-group-level inside the
+  *    parquet reader — a date-predicate read of a 100 TB partitioned
+  *    table plans one partition's files, not all of them. Partitioned
+  *    Delta tables are fully served: partition values ride in from
+  *    the log as per-file constants, exactly like Spark's own
+  *    partitioned-parquet reads.
+  *  - **Micro-batch streaming reads** — the reference's literal gold
+  *    layer is `spark.readStream.format("delta")` (reference
+  *    gold_transformation.py:41,92); here
+  *    `spark.readStream.table("graft.ns.t")` (append mode) and
+  *    `spark.readStream.format("graft-delta").option("readChangeFeed",
+  *    "true").load(path)` (CDC mode with `_change_type` /
+  *    `_commit_version` columns) wrap the [[DeltaLog.changes]] offset
+  *    contract in a DSv2 [[MicroBatchStream]]: offsets are Delta
+  *    versions, each micro-batch plans exactly the files the polled
+  *    commits touched, and a checkpoint restart resumes from the
+  *    persisted version offset.
+  *  - **Batch writes** (`INSERT INTO` / `INSERT OVERWRITE` /
+  *    `df.writeTo(...).append()`): a V1 write that routes through the
+  *    COMMITTING writer [[DeltaLog.write]] — never a bare parquet dump
+  *    the log would not reference.
+  *  - **Streaming writes** (`writeStream.format("graft-delta")`): one
+  *    Delta commit per micro-batch stamped with a `txn` action, so a
+  *    replayed batch after a checkpoint restart is a no-op — the same
+  *    exactly-once contract real Delta's sink documents.
+  *
+  * Scale shape: planning is O(commit tail + file list) on the driver
+  * (identical to any Delta reader); data reads are Spark's own
+  * vectorized parquet partition readers over split FilePartitions —
+  * whole-stage codegen, columnar batches, row-group pruning all
+  * apply. Nothing row-sized ever passes through the driver.
+  */
+object GraftDelta {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** Stream offset = the last Delta version this consumer has fully
+    * processed. Serialized into the streaming checkpoint; a restart
+    * resumes at `(version, latest]`. */
+  case class DeltaStreamOffset(version: Long) extends Offset {
+    override def json: String = s"""{"version":$version}"""
+  }
+
+  def parseOffset(json: String): DeltaStreamOffset = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    DeltaStreamOffset(n.get("version").asLong())
+  }
+
+  /** One driver-parsed file action of one commit. */
+  final case class FileAct(relPath: String, pv: Map[String, String],
+                           size: Long, isAdd: Boolean, dataChange: Boolean)
+
+  final case class Commit(version: Long, acts: Seq[FileAct],
+                          meta: Option[(StructType, Seq[String])])
+
+  /** Parse one commit JSON driver-side (bounded: the poll tail, the
+    * same O(cadence) work every Delta streaming source does). */
+  def readCommit(spark: SparkSession, tablePath: String, v: Long): Commit = {
+    val p = new Path(DeltaLog.logDir(tablePath), DeltaLog.pad20(v) + ".json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    var meta: Option[(StructType, Seq[String])] = None
+    val acts = txt.split('\n').toSeq.filter(_.trim.nonEmpty).flatMap { line =>
+      val n = M.readTree(line)
+      val add = n.get("add"); val rem = n.get("remove"); val md = n.get("metaData")
+      if (md != null) {
+        val sch = DataType.fromJson(md.get("schemaString").asText())
+          .asInstanceOf[StructType]
+        val pcs = Option(md.get("partitionColumns"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+        meta = Some((sch, pcs)); None
+      } else if (add != null) {
+        // DV commits re-add the same path with row-level deletes the
+        // file-granular stream cannot express — loud, never wrong rows
+        if (add.get("deletionVector") != null &&
+          !add.get("deletionVector").isNull)
+          throw new UnsupportedOperationException(
+            s"deletion-vector commit at Delta version $v of $tablePath — " +
+              "the streaming source cannot express row-level DV deletes; " +
+              "batch snapshot reads apply them")
+        val pv = Option(add.get("partitionValues")).map(_.fields().asScala
+          .map(e => e.getKey ->
+            (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+          .getOrElse(Map.empty[String, String])
+        Some(FileAct(add.get("path").asText(), pv,
+          Option(add.get("size")).map(_.asLong()).getOrElse(0L),
+          isAdd = true,
+          dataChange = Option(add.get("dataChange")).forall(_.asBoolean(true))))
+      } else if (rem != null) {
+        Some(FileAct(rem.get("path").asText(), Map.empty, 0L, isAdd = false,
+          dataChange = Option(rem.get("dataChange")).forall(_.asBoolean(true))))
+      } else None
+    }
+    Commit(v, acts, meta)
+  }
+
+  /** Delta partitionValues are plain strings; produce the catalyst
+    * value of the declared type via Cast (null stays null). */
+  def castPartitionValue(s: String, dt: DataType, zone: String): Any =
+    if (s == null) null
+    else if (dt == StringType) UTF8String.fromString(s)
+    else Cast(Literal(UTF8String.fromString(s), StringType), dt, Some(zone))
+      .eval(null)
+
+  /** The per-file constants row for `readPartSchema`: real partition
+    * columns from the log's partitionValues, plus the CDC columns when
+    * the scan carries them. */
+  def pvRow(readPartSchema: StructType, pv: Map[String, String],
+            changeType: String, commitVersion: Long, zone: String): InternalRow =
+    new GenericInternalRow(readPartSchema.fields.map { f =>
+      f.name match {
+        case ChangeTypeCol => UTF8String.fromString(changeType)
+        case CommitVersionCol => commitVersion
+        case p => castPartitionValue(pv.getOrElse(p, null), f.dataType, zone)
+      }
+    }.asInstanceOf[Array[Any]])
+
+  /** Split files at `maxPartitionBytes` boundaries and bin-pack into
+    * FilePartitions — the same granularity Spark's file sources plan,
+    * so a handful of huge commit files still parallelizes. */
+  def splitFiles(spark: SparkSession,
+                 files: Seq[(String, InternalRow, Long)]): Array[InputPartition] = {
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val parts = files.flatMap { case (p, pv, size) =>
+      val sp = SparkPath.fromPathString(p)
+      val sz = math.max(size, 1L)
+      (0L until sz by maxSplit).map { off =>
+        PartitionedFile(pv, sp, off, math.min(maxSplit, sz - off),
+          Array.empty[String], 0L, sz, Map.empty)
+      }
+    }
+    FilePartition.getFilePartitions(spark, parts, maxSplit).toArray
+  }
+
+  /** Spark's own vectorized parquet reader factory, configured for
+    * our schemas: data columns from the files, `readPartSchema`
+    * appended as per-file constants, `filters` pushed to row-group
+    * skipping. (ParquetScan builds the fully-configured factory —
+    * reusing it keeps every conf key Spark's parquet read path needs;
+    * the empty file index is construction-only.) */
+  def readerFactory(spark: SparkSession, dataSchema: StructType,
+                    readDataSchema: StructType, readPartSchema: StructType,
+                    filters: Array[Filter]): PartitionReaderFactory = {
+    val hc = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    val emptyIndex = new InMemoryFileIndex(spark, Nil, Map.empty,
+      Some(dataSchema), FileStatusCache.getOrCreate(spark), None, None)
+    new ParquetScan(spark, hc, emptyIndex, dataSchema, readDataSchema,
+      readPartSchema, filters, CaseInsensitiveStringMap.empty(), None,
+      Seq.empty, Seq.empty,
+      Array.empty[org.apache.spark.sql.connector.read.VariantExtraction])
+      .createReaderFactory()
+  }
+
+  /** Translation of a pushed source Filter back to a Column. With
+    * `strict = false` (file pruning) an AND may translate on either
+    * side alone — sound because pruning only ever widens to "keep"
+    * and Spark re-applies every filter post-scan. With `strict = true`
+    * (DELETE WHERE) every node must translate exactly, or the whole
+    * filter refuses — a partially-translated delete would remove a
+    * superset. */
+  def filterToColumn(f: Filter, strict: Boolean = false): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case FAnd(l, r) =>
+      (filterToColumn(l, strict), filterToColumn(r, strict)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case _ if strict => None
+        // pruning: AND may prune on either translatable side alone
+        case (one, other) => one.orElse(other)
+      }
+    case FOr(l, r) => for {a <- filterToColumn(l, strict);
+                           b <- filterToColumn(r, strict)} yield a || b
+    case FNot(c) => filterToColumn(c, strict).map(!_)
+    case _ => None
+  }
+
+  /** Plan the files changed by commits in `(fromV, toV]` as scan
+    * partitions. CDC mode emits added files tagged `insert` and
+    * removed files tagged `delete` (pv/size for removes resolve from
+    * in-range adds or the pre-range snapshot — tombstones carry
+    * neither); append mode emits only dataChange adds and handles
+    * remove-bearing commits per the `skipChangeCommits` /
+    * `ignoreDeletes` options, loudly by default. dataChange=false
+    * commits (OPTIMIZE) are invisible in both modes. */
+  def planRange(spark: SparkSession, tablePath: String,
+                snapSchema: StructType, snapPartCols: Seq[String],
+                readPartSchema: StructType,
+                fromV: Long, toV: Long, cdf: Boolean,
+                skipChangeCommits: Boolean,
+                ignoreDeletes: Boolean): Array[InputPartition] = {
+    val versions = DeltaLog.listVersions(spark, tablePath)
+      .filter(v => v > fromV && v <= toV)
+    if (versions.isEmpty) return Array.empty
+    val commits = versions.map(v => readCommit(spark, tablePath, v))
+    commits.foreach(_.meta.foreach { case (sch, pcs) =>
+      if (sch != snapSchema || pcs != snapPartCols)
+        throw new UnsupportedOperationException(
+          s"schema change inside streamed range ($fromV, $toV] of " +
+            s"$tablePath — restart the stream to adopt the new schema")
+    })
+    def abs(rel: String): String =
+      new Path(tablePath, DeltaLog.decodePath(rel)).toString
+    // removed files' pv/size resolve from the pre-range snapshot ∪
+    // in-range adds (a tombstone carries neither)
+    lazy val prior: Map[String, (Map[String, String], Long)] = {
+      val baseV = DeltaLog.listVersions(spark, tablePath)
+        .filter(_ <= fromV).reduceOption(_ max _)
+      baseV.map(b => DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(b))
+        .files.map(f => f.path -> (f.partitionValues, f.size)).toMap)
+        .getOrElse(Map.empty)
+    }
+    var inRange = Map.empty[String, (Map[String, String], Long)]
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val out = Seq.newBuilder[(String, InternalRow, Long)]
+    commits.foreach { c =>
+      val adds = c.acts.filter(a => a.isAdd && a.dataChange)
+      val removes = c.acts.filter(a => !a.isAdd && a.dataChange)
+      adds.foreach(a => inRange += (abs(a.relPath) -> (a.pv, a.size)))
+      if (cdf) {
+        adds.foreach(a => out += ((abs(a.relPath),
+          pvRow(readPartSchema, a.pv, "insert", c.version, zone), a.size)))
+        removes.foreach { r =>
+          val key = abs(r.relPath)
+          val (pv, size) = inRange.getOrElse(key, prior.getOrElse(key,
+            throw new IllegalStateException(
+              s"removed file ${r.relPath} at version ${c.version} has no " +
+                s"resolvable add action — corrupt or truncated _delta_log")))
+          out += ((key, pvRow(readPartSchema, pv, "delete", c.version, zone), size))
+        }
+      } else {
+        val emitAdds =
+          if (removes.isEmpty) true
+          else if (skipChangeCommits) false // drop the whole commit
+          else if (ignoreDeletes && adds.isEmpty) false // delete-only commit
+          else throw new UnsupportedOperationException(
+            s"version ${c.version} of $tablePath removes data files " +
+              "(update/overwrite/delete) — an append-only stream cannot " +
+              "represent it. Options: skipChangeCommits=true to drop such " +
+              "commits, ignoreDeletes=true for delete-only commits, or " +
+              "readChangeFeed=true for the row-level change feed.")
+        if (emitAdds) adds.foreach(a => out += ((abs(a.relPath),
+          pvRow(readPartSchema, a.pv, "insert", c.version, zone), a.size)))
+      }
+    }
+    splitFiles(spark, out.result())
+  }
+}
+
+/** The DSv2 Table. `cdf = true` appends `_change_type` /
+  * `_commit_version` to the schema and switches both batch and
+  * streaming scans to the change feed. */
+class GraftDeltaTable(spark: SparkSession, val tablePath: String,
+                      versionAsOf: Option[Long] = None,
+                      timestampAsOf: Option[Long] = None,
+                      val cdf: Boolean = false,
+                      nameOverride: String = null)
+  extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  import GraftDelta._
+
+  lazy val snap: DeltaLog.Snapshot =
+    DeltaLog.snapshot(spark, tablePath, versionAsOf, timestampAsOf)
+  lazy val dataSchema: StructType = StructType(
+    snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+  private lazy val partFields: Seq[StructField] =
+    snap.partitionColumns.map(c => snap.schema(c))
+  private lazy val cdfFields: Seq[StructField] =
+    if (cdf) Seq(StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, LongType, nullable = false))
+    else Seq.empty
+
+  override def name(): String =
+    Option(nameOverride).getOrElse(s"graft-delta.`$tablePath`")
+
+  /** Partition columns serve LAST (like Hive-partitioned tables —
+    * they are per-file constants, not file data). */
+  override def schema(): StructType =
+    StructType(dataSchema.fields ++ partFields ++ cdfFields)
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.MICRO_BATCH_READ)
+    if (!cdf) { // the change feed is read-only
+      s.add(TableCapability.V1_BATCH_WRITE)
+      s.add(TableCapability.TRUNCATE)
+    }
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftDeltaScanBuilder(spark, this, options)
+
+  /** SQL `DELETE FROM … WHERE`: copy-on-write through
+    * [[DeltaLog.delete]] — only files with actual matches rewrite,
+    * the swap is one committed version, time travel keeps the old
+    * rows. Only filter shapes we can faithfully translate are
+    * accepted (canDeleteWhere), so a partial delete never commits. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    !cdf && filters.forall(f => filterToColumn(f, strict = true).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val pred = filters.flatMap(f => filterToColumn(f, strict = true))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    DeltaLog.delete(spark, tablePath, pred)
+  }
+
+  /** `INSERT INTO` appends one committed Delta version; `INSERT
+    * OVERWRITE` (truncate) replaces the live set — both through
+    * [[DeltaLog.write]], never a bare parquet dump the log would not
+    * reference. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ov: Boolean): Unit = {
+              // data arrives in table-schema order (data cols then
+              // partition cols); the log may declare another order
+              val logOrder = snap.schema.fieldNames.toSeq
+              DeltaLog.write(spark, data.select(logOrder.map(col): _*),
+                tablePath, overwrite = overwrite || ov)
+            }
+          }
+      }
+    }
+}
+
+private class GraftDeltaScanBuilder(spark: SparkSession,
+                                    table: GraftDeltaTable,
+                                    options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = table.schema()
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // best-effort pushdown: every filter stays residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val dataNames = table.dataSchema.fieldNames.toSet
+    val readData = StructType(required.filter(f => dataNames.contains(f.name)))
+    val readPart = StructType(required.filterNot(f => dataNames.contains(f.name)))
+    new GraftDeltaScan(spark, table, readData, readPart, pushed, options)
+  }
+}
+
+private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
+                             readData: StructType, readPart: StructType,
+                             pushed: Array[Filter],
+                             options: CaseInsensitiveStringMap)
+  extends Scan with SupportsReportStatistics {
+  import GraftDelta._
+
+  override def readSchema(): StructType =
+    StructType(readData.fields ++ readPart.fields)
+  override def description(): String =
+    s"graft-delta ${table.tablePath} v${table.snap.version}" +
+      s" PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  /** Filters the parquet reader may apply row-group-level: those over
+    * data columns only (partition columns are not in the files). */
+  private def dataFilters: Array[Filter] = {
+    val dataNames = table.dataSchema.fieldNames.toSet
+    pushed.filter(_.references.forall(dataNames.contains))
+  }
+
+  private def factory: PartitionReaderFactory =
+    readerFactory(spark, table.dataSchema, readData, readPart, dataFilters)
+
+  /** File list after log-side pruning (partition values + stats). */
+  private def prunedFiles: Seq[DeltaLog.AddFile] =
+    pushed.flatMap(f => filterToColumn(f)).reduceOption(_ && _) match {
+      case Some(pred) => DeltaLog.prunedFiles(spark, table.snap, pred)
+      case None => table.snap.files
+    }
+
+  /** Real size/row statistics from the log — what keeps a small Delta
+    * dimension broadcastable in catalog joins. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val files = prunedFiles
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(math.max(files.map(_.size).sum, 1L))
+    override def numRows(): util.OptionalLong = {
+      val counts = files.map(_.stats.flatMap(js =>
+        "\"numRecords\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(js)
+          .map(_.group(1).toLong)))
+      if (counts.forall(_.isDefined))
+        util.OptionalLong.of(counts.flatten.sum)
+      else util.OptionalLong.empty()
+    }
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      if (table.cdf) {
+        val fromV = Option(options.get("startingVersion")).map(_.toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            "batch readChangeFeed needs startingVersion (exclusive lower bound)"))
+        val toV = Option(options.get("endingVersion")).map(_.toLong)
+          .getOrElse(table.snap.version)
+        planRange(spark, table.tablePath, table.snap.schema,
+          table.snap.partitionColumns, readPart, fromV, toV, cdf = true,
+          skipChangeCommits = false, ignoreDeletes = false)
+      } else {
+        // the DSv2 scan has no row-index filter arm yet — a DV table
+        // must not silently return deleted rows here
+        if (table.snap.files.exists(_.dv.exists(_.cardinality != 0L)))
+          throw new UnsupportedOperationException(
+            s"${table.tablePath} carries deletion vectors — read it with " +
+              "graft.sources.DeltaLog.read, which applies the row filter")
+        val zone = spark.sessionState.conf.sessionLocalTimeZone
+        splitFiles(spark, prunedFiles.map(f => (f.path,
+          pvRow(readPart, f.partitionValues, "insert", table.snap.version, zone),
+          f.size)))
+      }
+    override def createReaderFactory(): PartitionReaderFactory = factory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftDeltaMicroBatchStream(spark, table, readPart, factory, options)
+}
+
+/** Version-offset micro-batch stream over the commit log: the DSv2
+  * wrapper around the [[DeltaLog.changes]]/`syncChanges` contract. */
+private class GraftDeltaMicroBatchStream(spark: SparkSession,
+                                         table: GraftDeltaTable,
+                                         readPart: StructType,
+                                         factory: PartitionReaderFactory,
+                                         options: CaseInsensitiveStringMap)
+  extends MicroBatchStream {
+  import GraftDelta._
+
+  /** Default -1 = replay the table from its creation commit (the
+    * replica-building choice; pass the current version to start from
+    * "now"). */
+  private val startingVersion: Long =
+    Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L)
+  private val skipChangeCommits =
+    options.getBoolean("skipChangeCommits", false)
+  private val ignoreDeletes = options.getBoolean("ignoreDeletes", false)
+
+  override def initialOffset(): Offset = DeltaStreamOffset(startingVersion)
+  override def latestOffset(): Offset =
+    DeltaStreamOffset(DeltaLog.listVersions(spark, table.tablePath).last)
+  override def deserializeOffset(json: String): Offset = parseOffset(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    planRange(spark, table.tablePath, table.snap.schema,
+      table.snap.partitionColumns, readPart,
+      start.asInstanceOf[DeltaStreamOffset].version,
+      end.asInstanceOf[DeltaStreamOffset].version,
+      cdf = table.cdf, skipChangeCommits = skipChangeCommits,
+      ignoreDeletes = ignoreDeletes)
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** `format("graft-delta")` — path-based entry for reads (batch,
+  * streaming, CDC via `readChangeFeed=true`) and the V1 streaming
+  * SINK (`writeStream.format("graft-delta")`), which commits one
+  * Delta version per micro-batch with a `txn` idempotence marker:
+  * on restart, batches at or below the table's replayed `txn`
+  * watermark are skipped — exactly-once output, not at-least-once. */
+class GraftDeltaDataSource extends TableProvider with DataSourceRegister
+  with StreamSinkProvider {
+
+  override def shortName(): String = "graft-delta"
+
+  private def tableFor(options: CaseInsensitiveStringMap): GraftDeltaTable = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-delta needs a table path: .load(path) or .option(\"path\", ...)"))
+    new GraftDeltaTable(SparkSession.active, path,
+      versionAsOf = Option(options.get("versionAsOf")).map(_.toLong),
+      timestampAsOf = Option(options.get("timestampAsOf")).map(_.toLong),
+      cdf = options.getBoolean("readChangeFeed", false))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // the WRITE path (writeStream sink) infers before the target
+    // exists — return an empty schema so resolution proceeds to the
+    // V1 sink fallback; a batch READ of a missing table still fails
+    // loudly when the scan forces the snapshot
+    try tableFor(options).schema()
+    catch { case e: IllegalArgumentException
+      if e.getMessage != null && e.getMessage.contains("no _delta_log") =>
+      new StructType()
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    tableFor(new CaseInsensitiveStringMap(properties))
+
+  /** V1 streaming sink (the table advertises no STREAMING_WRITE, so
+    * `writeStream.format("graft-delta")` falls back here). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta sink needs a path: .start(path) or .option(\"path\", ...)"))
+    // the txn appId defaults to the checkpoint location — the unit of
+    // exactly-once is one logical stream, which IS its checkpoint
+    val appId = parameters.getOrElse("txnAppId",
+      "graft-delta-sink:" + parameters.getOrElse("checkpointLocation", path))
+    new GraftDeltaSink(sqlContext.sparkSession, path, partitionColumns,
+      outputMode, appId)
+  }
+}
+
+private class GraftDeltaSink(spark: SparkSession, path: String,
+                             partitionBy: Seq[String], outputMode: OutputMode,
+                             appId: String) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val committed =
+      try DeltaLog.snapshot(spark, path).txns.getOrElse(appId, -1L)
+      catch { case _: IllegalArgumentException => -1L } // table not created yet
+    if (batchId <= committed) return // replayed micro-batch: already durable
+    // the incoming frame is streaming-flagged; re-wrap its executed
+    // RDD as a batch plan (the same move Spark's ForeachBatchSink
+    // makes) so the committing writer can run a batch write over it
+    val batchDf = org.apache.spark.sql.graft.StreamingBatchShim.asBatch(data)
+    DeltaLog.write(spark, batchDf, path,
+      overwrite = outputMode == OutputMode.Complete(),
+      partitionBy = partitionBy, txn = Some(appId -> batchId))
+  }
+  override def name(): String = s"graft-delta-sink[$path]"
+}

@@ -575,7 +575,12 @@ object IcebergTable {
     prior.foreach { _ =>
       if (!overwrite) {
         val cur = snapshot(spark, tablePath)
-        require(cur.schema == df.schema,
+        // names + types must match; nullability and metadata are
+        // presentation details parquet does not enforce (same rule as
+        // DeltaLog.write's append gate)
+        def shape(s: StructType): Seq[(String, DataType)] =
+          s.fields.toSeq.map(f => (f.name, f.dataType))
+        require(shape(cur.schema) == shape(df.schema),
           s"append schema ${df.schema.simpleString} does not match table " +
             s"schema ${cur.schema.simpleString}; use overwrite to replace")
       }

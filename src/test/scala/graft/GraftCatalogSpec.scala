@@ -149,25 +149,32 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
-  test("log-backed flavors are read-only through the catalog") {
-    // a DSv2 write into a Delta/versioned/Iceberg directory would
-    // dump files the log never references — the catalog must refuse,
-    // pointing writers at the committing APIs
+  test("log-backed flavors take committing SQL writes, never a bare parquet dump") {
+    // a raw DSv2 write into a Delta/versioned/Iceberg directory would
+    // dump files the log never references — instead INSERT routes
+    // through the flavor's committing writer, and the new rows are
+    // visible to the NATIVE reader (i.e. the log references them)
     VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), s"$root/ro/vt")
     val vt2 = java.nio.file.Files.createTempDirectory("cat-ro").toString + "/t"
     VersionedTable.write(Seq((2L, "b")).toDF("k", "v"), vt2)
     DeltaLog.exportFromVersioned(spark, vt2, s"$root/ro/dt")
     IcebergTable.exportFromVersioned(spark, vt2, s"$root/ro/it")
     for (t <- Seq("vt", "dt", "it")) {
-      // reads still serve
       assert(spark.sql(s"SELECT count(*) AS n FROM graft_t.ro.$t")
         .as[Long].head() === 1L)
-      // writes refuse at analysis
-      val e = intercept[Exception] {
-        spark.sql(s"INSERT INTO graft_t.ro.$t VALUES (9, 'z')")
-      }
-      assert(e.getMessage.toLowerCase.contains("does not support") ||
-        e.getMessage.toLowerCase.contains("unsupported"), s"$t: ${e.getMessage}")
+      spark.sql(s"INSERT INTO graft_t.ro.$t VALUES (9, 'z')")
+      assert(spark.sql(s"SELECT count(*) AS n FROM graft_t.ro.$t")
+        .as[Long].head() === 2L)
     }
+    // native readers see the committed rows (the log references them)
+    assert(VersionedTable.read(spark, s"$root/ro/vt")
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (9L, "z")))
+    assert(DeltaLog.read(spark, s"$root/ro/dt")
+      .as[(Long, String)].collect().toSet === Set((2L, "b"), (9L, "z")))
+    assert(IcebergTable.read(spark, s"$root/ro/it")
+      .as[(Long, String)].collect().toSet === Set((2L, "b"), (9L, "z")))
+    // the versioned + delta INSERTs committed a NEW version (history)
+    assert(VersionedTable.currentVersion(spark, s"$root/ro/vt") === 2L)
+    assert(DeltaLog.snapshot(spark, s"$root/ro/dt").version === 1L)
   }
 }
