@@ -98,6 +98,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (isIceberg(dir)) {
       // VERSION AS OF carries the Iceberg snapshot id
       val snap = IcebergTable.snapshot(spark, dir.toString, versionAsOf, timestampAsOf)
+      if (snap.deletes.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"$ident carries v2 delete files — the raw file-list scan " +
+            "would resurrect deleted rows; read it with " +
+            "graft.sources.IcebergTable.read, which applies them")
       (snap.files.map(_.path), Some(snap.schema))
     } else if (isVersioned(dir)) {
       val v = versionAsOf.getOrElse(

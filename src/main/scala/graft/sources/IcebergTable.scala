@@ -44,9 +44,15 @@ import org.apache.spark.sql.types._
   * driver-side stream stays proportional to file COUNT, as with
   * Delta checkpoints' live rows.)
   *
+  * v2 merge-on-read DELETE FILES are supported at read: position
+  * deletes (file_path/pos parquet) and equality deletes apply as
+  * distributed anti-joins with the spec's sequence-number scoping
+  * (see [[read]]).
+  *
   * Unsupported (checked, explicit error — never silent wrong
-  * results): format-version 3+, delete manifests / delete files
-  * (v2 merge-on-read), non-parquet data files. Partition TRANSFORMS
+  * results): format-version 3+, non-parquet files, nested
+  * equality-delete columns, change feeds over delete-bearing
+  * snapshots. Partition TRANSFORMS
   * need no gate: Iceberg data files always carry full rows (the
   * table schema's columns are all physically present — hidden
   * partitioning lives in metadata only), so a direct scan is correct
@@ -56,14 +62,26 @@ object IcebergTable {
 
   private val M = new ObjectMapper()
 
-  /** One live data file of a snapshot. */
+  /** One live data file of a snapshot. `seq` is its data sequence
+    * number — the v2 ordering deletes are scoped against. */
   final case class DataFile(path: String, format: String, records: Long,
-                            sizeBytes: Long)
+                            sizeBytes: Long, seq: Long = 0L)
 
-  /** A resolved Iceberg table state at one snapshot. */
+  /** One v2 DELETE file (merge-on-read): `content` 1 = position
+    * deletes (parquet of `file_path`/`pos`), 2 = equality deletes
+    * (parquet of the equality columns); applies to data files per the
+    * spec's sequence-number rules. */
+  final case class DeleteFile(path: String, content: Int, seq: Long,
+                              equalityIds: Seq[Int])
+
+  /** A resolved Iceberg table state at one snapshot. `fieldNames`
+    * maps top-level field ids to column names (equality-delete
+    * resolution). */
   final case class Snapshot(tablePath: String, snapshotId: Long,
                             timestampMs: Long, schema: StructType,
-                            files: Seq[DataFile])
+                            files: Seq[DataFile],
+                            deletes: Seq[DeleteFile] = Seq.empty,
+                            fieldNames: Map[Int, String] = Map.empty)
 
   private def metaDir(tablePath: String) = new Path(tablePath, "metadata")
 
@@ -265,63 +283,153 @@ object IcebergTable {
     val snapId = chosen.get("snapshot-id").asLong()
     val snapTs = chosen.get("timestamp-ms").asLong()
     // a snapshot written under an older schema reads with THAT schema
-    val snapSchema =
+    val snapSchemaNode =
       if (chosen.has("schema-id") && meta.has("schemas"))
-        icebergTypeToSpark(schemaById(chosen.get("schema-id").asInt()))
-          .asInstanceOf[StructType]
-      else schema
+        schemaById(chosen.get("schema-id").asInt())
+      else schemaById(currentSchemaId)
+    val snapSchema =
+      icebergTypeToSpark(snapSchemaNode).asInstanceOf[StructType]
+    // top-level field-id → name, for equality-delete resolution
+    val fieldNames: Map[Int, String] =
+      Option(snapSchemaNode.get("fields")).toSeq
+        .flatMap(_.elements().asScala)
+        .filter(f => f.has("id") && f.has("name"))
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
 
-    // v2 (and late v1): snapshot → manifest-list avro → manifest paths.
+    // v2 (and late v1): snapshot → manifest-list avro → manifest
+    // paths, each with content (0=data 1=deletes) + sequence number.
     // early v1 alternative: inline `manifests` array on the snapshot.
-    val manifests: Seq[(String, Int)] = // (path, content: 0=data 1=deletes)
+    val manifests: Seq[(String, Int, Long)] =
       if (chosen.has("manifest-list")) {
-        val buf = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Int, Long)]()
         foreachAvro(spark, new Path(chosen.get("manifest-list").asText())) { r =>
           val content = fieldOpt(r, "content").map(longOf(_).toInt).getOrElse(0)
-          buf += ((r.get("manifest_path").toString, content))
+          val seq = fieldOpt(r, "sequence_number").map(longOf).getOrElse(0L)
+          buf += ((r.get("manifest_path").toString, content, seq))
         }
         buf.toSeq
       } else chosen.get("manifests").elements().asScala
-        .map(n => (n.asText(), 0)).toSeq
-
-    manifests.find(_._2 == 1).foreach { case (p, _) =>
-      throw new UnsupportedOperationException(
-        s"Iceberg DELETE manifests (merge-on-read) are not supported: $p")
-    }
+        .map(n => (n.asText(), 0, 0L)).toSeq
 
     val files = scala.collection.mutable.ArrayBuffer[DataFile]()
-    manifests.foreach { case (mp, _) =>
+    val deletes = scala.collection.mutable.ArrayBuffer[DeleteFile]()
+    manifests.foreach { case (mp, mContent, mSeq) =>
       foreachAvro(spark, new Path(mp)) { entry =>
         val status = longOf(entry.get("status")).toInt // 0 existing 1 added 2 deleted
         if (status != 2) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          fieldOpt(df, "content").map(longOf(_).toInt).filter(_ != 0).foreach { c =>
-            throw new UnsupportedOperationException(
-              s"Iceberg delete files (content=$c) are not supported")
-          }
+          val content = fieldOpt(df, "content").map(longOf(_).toInt).getOrElse(0)
           val fmt = df.get("file_format").toString
           if (!fmt.equalsIgnoreCase("parquet"))
             throw new UnsupportedOperationException(
-              s"non-parquet Iceberg data file ($fmt) is not supported")
-          files += DataFile(df.get("file_path").toString, fmt,
-            longOf(df.get("record_count")),
-            fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L))
+              s"non-parquet Iceberg file ($fmt) is not supported")
+          // sequence number: explicit on the entry, inherited from
+          // the manifest-list row otherwise (the v2 inheritance rule)
+          val seq = fieldOpt(entry, "sequence_number").map(longOf)
+            .getOrElse(mSeq)
+          if (mContent == 0) {
+            if (content != 0) throw new UnsupportedOperationException(
+              s"delete file (content=$content) inside a DATA manifest: $mp")
+            files += DataFile(df.get("file_path").toString, fmt,
+              longOf(df.get("record_count")),
+              fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L),
+              seq)
+          } else { // delete manifest: position (1) or equality (2)
+            if (content != 1 && content != 2)
+              throw new UnsupportedOperationException(
+                s"unexpected content=$content in delete manifest $mp")
+            val eqIds = fieldOpt(df, "equality_ids").map {
+              case a: java.util.Collection[_] =>
+                a.asScala.toSeq.map(v => longOf(v.asInstanceOf[AnyRef]).toInt)
+              case other => throw new IllegalStateException(
+                s"bad equality_ids $other")
+            }.getOrElse(Seq.empty)
+            if (content == 2) {
+              require(eqIds.nonEmpty,
+                s"equality delete file without equality_ids in $mp")
+              eqIds.foreach(id => require(fieldNames.contains(id),
+                s"equality_ids field $id is not a top-level column — " +
+                  "nested equality deletes are not supported"))
+            }
+            deletes += DeleteFile(df.get("file_path").toString, content,
+              seq, eqIds)
+          }
         }
       }
     }
-    Snapshot(tablePath, snapId, snapTs, snapSchema, files.toSeq)
+    Snapshot(tablePath, snapId, snapTs, snapSchema, files.toSeq,
+      deletes.toSeq, fieldNames)
   }
 
   /** Read an Iceberg table as a DataFrame (native distributed parquet
-    * scan over the snapshot's live file list). */
+    * scan over the snapshot's live file list), applying v2 MERGE-ON-
+    * READ delete files per the spec's sequence-number scoping:
+    *
+    *  - POSITION deletes (content=1): parquet of (`file_path`,
+    *    `pos`) — a data row is dead when some position delete with
+    *    `delete_seq >= data_seq` names its (file, row index). Applied
+    *    as an anti-join of the scan (+`_metadata.row_index`) against
+    *    the union of position-delete files — both sides distributed.
+    *  - EQUALITY deletes (content=2): parquet of the equality
+    *    columns — a data row is dead when a STRICTLY NEWER
+    *    (`delete_seq > data_seq`) delete row matches it null-safely
+    *    on those columns. One anti-join per distinct equality-id
+    *    set.
+    *
+    * Per-file data sequence numbers ride in as a broadcast file→seq
+    * map, so scoping never collects data. */
   def read(spark: SparkSession, tablePath: String,
            snapshotIdAsOf: Option[Long] = None,
            timestampAsOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
     val snap = snapshot(spark, tablePath, snapshotIdAsOf, timestampAsOf)
     if (snap.files.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
+    val base = spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
+    if (snap.deletes.isEmpty) return base
+    import spark.implicits._
+    def fileKey(p: String) = org.apache.spark.paths.SparkPath
+      .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val seqMap = broadcast(snap.files.map(f => (fileKey(f.path), f.seq))
+      .toDF("__path", "__dataseq"))
+    var cur = spark.read.schema(snap.schema)
+      .parquet(snap.files.map(_.path): _*)
+      .select(col("*"), col("_metadata.row_index").as("__ri"))
+      .withColumn("__path",
+        regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+      .join(seqMap, Seq("__path"), "left")
+    val posDeletes = snap.deletes.filter(_.content == 1)
+    if (posDeletes.nonEmpty) {
+      // the delete file stores the MANIFEST's exact file_path string
+      // (the spec's matching rule); map it to the scan's url-encoded
+      // key through the known file list — no string heuristics
+      val pathMap = broadcast(snap.files.map(f => (f.path, fileKey(f.path)))
+        .toDF("__raw", "__mapped"))
+      val pos = posDeletes.map { d =>
+        spark.read.parquet(d.path).select(
+          col("file_path").cast("string"), col("pos").cast("long"))
+          .withColumn("__dseq", lit(d.seq))
+      }.reduce(_.unionByName(_))
+        .join(pathMap, col("file_path") === col("__raw"))
+        .select(col("__mapped").as("__dpath"), col("pos").as("__dri"),
+          col("__dseq"))
+      cur = cur.join(pos,
+        cur("__path") === pos("__dpath") && cur("__ri") === pos("__dri") &&
+          pos("__dseq") >= cur("__dataseq"), "left_anti")
+    }
+    snap.deletes.filter(_.content == 2).groupBy(_.equalityIds.sorted)
+      .toSeq.sortBy(_._1.mkString(",")).foreach { case (ids, dfs) =>
+        val cols = ids.map(snap.fieldNames)
+        val eq = dfs.map(d => spark.read.parquet(d.path)
+          .select(cols.map(c => col(c).as(s"__eq_$c")): _*)
+          .withColumn("__dseq", lit(d.seq)))
+          .reduce(_.unionByName(_))
+        val cond = cols.map(c => cur(c) <=> eq(s"__eq_$c"))
+          .reduce(_ && _) && eq("__dseq") > cur("__dataseq")
+        cur = cur.join(eq, cond, "left_anti")
+      }
+    cur.select(snap.schema.fieldNames.map(col): _*)
   }
 
   /** Committed snapshot ids in commit order (the metadata `snapshots`
@@ -376,6 +484,12 @@ object IcebergTable {
         throw new UnsupportedOperationException(
           s"schema change inside polled snapshot range of $tablePath — " +
             "poll up to the boundary, adapt, continue")
+      // the file-level diff cannot express merge-on-read row deletes
+      if (s.deletes.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"delete files in snapshot ${ids(i)} of $tablePath — the " +
+            "file-diff change feed cannot express row-level deletes; " +
+            "read snapshots instead")
       val cur = s.files.map(_.path)
       val prevSet = prev.toSet
       val curSet = cur.toSet
@@ -428,7 +542,8 @@ object IcebergTable {
       |{"name":"file_format","type":"string","field-id":101},
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
       |]}}]}""".stripMargin)
 
   private val ManifestFileSchema: Schema = new Schema.Parser().parse(
@@ -496,6 +611,58 @@ object IcebergTable {
     mf.put("manifest_length", len)
     mf.put("partition_spec_id", 0)
     mf.put("content", 0)
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number", seq)
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_files_count", files.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", files.map(_._3).sum)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    mf
+  }
+
+  /** Write one DELETE manifest (content=1 in the manifest list) for
+    * position (content=1) or equality (content=2, with equality_ids)
+    * delete files at `seq` — the merge-on-read authoring twin of the
+    * reader above; specs hand-build v2 tables with it. */
+  private[graft] def writeDeleteManifest(spark: SparkSession, mdir: Path,
+                                         tag: String, schemaJson: String,
+                                         files: Seq[(String, Long, Long, Int, Seq[Int])],
+                                         snapId: Long, seq: Long): GenericRecord = {
+    val fs = fsFor(spark, mdir)
+    val entries = files.map { case (path, size, nrec, content, eqIds) =>
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      val d = new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema())
+      d.put("content", content)
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(
+        d.getSchema.getField("partition").schema()))
+      d.put("record_count", nrec)
+      d.put("file_size_in_bytes", size)
+      if (eqIds.nonEmpty)
+        d.put("equality_ids", eqIds.map(Int.box).asJava)
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = fs.makeQualified(new Path(mdir, s"manifest-$tag.avro"))
+    val len = writeAvro(spark, manifestPath, ManifestEntrySchema,
+      Map("schema" -> schemaJson,
+        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "format-version" -> "2", "content" -> "deletes"),
+      entries)
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", len)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 1)
     mf.put("sequence_number", seq)
     mf.put("min_sequence_number", seq)
     mf.put("added_snapshot_id", snapId)

@@ -231,6 +231,87 @@ class IcebergSpec extends SparkSpec {
     }
   }
 
+  test("v2 merge-on-read: position + equality deletes apply with sequence-number scoping") {
+    val t = Files.createTempDirectory("graft-ice-mor").toString
+    val f1 = writeDataFile(t, "data/f1.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    val f2 = writeDataFile(t, "data/f2.parquet",
+      Seq((10L, "x"), (11L, "b")).toDF("id", "s"))
+    // f3 lands at seq 3 — AFTER the equality delete (seq 2): its
+    // s = "b" row must SURVIVE (strictly-older rule)
+    val f3 = writeDataFile(t, "data/f3.parquet",
+      Seq((20L, "b")).toDF("id", "s"))
+    // position delete at seq 2: physical row 0 of f1 (id 1); the
+    // file_path strings are the manifests' EXACT entries
+    val posDel = writeDataFile(t, "data/pos-del-1.parquet",
+      Seq((f1, 0L)).toDF("file_path", "pos"))
+    // equality delete at seq 2 on field-id 2 (column s): s = "b" —
+    // kills id 2 (f1) and id 11 (f2), NOT id 20 (f3, newer)
+    val eqDel = writeDataFile(t, "data/eq-del-1.parquet",
+      Seq(Tuple1("b")).toDF("s"))
+
+    // data manifests (v1-shape entries, seq inherited from the list)
+    val m1 = s"$t/metadata/m1.avro"
+    val l1 = writeAvro(m1, V1Entry, Seq(entry(1, f1, nrec = 3L),
+      entry(1, f2, nrec = 2L)))
+    val m3 = s"$t/metadata/m3.avro"
+    val l3 = writeAvro(m3, V1Entry, Seq(entry(1, f3)))
+    // delete manifest via the library's authoring twin
+    val schemaJson = """{"type":"struct","fields":[{"id":1,"name":"id","required":false,"type":"long"},{"id":2,"name":"s","required":false,"type":"string"}]}"""
+    val delMf = IcebergTable.writeDeleteManifest(spark,
+      new org.apache.hadoop.fs.Path(s"$t/metadata"), "del-1", schemaJson,
+      Seq((posDel, 1L, 1L, 1, Seq.empty), (eqDel, 1L, 1L, 2, Seq(2))),
+      snapId = 10L, seq = 2L)
+
+    def v2ListEntry(path: String, len: Long, content: Int, seq: Long): GenericRecord = {
+      val r = new GenericData.Record(V2List)
+      r.put("manifest_path", path); r.put("manifest_length", len)
+      r.put("partition_spec_id", 0); r.put("content", content)
+      r.put("sequence_number", seq); r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", 10L)
+      r
+    }
+    val list = s"$t/metadata/sl.avro"
+    writeAvro(list, V2List, Seq(
+      v2ListEntry(m1, l1, 0, 1L),
+      v2ListEntry(m3, l3, 0, 3L),
+      v2ListEntry(delMf.get("manifest_path").toString,
+        delMf.get("manifest_length").asInstanceOf[Long], 1, 2L)))
+    commitMetadata(t, 1,
+      metadataJson(t, 10L, Seq((10L, 1000L, list)), formatVersion = 2))
+
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.deletes.map(d => (d.content, d.seq)).sorted
+      === Seq((1, 2L), (2, 2L)))
+    assert(snap.files.map(_.seq).sorted === Seq(1L, 1L, 3L))
+    val got = IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got === Set(
+      (3L, "c"), // f1 survivor: 1 gone by position, 2 gone by equality
+      (10L, "x"), // f2 survivor: 11 ("b") gone by equality
+      (20L, "b"))) // f3: newer than the equality delete — survives
+    assert(IcebergTable.read(spark, t).count() === 3L)
+    // change feeds refuse delete-bearing snapshots, loudly
+    val e = intercept[UnsupportedOperationException] {
+      IcebergTable.changes(spark, t, -1L, 10L).count()
+    }
+    assert(e.getMessage.contains("delete files"))
+    // the catalog's raw file-list path refuses too
+    val root = Files.createTempDirectory("graft-ice-mor-cat").toString
+    spark.conf.set("spark.sql.catalog.graft_m", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_m.root", root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/ns"))
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      lfs, new org.apache.hadoop.fs.Path(t),
+      lfs, new org.apache.hadoop.fs.Path(s"$root/ns/mor"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_m.ns.mor").collect()
+    }
+    assert(e2.getMessage.contains("delete files"), e2.getMessage)
+  }
+
   test("VersionedTable export round-trips through the Iceberg reader") {
     val t = Files.createTempDirectory("graft-vt-ice").toString + "/t"
     VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
