@@ -5246,6 +5246,67 @@ object SparkEntry {
             .as("days_stale"))
         .withColumn("is_stale", col("days_stale") > 7)
         .orderBy("event_type")
+    }),
+
+    // ---- round-9: the table-format write/DML/read path, graded ----
+    // These run the ROUND TRIP inside the query — build a real
+    // transaction log from the input parquet, mutate it with the
+    // committing DML, read back through the pruning reader — and the
+    // DuckDB oracle computes the equivalent relational result straight
+    // from the parquet, so the whole interop path hash-gates.
+
+    // partitioned Delta write → copy-on-write DELETE → partition-
+    // pruned read (DeltaLog.write/delete/readWhere end-to-end)
+    "interop_delta_cow_delete" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-cow")
+        .toString + "/t"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaLog.write(s, o, t,
+        partitionBy = Seq("o_orderstatus"))
+      graft.sources.DeltaLog.delete(s, t, col("o_totalprice") >= 150000.0)
+      graft.sources.DeltaLog.readWhere(s, t, col("o_orderstatus") =!= "P")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumD(col("o_totalprice")).as("total"))
+        .orderBy("status")
+    }),
+
+    // Delta write → copy-on-write UPDATE → current + VERSION AS OF
+    // legs unioned (row-level DML and time travel, one hash gate)
+    "interop_delta_update_timetravel" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-upd")
+        .toString + "/t"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.DeltaLog.write(s, c, t)
+      graft.sources.DeltaLog.update(s, t, col("c_acctbal") < 0,
+        Map("c_mktsegment" -> lit("DELINQUENT")))
+      def agg(df: DataFrame, v: Long) = df
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"))
+        .withColumn("version", lit(v))
+      agg(graft.sources.DeltaLog.read(s, t), 1L)
+        .unionByName(agg(graft.sources.DeltaLog.read(s, t,
+          versionAsOf = Some(0L)), 0L))
+        .orderBy("version", "segment")
+    }),
+
+    // Iceberg create + append snapshots → snapshot-resolved read
+    // (IcebergTable.write/read end-to-end; two manifests live)
+    "interop_iceberg_roundtrip" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-ice")
+        .toString + "/t"
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      graft.sources.IcebergTable.write(s,
+        sup.filter(col("s_suppkey") % 2 === 0), t)
+      graft.sources.IcebergTable.write(s,
+        sup.filter(col("s_suppkey") % 2 =!= 0), t)
+      graft.sources.IcebergTable.read(s, t)
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_sup"), sumD(col("s_acctbal")).as("bal"))
+        .orderBy("nation")
     })
   )
 
@@ -8203,7 +8264,33 @@ object SparkEntry {
          |SELECT COALESCE(channel, 'none') AS channel, COUNT(*) AS conversions,
          | ${sqlSumD("value")} AS attributed_value
          |FROM a WHERE event_type = 'purchase'
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ---- round-9 interop round trips: the oracle computes the
+    // equivalent relational result straight from the parquet ----
+
+    "interop_delta_cow_delete" ->
+      s"""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+         | ${sqlSumD("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_orderstatus <> 'P' AND NOT (o_totalprice >= 150000.0)
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "interop_delta_update_timetravel" ->
+      s"""SELECT CASE WHEN c_acctbal < 0 THEN 'DELINQUENT'
+         |   ELSE c_mktsegment END AS segment,
+         | COUNT(*) AS n_cust, CAST(1 AS BIGINT) AS version
+         |FROM customer GROUP BY 1
+         |UNION ALL
+         |SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+         | CAST(0 AS BIGINT) AS version
+         |FROM customer GROUP BY 1
+         |ORDER BY version, segment""".stripMargin,
+
+    "interop_iceberg_roundtrip" ->
+      s"""SELECT s_nationkey AS nation, COUNT(*) AS n_sup,
+         | ${sqlSumD("s_acctbal")} AS bal
+         |FROM supplier GROUP BY 1 ORDER BY nation""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the
