@@ -806,6 +806,48 @@ object DeltaLog {
     b.toString
   }
 
+  /** Write `df` hive-partitioned into a scratch dir under `dst`, then
+    * adopt each part under a stable `part-<tag>-<i>.parquet` name in
+    * its final partition directory — the shared staging step of every
+    * committing writer (never leave half-written files at paths the
+    * log references). Returns (relPath, partitionValues, size, stats)
+    * per adopted file. */
+  private def stageData(spark: SparkSession, df: DataFrame, dst: Path,
+                        effParts: Seq[String], tag: String)
+  : Seq[(String, Map[String, String], Long, Option[String])] = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val fs = dst.getFileSystem(fsConf)
+    val tmp = new Path(dst, s".tmp-$tag-${java.util.UUID.randomUUID()}")
+    if (effParts.isEmpty) df.write.parquet(tmp.toString)
+    else df.write.partitionBy(effParts: _*).parquet(tmp.toString)
+    // walk the staged tree: data files sit under one hive-style dir
+    // level per partition column
+    def walk(p: Path): Seq[Path] = {
+      val sts = fs.listStatus(p).toSeq.filterNot(
+        _.getPath.getName.startsWith("_"))
+      sts.flatMap(st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty)
+    }
+    val tmpRoot = fs.makeQualified(tmp).toString
+    val staged = walk(tmp).sortBy(_.toString)
+    val adopted = staged.zipWithIndex.map { case (src, i) =>
+      val relStaged = fs.makeQualified(src).toString
+        .stripPrefix(tmpRoot).stripPrefix("/")
+      val dirs = relStaged.split('/').dropRight(1).toSeq
+      val pv = parsePartitionDirs(dirs, effParts)
+      val rel = (dirs :+ s"part-$tag-$i.parquet").mkString("/")
+      val fin = new Path(dst, rel)
+      fs.mkdirs(fin.getParent)
+      if (!fs.rename(src, fin))
+        throw new IllegalStateException(s"rename failed for $rel")
+      (rel, pv, fs.getFileStatus(fin).getLen, footerStats(fsConf, fin))
+    }
+    fs.delete(tmp, true)
+    adopted
+  }
+
   /** Parse hive-style partition directory segments of a staged
     * relative path into (partitionValues, fileName). */
   private def parsePartitionDirs(relDirs: Seq[String],
@@ -974,35 +1016,7 @@ object DeltaLog {
     // stage the data through a scratch dir, then adopt the parts
     // under stable names (never leave half-written files at paths the
     // log references)
-    val tmp = new Path(dst, s".tmp-$v-${java.util.UUID.randomUUID()}")
-    if (effParts.isEmpty) df.write.parquet(tmp.toString)
-    else df.write.partitionBy(effParts: _*).parquet(tmp.toString)
-    // walk the staged tree: data files sit under one hive-style dir
-    // level per partition column
-    def walk(p: Path): Seq[Path] = {
-      val sts = fs.listStatus(p).toSeq.filterNot(
-        _.getPath.getName.startsWith("_"))
-      sts.flatMap(st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
-        else Seq.empty)
-    }
-    val tmpRoot = fs.makeQualified(tmp).toString
-    val staged = walk(tmp).sortBy(_.toString)
-    val adopted: Seq[(String, Map[String, String], Long, Option[String])] =
-      staged.zipWithIndex.map { case (src, i) =>
-        val relStaged = fs.makeQualified(src).toString
-          .stripPrefix(tmpRoot).stripPrefix("/")
-        val dirs = relStaged.split('/').dropRight(1).toSeq
-        val pv = parsePartitionDirs(dirs, effParts)
-        val rel = (dirs :+ s"part-$v-$i.parquet").mkString("/")
-        val fin = new Path(dst, rel)
-        fs.mkdirs(fin.getParent)
-        if (!fs.rename(src, fin))
-          throw new IllegalStateException(s"rename failed for $rel")
-        (rel, pv, fs.getFileStatus(fin).getLen, footerStats(fsConf, fin))
-      }
-    fs.delete(tmp, true)
+    val adopted = stageData(spark, df, dst, effParts, s"$v")
 
     def pvJson(pv: Map[String, String]): String =
       pv.toSeq.sortBy(_._1).map { case (k, vv) =>
@@ -1235,6 +1249,149 @@ object DeltaLog {
               .otherwise(col(c)))
         }
     }
+  }
+
+  /** `MERGE INTO` (upsert): for each source row, the target row with
+    * the same `keyCols` is REPLACED (whole-row update); source rows
+    * with no match INSERT — last-writer-wins keyed upsert, the
+    * SCD-1 / replica-apply shape the reference's silver layer needs.
+    * Copy-on-write like [[delete]]: one match-detection job finds the
+    * target files holding source keys, only those rewrite (matched
+    * rows dropped), and the whole source lands as fresh hive-staged
+    * files — removes + both add sets commit as ONE version. The
+    * source must be unique per key (counted gate, loud error —
+    * ambiguous multi-matches never half-apply), and its schema must
+    * match the table's. Returns the committed version (current when
+    * the source is empty). */
+  def merge(spark: SparkSession, deltaPath: String, source: DataFrame,
+            keyCols: Seq[String],
+            checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    import spark.implicits._
+    require(keyCols.nonEmpty, "MERGE with no key columns")
+    val snap = snapshot(spark, deltaPath)
+    keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"unknown merge key $c"))
+    def normType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, normType(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(normType(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(normType(m.keyType), normType(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    require(StructType(snap.schema.fields.map(f =>
+      StructField(f.name, normType(f.dataType)))) ==
+      StructType(source.schema.fields.map(f =>
+        StructField(f.name, normType(f.dataType)))) ||
+      snap.schema.fieldNames.toSet == source.columns.toSet,
+      s"merge source schema ${source.schema.simpleString} does not match " +
+        s"table schema ${snap.schema.simpleString}")
+    val src = graft.Caches.tracked(
+      source.select(snap.schema.fieldNames.map(col): _*))
+    if (src.isEmpty) return snap.version
+    // ambiguity gate: one source row per key, or the merge is
+    // order-dependent — refuse rather than half-apply
+    require(src.groupBy(keyCols.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count() == 0L,
+      "merge source has duplicate keys — aggregate it first")
+    val srcKeys = src.select(keyCols.map(col): _*)
+
+    val dataSchema = StructType(snap.schema.filterNot(
+      f => snap.partitionColumns.contains(f.name)))
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(deltaPath)
+    val fs = dst.getFileSystem(fsConf)
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    def fileKey(p: String) = deScheme(
+      org.apache.spark.paths.SparkPath.fromPathString(p).urlEncoded)
+    val pc = snap.partitionColumns
+
+    // ONE match-detection job: which target files hold a source key
+    val matched: Set[String] =
+      if (snap.files.isEmpty) Set.empty
+      else {
+        val base = spark.read.schema(dataSchema)
+          .parquet(snap.files.map(_.path): _*)
+          .withColumn("__path",
+            regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+        val withPv =
+          if (pc.isEmpty) base
+          else {
+            val pvDf = broadcast(snap.files.map(f =>
+              (fileKey(f.path), pc.map(c => f.partitionValues.getOrElse(c, null))))
+              .toDF("__path", "__pv"))
+            base.join(pvDf, Seq("__path"), "left")
+              .select(col("__path") +: snap.schema.map(f =>
+                if (pc.contains(f.name))
+                  element_at(col("__pv"), pc.indexOf(f.name) + 1)
+                    .cast(f.dataType).as(f.name)
+                else col(f.name)): _*)
+          }
+        withPv.join(srcKeys, keyCols, "left_semi")
+          .select("__path").distinct().as[String].collect().toSet
+      }
+    val toRewrite = snap.files.filter(f => matched(fileKey(f.path)))
+
+    val v = listVersions(spark, deltaPath).last + 1
+    val now = System.currentTimeMillis()
+    val root = deScheme(fs.makeQualified(dst).toString)
+    val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long, Option[String])]()
+    // rewrite matched files with the matched keys dropped
+    toRewrite.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+      .zipWithIndex.foreach { case ((pv, fls), gi) =>
+        val grp = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
+        val full = grp.select(snap.schema.map(f =>
+          if (pc.contains(f.name))
+            lit(pv.getOrElse(f.name, null)).cast(f.dataType).as(f.name)
+          else col(f.name)): _*)
+        val survivors = full.join(srcKeys, keyCols, "left_anti")
+          .select(dataSchema.fieldNames.map(col): _*)
+        val tmp = new Path(dst, s".tmp-mrg-$v-$gi-${java.util.UUID.randomUUID()}")
+        survivors.write.parquet(tmp.toString)
+        val dirs = pc.map(c =>
+          s"${hiveEscape(c)}=${Option(pv.getOrElse(c, null))
+            .map(hiveEscape).getOrElse("__HIVE_DEFAULT_PARTITION__")}")
+        val parts = fs.listStatus(tmp).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+        parts.zipWithIndex.foreach { case (st, i) =>
+          val stats = footerStats(fsConf, st.getPath)
+          if (!stats.exists(_.contains("\"numRecords\":0"))) {
+            val rel = (dirs :+ s"part-mrg-$v-$gi-$i.parquet").mkString("/")
+            val fin = new Path(dst, rel)
+            fs.mkdirs(fin.getParent)
+            if (!fs.rename(st.getPath, fin))
+              throw new IllegalStateException(s"rename failed for $rel")
+            adds += ((rel, pv, fs.getFileStatus(fin).getLen, stats))
+          }
+        }
+        fs.delete(tmp, true)
+      }
+    // the whole source (updates + inserts) lands as fresh files in
+    // the table's layout
+    adds ++= stageData(spark, src, dst, pc, s"mrg-$v")
+
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
+      }.mkString("{", ",", "}")
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    toRewrite.foreach { f =>
+      val rel = encodePath(deScheme(new Path(f.path).toString)
+        .stripPrefix(root).stripPrefix("/"))
+      lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    adds.foreach { case (rel, pv, sz, st) =>
+      val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
+    }
+    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (checkpointInterval > 0 && v % checkpointInterval == 0)
+      checkpoint(spark, deltaPath, v)
+    v
   }
 
   /** Shared copy-on-write core: locate files with actual matches,
