@@ -5292,6 +5292,29 @@ object SparkEntry {
         .orderBy("version", "segment")
     }),
 
+    // partitioned Delta write → MERGE INTO (keyed upsert: matched
+    // rows move partitions, unmatched insert) → read + aggregate
+    // (DeltaLog.write/merge/read end-to-end, one hash gate)
+    "interop_delta_merge" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-mrg")
+        .toString + "/t"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.DeltaLog.write(s, c, t,
+        partitionBy = Seq("c_mktsegment"))
+      val src = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("VIP").as("c_mktsegment"),
+          lit(0.0).as("c_acctbal"))
+        .unionByName(c.filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("NEW").as("c_mktsegment"), lit(100.0).as("c_acctbal")))
+      graft.sources.DeltaLog.merge(s, t, src, keyCols = Seq("c_custkey"))
+      graft.sources.DeltaLog.read(s, t)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"), sumD(col("c_acctbal")).as("total"))
+        .orderBy("segment")
+    }),
+
     // Iceberg create + append snapshots → snapshot-resolved read
     // (IcebergTable.write/read end-to-end; two manifests live)
     "interop_iceberg_roundtrip" -> ((s, d) => {
@@ -8286,6 +8309,20 @@ object SparkEntry {
          | CAST(0 AS BIGINT) AS version
          |FROM customer GROUP BY 1
          |ORDER BY version, segment""".stripMargin,
+
+    "interop_delta_merge" ->
+      s"""WITH merged AS (
+         |  SELECT CASE WHEN c_custkey % 10 = 0 THEN 'VIP'
+         |    ELSE c_mktsegment END AS seg,
+         |   CASE WHEN c_custkey % 10 = 0 THEN 0.0
+         |    ELSE c_acctbal END AS bal
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'NEW' AS seg, 100.0 AS bal
+         |  FROM customer WHERE c_custkey % 7 = 0)
+         |SELECT seg AS segment, COUNT(*) AS n_cust,
+         | ${sqlSumD("bal")} AS total
+         |FROM merged GROUP BY 1 ORDER BY segment""".stripMargin,
 
     "interop_iceberg_roundtrip" ->
       s"""SELECT s_nationkey AS nation, COUNT(*) AS n_sup,

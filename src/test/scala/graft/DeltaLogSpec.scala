@@ -665,6 +665,92 @@ class DeltaLogSpec extends SparkSpec {
       .count() === 3L)
   }
 
+  test("MERGE INTO (keyed upsert): matched rows replaced, unmatched insert, one-version commit") {
+    val t = Files.createTempDirectory("graft-delta-mrg").toString + "/t"
+    // two files with disjoint key ranges so only one holds matches
+    DeltaLog.write(spark, Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "n")
+      .coalesce(1), t)
+    DeltaLog.write(spark, Seq((11L, "c", 30), (12L, "d", 40)).toDF("k", "v", "n")
+      .coalesce(1), t)
+    val before = DeltaLog.snapshot(spark, t)
+    // source: update k=2 (whole-row replace), insert k=99
+    val src = Seq((2L, "B2", 200), (99L, "z", 990)).toDF("k", "v", "n")
+    val v = DeltaLog.merge(spark, t, src, keyCols = Seq("k"))
+    assert(v === 2L)
+    assert(DeltaLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+      === Set((1L, "a", 10), (2L, "B2", 200), (11L, "c", 30),
+        (12L, "d", 40), (99L, "z", 990)))
+    // the no-match file is untouched by path identity
+    val after = DeltaLog.snapshot(spark, t)
+    val kept = before.files.map(_.path).toSet intersect
+      after.files.map(_.path).toSet
+    assert(kept.size === 1, s"expected the (11,12) file kept: $kept")
+    // ONE version committed for the whole merge; time travel pre-merge
+    assert(after.version === 2L)
+    assert(DeltaLog.read(spark, t, versionAsOf = Some(1L))
+      .as[(Long, String, Int)].collect().toSet
+      === Set((1L, "a", 10), (2L, "b", 20), (11L, "c", 30), (12L, "d", 40)))
+    // CDC: the rewritten file's rows show delete+reinsert, the source
+    // rows show as inserts — k=2 old row deleted, new rows inserted
+    val ch = DeltaLog.changes(spark, t, fromVersion = v - 1, toVersion = v)
+      .select("k", "_change_type").as[(Long, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(ch(((2L, "delete"))) === 1 && ch(((2L, "insert"))) === 1)
+    assert(ch(((99L, "insert"))) === 1 && ch(((1L, "delete"))) === 1)
+    assert(ch(((1L, "insert"))) === 1) // survivor reinserted with its file
+    assert(!ch.contains((11L, "delete"))) // untouched file invisible in CDC
+
+    // empty source: no commit
+    assert(DeltaLog.merge(spark, t,
+      Seq.empty[(Long, String, Int)].toDF("k", "v", "n"), Seq("k")) === v)
+    // ambiguous source (duplicate keys): loud refusal, nothing applied
+    intercept[IllegalArgumentException] {
+      DeltaLog.merge(spark, t,
+        Seq((5L, "x", 1), (5L, "y", 2)).toDF("k", "v", "n"), Seq("k"))
+    }
+    assert(DeltaLog.snapshot(spark, t).version === v)
+    // schema mismatch refused
+    intercept[IllegalArgumentException] {
+      DeltaLog.merge(spark, t, Seq((5L, "x")).toDF("k", "v"), Seq("k"))
+    }
+    // unknown key column refused
+    intercept[IllegalArgumentException] {
+      DeltaLog.merge(spark, t, src, Seq("nope"))
+    }
+  }
+
+  test("MERGE INTO on a partitioned table: rows move partitions; composite keys") {
+    val t = Files.createTempDirectory("graft-delta-mrgp").toString + "/t"
+    DeltaLog.write(spark,
+      Seq((1L, "x", 10), (2L, "x", 20), (3L, "y", 30)).toDF("id", "p", "n"),
+      t, partitionBy = Seq("p"))
+    // matched row id=2 moves from p=x to p=z; id=4 inserts into p=y
+    val src = Seq((2L, "z", 200), (4L, "y", 400)).toDF("id", "p", "n")
+    val v = DeltaLog.merge(spark, t, src, keyCols = Seq("id"))
+    assert(DeltaLog.read(spark, t).as[(Long, String, Int)].collect().toSet
+      === Set((1L, "x", 10), (2L, "z", 200), (3L, "y", 30), (4L, "y", 400)))
+    // moved row's new file sits in the p=z hive dir (real layout)
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.files.exists(f => f.partitionValues.get("p").contains("z")))
+    // the untouched y-partition original file survives by path
+    assert(after.files.exists(_.path.contains("p=y")))
+    // stats recorded on the new files (pruning keeps working)
+    assert(after.files.filter(_.path.contains(s"mrg-$v")).forall(_.stats.isDefined))
+    // partition-pruned read over the merged table
+    assert(DeltaLog.readWhere(spark, t, col("p") === "z")
+      .as[(Long, String, Int)].collect().toSet === Set((2L, "z", 200)))
+
+    // composite keys: (id, p) — same id in another partition is NOT a match
+    val t2 = Files.createTempDirectory("graft-delta-mrgc").toString + "/t"
+    DeltaLog.write(spark,
+      Seq((1L, "x", 10), (1L, "y", 11)).toDF("id", "p", "n"), t2,
+      partitionBy = Seq("p"))
+    DeltaLog.merge(spark, t2, Seq((1L, "x", 99)).toDF("id", "p", "n"),
+      keyCols = Seq("id", "p"))
+    assert(DeltaLog.read(spark, t2).as[(Long, String, Int)].collect().toSet
+      === Set((1L, "x", 99), (1L, "y", 11)))
+  }
+
   test("VersionedTable export round-trips through the Delta reader") {
     val t = Files.createTempDirectory("graft-vt-delta").toString + "/t"
     VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
