@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // heap-based two-phase top-k operator (see graft.plans.TopKPerGroup)
     ext.injectOptimizerRule(_ => graft.plans.RewriteTopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // maintenance statements Spark's grammar lacks (OPTIMIZE/VACUUM,
+    // the reference's literal gold-layer calls) + row-level SQL DML
+    // (UPDATE / MERGE INTO) routed to the copy-on-write Delta library
+    ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => graft.sources.GraftRowLevelSql)
   }
 }
 

@@ -1,0 +1,370 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression, SubqueryExpression, And => EAnd}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** SQL statement surface for table MAINTENANCE and row-level DML on
+  * graft's log-backed tables — the statements the reference literally
+  * runs on its gold layer (`spark.sql(f"OPTIMIZE {t} ZORDER BY
+  * (product_id)")`, reference gold_transformation.py:85,160, and
+  * `VACUUM`, :171) plus the `UPDATE` / `MERGE INTO` DML that real
+  * Delta users write, so a SQL-only user needs no library calls:
+  *
+  *  - `OPTIMIZE <t> [ZORDER BY (c, ...)]` — compaction /
+  *    Z-clustering as a dataChange=false commit ([[DeltaLog.optimize]]
+  *    for Delta-flavor tables, [[VersionedTable.optimize]] /
+  *    [[VersionedTable.optimizeZorder]] for graft-versioned ones).
+  *  - `VACUUM <t> [RETAIN n VERSIONS] [DRY RUN]` — physical cleanup
+  *    past the retention horizon ([[DeltaLog.vacuum]] /
+  *    [[VersionedTable.vacuum]]).
+  *  - `UPDATE <t> SET c = expr, ... [WHERE pred]` — Spark's own
+  *    parser produces the [[UpdateTable]] plan; [[GraftRowLevelSql]]
+  *    routes it to the copy-on-write [[DeltaLog.update]].
+  *  - `MERGE INTO <t> USING <src> ON t.k = s.k WHEN MATCHED THEN
+  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the keyed-upsert
+  *    shape, routed to [[DeltaLog.merge]]. Any other merge shape is
+  *    refused loudly (never silently half-applied).
+  *
+  * `<t>` is either a catalog-qualified name whose catalog is a
+  * configured [[GraftCatalog]] (`OPTIMIZE graft.gold.sales`) or a
+  * quoted filesystem path (`OPTIMIZE '/lake/t'`); the storage flavor
+  * is detected from the directory exactly like the catalog does.
+  *
+  * OPTIMIZE/VACUUM are not in Spark's grammar, so [[GraftSqlParser]]
+  * recognizes them BEFORE delegating everything else to Spark's
+  * parser — the standard extension-parser pattern
+  * (`injectParser`). UPDATE/MERGE are in the grammar already; they
+  * are intercepted post-resolution by [[GraftRowLevelSql]]
+  * (`injectResolutionRule`), because Spark itself would otherwise
+  * reject them for tables that do not implement the DSv2 row-level
+  * APIs. Planning cost is O(statement); all data movement happens in
+  * the routed library calls, which are file-pruned copy-on-write.
+  */
+object GraftSqlStatements {
+
+  /** `'path'` or `a.b.c` (backtick-quoted parts allowed). */
+  private val Target = """(?:'([^']+)'|((?:`[^`]+`|[\w$]+)(?:\s*\.\s*(?:`[^`]+`|[\w$]+))*))"""
+
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Target +
+      """(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+""" + Target +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+
+  /** Split `a.`b.c`.d` on dots outside backticks. */
+  private[sources] def splitParts(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inTick = false
+    s.foreach {
+      case '`' => inTick = !inTick
+      case '.' if !inTick => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.toSeq
+  }
+
+  private def cols(s: String): Seq[String] =
+    splitCsv(s).map(c => c.stripPrefix("`").stripSuffix("`"))
+
+  private def splitCsv(s: String): Seq[String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Recognize a graft statement, or None → delegate to Spark. */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(path, ident, z) =>
+      Some(GraftOptimizeCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        Option(z).map(cols).getOrElse(Nil)))
+    case VacuumRe(path, ident, retain, dry) =>
+      Some(GraftVacuumCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        Option(retain).map(_.toInt), dry != null))
+    case _ => None
+  }
+
+  /** Resolve the statement target to a table directory. */
+  private[sources] def resolveDir(spark: SparkSession, path: Option[String],
+                                  parts: Seq[String]): String =
+    path.getOrElse {
+      require(parts.length >= 2,
+        s"qualify the table as <catalog>.<ns...>.<name> where the " +
+          "catalog is a configured graft.sources.GraftCatalog, or pass " +
+          "a quoted filesystem path: OPTIMIZE '/lake/t'")
+      val cat = parts.head
+      val impl = spark.conf.getOption(s"spark.sql.catalog.$cat")
+      require(impl.contains("graft.sources.GraftCatalog"),
+        s"catalog '$cat' is not a configured graft.sources.GraftCatalog " +
+          s"(spark.sql.catalog.$cat=${impl.getOrElse("<unset>")})")
+      val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+      (root +: parts.tail).mkString("/")
+    }
+
+  sealed trait Flavor
+  case object DeltaFlavor extends Flavor
+  case object IcebergFlavor extends Flavor
+  case object VersionedFlavor extends Flavor
+
+  /** Same flavor detection as [[GraftCatalog]]. */
+  private[sources] def flavorOf(spark: SparkSession, dir: String): Flavor = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no table directory at $dir")
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_delta_log"))) DeltaFlavor
+    else if (fs.globStatus(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(p, "metadata"), "v*.metadata.json")).nonEmpty)
+      IcebergFlavor
+    else if (fs.exists(new org.apache.hadoop.fs.Path(p, "_LATEST")) ||
+      fs.globStatus(new org.apache.hadoop.fs.Path(p, "_c0*")).nonEmpty)
+      VersionedFlavor
+    else throw new IllegalArgumentException(
+      s"$dir is a plain parquet directory — OPTIMIZE/VACUUM need a " +
+        "transaction log (Delta, Iceberg, or graft-versioned)")
+  }
+
+  /** Total data bytes of the versioned table's current snapshot, for
+    * sizing compaction output like Delta's target-file-size rule. */
+  private[sources] def versionedTargetFiles(spark: SparkSession, dir: String,
+                                            targetFileBytes: Long): Int = {
+    val files = VersionedTable.read(spark, dir).inputFiles
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+  }
+}
+
+/** Extension parser: graft maintenance statements first, Spark's own
+  * grammar for everything else. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlStatements.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** `OPTIMIZE <t> [ZORDER BY (c, ...)]` → the flavor's compaction
+  * service; returns (table, version). */
+case class GraftOptimizeCommand(path: Option[String], parts: Seq[String],
+                                zorder: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    val v = flavorOf(spark, dir) match {
+      case DeltaFlavor => DeltaLog.optimize(spark, dir, zorderBy = zorder)
+      case VersionedFlavor =>
+        val n = versionedTargetFiles(spark, dir, 128L << 20)
+        if (zorder.isEmpty) VersionedTable.optimize(spark, dir, n)
+        else VersionedTable.optimizeZorder(spark, dir, n, zorder)
+      case IcebergFlavor =>
+        require(zorder.isEmpty,
+          "ZORDER BY is not supported for Iceberg-flavor tables")
+        IcebergTable.rewriteManifests(spark, dir)
+    }
+    Seq(Row(dir, v))
+  }
+}
+
+/** `VACUUM <t> [RETAIN n VERSIONS] [DRY RUN]` → the flavor's physical
+  * cleanup; one row per removed (or would-be-removed) file. */
+case class GraftVacuumCommand(path: Option[String], parts: Seq[String],
+                              retain: Option[Int], dryRun: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    flavorOf(spark, dir) match {
+      case DeltaFlavor =>
+        DeltaLog.vacuum(spark, dir, keepVersions = retain.getOrElse(1),
+          dryRun = dryRun).map(Row(_))
+      case VersionedFlavor =>
+        require(!dryRun, "DRY RUN is not supported for versioned tables")
+        VersionedTable.vacuum(spark, dir, keepVersions = retain.getOrElse(2))
+        Seq.empty
+      case IcebergFlavor =>
+        require(!dryRun, "DRY RUN is not supported for Iceberg tables")
+        IcebergTable.expireSnapshots(spark, dir,
+          keepSnapshots = retain.getOrElse(1)).map(Row(_))
+    }
+  }
+}
+
+/** Resolution rule routing SQL `UPDATE` / `MERGE INTO` over
+  * [[GraftDeltaTable]] catalog tables to the copy-on-write
+  * [[DeltaLog.update]] / [[DeltaLog.merge]]. Spark parses both
+  * statements natively but only executes them for tables implementing
+  * the DSv2 row-level-operation APIs; this rule swaps the resolved
+  * plan for a runnable command BEFORE that check fires. Unsupported
+  * shapes (subqueries in assignments, conditional/partial merge
+  * actions, non-equi merge conditions) fail loudly at analysis —
+  * never a silent partial apply. */
+object GraftRowLevelSql extends Rule[LogicalPlan] {
+
+  private def fail(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg), None)
+
+  private def deltaPathOf(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftDeltaTable] =>
+        r.table.asInstanceOf[GraftDeltaTable].tablePath
+    }
+
+  /** Resolved → re-resolvable-by-name (DeltaLog re-plans the table
+    * frame internally, with fresh expression ids). */
+  private def deResolve(e: Expression): Expression = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      fail("subqueries are not supported in graft UPDATE/MERGE " +
+        "statements — materialize the subquery into the source first")
+    e.transform { case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name) }
+  }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u: UpdateTable if u.resolved && deltaPathOf(u.table).isDefined =>
+      val path = deltaPathOf(u.table).get
+      val all = u.assignments.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => fail("graft UPDATE supports only top-level " +
+            s"column assignments, got ${other.sql}")
+        }
+        (name, a)
+      }
+      // the analyzer aligns assignments to the full column list with
+      // identity self-assignments — drop those, keep the real ones
+      val real = all.filterNot { case (_, a) => (a.key, stripCast(a.value)) match {
+        case (k: AttributeReference, v: AttributeReference) => k.exprId == v.exprId
+        case _ => false
+      }}
+      val effective = if (real.nonEmpty) real else all
+      // carried as Columns, not Expressions: the command's payload is
+      // re-resolved by the library over its own table frame, so it
+      // must ride OPAQUE to this plan's CheckAnalysis
+      GraftUpdateCommand(path,
+        effective.map { case (n, a) =>
+          (n, ColumnBridge.column(deResolve(a.value))) },
+        u.condition.map(c => ColumnBridge.column(deResolve(c))))
+
+    case m: MergeIntoTable if m.resolved && deltaPathOf(m.targetTable).isDefined =>
+      val path = deltaPathOf(m.targetTable).get
+      val unsupported = "graft MERGE INTO supports exactly the keyed-" +
+        "upsert shape: ON equality of same-named columns, WHEN MATCHED " +
+        "THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * — got "
+      if (m.notMatchedBySourceActions.nonEmpty)
+        fail(unsupported + "WHEN NOT MATCHED BY SOURCE actions")
+      val tgtOut = AttributeSet(m.targetTable.output)
+      val srcOut = AttributeSet(m.sourceTable.output)
+
+      def validateFullRowFromSource(asg: Seq[Assignment], what: String): Unit = {
+        if (asg.size != m.targetTable.output.size)
+          fail(unsupported + s"a partial-column $what")
+        asg.foreach { a =>
+          (a.key, stripCast(a.value)) match {
+            case (k: AttributeReference, v: AttributeReference)
+              if srcOut.contains(v) && k.name.equalsIgnoreCase(v.name) =>
+            case _ => fail(unsupported +
+              s"$what assignment ${a.key.sql} = ${a.value.sql}")
+          }
+        }
+      }
+      m.matchedActions match {
+        case Seq(UpdateAction(None, asg, _)) =>
+          validateFullRowFromSource(asg, "UPDATE")
+        case other => fail(unsupported + s"matched actions $other")
+      }
+      m.notMatchedActions match {
+        case Seq(InsertAction(None, asg)) =>
+          validateFullRowFromSource(asg, "INSERT")
+        case other => fail(unsupported + s"not-matched actions $other")
+      }
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case EAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      val keyCols = conjuncts(m.mergeCondition).map { c =>
+        (c: @unchecked) match {
+          case EqualTo(l, r) =>
+            (stripCast(l), stripCast(r)) match {
+              case (a: AttributeReference, b: AttributeReference)
+                if tgtOut.contains(a) && srcOut.contains(b) &&
+                  a.name.equalsIgnoreCase(b.name) => a.name
+              case (a: AttributeReference, b: AttributeReference)
+                if tgtOut.contains(b) && srcOut.contains(a) &&
+                  a.name.equalsIgnoreCase(b.name) => b.name
+              case _ => fail(unsupported + s"merge condition ${c.sql}")
+            }
+          case other => fail(unsupported + s"merge condition ${other.sql}")
+        }
+      }
+      GraftMergeCommand(path, m.sourceTable, keyCols)
+  }
+}
+
+/** Routed `UPDATE`: assignments/condition carried as BY-NAME Columns
+  * (the library call re-resolves them over its own table frame). */
+case class GraftUpdateCommand(tablePath: String,
+                              assignments: Seq[(String, org.apache.spark.sql.Column)],
+                              condition: Option[org.apache.spark.sql.Column])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = DeltaLog.update(spark, tablePath,
+      condition.getOrElse(lit(true)), assignments.toMap)
+    Seq(Row(v))
+  }
+}
+
+/** Routed keyed-upsert `MERGE INTO`: the analyzed source plan rides
+  * along and becomes the merge source frame at execution. */
+case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
+                             keyCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = ColumnBridge.ofRows(spark, source)
+    Seq(Row(DeltaLog.merge(spark, tablePath, src, keyCols)))
+  }
+}

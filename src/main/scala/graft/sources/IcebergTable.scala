@@ -528,6 +528,226 @@ object IcebergTable {
       .toDF("snapshot_id", "timestamp_ms", "operation")
   }
 
+  // ---------------- table maintenance ----------------
+
+  /** Every path a snapshot pins: (manifest lists, manifests, data +
+    * delete file paths). Shared-structure accounting for
+    * [[expireSnapshots]] — appends carry prior manifests forward, so
+    * a manifest or data file may be referenced by many snapshots. */
+  private def referencedPaths(spark: SparkSession, sn: JsonNode)
+  : (Set[String], Set[String], Set[String]) = {
+    def filesOf(manifests: Seq[String]): Set[String] = {
+      val buf = scala.collection.mutable.HashSet[String]()
+      manifests.foreach { m =>
+        foreachAvro(spark, new Path(m)) { e =>
+          if (longOf(e.get("status")).toInt != 2)
+            buf += e.get("data_file").asInstanceOf[GenericRecord]
+              .get("file_path").toString
+        }
+      }
+      buf.toSet
+    }
+    if (sn.has("manifest-list")) {
+      val ml = sn.get("manifest-list").asText()
+      val manifests = readManifestList(spark, new Path(ml))
+        .map(_.get("manifest_path").toString)
+      (Set(ml), manifests.toSet, filesOf(manifests))
+    } else {
+      val manifests = Option(sn.get("manifests")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText()).toSeq
+      (Set.empty, manifests.toSet, filesOf(manifests))
+    }
+  }
+
+  /** Snapshot EXPIRATION — the Iceberg-flavor VACUUM: keep the most
+    * recent `keepSnapshots` snapshots (the current one always
+    * survives), commit a new metadata.json whose `snapshots` list
+    * holds only the survivors, and physically delete every data
+    * file, manifest, and manifest list referenced ONLY by expired
+    * snapshots — structure shared with live snapshots is never
+    * touched. Time travel to an expired id then fails LOUDLY at
+    * resolution ("snapshot N not in table"), exactly Iceberg's
+    * post-expiration contract. Returns the deleted paths. */
+  def expireSnapshots(spark: SparkSession, tablePath: String,
+                      keepSnapshots: Int = 1): Seq[String] = {
+    require(keepSnapshots >= 1, "must keep at least the current snapshot")
+    val mp = latestMetadataFile(spark, tablePath)
+    val metaVersion =
+      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val snaps = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    if (snaps.size <= keepSnapshots) return Seq.empty
+    val cur = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).getOrElse(-1L)
+    val keepIds = snaps.sortBy(n =>
+      (n.get("timestamp-ms").asLong(), n.get("snapshot-id").asLong()))
+      .takeRight(keepSnapshots)
+      .map(_.get("snapshot-id").asLong()).toSet ++
+      Option(cur).filter(_ != -1L)
+    val (kept, expired) =
+      snaps.partition(n => keepIds(n.get("snapshot-id").asLong()))
+    if (expired.isEmpty) return Seq.empty
+
+    val keptRefs = kept.map(referencedPaths(spark, _))
+    val expRefs = expired.map(referencedPaths(spark, _))
+    def union(xs: Seq[(Set[String], Set[String], Set[String])]) =
+      (xs.flatMap(_._1).toSet, xs.flatMap(_._2).toSet, xs.flatMap(_._3).toSet)
+    val (keptLists, keptManifests, keptFiles) = union(keptRefs)
+    val (expLists, expManifests, expFiles) = union(expRefs)
+    val victims = ((expLists -- keptLists) ++
+      (expManifests -- keptManifests) ++ (expFiles -- keptFiles)).toSeq.sorted
+
+    // survivor-only metadata, committed as v+1 (exclusive create)
+    val snapsArr = M.createArrayNode()
+    kept.foreach(snapsArr.add)
+    meta.set[JsonNode]("snapshots", snapsArr)
+    val logArr = M.createArrayNode()
+    Option(meta.get("snapshot-log")).toSeq.flatMap(_.elements().asScala)
+      .filter(e => keepIds(e.get("snapshot-id").asLong()))
+      .foreach(logArr.add)
+    meta.set[JsonNode]("snapshot-log", logArr)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    val fs = fsFor(spark, mp)
+    val next = new Path(metaDir(tablePath), s"v${metaVersion + 1}.metadata.json")
+    val out = fs.create(next, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hintOut = fs.create(new Path(metaDir(tablePath), "version-hint.text"), true)
+    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+    finally hintOut.close()
+
+    victims.foreach(v => fs.delete(new Path(v), false))
+    victims
+  }
+
+  /** MANIFEST COMPACTION — the metadata-side OPTIMIZE for the
+    * Iceberg flavor: merge the current snapshot's data manifests into
+    * ONE manifest and commit it as a new `replace` snapshot
+    * referencing the SAME data files, carried as status=existing
+    * entries with their ORIGINAL sequence numbers (so any future
+    * delete-file scoping still compares against the true data
+    * sequence). No data moves, prior snapshots stay readable, the
+    * file-level change feed across the new snapshot is empty — but
+    * read planning drops from O(manifests) avro opens to one, which
+    * is what decays first on a frequently-appended 100 TB table.
+    * Delete-bearing snapshots are refused loudly (compact data via
+    * copy-on-write first). Returns the new snapshot id, or the
+    * current one when the table is already compact. */
+  def rewriteManifests(spark: SparkSession, tablePath: String): Long = {
+    val mp = latestMetadataFile(spark, tablePath)
+    val metaVersion =
+      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val snap = snapshot(spark, tablePath)
+    require(snap.snapshotId != -1L,
+      s"cannot rewrite manifests of empty table $tablePath")
+    require(snap.deletes.isEmpty,
+      s"$tablePath carries v2 delete files — compact the data " +
+        "(copy-on-write) before rewriting manifests")
+    val snaps = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    val curNode = snaps.find(
+      _.get("snapshot-id").asLong() == snap.snapshotId).get
+    val nManifests =
+      if (curNode.has("manifest-list"))
+        readManifestList(spark,
+          new Path(curNode.get("manifest-list").asText())).size
+      else Option(curNode.get("manifests")).map(_.size()).getOrElse(0)
+    if (nManifests <= 1) return snap.snapshotId
+
+    val mdir = metaDir(tablePath)
+    val fs = fsFor(spark, mdir)
+    val snapId = snaps.map(_.get("snapshot-id").asLong()).max + 1
+    val seq = Option(meta.get("last-sequence-number"))
+      .map(_.asLong()).getOrElse(0L) + 1
+    val now = System.currentTimeMillis()
+    val schemaNode: JsonNode =
+      if (meta.has("schemas")) {
+        val sid =
+          if (curNode.has("schema-id")) curNode.get("schema-id").asInt()
+          else meta.get("current-schema-id").asInt()
+        meta.get("schemas").elements().asScala
+          .find(n => n.get("schema-id").asInt() == sid).get
+      } else meta.get("schema")
+    val schemaJson = M.writeValueAsString(schemaNode)
+
+    // ONE manifest holding every live data file as an EXISTING entry
+    // with its original sequence number
+    val entries = snap.files.map { f =>
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 0) // existing
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", f.seq)
+      e.put("file_sequence_number", f.seq)
+      val d = new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema())
+      d.put("content", 0)
+      d.put("file_path", f.path)
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(
+        d.getSchema.getField("partition").schema()))
+      d.put("record_count", f.records)
+      d.put("file_size_in_bytes", f.sizeBytes)
+      e.put("data_file", d)
+      e: GenericRecord
+    }
+    val manifestPath = fs.makeQualified(
+      new Path(mdir, s"manifest-rw-$snapId.avro"))
+    val len = writeAvro(spark, manifestPath, ManifestEntrySchema,
+      Map("schema" -> schemaJson, "partition-spec" -> "[]",
+        "partition-spec-id" -> "0", "format-version" -> "2",
+        "content" -> "data"), entries)
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", len)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number",
+      snap.files.map(_.seq).foldLeft(seq)(math.min))
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_files_count", 0)
+    mf.put("existing_files_count", snap.files.size)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", 0L)
+    mf.put("existing_rows_count", snap.files.map(_.records).sum)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = fs.makeQualified(
+      new Path(mdir, s"snap-$snapId-manifest-list.avro"))
+    writeAvro(spark, listPath, ManifestFileSchema,
+      Map("format-version" -> "2"), Seq(mf))
+
+    val snapsArr = M.createArrayNode()
+    snaps.foreach(snapsArr.add)
+    val sn = snapsArr.addObject()
+    sn.put("snapshot-id", snapId)
+    sn.put("sequence-number", seq)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath.toString)
+    if (curNode.has("schema-id"))
+      sn.put("schema-id", curNode.get("schema-id").asInt())
+    sn.putObject("summary").put("operation", "replace")
+    meta.set[JsonNode]("snapshots", snapsArr)
+    Option(meta.get("snapshot-log")).foreach { log =>
+      val lg = log.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        .addObject()
+      lg.put("snapshot-id", snapId)
+      lg.put("timestamp-ms", now)
+    }
+    meta.put("last-sequence-number", seq)
+    meta.put("last-updated-ms", now)
+    meta.put("current-snapshot-id", snapId)
+    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
+    val out = fs.create(next, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
+    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    snapId
+  }
+
   // ---------------- VersionedTable → Iceberg export ----------------
 
   private val ManifestEntrySchema: Schema = new Schema.Parser().parse(

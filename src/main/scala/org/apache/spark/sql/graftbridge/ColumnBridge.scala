@@ -32,4 +32,13 @@ object ColumnBridge {
   def plan(df: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.logical
+
+  /** DataFrame over a logical plan (`Dataset.ofRows` is
+    * private[sql]) — for commands that carry an analyzed source plan
+    * into execution, e.g. the routed MERGE INTO. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DeltaLog, IcebergTable, VersionedTable}
+
+/** The SQL statement surface: OPTIMIZE / VACUUM (extension parser)
+  * and UPDATE / MERGE INTO (resolution-rule routing) — the
+  * statements the reference literally issues on its gold layer
+  * (gold_transformation.py:85,160,171) plus the row-level DML a
+  * SQL-only Delta user writes. Every path is the COMMITTING library
+  * implementation; these specs assert the statements reach it. */
+class SqlStatementsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def catalogRoot(tag: String): String = {
+    val root = Files.createTempDirectory(s"graft-sqlstmt-$tag").toString
+    spark.conf.set(s"spark.sql.catalog.gsql_$tag", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.gsql_$tag.root", root)
+    root
+  }
+
+  test("SQL OPTIMIZE compacts a Delta catalog table as a dataChange=false commit") {
+    val root = catalogRoot("opt")
+    val t = s"$root/ns/t"
+    // three commits -> three files
+    DeltaLog.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    DeltaLog.write(spark, Seq((3L, "c")).toDF("k", "v").coalesce(1), t)
+    DeltaLog.write(spark, Seq((4L, "d")).toDF("k", "v").coalesce(1), t)
+    assert(DeltaLog.snapshot(spark, t).files.size === 3)
+    val out = spark.sql("OPTIMIZE gsql_opt.ns.t").collect()
+    assert(out.length === 1 && out(0).getLong(1) === 3L)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.version === 3L && snap.files.size === 1)
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // the swap is dataChange=false (invisible to CDC/streaming)
+    val log = Files.readString(java.nio.file.Paths.get(t,
+      "_delta_log", f"${3L}%020d.json"))
+    assert(log.contains("\"dataChange\":false") &&
+      !log.contains("\"dataChange\":true"), log)
+    // already compact -> no empty commit
+    assert(spark.sql("OPTIMIZE gsql_opt.ns.t").collect()(0).getLong(1) === 3L)
+  }
+
+  test("SQL OPTIMIZE ZORDER BY on a quoted path; VACUUM with RETAIN + DRY RUN") {
+    val dir = Files.createTempDirectory("graft-sqlstmt-z").toString + "/t"
+    DeltaLog.write(spark, (1L to 100L).map(i => (i, i % 7, i % 11))
+      .toDF("id", "a", "b").repartition(4), dir)
+    val v = spark.sql(s"OPTIMIZE '$dir' ZORDER BY (a, b)").collect()(0).getLong(1)
+    assert(v === 1L)
+    assert(DeltaLog.read(spark, dir).count() === 100L)
+    // unknown Z column refused loudly
+    intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE '$dir' ZORDER BY (nope)").collect()
+    }
+    // DRY RUN lists the pre-optimize files but deletes nothing
+    val dry = spark.sql(s"VACUUM '$dir' RETAIN 1 VERSIONS DRY RUN").collect()
+    assert(dry.nonEmpty)
+    assert(DeltaLog.read(spark, dir, versionAsOf = Some(0L)).count() === 100L)
+    // real vacuum: old files gone, v0 time travel now fails loudly
+    val gone = spark.sql(s"VACUUM '$dir' RETAIN 1 VERSIONS").collect()
+    assert(gone.map(_.getString(0)).toSet === dry.map(_.getString(0)).toSet)
+    assert(DeltaLog.read(spark, dir).count() === 100L)
+    intercept[Exception] {
+      DeltaLog.read(spark, dir, versionAsOf = Some(0L)).count()
+    }
+  }
+
+  test("SQL OPTIMIZE ZORDER + VACUUM on a graft-versioned catalog table") {
+    val root = catalogRoot("vt")
+    val t = s"$root/ns/vt"
+    VersionedTable.write((1L to 50L).map(i => (i, i % 5)).toDF("id", "g"), t)
+    val v = spark.sql("OPTIMIZE gsql_vt.ns.vt ZORDER BY (g)").collect()(0).getLong(1)
+    assert(v === 2L)
+    assert(VersionedTable.read(spark, t).count() === 50L)
+    spark.sql("VACUUM gsql_vt.ns.vt RETAIN 1 VERSIONS").collect()
+    assert(VersionedTable.read(spark, t).count() === 50L)
+    intercept[Exception] { VersionedTable.readVersion(spark, t, 1L).count() }
+  }
+
+  test("SQL OPTIMIZE on Iceberg = manifest compaction; VACUUM = snapshot expiration") {
+    val dir = Files.createTempDirectory("graft-sqlstmt-ice").toString + "/t"
+    IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    IcebergTable.write(spark, Seq((3L, "c")).toDF("k", "v"), dir)
+    val before = IcebergTable.snapshot(spark, dir)
+    // two manifests (append carried the first forward) -> one
+    val newSnap = spark.sql(s"OPTIMIZE '$dir'").collect()(0).getLong(1)
+    assert(newSnap === 3L)
+    val after = IcebergTable.snapshot(spark, dir)
+    assert(after.snapshotId === newSnap)
+    // same files, original sequence numbers preserved
+    assert(after.files.map(f => (f.path, f.seq)).toSet
+      === before.files.map(f => (f.path, f.seq)).toSet)
+    assert(IcebergTable.read(spark, dir).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the replace snapshot is invisible to the file-level change feed
+    assert(IcebergTable.changes(spark, dir, before.snapshotId, newSnap).count() === 0L)
+    // idempotent: already one manifest -> no new snapshot
+    assert(spark.sql(s"OPTIMIZE '$dir'").collect()(0).getLong(1) === newSnap)
+
+    // an overwrite strands the old files; expiration reclaims them
+    IcebergTable.write(spark, Seq((9L, "z")).toDF("k", "v"), dir, overwrite = true)
+    val victims = spark.sql(s"VACUUM '$dir'").collect().map(_.getString(0))
+    assert(victims.exists(_.endsWith(".parquet")), victims.toSeq)
+    // live snapshot intact; expired ids now fail loudly at resolution
+    assert(IcebergTable.read(spark, dir).as[(Long, String)].collect().toSet
+      === Set((9L, "z")))
+    intercept[IllegalArgumentException] {
+      IcebergTable.snapshot(spark, dir, snapshotIdAsOf = Some(1L))
+    }
+    assert(IcebergTable.snapshotIds(spark, dir).size === 1)
+  }
+
+  test("SQL UPDATE routes to copy-on-write DeltaLog.update") {
+    val root = catalogRoot("upd")
+    val t = s"$root/ns/t"
+    DeltaLog.write(spark,
+      Seq((1L, "x", 10), (2L, "x", 20), (3L, "y", 30)).toDF("id", "p", "n"),
+      t, partitionBy = Seq("p"))
+    spark.sql("UPDATE gsql_upd.ns.t SET n = n + 100 WHERE p = 'x' AND id >= 2")
+    assert(spark.sql("SELECT id, n FROM gsql_upd.ns.t ORDER BY id")
+      .as[(Long, Int)].collect().toSeq
+      === Seq((1L, 10), (2L, 120), (3L, 30)))
+    // exactly one version committed; time travel intact
+    assert(DeltaLog.snapshot(spark, t).version === 1L)
+    assert(DeltaLog.read(spark, t, versionAsOf = Some(0L))
+      .where(col("id") === 2L).select("n").as[Int].collect().toSeq === Seq(20))
+    // partition-column assignment refused (the library's loud gate)
+    intercept[Exception] {
+      spark.sql("UPDATE gsql_upd.ns.t SET p = 'z' WHERE id = 1")
+    }
+    // unconditional UPDATE (no WHERE) touches every row
+    spark.sql("UPDATE gsql_upd.ns.t SET n = 0")
+    assert(spark.sql("SELECT sum(n) FROM gsql_upd.ns.t").as[Long].head() === 0L)
+  }
+
+  test("SQL MERGE INTO routes to the keyed-upsert DeltaLog.merge; other shapes refuse") {
+    val root = catalogRoot("mrg")
+    val t = s"$root/ns/t"
+    DeltaLog.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "n"), t)
+    Seq((2L, "B2", 200), (9L, "z", 90)).toDF("k", "v", "n")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO gsql_mrg.ns.t AS t USING mrg_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT * FROM gsql_mrg.ns.t").as[(Long, String, Int)]
+      .collect().toSet
+      === Set((1L, "a", 10), (2L, "B2", 200), (9L, "z", 90)))
+    assert(DeltaLog.snapshot(spark, t).version === 1L)
+    // CDC sees the merge
+    val ch = DeltaLog.changes(spark, t, 0L, 1L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch.contains((2L, "delete")) && ch.contains((2L, "insert")) &&
+      ch.contains((9L, "insert")))
+    // non-upsert shapes are refused loudly, never half-applied
+    val e1 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gsql_mrg.ns.t AS t USING mrg_src AS s ON t.k = s.k
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("keyed-upsert"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gsql_mrg.ns.t AS t USING mrg_src AS s ON t.k < s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("keyed-upsert"), e2.getMessage)
+    // duplicate source keys: the library's counted ambiguity gate
+    Seq((5L, "x", 1), (5L, "y", 2)).toDF("k", "v", "n")
+      .createOrReplaceTempView("mrg_dup")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gsql_mrg.ns.t AS t USING mrg_dup AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(spark.sql("SELECT count(*) FROM gsql_mrg.ns.t").as[Long].head() === 3L)
+  }
+
+  test("statement targets: unqualified and non-graft catalogs refuse with a pointer") {
+    val e = intercept[Exception] { spark.sql("OPTIMIZE lonely").collect() }
+    assert(e.getMessage.contains("catalog"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("VACUUM spark_catalog.db.t").collect()
+    }
+    assert(e2.getMessage.contains("GraftCatalog"), e2.getMessage)
+  }
+}
