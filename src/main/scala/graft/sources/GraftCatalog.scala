@@ -210,12 +210,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       return new GraftDeltaTable(spark, dir.toString, versionAsOf,
         timestampAsOf, cdf = false,
         nameOverride = catalogName + "." + ident.toString)
+    if (isIceberg(dir))
+      // native DSv2 Iceberg table: batch + micro-batch streaming
+      // reads (snapshot-id offsets), committing INSERTs, real
+      // manifest statistics; VERSION AS OF carries the snapshot id
+      return new GraftIcebergTable(spark, dir.toString, versionAsOf,
+        timestampAsOf, cdf = false,
+        nameOverride = catalogName + "." + ident.toString)
     val (paths, schema) = resolve(ident, versionAsOf, timestampAsOf)
     val t = parquetTable(ident, paths, schema)
-    if (isIceberg(dir))
-      new CommittingWriteTable(t, (df, ov) =>
-        IcebergTable.write(spark, df, dir.toString, overwrite = ov))
-    else if (isVersioned(dir))
+    if (isVersioned(dir))
       new CommittingWriteTable(t, (df, ov) => {
         VersionedTable.write(df, dir.toString, overwrite = ov); ()
       })
