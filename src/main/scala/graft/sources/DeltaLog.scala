@@ -791,7 +791,7 @@ object DeltaLog {
   /** Hive-style partition-dir unescape: %XX only (Spark's
     * ExternalCatalogUtils.escapePathName never emits '+', so a
     * literal '+' in a value must survive — URLDecoder would eat it). */
-  private def hiveUnescape(s: String): String = {
+  private[sources] def hiveUnescape(s: String): String = {
     val b = new StringBuilder
     var i = 0
     while (i < s.length) {
@@ -850,7 +850,7 @@ object DeltaLog {
 
   /** Parse hive-style partition directory segments of a staged
     * relative path into (partitionValues, fileName). */
-  private def parsePartitionDirs(relDirs: Seq[String],
+  private[sources] def parsePartitionDirs(relDirs: Seq[String],
                                  partCols: Seq[String]): Map[String, String] = {
     val kv = relDirs.map { seg =>
       val eq = seg.indexOf('=')
@@ -1066,7 +1066,7 @@ object DeltaLog {
 
   /** Hive-style partition-dir escape — inverse of [[hiveUnescape]]
     * for the characters that would corrupt a path segment. */
-  private def hiveEscape(s: String): String = {
+  private[sources] def hiveEscape(s: String): String = {
     val bad = "\u0001%/:=\\#?*\"<>|"
     val b = new StringBuilder
     s.foreach { c =>

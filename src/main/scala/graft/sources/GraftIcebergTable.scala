@@ -249,13 +249,31 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
     GraftDelta.readerFactory(spark, table.dataSchema, readData, readPart,
       pushed)
 
-  /** Manifest-recorded sizes/record counts — real statistics, so a
-    * small Iceberg dimension stays broadcastable in catalog joins. */
+  /** File list after manifest-side partition pruning: pushed filters
+    * referencing ONLY identity-partition columns evaluate against the
+    * manifests' partition tuples — no data file opens. */
+  private def prunedFiles: Seq[IcebergTable.DataFile] = {
+    val partCols = table.snap.files.headOption
+      .map(_.partitionTuple.keySet).getOrElse(Set.empty[String])
+    if (partCols.isEmpty) return table.snap.files
+    pushed.filter(f => f.references.nonEmpty &&
+        f.references.forall(partCols.contains))
+      .flatMap(f => GraftDelta.filterToColumn(f))
+      .reduceOption(_ && _) match {
+      case Some(pred) => IcebergTable.prunedFiles(spark, table.snap, pred)
+      case None => table.snap.files
+    }
+  }
+
+  /** Manifest-recorded sizes/record counts over the PRUNED file
+    * list — real statistics, so a small (or partition-filtered)
+    * Iceberg dimension stays broadcastable in catalog joins. */
   override def estimateStatistics(): Statistics = new Statistics {
+    private val files = prunedFiles
     override def sizeInBytes(): util.OptionalLong =
-      util.OptionalLong.of(math.max(table.snap.files.map(_.sizeBytes).sum, 1L))
+      util.OptionalLong.of(math.max(files.map(_.sizeBytes).sum, 1L))
     override def numRows(): util.OptionalLong =
-      util.OptionalLong.of(table.snap.files.map(_.records).sum)
+      util.OptionalLong.of(files.map(_.records).sum)
   }
 
   override def toBatch: Batch = new Batch {
@@ -275,7 +293,7 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
             s"${table.tablePath} carries v2 delete files — the raw " +
               "file-list scan would resurrect deleted rows; read it with " +
               "graft.sources.IcebergTable.read, which applies them")
-        splitFiles(table.snap.files)
+        splitFiles(prunedFiles)
       }
     override def createReaderFactory(): PartitionReaderFactory = factory
   }

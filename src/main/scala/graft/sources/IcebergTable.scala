@@ -63,9 +63,15 @@ object IcebergTable {
   private val M = new ObjectMapper()
 
   /** One live data file of a snapshot. `seq` is its data sequence
-    * number — the v2 ordering deletes are scoped against. */
+    * number — the v2 ordering deletes are scoped against.
+    * `partitionTuple` is the manifest-recorded identity-partition
+    * tuple (column name → value; empty for unpartitioned tables) —
+    * what partition-filtered scans prune on WITHOUT opening data
+    * files. Identity-source columns are ALSO present in the data
+    * files, per the Iceberg spec (unlike Hive layout). */
   final case class DataFile(path: String, format: String, records: Long,
-                            sizeBytes: Long, seq: Long = 0L)
+                            sizeBytes: Long, seq: Long = 0L,
+                            partitionTuple: Map[String, Any] = Map.empty)
 
   /** One v2 DELETE file (merge-on-read): `content` 1 = position
     * deletes (parquet of `file_path`/`pos`), 2 = equality deletes
@@ -330,10 +336,22 @@ object IcebergTable {
           if (mContent == 0) {
             if (content != 0) throw new UnsupportedOperationException(
               s"delete file (content=$content) inside a DATA manifest: $mp")
+            // identity-partition tuple (generic: whatever fields the
+            // writer's spec declared ride in the r102 record)
+            val pt: Map[String, Any] = df.get("partition") match {
+              case r: GenericRecord => r.getSchema.getFields.asScala
+                .flatMap { f =>
+                  Option(r.get(f.name())).map {
+                    case u: org.apache.avro.util.Utf8 => f.name() -> u.toString
+                    case v => f.name() -> v
+                  }
+                }.toMap
+              case _ => Map.empty
+            }
             files += DataFile(df.get("file_path").toString, fmt,
               longOf(df.get("record_count")),
               fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L),
-              seq)
+              seq, pt)
           } else { // delete manifest: position (1) or equality (2)
             if (content != 1 && content != 2)
               throw new UnsupportedOperationException(
@@ -526,6 +544,43 @@ object IcebergTable {
         Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
           .map(_.asText()).getOrElse("")))
       .toDF("snapshot_id", "timestamp_ms", "operation")
+  }
+
+  /** Manifest-side PARTITION PRUNING: keep the files whose identity
+    * tuple satisfies `pred` (which must reference only partition
+    * columns). Metadata-only — the tuples came from the manifests, no
+    * data file opens; exact, not conservative, because identity
+    * values ARE the row values: a file whose tuple evaluates the
+    * predicate false (or null — null-filtered rows cannot match)
+    * contains no qualifying row. */
+  def prunedFiles(spark: SparkSession, snap: Snapshot,
+                  pred: org.apache.spark.sql.Column): Seq[DataFile] = {
+    val pcs: Seq[String] =
+      snap.files.headOption.map(_.partitionTuple.keys.toSeq.sorted)
+        .getOrElse(Nil)
+    if (pcs.isEmpty) return snap.files
+    def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (n: java.lang.Number, ShortType) => n.shortValue()
+      case (n: java.lang.Number, ByteType) => n.byteValue()
+      case (n: java.lang.Number, IntegerType) => n.intValue()
+      case (n: java.lang.Number, LongType) => n.longValue()
+      case (n: java.lang.Number, FloatType) => n.floatValue()
+      case (n: java.lang.Number, DoubleType) => n.doubleValue()
+      case (other, _) => other
+    }
+    val schema = StructType(
+      StructField("__idx", IntegerType, nullable = false) +:
+        pcs.map(c => StructField(c, snap.schema(c).dataType, nullable = true)))
+    val rows = snap.files.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.Row.fromSeq(i +: pcs.map(c =>
+        coerce(f.partitionTuple.getOrElse(c, null), snap.schema(c).dataType)))
+    }
+    val keep = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .where(pred).select("__idx")
+      .collect().map(_.getInt(0)).toSet // bounded by FILE count
+    snap.files.zipWithIndex.collect { case (f, i) if keep(i) => f }
   }
 
   // ---------------- table maintenance ----------------
@@ -795,41 +850,84 @@ object IcebergTable {
     fs.getFileStatus(p).getLen
   }
 
+  /** Avro primitive for an identity-partition value — the types a
+    * partition tuple may carry (everything else refuses at write). */
+  private[sources] def partitionAvroType(dt: DataType): String = dt match {
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case other => throw new UnsupportedOperationException(
+      s"identity partition column of type ${other.simpleString} is not " +
+        "supported (int/long/string/boolean/float/double)")
+  }
+
+  /** Manifest-entry schema whose r102 partition record carries the
+    * spec's fields (field-ids 1000+i per the Iceberg convention). */
+  private def entrySchemaFor(spec: Seq[(String, DataType, Int)]): Schema =
+    if (spec.isEmpty) ManifestEntrySchema
+    else {
+      val fields = spec.zipWithIndex.map { case ((n, dt, _), i) =>
+        s"""{"name":"$n","type":["null","${partitionAvroType(dt)}"],"default":null,"field-id":${1000 + i}}"""
+      }.mkString(",")
+      new Schema.Parser().parse(ManifestEntrySchema.toString.replace(
+        """{"type":"record","name":"r102","fields":[]}""",
+        s"""{"type":"record","name":"r102","fields":[$fields]}"""))
+    }
+
+  /** The spec JSON both the manifest metadata and the table
+    * metadata's `partition-specs` entry carry. */
+  private def specFieldsJson(spec: Seq[(String, DataType, Int)]): String =
+    spec.zipWithIndex.map { case ((n, _, srcId), i) =>
+      s"""{"name":"$n","transform":"identity","source-id":$srcId,"field-id":${1000 + i}}"""
+    }.mkString("[", ",", "]")
+
   /** Write one manifest + its manifest-list entry for a set of data
-    * files; returns the populated manifest_file record. */
+    * files; returns the populated manifest_file record. `spec` +
+    * `tuples` attach identity-partition tuples per file. */
   private def writeManifest(spark: SparkSession, mdir: Path,
                             tag: String, schemaJson: String,
                             files: Seq[(String, Long, Long)],
-                            snapId: Long, seq: Long): GenericRecord = {
+                            snapId: Long, seq: Long,
+                            spec: Seq[(String, DataType, Int)] = Nil,
+                            tuples: Map[String, Seq[Any]] = Map.empty,
+                            specId: Int = 0): GenericRecord = {
     val fs = fsFor(spark, mdir)
+    val entrySchema = entrySchemaFor(spec)
     val entries = files.map { case (path, size, nrec) =>
-      val e = new GenericData.Record(ManifestEntrySchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1)
       e.put("snapshot_id", snapId)
       e.put("sequence_number", seq)
       e.put("file_sequence_number", seq)
       val d = new GenericData.Record(
-        ManifestEntrySchema.getField("data_file").schema())
+        entrySchema.getField("data_file").schema())
       d.put("content", 0)
       d.put("file_path", path)
       d.put("file_format", "PARQUET")
-      d.put("partition", new GenericData.Record(
-        d.getSchema.getField("partition").schema()))
+      val pr = new GenericData.Record(
+        d.getSchema.getField("partition").schema())
+      spec.zip(tuples.getOrElse(path, Seq.fill(spec.size)(null)))
+        .foreach { case ((n, _, _), v) => pr.put(n, v) }
+      d.put("partition", pr)
       d.put("record_count", nrec)
       d.put("file_size_in_bytes", size)
       e.put("data_file", d)
       e
     }
     val manifestPath = fs.makeQualified(new Path(mdir, s"manifest-$tag.avro"))
-    val len = writeAvro(spark, manifestPath, ManifestEntrySchema,
+    val len = writeAvro(spark, manifestPath, entrySchema,
       Map("schema" -> schemaJson,
-        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "partition-spec" -> specFieldsJson(spec),
+        "partition-spec-id" -> specId.toString,
         "format-version" -> "2", "content" -> "data"),
       entries)
     val mf = new GenericData.Record(ManifestFileSchema)
     mf.put("manifest_path", manifestPath.toString)
     mf.put("manifest_length", len)
-    mf.put("partition_spec_id", 0)
+    mf.put("partition_spec_id", specId)
     mf.put("content", 0)
     mf.put("sequence_number", seq)
     mf.put("min_sequence_number", seq)
@@ -941,9 +1039,18 @@ object IcebergTable {
     * table when no metadata exists. Appends require an identical
     * schema (loud error). Mirrors [[DeltaLog.write]]; a streaming
     * Iceberg sink is `foreachBatch((b, _) => IcebergTable.write(...))`.
-    * Returns the committed snapshot id. */
+    *
+    * `partitionBy` declares an IDENTITY-transform partition spec:
+    * data lands in per-partition files (the partition columns stay IN
+    * the parquet, per the Iceberg layout), manifests record the real
+    * partition tuple per file, and the table metadata carries the
+    * spec — so external engines (and [[GraftIcebergTable]]'s scan)
+    * prune partition-filtered reads from the manifests alone.
+    * Appends must keep the existing spec; an overwrite may redefine
+    * it under a fresh spec-id. Returns the committed snapshot id. */
   def write(spark: SparkSession, df: DataFrame, tablePath: String,
-            overwrite: Boolean = false): Long = {
+            overwrite: Boolean = false,
+            partitionBy: Seq[String] = Nil): Long = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(tablePath)
     val fs = dst.getFileSystem(fsConf)
@@ -959,7 +1066,7 @@ object IcebergTable {
         (mv, Some(readJson(spark, p)))
       } else (0L, None)
 
-    prior.foreach { _ =>
+    prior.foreach { m =>
       if (!overwrite) {
         val cur = snapshot(spark, tablePath)
         // names + types must match; nullability and metadata are
@@ -970,6 +1077,18 @@ object IcebergTable {
         require(shape(cur.schema) == shape(df.schema),
           s"append schema ${df.schema.simpleString} does not match table " +
             s"schema ${cur.schema.simpleString}; use overwrite to replace")
+        // appends must keep the table's partition spec (overwrite may
+        // redefine it — a fresh spec-id keeps old manifests coherent)
+        val dsid = Option(m.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+        val priorSpec = Option(m.get("partition-specs")).toSeq
+          .flatMap(_.elements().asScala)
+          .find(s => s.get("spec-id").asInt() == dsid).toSeq
+          .flatMap(s => Option(s.get("fields")).toSeq
+            .flatMap(_.elements().asScala))
+          .map(_.get("name").asText())
+        require(priorSpec == partitionBy,
+          s"append partitionBy $partitionBy does not match the table's " +
+            s"partition spec $priorSpec; use overwrite to repartition")
       }
     }
 
@@ -980,23 +1099,67 @@ object IcebergTable {
       .map(_.asLong()).getOrElse(0L) + 1
     val now = System.currentTimeMillis()
 
-    // stage data through a scratch dir, adopt under stable names
+    // stage data through a scratch dir, adopt under stable names.
+    // Identity-source columns STAY in the data files (the Iceberg
+    // layout, unlike Hive's): partitioned stages write through
+    // DUPLICATED gp_ columns so partitionBy shapes the directory
+    // tree without dropping the real columns from the parquet.
+    partitionBy.foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"unknown partition column $c")
+      require(!df.schema.fieldNames.contains("gp_" + c),
+        s"column gp_$c collides with the staging alias for partition $c")
+      partitionAvroType(df.schema(c).dataType) // loud on unsupported types
+    }
     val tmp = new Path(dst, s".tmp-$snapId-${java.util.UUID.randomUUID()}")
-    df.write.parquet(tmp.toString)
+    if (partitionBy.isEmpty) df.write.parquet(tmp.toString)
+    else partitionBy.foldLeft(df)((d, c) =>
+      d.withColumn("gp_" + c, org.apache.spark.sql.functions.col(c)))
+      .write.partitionBy(partitionBy.map("gp_" + _): _*)
+      .parquet(tmp.toString)
     val perFileCounts: Map[String, Long] = spark.read.parquet(tmp.toString)
       .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
       .count().collect()
       .map(r => (new Path(new java.net.URI(r.getString(0))).getName, r.getLong(1)))
       .toMap
-    val adopted = fs.listStatus(tmp).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
-      .zipWithIndex.map { case (st, i) =>
-        val rel = new Path(new Path(dst, "data"), s"s$snapId-part-$i.parquet")
-        if (!fs.rename(st.getPath, rel))
+    def walkStaged(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith("_"))
+        .flatMap(st =>
+          if (st.isDirectory) walkStaged(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else Seq.empty)
+    val tmpQ = fs.makeQualified(tmp).toString
+    val adoptedFull = walkStaged(tmp).sortBy(_.toString).zipWithIndex
+      .map { case (src, i) =>
+        val relStaged = fs.makeQualified(src).toString
+          .stripPrefix(tmpQ).stripPrefix("/")
+        val dirs = relStaged.split('/').dropRight(1).toSeq
+          .map(_.replaceFirst("^gp_", ""))
+        val kv = DeltaLog.parsePartitionDirs(dirs, partitionBy)
+        val tupleVals: Seq[Any] = partitionBy.map { c =>
+          val raw = kv(c)
+          if (raw == null) null
+          else df.schema(c).dataType match {
+            case IntegerType | ShortType | ByteType => Int.box(raw.toInt)
+            case LongType => Long.box(raw.toLong)
+            case BooleanType => Boolean.box(raw.toBoolean)
+            case FloatType => Float.box(raw.toFloat)
+            case DoubleType => Double.box(raw.toDouble)
+            case _ => raw
+          }
+        }
+        val rel = new Path(dst,
+          (Seq("data") ++ dirs :+ s"s$snapId-part-$i.parquet").mkString("/"))
+        fs.mkdirs(rel.getParent)
+        if (!fs.rename(src, rel))
           throw new IllegalStateException(s"rename failed for $rel")
         (fs.makeQualified(rel).toString, fs.getFileStatus(rel).getLen,
-          perFileCounts.getOrElse(st.getPath.getName, 0L))
+          perFileCounts.getOrElse(src.getName, 0L), tupleVals)
       }
+    val adopted = adoptedFull.map(a => (a._1, a._2, a._3))
+    val tuples: Map[String, Seq[Any]] =
+      if (partitionBy.isEmpty) Map.empty
+      else adoptedFull.map(a => a._1 -> a._4).toMap
     fs.delete(tmp, true)
 
     // schema registry: reuse a structurally-equal prior schema's id,
@@ -1019,8 +1182,24 @@ object IcebergTable {
       if (matching.isDefined) priorSchemas else priorSchemas :+ schemaObj
     val schemaJson = M.writeValueAsString(schemaObj)
 
+    // identity partition spec: source ids from the schema object just
+    // built; reuse a prior spec-id when the field names match, else a
+    // fresh id (overwrite-only — appends gated above)
+    val specFields: Seq[(String, DataType, Int)] = partitionBy.map { c =>
+      val srcId = schemaObj.get("fields").elements().asScala
+        .find(_.get("name").asText() == c).get.get("id").asInt()
+      (c, df.schema(c).dataType, srcId)
+    }
+    val priorSpecsArr: Seq[JsonNode] = prior.toSeq.flatMap(m =>
+      Option(m.get("partition-specs")).toSeq.flatMap(_.elements().asScala))
+    val matchingSpec = priorSpecsArr.find(s =>
+      Option(s.get("fields")).toSeq.flatMap(_.elements().asScala)
+        .map(_.get("name").asText()) == partitionBy)
+    val specId = matchingSpec.map(_.get("spec-id").asInt()).getOrElse(
+      priorSpecsArr.map(_.get("spec-id").asInt()).foldLeft(-1)(math.max) + 1)
+
     val newManifest = writeManifest(spark, mdir, s"$snapId", schemaJson,
-      adopted, snapId, seq)
+      adopted, snapId, seq, specFields, tuples, specId)
     val listEntries =
       if (overwrite || prior.isEmpty) Seq(newManifest)
       else {
@@ -1096,11 +1275,19 @@ object IcebergTable {
     root.put("current-schema-id", schemaId)
     val schemasArr = root.putArray("schemas")
     schemasOut.foreach(schemasArr.add)
-    val spec = root.putArray("partition-specs").addObject()
-    spec.put("spec-id", 0)
-    spec.putArray("fields")
-    root.put("default-spec-id", 0)
-    root.put("last-partition-id", 999)
+    // spec registry: keep every prior spec (old manifests reference
+    // their spec-id), add this write's when new, point default at it
+    val specsArr = root.putArray("partition-specs")
+    priorSpecsArr.foreach(specsArr.add)
+    if (matchingSpec.isEmpty) {
+      val sp = specsArr.addObject()
+      sp.put("spec-id", specId)
+      sp.set[JsonNode]("fields", M.readTree(specFieldsJson(specFields)))
+    }
+    root.put("default-spec-id", specId)
+    root.put("last-partition-id", 999 + math.max(specFields.size,
+      priorSpecsArr.map(s => Option(s.get("fields"))
+        .map(_.size()).getOrElse(0)).foldLeft(0)(math.max)))
     root.put("default-sort-order-id", 0)
     val so = root.putArray("sort-orders").addObject()
     so.put("order-id", 0)

@@ -117,6 +117,85 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(seen.toSet === Set((1L, "a"), (2L, "b"), (3L, "c"), (10L, "y")))
   }
 
+  test("partitioned Iceberg writes: identity spec in metadata, tuples in manifests, columns stay in data files") {
+    val dir = tmp("gi-part")
+    val t = s"$dir/t"
+    val df = Seq((1L, "x", 10), (2L, "x", 20), (3L, "y", 30), (4L, "z", 40))
+      .toDF("id", "p", "n")
+    IcebergTable.write(spark, df, t, partitionBy = Seq("p"))
+    // round trip: partition columns are REAL columns in the files
+    assert(IcebergTable.read(spark, t).as[(Long, String, Int)].collect().toSet
+      === df.as[(Long, String, Int)].collect().toSet)
+    // manifests carry the typed identity tuple per file
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(_.partitionTuple.keySet === Set("p")))
+    assert(snap.files.map(_.partitionTuple("p")).toSet === Set("x", "y", "z"))
+    // files land in partition directories
+    assert(snap.files.forall(f => f.path.contains("/p=")))
+    // the table metadata declares the identity spec
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "metadata", "v1.metadata.json")), "UTF-8")
+      .replaceAll("\\s", "")
+    assert(meta.contains("\"transform\":\"identity\"") &&
+      meta.contains("\"name\":\"p\""), meta)
+    // append keeps the spec (and ADDS tuples for its own files)
+    IcebergTable.write(spark, Seq((5L, "y", 50)).toDF("id", "p", "n"), t,
+      partitionBy = Seq("p"))
+    assert(IcebergTable.read(spark, t).count() === 5L)
+    // append with a different spec refuses loudly
+    intercept[IllegalArgumentException] {
+      IcebergTable.write(spark, Seq((6L, "q", 60)).toDF("id", "p", "n"), t)
+    }
+    // manifest-side pruning: exact, metadata-only
+    val snap2 = IcebergTable.snapshot(spark, t)
+    val pruned = IcebergTable.prunedFiles(spark, snap2, col("p") === "y")
+    assert(pruned.nonEmpty && pruned.size < snap2.files.size)
+    assert(pruned.forall(_.partitionTuple("p") == "y"))
+    // overwrite may redefine the spec under a fresh spec-id
+    IcebergTable.write(spark, Seq((7L, "w", 70L)).toDF("id", "p", "m"), t,
+      overwrite = true, partitionBy = Seq("m"))
+    val snap3 = IcebergTable.snapshot(spark, t)
+    assert(snap3.files.forall(_.partitionTuple.keySet === Set("m")))
+    assert(snap3.files.head.partitionTuple("m") === 70L)
+  }
+
+  test("partition-filtered catalog reads plan strictly fewer files") {
+    val root = tmp("gi-prune")
+    spark.conf.set("spark.sql.catalog.graft_ip", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ip.root", root)
+    val t = s"$root/ns/t"
+    IcebergTable.write(spark,
+      Seq((1L, "x", 10), (2L, "x", 20), (3L, "y", 30), (4L, "z", 40))
+        .toDF("id", "p", "n").repartition(4, col("p")), t,
+      partitionBy = Seq("p"))
+    assert(IcebergTable.snapshot(spark, t).files.size >= 3)
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // force AQE to settle the final plan
+      def files(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          files(a.executedPlan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.collect {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.length
+          }.sum
+        case other => other.children.map(files).sum
+      }
+      files(df.queryExecution.executedPlan)
+    }
+    val all = plannedFiles(spark.sql("SELECT id FROM graft_ip.ns.t"))
+    val one = plannedFiles(
+      spark.sql("SELECT id FROM graft_ip.ns.t WHERE p = 'y'"))
+    assert(all >= 3, s"expected >=3 files planned unfiltered, got $all")
+    assert(one < all && one >= 1,
+      s"partition filter did not prune: $one of $all files planned")
+    // correct rows through the pruned scan, incl. a data-col conjunct
+    assert(spark.sql(
+      "SELECT id FROM graft_ip.ns.t WHERE p = 'x' AND n >= 20 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("catalog batch scan: rows, VERSION AS OF, statistics, and the delete-file gate") {
     val root = tmp("gi-batch")
     spark.conf.set("spark.sql.catalog.graft_ib", "graft.sources.GraftCatalog")
