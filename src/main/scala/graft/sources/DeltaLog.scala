@@ -253,9 +253,12 @@ object DeltaLog {
     val partCols = Option(metaRow.getAs[scala.collection.Seq[String]]("partitionColumns"))
       .map(_.toSeq).getOrElse(Seq.empty)
 
-    // log replay: per path, the action from the highest version wins
-    // (within one commit a path appears as add XOR remove). One
-    // combinable shuffle over the FILE LIST — data never moves.
+    // log replay: per path, the action from the highest version wins;
+    // WITHIN one version an add wins over a remove of the same path —
+    // a deletion-vector commit re-adds the path (remove old entry +
+    // add with the new DV) and the file must stay live with the new
+    // metadata. One combinable shuffle over the FILE LIST — data
+    // never moves.
     val fileActions = actions.select(
       coalesce(col("add.path"), col("remove.path")).as("path"),
       col("add.path").isNotNull.as("is_add"),
@@ -269,7 +272,7 @@ object DeltaLog {
     val live = fileActions
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("path")
-          .orderBy(col("__v").desc, col("is_add").asc)))
+          .orderBy(col("__v").desc, col("is_add").desc)))
       .filter(col("__rn") === 1 && col("is_add"))
     val rows = live.select("path", "pv", "size", "mtime", "stats", "dv").collect()
     val files = rows.map { r =>
@@ -585,6 +588,51 @@ object DeltaLog {
           partCols(snap.partitionColumns.indexOf(f.name))
         else col(f.name)): _*)
     }
+  }
+
+  private def normPath(p: String): String =
+    p.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+  private def fileKeyOf(p: String): String =
+    normPath(org.apache.spark.paths.SparkPath.fromPathString(p).urlEncoded)
+
+  /** Distributed scan of `files` with their deletion vectors APPLIED
+    * (rows at DV positions dropped) — the row set a reader must see.
+    * Emits the DATA columns plus `__path` (scheme-less file key) and,
+    * with `keepRowIndex`, `__ri` (the physical row index, what a DV
+    * delete writer records). DV bytes are fetched once per sidecar
+    * driver-side (KB–MB); position EXPANSION happens on executors. */
+  private def scanLive(spark: SparkSession, tablePath: String,
+                       dataSchema: StructType, files: Seq[AddFile],
+                       keepRowIndex: Boolean = false): DataFrame = {
+    import spark.implicits._
+    def scanPath(fs: Seq[AddFile], withRi: Boolean) = {
+      val base = spark.read.schema(dataSchema).parquet(fs.map(_.path): _*)
+      val sel = if (withRi)
+        base.select(col("*"), col("_metadata.row_index").as("__ri"))
+      else base
+      sel.withColumn("__path",
+        regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+    }
+    val (dvFiles, plainFiles) = files.partition(_.dv.exists(_.cardinality != 0L))
+    val parts = Seq.newBuilder[DataFrame]
+    if (plainFiles.nonEmpty) parts += scanPath(plainFiles, keepRowIndex)
+    if (dvFiles.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dvData: Seq[(String, Array[Byte])] = dvFiles.map(f =>
+        (fileKeyOf(f.path),
+          DeletionVectors.loadData(conf, tablePath, f.dv.get)))
+      val posDf = spark.createDataset(dvData).flatMap { case (p, bytes) =>
+        DeletionVectors.deletedRows(bytes).map(r => (p, r))
+      }.toDF("__path", "__dvri")
+      val totalCard = dvFiles.flatMap(_.dv).map(_.cardinality).sum
+      val posSide = if (totalCard <= 5000000L) broadcast(posDf) else posDf
+      val scanned = scanPath(dvFiles, withRi = true)
+        .withColumn("__dvri", col("__ri"))
+      val filtered = scanned
+        .join(posSide, Seq("__path", "__dvri"), "left_anti").drop("__dvri")
+      parts += (if (keepRowIndex) filtered else filtered.drop("__ri"))
+    }
+    parts.result().reduce(_.unionByName(_))
   }
 
   /** Commit history as a DataFrame (version, timestamp_ms, n file
@@ -1219,10 +1267,103 @@ object DeltaLog {
     * current one when nothing matched (no empty commits). */
   def delete(spark: SparkSession, deltaPath: String,
              predicate: org.apache.spark.sql.Column,
-             checkpointInterval: Int = DefaultCheckpointInterval): Long =
-    copyOnWrite(spark, deltaPath, predicate, checkpointInterval) {
-      (full, pred) => full.where(!coalesce(pred, lit(false)))
+             checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    // merge-on-read arm (opt-in, `spark.graft.dv.enabled=true`): a
+    // SMALL delete commits a deletion-vector sidecar per matched file
+    // instead of rewriting the files — modern Delta's default for
+    // selective deletes. The cardinality gate
+    // (`spark.graft.dv.maxDeleteRows`, default 50k) sends large
+    // deletes to copy-on-write, where rewriting is the cheaper shape.
+    val viaDv =
+      if (spark.conf.getOption("spark.graft.dv.enabled").contains("true"))
+        dvDelete(spark, deltaPath, predicate, checkpointInterval)
+      else None
+    viaDv.getOrElse(
+      copyOnWrite(spark, deltaPath, predicate, checkpointInterval) {
+        (full, pred) => full.where(!coalesce(pred, lit(false)))
+      })
+  }
+
+  /** The DV delete arm: record matched (file, row-index) positions as
+    * deletion-vector sidecars, commit remove+add of the SAME paths
+    * with the new descriptors (one version, no data rewritten).
+    * Existing DVs merge (union of positions — never lost). Returns
+    * None when the match count exceeds the gate (fall back to
+    * copy-on-write), Some(version) otherwise. */
+  private def dvDelete(spark: SparkSession, deltaPath: String,
+                       predicate: org.apache.spark.sql.Column,
+                       checkpointInterval: Int): Option[Long] = {
+    import spark.implicits._
+    val snap = snapshot(spark, deltaPath)
+    val candidates = prunedFiles(spark, snap, predicate)
+    if (candidates.isEmpty) return Some(snap.version)
+    val maxRows = spark.conf.getOption("spark.graft.dv.maxDeleteRows")
+      .map(_.toLong).getOrElse(50000L)
+    val dataSchema = StructType(snap.schema.filterNot(
+      f => snap.partitionColumns.contains(f.name)))
+    val pc = snap.partitionColumns
+    val base = scanLive(spark, deltaPath, dataSchema, candidates,
+      keepRowIndex = true)
+    val withPv =
+      if (pc.isEmpty) base
+      else {
+        val pvDf = broadcast(candidates.map(f =>
+          (fileKeyOf(f.path), pc.map(c => f.partitionValues.getOrElse(c, null))))
+          .toDF("__path", "__pv"))
+        base.join(pvDf, Seq("__path"), "left")
+          .select(col("__path") +: col("__ri") +: snap.schema.map(f =>
+            if (pc.contains(f.name))
+              element_at(col("__pv"), pc.indexOf(f.name) + 1)
+                .cast(f.dataType).as(f.name)
+            else col(f.name)): _*)
+      }
+    val matchedDf = graft.Caches.tracked(withPv.where(predicate)
+      .select(col("__path"), col("__ri")))
+    // the cardinality gate: a cheap count decides the arm; positions
+    // only ever collect when under it
+    val matchedCount = matchedDf.count()
+    if (matchedCount == 0) { matchedDf.unpersist(); return Some(snap.version) }
+    if (matchedCount > maxRows) { matchedDf.unpersist(); return None }
+    val matchedPos = matchedDf.as[(String, Long)].collect()
+    matchedDf.unpersist()
+
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(deltaPath)
+    val fs = dst.getFileSystem(fsConf)
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val root = deScheme(fs.makeQualified(dst).toString)
+    val byFile: Map[String, Seq[Long]] = matchedPos.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).toMap
+    val v = listVersions(spark, deltaPath).last + 1
+    val now = System.currentTimeMillis()
+
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
+      }.mkString("{", ",", "}")
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    candidates.filter(f => byFile.contains(fileKeyOf(f.path))).foreach { f =>
+      val existing: Seq[Long] = f.dv.filter(_.cardinality != 0L)
+        .map(d => DeletionVectors.deletedRows(
+          DeletionVectors.loadData(fsConf, deltaPath, d)).toSeq)
+        .getOrElse(Seq.empty)
+      val merged = (existing ++ byFile(fileKeyOf(f.path))).distinct.sorted
+      val desc = DeletionVectors.writeDvFile(fsConf, deltaPath, merged)
+      val rel = encodePath(deScheme(new Path(f.path).toString)
+        .stripPrefix(root).stripPrefix("/"))
+      val dvJson = s""""deletionVector":{"storageType":${jsEscape(desc.storageType)},"pathOrInlineDv":${jsEscape(desc.pathOrInlineDv)},"offset":${desc.offset.getOrElse(1)},"sizeInBytes":${desc.sizeInBytes},"cardinality":${desc.cardinality}}"""
+      val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
+      lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+      lines += s"""{"add":{"path":${jsEscape(rel)},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true,$dvJson$statsPart}}"""
     }
+    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (checkpointInterval > 0 && v % checkpointInterval == 0)
+      checkpoint(spark, deltaPath, v)
+    Some(v)
+  }
 
   /** Row-level `UPDATE … SET assignments WHERE predicate`, copy-on-
     * write like [[delete]]: matched files are rewritten with matching
@@ -1310,10 +1451,9 @@ object DeltaLog {
     val matched: Set[String] =
       if (snap.files.isEmpty) Set.empty
       else {
-        val base = spark.read.schema(dataSchema)
-          .parquet(snap.files.map(_.path): _*)
-          .withColumn("__path",
-            regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+        // existing DVs applied: a merge-on-read-deleted row is not
+        // a live key and must not trigger a file rewrite
+        val base = scanLive(spark, deltaPath, dataSchema, snap.files)
         val withPv =
           if (pc.isEmpty) base
           else {
@@ -1340,7 +1480,7 @@ object DeltaLog {
     toRewrite.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
       .zipWithIndex.foreach { case ((pv, fls), gi) =>
-        val grp = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
+        val grp = scanLive(spark, deltaPath, dataSchema, fls).drop("__path")
         val full = grp.select(snap.schema.map(f =>
           if (pc.contains(f.name))
             lit(pv.getOrElse(f.name, null)).cast(f.dataType).as(f.name)
@@ -1416,11 +1556,10 @@ object DeltaLog {
       org.apache.spark.paths.SparkPath.fromPathString(p).urlEncoded)
 
     // ONE match-detection job over all candidate files: which files
-    // hold at least one matching row
+    // hold at least one matching row (existing DVs applied — a row
+    // already deleted merge-on-read must neither match nor resurrect)
     val pc = snap.partitionColumns
-    val base = spark.read.schema(dataSchema).parquet(candidates.map(_.path): _*)
-      .withColumn("__path",
-        regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+    val base = scanLive(spark, deltaPath, dataSchema, candidates)
     val withPv =
       if (pc.isEmpty) base
       else {
@@ -1448,7 +1587,7 @@ object DeltaLog {
     toRewrite.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
       .zipWithIndex.foreach { case ((pv, fls), gi) =>
-        val grp = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
+        val grp = scanLive(spark, deltaPath, dataSchema, fls).drop("__path")
         val full = grp.select(snap.schema.map(f =>
           if (pc.contains(f.name))
             lit(pv.getOrElse(f.name, null)).cast(f.dataType).as(f.name)
@@ -1553,8 +1692,12 @@ object DeltaLog {
     val addRows = snap.files.map { f =>
       val rel = encodePath(deScheme(new Path(f.path).toString)
         .stripPrefix(root).stripPrefix("/"))
+      // deletion vectors MUST survive consolidation — a checkpoint
+      // that dropped them would resurrect merge-on-read-deleted rows
+      val dvRow = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
       Row(rel, f.partitionValues, f.size, f.modificationTime,
-        java.lang.Boolean.TRUE, f.stats.orNull, null)
+        java.lang.Boolean.TRUE, f.stats.orNull, dvRow)
     }
     // txn watermarks MUST survive consolidation: a checkpoint that
     // dropped them would reset the streaming sink's idempotence gate

@@ -442,7 +442,9 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
         "\"numRecords\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(js)
           .map(_.group(1).toLong)))
       if (counts.forall(_.isDefined))
-        util.OptionalLong.of(counts.flatten.sum)
+        // numRecords is PHYSICAL; DV-deleted rows are not served
+        util.OptionalLong.of(counts.flatten.sum -
+          files.flatMap(_.dv).map(_.cardinality).sum)
       else util.OptionalLong.empty()
     }
   }
@@ -459,22 +461,87 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
           table.snap.partitionColumns, readPart, fromV, toV, cdf = true,
           skipChangeCommits = false, ignoreDeletes = false)
       } else {
-        // the DSv2 scan has no row-index filter arm yet — a DV table
-        // must not silently return deleted rows here
-        if (table.snap.files.exists(_.dv.exists(_.cardinality != 0L)))
-          throw new UnsupportedOperationException(
-            s"${table.tablePath} carries deletion vectors — read it with " +
-              "graft.sources.DeltaLog.read, which applies the row filter")
         val zone = spark.sessionState.conf.sessionLocalTimeZone
-        splitFiles(spark, prunedFiles.map(f => (f.path,
+        val (dvFiles, plainFiles) = prunedFiles
+          .partition(_.dv.exists(_.cardinality != 0L))
+        val plainParts = splitFiles(spark, plainFiles.map(f => (f.path,
           pvRow(readPart, f.partitionValues, "insert", table.snap.version, zone),
           f.size)))
+        // DV files plan as ONE whole-file, in-order partition each:
+        // the wrapped reader counts physical row positions to apply
+        // the vector, so no byte-splitting and no row-group skipping.
+        // Positions expand DRIVER-side here but stay bounded by the
+        // descriptors' recorded cardinality; bytes fetch once per
+        // sidecar.
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dvParts: Array[InputPartition] =
+          dvFiles.zipWithIndex.map { case (f, i) =>
+            val pv = pvRow(readPart, f.partitionValues, "insert",
+              table.snap.version, zone)
+            val sz = math.max(f.size, 1L)
+            val pf = PartitionedFile(pv, SparkPath.fromPathString(f.path),
+              0L, sz, Array.empty[String], 0L, sz, Map.empty)
+            DvFilePartition(
+              FilePartition(plainParts.length + i, Array(pf)),
+              DeletionVectors.deletedRows(DeletionVectors.loadData(
+                conf, table.tablePath, f.dv.get))): InputPartition
+          }.toArray
+        plainParts ++ dvParts
       }
-    override def createReaderFactory(): PartitionReaderFactory = factory
+    override def createReaderFactory(): PartitionReaderFactory =
+      if (table.cdf || !table.snap.files.exists(_.dv.exists(_.cardinality != 0L)))
+        factory
+      else new DvAwareReaderFactory(factory,
+        readerFactory(spark, table.dataSchema, readData, readPart,
+          Array.empty))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftDeltaMicroBatchStream(spark, table, readPart, factory, options)
+}
+
+/** A whole-file scan partition carrying its deletion-vector
+  * positions (ascending) — serialized to the executor with the
+  * partition, never held across the plan. */
+private[sources] case class DvFilePartition(fp: FilePartition,
+                                            positions: Array[Long])
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
+}
+
+/** Reader factory for plans that mix plain and DV-bearing files:
+  * plain partitions delegate (row-based — Spark requires a plan to be
+  * uniformly columnar or not); DV partitions read the WHOLE file in
+  * order through the unfiltered factory and skip the vector's
+  * positions with a monotone two-pointer walk — O(rows + |dv|),
+  * nothing buffered. */
+private[sources] class DvAwareReaderFactory(plain: PartitionReaderFactory,
+                                            unfiltered: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case DvFilePartition(fp, pos) =>
+        val inner = unfiltered.createReader(fp)
+        new PartitionReader[InternalRow] {
+          private var idx = -1L
+          private var pi = 0
+          override def next(): Boolean = {
+            while (inner.next()) {
+              idx += 1
+              while (pi < pos.length && pos(pi) < idx) pi += 1
+              if (pi >= pos.length || pos(pi) != idx) return true
+            }
+            false
+          }
+          override def get(): InternalRow = inner.get()
+          override def close(): Unit = inner.close()
+        }
+      case other => plain.createReader(other)
+    }
 }
 
 /** Version-offset micro-batch stream over the commit log: the DSv2

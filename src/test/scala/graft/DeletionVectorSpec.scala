@@ -11,8 +11,10 @@ import graft.sources.{DeletionVectors, DeltaLog}
   * the public PROTOCOL.md sidecar format (z-base85 ids, versioned
   * `.bin` files with size/crc framing, magic + portable
   * RoaringBitmapArray): rows marked deleted are filtered at scan,
-  * counts match, non-DV files are untouched, and the paths that
-  * cannot apply DVs yet (CDC, the DSv2 batch scan) stay loud. */
+  * counts match, non-DV files are untouched, the DSv2 batch scan and
+  * the catalog serve DV tables identically to DeltaLog.read, the
+  * cardinality-gated DELETE arm authors sidecars, and the one path
+  * that cannot apply DVs yet (the change feed) stays loud. */
 class DeletionVectorSpec extends SparkSpec {
   import spark.implicits._
 
@@ -101,7 +103,7 @@ class DeletionVectorSpec extends SparkSpec {
       === Seq(10L, 11L, 12L, 13L, 14L, 100L))
   }
 
-  test("DV table read filters deleted rows; non-DV files untouched; gates stay loud") {
+  test("DV table read filters deleted rows; non-DV files untouched; DSv2 scan applies the vector") {
     val t = Files.createTempDirectory("graft-dv").toString + "/t"
     val df1 = Seq((0L, "r0"), (1L, "r1"), (2L, "r2"), (3L, "r3"), (4L, "r4"))
       .toDF("k", "v")
@@ -126,12 +128,84 @@ class DeletionVectorSpec extends SparkSpec {
       DeltaLog.changes(spark, t, -1L, 0L).count()
     }
     assert(e.getMessage.contains("deletion-vector"))
-    // the DSv2 batch scan gates too (no row-index arm there yet)
-    val e2 = intercept[Exception] {
-      spark.read.format("graft-delta").load(t).collect()
+    // the DSv2 batch scan applies the vector — catalog/format users
+    // read DV tables identically to DeltaLog.read
+    assert(spark.read.format("graft-delta").load(t).as[(Long, String)]
+      .collect().toSet === got)
+    // residual filters still apply over the wrapped row-based reader
+    assert(spark.read.format("graft-delta").load(t)
+      .where(col("k") >= 2L).as[(Long, String)].collect().toSet
+      === Set((2L, "r2"), (4L, "r4"), (10L, "s0"), (11L, "s1")))
+  }
+
+  test("cardinality-gated DV DELETE commits a sidecar, not a rewrite; large deletes fall back to copy-on-write") {
+    val t = Files.createTempDirectory("graft-dv-del").toString + "/t"
+    DeltaLog.write(spark,
+      spark.range(100).select(col("id").as("k"), (col("id") % 5).as("g"))
+        .repartition(2), t)
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try {
+      val before = DeltaLog.snapshot(spark, t)
+      val v = DeltaLog.delete(spark, t, col("k") === 7L || col("k") === 42L)
+      assert(v === 1L)
+      val after = DeltaLog.snapshot(spark, t)
+      // SAME physical files — no rewrite, just descriptors
+      assert(after.files.map(_.path).toSet === before.files.map(_.path).toSet)
+      assert(after.files.flatMap(_.dv).map(_.cardinality).sum === 2L)
+      val live = DeltaLog.read(spark, t).select("k").as[Long].collect().toSet
+      assert(live.size === 98 && !live(7L) && !live(42L))
+      // time travel still reads the deleted rows
+      assert(DeltaLog.read(spark, t, versionAsOf = Some(0L)).count() === 100L)
+      // a second DV delete MERGES positions (never loses the old DV)
+      DeltaLog.delete(spark, t, col("k") === 8L)
+      assert(DeltaLog.snapshot(spark, t).files.flatMap(_.dv)
+        .map(_.cardinality).sum === 3L)
+      assert(DeltaLog.read(spark, t).count() === 97L)
+      // DSv2 scan agrees, with a residual filter
+      assert(spark.read.format("graft-delta").load(t).count() === 97L)
+      assert(spark.read.format("graft-delta").load(t)
+        .where(col("g") === 2L).select("k").as[Long].collect().toSet
+        === (0L until 100L).filter(k => k % 5 == 2 && k != 7L && k != 42L).toSet)
+      // DVs survive checkpoint consolidation
+      DeltaLog.checkpoint(spark, t, 2L)
+      assert(DeltaLog.read(spark, t).count() === 97L)
+      // over the gate -> copy-on-write, which APPLIES existing DVs
+      // (rewritten survivors must not resurrect 7/8/42)
+      spark.conf.set("spark.graft.dv.maxDeleteRows", "0")
+      val v2 = DeltaLog.delete(spark, t, col("g") === 0L)
+      val live2 = DeltaLog.read(spark, t).select("k").as[Long].collect().toSet
+      assert(live2.size === 77 && !live2(7L) && !live2(8L) && !live2(42L) &&
+        !live2(0L) && !live2(5L))
+      // the COW rewrite dropped the vectors with the files
+      assert(DeltaLog.snapshot(spark, t).files.flatMap(_.dv).isEmpty)
+      assert(v2 === 3L)
+    } finally {
+      spark.conf.unset("spark.graft.dv.enabled")
+      spark.conf.unset("spark.graft.dv.maxDeleteRows")
     }
-    assert(e2.getMessage.contains("deletion vectors") ||
-      Option(e2.getCause).exists(_.getMessage.contains("deletion vectors")))
+  }
+
+  test("SQL DELETE through the catalog takes the DV arm when enabled") {
+    val root = Files.createTempDirectory("graft-dv-cat").toString
+    spark.conf.set("spark.sql.catalog.graft_dv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dv.root", root)
+    val t = s"$root/ns/t"
+    DeltaLog.write(spark,
+      spark.range(50).select(col("id").as("k"), (col("id") % 3).as("g")), t)
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try {
+      val before = DeltaLog.snapshot(spark, t)
+      spark.sql("DELETE FROM graft_dv.ns.t WHERE k = 13")
+      val after = DeltaLog.snapshot(spark, t)
+      assert(after.files.map(_.path).toSet === before.files.map(_.path).toSet)
+      assert(after.files.flatMap(_.dv).map(_.cardinality).sum === 1L)
+      // catalog SELECT serves the DV table, matching DeltaLog.read
+      assert(spark.sql("SELECT k FROM graft_dv.ns.t").as[Long]
+        .collect().toSet
+        === DeltaLog.read(spark, t).select("k").as[Long].collect().toSet)
+      assert(spark.sql("SELECT count(*) FROM graft_dv.ns.t")
+        .as[Long].head() === 49L)
+    } finally spark.conf.unset("spark.graft.dv.enabled")
   }
 
   test("inline DVs and partitioned DV tables filter correctly") {
