@@ -700,15 +700,13 @@ object DeltaLog {
             s"schema/metadata change inside polled range ($fromVersion, " +
               s"$toVersion] of $tablePath — poll up to the boundary, adapt, continue")
       }
-    // deletion-vector commits express row-level deletes by re-adding
-    // the SAME path with a DV — a file-level delete+insert feed would
-    // replay the whole file's rows on both sides; gate loudly until a
-    // row-diff arm exists (snapshot READS apply DVs fine)
-    if (acts.filter(col("add.deletionVector").isNotNull).limit(1).count() > 0)
-      throw new UnsupportedOperationException(
-        s"deletion-vector commit inside polled range ($fromVersion, " +
-          s"$toVersion] of $tablePath — the change feed cannot express " +
-          "row-level DV deletes yet; read snapshots instead")
+    // deletion-vector commits re-add the SAME path with a DV; the
+    // file-level diff cannot express that, so ranges containing DV
+    // adds take the stateful row-diff replay below instead
+    val dvInRange =
+      acts.filter(col("add.deletionVector").isNotNull).limit(1).count() > 0
+    if (dvInRange)
+      return changesWithDv(spark, tablePath, fromVersion, acts, endSnap)
     // dataChange=false actions (OPTIMIZE / Z-ORDER rewrites) rearrange
     // bytes without changing rows — surfacing them as delete+insert
     // would let a replica consumer drop rows (within-commit apply
@@ -777,6 +775,158 @@ object DeltaLog {
           .withColumn("_commit_version", lit(cv))
       }
     legs.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withVersionCol))
+  }
+
+  /** The ROW-DIFF change-feed arm for polled ranges containing
+    * deletion-vector commits. A DV delete re-adds the same path with
+    * a (grown) vector; the row-level change is the POSITION DIFF:
+    * newly-covered positions stream as `delete` rows, newly-uncovered
+    * ones (a restore) as `insert`s — never the whole file on both
+    * sides. Stateful per-commit replay: liveness + DV state start at
+    * the fromVersion snapshot; real file drops emit their
+    * PREVIOUSLY-LIVE rows (old DV applied), brand-new files their
+    * live rows (own DV applied). Driver cost is O(polled commits ×
+    * DV bytes) — the bounded poll tail; row reads are distributed
+    * scans of exactly the changed files, position-selected via a
+    * broadcast semi-join on `_metadata.row_index`. */
+  private def changesWithDv(spark: SparkSession, tablePath: String,
+                            fromVersion: Long, acts: DataFrame,
+                            endSnap: Snapshot): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pc = endSnap.partitionColumns
+    val dataSchema = StructType(endSnap.schema.filterNot(
+      f => pc.contains(f.name)))
+    val withVersionCol = StructType(endSnap.schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+
+    final case class Act(path: String, isAdd: Boolean,
+                         pv: Map[String, String], size: Long, mtime: Long,
+                         dv: Option[DeletionVectors.Descriptor])
+    val actRows = acts
+      .filter(coalesce(col("add.dataChange"), col("remove.dataChange"),
+        lit(true)))
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.path").isNotNull.as("is_add"),
+        col("add.partitionValues").as("pv"),
+        col("add.size").as("size"),
+        col("add.modificationTime").as("mtime"),
+        col("add.deletionVector").as("dv"), col("__v"))
+      .filter(col("path").isNotNull).collect()
+    val byCommit: Seq[(Long, Seq[Act])] = actRows
+      .groupBy(_.getAs[Long]("__v")).toSeq.sortBy(_._1)
+      .map { case (cv, rows) =>
+        cv -> rows.toSeq.map { r =>
+          val dv = Option(r.getAs[org.apache.spark.sql.Row]("dv")).map { d =>
+            DeletionVectors.Descriptor(
+              d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
+              Option(d.getAs[java.lang.Integer]("offset")).map(_.toInt),
+              Option(d.getAs[java.lang.Integer]("sizeInBytes")).map(_.toInt)
+                .getOrElse(0),
+              Option(d.getAs[java.lang.Long]("cardinality")).map(_.toLong)
+                .getOrElse(0L))
+          }
+          Act(new Path(tablePath, decodePath(r.getAs[String]("path"))).toString,
+            r.getAs[Boolean]("is_add"),
+            Option(r.getAs[scala.collection.Map[String, String]]("pv"))
+              .map(_.toMap).getOrElse(Map.empty),
+            Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
+            Option(r.getAs[java.lang.Long]("mtime")).map(_.toLong).getOrElse(0L),
+            dv)
+        }
+      }
+
+    // liveness + DV state at the range start
+    val baseV = listVersions(spark, tablePath).filter(_ <= fromVersion)
+      .reduceOption(_ max _)
+    var live: Map[String, AddFile] = baseV
+      .map(b => snapshot(spark, tablePath, versionAsOf = Some(b))
+        .files.map(f => f.path -> f).toMap)
+      .getOrElse(Map.empty)
+
+    def positions(d: Option[DeletionVectors.Descriptor]): Set[Long] =
+      d.filter(_.cardinality != 0L).map(x =>
+        DeletionVectors.deletedRows(
+          DeletionVectors.loadData(conf, tablePath, x)).toSet)
+        .getOrElse(Set.empty)
+
+    /** Rows of `sel`'s files AT the selected physical positions. */
+    def posLeg(sel: Seq[(AddFile, Set[Long])], tag: String,
+               cv: Long): Option[DataFrame] = {
+      val nonEmpty = sel.filter(_._2.nonEmpty)
+      if (nonEmpty.isEmpty) return None
+      val posDf = broadcast(nonEmpty.flatMap { case (f, ps) =>
+        ps.toSeq.sorted.map(p => (fileKeyOf(f.path), p))
+      }.toDF("__path", "__ri"))
+      val raw = spark.read.schema(dataSchema)
+        .parquet(nonEmpty.map(_._1.path): _*)
+        .select(col("*"), col("_metadata.row_index").as("__ri"))
+        .withColumn("__path",
+          regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+        .join(posDf, Seq("__path", "__ri"), "left_semi")
+      val full =
+        if (pc.isEmpty) raw
+        else {
+          val pvDf = broadcast(nonEmpty.map { case (f, _) =>
+            (fileKeyOf(f.path), pc.map(c => f.partitionValues.getOrElse(c, null)))
+          }.toDF("__path", "__pv"))
+          raw.join(pvDf, Seq("__path"), "left")
+            .select(endSnap.schema.map(f =>
+              if (pc.contains(f.name))
+                element_at(col("__pv"), pc.indexOf(f.name) + 1)
+                  .cast(f.dataType).as(f.name)
+              else col(f.name)): _*)
+        }
+      Some(full.select(endSnap.schema.fieldNames.map(col): _*)
+        .withColumn("_change_type", lit(tag))
+        .withColumn("_commit_version", lit(cv)))
+    }
+
+    val legs = Seq.newBuilder[DataFrame]
+    byCommit.foreach { case (cv, as) =>
+      val adds = as.filter(_.isAdd)
+      val addPaths = adds.map(_.path).toSet
+      def toAddFile(a: Act): AddFile =
+        AddFile(a.path, a.pv, a.size, a.mtime, None, a.dv)
+      // real drops (not re-added): previously-live rows stream as
+      // deletes — the OLD vector applies, never resurrecting
+      val dropped = as.filterNot(_.isAdd).filterNot(r => addPaths(r.path))
+        .map(r => live.getOrElse(r.path,
+          AddFile(r.path, r.pv, 0L, 0L))) // pre-creation tombstone: raw file
+      if (dropped.nonEmpty)
+        legs += readSnapshotAll(spark, endSnap.copy(files = dropped))
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(cv))
+      val newFiles = Seq.newBuilder[AddFile]
+      val delDelta = Seq.newBuilder[(AddFile, Set[Long])]
+      val resDelta = Seq.newBuilder[(AddFile, Set[Long])]
+      adds.foreach { a =>
+        live.get(a.path) match {
+          case Some(old) => // DV update of a live file: position diff
+            val oldP = positions(old.dv)
+            val newP = positions(a.dv)
+            delDelta += ((toAddFile(a), newP -- oldP))
+            resDelta += ((toAddFile(a), oldP -- newP))
+          case None => newFiles += toAddFile(a)
+        }
+      }
+      val nf = newFiles.result()
+      if (nf.nonEmpty) // own DVs applied: only live rows insert
+        legs += readSnapshotAll(spark, endSnap.copy(files = nf))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(cv))
+      legs ++= posLeg(delDelta.result(), "delete", cv)
+      legs ++= posLeg(resDelta.result(), "insert", cv)
+      // advance state
+      as.filterNot(_.isAdd).filterNot(r => addPaths(r.path))
+        .foreach(r => live -= r.path)
+      adds.foreach(a => live += a.path -> toAddFile(a))
+    }
+    legs.result().reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withVersionCol))
   }

@@ -13,8 +13,9 @@ import graft.sources.{DeletionVectors, DeltaLog}
   * RoaringBitmapArray): rows marked deleted are filtered at scan,
   * counts match, non-DV files are untouched, the DSv2 batch scan and
   * the catalog serve DV tables identically to DeltaLog.read, the
-  * cardinality-gated DELETE arm authors sidecars, and the one path
-  * that cannot apply DVs yet (the change feed) stays loud. */
+  * cardinality-gated DELETE arm authors sidecars, and the change feed
+  * expresses DV deletes as position diffs (only the file-granular
+  * STREAMING source still gates loudly on DV commits). */
 class DeletionVectorSpec extends SparkSpec {
   import spark.implicits._
 
@@ -123,11 +124,12 @@ class DeletionVectorSpec extends SparkSpec {
     // the snapshot surfaces the descriptor
     val snap = DeltaLog.snapshot(spark, t)
     assert(snap.files.flatMap(_.dv).map(_.cardinality) === Seq(2L))
-    // CDC over a DV commit is loud, never wrong
-    val e = intercept[UnsupportedOperationException] {
-      DeltaLog.changes(spark, t, -1L, 0L).count()
-    }
-    assert(e.getMessage.contains("deletion-vector"))
+    // CDC over the creating DV commit: a brand-new file streams its
+    // LIVE rows only (its own vector applied)
+    assert(DeltaLog.changes(spark, t, -1L, 0L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+      === Set((0L, "insert"), (2L, "insert"), (4L, "insert"),
+        (10L, "insert"), (11L, "insert")))
     // the DSv2 batch scan applies the vector — catalog/format users
     // read DV tables identically to DeltaLog.read
     assert(spark.read.format("graft-delta").load(t).as[(Long, String)]
@@ -169,6 +171,19 @@ class DeletionVectorSpec extends SparkSpec {
       // DVs survive checkpoint consolidation
       DeltaLog.checkpoint(spark, t, 2L)
       assert(DeltaLog.read(spark, t).count() === 97L)
+      // the change feed expresses DV deletes as the POSITION DIFF —
+      // exactly the newly-deleted rows, never whole-file churn
+      assert(DeltaLog.changes(spark, t, 0L, 1L)
+        .select("k", "_change_type").as[(Long, String)].collect().toSet
+        === Set((7L, "delete"), (42L, "delete")))
+      assert(DeltaLog.changes(spark, t, 1L, 2L)
+        .select("k", "_change_type").as[(Long, String)].collect().toSet
+        === Set((8L, "delete")))
+      // a full-history poll composes inserts + the two DV diffs
+      val all = DeltaLog.changes(spark, t, -1L, 2L)
+        .groupBy("_change_type").count()
+        .as[(String, Long)].collect().toMap
+      assert(all === Map("insert" -> 100L, "delete" -> 3L))
       // over the gate -> copy-on-write, which APPLIES existing DVs
       // (rewritten survivors must not resurrect 7/8/42)
       spark.conf.set("spark.graft.dv.maxDeleteRows", "0")
