@@ -245,9 +245,14 @@ object DeltaLog {
         s"no metaData action in _delta_log of $tablePath"))
     val conf = Option(metaRow.getAs[scala.collection.Map[String, String]]("configuration"))
       .map(_.toMap).getOrElse(Map.empty[String, String])
+    // column mapping: `name` mode resolves at read time through the
+    // schema's physicalName metadata ([[readSnapshotAll]]); `id` mode
+    // would need parquet field-id resolution — loud, never wrong
     val cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
-    if (cmMode != "none") throw new UnsupportedOperationException(
-      s"delta.columnMapping.mode=$cmMode is not supported")
+    if (cmMode != "none" && cmMode != "name")
+      throw new UnsupportedOperationException(
+        s"delta.columnMapping.mode=$cmMode is not supported (none/name " +
+          "only — id mode needs parquet field-id resolution)")
     val schema = DataType.fromJson(metaRow.getAs[String]("schemaString"))
       .asInstanceOf[StructType]
     val partCols = Option(metaRow.getAs[scala.collection.Seq[String]]("partitionColumns"))
@@ -523,8 +528,55 @@ object DeltaLog {
     readSnapshotAll(spark, pruned)
   }
 
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+
+  private def physName(f: StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else f.name
+
+  /** True when any top-level field's physical parquet name differs
+    * from its logical name (`delta.columnMapping.mode = name` after a
+    * RENAME or DROP). */
+  private[sources] def isColumnMapped(schema: StructType): Boolean =
+    schema.fields.exists(f => physName(f) != f.name)
+
+  private def nestedMapped(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.exists(f => physName(f) != f.name) ||
+      s.fields.exists(f => nestedMapped(f.dataType))
+    case a: ArrayType => nestedMapped(a.elementType)
+    case m: MapType => nestedMapped(m.keyType) || nestedMapped(m.valueType)
+    case _ => false
+  }
+
+  /** Writers read and stage by LOGICAL name; on a column-mapped table
+    * that would silently write (or rewrite) wrong columns — loud. */
+  private def requireNotColumnMapped(snap: Snapshot, op: String): Unit =
+    if (isColumnMapped(snap.schema))
+      throw new UnsupportedOperationException(
+        s"$op on a column-mapped table is not supported — reads resolve " +
+          "physical names (DeltaLog.read), writers do not yet")
+
   private def readSnapshotAll(spark: SparkSession, snap: Snapshot): DataFrame = {
     import spark.implicits._
+    // column mapping (name mode): the parquet files store PHYSICAL
+    // names; read through a physical-named snapshot (partitionValues
+    // keys are physical in the log already), then alias every column
+    // back to its logical name — a plain projection, so pushdown and
+    // codegen survive. Nested physical renames would need a recursive
+    // struct rebuild — loud until someone needs them.
+    if (isColumnMapped(snap.schema)) {
+      snap.schema.fields.foreach(f => if (nestedMapped(f.dataType))
+        throw new UnsupportedOperationException(
+          s"nested column-mapping physical names under field ${f.name} " +
+            "are not supported"))
+      val physSnap = snap.copy(
+        schema = StructType(snap.schema.fields.map(f =>
+          f.copy(name = physName(f)))),
+        partitionColumns = snap.partitionColumns.map(c =>
+          physName(snap.schema(c))))
+      return readSnapshotAll(spark, physSnap).select(
+        snap.schema.fields.map(f => col(physName(f)).as(f.name)).toSeq: _*)
+    }
     val dataSchema = StructType(snap.schema.filterNot(
       f => snap.partitionColumns.contains(f.name)))
     if (snap.files.isEmpty)
@@ -1193,6 +1245,7 @@ object DeltaLog {
     def shape(s: StructType): StructType =
       normType(s).asInstanceOf[StructType]
     prior.filter(_ => !overwrite).foreach { p =>
+      requireNotColumnMapped(p, "append")
       require(shape(p.schema) == shape(df.schema),
         s"append schema ${df.schema.simpleString} does not match table " +
           s"schema ${p.schema.simpleString}; use overwrite to replace")
@@ -1293,6 +1346,7 @@ object DeltaLog {
                zorderBy: Seq[String] = Nil,
                checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     val snap = snapshot(spark, deltaPath)
+    requireNotColumnMapped(snap, "OPTIMIZE")
     zorderBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"unknown Z-ORDER column $c")
       require(!snap.partitionColumns.contains(c),
@@ -1445,6 +1499,7 @@ object DeltaLog {
                        checkpointInterval: Int): Option[Long] = {
     import spark.implicits._
     val snap = snapshot(spark, deltaPath)
+    requireNotColumnMapped(snap, "DELETE")
     val candidates = prunedFiles(spark, snap, predicate)
     if (candidates.isEmpty) return Some(snap.version)
     val maxRows = spark.conf.getOption("spark.graft.dv.maxDeleteRows")
@@ -1526,6 +1581,7 @@ object DeltaLog {
              checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     require(assignments.nonEmpty, "UPDATE with no assignments")
     val snap0 = snapshot(spark, deltaPath)
+    requireNotColumnMapped(snap0, "UPDATE")
     assignments.keys.foreach { c =>
       require(snap0.schema.fieldNames.contains(c), s"unknown column $c")
       require(!snap0.partitionColumns.contains(c),
@@ -1560,6 +1616,7 @@ object DeltaLog {
     import spark.implicits._
     require(keyCols.nonEmpty, "MERGE with no key columns")
     val snap = snapshot(spark, deltaPath)
+    requireNotColumnMapped(snap, "MERGE")
     keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"unknown merge key $c"))
     def normType(dt: DataType): DataType = dt match {
@@ -1694,6 +1751,7 @@ object DeltaLog {
                          (transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     import spark.implicits._
     val snap = snapshot(spark, deltaPath)
+    requireNotColumnMapped(snap, "row-level DML")
     val candidates = prunedFiles(spark, snap, predicate)
     if (candidates.isEmpty) return snap.version
     val dataSchema = StructType(snap.schema.filterNot(

@@ -336,8 +336,15 @@ class GraftDeltaTable(spark: SparkSession, val tablePath: String,
     s
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // column-mapped tables store PHYSICAL parquet names — this scan
+    // reads by logical name and would silently serve nulls
+    if (DeltaLog.isColumnMapped(snap.schema))
+      throw new UnsupportedOperationException(
+        s"$tablePath uses column mapping — read it with " +
+          "graft.sources.DeltaLog.read, which resolves physical names")
     new GraftDeltaScanBuilder(spark, this, options)
+  }
 
   /** SQL `DELETE FROM … WHERE`: copy-on-write through
     * [[DeltaLog.delete]] — only files with actual matches rewrite,

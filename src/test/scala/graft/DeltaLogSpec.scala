@@ -156,11 +156,12 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.snapshot(spark, t)
     }
     assert(e.getMessage.contains("v2Checkpoint"))
-    // column mapping mode other than none
+    // column mapping modes beyond none/name (name resolves at read
+    // since r10 — see the dedicated column-mapping test)
     val t2 = Files.createTempDirectory("graft-delta-bad2").toString
     writeDataFile(t2, "f1.parquet", Seq(Tuple1(1L)).toDF("id"))
     commit(t2, 0, Seq(protoLine,
-      s"""{"metaData":{"id":"t-2","format":{"provider":"parquet"},"schemaString":${ujson(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      s"""{"metaData":{"id":"t-2","format":{"provider":"parquet"},"schemaString":${ujson(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
       addLine("f1.parquet", s1)))
     intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, t2) }
     // not a delta table at all
@@ -749,6 +750,74 @@ class DeltaLogSpec extends SparkSpec {
       keyCols = Seq("id", "p"))
     assert(DeltaLog.read(spark, t2).as[(Long, String, Int)].collect().toSet
       === Set((1L, "x", 99), (1L, "y", 11)))
+  }
+
+  test("column mapping (name mode): renamed columns resolve physical parquet names; id mode and writers gate") {
+    import org.apache.spark.sql.types._
+    def mb(id: Int, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    def cmMeta(schemaJson: String, mode: String,
+               partCols: Seq[String] = Nil): String = {
+      val pc = partCols.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metaData":{"id":"t-cm","format":{"provider":"parquet","options":{}},"schemaString":${ujson(schemaJson)},"partitionColumns":$pc,"configuration":{"delta.columnMapping.mode":"$mode","delta.columnMapping.maxColumnId":"5"},"createdTime":1}}"""
+    }
+
+    // table whose column `k` was renamed from its physical col-17
+    val t = Files.createTempDirectory("graft-delta-cm").toString + "/t"
+    val sz = writeDataFile(t, "f1.parquet",
+      Seq((1L, "a"), (2L, "b")).toDF("col-17", "col-18"))
+    val logical = StructType(Seq(
+      StructField("k", LongType, nullable = true, mb(1, "col-17")),
+      StructField("v", StringType, nullable = true, mb(2, "col-18"))))
+    commit(t, 0, Seq(protoLine, cmMeta(logical.json, "name"),
+      addLine("f1.parquet", sz)))
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    assert(DeltaLog.read(spark, t).columns.toSeq === Seq("k", "v"))
+    // logical-name filters and projections still work (pushdown is a
+    // plain projection over the physical scan)
+    assert(DeltaLog.readWhere(spark, t, col("k") === 2L)
+      .select("v").as[String].collect().toSeq === Seq("b"))
+
+    // PARTITIONED column-mapped table: partitionValues keys are
+    // PHYSICAL in the log, partitionColumns logical in the schema
+    val t2 = Files.createTempDirectory("graft-delta-cmp").toString + "/t"
+    val sz2 = writeDataFile(t2, "p=x/f1.parquet",
+      Seq(Tuple1(5L)).toDF("col-1"))
+    val logical2 = StructType(Seq(
+      StructField("n", LongType, nullable = true, mb(1, "col-1")),
+      StructField("p", StringType, nullable = true, mb(2, "col-2"))))
+    commit(t2, 0, Seq(protoLine, cmMeta(logical2.json, "name", Seq("p")),
+      addLine("p=x/f1.parquet", sz2, Map("col-2" -> "x"))))
+    assert(DeltaLog.read(spark, t2).as[(Long, String)].collect().toSet
+      === Set((5L, "x")))
+
+    // id mode stays loud
+    val t3 = Files.createTempDirectory("graft-delta-cmi").toString + "/t"
+    val sz3 = writeDataFile(t3, "f1.parquet", Seq(Tuple1(1L)).toDF("col-1"))
+    commit(t3, 0, Seq(protoLine, cmMeta(logical2.json, "id"),
+      addLine("f1.parquet", sz3)))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.read(spark, t3).collect()
+    }
+    assert(e.getMessage.contains("id"), e.getMessage)
+
+    // the DSv2 scan and the writers gate loudly (they work by
+    // logical name and would serve nulls / write wrong columns)
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-delta").load(t).collect()
+    }
+    assert(e2.getMessage.contains("column mapping") ||
+      Option(e2.getCause).exists(_.getMessage.contains("column mapping")))
+    val e3 = intercept[UnsupportedOperationException] {
+      DeltaLog.delete(spark, t, col("k") === 1L)
+    }
+    assert(e3.getMessage.contains("column-mapped"))
+    val e4 = intercept[UnsupportedOperationException] {
+      DeltaLog.write(spark, Seq((9L, "z")).toDF("k", "v"), t)
+    }
+    assert(e4.getMessage.contains("column-mapped"))
   }
 
   test("VersionedTable export round-trips through the Delta reader") {
