@@ -5315,6 +5315,74 @@ object SparkEntry {
         .orderBy("segment")
     }),
 
+    // ---- round-10: SQL DML surface, partitioned Iceberg, DV deletes ----
+
+    // the SQL-only user's whole lifecycle on one catalog table:
+    // UPDATE + MERGE INTO (resolution-rule routing to the
+    // copy-on-write library) + OPTIMIZE (extension parser), read
+    // back through the DSv2 catalog scan — one hash gate
+    "interop_sql_dml" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-sqldml")
+        .toString
+      s.conf.set("spark.sql.catalog.gq_sqldml", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq_sqldml.root", root)
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.DeltaLog.write(s, c, s"$root/ns/t")
+      s.sql("UPDATE gq_sqldml.ns.t SET c_acctbal = 0.0 WHERE c_acctbal < 0")
+      c.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 2000000L).as("c_custkey"),
+          lit("MERGED").as("c_mktsegment"), lit(50.0).as("c_acctbal"))
+        .createOrReplaceTempView("gq_sqldml_src")
+      s.sql("""MERGE INTO gq_sqldml.ns.t AS t USING gq_sqldml_src AS s2
+              |ON t.c_custkey = s2.c_custkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("OPTIMIZE gq_sqldml.ns.t") // dataChange=false: rows identical
+      s.table("gq_sqldml.ns.t")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"), sumD(col("c_acctbal")).as("total"))
+        .orderBy("segment")
+    }),
+
+    // identity-PARTITIONED Iceberg write → partition-filtered DSv2
+    // read (manifest-side pruning plans only the matching partition's
+    // files; the columns stay in the data files per the Iceberg
+    // layout)
+    "interop_iceberg_partitioned" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icep")
+        .toString + "/t"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergTable.write(s, o, t,
+        partitionBy = Seq("o_orderstatus"))
+      s.read.format("graft-iceberg").load(t)
+        .where(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumD(col("o_totalprice")).as("total"))
+        .orderBy("status")
+    }),
+
+    // merge-on-read DELETE: the cardinality-gated DV arm commits a
+    // sidecar (no file rewritten), and the DV-aware DSv2 scan serves
+    // the live rows — write → DV delete → scan, one hash gate
+    "interop_delta_dv_delete" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-dv")
+        .toString + "/t"
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      graft.sources.DeltaLog.write(s, p, t)
+      s.conf.set("spark.graft.dv.enabled", "true")
+      try graft.sources.DeltaLog.delete(s, t, col("p_partkey") % 10 === 0)
+      finally s.conf.unset("spark.graft.dv.enabled")
+      s.read.format("graft-delta").load(t)
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sumD(col("p_retailprice")).as("retail"))
+        .orderBy("brand")
+    }),
+
     // Iceberg create + append snapshots → snapshot-resolved read
     // (IcebergTable.write/read end-to-end; two manifests live)
     "interop_iceberg_roundtrip" -> ((s, d) => {
@@ -8323,6 +8391,30 @@ object SparkEntry {
          |SELECT seg AS segment, COUNT(*) AS n_cust,
          | ${sqlSumD("bal")} AS total
          |FROM merged GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "interop_sql_dml" ->
+      s"""WITH merged AS (
+         |  SELECT c_mktsegment AS seg,
+         |   CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'MERGED' AS seg, 50.0 AS bal
+         |  FROM customer WHERE c_custkey % 13 = 0)
+         |SELECT seg AS segment, COUNT(*) AS n_cust,
+         | ${sqlSumD("bal")} AS total
+         |FROM merged GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "interop_iceberg_partitioned" ->
+      s"""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+         | ${sqlSumD("o_totalprice")} AS total
+         |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "interop_delta_dv_delete" ->
+      s"""SELECT p_brand AS brand, COUNT(*) AS n_parts,
+         | ${sqlSumD("p_retailprice")} AS retail
+         |FROM part WHERE NOT (p_partkey % 10 = 0)
+         |GROUP BY 1 ORDER BY brand""".stripMargin,
 
     "interop_iceberg_roundtrip" ->
       s"""SELECT s_nationkey AS nation, COUNT(*) AS n_sup,
