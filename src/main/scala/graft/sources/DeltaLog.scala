@@ -344,26 +344,28 @@ object DeltaLog {
     * consulted; a file without stats (or a conjunct of any other
     * shape) never skips — sound by construction, and the caller
     * applies the full predicate as a residual filter anyway. */
-  def statsPrunedFiles(spark: SparkSession, snap: Snapshot,
-                       predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+  /** `(column, op, literal)` triples for the top-level AND conjuncts
+    * of `predicate` shaped `<numeric column> <op> <numeric literal>`
+    * (attribute normalized to the left, Casts unwrapped — widening
+    * preserves values so the original column's bounds stay valid;
+    * literals gated on their DECLARED NumericType so Date/Timestamp
+    * internals never compare against bounds; columns gated on the
+    * SCHEMA-declared numeric type so lexicographic string bounds
+    * never wrong-prune). The shared normalizer behind Delta stats
+    * skipping AND Iceberg bounds skipping. */
+  private[sources] def numericChecks(spark: SparkSession, schema: StructType,
+                                     predicate: org.apache.spark.sql.Column)
+  : Seq[(String, String, BigDecimal)] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, _}
-    val M = new com.fasterxml.jackson.databind.ObjectMapper()
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
     def attrName(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
-      // analysis widens the attribute side for mixed-type compares
-      // (int col vs long/double literal) — widening preserves values,
-      // so the ORIGINAL column's stats bounds stay valid
       case c: Cast => attrName(c.child)
       case _ => None
     }
-    // gate on the literal's declared NUMERIC type, not its boxed
-    // runtime class — Date (Int-backed) and Timestamp (Long-backed)
-    // literals must never be compared against stats that real Delta
-    // writers record as strings for those types
     def litNum(e: Expression): Option[BigDecimal] = e match {
       case Literal(v, dt) if dt.isInstanceOf[NumericType] => v match {
         case n: java.lang.Integer => Some(BigDecimal(n.intValue()))
@@ -377,16 +379,8 @@ object DeltaLog {
       }
       case _ => None
     }
-    // consult stats only for columns the TABLE schema declares numeric:
-    // a Cast-unwrapped string column with numeric-looking lexicographic
-    // min/max would silently wrong-prune otherwise
     def numericCol(n: String): Boolean =
-      snap.schema.find(_.name == n).exists(_.dataType.isInstanceOf[NumericType])
-    // (column, op, literal) with op normalized so the attribute is on
-    // the LEFT; op in {=, <, <=, >, >=}
-    // normalize so the attribute is on the LEFT; a literal-on-the-left
-    // comparison flips the operator (both orientations share one case
-    // arm — two structurally identical patterns would shadow)
+      schema.find(_.name == n).exists(_.dataType.isInstanceOf[NumericType])
     def both(x: Expression, y: Expression, opAttrLeft: String,
              opAttrRight: String): Option[(String, String, BigDecimal)] =
       (for (n <- attrName(x); v <- litNum(y)) yield (n, opAttrLeft, v))
@@ -405,13 +399,31 @@ object DeltaLog {
     // independent of the Column API's internal node representation
     val cond: Expression = {
       val dummy = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       dummy.where(predicate).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }.getOrElse(return snap.files)
+      }.getOrElse(return Seq.empty)
     }
-    val checks = conjuncts(cond).flatMap(normalize)
+    conjuncts(cond).flatMap(normalize)
       .filter { case (c, _, _) => numericCol(c) }
+  }
+
+  /** Whether a value interval `[lo, hi]` can satisfy `<col> op v` —
+    * the keep-unless-provably-false core shared by both formats. */
+  private[sources] def boundsCanSatisfy(op: String, v: BigDecimal,
+                                        lo: BigDecimal, hi: BigDecimal): Boolean =
+    op match {
+      case "=" => v >= lo && v <= hi
+      case "<" => lo < v
+      case "<=" => lo <= v
+      case ">" => hi > v
+      case ">=" => hi >= v
+    }
+
+  def statsPrunedFiles(spark: SparkSession, snap: Snapshot,
+                       predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val checks = numericChecks(spark, snap.schema, predicate)
     if (checks.isEmpty) return snap.files
     // an unparseable recorded bound (real tables may carry stats in
     // shapes we did not author) keeps the file, never throws
@@ -436,13 +448,7 @@ object DeltaLog {
           }
           if (allNull) false
           else (mn, mx) match {
-            case (Some(lo), Some(hi)) => op match {
-              case "=" => v >= lo && v <= hi
-              case "<" => lo < v
-              case "<=" => lo <= v
-              case ">" => hi > v
-              case ">=" => hi >= v
-            }
+            case (Some(lo), Some(hi)) => boundsCanSatisfy(op, v, lo, hi)
             case _ => true // no bounds recorded — keep
           }
         }

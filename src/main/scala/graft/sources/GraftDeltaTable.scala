@@ -81,9 +81,11 @@ object GraftDelta {
     DeltaStreamOffset(n.get("version").asLong())
   }
 
-  /** One driver-parsed file action of one commit. */
+  /** One driver-parsed file action of one commit. `dv` is the add's
+    * deletion-vector descriptor when present. */
   final case class FileAct(relPath: String, pv: Map[String, String],
-                           size: Long, isAdd: Boolean, dataChange: Boolean)
+                           size: Long, isAdd: Boolean, dataChange: Boolean,
+                           dv: Option[DeletionVectors.Descriptor] = None)
 
   final case class Commit(version: Long, acts: Seq[FileAct],
                           meta: Option[(StructType, Seq[String])])
@@ -108,14 +110,15 @@ object GraftDelta {
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
         meta = Some((sch, pcs)); None
       } else if (add != null) {
-        // DV commits re-add the same path with row-level deletes the
-        // file-granular stream cannot express — loud, never wrong rows
-        if (add.get("deletionVector") != null &&
-          !add.get("deletionVector").isNull)
-          throw new UnsupportedOperationException(
-            s"deletion-vector commit at Delta version $v of $tablePath — " +
-              "the streaming source cannot express row-level DV deletes; " +
-              "batch snapshot reads apply them")
+        val dvNode = add.get("deletionVector")
+        val dv = Option(dvNode).filterNot(_.isNull).map { d =>
+          DeletionVectors.Descriptor(
+            d.get("storageType").asText(),
+            d.get("pathOrInlineDv").asText(),
+            Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+            Option(d.get("sizeInBytes")).map(_.asInt()).getOrElse(0),
+            Option(d.get("cardinality")).map(_.asLong()).getOrElse(0L))
+        }
         val pv = Option(add.get("partitionValues")).map(_.fields().asScala
           .map(e => e.getKey ->
             (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
@@ -123,7 +126,8 @@ object GraftDelta {
         Some(FileAct(add.get("path").asText(), pv,
           Option(add.get("size")).map(_.asLong()).getOrElse(0L),
           isAdd = true,
-          dataChange = Option(add.get("dataChange")).forall(_.asBoolean(true))))
+          dataChange = Option(add.get("dataChange")).forall(_.asBoolean(true)),
+          dv = dv))
       } else if (rem != null) {
         Some(FileAct(rem.get("path").asText(), Map.empty, 0L, isAdd = false,
           dataChange = Option(rem.get("dataChange")).forall(_.asBoolean(true))))
@@ -248,49 +252,112 @@ object GraftDelta {
     })
     def abs(rel: String): String =
       new Path(tablePath, DeltaLog.decodePath(rel)).toString
-    // removed files' pv/size resolve from the pre-range snapshot ∪
-    // in-range adds (a tombstone carries neither)
-    lazy val prior: Map[String, (Map[String, String], Long)] = {
+    // removed files' pv/size/dv resolve from the pre-range snapshot ∪
+    // in-range adds (a tombstone carries none of them)
+    type FState = (Map[String, String], Long, Option[DeletionVectors.Descriptor])
+    lazy val prior: Map[String, FState] = {
       val baseV = DeltaLog.listVersions(spark, tablePath)
         .filter(_ <= fromV).reduceOption(_ max _)
       baseV.map(b => DeltaLog.snapshot(spark, tablePath, versionAsOf = Some(b))
-        .files.map(f => f.path -> (f.partitionValues, f.size)).toMap)
+        .files.map(f => f.path -> ((f.partitionValues, f.size, f.dv))).toMap)
         .getOrElse(Map.empty)
     }
-    var inRange = Map.empty[String, (Map[String, String], Long)]
+    var inRange = Map.empty[String, FState]
+    def stateOf(key: String): Option[FState] =
+      inRange.get(key).orElse(prior.get(key))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def positions(d: Option[DeletionVectors.Descriptor]): Array[Long] =
+      d.filter(_.cardinality != 0L).map(x =>
+        DeletionVectors.deletedRows(
+          DeletionVectors.loadData(conf, tablePath, x)))
+        .getOrElse(Array.empty)
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     val out = Seq.newBuilder[(String, InternalRow, Long)]
+    // DV-bearing legs plan as whole-file partitions with a position
+    // set: SKIP (serve all but positions) or SELECT (serve exactly
+    // the positions — the row-diff of a DV update)
+    val dvOut = Seq.newBuilder[(PartitionedFile, Array[Long], Boolean)]
+    def wholeFile(key: String, pv: InternalRow, size: Long): PartitionedFile = {
+      val sz = math.max(size, 1L)
+      PartitionedFile(pv, SparkPath.fromPathString(key), 0L, sz,
+        Array.empty[String], 0L, sz, Map.empty)
+    }
     commits.foreach { c =>
       val adds = c.acts.filter(a => a.isAdd && a.dataChange)
       val removes = c.acts.filter(a => !a.isAdd && a.dataChange)
-      adds.foreach(a => inRange += (abs(a.relPath) -> (a.pv, a.size)))
+      val readdKeys = adds.map(a => abs(a.relPath)).toSet
       if (cdf) {
-        adds.foreach(a => out += ((abs(a.relPath),
-          pvRow(readPartSchema, a.pv, "insert", c.version, zone), a.size)))
+        adds.foreach { a =>
+          val key = abs(a.relPath)
+          val wasLive = stateOf(key)
+          (wasLive, a.dv) match {
+            case (Some((pv, size, oldDv)), newDv)
+              if newDv.isDefined || oldDv.isDefined =>
+              // DV update of a live file: the row-level change is the
+              // POSITION DIFF — newly-covered positions are deletes,
+              // uncovered ones (a restore) inserts
+              val oldP = positions(oldDv).toSet
+              val newP = positions(newDv).toSet
+              val del = (newP -- oldP).toArray.sorted
+              val res = (oldP -- newP).toArray.sorted
+              if (del.nonEmpty) dvOut += ((wholeFile(key,
+                pvRow(readPartSchema, pv, "delete", c.version, zone), size),
+                del, true))
+              if (res.nonEmpty) dvOut += ((wholeFile(key,
+                pvRow(readPartSchema, pv, "insert", c.version, zone), size),
+                res, true))
+            case (None, Some(dv)) =>
+              // brand-new file born with a DV: its LIVE rows insert
+              dvOut += ((wholeFile(key,
+                pvRow(readPartSchema, a.pv, "insert", c.version, zone),
+                a.size), positions(Some(dv)), false))
+            case _ =>
+              out += ((key,
+                pvRow(readPartSchema, a.pv, "insert", c.version, zone), a.size))
+          }
+        }
         removes.foreach { r =>
           val key = abs(r.relPath)
-          val (pv, size) = inRange.getOrElse(key, prior.getOrElse(key,
-            throw new IllegalStateException(
-              s"removed file ${r.relPath} at version ${c.version} has no " +
-                s"resolvable add action — corrupt or truncated _delta_log")))
-          out += ((key, pvRow(readPartSchema, pv, "delete", c.version, zone), size))
+          if (!readdKeys(key)) { // a re-add pair is a DV update, not a drop
+            val (pv, size, oldDv) = stateOf(key).getOrElse(
+              throw new IllegalStateException(
+                s"removed file ${r.relPath} at version ${c.version} has no " +
+                  s"resolvable add action — corrupt or truncated _delta_log"))
+            val oldP = positions(oldDv)
+            val row = pvRow(readPartSchema, pv, "delete", c.version, zone)
+            // previously-live rows only: the old DV's positions skip
+            if (oldP.isEmpty) out += ((key, row, size))
+            else dvOut += ((wholeFile(key, row, size), oldP, false))
+          }
         }
       } else {
+        val dvAdds = adds.filter(_.dv.exists(_.cardinality != 0L))
         val emitAdds =
-          if (removes.isEmpty) true
+          if (removes.isEmpty && dvAdds.isEmpty) true
           else if (skipChangeCommits) false // drop the whole commit
           else if (ignoreDeletes && adds.isEmpty) false // delete-only commit
           else throw new UnsupportedOperationException(
-            s"version ${c.version} of $tablePath removes data files " +
-              "(update/overwrite/delete) — an append-only stream cannot " +
+            s"version ${c.version} of $tablePath removes data " +
+              (if (dvAdds.nonEmpty) "rows (deletion vectors)" else "files") +
+              " (update/overwrite/delete) — an append-only stream cannot " +
               "represent it. Options: skipChangeCommits=true to drop such " +
               "commits, ignoreDeletes=true for delete-only commits, or " +
               "readChangeFeed=true for the row-level change feed.")
         if (emitAdds) adds.foreach(a => out += ((abs(a.relPath),
           pvRow(readPartSchema, a.pv, "insert", c.version, zone), a.size)))
       }
+      adds.foreach(a => inRange += (abs(a.relPath) -> ((a.pv, a.size, a.dv))))
+      removes.foreach(r => if (!readdKeys(abs(r.relPath)))
+        inRange -= abs(r.relPath))
     }
-    splitFiles(spark, out.result())
+    val plain = splitFiles(spark, out.result())
+    val dvParts: Array[InputPartition] = dvOut.result().zipWithIndex.map {
+      case ((pf, pos, isSelect), i) =>
+        val fp = FilePartition(plain.length + i, Array(pf))
+        (if (isSelect) DvSelectPartition(fp, pos)
+         else DvFilePartition(fp, pos)): InputPartition
+    }.toArray
+    plain ++ dvParts
   }
 }
 
@@ -496,22 +563,39 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
         plainParts ++ dvParts
       }
     override def createReaderFactory(): PartitionReaderFactory =
-      if (table.cdf || !table.snap.files.exists(_.dv.exists(_.cardinality != 0L)))
-        factory
-      else new DvAwareReaderFactory(factory,
-        readerFactory(spark, table.dataSchema, readData, readPart,
-          Array.empty))
+      // CDC plans may carry DV position partitions regardless of the
+      // current snapshot's state; plain batch scans only when the
+      // snapshot itself has vectors
+      if (table.cdf ||
+        table.snap.files.exists(_.dv.exists(_.cardinality != 0L)))
+        dvAwareFactory
+      else factory
   }
 
+  private def dvAwareFactory: PartitionReaderFactory =
+    new DvAwareReaderFactory(factory,
+      readerFactory(spark, table.dataSchema, readData, readPart,
+        Array.empty))
+
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftDeltaMicroBatchStream(spark, table, readPart, factory, options)
+    new GraftDeltaMicroBatchStream(spark, table, readPart,
+      if (table.cdf) dvAwareFactory else factory, options)
 }
 
 /** A whole-file scan partition carrying its deletion-vector
   * positions (ascending) — serialized to the executor with the
-  * partition, never held across the plan. */
+  * partition, never held across the plan. Rows at the positions are
+  * SKIPPED (the batch-read shape: serve the live rows). */
 private[sources] case class DvFilePartition(fp: FilePartition,
                                             positions: Array[Long])
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
+}
+
+/** The inverse: serve EXACTLY the rows at `positions` (ascending) —
+  * the row-diff of a deletion-vector update in the CDC stream. */
+private[sources] case class DvSelectPartition(fp: FilePartition,
+                                              positions: Array[Long])
   extends InputPartition {
   override def preferredLocations(): Array[String] = fp.preferredLocations()
 }
@@ -541,6 +625,21 @@ private[sources] class DvAwareReaderFactory(plain: PartitionReaderFactory,
               idx += 1
               while (pi < pos.length && pos(pi) < idx) pi += 1
               if (pi >= pos.length || pos(pi) != idx) return true
+            }
+            false
+          }
+          override def get(): InternalRow = inner.get()
+          override def close(): Unit = inner.close()
+        }
+      case DvSelectPartition(fp, pos) =>
+        val inner = unfiltered.createReader(fp)
+        new PartitionReader[InternalRow] {
+          private var idx = -1L
+          private var pi = 0
+          override def next(): Boolean = {
+            while (pi < pos.length && inner.next()) {
+              idx += 1
+              if (pos(pi) == idx) { pi += 1; return true }
             }
             false
           }

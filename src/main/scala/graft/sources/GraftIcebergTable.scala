@@ -249,21 +249,16 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
     GraftDelta.readerFactory(spark, table.dataSchema, readData, readPart,
       pushed)
 
-  /** File list after manifest-side partition pruning: pushed filters
-    * referencing ONLY identity-partition columns evaluate against the
-    * manifests' partition tuples — no data file opens. */
-  private def prunedFiles: Seq[IcebergTable.DataFile] = {
-    val partCols = table.snap.files.headOption
-      .map(_.partitionTuple.keySet).getOrElse(Set.empty[String])
-    if (partCols.isEmpty) return table.snap.files
-    pushed.filter(f => f.references.nonEmpty &&
-        f.references.forall(partCols.contains))
-      .flatMap(f => GraftDelta.filterToColumn(f))
+  /** File list after manifest-side pruning: partition tuples AND
+    * column bounds both consult the pushed filters — no data file
+    * opens (IcebergTable.prunedFiles extracts the sound conjuncts
+    * itself). */
+  private def prunedFiles: Seq[IcebergTable.DataFile] =
+    pushed.flatMap(f => GraftDelta.filterToColumn(f))
       .reduceOption(_ && _) match {
       case Some(pred) => IcebergTable.prunedFiles(spark, table.snap, pred)
       case None => table.snap.files
     }
-  }
 
   /** Manifest-recorded sizes/record counts over the PRUNED file
     * list — real statistics, so a small (or partition-filtered)

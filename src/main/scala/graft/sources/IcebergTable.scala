@@ -71,7 +71,10 @@ object IcebergTable {
     * files, per the Iceberg spec (unlike Hive layout). */
   final case class DataFile(path: String, format: String, records: Long,
                             sizeBytes: Long, seq: Long = 0L,
-                            partitionTuple: Map[String, Any] = Map.empty)
+                            partitionTuple: Map[String, Any] = Map.empty,
+                            valueCounts: Map[String, Long] = Map.empty,
+                            nullCounts: Map[String, Long] = Map.empty,
+                            bounds: Map[String, (BigDecimal, BigDecimal)] = Map.empty)
 
   /** One v2 DELETE file (merge-on-read): `content` 1 = position
     * deletes (parquet of `file_path`/`pos`), 2 = equality deletes
@@ -348,10 +351,43 @@ object IcebergTable {
                 }.toMap
               case _ => Map.empty
             }
+            // column stats maps (field-id keyed k_v arrays) → by name
+            def kvLongMap(name: String): Map[Int, Long] =
+              fieldOpt(df, name).collect {
+                case a: java.util.Collection[_] => a.asScala.collect {
+                  case r: GenericRecord =>
+                    longOf(r.get("key")).toInt -> longOf(r.get("value"))
+                }.toMap
+              }.getOrElse(Map.empty)
+            def kvBytesMap(name: String): Map[Int, Array[Byte]] =
+              fieldOpt(df, name).collect {
+                case a: java.util.Collection[_] => a.asScala.collect {
+                  case r: GenericRecord =>
+                    val bytes = r.get("value") match {
+                      case b: java.nio.ByteBuffer =>
+                        val arr = new Array[Byte](b.remaining())
+                        b.duplicate().get(arr); arr
+                      case b: Array[Byte] => b
+                      case other => throw new IllegalStateException(
+                        s"unexpected bound value $other")
+                    }
+                    longOf(r.get("key")).toInt -> bytes
+                }.toMap
+              }.getOrElse(Map.empty)
+            def named[T](m: Map[Int, T]): Map[String, T] =
+              m.flatMap { case (id, v) => fieldNames.get(id).map(_ -> v) }
+            val lo = named(kvBytesMap("lower_bounds"))
+            val hi = named(kvBytesMap("upper_bounds"))
+            val bounds = lo.keySet.intersect(hi.keySet).flatMap { n =>
+              snapSchema.find(_.name == n).flatMap(f =>
+                for (l <- boundValue(f.dataType, lo(n));
+                     h <- boundValue(f.dataType, hi(n))) yield n -> ((l, h)))
+            }.toMap
             files += DataFile(df.get("file_path").toString, fmt,
               longOf(df.get("record_count")),
               fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L),
-              seq, pt)
+              seq, pt, named(kvLongMap("value_counts")),
+              named(kvLongMap("null_value_counts")), bounds)
           } else { // delete manifest: position (1) or equality (2)
             if (content != 1 && content != 2)
               throw new UnsupportedOperationException(
@@ -546,19 +582,67 @@ object IcebergTable {
       .toDF("snapshot_id", "timestamp_ms", "operation")
   }
 
-  /** Manifest-side PARTITION PRUNING: keep the files whose identity
-    * tuple satisfies `pred` (which must reference only partition
-    * columns). Metadata-only — the tuples came from the manifests, no
-    * data file opens; exact, not conservative, because identity
-    * values ARE the row values: a file whose tuple evaluates the
-    * predicate false (or null — null-filtered rows cannot match)
-    * contains no qualifying row. */
+  /** Manifest-side FILE PRUNING: identity-partition tuples compose
+    * with column bounds, both metadata-only (no data file opens).
+    *
+    *  - Partition leg: top-level AND conjuncts referencing ONLY
+    *    partition columns evaluate against the typed tuples — exact,
+    *    because identity values ARE the row values (null/false tuple
+    *    ⇒ no qualifying row). Mixed conjuncts are ignored (they stay
+    *    residual filters), never null-bound.
+    *  - Bounds leg: `<numeric col> <op> <literal>` conjuncts check
+    *    the manifests' lower/upper bounds, keep-unless-provably-false
+    *    (no bounds recorded — foreign writer, string column — keeps
+    *    the file; an all-null column satisfies no comparison). */
   def prunedFiles(spark: SparkSession, snap: Snapshot,
                   pred: org.apache.spark.sql.Column): Seq[DataFile] = {
+    val partKept = partitionPrunedFiles(spark, snap, pred)
+    val checks = DeltaLog.numericChecks(spark, snap.schema, pred)
+    if (checks.isEmpty) return partKept
+    partKept.filter { f =>
+      checks.forall { case (c, op, v) =>
+        val allNull = (f.valueCounts.get(c), f.nullCounts.get(c)) match {
+          case (Some(n), Some(k)) => n > 0 && k == n
+          case _ => false
+        }
+        if (allNull) false
+        else f.bounds.get(c) match {
+          case Some((lo, hi)) => DeltaLog.boundsCanSatisfy(op, v, lo, hi)
+          case None => true // no bounds — never skip
+        }
+      }
+    }
+  }
+
+  private def partitionPrunedFiles(spark: SparkSession, snap: Snapshot,
+                                   pred: org.apache.spark.sql.Column): Seq[DataFile] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression, SubqueryExpression}
+    import org.apache.spark.sql.functions.{col, expr}
     val pcs: Seq[String] =
       snap.files.headOption.map(_.partitionTuple.keys.toSeq.sorted)
         .getOrElse(Nil)
-    if (pcs.isEmpty) return snap.files
+    if (pcs.isEmpty || snap.files.isEmpty) return snap.files
+    // analyze over the FULL schema, keep partition-only conjuncts
+    val cond: Expression = {
+      val dummy = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      dummy.where(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(return snap.files)
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val pcSet = pcs.toSet
+    val partOnly = conjuncts(cond).filter { c =>
+      val refs = c.references.toSeq.map(_.name)
+      refs.nonEmpty && refs.forall(pcSet.contains) && c.deterministic &&
+        !c.exists(_.isInstanceOf[SubqueryExpression])
+    }
+    if (partOnly.isEmpty) return snap.files
+    val pruneCol = try partOnly.map(c => expr(c.sql)).reduce(_ && _)
+    catch { case scala.util.control.NonFatal(_) => return snap.files }
     def coerce(v: Any, dt: DataType): Any = (v, dt) match {
       case (null, _) => null
       case (n: java.lang.Number, ShortType) => n.shortValue()
@@ -576,10 +660,11 @@ object IcebergTable {
       org.apache.spark.sql.Row.fromSeq(i +: pcs.map(c =>
         coerce(f.partitionTuple.getOrElse(c, null), snap.schema(c).dataType)))
     }
-    val keep = spark.createDataFrame(
+    val keep = try spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
-      .where(pred).select("__idx")
+      .where(pruneCol).select("__idx")
       .collect().map(_.getInt(0)).toSet // bounded by FILE count
+    catch { case scala.util.control.NonFatal(_) => return snap.files }
     snap.files.zipWithIndex.collect { case (f, i) if keep(i) => f }
   }
 
@@ -728,35 +813,55 @@ object IcebergTable {
     val schemaJson = M.writeValueAsString(schemaNode)
 
     // ONE manifest holding every live data file as an EXISTING entry
-    // with its original sequence number
+    // with its original sequence number; column stats AND partition
+    // tuples carry forward (compaction must lose neither pruning leg)
+    val statsFieldInfo: Map[String, (Int, DataType)] =
+      snap.fieldNames.flatMap { case (id, n) =>
+        snap.schema.find(_.name == n).map(f => n -> ((id, f.dataType)))
+      }
+    val dsid = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val spec: Seq[(String, DataType, Int)] = Option(meta.get("partition-specs"))
+      .toSeq.flatMap(_.elements().asScala)
+      .find(s => s.get("spec-id").asInt() == dsid).toSeq
+      .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
+      .map { fNode =>
+        val n = fNode.get("name").asText()
+        (n, snap.schema(n).dataType, fNode.get("source-id").asInt())
+      }
+    val entrySchema = entrySchemaFor(spec)
     val entries = snap.files.map { f =>
-      val e = new GenericData.Record(ManifestEntrySchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 0) // existing
       e.put("snapshot_id", snapId)
       e.put("sequence_number", f.seq)
       e.put("file_sequence_number", f.seq)
       val d = new GenericData.Record(
-        ManifestEntrySchema.getField("data_file").schema())
+        entrySchema.getField("data_file").schema())
       d.put("content", 0)
       d.put("file_path", f.path)
       d.put("file_format", "PARQUET")
-      d.put("partition", new GenericData.Record(
-        d.getSchema.getField("partition").schema()))
+      val pr = new GenericData.Record(
+        d.getSchema.getField("partition").schema())
+      spec.foreach { case (n, _, _) =>
+        pr.put(n, f.partitionTuple.getOrElse(n, null)) }
+      d.put("partition", pr)
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", f.sizeBytes)
+      putStatsFields(d,
+        FileStats(f.valueCounts, f.nullCounts, f.bounds), statsFieldInfo)
       e.put("data_file", d)
       e: GenericRecord
     }
     val manifestPath = fs.makeQualified(
       new Path(mdir, s"manifest-rw-$snapId.avro"))
-    val len = writeAvro(spark, manifestPath, ManifestEntrySchema,
-      Map("schema" -> schemaJson, "partition-spec" -> "[]",
-        "partition-spec-id" -> "0", "format-version" -> "2",
+    val len = writeAvro(spark, manifestPath, entrySchema,
+      Map("schema" -> schemaJson, "partition-spec" -> specFieldsJson(spec),
+        "partition-spec-id" -> dsid.toString, "format-version" -> "2",
         "content" -> "data"), entries)
     val mf = new GenericData.Record(ManifestFileSchema)
     mf.put("manifest_path", manifestPath.toString)
     mf.put("manifest_length", len)
-    mf.put("partition_spec_id", 0)
+    mf.put("partition_spec_id", dsid)
     mf.put("content", 0)
     mf.put("sequence_number", seq)
     mf.put("min_sequence_number",
@@ -818,6 +923,10 @@ object IcebergTable {
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k_v_119","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]},"logicalType":"map"}],"default":null,"field-id":109},
+      |{"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k_v_121","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
+      |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k_v_126","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+      |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k_v_129","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
       |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
       |]}}]}""".stripMargin)
 
@@ -864,6 +973,104 @@ object IcebergTable {
         "supported (int/long/string/boolean/float/double)")
   }
 
+  /** Per-file column statistics recorded in (and decoded from)
+    * manifests, keyed by COLUMN NAME: value/null counts plus numeric
+    * min/max — what `lower_bounds`/`upper_bounds` skipping prunes on
+    * without opening data files. Strings/nested are deliberately
+    * un-statted (truncated lexicographic bounds are where engines
+    * ship wrong-skip bugs); a column without bounds simply never
+    * skips. */
+  final case class FileStats(valueCounts: Map[String, Long],
+                             nullCounts: Map[String, Long],
+                             bounds: Map[String, (BigDecimal, BigDecimal)])
+
+  /** Iceberg single-value binary serialization for the bound types
+    * this writer stats: int (iceberg int = 4-byte LE, covers
+    * short/byte), long 8 LE, float 4 LE, double 8 LE. */
+  private def boundBytes(dt: DataType, v: BigDecimal): Option[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | ShortType | ByteType =>
+        Some(bb.putInt(v.toIntExact).array().take(4))
+      case LongType => Some(bb.putLong(v.toLongExact).array())
+      case FloatType => Some(bb.putFloat(v.toFloat).array().take(4))
+      case DoubleType => Some(bb.putDouble(v.toDouble).array())
+      case _ => None
+    }
+  }
+
+  private def boundValue(dt: DataType, b: Array[Byte]): Option[BigDecimal] = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | ShortType | ByteType if b.length == 4 =>
+        Some(BigDecimal(bb.getInt))
+      case LongType if b.length == 8 => Some(BigDecimal(bb.getLong))
+      case FloatType if b.length == 4 =>
+        Some(BigDecimal(bb.getFloat.toDouble))
+      case DoubleType if b.length == 8 => Some(BigDecimal(bb.getDouble))
+      case _ => None // foreign writer / unsupported type: never skip
+    }
+  }
+
+  /** Column stats from the parquet FOOTER (no data scan; one bounded
+    * driver-side footer read per adopted file) for TOP-LEVEL numeric
+    * leaves — the Iceberg twin of the Delta writer's add.stats. */
+  private def footerFileStats(conf: org.apache.hadoop.conf.Configuration,
+                              p: Path, records: Long): FileStats = try {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      final class Agg {
+        var min: Option[BigDecimal] = None
+        var max: Option[BigDecimal] = None
+        var nulls = 0L
+        var ok = true
+      }
+      val aggs = scala.collection.mutable.LinkedHashMap[String, Agg]()
+      blocks.foreach(_.getColumns.asScala.foreach { cc =>
+        val path = cc.getPath.toArray
+        if (path.length == 1) {
+          val a = aggs.getOrElseUpdate(path(0), new Agg)
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty || st.getNumNulls < 0) a.ok = false
+          else {
+            a.nulls += st.getNumNulls
+            if (st.hasNonNullValue) {
+              import org.apache.parquet.column.statistics._
+              val mnmx: Option[(BigDecimal, BigDecimal)] = st match {
+                case s: IntStatistics =>
+                  Some((BigDecimal(s.getMin), BigDecimal(s.getMax)))
+                case s: LongStatistics =>
+                  Some((BigDecimal(s.getMin), BigDecimal(s.getMax)))
+                case s: FloatStatistics =>
+                  Some((BigDecimal(s.getMin.toDouble), BigDecimal(s.getMax.toDouble)))
+                case s: DoubleStatistics =>
+                  Some((BigDecimal(s.getMin), BigDecimal(s.getMax)))
+                case _ => a.ok = false; None
+              }
+              mnmx.foreach { case (mn, mx) =>
+                a.min = Some(a.min.fold(mn)(_.min(mn)))
+                a.max = Some(a.max.fold(mx)(_.max(mx)))
+              }
+            }
+          }
+        }
+      })
+      val good = aggs.toSeq.filter(_._2.ok)
+      FileStats(
+        good.map { case (n, _) => n -> records }.toMap,
+        good.map { case (n, a) => n -> a.nulls }.toMap,
+        good.collect { case (n, a) if a.min.isDefined && a.max.isDefined =>
+          n -> ((a.min.get, a.max.get)) }.toMap)
+    } finally r.close()
+  } catch { // stats are an optimization: a failed footer read stats nothing
+    case scala.util.control.NonFatal(_) =>
+      FileStats(Map.empty, Map.empty, Map.empty)
+  }
+
   /** Manifest-entry schema whose r102 partition record carries the
     * spec's fields (field-ids 1000+i per the Iceberg convention). */
   private def entrySchemaFor(spec: Seq[(String, DataType, Int)]): Schema =
@@ -884,16 +1091,60 @@ object IcebergTable {
       s"""{"name":"$n","transform":"identity","source-id":$srcId,"field-id":${1000 + i}}"""
     }.mkString("[", ",", "]")
 
+  /** Attach the stats maps (field-id-keyed, per the data_file schema)
+    * to one manifest data_file record. */
+  private def putStatsFields(d: GenericData.Record, st: FileStats,
+                             fieldInfo: Map[String, (Int, DataType)]): Unit = {
+    def itemSchema(field: String): Schema =
+      d.getSchema.getField(field).schema().getTypes.get(1).getElementType
+    def kvLong(field: String, m: Map[String, Long]): Unit = {
+      val is = itemSchema(field)
+      val arr = new java.util.ArrayList[GenericRecord]()
+      m.toSeq.sortBy(_._1).foreach { case (n, v) =>
+        fieldInfo.get(n).foreach { case (fid, _) =>
+          val kv = new GenericData.Record(is)
+          kv.put("key", fid); kv.put("value", v)
+          arr.add(kv)
+        }
+      }
+      if (!arr.isEmpty) d.put(field, arr)
+    }
+    def kvBound(field: String,
+                sel: ((BigDecimal, BigDecimal)) => BigDecimal): Unit = {
+      val is = itemSchema(field)
+      val arr = new java.util.ArrayList[GenericRecord]()
+      st.bounds.toSeq.sortBy(_._1).foreach { case (n, b) =>
+        fieldInfo.get(n).foreach { case (fid, dt) =>
+          boundBytes(dt, sel(b)).foreach { bytes =>
+            val kv = new GenericData.Record(is)
+            kv.put("key", fid)
+            kv.put("value", java.nio.ByteBuffer.wrap(bytes))
+            arr.add(kv)
+          }
+        }
+      }
+      if (!arr.isEmpty) d.put(field, arr)
+    }
+    kvLong("value_counts", st.valueCounts)
+    kvLong("null_value_counts", st.nullCounts)
+    kvBound("lower_bounds", _._1)
+    kvBound("upper_bounds", _._2)
+  }
+
   /** Write one manifest + its manifest-list entry for a set of data
     * files; returns the populated manifest_file record. `spec` +
-    * `tuples` attach identity-partition tuples per file. */
+    * `tuples` attach identity-partition tuples per file; `stats` +
+    * `fieldInfo` the per-file column bounds/counts. */
   private def writeManifest(spark: SparkSession, mdir: Path,
                             tag: String, schemaJson: String,
                             files: Seq[(String, Long, Long)],
                             snapId: Long, seq: Long,
                             spec: Seq[(String, DataType, Int)] = Nil,
                             tuples: Map[String, Seq[Any]] = Map.empty,
-                            specId: Int = 0): GenericRecord = {
+                            specId: Int = 0,
+                            stats: Map[String, FileStats] = Map.empty,
+                            fieldInfo: Map[String, (Int, DataType)] = Map.empty)
+  : GenericRecord = {
     val fs = fsFor(spark, mdir)
     val entrySchema = entrySchemaFor(spec)
     val entries = files.map { case (path, size, nrec) =>
@@ -914,6 +1165,7 @@ object IcebergTable {
       d.put("partition", pr)
       d.put("record_count", nrec)
       d.put("file_size_in_bytes", size)
+      stats.get(path).foreach(putStatsFields(d, _, fieldInfo))
       e.put("data_file", d)
       e
     }
@@ -1198,8 +1450,18 @@ object IcebergTable {
     val specId = matchingSpec.map(_.get("spec-id").asInt()).getOrElse(
       priorSpecsArr.map(_.get("spec-id").asInt()).foldLeft(-1)(math.max) + 1)
 
+    // per-file column bounds/counts from the parquet footers (no data
+    // scan) — external engines and the DSv2 scan prune on them
+    val fieldInfo: Map[String, (Int, DataType)] = df.schema.fields.map { f =>
+      val fid = schemaObj.get("fields").elements().asScala
+        .find(_.get("name").asText() == f.name).get.get("id").asInt()
+      f.name -> ((fid, f.dataType))
+    }.toMap
+    val fileStats: Map[String, FileStats] = adopted.map { case (p, _, nrec) =>
+      p -> footerFileStats(fsConf, new Path(p), nrec)
+    }.toMap
     val newManifest = writeManifest(spark, mdir, s"$snapId", schemaJson,
-      adopted, snapId, seq, specFields, tuples, specId)
+      adopted, snapId, seq, specFields, tuples, specId, fileStats, fieldInfo)
     val listEntries =
       if (overwrite || prior.isEmpty) Seq(newManifest)
       else {

@@ -143,6 +143,70 @@ class GraftDeltaStreamSpec extends SparkSpec {
     assert(seen2.toSet === Set((1L, "a"), (2L, "b"), (3L, "c"), (10L, "w")))
   }
 
+  test("CDC stream expresses DV deletes as position diffs; append mode stays loud on them") {
+    val dir = tmp("gd-dv-stream")
+    val t = s"$dir/t"
+    DeltaLog.write(spark, spark.range(20)
+      .select(col("id").as("k"), (col("id") % 3).as("g")).coalesce(1), t)
+    val replica = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("k", "_change_type", "_commit_version")
+            .as[(Long, String, Long)].collect().sortBy(_._3)
+            .foreach {
+              case (k, "insert", _) => replica(k) += 1
+              case (k, "delete", _) => replica(k) -= 1
+              case other => fail(s"unexpected change row $other")
+            }
+          ()
+        }.start()
+      q.awaitTermination(120000)
+    }
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try {
+      DeltaLog.delete(spark, t, col("k") === 5L || col("k") === 9L) // v1: DV
+      runOnce()
+      def live = replica.filter(_._2 > 0).keySet
+      assert(live === (0L until 20L).toSet -- Set(5L, 9L))
+      assert(live === DeltaLog.read(spark, t).select("k").as[Long]
+        .collect().toSet)
+      // a second DV delete after the checkpoint: ONLY the diff
+      // replays (never the whole file on both sides)
+      DeltaLog.delete(spark, t, col("k") === 7L)
+      runOnce()
+      assert(live === (0L until 20L).toSet -- Set(5L, 7L, 9L))
+      assert(replica(5L) === 0 && replica(7L) === 0,
+        s"restart replayed old DV commits: $replica")
+      assert(replica.values.forall(v => v == 0 || v == 1), replica.toString)
+    } finally spark.conf.unset("spark.graft.dv.enabled")
+    // append mode cannot express row deletes: loud, skipChangeCommits drops
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-delta").load(t)
+        .writeStream.option("checkpointLocation", tmp("gd-dv-ck2"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect(); () }.start()
+      q.awaitTermination(120000)
+    }
+    assert(Option(e.getCause).exists(_.getMessage.contains("deletion vectors")),
+      e.getMessage)
+    val seen = scala.collection.mutable.Set[Long]()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("skipChangeCommits", "true").load(t)
+      .writeStream.option("checkpointLocation", tmp("gd-dv-ck3"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= b.select("k").as[Long].collect(); () }.start()
+    q2.awaitTermination(120000)
+    // the creating commit streams; the DV commits are dropped whole
+    assert(seen.toSet === (0L until 20L).toSet)
+  }
+
   test("graft-delta streaming sink: one commit per micro-batch, exactly-once across checkpoint loss via txn watermark") {
     val dir = tmp("gd-sink")
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))

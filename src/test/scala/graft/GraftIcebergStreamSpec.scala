@@ -196,6 +196,62 @@ class GraftIcebergStreamSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("manifest column bounds: numeric-filtered reads skip files without opening them; compaction keeps the bounds") {
+    val dir = tmp("gi-bounds")
+    val t = s"$dir/t"
+    // three snapshots with disjoint k ranges -> three files whose
+    // manifests carry disjoint lower/upper bounds
+    def leg(a: Long, b: Long) = spark.range(a, b)
+      .select(col("id").as("k"), (col("id") * 2).cast("double").as("x"),
+        concat(lit("s"), col("id")).as("s"))
+      .coalesce(1)
+    IcebergTable.write(spark, leg(0, 100), t)
+    IcebergTable.write(spark, leg(100, 200), t)
+    IcebergTable.write(spark, leg(200, 300), t)
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.files.size === 3)
+    // real footer min/max in the manifests, typed
+    assert(snap.files.forall(f => f.bounds.contains("k") && f.bounds.contains("x")))
+    assert(snap.files.map(_.bounds("k")._1).min === BigDecimal(0))
+    assert(snap.files.map(_.bounds("k")._2).max === BigDecimal(299))
+    // strings deliberately un-statted (lexicographic bounds are the
+    // wrong-skip trap) — never consulted, never skip
+    assert(snap.files.forall(f => !f.bounds.contains("s")))
+    // pruning: range, equality, double column
+    assert(IcebergTable.prunedFiles(spark, snap, col("k") >= 250L).size === 1)
+    assert(IcebergTable.prunedFiles(spark, snap, col("k") === 150L).size === 1)
+    assert(IcebergTable.prunedFiles(spark, snap, col("x") < 100.0).size === 1)
+    // a string predicate keeps everything (no bounds -> no skip)
+    assert(IcebergTable.prunedFiles(spark, snap, col("s") === "s5").size === 3)
+    // catalog scan plans only the surviving file under a numeric filter
+    val root = tmp("gi-bounds-cat")
+    spark.conf.set("spark.sql.catalog.graft_ibd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ibd.root", root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/ns"))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$root/ns/t"), java.nio.file.Paths.get(t))
+    assert(spark.sql("SELECT count(*) FROM graft_ibd.ns.t WHERE k >= 250")
+      .as[Long].head() === 50L)
+    // compaction (rewriteManifests) carries the bounds forward
+    IcebergTable.rewriteManifests(spark, t)
+    val snap2 = IcebergTable.snapshot(spark, t)
+    assert(snap2.files.forall(_.bounds.contains("k")))
+    assert(IcebergTable.prunedFiles(spark, snap2, col("k") >= 250L).size === 1)
+
+    // an all-null column satisfies NO comparison; a valued one keeps
+    val t2 = s"$dir/t2"
+    IcebergTable.write(spark, spark.range(0, 10)
+      .select(col("id").as("k"), lit(null).cast("double").as("x"))
+      .coalesce(1), t2)
+    IcebergTable.write(spark, spark.range(10, 20)
+      .select(col("id").as("k"), (col("id") + 0.5).as("x"))
+      .coalesce(1), t2)
+    val snapN = IcebergTable.snapshot(spark, t2)
+    val kept = IcebergTable.prunedFiles(spark, snapN, col("x") > 0.0)
+    assert(kept.size === 1 && kept.head.bounds.contains("x"))
+    assert(IcebergTable.read(spark, t2).where(col("x") > 0.0).count() === 10L)
+  }
+
   test("catalog batch scan: rows, VERSION AS OF, statistics, and the delete-file gate") {
     val root = tmp("gi-batch")
     spark.conf.set("spark.sql.catalog.graft_ib", "graft.sources.GraftCatalog")
