@@ -5383,6 +5383,22 @@ object SparkEntry {
         .orderBy("brand")
     }),
 
+    // merge-on-read DELETE on Iceberg: a position-delete file commits
+    // (no data rewritten) and the DSv2 scan applies it with sequence
+    // scoping — write → MOR delete → scan, one hash gate
+    "interop_iceberg_delete" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-idel")
+        .toString + "/t"
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      graft.sources.IcebergTable.write(s, sup, t)
+      graft.sources.IcebergTable.delete(s, t, col("s_acctbal") < 0)
+      s.read.format("graft-iceberg").load(t)
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_sup"), sumD(col("s_acctbal")).as("bal"))
+        .orderBy("nation")
+    }),
+
     // Iceberg create + append snapshots → snapshot-resolved read
     // (IcebergTable.write/read end-to-end; two manifests live)
     "interop_iceberg_roundtrip" -> ((s, d) => {
@@ -8415,6 +8431,12 @@ object SparkEntry {
          | ${sqlSumD("p_retailprice")} AS retail
          |FROM part WHERE NOT (p_partkey % 10 = 0)
          |GROUP BY 1 ORDER BY brand""".stripMargin,
+
+    "interop_iceberg_delete" ->
+      s"""SELECT s_nationkey AS nation, COUNT(*) AS n_sup,
+         | ${sqlSumD("s_acctbal")} AS bal
+         |FROM supplier WHERE NOT (s_acctbal < 0)
+         |GROUP BY 1 ORDER BY nation""".stripMargin,
 
     "interop_iceberg_roundtrip" ->
       s"""SELECT s_nationkey AS nation, COUNT(*) AS n_sup,

@@ -283,14 +283,55 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
         planRange(spark, table.tablePath, table.snap.schema, readPart,
           fromId, toId, cdf = true, skipChangeCommits = false)
       } else {
-        if (table.snap.deletes.nonEmpty)
+        if (table.snap.deletes.exists(_.content == 2))
           throw new UnsupportedOperationException(
-            s"${table.tablePath} carries v2 delete files — the raw " +
-              "file-list scan would resurrect deleted rows; read it with " +
-              "graft.sources.IcebergTable.read, which applies them")
-        splitFiles(prunedFiles)
+            s"${table.tablePath} carries v2 EQUALITY delete files — the " +
+              "raw file-list scan would resurrect deleted rows; read it " +
+              "with graft.sources.IcebergTable.read, which applies them")
+        val posDeletes = table.snap.deletes.filter(_.content == 1)
+        if (posDeletes.isEmpty) splitFiles(prunedFiles)
+        else {
+          // POSITION deletes serve merge-on-read: per-file applicable
+          // positions (delete_seq >= data_seq) ride to the executors
+          // inside whole-file skip partitions — the same shape the
+          // Delta DV scan plans
+          import org.apache.spark.sql.functions.{col, lit}
+          import spark.implicits._
+          val raw = posDeletes.map(d => spark.read.parquet(d.path)
+            .select(col("file_path").cast("string"), col("pos").cast("long"))
+            .withColumn("__dseq", lit(d.seq)))
+            .reduce(_.unionByName(_))
+            .as[(String, Long, Long)].collect()
+          val byPath = raw.groupBy(_._1)
+          val files = prunedFiles
+          val plainOut = Seq.newBuilder[IcebergTable.DataFile]
+          val dvOut = Seq.newBuilder[(IcebergTable.DataFile, Array[Long])]
+          files.foreach { f =>
+            val pos = byPath.getOrElse(f.path, Array.empty)
+              .collect { case (_, p, dseq) if dseq >= f.seq => p }
+              .distinct.sorted
+            if (pos.isEmpty) plainOut += f else dvOut += ((f, pos))
+          }
+          val plain = splitFiles(plainOut.result())
+          val dvParts: Array[InputPartition] =
+            dvOut.result().zipWithIndex.map { case ((f, pos), i) =>
+              val sz = math.max(f.sizeBytes, 1L)
+              val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+                pvRow(readPart, "insert", table.snap.snapshotId),
+                org.apache.spark.paths.SparkPath.fromPathString(f.path),
+                0L, sz, Array.empty[String], 0L, sz, Map.empty)
+              DvFilePartition(
+                org.apache.spark.sql.execution.datasources.FilePartition(
+                  plain.length + i, Array(pf)), pos): InputPartition
+            }.toArray
+          plain ++ dvParts
+        }
       }
-    override def createReaderFactory(): PartitionReaderFactory = factory
+    override def createReaderFactory(): PartitionReaderFactory =
+      if (table.cdf || !table.snap.deletes.exists(_.content == 1)) factory
+      else new DvAwareReaderFactory(factory,
+        GraftDelta.readerFactory(spark, table.dataSchema, readData, readPart,
+          Array.empty))
   }
 
   private def splitFiles(files: Seq[IcebergTable.DataFile]): Array[InputPartition] =

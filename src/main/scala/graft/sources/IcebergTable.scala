@@ -668,6 +668,174 @@ object IcebergTable {
     snap.files.zipWithIndex.collect { case (f, i) if keep(i) => f }
   }
 
+  /** Row-level `DELETE FROM … WHERE predicate` as MERGE-ON-READ
+    * position deletes — the v2 shape real Iceberg engines commit for
+    * selective deletes: matched (file, row-position) pairs land in a
+    * POSITION DELETE parquet (spec columns `file_path`/`pos`, sorted),
+    * referenced by a content=1 delete manifest at a NEW sequence
+    * number — no data file is rewritten, older snapshots read the
+    * rows, [[read]] (and the DSv2 scan) applies the delete with
+    * `delete_seq >= data_seq` scoping. Existing deletes compose (an
+    * already-deleted row never matches again). The cardinality gate
+    * (`spark.graft.mor.maxDeleteRows`, default 50k) keeps the
+    * driver-side position collect bounded; larger deletes refuse
+    * loudly (rewrite via `write(overwrite = true)` instead — a
+    * copy-on-write arm would rewrite most of the table anyway).
+    * Returns the committed snapshot id (current when nothing
+    * matched). */
+  def delete(spark: SparkSession, tablePath: String,
+             predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val snap = snapshot(spark, tablePath)
+    require(snap.snapshotId != -1L, s"cannot delete from empty table $tablePath")
+    val candidates = prunedFiles(spark, snap, predicate)
+    if (candidates.isEmpty) return snap.snapshotId
+    val maxRows = spark.conf.getOption("spark.graft.mor.maxDeleteRows")
+      .map(_.toLong).getOrElse(50000L)
+
+    // live rows of the candidate files WITH their physical positions:
+    // the same delete-application frame [[read]] builds, restricted
+    // to candidates, keeping __ri — so existing position/equality
+    // deletes never re-match
+    def fileKey(p: String) = org.apache.spark.paths.SparkPath
+      .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val seqMap = broadcast(candidates.map(f => (fileKey(f.path), f.seq))
+      .toDF("__path", "__dataseq"))
+    var cur = spark.read.schema(snap.schema)
+      .parquet(candidates.map(_.path): _*)
+      .select(col("*"), col("_metadata.row_index").as("__ri"))
+      .withColumn("__path",
+        regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+      .join(seqMap, Seq("__path"), "left")
+    val posDeletes = snap.deletes.filter(_.content == 1)
+    if (posDeletes.nonEmpty) {
+      val pathMap = broadcast(snap.files.map(f => (f.path, fileKey(f.path)))
+        .toDF("__raw", "__mapped"))
+      val pos = posDeletes.map { d =>
+        spark.read.parquet(d.path).select(
+          col("file_path").cast("string"), col("pos").cast("long"))
+          .withColumn("__dseq", lit(d.seq))
+      }.reduce(_.unionByName(_))
+        .join(pathMap, col("file_path") === col("__raw"))
+        .select(col("__mapped").as("__dpath"), col("pos").as("__dri"),
+          col("__dseq"))
+      cur = cur.join(pos,
+        cur("__path") === pos("__dpath") && cur("__ri") === pos("__dri") &&
+          pos("__dseq") >= cur("__dataseq"), "left_anti")
+    }
+    snap.deletes.filter(_.content == 2).groupBy(_.equalityIds.sorted)
+      .toSeq.sortBy(_._1.mkString(",")).foreach { case (ids, dfs) =>
+        val cols = ids.map(snap.fieldNames)
+        val eq = dfs.map(d => spark.read.parquet(d.path)
+          .select(cols.map(c => col(c).as(s"__eq_$c")): _*)
+          .withColumn("__dseq", lit(d.seq)))
+          .reduce(_.unionByName(_))
+        val cond = cols.map(c => cur(c) <=> eq(s"__eq_$c"))
+          .reduce(_ && _) && eq("__dseq") > cur("__dataseq")
+        cur = cur.join(eq, cond, "left_anti")
+      }
+    val matchedDf = graft.Caches.tracked(
+      cur.where(predicate).select(col("__path"), col("__ri")))
+    val matchedCount = matchedDf.count()
+    if (matchedCount == 0) { matchedDf.unpersist(); return snap.snapshotId }
+    if (matchedCount > maxRows) {
+      matchedDf.unpersist()
+      throw new UnsupportedOperationException(
+        s"DELETE matches $matchedCount rows (> spark.graft.mor." +
+          s"maxDeleteRows=$maxRows) — a delete that large should rewrite " +
+          "the data: IcebergTable.write(filtered, path, overwrite = true)")
+    }
+    val matched = matchedDf.as[(String, Long)].collect() // bounded by the gate
+    matchedDf.unpersist()
+    // scan keys back to the MANIFEST's exact file_path strings (the
+    // spec's position-delete matching rule)
+    val keyToManifestPath = candidates.map(f => fileKey(f.path) -> f.path).toMap
+    val rows = matched.toSeq
+      .map { case (k, ri) => (keyToManifestPath(k), ri) }
+      .sortBy(identity) // spec ordering: file_path, then pos
+
+    // commit: delete parquet + content=1 manifest + new snapshot
+    val mp = latestMetadataFile(spark, tablePath)
+    val metaVersion =
+      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val mdir = metaDir(tablePath)
+    val fs = fsFor(spark, mdir)
+    val snaps = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    val snapId = snaps.map(_.get("snapshot-id").asLong()).max + 1
+    val seq = Option(meta.get("last-sequence-number"))
+      .map(_.asLong()).getOrElse(0L) + 1
+    val now = System.currentTimeMillis()
+
+    val tmp = new Path(tablePath, s".tmp-del-$snapId-${java.util.UUID.randomUUID()}")
+    rows.toDF("file_path", "pos").coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).toSeq
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no delete file written"))
+    val delPath = fs.makeQualified(
+      new Path(new Path(tablePath, "data"), s"s$snapId-pos-delete-0.parquet"))
+    fs.mkdirs(delPath.getParent)
+    if (!fs.rename(part.getPath, delPath))
+      throw new IllegalStateException(s"rename failed for $delPath")
+    fs.delete(tmp, true)
+    val delLen = fs.getFileStatus(delPath).getLen
+
+    val curNode = snaps.find(
+      _.get("snapshot-id").asLong() == snap.snapshotId).get
+    val schemaNode: JsonNode =
+      if (meta.has("schemas")) {
+        val sid =
+          if (curNode.has("schema-id")) curNode.get("schema-id").asInt()
+          else meta.get("current-schema-id").asInt()
+        meta.get("schemas").elements().asScala
+          .find(n => n.get("schema-id").asInt() == sid).get
+      } else meta.get("schema")
+    val delManifest = writeDeleteManifest(spark, mdir, s"del-$snapId",
+      M.writeValueAsString(schemaNode),
+      Seq((delPath.toString, delLen, rows.size.toLong, 1, Seq.empty)),
+      snapId, seq)
+    // carry the current snapshot's manifests (data + prior deletes)
+    val carried: Seq[GenericRecord] =
+      if (curNode.has("manifest-list"))
+        readManifestList(spark, new Path(curNode.get("manifest-list").asText()))
+      else Seq.empty
+    val listPath = fs.makeQualified(
+      new Path(mdir, s"snap-$snapId-manifest-list.avro"))
+    writeAvro(spark, listPath, ManifestFileSchema,
+      Map("format-version" -> "2"), carried :+ delManifest)
+
+    val snapsArr = M.createArrayNode()
+    snaps.foreach(snapsArr.add)
+    val sn = snapsArr.addObject()
+    sn.put("snapshot-id", snapId)
+    sn.put("sequence-number", seq)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath.toString)
+    if (curNode.has("schema-id"))
+      sn.put("schema-id", curNode.get("schema-id").asInt())
+    sn.putObject("summary").put("operation", "delete")
+    meta.set[JsonNode]("snapshots", snapsArr)
+    Option(meta.get("snapshot-log")).foreach { log =>
+      val lg = log.asInstanceOf[ArrayNode].addObject()
+      lg.put("snapshot-id", snapId)
+      lg.put("timestamp-ms", now)
+    }
+    meta.put("last-sequence-number", seq)
+    meta.put("last-updated-ms", now)
+    meta.put("current-snapshot-id", snapId)
+    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
+    val out = fs.create(next, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
+    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    snapId
+  }
+
   // ---------------- table maintenance ----------------
 
   /** Every path a snapshot pins: (manifest lists, manifests, data +

@@ -252,6 +252,59 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t2).where(col("x") > 0.0).count() === 10L)
   }
 
+  test("merge-on-read DELETE: position-delete commit, no rewrite; catalog scan applies it; gates hold") {
+    val dir = tmp("gi-del")
+    val t = s"$dir/t"
+    IcebergTable.write(spark, spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") % 5).as("g")).coalesce(1), t)
+    IcebergTable.write(spark, spark.range(50, 100)
+      .select(col("id").as("k"), (col("id") % 5).as("g")).coalesce(1), t)
+    val before = IcebergTable.snapshot(spark, t)
+    val sid = IcebergTable.delete(spark, t, col("k") === 7L || col("k") === 60L)
+    val after = IcebergTable.snapshot(spark, t)
+    // same data files, a position-delete file appears
+    assert(after.files.map(_.path).toSet === before.files.map(_.path).toSet)
+    assert(after.deletes.size === 1 && after.deletes.head.content === 1)
+    assert(after.snapshotId === sid)
+    // rows gone through the reader; the old snapshot still has them
+    assert(IcebergTable.read(spark, t).select("k").as[Long].collect().toSet
+      === (0L until 100L).toSet -- Set(7L, 60L))
+    assert(IcebergTable.read(spark, t,
+      snapshotIdAsOf = Some(before.snapshotId)).count() === 100L)
+    // a second delete composes (already-deleted rows never re-match)
+    IcebergTable.delete(spark, t, col("k") < 10L)
+    assert(IcebergTable.read(spark, t).select("k").as[Long].collect().toSet
+      === (10L until 100L).toSet - 60L)
+    // no-match delete commits nothing
+    val cur = IcebergTable.snapshot(spark, t).snapshotId
+    assert(IcebergTable.delete(spark, t, col("k") === 7L) === cur)
+
+    // the DSv2 catalog scan applies position deletes (merge-on-read
+    // serving), matching IcebergTable.read — incl. a residual filter
+    val root = tmp("gi-del-cat")
+    spark.conf.set("spark.sql.catalog.graft_id", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_id.root", root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/ns"))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$root/ns/t"), java.nio.file.Paths.get(t))
+    assert(spark.sql("SELECT k FROM graft_id.ns.t").as[Long].collect().toSet
+      === (10L until 100L).toSet - 60L)
+    assert(spark.sql("SELECT count(*) FROM graft_id.ns.t WHERE g = 0")
+      .as[Long].head()
+      === IcebergTable.read(spark, t).where(col("g") === 0).count())
+    // over the cardinality gate: loud, pointing at overwrite
+    spark.conf.set("spark.graft.mor.maxDeleteRows", "3")
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        IcebergTable.delete(spark, t, col("k") >= 50L)
+      }
+      assert(e.getMessage.contains("overwrite"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.mor.maxDeleteRows")
+    // equality-delete tables still gate in the catalog (only the
+    // library reader applies those)
+    // (covered by IcebergSpec's hand-built v2 table + resolve gate)
+  }
+
   test("catalog batch scan: rows, VERSION AS OF, statistics, and the delete-file gate") {
     val root = tmp("gi-batch")
     spark.conf.set("spark.sql.catalog.graft_ib", "graft.sources.GraftCatalog")
