@@ -148,55 +148,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       CaseInsensitiveStringMap.empty(), paths, schema,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
-  /** Log-backed flavors (Iceberg / versioned) resolve to a live FILE
-    * LIST for reads — but a raw DSv2 write through the parquet table
-    * would dump files the transaction log never references (or
-    * clobber files it does): silent corruption. So reads serve
-    * through the parquet scan, while `INSERT INTO` / `INSERT
-    * OVERWRITE` route through the flavor's COMMITTING writer
-    * (`IcebergTable.write` / `VersionedTable.write`) as a V1 write —
-    * SQL-only users get real new snapshots/versions, never a forked
-    * log. (Delta-flavor tables are served by [[GraftDeltaTable]],
-    * which owns both directions natively.) */
-  private class CommittingWriteTable(inner: Table,
-                                     insertFn: (org.apache.spark.sql.DataFrame, Boolean) => Unit)
-    extends Table
-      with org.apache.spark.sql.connector.catalog.SupportsRead
-      with org.apache.spark.sql.connector.catalog.SupportsWrite {
-    override def name(): String = inner.name()
-    override def schema(): StructType = inner.schema()
-    override def capabilities(): util.Set[TableCapability] = {
-      val caps = new util.HashSet[TableCapability]()
-      caps.add(TableCapability.BATCH_READ)
-      caps.add(TableCapability.V1_BATCH_WRITE)
-      caps.add(TableCapability.TRUNCATE)
-      caps
-    }
-    override def newScanBuilder(options: CaseInsensitiveStringMap)
-    : org.apache.spark.sql.connector.read.ScanBuilder =
-      inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
-        .newScanBuilder(options)
-    override def newWriteBuilder(
-        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-    : org.apache.spark.sql.connector.write.WriteBuilder =
-      new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
-        private var overwrite = false
-        override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
-          overwrite = true; this
-        }
-        override def build(): org.apache.spark.sql.connector.write.Write =
-          new org.apache.spark.sql.connector.write.V1Write {
-            override def toInsertableRelation
-            : org.apache.spark.sql.sources.InsertableRelation =
-              new org.apache.spark.sql.sources.InsertableRelation {
-                override def insert(data: org.apache.spark.sql.DataFrame,
-                                    ov: Boolean): Unit =
-                  insertFn(data, overwrite || ov)
-              }
-          }
-      }
-  }
+  // (the committing wrapper for versioned-flavor tables moved to the
+  // top-level [[GraftCommittingTable]], so the SQL DML resolution
+  // rule can recognize and route it)
 
   private def serve(ident: Identifier, versionAsOf: Option[Long],
                     timestampAsOf: Option[Long]): Table = {
@@ -220,9 +174,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val (paths, schema) = resolve(ident, versionAsOf, timestampAsOf)
     val t = parquetTable(ident, paths, schema)
     if (isVersioned(dir))
-      new CommittingWriteTable(t, (df, ov) => {
-        VersionedTable.write(df, dir.toString, overwrite = ov); ()
-      })
+      new GraftCommittingTable(t, "versioned", dir.toString,
+        (df, ov) => { VersionedTable.write(df, dir.toString, overwrite = ov); () },
+        Some(pred => { VersionedTable.deleteWhere(spark, dir.toString, pred); () }))
     else t
   }
 
@@ -367,4 +321,72 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
     fs.delete(dir, true)
   }
+}
+
+/** Log-backed flavors whose reads serve through a plain parquet scan
+  * (currently the graft-versioned flavor) — but a raw DSv2 write
+  * would dump files the transaction log never references (or clobber
+  * files it does): silent corruption. So `INSERT INTO` / `INSERT
+  * OVERWRITE` route through the flavor's COMMITTING writer as a V1
+  * write, and SQL `DELETE FROM` through its committing row-level
+  * delete (strict filter translation — a partial translation refuses
+  * rather than deleting a superset). `flavor`/`dir` let the SQL DML
+  * resolution rule ([[GraftRowLevelSql]]) route UPDATE / MERGE INTO
+  * to the flavor's library calls. */
+private[sources] class GraftCommittingTable(
+    inner: Table, val flavor: String, val dir: String,
+    insertFn: (org.apache.spark.sql.DataFrame, Boolean) => Unit,
+    deleteFn: Option[org.apache.spark.sql.Column => Unit])
+  extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = new util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps.add(TableCapability.TRUNCATE)
+    caps
+  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : org.apache.spark.sql.connector.read.ScanBuilder =
+    inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(options)
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    deleteFn.isDefined &&
+      filters.forall(f => GraftDelta.filterToColumn(f, strict = true).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val pred = filters.flatMap(f => GraftDelta.filterToColumn(f, strict = true))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    deleteFn.getOrElse(throw new UnsupportedOperationException(
+      s"DELETE is not supported on flavor $flavor"))(pred)
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  ov: Boolean): Unit =
+                insertFn(data, overwrite || ov)
+            }
+        }
+    }
 }

@@ -156,7 +156,8 @@ class GraftIcebergTable(spark: SparkSession, val tablePath: String,
                         timestampAsOf: Option[Long] = None,
                         val cdf: Boolean = false,
                         nameOverride: String = null)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import GraftIceberg._
 
   lazy val snap: IcebergTable.Snapshot =
@@ -186,6 +187,21 @@ class GraftIcebergTable(spark: SparkSession, val tablePath: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftIcebergScanBuilder(spark, this, options)
+
+  /** SQL `DELETE FROM … WHERE`: merge-on-read position deletes via
+    * [[IcebergTable.delete]] — only filter shapes we can faithfully
+    * translate are accepted, so a partial delete never commits. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !cdf && filters.forall(f =>
+      GraftDelta.filterToColumn(f, strict = true).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.flatMap(f => GraftDelta.filterToColumn(f, strict = true))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    IcebergTable.delete(spark, tablePath, pred)
+    ()
+  }
 
   /** `INSERT INTO` / `INSERT OVERWRITE` commit one real snapshot via
     * [[IcebergTable.write]]. */

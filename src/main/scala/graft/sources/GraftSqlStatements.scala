@@ -238,10 +238,18 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
     throw new org.apache.spark.sql.AnalysisException(
       "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg), None)
 
-  private def deltaPathOf(plan: LogicalPlan): Option[String] =
+  /** (flavor, table directory) for the three routable catalog table
+    * kinds. */
+  private def targetOf(plan: LogicalPlan): Option[(String, String)] =
     plan.collectFirst {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftDeltaTable] =>
-        r.table.asInstanceOf[GraftDeltaTable].tablePath
+        ("delta", r.table.asInstanceOf[GraftDeltaTable].tablePath)
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftIcebergTable] =>
+        ("iceberg", r.table.asInstanceOf[GraftIcebergTable].tablePath)
+      case r: DataSourceV2Relation
+        if r.table.isInstanceOf[GraftCommittingTable] &&
+          r.table.asInstanceOf[GraftCommittingTable].flavor == "versioned" =>
+        ("versioned", r.table.asInstanceOf[GraftCommittingTable].dir)
     }
 
   /** Resolved → re-resolvable-by-name (DeltaLog re-plans the table
@@ -259,8 +267,8 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case u: UpdateTable if u.resolved && deltaPathOf(u.table).isDefined =>
-      val path = deltaPathOf(u.table).get
+    case u: UpdateTable if u.resolved && targetOf(u.table).isDefined =>
+      val (flavor, path) = targetOf(u.table).get
       val all = u.assignments.map { a =>
         val name = a.key match {
           case ar: AttributeReference => ar.name
@@ -279,13 +287,13 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
       // carried as Columns, not Expressions: the command's payload is
       // re-resolved by the library over its own table frame, so it
       // must ride OPAQUE to this plan's CheckAnalysis
-      GraftUpdateCommand(path,
+      GraftUpdateCommand(flavor, path,
         effective.map { case (n, a) =>
           (n, ColumnBridge.column(deResolve(a.value))) },
         u.condition.map(c => ColumnBridge.column(deResolve(c))))
 
-    case m: MergeIntoTable if m.resolved && deltaPathOf(m.targetTable).isDefined =>
-      val path = deltaPathOf(m.targetTable).get
+    case m: MergeIntoTable if m.resolved && targetOf(m.targetTable).isDefined =>
+      val (flavor, path) = targetOf(m.targetTable).get
       val unsupported = "graft MERGE INTO supports exactly the keyed-" +
         "upsert shape: ON equality of same-named columns, WHEN MATCHED " +
         "THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * — got "
@@ -335,13 +343,14 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
           case other => fail(unsupported + s"merge condition ${other.sql}")
         }
       }
-      GraftMergeCommand(path, m.sourceTable, keyCols)
+      GraftMergeCommand(flavor, path, m.sourceTable, keyCols)
   }
 }
 
 /** Routed `UPDATE`: assignments/condition carried as BY-NAME Columns
-  * (the library call re-resolves them over its own table frame). */
-case class GraftUpdateCommand(tablePath: String,
+  * (the library call re-resolves them over its own table frame);
+  * dispatched to the flavor's committing implementation. */
+case class GraftUpdateCommand(flavor: String, tablePath: String,
                               assignments: Seq[(String, org.apache.spark.sql.Column)],
                               condition: Option[org.apache.spark.sql.Column])
   extends LeafRunnableCommand {
@@ -349,15 +358,24 @@ case class GraftUpdateCommand(tablePath: String,
     AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val v = DeltaLog.update(spark, tablePath,
-      condition.getOrElse(lit(true)), assignments.toMap)
+    val pred = condition.getOrElse(lit(true))
+    val v = flavor match {
+      case "delta" =>
+        DeltaLog.update(spark, tablePath, pred, assignments.toMap)
+      case "iceberg" =>
+        IcebergTable.update(spark, tablePath, pred, assignments.toMap)
+      case "versioned" =>
+        VersionedTable.updateWhere(spark, tablePath, pred, assignments.toMap)
+    }
     Seq(Row(v))
   }
 }
 
 /** Routed keyed-upsert `MERGE INTO`: the analyzed source plan rides
-  * along and becomes the merge source frame at execution. */
-case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
+  * along and becomes the merge source frame at execution; dispatched
+  * to the flavor's committing implementation. */
+case class GraftMergeCommand(flavor: String, tablePath: String,
+                             source: LogicalPlan,
                              keyCols: Seq[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
@@ -365,6 +383,11 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src = ColumnBridge.ofRows(spark, source)
-    Seq(Row(DeltaLog.merge(spark, tablePath, src, keyCols)))
+    val v = flavor match {
+      case "delta" => DeltaLog.merge(spark, tablePath, src, keyCols)
+      case "iceberg" => IcebergTable.merge(spark, tablePath, src, keyCols)
+      case "versioned" => VersionedTable.mergeReplace(src, tablePath, keyCols)
+    }
+    Seq(Row(v))
   }
 }

@@ -685,25 +685,114 @@ object IcebergTable {
     * matched). */
   def delete(spark: SparkSession, tablePath: String,
              predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
     val snap = snapshot(spark, tablePath)
     require(snap.snapshotId != -1L, s"cannot delete from empty table $tablePath")
     val candidates = prunedFiles(spark, snap, predicate)
     if (candidates.isEmpty) return snap.snapshotId
-    val maxRows = spark.conf.getOption("spark.graft.mor.maxDeleteRows")
-      .map(_.toLong).getOrElse(50000L)
+    val cur = liveRowsWithPos(spark, snap, candidates)
+    val rows = gatedPositions(spark, snap, candidates,
+      cur.where(predicate), "DELETE")
+    if (rows.isEmpty) return snap.snapshotId
+    commitMorSnapshot(spark, tablePath, snap, rows, None, "delete")
+  }
 
-    // live rows of the candidate files WITH their physical positions:
-    // the same delete-application frame [[read]] builds, restricted
-    // to candidates, keeping __ri — so existing position/equality
-    // deletes never re-match
+  /** Row-level `UPDATE … SET assignments WHERE predicate` as
+    * merge-on-read: matched positions become a position-delete file
+    * and the TRANSFORMED matched rows append as fresh data files —
+    * both in ONE snapshot, no existing data file rewritten, old
+    * snapshots intact. Same cardinality gate as [[delete]].
+    * Partitioned tables refuse (the appended rows would need
+    * partition-aware staging — rewrite via overwrite instead). */
+  def update(spark: SparkSession, tablePath: String,
+             predicate: org.apache.spark.sql.Column,
+             assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions._
+    require(assignments.nonEmpty, "UPDATE with no assignments")
+    val snap = snapshot(spark, tablePath)
+    require(snap.snapshotId != -1L, s"cannot update empty table $tablePath")
+    requireUnpartitioned(spark, tablePath, "UPDATE")
+    assignments.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"UPDATE of unknown column $c"))
+    val candidates = prunedFiles(spark, snap, predicate)
+    if (candidates.isEmpty) return snap.snapshotId
+    val cur = liveRowsWithPos(spark, snap, candidates)
+    val matched = graft.Caches.tracked(cur.where(predicate))
+    val rows = gatedPositions(spark, snap, candidates, matched, "UPDATE")
+    if (rows.isEmpty) { matched.unpersist(); return snap.snapshotId }
+    val transformed = assignments.foldLeft(matched: DataFrame) {
+      case (df, (c, v)) => df.withColumn(c, v.cast(snap.schema(c).dataType))
+    }.select(snap.schema.fieldNames.map(col): _*)
+    val v = commitMorSnapshot(spark, tablePath, snap, rows,
+      Some(transformed), "overwrite")
+    matched.unpersist()
+    v
+  }
+
+  /** `MERGE INTO` (keyed whole-row upsert) as merge-on-read: target
+    * rows holding a source key become position deletes, the WHOLE
+    * source appends — one snapshot, the same last-writer-wins shape
+    * as [[DeltaLog.merge]]. Source must be key-unique (counted gate)
+    * and schema-compatible; partitioned tables refuse. */
+  def merge(spark: SparkSession, tablePath: String, source: DataFrame,
+            keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "MERGE with no key columns")
+    val snap = snapshot(spark, tablePath)
+    require(snap.snapshotId != -1L, s"cannot merge into empty table $tablePath")
+    requireUnpartitioned(spark, tablePath, "MERGE")
+    keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"unknown merge key $c"))
+    def shape(s: StructType): Seq[(String, DataType)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType))
+    require(snap.schema.fieldNames.toSet == source.columns.toSet &&
+      shape(StructType(snap.schema.fieldNames.map(n =>
+        source.schema(n)))).map(_._2) == shape(snap.schema).map(_._2),
+      s"merge source schema ${source.schema.simpleString} does not match " +
+        s"table schema ${snap.schema.simpleString}")
+    val src = graft.Caches.tracked(
+      source.select(snap.schema.fieldNames.map(col): _*))
+    if (src.isEmpty) { src.unpersist(); return snap.snapshotId }
+    require(src.groupBy(keyCols.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count() == 0L,
+      "merge source has duplicate keys — aggregate it first")
+    val cur = liveRowsWithPos(spark, snap, snap.files)
+    val matched = cur.join(src.select(keyCols.map(col): _*),
+      keyCols, "left_semi")
+    val rows = gatedPositions(spark, snap, snap.files, matched, "MERGE")
+    val v = commitMorSnapshot(spark, tablePath, snap, rows, Some(src),
+      "overwrite")
+    src.unpersist()
+    v
+  }
+
+  private def requireUnpartitioned(spark: SparkSession, tablePath: String,
+                                   op: String): Unit = {
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    val dsid = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val hasSpec = Option(meta.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(s => s.get("spec-id").asInt() == dsid)
+      .exists(s => Option(s.get("fields")).exists(_.size() > 0))
+    if (hasSpec) throw new UnsupportedOperationException(
+      s"$op on a PARTITIONED Iceberg table is not supported — the " +
+        "appended rows would need partition-aware staging; rewrite via " +
+        "IcebergTable.write(..., overwrite = true)")
+  }
+
+  /** Live rows of `files` WITH physical positions — the same
+    * delete-application frame [[read]] builds, restricted to `files`,
+    * keeping `__path`/`__ri` so existing position/equality deletes
+    * never re-match. */
+  private def liveRowsWithPos(spark: SparkSession, snap: Snapshot,
+                              files: Seq[DataFile]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
     def fileKey(p: String) = org.apache.spark.paths.SparkPath
       .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
-    val seqMap = broadcast(candidates.map(f => (fileKey(f.path), f.seq))
+    val seqMap = broadcast(files.map(f => (fileKey(f.path), f.seq))
       .toDF("__path", "__dataseq"))
     var cur = spark.read.schema(snap.schema)
-      .parquet(candidates.map(_.path): _*)
+      .parquet(files.map(_.path): _*)
       .select(col("*"), col("_metadata.row_index").as("__ri"))
       .withColumn("__path",
         regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
@@ -735,27 +824,49 @@ object IcebergTable {
           .reduce(_ && _) && eq("__dseq") > cur("__dataseq")
         cur = cur.join(eq, cond, "left_anti")
       }
+    cur
+  }
+
+  /** Count-gate + collect the matched (manifest file_path, position)
+    * pairs; empty when nothing matched. */
+  private def gatedPositions(spark: SparkSession, snap: Snapshot,
+                             files: Seq[DataFile], matchedFrame: DataFrame,
+                             op: String): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val maxRows = spark.conf.getOption("spark.graft.mor.maxDeleteRows")
+      .map(_.toLong).getOrElse(50000L)
     val matchedDf = graft.Caches.tracked(
-      cur.where(predicate).select(col("__path"), col("__ri")))
+      matchedFrame.select(col("__path"), col("__ri")))
     val matchedCount = matchedDf.count()
-    if (matchedCount == 0) { matchedDf.unpersist(); return snap.snapshotId }
+    if (matchedCount == 0) { matchedDf.unpersist(); return Seq.empty }
     if (matchedCount > maxRows) {
       matchedDf.unpersist()
       throw new UnsupportedOperationException(
-        s"DELETE matches $matchedCount rows (> spark.graft.mor." +
-          s"maxDeleteRows=$maxRows) — a delete that large should rewrite " +
-          "the data: IcebergTable.write(filtered, path, overwrite = true)")
+        s"$op matches $matchedCount rows (> spark.graft.mor." +
+          s"maxDeleteRows=$maxRows) — a change that large should rewrite " +
+          "the data: IcebergTable.write(transformed, path, overwrite = true)")
     }
     val matched = matchedDf.as[(String, Long)].collect() // bounded by the gate
     matchedDf.unpersist()
+    def fileKey(p: String) = org.apache.spark.paths.SparkPath
+      .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
     // scan keys back to the MANIFEST's exact file_path strings (the
     // spec's position-delete matching rule)
-    val keyToManifestPath = candidates.map(f => fileKey(f.path) -> f.path).toMap
-    val rows = matched.toSeq
-      .map { case (k, ri) => (keyToManifestPath(k), ri) }
+    val keyToManifestPath = files.map(f => fileKey(f.path) -> f.path).toMap
+    matched.toSeq.map { case (k, ri) => (keyToManifestPath(k), ri) }
       .sortBy(identity) // spec ordering: file_path, then pos
+  }
 
-    // commit: delete parquet + content=1 manifest + new snapshot
+  /** Commit ONE merge-on-read snapshot: a position-delete file +
+    * content=1 manifest for `rows`, optionally fresh data files (with
+    * footer stats) for `appendDf`, carried prior manifests — metadata
+    * v+1 via exclusive create. */
+  private def commitMorSnapshot(spark: SparkSession, tablePath: String,
+                                snap: Snapshot, rows: Seq[(String, Long)],
+                                appendDf: Option[DataFrame],
+                                operation: String): Long = {
+    import spark.implicits._
     val mp = latestMetadataFile(spark, tablePath)
     val metaVersion =
       mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
@@ -769,20 +880,6 @@ object IcebergTable {
       .map(_.asLong()).getOrElse(0L) + 1
     val now = System.currentTimeMillis()
 
-    val tmp = new Path(tablePath, s".tmp-del-$snapId-${java.util.UUID.randomUUID()}")
-    rows.toDF("file_path", "pos").coalesce(1).sortWithinPartitions("file_path", "pos")
-      .write.parquet(tmp.toString)
-    val part = fs.listStatus(tmp).toSeq
-      .find(_.getPath.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("no delete file written"))
-    val delPath = fs.makeQualified(
-      new Path(new Path(tablePath, "data"), s"s$snapId-pos-delete-0.parquet"))
-    fs.mkdirs(delPath.getParent)
-    if (!fs.rename(part.getPath, delPath))
-      throw new IllegalStateException(s"rename failed for $delPath")
-    fs.delete(tmp, true)
-    val delLen = fs.getFileStatus(delPath).getLen
-
     val curNode = snaps.find(
       _.get("snapshot-id").asLong() == snap.snapshotId).get
     val schemaNode: JsonNode =
@@ -793,10 +890,65 @@ object IcebergTable {
         meta.get("schemas").elements().asScala
           .find(n => n.get("schema-id").asInt() == sid).get
       } else meta.get("schema")
-    val delManifest = writeDeleteManifest(spark, mdir, s"del-$snapId",
-      M.writeValueAsString(schemaNode),
-      Seq((delPath.toString, delLen, rows.size.toLong, 1, Seq.empty)),
-      snapId, seq)
+    val schemaJson = M.writeValueAsString(schemaNode)
+
+    // position-delete parquet + content=1 manifest
+    val delManifest: Option[GenericRecord] = if (rows.isEmpty) None else {
+      val tmp = new Path(tablePath,
+        s".tmp-del-$snapId-${java.util.UUID.randomUUID()}")
+      rows.toDF("file_path", "pos").coalesce(1)
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).toSeq
+        .find(_.getPath.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("no delete file written"))
+      val delPath = fs.makeQualified(
+        new Path(new Path(tablePath, "data"), s"s$snapId-pos-delete-0.parquet"))
+      fs.mkdirs(delPath.getParent)
+      if (!fs.rename(part.getPath, delPath))
+        throw new IllegalStateException(s"rename failed for $delPath")
+      fs.delete(tmp, true)
+      Some(writeDeleteManifest(spark, mdir, s"del-$snapId", schemaJson,
+        Seq((delPath.toString, fs.getFileStatus(delPath).getLen,
+          rows.size.toLong, 1, Seq.empty)), snapId, seq))
+    }
+
+    // appended rows (update transforms / merge source) as fresh data
+    // files with footer stats, behind a plain data manifest
+    val dataManifest: Option[GenericRecord] = appendDf.map { df =>
+      val tmp = new Path(tablePath,
+        s".tmp-upd-$snapId-${java.util.UUID.randomUUID()}")
+      df.write.parquet(tmp.toString)
+      val perFileCounts: Map[String, Long] = spark.read.parquet(tmp.toString)
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
+        .count().collect()
+        .map(r => (new Path(new java.net.URI(r.getString(0))).getName,
+          r.getLong(1))).toMap
+      val adopted = fs.listStatus(tmp).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+          val rel = new Path(new Path(tablePath, "data"),
+            s"s$snapId-upd-$i.parquet")
+          if (!fs.rename(st.getPath, rel))
+            throw new IllegalStateException(s"rename failed for $rel")
+          (fs.makeQualified(rel).toString, fs.getFileStatus(rel).getLen,
+            perFileCounts.getOrElse(st.getPath.getName, 0L))
+        }
+      fs.delete(tmp, true)
+      val fieldInfo: Map[String, (Int, DataType)] =
+        Option(schemaNode.get("fields")).toSeq
+          .flatMap(_.elements().asScala).flatMap { fn =>
+            val n = fn.get("name").asText()
+            snap.schema.find(_.name == n)
+              .map(f => n -> ((fn.get("id").asInt(), f.dataType)))
+          }.toMap
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fileStats = adopted.map { case (p, _, nrec) =>
+        p -> footerFileStats(conf, new Path(p), nrec) }.toMap
+      writeManifest(spark, mdir, s"upd-$snapId", schemaJson, adopted,
+        snapId, seq, stats = fileStats, fieldInfo = fieldInfo)
+    }
+
     // carry the current snapshot's manifests (data + prior deletes)
     val carried: Seq[GenericRecord] =
       if (curNode.has("manifest-list"))
@@ -805,7 +957,8 @@ object IcebergTable {
     val listPath = fs.makeQualified(
       new Path(mdir, s"snap-$snapId-manifest-list.avro"))
     writeAvro(spark, listPath, ManifestFileSchema,
-      Map("format-version" -> "2"), carried :+ delManifest)
+      Map("format-version" -> "2"),
+      carried ++ delManifest.toSeq ++ dataManifest.toSeq)
 
     val snapsArr = M.createArrayNode()
     snaps.foreach(snapsArr.add)
@@ -816,7 +969,7 @@ object IcebergTable {
     sn.put("manifest-list", listPath.toString)
     if (curNode.has("schema-id"))
       sn.put("schema-id", curNode.get("schema-id").asInt())
-    sn.putObject("summary").put("operation", "delete")
+    sn.putObject("summary").put("operation", operation)
     meta.set[JsonNode]("snapshots", snapsArr)
     Option(meta.get("snapshot-log")).foreach { log =>
       val lg = log.asInstanceOf[ArrayNode].addObject()

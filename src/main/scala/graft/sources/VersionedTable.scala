@@ -401,6 +401,26 @@ object VersionedTable {
     * `MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`: keep the
     * latest row per key between target and updates, commit as a new
     * version. Deterministic last-writer-wins by `versionCol`. */
+  /** Keyed WHOLE-ROW upsert (the SQL `MERGE INTO … UPDATE SET * /
+    * INSERT *` shape): target rows holding a source key are replaced
+    * by the source row, unmatched source rows insert — one new
+    * version through the optimistic CAS. Source must be key-unique
+    * (counted gate — an ambiguous merge never half-applies). */
+  def mergeReplace(updates: DataFrame, table: String,
+                   keys: Seq[String]): Long = {
+    val spark = updates.sparkSession
+    require(keys.nonEmpty, "MERGE with no key columns")
+    require(updates.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count() == 0L,
+      "merge source has duplicate keys — aggregate it first")
+    commitLoop(spark, table) { cur =>
+      Some(if (cur == 0) updates
+      else readVersion(spark, table, cur)
+        .join(updates.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(updates))
+    }
+  }
+
   def merge(updates: DataFrame, table: String, keys: Seq[String],
             versionCol: String): Long = {
     val spark = updates.sparkSession

@@ -183,6 +183,75 @@ class SqlStatementsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gsql_mrg.ns.t").as[Long].head() === 3L)
   }
 
+  test("SQL UPDATE / MERGE INTO / DELETE route to the VERSIONED flavor's committing DML") {
+    val root = catalogRoot("vdml")
+    val t = s"$root/ns/t"
+    VersionedTable.write(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "n"), t)
+    spark.sql("UPDATE gsql_vdml.ns.t SET n = n + 5 WHERE k = 1")
+    assert(spark.sql("SELECT k, n FROM gsql_vdml.ns.t ORDER BY k")
+      .as[(Long, Int)].collect().toSeq === Seq((1L, 15), (2L, 20)))
+    Seq((2L, "B", 99), (9L, "z", 90)).toDF("k", "v", "n")
+      .createOrReplaceTempView("vdml_src")
+    spark.sql(
+      """MERGE INTO gsql_vdml.ns.t AS t USING vdml_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT * FROM gsql_vdml.ns.t").as[(Long, String, Int)]
+      .collect().toSet
+      === Set((1L, "a", 15), (2L, "B", 99), (9L, "z", 90)))
+    spark.sql("DELETE FROM gsql_vdml.ns.t WHERE k = 9")
+    assert(spark.sql("SELECT count(*) FROM gsql_vdml.ns.t")
+      .as[Long].head() === 2L)
+    // each statement committed one real version; time travel intact
+    assert(VersionedTable.currentVersion(spark, t) === 4L)
+    assert(VersionedTable.readVersion(spark, t, 1L)
+      .as[(Long, String, Int)].collect().toSet
+      === Set((1L, "a", 10), (2L, "b", 20)))
+  }
+
+  test("SQL UPDATE / MERGE INTO / DELETE route to the ICEBERG flavor as merge-on-read snapshots") {
+    val root = catalogRoot("idml")
+    val t = s"$root/ns/t"
+    IcebergTable.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "n"), t)
+    val s0 = IcebergTable.snapshot(spark, t)
+    spark.sql("UPDATE gsql_idml.ns.t SET n = 0 WHERE k = 2")
+    assert(spark.sql("SELECT k, n FROM gsql_idml.ns.t ORDER BY k")
+      .as[(Long, Int)].collect().toSeq === Seq((1L, 10), (2L, 0)))
+    // ONE new snapshot: position delete + transformed append, the
+    // original data file untouched
+    val s1 = IcebergTable.snapshot(spark, t)
+    assert(s1.deletes.nonEmpty &&
+      s1.files.map(_.path).toSet.intersect(s0.files.map(_.path).toSet)
+        === s0.files.map(_.path).toSet)
+    Seq((2L, "X", 7), (3L, "c", 30)).toDF("k", "v", "n")
+      .createOrReplaceTempView("idml_src")
+    spark.sql(
+      """MERGE INTO gsql_idml.ns.t AS t USING idml_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT * FROM gsql_idml.ns.t").as[(Long, String, Int)]
+      .collect().toSet
+      === Set((1L, "a", 10), (2L, "X", 7), (3L, "c", 30)))
+    spark.sql("DELETE FROM gsql_idml.ns.t WHERE k = 1")
+    assert(spark.sql("SELECT * FROM gsql_idml.ns.t").as[(Long, String, Int)]
+      .collect().toSet === Set((2L, "X", 7), (3L, "c", 30)))
+    // old snapshots still read their rows
+    assert(IcebergTable.read(spark, t,
+      snapshotIdAsOf = Some(s0.snapshotId)).count() === 2L)
+    // UPDATE on a PARTITIONED iceberg table refuses loudly
+    val tp = s"$root/ns/tp"
+    IcebergTable.write(spark, Seq((1L, "x", 1)).toDF("k", "p", "n"), tp,
+      partitionBy = Seq("p"))
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gsql_idml.ns.tp SET n = 9 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("PARTITIONED") ||
+      Option(e.getCause).exists(_.getMessage.contains("PARTITIONED")),
+      e.getMessage)
+  }
+
   test("statement targets: unqualified and non-graft catalogs refuse with a pointer") {
     val e = intercept[Exception] { spark.sql("OPTIMIZE lonely").collect() }
     assert(e.getMessage.contains("catalog"), e.getMessage)
