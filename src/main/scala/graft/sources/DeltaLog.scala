@@ -102,12 +102,17 @@ object DeltaLog {
     * [[VersionedTable]]s ([[snapshotFromVersioned]]). `txns` carries
     * the highest committed `txn` action version per appId — the
     * idempotence watermark a streaming sink consults on restart. */
+  /** `(minReaderVersion, minWriterVersion, readerFeatures,
+    * writerFeatures)` — what the log last declared. */
+  type Protocol = (Int, Int, Seq[String], Seq[String])
+
   final case class Snapshot(tablePath: String, version: Long,
                             schema: StructType,
                             partitionColumns: Seq[String],
                             files: Seq[AddFile],
                             configuration: Map[String, String],
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            protocol: Protocol = (1, 2, Nil, Nil))
 
   private[sources] def logDir(tablePath: String) = new Path(tablePath, "_delta_log")
 
@@ -238,6 +243,13 @@ object DeltaLog {
         throw new UnsupportedOperationException(
           s"unsupported Delta protocol: minReaderVersion=$mrv features=$feats")
     }
+    val tableProtocol: Protocol = proto.headOption.map { p =>
+      (p.getAs[Int]("minReaderVersion"), p.getAs[Int]("minWriterVersion"),
+        Option(p.getAs[scala.collection.Seq[String]]("readerFeatures"))
+          .map(_.toSeq).getOrElse(Nil),
+        Option(p.getAs[scala.collection.Seq[String]]("writerFeatures"))
+          .map(_.toSeq).getOrElse(Nil))
+    }.getOrElse((1, 2, Nil, Nil))
 
     val metaRow = actions.filter(col("metaData").isNotNull)
       .orderBy(col("__v").desc).select("metaData.*").limit(1).collect()
@@ -306,7 +318,7 @@ object DeltaLog {
       .groupBy(col("txn.appId").as("appId"))
       .agg(max(col("txn.version")).as("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    Snapshot(tablePath, v, schema, partCols, files, conf, txns)
+    Snapshot(tablePath, v, schema, partCols, files, conf, txns, tableProtocol)
   }
 
   /** Read a snapshot as a DataFrame. Partition-column values live in
@@ -863,17 +875,22 @@ object DeltaLog {
 
     final case class Act(path: String, isAdd: Boolean,
                          pv: Map[String, String], size: Long, mtime: Long,
-                         dv: Option[DeletionVectors.Descriptor])
+                         dv: Option[DeletionVectors.Descriptor],
+                         dataChange: Boolean)
+    // EVERY file action rides along (liveness must follow a
+    // dataChange=false OPTIMIZE's file moves, or a later DV delete on
+    // the compacted file is misread as a brand-new file and re-emits
+    // its whole contents); EMISSION below covers dataChange=true only
     val actRows = acts
-      .filter(coalesce(col("add.dataChange"), col("remove.dataChange"),
-        lit(true)))
       .select(
         coalesce(col("add.path"), col("remove.path")).as("path"),
         col("add.path").isNotNull.as("is_add"),
         col("add.partitionValues").as("pv"),
         col("add.size").as("size"),
         col("add.modificationTime").as("mtime"),
-        col("add.deletionVector").as("dv"), col("__v"))
+        col("add.deletionVector").as("dv"),
+        coalesce(col("add.dataChange"), col("remove.dataChange"), lit(true))
+          .as("data_change"), col("__v"))
       .filter(col("path").isNotNull).collect()
     val byCommit: Seq[(Long, Seq[Act])] = actRows
       .groupBy(_.getAs[Long]("__v")).toSeq.sortBy(_._1)
@@ -894,7 +911,7 @@ object DeltaLog {
               .map(_.toMap).getOrElse(Map.empty),
             Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
             Option(r.getAs[java.lang.Long]("mtime")).map(_.toLong).getOrElse(0L),
-            dv)
+            dv, r.getAs[Boolean]("data_change"))
         }
       }
 
@@ -946,13 +963,15 @@ object DeltaLog {
 
     val legs = Seq.newBuilder[DataFrame]
     byCommit.foreach { case (cv, as) =>
-      val adds = as.filter(_.isAdd)
-      val addPaths = adds.map(_.path).toSet
+      val allAdds = as.filter(_.isAdd)
+      val addPaths = allAdds.map(_.path).toSet
+      val adds = allAdds.filter(_.dataChange)
       def toAddFile(a: Act): AddFile =
         AddFile(a.path, a.pv, a.size, a.mtime, None, a.dv)
-      // real drops (not re-added): previously-live rows stream as
-      // deletes — the OLD vector applies, never resurrecting
-      val dropped = as.filterNot(_.isAdd).filterNot(r => addPaths(r.path))
+      // real drops (dataChange, not re-added): previously-live rows
+      // stream as deletes — the OLD vector applies, never resurrecting
+      val dropped = as.filterNot(_.isAdd).filter(_.dataChange)
+        .filterNot(r => addPaths(r.path))
         .map(r => live.getOrElse(r.path,
           AddFile(r.path, r.pv, 0L, 0L))) // pre-creation tombstone: raw file
       if (dropped.nonEmpty)
@@ -979,10 +998,10 @@ object DeltaLog {
           .withColumn("_commit_version", lit(cv))
       legs ++= posLeg(delDelta.result(), "delete", cv)
       legs ++= posLeg(resDelta.result(), "insert", cv)
-      // advance state
+      // advance state over EVERY action, dataChange or not
       as.filterNot(_.isAdd).filterNot(r => addPaths(r.path))
         .foreach(r => live -= r.path)
-      adds.foreach(a => live += a.path -> toAddFile(a))
+      allAdds.foreach(a => live += a.path -> toAddFile(a))
     }
     legs.result().reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(
@@ -1375,7 +1394,11 @@ object DeltaLog {
 
     val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long, Option[String])]()
     rewrite.zipWithIndex.foreach { case ((pv, fls), gi) =>
-      val df = spark.read.schema(dataSchema).parquet(fls.map(_.path): _*)
+      // existing deletion vectors APPLY during compaction — reading
+      // raw parquet here would resurrect logically-deleted rows in
+      // the rewritten files (and dataChange=false would hide it from
+      // the change feed); the compacted files carry no DV
+      val df = scanLive(spark, deltaPath, dataSchema, fls).drop("__path")
       val nFiles = math.max(1L,
         (fls.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
       val out =
@@ -1553,6 +1576,16 @@ object DeltaLog {
         s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
       }.mkString("{", ",", "}")
     val lines = scala.collection.mutable.ArrayBuffer[String]()
+    // deletionVectors is a table FEATURE: per PROTOCOL.md a reader at
+    // (1,2) may ignore the descriptor and resurrect deleted rows —
+    // upgrade to (3,7) with the feature lists (merging any features
+    // the table already declared) in the SAME commit
+    val (mrv, mwv, rf, wf) = snap.protocol
+    if (mrv < 3 || !rf.contains("deletionVectors")) {
+      val rfOut = (rf :+ "deletionVectors").distinct.sorted
+      val wfOut = (wf :+ "deletionVectors").distinct.sorted
+      lines += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${rfOut.map(jsEscape).mkString("[", ",", "]")},"writerFeatures":${wfOut.map(jsEscape).mkString("[", ",", "]")}}}"""
+    }
     candidates.filter(f => byFile.contains(fileKeyOf(f.path))).foreach { f =>
       val existing: Seq[Long] = f.dv.filter(_.cardinality != 0L)
         .map(d => DeletionVectors.deletedRows(
@@ -1595,12 +1628,19 @@ object DeltaLog {
           "partition directories — delete + append instead")
     }
     copyOnWrite(spark, deltaPath, predicate, checkpointInterval) {
-      (full, pred) =>
-        assignments.foldLeft(full) { case (df, (c, v)) =>
-          df.withColumn(c,
-            when(coalesce(pred, lit(false)), v.cast(snap0.schema(c).dataType))
-              .otherwise(col(c)))
-        }
+      (full, pred) => {
+        // ONE projection over the ORIGINAL columns — SQL UPDATE
+        // semantics are simultaneous (SET a = b, b = a swaps; a
+        // sequential withColumn chain would turn it into a copy)
+        val hit = coalesce(pred, lit(false))
+        full.select(snap0.schema.fieldNames.map { c =>
+          assignments.get(c) match {
+            case Some(v) => when(hit, v.cast(snap0.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }.toSeq: _*)
+      }
     }
   }
 
@@ -1900,7 +1940,12 @@ object DeltaLog {
     val root = deScheme(fs.makeQualified(dst).toString)
     val tableId = java.util.UUID.nameUUIDFromBytes(
       deltaPath.getBytes("UTF-8")).toString
-    val protoRow = Row(1, 2, null, null)
+    // the table's REAL protocol — a checkpoint that downgraded a
+    // DV-bearing (3,7) table to (1,2) would make spec-compliant
+    // readers ignore the vectors and serve deleted rows
+    val (pMrv, pMwv, pRf, pWf) = snap.protocol
+    val protoRow = Row(pMrv, pMwv,
+      if (pRf.isEmpty) null else pRf, if (pWf.isEmpty) null else pWf)
     val metaRow = Row(tableId, null, snap.schema.json,
       snap.partitionColumns, snap.configuration, Row("parquet"))
     val addRows = snap.files.map { f =>

@@ -262,9 +262,11 @@ object GraftDelta {
         .files.map(f => f.path -> ((f.partitionValues, f.size, f.dv))).toMap)
         .getOrElse(Map.empty)
     }
-    var inRange = Map.empty[String, FState]
+    // None = removed inside the range (a tombstone MASKS the prior
+    // snapshot — a later re-add must see "not live", not stale state)
+    var inRange = Map.empty[String, Option[FState]]
     def stateOf(key: String): Option[FState] =
-      inRange.get(key).orElse(prior.get(key))
+      inRange.getOrElse(key, prior.get(key))
     val conf = spark.sparkContext.hadoopConfiguration
     def positions(d: Option[DeletionVectors.Descriptor]): Array[Long] =
       d.filter(_.cardinality != 0L).map(x =>
@@ -283,9 +285,15 @@ object GraftDelta {
         Array.empty[String], 0L, sz, Map.empty)
     }
     commits.foreach { c =>
-      val adds = c.acts.filter(a => a.isAdd && a.dataChange)
-      val removes = c.acts.filter(a => !a.isAdd && a.dataChange)
-      val readdKeys = adds.map(a => abs(a.relPath)).toSet
+      // LIVENESS follows every file action (a dataChange=false
+      // OPTIMIZE moves rows between files without changing them —
+      // a later DV delete on the compacted file must see it as live,
+      // not brand-new); EMISSION only covers dataChange=true actions
+      val allAdds = c.acts.filter(_.isAdd)
+      val allRemoves = c.acts.filterNot(_.isAdd)
+      val adds = allAdds.filter(_.dataChange)
+      val removes = allRemoves.filter(_.dataChange)
+      val readdKeys = allAdds.map(a => abs(a.relPath)).toSet
       if (cdf) {
         adds.foreach { a =>
           val key = abs(a.relPath)
@@ -346,9 +354,10 @@ object GraftDelta {
         if (emitAdds) adds.foreach(a => out += ((abs(a.relPath),
           pvRow(readPartSchema, a.pv, "insert", c.version, zone), a.size)))
       }
-      adds.foreach(a => inRange += (abs(a.relPath) -> ((a.pv, a.size, a.dv))))
-      removes.foreach(r => if (!readdKeys(abs(r.relPath)))
-        inRange -= abs(r.relPath))
+      allAdds.foreach(a =>
+        inRange += (abs(a.relPath) -> Some((a.pv, a.size, a.dv))))
+      allRemoves.foreach(r => if (!readdKeys(abs(r.relPath)))
+        inRange += (abs(r.relPath) -> None))
     }
     val plain = splitFiles(spark, out.result())
     val dvParts: Array[InputPartition] = dvOut.result().zipWithIndex.map {
@@ -498,8 +507,10 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
   private def factory: PartitionReaderFactory =
     readerFactory(spark, table.dataSchema, readData, readPart, dataFilters)
 
-  /** File list after log-side pruning (partition values + stats). */
-  private def prunedFiles: Seq[DeltaLog.AddFile] =
+  /** File list after log-side pruning (partition values + stats) —
+    * computed ONCE per scan (statistics may be requested repeatedly
+    * during join costing). */
+  private lazy val prunedFiles: Seq[DeltaLog.AddFile] =
     pushed.flatMap(f => filterToColumn(f)).reduceOption(_ && _) match {
       case Some(pred) => DeltaLog.prunedFiles(spark, table.snap, pred)
       case None => table.snap.files

@@ -204,7 +204,9 @@ class GraftIcebergTable(spark: SparkSession, val tablePath: String,
   }
 
   /** `INSERT INTO` / `INSERT OVERWRITE` commit one real snapshot via
-    * [[IcebergTable.write]]. */
+    * [[IcebergTable.write]], under the table's OWN partition spec —
+    * an append to a partitioned table stays partitioned, an overwrite
+    * keeps the spec rather than silently dropping it. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
@@ -215,7 +217,8 @@ class GraftIcebergTable(spark: SparkSession, val tablePath: String,
             override def insert(data: DataFrame, ov: Boolean): Unit = {
               IcebergTable.write(spark,
                 data.select(snap.schema.fieldNames.map(col).toSeq: _*),
-                tablePath, overwrite = overwrite || ov)
+                tablePath, overwrite = overwrite || ov,
+                partitionBy = IcebergTable.defaultSpecNames(spark, tablePath))
               ()
             }
           }
@@ -269,7 +272,10 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
     * column bounds both consult the pushed filters — no data file
     * opens (IcebergTable.prunedFiles extracts the sound conjuncts
     * itself). */
-  private def prunedFiles: Seq[IcebergTable.DataFile] =
+  // computed ONCE per scan: the optimizer may request statistics
+  // several times while costing joins, and each pruning pass runs
+  // driver-side Spark jobs over the file list
+  private lazy val prunedFiles: Seq[IcebergTable.DataFile] =
     pushed.flatMap(f => GraftDelta.filterToColumn(f))
       .reduceOption(_ && _) match {
       case Some(pred) => IcebergTable.prunedFiles(spark, table.snap, pred)

@@ -440,50 +440,13 @@ object IcebergTable {
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    val base = spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
-    if (snap.deletes.isEmpty) return base
-    import spark.implicits._
-    def fileKey(p: String) = org.apache.spark.paths.SparkPath
-      .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
-    val seqMap = broadcast(snap.files.map(f => (fileKey(f.path), f.seq))
-      .toDF("__path", "__dataseq"))
-    var cur = spark.read.schema(snap.schema)
-      .parquet(snap.files.map(_.path): _*)
-      .select(col("*"), col("_metadata.row_index").as("__ri"))
-      .withColumn("__path",
-        regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
-      .join(seqMap, Seq("__path"), "left")
-    val posDeletes = snap.deletes.filter(_.content == 1)
-    if (posDeletes.nonEmpty) {
-      // the delete file stores the MANIFEST's exact file_path string
-      // (the spec's matching rule); map it to the scan's url-encoded
-      // key through the known file list — no string heuristics
-      val pathMap = broadcast(snap.files.map(f => (f.path, fileKey(f.path)))
-        .toDF("__raw", "__mapped"))
-      val pos = posDeletes.map { d =>
-        spark.read.parquet(d.path).select(
-          col("file_path").cast("string"), col("pos").cast("long"))
-          .withColumn("__dseq", lit(d.seq))
-      }.reduce(_.unionByName(_))
-        .join(pathMap, col("file_path") === col("__raw"))
-        .select(col("__mapped").as("__dpath"), col("pos").as("__dri"),
-          col("__dseq"))
-      cur = cur.join(pos,
-        cur("__path") === pos("__dpath") && cur("__ri") === pos("__dri") &&
-          pos("__dseq") >= cur("__dataseq"), "left_anti")
-    }
-    snap.deletes.filter(_.content == 2).groupBy(_.equalityIds.sorted)
-      .toSeq.sortBy(_._1.mkString(",")).foreach { case (ids, dfs) =>
-        val cols = ids.map(snap.fieldNames)
-        val eq = dfs.map(d => spark.read.parquet(d.path)
-          .select(cols.map(c => col(c).as(s"__eq_$c")): _*)
-          .withColumn("__dseq", lit(d.seq)))
-          .reduce(_.unionByName(_))
-        val cond = cols.map(c => cur(c) <=> eq(s"__eq_$c"))
-          .reduce(_ && _) && eq("__dseq") > cur("__dataseq")
-        cur = cur.join(eq, cond, "left_anti")
-      }
-    cur.select(snap.schema.fieldNames.map(col): _*)
+    if (snap.deletes.isEmpty)
+      return spark.read.schema(snap.schema)
+        .parquet(snap.files.map(_.path): _*)
+    // ONE delete-application frame serves reads AND row-level DML
+    // match detection (liveRowsWithPos) — the two must never diverge
+    liveRowsWithPos(spark, snap, snap.files)
+      .select(snap.schema.fieldNames.map(col): _*)
   }
 
   /** Committed snapshot ids in commit order (the metadata `snapshots`
@@ -618,9 +581,13 @@ object IcebergTable {
                                    pred: org.apache.spark.sql.Column): Seq[DataFile] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression, SubqueryExpression}
     import org.apache.spark.sql.functions.{col, expr}
-    val pcs: Seq[String] =
-      snap.files.headOption.map(_.partitionTuple.keys.toSeq.sorted)
-        .getOrElse(Nil)
+    // partition columns = keys present in EVERY file's tuple: files
+    // written under an older/different spec (spec evolution) lack
+    // some keys — they must always KEEP, never evaluate against a
+    // null binding (identity-tuple pruning is exact only when the
+    // tuple actually records the value)
+    val pcs: Seq[String] = snap.files.map(_.partitionTuple.keySet)
+      .reduceOption(_ intersect _).map(_.toSeq.sorted).getOrElse(Nil)
     if (pcs.isEmpty || snap.files.isEmpty) return snap.files
     // analyze over the FULL schema, keep partition-only conjuncts
     val cond: Expression = {
@@ -687,6 +654,7 @@ object IcebergTable {
              predicate: org.apache.spark.sql.Column): Long = {
     val snap = snapshot(spark, tablePath)
     require(snap.snapshotId != -1L, s"cannot delete from empty table $tablePath")
+    requireUnpartitioned(spark, tablePath, "DELETE")
     val candidates = prunedFiles(spark, snap, predicate)
     if (candidates.isEmpty) return snap.snapshotId
     val cur = liveRowsWithPos(spark, snap, candidates)
@@ -719,9 +687,13 @@ object IcebergTable {
     val matched = graft.Caches.tracked(cur.where(predicate))
     val rows = gatedPositions(spark, snap, candidates, matched, "UPDATE")
     if (rows.isEmpty) { matched.unpersist(); return snap.snapshotId }
-    val transformed = assignments.foldLeft(matched: DataFrame) {
-      case (df, (c, v)) => df.withColumn(c, v.cast(snap.schema(c).dataType))
-    }.select(snap.schema.fieldNames.map(col): _*)
+    // ONE projection over the ORIGINAL columns (simultaneous SQL
+    // UPDATE semantics — every matched row transforms, so no
+    // per-row predicate needed here)
+    val transformed = matched.select(snap.schema.fieldNames.map { c =>
+      assignments.get(c).map(_.cast(snap.schema(c).dataType).as(c))
+        .getOrElse(col(c))
+    }.toSeq: _*)
     val v = commitMorSnapshot(spark, tablePath, snap, rows,
       Some(transformed), "overwrite")
     matched.unpersist()
@@ -765,19 +737,26 @@ object IcebergTable {
     v
   }
 
-  private def requireUnpartitioned(spark: SparkSession, tablePath: String,
-                                   op: String): Unit = {
+  /** Field names of the table's DEFAULT partition spec (empty for
+    * unpartitioned) — what a writer must partition appends by. */
+  def defaultSpecNames(spark: SparkSession, tablePath: String): Seq[String] = {
     val meta = readJson(spark, latestMetadataFile(spark, tablePath))
     val dsid = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    val hasSpec = Option(meta.get("partition-specs")).toSeq
+    Option(meta.get("partition-specs")).toSeq
       .flatMap(_.elements().asScala)
-      .find(s => s.get("spec-id").asInt() == dsid)
-      .exists(s => Option(s.get("fields")).exists(_.size() > 0))
-    if (hasSpec) throw new UnsupportedOperationException(
-      s"$op on a PARTITIONED Iceberg table is not supported — the " +
-        "appended rows would need partition-aware staging; rewrite via " +
-        "IcebergTable.write(..., overwrite = true)")
+      .find(s => s.get("spec-id").asInt() == dsid).toSeq
+      .flatMap(s => Option(s.get("fields")).toSeq
+        .flatMap(_.elements().asScala))
+      .map(_.get("name").asText())
   }
+
+  private def requireUnpartitioned(spark: SparkSession, tablePath: String,
+                                   op: String): Unit =
+    if (defaultSpecNames(spark, tablePath).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$op on a PARTITIONED Iceberg table is not supported — the " +
+          "appended rows would need partition-aware staging; rewrite via " +
+          "IcebergTable.write(..., overwrite = true)")
 
   /** Live rows of `files` WITH physical positions — the same
     * delete-application frame [[read]] builds, restricted to `files`,

@@ -311,10 +311,18 @@ object VersionedTable {
       require(cur >= 1, s"cannot UPDATE empty table $table")
       val snap = readVersion(spark, table, cur)
       val hit = coalesce(predicate, lit(false))
-      Some(assignments.foldLeft(snap) { case (df, (c, expr)) =>
-        require(snap.columns.contains(c), s"UPDATE of unknown column $c")
-        df.withColumn(c, when(hit, expr).otherwise(col(c)))
-      })
+      assignments.keys.foreach(c =>
+        require(snap.columns.contains(c), s"UPDATE of unknown column $c"))
+      // ONE projection over the ORIGINAL columns — SQL UPDATE is
+      // simultaneous (SET a = b, b = a must swap, not copy) — with
+      // each assignment cast back to its column's DECLARED type (an
+      // update must never silently widen the table schema)
+      Some(snap.select(snap.columns.map { c =>
+        assignments.get(c)
+          .map(expr => when(hit, expr.cast(snap.schema(c).dataType))
+            .otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }.toSeq: _*))
     }
   }
 

@@ -184,16 +184,31 @@ class DeletionVectorSpec extends SparkSpec {
         .groupBy("_change_type").count()
         .as[(String, Long)].collect().toMap
       assert(all === Map("insert" -> 100L, "delete" -> 3L))
+      // OPTIMIZE applies the vectors during compaction: deleted rows
+      // must NOT resurrect, the compacted files carry no DV, and the
+      // dataChange=false swap is invisible to the change feed
+      val vOpt = DeltaLog.optimize(spark, t, targetFileBytes = Long.MaxValue)
+      assert(DeltaLog.read(spark, t).count() === 97L)
+      assert(DeltaLog.snapshot(spark, t).files.flatMap(_.dv).isEmpty)
+      assert(DeltaLog.changes(spark, t, 2L, vOpt).count() === 0L)
+      // a DV delete on the compacted file: liveness tracked the
+      // dataChange=false move, so the feed emits ONLY the diff (not
+      // the whole compacted file as inserts)
+      val vD = DeltaLog.delete(spark, t, col("k") === 11L)
+      assert(DeltaLog.read(spark, t).count() === 96L)
+      assert(DeltaLog.changes(spark, t, 2L, vD)
+        .select("k", "_change_type").as[(Long, String)].collect().toSet
+        === Set((11L, "delete")))
       // over the gate -> copy-on-write, which APPLIES existing DVs
       // (rewritten survivors must not resurrect 7/8/42)
       spark.conf.set("spark.graft.dv.maxDeleteRows", "0")
       val v2 = DeltaLog.delete(spark, t, col("g") === 0L)
       val live2 = DeltaLog.read(spark, t).select("k").as[Long].collect().toSet
-      assert(live2.size === 77 && !live2(7L) && !live2(8L) && !live2(42L) &&
-        !live2(0L) && !live2(5L))
+      assert(live2.size === 76 && !live2(7L) && !live2(8L) && !live2(42L) &&
+        !live2(11L) && !live2(0L) && !live2(5L))
       // the COW rewrite dropped the vectors with the files
       assert(DeltaLog.snapshot(spark, t).files.flatMap(_.dv).isEmpty)
-      assert(v2 === 3L)
+      assert(v2 === 5L)
     } finally {
       spark.conf.unset("spark.graft.dv.enabled")
       spark.conf.unset("spark.graft.dv.maxDeleteRows")

@@ -194,6 +194,13 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT id FROM graft_ip.ns.t WHERE p = 'x' AND n >= 20 ORDER BY id")
       .as[Long].collect().toSeq === Seq(2L))
+    // INSERT INTO threads the table's OWN partition spec: the append
+    // succeeds and the new file carries its identity tuple
+    spark.sql("INSERT INTO graft_ip.ns.t VALUES (5, 'y', 50)")
+    assert(spark.sql("SELECT count(*) FROM graft_ip.ns.t WHERE p = 'y'")
+      .as[Long].head() === 2L)
+    val snapIns = IcebergTable.snapshot(spark, s"$root/ns/t")
+    assert(snapIns.files.forall(_.partitionTuple.keySet === Set("p")))
   }
 
   test("manifest column bounds: numeric-filtered reads skip files without opening them; compaction keeps the bounds") {

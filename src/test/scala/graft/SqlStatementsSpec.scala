@@ -135,6 +135,14 @@ class SqlStatementsSpec extends SparkSpec {
     // unconditional UPDATE (no WHERE) touches every row
     spark.sql("UPDATE gsql_upd.ns.t SET n = 0")
     assert(spark.sql("SELECT sum(n) FROM gsql_upd.ns.t").as[Long].head() === 0L)
+    // SIMULTANEOUS assignment semantics: SET a = b, b = a must SWAP
+    // (a sequential apply would silently turn it into a copy)
+    val rootS = catalogRoot("swap")
+    DeltaLog.write(spark, Seq((1L, 10L, 20L)).toDF("k", "a", "b"),
+      s"$rootS/ns/t")
+    spark.sql("UPDATE gsql_swap.ns.t SET a = b, b = a WHERE k = 1")
+    assert(spark.sql("SELECT a, b FROM gsql_swap.ns.t")
+      .as[(Long, Long)].head() === ((20L, 10L)))
   }
 
   test("SQL MERGE INTO routes to the keyed-upsert DeltaLog.merge; other shapes refuse") {
@@ -203,8 +211,12 @@ class SqlStatementsSpec extends SparkSpec {
     spark.sql("DELETE FROM gsql_vdml.ns.t WHERE k = 9")
     assert(spark.sql("SELECT count(*) FROM gsql_vdml.ns.t")
       .as[Long].head() === 2L)
+    // swap semantics hold on the versioned flavor too
+    spark.sql("UPDATE gsql_vdml.ns.t SET k = n, n = k WHERE k = 1")
+    assert(spark.sql("SELECT k, n FROM gsql_vdml.ns.t WHERE n = 1")
+      .as[(Long, Int)].collect().toSeq === Seq((15L, 1)))
     // each statement committed one real version; time travel intact
-    assert(VersionedTable.currentVersion(spark, t) === 4L)
+    assert(VersionedTable.currentVersion(spark, t) === 5L)
     assert(VersionedTable.readVersion(spark, t, 1L)
       .as[(Long, String, Int)].collect().toSet
       === Set((1L, "a", 10), (2L, "b", 20)))
