@@ -1525,10 +1525,19 @@ object DeltaLog {
     * copy-on-write), Some(version) otherwise. */
   private def dvDelete(spark: SparkSession, deltaPath: String,
                        predicate: org.apache.spark.sql.Column,
-                       checkpointInterval: Int): Option[Long] = {
+                       checkpointInterval: Int): Option[Long] =
+    dvMutate(spark, deltaPath, predicate, checkpointInterval, None)
+
+  /** Shared merge-on-read arm: mark matched positions deleted via DV
+    * sidecars and, for UPDATE, append `makeAppend(matchedRows)` as
+    * fresh files — ONE commit either way. */
+  private def dvMutate(spark: SparkSession, deltaPath: String,
+                       predicate: org.apache.spark.sql.Column,
+                       checkpointInterval: Int,
+                       makeAppend: Option[DataFrame => DataFrame]): Option[Long] = {
     import spark.implicits._
     val snap = snapshot(spark, deltaPath)
-    requireNotColumnMapped(snap, "DELETE")
+    requireNotColumnMapped(snap, "row-level DML")
     val candidates = prunedFiles(spark, snap, predicate)
     if (candidates.isEmpty) return Some(snap.version)
     val maxRows = spark.conf.getOption("spark.graft.dv.maxDeleteRows")
@@ -1551,15 +1560,14 @@ object DeltaLog {
                 .cast(f.dataType).as(f.name)
             else col(f.name)): _*)
       }
-    val matchedDf = graft.Caches.tracked(withPv.where(predicate)
-      .select(col("__path"), col("__ri")))
+    val matchedFull = graft.Caches.tracked(withPv.where(predicate))
     // the cardinality gate: a cheap count decides the arm; positions
     // only ever collect when under it
-    val matchedCount = matchedDf.count()
-    if (matchedCount == 0) { matchedDf.unpersist(); return Some(snap.version) }
-    if (matchedCount > maxRows) { matchedDf.unpersist(); return None }
-    val matchedPos = matchedDf.as[(String, Long)].collect()
-    matchedDf.unpersist()
+    val matchedCount = matchedFull.count()
+    if (matchedCount == 0) { matchedFull.unpersist(); return Some(snap.version) }
+    if (matchedCount > maxRows) { matchedFull.unpersist(); return None }
+    val matchedPos = matchedFull.select(col("__path"), col("__ri"))
+      .as[(String, Long)].collect()
 
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(deltaPath)
@@ -1575,6 +1583,16 @@ object DeltaLog {
       pv.toSeq.sortBy(_._1).map { case (k, vv) =>
         s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
       }.mkString("{", ",", "}")
+    // UPDATE: the transformed matched rows land as fresh files in the
+    // table's layout (same hive staging as write/merge)
+    val appendAdds: Seq[(String, Map[String, String], Long, Option[String])] =
+      makeAppend.map { mk =>
+        val rows = mk(matchedFull)
+        stageData(spark, rows.select(snap.schema.fieldNames.map(col): _*),
+          dst, snap.partitionColumns, s"dvu-$v")
+      }.getOrElse(Seq.empty)
+    matchedFull.unpersist()
+
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     // deletionVectors is a table FEATURE: per PROTOCOL.md a reader at
     // (1,2) may ignore the descriptor and resurrect deleted rows —
@@ -1599,6 +1617,10 @@ object DeltaLog {
       val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
       lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
       lines += s"""{"add":{"path":${jsEscape(rel)},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true,$dvJson$statsPart}}"""
+    }
+    appendAdds.foreach { case (rel, pv, sz, st) =>
+      val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
     val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
     val out = fs.create(commit, false) // exclusive create = the CAS
@@ -1627,21 +1649,38 @@ object DeltaLog {
         s"UPDATE on partition column $c would move rows across " +
           "partition directories — delete + append instead")
     }
-    copyOnWrite(spark, deltaPath, predicate, checkpointInterval) {
-      (full, pred) => {
-        // ONE projection over the ORIGINAL columns — SQL UPDATE
-        // semantics are simultaneous (SET a = b, b = a swaps; a
-        // sequential withColumn chain would turn it into a copy)
-        val hit = coalesce(pred, lit(false))
-        full.select(snap0.schema.fieldNames.map { c =>
-          assignments.get(c) match {
-            case Some(v) => when(hit, v.cast(snap0.schema(c).dataType))
-              .otherwise(col(c)).as(c)
-            case None => col(c)
-          }
-        }.toSeq: _*)
-      }
-    }
+    // merge-on-read arm (same opt-in + gate as [[delete]]): matched
+    // rows become DV positions, their TRANSFORMED copies append as
+    // fresh files — one commit, no file rewritten
+    val viaDv =
+      if (spark.conf.getOption("spark.graft.dv.enabled").contains("true"))
+        dvMutate(spark, deltaPath, predicate, checkpointInterval,
+          Some { matched =>
+            // ONE projection over the ORIGINAL columns (simultaneous
+            // SQL UPDATE semantics; every matched row transforms)
+            matched.select(snap0.schema.fieldNames.map { c =>
+              assignments.get(c)
+                .map(_.cast(snap0.schema(c).dataType).as(c))
+                .getOrElse(col(c))
+            }.toSeq: _*)
+          })
+      else None
+    viaDv.getOrElse(
+      copyOnWrite(spark, deltaPath, predicate, checkpointInterval) {
+        (full, pred) => {
+          // ONE projection over the ORIGINAL columns — SQL UPDATE
+          // semantics are simultaneous (SET a = b, b = a swaps; a
+          // sequential withColumn chain would turn it into a copy)
+          val hit = coalesce(pred, lit(false))
+          full.select(snap0.schema.fieldNames.map { c =>
+            assignments.get(c) match {
+              case Some(v) => when(hit, v.cast(snap0.schema(c).dataType))
+                .otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }.toSeq: _*)
+        }
+      })
   }
 
   /** `MERGE INTO` (upsert): for each source row, the target row with

@@ -750,6 +750,169 @@ object IcebergTable {
       .map(_.get("name").asText())
   }
 
+  /** Streaming-style keyed UPSERT via EQUALITY deletes — the v2
+    * shape Flink's Iceberg CDC sink commits: ONE snapshot holding an
+    * equality-delete file of the source's key tuples (content=2,
+    * strictly-newer scoping kills any older row with a matching key)
+    * plus the whole source as fresh data files. The target is NEVER
+    * scanned — no match-detection job, no position collect, no
+    * cardinality gate: cost is O(source), which is why this is the
+    * high-frequency upsert shape at scale ([[merge]] is the
+    * position-delete twin that pays a target scan to keep the table
+    * scan-clean). Readers apply the delete merge-on-read; compact
+    * later via overwrite when the delete pile grows. Source must be
+    * key-unique and schema-compatible; partitioned tables refuse. */
+  def upsertEquality(spark: SparkSession, tablePath: String,
+                     source: DataFrame, keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "upsert with no key columns")
+    val snap = snapshot(spark, tablePath)
+    require(snap.snapshotId != -1L,
+      s"cannot upsert into empty table $tablePath — write() creates it")
+    requireUnpartitioned(spark, tablePath, "equality upsert")
+    keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"unknown upsert key $c"))
+    require(snap.schema.fieldNames.toSet == source.columns.toSet,
+      s"upsert source schema ${source.schema.simpleString} does not " +
+        s"match table schema ${snap.schema.simpleString}")
+    val src = graft.Caches.tracked(
+      source.select(snap.schema.fieldNames.map(col): _*))
+    if (src.isEmpty) { src.unpersist(); return snap.snapshotId }
+    require(src.groupBy(keyCols.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count() == 0L,
+      "upsert source has duplicate keys — aggregate it first")
+    // field ids of the key columns (equality_ids)
+    val keyIds = {
+      val byName = snap.fieldNames.map(_.swap)
+      keyCols.map(c => byName.getOrElse(c, throw new IllegalStateException(
+        s"no field id for key column $c")))
+    }
+    val v = commitEqualityUpsert(spark, tablePath, snap,
+      src.select(keyCols.map(col): _*), keyIds, src)
+    src.unpersist()
+    v
+  }
+
+  /** Commit ONE snapshot: equality-delete file (the key tuples) +
+    * fresh data files for the source. */
+  private def commitEqualityUpsert(spark: SparkSession, tablePath: String,
+                                   snap: Snapshot, keysDf: DataFrame,
+                                   keyIds: Seq[Int],
+                                   appendDf: DataFrame): Long = {
+    val mp = latestMetadataFile(spark, tablePath)
+    val metaVersion =
+      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val mdir = metaDir(tablePath)
+    val fs = fsFor(spark, mdir)
+    val snaps = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    val snapId = snaps.map(_.get("snapshot-id").asLong()).max + 1
+    val seq = Option(meta.get("last-sequence-number"))
+      .map(_.asLong()).getOrElse(0L) + 1
+    val now = System.currentTimeMillis()
+    val curNode = snaps.find(
+      _.get("snapshot-id").asLong() == snap.snapshotId).get
+    val schemaNode: JsonNode =
+      if (meta.has("schemas")) {
+        val sid =
+          if (curNode.has("schema-id")) curNode.get("schema-id").asInt()
+          else meta.get("current-schema-id").asInt()
+        meta.get("schemas").elements().asScala
+          .find(n => n.get("schema-id").asInt() == sid).get
+      } else meta.get("schema")
+    val schemaJson = M.writeValueAsString(schemaNode)
+
+    // equality-delete parquet: exactly the key columns
+    val tmp = new Path(tablePath,
+      s".tmp-eq-$snapId-${java.util.UUID.randomUUID()}")
+    keysDf.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).toSeq
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no eq-delete file written"))
+    val eqPath = fs.makeQualified(
+      new Path(new Path(tablePath, "data"), s"s$snapId-eq-delete-0.parquet"))
+    fs.mkdirs(eqPath.getParent)
+    if (!fs.rename(part.getPath, eqPath))
+      throw new IllegalStateException(s"rename failed for $eqPath")
+    fs.delete(tmp, true)
+    val nKeys = spark.read.parquet(eqPath.toString).count()
+    val eqManifest = writeDeleteManifest(spark, mdir, s"eq-$snapId",
+      schemaJson, Seq((eqPath.toString, fs.getFileStatus(eqPath).getLen,
+        nKeys, 2, keyIds)), snapId, seq)
+
+    // the whole source as fresh stats-bearing data files
+    val tmp2 = new Path(tablePath,
+      s".tmp-ups-$snapId-${java.util.UUID.randomUUID()}")
+    appendDf.write.parquet(tmp2.toString)
+    val perFileCounts: Map[String, Long] = spark.read.parquet(tmp2.toString)
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
+      .count().collect()
+      .map(r => (new Path(new java.net.URI(r.getString(0))).getName,
+        r.getLong(1))).toMap
+    val adopted = fs.listStatus(tmp2).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+        val rel = new Path(new Path(tablePath, "data"),
+          s"s$snapId-ups-$i.parquet")
+        if (!fs.rename(st.getPath, rel))
+          throw new IllegalStateException(s"rename failed for $rel")
+        (fs.makeQualified(rel).toString, fs.getFileStatus(rel).getLen,
+          perFileCounts.getOrElse(st.getPath.getName, 0L))
+      }
+    fs.delete(tmp2, true)
+    val fieldInfo: Map[String, (Int, DataType)] =
+      Option(schemaNode.get("fields")).toSeq
+        .flatMap(_.elements().asScala).flatMap { fn =>
+          val n = fn.get("name").asText()
+          snap.schema.find(_.name == n)
+            .map(f => n -> ((fn.get("id").asInt(), f.dataType)))
+        }.toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fileStats = adopted.map { case (p, _, nrec) =>
+      p -> footerFileStats(conf, new Path(p), nrec) }.toMap
+    val dataManifest = writeManifest(spark, mdir, s"ups-$snapId",
+      schemaJson, adopted, snapId, seq, stats = fileStats,
+      fieldInfo = fieldInfo)
+
+    val carried: Seq[GenericRecord] =
+      if (curNode.has("manifest-list"))
+        readManifestList(spark, new Path(curNode.get("manifest-list").asText()))
+      else Seq.empty
+    val listPath = fs.makeQualified(
+      new Path(mdir, s"snap-$snapId-manifest-list.avro"))
+    writeAvro(spark, listPath, ManifestFileSchema,
+      Map("format-version" -> "2"), carried ++ Seq(eqManifest, dataManifest))
+
+    val snapsArr = M.createArrayNode()
+    snaps.foreach(snapsArr.add)
+    val sn = snapsArr.addObject()
+    sn.put("snapshot-id", snapId)
+    sn.put("sequence-number", seq)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath.toString)
+    if (curNode.has("schema-id"))
+      sn.put("schema-id", curNode.get("schema-id").asInt())
+    sn.putObject("summary").put("operation", "overwrite")
+    meta.set[JsonNode]("snapshots", snapsArr)
+    Option(meta.get("snapshot-log")).foreach { log =>
+      val lg = log.asInstanceOf[ArrayNode].addObject()
+      lg.put("snapshot-id", snapId)
+      lg.put("timestamp-ms", now)
+    }
+    meta.put("last-sequence-number", seq)
+    meta.put("last-updated-ms", now)
+    meta.put("current-snapshot-id", snapId)
+    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
+    val out = fs.create(next, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
+    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    snapId
+  }
+
   private def requireUnpartitioned(spark: SparkSession, tablePath: String,
                                    op: String): Unit =
     if (defaultSpecNames(spark, tablePath).nonEmpty)

@@ -215,6 +215,42 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("DV UPDATE: matched positions delete via DV, transformed rows append fresh — one commit, no rewrite") {
+    val t = Files.createTempDirectory("graft-dv-upd").toString + "/t"
+    DeltaLog.write(spark, spark.range(30)
+      .select(col("id").as("k"), (col("id") % 3).as("g")).coalesce(1), t)
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try {
+      val before = DeltaLog.snapshot(spark, t)
+      val v = DeltaLog.update(spark, t,
+        col("k") === 5L || col("k") === 7L, Map("g" -> lit(99L)))
+      assert(v === 1L)
+      val after = DeltaLog.snapshot(spark, t)
+      // original file KEPT (now DV'd); exactly one fresh file appended
+      assert(before.files.map(_.path).toSet
+        .subsetOf(after.files.map(_.path).toSet))
+      assert(after.files.flatMap(_.dv).map(_.cardinality).sum === 2L)
+      assert(after.files.size === before.files.size + 1)
+      val rows = DeltaLog.read(spark, t).as[(Long, Long)].collect().toSet
+      assert(rows.size === 30 && rows((5L, 99L)) && rows((7L, 99L)) &&
+        !rows((5L, 2L)) && !rows((7L, 1L)))
+      // the change feed shows exactly the position diff + the fresh rows
+      val ch = DeltaLog.changes(spark, t, 0L, v)
+        .select("k", "_change_type").as[(Long, String)].collect().toSet
+      assert(ch === Set((5L, "delete"), (7L, "delete"),
+        (5L, "insert"), (7L, "insert")))
+      // simultaneous semantics hold through the DV arm too
+      DeltaLog.update(spark, t, col("k") === 3L,
+        Map("k" -> col("g"), "g" -> col("k")))
+      val rows2 = DeltaLog.read(spark, t).as[(Long, Long)].collect().toSeq
+      assert(rows2.size === 30 && rows2.contains((0L, 3L)) &&
+        !rows2.contains((3L, 0L)))
+      // time travel + the DSv2 scan agree
+      assert(DeltaLog.read(spark, t, versionAsOf = Some(0L)).count() === 30L)
+      assert(spark.read.format("graft-delta").load(t).count() === 30L)
+    } finally spark.conf.unset("spark.graft.dv.enabled")
+  }
+
   test("SQL DELETE through the catalog takes the DV arm when enabled") {
     val root = Files.createTempDirectory("graft-dv-cat").toString
     spark.conf.set("spark.sql.catalog.graft_dv", "graft.sources.GraftCatalog")

@@ -312,6 +312,55 @@ class GraftIcebergStreamSpec extends SparkSpec {
     // (covered by IcebergSpec's hand-built v2 table + resolve gate)
   }
 
+  test("equality-delete UPSERT: one snapshot, no target scan, strictly-newer scoping; repeated upserts converge") {
+    val dir = tmp("gi-ups")
+    val t = s"$dir/t"
+    IcebergTable.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n"), t)
+    val s0 = IcebergTable.snapshot(spark, t)
+    // upsert: replace k=2, insert k=9 — ONE snapshot
+    IcebergTable.upsertEquality(spark, t,
+      Seq((2L, "B", 200), (9L, "z", 90)).toDF("k", "v", "n"), Seq("k"))
+    val s1 = IcebergTable.snapshot(spark, t)
+    assert(IcebergTable.snapshotIds(spark, t).size === 2)
+    // an equality delete (content=2) on the key field id + fresh data
+    assert(s1.deletes.exists(_.content == 2))
+    assert(s1.deletes.filter(_.content == 2)
+      .forall(_.equalityIds.map(s1.fieldNames) == Seq("k")))
+    assert(IcebergTable.read(spark, t).as[(Long, String, Int)].collect().toSet
+      === Set((1L, "a", 10), (2L, "B", 200), (3L, "c", 30), (9L, "z", 90)))
+    // STRICTLY-newer scoping: the upsert's own rows survive its delete
+    // (asserted by k=2/k=9 being present above); the old snapshot
+    // still reads the original rows
+    assert(IcebergTable.read(spark, t,
+      snapshotIdAsOf = Some(s0.snapshotId)).count() === 3L)
+    // a second upsert on the same key converges (last writer wins)
+    IcebergTable.upsertEquality(spark, t,
+      Seq((2L, "B2", 2000)).toDF("k", "v", "n"), Seq("k"))
+    assert(IcebergTable.read(spark, t).where(col("k") === 2L)
+      .as[(Long, String, Int)].collect().toSeq === Seq((2L, "B2", 2000)))
+    assert(IcebergTable.read(spark, t).count() === 4L)
+    // duplicate source keys refuse loudly
+    intercept[IllegalArgumentException] {
+      IcebergTable.upsertEquality(spark, t,
+        Seq((5L, "x", 1), (5L, "y", 2)).toDF("k", "v", "n"), Seq("k"))
+    }
+    // the raw-scan gates hold: equality-delete tables refuse in the
+    // catalog (only the library reader applies them)
+    val root = tmp("gi-ups-cat")
+    spark.conf.set("spark.sql.catalog.graft_iu", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_iu.root", root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/ns"))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$root/ns/t"), java.nio.file.Paths.get(t))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_iu.ns.t").collect()
+    }
+    assert(e.getMessage.contains("EQUALITY") ||
+      Option(e.getCause).exists(_.getMessage.contains("EQUALITY")),
+      e.getMessage)
+  }
+
   test("catalog batch scan: rows, VERSION AS OF, statistics, and the delete-file gate") {
     val root = tmp("gi-batch")
     spark.conf.set("spark.sql.catalog.graft_ib", "graft.sources.GraftCatalog")
