@@ -5414,6 +5414,113 @@ object SparkEntry {
         .groupBy(col("s_nationkey").as("nation"))
         .agg(count(lit(1)).as("n_sup"), sumD(col("s_acctbal")).as("bal"))
         .orderBy("nation")
+    }),
+
+    // Iceberg OPTIMIZE: append pile + MOR delete → SQL OPTIMIZE
+    // compacts to ceil(bytes/target) files as a `replace` snapshot
+    // with the delete pile folded away → anti-join-free scan serves
+    // the identical live rows (IcebergTable.rewriteDataFiles)
+    "interop_iceberg_compact" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icec")
+        .toString + "/t"
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_retailprice"))
+      graft.sources.IcebergTable.write(s,
+        p.filter(col("p_partkey") % 2 === 0), t)
+      graft.sources.IcebergTable.write(s,
+        p.filter(col("p_partkey") % 2 =!= 0), t)
+      graft.sources.IcebergTable.delete(s, t, col("p_size") < 10)
+      s.sql(s"OPTIMIZE '$t'")
+      s.read.format("graft-iceberg").load(t)
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sumD(col("p_retailprice")).as("retail"))
+        .orderBy("brand")
+    }),
+
+    // Iceberg ALTER TABLE ADD COLUMN: metadata-only schema evolution
+    // (fresh schema-id + field ids) → old files serve the column as
+    // null, the evolved append carries real values — one scan reads
+    // both generations (IcebergTable.addColumns)
+    "interop_iceberg_evolve" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icee")
+        .toString + "/t"
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      graft.sources.IcebergTable.write(s, n, t)
+      graft.sources.IcebergTable.addColumns(s, t, Seq(
+        org.apache.spark.sql.types.StructField("n_score",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+      graft.sources.IcebergTable.write(s,
+        n.select((col("n_nationkey") + 100).as("n_nationkey"),
+          col("n_name"),
+          (col("n_nationkey") * lit(1.5)).as("n_score")), t)
+      graft.sources.IcebergTable.read(s, t)
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"),
+          coalesce(col("n_score"), lit(-1.0)).as("score"))
+        .orderBy("k")
+    }),
+
+    // ZERO-COPY format mirrors, both directions: a Delta table
+    // published as Iceberg IN PLACE (IcebergTable.mirrorFromDelta —
+    // manifests adopt the Delta files, record counts from the stats
+    // JSON) and an Iceberg table published as a Delta shallow clone
+    // (DeltaLog.mirrorFromIceberg — add actions adopt the Iceberg
+    // files); each leg reads through the MIRROR format's reader
+    "interop_format_mirror" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-mir")
+        .toString
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      graft.sources.DeltaLog.write(s, c, s"$root/dl")
+      graft.sources.IcebergTable.mirrorFromDelta(s, s"$root/dl")
+      val legA = graft.sources.IcebergTable.read(s, s"$root/dl")
+        .groupBy((col("c_custkey") % 5).as("grp"))
+        .agg(count(lit(1)).as("n"), sumD(col("c_acctbal")).as("total"))
+        .select(lit("delta_as_iceberg").as("leg"), col("grp"), col("n"),
+          col("total"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
+      graft.sources.IcebergTable.write(s, sup, s"$root/ice")
+      graft.sources.DeltaLog.mirrorFromIceberg(s, s"$root/ice", s"$root/ice_dl")
+      val legB = graft.sources.DeltaLog.read(s, s"$root/ice_dl")
+        .groupBy((col("s_suppkey") % 5).as("grp"))
+        .agg(count(lit(1)).as("n"), sumD(col("s_acctbal")).as("total"))
+        .select(lit("iceberg_as_delta").as("leg"), col("grp"), col("n"),
+          col("total"))
+      legA.unionByName(legB).orderBy("leg", "grp")
+    }),
+
+    // Delta CHECK constraint lifecycle: SQL ADD CONSTRAINT (validated
+    // against existing rows, protocol bump) → a violating append
+    // VETOES before staging (nothing commits) → the clean append
+    // lands → read (DeltaLog.addCheckConstraint + write's invariant
+    // gate)
+    "interop_delta_constraint" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-ck")
+        .toString
+      s.conf.set("spark.sql.catalog.gq_ck", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq_ck.root", root)
+      val t = s"$root/ns/t"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.DeltaLog.write(s, c, t)
+      s.sql(
+        "ALTER TABLE gq_ck.ns.t ADD CONSTRAINT bal CHECK (c_acctbal >= -1000.0)")
+      val offender = c.limit(1).select(
+        lit(9000000L).as("c_custkey"), lit("BAD").as("c_mktsegment"),
+        lit(-999999.0).as("c_acctbal"))
+      try {
+        graft.sources.DeltaLog.write(s, offender, t)
+        throw new IllegalStateException("constraint did not fire")
+      } catch { case _: IllegalArgumentException => () }
+      graft.sources.DeltaLog.write(s,
+        c.filter(col("c_custkey") % 10 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("REINSTATED").as("c_mktsegment"),
+            greatest(col("c_acctbal"), lit(0.0)).as("c_acctbal")), t)
+      s.table("gq_ck.ns.t")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"), sumD(col("c_acctbal")).as("total"))
+        .orderBy("segment")
     })
   )
 
@@ -8441,7 +8548,46 @@ object SparkEntry {
     "interop_iceberg_roundtrip" ->
       s"""SELECT s_nationkey AS nation, COUNT(*) AS n_sup,
          | ${sqlSumD("s_acctbal")} AS bal
-         |FROM supplier GROUP BY 1 ORDER BY nation""".stripMargin
+         |FROM supplier GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "interop_iceberg_compact" ->
+      s"""SELECT p_brand AS brand, COUNT(*) AS n_parts,
+         | ${sqlSumD("p_retailprice")} AS retail
+         |FROM part WHERE NOT (p_size < 10)
+         |GROUP BY 1 ORDER BY brand""".stripMargin,
+
+    "interop_iceberg_evolve" ->
+      """SELECT k, name, score FROM (
+        |  SELECT n_nationkey AS k, n_name AS name,
+        |   CAST(-1.0 AS DOUBLE) AS score
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100 AS k, n_name AS name,
+        |   CAST(n_nationkey AS DOUBLE) * CAST(1.5 AS DOUBLE) AS score
+        |  FROM nation)
+        |ORDER BY k""".stripMargin,
+
+    "interop_format_mirror" ->
+      s"""SELECT leg, grp, n, total FROM (
+         |  SELECT 'delta_as_iceberg' AS leg, c_custkey % 5 AS grp,
+         |   COUNT(*) AS n, ${sqlSumD("c_acctbal")} AS total
+         |  FROM customer GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'iceberg_as_delta' AS leg, s_suppkey % 5 AS grp,
+         |   COUNT(*) AS n, ${sqlSumD("s_acctbal")} AS total
+         |  FROM supplier GROUP BY 2)
+         |ORDER BY leg, grp""".stripMargin,
+
+    "interop_delta_constraint" ->
+      s"""WITH final AS (
+         |  SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer
+         |  UNION ALL
+         |  SELECT 'REINSTATED' AS seg,
+         |   CASE WHEN c_acctbal > 0.0 THEN c_acctbal ELSE 0.0 END AS bal
+         |  FROM customer WHERE c_custkey % 10 = 0)
+         |SELECT seg AS segment, COUNT(*) AS n_cust,
+         | ${sqlSumD("bal")} AS total
+         |FROM final GROUP BY 1 ORDER BY segment""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -258,13 +258,14 @@ object DeltaLog {
     val conf = Option(metaRow.getAs[scala.collection.Map[String, String]]("configuration"))
       .map(_.toMap).getOrElse(Map.empty[String, String])
     // column mapping: `name` mode resolves at read time through the
-    // schema's physicalName metadata ([[readSnapshotAll]]); `id` mode
-    // would need parquet field-id resolution — loud, never wrong
+    // schema's physicalName metadata, `id` mode through parquet
+    // FIELD-ID resolution ([[readSnapshotAll]]); unknown future modes
+    // stay loud, never wrong
     val cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
-    if (cmMode != "none" && cmMode != "name")
+    if (cmMode != "none" && cmMode != "name" && cmMode != "id")
       throw new UnsupportedOperationException(
-        s"delta.columnMapping.mode=$cmMode is not supported (none/name " +
-          "only — id mode needs parquet field-id resolution)")
+        s"delta.columnMapping.mode=$cmMode is not supported " +
+          "(none/name/id only)")
     val schema = DataType.fromJson(metaRow.getAs[String]("schemaString"))
       .asInstanceOf[StructType]
     val partCols = Option(metaRow.getAs[scala.collection.Seq[String]]("partitionColumns"))
@@ -569,29 +570,51 @@ object DeltaLog {
   /** Writers read and stage by LOGICAL name; on a column-mapped table
     * that would silently write (or rewrite) wrong columns — loud. */
   private def requireNotColumnMapped(snap: Snapshot, op: String): Unit =
-    if (isColumnMapped(snap.schema))
+    if (isColumnMapped(snap.schema) ||
+      snap.configuration.get("delta.columnMapping.mode").exists(_ != "none"))
       throw new UnsupportedOperationException(
         s"$op on a column-mapped table is not supported — reads resolve " +
-          "physical names (DeltaLog.read), writers do not yet")
+          "physical names / field ids (DeltaLog.read), writers do not yet")
 
   private def readSnapshotAll(spark: SparkSession, snap: Snapshot): DataFrame = {
     import spark.implicits._
-    // column mapping (name mode): the parquet files store PHYSICAL
-    // names; read through a physical-named snapshot (partitionValues
-    // keys are physical in the log already), then alias every column
-    // back to its logical name — a plain projection, so pushdown and
-    // codegen survive. Nested physical renames would need a recursive
-    // struct rebuild — loud until someone needs them.
-    if (isColumnMapped(snap.schema)) {
+    // column mapping: the parquet files store PHYSICAL names; read
+    // through a physical-named snapshot (partitionValues keys are
+    // physical in the log already), then alias every column back to
+    // its logical name — a plain projection, so pushdown and codegen
+    // survive. In `id` mode the physical fields ALSO carry the
+    // spec's column id as `parquet.field.id`, and Spark's own
+    // field-id resolution (spark.sql.parquet.fieldId.read.enabled,
+    // set in GraftSession) matches them by ID — the parquet column
+    // NAME is free to differ, which is the whole point of id mode.
+    // Nested physical renames would need a recursive struct rebuild —
+    // loud until someone needs them.
+    val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (isColumnMapped(snap.schema) || cmMode != "none") {
       snap.schema.fields.foreach(f => if (nestedMapped(f.dataType))
         throw new UnsupportedOperationException(
           s"nested column-mapping physical names under field ${f.name} " +
             "are not supported"))
+      def physField(f: StructField): StructField = {
+        val renamed = f.copy(name = physName(f))
+        if (cmMode == "id" && f.metadata.contains("delta.columnMapping.id")) {
+          require(spark.conf.get(
+            "spark.sql.parquet.fieldId.read.enabled", "false") == "true",
+            "id-mode column mapping needs " +
+              "spark.sql.parquet.fieldId.read.enabled=true")
+          renamed.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id")).build())
+        } else renamed
+      }
       val physSnap = snap.copy(
-        schema = StructType(snap.schema.fields.map(f =>
-          f.copy(name = physName(f)))),
+        schema = StructType(snap.schema.fields.map(physField)),
         partitionColumns = snap.partitionColumns.map(c =>
-          physName(snap.schema(c))))
+          physName(snap.schema(c))),
+        // the physical snapshot is resolved — drop the mode so the
+        // recursive read does not re-enter this branch
+        configuration = snap.configuration - "delta.columnMapping.mode")
       return readSnapshotAll(spark, physSnap).select(
         snap.schema.fields.map(f => col(physName(f)).as(f.name)).toSeq: _*)
     }
@@ -1038,9 +1061,14 @@ object DeltaLog {
   }
 
   private def metaDataLine(tableId: String, schemaJson: String,
-                           partitionColumns: Seq[String], now: Long): String = {
+                           partitionColumns: Seq[String], now: Long,
+                           configuration: Map[String, String] = Map.empty)
+  : String = {
     val pcJson = partitionColumns.map(jsEscape).mkString("[", ",", "]")
-    s"""{"metaData":{"id":${jsEscape(tableId)},"format":{"provider":"parquet","options":{}},"schemaString":${jsEscape(schemaJson)},"partitionColumns":$pcJson,"configuration":{},"createdTime":$now}}"""
+    val confJson = configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsEscape(k)}:${jsEscape(v)}" }
+      .mkString("{", ",", "}")
+    s"""{"metaData":{"id":${jsEscape(tableId)},"format":{"provider":"parquet","options":{}},"schemaString":${jsEscape(schemaJson)},"partitionColumns":$pcJson,"configuration":$confJson,"createdTime":$now}}"""
   }
 
   /** Table-relative path → percent-encoded log path, RFC 2396 per
@@ -1289,6 +1317,12 @@ object DeltaLog {
     effParts.foreach(c => require(df.columns.contains(c),
       s"partition column $c not in ${df.columns.mkString(",")}"))
 
+    // CHECK constraints + NOT NULL invariants veto the commit BEFORE
+    // anything is staged; an overwrite replaces the schema, so the
+    // old schema's nullability no longer binds (constraints do)
+    prior.foreach(p => enforceInvariants(spark, df, p, deltaPath,
+      enforceNotNull = !overwrite))
+
     // stage the data through a scratch dir, then adopt the parts
     // under stable names (never leave half-written files at paths the
     // log references)
@@ -1309,8 +1343,11 @@ object DeltaLog {
       lines += metaDataLine(tableId, df.schema.json, effParts, now)
     } else if (overwrite) {
       val p = prior.get
+      // a schema-changing overwrite must never drop the table's
+      // configuration (constraints, properties) on the floor
       if (p.schema != df.schema || p.partitionColumns != effParts)
-        lines += metaDataLine(tableId, df.schema.json, effParts, now)
+        lines += metaDataLine(tableId, df.schema.json, effParts, now,
+          p.configuration)
       // snapshot paths are absolute; the log stores table-relative —
       // normalize the scheme off both sides before stripping
       def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
@@ -1463,6 +1500,14 @@ object DeltaLog {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(deltaPath)
     val fs = dst.getFileSystem(fsConf)
+    // a MIRROR only adopted its data files — physical cleanup through
+    // the view would delete the OWNING table's data out from under it
+    snapshot(spark, deltaPath).configuration.get("graft.mirrorOf")
+      .foreach { src =>
+        throw new UnsupportedOperationException(
+          s"$deltaPath is a zero-copy mirror of $src — vacuum the " +
+            "owning table, never the mirror")
+      }
     def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
     val root = deScheme(fs.makeQualified(dst).toString)
     val versions = listVersions(spark, deltaPath)
@@ -1954,12 +1999,210 @@ object DeltaLog {
     val tableId = java.util.UUID.nameUUIDFromBytes(
       deltaPath.getBytes("UTF-8")).toString
     val line = metaDataLine(tableId, widened.json, prior.partitionColumns,
-      System.currentTimeMillis())
+      System.currentTimeMillis(), prior.configuration)
     val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((line + "\n").getBytes("UTF-8"))
     finally out.close()
     v
+  }
+
+  /** `ALTER TABLE … ADD CONSTRAINT <name> CHECK (<expr>)` —
+    * PROTOCOL.md "CHECK Constraints": the predicate lives in table
+    * configuration as `delta.constraints.<name>` and binds every
+    * writer. EXISTING rows are validated first (one scan; a violation
+    * vetoes the ALTER with the offending row count), then a
+    * metaData-only version commits the constraint together with the
+    * protocol bump real writers key on — minWriterVersion 3, or the
+    * `checkConstraints` writer feature when the table is already on
+    * (3,7). Every subsequent graft write re-validates the incoming
+    * frame ([[write]]'s invariant gate); NULL results pass, per the
+    * protocol. */
+  def addCheckConstraint(spark: SparkSession, deltaPath: String,
+                         name: String, exprSql: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be an identifier")
+    val prior = snapshot(spark, deltaPath)
+    val key = s"delta.constraints.${name.toLowerCase(java.util.Locale.ROOT)}"
+    require(!prior.configuration.contains(key),
+      s"constraint $name already exists on $deltaPath " +
+        s"(${prior.configuration(key)})")
+    val bad = read(spark, deltaPath)
+      .where(!coalesce(expr(exprSql), lit(true))).count()
+    require(bad == 0L,
+      s"cannot add CHECK constraint $name ($exprSql) to $deltaPath: " +
+        s"$bad existing rows violate it")
+    commitConfigChange(spark, deltaPath, prior,
+      prior.configuration + (key -> exprSql), upgradeForConstraints = true)
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT <name>` — metaData-only commit
+    * removing the `delta.constraints.<name>` entry. */
+  def dropCheckConstraint(spark: SparkSession, deltaPath: String,
+                          name: String): Long = {
+    val prior = snapshot(spark, deltaPath)
+    val key = s"delta.constraints.${name.toLowerCase(java.util.Locale.ROOT)}"
+    require(prior.configuration.contains(key),
+      s"no constraint $name on $deltaPath")
+    commitConfigChange(spark, deltaPath, prior,
+      prior.configuration - key, upgradeForConstraints = false)
+  }
+
+  private def commitConfigChange(spark: SparkSession, deltaPath: String,
+                                 prior: Snapshot,
+                                 newConf: Map[String, String],
+                                 upgradeForConstraints: Boolean): Long = {
+    val fs = new Path(deltaPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v = listVersions(spark, deltaPath).last + 1
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      deltaPath.getBytes("UTF-8")).toString
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val (mrv, mwv, rf, wf) = prior.protocol
+    if (upgradeForConstraints) {
+      // writer version 3 introduced CHECK constraints; a table
+      // already on table features declares the named feature instead
+      if (mwv >= 7) {
+        if (!wf.contains("checkConstraints")) {
+          val wfOut = (wf :+ "checkConstraints").distinct.sorted
+          val rfJson = rf.map(jsEscape).mkString("[", ",", "]")
+          lines += s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7,"readerFeatures":$rfJson,"writerFeatures":${wfOut.map(jsEscape).mkString("[", ",", "]")}}}"""
+        }
+      } else if (mwv < 3) {
+        lines += s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":3}}"""
+      }
+    }
+    lines += metaDataLine(tableId, prior.schema.json,
+      prior.partitionColumns, System.currentTimeMillis(), newConf)
+    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** ZERO-COPY format mirror — publish the CURRENT snapshot of a real
+    * Iceberg table as a Delta table WITHOUT touching a data file (the
+    * shallow-clone shape: every live Iceberg data file is ADOPTED by
+    * absolute path into `add` actions of a fresh `_delta_log` at
+    * `deltaPath`; record counts come from the Iceberg manifests as
+    * per-file stats JSON). `deltaPath` must be a SEPARATE directory —
+    * an in-place dual-format dir would flip the catalog's flavor
+    * detection (Delta wins) and silently change who owns SQL writes.
+    * Re-mirror after new Iceberg snapshots to advance the Delta view:
+    * one new Delta version commits the file-set DIFF (removes + adds),
+    * so the Delta change feed across mirrors stays meaningful. The
+    * mirror is marked `graft.mirrorOf` in table configuration and
+    * [[vacuum]] REFUSES on it — physical cleanup must happen through
+    * the owning Iceberg table. Merge-on-read delete files refuse
+    * loudly ([[IcebergTable.rewriteDataFiles]] folds them away
+    * first); partitioned Iceberg sources mirror as UNPARTITIONED
+    * Delta — the Iceberg layout keeps identity-source columns IN the
+    * data files, so rows stay correct and only partition pruning is
+    * forgone. */
+  def mirrorFromIceberg(spark: SparkSession, icebergPath: String,
+                        deltaPath: String): Long = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(deltaPath)
+    val fs = dst.getFileSystem(fsConf)
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    require(deScheme(fs.makeQualified(dst).toString) !=
+      deScheme(fs.makeQualified(new Path(icebergPath)).toString),
+      "mirrorFromIceberg needs a SEPARATE target directory — an " +
+        "in-place dual-format dir would flip catalog flavor detection " +
+        "to Delta and change who owns SQL writes")
+    val isnap = IcebergTable.snapshot(spark, icebergPath)
+    require(isnap.snapshotId != -1L,
+      s"cannot mirror empty Iceberg table $icebergPath")
+    require(isnap.deletes.isEmpty,
+      s"$icebergPath carries merge-on-read delete files a Delta reader " +
+        "of the raw files would ignore — IcebergTable.rewriteDataFiles " +
+        "first (compaction folds the deletes away)")
+
+    fs.mkdirs(logDir(deltaPath))
+    val existing = fs.listStatus(logDir(deltaPath)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("\\d{20}\\.json") =>
+        n.stripSuffix(".json").toLong }.sorted
+    val v = existing.lastOption.map(_ + 1).getOrElse(0L)
+    val prior: Option[Snapshot] =
+      if (existing.nonEmpty) Some(snapshot(spark, deltaPath)) else None
+    prior.foreach(p => require(
+      p.configuration.contains("graft.mirrorOf"),
+      s"$deltaPath exists and is not a mirror — refusing to overwrite " +
+        "a real table with mirror commits"))
+    val now = System.currentTimeMillis()
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      ("delta-mirror:" + deltaPath).getBytes("UTF-8")).toString
+
+    // adopted file set: absolute scheme-less paths, percent-encoded
+    // exactly like every other log path (real readers resolve them
+    // against the root via the Hadoop absolute-child rule)
+    def keyOf(p: String): String =
+      deScheme(fs.makeQualified(new Path(p)).toString)
+    val current: Seq[(String, IcebergTable.DataFile)] =
+      isnap.files.map(f => keyOf(f.path) -> f)
+    val priorKeys: Set[String] = prior.toSeq.flatMap(_.files)
+      .map(f => keyOf(f.path)).toSet
+    val currentKeys = current.map(_._1).toSet
+
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    if (v == 0L) {
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      lines += metaDataLine(tableId, isnap.schema.json, Seq.empty, now,
+        Map("graft.mirrorOf" -> icebergPath))
+    } else if (prior.exists(_.schema != isnap.schema)) {
+      lines += metaDataLine(tableId, isnap.schema.json, Seq.empty, now,
+        prior.get.configuration)
+    }
+    priorKeys.diff(currentKeys).toSeq.sorted.foreach { gone =>
+      lines += s"""{"remove":{"path":${jsEscape(encodePath(gone))},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    current.filterNot(c => priorKeys(c._1)).foreach { case (key, f) =>
+      val stats = "{\"numRecords\":" + f.records + "}"
+      lines += s"""{"add":{"path":${jsEscape(encodePath(key))},"partitionValues":{},"size":${f.sizeBytes},"modificationTime":$now,"dataChange":true,"stats":${jsEscape(stats)}}}"""
+    }
+    // nothing changed since the last mirror: no empty commit
+    if (lines.isEmpty) return existing.last
+    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** The write-path invariant gate: PROTOCOL.md Column Invariants
+    * (NOT NULL on the table schema) + CHECK Constraints
+    * (`delta.constraints.*`), enforced on the INCOMING frame in ONE
+    * job before anything is staged — a violating row vetoes the whole
+    * commit. NULL constraint results pass, per the protocol; the
+    * violation path (rare) pays per-check counts for the error
+    * message. */
+  private def enforceInvariants(spark: SparkSession, df: DataFrame,
+                                snap: Snapshot, deltaPath: String,
+                                enforceNotNull: Boolean): Unit = {
+    val checks: Seq[(String, org.apache.spark.sql.Column)] =
+      snap.configuration.toSeq.sortBy(_._1).collect {
+        case (k, v) if k.startsWith("delta.constraints.") =>
+          s"CHECK constraint ${k.stripPrefix("delta.constraints.")} ($v)" ->
+            !coalesce(expr(v), lit(true))
+      } ++ (if (!enforceNotNull) Seq.empty
+      else snap.schema.fields.toSeq
+        // only when the incoming column CAN hold nulls — a frame whose
+        // own type is non-nullable is proven clean by Spark's types,
+        // so the common typed-Dataset append pays no extra scan
+        .filter(f => !f.nullable &&
+          df.schema.find(_.name == f.name).exists(_.nullable))
+        .map(f => s"NOT NULL column ${f.name}" -> col(f.name).isNull))
+    if (checks.isEmpty) return
+    if (!df.where(checks.map(_._2).reduce(_ || _)).isEmpty) {
+      val counts = checks.map { case (label, c) =>
+        (label, df.where(c).count())
+      }.filter(_._2 > 0)
+      throw new IllegalArgumentException(
+        s"write to $deltaPath rejected: " + counts.map { case (l, n) =>
+          s"$n rows violate $l" }.mkString("; "))
+    }
   }
 
   /** Author a classic single-file checkpoint at `version`:

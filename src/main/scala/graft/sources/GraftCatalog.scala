@@ -224,6 +224,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     *  - delta → a metaData-only commit via [[DeltaLog.addColumns]];
     *    existing files read the columns as null, appends are gated on
     *    the widened schema, time travel unaffected.
+    *  - iceberg → real schema evolution via
+    *    [[IcebergTable.addColumns]]: a new schema-id with fresh field
+    *    ids, current reads null-fill, time travel keeps each
+    *    snapshot's pinned schema.
     *  - plain parquet → the `_graft_schema.json` sidecar.
     * Anything other than a top-level AddColumn stays a loud
     * UnsupportedOperationException — never a silently dropped DDL. */
@@ -243,9 +247,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (isDelta(dir)) {
       DeltaLog.addColumns(spark, dir.toString, adds)
     } else if (isIceberg(dir)) {
-      throw new UnsupportedOperationException(
-        "ALTER TABLE on an iceberg-flavor table: evolve the schema with " +
-          "IcebergTable.write of the widened frame instead")
+      IcebergTable.addColumns(spark, dir.toString, adds)
     } else if (isVersioned(dir)) {
       val cur = VersionedTable.read(spark, dir.toString)
       val widened = adds.foldLeft(cur) { (df, f) =>

@@ -41,6 +41,10 @@ object GraftSession {
       // one timestamp type across both the nanos and micros shapes
       // of the events table
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // id-mode column mapping: requested schemas carrying
+      // parquet.field.id resolve against parquet field ids
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
 
   /** Local session for tests/benchmarks on this machine. */
   def local(cores: Int): SparkSession = {

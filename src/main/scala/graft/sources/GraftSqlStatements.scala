@@ -61,6 +61,12 @@ object GraftSqlStatements {
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Target +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val AddConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+ADD\s+CONSTRAINT\s+([\w$]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+DROP\s+CONSTRAINT\s+([\w$]+)\s*;?\s*$""").r
 
   /** Split `a.`b.c`.d` on dots outside backticks. */
   private[sources] def splitParts(s: String): Seq[String] = {
@@ -92,6 +98,13 @@ object GraftSqlStatements {
       Some(GraftVacuumCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         Option(retain).map(_.toInt), dry != null))
+    case AddConstraintRe(path, ident, name, check) =>
+      Some(GraftConstraintCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil), name,
+        Some(check.trim)))
+    case DropConstraintRe(path, ident, name) =>
+      Some(GraftConstraintCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil), name, None))
     case _ => None
   }
 
@@ -190,7 +203,38 @@ case class GraftOptimizeCommand(path: Option[String], parts: Seq[String],
       case IcebergFlavor =>
         require(zorder.isEmpty,
           "ZORDER BY is not supported for Iceberg-flavor tables")
-        IcebergTable.rewriteManifests(spark, dir)
+        // data-file compaction (applies + folds away MOR deletes);
+        // manifest-only reorganization stays available as
+        // IcebergTable.rewriteManifests
+        IcebergTable.rewriteDataFiles(spark, dir)
+    }
+    Seq(Row(dir, v))
+  }
+}
+
+/** `ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)` /
+  * `DROP CONSTRAINT <name>` → [[DeltaLog.addCheckConstraint]] /
+  * [[DeltaLog.dropCheckConstraint]]. Delta-flavor only — CHECK
+  * constraints are a Delta protocol feature (configuration
+  * `delta.constraints.*` + writer version 3); other flavors refuse
+  * loudly rather than pretend to persist a predicate nothing would
+  * enforce. */
+case class GraftConstraintCommand(path: Option[String], parts: Seq[String],
+                                  name: String, check: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    require(flavorOf(spark, dir) == DeltaFlavor,
+      s"CHECK constraints are a Delta protocol feature; $dir is not a " +
+        "Delta table")
+    val v = check match {
+      case Some(expr) => DeltaLog.addCheckConstraint(spark, dir, name, expr)
+      case None => DeltaLog.dropCheckConstraint(spark, dir, name)
     }
     Seq(Row(dir, v))
   }

@@ -291,9 +291,13 @@ object IcebergTable {
     }
     val snapId = chosen.get("snapshot-id").asLong()
     val snapTs = chosen.get("timestamp-ms").asLong()
-    // a snapshot written under an older schema reads with THAT schema
+    // Iceberg scan-schema rule: a CURRENT read always uses the
+    // table's current schema (so ALTER TABLE ADD COLUMN is visible
+    // over old files, as null); a TIME-TRAVEL read uses the schema
+    // the chosen snapshot pinned when it committed.
+    val timeTravel = snapshotIdAsOf.isDefined || timestampAsOf.isDefined
     val snapSchemaNode =
-      if (chosen.has("schema-id") && meta.has("schemas"))
+      if (timeTravel && chosen.has("schema-id") && meta.has("schemas"))
         schemaById(chosen.get("schema-id").asInt())
       else schemaById(currentSchemaId)
     val snapSchema =
@@ -813,11 +817,11 @@ object IcebergTable {
     val now = System.currentTimeMillis()
     val curNode = snaps.find(
       _.get("snapshot-id").asLong() == snap.snapshotId).get
+    // mutation commits operate on (and their outputs match) the
+    // table's CURRENT schema — post-ALTER DML writes the evolved shape
     val schemaNode: JsonNode =
       if (meta.has("schemas")) {
-        val sid =
-          if (curNode.has("schema-id")) curNode.get("schema-id").asInt()
-          else meta.get("current-schema-id").asInt()
+        val sid = meta.get("current-schema-id").asInt()
         meta.get("schemas").elements().asScala
           .find(n => n.get("schema-id").asInt() == sid).get
       } else meta.get("schema")
@@ -891,7 +895,9 @@ object IcebergTable {
     sn.put("sequence-number", seq)
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
-    if (curNode.has("schema-id"))
+    if (meta.has("current-schema-id"))
+      sn.put("schema-id", meta.get("current-schema-id").asInt())
+    else if (curNode.has("schema-id"))
       sn.put("schema-id", curNode.get("schema-id").asInt())
     sn.putObject("summary").put("operation", "overwrite")
     meta.set[JsonNode]("snapshots", snapsArr)
@@ -1007,7 +1013,8 @@ object IcebergTable {
   private def commitMorSnapshot(spark: SparkSession, tablePath: String,
                                 snap: Snapshot, rows: Seq[(String, Long)],
                                 appendDf: Option[DataFrame],
-                                operation: String): Long = {
+                                operation: String,
+                                carryExisting: Boolean = true): Long = {
     import spark.implicits._
     val mp = latestMetadataFile(spark, tablePath)
     val metaVersion =
@@ -1024,11 +1031,11 @@ object IcebergTable {
 
     val curNode = snaps.find(
       _.get("snapshot-id").asLong() == snap.snapshotId).get
+    // mutation commits operate on (and their outputs match) the
+    // table's CURRENT schema — post-ALTER DML writes the evolved shape
     val schemaNode: JsonNode =
       if (meta.has("schemas")) {
-        val sid =
-          if (curNode.has("schema-id")) curNode.get("schema-id").asInt()
-          else meta.get("current-schema-id").asInt()
+        val sid = meta.get("current-schema-id").asInt()
         meta.get("schemas").elements().asScala
           .find(n => n.get("schema-id").asInt() == sid).get
       } else meta.get("schema")
@@ -1091,9 +1098,11 @@ object IcebergTable {
         snapId, seq, stats = fileStats, fieldInfo = fieldInfo)
     }
 
-    // carry the current snapshot's manifests (data + prior deletes)
+    // carry the current snapshot's manifests (data + prior deletes) —
+    // unless this is a full REPLACE (compaction), whose fresh data
+    // manifest supersedes every prior data AND delete manifest
     val carried: Seq[GenericRecord] =
-      if (curNode.has("manifest-list"))
+      if (carryExisting && curNode.has("manifest-list"))
         readManifestList(spark, new Path(curNode.get("manifest-list").asText()))
       else Seq.empty
     val listPath = fs.makeQualified(
@@ -1109,7 +1118,9 @@ object IcebergTable {
     sn.put("sequence-number", seq)
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
-    if (curNode.has("schema-id"))
+    if (meta.has("current-schema-id"))
+      sn.put("schema-id", meta.get("current-schema-id").asInt())
+    else if (curNode.has("schema-id"))
       sn.put("schema-id", curNode.get("schema-id").asInt())
     sn.putObject("summary").put("operation", operation)
     meta.set[JsonNode]("snapshots", snapsArr)
@@ -1178,6 +1189,14 @@ object IcebergTable {
     val metaVersion =
       mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
     val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    // a MIRROR only adopted its data files — physical cleanup through
+    // the view would delete the OWNING table's data out from under it
+    Option(meta.get("properties"))
+      .flatMap(p => Option(p.get("graft.mirror-of"))).foreach { src =>
+        throw new UnsupportedOperationException(
+          s"$tablePath is a zero-copy mirror of ${src.asText()} — expire " +
+            "or vacuum through the owning table, never through the mirror")
+      }
     val snaps = Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala).toSeq
     if (snaps.size <= keepSnapshots) return Seq.empty
@@ -1265,11 +1284,11 @@ object IcebergTable {
     val seq = Option(meta.get("last-sequence-number"))
       .map(_.asLong()).getOrElse(0L) + 1
     val now = System.currentTimeMillis()
+    // mutation commits operate on (and their outputs match) the
+    // table's CURRENT schema — post-ALTER DML writes the evolved shape
     val schemaNode: JsonNode =
       if (meta.has("schemas")) {
-        val sid =
-          if (curNode.has("schema-id")) curNode.get("schema-id").asInt()
-          else meta.get("current-schema-id").asInt()
+        val sid = meta.get("current-schema-id").asInt()
         meta.get("schemas").elements().asScala
           .find(n => n.get("schema-id").asInt() == sid).get
       } else meta.get("schema")
@@ -1348,7 +1367,9 @@ object IcebergTable {
     sn.put("sequence-number", seq)
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
-    if (curNode.has("schema-id"))
+    if (meta.has("current-schema-id"))
+      sn.put("schema-id", meta.get("current-schema-id").asInt())
+    else if (curNode.has("schema-id"))
       sn.put("schema-id", curNode.get("schema-id").asInt())
     sn.putObject("summary").put("operation", "replace")
     meta.set[JsonNode]("snapshots", snapsArr)
@@ -1364,6 +1385,310 @@ object IcebergTable {
     val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
     val out = fs.create(next, false)
     try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
+    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    snapId
+  }
+
+  /** Compact the table's data files — the OPTIMIZE twin for the
+    * Iceberg flavor (Iceberg's own `rewrite_data_files` action,
+    * spec §"Snapshots" `replace` operation). Reads the LIVE rows of
+    * the current snapshot (merge-on-read position + equality deletes
+    * applied) and commits ONE `replace` snapshot whose fresh data
+    * manifest supersedes every prior data AND delete manifest: a
+    * small-file pile collapses to ceil(bytes/targetFileBytes) files,
+    * and the delete pile a MOR-heavy workload accumulates is folded
+    * away, so subsequent scans are anti-join-free. Old files stay on
+    * disk for time travel until [[expireSnapshots]]. Unpartitioned
+    * tables only (a partitioned compaction would need per-partition
+    * staging). Returns the new snapshot id. */
+  def rewriteDataFiles(spark: SparkSession, tablePath: String,
+                       targetFileBytes: Long = 128L << 20): Long = {
+    requireUnpartitioned(spark, tablePath, "rewriteDataFiles")
+    val snap = snapshot(spark, tablePath)
+    require(snap.snapshotId != -1L, s"cannot compact empty table $tablePath")
+    val totalBytes = snap.files.map(_.sizeBytes).sum
+    val n = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // already compact and delete-free: no pointless commit
+    if (snap.deletes.isEmpty && snap.files.size <= n) return snap.snapshotId
+    val live =
+      if (snap.deletes.isEmpty)
+        spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
+      else liveRowsWithPos(spark, snap, snap.files)
+    // coalesce, not repartition: bin-packing small files is a narrow
+    // dependency — no shuffle in the compaction job
+    val compacted = live
+      .select(snap.schema.fieldNames
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .coalesce(n)
+    commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
+      appendDf = Some(compacted), operation = "replace",
+      carryExisting = false)
+  }
+
+  /** `ALTER TABLE … ADD COLUMN(S)` — real Iceberg schema evolution
+    * (spec §"Schema Evolution"): appends a NEW schema with a fresh
+    * schema-id and fresh field ids (allocated past `last-column-id`,
+    * never reused) to the metadata `schemas` list and points
+    * `current-schema-id` at it, in one metadata-version bump. NO data
+    * rewrite: current reads serve the added columns as null over
+    * files written before the ALTER, while time travel keeps each
+    * snapshot's pinned schema. Added columns must be nullable (the
+    * spec forbids required columns without defaults on existing
+    * rows). */
+  def addColumns(spark: SparkSession, tablePath: String,
+                 cols: Seq[StructField]): Unit = {
+    require(cols.nonEmpty, "no columns to add")
+    val mp = latestMetadataFile(spark, tablePath)
+    val metaVersion =
+      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val curId = if (meta.has("current-schema-id"))
+      meta.get("current-schema-id").asInt() else 0
+    val curSchema: JsonNode =
+      if (meta.has("schemas"))
+        meta.get("schemas").elements().asScala
+          .find(n => n.has("schema-id") && n.get("schema-id").asInt() == curId)
+          .getOrElse(throw new IllegalStateException(
+            s"current-schema-id $curId not in schemas list"))
+      else meta.get("schema")
+    val existing = Option(curSchema.get("fields")).toSeq
+      .flatMap(_.elements().asScala).map(_.get("name").asText()).toSet
+    cols.foreach { f =>
+      require(!existing.contains(f.name),
+        s"column ${f.name} already exists on $tablePath")
+      require(f.nullable, s"added column ${f.name} must be nullable — " +
+        "existing rows carry no value for it")
+    }
+    var idCounter = Option(meta.get("last-column-id")).map(_.asInt())
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath metadata has no last-column-id"))
+    def nextId(): Int = { idCounter += 1; idCounter }
+    val newSchema = curSchema.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val allIds: Seq[Int] =
+      if (meta.has("schemas"))
+        meta.get("schemas").elements().asScala
+          .flatMap(n => Option(n.get("schema-id")).map(_.asInt())).toSeq
+      else Seq(curId)
+    val newSchemaId = (allIds :+ curId).max + 1
+    newSchema.put("schema-id", newSchemaId)
+    val fieldsArr = newSchema.withArray[ArrayNode]("fields")
+    cols.foreach { f =>
+      val fo = fieldsArr.addObject()
+      fo.put("id", nextId())
+      fo.put("name", f.name)
+      fo.put("required", false)
+      fo.set[JsonNode]("type", sparkTypeToIceberg(f.dataType, () => nextId()))
+    }
+    val schemasArr: ArrayNode =
+      if (meta.has("schemas")) meta.withArray[ArrayNode]("schemas")
+      else {
+        // v1 single-schema layout: lift the current schema into a
+        // schemas list (tagged with the id it's been serving as)
+        val arr = meta.putArray("schemas")
+        val lifted = curSchema.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+        lifted.put("schema-id", curId)
+        arr.add(lifted)
+        arr
+      }
+    schemasArr.add(newSchema)
+    meta.put("current-schema-id", newSchemaId)
+    meta.put("last-column-id", idCounter)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    val mdir = metaDir(tablePath)
+    val fs = fsFor(spark, mdir)
+    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
+    val out = fs.create(next, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
+    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+    finally hintOut.close()
+  }
+
+  /** ZERO-COPY format mirror — publish the CURRENT snapshot of a real
+    * Delta table as an Iceberg table WITHOUT touching a data file
+    * (the migrate-without-rewrite shape: Iceberg's `migrate`/
+    * `snapshot` procedures, Delta's "UniForm" idea, built from the
+    * two public specs). Every live Delta add-file is ADOPTED by
+    * absolute `file_path` into a fresh stats-bearing Iceberg manifest
+    * (record counts from the Delta per-file stats JSON, footer read
+    * only as fallback; column bounds from the footers — metadata I/O,
+    * no data scan), behind one `overwrite` snapshot in
+    * `<icebergPath>/metadata`. Defaults to IN-PLACE dual-format
+    * (icebergPath = deltaPath): Delta stays the writer of record and
+    * the catalog flavor; Iceberg readers see the same rows. Re-mirror
+    * after new Delta commits to advance the Iceberg view (old mirror
+    * snapshots stay time-travelable). The mirror is marked
+    * `graft.mirror-of` in table properties and [[expireSnapshots]]
+    * REFUSES on it — physical cleanup must happen through the owning
+    * Delta log, never through a view that merely adopted the files.
+    * DV-bearing, column-mapped, and partitioned sources refuse loudly
+    * (hive-layout files do not carry the partition columns an
+    * identity spec promises; DV semantics would silently resurrect). */
+  def mirrorFromDelta(spark: SparkSession, deltaPath: String,
+                      icebergPathOpt: Option[String] = None): Long = {
+    val icebergPath = icebergPathOpt.getOrElse(deltaPath)
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(icebergPath)
+    val fs = dst.getFileSystem(fsConf)
+    val dsnap = DeltaLog.snapshot(spark, deltaPath)
+    require(dsnap.partitionColumns.isEmpty,
+      s"mirrorFromDelta on PARTITIONED $deltaPath — hive-layout data " +
+        "files do not carry the partition columns an Iceberg identity " +
+        "spec promises; rewrite unpartitioned first")
+    require(dsnap.files.forall(_.dv.forall(_.cardinality == 0L)),
+      s"$deltaPath carries deletion vectors — an Iceberg reader of the " +
+        "raw files would resurrect deleted rows; OPTIMIZE first " +
+        "(compaction applies the vectors)")
+    require(!dsnap.configuration.get("delta.columnMapping.mode")
+      .exists(_ != "none"),
+      s"$deltaPath uses column mapping — physical parquet names do not " +
+        "match the logical schema")
+
+    val mdir = metaDir(icebergPath)
+    fs.mkdirs(mdir)
+    val exists = fs.globStatus(new Path(mdir, "v*.metadata.json")).nonEmpty
+    val (metaVersion, prior) =
+      if (exists) {
+        val p = latestMetadataFile(spark, icebergPath)
+        val mv = p.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+        (mv, Some(readJson(spark, p)))
+      } else (0L, None)
+    val priorSnaps: Seq[JsonNode] = prior.toSeq
+      .flatMap(m => Option(m.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala))
+    val snapId = priorSnaps.map(_.get("snapshot-id").asLong())
+      .foldLeft(0L)(math.max) + 1
+    val seq = prior.flatMap(m => Option(m.get("last-sequence-number")))
+      .map(_.asLong()).getOrElse(0L) + 1
+    val now = System.currentTimeMillis()
+
+    // schema registry: shape-based reuse, same rule as [[write]]
+    val priorSchemas: Seq[JsonNode] = prior.toSeq.flatMap { m =>
+      if (m.has("schemas")) m.get("schemas").elements().asScala.toSeq
+      else Option(m.get("schema")).toSeq
+    }
+    def normShape(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, normShape(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(normShape(a.elementType), containsNull = true)
+      case mp: MapType => MapType(normShape(mp.keyType),
+        normShape(mp.valueType), valueContainsNull = true)
+      case other => other
+    }
+    val matching = priorSchemas.find(n => n.has("schema-id") &&
+      normShape(icebergTypeToSpark(n)) == normShape(dsnap.schema))
+    var idCounter = 0
+    val nextId = () => { idCounter += 1; idCounter }
+    val schemaObj = matching match {
+      case Some(n) =>
+        idCounter = prior.flatMap(m => Option(m.get("last-column-id")))
+          .map(_.asInt()).getOrElse(0)
+        n.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+      case None => sparkTypeToIceberg(dsnap.schema, nextId)
+        .asInstanceOf[ObjectNode]
+    }
+    val schemaId = matching.map(_.get("schema-id").asInt()).getOrElse(
+      priorSchemas.flatMap(n => Option(n.get("schema-id")).map(_.asInt()))
+        .foldLeft(-1)(math.max) + 1)
+    schemaObj.put("schema-id", schemaId)
+    val schemasOut: Seq[JsonNode] =
+      if (matching.isDefined) priorSchemas else priorSchemas :+ schemaObj
+    val schemaJson = M.writeValueAsString(schemaObj)
+
+    // adopt the live Delta files: record counts from the stats JSON
+    // the Delta writer recorded, footer read only as fallback
+    def numRecordsOf(st: Option[String]): Option[Long] = st.flatMap { j =>
+      scala.util.Try(M.readTree(j)).toOption
+        .flatMap(n => Option(n.get("numRecords")).map(_.asLong()))
+    }
+    val files: Seq[(String, Long, Long)] = dsnap.files.map { f =>
+      val p = fs.makeQualified(new Path(f.path))
+      val nrec = numRecordsOf(f.stats).getOrElse {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, fsConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      (p.toString, f.size, nrec)
+    }
+    val fieldInfo: Map[String, (Int, DataType)] =
+      dsnap.schema.fields.map { f =>
+        val fid = schemaObj.get("fields").elements().asScala
+          .find(_.get("name").asText() == f.name).get.get("id").asInt()
+        f.name -> ((fid, f.dataType))
+      }.toMap
+    val fileStats: Map[String, FileStats] = files.map { case (p, _, n) =>
+      p -> footerFileStats(fsConf, new Path(p), n)
+    }.toMap
+    val newManifest = writeManifest(spark, mdir, s"mirror-$snapId",
+      schemaJson, files, snapId, seq, stats = fileStats,
+      fieldInfo = fieldInfo)
+    val listPath = fs.makeQualified(
+      new Path(mdir, s"snap-$snapId-manifest-list.avro"))
+    writeAvro(spark, listPath, ManifestFileSchema,
+      Map("format-version" -> "2"), Seq(newManifest))
+
+    val snapsArr = M.createArrayNode()
+    priorSnaps.foreach(snapsArr.add)
+    val sn = snapsArr.addObject()
+    sn.put("snapshot-id", snapId)
+    sn.put("sequence-number", seq)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath.toString)
+    sn.put("schema-id", schemaId)
+    sn.putObject("summary").put("operation", "overwrite")
+    val logArr = M.createArrayNode()
+    prior.foreach(m => Option(m.get("snapshot-log")).foreach(
+      _.elements().asScala.foreach(logArr.add)))
+    val lg = logArr.addObject()
+    lg.put("snapshot-id", snapId)
+    lg.put("timestamp-ms", now)
+
+    val root = M.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", prior.flatMap(m => Option(m.get("table-uuid")))
+      .map(_.asText()).getOrElse(java.util.UUID.nameUUIDFromBytes(
+        ("iceberg-mirror:" + icebergPath).getBytes("UTF-8")).toString))
+    root.put("location", fs.makeQualified(dst).toString)
+    root.put("last-sequence-number", seq)
+    root.put("last-updated-ms", now)
+    root.put("last-column-id", math.max(idCounter,
+      prior.flatMap(m => Option(m.get("last-column-id")))
+        .map(_.asInt()).getOrElse(0)))
+    root.put("current-schema-id", schemaId)
+    val schemasArr = root.putArray("schemas")
+    schemasOut.foreach(schemasArr.add)
+    val specsArr = root.putArray("partition-specs")
+    val priorSpecs: Seq[JsonNode] = prior.toSeq.flatMap(m =>
+      Option(m.get("partition-specs")).toSeq.flatMap(_.elements().asScala))
+    if (priorSpecs.nonEmpty) priorSpecs.foreach(specsArr.add)
+    else {
+      val sp = specsArr.addObject()
+      sp.put("spec-id", 0)
+      sp.putArray("fields")
+    }
+    root.put("default-spec-id",
+      prior.flatMap(m => Option(m.get("default-spec-id")))
+        .map(_.asInt()).getOrElse(0))
+    root.put("last-partition-id", 999)
+    root.put("default-sort-order-id", 0)
+    root.putArray("sort-orders").addObject().put("order-id", 0)
+      .putArray("fields")
+    val props = root.putObject("properties")
+    props.put("graft.mirror-of", deltaPath)
+    root.put("current-snapshot-id", snapId)
+    root.set[JsonNode]("snapshots", snapsArr)
+    root.set[JsonNode]("snapshot-log", logArr)
+    root.putArray("metadata-log")
+
+    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
+    val out = fs.create(next, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
     val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
     try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
@@ -1877,18 +2202,43 @@ object IcebergTable {
       else adoptedFull.map(a => a._1 -> a._4).toMap
     fs.delete(tmp, true)
 
-    // schema registry: reuse a structurally-equal prior schema's id,
-    // else append under a fresh id — old snapshots keep reading with
-    // the schema they were written under
+    // schema registry: reuse a SHAPE-equal prior schema's node+id
+    // (names + types; nullability is a presentation detail the append
+    // gate already ignores — an INSERT of non-null literals must
+    // never mint a new all-required schema), preferring the table's
+    // current schema; else append under a fresh id — old snapshots
+    // keep reading with the schema they were written under
     val priorSchemas: Seq[JsonNode] = prior.toSeq.flatMap { m =>
       if (m.has("schemas")) m.get("schemas").elements().asScala.toSeq
       else Option(m.get("schema")).toSeq
     }
+    def normShape(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, normShape(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(normShape(a.elementType), containsNull = true)
+      case mp: MapType =>
+        MapType(normShape(mp.keyType), normShape(mp.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+    val curSchemaId: Option[Int] = prior.flatMap(m =>
+      Option(m.get("current-schema-id")).map(_.asInt()))
+    def shapeEq(n: JsonNode): Boolean =
+      normShape(icebergTypeToSpark(n)) == normShape(df.schema)
+    val matching: Option[JsonNode] =
+      priorSchemas.find(n => n.has("schema-id") &&
+          curSchemaId.contains(n.get("schema-id").asInt()) && shapeEq(n))
+        .orElse(priorSchemas.find(n => n.has("schema-id") && shapeEq(n)))
     var idCounter = 0
     val nextId = () => { idCounter += 1; idCounter }
-    val schemaObj = sparkTypeToIceberg(df.schema, nextId).asInstanceOf[ObjectNode]
-    val matching = priorSchemas.find(n =>
-      icebergTypeToSpark(n) == df.schema && n.has("schema-id"))
+    val schemaObj = matching match {
+      case Some(n) =>
+        idCounter = Option(prior.get.get("last-column-id")).map(_.asInt())
+          .getOrElse(0)
+        n.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+      case None =>
+        sparkTypeToIceberg(df.schema, nextId).asInstanceOf[ObjectNode]
+    }
     val schemaId = matching.map(_.get("schema-id").asInt()).getOrElse(
       priorSchemas.flatMap(n => Option(n.get("schema-id")).map(_.asInt()))
         .foldLeft(-1)(math.max) + 1)

@@ -156,12 +156,13 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.snapshot(spark, t)
     }
     assert(e.getMessage.contains("v2Checkpoint"))
-    // column mapping modes beyond none/name (name resolves at read
-    // since r10 — see the dedicated column-mapping test)
+    // column mapping modes beyond none/name/id (both real modes
+    // resolve at read since r10 — see the dedicated test); an
+    // UNKNOWN future mode must stay loud, never read wrong
     val t2 = Files.createTempDirectory("graft-delta-bad2").toString
     writeDataFile(t2, "f1.parquet", Seq(Tuple1(1L)).toDF("id"))
     commit(t2, 0, Seq(protoLine,
-      s"""{"metaData":{"id":"t-2","format":{"provider":"parquet"},"schemaString":${ujson(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      s"""{"metaData":{"id":"t-2","format":{"provider":"parquet"},"schemaString":${ujson(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"physical-v9"}}}""",
       addLine("f1.parquet", s1)))
     intercept[UnsupportedOperationException] { DeltaLog.snapshot(spark, t2) }
     // not a delta table at all
@@ -752,7 +753,7 @@ class DeltaLogSpec extends SparkSpec {
       === Set((1L, "x", 99), (1L, "y", 11)))
   }
 
-  test("column mapping (name mode): renamed columns resolve physical parquet names; id mode and writers gate") {
+  test("column mapping: name mode resolves physical names, id mode resolves parquet field ids; writers gate") {
     import org.apache.spark.sql.types._
     def mb(id: Int, phys: String) = new MetadataBuilder()
       .putLong("delta.columnMapping.id", id)
@@ -793,15 +794,36 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t2).as[(Long, String)].collect().toSet
       === Set((5L, "x")))
 
-    // id mode stays loud
+    // id mode: resolution is by parquet FIELD ID — the parquet column
+    // names deliberately match NEITHER the logical nor the recorded
+    // physical names, so only id matching can serve these rows
     val t3 = Files.createTempDirectory("graft-delta-cmi").toString + "/t"
-    val sz3 = writeDataFile(t3, "f1.parquet", Seq(Tuple1(1L)).toDF("col-1"))
-    commit(t3, 0, Seq(protoLine, cmMeta(logical2.json, "id"),
+    val fidSchema = StructType(Seq(
+      StructField("whatever_a", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1).build()),
+      StructField("whatever_b", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2).build())))
+    val fidDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(7L, "ok"),
+        org.apache.spark.sql.Row(8L, "go"))), fidSchema)
+    val sz3 = writeDataFile(t3, "f1.parquet", fidDf)
+    val logical3 = StructType(Seq(
+      StructField("k", LongType, nullable = true, mb(1, "col-99")),
+      StructField("v", StringType, nullable = true, mb(2, "col-98"))))
+    commit(t3, 0, Seq(protoLine, cmMeta(logical3.json, "id"),
       addLine("f1.parquet", sz3)))
-    val e = intercept[UnsupportedOperationException] {
-      DeltaLog.read(spark, t3).collect()
+    assert(DeltaLog.read(spark, t3).columns.toSeq === Seq("k", "v"))
+    assert(DeltaLog.read(spark, t3).as[(Long, String)].collect().toSet
+      === Set((7L, "ok"), (8L, "go")))
+    // logical-name predicates work over id-resolved columns
+    assert(DeltaLog.readWhere(spark, t3, col("k") === 8L)
+      .select("v").as[String].collect().toSeq === Seq("go"))
+    // id-mode writers stay loud (they stage by logical name)
+    val eW = intercept[UnsupportedOperationException] {
+      DeltaLog.write(spark, Seq((9L, "no")).toDF("k", "v"), t3)
     }
-    assert(e.getMessage.contains("id"), e.getMessage)
+    assert(eW.getMessage.contains("column-mapped"), eW.getMessage)
 
     // the DSv2 scan and the writers gate loudly (they work by
     // logical name and would serve nulls / write wrong columns)
@@ -837,5 +859,66 @@ class DeltaLogSpec extends SparkSpec {
     val snap = DeltaLog.snapshotFromVersioned(spark, t, Some(1L))
     assert(DeltaLog.readSnapshot(spark, snap)
       .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("mirrorFromIceberg: zero-copy Delta shallow clone, diff re-mirrors") {
+    import graft.sources.IcebergTable
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val root = Files.createTempDirectory("graft-dl-mirror").toString
+    val src = s"$root/ice"
+    val dst = s"$root/delta"
+    IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), src)
+    IcebergTable.write(spark, Seq((3L, "c")).toDF("k", "v"), src)
+    val v0 = DeltaLog.mirrorFromIceberg(spark, src, dst)
+    assert(v0 === 0L)
+    assert(DeltaLog.read(spark, dst).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // ADOPTED, not copied: every add points INTO the Iceberg table
+    val dfiles = DeltaLog.snapshot(spark, dst).files.map(f =>
+      deScheme(f.path))
+    assert(dfiles.nonEmpty &&
+      dfiles.forall(_.startsWith(deScheme(src))), dfiles)
+    // per-file numRecords came from the manifests
+    assert(DeltaLog.snapshot(spark, dst).files
+      .flatMap(_.stats).forall(_.contains("numRecords")))
+    // no-change re-mirror commits nothing
+    assert(DeltaLog.mirrorFromIceberg(spark, src, dst) === 0L)
+    // the source evolves; the re-mirror commits the file-set DIFF
+    IcebergTable.write(spark, Seq((9L, "z")).toDF("k", "v"), src,
+      overwrite = true)
+    val v1 = DeltaLog.mirrorFromIceberg(spark, src, dst)
+    assert(v1 === 1L)
+    assert(DeltaLog.read(spark, dst).as[(Long, String)].collect().toSet
+      === Set((9L, "z")))
+    // the mirror time-travels (old files still live in the source)
+    assert(DeltaLog.read(spark, dst, versionAsOf = Some(0L))
+      .as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // physical cleanup through the mirror refuses
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.vacuum(spark, dst)
+    }
+    assert(e.getMessage.contains("mirror"), e.getMessage)
+    // merge-on-read delete files refuse until compacted away
+    IcebergTable.write(spark, Seq((10L, "y")).toDF("k", "v"), src)
+    IcebergTable.delete(spark, src, col("k") === 9L)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.mirrorFromIceberg(spark, src, dst)
+    }
+    assert(e2.getMessage.contains("rewriteDataFiles"), e2.getMessage)
+    IcebergTable.rewriteDataFiles(spark, src)
+    DeltaLog.mirrorFromIceberg(spark, src, dst)
+    assert(DeltaLog.read(spark, dst).as[(Long, String)].collect().toSet
+      === Set((10L, "y")))
+    // refuses to stamp mirror commits onto a REAL table
+    val real = s"$root/real"
+    DeltaLog.write(spark, Seq((1L, "x")).toDF("k", "v"), real)
+    intercept[IllegalArgumentException] {
+      DeltaLog.mirrorFromIceberg(spark, src, real)
+    }
+    // and refuses the in-place dual-format flip
+    intercept[IllegalArgumentException] {
+      DeltaLog.mirrorFromIceberg(spark, src, src)
+    }
   }
 }

@@ -133,6 +133,23 @@ class GraftCatalogSpec extends SparkSpec {
       .as[(Long, Option[Long])].collect().toSeq
       === Seq((1L, None), (2L, Some(7L))))
 
+    // iceberg flavor: DDL appends a new schema-id (real evolution)
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"),
+      s"$root/ddl/it")
+    spark.sql("ALTER TABLE graft_t.ddl.it ADD COLUMN w DOUBLE")
+    assert(spark.sql("SELECT k, v, w FROM graft_t.ddl.it")
+      .as[(Long, String, Option[Double])].collect().toSeq
+      === Seq((1L, "a", None)))
+    // the pre-DDL snapshot still reads narrow via time travel
+    val snap1 = IcebergTable.snapshotIds(spark, s"$root/ddl/it").head
+    assert(spark.sql(s"SELECT * FROM graft_t.ddl.it VERSION AS OF $snap1")
+      .columns.toSeq === Seq("k", "v"))
+    // a widened INSERT round-trips through the committing writer
+    spark.sql("INSERT INTO graft_t.ddl.it VALUES (2, 'b', 0.5)")
+    assert(spark.sql("SELECT k, w FROM graft_t.ddl.it ORDER BY k")
+      .as[(Long, Option[Double])].collect().toSeq
+      === Seq((1L, None), (2L, Some(0.5))))
+
     // plain flavor: sidecar records the widened schema
     Seq((1L, "x")).toDF("id", "s").write.parquet(s"$root/ddl/pt")
     spark.sql("ALTER TABLE graft_t.ddl.pt ADD COLUMN extra STRING")

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField}
 
 import graft.sources.{IcebergTable, VersionedTable}
 
@@ -359,6 +360,121 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.snapshot(spark, t, snapshotIdAsOf = Some(s3))
       .files.map(_.records).sum === 1L)
     assert(IcebergTable.history(spark, t).count() === 3L)
+  }
+
+  test("rewriteDataFiles compacts the pile and folds MOR deletes away") {
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft-ice-rdf").toString + "/t"
+    IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    IcebergTable.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    IcebergTable.write(spark, Seq((4L, "d")).toDF("k", "v"), t)
+    IcebergTable.delete(spark, t, col("k") === 2L) // MOR position delete
+    val before = IcebergTable.snapshot(spark, t)
+    assert(before.deletes.nonEmpty && before.files.size >= 3)
+    val s = IcebergTable.rewriteDataFiles(spark, t)
+    val after = IcebergTable.snapshot(spark, t)
+    assert(after.snapshotId === s)
+    assert(after.deletes.isEmpty, "delete pile must fold away")
+    assert(after.files.size === 1, "small files must collapse")
+    val expect = Set((1L, "a"), (3L, "c"), (4L, "d"))
+    assert(IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().toSet === expect)
+    // replace is a REAL snapshot: time travel to the MOR state works
+    assert(IcebergTable.read(spark, t,
+      snapshotIdAsOf = Some(before.snapshotId))
+      .as[(Long, String)].collect().toSet === expect)
+    // record counts stay real through compaction
+    assert(after.files.map(_.records).sum === 3L)
+    // expiring history keeps the compacted files servable
+    IcebergTable.expireSnapshots(spark, t, keepSnapshots = 1)
+    assert(IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().toSet === expect)
+  }
+
+  test("addColumns: metadata-only evolution, null-filled reads, evolved appends") {
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft-ice-add").toString + "/t"
+    IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val metaFiles = new java.io.File(s"$t/metadata").list()
+      .count(_.endsWith(".metadata.json"))
+    IcebergTable.addColumns(spark, t,
+      Seq(StructField("score", DoubleType, nullable = true)))
+    // ONE metadata bump, zero new snapshots / data files
+    assert(new java.io.File(s"$t/metadata").list()
+      .count(_.endsWith(".metadata.json")) === metaFiles + 1)
+    assert(IcebergTable.snapshotIds(spark, t).size === 1)
+    // current read serves the new column as null over old files
+    assert(IcebergTable.read(spark, t).columns.toSeq === Seq("k", "v", "score"))
+    assert(IcebergTable.read(spark, t)
+      .where(col("score").isNull).count() === 2L)
+    // time travel keeps the snapshot's pinned 2-column schema
+    assert(IcebergTable.read(spark, t, snapshotIdAsOf = Some(1L))
+      .columns.toSeq === Seq("k", "v"))
+    // appends now carry the evolved shape, and DML sees it
+    IcebergTable.write(spark,
+      Seq((3L, "c", Some(0.5))).toDF("k", "v", "score"), t)
+    assert(IcebergTable.read(spark, t)
+      .as[(Long, String, Option[Double])].collect().toSet
+      === Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))))
+    // field ids are FRESH (never reused): last-column-id advanced
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$t/metadata").listFiles()
+        .filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(_.getName).toPath), "UTF-8")
+    assert(meta.contains("\"last-column-id\" : 3"))
+    // duplicate and non-nullable adds refuse loudly
+    intercept[IllegalArgumentException] {
+      IcebergTable.addColumns(spark, t,
+        Seq(StructField("v", StringType, nullable = true)))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergTable.addColumns(spark, t,
+        Seq(StructField("req", LongType, nullable = false)))
+    }
+  }
+
+  test("mirrorFromDelta: zero-copy in-place Iceberg view of a Delta table") {
+    import graft.sources.DeltaLog
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val t = Files.createTempDirectory("graft-ice-mirror").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val s1 = IcebergTable.mirrorFromDelta(spark, t)
+    // same rows through the Iceberg reader, in the same directory
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // ADOPTED, not copied: both formats reference the same parquet
+    val dfiles = DeltaLog.snapshot(spark, t).files
+      .map(f => deScheme(f.path)).toSet
+    val ifiles = IcebergTable.snapshot(spark, t).files
+      .map(f => deScheme(f.path)).toSet
+    assert(ifiles === dfiles)
+    // record counts are REAL (from the Delta stats JSON, no data scan)
+    assert(IcebergTable.snapshot(spark, t).files.map(_.records).sum === 2L)
+    // and the manifests carry footer bounds -> external data skipping
+    assert(IcebergTable.snapshot(spark, t).files
+      .forall(_.bounds.contains("k")))
+    // Delta stays the writer of record; a re-mirror advances the view
+    DeltaLog.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    val s2 = IcebergTable.mirrorFromDelta(spark, t)
+    assert(s2 === s1 + 1)
+    assert(IcebergTable.read(spark, t).count() === 3L)
+    // ...while the earlier mirror snapshot still time-travels
+    assert(IcebergTable.read(spark, t, snapshotIdAsOf = Some(s1))
+      .count() === 2L)
+    // the catalog still serves the directory as DELTA (owner flavor)
+    // and physical cleanup through the mirror refuses
+    val e = intercept[UnsupportedOperationException] {
+      IcebergTable.expireSnapshots(spark, t, keepSnapshots = 1)
+    }
+    assert(e.getMessage.contains("mirror"), e.getMessage)
+    // partitioned Delta sources refuse (hive layout drops the
+    // partition columns from the data files)
+    val tp = Files.createTempDirectory("graft-ice-mirror-p").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "x", 1)).toDF("k", "p", "n"), tp,
+      partitionBy = Seq("p"))
+    intercept[IllegalArgumentException] {
+      IcebergTable.mirrorFromDelta(spark, tp)
+    }
   }
 
   test("streaming foreachBatch sink writes real Iceberg snapshots") {

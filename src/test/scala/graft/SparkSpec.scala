@@ -22,6 +22,10 @@ object SparkSpec {
       // match GraftSession: naive-UTC micros parquet timestamps read
       // as plain TIMESTAMP, not TIMESTAMP_NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // id-mode column mapping: requested schemas carrying
+      // parquet.field.id resolve against parquet field ids
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

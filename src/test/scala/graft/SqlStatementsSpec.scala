@@ -86,19 +86,23 @@ class SqlStatementsSpec extends SparkSpec {
     IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
     IcebergTable.write(spark, Seq((3L, "c")).toDF("k", "v"), dir)
     val before = IcebergTable.snapshot(spark, dir)
-    // two manifests (append carried the first forward) -> one
+    assert(before.files.size >= 2)
+    // the appended data-file pile (append carried the first
+    // snapshot's files forward) -> one
     val newSnap = spark.sql(s"OPTIMIZE '$dir'").collect()(0).getLong(1)
     assert(newSnap === 3L)
     val after = IcebergTable.snapshot(spark, dir)
     assert(after.snapshotId === newSnap)
-    // same files, original sequence numbers preserved
-    assert(after.files.map(f => (f.path, f.seq)).toSet
-      === before.files.map(f => (f.path, f.seq)).toSet)
+    assert(after.files.size === 1)
     assert(IcebergTable.read(spark, dir).as[(Long, String)].collect().toSet
       === Set((1L, "a"), (2L, "b"), (3L, "c")))
-    // the replace snapshot is invisible to the file-level change feed
-    assert(IcebergTable.changes(spark, dir, before.snapshotId, newSnap).count() === 0L)
-    // idempotent: already one manifest -> no new snapshot
+    // the replace is a full rewrite in the file-level change feed:
+    // delete legs for every old row, insert legs for every live one —
+    // a replica applying both converges on the same 3 rows
+    val feed = IcebergTable.changes(spark, dir, before.snapshotId, newSnap)
+    assert(feed.where("_change_type = 'delete'").count() === 3L)
+    assert(feed.where("_change_type = 'insert'").count() === 3L)
+    // idempotent: already compact -> no new snapshot
     assert(spark.sql(s"OPTIMIZE '$dir'").collect()(0).getLong(1) === newSnap)
 
     // an overwrite strands the old files; expiration reclaims them
@@ -262,6 +266,72 @@ class SqlStatementsSpec extends SparkSpec {
     assert(e.getMessage.contains("PARTITIONED") ||
       Option(e.getCause).exists(_.getMessage.contains("PARTITIONED")),
       e.getMessage)
+  }
+
+  test("SQL CHECK constraints: validated on ADD, enforced on every write") {
+    val root = catalogRoot("ck")
+    val t = s"$root/ns/ck"
+    DeltaLog.write(spark,
+      Seq((1L, Some(10.0)), (2L, Some(20.0))).toDF("id", "amount"), t)
+    // existing violations veto the ALTER — nothing commits
+    val e = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gsql_ck.ns.ck ADD CONSTRAINT big CHECK (amount > 15)")
+    }
+    assert(e.getMessage.contains("1 existing rows"), e.getMessage)
+    assert(DeltaLog.snapshot(spark, t).version === 0L)
+    val v = spark.sql(
+      "ALTER TABLE gsql_ck.ns.ck ADD CONSTRAINT pos CHECK (amount > 0)")
+      .collect()(0).getLong(1)
+    assert(v === 1L)
+    // the protocol bump real writers key on (writer version 3)
+    assert(DeltaLog.snapshot(spark, t).protocol._2 >= 3)
+    // a violating INSERT refuses and commits NOTHING
+    intercept[Exception] {
+      spark.sql("INSERT INTO gsql_ck.ns.ck VALUES (3, -5.0)")
+    }
+    assert(DeltaLog.read(spark, t).count() === 2L)
+    assert(DeltaLog.snapshot(spark, t).version === 1L)
+    // clean INSERT lands; a NULL constraint result passes (protocol)
+    spark.sql("INSERT INTO gsql_ck.ns.ck VALUES (3, 5.0)")
+    DeltaLog.write(spark,
+      Seq((4L, Option.empty[Double])).toDF("id", "amount"), t)
+    assert(DeltaLog.read(spark, t).count() === 4L)
+    // the library write path enforces the same gate
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.write(spark, Seq((5L, Some(-1.0))).toDF("id", "amount"), t)
+    }
+    assert(e2.getMessage.contains("CHECK constraint pos"), e2.getMessage)
+    // the constraint survives a checkpoint consolidation
+    DeltaLog.checkpoint(spark, t, DeltaLog.snapshot(spark, t).version)
+    intercept[IllegalArgumentException] {
+      DeltaLog.write(spark, Seq((5L, Some(-2.0))).toDF("id", "amount"), t)
+    }
+    // DROP CONSTRAINT removes enforcement
+    spark.sql("ALTER TABLE gsql_ck.ns.ck DROP CONSTRAINT pos")
+    DeltaLog.write(spark, Seq((6L, Some(-1.0))).toDF("id", "amount"), t)
+    assert(DeltaLog.read(spark, t).count() === 5L)
+    // non-Delta flavors refuse: CHECK is a Delta protocol feature
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), s"$root/ns/vck")
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE gsql_ck.ns.vck ADD CONSTRAINT c CHECK (k > 0)")
+    }
+    assert(e3.getMessage.contains("Delta"), e3.getMessage)
+  }
+
+  test("NOT NULL invariants: a required column refuses explicit nulls") {
+    val dir = Files.createTempDirectory("graft-sqlstmt-nn").toString + "/t"
+    // toDF of primitive Long declares k non-nullable in the log
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), dir)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.write(spark,
+        Seq((Option.empty[Long], "b")).toDF("k", "v"), dir)
+    }
+    assert(e.getMessage.contains("NOT NULL column k"), e.getMessage)
+    assert(DeltaLog.read(spark, dir).count() === 1L)
+    // nulls in a NULLABLE column still append fine
+    DeltaLog.write(spark, Seq((Some(2L), null: String)).toDF("k", "v"), dir)
+    assert(DeltaLog.read(spark, dir).count() === 2L)
   }
 
   test("statement targets: unqualified and non-graft catalogs refuse with a pointer") {
