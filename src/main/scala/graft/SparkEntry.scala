@@ -5521,6 +5521,43 @@ object SparkEntry {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n_cust"), sumD(col("c_acctbal")).as("total"))
         .orderBy("segment")
+    }),
+
+    // SQL RESTORE on both table formats: a Delta DELETE undone by a
+    // file-set-diff restore commit (DeltaLog.restore — history kept,
+    // pure metadata) and an Iceberg append undone by the
+    // rollback_to_snapshot pointer move (IcebergTable.rollbackTo);
+    // each leg re-reads the rolled-back state through its own reader
+    "interop_restore_rollback" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-rst")
+        .toString
+      s.conf.set("spark.sql.catalog.gq_rst", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq_rst.root", root)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaLog.write(s, o, s"$root/ns/dt")
+      graft.sources.DeltaLog.delete(s, s"$root/ns/dt",
+        col("o_totalprice") >= 100000.0)
+      s.sql("RESTORE TABLE gq_rst.ns.dt TO VERSION AS OF 0")
+      val legA = s.table("gq_rst.ns.dt")
+        .groupBy(col("o_orderstatus").as("grp"))
+        .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("total"))
+        .select(lit("delta_restore").as("leg"), col("grp"), col("n"),
+          col("total"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      val it = s"$root/ns/it"
+      val s1 = graft.sources.IcebergTable.write(s,
+        sup.filter(col("s_suppkey") % 2 === 0), it)
+      graft.sources.IcebergTable.write(s,
+        sup.filter(col("s_suppkey") % 2 =!= 0), it)
+      s.sql(s"RESTORE gq_rst.ns.it TO VERSION AS OF $s1")
+      val legB = s.read.format("graft-iceberg").load(it)
+        .groupBy((col("s_nationkey") % 5).as("grp"))
+        .agg(count(lit(1)).as("n"), sumD(col("s_acctbal")).as("total"))
+        .select(lit("iceberg_rollback").as("leg"),
+          col("grp").cast("string").as("grp"), col("n"), col("total"))
+      legA.unionByName(legB).orderBy("leg", "grp")
     })
   )
 
@@ -8587,7 +8624,19 @@ object SparkEntry {
          |  FROM customer WHERE c_custkey % 10 = 0)
          |SELECT seg AS segment, COUNT(*) AS n_cust,
          | ${sqlSumD("bal")} AS total
-         |FROM final GROUP BY 1 ORDER BY segment""".stripMargin
+         |FROM final GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "interop_restore_rollback" ->
+      s"""SELECT leg, grp, n, total FROM (
+         |  SELECT 'delta_restore' AS leg, o_orderstatus AS grp,
+         |   COUNT(*) AS n, ${sqlSumD("o_totalprice")} AS total
+         |  FROM orders GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'iceberg_rollback' AS leg,
+         |   CAST(s_nationkey % 5 AS VARCHAR) AS grp,
+         |   COUNT(*) AS n, ${sqlSumD("s_acctbal")} AS total
+         |  FROM supplier WHERE s_suppkey % 2 = 0 GROUP BY 2)
+         |ORDER BY leg, grp""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -1530,6 +1530,106 @@ object DeltaLog {
       .stripPrefix(root).stripPrefix("/"))
   }
 
+  /** `RESTORE TABLE … TO VERSION AS OF v` (or `TIMESTAMP AS OF`) —
+    * roll the table's CURRENT state back to an earlier version as a
+    * NEW commit, exactly like real Delta's RESTORE: history is never
+    * rewritten (the bad versions stay time-travelable; an audit can
+    * still see what happened), the restore itself is one more version
+    * whose actions are the FILE-SET DIFF between the current and the
+    * target snapshot — files the target had and the current dropped
+    * are re-added (with their recorded partition values, stats and
+    * deletion-vector descriptors), files the current added since are
+    * removed, paths live in both but with a DIFFERENT DV state are
+    * swapped remove+add so the target's row visibility wins. Pure
+    * metadata: no data file is read, copied or rewritten — restoring
+    * a 100 TB table costs one log commit. The target's schema,
+    * partitioning and configuration come back too (a post-target
+    * ADD COLUMNS / ADD CONSTRAINT is undone), but the PROTOCOL never
+    * downgrades (readers keyed on the current protocol stay sound).
+    * Files the target references that [[vacuum]] already deleted fail
+    * the restore loudly BEFORE anything commits — never a snapshot
+    * pointing at ghosts. Restoring to the current version is a no-op
+    * (no empty commits). Returns the committed (or current) version. */
+  def restore(spark: SparkSession, deltaPath: String,
+              versionAsOf: Option[Long] = None,
+              timestampAsOf: Option[Long] = None,
+              checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    require(versionAsOf.nonEmpty || timestampAsOf.nonEmpty,
+      "RESTORE needs a target: versionAsOf or timestampAsOf")
+    val cur = snapshot(spark, deltaPath)
+    val tgt = snapshot(spark, deltaPath, versionAsOf, timestampAsOf)
+    require(tgt.version <= cur.version,
+      s"cannot restore $deltaPath forward to version ${tgt.version}")
+    if (tgt.version == cur.version) return cur.version
+
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(deltaPath)
+    val fs = dst.getFileSystem(fsConf)
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val root = deScheme(fs.makeQualified(dst).toString)
+
+    // vacuum may have physically removed files only the target
+    // references — verify BEFORE committing a snapshot full of ghosts
+    val missing = tgt.files.filterNot(f => fs.exists(new Path(f.path)))
+    require(missing.isEmpty,
+      s"cannot restore $deltaPath to version ${tgt.version}: " +
+        s"${missing.size} data file(s) it references were vacuumed " +
+        s"(first: ${missing.head.path}); restore an un-vacuumed version")
+
+    val curByKey = cur.files.map(f => fileKeyOf(f.path) -> f).toMap
+    val tgtByKey = tgt.files.map(f => fileKeyOf(f.path) -> f).toMap
+    def dvOf(f: AddFile) = f.dv.filter(_.cardinality != 0L)
+    // re-add: target-only paths, plus shared paths whose DV state
+    // differs (the target's row visibility must win at replay)
+    val readds = tgt.files.filter { f =>
+      val k = fileKeyOf(f.path)
+      !curByKey.contains(k) || dvOf(curByKey(k)) != dvOf(f)
+    }
+    val removes = cur.files.filter(f => !tgtByKey.contains(fileKeyOf(f.path)))
+    val dvSwaps = tgt.files.filter { f =>
+      val k = fileKeyOf(f.path)
+      curByKey.contains(k) && dvOf(curByKey(k)) != dvOf(f)
+    }
+
+    val now = System.currentTimeMillis()
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
+      }.mkString("{", ",", "}")
+    def relOf(p: String): String =
+      encodePath(deScheme(new Path(p).toString)
+        .stripPrefix(root).stripPrefix("/"))
+
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    if (tgt.schema != cur.schema ||
+      tgt.partitionColumns != cur.partitionColumns ||
+      tgt.configuration != cur.configuration) {
+      val tableId = java.util.UUID.nameUUIDFromBytes(
+        deltaPath.getBytes("UTF-8")).toString
+      lines += metaDataLine(tableId, tgt.schema.json, tgt.partitionColumns,
+        now, tgt.configuration)
+    }
+    (removes ++ dvSwaps).foreach { f =>
+      lines += s"""{"remove":{"path":${jsEscape(relOf(f.path))},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    readds.foreach { f =>
+      val dvPart = dvOf(f).map { d =>
+        s""","deletionVector":{"storageType":${jsEscape(d.storageType)},"pathOrInlineDv":${jsEscape(d.pathOrInlineDv)},"offset":${d.offset.getOrElse(1)},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+      }.getOrElse("")
+      val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(relOf(f.path))},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true$dvPart$statsPart}}"""
+    }
+    if (lines.isEmpty) return cur.version // same file set + metadata
+    val v = cur.version + 1
+    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (checkpointInterval > 0 && v % checkpointInterval == 0)
+      checkpoint(spark, deltaPath, v)
+    v
+  }
+
   /** Row-level `DELETE FROM … WHERE predicate` as COPY-ON-WRITE, the
     * way real Delta executes it: only files that can contain matches
     * (by partition values + per-file stats, [[prunedFiles]]) are even

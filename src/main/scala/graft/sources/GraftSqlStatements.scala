@@ -61,6 +61,9 @@ object GraftSqlStatements {
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Target +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
+      """\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']+)'|(\S+))\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+ADD\s+CONSTRAINT\s+([\w$]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -98,6 +101,11 @@ object GraftSqlStatements {
       Some(GraftVacuumCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         Option(retain).map(_.toInt), dry != null))
+    case RestoreRe(path, ident, kind, quoted, bare) =>
+      Some(GraftRestoreCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        kind.equalsIgnoreCase("VERSION"),
+        Option(quoted).getOrElse(bare)))
     case AddConstraintRe(path, ident, name, check) =>
       Some(GraftConstraintCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil), name,
@@ -207,6 +215,46 @@ case class GraftOptimizeCommand(path: Option[String], parts: Seq[String],
         // manifest-only reorganization stays available as
         // IcebergTable.rewriteManifests
         IcebergTable.rewriteDataFiles(spark, dir)
+    }
+    Seq(Row(dir, v))
+  }
+}
+
+/** `RESTORE [TABLE] <t> TO VERSION AS OF <v>` (or `TO TIMESTAMP AS OF
+  * '<ts>'`, Delta-flavor) → the flavor's rollback service: Delta gets
+  * the file-set-diff restore commit ([[DeltaLog.restore]] — history
+  * preserved, one new version), Iceberg the `rollback_to_snapshot`
+  * pointer move ([[IcebergTable.rollbackTo]] — version = snapshot id,
+  * matching `VERSION AS OF` reads on this flavor), versioned tables
+  * their CAS re-commit ([[VersionedTable.restore]]). Timestamp
+  * targets accept epoch millis or `yyyy-MM-dd HH:mm:ss[.f]`. All
+  * three are metadata-only — no data file moves. */
+case class GraftRestoreCommand(path: Option[String], parts: Seq[String],
+                               isVersion: Boolean, target: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    def tsMillis: Long =
+      if (target.forall(_.isDigit)) target.toLong
+      else java.sql.Timestamp.valueOf(target).getTime
+    val v = flavorOf(spark, dir) match {
+      case DeltaFlavor =>
+        if (isVersion) DeltaLog.restore(spark, dir,
+          versionAsOf = Some(target.toLong))
+        else DeltaLog.restore(spark, dir, timestampAsOf = Some(tsMillis))
+      case IcebergFlavor =>
+        require(isVersion, "RESTORE … TIMESTAMP AS OF is not supported " +
+          "for Iceberg-flavor tables — pass the snapshot id as VERSION AS OF")
+        IcebergTable.rollbackTo(spark, dir, target.toLong)
+      case VersionedFlavor =>
+        require(isVersion, "RESTORE … TIMESTAMP AS OF is not supported " +
+          "for versioned tables — pass the version as VERSION AS OF")
+        VersionedTable.restore(spark, dir, target.toLong)
     }
     Seq(Row(dir, v))
   }

@@ -1429,6 +1429,55 @@ object IcebergTable {
       carryExisting = false)
   }
 
+  /** Roll the table's CURRENT state back to an earlier snapshot —
+    * Iceberg's `rollback_to_snapshot` procedure (the RESTORE twin for
+    * this flavor, spec §"Snapshots"): pure metadata, ONE new
+    * `v<N+1>.metadata.json` whose `current-snapshot-id` points at the
+    * target. The snapshots list is untouched (the rolled-past
+    * snapshots stay time-travelable until [[expireSnapshots]]), the
+    * sequence counter never rewinds (future commits stay strictly
+    * newer — MOR delete scoping stays sound), and the snapshot-log
+    * records the pointer move at NOW, exactly like the Java
+    * `SetSnapshotOperation`. The target must still be in the
+    * snapshots list — an expired id refuses loudly. No data or
+    * manifest I/O: rolling back a 100 TB table costs one JSON write.
+    * Returns the (now-current) target snapshot id. */
+  def rollbackTo(spark: SparkSession, tablePath: String,
+                 snapshotId: Long): Long = {
+    val mp = latestMetadataFile(spark, tablePath)
+    val metaVersion =
+      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val snapIds = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(_.get("snapshot-id").asLong()).toSeq
+    require(snapIds.contains(snapshotId),
+      s"snapshot $snapshotId is not in $tablePath's snapshots list " +
+        s"(have: ${snapIds.mkString(", ")}) — expired snapshots cannot " +
+        "be rolled back to")
+    val cur = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong())
+    if (cur.contains(snapshotId)) return snapshotId // already current
+    val now = System.currentTimeMillis()
+    meta.put("current-snapshot-id", snapshotId)
+    Option(meta.get("snapshot-log")).foreach { log =>
+      val lg = log.asInstanceOf[ArrayNode].addObject()
+      lg.put("snapshot-id", snapshotId)
+      lg.put("timestamp-ms", now)
+    }
+    meta.put("last-updated-ms", now)
+    val mdir = metaDir(tablePath)
+    val fs = fsFor(spark, mdir)
+    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
+    val out = fs.create(next, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
+    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    snapshotId
+  }
+
   /** `ALTER TABLE … ADD COLUMN(S)` — real Iceberg schema evolution
     * (spec §"Schema Evolution"): appends a NEW schema with a fresh
     * schema-id and fresh field ids (allocated past `last-column-id`,

@@ -921,4 +921,64 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.mirrorFromIceberg(spark, src, src)
     }
   }
+
+  test("RESTORE: file-set-diff rollback as a new version; history, metadata and DVs intact") {
+    val t = Files.createTempDirectory("graft-delta-restore").toString + "/t"
+    DeltaLog.write(spark, (1L to 10L).toDF("k").coalesce(1), t)       // v0
+    DeltaLog.write(spark, (11L to 15L).toDF("k").coalesce(1), t)      // v1
+    DeltaLog.delete(spark, t, col("k") <= 3L)                         // v2
+    val v = DeltaLog.restore(spark, t, versionAsOf = Some(1L))        // v3
+    assert(v === 3L)
+    // content is exactly version 1's
+    assert(DeltaLog.read(spark, t).as[Long].collect().toSet
+      === (1L to 15L).toSet)
+    // nothing rewound: the delete is still time-travelable
+    assert(DeltaLog.read(spark, t, versionAsOf = Some(2L))
+      .as[Long].collect().toSet === (4L to 15L).toSet)
+    // pure metadata — the restore re-adds the ORIGINAL file paths
+    val s1 = DeltaLog.snapshot(spark, t, versionAsOf = Some(1L))
+    val s3 = DeltaLog.snapshot(spark, t)
+    assert(s1.files.map(_.path).toSet === s3.files.map(_.path).toSet)
+    // restoring to the current version is a no-op (no empty commit)
+    assert(DeltaLog.restore(spark, t, versionAsOf = Some(3L)) === 3L)
+    assert(DeltaLog.listVersions(spark, t).max === 3L)
+    // a restore is one more commit — restore past it works too
+    assert(DeltaLog.restore(spark, t, versionAsOf = Some(2L)) === 4L)
+    assert(DeltaLog.read(spark, t).as[Long].collect().toSet
+      === (4L to 15L).toSet)
+
+    // configuration rolls back with the snapshot: constraint added
+    // AFTER the target is gone again post-restore
+    DeltaLog.addCheckConstraint(spark, t, "pos", "k > 0")             // v5
+    assert(DeltaLog.snapshot(spark, t).configuration
+      .contains("delta.constraints.pos"))
+    DeltaLog.restore(spark, t, versionAsOf = Some(4L))                // v6
+    assert(!DeltaLog.snapshot(spark, t).configuration
+      .contains("delta.constraints.pos"))
+
+    // DV state swaps back: a DV delete then a restore resurrects rows
+    val t2 = Files.createTempDirectory("graft-delta-restore2").toString + "/t"
+    DeltaLog.write(spark, (1L to 20L).toDF("k").coalesce(1), t2)      // v0
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try DeltaLog.delete(spark, t2, col("k") > 18L)                    // v1: DV
+    finally spark.conf.unset("spark.graft.dv.enabled")
+    assert(DeltaLog.read(spark, t2).as[Long].collect().toSet
+      === (1L to 18L).toSet)
+    DeltaLog.restore(spark, t2, versionAsOf = Some(0L))               // v2
+    assert(DeltaLog.read(spark, t2).as[Long].collect().toSet
+      === (1L to 20L).toSet)
+
+    // vacuumed target: refuses loudly BEFORE committing anything
+    val t3 = Files.createTempDirectory("graft-delta-restore3").toString + "/t"
+    DeltaLog.write(spark, (1L to 5L).toDF("k").coalesce(1), t3)       // v0
+    DeltaLog.write(spark, (6L to 9L).toDF("k").coalesce(1), t3,
+      overwrite = true)                                               // v1
+    DeltaLog.vacuum(spark, t3, keepVersions = 1)
+    val before = DeltaLog.listVersions(spark, t3).max
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.restore(spark, t3, versionAsOf = Some(0L))
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    assert(DeltaLog.listVersions(spark, t3).max === before)
+  }
 }

@@ -391,6 +391,37 @@ class IcebergSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === expect)
   }
 
+  test("rollbackTo: pointer move to an older snapshot, history and sequencing intact") {
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft-ice-rb").toString + "/t"
+    val s1 = IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val s2 = IcebergTable.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    IcebergTable.delete(spark, t, col("k") === 1L) // s3: MOR delete
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((2L, "b"), (3L, "c")))
+    // roll back past the delete AND the second append
+    assert(IcebergTable.rollbackTo(spark, t, s1) === s1)
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // nothing expired: the rolled-past snapshots still time-travel
+    assert(IcebergTable.read(spark, t, snapshotIdAsOf = Some(s2))
+      .as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a new append builds on the ROLLED-BACK state, at a strictly
+    // newer sequence (the counter never rewinds)
+    IcebergTable.write(spark, Seq((9L, "z")).toDF("k", "v"), t)
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (9L, "z")))
+    // rolling back to the current snapshot is a no-op; unknown /
+    // expired ids refuse loudly
+    val cur = IcebergTable.snapshot(spark, t).snapshotId
+    assert(IcebergTable.rollbackTo(spark, t, cur) === cur)
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.rollbackTo(spark, t, 424242L)
+    }
+    assert(e.getMessage.contains("snapshots list"), e.getMessage)
+  }
+
   test("addColumns: metadata-only evolution, null-filled reads, evolved appends") {
     import org.apache.spark.sql.functions.col
     val t = Files.createTempDirectory("graft-ice-add").toString + "/t"

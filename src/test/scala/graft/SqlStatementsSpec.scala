@@ -342,4 +342,37 @@ class SqlStatementsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("GraftCatalog"), e2.getMessage)
   }
+
+  test("SQL RESTORE rolls back every catalog flavor; timestamp targets are Delta-only") {
+    val root = catalogRoot("rst")
+    // Delta: restore past a delete via the catalog name
+    val dt = s"$root/ns/dt"
+    DeltaLog.write(spark, (1L to 10L).toDF("k").coalesce(1), dt)
+    DeltaLog.delete(spark, dt, col("k") > 8L)
+    val out = spark.sql("RESTORE TABLE gsql_rst.ns.dt TO VERSION AS OF 0")
+      .collect()
+    assert(out(0).getLong(1) === 2L)
+    assert(DeltaLog.read(spark, dt).as[Long].collect().toSet
+      === (1L to 10L).toSet)
+    // Iceberg: version = snapshot id, quoted-path target, no TABLE kw
+    val it = s"$root/ns/it"
+    val s1 = IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"), it)
+    IcebergTable.write(spark, Seq((2L, "b")).toDF("k", "v"), it)
+    assert(spark.sql(s"RESTORE '$it' TO VERSION AS OF $s1")
+      .collect()(0).getLong(1) === s1)
+    assert(IcebergTable.read(spark, it).as[(Long, String)].collect().toSet
+      === Set((1L, "a")))
+    intercept[IllegalArgumentException] {
+      spark.sql(s"RESTORE '$it' TO TIMESTAMP AS OF '2026-01-01 00:00:00'")
+        .collect()
+    }
+    // versioned: CAS re-commit of the older content
+    val vt = s"$root/ns/vt"
+    VersionedTable.write(Seq((1L, "x")).toDF("k", "v"), vt)
+    VersionedTable.write(Seq((2L, "y")).toDF("k", "v"), vt)
+    assert(spark.sql("RESTORE gsql_rst.ns.vt TO VERSION AS OF 1")
+      .collect()(0).getLong(1) === 3L)
+    assert(VersionedTable.read(spark, vt).as[(Long, String)].collect().toSet
+      === Set((1L, "x")))
+  }
 }
