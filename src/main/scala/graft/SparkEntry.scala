@@ -5558,6 +5558,54 @@ object SparkEntry {
         .select(lit("iceberg_rollback").as("leg"),
           col("grp").cast("string").as("grp"), col("n"), col("total"))
       legA.unionByName(legB).orderBy("leg", "grp")
+    }),
+
+    // protocol-true CHANGE DATA FEED: enable via TBLPROPERTIES
+    // (protocol bump), then UPDATE + DELETE write `_change_data`
+    // files whose precise row-level legs (update_preimage/
+    // update_postimage/delete) the change feed serves instead of the
+    // whole-file reconstruction — aggregated per change type, one
+    // hash gate
+    "interop_delta_cdf" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-cdf")
+        .toString + "/t"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.DeltaLog.write(s, c, t)                       // v0
+      graft.sources.DeltaLog.setTableProperties(s, t,
+        Map("delta.enableChangeDataFeed" -> "true"))              // v1
+      graft.sources.DeltaLog.update(s, t, col("c_acctbal") < 0,
+        Map("c_acctbal" -> lit(0.0)))                             // v2
+      graft.sources.DeltaLog.delete(s, t,
+        col("c_custkey") % 100 === 0)                             // v3
+      graft.sources.DeltaLog.changes(s, t, 1L, 3L)
+        .groupBy(col("_change_type").as("change_type"),
+          col("_commit_version").as("version"))
+        .agg(count(lit(1)).as("n"), sumD(col("c_acctbal")).as("bal"))
+        .orderBy("change_type", "version")
+    }),
+
+    // column-mapping WRITE path: upgrade to name mode (ids +
+    // physicalNames, protocol bump), RENAME COLUMN as one metaData
+    // line, then an append under the NEW logical name stages parquet
+    // under the PHYSICAL name — both file generations serve one
+    // logical column, aggregated under the post-rename name
+    "interop_delta_rename" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-ren")
+        .toString + "/t"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaLog.write(s, o, t)                       // v0
+      s.sql(s"ALTER TABLE '$t' SET TBLPROPERTIES " +
+        "('delta.columnMapping.mode' = 'name')")                  // v1
+      s.sql(s"ALTER TABLE '$t' RENAME COLUMN o_totalprice TO price") // v2
+      graft.sources.DeltaLog.write(s,
+        o.select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice").as("price")), t) // v3
+      graft.sources.DeltaLog.read(s, t)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"), sumD(col("price")).as("total"))
+        .orderBy("status")
     })
   )
 
@@ -8636,7 +8684,36 @@ object SparkEntry {
          |   CAST(s_nationkey % 5 AS VARCHAR) AS grp,
          |   COUNT(*) AS n, ${sqlSumD("s_acctbal")} AS total
          |  FROM supplier WHERE s_suppkey % 2 = 0 GROUP BY 2)
-         |ORDER BY leg, grp""".stripMargin
+         |ORDER BY leg, grp""".stripMargin,
+
+    "interop_delta_cdf" ->
+      s"""WITH upd AS (
+         |  SELECT c_custkey,
+         |   CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal
+         |  FROM customer)
+         |SELECT change_type, version, n, bal FROM (
+         |  SELECT 'update_preimage' AS change_type,
+         |   CAST(2 AS BIGINT) AS version, COUNT(*) AS n,
+         |   ${sqlSumD("c_acctbal")} AS bal
+         |  FROM customer WHERE c_acctbal < 0
+         |  UNION ALL
+         |  SELECT 'update_postimage', CAST(2 AS BIGINT), COUNT(*),
+         |   ${sqlSumD("0.0")}
+         |  FROM customer WHERE c_acctbal < 0
+         |  UNION ALL
+         |  SELECT 'delete', CAST(3 AS BIGINT), COUNT(*),
+         |   ${sqlSumD("bal")}
+         |  FROM upd WHERE c_custkey % 100 = 0)
+         |ORDER BY change_type, version""".stripMargin,
+
+    "interop_delta_rename" ->
+      s"""WITH doubled AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders)
+         |SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+         | ${sqlSumD("o_totalprice")} AS total
+         |FROM doubled GROUP BY 1 ORDER BY status""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -44,8 +44,8 @@ import org.apache.spark.sql.types._
 object DeltaLog {
 
   /** Top-level action schema for one commit-log line. Fields we do
-    * not interpret (commitInfo, txn, cdc) are omitted — from_json
-    * ignores unknown JSON fields by design. */
+    * not interpret (commitInfo) are omitted — from_json ignores
+    * unknown JSON fields by design. */
   private val ActionSchema: StructType = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
@@ -79,7 +79,15 @@ object DeltaLog {
       StructField("dataChange", BooleanType)))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
-      StructField("version", LongType))))))
+      StructField("version", LongType)))),
+    // LAST on purpose: [[checkpoint]] builds its consolidated rows
+    // positionally against this schema, and checkpoints never carry
+    // cdc actions (they are per-commit, PROTOCOL.md CDF)
+    StructField("cdc", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("dataChange", BooleanType))))))
 
   /** readerFeatures this reader actually honors for protocol v3. */
   val SupportedReaderFeatures: Set[String] =
@@ -793,13 +801,39 @@ object DeltaLog {
             s"schema/metadata change inside polled range ($fromVersion, " +
               s"$toVersion] of $tablePath — poll up to the boundary, adapt, continue")
       }
+    // PROTOCOL.md CDF reader rule: a commit WITH `cdc` actions serves
+    // its row-level changes from those `_change_data` files
+    // EXCLUSIVELY (the writer recorded the precise pre/post images);
+    // commits without reconstruct from the file-level diff as before
+    val cdcActs = acts.filter(col("cdc").isNotNull)
+      .select(col("cdc.path").as("path"),
+        col("cdc.partitionValues").as("pv"),
+        col("cdc.size").as("size"), col("__v")).collect()
+    val cdcVersions: Set[Long] = cdcActs.map(_.getAs[Long]("__v")).toSet
     // deletion-vector commits re-add the SAME path with a DV; the
     // file-level diff cannot express that, so ranges containing DV
-    // adds take the stateful row-diff replay below instead
-    val dvInRange =
-      acts.filter(col("add.deletionVector").isNotNull).limit(1).count() > 0
+    // adds NOT covered by cdc files take the stateful row-diff
+    // replay below instead
+    val dvInRange = acts.filter(col("add.deletionVector").isNotNull)
+      .select("__v").collect().map(_.getLong(0)).exists(v => !cdcVersions(v))
     if (dvInRange)
       return changesWithDv(spark, tablePath, fromVersion, acts, endSnap)
+    val cdcLegs: Seq[DataFrame] = cdcActs.groupBy(_.getAs[Long]("__v")).toSeq
+      .sortBy(_._1).map { case (cv, rows) =>
+        val fls = rows.toSeq.map { r =>
+          AddFile(
+            new Path(tablePath, decodePath(r.getAs[String]("path"))).toString,
+            Option(r.getAs[scala.collection.Map[String, String]]("pv"))
+              .map(_.toMap).getOrElse(Map.empty[String, String]),
+            Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
+            0L)
+        }
+        readSnapshotAll(spark, endSnap.copy(
+          schema = StructType(endSnap.schema.fields :+
+            StructField("_change_type", StringType)),
+          files = fls))
+          .withColumn("_commit_version", lit(cv))
+      }
     // dataChange=false actions (OPTIMIZE / Z-ORDER rewrites) rearrange
     // bytes without changing rows — surfacing them as delete+insert
     // would let a replica consumer drop rows (within-commit apply
@@ -808,6 +842,8 @@ object DeltaLog {
     val fileActs = acts
       .filter(coalesce(col("add.dataChange"), col("remove.dataChange"),
         lit(true)))
+      .filter(if (cdcVersions.isEmpty) lit(true)
+        else !col("__v").isin(cdcVersions.toSeq: _*))
       .select(
         coalesce(col("add.path"), col("remove.path")).as("path"),
         col("add.path").isNotNull.as("is_add"),
@@ -867,7 +903,7 @@ object DeltaLog {
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(cv))
       }
-    legs.reduceOption(_.unionByName(_)).getOrElse(
+    (cdcLegs ++ legs).reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withVersionCol))
   }
@@ -1151,6 +1187,36 @@ object DeltaLog {
     adopted
   }
 
+  /** True when the table declares `delta.enableChangeDataFeed` — the
+    * property real Delta keys CDF writes on. */
+  private[sources] def cdfEnabled(snap: Snapshot): Boolean =
+    snap.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Stage `rows` (full table schema + `_change_type`) as CHANGE-DATA
+    * files under `_change_data/` — the PROTOCOL.md "Add CDC File"
+    * shape: hive-partitioned like the data (partition values in the
+    * action, never in the file), `_change_type` a regular column in
+    * the parquet, the directory underscore-prefixed so plain table
+    * scans never list it. Returns the `cdc` action lines for the
+    * commit (dataChange=false per the spec — CDC files never feed the
+    * file-level diff). */
+  private def stageCdcLines(spark: SparkSession, deltaPath: String,
+                            snap: Snapshot, rows: DataFrame,
+                            v: Long): Seq[String] = {
+    val ordered = rows.select((snap.schema.fieldNames :+ "_change_type")
+      .map(col).toIndexedSeq: _*)
+    val adopted = stageData(spark, ordered,
+      new Path(deltaPath, "_change_data"), snap.partitionColumns, s"cdc-$v")
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
+      }.mkString("{", ",", "}")
+    adopted.map { case (rel, pv, sz, _) =>
+      s"""{"cdc":{"path":${jsEscape(encodePath(s"_change_data/$rel"))},"partitionValues":${pvJson(pv)},"size":$sz,"dataChange":false}}"""
+    }
+  }
+
   /** Parse hive-style partition directory segments of a staged
     * relative path into (partitionValues, fileName). */
   private[sources] def parsePartitionDirs(relDirs: Seq[String],
@@ -1297,8 +1363,31 @@ object DeltaLog {
     }
     def shape(s: StructType): StructType =
       normType(s).asInstanceOf[StructType]
+    // NAME-mode column-mapped tables take writes: the frame is staged
+    // under the schema's physicalNames (and physical partition dirs),
+    // so existing files and fresh ones agree on the parquet layout.
+    // The SCHEMA may not change through a write (evolution on a
+    // mapped table needs fresh column ids — the DDL path), and id
+    // mode stays read-only.
+    def cmModeOf(p: Snapshot): String =
+      p.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val mappedPrior: Option[Snapshot] = prior.filter(p =>
+      cmModeOf(p) != "none" || isColumnMapped(p.schema))
+    mappedPrior.foreach { p =>
+      require(cmModeOf(p) == "name",
+        s"write on a ${cmModeOf(p)}-mode column-mapped table is not " +
+          "supported — only name mode has a write path")
+      p.schema.fields.foreach(f => if (nestedMapped(f.dataType))
+        throw new UnsupportedOperationException(
+          s"write with nested column-mapping physical names under " +
+            s"field ${f.name} is not supported"))
+      require(shape(p.schema) == shape(df.schema),
+        s"write on column-mapped $deltaPath must match the table " +
+          s"schema exactly (${df.schema.simpleString} vs " +
+          s"${p.schema.simpleString}) — schema changes need fresh " +
+          "column ids (RENAME/DROP/ADD COLUMN DDL)")
+    }
     prior.filter(_ => !overwrite).foreach { p =>
-      requireNotColumnMapped(p, "append")
       require(shape(p.schema) == shape(df.schema),
         s"append schema ${df.schema.simpleString} does not match table " +
           s"schema ${p.schema.simpleString}; use overwrite to replace")
@@ -1325,8 +1414,17 @@ object DeltaLog {
 
     // stage the data through a scratch dir, then adopt the parts
     // under stable names (never leave half-written files at paths the
-    // log references)
-    val adopted = stageData(spark, df, dst, effParts, s"$v")
+    // log references); on a mapped table the staged parquet carries
+    // PHYSICAL names and the partition dirs the physical keys the
+    // log's partitionValues convention expects
+    val (stageDf, stageParts) = mappedPrior match {
+      case Some(p) =>
+        (df.select(p.schema.fields.map(f =>
+          col(f.name).as(physName(f))).toIndexedSeq: _*),
+          effParts.map(c => physName(p.schema(c))))
+      case None => (df, effParts)
+    }
+    val adopted = stageData(spark, stageDf, dst, stageParts, s"$v")
 
     def pvJson(pv: Map[String, String]): String =
       pv.toSeq.sortBy(_._1).map { case (k, vv) =>
@@ -1344,8 +1442,11 @@ object DeltaLog {
     } else if (overwrite) {
       val p = prior.get
       // a schema-changing overwrite must never drop the table's
-      // configuration (constraints, properties) on the floor
-      if (p.schema != df.schema || p.partitionColumns != effParts)
+      // configuration (constraints, properties) on the floor; a
+      // mapped table's schema was proven unchanged above — never
+      // stamp a metadata-stripped copy over it
+      if (mappedPrior.isEmpty &&
+        (p.schema != df.schema || p.partitionColumns != effParts))
         lines += metaDataLine(tableId, df.schema.json, effParts, now,
           p.configuration)
       // snapshot paths are absolute; the log stores table-relative —
@@ -1657,7 +1758,10 @@ object DeltaLog {
         dvDelete(spark, deltaPath, predicate, checkpointInterval)
       else None
     viaDv.getOrElse(
-      copyOnWrite(spark, deltaPath, predicate, checkpointInterval) {
+      copyOnWrite(spark, deltaPath, predicate, checkpointInterval,
+        cdcOf = Some((full, pred) => full
+          .where(coalesce(pred, lit(false)))
+          .withColumn("_change_type", lit("delete")))) {
         (full, pred) => full.where(!coalesce(pred, lit(false)))
       })
   }
@@ -1736,6 +1840,22 @@ object DeltaLog {
         stageData(spark, rows.select(snap.schema.fieldNames.map(col): _*),
           dst, snap.partitionColumns, s"dvu-$v")
       }.getOrElse(Seq.empty)
+    // CDF legs: the DV arm knows the matched rows exactly — a delete
+    // streams them as `delete`, an update as pre/postimage
+    val cdcLinesOut: Seq[String] =
+      if (!cdfEnabled(snap)) Seq.empty
+      else {
+        val body = matchedFull.drop("__path", "__ri")
+        val legs = makeAppend match {
+          case None => body.withColumn("_change_type", lit("delete"))
+          case Some(mk) =>
+            body.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(mk(matchedFull)
+                .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+                .withColumn("_change_type", lit("update_postimage")))
+        }
+        stageCdcLines(spark, deltaPath, snap, legs, v)
+      }
     matchedFull.unpersist()
 
     val lines = scala.collection.mutable.ArrayBuffer[String]()
@@ -1767,6 +1887,7 @@ object DeltaLog {
       val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
       lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
+    lines ++= cdcLinesOut
     val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -1810,8 +1931,20 @@ object DeltaLog {
             }.toSeq: _*)
           })
       else None
+    // CDF legs: the matched rows before (update_preimage) and after
+    // (update_postimage) the simultaneous projection
+    val cdcOf = Some { (full: DataFrame, pred: org.apache.spark.sql.Column) =>
+      val pre = full.where(coalesce(pred, lit(false)))
+      val post = pre.select(snap0.schema.fieldNames.map { c =>
+        assignments.get(c)
+          .map(_.cast(snap0.schema(c).dataType).as(c))
+          .getOrElse(col(c))
+      }.toSeq: _*)
+      pre.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+    }
     viaDv.getOrElse(
-      copyOnWrite(spark, deltaPath, predicate, checkpointInterval) {
+      copyOnWrite(spark, deltaPath, predicate, checkpointInterval, cdcOf) {
         (full, pred) => {
           // ONE projection over the ORIGINAL columns — SQL UPDATE
           // semantics are simultaneous (SET a = b, b = a swaps; a
@@ -1948,6 +2081,43 @@ object DeltaLog {
     // the table's layout
     adds ++= stageData(spark, src, dst, pc, s"mrg-$v")
 
+    // CDF legs: matched target rows (update_preimage), the matching
+    // source rows replacing them (update_postimage), unmatched source
+    // rows (insert) — `_change_data` files in the SAME commit
+    val cdcLinesOut: Seq[String] =
+      if (!cdfEnabled(snap)) Seq.empty
+      else {
+        val pre: Option[DataFrame] =
+          if (toRewrite.isEmpty) None
+          else {
+            val grp = scanLive(spark, deltaPath, dataSchema, toRewrite)
+            val full =
+              if (pc.isEmpty) grp.drop("__path")
+              else {
+                val pvDf = broadcast(toRewrite.map(f =>
+                  (fileKey(f.path),
+                    pc.map(c => f.partitionValues.getOrElse(c, null))))
+                  .toDF("__path", "__pv"))
+                grp.join(pvDf, Seq("__path"), "left")
+                  .select(snap.schema.map(f =>
+                    if (pc.contains(f.name))
+                      element_at(col("__pv"), pc.indexOf(f.name) + 1)
+                        .cast(f.dataType).as(f.name)
+                    else col(f.name)): _*)
+              }
+            Some(full.join(srcKeys, keyCols, "left_semi"))
+          }
+        def matchedKeys = pre.get.select(keyCols.map(col): _*).distinct()
+        val legs = Seq(
+          pre.map(_.withColumn("_change_type", lit("update_preimage"))),
+          pre.map(_ => src.join(matchedKeys, keyCols, "left_semi")
+            .withColumn("_change_type", lit("update_postimage"))),
+          Some(pre.map(_ => src.join(matchedKeys, keyCols, "left_anti"))
+            .getOrElse(src).withColumn("_change_type", lit("insert")))).flatten
+        stageCdcLines(spark, deltaPath, snap,
+          legs.reduce(_.unionByName(_)), v)
+      }
+
     def pvJson(pv: Map[String, String]): String =
       pv.toSeq.sortBy(_._1).map { case (k, vv) =>
         s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
@@ -1962,6 +2132,7 @@ object DeltaLog {
       val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
       lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
+    lines ++= cdcLinesOut
     val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -1974,10 +2145,16 @@ object DeltaLog {
   /** Shared copy-on-write core: locate files with actual matches,
     * rewrite them through `transform` (applied with the predicate over
     * the FULL schema — partition values attached as typed literals),
-    * commit remove+add as one version. */
+    * commit remove+add as one version. When the table declares
+    * `delta.enableChangeDataFeed` and the caller supplies `cdcOf`
+    * (the row-level change frame: full schema + `_change_type`), the
+    * SAME commit also carries `cdc` actions over `_change_data/`
+    * files — the precise CDF legs [[changes]] then serves instead of
+    * the whole-file reconstruction. */
   private def copyOnWrite(spark: SparkSession, deltaPath: String,
                           predicate: org.apache.spark.sql.Column,
-                          checkpointInterval: Int)
+                          checkpointInterval: Int,
+                          cdcOf: Option[(DataFrame, org.apache.spark.sql.Column) => DataFrame] = None)
                          (transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     import spark.implicits._
     val snap = snapshot(spark, deltaPath)
@@ -2022,6 +2199,8 @@ object DeltaLog {
     val now = System.currentTimeMillis()
     val root = deScheme(fs.makeQualified(dst).toString)
     val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long, Option[String])]()
+    val cdcFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val wantCdc = cdcOf.isDefined && cdfEnabled(snap)
     toRewrite.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
       .zipWithIndex.foreach { case ((pv, fls), gi) =>
@@ -2030,6 +2209,7 @@ object DeltaLog {
           if (pc.contains(f.name))
             lit(pv.getOrElse(f.name, null)).cast(f.dataType).as(f.name)
           else col(f.name)): _*)
+        if (wantCdc) cdcFrames += cdcOf.get(full, predicate)
         val out = transform(full, predicate)
           .select(dataSchema.fieldNames.map(col): _*)
         val tmp = new Path(dst, s".tmp-cow-$v-$gi-${java.util.UUID.randomUUID()}")
@@ -2071,6 +2251,9 @@ object DeltaLog {
       val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
       lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
+    if (wantCdc && cdcFrames.nonEmpty)
+      lines ++= stageCdcLines(spark, deltaPath, snap,
+        cdcFrames.reduce(_.unionByName(_)), v)
     val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -2133,7 +2316,8 @@ object DeltaLog {
       s"cannot add CHECK constraint $name ($exprSql) to $deltaPath: " +
         s"$bad existing rows violate it")
     commitConfigChange(spark, deltaPath, prior,
-      prior.configuration + (key -> exprSql), upgradeForConstraints = true)
+      prior.configuration + (key -> exprSql),
+      featureUpgrade = Some((3, "checkConstraints")))
   }
 
   /** `ALTER TABLE … DROP CONSTRAINT <name>` — metaData-only commit
@@ -2145,13 +2329,210 @@ object DeltaLog {
     require(prior.configuration.contains(key),
       s"no constraint $name on $deltaPath")
     commitConfigChange(spark, deltaPath, prior,
-      prior.configuration - key, upgradeForConstraints = false)
+      prior.configuration - key, featureUpgrade = None)
+  }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES (k = v, …)` — a metaData-only
+    * commit merging `props` into the table configuration. Enabling
+    * `delta.enableChangeDataFeed` carries the protocol bump real
+    * writers key on (minWriterVersion 4, or the `changeDataFeed`
+    * writer feature on (3,7) tables) — from that commit on, every
+    * graft DML writes `_change_data` files ([[changes]] then serves
+    * the precise row-level feed). `delta.constraints.*` keys must go
+    * through [[addCheckConstraint]] (they are validated there). */
+  def setTableProperties(spark: SparkSession, deltaPath: String,
+                         props: Map[String, String]): Long = {
+    require(props.nonEmpty, "no properties to set")
+    props.keys.foreach(k => require(!k.startsWith("delta.constraints."),
+      s"set $k through ALTER TABLE … ADD CONSTRAINT — constraints are " +
+        "validated against existing rows there"))
+    // the column-mapping UPGRADE rides on this property, like real
+    // Delta: mode=name assigns ids + physical names + the protocol
+    // bump in one commit; id mode stays read-only (graft writes no
+    // field-id parquet on the Delta path yet); downgrades refuse
+    props.get("delta.columnMapping.mode").foreach { mode =>
+      require(props.size == 1,
+        "set delta.columnMapping.mode in its own ALTER — the upgrade " +
+          "commits a schema rewrite, not a plain property merge")
+      val prior0 = snapshot(spark, deltaPath)
+      val cur = prior0.configuration
+        .getOrElse("delta.columnMapping.mode", "none")
+      mode.trim match {
+        case "name" if cur == "none" =>
+          return enableColumnMapping(spark, deltaPath)
+        case m if m == cur => return listVersions(spark, deltaPath).last
+        case "id" => throw new UnsupportedOperationException(
+          "id-mode column mapping is read-only in graft — upgrade to " +
+            "'name' mode instead")
+        case other => throw new UnsupportedOperationException(
+          s"cannot change column mapping mode $cur -> $other")
+      }
+    }
+    val prior = snapshot(spark, deltaPath)
+    val enablingCdf = props.get("delta.enableChangeDataFeed")
+      .exists(_.trim.equalsIgnoreCase("true")) && !cdfEnabled(prior)
+    commitConfigChange(spark, deltaPath, prior,
+      prior.configuration ++ props,
+      featureUpgrade = if (enablingCdf) Some((4, "changeDataFeed")) else None)
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES (k, …)` — drop configuration
+    * keys (missing keys are a no-op, like Spark's IF EXISTS). */
+  def unsetTableProperties(spark: SparkSession, deltaPath: String,
+                           keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "no properties to unset")
+    val prior = snapshot(spark, deltaPath)
+    commitConfigChange(spark, deltaPath, prior,
+      prior.configuration -- keys, featureUpgrade = None)
+  }
+
+  private val ColIdKey = "delta.columnMapping.id"
+
+  /** Upgrade a table to NAME-mode column mapping — what real Delta
+    * does when you `SET TBLPROPERTIES ('delta.columnMapping.mode' =
+    * 'name')`: every top-level field gets a stable column id and a
+    * `physicalName` EQUAL to its current name (existing parquet keeps
+    * reading verbatim; only columns renamed AFTER the upgrade diverge),
+    * `delta.columnMapping.maxColumnId` records the id watermark, and
+    * the protocol bumps to what mapping-aware readers key on
+    * (minReaderVersion 2 / minWriterVersion 5, or the `columnMapping`
+    * feature on (3,7) tables). Nested struct fields stay unmapped
+    * (reads gate loudly on nested physical renames — same boundary).
+    * One metaData commit, no data I/O. */
+  def enableColumnMapping(spark: SparkSession, deltaPath: String): Long = {
+    val prior = snapshot(spark, deltaPath)
+    require(prior.configuration.getOrElse("delta.columnMapping.mode", "none")
+      == "none" && !isColumnMapped(prior.schema),
+      s"$deltaPath already has column mapping enabled")
+    val newSchema = StructType(prior.schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(ColIdKey, i + 1L)
+          .putString(PhysNameKey, f.name).build())
+    })
+    val newConf = prior.configuration +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> prior.schema.fields.length.toString)
+    val (mrv, mwv, rf, wf) = prior.protocol
+    val protoLine =
+      if (mwv >= 7) {
+        if (rf.contains("columnMapping")) None
+        else {
+          val rfOut = (rf :+ "columnMapping").distinct.sorted
+          val wfOut = (wf :+ "columnMapping").distinct.sorted
+          Some(s"""{"protocol":{"minReaderVersion":${math.max(mrv, 2)},"minWriterVersion":7,"readerFeatures":${rfOut.map(jsEscape).mkString("[", ",", "]")},"writerFeatures":${wfOut.map(jsEscape).mkString("[", ",", "]")}}}""")
+        }
+      } else if (mrv < 2 || mwv < 5)
+        Some(s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+      else None
+    commitMetaChange(spark, deltaPath, newSchema, prior.partitionColumns,
+      newConf, protoLine)
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN a TO b` — a pure LOGICAL rename on
+    * a name-mode column-mapped table: the field keeps its column id
+    * and `physicalName`, so NO data file changes and every existing
+    * parquet keeps serving the column; only the metaData's logical
+    * name (and the partitionColumns list, when renaming a partition
+    * column) moves. Time travel reads each version with ITS name.
+    * Refuses on unmapped tables (enable mapping first — that is what
+    * makes the rename free) and when a CHECK constraint references
+    * the column (the stored SQL text would silently stop binding). */
+  def renameColumn(spark: SparkSession, deltaPath: String,
+                   from: String, to: String): Long = {
+    val prior = snapshot(spark, deltaPath)
+    require(prior.configuration.get("delta.columnMapping.mode")
+      .contains("name"),
+      s"RENAME COLUMN needs name-mode column mapping on $deltaPath — " +
+        "ALTER TABLE … SET TBLPROPERTIES " +
+        "('delta.columnMapping.mode'='name') first")
+    require(prior.schema.fieldNames.contains(from),
+      s"no column $from on $deltaPath")
+    require(!prior.schema.fieldNames.contains(to),
+      s"column $to already exists on $deltaPath")
+    requireNoConstraintOn(prior, from, "rename")
+    val newSchema = StructType(prior.schema.fields.map { f =>
+      if (f.name != from) f
+      else f.copy(name = to, metadata = new MetadataBuilder()
+        .withMetadata(f.metadata)
+        // pin the physical name if the upgrade predates this field
+        .putString(PhysNameKey, physName(f)).build())
+    })
+    val newPc = prior.partitionColumns.map(c => if (c == from) to else c)
+    commitMetaChange(spark, deltaPath, newSchema, newPc,
+      prior.configuration, None)
+  }
+
+  /** `ALTER TABLE … DROP COLUMN a` — metadata-only on a name-mode
+    * column-mapped table: the field leaves the schema, its column id
+    * is never reused (`maxColumnId` stands), and the physical data
+    * stays in the files — current reads simply never request it,
+    * while time travel before the DROP still serves it. Partition
+    * columns and constraint-referenced columns refuse; so does
+    * dropping the last column. */
+  def dropColumn(spark: SparkSession, deltaPath: String,
+                 name: String): Long = {
+    val prior = snapshot(spark, deltaPath)
+    require(prior.configuration.get("delta.columnMapping.mode")
+      .contains("name"),
+      s"DROP COLUMN needs name-mode column mapping on $deltaPath — " +
+        "ALTER TABLE … SET TBLPROPERTIES " +
+        "('delta.columnMapping.mode'='name') first")
+    require(prior.schema.fieldNames.contains(name),
+      s"no column $name on $deltaPath")
+    require(!prior.partitionColumns.contains(name),
+      s"cannot drop partition column $name — rows live in its " +
+        "directories; rewrite the layout with an overwrite instead")
+    require(prior.schema.fields.length > 1,
+      s"cannot drop the last column of $deltaPath")
+    requireNoConstraintOn(prior, name, "drop")
+    val newSchema = StructType(prior.schema.fields.filterNot(_.name == name))
+    commitMetaChange(spark, deltaPath, newSchema, prior.partitionColumns,
+      prior.configuration, None)
+  }
+
+  /** A stored CHECK constraint references columns by LOGICAL name in
+    * SQL text — renaming or dropping one out from under it would turn
+    * the constraint into a silent no-op (or an analysis error on the
+    * next write). Word-boundary match errs toward refusing. */
+  private def requireNoConstraintOn(snap: Snapshot, colName: String,
+                                    op: String): Unit =
+    snap.configuration.foreach { case (k, v) =>
+      if (k.startsWith("delta.constraints.") &&
+        ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
+          .findFirstIn(v).isDefined)
+        throw new IllegalArgumentException(
+          s"cannot $op column $colName: CHECK constraint " +
+            s"${k.stripPrefix("delta.constraints.")} ($v) references it — " +
+            "drop the constraint first")
+    }
+
+  /** metaData (+ optional protocol) commit with a NEW schema —
+    * the shared tail of the column-mapping DDL. */
+  private def commitMetaChange(spark: SparkSession, deltaPath: String,
+                               newSchema: StructType, newPc: Seq[String],
+                               newConf: Map[String, String],
+                               protoLine: Option[String]): Long = {
+    val fs = new Path(deltaPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v = listVersions(spark, deltaPath).last + 1
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      deltaPath.getBytes("UTF-8")).toString
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    protoLine.foreach(lines += _)
+    lines += metaDataLine(tableId, newSchema.json, newPc,
+      System.currentTimeMillis(), newConf)
+    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    v
   }
 
   private def commitConfigChange(spark: SparkSession, deltaPath: String,
                                  prior: Snapshot,
                                  newConf: Map[String, String],
-                                 upgradeForConstraints: Boolean): Long = {
+                                 featureUpgrade: Option[(Int, String)]): Long = {
     val fs = new Path(deltaPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val v = listVersions(spark, deltaPath).last + 1
@@ -2159,17 +2540,17 @@ object DeltaLog {
       deltaPath.getBytes("UTF-8")).toString
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val (mrv, mwv, rf, wf) = prior.protocol
-    if (upgradeForConstraints) {
-      // writer version 3 introduced CHECK constraints; a table
+    featureUpgrade.foreach { case (legacyWriter, feature) =>
+      // the legacy writer version that introduced the feature; a table
       // already on table features declares the named feature instead
       if (mwv >= 7) {
-        if (!wf.contains("checkConstraints")) {
-          val wfOut = (wf :+ "checkConstraints").distinct.sorted
+        if (!wf.contains(feature)) {
+          val wfOut = (wf :+ feature).distinct.sorted
           val rfJson = rf.map(jsEscape).mkString("[", ",", "]")
           lines += s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7,"readerFeatures":$rfJson,"writerFeatures":${wfOut.map(jsEscape).mkString("[", ",", "]")}}}"""
         }
-      } else if (mwv < 3) {
-        lines += s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":3}}"""
+      } else if (mwv < legacyWriter) {
+        lines += s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":$legacyWriter}}"""
       }
     }
     lines += metaDataLine(tableId, prior.schema.json,
@@ -2347,10 +2728,10 @@ object DeltaLog {
       Row(app, tv)
     }
     val rows: Seq[Row] =
-      (Row(protoRow, null, null, null, null) +:
-        Row(null, metaRow, null, null, null) +:
-        (addRows.map(a => Row(null, null, a, null, null)) ++
-          txnRows.map(t => Row(null, null, null, null, t))))
+      (Row(protoRow, null, null, null, null, null) +:
+        Row(null, metaRow, null, null, null, null) +:
+        (addRows.map(a => Row(null, null, a, null, null, null)) ++
+          txnRows.map(t => Row(null, null, null, null, t, null))))
     val cpDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(ActionSchema.fields))

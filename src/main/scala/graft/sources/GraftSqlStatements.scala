@@ -64,6 +64,18 @@ object GraftSqlStatements {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']+)'|(\S+))\s*;?\s*$""").r
+  private val SetPropsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""").r
+  private val UnsetPropsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""").r
+  private val RenameColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+RENAME\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+TO\s+(`[^`]+`|[\w$]+)\s*;?\s*$""").r
+  private val DropColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+DROP\s+COLUMN\s+(`[^`]+`|[\w$]+)\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+ADD\s+CONSTRAINT\s+([\w$]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -88,6 +100,45 @@ object GraftSqlStatements {
   private def cols(s: String): Seq[String] =
     splitCsv(s).map(c => c.stripPrefix("`").stripSuffix("`"))
 
+  /** Split on commas OUTSIDE single quotes. */
+  private[sources] def splitQuotedCsv(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ',' if !inQ => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.toSeq.filter(_.nonEmpty)
+  }
+
+  private[sources] def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1)
+    else t.stripPrefix("`").stripSuffix("`")
+  }
+
+  /** `'k' = 'v', k2 = v2, …` → ordered property map. */
+  private[sources] def parseProps(kvs: String): Seq[(String, String)] =
+    splitQuotedCsv(kvs).map { kv =>
+      val eq = {
+        // the first '=' outside quotes
+        var i = 0; var inQ = false; var at = -1
+        while (i < kv.length && at < 0) {
+          val c = kv.charAt(i)
+          if (c == '\'') inQ = !inQ
+          else if (c == '=' && !inQ) at = i
+          i += 1
+        }
+        require(at > 0, s"expected key = value, got: $kv")
+        at
+      }
+      stripQuotes(kv.substring(0, eq)) -> stripQuotes(kv.substring(eq + 1))
+    }
+
   private def splitCsv(s: String): Seq[String] =
     s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
@@ -106,6 +157,22 @@ object GraftSqlStatements {
         Option(ident).map(splitParts).getOrElse(Nil),
         kind.equalsIgnoreCase("VERSION"),
         Option(quoted).getOrElse(bare)))
+    case SetPropsRe(path, ident, kvs) =>
+      Some(GraftTablePropertiesCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        set = Some(parseProps(kvs))))
+    case UnsetPropsRe(path, ident, ks) =>
+      Some(GraftTablePropertiesCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        set = None, unset = splitQuotedCsv(ks).map(stripQuotes)))
+    case RenameColRe(path, ident, from, to) =>
+      Some(GraftColumnDdlCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        stripQuotes(from), rename = Some(stripQuotes(to))))
+    case DropColRe(path, ident, colName) =>
+      Some(GraftColumnDdlCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        stripQuotes(colName), rename = None))
     case AddConstraintRe(path, ident, name, check) =>
       Some(GraftConstraintCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil), name,
@@ -255,6 +322,63 @@ case class GraftRestoreCommand(path: Option[String], parts: Seq[String],
         require(isVersion, "RESTORE … TIMESTAMP AS OF is not supported " +
           "for versioned tables — pass the version as VERSION AS OF")
         VersionedTable.restore(spark, dir, target.toLong)
+    }
+    Seq(Row(dir, v))
+  }
+}
+
+/** `ALTER TABLE <t> SET TBLPROPERTIES ('k'='v', …)` / `UNSET
+  * TBLPROPERTIES ('k', …)` → [[DeltaLog.setTableProperties]] /
+  * [[DeltaLog.unsetTableProperties]] — a metaData-only commit; setting
+  * `delta.enableChangeDataFeed=true` carries the changeDataFeed
+  * protocol bump and turns on `_change_data` CDF writes for every
+  * subsequent DML. Delta-flavor only (table configuration is a Delta
+  * log concept; other flavors refuse rather than pretend). */
+case class GraftTablePropertiesCommand(path: Option[String],
+                                       parts: Seq[String],
+                                       set: Option[Seq[(String, String)]],
+                                       unset: Seq[String] = Nil)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    require(flavorOf(spark, dir) == DeltaFlavor,
+      s"TBLPROPERTIES need a Delta table configuration; $dir is not a " +
+        "Delta table")
+    val v = set match {
+      case Some(kvs) => DeltaLog.setTableProperties(spark, dir, kvs.toMap)
+      case None => DeltaLog.unsetTableProperties(spark, dir, unset)
+    }
+    Seq(Row(dir, v))
+  }
+}
+
+/** `ALTER TABLE <t> RENAME COLUMN a TO b` / `DROP COLUMN a` →
+  * [[DeltaLog.renameColumn]] / [[DeltaLog.dropColumn]] — metadata-only
+  * schema DDL on name-mode column-mapped Delta tables (the field
+  * keeps its column id and physicalName, so no data file changes).
+  * Delta-flavor only; Iceberg column DDL beyond ADD COLUMN stays a
+  * declared boundary. */
+case class GraftColumnDdlCommand(path: Option[String], parts: Seq[String],
+                                 column: String, rename: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    require(flavorOf(spark, dir) == DeltaFlavor,
+      s"RENAME/DROP COLUMN route to Delta column mapping; $dir is not " +
+        "a Delta table")
+    val v = rename match {
+      case Some(to) => DeltaLog.renameColumn(spark, dir, column, to)
+      case None => DeltaLog.dropColumn(spark, dir, column)
     }
     Seq(Row(dir, v))
   }

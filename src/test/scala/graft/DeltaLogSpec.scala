@@ -819,14 +819,14 @@ class DeltaLogSpec extends SparkSpec {
     // logical-name predicates work over id-resolved columns
     assert(DeltaLog.readWhere(spark, t3, col("k") === 8L)
       .select("v").as[String].collect().toSeq === Seq("go"))
-    // id-mode writers stay loud (they stage by logical name)
-    val eW = intercept[UnsupportedOperationException] {
+    // id-mode writers stay read-only (only name mode has a write path)
+    val eW = intercept[IllegalArgumentException] {
       DeltaLog.write(spark, Seq((9L, "no")).toDF("k", "v"), t3)
     }
-    assert(eW.getMessage.contains("column-mapped"), eW.getMessage)
+    assert(eW.getMessage.contains("name mode"), eW.getMessage)
 
-    // the DSv2 scan and the writers gate loudly (they work by
-    // logical name and would serve nulls / write wrong columns)
+    // the DSv2 scan and row-level DML still gate loudly (they work by
+    // logical name and would serve nulls / rewrite wrong columns)
     val e2 = intercept[Exception] {
       spark.read.format("graft-delta").load(t).collect()
     }
@@ -836,10 +836,15 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.delete(spark, t, col("k") === 1L)
     }
     assert(e3.getMessage.contains("column-mapped"))
-    val e4 = intercept[UnsupportedOperationException] {
-      DeltaLog.write(spark, Seq((9L, "z")).toDF("k", "v"), t)
-    }
-    assert(e4.getMessage.contains("column-mapped"))
+    // name-mode APPENDS work since the write path stages PHYSICAL
+    // names (ColumnMappingDdlSpec covers the full write surface)
+    DeltaLog.write(spark, Seq((9L, "z")).toDF("k", "v"), t)
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (9L, "z")))
+    val newFile = DeltaLog.snapshot(spark, t).files.map(_.path)
+      .filterNot(_.endsWith("f1.parquet")).head
+    assert(spark.read.parquet(newFile).columns.toSeq
+      === Seq("col-17", "col-18"))
   }
 
   test("VersionedTable export round-trips through the Delta reader") {
