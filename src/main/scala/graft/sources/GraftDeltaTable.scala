@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, Lite
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, Statistics}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusCache, InMemoryFileIndex, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
@@ -662,14 +662,32 @@ private[sources] class DvAwareReaderFactory(plain: PartitionReaderFactory,
 }
 
 /** Version-offset micro-batch stream over the commit log: the DSv2
-  * wrapper around the [[DeltaLog.changes]]/`syncChanges` contract. */
+  * wrapper around the [[DeltaLog.changes]]/`syncChanges` contract.
+  * ADMISSION CONTROL (`maxFilesPerTrigger`): a stream catching up on
+  * a long backlog — the restart-after-an-outage shape — caps each
+  * micro-batch at roughly N added files instead of planning the
+  * entire backlog into one giant batch. Offsets stay
+  * version-granular, so the cap admits WHOLE commits: versions are
+  * taken in order while the file budget lasts, always at least one
+  * per batch (a single commit larger than the cap still processes
+  * atomically — a half-applied commit would tear the CDC feed).
+  * Counting reads only the poll tail's commit JSONs, driver-side. */
 private class GraftDeltaMicroBatchStream(spark: SparkSession,
                                          table: GraftDeltaTable,
                                          readPart: StructType,
                                          factory: PartitionReaderFactory,
                                          options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   import GraftDelta._
+
+  /** Trigger.AvailableNow contract: pin the end at stream start;
+    * admission then paces batches UP TO the pinned end and the query
+    * stops there — commits landing mid-run wait for the next run. */
+  private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd =
+      Some(DeltaLog.listVersions(spark, table.tablePath).last)
 
   /** Default -1 = replay the table from its creation commit (the
     * replica-building choice; pass the current version to start from
@@ -679,11 +697,42 @@ private class GraftDeltaMicroBatchStream(spark: SparkSession,
   private val skipChangeCommits =
     options.getBoolean("skipChangeCommits", false)
   private val ignoreDeletes = options.getBoolean("ignoreDeletes", false)
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map { s =>
+      val n = s.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
 
   override def initialOffset(): Offset = DeltaStreamOffset(startingVersion)
   override def latestOffset(): Offset =
     DeltaStreamOffset(DeltaLog.listVersions(spark, table.tablePath).last)
   override def deserializeOffset(json: String): Offset = parseOffset(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[DeltaStreamOffset].version
+    val pending = DeltaLog.listVersions(spark, table.tablePath)
+      .filter(v => v > from && availableNowEnd.forall(v <= _))
+    if (pending.isEmpty) return DeltaStreamOffset(from)
+    limit match {
+      case mf: ReadMaxFiles =>
+        var budget = mf.maxFiles().toLong
+        var last = from
+        val it = pending.iterator
+        while (it.hasNext && (last == from || budget > 0)) {
+          val v = it.next()
+          budget -= readCommit(spark, table.tablePath, v).acts
+            .count(a => a.isAdd && a.dataChange)
+          last = v
+        }
+        DeltaStreamOffset(last)
+      case _ => DeltaStreamOffset(pending.last)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     planRange(spark, table.tablePath, table.snap.schema,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
@@ -365,14 +365,27 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
 }
 
 /** Snapshot-id-offset micro-batch stream — the DSv2 wrapper around
-  * the [[IcebergTable.changes]]/`syncChanges` contract. */
+  * the [[IcebergTable.changes]]/`syncChanges` contract. ADMISSION
+  * CONTROL (`maxFilesPerTrigger`): whole snapshots are admitted in
+  * order while the added-file budget lasts, always at least one per
+  * batch — the catch-up cap that keeps a backlog restart from
+  * planning everything into one giant micro-batch. Counting is the
+  * same metadata-only snapshot file-set diff the planner runs. */
 private class GraftIcebergMicroBatchStream(spark: SparkSession,
                                            table: GraftIcebergTable,
                                            readPart: StructType,
                                            factory: PartitionReaderFactory,
                                            options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   import GraftIceberg._
+
+  /** Trigger.AvailableNow: pin the end snapshot at stream start. */
+  private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val ids = IcebergTable.snapshotIds(spark, table.tablePath)
+    availableNowEnd = Some(if (ids.isEmpty) -1L else ids.last)
+  }
 
   /** Default -1 = replay from table creation (the replica-building
     * choice); pass the current snapshot id to start from "now". */
@@ -380,6 +393,12 @@ private class GraftIcebergMicroBatchStream(spark: SparkSession,
     Option(options.get("startingSnapshotId")).map(_.toLong).getOrElse(-1L)
   private val skipChangeCommits =
     options.getBoolean("skipChangeCommits", false)
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map { s =>
+      val n = s.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
 
   override def initialOffset(): Offset =
     IcebergStreamOffset(startingSnapshotId)
@@ -388,6 +407,45 @@ private class GraftIcebergMicroBatchStream(spark: SparkSession,
     IcebergStreamOffset(if (ids.isEmpty) -1L else ids.last)
   }
   override def deserializeOffset(json: String): Offset = parseOffset(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[IcebergStreamOffset].snapshotId
+    val ids = IcebergTable.snapshotIds(spark, table.tablePath)
+    if (ids.isEmpty) return IcebergStreamOffset(from)
+    val afterStart =
+      if (from == -1L) ids
+      else ids.drop(ids.indexOf(from) + 1)
+    val pending = availableNowEnd match {
+      case Some(end) => afterStart.takeWhile(_ != end) ++
+        afterStart.filter(_ == end).take(1)
+      case None => afterStart
+    }
+    if (pending.isEmpty) return IcebergStreamOffset(from)
+    limit match {
+      case mf: ReadMaxFiles =>
+        var budget = mf.maxFiles().toLong
+        var last = from
+        var prev: Set[String] =
+          if (from == -1L) Set.empty
+          else IcebergTable.snapshot(spark, table.tablePath,
+            snapshotIdAsOf = Some(from)).files.map(_.path).toSet
+        val it = pending.iterator
+        while (it.hasNext && (last == from || budget > 0)) {
+          val id = it.next()
+          val cur = IcebergTable.snapshot(spark, table.tablePath,
+            snapshotIdAsOf = Some(id)).files.map(_.path).toSet
+          budget -= (cur -- prev).size
+          prev = cur
+          last = id
+        }
+        IcebergStreamOffset(last)
+      case _ => IcebergStreamOffset(pending.last)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     planRange(spark, table.tablePath, table.snap.schema, readPart,

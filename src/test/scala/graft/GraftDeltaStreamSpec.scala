@@ -308,4 +308,35 @@ class GraftDeltaStreamSpec extends SparkSpec {
     assert(cdc.select("id", "_change_type", "_commit_version")
       .as[(Long, String, Long)].collect().toSet === Set((9L, "insert", 1L)))
   }
+
+  test("maxFilesPerTrigger paces catch-up: whole commits admitted, at least one per batch") {
+    val dir = tmp("gd-admit")
+    val t = s"$dir/t"
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v").coalesce(1), t) // v0
+    DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v").coalesce(1), t) // v1
+    // v2 carries TWO files — larger than the cap, still one batch
+    DeltaLog.write(spark, Seq((3L, "c"), (4L, "d")).toDF("k", "v")
+      .repartition(2), t)                                               // v2
+    DeltaLog.write(spark, Seq((5L, "e")).toDF("k", "v").coalesce(1), t) // v3
+    val rows = scala.collection.mutable.Set[(Long, String)]()
+    val batchRows = scala.collection.mutable.ArrayBuffer[Int]()
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "1")
+      .load(t)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = b.select("k", "v").as[(Long, String)].collect()
+        if (c.nonEmpty) { batchRows += c.length; rows ++= c }
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(rows === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e")))
+    // the backlog split into one batch per commit — never one giant
+    // batch, and v2's two files stayed atomic in a single batch
+    assert(batchRows.toSeq === Seq(1, 1, 2, 1),
+      s"expected per-commit pacing, got $batchRows")
+  }
 }

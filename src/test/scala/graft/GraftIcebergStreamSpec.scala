@@ -383,4 +383,29 @@ class GraftIcebergStreamSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(planStr.contains("PushedFilters") && planStr.contains("k"), planStr)
   }
+
+  test("maxFilesPerTrigger paces catch-up: whole snapshots admitted, at least one per batch") {
+    val dir = tmp("gi-admit")
+    val t = s"$dir/t"
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
+    IcebergTable.write(spark, Seq((2L, "b")).toDF("k", "v").coalesce(1), t)
+    IcebergTable.write(spark, Seq((3L, "c")).toDF("k", "v").coalesce(1), t)
+    val rows = scala.collection.mutable.Set[(Long, String)]()
+    val batchRows = scala.collection.mutable.ArrayBuffer[Int]()
+    val q = spark.readStream.format("graft-iceberg")
+      .option("maxFilesPerTrigger", "1")
+      .load(t)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = b.select("k", "v").as[(Long, String)].collect()
+        if (c.nonEmpty) { batchRows += c.length; rows ++= c }
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(rows === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(batchRows.toSeq === Seq(1, 1, 1),
+      s"expected per-snapshot pacing, got $batchRows")
+  }
 }
