@@ -70,6 +70,8 @@ object GraftSqlStatements {
   private val UnsetPropsRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""").r
+  private val DescribeHistoryRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
   private val RenameColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+RENAME\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+TO\s+(`[^`]+`|[\w$]+)\s*;?\s*$""").r
@@ -165,6 +167,9 @@ object GraftSqlStatements {
       Some(GraftTablePropertiesCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         set = None, unset = splitQuotedCsv(ks).map(stripQuotes)))
+    case DescribeHistoryRe(path, ident) =>
+      Some(GraftDescribeHistoryCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil)))
     case RenameColRe(path, ident, from, to) =>
       Some(GraftColumnDdlCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
@@ -346,14 +351,52 @@ case class GraftTablePropertiesCommand(path: Option[String],
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftSqlStatements._
     val dir = resolveDir(spark, path, parts)
-    require(flavorOf(spark, dir) == DeltaFlavor,
-      s"TBLPROPERTIES need a Delta table configuration; $dir is not a " +
-        "Delta table")
-    val v = set match {
-      case Some(kvs) => DeltaLog.setTableProperties(spark, dir, kvs.toMap)
-      case None => DeltaLog.unsetTableProperties(spark, dir, unset)
+    val v = flavorOf(spark, dir) match {
+      case DeltaFlavor => set match {
+        case Some(kvs) => DeltaLog.setTableProperties(spark, dir, kvs.toMap)
+        case None => DeltaLog.unsetTableProperties(spark, dir, unset)
+      }
+      case IcebergFlavor => set match {
+        case Some(kvs) => IcebergTable.setProperties(spark, dir, kvs.toMap)
+        case None => IcebergTable.unsetProperties(spark, dir, unset)
+      }
+      case VersionedFlavor => throw new UnsupportedOperationException(
+        "versioned tables have no properties store — TBLPROPERTIES " +
+          "apply to Delta and Iceberg flavors")
     }
     Seq(Row(dir, v))
+  }
+}
+
+/** `DESCRIBE HISTORY <t>` — the flavor's commit history, unified as
+  * (version, timestamp_ms, detail): Delta commit versions, Iceberg
+  * snapshots (version = snapshot id, detail = operation), versioned
+  * tables their retained snapshots (detail = file/byte counts).
+  * Bounded by the log length — a metadata listing, never a data
+  * scan. */
+case class GraftDescribeHistoryCommand(path: Option[String],
+                                       parts: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp_ms", LongType, nullable = false)(),
+    AttributeReference("detail", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    flavorOf(spark, dir) match {
+      case DeltaFlavor =>
+        DeltaLog.history(spark, dir).collect().toSeq.map(r =>
+          Row(r.getLong(0), r.getLong(1), ""))
+      case IcebergFlavor =>
+        IcebergTable.history(spark, dir).collect().toSeq.map(r =>
+          Row(r.getLong(0), r.getLong(1), r.getString(2)))
+      case VersionedFlavor =>
+        VersionedTable.history(spark, dir).collect().toSeq.map(r =>
+          Row(r.getLong(0), 0L,
+            s"n_files=${r.getLong(1)} bytes=${r.getLong(2)}"))
+    }
   }
 }
 

@@ -1478,6 +1478,60 @@ object IcebergTable {
     snapshotId
   }
 
+  /** `ALTER TABLE … SET TBLPROPERTIES` for the Iceberg flavor — one
+    * metadata-version bump merging `props` into the table's
+    * `properties` object (spec §"Table Metadata"). The
+    * `graft.mirror-of` safety marker refuses tampering: un-marking a
+    * zero-copy mirror would re-arm [[expireSnapshots]] against files
+    * the mirror merely adopted. */
+  def setProperties(spark: SparkSession, tablePath: String,
+                    props: Map[String, String]): Long =
+    mutateProperties(spark, tablePath, props.keys.toSeq) { o =>
+      props.foreach { case (k, v) => o.put(k, v) }
+    }
+
+  /** `UNSET TBLPROPERTIES` — missing keys are a no-op. */
+  def unsetProperties(spark: SparkSession, tablePath: String,
+                      keys: Seq[String]): Long =
+    mutateProperties(spark, tablePath, keys)(o => keys.foreach(o.remove))
+
+  private def mutateProperties(spark: SparkSession, tablePath: String,
+                               touched: Seq[String])
+                              (mutate: ObjectNode => Unit): Long = {
+    require(touched.nonEmpty, "no properties given")
+    require(!touched.contains("graft.mirror-of"),
+      "graft.mirror-of is the zero-copy-mirror safety marker — it is " +
+        "set by mirrorFromDelta and never edited directly")
+    val mp = latestMetadataFile(spark, tablePath)
+    val metaVersion =
+      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val propsNode =
+      if (meta.has("properties"))
+        meta.get("properties").asInstanceOf[ObjectNode]
+      else meta.putObject("properties")
+    mutate(propsNode)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    val mdir = metaDir(tablePath)
+    val fs = fsFor(spark, mdir)
+    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
+    val out = fs.create(next, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
+    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    metaVersion + 1
+  }
+
+  /** The table's current `properties` object as a Scala map. */
+  def properties(spark: SparkSession, tablePath: String): Map[String, String] = {
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    Option(meta.get("properties")).toSeq
+      .flatMap(_.fields().asScala.map(e => e.getKey -> e.getValue.asText()))
+      .toMap
+  }
+
   /** `ALTER TABLE … ADD COLUMN(S)` — real Iceberg schema evolution
     * (spec §"Schema Evolution"): appends a NEW schema with a fresh
     * schema-id and fresh field ids (allocated past `last-column-id`,

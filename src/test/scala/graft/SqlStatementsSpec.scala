@@ -375,4 +375,46 @@ class SqlStatementsSpec extends SparkSpec {
     assert(VersionedTable.read(spark, vt).as[(Long, String)].collect().toSet
       === Set((1L, "x")))
   }
+
+  test("Iceberg TBLPROPERTIES commit metadata bumps; DESCRIBE HISTORY serves every flavor") {
+    val root = catalogRoot("hist")
+    val it = s"$root/ns/it"
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"), it)
+    IcebergTable.write(spark, Seq((2L, "b")).toDF("k", "v"), it)
+    spark.sql(s"ALTER TABLE gsql_hist.ns.it SET TBLPROPERTIES " +
+      "('write.format.default' = 'parquet', 'owner' = 'graft')").collect()
+    assert(IcebergTable.properties(spark, it)
+      .filterKeys(Set("owner", "write.format.default")).toMap
+      === Map("owner" -> "graft", "write.format.default" -> "parquet"))
+    spark.sql(s"ALTER TABLE gsql_hist.ns.it UNSET TBLPROPERTIES ('owner')")
+      .collect()
+    assert(!IcebergTable.properties(spark, it).contains("owner"))
+    // data is untouched by property commits
+    assert(IcebergTable.read(spark, it).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // the mirror safety marker refuses tampering
+    intercept[IllegalArgumentException] {
+      IcebergTable.unsetProperties(spark, it, Seq("graft.mirror-of"))
+    }
+    // DESCRIBE HISTORY: iceberg = snapshots with operations
+    val ih = spark.sql(s"DESCRIBE HISTORY '$it'").collect()
+    assert(ih.length === 2 &&
+      ih.forall(_.getString(2) === "append"), ih.toSeq)
+    // delta = commit versions
+    val dt = s"$root/ns/dt"
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), dt)
+    DeltaLog.delete(spark, dt, col("k") === 1L)
+    val dh = spark.sql("DESC HISTORY gsql_hist.ns.dt").collect()
+    assert(dh.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    // versioned = retained snapshots with file counts
+    val vt = s"$root/ns/vt"
+    VersionedTable.write(Seq((1L, "x")).toDF("k", "v"), vt)
+    val vh = spark.sql("DESCRIBE HISTORY gsql_hist.ns.vt").collect()
+    assert(vh.length === 1 && vh(0).getString(2).startsWith("n_files="))
+    // versioned tables have no properties store
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE gsql_hist.ns.vt SET TBLPROPERTIES ('a'='b')")
+        .collect()
+    }
+  }
 }
