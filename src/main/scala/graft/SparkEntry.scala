@@ -5606,6 +5606,28 @@ object SparkEntry {
         .groupBy(col("o_orderstatus").as("status"))
         .agg(count(lit(1)).as("n_orders"), sumD(col("price")).as("total"))
         .orderBy("status")
+    }),
+
+    // UniForm (delta.universalFormat.enabledFormats=iceberg): Delta
+    // stays the writer of record, every commit auto-advances the
+    // in-place Iceberg mirror — write, enable, DELETE, append, then
+    // read the final state through the ICEBERG reader, one hash gate
+    "interop_delta_uniform" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-uni")
+        .toString + "/t"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.sources.DeltaLog.write(s,
+        c.filter(col("c_custkey") % 2 === 0), t)                  // v0
+      graft.sources.DeltaLog.setTableProperties(s, t,
+        Map("delta.universalFormat.enabledFormats" -> "iceberg")) // v1
+      graft.sources.DeltaLog.delete(s, t, col("c_acctbal") < 0)  // v2
+      graft.sources.DeltaLog.write(s,
+        c.filter(col("c_custkey") % 2 =!= 0), t)                  // v3
+      graft.sources.IcebergTable.read(s, t)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"), sumD(col("c_acctbal")).as("total"))
+        .orderBy("segment")
     })
   )
 
@@ -8713,7 +8735,18 @@ object SparkEntry {
          |  SELECT o_orderstatus, o_totalprice FROM orders)
          |SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
          | ${sqlSumD("o_totalprice")} AS total
-         |FROM doubled GROUP BY 1 ORDER BY status""".stripMargin
+         |FROM doubled GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "interop_delta_uniform" ->
+      s"""WITH state AS (
+         |  SELECT c_mktsegment, c_acctbal FROM customer
+         |  WHERE c_custkey % 2 = 0 AND NOT (c_acctbal < 0)
+         |  UNION ALL
+         |  SELECT c_mktsegment, c_acctbal FROM customer
+         |  WHERE c_custkey % 2 <> 0)
+         |SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+         | ${sqlSumD("c_acctbal")} AS total
+         |FROM state GROUP BY 1 ORDER BY segment""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -1193,6 +1193,27 @@ object DeltaLog {
     snap.configuration.get("delta.enableChangeDataFeed")
       .exists(_.trim.equalsIgnoreCase("true"))
 
+  /** True when the table declares UniForm
+    * (`delta.universalFormat.enabledFormats` contains `iceberg` —
+    * the real Delta property): every commit then auto-advances the
+    * IN-PLACE Iceberg mirror so external Iceberg readers always see
+    * the latest Delta state without a manual mirror step. */
+  private[sources] def uniformEnabled(conf: Map[String, String]): Boolean =
+    conf.get("delta.universalFormat.enabledFormats")
+      .exists(_.split(",").map(_.trim).contains("iceberg"))
+
+  /** The post-commit UniForm hook: one metadata-only Iceberg commit
+    * adopting the NEW live file set (no-op when the file set did not
+    * change — property-only commits re-mirror nothing). Loud by
+    * design if the table drifted into a mirror-incompatible state
+    * the enable-time check could not foresee. */
+  private def maybeUniform(spark: SparkSession, deltaPath: String,
+                           conf: Map[String, String]): Unit =
+    if (uniformEnabled(conf)) {
+      IcebergTable.mirrorFromDelta(spark, deltaPath)
+      ()
+    }
+
   /** Stage `rows` (full table schema + `_change_type`) as CHANGE-DATA
     * files under `_change_data/` — the PROTOCOL.md "Add CDC File"
     * shape: hive-partitioned like the data (partition values in the
@@ -1405,6 +1426,14 @@ object DeltaLog {
     }
     effParts.foreach(c => require(df.columns.contains(c),
       s"partition column $c not in ${df.columns.mkString(",")}"))
+    // a UniForm table's Iceberg mirror adopts hive-layout files whose
+    // partition columns are NOT in the parquet — refuse the layout
+    // change BEFORE committing, not at the post-commit mirror step
+    prior.filter(p => uniformEnabled(p.configuration)).foreach { _ =>
+      require(effParts.isEmpty,
+        s"UniForm table $deltaPath cannot take partitioned writes — " +
+          "disable delta.universalFormat.enabledFormats first")
+    }
 
     // CHECK constraints + NOT NULL invariants veto the commit BEFORE
     // anything is staged; an overwrite replaces the schema, so the
@@ -1475,6 +1504,8 @@ object DeltaLog {
     finally out.close()
     if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
       checkpoint(spark, deltaPath, v)
+    maybeUniform(spark, deltaPath,
+      prior.map(_.configuration).getOrElse(Map.empty))
     v
   }
 
@@ -1583,6 +1614,7 @@ object DeltaLog {
     finally out.close()
     if (checkpointInterval > 0 && v % checkpointInterval == 0)
       checkpoint(spark, deltaPath, v)
+    maybeUniform(spark, deltaPath, snap.configuration)
     v
   }
 
@@ -1728,6 +1760,7 @@ object DeltaLog {
     finally out.close()
     if (checkpointInterval > 0 && v % checkpointInterval == 0)
       checkpoint(spark, deltaPath, v)
+    maybeUniform(spark, deltaPath, tgt.configuration)
     v
   }
 
@@ -1787,6 +1820,9 @@ object DeltaLog {
     import spark.implicits._
     val snap = snapshot(spark, deltaPath)
     requireNotColumnMapped(snap, "row-level DML")
+    // a UniForm Iceberg mirror cannot express deletion vectors —
+    // route the DML to copy-on-write, which mirrors cleanly
+    if (uniformEnabled(snap.configuration)) return None
     val candidates = prunedFiles(spark, snap, predicate)
     if (candidates.isEmpty) return Some(snap.version)
     val maxRows = spark.conf.getOption("spark.graft.dv.maxDeleteRows")
@@ -2139,6 +2175,7 @@ object DeltaLog {
     finally out.close()
     if (checkpointInterval > 0 && v % checkpointInterval == 0)
       checkpoint(spark, deltaPath, v)
+    maybeUniform(spark, deltaPath, snap.configuration)
     v
   }
 
@@ -2260,6 +2297,7 @@ object DeltaLog {
     finally out.close()
     if (checkpointInterval > 0 && v % checkpointInterval == 0)
       checkpoint(spark, deltaPath, v)
+    maybeUniform(spark, deltaPath, snap.configuration)
     v
   }
 
@@ -2369,11 +2407,30 @@ object DeltaLog {
       }
     }
     val prior = snapshot(spark, deltaPath)
+    val newConf = prior.configuration ++ props
+    // UniForm enable-time compatibility: the in-place Iceberg mirror
+    // refuses partitioned/DV-bearing/column-mapped sources — check
+    // BEFORE the property commits, not at the first post-commit mirror
+    if (uniformEnabled(newConf) && !uniformEnabled(prior.configuration)) {
+      require(prior.partitionColumns.isEmpty,
+        s"cannot enable UniForm on partitioned $deltaPath — the Iceberg " +
+          "mirror adopts hive-layout files whose partition columns are " +
+          "not in the parquet")
+      require(prior.files.forall(_.dv.forall(_.cardinality == 0L)),
+        s"cannot enable UniForm on $deltaPath while deletion vectors " +
+          "are outstanding — OPTIMIZE first (applies the DVs)")
+      require(!isColumnMapped(prior.schema) &&
+        prior.configuration.getOrElse("delta.columnMapping.mode", "none")
+          == "none",
+        s"cannot enable UniForm on column-mapped $deltaPath")
+    }
     val enablingCdf = props.get("delta.enableChangeDataFeed")
       .exists(_.trim.equalsIgnoreCase("true")) && !cdfEnabled(prior)
-    commitConfigChange(spark, deltaPath, prior,
-      prior.configuration ++ props,
+    val v = commitConfigChange(spark, deltaPath, prior, newConf,
       featureUpgrade = if (enablingCdf) Some((4, "changeDataFeed")) else None)
+    // enabling UniForm publishes the initial mirror right away
+    maybeUniform(spark, deltaPath, newConf)
+    v
   }
 
   /** `ALTER TABLE … UNSET TBLPROPERTIES (k, …)` — drop configuration
@@ -2404,6 +2461,9 @@ object DeltaLog {
     require(prior.configuration.getOrElse("delta.columnMapping.mode", "none")
       == "none" && !isColumnMapped(prior.schema),
       s"$deltaPath already has column mapping enabled")
+    require(!uniformEnabled(prior.configuration),
+      s"cannot enable column mapping on UniForm table $deltaPath — the " +
+        "Iceberg mirror resolves columns by parquet name")
     val newSchema = StructType(prior.schema.fields.zipWithIndex.map {
       case (f, i) =>
         f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)

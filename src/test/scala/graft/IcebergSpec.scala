@@ -391,6 +391,51 @@ class IcebergSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === expect)
   }
 
+  test("UniForm: every Delta commit auto-advances the in-place Iceberg mirror") {
+    import graft.sources.DeltaLog
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft-uniform").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t) // v0
+    // enabling publishes the initial mirror right away
+    DeltaLog.setTableProperties(spark, t,
+      Map("delta.universalFormat.enabledFormats" -> "iceberg"))        // v1
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    // append and copy-on-write delete each advance the mirror
+    DeltaLog.write(spark, Seq((3L, "c")).toDF("k", "v"), t)            // v2
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    DeltaLog.delete(spark, t, col("k") === 1L)                         // v3
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((2L, "b"), (3L, "c")))
+    // the DV arm yields to copy-on-write — a mirror cannot express DVs
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try DeltaLog.delete(spark, t, col("k") === 2L)                     // v4
+    finally spark.conf.unset("spark.graft.dv.enabled")
+    assert(DeltaLog.snapshot(spark, t).files.forall(_.dv.isEmpty),
+      "UniForm DML must never land deletion vectors")
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((3L, "c")))
+    // each advance is a REAL Iceberg snapshot: history time-travels
+    assert(IcebergTable.snapshotIds(spark, t).size >= 3)
+    // incompatible layouts refuse loudly BEFORE committing
+    intercept[IllegalArgumentException] {
+      DeltaLog.write(spark, Seq((9L, "x", "p1")).toDF("k", "v", "p"), t,
+        overwrite = true, partitionBy = Seq("p"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLog.enableColumnMapping(spark, t)
+    }
+    // and enabling UniForm on a partitioned table refuses
+    val tp = Files.createTempDirectory("graft-uniform-p").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a", "p1")).toDF("k", "v", "p"), tp,
+      partitionBy = Seq("p"))
+    intercept[IllegalArgumentException] {
+      DeltaLog.setTableProperties(spark, tp,
+        Map("delta.universalFormat.enabledFormats" -> "iceberg"))
+    }
+  }
+
   test("rollbackTo: pointer move to an older snapshot, history and sequencing intact") {
     import org.apache.spark.sql.functions.col
     val t = Files.createTempDirectory("graft-ice-rb").toString + "/t"
