@@ -1656,8 +1656,42 @@ object DeltaLog {
         else if (n.endsWith(".parquet")) Seq(st.getPath)
         else Seq.empty
       }
+    // CHANGE-DATA files are referenced per-commit (`cdc` actions),
+    // not by snapshots: keep those of the RETAINED versions (their
+    // CDC reads must keep working — the same horizon as time travel),
+    // reclaim the rest. Real Delta's vacuum covers cdc files the same
+    // way once retention passes.
+    val cdcReferenced: Set[String] = versions.takeRight(keepVersions)
+      .flatMap { kv =>
+        val p = new Path(logDir(deltaPath), pad20(kv) + ".json")
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val M = new com.fasterxml.jackson.databind.ObjectMapper()
+        txt.split('\n').toSeq.filter(_.trim.nonEmpty).flatMap { line =>
+          Option(M.readTree(line).get("cdc")).map(c =>
+            deScheme(fs.makeQualified(new Path(dst,
+              decodePath(c.get("path").asText()))).toString))
+        }
+      }.toSet
+    val cdcDir = new Path(dst, "_change_data")
+    // skip '.'/'_'-prefixed entries like the main walk: an in-flight
+    // CDF DML stages through _change_data/.tmp-cdc-*/ — deleting its
+    // parts mid-stage would abort the commit's rename
+    def walkAll(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walkAll(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty
+      }
+    val cdcVictims =
+      if (!fs.exists(cdcDir)) Seq.empty
+      else walkAll(cdcDir).filterNot(p =>
+        cdcReferenced(deScheme(fs.makeQualified(p).toString)))
     val victims = walk(dst).filterNot(p =>
-      referenced(deScheme(fs.makeQualified(p).toString)))
+      referenced(deScheme(fs.makeQualified(p).toString))) ++ cdcVictims
     if (!dryRun) victims.foreach(p => fs.delete(p, false))
     victims.map(p => deScheme(fs.makeQualified(p).toString)
       .stripPrefix(root).stripPrefix("/"))
@@ -1746,8 +1780,11 @@ object DeltaLog {
       lines += s"""{"remove":{"path":${jsEscape(relOf(f.path))},"deletionTimestamp":$now,"dataChange":true}}"""
     }
     readds.foreach { f =>
+      // offset is serialized ONLY when the descriptor carries one —
+      // inline ('i') DVs must omit it per PROTOCOL.md
       val dvPart = dvOf(f).map { d =>
-        s""","deletionVector":{"storageType":${jsEscape(d.storageType)},"pathOrInlineDv":${jsEscape(d.pathOrInlineDv)},"offset":${d.offset.getOrElse(1)},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+        val offsetPart = d.offset.map(o => s""","offset":$o""").getOrElse("")
+        s""","deletionVector":{"storageType":${jsEscape(d.storageType)},"pathOrInlineDv":${jsEscape(d.pathOrInlineDv)}$offsetPart,"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
       }.getOrElse("")
       val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
       lines += s"""{"add":{"path":${jsEscape(relOf(f.path))},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true$dvPart$statsPart}}"""
@@ -1873,8 +1910,12 @@ object DeltaLog {
     val appendAdds: Seq[(String, Map[String, String], Long, Option[String])] =
       makeAppend.map { mk =>
         val rows = mk(matchedFull)
-        stageData(spark, rows.select(snap.schema.fieldNames.map(col): _*),
-          dst, snap.partitionColumns, s"dvu-$v")
+          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+        // the transformed post-image must satisfy CHECK + NOT NULL
+        // like every other writer — veto before the DV files land
+        enforceInvariants(spark, rows, snap, deltaPath,
+          enforceNotNull = true)
+        stageData(spark, rows, dst, snap.partitionColumns, s"dvu-$v")
       }.getOrElse(Seq.empty)
     // CDF legs: the DV arm knows the matched rows exactly — a delete
     // streams them as `delete`, an update as pre/postimage
@@ -1980,7 +2021,8 @@ object DeltaLog {
         .unionByName(post.withColumn("_change_type", lit("update_postimage")))
     }
     viaDv.getOrElse(
-      copyOnWrite(spark, deltaPath, predicate, checkpointInterval, cdcOf) {
+      copyOnWrite(spark, deltaPath, predicate, checkpointInterval, cdcOf,
+        validatePostImage = true) {
         (full, pred) => {
           // ONE projection over the ORIGINAL columns — SQL UPDATE
           // semantics are simultaneous (SET a = b, b = a swaps; a
@@ -2041,6 +2083,10 @@ object DeltaLog {
     require(src.groupBy(keyCols.map(col): _*).count()
       .where(col("count") > 1).limit(1).count() == 0L,
       "merge source has duplicate keys — aggregate it first")
+    // CHECK constraints + NOT NULL bind every writer: the source rows
+    // ARE the commit's new rows (replacements + inserts) — a
+    // violating merge vetoes whole before anything stages
+    enforceInvariants(spark, src, snap, deltaPath, enforceNotNull = true)
     val srcKeys = src.select(keyCols.map(col): _*)
 
     val dataSchema = StructType(snap.schema.filterNot(
@@ -2123,6 +2169,9 @@ object DeltaLog {
     val cdcLinesOut: Seq[String] =
       if (!cdfEnabled(snap)) Seq.empty
       else {
+        // the matched-target frame is cached: three legs (preimage,
+        // the postimage/insert key split) derive from it — never
+        // re-scan the rewritten files per leg
         val pre: Option[DataFrame] =
           if (toRewrite.isEmpty) None
           else {
@@ -2141,7 +2190,8 @@ object DeltaLog {
                         .cast(f.dataType).as(f.name)
                     else col(f.name)): _*)
               }
-            Some(full.join(srcKeys, keyCols, "left_semi"))
+            Some(graft.Caches.tracked(
+              full.join(srcKeys, keyCols, "left_semi")))
           }
         def matchedKeys = pre.get.select(keyCols.map(col): _*).distinct()
         val legs = Seq(
@@ -2150,8 +2200,10 @@ object DeltaLog {
             .withColumn("_change_type", lit("update_postimage"))),
           Some(pre.map(_ => src.join(matchedKeys, keyCols, "left_anti"))
             .getOrElse(src).withColumn("_change_type", lit("insert")))).flatten
-        stageCdcLines(spark, deltaPath, snap,
+        val lines = stageCdcLines(spark, deltaPath, snap,
           legs.reduce(_.unionByName(_)), v)
+        pre.foreach(_.unpersist())
+        lines
       }
 
     def pvJson(pv: Map[String, String]): String =
@@ -2191,7 +2243,8 @@ object DeltaLog {
   private def copyOnWrite(spark: SparkSession, deltaPath: String,
                           predicate: org.apache.spark.sql.Column,
                           checkpointInterval: Int,
-                          cdcOf: Option[(DataFrame, org.apache.spark.sql.Column) => DataFrame] = None)
+                          cdcOf: Option[(DataFrame, org.apache.spark.sql.Column) => DataFrame] = None,
+                          validatePostImage: Boolean = false)
                          (transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     import spark.implicits._
     val snap = snapshot(spark, deltaPath)
@@ -2229,6 +2282,18 @@ object DeltaLog {
       .select("__path").distinct().as[String].collect().toSet
     if (matched.isEmpty) return snap.version
     val toRewrite = candidates.filter(f => matched(fileKey(f.path)))
+
+    // CHECK constraints + NOT NULL bind EVERY writer, not just the
+    // append path: validate the POST-IMAGE of the rewrite before
+    // anything stages (a violating UPDATE vetoes whole — exactly the
+    // write()-path guarantee). DELETEs skip it — their post-image is
+    // a subset of rows the constraints already hold on.
+    if (validatePostImage)
+      enforceInvariants(spark,
+        transform(withPv.where(col("__path").isin(matched.toSeq: _*))
+          .drop("__path"), predicate)
+          .select(snap.schema.fieldNames.map(col): _*),
+        snap, deltaPath, enforceNotNull = true)
 
     // rewrite per partition group (pv is a constant inside a group,
     // attached as typed literals so the predicate sees the full row)
@@ -2313,14 +2378,40 @@ object DeltaLog {
     val prior = snapshot(spark, deltaPath)
     newFields.foreach(f => require(!prior.schema.fieldNames.contains(f.name),
       s"column ${f.name} already exists in ${prior.schema.simpleString}"))
-    val widened = StructType(prior.schema.fields ++ newFields)
+    // on a name-mode column-mapped table, EVERY field must carry a
+    // column id + physicalName — a mapping-less field would be
+    // protocol-invalid metadata real readers reject. Fresh ids go
+    // past maxColumnId (never reused), and the watermark advances in
+    // the same commit.
+    require(!prior.configuration
+      .get("delta.columnMapping.mode").contains("id"),
+      s"ADD COLUMNS on id-mode column-mapped $deltaPath is not " +
+        "supported — id mode is read-only in graft")
+    val mapped = prior.configuration
+      .get("delta.columnMapping.mode").contains("name")
+    val (addedFields, newConf) =
+      if (!mapped) (newFields, prior.configuration)
+      else {
+        var maxId = prior.configuration
+          .get("delta.columnMapping.maxColumnId").map(_.toLong)
+          .getOrElse(prior.schema.fields.length.toLong)
+        val withMeta = newFields.map { f =>
+          maxId += 1
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(ColIdKey, maxId)
+            .putString(PhysNameKey, f.name).build())
+        }
+        (withMeta, prior.configuration +
+          ("delta.columnMapping.maxColumnId" -> maxId.toString))
+      }
+    val widened = StructType(prior.schema.fields ++ addedFields)
     val fs = new Path(deltaPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val v = listVersions(spark, deltaPath).last + 1
     val tableId = java.util.UUID.nameUUIDFromBytes(
       deltaPath.getBytes("UTF-8")).toString
     val line = metaDataLine(tableId, widened.json, prior.partitionColumns,
-      System.currentTimeMillis(), prior.configuration)
+      System.currentTimeMillis(), newConf)
     val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((line + "\n").getBytes("UTF-8"))

@@ -419,9 +419,13 @@ private class GraftIcebergMicroBatchStream(spark: SparkSession,
     val afterStart =
       if (from == -1L) ids
       else ids.drop(ids.indexOf(from) + 1)
+    // AvailableNow: never admit past the pinned end — an end of -1
+    // (empty table at pin time) or an end the stream already consumed
+    // means NOTHING is admissible, even if new snapshots landed since
     val pending = availableNowEnd match {
-      case Some(end) => afterStart.takeWhile(_ != end) ++
-        afterStart.filter(_ == end).take(1)
+      case Some(end) =>
+        val i = afterStart.indexOf(end)
+        if (i < 0) Seq.empty else afterStart.take(i + 1)
       case None => afterStart
     }
     if (pending.isEmpty) return IcebergStreamOffset(from)

@@ -102,15 +102,23 @@ object GraftSqlStatements {
   private def cols(s: String): Seq[String] =
     splitCsv(s).map(c => c.stripPrefix("`").stripSuffix("`"))
 
-  /** Split on commas OUTSIDE single quotes. */
+  /** Split on commas OUTSIDE single quotes. A doubled quote inside a
+    * quoted run is the SQL escape for a literal quote — it must not
+    * toggle the quoting state. */
   private[sources] def splitQuotedCsv(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var inQ = false
-    s.foreach {
-      case '\'' => inQ = !inQ; cur += '\''
-      case ',' if !inQ => out += cur.result().trim; cur.clear()
-      case c => cur += c
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' if inQ && i + 1 < s.length && s.charAt(i + 1) == '\'' =>
+          cur += '\''; cur += '\''; i += 1 // escaped quote: stay quoted
+        case '\'' => inQ = !inQ; cur += '\''
+        case ',' if !inQ => out += cur.result().trim; cur.clear()
+        case c => cur += c
+      }
+      i += 1
     }
     out += cur.result().trim
     out.toSeq.filter(_.nonEmpty)
@@ -119,7 +127,7 @@ object GraftSqlStatements {
   private[sources] def stripQuotes(s: String): String = {
     val t = s.trim
     if (t.length >= 2 && t.head == '\'' && t.last == '\'')
-      t.substring(1, t.length - 1)
+      t.substring(1, t.length - 1).replace("''", "'")
     else t.stripPrefix("`").stripSuffix("`")
   }
 
@@ -127,12 +135,15 @@ object GraftSqlStatements {
   private[sources] def parseProps(kvs: String): Seq[(String, String)] =
     splitQuotedCsv(kvs).map { kv =>
       val eq = {
-        // the first '=' outside quotes
+        // the first '=' outside quotes ('' inside a quoted run is the
+        // escaped literal quote, not a state toggle)
         var i = 0; var inQ = false; var at = -1
         while (i < kv.length && at < 0) {
           val c = kv.charAt(i)
-          if (c == '\'') inQ = !inQ
-          else if (c == '=' && !inQ) at = i
+          if (c == '\'') {
+            if (inQ && i + 1 < kv.length && kv.charAt(i + 1) == '\'') i += 1
+            else inQ = !inQ
+          } else if (c == '=' && !inQ) at = i
           i += 1
         }
         require(at > 0, s"expected key = value, got: $kv")
@@ -283,10 +294,14 @@ case class GraftOptimizeCommand(path: Option[String], parts: Seq[String],
       case IcebergFlavor =>
         require(zorder.isEmpty,
           "ZORDER BY is not supported for Iceberg-flavor tables")
-        // data-file compaction (applies + folds away MOR deletes);
-        // manifest-only reorganization stays available as
-        // IcebergTable.rewriteManifests
-        IcebergTable.rewriteDataFiles(spark, dir)
+        // unpartitioned: data-file compaction (applies + folds away
+        // MOR deletes, subsumes manifest reorganization); partitioned:
+        // manifest-only compaction (per-partition data staging is the
+        // declared boundary — OPTIMIZE must not start refusing tables
+        // it used to maintain)
+        if (IcebergTable.defaultSpecNames(spark, dir).nonEmpty)
+          IcebergTable.rewriteManifests(spark, dir)
+        else IcebergTable.rewriteDataFiles(spark, dir)
     }
     Seq(Row(dir, v))
   }

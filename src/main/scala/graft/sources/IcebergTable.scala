@@ -1661,6 +1661,16 @@ object IcebergTable {
         val mv = p.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
         (mv, Some(readJson(spark, p)))
       } else (0L, None)
+    // never stamp mirror commits onto a REAL Iceberg table: a
+    // re-mirror must only ever advance a table this function created
+    // (the same guard mirrorFromIceberg has in the other direction)
+    prior.foreach { m =>
+      val marked = Option(m.get("properties"))
+        .exists(p => p.has("graft.mirror-of"))
+      require(marked,
+        s"$icebergPath holds a real Iceberg table, not a mirror — " +
+          "refusing to overwrite its snapshots with adopted Delta files")
+    }
     val priorSnaps: Seq[JsonNode] = prior.toSeq
       .flatMap(m => Option(m.get("snapshots")).toSeq
         .flatMap(_.elements().asScala))
@@ -1782,7 +1792,12 @@ object IcebergTable {
     root.put("default-sort-order-id", 0)
     root.putArray("sort-orders").addObject().put("order-id", 0)
       .putArray("fields")
+    // carry user-set properties across re-mirrors; the marker always
+    // re-asserts itself last
     val props = root.putObject("properties")
+    prior.flatMap(m => Option(m.get("properties"))).foreach(
+      _.fields().asScala.foreach(e =>
+        props.put(e.getKey, e.getValue.asText())))
     props.put("graft.mirror-of", deltaPath)
     root.put("current-snapshot-id", snapId)
     root.set[JsonNode]("snapshots", snapsArr)

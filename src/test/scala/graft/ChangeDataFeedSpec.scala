@@ -106,6 +106,34 @@ class ChangeDataFeedSpec extends SparkSpec {
       .select("v").as[String].collect().toSeq === Seq("ONE"))
   }
 
+  test("vacuum reclaims change-data files past the retention horizon") {
+    val t = Files.createTempDirectory("graft-cdf-vac").toString + "/t"
+    DeltaLog.write(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t)
+    DeltaLog.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))                 // v1
+    DeltaLog.delete(spark, t, col("k") === 1L)                     // v2: cdc
+    DeltaLog.write(spark, Seq((4L, "d")).toDF("k", "v").coalesce(1), t) // v3
+    DeltaLog.delete(spark, t, col("k") === 2L)                     // v4: cdc
+    def cdcFiles = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) walk(f)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+      walk(new java.io.File(t, "_change_data"))
+    }
+    assert(cdcFiles.size === 2)
+    // dry run lists the aged cdc file but deletes nothing
+    val dry = DeltaLog.vacuum(spark, t, keepVersions = 2, dryRun = true)
+    assert(dry.exists(_.startsWith("_change_data/")), dry)
+    assert(cdcFiles.size === 2)
+    // real vacuum: v2's cdc file is reclaimed, v4's survives and its
+    // feed still reads
+    DeltaLog.vacuum(spark, t, keepVersions = 2)
+    assert(cdcFiles.size === 1)
+    assert(feed(t, 3L, 4L) === Set((2L, "b", "delete", 4L)))
+  }
+
   test("partitioned table: cdc files live in hive dirs, partition values re-attach") {
     val t = Files.createTempDirectory("graft-cdf-part").toString + "/t"
     DeltaLog.write(spark,

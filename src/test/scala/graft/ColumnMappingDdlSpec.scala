@@ -136,6 +136,19 @@ class ColumnMappingDdlSpec extends SparkSpec {
     assert(e.getMessage.contains("kpos"), e.getMessage)
     intercept[IllegalArgumentException] { DeltaLog.dropColumn(spark, t, "k") }
     DeltaLog.dropCheckConstraint(spark, t, "kpos")
+    // ADD COLUMNS on the mapped table mints id + physicalName and
+    // advances maxColumnId — a mapping-less field would be
+    // protocol-invalid under mode=name
+    DeltaLog.addColumns(spark, t, Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val widened = DeltaLog.snapshot(spark, t)
+    val wf = widened.schema("w")
+    assert(wf.metadata.getLong("delta.columnMapping.id") === 4L)
+    assert(wf.metadata.getString("delta.columnMapping.physicalName") === "w")
+    assert(widened.configuration("delta.columnMapping.maxColumnId") === "4")
+    assert(DeltaLog.read(spark, t).columns.toSeq === Seq("k", "v", "w"))
+
     // partition columns refuse DROP
     val tp = Files.createTempDirectory("graft-cmw-pd").toString + "/t"
     DeltaLog.write(spark, Seq((1L, "a", "p1")).toDF("k", "v", "p"), tp,

@@ -391,6 +391,28 @@ class IcebergSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === expect)
   }
 
+  test("mirrorFromDelta refuses real Iceberg targets; re-mirrors keep user properties") {
+    import graft.sources.DeltaLog
+    val root = Files.createTempDirectory("graft-mir-guard").toString
+    // a REAL Iceberg table is never overwritten by mirror commits
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"), s"$root/real")
+    DeltaLog.write(spark, Seq((9L, "z")).toDF("k", "v"), s"$root/dl")
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.mirrorFromDelta(spark, s"$root/dl", Some(s"$root/real"))
+    }
+    assert(e.getMessage.contains("real Iceberg table"), e.getMessage)
+    assert(IcebergTable.read(spark, s"$root/real")
+      .as[(Long, String)].collect().toSet === Set((1L, "a")))
+    // user-set properties on a mirror survive the next re-mirror
+    IcebergTable.mirrorFromDelta(spark, s"$root/dl")
+    IcebergTable.setProperties(spark, s"$root/dl", Map("owner" -> "graft"))
+    DeltaLog.write(spark, Seq((10L, "y")).toDF("k", "v"), s"$root/dl")
+    IcebergTable.mirrorFromDelta(spark, s"$root/dl")
+    val props = IcebergTable.properties(spark, s"$root/dl")
+    assert(props.get("owner").contains("graft"), props)
+    assert(props.contains("graft.mirror-of"))
+  }
+
   test("UniForm: every Delta commit auto-advances the in-place Iceberg mirror") {
     import graft.sources.DeltaLog
     import org.apache.spark.sql.functions.col

@@ -376,6 +376,64 @@ class SqlStatementsSpec extends SparkSpec {
       === Set((1L, "x")))
   }
 
+  test("CHECK constraints bind UPDATE, MERGE and the DV arms — not just appends") {
+    val t = Files.createTempDirectory("graft-sqlstmt-ckdml").toString + "/t"
+    DeltaLog.write(spark,
+      Seq((1L, 5.0), (2L, 9.0)).toDF("k", "bal").coalesce(1), t)
+    DeltaLog.addCheckConstraint(spark, t, "pos", "bal >= 0")
+    // a violating UPDATE vetoes whole — nothing commits
+    val vBefore = DeltaLog.snapshot(spark, t).version
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLog.update(spark, t, col("k") === 1L, Map("bal" -> lit(-5.0)))
+    }
+    assert(e1.getMessage.contains("pos"), e1.getMessage)
+    assert(DeltaLog.snapshot(spark, t).version === vBefore)
+    assert(DeltaLog.read(spark, t).where(col("bal") < 0).count() === 0)
+    // a violating MERGE source vetoes (both its matched and insert legs)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.merge(spark, t,
+        Seq((2L, -1.0), (7L, 3.0)).toDF("k", "bal"), keyCols = Seq("k"))
+    }
+    assert(e2.getMessage.contains("pos"), e2.getMessage)
+    assert(DeltaLog.read(spark, t).as[(Long, Double)].collect().toSet
+      === Set((1L, 5.0), (2L, 9.0)))
+    // the DV update arm validates the post-image too
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try {
+      val e3 = intercept[IllegalArgumentException] {
+        DeltaLog.update(spark, t, col("k") === 2L, Map("bal" -> lit(-9.0)))
+      }
+      assert(e3.getMessage.contains("pos"), e3.getMessage)
+    } finally spark.conf.unset("spark.graft.dv.enabled")
+    // clean DML still lands
+    DeltaLog.update(spark, t, col("k") === 1L, Map("bal" -> lit(0.5)))
+    assert(DeltaLog.read(spark, t).as[(Long, Double)].collect().toSet
+      === Set((1L, 0.5), (2L, 9.0)))
+  }
+
+  test("OPTIMIZE on a PARTITIONED Iceberg table compacts manifests instead of refusing") {
+    val dir = Files.createTempDirectory("graft-sqlstmt-icep").toString + "/t"
+    IcebergTable.write(spark, Seq((1L, "a", "p1"), (2L, "b", "p2"))
+      .toDF("k", "v", "p"), dir, partitionBy = Seq("p"))
+    IcebergTable.write(spark, Seq((3L, "c", "p1")).toDF("k", "v", "p"), dir,
+      partitionBy = Seq("p"))
+    val snap = spark.sql(s"OPTIMIZE '$dir'").collect()(0).getLong(1)
+    assert(snap > 0L)
+    assert(IcebergTable.read(spark, dir).as[(Long, String, String)]
+      .collect().toSet
+      === Set((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p1")))
+  }
+
+  test("TBLPROPERTIES values with SQL-escaped quotes parse as one property") {
+    val dir = Files.createTempDirectory("graft-sqlstmt-q").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), dir)
+    spark.sql("ALTER TABLE '" + dir + "' SET TBLPROPERTIES " +
+      "('comment' = 'it''s a test, really', 'owner' = 'g')").collect()
+    val conf = DeltaLog.snapshot(spark, dir).configuration
+    assert(conf("comment") === "it's a test, really")
+    assert(conf("owner") === "g")
+  }
+
   test("Iceberg TBLPROPERTIES commit metadata bumps; DESCRIBE HISTORY serves every flavor") {
     val root = catalogRoot("hist")
     val it = s"$root/ns/it"
