@@ -5628,6 +5628,31 @@ object SparkEntry {
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n_cust"), sumD(col("c_acctbal")).as("total"))
         .orderBy("segment")
+    }),
+
+    // GENERATED columns: CREATE TABLE declares a computed column
+    // (protocol bump to writer v4); the append OMITS it and graft
+    // computes it per row; the read aggregates BY the generated
+    // values — schema-before-data plus the compute path, one hash
+    // gate
+    "interop_delta_generated" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val t = java.nio.file.Files.createTempDirectory("graft-q-gen")
+        .toString + "/t"
+      val genMeta = new MetadataBuilder().putString(
+        "delta.generationExpression",
+        "floor(o_totalprice / 50000.0)").build()
+      graft.sources.DeltaLog.createTable(s, t, StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("price_bucket", LongType, nullable = true, genMeta))))
+      graft.sources.DeltaLog.write(s,
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        t)
+      graft.sources.DeltaLog.read(s, t)
+        .groupBy(col("price_bucket").as("bucket"))
+        .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("total"))
+        .orderBy("bucket")
     })
   )
 
@@ -8746,7 +8771,12 @@ object SparkEntry {
          |  WHERE c_custkey % 2 <> 0)
          |SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
          | ${sqlSumD("c_acctbal")} AS total
-         |FROM state GROUP BY 1 ORDER BY segment""".stripMargin
+         |FROM state GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "interop_delta_generated" ->
+      s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+         | COUNT(*) AS n, ${sqlSumD("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

@@ -1351,7 +1351,59 @@ object DeltaLog {
     * documents). Every `checkpointInterval`-th commit also authors a
     * classic single-file checkpoint parquet and `_last_checkpoint`.
     * Returns the committed Delta version. */
-  def write(spark: SparkSession, df: DataFrame, deltaPath: String,
+  /** The metadata key of a GENERATED column (PROTOCOL.md "Generated
+    * Columns"): the column's value is always `expr` over the row's
+    * other columns. Writers either OMIT the column (graft computes
+    * it) or must supply exactly the generated value — a mismatch
+    * vetoes the commit ([[enforceInvariants]] checks it on every
+    * write path, DML included). */
+  val GenerationExprKey = "delta.generationExpression"
+
+  /** `CREATE TABLE` — commit version 0 (protocol + metaData) with NO
+    * data: the declared schema (which may carry GENERATED column
+    * metadata and NOT NULL fields), partitioning and configuration
+    * land before the first row, so every subsequent writer is bound
+    * by them. Generated columns bump the protocol to what real
+    * writers key on (minWriterVersion 4, the version that introduced
+    * them). Refuses when the table already exists. */
+  def createTable(spark: SparkSession, deltaPath: String,
+                  schema: StructType, partitionBy: Seq[String] = Seq.empty,
+                  configuration: Map[String, String] = Map.empty): Long = {
+    val fs = new Path(deltaPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(logDir(deltaPath)) ||
+      fs.listStatus(logDir(deltaPath)).isEmpty,
+      s"Delta table already exists at $deltaPath")
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in ${schema.fieldNames.mkString(",")}"))
+    schema.fields.filter(_.metadata.contains(GenerationExprKey)).foreach {
+      f =>
+        require(!partitionBy.contains(f.name),
+          s"generated column ${f.name} cannot be a partition column")
+        // the expression must reference only OTHER columns
+        val e = f.metadata.getString(GenerationExprKey)
+        require(!("""\b""" + java.util.regex.Pattern.quote(f.name) +
+          """\b""").r.findFirstIn(e).isDefined,
+          s"generated column ${f.name} references itself: $e")
+    }
+    fs.mkdirs(logDir(deltaPath))
+    val hasGen = schema.fields.exists(_.metadata.contains(GenerationExprKey))
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      deltaPath.getBytes("UTF-8")).toString
+    val lines = Seq(
+      if (hasGen)
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataLine(tableId, schema.json, partitionBy,
+        System.currentTimeMillis(), configuration))
+    val commit = new Path(logDir(deltaPath), pad20(0L) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    0L
+  }
+
+  def write(spark: SparkSession, dfIn: DataFrame, deltaPath: String,
             overwrite: Boolean = false,
             partitionBy: Seq[String] = Seq.empty,
             checkpointInterval: Int = DefaultCheckpointInterval,
@@ -1371,6 +1423,23 @@ object DeltaLog {
 
     val prior: Option[Snapshot] =
       if (existing.nonEmpty) Some(snapshot(spark, deltaPath)) else None
+    // GENERATED columns: a writer may OMIT them — computed here over
+    // the incoming rows, in the table's declared column order.
+    // PROVIDED values are validated by [[enforceInvariants]] below,
+    // like every other invariant (a mismatch vetoes the commit).
+    val df: DataFrame = {
+      val gens = prior.toSeq.flatMap(_.schema.fields.toSeq
+        .filter(_.metadata.contains(GenerationExprKey)))
+        .filterNot(f => dfIn.columns.contains(f.name))
+      if (gens.isEmpty) dfIn
+      else {
+        var d = dfIn
+        gens.foreach(f => d = d.withColumn(f.name,
+          expr(f.metadata.getString(GenerationExprKey))
+            .cast(f.dataType)))
+        d.select(prior.get.schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+    }
     // names + types must match exactly; nullability and metadata are
     // presentation details parquet does not enforce (a non-nullable
     // frame appends fine into a nullable table)
@@ -1471,11 +1540,13 @@ object DeltaLog {
     } else if (overwrite) {
       val p = prior.get
       // a schema-changing overwrite must never drop the table's
-      // configuration (constraints, properties) on the floor; a
-      // mapped table's schema was proven unchanged above — never
-      // stamp a metadata-stripped copy over it
+      // configuration (constraints, properties) on the floor; and a
+      // SHAPE-equal overwrite keeps the prior metaData verbatim —
+      // re-stamping the frame's bare schema would strip column
+      // mapping / generation / comment metadata off the fields
       if (mappedPrior.isEmpty &&
-        (p.schema != df.schema || p.partitionColumns != effParts))
+        (shape(p.schema) != shape(df.schema) ||
+          p.partitionColumns != effParts))
         lines += metaDataLine(tableId, df.schema.json, effParts, now,
           p.configuration)
       // snapshot paths are absolute; the log stores table-relative —
@@ -1991,6 +2062,9 @@ object DeltaLog {
       require(!snap0.partitionColumns.contains(c),
         s"UPDATE on partition column $c would move rows across " +
           "partition directories — delete + append instead")
+      require(!snap0.schema(c).metadata.contains(GenerationExprKey),
+        s"cannot UPDATE generated column $c — it is always computed " +
+          s"AS (${snap0.schema(c).metadata.getString(GenerationExprKey)})")
     }
     // merge-on-read arm (same opt-in + gate as [[delete]]): matched
     // rows become DV positions, their TRANSFORMED copies append as
@@ -2818,7 +2892,16 @@ object DeltaLog {
         case (k, v) if k.startsWith("delta.constraints.") =>
           s"CHECK constraint ${k.stripPrefix("delta.constraints.")} ($v)" ->
             !coalesce(expr(v), lit(true))
-      } ++ (if (!enforceNotNull) Seq.empty
+      } ++ snap.schema.fields.toSeq
+        // a PROVIDED generated column must equal its expression
+        // (null-safe); omitted ones were computed upstream
+        .filter(f => f.metadata.contains(GenerationExprKey) &&
+          df.columns.contains(f.name))
+        .map { f =>
+          val e = f.metadata.getString(GenerationExprKey)
+          s"GENERATED column ${f.name} AS ($e)" ->
+            !(col(f.name) <=> expr(e).cast(f.dataType))
+        } ++ (if (!enforceNotNull) Seq.empty
       else snap.schema.fields.toSeq
         // only when the incoming column CAN hold nulls — a frame whose
         // own type is non-nullable is proven clean by Spark's types,

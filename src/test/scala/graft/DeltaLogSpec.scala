@@ -927,6 +927,64 @@ class DeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TABLE + GENERATED columns: omitted = computed, provided = validated, DML guarded") {
+    import org.apache.spark.sql.types._
+    val t = Files.createTempDirectory("graft-delta-gen").toString + "/t"
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "k * 10").build()
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("v", StringType, nullable = true),
+      StructField("tens", LongType, nullable = true, genMeta)))
+    DeltaLog.createTable(spark, t, schema)                           // v0
+    // generated columns bump the protocol real writers key on
+    assert(DeltaLog.snapshot(spark, t).protocol._2 === 4)
+    assert(DeltaLog.read(spark, t).count() === 0)
+    // creating over an existing table refuses
+    intercept[IllegalArgumentException] {
+      DeltaLog.createTable(spark, t, schema)
+    }
+    // an append OMITTING the generated column computes it
+    DeltaLog.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1), t)                                               // v1
+    assert(DeltaLog.read(spark, t).as[(Long, String, Long)]
+      .collect().toSet === Set((1L, "a", 10L), (2L, "b", 20L)))
+    // providing the RIGHT value passes; a wrong one vetoes whole
+    DeltaLog.write(spark, Seq((3L, "c", 30L)).toDF("k", "v", "tens")
+      .coalesce(1), t)                                               // v2
+    val vBefore = DeltaLog.snapshot(spark, t).version
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.write(spark, Seq((4L, "d", 99L)).toDF("k", "v", "tens"), t)
+    }
+    assert(e.getMessage.contains("GENERATED"), e.getMessage)
+    assert(DeltaLog.snapshot(spark, t).version === vBefore)
+    // UPDATE refuses assignments to the generated column, and a
+    // merge whose source breaks the generation vetoes
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.update(spark, t, col("k") === 1L, Map("tens" -> lit(0L)))
+    }
+    assert(e2.getMessage.contains("generated"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLog.merge(spark, t,
+        Seq((1L, "z", 55L)).toDF("k", "v", "tens"), keyCols = Seq("k"))
+    }
+    assert(e3.getMessage.contains("GENERATED"), e3.getMessage)
+    // a consistent merge lands, generated value intact
+    DeltaLog.merge(spark, t,
+      Seq((1L, "z", 10L), (7L, "g", 70L)).toDF("k", "v", "tens"),
+      keyCols = Seq("k"))
+    assert(DeltaLog.read(spark, t).as[(Long, String, Long)]
+      .collect().toSet === Set((1L, "z", 10L), (2L, "b", 20L),
+      (3L, "c", 30L), (7L, "g", 70L)))
+    // a shape-equal overwrite keeps the generation metadata
+    DeltaLog.write(spark, Seq((9L, "x")).toDF("k", "v"), t,
+      overwrite = true)
+    assert(DeltaLog.snapshot(spark, t).schema("tens")
+      .metadata.contains("delta.generationExpression"))
+    assert(DeltaLog.read(spark, t).as[(Long, String, Long)]
+      .collect().toSet === Set((9L, "x", 90L)))
+  }
+
   test("RESTORE: file-set-diff rollback as a new version; history, metadata and DVs intact") {
     val t = Files.createTempDirectory("graft-delta-restore").toString + "/t"
     DeltaLog.write(spark, (1L to 10L).toDF("k").coalesce(1), t)       // v0
