@@ -5630,22 +5630,17 @@ object SparkEntry {
         .orderBy("segment")
     }),
 
-    // GENERATED columns: CREATE TABLE declares a computed column
+    // GENERATED columns: SQL CREATE TABLE declares a computed column
     // (protocol bump to writer v4); the append OMITS it and graft
     // computes it per row; the read aggregates BY the generated
     // values — schema-before-data plus the compute path, one hash
     // gate
     "interop_delta_generated" -> ((s, d) => {
-      import org.apache.spark.sql.types._
       val t = java.nio.file.Files.createTempDirectory("graft-q-gen")
         .toString + "/t"
-      val genMeta = new MetadataBuilder().putString(
-        "delta.generationExpression",
-        "floor(o_totalprice / 50000.0)").build()
-      graft.sources.DeltaLog.createTable(s, t, StructType(Seq(
-        StructField("o_orderkey", LongType),
-        StructField("o_totalprice", DoubleType),
-        StructField("price_bucket", LongType, nullable = true, genMeta))))
+      s.sql(s"CREATE TABLE '$t' (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE, price_bucket BIGINT GENERATED ALWAYS AS " +
+        "(floor(o_totalprice / 50000.0))) USING delta")
       graft.sources.DeltaLog.write(s,
         Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
         t)

@@ -70,6 +70,15 @@ object GraftSqlStatements {
   private val UnsetPropsRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""").r
+  /** Quoted-path CREATE TABLE only — Spark's own grammar cannot parse
+    * a quoted path as a table name, so nothing is hijacked from it;
+    * catalog-qualified CREATE TABLE still routes through Spark to
+    * [[GraftCatalog.createTable]]. */
+  private val CreateTableRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?'([^']+)'""" +
+      """\s*\((.+)\)\s*USING\s+(\w+)""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*([^)]+?)\s*\))?""" +
+      """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s*;?\s*$""").r
   private val DescribeHistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
   private val RenameColRe =
@@ -84,6 +93,62 @@ object GraftSqlStatements {
   private val DropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+DROP\s+CONSTRAINT\s+([\w$]+)\s*;?\s*$""").r
+
+  /** Split on commas at paren-depth 0, outside single quotes —
+    * column definitions like `d DECIMAL(10,2)` stay whole. */
+  private[sources] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case ',' if !inQ && depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.toSeq.filter(_.nonEmpty)
+  }
+
+  /** One column definition: `name TYPE [NOT NULL] [GENERATED ALWAYS
+    * AS (expr)]` → StructField (generation lands as the protocol's
+    * `delta.generationExpression` metadata). */
+  private[sources] def parseColDef(defn: String): org.apache.spark.sql.types.StructField = {
+    import org.apache.spark.sql.types._
+    var d = defn.trim
+    var gen: Option[String] = None
+    "(?i)\\bGENERATED\\s+ALWAYS\\s+AS\\b".r.findFirstMatchIn(d).foreach { m =>
+      val rest = d.substring(m.end).trim
+      require(rest.startsWith("("),
+        s"GENERATED ALWAYS AS needs a parenthesized expression: $defn")
+      var depth = 0; var i = 0; var end = -1
+      while (i < rest.length && end < 0) {
+        rest.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(end > 0, s"unbalanced parentheses in: $defn")
+      require(rest.substring(end + 1).trim.isEmpty,
+        s"unexpected tokens after the generated expression: $defn")
+      gen = Some(rest.substring(1, end).trim)
+      d = d.substring(0, m.start).trim
+    }
+    val notNullRe = "(?i)\\s+NOT\\s+NULL\\s*$".r
+    val notNull = notNullRe.findFirstIn(d).isDefined
+    if (notNull) d = notNullRe.replaceFirstIn(d, "")
+    val sp = d.indexWhere(_.isWhitespace)
+    require(sp > 0, s"expected '<name> <type>', got: $defn")
+    val name = d.substring(0, sp).stripPrefix("`").stripSuffix("`")
+    val dt = DataType.fromDDL(d.substring(sp + 1).trim)
+    val mb = new MetadataBuilder()
+    gen.foreach(mb.putString("delta.generationExpression", _))
+    StructField(name, dt, nullable = !notNull, mb.build())
+  }
 
   /** Split `a.`b.c`.d` on dots outside backticks. */
   private[sources] def splitParts(s: String): Seq[String] = {
@@ -178,6 +243,10 @@ object GraftSqlStatements {
       Some(GraftTablePropertiesCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         set = None, unset = splitQuotedCsv(ks).map(stripQuotes)))
+    case CreateTableRe(ifNot, path, colDefs, provider, partCols, props) =>
+      Some(GraftCreateTableCommand(path, ifNot != null, colDefs.trim,
+        provider, Option(partCols).map(cols).getOrElse(Nil),
+        Option(props).map(parseProps).getOrElse(Nil)))
     case DescribeHistoryRe(path, ident) =>
       Some(GraftDescribeHistoryCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil)))
@@ -379,6 +448,44 @@ case class GraftTablePropertiesCommand(path: Option[String],
         "versioned tables have no properties store — TBLPROPERTIES " +
           "apply to Delta and Iceberg flavors")
     }
+    Seq(Row(dir, v))
+  }
+}
+
+/** `CREATE TABLE '<path>' (col TYPE [NOT NULL] [GENERATED ALWAYS AS
+  * (expr)], …) USING delta [PARTITIONED BY (…)] [TBLPROPERTIES (…)]`
+  * → [[DeltaLog.createTable]]: version 0 commits protocol + metaData
+  * with NO data, so the declared schema (NOT NULL, generated
+  * columns), partitioning and configuration bind every writer before
+  * the first row. Delta-flavor only — Iceberg and versioned tables
+  * are created by their first INSERT (the schema travels with the
+  * data there). `IF NOT EXISTS` on an existing Delta table is a
+  * no-op returning its current version. */
+case class GraftCreateTableCommand(dir: String, ifNotExists: Boolean,
+                                   colDefs: String, provider: String,
+                                   partitionBy: Seq[String],
+                                   props: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(provider.equalsIgnoreCase("delta"),
+      s"CREATE TABLE USING $provider is not supported — only the delta " +
+        "flavor takes DDL-first creation; Iceberg and versioned tables " +
+        "are created by their first INSERT")
+    val p = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+      require(ifNotExists, s"Delta table already exists at $dir")
+      return Seq(Row(dir, DeltaLog.listVersions(spark, dir).last))
+    }
+    val fields = GraftSqlStatements.splitTopLevel(colDefs)
+      .map(GraftSqlStatements.parseColDef)
+    val v = DeltaLog.createTable(spark, dir,
+      org.apache.spark.sql.types.StructType(fields), partitionBy,
+      props.toMap)
     Seq(Row(dir, v))
   }
 }

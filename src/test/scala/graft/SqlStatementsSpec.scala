@@ -434,6 +434,48 @@ class SqlStatementsSpec extends SparkSpec {
     assert(conf("owner") === "g")
   }
 
+  test("SQL CREATE TABLE: NOT NULL, GENERATED columns, partitioning and properties bind before data") {
+    val dir = Files.createTempDirectory("graft-sqlstmt-ct").toString + "/t"
+    spark.sql("CREATE TABLE '" + dir + "' (" +
+      "k BIGINT NOT NULL, price DECIMAL(10,2), seg STRING, " +
+      "bucket BIGINT GENERATED ALWAYS AS (k % 4)) " +
+      "USING delta PARTITIONED BY (seg) " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')").collect()
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.version === 0L && snap.files.isEmpty)
+    assert(!snap.schema("k").nullable)
+    assert(snap.schema("price").dataType ===
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(snap.schema("bucket").metadata
+      .getString("delta.generationExpression") === "k % 4")
+    assert(snap.partitionColumns === Seq("seg"))
+    assert(snap.configuration("delta.enableChangeDataFeed") === "true")
+    assert(snap.protocol._2 === 4) // generated columns
+    // the first write computes the generated column and lands
+    // hive-partitioned; an explicit null into k refuses
+    DeltaLog.write(spark,
+      Seq((1L, BigDecimal("5.50"), "a"), (2L, BigDecimal("7.25"), "b"))
+        .toDF("k", "price", "seg")
+        .select(col("k"), col("price").cast("decimal(10,2)").as("price"),
+          col("seg")), dir)
+    assert(DeltaLog.read(spark, dir)
+      .select("k", "seg", "bucket").as[(Long, String, Long)]
+      .collect().toSet === Set((1L, "a", 1L), (2L, "b", 2L)))
+    assert(DeltaLog.snapshot(spark, dir).files
+      .forall(_.partitionValues.keySet === Set("seg")))
+    // IF NOT EXISTS on the existing table is a version-reporting no-op
+    val again = spark.sql("CREATE TABLE IF NOT EXISTS '" + dir +
+      "' (x INT) USING delta").collect()
+    assert(again(0).getLong(1) === 1L)
+    // plain CREATE over an existing table refuses; non-delta refuses
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE '" + dir + "' (x INT) USING delta").collect()
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE '" + dir + "2' (x INT) USING iceberg").collect()
+    }
+  }
+
   test("Iceberg TBLPROPERTIES commit metadata bumps; DESCRIBE HISTORY serves every flavor") {
     val root = catalogRoot("hist")
     val it = s"$root/ns/it"
