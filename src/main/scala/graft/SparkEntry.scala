@@ -5648,6 +5648,31 @@ object SparkEntry {
         .groupBy(col("price_bucket").as("bucket"))
         .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("total"))
         .orderBy("bucket")
+    }),
+
+    // SHALLOW CLONE: zero-copy Delta->Delta clone via SQL, then the
+    // clone diverges (DELETE + append) while the source stays
+    // untouched — both legs read back and union under one hash gate
+    "interop_delta_clone" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-cl")
+        .toString
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      graft.sources.DeltaLog.write(s, sup, s"$root/src")
+      s.sql(s"CREATE TABLE '$root/dst' SHALLOW CLONE '$root/src'")
+      graft.sources.DeltaLog.delete(s, s"$root/dst", col("s_acctbal") < 0)
+      graft.sources.DeltaLog.write(s,
+        sup.filter(col("s_suppkey") % 3 === 0)
+          .select((col("s_suppkey") + 1000000L).as("s_suppkey"),
+            col("s_nationkey"), lit(0.0).as("s_acctbal")), s"$root/dst")
+      def agg(df: DataFrame, leg: String) = df
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"), sumD(col("s_acctbal")).as("bal"))
+        .select(lit(leg).as("leg"), col("nation"), col("n"), col("bal"))
+      agg(graft.sources.DeltaLog.read(s, s"$root/dst"), "clone")
+        .unionByName(agg(graft.sources.DeltaLog.read(s, s"$root/src"),
+          "source"))
+        .orderBy("leg", "nation")
     })
   )
 
@@ -8771,7 +8796,24 @@ object SparkEntry {
     "interop_delta_generated" ->
       s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
          | COUNT(*) AS n, ${sqlSumD("o_totalprice")} AS total
-         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "interop_delta_clone" ->
+      s"""WITH clone AS (
+         |  SELECT s_nationkey, s_acctbal FROM supplier
+         |  WHERE NOT (s_acctbal < 0)
+         |  UNION ALL
+         |  SELECT s_nationkey, 0.0 AS s_acctbal FROM supplier
+         |  WHERE s_suppkey % 3 = 0)
+         |SELECT leg, nation, n, bal FROM (
+         |  SELECT 'clone' AS leg, s_nationkey AS nation,
+         |   COUNT(*) AS n, ${sqlSumD("s_acctbal")} AS bal
+         |  FROM clone GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'source' AS leg, s_nationkey AS nation,
+         |   COUNT(*) AS n, ${sqlSumD("s_acctbal")} AS bal
+         |  FROM supplier GROUP BY 2)
+         |ORDER BY leg, nation""".stripMargin
   )
 
   /** DuckDB replica of the merged-signature corpus similarity: the

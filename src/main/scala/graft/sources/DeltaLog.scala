@@ -1351,6 +1351,66 @@ object DeltaLog {
     * documents). Every `checkpointInterval`-th commit also authors a
     * classic single-file checkpoint parquet and `_last_checkpoint`.
     * Returns the committed Delta version. */
+  /** `CREATE TABLE dst SHALLOW CLONE src` — the ZERO-COPY Delta →
+    * Delta clone (the dev-copy-of-prod shape): one commit at `dst`
+    * ADOPTS the source's current live files by ABSOLUTE path — no
+    * data copied — and carries the schema (field metadata included:
+    * column mapping, generation), partitioning, configuration
+    * (constraints keep binding writers of the clone) and PROTOCOL
+    * (features the adopted files depend on must not downgrade).
+    * The clone then evolves independently: appends/DML land under
+    * `dst`, the source never sees them, and `vacuum` on the clone
+    * walks only `dst` so adopted source files are never deleted
+    * through the clone. The clone is marked `graft.cloneOf`; like
+    * real Delta, vacuuming the SOURCE past the clone point breaks
+    * the clone's time travel — the marker documents the dependency.
+    * DV-bearing sources refuse loudly: their sidecar paths resolve
+    * against the table root and would dangle under `dst` (OPTIMIZE
+    * the source first — compaction applies the vectors). */
+  def cloneShallow(spark: SparkSession, srcPath: String,
+                   dstPath: String): Long = {
+    val src = snapshot(spark, srcPath)
+    require(src.files.forall(_.dv.forall(_.cardinality == 0L)),
+      s"$srcPath carries deletion vectors whose sidecar paths resolve " +
+        "against the table root — they would dangle under the clone; " +
+        "OPTIMIZE first (compaction applies the vectors)")
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(dstPath)
+    val fs = dst.getFileSystem(fsConf)
+    require(!fs.exists(logDir(dstPath)) ||
+      fs.listStatus(logDir(dstPath)).isEmpty,
+      s"Delta table already exists at $dstPath")
+    fs.mkdirs(logDir(dstPath))
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val now = System.currentTimeMillis()
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      ("delta-clone:" + dstPath).getBytes("UTF-8")).toString
+    val (mrv, mwv, rf, wf) = src.protocol
+    val protoLine =
+      if (mwv >= 7 || rf.nonEmpty || wf.nonEmpty)
+        s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":$mwv,"readerFeatures":${rf.map(jsEscape).mkString("[", ",", "]")},"writerFeatures":${wf.map(jsEscape).mkString("[", ",", "]")}}}"""
+      else s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":$mwv}}"""
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
+      }.mkString("{", ",", "}")
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    lines += protoLine
+    lines += metaDataLine(tableId, src.schema.json, src.partitionColumns,
+      now, src.configuration + ("graft.cloneOf" -> srcPath))
+    src.files.foreach { f =>
+      val abs = encodePath(deScheme(
+        fs.makeQualified(new Path(f.path)).toString))
+      val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(abs)},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true$statsPart}}"""
+    }
+    val commit = new Path(logDir(dstPath), pad20(0L) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    0L
+  }
+
   /** The metadata key of a GENERATED column (PROTOCOL.md "Generated
     * Columns"): the column's value is always `expr` over the row's
     * other columns. Writers either OMIT the column (graft computes
@@ -1555,7 +1615,7 @@ object DeltaLog {
       val root = deScheme(fs.makeQualified(dst).toString)
       p.files.foreach { f =>
         val rel = encodePath(deScheme(new Path(f.path).toString)
-          .stripPrefix(root).stripPrefix("/"))
+          .stripPrefix(root + "/"))
         lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
       }
     }
@@ -1671,7 +1731,7 @@ object DeltaLog {
     rewrite.foreach { case (_, fls) =>
       fls.foreach { f =>
         val rel = encodePath(deScheme(new Path(f.path).toString)
-          .stripPrefix(root).stripPrefix("/"))
+          .stripPrefix(root + "/"))
         lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     }
@@ -1765,7 +1825,7 @@ object DeltaLog {
       referenced(deScheme(fs.makeQualified(p).toString))) ++ cdcVictims
     if (!dryRun) victims.foreach(p => fs.delete(p, false))
     victims.map(p => deScheme(fs.makeQualified(p).toString)
-      .stripPrefix(root).stripPrefix("/"))
+      .stripPrefix(root + "/"))
   }
 
   /** `RESTORE TABLE … TO VERSION AS OF v` (or `TIMESTAMP AS OF`) —
@@ -1836,7 +1896,7 @@ object DeltaLog {
       }.mkString("{", ",", "}")
     def relOf(p: String): String =
       encodePath(deScheme(new Path(p).toString)
-        .stripPrefix(root).stripPrefix("/"))
+        .stripPrefix(root + "/"))
 
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     if (tgt.schema != cur.schema ||
@@ -2025,7 +2085,7 @@ object DeltaLog {
       val merged = (existing ++ byFile(fileKeyOf(f.path))).distinct.sorted
       val desc = DeletionVectors.writeDvFile(fsConf, deltaPath, merged)
       val rel = encodePath(deScheme(new Path(f.path).toString)
-        .stripPrefix(root).stripPrefix("/"))
+        .stripPrefix(root + "/"))
       val dvJson = s""""deletionVector":{"storageType":${jsEscape(desc.storageType)},"pathOrInlineDv":${jsEscape(desc.pathOrInlineDv)},"offset":${desc.offset.getOrElse(1)},"sizeInBytes":${desc.sizeInBytes},"cardinality":${desc.cardinality}}"""
       val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
       lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
@@ -2287,7 +2347,7 @@ object DeltaLog {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     toRewrite.foreach { f =>
       val rel = encodePath(deScheme(new Path(f.path).toString)
-        .stripPrefix(root).stripPrefix("/"))
+        .stripPrefix(root + "/"))
       lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
     adds.foreach { case (rel, pv, sz, st) =>
@@ -2420,7 +2480,7 @@ object DeltaLog {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     toRewrite.foreach { f =>
       val rel = encodePath(deScheme(new Path(f.path).toString)
-        .stripPrefix(root).stripPrefix("/"))
+        .stripPrefix(root + "/"))
       lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
     adds.foreach { case (rel, pv, sz, st) =>
@@ -2947,7 +3007,7 @@ object DeltaLog {
       snap.partitionColumns, snap.configuration, Row("parquet"))
     val addRows = snap.files.map { f =>
       val rel = encodePath(deScheme(new Path(f.path).toString)
-        .stripPrefix(root).stripPrefix("/"))
+        .stripPrefix(root + "/"))
       // deletion vectors MUST survive consolidation — a checkpoint
       // that dropped them would resurrect merge-on-read-deleted rows
       val dvRow = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,

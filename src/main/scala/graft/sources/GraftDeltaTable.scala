@@ -703,6 +703,12 @@ private class GraftDeltaMicroBatchStream(spark: SparkSession,
       require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
       n
     }
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map { s =>
+      val n = s.toLong
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+      n
+    }
 
   override def initialOffset(): Offset = DeltaStreamOffset(startingVersion)
   override def latestOffset(): Offset =
@@ -718,20 +724,25 @@ private class GraftDeltaMicroBatchStream(spark: SparkSession,
     val pending = DeltaLog.listVersions(spark, table.tablePath)
       .filter(v => v > from && availableNowEnd.forall(v <= _))
     if (pending.isEmpty) return DeltaStreamOffset(from)
-    limit match {
-      case mf: ReadMaxFiles =>
-        var budget = mf.maxFiles().toLong
-        var last = from
-        val it = pending.iterator
-        while (it.hasNext && (last == from || budget > 0)) {
-          val v = it.next()
-          budget -= readCommit(spark, table.tablePath, v).acts
-            .count(a => a.isAdd && a.dataChange)
-          last = v
-        }
-        DeltaStreamOffset(last)
-      case _ => DeltaStreamOffset(pending.last)
+    val fileCap: Option[Long] = maxFilesPerTrigger.map(_.toLong)
+      .orElse(limit match {
+        case mf: ReadMaxFiles => Some(mf.maxFiles().toLong)
+        case _ => None
+      })
+    if (fileCap.isEmpty && maxBytesPerTrigger.isEmpty)
+      return DeltaStreamOffset(pending.last)
+    var files = 0L; var bytes = 0L; var last = from
+    val it = pending.iterator
+    while (it.hasNext && (last == from ||
+      (fileCap.forall(files < _) && maxBytesPerTrigger.forall(bytes < _)))) {
+      val v = it.next()
+      val adds = readCommit(spark, table.tablePath, v).acts
+        .filter(a => a.isAdd && a.dataChange)
+      files += adds.size
+      bytes += adds.map(_.size).sum
+      last = v
     }
+    DeltaStreamOffset(last)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =

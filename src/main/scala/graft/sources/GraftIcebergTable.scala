@@ -399,6 +399,12 @@ private class GraftIcebergMicroBatchStream(spark: SparkSession,
       require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
       n
     }
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map { s =>
+      val n = s.toLong
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+      n
+    }
 
   override def initialOffset(): Offset =
     IcebergStreamOffset(startingSnapshotId)
@@ -429,26 +435,33 @@ private class GraftIcebergMicroBatchStream(spark: SparkSession,
       case None => afterStart
     }
     if (pending.isEmpty) return IcebergStreamOffset(from)
-    limit match {
-      case mf: ReadMaxFiles =>
-        var budget = mf.maxFiles().toLong
-        var last = from
-        var prev: Set[String] =
-          if (from == -1L) Set.empty
-          else IcebergTable.snapshot(spark, table.tablePath,
-            snapshotIdAsOf = Some(from)).files.map(_.path).toSet
-        val it = pending.iterator
-        while (it.hasNext && (last == from || budget > 0)) {
-          val id = it.next()
-          val cur = IcebergTable.snapshot(spark, table.tablePath,
-            snapshotIdAsOf = Some(id)).files.map(_.path).toSet
-          budget -= (cur -- prev).size
-          prev = cur
-          last = id
-        }
-        IcebergStreamOffset(last)
-      case _ => IcebergStreamOffset(pending.last)
+    val fileCap: Option[Long] = maxFilesPerTrigger.map(_.toLong)
+      .orElse(limit match {
+        case mf: ReadMaxFiles => Some(mf.maxFiles().toLong)
+        case _ => None
+      })
+    if (fileCap.isEmpty && maxBytesPerTrigger.isEmpty)
+      return IcebergStreamOffset(pending.last)
+    var files = 0L; var bytes = 0L; var last = from
+    var prev: Map[String, Long] =
+      if (from == -1L) Map.empty
+      else IcebergTable.snapshot(spark, table.tablePath,
+        snapshotIdAsOf = Some(from)).files
+        .map(f => f.path -> f.sizeBytes).toMap
+    val it = pending.iterator
+    while (it.hasNext && (last == from ||
+      (fileCap.forall(files < _) && maxBytesPerTrigger.forall(bytes < _)))) {
+      val id = it.next()
+      val cur = IcebergTable.snapshot(spark, table.tablePath,
+        snapshotIdAsOf = Some(id)).files
+        .map(f => f.path -> f.sizeBytes).toMap
+      val added = cur.keySet -- prev.keySet
+      files += added.size
+      bytes += added.toSeq.map(cur).sum
+      prev = cur
+      last = id
     }
+    IcebergStreamOffset(last)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =

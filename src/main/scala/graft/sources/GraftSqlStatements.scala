@@ -79,6 +79,13 @@ object GraftSqlStatements {
       """\s*\((.+)\)\s*USING\s+(\w+)""" +
       """(?:\s+PARTITIONED\s+BY\s*\(\s*([^)]+?)\s*\))?""" +
       """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s*;?\s*$""").r
+  private val ShallowCloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?'([^']+)'""" +
+      """\s+SHALLOW\s+CLONE\s+'([^']+)'\s*;?\s*$""").r
+  /** Quoted-path only — catalog-qualified SHOW TBLPROPERTIES stays
+    * with Spark's own grammar. */
+  private val ShowPropsRe =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*$""".r
   private val DescribeHistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
   private val RenameColRe =
@@ -243,6 +250,10 @@ object GraftSqlStatements {
       Some(GraftTablePropertiesCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         set = None, unset = splitQuotedCsv(ks).map(stripQuotes)))
+    case ShallowCloneRe(ifNot, dstPath, srcPath) =>
+      Some(GraftShallowCloneCommand(dstPath, ifNot != null, srcPath))
+    case ShowPropsRe(path) =>
+      Some(GraftShowPropsCommand(path))
     case CreateTableRe(ifNot, path, colDefs, provider, partCols, props) =>
       Some(GraftCreateTableCommand(path, ifNot != null, colDefs.trim,
         provider, Option(partCols).map(cols).getOrElse(Nil),
@@ -487,6 +498,52 @@ case class GraftCreateTableCommand(dir: String, ifNotExists: Boolean,
       org.apache.spark.sql.types.StructType(fields), partitionBy,
       props.toMap)
     Seq(Row(dir, v))
+  }
+}
+
+/** `CREATE TABLE '<dst>' SHALLOW CLONE '<src>'` →
+  * [[DeltaLog.cloneShallow]] — the zero-copy Delta → Delta clone:
+  * one commit adopts the source's live files by absolute path;
+  * schema, partitioning, configuration and protocol carry over; the
+  * clone evolves independently. */
+case class GraftShallowCloneCommand(dst: String, ifNotExists: Boolean,
+                                    src: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    require(flavorOf(spark, src) == DeltaFlavor,
+      s"SHALLOW CLONE sources must be Delta tables; $src is not one " +
+        "(Iceberg sources clone via DeltaLog.mirrorFromIceberg)")
+    val p = new org.apache.hadoop.fs.Path(dst, "_delta_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+      require(ifNotExists, s"Delta table already exists at $dst")
+      return Seq(Row(dst, DeltaLog.listVersions(spark, dst).last))
+    }
+    Seq(Row(dst, DeltaLog.cloneShallow(spark, src, dst)))
+  }
+}
+
+/** `SHOW TBLPROPERTIES '<path>'` — the flavor's property store as
+  * (key, value) rows: Delta table configuration or Iceberg
+  * properties. */
+case class GraftShowPropsCommand(dir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val props = flavorOf(spark, dir) match {
+      case DeltaFlavor => DeltaLog.snapshot(spark, dir).configuration
+      case IcebergFlavor => IcebergTable.properties(spark, dir)
+      case VersionedFlavor => Map.empty[String, String]
+    }
+    props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
   }
 }
 

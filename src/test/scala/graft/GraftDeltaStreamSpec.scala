@@ -338,5 +338,23 @@ class GraftDeltaStreamSpec extends SparkSpec {
     // batch, and v2's two files stayed atomic in a single batch
     assert(batchRows.toSeq === Seq(1, 1, 2, 1),
       s"expected per-commit pacing, got $batchRows")
+
+    // BYTES-based pacing: a 1-byte cap still admits one whole commit
+    // per batch (never zero progress, never a torn commit)
+    val byteBatches = scala.collection.mutable.ArrayBuffer[Int]()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("maxBytesPerTrigger", "1")
+      .load(t)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ck-bytes")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count().toInt
+        if (n > 0) byteBatches += n
+        ()
+      }.start()
+    q2.awaitTermination(120000)
+    assert(byteBatches.toSeq === Seq(1, 1, 2, 1),
+      s"expected per-commit byte pacing, got $byteBatches")
   }
 }

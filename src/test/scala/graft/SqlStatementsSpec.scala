@@ -434,6 +434,62 @@ class SqlStatementsSpec extends SparkSpec {
     assert(conf("owner") === "g")
   }
 
+  test("SHALLOW CLONE: zero-copy Delta clone, independent evolution, vacuum-safe") {
+    val root = Files.createTempDirectory("graft-sqlstmt-cl").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    DeltaLog.write(spark, Seq((1L, 5.0), (2L, 9.0)).toDF("k", "bal")
+      .coalesce(1), src)
+    DeltaLog.addCheckConstraint(spark, src, "pos", "bal >= 0")
+    DeltaLog.write(spark, Seq((3L, 7.0)).toDF("k", "bal").coalesce(1), src)
+    spark.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$src'").collect()
+    // same rows, NO parquet copied under the clone dir
+    assert(DeltaLog.read(spark, dst).as[(Long, Double)].collect().toSet
+      === Set((1L, 5.0), (2L, 9.0), (3L, 7.0)))
+    def parquetUnder(d: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory && !c.getName.startsWith("_")) walk(c)
+          else if (c.getName.endsWith(".parquet")) Seq(c) else Nil)
+      walk(new java.io.File(d))
+    }
+    assert(parquetUnder(dst).isEmpty, "clone must not copy data files")
+    // configuration carried: the CHECK constraint binds clone writers
+    intercept[IllegalArgumentException] {
+      DeltaLog.write(spark, Seq((9L, -1.0)).toDF("k", "bal"), dst)
+    }
+    // the clone evolves independently of the source
+    DeltaLog.write(spark, Seq((4L, 1.0)).toDF("k", "bal").coalesce(1), dst)
+    DeltaLog.delete(spark, dst, col("k") === 1L)
+    assert(DeltaLog.read(spark, dst).as[(Long, Double)].collect().toSet
+      === Set((2L, 9.0), (3L, 7.0), (4L, 1.0)))
+    assert(DeltaLog.read(spark, src).as[(Long, Double)].collect().toSet
+      === Set((1L, 5.0), (2L, 9.0), (3L, 7.0)))
+    // vacuuming the CLONE never deletes the source's files
+    val srcFiles = DeltaLog.snapshot(spark, src).files.map(_.path)
+    DeltaLog.vacuum(spark, dst, keepVersions = 1)
+    srcFiles.foreach(p => assert(new java.io.File(
+      p.replaceFirst("^file:", "")).exists(), s"vacuumed source file $p"))
+    assert(DeltaLog.read(spark, src).count() === 3)
+    // clone onto an existing table refuses (IF NOT EXISTS no-ops)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$src'").collect()
+    }
+    assert(spark.sql(
+      s"CREATE TABLE IF NOT EXISTS '$dst' SHALLOW CLONE '$src'")
+      .collect()(0).getLong(1) >= 0L)
+    // DV-bearing sources refuse toward OPTIMIZE
+    val dvSrc = s"$root/dvsrc"
+    DeltaLog.write(spark, (1L to 20L).toDF("k").coalesce(1), dvSrc)
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try DeltaLog.delete(spark, dvSrc, col("k") > 18L)
+    finally spark.conf.unset("spark.graft.dv.enabled")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.cloneShallow(spark, dvSrc, s"$root/dvdst")
+    }
+    assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
+  }
+
   test("SQL CREATE TABLE: NOT NULL, GENERATED columns, partitioning and properties bind before data") {
     val dir = Files.createTempDirectory("graft-sqlstmt-ct").toString + "/t"
     spark.sql("CREATE TABLE '" + dir + "' (" +
@@ -486,6 +542,10 @@ class SqlStatementsSpec extends SparkSpec {
     assert(IcebergTable.properties(spark, it)
       .filterKeys(Set("owner", "write.format.default")).toMap
       === Map("owner" -> "graft", "write.format.default" -> "parquet"))
+    // SHOW TBLPROPERTIES reads the store back as (key, value) rows
+    val shown = spark.sql(s"SHOW TBLPROPERTIES '$it'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("write.format.default").contains("parquet"), shown)
     spark.sql(s"ALTER TABLE gsql_hist.ns.it UNSET TBLPROPERTIES ('owner')")
       .collect()
     assert(!IcebergTable.properties(spark, it).contains("owner"))
