@@ -1446,14 +1446,27 @@ object DeltaLog {
           """\b""").r.findFirstIn(e).isDefined,
           s"generated column ${f.name} references itself: $e")
     }
+    // configuration consistency: feature-bearing properties carry the
+    // SAME protocol obligations here as on the post-create paths —
+    // a CDF table at writer 2 would be protocol-invalid; constraint
+    // and mapping keys must go through their validating DDL
+    configuration.keys.foreach { k =>
+      require(!k.startsWith("delta.constraints."),
+        s"set $k through ALTER TABLE … ADD CONSTRAINT — constraints " +
+          "are validated there")
+      require(k != "delta.columnMapping.mode",
+        "enable column mapping through ALTER TABLE … SET TBLPROPERTIES " +
+          "after creation — the upgrade assigns ids and physical names")
+    }
     fs.mkdirs(logDir(deltaPath))
     val hasGen = schema.fields.exists(_.metadata.contains(GenerationExprKey))
+    val hasCdf = configuration.get("delta.enableChangeDataFeed")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val minWriter = if (hasGen || hasCdf) 4 else 2
     val tableId = java.util.UUID.nameUUIDFromBytes(
       deltaPath.getBytes("UTF-8")).toString
     val lines = Seq(
-      if (hasGen)
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
-      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}""",
       metaDataLine(tableId, schema.json, partitionBy,
         System.currentTimeMillis(), configuration))
     val commit = new Path(logDir(deltaPath), pad20(0L) + ".json")
@@ -1487,17 +1500,29 @@ object DeltaLog {
     // the incoming rows, in the table's declared column order.
     // PROVIDED values are validated by [[enforceInvariants]] below,
     // like every other invariant (a mismatch vetoes the commit).
+    // The fill only applies when the frame IS the table's schema
+    // minus some generated columns (case-insensitively) — an
+    // overwrite replacing the schema outright must not have the old
+    // generation expressions evaluated over unrelated columns.
     val df: DataFrame = {
-      val gens = prior.toSeq.flatMap(_.schema.fields.toSeq
-        .filter(_.metadata.contains(GenerationExprKey)))
-        .filterNot(f => dfIn.columns.contains(f.name))
-      if (gens.isEmpty) dfIn
+      val fillable = prior.exists { p =>
+        val ps = p.schema
+        val lower = ps.fieldNames.map(n => n.toLowerCase -> n).toMap
+        val missing = ps.fieldNames.toSet --
+          dfIn.columns.flatMap(c => lower.get(c.toLowerCase)).toSet
+        dfIn.columns.forall(c => lower.contains(c.toLowerCase)) &&
+          missing.nonEmpty &&
+          missing.forall(n => ps(n).metadata.contains(GenerationExprKey))
+      }
+      if (!fillable) dfIn
       else {
+        val ps = prior.get.schema
         var d = dfIn
-        gens.foreach(f => d = d.withColumn(f.name,
-          expr(f.metadata.getString(GenerationExprKey))
-            .cast(f.dataType)))
-        d.select(prior.get.schema.fieldNames.map(col).toIndexedSeq: _*)
+        ps.fields.filter(f => f.metadata.contains(GenerationExprKey) &&
+          !dfIn.columns.exists(_.equalsIgnoreCase(f.name)))
+          .foreach(f => d = d.withColumn(f.name,
+            expr(f.metadata.getString(GenerationExprKey)).cast(f.dataType)))
+        d.select(ps.fieldNames.map(col).toIndexedSeq: _*)
       }
     }
     // names + types must match exactly; nullability and metadata are
@@ -1565,10 +1590,17 @@ object DeltaLog {
     }
 
     // CHECK constraints + NOT NULL invariants veto the commit BEFORE
-    // anything is staged; an overwrite replaces the schema, so the
-    // old schema's nullability no longer binds (constraints do)
+    // anything is staged. An overwrite that REPLACES the schema drops
+    // the old nullability with it — but a shape-equal overwrite KEEPS
+    // the prior metaData (see the commit assembly), so its NOT NULL
+    // declarations still bind and must be enforced.
+    val retainsPriorSchema: Boolean = prior.exists { p =>
+      mappedPrior.nonEmpty ||
+        (shape(p.schema) == shape(df.schema) &&
+          p.partitionColumns == effParts)
+    }
     prior.foreach(p => enforceInvariants(spark, df, p, deltaPath,
-      enforceNotNull = !overwrite))
+      enforceNotNull = !overwrite || retainsPriorSchema))
 
     // stage the data through a scratch dir, then adopt the parts
     // under stable names (never leave half-written files at paths the
@@ -2126,6 +2158,20 @@ object DeltaLog {
         s"cannot UPDATE generated column $c — it is always computed " +
           s"AS (${snap0.schema(c).metadata.getString(GenerationExprKey)})")
     }
+    // generated columns RECOMPUTE from the post-assignment row (real
+    // Delta's behavior when an update touches their inputs) — a
+    // second projection after the assignments, identity on rows
+    // whose inputs did not change
+    val genRecompute: DataFrame => DataFrame = { d =>
+      if (!snap0.schema.fields.exists(_.metadata.contains(GenerationExprKey)))
+        d
+      else d.select(snap0.schema.fields.map { f =>
+        if (f.metadata.contains(GenerationExprKey))
+          expr(f.metadata.getString(GenerationExprKey))
+            .cast(f.dataType).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
+    }
     // merge-on-read arm (same opt-in + gate as [[delete]]): matched
     // rows become DV positions, their TRANSFORMED copies append as
     // fresh files — one commit, no file rewritten
@@ -2135,22 +2181,22 @@ object DeltaLog {
           Some { matched =>
             // ONE projection over the ORIGINAL columns (simultaneous
             // SQL UPDATE semantics; every matched row transforms)
-            matched.select(snap0.schema.fieldNames.map { c =>
+            genRecompute(matched.select(snap0.schema.fieldNames.map { c =>
               assignments.get(c)
                 .map(_.cast(snap0.schema(c).dataType).as(c))
                 .getOrElse(col(c))
-            }.toSeq: _*)
+            }.toSeq: _*))
           })
       else None
     // CDF legs: the matched rows before (update_preimage) and after
     // (update_postimage) the simultaneous projection
     val cdcOf = Some { (full: DataFrame, pred: org.apache.spark.sql.Column) =>
       val pre = full.where(coalesce(pred, lit(false)))
-      val post = pre.select(snap0.schema.fieldNames.map { c =>
+      val post = genRecompute(pre.select(snap0.schema.fieldNames.map { c =>
         assignments.get(c)
           .map(_.cast(snap0.schema(c).dataType).as(c))
           .getOrElse(col(c))
-      }.toSeq: _*)
+      }.toSeq: _*))
       pre.withColumn("_change_type", lit("update_preimage"))
         .unionByName(post.withColumn("_change_type", lit("update_postimage")))
     }
@@ -2162,13 +2208,13 @@ object DeltaLog {
           // semantics are simultaneous (SET a = b, b = a swaps; a
           // sequential withColumn chain would turn it into a copy)
           val hit = coalesce(pred, lit(false))
-          full.select(snap0.schema.fieldNames.map { c =>
+          genRecompute(full.select(snap0.schema.fieldNames.map { c =>
             assignments.get(c) match {
               case Some(v) => when(hit, v.cast(snap0.schema(c).dataType))
                 .otherwise(col(c)).as(c)
               case None => col(c)
             }
-          }.toSeq: _*)
+          }.toSeq: _*))
         }
       })
   }

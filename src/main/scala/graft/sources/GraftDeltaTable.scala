@@ -716,20 +716,23 @@ private class GraftDeltaMicroBatchStream(spark: SparkSession,
   override def deserializeOffset(json: String): Offset = parseOffset(json)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles)
-      .getOrElse(ReadLimit.allAvailable())
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFilesPerTrigger.getOrElse(Int.MaxValue))
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[DeltaStreamOffset].version
     val pending = DeltaLog.listVersions(spark, table.tablePath)
       .filter(v => v > from && availableNowEnd.forall(v <= _))
     if (pending.isEmpty) return DeltaStreamOffset(from)
-    val fileCap: Option[Long] = maxFilesPerTrigger.map(_.toLong)
-      .orElse(limit match {
-        case mf: ReadMaxFiles => Some(mf.maxFiles().toLong)
-        case _ => None
-      })
-    if (fileCap.isEmpty && maxBytesPerTrigger.isEmpty)
+    // an EXPLICIT allAvailable from the engine (Trigger.Once) means
+    // process everything — the pacing options must not strand the
+    // backlog past the query's single batch
+    val fileCap: Option[Long] = limit match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles().toLong)
+      case _ => None
+    }
+    if (fileCap.isEmpty)
       return DeltaStreamOffset(pending.last)
     var files = 0L; var bytes = 0L; var last = from
     val it = pending.iterator

@@ -415,8 +415,9 @@ private class GraftIcebergMicroBatchStream(spark: SparkSession,
   override def deserializeOffset(json: String): Offset = parseOffset(json)
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles)
-      .getOrElse(ReadLimit.allAvailable())
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFilesPerTrigger.getOrElse(Int.MaxValue))
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[IcebergStreamOffset].snapshotId
@@ -435,12 +436,13 @@ private class GraftIcebergMicroBatchStream(spark: SparkSession,
       case None => afterStart
     }
     if (pending.isEmpty) return IcebergStreamOffset(from)
-    val fileCap: Option[Long] = maxFilesPerTrigger.map(_.toLong)
-      .orElse(limit match {
-        case mf: ReadMaxFiles => Some(mf.maxFiles().toLong)
-        case _ => None
-      })
-    if (fileCap.isEmpty && maxBytesPerTrigger.isEmpty)
+    // explicit allAvailable (Trigger.Once) processes everything —
+    // see the Delta twin
+    val fileCap: Option[Long] = limit match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles().toLong)
+      case _ => None
+    }
+    if (fileCap.isEmpty)
       return IcebergStreamOffset(pending.last)
     var files = 0L; var bytes = 0L; var last = from
     var prev: Map[String, Long] =

@@ -101,8 +101,9 @@ object GraftSqlStatements {
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+DROP\s+CONSTRAINT\s+([\w$]+)\s*;?\s*$""").r
 
-  /** Split on commas at paren-depth 0, outside single quotes —
-    * column definitions like `d DECIMAL(10,2)` stay whole. */
+  /** Split on commas at bracket-depth 0, outside single quotes —
+    * `d DECIMAL(10,2)`, `m MAP<STRING, BIGINT>` and
+    * `s STRUCT<a: INT, b: STRING>` stay whole. */
   private[sources] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
@@ -110,8 +111,8 @@ object GraftSqlStatements {
     var inQ = false
     s.foreach {
       case '\'' => inQ = !inQ; cur += '\''
-      case '(' if !inQ => depth += 1; cur += '('
-      case ')' if !inQ => depth -= 1; cur += ')'
+      case c @ ('(' | '<') if !inQ => depth += 1; cur += c
+      case c @ (')' | '>') if !inQ => depth -= 1; cur += c
       case ',' if !inQ && depth == 0 => out += cur.result().trim; cur.clear()
       case c => cur += c
     }
@@ -130,11 +131,12 @@ object GraftSqlStatements {
       val rest = d.substring(m.end).trim
       require(rest.startsWith("("),
         s"GENERATED ALWAYS AS needs a parenthesized expression: $defn")
-      var depth = 0; var i = 0; var end = -1
+      var depth = 0; var i = 0; var end = -1; var inQ = false
       while (i < rest.length && end < 0) {
         rest.charAt(i) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) end = i
+          case '\'' => inQ = !inQ
+          case '(' if !inQ => depth += 1
+          case ')' if !inQ => depth -= 1; if (depth == 0) end = i
           case _ =>
         }
         i += 1

@@ -964,6 +964,16 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.update(spark, t, col("k") === 1L, Map("tens" -> lit(0L)))
     }
     assert(e2.getMessage.contains("generated"), e2.getMessage)
+    // updating a BASE column RECOMPUTES the generated one (real
+    // Delta's behavior), on both the COW and DV arms
+    DeltaLog.update(spark, t, col("k") === 2L, Map("k" -> lit(200L)))
+    assert(DeltaLog.read(spark, t).where(col("k") === 200L)
+      .select("tens").as[Long].collect().toSeq === Seq(2000L))
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try DeltaLog.update(spark, t, col("k") === 200L, Map("k" -> lit(2L)))
+    finally spark.conf.unset("spark.graft.dv.enabled")
+    assert(DeltaLog.read(spark, t).where(col("k") === 2L)
+      .select("tens").as[Long].collect().toSeq === Seq(20L))
     val e3 = intercept[IllegalArgumentException] {
       DeltaLog.merge(spark, t,
         Seq((1L, "z", 55L)).toDF("k", "v", "tens"), keyCols = Seq("k"))

@@ -356,5 +356,23 @@ class GraftDeltaStreamSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(byteBatches.toSeq === Seq(1, 1, 2, 1),
       s"expected per-commit byte pacing, got $byteBatches")
+
+    // Trigger.Once sends an explicit allAvailable — the pacing
+    // options must NOT strand the backlog past its single batch
+    val onceBatches = scala.collection.mutable.ArrayBuffer[Int]()
+    val q3 = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "1")
+      .load(t)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ck-once")
+      .trigger(Trigger.Once())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count().toInt
+        if (n > 0) onceBatches += n
+        ()
+      }.start()
+    q3.awaitTermination(120000)
+    assert(onceBatches.toSeq === Seq(5),
+      s"Trigger.Once must process the whole backlog, got $onceBatches")
   }
 }

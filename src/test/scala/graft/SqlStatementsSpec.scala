@@ -530,6 +530,38 @@ class SqlStatementsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       spark.sql("CREATE TABLE '" + dir + "2' (x INT) USING iceberg").collect()
     }
+    // a shape-equal overwrite KEEPS the declared NOT NULL binding —
+    // nulls must not sneak into k through the retained metaData
+    val eNull = intercept[IllegalArgumentException] {
+      DeltaLog.write(spark,
+        Seq((null.asInstanceOf[java.lang.Long], BigDecimal("1.00"), "a"))
+          .toDF("k", "price", "seg")
+          .select(col("k").cast("bigint").as("k"),
+            col("price").cast("decimal(10,2)").as("price"), col("seg")),
+        dir, overwrite = true)
+    }
+    assert(eNull.getMessage.contains("NOT NULL"), eNull.getMessage)
+    // nested types survive the column-def split
+    val nested = Files.createTempDirectory("graft-sqlstmt-nest")
+      .toString + "/t"
+    spark.sql("CREATE TABLE '" + nested + "' (" +
+      "m MAP<STRING, BIGINT>, s STRUCT<a: INT, b: STRING>, k BIGINT) " +
+      "USING delta").collect()
+    val nsch = DeltaLog.snapshot(spark, nested).schema
+    assert(nsch("m").dataType.typeName === "map")
+    assert(nsch("s").dataType.typeName === "struct")
+    // CDF via TBLPROPERTIES at CREATE carries the protocol bump even
+    // without generated columns
+    val cdfT = Files.createTempDirectory("graft-sqlstmt-cdfct")
+      .toString + "/t"
+    spark.sql("CREATE TABLE '" + cdfT + "' (k BIGINT) USING delta " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')").collect()
+    assert(DeltaLog.snapshot(spark, cdfT).protocol._2 === 4)
+    // constraint keys refuse toward the validating DDL
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE '" + cdfT + "2' (k BIGINT) USING delta " +
+        "TBLPROPERTIES ('delta.constraints.x' = 'k > 0')").collect()
+    }
   }
 
   test("Iceberg TBLPROPERTIES commit metadata bumps; DESCRIBE HISTORY serves every flavor") {
