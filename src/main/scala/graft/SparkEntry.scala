@@ -5416,6 +5416,61 @@ object SparkEntry {
         .orderBy("nation")
     }),
 
+    // Iceberg HIDDEN PARTITIONING: years(date) + bucket(key) write →
+    // manifests carry transformed tuples → a SOURCE-column time-range
+    // read prunes on the transforms and aggregates the survivors
+    "interop_iceberg_hidden" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-iceh")
+        .toString + "/t"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      graft.sources.IcebergTable.write(s, o, t,
+        partitionBy = Seq("years(o_orderdate)", "bucket(4, o_orderkey)"))
+      s.read.format("graft-iceberg").load(t)
+        .where(col("o_orderdate") >= lit(java.sql.Date.valueOf("1995-01-01")))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("total"))
+        .orderBy("yr")
+    }),
+
+    // Iceberg RENAME COLUMN: metadata-only schema evolution — rename
+    // via SQL, append under the NEW name, read resolves the old files
+    // through the schema history (field ids, not names)
+    "interop_iceberg_rename" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icer")
+        .toString + "/t"
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      graft.sources.IcebergTable.write(s, n, t)
+      s.sql("ALTER TABLE '" + t + "' RENAME COLUMN n_name TO nation_name")
+      graft.sources.IcebergTable.write(s,
+        Tables.nation(s, d).select(
+          (col("n_nationkey") + 100).as("n_nationkey"),
+          upper(col("n_name")).as("nation_name")), t)
+      graft.sources.IcebergTable.read(s, t)
+        .select(col("n_nationkey").as("k"), col("nation_name").as("nm"))
+        .orderBy("k")
+    }),
+
+    // Iceberg EQUALITY-DELETE upsert (the Flink CDC shape) → the DSv2
+    // scan serves the merged state merge-on-read: delete files ride
+    // to the executors, the target is never rewritten
+    "interop_iceberg_upsert" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-iceu")
+        .toString + "/t"
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
+      graft.sources.IcebergTable.write(s, sup, t)
+      val src = sup.where(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"), (col("s_acctbal") + 1000).as("s_acctbal"))
+        .unionByName(sup.where(col("s_suppkey") % 13 === 0)
+          .select((col("s_suppkey") + 100000).as("s_suppkey"),
+            col("s_acctbal")))
+      graft.sources.IcebergTable.upsertEquality(s, t, src, Seq("s_suppkey"))
+      s.read.format("graft-iceberg").load(t)
+        .groupBy((col("s_suppkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_sup"), sumD(col("s_acctbal")).as("bal"))
+        .orderBy("bucket")
+    }),
+
     // Iceberg OPTIMIZE: append pile + MOR delete → SQL OPTIMIZE
     // compacts to ceil(bytes/target) files as a `replace` snapshot
     // with the delete pile folded away → anti-join-free scan serves
@@ -8707,6 +8762,36 @@ object SparkEntry {
          | ${sqlSumD("p_retailprice")} AS retail
          |FROM part WHERE NOT (p_size < 10)
          |GROUP BY 1 ORDER BY brand""".stripMargin,
+
+    "interop_iceberg_hidden" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+         | COUNT(*) AS n_orders, ${sqlSumD("o_totalprice")} AS total
+         |FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+         |GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "interop_iceberg_rename" ->
+      """SELECT k, nm FROM (
+        |  SELECT n_nationkey AS k, n_name AS nm FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100 AS k, UPPER(n_name) AS nm FROM nation)
+        |ORDER BY k""".stripMargin,
+
+    "interop_iceberg_upsert" ->
+      s"""WITH ups AS (
+         |  SELECT s_suppkey, s_acctbal + 1000 AS s_acctbal
+         |  FROM supplier WHERE s_suppkey % 7 = 0
+         |  UNION ALL
+         |  SELECT s_suppkey + 100000 AS s_suppkey, s_acctbal
+         |  FROM supplier WHERE s_suppkey % 13 = 0),
+         |fin AS (
+         |  SELECT * FROM ups
+         |  UNION ALL
+         |  SELECT s.s_suppkey, s.s_acctbal FROM supplier s
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ups u WHERE u.s_suppkey = s.s_suppkey))
+         |SELECT s_suppkey % 10 AS bucket, COUNT(*) AS n_sup,
+         | ${sqlSumD("s_acctbal")} AS bal
+         |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "interop_iceberg_evolve" ->
       """SELECT k, name, score FROM (

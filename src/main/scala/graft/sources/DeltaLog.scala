@@ -92,7 +92,8 @@ object DeltaLog {
   /** readerFeatures this reader actually honors for protocol v3. */
   val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "columnMapping", // columnMapping only in mode none
-      "deletionVectors") // applied as a row filter at scan
+      "deletionVectors", // applied as a row filter at scan
+      "v2Checkpoint") // classic, multi-part AND v2+sidecar forms read
 
   /** One live data file of a snapshot. `path` is absolute; `stats`
     * is the Delta per-file stats JSON (numRecords/minValues/
@@ -151,20 +152,103 @@ object DeltaLog {
       .sortBy(_._1)
   }
 
-  /** Latest checkpoint version <= v, if any (single-file classic
-    * checkpoints; multi-part checkpoints are rejected explicitly). */
+  /** One discovered checkpoint: `format` ∈ classic | multipart |
+    * v2parquet | v2json; `paths` the file(s) holding its actions. */
+  private final case class CheckpointRef(version: Long, format: String,
+                                         paths: Seq[String])
+
+  private val ClassicCpRe = "(\\d{20})\\.checkpoint\\.parquet".r
+  private val MultiCpRe = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+  private val V2CpRe = "(\\d{20})\\.checkpoint\\.([A-Za-z0-9-]+)\\.(parquet|json)".r
+
+  /** Latest USABLE checkpoint <= v. All three production forms read:
+    * classic single-file, MULTI-PART classic (`<v>.checkpoint.<i>.<n>
+    * .parquet`, only when every part is present — a torn set is
+    * skipped, falling back to an earlier checkpoint + longer JSON
+    * tail, exactly like real readers), and V2 (`<v>.checkpoint.<uuid>
+    * .parquet|json` with file actions in `_sidecars/`). An
+    * unrecognized future `<v>.checkpoint.*` form is a loud error —
+    * never a silently-ignored newer snapshot. */
   private def checkpointAt(spark: SparkSession, tablePath: String,
-                           v: Long): Option[Long] = {
+                           v: Long): Option[CheckpointRef] = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-    if (names.exists(_.matches("\\d{20}\\.checkpoint\\.\\d+\\.\\d+\\.parquet")))
-      throw new UnsupportedOperationException(
-        "multi-part Delta checkpoints are not supported by this reader")
-    names.collect { case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
-      n.stripSuffix(".checkpoint.parquet").toLong }
-      .filter(_ <= v).sorted.lastOption
+    def full(n: String) = new Path(dir, n).toString
+    val refs = scala.collection.mutable.ArrayBuffer[CheckpointRef]()
+    val multi = scala.collection.mutable.Map[(Long, Int),
+      scala.collection.mutable.ArrayBuffer[(Int, String)]]()
+    names.foreach {
+      case n @ ClassicCpRe(ver) =>
+        refs += CheckpointRef(ver.toLong, "classic", Seq(full(n)))
+      case n @ MultiCpRe(ver, i, cnt) =>
+        multi.getOrElseUpdate((ver.toLong, cnt.toInt),
+          scala.collection.mutable.ArrayBuffer()) += ((i.toInt, full(n)))
+      case n @ V2CpRe(ver, _, ext) =>
+        refs += CheckpointRef(ver.toLong, "v2" + ext, Seq(full(n)))
+      case n if n.matches("\\d{20}\\.checkpoint\\..*") =>
+        throw new UnsupportedOperationException(
+          s"unrecognized Delta checkpoint form: $n — refusing to replay " +
+            "a log whose newest snapshot this reader cannot read")
+      case _ => ()
+    }
+    multi.foreach { case ((ver, cnt), parts) =>
+      if (parts.map(_._1).toSet == (1 to cnt).toSet)
+        refs += CheckpointRef(ver, "multipart", parts.sortBy(_._1).map(_._2).toSeq)
+    }
+    // prefer the newest version; among same-version forms any complete
+    // checkpoint is equivalent — classic first for determinism
+    val order = Map("classic" -> 0, "multipart" -> 1, "v2parquet" -> 2,
+      "v2json" -> 3)
+    refs.filter(_.version <= v).sortBy(r => (r.version, -order(r.format)))
+      .lastOption
   }
+
+  /** The normalized action rows of one checkpoint (same columns the
+    * JSON tail yields, `__v` = the checkpoint version). V2: sidecar
+    * refs resolve against `_delta_log/_sidecars/` and their parquet
+    * carries the file actions — read distributed, never collected. */
+  private def checkpointActions(spark: SparkSession, tablePath: String,
+                                ref: CheckpointRef): DataFrame = {
+    def norm(df: DataFrame): DataFrame = {
+      def colOrNull(n: String) =
+        if (df.columns.contains(n)) col(n)
+        else lit(null).cast(ActionSchema(n).dataType)
+      df.select(colOrNull("protocol").as("protocol"),
+        colOrNull("metaData").as("metaData"),
+        colOrNull("add").as("add"), colOrNull("remove").as("remove"),
+        colOrNull("txn").as("txn"),
+        lit(ref.version).as("__v"))
+    }
+    ref.format match {
+      case "classic" | "multipart" => norm(spark.read.parquet(ref.paths: _*))
+      case v2 =>
+        val top =
+          if (v2 == "v2parquet") spark.read.parquet(ref.paths.head)
+          else spark.read.text(ref.paths.head)
+            .select(from_json(col("value"), V2CheckpointJsonSchema).as("a"))
+            .select("a.*")
+        val sidecars: Seq[String] =
+          if (!top.columns.contains("sidecar")) Seq.empty
+          else top.filter(col("sidecar.path").isNotNull)
+            .select("sidecar.path").collect().map(_.getString(0)).toSeq
+        val resolved = sidecars.map { p =>
+          if (p.contains(":/") || p.startsWith("/")) p
+          else new Path(new Path(logDir(tablePath), "_sidecars"), p).toString
+        }
+        val topNorm = norm(top)
+        if (resolved.isEmpty) topNorm
+        else topNorm.unionByName(norm(spark.read.parquet(resolved: _*)))
+    }
+  }
+
+  /** The v2 JSON checkpoint line schema: the action columns plus
+    * `sidecar` refs (checkpointMetadata is ignored — version is in
+    * the file name). */
+  private lazy val V2CheckpointJsonSchema: StructType =
+    StructType(ActionSchema.fields :+ StructField("sidecar", StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType)))))
 
   /** Delta percent-encodes paths in the log (RFC 2396). Percent-decode
     * %XX UTF-8 byte sequences ONLY — URI decoding, not form decoding:
@@ -207,7 +291,7 @@ object DeltaLog {
       case _ => versions.last
     }
     val cp = checkpointAt(spark, tablePath, v)
-    val jsonVersions = versions.filter(j => j <= v && cp.forall(j > _))
+    val jsonVersions = versions.filter(j => j <= v && cp.forall(j > _.version))
     val jsonPaths = jsonVersions
       .map(j => new Path(logDir(tablePath), pad20(j) + ".json").toString)
 
@@ -221,17 +305,8 @@ object DeltaLog {
             .cast("long").as("__v"))
         .select(col("a.*"), col("__v")))
 
-    val cpActions: Option[DataFrame] = cp.map { c =>
-      val df = spark.read.parquet(
-        new Path(logDir(tablePath), pad20(c) + ".checkpoint.parquet").toString)
-      def colOrNull(n: String) =
-        if (df.columns.contains(n)) col(n) else lit(null).cast(ActionSchema(n).dataType)
-      df.select(colOrNull("protocol").as("protocol"),
-        colOrNull("metaData").as("metaData"),
-        colOrNull("add").as("add"), colOrNull("remove").as("remove"),
-        colOrNull("txn").as("txn"),
-        lit(c).as("__v"))
-    }
+    val cpActions: Option[DataFrame] =
+      cp.map(ref => checkpointActions(spark, tablePath, ref))
 
     val actions = (cpActions, jsonActions) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)

@@ -267,18 +267,17 @@ object GraftDelta {
     var inRange = Map.empty[String, Option[FState]]
     def stateOf(key: String): Option[FState] =
       inRange.getOrElse(key, prior.get(key))
-    val conf = spark.sparkContext.hadoopConfiguration
-    def positions(d: Option[DeletionVectors.Descriptor]): Array[Long] =
-      d.filter(_.cardinality != 0L).map(x =>
-        DeletionVectors.deletedRows(
-          DeletionVectors.loadData(conf, tablePath, x)))
-        .getOrElse(Array.empty)
+    def live(d: Option[DeletionVectors.Descriptor]) =
+      d.filter(_.cardinality != 0L)
     val zone = spark.sessionState.conf.sessionLocalTimeZone
     val out = Seq.newBuilder[(String, InternalRow, Long)]
-    // DV-bearing legs plan as whole-file partitions with a position
-    // set: SKIP (serve all but positions) or SELECT (serve exactly
-    // the positions — the row-diff of a DV update)
-    val dvOut = Seq.newBuilder[(PartitionedFile, Array[Long], Boolean)]
+    // DV-bearing legs plan as whole-file partitions carrying their
+    // DESCRIPTORS — positions decode on the executors (SKIP = serve
+    // all but the vector; SELECT = exactly dvA \ dvB, the row-diff of
+    // a DV update). The driver never expands a position list.
+    type DvLeg = (PartitionedFile, Boolean,
+      Option[DeletionVectors.Descriptor], Option[DeletionVectors.Descriptor])
+    val dvOut = Seq.newBuilder[DvLeg]
     def wholeFile(key: String, pv: InternalRow, size: Long): PartitionedFile = {
       val sz = math.max(size, 1L)
       PartitionedFile(pv, SparkPath.fromPathString(key), 0L, sz,
@@ -303,22 +302,20 @@ object GraftDelta {
               if newDv.isDefined || oldDv.isDefined =>
               // DV update of a live file: the row-level change is the
               // POSITION DIFF — newly-covered positions are deletes,
-              // uncovered ones (a restore) inserts
-              val oldP = positions(oldDv).toSet
-              val newP = positions(newDv).toSet
-              val del = (newP -- oldP).toArray.sorted
-              val res = (oldP -- newP).toArray.sorted
-              if (del.nonEmpty) dvOut += ((wholeFile(key,
+              // uncovered ones (a restore) inserts. Diffs compute on
+              // the executor; a side with an empty/absent vector
+              // cannot contribute, so its leg never plans.
+              if (live(newDv).isDefined) dvOut += ((wholeFile(key,
                 pvRow(readPartSchema, pv, "delete", c.version, zone), size),
-                del, true))
-              if (res.nonEmpty) dvOut += ((wholeFile(key,
+                true, newDv, oldDv))
+              if (live(oldDv).isDefined) dvOut += ((wholeFile(key,
                 pvRow(readPartSchema, pv, "insert", c.version, zone), size),
-                res, true))
+                true, oldDv, newDv))
             case (None, Some(dv)) =>
               // brand-new file born with a DV: its LIVE rows insert
               dvOut += ((wholeFile(key,
                 pvRow(readPartSchema, a.pv, "insert", c.version, zone),
-                a.size), positions(Some(dv)), false))
+                a.size), false, live(Some(dv)), None))
             case _ =>
               out += ((key,
                 pvRow(readPartSchema, a.pv, "insert", c.version, zone), a.size))
@@ -331,11 +328,10 @@ object GraftDelta {
               throw new IllegalStateException(
                 s"removed file ${r.relPath} at version ${c.version} has no " +
                   s"resolvable add action — corrupt or truncated _delta_log"))
-            val oldP = positions(oldDv)
             val row = pvRow(readPartSchema, pv, "delete", c.version, zone)
             // previously-live rows only: the old DV's positions skip
-            if (oldP.isEmpty) out += ((key, row, size))
-            else dvOut += ((wholeFile(key, row, size), oldP, false))
+            if (live(oldDv).isEmpty) out += ((key, row, size))
+            else dvOut += ((wholeFile(key, row, size), false, oldDv, None))
           }
         }
       } else {
@@ -361,10 +357,9 @@ object GraftDelta {
     }
     val plain = splitFiles(spark, out.result())
     val dvParts: Array[InputPartition] = dvOut.result().zipWithIndex.map {
-      case ((pf, pos, isSelect), i) =>
-        val fp = FilePartition(plain.length + i, Array(pf))
-        (if (isSelect) DvSelectPartition(fp, pos)
-         else DvFilePartition(fp, pos)): InputPartition
+      case ((pf, isSelect, a, b), i) =>
+        DeltaDvPartition(FilePartition(plain.length + i, Array(pf)),
+          tablePath, isSelect, a, b): InputPartition
     }.toArray
     plain ++ dvParts
   }
@@ -555,10 +550,9 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
         // DV files plan as ONE whole-file, in-order partition each:
         // the wrapped reader counts physical row positions to apply
         // the vector, so no byte-splitting and no row-group skipping.
-        // Positions expand DRIVER-side here but stay bounded by the
-        // descriptors' recorded cardinality; bytes fetch once per
-        // sidecar.
-        val conf = spark.sparkContext.hadoopConfiguration
+        // Only the compact DESCRIPTOR ships in the partition —
+        // positions decode on the executor (external tables carry
+        // unbounded DV cardinality; the driver plan must not).
         val dvParts: Array[InputPartition] =
           dvFiles.zipWithIndex.map { case (f, i) =>
             val pv = pvRow(readPart, f.partitionValues, "insert",
@@ -566,10 +560,9 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
             val sz = math.max(f.size, 1L)
             val pf = PartitionedFile(pv, SparkPath.fromPathString(f.path),
               0L, sz, Array.empty[String], 0L, sz, Map.empty)
-            DvFilePartition(
+            DeltaDvPartition(
               FilePartition(plainParts.length + i, Array(pf)),
-              DeletionVectors.deletedRows(DeletionVectors.loadData(
-                conf, table.tablePath, f.dv.get))): InputPartition
+              table.tablePath, select = false, f.dv, None): InputPartition
           }.toArray
         plainParts ++ dvParts
       }
@@ -584,81 +577,15 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
   }
 
   private def dvAwareFactory: PartitionReaderFactory =
-    new DvAwareReaderFactory(factory,
+    new MorReaderFactory(factory,
       readerFactory(spark, table.dataSchema, readData, readPart,
-        Array.empty))
+        Array.empty),
+      new SerializableHadoopConf(
+        spark.sessionState.newHadoopConfWithOptions(Map.empty)))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftDeltaMicroBatchStream(spark, table, readPart,
       if (table.cdf) dvAwareFactory else factory, options)
-}
-
-/** A whole-file scan partition carrying its deletion-vector
-  * positions (ascending) — serialized to the executor with the
-  * partition, never held across the plan. Rows at the positions are
-  * SKIPPED (the batch-read shape: serve the live rows). */
-private[sources] case class DvFilePartition(fp: FilePartition,
-                                            positions: Array[Long])
-  extends InputPartition {
-  override def preferredLocations(): Array[String] = fp.preferredLocations()
-}
-
-/** The inverse: serve EXACTLY the rows at `positions` (ascending) —
-  * the row-diff of a deletion-vector update in the CDC stream. */
-private[sources] case class DvSelectPartition(fp: FilePartition,
-                                              positions: Array[Long])
-  extends InputPartition {
-  override def preferredLocations(): Array[String] = fp.preferredLocations()
-}
-
-/** Reader factory for plans that mix plain and DV-bearing files:
-  * plain partitions delegate (row-based — Spark requires a plan to be
-  * uniformly columnar or not); DV partitions read the WHOLE file in
-  * order through the unfiltered factory and skip the vector's
-  * positions with a monotone two-pointer walk — O(rows + |dv|),
-  * nothing buffered. */
-private[sources] class DvAwareReaderFactory(plain: PartitionReaderFactory,
-                                            unfiltered: PartitionReaderFactory)
-  extends PartitionReaderFactory {
-  import org.apache.spark.sql.connector.read.PartitionReader
-
-  override def supportColumnarReads(p: InputPartition): Boolean = false
-
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    p match {
-      case DvFilePartition(fp, pos) =>
-        val inner = unfiltered.createReader(fp)
-        new PartitionReader[InternalRow] {
-          private var idx = -1L
-          private var pi = 0
-          override def next(): Boolean = {
-            while (inner.next()) {
-              idx += 1
-              while (pi < pos.length && pos(pi) < idx) pi += 1
-              if (pi >= pos.length || pos(pi) != idx) return true
-            }
-            false
-          }
-          override def get(): InternalRow = inner.get()
-          override def close(): Unit = inner.close()
-        }
-      case DvSelectPartition(fp, pos) =>
-        val inner = unfiltered.createReader(fp)
-        new PartitionReader[InternalRow] {
-          private var idx = -1L
-          private var pi = 0
-          override def next(): Boolean = {
-            while (pi < pos.length && inner.next()) {
-              idx += 1
-              if (pos(pi) == idx) { pi += 1; return true }
-            }
-            false
-          }
-          override def get(): InternalRow = inner.get()
-          override def close(): Unit = inner.close()
-        }
-      case other => plain.createReader(other)
-    }
 }
 
 /** Version-offset micro-batch stream over the commit log: the DSv2

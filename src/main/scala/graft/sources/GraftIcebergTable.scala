@@ -26,10 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    file list is the resolved snapshot's ([[IcebergTable.snapshot]]),
   *    served through Spark's own vectorized parquet readers with
   *    row-group filter pushdown and column pruning; real size/row
-  *    statistics come from the manifests' record counts, so small
-  *    dimensions stay broadcastable. Delete-bearing v2 snapshots are
-  *    refused loudly (the raw file scan would resurrect deleted
-  *    rows — [[IcebergTable.read]] applies them).
+  *    statistics come from the manifests' record counts (position-
+  *    delete cardinality subtracted), so small dimensions stay
+  *    broadcastable. v2 POSITION and EQUALITY delete files are served
+  *    MERGE-ON-READ: affected data files plan as whole-file
+  *    partitions carrying their applicable delete-FILE paths, and the
+  *    executors read the delete parquet and drop dead rows — the
+  *    driver never expands a position list.
   *  - **Micro-batch streaming reads**: offsets are SNAPSHOT IDS
   *    persisted in the streaming checkpoint; each micro-batch plans
   *    exactly the files whose membership changed in the polled
@@ -185,8 +188,17 @@ class GraftIcebergTable(spark: SparkSession, val tablePath: String,
     s
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // renamed/re-added columns leave old files under old PHYSICAL
+    // names — this name-based scan would serve wrong columns
+    if (IcebergTable.eraMismatch(spark, snap))
+      throw new UnsupportedOperationException(
+        s"$tablePath has renamed/re-added columns whose old data files " +
+          "carry different physical names — read it with " +
+          "graft.sources.IcebergTable.read, which resolves field ids " +
+          "through the schema history")
     new GraftIcebergScanBuilder(spark, this, options)
+  }
 
   /** SQL `DELETE FROM … WHERE`: merge-on-read position deletes via
     * [[IcebergTable.delete]] — only filter shapes we can faithfully
@@ -284,13 +296,21 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
 
   /** Manifest-recorded sizes/record counts over the PRUNED file
     * list — real statistics, so a small (or partition-filtered)
-    * Iceberg dimension stays broadcastable in catalog joins. */
+    * Iceberg dimension stays broadcastable in catalog joins.
+    * Position-delete cardinality (record counts of the applicable
+    * delete files) subtracts from the reported rows, mirroring the
+    * Delta scan's DV adjustment — a MOR-heavy table must not
+    * overstate itself to the join costing. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val files = prunedFiles
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(math.max(files.map(_.sizeBytes).sum, 1L))
-    override def numRows(): util.OptionalLong =
-      util.OptionalLong.of(files.map(_.records).sum)
+    override def numRows(): util.OptionalLong = {
+      val deleted = table.snap.deletes
+        .filter(d => d.content == 1 && files.exists(_.seq <= d.seq))
+        .map(_.records).sum
+      util.OptionalLong.of(math.max(files.map(_.records).sum - deleted, 0L))
+    }
   }
 
   override def toBatch: Batch = new Batch {
@@ -305,55 +325,89 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
         planRange(spark, table.tablePath, table.snap.schema, readPart,
           fromId, toId, cdf = true, skipChangeCommits = false)
       } else {
-        if (table.snap.deletes.exists(_.content == 2))
-          throw new UnsupportedOperationException(
-            s"${table.tablePath} carries v2 EQUALITY delete files — the " +
-              "raw file-list scan would resurrect deleted rows; read it " +
-              "with graft.sources.IcebergTable.read, which applies them")
         val posDeletes = table.snap.deletes.filter(_.content == 1)
-        if (posDeletes.isEmpty) splitFiles(prunedFiles)
+        val eqDeletes = table.snap.deletes.filter(_.content == 2)
+        if (posDeletes.isEmpty && eqDeletes.isEmpty) splitFiles(prunedFiles)
         else {
-          // POSITION deletes serve merge-on-read: per-file applicable
-          // positions (delete_seq >= data_seq) ride to the executors
-          // inside whole-file skip partitions — the same shape the
-          // Delta DV scan plans
-          import org.apache.spark.sql.functions.{col, lit}
-          import spark.implicits._
-          val raw = posDeletes.map(d => spark.read.parquet(d.path)
-            .select(col("file_path").cast("string"), col("pos").cast("long"))
-            .withColumn("__dseq", lit(d.seq)))
-            .reduce(_.unionByName(_))
-            .as[(String, Long, Long)].collect()
-          val byPath = raw.groupBy(_._1)
+          // v2 deletes serve MERGE-ON-READ: each affected data file
+          // plans as ONE whole-file partition carrying its applicable
+          // delete-FILE references (position deletes at seq >= data
+          // seq, equality deletes strictly newer) — the executors
+          // read the delete parquet and drop dead rows; the driver
+          // never expands positions (external tables carry unbounded
+          // delete cardinality; the plan must stay O(files))
           val files = prunedFiles
           val plainOut = Seq.newBuilder[IcebergTable.DataFile]
-          val dvOut = Seq.newBuilder[(IcebergTable.DataFile, Array[Long])]
+          val morOut = Seq.newBuilder[(IcebergTable.DataFile,
+            Seq[(String, Long)], Seq[EqDeleteRef])]
           files.foreach { f =>
-            val pos = byPath.getOrElse(f.path, Array.empty)
-              .collect { case (_, p, dseq) if dseq >= f.seq => p }
-              .distinct.sorted
-            if (pos.isEmpty) plainOut += f else dvOut += ((f, pos))
+            val pos = posDeletes.filter(_.seq >= f.seq)
+              .map(d => (d.path, d.sizeBytes))
+            val eqs = eqDeletes.filter(_.seq > f.seq).map(d =>
+              EqDeleteRef(d.path, d.sizeBytes,
+                d.equalityIds.map(table.snap.fieldNames)))
+            if (pos.isEmpty && eqs.isEmpty) plainOut += f
+            else morOut += ((f, pos, eqs))
           }
           val plain = splitFiles(plainOut.result())
-          val dvParts: Array[InputPartition] =
-            dvOut.result().zipWithIndex.map { case ((f, pos), i) =>
+          val morParts: Array[InputPartition] =
+            morOut.result().zipWithIndex.map { case ((f, pos, eqs), i) =>
               val sz = math.max(f.sizeBytes, 1L)
               val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
                 pvRow(readPart, "insert", table.snap.snapshotId),
                 org.apache.spark.paths.SparkPath.fromPathString(f.path),
                 0L, sz, Array.empty[String], 0L, sz, Map.empty)
-              DvFilePartition(
+              IcebergMorPartition(
                 org.apache.spark.sql.execution.datasources.FilePartition(
-                  plain.length + i, Array(pf)), pos): InputPartition
+                  plain.length + i, Array(pf)), f.path, pos, eqs): InputPartition
             }.toArray
-          plain ++ dvParts
+          plain ++ morParts
         }
       }
     override def createReaderFactory(): PartitionReaderFactory =
-      if (table.cdf || !table.snap.deletes.exists(_.content == 1)) factory
-      else new DvAwareReaderFactory(factory,
-        GraftDelta.readerFactory(spark, table.dataSchema, readData, readPart,
-          Array.empty))
+      if (table.cdf || table.snap.deletes.isEmpty) factory
+      else morFactory
+  }
+
+  /** Equality columns any applicable delete names but the query did
+    * not request — read for matching, projected away before serving. */
+  private lazy val eqColUnion: Seq[String] = {
+    val used = table.snap.deletes.filter(_.content == 2)
+      .flatMap(_.equalityIds.map(table.snap.fieldNames)).distinct
+    used.filterNot(readData.fieldNames.contains)
+  }
+
+  private def morFactory: PartitionReaderFactory = {
+    val augData = StructType(
+      readData.fields ++ eqColUnion.map(c => table.dataSchema(c)))
+    val inner = GraftDelta.readerFactory(spark, table.dataSchema, augData,
+      readPart, Array.empty)
+    val conf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    val posF =
+      if (!table.snap.deletes.exists(_.content == 1)) null
+      else GraftDelta.readerFactory(spark, MorServing.PosDeleteSchema,
+        MorServing.PosDeleteSchema, new StructType(), Array.empty)
+    val eqColSets: Seq[Seq[String]] = table.snap.deletes
+      .filter(_.content == 2)
+      .map(_.equalityIds.map(table.snap.fieldNames)).distinct
+    val eqFs = eqColSets.map { cols =>
+      val sch = StructType(cols.map(c => table.dataSchema(c)))
+      cols -> GraftDelta.readerFactory(spark, sch, sch, new StructType(),
+        Array.empty)
+    }.toMap
+    val eqIdx = eqColSets.map { cols =>
+      cols -> ((cols.map(augData.fieldIndex).toArray,
+        cols.map(c => augData(c).dataType).toArray))
+    }.toMap
+    val (projIdx, projTypes) =
+      if (eqColUnion.isEmpty) (null, null)
+      else ((readData.fields.indices ++
+        (augData.length until augData.length + readPart.length)).toArray,
+        (readData.fields.map(_.dataType) ++
+          readPart.fields.map(_.dataType)).toArray)
+    new MorReaderFactory(factory, inner, conf, posF, eqFs,
+      projIdx, projTypes, eqIdx)
   }
 
   private def splitFiles(files: Seq[IcebergTable.DataFile]): Array[InputPartition] =

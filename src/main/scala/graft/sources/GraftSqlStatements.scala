@@ -581,12 +581,14 @@ case class GraftDescribeHistoryCommand(path: Option[String],
   }
 }
 
-/** `ALTER TABLE <t> RENAME COLUMN a TO b` / `DROP COLUMN a` →
-  * [[DeltaLog.renameColumn]] / [[DeltaLog.dropColumn]] — metadata-only
-  * schema DDL on name-mode column-mapped Delta tables (the field
-  * keeps its column id and physicalName, so no data file changes).
-  * Delta-flavor only; Iceberg column DDL beyond ADD COLUMN stays a
-  * declared boundary. */
+/** `ALTER TABLE <t> RENAME COLUMN a TO b` / `DROP COLUMN a`, routed
+  * by flavor:
+  *  - Delta → [[DeltaLog.renameColumn]] / [[DeltaLog.dropColumn]] —
+  *    metadata-only on name-mode column-mapped tables (the field
+  *    keeps its column id and physicalName, so no data file changes).
+  *  - Iceberg → [[IcebergTable.renameColumn]] / `dropColumn` — the
+  *    field-id model makes both a one-metadata-bump edit; reads
+  *    resolve old files through the schema history. */
 case class GraftColumnDdlCommand(path: Option[String], parts: Seq[String],
                                  column: String, rename: Option[String])
   extends LeafRunnableCommand {
@@ -597,12 +599,20 @@ case class GraftColumnDdlCommand(path: Option[String], parts: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftSqlStatements._
     val dir = resolveDir(spark, path, parts)
-    require(flavorOf(spark, dir) == DeltaFlavor,
-      s"RENAME/DROP COLUMN route to Delta column mapping; $dir is not " +
-        "a Delta table")
-    val v = rename match {
-      case Some(to) => DeltaLog.renameColumn(spark, dir, column, to)
-      case None => DeltaLog.dropColumn(spark, dir, column)
+    val v = flavorOf(spark, dir) match {
+      case DeltaFlavor => rename match {
+        case Some(to) => DeltaLog.renameColumn(spark, dir, column, to)
+        case None => DeltaLog.dropColumn(spark, dir, column)
+      }
+      case IcebergFlavor =>
+        rename match {
+          case Some(to) => IcebergTable.renameColumn(spark, dir, column, to)
+          case None => IcebergTable.dropColumn(spark, dir, column)
+        }
+        IcebergTable.snapshot(spark, dir).snapshotId
+      case other => throw new UnsupportedOperationException(
+        s"RENAME/DROP COLUMN supports Delta and Iceberg tables; $dir is " +
+          s"$other")
     }
     Seq(Row(dir, v))
   }

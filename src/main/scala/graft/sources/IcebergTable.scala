@@ -74,23 +74,35 @@ object IcebergTable {
                             partitionTuple: Map[String, Any] = Map.empty,
                             valueCounts: Map[String, Long] = Map.empty,
                             nullCounts: Map[String, Long] = Map.empty,
-                            bounds: Map[String, (BigDecimal, BigDecimal)] = Map.empty)
+                            bounds: Map[String, (BigDecimal, BigDecimal)] = Map.empty,
+                            addedSnapshotId: Long = -1L)
 
   /** One v2 DELETE file (merge-on-read): `content` 1 = position
     * deletes (parquet of `file_path`/`pos`), 2 = equality deletes
     * (parquet of the equality columns); applies to data files per the
-    * spec's sequence-number rules. */
+    * spec's sequence-number rules. `records`/`sizeBytes` from the
+    * manifest feed statistics and executor-side partition planning. */
   final case class DeleteFile(path: String, content: Int, seq: Long,
-                              equalityIds: Seq[Int])
+                              equalityIds: Seq[Int], records: Long = 0L,
+                              sizeBytes: Long = 0L)
 
   /** A resolved Iceberg table state at one snapshot. `fieldNames`
     * maps top-level field ids to column names (equality-delete
-    * resolution). */
+    * resolution); `specFields` is the table's DEFAULT partition spec
+    * (hidden-partitioning pruning consults its transforms). */
   final case class Snapshot(tablePath: String, snapshotId: Long,
                             timestampMs: Long, schema: StructType,
                             files: Seq[DataFile],
                             deletes: Seq[DeleteFile] = Seq.empty,
-                            fieldNames: Map[Int, String] = Map.empty)
+                            fieldNames: Map[Int, String] = Map.empty,
+                            specFields: Seq[IcebergPartitioning.PartField] = Seq.empty)
+
+  /** One manifest/metadata partition-spec field: the FIELD's name and
+    * (result) type, the source column's field id, and the spec-JSON
+    * transform name. */
+  private[sources] final case class SpecField(name: String, dt: DataType,
+                                              sourceId: Int,
+                                              transform: String = "identity")
 
   private def metaDir(tablePath: String) = new Path(tablePath, "metadata")
 
@@ -266,9 +278,30 @@ object IcebergTable {
     val schema = icebergTypeToSpark(schemaById(currentSchemaId))
       .asInstanceOf[StructType]
 
+    // the DEFAULT partition spec, transforms included — what
+    // hidden-partitioning pruning and append staging consult
+    // (source ids resolve against the CURRENT schema)
+    val defaultSpec: Seq[IcebergPartitioning.PartField] = {
+      val curIds: Map[Int, String] =
+        Option(schemaById(currentSchemaId).get("fields")).toSeq
+          .flatMap(_.elements().asScala)
+          .filter(f => f.has("id") && f.has("name"))
+          .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+      val dsid = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      Option(meta.get("partition-specs")).toSeq.flatMap(_.elements().asScala)
+        .find(s => Option(s.get("spec-id")).exists(_.asInt() == dsid)).toSeq
+        .flatMap(s => Option(s.get("fields")).toSeq
+          .flatMap(_.elements().asScala))
+        .flatMap { f =>
+          val srcId = f.get("source-id").asInt()
+          curIds.get(srcId).map(src => IcebergPartitioning.fromJson(
+            f.get("name").asText(), f.get("transform").asText(), src))
+        }
+    }
     val snaps = Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
-    if (snaps.isEmpty) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty)
+    if (snaps.isEmpty) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty,
+      specFields = defaultSpec)
 
     val chosen: JsonNode = (snapshotIdAsOf, timestampAsOf) match {
       case (Some(id), _) => snaps.find(_.get("snapshot-id").asLong() == id)
@@ -284,7 +317,8 @@ object IcebergTable {
         // matching the empty-snapshots branch above
         val cur = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
           .map(_.asLong()).getOrElse(-1L)
-        if (cur == -1L) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty)
+        if (cur == -1L) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty,
+          specFields = defaultSpec)
         snaps.find(_.get("snapshot-id").asLong() == cur)
           .getOrElse(throw new IllegalStateException(
             s"current-snapshot-id $cur not in snapshots list"))
@@ -312,21 +346,22 @@ object IcebergTable {
     // v2 (and late v1): snapshot → manifest-list avro → manifest
     // paths, each with content (0=data 1=deletes) + sequence number.
     // early v1 alternative: inline `manifests` array on the snapshot.
-    val manifests: Seq[(String, Int, Long)] =
+    val manifests: Seq[(String, Int, Long, Long)] =
       if (chosen.has("manifest-list")) {
-        val buf = scala.collection.mutable.ArrayBuffer[(String, Int, Long)]()
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Int, Long, Long)]()
         foreachAvro(spark, new Path(chosen.get("manifest-list").asText())) { r =>
           val content = fieldOpt(r, "content").map(longOf(_).toInt).getOrElse(0)
           val seq = fieldOpt(r, "sequence_number").map(longOf).getOrElse(0L)
-          buf += ((r.get("manifest_path").toString, content, seq))
+          val addedBy = fieldOpt(r, "added_snapshot_id").map(longOf).getOrElse(-1L)
+          buf += ((r.get("manifest_path").toString, content, seq, addedBy))
         }
         buf.toSeq
       } else chosen.get("manifests").elements().asScala
-        .map(n => (n.asText(), 0, 0L)).toSeq
+        .map(n => (n.asText(), 0, 0L, -1L)).toSeq
 
     val files = scala.collection.mutable.ArrayBuffer[DataFile]()
     val deletes = scala.collection.mutable.ArrayBuffer[DeleteFile]()
-    manifests.foreach { case (mp, mContent, mSeq) =>
+    manifests.foreach { case (mp, mContent, mSeq, mAddedBy) =>
       foreachAvro(spark, new Path(mp)) { entry =>
         val status = longOf(entry.get("status")).toInt // 0 existing 1 added 2 deleted
         if (status != 2) {
@@ -340,6 +375,10 @@ object IcebergTable {
           // the manifest-list row otherwise (the v2 inheritance rule)
           val seq = fieldOpt(entry, "sequence_number").map(longOf)
             .getOrElse(mSeq)
+          // adding snapshot: explicit on the entry, inherited from the
+          // manifest-list row's added_snapshot_id otherwise
+          val addedBy = fieldOpt(entry, "snapshot_id").map(longOf)
+            .getOrElse(mAddedBy)
           if (mContent == 0) {
             if (content != 0) throw new UnsupportedOperationException(
               s"delete file (content=$content) inside a DATA manifest: $mp")
@@ -391,7 +430,8 @@ object IcebergTable {
               longOf(df.get("record_count")),
               fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L),
               seq, pt, named(kvLongMap("value_counts")),
-              named(kvLongMap("null_value_counts")), bounds)
+              named(kvLongMap("null_value_counts")), bounds,
+              addedSnapshotId = addedBy)
           } else { // delete manifest: position (1) or equality (2)
             if (content != 1 && content != 2)
               throw new UnsupportedOperationException(
@@ -410,13 +450,92 @@ object IcebergTable {
                   "nested equality deletes are not supported"))
             }
             deletes += DeleteFile(df.get("file_path").toString, content,
-              seq, eqIds)
+              seq, eqIds, longOf(df.get("record_count")),
+              fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L))
           }
         }
       }
     }
     Snapshot(tablePath, snapId, snapTs, snapSchema, files.toSeq,
-      deletes.toSeq, fieldNames)
+      deletes.toSeq, fieldNames, defaultSpec)
+  }
+
+  /** id→name maps of every schema era, plus snapshot-id→schema-id —
+    * the history [[rawFrame]] resolves renamed/re-added columns
+    * through. */
+  private def schemaEras(spark: SparkSession, tablePath: String)
+  : (Map[Int, Map[Int, String]], Map[Long, Int]) = {
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    val schemaNodes: Seq[JsonNode] =
+      if (meta.has("schemas")) meta.get("schemas").elements().asScala.toSeq
+      else Option(meta.get("schema")).toSeq
+    val byId: Map[Int, Map[Int, String]] = schemaNodes.map { s =>
+      val sid = Option(s.get("schema-id")).map(_.asInt()).getOrElse(0)
+      sid -> Option(s.get("fields")).toSeq.flatMap(_.elements().asScala)
+        .filter(f => f.has("id") && f.has("name"))
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    }.toMap
+    val snapToSchema: Map[Long, Int] = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(s => Option(s.get("schema-id"))
+        .map(x => s.get("snapshot-id").asLong() -> x.asInt()))
+      .toMap
+    (byId, snapToSchema)
+  }
+
+  /** Read `files` with SCHEMA-EVOLUTION-AWARE projection: each file's
+    * columns resolve by FIELD ID against the schema era the file was
+    * written under (the snapshot that added it pins a schema-id) —
+    * so a RENAMED column reads its old physical name from old files,
+    * and a DROPPED-then-re-ADDED name never resurrects old values
+    * (different field id ⇒ null). The history-based equivalent of
+    * parquet field-id resolution; files with unknown eras read
+    * name-based, exactly as before. `withPos` appends the
+    * `__ri`/`__path` physical-position columns the delete-application
+    * frame joins on. */
+  private def rawFrame(spark: SparkSession, snap: Snapshot,
+                       files: Seq[DataFile], withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val byName = snap.fieldNames.map(_.swap)
+    val current: Seq[(String, Int, DataType)] = snap.schema.fields.toSeq
+      .map(f => (f.name, byName.getOrElse(f.name, -1), f.dataType))
+    lazy val (eras, snapToSchema) = schemaEras(spark, snap.tablePath)
+    def projOf(f: DataFile): Option[Seq[(String, DataType, Option[String])]] = {
+      val era =
+        if (f.addedSnapshotId < 0) None
+        else snapToSchema.get(f.addedSnapshotId).flatMap(eras.get)
+      era.flatMap { m =>
+        val p = current.map { case (n, id, dt) => (n, dt, m.get(id)) }
+        // identity projection reads plainly — ADD-only evolution stays
+        // on the untouched path (a missing column is null either way).
+        // NOT identity when a field id renamed, OR when a current name
+        // exists in the era under a DIFFERENT id (drop + re-add: the
+        // old physical column must NOT resurrect — it reads null).
+        val identitySafe = p.forall {
+          case (n, _, Some(e)) => e == n
+          case (n, _, None) => !m.valuesIterator.contains(n)
+        }
+        if (identitySafe) None else Some(p)
+      }
+    }
+    def withMeta(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else df.select(col("*"), col("_metadata.row_index").as("__ri"))
+        .withColumn("__path",
+          regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+    files.groupBy(projOf).toSeq.sortBy(_._2.head.path).map {
+      case (None, fs) =>
+        withMeta(spark.read.schema(snap.schema).parquet(fs.map(_.path): _*))
+      case (Some(p), fs) =>
+        val eraStruct = StructType(p.collect {
+          case (_, dt, Some(e)) => StructField(e, dt, nullable = true) })
+        val base = withMeta(
+          spark.read.schema(eraStruct).parquet(fs.map(_.path): _*))
+        val cols = p.map { case (n, dt, eo) =>
+          eo.map(e => col(e).as(n)).getOrElse(lit(null).cast(dt).as(n)) } ++
+          (if (withPos) Seq(col("__ri"), col("__path")) else Nil)
+        base.select(cols: _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** Read an Iceberg table as a DataFrame (native distributed parquet
@@ -445,8 +564,7 @@ object IcebergTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     if (snap.deletes.isEmpty)
-      return spark.read.schema(snap.schema)
-        .parquet(snap.files.map(_.path): _*)
+      return rawFrame(spark, snap, snap.files, withPos = false)
     // ONE delete-application frame serves reads AND row-level DML
     // match detection (liveRowsWithPos) — the two must never diverge
     liveRowsWithPos(spark, snap, snap.files)
@@ -563,7 +681,8 @@ object IcebergTable {
     *    the file; an all-null column satisfies no comparison). */
   def prunedFiles(spark: SparkSession, snap: Snapshot,
                   pred: org.apache.spark.sql.Column): Seq[DataFile] = {
-    val partKept = partitionPrunedFiles(spark, snap, pred)
+    val partKept = transformPrunedFiles(spark, snap,
+      partitionPrunedFiles(spark, snap, pred), pred)
     val checks = DeltaLog.numericChecks(spark, snap.schema, pred)
     if (checks.isEmpty) return partKept
     partKept.filter { f =>
@@ -637,6 +756,83 @@ object IcebergTable {
       .collect().map(_.getInt(0)).toSet // bounded by FILE count
     catch { case scala.util.control.NonFatal(_) => return snap.files }
     snap.files.zipWithIndex.collect { case (f, i) if keep(i) => f }
+  }
+
+  /** HIDDEN-PARTITIONING pruning: source-column comparison conjuncts
+    * prune on the TRANSFORMED tuple values the manifests record —
+    * `ts >= X` keeps files with `ts_day >= day(X)` (monotone
+    * transforms), `id = K` keeps `id_bucket = bucket(K)` files.
+    * Keep-unless-provably-false: files written under a spec that does
+    * not record the field keep; foreign transforms never prune. */
+  private def transformPrunedFiles(spark: SparkSession, snap: Snapshot,
+                                   files: Seq[DataFile],
+                                   pred: org.apache.spark.sql.Column): Seq[DataFile] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, BinaryComparison, EqualNullSafe => CEns, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
+    import IcebergPartitioning._
+    val tfs = snap.specFields.filter(pf => !pf.isIdentity && isKnown(pf) &&
+      snap.schema.fieldNames.contains(pf.source))
+    if (tfs.isEmpty || files.isEmpty) return files
+    val cond: Expression = {
+      val dummy = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      dummy.where(pred).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(return files)
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // (spec field, tuple-space check) pairs; a check sees the file's
+    // recorded tuple value (null = the file's rows have null source)
+    val checks: Seq[(PartField, Any => Boolean)] = conjuncts(cond).flatMap {
+      case c @ (_: BinaryComparison | _: CIn) =>
+        // normalize to (attr, op-tag, literal values)
+        val norm: Option[(String, String, Seq[Any])] = c match {
+          case CEq(a: Attribute, l: CLit) => Some((a.name, "=", Seq(l.value)))
+          case CEq(l: CLit, a: Attribute) => Some((a.name, "=", Seq(l.value)))
+          case CEns(a: Attribute, l: CLit) => Some((a.name, "<=>", Seq(l.value)))
+          case CEns(l: CLit, a: Attribute) => Some((a.name, "<=>", Seq(l.value)))
+          case CGt(a: Attribute, l: CLit) => Some((a.name, ">", Seq(l.value)))
+          case CGt(l: CLit, a: Attribute) => Some((a.name, "<", Seq(l.value)))
+          case CGe(a: Attribute, l: CLit) => Some((a.name, ">", Seq(l.value)))
+          case CGe(l: CLit, a: Attribute) => Some((a.name, "<", Seq(l.value)))
+          case CLt(a: Attribute, l: CLit) => Some((a.name, "<", Seq(l.value)))
+          case CLt(l: CLit, a: Attribute) => Some((a.name, ">", Seq(l.value)))
+          case CLe(a: Attribute, l: CLit) => Some((a.name, "<", Seq(l.value)))
+          case CLe(l: CLit, a: Attribute) => Some((a.name, ">", Seq(l.value)))
+          case CIn(a: Attribute, vs) if vs.forall(_.isInstanceOf[CLit]) =>
+            Some((a.name, "in", vs.map(_.asInstanceOf[CLit].value)))
+          case _ => None
+        }
+        norm.filter(_._3.forall(_ != null)).toSeq.flatMap { case (an, op, vs) =>
+          tfs.filter(_.source == an).flatMap { pf =>
+            val srcType = snap.schema(pf.source).dataType
+            val tvs = try vs.map(v => applyValue(pf, srcType, v))
+            catch { case scala.util.control.NonFatal(_) => return files }
+            (op, isMonotone(pf)) match {
+              case ("=" | "<=>", _) => Some((pf, (t: Any) =>
+                t != null && compareValues(t, tvs.head) == 0))
+              case ("in", _) => Some((pf, (t: Any) =>
+                t != null && tvs.exists(v => compareValues(t, v) == 0)))
+              // monotone: src > v ⇒ T(src) >= T(v) (weakened bound)
+              case (">", true) => Some((pf, (t: Any) =>
+                t != null && compareValues(t, tvs.head) >= 0))
+              case ("<", true) => Some((pf, (t: Any) =>
+                t != null && compareValues(t, tvs.head) <= 0))
+              case _ => None // bucket prunes equality/IN only
+            }
+          }
+        }
+      case _ => Seq.empty
+    }
+    if (checks.isEmpty) files
+    else files.filter(f => checks.forall { case (pf, ok) =>
+      f.partitionTuple.get(pf.name) match {
+        case None => true // older/foreign spec: never skip
+        case Some(t) => ok(t)
+      }
+    })
   }
 
   /** Row-level `DELETE FROM … WHERE predicate` as MERGE-ON-READ
@@ -741,18 +937,12 @@ object IcebergTable {
     v
   }
 
-  /** Field names of the table's DEFAULT partition spec (empty for
-    * unpartitioned) — what a writer must partition appends by. */
-  def defaultSpecNames(spark: SparkSession, tablePath: String): Seq[String] = {
-    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
-    val dsid = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    Option(meta.get("partition-specs")).toSeq
-      .flatMap(_.elements().asScala)
-      .find(s => s.get("spec-id").asInt() == dsid).toSeq
-      .flatMap(s => Option(s.get("fields")).toSeq
-        .flatMap(_.elements().asScala))
-      .map(_.get("name").asText())
-  }
+  /** The table's DEFAULT partition spec as canonical partitionBy
+    * strings (`col`, `day(ts)`, `bucket(16, id)`; empty for
+    * unpartitioned) — what a writer must partition appends by;
+    * [[write]] parses them back to the same transforms. */
+  def defaultSpecNames(spark: SparkSession, tablePath: String): Seq[String] =
+    snapshot(spark, tablePath).specFields.map(_.canonical)
 
   /** Streaming-style keyed UPSERT via EQUALITY deletes — the v2
     * shape Flink's Iceberg CDC sink commits: ONE snapshot holding an
@@ -939,11 +1129,7 @@ object IcebergTable {
       .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
     val seqMap = broadcast(files.map(f => (fileKey(f.path), f.seq))
       .toDF("__path", "__dataseq"))
-    var cur = spark.read.schema(snap.schema)
-      .parquet(files.map(_.path): _*)
-      .select(col("*"), col("_metadata.row_index").as("__ri"))
-      .withColumn("__path",
-        regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+    var cur = rawFrame(spark, snap, files, withPos = true)
       .join(seqMap, Seq("__path"), "left")
     val posDeletes = snap.deletes.filter(_.content == 1)
     if (posDeletes.nonEmpty) {
@@ -1302,19 +1488,25 @@ object IcebergTable {
         snap.schema.find(_.name == n).map(f => n -> ((id, f.dataType)))
       }
     val dsid = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    val spec: Seq[(String, DataType, Int)] = Option(meta.get("partition-specs"))
-      .toSeq.flatMap(_.elements().asScala)
-      .find(s => s.get("spec-id").asInt() == dsid).toSeq
-      .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
-      .map { fNode =>
-        val n = fNode.get("name").asText()
-        (n, snap.schema(n).dataType, fNode.get("source-id").asInt())
-      }
+    val specByName = snap.fieldNames.map(_.swap)
+    val spec: Seq[SpecField] = snap.specFields.map { pf =>
+      require(IcebergPartitioning.isKnown(pf),
+        s"cannot rewrite manifests of $tablePath: foreign partition " +
+          s"transform ${pf.transform} — this writer cannot reproduce its " +
+          "partition tuples")
+      SpecField(pf.name,
+        IcebergPartitioning.resultType(pf, snap.schema(pf.source).dataType),
+        specByName(pf.source), pf.transform)
+    }
     val entrySchema = entrySchemaFor(spec)
     val entries = snap.files.map { f =>
       val e = new GenericData.Record(entrySchema)
       e.put("status", 0) // existing
-      e.put("snapshot_id", snapId)
+      // the spec requires EXISTING entries to keep the snapshot id of
+      // the snapshot that originally ADDED the file (incremental
+      // readers attribute files by it) — never the replace snapshot's
+      e.put("snapshot_id",
+        if (f.addedSnapshotId >= 0) f.addedSnapshotId else snapId)
       e.put("sequence_number", f.seq)
       e.put("file_sequence_number", f.seq)
       val d = new GenericData.Record(
@@ -1324,8 +1516,8 @@ object IcebergTable {
       d.put("file_format", "PARQUET")
       val pr = new GenericData.Record(
         d.getSchema.getField("partition").schema())
-      spec.foreach { case (n, _, _) =>
-        pr.put(n, f.partitionTuple.getOrElse(n, null)) }
+      spec.foreach(sf =>
+        pr.put(sf.name, f.partitionTuple.getOrElse(sf.name, null)))
       d.put("partition", pr)
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", f.sizeBytes)
@@ -1415,8 +1607,7 @@ object IcebergTable {
     // already compact and delete-free: no pointless commit
     if (snap.deletes.isEmpty && snap.files.size <= n) return snap.snapshotId
     val live =
-      if (snap.deletes.isEmpty)
-        spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
+      if (snap.deletes.isEmpty) rawFrame(spark, snap, snap.files, withPos = false)
       else liveRowsWithPos(spark, snap, snap.files)
     // coalesce, not repartition: bin-packing small files is a narrow
     // dependency — no shuffle in the compaction job
@@ -1600,6 +1791,125 @@ object IcebergTable {
     schemasArr.add(newSchema)
     meta.put("current-schema-id", newSchemaId)
     meta.put("last-column-id", idCounter)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    val mdir = metaDir(tablePath)
+    val fs = fsFor(spark, mdir)
+    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
+    val out = fs.create(next, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
+    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+    finally hintOut.close()
+  }
+
+  /** True when a NAME-BASED scan of `snap`'s files would serve wrong
+    * columns: some live file's schema era renamed a shared field id,
+    * or carries a current name under a different id (drop + re-add).
+    * The DSv2 scan gates on this and points at [[read]]. */
+  private[sources] def eraMismatch(spark: SparkSession, snap: Snapshot): Boolean = {
+    val byName = snap.fieldNames.map(_.swap)
+    val current = snap.schema.fields.toSeq
+      .map(f => (f.name, byName.getOrElse(f.name, -1)))
+    lazy val (eras, snapToSchema) = schemaEras(spark, snap.tablePath)
+    snap.files.exists { f =>
+      f.addedSnapshotId >= 0 &&
+        snapToSchema.get(f.addedSnapshotId).flatMap(eras.get).exists { m =>
+          current.exists { case (n, id) => m.get(id) match {
+            case Some(e) => e != n
+            case None => m.valuesIterator.contains(n)
+          } }
+        }
+    }
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN` — Iceberg's field-id model makes
+    * this a METADATA-ONLY one-liner (spec §"Schema Evolution"): a new
+    * schema keeps every field id and changes one name; no data file
+    * rewrites. Current reads serve the new name over old files by
+    * field-id-through-history resolution ([[rawFrame]]); time travel
+    * keeps each snapshot's pinned names. Top-level columns only;
+    * partition-spec SOURCE columns refuse (manifests key tuples by
+    * the derived field names). */
+  def renameColumn(spark: SparkSession, tablePath: String,
+                   from: String, to: String): Unit =
+    alterTopLevelColumn(spark, tablePath, from, Some(to))
+
+  /** `ALTER TABLE … DROP COLUMN` — metadata-only: a new schema
+    * without the field (its id is never reused — `last-column-id`
+    * only grows, so a later re-ADD of the same name gets a fresh id
+    * and old values never resurrect). */
+  def dropColumn(spark: SparkSession, tablePath: String,
+                 name: String): Unit =
+    alterTopLevelColumn(spark, tablePath, name, None)
+
+  private def alterTopLevelColumn(spark: SparkSession, tablePath: String,
+                                  name: String,
+                                  renameTo: Option[String]): Unit = {
+    val mp = latestMetadataFile(spark, tablePath)
+    val metaVersion =
+      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val curId = if (meta.has("current-schema-id"))
+      meta.get("current-schema-id").asInt() else 0
+    val curSchema: JsonNode =
+      if (meta.has("schemas"))
+        meta.get("schemas").elements().asScala
+          .find(n => n.has("schema-id") && n.get("schema-id").asInt() == curId)
+          .getOrElse(throw new IllegalStateException(
+            s"current-schema-id $curId not in schemas list"))
+      else meta.get("schema")
+    val fields = Option(curSchema.get("fields")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+    val target = fields.find(_.get("name").asText() == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no top-level column $name on $tablePath"))
+    renameTo.foreach { to =>
+      require(!fields.exists(_.get("name").asText() == to),
+        s"column $to already exists on $tablePath")
+    }
+    if (renameTo.isEmpty)
+      require(fields.size > 1, s"cannot drop the last column of $tablePath")
+    // a partition spec SOURCE must keep its name: manifests and the
+    // staging layout key on the derived field names
+    val fieldId = target.get("id").asInt()
+    val specSrcIds: Set[Int] = Option(meta.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(s => Option(s.get("fields")).toSeq
+        .flatMap(_.elements().asScala))
+      .map(_.get("source-id").asInt()).toSet
+    require(!specSrcIds.contains(fieldId),
+      s"column $name is a partition-spec source on $tablePath — " +
+        "repartition via write(overwrite = true) first")
+    val newSchema = curSchema.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val rebuilt = M.createArrayNode()
+    newSchema.get("fields").elements().asScala.foreach { f =>
+      if (f.get("id").asInt() != fieldId) rebuilt.add(f)
+      else renameTo.foreach { to =>
+        val fo = f.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+        fo.put("name", to)
+        rebuilt.add(fo)
+      }
+    }
+    newSchema.set[JsonNode]("fields", rebuilt)
+    val allIds: Seq[Int] =
+      if (meta.has("schemas"))
+        meta.get("schemas").elements().asScala
+          .flatMap(n => Option(n.get("schema-id")).map(_.asInt())).toSeq
+      else Seq(curId)
+    val newSchemaId = (allIds :+ curId).max + 1
+    newSchema.put("schema-id", newSchemaId)
+    val schemasArr: ArrayNode =
+      if (meta.has("schemas")) meta.withArray[ArrayNode]("schemas")
+      else {
+        val arr = meta.putArray("schemas")
+        val lifted = curSchema.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+        lifted.put("schema-id", curId)
+        arr.add(lifted)
+        arr
+      }
+    schemasArr.add(newSchema)
+    meta.put("current-schema-id", newSchemaId)
     meta.put("last-updated-ms", System.currentTimeMillis())
     val mdir = metaDir(tablePath)
     val fs = fsFor(spark, mdir)
@@ -1979,11 +2289,11 @@ object IcebergTable {
 
   /** Manifest-entry schema whose r102 partition record carries the
     * spec's fields (field-ids 1000+i per the Iceberg convention). */
-  private def entrySchemaFor(spec: Seq[(String, DataType, Int)]): Schema =
+  private def entrySchemaFor(spec: Seq[SpecField]): Schema =
     if (spec.isEmpty) ManifestEntrySchema
     else {
-      val fields = spec.zipWithIndex.map { case ((n, dt, _), i) =>
-        s"""{"name":"$n","type":["null","${partitionAvroType(dt)}"],"default":null,"field-id":${1000 + i}}"""
+      val fields = spec.zipWithIndex.map { case (f, i) =>
+        s"""{"name":"${f.name}","type":["null","${partitionAvroType(f.dt)}"],"default":null,"field-id":${1000 + i}}"""
       }.mkString(",")
       new Schema.Parser().parse(ManifestEntrySchema.toString.replace(
         """{"type":"record","name":"r102","fields":[]}""",
@@ -1991,10 +2301,11 @@ object IcebergTable {
     }
 
   /** The spec JSON both the manifest metadata and the table
-    * metadata's `partition-specs` entry carry. */
-  private def specFieldsJson(spec: Seq[(String, DataType, Int)]): String =
-    spec.zipWithIndex.map { case ((n, _, srcId), i) =>
-      s"""{"name":"$n","transform":"identity","source-id":$srcId,"field-id":${1000 + i}}"""
+    * metadata's `partition-specs` entry carry — transform names
+    * per the spec (`identity`, `day`, `bucket[16]`, …). */
+  private def specFieldsJson(spec: Seq[SpecField]): String =
+    spec.zipWithIndex.map { case (f, i) =>
+      s"""{"name":"${f.name}","transform":"${f.transform}","source-id":${f.sourceId},"field-id":${1000 + i}}"""
     }.mkString("[", ",", "]")
 
   /** Attach the stats maps (field-id-keyed, per the data_file schema)
@@ -2045,7 +2356,7 @@ object IcebergTable {
                             tag: String, schemaJson: String,
                             files: Seq[(String, Long, Long)],
                             snapId: Long, seq: Long,
-                            spec: Seq[(String, DataType, Int)] = Nil,
+                            spec: Seq[SpecField] = Nil,
                             tuples: Map[String, Seq[Any]] = Map.empty,
                             specId: Int = 0,
                             stats: Map[String, FileStats] = Map.empty,
@@ -2067,7 +2378,7 @@ object IcebergTable {
       val pr = new GenericData.Record(
         d.getSchema.getField("partition").schema())
       spec.zip(tuples.getOrElse(path, Seq.fill(spec.size)(null)))
-        .foreach { case ((n, _, _), v) => pr.put(n, v) }
+        .foreach { case (f, v) => pr.put(f.name, v) }
       d.put("partition", pr)
       d.put("record_count", nrec)
       d.put("file_size_in_bytes", size)
@@ -2224,6 +2535,8 @@ object IcebergTable {
         (mv, Some(readJson(spark, p)))
       } else (0L, None)
 
+    val pfs: Seq[IcebergPartitioning.PartField] =
+      partitionBy.map(IcebergPartitioning.parse)
     prior.foreach { m =>
       if (!overwrite) {
         val cur = snapshot(spark, tablePath)
@@ -2235,16 +2548,11 @@ object IcebergTable {
         require(shape(cur.schema) == shape(df.schema),
           s"append schema ${df.schema.simpleString} does not match table " +
             s"schema ${cur.schema.simpleString}; use overwrite to replace")
-        // appends must keep the table's partition spec (overwrite may
-        // redefine it — a fresh spec-id keeps old manifests coherent)
-        val dsid = Option(m.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-        val priorSpec = Option(m.get("partition-specs")).toSeq
-          .flatMap(_.elements().asScala)
-          .find(s => s.get("spec-id").asInt() == dsid).toSeq
-          .flatMap(s => Option(s.get("fields")).toSeq
-            .flatMap(_.elements().asScala))
-          .map(_.get("name").asText())
-        require(priorSpec == partitionBy,
+        // appends must keep the table's partition spec — transforms
+        // included (overwrite may redefine it — a fresh spec-id keeps
+        // old manifests coherent)
+        val priorSpec = cur.specFields.map(_.canonical)
+        require(priorSpec == pfs.map(_.canonical),
           s"append partitionBy $partitionBy does not match the table's " +
             s"partition spec $priorSpec; use overwrite to repartition")
       }
@@ -2258,22 +2566,30 @@ object IcebergTable {
     val now = System.currentTimeMillis()
 
     // stage data through a scratch dir, adopt under stable names.
-    // Identity-source columns STAY in the data files (the Iceberg
-    // layout, unlike Hive's): partitioned stages write through
-    // DUPLICATED gp_ columns so partitionBy shapes the directory
-    // tree without dropping the real columns from the parquet.
-    partitionBy.foreach { c =>
-      require(df.schema.fieldNames.contains(c),
-        s"unknown partition column $c")
-      require(!df.schema.fieldNames.contains("gp_" + c),
-        s"column gp_$c collides with the staging alias for partition $c")
-      partitionAvroType(df.schema(c).dataType) // loud on unsupported types
+    // Source columns STAY in the data files (the Iceberg layout,
+    // unlike Hive's): partitioned stages write through DERIVED gp_
+    // columns — the TRANSFORMED partition values (identity included) —
+    // so partitionBy shapes the directory tree without dropping the
+    // real columns from the parquet. Hidden partitioning is exactly
+    // this: `day(ts)`/`bucket(16, id)` values in the tree and the
+    // manifests, the raw column in the data.
+    pfs.foreach { pf =>
+      require(df.schema.fieldNames.contains(pf.source),
+        s"unknown partition source column ${pf.source}")
+      require(!df.schema.fieldNames.contains("gp_" + pf.name),
+        s"column gp_${pf.name} collides with the staging alias for " +
+          s"partition field ${pf.name}")
+      IcebergPartitioning.requireSupported(pf, df.schema(pf.source).dataType)
+      // loud on field types the manifests cannot record
+      partitionAvroType(IcebergPartitioning.resultType(
+        pf, df.schema(pf.source).dataType))
     }
     val tmp = new Path(dst, s".tmp-$snapId-${java.util.UUID.randomUUID()}")
-    if (partitionBy.isEmpty) df.write.parquet(tmp.toString)
-    else partitionBy.foldLeft(df)((d, c) =>
-      d.withColumn("gp_" + c, org.apache.spark.sql.functions.col(c)))
-      .write.partitionBy(partitionBy.map("gp_" + _): _*)
+    if (pfs.isEmpty) df.write.parquet(tmp.toString)
+    else pfs.foldLeft(df)((d, pf) =>
+      d.withColumn("gp_" + pf.name, IcebergPartitioning.stagingColumn(
+        pf, df.schema(pf.source).dataType)))
+      .write.partitionBy(pfs.map("gp_" + _.name): _*)
       .parquet(tmp.toString)
     val perFileCounts: Map[String, Long] = spark.read.parquet(tmp.toString)
       .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
@@ -2293,11 +2609,12 @@ object IcebergTable {
           .stripPrefix(tmpQ).stripPrefix("/")
         val dirs = relStaged.split('/').dropRight(1).toSeq
           .map(_.replaceFirst("^gp_", ""))
-        val kv = DeltaLog.parsePartitionDirs(dirs, partitionBy)
-        val tupleVals: Seq[Any] = partitionBy.map { c =>
-          val raw = kv(c)
+        val kv = DeltaLog.parsePartitionDirs(dirs, pfs.map(_.name))
+        val tupleVals: Seq[Any] = pfs.map { pf =>
+          val raw = kv(pf.name)
           if (raw == null) null
-          else df.schema(c).dataType match {
+          else IcebergPartitioning.resultType(
+            pf, df.schema(pf.source).dataType) match {
             case IntegerType | ShortType | ByteType => Int.box(raw.toInt)
             case LongType => Long.box(raw.toLong)
             case BooleanType => Boolean.box(raw.toBoolean)
@@ -2365,19 +2682,24 @@ object IcebergTable {
       if (matching.isDefined) priorSchemas else priorSchemas :+ schemaObj
     val schemaJson = M.writeValueAsString(schemaObj)
 
-    // identity partition spec: source ids from the schema object just
-    // built; reuse a prior spec-id when the field names match, else a
-    // fresh id (overwrite-only — appends gated above)
-    val specFields: Seq[(String, DataType, Int)] = partitionBy.map { c =>
+    // partition spec (identity AND transform fields): source ids from
+    // the schema object just built; reuse a prior spec-id when the
+    // fields match name+transform+source, else a fresh id
+    // (overwrite-only — appends gated above)
+    val specFields: Seq[SpecField] = pfs.map { pf =>
       val srcId = schemaObj.get("fields").elements().asScala
-        .find(_.get("name").asText() == c).get.get("id").asInt()
-      (c, df.schema(c).dataType, srcId)
+        .find(_.get("name").asText() == pf.source).get.get("id").asInt()
+      SpecField(pf.name,
+        IcebergPartitioning.resultType(pf, df.schema(pf.source).dataType),
+        srcId, pf.transform)
     }
     val priorSpecsArr: Seq[JsonNode] = prior.toSeq.flatMap(m =>
       Option(m.get("partition-specs")).toSeq.flatMap(_.elements().asScala))
     val matchingSpec = priorSpecsArr.find(s =>
       Option(s.get("fields")).toSeq.flatMap(_.elements().asScala)
-        .map(_.get("name").asText()) == partitionBy)
+        .map(f => (f.get("name").asText(), f.get("transform").asText(),
+          f.get("source-id").asInt())) ==
+        specFields.map(f => (f.name, f.transform, f.sourceId)))
     val specId = matchingSpec.map(_.get("spec-id").asInt()).getOrElse(
       priorSpecsArr.map(_.get("spec-id").asInt()).foldLeft(-1)(math.max) + 1)
 

@@ -274,6 +274,35 @@ class DeletionVectorSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dv.enabled")
   }
 
+  test("DSv2 scan ships DESCRIPTORS, not positions: large external DVs decode on executors") {
+    // an EXTERNAL-shape table whose DV cardinality is far above the
+    // write gates — the scan must plan it without expanding a single
+    // position on the driver
+    val t = Files.createTempDirectory("graft-dv-big").toString + "/t"
+    val n = 120000
+    val df = (0 until n).map(i => (i.toLong, i % 7)).toDF("k", "g")
+    val sz = writeDataFile(t, "f1.parquet", df.sort("k"))
+    val deleted = (0L until n.toLong by 16L) // 7500 positions
+    val d = DeletionVectors.writeDvFile(
+      spark.sparkContext.hadoopConfiguration, t, deleted)
+    commit(t, 0, Seq(dvProto, metaLine(df.schema.json),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,"modificationTime":5,"dataChange":true,"deletionVector":${dvJson(d)}}}"""))
+    // plan shape: the DV partition carries the descriptor only
+    val tbl = new graft.sources.GraftDeltaTable(spark, t)
+    val parts = tbl.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions()
+    val dvParts = parts.collect { case p: graft.sources.DeltaDvPartition => p }
+    assert(dvParts.length === 1)
+    assert(dvParts.head.dvA.exists(_.cardinality === deleted.size.toLong))
+    assert(!dvParts.head.select && dvParts.head.dvB.isEmpty)
+    // rows: executors decode and skip exactly the vector's positions
+    val got = spark.read.format("graft-delta").load(t)
+    assert(got.count() === (n - deleted.size).toLong)
+    assert(got.where(col("k") % 16 === 0).count() === 0L)
+    assert(got.where(col("k") === 1L).count() === 1L)
+  }
+
   test("inline DVs and partitioned DV tables filter correctly") {
     // inline: the descriptor carries the base85 of the bitmap data
     val t = Files.createTempDirectory("graft-dv-i").toString + "/t"

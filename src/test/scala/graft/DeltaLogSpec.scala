@@ -323,6 +323,90 @@ class DeltaLogSpec extends SparkSpec {
       < snapP.files.size)
   }
 
+  test("multi-part and v2 sidecar checkpoints replay; torn/unknown forms behave") {
+    // author a real table + classic checkpoint, then re-shape the
+    // checkpoint into the other production forms and prove each
+    // replays IDENTICALLY with the json prefix gone
+    def freshTable(tag: String): (String, Set[(Long, String)]) = {
+      val t = Files.createTempDirectory(s"graft-cp-$tag").toString + "/t"
+      (0 until 12).foreach { i =>
+        DeltaLog.write(spark, Seq((i.toLong, s"r$i")).toDF("k", "v"), t)
+      }
+      (t, (0 until 12).map(i => (i.toLong, s"r$i")).toSet)
+    }
+    def cpRows(t: String) = spark.read.parquet(
+      Paths.get(t, "_delta_log", f"${10L}%020d.checkpoint.parquet").toString)
+    def dropPrefixJsons(t: String): Unit = (0 to 10).foreach { i =>
+      Files.deleteIfExists(Paths.get(t, "_delta_log", f"$i%020d.json"))
+      Files.deleteIfExists(Paths.get(t, "_delta_log", f".$i%020d.json.crc"))
+    }
+    def writeAs(t: String, df: org.apache.spark.sql.DataFrame,
+                name: String): Long = {
+      val tmp = Files.createTempDirectory("graft-cp-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(t, "_delta_log", name)
+      Files.createDirectories(dst.getParent)
+      Files.copy(part.toPath, dst)
+      dst.toFile.length()
+    }
+    def removeClassic(t: String): Unit = {
+      Files.delete(Paths.get(t, "_delta_log", f"${10L}%020d.checkpoint.parquet"))
+      Files.deleteIfExists(
+        Paths.get(t, "_delta_log", f".${10L}%020d.checkpoint.parquet.crc"))
+    }
+
+    // ---- MULTI-PART classic: non-file actions in part 1, adds in 2
+    val (tm, expect) = freshTable("multi")
+    val cpm = cpRows(tm)
+    writeAs(tm, cpm.where(col("add").isNull),
+      f"${10L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    writeAs(tm, cpm.where(col("add").isNotNull),
+      f"${10L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    removeClassic(tm); dropPrefixJsons(tm)
+    assert(DeltaLog.read(spark, tm).as[(Long, String)].collect().toSet
+      === expect)
+    assert(DeltaLog.snapshot(spark, tm).version === 11L)
+
+    // a TORN multi-part set (missing part) is skipped, not fatal:
+    // with the json prefix still present the replay falls back to it
+    val (tt, expectT) = freshTable("torn")
+    writeAs(tt, cpRows(tt).where(col("add").isNull),
+      f"${10L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    removeClassic(tt)
+    assert(DeltaLog.read(spark, tt).as[(Long, String)].collect().toSet
+      === expectT)
+
+    // ---- V2 + SIDECARS: top file holds protocol/metaData + sidecar
+    // refs; the add actions live in _delta_log/_sidecars/
+    val (tv, expectV) = freshTable("v2")
+    val cpv = cpRows(tv)
+    val sidecarName = "11111111-2222-3333-4444-555555555555.parquet"
+    val scLen = writeAs(tv, cpv.where(col("add").isNotNull),
+      s"_sidecars/$sidecarName")
+    val sidecarRef = spark.range(1).select(
+      org.apache.spark.sql.functions.struct(
+        lit(sidecarName).as("path"), lit(scLen).as("sizeInBytes"))
+        .as("sidecar"))
+    writeAs(tv, cpv.where(col("add").isNull)
+      .unionByName(sidecarRef, allowMissingColumns = true),
+      f"${10L}%020d.checkpoint.aaaabbbb-cccc-dddd-eeee-ffff00001111.parquet")
+    removeClassic(tv); dropPrefixJsons(tv)
+    assert(DeltaLog.read(spark, tv).as[(Long, String)].collect().toSet
+      === expectV)
+    assert(DeltaLog.snapshot(spark, tv).version === 11L)
+
+    // ---- unknown future checkpoint form: loud, never silent
+    val (tu, _) = freshTable("unk")
+    writeAs(tu, cpRows(tu),
+      f"${10L}%020d.checkpoint.weird.form.v9.parquet")
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLog.snapshot(spark, tu)
+    }
+    assert(e.getMessage.contains("unrecognized Delta checkpoint"), e.getMessage)
+  }
+
   test("changes: per-commit insert/delete feed with partition values") {
     val t = Files.createTempDirectory("graft-delta-cdc").toString + "/t"
     DeltaLog.write(spark, Seq((1L, "x"), (2L, "y")).toDF("k", "p"), t,

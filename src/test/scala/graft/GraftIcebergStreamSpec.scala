@@ -203,6 +203,109 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(snapIns.files.forall(_.partitionTuple.keySet === Set("p")))
   }
 
+  test("hidden partitioning: day(ts)+bucket writes round-trip, time-range reads prune, foreign transforms read unpruned") {
+    import graft.functions.IcebergTransforms
+    import scala.collection.JavaConverters._
+    // the spec's published hash vectors (Iceberg spec Appendix B)
+    assert(IcebergTransforms.hashLong(34L) === 2017239379)
+    assert(IcebergTransforms.hashBytes("iceberg".getBytes("UTF-8"))
+      === 1210000089)
+    assert(IcebergTransforms.hashLong(17486L) === -653330422) // date 2017-11-16
+    assert(IcebergTransforms.hashLong(1510871468000000L) === -2047944441)
+
+    val root = tmp("gi-hidden")
+    spark.conf.set("spark.sql.catalog.graft_ih", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ih.root", root)
+    val t = s"$root/ns/t"
+    val day0 = java.time.LocalDate.of(2024, 1, 10).toEpochDay.toInt
+    def ts(day: Int, h: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond((day0.toLong + day) * 86400L + h * 3600L))
+    val rows = (0 until 40).map(i => (i.toLong, ts(i % 4, i % 12), s"u$i"))
+    IcebergTable.write(spark, rows.toDF("id", "ts", "v").coalesce(1), t,
+      partitionBy = Seq("days(ts)", "bucket(4, id)"))
+
+    // the spec + manifests carry TRANSFORMED tuples
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.specFields.map(_.canonical)
+      === Seq("day(ts)", "bucket(4, id)"))
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(_.partitionTuple.keySet === Set("ts_day", "id_bucket")))
+    val days = snap.files.map(_.partitionTuple("ts_day")).collect {
+      case i: Int => i
+      case i: Integer => i.intValue()
+    }.toSet
+    assert(days === (day0 until day0 + 4).toSet)
+    // every file's rows hash into its recorded bucket
+    assert(snap.files.size > 4) // day × bucket split happened
+
+    // full round trip via the catalog
+    assert(spark.sql("SELECT id, ts, v FROM graft_ih.ns.t")
+      .as[(Long, java.sql.Timestamp, String)].collect().toSet === rows.toSet)
+
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      def files(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          files(a.executedPlan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.collect {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.length
+          }.sum
+        case other => other.children.map(files).sum
+      }
+      files(df.queryExecution.executedPlan)
+    }
+    val all = plannedFiles(spark.sql("SELECT id FROM graft_ih.ns.t"))
+    // time-range predicate on the SOURCE column prunes via day(ts)
+    val lastTwo = plannedFiles(spark.sql(
+      s"SELECT id FROM graft_ih.ns.t WHERE ts >= '${ts(2, 0)}'"))
+    assert(lastTwo < all && lastTwo >= 1,
+      s"day-transform pruning failed: $lastTwo of $all")
+    assert(spark.sql(s"SELECT id FROM graft_ih.ns.t WHERE ts >= '${ts(2, 0)}'")
+      .as[Long].collect().toSet === rows.collect {
+        case (id, tv, _) if !tv.before(ts(2, 0)) => id }.toSet)
+    // bucket equality prunes to the key's bucket
+    val oneBucket = plannedFiles(
+      spark.sql("SELECT v FROM graft_ih.ns.t WHERE id = 7"))
+    assert(oneBucket < all && oneBucket >= 1,
+      s"bucket pruning failed: $oneBucket of $all")
+    assert(spark.sql("SELECT v FROM graft_ih.ns.t WHERE id = 7")
+      .as[String].collect().toSeq === Seq("u7"))
+
+    // INSERT INTO re-derives the hidden spec for the append
+    spark.sql(s"INSERT INTO graft_ih.ns.t VALUES (100, TIMESTAMP '${ts(1, 3)}', 'new')")
+    val snap2 = IcebergTable.snapshot(spark, t)
+    assert(snap2.files.forall(_.partitionTuple.keySet
+      === Set("ts_day", "id_bucket")))
+    assert(spark.sql("SELECT count(*) FROM graft_ih.ns.t").as[Long].head() === 41L)
+    // appends must keep the spec: a different partitionBy refuses
+    intercept[IllegalArgumentException] {
+      IcebergTable.write(spark, rows.take(1).toDF("id", "ts", "v"), t,
+        partitionBy = Seq("days(ts)"))
+    }
+
+    // FOREIGN transform: rewrite the metadata's transform name — the
+    // reader keeps serving correct rows, just unpruned
+    val mdir = java.nio.file.Paths.get(t, "metadata")
+    val latest = java.nio.file.Files.list(mdir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+    val mp = mdir.resolve(latest)
+    java.nio.file.Files.writeString(mp,
+      java.nio.file.Files.readString(mp)
+        .replace("\"transform\" : \"day\"", "\"transform\" : \"zday\"")
+        .replace("\"transform\":\"day\"", "\"transform\":\"zday\""))
+    // the in-place edit invalidates Hadoop's local checksum sidecar
+    java.nio.file.Files.deleteIfExists(mdir.resolve("." + latest + ".crc"))
+    val foreignRows = spark.read.format("graft-iceberg").load(t)
+      .where(col("ts") >= lit(ts(2, 0))).select("id")
+      .as[Long].collect().toSet
+    assert(foreignRows === (rows.collect {
+      case (id, tv, _) if !tv.before(ts(2, 0)) => id }.toSet))
+  }
+
   test("manifest column bounds: numeric-filtered reads skip files without opening them; compaction keeps the bounds") {
     val dir = tmp("gi-bounds")
     val t = s"$dir/t"
@@ -307,9 +410,6 @@ class GraftIcebergStreamSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("overwrite"), e.getMessage)
     } finally spark.conf.unset("spark.graft.mor.maxDeleteRows")
-    // equality-delete tables still gate in the catalog (only the
-    // library reader applies those)
-    // (covered by IcebergSpec's hand-built v2 table + resolve gate)
   }
 
   test("equality-delete UPSERT: one snapshot, no target scan, strictly-newer scoping; repeated upserts converge") {
@@ -345,20 +445,21 @@ class GraftIcebergStreamSpec extends SparkSpec {
       IcebergTable.upsertEquality(spark, t,
         Seq((5L, "x", 1), (5L, "y", 2)).toDF("k", "v", "n"), Seq("k"))
     }
-    // the raw-scan gates hold: equality-delete tables refuse in the
-    // catalog (only the library reader applies them)
+    // the catalog scan serves the equality deletes MERGE-ON-READ and
+    // matches the library reader byte-for-byte
     val root = tmp("gi-ups-cat")
     spark.conf.set("spark.sql.catalog.graft_iu", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_iu.root", root)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/ns"))
     java.nio.file.Files.createSymbolicLink(
       java.nio.file.Paths.get(s"$root/ns/t"), java.nio.file.Paths.get(t))
-    val e = intercept[Exception] {
-      spark.sql("SELECT * FROM graft_iu.ns.t").collect()
-    }
-    assert(e.getMessage.contains("EQUALITY") ||
-      Option(e.getCause).exists(_.getMessage.contains("EQUALITY")),
-      e.getMessage)
+    assert(spark.sql("SELECT * FROM graft_iu.ns.t")
+      .as[(Long, String, Int)].collect().sorted ===
+      IcebergTable.read(spark, t).as[(Long, String, Int)].collect().sorted)
+    // column pruning past the equality columns still matches (the
+    // scan reads `k` for matching and projects it away)
+    assert(spark.sql("SELECT n FROM graft_iu.ns.t").as[Int].collect().sorted
+      === IcebergTable.read(spark, t).select("n").as[Int].collect().sorted)
   }
 
   test("catalog batch scan: rows, VERSION AS OF, statistics, and the delete-file gate") {
@@ -382,6 +483,35 @@ class GraftIcebergStreamSpec extends SparkSpec {
     val planStr = spark.sql("SELECT k FROM graft_ib.ns.t WHERE k > 1")
       .queryExecution.executedPlan.toString
     assert(planStr.contains("PushedFilters") && planStr.contains("k"), planStr)
+  }
+
+  test("MOR partitions carry delete-FILE refs, not positions; executors decode") {
+    val dir = tmp("gi-morplan")
+    val t = s"$dir/t"
+    IcebergTable.write(spark,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(2), t)
+    IcebergTable.delete(spark, t, col("k") < 10L)
+    IcebergTable.upsertEquality(spark, t,
+      Seq((50L, "FIFTY"), (200L, "NEW")).toDF("k", "v"), Seq("k"))
+    def parts() = new graft.sources.GraftIcebergTable(spark, t)
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions()
+    val mor = parts().collect { case p: graft.sources.IcebergMorPartition => p }
+    assert(mor.nonEmpty)
+    // original data files: BOTH a position-delete and the (strictly
+    // newer) equality-delete file apply; upsert's own files: only no
+    // deletes or none (its equality delete is not strictly newer)
+    assert(mor.forall(p => p.posDeletes.nonEmpty || p.eqDeletes.nonEmpty))
+    assert(mor.exists(p => p.posDeletes.nonEmpty && p.eqDeletes.nonEmpty))
+    assert(mor.forall(p => p.eqDeletes.forall(_.cols == Seq("k"))))
+    // the partitions reference delete FILES (path + size), and the
+    // served rows match the library reader byte-for-byte
+    assert(mor.forall(_.posDeletes.forall(_._2 > 0L)))
+    val viaScan = spark.read.format("graft-iceberg").load(t)
+      .as[(Long, String)].collect().sorted
+    assert(viaScan === IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().sorted)
+    assert(viaScan.length === 91) // 100 - 10 pos-deleted - k=50 replaced + 2 upserted
   }
 
   test("maxFilesPerTrigger paces catch-up: whole snapshots admitted, at least one per batch") {

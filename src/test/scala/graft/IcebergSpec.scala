@@ -251,17 +251,22 @@ class IcebergSpec extends SparkSpec {
     val eqDel = writeDataFile(t, "data/eq-del-1.parquet",
       Seq(Tuple1("b")).toDF("s"))
 
-    // data manifests (v1-shape entries, seq inherited from the list)
+    // data manifests (v1-shape entries, seq inherited from the list);
+    // REAL file sizes — the DSv2 MOR scan plans byte ranges from the
+    // manifest-recorded length, like any external Iceberg reader
+    def len(p: String) = new java.io.File(p).length()
     val m1 = s"$t/metadata/m1.avro"
-    val l1 = writeAvro(m1, V1Entry, Seq(entry(1, f1, nrec = 3L),
-      entry(1, f2, nrec = 2L)))
+    val l1 = writeAvro(m1, V1Entry, Seq(
+      entry(1, f1, nrec = 3L, size = len(f1)),
+      entry(1, f2, nrec = 2L, size = len(f2))))
     val m3 = s"$t/metadata/m3.avro"
-    val l3 = writeAvro(m3, V1Entry, Seq(entry(1, f3)))
+    val l3 = writeAvro(m3, V1Entry, Seq(entry(1, f3, size = len(f3))))
     // delete manifest via the library's authoring twin
     val schemaJson = """{"type":"struct","fields":[{"id":1,"name":"id","required":false,"type":"long"},{"id":2,"name":"s","required":false,"type":"string"}]}"""
     val delMf = IcebergTable.writeDeleteManifest(spark,
       new org.apache.hadoop.fs.Path(s"$t/metadata"), "del-1", schemaJson,
-      Seq((posDel, 1L, 1L, 1, Seq.empty), (eqDel, 1L, 1L, 2, Seq(2))),
+      Seq((posDel, len(posDel), 1L, 1, Seq.empty),
+        (eqDel, len(eqDel), 1L, 2, Seq(2))),
       snapId = 10L, seq = 2L)
 
     def v2ListEntry(path: String, len: Long, content: Int, seq: Long): GenericRecord = {
@@ -296,7 +301,8 @@ class IcebergSpec extends SparkSpec {
       IcebergTable.changes(spark, t, -1L, 10L).count()
     }
     assert(e.getMessage.contains("delete files"))
-    // the catalog's raw file-list path refuses too
+    // the catalog scan serves the same merge-on-read state — position
+    // AND equality deletes, sequence-scoped, decoded on the executors
     val root = Files.createTempDirectory("graft-ice-mor-cat").toString
     spark.conf.set("spark.sql.catalog.graft_m", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_m.root", root)
@@ -307,10 +313,73 @@ class IcebergSpec extends SparkSpec {
       lfs, new org.apache.hadoop.fs.Path(t),
       lfs, new org.apache.hadoop.fs.Path(s"$root/ns/mor"),
       false, spark.sparkContext.hadoopConfiguration)
-    val e2 = intercept[Exception] {
-      spark.sql("SELECT * FROM graft_m.ns.mor").collect()
+    assert(spark.sql("SELECT * FROM graft_m.ns.mor").as[(Long, String)]
+      .collect().toSet === Set((3L, "c"), (10L, "x"), (20L, "b")))
+  }
+
+  test("RENAME/DROP COLUMN: metadata-only; field ids resolve through the schema history") {
+    val t = Files.createTempDirectory("graft-ice-ren").toString + "/t"
+    IcebergTable.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "n"), t)
+    val firstSnap = IcebergTable.snapshot(spark, t).snapshotId
+    val metaCount = new java.io.File(s"$t/metadata").listFiles()
+      .count(_.getName.endsWith(".metadata.json"))
+
+    // rename: ONE metadata bump, no data rewrite, old files read
+    // under the NEW name
+    IcebergTable.renameColumn(spark, t, "v", "label")
+    assert(new java.io.File(s"$t/metadata").listFiles()
+      .count(_.getName.endsWith(".metadata.json")) === metaCount + 1)
+    val r1 = IcebergTable.read(spark, t)
+    assert(r1.columns.toSeq === Seq("k", "label", "n"))
+    assert(r1.as[(Long, String, Int)].collect().toSet
+      === Set((1L, "a", 10), (2L, "b", 20)))
+    // appends under the new name mix with pre-rename files
+    IcebergTable.write(spark, Seq((3L, "c", 30)).toDF("k", "label", "n"), t)
+    assert(IcebergTable.read(spark, t).as[(Long, String, Int)]
+      .collect().toSet
+      === Set((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)))
+    // time travel keeps the snapshot's pinned names
+    val tt = IcebergTable.read(spark, t, snapshotIdAsOf = Some(firstSnap))
+    assert(tt.columns.toSeq === Seq("k", "v", "n"))
+    assert(tt.as[(Long, String, Int)].collect().toSet
+      === Set((1L, "a", 10), (2L, "b", 20)))
+
+    // the name-based DSv2 scan gates loudly and points at the reader
+    val root = Files.createTempDirectory("graft-ice-ren-cat").toString
+    spark.conf.set("spark.sql.catalog.graft_ir", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ir.root", root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/ns"))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$root/ns/t"), java.nio.file.Paths.get(t))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ir.ns.t").collect()
     }
-    assert(e2.getMessage.contains("delete files"), e2.getMessage)
+    assert(e.getMessage.contains("schema history") ||
+      Option(e.getCause).exists(_.getMessage.contains("schema history")),
+      e.getMessage)
+    // SQL ALTER routes by flavor (quoted-path form)
+    spark.sql("ALTER TABLE '" + t + "' RENAME COLUMN n TO num")
+    assert(IcebergTable.read(spark, t).columns.toSeq
+      === Seq("k", "label", "num"))
+
+    // DROP then re-ADD the same name: fresh field id — values never
+    // resurrect, even from files that PHYSICALLY carry the old column
+    spark.sql("ALTER TABLE '" + t + "' DROP COLUMN label")
+    assert(IcebergTable.read(spark, t).columns.toSeq === Seq("k", "num"))
+    IcebergTable.addColumns(spark, t,
+      Seq(org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType)))
+    val resurrect = IcebergTable.read(spark, t)
+    assert(resurrect.columns.toSeq === Seq("k", "num", "label"))
+    assert(resurrect.where(org.apache.spark.sql.functions.col("label").isNotNull).count() === 0L)
+    // guards: unknown column, duplicate target, last column
+    intercept[IllegalArgumentException] {
+      IcebergTable.renameColumn(spark, t, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergTable.renameColumn(spark, t, "k", "num")
+    }
   }
 
   test("VersionedTable export round-trips through the Iceberg reader") {
