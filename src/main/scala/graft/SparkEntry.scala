@@ -5345,6 +5345,41 @@ object SparkEntry {
         .orderBy("segment")
     }),
 
+    // FLEXIBLE SQL MERGE: conditional partial-column UPDATE (value
+    // references both sides) + conditional INSERT in one commit, then
+    // a conditional WHEN MATCHED DELETE — each a single committed
+    // version through the generalized COW merge
+    "interop_sql_merge_flex" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-mflex")
+        .toString
+      s.conf.set("spark.sql.catalog.gq_mflex", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq_mflex.root", root)
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      graft.sources.DeltaLog.write(s, sup, s"$root/ns/t")
+      sup.filter(col("s_suppkey") % 5 === 0)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          (col("s_acctbal") * 2).as("s_acctbal"))
+        .unionByName(sup.filter(col("s_suppkey") % 11 === 0)
+          .select((col("s_suppkey") + 900000L).as("s_suppkey"),
+            col("s_nationkey"), col("s_acctbal")))
+        .createOrReplaceTempView("gq_mflex_src")
+      s.sql("""MERGE INTO gq_mflex.ns.t AS t USING gq_mflex_src AS s2
+              |ON t.s_suppkey = s2.s_suppkey
+              |WHEN MATCHED AND s2.s_acctbal > 0
+              |  THEN UPDATE SET s_acctbal = s2.s_acctbal + t.s_acctbal
+              |WHEN NOT MATCHED AND s2.s_nationkey < 20
+              |  THEN INSERT *""".stripMargin)
+      sup.createOrReplaceTempView("gq_mflex_all")
+      s.sql("""MERGE INTO gq_mflex.ns.t AS t USING gq_mflex_all AS s2
+              |ON t.s_suppkey = s2.s_suppkey
+              |WHEN MATCHED AND t.s_acctbal < 0 THEN DELETE""".stripMargin)
+      s.table("gq_mflex.ns.t")
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_sup"), sumD(col("s_acctbal")).as("bal"))
+        .orderBy("nation")
+    }),
+
     // identity-PARTITIONED Iceberg write → partition-filtered DSv2
     // read (manifest-side pruning plans only the matching partition's
     // files; the columns stay in the data files per the Iceberg
@@ -8762,6 +8797,23 @@ object SparkEntry {
          | ${sqlSumD("p_retailprice")} AS retail
          |FROM part WHERE NOT (p_size < 10)
          |GROUP BY 1 ORDER BY brand""".stripMargin,
+
+    "interop_sql_merge_flex" ->
+      s"""WITH base AS (
+         |  SELECT s_suppkey, s_nationkey,
+         |   CASE WHEN s_suppkey % 5 = 0 AND s_acctbal > 0
+         |        THEN 3 * s_acctbal ELSE s_acctbal END AS s_acctbal
+         |  FROM supplier),
+         |ins AS (
+         |  SELECT s_suppkey + 900000 AS s_suppkey, s_nationkey, s_acctbal
+         |  FROM supplier WHERE s_suppkey % 11 = 0 AND s_nationkey < 20),
+         |fin AS (
+         |  SELECT s_nationkey, s_acctbal FROM base WHERE NOT (s_acctbal < 0)
+         |  UNION ALL
+         |  SELECT s_nationkey, s_acctbal FROM ins)
+         |SELECT s_nationkey AS nation, COUNT(*) AS n_sup,
+         | ${sqlSumD("s_acctbal")} AS bal
+         |FROM fin GROUP BY 1 ORDER BY nation""".stripMargin,
 
     "interop_iceberg_hidden" ->
       s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,

@@ -281,14 +281,23 @@ object DeltaLog {
     val versions = listVersions(spark, tablePath)
     val v: Long = (versionAsOf, timestampAsOf) match {
       case (Some(x), _) =>
-        require(versions.contains(x),
+        require(versions.contains(x) ||
+          checkpointAt(spark, tablePath, x).exists(_.version == x),
           s"version $x not in ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)}")
         x
       case (_, Some(ts)) =>
         val ok = versionTimes(spark, tablePath).filter(_._2 <= ts)
         require(ok.nonEmpty, s"no commit at or before timestamp $ts")
         ok.map(_._1).max
-      case _ => versions.last
+      case _ =>
+        // aggressive metadata cleanup may leave a log with NO commit
+        // JSONs at all — the newest checkpoint alone is then the
+        // complete table state (how big production logs look right
+        // after cleanup)
+        versions.lastOption
+          .orElse(checkpointAt(spark, tablePath, Long.MaxValue).map(_.version))
+          .getOrElse(throw new IllegalStateException(
+            s"empty _delta_log at $tablePath"))
     }
     val cp = checkpointAt(spark, tablePath, v)
     val jsonVersions = versions.filter(j => j <= v && cp.forall(j > _.version))
@@ -892,23 +901,11 @@ object DeltaLog {
     val dvInRange = acts.filter(col("add.deletionVector").isNotNull)
       .select("__v").collect().map(_.getLong(0)).exists(v => !cdcVersions(v))
     if (dvInRange)
-      return changesWithDv(spark, tablePath, fromVersion, acts, endSnap)
-    val cdcLegs: Seq[DataFrame] = cdcActs.groupBy(_.getAs[Long]("__v")).toSeq
-      .sortBy(_._1).map { case (cv, rows) =>
-        val fls = rows.toSeq.map { r =>
-          AddFile(
-            new Path(tablePath, decodePath(r.getAs[String]("path"))).toString,
-            Option(r.getAs[scala.collection.Map[String, String]]("pv"))
-              .map(_.toMap).getOrElse(Map.empty[String, String]),
-            Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
-            0L)
-        }
-        readSnapshotAll(spark, endSnap.copy(
-          schema = StructType(endSnap.schema.fields :+
-            StructField("_change_type", StringType)),
-          files = fls))
-          .withColumn("_commit_version", lit(cv))
-      }
+      return changesWithDv(spark, tablePath, fromVersion, acts, endSnap,
+        cdcActs.toSeq)
+    val cdcLegs: Seq[DataFrame] =
+      cdcVersionLegs(spark, tablePath, endSnap, cdcActs.toSeq)
+        .toSeq.sortBy(_._1).map(_._2)
     // dataChange=false actions (OPTIMIZE / Z-ORDER rewrites) rearrange
     // bytes without changing rows — surfacing them as delete+insert
     // would let a replica consumer drop rows (within-commit apply
@@ -983,6 +980,30 @@ object DeltaLog {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withVersionCol))
   }
 
+  /** One change-feed DataFrame per cdc-bearing version: the commit's
+    * `_change_data` files read EXCLUSIVELY (the writer recorded the
+    * precise pre/post images — PROTOCOL.md CDF reader rule), keyed by
+    * version. Shared by the plain and DV change-feed arms. */
+  private def cdcVersionLegs(spark: SparkSession, tablePath: String,
+                             endSnap: Snapshot,
+                             cdcActs: Seq[org.apache.spark.sql.Row])
+  : Map[Long, DataFrame] =
+    cdcActs.groupBy(_.getAs[Long]("__v")).map { case (cv, rows) =>
+      val fls = rows.toSeq.map { r =>
+        AddFile(
+          new Path(tablePath, decodePath(r.getAs[String]("path"))).toString,
+          Option(r.getAs[scala.collection.Map[String, String]]("pv"))
+            .map(_.toMap).getOrElse(Map.empty[String, String]),
+          Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
+          0L)
+      }
+      cv -> readSnapshotAll(spark, endSnap.copy(
+        schema = StructType(endSnap.schema.fields :+
+          StructField("_change_type", StringType)),
+        files = fls))
+        .withColumn("_commit_version", lit(cv))
+    }
+
   /** The ROW-DIFF change-feed arm for polled ranges containing
     * deletion-vector commits. A DV delete re-adds the same path with
     * a (grown) vector; the row-level change is the POSITION DIFF:
@@ -997,7 +1018,8 @@ object DeltaLog {
     * broadcast semi-join on `_metadata.row_index`. */
   private def changesWithDv(spark: SparkSession, tablePath: String,
                             fromVersion: Long, acts: DataFrame,
-                            endSnap: Snapshot): DataFrame = {
+                            endSnap: Snapshot,
+                            cdcActs: Seq[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val pc = endSnap.partitionColumns
@@ -1095,6 +1117,13 @@ object DeltaLog {
         .withColumn("_commit_version", lit(cv)))
     }
 
+    // cdc-covered versions in the range serve from their
+    // `_change_data` files EXCLUSIVELY (precise pre/post images —
+    // never reconstructed as whole-file legs); the stateful row-diff
+    // replay below covers only the cdc-less commits, while LIVENESS
+    // still advances over every action of every commit
+    val cdcByVersion = cdcVersionLegs(spark, tablePath, endSnap, cdcActs)
+
     val legs = Seq.newBuilder[DataFrame]
     byCommit.foreach { case (cv, as) =>
       val allAdds = as.filter(_.isAdd)
@@ -1102,41 +1131,49 @@ object DeltaLog {
       val adds = allAdds.filter(_.dataChange)
       def toAddFile(a: Act): AddFile =
         AddFile(a.path, a.pv, a.size, a.mtime, None, a.dv)
-      // real drops (dataChange, not re-added): previously-live rows
-      // stream as deletes — the OLD vector applies, never resurrecting
-      val dropped = as.filterNot(_.isAdd).filter(_.dataChange)
-        .filterNot(r => addPaths(r.path))
-        .map(r => live.getOrElse(r.path,
-          AddFile(r.path, r.pv, 0L, 0L))) // pre-creation tombstone: raw file
-      if (dropped.nonEmpty)
-        legs += readSnapshotAll(spark, endSnap.copy(files = dropped))
-          .withColumn("_change_type", lit("delete"))
-          .withColumn("_commit_version", lit(cv))
-      val newFiles = Seq.newBuilder[AddFile]
-      val delDelta = Seq.newBuilder[(AddFile, Set[Long])]
-      val resDelta = Seq.newBuilder[(AddFile, Set[Long])]
-      adds.foreach { a =>
-        live.get(a.path) match {
-          case Some(old) => // DV update of a live file: position diff
-            val oldP = positions(old.dv)
-            val newP = positions(a.dv)
-            delDelta += ((toAddFile(a), newP -- oldP))
-            resDelta += ((toAddFile(a), oldP -- newP))
-          case None => newFiles += toAddFile(a)
+      if (cdcByVersion.contains(cv)) {
+        legs += cdcByVersion(cv)
+      } else {
+        // real drops (dataChange, not re-added): previously-live rows
+        // stream as deletes — the OLD vector applies, never resurrecting
+        val dropped = as.filterNot(_.isAdd).filter(_.dataChange)
+          .filterNot(r => addPaths(r.path))
+          .map(r => live.getOrElse(r.path,
+            AddFile(r.path, r.pv, 0L, 0L))) // pre-creation tombstone: raw file
+        if (dropped.nonEmpty)
+          legs += readSnapshotAll(spark, endSnap.copy(files = dropped))
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(cv))
+        val newFiles = Seq.newBuilder[AddFile]
+        val delDelta = Seq.newBuilder[(AddFile, Set[Long])]
+        val resDelta = Seq.newBuilder[(AddFile, Set[Long])]
+        adds.foreach { a =>
+          live.get(a.path) match {
+            case Some(old) => // DV update of a live file: position diff
+              val oldP = positions(old.dv)
+              val newP = positions(a.dv)
+              delDelta += ((toAddFile(a), newP -- oldP))
+              resDelta += ((toAddFile(a), oldP -- newP))
+            case None => newFiles += toAddFile(a)
+          }
         }
+        val nf = newFiles.result()
+        if (nf.nonEmpty) // own DVs applied: only live rows insert
+          legs += readSnapshotAll(spark, endSnap.copy(files = nf))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(cv))
+        legs ++= posLeg(delDelta.result(), "delete", cv)
+        legs ++= posLeg(resDelta.result(), "insert", cv)
       }
-      val nf = newFiles.result()
-      if (nf.nonEmpty) // own DVs applied: only live rows insert
-        legs += readSnapshotAll(spark, endSnap.copy(files = nf))
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(cv))
-      legs ++= posLeg(delDelta.result(), "delete", cv)
-      legs ++= posLeg(resDelta.result(), "insert", cv)
       // advance state over EVERY action, dataChange or not
       as.filterNot(_.isAdd).filterNot(r => addPaths(r.path))
         .foreach(r => live -= r.path)
       allAdds.foreach(a => live += a.path -> toAddFile(a))
     }
+    // cdc-bearing commits with no file actions still serve their feed
+    val seen = byCommit.map(_._1).toSet
+    cdcByVersion.toSeq.sortBy(_._1)
+      .foreach { case (cv, leg) => if (!seen(cv)) legs += leg }
     legs.result().reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withVersionCol))
@@ -1403,6 +1440,36 @@ object DeltaLog {
     * commits per micro-batch (real Delta's default cadence is also
     * 10). */
   val DefaultCheckpointInterval: Int = 10
+
+  /** Checkpoint when due. The TABLE's `delta.checkpointInterval`
+    * property overrides the caller's default cadence — the knob real
+    * Delta writers honor. */
+  private def maybeCheckpoint(spark: SparkSession, deltaPath: String,
+                              v: Long, callerInterval: Int,
+                              config: Map[String, String]): Unit = {
+    val interval = config.get("delta.checkpointInterval")
+      .map(_.trim.toInt).getOrElse(callerInterval)
+    if (interval > 0 && v > 0 && v % interval == 0)
+      checkpoint(spark, deltaPath, v)
+  }
+
+  /** The (readerFeatures, writerFeatures) a LEGACY protocol implies —
+    * what an upgrade to table features must enumerate (PROTOCOL.md
+    * "Table Features"), or spec-compliant external writers stop
+    * honoring existing constraints / generated columns. */
+  private def legacyImpliedFeatures(mrv: Int, mwv: Int): (Seq[String], Seq[String]) = {
+    val wf =
+      if (mwv >= 7) Nil
+      else Seq(
+        2 -> Seq("appendOnly", "invariants"),
+        3 -> Seq("checkConstraints"),
+        4 -> Seq("changeDataFeed", "generatedColumns"),
+        5 -> Seq("columnMapping"),
+        6 -> Seq("identityColumns"))
+        .filter(_._1 <= mwv).flatMap(_._2)
+    val rf = if (mrv >= 3 || mrv < 2) Nil else Seq("columnMapping")
+    (rf, wf)
+  }
 
   /** Write `df` as ONE new commit of a real Delta table at
     * `deltaPath` — append by default, full overwrite with
@@ -1740,8 +1807,8 @@ object DeltaLog {
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
-      checkpoint(spark, deltaPath, v)
+    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+      prior.map(_.configuration).getOrElse(Map.empty))
     maybeUniform(spark, deltaPath,
       prior.map(_.configuration).getOrElse(Map.empty))
     v
@@ -1850,8 +1917,8 @@ object DeltaLog {
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (checkpointInterval > 0 && v % checkpointInterval == 0)
-      checkpoint(spark, deltaPath, v)
+    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+      snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
     v
   }
@@ -2033,8 +2100,8 @@ object DeltaLog {
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (checkpointInterval > 0 && v % checkpointInterval == 0)
-      checkpoint(spark, deltaPath, v)
+    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+      tgt.configuration)
     maybeUniform(spark, deltaPath, tgt.configuration)
     v
   }
@@ -2180,8 +2247,11 @@ object DeltaLog {
     // the table already declared) in the SAME commit
     val (mrv, mwv, rf, wf) = snap.protocol
     if (mrv < 3 || !rf.contains("deletionVectors")) {
-      val rfOut = (rf :+ "deletionVectors").distinct.sorted
-      val wfOut = (wf :+ "deletionVectors").distinct.sorted
+      // upgrading a LEGACY protocol to table features must ENUMERATE
+      // every feature the prior minReader/minWriter versions implied
+      val (legacyRf, legacyWf) = legacyImpliedFeatures(mrv, mwv)
+      val rfOut = (rf ++ legacyRf :+ "deletionVectors").distinct.sorted
+      val wfOut = (wf ++ legacyWf :+ "deletionVectors").distinct.sorted
       lines += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${rfOut.map(jsEscape).mkString("[", ",", "]")},"writerFeatures":${wfOut.map(jsEscape).mkString("[", ",", "]")}}}"""
     }
     candidates.filter(f => byFile.contains(fileKeyOf(f.path))).foreach { f =>
@@ -2207,8 +2277,8 @@ object DeltaLog {
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (checkpointInterval > 0 && v % checkpointInterval == 0)
-      checkpoint(spark, deltaPath, v)
+    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+      snap.configuration)
     Some(v)
   }
 
@@ -2480,8 +2550,200 @@ object DeltaLog {
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (checkpointInterval > 0 && v % checkpointInterval == 0)
-      checkpoint(spark, deltaPath, v)
+    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+      snap.configuration)
+    maybeUniform(spark, deltaPath, snap.configuration)
+    v
+  }
+
+  /** GENERALIZED MERGE — the flexible SQL shapes (`WHEN MATCHED [AND
+    * cond] THEN UPDATE SET c = expr` with PARTIAL assignments over
+    * target+source, `WHEN MATCHED [AND cond] THEN DELETE`, conditional
+    * `WHEN NOT MATCHED THEN INSERT *`) as ONE copy-on-write commit.
+    * [[merge]] stays the fast keyed-upsert path; this arm joins target
+    * and source on the keys, applies the matched clause to the
+    * AFFECTED rows only — identified by exact physical position
+    * (`__path`,`__ri`), so a matched row whose condition is false
+    * survives unchanged even when its file rewrites — then rewrites
+    * exactly the files holding affected rows and appends post-images
+    * + inserts. CDF-enabled tables record delete /
+    * update_preimage+update_postimage / insert cdc rows in the SAME
+    * commit. Expression resolution contract: [[MergeSpec]]. */
+  def mergeFlexible(spark: SparkSession, deltaPath: String,
+                    source: DataFrame, keyCols: Seq[String],
+                    matched: Option[MergeSpec.Matched],
+                    notMatched: Option[MergeSpec.NotMatched],
+                    checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    import spark.implicits._
+    import MergeSpec.SrcPrefix
+    require(keyCols.nonEmpty, "MERGE with no key columns")
+    require(matched.isDefined || notMatched.isDefined, "MERGE with no clauses")
+    val snap = snapshot(spark, deltaPath)
+    requireNotColumnMapped(snap, "MERGE")
+    keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"unknown merge key $c"))
+    keyCols.foreach(c => require(source.columns.contains(c),
+      s"merge source lacks key column $c"))
+    matched.foreach(_.assignments.foreach { case (n, _) =>
+      require(snap.schema.fieldNames.contains(n),
+        s"unknown assignment column $n") })
+    if (notMatched.isDefined)
+      snap.schema.fieldNames.foreach(c => require(source.columns.contains(c),
+        s"WHEN NOT MATCHED THEN INSERT needs source column $c"))
+    val src = graft.Caches.tracked(source)
+    if (src.isEmpty) { src.unpersist(); return snap.version }
+    require(src.groupBy(keyCols.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count() == 0L,
+      "merge source has duplicate keys — aggregate it first")
+    val pc = snap.partitionColumns
+    val dataSchema = StructType(snap.schema.filterNot(f => pc.contains(f.name)))
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(deltaPath)
+    val fs = dst.getFileSystem(fsConf)
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val root = deScheme(fs.makeQualified(dst).toString)
+
+    // target live rows (DVs applied) with partition values, __path
+    // and the physical row index — the exact row identity the
+    // affected-row bookkeeping keys on
+    val target: DataFrame =
+      if (snap.files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(StructField("__path", StringType) +:
+            StructField("__ri", LongType) +: snap.schema.fields))
+      else {
+        val base = scanLive(spark, deltaPath, dataSchema, snap.files,
+          keepRowIndex = true)
+        if (pc.isEmpty) base
+        else {
+          val pvDf = broadcast(snap.files.map(f =>
+            (fileKeyOf(f.path), pc.map(c => f.partitionValues.getOrElse(c, null))))
+            .toDF("__path", "__pv"))
+          base.join(pvDf, Seq("__path"), "left")
+            .select(col("__path") +: col("__ri") +: snap.schema.map(f =>
+              if (pc.contains(f.name))
+                element_at(col("__pv"), pc.indexOf(f.name) + 1)
+                  .cast(f.dataType).as(f.name)
+              else col(f.name)): _*)
+        }
+      }
+    val srcRen = src.select(src.columns.toSeq.map(c =>
+      col(c).as(SrcPrefix + c)): _*)
+    val joinCond = keyCols.map(k => col(k) === col(SrcPrefix + k))
+      .reduce(_ && _)
+    val affected = graft.Caches.tracked(matched match {
+      case Some(mt) => target.join(srcRen, joinCond, "inner")
+        .where(mt.condition.getOrElse(lit(true)))
+      case None => target.join(srcRen, joinCond, "inner").limit(0)
+    })
+    val tableCols = snap.schema.fieldNames.toSeq
+    val matchedFilePaths: Set[String] =
+      if (matched.isEmpty || snap.files.isEmpty) Set.empty
+      else affected.select("__path").distinct().as[String].collect().toSet
+    val toRewrite = snap.files.filter(f => matchedFilePaths(fileKeyOf(f.path)))
+
+    val updatedRows: Option[DataFrame] = matched.collect {
+      case mt if !mt.delete =>
+        val asg = mt.assignments.toMap
+        affected.select(tableCols.map(n =>
+          asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
+    }
+    val insertRows: Option[DataFrame] = notMatched.map { nm =>
+      src.join(target.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti")
+        .where(nm.condition.getOrElse(lit(true)))
+        .select(tableCols.map(n =>
+          col(n).cast(snap.schema(n).dataType).as(n)): _*)
+    }
+    val appendFrame: Option[DataFrame] =
+      (updatedRows.toSeq ++ insertRows.toSeq).reduceOption(_.unionByName(_))
+    // the new rows are this commit's writes: CHECK + NOT NULL veto
+    // whole before anything stages
+    appendFrame.foreach(af =>
+      enforceInvariants(spark, af, snap, deltaPath, enforceNotNull = true))
+
+    if (toRewrite.isEmpty && appendFrame.forall(_.isEmpty)) {
+      affected.unpersist(); src.unpersist(); return snap.version
+    }
+
+    val v = listVersions(spark, deltaPath).last + 1
+    val now = System.currentTimeMillis()
+    val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long, Option[String])]()
+    // rewrite affected files dropping exactly the AFFECTED ROWS (by
+    // physical position) — condition-false matches survive in content
+    val affectedRowIds = affected.select("__path", "__ri")
+    toRewrite.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+      .zipWithIndex.foreach { case ((pv, fls), gi) =>
+        val grp = scanLive(spark, deltaPath, dataSchema, fls,
+          keepRowIndex = true)
+        val survivors = grp.join(affectedRowIds, Seq("__path", "__ri"),
+          "left_anti")
+          .select(dataSchema.fieldNames.map(col): _*)
+        val tmp = new Path(dst, s".tmp-mrgf-$v-$gi-${java.util.UUID.randomUUID()}")
+        survivors.write.parquet(tmp.toString)
+        val dirs = pc.map(c =>
+          s"${hiveEscape(c)}=${Option(pv.getOrElse(c, null))
+            .map(hiveEscape).getOrElse("__HIVE_DEFAULT_PARTITION__")}")
+        val parts = fs.listStatus(tmp).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+        parts.zipWithIndex.foreach { case (st, i) =>
+          val stats = footerStats(fsConf, st.getPath)
+          if (!stats.exists(_.contains("\"numRecords\":0"))) {
+            val rel = (dirs :+ s"part-mrgf-$v-$gi-$i.parquet").mkString("/")
+            val fin = new Path(dst, rel)
+            fs.mkdirs(fin.getParent)
+            if (!fs.rename(st.getPath, fin))
+              throw new IllegalStateException(s"rename failed for $rel")
+            adds += ((rel, pv, fs.getFileStatus(fin).getLen, stats))
+          }
+        }
+        fs.delete(tmp, true)
+      }
+    appendFrame.foreach(af => adds ++= stageData(spark, af, dst, pc, s"mrgf-$v"))
+
+    // CDF legs: the matched clause's pre-images (delete or
+    // update_preimage), post-images, and inserts — same commit
+    val cdcLinesOut: Seq[String] =
+      if (!cdfEnabled(snap)) Seq.empty
+      else {
+        val preTgt = affected.select(tableCols.map(col): _*)
+        val legs = Seq(
+          matched.filter(_.delete).map(_ =>
+            preTgt.withColumn("_change_type", lit("delete"))),
+          matched.filterNot(_.delete).map(_ =>
+            preTgt.withColumn("_change_type", lit("update_preimage"))),
+          updatedRows.map(_.withColumn("_change_type", lit("update_postimage"))),
+          insertRows.map(_.withColumn("_change_type", lit("insert")))
+        ).flatten
+        legs.reduceOption(_.unionByName(_))
+          .map(l => stageCdcLines(spark, deltaPath, snap, l, v))
+          .getOrElse(Seq.empty)
+      }
+
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
+      }.mkString("{", ",", "}")
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    toRewrite.foreach { f =>
+      val rel = encodePath(deScheme(new Path(f.path).toString)
+        .stripPrefix(root + "/"))
+      lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    adds.foreach { case (rel, pv, sz, st) =>
+      val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
+    }
+    lines ++= cdcLinesOut
+    affected.unpersist(); src.unpersist()
+    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+    val out = fs.create(commit, false) // exclusive create = the CAS
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+      snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
     v
   }
@@ -2615,8 +2877,8 @@ object DeltaLog {
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (checkpointInterval > 0 && v % checkpointInterval == 0)
-      checkpoint(spark, deltaPath, v)
+    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+      snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
     v
   }
@@ -2772,8 +3034,22 @@ object DeltaLog {
     }
     val enablingCdf = props.get("delta.enableChangeDataFeed")
       .exists(_.trim.equalsIgnoreCase("true")) && !cdfEnabled(prior)
+    // checkpoint policy v2 is a READER feature — modern checkpoints
+    // are unreadable to pre-feature readers, so the protocol must say
+    // so in the same commit
+    props.get("delta.checkpointPolicy").foreach { p =>
+      require(p.trim == "classic" || p.trim == "v2",
+        s"unknown delta.checkpointPolicy '$p' (classic / v2)")
+    }
+    val enablingV2Cp = props.get("delta.checkpointPolicy")
+      .exists(_.trim == "v2") &&
+      !prior.configuration.get("delta.checkpointPolicy").contains("v2")
+    require(!(enablingCdf && enablingV2Cp),
+      "enable delta.enableChangeDataFeed and delta.checkpointPolicy in " +
+        "separate ALTERs — each carries its own protocol upgrade")
     val v = commitConfigChange(spark, deltaPath, prior, newConf,
-      featureUpgrade = if (enablingCdf) Some((4, "changeDataFeed")) else None)
+      featureUpgrade = if (enablingCdf) Some((4, "changeDataFeed")) else None,
+      readerWriterFeature = if (enablingV2Cp) Some("v2Checkpoint") else None)
     // enabling UniForm publishes the initial mirror right away
     maybeUniform(spark, deltaPath, newConf)
     v
@@ -2938,7 +3214,8 @@ object DeltaLog {
   private def commitConfigChange(spark: SparkSession, deltaPath: String,
                                  prior: Snapshot,
                                  newConf: Map[String, String],
-                                 featureUpgrade: Option[(Int, String)]): Long = {
+                                 featureUpgrade: Option[(Int, String)],
+                                 readerWriterFeature: Option[String] = None): Long = {
     val fs = new Path(deltaPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val v = listVersions(spark, deltaPath).last + 1
@@ -2957,6 +3234,16 @@ object DeltaLog {
         }
       } else if (mwv < legacyWriter) {
         lines += s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":$legacyWriter}}"""
+      }
+    }
+    // a READER+WRITER table feature (v2Checkpoint): force (3,7),
+    // enumerate legacy-implied features, add to both lists
+    readerWriterFeature.foreach { feature =>
+      if (mrv < 3 || mwv < 7 || !rf.contains(feature) || !wf.contains(feature)) {
+        val (legacyRf, legacyWf) = legacyImpliedFeatures(mrv, mwv)
+        val rfOut = (rf ++ legacyRf :+ feature).distinct.sorted
+        val wfOut = (wf ++ legacyWf :+ feature).distinct.sorted
+        lines += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${rfOut.map(jsEscape).mkString("[", ",", "]")},"writerFeatures":${wfOut.map(jsEscape).mkString("[", ",", "]")}}}"""
       }
     }
     lines += metaDataLine(tableId, prior.schema.json,
@@ -3142,6 +3429,66 @@ object DeltaLog {
     val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
       Row(app, tv)
     }
+    // stage-then-adopt: parquet wants a directory; a checkpoint part
+    // is one file
+    def adoptOne(df: org.apache.spark.sql.DataFrame, target: Path): Long = {
+      val tmp = new Path(dst, s".tmp-cp-$version-${java.util.UUID.randomUUID()}")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).toSeq
+        .find(_.getPath.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("no checkpoint part written"))
+      fs.delete(target, false)
+      if (!fs.rename(part.getPath, target))
+        throw new IllegalStateException(s"rename failed for $target")
+      fs.delete(tmp, true)
+      fs.getFileStatus(target).getLen
+    }
+    def writeLastCheckpoint(size: Int): Unit = {
+      val lc = new Path(logDir(deltaPath), "_last_checkpoint")
+      val out = fs.create(lc, true) // pointer file: last-writer-wins
+      try out.write(
+        s"""{"version":$version,"size":$size}\n""".getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    if (snap.configuration.get("delta.checkpointPolicy").contains("v2")) {
+      // V2 (sidecar) checkpoint — the modern form external readers
+      // expect on big logs: file actions land in
+      // `_delta_log/_sidecars/<uuid>.parquet`, the top file carries
+      // the non-file actions + checkpointMetadata + the sidecar refs
+      val uuid = java.util.UUID.randomUUID().toString
+      val scDir = new Path(logDir(deltaPath), "_sidecars")
+      fs.mkdirs(scDir)
+      val scPath = new Path(scDir, s"$uuid.parquet")
+      val scDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          addRows.map(a => Row(a)), 1),
+        StructType(Seq(ActionSchema("add"))))
+      val scLen = adoptOne(scDf, scPath)
+      val scMod = fs.getFileStatus(scPath).getModificationTime
+      val topSchema = StructType(ActionSchema.fields ++ Seq(
+        StructField("checkpointMetadata", StructType(Seq(
+          StructField("version", LongType)))),
+        StructField("sidecar", StructType(Seq(
+          StructField("path", StringType),
+          StructField("sizeInBytes", LongType),
+          StructField("modificationTime", LongType))))))
+      def top(proto: Row = null, meta: Row = null, txn: Row = null,
+              cpm: Row = null, sc: Row = null): Row =
+        Row(proto, meta, null, null, txn, null, cpm, sc)
+      val topRows: Seq[Row] =
+        Seq(top(cpm = Row(version)), top(proto = protoRow),
+          top(meta = metaRow)) ++
+          txnRows.map(t => top(txn = t)) :+
+          top(sc = Row(s"$uuid.parquet", scLen, scMod))
+      val topDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(topRows, 1), topSchema)
+      adoptOne(topDf, new Path(logDir(deltaPath),
+        pad20(version) + s".checkpoint.$uuid.parquet"))
+      writeLastCheckpoint(topRows.size + addRows.size)
+      return
+    }
+
     val rows: Seq[Row] =
       (Row(protoRow, null, null, null, null, null) +:
         Row(null, metaRow, null, null, null, null) +:
@@ -3150,23 +3497,9 @@ object DeltaLog {
     val cpDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(ActionSchema.fields))
-    // stage-then-adopt: parquet wants a directory; the classic
-    // checkpoint is one file
-    val tmp = new Path(dst, s".tmp-cp-$version-${java.util.UUID.randomUUID()}")
-    cpDf.coalesce(1).write.parquet(tmp.toString)
-    val part = fs.listStatus(tmp).toSeq
-      .find(_.getPath.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("no checkpoint part written"))
-    val cpPath = new Path(logDir(deltaPath), pad20(version) + ".checkpoint.parquet")
-    fs.delete(cpPath, false)
-    if (!fs.rename(part.getPath, cpPath))
-      throw new IllegalStateException(s"rename failed for $cpPath")
-    fs.delete(tmp, true)
-    val lc = new Path(logDir(deltaPath), "_last_checkpoint")
-    val out = fs.create(lc, true) // pointer file: last-writer-wins
-    try out.write(
-      s"""{"version":$version,"size":${rows.size}}\n""".getBytes("UTF-8"))
-    finally out.close()
+    adoptOne(cpDf, new Path(logDir(deltaPath),
+      pad20(version) + ".checkpoint.parquet"))
+    writeLastCheckpoint(rows.size)
   }
 
   // ---------------- VersionedTable interop ----------------

@@ -152,11 +152,61 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // top-level [[GraftCommittingTable]], so the SQL DML resolution
   // rule can recognize and route it)
 
+  /** Iceberg METADATA TABLES (`graft.ns.t.files` / `.snapshots` /
+    * `.history`) — the operational debugging surface every Iceberg
+    * user leans on: SQL relations over the MANIFEST metadata (file
+    * paths/sizes/records/partitions, snapshot list, made-current
+    * log). Rows come from the metadata alone — never a data scan. */
+  private val MetadataTableNames = Set("files", "snapshots", "history")
+
+  private def metadataTable(base: Path, ident: Identifier): Table = {
+    import org.apache.spark.sql.types._
+    val nm = catalogName + "." + ident.toString
+    ident.name().toLowerCase match {
+      case "files" =>
+        val snap = IcebergTable.snapshot(spark, base.toString)
+        new GraftMetadataTable(nm, StructType(Seq(
+          StructField("file_path", StringType, nullable = false),
+          StructField("record_count", LongType, nullable = false),
+          StructField("file_size_in_bytes", LongType, nullable = false),
+          StructField("sequence_number", LongType, nullable = false),
+          StructField("partition", StringType, nullable = false))),
+          snap.files.map(f => Seq(f.path, f.records, f.sizeBytes, f.seq,
+            f.partitionTuple.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"))))
+      case "snapshots" =>
+        new GraftMetadataTable(nm, StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("timestamp_ms", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false))),
+          IcebergTable.snapshotEntries(spark, base.toString)
+            .map { case (id, ts, op) => Seq(id, ts, op) })
+      case "history" =>
+        new GraftMetadataTable(nm, StructType(Seq(
+          StructField("made_current_at_ms", LongType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false))),
+          IcebergTable.snapshotLogEntries(spark, base.toString)
+            .map { case (ts, id) => Seq(ts, id) })
+    }
+  }
+
   private def serve(ident: Identifier, versionAsOf: Option[Long],
                     timestampAsOf: Option[Long]): Table = {
     val dir = dirFor(ident)
-    if (!fs.exists(dir))
+    if (!fs.exists(dir)) {
+      // `<table>.<metadata table>`: the name parses as one more
+      // namespace level — serve it when the base is an Iceberg table
+      if (ident.namespace().nonEmpty &&
+        MetadataTableNames.contains(ident.name().toLowerCase)) {
+        val base = dirFor(ident.namespace())
+        if (fs.exists(base) && isIceberg(base)) {
+          require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
+            "metadata tables do not time-travel — query the base table")
+          return metadataTable(base, ident)
+        }
+      }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
     if (isDelta(dir))
       // native DSv2 Delta table: batch + micro-batch streaming reads
       // (spark.readStream.table), committing INSERTs, partitioned
@@ -323,6 +373,59 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
     fs.delete(dir, true)
   }
+}
+
+/** A small driver-computed DSv2 relation serving the Iceberg
+  * METADATA tables: rows ride in ONE partition as plain Scala values
+  * (bounded by metadata cardinality — file/snapshot counts), the
+  * reader converts strings to catalyst form. Read-only; no data file
+  * ever opens. */
+private[sources] case class GraftLocalRowsPartition(rows: Seq[Seq[Any]])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] class GraftMetadataTable(tblName: String,
+                                          tblSchema: StructType,
+                                          rows: Seq[Seq[Any]])
+  extends Table with SupportsRead {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.read._
+
+  override def name(): String = tblName
+  override def schema(): StructType = tblSchema
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s
+  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tblSchema
+        override def description(): String = s"graft-metadata $tblName"
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(GraftLocalRowsPartition(rows))
+          override def createReaderFactory(): PartitionReaderFactory =
+            new PartitionReaderFactory {
+              override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+                val rs = p.asInstanceOf[GraftLocalRowsPartition].rows
+                new PartitionReader[InternalRow] {
+                  private var i = -1
+                  override def next(): Boolean = { i += 1; i < rs.length }
+                  override def get(): InternalRow =
+                    new GenericInternalRow(rs(i).map {
+                      case s: String =>
+                        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                      case v => v
+                    }.toArray[Any])
+                  override def close(): Unit = ()
+                }
+              }
+            }
+        }
+      }
+    }
 }
 
 /** Log-backed flavors whose reads serve through a plain parquet scan

@@ -77,7 +77,9 @@ object GraftSqlStatements {
   private val CreateTableRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?'([^']+)'""" +
       """\s*\((.+)\)\s*USING\s+(\w+)""" +
-      """(?:\s+PARTITIONED\s+BY\s*\(\s*([^)]+?)\s*\))?""" +
+      // one paren-nesting level inside PARTITIONED BY: hidden
+      // partitioning transforms are calls — `bucket(4, k)`, `days(ts)`
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\))?""" +
       """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s*;?\s*$""").r
   private val ShallowCloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?'([^']+)'""" +
@@ -257,8 +259,11 @@ object GraftSqlStatements {
     case ShowPropsRe(path) =>
       Some(GraftShowPropsCommand(path))
     case CreateTableRe(ifNot, path, colDefs, provider, partCols, props) =>
+      // paren-aware split: hidden-partitioning transforms carry commas
+      // (`bucket(4, id)`)
       Some(GraftCreateTableCommand(path, ifNot != null, colDefs.trim,
-        provider, Option(partCols).map(cols).getOrElse(Nil),
+        provider, Option(partCols).map(s =>
+          splitTopLevel(s).map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
         Option(props).map(parseProps).getOrElse(Nil)))
     case DescribeHistoryRe(path, ident) =>
       Some(GraftDescribeHistoryCommand(Option(path),
@@ -466,14 +471,21 @@ case class GraftTablePropertiesCommand(path: Option[String],
 }
 
 /** `CREATE TABLE '<path>' (col TYPE [NOT NULL] [GENERATED ALWAYS AS
-  * (expr)], …) USING delta [PARTITIONED BY (…)] [TBLPROPERTIES (…)]`
-  * → [[DeltaLog.createTable]]: version 0 commits protocol + metaData
-  * with NO data, so the declared schema (NOT NULL, generated
-  * columns), partitioning and configuration bind every writer before
-  * the first row. Delta-flavor only — Iceberg and versioned tables
-  * are created by their first INSERT (the schema travels with the
-  * data there). `IF NOT EXISTS` on an existing Delta table is a
-  * no-op returning its current version. */
+  * (expr)], …) USING <provider> [PARTITIONED BY (…)] [TBLPROPERTIES
+  * (…)]` — the DDL-first creation surface on quoted paths, routed by
+  * provider:
+  *  - `delta` → [[DeltaLog.createTable]]: version 0 commits protocol
+  *    + metaData with NO data, so the declared schema (NOT NULL,
+  *    generated columns), partitioning and configuration bind every
+  *    writer before the first row.
+  *  - `iceberg` → [[IcebergTable.createTable]]: one
+  *    `v1.metadata.json` with the declared schema, partition spec
+  *    (hidden transforms accepted: `PARTITIONED BY (days(ts),
+  *    bucket(4, id))`) and properties, NO snapshot — appends must
+  *    match both.
+  *  - `versioned` → an empty version 1 carrying the declared schema.
+  * `IF NOT EXISTS` on an existing table is a no-op returning its
+  * current version/snapshot. */
 case class GraftCreateTableCommand(dir: String, ifNotExists: Boolean,
                                    colDefs: String, provider: String,
                                    partitionBy: Seq[String],
@@ -484,21 +496,57 @@ case class GraftCreateTableCommand(dir: String, ifNotExists: Boolean,
     AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    require(provider.equalsIgnoreCase("delta"),
-      s"CREATE TABLE USING $provider is not supported — only the delta " +
-        "flavor takes DDL-first creation; Iceberg and versioned tables " +
-        "are created by their first INSERT")
-    val p = new org.apache.hadoop.fs.Path(dir, "_delta_log")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
-      require(ifNotExists, s"Delta table already exists at $dir")
-      return Seq(Row(dir, DeltaLog.listVersions(spark, dir).last))
-    }
     val fields = GraftSqlStatements.splitTopLevel(colDefs)
       .map(GraftSqlStatements.parseColDef)
-    val v = DeltaLog.createTable(spark, dir,
-      org.apache.spark.sql.types.StructType(fields), partitionBy,
-      props.toMap)
+    def requireNoGenerated(): Unit = fields.foreach(f =>
+      require(!f.metadata.contains(DeltaLog.GenerationExprKey),
+        s"GENERATED columns are a Delta feature; USING $provider " +
+          "cannot declare them"))
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val v: Long = provider.toLowerCase match {
+      case "delta" =>
+        val p = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+        val fs = p.getFileSystem(fsConf)
+        if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+          require(ifNotExists, s"Delta table already exists at $dir")
+          return Seq(Row(dir, DeltaLog.listVersions(spark, dir).last))
+        }
+        DeltaLog.createTable(spark, dir,
+          org.apache.spark.sql.types.StructType(fields), partitionBy,
+          props.toMap)
+      case "iceberg" =>
+        requireNoGenerated()
+        val p = new org.apache.hadoop.fs.Path(dir, "metadata")
+        val fs = p.getFileSystem(fsConf)
+        if (fs.exists(p) &&
+          fs.globStatus(new org.apache.hadoop.fs.Path(p,
+            "v*.metadata.json")).nonEmpty) {
+          require(ifNotExists, s"Iceberg table already exists at $dir")
+          return Seq(Row(dir,
+            IcebergTable.snapshot(spark, dir).snapshotId))
+        }
+        IcebergTable.createTable(spark, dir,
+          org.apache.spark.sql.types.StructType(fields), partitionBy,
+          props.toMap)
+        -1L // no snapshot yet — the spec's explicit "none" sentinel
+      case "versioned" =>
+        requireNoGenerated()
+        require(partitionBy.isEmpty,
+          "USING versioned does not take PARTITIONED BY")
+        require(props.isEmpty,
+          "USING versioned has no property store — TBLPROPERTIES refuse")
+        if (new java.io.File(dir).exists() &&
+          VersionedTable.currentVersion(spark, dir) > 0) {
+          require(ifNotExists, s"versioned table already exists at $dir")
+          return Seq(Row(dir, VersionedTable.currentVersion(spark, dir)))
+        }
+        VersionedTable.write(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(fields)), dir)
+      case other => throw new UnsupportedOperationException(
+        s"CREATE TABLE USING $other is not supported " +
+          "(delta / iceberg / versioned)")
+    }
     Seq(Row(dir, v))
   }
 }
@@ -744,35 +792,48 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
 
     case m: MergeIntoTable if m.resolved && targetOf(m.targetTable).isDefined =>
       val (flavor, path) = targetOf(m.targetTable).get
-      val unsupported = "graft MERGE INTO supports exactly the keyed-" +
-        "upsert shape: ON equality of same-named columns, WHEN MATCHED " +
-        "THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * — got "
+      val unsupported = "graft MERGE INTO supports ON equality of " +
+        "same-named columns with at most one matched clause (UPDATE " +
+        "SET …, optionally AND-conditional, or DELETE) and one " +
+        "not-matched clause (INSERT *, optionally AND-conditional) — got "
       if (m.notMatchedBySourceActions.nonEmpty)
         fail(unsupported + "WHEN NOT MATCHED BY SOURCE actions")
       val tgtOut = AttributeSet(m.targetTable.output)
       val srcOut = AttributeSet(m.sourceTable.output)
 
-      def validateFullRowFromSource(asg: Seq[Assignment], what: String): Unit = {
-        if (asg.size != m.targetTable.output.size)
-          fail(unsupported + s"a partial-column $what")
-        asg.foreach { a =>
+      def fullRowFromSource(asg: Seq[Assignment]): Boolean =
+        asg.size == m.targetTable.output.size && asg.forall { a =>
           (a.key, stripCast(a.value)) match {
-            case (k: AttributeReference, v: AttributeReference)
-              if srcOut.contains(v) && k.name.equalsIgnoreCase(v.name) =>
-            case _ => fail(unsupported +
-              s"$what assignment ${a.key.sql} = ${a.value.sql}")
+            case (k: AttributeReference, v: AttributeReference) =>
+              srcOut.contains(v) && k.name.equalsIgnoreCase(v.name)
+            case _ => false
           }
         }
+      // matched-frame expressions: target columns by plain name,
+      // source columns as __src_<name> ([[MergeSpec]] contract)
+      def rewriteJoined(e: Expression): Expression = {
+        if (e.exists(_.isInstanceOf[SubqueryExpression]))
+          fail("subqueries are not supported in graft MERGE clauses — " +
+            "materialize the subquery into the source first")
+        e.transform {
+          case ar: AttributeReference if srcOut.contains(ar) =>
+            UnresolvedAttribute.quoted(MergeSpec.SrcPrefix + ar.name)
+          case ar: AttributeReference =>
+            UnresolvedAttribute.quoted(ar.name)
+        }
       }
-      m.matchedActions match {
-        case Seq(UpdateAction(None, asg, _)) =>
-          validateFullRowFromSource(asg, "UPDATE")
-        case other => fail(unsupported + s"matched actions $other")
-      }
-      m.notMatchedActions match {
-        case Seq(InsertAction(None, asg)) =>
-          validateFullRowFromSource(asg, "INSERT")
-        case other => fail(unsupported + s"not-matched actions $other")
+      // insert-clause expressions evaluate over the SOURCE frame alone
+      def rewriteSource(e: Expression): Expression = {
+        if (e.exists(_.isInstanceOf[SubqueryExpression]))
+          fail("subqueries are not supported in graft MERGE clauses — " +
+            "materialize the subquery into the source first")
+        e.transform {
+          case ar: AttributeReference if srcOut.contains(ar) =>
+            UnresolvedAttribute.quoted(ar.name)
+          case ar: AttributeReference if tgtOut.contains(ar) =>
+            fail("a WHEN NOT MATCHED condition cannot reference the " +
+              s"target table (there is no matched target row): ${ar.name}")
+        }
       }
       def conjuncts(e: Expression): Seq[Expression] = e match {
         case EAnd(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -793,7 +854,55 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
           case other => fail(unsupported + s"merge condition ${other.sql}")
         }
       }
-      GraftMergeCommand(flavor, path, m.sourceTable, keyCols)
+      // FAST PATH: the plain keyed upsert keeps its dedicated command
+      // (no match frame, whole source appended in one pass)
+      val plainUpsert = (m.matchedActions, m.notMatchedActions) match {
+        case (Seq(UpdateAction(None, asg, _)), Seq(InsertAction(None, ins))) =>
+          fullRowFromSource(asg) && fullRowFromSource(ins)
+        case _ => false
+      }
+      if (plainUpsert) GraftMergeCommand(flavor, path, m.sourceTable, keyCols)
+      else {
+        val matchedSpec: Option[(Option[org.apache.spark.sql.Column], Boolean,
+          Seq[(String, org.apache.spark.sql.Column)])] =
+          m.matchedActions match {
+            case Seq() => None
+            case Seq(UpdateAction(condOpt, asg, _)) =>
+              // the analyzer may align to the full column list with
+              // identity self-assignments — drop those
+              val real = asg.filterNot(a => (a.key, stripCast(a.value)) match {
+                case (k: AttributeReference, v: AttributeReference) =>
+                  k.exprId == v.exprId
+                case _ => false
+              })
+              val effective = if (real.nonEmpty) real else asg
+              val pairs = effective.map { a =>
+                val name = a.key match {
+                  case ar: AttributeReference => ar.name
+                  case other => fail("graft MERGE supports only top-level " +
+                    s"column assignments, got ${other.sql}")
+                }
+                name -> ColumnBridge.column(rewriteJoined(a.value))
+              }
+              Some((condOpt.map(c => ColumnBridge.column(rewriteJoined(c))),
+                false, pairs))
+            case Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(condOpt)) =>
+              Some((condOpt.map(c => ColumnBridge.column(rewriteJoined(c))),
+                true, Seq.empty))
+            case other => fail(unsupported + s"matched actions $other")
+          }
+        val insertSpec: Option[Option[org.apache.spark.sql.Column]] =
+          m.notMatchedActions match {
+            case Seq() => None
+            case Seq(InsertAction(condOpt, asg)) =>
+              if (!fullRowFromSource(asg))
+                fail(unsupported + "a partial-column INSERT")
+              Some(condOpt.map(c => ColumnBridge.column(rewriteSource(c))))
+            case other => fail(unsupported + s"not-matched actions $other")
+          }
+        GraftMergeFlexCommand(flavor, path, m.sourceTable, keyCols,
+          matchedSpec, insertSpec)
+      }
   }
 }
 
@@ -837,6 +946,39 @@ case class GraftMergeCommand(flavor: String, tablePath: String,
       case "delta" => DeltaLog.merge(spark, tablePath, src, keyCols)
       case "iceberg" => IcebergTable.merge(spark, tablePath, src, keyCols)
       case "versioned" => VersionedTable.mergeReplace(src, tablePath, keyCols)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** Routed FLEXIBLE `MERGE INTO` (conditional / partial matched
+  * UPDATE, matched DELETE, conditional INSERT) — the clause payload
+  * rides as by-name Columns per the [[MergeSpec]] contract and is
+  * dispatched to the flavor's one-commit `mergeFlexible`. */
+case class GraftMergeFlexCommand(flavor: String, tablePath: String,
+                                 source: LogicalPlan, keyCols: Seq[String],
+                                 matchedSpec: Option[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])],
+                                 insertSpec: Option[Option[org.apache.spark.sql.Column]])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = ColumnBridge.ofRows(spark, source)
+    val matched = matchedSpec.map { case (cond, del, asg) =>
+      MergeSpec.Matched(cond, del, asg) }
+    val notMatched = insertSpec.map(MergeSpec.NotMatched)
+    val v = flavor match {
+      case "delta" =>
+        DeltaLog.mergeFlexible(spark, tablePath, src, keyCols, matched,
+          notMatched)
+      case "iceberg" =>
+        IcebergTable.mergeFlexible(spark, tablePath, src, keyCols, matched,
+          notMatched)
+      case "versioned" =>
+        VersionedTable.mergeFlexible(src, tablePath, keyCols, matched,
+          notMatched)
     }
     Seq(Row(v))
   }

@@ -655,15 +655,36 @@ object IcebergTable {
     else (ids.last, Some(changes(spark, tablePath, lastSnapshotId, ids.last)))
   }
 
-  /** Snapshot history (`snapshot_id`, `timestamp_ms`, `operation`) —
-    * the `SELECT * FROM t.snapshots` analog. */
-  def history(spark: SparkSession, tablePath: String): DataFrame = {
-    import spark.implicits._
+  /** `(snapshot_id, timestamp_ms, operation)` rows of the snapshots
+    * list — pure metadata, shared by [[history]] and the catalog's
+    * `<t>.snapshots` metadata table. */
+  private[sources] def snapshotEntries(spark: SparkSession,
+                                       tablePath: String): Seq[(Long, Long, String)] = {
     val meta = readJson(spark, latestMetadataFile(spark, tablePath))
     Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
       .map(s => (s.get("snapshot-id").asLong(), s.get("timestamp-ms").asLong(),
         Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
           .map(_.asText()).getOrElse("")))
+      .toSeq
+  }
+
+  /** The snapshot-log (made-current) entries —
+    * `(made_current_at_ms, snapshot_id)`: unlike [[snapshotEntries]],
+    * this records POINTER MOVES too (a rollback appends here without
+    * adding a snapshot). */
+  private[sources] def snapshotLogEntries(spark: SparkSession,
+                                          tablePath: String): Seq[(Long, Long)] = {
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    Option(meta.get("snapshot-log")).toSeq.flatMap(_.elements().asScala)
+      .map(e => (e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong()))
+      .toSeq
+  }
+
+  /** Snapshot history (`snapshot_id`, `timestamp_ms`, `operation`) —
+    * the `SELECT * FROM t.snapshots` analog. */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    snapshotEntries(spark, tablePath)
       .toDF("snapshot_id", "timestamp_ms", "operation")
   }
 
@@ -935,6 +956,76 @@ object IcebergTable {
       "overwrite")
     src.unpersist()
     v
+  }
+
+  /** GENERALIZED MERGE — the flexible SQL shapes (conditional /
+    * partial-column `WHEN MATCHED THEN UPDATE`, `WHEN MATCHED THEN
+    * DELETE`, conditional `WHEN NOT MATCHED THEN INSERT *`) as ONE
+    * merge-on-read snapshot: affected rows (matched AND clause
+    * condition true — a condition-false match survives untouched, no
+    * file even rewrites) become POSITION DELETES, update post-images
+    * and inserts land as fresh data files. [[merge]] stays the fast
+    * keyed-upsert path. Expression resolution contract:
+    * [[MergeSpec]]. */
+  def mergeFlexible(spark: SparkSession, tablePath: String,
+                    source: DataFrame, keyCols: Seq[String],
+                    matched: Option[MergeSpec.Matched],
+                    notMatched: Option[MergeSpec.NotMatched]): Long = {
+    import org.apache.spark.sql.functions._
+    import MergeSpec.SrcPrefix
+    require(keyCols.nonEmpty, "MERGE with no key columns")
+    require(matched.isDefined || notMatched.isDefined, "MERGE with no clauses")
+    val snap = snapshot(spark, tablePath)
+    require(snap.snapshotId != -1L, s"cannot merge into empty table $tablePath")
+    requireUnpartitioned(spark, tablePath, "MERGE")
+    keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"unknown merge key $c"))
+    keyCols.foreach(c => require(source.columns.contains(c),
+      s"merge source lacks key column $c"))
+    matched.foreach(_.assignments.foreach { case (n, _) =>
+      require(snap.schema.fieldNames.contains(n),
+        s"unknown assignment column $n") })
+    if (notMatched.isDefined)
+      snap.schema.fieldNames.foreach(c => require(source.columns.contains(c),
+        s"WHEN NOT MATCHED THEN INSERT needs source column $c"))
+    val src = graft.Caches.tracked(source)
+    if (src.isEmpty) { src.unpersist(); return snap.snapshotId }
+    require(src.groupBy(keyCols.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count() == 0L,
+      "merge source has duplicate keys — aggregate it first")
+    val cur = graft.Caches.tracked(liveRowsWithPos(spark, snap, snap.files))
+    try {
+      val srcRen = src.select(src.columns.toSeq.map(c =>
+        col(c).as(SrcPrefix + c)): _*)
+      val joinCond = keyCols.map(k => col(k) === col(SrcPrefix + k))
+        .reduce(_ && _)
+      val affected = matched match {
+        case Some(mt) => cur.join(srcRen, joinCond, "inner")
+          .where(mt.condition.getOrElse(lit(true)))
+        case None => cur.join(srcRen, joinCond, "inner").limit(0)
+      }
+      val rows = gatedPositions(spark, snap, snap.files, affected, "MERGE")
+      val tableCols = snap.schema.fieldNames.toSeq
+      val updatedRows: Option[DataFrame] = matched.collect {
+        case mt if !mt.delete =>
+          val asg = mt.assignments.toMap
+          affected.select(tableCols.map(n =>
+            asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
+      }
+      val insertRows: Option[DataFrame] = notMatched.map { nm =>
+        src.join(cur.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+          .where(nm.condition.getOrElse(lit(true)))
+          .select(tableCols.map(n =>
+            col(n).cast(snap.schema(n).dataType).as(n)): _*)
+      }
+      val appendFrame: Option[DataFrame] =
+        (updatedRows.toSeq ++ insertRows.toSeq).reduceOption(_.unionByName(_))
+          .filterNot(_.isEmpty)
+      if (rows.isEmpty && appendFrame.isEmpty) snap.snapshotId
+      else commitMorSnapshot(spark, tablePath, snap, rows, appendFrame,
+        "overwrite")
+    } finally { cur.unpersist(); src.unpersist() }
   }
 
   /** The table's DEFAULT partition spec as canonical partitionBy
@@ -2501,6 +2592,73 @@ object IcebergTable {
       buf += mf
     }
     buf.toSeq
+  }
+
+  /** DDL-first `CREATE TABLE` for the Iceberg flavor: ONE
+    * `v1.metadata.json` carrying the declared schema, partition spec
+    * (hidden transforms included) and properties with NO snapshot
+    * (`current-snapshot-id = -1`, the spec's explicit "none") — so
+    * schema and spec bind every writer before the first row:
+    * [[write]] appends must shape-match the schema AND re-declare the
+    * same canonical partitionBy. */
+  def createTable(spark: SparkSession, tablePath: String,
+                  schema: StructType, partitionBy: Seq[String] = Nil,
+                  properties: Map[String, String] = Map.empty): Unit = {
+    val dst = new Path(tablePath)
+    val fs = fsFor(spark, dst)
+    val mdir = metaDir(tablePath)
+    require(!fs.exists(mdir) ||
+      fs.globStatus(new Path(mdir, "v*.metadata.json")).isEmpty,
+      s"Iceberg table already exists at $tablePath")
+    fs.mkdirs(mdir)
+    fs.mkdirs(new Path(dst, "data"))
+    var idCounter = 0
+    val nextId = () => { idCounter += 1; idCounter }
+    val schemaObj = sparkTypeToIceberg(schema, nextId).asInstanceOf[ObjectNode]
+    schemaObj.put("schema-id", 0)
+    val pfs = partitionBy.map(IcebergPartitioning.parse)
+    val specFields: Seq[SpecField] = pfs.map { pf =>
+      require(schema.fieldNames.contains(pf.source),
+        s"unknown partition source column ${pf.source}")
+      IcebergPartitioning.requireSupported(pf, schema(pf.source).dataType)
+      val srcId = schemaObj.get("fields").elements().asScala
+        .find(_.get("name").asText() == pf.source).get.get("id").asInt()
+      SpecField(pf.name,
+        IcebergPartitioning.resultType(pf, schema(pf.source).dataType),
+        srcId, pf.transform)
+    }
+    val now = System.currentTimeMillis()
+    val root = M.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+      ("iceberg:" + tablePath).getBytes("UTF-8")).toString)
+    root.put("location", fs.makeQualified(dst).toString)
+    root.put("last-sequence-number", 0L)
+    root.put("last-updated-ms", now)
+    root.put("last-column-id", idCounter)
+    root.put("current-schema-id", 0)
+    root.putArray("schemas").add(schemaObj)
+    val sp = root.putArray("partition-specs").addObject()
+    sp.put("spec-id", 0)
+    sp.set[JsonNode]("fields", M.readTree(specFieldsJson(specFields)))
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999 + specFields.size)
+    root.put("default-sort-order-id", 0)
+    val so = root.putArray("sort-orders").addObject()
+    so.put("order-id", 0)
+    so.putArray("fields")
+    root.put("current-snapshot-id", -1L)
+    root.putArray("snapshots")
+    root.putArray("snapshot-log")
+    root.putArray("metadata-log")
+    val propsNode = root.putObject("properties")
+    properties.foreach { case (k, v) => propsNode.put(k, v) }
+    val mp = new Path(mdir, "v1.metadata.json")
+    val out = fs.create(mp, false) // exclusive create = the CAS
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
+    try hintOut.write("1".getBytes("UTF-8")) finally hintOut.close()
   }
 
   /** Write `df` as ONE new Iceberg snapshot at `tablePath` — append

@@ -429,6 +429,62 @@ object VersionedTable {
     }
   }
 
+  /** GENERALIZED MERGE — the flexible SQL shapes (conditional /
+    * partial-column matched UPDATE, matched DELETE, conditional
+    * INSERT) as one committed version of the full-state table.
+    * Affected rows are tracked by an exact per-row id, so a matched
+    * row whose clause condition is false survives unchanged even when
+    * another row shares its key. Expression resolution contract:
+    * [[MergeSpec]]. */
+  def mergeFlexible(updates: DataFrame, table: String, keys: Seq[String],
+                    matched: Option[MergeSpec.Matched],
+                    notMatched: Option[MergeSpec.NotMatched]): Long = {
+    val spark = updates.sparkSession
+    import MergeSpec.SrcPrefix
+    require(keys.nonEmpty, "MERGE with no key columns")
+    require(matched.isDefined || notMatched.isDefined, "MERGE with no clauses")
+    require(updates.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count() == 0L,
+      "merge source has duplicate keys — aggregate it first")
+    commitLoop(spark, table) { cur =>
+      Some {
+        if (cur == 0)
+          notMatched.map(nm => updates.where(nm.condition.getOrElse(lit(true))))
+            .getOrElse(updates.limit(0))
+        else {
+          val t = graft.Caches.tracked(readVersion(spark, table, cur)
+            .withColumn("__rid", monotonically_increasing_id()))
+          val tableCols = t.columns.toSeq.filterNot(_ == "__rid")
+          val srcRen = updates.select(updates.columns.toSeq.map(c =>
+            col(c).as(SrcPrefix + c)): _*)
+          val joinCond = keys.map(k => col(k) === col(SrcPrefix + k))
+            .reduce(_ && _)
+          val affected = matched match {
+            case Some(mt) => t.join(srcRen, joinCond, "inner")
+              .where(mt.condition.getOrElse(lit(true)))
+            case None => t.join(srcRen, joinCond, "inner").limit(0)
+          }
+          val kept = t.join(affected.select("__rid"), Seq("__rid"),
+            "left_anti").drop("__rid")
+          val updated: Option[DataFrame] = matched.collect {
+            case mt if !mt.delete =>
+              val asg = mt.assignments.toMap
+              affected.select(tableCols.map(n =>
+                asg.getOrElse(n, col(n)).as(n)): _*)
+          }
+          val inserts: Option[DataFrame] = notMatched.map { nm =>
+            updates.join(t.select(keys.map(col): _*).distinct(),
+              keys, "left_anti")
+              .where(nm.condition.getOrElse(lit(true)))
+              .select(tableCols.map(col): _*)
+          }
+          (Seq(kept) ++ updated.toSeq ++ inserts.toSeq)
+            .reduce(_.unionByName(_))
+        }
+      }
+    }
+  }
+
   def merge(updates: DataFrame, table: String, keys: Seq[String],
             versionCol: String): Long = {
     val spark = updates.sparkSession

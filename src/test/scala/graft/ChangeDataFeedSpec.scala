@@ -106,6 +106,45 @@ class ChangeDataFeedSpec extends SparkSpec {
       .select("v").as[String].collect().toSeq === Seq("ONE"))
   }
 
+  test("mixed polled range: a cdc-LESS DV commit and cdc commits — cdc versions serve from _change_data exclusively") {
+    val t = Files.createTempDirectory("graft-cdf-mix").toString + "/t"
+    DeltaLog.write(spark, (1L to 20L).map(i => (i, s"r$i"))
+      .toDF("k", "v").coalesce(1), t)                              // v0
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try DeltaLog.delete(spark, t, col("k") === 5L) // v1: DV, CDF OFF → no cdc
+    finally spark.conf.unset("spark.graft.dv.enabled")
+    DeltaLog.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true")) // v2: config-only metaData
+    DeltaLog.update(spark, t, col("k") === 1L,
+      Map("v" -> lit("ONE")))                      // v3: COW rewrite + cdc
+    // the range mixes a cdc-less DV commit (row-diff replay) with a
+    // cdc-bearing commit — the latter must serve from its cdc files
+    // EXCLUSIVELY (precise pre/post images), never reconstructed as
+    // whole-file delete+insert legs of the rewritten file
+    val all = feed(t, 0L, 3L)
+    assert(all.filter(_._4 == 1L) === Set((5L, "r5", "delete", 1L)))
+    assert(all.filter(_._4 == 3L) === Set(
+      (1L, "r1", "update_preimage", 3L), (1L, "ONE", "update_postimage", 3L)))
+    assert(!all.exists(_._4 == 2L)) // the config commit changes no rows
+  }
+
+  test("DV protocol upgrade from a legacy protocol enumerates the implied features") {
+    val t = Files.createTempDirectory("graft-dv-proto").toString + "/t"
+    DeltaLog.write(spark, (1L to 9L).map(i => (i, s"r$i"))
+      .toDF("k", "v").coalesce(1), t) // legacy (1,2)
+    assert(DeltaLog.snapshot(spark, t).protocol._1 === 1)
+    spark.conf.set("spark.graft.dv.enabled", "true")
+    try DeltaLog.delete(spark, t, col("k") === 2L)
+    finally spark.conf.unset("spark.graft.dv.enabled")
+    val (mrv, mwv, _, wf) = DeltaLog.snapshot(spark, t).protocol
+    assert((mrv, mwv) === ((3, 7)))
+    // (1,2) implied appendOnly + invariants — they must ride along or
+    // a spec-compliant writer would stop honoring them
+    assert(Set("appendOnly", "invariants", "deletionVectors")
+      .subsetOf(wf.toSet), wf.toString)
+    assert(!wf.contains("checkConstraints")) // writer 3+ only
+  }
+
   test("vacuum reclaims change-data files past the retention horizon") {
     val t = Files.createTempDirectory("graft-cdf-vac").toString + "/t"
     DeltaLog.write(spark,

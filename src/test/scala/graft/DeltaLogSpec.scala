@@ -150,12 +150,12 @@ class DeltaLogSpec extends SparkSpec {
     val schema = Seq(Tuple1(1L)).toDF("id").schema
     val s1 = writeDataFile(t, "f1.parquet", Seq(Tuple1(1L)).toDF("id"))
     commit(t, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["icebergCompatV3"]}}""",
       metaLine(schema.json), addLine("f1.parquet", s1)))
     val e = intercept[UnsupportedOperationException] {
       DeltaLog.snapshot(spark, t)
     }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("icebergCompatV3"))
     // column mapping modes beyond none/name/id (both real modes
     // resolve at read since r10 — see the dedicated test); an
     // UNKNOWN future mode must stay loud, never read wrong
@@ -405,6 +405,41 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.snapshot(spark, tu)
     }
     assert(e.getMessage.contains("unrecognized Delta checkpoint"), e.getMessage)
+  }
+
+  test("v2 checkpoint WRITE: the policy property bumps the protocol, the modern form round-trips, the interval property is honored") {
+    val t = Files.createTempDirectory("graft-cp2w").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), t) // v0
+    DeltaLog.setTableProperties(spark, t, Map(
+      "delta.checkpointPolicy" -> "v2",
+      "delta.checkpointInterval" -> "2")) // v1
+    val (mrv, mwv, rf, wf) = DeltaLog.snapshot(spark, t).protocol
+    assert((mrv, mwv) === ((3, 7)))
+    assert(rf.contains("v2Checkpoint") && wf.contains("v2Checkpoint"),
+      s"$rf / $wf")
+    DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v"), t) // v2: due
+    val names = new java.io.File(s"$t/_delta_log").listFiles()
+      .map(_.getName)
+    // the interval PROPERTY (2) is honored — not the caller default 10
+    assert(names.exists(_.matches(
+      "\\d{20}\\.checkpoint\\.[A-Za-z0-9-]+\\.parquet")), names.mkString(","))
+    assert(!names.exists(_.matches("\\d{20}\\.checkpoint\\.parquet")))
+    assert(new java.io.File(s"$t/_delta_log/_sidecars").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    // the external-shape v2 checkpoint + sidecars round-trips through
+    // graft's own reader with the json prefix gone
+    (0 to 2).foreach { i =>
+      Files.deleteIfExists(Paths.get(t, "_delta_log", f"$i%020d.json"))
+      Files.deleteIfExists(Paths.get(t, "_delta_log", f".$i%020d.json.crc"))
+    }
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    assert(DeltaLog.snapshot(spark, t).version === 2L)
+    // bad policy values refuse
+    intercept[IllegalArgumentException] {
+      DeltaLog.setTableProperties(spark, t,
+        Map("delta.checkpointPolicy" -> "v3"))
+    }
   }
 
   test("changes: per-commit insert/delete feed with partition values") {

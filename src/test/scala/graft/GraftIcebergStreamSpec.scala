@@ -485,6 +485,57 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(planStr.contains("PushedFilters") && planStr.contains("k"), planStr)
   }
 
+  test("Iceberg metadata tables: .files / .snapshots / .history serve from manifests, never a data scan") {
+    val root = tmp("gi-meta")
+    spark.conf.set("spark.sql.catalog.graft_im", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_im.root", root)
+    val t = s"$root/ns/t"
+    val s1 = IcebergTable.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    IcebergTable.write(spark, Seq((3L, "c")).toDF("k", "v").coalesce(1), t)
+    IcebergTable.delete(spark, t, col("k") === 1L)
+    val snap = IcebergTable.snapshot(spark, t)
+
+    // .files: one row per live DATA file, manifest-recorded facts
+    val files = spark.sql("SELECT * FROM graft_im.ns.t.files")
+    assert(files.columns.toSeq === Seq("file_path", "record_count",
+      "file_size_in_bytes", "sequence_number", "partition"))
+    assert(files.count() === snap.files.size.toLong)
+    assert(files.select("file_path").as[String].collect().toSet
+      === snap.files.map(_.path).toSet)
+    assert(files.select("record_count").as[Long].collect().sum === 3L)
+
+    // .snapshots: the snapshots list with operations
+    val snaps = spark.sql(
+      "SELECT snapshot_id, operation FROM graft_im.ns.t.snapshots ORDER BY snapshot_id")
+      .as[(Long, String)].collect()
+    assert(snaps.map(_._1).toSeq === IcebergTable.snapshotIds(spark, t))
+    assert(snaps.map(_._2).toSeq === Seq("append", "append", "delete"))
+
+    // .history: made-current log — a ROLLBACK adds a history row
+    // without adding a snapshot
+    val h0 = spark.sql("SELECT count(*) FROM graft_im.ns.t.history")
+      .as[Long].head()
+    IcebergTable.rollbackTo(spark, t, s1)
+    assert(spark.sql("SELECT count(*) FROM graft_im.ns.t.history")
+      .as[Long].head() === h0 + 1)
+    assert(spark.sql("SELECT count(*) FROM graft_im.ns.t.snapshots")
+      .as[Long].head() === snaps.length.toLong)
+    // the rollback target was made current TWICE (initially + now)
+    assert(spark.sql("SELECT snapshot_id FROM graft_im.ns.t.history")
+      .as[Long].collect().count(_ == s1) === 2)
+
+    // metadata rows only — the plan is the local metadata relation,
+    // no parquet scan
+    val plan = spark.sql("SELECT * FROM graft_im.ns.t.files")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-metadata") || !plan.contains("Parquet"), plan)
+    // a non-iceberg base or unknown suffix still resolves nothing
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_im.ns.t.nope").collect()
+    }
+  }
+
   test("MOR partitions carry delete-FILE refs, not positions; executors decode") {
     val dir = tmp("gi-morplan")
     val t = s"$dir/t"

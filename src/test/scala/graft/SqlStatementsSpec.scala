@@ -169,20 +169,14 @@ class SqlStatementsSpec extends SparkSpec {
       .select("k", "_change_type").as[(Long, String)].collect().toSet
     assert(ch.contains((2L, "delete")) && ch.contains((2L, "insert")) &&
       ch.contains((9L, "insert")))
-    // non-upsert shapes are refused loudly, never half-applied
-    val e1 = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO gsql_mrg.ns.t AS t USING mrg_src AS s ON t.k = s.k
-          |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
-    assert(e1.getMessage.contains("keyed-upsert"), e1.getMessage)
+    // non-equi merge conditions are refused loudly, never half-applied
     val e2 = intercept[Exception] {
       spark.sql(
         """MERGE INTO gsql_mrg.ns.t AS t USING mrg_src AS s ON t.k < s.k
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    assert(e2.getMessage.contains("keyed-upsert"), e2.getMessage)
+    assert(e2.getMessage.contains("equality of same-named"), e2.getMessage)
     // duplicate source keys: the library's counted ambiguity gate
     Seq((5L, "x", 1), (5L, "y", 2)).toDF("k", "v", "n")
       .createOrReplaceTempView("mrg_dup")
@@ -193,6 +187,132 @@ class SqlStatementsSpec extends SparkSpec {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(spark.sql("SELECT count(*) FROM gsql_mrg.ns.t").as[Long].head() === 3L)
+  }
+
+  test("CREATE TABLE USING iceberg / versioned: schema + spec bind before the first row") {
+    val root = catalogRoot("ctab")
+    val ti = s"$root/ns/it"
+    spark.sql(s"CREATE TABLE '$ti' (k BIGINT NOT NULL, ts TIMESTAMP, " +
+      "v STRING) USING iceberg PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('owner'='graft')")
+    val snap0 = IcebergTable.snapshot(spark, ti)
+    assert(snap0.snapshotId === -1L) // no snapshot — schema-first
+    assert(snap0.schema.fieldNames.toSeq === Seq("k", "ts", "v"))
+    assert(IcebergTable.defaultSpecNames(spark, ti) === Seq("bucket(4, k)"))
+    assert(IcebergTable.properties(spark, ti)("owner") === "graft")
+    // IF NOT EXISTS no-ops; a bare re-create refuses
+    spark.sql(s"CREATE TABLE IF NOT EXISTS '$ti' (x INT) USING iceberg")
+    assert(IcebergTable.snapshot(spark, ti).schema.fieldNames.toSeq
+      === Seq("k", "ts", "v"))
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE '$ti' (x INT) USING iceberg")
+    }
+    // the first INSERT adopts the declared hidden spec
+    spark.sql("INSERT INTO gsql_ctab.ns.it VALUES " +
+      "(1, TIMESTAMP '2024-01-01 00:00:00', 'a'), " +
+      "(2, TIMESTAMP '2024-01-02 00:00:00', 'b')")
+    val snap1 = IcebergTable.snapshot(spark, ti)
+    assert(snap1.files.nonEmpty &&
+      snap1.files.forall(_.partitionTuple.keySet === Set("k_bucket")))
+    assert(spark.sql("SELECT k FROM gsql_ctab.ns.it ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // the declared schema binds appends
+    intercept[Exception] {
+      IcebergTable.write(spark, Seq((1, "x")).toDF("a", "b"), ti)
+    }
+    // versioned flavor: an empty version 1 with the declared schema
+    val tv = s"$root/ns/vt"
+    spark.sql(s"CREATE TABLE '$tv' (k BIGINT, v STRING) USING versioned")
+    assert(spark.sql("SELECT count(*) FROM gsql_ctab.ns.vt")
+      .as[Long].head() === 0L)
+    spark.sql("INSERT INTO gsql_ctab.ns.vt VALUES (1, 'a')")
+    assert(spark.sql("SELECT k, v FROM gsql_ctab.ns.vt")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    // unknown providers refuse loudly
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE '$root/ns/x' (k INT) USING hudi")
+    }
+  }
+
+  test("FLEXIBLE SQL MERGE: conditional/partial UPDATE, DELETE, conditional INSERT — one commit each, CDC visible") {
+    val root = catalogRoot("fmrg")
+    val t = s"$root/ns/t"
+    DeltaLog.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n"), t)
+    DeltaLog.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true")) // v1
+    Seq((1L, "A", 5), (2L, "B", 200), (9L, "z", 90), (8L, "y", 1))
+      .toDF("k", "v", "n").createOrReplaceTempView("fmrg_src")
+    // conditional PARTIAL update (value references both sides) +
+    // conditional insert — ONE commit
+    spark.sql(
+      """MERGE INTO gsql_fmrg.ns.t AS t USING fmrg_src AS s ON t.k = s.k
+        |WHEN MATCHED AND s.n > 100 THEN UPDATE SET n = s.n + t.n
+        |WHEN NOT MATCHED AND s.n > 50 THEN INSERT *""".stripMargin) // v2
+    // k=1 matched but condition false → survives UNCHANGED; k=2
+    // updates n only (v keeps "b"); k=9 inserts, k=8 filtered out
+    assert(spark.sql("SELECT * FROM gsql_fmrg.ns.t")
+      .as[(Long, String, Int)].collect().toSet
+      === Set((1L, "a", 10), (2L, "b", 220), (3L, "c", 30), (9L, "z", 90)))
+    assert(DeltaLog.snapshot(spark, t).version === 2L)
+    // CDC: precise pre/post for k=2 + insert for k=9, NOTHING for the
+    // condition-false match or the untouched rows
+    val ch = DeltaLog.changes(spark, t, 1L, 2L)
+      .select("k", "n", "_change_type").as[(Long, Int, String)]
+      .collect().toSet
+    assert(ch === Set((2L, 20, "update_preimage"),
+      (2L, 220, "update_postimage"), (9L, 90, "insert")))
+
+    // conditional WHEN MATCHED THEN DELETE
+    Seq((2L, "x", 0), (3L, "x", 0)).toDF("k", "v", "n")
+      .createOrReplaceTempView("fmrg_del")
+    spark.sql(
+      """MERGE INTO gsql_fmrg.ns.t AS t USING fmrg_del AS s ON t.k = s.k
+        |WHEN MATCHED AND t.n > 100 THEN DELETE""".stripMargin) // v3
+    assert(spark.sql("SELECT k FROM gsql_fmrg.ns.t ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 3L, 9L))
+    assert(DeltaLog.changes(spark, t, 2L, 3L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+      === Set((2L, "delete")))
+
+    // ICEBERG flavor: partial update with an expression, plus insert —
+    // one merge-on-read snapshot
+    val ti = s"$root/ns/it"
+    IcebergTable.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "n"), ti)
+    Seq((2L, "gamma", 200), (7L, "q", 70)).toDF("k", "v", "n")
+      .createOrReplaceTempView("fmrg_isrc")
+    val snapsBefore = IcebergTable.snapshotIds(spark, ti).size
+    spark.sql(
+      """MERGE INTO gsql_fmrg.ns.it AS t USING fmrg_isrc AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = upper(s.v)
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT * FROM gsql_fmrg.ns.it")
+      .as[(Long, String, Int)].collect().toSet
+      === Set((1L, "a", 10), (2L, "GAMMA", 20), (7L, "q", 70)))
+    assert(IcebergTable.snapshotIds(spark, ti).size === snapsBefore + 1)
+
+    // VERSIONED flavor: matched DELETE
+    val tv = s"$root/ns/vt"
+    VersionedTable.write(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "n"), tv)
+    Seq((1L, "x", 0)).toDF("k", "v", "n").createOrReplaceTempView("fmrg_vdel")
+    spark.sql(
+      """MERGE INTO gsql_fmrg.ns.vt AS t USING fmrg_vdel AS s ON t.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT k FROM gsql_fmrg.ns.vt").as[Long]
+      .collect().toSeq === Seq(2L))
+
+    // the ambiguity gate binds the flexible arm too
+    Seq((9L, "x", 1), (9L, "y", 2)).toDF("k", "v", "n")
+      .createOrReplaceTempView("fmrg_dup")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gsql_fmrg.ns.t AS t USING fmrg_dup AS s ON t.k = s.k
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(spark.sql("SELECT count(*) FROM gsql_fmrg.ns.t")
+      .as[Long].head() === 3L)
   }
 
   test("SQL UPDATE / MERGE INTO / DELETE route to the VERSIONED flavor's committing DML") {
@@ -523,12 +643,13 @@ class SqlStatementsSpec extends SparkSpec {
     val again = spark.sql("CREATE TABLE IF NOT EXISTS '" + dir +
       "' (x INT) USING delta").collect()
     assert(again(0).getLong(1) === 1L)
-    // plain CREATE over an existing table refuses; non-delta refuses
+    // plain CREATE over an existing table refuses; unknown providers
+    // refuse (iceberg/versioned have their own creation paths now)
     intercept[IllegalArgumentException] {
       spark.sql("CREATE TABLE '" + dir + "' (x INT) USING delta").collect()
     }
-    intercept[IllegalArgumentException] {
-      spark.sql("CREATE TABLE '" + dir + "2' (x INT) USING iceberg").collect()
+    intercept[UnsupportedOperationException] {
+      spark.sql("CREATE TABLE '" + dir + "2' (x INT) USING hudi").collect()
     }
     // a shape-equal overwrite KEEPS the declared NOT NULL binding —
     // nulls must not sneak into k through the retained metaData
