@@ -111,7 +111,10 @@ case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val helper = IcebergTransforms.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // the object's STATIC FORWARDERS — valid Java (`Foo.MODULE$` is
+    // only a member of the mangled `Foo$` class and would fail Janino,
+    // silently dropping the whole stage to interpreted execution)
+    val helper = IcebergTransforms.getClass.getName.stripSuffix("$")
     child.dataType match {
       case IntegerType | DateType | LongType | TimestampType | TimestampNTZType =>
         defineCodeGen(ctx, ev, c => s"$helper.bucketLong((long)$c, $n)")

@@ -1447,8 +1447,10 @@ object DeltaLog {
   private def maybeCheckpoint(spark: SparkSession, deltaPath: String,
                               v: Long, callerInterval: Int,
                               config: Map[String, String]): Unit = {
+    // tolerant parse: the COMMIT already landed — a malformed
+    // externally-set property must not fail a write that committed
     val interval = config.get("delta.checkpointInterval")
-      .map(_.trim.toInt).getOrElse(callerInterval)
+      .flatMap(_.trim.toIntOption).getOrElse(callerInterval)
     if (interval > 0 && v > 0 && v % interval == 0)
       checkpoint(spark, deltaPath, v)
   }
@@ -2586,7 +2588,11 @@ object DeltaLog {
       s"merge source lacks key column $c"))
     matched.foreach(_.assignments.foreach { case (n, _) =>
       require(snap.schema.fieldNames.contains(n),
-        s"unknown assignment column $n") })
+        s"unknown assignment column $n")
+      require(!snap.schema(n).metadata.contains(GenerationExprKey),
+        s"cannot UPDATE generated column $n — it is always computed " +
+          s"AS (${snap.schema(n).metadata.getString(GenerationExprKey)})")
+    })
     if (notMatched.isDefined)
       snap.schema.fieldNames.foreach(c => require(source.columns.contains(c),
         s"WHEN NOT MATCHED THEN INSERT needs source column $c"))
@@ -2643,11 +2649,24 @@ object DeltaLog {
       else affected.select("__path").distinct().as[String].collect().toSet
     val toRewrite = snap.files.filter(f => matchedFilePaths(fileKeyOf(f.path)))
 
+    // GENERATED columns RECOMPUTE from the post-assignment row (real
+    // Delta's behavior when an update touches their inputs) — the
+    // same projection [[update]] applies
+    val genRecompute: DataFrame => DataFrame = { d =>
+      if (!snap.schema.fields.exists(_.metadata.contains(GenerationExprKey)))
+        d
+      else d.select(snap.schema.fields.map { f =>
+        if (f.metadata.contains(GenerationExprKey))
+          expr(f.metadata.getString(GenerationExprKey))
+            .cast(f.dataType).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
+    }
     val updatedRows: Option[DataFrame] = matched.collect {
       case mt if !mt.delete =>
         val asg = mt.assignments.toMap
-        affected.select(tableCols.map(n =>
-          asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
+        genRecompute(affected.select(tableCols.map(n =>
+          asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*))
     }
     val insertRows: Option[DataFrame] = notMatched.map { nm =>
       src.join(target.select(keyCols.map(col): _*).distinct(),
@@ -3040,6 +3059,10 @@ object DeltaLog {
     props.get("delta.checkpointPolicy").foreach { p =>
       require(p.trim == "classic" || p.trim == "v2",
         s"unknown delta.checkpointPolicy '$p' (classic / v2)")
+    }
+    props.get("delta.checkpointInterval").foreach { p =>
+      require(p.trim.toIntOption.exists(_ > 0),
+        s"delta.checkpointInterval must be a positive integer, got '$p'")
     }
     val enablingV2Cp = props.get("delta.checkpointPolicy")
       .exists(_.trim == "v2") &&

@@ -306,9 +306,16 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(math.max(files.map(_.sizeBytes).sum, 1L))
     override def numRows(): util.OptionalLong = {
-      val deleted = table.snap.deletes
-        .filter(d => d.content == 1 && files.exists(_.seq <= d.seq))
-        .map(_.records).sum
+      // subtract position-delete cardinality only for FULL scans —
+      // a delete file does not say WHICH data files it covers, so on
+      // a pruned scan the global count would over-subtract (a scan of
+      // an untouched partition must not report ~0 rows to join
+      // costing); over-estimating the pruned case is the safe side
+      val deleted =
+        if (files.size != table.snap.files.size) 0L
+        else table.snap.deletes
+          .filter(d => d.content == 1 && files.exists(_.seq <= d.seq))
+          .map(_.records).sum
       util.OptionalLong.of(math.max(files.map(_.records).sum - deleted, 0L))
     }
   }

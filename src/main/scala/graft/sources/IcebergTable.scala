@@ -75,7 +75,8 @@ object IcebergTable {
                             valueCounts: Map[String, Long] = Map.empty,
                             nullCounts: Map[String, Long] = Map.empty,
                             bounds: Map[String, (BigDecimal, BigDecimal)] = Map.empty,
-                            addedSnapshotId: Long = -1L)
+                            addedSnapshotId: Long = -1L,
+                            specId: Int = 0)
 
   /** One v2 DELETE file (merge-on-read): `content` 1 = position
     * deletes (parquet of `file_path`/`pos`), 2 = equality deletes
@@ -95,7 +96,8 @@ object IcebergTable {
                             files: Seq[DataFile],
                             deletes: Seq[DeleteFile] = Seq.empty,
                             fieldNames: Map[Int, String] = Map.empty,
-                            specFields: Seq[IcebergPartitioning.PartField] = Seq.empty)
+                            specFields: Seq[IcebergPartitioning.PartField] = Seq.empty,
+                            defaultSpecId: Int = 0)
 
   /** One manifest/metadata partition-spec field: the FIELD's name and
     * (result) type, the source column's field id, and the spec-JSON
@@ -281,27 +283,37 @@ object IcebergTable {
     // the DEFAULT partition spec, transforms included — what
     // hidden-partitioning pruning and append staging consult
     // (source ids resolve against the CURRENT schema)
+    val defaultSpecId: Int =
+      Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
     val defaultSpec: Seq[IcebergPartitioning.PartField] = {
       val curIds: Map[Int, String] =
         Option(schemaById(currentSchemaId).get("fields")).toSeq
           .flatMap(_.elements().asScala)
           .filter(f => f.has("id") && f.has("name"))
           .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
-      val dsid = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-      Option(meta.get("partition-specs")).toSeq.flatMap(_.elements().asScala)
-        .find(s => Option(s.get("spec-id")).exists(_.asInt() == dsid)).toSeq
-        .flatMap(s => Option(s.get("fields")).toSeq
-          .flatMap(_.elements().asScala))
-        .flatMap { f =>
-          val srcId = f.get("source-id").asInt()
-          curIds.get(srcId).map(src => IcebergPartitioning.fromJson(
-            f.get("name").asText(), f.get("transform").asText(), src))
+      val fields: Seq[JsonNode] =
+        Option(meta.get("partition-specs")).toSeq.flatMap(_.elements().asScala)
+          .find(s => Option(s.get("spec-id")).exists(_.asInt() == defaultSpecId))
+          .toSeq
+          .flatMap(s => Option(s.get("fields")).toSeq
+            .flatMap(_.elements().asScala)) match {
+          case Seq() =>
+            // legacy v1 layout: a single top-level `partition-spec`
+            // array of fields (spec-id 0)
+            Option(meta.get("partition-spec")).toSeq
+              .flatMap(_.elements().asScala).toSeq
+          case fs => fs
         }
+      fields.flatMap { f =>
+        val srcId = f.get("source-id").asInt()
+        curIds.get(srcId).map(src => IcebergPartitioning.fromJson(
+          f.get("name").asText(), f.get("transform").asText(), src))
+      }
     }
     val snaps = Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
     if (snaps.isEmpty) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty,
-      specFields = defaultSpec)
+      specFields = defaultSpec, defaultSpecId = defaultSpecId)
 
     val chosen: JsonNode = (snapshotIdAsOf, timestampAsOf) match {
       case (Some(id), _) => snaps.find(_.get("snapshot-id").asLong() == id)
@@ -318,7 +330,7 @@ object IcebergTable {
         val cur = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
           .map(_.asLong()).getOrElse(-1L)
         if (cur == -1L) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty,
-          specFields = defaultSpec)
+          specFields = defaultSpec, defaultSpecId = defaultSpecId)
         snaps.find(_.get("snapshot-id").asLong() == cur)
           .getOrElse(throw new IllegalStateException(
             s"current-snapshot-id $cur not in snapshots list"))
@@ -346,22 +358,25 @@ object IcebergTable {
     // v2 (and late v1): snapshot → manifest-list avro → manifest
     // paths, each with content (0=data 1=deletes) + sequence number.
     // early v1 alternative: inline `manifests` array on the snapshot.
-    val manifests: Seq[(String, Int, Long, Long)] =
+    val manifests: Seq[(String, Int, Long, Long, Int)] =
       if (chosen.has("manifest-list")) {
-        val buf = scala.collection.mutable.ArrayBuffer[(String, Int, Long, Long)]()
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Int, Long, Long, Int)]()
         foreachAvro(spark, new Path(chosen.get("manifest-list").asText())) { r =>
           val content = fieldOpt(r, "content").map(longOf(_).toInt).getOrElse(0)
           val seq = fieldOpt(r, "sequence_number").map(longOf).getOrElse(0L)
           val addedBy = fieldOpt(r, "added_snapshot_id").map(longOf).getOrElse(-1L)
-          buf += ((r.get("manifest_path").toString, content, seq, addedBy))
+          val specId = fieldOpt(r, "partition_spec_id").map(longOf(_).toInt)
+            .getOrElse(0)
+          buf += ((r.get("manifest_path").toString, content, seq, addedBy,
+            specId))
         }
         buf.toSeq
       } else chosen.get("manifests").elements().asScala
-        .map(n => (n.asText(), 0, 0L, -1L)).toSeq
+        .map(n => (n.asText(), 0, 0L, -1L, 0)).toSeq
 
     val files = scala.collection.mutable.ArrayBuffer[DataFile]()
     val deletes = scala.collection.mutable.ArrayBuffer[DeleteFile]()
-    manifests.foreach { case (mp, mContent, mSeq, mAddedBy) =>
+    manifests.foreach { case (mp, mContent, mSeq, mAddedBy, mSpecId) =>
       foreachAvro(spark, new Path(mp)) { entry =>
         val status = longOf(entry.get("status")).toInt // 0 existing 1 added 2 deleted
         if (status != 2) {
@@ -431,7 +446,7 @@ object IcebergTable {
               fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L),
               seq, pt, named(kvLongMap("value_counts")),
               named(kvLongMap("null_value_counts")), bounds,
-              addedSnapshotId = addedBy)
+              addedSnapshotId = addedBy, specId = mSpecId)
           } else { // delete manifest: position (1) or equality (2)
             if (content != 1 && content != 2)
               throw new UnsupportedOperationException(
@@ -457,7 +472,7 @@ object IcebergTable {
       }
     }
     Snapshot(tablePath, snapId, snapTs, snapSchema, files.toSeq,
-      deletes.toSeq, fieldNames, defaultSpec)
+      deletes.toSeq, fieldNames, defaultSpec, defaultSpecId)
   }
 
   /** id→name maps of every schema era, plus snapshot-id→schema-id —
@@ -496,14 +511,41 @@ object IcebergTable {
   private def rawFrame(spark: SparkSession, snap: Snapshot,
                        files: Seq[DataFile], withPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
+    if (files.isEmpty) {
+      val extra =
+        if (withPos) Seq(StructField("__ri", LongType),
+          StructField("__path", StringType))
+        else Nil
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(snap.schema.fields ++ extra))
+    }
     val byName = snap.fieldNames.map(_.swap)
     val current: Seq[(String, Int, DataType)] = snap.schema.fields.toSeq
       .map(f => (f.name, byName.getOrElse(f.name, -1), f.dataType))
     lazy val (eras, snapToSchema) = schemaEras(spark, snap.tablePath)
+    // does ANY schema era disagree with the read schema — renamed
+    // shared ids, or a current name under a different id (re-add)?
+    lazy val unsafeEraExists: Boolean = eras.values.exists(m =>
+      current.exists { case (n, id, _) => m.get(id) match {
+        case Some(e) => e != n
+        case None => m.valuesIterator.contains(n)
+      } })
     def projOf(f: DataFile): Option[Seq[(String, DataType, Option[String])]] = {
       val era =
         if (f.addedSnapshotId < 0) None
         else snapToSchema.get(f.addedSnapshotId).flatMap(eras.get)
+      // a file whose era cannot be resolved (expired snapshot, v1
+      // entry without schema-id) on a RENAMED/RE-ADDED table is
+      // ambiguous — name-based reading could serve nulls or stale
+      // values silently; refuse loudly instead
+      if (era.isEmpty && unsafeEraExists)
+        throw new UnsupportedOperationException(
+          s"cannot resolve the schema era of ${f.path} (its adding " +
+            s"snapshot is unknown/expired) on ${snap.tablePath}, whose " +
+            "columns were renamed or re-added — name-based reading would " +
+            "be ambiguous; rewrite the data (OPTIMIZE / overwrite) to " +
+            "materialize the current names")
       era.flatMap { m =>
         val p = current.map { case (n, id, dt) => (n, dt, m.get(id)) }
         // identity projection reads plainly — ADD-only evolution stays
@@ -725,13 +767,16 @@ object IcebergTable {
                                    pred: org.apache.spark.sql.Column): Seq[DataFile] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression, SubqueryExpression}
     import org.apache.spark.sql.functions.{col, expr}
-    // partition columns = keys present in EVERY file's tuple: files
-    // written under an older/different spec (spec evolution) lack
-    // some keys — they must always KEEP, never evaluate against a
-    // null binding (identity-tuple pruning is exact only when the
-    // tuple actually records the value)
+    // prune ONLY on fields declared IDENTITY by the DEFAULT spec and
+    // present in every file's tuple; files written under an
+    // older/different spec-id always KEEP (their same-named tuple
+    // value may come from a DIFFERENT transform — evaluating it as a
+    // row value would wrong-prune)
+    val identityNames: Set[String] =
+      snap.specFields.filter(_.isIdentity).map(_.name).toSet
     val pcs: Seq[String] = snap.files.map(_.partitionTuple.keySet)
-      .reduceOption(_ intersect _).map(_.toSeq.sorted).getOrElse(Nil)
+      .reduceOption(_ intersect _)
+      .map(_.toSeq.filter(identityNames).sorted).getOrElse(Nil)
     if (pcs.isEmpty || snap.files.isEmpty) return snap.files
     // analyze over the FULL schema, keep partition-only conjuncts
     val cond: Expression = {
@@ -776,7 +821,9 @@ object IcebergTable {
       .where(pruneCol).select("__idx")
       .collect().map(_.getInt(0)).toSet // bounded by FILE count
     catch { case scala.util.control.NonFatal(_) => return snap.files }
-    snap.files.zipWithIndex.collect { case (f, i) if keep(i) => f }
+    snap.files.zipWithIndex.collect {
+      case (f, i) if keep(i) || f.specId != snap.defaultSpecId => f
+    }
   }
 
   /** HIDDEN-PARTITIONING pruning: source-column comparison conjuncts
@@ -848,12 +895,17 @@ object IcebergTable {
       case _ => Seq.empty
     }
     if (checks.isEmpty) files
-    else files.filter(f => checks.forall { case (pf, ok) =>
-      f.partitionTuple.get(pf.name) match {
-        case None => true // older/foreign spec: never skip
-        case Some(t) => ok(t)
-      }
-    })
+    else files.filter(f =>
+      // files under a NON-default spec always keep: a same-named
+      // tuple value may come from a different transform (e.g.
+      // bucket(8) → bucket(16) evolution), so evaluating it against
+      // the default spec's transform would wrong-prune
+      f.specId != snap.defaultSpecId || checks.forall { case (pf, ok) =>
+        f.partitionTuple.get(pf.name) match {
+          case None => true // tuple does not record the field: keep
+          case Some(t) => ok(t)
+        }
+      })
   }
 
   /** Row-level `DELETE FROM … WHERE predicate` as MERGE-ON-READ
@@ -976,8 +1028,6 @@ object IcebergTable {
     require(keyCols.nonEmpty, "MERGE with no key columns")
     require(matched.isDefined || notMatched.isDefined, "MERGE with no clauses")
     val snap = snapshot(spark, tablePath)
-    require(snap.snapshotId != -1L, s"cannot merge into empty table $tablePath")
-    requireUnpartitioned(spark, tablePath, "MERGE")
     keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"unknown merge key $c"))
     keyCols.foreach(c => require(source.columns.contains(c),
@@ -988,6 +1038,19 @@ object IcebergTable {
     if (notMatched.isDefined)
       snap.schema.fieldNames.foreach(c => require(source.columns.contains(c),
         s"WHEN NOT MATCHED THEN INSERT needs source column $c"))
+    // an EMPTY (DDL-first) table: nothing matches — the merge is the
+    // insert clause alone, a plain append under the declared spec
+    // (the Delta and versioned arms handle their empty targets too)
+    if (snap.snapshotId == -1L) {
+      return notMatched match {
+        case Some(nm) => write(spark,
+          source.where(nm.condition.getOrElse(lit(true)))
+            .select(snap.schema.fieldNames.map(col): _*),
+          tablePath, partitionBy = snap.specFields.map(_.canonical))
+        case None => snap.snapshotId // matched-only merge: no-op
+      }
+    }
+    requireUnpartitioned(spark, tablePath, "MERGE")
     val src = graft.Caches.tracked(source)
     if (src.isEmpty) { src.unpersist(); return snap.snapshotId }
     require(src.groupBy(keyCols.map(col): _*).count()
@@ -1579,6 +1642,12 @@ object IcebergTable {
         snap.schema.find(_.name == n).map(f => n -> ((id, f.dataType)))
       }
     val dsid = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    // the ONE consolidated manifest claims the default spec for every
+    // entry — files carried from an older spec would have their tuples
+    // reinterpreted under the wrong transforms
+    require(snap.files.forall(_.specId == snap.defaultSpecId),
+      s"cannot rewrite manifests of $tablePath: live files span multiple " +
+        "partition specs — rewrite the data (OPTIMIZE) first")
     val specByName = snap.fieldNames.map(_.swap)
     val spec: Seq[SpecField] = snap.specFields.map { pf =>
       require(IcebergPartitioning.isKnown(pf),
@@ -1903,14 +1972,22 @@ object IcebergTable {
     val current = snap.schema.fields.toSeq
       .map(f => (f.name, byName.getOrElse(f.name, -1)))
     lazy val (eras, snapToSchema) = schemaEras(spark, snap.tablePath)
+    def unsafe(m: Map[Int, String]): Boolean =
+      current.exists { case (n, id) => m.get(id) match {
+        case Some(e) => e != n
+        case None => m.valuesIterator.contains(n)
+      } }
+    lazy val unsafeEraExists = eras.values.exists(unsafe)
     snap.files.exists { f =>
-      f.addedSnapshotId >= 0 &&
-        snapToSchema.get(f.addedSnapshotId).flatMap(eras.get).exists { m =>
-          current.exists { case (n, id) => m.get(id) match {
-            case Some(e) => e != n
-            case None => m.valuesIterator.contains(n)
-          } }
-        }
+      val era =
+        if (f.addedSnapshotId < 0) None
+        else snapToSchema.get(f.addedSnapshotId).flatMap(eras.get)
+      era match {
+        case Some(m) => unsafe(m)
+        // unresolvable era on a renamed/re-added table: ambiguous —
+        // the scan must gate (the resolving reader then refuses too)
+        case None => unsafeEraExists
+      }
     }
   }
 
@@ -1972,6 +2049,14 @@ object IcebergTable {
     require(!specSrcIds.contains(fieldId),
       s"column $name is a partition-spec source on $tablePath — " +
         "repartition via write(overwrite = true) first")
+    // live EQUALITY-delete files match on this field's physical
+    // parquet column — renaming/dropping it would break (or crash)
+    // every merge-on-read read until the deletes are compacted away
+    val eqIds: Set[Int] = snapshot(spark, tablePath).deletes
+      .filter(_.content == 2).flatMap(_.equalityIds).toSet
+    require(!eqIds.contains(fieldId),
+      s"column $name is referenced by live equality-delete files on " +
+        s"$tablePath — OPTIMIZE first (compaction folds the deletes away)")
     val newSchema = curSchema.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
     val rebuilt = M.createArrayNode()
     newSchema.get("fields").elements().asScala.foreach { f =>

@@ -485,6 +485,47 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(planStr.contains("PushedFilters") && planStr.contains("k"), planStr)
   }
 
+  test("pruning never drops files carried from a NON-default partition spec; bucket codegen is valid Java") {
+    import graft.functions.{IcebergBucket, IcebergTransforms}
+    import graft.sources.IcebergPartitioning
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // synthetic snapshot: file A written under the DEFAULT bucket[16]
+    // spec, file B carried from an older bucket[8] spec that shares
+    // the FIELD NAME — its tuple value means something else entirely
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val b16 = IcebergTransforms.bucketLong(7L, 16)
+    val wrong16 = (b16 + 1) % 16 // a bucket A's file does NOT hold
+    val snap = IcebergTable.Snapshot("/synthetic", 1L, 0L, schema,
+      files = Seq(
+        IcebergTable.DataFile("a.parquet", "parquet", 10L, 100L,
+          partitionTuple = Map("id_bucket" -> Int.box(wrong16)), specId = 1),
+        IcebergTable.DataFile("b.parquet", "parquet", 10L, 100L,
+          partitionTuple = Map("id_bucket" ->
+            Int.box(IcebergTransforms.bucketLong(7L, 8))), specId = 0)),
+      fieldNames = Map(1 -> "id"),
+      specFields = Seq(IcebergPartitioning.PartField(
+        "id_bucket", "bucket[16]", "id", 16)),
+      defaultSpecId = 1)
+    val pruned = IcebergTable.prunedFiles(spark, snap, col("id") === 7L)
+    // A prunes (its bucket16 tuple mismatches); B MUST keep — its
+    // old-spec tuple would wrong-prune if read as bucket16
+    assert(pruned.map(_.path) === Seq("b.parquet"), pruned.map(_.path))
+
+    // the bucket expression generates VALID Java (codegen fallback
+    // off: a Janino failure would error instead of silently dropping
+    // the stage to interpreted execution)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val b = spark.range(0, 1000).select(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(IcebergBucket(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("id")),
+          16)).as("b"))
+      assert(b.distinct().count() === 16L)
+      assert(b.where(col("b") === IcebergTransforms.bucketLong(7L, 16))
+        .count() >= 1L)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("Iceberg metadata tables: .files / .snapshots / .history serve from manifests, never a data scan") {
     val root = tmp("gi-meta")
     spark.conf.set("spark.sql.catalog.graft_im", "graft.sources.GraftCatalog")

@@ -380,6 +380,47 @@ class IcebergSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IcebergTable.renameColumn(spark, t, "k", "num")
     }
+
+    // a column referenced by LIVE equality-delete files refuses
+    // rename/drop (the delete parquet matches on its physical name)
+    val te = Files.createTempDirectory("graft-ice-ren-eq").toString + "/t"
+    IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), te)
+    IcebergTable.upsertEquality(spark, te,
+      Seq((2L, "B")).toDF("k", "v"), Seq("k"))
+    val ee = intercept[IllegalArgumentException] {
+      IcebergTable.renameColumn(spark, te, "k", "id")
+    }
+    assert(ee.getMessage.contains("equality-delete"), ee.getMessage)
+    intercept[IllegalArgumentException] {
+      IcebergTable.dropColumn(spark, te, "k")
+    }
+    // non-referenced columns still rename fine
+    IcebergTable.renameColumn(spark, te, "v", "val")
+    assert(IcebergTable.read(spark, te).columns.toSeq === Seq("k", "val"))
+
+    // UNRESOLVABLE schema era on a renamed table gates LOUDLY: strip
+    // a snapshot's schema-id pin — ambiguous files must not read
+    // name-based (silent nulls)
+    val mp2 = java.nio.file.Files.list(java.nio.file.Paths.get(te, "metadata"))
+      .iterator()
+    var latest2: java.nio.file.Path = null
+    while (mp2.hasNext) {
+      val p = mp2.next()
+      if (p.getFileName.toString.matches("v\\d+\\.metadata\\.json") &&
+        (latest2 == null ||
+          p.getFileName.toString.stripPrefix("v").stripSuffix(".metadata.json").toInt >
+            latest2.getFileName.toString.stripPrefix("v").stripSuffix(".metadata.json").toInt))
+        latest2 = p
+    }
+    java.nio.file.Files.writeString(latest2,
+      java.nio.file.Files.readString(latest2)
+        .replaceAll("\"schema-id\"\\s*:\\s*0\\s*,", ""))
+    java.nio.file.Files.deleteIfExists(latest2.getParent.resolve(
+      "." + latest2.getFileName.toString + ".crc"))
+    val eu = intercept[UnsupportedOperationException] {
+      IcebergTable.read(spark, te).collect()
+    }
+    assert(eu.getMessage.contains("schema era"), eu.getMessage)
   }
 
   test("VersionedTable export round-trips through the Iceberg reader") {

@@ -220,6 +220,19 @@ class SqlStatementsSpec extends SparkSpec {
     intercept[Exception] {
       IcebergTable.write(spark, Seq((1, "x")).toDF("a", "b"), ti)
     }
+    // MERGE with only WHEN NOT MATCHED into the still-EMPTY iceberg
+    // table is the routine first-load shape — a plain append
+    val ti2 = s"$root/ns/it2"
+    spark.sql(s"CREATE TABLE '$ti2' (k BIGINT, v STRING) USING iceberg")
+    Seq((5L, "e"), (6L, "f")).toDF("k", "v")
+      .createOrReplaceTempView("ctab_first")
+    spark.sql(
+      """MERGE INTO gsql_ctab.ns.it2 AS t USING ctab_first AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED AND s.k > 5 THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT k FROM gsql_ctab.ns.it2").as[Long]
+      .collect().toSeq === Seq(6L))
+
     // versioned flavor: an empty version 1 with the declared schema
     val tv = s"$root/ns/vt"
     spark.sql(s"CREATE TABLE '$tv' (k BIGINT, v STRING) USING versioned")
@@ -302,6 +315,27 @@ class SqlStatementsSpec extends SparkSpec {
         |WHEN MATCHED THEN DELETE""".stripMargin)
     assert(spark.sql("SELECT k FROM gsql_fmrg.ns.vt").as[Long]
       .collect().toSeq === Seq(2L))
+
+    // GENERATED columns: updating an input RECOMPUTES them; assigning
+    // one directly refuses (same contract as UPDATE)
+    val tg = s"$root/ns/gt"
+    spark.sql(s"CREATE TABLE '$tg' (k BIGINT, n BIGINT, " +
+      "g BIGINT GENERATED ALWAYS AS (n * 2)) USING delta")
+    DeltaLog.write(spark, Seq((1L, 10L)).toDF("k", "n")
+      .withColumn("g", col("n") * 2), tg)
+    Seq((1L, 50L)).toDF("k", "n").withColumn("g", lit(0L))
+      .createOrReplaceTempView("fmrg_gen")
+    spark.sql(
+      """MERGE INTO gsql_fmrg.ns.gt AS t USING fmrg_gen AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin)
+    assert(spark.sql("SELECT n, g FROM gsql_fmrg.ns.gt")
+      .as[(Long, Long)].head() === ((50L, 100L)))
+    val eg = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gsql_fmrg.ns.gt AS t USING fmrg_gen AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET g = s.g""".stripMargin)
+    }
+    assert(eg.getMessage.contains("generated"), eg.getMessage)
 
     // the ambiguity gate binds the flexible arm too
     Seq((9L, "x", 1), (9L, "y", 2)).toDF("k", "v", "n")
