@@ -5451,6 +5451,29 @@ object SparkEntry {
         .orderBy("nation")
     }),
 
+    // PARTITIONED Iceberg MOR DML: hidden-partitioned write → row-level
+    // DELETE (global delete manifest) → UPDATE (partition-staged
+    // post-images) → a transform-pruned read of the merged state
+    "interop_iceberg_pmor" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-pmor")
+        .toString + "/t"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+          col("o_totalprice"))
+      graft.sources.IcebergTable.write(s, o.repartition(4), t,
+        partitionBy = Seq("years(o_orderdate)"))
+      graft.sources.IcebergTable.delete(s, t,
+        col("o_orderstatus") === "F" && col("o_totalprice") < 50000)
+      graft.sources.IcebergTable.update(s, t,
+        col("o_orderstatus") === "P",
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      s.read.format("graft-iceberg").load(t)
+        .where(col("o_orderdate") >= lit(java.sql.Date.valueOf("1996-01-01")))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("total"))
+        .orderBy("status")
+    }),
+
     // Iceberg HIDDEN PARTITIONING: years(date) + bucket(key) write →
     // manifests carry transformed tuples → a SOURCE-column time-range
     // read prunes on the transforms and aggregates the survivors
@@ -8814,6 +8837,18 @@ object SparkEntry {
          |SELECT s_nationkey AS nation, COUNT(*) AS n_sup,
          | ${sqlSumD("s_acctbal")} AS bal
          |FROM fin GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "interop_iceberg_pmor" ->
+      s"""WITH base AS (
+         |  SELECT o_orderstatus, o_orderdate,
+         |   CASE WHEN o_orderstatus = 'P' THEN 2 * o_totalprice
+         |        ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000))
+         |SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+         | ${sqlSumD("o_totalprice")} AS total
+         |FROM base WHERE o_orderdate >= DATE '1996-01-01'
+         |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "interop_iceberg_hidden" ->
       s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,

@@ -927,7 +927,6 @@ object IcebergTable {
              predicate: org.apache.spark.sql.Column): Long = {
     val snap = snapshot(spark, tablePath)
     require(snap.snapshotId != -1L, s"cannot delete from empty table $tablePath")
-    requireUnpartitioned(spark, tablePath, "DELETE")
     val candidates = prunedFiles(spark, snap, predicate)
     if (candidates.isEmpty) return snap.snapshotId
     val cur = liveRowsWithPos(spark, snap, candidates)
@@ -951,7 +950,6 @@ object IcebergTable {
     require(assignments.nonEmpty, "UPDATE with no assignments")
     val snap = snapshot(spark, tablePath)
     require(snap.snapshotId != -1L, s"cannot update empty table $tablePath")
-    requireUnpartitioned(spark, tablePath, "UPDATE")
     assignments.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"UPDATE of unknown column $c"))
     val candidates = prunedFiles(spark, snap, predicate)
@@ -977,14 +975,15 @@ object IcebergTable {
     * rows holding a source key become position deletes, the WHOLE
     * source appends — one snapshot, the same last-writer-wins shape
     * as [[DeltaLog.merge]]. Source must be key-unique (counted gate)
-    * and schema-compatible; partitioned tables refuse. */
+    * and schema-compatible; PARTITIONED tables work — data files
+    * stage under the table's layout (hidden transforms included),
+    * delete files are GLOBAL (unpartitioned-spec manifests). */
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
             keyCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "MERGE with no key columns")
     val snap = snapshot(spark, tablePath)
     require(snap.snapshotId != -1L, s"cannot merge into empty table $tablePath")
-    requireUnpartitioned(spark, tablePath, "MERGE")
     keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"unknown merge key $c"))
     def shape(s: StructType): Seq[(String, DataType)] =
@@ -1050,7 +1049,6 @@ object IcebergTable {
         case None => snap.snapshotId // matched-only merge: no-op
       }
     }
-    requireUnpartitioned(spark, tablePath, "MERGE")
     val src = graft.Caches.tracked(source)
     if (src.isEmpty) { src.unpersist(); return snap.snapshotId }
     require(src.groupBy(keyCols.map(col): _*).count()
@@ -1109,7 +1107,9 @@ object IcebergTable {
     * position-delete twin that pays a target scan to keep the table
     * scan-clean). Readers apply the delete merge-on-read; compact
     * later via overwrite when the delete pile grows. Source must be
-    * key-unique and schema-compatible; partitioned tables refuse. */
+    * key-unique and schema-compatible; PARTITIONED tables work —
+    * source files stage under the table's layout, the equality-delete
+    * manifest declares an unpartitioned (global) spec. */
   def upsertEquality(spark: SparkSession, tablePath: String,
                      source: DataFrame, keyCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
@@ -1117,7 +1117,6 @@ object IcebergTable {
     val snap = snapshot(spark, tablePath)
     require(snap.snapshotId != -1L,
       s"cannot upsert into empty table $tablePath — write() creates it")
-    requireUnpartitioned(spark, tablePath, "equality upsert")
     keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"unknown upsert key $c"))
     require(snap.schema.fieldNames.toSet == source.columns.toSet,
@@ -1185,30 +1184,25 @@ object IcebergTable {
       throw new IllegalStateException(s"rename failed for $eqPath")
     fs.delete(tmp, true)
     val nKeys = spark.read.parquet(eqPath.toString).count()
+    // GLOBAL equality deletes: on a partitioned table the manifest
+    // declares an UNPARTITIONED spec (value matching ignores layout)
     val eqManifest = writeDeleteManifest(spark, mdir, s"eq-$snapId",
       schemaJson, Seq((eqPath.toString, fs.getFileStatus(eqPath).getLen,
-        nKeys, 2, keyIds)), snapId, seq)
+        nKeys, 2, keyIds)), snapId, seq,
+      specId = unpartitionedSpecId(meta, snap.defaultSpecId,
+        snap.specFields.nonEmpty))
 
-    // the whole source as fresh stats-bearing data files
-    val tmp2 = new Path(tablePath,
-      s".tmp-ups-$snapId-${java.util.UUID.randomUUID()}")
-    appendDf.write.parquet(tmp2.toString)
-    val perFileCounts: Map[String, Long] = spark.read.parquet(tmp2.toString)
-      .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
-      .count().collect()
-      .map(r => (new Path(new java.net.URI(r.getString(0))).getName,
-        r.getLong(1))).toMap
-    val adopted = fs.listStatus(tmp2).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-        val rel = new Path(new Path(tablePath, "data"),
-          s"s$snapId-ups-$i.parquet")
-        if (!fs.rename(st.getPath, rel))
-          throw new IllegalStateException(s"rename failed for $rel")
-        (fs.makeQualified(rel).toString, fs.getFileStatus(rel).getLen,
-          perFileCounts.getOrElse(st.getPath.getName, 0L))
-      }
-    fs.delete(tmp2, true)
+    // the whole source as fresh stats-bearing data files under the
+    // table's partition layout
+    val specFields = specFieldsOf(snap)
+    val adoptedFull = stageDataFiles(spark,
+      appendDf.select(snap.schema.fieldNames
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*),
+      tablePath, snap.specFields, s"s$snapId-ups")
+    val adopted = adoptedFull.map(a => (a._1, a._2, a._3))
+    val tuples: Map[String, Seq[Any]] =
+      if (snap.specFields.isEmpty) Map.empty
+      else adoptedFull.map(a => a._1 -> a._4).toMap
     val fieldInfo: Map[String, (Int, DataType)] =
       Option(schemaNode.get("fields")).toSeq
         .flatMap(_.elements().asScala).flatMap { fn =>
@@ -1220,7 +1214,8 @@ object IcebergTable {
     val fileStats = adopted.map { case (p, _, nrec) =>
       p -> footerFileStats(conf, new Path(p), nrec) }.toMap
     val dataManifest = writeManifest(spark, mdir, s"ups-$snapId",
-      schemaJson, adopted, snapId, seq, stats = fileStats,
+      schemaJson, adopted, snapId, seq, spec = specFields,
+      tuples = tuples, specId = snap.defaultSpecId, stats = fileStats,
       fieldInfo = fieldInfo)
 
     val carried: Seq[GenericRecord] =
@@ -1350,6 +1345,120 @@ object IcebergTable {
     * content=1 manifest for `rows`, optionally fresh data files (with
     * footer stats) for `appendDf`, carried prior manifests — metadata
     * v+1 via exclusive create. */
+  /** Stage `df` into `data/` under the table's partition layout
+    * (transform-derived `gp_` staging columns shape the directory
+    * tree, like [[write]]) and ADOPT the files under stable names.
+    * Returns one `(absolute path, size, records, partition tuple)`
+    * per adopted file — the tuple in the spec's field order, empty
+    * for unpartitioned tables. Shared by [[write]]-shaped appends and
+    * the MOR commit's update/merge/upsert data files. */
+  private def stageDataFiles(spark: SparkSession, df: DataFrame,
+                             tablePath: String,
+                             pfs: Seq[IcebergPartitioning.PartField],
+                             tag: String): Seq[(String, Long, Long, Seq[Any])] = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(tablePath)
+    val fs = dst.getFileSystem(fsConf)
+    pfs.foreach { pf =>
+      require(df.schema.fieldNames.contains(pf.source),
+        s"unknown partition source column ${pf.source}")
+      require(!df.schema.fieldNames.contains("gp_" + pf.name),
+        s"column gp_${pf.name} collides with the staging alias for " +
+          s"partition field ${pf.name}")
+      IcebergPartitioning.requireSupported(pf, df.schema(pf.source).dataType)
+      partitionAvroType(IcebergPartitioning.resultType(
+        pf, df.schema(pf.source).dataType))
+    }
+    val tmp = new Path(dst, s".tmp-$tag-${java.util.UUID.randomUUID()}")
+    if (pfs.isEmpty) df.write.parquet(tmp.toString)
+    else pfs.foldLeft(df)((d, pf) =>
+      d.withColumn("gp_" + pf.name, IcebergPartitioning.stagingColumn(
+        pf, df.schema(pf.source).dataType)))
+      .write.partitionBy(pfs.map("gp_" + _.name): _*)
+      .parquet(tmp.toString)
+    val perFileCounts: Map[String, Long] = spark.read.parquet(tmp.toString)
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
+      .count().collect()
+      .map(r => (new Path(new java.net.URI(r.getString(0))).getName,
+        r.getLong(1))).toMap
+    def walkStaged(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith("_"))
+        .flatMap(st =>
+          if (st.isDirectory) walkStaged(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else Seq.empty)
+    val tmpQ = fs.makeQualified(tmp).toString
+    val adopted = walkStaged(tmp).sortBy(_.toString).zipWithIndex
+      .map { case (src, i) =>
+        val relStaged = fs.makeQualified(src).toString
+          .stripPrefix(tmpQ).stripPrefix("/")
+        val dirs = relStaged.split('/').dropRight(1).toSeq
+          .map(_.replaceFirst("^gp_", ""))
+        val kv = DeltaLog.parsePartitionDirs(dirs, pfs.map(_.name))
+        val tupleVals: Seq[Any] = pfs.map { pf =>
+          val raw = kv(pf.name)
+          if (raw == null) null
+          else IcebergPartitioning.resultType(
+            pf, df.schema(pf.source).dataType) match {
+            case IntegerType | ShortType | ByteType => Int.box(raw.toInt)
+            case LongType => Long.box(raw.toLong)
+            case BooleanType => Boolean.box(raw.toBoolean)
+            case FloatType => Float.box(raw.toFloat)
+            case DoubleType => Double.box(raw.toDouble)
+            case _ => raw
+          }
+        }
+        val rel = new Path(dst,
+          (Seq("data") ++ dirs :+ s"$tag-part-$i.parquet").mkString("/"))
+        fs.mkdirs(rel.getParent)
+        if (!fs.rename(src, rel))
+          throw new IllegalStateException(s"rename failed for $rel")
+        (fs.makeQualified(rel).toString, fs.getFileStatus(rel).getLen,
+          perFileCounts.getOrElse(src.getName, 0L), tupleVals)
+      }
+    fs.delete(tmp, true)
+    adopted
+  }
+
+  /** The default spec as manifest [[SpecField]]s (result types from
+    * the CURRENT schema) — what a DML data manifest records; foreign
+    * transforms refuse loudly (this writer cannot compute their
+    * tuples). */
+  private def specFieldsOf(snap: Snapshot): Seq[SpecField] = {
+    val byName = snap.fieldNames.map(_.swap)
+    snap.specFields.map { pf =>
+      require(IcebergPartitioning.isKnown(pf),
+        s"cannot write under foreign partition transform ${pf.transform} " +
+          s"on ${snap.tablePath}")
+      SpecField(pf.name,
+        IcebergPartitioning.resultType(pf, snap.schema(pf.source).dataType),
+        byName(pf.source), pf.transform)
+    }
+  }
+
+  /** The spec-id of an UNPARTITIONED spec to stamp on delete
+    * manifests of a partitioned table (position/equality delete files
+    * here are GLOBAL — they reference data files by path / match by
+    * value, so a partition-less spec is the consistent declaration).
+    * Registers a fresh empty spec in `meta`'s `partition-specs` when
+    * none exists. Returns 0 untouched for unpartitioned tables. */
+  private def unpartitionedSpecId(meta: ObjectNode, defaultSpecId: Int,
+                                  partitioned: Boolean): Int = {
+    if (!partitioned) return defaultSpecId
+    val specs = Option(meta.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    specs.find(s => Option(s.get("fields")).forall(_.size() == 0))
+      .map(_.get("spec-id").asInt())
+      .getOrElse {
+        val fresh = specs.map(_.get("spec-id").asInt()).foldLeft(-1)(math.max) + 1
+        val arr = meta.withArray[ArrayNode]("partition-specs")
+        val sp = arr.addObject()
+        sp.put("spec-id", fresh)
+        sp.putArray("fields")
+        fresh
+      }
+  }
+
   private def commitMorSnapshot(spark: SparkSession, tablePath: String,
                                 snap: Snapshot, rows: Seq[(String, Long)],
                                 appendDf: Option[DataFrame],
@@ -1381,7 +1490,9 @@ object IcebergTable {
       } else meta.get("schema")
     val schemaJson = M.writeValueAsString(schemaNode)
 
-    // position-delete parquet + content=1 manifest
+    // position-delete parquet + content=1 manifest (GLOBAL deletes:
+    // on a partitioned table the manifest declares an UNPARTITIONED
+    // spec — the file references data rows by path, not partition)
     val delManifest: Option[GenericRecord] = if (rows.isEmpty) None else {
       val tmp = new Path(tablePath,
         s".tmp-del-$snapId-${java.util.UUID.randomUUID()}")
@@ -1399,31 +1510,25 @@ object IcebergTable {
       fs.delete(tmp, true)
       Some(writeDeleteManifest(spark, mdir, s"del-$snapId", schemaJson,
         Seq((delPath.toString, fs.getFileStatus(delPath).getLen,
-          rows.size.toLong, 1, Seq.empty)), snapId, seq))
+          rows.size.toLong, 1, Seq.empty)), snapId, seq,
+        specId = unpartitionedSpecId(meta, snap.defaultSpecId,
+          snap.specFields.nonEmpty)))
     }
 
     // appended rows (update transforms / merge source) as fresh data
-    // files with footer stats, behind a plain data manifest
+    // files with footer stats — staged under the table's PARTITION
+    // LAYOUT (hidden transforms included), manifest carries the
+    // transformed tuples like any write
     val dataManifest: Option[GenericRecord] = appendDf.map { df =>
-      val tmp = new Path(tablePath,
-        s".tmp-upd-$snapId-${java.util.UUID.randomUUID()}")
-      df.write.parquet(tmp.toString)
-      val perFileCounts: Map[String, Long] = spark.read.parquet(tmp.toString)
-        .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
-        .count().collect()
-        .map(r => (new Path(new java.net.URI(r.getString(0))).getName,
-          r.getLong(1))).toMap
-      val adopted = fs.listStatus(tmp).toSeq
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-          val rel = new Path(new Path(tablePath, "data"),
-            s"s$snapId-upd-$i.parquet")
-          if (!fs.rename(st.getPath, rel))
-            throw new IllegalStateException(s"rename failed for $rel")
-          (fs.makeQualified(rel).toString, fs.getFileStatus(rel).getLen,
-            perFileCounts.getOrElse(st.getPath.getName, 0L))
-        }
-      fs.delete(tmp, true)
+      val specFields = specFieldsOf(snap)
+      val adoptedFull = stageDataFiles(spark,
+        df.select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*),
+        tablePath, snap.specFields, s"s$snapId-upd")
+      val adopted = adoptedFull.map(a => (a._1, a._2, a._3))
+      val tuples: Map[String, Seq[Any]] =
+        if (snap.specFields.isEmpty) Map.empty
+        else adoptedFull.map(a => a._1 -> a._4).toMap
       val fieldInfo: Map[String, (Int, DataType)] =
         Option(schemaNode.get("fields")).toSeq
           .flatMap(_.elements().asScala).flatMap { fn =>
@@ -1435,7 +1540,9 @@ object IcebergTable {
       val fileStats = adopted.map { case (p, _, nrec) =>
         p -> footerFileStats(conf, new Path(p), nrec) }.toMap
       writeManifest(spark, mdir, s"upd-$snapId", schemaJson, adopted,
-        snapId, seq, stats = fileStats, fieldInfo = fieldInfo)
+        snapId, seq, spec = specFields, tuples = tuples,
+        specId = snap.defaultSpecId, stats = fileStats,
+        fieldInfo = fieldInfo)
     }
 
     // carry the current snapshot's manifests (data + prior deletes) —
@@ -2593,7 +2700,8 @@ object IcebergTable {
   private[graft] def writeDeleteManifest(spark: SparkSession, mdir: Path,
                                          tag: String, schemaJson: String,
                                          files: Seq[(String, Long, Long, Int, Seq[Int])],
-                                         snapId: Long, seq: Long): GenericRecord = {
+                                         snapId: Long, seq: Long,
+                                         specId: Int = 0): GenericRecord = {
     val fs = fsFor(spark, mdir)
     val entries = files.map { case (path, size, nrec, content, eqIds) =>
       val e = new GenericData.Record(ManifestEntrySchema)
@@ -2618,13 +2726,13 @@ object IcebergTable {
     val manifestPath = fs.makeQualified(new Path(mdir, s"manifest-$tag.avro"))
     val len = writeAvro(spark, manifestPath, ManifestEntrySchema,
       Map("schema" -> schemaJson,
-        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "partition-spec" -> "[]", "partition-spec-id" -> specId.toString,
         "format-version" -> "2", "content" -> "deletes"),
       entries)
     val mf = new GenericData.Record(ManifestFileSchema)
     mf.put("manifest_path", manifestPath.toString)
     mf.put("manifest_length", len)
-    mf.put("partition_spec_id", 0)
+    mf.put("partition_spec_id", specId)
     mf.put("content", 1)
     mf.put("sequence_number", seq)
     mf.put("min_sequence_number", seq)

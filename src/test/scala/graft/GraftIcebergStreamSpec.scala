@@ -526,6 +526,69 @@ class GraftIcebergStreamSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("partitioned MOR DML: DELETE/UPDATE/upsert on hidden-partitioned tables — global delete manifests, partition-staged appends") {
+    import scala.collection.JavaConverters._
+    val root = tmp("gi-pmor")
+    spark.conf.set("spark.sql.catalog.graft_pm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pm.root", root)
+    val t = s"$root/ns/t"
+    val day0 = java.time.LocalDate.of(2024, 3, 1).toEpochDay.toInt
+    def ts(day: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond((day0.toLong + day) * 86400L + 7200L))
+    val rows = (0L until 20L).map(i => (i, ts((i % 4).toInt), s"v$i"))
+    IcebergTable.write(spark, rows.toDF("id", "ts", "v").coalesce(1), t,
+      partitionBy = Seq("days(ts)"))
+
+    // merge-on-read DELETE: no rewrite, a GLOBAL (unpartitioned-spec)
+    // delete manifest appears and an unpartitioned spec registers
+    IcebergTable.delete(spark, t, col("id") < 5L)
+    val s1 = IcebergTable.snapshot(spark, t)
+    assert(s1.deletes.nonEmpty)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Files.list(java.nio.file.Paths.get(t, "metadata"))
+        .iterator().asScala.toSeq
+        .filter(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+        .maxBy(_.getFileName.toString.stripPrefix("v")
+          .stripSuffix(".metadata.json").toInt)), "UTF-8")
+      .replaceAll("\\s", "")
+    assert(meta.contains("\"fields\":[]"), "no unpartitioned spec registered")
+    assert(IcebergTable.read(spark, t).count() === 15L)
+
+    // UPDATE: the post-image stages under the partition layout and
+    // its manifest carries the transformed tuple
+    IcebergTable.update(spark, t, col("id") === 7L,
+      Map("v" -> org.apache.spark.sql.functions.lit("UPD")))
+    val s2 = IcebergTable.snapshot(spark, t)
+    val updFiles = s2.files.filter(_.path.contains("-upd-"))
+    assert(updFiles.nonEmpty &&
+      updFiles.forall(_.partitionTuple.keySet === Set("ts_day")))
+    assert(IcebergTable.read(spark, t).where(col("id") === 7L)
+      .select("v").as[String].head() === "UPD")
+
+    // equality upsert on the partitioned table
+    IcebergTable.upsertEquality(spark, t,
+      Seq((10L, ts(1), "TEN"), (100L, ts(2), "NEW"))
+        .toDF("id", "ts", "v"), Seq("id"))
+    val expected = rows.collect {
+      case (i, tv, v) if i >= 5 =>
+        (i, tv, if (i == 7) "UPD" else v)
+    }.filterNot(_._1 == 10L) ++ Seq((10L, ts(1), "TEN"), (100L, ts(2), "NEW"))
+    assert(IcebergTable.read(spark, t)
+      .as[(Long, java.sql.Timestamp, String)].collect().toSet
+      === expected.toSet)
+    // the DSv2 catalog scan serves the same state (MOR partitions
+    // compose with the hidden-partitioned files)
+    assert(spark.sql("SELECT id, v FROM graft_pm.ns.t")
+      .as[(Long, String)].collect().toSet
+      === expected.map(e => (e._1, e._3)).toSet)
+    // transform pruning still composes after DML: a day-range read
+    // over the catalog stays correct
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_pm.ns.t WHERE ts >= '${ts(2)}'")
+      .as[Long].head()
+      === expected.count(e => !e._2.before(ts(2))))
+  }
+
   test("Iceberg metadata tables: .files / .snapshots / .history serve from manifests, never a data scan") {
     val root = tmp("gi-meta")
     spark.conf.set("spark.sql.catalog.graft_im", "graft.sources.GraftCatalog")

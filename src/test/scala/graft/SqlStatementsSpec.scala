@@ -410,16 +410,16 @@ class SqlStatementsSpec extends SparkSpec {
     // old snapshots still read their rows
     assert(IcebergTable.read(spark, t,
       snapshotIdAsOf = Some(s0.snapshotId)).count() === 2L)
-    // UPDATE on a PARTITIONED iceberg table refuses loudly
+    // UPDATE on a PARTITIONED iceberg table works merge-on-read: the
+    // post-image stages under the partition layout with its tuple
     val tp = s"$root/ns/tp"
-    IcebergTable.write(spark, Seq((1L, "x", 1)).toDF("k", "p", "n"), tp,
-      partitionBy = Seq("p"))
-    val e = intercept[Exception] {
-      spark.sql("UPDATE gsql_idml.ns.tp SET n = 9 WHERE k = 1")
-    }
-    assert(e.getMessage.contains("PARTITIONED") ||
-      Option(e.getCause).exists(_.getMessage.contains("PARTITIONED")),
-      e.getMessage)
+    IcebergTable.write(spark, Seq((1L, "x", 1), (2L, "y", 2))
+      .toDF("k", "p", "n"), tp, partitionBy = Seq("p"))
+    spark.sql("UPDATE gsql_idml.ns.tp SET n = 9 WHERE k = 1")
+    assert(spark.sql("SELECT k, n FROM gsql_idml.ns.tp ORDER BY k")
+      .as[(Long, Int)].collect().toSeq === Seq((1L, 9), (2L, 2)))
+    val snapP = IcebergTable.snapshot(spark, tp)
+    assert(snapP.files.forall(_.partitionTuple.keySet === Set("p")))
   }
 
   test("SQL CHECK constraints: validated on ADD, enforced on every write") {
