@@ -5465,7 +5465,7 @@ object SparkEntry {
       graft.sources.IcebergTable.delete(s, t,
         col("o_orderstatus") === "F" && col("o_totalprice") < 50000)
       graft.sources.IcebergTable.update(s, t,
-        col("o_orderstatus") === "P",
+        col("o_orderstatus") === "P" && col("o_orderkey") % 4 === 0,
         Map("o_totalprice" -> (col("o_totalprice") * 2)))
       s.read.format("graft-iceberg").load(t)
         .where(col("o_orderdate") >= lit(java.sql.Date.valueOf("1996-01-01")))
@@ -8841,7 +8841,8 @@ object SparkEntry {
     "interop_iceberg_pmor" ->
       s"""WITH base AS (
          |  SELECT o_orderstatus, o_orderdate,
-         |   CASE WHEN o_orderstatus = 'P' THEN 2 * o_totalprice
+         |   CASE WHEN o_orderstatus = 'P' AND o_orderkey % 4 = 0
+         |        THEN 2 * o_totalprice
          |        ELSE o_totalprice END AS o_totalprice
          |  FROM orders
          |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000))

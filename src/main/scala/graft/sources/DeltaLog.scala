@@ -2568,36 +2568,43 @@ object DeltaLog {
     * (`__path`,`__ri`), so a matched row whose condition is false
     * survives unchanged even when its file rewrites — then rewrites
     * exactly the files holding affected rows and appends post-images
-    * + inserts. CDF-enabled tables record delete /
+    * + inserts. `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    * UPDATE/DELETE` acts on target rows with NO source match (target
+    * columns only). CDF-enabled tables record delete /
     * update_preimage+update_postimage / insert cdc rows in the SAME
     * commit. Expression resolution contract: [[MergeSpec]]. */
   def mergeFlexible(spark: SparkSession, deltaPath: String,
                     source: DataFrame, keyCols: Seq[String],
                     matched: Option[MergeSpec.Matched],
                     notMatched: Option[MergeSpec.NotMatched],
+                    bySource: Option[MergeSpec.NotMatchedBySource] = None,
                     checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     import spark.implicits._
     import MergeSpec.SrcPrefix
     require(keyCols.nonEmpty, "MERGE with no key columns")
-    require(matched.isDefined || notMatched.isDefined, "MERGE with no clauses")
+    require(matched.isDefined || notMatched.isDefined || bySource.isDefined,
+      "MERGE with no clauses")
     val snap = snapshot(spark, deltaPath)
     requireNotColumnMapped(snap, "MERGE")
     keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"unknown merge key $c"))
     keyCols.foreach(c => require(source.columns.contains(c),
       s"merge source lacks key column $c"))
-    matched.foreach(_.assignments.foreach { case (n, _) =>
-      require(snap.schema.fieldNames.contains(n),
-        s"unknown assignment column $n")
-      require(!snap.schema(n).metadata.contains(GenerationExprKey),
-        s"cannot UPDATE generated column $n — it is always computed " +
-          s"AS (${snap.schema(n).metadata.getString(GenerationExprKey)})")
-    })
+    (matched.map(_.assignments) ++ bySource.map(_.assignments))
+      .foreach(_.foreach { case (n, _) =>
+        require(snap.schema.fieldNames.contains(n),
+          s"unknown assignment column $n")
+        require(!snap.schema(n).metadata.contains(GenerationExprKey),
+          s"cannot UPDATE generated column $n — it is always computed " +
+            s"AS (${snap.schema(n).metadata.getString(GenerationExprKey)})")
+      })
     if (notMatched.isDefined)
       snap.schema.fieldNames.foreach(c => require(source.columns.contains(c),
         s"WHEN NOT MATCHED THEN INSERT needs source column $c"))
     val src = graft.Caches.tracked(source)
-    if (src.isEmpty) { src.unpersist(); return snap.version }
+    // a BY SOURCE clause acts on UNMATCHED target rows, so an empty
+    // source is not a no-op when it is present
+    if (src.isEmpty && bySource.isEmpty) { src.unpersist(); return snap.version }
     require(src.groupBy(keyCols.map(col): _*).count()
       .where(col("count") > 1).limit(1).count() == 0L,
       "merge source has duplicate keys — aggregate it first")
@@ -2643,10 +2650,20 @@ object DeltaLog {
         .where(mt.condition.getOrElse(lit(true)))
       case None => target.join(srcRen, joinCond, "inner").limit(0)
     })
+    // BY SOURCE: target rows with NO source match, clause condition
+    // applied over target columns alone
+    val srcKeysDf = src.select(keyCols.map(col): _*).distinct()
+    val bsAffected: Option[DataFrame] = bySource.map(bs =>
+      graft.Caches.tracked(target.join(srcKeysDf, keyCols, "left_anti")
+        .where(bs.condition.getOrElse(lit(true)))))
     val tableCols = snap.schema.fieldNames.toSeq
     val matchedFilePaths: Set[String] =
-      if (matched.isEmpty || snap.files.isEmpty) Set.empty
-      else affected.select("__path").distinct().as[String].collect().toSet
+      if (snap.files.isEmpty) Set.empty
+      else ((if (matched.isDefined)
+        affected.select("__path").distinct().as[String].collect().toSet
+      else Set.empty[String]) ++
+        bsAffected.map(_.select("__path").distinct().as[String]
+          .collect().toSet).getOrElse(Set.empty))
     val toRewrite = snap.files.filter(f => matchedFilePaths(fileKeyOf(f.path)))
 
     // GENERATED columns RECOMPUTE from the post-assignment row (real
@@ -2668,6 +2685,12 @@ object DeltaLog {
         genRecompute(affected.select(tableCols.map(n =>
           asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*))
     }
+    val bsUpdatedRows: Option[DataFrame] = bySource.zip(bsAffected).collect {
+      case (bs, bsa) if !bs.delete =>
+        val asg = bs.assignments.toMap
+        genRecompute(bsa.select(tableCols.map(n =>
+          asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*))
+    }
     val insertRows: Option[DataFrame] = notMatched.map { nm =>
       src.join(target.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_anti")
@@ -2676,14 +2699,16 @@ object DeltaLog {
           col(n).cast(snap.schema(n).dataType).as(n)): _*)
     }
     val appendFrame: Option[DataFrame] =
-      (updatedRows.toSeq ++ insertRows.toSeq).reduceOption(_.unionByName(_))
+      (updatedRows.toSeq ++ bsUpdatedRows.toSeq ++ insertRows.toSeq)
+        .reduceOption(_.unionByName(_))
     // the new rows are this commit's writes: CHECK + NOT NULL veto
     // whole before anything stages
     appendFrame.foreach(af =>
       enforceInvariants(spark, af, snap, deltaPath, enforceNotNull = true))
 
     if (toRewrite.isEmpty && appendFrame.forall(_.isEmpty)) {
-      affected.unpersist(); src.unpersist(); return snap.version
+      affected.unpersist(); bsAffected.foreach(_.unpersist())
+      src.unpersist(); return snap.version
     }
 
     val v = listVersions(spark, deltaPath).last + 1
@@ -2691,7 +2716,10 @@ object DeltaLog {
     val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long, Option[String])]()
     // rewrite affected files dropping exactly the AFFECTED ROWS (by
     // physical position) — condition-false matches survive in content
-    val affectedRowIds = affected.select("__path", "__ri")
+    val affectedRowIds = bsAffected
+      .map(b => affected.select("__path", "__ri")
+        .unionByName(b.select("__path", "__ri")))
+      .getOrElse(affected.select("__path", "__ri"))
     toRewrite.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
       .zipWithIndex.foreach { case ((pv, fls), gi) =>
@@ -2728,12 +2756,18 @@ object DeltaLog {
       if (!cdfEnabled(snap)) Seq.empty
       else {
         val preTgt = affected.select(tableCols.map(col): _*)
+        val bsPre = bsAffected.map(_.select(tableCols.map(col): _*))
         val legs = Seq(
           matched.filter(_.delete).map(_ =>
             preTgt.withColumn("_change_type", lit("delete"))),
           matched.filterNot(_.delete).map(_ =>
             preTgt.withColumn("_change_type", lit("update_preimage"))),
           updatedRows.map(_.withColumn("_change_type", lit("update_postimage"))),
+          bySource.filter(_.delete).flatMap(_ => bsPre.map(
+            _.withColumn("_change_type", lit("delete")))),
+          bySource.filterNot(_.delete).flatMap(_ => bsPre.map(
+            _.withColumn("_change_type", lit("update_preimage")))),
+          bsUpdatedRows.map(_.withColumn("_change_type", lit("update_postimage"))),
           insertRows.map(_.withColumn("_change_type", lit("insert")))
         ).flatten
         legs.reduceOption(_.unionByName(_))
@@ -2756,7 +2790,7 @@ object DeltaLog {
       lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
     lines ++= cdcLinesOut
-    affected.unpersist(); src.unpersist()
+    affected.unpersist(); bsAffected.foreach(_.unpersist()); src.unpersist()
     val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
     val out = fs.create(commit, false) // exclusive create = the CAS
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))

@@ -793,11 +793,10 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.resolved && targetOf(m.targetTable).isDefined =>
       val (flavor, path) = targetOf(m.targetTable).get
       val unsupported = "graft MERGE INTO supports ON equality of " +
-        "same-named columns with at most one matched clause (UPDATE " +
-        "SET …, optionally AND-conditional, or DELETE) and one " +
-        "not-matched clause (INSERT *, optionally AND-conditional) — got "
-      if (m.notMatchedBySourceActions.nonEmpty)
-        fail(unsupported + "WHEN NOT MATCHED BY SOURCE actions")
+        "same-named columns with at most one clause of each kind: " +
+        "WHEN MATCHED (UPDATE SET … / DELETE, optionally " +
+        "AND-conditional), WHEN NOT MATCHED (INSERT *), WHEN NOT " +
+        "MATCHED BY SOURCE (UPDATE SET … / DELETE) — got "
       val tgtOut = AttributeSet(m.targetTable.output)
       val srcOut = AttributeSet(m.sourceTable.output)
 
@@ -818,6 +817,20 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
         e.transform {
           case ar: AttributeReference if srcOut.contains(ar) =>
             UnresolvedAttribute.quoted(MergeSpec.SrcPrefix + ar.name)
+          case ar: AttributeReference =>
+            UnresolvedAttribute.quoted(ar.name)
+        }
+      }
+      // BY SOURCE expressions evaluate over the TARGET frame alone
+      // (there is no matched source row)
+      def rewriteTarget(e: Expression): Expression = {
+        if (e.exists(_.isInstanceOf[SubqueryExpression]))
+          fail("subqueries are not supported in graft MERGE clauses — " +
+            "materialize the subquery into the source first")
+        e.transform {
+          case ar: AttributeReference if srcOut.contains(ar) =>
+            fail("a WHEN NOT MATCHED BY SOURCE clause cannot reference " +
+              s"the source table (there is no matched source row): ${ar.name}")
           case ar: AttributeReference =>
             UnresolvedAttribute.quoted(ar.name)
         }
@@ -856,11 +869,12 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
       }
       // FAST PATH: the plain keyed upsert keeps its dedicated command
       // (no match frame, whole source appended in one pass)
-      val plainUpsert = (m.matchedActions, m.notMatchedActions) match {
-        case (Seq(UpdateAction(None, asg, _)), Seq(InsertAction(None, ins))) =>
-          fullRowFromSource(asg) && fullRowFromSource(ins)
-        case _ => false
-      }
+      val plainUpsert = m.notMatchedBySourceActions.isEmpty &&
+        ((m.matchedActions, m.notMatchedActions) match {
+          case (Seq(UpdateAction(None, asg, _)), Seq(InsertAction(None, ins))) =>
+            fullRowFromSource(asg) && fullRowFromSource(ins)
+          case _ => false
+        })
       if (plainUpsert) GraftMergeCommand(flavor, path, m.sourceTable, keyCols)
       else {
         val matchedSpec: Option[(Option[org.apache.spark.sql.Column], Boolean,
@@ -900,8 +914,34 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
               Some(condOpt.map(c => ColumnBridge.column(rewriteSource(c))))
             case other => fail(unsupported + s"not-matched actions $other")
           }
+        val bySourceSpec: Option[(Option[org.apache.spark.sql.Column], Boolean,
+          Seq[(String, org.apache.spark.sql.Column)])] =
+          m.notMatchedBySourceActions match {
+            case Seq() => None
+            case Seq(UpdateAction(condOpt, asg, _)) =>
+              val real = asg.filterNot(a => (a.key, stripCast(a.value)) match {
+                case (k: AttributeReference, v: AttributeReference) =>
+                  k.exprId == v.exprId
+                case _ => false
+              })
+              val effective = if (real.nonEmpty) real else asg
+              val pairs = effective.map { a =>
+                val name = a.key match {
+                  case ar: AttributeReference => ar.name
+                  case other => fail("graft MERGE supports only top-level " +
+                    s"column assignments, got ${other.sql}")
+                }
+                name -> ColumnBridge.column(rewriteTarget(a.value))
+              }
+              Some((condOpt.map(c => ColumnBridge.column(rewriteTarget(c))),
+                false, pairs))
+            case Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(condOpt)) =>
+              Some((condOpt.map(c => ColumnBridge.column(rewriteTarget(c))),
+                true, Seq.empty))
+            case other => fail(unsupported + s"not-matched-by-source actions $other")
+          }
         GraftMergeFlexCommand(flavor, path, m.sourceTable, keyCols,
-          matchedSpec, insertSpec)
+          matchedSpec, insertSpec, bySourceSpec)
       }
   }
 }
@@ -958,7 +998,8 @@ case class GraftMergeCommand(flavor: String, tablePath: String,
 case class GraftMergeFlexCommand(flavor: String, tablePath: String,
                                  source: LogicalPlan, keyCols: Seq[String],
                                  matchedSpec: Option[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])],
-                                 insertSpec: Option[Option[org.apache.spark.sql.Column]])
+                                 insertSpec: Option[Option[org.apache.spark.sql.Column]],
+                                 bySourceSpec: Option[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
@@ -969,16 +1010,18 @@ case class GraftMergeFlexCommand(flavor: String, tablePath: String,
     val matched = matchedSpec.map { case (cond, del, asg) =>
       MergeSpec.Matched(cond, del, asg) }
     val notMatched = insertSpec.map(MergeSpec.NotMatched)
+    val bySource = bySourceSpec.map { case (cond, del, asg) =>
+      MergeSpec.NotMatchedBySource(cond, del, asg) }
     val v = flavor match {
       case "delta" =>
         DeltaLog.mergeFlexible(spark, tablePath, src, keyCols, matched,
-          notMatched)
+          notMatched, bySource)
       case "iceberg" =>
         IcebergTable.mergeFlexible(spark, tablePath, src, keyCols, matched,
-          notMatched)
+          notMatched, bySource)
       case "versioned" =>
         VersionedTable.mergeFlexible(src, tablePath, keyCols, matched,
-          notMatched)
+          notMatched, bySource)
     }
     Seq(Row(v))
   }

@@ -1021,19 +1021,22 @@ object IcebergTable {
   def mergeFlexible(spark: SparkSession, tablePath: String,
                     source: DataFrame, keyCols: Seq[String],
                     matched: Option[MergeSpec.Matched],
-                    notMatched: Option[MergeSpec.NotMatched]): Long = {
+                    notMatched: Option[MergeSpec.NotMatched],
+                    bySource: Option[MergeSpec.NotMatchedBySource] = None): Long = {
     import org.apache.spark.sql.functions._
     import MergeSpec.SrcPrefix
     require(keyCols.nonEmpty, "MERGE with no key columns")
-    require(matched.isDefined || notMatched.isDefined, "MERGE with no clauses")
+    require(matched.isDefined || notMatched.isDefined || bySource.isDefined,
+      "MERGE with no clauses")
     val snap = snapshot(spark, tablePath)
     keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"unknown merge key $c"))
     keyCols.foreach(c => require(source.columns.contains(c),
       s"merge source lacks key column $c"))
-    matched.foreach(_.assignments.foreach { case (n, _) =>
-      require(snap.schema.fieldNames.contains(n),
-        s"unknown assignment column $n") })
+    (matched.map(_.assignments) ++ bySource.map(_.assignments))
+      .foreach(_.foreach { case (n, _) =>
+        require(snap.schema.fieldNames.contains(n),
+          s"unknown assignment column $n") })
     if (notMatched.isDefined)
       snap.schema.fieldNames.foreach(c => require(source.columns.contains(c),
         s"WHEN NOT MATCHED THEN INSERT needs source column $c"))
@@ -1050,7 +1053,9 @@ object IcebergTable {
       }
     }
     val src = graft.Caches.tracked(source)
-    if (src.isEmpty) { src.unpersist(); return snap.snapshotId }
+    if (src.isEmpty && bySource.isEmpty) {
+      src.unpersist(); return snap.snapshotId
+    }
     require(src.groupBy(keyCols.map(col): _*).count()
       .where(col("count") > 1).limit(1).count() == 0L,
       "merge source has duplicate keys — aggregate it first")
@@ -1065,12 +1070,26 @@ object IcebergTable {
           .where(mt.condition.getOrElse(lit(true)))
         case None => cur.join(srcRen, joinCond, "inner").limit(0)
       }
-      val rows = gatedPositions(spark, snap, snap.files, affected, "MERGE")
+      val srcKeysDf = src.select(keyCols.map(col): _*).distinct()
+      val bsAffected: Option[DataFrame] = bySource.map(bs =>
+        cur.join(srcKeysDf, keyCols, "left_anti")
+          .where(bs.condition.getOrElse(lit(true))))
+      val posFrame = bsAffected
+        .map(b => affected.select(col("__path"), col("__ri"))
+          .unionByName(b.select(col("__path"), col("__ri"))))
+        .getOrElse(affected)
+      val rows = gatedPositions(spark, snap, snap.files, posFrame, "MERGE")
       val tableCols = snap.schema.fieldNames.toSeq
       val updatedRows: Option[DataFrame] = matched.collect {
         case mt if !mt.delete =>
           val asg = mt.assignments.toMap
           affected.select(tableCols.map(n =>
+            asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
+      }
+      val bsUpdatedRows: Option[DataFrame] = bySource.zip(bsAffected).collect {
+        case (bs, bsa) if !bs.delete =>
+          val asg = bs.assignments.toMap
+          bsa.select(tableCols.map(n =>
             asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
       }
       val insertRows: Option[DataFrame] = notMatched.map { nm =>
@@ -1081,7 +1100,8 @@ object IcebergTable {
             col(n).cast(snap.schema(n).dataType).as(n)): _*)
       }
       val appendFrame: Option[DataFrame] =
-        (updatedRows.toSeq ++ insertRows.toSeq).reduceOption(_.unionByName(_))
+        (updatedRows.toSeq ++ bsUpdatedRows.toSeq ++ insertRows.toSeq)
+          .reduceOption(_.unionByName(_))
           .filterNot(_.isEmpty)
       if (rows.isEmpty && appendFrame.isEmpty) snap.snapshotId
       else commitMorSnapshot(spark, tablePath, snap, rows, appendFrame,

@@ -31,4 +31,12 @@ object MergeSpec {
                            assignments: Seq[(String, Column)] = Seq.empty)
 
   final case class NotMatched(condition: Option[Column])
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE / DELETE`
+    * — applies to TARGET rows with no source match; expressions
+    * reference target columns only (there is no source row), plain
+    * names over the target frame. */
+  final case class NotMatchedBySource(condition: Option[Column],
+                                      delete: Boolean,
+                                      assignments: Seq[(String, Column)] = Seq.empty)
 }

@@ -438,11 +438,13 @@ object VersionedTable {
     * [[MergeSpec]]. */
   def mergeFlexible(updates: DataFrame, table: String, keys: Seq[String],
                     matched: Option[MergeSpec.Matched],
-                    notMatched: Option[MergeSpec.NotMatched]): Long = {
+                    notMatched: Option[MergeSpec.NotMatched],
+                    bySource: Option[MergeSpec.NotMatchedBySource] = None): Long = {
     val spark = updates.sparkSession
     import MergeSpec.SrcPrefix
     require(keys.nonEmpty, "MERGE with no key columns")
-    require(matched.isDefined || notMatched.isDefined, "MERGE with no clauses")
+    require(matched.isDefined || notMatched.isDefined || bySource.isDefined,
+      "MERGE with no clauses")
     require(updates.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count() == 0L,
       "merge source has duplicate keys — aggregate it first")
@@ -464,12 +466,24 @@ object VersionedTable {
               .where(mt.condition.getOrElse(lit(true)))
             case None => t.join(srcRen, joinCond, "inner").limit(0)
           }
-          val kept = t.join(affected.select("__rid"), Seq("__rid"),
-            "left_anti").drop("__rid")
+          val bsAffected: Option[DataFrame] = bySource.map(bs =>
+            t.join(updates.select(keys.map(col): _*).distinct(),
+              keys, "left_anti")
+              .where(bs.condition.getOrElse(lit(true))))
+          val allRids = bsAffected
+            .map(b => affected.select("__rid").unionByName(b.select("__rid")))
+            .getOrElse(affected.select("__rid"))
+          val kept = t.join(allRids, Seq("__rid"), "left_anti").drop("__rid")
           val updated: Option[DataFrame] = matched.collect {
             case mt if !mt.delete =>
               val asg = mt.assignments.toMap
               affected.select(tableCols.map(n =>
+                asg.getOrElse(n, col(n)).as(n)): _*)
+          }
+          val bsUpdated: Option[DataFrame] = bySource.zip(bsAffected).collect {
+            case (bs, bsa) if !bs.delete =>
+              val asg = bs.assignments.toMap
+              bsa.select(tableCols.map(n =>
                 asg.getOrElse(n, col(n)).as(n)): _*)
           }
           val inserts: Option[DataFrame] = notMatched.map { nm =>
@@ -478,7 +492,7 @@ object VersionedTable {
               .where(nm.condition.getOrElse(lit(true)))
               .select(tableCols.map(col): _*)
           }
-          (Seq(kept) ++ updated.toSeq ++ inserts.toSeq)
+          (Seq(kept) ++ updated.toSeq ++ bsUpdated.toSeq ++ inserts.toSeq)
             .reduce(_.unionByName(_))
         }
       }

@@ -316,6 +316,36 @@ class SqlStatementsSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM gsql_fmrg.ns.vt").as[Long]
       .collect().toSeq === Seq(2L))
 
+    // WHEN NOT MATCHED BY SOURCE — the SCD-sync shape: target rows the
+    // source no longer carries delete (condition over TARGET columns)
+    Seq((1L, "a", 10)).toDF("k", "v", "n")
+      .createOrReplaceTempView("fmrg_sync")
+    spark.sql(
+      """MERGE INTO gsql_fmrg.ns.t AS t USING fmrg_sync AS s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE AND t.k < 9 THEN DELETE""".stripMargin)
+    // k=3 was unmatched and k<9 → deleted; k=9 unmatched but
+    // condition false → kept; k=1 matched → kept
+    assert(spark.sql("SELECT k FROM gsql_fmrg.ns.t ORDER BY k")
+      .as[Long].collect().toSeq === Seq(1L, 9L))
+    assert(DeltaLog.changes(spark, t, 3L, 4L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+      === Set((3L, "delete")))
+    // BY SOURCE UPDATE on the iceberg flavor: stale rows get flagged
+    spark.sql(
+      """MERGE INTO gsql_fmrg.ns.it AS t USING fmrg_isrc AS s2 ON t.k = s2.k
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'STALE'""".stripMargin)
+    assert(spark.sql("SELECT * FROM gsql_fmrg.ns.it")
+      .as[(Long, String, Int)].collect().toSet
+      === Set((1L, "STALE", 10), (2L, "GAMMA", 20), (7L, "q", 70)))
+    // BY SOURCE clauses cannot reference the source
+    val ebs = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gsql_fmrg.ns.t AS t USING fmrg_sync AS s ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(ebs.getMessage.contains("BY SOURCE") ||
+      ebs.getMessage.contains("UNRESOLVED_COLUMN"), ebs.getMessage)
+
     // GENERATED columns: updating an input RECOMPUTES them; assigning
     // one directly refuses (same contract as UPDATE)
     val tg = s"$root/ns/gt"
@@ -346,7 +376,7 @@ class SqlStatementsSpec extends SparkSpec {
           |WHEN MATCHED THEN DELETE""".stripMargin)
     }
     assert(spark.sql("SELECT count(*) FROM gsql_fmrg.ns.t")
-      .as[Long].head() === 3L)
+      .as[Long].head() === 2L)
   }
 
   test("SQL UPDATE / MERGE INTO / DELETE route to the VERSIONED flavor's committing DML") {
