@@ -641,7 +641,7 @@ object DeltaLog {
 
   private val PhysNameKey = "delta.columnMapping.physicalName"
 
-  private def physName(f: StructField): String =
+  private[sources] def physName(f: StructField): String =
     if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
     else f.name
 
@@ -668,6 +668,43 @@ object DeltaLog {
         s"$op on a column-mapped table is not supported — reads resolve " +
           "physical names / field ids (DeltaLog.read), writers do not yet")
 
+  /** The PHYSICAL view of a column-mapped snapshot: every top-level
+    * field renamed to its parquet physical name (id mode additionally
+    * stamps `parquet.field.id` so Spark's field-id resolution matches
+    * by id), partition columns translated, and the mapping mode
+    * dropped from the configuration (the view is resolved). The
+    * parquet files, the log's partitionValues keys, and the per-file
+    * stats JSON all speak physical names — readers run over this view
+    * and alias the output back to logical names (a plain projection,
+    * so pushdown and codegen survive). Nested physical renames are
+    * loud. Shared by [[read]] and the DSv2 catalog scan. */
+  private[sources] def physicalSnapshot(spark: SparkSession,
+                                        snap: Snapshot): Snapshot = {
+    val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    snap.schema.fields.foreach(f => if (nestedMapped(f.dataType))
+      throw new UnsupportedOperationException(
+        s"nested column-mapping physical names under field ${f.name} " +
+          "are not supported"))
+    def physField(f: StructField): StructField = {
+      val renamed = f.copy(name = physName(f))
+      if (cmMode == "id" && f.metadata.contains("delta.columnMapping.id")) {
+        require(spark.conf.get(
+          "spark.sql.parquet.fieldId.read.enabled", "false") == "true",
+          "id-mode column mapping needs " +
+            "spark.sql.parquet.fieldId.read.enabled=true")
+        renamed.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id")).build())
+      } else renamed
+    }
+    snap.copy(
+      schema = StructType(snap.schema.fields.map(physField)),
+      partitionColumns = snap.partitionColumns.map(c =>
+        physName(snap.schema(c))),
+      configuration = snap.configuration - "delta.columnMapping.mode")
+  }
+
   private def readSnapshotAll(spark: SparkSession, snap: Snapshot): DataFrame = {
     import spark.implicits._
     // column mapping: the parquet files store PHYSICAL names; read
@@ -682,34 +719,9 @@ object DeltaLog {
     // Nested physical renames would need a recursive struct rebuild —
     // loud until someone needs them.
     val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    if (isColumnMapped(snap.schema) || cmMode != "none") {
-      snap.schema.fields.foreach(f => if (nestedMapped(f.dataType))
-        throw new UnsupportedOperationException(
-          s"nested column-mapping physical names under field ${f.name} " +
-            "are not supported"))
-      def physField(f: StructField): StructField = {
-        val renamed = f.copy(name = physName(f))
-        if (cmMode == "id" && f.metadata.contains("delta.columnMapping.id")) {
-          require(spark.conf.get(
-            "spark.sql.parquet.fieldId.read.enabled", "false") == "true",
-            "id-mode column mapping needs " +
-              "spark.sql.parquet.fieldId.read.enabled=true")
-          renamed.copy(metadata = new MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong("parquet.field.id",
-              f.metadata.getLong("delta.columnMapping.id")).build())
-        } else renamed
-      }
-      val physSnap = snap.copy(
-        schema = StructType(snap.schema.fields.map(physField)),
-        partitionColumns = snap.partitionColumns.map(c =>
-          physName(snap.schema(c))),
-        // the physical snapshot is resolved — drop the mode so the
-        // recursive read does not re-enter this branch
-        configuration = snap.configuration - "delta.columnMapping.mode")
-      return readSnapshotAll(spark, physSnap).select(
+    if (isColumnMapped(snap.schema) || cmMode != "none")
+      return readSnapshotAll(spark, physicalSnapshot(spark, snap)).select(
         snap.schema.fields.map(f => col(physName(f)).as(f.name)).toSeq: _*)
-    }
     val dataSchema = StructType(snap.schema.filterNot(
       f => snap.partitionColumns.contains(f.name)))
     if (snap.files.isEmpty)

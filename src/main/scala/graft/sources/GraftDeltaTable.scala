@@ -226,6 +226,35 @@ object GraftDelta {
     case _ => None
   }
 
+  /** Rewrite a pushed Filter's attribute references through `m`
+    * (logical → PHYSICAL column names, for scans over column-mapped
+    * tables). `None` = not translatable — the filter is simply not
+    * pushed (sound: Spark re-applies every filter post-scan, and
+    * pushFilters returned them all as residual). Translation is
+    * STRICT — an AND keeps both sides or none (a relaxed side under a
+    * NOT would flip soundness, and Spark already splits top-level
+    * conjuncts before pushdown). */
+  def renameFilter(f: Filter, m: Map[String, String]): Option[Filter] = f match {
+    case EqualTo(a, v) => m.get(a).map(EqualTo(_, v))
+    case EqualNullSafe(a, v) => m.get(a).map(EqualNullSafe(_, v))
+    case GreaterThan(a, v) => m.get(a).map(GreaterThan(_, v))
+    case GreaterThanOrEqual(a, v) => m.get(a).map(GreaterThanOrEqual(_, v))
+    case LessThan(a, v) => m.get(a).map(LessThan(_, v))
+    case LessThanOrEqual(a, v) => m.get(a).map(LessThanOrEqual(_, v))
+    case In(a, vs) => m.get(a).map(In(_, vs))
+    case IsNull(a) => m.get(a).map(IsNull(_))
+    case IsNotNull(a) => m.get(a).map(IsNotNull(_))
+    case StringStartsWith(a, v) => m.get(a).map(StringStartsWith(_, v))
+    case StringEndsWith(a, v) => m.get(a).map(StringEndsWith(_, v))
+    case StringContains(a, v) => m.get(a).map(StringContains(_, v))
+    case FAnd(l, r) => for {a <- renameFilter(l, m);
+                            b <- renameFilter(r, m)} yield FAnd(a, b)
+    case FOr(l, r) => for {a <- renameFilter(l, m);
+                           b <- renameFilter(r, m)} yield FOr(a, b)
+    case FNot(c) => renameFilter(c, m).map(FNot(_))
+    case _ => None
+  }
+
   /** Plan the files changed by commits in `(fromV, toV]` as scan
     * partitions. CDC mode emits added files tagged `insert` and
     * removed files tagged `delete` (pv/size for removes resolve from
@@ -381,6 +410,25 @@ class GraftDeltaTable(spark: SparkSession, val tablePath: String,
     DeltaLog.snapshot(spark, tablePath, versionAsOf, timestampAsOf)
   lazy val dataSchema: StructType = StructType(
     snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+
+  /** The PHYSICAL view for column-mapped tables (`snap` itself when
+    * unmapped): parquet files, partitionValues keys, and stats JSON
+    * all speak physical names, so every scan-internal structure —
+    * parquet read schemas, log-side pruning, partition-value rows —
+    * runs over this view; only `schema()`/`readSchema()` stay
+    * logical. Nested physical renames refuse loudly inside
+    * [[DeltaLog.physicalSnapshot]]. */
+  lazy val physSnap: DeltaLog.Snapshot =
+    if (DeltaLog.isColumnMapped(snap.schema) ||
+      snap.configuration.get("delta.columnMapping.mode").exists(_ != "none"))
+      DeltaLog.physicalSnapshot(spark, snap)
+    else snap
+  /** logical → physical top-level name map (identity when unmapped). */
+  lazy val toPhys: Map[String, String] =
+    snap.schema.fields.zip(physSnap.schema.fields)
+      .map { case (l, p) => l.name -> p.name }.toMap
+  lazy val physDataSchema: StructType = StructType(
+    physSnap.schema.filterNot(f => physSnap.partitionColumns.contains(f.name)))
   private lazy val partFields: Seq[StructField] =
     snap.partitionColumns.map(c => snap.schema(c))
   private lazy val cdfFields: Seq[StructField] =
@@ -408,12 +456,9 @@ class GraftDeltaTable(spark: SparkSession, val tablePath: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // column-mapped tables store PHYSICAL parquet names — this scan
-    // reads by logical name and would silently serve nulls
-    if (DeltaLog.isColumnMapped(snap.schema))
-      throw new UnsupportedOperationException(
-        s"$tablePath uses column mapping — read it with " +
-          "graft.sources.DeltaLog.read, which resolves physical names")
+    // force the physical view now: nested physical renames (the one
+    // unsupported shape) refuse at planning, not mid-scan
+    physSnap
     new GraftDeltaScanBuilder(spark, this, options)
   }
 
@@ -492,23 +537,41 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
     s"graft-delta ${table.tablePath} v${table.snap.version}" +
       s" PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
+  /** PHYSICAL twins of the requested schemas — positionally identical
+    * (same types, same order), names resolved through the mapping, so
+    * `readSchema()` stays logical while the parquet readers and the
+    * log's partitionValues lookups speak physical. Identity when the
+    * table is unmapped. */
+  private val physReadData: StructType = StructType(
+    readData.fields.map(f => table.physDataSchema(table.toPhys(f.name))))
+  private val physReadPart: StructType = StructType(
+    readPart.fields.map(f =>
+      if (f.name == ChangeTypeCol || f.name == CommitVersionCol) f
+      else table.physSnap.schema(table.toPhys(f.name))))
+
+  /** Pushed filters rewritten to physical names (identity map when
+    * unmapped; untranslatable filters drop — they stay residual). */
+  private lazy val physPushed: Array[Filter] =
+    pushed.flatMap(f => renameFilter(f, table.toPhys))
+
   /** Filters the parquet reader may apply row-group-level: those over
     * data columns only (partition columns are not in the files). */
   private def dataFilters: Array[Filter] = {
-    val dataNames = table.dataSchema.fieldNames.toSet
-    pushed.filter(_.references.forall(dataNames.contains))
+    val dataNames = table.physDataSchema.fieldNames.toSet
+    physPushed.filter(_.references.forall(dataNames.contains))
   }
 
   private def factory: PartitionReaderFactory =
-    readerFactory(spark, table.dataSchema, readData, readPart, dataFilters)
+    readerFactory(spark, table.physDataSchema, physReadData, physReadPart,
+      dataFilters)
 
-  /** File list after log-side pruning (partition values + stats) —
-    * computed ONCE per scan (statistics may be requested repeatedly
-    * during join costing). */
+  /** File list after log-side pruning (partition values + stats, both
+    * physical-named in the log) — computed ONCE per scan (statistics
+    * may be requested repeatedly during join costing). */
   private lazy val prunedFiles: Seq[DeltaLog.AddFile] =
-    pushed.flatMap(f => filterToColumn(f)).reduceOption(_ && _) match {
-      case Some(pred) => DeltaLog.prunedFiles(spark, table.snap, pred)
-      case None => table.snap.files
+    physPushed.flatMap(f => filterToColumn(f)).reduceOption(_ && _) match {
+      case Some(pred) => DeltaLog.prunedFiles(spark, table.physSnap, pred)
+      case None => table.physSnap.files
     }
 
   /** Real size/row statistics from the log — what keeps a small Delta
@@ -538,14 +601,15 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
         val toV = Option(options.get("endingVersion")).map(_.toLong)
           .getOrElse(table.snap.version)
         planRange(spark, table.tablePath, table.snap.schema,
-          table.snap.partitionColumns, readPart, fromV, toV, cdf = true,
+          table.snap.partitionColumns, physReadPart, fromV, toV, cdf = true,
           skipChangeCommits = false, ignoreDeletes = false)
       } else {
         val zone = spark.sessionState.conf.sessionLocalTimeZone
         val (dvFiles, plainFiles) = prunedFiles
           .partition(_.dv.exists(_.cardinality != 0L))
         val plainParts = splitFiles(spark, plainFiles.map(f => (f.path,
-          pvRow(readPart, f.partitionValues, "insert", table.snap.version, zone),
+          pvRow(physReadPart, f.partitionValues, "insert", table.snap.version,
+            zone),
           f.size)))
         // DV files plan as ONE whole-file, in-order partition each:
         // the wrapped reader counts physical row positions to apply
@@ -555,7 +619,7 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
         // unbounded DV cardinality; the driver plan must not).
         val dvParts: Array[InputPartition] =
           dvFiles.zipWithIndex.map { case (f, i) =>
-            val pv = pvRow(readPart, f.partitionValues, "insert",
+            val pv = pvRow(physReadPart, f.partitionValues, "insert",
               table.snap.version, zone)
             val sz = math.max(f.size, 1L)
             val pf = PartitionedFile(pv, SparkPath.fromPathString(f.path),
@@ -578,13 +642,13 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
 
   private def dvAwareFactory: PartitionReaderFactory =
     new MorReaderFactory(factory,
-      readerFactory(spark, table.dataSchema, readData, readPart,
+      readerFactory(spark, table.physDataSchema, physReadData, physReadPart,
         Array.empty),
       new SerializableHadoopConf(
         spark.sessionState.newHadoopConfWithOptions(Map.empty)))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftDeltaMicroBatchStream(spark, table, readPart,
+    new GraftDeltaMicroBatchStream(spark, table, physReadPart,
       if (table.cdf) dvAwareFactory else factory, options)
 }
 

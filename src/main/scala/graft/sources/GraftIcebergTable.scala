@@ -311,11 +311,17 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
       // a pruned scan the global count would over-subtract (a scan of
       // an untouched partition must not report ~0 rows to join
       // costing); over-estimating the pruned case is the safe side
+      // O(files + deletes): "some file has seq <= d.seq" is just a
+      // min-seq comparison — no per-delete scan of the file list
+      // (quadratic bookkeeping on a 10⁵-file external table otherwise)
       val deleted =
-        if (files.size != table.snap.files.size) 0L
-        else table.snap.deletes
-          .filter(d => d.content == 1 && files.exists(_.seq <= d.seq))
-          .map(_.records).sum
+        if (files.isEmpty || files.size != table.snap.files.size) 0L
+        else {
+          val minSeq = files.map(_.seq).min
+          table.snap.deletes
+            .filter(d => d.content == 1 && d.seq >= minSeq)
+            .map(_.records).sum
+        }
       util.OptionalLong.of(math.max(files.map(_.records).sum - deleted, 0L))
     }
   }
@@ -348,7 +354,12 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
           val morOut = Seq.newBuilder[(IcebergTable.DataFile,
             Seq[(String, Long)], Seq[EqDeleteRef])]
           files.foreach { f =>
-            val pos = posDeletes.filter(_.seq >= f.seq)
+            // bounds-scoped: a position-delete file attaches only when
+            // its manifest-recorded file_path range can contain this
+            // data file (spec field 2147483546) — O(D×R) delete reads
+            // on a one-global-delete-file CDC table become O(D_named)
+            val pos = posDeletes
+              .filter(d => d.seq >= f.seq && d.mayReference(f.path))
               .map(d => (d.path, d.sizeBytes))
             val eqs = eqDeletes.filter(_.seq > f.seq).map(d =>
               EqDeleteRef(d.path, d.sizeBytes,

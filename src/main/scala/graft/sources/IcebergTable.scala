@@ -82,10 +82,30 @@ object IcebergTable {
     * deletes (parquet of `file_path`/`pos`), 2 = equality deletes
     * (parquet of the equality columns); applies to data files per the
     * spec's sequence-number rules. `records`/`sizeBytes` from the
-    * manifest feed statistics and executor-side partition planning. */
+    * manifest feed statistics and executor-side partition planning.
+    * `pathBounds` = the manifest's lower/upper bound of the delete
+    * file's `file_path` column (spec field id 2147483546) — the
+    * referenced-data-file range the spec records precisely so readers
+    * can SCOPE position deletes per data file instead of attaching
+    * every delete file to every partition. Bounds may be truncated
+    * (lower ≤ all values, upper ≥ all values), so the containment
+    * test stays sound; `None` (external writers that skipped stats)
+    * means "may apply to any file". */
   final case class DeleteFile(path: String, content: Int, seq: Long,
                               equalityIds: Seq[Int], records: Long = 0L,
-                              sizeBytes: Long = 0L)
+                              sizeBytes: Long = 0L,
+                              pathBounds: Option[(String, String)] = None) {
+    /** May this POSITION delete file name `dataPath`? (content=2
+      * equality deletes match by value — path bounds do not apply.)
+      * Comparison is on UTF-8 bytes — the spec's bound ordering —
+      * not UTF-16 code units. */
+    def mayReference(dataPath: String): Boolean =
+      content != 1 || pathBounds.forall { case (lo, hi) =>
+        import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+        u8(lo).compareTo(u8(dataPath)) <= 0 &&
+          u8(dataPath).compareTo(u8(hi)) <= 0
+      }
+  }
 
   /** A resolved Iceberg table state at one snapshot. `fieldNames`
     * maps top-level field ids to column names (equality-delete
@@ -464,9 +484,31 @@ object IcebergTable {
                 s"equality_ids field $id is not a top-level column — " +
                   "nested equality deletes are not supported"))
             }
+            // position-delete file_path bounds (spec field 2147483546)
+            // — the referenced-data-file range readers scope on
+            def pathBound(field: String): Option[String] =
+              fieldOpt(df, field).collect {
+                case a: java.util.Collection[_] => a.asScala.collectFirst {
+                  case r: GenericRecord
+                    if longOf(r.get("key")) == 2147483546L =>
+                    r.get("value") match {
+                      case b: java.nio.ByteBuffer =>
+                        val arr = new Array[Byte](b.remaining())
+                        b.duplicate().get(arr)
+                        new String(arr, "UTF-8")
+                      case b: Array[Byte] => new String(b, "UTF-8")
+                      case other => other.toString
+                    }
+                }
+              }.flatten
+            val pathBounds =
+              if (content != 1) None
+              else for (lo <- pathBound("lower_bounds");
+                        hi <- pathBound("upper_bounds")) yield (lo, hi)
             deletes += DeleteFile(df.get("file_path").toString, content,
               seq, eqIds, longOf(df.get("record_count")),
-              fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L))
+              fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L),
+              pathBounds)
           }
         }
       }
@@ -1300,7 +1342,10 @@ object IcebergTable {
       .toDF("__path", "__dataseq"))
     var cur = rawFrame(spark, snap, files, withPos = true)
       .join(seqMap, Seq("__path"), "left")
-    val posDeletes = snap.deletes.filter(_.content == 1)
+    // bounds-scoped: only delete files whose manifest-recorded
+    // file_path range can name one of `files` are read at all
+    val posDeletes = snap.deletes.filter(d =>
+      d.content == 1 && files.exists(f => d.mayReference(f.path)))
     if (posDeletes.nonEmpty) {
       val pathMap = broadcast(snap.files.map(f => (f.path, fileKey(f.path)))
         .toDF("__raw", "__mapped"))
@@ -1528,11 +1573,19 @@ object IcebergTable {
       if (!fs.rename(part.getPath, delPath))
         throw new IllegalStateException(s"rename failed for $delPath")
       fs.delete(tmp, true)
+      // record the file_path bounds (min/max referenced data file, in
+      // the spec's UTF-8 byte order) so readers scope this delete
+      // file to the files it actually names
+      implicit val utf8Order: Ordering[String] = Ordering.comparatorToOrdering(
+        java.util.Comparator.comparing((s: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      val refPaths = rows.map(_._1)
       Some(writeDeleteManifest(spark, mdir, s"del-$snapId", schemaJson,
         Seq((delPath.toString, fs.getFileStatus(delPath).getLen,
           rows.size.toLong, 1, Seq.empty)), snapId, seq,
         specId = unpartitionedSpecId(meta, snap.defaultSpecId,
-          snap.specFields.nonEmpty)))
+          snap.specFields.nonEmpty),
+        pathBounds = Map(delPath.toString -> ((refPaths.min, refPaths.max)))))
     }
 
     // appended rows (update transforms / merge source) as fresh data
@@ -2721,7 +2774,9 @@ object IcebergTable {
                                          tag: String, schemaJson: String,
                                          files: Seq[(String, Long, Long, Int, Seq[Int])],
                                          snapId: Long, seq: Long,
-                                         specId: Int = 0): GenericRecord = {
+                                         specId: Int = 0,
+                                         pathBounds: Map[String, (String, String)] = Map.empty)
+  : GenericRecord = {
     val fs = fsFor(spark, mdir)
     val entries = files.map { case (path, size, nrec, content, eqIds) =>
       val e = new GenericData.Record(ManifestEntrySchema)
@@ -2740,6 +2795,26 @@ object IcebergTable {
       d.put("file_size_in_bytes", size)
       if (eqIds.nonEmpty)
         d.put("equality_ids", eqIds.map(Int.box).asJava)
+      // the delete file's own file_path column bounds (spec field id
+      // 2147483546) — the referenced-data-file range that lets
+      // readers attach this delete file only to data files it can
+      // actually name, instead of to every MOR partition
+      pathBounds.get(path).foreach { case (lo, hi) =>
+        def kv1(field: String, v: String): Unit = {
+          val itemSchema = d.getSchema.getField(field).schema()
+            .getTypes.get(1).getElementType
+          val kv = new GenericData.Record(itemSchema)
+          kv.put("key", 2147483546L.toInt)
+          kv.put("value",
+            java.nio.ByteBuffer.wrap(v.getBytes("UTF-8")))
+          val arr = new GenericData.Array[GenericRecord](1,
+            d.getSchema.getField(field).schema().getTypes.get(1))
+          arr.add(kv)
+          d.put(field, arr)
+        }
+        kv1("lower_bounds", lo)
+        kv1("upper_bounds", hi)
+      }
       e.put("data_file", d)
       e
     }

@@ -69,6 +69,69 @@ private[graft] case class IcebergMorPartition(fp: FilePartition,
   override def preferredLocations(): Array[String] = fp.preferredLocations()
 }
 
+/** Per-EXECUTOR (JVM-wide) cache of DECODED delete-file content — the
+  * DeleteLoader pattern real Iceberg readers use. Delete files are
+  * immutable once committed (unique names per snapshot), so a path
+  * key never goes stale. Without this, a single global delete file
+  * spanning N data files would be re-read and re-decoded once per
+  * data-file partition (O(N × delete-rows) executor I/O on a
+  * Flink-CDC-shaped table); with it each executor reads it once.
+  *
+  * Entries are evicted LRU under a decoded-element budget
+  * (`graft.mor.cache.elements` system property, default 16M positions
+  * / tuples ≈ hundreds of MB worst case). `fileScans` counts PHYSICAL
+  * delete-parquet scans — the spec's O(1)-reads assertion hooks here. */
+private[graft] object DeleteFileCache {
+  val fileScans = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private val budgetElements: Long =
+    java.lang.Long.getLong("graft.mor.cache.elements", 16L * 1024 * 1024)
+  private final case class Entry(value: AnyRef, elements: Long)
+  private val map =
+    new java.util.LinkedHashMap[AnyRef, Entry](64, 0.75f, true)
+  private var total = 0L
+
+  private final class Loading(load: () => (AnyRef, Long)) {
+    lazy val result: (AnyRef, Long) = load()
+  }
+  private val inflight =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, Loading]()
+
+  /** Memoized load: `load` returns (decoded value, element count) and
+    * runs EXACTLY ONCE per key (concurrent partitions block on the
+    * loader's lazy val — file I/O stays outside the LRU lock);
+    * decoded values are read-only after publication. */
+  def getOrLoad[V <: AnyRef](key: AnyRef)(load: => (V, Long)): V = {
+    map.synchronized(Option(map.get(key))) match {
+      case Some(e) => return e.value.asInstanceOf[V]
+      case None =>
+    }
+    val l = inflight.computeIfAbsent(key, _ => new Loading(() => load))
+    val (v, n) = l.result
+    map.synchronized {
+      if (!map.containsKey(key)) {
+        map.put(key, Entry(v, n))
+        total += n
+        val it = map.entrySet().iterator()
+        while (total > budgetElements && map.size() > 1 && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) {
+            total -= e.getValue.elements
+            it.remove()
+          }
+        }
+      }
+    }
+    inflight.remove(key, l)
+    v.asInstanceOf[V]
+  }
+
+  def clear(): Unit = {
+    map.synchronized { map.clear(); total = 0L }
+    inflight.clear()
+  }
+}
+
 /** Reader factory for plans that mix plain and delete-bearing files:
   * plain partitions delegate (row-based — Spark requires a plan to be
   * uniformly columnar or not); MOR partitions read the WHOLE file in
@@ -107,9 +170,11 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
       Map.empty)))
   }
 
-  /** Drain a delete-file reader through `f`. */
+  /** Drain a delete-file reader through `f` — counted: every call is
+    * one physical delete-parquet scan. */
   private def scanFile(factory: PartitionReaderFactory, path: String,
                        size: Long)(f: InternalRow => Unit): Unit = {
+    DeleteFileCache.fileScans.incrementAndGet()
     val r = factory.createReader(wholeFile(path, size))
     try while (r.next()) f(r.get()) finally r.close()
   }
@@ -186,25 +251,52 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
 
       case IcebergMorPartition(fp, dataPath, posRefs, eqRefs) =>
         // 1. applicable position deletes: rows of the delete parquet
-        //    naming THIS data file (manifest-form path match, per spec)
+        //    naming THIS data file (manifest-form path match, per
+        //    spec). Each delete file decodes ONCE per executor into a
+        //    data-path-keyed map (cached); this partition just probes.
         val posBuf = Array.newBuilder[Long]
         posRefs.foreach { case (path, size) =>
-          scanFile(posDeleteFactory, path, size) { row =>
-            if (!row.isNullAt(0) && row.getUTF8String(0).toString == dataPath)
-              posBuf += row.getLong(1)
+          val decoded = DeleteFileCache.getOrLoad(("pos", path)) {
+            val m = new java.util.HashMap[String,
+              scala.collection.mutable.ArrayBuilder.ofLong]()
+            var n = 0L
+            scanFile(posDeleteFactory, path, size) { row =>
+              if (!row.isNullAt(0)) {
+                m.computeIfAbsent(row.getUTF8String(0).toString,
+                  _ => new scala.collection.mutable.ArrayBuilder.ofLong)
+                  .addOne(row.getLong(1))
+                n += 1
+              }
+            }
+            val out = new java.util.HashMap[String, Array[Long]](m.size())
+            m.forEach((k, b) => out.put(k, b.result()))
+            (out, n)
           }
+          Option(decoded.get(dataPath)).foreach(posBuf ++= _)
         }
         val pos = posBuf.result().distinct.sorted
         // 2. applicable equality deletes: one null-safe tuple set per
-        //    distinct column set
+        //    distinct column set (each file decodes once per executor)
         val eqSets: Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =
           eqRefs.groupBy(_.cols).toSeq.map { case (cols, refs) =>
             val (idx, types) = eqIdx(cols)
-            val set = new java.util.HashSet[Seq[Any]]()
-            refs.foreach { ref =>
-              scanFile(eqFactories(cols), ref.path, ref.sizeBytes) { row =>
-                set.add(cols.indices.map(i => keyValue(row, i, types(i))))
+            val cached = refs.map { ref =>
+              DeleteFileCache.getOrLoad(("eq", ref.path, cols)) {
+                val fresh = new java.util.HashSet[Seq[Any]]()
+                scanFile(eqFactories(cols), ref.path, ref.sizeBytes) { row =>
+                  fresh.add(cols.indices.map(i => keyValue(row, i, types(i))))
+                }
+                (fresh, fresh.size.toLong)
               }
+            }
+            // cached sets are read-only after publication: probe the
+            // single set directly, merge into a fresh one otherwise
+            val set = cached match {
+              case Seq(only) => only
+              case many =>
+                val merged = new java.util.HashSet[Seq[Any]]()
+                many.foreach(merged.addAll)
+                merged
             }
             (idx, types, set)
           }

@@ -944,13 +944,18 @@ class DeltaLogSpec extends SparkSpec {
     }
     assert(eW.getMessage.contains("name mode"), eW.getMessage)
 
-    // the DSv2 scan and row-level DML still gate loudly (they work by
-    // logical name and would serve nulls / rewrite wrong columns)
-    val e2 = intercept[Exception] {
-      spark.read.format("graft-delta").load(t).collect()
-    }
-    assert(e2.getMessage.contains("column mapping") ||
-      Option(e2.getCause).exists(_.getMessage.contains("column mapping")))
+    // the DSv2 scan serves mapped tables through the PHYSICAL view
+    // (aliased back to logical names) — byte-for-byte the library read
+    assert(spark.read.format("graft-delta").load(t)
+      .as[(Long, String)].collect().toSet
+      === DeltaLog.read(spark, t).as[(Long, String)].collect().toSet)
+    assert(spark.read.format("graft-delta").load(t3)
+      .as[(Long, String)].collect().toSet
+      === Set((7L, "ok"), (8L, "go"))) // id mode: parquet field ids
+    // partitioned mapped table: physical partitionValues keys resolve
+    assert(spark.read.format("graft-delta").load(t2)
+      .as[(Long, String)].collect().toSet === Set((5L, "x")))
+    // row-level DML still gates loudly (writers rewrite by logical name)
     val e3 = intercept[UnsupportedOperationException] {
       DeltaLog.delete(spark, t, col("k") === 1L)
     }

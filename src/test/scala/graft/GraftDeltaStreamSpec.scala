@@ -143,6 +143,95 @@ class GraftDeltaStreamSpec extends SparkSpec {
     assert(seen2.toSet === Set((1L, "a"), (2L, "b"), (3L, "c"), (10L, "w")))
   }
 
+  test("catalog SELECT serves column-mapped tables (name + id mode); writers keep gating") {
+    val root = tmp("gd-cm")
+    spark.conf.set("spark.sql.catalog.graft_cm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cm.root", root)
+
+    // NAME mode with real divergence: upgrade → RENAME → post-rename
+    // append (old + new files under the same physical layout)
+    val t = s"$root/ns/cmt"
+    DeltaLog.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    DeltaLog.setTableProperties(spark, t,
+      Map("delta.columnMapping.mode" -> "name"))
+    spark.sql("ALTER TABLE '" + t + "' RENAME COLUMN v TO label").collect()
+    DeltaLog.write(spark, Seq((3L, "c")).toDF("k", "label"), t)
+    // logical names serve through the catalog; filter + projection work
+    assert(spark.sql(
+      "SELECT k, label FROM graft_cm.ns.cmt WHERE k >= 2 ORDER BY k")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "b"), (3L, "c")))
+    // byte-for-byte the library reader
+    assert(spark.table("graft_cm.ns.cmt").select("k", "label")
+      .as[(Long, String)].collect().sorted
+      === DeltaLog.read(spark, t).select("k", "label")
+        .as[(Long, String)].collect().sorted)
+    // name-mode INSERT INTO works (the writer stages physical names)
+    spark.sql("INSERT INTO graft_cm.ns.cmt VALUES (4, 'd')").collect()
+    assert(spark.table("graft_cm.ns.cmt").count() === 4L)
+
+    // PARTITIONED mapped table: physical partitionValues keys + dirs;
+    // a partition filter prunes the planned file list
+    val tp = s"$root/ns/cmp"
+    DeltaLog.write(spark, Seq((1L, "x"), (2L, "y")).toDF("n", "p"), tp,
+      partitionBy = Seq("p"))
+    DeltaLog.setTableProperties(spark, tp,
+      Map("delta.columnMapping.mode" -> "name"))
+    spark.sql("ALTER TABLE '" + tp + "' RENAME COLUMN p TO part").collect()
+    assert(spark.sql("SELECT n FROM graft_cm.ns.cmp WHERE part = 'y'")
+      .as[Long].collect().toSeq === Seq(2L))
+
+    // ID mode (hand-built: parquet names match NEITHER logical nor
+    // physical — only field-id resolution serves it): catalog SELECT
+    // matches the library read; INSERT gates loudly
+    import org.apache.spark.sql.types._
+    val ti = s"$root/ns/cmi"
+    val fidSchema = StructType(Seq(
+      StructField("whatever_a", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1).build()),
+      StructField("whatever_b", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2).build())))
+    val fidDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(7L, "ok"),
+        org.apache.spark.sql.Row(8L, "go"))), fidSchema)
+    val stage = java.nio.file.Files.createTempDirectory("gd-cmi").toString
+    fidDf.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ti))
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(ti, "f1.parquet"))
+    val sz = new java.io.File(ti, "f1.parquet").length()
+    def mb(id: Int, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("k", LongType, nullable = true, mb(1, "col-99")),
+      StructField("v", StringType, nullable = true, mb(2, "col-98"))))
+    val schemaJson = "\"" + logical.json.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    val logDir = java.nio.file.Paths.get(ti, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+      Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t-cmi","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,"modificationTime":5,"dataChange":true}}"""
+      ).mkString("\n") + "\n")
+    assert(spark.table("graft_cm.ns.cmi").as[(Long, String)]
+      .collect().sorted
+      === DeltaLog.read(spark, ti).as[(Long, String)].collect().sorted)
+    assert(spark.sql("SELECT v FROM graft_cm.ns.cmi WHERE k = 8")
+      .as[String].collect().toSeq === Seq("go"))
+    // id-mode writes stay gated (catalog INSERT surfaces the refusal)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft_cm.ns.cmi VALUES (9, 'no')").collect()
+    }
+    assert(e.getMessage.contains("name mode") ||
+      Option(e.getCause).exists(_.getMessage.contains("name mode")),
+      e.getMessage)
+  }
+
   test("CDC stream expresses DV deletes as position diffs; append mode stays loud on them") {
     val dir = tmp("gd-dv-stream")
     val t = s"$dir/t"

@@ -669,6 +669,66 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(viaScan.length === 91) // 100 - 10 pos-deleted - k=50 replaced + 2 upserted
   }
 
+  test("one delete file spanning N data files is READ ONCE per executor (DeleteLoader cache)") {
+    val dir = tmp("gi-delcache")
+    val t = s"$dir/t"
+    // 8 data files; ONE global position-delete file naming all of them
+    IcebergTable.write(spark,
+      spark.sparkContext.parallelize(
+        (0L until 800L).map(k => (k, s"v$k")), 8).toDF("k", "v"), t)
+    IcebergTable.delete(spark, t, col("k") % 100L === 0L)
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.files.size === 8)
+    assert(snap.deletes.size === 1)
+    // the manifest records the delete file's file_path bounds
+    assert(snap.deletes.head.pathBounds.isDefined)
+    // every data file is a MOR partition carrying the SAME delete file
+    val parts = new graft.sources.GraftIcebergTable(spark, t)
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions()
+    val mor = parts.collect { case p: graft.sources.IcebergMorPartition => p }
+    assert(mor.length === 8)
+    graft.sources.DeleteFileCache.clear()
+    graft.sources.DeleteFileCache.fileScans.set(0L)
+    val got = spark.read.format("graft-iceberg").load(t)
+      .as[(Long, String)].collect().sorted
+    assert(got.length === 792)
+    assert(got.map(_._1).forall(_ % 100L != 0L))
+    // local[*] = one JVM = one "executor": the delete parquet was
+    // physically scanned exactly once, not once per data-file partition
+    assert(graft.sources.DeleteFileCache.fileScans.get() === 1L,
+      s"expected 1 physical delete-file scan, got " +
+        s"${graft.sources.DeleteFileCache.fileScans.get()}")
+    // a second read over the warm cache scans nothing
+    spark.read.format("graft-iceberg").load(t).count()
+    assert(graft.sources.DeleteFileCache.fileScans.get() === 1L)
+  }
+
+  test("position deletes attach only to data files inside their file_path bounds") {
+    val dir = tmp("gi-delscope")
+    val t = s"$dir/t"
+    IcebergTable.write(spark,
+      (0L until 50L).map(k => (k, "a")).toDF("k", "v").coalesce(1), t)
+    IcebergTable.write(spark,
+      (50L until 100L).map(k => (k, "b")).toDF("k", "v").coalesce(1), t)
+    // touches ONLY the first file's rows → its delete file's bounds
+    // name only that data file
+    IcebergTable.delete(spark, t, col("k") < 10L)
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.files.size === 2)
+    val touched = snap.files.filter(f => snap.deletes.head.mayReference(f.path))
+    assert(touched.size === 1)
+    val parts = new graft.sources.GraftIcebergTable(spark, t)
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions()
+    val mor = parts.collect { case p: graft.sources.IcebergMorPartition => p }
+    // the untouched file plans PLAIN — no delete refs ride along
+    assert(mor.length === 1)
+    assert(mor.head.dataPath === touched.head.path)
+    assert(spark.read.format("graft-iceberg").load(t).count() === 90L)
+    assert(IcebergTable.read(spark, t).count() === 90L)
+  }
+
   test("maxFilesPerTrigger paces catch-up: whole snapshots admitted, at least one per batch") {
     val dir = tmp("gi-admit")
     val t = s"$dir/t"
