@@ -1694,20 +1694,32 @@ object DeltaLog {
     }
     def shape(s: StructType): StructType =
       normType(s).asInstanceOf[StructType]
-    // NAME-mode column-mapped tables take writes: the frame is staged
-    // under the schema's physicalNames (and physical partition dirs),
-    // so existing files and fresh ones agree on the parquet layout.
-    // The SCHEMA may not change through a write (evolution on a
-    // mapped table needs fresh column ids — the DDL path), and id
-    // mode stays read-only.
+    // COLUMN-MAPPED tables take writes: the frame is staged under the
+    // schema's physicalNames (and physical partition dirs), so
+    // existing files and fresh ones agree on the parquet layout. In
+    // `id` mode the staged parquet ADDITIONALLY carries each column's
+    // spec id as `parquet.field.id` footer metadata, so engines that
+    // resolve by field id (the point of id mode) read the appended
+    // files like any other. The SCHEMA may not change through a write
+    // (evolution on a mapped table needs fresh column ids — the DDL
+    // path).
     def cmModeOf(p: Snapshot): String =
       p.configuration.getOrElse("delta.columnMapping.mode", "none")
     val mappedPrior: Option[Snapshot] = prior.filter(p =>
       cmModeOf(p) != "none" || isColumnMapped(p.schema))
     mappedPrior.foreach { p =>
-      require(cmModeOf(p) == "name",
+      require(cmModeOf(p) == "name" || cmModeOf(p) == "id",
         s"write on a ${cmModeOf(p)}-mode column-mapped table is not " +
-          "supported — only name mode has a write path")
+          "supported")
+      if (cmModeOf(p) == "id") {
+        require(spark.conf.get(
+          "spark.sql.parquet.fieldId.write.enabled", "true") == "true",
+          "id-mode column-mapping writes need " +
+            "spark.sql.parquet.fieldId.write.enabled=true")
+        p.schema.fields.foreach(f =>
+          require(f.metadata.contains("delta.columnMapping.id"),
+            s"id-mode table field ${f.name} lacks delta.columnMapping.id"))
+      }
       p.schema.fields.foreach(f => if (nestedMapped(f.dataType))
         throw new UnsupportedOperationException(
           s"write with nested column-mapping physical names under " +
@@ -1765,8 +1777,14 @@ object DeltaLog {
     // log's partitionValues convention expects
     val (stageDf, stageParts) = mappedPrior match {
       case Some(p) =>
-        (df.select(p.schema.fields.map(f =>
-          col(f.name).as(physName(f))).toIndexedSeq: _*),
+        val idMode = cmModeOf(p) == "id"
+        (df.select(p.schema.fields.map { f =>
+          if (idMode)
+            col(f.name).as(physName(f), new MetadataBuilder()
+              .putLong("parquet.field.id",
+                f.metadata.getLong("delta.columnMapping.id")).build())
+          else col(f.name).as(physName(f))
+        }.toIndexedSeq: _*),
           effParts.map(c => physName(p.schema(c))))
       case None => (df, effParts)
     }
@@ -2587,14 +2605,14 @@ object DeltaLog {
     * commit. Expression resolution contract: [[MergeSpec]]. */
   def mergeFlexible(spark: SparkSession, deltaPath: String,
                     source: DataFrame, keyCols: Seq[String],
-                    matched: Option[MergeSpec.Matched],
+                    matched: Seq[MergeSpec.Matched],
                     notMatched: Option[MergeSpec.NotMatched],
-                    bySource: Option[MergeSpec.NotMatchedBySource] = None,
+                    bySource: Seq[MergeSpec.NotMatchedBySource] = Seq.empty,
                     checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     import spark.implicits._
     import MergeSpec.SrcPrefix
     require(keyCols.nonEmpty, "MERGE with no key columns")
-    require(matched.isDefined || notMatched.isDefined || bySource.isDefined,
+    require(matched.nonEmpty || notMatched.isDefined || bySource.nonEmpty,
       "MERGE with no clauses")
     val snap = snapshot(spark, deltaPath)
     requireNotColumnMapped(snap, "MERGE")
@@ -2657,21 +2675,23 @@ object DeltaLog {
       col(c).as(SrcPrefix + c)): _*)
     val joinCond = keyCols.map(k => col(k) === col(SrcPrefix + k))
       .reduce(_ && _)
-    val affected = graft.Caches.tracked(matched match {
-      case Some(mt) => target.join(srcRen, joinCond, "inner")
-        .where(mt.condition.getOrElse(lit(true)))
+    // ordered clauses, first-match-wins (standard SQL MERGE)
+    val mc = Option(matched).filter(_.nonEmpty).map(MergeSpec.ofMatched)
+    val bsc = Option(bySource).filter(_.nonEmpty).map(MergeSpec.ofBySource)
+    val affected = graft.Caches.tracked(mc match {
+      case Some(c) => target.join(srcRen, joinCond, "inner").where(c.any)
       case None => target.join(srcRen, joinCond, "inner").limit(0)
     })
     // BY SOURCE: target rows with NO source match, clause condition
     // applied over target columns alone
     val srcKeysDf = src.select(keyCols.map(col): _*).distinct()
-    val bsAffected: Option[DataFrame] = bySource.map(bs =>
+    val bsAffected: Option[DataFrame] = bsc.map(c =>
       graft.Caches.tracked(target.join(srcKeysDf, keyCols, "left_anti")
-        .where(bs.condition.getOrElse(lit(true)))))
+        .where(c.any)))
     val tableCols = snap.schema.fieldNames.toSeq
     val matchedFilePaths: Set[String] =
       if (snap.files.isEmpty) Set.empty
-      else ((if (matched.isDefined)
+      else ((if (mc.isDefined)
         affected.select("__path").distinct().as[String].collect().toSet
       else Set.empty[String]) ++
         bsAffected.map(_.select("__path").distinct().as[String]
@@ -2691,18 +2711,15 @@ object DeltaLog {
         else col(f.name)
       }.toIndexedSeq: _*)
     }
-    val updatedRows: Option[DataFrame] = matched.collect {
-      case mt if !mt.delete =>
-        val asg = mt.assignments.toMap
-        genRecompute(affected.select(tableCols.map(n =>
-          asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*))
+    val updatedRows: Option[DataFrame] = mc.filter(_.hasUpdate).map { c =>
+      genRecompute(affected.where(!c.isDelete).select(tableCols.map(n =>
+        c.value(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*))
     }
-    val bsUpdatedRows: Option[DataFrame] = bySource.zip(bsAffected).collect {
-      case (bs, bsa) if !bs.delete =>
-        val asg = bs.assignments.toMap
-        genRecompute(bsa.select(tableCols.map(n =>
-          asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*))
-    }
+    val bsUpdatedRows: Option[DataFrame] =
+      bsc.filter(_.hasUpdate).zip(bsAffected).map { case (c, bsa) =>
+        genRecompute(bsa.where(!c.isDelete).select(tableCols.map(n =>
+          c.value(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*))
+      }
     val insertRows: Option[DataFrame] = notMatched.map { nm =>
       src.join(target.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_anti")
@@ -2767,21 +2784,26 @@ object DeltaLog {
     val cdcLinesOut: Seq[String] =
       if (!cdfEnabled(snap)) Seq.empty
       else {
-        val preTgt = affected.select(tableCols.map(col): _*)
-        val bsPre = bsAffected.map(_.select(tableCols.map(col): _*))
-        val legs = Seq(
-          matched.filter(_.delete).map(_ =>
-            preTgt.withColumn("_change_type", lit("delete"))),
-          matched.filterNot(_.delete).map(_ =>
-            preTgt.withColumn("_change_type", lit("update_preimage"))),
-          updatedRows.map(_.withColumn("_change_type", lit("update_postimage"))),
-          bySource.filter(_.delete).flatMap(_ => bsPre.map(
-            _.withColumn("_change_type", lit("delete")))),
-          bySource.filterNot(_.delete).flatMap(_ => bsPre.map(
-            _.withColumn("_change_type", lit("update_preimage")))),
-          bsUpdatedRows.map(_.withColumn("_change_type", lit("update_postimage"))),
+        // pre-images split by the row's FIRST-TRUE clause action:
+        // delete-clause rows record `delete`, update-clause rows
+        // `update_preimage` (+ their post-image leg)
+        def pre(frame: DataFrame, c: MergeSpec.OrderedClauses): Seq[DataFrame] = {
+          val tgt = (f: DataFrame) => f.select(tableCols.map(col): _*)
+          Seq(
+            Option.when(c.hasDelete)(tgt(frame.where(c.isDelete))
+              .withColumn("_change_type", lit("delete"))),
+            Option.when(c.hasUpdate)(tgt(frame.where(!c.isDelete))
+              .withColumn("_change_type", lit("update_preimage")))
+          ).flatten
+        }
+        val legs =
+          mc.toSeq.flatMap(pre(affected, _)) ++
+          updatedRows.map(
+            _.withColumn("_change_type", lit("update_postimage"))) ++
+          bsc.zip(bsAffected).toSeq.flatMap { case (c, bsa) => pre(bsa, c) } ++
+          bsUpdatedRows.map(
+            _.withColumn("_change_type", lit("update_postimage"))) ++
           insertRows.map(_.withColumn("_change_type", lit("insert")))
-        ).flatten
         legs.reduceOption(_.unionByName(_))
           .map(l => stageCdcLines(spark, deltaPath, snap, l, v))
           .getOrElse(Seq.empty)

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression, SubqueryExpression, And => EAnd}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression, SubqueryExpression, And => EAnd, Or => EOr}
 import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -381,14 +381,10 @@ case class GraftOptimizeCommand(path: Option[String], parts: Seq[String],
       case IcebergFlavor =>
         require(zorder.isEmpty,
           "ZORDER BY is not supported for Iceberg-flavor tables")
-        // unpartitioned: data-file compaction (applies + folds away
-        // MOR deletes, subsumes manifest reorganization); partitioned:
-        // manifest-only compaction (per-partition data staging is the
-        // declared boundary — OPTIMIZE must not start refusing tables
-        // it used to maintain)
-        if (IcebergTable.defaultSpecNames(spark, dir).nonEmpty)
-          IcebergTable.rewriteManifests(spark, dir)
-        else IcebergTable.rewriteDataFiles(spark, dir)
+        // data-file compaction for BOTH layouts (partitioned tables
+        // bin-pack per partition tuple) — applies + folds away MOR
+        // deletes and subsumes manifest reorganization
+        IcebergTable.rewriteDataFiles(spark, dir)
     }
     Seq(Row(dir, v))
   }
@@ -793,10 +789,10 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.resolved && targetOf(m.targetTable).isDefined =>
       val (flavor, path) = targetOf(m.targetTable).get
       val unsupported = "graft MERGE INTO supports ON equality of " +
-        "same-named columns with at most one clause of each kind: " +
-        "WHEN MATCHED (UPDATE SET … / DELETE, optionally " +
-        "AND-conditional), WHEN NOT MATCHED (INSERT *), WHEN NOT " +
-        "MATCHED BY SOURCE (UPDATE SET … / DELETE) — got "
+        "same-named columns with ordered (first-match-wins) clauses: " +
+        "WHEN MATCHED [AND …] (UPDATE SET … / DELETE, several allowed), " +
+        "WHEN NOT MATCHED [AND …] (INSERT *), WHEN NOT MATCHED BY " +
+        "SOURCE [AND …] (UPDATE SET … / DELETE, several allowed) — got "
       val tgtOut = AttributeSet(m.targetTable.output)
       val srcOut = AttributeSet(m.sourceTable.output)
 
@@ -877,11 +873,14 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
         })
       if (plainUpsert) GraftMergeCommand(flavor, path, m.sourceTable, keyCols)
       else {
-        val matchedSpec: Option[(Option[org.apache.spark.sql.Column], Boolean,
-          Seq[(String, org.apache.spark.sql.Column)])] =
-          m.matchedActions match {
-            case Seq() => None
-            case Seq(UpdateAction(condOpt, asg, _)) =>
+        // one (cond, delete, assignments) triple per clause, in
+        // DECLARATION ORDER — the flavors apply them first-match-wins
+        def clauseOf(action: Any,
+                     rewrite: Expression => Expression,
+                     what: String): (Option[org.apache.spark.sql.Column],
+          Boolean, Seq[(String, org.apache.spark.sql.Column)]) =
+          action match {
+            case UpdateAction(condOpt, asg, _) =>
               // the analyzer may align to the full column list with
               // identity self-assignments — drop those
               val real = asg.filterNot(a => (a.key, stripCast(a.value)) match {
@@ -896,52 +895,39 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
                   case other => fail("graft MERGE supports only top-level " +
                     s"column assignments, got ${other.sql}")
                 }
-                name -> ColumnBridge.column(rewriteJoined(a.value))
+                name -> ColumnBridge.column(rewrite(a.value))
               }
-              Some((condOpt.map(c => ColumnBridge.column(rewriteJoined(c))),
-                false, pairs))
-            case Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(condOpt)) =>
-              Some((condOpt.map(c => ColumnBridge.column(rewriteJoined(c))),
-                true, Seq.empty))
-            case other => fail(unsupported + s"matched actions $other")
+              (condOpt.map(c => ColumnBridge.column(rewrite(c))),
+                false, pairs)
+            case org.apache.spark.sql.catalyst.plans.logical.DeleteAction(condOpt) =>
+              (condOpt.map(c => ColumnBridge.column(rewrite(c))),
+                true, Seq.empty)
+            case other => fail(unsupported + s"$what action $other")
           }
+        val matchedSpecs = m.matchedActions.map(
+          clauseOf(_, rewriteJoined, "matched"))
         val insertSpec: Option[Option[org.apache.spark.sql.Column]] =
           m.notMatchedActions match {
             case Seq() => None
-            case Seq(InsertAction(condOpt, asg)) =>
-              if (!fullRowFromSource(asg))
-                fail(unsupported + "a partial-column INSERT")
-              Some(condOpt.map(c => ColumnBridge.column(rewriteSource(c))))
-            case other => fail(unsupported + s"not-matched actions $other")
-          }
-        val bySourceSpec: Option[(Option[org.apache.spark.sql.Column], Boolean,
-          Seq[(String, org.apache.spark.sql.Column)])] =
-          m.notMatchedBySourceActions match {
-            case Seq() => None
-            case Seq(UpdateAction(condOpt, asg, _)) =>
-              val real = asg.filterNot(a => (a.key, stripCast(a.value)) match {
-                case (k: AttributeReference, v: AttributeReference) =>
-                  k.exprId == v.exprId
-                case _ => false
-              })
-              val effective = if (real.nonEmpty) real else asg
-              val pairs = effective.map { a =>
-                val name = a.key match {
-                  case ar: AttributeReference => ar.name
-                  case other => fail("graft MERGE supports only top-level " +
-                    s"column assignments, got ${other.sql}")
-                }
-                name -> ColumnBridge.column(rewriteTarget(a.value))
+            case actions =>
+              val conds = actions.map {
+                case InsertAction(condOpt, asg) =>
+                  if (!fullRowFromSource(asg))
+                    fail(unsupported + "a partial-column INSERT")
+                  condOpt
+                case other => fail(unsupported + s"not-matched action $other")
               }
-              Some((condOpt.map(c => ColumnBridge.column(rewriteTarget(c))),
-                false, pairs))
-            case Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(condOpt)) =>
-              Some((condOpt.map(c => ColumnBridge.column(rewriteTarget(c))),
-                true, Seq.empty))
-            case other => fail(unsupported + s"not-matched-by-source actions $other")
+              // every clause is the same INSERT *, so first-match-wins
+              // reduces to "insert when ANY clause condition holds"
+              Some(
+                if (conds.exists(_.isEmpty)) None
+                else Some(ColumnBridge.column(
+                  conds.flatten.map(rewriteSource).reduceLeft(EOr(_, _)))))
           }
+        val bySourceSpecs = m.notMatchedBySourceActions.map(
+          clauseOf(_, rewriteTarget, "not-matched-by-source"))
         GraftMergeFlexCommand(flavor, path, m.sourceTable, keyCols,
-          matchedSpec, insertSpec, bySourceSpec)
+          matchedSpecs, insertSpec, bySourceSpecs)
       }
   }
 }
@@ -991,15 +977,16 @@ case class GraftMergeCommand(flavor: String, tablePath: String,
   }
 }
 
-/** Routed FLEXIBLE `MERGE INTO` (conditional / partial matched
-  * UPDATE, matched DELETE, conditional INSERT) — the clause payload
-  * rides as by-name Columns per the [[MergeSpec]] contract and is
+/** Routed FLEXIBLE `MERGE INTO` (ordered conditional / partial
+  * matched UPDATE / DELETE clauses, conditional INSERT, BY SOURCE
+  * clauses) — the clause payload rides as by-name Columns per the
+  * [[MergeSpec]] contract (first-match-wins order preserved) and is
   * dispatched to the flavor's one-commit `mergeFlexible`. */
 case class GraftMergeFlexCommand(flavor: String, tablePath: String,
                                  source: LogicalPlan, keyCols: Seq[String],
-                                 matchedSpec: Option[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])],
+                                 matchedSpec: Seq[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])],
                                  insertSpec: Option[Option[org.apache.spark.sql.Column]],
-                                 bySourceSpec: Option[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])] = None)
+                                 bySourceSpec: Seq[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])] = Seq.empty)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())

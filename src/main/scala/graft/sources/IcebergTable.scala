@@ -960,9 +960,9 @@ object IcebergTable {
     * `delete_seq >= data_seq` scoping. Existing deletes compose (an
     * already-deleted row never matches again). The cardinality gate
     * (`spark.graft.mor.maxDeleteRows`, default 50k) keeps the
-    * driver-side position collect bounded; larger deletes refuse
-    * loudly (rewrite via `write(overwrite = true)` instead — a
-    * copy-on-write arm would rewrite most of the table anyway).
+    * driver-side position collect bounded; larger deletes fall back
+    * to COPY-ON-WRITE automatically ([[commitCow]] — the affected
+    * files rewrite in one snapshot, parity with the Delta DV arm).
     * Returns the committed snapshot id (current when nothing
     * matched). */
   def delete(spark: SparkSession, tablePath: String,
@@ -972,19 +972,23 @@ object IcebergTable {
     val candidates = prunedFiles(spark, snap, predicate)
     if (candidates.isEmpty) return snap.snapshotId
     val cur = liveRowsWithPos(spark, snap, candidates)
-    val rows = gatedPositions(spark, snap, candidates,
-      cur.where(predicate), "DELETE")
-    if (rows.isEmpty) return snap.snapshotId
-    commitMorSnapshot(spark, tablePath, snap, rows, None, "delete")
+    gatedPositions(spark, snap, candidates,
+      cur.where(predicate), "DELETE") match {
+      case Right(rows) if rows.isEmpty => snap.snapshotId
+      case Right(rows) =>
+        commitMorSnapshot(spark, tablePath, snap, rows, None, "delete")
+      case Left(pos) => // over the gate: rewrite the affected files
+        commitCow(spark, tablePath, snap, candidates, pos, None, "delete")
+    }
   }
 
   /** Row-level `UPDATE … SET assignments WHERE predicate` as
     * merge-on-read: matched positions become a position-delete file
     * and the TRANSFORMED matched rows append as fresh data files —
     * both in ONE snapshot, no existing data file rewritten, old
-    * snapshots intact. Same cardinality gate as [[delete]].
-    * Partitioned tables refuse (the appended rows would need
-    * partition-aware staging — rewrite via overwrite instead). */
+    * snapshots intact. Same cardinality gate (and copy-on-write
+    * fallback) as [[delete]]; partitioned tables stage post-images
+    * under the table's layout. */
   def update(spark: SparkSession, tablePath: String,
              predicate: org.apache.spark.sql.Column,
              assignments: Map[String, org.apache.spark.sql.Column]): Long = {
@@ -998,8 +1002,6 @@ object IcebergTable {
     if (candidates.isEmpty) return snap.snapshotId
     val cur = liveRowsWithPos(spark, snap, candidates)
     val matched = graft.Caches.tracked(cur.where(predicate))
-    val rows = gatedPositions(spark, snap, candidates, matched, "UPDATE")
-    if (rows.isEmpty) { matched.unpersist(); return snap.snapshotId }
     // ONE projection over the ORIGINAL columns (simultaneous SQL
     // UPDATE semantics — every matched row transforms, so no
     // per-row predicate needed here)
@@ -1007,8 +1009,15 @@ object IcebergTable {
       assignments.get(c).map(_.cast(snap.schema(c).dataType).as(c))
         .getOrElse(col(c))
     }.toSeq: _*)
-    val v = commitMorSnapshot(spark, tablePath, snap, rows,
-      Some(transformed), "overwrite")
+    val v = gatedPositions(spark, snap, candidates, matched, "UPDATE") match {
+      case Right(rows) if rows.isEmpty => snap.snapshotId
+      case Right(rows) =>
+        commitMorSnapshot(spark, tablePath, snap, rows,
+          Some(transformed), "overwrite")
+      case Left(pos) => // over the gate: rewrite the affected files
+        commitCow(spark, tablePath, snap, candidates, pos,
+          Some(transformed), "overwrite")
+    }
     matched.unpersist()
     v
   }
@@ -1044,9 +1053,14 @@ object IcebergTable {
     val cur = liveRowsWithPos(spark, snap, snap.files)
     val matched = cur.join(src.select(keyCols.map(col): _*),
       keyCols, "left_semi")
-    val rows = gatedPositions(spark, snap, snap.files, matched, "MERGE")
-    val v = commitMorSnapshot(spark, tablePath, snap, rows, Some(src),
-      "overwrite")
+    val v = gatedPositions(spark, snap, snap.files, matched, "MERGE") match {
+      case Right(rows) =>
+        commitMorSnapshot(spark, tablePath, snap, rows, Some(src),
+          "overwrite")
+      case Left(pos) => // over the gate: rewrite the affected files
+        commitCow(spark, tablePath, snap, snap.files, pos, Some(src),
+          "overwrite")
+    }
     src.unpersist()
     v
   }
@@ -1062,13 +1076,13 @@ object IcebergTable {
     * [[MergeSpec]]. */
   def mergeFlexible(spark: SparkSession, tablePath: String,
                     source: DataFrame, keyCols: Seq[String],
-                    matched: Option[MergeSpec.Matched],
+                    matched: Seq[MergeSpec.Matched],
                     notMatched: Option[MergeSpec.NotMatched],
-                    bySource: Option[MergeSpec.NotMatchedBySource] = None): Long = {
+                    bySource: Seq[MergeSpec.NotMatchedBySource] = Seq.empty): Long = {
     import org.apache.spark.sql.functions._
     import MergeSpec.SrcPrefix
     require(keyCols.nonEmpty, "MERGE with no key columns")
-    require(matched.isDefined || notMatched.isDefined || bySource.isDefined,
+    require(matched.nonEmpty || notMatched.isDefined || bySource.nonEmpty,
       "MERGE with no clauses")
     val snap = snapshot(spark, tablePath)
     keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
@@ -1107,33 +1121,31 @@ object IcebergTable {
         col(c).as(SrcPrefix + c)): _*)
       val joinCond = keyCols.map(k => col(k) === col(SrcPrefix + k))
         .reduce(_ && _)
-      val affected = matched match {
-        case Some(mt) => cur.join(srcRen, joinCond, "inner")
-          .where(mt.condition.getOrElse(lit(true)))
+      // ordered clauses, first-match-wins (standard SQL MERGE)
+      val mc = Option(matched).filter(_.nonEmpty).map(MergeSpec.ofMatched)
+      val bsc = Option(bySource).filter(_.nonEmpty).map(MergeSpec.ofBySource)
+      val affected = mc match {
+        case Some(c) => cur.join(srcRen, joinCond, "inner").where(c.any)
         case None => cur.join(srcRen, joinCond, "inner").limit(0)
       }
       val srcKeysDf = src.select(keyCols.map(col): _*).distinct()
-      val bsAffected: Option[DataFrame] = bySource.map(bs =>
-        cur.join(srcKeysDf, keyCols, "left_anti")
-          .where(bs.condition.getOrElse(lit(true))))
+      val bsAffected: Option[DataFrame] = bsc.map(c =>
+        cur.join(srcKeysDf, keyCols, "left_anti").where(c.any))
       val posFrame = bsAffected
         .map(b => affected.select(col("__path"), col("__ri"))
           .unionByName(b.select(col("__path"), col("__ri"))))
         .getOrElse(affected)
-      val rows = gatedPositions(spark, snap, snap.files, posFrame, "MERGE")
+      val gated = gatedPositions(spark, snap, snap.files, posFrame, "MERGE")
       val tableCols = snap.schema.fieldNames.toSeq
-      val updatedRows: Option[DataFrame] = matched.collect {
-        case mt if !mt.delete =>
-          val asg = mt.assignments.toMap
-          affected.select(tableCols.map(n =>
-            asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
+      val updatedRows: Option[DataFrame] = mc.filter(_.hasUpdate).map { c =>
+        affected.where(!c.isDelete).select(tableCols.map(n =>
+          c.value(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
       }
-      val bsUpdatedRows: Option[DataFrame] = bySource.zip(bsAffected).collect {
-        case (bs, bsa) if !bs.delete =>
-          val asg = bs.assignments.toMap
-          bsa.select(tableCols.map(n =>
-            asg.getOrElse(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
-      }
+      val bsUpdatedRows: Option[DataFrame] =
+        bsc.filter(_.hasUpdate).zip(bsAffected).map { case (c, bsa) =>
+          bsa.where(!c.isDelete).select(tableCols.map(n =>
+            c.value(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
+        }
       val insertRows: Option[DataFrame] = notMatched.map { nm =>
         src.join(cur.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
@@ -1145,9 +1157,16 @@ object IcebergTable {
         (updatedRows.toSeq ++ bsUpdatedRows.toSeq ++ insertRows.toSeq)
           .reduceOption(_.unionByName(_))
           .filterNot(_.isEmpty)
-      if (rows.isEmpty && appendFrame.isEmpty) snap.snapshotId
-      else commitMorSnapshot(spark, tablePath, snap, rows, appendFrame,
-        "overwrite")
+      gated match {
+        case Right(rows) if rows.isEmpty && appendFrame.isEmpty =>
+          snap.snapshotId
+        case Right(rows) =>
+          commitMorSnapshot(spark, tablePath, snap, rows, appendFrame,
+            "overwrite")
+        case Left(pos) => // over the gate: rewrite the affected files
+          commitCow(spark, tablePath, snap, snap.files, pos, appendFrame,
+            "overwrite")
+      }
     } finally { cur.unpersist(); src.unpersist() }
   }
 
@@ -1320,14 +1339,6 @@ object IcebergTable {
     snapId
   }
 
-  private def requireUnpartitioned(spark: SparkSession, tablePath: String,
-                                   op: String): Unit =
-    if (defaultSpecNames(spark, tablePath).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"$op on a PARTITIONED Iceberg table is not supported — the " +
-          "appended rows would need partition-aware staging; rewrite via " +
-          "IcebergTable.write(..., overwrite = true)")
-
   /** Live rows of `files` WITH physical positions — the same
     * delete-application frame [[read]] builds, restricted to `files`,
     * keeping `__path`/`__ri` so existing position/equality deletes
@@ -1376,10 +1387,14 @@ object IcebergTable {
   }
 
   /** Count-gate + collect the matched (manifest file_path, position)
-    * pairs; empty when nothing matched. */
+    * pairs; `Right(empty)` when nothing matched. Over the gate
+    * (`spark.graft.mor.maxDeleteRows`, default 50k) the position
+    * collect would not be driver-bounded — returns `Left(cached
+    * (__path, __ri) frame)` so the caller falls back to COPY-ON-WRITE
+    * ([[commitCow]]); the caller owns the unpersist. */
   private def gatedPositions(spark: SparkSession, snap: Snapshot,
                              files: Seq[DataFile], matchedFrame: DataFrame,
-                             op: String): Seq[(String, Long)] = {
+                             op: String): Either[DataFrame, Seq[(String, Long)]] = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val maxRows = spark.conf.getOption("spark.graft.mor.maxDeleteRows")
@@ -1387,14 +1402,8 @@ object IcebergTable {
     val matchedDf = graft.Caches.tracked(
       matchedFrame.select(col("__path"), col("__ri")))
     val matchedCount = matchedDf.count()
-    if (matchedCount == 0) { matchedDf.unpersist(); return Seq.empty }
-    if (matchedCount > maxRows) {
-      matchedDf.unpersist()
-      throw new UnsupportedOperationException(
-        s"$op matches $matchedCount rows (> spark.graft.mor." +
-          s"maxDeleteRows=$maxRows) — a change that large should rewrite " +
-          "the data: IcebergTable.write(transformed, path, overwrite = true)")
-    }
+    if (matchedCount == 0) { matchedDf.unpersist(); return Right(Seq.empty) }
+    if (matchedCount > maxRows) return Left(matchedDf)
     val matched = matchedDf.as[(String, Long)].collect() // bounded by the gate
     matchedDf.unpersist()
     def fileKey(p: String) = org.apache.spark.paths.SparkPath
@@ -1402,8 +1411,45 @@ object IcebergTable {
     // scan keys back to the MANIFEST's exact file_path strings (the
     // spec's position-delete matching rule)
     val keyToManifestPath = files.map(f => fileKey(f.path) -> f.path).toMap
-    matched.toSeq.map { case (k, ri) => (keyToManifestPath(k), ri) }
-      .sortBy(identity) // spec ordering: file_path, then pos
+    Right(matched.toSeq.map { case (k, ri) => (keyToManifestPath(k), ri) }
+      .sortBy(identity)) // spec ordering: file_path, then pos
+  }
+
+  /** COPY-ON-WRITE fallback for over-gate row-level DML (the parity
+    * twin of the Delta DV arm's fallback): instead of collecting an
+    * unbounded position list, REWRITE the files bearing matches — one
+    * snapshot that drops the affected files, carries the survivors as
+    * existing entries, appends (unmatched affected rows) ∪ `extraDf`
+    * (the operation's transformed/inserted rows) as fresh data files,
+    * and keeps prior delete manifests applying to the survivors.
+    * Never a position collect: only the DISTINCT affected file paths
+    * (bounded by the file count) pass through the driver. */
+  private def commitCow(spark: SparkSession, tablePath: String,
+                        snap: Snapshot, files: Seq[DataFile],
+                        matchedPos: DataFrame, extraDf: Option[DataFrame],
+                        operation: String): Long = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    try {
+      def fileKey(p: String) = org.apache.spark.paths.SparkPath
+        .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+      val keys = matchedPos.select(col("__path")).distinct()
+        .as[String].collect().toSet // bounded by the file count
+      val affected = files.filter(f => keys(fileKey(f.path)))
+      require(affected.size == keys.size,
+        s"internal: ${keys.size} matched paths resolve to " +
+          s"${affected.size} files")
+      // unmatched rows of the affected files survive via rewrite
+      val keep = liveRowsWithPos(spark, snap, affected)
+        .join(matchedPos, Seq("__path", "__ri"), "left_anti")
+        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      val append = (Seq(keep) ++ extraDf.toSeq.map(
+        _.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)))
+        .reduce(_.unionByName(_))
+      commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
+        appendDf = Some(append).filterNot(_.isEmpty), operation,
+        removePaths = affected.map(_.path).toSet)
+    } finally matchedPos.unpersist()
   }
 
   /** Commit ONE merge-on-read snapshot: a position-delete file +
@@ -1441,10 +1487,15 @@ object IcebergTable {
         pf, df.schema(pf.source).dataType)))
       .write.partitionBy(pfs.map("gp_" + _.name): _*)
       .parquet(tmp.toString)
+    val tmpQ = fs.makeQualified(tmp).toString
+    // keyed by the tmp-RELATIVE path, not the basename: one task
+    // writing rows of several partition dirs reuses the same
+    // part-XXXXX basename in each of them
     val perFileCounts: Map[String, Long] = spark.read.parquet(tmp.toString)
       .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
       .count().collect()
-      .map(r => (new Path(new java.net.URI(r.getString(0))).getName,
+      .map(r => (fs.makeQualified(new Path(new java.net.URI(r.getString(0))))
+        .toString.stripPrefix(tmpQ).stripPrefix("/"),
         r.getLong(1))).toMap
     def walkStaged(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith("_"))
@@ -1452,7 +1503,6 @@ object IcebergTable {
           if (st.isDirectory) walkStaged(st.getPath)
           else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
           else Seq.empty)
-    val tmpQ = fs.makeQualified(tmp).toString
     val adopted = walkStaged(tmp).sortBy(_.toString).zipWithIndex
       .map { case (src, i) =>
         val relStaged = fs.makeQualified(src).toString
@@ -1479,7 +1529,7 @@ object IcebergTable {
         if (!fs.rename(src, rel))
           throw new IllegalStateException(s"rename failed for $rel")
         (fs.makeQualified(rel).toString, fs.getFileStatus(rel).getLen,
-          perFileCounts.getOrElse(src.getName, 0L), tupleVals)
+          perFileCounts.getOrElse(relStaged, 0L), tupleVals)
       }
     fs.delete(tmp, true)
     adopted
@@ -1528,7 +1578,8 @@ object IcebergTable {
                                 snap: Snapshot, rows: Seq[(String, Long)],
                                 appendDf: Option[DataFrame],
                                 operation: String,
-                                carryExisting: Boolean = true): Long = {
+                                carryExisting: Boolean = true,
+                                removePaths: Set[String] = Set.empty): Long = {
     import spark.implicits._
     val mp = latestMetadataFile(spark, tablePath)
     val metaVersion =
@@ -1620,9 +1671,30 @@ object IcebergTable {
 
     // carry the current snapshot's manifests (data + prior deletes) —
     // unless this is a full REPLACE (compaction), whose fresh data
-    // manifest supersedes every prior data AND delete manifest
+    // manifest supersedes every prior data AND delete manifest, or a
+    // COPY-ON-WRITE commit (removePaths non-empty): the files bearing
+    // matches drop, the SURVIVORS carry as existing entries in one
+    // fresh data manifest (original seq + adding snapshot preserved),
+    // and prior DELETE manifests carry — their seq scoping still
+    // applies to the survivors, while the rewritten files commit at a
+    // strictly newer seq no old delete can touch
     val carried: Seq[GenericRecord] =
-      if (carryExisting && curNode.has("manifest-list"))
+      if (removePaths.nonEmpty) {
+        val prior =
+          if (curNode.has("manifest-list"))
+            readManifestList(spark,
+              new Path(curNode.get("manifest-list").asText()))
+          else Seq.empty
+        val deleteManifests = prior.filter(m => longOf(m.get("content")) == 1L)
+        val survivors = snap.files.filterNot(f => removePaths(f.path))
+        val surv =
+          if (survivors.isEmpty) None
+          else Some(existingFilesManifest(spark, mdir, s"cow-$snapId",
+            schemaJson, snap, survivors, snapId, seq,
+            Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0),
+            "copy-on-write rewrite"))
+        deleteManifests ++ surv.toSeq
+      } else if (carryExisting && curNode.has("manifest-list"))
         readManifestList(spark, new Path(curNode.get("manifest-list").asText()))
       else Seq.empty
     val listPath = fs.makeQualified(
@@ -1663,6 +1735,86 @@ object IcebergTable {
   }
 
   // ---------------- table maintenance ----------------
+
+  /** Write ONE manifest holding `files` as EXISTING entries — status
+    * 0, original sequence numbers and adding snapshot ids preserved
+    * (incremental readers attribute files by them), column stats AND
+    * partition tuples carried (neither pruning leg is lost). The body
+    * of [[rewriteManifests]] and the survivors leg of a copy-on-write
+    * commit. All files must sit on the default spec (the manifest
+    * declares ONE spec; an older spec's tuples would be reinterpreted
+    * under the wrong transforms). */
+  private def existingFilesManifest(spark: SparkSession, mdir: Path,
+                                    tag: String, schemaJson: String,
+                                    snap: Snapshot, files: Seq[DataFile],
+                                    snapId: Long, seq: Long, dsid: Int,
+                                    opDesc: String): GenericRecord = {
+    val fs = fsFor(spark, mdir)
+    val statsFieldInfo: Map[String, (Int, DataType)] =
+      snap.fieldNames.flatMap { case (id, n) =>
+        snap.schema.find(_.name == n).map(f => n -> ((id, f.dataType)))
+      }
+    require(files.forall(_.specId == snap.defaultSpecId),
+      s"cannot $opDesc ${snap.tablePath}: live files span multiple " +
+        "partition specs — rewrite the data (OPTIMIZE) first")
+    val specByName = snap.fieldNames.map(_.swap)
+    val spec: Seq[SpecField] = snap.specFields.map { pf =>
+      require(IcebergPartitioning.isKnown(pf),
+        s"cannot $opDesc ${snap.tablePath}: foreign partition " +
+          s"transform ${pf.transform} — this writer cannot reproduce its " +
+          "partition tuples")
+      SpecField(pf.name,
+        IcebergPartitioning.resultType(pf, snap.schema(pf.source).dataType),
+        specByName(pf.source), pf.transform)
+    }
+    val entrySchema = entrySchemaFor(spec)
+    val entries = files.map { f =>
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 0) // existing
+      e.put("snapshot_id",
+        if (f.addedSnapshotId >= 0) f.addedSnapshotId else snapId)
+      e.put("sequence_number", f.seq)
+      e.put("file_sequence_number", f.seq)
+      val d = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      d.put("content", 0)
+      d.put("file_path", f.path)
+      d.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(
+        d.getSchema.getField("partition").schema())
+      spec.foreach(sf =>
+        pr.put(sf.name, f.partitionTuple.getOrElse(sf.name, null)))
+      d.put("partition", pr)
+      d.put("record_count", f.records)
+      d.put("file_size_in_bytes", f.sizeBytes)
+      putStatsFields(d,
+        FileStats(f.valueCounts, f.nullCounts, f.bounds), statsFieldInfo)
+      e.put("data_file", d)
+      e: GenericRecord
+    }
+    val manifestPath = fs.makeQualified(
+      new Path(mdir, s"manifest-$tag.avro"))
+    val len = writeAvro(spark, manifestPath, entrySchema,
+      Map("schema" -> schemaJson, "partition-spec" -> specFieldsJson(spec),
+        "partition-spec-id" -> dsid.toString, "format-version" -> "2",
+        "content" -> "data"), entries)
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", len)
+    mf.put("partition_spec_id", dsid)
+    mf.put("content", 0)
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number",
+      files.map(_.seq).foldLeft(seq)(math.min))
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_files_count", 0)
+    mf.put("existing_files_count", files.size)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", 0L)
+    mf.put("existing_rows_count", files.map(_.records).sum)
+    mf.put("deleted_rows_count", 0L)
+    mf
+  }
 
   /** Every path a snapshot pins: (manifest lists, manifests, data +
     * delete file paths). Shared-structure accounting for
@@ -1817,76 +1969,9 @@ object IcebergTable {
     // ONE manifest holding every live data file as an EXISTING entry
     // with its original sequence number; column stats AND partition
     // tuples carry forward (compaction must lose neither pruning leg)
-    val statsFieldInfo: Map[String, (Int, DataType)] =
-      snap.fieldNames.flatMap { case (id, n) =>
-        snap.schema.find(_.name == n).map(f => n -> ((id, f.dataType)))
-      }
     val dsid = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    // the ONE consolidated manifest claims the default spec for every
-    // entry — files carried from an older spec would have their tuples
-    // reinterpreted under the wrong transforms
-    require(snap.files.forall(_.specId == snap.defaultSpecId),
-      s"cannot rewrite manifests of $tablePath: live files span multiple " +
-        "partition specs — rewrite the data (OPTIMIZE) first")
-    val specByName = snap.fieldNames.map(_.swap)
-    val spec: Seq[SpecField] = snap.specFields.map { pf =>
-      require(IcebergPartitioning.isKnown(pf),
-        s"cannot rewrite manifests of $tablePath: foreign partition " +
-          s"transform ${pf.transform} — this writer cannot reproduce its " +
-          "partition tuples")
-      SpecField(pf.name,
-        IcebergPartitioning.resultType(pf, snap.schema(pf.source).dataType),
-        specByName(pf.source), pf.transform)
-    }
-    val entrySchema = entrySchemaFor(spec)
-    val entries = snap.files.map { f =>
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 0) // existing
-      // the spec requires EXISTING entries to keep the snapshot id of
-      // the snapshot that originally ADDED the file (incremental
-      // readers attribute files by it) — never the replace snapshot's
-      e.put("snapshot_id",
-        if (f.addedSnapshotId >= 0) f.addedSnapshotId else snapId)
-      e.put("sequence_number", f.seq)
-      e.put("file_sequence_number", f.seq)
-      val d = new GenericData.Record(
-        entrySchema.getField("data_file").schema())
-      d.put("content", 0)
-      d.put("file_path", f.path)
-      d.put("file_format", "PARQUET")
-      val pr = new GenericData.Record(
-        d.getSchema.getField("partition").schema())
-      spec.foreach(sf =>
-        pr.put(sf.name, f.partitionTuple.getOrElse(sf.name, null)))
-      d.put("partition", pr)
-      d.put("record_count", f.records)
-      d.put("file_size_in_bytes", f.sizeBytes)
-      putStatsFields(d,
-        FileStats(f.valueCounts, f.nullCounts, f.bounds), statsFieldInfo)
-      e.put("data_file", d)
-      e: GenericRecord
-    }
-    val manifestPath = fs.makeQualified(
-      new Path(mdir, s"manifest-rw-$snapId.avro"))
-    val len = writeAvro(spark, manifestPath, entrySchema,
-      Map("schema" -> schemaJson, "partition-spec" -> specFieldsJson(spec),
-        "partition-spec-id" -> dsid.toString, "format-version" -> "2",
-        "content" -> "data"), entries)
-    val mf = new GenericData.Record(ManifestFileSchema)
-    mf.put("manifest_path", manifestPath.toString)
-    mf.put("manifest_length", len)
-    mf.put("partition_spec_id", dsid)
-    mf.put("content", 0)
-    mf.put("sequence_number", seq)
-    mf.put("min_sequence_number",
-      snap.files.map(_.seq).foldLeft(seq)(math.min))
-    mf.put("added_snapshot_id", snapId)
-    mf.put("added_files_count", 0)
-    mf.put("existing_files_count", snap.files.size)
-    mf.put("deleted_files_count", 0)
-    mf.put("added_rows_count", 0L)
-    mf.put("existing_rows_count", snap.files.map(_.records).sum)
-    mf.put("deleted_rows_count", 0L)
+    val mf = existingFilesManifest(spark, mdir, s"rw-$snapId", schemaJson,
+      snap, snap.files, snapId, seq, dsid, "rewrite manifests of")
     val listPath = fs.makeQualified(
       new Path(mdir, s"snap-$snapId-manifest-list.avro"))
     writeAvro(spark, listPath, ManifestFileSchema,
@@ -1930,34 +2015,92 @@ object IcebergTable {
     * the current snapshot (merge-on-read position + equality deletes
     * applied) and commits ONE `replace` snapshot whose fresh data
     * manifest supersedes every prior data AND delete manifest: a
-    * small-file pile collapses to ceil(bytes/targetFileBytes) files,
-    * and the delete pile a MOR-heavy workload accumulates is folded
-    * away, so subsequent scans are anti-join-free. Old files stay on
-    * disk for time travel until [[expireSnapshots]]. Unpartitioned
-    * tables only (a partitioned compaction would need per-partition
-    * staging). Returns the new snapshot id. */
+    * small-file pile collapses toward `targetFileBytes` files, and
+    * the delete pile a MOR-heavy workload accumulates is folded away,
+    * so subsequent scans are anti-join-free. Old files stay on disk
+    * for time travel until [[expireSnapshots]].
+    *
+    * PARTITIONED tables bin-pack PER PARTITION: each partition tuple
+    * compacts to ≤ ceil(partition bytes / target) files under the
+    * current spec's transform layout (files written under older specs
+    * migrate to the current layout), with transform pruning intact
+    * afterwards. The plan is one shuffle keyed on (partition tuple,
+    * proportional salt) — a huge partition still splits across
+    * executors instead of funneling through one task. Returns the new
+    * snapshot id. */
   def rewriteDataFiles(spark: SparkSession, tablePath: String,
                        targetFileBytes: Long = 128L << 20): Long = {
-    requireUnpartitioned(spark, tablePath, "rewriteDataFiles")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
     val snap = snapshot(spark, tablePath)
     require(snap.snapshotId != -1L, s"cannot compact empty table $tablePath")
-    val totalBytes = snap.files.map(_.sizeBytes).sum
-    val n = math.max(1L,
-      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    // already compact and delete-free: no pointless commit
-    if (snap.deletes.isEmpty && snap.files.size <= n) return snap.snapshotId
-    val live =
-      if (snap.deletes.isEmpty) rawFrame(spark, snap, snap.files, withPos = false)
-      else liveRowsWithPos(spark, snap, snap.files)
-    // coalesce, not repartition: bin-packing small files is a narrow
-    // dependency — no shuffle in the compaction job
-    val compacted = live
-      .select(snap.schema.fieldNames
-        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-      .coalesce(n)
-    commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
-      appendDf = Some(compacted), operation = "replace",
-      carryExisting = false)
+    val pfs = snap.specFields
+    def liveRows = (if (snap.deletes.isEmpty)
+      rawFrame(spark, snap, snap.files, withPos = false)
+    else liveRowsWithPos(spark, snap, snap.files))
+      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+
+    val compacted: Option[DataFrame] =
+      if (pfs.isEmpty) {
+        val totalBytes = snap.files.map(_.sizeBytes).sum
+        val n = math.max(1L,
+          (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        // already compact and delete-free: no pointless commit
+        if (snap.deletes.isEmpty && snap.files.size <= n) None
+        // coalesce, not repartition: bin-packing small files is a
+        // narrow dependency — no shuffle in the compaction job
+        else Some(liveRows.coalesce(n))
+      } else {
+        // per-partition target file counts from the manifests'
+        // recorded sizes (current-spec files; older-spec rows fold
+        // into whatever tuple they map to, with a k=1 default)
+        def keyOf(t: Map[String, Any]): String = pfs.map(pf =>
+          Option(t.getOrElse(pf.name, null)).map(_.toString)
+            .getOrElse("\u0000null")).mkString("\u001F")
+        val curSpec = snap.files.filter(_.specId == snap.defaultSpecId)
+        val kByKey: Map[String, Int] =
+          curSpec.groupBy(f => keyOf(f.partitionTuple)).map { case (k, fs) =>
+            k -> math.max(1L, (fs.map(_.sizeBytes).sum + targetFileBytes - 1)
+              / targetFileBytes).toInt
+          }
+        val alreadyPacked = snap.deletes.isEmpty &&
+          snap.files.forall(_.specId == snap.defaultSpecId) &&
+          curSpec.groupBy(f => keyOf(f.partitionTuple))
+            .forall { case (k, fs) => fs.size <= kByKey(k) }
+        if (alreadyPacked) None
+        else {
+          // transform staging columns + the same string key rendering
+          // as keyOf (manifest tuples and staged values both stringify
+          // through their JVM toString)
+          val staged = pfs.zipWithIndex.map { case (pf, i) =>
+            s"__gpt_$i" -> IcebergPartitioning.stagingColumn(
+              pf, snap.schema(pf.source).dataType)
+          }
+          var df = liveRows
+          staged.foreach { case (n, c) => df = df.withColumn(n, c) }
+          val keyCol = concat_ws("\u001F", staged.map { case (n, _) =>
+            coalesce(col(n).cast("string"), lit("\u0000null"))
+          }: _*)
+          val kDf = broadcast(kByKey.toSeq.toDF("__gpk", "__gpn"))
+          val salted = df.withColumn("__gpkey", keyCol)
+            .join(kDf, col("__gpkey") === col("__gpk"), "left")
+            .withColumn("__gps",
+              pmod(hash(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+                greatest(coalesce(col("__gpn"), lit(1)), lit(1))))
+          val total = math.max(kByKey.values.sum, 1)
+          Some(salted
+            .repartition(total,
+              staged.map(s => col(s._1)) :+ col("__gps"): _*)
+            .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*))
+        }
+      }
+    compacted match {
+      case None => snap.snapshotId
+      case Some(df) =>
+        commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
+          appendDf = Some(df), operation = "replace",
+          carryExisting = false)
+    }
   }
 
   /** Roll the table's CURRENT state back to an earlier snapshot —
@@ -3037,18 +3180,22 @@ object IcebergTable {
         pf, df.schema(pf.source).dataType)))
       .write.partitionBy(pfs.map("gp_" + _.name): _*)
       .parquet(tmp.toString)
+    val tmpQ = fs.makeQualified(tmp).toString
+    // keyed by the tmp-RELATIVE path, not the basename: one task
+    // writing rows of several partition dirs reuses the same
+    // part-XXXXX basename in each of them
     val perFileCounts: Map[String, Long] = spark.read.parquet(tmp.toString)
       .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
       .count().collect()
-      .map(r => (new Path(new java.net.URI(r.getString(0))).getName, r.getLong(1)))
-      .toMap
+      .map(r => (fs.makeQualified(new Path(new java.net.URI(r.getString(0))))
+        .toString.stripPrefix(tmpQ).stripPrefix("/"),
+        r.getLong(1))).toMap
     def walkStaged(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith("_"))
         .flatMap(st =>
           if (st.isDirectory) walkStaged(st.getPath)
           else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
           else Seq.empty)
-    val tmpQ = fs.makeQualified(tmp).toString
     val adoptedFull = walkStaged(tmp).sortBy(_.toString).zipWithIndex
       .map { case (src, i) =>
         val relStaged = fs.makeQualified(src).toString
@@ -3075,7 +3222,7 @@ object IcebergTable {
         if (!fs.rename(src, rel))
           throw new IllegalStateException(s"rename failed for $rel")
         (fs.makeQualified(rel).toString, fs.getFileStatus(rel).getLen,
-          perFileCounts.getOrElse(src.getName, 0L), tupleVals)
+          perFileCounts.getOrElse(relStaged, 0L), tupleVals)
       }
     val adopted = adoptedFull.map(a => (a._1, a._2, a._3))
     val tuples: Map[String, Seq[Any]] =

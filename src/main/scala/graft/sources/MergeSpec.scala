@@ -39,4 +39,49 @@ object MergeSpec {
   final case class NotMatchedBySource(condition: Option[Column],
                                       delete: Boolean,
                                       assignments: Seq[(String, Column)] = Seq.empty)
+
+  /** Ordered FIRST-MATCH-WINS evaluation of several same-shaped
+    * clauses — the standard SQL semantics of `WHEN MATCHED [AND c1]
+    * THEN … WHEN MATCHED [AND c2] THEN …` (and the BY SOURCE twin):
+    * each affected row takes exactly the FIRST clause in declaration
+    * order whose condition holds; later clauses never see it. All
+    * columns evaluate over the clause frame (joined match frame for
+    * matched clauses, target frame for by-source ones); a null
+    * condition counts as not-applicable, an absent one as always-
+    * applicable. One projection expresses the whole chain — no
+    * per-clause pass over the data. */
+  final case class OrderedClauses(clauses: Seq[(Option[Column], Boolean, Seq[(String, Column)])]) {
+    import org.apache.spark.sql.functions._
+    require(clauses.nonEmpty, "no clauses")
+    private def condOf(i: Int): Column =
+      clauses(i)._1.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+    /** SOME clause applies to the row. */
+    def any: Column = clauses.indices.map(condOf).reduce(_ || _)
+    /** Index of the FIRST applicable clause (meaningful under [[any]]). */
+    private def idx: Column = clauses.indices.foldRight(lit(-1)) {
+      (i, acc) => when(condOf(i), lit(i)).otherwise(acc)
+    }
+    /** The row's first applicable clause is a DELETE. */
+    def isDelete: Column = {
+      val del = clauses.indices.filter(clauses(_)._2)
+      if (del.isEmpty) lit(false) else idx.isin(del.map(Int.box): _*)
+    }
+    def hasUpdate: Boolean = clauses.exists(!_._2)
+    def hasDelete: Boolean = clauses.exists(_._2)
+    /** Post-image value of column `name` under the row's first
+      * applicable clause (delete-clause rows must be filtered out
+      * with [[isDelete]] first; unassigned columns keep `default`). */
+    def value(name: String, default: Column): Column =
+      clauses.indices.foldRight(default) { (i, acc) =>
+        val vi =
+          if (clauses(i)._2) default // rows on delete clauses filter out
+          else clauses(i)._3.toMap.getOrElse(name, default)
+        when(idx === i, vi).otherwise(acc)
+      }
+  }
+
+  def ofMatched(ms: Seq[Matched]): OrderedClauses =
+    OrderedClauses(ms.map(m => (m.condition, m.delete, m.assignments)))
+  def ofBySource(bs: Seq[NotMatchedBySource]): OrderedClauses =
+    OrderedClauses(bs.map(b => (b.condition, b.delete, b.assignments)))
 }

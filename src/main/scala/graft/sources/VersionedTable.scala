@@ -437,17 +437,20 @@ object VersionedTable {
     * another row shares its key. Expression resolution contract:
     * [[MergeSpec]]. */
   def mergeFlexible(updates: DataFrame, table: String, keys: Seq[String],
-                    matched: Option[MergeSpec.Matched],
+                    matched: Seq[MergeSpec.Matched],
                     notMatched: Option[MergeSpec.NotMatched],
-                    bySource: Option[MergeSpec.NotMatchedBySource] = None): Long = {
+                    bySource: Seq[MergeSpec.NotMatchedBySource] = Seq.empty): Long = {
     val spark = updates.sparkSession
     import MergeSpec.SrcPrefix
     require(keys.nonEmpty, "MERGE with no key columns")
-    require(matched.isDefined || notMatched.isDefined || bySource.isDefined,
+    require(matched.nonEmpty || notMatched.isDefined || bySource.nonEmpty,
       "MERGE with no clauses")
     require(updates.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count() == 0L,
       "merge source has duplicate keys — aggregate it first")
+    // ordered clauses, first-match-wins (standard SQL MERGE)
+    val mc = Option(matched).filter(_.nonEmpty).map(MergeSpec.ofMatched)
+    val bsc = Option(bySource).filter(_.nonEmpty).map(MergeSpec.ofBySource)
     commitLoop(spark, table) { cur =>
       Some {
         if (cur == 0)
@@ -461,31 +464,26 @@ object VersionedTable {
             col(c).as(SrcPrefix + c)): _*)
           val joinCond = keys.map(k => col(k) === col(SrcPrefix + k))
             .reduce(_ && _)
-          val affected = matched match {
-            case Some(mt) => t.join(srcRen, joinCond, "inner")
-              .where(mt.condition.getOrElse(lit(true)))
+          val affected = mc match {
+            case Some(c) => t.join(srcRen, joinCond, "inner").where(c.any)
             case None => t.join(srcRen, joinCond, "inner").limit(0)
           }
-          val bsAffected: Option[DataFrame] = bySource.map(bs =>
+          val bsAffected: Option[DataFrame] = bsc.map(c =>
             t.join(updates.select(keys.map(col): _*).distinct(),
-              keys, "left_anti")
-              .where(bs.condition.getOrElse(lit(true))))
+              keys, "left_anti").where(c.any))
           val allRids = bsAffected
             .map(b => affected.select("__rid").unionByName(b.select("__rid")))
             .getOrElse(affected.select("__rid"))
           val kept = t.join(allRids, Seq("__rid"), "left_anti").drop("__rid")
-          val updated: Option[DataFrame] = matched.collect {
-            case mt if !mt.delete =>
-              val asg = mt.assignments.toMap
-              affected.select(tableCols.map(n =>
-                asg.getOrElse(n, col(n)).as(n)): _*)
+          val updated: Option[DataFrame] = mc.filter(_.hasUpdate).map { c =>
+            affected.where(!c.isDelete).select(tableCols.map(n =>
+              c.value(n, col(n)).as(n)): _*)
           }
-          val bsUpdated: Option[DataFrame] = bySource.zip(bsAffected).collect {
-            case (bs, bsa) if !bs.delete =>
-              val asg = bs.assignments.toMap
-              bsa.select(tableCols.map(n =>
-                asg.getOrElse(n, col(n)).as(n)): _*)
-          }
+          val bsUpdated: Option[DataFrame] =
+            bsc.filter(_.hasUpdate).zip(bsAffected).map { case (c, bsa) =>
+              bsa.where(!c.isDelete).select(tableCols.map(n =>
+                c.value(n, col(n)).as(n)): _*)
+            }
           val inserts: Option[DataFrame] = notMatched.map { nm =>
             updates.join(t.select(keys.map(col): _*).distinct(),
               keys, "left_anti")

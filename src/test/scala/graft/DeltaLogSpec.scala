@@ -938,11 +938,23 @@ class DeltaLogSpec extends SparkSpec {
     // logical-name predicates work over id-resolved columns
     assert(DeltaLog.readWhere(spark, t3, col("k") === 8L)
       .select("v").as[String].collect().toSeq === Seq("go"))
-    // id-mode writers stay read-only (only name mode has a write path)
-    val eW = intercept[IllegalArgumentException] {
-      DeltaLog.write(spark, Seq((9L, "no")).toDF("k", "v"), t3)
-    }
-    assert(eW.getMessage.contains("name mode"), eW.getMessage)
+    // id-mode APPENDS stage parquet with the spec's column ids as
+    // parquet.field.id footer metadata — the appended file reads back
+    // through BOTH graft's reader and Spark's own field-id resolution
+    DeltaLog.write(spark, Seq((9L, "ya")).toDF("k", "v"), t3)
+    assert(DeltaLog.read(spark, t3).as[(Long, String)].collect().toSet
+      === Set((7L, "ok"), (8L, "go"), (9L, "ya")))
+    val appended = DeltaLog.snapshot(spark, t3).files.map(_.path)
+      .filterNot(_.endsWith("f1.parquet")).head
+    // Spark field-id resolution: request columns by id under names
+    // matching NEITHER the staged physical nor the logical ones
+    val byId = StructType(Seq(
+      StructField("anything", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1).build()),
+      StructField("else", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2).build())))
+    assert(spark.read.schema(byId).parquet(appended)
+      .as[(Long, String)].collect().toSet === Set((9L, "ya")))
 
     // the DSv2 scan serves mapped tables through the PHYSICAL view
     // (aliased back to logical names) — byte-for-byte the library read
@@ -951,7 +963,7 @@ class DeltaLogSpec extends SparkSpec {
       === DeltaLog.read(spark, t).as[(Long, String)].collect().toSet)
     assert(spark.read.format("graft-delta").load(t3)
       .as[(Long, String)].collect().toSet
-      === Set((7L, "ok"), (8L, "go"))) // id mode: parquet field ids
+      === Set((7L, "ok"), (8L, "go"), (9L, "ya"))) // id mode: field ids
     // partitioned mapped table: physical partitionValues keys resolve
     assert(spark.read.format("graft-delta").load(t2)
       .as[(Long, String)].collect().toSet === Set((5L, "x")))

@@ -223,13 +223,12 @@ class GraftDeltaStreamSpec extends SparkSpec {
       === DeltaLog.read(spark, ti).as[(Long, String)].collect().sorted)
     assert(spark.sql("SELECT v FROM graft_cm.ns.cmi WHERE k = 8")
       .as[String].collect().toSeq === Seq("go"))
-    // id-mode writes stay gated (catalog INSERT surfaces the refusal)
-    val e = intercept[Exception] {
-      spark.sql("INSERT INTO graft_cm.ns.cmi VALUES (9, 'no')").collect()
-    }
-    assert(e.getMessage.contains("name mode") ||
-      Option(e.getCause).exists(_.getMessage.contains("name mode")),
-      e.getMessage)
+    // id-mode catalog INSERT stages field-id-stamped parquet
+    spark.sql("INSERT INTO graft_cm.ns.cmi VALUES (9, 'ya')").collect()
+    assert(spark.table("graft_cm.ns.cmi").as[(Long, String)]
+      .collect().toSet === Set((7L, "ok"), (8L, "go"), (9L, "ya")))
+    assert(DeltaLog.read(spark, ti).as[(Long, String)]
+      .collect().toSet === Set((7L, "ok"), (8L, "go"), (9L, "ya")))
   }
 
   test("CDC stream expresses DV deletes as position diffs; append mode stays loud on them") {

@@ -402,13 +402,28 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_id.ns.t WHERE g = 0")
       .as[Long].head()
       === IcebergTable.read(spark, t).where(col("g") === 0).count())
-    // over the cardinality gate: loud, pointing at overwrite
+    // over the cardinality gate: automatic COPY-ON-WRITE fallback —
+    // the affected files rewrite in ONE snapshot, no position collect
     spark.conf.set("spark.graft.mor.maxDeleteRows", "3")
     try {
-      val e = intercept[UnsupportedOperationException] {
-        IcebergTable.delete(spark, t, col("k") >= 50L)
-      }
-      assert(e.getMessage.contains("overwrite"), e.getMessage)
+      val before = IcebergTable.snapshot(spark, t)
+      val nDeletesBefore = before.deletes.size
+      val v = IcebergTable.delete(spark, t, col("k") >= 50L)
+      val after = IcebergTable.snapshot(spark, t)
+      assert(after.snapshotId === v)
+      assert(IcebergTable.read(spark, t).select("k").as[Long].collect().toSet
+        === (10L until 50L).toSet)
+      // COW, not MOR: no NEW delete file committed (prior ones carry)
+      assert(after.deletes.size === nDeletesBefore)
+      // rewritten state also serves through the DSv2 catalog scan
+      assert(spark.sql("SELECT k FROM graft_id.ns.t").as[Long]
+        .collect().toSet === (10L until 50L).toSet)
+      // an over-gate UPDATE falls back the same way
+      IcebergTable.update(spark, t, col("k") < 20L,
+        Map("g" -> org.apache.spark.sql.functions.lit(77L)))
+      assert(IcebergTable.read(spark, t).where(col("g") === 77L).count()
+        === 10L)
+      assert(IcebergTable.read(spark, t).count() === 40L)
     } finally spark.conf.unset("spark.graft.mor.maxDeleteRows")
   }
 

@@ -501,6 +501,72 @@ class IcebergSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === expect)
   }
 
+  test("partitioned rewriteDataFiles bin-packs per partition and folds the delete pile") {
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft-ice-prdf").toString + "/t"
+    // hidden-partitioned (bucket transform) small-file pile: 3 appends
+    (0 until 3).foreach { i =>
+      IcebergTable.write(spark,
+        (0L until 40L).map(k => (k * 3 + i, s"v$k-$i")).toDF("k", "v")
+          .coalesce(1),
+        t, partitionBy = Seq("bucket(2, k)"))
+    }
+    // MOR DML creates a per-partition delete pile
+    IcebergTable.delete(spark, t, col("k") < 9L)
+    IcebergTable.update(spark, t, col("k") === 30L,
+      Map("v" -> org.apache.spark.sql.functions.lit("UPD")))
+    val before = IcebergTable.snapshot(spark, t)
+    assert(before.deletes.nonEmpty)
+    assert(before.files.size > 2)
+    val expect = IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().toSet
+    val s = IcebergTable.rewriteDataFiles(spark, t)
+    val after = IcebergTable.snapshot(spark, t)
+    assert(after.snapshotId === s)
+    assert(after.deletes.isEmpty, "delete pile must fold away")
+    // ≤ ceil(bytes/target) files per partition — with the default
+    // 128 MB target that is ONE file per bucket tuple
+    val perTuple = after.files.groupBy(_.partitionTuple)
+    assert(perTuple.keySet.size === 2, perTuple.keySet)
+    assert(perTuple.values.forall(_.size === 1),
+      perTuple.view.mapValues(_.size).toMap)
+    // content identical, records real
+    assert(IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().toSet === expect)
+    assert(after.files.map(_.records).sum === expect.size.toLong)
+    // transform pruning stays intact on the compacted layout
+    val pruned = IcebergTable.prunedFiles(spark, after, col("k") === 30L)
+    assert(pruned.size === 1, s"bucket pruning should keep 1 file, " +
+      s"got ${pruned.size}")
+    assert(IcebergTable.read(spark, t).where(col("k") === 30L)
+      .as[(Long, String)].collect().toSeq === Seq((30L, "UPD")))
+
+    // already packed + delete-free: the second call is a no-op commit
+    assert(IcebergTable.rewriteDataFiles(spark, t) === s)
+
+    // a tiny target splits a partition into MULTIPLE files, still
+    // ≤ ceil(partition bytes / target) each (proportional salting);
+    // a fresh MOR delete makes the compaction non-trivial again
+    IcebergTable.delete(spark, t, col("k") === 60L)
+    val liveBytes = after.files.map(f =>
+      f.partitionTuple -> f.sizeBytes).toMap
+    val expect2 = expect.filterNot(_._1 == 60L)
+    val s2 = IcebergTable.rewriteDataFiles(spark, t,
+      targetFileBytes = 700L)
+    assert(s2 !== s)
+    val split = IcebergTable.snapshot(spark, t)
+    val byTuple = split.files.groupBy(_.partitionTuple)
+    assert(byTuple.exists(_._2.size > 1),
+      s"expected at least one partition to split, got " +
+        byTuple.view.mapValues(_.size).toMap)
+    byTuple.foreach { case (tuple, fs) =>
+      val cap = (liveBytes(tuple) + 699L) / 700L
+      assert(fs.size <= cap, s"tuple $tuple: ${fs.size} files > cap $cap")
+    }
+    assert(IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().toSet === expect2)
+  }
+
   test("mirrorFromDelta refuses real Iceberg targets; re-mirrors keep user properties") {
     import graft.sources.DeltaLog
     val root = Files.createTempDirectory("graft-mir-guard").toString

@@ -247,6 +247,79 @@ class SqlStatementsSpec extends SparkSpec {
     }
   }
 
+  test("MULTI-CLAUSE SQL MERGE: ordered WHEN MATCHED clauses apply first-match-wins; CDC legs split by clause") {
+    val root = catalogRoot("mmrg")
+    val t = s"$root/ns/t"
+    DeltaLog.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+        .toDF("k", "v", "n"), t)
+    DeltaLog.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true")) // v1
+    Seq((1L, "x", 100), (2L, "y", 5), (3L, "z", 1), (9L, "w", 90))
+      .toDF("k", "v", "n").createOrReplaceTempView("mmrg_src")
+    // the SCD "update-then-delete" two-clause shape: fresh rows
+    // update, stale matches fall through to the DELETE clause
+    spark.sql(
+      """MERGE INTO gsql_mmrg.ns.t AS t USING mmrg_src AS s ON t.k = s.k
+        |WHEN MATCHED AND s.n > 50 THEN UPDATE SET v = s.v, n = s.n
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.n > 50 THEN INSERT *""".stripMargin) // v2
+    // k=1: first clause wins (update); k=2,3: fall through → delete;
+    // k=4: no source row → survives; k=9: n=90>50 → inserts
+    assert(spark.sql("SELECT * FROM gsql_mmrg.ns.t")
+      .as[(Long, String, Int)].collect().toSet
+      === Set((1L, "x", 100), (4L, "d", 40), (9L, "w", 90)))
+    // CDC: pre/post for the UPDATE-clause row, delete for the
+    // fall-through rows, insert for the new key — one commit
+    val ch = DeltaLog.changes(spark, t, 1L, 2L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch === Set((1L, "update_preimage"), (1L, "update_postimage"),
+      (2L, "delete"), (3L, "delete"), (9L, "insert")))
+
+    // clause ORDER is semantic: with OVERLAPPING conditions the first
+    // clause wins — a DELETE ahead of the UPDATE swallows every match
+    // it covers, the later clause never fires for those rows
+    val t2 = s"$root/ns/t2"
+    DeltaLog.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "n"), t2)
+    spark.sql(
+      """MERGE INTO gsql_mmrg.ns.t2 AS t USING mmrg_src AS s ON t.k = s.k
+        |WHEN MATCHED AND s.n > 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(spark.sql("SELECT k FROM gsql_mmrg.ns.t2").as[Long]
+      .collect().toSeq === Seq.empty)
+
+    // three ordered UPDATE clauses: each row takes exactly the first
+    // applicable one (iceberg flavor)
+    val ti = s"$root/ns/it"
+    IcebergTable.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n"), ti)
+    Seq((1L, "p", 100), (2L, "q", 5), (3L, "r", 1)).toDF("k", "v", "n")
+      .createOrReplaceTempView("mmrg_isrc")
+    spark.sql(
+      """MERGE INTO gsql_mmrg.ns.it AS t USING mmrg_isrc AS s ON t.k = s.k
+        |WHEN MATCHED AND s.n >= 100 THEN UPDATE SET v = 'HI'
+        |WHEN MATCHED AND s.n >= 5 THEN UPDATE SET v = 'MID'
+        |WHEN MATCHED THEN UPDATE SET v = 'LO'""".stripMargin)
+    assert(spark.sql("SELECT k, v FROM gsql_mmrg.ns.it")
+      .as[(Long, String)].collect().toSet
+      === Set((1L, "HI"), (2L, "MID"), (3L, "LO")))
+
+    // versioned flavor: two matched clauses + BY SOURCE delete
+    val tv = s"$root/ns/vt"
+    VersionedTable.write(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n"), tv)
+    Seq((1L, "x", 100), (2L, "y", 5)).toDF("k", "v", "n")
+      .createOrReplaceTempView("mmrg_vsrc")
+    spark.sql(
+      """MERGE INTO gsql_mmrg.ns.vt AS t USING mmrg_vsrc AS s ON t.k = s.k
+        |WHEN MATCHED AND s.n > 50 THEN UPDATE SET n = s.n
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT k, n FROM gsql_mmrg.ns.vt")
+      .as[(Long, Int)].collect().toSet === Set((1L, 100)))
+  }
+
   test("FLEXIBLE SQL MERGE: conditional/partial UPDATE, DELETE, conditional INSERT — one commit each, CDC visible") {
     val root = catalogRoot("fmrg")
     val t = s"$root/ns/t"
