@@ -5474,6 +5474,110 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // PARTITIONED Iceberg compaction: hidden-partitioned writes + MOR
+    // DELETE/UPDATE leave a per-partition delete pile; OPTIMIZE
+    // (rewriteDataFiles) bin-packs PER PARTITION TUPLE and folds the
+    // deletes away — the read below scans the compacted, anti-join-free
+    // layout and must still match the oracle exactly
+    "interop_iceberg_pcompact" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-pcomp")
+        .toString + "/t"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      graft.sources.IcebergTable.write(s, c.repartition(4), t,
+        partitionBy = Seq("bucket(4, c_custkey)"))
+      graft.sources.IcebergTable.delete(s, t, col("c_acctbal") < 0)
+      graft.sources.IcebergTable.update(s, t,
+        col("c_mktsegment") === "BUILDING",
+        Map("c_acctbal" -> (col("c_acctbal") + 100)))
+      graft.sources.IcebergTable.rewriteDataFiles(s, t)
+      val snap = graft.sources.IcebergTable.snapshot(s, t)
+      require(snap.deletes.isEmpty, "compaction must fold the delete pile")
+      require(snap.files.forall(_.specId == snap.defaultSpecId),
+        "compaction must land every file on the default spec")
+      s.read.format("graft-iceberg").load(t)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"), sumD(col("c_acctbal")).as("bal"))
+        .orderBy("segment")
+    }),
+
+    // Iceberg PARTITION-SPEC EVOLUTION: an unpartitioned era, an
+    // `ALTER TABLE ADD PARTITION FIELD bucket(4, …)`, and a second era
+    // staged under the new layout — the read spans both eras (spec-id-
+    // scoped pruning) and must see every row exactly once
+    "interop_iceberg_pevolve" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-pevolve")
+        .toString + "/t"
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      graft.sources.IcebergTable.write(s,
+        sup.where(col("s_suppkey") % 2 === 0), t)
+      s.sql("ALTER TABLE '" + t +
+        "' ADD PARTITION FIELD bucket(4, s_suppkey)").collect()
+      graft.sources.IcebergTable.write(s,
+        sup.where(col("s_suppkey") % 2 === 1), t,
+        partitionBy = graft.sources.IcebergTable.defaultSpecNames(s, t))
+      s.read.format("graft-iceberg").load(t)
+        .where(col("s_nationkey") < 13)
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_sup"), sumD(col("s_acctbal")).as("bal"))
+        .orderBy("nation")
+    }),
+
+    // MULTI-CLAUSE SQL MERGE (ordered, first-match-wins): fresh
+    // matches update, stale matches fall through to DELETE, new keys
+    // insert conditionally — the standard SCD update-then-delete shape
+    "interop_sql_merge_multi" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q-mmrg")
+        .toString
+      s.conf.set("spark.sql.catalog.gq_mmrg", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq_mmrg.root", root)
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      graft.sources.DeltaLog.write(s, p, s"$root/ns/t")
+      p.where(col("p_partkey") % 3 === 0)
+        .unionByName(p.where(col("p_partkey") % 3 === 0)
+          .select((col("p_partkey") + 9000000L).as("p_partkey"),
+            col("p_brand"), col("p_retailprice")))
+        .createOrReplaceTempView("gq_mmrg_src")
+      s.sql("""MERGE INTO gq_mmrg.ns.t AS t USING gq_mmrg_src AS s2
+              |ON t.p_partkey = s2.p_partkey
+              |WHEN MATCHED AND s2.p_retailprice > 1500
+              |  THEN UPDATE SET p_retailprice = s2.p_retailprice + t.p_retailprice
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED AND s2.p_retailprice < 1200
+              |  THEN INSERT *""".stripMargin).collect()
+      s.table("gq_mmrg.ns.t")
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_part"), sumD(col("p_retailprice")).as("price"))
+        .orderBy("brand")
+    }),
+
+    // COLUMN-MAPPED Delta through the DSv2 scan: name-mode upgrade +
+    // RENAME COLUMN + a post-rename append (old and new files share
+    // the physical layout), read back by LOGICAL name with a pushed
+    // filter through format("graft-delta")
+    "interop_delta_cmscan" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-cmscan")
+        .toString + "/t"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      graft.sources.DeltaLog.write(s, c.where(col("c_custkey") % 2 === 0), t)
+      graft.sources.DeltaLog.setTableProperties(s, t,
+        Map("delta.columnMapping.mode" -> "name"))
+      s.sql("ALTER TABLE '" + t + "' RENAME COLUMN c_acctbal TO bal")
+        .collect()
+      graft.sources.DeltaLog.write(s,
+        c.where(col("c_custkey") % 2 === 1)
+          .withColumnRenamed("c_acctbal", "bal"), t)
+      s.read.format("graft-delta").load(t)
+        .where(col("c_nationkey") < 10)
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_cust"), sumD(col("bal")).as("bal"))
+        .orderBy("nation")
+    }),
+
     // Iceberg HIDDEN PARTITIONING: years(date) + bucket(key) write →
     // manifests carry transformed tuples → a SOURCE-column time-range
     // read prunes on the transforms and aggregates the survivors
@@ -8850,6 +8954,49 @@ object SparkEntry {
          | ${sqlSumD("o_totalprice")} AS total
          |FROM base WHERE o_orderdate >= DATE '1996-01-01'
          |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "interop_iceberg_pcompact" ->
+      s"""WITH base AS (
+         |  SELECT c_mktsegment,
+         |   CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100
+         |        ELSE c_acctbal END AS c_acctbal
+         |  FROM customer
+         |  WHERE NOT (c_acctbal < 0))
+         |SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+         | ${sqlSumD("c_acctbal")} AS bal
+         |FROM base GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "interop_iceberg_pevolve" ->
+      s"""SELECT s_nationkey AS nation, COUNT(*) AS n_sup,
+         | ${sqlSumD("s_acctbal")} AS bal
+         |FROM supplier WHERE s_nationkey < 13
+         |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "interop_sql_merge_multi" ->
+      s"""WITH src AS (
+         |  SELECT p_partkey, p_retailprice FROM part WHERE p_partkey % 3 = 0),
+         |merged AS (
+         |  SELECT t.p_brand,
+         |   CASE WHEN s.p_retailprice > 1500
+         |        THEN s.p_retailprice + t.p_retailprice
+         |        ELSE t.p_retailprice END AS p_retailprice,
+         |   (s.p_partkey IS NOT NULL AND NOT (s.p_retailprice > 1500))
+         |     AS deleted
+         |  FROM part t LEFT JOIN src s ON t.p_partkey = s.p_partkey),
+         |final AS (
+         |  SELECT p_brand, p_retailprice FROM merged WHERE NOT deleted
+         |  UNION ALL
+         |  SELECT p_brand, p_retailprice FROM part
+         |  WHERE p_partkey % 3 = 0 AND p_retailprice < 1200)
+         |SELECT p_brand AS brand, COUNT(*) AS n_part,
+         | ${sqlSumD("p_retailprice")} AS price
+         |FROM final GROUP BY 1 ORDER BY brand""".stripMargin,
+
+    "interop_delta_cmscan" ->
+      s"""SELECT c_nationkey AS nation, COUNT(*) AS n_cust,
+         | ${sqlSumD("c_acctbal")} AS bal
+         |FROM customer WHERE c_nationkey < 10
+         |GROUP BY 1 ORDER BY nation""".stripMargin,
 
     "interop_iceberg_hidden" ->
       s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,

@@ -550,12 +550,31 @@ private class GraftIcebergMicroBatchStream(spark: SparkSession,
 }
 
 /** `format("graft-iceberg")` — path-based entry for batch, streaming,
-  * and CDC (`readChangeFeed=true`) reads plus committing V1 batch
-  * writes. Streaming SINK: use `foreachBatch((b, _) =>
-  * IcebergTable.write(spark, b, path))`. */
-class GraftIcebergDataSource extends TableProvider with DataSourceRegister {
+  * and CDC (`readChangeFeed=true`) reads, committing V1 batch writes,
+  * and the V1 streaming SINK (`writeStream.format("graft-iceberg")`),
+  * which commits one Iceberg snapshot per micro-batch stamped with
+  * `graft.txn.*` summary properties: on a checkpoint-loss restart,
+  * batches at or below the table's replayed watermark are skipped —
+  * exactly-once output, parity with the `graft-delta` sink's `txn`
+  * contract. */
+class GraftIcebergDataSource extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-iceberg"
+
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-iceberg sink needs a path: .start(path) or .option(\"path\", ...)"))
+    // the txn appId defaults to the checkpoint location — the unit of
+    // exactly-once is one logical stream, which IS its checkpoint
+    val appId = parameters.getOrElse("txnAppId",
+      "graft-iceberg-sink:" + parameters.getOrElse("checkpointLocation", path))
+    new GraftIcebergSink(sqlContext.sparkSession, path, partitionColumns,
+      outputMode, appId)
+  }
 
   private def tableFor(options: CaseInsensitiveStringMap): GraftIcebergTable = {
     val path = Option(options.get("path")).getOrElse(
@@ -568,9 +587,51 @@ class GraftIcebergDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    tableFor(options).schema()
+    // the WRITE path (writeStream sink) infers before the target
+    // exists — return an empty schema so resolution proceeds to the
+    // V1 sink fallback; a batch READ of a missing table still fails
+    // loudly when the scan forces the snapshot
+    try tableFor(options).schema()
+    catch { case e: IllegalArgumentException
+      if e.getMessage != null &&
+        (e.getMessage.contains("no metadata dir") ||
+          e.getMessage.contains("metadata.json")) =>
+      new StructType()
+    }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     tableFor(new CaseInsensitiveStringMap(properties))
+}
+
+/** The V1 streaming sink behind `writeStream.format("graft-iceberg")`:
+  * one committed Iceberg snapshot per micro-batch. Exactly-once via
+  * the snapshot-summary `graft.txn.*` watermark: a replayed batch at
+  * or below [[IcebergTable.lastCommittedBatch]] is a no-op, so a
+  * checkpoint-loss restart never commits a duplicate snapshot.
+  * Appends to a partitioned table stage under the table's OWN spec
+  * (hidden transforms included). */
+private class GraftIcebergSink(spark: SparkSession, path: String,
+                               partitionBy: Seq[String],
+                               outputMode: org.apache.spark.sql.streaming.OutputMode,
+                               appId: String)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val committed = IcebergTable.lastCommittedBatch(spark, path, appId)
+    if (batchId <= committed) return // replayed micro-batch: durable
+    // re-wrap the streaming frame's executed RDD as a batch plan (the
+    // same move Spark's ForeachBatchSink makes)
+    val batchDf = org.apache.spark.sql.graft.StreamingBatchShim.asBatch(data)
+    val overwrite =
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    // appends must keep the table's spec; a fresh table adopts the
+    // stream's declared partitioning
+    val spec =
+      try IcebergTable.defaultSpecNames(spark, path)
+      catch { case _: IllegalArgumentException => partitionBy }
+    IcebergTable.write(spark, batchDf, path, overwrite = overwrite,
+      partitionBy = spec, txn = Some(appId -> batchId))
+    ()
+  }
+  override def toString: String = s"graft-iceberg-sink[$path]"
 }

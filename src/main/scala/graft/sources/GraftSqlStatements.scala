@@ -96,6 +96,12 @@ object GraftSqlStatements {
   private val DropColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+DROP\s+COLUMN\s+(`[^`]+`|[\w$]+)\s*;?\s*$""").r
+  private val AddPartFieldRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+ADD\s+PARTITION\s+FIELD\s+([\w$]+(?:\s*\([^)]*\))?)\s*;?\s*$""").r
+  private val DropPartFieldRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+DROP\s+PARTITION\s+FIELD\s+([\w$]+(?:\s*\([^)]*\))?)\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+ADD\s+CONSTRAINT\s+([\w$]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -276,6 +282,14 @@ object GraftSqlStatements {
       Some(GraftColumnDdlCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         stripQuotes(colName), rename = None))
+    case AddPartFieldRe(path, ident, transform) =>
+      Some(GraftPartitionFieldCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        transform.trim, isAdd = true))
+    case DropPartFieldRe(path, ident, what) =>
+      Some(GraftPartitionFieldCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        what.trim, isAdd = false))
     case AddConstraintRe(path, ident, name, check) =>
       Some(GraftConstraintCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil), name,
@@ -659,6 +673,31 @@ case class GraftColumnDdlCommand(path: Option[String], parts: Seq[String],
           s"$other")
     }
     Seq(Row(dir, v))
+  }
+}
+
+/** `ALTER TABLE <t> ADD/DROP PARTITION FIELD <transform>` —
+  * Iceberg-flavor partition-spec evolution, routed to
+  * [[IcebergTable.addPartitionField]] / `dropPartitionField`.
+  * Returns the new default spec-id. */
+case class GraftPartitionFieldCommand(path: Option[String],
+                                      parts: Seq[String],
+                                      transform: String,
+                                      isAdd: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("spec_id", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    require(flavorOf(spark, dir) == IcebergFlavor,
+      s"ADD/DROP PARTITION FIELD is Iceberg-flavor partition-spec " +
+        s"evolution; $dir is not an Iceberg table")
+    val sid =
+      if (isAdd) IcebergTable.addPartitionField(spark, dir, transform)
+      else IcebergTable.dropPartitionField(spark, dir, transform)
+    Seq(Row(sid.toLong))
   }
 }
 

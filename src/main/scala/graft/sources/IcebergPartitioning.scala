@@ -30,9 +30,14 @@ private[graft] object IcebergPartitioning {
 
   /** One partition-spec field. `transform` is the spec-JSON name
     * (`identity`, `year`, `month`, `day`, `hour`, `bucket[N]`,
-    * `truncate[W]`); `param` the N/W. */
+    * `truncate[W]`); `param` the N/W; `fieldId` the spec's partition
+    * field id (1000+ per the Iceberg convention; -1 = not yet
+    * assigned — writers then stamp positional 1000+i). Field ids are
+    * STABLE across spec evolution: a field keeps its id in every
+    * spec that carries it. */
   final case class PartField(name: String, transform: String,
-                             source: String, param: Int = 0) {
+                             source: String, param: Int = 0,
+                             fieldId: Int = -1) {
     def isIdentity: Boolean = transform == "identity"
     /** The canonical partitionBy string that parses back to this. */
     def canonical: String = transform match {
@@ -58,14 +63,15 @@ private[graft] object IcebergPartitioning {
   }
 
   /** Rebuild a PartField from the metadata spec JSON's
-    * (name, transform, source column name). */
-  def fromJson(name: String, transform: String, source: String): PartField = {
+    * (name, transform, source column name[, field id]). */
+  def fromJson(name: String, transform: String, source: String,
+               fieldId: Int = -1): PartField = {
     val BucketJ = "bucket\\[(\\d+)\\]".r
     val TruncJ = "truncate\\[(\\d+)\\]".r
     transform match {
-      case BucketJ(n) => PartField(name, transform, source, n.toInt)
-      case TruncJ(w) => PartField(name, transform, source, w.toInt)
-      case t => PartField(name, t, source)
+      case BucketJ(n) => PartField(name, transform, source, n.toInt, fieldId)
+      case TruncJ(w) => PartField(name, transform, source, w.toInt, fieldId)
+      case t => PartField(name, t, source, fieldId = fieldId)
     }
   }
 

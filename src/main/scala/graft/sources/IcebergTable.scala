@@ -124,7 +124,8 @@ object IcebergTable {
     * transform name. */
   private[sources] final case class SpecField(name: String, dt: DataType,
                                               sourceId: Int,
-                                              transform: String = "identity")
+                                              transform: String = "identity",
+                                              fieldId: Int = -1)
 
   private def metaDir(tablePath: String) = new Path(tablePath, "metadata")
 
@@ -327,7 +328,8 @@ object IcebergTable {
       fields.flatMap { f =>
         val srcId = f.get("source-id").asInt()
         curIds.get(srcId).map(src => IcebergPartitioning.fromJson(
-          f.get("name").asText(), f.get("transform").asText(), src))
+          f.get("name").asText(), f.get("transform").asText(), src,
+          Option(f.get("field-id")).map(_.asInt()).getOrElse(-1)))
       }
     }
     val snaps = Option(meta.get("snapshots")).toSeq
@@ -653,6 +655,27 @@ object IcebergTable {
     // match detection (liveRowsWithPos) — the two must never diverge
     liveRowsWithPos(spark, snap, snap.files)
       .select(snap.schema.fieldNames.map(col): _*)
+  }
+
+  /** The highest micro-batch id `appId` has durably committed to
+    * `tablePath` (replayed from the snapshots' `graft.txn.*` summary
+    * properties; -1 = none / table absent) — the exactly-once
+    * watermark of the `graft-iceberg` streaming sink, mirroring
+    * [[DeltaLog]]'s `txn` replay. */
+  def lastCommittedBatch(spark: SparkSession, tablePath: String,
+                         appId: String): Long = {
+    val mdir = metaDir(tablePath)
+    val fs = fsFor(spark, mdir)
+    if (!fs.exists(mdir)) return -1L
+    if (fs.globStatus(new Path(mdir, "v*.metadata.json")).isEmpty) return -1L
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+      .flatMap(s => Option(s.get("summary")))
+      .filter(su => Option(su.get("graft.txn.app-id"))
+        .exists(_.asText() == appId))
+      .flatMap(su => Option(su.get("graft.txn.batch-id"))
+        .map(_.asText().toLong))
+      .foldLeft(-1L)(math.max)
   }
 
   /** Committed snapshot ids in commit order (the metadata `snapshots`
@@ -1547,7 +1570,7 @@ object IcebergTable {
           s"on ${snap.tablePath}")
       SpecField(pf.name,
         IcebergPartitioning.resultType(pf, snap.schema(pf.source).dataType),
-        byName(pf.source), pf.transform)
+        byName(pf.source), pf.transform, pf.fieldId)
     }
   }
 
@@ -1765,7 +1788,7 @@ object IcebergTable {
           "partition tuples")
       SpecField(pf.name,
         IcebergPartitioning.resultType(pf, snap.schema(pf.source).dataType),
-        specByName(pf.source), pf.transform)
+        specByName(pf.source), pf.transform, pf.fieldId)
     }
     val entrySchema = entrySchemaFor(spec)
     val entries = files.map { f =>
@@ -2314,6 +2337,143 @@ object IcebergTable {
     }
   }
 
+  /** `ALTER TABLE … ADD PARTITION FIELD <transform>` — partition-spec
+    * EVOLUTION per the spec's "Partition Evolution" rules: commit one
+    * new metadata.json whose `partition-specs` list gains (or reuses)
+    * a spec holding the current default's fields PLUS the new one,
+    * with `default-spec-id` pointing at it. PURE METADATA — existing
+    * data files keep their original spec-id (spec-id-scoped pruning
+    * reads mixed-spec tables soundly; OPTIMIZE migrates them); only
+    * writes after the ALTER stage under the new layout. Field ids
+    * stay stable across specs; the new field takes
+    * `last-partition-id + 1`. Returns the new default spec-id. */
+  def addPartitionField(spark: SparkSession, tablePath: String,
+                        transform: String): Int = {
+    val pf = IcebergPartitioning.parse(transform)
+    alterPartitionSpec(spark, tablePath, add = Some(pf), drop = None)
+  }
+
+  /** `ALTER TABLE … DROP PARTITION FIELD <nameOrTransform>` — the
+    * evolution twin: the new default spec drops the named field
+    * (matched by field name or canonical transform string). Existing
+    * files stay under their old spec; new writes stop deriving the
+    * dropped dimension. Returns the new default spec-id. */
+  def dropPartitionField(spark: SparkSession, tablePath: String,
+                         nameOrTransform: String): Int =
+    alterPartitionSpec(spark, tablePath, add = None,
+      drop = Some(nameOrTransform.trim))
+
+  private def alterPartitionSpec(spark: SparkSession, tablePath: String,
+                                 add: Option[IcebergPartitioning.PartField],
+                                 drop: Option[String]): Int = {
+    val mp = latestMetadataFile(spark, tablePath)
+    val metaVersion =
+      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    val snap = snapshot(spark, tablePath)
+    val defaultSpecId =
+      Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+
+    // current default spec's field NODES (ids preserved verbatim);
+    // legacy top-level `partition-spec` arrays materialize as spec 0
+    val specsArr: ArrayNode =
+      if (meta.has("partition-specs"))
+        meta.get("partition-specs").asInstanceOf[ArrayNode]
+      else {
+        val arr = meta.putArray("partition-specs")
+        val s0 = arr.addObject()
+        s0.put("spec-id", 0)
+        s0.set[JsonNode]("fields",
+          Option(meta.get("partition-spec"))
+            .map(_.deepCopy[JsonNode]())
+            .getOrElse(M.createArrayNode()))
+        arr
+      }
+    val specs = specsArr.elements().asScala.toSeq
+    val curFields: Seq[JsonNode] = specs
+      .find(_.get("spec-id").asInt() == defaultSpecId).toSeq
+      .flatMap(s => Option(s.get("fields")).toSeq
+        .flatMap(_.elements().asScala.toSeq))
+
+    val allFieldIds = specs.flatMap(s => Option(s.get("fields")).toSeq
+      .flatMap(_.elements().asScala))
+      .flatMap(f => Option(f.get("field-id")).map(_.asInt()))
+    val lastPartitionId = (Option(meta.get("last-partition-id"))
+      .map(_.asInt()).toSeq ++ allFieldIds :+ 999).max
+
+    val newFields: Seq[JsonNode] = (add, drop) match {
+      case (Some(pf), None) =>
+        require(IcebergPartitioning.isKnown(pf),
+          s"unknown partition transform ${pf.canonical}")
+        val srcField = snap.schema.fields.find(_.name == pf.source)
+          .getOrElse(throw new IllegalArgumentException(
+            s"unknown partition source column ${pf.source} on $tablePath"))
+        IcebergPartitioning.requireSupported(pf, srcField.dataType)
+        val srcId = snap.fieldNames.map(_.swap).apply(pf.source)
+        curFields.foreach { f =>
+          require(f.get("name").asText() != pf.name,
+            s"partition field ${pf.name} already exists on $tablePath")
+          require(!(f.get("source-id").asInt() == srcId &&
+            f.get("transform").asText() == pf.transform),
+            s"partition field ${pf.canonical} already exists on $tablePath")
+        }
+        val nf = M.createObjectNode()
+        nf.put("name", pf.name)
+        nf.put("transform", pf.transform)
+        nf.put("source-id", srcId)
+        nf.put("field-id", lastPartitionId + 1)
+        curFields :+ (nf: JsonNode)
+      case (None, Some(what)) =>
+        val byName = snap.fieldNames
+        def canonicalOf(f: JsonNode): String =
+          IcebergPartitioning.fromJson(f.get("name").asText(),
+            f.get("transform").asText(),
+            byName.getOrElse(f.get("source-id").asInt(), "?")).canonical
+        val (hit, kept) = curFields.partition(f =>
+          f.get("name").asText() == what ||
+            canonicalOf(f).replaceAll("\\s+", "")
+              .equalsIgnoreCase(what.replaceAll("\\s+", "")))
+        require(hit.nonEmpty,
+          s"no partition field '$what' on $tablePath (have: " +
+            s"${curFields.map(f => f.get("name").asText()).mkString(", ")})")
+        kept
+      case _ => throw new IllegalStateException("exactly one of add/drop")
+    }
+
+    // reuse a spec whose fields match exactly (ids included); else
+    // append a fresh spec-id
+    def shapeOf(fs: Seq[JsonNode]) = fs.map(f =>
+      (f.get("name").asText(), f.get("transform").asText(),
+        f.get("source-id").asInt(),
+        Option(f.get("field-id")).map(_.asInt()).getOrElse(-1)))
+    val reuse = specs.find(s => shapeOf(Option(s.get("fields")).toSeq
+      .flatMap(_.elements().asScala.toSeq)) == shapeOf(newFields))
+    val newSpecId = reuse.map(_.get("spec-id").asInt()).getOrElse {
+      val fresh = specs.map(_.get("spec-id").asInt()).foldLeft(-1)(math.max) + 1
+      val sp = specsArr.addObject()
+      sp.put("spec-id", fresh)
+      val fl = sp.putArray("fields")
+      newFields.foreach(fl.add)
+      fresh
+    }
+    require(newSpecId != defaultSpecId,
+      s"ALTER PARTITION FIELD is a no-op on $tablePath")
+    meta.put("default-spec-id", newSpecId)
+    meta.put("last-partition-id",
+      math.max(lastPartitionId, add.map(_ => lastPartitionId + 1).getOrElse(0)))
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    val mdir = metaDir(tablePath)
+    val fs = fsFor(spark, mdir)
+    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
+    val out = fs.create(next, false)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    finally out.close()
+    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
+    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+    finally hintOut.close()
+    newSpecId
+  }
+
   /** `ALTER TABLE … RENAME COLUMN` — Iceberg's field-id model makes
     * this a METADATA-ONLY one-liner (spec §"Schema Evolution"): a new
     * schema keeps every field id and changes one name; no data file
@@ -2787,12 +2947,14 @@ object IcebergTable {
   }
 
   /** Manifest-entry schema whose r102 partition record carries the
-    * spec's fields (field-ids 1000+i per the Iceberg convention). */
+    * spec's fields (real field ids where known — stable across spec
+    * evolution — positional 1000+i for fresh specs). */
   private def entrySchemaFor(spec: Seq[SpecField]): Schema =
     if (spec.isEmpty) ManifestEntrySchema
     else {
       val fields = spec.zipWithIndex.map { case (f, i) =>
-        s"""{"name":"${f.name}","type":["null","${partitionAvroType(f.dt)}"],"default":null,"field-id":${1000 + i}}"""
+        val fid = if (f.fieldId > 0) f.fieldId else 1000 + i
+        s"""{"name":"${f.name}","type":["null","${partitionAvroType(f.dt)}"],"default":null,"field-id":$fid}"""
       }.mkString(",")
       new Schema.Parser().parse(ManifestEntrySchema.toString.replace(
         """{"type":"record","name":"r102","fields":[]}""",
@@ -2804,7 +2966,8 @@ object IcebergTable {
     * per the spec (`identity`, `day`, `bucket[16]`, …). */
   private def specFieldsJson(spec: Seq[SpecField]): String =
     spec.zipWithIndex.map { case (f, i) =>
-      s"""{"name":"${f.name}","transform":"${f.transform}","source-id":${f.sourceId},"field-id":${1000 + i}}"""
+      val fid = if (f.fieldId > 0) f.fieldId else 1000 + i
+      s"""{"name":"${f.name}","transform":"${f.transform}","source-id":${f.sourceId},"field-id":$fid}"""
     }.mkString("[", ",", "]")
 
   /** Attach the stats maps (field-id-keyed, per the data_file schema)
@@ -3108,7 +3271,8 @@ object IcebergTable {
     * it under a fresh spec-id. Returns the committed snapshot id. */
   def write(spark: SparkSession, df: DataFrame, tablePath: String,
             overwrite: Boolean = false,
-            partitionBy: Seq[String] = Nil): Long = {
+            partitionBy: Seq[String] = Nil,
+            txn: Option[(String, Long)] = None): Long = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(tablePath)
     val fs = dst.getFileSystem(fsConf)
@@ -3279,7 +3443,7 @@ object IcebergTable {
     // the schema object just built; reuse a prior spec-id when the
     // fields match name+transform+source, else a fresh id
     // (overwrite-only — appends gated above)
-    val specFields: Seq[SpecField] = pfs.map { pf =>
+    val baseSpecFields: Seq[SpecField] = pfs.map { pf =>
       val srcId = schemaObj.get("fields").elements().asScala
         .find(_.get("name").asText() == pf.source).get.get("id").asInt()
       SpecField(pf.name,
@@ -3292,9 +3456,23 @@ object IcebergTable {
       Option(s.get("fields")).toSeq.flatMap(_.elements().asScala)
         .map(f => (f.get("name").asText(), f.get("transform").asText(),
           f.get("source-id").asInt())) ==
-        specFields.map(f => (f.name, f.transform, f.sourceId)))
+        baseSpecFields.map(f => (f.name, f.transform, f.sourceId)))
     val specId = matchingSpec.map(_.get("spec-id").asInt()).getOrElse(
       priorSpecsArr.map(_.get("spec-id").asInt()).foldLeft(-1)(math.max) + 1)
+    // a matched prior spec's FIELD IDS carry into the manifest (spec
+    // evolution keeps ids stable; positional 1000+i only for fresh
+    // specs)
+    val specFields: Seq[SpecField] = matchingSpec match {
+      case Some(s) =>
+        val idByName = Option(s.get("fields")).toSeq
+          .flatMap(_.elements().asScala)
+          .filter(_.has("field-id"))
+          .map(f => f.get("name").asText() -> f.get("field-id").asInt())
+          .toMap
+        baseSpecFields.map(f =>
+          f.copy(fieldId = idByName.getOrElse(f.name, -1)))
+      case None => baseSpecFields
+    }
 
     // per-file column bounds/counts from the parquet footers (no data
     // scan) — external engines and the DSv2 scan prune on them
@@ -3360,8 +3538,16 @@ object IcebergTable {
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
     sn.put("schema-id", schemaId)
-    sn.putObject("summary").put("operation",
-      if (overwrite) "overwrite" else "append")
+    val summ = sn.putObject("summary")
+    summ.put("operation", if (overwrite) "overwrite" else "append")
+    // streaming idempotence marker (the `txn` twin of the Delta sink,
+    // carried as snapshot summary properties like real engines'
+    // checkpoint ids): a replayed micro-batch at or below the
+    // replayed watermark is a no-op
+    txn.foreach { case (appId, batchId) =>
+      summ.put("graft.txn.app-id", appId)
+      summ.put("graft.txn.batch-id", batchId.toString)
+    }
     val logArr = M.createArrayNode()
     prior.foreach(m => Option(m.get("snapshot-log")).foreach(
       _.elements().asScala.foreach(logArr.add)))

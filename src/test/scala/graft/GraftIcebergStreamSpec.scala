@@ -684,6 +684,51 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(viaScan.length === 91) // 100 - 10 pos-deleted - k=50 replaced + 2 upserted
   }
 
+  test("graft-iceberg streaming sink: one snapshot per micro-batch, exactly-once across checkpoint loss") {
+    val dir = tmp("gi-sink")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/b1.json"),
+      """[{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/b2.json"),
+      """[{"k": 3, "v": "c"}]""")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    val t = s"$dir/ice"
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").option("multiLine", "true")
+        .json(s"$dir/in")
+        .writeStream.format("graft-iceberg")
+        .option("checkpointLocation", ckpt)
+        .option("txnAppId", "spec-ice-sink") // stable across ckpt loss
+        .trigger(Trigger.AvailableNow())
+        .start(t)
+      q.awaitTermination(120000)
+    }
+    run(s"$dir/ckpt")
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val snaps = IcebergTable.snapshotIds(spark, t)
+    assert(snaps.size === 2, "one snapshot per micro-batch")
+    assert(IcebergTable.lastCommittedBatch(spark, t, "spec-ice-sink") === 1L)
+    // checkpoint LOSS: a fresh checkpoint replays batches 0..1 from
+    // scratch — the summary-property watermark makes both no-ops
+    run(s"$dir/ckpt2")
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(IcebergTable.snapshotIds(spark, t) === snaps,
+      "replayed micro-batches must not commit duplicate snapshots")
+    // a genuinely new batch still commits
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/b3.json"),
+      """[{"k": 4, "v": "d"}]""")
+    run(s"$dir/ckpt2")
+    assert(IcebergTable.read(spark, t).count() === 4L)
+    assert(IcebergTable.snapshotIds(spark, t).size === 3)
+  }
+
   test("one delete file spanning N data files is READ ONCE per executor (DeleteLoader cache)") {
     val dir = tmp("gi-delcache")
     val t = s"$dir/t"

@@ -567,6 +567,80 @@ class IcebergSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === expect2)
   }
 
+  test("ALTER TABLE ADD/DROP PARTITION FIELD evolves the spec; mixed-spec eras read and prune soundly") {
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft-ice-pspec").toString + "/t"
+    // era 0: unpartitioned
+    IcebergTable.write(spark,
+      (0L until 20L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), t)
+    assert(IcebergTable.defaultSpecNames(spark, t) === Seq.empty)
+
+    // evolve: hidden bucket partitioning from now on
+    val sid1 = spark.sql("ALTER TABLE '" + t + "' ADD PARTITION FIELD " +
+      "bucket(2, k)").as[Long].head()
+    assert(sid1 === 1L)
+    assert(IcebergTable.defaultSpecNames(spark, t) === Seq("bucket(2, k)"))
+    // era 1: appends stage under the new layout (same key range, so
+    // column-bounds pruning cannot mask the bucket-pruning assert)
+    IcebergTable.write(spark,
+      (0L until 20L).map(k => (k, s"w$k")).toDF("k", "v"), t,
+      partitionBy = IcebergTable.defaultSpecNames(spark, t))
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.files.exists(_.specId === 0) &&
+      snap.files.exists(_.specId === 1), snap.files.map(_.specId))
+    assert(snap.files.filter(_.specId == 1)
+      .forall(_.partitionTuple.contains("k_bucket")))
+    // reads span both eras
+    assert(IcebergTable.read(spark, t).count() === 40L)
+    // pruning is SPEC-ID SCOPED: a bucket-equality predicate prunes
+    // era-1 files to one bucket but always keeps the era-0 file
+    val pruned = IcebergTable.prunedFiles(spark, snap, col("k") === 5L)
+    assert(pruned.exists(_.specId == 0), "era-0 file must survive pruning")
+    assert(pruned.count(_.specId == 1) <
+      snap.files.count(_.specId == 1), "era-1 files must bucket-prune")
+    assert(IcebergTable.read(spark, t).where(col("k") === 5L)
+      .select("v").as[String].collect().toSet === Set("v5", "w5"))
+
+    // the field id is stable and never reused: drop, then add another
+    val sid0 = spark.sql("ALTER TABLE '" + t + "' DROP PARTITION FIELD " +
+      "k_bucket").as[Long].head()
+    assert(sid0 === 0L) // empty spec matches the original spec 0
+    assert(IcebergTable.defaultSpecNames(spark, t) === Seq.empty)
+    spark.sql("ALTER TABLE '" + t + "' ADD PARTITION FIELD truncate(2, v)")
+    val meta = IcebergTable.snapshot(spark, t)
+    assert(meta.specFields.map(_.fieldId) === Seq(1001),
+      "a fresh partition field takes a FRESH id (1000 was used)")
+    // dropping by canonical transform string also resolves
+    spark.sql("ALTER TABLE '" + t + "' DROP PARTITION FIELD truncate(2, v)")
+    assert(IcebergTable.defaultSpecNames(spark, t) === Seq.empty)
+
+    // maintenance across mixed specs: rewriteManifests refuses with a
+    // remedy; OPTIMIZE (rewriteDataFiles) migrates everything to the
+    // default spec, after which rewriteManifests works
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.rewriteManifests(spark, t)
+    }
+    assert(e.getMessage.contains("OPTIMIZE"), e.getMessage)
+    IcebergTable.rewriteDataFiles(spark, t)
+    val after = IcebergTable.snapshot(spark, t)
+    assert(after.files.forall(_.specId == after.defaultSpecId))
+    assert(IcebergTable.read(spark, t).count() === 40L)
+    IcebergTable.rewriteManifests(spark, t)
+    assert(IcebergTable.read(spark, t).count() === 40L)
+
+    // guards: unknown source column, duplicate field, unknown drop
+    intercept[IllegalArgumentException] {
+      IcebergTable.addPartitionField(spark, t, "bucket(4, nope)")
+    }
+    IcebergTable.addPartitionField(spark, t, "bucket(4, k)")
+    intercept[IllegalArgumentException] {
+      IcebergTable.addPartitionField(spark, t, "bucket(4, k)")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergTable.dropPartitionField(spark, t, "no_such_field")
+    }
+  }
+
   test("mirrorFromDelta refuses real Iceberg targets; re-mirrors keep user properties") {
     import graft.sources.DeltaLog
     val root = Files.createTempDirectory("graft-mir-guard").toString
