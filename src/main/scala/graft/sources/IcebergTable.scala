@@ -2704,8 +2704,19 @@ object IcebergTable {
           .find(_.get("name").asText() == f.name).get.get("id").asInt()
         f.name -> ((fid, f.dataType))
       }.toMap
+    // INCREMENTAL stats: files already in the prior mirror snapshot
+    // reuse their manifest-recorded column stats — only genuinely new
+    // files open parquet footers. Without this every UniForm commit
+    // re-read O(live files) footers (the r11→r12 per-commit cost).
+    val priorFiles: Map[String, DataFile] =
+      if (!exists) Map.empty
+      else scala.util.Try(snapshot(spark, icebergPath)).toOption
+        .map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
     val fileStats: Map[String, FileStats] = files.map { case (p, _, n) =>
-      p -> footerFileStats(fsConf, new Path(p), n)
+      p -> priorFiles.get(p)
+        .filter(pf => pf.valueCounts.nonEmpty || pf.bounds.nonEmpty)
+        .map(pf => FileStats(pf.valueCounts, pf.nullCounts, pf.bounds))
+        .getOrElse(footerFileStats(fsConf, new Path(p), n))
     }.toMap
     val newManifest = writeManifest(spark, mdir, s"mirror-$snapId",
       schemaJson, files, snapId, seq, stats = fileStats,
