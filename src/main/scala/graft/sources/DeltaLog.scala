@@ -2606,13 +2606,13 @@ object DeltaLog {
   def mergeFlexible(spark: SparkSession, deltaPath: String,
                     source: DataFrame, keyCols: Seq[String],
                     matched: Seq[MergeSpec.Matched],
-                    notMatched: Option[MergeSpec.NotMatched],
+                    notMatched: Seq[MergeSpec.NotMatched],
                     bySource: Seq[MergeSpec.NotMatchedBySource] = Seq.empty,
                     checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     import spark.implicits._
     import MergeSpec.SrcPrefix
     require(keyCols.nonEmpty, "MERGE with no key columns")
-    require(matched.nonEmpty || notMatched.isDefined || bySource.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE with no clauses")
     val snap = snapshot(spark, deltaPath)
     requireNotColumnMapped(snap, "MERGE")
@@ -2628,9 +2628,16 @@ object DeltaLog {
           s"cannot UPDATE generated column $n — it is always computed " +
             s"AS (${snap.schema(n).metadata.getString(GenerationExprKey)})")
       })
-    if (notMatched.isDefined)
+    // INSERT * clauses need every target column in the source;
+    // expression-insert clauses provide their own values but must
+    // cover every column
+    if (notMatched.exists(_.assignments.isEmpty))
       snap.schema.fieldNames.foreach(c => require(source.columns.contains(c),
         s"WHEN NOT MATCHED THEN INSERT needs source column $c"))
+    notMatched.filter(_.assignments.nonEmpty).foreach(nm =>
+      snap.schema.fieldNames.foreach(c =>
+        require(nm.assignments.exists(_._1 == c),
+          s"WHEN NOT MATCHED THEN INSERT must cover column $c")))
     val src = graft.Caches.tracked(source)
     // a BY SOURCE clause acts on UNMATCHED target rows, so an empty
     // source is not a no-op when it is present
@@ -2720,13 +2727,15 @@ object DeltaLog {
         genRecompute(bsa.where(!c.isDelete).select(tableCols.map(n =>
           c.value(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*))
       }
-    val insertRows: Option[DataFrame] = notMatched.map { nm =>
-      src.join(target.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_anti")
-        .where(nm.condition.getOrElse(lit(true)))
-        .select(tableCols.map(n =>
-          col(n).cast(snap.schema(n).dataType).as(n)): _*)
-    }
+    val insertRows: Option[DataFrame] =
+      Option(notMatched).filter(_.nonEmpty).map { ns =>
+        val c = MergeSpec.ofNotMatched(ns)
+        src.join(target.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+          .where(c.any)
+          .select(tableCols.map(n =>
+            c.value(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
+      }
     val appendFrame: Option[DataFrame] =
       (updatedRows.toSeq ++ bsUpdatedRows.toSeq ++ insertRows.toSeq)
         .reduceOption(_.unionByName(_))

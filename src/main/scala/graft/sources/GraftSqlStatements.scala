@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression, SubqueryExpression, And => EAnd, Or => EOr}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Cast, EqualTo, Expression, SubqueryExpression, And => EAnd}
 import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -945,28 +945,31 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
           }
         val matchedSpecs = m.matchedActions.map(
           clauseOf(_, rewriteJoined, "matched"))
-        val insertSpec: Option[Option[org.apache.spark.sql.Column]] =
-          m.notMatchedActions match {
-            case Seq() => None
-            case actions =>
-              val conds = actions.map {
-                case InsertAction(condOpt, asg) =>
-                  if (!fullRowFromSource(asg))
-                    fail(unsupported + "a partial-column INSERT")
-                  condOpt
-                case other => fail(unsupported + s"not-matched action $other")
-              }
-              // every clause is the same INSERT *, so first-match-wins
-              // reduces to "insert when ANY clause condition holds"
-              Some(
-                if (conds.exists(_.isEmpty)) None
-                else Some(ColumnBridge.column(
-                  conds.flatten.map(rewriteSource).reduceLeft(EOr(_, _)))))
+        // ordered INSERT clauses: `INSERT *` rides with EMPTY
+        // assignments (full row from same-named source columns);
+        // explicit `INSERT (cols) VALUES (exprs)` carries one
+        // source-frame expression per target column
+        val insertSpecs: Seq[(Option[org.apache.spark.sql.Column], Seq[(String, org.apache.spark.sql.Column)])] =
+          m.notMatchedActions.map {
+            case InsertAction(condOpt, asg) =>
+              val pairs =
+                if (fullRowFromSource(asg)) Seq.empty
+                else asg.map { a =>
+                  val name = a.key match {
+                    case ar: AttributeReference => ar.name
+                    case other => fail("graft MERGE supports only " +
+                      s"top-level column assignments, got ${other.sql}")
+                  }
+                  name -> ColumnBridge.column(rewriteSource(a.value))
+                }
+              (condOpt.map(c => ColumnBridge.column(rewriteSource(c))),
+                pairs)
+            case other => fail(unsupported + s"not-matched action $other")
           }
         val bySourceSpecs = m.notMatchedBySourceActions.map(
           clauseOf(_, rewriteTarget, "not-matched-by-source"))
         GraftMergeFlexCommand(flavor, path, m.sourceTable, keyCols,
-          matchedSpecs, insertSpec, bySourceSpecs)
+          matchedSpecs, insertSpecs, bySourceSpecs)
       }
   }
 }
@@ -1024,7 +1027,7 @@ case class GraftMergeCommand(flavor: String, tablePath: String,
 case class GraftMergeFlexCommand(flavor: String, tablePath: String,
                                  source: LogicalPlan, keyCols: Seq[String],
                                  matchedSpec: Seq[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])],
-                                 insertSpec: Option[Option[org.apache.spark.sql.Column]],
+                                 insertSpec: Seq[(Option[org.apache.spark.sql.Column], Seq[(String, org.apache.spark.sql.Column)])],
                                  bySourceSpec: Seq[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])] = Seq.empty)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -1035,7 +1038,8 @@ case class GraftMergeFlexCommand(flavor: String, tablePath: String,
     val src = ColumnBridge.ofRows(spark, source)
     val matched = matchedSpec.map { case (cond, del, asg) =>
       MergeSpec.Matched(cond, del, asg) }
-    val notMatched = insertSpec.map(MergeSpec.NotMatched)
+    val notMatched = insertSpec.map { case (cond, asg) =>
+      MergeSpec.NotMatched(cond, asg) }
     val bySource = bySourceSpec.map { case (cond, del, asg) =>
       MergeSpec.NotMatchedBySource(cond, del, asg) }
     val v = flavor match {

@@ -1100,12 +1100,12 @@ object IcebergTable {
   def mergeFlexible(spark: SparkSession, tablePath: String,
                     source: DataFrame, keyCols: Seq[String],
                     matched: Seq[MergeSpec.Matched],
-                    notMatched: Option[MergeSpec.NotMatched],
+                    notMatched: Seq[MergeSpec.NotMatched],
                     bySource: Seq[MergeSpec.NotMatchedBySource] = Seq.empty): Long = {
     import org.apache.spark.sql.functions._
     import MergeSpec.SrcPrefix
     require(keyCols.nonEmpty, "MERGE with no key columns")
-    require(matched.nonEmpty || notMatched.isDefined || bySource.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE with no clauses")
     val snap = snapshot(spark, tablePath)
     keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
@@ -1116,17 +1116,28 @@ object IcebergTable {
       .foreach(_.foreach { case (n, _) =>
         require(snap.schema.fieldNames.contains(n),
           s"unknown assignment column $n") })
-    if (notMatched.isDefined)
+    // INSERT * clauses need every target column in the source;
+    // expression-insert clauses provide their own values
+    if (notMatched.exists(_.assignments.isEmpty))
       snap.schema.fieldNames.foreach(c => require(source.columns.contains(c),
         s"WHEN NOT MATCHED THEN INSERT needs source column $c"))
+    notMatched.filter(_.assignments.nonEmpty).foreach(nm =>
+      snap.schema.fieldNames.foreach(c =>
+        require(nm.assignments.exists(_._1 == c),
+          s"WHEN NOT MATCHED THEN INSERT must cover column $c")))
+    val nmc = Option(notMatched).filter(_.nonEmpty)
+      .map(MergeSpec.ofNotMatched)
+    def insertProjection(unmatchedSrc: DataFrame): DataFrame = {
+      val c = nmc.get
+      unmatchedSrc.where(c.any).select(snap.schema.fieldNames.map(n =>
+        c.value(n, col(n)).cast(snap.schema(n).dataType).as(n)).toSeq: _*)
+    }
     // an EMPTY (DDL-first) table: nothing matches — the merge is the
     // insert clause alone, a plain append under the declared spec
     // (the Delta and versioned arms handle their empty targets too)
     if (snap.snapshotId == -1L) {
-      return notMatched match {
-        case Some(nm) => write(spark,
-          source.where(nm.condition.getOrElse(lit(true)))
-            .select(snap.schema.fieldNames.map(col): _*),
+      return nmc match {
+        case Some(_) => write(spark, insertProjection(source),
           tablePath, partitionBy = snap.specFields.map(_.canonical))
         case None => snap.snapshotId // matched-only merge: no-op
       }
@@ -1169,12 +1180,9 @@ object IcebergTable {
           bsa.where(!c.isDelete).select(tableCols.map(n =>
             c.value(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
         }
-      val insertRows: Option[DataFrame] = notMatched.map { nm =>
-        src.join(cur.select(keyCols.map(col): _*).distinct(),
-          keyCols, "left_anti")
-          .where(nm.condition.getOrElse(lit(true)))
-          .select(tableCols.map(n =>
-            col(n).cast(snap.schema(n).dataType).as(n)): _*)
+      val insertRows: Option[DataFrame] = nmc.map { _ =>
+        insertProjection(src.join(
+          cur.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
       }
       val appendFrame: Option[DataFrame] =
         (updatedRows.toSeq ++ bsUpdatedRows.toSeq ++ insertRows.toSeq)

@@ -30,7 +30,13 @@ object MergeSpec {
   final case class Matched(condition: Option[Column], delete: Boolean,
                            assignments: Seq[(String, Column)] = Seq.empty)
 
-  final case class NotMatched(condition: Option[Column])
+  /** `WHEN NOT MATCHED [AND condition] THEN INSERT …` — empty
+    * `assignments` is `INSERT *` (full row from same-named source
+    * columns); non-empty carries one expression per TARGET column
+    * (the `INSERT (k, v) VALUES (s.k, upper(s.v))` shape), evaluated
+    * over the SOURCE frame by plain names. */
+  final case class NotMatched(condition: Option[Column],
+                              assignments: Seq[(String, Column)] = Seq.empty)
 
   /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE / DELETE`
     * — applies to TARGET rows with no source match; expressions
@@ -84,4 +90,6 @@ object MergeSpec {
     OrderedClauses(ms.map(m => (m.condition, m.delete, m.assignments)))
   def ofBySource(bs: Seq[NotMatchedBySource]): OrderedClauses =
     OrderedClauses(bs.map(b => (b.condition, b.delete, b.assignments)))
+  def ofNotMatched(ns: Seq[NotMatched]): OrderedClauses =
+    OrderedClauses(ns.map(n => (n.condition, false, n.assignments)))
 }

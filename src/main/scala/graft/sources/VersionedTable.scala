@@ -438,12 +438,12 @@ object VersionedTable {
     * [[MergeSpec]]. */
   def mergeFlexible(updates: DataFrame, table: String, keys: Seq[String],
                     matched: Seq[MergeSpec.Matched],
-                    notMatched: Option[MergeSpec.NotMatched],
+                    notMatched: Seq[MergeSpec.NotMatched],
                     bySource: Seq[MergeSpec.NotMatchedBySource] = Seq.empty): Long = {
     val spark = updates.sparkSession
     import MergeSpec.SrcPrefix
     require(keys.nonEmpty, "MERGE with no key columns")
-    require(matched.nonEmpty || notMatched.isDefined || bySource.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE with no clauses")
     require(updates.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count() == 0L,
@@ -451,10 +451,17 @@ object VersionedTable {
     // ordered clauses, first-match-wins (standard SQL MERGE)
     val mc = Option(matched).filter(_.nonEmpty).map(MergeSpec.ofMatched)
     val bsc = Option(bySource).filter(_.nonEmpty).map(MergeSpec.ofBySource)
+    val nmc = Option(notMatched).filter(_.nonEmpty).map(MergeSpec.ofNotMatched)
+    def insertProjection(unmatchedSrc: DataFrame,
+                         outCols: Seq[String]): DataFrame = {
+      val c = nmc.get
+      unmatchedSrc.where(c.any)
+        .select(outCols.map(n => c.value(n, col(n)).as(n)): _*)
+    }
     commitLoop(spark, table) { cur =>
       Some {
         if (cur == 0)
-          notMatched.map(nm => updates.where(nm.condition.getOrElse(lit(true))))
+          nmc.map(_ => insertProjection(updates, updates.columns.toSeq))
             .getOrElse(updates.limit(0))
         else {
           val t = graft.Caches.tracked(readVersion(spark, table, cur)
@@ -484,11 +491,10 @@ object VersionedTable {
               bsa.where(!c.isDelete).select(tableCols.map(n =>
                 c.value(n, col(n)).as(n)): _*)
             }
-          val inserts: Option[DataFrame] = notMatched.map { nm =>
-            updates.join(t.select(keys.map(col): _*).distinct(),
-              keys, "left_anti")
-              .where(nm.condition.getOrElse(lit(true)))
-              .select(tableCols.map(col): _*)
+          val inserts: Option[DataFrame] = nmc.map { _ =>
+            insertProjection(updates.join(
+              t.select(keys.map(col): _*).distinct(), keys, "left_anti"),
+              tableCols)
           }
           (Seq(kept) ++ updated.toSeq ++ bsUpdated.toSeq ++ inserts.toSeq)
             .reduce(_.unionByName(_))

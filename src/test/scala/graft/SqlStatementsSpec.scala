@@ -305,6 +305,24 @@ class SqlStatementsSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
       === Set((1L, "HI"), (2L, "MID"), (3L, "LO")))
 
+    // EXPRESSION INSERT: explicit column list, reordered, with
+    // computed values over the source frame
+    val te = s"$root/ns/te"
+    DeltaLog.write(spark, Seq((1L, "a", 10)).toDF("k", "v", "n"), te)
+    Seq((1L, "x", 100), (5L, "y", 50), (6L, "z", 5))
+      .toDF("k", "v", "n").createOrReplaceTempView("mmrg_esrc")
+    spark.sql(
+      """MERGE INTO gsql_mmrg.ns.te AS t USING mmrg_esrc AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET n = s.n
+        |WHEN NOT MATCHED AND s.n >= 50
+        |  THEN INSERT (n, v, k) VALUES (s.n * 10, upper(s.v), s.k)
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // k=1 updates; k=5 takes the FIRST insert clause (computed
+    // values); k=6 falls to the plain INSERT *
+    assert(spark.sql("SELECT * FROM gsql_mmrg.ns.te")
+      .as[(Long, String, Int)].collect().toSet
+      === Set((1L, "a", 100), (5L, "Y", 500), (6L, "z", 5)))
+
     // versioned flavor: two matched clauses + BY SOURCE delete
     val tv = s"$root/ns/vt"
     VersionedTable.write(
