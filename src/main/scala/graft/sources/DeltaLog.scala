@@ -1964,6 +1964,24 @@ object DeltaLog {
     * staged `.tmp-*` scratch dirs are cleaned opportunistically.
     * Returns the deleted (or, with `dryRun`, would-be-deleted)
     * table-relative paths. */
+  /** The `RETAIN n HOURS` retention mapping: how many trailing
+    * versions were committed at or after `cutoffMs` (always ≥ 1 — the
+    * latest version never reclaims). Commit times come from the log
+    * files' modification times, the same clock [[history]] reports;
+    * versions whose commit JSON was cleaned away (v2-checkpoint
+    * aggressive cleanup) count as older than any cutoff. */
+  def keepCountSince(spark: SparkSession, deltaPath: String,
+                     cutoffMs: Long): Int = {
+    val fs = new Path(deltaPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = listVersions(spark, deltaPath)
+    math.max(1, vs.count { v =>
+      scala.util.Try(fs.getFileStatus(
+        new Path(logDir(deltaPath), pad20(v) + ".json"))
+        .getModificationTime).getOrElse(0L) >= cutoffMs
+    })
+  }
+
   def vacuum(spark: SparkSession, deltaPath: String,
              keepVersions: Int = 1, dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the latest version")

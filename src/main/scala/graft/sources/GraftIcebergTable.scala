@@ -610,7 +610,12 @@ class GraftIcebergDataSource extends TableProvider with DataSourceRegister
   * or below [[IcebergTable.lastCommittedBatch]] is a no-op, so a
   * checkpoint-loss restart never commits a duplicate snapshot.
   * Appends to a partitioned table stage under the table's OWN spec
-  * (hidden transforms included). */
+  * (hidden transforms included). Caveat (same as engines keeping
+  * checkpoint ids in summaries): `expireSnapshots` drops expired
+  * snapshots' summaries — losing the checkpoint AND expiring past the
+  * stream's newest commit loses the watermark with it, so retain at
+  * least the most recent sink snapshot while a checkpoint-less replay
+  * is possible. */
 private class GraftIcebergSink(spark: SparkSession, path: String,
                                partitionBy: Seq[String],
                                outputMode: org.apache.spark.sql.streaming.OutputMode,

@@ -60,7 +60,7 @@ object GraftSqlStatements {
       """(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Target +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?))?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Target +
       """\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']+)'|(\S+))\s*;?\s*$""").r
@@ -243,10 +243,12 @@ object GraftSqlStatements {
       Some(GraftOptimizeCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         Option(z).map(cols).getOrElse(Nil)))
-    case VacuumRe(path, ident, retain, dry) =>
+    case VacuumRe(path, ident, retain, unit, dry) =>
       Some(GraftVacuumCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
-        Option(retain).map(_.toInt), dry != null))
+        Option(retain).map(_.toInt),
+        retainHours = Option(unit).exists(_.toUpperCase.startsWith("HOUR")),
+        dryRun = dry != null))
     case RestoreRe(path, ident, kind, quoted, bare) =>
       Some(GraftRestoreCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
@@ -729,10 +731,15 @@ case class GraftConstraintCommand(path: Option[String], parts: Seq[String],
   }
 }
 
-/** `VACUUM <t> [RETAIN n VERSIONS] [DRY RUN]` → the flavor's physical
-  * cleanup; one row per removed (or would-be-removed) file. */
+/** `VACUUM <t> [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]` → the
+  * flavor's physical cleanup; one row per removed (or
+  * would-be-removed) file. `RETAIN n HOURS` (real Delta's grammar)
+  * maps to a version count through the commit timestamps — versions
+  * younger than the cutoff are retained, the latest always is. */
 case class GraftVacuumCommand(path: Option[String], parts: Seq[String],
-                              retain: Option[Int], dryRun: Boolean)
+                              retain: Option[Int],
+                              retainHours: Boolean = false,
+                              dryRun: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)())
@@ -740,18 +747,29 @@ case class GraftVacuumCommand(path: Option[String], parts: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftSqlStatements._
     val dir = resolveDir(spark, path, parts)
+    def cutoffMs: Long =
+      System.currentTimeMillis() - retain.get.toLong * 3600L * 1000L
     flavorOf(spark, dir) match {
       case DeltaFlavor =>
-        DeltaLog.vacuum(spark, dir, keepVersions = retain.getOrElse(1),
+        val keep =
+          if (retainHours) DeltaLog.keepCountSince(spark, dir, cutoffMs)
+          else retain.getOrElse(1)
+        DeltaLog.vacuum(spark, dir, keepVersions = keep,
           dryRun = dryRun).map(Row(_))
       case VersionedFlavor =>
         require(!dryRun, "DRY RUN is not supported for versioned tables")
+        require(!retainHours,
+          "RETAIN n HOURS is not supported for versioned tables — " +
+            "use RETAIN n VERSIONS")
         VersionedTable.vacuum(spark, dir, keepVersions = retain.getOrElse(2))
         Seq.empty
       case IcebergFlavor =>
         require(!dryRun, "DRY RUN is not supported for Iceberg tables")
+        val keep =
+          if (retainHours) IcebergTable.keepCountSince(spark, dir, cutoffMs)
+          else retain.getOrElse(1)
         IcebergTable.expireSnapshots(spark, dir,
-          keepSnapshots = retain.getOrElse(1)).map(Row(_))
+          keepSnapshots = keep).map(Row(_))
     }
   }
 }

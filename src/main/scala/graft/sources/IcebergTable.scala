@@ -1885,6 +1885,15 @@ object IcebergTable {
     * touched. Time travel to an expired id then fails LOUDLY at
     * resolution ("snapshot N not in table"), exactly Iceberg's
     * post-expiration contract. Returns the deleted paths. */
+  /** The `RETAIN n HOURS` retention mapping: how many snapshots were
+    * committed at or after `cutoffMs` (always ≥ 1 — the current
+    * snapshot never expires). Snapshot timestamps are monotone in
+    * commit order, so this equals "expire everything older than the
+    * cutoff". */
+  def keepCountSince(spark: SparkSession, tablePath: String,
+                     cutoffMs: Long): Int =
+    math.max(1, snapshotEntries(spark, tablePath).count(_._2 >= cutoffMs))
+
   def expireSnapshots(spark: SparkSession, tablePath: String,
                       keepSnapshots: Int = 1): Seq[String] = {
     require(keepSnapshots >= 1, "must keep at least the current snapshot")

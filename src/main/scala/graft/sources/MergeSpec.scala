@@ -76,14 +76,21 @@ object MergeSpec {
     def hasDelete: Boolean = clauses.exists(_._2)
     /** Post-image value of column `name` under the row's first
       * applicable clause (delete-clause rows must be filtered out
-      * with [[isDelete]] first; unassigned columns keep `default`). */
-    def value(name: String, default: Column): Column =
-      clauses.indices.foldRight(default) { (i, acc) =>
+      * with [[isDelete]] first; unassigned columns keep `default`).
+      * `default` is BY-NAME and never built when every non-delete
+      * clause assigns the column — an expression-only INSERT whose
+      * source lacks the target column name must not reference it. */
+    def value(name: String, default: => Column): Column = {
+      val needsDefault = clauses.exists(c =>
+        !c._2 && !c._3.exists(_._1 == name))
+      val base: Column = if (needsDefault) default else lit(null)
+      clauses.indices.foldRight(base) { (i, acc) =>
         val vi =
-          if (clauses(i)._2) default // rows on delete clauses filter out
-          else clauses(i)._3.toMap.getOrElse(name, default)
+          if (clauses(i)._2) base // rows on delete clauses filter out
+          else clauses(i)._3.toMap.getOrElse(name, base)
         when(idx === i, vi).otherwise(acc)
       }
+    }
   }
 
   def ofMatched(ms: Seq[Matched]): OrderedClauses =

@@ -256,7 +256,10 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
         //    data-path-keyed map (cached); this partition just probes.
         val posBuf = Array.newBuilder[Long]
         posRefs.foreach { case (path, size) =>
-          val decoded = DeleteFileCache.getOrLoad(("pos", path)) {
+          // keyed by (path, size): a table torn down and recreated at
+          // the same location could reuse a delete-file path with
+          // different content — the size component breaks the tie
+          val decoded = DeleteFileCache.getOrLoad(("pos", path, size)) {
             val m = new java.util.HashMap[String,
               scala.collection.mutable.ArrayBuilder.ofLong]()
             var n = 0L
@@ -281,7 +284,7 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
           eqRefs.groupBy(_.cols).toSeq.map { case (cols, refs) =>
             val (idx, types) = eqIdx(cols)
             val cached = refs.map { ref =>
-              DeleteFileCache.getOrLoad(("eq", ref.path, cols)) {
+              DeleteFileCache.getOrLoad(("eq", ref.path, ref.sizeBytes, cols)) {
                 val fresh = new java.util.HashSet[Seq[Any]]()
                 scanFile(eqFactories(cols), ref.path, ref.sizeBytes) { row =>
                   fresh.add(cols.indices.map(i => keyValue(row, i, types(i))))

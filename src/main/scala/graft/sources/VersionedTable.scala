@@ -461,7 +461,12 @@ object VersionedTable {
     commitLoop(spark, table) { cur =>
       Some {
         if (cur == 0)
-          nmc.map(_ => insertProjection(updates, updates.columns.toSeq))
+          // first commit DEFINES the schema: expression inserts name
+          // the target columns, INSERT * adopts the source's
+          nmc.map(_ => insertProjection(updates,
+            notMatched.find(_.assignments.nonEmpty)
+              .map(_.assignments.map(_._1))
+              .getOrElse(updates.columns.toSeq)))
             .getOrElse(updates.limit(0))
         else {
           val t = graft.Caches.tracked(readVersion(spark, table, cur)

@@ -69,6 +69,40 @@ class SqlStatementsSpec extends SparkSpec {
     }
   }
 
+  test("VACUUM RETAIN n HOURS: time-based retention through commit timestamps") {
+    val dir = Files.createTempDirectory("graft-sqlstmt-vh").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), dir)          // v0
+    DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v"), dir,
+      overwrite = true)                                                // v1
+    // everything is younger than 1000 hours: nothing reclaims
+    assert(spark.sql(s"VACUUM '$dir' RETAIN 1000 HOURS").collect().isEmpty)
+    assert(DeltaLog.read(spark, dir, versionAsOf = Some(0L)).count() === 1L)
+    // backdate v0's commit 3 hours: RETAIN 1 HOURS reclaims its files
+    val v0 = new java.io.File(s"$dir/_delta_log",
+      "0" * 19 + "0.json")
+    assert(v0.setLastModified(System.currentTimeMillis() - 3 * 3600 * 1000L))
+    val gone = spark.sql(s"VACUUM '$dir' RETAIN 1 HOURS").collect()
+    assert(gone.nonEmpty)
+    assert(DeltaLog.read(spark, dir).as[(Long, String)].collect().toSeq
+      === Seq((2L, "b")))
+    intercept[Exception] {
+      DeltaLog.read(spark, dir, versionAsOf = Some(0L)).count()
+    }
+    // Iceberg flavor: RETAIN n HOURS maps through snapshot timestamps
+    val it = Files.createTempDirectory("graft-sqlstmt-vhi").toString + "/t"
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"), it)
+    IcebergTable.write(spark, Seq((2L, "b")).toDF("k", "v"), it)
+    assert(spark.sql(s"VACUUM '$it' RETAIN 1000 HOURS").collect().isEmpty)
+    assert(IcebergTable.snapshotIds(spark, it).size === 2)
+    // versioned flavor refuses HOURS loudly
+    val vt = Files.createTempDirectory("graft-sqlstmt-vhv").toString + "/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), vt)
+    val e = intercept[Exception] {
+      spark.sql(s"VACUUM '$vt' RETAIN 1 HOURS").collect()
+    }
+    assert(e.getMessage.contains("HOURS"), e.getMessage)
+  }
+
   test("SQL OPTIMIZE ZORDER + VACUUM on a graft-versioned catalog table") {
     val root = catalogRoot("vt")
     val t = s"$root/ns/vt"
@@ -322,6 +356,17 @@ class SqlStatementsSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM gsql_mmrg.ns.te")
       .as[(Long, String, Int)].collect().toSet
       === Set((1L, "a", 100), (5L, "Y", 500), (6L, "z", 5)))
+    // expression-ONLY insert from a source whose columns match NO
+    // target name (the rename-mapping shape) — the projection must
+    // never reference a missing source column
+    Seq((9L, "nine", 90)).toDF("k", "label", "amount")
+      .createOrReplaceTempView("mmrg_rsrc")
+    spark.sql(
+      """MERGE INTO gsql_mmrg.ns.te AS t USING mmrg_rsrc AS s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, v, n)
+        |  VALUES (s.k, s.label, s.amount + 1)""".stripMargin)
+    assert(spark.sql("SELECT v, n FROM gsql_mmrg.ns.te WHERE k = 9")
+      .as[(String, Int)].collect().toSeq === Seq(("nine", 91)))
 
     // versioned flavor: two matched clauses + BY SOURCE delete
     val tv = s"$root/ns/vt"
