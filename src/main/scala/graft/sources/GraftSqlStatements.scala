@@ -102,6 +102,10 @@ object GraftSqlStatements {
   private val DropPartFieldRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+DROP\s+PARTITION\s+FIELD\s+([\w$]+(?:\s*\([^)]*\))?)\s*;?\s*$""").r
+  private val ReplacePartFieldRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+REPLACE\s+PARTITION\s+FIELD\s+([\w$]+(?:\s*\([^)]*\))?)""" +
+      """\s+WITH\s+([\w$]+(?:\s*\([^)]*\))?)\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+ADD\s+CONSTRAINT\s+([\w$]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -292,6 +296,10 @@ object GraftSqlStatements {
       Some(GraftPartitionFieldCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         what.trim, isAdd = false))
+    case ReplacePartFieldRe(path, ident, what, transform) =>
+      Some(GraftPartitionFieldCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        transform.trim, isAdd = true, replaceOf = Some(what.trim)))
     case AddConstraintRe(path, ident, name, check) =>
       Some(GraftConstraintCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil), name,
@@ -678,14 +686,16 @@ case class GraftColumnDdlCommand(path: Option[String], parts: Seq[String],
   }
 }
 
-/** `ALTER TABLE <t> ADD/DROP PARTITION FIELD <transform>` —
-  * Iceberg-flavor partition-spec evolution, routed to
-  * [[IcebergTable.addPartitionField]] / `dropPartitionField`.
-  * Returns the new default spec-id. */
+/** `ALTER TABLE <t> ADD/DROP PARTITION FIELD <transform>` and
+  * `REPLACE PARTITION FIELD <old> WITH <transform>` — Iceberg-flavor
+  * partition-spec evolution, routed to
+  * [[IcebergTable.addPartitionField]] / `dropPartitionField` /
+  * `replacePartitionField`. Returns the new default spec-id. */
 case class GraftPartitionFieldCommand(path: Option[String],
                                       parts: Seq[String],
                                       transform: String,
-                                      isAdd: Boolean)
+                                      isAdd: Boolean,
+                                      replaceOf: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("spec_id", LongType, nullable = false)())
@@ -694,11 +704,16 @@ case class GraftPartitionFieldCommand(path: Option[String],
     import GraftSqlStatements._
     val dir = resolveDir(spark, path, parts)
     require(flavorOf(spark, dir) == IcebergFlavor,
-      s"ADD/DROP PARTITION FIELD is Iceberg-flavor partition-spec " +
-        s"evolution; $dir is not an Iceberg table")
-    val sid =
-      if (isAdd) IcebergTable.addPartitionField(spark, dir, transform)
-      else IcebergTable.dropPartitionField(spark, dir, transform)
+      s"ADD/DROP/REPLACE PARTITION FIELD is Iceberg-flavor " +
+        s"partition-spec evolution; $dir is not an Iceberg table")
+    val sid = replaceOf match {
+      case Some(old) =>
+        IcebergTable.replacePartitionField(spark, dir, old, transform)
+      case None if isAdd =>
+        IcebergTable.addPartitionField(spark, dir, transform)
+      case None =>
+        IcebergTable.dropPartitionField(spark, dir, transform)
+    }
     Seq(Row(sid.toLong))
   }
 }

@@ -1470,8 +1470,15 @@ object IcebergTable {
       require(affected.size == keys.size,
         s"internal: ${keys.size} matched paths resolve to " +
           s"${affected.size} files")
-      // unmatched rows of the affected files survive via rewrite
-      val keep = liveRowsWithPos(spark, snap, affected)
+      // survivors spanning several partition specs cannot carry as
+      // existing entries (one manifest declares ONE spec) — widen to
+      // a full rewrite, which also migrates them to the current spec
+      val affectedPaths = affected.map(_.path).toSet
+      val survivorsMixed = snap.files.exists(f =>
+        !affectedPaths(f.path) && f.specId != snap.defaultSpecId)
+      val rewriteFiles = if (survivorsMixed) snap.files else affected
+      // unmatched rows of the rewritten files survive via rewrite
+      val keep = liveRowsWithPos(spark, snap, rewriteFiles)
         .join(matchedPos, Seq("__path", "__ri"), "left_anti")
         .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
       val append = (Seq(keep) ++ extraDf.toSeq.map(
@@ -1479,7 +1486,7 @@ object IcebergTable {
         .reduce(_.unionByName(_))
       commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
         appendDf = Some(append).filterNot(_.isEmpty), operation,
-        removePaths = affected.map(_.path).toSet)
+        removePaths = rewriteFiles.map(_.path).toSet)
     } finally matchedPos.unpersist()
   }
 
@@ -1716,15 +1723,18 @@ object IcebergTable {
             readManifestList(spark,
               new Path(curNode.get("manifest-list").asText()))
           else Seq.empty
-        val deleteManifests = prior.filter(m => longOf(m.get("content")) == 1L)
         val survivors = snap.files.filterNot(f => removePaths(f.path))
-        val surv =
-          if (survivors.isEmpty) None
-          else Some(existingFilesManifest(spark, mdir, s"cow-$snapId",
-            schemaJson, snap, survivors, snapId, seq,
+        // no survivors = a full rewrite: prior delete files have
+        // nothing left to apply to, so nothing carries
+        if (survivors.isEmpty) Seq.empty
+        else {
+          val deleteManifests =
+            prior.filter(m => longOf(m.get("content")) == 1L)
+          deleteManifests :+ existingFilesManifest(spark, mdir,
+            s"cow-$snapId", schemaJson, snap, survivors, snapId, seq,
             Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0),
-            "copy-on-write rewrite"))
-        deleteManifests ++ surv.toSeq
+            "copy-on-write rewrite")
+        }
       } else if (carryExisting && curNode.has("manifest-list"))
         readManifestList(spark, new Path(curNode.get("manifest-list").asText()))
       else Seq.empty
@@ -2380,6 +2390,16 @@ object IcebergTable {
     alterPartitionSpec(spark, tablePath, add = None,
       drop = Some(nameOrTransform.trim))
 
+  /** `ALTER TABLE … REPLACE PARTITION FIELD <old> WITH <transform>` —
+    * drop + add in ONE metadata commit (the bucket(8)→bucket(16)
+    * resize shape). */
+  def replacePartitionField(spark: SparkSession, tablePath: String,
+                            nameOrTransform: String,
+                            transform: String): Int =
+    alterPartitionSpec(spark, tablePath,
+      add = Some(IcebergPartitioning.parse(transform)),
+      drop = Some(nameOrTransform.trim))
+
   private def alterPartitionSpec(spark: SparkSession, tablePath: String,
                                  add: Option[IcebergPartitioning.PartField],
                                  drop: Option[String]): Int = {
@@ -2418,43 +2438,45 @@ object IcebergTable {
     val lastPartitionId = (Option(meta.get("last-partition-id"))
       .map(_.asInt()).toSeq ++ allFieldIds :+ 999).max
 
-    val newFields: Seq[JsonNode] = (add, drop) match {
-      case (Some(pf), None) =>
-        require(IcebergPartitioning.isKnown(pf),
-          s"unknown partition transform ${pf.canonical}")
-        val srcField = snap.schema.fields.find(_.name == pf.source)
-          .getOrElse(throw new IllegalArgumentException(
-            s"unknown partition source column ${pf.source} on $tablePath"))
-        IcebergPartitioning.requireSupported(pf, srcField.dataType)
-        val srcId = snap.fieldNames.map(_.swap).apply(pf.source)
-        curFields.foreach { f =>
-          require(f.get("name").asText() != pf.name,
-            s"partition field ${pf.name} already exists on $tablePath")
-          require(!(f.get("source-id").asInt() == srcId &&
-            f.get("transform").asText() == pf.transform),
-            s"partition field ${pf.canonical} already exists on $tablePath")
-        }
-        val nf = M.createObjectNode()
-        nf.put("name", pf.name)
-        nf.put("transform", pf.transform)
-        nf.put("source-id", srcId)
-        nf.put("field-id", lastPartitionId + 1)
-        curFields :+ (nf: JsonNode)
-      case (None, Some(what)) =>
-        val byName = snap.fieldNames
-        def canonicalOf(f: JsonNode): String =
-          IcebergPartitioning.fromJson(f.get("name").asText(),
-            f.get("transform").asText(),
-            byName.getOrElse(f.get("source-id").asInt(), "?")).canonical
-        val (hit, kept) = curFields.partition(f =>
-          f.get("name").asText() == what ||
-            canonicalOf(f).replaceAll("\\s+", "")
-              .equalsIgnoreCase(what.replaceAll("\\s+", "")))
-        require(hit.nonEmpty,
-          s"no partition field '$what' on $tablePath (have: " +
-            s"${curFields.map(f => f.get("name").asText()).mkString(", ")})")
-        kept
-      case _ => throw new IllegalStateException("exactly one of add/drop")
+    require(add.isDefined || drop.isDefined, "nothing to alter")
+    // drop first, then add — REPLACE composes both in ONE commit
+    var newFields: Seq[JsonNode] = curFields
+    drop.foreach { what =>
+      val byName = snap.fieldNames
+      def canonicalOf(f: JsonNode): String =
+        IcebergPartitioning.fromJson(f.get("name").asText(),
+          f.get("transform").asText(),
+          byName.getOrElse(f.get("source-id").asInt(), "?")).canonical
+      val (hit, kept) = newFields.partition(f =>
+        f.get("name").asText() == what ||
+          canonicalOf(f).replaceAll("\\s+", "")
+            .equalsIgnoreCase(what.replaceAll("\\s+", "")))
+      require(hit.nonEmpty,
+        s"no partition field '$what' on $tablePath (have: " +
+          s"${newFields.map(f => f.get("name").asText()).mkString(", ")})")
+      newFields = kept
+    }
+    add.foreach { pf =>
+      require(IcebergPartitioning.isKnown(pf),
+        s"unknown partition transform ${pf.canonical}")
+      val srcField = snap.schema.fields.find(_.name == pf.source)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown partition source column ${pf.source} on $tablePath"))
+      IcebergPartitioning.requireSupported(pf, srcField.dataType)
+      val srcId = snap.fieldNames.map(_.swap).apply(pf.source)
+      newFields.foreach { f =>
+        require(f.get("name").asText() != pf.name,
+          s"partition field ${pf.name} already exists on $tablePath")
+        require(!(f.get("source-id").asInt() == srcId &&
+          f.get("transform").asText() == pf.transform),
+          s"partition field ${pf.canonical} already exists on $tablePath")
+      }
+      val nf = M.createObjectNode()
+      nf.put("name", pf.name)
+      nf.put("transform", pf.transform)
+      nf.put("source-id", srcId)
+      nf.put("field-id", lastPartitionId + 1)
+      newFields = newFields :+ (nf: JsonNode)
     }
 
     // reuse a spec whose fields match exactly (ids included); else

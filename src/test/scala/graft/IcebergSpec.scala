@@ -639,6 +639,32 @@ class IcebergSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IcebergTable.dropPartitionField(spark, t, "no_such_field")
     }
+
+    // REPLACE PARTITION FIELD — the bucket-resize shape, ONE commit
+    val metaBefore = IcebergTable.snapshot(spark, t)
+    spark.sql("ALTER TABLE '" + t + "' REPLACE PARTITION FIELD " +
+      "k_bucket WITH bucket(8, k)").collect()
+    val resized = IcebergTable.snapshot(spark, t)
+    assert(IcebergTable.defaultSpecNames(spark, t) === Seq("bucket(8, k)"))
+    // the replacement field takes a FRESH id
+    assert(resized.specFields.map(_.fieldId).forall(_ >
+      metaBefore.specFields.map(_.fieldId).max))
+    IcebergTable.write(spark,
+      (100L until 110L).map(k => (k, s"x$k")).toDF("k", "v"), t,
+      partitionBy = IcebergTable.defaultSpecNames(spark, t))
+    assert(IcebergTable.read(spark, t).count() === 50L)
+
+    // over-gate DML on the NOW spec-mixed table: the COW fallback
+    // widens to a full rewrite (survivors span specs) and stays exact
+    spark.conf.set("spark.graft.mor.maxDeleteRows", "2")
+    try {
+      IcebergTable.delete(spark, t, col("k") >= 100L && col("k") < 105L)
+      assert(IcebergTable.read(spark, t).count() === 45L)
+      val after = IcebergTable.snapshot(spark, t)
+      assert(after.deletes.isEmpty)
+      assert(after.files.forall(_.specId == after.defaultSpecId),
+        "full-rewrite COW must land everything on the default spec")
+    } finally spark.conf.unset("spark.graft.mor.maxDeleteRows")
   }
 
   test("mirrorFromDelta refuses real Iceberg targets; re-mirrors keep user properties") {
