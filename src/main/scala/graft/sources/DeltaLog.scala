@@ -3230,7 +3230,7 @@ object DeltaLog {
   }
 
   /** `ALTER TABLE … RENAME COLUMN a TO b` — a pure LOGICAL rename on
-    * a name-mode column-mapped table: the field keeps its column id
+    * a column-mapped (name or id mode) table: the field keeps its column id
     * and `physicalName`, so NO data file changes and every existing
     * parquet keeps serving the column; only the metaData's logical
     * name (and the partitionColumns list, when renaming a partition
@@ -3242,8 +3242,8 @@ object DeltaLog {
                    from: String, to: String): Long = {
     val prior = snapshot(spark, deltaPath)
     require(prior.configuration.get("delta.columnMapping.mode")
-      .contains("name"),
-      s"RENAME COLUMN needs name-mode column mapping on $deltaPath — " +
+      .exists(m => m == "name" || m == "id"),
+      s"RENAME COLUMN needs column mapping on $deltaPath — " +
         "ALTER TABLE … SET TBLPROPERTIES " +
         "('delta.columnMapping.mode'='name') first")
     require(prior.schema.fieldNames.contains(from),
@@ -3263,8 +3263,8 @@ object DeltaLog {
       prior.configuration, None)
   }
 
-  /** `ALTER TABLE … DROP COLUMN a` — metadata-only on a name-mode
-    * column-mapped table: the field leaves the schema, its column id
+  /** `ALTER TABLE … DROP COLUMN a` — metadata-only on a column-mapped
+    * (name or id mode) table: the field leaves the schema, its column id
     * is never reused (`maxColumnId` stands), and the physical data
     * stays in the files — current reads simply never request it,
     * while time travel before the DROP still serves it. Partition
@@ -3274,8 +3274,8 @@ object DeltaLog {
                  name: String): Long = {
     val prior = snapshot(spark, deltaPath)
     require(prior.configuration.get("delta.columnMapping.mode")
-      .contains("name"),
-      s"DROP COLUMN needs name-mode column mapping on $deltaPath — " +
+      .exists(m => m == "name" || m == "id"),
+      s"DROP COLUMN needs column mapping on $deltaPath — " +
         "ALTER TABLE … SET TBLPROPERTIES " +
         "('delta.columnMapping.mode'='name') first")
     require(prior.schema.fieldNames.contains(name),

@@ -229,6 +229,18 @@ class GraftDeltaStreamSpec extends SparkSpec {
       .collect().toSet === Set((7L, "ok"), (8L, "go"), (9L, "ya")))
     assert(DeltaLog.read(spark, ti).as[(Long, String)]
       .collect().toSet === Set((7L, "ok"), (8L, "go"), (9L, "ya")))
+
+    // id-mode RENAME/DROP COLUMN are the same metadata-only move as
+    // name mode (ids + physical names stand) — reads keep resolving
+    // old files by field id under the new logical name
+    spark.sql("ALTER TABLE '" + ti + "' RENAME COLUMN v TO label")
+      .collect()
+    assert(spark.table("graft_cm.ns.cmi").columns.toSeq
+      === Seq("k", "label"))
+    assert(spark.sql("SELECT label FROM graft_cm.ns.cmi WHERE k = 7")
+      .as[String].collect().toSeq === Seq("ok"))
+    assert(DeltaLog.read(spark, ti).select("label").as[String]
+      .collect().toSet === Set("ok", "go", "ya"))
   }
 
   test("CDC stream expresses DV deletes as position diffs; append mode stays loud on them") {
