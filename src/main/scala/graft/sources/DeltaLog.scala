@@ -2626,7 +2626,8 @@ object DeltaLog {
                     matched: Seq[MergeSpec.Matched],
                     notMatched: Seq[MergeSpec.NotMatched],
                     bySource: Seq[MergeSpec.NotMatchedBySource] = Seq.empty,
-                    checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+                    checkpointInterval: Int = DefaultCheckpointInterval,
+                    extraOn: Option[org.apache.spark.sql.Column] = None): Long = {
     import spark.implicits._
     import MergeSpec.SrcPrefix
     require(keyCols.nonEmpty, "MERGE with no key columns")
@@ -2698,8 +2699,10 @@ object DeltaLog {
       }
     val srcRen = src.select(src.columns.toSeq.map(c =>
       col(c).as(SrcPrefix + c)): _*)
-    val joinCond = keyCols.map(k => col(k) === col(SrcPrefix + k))
-      .reduce(_ && _)
+    // NON-EQUI residual ON conjuncts ride the equality join — a row
+    // pair is "matched" only under the FULL ON condition
+    val joinCond = extraOn.foldLeft(
+      keyCols.map(k => col(k) === col(SrcPrefix + k)).reduce(_ && _))(_ && _)
     // ordered clauses, first-match-wins (standard SQL MERGE)
     val mc = Option(matched).filter(_.nonEmpty).map(MergeSpec.ofMatched)
     val bsc = Option(bySource).filter(_.nonEmpty).map(MergeSpec.ofBySource)
@@ -2707,12 +2710,14 @@ object DeltaLog {
       case Some(c) => target.join(srcRen, joinCond, "inner").where(c.any)
       case None => target.join(srcRen, joinCond, "inner").limit(0)
     })
-    // BY SOURCE: target rows with NO source match, clause condition
-    // applied over target columns alone
+    // BY SOURCE: target rows with NO source match under the FULL ON,
+    // clause condition applied over target columns alone
     val srcKeysDf = src.select(keyCols.map(col): _*).distinct()
     val bsAffected: Option[DataFrame] = bsc.map(c =>
-      graft.Caches.tracked(target.join(srcKeysDf, keyCols, "left_anti")
-        .where(c.any)))
+      graft.Caches.tracked((extraOn match {
+        case None => target.join(srcKeysDf, keyCols, "left_anti")
+        case Some(_) => target.join(srcRen, joinCond, "left_anti")
+      }).where(c.any)))
     val tableCols = snap.schema.fieldNames.toSeq
     val matchedFilePaths: Set[String] =
       if (snap.files.isEmpty) Set.empty
@@ -2748,8 +2753,16 @@ object DeltaLog {
     val insertRows: Option[DataFrame] =
       Option(notMatched).filter(_.nonEmpty).map { ns =>
         val c = MergeSpec.ofNotMatched(ns)
-        src.join(target.select(keyCols.map(col): _*).distinct(),
-          keyCols, "left_anti")
+        // "not matched" = no target row satisfying the FULL ON
+        val unmatchedSrc = extraOn match {
+          case None => src.join(
+            target.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti")
+          case Some(_) => srcRen.join(target, joinCond, "left_anti")
+            .select(src.columns.toSeq.map(cn =>
+              col(SrcPrefix + cn).as(cn)): _*)
+        }
+        unmatchedSrc
           .where(c.any)
           .select(tableCols.map(n =>
             c.value(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)

@@ -860,11 +860,13 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
 
     case m: MergeIntoTable if m.resolved && targetOf(m.targetTable).isDefined =>
       val (flavor, path) = targetOf(m.targetTable).get
-      val unsupported = "graft MERGE INTO supports ON equality of " +
-        "same-named columns with ordered (first-match-wins) clauses: " +
-        "WHEN MATCHED [AND …] (UPDATE SET … / DELETE, several allowed), " +
-        "WHEN NOT MATCHED [AND …] (INSERT *), WHEN NOT MATCHED BY " +
-        "SOURCE [AND …] (UPDATE SET … / DELETE, several allowed) — got "
+      val unsupported = "graft MERGE INTO supports an ON condition of " +
+        "same-named equality conjuncts (at least one, the join anchor) " +
+        "plus optional non-equi residual conjuncts, with ordered " +
+        "(first-match-wins) clauses: WHEN MATCHED [AND …] (UPDATE SET … " +
+        "/ DELETE, several allowed), WHEN NOT MATCHED [AND …] (INSERT * " +
+        "or INSERT (cols) VALUES (exprs)), WHEN NOT MATCHED BY SOURCE " +
+        "[AND …] (UPDATE SET … / DELETE, several allowed) — got "
       val tgtOut = AttributeSet(m.targetTable.output)
       val srcOut = AttributeSet(m.sourceTable.output)
 
@@ -920,24 +922,38 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
         case EAnd(l, r) => conjuncts(l) ++ conjuncts(r)
         case other => Seq(other)
       }
-      val keyCols = conjuncts(m.mergeCondition).map { c =>
-        (c: @unchecked) match {
-          case EqualTo(l, r) =>
-            (stripCast(l), stripCast(r)) match {
-              case (a: AttributeReference, b: AttributeReference)
-                if tgtOut.contains(a) && srcOut.contains(b) &&
-                  a.name.equalsIgnoreCase(b.name) => a.name
-              case (a: AttributeReference, b: AttributeReference)
-                if tgtOut.contains(b) && srcOut.contains(a) &&
-                  a.name.equalsIgnoreCase(b.name) => b.name
-              case _ => fail(unsupported + s"merge condition ${c.sql}")
-            }
-          case other => fail(unsupported + s"merge condition ${other.sql}")
+      // the ON condition splits into same-named EQUALITY conjuncts
+      // (the scalable join anchor) and residual NON-EQUI conjuncts
+      // (evaluated over the joined match frame — `ON t.k = s.k AND
+      // t.ts < s.ts`); at least one equality key is required
+      val (keyConjs, extraConjs) = conjuncts(m.mergeCondition)
+        .partitionMap { c =>
+          c match {
+            case EqualTo(l, r) =>
+              (stripCast(l), stripCast(r)) match {
+                case (a: AttributeReference, b: AttributeReference)
+                  if tgtOut.contains(a) && srcOut.contains(b) &&
+                    a.name.equalsIgnoreCase(b.name) => Left(a.name)
+                case (a: AttributeReference, b: AttributeReference)
+                  if tgtOut.contains(b) && srcOut.contains(a) &&
+                    a.name.equalsIgnoreCase(b.name) => Left(b.name)
+                case _ => Right(c)
+              }
+            case other => Right(other)
+          }
         }
-      }
+      val keyCols = keyConjs
+      if (keyCols.isEmpty)
+        fail(unsupported + s"merge condition ${m.mergeCondition.sql} — " +
+          "at least one same-named equality conjunct is required as the " +
+          "join anchor")
+      val extraOn: Option[org.apache.spark.sql.Column] =
+        extraConjs.map(rewriteJoined).reduceOption(EAnd(_, _))
+          .map(ColumnBridge.column)
       // FAST PATH: the plain keyed upsert keeps its dedicated command
       // (no match frame, whole source appended in one pass)
       val plainUpsert = m.notMatchedBySourceActions.isEmpty &&
+        extraOn.isEmpty && // non-equi ON changes match semantics
         ((m.matchedActions, m.notMatchedActions) match {
           case (Seq(UpdateAction(None, asg, _)), Seq(InsertAction(None, ins))) =>
             fullRowFromSource(asg) && fullRowFromSource(ins)
@@ -1002,7 +1018,7 @@ object GraftRowLevelSql extends Rule[LogicalPlan] {
         val bySourceSpecs = m.notMatchedBySourceActions.map(
           clauseOf(_, rewriteTarget, "not-matched-by-source"))
         GraftMergeFlexCommand(flavor, path, m.sourceTable, keyCols,
-          matchedSpecs, insertSpecs, bySourceSpecs)
+          matchedSpecs, insertSpecs, bySourceSpecs, extraOn)
       }
   }
 }
@@ -1061,7 +1077,8 @@ case class GraftMergeFlexCommand(flavor: String, tablePath: String,
                                  source: LogicalPlan, keyCols: Seq[String],
                                  matchedSpec: Seq[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])],
                                  insertSpec: Seq[(Option[org.apache.spark.sql.Column], Seq[(String, org.apache.spark.sql.Column)])],
-                                 bySourceSpec: Seq[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])] = Seq.empty)
+                                 bySourceSpec: Seq[(Option[org.apache.spark.sql.Column], Boolean, Seq[(String, org.apache.spark.sql.Column)])] = Seq.empty,
+                                 extraOn: Option[org.apache.spark.sql.Column] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
@@ -1078,13 +1095,13 @@ case class GraftMergeFlexCommand(flavor: String, tablePath: String,
     val v = flavor match {
       case "delta" =>
         DeltaLog.mergeFlexible(spark, tablePath, src, keyCols, matched,
-          notMatched, bySource)
+          notMatched, bySource, extraOn = extraOn)
       case "iceberg" =>
         IcebergTable.mergeFlexible(spark, tablePath, src, keyCols, matched,
-          notMatched, bySource)
+          notMatched, bySource, extraOn)
       case "versioned" =>
         VersionedTable.mergeFlexible(src, tablePath, keyCols, matched,
-          notMatched, bySource)
+          notMatched, bySource, extraOn)
     }
     Seq(Row(v))
   }

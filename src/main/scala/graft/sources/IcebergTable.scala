@@ -1101,7 +1101,8 @@ object IcebergTable {
                     source: DataFrame, keyCols: Seq[String],
                     matched: Seq[MergeSpec.Matched],
                     notMatched: Seq[MergeSpec.NotMatched],
-                    bySource: Seq[MergeSpec.NotMatchedBySource] = Seq.empty): Long = {
+                    bySource: Seq[MergeSpec.NotMatchedBySource] = Seq.empty,
+                    extraOn: Option[org.apache.spark.sql.Column] = None): Long = {
     import org.apache.spark.sql.functions._
     import MergeSpec.SrcPrefix
     require(keyCols.nonEmpty, "MERGE with no key columns")
@@ -1153,8 +1154,11 @@ object IcebergTable {
     try {
       val srcRen = src.select(src.columns.toSeq.map(c =>
         col(c).as(SrcPrefix + c)): _*)
-      val joinCond = keyCols.map(k => col(k) === col(SrcPrefix + k))
-        .reduce(_ && _)
+      // NON-EQUI residual ON conjuncts ride the equality join — a row
+      // pair is "matched" only under the FULL ON condition
+      val joinCond = extraOn.foldLeft(
+        keyCols.map(k => col(k) === col(SrcPrefix + k)).reduce(_ && _))(
+        _ && _)
       // ordered clauses, first-match-wins (standard SQL MERGE)
       val mc = Option(matched).filter(_.nonEmpty).map(MergeSpec.ofMatched)
       val bsc = Option(bySource).filter(_.nonEmpty).map(MergeSpec.ofBySource)
@@ -1164,7 +1168,10 @@ object IcebergTable {
       }
       val srcKeysDf = src.select(keyCols.map(col): _*).distinct()
       val bsAffected: Option[DataFrame] = bsc.map(c =>
-        cur.join(srcKeysDf, keyCols, "left_anti").where(c.any))
+        (extraOn match {
+          case None => cur.join(srcKeysDf, keyCols, "left_anti")
+          case Some(_) => cur.join(srcRen, joinCond, "left_anti")
+        }).where(c.any))
       val posFrame = bsAffected
         .map(b => affected.select(col("__path"), col("__ri"))
           .unionByName(b.select(col("__path"), col("__ri"))))
@@ -1181,8 +1188,17 @@ object IcebergTable {
             c.value(n, col(n)).cast(snap.schema(n).dataType).as(n)): _*)
         }
       val insertRows: Option[DataFrame] = nmc.map { _ =>
-        insertProjection(src.join(
-          cur.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
+        // "not matched" = no target row satisfying the FULL ON — with
+        // non-equi conjuncts a key-matched-but-condition-false source
+        // row still inserts
+        val unmatchedSrc = extraOn match {
+          case None => src.join(
+            cur.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+          case Some(_) => srcRen.join(cur, joinCond, "left_anti")
+            .select(src.columns.toSeq.map(c =>
+              col(SrcPrefix + c).as(c)): _*)
+        }
+        insertProjection(unmatchedSrc)
       }
       val appendFrame: Option[DataFrame] =
         (updatedRows.toSeq ++ bsUpdatedRows.toSeq ++ insertRows.toSeq)

@@ -439,7 +439,8 @@ object VersionedTable {
   def mergeFlexible(updates: DataFrame, table: String, keys: Seq[String],
                     matched: Seq[MergeSpec.Matched],
                     notMatched: Seq[MergeSpec.NotMatched],
-                    bySource: Seq[MergeSpec.NotMatchedBySource] = Seq.empty): Long = {
+                    bySource: Seq[MergeSpec.NotMatchedBySource] = Seq.empty,
+                    extraOn: Option[org.apache.spark.sql.Column] = None): Long = {
     val spark = updates.sparkSession
     import MergeSpec.SrcPrefix
     require(keys.nonEmpty, "MERGE with no key columns")
@@ -474,15 +475,21 @@ object VersionedTable {
           val tableCols = t.columns.toSeq.filterNot(_ == "__rid")
           val srcRen = updates.select(updates.columns.toSeq.map(c =>
             col(c).as(SrcPrefix + c)): _*)
-          val joinCond = keys.map(k => col(k) === col(SrcPrefix + k))
-            .reduce(_ && _)
+          // non-equi residual ON conjuncts ride the equality join
+          val joinCond = extraOn.foldLeft(
+            keys.map(k => col(k) === col(SrcPrefix + k)).reduce(_ && _))(
+            _ && _)
           val affected = mc match {
             case Some(c) => t.join(srcRen, joinCond, "inner").where(c.any)
             case None => t.join(srcRen, joinCond, "inner").limit(0)
           }
           val bsAffected: Option[DataFrame] = bsc.map(c =>
-            t.join(updates.select(keys.map(col): _*).distinct(),
-              keys, "left_anti").where(c.any))
+            (extraOn match {
+              case None => t.join(
+                updates.select(keys.map(col): _*).distinct(),
+                keys, "left_anti")
+              case Some(_) => t.join(srcRen, joinCond, "left_anti")
+            }).where(c.any))
           val allRids = bsAffected
             .map(b => affected.select("__rid").unionByName(b.select("__rid")))
             .getOrElse(affected.select("__rid"))
@@ -497,9 +504,14 @@ object VersionedTable {
                 c.value(n, col(n)).as(n)): _*)
             }
           val inserts: Option[DataFrame] = nmc.map { _ =>
-            insertProjection(updates.join(
-              t.select(keys.map(col): _*).distinct(), keys, "left_anti"),
-              tableCols)
+            val unmatchedSrc = extraOn match {
+              case None => updates.join(
+                t.select(keys.map(col): _*).distinct(), keys, "left_anti")
+              case Some(_) => srcRen.join(t, joinCond, "left_anti")
+                .select(updates.columns.toSeq.map(c =>
+                  col(SrcPrefix + c).as(c)): _*)
+            }
+            insertProjection(unmatchedSrc, tableCols)
           }
           (Seq(kept) ++ updated.toSeq ++ bsUpdated.toSeq ++ inserts.toSeq)
             .reduce(_.unionByName(_))

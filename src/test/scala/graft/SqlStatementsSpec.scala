@@ -203,14 +203,16 @@ class SqlStatementsSpec extends SparkSpec {
       .select("k", "_change_type").as[(Long, String)].collect().toSet
     assert(ch.contains((2L, "delete")) && ch.contains((2L, "insert")) &&
       ch.contains((9L, "insert")))
-    // non-equi merge conditions are refused loudly, never half-applied
+    // a PURE non-equi ON (no equality anchor) is refused loudly,
+    // never half-applied (anchored non-equi conjuncts are supported —
+    // see the multi-clause spec)
     val e2 = intercept[Exception] {
       spark.sql(
         """MERGE INTO gsql_mrg.ns.t AS t USING mrg_src AS s ON t.k < s.k
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    assert(e2.getMessage.contains("equality of same-named"), e2.getMessage)
+    assert(e2.getMessage.contains("join anchor"), e2.getMessage)
     // duplicate source keys: the library's counted ambiguity gate
     Seq((5L, "x", 1), (5L, "y", 2)).toDF("k", "v", "n")
       .createOrReplaceTempView("mrg_dup")
@@ -367,6 +369,69 @@ class SqlStatementsSpec extends SparkSpec {
         |  VALUES (s.k, s.label, s.amount + 1)""".stripMargin)
     assert(spark.sql("SELECT v, n FROM gsql_mmrg.ns.te WHERE k = 9")
       .as[(String, Int)].collect().toSeq === Seq(("nine", 91)))
+
+    // NON-EQUI ON: residual conjuncts beyond the equality anchor —
+    // a key-matched pair is "matched" only under the FULL condition,
+    // a key-matched-but-condition-false source row still INSERTS and
+    // its target row still counts NOT MATCHED BY SOURCE
+    val tn = s"$root/ns/tn"
+    DeltaLog.write(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n"), tn)
+    Seq((1L, "x", 100), (2L, "y", 5), (9L, "z", 90)).toDF("k", "v", "n")
+      .createOrReplaceTempView("mmrg_nsrc")
+    // only s.n > t.n pairs match: k=1 (100>10) matches & updates;
+    // k=2 (5>20 false) does NOT match → source row inserts, target row
+    // is NOT MATCHED BY SOURCE (flagged); k=3 unmatched → flagged;
+    // k=9 inserts
+    spark.sql(
+      """MERGE INTO gsql_mmrg.ns.tn AS t USING mmrg_nsrc AS s
+        |ON t.k = s.k AND s.n > t.n
+        |WHEN MATCHED THEN UPDATE SET n = s.n
+        |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k + 100, s.v, s.n)
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'STALE'""".stripMargin)
+    assert(spark.sql("SELECT * FROM gsql_mmrg.ns.tn")
+      .as[(Long, String, Int)].collect().toSet
+      === Set(
+        (1L, "a", 100),      // matched under full ON: update
+        (2L, "STALE", 20),   // key matched, condition false: by-source
+        (3L, "STALE", 30),   // no source key: by-source
+        (102L, "y", 5),      // condition-false source row inserts
+        (109L, "z", 90)))    // new key inserts
+
+    // versioned flavor: non-equi ON with matched DELETE
+    val tvn = s"$root/ns/tvn"
+    VersionedTable.write(
+      Seq((1L, 10), (2L, 20)).toDF("k", "n"), tvn)
+    Seq((1L, 100), (2L, 5)).toDF("k", "n")
+      .createOrReplaceTempView("mmrg_vnsrc")
+    spark.sql(
+      """MERGE INTO gsql_mmrg.ns.tvn AS t USING mmrg_vnsrc AS s
+        |ON t.k = s.k AND s.n > t.n
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT k FROM gsql_mmrg.ns.tvn").as[Long]
+      .collect().toSeq === Seq(2L))
+
+    // iceberg flavor: non-equi matched update, condition-false pair
+    // survives untouched
+    val tin = s"$root/ns/tin"
+    IcebergTable.write(spark,
+      Seq((1L, 10), (2L, 20)).toDF("k", "n"), tin)
+    spark.sql(
+      """MERGE INTO gsql_mmrg.ns.tin AS t USING mmrg_vnsrc AS s
+        |ON t.k = s.k AND s.n > t.n
+        |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin)
+    assert(spark.sql("SELECT * FROM gsql_mmrg.ns.tin")
+      .as[(Long, Int)].collect().toSet === Set((1L, 100), (2L, 20)))
+
+    // a PURE non-equi ON (no equality anchor) refuses at analysis
+    val en = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gsql_mmrg.ns.tn AS t USING mmrg_nsrc AS s
+          |ON s.n > t.n
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(en.getMessage.contains("join anchor") ||
+      en.getMessage.contains("equality"), en.getMessage)
 
     // versioned flavor: two matched clauses + BY SOURCE delete
     val tv = s"$root/ns/vt"
