@@ -353,14 +353,39 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
           val plainOut = Seq.newBuilder[IcebergTable.DataFile]
           val morOut = Seq.newBuilder[(IcebergTable.DataFile,
             Seq[(String, Long)], Seq[EqDeleteRef])]
-          files.foreach { f =>
-            // bounds-scoped: a position-delete file attaches only when
-            // its manifest-recorded file_path range can contain this
-            // data file (spec field 2147483546) — O(D×R) delete reads
-            // on a one-global-delete-file CDC table become O(D_named)
-            val pos = posDeletes
-              .filter(d => d.seq >= f.seq && d.mayReference(f.path))
-              .map(d => (d.path, d.sizeBytes))
+          // bounds-scoped: a position-delete file attaches only when
+          // its manifest-recorded file_path range can contain the
+          // data file (spec field 2147483546) — O(D×R) delete reads
+          // on a one-global-delete-file CDC table become O(D_named).
+          // Attachment runs as an INTERVAL SWEEP over the path order
+          // (files and bounded delete files sorted once, a min-heap
+          // on the upper bound retires expired intervals):
+          // O(F log F + D log D + matches) driver work, not O(F×D) —
+          // the term that matters on a 10⁵-file external table.
+          import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+          val utf8Order: Ordering[String] =
+            Ordering.comparatorToOrdering(
+              java.util.Comparator.comparing((s: String) => u8(s)))
+          val (bounded, unbounded) =
+            posDeletes.partition(_.pathBounds.isDefined)
+          val delsByLo = bounded.sortBy(_.pathBounds.get._1)(utf8Order)
+          val active = scala.collection.mutable.PriorityQueue.empty(
+            Ordering.by((d: IcebergTable.DeleteFile) =>
+              d.pathBounds.get._2)(utf8Order.reverse)) // min-heap on hi
+          var di = 0
+          files.sortBy(_.path)(utf8Order).foreach { f =>
+            while (di < delsByLo.length &&
+              utf8Order.lteq(delsByLo(di).pathBounds.get._1, f.path)) {
+              active += delsByLo(di); di += 1
+            }
+            while (active.nonEmpty &&
+              utf8Order.lt(active.head.pathBounds.get._2, f.path))
+              active.dequeue()
+            // every remaining active interval contains f.path —
+            // iterating it IS enumerating the matches
+            val pos = (active.iterator ++ unbounded.iterator)
+              .filter(_.seq >= f.seq)
+              .map(d => (d.path, d.sizeBytes)).toSeq
             val eqs = eqDeletes.filter(_.seq > f.seq).map(d =>
               EqDeleteRef(d.path, d.sizeBytes,
                 d.equalityIds.map(table.snap.fieldNames)))
