@@ -153,11 +153,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // rule can recognize and route it)
 
   /** Iceberg METADATA TABLES (`graft.ns.t.files` / `.snapshots` /
-    * `.history`) — the operational debugging surface every Iceberg
-    * user leans on: SQL relations over the MANIFEST metadata (file
-    * paths/sizes/records/partitions, snapshot list, made-current
-    * log). Rows come from the metadata alone — never a data scan. */
-  private val MetadataTableNames = Set("files", "snapshots", "history")
+    * `.history` / `.partitions`) — the operational debugging surface
+    * every Iceberg user leans on: SQL relations over the MANIFEST
+    * metadata (file paths/sizes/records/partitions, snapshot list,
+    * made-current log, per-partition rollups). Rows come from the
+    * metadata alone — never a data scan. */
+  private val MetadataTableNames =
+    Set("files", "snapshots", "history", "partitions")
 
   private def metadataTable(base: Path, ident: Identifier): Table = {
     import org.apache.spark.sql.types._
@@ -187,6 +189,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           StructField("snapshot_id", LongType, nullable = false))),
           IcebergTable.snapshotLogEntries(spark, base.toString)
             .map { case (ts, id) => Seq(ts, id) })
+      case "partitions" =>
+        // per-partition rollup of the live file list (the skew /
+        // small-file diagnosis view): one row per (spec_id, tuple)
+        val snap = IcebergTable.snapshot(spark, base.toString)
+        new GraftMetadataTable(nm, StructType(Seq(
+          StructField("partition", StringType, nullable = false),
+          StructField("spec_id", IntegerType, nullable = false),
+          StructField("record_count", LongType, nullable = false),
+          StructField("file_count", LongType, nullable = false),
+          StructField("total_size_in_bytes", LongType, nullable = false))),
+          snap.files
+            .groupBy(f => (f.specId, f.partitionTuple.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")))
+            .toSeq.sortBy(_._1._2)
+            .map { case ((specId, tuple), fs) =>
+              Seq(tuple, specId, fs.map(_.records).sum,
+                fs.size.toLong, fs.map(_.sizeBytes).sum)
+            })
     }
   }
 

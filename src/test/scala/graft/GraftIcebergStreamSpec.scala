@@ -644,6 +644,17 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(spark.sql("SELECT snapshot_id FROM graft_im.ns.t.history")
       .as[Long].collect().count(_ == s1) === 2)
 
+    // .partitions: per-partition rollup (skew/small-file diagnosis) —
+    // record/file counts and bytes from the manifests alone
+    val parts = spark.sql(
+      "SELECT partition, record_count, file_count FROM graft_im.ns.t.partitions")
+      .as[(String, Long, Long)].collect()
+    assert(parts.map(_._2).sum ===
+      spark.sql("SELECT sum(record_count) FROM graft_im.ns.t.files")
+        .as[Long].head())
+    assert(parts.map(_._3).sum ===
+      spark.sql("SELECT count(*) FROM graft_im.ns.t.files").as[Long].head())
+
     // metadata rows only — the plan is the local metadata relation,
     // no parquet scan
     val plan = spark.sql("SELECT * FROM graft_im.ns.t.files")
