@@ -90,6 +90,8 @@ object GraftSqlStatements {
     """(?is)^\s*SHOW\s+TBLPROPERTIES\s+'([^']+)'\s*;?\s*$""".r
   private val DescribeHistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
+  private val DescribeDetailRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Target + """\s*;?\s*$""").r
   private val RenameColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+RENAME\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+TO\s+(`[^`]+`|[\w$]+)\s*;?\s*$""").r
@@ -279,6 +281,9 @@ object GraftSqlStatements {
         Option(props).map(parseProps).getOrElse(Nil)))
     case DescribeHistoryRe(path, ident) =>
       Some(GraftDescribeHistoryCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil)))
+    case DescribeDetailRe(path, ident) =>
+      Some(GraftDescribeDetailCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil)))
     case RenameColRe(path, ident, from, to) =>
       Some(GraftColumnDdlCommand(Option(path),
@@ -645,6 +650,68 @@ case class GraftDescribeHistoryCommand(path: Option[String],
         VersionedTable.history(spark, dir).collect().toSeq.map(r =>
           Row(r.getLong(0), 0L,
             s"n_files=${r.getLong(1)} bytes=${r.getLong(2)}"))
+    }
+  }
+}
+
+/** `DESCRIBE DETAIL <t>` — the one-row table summary Delta users
+  * lean on (format, location, current version, file/byte/row counts,
+  * partition layout, properties), served for all three flavors from
+  * METADATA alone — no data scan. Row counts come from the log's
+  * per-file stats (Delta, DV cardinality subtracted) or the
+  * manifests' record counts (Iceberg, live position-deletes
+  * subtracted); -1 when the metadata does not record them. */
+case class GraftDescribeDetailCommand(path: Option[String],
+                                      parts: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_in_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
+
+  private def propsStr(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString("{", ", ", "}")
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    flavorOf(spark, dir) match {
+      case DeltaFlavor =>
+        val snap = DeltaLog.snapshot(spark, dir)
+        val counts = snap.files.map(_.stats.flatMap(js =>
+          "\"numRecords\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(js)
+            .map(_.group(1).toLong)))
+        val rows =
+          if (counts.forall(_.isDefined))
+            counts.flatten.sum -
+              snap.files.flatMap(_.dv).map(_.cardinality).sum
+          else -1L
+        Seq(Row("delta", dir, snap.version, snap.files.size.toLong,
+          snap.files.map(_.size).sum, rows,
+          snap.partitionColumns.mkString("[", ", ", "]"),
+          propsStr(snap.configuration)))
+      case IcebergFlavor =>
+        val snap = IcebergTable.snapshot(spark, dir)
+        val posDeleted = snap.deletes.filter(_.content == 1)
+          .map(_.records).sum
+        Seq(Row("iceberg", dir, snap.snapshotId,
+          snap.files.size.toLong, snap.files.map(_.sizeBytes).sum,
+          math.max(snap.files.map(_.records).sum - posDeleted, 0L),
+          snap.specFields.map(_.canonical).mkString("[", ", ", "]"),
+          propsStr(IcebergTable.properties(spark, dir))))
+      case VersionedFlavor =>
+        val v = VersionedTable.currentVersion(spark, dir)
+        val h = VersionedTable.history(spark, dir).collect()
+        val last = h.lastOption
+        Seq(Row("versioned", dir, v,
+          last.map(_.getLong(1)).getOrElse(0L),
+          last.map(_.getLong(2)).getOrElse(0L), -1L, "[]", "{}"))
     }
   }
 }

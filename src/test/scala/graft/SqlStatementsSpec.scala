@@ -69,6 +69,35 @@ class SqlStatementsSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE DETAIL: one metadata-only summary row per flavor") {
+    val td = Files.createTempDirectory("graft-sqlstmt-dd").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a", "x"), (2L, "b", "y"))
+      .toDF("k", "v", "p"), td, partitionBy = Seq("p"))
+    DeltaLog.setTableProperties(spark, td, Map("owner" -> "graft"))
+    val d = spark.sql(s"DESCRIBE DETAIL '$td'").collect()(0)
+    assert(d.getString(0) === "delta")
+    assert(d.getLong(2) === 1L)       // version after the property set
+    assert(d.getLong(3) >= 1L)        // files
+    assert(d.getLong(5) === 2L)       // rows from per-file stats
+    assert(d.getString(6) === "[p]")
+    assert(d.getString(7).contains("owner=graft"))
+
+    val ti = Files.createTempDirectory("graft-sqlstmt-ddi").toString + "/t"
+    IcebergTable.write(spark, (0L until 10L).map(k => (k, s"v$k"))
+      .toDF("k", "v"), ti, partitionBy = Seq("bucket(2, k)"))
+    IcebergTable.delete(spark, ti, col("k") < 3L) // MOR position deletes
+    val i = spark.sql(s"DESCRIBE DETAIL '$ti'").collect()(0)
+    assert(i.getString(0) === "iceberg")
+    assert(i.getLong(5) === 7L)       // live rows: deletes subtracted
+    assert(i.getString(6) === "[bucket(2, k)]")
+
+    val tv = Files.createTempDirectory("graft-sqlstmt-ddv").toString + "/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), tv)
+    val v = spark.sql(s"DESCRIBE DETAIL '$tv'").collect()(0)
+    assert(v.getString(0) === "versioned")
+    assert(v.getLong(2) === 1L)
+  }
+
   test("VACUUM RETAIN n HOURS: time-based retention through commit timestamps") {
     val dir = Files.createTempDirectory("graft-sqlstmt-vh").toString + "/t"
     DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), dir)          // v0
