@@ -1295,12 +1295,17 @@ object DeltaLog {
     }
     val tmpRoot = fs.makeQualified(tmp).toString
     val staged = walk(tmp).sortBy(_.toString)
+    // adopted names carry a per-writer uniquifier: two OPTIMISTIC
+    // writers racing for the same version must never adopt to the
+    // same path — the loser would clobber the winner's committed data
+    // file before the CAS even ran
+    val uniq = java.util.UUID.randomUUID().toString.take(8)
     val adopted = staged.zipWithIndex.map { case (src, i) =>
       val relStaged = fs.makeQualified(src).toString
         .stripPrefix(tmpRoot).stripPrefix("/")
       val dirs = relStaged.split('/').dropRight(1).toSeq
       val pv = parsePartitionDirs(dirs, effParts)
-      val rel = (dirs :+ s"part-$tag-$i.parquet").mkString("/")
+      val rel = (dirs :+ s"part-$tag-$uniq-$i.parquet").mkString("/")
       val fin = new Path(dst, rel)
       fs.mkdirs(fin.getParent)
       if (!fs.rename(src, fin))
@@ -1485,6 +1490,136 @@ object DeltaLog {
     (rf, wf)
   }
 
+  /** What the committing transaction READ from the table — the input
+    * to conflict classification when a concurrent writer wins the
+    * version race (delta.io concurrency control, WriteSerializable):
+    *  - [[BlindAppend]]: nothing was read (a pure append) — rebases
+    *    over any data-only winner.
+    *  - [[ReadFiles]]: specific files were read and every one of them
+    *    appears in the commit's remove actions (OPTIMIZE/compaction) —
+    *    a winner's APPEND cannot invalidate the work, only a winner
+    *    touching the same files can.
+    *  - [[ReadTable]]: rows were selected by predicate (DML, an
+    *    overwrite, a validating DDL) — a winner's dataChange ADD may
+    *    hold rows the predicate never saw, so it conflicts. */
+  private[sources] sealed trait ReadScope
+  private[sources] case object BlindAppend extends ReadScope
+  private[sources] case object ReadFiles extends ReadScope
+  private[sources] case object ReadTable extends ReadScope
+
+  /** A concurrent winner took our version and the commits are NOT
+    * logically disjoint — the graft twin of real Delta's
+    * `ConcurrentModificationException` family. `kind` is the protocol
+    * conflict class (ProtocolChanged / MetadataChanged /
+    * ConcurrentAppend / ConcurrentDeleteDelete / ConcurrentTransaction). */
+  final class CommitConflictException(val kind: String, msg: String)
+    extends RuntimeException(s"$kind: $msg")
+
+  /** Optimistic-concurrency commit — the shared CAS every DeltaLog
+    * commit site routes through. Attempts the exclusive create of
+    * `<v>.json`; when a concurrent writer already took the version,
+    * READS the winner commit(s), classifies the logical conflict from
+    * the action lines (PROTOCOL.md actions; delta.io "Concurrency
+    * control" semantics at WriteSerializable), and REBASES — retries
+    * the same action lines at the next free version — when the
+    * transactions are disjoint:
+    *
+    *  - winner changed `protocol`                  → refuse
+    *  - winner changed `metaData`                  → refuse
+    *  - winner removed (or re-added) a path our commit removes
+    *    (write-write on the same file)             → refuse
+    *  - winner added dataChange files while we read by predicate
+    *    ([[ReadTable]]: the winner's rows were never scanned by the
+    *    DML/overwrite that produced this commit)   → refuse
+    *  - winner committed our idempotent `txn` appId → refuse
+    *  - otherwise → rebase at latest+1 (blind appends over anything
+    *    data-only; OPTIMIZE's dataChange=false removes over appends;
+    *    metadata-only DDL over data-only winners).
+    *
+    * Action lines are position-independent under log replay, so a
+    * rebase re-writes them verbatim at the higher version — no
+    * re-staging (staged file names may embed the originally attempted
+    * version; that is cosmetic, the log's paths are what bind).
+    * Returns the committed version. */
+  private[sources] def commitCas(spark: SparkSession, deltaPath: String,
+                                 firstVersion: Long, lines: Seq[String],
+                                 scope: ReadScope = ReadTable,
+                                 maxRetries: Int = 20): Long = {
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fs = logDir(deltaPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def parse(ls: Seq[String]) = ls.filter(_.trim.nonEmpty).map(M.readTree)
+    val ours = parse(lines)
+    val ourRemoves: Set[String] = ours.flatMap(n => Option(n.get("remove")))
+      .map(_.get("path").asText()).toSet
+    val ourTxnApps: Set[String] = ours.flatMap(n => Option(n.get("txn")))
+      .map(_.get("appId").asText()).toSet
+    val payload = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+
+    var v = firstVersion
+    var attempts = 0
+    while (true) {
+      val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
+      val created =
+        try {
+          val out = fs.create(commit, false) // exclusive create = the CAS
+          try out.write(payload) finally out.close()
+          true
+        } catch {
+          case e: java.io.IOException =>
+            if (fs.exists(commit)) false else throw e
+        }
+      if (created) return v
+      attempts += 1
+      if (attempts > maxRetries) throw new CommitConflictException(
+        "CommitRetriesExhausted",
+        s"$deltaPath: lost the version race $maxRetries times in a row")
+      // the winner(s): every commit from our attempted version up to
+      // the current head — each must be disjoint from ours for the
+      // rebase to be sound
+      val latest = listVersions(spark, deltaPath).last
+      (v to latest).foreach { w =>
+        val p = new Path(logDir(deltaPath), pad20(w) + ".json")
+        val in = fs.open(p)
+        val text = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+          new String(bos.toByteArray, "UTF-8")
+        } finally in.close()
+        val ws = parse(text.split('\n').toSeq)
+        if (ws.exists(_.has("protocol")))
+          throw new CommitConflictException("ProtocolChanged",
+            s"$deltaPath: commit $w upgraded the protocol under us")
+        if (ws.exists(_.has("metaData")))
+          throw new CommitConflictException("MetadataChanged",
+            s"$deltaPath: commit $w changed the table metadata under us")
+        val wRemoves = ws.flatMap(n => Option(n.get("remove")))
+          .map(_.get("path").asText()).toSet
+        val wAdds = ws.flatMap(n => Option(n.get("add")))
+        val wAddPaths = wAdds.map(_.get("path").asText()).toSet
+        val touched = ourRemoves.find(r => wRemoves(r) || wAddPaths(r))
+        touched.foreach(pth => throw new CommitConflictException(
+          "ConcurrentDeleteDelete",
+          s"$deltaPath: commit $w also rewrote/removed $pth"))
+        val wBlindAdds = wAdds.exists(a =>
+          Option(a.get("dataChange")).exists(_.asBoolean()))
+        if (scope == ReadTable && wBlindAdds)
+          throw new CommitConflictException("ConcurrentAppend",
+            s"$deltaPath: commit $w added data files our predicate-scoped " +
+              "read never scanned")
+        val wTxn = ws.flatMap(n => Option(n.get("txn")))
+          .map(_.get("appId").asText()).toSet
+        val sameApp = ourTxnApps.intersect(wTxn)
+        if (sameApp.nonEmpty) throw new CommitConflictException(
+          "ConcurrentTransaction",
+          s"$deltaPath: commit $w carries txn appId ${sameApp.head} — the " +
+            "same idempotent writer raced itself")
+      }
+      v = latest + 1
+    }
+    -1L // unreachable
+  }
+
   /** Write `df` as ONE new commit of a real Delta table at
     * `deltaPath` — append by default, full overwrite with
     * `overwrite = true`; creates the table (commit 0 with
@@ -1560,11 +1695,7 @@ object DeltaLog {
       val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
       lines += s"""{"add":{"path":${jsEscape(abs)},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
-    val commit = new Path(logDir(dstPath), pad20(0L) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    0L
+    commitCas(spark, dstPath, 0L, lines.toSeq, ReadTable)
   }
 
   /** The metadata key of a GENERATED column (PROTOCOL.md "Generated
@@ -1625,11 +1756,7 @@ object DeltaLog {
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}""",
       metaDataLine(tableId, schema.json, partitionBy,
         System.currentTimeMillis(), configuration))
-    val commit = new Path(logDir(deltaPath), pad20(0L) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    0L
+    commitCas(spark, deltaPath, 0L, lines, ReadTable)
   }
 
   def write(spark: SparkSession, dfIn: DataFrame, deltaPath: String,
@@ -1835,15 +1962,16 @@ object DeltaLog {
     txn.foreach { case (appId, tv) =>
       lines += s"""{"txn":{"appId":${jsEscape(appId)},"version":$tv,"lastUpdated":$now}}"""
     }
-    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+    // an append reads nothing (rebases over data-only winners); an
+    // overwrite of a non-empty table logically read every prior row
+    val scope: ReadScope =
+      if (overwrite && prior.nonEmpty) ReadTable else BlindAppend
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, scope)
+    maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       prior.map(_.configuration).getOrElse(Map.empty))
     maybeUniform(spark, deltaPath,
       prior.map(_.configuration).getOrElse(Map.empty))
-    v
+    vc
   }
 
   /** Hive-style partition-dir escape — inverse of [[hiveUnescape]]
@@ -1910,6 +2038,7 @@ object DeltaLog {
       val out =
         if (zorderBy.nonEmpty) Layout.zorderBy(df, nFiles, zorderBy)
         else df.coalesce(nFiles)
+      val uniq = java.util.UUID.randomUUID().toString.take(8)
       val tmp = new Path(dst, s".tmp-opt-$v-$gi-${java.util.UUID.randomUUID()}")
       out.write.parquet(tmp.toString)
       val dirs = snap.partitionColumns.map(c =>
@@ -1918,7 +2047,7 @@ object DeltaLog {
       val parts = fs.listStatus(tmp).toSeq
         .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
       parts.zipWithIndex.foreach { case (st, i) =>
-        val rel = (dirs :+ s"part-$v-$gi-$i.parquet").mkString("/")
+        val rel = (dirs :+ s"part-$v-$uniq-$gi-$i.parquet").mkString("/")
         val fin = new Path(dst, rel)
         fs.mkdirs(fin.getParent)
         if (!fs.rename(st.getPath, fin))
@@ -1945,14 +2074,14 @@ object DeltaLog {
       val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
       lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":false$statsPart}}"""
     }
-    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+    // compaction read exactly the files it removes — a concurrent
+    // APPEND is disjoint, the commit rebases past it; a winner
+    // touching the same files refuses
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadFiles)
+    maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
-    v
+    vc
   }
 
   /** `VACUUM` — physically delete data files referenced by NONE of
@@ -2146,14 +2275,11 @@ object DeltaLog {
     }
     if (lines.isEmpty) return cur.version // same file set + metadata
     val v = cur.version + 1
-    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
+    maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       tgt.configuration)
     maybeUniform(spark, deltaPath, tgt.configuration)
-    v
+    vc
   }
 
   /** Row-level `DELETE FROM … WHERE predicate` as COPY-ON-WRITE, the
@@ -2323,13 +2449,10 @@ object DeltaLog {
       lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
     lines ++= cdcLinesOut
-    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
+    maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
-    Some(v)
+    Some(vc)
   }
 
   /** Row-level `UPDATE … SET assignments WHERE predicate`, copy-on-
@@ -2514,6 +2637,7 @@ object DeltaLog {
           else col(f.name)): _*)
         val survivors = full.join(srcKeys, keyCols, "left_anti")
           .select(dataSchema.fieldNames.map(col): _*)
+        val uniq = java.util.UUID.randomUUID().toString.take(8)
         val tmp = new Path(dst, s".tmp-mrg-$v-$gi-${java.util.UUID.randomUUID()}")
         survivors.write.parquet(tmp.toString)
         val dirs = pc.map(c =>
@@ -2524,7 +2648,7 @@ object DeltaLog {
         parts.zipWithIndex.foreach { case (st, i) =>
           val stats = footerStats(fsConf, st.getPath)
           if (!stats.exists(_.contains("\"numRecords\":0"))) {
-            val rel = (dirs :+ s"part-mrg-$v-$gi-$i.parquet").mkString("/")
+            val rel = (dirs :+ s"part-mrg-$v-$uniq-$gi-$i.parquet").mkString("/")
             val fin = new Path(dst, rel)
             fs.mkdirs(fin.getParent)
             if (!fs.rename(st.getPath, fin))
@@ -2596,14 +2720,11 @@ object DeltaLog {
       lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
     lines ++= cdcLinesOut
-    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
+    maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
-    v
+    vc
   }
 
   /** GENERALIZED MERGE — the flexible SQL shapes (`WHEN MATCHED [AND
@@ -2797,6 +2918,7 @@ object DeltaLog {
         val survivors = grp.join(affectedRowIds, Seq("__path", "__ri"),
           "left_anti")
           .select(dataSchema.fieldNames.map(col): _*)
+        val uniq = java.util.UUID.randomUUID().toString.take(8)
         val tmp = new Path(dst, s".tmp-mrgf-$v-$gi-${java.util.UUID.randomUUID()}")
         survivors.write.parquet(tmp.toString)
         val dirs = pc.map(c =>
@@ -2807,7 +2929,7 @@ object DeltaLog {
         parts.zipWithIndex.foreach { case (st, i) =>
           val stats = footerStats(fsConf, st.getPath)
           if (!stats.exists(_.contains("\"numRecords\":0"))) {
-            val rel = (dirs :+ s"part-mrgf-$v-$gi-$i.parquet").mkString("/")
+            val rel = (dirs :+ s"part-mrgf-$v-$uniq-$gi-$i.parquet").mkString("/")
             val fin = new Path(dst, rel)
             fs.mkdirs(fin.getParent)
             if (!fs.rename(st.getPath, fin))
@@ -2865,14 +2987,11 @@ object DeltaLog {
     }
     lines ++= cdcLinesOut
     affected.unpersist(); bsAffected.foreach(_.unpersist()); src.unpersist()
-    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
+    maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
-    v
+    vc
   }
 
   /** Shared copy-on-write core: locate files with actual matches,
@@ -2958,6 +3077,7 @@ object DeltaLog {
         if (wantCdc) cdcFrames += cdcOf.get(full, predicate)
         val out = transform(full, predicate)
           .select(dataSchema.fieldNames.map(col): _*)
+        val uniq = java.util.UUID.randomUUID().toString.take(8)
         val tmp = new Path(dst, s".tmp-cow-$v-$gi-${java.util.UUID.randomUUID()}")
         out.write.parquet(tmp.toString)
         val dirs = pc.map(c =>
@@ -2972,7 +3092,7 @@ object DeltaLog {
           val stats = footerStats(fsConf, st.getPath)
           val isEmpty = stats.exists(_.contains("\"numRecords\":0"))
           if (!isEmpty) {
-            val rel = (dirs :+ s"part-$v-$gi-$i.parquet").mkString("/")
+            val rel = (dirs :+ s"part-$v-$uniq-$gi-$i.parquet").mkString("/")
             val fin = new Path(dst, rel)
             fs.mkdirs(fin.getParent)
             if (!fs.rename(st.getPath, fin))
@@ -3000,14 +3120,11 @@ object DeltaLog {
     if (wantCdc && cdcFrames.nonEmpty)
       lines ++= stageCdcLines(spark, deltaPath, snap,
         cdcFrames.reduce(_.unionByName(_)), v)
-    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    maybeCheckpoint(spark, deltaPath, v, checkpointInterval,
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
+    maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
-    v
+    vc
   }
 
   /** `ALTER TABLE … ADD COLUMNS` — commit a metaData-only version
@@ -3056,11 +3173,8 @@ object DeltaLog {
       deltaPath.getBytes("UTF-8")).toString
     val line = metaDataLine(tableId, widened.json, prior.partitionColumns,
       System.currentTimeMillis(), newConf)
-    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((line + "\n").getBytes("UTF-8"))
-    finally out.close()
-    v
+    // schema widening reads no data — rebases over data-only winners
+    commitCas(spark, deltaPath, v, Seq(line), BlindAppend)
   }
 
   /** `ALTER TABLE … ADD CONSTRAINT <name> CHECK (<expr>)` —
@@ -3088,9 +3202,11 @@ object DeltaLog {
     require(bad == 0L,
       s"cannot add CHECK constraint $name ($exprSql) to $deltaPath: " +
         s"$bad existing rows violate it")
+    // the validation scan read the whole table — a concurrent
+    // dataChange append may violate the constraint, so it conflicts
     commitConfigChange(spark, deltaPath, prior,
       prior.configuration + (key -> exprSql),
-      featureUpgrade = Some((3, "checkConstraints")))
+      featureUpgrade = Some((3, "checkConstraints")), scope = ReadTable)
   }
 
   /** `ALTER TABLE … DROP CONSTRAINT <name>` — metaData-only commit
@@ -3335,18 +3451,15 @@ object DeltaLog {
     protoLine.foreach(lines += _)
     lines += metaDataLine(tableId, newSchema.json, newPc,
       System.currentTimeMillis(), newConf)
-    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    v
+    commitCas(spark, deltaPath, v, lines.toSeq, BlindAppend)
   }
 
   private def commitConfigChange(spark: SparkSession, deltaPath: String,
                                  prior: Snapshot,
                                  newConf: Map[String, String],
                                  featureUpgrade: Option[(Int, String)],
-                                 readerWriterFeature: Option[String] = None): Long = {
+                                 readerWriterFeature: Option[String] = None,
+                                 scope: ReadScope = BlindAppend): Long = {
     val fs = new Path(deltaPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val v = listVersions(spark, deltaPath).last + 1
@@ -3379,11 +3492,7 @@ object DeltaLog {
     }
     lines += metaDataLine(tableId, prior.schema.json,
       prior.partitionColumns, System.currentTimeMillis(), newConf)
-    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    v
+    commitCas(spark, deltaPath, v, lines.toSeq, scope)
   }
 
   /** ZERO-COPY format mirror — publish the CURRENT snapshot of a real
@@ -3469,11 +3578,7 @@ object DeltaLog {
     }
     // nothing changed since the last mirror: no empty commit
     if (lines.isEmpty) return existing.last
-    val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-    val out = fs.create(commit, false) // exclusive create = the CAS
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    v
+    commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
   }
 
   /** The write-path invariant gate: PROTOCOL.md Column Invariants
