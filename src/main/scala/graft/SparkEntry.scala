@@ -5502,6 +5502,41 @@ object SparkEntry {
         .orderBy("segment")
     }),
 
+    // DELETE-FILE COMPACTION without a data rewrite (Iceberg's
+    // rewrite_position_delete_files): three MOR DELETE commits leave a
+    // position-delete pile over the data; the rewrite folds the pile
+    // into ONE sorted, bounds-bearing delete file — data files
+    // UNTOUCHED (paths + sequence numbers identical, no 100 TB
+    // rewrite) — and the post-maintenance read must still match the
+    // oracle exactly
+    "interop_iceberg_dcompact" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-dcomp")
+        .toString + "/t"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+      graft.sources.IcebergTable.write(s, o.repartition(4), t)
+      graft.sources.IcebergTable.delete(s, t, col("o_orderkey") % 7 === 0)
+      graft.sources.IcebergTable.delete(s, t, col("o_totalprice") < 10000)
+      graft.sources.IcebergTable.delete(s, t,
+        col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 2 === 0)
+      val before = graft.sources.IcebergTable.snapshot(s, t)
+      require(before.deletes.count(_.content == 1) == 3,
+        "three MOR deletes must leave a three-file pile")
+      graft.sources.IcebergTable.rewritePositionDeleteFiles(s, t)
+      val after = graft.sources.IcebergTable.snapshot(s, t)
+      require(after.deletes.count(_.content == 1) == 1,
+        "the delete pile must fold to one file")
+      require(after.files.map(f => (f.path, f.seq)).toSet ==
+        before.files.map(f => (f.path, f.seq)).toSet,
+        "data files must be untouched by delete compaction")
+      s.read.format("graft-iceberg").load(t)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumD(col("o_totalprice")).as("total"))
+        .orderBy("status")
+    }),
+
     // Iceberg PARTITION-SPEC EVOLUTION: an unpartitioned era, an
     // `ALTER TABLE ADD PARTITION FIELD bucket(4, …)`, and a second era
     // staged under the new layout — the read spans both eras (spec-id-
@@ -8965,6 +9000,16 @@ object SparkEntry {
          |SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
          | ${sqlSumD("c_acctbal")} AS bal
          |FROM base GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "interop_iceberg_dcompact" ->
+      s"""WITH base AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE NOT (o_orderkey % 7 = 0)
+         |    AND NOT (o_totalprice < 10000)
+         |    AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0))
+         |SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+         | ${sqlSumD("o_totalprice")} AS total
+         |FROM base GROUP BY 1 ORDER BY status""".stripMargin,
 
     "interop_iceberg_pevolve" ->
       s"""SELECT s_nationkey AS nation, COUNT(*) AS n_sup,

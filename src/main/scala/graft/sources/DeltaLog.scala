@@ -1560,15 +1560,7 @@ object DeltaLog {
     var attempts = 0
     while (true) {
       val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-      val created =
-        try {
-          val out = fs.create(commit, false) // exclusive create = the CAS
-          try out.write(payload) finally out.close()
-          true
-        } catch {
-          case e: java.io.IOException =>
-            if (fs.exists(commit)) false else throw e
-        }
+      val created = AtomicCas.createExclusive(fs, commit, payload)
       if (created) return v
       attempts += 1
       if (attempts > maxRetries) throw new CommitConflictException(
@@ -1763,7 +1755,8 @@ object DeltaLog {
             overwrite: Boolean = false,
             partitionBy: Seq[String] = Seq.empty,
             checkpointInterval: Int = DefaultCheckpointInterval,
-            txn: Option[(String, Long)] = None): Long = {
+            txn: Option[(String, Long)] = None,
+            mergeSchema: Boolean = false): Long = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(deltaPath)
     val fs = dst.getFileSystem(fsConf)
@@ -1857,10 +1850,36 @@ object DeltaLog {
           s"${p.schema.simpleString}) — schema changes need fresh " +
           "column ids (RENAME/DROP/ADD COLUMN DDL)")
     }
+    // `option("mergeSchema", "true")` appends — the way most users
+    // actually evolve Delta schemas: NEW columns (forced nullable —
+    // existing rows carry no value) widen the table schema in the SAME
+    // commit's metaData; existing columns must keep their exact types;
+    // the incoming frame may also OMIT existing columns (the new files
+    // serve them as null via schema-on-read). Column-mapped tables
+    // refuse toward the DDL path (evolution needs fresh column ids).
+    val mergedSchema: Option[StructType] =
+      if (overwrite || !mergeSchema) None
+      else prior.flatMap { p =>
+        require(mappedPrior.isEmpty,
+          s"mergeSchema append on column-mapped $deltaPath is not " +
+            "supported — use ALTER TABLE ADD COLUMNS (fresh column ids)")
+        val priorTypes = p.schema.fields.map(f => f.name -> f.dataType).toMap
+        df.schema.fields.foreach(f => priorTypes.get(f.name).foreach(t =>
+          require(t == f.dataType,
+            s"mergeSchema cannot change column ${f.name}: table has $t, " +
+              s"incoming ${f.dataType}")))
+        val newFields = df.schema.fields
+          .filterNot(f => priorTypes.contains(f.name))
+          .map(f => f.copy(nullable = true))
+        if (newFields.isEmpty) None
+        else Some(StructType(p.schema.fields ++ newFields))
+      }
     prior.filter(_ => !overwrite).foreach { p =>
-      require(shape(p.schema) == shape(df.schema),
-        s"append schema ${df.schema.simpleString} does not match table " +
-          s"schema ${p.schema.simpleString}; use overwrite to replace")
+      if (!mergeSchema)
+        require(shape(p.schema) == shape(df.schema),
+          s"append schema ${df.schema.simpleString} does not match table " +
+            s"schema ${p.schema.simpleString}; use overwrite to replace " +
+            "or mergeSchema to evolve")
       require(partitionBy.isEmpty || partitionBy == p.partitionColumns,
         s"append partitionBy $partitionBy does not match table " +
           s"partitioning ${p.partitionColumns}")
@@ -1930,6 +1949,12 @@ object DeltaLog {
     if (v == 0L) {
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       lines += metaDataLine(tableId, df.schema.json, effParts, now)
+    } else if (mergedSchema.isDefined) {
+      // schema-evolving append: the widened schema lands in the SAME
+      // commit as the data, configuration (constraints, properties)
+      // carried verbatim
+      lines += metaDataLine(tableId, mergedSchema.get.json, effParts, now,
+        prior.get.configuration)
     } else if (overwrite) {
       val p = prior.get
       // a schema-changing overwrite must never drop the table's
@@ -2018,8 +2043,13 @@ object DeltaLog {
       f => snap.partitionColumns.contains(f.name)))
     val groups = snap.files.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+    // DV-bearing files ALWAYS rewrite (real OPTIMIZE's purge
+    // semantics): compaction drops the covered rows physically and
+    // clears the vectors, even for a partition holding a single file —
+    // time travel keeps serving older versions through their DVs
+    def hasDv(f: AddFile): Boolean = f.dv.exists(_.cardinality > 0L)
     val rewrite = groups.filter { case (_, fls) =>
-      fls.size > 1 || zorderBy.nonEmpty }
+      fls.size > 1 || zorderBy.nonEmpty || fls.exists(hasDv) }
     if (rewrite.isEmpty) return snap.version
     val v = listVersions(spark, deltaPath).last + 1
     val now = System.currentTimeMillis()

@@ -253,8 +253,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = serve(ident, None, None)
 
   /** `VERSION AS OF <v>` time travel. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    serve(ident, Some(version.toLong), None)
+  /** `VERSION AS OF <v>` — a numeric version/snapshot id, or (Iceberg
+    * flavor) a named snapshot REF: `VERSION AS OF 'audit-tag'` resolves
+    * the branch/tag to its pinned snapshot id. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.trim
+    if (v.nonEmpty && v.forall(_.isDigit)) serve(ident, Some(v.toLong), None)
+    else {
+      val dir = dirFor(ident)
+      require(fs.exists(dir) && isIceberg(dir),
+        s"VERSION AS OF '$version': named refs resolve on Iceberg-flavor " +
+          "tables only")
+      serve(ident,
+        Some(IcebergTable.refSnapshotId(spark, dir.toString, v)), None)
+    }
+  }
 
   /** `TIMESTAMP AS OF <ts>` time travel; Spark hands MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =

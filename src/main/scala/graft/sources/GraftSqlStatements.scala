@@ -92,6 +92,17 @@ object GraftSqlStatements {
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Target + """\s*;?\s*$""").r
   private val DescribeDetailRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Target + """\s*;?\s*$""").r
+  /** Quoted-path only — Spark's own grammar owns the catalog-ident
+    * forms of SHOW CREATE TABLE / DESCRIBE EXTENDED. */
+  private val ShowCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+'([^']+)'\s*;?\s*$""".r
+  private val DescribeExtendedRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+EXTENDED\s+'([^']+)'\s*;?\s*$""".r
+  /** `CALL graft.system.<proc>('<path>'[, args…])` — the procedure
+    * invocation surface production Iceberg users run maintenance
+    * through (Spark has no CALL grammar of its own to collide with). */
+  private val CallRe =
+    """(?is)^\s*CALL\s+graft\.system\.(\w+)\s*\((.*)\)\s*;?\s*$""".r
   private val RenameColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+RENAME\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+TO\s+(`[^`]+`|[\w$]+)\s*;?\s*$""").r
@@ -285,6 +296,13 @@ object GraftSqlStatements {
     case DescribeDetailRe(path, ident) =>
       Some(GraftDescribeDetailCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil)))
+    case ShowCreateRe(path) =>
+      Some(GraftShowCreateTableCommand(path))
+    case DescribeExtendedRe(path) =>
+      Some(GraftDescribeExtendedCommand(path))
+    case CallRe(proc, args) =>
+      Some(GraftCallCommand(proc.toLowerCase(java.util.Locale.ROOT),
+        args.trim))
     case RenameColRe(path, ident, from, to) =>
       Some(GraftColumnDdlCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
@@ -447,9 +465,14 @@ case class GraftRestoreCommand(path: Option[String], parts: Seq[String],
           versionAsOf = Some(target.toLong))
         else DeltaLog.restore(spark, dir, timestampAsOf = Some(tsMillis))
       case IcebergFlavor =>
-        require(isVersion, "RESTORE … TIMESTAMP AS OF is not supported " +
-          "for Iceberg-flavor tables — pass the snapshot id as VERSION AS OF")
-        IcebergTable.rollbackTo(spark, dir, target.toLong)
+        // TIMESTAMP AS OF resolves through the snapshot log (the
+        // newest snapshot at or before the timestamp), then rolls the
+        // pointer — Iceberg's rollback_to_timestamp procedure
+        val snapId =
+          if (isVersion) target.toLong
+          else IcebergTable.snapshot(spark, dir,
+            timestampAsOf = Some(tsMillis)).snapshotId
+        IcebergTable.rollbackTo(spark, dir, snapId)
       case VersionedFlavor =>
         require(isVersion, "RESTORE … TIMESTAMP AS OF is not supported " +
           "for versioned tables — pass the version as VERSION AS OF")
@@ -713,6 +736,175 @@ case class GraftDescribeDetailCommand(path: Option[String],
           last.map(_.getLong(1)).getOrElse(0L),
           last.map(_.getLong(2)).getOrElse(0L), -1L, "[]", "{}"))
     }
+  }
+}
+
+/** `SHOW CREATE TABLE '<path>'` — REVERSE DDL from metadata alone,
+  * for all three flavors: the emitted statement ROUND-TRIPS through
+  * [[GraftSqlStatements.parse]]'s CREATE TABLE grammar (columns with
+  * NOT NULL and GENERATED ALWAYS AS, PARTITIONED BY including hidden
+  * transforms, TBLPROPERTIES) — the text users paste into migration
+  * scripts. Delta constraint/column-mapping properties are OMITTED
+  * (their CREATE path refuses them toward the validating DDL —
+  * DESCRIBE EXTENDED shows them). */
+case class GraftShowCreateTableCommand(dir: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  private def colDef(f: org.apache.spark.sql.types.StructField): String = {
+    val nn = if (!f.nullable) " NOT NULL" else ""
+    val gen =
+      if (f.metadata.contains(DeltaLog.GenerationExprKey))
+        s" GENERATED ALWAYS AS (${f.metadata.getString(DeltaLog.GenerationExprKey)})"
+      else ""
+    s"`${f.name}` ${f.dataType.sql}$nn$gen"
+  }
+  private def propsSql(m: Map[String, String]): String =
+    if (m.isEmpty) ""
+    else m.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+    }.mkString("\nTBLPROPERTIES (", ", ", ")")
+  private def partSql(cols: Seq[String]): String =
+    if (cols.isEmpty) "" else cols.mkString("\nPARTITIONED BY (", ", ", ")")
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val d = resolveDir(spark, Some(dir), Nil)
+    val stmt = flavorOf(spark, d) match {
+      case DeltaFlavor =>
+        val snap = DeltaLog.snapshot(spark, d)
+        val props = snap.configuration.filterNot { case (k, _) =>
+          k.startsWith("delta.constraints.") ||
+            k.startsWith("delta.columnMapping.") }
+        s"CREATE TABLE '$d' (\n  " +
+          snap.schema.fields.map(colDef).mkString(",\n  ") +
+          "\n)\nUSING delta" + partSql(snap.partitionColumns) +
+          propsSql(props)
+      case IcebergFlavor =>
+        val snap = IcebergTable.snapshot(spark, d)
+        s"CREATE TABLE '$d' (\n  " +
+          snap.schema.fields.map(colDef).mkString(",\n  ") +
+          "\n)\nUSING iceberg" +
+          partSql(snap.specFields.map(_.canonical)) +
+          propsSql(IcebergTable.properties(spark, d)
+            .filterNot(_._1 == "graft.mirror-of"))
+      case VersionedFlavor =>
+        val v = VersionedTable.currentVersion(spark, d)
+        val schema = VersionedTable.readVersion(spark, d, v).schema
+        s"CREATE TABLE '$d' (\n  " +
+          schema.fields.map(colDef).mkString(",\n  ") +
+          "\n)\nUSING versioned"
+    }
+    Seq(Row(stmt))
+  }
+}
+
+/** `DESCRIBE EXTENDED '<path>'` — the column listing plus the
+  * `# Detailed Table Information` section (format, location, current
+  * version, file/byte/row counts, partitioning, FULL properties —
+  * constraints and column mapping included, unlike the round-trippable
+  * SHOW CREATE TABLE). */
+case class GraftDescribeExtendedCommand(dir: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val d = resolveDir(spark, Some(dir), Nil)
+    val detail = GraftDescribeDetailCommand(Some(d), Nil).run(spark).head
+    val schema: org.apache.spark.sql.types.StructType =
+      flavorOf(spark, d) match {
+        case DeltaFlavor => DeltaLog.snapshot(spark, d).schema
+        case IcebergFlavor => IcebergTable.snapshot(spark, d).schema
+        case VersionedFlavor => VersionedTable.readVersion(spark, d,
+          VersionedTable.currentVersion(spark, d)).schema
+      }
+    val colRows = schema.fields.toSeq.map { f =>
+      val comment =
+        if (f.metadata.contains(DeltaLog.GenerationExprKey))
+          s"GENERATED ALWAYS AS (${f.metadata.getString(DeltaLog.GenerationExprKey)})"
+        else null
+      Row(f.name, f.dataType.sql.toLowerCase(java.util.Locale.ROOT), comment)
+    }
+    colRows ++ Seq(
+      Row("", "", null),
+      Row("# Detailed Table Information", "", null),
+      Row("Format", detail.getString(0), null),
+      Row("Location", detail.getString(1), null),
+      Row("Version", detail.getLong(2).toString, null),
+      Row("Num Files", detail.getLong(3).toString, null),
+      Row("Size In Bytes", detail.getLong(4).toString, null),
+      Row("Num Rows", detail.getLong(5).toString, null),
+      Row("Partitioning", detail.getString(6), null),
+      Row("Properties", detail.getString(7), null))
+  }
+}
+
+/** `CALL graft.system.<proc>(…)` — Iceberg-style maintenance
+  * procedures: `expire_snapshots('<t>'[, keep])`,
+  * `rewrite_data_files('<t>'[, target_bytes])`,
+  * `rewrite_position_delete_files('<t>')`, `rewrite_manifests('<t>')`,
+  * `rollback_to_snapshot('<t>', id)`,
+  * `rollback_to_timestamp('<t>', 'yyyy-mm-dd hh:mm:ss')`,
+  * `create_tag / create_branch('<t>', 'name', id)`,
+  * `fast_forward('<t>', 'branch', id)`, `drop_ref('<t>', 'name')`,
+  * `publish_wap('<t>', 'wap-id')`. Each maps to the library call the
+  * scaladoc of the target documents; the result column carries the
+  * returned snapshot id / count. */
+case class GraftCallCommand(proc: String, rawArgs: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("procedure", StringType, nullable = false)(),
+    AttributeReference("result", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val args =
+      if (rawArgs.trim.isEmpty) Nil
+      else splitQuotedCsv(rawArgs).map(_.trim)
+    require(args.nonEmpty,
+      s"CALL graft.system.$proc needs the table path as its first argument")
+    val dir = stripQuotes(args.head)
+    def num(i: Int): Long = stripQuotes(args(i)).toLong
+    def str(i: Int): String = stripQuotes(args(i))
+    val res: String = proc match {
+      case "expire_snapshots" =>
+        IcebergTable.expireSnapshots(spark, dir,
+          if (args.size > 1) num(1).toInt else 1).size.toString
+      case "rewrite_data_files" =>
+        IcebergTable.rewriteDataFiles(spark, dir,
+          if (args.size > 1) num(1) else 128L << 20).toString
+      case "rewrite_position_delete_files" =>
+        IcebergTable.rewritePositionDeleteFiles(spark, dir).toString
+      case "rewrite_manifests" =>
+        IcebergTable.rewriteManifests(spark, dir).toString
+      case "rollback_to_snapshot" =>
+        IcebergTable.rollbackTo(spark, dir, num(1)).toString
+      case "rollback_to_timestamp" =>
+        val ts = java.sql.Timestamp.valueOf(str(1)).getTime
+        IcebergTable.rollbackTo(spark, dir, IcebergTable.snapshot(spark,
+          dir, timestampAsOf = Some(ts)).snapshotId).toString
+      case "create_tag" =>
+        IcebergTable.createTag(spark, dir, str(1), num(2)).toString
+      case "create_branch" =>
+        IcebergTable.createBranch(spark, dir, str(1), num(2)).toString
+      case "fast_forward" =>
+        IcebergTable.fastForwardBranch(spark, dir, str(1), num(2)).toString
+      case "drop_ref" =>
+        IcebergTable.dropRef(spark, dir, str(1)).toString
+      case "publish_wap" =>
+        IcebergTable.publishWap(spark, dir, str(1)).toString
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure graft.system.$other (expire_snapshots, " +
+          "rewrite_data_files, rewrite_position_delete_files, " +
+          "rewrite_manifests, rollback_to_snapshot, rollback_to_timestamp, " +
+          "create_tag, create_branch, fast_forward, drop_ref, publish_wap)")
+    }
+    Seq(Row(proc, res))
   }
 }
 

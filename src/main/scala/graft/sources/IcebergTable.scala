@@ -156,6 +156,115 @@ object IcebergTable {
     new Path(dir, s"v${versions.max}.metadata.json")
   }
 
+  /** A concurrent writer won the metadata version race and this
+    * commit cannot REBASE past it — a true logical conflict (the
+    * Iceberg twin of [[DeltaLog.CommitConflictException]]; real
+    * Iceberg's commit.retry refuses the same classes). */
+  final class CommitConflictException(val kind: String, msg: String)
+    extends RuntimeException(s"$kind: $msg")
+
+  /** Optimistic metadata CAS — the shared commit loop every
+    * IcebergTable writer routes through. The HadoopTables protocol
+    * makes the exclusive create of `v<N+1>.metadata.json` the
+    * compare-and-swap; real Iceberg wraps it in commit.retry, which
+    * RE-APPLIES the pending update against the refreshed base instead
+    * of failing spuriously. `attempt` receives a DEEP COPY of the
+    * current base metadata (None when the table does not exist yet)
+    * and its version; it must
+    *  1. re-validate its assumptions against the (possibly advanced)
+    *     base — throwing [[CommitConflictException]] on a true
+    *     logical conflict (schema changed under a DML, a file this
+    *     commit rewrites no longer live, …),
+    *  2. produce the new metadata root to write, regenerating the
+    *     cheap driver-side artifacts (manifest list, manifests —
+    *     snapshot/sequence numbers may have advanced) while reusing
+    *     the attempt-invariant staged DATA files (whose names may
+    *     embed the first attempt's snapshot id — cosmetic; manifests
+    *     bind paths, not names),
+    * and return (root to write, value to hand back — usually the new
+    * snapshot id). On a lost race the loop re-reads and re-invokes. */
+  private def casCommit(spark: SparkSession, tablePath: String,
+                        maxRetries: Int = 10)
+                       (attempt: (Option[ObjectNode], Long) => (ObjectNode, Long))
+  : Long = {
+    val mdir = metaDir(tablePath)
+    val fs = fsFor(spark, mdir)
+    var tries = 0
+    while (true) {
+      // the TRUE head from a directory scan, never the version hint:
+      // a winner updates the hint only after its CAS, so a loser
+      // re-reading through the hint would rebase against a stale base
+      // and loop on the same taken version forever
+      val versions =
+        if (!fs.exists(mdir)) Array.empty[Long]
+        else fs.globStatus(new Path(mdir, "v*.metadata.json"))
+          .map(_.getPath.getName.stripPrefix("v")
+            .stripSuffix(".metadata.json").toLong)
+      val (metaVersion, base) =
+        if (versions.nonEmpty) {
+          val mv = versions.max
+          val mp = new Path(mdir, s"v$mv.metadata.json")
+          // the head file may be MID-WRITE by its winner (exclusive
+          // create is atomic; content visibility is not) — poll until
+          // it parses as a json object
+          var node: JsonNode = null
+          var waits = 0
+          while (node == null) {
+            node =
+              try {
+                val n = readJson(spark, mp)
+                if (n != null && n.isObject) n else null
+              } catch { case _: Exception => null }
+            if (node == null) {
+              waits += 1
+              if (waits > 250) throw new IllegalStateException(
+                s"metadata $mp stayed unreadable for 5s")
+              Thread.sleep(20)
+            }
+          }
+          (mv, Some(node.deepCopy[JsonNode]().asInstanceOf[ObjectNode]))
+        } else (0L, None)
+      val attempted =
+        try Some(attempt(base, metaVersion))
+        catch {
+          // the attempt saw state it could not rebase onto yet (e.g.
+          // the version hint lagging the scanned head) — rescan
+          case RetryCommit => None
+        }
+      if (attempted.isEmpty) {
+        tries += 1
+        if (tries > maxRetries) throw new CommitConflictException(
+          "CommitRetriesExhausted",
+          s"$tablePath: could not observe a consistent base after " +
+            s"$maxRetries rescans")
+        Thread.sleep(20)
+      } else {
+      val (root, ret) = attempted.get
+      val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
+      val created = AtomicCas.createExclusive(fs, next,
+        M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+      if (created) {
+        val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
+        try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
+        finally hintOut.close()
+        return ret
+      }
+      tries += 1
+      if (tries > maxRetries) throw new CommitConflictException(
+        "CommitRetriesExhausted",
+        s"$tablePath: lost the metadata version race $maxRetries times " +
+          "in a row")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Internal rescan signal for [[casCommit]] attempts: the observed
+    * auxiliary state (e.g. a hint-resolved snapshot) has not caught up
+    * with the scanned metadata head — re-read and re-attempt. */
+  private object RetryCommit
+    extends RuntimeException with scala.util.control.NoStackTrace
+
   private def readJson(spark: SparkSession, p: Path): JsonNode = {
     val fs = fsFor(spark, p)
     val in = fs.open(p)
@@ -1274,116 +1383,143 @@ object IcebergTable {
                                    snap: Snapshot, keysDf: DataFrame,
                                    keyIds: Seq[Int],
                                    appendDf: DataFrame): Long = {
-    val mp = latestMetadataFile(spark, tablePath)
-    val metaVersion =
-      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
     val mdir = metaDir(tablePath)
     val fs = fsFor(spark, mdir)
-    val snaps = Option(meta.get("snapshots")).toSeq
-      .flatMap(_.elements().asScala).toSeq
-    val snapId = snaps.map(_.get("snapshot-id").asLong()).max + 1
-    val seq = Option(meta.get("last-sequence-number"))
-      .map(_.asLong()).getOrElse(0L) + 1
-    val now = System.currentTimeMillis()
-    val curNode = snaps.find(
-      _.get("snapshot-id").asLong() == snap.snapshotId).get
-    // mutation commits operate on (and their outputs match) the
-    // table's CURRENT schema — post-ALTER DML writes the evolved shape
-    val schemaNode: JsonNode =
-      if (meta.has("schemas")) {
-        val sid = meta.get("current-schema-id").asInt()
-        meta.get("schemas").elements().asScala
-          .find(n => n.get("schema-id").asInt() == sid).get
-      } else meta.get("schema")
-    val schemaJson = M.writeValueAsString(schemaNode)
 
-    // equality-delete parquet: exactly the key columns
+    // ---- attempt-invariant staging (once): equality-delete parquet
+    // of exactly the key columns + the whole source as fresh
+    // stats-bearing data files under the table's partition layout.
+    // Manifests/metadata regenerate per CAS attempt.
+    val tok = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(tablePath,
-      s".tmp-eq-$snapId-${java.util.UUID.randomUUID()}")
+      s".tmp-eq-$tok-${java.util.UUID.randomUUID()}")
     keysDf.coalesce(1).write.parquet(tmp.toString)
     val part = fs.listStatus(tmp).toSeq
       .find(_.getPath.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no eq-delete file written"))
     val eqPath = fs.makeQualified(
-      new Path(new Path(tablePath, "data"), s"s$snapId-eq-delete-0.parquet"))
+      new Path(new Path(tablePath, "data"), s"d$tok-eq-delete-0.parquet"))
     fs.mkdirs(eqPath.getParent)
     if (!fs.rename(part.getPath, eqPath))
       throw new IllegalStateException(s"rename failed for $eqPath")
     fs.delete(tmp, true)
     val nKeys = spark.read.parquet(eqPath.toString).count()
-    // GLOBAL equality deletes: on a partitioned table the manifest
-    // declares an UNPARTITIONED spec (value matching ignores layout)
-    val eqManifest = writeDeleteManifest(spark, mdir, s"eq-$snapId",
-      schemaJson, Seq((eqPath.toString, fs.getFileStatus(eqPath).getLen,
-        nKeys, 2, keyIds)), snapId, seq,
-      specId = unpartitionedSpecId(meta, snap.defaultSpecId,
-        snap.specFields.nonEmpty))
 
-    // the whole source as fresh stats-bearing data files under the
-    // table's partition layout
     val specFields = specFieldsOf(snap)
     val adoptedFull = stageDataFiles(spark,
       appendDf.select(snap.schema.fieldNames
         .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*),
-      tablePath, snap.specFields, s"s$snapId-ups")
+      tablePath, snap.specFields, s"d$tok-ups")
     val adopted = adoptedFull.map(a => (a._1, a._2, a._3))
     val tuples: Map[String, Seq[Any]] =
       if (snap.specFields.isEmpty) Map.empty
       else adoptedFull.map(a => a._1 -> a._4).toMap
-    val fieldInfo: Map[String, (Int, DataType)] =
-      Option(schemaNode.get("fields")).toSeq
-        .flatMap(_.elements().asScala).flatMap { fn =>
-          val n = fn.get("name").asText()
-          snap.schema.find(_.name == n)
-            .map(f => n -> ((fn.get("id").asInt(), f.dataType)))
-        }.toMap
     val conf = spark.sparkContext.hadoopConfiguration
     val fileStats = adopted.map { case (p, _, nrec) =>
       p -> footerFileStats(conf, new Path(p), nrec) }.toMap
-    val dataManifest = writeManifest(spark, mdir, s"ups-$snapId",
-      schemaJson, adopted, snapId, seq, spec = specFields,
-      tuples = tuples, specId = snap.defaultSpecId, stats = fileStats,
-      fieldInfo = fieldInfo)
+    def shapeOf(s: StructType): Seq[(String, DataType)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType))
 
-    val carried: Seq[GenericRecord] =
-      if (curNode.has("manifest-list"))
-        readManifestList(spark, new Path(curNode.get("manifest-list").asText()))
-      else Seq.empty
-    val listPath = fs.makeQualified(
-      new Path(mdir, s"snap-$snapId-manifest-list.avro"))
-    writeAvro(spark, listPath, ManifestFileSchema,
-      Map("format-version" -> "2"), carried ++ Seq(eqManifest, dataManifest))
+    casCommit(spark, tablePath) { (baseMeta, _) =>
+      val meta = baseMeta.getOrElse(throw new IllegalStateException(
+        s"no metadata for $tablePath"))
+      val snaps = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala).toSeq
+      val snapId = snaps.map(_.get("snapshot-id").asLong()).max + 1
+      val atok = java.util.UUID.randomUUID().toString.take(8)
+      val seq = Option(meta.get("last-sequence-number"))
+        .map(_.asLong()).getOrElse(0L) + 1
+      val now = System.currentTimeMillis()
+      val curId = Option(meta.get("current-snapshot-id"))
+        .filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
+      // REBASE over a concurrent winner: equality deletes match by
+      // VALUE with sequence-number scoping, so a winner's appended
+      // rows are upserted-over exactly as Flink's committer would —
+      // only schema/spec changes are true conflicts
+      val curSnap: Snapshot =
+        if (curId == snap.snapshotId) snap
+        else {
+          val fresh = {
+            var f = snapshot(spark, tablePath)
+            var w = 0
+            while (f.snapshotId != curId && w < 100) {
+              Thread.sleep(20); f = snapshot(spark, tablePath); w += 1
+            }
+            if (f.snapshotId != curId) throw RetryCommit
+            f
+          }
+          if (shapeOf(fresh.schema) != shapeOf(snap.schema))
+            throw new CommitConflictException("MetadataChanged",
+              s"$tablePath: the schema changed under this upsert")
+          if (fresh.defaultSpecId != snap.defaultSpecId)
+            throw new CommitConflictException("MetadataChanged",
+              s"$tablePath: the default partition spec changed under " +
+                "this upsert")
+          fresh
+        }
+      val curNode = snaps.find(
+        _.get("snapshot-id").asLong() == curSnap.snapshotId).get
+      // mutation commits operate on (and their outputs match) the
+      // table's CURRENT schema — post-ALTER DML writes the evolved shape
+      val schemaNode: JsonNode =
+        if (meta.has("schemas")) {
+          val sid = meta.get("current-schema-id").asInt()
+          meta.get("schemas").elements().asScala
+            .find(n => n.get("schema-id").asInt() == sid).get
+        } else meta.get("schema")
+      val schemaJson = M.writeValueAsString(schemaNode)
 
-    val snapsArr = M.createArrayNode()
-    snaps.foreach(snapsArr.add)
-    val sn = snapsArr.addObject()
-    sn.put("snapshot-id", snapId)
-    sn.put("sequence-number", seq)
-    sn.put("timestamp-ms", now)
-    sn.put("manifest-list", listPath.toString)
-    if (meta.has("current-schema-id"))
-      sn.put("schema-id", meta.get("current-schema-id").asInt())
-    else if (curNode.has("schema-id"))
-      sn.put("schema-id", curNode.get("schema-id").asInt())
-    sn.putObject("summary").put("operation", "overwrite")
-    meta.set[JsonNode]("snapshots", snapsArr)
-    Option(meta.get("snapshot-log")).foreach { log =>
-      val lg = log.asInstanceOf[ArrayNode].addObject()
-      lg.put("snapshot-id", snapId)
-      lg.put("timestamp-ms", now)
+      // GLOBAL equality deletes: on a partitioned table the manifest
+      // declares an UNPARTITIONED spec (value matching ignores layout)
+      val eqManifest = writeDeleteManifest(spark, mdir, s"eq-$atok-$snapId",
+        schemaJson, Seq((eqPath.toString, fs.getFileStatus(eqPath).getLen,
+          nKeys, 2, keyIds)), snapId, seq,
+        specId = unpartitionedSpecId(meta, curSnap.defaultSpecId,
+          curSnap.specFields.nonEmpty))
+      val fieldInfo: Map[String, (Int, DataType)] =
+        Option(schemaNode.get("fields")).toSeq
+          .flatMap(_.elements().asScala).flatMap { fn =>
+            val n = fn.get("name").asText()
+            snap.schema.find(_.name == n)
+              .map(f => n -> ((fn.get("id").asInt(), f.dataType)))
+          }.toMap
+      val dataManifest = writeManifest(spark, mdir, s"ups-$atok-$snapId",
+        schemaJson, adopted, snapId, seq, spec = specFields,
+        tuples = tuples, specId = curSnap.defaultSpecId, stats = fileStats,
+        fieldInfo = fieldInfo)
+
+      val carried: Seq[GenericRecord] =
+        if (curNode.has("manifest-list"))
+          readManifestList(spark, new Path(curNode.get("manifest-list").asText()))
+        else Seq.empty
+      val listPath = fs.makeQualified(
+        new Path(mdir, s"snap-$atok-$snapId-manifest-list.avro"))
+      writeAvro(spark, listPath, ManifestFileSchema,
+        Map("format-version" -> "2"), carried ++ Seq(eqManifest, dataManifest))
+
+      val snapsArr = M.createArrayNode()
+      snaps.foreach(snapsArr.add)
+      val sn = snapsArr.addObject()
+      sn.put("snapshot-id", snapId)
+      sn.put("sequence-number", seq)
+      sn.put("timestamp-ms", now)
+      sn.put("manifest-list", listPath.toString)
+      if (meta.has("current-schema-id"))
+        sn.put("schema-id", meta.get("current-schema-id").asInt())
+      else if (curNode.has("schema-id"))
+        sn.put("schema-id", curNode.get("schema-id").asInt())
+      sn.putObject("summary").put("operation", "overwrite")
+      meta.set[JsonNode]("snapshots", snapsArr)
+      Option(meta.get("snapshot-log")).foreach { log =>
+        val lg = log.asInstanceOf[ArrayNode].addObject()
+        lg.put("snapshot-id", snapId)
+        lg.put("timestamp-ms", now)
+      }
+      meta.put("last-sequence-number", seq)
+      meta.put("last-updated-ms", now)
+      meta.put("current-snapshot-id", snapId)
+      (meta, snapId)
     }
-    meta.put("last-sequence-number", seq)
-    meta.put("last-updated-ms", now)
-    meta.put("current-snapshot-id", snapId)
-    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
-    val out = fs.create(next, false)
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    finally out.close()
-    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
-    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
-    finally hintOut.close()
-    snapId
   }
 
   /** Live rows of `files` WITH physical positions — the same
@@ -1628,167 +1764,228 @@ object IcebergTable {
       }
   }
 
-  private def commitMorSnapshot(spark: SparkSession, tablePath: String,
+  private[sources] def commitMorSnapshot(spark: SparkSession, tablePath: String,
                                 snap: Snapshot, rows: Seq[(String, Long)],
                                 appendDf: Option[DataFrame],
                                 operation: String,
                                 carryExisting: Boolean = true,
                                 removePaths: Set[String] = Set.empty): Long = {
     import spark.implicits._
-    val mp = latestMetadataFile(spark, tablePath)
-    val metaVersion =
-      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
     val mdir = metaDir(tablePath)
     val fs = fsFor(spark, mdir)
-    val snaps = Option(meta.get("snapshots")).toSeq
-      .flatMap(_.elements().asScala).toSeq
-    val snapId = snaps.map(_.get("snapshot-id").asLong()).max + 1
-    val seq = Option(meta.get("last-sequence-number"))
-      .map(_.asLong()).getOrElse(0L) + 1
-    val now = System.currentTimeMillis()
 
-    val curNode = snaps.find(
-      _.get("snapshot-id").asLong() == snap.snapshotId).get
-    // mutation commits operate on (and their outputs match) the
-    // table's CURRENT schema — post-ALTER DML writes the evolved shape
-    val schemaNode: JsonNode =
-      if (meta.has("schemas")) {
-        val sid = meta.get("current-schema-id").asInt()
-        meta.get("schemas").elements().asScala
-          .find(n => n.get("schema-id").asInt() == sid).get
-      } else meta.get("schema")
-    val schemaJson = M.writeValueAsString(schemaNode)
+    // ---- attempt-invariant staging (the expensive part, done ONCE):
+    // the real position-delete and data parquet land under unique
+    // token-named paths; manifests, the manifest list, and the
+    // metadata JSON — which carry snapshot/sequence numbers that may
+    // advance under a lost commit race — regenerate per CAS attempt.
+    val tok = java.util.UUID.randomUUID().toString.take(8)
 
-    // position-delete parquet + content=1 manifest (GLOBAL deletes:
+    // position-delete parquet + its file_path bounds (GLOBAL deletes:
     // on a partitioned table the manifest declares an UNPARTITIONED
     // spec — the file references data rows by path, not partition)
-    val delManifest: Option[GenericRecord] = if (rows.isEmpty) None else {
-      val tmp = new Path(tablePath,
-        s".tmp-del-$snapId-${java.util.UUID.randomUUID()}")
-      rows.toDF("file_path", "pos").coalesce(1)
-        .sortWithinPartitions("file_path", "pos")
-        .write.parquet(tmp.toString)
-      val part = fs.listStatus(tmp).toSeq
-        .find(_.getPath.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException("no delete file written"))
-      val delPath = fs.makeQualified(
-        new Path(new Path(tablePath, "data"), s"s$snapId-pos-delete-0.parquet"))
-      fs.mkdirs(delPath.getParent)
-      if (!fs.rename(part.getPath, delPath))
-        throw new IllegalStateException(s"rename failed for $delPath")
-      fs.delete(tmp, true)
-      // record the file_path bounds (min/max referenced data file, in
-      // the spec's UTF-8 byte order) so readers scope this delete
-      // file to the files it actually names
-      implicit val utf8Order: Ordering[String] = Ordering.comparatorToOrdering(
-        java.util.Comparator.comparing((s: String) =>
-          org.apache.spark.unsafe.types.UTF8String.fromString(s)))
-      val refPaths = rows.map(_._1)
-      Some(writeDeleteManifest(spark, mdir, s"del-$snapId", schemaJson,
-        Seq((delPath.toString, fs.getFileStatus(delPath).getLen,
-          rows.size.toLong, 1, Seq.empty)), snapId, seq,
-        specId = unpartitionedSpecId(meta, snap.defaultSpecId,
-          snap.specFields.nonEmpty),
-        pathBounds = Map(delPath.toString -> ((refPaths.min, refPaths.max)))))
-    }
+    val delFile: Option[(String, Long, Long, (String, String))] =
+      if (rows.isEmpty) None else {
+        val tmp = new Path(tablePath,
+          s".tmp-del-$tok-${java.util.UUID.randomUUID()}")
+        rows.toDF("file_path", "pos").coalesce(1)
+          .sortWithinPartitions("file_path", "pos")
+          .write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp).toSeq
+          .find(_.getPath.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("no delete file written"))
+        val delPath = fs.makeQualified(
+          new Path(new Path(tablePath, "data"), s"d$tok-pos-delete-0.parquet"))
+        fs.mkdirs(delPath.getParent)
+        if (!fs.rename(part.getPath, delPath))
+          throw new IllegalStateException(s"rename failed for $delPath")
+        fs.delete(tmp, true)
+        // record the file_path bounds (min/max referenced data file,
+        // in the spec's UTF-8 byte order) so readers scope this delete
+        // file to the files it actually names
+        implicit val utf8Order: Ordering[String] = Ordering.comparatorToOrdering(
+          java.util.Comparator.comparing((s: String) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        val refPaths = rows.map(_._1)
+        Some((delPath.toString, fs.getFileStatus(delPath).getLen,
+          rows.size.toLong, (refPaths.min, refPaths.max)))
+      }
 
     // appended rows (update transforms / merge source) as fresh data
     // files with footer stats — staged under the table's PARTITION
-    // LAYOUT (hidden transforms included), manifest carries the
-    // transformed tuples like any write
-    val dataManifest: Option[GenericRecord] = appendDf.map { df =>
-      val specFields = specFieldsOf(snap)
+    // LAYOUT (hidden transforms included)
+    val stagedData: Option[(Seq[(String, Long, Long)], Map[String, Seq[Any]],
+      Map[String, FileStats])] = appendDf.map { df =>
       val adoptedFull = stageDataFiles(spark,
         df.select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*),
-        tablePath, snap.specFields, s"s$snapId-upd")
+        tablePath, snap.specFields, s"d$tok-upd")
       val adopted = adoptedFull.map(a => (a._1, a._2, a._3))
       val tuples: Map[String, Seq[Any]] =
         if (snap.specFields.isEmpty) Map.empty
         else adoptedFull.map(a => a._1 -> a._4).toMap
-      val fieldInfo: Map[String, (Int, DataType)] =
-        Option(schemaNode.get("fields")).toSeq
-          .flatMap(_.elements().asScala).flatMap { fn =>
-            val n = fn.get("name").asText()
-            snap.schema.find(_.name == n)
-              .map(f => n -> ((fn.get("id").asInt(), f.dataType)))
-          }.toMap
       val conf = spark.sparkContext.hadoopConfiguration
       val fileStats = adopted.map { case (p, _, nrec) =>
         p -> footerFileStats(conf, new Path(p), nrec) }.toMap
-      writeManifest(spark, mdir, s"upd-$snapId", schemaJson, adopted,
-        snapId, seq, spec = specFields, tuples = tuples,
-        specId = snap.defaultSpecId, stats = fileStats,
-        fieldInfo = fieldInfo)
+      (adopted, tuples, fileStats)
     }
+    def shapeOf(s: StructType): Seq[(String, DataType)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType))
 
-    // carry the current snapshot's manifests (data + prior deletes) —
-    // unless this is a full REPLACE (compaction), whose fresh data
-    // manifest supersedes every prior data AND delete manifest, or a
-    // COPY-ON-WRITE commit (removePaths non-empty): the files bearing
-    // matches drop, the SURVIVORS carry as existing entries in one
-    // fresh data manifest (original seq + adding snapshot preserved),
-    // and prior DELETE manifests carry — their seq scoping still
-    // applies to the survivors, while the rewritten files commit at a
-    // strictly newer seq no old delete can touch
-    val carried: Seq[GenericRecord] =
-      if (removePaths.nonEmpty) {
-        val prior =
-          if (curNode.has("manifest-list"))
-            readManifestList(spark,
-              new Path(curNode.get("manifest-list").asText()))
-          else Seq.empty
-        val survivors = snap.files.filterNot(f => removePaths(f.path))
-        // no survivors = a full rewrite: prior delete files have
-        // nothing left to apply to, so nothing carries
-        if (survivors.isEmpty) Seq.empty
+    casCommit(spark, tablePath) { (baseMeta, _) =>
+      val meta = baseMeta.getOrElse(throw new IllegalStateException(
+        s"no metadata for $tablePath"))
+      val snaps = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala).toSeq
+      val snapId = snaps.map(_.get("snapshot-id").asLong()).max + 1
+      // attempt-unique artifact names (the winner may have been a
+      // metadata-only commit that minted no snapshot id)
+      val atok = java.util.UUID.randomUUID().toString.take(8)
+      val seq = Option(meta.get("last-sequence-number"))
+        .map(_.asLong()).getOrElse(0L) + 1
+      val now = System.currentTimeMillis()
+      val curId = Option(meta.get("current-snapshot-id"))
+        .filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
+
+      // REBASE: a concurrent winner advanced the table since `snap`
+      // was read — classify the conflict, then re-apply this mutation
+      // against the WINNER's state (Iceberg commit.retry semantics)
+      val curSnap: Snapshot =
+        if (curId == snap.snapshotId) snap
         else {
-          val deleteManifests =
-            prior.filter(m => longOf(m.get("content")) == 1L)
-          deleteManifests :+ existingFilesManifest(spark, mdir,
-            s"cow-$snapId", schemaJson, snap, survivors, snapId, seq,
-            Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0),
-            "copy-on-write rewrite")
+          if (!carryExisting) throw new CommitConflictException(
+            "ConcurrentWrite",
+            s"$tablePath: a concurrent commit advanced the table under " +
+              "a full REPLACE — re-run the rewrite against the new state")
+          // snapshot() resolves through the version HINT, which the
+          // winner updates only after its CAS — poll until it has
+          // caught up with the scanned head, else rescan
+          val fresh = {
+            var f = snapshot(spark, tablePath)
+            var w = 0
+            while (f.snapshotId != curId && w < 100) {
+              Thread.sleep(20); f = snapshot(spark, tablePath); w += 1
+            }
+            if (f.snapshotId != curId) throw RetryCommit
+            f
+          }
+          if (shapeOf(fresh.schema) != shapeOf(snap.schema))
+            throw new CommitConflictException("MetadataChanged",
+              s"$tablePath: the schema changed under this mutation")
+          if (fresh.defaultSpecId != snap.defaultSpecId)
+            throw new CommitConflictException("MetadataChanged",
+              s"$tablePath: the default partition spec changed under " +
+                "this mutation")
+          val live = fresh.files.map(_.path).toSet
+          val goneRef = rows.map(_._1).distinct.filterNot(live)
+          if (goneRef.nonEmpty) throw new CommitConflictException(
+            "ConcurrentRewrite",
+            s"$tablePath: data files this DML's position deletes " +
+              s"reference were rewritten concurrently: " +
+              goneRef.take(3).mkString(", "))
+          val goneRm = removePaths.filterNot(live)
+          if (goneRm.nonEmpty) throw new CommitConflictException(
+            "ConcurrentDeleteDelete",
+            s"$tablePath: files this copy-on-write commit rewrites were " +
+              s"rewritten concurrently: ${goneRm.take(3).mkString(", ")}")
+          fresh
         }
-      } else if (carryExisting && curNode.has("manifest-list"))
-        readManifestList(spark, new Path(curNode.get("manifest-list").asText()))
-      else Seq.empty
-    val listPath = fs.makeQualified(
-      new Path(mdir, s"snap-$snapId-manifest-list.avro"))
-    writeAvro(spark, listPath, ManifestFileSchema,
-      Map("format-version" -> "2"),
-      carried ++ delManifest.toSeq ++ dataManifest.toSeq)
+      val curNode = snaps.find(
+        _.get("snapshot-id").asLong() == curSnap.snapshotId).get
+      // mutation commits operate on (and their outputs match) the
+      // table's CURRENT schema — post-ALTER DML writes the evolved shape
+      val schemaNode: JsonNode =
+        if (meta.has("schemas")) {
+          val sid = meta.get("current-schema-id").asInt()
+          meta.get("schemas").elements().asScala
+            .find(n => n.get("schema-id").asInt() == sid).get
+        } else meta.get("schema")
+      val schemaJson = M.writeValueAsString(schemaNode)
 
-    val snapsArr = M.createArrayNode()
-    snaps.foreach(snapsArr.add)
-    val sn = snapsArr.addObject()
-    sn.put("snapshot-id", snapId)
-    sn.put("sequence-number", seq)
-    sn.put("timestamp-ms", now)
-    sn.put("manifest-list", listPath.toString)
-    if (meta.has("current-schema-id"))
-      sn.put("schema-id", meta.get("current-schema-id").asInt())
-    else if (curNode.has("schema-id"))
-      sn.put("schema-id", curNode.get("schema-id").asInt())
-    sn.putObject("summary").put("operation", operation)
-    meta.set[JsonNode]("snapshots", snapsArr)
-    Option(meta.get("snapshot-log")).foreach { log =>
-      val lg = log.asInstanceOf[ArrayNode].addObject()
-      lg.put("snapshot-id", snapId)
-      lg.put("timestamp-ms", now)
+      val delManifest: Option[GenericRecord] =
+        delFile.map { case (p, len, n, bounds) =>
+          writeDeleteManifest(spark, mdir, s"del-$atok-$snapId", schemaJson,
+            Seq((p, len, n, 1, Seq.empty)), snapId, seq,
+            specId = unpartitionedSpecId(meta, curSnap.defaultSpecId,
+              curSnap.specFields.nonEmpty),
+            pathBounds = Map(p -> bounds))
+        }
+      val dataManifest: Option[GenericRecord] =
+        stagedData.map { case (adopted, tuples, fileStats) =>
+          val specFields = specFieldsOf(curSnap)
+          val fieldInfo: Map[String, (Int, DataType)] =
+            Option(schemaNode.get("fields")).toSeq
+              .flatMap(_.elements().asScala).flatMap { fn =>
+                val n = fn.get("name").asText()
+                snap.schema.find(_.name == n)
+                  .map(f => n -> ((fn.get("id").asInt(), f.dataType)))
+              }.toMap
+          writeManifest(spark, mdir, s"upd-$atok-$snapId", schemaJson, adopted,
+            snapId, seq, spec = specFields, tuples = tuples,
+            specId = curSnap.defaultSpecId, stats = fileStats,
+            fieldInfo = fieldInfo)
+        }
+
+      // carry the current snapshot's manifests (data + prior deletes) —
+      // unless this is a full REPLACE (compaction), whose fresh data
+      // manifest supersedes every prior data AND delete manifest, or a
+      // COPY-ON-WRITE commit (removePaths non-empty): the files bearing
+      // matches drop, the SURVIVORS carry as existing entries in one
+      // fresh data manifest (original seq + adding snapshot preserved),
+      // and prior DELETE manifests carry — their seq scoping still
+      // applies to the survivors, while the rewritten files commit at a
+      // strictly newer seq no old delete can touch
+      val carried: Seq[GenericRecord] =
+        if (removePaths.nonEmpty) {
+          val prior =
+            if (curNode.has("manifest-list"))
+              readManifestList(spark,
+                new Path(curNode.get("manifest-list").asText()))
+            else Seq.empty
+          val survivors = curSnap.files.filterNot(f => removePaths(f.path))
+          // no survivors = a full rewrite: prior delete files have
+          // nothing left to apply to, so nothing carries
+          if (survivors.isEmpty) Seq.empty
+          else {
+            val deleteManifests =
+              prior.filter(m => longOf(m.get("content")) == 1L)
+            deleteManifests :+ existingFilesManifest(spark, mdir,
+              s"cow-$atok-$snapId", schemaJson, curSnap, survivors, snapId, seq,
+              Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0),
+              "copy-on-write rewrite")
+          }
+        } else if (carryExisting && curNode.has("manifest-list"))
+          readManifestList(spark, new Path(curNode.get("manifest-list").asText()))
+        else Seq.empty
+      val listPath = fs.makeQualified(
+        new Path(mdir, s"snap-$atok-$snapId-manifest-list.avro"))
+      writeAvro(spark, listPath, ManifestFileSchema,
+        Map("format-version" -> "2"),
+        carried ++ delManifest.toSeq ++ dataManifest.toSeq)
+
+      val snapsArr = M.createArrayNode()
+      snaps.foreach(snapsArr.add)
+      val sn = snapsArr.addObject()
+      sn.put("snapshot-id", snapId)
+      sn.put("sequence-number", seq)
+      sn.put("timestamp-ms", now)
+      sn.put("manifest-list", listPath.toString)
+      if (meta.has("current-schema-id"))
+        sn.put("schema-id", meta.get("current-schema-id").asInt())
+      else if (curNode.has("schema-id"))
+        sn.put("schema-id", curNode.get("schema-id").asInt())
+      sn.putObject("summary").put("operation", operation)
+      meta.set[JsonNode]("snapshots", snapsArr)
+      Option(meta.get("snapshot-log")).foreach { log =>
+        val lg = log.asInstanceOf[ArrayNode].addObject()
+        lg.put("snapshot-id", snapId)
+        lg.put("timestamp-ms", now)
+      }
+      meta.put("last-sequence-number", seq)
+      meta.put("last-updated-ms", now)
+      meta.put("current-snapshot-id", snapId)
+      (meta, snapId)
     }
-    meta.put("last-sequence-number", seq)
-    meta.put("last-updated-ms", now)
-    meta.put("current-snapshot-id", snapId)
-    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
-    val out = fs.create(next, false)
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    finally out.close()
-    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
-    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
-    finally hintOut.close()
-    snapId
   }
 
   // ---------------- table maintenance ----------------
@@ -1923,10 +2120,12 @@ object IcebergTable {
   def expireSnapshots(spark: SparkSession, tablePath: String,
                       keepSnapshots: Int = 1): Seq[String] = {
     require(keepSnapshots >= 1, "must keep at least the current snapshot")
-    val mp = latestMetadataFile(spark, tablePath)
-    val metaVersion =
-      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    // early `return`s inside the attempt abort the CAS commit-free
+    // (non-local return unwinds casCommit before anything is written)
+    var victimsOut: Seq[String] = Seq.empty
+    casCommit(spark, tablePath) { (baseMeta, metaVersion) =>
+    val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+      s"not an Iceberg table: $tablePath"))
     // a MIRROR only adopted its data files — physical cleanup through
     // the view would delete the OWNING table's data out from under it
     Option(meta.get("properties"))
@@ -1940,11 +2139,27 @@ object IcebergTable {
     if (snaps.size <= keepSnapshots) return Seq.empty
     val cur = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
       .map(_.asLong()).getOrElse(-1L)
+    // refs pin their snapshots; an UNPUBLISHED write-audit-publish
+    // snapshot (wap.id summary, never current, never logged) must
+    // also survive — expiring the audit data before the publish
+    // decision would defeat the pattern
+    val refPinned: Set[Long] = Option(meta.get("refs")).toSeq
+      .flatMap(_.fields().asScala)
+      .map(_.getValue.get("snapshot-id").asLong()).toSet
+    val logged: Set[Long] = Option(meta.get("snapshot-log")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(_.get("snapshot-id").asLong()).toSet
+    val stagedWap: Set[Long] = snaps.filter { n =>
+      Option(n.get("summary")).exists(_.has("wap.id")) && {
+        val id = n.get("snapshot-id").asLong()
+        id != cur && !logged.contains(id)
+      }
+    }.map(_.get("snapshot-id").asLong()).toSet
     val keepIds = snaps.sortBy(n =>
       (n.get("timestamp-ms").asLong(), n.get("snapshot-id").asLong()))
       .takeRight(keepSnapshots)
       .map(_.get("snapshot-id").asLong()).toSet ++
-      Option(cur).filter(_ != -1L)
+      Option(cur).filter(_ != -1L) ++ refPinned ++ stagedWap
     val (kept, expired) =
       snaps.partition(n => keepIds(n.get("snapshot-id").asLong()))
     if (expired.isEmpty) return Seq.empty
@@ -1968,17 +2183,14 @@ object IcebergTable {
       .foreach(logArr.add)
     meta.set[JsonNode]("snapshot-log", logArr)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    val fs = fsFor(spark, mp)
-    val next = new Path(metaDir(tablePath), s"v${metaVersion + 1}.metadata.json")
-    val out = fs.create(next, false)
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    finally out.close()
-    val hintOut = fs.create(new Path(metaDir(tablePath), "version-hint.text"), true)
-    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
-    finally hintOut.close()
-
-    victims.foreach(v => fs.delete(new Path(v), false))
-    victims
+    victimsOut = victims
+    (meta, metaVersion + 1)
+    }
+    // physical deletes strictly AFTER the commit landed: a lost race
+    // recomputes the victim set against the winner's state first
+    val fs = fsFor(spark, metaDir(tablePath))
+    victimsOut.foreach(v => fs.delete(new Path(v), false))
+    victimsOut
   }
 
   /** MANIFEST COMPACTION — the metadata-side OPTIMIZE for the
@@ -1995,10 +2207,9 @@ object IcebergTable {
     * copy-on-write first). Returns the new snapshot id, or the
     * current one when the table is already compact. */
   def rewriteManifests(spark: SparkSession, tablePath: String): Long = {
-    val mp = latestMetadataFile(spark, tablePath)
-    val metaVersion =
-      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    casCommit(spark, tablePath) { (baseMeta, metaVersion) =>
+    val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+      s"not an Iceberg table: $tablePath"))
     val snap = snapshot(spark, tablePath)
     require(snap.snapshotId != -1L,
       s"cannot rewrite manifests of empty table $tablePath")
@@ -2019,6 +2230,9 @@ object IcebergTable {
     val mdir = metaDir(tablePath)
     val fs = fsFor(spark, mdir)
     val snapId = snaps.map(_.get("snapshot-id").asLong()).max + 1
+    // attempt-unique artifact names: a lost CAS race may recompute the
+    // same snapshot id when the winner was a metadata-only commit
+    val atok = java.util.UUID.randomUUID().toString.take(8)
     val seq = Option(meta.get("last-sequence-number"))
       .map(_.asLong()).getOrElse(0L) + 1
     val now = System.currentTimeMillis()
@@ -2036,10 +2250,10 @@ object IcebergTable {
     // with its original sequence number; column stats AND partition
     // tuples carry forward (compaction must lose neither pruning leg)
     val dsid = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    val mf = existingFilesManifest(spark, mdir, s"rw-$snapId", schemaJson,
+    val mf = existingFilesManifest(spark, mdir, s"rw-$atok-$snapId", schemaJson,
       snap, snap.files, snapId, seq, dsid, "rewrite manifests of")
     val listPath = fs.makeQualified(
-      new Path(mdir, s"snap-$snapId-manifest-list.avro"))
+      new Path(mdir, s"snap-$atok-$snapId-manifest-list.avro"))
     writeAvro(spark, listPath, ManifestFileSchema,
       Map("format-version" -> "2"), Seq(mf))
 
@@ -2065,14 +2279,8 @@ object IcebergTable {
     meta.put("last-sequence-number", seq)
     meta.put("last-updated-ms", now)
     meta.put("current-snapshot-id", snapId)
-    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
-    val out = fs.create(next, false)
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    finally out.close()
-    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
-    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
-    finally hintOut.close()
-    snapId
+    (meta, snapId)
+    }
   }
 
   /** Compact the table's data files — the OPTIMIZE twin for the
@@ -2169,6 +2377,316 @@ object IcebergTable {
     }
   }
 
+  /** DELETE-FILE COMPACTION without a data rewrite — Iceberg's
+    * `rewrite_position_delete_files` maintenance procedure: a table
+    * taking streaming MOR DELETE/UPDATE traffic accumulates a pile of
+    * small position-delete files over mostly-cold data; folding the
+    * pile into few files (and DROPPING dangling rows whose referenced
+    * data files are no longer live) keeps MOR reads cheap — one small
+    * anti-join side, one [[graft.sources.MorServing]] DeleteFileCache
+    * entry — without paying [[rewriteDataFiles]]'s full data rewrite.
+    *
+    * DATA manifests carry completely unchanged (every data file keeps
+    * its path, stats, partition tuple and sequence number). The
+    * DELETE side is rebuilt: all position-delete content merges into
+    * ceil(pile bytes / targetFileBytes) files, range-partitioned and
+    * sorted by (file_path, pos) with per-file `file_path` bounds
+    * (spec field 2147483546), committed at the NEW snapshot's
+    * sequence number — sound for POSITION deletes because they match
+    * by exact (path, pos) and data-file paths are never reused, so a
+    * higher sequence number cannot over-apply. EQUALITY-delete files
+    * carry as EXISTING entries with their ORIGINAL sequence numbers
+    * (value matching IS seq-scoped — renumbering would re-delete rows
+    * written after the original delete).
+    *
+    * Scale shape: ONE distributed job over the delete pile (read →
+    * live-path semi-join against the broadcast file list → range
+    * shuffle → sorted write); driver work is O(delete files +
+    * manifests). Returns the new snapshot id, or the current one when
+    * the pile is already one clean file. */
+  def rewritePositionDeleteFiles(spark: SparkSession, tablePath: String,
+                                 targetFileBytes: Long = 32L << 20): Long = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val snap = snapshot(spark, tablePath)
+    require(snap.snapshotId != -1L,
+      s"cannot rewrite delete files of empty table $tablePath")
+    val posFiles = snap.deletes.filter(_.content == 1)
+    if (posFiles.isEmpty) return snap.snapshotId
+    val fs = fsFor(spark, new Path(tablePath))
+    val mdir = metaDir(tablePath)
+    val livePaths = snap.files.map(_.path).toSet
+
+    // merge the pile, dropping dangling rows and duplicate positions
+    // (overlapping DML commits may have deleted the same row twice)
+    val pile = spark.read.parquet(posFiles.map(_.path): _*)
+      .select(col("file_path").cast("string").as("file_path"),
+        col("pos").cast("long").as("pos"))
+    val liveDf = broadcast(livePaths.toSeq.toDF("__live"))
+    val kept = pile.join(liveDf, col("file_path") === col("__live"),
+      "left_semi").dropDuplicates("file_path", "pos")
+    val keptCount = kept.count()
+    val pileRows = posFiles.map(_.records).sum
+    if (posFiles.size <= 1 && keptCount == pileRows)
+      return snap.snapshotId // already one clean file
+
+    // stage the merged delete parquet (attempt-invariant; unique names)
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val staged: Seq[(String, Long, Long, (String, String))] =
+      if (keptCount == 0L) Seq.empty
+      else {
+        val nOut = math.max(1L, (posFiles.map(_.sizeBytes).sum +
+          targetFileBytes - 1) / targetFileBytes).toInt
+        val tmp = new Path(tablePath,
+          s".tmp-dc-$tok-${java.util.UUID.randomUUID()}")
+        kept.repartitionByRange(nOut, col("file_path"), col("pos"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.parquet(tmp.toString)
+        // per staged part: row count + file_path bounds (tight bounds
+        // keep the planner's interval sweep attaching each compacted
+        // file only to the data files it names)
+        val tmpQ = fs.makeQualified(tmp).toString
+        val stats: Map[String, (Long, String, String)] =
+          spark.read.parquet(tmp.toString)
+            .groupBy(input_file_name().as("__f"))
+            .agg(count(lit(1)).as("n"), min("file_path").as("lo"),
+              max("file_path").as("hi"))
+            .collect().map { r =>
+              (fs.makeQualified(new Path(new java.net.URI(r.getString(0))))
+                .toString.stripPrefix(tmpQ).stripPrefix("/"),
+                (r.getLong(1), r.getString(2), r.getString(3)))
+            }.toMap
+        val parts = fs.listStatus(tmp).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val adopted = parts.zipWithIndex.flatMap { case (st, i) =>
+          val rel = st.getPath.getName
+          stats.get(rel).filter(_._1 > 0L).map { case (n, lo, hi) =>
+            val dst = fs.makeQualified(new Path(
+              new Path(tablePath, "data"), s"d$tok-pos-delete-$i.parquet"))
+            fs.mkdirs(dst.getParent)
+            if (!fs.rename(st.getPath, dst))
+              throw new IllegalStateException(s"rename failed for $dst")
+            (dst.toString, fs.getFileStatus(dst).getLen, n, (lo, hi))
+          }
+        }
+        fs.delete(tmp, true)
+        adopted
+      }
+    val eqFiles = snap.deletes.filter(_.content == 2)
+
+    casCommit(spark, tablePath) { (baseMeta, _) =>
+      val meta = baseMeta.getOrElse(throw new IllegalStateException(
+        s"no metadata for $tablePath"))
+      val curId = Option(meta.get("current-snapshot-id"))
+        .filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
+      // the merged content was computed against `snap` — like a data
+      // compaction, any concurrent advance invalidates it (a new MOR
+      // DELETE's rows would be silently dropped from the merge)
+      if (curId != snap.snapshotId) throw new CommitConflictException(
+        "ConcurrentWrite",
+        s"$tablePath: a concurrent commit advanced the table under " +
+          "rewrite_position_delete_files — re-run against the new state")
+      val snaps = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala).toSeq
+      val snapId = snaps.map(_.get("snapshot-id").asLong()).max + 1
+      val seq = Option(meta.get("last-sequence-number"))
+        .map(_.asLong()).getOrElse(0L) + 1
+      val now = System.currentTimeMillis()
+      val atok = java.util.UUID.randomUUID().toString.take(8)
+      val curNode = snaps.find(
+        _.get("snapshot-id").asLong() == snap.snapshotId).get
+      val schemaNode: JsonNode =
+        if (meta.has("schemas")) {
+          val sid = meta.get("current-schema-id").asInt()
+          meta.get("schemas").elements().asScala
+            .find(n => n.get("schema-id").asInt() == sid).get
+        } else meta.get("schema")
+      val schemaJson = M.writeValueAsString(schemaNode)
+
+      // DATA manifests carry verbatim; the delete side is rebuilt
+      val carriedData: Seq[GenericRecord] =
+        (if (curNode.has("manifest-list"))
+          readManifestList(spark,
+            new Path(curNode.get("manifest-list").asText()))
+        else Seq.empty).filter(m => longOf(m.get("content")) == 0L)
+      val unpartSpec = unpartitionedSpecId(meta, snap.defaultSpecId,
+        snap.specFields.nonEmpty)
+      val posManifest: Option[GenericRecord] =
+        if (staged.isEmpty) None
+        else Some(writeDeleteManifest(spark, mdir, s"dc-$atok-$snapId",
+          schemaJson,
+          staged.map { case (pth, len, n, _) => (pth, len, n, 1, Seq.empty) },
+          snapId, seq, specId = unpartSpec,
+          pathBounds = staged.map { case (pth, _, _, b) => pth -> b }.toMap))
+      val eqManifest: Option[GenericRecord] =
+        if (eqFiles.isEmpty) None
+        else Some(writeDeleteManifest(spark, mdir, s"dceq-$atok-$snapId",
+          schemaJson,
+          eqFiles.map(f => (f.path, f.sizeBytes, f.records, 2, f.equalityIds)),
+          snapId, seq, specId = unpartSpec,
+          existingSeqs = eqFiles.map(f => f.path -> f.seq).toMap))
+
+      val listPath = fs.makeQualified(
+        new Path(mdir, s"snap-$atok-$snapId-manifest-list.avro"))
+      writeAvro(spark, listPath, ManifestFileSchema,
+        Map("format-version" -> "2"),
+        carriedData ++ posManifest.toSeq ++ eqManifest.toSeq)
+
+      val snapsArr = M.createArrayNode()
+      snaps.foreach(snapsArr.add)
+      val sn = snapsArr.addObject()
+      sn.put("snapshot-id", snapId)
+      sn.put("sequence-number", seq)
+      sn.put("timestamp-ms", now)
+      sn.put("manifest-list", listPath.toString)
+      if (meta.has("current-schema-id"))
+        sn.put("schema-id", meta.get("current-schema-id").asInt())
+      else if (curNode.has("schema-id"))
+        sn.put("schema-id", curNode.get("schema-id").asInt())
+      sn.putObject("summary").put("operation", "replace")
+      meta.set[JsonNode]("snapshots", snapsArr)
+      Option(meta.get("snapshot-log")).foreach { log =>
+        val lg = log.asInstanceOf[ArrayNode].addObject()
+        lg.put("snapshot-id", snapId)
+        lg.put("timestamp-ms", now)
+      }
+      meta.put("last-sequence-number", seq)
+      meta.put("last-updated-ms", now)
+      meta.put("current-snapshot-id", snapId)
+      (meta, snapId)
+    }
+  }
+
+  /** Named snapshot REFS — Iceberg branches and tags (spec §"Refs"):
+    * the metadata `refs` map pins snapshots by name. A TAG is an
+    * immutable audit/release pointer; a BRANCH is a movable head
+    * ([[fastForwardBranch]]). Reads resolve refs through
+    * [[refSnapshotId]] (`VERSION AS OF 'name'` on the SQL surface),
+    * and [[expireSnapshots]] keeps every ref-pinned snapshot alive.
+    * One metadata-version commit each; [[IcebergTable.write]] carries
+    * the refs map through (a rebuilt root never drops them). */
+  def createTag(spark: SparkSession, tablePath: String, name: String,
+                snapshotId: Long): Long =
+    setRef(spark, tablePath, name, snapshotId, "tag", allowMove = false)
+
+  def createBranch(spark: SparkSession, tablePath: String, name: String,
+                   snapshotId: Long): Long =
+    setRef(spark, tablePath, name, snapshotId, "branch", allowMove = false)
+
+  /** Move a BRANCH head to a newer snapshot (the publish step of the
+    * audit pattern; tags never move). */
+  def fastForwardBranch(spark: SparkSession, tablePath: String,
+                        name: String, toSnapshotId: Long): Long =
+    setRef(spark, tablePath, name, toSnapshotId, "branch", allowMove = true)
+
+  private def setRef(spark: SparkSession, tablePath: String, name: String,
+                     snapshotId: Long, refType: String,
+                     allowMove: Boolean): Long = {
+    require(name.nonEmpty && name != "main", s"invalid ref name '$name'")
+    casCommit(spark, tablePath) { (baseMeta, metaVersion) =>
+      val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+        s"not an Iceberg table: $tablePath"))
+      val snapIds = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(_.get("snapshot-id").asLong()).toSet
+      require(snapIds.contains(snapshotId),
+        s"snapshot $snapshotId is not in $tablePath's snapshots list")
+      val refsNode =
+        if (meta.has("refs")) meta.get("refs").asInstanceOf[ObjectNode]
+        else meta.putObject("refs")
+      Option(refsNode.get(name)).foreach { existing =>
+        val t = existing.get("type").asText()
+        require(allowMove && t == "branch",
+          s"ref '$name' already exists on $tablePath as a $t — " +
+            (if (t == "tag") "tags are immutable (drop + recreate)"
+             else "move a branch with fastForwardBranch"))
+      }
+      val r = refsNode.putObject(name)
+      r.put("snapshot-id", snapshotId)
+      r.put("type", refType)
+      meta.put("last-updated-ms", System.currentTimeMillis())
+      (meta, metaVersion + 1)
+    }
+  }
+
+  def dropRef(spark: SparkSession, tablePath: String, name: String): Long =
+    casCommit(spark, tablePath) { (baseMeta, metaVersion) =>
+      val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+        s"not an Iceberg table: $tablePath"))
+      val refsNode = Option(meta.get("refs"))
+        .map(_.asInstanceOf[ObjectNode])
+        .getOrElse(throw new IllegalArgumentException(
+          s"no refs on $tablePath"))
+      require(refsNode.has(name), s"no ref '$name' on $tablePath")
+      refsNode.remove(name)
+      meta.put("last-updated-ms", System.currentTimeMillis())
+      (meta, metaVersion + 1)
+    }
+
+  /** The table's refs: name → (snapshot id, type). */
+  def refs(spark: SparkSession, tablePath: String): Map[String, (Long, String)] = {
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    Option(meta.get("refs")).toSeq.flatMap(_.fields().asScala.map { e =>
+      e.getKey -> ((e.getValue.get("snapshot-id").asLong(),
+        e.getValue.get("type").asText()))
+    }).toMap
+  }
+
+  /** Resolve a ref name to its pinned snapshot id ("main" = current). */
+  def refSnapshotId(spark: SparkSession, tablePath: String,
+                    name: String): Long = {
+    if (name == "main") return snapshot(spark, tablePath).snapshotId
+    refs(spark, tablePath).get(name) match {
+      case Some((id, _)) => id
+      case None => throw new IllegalArgumentException(
+        s"no branch or tag '$name' on $tablePath " +
+          s"(have: ${refs(spark, tablePath).keys.toSeq.sorted.mkString(", ")})")
+    }
+  }
+
+  /** WRITE-AUDIT-PUBLISH, step 2: promote the snapshot staged under
+    * `wapId` (by a [[write]] with `spark.wap.id` set on a
+    * `write.wap.enabled=true` table) to the table's CURRENT state —
+    * Iceberg's `cherrypick_snapshot` for the append case. Until this
+    * runs, main reads never see the audit data; auditors read it by
+    * snapshot id. */
+  def publishWap(spark: SparkSession, tablePath: String,
+                 wapId: String): Long =
+    casCommit(spark, tablePath) { (baseMeta, metaVersion) =>
+      val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+        s"not an Iceberg table: $tablePath"))
+      val snaps = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala).toSeq
+      val staged = snaps.filter(n => Option(n.get("summary"))
+        .exists(su => Option(su.get("wap.id")).exists(_.asText() == wapId)))
+      require(staged.nonEmpty, s"no staged snapshot carries wap.id=$wapId")
+      require(staged.size == 1,
+        s"${staged.size} snapshots carry wap.id=$wapId — ids must be unique")
+      val id = staged.head.get("snapshot-id").asLong()
+      val cur = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(-1L)
+      require(cur != id, s"wap.id=$wapId is already published")
+      // the audit pattern publishes an append staged ON the then-
+      // current state; a table that advanced since must re-stage
+      val parent = Option(staged.head.get("parent-snapshot-id"))
+        .filterNot(_.isNull).map(_.asLong())
+      parent.filter(_ != cur).foreach { pp =>
+        throw new CommitConflictException("ConcurrentWrite",
+          s"$tablePath advanced (current $cur) since wap.id=$wapId was " +
+            s"staged on parent $pp — re-stage the audit write")
+      }
+      val now = System.currentTimeMillis()
+      meta.put("current-snapshot-id", id)
+      Option(meta.get("snapshot-log")).foreach { log =>
+        val lg = log.asInstanceOf[ArrayNode].addObject()
+        lg.put("snapshot-id", id)
+        lg.put("timestamp-ms", now)
+      }
+      meta.put("last-updated-ms", now)
+      (meta, id)
+    }
+
   /** Roll the table's CURRENT state back to an earlier snapshot —
     * Iceberg's `rollback_to_snapshot` procedure (the RESTORE twin for
     * this flavor, spec §"Snapshots"): pure metadata, ONE new
@@ -2184,38 +2702,32 @@ object IcebergTable {
     * Returns the (now-current) target snapshot id. */
   def rollbackTo(spark: SparkSession, tablePath: String,
                  snapshotId: Long): Long = {
-    val mp = latestMetadataFile(spark, tablePath)
-    val metaVersion =
-      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
-    val snapIds = Option(meta.get("snapshots")).toSeq
-      .flatMap(_.elements().asScala)
-      .map(_.get("snapshot-id").asLong()).toSeq
-    require(snapIds.contains(snapshotId),
-      s"snapshot $snapshotId is not in $tablePath's snapshots list " +
-        s"(have: ${snapIds.mkString(", ")}) — expired snapshots cannot " +
-        "be rolled back to")
-    val cur = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
-      .map(_.asLong())
-    if (cur.contains(snapshotId)) return snapshotId // already current
-    val now = System.currentTimeMillis()
-    meta.put("current-snapshot-id", snapshotId)
-    Option(meta.get("snapshot-log")).foreach { log =>
-      val lg = log.asInstanceOf[ArrayNode].addObject()
-      lg.put("snapshot-id", snapshotId)
-      lg.put("timestamp-ms", now)
+    // already current: no empty metadata version (checked again
+    // inside the CAS — a concurrent rollback to the same id is a
+    // no-op, not a conflict)
+    val pre = readJson(spark, latestMetadataFile(spark, tablePath))
+    if (Option(pre.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).contains(snapshotId)) return snapshotId
+    casCommit(spark, tablePath) { (base, metaVersion) =>
+      val meta = base.getOrElse(throw new IllegalArgumentException(
+        s"not an Iceberg table: $tablePath"))
+      val snapIds = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(_.get("snapshot-id").asLong()).toSeq
+      require(snapIds.contains(snapshotId),
+        s"snapshot $snapshotId is not in $tablePath's snapshots list " +
+          s"(have: ${snapIds.mkString(", ")}) — expired snapshots cannot " +
+          "be rolled back to")
+      val now = System.currentTimeMillis()
+      meta.put("current-snapshot-id", snapshotId)
+      Option(meta.get("snapshot-log")).foreach { log =>
+        val lg = log.asInstanceOf[ArrayNode].addObject()
+        lg.put("snapshot-id", snapshotId)
+        lg.put("timestamp-ms", now)
+      }
+      meta.put("last-updated-ms", now)
+      (meta, snapshotId)
     }
-    meta.put("last-updated-ms", now)
-    val mdir = metaDir(tablePath)
-    val fs = fsFor(spark, mdir)
-    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
-    val out = fs.create(next, false)
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    finally out.close()
-    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
-    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
-    finally hintOut.close()
-    snapshotId
   }
 
   /** `ALTER TABLE … SET TBLPROPERTIES` for the Iceberg flavor — one
@@ -2242,26 +2754,17 @@ object IcebergTable {
     require(!touched.contains("graft.mirror-of"),
       "graft.mirror-of is the zero-copy-mirror safety marker — it is " +
         "set by mirrorFromDelta and never edited directly")
-    val mp = latestMetadataFile(spark, tablePath)
-    val metaVersion =
-      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
-    val propsNode =
-      if (meta.has("properties"))
-        meta.get("properties").asInstanceOf[ObjectNode]
-      else meta.putObject("properties")
-    mutate(propsNode)
-    meta.put("last-updated-ms", System.currentTimeMillis())
-    val mdir = metaDir(tablePath)
-    val fs = fsFor(spark, mdir)
-    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
-    val out = fs.create(next, false)
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    finally out.close()
-    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
-    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
-    finally hintOut.close()
-    metaVersion + 1
+    casCommit(spark, tablePath) { (base, metaVersion) =>
+      val meta = base.getOrElse(throw new IllegalArgumentException(
+        s"not an Iceberg table: $tablePath"))
+      val propsNode =
+        if (meta.has("properties"))
+          meta.get("properties").asInstanceOf[ObjectNode]
+        else meta.putObject("properties")
+      mutate(propsNode)
+      meta.put("last-updated-ms", System.currentTimeMillis())
+      (meta, metaVersion + 1)
+    }
   }
 
   /** The table's current `properties` object as a Scala map. */
@@ -2285,10 +2788,9 @@ object IcebergTable {
   def addColumns(spark: SparkSession, tablePath: String,
                  cols: Seq[StructField]): Unit = {
     require(cols.nonEmpty, "no columns to add")
-    val mp = latestMetadataFile(spark, tablePath)
-    val metaVersion =
-      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    casCommit(spark, tablePath) { (baseMeta, metaVersion) =>
+    val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+      s"not an Iceberg table: $tablePath"))
     val curId = if (meta.has("current-schema-id"))
       meta.get("current-schema-id").asInt() else 0
     val curSchema: JsonNode =
@@ -2341,15 +2843,94 @@ object IcebergTable {
     meta.put("current-schema-id", newSchemaId)
     meta.put("last-column-id", idCounter)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    val mdir = metaDir(tablePath)
-    val fs = fsFor(spark, mdir)
-    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
-    val out = fs.create(next, false)
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    finally out.close()
-    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
-    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
-    finally hintOut.close()
+    (meta, metaVersion + 1)
+    }
+    ()
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN <name> TYPE <t>` — Iceberg TYPE
+    * PROMOTION (spec §Schema Evolution, "Valid type promotions"):
+    * `int → long`, `float → double`, and `decimal(P,S) → decimal(P',S)`
+    * with P' ≥ P are the spec's legal primitive widenings — one
+    * metadata commit appends a new schema that keeps EVERY field id
+    * and widens one type, then repoints `current-schema-id`. NO data
+    * rewrite: current reads serve old files through parquet type
+    * widening (INT32 pages decode as long, FLOAT as double — the
+    * Spark 4 vectorized-reader upcast), while time travel keeps each
+    * snapshot's pinned schema, so a pre-ALTER snapshot still reads
+    * the narrow type. A table widened by an EXTERNAL engine reads the
+    * same way (the read path resolves types from the current schema,
+    * not the files). Anything not on the spec's promotion list —
+    * narrowing, scale changes, cross-family casts — refuses loudly. */
+  def updateColumnType(spark: SparkSession, tablePath: String,
+                       name: String, newType: DataType): Unit = {
+    casCommit(spark, tablePath) { (baseMeta, metaVersion) =>
+      val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+        s"not an Iceberg table: $tablePath"))
+      val curId = if (meta.has("current-schema-id"))
+        meta.get("current-schema-id").asInt() else 0
+      val curSchema: JsonNode =
+        if (meta.has("schemas"))
+          meta.get("schemas").elements().asScala
+            .find(n => n.has("schema-id") && n.get("schema-id").asInt() == curId)
+            .getOrElse(throw new IllegalStateException(
+              s"current-schema-id $curId not in schemas list"))
+        else meta.get("schema")
+      val fields = Option(curSchema.get("fields")).toSeq
+        .flatMap(_.elements().asScala.toSeq)
+      val target = fields.find(_.get("name").asText() == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no top-level column $name on $tablePath"))
+      require(target.get("type").isTextual,
+        s"column $name is not a primitive type — the spec promotes " +
+          "primitives only")
+      val oldStr = target.get("type").asText()
+      val newStr = newType match {
+        case LongType => "long"
+        case DoubleType => "double"
+        case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+        case other => throw new IllegalArgumentException(
+          s"$other is not a legal Iceberg promotion target " +
+            "(long / double / decimal(P', S) only)")
+      }
+      val legal = (oldStr, newStr) match {
+        case ("int", "long") => true
+        case ("float", "double") => true
+        case (DecimalRe(p1, s1), DecimalRe(p2, s2)) =>
+          s1.toInt == s2.toInt && p2.toInt >= p1.toInt
+        case _ => false
+      }
+      require(legal,
+        s"illegal type change $name: $oldStr → $newStr — the spec " +
+          "allows int→long, float→double, decimal(P,S)→decimal(P'≥P,S)")
+      if (oldStr == newStr) return // no-op: abort commit-free
+      val newSchema = curSchema.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+      newSchema.get("fields").elements().asScala.foreach { f =>
+        if (f.get("name").asText() == name)
+          f.asInstanceOf[ObjectNode].put("type", newStr)
+      }
+      val allIds: Seq[Int] =
+        if (meta.has("schemas"))
+          meta.get("schemas").elements().asScala
+            .flatMap(n => Option(n.get("schema-id")).map(_.asInt())).toSeq
+        else Seq(curId)
+      val newSchemaId = (allIds :+ curId).max + 1
+      newSchema.put("schema-id", newSchemaId)
+      val schemasArr: ArrayNode =
+        if (meta.has("schemas")) meta.withArray[ArrayNode]("schemas")
+        else {
+          val arr = meta.putArray("schemas")
+          val lifted = curSchema.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+          lifted.put("schema-id", curId)
+          arr.add(lifted)
+          arr
+        }
+      schemasArr.add(newSchema)
+      meta.put("current-schema-id", newSchemaId)
+      meta.put("last-updated-ms", System.currentTimeMillis())
+      (meta, metaVersion + 1)
+    }
+    ()
   }
 
   /** True when a NAME-BASED scan of `snap`'s files would serve wrong
@@ -2419,10 +3000,9 @@ object IcebergTable {
   private def alterPartitionSpec(spark: SparkSession, tablePath: String,
                                  add: Option[IcebergPartitioning.PartField],
                                  drop: Option[String]): Int = {
-    val mp = latestMetadataFile(spark, tablePath)
-    val metaVersion =
-      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    casCommit(spark, tablePath) { (baseMeta, metaVersion) =>
+    val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+      s"not an Iceberg table: $tablePath"))
     val snap = snapshot(spark, tablePath)
     val defaultSpecId =
       Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
@@ -2517,16 +3097,8 @@ object IcebergTable {
     meta.put("last-partition-id",
       math.max(lastPartitionId, add.map(_ => lastPartitionId + 1).getOrElse(0)))
     meta.put("last-updated-ms", System.currentTimeMillis())
-    val mdir = metaDir(tablePath)
-    val fs = fsFor(spark, mdir)
-    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
-    val out = fs.create(next, false)
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    finally out.close()
-    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
-    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
-    finally hintOut.close()
-    newSpecId
+    (meta, newSpecId.toLong)
+    }.toInt
   }
 
   /** `ALTER TABLE … RENAME COLUMN` — Iceberg's field-id model makes
@@ -2552,10 +3124,9 @@ object IcebergTable {
   private def alterTopLevelColumn(spark: SparkSession, tablePath: String,
                                   name: String,
                                   renameTo: Option[String]): Unit = {
-    val mp = latestMetadataFile(spark, tablePath)
-    val metaVersion =
-      mp.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-    val meta = readJson(spark, mp).deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+    casCommit(spark, tablePath) { (baseMeta, metaVersion) =>
+    val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+      s"not an Iceberg table: $tablePath"))
     val curId = if (meta.has("current-schema-id"))
       meta.get("current-schema-id").asInt() else 0
     val curSchema: JsonNode =
@@ -2625,15 +3196,9 @@ object IcebergTable {
     schemasArr.add(newSchema)
     meta.put("current-schema-id", newSchemaId)
     meta.put("last-updated-ms", System.currentTimeMillis())
-    val mdir = metaDir(tablePath)
-    val fs = fsFor(spark, mdir)
-    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
-    val out = fs.create(next, false)
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    finally out.close()
-    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
-    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
-    finally hintOut.close()
+    (meta, metaVersion + 1)
+    }
+    ()
   }
 
   /** ZERO-COPY format mirror — publish the CURRENT snapshot of a real
@@ -2678,13 +3243,7 @@ object IcebergTable {
 
     val mdir = metaDir(icebergPath)
     fs.mkdirs(mdir)
-    val exists = fs.globStatus(new Path(mdir, "v*.metadata.json")).nonEmpty
-    val (metaVersion, prior) =
-      if (exists) {
-        val p = latestMetadataFile(spark, icebergPath)
-        val mv = p.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-        (mv, Some(readJson(spark, p)))
-      } else (0L, None)
+    casCommit(spark, icebergPath) { (prior, metaVersion) =>
     // never stamp mirror commits onto a REAL Iceberg table: a
     // re-mirror must only ever advance a table this function created
     // (the same guard mirrorFromIceberg has in the other direction)
@@ -2702,6 +3261,7 @@ object IcebergTable {
       .foldLeft(0L)(math.max) + 1
     val seq = prior.flatMap(m => Option(m.get("last-sequence-number")))
       .map(_.asLong()).getOrElse(0L) + 1
+    val atok = java.util.UUID.randomUUID().toString.take(8)
     val now = System.currentTimeMillis()
 
     // schema registry: shape-based reuse, same rule as [[write]]
@@ -2764,7 +3324,7 @@ object IcebergTable {
     // files open parquet footers. Without this every UniForm commit
     // re-read O(live files) footers (the r11→r12 per-commit cost).
     val priorFiles: Map[String, DataFile] =
-      if (!exists) Map.empty
+      if (prior.isEmpty) Map.empty
       else scala.util.Try(snapshot(spark, icebergPath)).toOption
         .map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
     val fileStats: Map[String, FileStats] = files.map { case (p, _, n) =>
@@ -2773,11 +3333,11 @@ object IcebergTable {
         .map(pf => FileStats(pf.valueCounts, pf.nullCounts, pf.bounds))
         .getOrElse(footerFileStats(fsConf, new Path(p), n))
     }.toMap
-    val newManifest = writeManifest(spark, mdir, s"mirror-$snapId",
+    val newManifest = writeManifest(spark, mdir, s"mirror-$atok-$snapId",
       schemaJson, files, snapId, seq, stats = fileStats,
       fieldInfo = fieldInfo)
     val listPath = fs.makeQualified(
-      new Path(mdir, s"snap-$snapId-manifest-list.avro"))
+      new Path(mdir, s"snap-$atok-$snapId-manifest-list.avro"))
     writeAvro(spark, listPath, ManifestFileSchema,
       Map("format-version" -> "2"), Seq(newManifest))
 
@@ -2838,15 +3398,8 @@ object IcebergTable {
     root.set[JsonNode]("snapshots", snapsArr)
     root.set[JsonNode]("snapshot-log", logArr)
     root.putArray("metadata-log")
-
-    val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
-    val out = fs.create(next, false)
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    finally out.close()
-    val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
-    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
-    finally hintOut.close()
-    snapId
+    (root, snapId)
+    }
   }
 
   // ---------------- VersionedTable → Iceberg export ----------------
@@ -3147,15 +3700,21 @@ object IcebergTable {
                                          files: Seq[(String, Long, Long, Int, Seq[Int])],
                                          snapId: Long, seq: Long,
                                          specId: Int = 0,
-                                         pathBounds: Map[String, (String, String)] = Map.empty)
+                                         pathBounds: Map[String, (String, String)] = Map.empty,
+                                         existingSeqs: Map[String, Long] = Map.empty)
   : GenericRecord = {
     val fs = fsFor(spark, mdir)
     val entries = files.map { case (path, size, nrec, content, eqIds) =>
       val e = new GenericData.Record(ManifestEntrySchema)
-      e.put("status", 1)
+      // a file in `existingSeqs` CARRIES through this manifest as an
+      // EXISTING entry with its ORIGINAL sequence number — delete
+      // compaction must never renumber equality deletes (value
+      // matching is seq-scoped: a higher seq would re-delete rows
+      // written after the original delete)
+      e.put("status", if (existingSeqs.contains(path)) 0 else 1)
       e.put("snapshot_id", snapId)
-      e.put("sequence_number", seq)
-      e.put("file_sequence_number", seq)
+      e.put("sequence_number", existingSeqs.getOrElse(path, seq))
+      e.put("file_sequence_number", existingSeqs.getOrElse(path, seq))
       val d = new GenericData.Record(
         ManifestEntrySchema.getField("data_file").schema())
       d.put("content", content)
@@ -3202,13 +3761,15 @@ object IcebergTable {
     mf.put("partition_spec_id", specId)
     mf.put("content", 1)
     mf.put("sequence_number", seq)
-    mf.put("min_sequence_number", seq)
+    mf.put("min_sequence_number",
+      (files.map(f => existingSeqs.getOrElse(f._1, seq)) :+ seq).min)
     mf.put("added_snapshot_id", snapId)
-    mf.put("added_files_count", files.size)
-    mf.put("existing_files_count", 0)
+    val (exist, added) = files.partition(f => existingSeqs.contains(f._1))
+    mf.put("added_files_count", added.size)
+    mf.put("existing_files_count", exist.size)
     mf.put("deleted_files_count", 0)
-    mf.put("added_rows_count", files.map(_._3).sum)
-    mf.put("existing_rows_count", 0L)
+    mf.put("added_rows_count", added.map(_._3).sum)
+    mf.put("existing_rows_count", exist.map(_._3).sum)
     mf.put("deleted_rows_count", 0L)
     mf
   }
@@ -3346,52 +3907,46 @@ object IcebergTable {
     fs.mkdirs(mdir)
     fs.mkdirs(new Path(dst, "data"))
 
-    val exists = fs.globStatus(new Path(mdir, "v*.metadata.json")).nonEmpty
-    val (metaVersion, prior) =
-      if (exists) {
-        val p = latestMetadataFile(spark, tablePath)
-        val mv = p.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-        (mv, Some(readJson(spark, p)))
-      } else (0L, None)
-
     val pfs: Seq[IcebergPartitioning.PartField] =
       partitionBy.map(IcebergPartitioning.parse)
-    prior.foreach { m =>
-      if (!overwrite) {
-        val cur = snapshot(spark, tablePath)
-        // names + types must match; nullability and metadata are
-        // presentation details parquet does not enforce (same rule as
-        // DeltaLog.write's append gate)
-        def shape(s: StructType): Seq[(String, DataType)] =
-          s.fields.toSeq.map(f => (f.name, f.dataType))
-        require(shape(cur.schema) == shape(df.schema),
-          s"append schema ${df.schema.simpleString} does not match table " +
-            s"schema ${cur.schema.simpleString}; use overwrite to replace")
-        // appends must keep the table's partition spec — transforms
-        // included (overwrite may redefine it — a fresh spec-id keeps
-        // old manifests coherent)
-        val priorSpec = cur.specFields.map(_.canonical)
-        require(priorSpec == pfs.map(_.canonical),
-          s"append partitionBy $partitionBy does not match the table's " +
-            s"partition spec $priorSpec; use overwrite to repartition")
-      }
+    // append gates, re-checked per CAS attempt when the base advanced
+    // (a concurrent ALTER must refuse, a concurrent append must not)
+    def checkGates(): Unit = if (!overwrite &&
+      fs.globStatus(new Path(mdir, "v*.metadata.json")).nonEmpty) {
+      val cur = snapshot(spark, tablePath)
+      // names + types must match; nullability and metadata are
+      // presentation details parquet does not enforce (same rule as
+      // DeltaLog.write's append gate)
+      def shape(s: StructType): Seq[(String, DataType)] =
+        s.fields.toSeq.map(f => (f.name, f.dataType))
+      require(shape(cur.schema) == shape(df.schema),
+        s"append schema ${df.schema.simpleString} does not match table " +
+          s"schema ${cur.schema.simpleString}; use overwrite to replace")
+      // appends must keep the table's partition spec — transforms
+      // included (overwrite may redefine it — a fresh spec-id keeps
+      // old manifests coherent)
+      val priorSpec = cur.specFields.map(_.canonical)
+      require(priorSpec == pfs.map(_.canonical),
+        s"append partitionBy $partitionBy does not match the table's " +
+          s"partition spec $priorSpec; use overwrite to repartition")
     }
-
-    val priorSnaps: Seq[JsonNode] = prior.toSeq
-      .flatMap(m => Option(m.get("snapshots")).toSeq.flatMap(_.elements().asScala))
-    val snapId = priorSnaps.map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
-    val seq = prior.flatMap(m => Option(m.get("last-sequence-number")))
-      .map(_.asLong()).getOrElse(0L) + 1
+    checkGates()
+    val gateVersion: Long = // metadata version the gates were run against
+      fs.globStatus(new Path(mdir, "v*.metadata.json")).map(_.getPath.getName)
+        .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+        .foldLeft(0L)(math.max)
     val now = System.currentTimeMillis()
 
-    // stage data through a scratch dir, adopt under stable names.
-    // Source columns STAY in the data files (the Iceberg layout,
-    // unlike Hive's): partitioned stages write through DERIVED gp_
-    // columns — the TRANSFORMED partition values (identity included) —
-    // so partitionBy shapes the directory tree without dropping the
-    // real columns from the parquet. Hidden partitioning is exactly
-    // this: `day(ts)`/`bucket(16, id)` values in the tree and the
-    // manifests, the raw column in the data.
+    // ---- attempt-invariant staging (once): stage data through a
+    // scratch dir, adopt under stable TOKEN names (a racing writer
+    // must never clobber another's adopted files; manifests bind
+    // paths, not names). Source columns STAY in the data files (the
+    // Iceberg layout, unlike Hive's): partitioned stages write
+    // through DERIVED gp_ columns — the TRANSFORMED partition values
+    // (identity included) — so partitionBy shapes the directory tree
+    // without dropping the real columns from the parquet. Hidden
+    // partitioning is exactly this: `day(ts)`/`bucket(16, id)` values
+    // in the tree and the manifests, the raw column in the data.
     pfs.foreach { pf =>
       require(df.schema.fieldNames.contains(pf.source),
         s"unknown partition source column ${pf.source}")
@@ -3403,7 +3958,8 @@ object IcebergTable {
       partitionAvroType(IcebergPartitioning.resultType(
         pf, df.schema(pf.source).dataType))
     }
-    val tmp = new Path(dst, s".tmp-$snapId-${java.util.UUID.randomUUID()}")
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(dst, s".tmp-$tok-${java.util.UUID.randomUUID()}")
     if (pfs.isEmpty) df.write.parquet(tmp.toString)
     else pfs.foldLeft(df)((d, pf) =>
       d.withColumn("gp_" + pf.name, IcebergPartitioning.stagingColumn(
@@ -3447,7 +4003,7 @@ object IcebergTable {
           }
         }
         val rel = new Path(dst,
-          (Seq("data") ++ dirs :+ s"s$snapId-part-$i.parquet").mkString("/"))
+          (Seq("data") ++ dirs :+ s"w$tok-part-$i.parquet").mkString("/"))
         fs.mkdirs(rel.getParent)
         if (!fs.rename(src, rel))
           throw new IllegalStateException(s"rename failed for $rel")
@@ -3459,213 +4015,281 @@ object IcebergTable {
       if (partitionBy.isEmpty) Map.empty
       else adoptedFull.map(a => a._1 -> a._4).toMap
     fs.delete(tmp, true)
-
-    // schema registry: reuse a SHAPE-equal prior schema's node+id
-    // (names + types; nullability is a presentation detail the append
-    // gate already ignores — an INSERT of non-null literals must
-    // never mint a new all-required schema), preferring the table's
-    // current schema; else append under a fresh id — old snapshots
-    // keep reading with the schema they were written under
-    val priorSchemas: Seq[JsonNode] = prior.toSeq.flatMap { m =>
-      if (m.has("schemas")) m.get("schemas").elements().asScala.toSeq
-      else Option(m.get("schema")).toSeq
-    }
-    def normShape(dt: DataType): DataType = dt match {
-      case s: StructType => StructType(s.fields.map(f =>
-        StructField(f.name, normShape(f.dataType), nullable = true)))
-      case a: ArrayType => ArrayType(normShape(a.elementType), containsNull = true)
-      case mp: MapType =>
-        MapType(normShape(mp.keyType), normShape(mp.valueType),
-          valueContainsNull = true)
-      case other => other
-    }
-    val curSchemaId: Option[Int] = prior.flatMap(m =>
-      Option(m.get("current-schema-id")).map(_.asInt()))
-    def shapeEq(n: JsonNode): Boolean =
-      normShape(icebergTypeToSpark(n)) == normShape(df.schema)
-    val matching: Option[JsonNode] =
-      priorSchemas.find(n => n.has("schema-id") &&
-          curSchemaId.contains(n.get("schema-id").asInt()) && shapeEq(n))
-        .orElse(priorSchemas.find(n => n.has("schema-id") && shapeEq(n)))
-    var idCounter = 0
-    val nextId = () => { idCounter += 1; idCounter }
-    val schemaObj = matching match {
-      case Some(n) =>
-        idCounter = Option(prior.get.get("last-column-id")).map(_.asInt())
-          .getOrElse(0)
-        n.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
-      case None =>
-        sparkTypeToIceberg(df.schema, nextId).asInstanceOf[ObjectNode]
-    }
-    val schemaId = matching.map(_.get("schema-id").asInt()).getOrElse(
-      priorSchemas.flatMap(n => Option(n.get("schema-id")).map(_.asInt()))
-        .foldLeft(-1)(math.max) + 1)
-    schemaObj.put("schema-id", schemaId)
-    val schemasOut: Seq[JsonNode] =
-      if (matching.isDefined) priorSchemas else priorSchemas :+ schemaObj
-    val schemaJson = M.writeValueAsString(schemaObj)
-
-    // partition spec (identity AND transform fields): source ids from
-    // the schema object just built; reuse a prior spec-id when the
-    // fields match name+transform+source, else a fresh id
-    // (overwrite-only — appends gated above)
-    val baseSpecFields: Seq[SpecField] = pfs.map { pf =>
-      val srcId = schemaObj.get("fields").elements().asScala
-        .find(_.get("name").asText() == pf.source).get.get("id").asInt()
-      SpecField(pf.name,
-        IcebergPartitioning.resultType(pf, df.schema(pf.source).dataType),
-        srcId, pf.transform)
-    }
-    val priorSpecsArr: Seq[JsonNode] = prior.toSeq.flatMap(m =>
-      Option(m.get("partition-specs")).toSeq.flatMap(_.elements().asScala))
-    val matchingSpec = priorSpecsArr.find(s =>
-      Option(s.get("fields")).toSeq.flatMap(_.elements().asScala)
-        .map(f => (f.get("name").asText(), f.get("transform").asText(),
-          f.get("source-id").asInt())) ==
-        baseSpecFields.map(f => (f.name, f.transform, f.sourceId)))
-    val specId = matchingSpec.map(_.get("spec-id").asInt()).getOrElse(
-      priorSpecsArr.map(_.get("spec-id").asInt()).foldLeft(-1)(math.max) + 1)
-    // a matched prior spec's FIELD IDS carry into the manifest (spec
-    // evolution keeps ids stable; positional 1000+i only for fresh
-    // specs)
-    val specFields: Seq[SpecField] = matchingSpec match {
-      case Some(s) =>
-        val idByName = Option(s.get("fields")).toSeq
-          .flatMap(_.elements().asScala)
-          .filter(_.has("field-id"))
-          .map(f => f.get("name").asText() -> f.get("field-id").asInt())
-          .toMap
-        baseSpecFields.map(f =>
-          f.copy(fieldId = idByName.getOrElse(f.name, -1)))
-      case None => baseSpecFields
-    }
-
     // per-file column bounds/counts from the parquet footers (no data
     // scan) — external engines and the DSv2 scan prune on them
-    val fieldInfo: Map[String, (Int, DataType)] = df.schema.fields.map { f =>
-      val fid = schemaObj.get("fields").elements().asScala
-        .find(_.get("name").asText() == f.name).get.get("id").asInt()
-      f.name -> ((fid, f.dataType))
-    }.toMap
     val fileStats: Map[String, FileStats] = adopted.map { case (p, _, nrec) =>
       p -> footerFileStats(fsConf, new Path(p), nrec)
     }.toMap
-    val newManifest = writeManifest(spark, mdir, s"$snapId", schemaJson,
-      adopted, snapId, seq, specFields, tuples, specId, fileStats, fieldInfo)
-    val listEntries =
-      if (overwrite || prior.isEmpty) Seq(newManifest)
-      else {
-        // append: prior snapshot's manifests carry over
-        val curId = prior.flatMap(m => Option(m.get("current-snapshot-id")))
-          .filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
-        val curSnap = priorSnaps.find(_.get("snapshot-id").asLong() == curId)
-        val carried = curSnap.toSeq.flatMap { sn =>
-          if (sn.has("manifest-list"))
-            readManifestList(spark, new Path(sn.get("manifest-list").asText()))
-          else if (sn.has("manifests")) {
-            // early-v1 inline manifest paths: wrap each into a
-            // manifest_file record so the append's manifest list
-            // still references them — silently carrying NOTHING
-            // here would drop every pre-append file from the table
-            // (the 'loud error, never silent wrong results' contract)
-            sn.get("manifests").elements().asScala.toSeq.map { pn =>
-              val p = new Path(pn.asText())
-              val mf = new GenericData.Record(ManifestFileSchema)
-              mf.put("manifest_path", p.toString)
-              mf.put("manifest_length", fsFor(spark, p).getFileStatus(p).getLen)
-              mf.put("partition_spec_id", 0)
-              mf.put("content", 0)
-              mf.put("sequence_number", 0L)
-              mf.put("min_sequence_number", 0L)
-              mf.put("added_snapshot_id", curId)
-              mf.put("added_files_count", 0)
-              mf.put("existing_files_count", 0)
-              mf.put("deleted_files_count", 0)
-              mf.put("added_rows_count", 0L)
-              mf.put("existing_rows_count", 0L)
-              mf.put("deleted_rows_count", 0L)
-              mf: GenericRecord
-            }
-          } else Seq.empty
+
+    casCommit(spark, tablePath) { (prior, metaVersion) =>
+      val priorSnaps: Seq[JsonNode] = prior.toSeq
+        .flatMap(m => Option(m.get("snapshots")).toSeq.flatMap(_.elements().asScala))
+      val snapId = priorSnaps.map(_.get("snapshot-id").asLong()).foldLeft(0L)(math.max) + 1
+      val seq = prior.flatMap(m => Option(m.get("last-sequence-number")))
+        .map(_.asLong()).getOrElse(0L) + 1
+      // attempt-unique artifact names (the winner may have been a
+      // metadata-only commit that minted no snapshot id)
+      val atok = java.util.UUID.randomUUID().toString.take(8)
+      // the idempotent-writer race: the SAME streaming app replaying
+      // the same (or an older) batch must refuse, exactly like
+      // Delta's ConcurrentTransaction — the sink rechecks watermarks
+      txn.foreach { case (appId, batchId) =>
+        val dup = priorSnaps.flatMap(n => Option(n.get("summary"))).exists { su =>
+          Option(su.get("graft.txn.app-id")).exists(_.asText() == appId) &&
+            Option(su.get("graft.txn.batch-id")).exists(_.asText().toLong >= batchId)
         }
-        carried :+ newManifest
+        if (dup) throw new CommitConflictException("ConcurrentTransaction",
+          s"$tablePath: batch $batchId of app $appId (or newer) was " +
+            "committed concurrently — the same idempotent writer raced itself")
       }
-    val listPath = fs.makeQualified(
-      new Path(mdir, s"snap-$snapId-manifest-list.avro"))
-    writeAvro(spark, listPath, ManifestFileSchema,
-      Map("format-version" -> "2"), listEntries)
 
-    // metadata: copy prior snapshots, add the new one
-    val snapsArr = M.createArrayNode()
-    priorSnaps.foreach(snapsArr.add)
-    val sn = snapsArr.addObject()
-    sn.put("snapshot-id", snapId)
-    sn.put("sequence-number", seq)
-    sn.put("timestamp-ms", now)
-    sn.put("manifest-list", listPath.toString)
-    sn.put("schema-id", schemaId)
-    val summ = sn.putObject("summary")
-    summ.put("operation", if (overwrite) "overwrite" else "append")
-    // streaming idempotence marker (the `txn` twin of the Delta sink,
-    // carried as snapshot summary properties like real engines'
-    // checkpoint ids): a replayed micro-batch at or below the
-    // replayed watermark is a no-op
-    txn.foreach { case (appId, batchId) =>
-      summ.put("graft.txn.app-id", appId)
-      summ.put("graft.txn.batch-id", batchId.toString)
-    }
-    val logArr = M.createArrayNode()
-    prior.foreach(m => Option(m.get("snapshot-log")).foreach(
-      _.elements().asScala.foreach(logArr.add)))
-    val lg = logArr.addObject()
-    lg.put("snapshot-id", snapId)
-    lg.put("timestamp-ms", now)
+      // schema registry: reuse a SHAPE-equal prior schema's node+id
+      // (names + types; nullability is a presentation detail the append
+      // gate already ignores — an INSERT of non-null literals must
+      // never mint a new all-required schema), preferring the table's
+      // current schema; else append under a fresh id — old snapshots
+      // keep reading with the schema they were written under
+      val priorSchemas: Seq[JsonNode] = prior.toSeq.flatMap { m =>
+        if (m.has("schemas")) m.get("schemas").elements().asScala.toSeq
+        else Option(m.get("schema")).toSeq
+      }
+      def normShape(dt: DataType): DataType = dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          StructField(f.name, normShape(f.dataType), nullable = true)))
+        case a: ArrayType => ArrayType(normShape(a.elementType), containsNull = true)
+        case mp: MapType =>
+          MapType(normShape(mp.keyType), normShape(mp.valueType),
+            valueContainsNull = true)
+        case other => other
+      }
+      val curSchemaId: Option[Int] = prior.flatMap(m =>
+        Option(m.get("current-schema-id")).map(_.asInt()))
+      // rebase re-gate: a concurrent ALTER must refuse, a concurrent
+      // append must not — checked against the SCANNED base, never the
+      // version hint (which the winner updates only after its CAS)
+      if (metaVersion != gateVersion && !overwrite && prior.nonEmpty) {
+        val curNode: Option[JsonNode] =
+          priorSchemas.find(n => n.has("schema-id") &&
+            curSchemaId.contains(n.get("schema-id").asInt()))
+            .orElse(prior.flatMap(m => Option(m.get("schema"))))
+        curNode.foreach { n =>
+          if (normShape(icebergTypeToSpark(n)) != normShape(df.schema))
+            throw new CommitConflictException("MetadataChanged",
+              s"$tablePath: the schema changed under this append")
+        }
+        val dsid = prior.flatMap(m => Option(m.get("default-spec-id")))
+          .map(_.asInt()).getOrElse(0)
+        val specNow = prior.toSeq.flatMap(m =>
+          Option(m.get("partition-specs")).toSeq
+            .flatMap(_.elements().asScala))
+          .find(_.get("spec-id").asInt() == dsid).toSeq
+          .flatMap(sn => Option(sn.get("fields")).toSeq
+            .flatMap(_.elements().asScala))
+          .map(f => (f.get("name").asText(), f.get("transform").asText()))
+        if (specNow != pfs.map(pf => (pf.name, pf.transform)))
+          throw new CommitConflictException("MetadataChanged",
+            s"$tablePath: the partition spec changed under this append")
+      }
+      def shapeEq(n: JsonNode): Boolean =
+        normShape(icebergTypeToSpark(n)) == normShape(df.schema)
+      val matching: Option[JsonNode] =
+        priorSchemas.find(n => n.has("schema-id") &&
+            curSchemaId.contains(n.get("schema-id").asInt()) && shapeEq(n))
+          .orElse(priorSchemas.find(n => n.has("schema-id") && shapeEq(n)))
+      var idCounter = 0
+      val nextId = () => { idCounter += 1; idCounter }
+      val schemaObj = matching match {
+        case Some(n) =>
+          idCounter = Option(prior.get.get("last-column-id")).map(_.asInt())
+            .getOrElse(0)
+          n.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+        case None =>
+          sparkTypeToIceberg(df.schema, nextId).asInstanceOf[ObjectNode]
+      }
+      val schemaId = matching.map(_.get("schema-id").asInt()).getOrElse(
+        priorSchemas.flatMap(n => Option(n.get("schema-id")).map(_.asInt()))
+          .foldLeft(-1)(math.max) + 1)
+      schemaObj.put("schema-id", schemaId)
+      val schemasOut: Seq[JsonNode] =
+        if (matching.isDefined) priorSchemas else priorSchemas :+ schemaObj
+      val schemaJson = M.writeValueAsString(schemaObj)
 
-    val root = M.createObjectNode()
-    root.put("format-version", 2)
-    root.put("table-uuid", prior.flatMap(m => Option(m.get("table-uuid")))
-      .map(_.asText()).getOrElse(java.util.UUID.nameUUIDFromBytes(
-        ("iceberg:" + tablePath).getBytes("UTF-8")).toString))
-    root.put("location", fs.makeQualified(dst).toString)
-    root.put("last-sequence-number", seq)
-    root.put("last-updated-ms", now)
-    root.put("last-column-id", math.max(idCounter,
-      prior.flatMap(m => Option(m.get("last-column-id")))
-        .map(_.asInt()).getOrElse(0)))
-    root.put("current-schema-id", schemaId)
-    val schemasArr = root.putArray("schemas")
-    schemasOut.foreach(schemasArr.add)
-    // spec registry: keep every prior spec (old manifests reference
-    // their spec-id), add this write's when new, point default at it
-    val specsArr = root.putArray("partition-specs")
-    priorSpecsArr.foreach(specsArr.add)
-    if (matchingSpec.isEmpty) {
-      val sp = specsArr.addObject()
-      sp.put("spec-id", specId)
-      sp.set[JsonNode]("fields", M.readTree(specFieldsJson(specFields)))
+      // partition spec (identity AND transform fields): source ids from
+      // the schema object just built; reuse a prior spec-id when the
+      // fields match name+transform+source, else a fresh id
+      // (overwrite-only — appends gated above)
+      val baseSpecFields: Seq[SpecField] = pfs.map { pf =>
+        val srcId = schemaObj.get("fields").elements().asScala
+          .find(_.get("name").asText() == pf.source).get.get("id").asInt()
+        SpecField(pf.name,
+          IcebergPartitioning.resultType(pf, df.schema(pf.source).dataType),
+          srcId, pf.transform)
+      }
+      val priorSpecsArr: Seq[JsonNode] = prior.toSeq.flatMap(m =>
+        Option(m.get("partition-specs")).toSeq.flatMap(_.elements().asScala))
+      val matchingSpec = priorSpecsArr.find(s =>
+        Option(s.get("fields")).toSeq.flatMap(_.elements().asScala)
+          .map(f => (f.get("name").asText(), f.get("transform").asText(),
+            f.get("source-id").asInt())) ==
+          baseSpecFields.map(f => (f.name, f.transform, f.sourceId)))
+      val specId = matchingSpec.map(_.get("spec-id").asInt()).getOrElse(
+        priorSpecsArr.map(_.get("spec-id").asInt()).foldLeft(-1)(math.max) + 1)
+      // a matched prior spec's FIELD IDS carry into the manifest (spec
+      // evolution keeps ids stable; positional 1000+i only for fresh
+      // specs)
+      val specFields: Seq[SpecField] = matchingSpec match {
+        case Some(s) =>
+          val idByName = Option(s.get("fields")).toSeq
+            .flatMap(_.elements().asScala)
+            .filter(_.has("field-id"))
+            .map(f => f.get("name").asText() -> f.get("field-id").asInt())
+            .toMap
+          baseSpecFields.map(f =>
+            f.copy(fieldId = idByName.getOrElse(f.name, -1)))
+        case None => baseSpecFields
+      }
+
+      val fieldInfo: Map[String, (Int, DataType)] = df.schema.fields.map { f =>
+        val fid = schemaObj.get("fields").elements().asScala
+          .find(_.get("name").asText() == f.name).get.get("id").asInt()
+        f.name -> ((fid, f.dataType))
+      }.toMap
+      val newManifest = writeManifest(spark, mdir, s"$atok-$snapId", schemaJson,
+        adopted, snapId, seq, specFields, tuples, specId, fileStats, fieldInfo)
+      val listEntries =
+        if (overwrite || prior.isEmpty) Seq(newManifest)
+        else {
+          // append: prior snapshot's manifests carry over
+          val curId = prior.flatMap(m => Option(m.get("current-snapshot-id")))
+            .filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
+          val curSnap = priorSnaps.find(_.get("snapshot-id").asLong() == curId)
+          val carried = curSnap.toSeq.flatMap { sn =>
+            if (sn.has("manifest-list"))
+              readManifestList(spark, new Path(sn.get("manifest-list").asText()))
+            else if (sn.has("manifests")) {
+              // early-v1 inline manifest paths: wrap each into a
+              // manifest_file record so the append's manifest list
+              // still references them — silently carrying NOTHING
+              // here would drop every pre-append file from the table
+              // (the 'loud error, never silent wrong results' contract)
+              sn.get("manifests").elements().asScala.toSeq.map { pn =>
+                val p = new Path(pn.asText())
+                val mf = new GenericData.Record(ManifestFileSchema)
+                mf.put("manifest_path", p.toString)
+                mf.put("manifest_length", fsFor(spark, p).getFileStatus(p).getLen)
+                mf.put("partition_spec_id", 0)
+                mf.put("content", 0)
+                mf.put("sequence_number", 0L)
+                mf.put("min_sequence_number", 0L)
+                mf.put("added_snapshot_id", curId)
+                mf.put("added_files_count", 0)
+                mf.put("existing_files_count", 0)
+                mf.put("deleted_files_count", 0)
+                mf.put("added_rows_count", 0L)
+                mf.put("existing_rows_count", 0L)
+                mf.put("deleted_rows_count", 0L)
+                mf: GenericRecord
+              }
+            } else Seq.empty
+          }
+          carried :+ newManifest
+        }
+      val listPath = fs.makeQualified(
+        new Path(mdir, s"snap-$atok-$snapId-manifest-list.avro"))
+      writeAvro(spark, listPath, ManifestFileSchema,
+        Map("format-version" -> "2"), listEntries)
+
+      // metadata: copy prior snapshots, add the new one
+      val snapsArr = M.createArrayNode()
+      priorSnaps.foreach(snapsArr.add)
+      val sn = snapsArr.addObject()
+      sn.put("snapshot-id", snapId)
+      sn.put("sequence-number", seq)
+      sn.put("timestamp-ms", now)
+      sn.put("manifest-list", listPath.toString)
+      sn.put("schema-id", schemaId)
+      val priorCur: Option[Long] = prior
+        .flatMap(m => Option(m.get("current-snapshot-id")))
+        .filterNot(_.isNull).map(_.asLong()).filter(_ != -1L)
+      priorCur.foreach(c => sn.put("parent-snapshot-id", c))
+      val summ = sn.putObject("summary")
+      summ.put("operation", if (overwrite) "overwrite" else "append")
+      // WRITE-AUDIT-PUBLISH staging (the spec's wap.id convention): on
+      // a write.wap.enabled table with spark.wap.id set, the snapshot
+      // lands STAGED — present in `snapshots` for auditors to read by
+      // id, but not current and not in the snapshot-log — until
+      // [[publishWap]] fast-forwards the table to it
+      val wapId: Option[String] =
+        if (overwrite) None
+        else Option(spark.conf.get("spark.wap.id", null)).filter { _ =>
+          prior.exists(m => Option(m.get("properties")).exists(pr =>
+            Option(pr.get("write.wap.enabled")).exists(_.asText() == "true")))
+        }
+      wapId.foreach(w => summ.put("wap.id", w))
+      // streaming idempotence marker (the `txn` twin of the Delta sink,
+      // carried as snapshot summary properties like real engines'
+      // checkpoint ids): a replayed micro-batch at or below the
+      // replayed watermark is a no-op
+      txn.foreach { case (appId, batchId) =>
+        summ.put("graft.txn.app-id", appId)
+        summ.put("graft.txn.batch-id", batchId.toString)
+      }
+      val logArr = M.createArrayNode()
+      prior.foreach(m => Option(m.get("snapshot-log")).foreach(
+        _.elements().asScala.foreach(logArr.add)))
+      if (wapId.isEmpty) {
+        val lg = logArr.addObject()
+        lg.put("snapshot-id", snapId)
+        lg.put("timestamp-ms", now)
+      }
+
+      val root = M.createObjectNode()
+      root.put("format-version", 2)
+      root.put("table-uuid", prior.flatMap(m => Option(m.get("table-uuid")))
+        .map(_.asText()).getOrElse(java.util.UUID.nameUUIDFromBytes(
+          ("iceberg:" + tablePath).getBytes("UTF-8")).toString))
+      root.put("location", fs.makeQualified(dst).toString)
+      root.put("last-sequence-number", seq)
+      root.put("last-updated-ms", now)
+      root.put("last-column-id", math.max(idCounter,
+        prior.flatMap(m => Option(m.get("last-column-id")))
+          .map(_.asInt()).getOrElse(0)))
+      root.put("current-schema-id", schemaId)
+      val schemasArr = root.putArray("schemas")
+      schemasOut.foreach(schemasArr.add)
+      // spec registry: keep every prior spec (old manifests reference
+      // their spec-id), add this write's when new, point default at it
+      val specsArr = root.putArray("partition-specs")
+      priorSpecsArr.foreach(specsArr.add)
+      if (matchingSpec.isEmpty) {
+        val sp = specsArr.addObject()
+        sp.put("spec-id", specId)
+        sp.set[JsonNode]("fields", M.readTree(specFieldsJson(specFields)))
+      }
+      root.put("default-spec-id", specId)
+      root.put("last-partition-id", 999 + math.max(specFields.size,
+        priorSpecsArr.map(s => Option(s.get("fields"))
+          .map(_.size()).getOrElse(0)).foldLeft(0)(math.max)))
+      root.put("default-sort-order-id", 0)
+      val so = root.putArray("sort-orders").addObject()
+      so.put("order-id", 0)
+      so.putArray("fields")
+      root.put("current-snapshot-id",
+        if (wapId.isDefined) priorCur.getOrElse(-1L) else snapId)
+      root.set[JsonNode]("snapshots", snapsArr)
+      root.set[JsonNode]("snapshot-log", logArr)
+      root.putArray("metadata-log")
+      // table PROPERTIES survive writes (a rebuilt root that dropped
+      // them would silently strip SET TBLPROPERTIES on every append)
+      prior.flatMap(m => Option(m.get("properties"))) match {
+        case Some(props) => root.set[JsonNode]("properties", props.deepCopy())
+        case None => root.putObject("properties")
+      }
+      // snapshot REFS (branches/tags) carry the same way
+      prior.flatMap(m => Option(m.get("refs"))).foreach(r =>
+        root.set[JsonNode]("refs", r.deepCopy()))
+      (root, snapId)
     }
-    root.put("default-spec-id", specId)
-    root.put("last-partition-id", 999 + math.max(specFields.size,
-      priorSpecsArr.map(s => Option(s.get("fields"))
-        .map(_.size()).getOrElse(0)).foldLeft(0)(math.max)))
-    root.put("default-sort-order-id", 0)
-    val so = root.putArray("sort-orders").addObject()
-    so.put("order-id", 0)
-    so.putArray("fields")
-    root.put("current-snapshot-id", snapId)
-    root.set[JsonNode]("snapshots", snapsArr)
-    root.set[JsonNode]("snapshot-log", logArr)
-    root.putArray("metadata-log")
-    root.putObject("properties")
-    val mp = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
-    val out = fs.create(mp, false) // exclusive create = the CAS
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    finally out.close()
-    val hint = new Path(mdir, "version-hint.text")
-    val hintOut = fs.create(hint, true)
-    try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
-    finally hintOut.close()
-    snapId
   }
 
   /** Export a [[VersionedTable]] as a REAL Iceberg table (HadoopTables

@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Optimistic concurrency for real Iceberg commits
+  * ([[IcebergTable.casCommit]]): a writer that loses the
+  * `v<N+1>.metadata.json` exclusive-create race re-reads the winner's
+  * metadata, classifies the logical conflict, and REBASES — re-applies
+  * the prepared snapshot against the winner's state, regenerating the
+  * cheap driver artifacts (manifests, manifest list, metadata JSON)
+  * while the staged data files are reused verbatim (real Iceberg's
+  * commit.retry semantics). In package graft.sources to inject a
+  * deterministically STALE snapshot into [[IcebergTable.commitMorSnapshot]]
+  * — the exact state a racing DML holds the instant it loses. */
+class IcebergConcurrencySpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-iceberg-cc").toString
+
+  test("concurrent threaded appends ALL land (no spurious failures)") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((0, "seed")).toDF("id", "s"), t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    try {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val futures = (1 to 5).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            start.await()
+            IcebergTable.write(spark, Seq((i, s"w$i")).toDF("id", "s"), t)
+          }
+        })
+      }
+      start.countDown()
+      val snapIds = futures.map(_.get(180,
+        java.util.concurrent.TimeUnit.SECONDS))
+      assert(snapIds.toSet.size === 5, "each append minted a distinct snapshot")
+    } finally pool.shutdownNow()
+    val got = IcebergTable.read(spark, t).as[(Int, String)].collect().toSet
+    assert(got === (1 to 5).map(i => (i, s"w$i")).toSet + ((0, "seed")))
+    // every snapshot in the chain stays time-travelable
+    assert(IcebergTable.snapshotIds(spark, t).size === 6)
+  }
+
+  test("MOR DELETE computed against a STALE snapshot rebases over a winner append") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
+    val stale = IcebergTable.snapshot(spark, t) // the DML's read snapshot
+    // winner lands between the DML's read and its commit
+    IcebergTable.write(spark, Seq((9, "z")).toDF("id", "s"), t)
+    // position-delete row 0 of the (still live) seed file
+    val victim = stale.files.head
+    val snapId = IcebergTable.commitMorSnapshot(spark, t, stale,
+      rows = Seq((victim.path, 0L)), appendDf = None, operation = "delete")
+    assert(snapId > 0)
+    val got = IcebergTable.read(spark, t).as[(Int, String)].collect().toSet
+    // the winner's row SURVIVES the rebased delete
+    assert(got.contains((9, "z")))
+    assert(got.size === 2) // 3 rows - 1 deleted
+  }
+
+  test("full REPLACE (compaction) against a stale base REFUSES (ConcurrentWrite)") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "a")).toDF("id", "s"), t)
+    val stale = IcebergTable.snapshot(spark, t)
+    IcebergTable.write(spark, Seq((2, "b")).toDF("id", "s"), t) // winner
+    val e = intercept[IcebergTable.CommitConflictException] {
+      IcebergTable.commitMorSnapshot(spark, t, stale, rows = Seq.empty,
+        appendDf = Some(Seq((1, "a")).toDF("id", "s")),
+        operation = "replace", carryExisting = false)
+    }
+    assert(e.kind === "ConcurrentWrite")
+    // the winner's state is intact
+    assert(IcebergTable.read(spark, t).count() === 2)
+  }
+
+  test("position deletes referencing a concurrently REWRITTEN file refuse") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "a")).toDF("id", "s"), t)
+    IcebergTable.write(spark, Seq((2, "b")).toDF("id", "s"), t)
+    val stale = IcebergTable.snapshot(spark, t)
+    val victim = stale.files.head
+    // winner: compaction rewrites every data file (2 small files → 1)
+    IcebergTable.rewriteDataFiles(spark, t)
+    assert(IcebergTable.snapshot(spark, t).snapshotId !== stale.snapshotId)
+    val e = intercept[IcebergTable.CommitConflictException] {
+      IcebergTable.commitMorSnapshot(spark, t, stale,
+        rows = Seq((victim.path, 0L)), appendDf = None, operation = "delete")
+    }
+    assert(e.kind === "ConcurrentRewrite")
+  }
+
+  test("COPY-ON-WRITE rewriting a concurrently rewritten file refuses") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "a")).toDF("id", "s"), t)
+    IcebergTable.write(spark, Seq((2, "b")).toDF("id", "s"), t)
+    val stale = IcebergTable.snapshot(spark, t)
+    val victim = stale.files.head
+    IcebergTable.rewriteDataFiles(spark, t) // winner: 2 files → 1
+    val e = intercept[IcebergTable.CommitConflictException] {
+      IcebergTable.commitMorSnapshot(spark, t, stale, rows = Seq.empty,
+        appendDf = Some(Seq((1, "A")).toDF("id", "s")), operation = "overwrite",
+        removePaths = Set(victim.path))
+    }
+    assert(e.kind === "ConcurrentDeleteDelete")
+  }
+
+  test("table properties and refs SURVIVE appends (rebuilt root carries them)") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "a")).toDF("id", "s"), t)
+    IcebergTable.setProperties(spark, t, Map("owner" -> "graft"))
+    IcebergTable.write(spark, Seq((2, "b")).toDF("id", "s"), t) // append
+    assert(IcebergTable.properties(spark, t).get("owner") === Some("graft"))
+    IcebergTable.write(spark, Seq((3, "c")).toDF("id", "s"), t,
+      overwrite = true) // overwrite keeps properties too
+    assert(IcebergTable.properties(spark, t).get("owner") === Some("graft"))
+  }
+
+  test("the SAME streaming app replaying an already-committed batch refuses") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "a")).toDF("id", "s"), t,
+      txn = Some(("sink-app", 5L)))
+    val e = intercept[IcebergTable.CommitConflictException] {
+      IcebergTable.write(spark, Seq((1, "a")).toDF("id", "s"), t,
+        txn = Some(("sink-app", 5L)))
+    }
+    assert(e.kind === "ConcurrentTransaction")
+    // a NEWER batch of the same app lands fine
+    IcebergTable.write(spark, Seq((2, "b")).toDF("id", "s"), t,
+      txn = Some(("sink-app", 6L)))
+    assert(IcebergTable.read(spark, t).count() === 2)
+  }
+}
