@@ -834,9 +834,31 @@ object DeltaLog {
 
   /** Commit history as a DataFrame (version, timestamp_ms, n file
     * actions) — the `DESCRIBE HISTORY` analog. */
+  /** `(version, timestamp_ms, operation)` per commit — operations
+    * come from the leading `commitInfo` action when the writer
+    * recorded one (graft writers do; external/legacy commits show "").
+    * Driver I/O is one small read per commit JSON — the DESCRIBE
+    * HISTORY shape, never a data scan. */
   def history(spark: SparkSession, tablePath: String): DataFrame = {
     import spark.implicits._
-    versionTimes(spark, tablePath).toDF("version", "timestamp_ms")
+    val fs = logDir(tablePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    versionTimes(spark, tablePath).map { case (v, ts) =>
+      val p = new Path(logDir(tablePath), pad20(v) + ".json")
+      val op = try {
+        val in = fs.open(p)
+        val first = try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8"))
+          br.readLine()
+        } finally in.close()
+        Option(first).flatMap(l => Option(M.readTree(l).get("commitInfo")))
+          .flatMap(ci => Option(ci.get("operation")).map(_.asText()))
+          .getOrElse("")
+      } catch { case _: Exception => "" }
+      (v, ts, op)
+    }.toDF("version", "timestamp_ms", "operation")
   }
 
   // ---------------- incremental / CDC reads ----------------
@@ -1544,7 +1566,8 @@ object DeltaLog {
   private[sources] def commitCas(spark: SparkSession, deltaPath: String,
                                  firstVersion: Long, lines: Seq[String],
                                  scope: ReadScope = ReadTable,
-                                 maxRetries: Int = 20): Long = {
+                                 maxRetries: Int = 20,
+                                 operation: String = ""): Long = {
     val M = new com.fasterxml.jackson.databind.ObjectMapper()
     val fs = logDir(deltaPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -1554,7 +1577,14 @@ object DeltaLog {
       .map(_.get("path").asText()).toSet
     val ourTxnApps: Set[String] = ours.flatMap(n => Option(n.get("txn")))
       .map(_.get("appId").asText()).toSet
-    val payload = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+    // the advisory commitInfo action real Delta writers lead with —
+    // what DESCRIBE HISTORY and external tooling (delta-rs, the Java
+    // libraries) surface as the operation name; replay ignores it
+    val infoLine =
+      if (operation.isEmpty) None
+      else Some(s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":${jsEscape(operation)},"engineInfo":"graft"}}""")
+    val payload =
+      ((infoLine.toSeq ++ lines).mkString("\n") + "\n").getBytes("UTF-8")
 
     var v = firstVersion
     var attempts = 0
@@ -1687,7 +1717,75 @@ object DeltaLog {
       val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
       lines += s"""{"add":{"path":${jsEscape(abs)},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
-    commitCas(spark, dstPath, 0L, lines.toSeq, ReadTable)
+    commitCas(spark, dstPath, 0L, lines.toSeq, ReadTable,
+      operation = "CLONE")
+  }
+
+  /** `CONVERT TO DELTA` — adopt an existing parquet directory IN
+    * PLACE as a real Delta table (the standard first step of a Delta
+    * migration; Delta's own CONVERT TO DELTA command): ONE commit
+    * (protocol + metaData + one add per data file) references the
+    * files where they already sit — NO data copied or rewritten, so a
+    * 100 TB directory converts with metadata I/O only (schema from
+    * the parquet footers via Spark's schema inference; per-file
+    * numRecords/bounds stats from the footers, never a data scan).
+    * Hive-partitioned layouts convert with `partitionBy` naming the
+    * directory keys — partition values land in the add actions per
+    * the Delta convention, and the partition COLUMNS must not also be
+    * in the parquet (that is the hive layout; a mismatch refuses).
+    * Refuses when a `_delta_log` already exists. Returns version 0. */
+  def convertToDelta(spark: SparkSession, path: String,
+                     partitionBy: Seq[String] = Seq.empty): Long = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(fsConf)
+    require(fs.exists(dst), s"no directory at $path")
+    require(!fs.exists(logDir(path)) ||
+      fs.listStatus(logDir(path)).isEmpty,
+      s"$path already holds a _delta_log — it IS a Delta table")
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .flatMap(st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else Seq.empty)
+    val files = walk(dst)
+    require(files.nonEmpty, s"no parquet files under $path")
+    // schema: Spark's parquet inference over the directory — the same
+    // schema any reader of the raw directory already saw; partition
+    // columns come from the directory keys
+    val df = spark.read.parquet(path)
+    val schema = df.schema
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not found in the inferred schema " +
+        s"${schema.fieldNames.mkString(", ")} — name hive directory keys"))
+    val now = System.currentTimeMillis()
+    val rootQ = fs.makeQualified(dst).toString
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
+      }.mkString("{", ",", "}")
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    lines += metaDataLine(java.util.UUID.nameUUIDFromBytes(
+      ("delta-convert:" + path).getBytes("UTF-8")).toString,
+      schema.json, partitionBy, now)
+    files.sortBy(_.toString).foreach { f =>
+      val rel = fs.makeQualified(f).toString
+        .stripPrefix(rootQ).stripPrefix("/")
+      val dirs = rel.split('/').dropRight(1).toSeq
+      val pv =
+        if (partitionBy.isEmpty) Map.empty[String, String]
+        else parsePartitionDirs(dirs, partitionBy)
+      val st = fs.getFileStatus(f)
+      val statsPart = footerStats(fsConf, f)
+        .map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true$statsPart}}"""
+    }
+    commitCas(spark, path, 0L, lines.toSeq, ReadTable,
+      operation = "CONVERT")
   }
 
   /** The metadata key of a GENERATED column (PROTOCOL.md "Generated
@@ -1748,7 +1846,8 @@ object DeltaLog {
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}""",
       metaDataLine(tableId, schema.json, partitionBy,
         System.currentTimeMillis(), configuration))
-    commitCas(spark, deltaPath, 0L, lines, ReadTable)
+    commitCas(spark, deltaPath, 0L, lines, ReadTable,
+      operation = "CREATE TABLE")
   }
 
   def write(spark: SparkSession, dfIn: DataFrame, deltaPath: String,
@@ -1991,7 +2090,12 @@ object DeltaLog {
     // overwrite of a non-empty table logically read every prior row
     val scope: ReadScope =
       if (overwrite && prior.nonEmpty) ReadTable else BlindAppend
-    val vc = commitCas(spark, deltaPath, v, lines.toSeq, scope)
+    val op =
+      if (txn.isDefined) "STREAMING UPDATE"
+      else if (overwrite) "WRITE (overwrite)"
+      else "WRITE"
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, scope,
+      operation = op)
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       prior.map(_.configuration).getOrElse(Map.empty))
     maybeUniform(spark, deltaPath,
@@ -2107,7 +2211,8 @@ object DeltaLog {
     // compaction read exactly the files it removes — a concurrent
     // APPEND is disjoint, the commit rebases past it; a winner
     // touching the same files refuses
-    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadFiles)
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadFiles,
+      operation = "OPTIMIZE")
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
@@ -2305,7 +2410,8 @@ object DeltaLog {
     }
     if (lines.isEmpty) return cur.version // same file set + metadata
     val v = cur.version + 1
-    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
+      operation = "RESTORE")
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       tgt.configuration)
     maybeUniform(spark, deltaPath, tgt.configuration)
@@ -2342,7 +2448,8 @@ object DeltaLog {
       copyOnWrite(spark, deltaPath, predicate, checkpointInterval,
         cdcOf = Some((full, pred) => full
           .where(coalesce(pred, lit(false)))
-          .withColumn("_change_type", lit("delete")))) {
+          .withColumn("_change_type", lit("delete"))),
+        opName = "DELETE") {
         (full, pred) => full.where(!coalesce(pred, lit(false)))
       })
   }
@@ -2479,7 +2586,8 @@ object DeltaLog {
       lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
     lines ++= cdcLinesOut
-    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
+      operation = if (makeAppend.isDefined) "UPDATE" else "DELETE")
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     Some(vc)
@@ -2550,7 +2658,7 @@ object DeltaLog {
     }
     viaDv.getOrElse(
       copyOnWrite(spark, deltaPath, predicate, checkpointInterval, cdcOf,
-        validatePostImage = true) {
+        validatePostImage = true, opName = "UPDATE") {
         (full, pred) => {
           // ONE projection over the ORIGINAL columns — SQL UPDATE
           // semantics are simultaneous (SET a = b, b = a swaps; a
@@ -2750,7 +2858,8 @@ object DeltaLog {
       lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
     }
     lines ++= cdcLinesOut
-    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
+      operation = "MERGE")
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
@@ -3017,7 +3126,8 @@ object DeltaLog {
     }
     lines ++= cdcLinesOut
     affected.unpersist(); bsAffected.foreach(_.unpersist()); src.unpersist()
-    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
+      operation = "MERGE")
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
@@ -3037,7 +3147,8 @@ object DeltaLog {
                           predicate: org.apache.spark.sql.Column,
                           checkpointInterval: Int,
                           cdcOf: Option[(DataFrame, org.apache.spark.sql.Column) => DataFrame] = None,
-                          validatePostImage: Boolean = false)
+                          validatePostImage: Boolean = false,
+                          opName: String = "DML")
                          (transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     import spark.implicits._
     val snap = snapshot(spark, deltaPath)
@@ -3150,7 +3261,8 @@ object DeltaLog {
     if (wantCdc && cdcFrames.nonEmpty)
       lines ++= stageCdcLines(spark, deltaPath, snap,
         cdcFrames.reduce(_.unionByName(_)), v)
-    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
+    val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
+      operation = opName)
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
@@ -3204,7 +3316,8 @@ object DeltaLog {
     val line = metaDataLine(tableId, widened.json, prior.partitionColumns,
       System.currentTimeMillis(), newConf)
     // schema widening reads no data — rebases over data-only winners
-    commitCas(spark, deltaPath, v, Seq(line), BlindAppend)
+    commitCas(spark, deltaPath, v, Seq(line), BlindAppend,
+      operation = "ADD COLUMNS")
   }
 
   /** `ALTER TABLE … ADD CONSTRAINT <name> CHECK (<expr>)` —
@@ -3236,7 +3349,8 @@ object DeltaLog {
     // dataChange append may violate the constraint, so it conflicts
     commitConfigChange(spark, deltaPath, prior,
       prior.configuration + (key -> exprSql),
-      featureUpgrade = Some((3, "checkConstraints")), scope = ReadTable)
+      featureUpgrade = Some((3, "checkConstraints")), scope = ReadTable,
+      op = "ADD CONSTRAINT")
   }
 
   /** `ALTER TABLE … DROP CONSTRAINT <name>` — metaData-only commit
@@ -3471,7 +3585,8 @@ object DeltaLog {
   private def commitMetaChange(spark: SparkSession, deltaPath: String,
                                newSchema: StructType, newPc: Seq[String],
                                newConf: Map[String, String],
-                               protoLine: Option[String]): Long = {
+                               protoLine: Option[String],
+                               op: String = "ALTER TABLE"): Long = {
     val fs = new Path(deltaPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val v = listVersions(spark, deltaPath).last + 1
@@ -3481,7 +3596,8 @@ object DeltaLog {
     protoLine.foreach(lines += _)
     lines += metaDataLine(tableId, newSchema.json, newPc,
       System.currentTimeMillis(), newConf)
-    commitCas(spark, deltaPath, v, lines.toSeq, BlindAppend)
+    commitCas(spark, deltaPath, v, lines.toSeq, BlindAppend,
+      operation = op)
   }
 
   private def commitConfigChange(spark: SparkSession, deltaPath: String,
@@ -3489,7 +3605,8 @@ object DeltaLog {
                                  newConf: Map[String, String],
                                  featureUpgrade: Option[(Int, String)],
                                  readerWriterFeature: Option[String] = None,
-                                 scope: ReadScope = BlindAppend): Long = {
+                                 scope: ReadScope = BlindAppend,
+                                 op: String = "SET TBLPROPERTIES"): Long = {
     val fs = new Path(deltaPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val v = listVersions(spark, deltaPath).last + 1
@@ -3522,7 +3639,7 @@ object DeltaLog {
     }
     lines += metaDataLine(tableId, prior.schema.json,
       prior.partitionColumns, System.currentTimeMillis(), newConf)
-    commitCas(spark, deltaPath, v, lines.toSeq, scope)
+    commitCas(spark, deltaPath, v, lines.toSeq, scope, operation = op)
   }
 
   /** ZERO-COPY format mirror — publish the CURRENT snapshot of a real
@@ -3608,7 +3725,8 @@ object DeltaLog {
     }
     // nothing changed since the last mirror: no empty commit
     if (lines.isEmpty) return existing.last
-    commitCas(spark, deltaPath, v, lines.toSeq, ReadTable)
+    commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
+      operation = "MIRROR")
   }
 
   /** The write-path invariant gate: PROTOCOL.md Column Invariants

@@ -101,6 +101,11 @@ object GraftSqlStatements {
   /** `CALL graft.system.<proc>('<path>'[, args…])` — the procedure
     * invocation surface production Iceberg users run maintenance
     * through (Spark has no CALL grammar of its own to collide with). */
+  /** `CONVERT TO DELTA [parquet.]'<path>' [PARTITIONED BY (col [type], …)]`
+    * — quoted-path only, like the other graft DDL. */
+  private val ConvertRe =
+    ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+(?:parquet\s*\.\s*)?'([^']+)'""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
   private val CallRe =
     """(?is)^\s*CALL\s+graft\.system\.(\w+)\s*\((.*)\)\s*;?\s*$""".r
   private val RenameColRe =
@@ -300,6 +305,11 @@ object GraftSqlStatements {
       Some(GraftShowCreateTableCommand(path))
     case DescribeExtendedRe(path) =>
       Some(GraftDescribeExtendedCommand(path))
+    case ConvertRe(path, partCols) =>
+      Some(GraftConvertToDeltaCommand(path,
+        Option(partCols).map(pc => splitCsv(pc)
+          .map(_.trim.split("\\s+").head.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)).getOrElse(Nil)))
     case CallRe(proc, args) =>
       Some(GraftCallCommand(proc.toLowerCase(java.util.Locale.ROOT),
         args.trim))
@@ -665,7 +675,7 @@ case class GraftDescribeHistoryCommand(path: Option[String],
     flavorOf(spark, dir) match {
       case DeltaFlavor =>
         DeltaLog.history(spark, dir).collect().toSeq.map(r =>
-          Row(r.getLong(0), r.getLong(1), ""))
+          Row(r.getLong(0), r.getLong(1), r.getString(2)))
       case IcebergFlavor =>
         IcebergTable.history(spark, dir).collect().toSeq.map(r =>
           Row(r.getLong(0), r.getLong(1), r.getString(2)))
@@ -844,6 +854,20 @@ case class GraftDescribeExtendedCommand(dir: String)
   }
 }
 
+/** `CONVERT TO DELTA [parquet.]'<path>'` →
+  * [[DeltaLog.convertToDelta]] — adopt a parquet directory in place
+  * as a Delta table: one metadata-only commit, no data movement
+  * (footer stats, hive partition keys honored via PARTITIONED BY). */
+case class GraftConvertToDeltaCommand(dir: String, partCols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(dir, DeltaLog.convertToDelta(spark, dir, partCols)))
+}
+
 /** `CALL graft.system.<proc>(…)` — Iceberg-style maintenance
   * procedures: `expire_snapshots('<t>'[, keep])`,
   * `rewrite_data_files('<t>'[, target_bytes])`,
@@ -873,8 +897,20 @@ case class GraftCallCommand(proc: String, rawArgs: String)
     def str(i: Int): String = stripQuotes(args(i))
     val res: String = proc match {
       case "expire_snapshots" =>
-        IcebergTable.expireSnapshots(spark, dir,
-          if (args.size > 1) num(1).toInt else 1).size.toString
+        // expire_snapshots('<t>'[, keep][, 'older-than timestamp'])
+        val olderThan = args.drop(1).map(stripQuotes)
+          .find(a => !a.forall(_.isDigit))
+          .map(ts => java.sql.Timestamp.valueOf(ts).getTime)
+        val keep = args.drop(1).map(stripQuotes)
+          .find(_.forall(_.isDigit)).map(_.toInt).getOrElse(1)
+        IcebergTable.expireSnapshots(spark, dir, keep,
+          olderThanMs = olderThan).size.toString
+      case "remove_orphan_files" =>
+        // remove_orphan_files('<t>'[, 'older-than timestamp'])
+        val cut =
+          if (args.size > 1) java.sql.Timestamp.valueOf(str(1)).getTime
+          else System.currentTimeMillis() - 3L * 24 * 3600 * 1000
+        IcebergTable.removeOrphanFiles(spark, dir, cut).size.toString
       case "rewrite_data_files" =>
         IcebergTable.rewriteDataFiles(spark, dir,
           if (args.size > 1) num(1) else 128L << 20).toString
@@ -901,8 +937,9 @@ case class GraftCallCommand(proc: String, rawArgs: String)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft.system.$other (expire_snapshots, " +
           "rewrite_data_files, rewrite_position_delete_files, " +
-          "rewrite_manifests, rollback_to_snapshot, rollback_to_timestamp, " +
-          "create_tag, create_branch, fast_forward, drop_ref, publish_wap)")
+          "rewrite_manifests, remove_orphan_files, rollback_to_snapshot, " +
+          "rollback_to_timestamp, create_tag, create_branch, " +
+          "fast_forward, drop_ref, publish_wap)")
     }
     Seq(Row(proc, res))
   }

@@ -132,28 +132,36 @@ object IcebergTable {
   private def fsFor(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Latest metadata file: honor `version-hint.text` when present
-    * (the HadoopTables convention), else the highest
-    * `v<N>.metadata.json`. */
+  /** Latest metadata file: the HIGHER of `version-hint.text` (the
+    * HadoopTables convention) and the directory's highest
+    * `v<N>.metadata.json`. The scan matters under concurrent writers:
+    * hints are written AFTER the commit CAS, so two winners can land
+    * their hints out of order and a hint-only reader would serve a
+    * REGRESSED version until the next commit repaired it. The listing
+    * is one driver metadata call — negligible against the reads it
+    * guards. */
   private def latestMetadataFile(spark: SparkSession, tablePath: String): Path = {
     val dir = metaDir(tablePath)
     val fs = fsFor(spark, dir)
     if (!fs.exists(dir)) throw new IllegalArgumentException(
       s"not an Iceberg table (no metadata dir): $tablePath")
     val hint = new Path(dir, "version-hint.text")
-    if (fs.exists(hint)) {
-      val in = fs.open(hint)
-      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      val p = new Path(dir, s"v$v.metadata.json")
-      if (fs.exists(p)) return p
-    }
+    val hinted: Option[Long] =
+      if (!fs.exists(hint)) None
+      else {
+        val in = fs.open(hint)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        scala.util.Try(v.toLong).toOption
+          .filter(n => fs.exists(new Path(dir, s"v$n.metadata.json")))
+      }
     val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
         n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
-    if (versions.isEmpty) throw new IllegalArgumentException(
-      s"no v<N>.metadata.json under $dir")
-    new Path(dir, s"v${versions.max}.metadata.json")
+    val best = (hinted.toSeq ++ versions).sorted.lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no v<N>.metadata.json under $dir"))
+    new Path(dir, s"v$best.metadata.json")
   }
 
   /** A concurrent writer won the metadata version race and this
@@ -224,6 +232,15 @@ object IcebergTable {
           }
           (mv, Some(node.deepCopy[JsonNode]().asInstanceOf[ObjectNode]))
         } else (0L, None)
+      // captured BEFORE the attempt mutates the copy: the spec's
+      // `metadata-log` must gain an entry for the base file this
+      // commit supersedes (metadata time travel for external engines)
+      val prevLog: Seq[JsonNode] = base.toSeq.flatMap(b =>
+        Option(b.get("metadata-log")).toSeq
+          .flatMap(_.elements().asScala.map(_.deepCopy[JsonNode]())))
+      val prevUpdated: Long = base.flatMap(b =>
+        Option(b.get("last-updated-ms")).map(_.asLong()))
+        .getOrElse(System.currentTimeMillis())
       val attempted =
         try Some(attempt(base, metaVersion))
         catch {
@@ -240,6 +257,19 @@ object IcebergTable {
         Thread.sleep(20)
       } else {
       val (root, ret) = attempted.get
+      // metadata-log: prior entries (bounded like
+      // write.metadata.previous-versions-max's spirit) + the base file
+      // this commit supersedes — whether the attempt mutated the base
+      // in place or built a fresh root
+      if (base.isDefined) {
+        val logArr = M.createArrayNode()
+        prevLog.takeRight(99).foreach(logArr.add)
+        val e = logArr.addObject()
+        e.put("metadata-file", fs.makeQualified(
+          new Path(mdir, s"v$metaVersion.metadata.json")).toString)
+        e.put("timestamp-ms", prevUpdated)
+        root.set[JsonNode]("metadata-log", logArr)
+      }
       val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
       val created = AtomicCas.createExclusive(fs, next,
         M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
@@ -2118,7 +2148,8 @@ object IcebergTable {
     math.max(1, snapshotEntries(spark, tablePath).count(_._2 >= cutoffMs))
 
   def expireSnapshots(spark: SparkSession, tablePath: String,
-                      keepSnapshots: Int = 1): Seq[String] = {
+                      keepSnapshots: Int = 1,
+                      olderThanMs: Option[Long] = None): Seq[String] = {
     require(keepSnapshots >= 1, "must keep at least the current snapshot")
     // early `return`s inside the attempt abort the CAS commit-free
     // (non-local return unwinds casCommit before anything is written)
@@ -2155,11 +2186,17 @@ object IcebergTable {
         id != cur && !logged.contains(id)
       }
     }.map(_.get("snapshot-id").asLong()).toSet
+    // `olderThanMs` (the procedure's older_than form): snapshots at or
+    // after the cutoff always survive, ON TOP of the trailing
+    // keepSnapshots floor — the exact composition real expire uses
+    val aged: Set[Long] = olderThanMs.map(cut => snaps
+      .filter(_.get("timestamp-ms").asLong() >= cut)
+      .map(_.get("snapshot-id").asLong()).toSet).getOrElse(Set.empty)
     val keepIds = snaps.sortBy(n =>
       (n.get("timestamp-ms").asLong(), n.get("snapshot-id").asLong()))
       .takeRight(keepSnapshots)
       .map(_.get("snapshot-id").asLong()).toSet ++
-      Option(cur).filter(_ != -1L) ++ refPinned ++ stagedWap
+      Option(cur).filter(_ != -1L) ++ refPinned ++ stagedWap ++ aged
     val (kept, expired) =
       snaps.partition(n => keepIds(n.get("snapshot-id").asLong()))
     if (expired.isEmpty) return Seq.empty
@@ -2556,6 +2593,54 @@ object IcebergTable {
       meta.put("current-snapshot-id", snapId)
       (meta, snapId)
     }
+  }
+
+  /** `remove_orphan_files` — delete files under the table location
+    * that NO snapshot references (crashed writes, lost CAS races'
+    * staged data, abandoned compaction outputs). Safety rails match
+    * the real procedure: only files OLDER than `olderThanMs` are
+    * eligible (default 3 days — an in-flight writer's staged-but-
+    * uncommitted files must never be reaped), metadata files
+    * (`v*.metadata.json`, `version-hint.text`) and in-progress `.tmp-*`
+    * staging dirs are never touched, and the reference set spans
+    * EVERY snapshot in the metadata (manifest lists, manifests, data
+    * and delete files), so time travel survives. Driver work is
+    * O(snapshots × manifests + files-on-disk) metadata I/O — the same
+    * bounded walk expireSnapshots does. Returns the deleted paths. */
+  def removeOrphanFiles(spark: SparkSession, tablePath: String,
+                        olderThanMs: Long = System.currentTimeMillis() -
+                          3L * 24 * 3600 * 1000): Seq[String] = {
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    Option(meta.get("properties"))
+      .flatMap(p => Option(p.get("graft.mirror-of"))).foreach { src =>
+        throw new UnsupportedOperationException(
+          s"$tablePath is a zero-copy mirror of ${src.asText()} — orphan " +
+            "cleanup must run on the owning table")
+      }
+    val fs = fsFor(spark, new Path(tablePath))
+    def deScheme(p: String) = p.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val snaps = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    val referenced: Set[String] = snaps.flatMap { sn =>
+      val (lists, manifests, files) = referencedPaths(spark, sn)
+      lists ++ manifests ++ files
+    }.map(deScheme).toSet
+    val victims = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (!name.startsWith(".tmp-")) walk(st.getPath)
+      } else if (!name.endsWith(".metadata.json") &&
+        name != "version-hint.text" &&
+        st.getModificationTime < olderThanMs &&
+        !referenced.contains(
+          deScheme(fs.makeQualified(st.getPath).toString))) {
+        victims += fs.makeQualified(st.getPath).toString
+      }
+    }
+    walk(new Path(tablePath))
+    victims.foreach(v => fs.delete(new Path(v), false))
+    victims.toSeq
   }
 
   /** Named snapshot REFS — Iceberg branches and tags (spec §"Refs"):

@@ -84,7 +84,8 @@ class DeltaLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DeltaLog.snapshot(spark, t, timestampAsOf = Some(999L))
     }
-    assert(DeltaLog.history(spark, t).as[(Long, Long)].collect().toMap
+    assert(DeltaLog.history(spark, t)
+      .select("version", "timestamp_ms").as[(Long, Long)].collect().toMap
       === Map(0L -> 1000000L, 1L -> 2000000L))
   }
 

@@ -164,7 +164,7 @@ class IcebergSpec extends SparkSpec {
       === Set((10L, 1000L, "overwrite"), (11L, 2000L, "overwrite")))
   }
 
-  test("version-hint.text pins the metadata version") {
+  test("version-hint.text is a hint, not a pin: stale or overshooting hints never hide the head") {
     val t = Files.createTempDirectory("graft-ice-hint").toString
     val f1 = writeDataFile(t, "data/f1.parquet", Seq((1L, "a")).toDF("id", "s"))
     val f2 = writeDataFile(t, "data/f2.parquet", Seq((2L, "b")).toDF("id", "s"))
@@ -181,9 +181,19 @@ class IcebergSpec extends SparkSpec {
     // no hint → v2 wins
     assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
       === Set((2L, "b")))
+    // a STALE hint never hides newer metadata — HadoopTableOperations
+    // probes past the hint, and with optimistic-concurrency writers a
+    // hint can legitimately lag (it is written AFTER the commit CAS,
+    // so two winners may land hints out of order); the reader serves
+    // max(hint, directory scan)
     Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "1")
     assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
-      === Set((1L, "a")))
+      === Set((2L, "b")))
+    // a hint pointing past the end (torn rollback tooling) falls back
+    // to the scan rather than failing
+    Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "9")
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((2L, "b")))
   }
 
   test("unsupported features fail loudly, never read wrong") {

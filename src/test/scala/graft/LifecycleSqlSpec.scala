@@ -194,4 +194,116 @@ class LifecycleSqlSpec extends graft.SparkSpec {
       spark.sql(s"CALL graft.system.nonsense('$t')").collect()
     }
   }
+
+  test("remove_orphan_files reaps unreferenced files, never live or recent ones") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "a")).toDF("id", "s"), t)
+    IcebergTable.write(spark, Seq((2, "b")).toDF("id", "s"), t)
+    // plant an orphan (a crashed writer's adopted-but-uncommitted file)
+    val orphan = new java.io.File(t, "data/orphan-000.parquet")
+    Seq((9, "x")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(orphan.getParent + "/.tmp-plant")
+    val part = new java.io.File(orphan.getParent + "/.tmp-plant")
+      .listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, orphan.toPath)
+    orphan.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    // a RECENT unreferenced file (an in-flight writer) must survive
+    val recent = new java.io.File(t, "data/recent-000.parquet")
+    java.nio.file.Files.write(recent.toPath, Array[Byte](1, 2, 3))
+
+    val victims = spark.sql(
+      s"CALL graft.system.remove_orphan_files('$t')").head.getString(1)
+    assert(victims === "1")
+    assert(!orphan.exists(), "aged orphan reaped")
+    assert(recent.exists(), "recent unreferenced file survives")
+    // every snapshot still reads (time travel included)
+    val ids = IcebergTable.snapshotIds(spark, t)
+    ids.foreach(id => IcebergTable.read(spark, t,
+      snapshotIdAsOf = Some(id)).count())
+    assert(IcebergTable.read(spark, t).count() === 2L)
+  }
+
+  test("CONVERT TO DELTA adopts a parquet directory in place (no data movement)") {
+    val d = Files.createTempDirectory("graft-convert").toString + "/raw"
+    (1 to 60).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(3).write.parquet(d)
+    val before = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length))
+    spark.sql(s"CONVERT TO DELTA parquet.'$d'").collect()
+    // same physical files, now under a log
+    val after = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length))
+    assert(after.sorted.toSeq === before.sorted.toSeq, "no data movement")
+    assert(DeltaLog.read(spark, d).count() === 60L)
+    // it IS a Delta table now: DML + history work; double-convert refuses
+    DeltaLog.delete(spark, d, col("id") === 1)
+    assert(DeltaLog.read(spark, d).count() === 59L)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CONVERT TO DELTA '$d'").collect()
+    }
+    // hive-partitioned conversion keeps the layout as partition values
+    val p = Files.createTempDirectory("graft-convertp").toString + "/raw"
+    (1 to 40).map(i => (i, s"r$i", i % 3)).toDF("id", "s", "g")
+      .write.partitionBy("g").parquet(p)
+    spark.sql(s"CONVERT TO DELTA parquet.'$p' PARTITIONED BY (g INT)")
+      .collect()
+    val snap = DeltaLog.snapshot(spark, p)
+    assert(snap.partitionColumns === Seq("g"))
+    assert(snap.files.forall(_.partitionValues.contains("g")))
+    assert(DeltaLog.read(spark, p).where(col("g") === 1).count() ===
+      (1 to 40).count(_ % 3 == 1).toLong)
+  }
+
+  test("Delta commitInfo: DESCRIBE HISTORY shows real operation names") {
+    val t = tmp()
+    DeltaLog.write(spark, (1 to 30).map(i => (i, s"r$i")).toDF("id", "s"), t)
+    DeltaLog.write(spark, Seq((31, "x")).toDF("id", "s"), t)
+    DeltaLog.delete(spark, t, col("id") === 1)
+    DeltaLog.optimize(spark, t)
+    val ops = spark.sql(s"DESC HISTORY '$t'").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ops(0L) === "WRITE")
+    assert(ops(1L) === "WRITE")
+    assert(ops(2L) === "DELETE")
+    assert(ops(3L) === "OPTIMIZE")
+    // the commitInfo action is advisory: replay/read is unaffected
+    assert(DeltaLog.read(spark, t).count() === 30L)
+  }
+
+  test("Iceberg metadata-log records superseded metadata files") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "a")).toDF("id", "s"), t)
+    IcebergTable.write(spark, Seq((2, "b")).toDF("id", "s"), t)
+    IcebergTable.setProperties(spark, t, Map("k" -> "v"))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        new java.io.File(t, "metadata").listFiles()
+          .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+          .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json")
+            .toInt).getPath)))
+    import scala.collection.JavaConverters._
+    val logged = meta.get("metadata-log").elements().asScala.toSeq
+    assert(logged.size === 2, "v1 and v2 superseded")
+    assert(logged.map(_.get("metadata-file").asText()).exists(
+      _.endsWith("v2.metadata.json")))
+    assert(logged.forall(_.has("timestamp-ms")))
+  }
+
+  test("expire_snapshots older_than keeps everything at or after the cutoff") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "a")).toDF("id", "s"), t)
+    val v1 = IcebergTable.snapshot(spark, t)
+    Thread.sleep(30)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(30)
+    IcebergTable.write(spark, Seq((2, "b")).toDF("id", "s"), t)
+    IcebergTable.write(spark, Seq((3, "c")).toDF("id", "s"), t)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    spark.sql(s"CALL graft.system.expire_snapshots('$t', 1, '" +
+      fmt.format(new java.util.Date(cutoff)) + "')").collect()
+    val ids = IcebergTable.snapshotIds(spark, t).toSet
+    assert(!ids.contains(v1.snapshotId), "pre-cutoff snapshot expired")
+    assert(ids.size === 2, "both post-cutoff snapshots survive")
+    assert(IcebergTable.read(spark, t).count() === 3L)
+  }
 }
