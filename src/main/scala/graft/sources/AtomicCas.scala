@@ -20,10 +20,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 private[sources] object AtomicCas {
   def createExclusive(fs: FileSystem, p: Path,
                       payload: Array[Byte]): Boolean = {
-    val uri = p.toUri
-    if (uri.getScheme == null || uri.getScheme == "file") {
-      val local = if (uri.getScheme == "file") uri.getPath else p.toString
-      val nio = java.nio.file.Paths.get(local)
+    // decide by the FILESYSTEM serving the path, never the raw Path's
+    // scheme: a scheme-less path on a cluster whose defaultFS is
+    // HDFS-like must go to the namenode, not the driver's local disk
+    if (fs.getScheme == "file") {
+      val nio = java.nio.file.Paths.get(
+        fs.makeQualified(p).toUri.getPath)
       Option(nio.getParent)
         .foreach(d => java.nio.file.Files.createDirectories(d))
       try {

@@ -832,8 +832,6 @@ object DeltaLog {
     parts.result().reduce(_.unionByName(_))
   }
 
-  /** Commit history as a DataFrame (version, timestamp_ms, n file
-    * actions) — the `DESCRIBE HISTORY` analog. */
   /** `(version, timestamp_ms, operation)` per commit — operations
     * come from the leading `commitInfo` action when the writer
     * recorded one (graft writers do; external/legacy commits show "").
@@ -1967,6 +1965,19 @@ object DeltaLog {
           require(t == f.dataType,
             s"mergeSchema cannot change column ${f.name}: table has $t, " +
               s"incoming ${f.dataType}")))
+        // an OMITTED column serves null from the new files — that must
+        // never silently violate a NOT NULL invariant or a GENERATED
+        // expression (enforceInvariants can only check columns present
+        // in the frame)
+        p.schema.fields.filterNot(f => df.columns.contains(f.name))
+          .foreach { f =>
+            require(f.nullable,
+              s"mergeSchema append omits NOT NULL column ${f.name} — " +
+                "its rows would read as null")
+            require(!f.metadata.contains(GenerationExprKey),
+              s"mergeSchema append omits GENERATED column ${f.name} — " +
+                "supply it or let a full-schema write compute it")
+          }
         val newFields = df.schema.fields
           .filterNot(f => priorTypes.contains(f.name))
           .map(f => f.copy(nullable = true))

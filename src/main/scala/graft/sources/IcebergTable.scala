@@ -295,10 +295,34 @@ object IcebergTable {
   private object RetryCommit
     extends RuntimeException with scala.util.control.NoStackTrace
 
+  /** Read one metadata JSON. Under OPTIMISTIC concurrent writers the
+    * newest `v<N>.metadata.json` may be visible but MID-WRITE (the
+    * exclusive create is atomic; content visibility is not), so a
+    * torn/empty parse polls briefly instead of crashing every
+    * concurrent reader during a commit's microsecond write window;
+    * a file that stays unreadable is a loud error, never a silent
+    * fallback to stale state. */
   private def readJson(spark: SparkSession, p: Path): JsonNode = {
     val fs = fsFor(spark, p)
-    val in = fs.open(p)
-    try M.readTree(in) finally in.close()
+    var waits = 0
+    while (true) {
+      val node =
+        try {
+          val in = fs.open(p)
+          val n = try M.readTree(in) finally in.close()
+          if (n != null && n.isObject) n else null
+        } catch {
+          case fnf: java.io.FileNotFoundException => throw fnf
+          case _: java.io.IOException => null
+          case _: com.fasterxml.jackson.core.JacksonException => null
+        }
+      if (node != null) return node
+      waits += 1
+      if (waits > 100) throw new IllegalStateException(
+        s"metadata $p stayed unreadable for 2s — torn write or corrupt file")
+      Thread.sleep(20)
+    }
+    null // unreachable
   }
 
   // ---------------- Iceberg schema JSON <-> Spark ----------------
@@ -1672,10 +1696,6 @@ object IcebergTable {
     } finally matchedPos.unpersist()
   }
 
-  /** Commit ONE merge-on-read snapshot: a position-delete file +
-    * content=1 manifest for `rows`, optionally fresh data files (with
-    * footer stats) for `appendDf`, carried prior manifests — metadata
-    * v+1 via exclusive create. */
   /** Stage `df` into `data/` under the table's partition layout
     * (transform-derived `gp_` staging columns shape the directory
     * tree, like [[write]]) and ADOPT the files under stable names.
@@ -1794,6 +1814,13 @@ object IcebergTable {
       }
   }
 
+  /** Commit ONE merge-on-read snapshot through the optimistic CAS:
+    * a position-delete file + content=1 manifest for `rows`,
+    * optionally fresh data files (with footer stats) for `appendDf`,
+    * carried prior manifests (or copy-on-write survivors when
+    * `removePaths` is set). The expensive staging runs once; manifests
+    * and metadata regenerate per CAS attempt with rebase conflict
+    * classification (see the attempt body). */
   private[sources] def commitMorSnapshot(spark: SparkSession, tablePath: String,
                                 snap: Snapshot, rows: Seq[(String, Long)],
                                 appendDf: Option[DataFrame],
@@ -1918,6 +1945,34 @@ object IcebergTable {
             "ConcurrentDeleteDelete",
             s"$tablePath: files this copy-on-write commit rewrites were " +
               s"rewritten concurrently: ${goneRm.take(3).mkString(", ")}")
+          val baseMaxSeq = (snap.files.map(_.seq) ++
+            snap.deletes.map(_.seq)).foldLeft(0L)(math.max)
+          // a winner's NEW delete files must not be silently undone:
+          // a COPY-ON-WRITE rebase would re-commit the rewritten rows
+          // at a sequence number no winner delete can touch — the
+          // winner's committed DELETE/UPDATE on those rows would
+          // resurrect them (Iceberg's validateNoNewDeleteFiles)
+          if (removePaths.nonEmpty &&
+            fresh.deletes.exists(_.seq > baseMaxSeq))
+            throw new CommitConflictException("ConcurrentDeleteDelete",
+              s"$tablePath: a concurrent commit added delete files this " +
+                "copy-on-write rewrite would re-commit rows past")
+          // predicate-derived DML defaults to SERIALIZABLE isolation,
+          // exactly like Spark-Iceberg's write.delete.isolation-level:
+          // a winner's APPENDED data files may hold rows the predicate
+          // never scanned, so the rebase refuses unless the table opts
+          // into snapshot isolation
+          val isolation = Option(meta.get("properties"))
+            .flatMap(p => Option(p.get("write.delete.isolation-level")))
+            .map(_.asText()).getOrElse("serializable")
+          val basePaths = snap.files.map(_.path).toSet
+          if ((rows.nonEmpty || removePaths.nonEmpty) &&
+            isolation == "serializable" &&
+            fresh.files.exists(f => !basePaths(f.path) && f.seq > baseMaxSeq))
+            throw new CommitConflictException("ConcurrentAppend",
+              s"$tablePath: a concurrent commit appended data files this " +
+                "predicate-scoped DML never scanned — set table property " +
+                "write.delete.isolation-level=snapshot to allow the rebase")
           fresh
         }
       val curNode = snaps.find(
@@ -4015,11 +4070,14 @@ object IcebergTable {
         s"append partitionBy $partitionBy does not match the table's " +
           s"partition spec $priorSpec; use overwrite to repartition")
     }
-    checkGates()
+    // listed BEFORE the gates run: a commit landing between the gate
+    // and the listing must trigger the rebase re-gate on the first
+    // CAS attempt, not slip past it
     val gateVersion: Long = // metadata version the gates were run against
       fs.globStatus(new Path(mdir, "v*.metadata.json")).map(_.getPath.getName)
         .map(_.stripPrefix("v").stripSuffix(".metadata.json").toLong)
         .foldLeft(0L)(math.max)
+    checkGates()
     val now = System.currentTimeMillis()
 
     // ---- attempt-invariant staging (once): stage data through a

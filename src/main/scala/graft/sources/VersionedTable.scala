@@ -135,28 +135,11 @@ object VersionedTable {
     val cf = commitFile(table, v)
     val payload =
       (stageName + "\n" + tag.getOrElse("") + "\n" + external).getBytes("UTF-8")
-    val uri = cf.toUri
-    val created =
-      if (uri.getScheme == null || uri.getScheme == "file") {
-        // local fs: CREATE_NEW opens with O_EXCL — truly atomic
-        // (FileSystem.create(path, false) on LocalFileSystem is
-        // check-then-create, a TOCTOU window)
-        val local = if (uri.getScheme == "file") uri.getPath else cf.toString
-        try {
-          java.nio.file.Files.write(java.nio.file.Paths.get(local), payload,
-            java.nio.file.StandardOpenOption.CREATE_NEW)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else {
-        // HDFS-like: create(overwrite=false) is an atomic namenode op
-        try {
-          val out = f.create(cf, false)
-          try out.write(payload) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      }
+    // the SHARED exclusive-create primitive (AtomicCas: NIO O_EXCL on
+    // local filesystems — FileSystem.create(path, false) there is
+    // check-then-create, a TOCTOU window — namenode-atomic create on
+    // HDFS-likes); Delta and Iceberg commits use the same one
+    val created = AtomicCas.createExclusive(f, cf, payload)
     if (created) {
       // winner-only: clear any orphan dir squatting on the target
       // version (a legacy/garbage dir — this protocol itself never

@@ -45,21 +45,56 @@ class IcebergConcurrencySpec extends graft.SparkSpec {
     assert(IcebergTable.snapshotIds(spark, t).size === 6)
   }
 
-  test("MOR DELETE computed against a STALE snapshot rebases over a winner append") {
+  test("stale MOR DELETE vs winner append: serializable REFUSES, snapshot isolation rebases") {
     val t = tmp()
     IcebergTable.write(spark, Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
     val stale = IcebergTable.snapshot(spark, t) // the DML's read snapshot
     // winner lands between the DML's read and its commit
     IcebergTable.write(spark, Seq((9, "z")).toDF("id", "s"), t)
-    // position-delete row 0 of the (still live) seed file
     val victim = stale.files.head
-    val snapId = IcebergTable.commitMorSnapshot(spark, t, stale,
+    // DEFAULT isolation is serializable (Spark-Iceberg's
+    // write.delete.isolation-level): the winner's appended rows were
+    // never scanned by the predicate — refuse
+    val e = intercept[IcebergTable.CommitConflictException] {
+      IcebergTable.commitMorSnapshot(spark, t, stale,
+        rows = Seq((victim.path, 0L)), appendDf = None, operation = "delete")
+    }
+    assert(e.kind === "ConcurrentAppend")
+    // snapshot isolation opts into the rebase
+    IcebergTable.setProperties(spark, t,
+      Map("write.delete.isolation-level" -> "snapshot"))
+    val stale2 = IcebergTable.snapshot(spark, t)
+    IcebergTable.write(spark, Seq((10, "y")).toDF("id", "s"), t) // winner 2
+    val snapId = IcebergTable.commitMorSnapshot(spark, t, stale2,
       rows = Seq((victim.path, 0L)), appendDf = None, operation = "delete")
     assert(snapId > 0)
     val got = IcebergTable.read(spark, t).as[(Int, String)].collect().toSet
-    // the winner's row SURVIVES the rebased delete
-    assert(got.contains((9, "z")))
-    assert(got.size === 2) // 3 rows - 1 deleted
+    // both winners' rows SURVIVE the rebased delete
+    assert(got.contains((9, "z")) && got.contains((10, "y")))
+    assert(got.size === 3) // 4 rows - 1 deleted
+  }
+
+  test("COPY-ON-WRITE rebase refuses when a winner added NEW delete files (no resurrection)") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "a"), (2, "b")).toDF("id", "s"), t)
+    IcebergTable.setProperties(spark, t,
+      Map("write.delete.isolation-level" -> "snapshot"))
+    val stale = IcebergTable.snapshot(spark, t)
+    val victim = stale.files.head
+    // winner: a MOR DELETE lands a new delete file on the victim
+    IcebergTable.delete(spark, t, col("id") === 1)
+    // a COW rewrite staged from the stale snapshot would re-commit the
+    // deleted row at a sequence number the winner's delete cannot
+    // touch — refuse
+    val e = intercept[IcebergTable.CommitConflictException] {
+      IcebergTable.commitMorSnapshot(spark, t, stale, rows = Seq.empty,
+        appendDf = Some(Seq((1, "A")).toDF("id", "s")),
+        operation = "overwrite", removePaths = Set(victim.path))
+    }
+    assert(e.kind === "ConcurrentDeleteDelete")
+    // the winner's delete stands
+    assert(!IcebergTable.read(spark, t).as[(Int, String)]
+      .collect().toSet.contains((1, "a")))
   }
 
   test("full REPLACE (compaction) against a stale base REFUSES (ConcurrentWrite)") {

@@ -128,6 +128,18 @@ class LifecycleSqlSpec extends graft.SparkSpec {
       DeltaLog.write(spark, Seq((4, 7)).toDF("id", "score"), t,
         mergeSchema = true) // score int vs double
     }
+    // omitting a NOT NULL or GENERATED column refuses — its rows would
+    // silently read as null past the invariant
+    val t2 = tmp()
+    spark.sql(s"""CREATE TABLE '$t2' (
+      |  id INT, s STRING NOT NULL,
+      |  s2 STRING GENERATED ALWAYS AS (upper(s))
+      |) USING delta""".stripMargin).collect()
+    DeltaLog.write(spark, Seq((1, "a", "A")).toDF("id", "s", "s2"), t2)
+    intercept[IllegalArgumentException] {
+      DeltaLog.write(spark, Seq((2, 1.0)).toDF("id", "extra"), t2,
+        mergeSchema = true) // omits NOT NULL s
+    }
   }
 
   test("OPTIMIZE purges deletion vectors: rows drop physically, old versions still DV-served") {
