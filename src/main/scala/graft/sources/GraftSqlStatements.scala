@@ -934,12 +934,14 @@ case class GraftCallCommand(proc: String, rawArgs: String)
         IcebergTable.dropRef(spark, dir, str(1)).toString
       case "publish_wap" =>
         IcebergTable.publishWap(spark, dir, str(1)).toString
+      case "publish_branch" =>
+        IcebergTable.publishBranch(spark, dir, str(1)).toString
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft.system.$other (expire_snapshots, " +
           "rewrite_data_files, rewrite_position_delete_files, " +
           "rewrite_manifests, remove_orphan_files, rollback_to_snapshot, " +
           "rollback_to_timestamp, create_tag, create_branch, " +
-          "fast_forward, drop_ref, publish_wap)")
+          "fast_forward, drop_ref, publish_wap, publish_branch)")
     }
     Seq(Row(proc, res))
   }

@@ -2785,6 +2785,58 @@ object IcebergTable {
     }
   }
 
+  /** Fast-forward MAIN to a branch's head — the publish step of the
+    * branch-based workflow (Iceberg's `fast_forward(table, 'main',
+    * branch)`): legal only while main is an ANCESTOR of the branch
+    * head (walking `parent-snapshot-id` from the head reaches main's
+    * current snapshot), i.e. the branch strictly extends main. A main
+    * that advanced since the branch forked refuses — rebase the
+    * branch first. Pure pointer move; the branch ref keeps pointing
+    * at its head. */
+  def publishBranch(spark: SparkSession, tablePath: String,
+                    branch: String): Long =
+    casCommit(spark, tablePath) { (baseMeta, _) =>
+      val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+        s"not an Iceberg table: $tablePath"))
+      val head = Option(meta.get("refs")).flatMap(r => Option(r.get(branch)))
+        .map(_.get("snapshot-id").asLong())
+        .getOrElse(throw new IllegalArgumentException(
+          s"no branch '$branch' on $tablePath"))
+      val cur = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(-1L)
+      if (cur == head) return head // already published
+      val byId: Map[Long, JsonNode] = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(n => n.get("snapshot-id").asLong() -> n).toMap
+      // ancestry walk: head → parents must reach main's current
+      var at = head
+      var isAncestor = false
+      var hops = 0
+      while (!isAncestor && hops < byId.size + 1) {
+        val parent = byId.get(at)
+          .flatMap(n => Option(n.get("parent-snapshot-id")))
+          .filterNot(_.isNull).map(_.asLong())
+        parent match {
+          case Some(p) if p == cur => isAncestor = true
+          case Some(p) => at = p; hops += 1
+          case None => hops = byId.size + 1 // chain ended before main
+        }
+      }
+      if (!isAncestor) throw new CommitConflictException("ConcurrentWrite",
+        s"$tablePath: main (current $cur) is not an ancestor of branch " +
+          s"'$branch' (head $head) — main advanced since the fork; " +
+          "rebase the branch before publishing")
+      val now = System.currentTimeMillis()
+      meta.put("current-snapshot-id", head)
+      Option(meta.get("snapshot-log")).foreach { log =>
+        val lg = log.asInstanceOf[ArrayNode].addObject()
+        lg.put("snapshot-id", head)
+        lg.put("timestamp-ms", now)
+      }
+      meta.put("last-updated-ms", now)
+      (meta, head)
+    }
+
   /** WRITE-AUDIT-PUBLISH, step 2: promote the snapshot staged under
     * `wapId` (by a [[write]] with `spark.wap.id` set on a
     * `write.wap.enabled=true` table) to the table's CURRENT state —
@@ -4039,7 +4091,8 @@ object IcebergTable {
   def write(spark: SparkSession, df: DataFrame, tablePath: String,
             overwrite: Boolean = false,
             partitionBy: Seq[String] = Nil,
-            txn: Option[(String, Long)] = None): Long = {
+            txn: Option[(String, Long)] = None,
+            toBranch: Option[String] = None): Long = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(tablePath)
     val fs = dst.getFileSystem(fsConf)
@@ -4186,6 +4239,21 @@ object IcebergTable {
             "committed concurrently — the same idempotent writer raced itself")
       }
 
+      // BRANCH writes (spec §Refs): the append's base is the BRANCH
+      // head, not main — carried manifests, the parent pointer and the
+      // ref update all follow the branch; main's current-snapshot-id
+      // and snapshot-log stay untouched
+      val branchHead: Option[Long] = toBranch.map { b =>
+        val r = prior.flatMap(m => Option(m.get("refs")))
+          .flatMap(rs => Option(rs.get(b)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no branch '$b' on $tablePath — createBranch first"))
+        require(r.get("type").asText() == "branch",
+          s"ref '$b' on $tablePath is a ${r.get("type").asText()} — " +
+            "tags are immutable")
+        r.get("snapshot-id").asLong()
+      }
+
       // schema registry: reuse a SHAPE-equal prior schema's node+id
       // (names + types; nullability is a presentation detail the append
       // gate already ignores — an INSERT of non-null literals must
@@ -4302,9 +4370,11 @@ object IcebergTable {
       val listEntries =
         if (overwrite || prior.isEmpty) Seq(newManifest)
         else {
-          // append: prior snapshot's manifests carry over
-          val curId = prior.flatMap(m => Option(m.get("current-snapshot-id")))
-            .filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
+          // append: the BASE snapshot's manifests carry over (the
+          // branch head for branch writes, else main's current)
+          val curId = branchHead.getOrElse(
+            prior.flatMap(m => Option(m.get("current-snapshot-id")))
+              .filterNot(_.isNull).map(_.asLong()).getOrElse(-1L))
           val curSnap = priorSnaps.find(_.get("snapshot-id").asLong() == curId)
           val carried = curSnap.toSeq.flatMap { sn =>
             if (sn.has("manifest-list"))
@@ -4354,7 +4424,8 @@ object IcebergTable {
       val priorCur: Option[Long] = prior
         .flatMap(m => Option(m.get("current-snapshot-id")))
         .filterNot(_.isNull).map(_.asLong()).filter(_ != -1L)
-      priorCur.foreach(c => sn.put("parent-snapshot-id", c))
+      branchHead.orElse(priorCur)
+        .foreach(c => sn.put("parent-snapshot-id", c))
       val summ = sn.putObject("summary")
       summ.put("operation", if (overwrite) "overwrite" else "append")
       // WRITE-AUDIT-PUBLISH staging (the spec's wap.id convention): on
@@ -4363,7 +4434,7 @@ object IcebergTable {
       // id, but not current and not in the snapshot-log — until
       // [[publishWap]] fast-forwards the table to it
       val wapId: Option[String] =
-        if (overwrite) None
+        if (overwrite || toBranch.isDefined) None
         else Option(spark.conf.get("spark.wap.id", null)).filter { _ =>
           prior.exists(m => Option(m.get("properties")).exists(pr =>
             Option(pr.get("write.wap.enabled")).exists(_.asText() == "true")))
@@ -4380,7 +4451,7 @@ object IcebergTable {
       val logArr = M.createArrayNode()
       prior.foreach(m => Option(m.get("snapshot-log")).foreach(
         _.elements().asScala.foreach(logArr.add)))
-      if (wapId.isEmpty) {
+      if (wapId.isEmpty && toBranch.isEmpty) {
         val lg = logArr.addObject()
         lg.put("snapshot-id", snapId)
         lg.put("timestamp-ms", now)
@@ -4418,7 +4489,8 @@ object IcebergTable {
       so.put("order-id", 0)
       so.putArray("fields")
       root.put("current-snapshot-id",
-        if (wapId.isDefined) priorCur.getOrElse(-1L) else snapId)
+        if (wapId.isDefined || toBranch.isDefined) priorCur.getOrElse(-1L)
+        else snapId)
       root.set[JsonNode]("snapshots", snapsArr)
       root.set[JsonNode]("snapshot-log", logArr)
       root.putArray("metadata-log")
@@ -4428,9 +4500,16 @@ object IcebergTable {
         case Some(props) => root.set[JsonNode]("properties", props.deepCopy())
         case None => root.putObject("properties")
       }
-      // snapshot REFS (branches/tags) carry the same way
+      // snapshot REFS (branches/tags) carry the same way; a branch
+      // write ADVANCES its branch head to the new snapshot
       prior.flatMap(m => Option(m.get("refs"))).foreach(r =>
         root.set[JsonNode]("refs", r.deepCopy()))
+      toBranch.foreach { b =>
+        val refsNode = root.withObject("/refs")
+        val e = refsNode.putObject(b)
+        e.put("snapshot-id", snapId)
+        e.put("type", "branch")
+      }
       (root, snapId)
     }
   }

@@ -61,6 +61,60 @@ class IcebergRefsSpec extends graft.SparkSpec {
     assert(!IcebergTable.refs(spark, t).contains("release-1"))
   }
 
+  test("branch writes: commits land on the branch, main untouched, publish fast-forwards") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "main1")).toDF("id", "s"), t)
+    val fork = IcebergTable.snapshot(spark, t).snapshotId
+    IcebergTable.createBranch(spark, t, "dev", fork)
+    // two appends ON the branch
+    IcebergTable.write(spark, Seq((2, "dev1")).toDF("id", "s"), t,
+      toBranch = Some("dev"))
+    val head = IcebergTable.write(spark, Seq((3, "dev2")).toDF("id", "s"), t,
+      toBranch = Some("dev"))
+    // main reads are untouched
+    assert(IcebergTable.read(spark, t).as[(Int, String)].collect().toSet ===
+      Set((1, "main1")))
+    // the branch head accumulates BOTH branch commits
+    assert(IcebergTable.refSnapshotId(spark, t, "dev") === head)
+    val branchRows = IcebergTable.read(spark, t,
+      snapshotIdAsOf = Some(head)).as[(Int, String)].collect().toSet
+    assert(branchRows === Set((1, "main1"), (2, "dev1"), (3, "dev2")))
+    // SQL reads resolve the branch by name
+    spark.conf.set("spark.sql.catalog.graftbr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftbr.root",
+      new java.io.File(t).getParent)
+    assert(spark.sql("SELECT * FROM graftbr.t VERSION AS OF 'dev'")
+      .count() === 3L)
+    // publish: main fast-forwards to the branch head
+    val pub = spark.sql(s"CALL graft.system.publish_branch('$t', 'dev')")
+      .head.getString(1).toLong
+    assert(pub === head)
+    assert(IcebergTable.read(spark, t).count() === 3L)
+    // writing to a TAG refuses
+    IcebergTable.createTag(spark, t, "rel", head)
+    intercept[IllegalArgumentException] {
+      IcebergTable.write(spark, Seq((9, "x")).toDF("id", "s"), t,
+        toBranch = Some("rel"))
+    }
+  }
+
+  test("publish refuses when main diverged from the branch fork point") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1, "a")).toDF("id", "s"), t)
+    IcebergTable.createBranch(spark, t, "dev",
+      IcebergTable.snapshot(spark, t).snapshotId)
+    IcebergTable.write(spark, Seq((2, "dev")).toDF("id", "s"), t,
+      toBranch = Some("dev"))
+    IcebergTable.write(spark, Seq((3, "main")).toDF("id", "s"), t) // diverge
+    val e = intercept[IcebergTable.CommitConflictException] {
+      IcebergTable.publishBranch(spark, t, "dev")
+    }
+    assert(e.kind === "ConcurrentWrite")
+    // main keeps its own history
+    assert(IcebergTable.read(spark, t).as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (3, "main")))
+  }
+
   test("write-audit-publish: staged snapshot invisible until publish") {
     val t = tmp()
     IcebergTable.write(spark, Seq((1, "prod")).toDF("id", "s"), t)
