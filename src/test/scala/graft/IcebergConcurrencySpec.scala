@@ -143,6 +143,57 @@ class IcebergConcurrencySpec extends graft.SparkSpec {
     assert(e.kind === "ConcurrentDeleteDelete")
   }
 
+  test("threaded mixed appends + DML: every outcome is clean commit or clean refusal, never corruption") {
+    val t = tmp()
+    // seed rows live in their own id range; deletes target ONLY seed
+    // rows, appends mint unique positive ids — so the final row set is
+    // exactly determined by WHICH operations reported success
+    IcebergTable.write(spark,
+      (-20 to -1).map(i => (i, s"seed$i")).toDF("id", "s"), t)
+    val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val deleted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val jobs = (1 to 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            if (i % 2 == 0) {
+              IcebergTable.write(spark, Seq((i, s"w$i")).toDF("id", "s"), t)
+              appended.add(i)
+            } else {
+              val victim = -i // one seed row per deleting thread
+              try {
+                IcebergTable.delete(spark, t,
+                  org.apache.spark.sql.functions.col("id") === victim)
+                deleted.add(victim)
+              } catch {
+                // serializable isolation may refuse a racing append —
+                // a CLEAN refusal, never a torn commit
+                case _: IcebergTable.CommitConflictException => ()
+              }
+            }
+          }
+        })
+      }
+      start.countDown()
+      jobs.foreach(_.get(240, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    import scala.collection.JavaConverters._
+    // integrity: metadata parses, snapshot ids unique, reads serve the
+    // EXACT set implied by the successful operations
+    val ids = IcebergTable.snapshotIds(spark, t)
+    assert(ids.toSet.size === ids.size, "snapshot ids are unique")
+    val got = IcebergTable.read(spark, t).as[(Int, String)].collect()
+    assert(got.length === got.toSet.size, "no duplicated rows")
+    val expect = ((-20 to -1).toSet -- deleted.asScala) ++ appended.asScala
+    assert(got.map(_._1).toSet === expect,
+      s"successful ops: +${appended.asScala.toSeq.sorted} " +
+        s"-${deleted.asScala.toSeq.sorted}")
+    assert(appended.asScala.size === 4, "every append landed")
+  }
+
   test("table properties and refs SURVIVE appends (rebuilt root carries them)") {
     val t = tmp()
     IcebergTable.write(spark, Seq((1, "a")).toDF("id", "s"), t)
