@@ -10,7 +10,7 @@ import graft.operators.{Dedup, Flatten, Hierarchy}
 import graft.medallion.{Bronze, Gold, Silver}
 import graft.quality.QualityChecks
 import graft.text.{Relevance, TextFunctions}
-import graft.dedup.NearDup
+import graft.dedup.{NearDup, SubstringDedup}
 import graft.similarity.Similarity
 import graft.streaming.Streams
 
@@ -38,6 +38,28 @@ object SparkEntry {
     * changed). High-bit tag rather than negation so min(doc_id)
     * still selects the ORIGINAL as the canonical survivor. */
   private val SyntheticIdTag = 1L << 40 // 1099511627776
+
+  /** Corpus for the exact-substring dedup queries: documents plus
+    * planted FULL clones (every 10th doc, id | 2^40) and 20-token
+    * PREFIX clones (docs ≡3 mod 7 with ≥40 normalized tokens,
+    * id | 2^41) — full clones duplicate every window of the
+    * original, prefix clones duplicate exactly its first 13
+    * 8-token windows, so both total and partial span overlap are
+    * exercised and graded. Token counting uses the same
+    * whitespace-normalized split as [[SubstringDedup.tokens]] /
+    * the DuckDB oracle. */
+  private def substringCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val toks = SubstringDedup.tokens(col("text"))
+    val fullClones = docs
+      .where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + SyntheticIdTag).as("doc_id"), col("text"))
+    val prefixClones = docs
+      .where(col("doc_id") % 7 === 3 && size(toks) >= 40)
+      .select((col("doc_id") + 2L * SyntheticIdTag).as("doc_id"),
+        concat_ws(" ", slice(toks, 1, 20)).as("text"))
+    docs.unionAll(fullClones).unionAll(prefixClones)
+  }
 
   // ---- cross-engine-deterministic aggregation helpers ----
   private def sumD(c: Column): Column =
@@ -2787,6 +2809,25 @@ object SparkEntry {
         .where(abs(col("z")) > lit(2.5))
         .select(col("event_id"), col("event_type"), col("v"), col("z"))
         .orderBy("event_id")
+    }),
+
+    // EXACT SUBSTRING dedup (Lee et al. arXiv:2107.06499), k-token
+    // rolling-window formulation: a window is duplicated iff its
+    // XXH64 fingerprint occurs >1 time corpus-wide. The corpus is
+    // documents plus planted full clones (every 10th doc) and
+    // 20-token PREFIX clones (docs ≡3 mod 7 with ≥40 tokens) so
+    // partial-overlap spans are exercised, the dedup_exact_text way.
+    "dedup_substring_stats" -> ((s, d) => {
+      SubstringDedup.windowDupStats(substringCorpus(s, d), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
+    // the curation face of the same stats: survivors whose
+    // duplicated-window share is <= 20% (integer cross-multiply).
+    "dedup_substring_filter" -> ((s, d) => {
+      SubstringDedup.filterByDupMass(substringCorpus(s, d), "doc_id", "text",
+        k = 8, maxDupPct = 20)
+        .orderBy("doc_id")
     }),
 
     // order-invariant token-SET fingerprint dedup: md5 over the
@@ -5953,6 +5994,28 @@ object SparkEntry {
   private def sqlTokens(t: String): String =
     s"CASE WHEN length(trim($t)) = 0 THEN [] ELSE regexp_split_to_array(trim($t), '\\s+') END"
 
+  /** Shared CTE chain for the exact-substring dedup oracles: the
+    * planted-clone corpus (mirrors [[substringCorpus]]), 8-token
+    * rolling windows as gram STRINGS (the oracle keeps strings where
+    * the engine ships XXH64 fingerprints — a hash collision would
+    * surface as a gate mismatch), and corpus-wide occurrence counts. */
+  private lazy val substringGramsCte: String =
+    s"""WITH base AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 1099511627776 AS doc_id, text FROM documents
+       | WHERE doc_id % 10 = 0
+       | UNION ALL
+       | SELECT doc_id + 2199023255552 AS doc_id,
+       |  array_to_string((${sqlTokens("text")})[1:20], ' ') AS text
+       | FROM documents
+       | WHERE doc_id % 7 = 3 AND len(${sqlTokens("text")}) >= 40),
+       |toks AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM base),
+       |pos AS (SELECT doc_id, t, unnest(range(1, len(t)::BIGINT - 6)) AS i
+       |        FROM toks WHERE len(t) >= 8),
+       |grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM pos),
+       |occ AS (SELECT g, COUNT(*) AS occ FROM grams GROUP BY g)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -7492,6 +7555,23 @@ object SparkEntry {
          |FROM e JOIN m ON e.event_type = m.event_type
          |WHERE sd > 0 AND abs(${sqlRound("(v - mean)/sd", 4)}) > 2.5
          |ORDER BY event_id""".stripMargin,
+
+    "dedup_substring_stats" ->
+      s"""$substringGramsCte
+         |SELECT doc_id, COUNT(*) AS n_windows,
+         |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+         |FROM grams JOIN occ USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring_filter" ->
+      s"""$substringGramsCte,
+         |st AS (
+         | SELECT doc_id, COUNT(*) AS n_windows,
+         |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+         | FROM grams JOIN occ USING (g) GROUP BY doc_id)
+         |SELECT doc_id, n_windows, dup_windows FROM st
+         |WHERE dup_windows * 100 <= n_windows * 20
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_tokenset" ->
       s"""WITH f AS (SELECT doc_id,
