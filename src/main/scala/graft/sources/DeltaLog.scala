@@ -72,7 +72,11 @@ object DeltaLog {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
-        StructField("cardinality", LongType))))))),
+        StructField("cardinality", LongType)))),
+      // row tracking (PROTOCOL.md §Row Tracking): fresh row id of the
+      // row at position i in the file = baseRowId + i
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -80,6 +84,15 @@ object DeltaLog {
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))),
+    // PROTOCOL.md §Domain Metadata: system/tooling config scoped to a
+    // named domain; replay keeps the latest action per domain, a
+    // removed=true tombstone retires it. Clustered tables
+    // (`delta.clustering`) and row tracking (`delta.rowTracking`)
+    // ride on this action.
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType)))),
     // LAST on purpose: [[checkpoint]] builds its consolidated rows
     // positionally against this schema, and checkpoints never carry
     // cdc actions (they are per-commit, PROTOCOL.md CDF)
@@ -104,7 +117,9 @@ object DeltaLog {
                            partitionValues: Map[String, String],
                            size: Long, modificationTime: Long,
                            stats: Option[String] = None,
-                           dv: Option[DeletionVectors.Descriptor] = None)
+                           dv: Option[DeletionVectors.Descriptor] = None,
+                           baseRowId: Option[Long] = None,
+                           defaultRowCommitVersion: Option[Long] = None)
 
   /** A resolved table state at one version — the common abstraction
     * over real Delta tables ([[snapshot]]) and graft
@@ -121,7 +136,8 @@ object DeltaLog {
                             files: Seq[AddFile],
                             configuration: Map[String, String],
                             txns: Map[String, Long] = Map.empty,
-                            protocol: Protocol = (1, 2, Nil, Nil))
+                            protocol: Protocol = (1, 2, Nil, Nil),
+                            domains: Map[String, String] = Map.empty)
 
   private[sources] def logDir(tablePath: String) = new Path(tablePath, "_delta_log")
 
@@ -150,6 +166,32 @@ object DeltaLog {
       .map(st => (st.getPath.getName.stripSuffix(".json").toLong,
         st.getModificationTime))
       .sortBy(_._1)
+  }
+
+  /** Commit timestamps for `timestampAsOf` and DESCRIBE HISTORY:
+    * the commit's recorded `inCommitTimestamp` when present (ICT
+    * tables — PROTOCOL.md §In-Commit Timestamps), else the commit
+    * file's modification time — real Delta's resolution order.
+    * Mixed logs (ICT enabled mid-history, or later disabled) resolve
+    * each commit by its own evidence. One head-line read per commit,
+    * the DESCRIBE HISTORY I/O shape. */
+  private def commitTimes(spark: SparkSession,
+                          tablePath: String): Seq[(Long, Long)] = {
+    val fs = logDir(tablePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    versionTimes(spark, tablePath).map { case (v, mtime) =>
+      val ict = try {
+        val in = fs.open(new Path(logDir(tablePath), pad20(v) + ".json"))
+        val first = try {
+          new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        } finally in.close()
+        Option(first).flatMap(l => Option(M.readTree(l).get("commitInfo")))
+          .flatMap(ci => Option(ci.get("inCommitTimestamp")).map(_.asLong()))
+      } catch { case _: Exception => None }
+      (v, ict.getOrElse(mtime))
+    }
   }
 
   /** One discovered checkpoint: `format` ∈ classic | multipart |
@@ -211,13 +253,31 @@ object DeltaLog {
   private def checkpointActions(spark: SparkSession, tablePath: String,
                                 ref: CheckpointRef): DataFrame = {
     def norm(df: DataFrame): DataFrame = {
-      def colOrNull(n: String) =
-        if (df.columns.contains(n)) col(n)
-        else lit(null).cast(ActionSchema(n).dataType)
+      // checkpoints written by OTHER writers (or older graft) may
+      // lack whole action columns OR subfields inside one (an add
+      // struct without baseRowId, written before row tracking
+      // existed) — align every action struct to the full schema so
+      // replay's subfield selects never fail; absent subfields read
+      // null, exactly like from_json over the JSON tail
+      def colOrNull(n: String) = {
+        if (!df.columns.contains(n)) lit(null).cast(ActionSchema(n).dataType)
+        else {
+          val target = ActionSchema(n).dataType.asInstanceOf[StructType]
+          val actual = df.schema(n).dataType.asInstanceOf[StructType]
+          if (target.fieldNames.forall(actual.fieldNames.contains)) col(n)
+          else {
+            val parts = target.fields.map(f =>
+              (if (actual.fieldNames.contains(f.name)) col(s"$n.${f.name}")
+               else lit(null).cast(f.dataType)).as(f.name))
+            when(col(n).isNotNull, struct(parts.toSeq: _*))
+          }
+        }
+      }
       df.select(colOrNull("protocol").as("protocol"),
         colOrNull("metaData").as("metaData"),
         colOrNull("add").as("add"), colOrNull("remove").as("remove"),
         colOrNull("txn").as("txn"),
+        colOrNull("domainMetadata").as("domainMetadata"),
         lit(ref.version).as("__v"))
     }
     ref.format match {
@@ -286,7 +346,7 @@ object DeltaLog {
           s"version $x not in ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)}")
         x
       case (_, Some(ts)) =>
-        val ok = versionTimes(spark, tablePath).filter(_._2 <= ts)
+        val ok = commitTimes(spark, tablePath).filter(_._2 <= ts)
         require(ok.nonEmpty, s"no commit at or before timestamp $ts")
         ok.map(_._1).max
       case _ =>
@@ -377,6 +437,8 @@ object DeltaLog {
       col("add.modificationTime").as("mtime"),
       col("add.stats").as("stats"),
       col("add.deletionVector").as("dv"),
+      col("add.baseRowId").as("base_rid"),
+      col("add.defaultRowCommitVersion").as("dcv"),
       col("__v"))
       .filter(col("path").isNotNull)
     val live = fileActions
@@ -384,7 +446,8 @@ object DeltaLog {
         org.apache.spark.sql.expressions.Window.partitionBy("path")
           .orderBy(col("__v").desc, col("is_add").desc)))
       .filter(col("__rn") === 1 && col("is_add"))
-    val rows = live.select("path", "pv", "size", "mtime", "stats", "dv").collect()
+    val rows = live.select("path", "pv", "size", "mtime", "stats", "dv",
+      "base_rid", "dcv").collect()
     val files = rows.map { r =>
       val dv = Option(r.getAs[org.apache.spark.sql.Row]("dv")).map { d =>
         DeletionVectors.Descriptor(
@@ -402,7 +465,9 @@ object DeltaLog {
         Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
         Option(r.getAs[java.lang.Long]("mtime")).map(_.toLong).getOrElse(0L),
         Option(r.getAs[String]("stats")),
-        dv)
+        dv,
+        Option(r.getAs[java.lang.Long]("base_rid")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("dcv")).map(_.toLong))
     }.toSeq
     // txn replay: highest committed version per appId (the streaming
     // sink's exactly-once watermark — a replayed micro-batch with
@@ -411,7 +476,25 @@ object DeltaLog {
       .groupBy(col("txn.appId").as("appId"))
       .agg(max(col("txn.version")).as("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    Snapshot(tablePath, v, schema, partCols, files, conf, txns, tableProtocol)
+    // domain metadata replay: latest action per domain wins; a
+    // removed=true tombstone retires the domain. Domains are a
+    // handful of system entries (clustering, row tracking) — driver
+    // collect is bounded like txns.
+    val domains: Map[String, String] =
+      if (!actions.columns.contains("domainMetadata")) Map.empty
+      else actions.filter(col("domainMetadata").isNotNull)
+        .select(col("domainMetadata.domain").as("domain"),
+          col("domainMetadata.configuration").as("dconf"),
+          coalesce(col("domainMetadata.removed"), lit(false)).as("removed"),
+          col("__v"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("domain")
+            .orderBy(col("__v").desc)))
+        .filter(col("__rn") === 1 && !col("removed"))
+        .select("domain", "dconf")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    Snapshot(tablePath, v, schema, partCols, files, conf, txns, tableProtocol,
+      domains)
   }
 
   /** Read a snapshot as a DataFrame. Partition-column values live in
@@ -842,19 +925,24 @@ object DeltaLog {
     val fs = logDir(tablePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val M = new com.fasterxml.jackson.databind.ObjectMapper()
-    versionTimes(spark, tablePath).map { case (v, ts) =>
+    versionTimes(spark, tablePath).map { case (v, mtime) =>
       val p = new Path(logDir(tablePath), pad20(v) + ".json")
-      val op = try {
+      val (op, ts) = try {
         val in = fs.open(p)
         val first = try {
           val br = new java.io.BufferedReader(
             new java.io.InputStreamReader(in, "UTF-8"))
           br.readLine()
         } finally in.close()
-        Option(first).flatMap(l => Option(M.readTree(l).get("commitInfo")))
-          .flatMap(ci => Option(ci.get("operation")).map(_.asText()))
-          .getOrElse("")
-      } catch { case _: Exception => "" }
+        val ci = Option(first)
+          .flatMap(l => Option(M.readTree(l).get("commitInfo")))
+        (ci.flatMap(c => Option(c.get("operation")).map(_.asText()))
+          .getOrElse(""),
+          // ICT tables: the commit's own recorded timestamp is the
+          // authoritative one (file mtimes can be rewritten by copies)
+          ci.flatMap(c => Option(c.get("inCommitTimestamp"))
+            .map(_.asLong())).getOrElse(mtime))
+      } catch { case _: Exception => ("", mtime) }
       (v, ts, op)
     }.toDF("version", "timestamp_ms", "operation")
   }
@@ -1571,24 +1659,123 @@ object DeltaLog {
       spark.sparkContext.hadoopConfiguration)
     def parse(ls: Seq[String]) = ls.filter(_.trim.nonEmpty).map(M.readTree)
     val ours = parse(lines)
+    // ROW-TRACKING rebase state: a data writer's add lines carry
+    // baseRowId ranges + the watermark domain, both functions of the
+    // base the commit actually lands on — rewritten per attempt
+    var curLines: Seq[String] = lines
+    val oursRtWriter: Boolean = ours.exists(n =>
+      Option(n.get("add")).exists(_.has("baseRowId")))
     val ourRemoves: Set[String] = ours.flatMap(n => Option(n.get("remove")))
       .map(_.get("path").asText()).toSet
     val ourTxnApps: Set[String] = ours.flatMap(n => Option(n.get("txn")))
       .map(_.get("appId").asText()).toSet
-    // the advisory commitInfo action real Delta writers lead with —
-    // what DESCRIBE HISTORY and external tooling (delta-rs, the Java
-    // libraries) surface as the operation name; replay ignores it
-    val infoLine =
-      if (operation.isEmpty) None
-      else Some(s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":${jsEscape(operation)},"engineInfo":"graft"}}""")
-    val payload =
-      ((infoLine.toSeq ++ lines).mkString("\n") + "\n").getBytes("UTF-8")
+    val ourDomains: Set[String] = ours
+      .flatMap(n => Option(n.get("domainMetadata")))
+      .map(_.get("domain").asText()).toSet
+    // IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit Timestamps): when
+    // the table carries delta.enableInCommitTimestamps, every commit's
+    // commitInfo must record `inCommitTimestamp`, STRICTLY greater
+    // than the predecessor's — so the payload is a function of the
+    // attempted version (a rebase changes the predecessor) and is
+    // rebuilt per attempt. Detection: a metaData action in OUR lines
+    // is authoritative (it carries the full post-commit
+    // configuration); otherwise the predecessor's commitInfo having
+    // an ICT means the chain is live.
+    val oursIctMeta: Option[Boolean] = ours
+      .flatMap(n => Option(n.get("metaData"))).lastOption.map { md =>
+        Option(md.get("configuration"))
+          .flatMap(c => Option(c.get("delta.enableInCommitTimestamps")))
+          .exists(_.asText().trim.equalsIgnoreCase("true"))
+      }
+    // head-line commitInfo of a committed version; polls the brief
+    // create-to-write window of a racing winner (same treatment as
+    // the Iceberg side's readJson)
+    def headCommitInfo(pv: Long): Option[com.fasterxml.jackson.databind.JsonNode] = {
+      val p = new Path(logDir(deltaPath), pad20(pv) + ".json")
+      var tries = 0
+      while (true) {
+        val parsed =
+          try {
+            val in = fs.open(p)
+            val first = try {
+              val br = new java.io.BufferedReader(
+                new java.io.InputStreamReader(in, "UTF-8"))
+              br.readLine()
+            } finally in.close()
+            if (first == null) None
+            else Some(Option(M.readTree(first).get("commitInfo")))
+          } catch {
+            case _: java.io.FileNotFoundException => return None
+            case _: Exception => None // torn mid-write — poll
+          }
+        parsed match {
+          case Some(ci) => return ci
+          case None =>
+            tries += 1
+            if (tries > 50) return None
+            Thread.sleep(10)
+        }
+      }
+      None // unreachable
+    }
+    def prevIct(pv: Long): Option[Long] =
+      headCommitInfo(pv).flatMap(ci =>
+        Option(ci.get("inCommitTimestamp")).map(_.asLong()))
+    def infoJson(ts: Long, ict: Option[Long]): String = {
+      val ictField = ict.map(t => s""","inCommitTimestamp":$t""").getOrElse("")
+      s"""{"commitInfo":{"timestamp":$ts,"operation":${jsEscape(operation)},"engineInfo":"graft"$ictField}}"""
+    }
+    // enablement bookkeeping the spec mandates when ICT turns on
+    // after table creation: record the version+timestamp it became
+    // live at, in the SAME metaData the enablement commits
+    def injectEnablement(line: String, v: Long, ict: Long): String = {
+      val node = M.readTree(line)
+      val md = node.get("metaData")
+      val cfg = if (md == null) null else md.get("configuration")
+      if (cfg == null || !cfg.isObject) line
+      else {
+        val obj = cfg.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        obj.put("delta.inCommitTimestampEnablementVersion", v.toString)
+        obj.put("delta.inCommitTimestampEnablementTimestamp", ict.toString)
+        M.writeValueAsString(node)
+      }
+    }
+    def payloadFor(v: Long): Array[Byte] = {
+      val prevVOpt = if (v == 0) None else Some(v - 1)
+      val prevI = prevVOpt.flatMap(prevIct)
+      val enabled = oursIctMeta.getOrElse(prevI.isDefined)
+      val out: Seq[String] =
+        if (!enabled) {
+          val infoLine =
+            if (operation.isEmpty) None
+            else Some(infoJson(System.currentTimeMillis(), None))
+          infoLine.toSeq ++ curLines
+        } else {
+          // floor: predecessor ICT + 1, or (fresh enablement over a
+          // non-ICT history) strictly after its file timestamp
+          val floor = prevVOpt.map { pv =>
+            prevI.map(_ + 1L).getOrElse(
+              // predecessor JSON may be metadata-cleaned away — the
+              // wall clock is then the only floor
+              try fs.getFileStatus(new Path(logDir(deltaPath),
+                pad20(pv) + ".json")).getModificationTime + 1L
+              catch { case _: java.io.FileNotFoundException => 0L })
+          }.getOrElse(0L)
+          val ict = math.max(System.currentTimeMillis(), floor)
+          val adj =
+            if (oursIctMeta.contains(true) && prevI.isEmpty && v > 0)
+              curLines.map(l => injectEnablement(l, v, ict))
+            else curLines
+          infoJson(ict, Some(ict)) +: adj
+        }
+      (out.mkString("\n") + "\n").getBytes("UTF-8")
+    }
 
     var v = firstVersion
     var attempts = 0
     while (true) {
       val commit = new Path(logDir(deltaPath), pad20(v) + ".json")
-      val created = AtomicCas.createExclusive(fs, commit, payload)
+      val created = AtomicCas.createExclusive(fs, commit, payloadFor(v))
       if (created) return v
       attempts += 1
       if (attempts > maxRetries) throw new CommitConflictException(
@@ -1598,6 +1785,7 @@ object DeltaLog {
       // the current head — each must be disjoint from ours for the
       // rebase to be sound
       val latest = listVersions(spark, deltaPath).last
+      var winnerRtHwm: Option[Long] = None
       (v to latest).foreach { w =>
         val p = new Path(logDir(deltaPath), pad20(w) + ".json")
         val in = fs.open(p)
@@ -1634,8 +1822,61 @@ object DeltaLog {
           "ConcurrentTransaction",
           s"$deltaPath: commit $w carries txn appId ${sameApp.head} — the " +
             "same idempotent writer raced itself")
+        // domain metadata: last-writer-wins per domain, so a rebase
+        // over a winner that touched the SAME domain would silently
+        // clobber its state — refuse; different domains are disjoint.
+        // EXCEPTION: the row-id high watermark — two data writers
+        // both advance delta.rowTracking, and the loser RE-ASSIGNS
+        // its ranges above the winner's watermark instead of failing
+        // (real Delta's row-id reconciliation; recorded here, applied
+        // after the winner scan)
+        val wDomainNodes = ws.flatMap(n => Option(n.get("domainMetadata")))
+        val wDomains = wDomainNodes.map(_.get("domain").asText()).toSet
+        if (oursRtWriter && wDomains.contains(RowTrackingDomain)) {
+          wDomainNodes.filter(_.get("domain").asText() == RowTrackingDomain)
+            .foreach { d =>
+              val hwm = M.readTree(d.get("configuration").asText())
+                .get("rowIdHighWaterMark").asLong()
+              winnerRtHwm = Some(math.max(winnerRtHwm.getOrElse(-1L), hwm))
+            }
+        }
+        val sameDomain = ourDomains.intersect(wDomains) --
+          (if (oursRtWriter) Set(RowTrackingDomain) else Set.empty[String])
+        if (sameDomain.nonEmpty) throw new CommitConflictException(
+          "ConcurrentDomainMetadata",
+          s"$deltaPath: commit $w also set domain metadata for " +
+            s"'${sameDomain.head}'")
       }
       v = latest + 1
+      // row-tracking rebase: restamp defaultRowCommitVersion at the
+      // new landing version, and shift our baseRowId ranges (and our
+      // watermark domain) past a concurrent winner's watermark
+      if (oursRtWriter) {
+        val parsed = curLines.map(M.readTree)
+        val ourMinBase = parsed.flatMap(n => Option(n.get("add")))
+          .filter(_.has("baseRowId")).map(_.get("baseRowId").asLong()).min
+        val shift = winnerRtHwm.map(h => math.max(0L, h + 1 - ourMinBase))
+          .getOrElse(0L)
+        curLines = curLines.map { l =>
+          val n = M.readTree(l)
+          val add = n.get("add")
+          val dm = n.get("domainMetadata")
+          if (add != null && add.has("baseRowId")) {
+            val a = add.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            a.put("baseRowId", a.get("baseRowId").asLong() + shift)
+            a.put("defaultRowCommitVersion", v)
+            M.writeValueAsString(n)
+          } else if (shift != 0L && dm != null &&
+            dm.get("domain").asText() == RowTrackingDomain) {
+            val d = dm.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            val hwm = M.readTree(d.get("configuration").asText())
+              .get("rowIdHighWaterMark").asLong()
+            d.put("configuration",
+              s"""{"rowIdHighWaterMark":${hwm + shift}}""")
+            M.writeValueAsString(n)
+          } else l
+        }
+      }
     }
     -1L // unreachable
   }
@@ -1709,11 +1950,17 @@ object DeltaLog {
     lines += protoLine
     lines += metaDataLine(tableId, src.schema.json, src.partitionColumns,
       now, src.configuration + ("graft.cloneOf" -> srcPath))
+    // live domains travel with the clone: the row-id high watermark
+    // (adopted files carry their baseRowIds) and clustering columns
+    // are table state, not location state
+    src.domains.toSeq.sortBy(_._1).foreach { case (d, c) =>
+      lines += domainMetadataLine(d, c, removed = false)
+    }
     src.files.foreach { f =>
       val abs = encodePath(deScheme(
         fs.makeQualified(new Path(f.path)).toString))
       val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
-      lines += s"""{"add":{"path":${jsEscape(abs)},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true$statsPart}}"""
+      lines += s"""{"add":{"path":${jsEscape(abs)},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true$statsPart${rtCarry(f)}}}"""
     }
     commitCas(spark, dstPath, 0L, lines.toSeq, ReadTable,
       operation = "CLONE")
@@ -2087,9 +2334,33 @@ object DeltaLog {
         lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
       }
     }
-    adopted.foreach { case (rel, pv, sz, st) =>
+    // ROW TRACKING: every add on a row-tracked table carries a fresh
+    // contiguous baseRowId range from the high watermark, plus the
+    // advanced watermark domain. The attempted version stamps
+    // defaultRowCommitVersion; commitCas re-stamps it (and shifts the
+    // ranges past a concurrent winner's watermark) on rebase.
+    val rtEnabled = prior.exists(p => rowTrackingEnabled(p.configuration))
+    val rtBases: Seq[Option[Long]] =
+      if (!rtEnabled) adopted.map(_ => None)
+      else {
+        var nextId = rowIdHighWaterMark(prior.get) + 1
+        adopted.map { case (_, _, _, st) =>
+          val n = numRecordsOf(st).getOrElse(throw new IllegalStateException(
+            "row tracking needs numRecords stats on staged files"))
+          val b = nextId; nextId += n; Some(b)
+        }
+      }
+    adopted.zip(rtBases).foreach { case ((rel, pv, sz, st), base) =>
       val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
-      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
+      val rtPart = base.map(b =>
+        s""","baseRowId":$b,"defaultRowCommitVersion":$v""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart$rtPart}}"""
+    }
+    if (rtEnabled && adopted.nonEmpty) {
+      val hwmNew = rtBases.last.get +
+        numRecordsOf(adopted.last._4).getOrElse(0L) - 1L
+      lines += domainMetadataLine(RowTrackingDomain,
+        s"""{"rowIdHighWaterMark":$hwmNew}""", removed = false)
     }
     // the txn action (appId, version) is the public Delta idempotence
     // marker: a streaming sink stamps (queryId, batchId) and skips any
@@ -2146,7 +2417,11 @@ object DeltaLog {
                checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     val snap = snapshot(spark, deltaPath)
     requireNotColumnMapped(snap, "OPTIMIZE")
-    zorderBy.foreach { c =>
+    // a CLUSTERED table's declared columns apply when the caller
+    // didn't name any — the liquid shape: OPTIMIZE maintains the
+    // declared layout without per-job column lists
+    val zBy = if (zorderBy.nonEmpty) zorderBy else clusteringColumns(snap)
+    zBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"unknown Z-ORDER column $c")
       require(!snap.partitionColumns.contains(c),
         s"Z-ORDER column $c is a partition column — already file-separated")
@@ -2164,7 +2439,7 @@ object DeltaLog {
     // time travel keeps serving older versions through their DVs
     def hasDv(f: AddFile): Boolean = f.dv.exists(_.cardinality > 0L)
     val rewrite = groups.filter { case (_, fls) =>
-      fls.size > 1 || zorderBy.nonEmpty || fls.exists(hasDv) }
+      fls.size > 1 || zBy.nonEmpty || fls.exists(hasDv) }
     if (rewrite.isEmpty) return snap.version
     val v = listVersions(spark, deltaPath).last + 1
     val now = System.currentTimeMillis()
@@ -2172,16 +2447,44 @@ object DeltaLog {
     val root = deScheme(fs.makeQualified(dst).toString)
 
     val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long, Option[String])]()
+    // ROW TRACKING preservation: compaction MATERIALIZES each row's
+    // current row id / commit version into the physical columns named
+    // by table configuration — rewritten rows keep their identity
+    // (the spec's preserved row tracking; reads coalesce materialized
+    // over baseRowId+index). The new files still get fresh baseRowIds
+    // below, as every add must.
+    val rtEnabled = rowTrackingEnabled(snap.configuration)
     rewrite.zipWithIndex.foreach { case ((pv, fls), gi) =>
       // existing deletion vectors APPLY during compaction — reading
       // raw parquet here would resurrect logically-deleted rows in
       // the rewritten files (and dataChange=false would hide it from
       // the change feed); the compacted files carry no DV
-      val df = scanLive(spark, deltaPath, dataSchema, fls).drop("__path")
+      val df =
+        if (!rtEnabled) scanLive(spark, deltaPath, dataSchema, fls).drop("__path")
+        else {
+          import spark.implicits._
+          val matId = snap.configuration.getOrElse(MatRowIdColKey,
+            "_row-id-col-default")
+          val matVer = snap.configuration.getOrElse(MatRowVerColKey,
+            "_row-commit-version-col-default")
+          val ext = StructType(dataSchema.fields ++ Seq(
+            StructField(matId, LongType), StructField(matVer, LongType)))
+          val baseDf = broadcast(fls.map(f =>
+            (fileKeyOf(f.path),
+              f.baseRowId.getOrElse(throw new IllegalStateException(
+                s"row-tracked file without baseRowId: ${f.path}")),
+              f.defaultRowCommitVersion.getOrElse(0L)))
+            .toDF("__path", "__base", "__dcv"))
+          scanLive(spark, deltaPath, ext, fls, keepRowIndex = true)
+            .join(baseDf, Seq("__path"))
+            .withColumn(matId, coalesce(col(matId), col("__base") + col("__ri")))
+            .withColumn(matVer, coalesce(col(matVer), col("__dcv")))
+            .drop("__path", "__ri", "__base", "__dcv")
+        }
       val nFiles = math.max(1L,
         (fls.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
       val out =
-        if (zorderBy.nonEmpty) Layout.zorderBy(df, nFiles, zorderBy)
+        if (zBy.nonEmpty) Layout.zorderBy(df, nFiles, zBy)
         else df.coalesce(nFiles)
       val uniq = java.util.UUID.randomUUID().toString.take(8)
       val tmp = new Path(dst, s".tmp-opt-$v-$gi-${java.util.UUID.randomUUID()}")
@@ -2215,9 +2518,27 @@ object DeltaLog {
         lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     }
-    adds.foreach { case (rel, pv, sz, st) =>
+    val rtOptBases: Seq[Option[Long]] =
+      if (!rtEnabled) adds.toSeq.map(_ => None)
+      else {
+        var nextId = rowIdHighWaterMark(snap) + 1
+        adds.toSeq.map { case (_, _, _, st) =>
+          val n = numRecordsOf(st).getOrElse(throw new IllegalStateException(
+            "row tracking needs numRecords stats on compacted files"))
+          val b = nextId; nextId += n; Some(b)
+        }
+      }
+    adds.toSeq.zip(rtOptBases).foreach { case ((rel, pv, sz, st), base) =>
       val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
-      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":false$statsPart}}"""
+      val rtPart = base.map(b =>
+        s""","baseRowId":$b,"defaultRowCommitVersion":$v""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":false$statsPart$rtPart}}"""
+    }
+    if (rtEnabled && adds.nonEmpty) {
+      val hwmNew = rtOptBases.last.get +
+        numRecordsOf(adds.last._4).getOrElse(0L) - 1L
+      lines += domainMetadataLine(RowTrackingDomain,
+        s"""{"rowIdHighWaterMark":$hwmNew}""", removed = false)
     }
     // compaction read exactly the files it removes — a concurrent
     // APPEND is disjoint, the commit rebases past it; a winner
@@ -2417,7 +2738,7 @@ object DeltaLog {
         s""","deletionVector":{"storageType":${jsEscape(d.storageType)},"pathOrInlineDv":${jsEscape(d.pathOrInlineDv)}$offsetPart,"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
       }.getOrElse("")
       val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
-      lines += s"""{"add":{"path":${jsEscape(relOf(f.path))},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true$dvPart$statsPart}}"""
+      lines += s"""{"add":{"path":${jsEscape(relOf(f.path))},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true$dvPart$statsPart${rtCarry(f)}}}"""
     }
     if (lines.isEmpty) return cur.version // same file set + metadata
     val v = cur.version + 1
@@ -2590,12 +2911,14 @@ object DeltaLog {
       val dvJson = s""""deletionVector":{"storageType":${jsEscape(desc.storageType)},"pathOrInlineDv":${jsEscape(desc.pathOrInlineDv)},"offset":${desc.offset.getOrElse(1)},"sizeInBytes":${desc.sizeInBytes},"cardinality":${desc.cardinality}}"""
       val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
       lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
-      lines += s"""{"add":{"path":${jsEscape(rel)},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true,$dvJson$statsPart}}"""
+      lines += s"""{"add":{"path":${jsEscape(rel)},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":$now,"dataChange":true,$dvJson$statsPart${rtCarry(f)}}}"""
     }
-    appendAdds.foreach { case (rel, pv, sz, st) =>
+    val (rtParts, rtDomain) = rtFresh(snap, appendAdds.map(_._4), v)
+    appendAdds.zip(rtParts).foreach { case ((rel, pv, sz, st), rtPart) =>
       val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
-      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart$rtPart}}"""
     }
+    lines ++= rtDomain
     lines ++= cdcLinesOut
     val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
       operation = if (makeAppend.isDefined) "UPDATE" else "DELETE")
@@ -2864,10 +3187,12 @@ object DeltaLog {
         .stripPrefix(root + "/"))
       lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
-    adds.foreach { case (rel, pv, sz, st) =>
+    val (rtParts, rtDomain) = rtFresh(snap, adds.toSeq.map(_._4), v)
+    adds.toSeq.zip(rtParts).foreach { case ((rel, pv, sz, st), rtPart) =>
       val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
-      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart$rtPart}}"""
     }
+    lines ++= rtDomain
     lines ++= cdcLinesOut
     val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
       operation = "MERGE")
@@ -3131,10 +3456,12 @@ object DeltaLog {
         .stripPrefix(root + "/"))
       lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
-    adds.foreach { case (rel, pv, sz, st) =>
+    val (rtParts, rtDomain) = rtFresh(snap, adds.toSeq.map(_._4), v)
+    adds.toSeq.zip(rtParts).foreach { case ((rel, pv, sz, st), rtPart) =>
       val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
-      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart$rtPart}}"""
     }
+    lines ++= rtDomain
     lines ++= cdcLinesOut
     affected.unpersist(); bsAffected.foreach(_.unpersist()); src.unpersist()
     val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
@@ -3265,10 +3592,12 @@ object DeltaLog {
         .stripPrefix(root + "/"))
       lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
-    adds.foreach { case (rel, pv, sz, st) =>
+    val (rtParts, rtDomain) = rtFresh(snap, adds.toSeq.map(_._4), v)
+    adds.toSeq.zip(rtParts).foreach { case ((rel, pv, sz, st), rtPart) =>
       val statsPart = st.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
-      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart}}"""
+      lines += s"""{"add":{"path":${jsEscape(encodePath(rel))},"partitionValues":${pvJson(pv)},"size":$sz,"modificationTime":$now,"dataChange":true$statsPart$rtPart}}"""
     }
+    lines ++= rtDomain
     if (wantCdc && cdcFrames.nonEmpty)
       lines ++= stageCdcLines(spark, deltaPath, snap,
         cdcFrames.reduce(_.unionByName(_)), v)
@@ -3394,6 +3723,16 @@ object DeltaLog {
     // Delta: mode=name assigns ids + physical names + the protocol
     // bump in one commit; id mode stays read-only (graft writes no
     // field-id parquet on the Delta path yet); downgrades refuse
+    // ROW TRACKING enablement backfills baseRowIds for every live
+    // file — its own commit shape ([[enableRowTracking]])
+    props.get("delta.enableRowTracking").foreach { flag =>
+      if (flag.trim.equalsIgnoreCase("true")) {
+        require(props.size == 1,
+          "set delta.enableRowTracking in its own ALTER — enablement " +
+            "re-adds every live file with its assigned baseRowId")
+        return enableRowTracking(spark, deltaPath)
+      }
+    }
     props.get("delta.columnMapping.mode").foreach { mode =>
       require(props.size == 1,
         "set delta.columnMapping.mode in its own ALTER — the upgrade " +
@@ -3449,9 +3788,17 @@ object DeltaLog {
     require(!(enablingCdf && enablingV2Cp),
       "enable delta.enableChangeDataFeed and delta.checkpointPolicy in " +
         "separate ALTERs — each carries its own protocol upgrade")
+    // enabling in-commit timestamps carries the writer feature; the
+    // enablement version/timestamp properties are stamped by
+    // [[commitCas]] at the version the commit actually lands at
+    val enablingIct = props.get("delta.enableInCommitTimestamps")
+      .exists(_.trim.equalsIgnoreCase("true")) &&
+      !prior.configuration.get("delta.enableInCommitTimestamps")
+        .exists(_.trim.equalsIgnoreCase("true"))
     val v = commitConfigChange(spark, deltaPath, prior, newConf,
       featureUpgrade = if (enablingCdf) Some((4, "changeDataFeed")) else None,
-      readerWriterFeature = if (enablingV2Cp) Some("v2Checkpoint") else None)
+      readerWriterFeature = if (enablingV2Cp) Some("v2Checkpoint") else None,
+      writerOnlyFeature = if (enablingIct) Some("inCommitTimestamp") else None)
     // enabling UniForm publishes the initial mirror right away
     maybeUniform(spark, deltaPath, newConf)
     v
@@ -3465,6 +3812,312 @@ object DeltaLog {
     val prior = snapshot(spark, deltaPath)
     commitConfigChange(spark, deltaPath, prior,
       prior.configuration -- keys, featureUpgrade = None)
+  }
+
+  // ---------------- domain metadata (PROTOCOL.md §Domain Metadata) --
+
+  private[sources] def domainMetadataLine(domain: String, conf: String,
+                                          removed: Boolean): String =
+    s"""{"domainMetadata":{"domain":${jsEscape(domain)},"configuration":${jsEscape(conf)},"removed":$removed}}"""
+
+  /** Protocol line upgrading to the WRITER-ONLY table features
+    * `features`, or None when the table already declares them all.
+    * Forces minWriterVersion 7 (enumerating legacy-implied writer
+    * features so external writers keep honoring them); the reader
+    * version and reader features are untouched — writer features
+    * never gate reads. */
+  private def writerFeatureLine(protocol: Protocol,
+                                features: Seq[String]): Option[String] = {
+    val (mrv, mwv, rf, wf) = protocol
+    if (mwv >= 7 && features.forall(wf.contains)) None
+    else {
+      val (_, legacyWf) = legacyImpliedFeatures(mrv, mwv)
+      val wfOut = (wf ++ legacyWf ++ features).distinct.sorted
+      val rfJson =
+        if (mrv >= 3) s""","readerFeatures":${rf.map(jsEscape).mkString("[", ",", "]")}"""
+        else ""
+      Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7$rfJson,"writerFeatures":${wfOut.map(jsEscape).mkString("[", ",", "]")}}}""")
+    }
+  }
+
+  /** Commit a `domainMetadata` action setting `configuration` (a
+    * JSON string by convention) for `domain`, upgrading the protocol
+    * to the `domainMetadata` writer feature when needed. Replay keeps
+    * the latest action per domain ([[Snapshot.domains]]); concurrent
+    * writers touching the SAME domain conflict in [[commitCas]]
+    * (different domains rebase freely). System domains the engine
+    * owns (`delta.clustering`, `delta.rowTracking`) go through their
+    * dedicated DDL — guard against silent foot-guns. */
+  def setDomainMetadata(spark: SparkSession, deltaPath: String,
+                        domain: String, configuration: String): Long = {
+    require(domain.nonEmpty, "empty domain name")
+    require(!domain.startsWith("delta."),
+      s"domain '$domain' is system-owned — delta.* domains are " +
+        "maintained by their owning DDL (CLUSTER BY, row tracking)")
+    val prior = snapshot(spark, deltaPath)
+    val lines = writerFeatureLine(prior.protocol, Seq("domainMetadata")).toSeq :+
+      domainMetadataLine(domain, configuration, removed = false)
+    val v = commitCas(spark, deltaPath,
+      listVersions(spark, deltaPath).last + 1, lines,
+      scope = BlindAppend, operation = "SET DOMAIN METADATA")
+    maybeCheckpoint(spark, deltaPath, v, DefaultCheckpointInterval,
+      prior.configuration)
+    v
+  }
+
+  // ---------------- clustered tables (CLUSTER BY) ----------------
+
+  /** The system domain real clustered Delta tables record their
+    * clustering columns under. */
+  val ClusteringDomain = "delta.clustering"
+
+  /** The table's declared clustering columns (empty when not a
+    * clustered table). Parsed from the `delta.clustering` domain's
+    * `{"clusteringColumns":[["c1"],["c2"]]}` shape (arrays of name
+    * parts — nested paths join with '.'). */
+  def clusteringColumns(snap: Snapshot): Seq[String] =
+    snap.domains.get(ClusteringDomain).toSeq.flatMap { cfg =>
+      val M = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = Option(M.readTree(cfg).get("clusteringColumns"))
+      import scala.jdk.CollectionConverters._
+      node.toSeq.flatMap(_.elements().asScala.map(col =>
+        col.elements().asScala.map(_.asText()).mkString(".")))
+    }
+
+  /** `ALTER TABLE … CLUSTER BY (c1, c2)` — declare (or change) the
+    * table's clustering columns; `CLUSTER BY NONE` = empty `cols`.
+    * The liquid-clustering shape: clustering is DECLARATIVE metadata
+    * (the `delta.clustering` domain + the `clustering` and
+    * `domainMetadata` writer features), and [[optimize]] applies it —
+    * an OPTIMIZE with no explicit zorderBy Z-clusters on the declared
+    * columns, so layout maintenance needs no per-job column lists.
+    * Clustered tables are unpartitioned by definition (clustering
+    * replaces hive partitioning as the layout strategy). */
+  def setClusterBy(spark: SparkSession, deltaPath: String,
+                   cols: Seq[String]): Long = {
+    val prior = snapshot(spark, deltaPath)
+    if (cols.isEmpty) {
+      // CLUSTER BY NONE on a non-clustered table is a no-op
+      if (!prior.domains.contains(ClusteringDomain))
+        return listVersions(spark, deltaPath).last
+      return commitCas(spark, deltaPath,
+        listVersions(spark, deltaPath).last + 1,
+        Seq(domainMetadataLine(ClusteringDomain, "", removed = true)),
+        scope = BlindAppend, operation = "CLUSTER BY NONE")
+    }
+    require(cols.size <= 4,
+      s"at most 4 clustering columns (got ${cols.size}) — past that, " +
+        "Z-interleaving dilutes per-column locality until no column prunes")
+    cols.foreach { c =>
+      require(prior.schema.fieldNames.contains(c),
+        s"unknown clustering column $c")
+      require(!prior.partitionColumns.contains(c),
+        s"clustering column $c is a partition column")
+    }
+    require(prior.partitionColumns.isEmpty,
+      s"cannot CLUSTER BY a hive-partitioned table ($deltaPath) — " +
+        "clustering replaces directory partitioning as the layout strategy")
+    val cfg = cols.map(c => s"[${jsEscape(c)}]")
+      .mkString("""{"clusteringColumns":[""", ",", "]}")
+    val lines = writerFeatureLine(prior.protocol,
+      Seq("domainMetadata", "clustering")).toSeq :+
+      domainMetadataLine(ClusteringDomain, cfg, removed = false)
+    val v = commitCas(spark, deltaPath,
+      listVersions(spark, deltaPath).last + 1, lines,
+      scope = BlindAppend, operation = "CLUSTER BY")
+    maybeCheckpoint(spark, deltaPath, v, DefaultCheckpointInterval,
+      prior.configuration)
+    v
+  }
+
+  // ---------------- row tracking (PROTOCOL.md §Row Tracking) -------
+
+  /** System domain carrying `{"rowIdHighWaterMark": N}`. */
+  val RowTrackingDomain = "delta.rowTracking"
+  private[sources] val MatRowIdColKey =
+    "delta.rowTracking.materializedRowIdColumnName"
+  private[sources] val MatRowVerColKey =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  private[sources] def rowTrackingEnabled(conf: Map[String, String]): Boolean =
+    conf.get("delta.enableRowTracking").exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Highest row id ever assigned on the table (-1 before any). */
+  def rowIdHighWaterMark(snap: Snapshot): Long =
+    snap.domains.get(RowTrackingDomain).map { cfg =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(cfg).get("rowIdHighWaterMark").asLong()
+    }.getOrElse(-1L)
+
+  private def numRecordsOf(stats: Option[String]): Option[Long] =
+    stats.flatMap { j =>
+      try Option(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(j).get("numRecords")).map(_.asLong())
+      catch { case _: Exception => None }
+    }
+
+  /** `,baseRowId:…,defaultRowCommitVersion:…` carried VERBATIM from an
+    * existing [[AddFile]] — for re-adds whose rows did not move (DV
+    * commits, restores, clones): their ids must not move either. */
+  private def rtCarry(f: AddFile): String =
+    f.baseRowId.map(b =>
+      s""","baseRowId":$b,"defaultRowCommitVersion":${f.defaultRowCommitVersion.getOrElse(0L)}""")
+      .getOrElse("")
+
+  /** Fresh contiguous row-id suffixes for a batch of new files (one
+    * per stats entry, sized by its numRecords), plus the advanced
+    * high-watermark domain line. `("", …, None)` when the table is
+    * not row-tracked — callers splice unconditionally. */
+  private def rtFresh(snap: Snapshot, statsList: Seq[Option[String]],
+                      v: Long): (Seq[String], Option[String]) =
+    if (!rowTrackingEnabled(snap.configuration) || statsList.isEmpty)
+      (statsList.map(_ => ""), None)
+    else {
+      var next = rowIdHighWaterMark(snap) + 1
+      val parts = statsList.map { st =>
+        val n = numRecordsOf(st).getOrElse(throw new IllegalStateException(
+          "row tracking needs numRecords stats on rewritten files"))
+        val p = s""","baseRowId":$next,"defaultRowCommitVersion":$v"""
+        next += n; p
+      }
+      (parts, Some(domainMetadataLine(RowTrackingDomain,
+        s"""{"rowIdHighWaterMark":${next - 1}}""", removed = false)))
+    }
+
+  /** Enable ROW TRACKING on an existing table — one commit carrying:
+    * the `rowTracking` + `domainMetadata` writer features, the
+    * property + the materialized-column names in metaData, a RE-ADD
+    * of every live file with its assigned `baseRowId` and
+    * `defaultRowCommitVersion` (dataChange=false — the backfill real
+    * Delta performs at enablement), and the row-id high watermark
+    * domain. From this commit on every writer assigns fresh row ids;
+    * [[readWithRowIds]] serves them. Scope is ReadTable: the backfill
+    * enumerated the file list, so a concurrent append must refuse
+    * (its files would silently miss baseRowIds). */
+  def enableRowTracking(spark: SparkSession, deltaPath: String): Long = {
+    val prior = snapshot(spark, deltaPath)
+    if (rowTrackingEnabled(prior.configuration))
+      return listVersions(spark, deltaPath).last
+    requireNotColumnMapped(prior, "row tracking enablement")
+    val counts: Seq[(AddFile, Long)] = prior.files.map { f =>
+      val n = numRecordsOf(f.stats).getOrElse(throw new IllegalStateException(
+        s"row tracking needs per-file numRecords stats; ${f.path} has none"))
+      (f, n)
+    }
+    val fs = new Path(deltaPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    val root = deScheme(fs.makeQualified(new Path(deltaPath)).toString)
+    val now = System.currentTimeMillis()
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      deltaPath.getBytes("UTF-8")).toString
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val newConf = prior.configuration +
+      ("delta.enableRowTracking" -> "true") +
+      (MatRowIdColKey -> s"_row-id-col-$suffix") +
+      (MatRowVerColKey -> s"_row-commit-version-col-$suffix")
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    lines ++= writerFeatureLine(prior.protocol,
+      Seq("rowTracking", "domainMetadata"))
+    lines += metaDataLine(tableId, prior.schema.json,
+      prior.partitionColumns, now, newConf)
+    var next = rowIdHighWaterMark(prior) + 1
+    val attemptV = listVersions(spark, deltaPath).last + 1
+    def pvJson(pv: Map[String, String]): String =
+      pv.toSeq.sortBy(_._1).map { case (k, vv) =>
+        s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
+      }.mkString("{", ",", "}")
+    counts.foreach { case (f, n) =>
+      val rel = encodePath(deScheme(new Path(f.path).toString)
+        .stripPrefix(root + "/"))
+      val statsPart = f.stats.map(j => s""","stats":${jsEscape(j)}""").getOrElse("")
+      val dvPart = f.dv.map(d =>
+        s""","deletionVector":{"storageType":${jsEscape(d.storageType)},"pathOrInlineDv":${jsEscape(d.pathOrInlineDv)}${d.offset.map(o => s""","offset":$o""").getOrElse("")},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""").getOrElse("")
+      lines += s"""{"add":{"path":${jsEscape(rel)},"partitionValues":${pvJson(f.partitionValues)},"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":false$statsPart$dvPart,"baseRowId":$next,"defaultRowCommitVersion":$attemptV}}"""
+      next += n
+    }
+    lines += domainMetadataLine(RowTrackingDomain,
+      s"""{"rowIdHighWaterMark":${next - 1}}""", removed = false)
+    val v = commitCas(spark, deltaPath,
+      listVersions(spark, deltaPath).last + 1, lines.toSeq,
+      scope = ReadTable, operation = "ENABLE ROW TRACKING")
+    maybeCheckpoint(spark, deltaPath, v, DefaultCheckpointInterval, newConf)
+    v
+  }
+
+  /** Read a row-tracked table WITH its row lineage: every table
+    * column plus `_row_id` and `_row_commit_version`. Fresh values
+    * come from the file's `baseRowId + row_index` /
+    * `defaultRowCommitVersion`; rows REWRITTEN by [[optimize]] keep
+    * their original values through the materialized columns (written
+    * physically into the compacted parquet under the names in table
+    * configuration, preferred via coalesce — the spec's resolution
+    * order). Deletion vectors apply before row ids attach, so a
+    * DV-deleted row never surfaces a row id. */
+  def readWithRowIds(spark: SparkSession, tablePath: String,
+                     versionAsOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val snap = snapshot(spark, tablePath, versionAsOf)
+    require(rowTrackingEnabled(snap.configuration),
+      s"row tracking is not enabled on $tablePath")
+    requireNotColumnMapped(snap, "readWithRowIds")
+    // tables enabled by an external writer may lack the names —
+    // fall back to stable defaults (files never carry them, so reads
+    // coalesce straight to baseRowId + index)
+    val matId = snap.configuration.getOrElse(MatRowIdColKey,
+      "_row-id-col-default")
+    val matVer = snap.configuration.getOrElse(MatRowVerColKey,
+      "_row-commit-version-col-default")
+    val dataSchema = StructType(snap.schema.filterNot(
+      f => snap.partitionColumns.contains(f.name)))
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(snap.schema.fields ++ Seq(
+          StructField("_row_id", LongType),
+          StructField("_row_commit_version", LongType))))
+    // files written before a compaction lack the materialized
+    // columns — parquet schema-on-read serves them as null there
+    val extSchema = StructType(dataSchema.fields ++ Seq(
+      StructField(matId, LongType), StructField(matVer, LongType)))
+    val scanned = scanLive(spark, tablePath, extSchema, snap.files,
+      keepRowIndex = true)
+    val baseDf = broadcast(snap.files.map { f =>
+      (fileKeyOf(f.path),
+        f.baseRowId.getOrElse(throw new IllegalStateException(
+          s"row-tracked table has a file without baseRowId: ${f.path}")),
+        f.defaultRowCommitVersion.getOrElse(0L),
+        snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
+    }.toDF("__path", "__base", "__dcv", "__pv"))
+    val joined = scanned.join(baseDf, Seq("__path"))
+    val partCols = snap.partitionColumns.zipWithIndex.map { case (c, i) =>
+      element_at(col("__pv"), i + 1).cast(snap.schema(c).dataType).as(c)
+    }
+    val cols = snap.schema.map(f =>
+      if (snap.partitionColumns.contains(f.name))
+        partCols(snap.partitionColumns.indexOf(f.name))
+      else col(f.name)) ++ Seq(
+      coalesce(col(matId), col("__base") + col("__ri")).as("_row_id"),
+      coalesce(col(matVer), col("__dcv")).as("_row_commit_version"))
+    joined.select(cols: _*)
+  }
+
+  /** Tombstone a domain (removed=true) — replay then drops it from
+    * [[Snapshot.domains]]; checkpoints drop the tombstone entirely. */
+  def removeDomainMetadata(spark: SparkSession, deltaPath: String,
+                           domain: String): Long = {
+    val prior = snapshot(spark, deltaPath)
+    require(prior.domains.contains(domain),
+      s"no domain '$domain' on $deltaPath (live: ${prior.domains.keys.toSeq.sorted.mkString(", ")})")
+    require(!domain.startsWith("delta."),
+      s"domain '$domain' is system-owned")
+    val v = commitCas(spark, deltaPath,
+      listVersions(spark, deltaPath).last + 1,
+      Seq(domainMetadataLine(domain, "", removed = true)),
+      scope = BlindAppend, operation = "REMOVE DOMAIN METADATA")
+    maybeCheckpoint(spark, deltaPath, v, DefaultCheckpointInterval,
+      prior.configuration)
+    v
   }
 
   private val ColIdKey = "delta.columnMapping.id"
@@ -3617,7 +4270,8 @@ object DeltaLog {
                                  featureUpgrade: Option[(Int, String)],
                                  readerWriterFeature: Option[String] = None,
                                  scope: ReadScope = BlindAppend,
-                                 op: String = "SET TBLPROPERTIES"): Long = {
+                                 op: String = "SET TBLPROPERTIES",
+                                 writerOnlyFeature: Option[String] = None): Long = {
     val fs = new Path(deltaPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val v = listVersions(spark, deltaPath).last + 1
@@ -3637,6 +4291,11 @@ object DeltaLog {
       } else if (mwv < legacyWriter) {
         lines += s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":$legacyWriter}}"""
       }
+    }
+    // a WRITER-ONLY table feature (inCommitTimestamp, domainMetadata,
+    // clustering): force minWriterVersion 7, keep the reader side
+    writerOnlyFeature.foreach { feature =>
+      lines ++= writerFeatureLine((mrv, mwv, rf, wf), Seq(feature))
     }
     // a READER+WRITER table feature (v2Checkpoint): force (3,7),
     // enumerate legacy-implied features, add to both lists
@@ -3816,13 +4475,21 @@ object DeltaLog {
       val dvRow = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
         d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
       Row(rel, f.partitionValues, f.size, f.modificationTime,
-        java.lang.Boolean.TRUE, f.stats.orNull, dvRow)
+        java.lang.Boolean.TRUE, f.stats.orNull, dvRow,
+        f.baseRowId.map(Long.box).orNull,
+        f.defaultRowCommitVersion.map(Long.box).orNull)
     }
     // txn watermarks MUST survive consolidation: a checkpoint that
     // dropped them would reset the streaming sink's idempotence gate
     // and duplicate replayed batches after a restart
     val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
       Row(app, tv)
+    }
+    // live domain metadata MUST survive consolidation (clustering
+    // columns, the row-id high watermark); removed-domain tombstones
+    // may be dropped at checkpoint per the protocol.
+    val domainRows = snap.domains.toSeq.sortBy(_._1).map { case (dom, cfg) =>
+      Row(dom, cfg, java.lang.Boolean.FALSE)
     }
     // stage-then-adopt: parquet wants a directory; a checkpoint part
     // is one file
@@ -3869,12 +4536,13 @@ object DeltaLog {
           StructField("sizeInBytes", LongType),
           StructField("modificationTime", LongType))))))
       def top(proto: Row = null, meta: Row = null, txn: Row = null,
-              cpm: Row = null, sc: Row = null): Row =
-        Row(proto, meta, null, null, txn, null, cpm, sc)
+              dm: Row = null, cpm: Row = null, sc: Row = null): Row =
+        Row(proto, meta, null, null, txn, dm, null, cpm, sc)
       val topRows: Seq[Row] =
         Seq(top(cpm = Row(version)), top(proto = protoRow),
           top(meta = metaRow)) ++
-          txnRows.map(t => top(txn = t)) :+
+          txnRows.map(t => top(txn = t)) ++
+          domainRows.map(d => top(dm = d)) :+
           top(sc = Row(s"$uuid.parquet", scLen, scMod))
       val topDf = spark.createDataFrame(
         spark.sparkContext.parallelize(topRows, 1), topSchema)
@@ -3885,10 +4553,11 @@ object DeltaLog {
     }
 
     val rows: Seq[Row] =
-      (Row(protoRow, null, null, null, null, null) +:
-        Row(null, metaRow, null, null, null, null) +:
-        (addRows.map(a => Row(null, null, a, null, null, null)) ++
-          txnRows.map(t => Row(null, null, null, null, t, null))))
+      (Row(protoRow, null, null, null, null, null, null) +:
+        Row(null, metaRow, null, null, null, null, null) +:
+        (addRows.map(a => Row(null, null, a, null, null, null, null)) ++
+          txnRows.map(t => Row(null, null, null, null, t, null, null)) ++
+          domainRows.map(d => Row(null, null, null, null, null, d, null))))
     val cpDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(ActionSchema.fields))

@@ -80,6 +80,7 @@ object GraftSqlStatements {
       // one paren-nesting level inside PARTITIONED BY: hidden
       // partitioning transforms are calls — `bucket(4, k)`, `days(ts)`
       """(?:\s+PARTITIONED\s+BY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\))?""" +
+      """(?:\s+CLUSTER\s+BY\s*\(\s*([^)]+?)\s*\))?""" +
       """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s*;?\s*$""").r
   private val ShallowCloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?'([^']+)'""" +
@@ -130,6 +131,11 @@ object GraftSqlStatements {
   private val DropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+DROP\s+CONSTRAINT\s+([\w$]+)\s*;?\s*$""").r
+  /** `ALTER TABLE <t> CLUSTER BY (c1, c2)` / `CLUSTER BY NONE` —
+    * declarative clustering on Delta tables (the liquid shape). */
+  private val ClusterByRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+CLUSTER\s+BY\s+(?:(NONE)|\(\s*([^)]+?)\s*\))\s*;?\s*$""").r
 
   /** Split on commas at bracket-depth 0, outside single quotes —
     * `d DECIMAL(10,2)`, `m MAP<STRING, BIGINT>` and
@@ -288,13 +294,23 @@ object GraftSqlStatements {
       Some(GraftShallowCloneCommand(dstPath, ifNot != null, srcPath))
     case ShowPropsRe(path) =>
       Some(GraftShowPropsCommand(path))
-    case CreateTableRe(ifNot, path, colDefs, provider, partCols, props) =>
+    case CreateTableRe(ifNot, path, colDefs, provider, partCols,
+                       clusterCols, props) =>
       // paren-aware split: hidden-partitioning transforms carry commas
       // (`bucket(4, id)`)
       Some(GraftCreateTableCommand(path, ifNot != null, colDefs.trim,
         provider, Option(partCols).map(s =>
           splitTopLevel(s).map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
-        Option(props).map(parseProps).getOrElse(Nil)))
+        Option(props).map(parseProps).getOrElse(Nil),
+        Option(clusterCols).map(s =>
+          s.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq).getOrElse(Nil)))
+    case ClusterByRe(path, ident, none, cols) =>
+      Some(GraftClusterByCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        if (none != null) Nil
+        else cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq))
     case DescribeHistoryRe(path, ident) =>
       Some(GraftDescribeHistoryCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil)))
@@ -547,7 +563,8 @@ case class GraftTablePropertiesCommand(path: Option[String],
 case class GraftCreateTableCommand(dir: String, ifNotExists: Boolean,
                                    colDefs: String, provider: String,
                                    partitionBy: Seq[String],
-                                   props: Seq[(String, String)])
+                                   props: Seq[(String, String)],
+                                   clusterBy: Seq[String] = Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("table", StringType, nullable = false)(),
@@ -569,10 +586,16 @@ case class GraftCreateTableCommand(dir: String, ifNotExists: Boolean,
           require(ifNotExists, s"Delta table already exists at $dir")
           return Seq(Row(dir, DeltaLog.listVersions(spark, dir).last))
         }
-        DeltaLog.createTable(spark, dir,
+        val v0 = DeltaLog.createTable(spark, dir,
           org.apache.spark.sql.types.StructType(fields), partitionBy,
           props.toMap)
+        // CLUSTER BY binds right behind creation (v1) — before any row
+        if (clusterBy.nonEmpty) DeltaLog.setClusterBy(spark, dir, clusterBy)
+        else v0
       case "iceberg" =>
+        require(clusterBy.isEmpty,
+          "CLUSTER BY is a Delta feature — Iceberg layout is declared " +
+            "via PARTITIONED BY hidden transforms")
         requireNoGenerated()
         val p = new org.apache.hadoop.fs.Path(dir, "metadata")
         val fs = p.getFileSystem(fsConf)
@@ -787,10 +810,15 @@ case class GraftShowCreateTableCommand(dir: String)
         val props = snap.configuration.filterNot { case (k, _) =>
           k.startsWith("delta.constraints.") ||
             k.startsWith("delta.columnMapping.") }
+        val cluster = DeltaLog.clusteringColumns(snap)
+        val clusterSql =
+          if (cluster.isEmpty) ""
+          else cluster.map(c => s"`$c`")
+            .mkString("\nCLUSTER BY (", ", ", ")")
         s"CREATE TABLE '$d' (\n  " +
           snap.schema.fields.map(colDef).mkString(",\n  ") +
           "\n)\nUSING delta" + partSql(snap.partitionColumns) +
-          propsSql(props)
+          clusterSql + propsSql(props)
       case IcebergFlavor =>
         val snap = IcebergTable.snapshot(spark, d)
         s"CREATE TABLE '$d' (\n  " +
@@ -840,6 +868,17 @@ case class GraftDescribeExtendedCommand(dir: String)
         else null
       Row(f.name, f.dataType.sql.toLowerCase(java.util.Locale.ROOT), comment)
     }
+    // ANALYZE output (Iceberg): the per-column NDVs from the table's
+    // Puffin statistics, when analyzed
+    val statRows = flavorOf(spark, d) match {
+      case IcebergFlavor =>
+        val ndv = IcebergTable.columnStats(spark, d)
+        if (ndv.isEmpty) Seq.empty
+        else Row("", "", null) +: Row("# Column Statistics", "", null) +:
+          schema.fields.toSeq.flatMap(f =>
+            ndv.get(f.name).map(n => Row(f.name, s"ndv $n", null)))
+      case _ => Seq.empty
+    }
     colRows ++ Seq(
       Row("", "", null),
       Row("# Detailed Table Information", "", null),
@@ -850,7 +889,7 @@ case class GraftDescribeExtendedCommand(dir: String)
       Row("Size In Bytes", detail.getLong(4).toString, null),
       Row("Num Rows", detail.getLong(5).toString, null),
       Row("Partitioning", detail.getString(6), null),
-      Row("Properties", detail.getString(7), null))
+      Row("Properties", detail.getString(7), null)) ++ statRows
   }
 }
 
@@ -916,6 +955,11 @@ case class GraftCallCommand(proc: String, rawArgs: String)
           if (args.size > 1) num(1) else 128L << 20).toString
       case "rewrite_position_delete_files" =>
         IcebergTable.rewritePositionDeleteFiles(spark, dir).toString
+      case "analyze_table" =>
+        // analyze_table('<t>'[, 'col1', 'col2', …]) — per-column NDV
+        // sketches into a Puffin statistics file + metadata entry
+        IcebergTable.analyzeTable(spark, dir,
+          args.drop(1).map(stripQuotes)).toString
       case "rewrite_manifests" =>
         IcebergTable.rewriteManifests(spark, dir).toString
       case "rollback_to_snapshot" =>
@@ -981,6 +1025,27 @@ case class GraftColumnDdlCommand(path: Option[String], parts: Seq[String],
           s"$other")
     }
     Seq(Row(dir, v))
+  }
+}
+
+/** `ALTER TABLE <t> CLUSTER BY (c1, c2)` / `CLUSTER BY NONE` —
+  * Delta-flavor declarative clustering ([[DeltaLog.setClusterBy]]):
+  * the clustering columns land in the `delta.clustering` domain, and
+  * every later bare `OPTIMIZE` Z-clusters on them. */
+case class GraftClusterByCommand(path: Option[String], parts: Seq[String],
+                                 cols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    require(flavorOf(spark, dir) == DeltaFlavor,
+      s"CLUSTER BY is Delta-flavor declarative clustering; $dir is not " +
+        "a Delta table (Iceberg layout evolves via PARTITION FIELD DDL)")
+    Seq(Row(dir, DeltaLog.setClusterBy(spark, dir, cols)))
   }
 }
 

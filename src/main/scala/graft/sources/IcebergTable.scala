@@ -270,6 +270,13 @@ object IcebergTable {
         e.put("timestamp-ms", prevUpdated)
         root.set[JsonNode]("metadata-log", logArr)
       }
+      // `statistics` survives rebuilt roots the way refs/properties
+      // must — carried verbatim unless the attempt set it itself
+      // (stale-but-bound stats are legal; losing them is not)
+      base.foreach { b =>
+        if (!root.has("statistics") && b.has("statistics"))
+          root.set[JsonNode]("statistics", b.get("statistics").deepCopy())
+      }
       val next = new Path(mdir, s"v${metaVersion + 1}.metadata.json")
       val created = AtomicCas.createExclusive(fs, next,
         M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
@@ -2255,6 +2262,16 @@ object IcebergTable {
     val (kept, expired) =
       snaps.partition(n => keepIds(n.get("snapshot-id").asLong()))
     if (expired.isEmpty) return Seq.empty
+    // statistics entries bind to snapshots — drop them with their
+    // snapshots (the Puffin files become orphan-cleanup fodder)
+    if (meta.has("statistics")) {
+      val expIds = expired.map(_.get("snapshot-id").asLong()).toSet
+      val keepStats = meta.get("statistics").elements().asScala
+        .filterNot(e => expIds(e.get("snapshot-id").asLong()))
+        .map(_.deepCopy[JsonNode]()).toSeq
+      val arr = meta.putArray("statistics")
+      keepStats.foreach(arr.add)
+    }
 
     val keptRefs = kept.map(referencedPaths(spark, _))
     val expRefs = expired.map(referencedPaths(spark, _))
@@ -2679,7 +2696,12 @@ object IcebergTable {
     val referenced: Set[String] = snaps.flatMap { sn =>
       val (lists, manifests, files) = referencedPaths(spark, sn)
       lists ++ manifests ++ files
-    }.map(deScheme).toSet
+    }.map(deScheme).toSet ++
+      // Puffin statistics files referenced by table metadata are NOT
+      // orphans — they live outside the snapshot graph by design
+      Option(meta.get("statistics")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(e => deScheme(e.get("statistics-path").asText())).toSet
     val victims = scala.collection.mutable.ArrayBuffer[String]()
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val name = st.getPath.getName
@@ -2696,6 +2718,113 @@ object IcebergTable {
     walk(new Path(tablePath))
     victims.foreach(v => fs.delete(new Path(v), false))
     victims.toSeq
+  }
+
+  // ------------- table statistics (ANALYZE → Puffin) ---------------
+
+  /** `ANALYZE TABLE` — compute per-column NDV sketches for the
+    * CURRENT snapshot and publish them the way real Iceberg does: one
+    * PUFFIN statistics file ([[Puffin]]) holding a [[KmvSketch]] per
+    * column (blob type `graft-kmv-v1` — unknown blob types are
+    * skippable by the format's design) with the standard `ndv`
+    * property on each blob's metadata — the value engines (Trino,
+    * Spark-Iceberg CBO) actually consume — plus a `statistics` entry
+    * in table metadata binding the file to the analyzed snapshot.
+    *
+    * Scan shape: one combiner-reduced distinct shuffle of 8-byte
+    * XXH64 hashes per analyzed column — a maintenance scan, like
+    * rewrite_data_files; never a driver-side row pass. Re-analyzing
+    * a snapshot REPLACES its entry; [[expireSnapshots]] drops entries
+    * with their snapshots and [[removeOrphanFiles]] never reaps a
+    * referenced statistics file. */
+  def analyzeTable(spark: SparkSession, tablePath: String,
+                   columns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions._
+    val snap = snapshot(spark, tablePath)
+    val meta0 = readJson(spark, latestMetadataFile(spark, tablePath))
+    val seqNum = Option(meta0.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong() == snap.snapshotId)
+      .flatMap(n => Option(n.get("sequence-number")).map(_.asLong()))
+      .getOrElse(0L)
+    val nameToId: Map[String, Int] =
+      snap.fieldNames.map { case (id, n) => n -> id }
+    val targets: Seq[String] =
+      if (columns.nonEmpty) columns else snap.schema.fields.map(_.name).toSeq
+    targets.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"unknown column $c on $tablePath"))
+    val df = read(spark, tablePath)
+    val k = KmvSketch.DefaultK
+    val blobs = targets.map { c =>
+      val mins = df.where(col(c).isNotNull)
+        .select(xxhash64(col(c)).as("h"))
+        .distinct()
+        // unsigned 64-bit order: flip the sign bit
+        .orderBy(col("h").bitwiseXOR(lit(Long.MinValue)))
+        .limit(k)
+        .collect().map(_.getLong(0)).toSeq
+      val ndv = KmvSketch.estimate(k, mins)
+      Puffin.Blob("graft-kmv-v1", Seq(nameToId.getOrElse(c, -1)),
+        snap.snapshotId, seqNum, KmvSketch.serialize(k, mins),
+        Map("ndv" -> ndv.toString))
+    }
+    val fs = fsFor(spark, new Path(tablePath))
+    val statsPath = new Path(new Path(tablePath, "metadata"),
+      s"${java.util.UUID.randomUUID()}.stats")
+    val (fileSize, footerSize, metas) = Puffin.write(fs, statsPath, blobs,
+      Map("created-by" -> "graft"))
+    casCommit(spark, tablePath) { (baseMeta, metaVersion) =>
+      val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+        s"not an Iceberg table: $tablePath"))
+      val keep = Option(meta.get("statistics")).toSeq
+        .flatMap(_.elements().asScala)
+        .filter(_.get("snapshot-id").asLong() != snap.snapshotId)
+        .map(_.deepCopy[JsonNode]()).toSeq
+      val stats = meta.putArray("statistics")
+      keep.foreach(stats.add)
+      val e = stats.addObject()
+      e.put("snapshot-id", snap.snapshotId)
+      e.put("statistics-path", fs.makeQualified(statsPath).toString)
+      e.put("file-size-in-bytes", fileSize)
+      e.put("file-footer-size-in-bytes", footerSize.toLong)
+      val bms = e.putArray("blob-metadata")
+      metas.foreach { m =>
+        val b = bms.addObject()
+        b.put("type", m.blobType)
+        val f = b.putArray("fields"); m.fields.foreach(f.add)
+        b.put("snapshot-id", m.snapshotId)
+        b.put("sequence-number", m.sequenceNumber)
+        val p = b.putObject("properties")
+        m.properties.toSeq.sortBy(_._1).foreach { case (kk, vv) =>
+          p.put(kk, vv) }
+      }
+      meta.put("last-updated-ms", System.currentTimeMillis())
+      (meta, metaVersion + 1)
+    }
+  }
+
+  /** NDV per column from the table's `statistics` (the current
+    * snapshot's entry, else the most recent one — the spec allows
+    * serving slightly-stale stats). Empty when never analyzed. */
+  def columnStats(spark: SparkSession, tablePath: String): Map[String, Long] = {
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    val entries = Option(meta.get("statistics")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    if (entries.isEmpty) return Map.empty
+    val cur = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong()).getOrElse(-1L)
+    val entry = entries.find(_.get("snapshot-id").asLong() == cur)
+      .getOrElse(entries.last)
+    val idToName = snapshot(spark, tablePath).fieldNames
+    Option(entry.get("blob-metadata")).toSeq
+      .flatMap(_.elements().asScala).flatMap { b =>
+        for {
+          ndv <- Option(b.get("properties")).flatMap(p => Option(p.get("ndv")))
+          fid <- Option(b.get("fields")).toSeq
+            .flatMap(_.elements().asScala).headOption
+        } yield idToName.getOrElse(fid.asInt(), s"#${fid.asInt()}") ->
+          ndv.asText().toLong
+      }.toMap
   }
 
   /** Named snapshot REFS — Iceberg branches and tags (spec §"Refs"):

@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** ANALYZE TABLE → Puffin statistics files: container format
+  * round-trip, KMV NDV quality, metadata binding, lifecycle
+  * integration (expire prunes entries, orphan cleanup spares the
+  * files), and the SQL surfaces. */
+class IcebergStatsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stats").toString + "/t"
+
+  private def sortedU(hs: Seq[Long]): Seq[Long] =
+    hs.distinct.sortBy(_ ^ Long.MinValue)
+
+  test("Puffin write/read round-trip: magic framing, footer JSON, blob bytes") {
+    val dir = Files.createTempDirectory("graft-puffin").toString
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir, "s.stats")
+    val b1 = Puffin.Blob("graft-kmv-v1", Seq(1), 42L, 7L,
+      Array[Byte](1, 2, 3, 4), Map("ndv" -> "123"))
+    val b2 = Puffin.Blob("graft-kmv-v1", Seq(2), 42L, 7L,
+      Array[Byte](9, 9), Map("ndv" -> "5"))
+    val (size, footerSize, metas) = Puffin.write(fs, p, Seq(b1, b2),
+      Map("created-by" -> "graft"))
+    assert(size === fs.getFileStatus(p).getLen && footerSize > 0)
+    val (back, props) = Puffin.readFooter(fs, p)
+    assert(props("created-by") === "graft")
+    assert(back.map(_.blobType) === Seq("graft-kmv-v1", "graft-kmv-v1"))
+    assert(back.map(_.fields) === Seq(Seq(1), Seq(2)))
+    assert(back.head.properties("ndv") === "123")
+    assert(Puffin.readBlob(fs, p, back.head).toSeq === Seq[Byte](1, 2, 3, 4))
+    assert(Puffin.readBlob(fs, p, back(1)).toSeq === Seq[Byte](9, 9))
+    assert(metas.map(_.offset) === back.map(_.offset))
+  }
+
+  test("KMV sketch: exact below k, within 5% above k, serde round-trip") {
+    val all = (1 to 50000).map(i => s"v$i").toDF("s")
+      .select(xxhash64(col("s"))).as[Long].collect().toSeq
+    // exact: fewer distincts than k
+    assert(KmvSketch.estimate(1024, sortedU(all.take(100))) === 100L)
+    // estimate: 50k distincts through a k=1024 sketch
+    val mins = sortedU(all).take(1024)
+    val est = KmvSketch.estimate(1024, mins)
+    assert(math.abs(est - 50000L) < 2500L, s"estimate $est vs 50000")
+    val (k, hs) = KmvSketch.deserialize(KmvSketch.serialize(1024, mins))
+    assert(k === 1024 && hs === mins)
+  }
+
+  test("analyzeTable publishes per-column ndv; DESCRIBE EXTENDED shows it") {
+    val t = tmp()
+    IcebergTable.write(spark,
+      (1 to 2000).map(i => (i.toLong, i % 17, s"s${i % 300}"))
+        .toDF("id", "k", "s"), t)
+    IcebergTable.analyzeTable(spark, t)
+    val stats = IcebergTable.columnStats(spark, t)
+    assert(stats("k") === 17L) // below the sketch's k -> exact
+    assert(stats("s") === 300L)
+    assert(math.abs(stats("id") - 2000L) <= 200L, // 2000 > k -> estimate
+      s"id ndv ${stats("id")}")
+    val meta = spark.sql(s"DESCRIBE EXTENDED '$t'")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(meta.contains(("k", "ndv 17")))
+    // CALL surface + column subset replaces the snapshot's entry
+    spark.sql(s"CALL graft.system.analyze_table('$t', 'k')").collect()
+    assert(IcebergTable.columnStats(spark, t) === Map("k" -> 17L))
+  }
+
+  test("stats survive appends (carried), expire prunes dead entries, orphans spare the file") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("id", "s"), t)
+    IcebergTable.analyzeTable(spark, t)
+    val analyzedSnap = IcebergTable.snapshot(spark, t).snapshotId
+    // a rebuilt-root append must CARRY the statistics list
+    IcebergTable.write(spark, Seq((2L, "b")).toDF("id", "s"), t)
+    val carried = IcebergTable.columnStats(spark, t)
+    assert(carried("id") === 1L)
+    val fs = new Path(t).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val statsFile =
+      fs.globStatus(new Path(t, "metadata/*.stats")).head.getPath
+    // orphan cleanup with a future cutoff must not reap the
+    // referenced statistics file
+    IcebergTable.removeOrphanFiles(spark, t,
+      olderThanMs = System.currentTimeMillis() + 3600000L)
+    assert(fs.exists(statsFile))
+    // expiring the analyzed snapshot drops its statistics entry
+    IcebergTable.expireSnapshots(spark, t, keepSnapshots = 1)
+    assert(IcebergTable.columnStats(spark, t).isEmpty,
+      "expired snapshot's statistics entry must drop")
+    assert(IcebergTable.snapshot(spark, t).snapshotId !== analyzedSnap)
+  }
+}
