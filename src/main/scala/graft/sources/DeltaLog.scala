@@ -155,6 +155,89 @@ object DeltaLog {
       .sorted
   }
 
+  /** List minor log-compaction files as `(startV, endV, path)`,
+    * sorted by range start (PROTOCOL.md §Log Compaction Files:
+    * `<x>.<y>.compacted.json`). */
+  private[sources] def listCompactions(spark: SparkSession,
+                                       tablePath: String): Seq[(Long, Long, String)] = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val R = "(\\d{20})\\.(\\d{20})\\.compacted\\.json".r
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .flatMap(p => p.getName match {
+        case R(a, b) => Some((a.toLong, b.toLong, p.toString))
+        case _ => None
+      }).sortBy(_._1)
+  }
+
+  /** Author a MINOR LOG COMPACTION file for commits `[startV, endV]`
+    * (PROTOCOL.md §Log Compaction Files): one
+    * `<startV>.<endV>.compacted.json` holding the ACTION
+    * RECONCILIATION of the range — per-path latest file action (an
+    * add removed within the range collapses to its remove tombstone;
+    * a re-add stays an add), latest `txn` per appId, latest
+    * `metaData` / `protocol` if any changed in-range, latest
+    * `domainMetadata` per domain (removed=true tombstones carried —
+    * they retire pre-range state), `commitInfo`/`cdc` dropped (
+    * advisory / change-feed-only; CDC readers always read raw
+    * commits). Carried actions keep their ORIGINAL JSON text — no
+    * re-serialization drift. Raw commit files are left in place:
+    * compaction ACCELERATES snapshot replay ([[snapshot]] substitutes
+    * the file when the whole range is needed); it deletes nothing.
+    *
+    * Scale: driver-side over one commit RANGE — bounded by the
+    * checkpoint interval in practice (ranges spanning a checkpoint
+    * are pointless: the reader never uses them). Idempotent: an
+    * existing identical-range file is kept (first writer wins).
+    * Returns true when this call created the file. */
+  def compactLog(spark: SparkSession, tablePath: String,
+                 startV: Long, endV: Long): Boolean = {
+    require(startV <= endV, s"bad compaction range [$startV, $endV]")
+    val versions = listVersions(spark, tablePath)
+    (startV to endV).foreach(v => require(versions.contains(v),
+      s"commit $v missing from $tablePath — cannot compact [$startV, $endV]"))
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // (line text, parsed node, version) for every action in range
+    final case class Act(line: String, v: Long,
+                         node: com.fasterxml.jackson.databind.JsonNode)
+    val acts: Seq[Act] = (startV to endV).flatMap { v =>
+      val p = new Path(dir, pad20(v) + ".json")
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split('\n').toSeq.filter(_.trim.nonEmpty)
+        .map(l => Act(l, v, M.readTree(l)))
+    }
+
+    def latestBy(kind: String, key: com.fasterxml.jackson.databind.JsonNode => String): Seq[Act] =
+      acts.filter(_.node.has(kind))
+        .groupBy(a => key(a.node.get(kind)))
+        .values.map(_.maxBy(_.v)).toSeq.sortBy(_.v)
+
+    val protocol = acts.filter(_.node.has("protocol")).lastOption
+    val meta = acts.filter(_.node.has("metaData")).lastOption
+    val domains = latestBy("domainMetadata", _.get("domain").asText())
+    val txns = latestBy("txn", _.get("appId").asText())
+    // per-path reconciliation: highest version wins; within one
+    // version an add wins over a remove of the same path (the DV
+    // re-add shape) — the same rule snapshot replay applies
+    val fileActs = acts.filter(a => a.node.has("add") || a.node.has("remove"))
+      .groupBy(a => Option(a.node.get("add")).getOrElse(a.node.get("remove"))
+        .get("path").asText())
+      .values.map(_.maxBy(a => (a.v, a.node.has("add")))).toSeq
+      .sortBy(a => (a.v, !a.node.has("add")))
+
+    val lines = (protocol.toSeq ++ meta.toSeq ++ domains ++ txns ++ fileActs)
+      .map(_.line)
+    val out = new Path(dir, s"${pad20(startV)}.${pad20(endV)}.compacted.json")
+    AtomicCas.createExclusive(fs, out,
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
   /** Commit-file modification times, for `timestampAsOf` resolution
     * (the same in-commit granularity real Delta uses when no
     * in-commit timestamps are present). */
@@ -261,16 +344,19 @@ object DeltaLog {
       // null, exactly like from_json over the JSON tail
       def colOrNull(n: String) = {
         if (!df.columns.contains(n)) lit(null).cast(ActionSchema(n).dataType)
-        else {
-          val target = ActionSchema(n).dataType.asInstanceOf[StructType]
-          val actual = df.schema(n).dataType.asInstanceOf[StructType]
-          if (target.fieldNames.forall(actual.fieldNames.contains)) col(n)
-          else {
-            val parts = target.fields.map(f =>
-              (if (actual.fieldNames.contains(f.name)) col(s"$n.${f.name}")
-               else lit(null).cast(f.dataType)).as(f.name))
-            when(col(n).isNotNull, struct(parts.toSeq: _*))
-          }
+        else df.schema(n).dataType match {
+          case actual: StructType =>
+            val target = ActionSchema(n).dataType.asInstanceOf[StructType]
+            if (target.fieldNames.forall(actual.fieldNames.contains)) col(n)
+            else {
+              val parts = target.fields.map(f =>
+                (if (actual.fieldNames.contains(f.name)) col(s"$n.${f.name}")
+                 else lit(null).cast(f.dataType)).as(f.name))
+              when(col(n).isNotNull, struct(parts.toSeq: _*))
+            }
+          // an ALL-null action column round-trips as NullType — same
+          // as the column being absent
+          case _ => lit(null).cast(ActionSchema(n).dataType)
         }
       }
       df.select(colOrNull("protocol").as("protocol"),
@@ -339,11 +425,18 @@ object DeltaLog {
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
       "set at most one of versionAsOf / timestampAsOf")
     val versions = listVersions(spark, tablePath)
+    // minor log-compaction files extend the reachable head: after
+    // retention cleanup a range's raw commits may be gone while the
+    // compacted file still serves them
+    val compactions = listCompactions(spark, tablePath)
+    val headVersion: Option[Long] =
+      (versions.lastOption ++ compactions.map(_._2).maxOption).maxOption
     val v: Long = (versionAsOf, timestampAsOf) match {
       case (Some(x), _) =>
         require(versions.contains(x) ||
+          compactions.exists(_._2 == x) ||
           checkpointAt(spark, tablePath, x).exists(_.version == x),
-          s"version $x not in ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)}")
+          s"version $x not in ${versions.headOption.getOrElse(-1L)}..${headVersion.getOrElse(-1L)}")
         x
       case (_, Some(ts)) =>
         val ok = commitTimes(spark, tablePath).filter(_._2 <= ts)
@@ -354,24 +447,56 @@ object DeltaLog {
         // JSONs at all — the newest checkpoint alone is then the
         // complete table state (how big production logs look right
         // after cleanup)
-        versions.lastOption
+        headVersion
           .orElse(checkpointAt(spark, tablePath, Long.MaxValue).map(_.version))
           .getOrElse(throw new IllegalStateException(
             s"empty _delta_log at $tablePath"))
     }
     val cp = checkpointAt(spark, tablePath, v)
-    val jsonVersions = versions.filter(j => j <= v && cp.forall(j > _.version))
-    val jsonPaths = jsonVersions
-      .map(j => new Path(logDir(tablePath), pad20(j) + ".json").toString)
+    // MINOR LOG COMPACTION (PROTOCOL.md §Log Compaction Files): a
+    // `<x>.<y>.compacted.json` holds the reconciled actions of
+    // commits x..y. Every version in (checkpoint, v] must be served —
+    // by its raw JSON or by a covering compacted file (greedy longest
+    // range ending at/below v; a 10⁵-commit table between checkpoints
+    // replays a handful of compacted files, not every commit). A
+    // version covered by NEITHER is a loud error, never a silent
+    // partial replay.
+    val jsonPaths: Seq[String] = {
+      val cpV = cp.map(_.version).getOrElse(-1L)
+      val raw = versions.filter(j => j > cpV && j <= v).toSet
+      val byStart = compactions.filter(c => c._1 > cpV && c._2 <= v)
+        .groupBy(_._1)
+      val out = Seq.newBuilder[String]
+      var cur = cpV + 1
+      while (cur <= v) {
+        byStart.getOrElse(cur, Nil).sortBy(-_._2).headOption match {
+          case Some((_, y, p)) => out += p; cur = y + 1
+          case None if raw(cur) =>
+            out += new Path(logDir(tablePath), pad20(cur) + ".json").toString
+            cur += 1
+          case None => throw new IllegalStateException(
+            s"version $cur of $tablePath is missing: no commit JSON and " +
+              "no covering log-compaction file (expired past retention?)")
+        }
+      }
+      out.result()
+    }
 
     // JSON tail: distributed text read; the version rides in from
-    // the file name so replay order survives the union.
+    // the file name so replay order survives the union. A compacted
+    // file's actions replay AT its range-end version y — already
+    // reconciled within the range, and correctly ordered against
+    // every action outside it.
     val jsonActions: Option[DataFrame] =
       if (jsonPaths.isEmpty) None
       else Some(spark.read.text(jsonPaths: _*)
         .select(from_json(col("value"), ActionSchema).as("a"),
-          regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
-            .cast("long").as("__v"))
+          coalesce(
+            nullif(regexp_extract(input_file_name(),
+              "\\d{20}\\.(\\d{20})\\.compacted\\.json", 1), lit(""))
+              .cast("long"),
+            regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
+              .cast("long")).as("__v"))
         .select(col("a.*"), col("__v")))
 
     val cpActions: Option[DataFrame] =

@@ -255,6 +255,54 @@ object GraftDelta {
     case _ => None
   }
 
+  /** Convert a RUNTIME v2 predicate — what Spark's dynamic-partition-
+    * pruning machinery delivers through `SupportsRuntimeV2Filtering`
+    * (`translateRuntimeFilterV2` emits `IN` over one field reference
+    * with catalyst-INTERNAL literal values once the join-side
+    * subquery has executed) — back to a v1 source Filter the log-side
+    * pruning already understands. Literals convert internal→external
+    * (UTF8String→String, days-int→Date, …) so the downstream
+    * `lit`/`isin` comparisons type-check against the logical column.
+    * Unknown shapes drop: runtime filters are best-effort by contract
+    * (Spark re-applies the join itself — skipping one only reads more
+    * files, never serves wrong rows). */
+  def runtimeToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Filter] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal, NamedReference}
+    def name(e: V2Expr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    // DPP predicates carry catalyst-INTERNAL values (UTF8String,
+    // days-int dates); `Expressions.literal` — the public factory —
+    // keeps values EXTERNAL. Accept both.
+    def value(e: V2Expr): Option[Any] = e match {
+      case l: V2Literal[_] => Some(l.value match {
+        case null => null
+        case _: String | _: java.math.BigDecimal | _: java.sql.Date |
+             _: java.sql.Timestamp | _: java.time.LocalDate |
+             _: java.time.Instant | _: BigDecimal => l.value
+        case u: UTF8String => u.toString
+        case v => CatalystTypeConverters.convertToScala(v, l.dataType)
+      })
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty =>
+        val ch = p.children()
+        val vs = ch.tail.map(value)
+        for {a <- name(ch.head); if vs.forall(_.isDefined)}
+          yield In(a, vs.map(_.get))
+      case "=" => p.children() match {
+        case Array(l, r) => for {a <- name(l); v <- value(r)}
+          yield EqualTo(a, v)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** Plan the files changed by commits in `(fromV, toV]` as scan
     * partitions. CDC mode emits added files tagged `insert` and
     * removed files tagged `delete` (pv/size for removes resolve from
@@ -528,7 +576,8 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
                              readData: StructType, readPart: StructType,
                              pushed: Array[Filter],
                              options: CaseInsensitiveStringMap)
-  extends Scan with SupportsReportStatistics {
+  extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import GraftDelta._
 
   override def readSchema(): StructType =
@@ -536,6 +585,36 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
   override def description(): String =
     s"graft-delta ${table.tablePath} v${table.snap.version}" +
       s" PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  /** DSv2 DYNAMIC PARTITION PRUNING: advertising the table's
+    * partition columns lets Spark's PartitionPruning rule attach a
+    * join-time `IN` subquery filter to this scan — the fact side of a
+    * star join plans only the files of the dim-selected partitions.
+    * Predicates arrive via [[filter]] AFTER the join-side subquery
+    * executes and BEFORE `planInputPartitions`, so the log-side
+    * pruning sees them exactly like planning-time filters (partition
+    * values AND per-file stats both apply). At 100 TB this is the
+    * difference between scanning one day and scanning the table. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (table.cdf) Array.empty
+    else table.snap.partitionColumns
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val conv = predicates.flatMap(p => runtimeToV1(p)
+      .flatMap(f => renameFilter(f, table.toPhys)))
+    // an EMPTY join-time IN (the subquery matched nothing) is
+    // provably-false — plan zero files; the generic pruning below is
+    // keep-unless-provably-false and cannot conclude that itself
+    if (conv.exists { case In(_, vs) => vs.isEmpty; case _ => false })
+      runtimeEmpty = true
+    if (conv.nonEmpty) { runtime ++= conv; prunedCache = null }
+  }
+  // physical-named, like physPushed; only consulted by file pruning
+  private var runtime: Array[Filter] = Array.empty
+  private var runtimeEmpty = false
+  @volatile private var prunedCache: Seq[DeltaLog.AddFile] = null
 
   /** PHYSICAL twins of the requested schemas — positionally identical
     * (same types, same order), names resolved through the mapping, so
@@ -566,13 +645,19 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
       dataFilters)
 
   /** File list after log-side pruning (partition values + stats, both
-    * physical-named in the log) — computed ONCE per scan (statistics
-    * may be requested repeatedly during join costing). */
-  private lazy val prunedFiles: Seq[DeltaLog.AddFile] =
-    physPushed.flatMap(f => filterToColumn(f)).reduceOption(_ && _) match {
-      case Some(pred) => DeltaLog.prunedFiles(spark, table.physSnap, pred)
-      case None => table.physSnap.files
-    }
+    * physical-named in the log) — computed once per scan state
+    * (statistics may be requested repeatedly during join costing) and
+    * invalidated when runtime filters arrive. */
+  private def prunedFiles: Seq[DeltaLog.AddFile] = {
+    if (runtimeEmpty) return Seq.empty
+    if (prunedCache == null)
+      prunedCache = (physPushed ++ runtime).flatMap(f => filterToColumn(f))
+        .reduceOption(_ && _) match {
+        case Some(pred) => DeltaLog.prunedFiles(spark, table.physSnap, pred)
+        case None => table.physSnap.files
+      }
+    prunedCache
+  }
 
   /** Real size/row statistics from the log — what keeps a small Delta
     * dimension broadcastable in catalog joins. */

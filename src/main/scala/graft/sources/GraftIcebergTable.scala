@@ -267,7 +267,8 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
                                readData: StructType, readPart: StructType,
                                pushed: Array[Filter],
                                options: CaseInsensitiveStringMap)
-  extends Scan with SupportsReportStatistics {
+  extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import GraftIceberg._
 
   override def readSchema(): StructType =
@@ -275,6 +276,35 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
   override def description(): String =
     s"graft-iceberg ${table.tablePath} snap${table.snap.snapshotId}" +
       s" PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  /** DSv2 DYNAMIC PARTITION PRUNING over HIDDEN partitioning:
+    * advertised attributes are the default spec's SOURCE columns
+    * (`days(ts)` advertises `ts`), so a join-time `IN` over the
+    * source column prunes through [[IcebergTable.prunedFiles]]'s
+    * transform leg — each literal maps through the spec transform
+    * (identity / temporal / bucket murmur3 / truncate) to a partition
+    * tuple, plus the manifests' column bounds. The fact side of a
+    * star join plans only the dim-selected partitions' files. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (table.cdf) Array.empty
+    else table.snap.specFields.map(_.source).distinct
+      .filter(table.snap.schema.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val conv = predicates.flatMap(GraftDelta.runtimeToV1)
+    // empty join-time IN = provably-false: plan zero files (the
+    // generic pruning is keep-unless-provably-false)
+    if (conv.exists {
+      case org.apache.spark.sql.sources.In(_, vs) => vs.isEmpty
+      case _ => false
+    }) runtimeEmpty = true
+    if (conv.nonEmpty) { runtime ++= conv; prunedCache = null }
+  }
+  private var runtime: Array[Filter] = Array.empty
+  private var runtimeEmpty = false
+  @volatile private var prunedCache: Seq[IcebergTable.DataFile] = null
 
   private def factory: PartitionReaderFactory =
     GraftDelta.readerFactory(spark, table.dataSchema, readData, readPart,
@@ -284,15 +314,20 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
     * column bounds both consult the pushed filters — no data file
     * opens (IcebergTable.prunedFiles extracts the sound conjuncts
     * itself). */
-  // computed ONCE per scan: the optimizer may request statistics
-  // several times while costing joins, and each pruning pass runs
-  // driver-side Spark jobs over the file list
-  private lazy val prunedFiles: Seq[IcebergTable.DataFile] =
-    pushed.flatMap(f => GraftDelta.filterToColumn(f))
-      .reduceOption(_ && _) match {
-      case Some(pred) => IcebergTable.prunedFiles(spark, table.snap, pred)
-      case None => table.snap.files
-    }
+  // computed once per scan state: the optimizer may request
+  // statistics several times while costing joins, and each pruning
+  // pass runs driver-side Spark jobs over the file list; runtime
+  // (DPP) filters invalidate the cache when they arrive
+  private def prunedFiles: Seq[IcebergTable.DataFile] = {
+    if (runtimeEmpty) return Seq.empty
+    if (prunedCache == null)
+      prunedCache = (pushed ++ runtime).flatMap(f => GraftDelta.filterToColumn(f))
+        .reduceOption(_ && _) match {
+        case Some(pred) => IcebergTable.prunedFiles(spark, table.snap, pred)
+        case None => table.snap.files
+      }
+    prunedCache
+  }
 
   /** Manifest-recorded sizes/record counts over the PRUNED file
     * list — real statistics, so a small (or partition-filtered)

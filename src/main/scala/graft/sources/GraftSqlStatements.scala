@@ -980,12 +980,17 @@ case class GraftCallCommand(proc: String, rawArgs: String)
         IcebergTable.publishWap(spark, dir, str(1)).toString
       case "publish_branch" =>
         IcebergTable.publishBranch(spark, dir, str(1)).toString
+      case "compact_delta_log" =>
+        // compact_delta_log('<t>', startV, endV) — minor log
+        // compaction (PROTOCOL.md §Log Compaction Files)
+        DeltaLog.compactLog(spark, dir, num(1), num(2)).toString
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft.system.$other (expire_snapshots, " +
           "rewrite_data_files, rewrite_position_delete_files, " +
           "rewrite_manifests, remove_orphan_files, rollback_to_snapshot, " +
           "rollback_to_timestamp, create_tag, create_branch, " +
-          "fast_forward, drop_ref, publish_wap, publish_branch)")
+          "fast_forward, drop_ref, publish_wap, publish_branch, " +
+          "compact_delta_log)")
     }
     Seq(Row(proc, res))
   }

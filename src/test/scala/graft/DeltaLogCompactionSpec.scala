@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.sources.DeltaLog
+
+/** Minor log compaction (PROTOCOL.md §Log Compaction Files):
+  * `<x>.<y>.compacted.json` must reconcile the range faithfully and
+  * the snapshot reader must substitute it for the raw commits — the
+  * feature that keeps replay cheap on a 10⁵-commit table between
+  * checkpoints. */
+class DeltaLogCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("logcompact").toString
+  private def fs(p: String) = new Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("snapshot replays from the compacted file alone; reconciliation drops in-range-removed adds") {
+    val path = tmp()
+    // v0: initial; v1..v2: appends; v3: overwrite (removes v0..v2
+    // adds); v4: append with a txn stamp
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v"), path)
+    DeltaLog.write(spark, Seq((3L, "c")).toDF("k", "v"), path)
+    DeltaLog.write(spark, Seq((10L, "x"), (11L, "y")).toDF("k", "v"), path,
+      overwrite = true)
+    DeltaLog.write(spark, Seq((12L, "z")).toDF("k", "v"), path,
+      txn = Some(("appA", 7L)))
+
+    val before = DeltaLog.read(spark, path).as[(Long, String)].collect().toSet
+    assert(before === Set((10L, "x"), (11L, "y"), (12L, "z")))
+
+    assert(DeltaLog.compactLog(spark, path, 1L, 4L))
+    // idempotent: second call finds the file and is a no-op
+    assert(!DeltaLog.compactLog(spark, path, 1L, 4L))
+
+    // the compacted file must hold remove tombstones (not adds) for
+    // the files the overwrite dropped, and the reconciled adds + txn
+    val f = fs(path)
+    val cpath = new Path(path,
+      "_delta_log/00000000000000000001.00000000000000000004.compacted.json")
+    assert(f.exists(cpath))
+    val lines = scala.io.Source.fromInputStream(f.open(cpath), "UTF-8")
+      .mkString.split('\n').filter(_.nonEmpty)
+    val adds = lines.filter(_.contains("\"add\""))
+    val removes = lines.filter(_.contains("\"remove\""))
+    // 3 tombstones: v1's and v2's adds collapsed in-range, plus the
+    // overwrite's remove of v0's PRE-RANGE file (must carry — replay
+    // from the compacted file would otherwise keep it live)
+    assert(removes.length === 3, s"expected 3 tombstones:\n${lines.mkString("\n")}")
+    assert(adds.length === 3) // the overwrite's 2 files + v4's 1
+    // no add survives for an in-range-removed path
+    val removedPaths = removes.flatMap(
+      "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    assert(adds.forall(a => !removedPaths.exists(a.contains)))
+    assert(lines.exists(_.contains("\"txn\"")))
+    assert(!lines.exists(_.contains("\"commitInfo\"")))
+
+    // move raw commits 1..4 aside: the snapshot must now come from
+    // checkpoint-less v0 + the compacted file and still be identical
+    (1L to 4L).foreach { v =>
+      val p = new Path(path, s"_delta_log/${"%020d".format(v)}.json")
+      assert(f.rename(p, new Path(p.toString + ".bak")))
+    }
+    val snap = DeltaLog.snapshot(spark, path)
+    assert(snap.version === 4L)
+    assert(snap.txns === Map("appA" -> 7L))
+    val after = DeltaLog.read(spark, path).as[(Long, String)].collect().toSet
+    assert(after === before)
+
+    // time travel INTO the compacted range needs the raw commits —
+    // with them gone it must refuse loudly, never serve wrong rows
+    intercept[IllegalArgumentException] {
+      DeltaLog.snapshot(spark, path, versionAsOf = Some(2L))
+    }
+  }
+
+  test("time travel below the range end ignores the compacted file while raw commits exist") {
+    val path = tmp()
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v"), path)
+    DeltaLog.write(spark, Seq((3L, "c")).toDF("k", "v"), path)
+    DeltaLog.compactLog(spark, path, 0L, 2L)
+    val v1 = DeltaLog.read(spark, path, versionAsOf = Some(1L))
+      .as[(Long, String)].collect().toSet
+    assert(v1 === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("CALL graft.system.compact_delta_log authors the file") {
+    val path = tmp()
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v"), path)
+    DeltaLog.write(spark, Seq((3L, "c")).toDF("k", "v"), path)
+    val res = spark.sql(
+      s"CALL graft.system.compact_delta_log('$path', 1, 2)").collect()
+    assert(res.head.getString(1) === "true")
+    assert(fs(path).exists(new Path(path,
+      "_delta_log/00000000000000000001.00000000000000000002.compacted.json")))
+  }
+
+  test("compaction range must exist") {
+    val path = tmp()
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    intercept[IllegalArgumentException] {
+      DeltaLog.compactLog(spark, path, 0L, 5L)
+    }
+  }
+}
