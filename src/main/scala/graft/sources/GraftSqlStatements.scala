@@ -136,6 +136,11 @@ object GraftSqlStatements {
   private val ClusterByRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+CLUSTER\s+BY\s+(?:(NONE)|\(\s*([^)]+?)\s*\))\s*;?\s*$""").r
+  /** `ALTER TABLE <t> WRITE ORDERED BY (c1 [ASC|DESC], …)` /
+    * `WRITE UNORDERED` — the Iceberg default-sort-order DDL. */
+  private val WriteOrderRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+WRITE\s+(?:(UNORDERED)|ORDERED\s+BY\s+\(?\s*([^);]+?)\s*\)?)\s*;?\s*$""").r
 
   /** Split on commas at bracket-depth 0, outside single quotes —
     * `d DECIMAL(10,2)`, `m MAP<STRING, BIGINT>` and
@@ -311,6 +316,15 @@ object GraftSqlStatements {
         if (none != null) Nil
         else cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq))
+    case WriteOrderRe(path, ident, unordered, cols) =>
+      Some(GraftWriteOrderCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        if (unordered != null) Nil
+        else cols.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+          val ps = c.split("\\s+")
+          (ps.head.stripPrefix("`").stripSuffix("`"),
+            !(ps.length > 1 && ps(1).equalsIgnoreCase("desc")))
+        }.toSeq))
     case DescribeHistoryRe(path, ident) =>
       Some(GraftDescribeHistoryCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil)))
@@ -1051,6 +1065,27 @@ case class GraftClusterByCommand(path: Option[String], parts: Seq[String],
       s"CLUSTER BY is Delta-flavor declarative clustering; $dir is not " +
         "a Delta table (Iceberg layout evolves via PARTITION FIELD DDL)")
     Seq(Row(dir, DeltaLog.setClusterBy(spark, dir, cols)))
+  }
+}
+
+/** `ALTER TABLE <t> WRITE ORDERED BY (c1 [ASC|DESC], …)` /
+  * `WRITE UNORDERED` → [[IcebergTable.setWriteOrder]]: registers the
+  * default sort order subsequent writes honor (range-partitioned +
+  * locally sorted staging → tight per-file bounds). Iceberg-flavor
+  * only. Returns the new order id. */
+case class GraftWriteOrderCommand(path: Option[String], parts: Seq[String],
+                                  order: Seq[(String, Boolean)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("order_id", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    require(flavorOf(spark, dir) == IcebergFlavor,
+      s"WRITE ORDERED BY sets an Iceberg sort order; $dir is not an " +
+        "Iceberg table (Delta layout is declared via CLUSTER BY)")
+    Seq(Row(IcebergTable.setWriteOrder(spark, dir, order)))
   }
 }
 

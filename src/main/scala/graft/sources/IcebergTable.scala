@@ -117,7 +117,8 @@ object IcebergTable {
                             deletes: Seq[DeleteFile] = Seq.empty,
                             fieldNames: Map[Int, String] = Map.empty,
                             specFields: Seq[IcebergPartitioning.PartField] = Seq.empty,
-                            defaultSpecId: Int = 0)
+                            defaultSpecId: Int = 0,
+                            sortOrder: Seq[(String, Boolean)] = Seq.empty)
 
   /** One manifest/metadata partition-spec field: the FIELD's name and
     * (result) type, the source column's field id, and the spec-JSON
@@ -502,10 +503,42 @@ object IcebergTable {
           Option(f.get("field-id")).map(_.asInt()).getOrElse(-1)))
       }
     }
+    // the DEFAULT sort order (spec §Sorting), as `(source column,
+    // ascending)` pairs the writer can honor: order-id 0 is the
+    // spec's "unsorted"; orders with non-identity transforms or
+    // unresolvable source ids report EMPTY (the writer then skips
+    // sorting — sound: sort orders are advisory for writes)
+    val defaultSortOrder: Seq[(String, Boolean)] = {
+      val soId = Option(meta.get("default-sort-order-id"))
+        .map(_.asInt()).getOrElse(0)
+      if (soId == 0) Seq.empty
+      else {
+        val curIds: Map[Int, String] =
+          Option(schemaById(currentSchemaId).get("fields")).toSeq
+            .flatMap(_.elements().asScala)
+            .filter(f => f.has("id") && f.has("name"))
+            .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+        val fields = Option(meta.get("sort-orders")).toSeq
+          .flatMap(_.elements().asScala)
+          .find(o => Option(o.get("order-id")).exists(_.asInt() == soId))
+          .toSeq
+          .flatMap(o => Option(o.get("fields")).toSeq
+            .flatMap(_.elements().asScala))
+        val parsed = fields.map { f =>
+          val src = curIds.get(f.get("source-id").asInt())
+          val identity = f.get("transform").asText() == "identity"
+          src.filter(_ => identity)
+            .map(n => (n, f.get("direction").asText() != "desc"))
+        }
+        if (parsed.nonEmpty && parsed.forall(_.isDefined)) parsed.map(_.get)
+        else Seq.empty
+      }
+    }
     val snaps = Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
     if (snaps.isEmpty) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty,
-      specFields = defaultSpec, defaultSpecId = defaultSpecId)
+      specFields = defaultSpec, defaultSpecId = defaultSpecId,
+      sortOrder = defaultSortOrder)
 
     val chosen: JsonNode = (snapshotIdAsOf, timestampAsOf) match {
       case (Some(id), _) => snaps.find(_.get("snapshot-id").asLong() == id)
@@ -522,7 +555,8 @@ object IcebergTable {
         val cur = Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
           .map(_.asLong()).getOrElse(-1L)
         if (cur == -1L) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty,
-          specFields = defaultSpec, defaultSpecId = defaultSpecId)
+          specFields = defaultSpec, defaultSpecId = defaultSpecId,
+          sortOrder = defaultSortOrder)
         snaps.find(_.get("snapshot-id").asLong() == cur)
           .getOrElse(throw new IllegalStateException(
             s"current-snapshot-id $cur not in snapshots list"))
@@ -686,7 +720,8 @@ object IcebergTable {
       }
     }
     Snapshot(tablePath, snapId, snapTs, snapSchema, files.toSeq,
-      deletes.toSeq, fieldNames, defaultSpec, defaultSpecId)
+      deletes.toSeq, fieldNames, defaultSpec, defaultSpecId,
+      defaultSortOrder)
   }
 
   /** id→name maps of every schema era, plus snapshot-id→schema-id —
@@ -2835,6 +2870,60 @@ object IcebergTable {
     * and [[expireSnapshots]] keeps every ref-pinned snapshot alive.
     * One metadata-version commit each; [[IcebergTable.write]] carries
     * the refs map through (a rebuilt root never drops them). */
+  /** `ALTER TABLE … WRITE ORDERED BY (c1 [ASC|DESC], …)` — set the
+    * table's DEFAULT SORT ORDER (spec §Sorting): one metadata commit
+    * registering a new order (identity transforms over current
+    * columns; ASC pairs with nulls-first, DESC with nulls-last — the
+    * spec's defaults) and pointing `default-sort-order-id` at it.
+    * `order = Nil` resets to unsorted (order 0). Sort orders are
+    * advisory: [[write]] honors the default order by range-
+    * partitioning + locally sorting its staged files, which is what
+    * tightens per-file column bounds and makes metadata skipping on
+    * the sort column effective at scale. Returns the order id. */
+  def setWriteOrder(spark: SparkSession, tablePath: String,
+                    order: Seq[(String, Boolean)]): Long =
+    casCommit(spark, tablePath) { (baseMeta, _) =>
+      val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+        s"not an Iceberg table: $tablePath"))
+      val curSchemaId = Option(meta.get("current-schema-id"))
+        .map(_.asInt()).getOrElse(0)
+      val nameToId: Map[String, Int] =
+        Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala)
+          .find(s => Option(s.get("schema-id")).exists(_.asInt() == curSchemaId))
+          .toSeq.flatMap(s => Option(s.get("fields")).toSeq
+            .flatMap(_.elements().asScala))
+          .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+      order.foreach { case (c, _) => require(nameToId.contains(c),
+        s"WRITE ORDERED BY column $c is not in $tablePath's schema") }
+      val ordersArr = Option(meta.get("sort-orders"))
+        .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode])
+        .getOrElse {
+          val a = meta.putArray("sort-orders")
+          a.addObject().put("order-id", 0).putArray("fields")
+          a
+        }
+      val newId: Long =
+        if (order.isEmpty) 0L
+        else {
+          val id = ordersArr.elements().asScala
+            .map(_.get("order-id").asInt()).foldLeft(0)(math.max) + 1
+          val o = ordersArr.addObject()
+          o.put("order-id", id)
+          val fs = o.putArray("fields")
+          order.foreach { case (c, asc) =>
+            val f = fs.addObject()
+            f.put("transform", "identity")
+            f.put("source-id", nameToId(c))
+            f.put("direction", if (asc) "asc" else "desc")
+            f.put("null-order", if (asc) "nulls-first" else "nulls-last")
+          }
+          id.toLong
+        }
+      meta.put("default-sort-order-id", newId)
+      meta.put("last-updated-ms", System.currentTimeMillis())
+      (meta, newId)
+    }
+
   def createTag(spark: SparkSession, tablePath: String, name: String,
                 snapshotId: Long): Long =
     setRef(spark, tablePath, name, snapshotId, "tag", allowMove = false)
@@ -4285,12 +4374,38 @@ object IcebergTable {
     }
     val tok = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(dst, s".tmp-$tok-${java.util.UUID.randomUUID()}")
-    if (pfs.isEmpty) df.write.parquet(tmp.toString)
-    else pfs.foldLeft(df)((d, pf) =>
-      d.withColumn("gp_" + pf.name, IcebergPartitioning.stagingColumn(
-        pf, df.schema(pf.source).dataType)))
-      .write.partitionBy(pfs.map("gp_" + _.name): _*)
-      .parquet(tmp.toString)
+    // honor the table's DEFAULT SORT ORDER (spec §Sorting, set via
+    // setWriteOrder): unpartitioned writes range-partition + locally
+    // sort on the order columns, so per-file bounds on the sort key
+    // are tight and NON-OVERLAPPING — the layout metadata skipping
+    // needs at scale; partitioned writes sort locally within each
+    // partition directory (rows are already split by the tree).
+    // Advisory by spec: an order naming absent columns is skipped.
+    val writeOrder: Seq[(String, Boolean)] =
+      if (fs.globStatus(new Path(mdir, "v*.metadata.json")).isEmpty) Seq.empty
+      else snapshot(spark, tablePath).sortOrder
+        .filter { case (c, _) => df.schema.fieldNames.contains(c) }
+    import org.apache.spark.sql.functions.col
+    val orderCols = writeOrder.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc }
+    if (pfs.isEmpty) {
+      val staged =
+        if (writeOrder.isEmpty) df
+        else df.repartitionByRange(
+          math.max(df.rdd.getNumPartitions, 1), orderCols: _*)
+          .sortWithinPartitions(orderCols: _*)
+      staged.write.parquet(tmp.toString)
+    } else {
+      val withGp = pfs.foldLeft(df)((d, pf) =>
+        d.withColumn("gp_" + pf.name, IcebergPartitioning.stagingColumn(
+          pf, df.schema(pf.source).dataType)))
+      val staged =
+        if (writeOrder.isEmpty) withGp
+        else withGp.sortWithinPartitions(
+          (pfs.map(pf => col("gp_" + pf.name).asc) ++ orderCols): _*)
+      staged.write.partitionBy(pfs.map("gp_" + _.name): _*)
+        .parquet(tmp.toString)
+    }
     val tmpQ = fs.makeQualified(tmp).toString
     // keyed by the tmp-RELATIVE path, not the basename: one task
     // writing rows of several partition dirs reuses the same
@@ -4613,10 +4728,20 @@ object IcebergTable {
       root.put("last-partition-id", 999 + math.max(specFields.size,
         priorSpecsArr.map(s => Option(s.get("fields"))
           .map(_.size()).getOrElse(0)).foldLeft(0)(math.max)))
-      root.put("default-sort-order-id", 0)
-      val so = root.putArray("sort-orders").addObject()
-      so.put("order-id", 0)
-      so.putArray("fields")
+      // CARRY the table's sort orders — a WRITE ORDERED BY table must
+      // not lose its order on the next append (the same carry bug
+      // shape as the properties/refs drop fixed in round 13)
+      prior.flatMap(m => Option(m.get("sort-orders"))) match {
+        case Some(orders) =>
+          root.put("default-sort-order-id",
+            prior.flatMap(m => Option(m.get("default-sort-order-id")))
+              .map(_.asInt()).getOrElse(0))
+          root.set[JsonNode]("sort-orders", orders)
+        case None =>
+          root.put("default-sort-order-id", 0)
+          root.putArray("sort-orders").addObject()
+            .put("order-id", 0).putArray("fields")
+      }
       root.put("current-snapshot-id",
         if (wapId.isDefined || toBranch.isDefined) priorCur.getOrElse(-1L)
         else snapId)
