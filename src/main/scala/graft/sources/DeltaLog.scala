@@ -2165,6 +2165,11 @@ object DeltaLog {
     * vetoes the commit ([[enforceInvariants]] checks it on every
     * write path, DML included). */
   val GenerationExprKey = "delta.generationExpression"
+  /** IDENTITY column metadata keys (PROTOCOL.md §Identity Columns). */
+  val IdentityStartKey = "delta.identity.start"
+  val IdentityStepKey = "delta.identity.step"
+  val IdentityHwmKey = "delta.identity.highWaterMark"
+  val IdentityAllowExplicitKey = "delta.identity.allowExplicitInsert"
 
   /** `CREATE TABLE` — commit version 0 (protocol + metaData) with NO
     * data: the declared schema (which may carry GENERATED column
@@ -2209,7 +2214,16 @@ object DeltaLog {
     val hasGen = schema.fields.exists(_.metadata.contains(GenerationExprKey))
     val hasCdf = configuration.get("delta.enableChangeDataFeed")
       .exists(_.trim.equalsIgnoreCase("true"))
-    val minWriter = if (hasGen || hasCdf) 4 else 2
+    val idFields = schema.fields.filter(_.metadata.contains(IdentityStartKey))
+    idFields.foreach { f =>
+      require(!partitionBy.contains(f.name),
+        s"IDENTITY column ${f.name} cannot be a partition column")
+      require(f.dataType == LongType,
+        s"IDENTITY column ${f.name} must be BIGINT")
+    }
+    // identity columns are a writer-6 protocol feature
+    val minWriter =
+      if (idFields.nonEmpty) 6 else if (hasGen || hasCdf) 4 else 2
     val tableId = java.util.UUID.nameUUIDFromBytes(
       deltaPath.getBytes("UTF-8")).toString
     val lines = Seq(
@@ -2249,7 +2263,7 @@ object DeltaLog {
     // minus some generated columns (case-insensitively) — an
     // overwrite replacing the schema outright must not have the old
     // generation expressions evaluated over unrelated columns.
-    val df: DataFrame = {
+    val dfGen: DataFrame = {
       val fillable = prior.exists { p =>
         val ps = p.schema
         val lower = ps.fieldNames.map(n => n.toLowerCase -> n).toMap
@@ -2257,7 +2271,8 @@ object DeltaLog {
           dfIn.columns.flatMap(c => lower.get(c.toLowerCase)).toSet
         dfIn.columns.forall(c => lower.contains(c.toLowerCase)) &&
           missing.nonEmpty &&
-          missing.forall(n => ps(n).metadata.contains(GenerationExprKey))
+          missing.forall(n => ps(n).metadata.contains(GenerationExprKey) ||
+            ps(n).metadata.contains(IdentityStartKey))
       }
       if (!fillable) dfIn
       else {
@@ -2267,9 +2282,111 @@ object DeltaLog {
           !dfIn.columns.exists(_.equalsIgnoreCase(f.name)))
           .foreach(f => d = d.withColumn(f.name,
             expr(f.metadata.getString(GenerationExprKey)).cast(f.dataType)))
-        d.select(ps.fieldNames.map(col).toIndexedSeq: _*)
+        d // identity columns fill below; the final select happens there
       }
     }
+    // IDENTITY columns (PROTOCOL.md §Identity Columns): a frame that
+    // OMITS an identity column gets values ALLOCATED — contiguous
+    // from the high watermark, distributed as base + step×(partition
+    // offset + row index within the partition); the SAME commit's
+    // metaData advances `delta.identity.highWaterMark`, which is what
+    // makes concurrent identity appends safe: the loser of the
+    // version race sees a winner metaData change and refuses
+    // (MetadataChanged) instead of silently double-allocating.
+    // Explicit values need GENERATED BY DEFAULT
+    // (allowExplicitInsert=true) and push the watermark past their
+    // extreme. The per-partition count pass is one column-pruned job;
+    // nothing row-sized reaches the driver.
+    val identityFields: Seq[StructField] = prior.toSeq.flatMap(_.schema.fields)
+      .filter(_.metadata.contains(IdentityStartKey))
+    var identitySchema: Option[StructType] = None
+    val dfId: DataFrame = if (identityFields.isEmpty) dfGen else {
+      val ps = prior.get.schema
+      val lower = ps.fieldNames.map(n => n.toLowerCase -> n).toMap
+      // fill only a TABLE-SHAPED frame whose only absent columns are
+      // identity columns — a schema-replacing overwrite (or a frame
+      // missing regular columns, which the append gate refuses with
+      // its own message) passes through untouched
+      val tableShaped =
+        dfGen.columns.forall(c => lower.contains(c.toLowerCase)) &&
+          ps.fieldNames
+            .filterNot(n => dfGen.columns.exists(_.equalsIgnoreCase(n)))
+            .forall(n => ps(n).metadata.contains(IdentityStartKey))
+      if (!tableShaped) dfGen // schema-replacing overwrite
+      else {
+        val missing = identityFields
+          .filterNot(f => dfGen.columns.exists(_.equalsIgnoreCase(f.name)))
+        val explicit = identityFields
+          .filter(f => dfGen.columns.exists(_.equalsIgnoreCase(f.name)))
+        explicit.foreach { f =>
+          require(f.metadata.contains(IdentityAllowExplicitKey) &&
+            f.metadata.getBoolean(IdentityAllowExplicitKey),
+            s"column ${f.name} is GENERATED ALWAYS AS IDENTITY — " +
+              "explicit values are not accepted (use GENERATED BY DEFAULT)")
+        }
+        var updated: Map[String, Long] = Map.empty // name -> new HWM
+        var d = dfGen
+        if (missing.nonEmpty) {
+          // ONE count pass serves every missing identity column
+          val pidCounts = d
+            .groupBy(spark_partition_id().as("__pid")).count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1))
+            .sortBy(_._1)
+          val total = pidCounts.map(_._2).sum
+          val offsets: Map[Int, Long] = pidCounts
+            .scanLeft((-1, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+            .sliding(2).collect { case Array((_, acc), (pid, _)) =>
+              pid -> acc }.toMap
+          missing.foreach { f =>
+            val start = f.metadata.getLong(IdentityStartKey)
+            val step = f.metadata.getLong(IdentityStepKey)
+            val hwm =
+              if (f.metadata.contains(IdentityHwmKey))
+                f.metadata.getLong(IdentityHwmKey)
+              else start - step
+            val rowIdx = monotonically_increasing_id()
+              .bitwiseAND(lit((1L << 33) - 1))
+            d = d.withColumn(f.name, (lit(hwm + step) + lit(step) *
+              (element_at(typedlit(offsets), spark_partition_id()) + rowIdx))
+              .cast(f.dataType))
+            if (total > 0) updated += f.name -> (hwm + step * total)
+          }
+        }
+        explicit.foreach { f =>
+          val step = f.metadata.getLong(IdentityStepKey)
+          val ext = d.agg(
+            (if (step >= 0) max(col(f.name)) else min(col(f.name)))
+              .cast("long")).collect().head
+          if (!ext.isNullAt(0)) {
+            val x = ext.getLong(0)
+            val cur = if (f.metadata.contains(IdentityHwmKey))
+              Some(f.metadata.getLong(IdentityHwmKey)) else None
+            val push = cur match {
+              case Some(h) if (step >= 0 && x <= h) || (step < 0 && x >= h) =>
+                None
+              case _ => Some(x)
+            }
+            push.foreach(nh => updated += f.name -> nh)
+          }
+        }
+        if (updated.nonEmpty)
+          identitySchema = Some(StructType(ps.fields.map(f =>
+            updated.get(f.name) match {
+              case Some(nh) => f.copy(metadata = new MetadataBuilder()
+                .withMetadata(f.metadata).putLong(IdentityHwmKey, nh).build())
+              case None => f
+            })))
+        d
+      }
+    }
+    // filled frames (generated and/or identity columns) re-align to
+    // the table's declared column order; untouched frames pass as-is
+    val df: DataFrame = prior match {
+      case Some(p) if dfId.ne(dfIn) =>
+        dfId.select(p.schema.fieldNames.map(col).toIndexedSeq: _*)
+      case _ => dfId
+    }
+
     // names + types must match exactly; nullability and metadata are
     // presentation details parquet does not enforce (a non-nullable
     // frame appends fine into a nullable table)
@@ -2434,8 +2551,16 @@ object DeltaLog {
     } else if (mergedSchema.isDefined) {
       // schema-evolving append: the widened schema lands in the SAME
       // commit as the data, configuration (constraints, properties)
-      // carried verbatim
-      lines += metaDataLine(tableId, mergedSchema.get.json, effParts, now,
+      // carried verbatim; an identity-watermark advance composes by
+      // replacing the affected fields inside the widened schema
+      val base = mergedSchema.get
+      val out = identitySchema match {
+        case Some(is) =>
+          val byName = is.fields.map(f => f.name -> f).toMap
+          StructType(base.fields.map(f => byName.getOrElse(f.name, f)))
+        case None => base
+      }
+      lines += metaDataLine(tableId, out.json, effParts, now,
         prior.get.configuration)
     } else if (overwrite) {
       val p = prior.get
@@ -2443,12 +2568,17 @@ object DeltaLog {
       // configuration (constraints, properties) on the floor; and a
       // SHAPE-equal overwrite keeps the prior metaData verbatim —
       // re-stamping the frame's bare schema would strip column
-      // mapping / generation / comment metadata off the fields
+      // mapping / generation / comment metadata off the fields —
+      // UNLESS an identity watermark advanced, which lands the prior
+      // schema with only the watermark metadata updated
       if (mappedPrior.isEmpty &&
         (shape(p.schema) != shape(df.schema) ||
           p.partitionColumns != effParts))
         lines += metaDataLine(tableId, df.schema.json, effParts, now,
           p.configuration)
+      else identitySchema.foreach(is =>
+        lines += metaDataLine(tableId, is.json, effParts, now,
+          p.configuration))
       // snapshot paths are absolute; the log stores table-relative —
       // normalize the scheme off both sides before stripping
       def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
@@ -2458,6 +2588,13 @@ object DeltaLog {
           .stripPrefix(root + "/"))
         lines += s"""{"remove":{"path":${jsEscape(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
       }
+    } else {
+      // plain append: an identity-watermark advance lands the prior
+      // schema (watermark metadata only) in the SAME commit as the
+      // data — the atomicity concurrent allocators rely on
+      identitySchema.foreach(is =>
+        lines += metaDataLine(tableId, is.json, effParts, now,
+          prior.get.configuration))
     }
     // ROW TRACKING: every add on a row-tracked table carries a fresh
     // contiguous baseRowId range from the high watermark, plus the

@@ -168,6 +168,32 @@ object GraftSqlStatements {
     import org.apache.spark.sql.types._
     var d = defn.trim
     var gen: Option[String] = None
+    // IDENTITY columns (PROTOCOL.md §Identity Columns):
+    // `GENERATED ALWAYS|BY DEFAULT AS IDENTITY
+    //  [(START WITH n) (INCREMENT BY k)]` — parsed BEFORE the
+    // expression form (whose regex would match the same prefix)
+    var identity: Option[(Long, Long, Boolean)] = None // start, step, byDefault
+    val idRe =
+      "(?i)\\bGENERATED\\s+(ALWAYS|BY\\s+DEFAULT)\\s+AS\\s+IDENTITY\\b".r
+    idRe.findFirstMatchIn(d).foreach { m =>
+      val byDefault = m.group(1).toUpperCase(java.util.Locale.ROOT) != "ALWAYS"
+      val rest = d.substring(m.end).trim
+      var start = 1L; var step = 1L
+      if (rest.nonEmpty) {
+        require(rest.startsWith("(") && rest.endsWith(")"),
+          s"IDENTITY options must be parenthesized: $defn")
+        val inner = rest.substring(1, rest.length - 1)
+        "(?i)START\\s+WITH\\s+(-?\\d+)".r.findFirstMatchIn(inner)
+          .foreach(g => start = g.group(1).toLong)
+        "(?i)INCREMENT\\s+BY\\s+(-?\\d+)".r.findFirstMatchIn(inner)
+          .foreach(g => step = g.group(1).toLong)
+        require("(?i)(START\\s+WITH\\s+-?\\d+|INCREMENT\\s+BY\\s+-?\\d+|[\\s,])*".r
+          .matches(inner), s"unparsed IDENTITY options in: $defn")
+      }
+      require(step != 0, s"IDENTITY INCREMENT BY must be non-zero: $defn")
+      identity = Some((start, step, byDefault))
+      d = d.substring(0, m.start).trim
+    }
     "(?i)\\bGENERATED\\s+ALWAYS\\s+AS\\b".r.findFirstMatchIn(d).foreach { m =>
       val rest = d.substring(m.end).trim
       require(rest.startsWith("("),
@@ -197,6 +223,15 @@ object GraftSqlStatements {
     val dt = DataType.fromDDL(d.substring(sp + 1).trim)
     val mb = new MetadataBuilder()
     gen.foreach(mb.putString("delta.generationExpression", _))
+    identity.foreach { case (start, step, byDefault) =>
+      require(gen.isEmpty,
+        s"column $defn cannot be both GENERATED AS (expr) and IDENTITY")
+      require(dt == LongType,
+        s"IDENTITY columns must be BIGINT, got ${dt.simpleString}: $defn")
+      mb.putLong(DeltaLog.IdentityStartKey, start)
+      mb.putLong(DeltaLog.IdentityStepKey, step)
+      mb.putBoolean(DeltaLog.IdentityAllowExplicitKey, byDefault)
+    }
     StructField(name, dt, nullable = !notNull, mb.build())
   }
 
@@ -804,7 +839,15 @@ case class GraftShowCreateTableCommand(dir: String)
     val gen =
       if (f.metadata.contains(DeltaLog.GenerationExprKey))
         s" GENERATED ALWAYS AS (${f.metadata.getString(DeltaLog.GenerationExprKey)})"
-      else ""
+      else if (f.metadata.contains(DeltaLog.IdentityStartKey)) {
+        val kind =
+          if (f.metadata.contains(DeltaLog.IdentityAllowExplicitKey) &&
+            f.metadata.getBoolean(DeltaLog.IdentityAllowExplicitKey))
+            "BY DEFAULT" else "ALWAYS"
+        s" GENERATED $kind AS IDENTITY (START WITH " +
+          s"${f.metadata.getLong(DeltaLog.IdentityStartKey)} INCREMENT BY " +
+          s"${f.metadata.getLong(DeltaLog.IdentityStepKey)})"
+      } else ""
     s"`${f.name}` ${f.dataType.sql}$nn$gen"
   }
   private def propsSql(m: Map[String, String]): String =
