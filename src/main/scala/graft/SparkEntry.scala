@@ -5671,6 +5671,52 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // DSv2 DYNAMIC PARTITION PRUNING end-to-end: a returnflag-
+    // partitioned graft-delta fact star-joins a parquet dim carrying
+    // a selective non-key filter — Spark attaches a join-time IN to
+    // the scan (SupportsRuntimeV2Filtering) and only the dim-selected
+    // partitions' files are planned; values must match the plain join
+    "interop_delta_dpp" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q-dpp")
+        .toString
+      val t = base + "/fact"
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      graft.sources.DeltaLog.write(s, li, t,
+        partitionBy = Seq("l_returnflag"))
+      val dimPath = base + "/dim"
+      Tables.lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+        .agg(min(col("l_linestatus")).as("tag"))
+        .write.mode("overwrite").parquet(dimPath)
+      val fact = s.read.format("graft-delta").load(t)
+      val dim = s.read.parquet(dimPath).where(col("tag") === "F")
+      fact.join(dim, fact("l_returnflag") === dim("flag"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), sumD(col("l_quantity")).as("qty"))
+        .orderBy("flag")
+    }),
+
+    // Iceberg SORT ORDERS end-to-end: WRITE ORDERED BY, then a
+    // shuffled multi-partition append — staged files carry tight
+    // non-overlapping sort-key bounds, and the range read prunes on
+    // them; values must match the plain filter+aggregate
+    "interop_iceberg_sorted" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icesort")
+        .toString + "/t"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.IcebergTable.write(s,
+        o.where(col("o_orderkey") % 2 === 0), t)
+      s.sql("ALTER TABLE '" + t + "' WRITE ORDERED BY (o_custkey)").collect()
+      graft.sources.IcebergTable.write(s,
+        o.where(col("o_orderkey") % 2 === 1).repartition(4), t)
+      s.read.format("graft-iceberg").load(t)
+        .where(col("o_custkey") < 500L)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("total"))
+        .orderBy("cust")
+    }),
+
     // Iceberg RENAME COLUMN: metadata-only schema evolution — rename
     // via SQL, append under the NEW name, read resolves the old files
     // through the schema history (field ids, not names)
@@ -9128,6 +9174,21 @@ object SparkEntry {
          | COUNT(*) AS n_orders, ${sqlSumD("o_totalprice")} AS total
          |FROM orders WHERE o_orderdate >= DATE '1995-01-01'
          |GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "interop_delta_dpp" ->
+      s"""SELECT d.flag, COUNT(*) AS n, ${sqlSumD("l_quantity")} AS qty
+         |FROM lineitem
+         |JOIN (SELECT l_returnflag AS flag, MIN(l_linestatus) AS tag
+         |      FROM lineitem GROUP BY 1) d
+         |  ON l_returnflag = d.flag
+         |WHERE d.tag = 'F'
+         |GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "interop_iceberg_sorted" ->
+      s"""SELECT o_custkey AS cust, COUNT(*) AS n_orders,
+         | ${sqlSumD("o_totalprice")} AS total
+         |FROM orders WHERE o_custkey < 500
+         |GROUP BY 1 ORDER BY cust""".stripMargin,
 
     "interop_iceberg_rename" ->
       """SELECT k, nm FROM (

@@ -53,10 +53,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * values live in the log, which a plain parquet scan cannot see —
   * serving them here would silently drop columns).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+
+  /** FunctionCatalog leg: the canonical `bucket` transform function —
+    * what lets Spark resolve a `bucket(n, col)` in a reported
+    * KeyGroupedPartitioning and so storage-partition-join two tables
+    * bucketed the same way (identity transforms resolve without a
+    * catalog; bucket needs the function to prove both sides agree and
+    * to hash the other side under v2BucketingShuffleEnabled). The
+    * implementation IS [[IcebergTransforms]]'s spec murmur3 — the
+    * same bytes-level hash the hidden-partitioning writer uses. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+  : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name().equalsIgnoreCase("bucket")
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -527,4 +547,54 @@ private[sources] class GraftCommittingTable(
             }
         }
     }
+}
+
+/** The canonical `bucket(numBuckets, col)` v2 function — Iceberg's
+  * spec bucket transform (murmur3 of the value's single-value binary
+  * form, mod n), served through [[GraftCatalog]]'s FunctionCatalog
+  * leg so Spark can resolve a reported `bucket` KeyGroupedPartitioning
+  * and storage-partition-join two co-bucketed tables. The hash is
+  * [[graft.functions.IcebergTransforms]] — the Appendix-B-verified
+  * implementation the hidden-partitioning writer already uses. */
+private[sources] object GraftBucketFunction
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+  import graft.functions.IcebergTransforms
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): Iceberg spec murmur3 bucket transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket takes (numBuckets, value), got ${inputType.simpleString}")
+    val srcType = inputType(1).dataType
+    srcType match {
+      case IntegerType | DateType | LongType | TimestampType | StringType =>
+      case other => throw new UnsupportedOperationException(
+        s"bucket over ${other.simpleString} is not supported")
+    }
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, srcType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String =
+        s"graft.bucket(${srcType.catalogString})"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val n = input.getInt(0)
+        srcType match {
+          case IntegerType | DateType =>
+            IcebergTransforms.bucketLong(input.getInt(1).toLong, n)
+          case LongType | TimestampType =>
+            IcebergTransforms.bucketLong(input.getLong(1), n)
+          case StringType =>
+            IcebergTransforms.bucketUtf8(input.getUTF8String(1), n)
+          case other => throw new IllegalStateException(s"bucket over $other")
+        }
+      }
+    }
+  }
 }

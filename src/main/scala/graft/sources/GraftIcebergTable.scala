@@ -268,7 +268,8 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
                                pushed: Array[Filter],
                                options: CaseInsensitiveStringMap)
   extends Scan with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import GraftIceberg._
 
   override def readSchema(): StructType =
@@ -305,6 +306,92 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
   private var runtime: Array[Filter] = Array.empty
   private var runtimeEmpty = false
   @volatile private var prunedCache: Seq[IcebergTable.DataFile] = null
+
+  /** STORAGE-PARTITIONED JOINS (Spark's v2 bucketing): when
+    * `spark.sql.sources.v2.bucketing.enabled` is on and the snapshot
+    * is SPJ-shaped — non-CDF, delete-free, every file on the default
+    * spec carrying a fully non-null tuple of identity/bucket fields
+    * over SPJ-representable types — the scan reports
+    * `KeyGroupedPartitioning` over the spec transforms and plans ONE
+    * whole-file partition per distinct tuple, each carrying its
+    * partition key. Two tables bucketed the same way then join with
+    * NO shuffle on either side — at 100 TB the single biggest cost a
+    * co-designed layout can delete. Gated behind the conf so ordinary
+    * scans keep byte-split parallel planning. Runtime (DPP) filters
+    * prune a group's FILES but keep every group (possibly empty), so
+    * the reported partitioning stays valid. */
+  private def keyedValue(pf: IcebergPartitioning.PartField,
+                         v: Any): Option[Any] =
+    if (pf.isIdentity) table.snap.schema(pf.source).dataType match {
+      case StringType => v match {
+        case s: String => Some(UTF8String.fromString(s))
+        case _ => None
+      }
+      case IntegerType | DateType => v match {
+        case i: java.lang.Integer => Some(i)
+        case _ => None
+      }
+      case LongType => v match {
+        case l: java.lang.Long => Some(l)
+        case i: java.lang.Integer => Some(java.lang.Long.valueOf(i.longValue()))
+        case _ => None
+      }
+      case _ => None
+    } else v match { // bucket[n] results are spec-int
+      case i: java.lang.Integer => Some(i)
+      case l: java.lang.Long => Some(java.lang.Integer.valueOf(l.intValue()))
+      case _ => None
+    }
+
+  private def keyOf(pfs: Seq[IcebergPartitioning.PartField],
+                    f: IcebergTable.DataFile): Option[Seq[Any]] = {
+    val vs = pfs.map(pf => f.partitionTuple.get(pf.name)
+      .flatMap(v => keyedValue(pf, v)))
+    if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+  }
+
+  /** The key universe over the PLANNING-time pruned file list (before
+    * runtime filters — filtered groups must survive as empties).
+    * None = not SPJ-shaped; plan normally. */
+  private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[IcebergTable.DataFile])]] = {
+    val pfs = table.snap.specFields
+    // double opt-in, mirroring Iceberg's preserve-data-grouping: v2
+    // bucketing (Spark-side) AND the graft property — keyed planning
+    // trades split parallelism for co-partitioning, a choice the user
+    // makes per session, not one a scan springs on every query
+    val eligible = !table.cdf && table.snap.deletes.isEmpty && pfs.nonEmpty &&
+      spark.sessionState.conf.v2BucketingEnabled &&
+      spark.conf.get("spark.sql.graft.preserveDataGrouping", "false")
+        .equalsIgnoreCase("true") &&
+      pfs.forall(pf => (pf.isIdentity ||
+        pf.transform.startsWith("bucket[")) &&
+        table.snap.schema.fieldNames.contains(pf.source)) &&
+      table.snap.files.forall(_.specId == table.snap.defaultSpecId)
+    if (!eligible) None
+    else {
+      val base = prunedFiles // planning filters only (runtime not yet delivered)
+      val keyed = base.map(f => keyOf(pfs, f).map(_ -> f))
+      if (keyed.exists(_.isEmpty)) None // null / unrepresentable tuple value
+      else Some(keyed.flatten.groupBy(_._1).toSeq
+        .map { case (k, fs) => (k, fs.map(_._2)) }
+        .sortBy(_._1.map(String.valueOf(_)).mkString(" ")))
+    }
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedGroups match {
+      case Some(groups) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        val exprs: Array[org.apache.spark.sql.connector.expressions.Expression] =
+          table.snap.specFields.map { pf =>
+            if (pf.isIdentity) Expressions.identity(pf.source)
+            else Expressions.bucket(pf.param, pf.source)
+          }.toArray
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          exprs, groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   private def factory: PartitionReaderFactory =
     GraftDelta.readerFactory(spark, table.dataSchema, readData, readPart,
@@ -375,7 +462,29 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
       } else {
         val posDeletes = table.snap.deletes.filter(_.content == 1)
         val eqDeletes = table.snap.deletes.filter(_.content == 2)
-        if (posDeletes.isEmpty && eqDeletes.isEmpty) splitFiles(prunedFiles)
+        if (keyedGroups.isDefined) {
+          // SPJ: one whole-file partition per distinct partition
+          // tuple, each carrying its key; runtime-filtered groups
+          // stay as EMPTY partitions so the reported KeyGrouped
+          // partitioning remains exactly what executes
+          val current: Map[Seq[Any], Seq[IcebergTable.DataFile]] =
+            prunedFiles.flatMap(f =>
+              keyOf(table.snap.specFields, f).map(_ -> f))
+              .groupBy(_._1).map { case (k, fs) => k -> fs.map(_._2) }
+          keyedGroups.get.zipWithIndex.map { case ((key, _), i) =>
+            val fs = current.getOrElse(key, Seq.empty)
+            val pfsArr = fs.map { f =>
+              val sz = math.max(f.sizeBytes, 1L)
+              org.apache.spark.sql.execution.datasources.PartitionedFile(
+                pvRow(readPart, "insert", table.snap.snapshotId),
+                org.apache.spark.paths.SparkPath.fromPathString(f.path),
+                0L, sz, Array.empty[String], 0L, sz, Map.empty)
+            }.toArray
+            new KeyedFilePartition(i, pfsArr,
+              new GenericInternalRow(key.toArray)): InputPartition
+          }.toArray
+        } else if (posDeletes.isEmpty && eqDeletes.isEmpty)
+          splitFiles(prunedFiles)
         else {
           // v2 deletes serve MERGE-ON-READ: each affected data file
           // plans as ONE whole-file partition carrying its applicable
@@ -494,6 +603,20 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftIcebergMicroBatchStream(spark, table, readPart, factory, options)
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.FilePartition]]
+  * that also carries its Iceberg partition KEY — what Spark's
+  * key-grouped (storage-partitioned-join) machinery reads through
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]]. The
+  * parquet reader factories keep working unchanged: they match on
+  * the FilePartition supertype. */
+private class KeyedFilePartition(index: Int,
+                                 files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+                                 key: InternalRow)
+  extends org.apache.spark.sql.execution.datasources.FilePartition(index, files)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** Snapshot-id-offset micro-batch stream — the DSv2 wrapper around
