@@ -5717,6 +5717,27 @@ object SparkEntry {
         .orderBy("cust")
     }),
 
+    // Iceberg v3 DELETION VECTORS: upgrade to format-version 3, then
+    // DELETE + UPDATE write Puffin deletion-vector-v1 blobs (one per
+    // affected data file, folded total) instead of position-delete
+    // parquet; the DSv2 scan serves the merged state via ranged blob
+    // reads on the executors
+    "interop_iceberg_dv" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icedv")
+        .toString + "/t"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      graft.sources.IcebergTable.write(s, c, t)
+      graft.sources.IcebergTable.upgradeFormatVersion(s, t, 3)
+      graft.sources.IcebergTable.delete(s, t, col("c_nationkey") === 3)
+      graft.sources.IcebergTable.update(s, t, col("c_nationkey") === 5,
+        Map("c_acctbal" -> lit(0.0)))
+      s.read.format("graft-iceberg").load(t)
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"), sumD(col("c_acctbal")).as("bal"))
+        .orderBy("nation")
+    }),
+
     // Iceberg RENAME COLUMN: metadata-only schema evolution — rename
     // via SQL, append under the NEW name, read resolves the old files
     // through the schema history (field ids, not names)
@@ -9189,6 +9210,12 @@ object SparkEntry {
          | ${sqlSumD("o_totalprice")} AS total
          |FROM orders WHERE o_custkey < 500
          |GROUP BY 1 ORDER BY cust""".stripMargin,
+
+    "interop_iceberg_dv" ->
+      s"""SELECT c_nationkey AS nation, COUNT(*) AS n,
+         | ${sqlSumD("CASE WHEN c_nationkey = 5 THEN 0.0 ELSE c_acctbal END")} AS bal
+         |FROM customer WHERE c_nationkey <> 3
+         |GROUP BY 1 ORDER BY nation""".stripMargin,
 
     "interop_iceberg_rename" ->
       """SELECT k, nm FROM (

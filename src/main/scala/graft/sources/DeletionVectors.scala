@@ -135,6 +135,50 @@ object DeletionVectors {
     data
   }
 
+  // ---- Iceberg v3 deletion-vector-v1 blobs (Puffin-framed) ----
+  // The v3 spec chose DELTA's representation verbatim: one blob =
+  // [length of magic+vector, 4B big-endian][magic + portable 64-bit
+  // roaring vector — exactly `serializeData`'s output][CRC-32 of
+  // magic+vector, 4B big-endian]. Delta's 1-byte sidecar version is
+  // absent — Puffin's own framing replaces it.
+
+  /** Serialize positions as one `deletion-vector-v1` blob. */
+  def dvBlobBytes(positions: Seq[Long]): Array[Byte] = {
+    val data = serializeData(positions)
+    val c = new CRC32(); c.update(data)
+    val bb = ByteBuffer.allocate(data.length + 8) // big-endian default
+    bb.putInt(data.length)
+    bb.put(data)
+    bb.putInt(c.getValue.toInt)
+    bb.array()
+  }
+
+  /** Decode one blob (CRC + magic verified) to ascending positions. */
+  def dvBlobPositions(blob: Array[Byte]): Array[Long] = {
+    require(blob.length >= 8, s"DV blob too short: ${blob.length}")
+    val n = ByteBuffer.wrap(blob, 0, 4).getInt
+    require(n >= 4 && n <= blob.length - 8, s"bad DV blob length $n")
+    val data = java.util.Arrays.copyOfRange(blob, 4, 4 + n)
+    val c = new CRC32(); c.update(data)
+    require(ByteBuffer.wrap(blob, 4 + n, 4).getInt == c.getValue.toInt,
+      "DV blob CRC mismatch")
+    deletedRows(data)
+  }
+
+  /** Ranged read of one blob out of a Puffin file (executor-side:
+    * `content_size_in_bytes` bytes at `content_offset` — never the
+    * whole file). */
+  def readIcebergDvBlob(conf: Configuration, path: String,
+                        offset: Long, size: Long): Array[Long] = {
+    require(size > 0 && size <= Int.MaxValue, s"bad DV blob size $size")
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val buf = new Array[Byte](size.toInt)
+    try { in.seek(offset); in.readFully(buf) } finally in.close()
+    dvBlobPositions(buf)
+  }
+
   // ---- RoaringBitmapArray portable (de)serialization
 
   /** All deleted row positions in ascending order. Runs on executors

@@ -424,11 +424,27 @@ object DeltaLog {
                timestampAsOf: Option[Long] = None): Snapshot = {
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
       "set at most one of versionAsOf / timestampAsOf")
-    val versions = listVersions(spark, tablePath)
-    // minor log-compaction files extend the reachable head: after
-    // retention cleanup a range's raw commits may be gone while the
-    // compacted file still serves them
-    val compactions = listCompactions(spark, tablePath)
+    // ONE directory listing serves both the commit versions and the
+    // minor log-compaction files (snapshot() is on every hot path —
+    // a second listStatus per call is measurable across a suite).
+    // Compactions extend the reachable head: after retention cleanup
+    // a range's raw commits may be gone while the compacted file
+    // still serves them.
+    val (versions, compactions) = {
+      val dir = logDir(tablePath)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) throw new IllegalArgumentException(
+        s"not a Delta table (no _delta_log): $tablePath")
+      val names = fs.listStatus(dir).toSeq.map(_.getPath)
+      val CompactedR = "(\\d{20})\\.(\\d{20})\\.compacted\\.json".r
+      (names.map(_.getName)
+        .collect { case n if n.matches("\\d{20}\\.json") =>
+          n.stripSuffix(".json").toLong }.sorted,
+        names.flatMap(p => p.getName match {
+          case CompactedR(a, b) => Some((a.toLong, b.toLong, p.toString))
+          case _ => None
+        }).sortBy(_._1))
+    }
     val headVersion: Option[Long] =
       (versions.lastOption ++ compactions.map(_._2).maxOption).maxOption
     val v: Long = (versionAsOf, timestampAsOf) match {

@@ -374,7 +374,7 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
       if (keyed.exists(_.isEmpty)) None // null / unrepresentable tuple value
       else Some(keyed.flatten.groupBy(_._1).toSeq
         .map { case (k, fs) => (k, fs.map(_._2)) }
-        .sortBy(_._1.map(String.valueOf(_)).mkString(" ")))
+        .sortBy(_._1.map(String.valueOf(_)).mkString("\u0000")))
     }
   }
 
@@ -496,7 +496,12 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
           val files = prunedFiles
           val plainOut = Seq.newBuilder[IcebergTable.DataFile]
           val morOut = Seq.newBuilder[(IcebergTable.DataFile,
-            Seq[(String, Long)], Seq[EqDeleteRef])]
+            Seq[PosDeleteRef], Seq[EqDeleteRef])]
+          // v3 DELETION VECTORS attach by exact referenced path — a
+          // map probe, no sweep needed
+          val dvByRef: Map[String, Seq[IcebergTable.DeleteFile]] =
+            posDeletes.filter(_.isDv)
+              .groupBy(_.referencedDataFile.getOrElse(""))
           // bounds-scoped: a position-delete file attaches only when
           // its manifest-recorded file_path range can contain the
           // data file (spec field 2147483546) — O(D×R) delete reads
@@ -511,7 +516,7 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
             Ordering.comparatorToOrdering(
               java.util.Comparator.comparing((s: String) => u8(s)))
           val (bounded, unbounded) =
-            posDeletes.partition(_.pathBounds.isDefined)
+            posDeletes.filterNot(_.isDv).partition(_.pathBounds.isDefined)
           val delsByLo = bounded.sortBy(_.pathBounds.get._1)(utf8Order)
           val active = scala.collection.mutable.PriorityQueue.empty(
             Ordering.by((d: IcebergTable.DeleteFile) =>
@@ -526,10 +531,15 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
               utf8Order.lt(active.head.pathBounds.get._2, f.path))
               active.dequeue()
             // every remaining active interval contains f.path —
-            // iterating it IS enumerating the matches
-            val pos = (active.iterator ++ unbounded.iterator)
+            // iterating it IS enumerating the matches; DV blobs join
+            // by their exact referenced path
+            val pos = ((active.iterator ++ unbounded.iterator)
               .filter(_.seq >= f.seq)
-              .map(d => (d.path, d.sizeBytes)).toSeq
+              .map(d => PosDeleteRef(d.path, d.sizeBytes)) ++
+              dvByRef.getOrElse(f.path, Nil).iterator
+                .filter(_.seq >= f.seq)
+                .map(d => PosDeleteRef(d.path, d.sizeBytes,
+                  Some((d.contentOffset.get, d.contentSize.get))))).toSeq
             val eqs = eqDeletes.filter(_.seq > f.seq).map(d =>
               EqDeleteRef(d.path, d.sizeBytes,
                 d.equalityIds.map(table.snap.fieldNames)))

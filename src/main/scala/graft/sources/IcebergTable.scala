@@ -94,13 +94,20 @@ object IcebergTable {
   final case class DeleteFile(path: String, content: Int, seq: Long,
                               equalityIds: Seq[Int], records: Long = 0L,
                               sizeBytes: Long = 0L,
-                              pathBounds: Option[(String, String)] = None) {
+                              pathBounds: Option[(String, String)] = None,
+                              referencedDataFile: Option[String] = None,
+                              contentOffset: Option[Long] = None,
+                              contentSize: Option[Long] = None) {
+    /** v3 DELETION VECTOR: a Puffin `deletion-vector-v1` blob at
+      * `contentOffset` applying to exactly `referencedDataFile`. */
+    def isDv: Boolean = contentOffset.isDefined
     /** May this POSITION delete file name `dataPath`? (content=2
       * equality deletes match by value — path bounds do not apply.)
-      * Comparison is on UTF-8 bytes — the spec's bound ordering —
-      * not UTF-16 code units. */
+      * A DV references exactly one file. Comparison is on UTF-8
+      * bytes — the spec's bound ordering — not UTF-16 code units. */
     def mayReference(dataPath: String): Boolean =
-      content != 1 || pathBounds.forall { case (lo, hi) =>
+      if (isDv) referencedDataFile.contains(dataPath)
+      else content != 1 || pathBounds.forall { case (lo, hi) =>
         import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
         u8(lo).compareTo(u8(dataPath)) <= 0 &&
           u8(dataPath).compareTo(u8(hi)) <= 0
@@ -453,8 +460,8 @@ object IcebergTable {
       "set at most one of snapshotIdAsOf / timestampAsOf")
     val meta = readJson(spark, latestMetadataFile(spark, tablePath))
     val fv = meta.get("format-version").asInt()
-    if (fv > 2) throw new UnsupportedOperationException(
-      s"Iceberg format-version $fv is not supported (v1/v2 only)")
+    if (fv > 3) throw new UnsupportedOperationException(
+      s"Iceberg format-version $fv is not supported (v1/v2/v3)")
 
     // schema: v2 keeps a `schemas` list keyed by schema-id (the
     // TABLE's current one by default; a snapshot may pin its own —
@@ -609,7 +616,11 @@ object IcebergTable {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val content = fieldOpt(df, "content").map(longOf(_).toInt).getOrElse(0)
           val fmt = df.get("file_format").toString
-          if (!fmt.equalsIgnoreCase("parquet"))
+          // PUFFIN is legal only for v3 deletion-vector entries
+          // (content=1 with a referenced_data_file)
+          if (!fmt.equalsIgnoreCase("parquet") &&
+            !(fmt.equalsIgnoreCase("puffin") && content == 1 &&
+              fieldOpt(df, "referenced_data_file").isDefined))
             throw new UnsupportedOperationException(
               s"non-parquet Iceberg file ($fmt) is not supported")
           // sequence number: explicit on the entry, inherited from
@@ -714,7 +725,10 @@ object IcebergTable {
             deletes += DeleteFile(df.get("file_path").toString, content,
               seq, eqIds, longOf(df.get("record_count")),
               fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L),
-              pathBounds)
+              pathBounds,
+              fieldOpt(df, "referenced_data_file").map(_.toString),
+              fieldOpt(df, "content_offset").map(longOf),
+              fieldOpt(df, "content_size_in_bytes").map(longOf))
           }
         }
       }
@@ -1633,17 +1647,38 @@ object IcebergTable {
     var cur = rawFrame(spark, snap, files, withPos = true)
       .join(seqMap, Seq("__path"), "left")
     // bounds-scoped: only delete files whose manifest-recorded
-    // file_path range can name one of `files` are read at all
-    val posDeletes = snap.deletes.filter(d =>
+    // file_path range (or v3 referenced_data_file) can name one of
+    // `files` are read at all
+    val allPos = snap.deletes.filter(d =>
       d.content == 1 && files.exists(f => d.mayReference(f.path)))
-    if (posDeletes.nonEmpty) {
+    val (dvDeletes, posDeletes) = allPos.partition(_.isDv)
+    if (allPos.nonEmpty) {
       val pathMap = broadcast(snap.files.map(f => (f.path, fileKey(f.path)))
         .toDF("__raw", "__mapped"))
-      val pos = posDeletes.map { d =>
-        spark.read.parquet(d.path).select(
-          col("file_path").cast("string"), col("pos").cast("long"))
-          .withColumn("__dseq", lit(d.seq))
-      }.reduce(_.unionByName(_))
+      val pqPos: Option[DataFrame] =
+        if (posDeletes.isEmpty) None
+        else Some(posDeletes.map { d =>
+          spark.read.parquet(d.path).select(
+            col("file_path").cast("string"), col("pos").cast("long"))
+            .withColumn("__dseq", lit(d.seq))
+        }.reduce(_.unionByName(_)))
+      // v3 DELETION VECTORS decode ON EXECUTORS: the driver ships only
+      // (puffin path, offset, size) triples; each blob is a ranged
+      // read + roaring decode yielding this file's dead positions
+      val dvPos: Option[DataFrame] =
+        if (dvDeletes.isEmpty) None
+        else {
+          val conf = new SerializableHadoopConf(
+            spark.sparkContext.hadoopConfiguration)
+          val refs = dvDeletes.map(d => (d.path, d.contentOffset.get,
+            d.contentSize.get, d.referencedDataFile.get, d.seq))
+          Some(spark.createDataset(refs)
+            .flatMap { case (p, off, len, ref, dseq) =>
+              DeletionVectors.readIcebergDvBlob(conf.value, p, off, len)
+                .map(pos => (ref, pos, dseq))
+            }.toDF("file_path", "pos", "__dseq"))
+        }
+      val pos = (pqPos.toSeq ++ dvPos.toSeq).reduce(_.unionByName(_))
         .join(pathMap, col("file_path") === col("__raw"))
         .select(col("__mapped").as("__dpath"), col("pos").as("__dri"),
           col("__dseq"))
@@ -1880,11 +1915,20 @@ object IcebergTable {
     // advance under a lost commit race — regenerate per CAS attempt.
     val tok = java.util.UUID.randomUUID().toString.take(8)
 
+    // v3 tables take their row-level deletes as DELETION VECTORS —
+    // Puffin deletion-vector-v1 blobs, one per affected data file —
+    // instead of position-delete parquet (v3 forbids new position
+    // delete files)
+    val dvMode: Boolean = rows.nonEmpty && {
+      val m = readJson(spark, latestMetadataFile(spark, tablePath))
+      Option(m.get("format-version")).map(_.asInt()).getOrElse(2) >= 3
+    }
+
     // position-delete parquet + its file_path bounds (GLOBAL deletes:
     // on a partitioned table the manifest declares an UNPARTITIONED
     // spec — the file references data rows by path, not partition)
     val delFile: Option[(String, Long, Long, (String, String))] =
-      if (rows.isEmpty) None else {
+      if (rows.isEmpty || dvMode) None else {
         val tmp = new Path(tablePath,
           s".tmp-del-$tok-${java.util.UUID.randomUUID()}")
         rows.toDF("file_path", "pos").coalesce(1)
@@ -1908,6 +1952,62 @@ object IcebergTable {
         val refPaths = rows.map(_._1)
         Some((delPath.toString, fs.getFileStatus(delPath).getLen,
           rows.size.toLong, (refPaths.min, refPaths.max)))
+      }
+
+    // v3 DELETION-VECTOR staging: ONE Puffin file holding one
+    // deletion-vector-v1 blob per affected data file. The spec makes
+    // a DV TOTAL for its file — it must contain every previously
+    // deleted position — so the new positions FOLD with the file's
+    // existing DV (ranged blob read) and any v2-era position-delete
+    // parquet rows naming it (one filtered scan); the superseded DV
+    // entries drop from the carried manifests below. Executor-free
+    // staging is fine here: `rows` is already the driver-gated match
+    // list, and per-file folds are bounded by per-file cardinality.
+    val dvStaged: Option[(String, Long, Seq[(String, Long, Long, Long)])] =
+      if (!dvMode) None else {
+        val newByFile: Map[String, Seq[Long]] =
+          rows.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2) }
+        val conf = spark.sparkContext.hadoopConfiguration
+        val oldDvByFile: Map[String, Seq[Long]] = snap.deletes
+          .filter(d => d.isDv && d.referencedDataFile.exists(newByFile.contains))
+          .groupBy(_.referencedDataFile.get)
+          .map { case (f, ds) => f -> ds.flatMap(d =>
+            DeletionVectors.readIcebergDvBlob(conf, d.path,
+              d.contentOffset.get, d.contentSize.get).toSeq) }
+        val oldPq: Map[String, Seq[Long]] = {
+          val pq = snap.deletes.filter(d => d.content == 1 && !d.isDv &&
+            newByFile.keys.exists(d.mayReference))
+          if (pq.isEmpty) Map.empty
+          else {
+            import org.apache.spark.sql.functions.col
+            import spark.implicits._
+            spark.read.parquet(pq.map(_.path): _*)
+              .select(col("file_path").cast("string"), col("pos").cast("long"))
+              .where(col("file_path").isin(newByFile.keys.toSeq: _*))
+              .as[(String, Long)].collect().toSeq.groupBy(_._1)
+              .map { case (f, ps) => f -> ps.map(_._2) }
+          }
+        }
+        val blobsIn: Seq[(String, Array[Long])] =
+          newByFile.keys.toSeq.sorted.map { f =>
+            f -> (newByFile(f) ++ oldDvByFile.getOrElse(f, Nil) ++
+              oldPq.getOrElse(f, Nil)).distinct.sorted.toArray
+          }
+        val puffinPath = fs.makeQualified(
+          new Path(new Path(tablePath, "data"), s"d$tok-dv.puffin"))
+        fs.mkdirs(puffinPath.getParent)
+        val blobs = blobsIn.map { case (f, ps) =>
+          Puffin.Blob("deletion-vector-v1", Seq.empty,
+            snap.snapshotId, snap.snapshotId,
+            DeletionVectors.dvBlobBytes(ps.toSeq),
+            Map("referenced-data-file" -> f,
+              "cardinality" -> ps.length.toString))
+        }
+        val (fileSize, _, metas) =
+          Puffin.write(fs, puffinPath, blobs, Map("created-by" -> "graft"))
+        Some((puffinPath.toString, fileSize,
+          blobsIn.zip(metas).map { case ((f, ps), m) =>
+            (f, m.offset, m.length, ps.length.toLong) }))
       }
 
     // appended rows (update transforms / merge source) as fresh data
@@ -2015,6 +2115,18 @@ object IcebergTable {
               s"$tablePath: a concurrent commit appended data files this " +
                 "predicate-scoped DML never scanned — set table property " +
                 "write.delete.isolation-level=snapshot to allow the rebase")
+          // a v3 DV is TOTAL for its file: it folded the deletes seen
+          // at staging, so a winner's NEW delete content on the same
+          // files would be silently lost if this rebase landed
+          dvStaged.foreach { case (_, _, blobs) =>
+            val aff = blobs.map(_._1).toSet
+            if (fresh.deletes.exists(d => d.seq > baseMaxSeq &&
+              aff.exists(d.mayReference)))
+              throw new CommitConflictException("ConcurrentDeleteDelete",
+                s"$tablePath: a concurrent commit added delete content " +
+                  "for data files this deletion-vector commit folds — " +
+                  "rebasing would drop the winner's deletes")
+          }
           fresh
         }
       val curNode = snaps.find(
@@ -2029,14 +2141,23 @@ object IcebergTable {
         } else meta.get("schema")
       val schemaJson = M.writeValueAsString(schemaNode)
 
-      val delManifest: Option[GenericRecord] =
-        delFile.map { case (p, len, n, bounds) =>
+      val delManifest: Option[GenericRecord] = dvStaged match {
+        case Some((pPath, pSize, blobs)) =>
+          Some(writeDeleteManifest(spark, mdir, s"del-$atok-$snapId",
+            schemaJson,
+            blobs.map(b => (pPath, pSize, b._4, 1, Seq.empty[Int])),
+            snapId, seq,
+            specId = unpartitionedSpecId(meta, curSnap.defaultSpecId,
+              curSnap.specFields.nonEmpty),
+            dvRefs = blobs.map(b => Some((b._1, b._2, b._3)))))
+        case None => delFile.map { case (p, len, n, bounds) =>
           writeDeleteManifest(spark, mdir, s"del-$atok-$snapId", schemaJson,
             Seq((p, len, n, 1, Seq.empty)), snapId, seq,
             specId = unpartitionedSpecId(meta, curSnap.defaultSpecId,
               curSnap.specFields.nonEmpty),
             pathBounds = Map(p -> bounds))
         }
+      }
       val dataManifest: Option[GenericRecord] =
         stagedData.map { case (adopted, tuples, fileStats) =>
           val specFields = specFieldsOf(curSnap)
@@ -2081,6 +2202,36 @@ object IcebergTable {
               Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0),
               "copy-on-write rewrite")
           }
+        } else if (dvStaged.isDefined && curNode.has("manifest-list") &&
+          curSnap.deletes.exists(d => d.isDv &&
+            d.referencedDataFile.exists(dvStaged.get._3.map(_._1).toSet))) {
+          // the new DVs FOLDED the affected files' old DVs — those
+          // entries must not carry (at most one DV per data file);
+          // every other delete entry carries as EXISTING with its
+          // ORIGINAL sequence number, data manifests carry whole
+          val aff = dvStaged.get._3.map(_._1).toSet
+          val prior = readManifestList(spark,
+            new Path(curNode.get("manifest-list").asText()))
+          val priorData = prior.filter(m => longOf(m.get("content")) == 0L)
+          val keep = curSnap.deletes.filterNot(d =>
+            d.isDv && d.referencedDataFile.exists(aff))
+          val keepManifest =
+            if (keep.isEmpty) None
+            else Some(writeDeleteManifest(spark, mdir, s"keep-$atok-$snapId",
+              schemaJson,
+              keep.map(d => (d.path, d.sizeBytes, d.records, d.content,
+                d.equalityIds)),
+              snapId, seq,
+              specId = unpartitionedSpecId(meta, curSnap.defaultSpecId,
+                curSnap.specFields.nonEmpty),
+              pathBounds = keep.flatMap(d =>
+                d.pathBounds.map(d.path -> _)).toMap,
+              existingSeqs = keep.map(d => d.path -> d.seq).toMap,
+              dvRefs = keep.map(d => for {
+                r <- d.referencedDataFile; o <- d.contentOffset
+                s2 <- d.contentSize
+              } yield (r, o, s2))))
+          priorData ++ keepManifest.toSeq
         } else if (carryExisting && curNode.has("manifest-list"))
           readManifestList(spark, new Path(curNode.get("manifest-list").asText()))
         else Seq.empty
@@ -2557,6 +2708,10 @@ object IcebergTable {
       s"cannot rewrite delete files of empty table $tablePath")
     val posFiles = snap.deletes.filter(_.content == 1)
     if (posFiles.isEmpty) return snap.snapshotId
+    require(!posFiles.exists(_.isDv),
+      s"$tablePath carries v3 deletion vectors — they are already one " +
+        "blob per data file (nothing to compact); dangling DVs drop " +
+        "with their data files via expire/rewriteDataFiles")
     val fs = fsFor(spark, new Path(tablePath))
     val mdir = metaDir(tablePath)
     val livePaths = snap.files.map(_.path).toSet
@@ -2870,6 +3025,40 @@ object IcebergTable {
     * and [[expireSnapshots]] keeps every ref-pinned snapshot alive.
     * One metadata-version commit each; [[IcebergTable.write]] carries
     * the refs map through (a rebuilt root never drops them). */
+  /** The DEFAULT sort order as `(source column, ascending)` pairs —
+    * METADATA-JSON-ONLY (no manifest parsing; the write path consults
+    * this on every append and must not pay a snapshot resolution for
+    * it). Same identity-transforms-only contract as
+    * [[Snapshot.sortOrder]]. */
+  private[sources] def defaultSortOrder(spark: SparkSession,
+                                        tablePath: String): Seq[(String, Boolean)] = {
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    val soId = Option(meta.get("default-sort-order-id"))
+      .map(_.asInt()).getOrElse(0)
+    if (soId == 0) return Seq.empty
+    val curSchemaId = Option(meta.get("current-schema-id"))
+      .map(_.asInt()).getOrElse(0)
+    val curIds: Map[Int, String] =
+      Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala)
+        .find(s => Option(s.get("schema-id")).exists(_.asInt() == curSchemaId))
+        .toSeq.flatMap(s => Option(s.get("fields")).toSeq
+          .flatMap(_.elements().asScala))
+        .filter(f => f.has("id") && f.has("name"))
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    val fields = Option(meta.get("sort-orders")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(o => Option(o.get("order-id")).exists(_.asInt() == soId)).toSeq
+      .flatMap(o => Option(o.get("fields")).toSeq
+        .flatMap(_.elements().asScala))
+    val parsed = fields.map { f =>
+      curIds.get(f.get("source-id").asInt())
+        .filter(_ => f.get("transform").asText() == "identity")
+        .map(n => (n, f.get("direction").asText() != "desc"))
+    }
+    if (parsed.nonEmpty && parsed.forall(_.isDefined)) parsed.map(_.get)
+    else Seq.empty
+  }
+
   /** `ALTER TABLE … WRITE ORDERED BY (c1 [ASC|DESC], …)` — set the
     * table's DEFAULT SORT ORDER (spec §Sorting): one metadata commit
     * registering a new order (identity transforms over current
@@ -3147,10 +3336,43 @@ object IcebergTable {
     * zero-copy mirror would re-arm [[expireSnapshots]] against files
     * the mirror merely adopted. */
   def setProperties(spark: SparkSession, tablePath: String,
-                    props: Map[String, String]): Long =
-    mutateProperties(spark, tablePath, props.keys.toSeq) { o =>
-      props.foreach { case (k, v) => o.put(k, v) }
+                    props: Map[String, String]): Long = {
+    // `format-version` is TOP-LEVEL metadata, not a property — route
+    // the Iceberg-conventional `SET TBLPROPERTIES ('format-version' =
+    // '3')` upgrade to the real field
+    props.get("format-version").foreach(v =>
+      upgradeFormatVersion(spark, tablePath, v.trim.toInt))
+    val rest = props - "format-version"
+    if (rest.isEmpty && props.nonEmpty)
+      return currentMetadataVersion(spark, tablePath)
+    mutateProperties(spark, tablePath, rest.keys.toSeq) { o =>
+      rest.foreach { case (k, v) => o.put(k, v) }
     }
+  }
+
+  /** Upgrade the table's `format-version` (2 → 3): one metadata
+    * commit. From then on row-level DML writes Puffin DELETION
+    * VECTORS (deletion-vector-v1 blobs; v3 forbids new position
+    * delete parquet). Downgrades refuse — v3 content (DVs) would be
+    * unreadable to a v2 reader. */
+  def upgradeFormatVersion(spark: SparkSession, tablePath: String,
+                           to: Int): Long = {
+    require(to == 2 || to == 3, s"unsupported format-version $to (2 or 3)")
+    casCommit(spark, tablePath) { (baseMeta, _) =>
+      val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
+        s"not an Iceberg table: $tablePath"))
+      val cur = Option(meta.get("format-version")).map(_.asInt()).getOrElse(2)
+      require(to >= cur, s"cannot downgrade format-version $cur → $to")
+      meta.put("format-version", to)
+      meta.put("last-updated-ms", System.currentTimeMillis())
+      (meta, to.toLong)
+    }
+  }
+
+  private def currentMetadataVersion(spark: SparkSession,
+                                     tablePath: String): Long =
+    latestMetadataFile(spark, tablePath).getName
+      .stripPrefix("v").stripSuffix(".metadata.json").toLong
 
   /** `UNSET TBLPROPERTIES` — missing keys are a no-op. */
   def unsetProperties(spark: SparkSession, tablePath: String,
@@ -3768,7 +3990,8 @@ object IcebergTable {
     lg.put("timestamp-ms", now)
 
     val root = M.createObjectNode()
-    root.put("format-version", 2)
+    root.put("format-version", prior.flatMap(m =>
+      Option(m.get("format-version"))).map(_.asInt()).getOrElse(2))
     root.put("table-uuid", prior.flatMap(m => Option(m.get("table-uuid")))
       .map(_.asText()).getOrElse(java.util.UUID.nameUUIDFromBytes(
         ("iceberg-mirror:" + icebergPath).getBytes("UTF-8")).toString))
@@ -3831,7 +4054,10 @@ object IcebergTable {
       |{"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k_v_121","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
       |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k_v_126","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
       |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k_v_129","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
-      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},
+      |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+      |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+      |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
       |]}}]}""".stripMargin)
 
   private val ManifestFileSchema: Schema = new Schema.Parser().parse(
@@ -4111,10 +4337,11 @@ object IcebergTable {
                                          snapId: Long, seq: Long,
                                          specId: Int = 0,
                                          pathBounds: Map[String, (String, String)] = Map.empty,
-                                         existingSeqs: Map[String, Long] = Map.empty)
+                                         existingSeqs: Map[String, Long] = Map.empty,
+                                         dvRefs: Seq[Option[(String, Long, Long)]] = Seq.empty)
   : GenericRecord = {
     val fs = fsFor(spark, mdir)
-    val entries = files.map { case (path, size, nrec, content, eqIds) =>
+    val entries = files.zipWithIndex.map { case ((path, size, nrec, content, eqIds), ei) =>
       val e = new GenericData.Record(ManifestEntrySchema)
       // a file in `existingSeqs` CARRIES through this manifest as an
       // EXISTING entry with its ORIGINAL sequence number — delete
@@ -4129,7 +4356,17 @@ object IcebergTable {
         ManifestEntrySchema.getField("data_file").schema())
       d.put("content", content)
       d.put("file_path", path)
-      d.put("file_format", "PARQUET")
+      // v3 DELETION VECTORS: the entry points INTO a Puffin file —
+      // `referenced_data_file` (143) names the ONE data file the DV
+      // applies to, `content_offset`/`content_size_in_bytes` (144/145)
+      // locate the deletion-vector-v1 blob
+      val dvRef = dvRefs.lift(ei).flatten
+      d.put("file_format", if (dvRef.isDefined) "PUFFIN" else "PARQUET")
+      dvRef.foreach { case (refPath, off, len) =>
+        d.put("referenced_data_file", refPath)
+        d.put("content_offset", off)
+        d.put("content_size_in_bytes", len)
+      }
       d.put("partition", new GenericData.Record(
         d.getSchema.getField("partition").schema()))
       d.put("record_count", nrec)
@@ -4383,7 +4620,7 @@ object IcebergTable {
     // Advisory by spec: an order naming absent columns is skipped.
     val writeOrder: Seq[(String, Boolean)] =
       if (fs.globStatus(new Path(mdir, "v*.metadata.json")).isEmpty) Seq.empty
-      else snapshot(spark, tablePath).sortOrder
+      else defaultSortOrder(spark, tablePath)
         .filter { case (c, _) => df.schema.fieldNames.contains(c) }
     import org.apache.spark.sql.functions.col
     val orderCols = writeOrder.map { case (c, asc) =>
@@ -4702,7 +4939,8 @@ object IcebergTable {
       }
 
       val root = M.createObjectNode()
-      root.put("format-version", 2)
+      root.put("format-version", prior.flatMap(m =>
+        Option(m.get("format-version"))).map(_.asInt()).getOrElse(2))
       root.put("table-uuid", prior.flatMap(m => Option(m.get("table-uuid")))
         .map(_.asText()).getOrElse(java.util.UUID.nameUUIDFromBytes(
           ("iceberg:" + tablePath).getBytes("UTF-8")).toString))

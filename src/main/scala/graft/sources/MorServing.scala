@@ -57,13 +57,20 @@ private[graft] case class DeltaDvPartition(fp: FilePartition,
 private[graft] case class EqDeleteRef(path: String, sizeBytes: Long,
                                         cols: Seq[String])
 
+/** One applicable Iceberg POSITION-delete reference: a v2 parquet
+  * delete file (`dv` empty — decoded whole, cached per executor) or a
+  * v3 DELETION-VECTOR blob (`dv = (contentOffset, contentSize)` into
+  * a Puffin file — a ranged read, never the whole file). */
+private[graft] case class PosDeleteRef(path: String, sizeBytes: Long,
+                                         dv: Option[(Long, Long)] = None)
+
 /** A whole-file Iceberg scan partition carrying its applicable
   * delete FILES (position deletes with `seq >= data seq`, equality
   * deletes with `seq > data seq`) — the executors read the delete
-  * parquet and apply it merge-on-read. */
+  * parquet / DV blobs and apply them merge-on-read. */
 private[graft] case class IcebergMorPartition(fp: FilePartition,
                                                 dataPath: String,
-                                                posDeletes: Seq[(String, Long)],
+                                                posDeletes: Seq[PosDeleteRef],
                                                 eqDeletes: Seq[EqDeleteRef])
   extends InputPartition {
   override def preferredLocations(): Array[String] = fp.preferredLocations()
@@ -255,7 +262,18 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
         //    spec). Each delete file decodes ONCE per executor into a
         //    data-path-keyed map (cached); this partition just probes.
         val posBuf = Array.newBuilder[Long]
-        posRefs.foreach { case (path, size) =>
+        // v3 DELETION VECTORS: one ranged blob read + roaring decode,
+        // cached per executor like the parquet form
+        posRefs.filter(_.dv.isDefined).foreach {
+          case PosDeleteRef(path, _, Some((off, len))) =>
+            posBuf ++= DeleteFileCache.getOrLoad(("dv3", path, off, len)) {
+              val arr = DeletionVectors.readIcebergDvBlob(
+                conf.value, path, off, len)
+              (arr, arr.length.toLong)
+            }
+          case _ =>
+        }
+        posRefs.filter(_.dv.isEmpty).foreach { case PosDeleteRef(path, size, _) =>
           // keyed by (path, size): a table torn down and recreated at
           // the same location could reuse a delete-file path with
           // different content — the size component breaks the tie

@@ -687,7 +687,7 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(mor.forall(p => p.eqDeletes.forall(_.cols == Seq("k"))))
     // the partitions reference delete FILES (path + size), and the
     // served rows match the library reader byte-for-byte
-    assert(mor.forall(_.posDeletes.forall(_._2 > 0L)))
+    assert(mor.forall(_.posDeletes.forall(_.sizeBytes > 0L)))
     val viaScan = spark.read.format("graft-iceberg").load(t)
       .as[(Long, String)].collect().sorted
     assert(viaScan === IcebergTable.read(spark, t)

@@ -197,9 +197,9 @@ class IcebergSpec extends SparkSpec {
   }
 
   test("unsupported features fail loudly, never read wrong") {
-    // format-version 3
-    val t1 = Files.createTempDirectory("graft-ice-v3").toString
-    commitMetadata(t1, 1, metadataJson(t1, 10L, Seq.empty, formatVersion = 3))
+    // format-version 4 (v3 is supported since the deletion-vector work)
+    val t1 = Files.createTempDirectory("graft-ice-v4").toString
+    commitMetadata(t1, 1, metadataJson(t1, 10L, Seq.empty, formatVersion = 4))
     val e1 = intercept[UnsupportedOperationException] {
       IcebergTable.snapshot(spark, t1)
     }
