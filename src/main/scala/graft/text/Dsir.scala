@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al.,
+  * NeurIPS 2023, arXiv:2302.03169): select from a huge RAW corpus the
+  * documents whose hashed-n-gram distribution most resembles a small
+  * TARGET corpus (the domain you actually want to train on), by
+  * importance weights under bag-of-hashed-n-gram unigram models.
+  *
+  *  1. FEATURES: lowercase word unigrams + bigrams, hashed into `B`
+  *     buckets (the paper uses 10⁴) — `pmod(xxhash64(gram), B)`.
+  *  2. MODELS: Laplace-smoothed bucket distributions `p` (target) and
+  *     `q` (raw) — two combinable count aggregations, nothing else.
+  *  3. WEIGHTS: `log w(x) = Σ_b c_x[b]·(log p[b] − log q[b])` — the
+  *     per-bucket log-ratio table is `B` rows, BROADCAST into one
+  *     map-side join; the per-doc sum is one combinable aggregation.
+  *  4. RESAMPLE: Gumbel top-k — `key = log w + Gumbel(u)` samples k
+  *     docs without replacement ∝ w. The uniforms derive from a
+  *     seeded hash of the doc id (deterministic: same seed, same
+  *     selection, any cluster size, no RNG state).
+  *
+  * Scale shape at 100 TB: the raw corpus is touched by exactly two
+  * linear passes (q counts; weights+keys), both map-side-combinable;
+  * the only driver-sized object is the k selected rows — the output
+  * contract of a selection. No all-pairs anything.
+  */
+object Dsir {
+
+  /** (id, bucket, cnt) hashed-n-gram counts per document. */
+  private[graft] def bucketCounts(docs: DataFrame, idCol: String,
+                                  textCol: String, buckets: Int): DataFrame = {
+    val grams = ngrams(col(textCol))
+    docs.select(col(idCol), explode(grams).as("__gram"))
+      .select(col(idCol), pmod(xxhash64(col("__gram")), lit(buckets))
+        .as("bucket"))
+      .groupBy(col(idCol), col("bucket")).count()
+      .withColumnRenamed("count", "cnt")
+  }
+
+  /** Lowercase word unigrams + bigrams as one array column. */
+  private def ngrams(text: Column): Column = {
+    val ws = filter(split(lower(text), "\\W+"), w => length(w) > 0)
+    val bis = transform(sequence(lit(0), size(ws) - 2),
+      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))
+    concat(ws, when(size(ws) >= 2, bis).otherwise(array()))
+  }
+
+  /** Per-bucket `log p_target[b] − log q_raw[b]` (Laplace-smoothed),
+    * a ≤`buckets`-row frame small enough to broadcast. */
+  def logRatios(raw: DataFrame, target: DataFrame, textCol: String,
+                buckets: Int = 10000): DataFrame = {
+    def dist(docs: DataFrame, name: String): DataFrame = {
+      val grams = ngrams(col(textCol))
+      docs.select(explode(grams).as("__gram"))
+        .select(pmod(xxhash64(col("__gram")), lit(buckets)).as("bucket"))
+        .groupBy("bucket").count().withColumnRenamed("count", name)
+    }
+    val p = dist(target, "p_cnt")
+    val q = dist(raw, "q_cnt")
+    val joined = p.join(q, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("p_cnt"), lit(0L)).as("p_cnt"),
+        coalesce(col("q_cnt"), lit(0L)).as("q_cnt"))
+    // Laplace smoothing over the FULL bucket space: (c+1)/(N+B)
+    val totals = joined.agg(sum("p_cnt").as("pt"), sum("q_cnt").as("qt"))
+      .collect().head
+    val (pt, qt) = (totals.getLong(0), totals.getLong(1))
+    require(pt > 0, "empty target corpus")
+    require(qt > 0, "empty raw corpus")
+    joined.select(col("bucket"),
+      (log((col("p_cnt") + 1).cast("double") / (pt + buckets).toDouble) -
+        log((col("q_cnt") + 1).cast("double") / (qt + buckets).toDouble))
+        .as("logratio"))
+  }
+
+  /** Per-document importance weight `logw` against `target`. */
+  def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
+                        target: DataFrame,
+                        buckets: Int = 10000): DataFrame = {
+    val lr = broadcast(logRatios(raw, target, textCol, buckets))
+    bucketCounts(raw, idCol, textCol, buckets)
+      .join(lr, Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("logratio")).as("logw"))
+  }
+
+  /** Gumbel top-k importance resampling: k raw documents sampled
+    * without replacement ∝ their importance weight, deterministically
+    * under `seed`. Returns the selected rows of `raw` plus `logw`. */
+  def resample(raw: DataFrame, idCol: String, textCol: String,
+               target: DataFrame, k: Int,
+               buckets: Int = 10000, seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = importanceWeights(raw, idCol, textCol, target, buckets)
+    // seeded hash → uniform in (0,1) → Gumbel(0,1); purely a function
+    // of (doc id, seed), so reruns and stragglers agree
+    val P = 1000000007L
+    val u = (pmod(xxhash64(col(idCol).cast("string"), lit(seed)), lit(P)) +
+      lit(1L)).cast("double") / lit((P + 2).toDouble)
+    val keyed = w.withColumn("__key", col("logw") - log(-log(u)))
+    val picked = keyed.orderBy(col("__key").desc).limit(k)
+      .select(col(idCol), col("logw"))
+    raw.join(broadcast(picked), Seq(idCol))
+  }
+}
