@@ -238,6 +238,99 @@ object DeltaLog {
       (lines.mkString("\n") + "\n").getBytes("UTF-8"))
   }
 
+  /** Author the VERSION CHECKSUM file `<v>.crc` (PROTOCOL.md §Version
+    * Checksum File): one JSON object summarizing the table state AT
+    * `version` — live-file count/bytes, the metaData and protocol in
+    * force, per-appId txn watermarks, live domain metadata, and the
+    * deletion-vector tallies — so any reader can cheaply cross-check
+    * a log replay against what the writer believed it committed.
+    * Exclusive-create idempotent (first writer wins; the content is a
+    * pure function of the version). Returns true when created. */
+  def writeChecksum(spark: SparkSession, tablePath: String,
+                    version: Long): Boolean = {
+    val snap = snapshot(spark, tablePath, versionAsOf = Some(version))
+    val fs = logDir(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = M.createObjectNode()
+    root.put("tableSizeBytes", snap.files.map(_.size).sum)
+    root.put("numFiles", snap.files.size.toLong)
+    root.put("numMetadata", 1L)
+    root.put("numProtocol", 1L)
+    root.put("numDeletionVectorsOpt",
+      snap.files.count(_.dv.exists(_.cardinality > 0L)).toLong)
+    root.put("numDeletedRecordsOpt",
+      snap.files.flatMap(_.dv).map(_.cardinality).sum)
+    val proto = root.putObject("protocol")
+    proto.put("minReaderVersion", snap.protocol._1)
+    proto.put("minWriterVersion", snap.protocol._2)
+    if (snap.protocol._3.nonEmpty) {
+      val rf = proto.putArray("readerFeatures")
+      snap.protocol._3.foreach(rf.add)
+    }
+    if (snap.protocol._4.nonEmpty) {
+      val wf = proto.putArray("writerFeatures")
+      snap.protocol._4.foreach(wf.add)
+    }
+    val md = root.putObject("metadata")
+    md.put("schemaString", snap.schema.json)
+    val pcs = md.putArray("partitionColumns")
+    snap.partitionColumns.foreach(pcs.add)
+    val conf = md.putObject("configuration")
+    snap.configuration.toSeq.sortBy(_._1)
+      .foreach { case (k, v) => conf.put(k, v) }
+    if (snap.txns.nonEmpty) {
+      val txns = root.putArray("setTransactions")
+      snap.txns.toSeq.sortBy(_._1).foreach { case (appId, v) =>
+        val t = txns.addObject(); t.put("appId", appId); t.put("version", v)
+      }
+    }
+    if (snap.domains.nonEmpty) {
+      val doms = root.putArray("domainMetadata")
+      snap.domains.toSeq.sortBy(_._1).foreach { case (d, c) =>
+        val o = doms.addObject(); o.put("domain", d); o.put("configuration", c)
+      }
+    }
+    AtomicCas.createExclusive(fs,
+      new Path(logDir(tablePath), pad20(version) + ".crc"),
+      M.writeValueAsBytes(root))
+  }
+
+  /** Validate `<version>.crc` against a fresh log replay — the
+    * corruption check a reader runs before trusting a foreign log.
+    * Returns the list of mismatched fields (empty = verified);
+    * refuses when no checksum file exists. */
+  def verifyChecksum(spark: SparkSession, tablePath: String,
+                     version: Long): Seq[String] = {
+    val p = new Path(logDir(tablePath), pad20(version) + ".crc")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no checksum file for version $version")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    val snap = snapshot(spark, tablePath, versionAsOf = Some(version))
+    val out = Seq.newBuilder[String]
+    def check(field: String, expected: Any, got: Any): Unit =
+      if (expected.toString != got.toString)
+        out += s"$field: checksum $expected vs replay $got"
+    check("tableSizeBytes", n.get("tableSizeBytes").asLong(),
+      snap.files.map(_.size).sum)
+    check("numFiles", n.get("numFiles").asLong(), snap.files.size.toLong)
+    Option(n.get("metadata")).foreach { md =>
+      check("metadata.schemaString", md.get("schemaString").asText(),
+        snap.schema.json)
+    }
+    Option(n.get("protocol")).foreach { pr =>
+      check("protocol.minWriterVersion",
+        pr.get("minWriterVersion").asInt(), snap.protocol._2)
+    }
+    Option(n.get("numDeletedRecordsOpt")).foreach(v =>
+      check("numDeletedRecordsOpt", v.asLong(),
+        snap.files.flatMap(_.dv).map(_.cardinality).sum))
+    out.result()
+  }
+
   /** Commit-file modification times, for `timestampAsOf` resolution
     * (the same in-commit granularity real Delta uses when no
     * in-commit timestamps are present). */

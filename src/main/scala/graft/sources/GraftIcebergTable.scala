@@ -446,7 +446,38 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
         }
       util.OptionalLong.of(math.max(files.map(_.records).sum - deleted, 0L))
     }
+    /** ANALYZE TABLE's Puffin NDV sketches feed Spark's CBO: per-
+      * column distinct counts turn join reorder and broadcast
+      * decisions from guesses into measurements. Served only for FULL
+      * scans (a pruned subset's true NDV is unknown — overstating
+      * selectivity is the harmful direction) and only when the CBO is
+      * on (the lookup reads the statistics metadata). */
+    override def columnStats(): util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      if (!spark.sessionState.conf.cboEnabled ||
+        files.size != table.snap.files.size)
+        return util.Collections.emptyMap()
+      val out = new util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      ndvByColumn.foreach { case (c, n) =>
+        if (readSchema().fieldNames.contains(c))
+          out.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): util.OptionalLong =
+                util.OptionalLong.of(n)
+            })
+      }
+      out
+    }
   }
+
+  // computed once per scan; the optimizer may cost joins repeatedly
+  private lazy val ndvByColumn: Map[String, Long] =
+    try IcebergTable.columnStats(spark, table.tablePath,
+      table.snap.fieldNames)
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =

@@ -1041,6 +1041,17 @@ case class GraftCallCommand(proc: String, rawArgs: String)
         // compact_delta_log('<t>', startV, endV) — minor log
         // compaction (PROTOCOL.md §Log Compaction Files)
         DeltaLog.compactLog(spark, dir, num(1), num(2)).toString
+      case "checksum_delta" =>
+        // checksum_delta('<t>'[, v]) — author <v>.crc (latest v
+        // when omitted); PROTOCOL.md §Version Checksum File
+        val v = if (args.size > 1) num(1)
+          else DeltaLog.listVersions(spark, dir).last
+        DeltaLog.writeChecksum(spark, dir, v).toString
+      case "verify_checksum_delta" =>
+        val v = if (args.size > 1) num(1)
+          else DeltaLog.listVersions(spark, dir).last
+        val bad = DeltaLog.verifyChecksum(spark, dir, v)
+        if (bad.isEmpty) "verified" else bad.mkString("; ")
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft.system.$other (expire_snapshots, " +
           "rewrite_data_files, rewrite_position_delete_files, " +

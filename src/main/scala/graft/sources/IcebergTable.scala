@@ -2996,7 +2996,15 @@ object IcebergTable {
   /** NDV per column from the table's `statistics` (the current
     * snapshot's entry, else the most recent one — the spec allows
     * serving slightly-stale stats). Empty when never analyzed. */
-  def columnStats(spark: SparkSession, tablePath: String): Map[String, Long] = {
+  def columnStats(spark: SparkSession, tablePath: String): Map[String, Long] =
+    columnStats(spark, tablePath, snapshot(spark, tablePath).fieldNames)
+
+  /** As [[columnStats]], with the field-id→name map supplied by a
+    * caller that already resolved the snapshot (the DSv2 scan feeds
+    * Spark's CBO from here — it must not pay a second snapshot
+    * resolution for it). */
+  def columnStats(spark: SparkSession, tablePath: String,
+                  idToName: Map[Int, String]): Map[String, Long] = {
     val meta = readJson(spark, latestMetadataFile(spark, tablePath))
     val entries = Option(meta.get("statistics")).toSeq
       .flatMap(_.elements().asScala).toSeq
@@ -3005,7 +3013,6 @@ object IcebergTable {
       .map(_.asLong()).getOrElse(-1L)
     val entry = entries.find(_.get("snapshot-id").asLong() == cur)
       .getOrElse(entries.last)
-    val idToName = snapshot(spark, tablePath).fieldNames
     Option(entry.get("blob-metadata")).toSeq
       .flatMap(_.elements().asScala).flatMap { b =>
         for {

@@ -96,4 +96,36 @@ class IcebergStatsSpec extends graft.SparkSpec {
       "expired snapshot's statistics entry must drop")
     assert(IcebergTable.snapshot(spark, t).snapshotId !== analyzedSnap)
   }
+
+  test("ANALYZE NDVs feed the DSv2 scan's CBO column statistics") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("cbo").toString + "/t"
+    IcebergTable.write(spark,
+      (0 until 300).map(i => (i.toLong, s"g${i % 7}")).toDF("k", "g"), t)
+    IcebergTable.analyzeTable(spark, t, Seq("k", "g"))
+
+    def colStats = {
+      val table = new graft.sources.GraftIcebergTable(spark, t)
+      table.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().columnStats()
+    }
+    // CBO off (default): no metadata lookup, no stats served
+    assert(colStats.isEmpty)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val cs = colStats
+      assert(!cs.isEmpty, "analyzed NDVs must surface under CBO")
+      val byName = {
+        val it = cs.entrySet().iterator()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val e = it.next()
+          b += e.getKey.fieldNames()(0) -> e.getValue.distinctCount().getAsLong }
+        b.result()
+      }
+      assert(byName("g") === 7L)
+      assert(math.abs(byName("k") - 300L) <= 9L) // KMV exact below k=1024
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
 }
