@@ -76,7 +76,8 @@ object IcebergTable {
                             nullCounts: Map[String, Long] = Map.empty,
                             bounds: Map[String, (BigDecimal, BigDecimal)] = Map.empty,
                             addedSnapshotId: Long = -1L,
-                            specId: Int = 0)
+                            specId: Int = 0,
+                            firstRowId: Option[Long] = None)
 
   /** One v2 DELETE file (merge-on-read): `content` 1 = position
     * deletes (parquet of `file_path`/`pos`), 2 = equality deletes
@@ -683,7 +684,8 @@ object IcebergTable {
               fieldOpt(df, "file_size_in_bytes").map(longOf).getOrElse(0L),
               seq, pt, named(kvLongMap("value_counts")),
               named(kvLongMap("null_value_counts")), bounds,
-              addedSnapshotId = addedBy, specId = mSpecId)
+              addedSnapshotId = addedBy, specId = mSpecId,
+              firstRowId = fieldOpt(df, "first_row_id").map(longOf))
           } else { // delete manifest: position (1) or equality (2)
             if (content != 1 && content != 2)
               throw new UnsupportedOperationException(
@@ -874,6 +876,36 @@ object IcebergTable {
     // match detection (liveRowsWithPos) — the two must never diverge
     liveRowsWithPos(spark, snap, snap.files)
       .select(snap.schema.fieldNames.map(col): _*)
+  }
+
+  /** Read with the v3 ROW-LINEAGE `_row_id` column materialized
+    * (spec v3 §Row Lineage: implicit id = the file's `first_row_id` +
+    * the row's physical position; null for files written before
+    * lineage was enabled). Unchanged rows keep their `_row_id` across
+    * snapshots — the stable join key incremental downstream pipelines
+    * (feature stores, CDC consumers) anchor on. MOR deletes apply
+    * exactly like [[read]]. */
+  def readWithRowIds(spark: SparkSession, tablePath: String,
+                     snapshotIdAsOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = snapshot(spark, tablePath, snapshotIdAsOf, None)
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        snap.schema.add("_row_id", org.apache.spark.sql.types.LongType))
+    def fileKey(p: String) = org.apache.spark.paths.SparkPath
+      .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    import spark.implicits._
+    val frMap = broadcast(snap.files
+      .map(f => (fileKey(f.path), f.firstRowId.getOrElse(-1L),
+        f.firstRowId.isDefined))
+      .toDF("__path", "__first_rid", "__has_rid"))
+    liveRowsWithPos(spark, snap, snap.files)
+      .join(frMap, Seq("__path"), "left")
+      .withColumn("_row_id",
+        when(col("__has_rid"), col("__first_rid") + col("__ri")))
+      .select((snap.schema.fieldNames.map(col) :+ col("_row_id"))
+        .toIndexedSeq: _*)
   }
 
   /** The highest micro-batch id `appId` has durably committed to
@@ -1593,10 +1625,23 @@ object IcebergTable {
             snap.schema.find(_.name == n)
               .map(f => n -> ((fn.get("id").asInt(), f.dataType)))
           }.toMap
+      // v3 ROW LINEAGE: the upserted rows claim fresh id ranges
+      val fv3 = Option(meta.get("format-version"))
+        .map(_.asInt()).getOrElse(2) >= 3
+      val rowIdBase: Long =
+        if (!fv3) -1L
+        else Option(meta.get("next-row-id")).map(_.asLong()).getOrElse(0L)
+      val firstRowIds: Map[String, Long] =
+        if (!fv3) Map.empty
+        else {
+          var next = rowIdBase
+          adopted.map { case (pth, _, nrec) =>
+            val b = next; next += nrec; pth -> b }.toMap
+        }
       val dataManifest = writeManifest(spark, mdir, s"ups-$atok-$snapId",
         schemaJson, adopted, snapId, seq, spec = specFields,
         tuples = tuples, specId = curSnap.defaultSpecId, stats = fileStats,
-        fieldInfo = fieldInfo)
+        fieldInfo = fieldInfo, firstRowIds = firstRowIds)
 
       val carried: Seq[GenericRecord] =
         if (curNode.has("manifest-list"))
@@ -1618,6 +1663,10 @@ object IcebergTable {
         sn.put("schema-id", meta.get("current-schema-id").asInt())
       else if (curNode.has("schema-id"))
         sn.put("schema-id", curNode.get("schema-id").asInt())
+      if (fv3) {
+        sn.put("first-row-id", rowIdBase)
+        meta.put("next-row-id", rowIdBase + adopted.map(_._3).sum)
+      }
       sn.putObject("summary").put("operation", "overwrite")
       meta.set[JsonNode]("snapshots", snapsArr)
       Option(meta.get("snapshot-log")).foreach { log =>
@@ -1744,6 +1793,13 @@ object IcebergTable {
                         operation: String): Long = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
+    // a COW rewrite re-keys the rewritten files' surviving rows —
+    // on a row-lineage table that silently breaks every _row_id;
+    // refuse toward the MOR path (raise spark.graft.mor.maxDeleteRows)
+    require(!files.exists(_.firstRowId.isDefined),
+      s"$tablePath carries v3 row-lineage ids — the copy-on-write " +
+        s"fallback for this over-gate $operation would re-key rows; " +
+        "raise spark.graft.mor.maxDeleteRows to stay merge-on-read")
     try {
       def fileKey(p: String) = org.apache.spark.paths.SparkPath
         .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
@@ -2158,6 +2214,14 @@ object IcebergTable {
             pathBounds = Map(p -> bounds))
         }
       }
+      // v3 ROW LINEAGE: post-image/merge-source files claim fresh
+      // id ranges from next-row-id (deleted rows' ids simply vanish;
+      // surviving files keep their ranges via the carried manifests)
+      val fv3 = Option(meta.get("format-version"))
+        .map(_.asInt()).getOrElse(2) >= 3
+      val rowIdBase: Long =
+        if (!fv3) -1L
+        else Option(meta.get("next-row-id")).map(_.asLong()).getOrElse(0L)
       val dataManifest: Option[GenericRecord] =
         stagedData.map { case (adopted, tuples, fileStats) =>
           val specFields = specFieldsOf(curSnap)
@@ -2168,10 +2232,17 @@ object IcebergTable {
                 snap.schema.find(_.name == n)
                   .map(f => n -> ((fn.get("id").asInt(), f.dataType)))
               }.toMap
+          val firstRowIds: Map[String, Long] =
+            if (!fv3) Map.empty
+            else {
+              var next = rowIdBase
+              adopted.map { case (pth, _, nrec) =>
+                val b = next; next += nrec; pth -> b }.toMap
+            }
           writeManifest(spark, mdir, s"upd-$atok-$snapId", schemaJson, adopted,
             snapId, seq, spec = specFields, tuples = tuples,
             specId = curSnap.defaultSpecId, stats = fileStats,
-            fieldInfo = fieldInfo)
+            fieldInfo = fieldInfo, firstRowIds = firstRowIds)
         }
 
       // carry the current snapshot's manifests (data + prior deletes) —
@@ -2252,6 +2323,11 @@ object IcebergTable {
         sn.put("schema-id", meta.get("current-schema-id").asInt())
       else if (curNode.has("schema-id"))
         sn.put("schema-id", curNode.get("schema-id").asInt())
+      if (fv3) {
+        sn.put("first-row-id", rowIdBase)
+        meta.put("next-row-id",
+          rowIdBase + stagedData.map(_._1.map(_._3).sum).getOrElse(0L))
+      }
       sn.putObject("summary").put("operation", operation)
       meta.set[JsonNode]("snapshots", snapsArr)
       Option(meta.get("snapshot-log")).foreach { log =>
@@ -2319,6 +2395,8 @@ object IcebergTable {
       d.put("partition", pr)
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", f.sizeBytes)
+      // row lineage carries: an existing file keeps its id range
+      f.firstRowId.foreach(fr => d.put("first_row_id", fr))
       putStatsFields(d,
         FileStats(f.valueCounts, f.nullCounts, f.bounds), statsFieldInfo)
       e.put("data_file", d)
@@ -2603,6 +2681,13 @@ object IcebergTable {
     import spark.implicits._
     val snap = snapshot(spark, tablePath)
     require(snap.snapshotId != -1L, s"cannot compact empty table $tablePath")
+    // declared boundary: preserving row LINEAGE through a rewrite
+    // needs the _row_id column materialized into the rewritten
+    // parquet (spec v3 §Row Lineage) — this writer refuses rather
+    // than silently re-keying every row
+    require(!snap.files.exists(_.firstRowId.isDefined),
+      s"$tablePath carries v3 row-lineage ids — rewriteDataFiles would " +
+        "re-key every row; compaction on lineage tables is not supported")
     val pfs = snap.specFields
     def liveRows = (if (snap.deletes.isEmpty)
       rawFrame(spark, snap, snap.files, withPos = false)
@@ -3371,6 +3456,9 @@ object IcebergTable {
       val cur = Option(meta.get("format-version")).map(_.asInt()).getOrElse(2)
       require(to >= cur, s"cannot downgrade format-version $cur → $to")
       meta.put("format-version", to)
+      // v3 row lineage: initialize the row-id counter (pre-upgrade
+      // files have no first_row_id — their _row_id reads as null)
+      if (to >= 3 && !meta.has("next-row-id")) meta.put("next-row-id", 0L)
       meta.put("last-updated-ms", System.currentTimeMillis())
       (meta, to.toLong)
     }
@@ -3999,6 +4087,9 @@ object IcebergTable {
     val root = M.createObjectNode()
     root.put("format-version", prior.flatMap(m =>
       Option(m.get("format-version"))).map(_.asInt()).getOrElse(2))
+    // row lineage: a mirror advance must not reset the row-id counter
+    prior.flatMap(m => Option(m.get("next-row-id")))
+      .foreach(n => root.put("next-row-id", n.asLong()))
     root.put("table-uuid", prior.flatMap(m => Option(m.get("table-uuid")))
       .map(_.asText()).getOrElse(java.util.UUID.nameUUIDFromBytes(
         ("iceberg-mirror:" + icebergPath).getBytes("UTF-8")).toString))
@@ -4062,6 +4153,7 @@ object IcebergTable {
       |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k_v_126","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
       |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k_v_129","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
       |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},
+      |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
       |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
       |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
       |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
@@ -4284,7 +4376,8 @@ object IcebergTable {
                             tuples: Map[String, Seq[Any]] = Map.empty,
                             specId: Int = 0,
                             stats: Map[String, FileStats] = Map.empty,
-                            fieldInfo: Map[String, (Int, DataType)] = Map.empty)
+                            fieldInfo: Map[String, (Int, DataType)] = Map.empty,
+                            firstRowIds: Map[String, Long] = Map.empty)
   : GenericRecord = {
     val fs = fsFor(spark, mdir)
     val entrySchema = entrySchemaFor(spec)
@@ -4299,6 +4392,9 @@ object IcebergTable {
       d.put("content", 0)
       d.put("file_path", path)
       d.put("file_format", "PARQUET")
+      // v3 ROW LINEAGE (spec field 142): added rows get implicit ids
+      // first_row_id + position
+      firstRowIds.get(path).foreach(fr => d.put("first_row_id", fr))
       val pr = new GenericData.Record(
         d.getSchema.getField("partition").schema())
       spec.zip(tuples.getOrElse(path, Seq.fill(spec.size)(null)))
@@ -4853,8 +4949,25 @@ object IcebergTable {
           .find(_.get("name").asText() == f.name).get.get("id").asInt()
         f.name -> ((fid, f.dataType))
       }.toMap
+      // v3 ROW LINEAGE: the snapshot claims [next-row-id, +records)
+      // and each added file carries its first_row_id (spec field 142);
+      // existing files keep their ranges via the carried manifests
+      val fv3 = prior.flatMap(m => Option(m.get("format-version")))
+        .map(_.asInt()).getOrElse(2) >= 3
+      val rowIdBase: Long =
+        if (!fv3) -1L
+        else prior.flatMap(m => Option(m.get("next-row-id")))
+          .map(_.asLong()).getOrElse(0L)
+      val firstRowIds: Map[String, Long] =
+        if (!fv3) Map.empty
+        else {
+          var next = rowIdBase
+          adopted.map { case (pth, _, nrec) =>
+            val b = next; next += nrec; pth -> b }.toMap
+        }
       val newManifest = writeManifest(spark, mdir, s"$atok-$snapId", schemaJson,
-        adopted, snapId, seq, specFields, tuples, specId, fileStats, fieldInfo)
+        adopted, snapId, seq, specFields, tuples, specId, fileStats, fieldInfo,
+        firstRowIds = firstRowIds)
       val listEntries =
         if (overwrite || prior.isEmpty) Seq(newManifest)
         else {
@@ -4909,6 +5022,7 @@ object IcebergTable {
       sn.put("timestamp-ms", now)
       sn.put("manifest-list", listPath.toString)
       sn.put("schema-id", schemaId)
+      if (fv3) sn.put("first-row-id", rowIdBase)
       val priorCur: Option[Long] = prior
         .flatMap(m => Option(m.get("current-snapshot-id")))
         .filterNot(_.isNull).map(_.asLong()).filter(_ != -1L)
@@ -4948,6 +5062,10 @@ object IcebergTable {
       val root = M.createObjectNode()
       root.put("format-version", prior.flatMap(m =>
         Option(m.get("format-version"))).map(_.asInt()).getOrElse(2))
+      // row lineage: the table's next free row id advances past this
+      // snapshot's claim
+      if (fv3) root.put("next-row-id",
+        rowIdBase + adopted.map(_._3).sum)
       root.put("table-uuid", prior.flatMap(m => Option(m.get("table-uuid")))
         .map(_.asText()).getOrElse(java.util.UUID.nameUUIDFromBytes(
           ("iceberg:" + tablePath).getBytes("UTF-8")).toString))
