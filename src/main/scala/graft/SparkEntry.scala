@@ -5717,6 +5717,51 @@ object SparkEntry {
         .orderBy("cust")
     }),
 
+    // Delta IDENTITY columns: a sorted single-partition insert makes
+    // the distributed allocation order deterministic (ids follow the
+    // iterator order of the one partition), so the values themselves
+    // grade against ROW_NUMBER arithmetic
+    "interop_delta_identity" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-ident")
+        .toString + "/t"
+      s.sql("CREATE TABLE '" + t + "' (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY (START WITH 100 INCREMENT BY 10), c_custkey BIGINT, " +
+        "c_acctbal DOUBLE) USING delta").collect()
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long"),
+          col("c_acctbal").cast("double"))
+        .where(col("c_custkey") <= 200).orderBy("c_custkey").coalesce(1)
+      graft.sources.DeltaLog.write(s, c, t)
+      graft.sources.DeltaLog.read(s, t)
+        .select(col("id"), col("c_custkey"), roundTo(col("c_acctbal"), 2)
+          .as("bal"))
+        .orderBy("c_custkey")
+    }),
+
+    // Delta MINOR LOG COMPACTION: replay THROUGH the compacted file —
+    // the raw commits it covers are moved aside, so the aggregate can
+    // only be right if the reconciled actions are
+    "interop_delta_logcompact" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-lcmp")
+        .toString + "/t"
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      (0 until 4).foreach(i => graft.sources.DeltaLog.write(s,
+        n.where(col("n_nationkey") % 4 === i), t))
+      graft.sources.DeltaLog.compactLog(s, t, 1L, 3L)
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      (1L to 3L).foreach { v =>
+        val p = new org.apache.hadoop.fs.Path(t,
+          f"_delta_log/$v%020d.json")
+        fs.rename(p, new org.apache.hadoop.fs.Path(p.toString + ".bak"))
+      }
+      graft.sources.DeltaLog.read(s, t)
+        .groupBy(col("n_regionkey").as("region"))
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy("region")
+    }),
+
     // Iceberg v3 DELETION VECTORS: upgrade to format-version 3, then
     // DELETE + UPDATE write Puffin deletion-vector-v1 blobs (one per
     // affected data file, folded total) instead of position-delete
@@ -9216,6 +9261,16 @@ object SparkEntry {
          | ${sqlSumD("CASE WHEN c_nationkey = 5 THEN 0.0 ELSE c_acctbal END")} AS bal
          |FROM customer WHERE c_nationkey <> 3
          |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "interop_delta_identity" ->
+      s"""SELECT 100 + 10 * (ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) AS id,
+         | c_custkey, ${sqlRound("c_acctbal", 2)} AS bal
+         |FROM customer WHERE c_custkey <= 200
+         |ORDER BY c_custkey""".stripMargin,
+
+    "interop_delta_logcompact" ->
+      """SELECT n_regionkey AS region, COUNT(*) AS n_nations
+        |FROM nation GROUP BY 1 ORDER BY region""".stripMargin,
 
     "interop_iceberg_rename" ->
       """SELECT k, nm FROM (
