@@ -5717,6 +5717,46 @@ object SparkEntry {
         .orderBy("cust")
     }),
 
+    // STORAGE-PARTITIONED JOIN serving: both sides identity-
+    // partitioned on the join key, keyed whole-partition planning on
+    // (HasPartitionKey groups, empty groups included) — values must
+    // match the plain join regardless of the shuffle-free plan
+    "interop_iceberg_spj" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q-spj")
+        .toString
+      val t1 = base + "/cust"
+      val t2 = base + "/supp"
+      graft.sources.IcebergTable.write(s,
+        Tables.customer(s, d).select(col("c_nationkey").as("nation"),
+          col("c_acctbal")), t1, partitionBy = Seq("nation"))
+      graft.sources.IcebergTable.write(s,
+        Tables.supplier(s, d).groupBy(col("s_nationkey").as("nation"))
+          .agg(sumD(col("s_acctbal")).as("s_bal")), t2,
+        partitionBy = Seq("nation"))
+      val keys = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.graft.preserveDataGrouping" -> "true")
+      val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val j = s.read.format("graft-iceberg").load(t1)
+          .join(s.read.format("graft-iceberg").load(t2), "nation")
+          .groupBy("nation")
+          .agg(count(lit(1)).as("n_cust"), sumD(col("c_acctbal")).as("c_bal"),
+            roundTo(max(col("s_bal")), 2).as("s_bal"))
+          .orderBy("nation")
+        // materialize INSIDE the conf scope (the plan must resolve
+        // while keyed planning is on)
+        val rows = j.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq),
+          j.schema)
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // Delta IDENTITY columns: a sorted single-partition insert makes
     // the distributed allocation order deterministic (ids follow the
     // iterator order of the one partition), so the values themselves
@@ -9260,6 +9300,14 @@ object SparkEntry {
       s"""SELECT c_nationkey AS nation, COUNT(*) AS n,
          | ${sqlSumD("CASE WHEN c_nationkey = 5 THEN 0.0 ELSE c_acctbal END")} AS bal
          |FROM customer WHERE c_nationkey <> 3
+         |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "interop_iceberg_spj" ->
+      s"""SELECT c_nationkey AS nation, COUNT(*) AS n_cust,
+         | ${sqlSumD("c_acctbal")} AS c_bal,
+         | ${sqlRound(s"(SELECT ${sqlSumD("s_acctbal")} FROM supplier s WHERE s.s_nationkey = c.c_nationkey)", 2)} AS s_bal
+         |FROM customer c
+         |WHERE EXISTS (SELECT 1 FROM supplier s2 WHERE s2.s_nationkey = c.c_nationkey)
          |GROUP BY 1 ORDER BY nation""".stripMargin,
 
     "interop_delta_identity" ->
