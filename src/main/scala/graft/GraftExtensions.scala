@@ -327,6 +327,24 @@ object GraftTableFunctions {
             analysisError(s"$fn: missing required parameter 'fromSnapshotId'")),
           longLitOpt(args, 2, fn, "toSnapshotId").getOrElse(
             analysisError(s"$fn: missing required parameter 'toSnapshotId'"))))
+      }),
+    // graft_warc(pathGlob[, type]) — WARC/WET records (the Common
+    // Crawl containers), one row per record, streamed per file
+    (FunctionIdentifier("graft_warc"), info("graft_warc"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_warc"
+        plan(graft.sources.WarcFiles.read(SparkSession.active,
+          strLit(args, 0, fn, "pathGlob"),
+          types =
+            if (args.length > 1) Seq(strLit(args, 1, fn, "type")) else Nil))
+      }),
+    // graft_warc_text(pathGlob) — extracted (uri, date, text) rows
+    // the curation/dedup pipeline consumes
+    (FunctionIdentifier("graft_warc_text"), info("graft_warc_text"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_warc_text"
+        plan(graft.sources.WarcFiles.readText(SparkSession.active,
+          strLit(args, 0, fn, "pathGlob")))
       }))
 
   /** Register on a live session (equivalent to the extension). */

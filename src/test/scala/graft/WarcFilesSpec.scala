@@ -89,6 +89,19 @@ class WarcFilesSpec extends SparkSpec {
     assert(onlyConv.count() === 1)
   }
 
+  test("graft_warc / graft_warc_text TVFs serve the parse through SQL") {
+    val dir = Files.createTempDirectory("warc4").toString
+    Files.write(Paths.get(dir, "seg.warc.gz"),
+      sampleRecords().map(gz).reduce(_ ++ _))
+    assert(spark.sql(s"SELECT * FROM graft_warc('$dir/*')").count() === 3)
+    assert(spark.sql(
+      s"SELECT * FROM graft_warc('$dir/*', 'response')").count() === 1)
+    val t = spark.sql(
+      s"SELECT uri, text FROM graft_warc_text('$dir/*') ORDER BY text")
+      .collect()
+    assert(t.length === 2)
+  }
+
   test("records over the byte cap skip as truncated instead of buffering") {
     val dir = Files.createTempDirectory("warc3").toString
     Files.write(Paths.get(dir, "seg.warc"),
