@@ -2791,28 +2791,35 @@ object IcebergTable {
     val snap = snapshot(spark, tablePath)
     require(snap.snapshotId != -1L,
       s"cannot rewrite delete files of empty table $tablePath")
-    val posFiles = snap.deletes.filter(_.content == 1)
-    if (posFiles.isEmpty) return snap.snapshotId
-    require(!posFiles.exists(_.isDv),
-      s"$tablePath carries v3 deletion vectors — they are already one " +
-        "blob per data file (nothing to compact); dangling DVs drop " +
-        "with their data files via expire/rewriteDataFiles")
+    val allPos = snap.deletes.filter(_.content == 1)
+    if (allPos.isEmpty) return snap.snapshotId
     val fs = fsFor(spark, new Path(tablePath))
     val mdir = metaDir(tablePath)
     val livePaths = snap.files.map(_.path).toSet
+    // v3 DELETION VECTORS are already one blob per data file — this
+    // maintenance only DROPS DANGLING ones (their referenced data
+    // file left the table) and carries the live ones as EXISTING;
+    // the parquet pile merges as before
+    val (dvFiles, posFiles) = allPos.partition(_.isDv)
+    val (liveDvs, danglingDvs) =
+      dvFiles.partition(_.referencedDataFile.exists(livePaths))
 
     // merge the pile, dropping dangling rows and duplicate positions
     // (overlapping DML commits may have deleted the same row twice)
-    val pile = spark.read.parquet(posFiles.map(_.path): _*)
-      .select(col("file_path").cast("string").as("file_path"),
-        col("pos").cast("long").as("pos"))
-    val liveDf = broadcast(livePaths.toSeq.toDF("__live"))
-    val kept = pile.join(liveDf, col("file_path") === col("__live"),
-      "left_semi").dropDuplicates("file_path", "pos")
-    val keptCount = kept.count()
-    val pileRows = posFiles.map(_.records).sum
-    if (posFiles.size <= 1 && keptCount == pileRows)
-      return snap.snapshotId // already one clean file
+    val (kept, keptCount, pileRows) =
+      if (posFiles.isEmpty)
+        (spark.emptyDataFrame, 0L, 0L)
+      else {
+        val pile = spark.read.parquet(posFiles.map(_.path): _*)
+          .select(col("file_path").cast("string").as("file_path"),
+            col("pos").cast("long").as("pos"))
+        val liveDf = broadcast(livePaths.toSeq.toDF("__live"))
+        val k = pile.join(liveDf, col("file_path") === col("__live"),
+          "left_semi").dropDuplicates("file_path", "pos")
+        (k, k.count(), posFiles.map(_.records).sum)
+      }
+    if (posFiles.size <= 1 && keptCount == pileRows && danglingDvs.isEmpty)
+      return snap.snapshotId // already one clean file, nothing dangling
 
     // stage the merged delete parquet (attempt-invariant; unique names)
     val tok = java.util.UUID.randomUUID().toString.take(8)
@@ -2910,12 +2917,28 @@ object IcebergTable {
           eqFiles.map(f => (f.path, f.sizeBytes, f.records, 2, f.equalityIds)),
           snapId, seq, specId = unpartSpec,
           existingSeqs = eqFiles.map(f => f.path -> f.seq).toMap))
+      // live DVs carry as EXISTING with original seqs; dangling ones
+      // simply do not re-appear (their Puffin bytes become orphans
+      // for remove_orphan_files once no snapshot references them)
+      val dvManifest: Option[GenericRecord] =
+        if (liveDvs.isEmpty) None
+        else Some(writeDeleteManifest(spark, mdir, s"dcdv-$atok-$snapId",
+          schemaJson,
+          liveDvs.map(d => (d.path, d.sizeBytes, d.records, 1,
+            Seq.empty[Int])),
+          snapId, seq, specId = unpartSpec,
+          existingSeqs = liveDvs.map(d => d.path -> d.seq).toMap,
+          dvRefs = liveDvs.map(d => for {
+            r <- d.referencedDataFile; o <- d.contentOffset
+            s2 <- d.contentSize
+          } yield (r, o, s2))))
 
       val listPath = fs.makeQualified(
         new Path(mdir, s"snap-$atok-$snapId-manifest-list.avro"))
       writeAvro(spark, listPath, ManifestFileSchema,
         Map("format-version" -> "2"),
-        carriedData ++ posManifest.toSeq ++ eqManifest.toSeq)
+        carriedData ++ posManifest.toSeq ++ eqManifest.toSeq ++
+          dvManifest.toSeq)
 
       val snapsArr = M.createArrayNode()
       snaps.foreach(snapsArr.add)

@@ -116,4 +116,45 @@ class IcebergDeleteCompactionSpec extends graft.SparkSpec {
     val v1 = IcebergTable.snapshot(spark, t).snapshotId
     assert(IcebergTable.rewritePositionDeleteFiles(spark, t) === v1)
   }
+
+  test("v3: dangling DVs drop, live DVs carry as existing") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("dvdangle")
+      .toString + "/t"
+    // two pre-lineage files (written before the v3 upgrade, so the
+    // COW fallback below is permitted)
+    IcebergTable.write(spark,
+      (0L until 40L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1), t)
+    IcebergTable.write(spark,
+      (100L until 140L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    // DV on file B (lives on), DV on file A (to dangle)
+    IcebergTable.delete(spark, t, col("k") === 100L)
+    IcebergTable.delete(spark, t, col("k") === 1L)
+    // over-gate DELETE confined to file A -> COW rewrites A; the
+    // carried delete manifests now hold a DV referencing dead A
+    spark.conf.set("spark.graft.mor.maxDeleteRows", "1")
+    try IcebergTable.delete(spark, t, col("k") >= 2L && col("k") < 40L)
+    finally spark.conf.unset("spark.graft.mor.maxDeleteRows")
+    val before = IcebergTable.snapshot(spark, t)
+    val dangling = before.deletes.filter(d => d.isDv &&
+      !d.referencedDataFile.exists(before.files.map(_.path).toSet))
+    assert(dangling.nonEmpty, s"expected a dangling DV: ${before.deletes}")
+    val rows = IcebergTable.read(spark, t).select("k").as[Long]
+      .collect().sorted
+
+    IcebergTable.rewritePositionDeleteFiles(spark, t)
+    val after = IcebergTable.snapshot(spark, t)
+    val dvs = after.deletes.filter(_.isDv)
+    assert(dvs.size === 1 &&
+      dvs.head.referencedDataFile.exists(after.files.map(_.path).toSet),
+      s"only the LIVE DV must carry: ${after.deletes}")
+    assert(dvs.head.seq === before.deletes.filter(_.isDv)
+      .find(_.referencedDataFile == dvs.head.referencedDataFile).get.seq,
+      "carried DV must keep its ORIGINAL sequence number")
+    val rowsAfter = IcebergTable.read(spark, t).select("k").as[Long]
+      .collect().sorted
+    assert(rowsAfter.toSeq === rows.toSeq, "maintenance must not change rows")
+  }
 }
