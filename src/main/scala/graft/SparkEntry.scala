@@ -9,7 +9,7 @@ import graft.sources.{Layout, Tables}
 import graft.operators.{Dedup, Flatten, Hierarchy}
 import graft.medallion.{Bronze, Gold, Silver}
 import graft.quality.QualityChecks
-import graft.text.{Relevance, TextFunctions}
+import graft.text.{Dsir, Relevance, TextFunctions}
 import graft.dedup.{NearDup, SubstringDedup}
 import graft.similarity.Similarity
 import graft.streaming.Streams
@@ -2827,6 +2827,21 @@ object SparkEntry {
     "dedup_substring_filter" -> ((s, d) => {
       SubstringDedup.filterByDupMass(substringCorpus(s, d), "doc_id", "text",
         k = 8, maxDupPct = 20)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance resampling (Xie et al. arXiv:2302.03169) in
+    // PORTABLE-hash mode: md5-prefix n-gram buckets and seeded
+    // Gumbel uniforms the DuckDB oracle reproduces bit-for-bit
+    // (xxhash64 is the production default — identical plan shape).
+    // Target = the English slice; pick the 50 raw docs most
+    // target-like via Gumbel top-k over importance weights.
+    "dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val target = docs.where(col("lang") === "en")
+      Dsir.resample(docs, "doc_id", "text", target, k = 50,
+        buckets = 1000, seed = 7, portable = true)
+        .select(col("doc_id"), roundTo(col("logw"), 6).as("logw"))
         .orderBy("doc_id")
     }),
 
@@ -7725,6 +7740,8 @@ object SparkEntry {
          |WHERE dup_windows * 100 <= n_windows * 20
          |ORDER BY doc_id""".stripMargin,
 
+    "dsir_select" -> dsirOracle,
+
     "dedup_tokenset" ->
       s"""WITH f AS (SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct(${sqlTokens("text")})), ' ')) AS fp
@@ -9973,6 +9990,49 @@ object SparkEntry {
        | CAST(MAX(n) AS BIGINT) AS max_bucket,
        | CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
        |FROM buckets GROUP BY 1 ORDER BY band_idx""".stripMargin
+  }
+
+  /** DuckDB replica of [[Dsir.resample]] in portable-hash mode: the
+    * same lowercase unigram+bigram features, md5-prefix buckets
+    * (B=1000), Laplace-smoothed log-ratios over the full bucket
+    * space, per-doc weight sums, and seeded Gumbel top-k (seed 7,
+    * k=50). Target = the `lang='en'` slice of `documents` — a subset
+    * of raw, so both distributions aggregate one shared gram
+    * relation. */
+  private def dsirOracle: String = {
+    val B = 1000
+    val P = "1000000007"
+    s"""WITH ws AS (
+       | SELECT doc_id, lang,
+       |  list_filter(regexp_split_to_array(lower(text), '\\W+'),
+       |    w -> len(w) > 0) AS ws
+       | FROM documents),
+       |g AS (
+       | SELECT doc_id, lang, unnest(list_concat(ws,
+       |   list_transform(range(1, len(ws)),
+       |     i -> ws[i] || ' ' || ws[i+1]))) AS gram
+       | FROM ws),
+       |b AS (SELECT doc_id, lang,
+       |  (('0x' || substr(md5(gram), 1, 15))::BIGINT % $B) AS bucket FROM g),
+       |pc AS (SELECT bucket, COUNT(*) AS p_cnt FROM b
+       |  WHERE lang = 'en' GROUP BY 1),
+       |qc AS (SELECT bucket, COUNT(*) AS q_cnt FROM b GROUP BY 1),
+       |j AS (SELECT coalesce(pc.bucket, qc.bucket) AS bucket,
+       |  coalesce(p_cnt, 0) AS p_cnt, coalesce(q_cnt, 0) AS q_cnt
+       |  FROM pc FULL JOIN qc ON pc.bucket = qc.bucket),
+       |t AS (SELECT SUM(p_cnt) AS pt, SUM(q_cnt) AS qt FROM j),
+       |lr AS (SELECT bucket,
+       |  ln((p_cnt + 1)::DOUBLE / (pt + $B)) -
+       |  ln((q_cnt + 1)::DOUBLE / (qt + $B)) AS logratio FROM j, t),
+       |dc AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |w AS (SELECT doc_id, SUM(cnt * logratio) AS logw
+       |  FROM dc JOIN lr USING (bucket) GROUP BY 1),
+       |keyed AS (SELECT doc_id, logw, logw - ln(-ln(
+       |  ((('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 15))::BIGINT
+       |    % $P) + 1)::DOUBLE / ($P + 2))) AS gk FROM w),
+       |sel AS (SELECT doc_id, logw FROM keyed ORDER BY gk DESC LIMIT 50)
+       |SELECT doc_id, ${sqlRound("logw", 6)} AS logw
+       |FROM sel ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB replica of the MinHash+LSH pipeline — same md5-derived

@@ -24,11 +24,12 @@ import org.apache.hadoop.fs.Path
   * at its offset: `[dataSize: int BE][data][crc32(data): int BE]`
   * where `data` = `[magic 1681511377: int LE][RoaringBitmapArray
   * "portable" serialization]`. The portable format: `[number of
-  * 32-bit bitmaps: long LE]` then each 32-bit bitmap in the standard
-  * RoaringFormatSpec portable layout (cookie, per-container keys +
-  * cardinalities, optional offsets, then array / bitmap / run
-  * containers, all little-endian). A 64-bit deleted position =
-  * `bitmapIndex << 32 | 32-bit member`.
+  * NON-EMPTY 32-bit bitmaps: long LE]` then each bitmap as `[key:
+  * int LE]` (its high 32 bits; keys ascending, empty bitmaps
+  * skipped) followed by the standard RoaringFormatSpec layout
+  * (cookie, per-container keys + cardinalities, optional offsets,
+  * then array / bitmap / run containers, all little-endian). A
+  * 64-bit deleted position = `key << 32 | 32-bit member`.
   *
   * Scale shape: descriptors record `sizeInBytes`/`cardinality`, so
   * the reader can budget; bytes are fetched once per file (KB–MB
@@ -186,11 +187,20 @@ object DeletionVectors {
   def deletedRows(data: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     require(bb.getInt == Magic, "bad DV magic")
+    // RoaringFormatSpec portable layout: bitmap COUNT (8B LE), then
+    // each NON-EMPTY 32-bit bitmap prefixed by its 4B LE key (the
+    // high 32 bits) — keys ascending, empty bitmaps skipped. (The
+    // keyless dense layout is the NATIVE format, magic 1681511376 —
+    // a different magic; real Delta/Iceberg writers emit this one.)
     val nBitmaps = bb.getLong
     require(nBitmaps >= 0 && nBitmaps <= Int.MaxValue, s"bad bitmap count $nBitmaps")
     val out = Array.newBuilder[Long]
-    (0L until nBitmaps).foreach { idx =>
-      val high = idx << 32
+    var prevKey = -1L
+    (0L until nBitmaps).foreach { _ =>
+      val key = bb.getInt & 0xFFFFFFFFL
+      require(key > prevKey, s"DV bitmap keys not ascending at $key")
+      prevKey = key
+      val high = key << 32
       readRoaring32(bb).foreach(v => out += (high | (v & 0xFFFFFFFFL)))
     }
     out.result()
@@ -259,19 +269,18 @@ object DeletionVectors {
     * future DV-authoring DELETE). */
   def serializeData(positions: Seq[Long]): Array[Byte] = {
     require(positions.forall(_ >= 0), "negative row position")
+    // portable layout (see [[deletedRows]]): only NON-EMPTY bitmaps,
+    // ascending key order, each prefixed by its 4-byte LE key
     val byBitmap = positions.sorted.distinct
-      .groupBy(p => (p >>> 32).toInt)
-    val nBitmaps = if (byBitmap.isEmpty) 0 else byBitmap.keys.max + 1
-    val chunks = (0 until nBitmaps).map { idx =>
-      val members = byBitmap.getOrElse(idx, Seq.empty)
-        .map(p => (p & 0xFFFFFFFFL).toInt)
-      serializeRoaring32(members)
+      .groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
+    val chunks = byBitmap.map { case (key, ps) =>
+      (key, serializeRoaring32(ps.map(p => (p & 0xFFFFFFFFL).toInt)))
     }
-    val total = 4 + 8 + chunks.map(_.length).sum
+    val total = 4 + 8 + chunks.map(c => 4 + c._2.length).sum
     val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(Magic)
-    bb.putLong(nBitmaps.toLong)
-    chunks.foreach(bb.put)
+    bb.putLong(chunks.size.toLong)
+    chunks.foreach { case (key, bytes) => bb.putInt(key); bb.put(bytes) }
     bb.array()
   }
 

@@ -1810,8 +1810,16 @@ object DeltaLog {
     // externally-set property must not fail a write that committed
     val interval = config.get("delta.checkpointInterval")
       .flatMap(_.trim.toIntOption).getOrElse(callerInterval)
-    if (interval > 0 && v > 0 && v % interval == 0)
+    if (interval > 0 && v > 0 && v % interval == 0) {
       checkpoint(spark, deltaPath, v)
+      // real Delta's post-checkpoint metadata cleanup (on by default;
+      // delta.enableExpiredLogCleanup=false opts out): one listing,
+      // usually zero victims — the log shrinks on the same cadence it
+      // checkpoints, so a streaming sink's _delta_log stays bounded
+      if (config.get("delta.enableExpiredLogCleanup")
+        .forall(_.trim.equalsIgnoreCase("true")))
+        cleanupLog(spark, deltaPath, configHint = Some(config))
+    }
   }
 
   /** The (readerFeatures, writerFeatures) a LEGACY protocol implies —
@@ -1883,27 +1891,39 @@ object DeltaLog {
     * re-staging (staged file names may embed the originally attempted
     * version; that is cosmetic, the log's paths are what bind).
     * Returns the committed version. */
+  /** ICT liveness from an already-replayed table configuration — the
+    * hint commit sites pass to [[commitCas]] so an ICT-less table
+    * (the common case) never pays a predecessor head read per
+    * commit. */
+  private[sources] def ictOn(cfg: Map[String, String]): Boolean =
+    cfg.get("delta.enableInCommitTimestamps")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
   private[sources] def commitCas(spark: SparkSession, deltaPath: String,
                                  firstVersion: Long, lines: Seq[String],
                                  scope: ReadScope = ReadTable,
                                  maxRetries: Int = 20,
-                                 operation: String = ""): Long = {
+                                 operation: String = "",
+                                 ictHint: Option[Boolean] = None): Long = {
     val M = new com.fasterxml.jackson.databind.ObjectMapper()
     val fs = logDir(deltaPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     def parse(ls: Seq[String]) = ls.filter(_.trim.nonEmpty).map(M.readTree)
-    val ours = parse(lines)
+    // conflict bookkeeping is LAZY: the no-conflict fast path — the
+    // overwhelmingly common case — never Jackson-parses its own
+    // action lines; the first lost version race forces them once
+    lazy val ours = parse(lines)
     // ROW-TRACKING rebase state: a data writer's add lines carry
     // baseRowId ranges + the watermark domain, both functions of the
     // base the commit actually lands on — rewritten per attempt
     var curLines: Seq[String] = lines
-    val oursRtWriter: Boolean = ours.exists(n =>
+    lazy val oursRtWriter: Boolean = ours.exists(n =>
       Option(n.get("add")).exists(_.has("baseRowId")))
-    val ourRemoves: Set[String] = ours.flatMap(n => Option(n.get("remove")))
+    lazy val ourRemoves: Set[String] = ours.flatMap(n => Option(n.get("remove")))
       .map(_.get("path").asText()).toSet
-    val ourTxnApps: Set[String] = ours.flatMap(n => Option(n.get("txn")))
+    lazy val ourTxnApps: Set[String] = ours.flatMap(n => Option(n.get("txn")))
       .map(_.get("appId").asText()).toSet
-    val ourDomains: Set[String] = ours
+    lazy val ourDomains: Set[String] = ours
       .flatMap(n => Option(n.get("domainMetadata")))
       .map(_.get("domain").asText()).toSet
     // IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit Timestamps): when
@@ -1915,7 +1935,12 @@ object DeltaLog {
     // is authoritative (it carries the full post-commit
     // configuration); otherwise the predecessor's commitInfo having
     // an ICT means the chain is live.
-    val oursIctMeta: Option[Boolean] = ours
+    // cheap containment probe first: commits without a metaData line
+    // (every data commit) skip the Jackson parse entirely — a false
+    // positive from a quoted "metaData" in stats just parses, safely
+    val oursIctMeta: Option[Boolean] =
+      if (!lines.exists(_.contains("\"metaData\""))) None
+      else ours
       .flatMap(n => Option(n.get("metaData"))).lastOption.map { md =>
         Option(md.get("configuration"))
           .flatMap(c => Option(c.get("delta.enableInCommitTimestamps")))
@@ -1976,8 +2001,14 @@ object DeltaLog {
     }
     def payloadFor(v: Long): Array[Byte] = {
       val prevVOpt = if (v == 0) None else Some(v - 1)
-      val prevI = prevVOpt.flatMap(prevIct)
-      val enabled = oursIctMeta.getOrElse(prevI.isDefined)
+      // ICT liveness, cheapest source first: our own metaData line is
+      // authoritative (it carries the post-commit configuration);
+      // else the caller's already-replayed configuration (ictHint);
+      // the per-commit predecessor head read happens ONLY when
+      // neither is known, or when the chain is live and the floor is
+      // actually needed — never as a probe on an ICT-less table
+      lazy val prevI = prevVOpt.flatMap(prevIct)
+      val enabled = oursIctMeta.orElse(ictHint).getOrElse(prevI.isDefined)
       val out: Seq[String] =
         if (!enabled) {
           val infoLine =
@@ -2409,6 +2440,7 @@ object DeltaLog {
     val identityFields: Seq[StructField] = prior.toSeq.flatMap(_.schema.fields)
       .filter(_.metadata.contains(IdentityStartKey))
     var identitySchema: Option[StructType] = None
+    var identityPinned: Option[DataFrame] = None
     val dfId: DataFrame = if (identityFields.isEmpty) dfGen else {
       val ps = prior.get.schema
       val lower = ps.fieldNames.map(n => n.toLowerCase -> n).toMap
@@ -2436,6 +2468,15 @@ object DeltaLog {
         var updated: Map[String, Long] = Map.empty // name -> new HWM
         var d = dfGen
         if (missing.nonEmpty) {
+          // PIN the partition-to-rows mapping first: the offsets the
+          // count pass computes must describe the SAME partitions the
+          // write job evaluates later — an upstream with any
+          // non-determinism (sample, round-robin repartition, flaky
+          // source) could otherwise shift rows between the two jobs
+          // and silently duplicate or skip identity values
+          d = d.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          identityPinned = Some(d)
           // ONE count pass serves every missing identity column
           val pidCounts = d
             .groupBy(spark_partition_id().as("__pid")).count()
@@ -2748,11 +2789,13 @@ object DeltaLog {
       else if (overwrite) "WRITE (overwrite)"
       else "WRITE"
     val vc = commitCas(spark, deltaPath, v, lines.toSeq, scope,
-      operation = op)
+      operation = op,
+      ictHint = prior.map(p => ictOn(p.configuration)))
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       prior.map(_.configuration).getOrElse(Map.empty))
     maybeUniform(spark, deltaPath,
       prior.map(_.configuration).getOrElse(Map.empty))
+    identityPinned.foreach(_.unpersist(blocking = false))
     vc
   }
 
@@ -2812,7 +2855,7 @@ object DeltaLog {
     val rewrite = groups.filter { case (_, fls) =>
       fls.size > 1 || zBy.nonEmpty || fls.exists(hasDv) }
     if (rewrite.isEmpty) return snap.version
-    val v = listVersions(spark, deltaPath).last + 1
+    val v = snap.version + 1
     val now = System.currentTimeMillis()
     def deScheme(s: String) = s.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
     val root = deScheme(fs.makeQualified(dst).toString)
@@ -2915,7 +2958,7 @@ object DeltaLog {
     // APPEND is disjoint, the commit rebases past it; a winner
     // touching the same files refuses
     val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadFiles,
-      operation = "OPTIMIZE")
+      operation = "OPTIMIZE", ictHint = Some(ictOn(snap.configuration)))
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
@@ -3019,6 +3062,85 @@ object DeltaLog {
       .stripPrefix(root + "/"))
   }
 
+  /** Parse a Delta duration property value (`interval 30 days`,
+    * `7 days`, `interval 2 weeks`, `48 hours`, …) to milliseconds. */
+  private[graft] def parseRetention(s: String): Option[Long] = {
+    val R = "(?i)\\s*(?:interval\\s+)?(\\d+)\\s*(millisecond|second|minute|hour|day|week)s?\\s*".r
+    s match {
+      case R(n, u) =>
+        val unit = u.toLowerCase match {
+          case "millisecond" => 1L
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour" => 3600000L
+          case "day" => 86400000L
+          case _ => 7L * 86400000L // week
+        }
+        Some(n.toLong * unit)
+      case _ => None
+    }
+  }
+
+  /** EXPIRED-LOG cleanup — the WRITER side of
+    * `delta.logRetentionDuration` (real Delta's metadata cleanup;
+    * default 30 days, auto-run after each checkpoint unless
+    * `delta.enableExpiredLogCleanup` is `false`): DELETE the log
+    * files that are BOTH (a) past retention by modification time and
+    * (b) strictly below the newest complete checkpoint version —
+    * commit JSONs, minor log-compaction files, version checksums and
+    * superseded checkpoints. Replay never needs them again:
+    * [[snapshot]] serves every retained version from that checkpoint
+    * plus the newer commits (it already reads checkpoint-only logs),
+    * while time travel and CDC into the reaped range refuse loudly —
+    * the retention trade every production Delta table makes. This is
+    * what stops a per-micro-batch streaming sink's `_delta_log` from
+    * growing without bound on disk (minor compaction only kept it
+    * cheap to REPLAY). V2-checkpoint sidecar parquet under
+    * `_sidecars/` is shared across checkpoints and left to
+    * orphan-file cleanup.
+    *
+    * `olderThanMs` overrides the retention cutoff (an explicit
+    * timestamp); `configHint` passes an already-replayed table
+    * configuration so the auto-run path never replays the log just
+    * for the property. `dryRun` lists without deleting. Returns the
+    * deleted (or would-be-deleted) file names. */
+  def cleanupLog(spark: SparkSession, deltaPath: String,
+                 olderThanMs: Option[Long] = None,
+                 dryRun: Boolean = false,
+                 configHint: Option[Map[String, String]] = None): Seq[String] = {
+    val dir = logDir(deltaPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    // the replay floor: the newest COMPLETE checkpoint; without one
+    // nothing below the head is reconstructible — clean nothing
+    val cp = checkpointAt(spark, deltaPath, Long.MaxValue)
+    if (cp.isEmpty) return Seq.empty
+    val floor = cp.get.version
+    val cutoff = olderThanMs.getOrElse {
+      val cfg = configHint.getOrElse(snapshot(spark, deltaPath).configuration)
+      val retention = cfg.get("delta.logRetentionDuration")
+        .flatMap(parseRetention).getOrElse(30L * 86400000L)
+      System.currentTimeMillis() - retention
+    }
+    val CommitRe = "(\\d{20})\\.json".r
+    val CompactRe = "(\\d{20})\\.(\\d{20})\\.compacted\\.json".r
+    val CrcRe = "(\\d{20})\\.crc".r
+    val victims = fs.listStatus(dir).toSeq.filter { st =>
+      val old = st.getModificationTime < cutoff
+      st.getPath.getName match {
+        case CommitRe(v) => old && v.toLong < floor
+        case CompactRe(_, y) => old && y.toLong < floor
+        case CrcRe(v) => old && v.toLong < floor
+        case ClassicCpRe(v) => old && v.toLong < floor
+        case MultiCpRe(v, _, _) => old && v.toLong < floor
+        case V2CpRe(v, _, _) => old && v.toLong < floor
+        case _ => false
+      }
+    }
+    if (!dryRun) victims.foreach(st => fs.delete(st.getPath, false))
+    victims.map(_.getPath.getName).sorted
+  }
+
   /** `RESTORE TABLE … TO VERSION AS OF v` (or `TIMESTAMP AS OF`) —
     * roll the table's CURRENT state back to an earlier version as a
     * NEW commit, exactly like real Delta's RESTORE: history is never
@@ -3114,7 +3236,7 @@ object DeltaLog {
     if (lines.isEmpty) return cur.version // same file set + metadata
     val v = cur.version + 1
     val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
-      operation = "RESTORE")
+      operation = "RESTORE", ictHint = Some(ictOn(cur.configuration)))
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       tgt.configuration)
     maybeUniform(spark, deltaPath, tgt.configuration)
@@ -3219,7 +3341,7 @@ object DeltaLog {
     val root = deScheme(fs.makeQualified(dst).toString)
     val byFile: Map[String, Seq[Long]] = matchedPos.groupBy(_._1)
       .view.mapValues(_.map(_._2).toSeq).toMap
-    val v = listVersions(spark, deltaPath).last + 1
+    val v = snap.version + 1
     val now = System.currentTimeMillis()
 
     def pvJson(pv: Map[String, String]): String =
@@ -3292,7 +3414,8 @@ object DeltaLog {
     lines ++= rtDomain
     lines ++= cdcLinesOut
     val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
-      operation = if (makeAppend.isDefined) "UPDATE" else "DELETE")
+      operation = if (makeAppend.isDefined) "UPDATE" else "DELETE",
+      ictHint = Some(ictOn(snap.configuration)))
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     Some(vc)
@@ -3465,7 +3588,7 @@ object DeltaLog {
       }
     val toRewrite = snap.files.filter(f => matched(fileKey(f.path)))
 
-    val v = listVersions(spark, deltaPath).last + 1
+    val v = snap.version + 1
     val now = System.currentTimeMillis()
     val root = deScheme(fs.makeQualified(dst).toString)
     val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long, Option[String])]()
@@ -3566,7 +3689,7 @@ object DeltaLog {
     lines ++= rtDomain
     lines ++= cdcLinesOut
     val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
-      operation = "MERGE")
+      operation = "MERGE", ictHint = Some(ictOn(snap.configuration)))
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
@@ -3747,7 +3870,7 @@ object DeltaLog {
       src.unpersist(); return snap.version
     }
 
-    val v = listVersions(spark, deltaPath).last + 1
+    val v = snap.version + 1
     val now = System.currentTimeMillis()
     val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long, Option[String])]()
     // rewrite affected files dropping exactly the AFFECTED ROWS (by
@@ -3836,7 +3959,7 @@ object DeltaLog {
     lines ++= cdcLinesOut
     affected.unpersist(); bsAffected.foreach(_.unpersist()); src.unpersist()
     val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
-      operation = "MERGE")
+      operation = "MERGE", ictHint = Some(ictOn(snap.configuration)))
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
@@ -3910,7 +4033,7 @@ object DeltaLog {
 
     // rewrite per partition group (pv is a constant inside a group,
     // attached as typed literals so the predicate sees the full row)
-    val v = listVersions(spark, deltaPath).last + 1
+    val v = snap.version + 1
     val now = System.currentTimeMillis()
     val root = deScheme(fs.makeQualified(dst).toString)
     val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String], Long, Option[String])]()
@@ -3973,7 +4096,7 @@ object DeltaLog {
       lines ++= stageCdcLines(spark, deltaPath, snap,
         cdcFrames.reduce(_.unionByName(_)), v)
     val vc = commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
-      operation = opName)
+      operation = opName, ictHint = Some(ictOn(snap.configuration)))
     maybeCheckpoint(spark, deltaPath, vc, checkpointInterval,
       snap.configuration)
     maybeUniform(spark, deltaPath, snap.configuration)
@@ -4021,7 +4144,7 @@ object DeltaLog {
     val widened = StructType(prior.schema.fields ++ addedFields)
     val fs = new Path(deltaPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val v = listVersions(spark, deltaPath).last + 1
+    val v = prior.version + 1
     val tableId = java.util.UUID.nameUUIDFromBytes(
       deltaPath.getBytes("UTF-8")).toString
     val line = metaDataLine(tableId, widened.json, prior.partitionColumns,
@@ -4229,8 +4352,9 @@ object DeltaLog {
     val lines = writerFeatureLine(prior.protocol, Seq("domainMetadata")).toSeq :+
       domainMetadataLine(domain, configuration, removed = false)
     val v = commitCas(spark, deltaPath,
-      listVersions(spark, deltaPath).last + 1, lines,
-      scope = BlindAppend, operation = "SET DOMAIN METADATA")
+      prior.version + 1, lines,
+      scope = BlindAppend, operation = "SET DOMAIN METADATA",
+      ictHint = Some(ictOn(prior.configuration)))
     maybeCheckpoint(spark, deltaPath, v, DefaultCheckpointInterval,
       prior.configuration)
     v
@@ -4272,9 +4396,10 @@ object DeltaLog {
       if (!prior.domains.contains(ClusteringDomain))
         return listVersions(spark, deltaPath).last
       return commitCas(spark, deltaPath,
-        listVersions(spark, deltaPath).last + 1,
+        prior.version + 1,
         Seq(domainMetadataLine(ClusteringDomain, "", removed = true)),
-        scope = BlindAppend, operation = "CLUSTER BY NONE")
+        scope = BlindAppend, operation = "CLUSTER BY NONE",
+        ictHint = Some(ictOn(prior.configuration)))
     }
     require(cols.size <= 4,
       s"at most 4 clustering columns (got ${cols.size}) — past that, " +
@@ -4294,8 +4419,9 @@ object DeltaLog {
       Seq("domainMetadata", "clustering")).toSeq :+
       domainMetadataLine(ClusteringDomain, cfg, removed = false)
     val v = commitCas(spark, deltaPath,
-      listVersions(spark, deltaPath).last + 1, lines,
-      scope = BlindAppend, operation = "CLUSTER BY")
+      prior.version + 1, lines,
+      scope = BlindAppend, operation = "CLUSTER BY",
+      ictHint = Some(ictOn(prior.configuration)))
     maybeCheckpoint(spark, deltaPath, v, DefaultCheckpointInterval,
       prior.configuration)
     v
@@ -4393,7 +4519,7 @@ object DeltaLog {
     lines += metaDataLine(tableId, prior.schema.json,
       prior.partitionColumns, now, newConf)
     var next = rowIdHighWaterMark(prior) + 1
-    val attemptV = listVersions(spark, deltaPath).last + 1
+    val attemptV = prior.version + 1
     def pvJson(pv: Map[String, String]): String =
       pv.toSeq.sortBy(_._1).map { case (k, vv) =>
         s"${jsEscape(k)}:${if (vv == null) "null" else jsEscape(vv)}"
@@ -4410,7 +4536,7 @@ object DeltaLog {
     lines += domainMetadataLine(RowTrackingDomain,
       s"""{"rowIdHighWaterMark":${next - 1}}""", removed = false)
     val v = commitCas(spark, deltaPath,
-      listVersions(spark, deltaPath).last + 1, lines.toSeq,
+      attemptV, lines.toSeq,
       scope = ReadTable, operation = "ENABLE ROW TRACKING")
     maybeCheckpoint(spark, deltaPath, v, DefaultCheckpointInterval, newConf)
     v
@@ -4483,9 +4609,10 @@ object DeltaLog {
     require(!domain.startsWith("delta."),
       s"domain '$domain' is system-owned")
     val v = commitCas(spark, deltaPath,
-      listVersions(spark, deltaPath).last + 1,
+      prior.version + 1,
       Seq(domainMetadataLine(domain, "", removed = true)),
-      scope = BlindAppend, operation = "REMOVE DOMAIN METADATA")
+      scope = BlindAppend, operation = "REMOVE DOMAIN METADATA",
+      ictHint = Some(ictOn(prior.configuration)))
     maybeCheckpoint(spark, deltaPath, v, DefaultCheckpointInterval,
       prior.configuration)
     v
@@ -4645,7 +4772,7 @@ object DeltaLog {
                                  writerOnlyFeature: Option[String] = None): Long = {
     val fs = new Path(deltaPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val v = listVersions(spark, deltaPath).last + 1
+    val v = prior.version + 1
     val tableId = java.util.UUID.nameUUIDFromBytes(
       deltaPath.getBytes("UTF-8")).toString
     val lines = scala.collection.mutable.ArrayBuffer[String]()
@@ -4767,7 +4894,8 @@ object DeltaLog {
     // nothing changed since the last mirror: no empty commit
     if (lines.isEmpty) return existing.last
     commitCas(spark, deltaPath, v, lines.toSeq, ReadTable,
-      operation = "MIRROR")
+      operation = "MIRROR",
+      ictHint = prior.map(p => ictOn(p.configuration)))
   }
 
   /** The write-path invariant gate: PROTOCOL.md Column Invariants
@@ -4995,9 +5123,13 @@ object DeltaLog {
         lines += s"""{"add":{"path":${jsEscape(rel)},"partitionValues":{},"size":$sz,"modificationTime":$now,"dataChange":true}}"""
       }
       val commit = new Path(new Path(dst, "_delta_log"), pad20(v - 1) + ".json")
-      val out = fs.create(commit, false)
-      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
+      // same exclusive-create primitive as commitCas — a raced
+      // migration must fail loudly, not truncate the winner's commit
+      if (!AtomicCas.createExclusive(fs, commit,
+        (lines.mkString("\n") + "\n").getBytes("UTF-8")))
+        throw new IllegalStateException(
+          s"$dst: commit ${v - 1} already exists — a concurrent export " +
+            "to the same destination won the race")
       prevFiles = copied
     }
     cur - 1 // top Delta version

@@ -125,6 +125,14 @@ object GraftSqlStatements {
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+REPLACE\s+PARTITION\s+FIELD\s+([\w$]+(?:\s*\([^)]*\))?)""" +
       """\s+WITH\s+([\w$]+(?:\s*\([^)]*\))?)\s*;?\s*$""").r
+  /** `ALTER TABLE <t> ADD COLUMN[S] [(]c TYPE [NOT NULL] DEFAULT
+    * <lit>[, …][)]` — intercepted ONLY when a DEFAULT clause is
+    * present (plain ADD COLUMN keeps flowing through Spark's own
+    * grammar into the catalog's alterTable). Iceberg v3 column
+    * defaults (spec v3 §Default values). */
+  private val AddColumnsDefaultRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+ADD\s+COLUMNS?\s+\(?\s*(.+?\bDEFAULT\b.+?)\s*\)?\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+ADD\s+CONSTRAINT\s+([\w$]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -398,6 +406,9 @@ object GraftSqlStatements {
       Some(GraftPartitionFieldCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         transform.trim, isAdd = true, replaceOf = Some(what.trim)))
+    case AddColumnsDefaultRe(path, ident, defs) =>
+      Some(GraftAddColumnsDefaultCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil), defs.trim))
     case AddConstraintRe(path, ident, name, check) =>
       Some(GraftConstraintCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil), name,
@@ -1041,6 +1052,12 @@ case class GraftCallCommand(proc: String, rawArgs: String)
         // compact_delta_log('<t>', startV, endV) — minor log
         // compaction (PROTOCOL.md §Log Compaction Files)
         DeltaLog.compactLog(spark, dir, num(1), num(2)).toString
+      case "cleanup_delta_log" =>
+        // cleanup_delta_log('<t>'[, 'older-than timestamp']) —
+        // expired-log deletion per delta.logRetentionDuration
+        val cut = if (args.size > 1)
+          Some(java.sql.Timestamp.valueOf(str(1)).getTime) else None
+        DeltaLog.cleanupLog(spark, dir, olderThanMs = cut).size.toString
       case "checksum_delta" =>
         // checksum_delta('<t>'[, v]) — author <v>.crc (latest v
         // when omitted); PROTOCOL.md §Version Checksum File
@@ -1072,6 +1089,40 @@ case class GraftCallCommand(proc: String, rawArgs: String)
   *  - Iceberg → [[IcebergTable.renameColumn]] / `dropColumn` — the
   *    field-id model makes both a one-metadata-bump edit; reads
   *    resolve old files through the schema history. */
+/** `ALTER TABLE <t> ADD COLUMN[S] … DEFAULT …` — Iceberg v3 column
+  * defaults ([[IcebergTable.addColumns]] with `defaults`): the value
+  * lands as BOTH `initial-default` (served for files written before
+  * the column existed) and `write-default` (filled when a writer
+  * omits the column). Delta tables refuse — their defaults are a
+  * different writer feature this engine does not claim. */
+case class GraftAddColumnsDefaultCommand(path: Option[String],
+                                         parts: Seq[String],
+                                         rawDefs: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    require(flavorOf(spark, dir) == IcebergFlavor,
+      s"ADD COLUMN … DEFAULT is Iceberg v3 column defaults; $dir is " +
+        "not an Iceberg table")
+    val defaultRe = "(?is)\\s+DEFAULT\\s+(.+?)\\s*$".r
+    val parsed = splitTopLevel(rawDefs).map { d =>
+      val m = defaultRe.findFirstMatchIn(d)
+      val field = parseColDef(
+        m.map(x => d.substring(0, x.start)).getOrElse(d))
+      field -> m.map(_.group(1).trim)
+    }
+    IcebergTable.addColumns(spark, dir, parsed.map(_._1),
+      defaults = parsed.collect {
+        case (f, Some(lit)) => f.name -> lit }.toMap)
+    Seq(Row(dir, IcebergTable.snapshot(spark, dir).snapshotId))
+  }
+}
+
 case class GraftColumnDdlCommand(path: Option[String], parts: Seq[String],
                                  column: String, rename: Option[String])
   extends LeafRunnableCommand {

@@ -126,7 +126,8 @@ object IcebergTable {
                             fieldNames: Map[Int, String] = Map.empty,
                             specFields: Seq[IcebergPartitioning.PartField] = Seq.empty,
                             defaultSpecId: Int = 0,
-                            sortOrder: Seq[(String, Boolean)] = Seq.empty)
+                            sortOrder: Seq[(String, Boolean)] = Seq.empty,
+                            defaults: Map[Int, (Option[JsonNode], Option[JsonNode])] = Map.empty)
 
   /** One manifest/metadata partition-spec field: the FIELD's name and
     * (result) type, the source column's field id, and the spec-JSON
@@ -149,7 +150,7 @@ object IcebergTable {
     * REGRESSED version until the next commit repaired it. The listing
     * is one driver metadata call — negligible against the reads it
     * guards. */
-  private def latestMetadataFile(spark: SparkSession, tablePath: String): Path = {
+  private[sources] def latestMetadataFile(spark: SparkSession, tablePath: String): Path = {
     val dir = metaDir(tablePath)
     val fs = fsFor(spark, dir)
     if (!fs.exists(dir)) throw new IllegalArgumentException(
@@ -588,6 +589,20 @@ object IcebergTable {
         .flatMap(_.elements().asScala)
         .filter(f => f.has("id") && f.has("name"))
         .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    // v3 COLUMN DEFAULTS (spec v3 §Default values): `initial-default`
+    // serves the column for rows of files written BEFORE the field
+    // existed; `write-default` fills it when a writer omits the
+    // column. Pinned per schema era — time travel keeps each
+    // snapshot's own defaults because this parse reads the SNAPSHOT's
+    // schema node, not the table's current one.
+    val fieldDefaults: Map[Int, (Option[JsonNode], Option[JsonNode])] =
+      Option(snapSchemaNode.get("fields")).toSeq
+        .flatMap(_.elements().asScala)
+        .filter(f => f.has("id") &&
+          (f.has("initial-default") || f.has("write-default")))
+        .map(f => f.get("id").asInt() ->
+          ((Option(f.get("initial-default")), Option(f.get("write-default")))))
+        .toMap
 
     // v2 (and late v1): snapshot → manifest-list avro → manifest
     // paths, each with content (0=data 1=deletes) + sequence number.
@@ -737,7 +752,7 @@ object IcebergTable {
     }
     Snapshot(tablePath, snapId, snapTs, snapSchema, files.toSeq,
       deletes.toSeq, fieldNames, defaultSpec, defaultSpecId,
-      defaultSortOrder)
+      defaultSortOrder, fieldDefaults)
   }
 
   /** id→name maps of every schema era, plus snapshot-id→schema-id —
@@ -761,6 +776,38 @@ object IcebergTable {
         .map(x => s.get("snapshot-id").asLong() -> x.asInt()))
       .toMap
     (byId, snapToSchema)
+  }
+
+  /** Iceberg JSON single-value (spec §"JSON single-value
+    * serialization") → a Spark literal Column of `dt` — how a
+    * `initial-default` / `write-default` becomes a projected value.
+    * Unsupported combinations refuse loudly, never serve a wrong
+    * default. */
+  private[sources] def defaultLiteral(dt: DataType,
+                                      v: JsonNode): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    if (v == null || v.isNull) return lit(null).cast(dt)
+    dt match {
+      case BooleanType => lit(v.asBoolean())
+      case IntegerType => lit(v.asInt())
+      case LongType => lit(v.asLong())
+      case FloatType => lit(v.floatValue())
+      case DoubleType => lit(v.asDouble())
+      case StringType => lit(v.asText())
+      case d: DecimalType =>
+        lit(new java.math.BigDecimal(v.asText())).cast(d)
+      case DateType => lit(java.time.LocalDate.parse(v.asText()))
+      case TimestampNTZType =>
+        lit(java.time.LocalDateTime.parse(v.asText()))
+      case TimestampType =>
+        lit(java.time.OffsetDateTime.parse(v.asText()).toInstant)
+      case BinaryType =>
+        val h = v.asText()
+        require(h.length % 2 == 0, s"odd-length hex default: $h")
+        lit(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+      case other => throw new UnsupportedOperationException(
+        s"column default for type $other is not supported")
+    }
   }
 
   /** Read `files` with SCHEMA-EVOLUTION-AWARE projection: each file's
@@ -788,15 +835,22 @@ object IcebergTable {
     val byName = snap.fieldNames.map(_.swap)
     val current: Seq[(String, Int, DataType)] = snap.schema.fields.toSeq
       .map(f => (f.name, byName.getOrElse(f.name, -1), f.dataType))
+    // v3 initial-defaults of the CURRENT fields, as ready literals
+    val initDef: Map[Int, org.apache.spark.sql.Column] = current.flatMap {
+      case (_, id, dt) => snap.defaults.get(id).flatMap(_._1)
+        .map(v => id -> defaultLiteral(dt, v))
+    }.toMap
     lazy val (eras, snapToSchema) = schemaEras(spark, snap.tablePath)
     // does ANY schema era disagree with the read schema — renamed
-    // shared ids, or a current name under a different id (re-add)?
+    // shared ids, a current name under a different id (re-add), or a
+    // DEFAULTED current field the era lacks (its files must serve the
+    // initial-default, not null — era resolution becomes mandatory)?
     lazy val unsafeEraExists: Boolean = eras.values.exists(m =>
       current.exists { case (n, id, _) => m.get(id) match {
         case Some(e) => e != n
-        case None => m.valuesIterator.contains(n)
+        case None => m.valuesIterator.contains(n) || initDef.contains(id)
       } })
-    def projOf(f: DataFile): Option[Seq[(String, DataType, Option[String])]] = {
+    def projOf(f: DataFile): Option[Seq[(String, Int, DataType, Option[String])]] = {
       val era =
         if (f.addedSnapshotId < 0) None
         else snapToSchema.get(f.addedSnapshotId).flatMap(eras.get)
@@ -812,15 +866,18 @@ object IcebergTable {
             "be ambiguous; rewrite the data (OPTIMIZE / overwrite) to " +
             "materialize the current names")
       era.flatMap { m =>
-        val p = current.map { case (n, id, dt) => (n, dt, m.get(id)) }
+        val p = current.map { case (n, id, dt) => (n, id, dt, m.get(id)) }
         // identity projection reads plainly — ADD-only evolution stays
         // on the untouched path (a missing column is null either way).
         // NOT identity when a field id renamed, OR when a current name
         // exists in the era under a DIFFERENT id (drop + re-add: the
-        // old physical column must NOT resurrect — it reads null).
+        // old physical column must NOT resurrect — it reads null), OR
+        // when a missing field carries an initial-default (the
+        // projection must materialize it).
         val identitySafe = p.forall {
-          case (n, _, Some(e)) => e == n
-          case (n, _, None) => !m.valuesIterator.contains(n)
+          case (n, _, _, Some(e)) => e == n
+          case (n, id, _, None) =>
+            !m.valuesIterator.contains(n) && !initDef.contains(id)
         }
         if (identitySafe) None else Some(p)
       }
@@ -835,11 +892,13 @@ object IcebergTable {
         withMeta(spark.read.schema(snap.schema).parquet(fs.map(_.path): _*))
       case (Some(p), fs) =>
         val eraStruct = StructType(p.collect {
-          case (_, dt, Some(e)) => StructField(e, dt, nullable = true) })
+          case (_, _, dt, Some(e)) => StructField(e, dt, nullable = true) })
         val base = withMeta(
           spark.read.schema(eraStruct).parquet(fs.map(_.path): _*))
-        val cols = p.map { case (n, dt, eo) =>
-          eo.map(e => col(e).as(n)).getOrElse(lit(null).cast(dt).as(n)) } ++
+        val cols = p.map { case (n, id, dt, eo) =>
+          eo.map(e => col(e).as(n)).getOrElse(
+            initDef.get(id).map(_.as(n))
+              .getOrElse(lit(null).cast(dt).as(n))) } ++
           (if (withPos) Seq(col("__ri"), col("__path")) else Nil)
         base.select(cols: _*)
     }.reduce(_.unionByName(_))
@@ -3121,7 +3180,7 @@ object IcebergTable {
       .map(_.asLong()).getOrElse(-1L)
     val entry = entries.find(_.get("snapshot-id").asLong() == cur)
       .getOrElse(entries.last)
-    Option(entry.get("blob-metadata")).toSeq
+    val fromMeta: Map[String, Long] = Option(entry.get("blob-metadata")).toSeq
       .flatMap(_.elements().asScala).flatMap { b =>
         for {
           ndv <- Option(b.get("properties")).flatMap(p => Option(p.get("ndv")))
@@ -3130,6 +3189,30 @@ object IcebergTable {
         } yield idToName.getOrElse(fid.asInt(), s"#${fid.asInt()}") ->
           ndv.asText().toLong
       }.toMap
+    // FOREIGN stats fallback: the `ndv` blob property is the spec's
+    // cross-engine contract, but some writers record it only in the
+    // PUFFIN FOOTER's blob properties, not mirrored into the table
+    // metadata's blob-metadata — read the footer then (one small
+    // ranged read; ANY blob type, `apache-datasketches-theta-v1`
+    // included — the property, not the sketch, is what CBO needs).
+    // Metadata-mirrored values win; the footer only fills gaps.
+    val fromFooter: Map[String, Long] =
+      if (fromMeta.size >= idToName.size) Map.empty
+      else Option(entry.get("statistics-path")).map(_.asText()).toSeq
+        .flatMap { sp =>
+          try {
+            val pp = new Path(sp)
+            val pfs = pp.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            Puffin.readFooter(pfs, pp)._1.flatMap { b =>
+              for {
+                ndv <- b.properties.get("ndv").flatMap(_.toLongOption)
+                fid <- b.fields.headOption
+              } yield idToName.getOrElse(fid, s"#$fid") -> ndv
+            }
+          } catch { case _: Exception => Seq.empty } // stats are advisory
+        }.toMap
+    fromFooter ++ fromMeta
   }
 
   /** Named snapshot REFS — Iceberg branches and tags (spec §"Refs"):
@@ -3454,13 +3537,25 @@ object IcebergTable {
                     props: Map[String, String]): Long = {
     // `format-version` is TOP-LEVEL metadata, not a property — route
     // the Iceberg-conventional `SET TBLPROPERTIES ('format-version' =
-    // '3')` upgrade to the real field
-    props.get("format-version").foreach(v =>
-      upgradeFormatVersion(spark, tablePath, v.trim.toInt))
+    // '3')` upgrade to the real field. It lands in the SAME commit as
+    // the remaining properties: a statement like SET TBLPROPERTIES
+    // ('format-version'='3','k'='v') is one atomic metadata bump, so
+    // a crash can never leave the table upgraded without the rest.
+    val fv = props.get("format-version").map(_.trim.toInt)
+    fv.foreach(to => require(to == 2 || to == 3,
+      s"unsupported format-version $to (2 or 3)"))
     val rest = props - "format-version"
-    if (rest.isEmpty && props.nonEmpty)
-      return currentMetadataVersion(spark, tablePath)
-    mutateProperties(spark, tablePath, rest.keys.toSeq) { o =>
+    if (rest.isEmpty && fv.isEmpty)
+      mutateProperties(spark, tablePath, props.keys.toSeq)((_, _) => ())
+    else if (rest.isEmpty)
+      upgradeFormatVersion(spark, tablePath, fv.get)
+    else mutateProperties(spark, tablePath, rest.keys.toSeq) { (o, meta) =>
+      fv.foreach { to =>
+        val cur = Option(meta.get("format-version")).map(_.asInt()).getOrElse(2)
+        require(to >= cur, s"cannot downgrade format-version $cur -> $to")
+        meta.put("format-version", to)
+        if (to >= 3 && !meta.has("next-row-id")) meta.put("next-row-id", 0L)
+      }
       rest.foreach { case (k, v) => o.put(k, v) }
     }
   }
@@ -3495,11 +3590,11 @@ object IcebergTable {
   /** `UNSET TBLPROPERTIES` — missing keys are a no-op. */
   def unsetProperties(spark: SparkSession, tablePath: String,
                       keys: Seq[String]): Long =
-    mutateProperties(spark, tablePath, keys)(o => keys.foreach(o.remove))
+    mutateProperties(spark, tablePath, keys)((o, _) => keys.foreach(o.remove))
 
   private def mutateProperties(spark: SparkSession, tablePath: String,
                                touched: Seq[String])
-                              (mutate: ObjectNode => Unit): Long = {
+                              (mutate: (ObjectNode, ObjectNode) => Unit): Long = {
     require(touched.nonEmpty, "no properties given")
     require(!touched.contains("graft.mirror-of"),
       "graft.mirror-of is the zero-copy-mirror safety marker — it is " +
@@ -3511,7 +3606,7 @@ object IcebergTable {
         if (meta.has("properties"))
           meta.get("properties").asInstanceOf[ObjectNode]
         else meta.putObject("properties")
-      mutate(propsNode)
+      mutate(propsNode, meta)
       meta.put("last-updated-ms", System.currentTimeMillis())
       (meta, metaVersion + 1)
     }
@@ -3535,12 +3630,50 @@ object IcebergTable {
     * snapshot's pinned schema. Added columns must be nullable (the
     * spec forbids required columns without defaults on existing
     * rows). */
+  /** A DDL default literal (`42`, `'txt'`, `true`, `DATE
+    * '2020-01-02'`, …) as the field's Iceberg JSON single-value
+    * (spec §"JSON single-value serialization") — numbers as JSON
+    * numbers, everything else as the unquoted text. The inverse of
+    * [[defaultLiteral]]. */
+  private def putDefaultValue(fo: ObjectNode, key: String,
+                              dt: DataType, raw: String): Unit = {
+    val s0 = raw.trim.replaceFirst("(?i)^(DATE|TIMESTAMP)\\s+", "")
+    val s = if (s0.length >= 2 && s0.head == '\'' && s0.last == '\'')
+      s0.substring(1, s0.length - 1).replace("''", "'") else s0
+    dt match {
+      case BooleanType => fo.put(key, s.toBoolean)
+      case IntegerType => fo.put(key, s.toInt)
+      case LongType => fo.put(key, s.toLong)
+      case FloatType => fo.put(key, s.toFloat)
+      case DoubleType => fo.put(key, s.toDouble)
+      case _: DecimalType => fo.put(key, s)
+      case StringType | DateType | TimestampType | TimestampNTZType =>
+        fo.put(key, s)
+      case other => throw new UnsupportedOperationException(
+        s"DEFAULT for type $other is not supported")
+    }
+    ()
+  }
+
   def addColumns(spark: SparkSession, tablePath: String,
-                 cols: Seq[StructField]): Unit = {
+                 cols: Seq[StructField],
+                 defaults: Map[String, String] = Map.empty): Unit = {
     require(cols.nonEmpty, "no columns to add")
     casCommit(spark, tablePath) { (baseMeta, metaVersion) =>
     val meta = baseMeta.getOrElse(throw new IllegalArgumentException(
       s"not an Iceberg table: $tablePath"))
+    // v3 COLUMN DEFAULTS: ADD COLUMN … DEFAULT <lit> records the
+    // SAME value as initial-default (served for pre-evolution files)
+    // and write-default (filled when a writer omits the column) —
+    // the spec's ADD COLUMN semantics. Defaults are a v3 feature.
+    if (defaults.nonEmpty) {
+      val fv = Option(meta.get("format-version")).map(_.asInt()).getOrElse(2)
+      require(fv >= 3,
+        s"column defaults need format-version 3 ($tablePath is v$fv — " +
+          "SET TBLPROPERTIES ('format-version'='3') first)")
+      defaults.keys.foreach(n => require(cols.exists(_.name == n),
+        s"DEFAULT given for unknown added column $n"))
+    }
     val curId = if (meta.has("current-schema-id"))
       meta.get("current-schema-id").asInt() else 0
     val curSchema: JsonNode =
@@ -3555,8 +3688,11 @@ object IcebergTable {
     cols.foreach { f =>
       require(!existing.contains(f.name),
         s"column ${f.name} already exists on $tablePath")
-      require(f.nullable, s"added column ${f.name} must be nullable — " +
-        "existing rows carry no value for it")
+      // a required column may be added WITH a default (the spec's
+      // only sanctioned path — existing rows then carry the default)
+      require(f.nullable || defaults.contains(f.name),
+        s"added column ${f.name} must be nullable — " +
+          "existing rows carry no value for it (or give a DEFAULT)")
     }
     var idCounter = Option(meta.get("last-column-id")).map(_.asInt())
       .getOrElse(throw new IllegalStateException(
@@ -3575,8 +3711,12 @@ object IcebergTable {
       val fo = fieldsArr.addObject()
       fo.put("id", nextId())
       fo.put("name", f.name)
-      fo.put("required", false)
+      fo.put("required", defaults.contains(f.name) && !f.nullable)
       fo.set[JsonNode]("type", sparkTypeToIceberg(f.dataType, () => nextId()))
+      defaults.get(f.name).foreach { raw =>
+        putDefaultValue(fo, "initial-default", f.dataType, raw)
+        putDefaultValue(fo, "write-default", f.dataType, raw)
+      }
     }
     val schemasArr: ArrayNode =
       if (meta.has("schemas")) meta.withArray[ArrayNode]("schemas")
@@ -4648,9 +4788,13 @@ object IcebergTable {
     val propsNode = root.putObject("properties")
     properties.foreach { case (k, v) => propsNode.put(k, v) }
     val mp = new Path(mdir, "v1.metadata.json")
-    val out = fs.create(mp, false) // exclusive create = the CAS
-    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    finally out.close()
+    // exclusive create = the CAS (NIO O_EXCL on local filesystems —
+    // Hadoop's create(path, false) there is check-then-create)
+    if (!AtomicCas.createExclusive(fs, mp,
+      M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)))
+      throw new IllegalStateException(
+        s"$tablePath: v1.metadata.json already exists — a concurrent " +
+          "CREATE TABLE won the race")
     val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
     try hintOut.write("1".getBytes("UTF-8")) finally hintOut.close()
   }
@@ -4669,7 +4813,7 @@ object IcebergTable {
     * prune partition-filtered reads from the manifests alone.
     * Appends must keep the existing spec; an overwrite may redefine
     * it under a fresh spec-id. Returns the committed snapshot id. */
-  def write(spark: SparkSession, df: DataFrame, tablePath: String,
+  def write(spark: SparkSession, df0: DataFrame, tablePath: String,
             overwrite: Boolean = false,
             partitionBy: Seq[String] = Nil,
             txn: Option[(String, Long)] = None,
@@ -4680,6 +4824,40 @@ object IcebergTable {
     val mdir = new Path(dst, "metadata")
     fs.mkdirs(mdir)
     fs.mkdirs(new Path(dst, "data"))
+    // v3 WRITE-DEFAULTS (spec v3 §Default values): an append that
+    // OMITS a defaulted column gets it materialized before the shape
+    // gate. One small metadata-JSON read decides — no manifest I/O,
+    // and frames already carrying every column skip the projection.
+    val df: DataFrame = if (overwrite ||
+      fs.globStatus(new Path(mdir, "v*.metadata.json")).isEmpty) df0
+    else {
+      val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+      val schemaNode = {
+        val curId = if (meta.has("current-schema-id"))
+          meta.get("current-schema-id").asInt() else 0
+        if (meta.has("schemas"))
+          meta.get("schemas").elements().asScala
+            .find(n => Option(n.get("schema-id")).exists(_.asInt() == curId))
+            .getOrElse(meta.get("schema"))
+        else meta.get("schema")
+      }
+      val fields = Option(schemaNode.get("fields")).toSeq
+        .flatMap(_.elements().asScala).toSeq
+      val missing = fields.filterNot(f =>
+        df0.columns.contains(f.get("name").asText()))
+      val fills = missing.flatMap { f =>
+        Option(f.get("write-default")).map(v =>
+          defaultLiteral(icebergTypeToSpark(f.get("type")), v)
+            .as(f.get("name").asText()))
+      }
+      if (missing.isEmpty || fills.size != missing.size) df0
+      else {
+        import org.apache.spark.sql.functions.col
+        val order = fields.map(_.get("name").asText())
+        df0.select((df0.columns.map(col).toSeq ++ fills): _*)
+          .select(order.map(col): _*)
+      }
+    }
 
     val pfs: Seq[IcebergPartitioning.PartField] =
       partitionBy.map(IcebergPartitioning.parse)
@@ -5292,10 +5470,13 @@ object IcebergTable {
       root.putArray("metadata-log")
       root.putObject("properties")
       val mp = new Path(mdir, s"v$v.metadata.json")
-      val out = fs.create(mp, false)
-      try out.write(M.writerWithDefaultPrettyPrinter()
-        .writeValueAsBytes(root))
-      finally out.close()
+      // same exclusive-create primitive as casCommit — a raced
+      // migration must fail loudly, not truncate the winner's bytes
+      if (!AtomicCas.createExclusive(fs, mp,
+        M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)))
+        throw new IllegalStateException(
+          s"$dst: v$v.metadata.json already exists — a concurrent " +
+            "export to the same destination won the race")
     }
     // HadoopTables head pointer
     val hint = new Path(mdir, "version-hint.text")

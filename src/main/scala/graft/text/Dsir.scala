@@ -28,12 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
+  /** gram → bucket. xxhash64 is the fast default; `portable = true`
+    * switches to the md5-prefix hash every graded dedup operator uses
+    * (`conv(substr(md5(g),1,15),16,10) % B` — bit-reproducible in any
+    * engine with md5, which is what makes [[resample]] gradeable
+    * against a DuckDB oracle). */
+  private def bucketOf(g: Column, buckets: Int, portable: Boolean): Column =
+    if (portable)
+      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(buckets))
+    else pmod(xxhash64(g), lit(buckets))
+
   /** (id, bucket, cnt) hashed-n-gram counts per document. */
   private[graft] def bucketCounts(docs: DataFrame, idCol: String,
-                                  textCol: String, buckets: Int): DataFrame = {
+                                  textCol: String, buckets: Int,
+                                  portable: Boolean = false): DataFrame = {
     val grams = ngrams(col(textCol))
     docs.select(col(idCol), explode(grams).as("__gram"))
-      .select(col(idCol), pmod(xxhash64(col("__gram")), lit(buckets))
+      .select(col(idCol), bucketOf(col("__gram"), buckets, portable)
         .as("bucket"))
       .groupBy(col(idCol), col("bucket")).count()
       .withColumnRenamed("count", "cnt")
@@ -50,11 +61,12 @@ object Dsir {
   /** Per-bucket `log p_target[b] − log q_raw[b]` (Laplace-smoothed),
     * a ≤`buckets`-row frame small enough to broadcast. */
   def logRatios(raw: DataFrame, target: DataFrame, textCol: String,
-                buckets: Int = 10000): DataFrame = {
+                buckets: Int = 10000,
+                portable: Boolean = false): DataFrame = {
     def dist(docs: DataFrame, name: String): DataFrame = {
       val grams = ngrams(col(textCol))
       docs.select(explode(grams).as("__gram"))
-        .select(pmod(xxhash64(col("__gram")), lit(buckets)).as("bucket"))
+        .select(bucketOf(col("__gram"), buckets, portable).as("bucket"))
         .groupBy("bucket").count().withColumnRenamed("count", name)
     }
     val p = dist(target, "p_cnt")
@@ -63,24 +75,34 @@ object Dsir {
       .select(col("bucket"),
         coalesce(col("p_cnt"), lit(0L)).as("p_cnt"),
         coalesce(col("q_cnt"), lit(0L)).as("q_cnt"))
-    // Laplace smoothing over the FULL bucket space: (c+1)/(N+B)
-    val totals = joined.agg(sum("p_cnt").as("pt"), sum("q_cnt").as("qt"))
-      .collect().head
-    val (pt, qt) = (totals.getLong(0), totals.getLong(1))
+    // Laplace smoothing over the FULL bucket space: (c+1)/(N+B).
+    // ONE aggregation pass over each corpus: the ≤`buckets`-row
+    // joined frame is collected once (bounded by the param — driver-
+    // safe) and the ratio table rebuilt as a LOCAL relation, so
+    // evaluating the returned frame (the broadcast join downstream)
+    // re-reads 10⁴ local rows, never the raw corpus again
+    val rows = joined.collect()
+    var pt = 0L; var qt = 0L
+    rows.foreach { r => pt += r.getLong(1); qt += r.getLong(2) }
     require(pt > 0, "empty target corpus")
     require(qt > 0, "empty raw corpus")
-    joined.select(col("bucket"),
-      (log((col("p_cnt") + 1).cast("double") / (pt + buckets).toDouble) -
-        log((col("q_cnt") + 1).cast("double") / (qt + buckets).toDouble))
-        .as("logratio"))
+    val ratio = rows.toSeq.map { r =>
+      (r.getLong(0),
+        math.log((r.getLong(1) + 1).toDouble / (pt + buckets)) -
+          math.log((r.getLong(2) + 1).toDouble / (qt + buckets)))
+    }
+    val spark = raw.sparkSession
+    import spark.implicits._
+    ratio.toDF("bucket", "logratio")
   }
 
   /** Per-document importance weight `logw` against `target`. */
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
                         target: DataFrame,
-                        buckets: Int = 10000): DataFrame = {
-    val lr = broadcast(logRatios(raw, target, textCol, buckets))
-    bucketCounts(raw, idCol, textCol, buckets)
+                        buckets: Int = 10000,
+                        portable: Boolean = false): DataFrame = {
+    val lr = broadcast(logRatios(raw, target, textCol, buckets, portable))
+    bucketCounts(raw, idCol, textCol, buckets, portable)
       .join(lr, Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt") * col("logratio")).as("logw"))
@@ -91,14 +113,19 @@ object Dsir {
     * under `seed`. Returns the selected rows of `raw` plus `logw`. */
   def resample(raw: DataFrame, idCol: String, textCol: String,
                target: DataFrame, k: Int,
-               buckets: Int = 10000, seed: Long = 0L): DataFrame = {
+               buckets: Int = 10000, seed: Long = 0L,
+               portable: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = importanceWeights(raw, idCol, textCol, target, buckets)
+    val w = importanceWeights(raw, idCol, textCol, target, buckets, portable)
     // seeded hash → uniform in (0,1) → Gumbel(0,1); purely a function
     // of (doc id, seed), so reruns and stragglers agree
     val P = 1000000007L
-    val u = (pmod(xxhash64(col(idCol).cast("string"), lit(seed)), lit(P)) +
-      lit(1L)).cast("double") / lit((P + 2).toDouble)
+    val seeded = concat(col(idCol).cast("string"), lit("#" + seed))
+    val h =
+      if (portable)
+        pmod(conv(substring(md5(seeded), 1, 15), 16, 10).cast("long"), lit(P))
+      else pmod(xxhash64(seeded), lit(P))
+    val u = (h + lit(1L)).cast("double") / lit((P + 2).toDouble)
     val keyed = w.withColumn("__key", col("logw") - log(-log(u)))
     val picked = keyed.orderBy(col("__key").desc).limit(k)
       .select(col(idCol), col("logw"))

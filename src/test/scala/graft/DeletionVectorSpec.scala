@@ -73,9 +73,10 @@ class DeletionVectorSpec extends SparkSpec {
     // container, which the array-only serializer never emits
     def bitmapContainer(): Array[Byte] = {
       val members = (0 until 5000).map(_ * 2) // even values < 10000
-      val bb = ByteBuffer.allocate(4 + 8 + 4 + 4 + 4 + 4 + 8192)
+      val bb = ByteBuffer.allocate(4 + 8 + 4 + 4 + 4 + 4 + 4 + 8192)
         .order(ByteOrder.LITTLE_ENDIAN)
       bb.putInt(1681511377); bb.putLong(1L) // magic, one bitmap
+      bb.putInt(0) // portable layout: the bitmap's 4-byte key
       bb.putInt(12346); bb.putInt(1) // no-run cookie, 1 container
       bb.putShort(0.toShort); bb.putShort((members.size - 1).toShort)
       bb.putInt(4 + 4 + 4 + 4) // offset header
@@ -88,9 +89,10 @@ class DeletionVectorSpec extends SparkSpec {
       === (0 until 5000).map(v => (v * 2).toLong))
     def runContainer(): Array[Byte] = {
       // run cookie, 1 container, runs [10..14] and [100..100]
-      val bb = ByteBuffer.allocate(4 + 8 + 4 + 1 + 4 + 2 + 4 + 4)
+      val bb = ByteBuffer.allocate(4 + 8 + 4 + 4 + 1 + 4 + 2 + 4 + 4)
         .order(ByteOrder.LITTLE_ENDIAN)
       bb.putInt(1681511377); bb.putLong(1L)
+      bb.putInt(0) // portable layout: the bitmap's 4-byte key
       bb.putInt(12347 | (0 << 16)) // run cookie, size-1=0
       bb.put(1.toByte) // run bitset: container 0 is a run container
       bb.putShort(0.toShort); bb.putShort(5.toShort) // key 0, card 6
@@ -102,6 +104,30 @@ class DeletionVectorSpec extends SparkSpec {
     }
     assert(DeletionVectors.deletedRows(runContainer()).toSeq
       === Seq(10L, 11L, 12L, 13L, 14L, 100L))
+
+    // SPARSE portable layout: bitmaps keyed 2 and 5 only — empty
+    // bitmaps are SKIPPED and each serialized bitmap is prefixed by
+    // its 4-byte LE key (RoaringFormatSpec portable layout; the
+    // count is the number of NON-EMPTY bitmaps, not max key + 1) —
+    // the exact byte shape real Delta/Iceberg DV writers emit
+    def sparseKeys(): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + 8 + (4 + 18) * 2)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1681511377); bb.putLong(2L)
+      Seq(2, 5).foreach { key =>
+        bb.putInt(key) // the bitmap's key (its high 32 bits)
+        bb.putInt(12346); bb.putInt(1) // no-run cookie, 1 container
+        bb.putShort(0.toShort); bb.putShort(0.toShort) // ckey 0, card 1
+        bb.putInt(4 + 4 + 4 + 4) // offset header
+        bb.putShort(key.toShort) // single member (= key, arbitrary)
+      }
+      bb.array()
+    }
+    assert(DeletionVectors.deletedRows(sparseKeys()).toSeq
+      === Seq((2L << 32) | 2L, (5L << 32) | 5L))
+    // and the serializer emits the identical sparse layout back
+    assert(DeletionVectors.serializeData(
+      Seq((2L << 32) | 2L, (5L << 32) | 5L)).toSeq === sparseKeys().toSeq)
   }
 
   test("DV table read filters deleted rows; non-DV files untouched; DSv2 scan applies the vector") {

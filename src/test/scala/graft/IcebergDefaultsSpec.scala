@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+import graft.sources.IcebergTable
+
+/** Iceberg v3 COLUMN DEFAULTS (spec v3 §Default values):
+  * `initial-default` serves the column for rows of files written
+  * BEFORE the field existed, `write-default` fills it when a writer
+  * omits the column, time travel keeps each snapshot's own defaults,
+  * and ADD COLUMN … DEFAULT is the DDL that records both. */
+class IcebergDefaultsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("icedefaults").toString + "/t"
+
+  test("initial-default serves pre-evolution files; new writes carry real values") {
+    val t = tmp()
+    IcebergTable.write(spark,
+      (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v"), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    IcebergTable.addColumns(spark, t,
+      Seq(StructField("score", LongType, nullable = true)),
+      defaults = Map("score" -> "7"))
+    // pre-evolution rows read the default, not null
+    val before = IcebergTable.read(spark, t)
+      .select("k", "score").as[(Long, Long)].collect().toMap
+    assert(before.size === 10 && before.values.forall(_ === 7L))
+
+    // an append CARRYING the column writes real values …
+    IcebergTable.write(spark,
+      Seq((100L, "x", 1L)).toDF("k", "v", "score"), t)
+    // … and an append OMITTING it gets the write-default materialized
+    IcebergTable.write(spark, Seq((200L, "y")).toDF("k", "v"), t)
+    val after = IcebergTable.read(spark, t)
+      .select("k", "score").as[(Long, Long)].collect().toMap
+    assert(after(100L) === 1L)
+    assert(after(200L) === 7L)
+    assert(after(0L) === 7L) // old files still serve the default
+  }
+
+  test("string/required defaults; DML over defaulted tables keeps values") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    // a REQUIRED column may be added only because it has a default
+    IcebergTable.addColumns(spark, t,
+      Seq(StructField("src", StringType, nullable = false)),
+      defaults = Map("src" -> "'common-crawl'"))
+    val got = IcebergTable.read(spark, t)
+      .select("k", "src").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "common-crawl", 2L -> "common-crawl"))
+    // without a default, a required add still refuses
+    intercept[IllegalArgumentException] {
+      IcebergTable.addColumns(spark, t,
+        Seq(StructField("nope", LongType, nullable = false)))
+    }
+    // defaults need v3
+    val t2 = tmp()
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"), t2)
+    intercept[IllegalArgumentException] {
+      IcebergTable.addColumns(spark, t2,
+        Seq(StructField("d", LongType, nullable = true)),
+        defaults = Map("d" -> "1"))
+    }
+  }
+
+  test("time travel keeps per-snapshot defaults; SQL DDL surface works") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    val preAlter = IcebergTable.snapshot(spark, t).snapshotId
+    spark.sql(s"ALTER TABLE '$t' ADD COLUMN flag BIGINT DEFAULT 42")
+    // current read serves the default for the pre-evolution file
+    assert(IcebergTable.read(spark, t).select("flag")
+      .as[Long].collect().toSeq === Seq(42L))
+    // time travel to the pre-ALTER snapshot: its pinned schema has
+    // no such column at all
+    val tt = IcebergTable.read(spark, t, snapshotIdAsOf = Some(preAlter))
+    assert(!tt.columns.contains("flag"))
+    // an omitted-column append through the WRITE path fills 42
+    IcebergTable.write(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    val cur = IcebergTable.read(spark, t)
+      .select("k", "flag").as[(Long, Long)].collect().toMap
+    assert(cur === Map(1L -> 42L, 2L -> 42L))
+  }
+
+  test("external-shaped metadata: a foreign initial-default in the schema JSON reads correctly") {
+    // simulate a table ANALYZEd/evolved by ANOTHER engine: craft the
+    // defaults directly in the metadata JSON (no graft DDL involved)
+    val t = tmp()
+    IcebergTable.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    IcebergTable.addColumns(spark, t,
+      Seq(StructField("w", LongType, nullable = true)))
+    // splice initial-default/write-default into the CURRENT schema's
+    // new field — the exact JSON shape a foreign v3 writer produces
+    val mdir = new org.apache.hadoop.fs.Path(t, "metadata")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metas = fs.globStatus(new org.apache.hadoop.fs.Path(mdir, "v*.metadata.json"))
+      .map(_.getPath).sortBy(_.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toInt)
+    val top = metas.last
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = {
+      val in = fs.open(top)
+      try M.readTree(in).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    val curId = root.get("current-schema-id").asInt()
+    root.get("schemas").elements()
+    val it = root.get("schemas").elements()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.get("schema-id").asInt() == curId) {
+        val fit = s.get("fields").elements()
+        while (fit.hasNext) {
+          val f = fit.next().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          if (f.get("name").asText() == "w") {
+            f.put("initial-default", 99L)
+            f.put("write-default", 99L)
+          }
+        }
+      }
+    }
+    val out = fs.create(top, true)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+
+    val got = IcebergTable.read(spark, t)
+      .select("k", "w").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 99L, 2L -> 99L))
+  }
+}

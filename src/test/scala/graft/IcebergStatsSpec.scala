@@ -128,4 +128,56 @@ class IcebergStatsSpec extends graft.SparkSpec {
       assert(math.abs(byName("k") - 300L) <= 9L) // KMV exact below k=1024
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
+
+  test("FOREIGN stats: an apache-datasketches-theta-v1 blob's ndv is served from the Puffin footer") {
+    // a table ANALYZEd by ANOTHER engine: the statistics entry's
+    // blob-metadata carries NO properties (some writers only record
+    // `ndv` in the Puffin footer), the blob type is the theta sketch
+    // — the `ndv` blob property, not the sketch bytes, is the spec's
+    // cross-engine contract and must still reach columnStats
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    val snap = IcebergTable.snapshot(spark, t)
+    val idOf: Map[String, Int] = snap.fieldNames.map(_.swap)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsPath = new Path(new Path(t, "metadata"), "foreign.stats")
+    Puffin.write(fs, statsPath, Seq(
+      Puffin.Blob("apache-datasketches-theta-v1", Seq(idOf("id")),
+        snap.snapshotId, 1L, Array[Byte](1, 2, 3),
+        Map("ndv" -> "77")),
+      Puffin.Blob("apache-datasketches-theta-v1", Seq(idOf("s")),
+        snap.snapshotId, 1L, Array[Byte](4, 5),
+        Map("ndv" -> "9"))),
+      Map("created-by" -> "trino"))
+    // splice the statistics entry the foreign way: blob-metadata
+    // WITHOUT properties
+    val top = IcebergTable.latestMetadataFile(spark, t)
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = {
+      val in = fs.open(top)
+      try M.readTree(in).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    val e = root.putArray("statistics").addObject()
+    e.put("snapshot-id", snap.snapshotId)
+    e.put("statistics-path", fs.makeQualified(statsPath).toString)
+    e.put("file-size-in-bytes", fs.getFileStatus(statsPath).getLen)
+    val bms = e.putArray("blob-metadata")
+    Seq("id" -> idOf("id"), "s" -> idOf("s")).foreach { case (_, fid) =>
+      val b = bms.addObject()
+      b.put("type", "apache-datasketches-theta-v1")
+      b.putArray("fields").add(fid)
+      b.put("snapshot-id", snap.snapshotId)
+      b.put("sequence-number", 1L)
+      // NO properties object — the footer is the only ndv source
+    }
+    val out = fs.create(top, true)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+
+    assert(IcebergTable.columnStats(spark, t) === Map("id" -> 77L, "s" -> 9L))
+    // graft-authored metadata-mirrored values still win over footer
+    IcebergTable.analyzeTable(spark, t, Seq("id"))
+    assert(IcebergTable.columnStats(spark, t) === Map("id" -> 2L))
+  }
 }
