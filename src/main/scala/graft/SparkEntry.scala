@@ -5838,6 +5838,31 @@ object SparkEntry {
         .orderBy("nation")
     }),
 
+    // Iceberg v3 COLUMN DEFAULTS (spec v3 §Default values): the
+    // pre-evolution files serve the ADD COLUMN DEFAULT value, an
+    // append OMITTING the column gets the write-default filled, an
+    // append CARRYING it keeps its explicit values — one read serves
+    // all three eras
+    "interop_iceberg_defaults" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icedef")
+        .toString + "/t"
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      graft.sources.IcebergTable.write(s, n, t)
+      graft.sources.IcebergTable.upgradeFormatVersion(s, t, 3)
+      s.sql("ALTER TABLE '" + t + "' ADD COLUMN bonus BIGINT DEFAULT 7")
+      graft.sources.IcebergTable.write(s,
+        Tables.nation(s, d).select(
+          (col("n_nationkey") + 100).as("n_nationkey"), col("n_name")), t)
+      graft.sources.IcebergTable.write(s,
+        Tables.nation(s, d).select(
+          (col("n_nationkey") + 200).as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("bonus")), t)
+      graft.sources.IcebergTable.read(s, t)
+        .select(col("n_nationkey").as("k"), col("n_name").as("nm"),
+          col("bonus"))
+        .orderBy("k")
+    }),
+
     // Iceberg RENAME COLUMN: metadata-only schema evolution — rename
     // via SQL, append under the NEW name, read resolves the old files
     // through the schema history (field ids, not names)
@@ -9318,6 +9343,17 @@ object SparkEntry {
          | ${sqlSumD("CASE WHEN c_nationkey = 5 THEN 0.0 ELSE c_acctbal END")} AS bal
          |FROM customer WHERE c_nationkey <> 3
          |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "interop_iceberg_defaults" ->
+      s"""SELECT k, nm, bonus FROM (
+         | SELECT n_nationkey AS k, n_name AS nm, CAST(7 AS BIGINT) AS bonus
+         | FROM nation
+         | UNION ALL
+         | SELECT n_nationkey + 100, n_name, CAST(7 AS BIGINT) FROM nation
+         | UNION ALL
+         | SELECT n_nationkey + 200, n_name, CAST(n_regionkey AS BIGINT)
+         | FROM nation)
+         |ORDER BY k""".stripMargin,
 
     "interop_iceberg_spj" ->
       s"""SELECT c_nationkey AS nation, COUNT(*) AS n_cust,

@@ -406,7 +406,10 @@ object GraftSqlStatements {
       Some(GraftPartitionFieldCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         transform.trim, isAdd = true, replaceOf = Some(what.trim)))
-    case AddColumnsDefaultRe(path, ident, defs) =>
+    case AddColumnsDefaultRe(path, ident, defs)
+      // GENERATED BY DEFAULT AS IDENTITY also contains "DEFAULT" —
+      // identity/generated columns are NOT this statement
+      if "(?i)\\bGENERATED\\b".r.findFirstIn(defs).isEmpty =>
       Some(GraftAddColumnsDefaultCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil), defs.trim))
     case AddConstraintRe(path, ident, name, check) =>

@@ -778,6 +778,27 @@ object IcebergTable {
     (byId, snapToSchema)
   }
 
+  /** The table's v3 `next-row-id` counter (-1 when absent / pre-v3) —
+    * the row-lineage watermark appends claim ranges from. */
+  def nextRowId(spark: SparkSession, tablePath: String): Long = {
+    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    Option(meta.get("next-row-id")).map(_.asLong()).getOrElse(-1L)
+  }
+
+  /** Spec v3 reserved field id of the materialized row-lineage
+    * column `_row_id` (§Row Lineage / §Reserved field ids) — used to
+    * thread the optional physical column through the era-aware scan
+    * without colliding with any table field id. */
+  private val RowIdFieldId: Int = 2147483540
+
+  /** `snap` widened with the OPTIONAL materialized `_row_id` column
+    * (nullable long): files that carry it (id-preserving rewrites)
+    * serve their values, files that don't read null — the caller
+    * coalesces with `first_row_id + position`. */
+  private def withRowIdColumn(snap: Snapshot): Snapshot = snap.copy(
+    schema = snap.schema.add("_row_id", LongType, nullable = true),
+    fieldNames = snap.fieldNames + (RowIdFieldId -> "_row_id"))
+
   /** Iceberg JSON single-value (spec §"JSON single-value
     * serialization") → a Spark literal Column of `dt` — how a
     * `initial-default` / `write-default` becomes a projected value.
@@ -866,7 +887,12 @@ object IcebergTable {
             "be ambiguous; rewrite the data (OPTIMIZE / overwrite) to " +
             "materialize the current names")
       era.flatMap { m =>
-        val p = current.map { case (n, id, dt) => (n, id, dt, m.get(id)) }
+        // the reserved materialized-_row_id column resolves by its
+        // own name in EVERY era (it never renames; files lacking it
+        // read null) — without this, a renamed-column table's
+        // projection path would null out preserved lineage ids
+        val p = current.map { case (n, id, dt) =>
+          (n, id, dt, if (id == RowIdFieldId) Some(n) else m.get(id)) }
         // identity projection reads plainly — ADD-only evolution stays
         // on the untouched path (a missing column is null either way).
         // NOT identity when a field id renamed, OR when a current name
@@ -959,10 +985,16 @@ object IcebergTable {
       .map(f => (fileKey(f.path), f.firstRowId.getOrElse(-1L),
         f.firstRowId.isDefined))
       .toDF("__path", "__first_rid", "__has_rid"))
-    liveRowsWithPos(spark, snap, snap.files)
+    // the scan ALSO reads the optional materialized `_row_id` column
+    // (id-preserving rewrites carry one; other files read null) and
+    // the column wins over the implicit first_row_id + position form
+    liveRowsWithPos(spark, withRowIdColumn(snap), snap.files)
       .join(frMap, Seq("__path"), "left")
-      .withColumn("_row_id",
-        when(col("__has_rid"), col("__first_rid") + col("__ri")))
+      .withColumn("__rid_out",
+        coalesce(col("_row_id"),
+          when(col("__has_rid"), col("__first_rid") + col("__ri"))))
+      .drop("_row_id")
+      .withColumnRenamed("__rid_out", "_row_id")
       .select((snap.schema.fieldNames.map(col) :+ col("_row_id"))
         .toIndexedSeq: _*)
   }
@@ -1003,12 +1035,21 @@ object IcebergTable {
     * `_change_type` and `_commit_snapshot_id`. Computed as the
     * FILE-LEVEL diff between consecutive snapshots' resolved file
     * lists (works for appends and overwrites alike, independent of
-    * manifest entry statuses); file contents are still on disk
-    * because nothing here vacuums. `fromSnapshotId = -1` starts from
-    * table creation. Metadata resolution is bounded by the polled
-    * tail; data reads are distributed scans of exactly the changed
-    * files. A schema change inside the range is a loud error — poll
-    * to the boundary, adapt, continue. */
+    * manifest entry statuses), PLUS the row-level merge-on-read
+    * legs: a v3 DELETION-VECTOR or v2 position-delete commit between
+    * two polled snapshots surfaces its newly-dead rows as `delete`
+    * changes exactly once (DV bitmaps are TOTAL per file, so the
+    * newly-dead set is the pair-diff against the predecessor's dead
+    * set; DV decode rides on executors), added files emit only their
+    * LIVE rows, and removed files emit only the rows live before
+    * removal. EQUALITY deletes refuse loudly (value matching needs
+    * the full MOR join — under-reporting would be worse). File
+    * contents are still on disk because nothing here vacuums.
+    * `fromSnapshotId = -1` starts from table creation. Metadata
+    * resolution is bounded by the polled tail; data reads are
+    * distributed scans of exactly the changed files. A schema change
+    * inside the range is a loud error — poll to the boundary, adapt,
+    * continue. */
   def changes(spark: SparkSession, tablePath: String,
               fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     val ids = snapshotIds(spark, tablePath)
@@ -1029,10 +1070,69 @@ object IcebergTable {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     if (toIdx == fromIdx) return empty
-    var prev: Seq[String] =
-      if (fromIdx < 0) Seq.empty
-      else snapshot(spark, tablePath,
-        snapshotIdAsOf = Some(ids(fromIdx))).files.map(_.path)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def fileKey(p: String) = org.apache.spark.paths.SparkPath
+      .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+    // all DEAD (file_path, pos) pairs of a snapshot — v3 deletion
+    // vectors decoded ON EXECUTORS + v2 position-delete parquet, each
+    // seq-scoped against its data file exactly like the batch read
+    def deadPairs(s: Snapshot): Option[DataFrame] = {
+      val pos = s.deletes.filter(_.content == 1)
+      if (pos.isEmpty) return None
+      val (dvs, pqs) = pos.partition(_.isDv)
+      val pq: Option[DataFrame] =
+        if (pqs.isEmpty) None
+        else Some(pqs.map(d => spark.read.parquet(d.path)
+          .select(col("file_path").cast("string"), col("pos").cast("long"))
+          .withColumn("__dseq", lit(d.seq))).reduce(_.unionByName(_)))
+      val dv: Option[DataFrame] =
+        if (dvs.isEmpty) None
+        else {
+          val conf = new SerializableHadoopConf(
+            spark.sparkContext.hadoopConfiguration)
+          val refs = dvs.map(d => (d.path, d.contentOffset.get,
+            d.contentSize.get, d.referencedDataFile.get, d.seq))
+          Some(spark.createDataset(refs).flatMap { case (p, off, len, ref, dseq) =>
+            DeletionVectors.readIcebergDvBlob(conf.value, p, off, len)
+              .map(ps => (ref, ps, dseq))
+          }.toDF("file_path", "pos", "__dseq"))
+        }
+      val seqMap = broadcast(s.files.map(f => (f.path, f.seq))
+        .toDF("file_path", "__dataseq"))
+      Some((pq.toSeq ++ dv.toSeq).reduce(_.unionByName(_))
+        .join(seqMap, Seq("file_path"))
+        .where(col("__dseq") >= col("__dataseq"))
+        .select(col("file_path"), col("pos")))
+    }
+    // read `paths` at their physical positions, keeping rows selected
+    // by `sel` (semi) or surviving `anti` (dead-row exclusion)
+    def readAt(paths: Seq[String], pairs: Option[DataFrame],
+               anti: Boolean): DataFrame = {
+      val base = spark.read.schema(endSnap.schema).parquet(paths: _*)
+      pairs match {
+        case None => base
+        case Some(pr) =>
+          val scoped = pr.where(col("file_path").isin(paths: _*))
+            .select(col("file_path").as("__dp"), col("pos").as("__dri"))
+          val keyed = base
+            .select(col("*"), col("_metadata.row_index").as("__ri"))
+            .withColumn("__path",
+              regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+          val km = broadcast(paths.map(p => (fileKey(p), p))
+            .toDF("__path", "__dp2"))
+          val joined = keyed.join(km, Seq("__path"), "left")
+          val out = joined.join(scoped,
+            joined("__dp2") === scoped("__dp") &&
+              joined("__ri") === scoped("__dri"),
+            if (anti) "left_anti" else "left_semi")
+          out.select(endSnap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+    }
+    var prevS: Option[Snapshot] =
+      if (fromIdx < 0) None
+      else Some(snapshot(spark, tablePath,
+        snapshotIdAsOf = Some(ids(fromIdx))))
     val legs = scala.collection.mutable.ArrayBuffer[DataFrame]()
     ((fromIdx + 1) to toIdx).foreach { i =>
       val s = snapshot(spark, tablePath, snapshotIdAsOf = Some(ids(i)))
@@ -1040,23 +1140,42 @@ object IcebergTable {
         throw new UnsupportedOperationException(
           s"schema change inside polled snapshot range of $tablePath — " +
             "poll up to the boundary, adapt, continue")
-      // the file-level diff cannot express merge-on-read row deletes
-      if (s.deletes.nonEmpty)
+      // EQUALITY deletes match by value with strict seq scoping — a
+      // faithful row-level feed for them needs the full MOR join;
+      // refuse rather than under-report (positions/DVs are served)
+      if (s.deletes.exists(_.content == 2))
         throw new UnsupportedOperationException(
-          s"delete files in snapshot ${ids(i)} of $tablePath — the " +
-            "file-diff change feed cannot express row-level deletes; " +
-            "read snapshots instead")
-      val cur = s.files.map(_.path)
-      val prevSet = prev.toSet
-      val curSet = cur.toSet
-      def leg(paths: Seq[String], tag: String): Unit = if (paths.nonEmpty)
-        legs += spark.read.schema(endSnap.schema).parquet(paths: _*)
-          .withColumn("_change_type", org.apache.spark.sql.functions.lit(tag))
-          .withColumn("_commit_snapshot_id",
-            org.apache.spark.sql.functions.lit(ids(i)))
-      leg(cur.filterNot(prevSet), "insert")
-      leg(prev.filterNot(curSet), "delete")
-      prev = cur
+          s"equality delete files in snapshot ${ids(i)} of $tablePath — " +
+            "the change feed serves position deletes and deletion " +
+            "vectors; read snapshots instead")
+      val prevFiles = prevS.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+      val curFiles = s.files.map(_.path).toSet
+      val prevDead = prevS.flatMap(deadPairs)
+      val curDead = deadPairs(s)
+      def tagged(df: DataFrame, tag: String): DataFrame = df
+        .withColumn("_change_type", lit(tag))
+        .withColumn("_commit_snapshot_id", lit(ids(i)))
+      // INSERT: added files' rows, minus rows already dead at this
+      // snapshot (a carried/folded DV on a fresh file)
+      val added = (curFiles -- prevFiles).toSeq.sorted
+      if (added.nonEmpty)
+        legs += tagged(readAt(added, curDead, anti = true), "insert")
+      // DELETE 1: removed files' rows that were LIVE before removal
+      val removed = (prevFiles -- curFiles).toSeq.sorted
+      if (removed.nonEmpty)
+        legs += tagged(readAt(removed, prevDead, anti = true), "delete")
+      // DELETE 2: rows of SURVIVING files newly dead in this snapshot
+      // — the merge-on-read DELETE/UPDATE shape (v3 DV or position
+      // parquet), emitted exactly once
+      val survivors = (curFiles intersect prevFiles).toSeq.sorted
+      if (survivors.nonEmpty && curDead.isDefined) {
+        val newly = prevDead match {
+          case None => curDead.get
+          case Some(pd) => curDead.get.except(pd)
+        }
+        legs += tagged(readAt(survivors, Some(newly), anti = false), "delete")
+      }
+      prevS = Some(s)
     }
     legs.reduceOption(_.unionByName(_)).getOrElse(empty)
   }
@@ -1850,15 +1969,14 @@ object IcebergTable {
                         snap: Snapshot, files: Seq[DataFile],
                         matchedPos: DataFrame, extraDf: Option[DataFrame],
                         operation: String): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, when}
     import spark.implicits._
-    // a COW rewrite re-keys the rewritten files' surviving rows —
-    // on a row-lineage table that silently breaks every _row_id;
-    // refuse toward the MOR path (raise spark.graft.mor.maxDeleteRows)
-    require(!files.exists(_.firstRowId.isDefined),
-      s"$tablePath carries v3 row-lineage ids — the copy-on-write " +
-        s"fallback for this over-gate $operation would re-key rows; " +
-        "raise spark.graft.mor.maxDeleteRows to stay merge-on-read")
+    // v3 ROW LINEAGE through a COW rewrite (spec v3 §Row Lineage):
+    // SURVIVING rows carry their current `_row_id` as the materialized
+    // column; post-image/inserted rows carry NULL and INHERIT fresh
+    // ids from the staged file's first_row_id + position (the spec's
+    // per-row inheritance rule) — ids of untouched rows never change
+    val lineage = snap.files.exists(_.firstRowId.isDefined)
     try {
       def fileKey(p: String) = org.apache.spark.paths.SparkPath
         .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
@@ -1876,15 +1994,37 @@ object IcebergTable {
         !affectedPaths(f.path) && f.specId != snap.defaultSpecId)
       val rewriteFiles = if (survivorsMixed) snap.files else affected
       // unmatched rows of the rewritten files survive via rewrite
-      val keep = liveRowsWithPos(spark, snap, rewriteFiles)
-        .join(matchedPos, Seq("__path", "__ri"), "left_anti")
-        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-      val append = (Seq(keep) ++ extraDf.toSeq.map(
-        _.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)))
-        .reduce(_.unionByName(_))
+      val keep =
+        if (!lineage)
+          liveRowsWithPos(spark, snap, rewriteFiles)
+            .join(matchedPos, Seq("__path", "__ri"), "left_anti")
+            .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+        else {
+          val frMap = broadcast(rewriteFiles
+            .map(f => (fileKey(f.path), f.firstRowId.getOrElse(-1L),
+              f.firstRowId.isDefined))
+            .toDF("__path", "__first_rid", "__has_rid"))
+          liveRowsWithPos(spark, withRowIdColumn(snap), rewriteFiles)
+            .join(matchedPos, Seq("__path", "__ri"), "left_anti")
+            .join(frMap, Seq("__path"), "left")
+            .withColumn("__rid_out",
+              coalesce(col("_row_id"),
+                when(col("__has_rid"), col("__first_rid") + col("__ri"))))
+            .drop("_row_id")
+            .withColumnRenamed("__rid_out", "_row_id")
+            .select((snap.schema.fieldNames.toSeq :+ "_row_id")
+              .map(col).toIndexedSeq: _*)
+        }
+      val extras = extraDf.toSeq.map { e =>
+        val base = e.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+        if (!lineage) base
+        else base.withColumn("_row_id", lit(null).cast("long"))
+      }
+      val append = (Seq(keep) ++ extras).reduce(_.unionByName(_))
       commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
         appendDf = Some(append).filterNot(_.isEmpty), operation,
-        removePaths = rewriteFiles.map(_.path).toSet)
+        removePaths = rewriteFiles.map(_.path).toSet,
+        carryRowIdColumn = lineage)
     } finally matchedPos.unpersist()
   }
 
@@ -2018,7 +2158,9 @@ object IcebergTable {
                                 appendDf: Option[DataFrame],
                                 operation: String,
                                 carryExisting: Boolean = true,
-                                removePaths: Set[String] = Set.empty): Long = {
+                                removePaths: Set[String] = Set.empty,
+                                preserveRowIds: Boolean = false,
+                                carryRowIdColumn: Boolean = false): Long = {
     import spark.implicits._
     val mdir = metaDir(tablePath)
     val fs = fsFor(spark, mdir)
@@ -2130,8 +2272,14 @@ object IcebergTable {
     // LAYOUT (hidden transforms included)
     val stagedData: Option[(Seq[(String, Long, Long)], Map[String, Seq[Any]],
       Map[String, FileStats])] = appendDf.map { df =>
+      // an id-preserving rewrite (compaction or COW on a v3
+      // row-lineage table) MATERIALIZES each row's current _row_id
+      // into the rewritten parquet (spec v3 §Row Lineage) — the extra
+      // column rides along; ordinary commits project it away
+      val outCols = snap.schema.fieldNames.toSeq ++
+        (if (preserveRowIds || carryRowIdColumn) Seq("_row_id") else Nil)
       val adoptedFull = stageDataFiles(spark,
-        df.select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        df.select(outCols.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*),
         tablePath, snap.specFields, s"d$tok-upd")
       val adopted = adoptedFull.map(a => (a._1, a._2, a._3))
@@ -2291,8 +2439,11 @@ object IcebergTable {
                 snap.schema.find(_.name == n)
                   .map(f => n -> ((fn.get("id").asInt(), f.dataType)))
               }.toMap
+          // id-preserving rewrites claim NO fresh ranges: their rows
+          // carry materialized _row_id values, and a file entry
+          // without first_row_id makes readers use the column
           val firstRowIds: Map[String, Long] =
-            if (!fv3) Map.empty
+            if (!fv3 || preserveRowIds) Map.empty
             else {
               var next = rowIdBase
               adopted.map { case (pth, _, nrec) =>
@@ -2385,7 +2536,8 @@ object IcebergTable {
       if (fv3) {
         sn.put("first-row-id", rowIdBase)
         meta.put("next-row-id",
-          rowIdBase + stagedData.map(_._1.map(_._3).sum).getOrElse(0L))
+          rowIdBase + (if (preserveRowIds) 0L
+          else stagedData.map(_._1.map(_._3).sum).getOrElse(0L)))
       }
       sn.putObject("summary").put("operation", operation)
       meta.set[JsonNode]("snapshots", snapsArr)
@@ -2740,18 +2892,38 @@ object IcebergTable {
     import spark.implicits._
     val snap = snapshot(spark, tablePath)
     require(snap.snapshotId != -1L, s"cannot compact empty table $tablePath")
-    // declared boundary: preserving row LINEAGE through a rewrite
-    // needs the _row_id column materialized into the rewritten
-    // parquet (spec v3 §Row Lineage) — this writer refuses rather
-    // than silently re-keying every row
-    require(!snap.files.exists(_.firstRowId.isDefined),
-      s"$tablePath carries v3 row-lineage ids — rewriteDataFiles would " +
-        "re-key every row; compaction on lineage tables is not supported")
+    // v3 ROW LINEAGE tables compact ID-PRESERVINGLY: each row's
+    // current `_row_id` (materialized column, or first_row_id +
+    // position) is written INTO the rewritten parquet as the spec's
+    // materialized `_row_id` column, and the new file entries claim
+    // no fresh ranges — readers serve the column, so every id is
+    // identical before and after the rewrite (spec v3 §Row Lineage)
+    val lineage = snap.files.exists(_.firstRowId.isDefined)
     val pfs = snap.specFields
-    def liveRows = (if (snap.deletes.isEmpty)
-      rawFrame(spark, snap, snap.files, withPos = false)
-    else liveRowsWithPos(spark, snap, snap.files))
-      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val outFields: Seq[String] = snap.schema.fieldNames.toSeq ++
+      (if (lineage) Seq("_row_id") else Nil)
+    def liveRows: DataFrame =
+      if (!lineage) {
+        (if (snap.deletes.isEmpty)
+          rawFrame(spark, snap, snap.files, withPos = false)
+        else liveRowsWithPos(spark, snap, snap.files))
+          .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      } else {
+        def fileKey(p: String) = org.apache.spark.paths.SparkPath
+          .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
+        val frMap = broadcast(snap.files
+          .map(f => (fileKey(f.path), f.firstRowId.getOrElse(-1L),
+            f.firstRowId.isDefined))
+          .toDF("__path", "__first_rid", "__has_rid"))
+        liveRowsWithPos(spark, withRowIdColumn(snap), snap.files)
+          .join(frMap, Seq("__path"), "left")
+          .withColumn("__rid_out",
+            coalesce(col("_row_id"),
+              when(col("__has_rid"), col("__first_rid") + col("__ri"))))
+          .drop("_row_id")
+          .withColumnRenamed("__rid_out", "_row_id")
+          .select(outFields.map(col).toIndexedSeq: _*)
+      }
 
     val compacted: Option[DataFrame] =
       if (pfs.isEmpty) {
@@ -2804,7 +2976,7 @@ object IcebergTable {
           Some(salted
             .repartition(total,
               staged.map(s => col(s._1)) :+ col("__gps"): _*)
-            .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*))
+            .select(outFields.map(col).toIndexedSeq: _*))
         }
       }
     compacted match {
@@ -2812,7 +2984,7 @@ object IcebergTable {
       case Some(df) =>
         commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
           appendDf = Some(df), operation = "replace",
-          carryExisting = false)
+          carryExisting = false, preserveRowIds = lineage)
     }
   }
 

@@ -119,4 +119,62 @@ class IcebergDeletionVectorSpec extends SparkSpec {
       IcebergTable.upgradeFormatVersion(spark, t, 2)
     }
   }
+
+  test("change feed surfaces a DV DELETE's rows exactly once (the Delta DV-CDC parity leg)") {
+    val t = tmp()
+    IcebergTable.write(spark,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    val s1 = IcebergTable.snapshot(spark, t).snapshotId
+    // MOR DELETE via a v3 deletion vector between two polled snapshots
+    IcebergTable.delete(spark, t, col("k") === 3L || col("k") === 7L)
+    val s2 = IcebergTable.snapshot(spark, t).snapshotId
+    val ch = IcebergTable.changes(spark, t, s1, s2)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(ch.sorted === Seq((3L, "delete"), (7L, "delete")))
+
+    // a SECOND DV delete on the same file (folded total vector) must
+    // surface ONLY the newly-dead rows — the pair-diff, not the fold
+    IcebergTable.delete(spark, t, col("k") === 5L)
+    val s3 = IcebergTable.snapshot(spark, t).snapshotId
+    val ch2 = IcebergTable.changes(spark, t, s2, s3)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(ch2 === Seq((5L, "delete")))
+
+    // full-range replay composes: 10 inserts + 3 deletes
+    val full = IcebergTable.changes(spark, t, -1L, s3)
+      .select("k", "_change_type").as[(Long, String)].collect()
+    assert(full.count(_._2 == "insert") === 10)
+    assert(full.filter(_._2 == "delete").map(_._1).sorted.toSeq
+      === Seq(3L, 5L, 7L))
+    // and syncChanges carries a replica to the live row set
+    val (_, inc) = IcebergTable.syncChanges(spark, t, -1L)
+    val replayed = inc.get.select("k", "_change_type")
+      .as[(Long, String)].collect()
+    val liveKeys = replayed.filter(_._2 == "insert").map(_._1).toSet --
+      replayed.filter(_._2 == "delete").map(_._1).toSet
+    assert(liveKeys === IcebergTable.read(spark, t)
+      .select("k").as[Long].collect().toSet)
+  }
+
+  test("change feed: MOR UPDATE emits post-image inserts + pre-image deletes; v2 position parquet serves too") {
+    val t = tmp()
+    IcebergTable.write(spark,
+      (0L until 6L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    val s1 = IcebergTable.snapshot(spark, t).snapshotId
+    // v2 table: MOR DELETE lands as position-delete PARQUET
+    IcebergTable.delete(spark, t, col("k") === 2L)
+    val s2 = IcebergTable.snapshot(spark, t).snapshotId
+    val ch = IcebergTable.changes(spark, t, s1, s2)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(ch === Seq((2L, "delete")))
+    // MOR UPDATE: one snapshot = new DV/pos-delete + post-image file
+    IcebergTable.update(spark, t, col("k") === 4L,
+      Map("v" -> org.apache.spark.sql.functions.lit("UPD")))
+    val s3 = IcebergTable.snapshot(spark, t).snapshotId
+    val up = IcebergTable.changes(spark, t, s2, s3)
+      .select("k", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSeq.sorted
+    assert(up === Seq((4L, "UPD", "insert"), (4L, "v4", "delete")))
+  }
 }

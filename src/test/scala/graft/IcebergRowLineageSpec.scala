@@ -85,19 +85,81 @@ class IcebergRowLineageSpec extends SparkSpec {
     assert(snaps.nonEmpty)
   }
 
-  test("rewrites that would re-key lineage rows refuse loudly") {
+  test("compaction PRESERVES every _row_id by materializing the column (id-preserving rewrite)") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    // a small-file pile with lineage ids, scarred by a MOR DELETE
+    IcebergTable.write(spark,
+      (2L until 12L).map(i => (i, s"v$i")).toDF("k", "v").repartition(3), t)
+    IcebergTable.write(spark,
+      (12L until 20L).map(i => (i, s"v$i")).toDF("k", "v").repartition(2), t)
+    IcebergTable.delete(spark, t, col("k") === 5L || col("k") === 15L)
+
+    def ids() = IcebergTable.readWithRowIds(spark, t)
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val before = ids()
+    val nextBefore = IcebergTable.nextRowId(spark, t)
+
+    val sid = IcebergTable.rewriteDataFiles(spark, t)
+    assert(sid !== -1L)
+    // fewer files, same rows, EVERY _row_id identical (pre-lineage
+    // row keeps its null)
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.deletes.isEmpty, "compaction folds the delete pile")
+    assert(ids() === before)
+    assert(before(1L).isEmpty && before(2L).nonEmpty)
+    // no fresh ranges were claimed by the rewrite
+    assert(IcebergTable.nextRowId(spark, t) === nextBefore)
+    // the rewritten files carry NO first_row_id (rows carry the
+    // materialized column instead)
+    assert(snap.files.forall(_.firstRowId.isEmpty))
+
+    // a SECOND compaction round-trips the materialized column
+    IcebergTable.write(spark, Seq((99L, "z")).toDF("k", "v"), t)
+    val afterAppend = ids()
+    assert(afterAppend(99L).nonEmpty)
+    IcebergTable.rewriteDataFiles(spark, t)
+    assert(ids() === afterAppend)
+    // and the plain read does NOT leak the materialized column
+    assert(IcebergTable.read(spark, t).columns.toSeq === Seq("k", "v"))
+  }
+
+  test("the over-gate COW fallback preserves surviving _row_ids; post-images inherit fresh ones") {
     val t = tmp()
     IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
     IcebergTable.upgradeFormatVersion(spark, t, 3)
     IcebergTable.write(spark,
-      (2L until 20L).map(i => (i, s"v$i")).toDF("k", "v"), t)
-    intercept[IllegalArgumentException] {
-      IcebergTable.rewriteDataFiles(spark, t)
-    }
-    // over-gate DML falls toward COW — which must refuse, not re-key
+      (2L until 20L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    def ids() = IcebergTable.readWithRowIds(spark, t)
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val before = ids()
+
+    // over-gate DELETE falls to COW: the rewritten file's SURVIVORS
+    // keep their ids via the materialized column
     spark.conf.set("spark.graft.mor.maxDeleteRows", "1")
-    try intercept[IllegalArgumentException] {
-      IcebergTable.delete(spark, t, col("k") >= 2L)
-    } finally spark.conf.unset("spark.graft.mor.maxDeleteRows")
+    try IcebergTable.delete(spark, t, col("k") >= 15L)
+    finally spark.conf.unset("spark.graft.mor.maxDeleteRows")
+    val afterDel = ids()
+    assert(afterDel.keySet === before.keySet.filter(_ < 15L))
+    afterDel.foreach { case (k, id) => assert(id === before(k), s"k=$k") }
+
+    // over-gate UPDATE: survivors keep ids, post-images INHERIT
+    // fresh ones from the staged file's first_row_id
+    spark.conf.set("spark.graft.mor.maxDeleteRows", "1")
+    try IcebergTable.update(spark, t, col("k") === 5L,
+      Map("v" -> org.apache.spark.sql.functions.lit("UPD")))
+    finally spark.conf.unset("spark.graft.mor.maxDeleteRows")
+    val afterUpd = ids()
+    (afterDel.keySet - 5L).foreach(k =>
+      assert(afterUpd(k) === afterDel(k), s"k=$k"))
+    val newId = afterUpd(5L)
+    assert(newId.nonEmpty && newId != afterDel(5L),
+      "the post-image row must carry a FRESH id")
+    assert(!afterDel.values.flatten.toSet.contains(newId.get))
   }
 }
