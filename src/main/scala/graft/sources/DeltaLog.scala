@@ -2306,6 +2306,10 @@ object DeltaLog {
     * write path, DML included). */
   val GenerationExprKey = "delta.generationExpression"
   /** IDENTITY column metadata keys (PROTOCOL.md §Identity Columns). */
+  /** Column-default metadata key (Spark's own CURRENT_DEFAULT — what
+    * delta-spark persists into the schemaString; PROTOCOL.md "Column
+    * Defaults", writer feature `allowColumnDefaults`). */
+  val ColumnDefaultKey = "CURRENT_DEFAULT"
   val IdentityStartKey = "delta.identity.start"
   val IdentityStepKey = "delta.identity.step"
   val IdentityHwmKey = "delta.identity.highWaterMark"
@@ -2364,10 +2368,22 @@ object DeltaLog {
     // identity columns are a writer-6 protocol feature
     val minWriter =
       if (idFields.nonEmpty) 6 else if (hasGen || hasCdf) 4 else 2
+    // column DEFAULTs are a TABLE FEATURE (no legacy writer version):
+    // writer 7 + allowColumnDefaults, legacy-implied features kept
+    val hasDefaults =
+      schema.fields.exists(_.metadata.contains(ColumnDefaultKey))
+    val protoLine =
+      if (!hasDefaults)
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
+      else {
+        val (_, legacyWf) = legacyImpliedFeatures(1, minWriter)
+        val wf = (legacyWf :+ "allowColumnDefaults").distinct.sorted
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":${wf.map(jsEscape).mkString("[", ",", "]")}}}"""
+      }
     val tableId = java.util.UUID.nameUUIDFromBytes(
       deltaPath.getBytes("UTF-8")).toString
     val lines = Seq(
-      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}""",
+      protoLine,
       metaDataLine(tableId, schema.json, partitionBy,
         System.currentTimeMillis(), configuration))
     commitCas(spark, deltaPath, 0L, lines, ReadTable,
@@ -2412,7 +2428,8 @@ object DeltaLog {
         dfIn.columns.forall(c => lower.contains(c.toLowerCase)) &&
           missing.nonEmpty &&
           missing.forall(n => ps(n).metadata.contains(GenerationExprKey) ||
-            ps(n).metadata.contains(IdentityStartKey))
+            ps(n).metadata.contains(IdentityStartKey) ||
+            ps(n).metadata.contains(ColumnDefaultKey))
       }
       if (!fillable) dfIn
       else {
@@ -2422,6 +2439,14 @@ object DeltaLog {
           !dfIn.columns.exists(_.equalsIgnoreCase(f.name)))
           .foreach(f => d = d.withColumn(f.name,
             expr(f.metadata.getString(GenerationExprKey)).cast(f.dataType)))
+        // column DEFAULTs (PROTOCOL.md "Column Defaults"): an append
+        // omitting a defaulted column writes the default's value
+        ps.fields.filter(f => f.metadata.contains(ColumnDefaultKey) &&
+          !f.metadata.contains(GenerationExprKey) &&
+          !f.metadata.contains(IdentityStartKey) &&
+          !dfIn.columns.exists(_.equalsIgnoreCase(f.name)))
+          .foreach(f => d = d.withColumn(f.name,
+            expr(f.metadata.getString(ColumnDefaultKey)).cast(f.dataType)))
         d // identity columns fill below; the final select happens there
       }
     }
@@ -4332,6 +4357,46 @@ object DeltaLog {
         else ""
       Some(s"""{"protocol":{"minReaderVersion":$mrv,"minWriterVersion":7$rfJson,"writerFeatures":${wfOut.map(jsEscape).mkString("[", ",", "]")}}}""")
     }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT <sql>` / `DROP
+    * DEFAULT` — PROTOCOL.md "Column Defaults" (writer table feature
+    * `allowColumnDefaults`): the default lands in the column's
+    * schema metadata (`CURRENT_DEFAULT`, what delta-spark persists),
+    * SET upgrades the protocol to the feature in the same commit,
+    * and every later append that OMITS the column writes the
+    * default's value ([[write]]'s fill). Reads are untouched —
+    * unlike Iceberg's `initial-default`, Delta defaults apply at
+    * WRITE time only. Generated/identity columns refuse (they own
+    * their values). */
+  def setColumnDefault(spark: SparkSession, deltaPath: String,
+                       column: String, default: Option[String]): Long = {
+    val prior = snapshot(spark, deltaPath)
+    val f = prior.schema.fields.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $column on $deltaPath"))
+    require(!f.metadata.contains(GenerationExprKey),
+      s"column ${f.name} is GENERATED — it owns its values")
+    require(!f.metadata.contains(IdentityStartKey),
+      s"column ${f.name} is IDENTITY — it owns its values")
+    val newSchema = StructType(prior.schema.fields.map { fl =>
+      if (!fl.name.equalsIgnoreCase(column)) fl
+      else {
+        val mb = new MetadataBuilder().withMetadata(fl.metadata)
+        default match {
+          case Some(d) => mb.putString(ColumnDefaultKey, d)
+          case None => mb.remove(ColumnDefaultKey)
+        }
+        fl.copy(metadata = mb.build())
+      }
+    })
+    val protoLine =
+      if (default.isEmpty) None
+      else writerFeatureLine(prior.protocol, Seq("allowColumnDefaults"))
+    commitMetaChange(spark, deltaPath, newSchema, prior.partitionColumns,
+      prior.configuration, protoLine,
+      op = if (default.isDefined) "ALTER COLUMN SET DEFAULT"
+      else "ALTER COLUMN DROP DEFAULT")
   }
 
   /** Commit a `domainMetadata` action setting `configuration` (a

@@ -133,6 +133,13 @@ object GraftSqlStatements {
   private val AddColumnsDefaultRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+ADD\s+COLUMNS?\s+\(?\s*(.+?\bDEFAULT\b.+?)\s*\)?\s*;?\s*$""").r
+  /** `ALTER TABLE <t> ALTER COLUMN c SET DEFAULT <lit>` / `DROP
+    * DEFAULT` — Delta column defaults (writer feature
+    * allowColumnDefaults). */
+  private val AlterColumnDefaultRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+""" +
+      """(?:SET\s+DEFAULT\s+(.+?)|(DROP\s+DEFAULT))\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+ADD\s+CONSTRAINT\s+([\w$]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -222,15 +229,29 @@ object GraftSqlStatements {
       gen = Some(rest.substring(1, end).trim)
       d = d.substring(0, m.start).trim
     }
+    // `DEFAULT <lit>` — before or after NOT NULL; lands as the
+    // CURRENT_DEFAULT column metadata (Delta column defaults)
+    val defaultRe = "(?is)\\s+DEFAULT\\s+(.+?)\\s*$".r
+    var dflt: Option[String] = None
+    def stripDefault(): Unit =
+      defaultRe.findFirstMatchIn(d).foreach { m =>
+        dflt = Some(m.group(1).trim); d = d.substring(0, m.start) }
+    stripDefault()
     val notNullRe = "(?i)\\s+NOT\\s+NULL\\s*$".r
     val notNull = notNullRe.findFirstIn(d).isDefined
     if (notNull) d = notNullRe.replaceFirstIn(d, "")
+    if (dflt.isEmpty) stripDefault()
     val sp = d.indexWhere(_.isWhitespace)
     require(sp > 0, s"expected '<name> <type>', got: $defn")
     val name = d.substring(0, sp).stripPrefix("`").stripSuffix("`")
     val dt = DataType.fromDDL(d.substring(sp + 1).trim)
     val mb = new MetadataBuilder()
     gen.foreach(mb.putString("delta.generationExpression", _))
+    dflt.foreach { dv =>
+      require(gen.isEmpty && identity.isEmpty,
+        s"column $defn cannot combine DEFAULT with GENERATED/IDENTITY")
+      mb.putString(DeltaLog.ColumnDefaultKey, dv)
+    }
     identity.foreach { case (start, step, byDefault) =>
       require(gen.isEmpty,
         s"column $defn cannot be both GENERATED AS (expr) and IDENTITY")
@@ -406,6 +427,11 @@ object GraftSqlStatements {
       Some(GraftPartitionFieldCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         transform.trim, isAdd = true, replaceOf = Some(what.trim)))
+    case AlterColumnDefaultRe(path, ident, colName, setLit, dropKw) =>
+      Some(GraftAlterColumnDefaultCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        colName.stripPrefix("`").stripSuffix("`"),
+        if (dropKw != null) None else Some(setLit.trim)))
     case AddColumnsDefaultRe(path, ident, defs)
       // GENERATED BY DEFAULT AS IDENTITY also contains "DEFAULT" —
       // identity/generated columns are NOT this statement
@@ -640,6 +666,11 @@ case class GraftCreateTableCommand(dir: String, ifNotExists: Boolean,
       require(!f.metadata.contains(DeltaLog.GenerationExprKey),
         s"GENERATED columns are a Delta feature; USING $provider " +
           "cannot declare them"))
+    def requireNoDefaults(): Unit = fields.foreach(f =>
+      require(!f.metadata.contains(DeltaLog.ColumnDefaultKey),
+        s"DEFAULT at CREATE is a Delta feature; USING $provider " +
+          "declares defaults via ALTER TABLE ... ADD COLUMN ... DEFAULT " +
+          "(Iceberg, format-version 3)"))
     val fsConf = spark.sparkContext.hadoopConfiguration
     val v: Long = provider.toLowerCase match {
       case "delta" =>
@@ -660,6 +691,7 @@ case class GraftCreateTableCommand(dir: String, ifNotExists: Boolean,
           "CLUSTER BY is a Delta feature — Iceberg layout is declared " +
             "via PARTITIONED BY hidden transforms")
         requireNoGenerated()
+        requireNoDefaults()
         val p = new org.apache.hadoop.fs.Path(dir, "metadata")
         val fs = p.getFileSystem(fsConf)
         if (fs.exists(p) &&
@@ -675,6 +707,7 @@ case class GraftCreateTableCommand(dir: String, ifNotExists: Boolean,
         -1L // no snapshot yet — the spec's explicit "none" sentinel
       case "versioned" =>
         requireNoGenerated()
+        requireNoDefaults()
         require(partitionBy.isEmpty,
           "USING versioned does not take PARTITIONED BY")
         require(props.isEmpty,
@@ -1123,6 +1156,30 @@ case class GraftAddColumnsDefaultCommand(path: Option[String],
       defaults = parsed.collect {
         case (f, Some(lit)) => f.name -> lit }.toMap)
     Seq(Row(dir, IcebergTable.snapshot(spark, dir).snapshotId))
+  }
+}
+
+/** `ALTER TABLE <t> ALTER COLUMN c SET DEFAULT <lit>` / `DROP
+  * DEFAULT` — Delta-flavor column defaults
+  * ([[DeltaLog.setColumnDefault]]); Iceberg tables refuse (their
+  * defaults are declared at ADD COLUMN on v3 — a retroactive SET
+  * would need an initial-default this engine only honors there). */
+case class GraftAlterColumnDefaultCommand(path: Option[String],
+                                          parts: Seq[String],
+                                          column: String,
+                                          default: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    require(flavorOf(spark, dir) == DeltaFlavor,
+      s"ALTER COLUMN ... DEFAULT is Delta-flavor; $dir is not a Delta " +
+        "table (Iceberg declares defaults at ADD COLUMN ... DEFAULT)")
+    Seq(Row(dir, DeltaLog.setColumnDefault(spark, dir, column, default)))
   }
 }
 

@@ -273,7 +273,14 @@ object IcebergTable {
       // in place or built a fresh root
       if (base.isDefined) {
         val logArr = M.createArrayNode()
-        prevLog.takeRight(99).foreach(logArr.add)
+        // bounded by write.metadata.previous-versions-max (default
+        // 100 files = the new base + 99 log entries), the property
+        // real Iceberg trims the metadata-log with
+        val keepLog = Option(root.get("properties"))
+          .flatMap(p => Option(p.get("write.metadata.previous-versions-max")))
+          .flatMap(_.asText().trim.toIntOption).filter(_ >= 1)
+          .map(_ - 1).getOrElse(99)
+        prevLog.takeRight(keepLog).foreach(logArr.add)
         val e = logArr.addObject()
         e.put("metadata-file", fs.makeQualified(
           new Path(mdir, s"v$metaVersion.metadata.json")).toString)
@@ -294,6 +301,7 @@ object IcebergTable {
         val hintOut = fs.create(new Path(mdir, "version-hint.text"), true)
         try hintOut.write((metaVersion + 1).toString.getBytes("UTF-8"))
         finally hintOut.close()
+        maybeReapMetadata(fs, mdir, root, metaVersion + 1)
         return ret
       }
       tries += 1
@@ -304,6 +312,35 @@ object IcebergTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** POST-COMMIT metadata cleanup — real Iceberg's
+    * `write.metadata.delete-after-commit.enabled` +
+    * `write.metadata.previous-versions-max` (default 100): after a
+    * won CAS, superseded `v<N>.metadata.json` files older than the
+    * newest `max` are DELETED, so a per-micro-batch streaming sink's
+    * `metadata/` directory stays bounded (the Iceberg twin of
+    * [[DeltaLog.cleanupLog]]). Snapshots/manifests are untouched —
+    * the CURRENT metadata file carries the whole snapshot history;
+    * only metadata-FILE time travel into the reaped range is given
+    * up, exactly the trade the property opts into. Reap failures are
+    * swallowed: cleanup must never fail a committed write. */
+  private def maybeReapMetadata(fs: org.apache.hadoop.fs.FileSystem,
+                                mdir: Path, root: ObjectNode,
+                                newVersion: Long): Unit = {
+    def prop(k: String): Option[String] = Option(root.get("properties"))
+      .flatMap(p => Option(p.get(k))).map(_.asText())
+    if (!prop("write.metadata.delete-after-commit.enabled")
+      .exists(_.trim.equalsIgnoreCase("true"))) return
+    val keep = prop("write.metadata.previous-versions-max")
+      .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(100)
+    val floor = newVersion - keep
+    if (floor <= 0) return
+    try fs.globStatus(new Path(mdir, "v*.metadata.json")).foreach { st =>
+      val v = st.getPath.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toLong
+      if (v < floor) fs.delete(st.getPath, false)
+    } catch { case _: Exception => () }
   }
 
   /** Internal rescan signal for [[casCommit]] attempts: the observed
@@ -785,19 +822,26 @@ object IcebergTable {
     Option(meta.get("next-row-id")).map(_.asLong()).getOrElse(-1L)
   }
 
-  /** Spec v3 reserved field id of the materialized row-lineage
-    * column `_row_id` (§Row Lineage / §Reserved field ids) — used to
-    * thread the optional physical column through the era-aware scan
-    * without colliding with any table field id. */
+  /** Spec v3 reserved field ids of the materialized row-lineage
+    * columns `_row_id` / `_last_updated_sequence_number` (§Row
+    * Lineage / §Reserved field ids) — used to thread the optional
+    * physical columns through the era-aware scan without colliding
+    * with any table field id. */
   private val RowIdFieldId: Int = 2147483540
+  private val LastUpdatedSeqFieldId: Int = 2147483539
+  private val LineageCols = Seq("_row_id", "_last_updated_sequence_number")
 
-  /** `snap` widened with the OPTIONAL materialized `_row_id` column
-    * (nullable long): files that carry it (id-preserving rewrites)
-    * serve their values, files that don't read null — the caller
-    * coalesces with `first_row_id + position`. */
+  /** `snap` widened with the OPTIONAL materialized row-lineage
+    * columns (nullable longs): files that carry them (id-preserving
+    * rewrites) serve their values, files that don't read null — the
+    * caller coalesces with the inherited forms (`first_row_id +
+    * position`, the file's data sequence number). */
   private def withRowIdColumn(snap: Snapshot): Snapshot = snap.copy(
-    schema = snap.schema.add("_row_id", LongType, nullable = true),
-    fieldNames = snap.fieldNames + (RowIdFieldId -> "_row_id"))
+    schema = snap.schema
+      .add("_row_id", LongType, nullable = true)
+      .add("_last_updated_sequence_number", LongType, nullable = true),
+    fieldNames = snap.fieldNames + (RowIdFieldId -> "_row_id") +
+      (LastUpdatedSeqFieldId -> "_last_updated_sequence_number"))
 
   /** Iceberg JSON single-value (spec §"JSON single-value
     * serialization") → a Spark literal Column of `dt` — how a
@@ -887,12 +931,14 @@ object IcebergTable {
             "be ambiguous; rewrite the data (OPTIMIZE / overwrite) to " +
             "materialize the current names")
       era.flatMap { m =>
-        // the reserved materialized-_row_id column resolves by its
-        // own name in EVERY era (it never renames; files lacking it
-        // read null) — without this, a renamed-column table's
-        // projection path would null out preserved lineage ids
+        // the reserved materialized row-lineage columns resolve by
+        // their own names in EVERY era (they never rename; files
+        // lacking them read null) — without this, a renamed-column
+        // table's projection path would null out preserved ids
         val p = current.map { case (n, id, dt) =>
-          (n, id, dt, if (id == RowIdFieldId) Some(n) else m.get(id)) }
+          (n, id, dt,
+            if (id == RowIdFieldId || id == LastUpdatedSeqFieldId) Some(n)
+            else m.get(id)) }
         // identity projection reads plainly — ADD-only evolution stays
         // on the untouched path (a missing column is null either way).
         // NOT identity when a field id renamed, OR when a current name
@@ -985,18 +1031,25 @@ object IcebergTable {
       .map(f => (fileKey(f.path), f.firstRowId.getOrElse(-1L),
         f.firstRowId.isDefined))
       .toDF("__path", "__first_rid", "__has_rid"))
-    // the scan ALSO reads the optional materialized `_row_id` column
-    // (id-preserving rewrites carry one; other files read null) and
-    // the column wins over the implicit first_row_id + position form
+    // the scan ALSO reads the optional materialized lineage columns
+    // (id-preserving rewrites carry them; other files read null) —
+    // a materialized value wins over the inherited form (first_row_id
+    // + position for `_row_id`; the file's data sequence number for
+    // `_last_updated_sequence_number`, which liveRowsWithPos already
+    // attaches as `__dataseq`)
     liveRowsWithPos(spark, withRowIdColumn(snap), snap.files)
       .join(frMap, Seq("__path"), "left")
       .withColumn("__rid_out",
         coalesce(col("_row_id"),
           when(col("__has_rid"), col("__first_rid") + col("__ri"))))
-      .drop("_row_id")
+      .withColumn("__seq_out",
+        coalesce(col("_last_updated_sequence_number"),
+          when(col("__has_rid"), col("__dataseq"))))
+      .drop("_row_id", "_last_updated_sequence_number")
       .withColumnRenamed("__rid_out", "_row_id")
-      .select((snap.schema.fieldNames.map(col) :+ col("_row_id"))
-        .toIndexedSeq: _*)
+      .withColumnRenamed("__seq_out", "_last_updated_sequence_number")
+      .select((snap.schema.fieldNames.map(col) :+ col("_row_id") :+
+        col("_last_updated_sequence_number")).toIndexedSeq: _*)
   }
 
   /** The highest micro-batch id `appId` has durably committed to
@@ -2010,15 +2063,21 @@ object IcebergTable {
             .withColumn("__rid_out",
               coalesce(col("_row_id"),
                 when(col("__has_rid"), col("__first_rid") + col("__ri"))))
-            .drop("_row_id")
+            .withColumn("__seq_out",
+              coalesce(col("_last_updated_sequence_number"),
+                when(col("__has_rid"), col("__dataseq"))))
+            .drop("_row_id", "_last_updated_sequence_number")
             .withColumnRenamed("__rid_out", "_row_id")
-            .select((snap.schema.fieldNames.toSeq :+ "_row_id")
+            .withColumnRenamed("__seq_out", "_last_updated_sequence_number")
+            .select((snap.schema.fieldNames.toSeq ++ LineageCols)
               .map(col).toIndexedSeq: _*)
         }
       val extras = extraDf.toSeq.map { e =>
         val base = e.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
         if (!lineage) base
         else base.withColumn("_row_id", lit(null).cast("long"))
+          .withColumn("_last_updated_sequence_number",
+            lit(null).cast("long"))
       }
       val append = (Seq(keep) ++ extras).reduce(_.unionByName(_))
       commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
@@ -2277,7 +2336,7 @@ object IcebergTable {
       // into the rewritten parquet (spec v3 §Row Lineage) — the extra
       // column rides along; ordinary commits project it away
       val outCols = snap.schema.fieldNames.toSeq ++
-        (if (preserveRowIds || carryRowIdColumn) Seq("_row_id") else Nil)
+        (if (preserveRowIds || carryRowIdColumn) LineageCols else Nil)
       val adoptedFull = stageDataFiles(spark,
         df.select(outCols.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*),
@@ -2901,7 +2960,7 @@ object IcebergTable {
     val lineage = snap.files.exists(_.firstRowId.isDefined)
     val pfs = snap.specFields
     val outFields: Seq[String] = snap.schema.fieldNames.toSeq ++
-      (if (lineage) Seq("_row_id") else Nil)
+      (if (lineage) LineageCols else Nil)
     def liveRows: DataFrame =
       if (!lineage) {
         (if (snap.deletes.isEmpty)
@@ -2920,8 +2979,12 @@ object IcebergTable {
           .withColumn("__rid_out",
             coalesce(col("_row_id"),
               when(col("__has_rid"), col("__first_rid") + col("__ri"))))
-          .drop("_row_id")
+          .withColumn("__seq_out",
+            coalesce(col("_last_updated_sequence_number"),
+              when(col("__has_rid"), col("__dataseq"))))
+          .drop("_row_id", "_last_updated_sequence_number")
           .withColumnRenamed("__rid_out", "_row_id")
+          .withColumnRenamed("__seq_out", "_last_updated_sequence_number")
           .select(outFields.map(col).toIndexedSeq: _*)
       }
 

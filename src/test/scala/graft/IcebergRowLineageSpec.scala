@@ -127,6 +127,37 @@ class IcebergRowLineageSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).columns.toSeq === Seq("k", "v"))
   }
 
+  test("_last_updated_sequence_number: inherited from the file seq, stable across DML and compaction") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((0L, "seed")).toDF("k", "v"), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    IcebergTable.write(spark,
+      (1L until 6L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1), t)
+    IcebergTable.write(spark,
+      (6L until 9L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1), t)
+    def seqs() = IcebergTable.readWithRowIds(spark, t)
+      .select("k", "_last_updated_sequence_number").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val s0 = seqs()
+    // pre-lineage row: null; the two appends carry DISTINCT seqs
+    assert(s0(0L).isEmpty)
+    assert(s0(1L).nonEmpty && s0(6L).nonEmpty && s0(1L) != s0(6L))
+    (1L until 6L).foreach(k => assert(s0(k) === s0(1L)))
+
+    // a MOR UPDATE bumps ONLY the post-image row's seq
+    IcebergTable.update(spark, t, col("k") === 2L,
+      Map("v" -> org.apache.spark.sql.functions.lit("UPD")))
+    val s1 = seqs()
+    assert(s1(2L).get > s0(2L).get, "post-image carries the new seq")
+    (Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L)).foreach(k => assert(s1(k) === s0(k)))
+
+    // compaction MATERIALIZES the seqs — identical before/after even
+    // though the rewritten file commits at a fresh sequence number
+    IcebergTable.rewriteDataFiles(spark, t)
+    assert(seqs() === s1)
+  }
+
   test("the over-gate COW fallback preserves surviving _row_ids; post-images inherit fresh ones") {
     val t = tmp()
     IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v"), t)
