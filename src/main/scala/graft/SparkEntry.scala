@@ -5838,6 +5838,29 @@ object SparkEntry {
         .orderBy("nation")
     }),
 
+    // ROW-LEVEL Iceberg change feed: a v3 DELETION-VECTOR DELETE and
+    // a MOR UPDATE between two polled snapshots replay as per-row
+    // `delete` / `insert` changes (the Delta DV-CDC parity leg) —
+    // data columns + _change_type only, snapshot ids stay internal
+    "interop_iceberg_cdcrows" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icecdc")
+        .toString + "/t"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      graft.sources.IcebergTable.write(s, c, t)
+      graft.sources.IcebergTable.upgradeFormatVersion(s, t, 3)
+      val from = graft.sources.IcebergTable.snapshot(s, t).snapshotId
+      graft.sources.IcebergTable.delete(s, t, col("c_nationkey") === 7)
+      graft.sources.IcebergTable.update(s, t, col("c_nationkey") === 11,
+        Map("c_acctbal" -> lit(0.0)))
+      val to = graft.sources.IcebergTable.snapshot(s, t).snapshotId
+      graft.sources.IcebergTable.changes(s, t, from, to)
+        .groupBy(col("_change_type").as("change"),
+          col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"), sumD(col("c_acctbal")).as("bal"))
+        .orderBy("change", "nation")
+    }),
+
     // Iceberg v3 COLUMN DEFAULTS (spec v3 §Default values): the
     // pre-evolution files serve the ADD COLUMN DEFAULT value, an
     // append OMITTING the column gets the write-default filled, an
@@ -9343,6 +9366,19 @@ object SparkEntry {
          | ${sqlSumD("CASE WHEN c_nationkey = 5 THEN 0.0 ELSE c_acctbal END")} AS bal
          |FROM customer WHERE c_nationkey <> 3
          |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "interop_iceberg_cdcrows" ->
+      s"""SELECT change, nation, n, bal FROM (
+         | SELECT 'delete' AS change, c_nationkey AS nation,
+         |  COUNT(*) AS n, ${sqlSumD("c_acctbal")} AS bal
+         | FROM customer WHERE c_nationkey = 7 GROUP BY 2
+         | UNION ALL
+         | SELECT 'delete', c_nationkey, COUNT(*), ${sqlSumD("c_acctbal")}
+         | FROM customer WHERE c_nationkey = 11 GROUP BY 2
+         | UNION ALL
+         | SELECT 'insert', c_nationkey, COUNT(*), ${sqlSumD("0.0")}
+         | FROM customer WHERE c_nationkey = 11 GROUP BY 2)
+         |ORDER BY change, nation""".stripMargin,
 
     "interop_iceberg_defaults" ->
       s"""SELECT k, nm, bonus FROM (
