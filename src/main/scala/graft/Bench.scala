@@ -68,12 +68,40 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    // machine-state provenance: the r14 judge had to bisect a false
+    // regression because the full per-query data lived only in the
+    // overwritable scratch bench_out.json with no record of box load.
+    // Record load average + memory + timestamp in the artifact itself
+    // so round-over-round comparisons can tell "slow code" from
+    // "busy box" without /tmp archaeology.
+    val machine: String = {
+      val load = try {
+        val l = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        l.trim.split("\\s+").take(3).mkString(",")
+      } catch { case _: Throwable => "" }
+      val rt = Runtime.getRuntime
+      val ts = java.time.Instant.now().toString
+      s"""{"loadavg_at_end":"$load","jvm_cpus":${rt.availableProcessors},"jvm_max_mem_gib":${r3(rt.maxMemory / 1073741824.0)},"timestamp":"$ts"}"""
+    }
     // full per-query map + per-pass matrix → bench_out.json (parsable
     // whole even when the driver only captures a log tail)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"passes_detail":${fmtPasses(names.map(n => n -> times(n)))},"errors":$errJson,"sf":"$sfDir","passes":$passes,"agg":"min","interleaved":true}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"passes_detail":${fmtPasses(names.map(n => n -> times(n)))},"errors":$errJson,"sf":"$sfDir","passes":$passes,"agg":"min","interleaved":true,"machine":$machine}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // durable per-round copy (verdict r14 "what's wrong" #2): the scratch
+    // bench_out.json gets overwritten by targeted probe runs; this one is
+    // committed with the round. SPARK_GRAFT_BENCH_TAG names the snapshot
+    // (builder sets e.g. r15_pre / r15_post); unset → latest_full.json,
+    // which the driver's end-of-round commit preserves.
+    try {
+      val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "latest")
+      val dir = java.nio.file.Paths.get("docs", "bench")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(s"${tag}_full.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // stdout line stays under a log-tail capture window (~4 KB): with

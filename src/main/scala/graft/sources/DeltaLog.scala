@@ -2551,6 +2551,23 @@ object DeltaLog {
             checkpointInterval: Int = DefaultCheckpointInterval,
             txn: Option[(String, Long)] = None,
             mergeSchema: Boolean = false): Long = {
+    // the identity-column pin must not outlive a FAILED write
+    // (CommitRetriesExhausted, invariant violation): the holder +
+    // finally guarantees the executor cache blocks free on every
+    // exit path, not just the success one
+    val pinned = new java.util.concurrent.atomic.AtomicReference[DataFrame]
+    try writeImpl(spark, dfIn, deltaPath, overwrite, partitionBy,
+      checkpointInterval, txn, mergeSchema, pinned)
+    finally Option(pinned.get).foreach(_.unpersist(blocking = false))
+  }
+
+  private def writeImpl(spark: SparkSession, dfIn: DataFrame,
+                        deltaPath: String, overwrite: Boolean,
+                        partitionBy: Seq[String],
+                        checkpointInterval: Int,
+                        txn: Option[(String, Long)],
+                        mergeSchema: Boolean,
+                        pinned: java.util.concurrent.atomic.AtomicReference[DataFrame]): Long = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(deltaPath)
     val fs = dst.getFileSystem(fsConf)
@@ -2620,7 +2637,6 @@ object DeltaLog {
     val identityFields: Seq[StructField] = prior.toSeq.flatMap(_.schema.fields)
       .filter(_.metadata.contains(IdentityStartKey))
     var identitySchema: Option[StructType] = None
-    var identityPinned: Option[DataFrame] = None
     val dfId: DataFrame = if (identityFields.isEmpty) dfGen else {
       val ps = prior.get.schema
       val lower = ps.fieldNames.map(n => n.toLowerCase -> n).toMap
@@ -2656,7 +2672,7 @@ object DeltaLog {
           // and silently duplicate or skip identity values
           d = d.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          identityPinned = Some(d)
+          pinned.set(d) // caller unpersists in finally — every exit path
           // ONE count pass serves every missing identity column
           val pidCounts = d
             .groupBy(spark_partition_id().as("__pid")).count()
@@ -2975,7 +2991,6 @@ object DeltaLog {
       prior.map(_.configuration).getOrElse(Map.empty))
     maybeUniform(spark, deltaPath,
       prior.map(_.configuration).getOrElse(Map.empty))
-    identityPinned.foreach(_.unpersist(blocking = false))
     vc
   }
 

@@ -230,16 +230,22 @@ object GraftSqlStatements {
       d = d.substring(0, m.start).trim
     }
     // `DEFAULT <lit>` — before or after NOT NULL; lands as the
-    // CURRENT_DEFAULT column metadata (Delta column defaults)
-    val defaultRe = "(?is)\\s+DEFAULT\\s+(.+?)\\s*$".r
+    // CURRENT_DEFAULT column metadata (Delta column defaults). The
+    // optional trailing group keeps a `DEFAULT 'x' NOT NULL` order
+    // from swallowing the constraint into the default text (the
+    // lazy capture alone is $-anchored, so it would).
+    val defaultRe = "(?is)\\s+DEFAULT\\s+(.+?)(\\s+NOT\\s+NULL)?\\s*$".r
     var dflt: Option[String] = None
+    var notNullTrailing = false
     def stripDefault(): Unit =
       defaultRe.findFirstMatchIn(d).foreach { m =>
-        dflt = Some(m.group(1).trim); d = d.substring(0, m.start) }
+        dflt = Some(m.group(1).trim)
+        if (m.group(2) != null) notNullTrailing = true
+        d = d.substring(0, m.start) }
     stripDefault()
     val notNullRe = "(?i)\\s+NOT\\s+NULL\\s*$".r
-    val notNull = notNullRe.findFirstIn(d).isDefined
-    if (notNull) d = notNullRe.replaceFirstIn(d, "")
+    val notNull = notNullTrailing || notNullRe.findFirstIn(d).isDefined
+    if (notNull && !notNullTrailing) d = notNullRe.replaceFirstIn(d, "")
     if (dflt.isEmpty) stripDefault()
     val sp = d.indexWhere(_.isWhitespace)
     require(sp > 0, s"expected '<name> <type>', got: $defn")

@@ -127,7 +127,21 @@ object IcebergTable {
                             specFields: Seq[IcebergPartitioning.PartField] = Seq.empty,
                             defaultSpecId: Int = 0,
                             sortOrder: Seq[(String, Boolean)] = Seq.empty,
-                            defaults: Map[Int, (Option[JsonNode], Option[JsonNode])] = Map.empty)
+                            defaults: Map[Int, (Option[JsonNode], Option[JsonNode])] = Map.empty,
+                            rowLineage: Boolean = false,
+                            nestedDefaults: Seq[NestedDefault] = Seq.empty)
+
+  /** A v3 column default carried by a NON-top-level field (spec v3
+    * §Default values — e.g. `ADD COLUMN s.g INT DEFAULT 42` on a
+    * foreign table): `path` names the field from the root in
+    * CURRENT-schema names, `ids` is the parallel field-id chain
+    * (top-level column first), `underCollection` marks a path that
+    * crosses a list/map (un-fillable by struct projection — the read
+    * refuses rather than serve silent NULLs). */
+  final case class NestedDefault(path: Seq[String], ids: Seq[Int],
+                                 dt: DataType, underCollection: Boolean,
+                                 init: Option[JsonNode],
+                                 write: Option[JsonNode])
 
   /** One manifest/metadata partition-spec field: the FIELD's name and
     * (result) type, the source column's field id, and the spec-JSON
@@ -336,11 +350,17 @@ object IcebergTable {
       .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(100)
     val floor = newVersion - keep
     if (floor <= 0) return
+    // NonFatal only: cleanup must never fail a committed write, but
+    // it must not eat a cancellation either — restore the interrupt
+    // flag so the task/driver sees it
     try fs.globStatus(new Path(mdir, "v*.metadata.json")).foreach { st =>
       val v = st.getPath.getName.stripPrefix("v")
         .stripSuffix(".metadata.json").toLong
       if (v < floor) fs.delete(st.getPath, false)
-    } catch { case _: Exception => () }
+    } catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
   }
 
   /** Internal rescan signal for [[casCommit]] attempts: the observed
@@ -580,11 +600,19 @@ object IcebergTable {
         else Seq.empty
       }
     }
+    // Row lineage is a TABLE-level property (spec v3 §Row Lineage:
+    // mandatory for format-version 3, witnessed by the `next-row-id`
+    // counter) — NOT a per-file one. Gating on file entries breaks
+    // after an id-preserving compaction: rewritten entries carry no
+    // `first_row_id` (ids live as the materialized column), so a
+    // file-based check would flip false and the NEXT rewrite would
+    // silently re-key every row.
+    val tableRowLineage = fv >= 3 && meta.has("next-row-id")
     val snaps = Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
     if (snaps.isEmpty) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty,
       specFields = defaultSpec, defaultSpecId = defaultSpecId,
-      sortOrder = defaultSortOrder)
+      sortOrder = defaultSortOrder, rowLineage = tableRowLineage)
 
     val chosen: JsonNode = (snapshotIdAsOf, timestampAsOf) match {
       case (Some(id), _) => snaps.find(_.get("snapshot-id").asLong() == id)
@@ -602,7 +630,7 @@ object IcebergTable {
           .map(_.asLong()).getOrElse(-1L)
         if (cur == -1L) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty,
           specFields = defaultSpec, defaultSpecId = defaultSpecId,
-          sortOrder = defaultSortOrder)
+          sortOrder = defaultSortOrder, rowLineage = tableRowLineage)
         snaps.find(_.get("snapshot-id").asLong() == cur)
           .getOrElse(throw new IllegalStateException(
             s"current-snapshot-id $cur not in snapshots list"))
@@ -640,6 +668,12 @@ object IcebergTable {
         .map(f => f.get("id").asInt() ->
           ((Option(f.get("initial-default")), Option(f.get("write-default")))))
         .toMap
+    // …and the NESTED ones (any depth): a foreign v3 table may carry
+    // `initial-default` on a struct's inner field — those must be
+    // SERVED for pre-evolution files (or refused), never silently
+    // read as NULL
+    val nestedDefaults: Seq[NestedDefault] =
+      collectNestedDefaults(snapSchemaNode)
 
     // v2 (and late v1): snapshot → manifest-list avro → manifest
     // paths, each with content (0=data 1=deletes) + sequence number.
@@ -789,14 +823,14 @@ object IcebergTable {
     }
     Snapshot(tablePath, snapId, snapTs, snapSchema, files.toSeq,
       deletes.toSeq, fieldNames, defaultSpec, defaultSpecId,
-      defaultSortOrder, fieldDefaults)
+      defaultSortOrder, fieldDefaults, tableRowLineage, nestedDefaults)
   }
 
   /** id→name maps of every schema era, plus snapshot-id→schema-id —
     * the history [[rawFrame]] resolves renamed/re-added columns
     * through. */
   private def schemaEras(spark: SparkSession, tablePath: String)
-  : (Map[Int, Map[Int, String]], Map[Long, Int]) = {
+  : (Map[Int, Map[Int, String]], Map[Long, Int], Map[Int, Set[Int]]) = {
     val meta = readJson(spark, latestMetadataFile(spark, tablePath))
     val schemaNodes: Seq[JsonNode] =
       if (meta.has("schemas")) meta.get("schemas").elements().asScala.toSeq
@@ -807,12 +841,88 @@ object IcebergTable {
         .filter(f => f.has("id") && f.has("name"))
         .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
     }.toMap
+    // EVERY field id of each era, nested included — what decides
+    // whether a file's era already HAD a nested defaulted field (its
+    // stored values serve) or predates it (the default serves)
+    val idsByEra: Map[Int, Set[Int]] = schemaNodes.map { s =>
+      val sid = Option(s.get("schema-id")).map(_.asInt()).getOrElse(0)
+      sid -> allFieldIds(s)
+    }.toMap
     val snapToSchema: Map[Long, Int] = Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
       .flatMap(s => Option(s.get("schema-id"))
         .map(x => s.get("snapshot-id").asLong() -> x.asInt()))
       .toMap
-    (byId, snapToSchema)
+    (byId, snapToSchema, idsByEra)
+  }
+
+  /** Every field id reachable in an Iceberg schema/type JSON node —
+    * struct fields at any depth plus list `element-id` and map
+    * `key-id`/`value-id`. */
+  private def allFieldIds(t: JsonNode): Set[Int] = {
+    if (t == null || !t.isObject) return Set.empty
+    Option(t.get("type")).map(x =>
+      if (x.isTextual) x.asText() else "") match {
+      case _ if t.has("fields") =>
+        Option(t.get("fields")).toSeq.flatMap(_.elements().asScala)
+          .flatMap(f => Option(f.get("id")).map(_.asInt()).toSet ++
+            allFieldIds(nodeType(f))).toSet
+      case Some("list") =>
+        Option(t.get("element-id")).map(_.asInt()).toSet ++
+          allFieldIds(nodeType2(t, "element"))
+      case Some("map") =>
+        Option(t.get("key-id")).map(_.asInt()).toSet ++
+          Option(t.get("value-id")).map(_.asInt()).toSet ++
+          allFieldIds(nodeType2(t, "key")) ++ allFieldIds(nodeType2(t, "value"))
+      case _ => Set.empty
+    }
+  }
+  private def nodeType(f: JsonNode): JsonNode = {
+    val t = f.get("type")
+    if (t != null && t.isObject) t else null
+  }
+  private def nodeType2(t: JsonNode, k: String): JsonNode = {
+    val x = t.get(k)
+    if (x != null && x.isObject) x else null
+  }
+
+  /** Walk a schema node collecting [[NestedDefault]]s — every
+    * non-top-level struct field that carries an `initial-default` or
+    * `write-default` (spec v3 §Default values), with its name path,
+    * id chain, and whether the path crosses a list/map. */
+  private def collectNestedDefaults(schemaNode: JsonNode): Seq[NestedDefault] = {
+    val out = scala.collection.mutable.ArrayBuffer[NestedDefault]()
+    def walk(t: JsonNode, path: Seq[String], ids: Seq[Int],
+             underColl: Boolean): Unit = {
+      if (t == null || !t.isObject) return
+      if (t.has("fields")) {
+        t.get("fields").elements().asScala.foreach { f =>
+          if (f.has("id") && f.has("name")) {
+            val p = path :+ f.get("name").asText()
+            val is = ids :+ f.get("id").asInt()
+            if (p.length > 1 &&
+              (f.has("initial-default") || f.has("write-default")))
+              out += NestedDefault(p, is, icebergTypeToSpark(f.get("type")),
+                underColl,
+                Option(f.get("initial-default")).filterNot(_.isNull),
+                Option(f.get("write-default")).filterNot(_.isNull))
+            walk(nodeType(f), p, is, underColl)
+          }
+        }
+      } else Option(t.get("type")).filter(_.isTextual).map(_.asText()) match {
+        case Some("list") =>
+          walk(nodeType2(t, "element"), path :+ "element",
+            ids ++ Option(t.get("element-id")).map(_.asInt()), underColl = true)
+        case Some("map") =>
+          walk(nodeType2(t, "key"), path :+ "key",
+            ids ++ Option(t.get("key-id")).map(_.asInt()), underColl = true)
+          walk(nodeType2(t, "value"), path :+ "value",
+            ids ++ Option(t.get("value-id")).map(_.asInt()), underColl = true)
+        case _ =>
+      }
+    }
+    walk(schemaNode, Nil, Nil, underColl = false)
+    out.toSeq
   }
 
   /** The table's v3 `next-row-id` counter (-1 when absent / pre-v3) —
@@ -905,20 +1015,58 @@ object IcebergTable {
       case (_, id, dt) => snap.defaults.get(id).flatMap(_._1)
         .map(v => id -> defaultLiteral(dt, v))
     }.toMap
-    lazy val (eras, snapToSchema) = schemaEras(spark, snap.tablePath)
+    // v3 initial-defaults on NESTED fields (struct inner fields):
+    // files whose era predates the field must serve the default —
+    // filled by withField after the scan, or refused when the path
+    // crosses a collection (no silent NULLs, ever)
+    val nestedInit: Seq[NestedDefault] =
+      snap.nestedDefaults.filter(_.init.nonEmpty)
+    lazy val (eras, snapToSchema, idsByEra) = schemaEras(spark, snap.tablePath)
     // does ANY schema era disagree with the read schema — renamed
     // shared ids, a current name under a different id (re-add), or a
-    // DEFAULTED current field the era lacks (its files must serve the
-    // initial-default, not null — era resolution becomes mandatory)?
+    // DEFAULTED current field (top-level or nested) the era lacks
+    // (its files must serve the initial-default, not null — era
+    // resolution becomes mandatory)?
     lazy val unsafeEraExists: Boolean = eras.values.exists(m =>
       current.exists { case (n, id, _) => m.get(id) match {
         case Some(e) => e != n
         case None => m.valuesIterator.contains(n) || initDef.contains(id)
-      } })
-    def projOf(f: DataFile): Option[Seq[(String, Int, DataType, Option[String])]] = {
-      val era =
+      } }) ||
+      nestedInit.exists(nd => idsByEra.values.exists(s => !s(nd.ids.last)))
+    // the nested defaults a file of era `sid` must have FILLED: the
+    // field is absent from that era while its whole ancestor chain is
+    // present (an absent ancestor means the ancestor's own default /
+    // null governs and the inner one never surfaces)
+    def nestedFillsOf(f: DataFile, sid: Option[Int]): Seq[NestedDefault] = {
+      if (nestedInit.isEmpty) return Seq.empty
+      val eraIds: Option[Set[Int]] = sid.flatMap(idsByEra.get)
+      eraIds match {
+        case None =>
+          if (unsafeEraExists) Seq.empty // projOf's refusal fires first
+          else Seq.empty
+        case Some(s) =>
+          val fills = nestedInit.filter(nd =>
+            !s(nd.ids.last) && nd.ids.init.forall(s))
+          fills.filter(_.underCollection).foreach { nd =>
+            throw new UnsupportedOperationException(
+              s"${f.path} predates the defaulted field " +
+                s"${nd.path.mkString(".")} of ${snap.tablePath}, whose " +
+                "path crosses a list/map — serving that default is not " +
+                "supported; rewrite the data (OPTIMIZE / overwrite) to " +
+                "materialize it")
+          }
+          fills.foreach(nd =>
+            require(nd.path.forall(p => !p.contains(".") && !p.contains("`")),
+              s"cannot fill defaulted nested field ${nd.path.mkString("/")}" +
+                " (names with '.' or '`' are not supported)"))
+          fills
+      }
+    }
+    def projOf(f: DataFile): (Option[Seq[(String, Int, DataType, Option[String])]], Seq[NestedDefault]) = {
+      val sid: Option[Int] =
         if (f.addedSnapshotId < 0) None
-        else snapToSchema.get(f.addedSnapshotId).flatMap(eras.get)
+        else snapToSchema.get(f.addedSnapshotId)
+      val era = sid.flatMap(eras.get)
       // a file whose era cannot be resolved (expired snapshot, v1
       // entry without schema-id) on a RENAMED/RE-ADDED table is
       // ambiguous — name-based reading could serve nulls or stale
@@ -952,17 +1100,31 @@ object IcebergTable {
             !m.valuesIterator.contains(n) && !initDef.contains(id)
         }
         if (identitySafe) None else Some(p)
-      }
+      } -> nestedFillsOf(f, sid)
     }
     def withMeta(df: DataFrame): DataFrame =
       if (!withPos) df
       else df.select(col("*"), col("_metadata.row_index").as("__ri"))
         .withColumn("__path",
           regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+    // materialize this group's nested initial-defaults INTO the read
+    // struct (after era names resolved to current ones): every file
+    // here predates the field, so the stored value is uniformly
+    // absent — withField replaces the schema-evolution NULL with the
+    // default; a NULL parent struct stays NULL (the spec's rule:
+    // defaults fill fields of existing rows, not missing rows)
+    def applyNested(df: DataFrame, fills: Seq[NestedDefault]): DataFrame =
+      fills.foldLeft(df) { (d, nd) =>
+        d.withColumn(nd.path.head,
+          col(nd.path.head).withField(nd.path.tail.mkString("."),
+            defaultLiteral(nd.dt, nd.init.get)))
+      }
     files.groupBy(projOf).toSeq.sortBy(_._2.head.path).map {
-      case (None, fs) =>
-        withMeta(spark.read.schema(snap.schema).parquet(fs.map(_.path): _*))
-      case (Some(p), fs) =>
+      case ((None, fills), fs) =>
+        applyNested(
+          withMeta(spark.read.schema(snap.schema).parquet(fs.map(_.path): _*)),
+          fills)
+      case ((Some(p), fills), fs) =>
         val eraStruct = StructType(p.collect {
           case (_, _, dt, Some(e)) => StructField(e, dt, nullable = true) })
         val base = withMeta(
@@ -972,7 +1134,7 @@ object IcebergTable {
             initDef.get(id).map(_.as(n))
               .getOrElse(lit(null).cast(dt).as(n))) } ++
           (if (withPos) Seq(col("__ri"), col("__path")) else Nil)
-        base.select(cols: _*)
+        applyNested(base.select(cols: _*), fills)
     }.reduce(_.unionByName(_))
   }
 
@@ -2028,8 +2190,11 @@ object IcebergTable {
     // SURVIVING rows carry their current `_row_id` as the materialized
     // column; post-image/inserted rows carry NULL and INHERIT fresh
     // ids from the staged file's first_row_id + position (the spec's
-    // per-row inheritance rule) — ids of untouched rows never change
-    val lineage = snap.files.exists(_.firstRowId.isDefined)
+    // per-row inheritance rule) — ids of untouched rows never change.
+    // Table-level gate (not per-file): after an id-preserving
+    // compaction NO entry carries first_row_id, yet ids must survive
+    // the next rewrite via the materialized column.
+    val lineage = snap.rowLineage
     try {
       def fileKey(p: String) = org.apache.spark.paths.SparkPath
         .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
@@ -2079,11 +2244,24 @@ object IcebergTable {
           .withColumn("_last_updated_sequence_number",
             lit(null).cast("long"))
       }
-      val append = (Seq(keep) ++ extras).reduce(_.unionByName(_))
-      commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
-        appendDf = Some(append).filterNot(_.isEmpty), operation,
-        removePaths = rewriteFiles.map(_.path).toSet,
-        carryRowIdColumn = lineage)
+      // lineage tables split the legs: survivors stage into
+      // claim-free files (ids — nulls included — fully materialized),
+      // post-images into range-claiming files whose null ids INHERIT
+      // fresh ones. A single merged file would re-key every
+      // pre-lineage null-id survivor through the inheritance rule.
+      if (lineage) {
+        val extra = extras.reduceOption(_.unionByName(_))
+        commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
+          appendDf = extra.filterNot(_.isEmpty), operation,
+          removePaths = rewriteFiles.map(_.path).toSet,
+          carryRowIdColumn = true,
+          appendPreserved = Some(keep).filterNot(_.isEmpty))
+      } else {
+        val append = (Seq(keep) ++ extras).reduce(_.unionByName(_))
+        commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
+          appendDf = Some(append).filterNot(_.isEmpty), operation,
+          removePaths = rewriteFiles.map(_.path).toSet)
+      }
     } finally matchedPos.unpersist()
   }
 
@@ -2219,7 +2397,8 @@ object IcebergTable {
                                 carryExisting: Boolean = true,
                                 removePaths: Set[String] = Set.empty,
                                 preserveRowIds: Boolean = false,
-                                carryRowIdColumn: Boolean = false): Long = {
+                                carryRowIdColumn: Boolean = false,
+                                appendPreserved: Option[DataFrame] = None): Long = {
     import spark.implicits._
     val mdir = metaDir(tablePath)
     val fs = fsFor(spark, mdir)
@@ -2329,18 +2508,19 @@ object IcebergTable {
     // appended rows (update transforms / merge source) as fresh data
     // files with footer stats — staged under the table's PARTITION
     // LAYOUT (hidden transforms included)
-    val stagedData: Option[(Seq[(String, Long, Long)], Map[String, Seq[Any]],
-      Map[String, FileStats])] = appendDf.map { df =>
+    def stageLeg(df: DataFrame, withLineage: Boolean, tag: String)
+    : (Seq[(String, Long, Long)], Map[String, Seq[Any]],
+      Map[String, FileStats]) = {
       // an id-preserving rewrite (compaction or COW on a v3
       // row-lineage table) MATERIALIZES each row's current _row_id
       // into the rewritten parquet (spec v3 §Row Lineage) — the extra
       // column rides along; ordinary commits project it away
       val outCols = snap.schema.fieldNames.toSeq ++
-        (if (preserveRowIds || carryRowIdColumn) LineageCols else Nil)
+        (if (withLineage) LineageCols else Nil)
       val adoptedFull = stageDataFiles(spark,
         df.select(outCols.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*),
-        tablePath, snap.specFields, s"d$tok-upd")
+        tablePath, snap.specFields, tag)
       val adopted = adoptedFull.map(a => (a._1, a._2, a._3))
       val tuples: Map[String, Seq[Any]] =
         if (snap.specFields.isEmpty) Map.empty
@@ -2350,6 +2530,32 @@ object IcebergTable {
         p -> footerFileStats(conf, new Path(p), nrec) }.toMap
       (adopted, tuples, fileStats)
     }
+    // the PRESERVED leg (COW survivors): every row's lineage is
+    // already materialized — nulls included (pre-lineage rows keep
+    // their null forever, spec v3 §Row Lineage) — so these files
+    // must claim NO first_row_id; a claimed range would make the
+    // inheritance rule re-key exactly the null-id rows. The appendDf
+    // leg (post-images / inserts) stages separately and DOES claim
+    // ranges — its nulls are what inheritance is for.
+    val stagedPreserved: Option[(Seq[(String, Long, Long)],
+      Map[String, Seq[Any]], Map[String, FileStats])] =
+      appendPreserved.map(df => stageLeg(df, withLineage = true,
+        s"d$tok-keep"))
+    val stagedAppend: Option[(Seq[(String, Long, Long)],
+      Map[String, Seq[Any]], Map[String, FileStats])] =
+      appendDf.map(df => stageLeg(df,
+        withLineage = preserveRowIds || carryRowIdColumn, s"d$tok-upd"))
+    val stagedData: Option[(Seq[(String, Long, Long)], Map[String, Seq[Any]],
+      Map[String, FileStats])] = (stagedAppend, stagedPreserved) match {
+      case (None, None) => None
+      case (a, p) =>
+        val legs = a.toSeq ++ p.toSeq
+        Some((legs.flatMap(_._1), legs.flatMap(_._2).toMap,
+          legs.flatMap(_._3).toMap))
+    }
+    // only the append leg's files may be assigned fresh id ranges
+    val claimablePaths: Set[String] =
+      stagedAppend.toSeq.flatMap(_._1.map(_._1)).toSet
     def shapeOf(s: StructType): Seq[(String, DataType)] =
       s.fields.toSeq.map(f => (f.name, f.dataType))
 
@@ -2500,13 +2706,15 @@ object IcebergTable {
               }.toMap
           // id-preserving rewrites claim NO fresh ranges: their rows
           // carry materialized _row_id values, and a file entry
-          // without first_row_id makes readers use the column
+          // without first_row_id makes readers use the column. The
+          // preserved leg's files (COW survivors) never claim either.
           val firstRowIds: Map[String, Long] =
             if (!fv3 || preserveRowIds) Map.empty
             else {
               var next = rowIdBase
-              adopted.map { case (pth, _, nrec) =>
-                val b = next; next += nrec; pth -> b }.toMap
+              adopted.filter(a => claimablePaths(a._1))
+                .map { case (pth, _, nrec) =>
+                  val b = next; next += nrec; pth -> b }.toMap
             }
           writeManifest(spark, mdir, s"upd-$atok-$snapId", schemaJson, adopted,
             snapId, seq, spec = specFields, tuples = tuples,
@@ -2596,7 +2804,8 @@ object IcebergTable {
         sn.put("first-row-id", rowIdBase)
         meta.put("next-row-id",
           rowIdBase + (if (preserveRowIds) 0L
-          else stagedData.map(_._1.map(_._3).sum).getOrElse(0L)))
+          else stagedData.map(_._1.filter(a => claimablePaths(a._1))
+            .map(_._3).sum).getOrElse(0L)))
       }
       sn.putObject("summary").put("operation", operation)
       meta.set[JsonNode]("snapshots", snapsArr)
@@ -2956,8 +3165,12 @@ object IcebergTable {
     // position) is written INTO the rewritten parquet as the spec's
     // materialized `_row_id` column, and the new file entries claim
     // no fresh ranges — readers serve the column, so every id is
-    // identical before and after the rewrite (spec v3 §Row Lineage)
-    val lineage = snap.files.exists(_.firstRowId.isDefined)
+    // identical before and after the rewrite (spec v3 §Row Lineage).
+    // Table-level gate: post-compaction entries carry no
+    // first_row_id, so a per-file existence check would flip false
+    // after ONE full compaction and the next rewrite would re-key
+    // every row.
+    val lineage = snap.rowLineage
     val pfs = snap.specFields
     val outFields: Seq[String] = snap.schema.fieldNames.toSeq ++
       (if (lineage) LineageCols else Nil)
@@ -2988,6 +3201,15 @@ object IcebergTable {
           .select(outFields.map(col).toIndexedSeq: _*)
       }
 
+    // SORT-ORDER-PRESERVING compaction (real Iceberg's rewrite `sort`
+    // strategy, keyed on `default-sort-order-id`): a `WRITE ORDERED
+    // BY` table compacts through RANGE distribution + local sort, so
+    // the rewritten files keep tight, NON-OVERLAPPING bounds on the
+    // sort key — bin-packing would silently destroy the clustering
+    // (and the data skipping it feeds) until the next ordered write.
+    // snap.sortOrder is already identity-only/resolvable (else empty).
+    val soCols = snap.sortOrder.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc }
     val compacted: Option[DataFrame] =
       if (pfs.isEmpty) {
         val totalBytes = snap.files.map(_.sizeBytes).sum
@@ -2995,6 +3217,9 @@ object IcebergTable {
           (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
         // already compact and delete-free: no pointless commit
         if (snap.deletes.isEmpty && snap.files.size <= n) None
+        else if (soCols.nonEmpty)
+          Some(liveRows.repartitionByRange(n, soCols: _*)
+            .sortWithinPartitions(soCols: _*))
         // coalesce, not repartition: bin-packing small files is a
         // narrow dependency — no shuffle in the compaction job
         else Some(liveRows.coalesce(n))
@@ -3026,20 +3251,33 @@ object IcebergTable {
           }
           var df = liveRows
           staged.foreach { case (n, c) => df = df.withColumn(n, c) }
-          val keyCol = concat_ws("\u001F", staged.map { case (n, _) =>
-            coalesce(col(n).cast("string"), lit("\u0000null"))
-          }: _*)
-          val kDf = broadcast(kByKey.toSeq.toDF("__gpk", "__gpn"))
-          val salted = df.withColumn("__gpkey", keyCol)
-            .join(kDf, col("__gpkey") === col("__gpk"), "left")
-            .withColumn("__gps",
-              pmod(hash(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
-                greatest(coalesce(col("__gpn"), lit(1)), lit(1))))
           val total = math.max(kByKey.values.sum, 1)
-          Some(salted
-            .repartition(total,
-              staged.map(s => col(s._1)) :+ col("__gps"): _*)
-            .select(outFields.map(col).toIndexedSeq: _*))
+          if (soCols.nonEmpty) {
+            // ordered table: range-distribute on (partition fields,
+            // sort key) — each partition dir's rows land contiguously
+            // and split between adjacent ranges BY the sort key, so
+            // every output file's sort-key bounds are non-overlapping
+            // within its partition (file sizing becomes row-count-
+            // proportional; the even range split replaces the salt)
+            val rangeCols = staged.map(s => col(s._1).asc) ++ soCols
+            Some(df.repartitionByRange(total, rangeCols: _*)
+              .sortWithinPartitions(rangeCols: _*)
+              .select(outFields.map(col).toIndexedSeq: _*))
+          } else {
+            val keyCol = concat_ws("\u001F", staged.map { case (n, _) =>
+              coalesce(col(n).cast("string"), lit("\u0000null"))
+            }: _*)
+            val kDf = broadcast(kByKey.toSeq.toDF("__gpk", "__gpn"))
+            val salted = df.withColumn("__gpkey", keyCol)
+              .join(kDf, col("__gpkey") === col("__gpk"), "left")
+              .withColumn("__gps",
+                pmod(hash(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+                  greatest(coalesce(col("__gpn"), lit(1)), lit(1))))
+            Some(salted
+              .repartition(total,
+                staged.map(s => col(s._1)) :+ col("__gps"): _*)
+              .select(outFields.map(col).toIndexedSeq: _*))
+          }
         }
       }
     compacted match {
@@ -3882,8 +4120,30 @@ object IcebergTable {
       case FloatType => fo.put(key, s.toFloat)
       case DoubleType => fo.put(key, s.toDouble)
       case _: DecimalType => fo.put(key, s)
-      case StringType | DateType | TimestampType | TimestampNTZType =>
-        fo.put(key, s)
+      case StringType => fo.put(key, s)
+      // temporal literals NORMALIZE to the spec's ISO single-value
+      // forms (spec §"JSON single-value serialization": date
+      // `YYYY-MM-DD`, timestamp `…T…` with micros, timestamptz with
+      // an explicit offset) — a raw SQL literal like
+      // `'2020-01-02 03:04:05'` stored verbatim would fail this
+      // engine's own strict-ISO [[defaultLiteral]] parse and be
+      // unreadable by other engines. Offset-less timestamptz
+      // literals are taken as UTC (deterministic, not session-tz).
+      case DateType =>
+        fo.put(key, java.time.LocalDate.parse(s).toString)
+      case TimestampNTZType =>
+        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        fo.put(key, ldt.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+      case TimestampType =>
+        val t = s.replace(' ', 'T')
+        val odt =
+          try java.time.OffsetDateTime.parse(t)
+          catch { case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(t)
+              .atOffset(java.time.ZoneOffset.UTC) }
+        fo.put(key, odt.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx")))
       case other => throw new UnsupportedOperationException(
         s"DEFAULT for type $other is not supported")
     }
@@ -4066,19 +4326,25 @@ object IcebergTable {
     val byName = snap.fieldNames.map(_.swap)
     val current = snap.schema.fields.toSeq
       .map(f => (f.name, byName.getOrElse(f.name, -1)))
-    lazy val (eras, snapToSchema) = schemaEras(spark, snap.tablePath)
+    val nestedInit = snap.nestedDefaults.filter(_.init.nonEmpty)
+    lazy val (eras, snapToSchema, idsByEra) = schemaEras(spark, snap.tablePath)
     def unsafe(m: Map[Int, String]): Boolean =
       current.exists { case (n, id) => m.get(id) match {
         case Some(e) => e != n
         case None => m.valuesIterator.contains(n)
       } }
-    lazy val unsafeEraExists = eras.values.exists(unsafe)
+    // a nested initial-default some era lacks ⇒ files of that era
+    // need a fill the name-based DSv2 scan cannot do — gate to [[read]]
+    def lacksNested(sid: Int): Boolean = nestedInit.nonEmpty &&
+      idsByEra.get(sid).exists(s => nestedInit.exists(nd => !s(nd.ids.last)))
+    lazy val unsafeEraExists = eras.values.exists(unsafe) ||
+      nestedInit.exists(nd => idsByEra.values.exists(s => !s(nd.ids.last)))
     snap.files.exists { f =>
-      val era =
+      val sid =
         if (f.addedSnapshotId < 0) None
-        else snapToSchema.get(f.addedSnapshotId).flatMap(eras.get)
-      era match {
-        case Some(m) => unsafe(m)
+        else snapToSchema.get(f.addedSnapshotId)
+      sid.flatMap(eras.get) match {
+        case Some(m) => unsafe(m) || sid.exists(lacksNested)
         // unresolvable era on a renamed/re-added table: ambiguous —
         // the scan must gate (the resolving reader then refuses too)
         case None => unsafeEraExists
@@ -5103,9 +5369,18 @@ object IcebergTable {
       val cur = snapshot(spark, tablePath)
       // names + types must match; nullability and metadata are
       // presentation details parquet does not enforce (same rule as
-      // DeltaLog.write's append gate)
+      // DeltaLog.write's append gate) — NESTED nullability included
+      // (a struct built from non-null columns is tighter, not wrong)
+      def norm(dt: DataType): DataType = dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          StructField(f.name, norm(f.dataType), nullable = true)))
+        case a: ArrayType => ArrayType(norm(a.elementType), containsNull = true)
+        case m: MapType =>
+          MapType(norm(m.keyType), norm(m.valueType), valueContainsNull = true)
+        case o => o
+      }
       def shape(s: StructType): Seq[(String, DataType)] =
-        s.fields.toSeq.map(f => (f.name, f.dataType))
+        s.fields.toSeq.map(f => (f.name, norm(f.dataType)))
       require(shape(cur.schema) == shape(df.schema),
         s"append schema ${df.schema.simpleString} does not match table " +
           s"schema ${cur.schema.simpleString}; use overwrite to replace")

@@ -98,9 +98,11 @@ object WarcFiles {
       else new BufferedInputStream(raw, 1 << 16)
     val din = new DataInputStream(in)
     openStreams.incrementAndGet()
-    @volatile var closed = false
-    def closeOnce(): Unit = if (!closed) {
-      closed = true
+    // CAS, not check-then-set: the task-completion listener and the
+    // iterator's EOF path can race; a double pass-through would
+    // double-close the stream and double-decrement the leak counter
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def closeOnce(): Unit = if (closed.compareAndSet(false, true)) {
       openStreams.decrementAndGet()
       try din.close() catch { case _: Exception => () }
     }

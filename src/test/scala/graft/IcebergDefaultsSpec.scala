@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StringType, StructField}
 
@@ -135,5 +137,129 @@ class IcebergDefaultsSpec extends SparkSpec {
     val got = IcebergTable.read(spark, t)
       .select("k", "w").as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 99L, 2L -> 99L))
+  }
+
+  // -- nested-field defaults (foreign-shaped v3 metadata) ------------
+
+  private val M = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Splice a foreign-style schema evolution into the latest
+    * metadata.json: clone the current schema under a fresh schema-id,
+    * apply `mutate` to the clone, bump last-column-id by `newCols`,
+    * point current-schema-id at it. The exact shape another engine's
+    * ALTER TABLE leaves behind. */
+  private def foreignEvolve(t: String, newCols: Int)(
+    mutate: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+    val mdir = new org.apache.hadoop.fs.Path(t, "metadata")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = fs.globStatus(new org.apache.hadoop.fs.Path(mdir, "v*.metadata.json"))
+      .map(_.getPath).sortBy(_.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toInt).last
+    val root = {
+      val in = fs.open(top)
+      try M.readTree(in).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    val curId = root.get("current-schema-id").asInt()
+    val schemas = root.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val cur = schemas.elements().asScala
+      .find(_.get("schema-id").asInt() == curId).get
+    val clone = cur.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newId = schemas.elements().asScala
+      .map(_.get("schema-id").asInt()).max + 1
+    clone.put("schema-id", newId)
+    mutate(clone)
+    schemas.add(clone)
+    root.put("current-schema-id", newId)
+    root.put("last-column-id", root.get("last-column-id").asInt() + newCols)
+    val out = fs.create(top, true)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  private def structFieldNode(s: com.fasterxml.jackson.databind.JsonNode,
+                              name: String) =
+    s.get("fields").elements().asScala
+      .find(_.get("name").asText() == name).get
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+
+  test("NESTED initial-default: pre-evolution files serve the default inside the struct, never silent NULL") {
+    import org.apache.spark.sql.functions.struct
+    val t = tmp()
+    IcebergTable.write(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "g1")
+        .select(col("k"), struct(col("g1")).as("s")), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    // foreign ALTER: struct s gains g2 LONG DEFAULT 5 (id-bearing
+    // nested field with initial-default + write-default, the spec's
+    // ADD COLUMN shape)
+    foreignEvolve(t, newCols = 1) { clone =>
+      val lastId = clone.get("fields").elements().asScala
+        .map(_.get("id").asInt()).max
+      val sType = structFieldNode(clone, "s").get("type")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val g2 = sType.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+      g2.put("id", 100 + lastId); g2.put("name", "g2")
+      g2.put("required", false); g2.put("type", "long")
+      g2.put("initial-default", 5L); g2.put("write-default", 5L)
+    }
+    // pre-evolution file: s.g2 serves 5, s.g1 keeps stored values
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.nestedDefaults.map(_.path) === Seq(Seq("s", "g2")))
+    val got = IcebergTable.read(spark, t)
+      .select(col("k"), col("s.g1"), col("s.g2"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((10L, 5L)), 2L -> ((20L, 5L))))
+
+    // a NEW file carrying real g2 values serves them; old files keep 5
+    IcebergTable.write(spark,
+      Seq((3L, 30L, 7L)).toDF("k", "g1", "g2")
+        .select(col("k"), struct(col("g1"), col("g2")).as("s")), t)
+    val got2 = IcebergTable.read(spark, t)
+      .select(col("k"), col("s.g2")).as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 5L, 2L -> 5L, 3L -> 7L))
+    // a NULL parent struct stays NULL — the default fills fields of
+    // existing struct values, not missing structs
+    IcebergTable.write(spark,
+      Seq(4L).toDF("k").select(col("k"),
+        org.apache.spark.sql.functions.lit(null)
+          .cast(IcebergTable.read(spark, t).schema("s").dataType).as("s")), t)
+    val withNull = IcebergTable.read(spark, t)
+      .select(col("k"), col("s")).where(col("k") === 4L).collect()
+    assert(withNull.length === 1 && withNull.head.isNullAt(1))
+  }
+
+  test("NESTED default under a list/map refuses loudly for pre-evolution files (never silent NULL)") {
+    import org.apache.spark.sql.functions.array
+    val t = tmp()
+    IcebergTable.write(spark,
+      Seq((1L, 10L)).toDF("k", "e1")
+        .select(col("k"),
+          array(org.apache.spark.sql.functions.struct(col("e1"))).as("a")), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    // foreign ALTER: the list ELEMENT struct gains e2 with a default —
+    // un-fillable by struct projection, must refuse for old files
+    foreignEvolve(t, newCols = 1) { clone =>
+      val lastId = clone.get("fields").elements().asScala
+        .map(_.get("id").asInt()).max
+      val aType = structFieldNode(clone, "a").get("type")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val elem = aType.get("element")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val e2 = elem.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+      e2.put("id", 100 + lastId); e2.put("name", "e2")
+      e2.put("required", false); e2.put("type", "long")
+      e2.put("initial-default", 9L)
+    }
+    val snap = IcebergTable.snapshot(spark, t)
+    assert(snap.nestedDefaults.exists(_.underCollection))
+    val ex = intercept[UnsupportedOperationException] {
+      IcebergTable.read(spark, t).collect()
+    }
+    assert(ex.getMessage.contains("crosses a list/map"))
   }
 }

@@ -193,4 +193,45 @@ class IcebergRowLineageSpec extends SparkSpec {
       "the post-image row must carry a FRESH id")
     assert(!afterDel.values.flatten.toSet.contains(newId.get))
   }
+
+  test("lineage gate is TABLE-level: ids survive a second rewrite after a FULL compaction (no first_row_id entries left)") {
+    val t = tmp()
+    IcebergTable.write(spark, Seq((0L, "seed")).toDF("k", "v"), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    IcebergTable.write(spark,
+      (1L to 12L).map(i => (i, s"v$i")).toDF("k", "v").repartition(3), t)
+
+    def ids() = IcebergTable.readWithRowIds(spark, t)
+      .select("k", "_row_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    // full compaction: EVERY surviving entry now lacks first_row_id
+    // (ids live only as the materialized column) — the state where a
+    // per-file `exists(_.firstRowId.isDefined)` gate flips false
+    IcebergTable.rewriteDataFiles(spark, t)
+    val snap1 = IcebergTable.snapshot(spark, t)
+    assert(snap1.rowLineage, "v3 + next-row-id ⇒ table-level lineage")
+    assert(snap1.files.forall(_.firstRowId.isEmpty))
+    val after1 = ids()
+    assert((1L to 12L).forall(k => after1(k).nonEmpty))
+
+    // a MOR delete adds ONLY a position-delete file (still zero
+    // first_row_id entries), then a SECOND compaction: pre-fix this
+    // took the non-lineage branch and silently re-keyed every row
+    IcebergTable.delete(spark, t, col("k") === 7L)
+    IcebergTable.rewriteDataFiles(spark, t)
+    val after2 = ids()
+    assert(after2.keySet === after1.keySet - 7L)
+    after2.foreach { case (k, id) => assert(id === after1(k), s"k=$k") }
+
+    // COW DELETE on the fully-compacted table (gate forced to 0):
+    // rewriteCow's lineage branch must also fire off the table gate
+    spark.conf.set("spark.graft.mor.maxDeleteRows", "0")
+    try IcebergTable.delete(spark, t, col("k") === 3L)
+    finally spark.conf.unset("spark.graft.mor.maxDeleteRows")
+    val after3 = ids()
+    assert(after3.keySet === after2.keySet - 3L)
+    after3.foreach { case (k, id) => assert(id === after2(k), s"k=$k") }
+  }
 }

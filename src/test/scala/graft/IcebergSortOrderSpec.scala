@@ -86,4 +86,75 @@ class IcebergSortOrderSpec extends SparkSpec {
     val newFiles = snap.files.filter(_.seq == snap.files.map(_.seq).max)
     assert(newFiles.nonEmpty && newFiles.forall(_.bounds.contains("k")))
   }
+
+  test("compaction PRESERVES the sort order: post-OPTIMIZE files keep non-overlapping k bounds") {
+    val path = tmp()
+    IcebergTable.write(spark, Seq((9999L, "seed")).toDF("k", "v"), path)
+    IcebergTable.setWriteOrder(spark, path, Seq(("k", true)))
+    // a pile of small ordered files + a MOR delete scar (so the
+    // rewrite has real folding work)
+    val rnd = new scala.util.Random(3)
+    (0 until 3).foreach { b =>
+      IcebergTable.write(spark,
+        rnd.shuffle((b * 200L until (b + 1) * 200L).toList)
+          .map(i => (i, s"v$i")).toDF("k", "v").repartition(3), path)
+    }
+    IcebergTable.delete(spark, path,
+      org.apache.spark.sql.functions.col("k") % 10L === 0L)
+
+    val sid = IcebergTable.rewriteDataFiles(spark, path,
+      targetFileBytes = 2048L) // force several output files
+    assert(sid !== -1L)
+    val snap = IcebergTable.snapshot(spark, path)
+    assert(snap.deletes.isEmpty, "compaction folds the delete pile")
+    val files = snap.files
+    assert(files.size >= 2, s"expected several compacted files, got ${files.size}")
+    // the sort clustering SURVIVED the rewrite: k bounds tight and
+    // non-overlapping across the compacted files (bin-packing would
+    // give every file near-full-range bounds)
+    val ranges = files.flatMap(_.bounds.get("k")).sortBy(_._1)
+    assert(ranges.size === files.size, "every compacted file must carry k bounds")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"compacted file k-ranges overlap: $ranges")
+      case _ =>
+    }
+    // rows intact (600 + seed - 60 deleted)
+    assert(IcebergTable.read(spark, path).count() === 541L)
+    // and skipping still works post-compaction
+    val pruned = IcebergTable.prunedFiles(spark, snap,
+      org.apache.spark.sql.functions.col("k") < 50L)
+    assert(pruned.size < files.size)
+  }
+
+  test("PARTITIONED compaction keeps per-partition sort clustering") {
+    val path = tmp()
+    IcebergTable.write(spark, Seq((0L, "p0", "x")).toDF("k", "p", "v"),
+      path, partitionBy = Seq("p"))
+    IcebergTable.setWriteOrder(spark, path, Seq(("k", true)))
+    val rnd = new scala.util.Random(5)
+    (0 until 3).foreach { _ =>
+      IcebergTable.write(spark,
+        rnd.shuffle((1L until 301L).toList)
+          .map(i => (i, s"p${i % 2}", s"v$i")).toDF("k", "p", "v")
+          .repartition(2), path, partitionBy = Seq("p"))
+    }
+    val sid = IcebergTable.rewriteDataFiles(spark, path,
+      targetFileBytes = 4096L)
+    assert(sid !== -1L)
+    val snap = IcebergTable.snapshot(spark, path)
+    assert(IcebergTable.read(spark, path).count() === 901L)
+    // within EACH partition dir the compacted files' k bounds must
+    // not overlap
+    snap.files.groupBy(_.partitionTuple.get("p").map(_.toString))
+      .foreach { case (pt, fs) =>
+        val ranges = fs.flatMap(_.bounds.get("k")).sortBy(_._1)
+        assert(ranges.size === fs.size, s"missing k bounds in $pt")
+        ranges.sliding(2).foreach {
+          case Seq((_, hi1), (lo2, _)) =>
+            assert(hi1 <= lo2, s"partition $pt k-ranges overlap: $ranges")
+          case _ =>
+        }
+      }
+  }
 }
