@@ -10,6 +10,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types._
@@ -39,11 +41,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    snapshot range, computed as the file-level diff between
   *    consecutive resolved snapshots — appends stream their added
   *    files, `replace` snapshots ([[IcebergTable.rewriteManifests]])
-  *    change no membership and are invisible, overwrites are loud in
-  *    append mode (`skipChangeCommits=true` drops them) and stream as
-  *    insert+delete file rows in CDC mode (`readChangeFeed=true`,
+  *    change no membership and are invisible, overwrites and
+  *    row-level DML are loud in append mode (`skipChangeCommits=true`
+  *    drops them) and stream in CDC mode (`readChangeFeed=true`,
   *    adding `_change_type` / `_commit_snapshot_id` — the streaming
-  *    twin of [[IcebergTable.changes]]).
+  *    twin of [[IcebergTable.changes]]): file membership diffs as
+  *    whole-file insert/delete rows, and v3 DELETION-VECTOR / v2
+  *    position-delete commits as ROW-LEVEL delete legs
+  *    ([[IcebergRowDiffPartition]] — the per-file dead-position pair
+  *    diff decodes on executors, each newly-dead row exactly once).
   *  - **Batch writes** (`INSERT INTO` / `INSERT OVERWRITE`): V1
   *    writes routed through the COMMITTING [[IcebergTable.write]] —
   *    a new real snapshot, never a parquet dump the metadata does not
@@ -85,28 +91,41 @@ object GraftIceberg {
   private def shape(s: StructType): Seq[(String, DataType)] =
     s.fields.toSeq.map(f => (f.name, f.dataType))
 
-  /** Resolve one snapshot's live files as a path-keyed map; loud on
-    * delete files and schema drift (the stream cannot express
-    * either). */
-  private def snapFiles(spark: SparkSession, tablePath: String, id: Long,
-                        expect: StructType): Map[String, IcebergTable.DataFile] = {
+  /** Resolve one snapshot, loud on schema drift (the stream cannot
+    * express it). Delete files are allowed — the planner serves them
+    * as row-level legs in CDC mode and gates them in append mode. */
+  private def snapAt(spark: SparkSession, tablePath: String, id: Long,
+                     expect: StructType): IcebergTable.Snapshot = {
     val s = IcebergTable.snapshot(spark, tablePath, snapshotIdAsOf = Some(id))
-    if (s.deletes.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"snapshot $id of $tablePath carries v2 delete files — the " +
-          "file-granular stream cannot express row-level deletes; read " +
-          "batches with graft.sources.IcebergTable.read, which applies them")
     if (shape(s.schema) != shape(expect))
       throw new UnsupportedOperationException(
         s"schema change at snapshot $id of $tablePath inside the " +
           "streamed range — restart the stream to adopt the new schema")
-    s.files.map(f => f.path -> f).toMap
+    s
   }
 
-  /** Plan the files whose snapshot membership changed in
-    * `(fromId, toId]` as scan partitions (file-level diff between
-    * consecutive snapshots — append/overwrite/replace all handled by
-    * construction). */
+  /** One data file's applicable position-delete refs in a snapshot —
+    * DVs by exact referenced path, v2 position parquet by bounds,
+    * both at `delete seq >= data seq` (the spec's scoping). */
+  private def posRefsFor(s: IcebergTable.Snapshot,
+                         dvByRef: Map[String, Seq[IcebergTable.DeleteFile]],
+                         pq: Seq[IcebergTable.DeleteFile],
+                         f: IcebergTable.DataFile): Seq[PosDeleteRef] =
+    pq.filter(d => d.seq >= f.seq && d.mayReference(f.path))
+      .map(d => PosDeleteRef(d.path, d.sizeBytes)) ++
+      dvByRef.getOrElse(f.path, Nil).filter(_.seq >= f.seq)
+        .map(d => PosDeleteRef(d.path, d.sizeBytes,
+          Some((d.contentOffset.get, d.contentSize.get))))
+
+  /** Plan the changes committed in `(fromId, toId]` as scan
+    * partitions. File-membership diffs between consecutive snapshots
+    * plan as plain file partitions; ROW-LEVEL commits (v3 deletion
+    * vectors / v2 position-delete files) plan in CDC mode as
+    * [[IcebergRowDiffPartition]]s — whole-file partitions whose
+    * executors decode the per-file dead-position pair diff and serve
+    * each newly-dead row exactly once (the streaming twin of
+    * [[IcebergTable.changes]]). Equality deletes refuse loudly
+    * (value-matching needs the full MOR join — never under-report). */
   def planRange(spark: SparkSession, tablePath: String,
                 snapSchema: StructType, readPartSchema: StructType,
                 fromId: Long, toId: Long, cdf: Boolean,
@@ -122,33 +141,101 @@ object GraftIceberg {
     val range = ids.slice(from + 1, to + 1)
     if (range.isEmpty) return Array.empty
 
-    var prev: Map[String, IcebergTable.DataFile] =
-      if (fromId == -1L) Map.empty
-      else snapFiles(spark, tablePath, fromId, snapSchema)
+    def eqGate(s: IcebergTable.Snapshot, id: Long): Unit =
+      if (cdf && s.deletes.exists(_.content == 2))
+        throw new UnsupportedOperationException(
+          s"equality delete files in snapshot $id of $tablePath — the " +
+            "change feed serves position deletes and deletion vectors; " +
+            "read snapshots instead")
+    def dvMapOf(s: IcebergTable.Snapshot) = s.deletes
+      .filter(d => d.content == 1 && d.isDv)
+      .groupBy(_.referencedDataFile.getOrElse(""))
+    def pqOf(s: IcebergTable.Snapshot) =
+      s.deletes.filter(d => d.content == 1 && !d.isDv)
+
+    var prevS: Option[IcebergTable.Snapshot] =
+      if (fromId == -1L) None
+      else Some(snapAt(spark, tablePath, fromId, snapSchema))
+    prevS.foreach(s => eqGate(s, fromId))
     val out = Seq.newBuilder[(String, InternalRow, Long)]
+    // (whole-file pf, manifest data path, select?, cur refs, prev refs)
+    val diff = Seq.newBuilder[(PartitionedFile, String, Boolean,
+      Seq[PosDeleteRef], Seq[PosDeleteRef])]
+    def wholeFile(key: String, pv: InternalRow, size: Long): PartitionedFile = {
+      val sz = math.max(size, 1L)
+      PartitionedFile(pv, SparkPath.fromPathString(key), 0L, sz,
+        Array.empty[String], 0L, sz, Map.empty)
+    }
     range.foreach { id =>
-      val cur = snapFiles(spark, tablePath, id, snapSchema)
-      val adds = (cur.keySet -- prev.keySet).toSeq.sorted
-      val removes = (prev.keySet -- cur.keySet).toSeq.sorted
+      val cur = snapAt(spark, tablePath, id, snapSchema)
+      val prevFiles: Map[String, IcebergTable.DataFile] =
+        prevS.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
+      val curFiles = cur.files.map(f => f.path -> f).toMap
+      val adds = (curFiles.keySet -- prevFiles.keySet).toSeq.sorted
+      val removes = (prevFiles.keySet -- curFiles.keySet).toSeq.sorted
+      // did this commit add DELETE content (a row-level DML)?
+      val prevDeletePaths =
+        prevS.map(_.deletes.map(_.path).toSet).getOrElse(Set.empty)
+      val newDeletes = cur.deletes.filterNot(d => prevDeletePaths(d.path))
       if (cdf) {
-        adds.foreach(p => out += ((p,
-          pvRow(readPartSchema, "insert", id), cur(p).sizeBytes)))
-        removes.foreach(p => out += ((p,
-          pvRow(readPartSchema, "delete", id), prev(p).sizeBytes)))
-      } else if (removes.nonEmpty) {
+        eqGate(cur, id)
+        val curDv = dvMapOf(cur); val curPq = pqOf(cur)
+        lazy val prevDv = prevS.map(dvMapOf).getOrElse(Map.empty)
+        lazy val prevPq = prevS.map(pqOf).getOrElse(Seq.empty)
+        adds.foreach { p =>
+          val refs = posRefsFor(cur, curDv, curPq, curFiles(p))
+          val row = pvRow(readPartSchema, "insert", id)
+          if (refs.isEmpty) out += ((p, row, curFiles(p).sizeBytes))
+          else diff += ((wholeFile(p, row, curFiles(p).sizeBytes), p,
+            false, refs, Nil)) // born with dead rows: live ones insert
+        }
+        removes.foreach { p =>
+          val refs = prevS.map(s =>
+            posRefsFor(s, prevDv, prevPq, prevFiles(p))).getOrElse(Nil)
+          val row = pvRow(readPartSchema, "delete", id)
+          if (refs.isEmpty) out += ((p, row, prevFiles(p).sizeBytes))
+          else diff += ((wholeFile(p, row, prevFiles(p).sizeBytes), p,
+            false, refs, Nil)) // previously-LIVE rows only
+        }
+        // SURVIVING files whose dead-row state changed: the
+        // merge-on-read DELETE/UPDATE shape — newly-dead rows emit
+        // as deletes exactly once (pair diff decodes per executor)
+        (curFiles.keySet intersect prevFiles.keySet).toSeq.sorted
+          .foreach { p =>
+            val c = posRefsFor(cur, curDv, curPq, curFiles(p))
+            if (c.nonEmpty) {
+              val pr = prevS.map(s =>
+                posRefsFor(s, prevDv, prevPq, prevFiles(p))).getOrElse(Nil)
+              if (c.toSet != pr.toSet)
+                diff += ((wholeFile(p,
+                  pvRow(readPartSchema, "delete", id),
+                  curFiles(p).sizeBytes), p, true, c, pr))
+            }
+          }
+      } else if (removes.nonEmpty || newDeletes.nonEmpty) {
         if (!skipChangeCommits) // drop the whole commit when asked
           throw new UnsupportedOperationException(
-            s"snapshot $id of $tablePath drops data files (overwrite) — " +
-              "an append-only stream cannot represent it. Options: " +
+            s"snapshot $id of $tablePath " +
+              (if (removes.nonEmpty) "drops data files (overwrite)"
+              else "removes rows (deletion vectors / delete files)") +
+              " — an append-only stream cannot represent it. Options: " +
               "skipChangeCommits=true to drop such snapshots, or " +
-              "readChangeFeed=true for the file-level change feed.")
+              "readChangeFeed=true for the row-level change feed.")
       } else {
+        // pure append: an old delete pile cannot touch the new files
+        // (position deletes apply only at delete seq >= data seq)
         adds.foreach(p => out += ((p,
-          pvRow(readPartSchema, "insert", id), cur(p).sizeBytes)))
+          pvRow(readPartSchema, "insert", id), curFiles(p).sizeBytes)))
       }
-      prev = cur
+      prevS = Some(cur)
     }
-    GraftDelta.splitFiles(spark, out.result())
+    val plain = GraftDelta.splitFiles(spark, out.result())
+    val diffParts: Array[InputPartition] = diff.result().zipWithIndex.map {
+      case ((pf, dataPath, select, c, pr), i) =>
+        IcebergRowDiffPartition(FilePartition(plain.length + i, Array(pf)),
+          dataPath, select, c, pr): InputPartition
+    }.toArray
+    plain ++ diffParts
   }
 }
 
@@ -593,7 +680,8 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
         }
       }
     override def createReaderFactory(): PartitionReaderFactory =
-      if (table.cdf || table.snap.deletes.isEmpty) factory
+      if (table.cdf) cdcFactory
+      else if (table.snap.deletes.isEmpty) factory
       else morFactory
   }
 
@@ -642,8 +730,24 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
     GraftDelta.splitFiles(spark, files.map(f => (f.path,
       pvRow(readPart, "insert", table.snap.snapshotId), f.sizeBytes)))
 
+  /** CDC reads (batch range or stream): plain file partitions plus
+    * the row-level [[IcebergRowDiffPartition]] legs — position
+    * deletes / DV blobs decode on executors; equality deletes never
+    * reach here (the planner refuses them). Filters are NOT pushed to
+    * the inner reader: row-diff positions index PHYSICAL rows. */
+  private def cdcFactory: PartitionReaderFactory = {
+    val inner = GraftDelta.readerFactory(spark, table.dataSchema, readData,
+      readPart, Array.empty)
+    val conf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    val posF = GraftDelta.readerFactory(spark, MorServing.PosDeleteSchema,
+      MorServing.PosDeleteSchema, new StructType(), Array.empty)
+    new MorReaderFactory(factory, inner, conf, posF)
+  }
+
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftIcebergMicroBatchStream(spark, table, readPart, factory, options)
+    new GraftIcebergMicroBatchStream(spark, table, readPart,
+      if (table.cdf) cdcFactory else factory, options)
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.FilePartition]]

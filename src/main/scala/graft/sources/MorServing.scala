@@ -76,6 +76,24 @@ private[graft] case class IcebergMorPartition(fp: FilePartition,
   override def preferredLocations(): Array[String] = fp.preferredLocations()
 }
 
+/** A whole-file Iceberg CDC partition serving a ROW-LEVEL change
+  * leg — the streaming/batch-CDC twin of [[IcebergTable.changes]]'s
+  * pair diff. `select = false` serves the file's rows EXCEPT
+  * `curRefs`' positions (an added/removed file carrying a delete
+  * pile); `select = true` serves exactly the NEWLY-dead rows:
+  * positions(curRefs) minus positions(prevRefs) — a v3 DV commit or
+  * v2 position-delete commit between polled snapshots. Positions
+  * decode on the executor (ranged Puffin reads / cached parquet
+  * decode); the driver ships only file references. */
+private[graft] case class IcebergRowDiffPartition(fp: FilePartition,
+                                                  dataPath: String,
+                                                  select: Boolean,
+                                                  curRefs: Seq[PosDeleteRef],
+                                                  prevRefs: Seq[PosDeleteRef])
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
+}
+
 /** Per-EXECUTOR (JVM-wide) cache of DECODED delete-file content — the
   * DeleteLoader pattern real Iceberg readers use. Delete files are
   * immutable once committed (unique names per snapshot), so a path
@@ -240,6 +258,48 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
     }
   }
 
+  /** Decode one data file's applicable position-delete positions —
+    * v3 DV blobs as cached ranged reads, v2 position parquet as a
+    * cached data-path-keyed decode this call just probes. */
+  private def icebergPositions(refs: Seq[PosDeleteRef],
+                               dataPath: String): Array[Long] = {
+    val posBuf = Array.newBuilder[Long]
+    // v3 DELETION VECTORS: one ranged blob read + roaring decode,
+    // cached per executor like the parquet form
+    refs.filter(_.dv.isDefined).foreach {
+      case PosDeleteRef(path, _, Some((off, len))) =>
+        posBuf ++= DeleteFileCache.getOrLoad(("dv3", path, off, len)) {
+          val arr = DeletionVectors.readIcebergDvBlob(
+            conf.value, path, off, len)
+          (arr, arr.length.toLong)
+        }
+      case _ =>
+    }
+    refs.filter(_.dv.isEmpty).foreach { case PosDeleteRef(path, size, _) =>
+      // keyed by (path, size): a table torn down and recreated at
+      // the same location could reuse a delete-file path with
+      // different content — the size component breaks the tie
+      val decoded = DeleteFileCache.getOrLoad(("pos", path, size)) {
+        val m = new java.util.HashMap[String,
+          scala.collection.mutable.ArrayBuilder.ofLong]()
+        var n = 0L
+        scanFile(posDeleteFactory, path, size) { row =>
+          if (!row.isNullAt(0)) {
+            m.computeIfAbsent(row.getUTF8String(0).toString,
+              _ => new scala.collection.mutable.ArrayBuilder.ofLong)
+              .addOne(row.getLong(1))
+            n += 1
+          }
+        }
+        val out = new java.util.HashMap[String, Array[Long]](m.size())
+        m.forEach((k, b) => out.put(k, b.result()))
+        (out, n)
+      }
+      Option(decoded.get(dataPath)).foreach(posBuf ++= _)
+    }
+    posBuf.result().distinct.sorted
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case DeltaDvPartition(fp, tablePath, select, dvA, dvB) =>
@@ -256,46 +316,22 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
           selectReader(fp, posOf(dvA).filterNot(b), inner)
         }
 
+      case IcebergRowDiffPartition(fp, dataPath, select, curRefs, prevRefs) =>
+        val cur = icebergPositions(curRefs, dataPath)
+        if (!select) skipReader(fp, cur, inner)
+        else {
+          // the pair diff: rows dead NOW that were not dead BEFORE —
+          // both sides decode here, the driver shipped only refs
+          val prev = icebergPositions(prevRefs, dataPath).toSet
+          selectReader(fp, cur.filterNot(prev), inner)
+        }
+
       case IcebergMorPartition(fp, dataPath, posRefs, eqRefs) =>
         // 1. applicable position deletes: rows of the delete parquet
         //    naming THIS data file (manifest-form path match, per
         //    spec). Each delete file decodes ONCE per executor into a
         //    data-path-keyed map (cached); this partition just probes.
-        val posBuf = Array.newBuilder[Long]
-        // v3 DELETION VECTORS: one ranged blob read + roaring decode,
-        // cached per executor like the parquet form
-        posRefs.filter(_.dv.isDefined).foreach {
-          case PosDeleteRef(path, _, Some((off, len))) =>
-            posBuf ++= DeleteFileCache.getOrLoad(("dv3", path, off, len)) {
-              val arr = DeletionVectors.readIcebergDvBlob(
-                conf.value, path, off, len)
-              (arr, arr.length.toLong)
-            }
-          case _ =>
-        }
-        posRefs.filter(_.dv.isEmpty).foreach { case PosDeleteRef(path, size, _) =>
-          // keyed by (path, size): a table torn down and recreated at
-          // the same location could reuse a delete-file path with
-          // different content — the size component breaks the tie
-          val decoded = DeleteFileCache.getOrLoad(("pos", path, size)) {
-            val m = new java.util.HashMap[String,
-              scala.collection.mutable.ArrayBuilder.ofLong]()
-            var n = 0L
-            scanFile(posDeleteFactory, path, size) { row =>
-              if (!row.isNullAt(0)) {
-                m.computeIfAbsent(row.getUTF8String(0).toString,
-                  _ => new scala.collection.mutable.ArrayBuilder.ofLong)
-                  .addOne(row.getLong(1))
-                n += 1
-              }
-            }
-            val out = new java.util.HashMap[String, Array[Long]](m.size())
-            m.forEach((k, b) => out.put(k, b.result()))
-            (out, n)
-          }
-          Option(decoded.get(dataPath)).foreach(posBuf ++= _)
-        }
-        val pos = posBuf.result().distinct.sorted
+        val pos = icebergPositions(posRefs, dataPath)
         // 2. applicable equality deletes: one null-safe tuple set per
         //    distinct column set (each file decodes once per executor)
         val eqSets: Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =

@@ -824,4 +824,148 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(batchRows.toSeq === Seq(1, 1, 1),
       s"expected per-snapshot pacing, got $batchRows")
   }
+
+  test("CDC readStream serves ROW-LEVEL legs: v3 DV DELETE and MOR UPDATE stream exactly-once row changes") {
+    val dir = tmp("gi-rowcdc")
+    val t = s"$dir/t"
+    IcebergTable.write(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v").repartition(2), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3) // deletes become DVs
+
+    val replica = scala.collection.mutable.Map[(Long, String), Int]()
+      .withDefaultValue(0)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("readChangeFeed", "true")
+        .load(t)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("k", "v", "_change_type", "_commit_snapshot_id")
+            .as[(Long, String, String, Long)].collect().sortBy(_._4)
+            .foreach {
+              case (k, v, "insert", _) => replica((k, v)) += 1
+              case (k, v, "delete", _) => replica((k, v)) -= 1
+              case other => fail(s"unexpected change row $other")
+            }
+          ()
+        }.start()
+      q.awaitTermination(120000)
+    }
+    def live = replica.filter(_._2 > 0).keySet
+    def assertExactlyOnce(): Unit = replica.foreach { case (kv, n) =>
+      assert(n == 0 || n == 1, s"row $kv seen net $n times — not exactly-once")
+    }
+    runOnce()
+    assert(live === (1L to 10L).map(i => (i, s"v$i")).toSet)
+
+    // MOR DELETE (v3 deletion vector) between micro-batches: the
+    // stream must surface exactly the two newly-dead rows
+    IcebergTable.delete(spark, t, col("k") === 3L || col("k") === 7L)
+    assert(IcebergTable.snapshot(spark, t).deletes.exists(_.isDv))
+    runOnce()
+    assertExactlyOnce()
+    assert(live === IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().toSet)
+    assert(!live.exists(_._1 == 3L) && !live.exists(_._1 == 7L))
+
+    // MOR UPDATE composes delete (DV on the old file) + insert (the
+    // post-image data file)
+    IcebergTable.update(spark, t, col("k") === 5L, Map("v" -> lit("UPD")))
+    runOnce()
+    assertExactlyOnce()
+    assert(live.contains((5L, "UPD")) && !live.contains((5L, "v5")))
+    assert(live === IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().toSet)
+
+    // a SECOND DV delete folds into a total vector — only the newly
+    // dead row streams (the fold's carried positions must not replay)
+    IcebergTable.delete(spark, t, col("k") === 1L)
+    runOnce()
+    assertExactlyOnce()
+    assert(live === IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().toSet)
+  }
+
+  test("CDC row-level legs on v2 position-delete parquet; batch CDC range reads them; equality deletes refuse") {
+    val dir = tmp("gi-rowcdc2")
+    val t = s"$dir/t"
+    IcebergTable.write(spark,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    val s0 = IcebergTable.snapshot(spark, t).snapshotId
+    // v2 table: MOR DELETE writes a position-delete parquet file
+    IcebergTable.delete(spark, t, col("k") === 2L)
+    val snap1 = IcebergTable.snapshot(spark, t)
+    assert(snap1.deletes.nonEmpty && snap1.deletes.forall(!_.isDv))
+
+    // batch CDC over the range serves the row-level delete leg
+    val changes = spark.read.format("graft-iceberg")
+      .option("readChangeFeed", "true")
+      .option("startingSnapshotId", s0.toString)
+      .load(t)
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(changes === Set((2L, "v2", "delete")))
+
+    // library parity: the composed changes() frame agrees
+    val lib = IcebergTable.changes(spark, t, s0, snap1.snapshotId)
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(lib === changes)
+
+    // equality deletes still refuse loudly in the CDC planner
+    IcebergTable.upsertEquality(spark, t,
+      Seq((4L, "UP")).toDF("k", "v"), Seq("k"))
+    val ex = intercept[Exception] {
+      spark.read.format("graft-iceberg")
+        .option("readChangeFeed", "true")
+        .option("startingSnapshotId", snap1.snapshotId.toString)
+        .load(t).collect()
+    }
+    def rootMsg(e: Throwable): String = {
+      var c: Throwable = e
+      while (c.getCause != null && !Option(c.getMessage)
+        .exists(_.contains("equality delete"))) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(ex).contains("equality delete"), ex.getMessage)
+  }
+
+  test("append-only stream: a row-level DML commit is loud, skipChangeCommits drops it, later pure appends still stream") {
+    val dir = tmp("gi-rowcdc3")
+    val t = s"$dir/t"
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
+    IcebergTable.delete(spark, t, col("k") === 1L) // row-level commit
+    IcebergTable.write(spark, Seq((2L, "b")).toDF("k", "v").coalesce(1), t)
+
+    // loud without the option
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format("graft-iceberg").load(t)
+        .writeStream.option("checkpointLocation", s"$dir/ck1")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    assert(ex.toString.contains("removes rows") ||
+      Option(ex.getCause).exists(_.toString.contains("removes rows")),
+      s"expected a loud row-level refusal, got $ex")
+
+    // skipChangeCommits drops the DML commit; appends still stream —
+    // including the append AFTER the delete (the old pile cannot
+    // touch newer files, so it must not gate pure appends)
+    val rows = scala.collection.mutable.Set[(Long, String)]()
+    val q2 = spark.readStream.format("graft-iceberg")
+      .option("skipChangeCommits", "true")
+      .load(t)
+      .writeStream.option("checkpointLocation", s"$dir/ck2")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows ++= b.select("k", "v").as[(Long, String)].collect(); ()
+      }.start()
+    q2.awaitTermination(120000)
+    assert(rows === Set((1L, "a"), (2L, "b")))
+  }
 }
