@@ -5842,6 +5842,142 @@ object SparkEntry {
     // a MOR UPDATE between two polled snapshots replay as per-row
     // `delete` / `insert` changes (the Delta DV-CDC parity leg) —
     // data columns + _change_type only, snapshot ids stay internal
+    // DSv2 BATCH CDC over ROW-LEVEL commits: the readChangeFeed range
+    // scan serves a v3 DV DELETE + MOR UPDATE as row-level legs —
+    // IcebergRowDiffPartitions whose executors decode the per-file
+    // dead-position pair diff (the stream's planner, graded through
+    // the batch surface it shares)
+    "interop_iceberg_cdcscan" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icecds")
+        .toString + "/t"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      graft.sources.IcebergTable.write(s, c, t)
+      graft.sources.IcebergTable.upgradeFormatVersion(s, t, 3)
+      val from = graft.sources.IcebergTable.snapshot(s, t).snapshotId
+      graft.sources.IcebergTable.delete(s, t, col("c_nationkey") === 7)
+      graft.sources.IcebergTable.update(s, t, col("c_nationkey") === 11,
+        Map("c_acctbal" -> lit(0.0)))
+      s.read.format("graft-iceberg")
+        .option("readChangeFeed", "true")
+        .option("startingSnapshotId", from.toString)
+        .load(t)
+        .groupBy(col("_change_type").as("change"),
+          col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"), sumD(col("c_acctbal")).as("bal"))
+        .orderBy("change", "nation")
+    }),
+
+    // SORT-ORDER-PRESERVING compaction (real Iceberg's rewrite `sort`
+    // strategy): a WRITE ORDERED BY table with a small-file pile and
+    // a MOR delete scar compacts through range distribution + local
+    // sort — rows identical, clustering kept (bounds asserted
+    // in-spec; the oracle checks the surviving rows)
+    "interop_iceberg_sortcompact" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icesc")
+        .toString + "/t"
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"))
+      graft.sources.IcebergTable.write(s, sup, t)
+      graft.sources.IcebergTable.setWriteOrder(s, t, Seq(("s_suppkey", true)))
+      graft.sources.IcebergTable.write(s,
+        sup.select((col("s_suppkey") + 100000).as("s_suppkey"),
+          col("s_acctbal")).repartition(3), t)
+      graft.sources.IcebergTable.delete(s, t, col("s_suppkey") % 10 === 0)
+      graft.sources.IcebergTable.rewriteDataFiles(s, t,
+        targetFileBytes = 32L << 10)
+      graft.sources.IcebergTable.read(s, t)
+        .select(col("s_suppkey").as("k"), col("s_acctbal").as("bal"))
+        .orderBy("k")
+    }),
+
+    // NESTED column default (v3 §Default values one level down —
+    // `ADD COLUMN parent.child … DEFAULT`): pre-evolution files serve
+    // the default INSIDE the struct, a post-evolution append carries
+    // real values
+    "interop_iceberg_nesteddef" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icend")
+        .toString + "/t"
+      graft.sources.IcebergTable.write(s,
+        Tables.nation(s, d).select(col("n_nationkey"),
+          struct(col("n_name").as("nm")).as("info")), t)
+      graft.sources.IcebergTable.upgradeFormatVersion(s, t, 3)
+      graft.sources.IcebergTable.addColumns(s, t,
+        Seq(org.apache.spark.sql.types.StructField("info.flag",
+          org.apache.spark.sql.types.LongType, nullable = true)),
+        defaults = Map("info.flag" -> "5"))
+      graft.sources.IcebergTable.write(s,
+        Tables.nation(s, d).select(
+          (col("n_nationkey") + 100).as("n_nationkey"),
+          struct(col("n_name").as("nm"),
+            col("n_regionkey").cast("long").as("flag")).as("info")), t)
+      graft.sources.IcebergTable.read(s, t)
+        .select(col("n_nationkey").as("k"), col("info.nm").as("nm"),
+          col("info.flag").as("flag"))
+        .orderBy("k")
+    }),
+
+    // v3 VARIANT (spec §Semi-structured types): a variant column
+    // round-trips through the native write/read path; typed path
+    // extraction with variant_get
+    "interop_iceberg_variant" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icevar")
+        .toString + "/t"
+      graft.sources.IcebergTable.write(s,
+        Tables.nation(s, d).select(col("n_nationkey"),
+          parse_json(to_json(struct(col("n_name").as("nm"),
+            col("n_regionkey").as("rk")))).as("props")), t)
+      graft.sources.IcebergTable.delete(s, t, col("n_nationkey") % 5 === 0)
+      graft.sources.IcebergTable.read(s, t)
+        .select(col("n_nationkey").as("k"),
+          expr("variant_get(props, '$.nm', 'string')").as("nm"),
+          expr("variant_get(props, '$.rk', 'bigint')").as("rk"))
+        .orderBy("k")
+    }),
+
+    // Delta EXPIRED-LOG CLEANUP end-to-end (delta.logRetentionDuration
+    // + the auto-run): many commits checkpoint, the log reaps below
+    // the newest checkpoint, and the post-cleanup replay serves
+    // IDENTICAL rows — the oracle replays what the table must still say
+    "interop_delta_logclean" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-dlc")
+        .toString + "/t"
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      (0 until 4).foreach { i =>
+        graft.sources.DeltaLog.write(s,
+          n.select((col("n_nationkey") + lit(i * 100)).as("n_nationkey"),
+            col("n_name")), t, checkpointInterval = 2)
+      }
+      // force-reap everything below the newest checkpoint NOW
+      graft.sources.DeltaLog.cleanupLog(s, t,
+        olderThanMs = Some(System.currentTimeMillis() + 60000))
+      graft.sources.DeltaLog.read(s, t)
+        .select(col("n_nationkey").as("k"), col("n_name").as("nm"))
+        .orderBy("k")
+    }),
+
+    // Iceberg POST-COMMIT METADATA CLEANUP end-to-end
+    // (write.metadata.delete-after-commit.enabled): superseded
+    // metadata files reap after every won CAS and the table still
+    // serves identical rows
+    "interop_iceberg_metaclean" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-imc")
+        .toString + "/t"
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      graft.sources.IcebergTable.write(s, n, t)
+      graft.sources.IcebergTable.setProperties(s, t, Map(
+        "write.metadata.delete-after-commit.enabled" -> "true",
+        "write.metadata.previous-versions-max" -> "2"))
+      (1 until 4).foreach { i =>
+        graft.sources.IcebergTable.write(s,
+          n.select((col("n_nationkey") + lit(i * 100)).as("n_nationkey"),
+            col("n_name")), t)
+      }
+      graft.sources.IcebergTable.read(s, t)
+        .select(col("n_nationkey").as("k"), col("n_name").as("nm"))
+        .orderBy("k")
+    }),
+
     "interop_iceberg_cdcrows" -> ((s, d) => {
       val t = java.nio.file.Files.createTempDirectory("graft-q-icecdc")
         .toString + "/t"
@@ -9379,6 +9515,54 @@ object SparkEntry {
          | SELECT 'insert', c_nationkey, COUNT(*), ${sqlSumD("0.0")}
          | FROM customer WHERE c_nationkey = 11 GROUP BY 2)
          |ORDER BY change, nation""".stripMargin,
+
+    "interop_iceberg_cdcscan" ->
+      s"""SELECT change, nation, n, bal FROM (
+         | SELECT 'delete' AS change, c_nationkey AS nation,
+         |  COUNT(*) AS n, ${sqlSumD("c_acctbal")} AS bal
+         | FROM customer WHERE c_nationkey = 7 GROUP BY 2
+         | UNION ALL
+         | SELECT 'delete', c_nationkey, COUNT(*), ${sqlSumD("c_acctbal")}
+         | FROM customer WHERE c_nationkey = 11 GROUP BY 2
+         | UNION ALL
+         | SELECT 'insert', c_nationkey, COUNT(*), ${sqlSumD("0.0")}
+         | FROM customer WHERE c_nationkey = 11 GROUP BY 2)
+         |ORDER BY change, nation""".stripMargin,
+
+    "interop_iceberg_sortcompact" ->
+      s"""SELECT k, bal FROM (
+         | SELECT s_suppkey AS k, s_acctbal AS bal FROM supplier
+         | UNION ALL
+         | SELECT s_suppkey + 100000, s_acctbal FROM supplier)
+         |WHERE k % 10 <> 0
+         |ORDER BY k""".stripMargin,
+
+    "interop_iceberg_nesteddef" ->
+      s"""SELECT k, nm, flag FROM (
+         | SELECT n_nationkey AS k, n_name AS nm,
+         |  CAST(5 AS BIGINT) AS flag FROM nation
+         | UNION ALL
+         | SELECT n_nationkey + 100, n_name, CAST(n_regionkey AS BIGINT)
+         | FROM nation)
+         |ORDER BY k""".stripMargin,
+
+    "interop_iceberg_variant" ->
+      s"""SELECT n_nationkey AS k, n_name AS nm,
+         | CAST(n_regionkey AS BIGINT) AS rk
+         |FROM nation WHERE n_nationkey % 5 <> 0
+         |ORDER BY k""".stripMargin,
+
+    "interop_delta_logclean" ->
+      s"""SELECT k, nm FROM (
+         | SELECT n_nationkey + (i * 100) AS k, n_name AS nm
+         | FROM nation, (SELECT UNNEST([0, 1, 2, 3]) AS i))
+         |ORDER BY k""".stripMargin,
+
+    "interop_iceberg_metaclean" ->
+      s"""SELECT k, nm FROM (
+         | SELECT n_nationkey + (i * 100) AS k, n_name AS nm
+         | FROM nation, (SELECT UNNEST([0, 1, 2, 3]) AS i))
+         |ORDER BY k""".stripMargin,
 
     "interop_iceberg_defaults" ->
       s"""SELECT k, nm, bonus FROM (

@@ -2583,6 +2583,26 @@ object DeltaLog {
 
     val prior: Option[Snapshot] =
       if (existing.nonEmpty) Some(snapshot(spark, deltaPath)) else None
+    // NESTED column defaults refuse loudly (the Delta twin of the
+    // Iceberg nested-defaults gate): Spark/delta-spark only define
+    // CURRENT_DEFAULT for top-level columns, so a foreign schema
+    // carrying it on a struct-inner field is out of spec — writing
+    // through it would silently not fill what its author intended
+    prior.foreach { p =>
+      def nested(dt: DataType): Boolean = dt match {
+        case s: StructType => s.fields.exists(f =>
+          f.metadata.contains(ColumnDefaultKey) || nested(f.dataType))
+        case a: ArrayType => nested(a.elementType)
+        case m: MapType => nested(m.keyType) || nested(m.valueType)
+        case _ => false
+      }
+      p.schema.fields.filter(f => nested(f.dataType)).foreach(f =>
+        throw new UnsupportedOperationException(
+          s"column ${f.name} of $deltaPath carries a CURRENT_DEFAULT on " +
+            "a NESTED field — Delta column defaults are defined for " +
+            "top-level columns only; refusing rather than silently " +
+            "ignoring the default"))
+    }
     // GENERATED columns: a writer may OMIT them — computed here over
     // the incoming rows, in the table's declared column order.
     // PROVIDED values are validated by [[enforceInvariants]] below,

@@ -418,6 +418,10 @@ object IcebergTable {
       case "string" => StringType
       case "uuid" => StringType
       case "binary" => BinaryType
+      // v3 §Semi-structured types: Iceberg's variant uses the Parquet
+      // Variant binary encoding — exactly what Spark's VariantType
+      // reads/writes natively, so the scan serves it unconverted
+      case "variant" => org.apache.spark.sql.types.VariantType
       case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
       case FixedRe(_) => BinaryType
       case other => throw new UnsupportedOperationException(
@@ -437,6 +441,17 @@ object IcebergTable {
         s"unsupported Iceberg type: $other")
     }
 
+  /** Does `dt` contain Spark's VariantType anywhere — the v3-only
+    * Iceberg type (spec v3 §Semi-structured types) that gates the
+    * table's minimum format version. */
+  private[sources] def containsVariant(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.VariantType => true
+    case s: StructType => s.fields.exists(f => containsVariant(f.dataType))
+    case a: ArrayType => containsVariant(a.elementType)
+    case m: MapType => containsVariant(m.keyType) || containsVariant(m.valueType)
+    case _ => false
+  }
+
   /** Spark type → Iceberg type JSON node; `nextId` allocates the
     * spec-required unique field/element ids. */
   private def sparkTypeToIceberg(dt: DataType, nextId: () => Int): JsonNode =
@@ -451,6 +466,8 @@ object IcebergTable {
       case TimestampType => M.getNodeFactory.textNode("timestamptz")
       case StringType => M.getNodeFactory.textNode("string")
       case BinaryType => M.getNodeFactory.textNode("binary")
+      case _: org.apache.spark.sql.types.VariantType =>
+        M.getNodeFactory.textNode("variant")
       case d: DecimalType =>
         M.getNodeFactory.textNode(s"decimal(${d.precision}, ${d.scale})")
       case s: StructType =>
@@ -3667,7 +3684,9 @@ object IcebergTable {
     // PUFFIN FOOTER's blob properties, not mirrored into the table
     // metadata's blob-metadata — read the footer then (one small
     // ranged read; ANY blob type, `apache-datasketches-theta-v1`
-    // included — the property, not the sketch, is what CBO needs).
+    // included). A theta blob WITHOUT the optional property still
+    // contributes: its sketch BODY decodes to the estimate
+    // ([[Puffin.thetaEstimate]] — one ranged blob read per gap).
     // Metadata-mirrored values win; the footer only fills gaps.
     val fromFooter: Map[String, Long] =
       if (fromMeta.size >= idToName.size) Map.empty
@@ -3680,6 +3699,10 @@ object IcebergTable {
             Puffin.readFooter(pfs, pp)._1.flatMap { b =>
               for {
                 ndv <- b.properties.get("ndv").flatMap(_.toLongOption)
+                  .orElse {
+                    if (b.blobType != "apache-datasketches-theta-v1") None
+                    else Puffin.thetaEstimate(Puffin.readBlob(pfs, pp, b))
+                  }
                 fid <- b.fields.headOption
               } yield idToName.getOrElse(fid, s"#$fid") -> ndv
             }
@@ -4169,6 +4192,13 @@ object IcebergTable {
       defaults.keys.foreach(n => require(cols.exists(_.name == n),
         s"DEFAULT given for unknown added column $n"))
     }
+    // variant columns are v3-only (spec v3 §Semi-structured types)
+    if (cols.exists(f => containsVariant(f.dataType))) {
+      val fv = Option(meta.get("format-version")).map(_.asInt()).getOrElse(2)
+      require(fv >= 3,
+        s"VARIANT columns need format-version 3 ($tablePath is v$fv — " +
+          "SET TBLPROPERTIES ('format-version'='3') first)")
+    }
     val curId = if (meta.has("current-schema-id"))
       meta.get("current-schema-id").asInt() else 0
     val curSchema: JsonNode =
@@ -4178,11 +4208,7 @@ object IcebergTable {
           .getOrElse(throw new IllegalStateException(
             s"current-schema-id $curId not in schemas list"))
       else meta.get("schema")
-    val existing = Option(curSchema.get("fields")).toSeq
-      .flatMap(_.elements().asScala).map(_.get("name").asText()).toSet
     cols.foreach { f =>
-      require(!existing.contains(f.name),
-        s"column ${f.name} already exists on $tablePath")
       // a required column may be added WITH a default (the spec's
       // only sanctioned path — existing rows then carry the default)
       require(f.nullable || defaults.contains(f.name),
@@ -4201,11 +4227,38 @@ object IcebergTable {
       else Seq(curId)
     val newSchemaId = (allIds :+ curId).max + 1
     newSchema.put("schema-id", newSchemaId)
-    val fieldsArr = newSchema.withArray[ArrayNode]("fields")
     cols.foreach { f =>
+      // NESTED adds (Iceberg's `ADD COLUMN parent.child`, spec
+      // §Schema Evolution): a dotted name walks the struct chain of
+      // the CLONED schema and appends the leaf inside it — with a
+      // DEFAULT this is exactly the nested-initial-default shape the
+      // era-aware read serves for pre-evolution files
+      val parts = f.name.split("\\.").toSeq
+      val (target: ObjectNode, leafName: String) =
+        if (parts.length == 1) (newSchema, f.name)
+        else {
+          var node: ObjectNode = newSchema
+          parts.init.foreach { p =>
+            val fieldNode = node.withArray[ArrayNode]("fields")
+              .elements().asScala
+              .find(x => x.has("name") && x.get("name").asText() == p)
+              .getOrElse(throw new IllegalArgumentException(
+                s"ADD COLUMN ${f.name}: no field $p on $tablePath"))
+            val tNode = fieldNode.get("type")
+            require(tNode != null && tNode.isObject && tNode.has("fields"),
+              s"ADD COLUMN ${f.name}: $p is not a struct")
+            node = tNode.asInstanceOf[ObjectNode]
+          }
+          (node, parts.last)
+        }
+      val fieldsArr = target.withArray[ArrayNode]("fields")
+      val siblings = fieldsArr.elements().asScala
+        .map(_.get("name").asText()).toSet
+      require(!siblings.contains(leafName),
+        s"column ${f.name} already exists on $tablePath")
       val fo = fieldsArr.addObject()
       fo.put("id", nextId())
-      fo.put("name", f.name)
+      fo.put("name", leafName)
       fo.put("required", defaults.contains(f.name) && !f.nullable)
       fo.set[JsonNode]("type", sparkTypeToIceberg(f.dataType, () => nextId()))
       defaults.get(f.name).foreach { raw =>
@@ -5662,9 +5715,14 @@ object IcebergTable {
       }.toMap
       // v3 ROW LINEAGE: the snapshot claims [next-row-id, +records)
       // and each added file carries its first_row_id (spec field 142);
-      // existing files keep their ranges via the carried manifests
+      // existing files keep their ranges via the carried manifests.
+      // VARIANT is a v3-only type (spec v3 §Semi-structured types): a
+      // CREATE carrying one births the table at format-version 3,
+      // with row lineage active from the first snapshot as v3 mandates
+      val createFv = if (df.schema.fields.exists(f =>
+        containsVariant(f.dataType))) 3 else 2
       val fv3 = prior.flatMap(m => Option(m.get("format-version")))
-        .map(_.asInt()).getOrElse(2) >= 3
+        .map(_.asInt()).getOrElse(createFv) >= 3
       val rowIdBase: Long =
         if (!fv3) -1L
         else prior.flatMap(m => Option(m.get("next-row-id")))
@@ -5772,7 +5830,7 @@ object IcebergTable {
 
       val root = M.createObjectNode()
       root.put("format-version", prior.flatMap(m =>
-        Option(m.get("format-version"))).map(_.asInt()).getOrElse(2))
+        Option(m.get("format-version"))).map(_.asInt()).getOrElse(createFv))
       // row lineage: the table's next free row id advances past this
       // snapshot's claim
       if (fv3) root.put("next-row-id",

@@ -128,6 +128,34 @@ private[sources] object Puffin {
       b
     } finally in.close()
   }
+
+  /** Distinct-count estimate from an `apache-datasketches-theta-v1`
+    * blob BODY — the Apache DataSketches Theta COMPACT sketch
+    * serialization (serial version 3, family 3, little-endian
+    * preamble): `estimate = retained / (thetaLong / 2⁶³-1)`. Handles
+    * the empty (flags bit 2), single-item (1 preamble long),
+    * exact (2) and estimation (3, explicit theta) layouts. Returns
+    * None on any other shape — stats are advisory, never guessed. */
+  def thetaEstimate(bytes: Array[Byte]): Option[Long] = {
+    if (bytes.length < 8) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val preLongs = bytes(0) & 0x3F
+    val serVer = bytes(1) & 0xFF
+    val family = bytes(2) & 0xFF
+    val flags = bytes(5) & 0xFF
+    if (serVer != 3 || family != 3) return None // compact theta only
+    if ((flags & 0x04) != 0) return Some(0L) // EMPTY flag
+    if (preLongs == 1) return Some(1L) // single-item layout
+    if (preLongs != 2 && preLongs != 3) return None
+    if (bytes.length < preLongs * 8) return None
+    val retained = bb.getInt(8).toLong
+    val theta = if (preLongs >= 3) bb.getLong(16) else Long.MaxValue
+    if (theta <= 0L) return None
+    if (theta == Long.MaxValue) Some(retained) // exact mode
+    else Some(math.round(
+      retained.toDouble * Long.MaxValue.toDouble / theta.toDouble))
+  }
 }
 
 /** KMV (k-minimum-values) distinct-count sketch: keep the k smallest

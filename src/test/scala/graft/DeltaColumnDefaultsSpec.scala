@@ -76,4 +76,60 @@ class DeltaColumnDefaultsSpec extends SparkSpec {
         "USING iceberg")
     }
   }
+
+  test("DEFAULT before NOT NULL parses both (regression: constraint swallowed into the default text)") {
+    val t = tmp()
+    spark.sql(s"CREATE TABLE '$t' (k BIGINT, " +
+      "s STRING DEFAULT 'web' NOT NULL, n BIGINT NOT NULL DEFAULT 7) " +
+      "USING delta")
+    val snap = graft.sources.DeltaLog.snapshot(spark, t)
+    assert(!snap.schema("s").nullable && !snap.schema("n").nullable)
+    assert(snap.schema("s").metadata.getString(
+      graft.sources.DeltaLog.ColumnDefaultKey) === "'web'")
+    assert(snap.schema("n").metadata.getString(
+      graft.sources.DeltaLog.ColumnDefaultKey) === "7")
+    DeltaLog.write(spark, Seq(1L).toDF("k"), t)
+    assert(DeltaLog.read(spark, t).select("k", "s", "n")
+      .as[(Long, String, Long)].collect().toSeq === Seq((1L, "web", 7L)))
+  }
+
+  test("foreign NESTED CURRENT_DEFAULT metadata refuses loudly at write (never silently unfilled)") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val t = tmp()
+    DeltaLog.write(spark, Seq((1L, 10L)).toDF("k", "g1")
+      .select(col("k"), struct(col("g1")).as("s")), t)
+    // splice a nested default the way an out-of-spec foreign writer
+    // might: CURRENT_DEFAULT on the struct's INNER field
+    val snap = DeltaLog.snapshot(spark, t)
+    val sInner = org.apache.spark.sql.types.StructField("g2",
+      org.apache.spark.sql.types.LongType, nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(graft.sources.DeltaLog.ColumnDefaultKey, "5").build())
+    val newSchema = org.apache.spark.sql.types.StructType(Seq(
+      snap.schema("k"),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StructType(
+          snap.schema("s").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fields :+ sInner))))
+    // commit the evolved schema the foreign way: a metaData-only
+    // version-1 JSON carrying the out-of-spec nested default
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v0 = java.nio.file.Paths.get(t, "_delta_log",
+      "00000000000000000000.json")
+    val md = new String(java.nio.file.Files.readAllBytes(v0), "UTF-8")
+      .split("\n").map(M.readTree).find(_.has("metaData")).get
+      .get("metaData")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md.put("schemaString", newSchema.json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", "00000000000000000001.json"),
+      (s"""{"metaData":${md.toString}}""" + "\n").getBytes("UTF-8"))
+    val ex = intercept[UnsupportedOperationException] {
+      DeltaLog.write(spark,
+        Seq((2L, 20L, 5L)).toDF("k", "g1", "g2")
+          .select(col("k"), struct(col("g1"), col("g2")).as("s")), t)
+    }
+    assert(ex.getMessage.contains("NESTED"))
+  }
 }

@@ -232,6 +232,38 @@ class IcebergDefaultsSpec extends SparkSpec {
     assert(withNull.length === 1 && withNull.head.isNullAt(1))
   }
 
+  test("ADD COLUMN parent.child DEFAULT: the DDL twin of the foreign nested default") {
+    import org.apache.spark.sql.functions.struct
+    val t = tmp()
+    IcebergTable.write(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "g1")
+        .select(col("k"), struct(col("g1")).as("s")), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    IcebergTable.addColumns(spark, t,
+      Seq(StructField("s.g2", LongType, nullable = true)),
+      defaults = Map("s.g2" -> "5"))
+    val got = IcebergTable.read(spark, t)
+      .select(col("k"), col("s.g2")).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 5L, 2L -> 5L))
+    // a new write carrying the evolved struct serves real values
+    IcebergTable.write(spark,
+      Seq((3L, 30L, 9L)).toDF("k", "g1", "g2")
+        .select(col("k"),
+          struct(col("g1"), col("g2")).as("s")), t)
+    val got2 = IcebergTable.read(spark, t)
+      .select(col("k"), col("s.g2")).as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 5L, 2L -> 5L, 3L -> 9L))
+    // unknown parent / non-struct parent refuse
+    intercept[IllegalArgumentException] {
+      IcebergTable.addColumns(spark, t,
+        Seq(StructField("nope.x", LongType, nullable = true)))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergTable.addColumns(spark, t,
+        Seq(StructField("k.x", LongType, nullable = true)))
+    }
+  }
+
   test("NESTED default under a list/map refuses loudly for pre-evolution files (never silent NULL)") {
     import org.apache.spark.sql.functions.array
     val t = tmp()

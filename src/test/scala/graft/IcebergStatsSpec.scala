@@ -180,4 +180,72 @@ class IcebergStatsSpec extends graft.SparkSpec {
     IcebergTable.analyzeTable(spark, t, Seq("id"))
     assert(IcebergTable.columnStats(spark, t) === Map("id" -> 2L))
   }
+
+  /** Synthetic Apache DataSketches Theta COMPACT sketch bytes
+    * (serialization v3, family 3, little-endian preamble) — the
+    * public wire format other engines' ANALYZE writes. */
+  private def thetaBytes(preLongs: Int, flags: Int, curCount: Int,
+                         theta: Long, hashes: Seq[Long] = Nil): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(preLongs * 8 + hashes.size * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(preLongs.toByte).put(3.toByte).put(3.toByte) // serVer, family
+      .put(12.toByte).put(5.toByte).put(flags.toByte)
+      .putShort(0x93CC.toShort) // seed hash (irrelevant to decode)
+    if (preLongs >= 2) bb.putInt(curCount).putFloat(1.0f)
+    if (preLongs >= 3) bb.putLong(theta)
+    hashes.foreach(bb.putLong)
+    bb.array()
+  }
+
+  test("FOREIGN theta sketch BODY decodes to the estimate when the ndv property is absent everywhere") {
+    // unit shapes first: estimation, exact, empty, single-item, junk
+    val est = Puffin.thetaEstimate(
+      thetaBytes(3, 0x1A, 500, Long.MaxValue / 2, Seq(11L, 22L)))
+    assert(est === Some(1000L), s"estimation mode: $est")
+    assert(Puffin.thetaEstimate(
+      thetaBytes(2, 0x1A, 42, 0L)) === Some(42L)) // exact: theta = MAX
+    assert(Puffin.thetaEstimate(
+      thetaBytes(1, 0x04 | 0x1A, 0, 0L)) === Some(0L)) // EMPTY flag
+    assert(Puffin.thetaEstimate(
+      thetaBytes(1, 0x1A, 0, 0L, Seq(99L))) === Some(1L)) // single item
+    assert(Puffin.thetaEstimate(Array[Byte](1, 2, 3)) === None)
+    assert(Puffin.thetaEstimate(
+      Array[Byte](3, 2, 3, 0, 0, 0, 0, 0)) === None) // wrong serVer
+
+    // integration: a foreign stats file whose theta blobs carry NO
+    // ndv property anywhere still feeds columnStats via the body
+    val t = tmp()
+    IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    val snap = IcebergTable.snapshot(spark, t)
+    val idOf: Map[String, Int] = snap.fieldNames.map(_.swap)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsPath = new Path(new Path(t, "metadata"), "foreign-body.stats")
+    Puffin.write(fs, statsPath, Seq(
+      Puffin.Blob("apache-datasketches-theta-v1", Seq(idOf("id")),
+        snap.snapshotId, 1L,
+        thetaBytes(3, 0x1A, 300, Long.MaxValue / 4), Map.empty),
+      Puffin.Blob("apache-datasketches-theta-v1", Seq(idOf("s")),
+        snap.snapshotId, 1L,
+        thetaBytes(2, 0x1A, 17, 0L), Map.empty)),
+      Map("created-by" -> "trino"))
+    val top = IcebergTable.latestMetadataFile(spark, t)
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = {
+      val in = fs.open(top)
+      try M.readTree(in).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    val e = root.putArray("statistics").addObject()
+    e.put("snapshot-id", snap.snapshotId)
+    e.put("statistics-path", fs.makeQualified(statsPath).toString)
+    e.put("file-size-in-bytes", fs.getFileStatus(statsPath).getLen)
+    e.putArray("blob-metadata") // empty: the footer is all there is
+    val out = fs.create(top, true)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+
+    assert(IcebergTable.columnStats(spark, t) ===
+      Map("id" -> 1200L, "s" -> 17L))
+  }
 }
