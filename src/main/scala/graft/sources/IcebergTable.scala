@@ -129,7 +129,8 @@ object IcebergTable {
                             sortOrder: Seq[(String, Boolean)] = Seq.empty,
                             defaults: Map[Int, (Option[JsonNode], Option[JsonNode])] = Map.empty,
                             rowLineage: Boolean = false,
-                            nestedDefaults: Seq[NestedDefault] = Seq.empty)
+                            nestedDefaults: Seq[NestedDefault] = Seq.empty,
+                            schemaId: Int = 0)
 
   /** A v3 column default carried by a NON-top-level field (spec v3
     * §Default values — e.g. `ADD COLUMN s.g INT DEFAULT 42` on a
@@ -629,7 +630,8 @@ object IcebergTable {
       .flatMap(_.elements().asScala)
     if (snaps.isEmpty) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty,
       specFields = defaultSpec, defaultSpecId = defaultSpecId,
-      sortOrder = defaultSortOrder, rowLineage = tableRowLineage)
+      sortOrder = defaultSortOrder, rowLineage = tableRowLineage,
+      schemaId = currentSchemaId)
 
     val chosen: JsonNode = (snapshotIdAsOf, timestampAsOf) match {
       case (Some(id), _) => snaps.find(_.get("snapshot-id").asLong() == id)
@@ -647,7 +649,8 @@ object IcebergTable {
           .map(_.asLong()).getOrElse(-1L)
         if (cur == -1L) return Snapshot(tablePath, -1L, 0L, schema, Seq.empty,
           specFields = defaultSpec, defaultSpecId = defaultSpecId,
-          sortOrder = defaultSortOrder, rowLineage = tableRowLineage)
+          sortOrder = defaultSortOrder, rowLineage = tableRowLineage,
+          schemaId = currentSchemaId)
         snaps.find(_.get("snapshot-id").asLong() == cur)
           .getOrElse(throw new IllegalStateException(
             s"current-snapshot-id $cur not in snapshots list"))
@@ -659,10 +662,11 @@ object IcebergTable {
     // over old files, as null); a TIME-TRAVEL read uses the schema
     // the chosen snapshot pinned when it committed.
     val timeTravel = snapshotIdAsOf.isDefined || timestampAsOf.isDefined
-    val snapSchemaNode =
+    val snapSchemaId =
       if (timeTravel && chosen.has("schema-id") && meta.has("schemas"))
-        schemaById(chosen.get("schema-id").asInt())
-      else schemaById(currentSchemaId)
+        chosen.get("schema-id").asInt()
+      else currentSchemaId
+    val snapSchemaNode = schemaById(snapSchemaId)
     val snapSchema =
       icebergTypeToSpark(snapSchemaNode).asInstanceOf[StructType]
     // top-level field-id → name, for equality-delete resolution
@@ -840,14 +844,16 @@ object IcebergTable {
     }
     Snapshot(tablePath, snapId, snapTs, snapSchema, files.toSeq,
       deletes.toSeq, fieldNames, defaultSpec, defaultSpecId,
-      defaultSortOrder, fieldDefaults, tableRowLineage, nestedDefaults)
+      defaultSortOrder, fieldDefaults, tableRowLineage, nestedDefaults,
+      snapSchemaId)
   }
 
   /** id→name maps of every schema era, plus snapshot-id→schema-id —
     * the history [[rawFrame]] resolves renamed/re-added columns
     * through. */
   private def schemaEras(spark: SparkSession, tablePath: String)
-  : (Map[Int, Map[Int, String]], Map[Long, Int], Map[Int, Set[Int]]) = {
+  : (Map[Int, Map[Int, String]], Map[Long, Int], Map[Int, Set[Int]],
+    Map[Int, Map[Int, (Int, String)]]) = {
     val meta = readJson(spark, latestMetadataFile(spark, tablePath))
     val schemaNodes: Seq[JsonNode] =
       if (meta.has("schemas")) meta.get("schemas").elements().asScala.toSeq
@@ -865,12 +871,57 @@ object IcebergTable {
       val sid = Option(s.get("schema-id")).map(_.asInt()).getOrElse(0)
       sid -> allFieldIds(s)
     }.toMap
+    // nested id → physical location per era — what detects NESTED
+    // renames / drop-re-adds (which name-based parquet struct
+    // resolution would silently misread for pre-evolution files)
+    val nestedByEra: Map[Int, Map[Int, (Int, String)]] = schemaNodes.map { s =>
+      val sid = Option(s.get("schema-id")).map(_.asInt()).getOrElse(0)
+      sid -> nestedLocs(s)
+    }.toMap
     val snapToSchema: Map[Long, Int] = Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
       .flatMap(s => Option(s.get("schema-id"))
         .map(x => s.get("snapshot-id").asLong() -> x.asInt()))
       .toMap
-    (byId, snapToSchema, idsByEra)
+    (byId, snapToSchema, idsByEra, nestedByEra)
+  }
+
+  /** Non-top-level field id → (owning TOP-LEVEL field id, dotted path
+    * BELOW the top level; list/map components as element/key/value).
+    * The top-level component is excluded on purpose: top-level
+    * renames are resolved by the era projection, while the names
+    * below it are what the parquet reader matches physically. */
+  private def nestedLocs(s: JsonNode): Map[Int, (Int, String)] = {
+    val out = scala.collection.mutable.Map[Int, (Int, String)]()
+    def walk(t: JsonNode, topId: Int, sub: Seq[String]): Unit = {
+      if (t == null || !t.isObject) return
+      if (t.has("fields")) {
+        t.get("fields").elements().asScala.foreach { f =>
+          if (f.has("id") && f.has("name")) {
+            val p = sub :+ f.get("name").asText()
+            out += f.get("id").asInt() -> ((topId, p.mkString(".")))
+            walk(nodeType(f), topId, p)
+          }
+        }
+      } else Option(t.get("type")).filter(_.isTextual).map(_.asText()) match {
+        case Some("list") =>
+          Option(t.get("element-id")).map(_.asInt()).foreach(id =>
+            out += id -> ((topId, (sub :+ "element").mkString("."))))
+          walk(nodeType2(t, "element"), topId, sub :+ "element")
+        case Some("map") =>
+          Option(t.get("key-id")).map(_.asInt()).foreach(id =>
+            out += id -> ((topId, (sub :+ "key").mkString("."))))
+          Option(t.get("value-id")).map(_.asInt()).foreach(id =>
+            out += id -> ((topId, (sub :+ "value").mkString("."))))
+          walk(nodeType2(t, "key"), topId, sub :+ "key")
+          walk(nodeType2(t, "value"), topId, sub :+ "value")
+        case _ =>
+      }
+    }
+    Option(s.get("fields")).toSeq.flatMap(_.elements().asScala).foreach { f =>
+      if (f.has("id")) walk(nodeType(f), f.get("id").asInt(), Nil)
+    }
+    out.toMap
   }
 
   /** Every field id reachable in an Iceberg schema/type JSON node —
@@ -1038,7 +1089,24 @@ object IcebergTable {
     // crosses a collection (no silent NULLs, ever)
     val nestedInit: Seq[NestedDefault] =
       snap.nestedDefaults.filter(_.init.nonEmpty)
-    lazy val (eras, snapToSchema, idsByEra) = schemaEras(spark, snap.tablePath)
+    lazy val (eras, snapToSchema, idsByEra, nestedByEra) =
+      schemaEras(spark, snap.tablePath)
+    // NESTED schema drift between a file's era and the read schema:
+    // the parquet reader matches struct-inner fields BY NAME, so a
+    // renamed nested field would silently read null and a
+    // dropped-then-re-added nested name would silently RESURRECT the
+    // old physical values — both refuse loudly (top-level drift is
+    // served by the era projection; nothing below it can be)
+    lazy val curNested: Map[Int, (Int, String)] =
+      nestedByEra.getOrElse(snap.schemaId, Map.empty)
+    def nestedDrift(sid: Int): Boolean = {
+      if (sid == snap.schemaId) return false
+      val en = nestedByEra.getOrElse(sid, Map.empty)
+      en.exists { case (id, loc) => curNested.get(id).exists(_ != loc) } ||
+        curNested.exists { case (id, loc) => !en.contains(id) &&
+          en.exists { case (id2, l2) => id2 != id && l2 == loc } }
+    }
+    lazy val anyNestedDrift: Boolean = nestedByEra.keys.exists(nestedDrift)
     // does ANY schema era disagree with the read schema — renamed
     // shared ids, a current name under a different id (re-add), or a
     // DEFAULTED current field (top-level or nested) the era lacks
@@ -1049,7 +1117,8 @@ object IcebergTable {
         case Some(e) => e != n
         case None => m.valuesIterator.contains(n) || initDef.contains(id)
       } }) ||
-      nestedInit.exists(nd => idsByEra.values.exists(s => !s(nd.ids.last)))
+      nestedInit.exists(nd => idsByEra.values.exists(s => !s(nd.ids.last))) ||
+      anyNestedDrift
     // the nested defaults a file of era `sid` must have FILLED: the
     // field is absent from that era while its whole ancestor chain is
     // present (an absent ancestor means the ancestor's own default /
@@ -1095,6 +1164,14 @@ object IcebergTable {
             "columns were renamed or re-added — name-based reading would " +
             "be ambiguous; rewrite the data (OPTIMIZE / overwrite) to " +
             "materialize the current names")
+      if (sid.exists(nestedDrift))
+        throw new UnsupportedOperationException(
+          s"${f.path} was written under a schema era whose NESTED " +
+            s"fields were since renamed or re-added on ${snap.tablePath}" +
+            " — struct-inner parquet resolution is name-based, so " +
+            "reading it would serve nulls or stale values silently; " +
+            "rewrite the data (OPTIMIZE / overwrite) to materialize " +
+            "the current nested names")
       era.flatMap { m =>
         // the reserved materialized row-lineage columns resolve by
         // their own names in EVERY era (they never rename; files
@@ -4380,7 +4457,8 @@ object IcebergTable {
     val current = snap.schema.fields.toSeq
       .map(f => (f.name, byName.getOrElse(f.name, -1)))
     val nestedInit = snap.nestedDefaults.filter(_.init.nonEmpty)
-    lazy val (eras, snapToSchema, idsByEra) = schemaEras(spark, snap.tablePath)
+    lazy val (eras, snapToSchema, idsByEra, nestedByEra) =
+      schemaEras(spark, snap.tablePath)
     def unsafe(m: Map[Int, String]): Boolean =
       current.exists { case (n, id) => m.get(id) match {
         case Some(e) => e != n
@@ -4390,14 +4468,25 @@ object IcebergTable {
     // need a fill the name-based DSv2 scan cannot do — gate to [[read]]
     def lacksNested(sid: Int): Boolean = nestedInit.nonEmpty &&
       idsByEra.get(sid).exists(s => nestedInit.exists(nd => !s(nd.ids.last)))
+    // nested rename / drop-re-add drift: gate (the reader refuses)
+    lazy val curNested = nestedByEra.getOrElse(snap.schemaId, Map.empty)
+    def nestedDrift(sid: Int): Boolean = {
+      if (sid == snap.schemaId) return false
+      val en = nestedByEra.getOrElse(sid, Map.empty)
+      en.exists { case (id, loc) => curNested.get(id).exists(_ != loc) } ||
+        curNested.exists { case (id, loc) => !en.contains(id) &&
+          en.exists { case (id2, l2) => id2 != id && l2 == loc } }
+    }
     lazy val unsafeEraExists = eras.values.exists(unsafe) ||
-      nestedInit.exists(nd => idsByEra.values.exists(s => !s(nd.ids.last)))
+      nestedInit.exists(nd => idsByEra.values.exists(s => !s(nd.ids.last))) ||
+      nestedByEra.keys.exists(nestedDrift)
     snap.files.exists { f =>
       val sid =
         if (f.addedSnapshotId < 0) None
         else snapToSchema.get(f.addedSnapshotId)
       sid.flatMap(eras.get) match {
-        case Some(m) => unsafe(m) || sid.exists(lacksNested)
+        case Some(m) => unsafe(m) || sid.exists(lacksNested) ||
+          sid.exists(nestedDrift)
         // unresolvable era on a renamed/re-added table: ambiguous —
         // the scan must gate (the resolving reader then refuses too)
         case None => unsafeEraExists

@@ -253,6 +253,10 @@ class IcebergDefaultsSpec extends SparkSpec {
     val got2 = IcebergTable.read(spark, t)
       .select(col("k"), col("s.g2")).as[(Long, Long)].collect().toMap
     assert(got2 === Map(1L -> 5L, 2L -> 5L, 3L -> 9L))
+    // the SQL surface routes dotted names too
+    spark.sql(s"ALTER TABLE '$t' ADD COLUMN s.g3 BIGINT DEFAULT 8")
+    assert(IcebergTable.read(spark, t).select(col("s.g3"))
+      .as[Long].collect().toSet === Set(8L))
     // unknown parent / non-struct parent refuse
     intercept[IllegalArgumentException] {
       IcebergTable.addColumns(spark, t,
@@ -262,6 +266,63 @@ class IcebergDefaultsSpec extends SparkSpec {
       IcebergTable.addColumns(spark, t,
         Seq(StructField("k.x", LongType, nullable = true)))
     }
+  }
+
+  test("NESTED rename drift refuses loudly: pre-evolution files would silently read null (name-based struct resolution)") {
+    import org.apache.spark.sql.functions.struct
+    val t = tmp()
+    IcebergTable.write(spark,
+      Seq((1L, 10L)).toDF("k", "g1")
+        .select(col("k"), struct(col("g1")).as("s")), t)
+    val preRename = IcebergTable.snapshot(spark, t).snapshotId
+    // foreign ALTER: rename the struct-INNER field g1 → h1 (same id)
+    foreignEvolve(t, newCols = 0) { clone =>
+      val sType = structFieldNode(clone, "s").get("type")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val g1 = sType.get("fields").elements().asScala.next()
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      g1.put("name", "h1")
+    }
+    val ex = intercept[UnsupportedOperationException] {
+      IcebergTable.read(spark, t).collect()
+    }
+    assert(ex.getMessage.contains("NESTED"))
+    // the DSv2 scan gates on the same drift (routes to the resolving
+    // reader, which refuses)
+    val ex2 = intercept[Exception] {
+      spark.read.format("graft-iceberg").load(t).collect()
+    }
+    assert(ex2.toString.contains("NESTED") ||
+      ex2.toString.contains("renamed"), ex2.toString)
+    // time travel to the PRE-rename snapshot pins the old era — the
+    // file matches it, so the read serves fine
+    val tt = IcebergTable.read(spark, t, snapshotIdAsOf = Some(preRename))
+      .select(col("k"), col("s.g1")).as[(Long, Long)].collect()
+    assert(tt.toSeq === Seq((1L, 10L)))
+  }
+
+  test("NESTED drop + re-add refuses loudly: the old physical column must not resurrect") {
+    import org.apache.spark.sql.functions.struct
+    val t = tmp()
+    IcebergTable.write(spark,
+      Seq((1L, 10L)).toDF("k", "g1")
+        .select(col("k"), struct(col("g1")).as("s")), t)
+    // foreign ALTER: drop s.g1, then re-add s.g1 under a FRESH id —
+    // one evolved schema where the name points at a different field
+    foreignEvolve(t, newCols = 1) { clone =>
+      val sType = structFieldNode(clone, "s").get("type")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val fields = sType.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+      val oldId = fields.elements().asScala.next().get("id").asInt()
+      fields.removeAll()
+      val re = fields.addObject()
+      re.put("id", 1000 + oldId); re.put("name", "g1")
+      re.put("required", false); re.put("type", "long")
+    }
+    val ex = intercept[UnsupportedOperationException] {
+      IcebergTable.read(spark, t).collect()
+    }
+    assert(ex.getMessage.contains("NESTED"))
   }
 
   test("NESTED default under a list/map refuses loudly for pre-evolution files (never silent NULL)") {
