@@ -2391,15 +2391,6 @@ object IcebergTable {
       .write.partitionBy(pfs.map("gp_" + _.name): _*)
       .parquet(tmp.toString)
     val tmpQ = fs.makeQualified(tmp).toString
-    // keyed by the tmp-RELATIVE path, not the basename: one task
-    // writing rows of several partition dirs reuses the same
-    // part-XXXXX basename in each of them
-    val perFileCounts: Map[String, Long] = spark.read.parquet(tmp.toString)
-      .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
-      .count().collect()
-      .map(r => (fs.makeQualified(new Path(new java.net.URI(r.getString(0))))
-        .toString.stripPrefix(tmpQ).stripPrefix("/"),
-        r.getLong(1))).toMap
     def walkStaged(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith("_"))
         .flatMap(st =>
@@ -2431,11 +2422,14 @@ object IcebergTable {
         fs.mkdirs(rel.getParent)
         if (!fs.rename(src, rel))
           throw new IllegalStateException(s"rename failed for $rel")
-        (fs.makeQualified(rel).toString, fs.getFileStatus(rel).getLen,
-          perFileCounts.getOrElse(relStaged, 0L), tupleVals)
+        (rel, fs.getFileStatus(rel).getLen, tupleVals)
       }
     fs.delete(tmp, true)
-    adopted
+    // row counts from the FOOTERS (read concurrently), not a Spark
+    // re-scan job of the data that was just written
+    val counts = footerRowCounts(fsConf, adopted.map(_._1))
+    adopted.map { case (rel, len, tupleVals) =>
+      (fs.makeQualified(rel).toString, len, counts(rel), tupleVals) }
   }
 
   /** The default spec as manifest [[SpecField]]s (result types from
@@ -5052,6 +5046,33 @@ object IcebergTable {
   /** Column stats from the parquet FOOTER (no data scan; one bounded
     * driver-side footer read per adopted file) for TOP-LEVEL numeric
     * leaves — the Iceberg twin of the Delta writer's add.stats. */
+  /** Row count from the parquet FOOTER (sum of row-group counts) —
+    * one small ranged metadata read per file, replacing a full
+    * re-scan Spark job of freshly staged data whose only purpose was
+    * counting rows (the counts were in the footers all along). */
+  private def footerRowCount(conf: org.apache.hadoop.conf.Configuration,
+                             p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally r.close()
+  }
+
+  /** Footer row counts for MANY files, read CONCURRENTLY (the reads
+    * are independent ranged I/O — a partitioned commit stages dozens
+    * of files, and a sequential driver loop would give back what
+    * dropping the re-scan job saved). */
+  private def footerRowCounts(conf: org.apache.hadoop.conf.Configuration,
+                              ps: Seq[Path]): Map[Path, Long] = {
+    if (ps.isEmpty) return Map.empty
+    if (ps.size == 1) return Map(ps.head -> footerRowCount(conf, ps.head))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.traverse(ps)(p => Future(p -> footerRowCount(conf, p))),
+      scala.concurrent.duration.Duration(10, "min")).toMap
+  }
+
   private def footerFileStats(conf: org.apache.hadoop.conf.Configuration,
                               p: Path, records: Long): FileStats = try {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
@@ -5603,12 +5624,6 @@ object IcebergTable {
     // keyed by the tmp-RELATIVE path, not the basename: one task
     // writing rows of several partition dirs reuses the same
     // part-XXXXX basename in each of them
-    val perFileCounts: Map[String, Long] = spark.read.parquet(tmp.toString)
-      .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
-      .count().collect()
-      .map(r => (fs.makeQualified(new Path(new java.net.URI(r.getString(0))))
-        .toString.stripPrefix(tmpQ).stripPrefix("/"),
-        r.getLong(1))).toMap
     def walkStaged(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith("_"))
         .flatMap(st =>
@@ -5640,13 +5655,17 @@ object IcebergTable {
         fs.mkdirs(rel.getParent)
         if (!fs.rename(src, rel))
           throw new IllegalStateException(s"rename failed for $rel")
-        (fs.makeQualified(rel).toString, fs.getFileStatus(rel).getLen,
-          perFileCounts.getOrElse(relStaged, 0L), tupleVals)
+        (rel, fs.getFileStatus(rel).getLen, tupleVals)
       }
-    val adopted = adoptedFull.map(a => (a._1, a._2, a._3))
+    // row counts from the FOOTERS (read concurrently), not a Spark
+    // re-scan job of the data that was just written
+    val stagedCounts = footerRowCounts(fsConf, adoptedFull.map(_._1))
+    val adoptedQ = adoptedFull.map { case (rel, len, tupleVals) =>
+      (fs.makeQualified(rel).toString, len, stagedCounts(rel), tupleVals) }
+    val adopted = adoptedQ.map(a => (a._1, a._2, a._3))
     val tuples: Map[String, Seq[Any]] =
       if (partitionBy.isEmpty) Map.empty
-      else adoptedFull.map(a => a._1 -> a._4).toMap
+      else adoptedQ.map(a => a._1 -> a._4).toMap
     fs.delete(tmp, true)
     // per-file column bounds/counts from the parquet footers (no data
     // scan) — external engines and the DSv2 scan prune on them
@@ -6025,14 +6044,10 @@ object IcebergTable {
       val now = System.currentTimeMillis()
       val snapId = v // deterministic, 1-based like graft versions
 
-      // per-source-file row counts in one job (Iceberg readers use
-      // record_count for count(*) pushdown — it must be REAL)
-      val perFileCounts: Map[String, Long] = df
-        .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
-        .count().collect()
-        .map(r => (new Path(new java.net.URI(r.getString(0))).toString,
-          r.getLong(1))).toMap
-      // copy data files under the iceberg root
+      // copy data files under the iceberg root; row counts come from
+      // each copied file's parquet FOOTER (Iceberg readers use
+      // record_count for count(*) pushdown — it must be REAL), not a
+      // Spark re-scan job of data just copied whole
       val copied = df.inputFiles.toSeq.zipWithIndex.map { case (src, i) =>
         val rel = new Path(new Path(dst, "data"), s"v$v-part-$i.parquet")
         val srcP = new Path(new java.net.URI(src))
@@ -6040,7 +6055,7 @@ object IcebergTable {
           srcP.getFileSystem(fsConf), srcP, fs, rel, false, fsConf)
         (fs.makeQualified(rel).toString,
           fs.getFileStatus(rel).getLen,
-          perFileCounts.getOrElse(srcP.toString, 0L))
+          footerRowCount(fsConf, rel))
       }
       val rowCount = copied.map(_._3).sum
 
