@@ -2044,8 +2044,8 @@ object IcebergTable {
       if (snap.specFields.isEmpty) Map.empty
       else adoptedFull.map(a => a._1 -> a._4).toMap
     val conf = spark.sparkContext.hadoopConfiguration
-    val fileStats = adopted.map { case (p, _, nrec) =>
-      p -> footerFileStats(conf, new Path(p), nrec) }.toMap
+    val fileStats = footerFileStatsAll(conf,
+      adopted.map(a => (a._1, a._3)))
     def shapeOf(s: StructType): Seq[(String, DataType)] =
       s.fields.toSeq.map(f => (f.name, f.dataType))
 
@@ -2614,8 +2614,8 @@ object IcebergTable {
         if (snap.specFields.isEmpty) Map.empty
         else adoptedFull.map(a => a._1 -> a._4).toMap
       val conf = spark.sparkContext.hadoopConfiguration
-      val fileStats = adopted.map { case (p, _, nrec) =>
-        p -> footerFileStats(conf, new Path(p), nrec) }.toMap
+      val fileStats = footerFileStatsAll(conf,
+        adopted.map(a => (a._1, a._3)))
       (adopted, tuples, fileStats)
     }
     // the PRESERVED leg (COW survivors): every row's lineage is
@@ -5073,6 +5073,23 @@ object IcebergTable {
       scala.concurrent.duration.Duration(10, "min")).toMap
   }
 
+  /** [[footerFileStats]] for MANY files, read CONCURRENTLY — the
+    * same independent-ranged-I/O argument as [[footerRowCounts]]. */
+  private def footerFileStatsAll(conf: org.apache.hadoop.conf.Configuration,
+                                 items: Seq[(String, Long)])
+  : Map[String, FileStats] = {
+    if (items.isEmpty) return Map.empty
+    if (items.size == 1)
+      return Map(items.head._1 ->
+        footerFileStats(conf, new Path(items.head._1), items.head._2))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.traverse(items) { case (p, n) =>
+        Future(p -> footerFileStats(conf, new Path(p), n)) },
+      scala.concurrent.duration.Duration(10, "min")).toMap
+  }
+
   private def footerFileStats(conf: org.apache.hadoop.conf.Configuration,
                               p: Path, records: Long): FileStats = try {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
@@ -5669,9 +5686,8 @@ object IcebergTable {
     fs.delete(tmp, true)
     // per-file column bounds/counts from the parquet footers (no data
     // scan) — external engines and the DSv2 scan prune on them
-    val fileStats: Map[String, FileStats] = adopted.map { case (p, _, nrec) =>
-      p -> footerFileStats(fsConf, new Path(p), nrec)
-    }.toMap
+    val fileStats: Map[String, FileStats] =
+      footerFileStatsAll(fsConf, adopted.map(a => (a._1, a._3)))
 
     casCommit(spark, tablePath) { (prior, metaVersion) =>
       val priorSnaps: Seq[JsonNode] = prior.toSeq
