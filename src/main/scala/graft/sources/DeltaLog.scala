@@ -1797,7 +1797,7 @@ object DeltaLog {
     // same path — the loser would clobber the winner's committed data
     // file before the CAS even ran
     val uniq = java.util.UUID.randomUUID().toString.take(8)
-    val adopted = staged.zipWithIndex.map { case (src, i) =>
+    val renamed = staged.zipWithIndex.map { case (src, i) =>
       val relStaged = fs.makeQualified(src).toString
         .stripPrefix(tmpRoot).stripPrefix("/")
       val dirs = relStaged.split('/').dropRight(1).toSeq
@@ -1807,10 +1807,23 @@ object DeltaLog {
       fs.mkdirs(fin.getParent)
       if (!fs.rename(src, fin))
         throw new IllegalStateException(s"rename failed for $rel")
-      (rel, pv, fs.getFileStatus(fin).getLen, footerStats(fsConf, fin))
+      (rel, pv, fs.getFileStatus(fin).getLen, fin)
     }
     fs.delete(tmp, true)
-    adopted
+    // footer stats CONCURRENTLY — independent ranged reads; a
+    // partitioned write adopts dozens of files and a sequential
+    // driver loop was the commit path's remaining serial leg
+    if (renamed.sizeIs <= 1)
+      renamed.map { case (rel, pv, len, fin) =>
+        (rel, pv, len, footerStats(fsConf, fin)) }
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse(renamed) { case (rel, pv, len, fin) =>
+          Future((rel, pv, len, footerStats(fsConf, fin))) },
+        scala.concurrent.duration.Duration(10, "min"))
+    }
   }
 
   /** True when the table declares `delta.enableChangeDataFeed` — the
