@@ -199,19 +199,27 @@ object GraftIceberg {
         }
         // SURVIVING files whose dead-row state changed: the
         // merge-on-read DELETE/UPDATE shape — newly-dead rows emit
-        // as deletes exactly once (pair diff decodes per executor)
-        (curFiles.keySet intersect prevFiles.keySet).toSeq.sorted
-          .foreach { p =>
-            val c = posRefsFor(cur, curDv, curPq, curFiles(p))
-            if (c.nonEmpty) {
+        // as deletes exactly once (pair diff decodes per executor).
+        // Only files a CHANGED delete file may reference are
+        // candidates — a pure-append step (no delete-set change)
+        // pays O(adds), never O(files × deletes) per poll
+        val curDelPaths = cur.deletes.map(_.path).toSet
+        val changedDel = cur.deletes.filter(d =>
+          d.content == 1 && !prevDeletePaths(d.path)) ++
+          prevS.toSeq.flatMap(_.deletes.filter(d =>
+            d.content == 1 && !curDelPaths(d.path)))
+        if (changedDel.nonEmpty)
+          (curFiles.keySet intersect prevFiles.keySet).toSeq.sorted
+            .filter(p => changedDel.exists(_.mayReference(p)))
+            .foreach { p =>
+              val c = posRefsFor(cur, curDv, curPq, curFiles(p))
               val pr = prevS.map(s =>
                 posRefsFor(s, prevDv, prevPq, prevFiles(p))).getOrElse(Nil)
-              if (c.toSet != pr.toSet)
+              if (c.nonEmpty && c.toSet != pr.toSet)
                 diff += ((wholeFile(p,
                   pvRow(readPartSchema, "delete", id),
                   curFiles(p).sizeBytes), p, true, c, pr))
             }
-          }
       } else if (removes.nonEmpty || newDeletes.nonEmpty) {
         if (!skipChangeCommits) // drop the whole commit when asked
           throw new UnsupportedOperationException(
