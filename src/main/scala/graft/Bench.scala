@@ -98,7 +98,12 @@ object Bench {
     // (builder sets e.g. r15_pre / r15_post); unset → latest_full.json,
     // which the driver's end-of-round commit preserves.
     try {
+      // slug-sanitize: a tag with '/' or '..' must not escape docs/bench
       val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "latest")
+        .replaceAll("[^A-Za-z0-9_-]", "_") match {
+        case "" => "latest"
+        case t => t
+      }
       val dir = java.nio.file.Paths.get("docs", "bench")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve(s"${tag}_full.json"),

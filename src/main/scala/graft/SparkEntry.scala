@@ -5956,6 +5956,31 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Delta TYPE WIDENING end-to-end (PROTOCOL.md §Type Widening,
+    // reader+writer feature `typeWidening`): the pre-widening file
+    // keeps its NARROW physical int32/float, the post-widening
+    // append writes wide values an int can't hold, and ONE read
+    // serves both (per-file up-cast at scan)
+    "interop_delta_widen" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-dwid")
+        .toString + "/t"
+      val n = Tables.nation(s, d).select(
+        col("n_nationkey").cast("int").as("k"),
+        col("n_name").as("nm"),
+        col("n_regionkey").cast("float").as("rk"))
+      graft.sources.DeltaLog.write(s, n, t)
+      graft.sources.DeltaLog.widenColumnType(s, t, "k",
+        org.apache.spark.sql.types.LongType)
+      graft.sources.DeltaLog.widenColumnType(s, t, "rk",
+        org.apache.spark.sql.types.DoubleType)
+      graft.sources.DeltaLog.write(s,
+        n.select((col("k").cast("bigint") + lit(10000000000L)).as("k"),
+          col("nm"), col("rk").cast("double").as("rk")), t)
+      graft.sources.DeltaLog.read(s, t)
+        .select(col("k"), col("nm"), col("rk"))
+        .orderBy("k")
+    }),
+
     // Iceberg POST-COMMIT METADATA CLEANUP end-to-end
     // (write.metadata.delete-after-commit.enabled): superseded
     // metadata files reap after every won CAS and the table still
@@ -9556,6 +9581,15 @@ object SparkEntry {
       s"""SELECT k, nm FROM (
          | SELECT n_nationkey + (i * 100) AS k, n_name AS nm
          | FROM nation, (SELECT UNNEST([0, 1, 2, 3]) AS i))
+         |ORDER BY k""".stripMargin,
+
+    "interop_delta_widen" ->
+      s"""SELECT k, nm, rk FROM (
+         | SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+         |   CAST(n_regionkey AS DOUBLE) AS rk FROM nation
+         | UNION ALL
+         | SELECT CAST(n_nationkey AS BIGINT) + 10000000000 AS k,
+         |   n_name AS nm, CAST(n_regionkey AS DOUBLE) AS rk FROM nation)
          |ORDER BY k""".stripMargin,
 
     "interop_iceberg_metaclean" ->

@@ -106,7 +106,82 @@ object DeltaLog {
   val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "columnMapping", // columnMapping only in mode none
       "deletionVectors", // applied as a row filter at scan
-      "v2Checkpoint") // classic, multi-part AND v2+sidecar forms read
+      "v2Checkpoint", // classic, multi-part AND v2+sidecar forms read
+      // per-file physical type may be NARROWER than the table schema
+      // type; the scan up-casts along the sanctioned promotion matrix
+      // (validated at snapshot resolution — see validateTypeWidening)
+      "typeWidening", "typeWidening-preview",
+      // behavioral no-ops for a correct reader: vacuumProtocolCheck
+      // obliges VACUUM implementations to read the protocol first
+      // (ours always resolves the snapshot — protocol gate included —
+      // before reclaiming anything); checkpointProtection constrains
+      // CHECKPOINT WRITERS below requireCheckpointProtectionBefore-
+      // Version (we never rewrite history checkpoints)
+      "vacuumProtocolCheck", "checkpointProtection")
+
+  /** The sanctioned `typeWidening` promotions (Delta PROTOCOL.md
+    * §Type Widening): a data file written BEFORE a widening stores
+    * the narrow physical type; reads up-cast to the table type. Any
+    * OTHER recorded change must refuse — Spark's parquet reader could
+    * not serve it faithfully anyway. */
+  private def widenOk(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (DateType, TimestampNTZType) => true
+    case (ByteType | ShortType | IntegerType, d: DecimalType) =>
+      d.precision - d.scale >= 10
+    case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale >= f.scale && t.precision - f.precision >= t.scale - f.scale
+    case _ => false
+  }
+
+  /** Parse the type-name strings `delta.typeChanges` records
+    * (Spark `typeName` forms; a couple of spec aliases tolerated). */
+  private def widenTypeOf(s: String): DataType =
+    s.trim.toLowerCase match {
+      case "timestampntz" => TimestampNTZType
+      case "int" => IntegerType
+      case other => org.apache.spark.sql.types.DataType.fromDDL(other)
+    }
+
+  /** Refuse non-sanctioned recorded type changes LOUDLY at snapshot
+    * resolution (never at some later task failure): walks every
+    * struct field (nested included) for `delta.typeChanges` metadata
+    * and checks each from→to pair against [[widenOk]]. */
+  private[sources] def validateTypeWidening(schema: StructType,
+                                            tablePath: String): Unit = {
+    def walkField(path: String, f: StructField): Unit = {
+      if (f.metadata.contains("delta.typeChanges"))
+        f.metadata.getMetadataArray("delta.typeChanges").foreach { tc =>
+          val from = widenTypeOf(tc.getString("fromType"))
+          val to = widenTypeOf(tc.getString("toType"))
+          if (!widenOk(from, to))
+            throw new UnsupportedOperationException(
+              s"typeWidening: non-sanctioned type change " +
+                s"${from.simpleString} -> ${to.simpleString} recorded " +
+                s"on column $path of $tablePath — the sanctioned " +
+                "promotions are byte/short/int/long chains, " +
+                "float->double, date->timestamp_ntz, integer->double, " +
+                "integer/long->decimal, and decimal precision(+scale) " +
+                "growth")
+        }
+      walkType(path, f.dataType)
+    }
+    def walkType(path: String, dt: DataType): Unit = dt match {
+      case st: StructType =>
+        st.fields.foreach(f => walkField(s"$path.${f.name}", f))
+      case at: ArrayType => walkType(s"$path.element", at.elementType)
+      case mt: MapType =>
+        walkType(s"$path.key", mt.keyType)
+        walkType(s"$path.value", mt.valueType)
+      case _ => ()
+    }
+    schema.fields.foreach(f => walkField(f.name, f))
+  }
 
   /** One live data file of a snapshot. `path` is absolute; `stats`
     * is the Delta per-file stats JSON (numRecords/minValues/
@@ -678,6 +753,7 @@ object DeltaLog {
           "(none/name/id only)")
     val schema = DataType.fromJson(metaRow.getAs[String]("schemaString"))
       .asInstanceOf[StructType]
+    validateTypeWidening(schema, tablePath)
     val partCols = Option(metaRow.getAs[scala.collection.Seq[String]]("partitionColumns"))
       .map(_.toSeq).getOrElse(Seq.empty)
 
@@ -857,6 +933,7 @@ object DeltaLog {
           "(none/name/id only)")
     val schema = DataType.fromJson(metaNode.get("schemaString").asText())
       .asInstanceOf[StructType]
+    validateTypeWidening(schema, tablePath)
     val partCols = Option(metaNode.get("partitionColumns")).toSeq
       .flatMap(_.elements().asScala.map(_.asText()))
     val files = fileState.toSeq.filter(_._2._2).sortBy(_._1).map {
@@ -1813,17 +1890,8 @@ object DeltaLog {
     // footer stats CONCURRENTLY — independent ranged reads; a
     // partitioned write adopts dozens of files and a sequential
     // driver loop was the commit path's remaining serial leg
-    if (renamed.sizeIs <= 1)
-      renamed.map { case (rel, pv, len, fin) =>
-        (rel, pv, len, footerStats(fsConf, fin)) }
-    else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.traverse(renamed) { case (rel, pv, len, fin) =>
-          Future((rel, pv, len, footerStats(fsConf, fin))) },
-        scala.concurrent.duration.Duration(10, "min"))
-    }
+    FooterIo.mapAll(renamed) { case (rel, pv, len, fin) =>
+      (rel, pv, len, footerStats(fsConf, fin)) }
   }
 
   /** True when the table declares `delta.enableChangeDataFeed` — the
@@ -4600,6 +4668,65 @@ object DeltaLog {
       prior.configuration, protoLine,
       op = if (default.isDefined) "ALTER COLUMN SET DEFAULT"
       else "ALTER COLUMN DROP DEFAULT")
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE <wider>` — PROTOCOL.md "Type
+    * Widening" (reader+writer feature `typeWidening`): the table
+    * schema's type widens along the sanctioned promotion matrix, the
+    * change is recorded in the column's `delta.typeChanges` metadata,
+    * and EXISTING data files keep their narrow physical type — reads
+    * up-cast per file (Spark's parquet reader serves every sanctioned
+    * promotion natively; [[validateTypeWidening]] keeps foreign logs
+    * honest). A metaData-only commit: no data moves. */
+  def widenColumnType(spark: SparkSession, deltaPath: String,
+                      column: String, to: DataType): Long = {
+    val prior = snapshot(spark, deltaPath)
+    val f = prior.schema.fields.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $column on $deltaPath"))
+    require(f.dataType != to,
+      s"column $column is already ${to.simpleString}")
+    if (!widenOk(f.dataType, to))
+      throw new UnsupportedOperationException(
+        s"typeWidening: ${f.dataType.simpleString} -> " +
+          s"${to.simpleString} on $column is not a sanctioned " +
+          "promotion (byte/short/int/long chains, float->double, " +
+          "date->timestamp_ntz, integer->double, integer/long->" +
+          "decimal, decimal precision(+scale) growth)")
+    require(!prior.partitionColumns.contains(f.name),
+      s"cannot widen partition column ${f.name} — partition values " +
+        "bind to the narrow type in the log")
+    require(!f.metadata.contains(GenerationExprKey),
+      s"column ${f.name} is GENERATED — its expression owns the type")
+    require(!f.metadata.contains(IdentityStartKey),
+      s"column ${f.name} is IDENTITY — identity columns stay long")
+    val hist =
+      if (f.metadata.contains("delta.typeChanges"))
+        f.metadata.getMetadataArray("delta.typeChanges")
+      else Array.empty[Metadata]
+    val entry = new MetadataBuilder()
+      .putString("fromType", f.dataType.typeName)
+      .putString("toType", to.typeName).build()
+    val newField = f.copy(dataType = to,
+      metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putMetadataArray("delta.typeChanges", hist :+ entry).build())
+    val newSchema = StructType(prior.schema.fields.map(fl =>
+      if (fl.name.equalsIgnoreCase(column)) newField else fl))
+    // reader+WRITER feature: force (3,7), enumerate legacy-implied
+    // features, declare typeWidening in BOTH lists
+    val (mrv, mwv, rf, wf) = prior.protocol
+    val protoLine =
+      if (mrv >= 3 && mwv >= 7 && rf.contains("typeWidening") &&
+          wf.contains("typeWidening")) None
+      else {
+        val (legacyRf, legacyWf) = legacyImpliedFeatures(mrv, mwv)
+        val rfOut = (rf ++ legacyRf :+ "typeWidening").distinct.sorted
+        val wfOut = (wf ++ legacyWf :+ "typeWidening").distinct.sorted
+        Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${rfOut.map(jsEscape).mkString("[", ",", "]")},"writerFeatures":${wfOut.map(jsEscape).mkString("[", ",", "]")}}}""")
+      }
+    commitMetaChange(spark, deltaPath, newSchema, prior.partitionColumns,
+      prior.configuration + ("delta.enableTypeWidening" -> "true"),
+      protoLine, op = "CHANGE COLUMN")
   }
 
   /** Commit a `domainMetadata` action setting `configuration` (a

@@ -166,8 +166,18 @@ object GraftIceberg {
       PartitionedFile(pv, SparkPath.fromPathString(key), 0L, sz,
         Array.empty[String], 0L, sz, Map.empty)
     }
+    val opOf = IcebergTable.snapshotEntries(spark, tablePath)
+      .map(e => e._1 -> e._3).toMap
     range.foreach { id =>
       val cur = snapAt(spark, tablePath, id, snapSchema)
+      // `replace` snapshots (compaction) rewrite file membership with
+      // ZERO row-content change — Iceberg's changelog scan excludes
+      // them; advance the baseline silently in every mode so a
+      // compaction inside the polled range neither replays every
+      // compacted row as delete+insert (cdf) nor kills an append-only
+      // stream as a spurious overwrite
+      if (opOf.getOrElse(id, "") == "replace") { prevS = Some(cur) }
+      else {
       val prevFiles: Map[String, IcebergTable.DataFile] =
         prevS.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
       val curFiles = cur.files.map(f => f.path -> f).toMap
@@ -236,6 +246,7 @@ object GraftIceberg {
           pvRow(readPartSchema, "insert", id), curFiles(p).sizeBytes)))
       }
       prevS = Some(cur)
+      }
     }
     val plain = GraftDelta.splitFiles(spark, out.result())
     val diffParts: Array[InputPartition] = diff.result().zipWithIndex.map {

@@ -140,6 +140,13 @@ object GraftSqlStatements {
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+""" +
       """(?:SET\s+DEFAULT\s+(.+?)|(DROP\s+DEFAULT))\s*;?\s*$""").r
+  /** `ALTER TABLE <t> ALTER COLUMN c TYPE <wider>` — Delta type
+    * widening ([[DeltaLog.widenColumnType]]) / Iceberg type promotion
+    * ([[IcebergTable.updateColumnType]]). */
+  private val AlterColumnTypeRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+""" +
+      """(?:SET\s+DATA\s+)?TYPE\s+([\w()\s,]+?)\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Target +
       """\s+ADD\s+CONSTRAINT\s+([\w$]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -433,6 +440,10 @@ object GraftSqlStatements {
       Some(GraftPartitionFieldCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
         transform.trim, isAdd = true, replaceOf = Some(what.trim)))
+    case AlterColumnTypeRe(path, ident, colName, typeDdl) =>
+      Some(GraftAlterColumnTypeCommand(Option(path),
+        Option(ident).map(splitParts).getOrElse(Nil),
+        colName.stripPrefix("`").stripSuffix("`"), typeDdl.trim))
     case AlterColumnDefaultRe(path, ident, colName, setLit, dropKw) =>
       Some(GraftAlterColumnDefaultCommand(Option(path),
         Option(ident).map(splitParts).getOrElse(Nil),
@@ -1186,6 +1197,36 @@ case class GraftAlterColumnDefaultCommand(path: Option[String],
       s"ALTER COLUMN ... DEFAULT is Delta-flavor; $dir is not a Delta " +
         "table (Iceberg declares defaults at ADD COLUMN ... DEFAULT)")
     Seq(Row(dir, DeltaLog.setColumnDefault(spark, dir, column, default)))
+  }
+}
+
+/** `ALTER TABLE <t> ALTER COLUMN c TYPE <wider>` — Delta TYPE
+  * WIDENING ([[DeltaLog.widenColumnType]], PROTOCOL.md §Type
+  * Widening) or Iceberg TYPE PROMOTION
+  * ([[IcebergTable.updateColumnType]], spec §Schema Evolution) by
+  * table flavor. Metadata-only either way: data files keep their
+  * narrow physical type; reads up-cast. */
+case class GraftAlterColumnTypeCommand(path: Option[String],
+                                       parts: Seq[String],
+                                       column: String, typeDdl: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlStatements._
+    val dir = resolveDir(spark, path, parts)
+    val to = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    val v = flavorOf(spark, dir) match {
+      case DeltaFlavor => DeltaLog.widenColumnType(spark, dir, column, to)
+      case IcebergFlavor =>
+        IcebergTable.updateColumnType(spark, dir, column, to)
+        IcebergTable.snapshot(spark, dir).snapshotId
+      case other => throw new UnsupportedOperationException(
+        s"ALTER COLUMN ... TYPE on $dir: unsupported flavor $other")
+    }
+    Seq(Row(dir, v))
   }
 }
 

@@ -1128,8 +1128,21 @@ object IcebergTable {
       val eraIds: Option[Set[Int]] = sid.flatMap(idsByEra.get)
       eraIds match {
         case None =>
-          if (unsafeEraExists) Seq.empty // projOf's refusal fires first
-          else Seq.empty
+          // era unresolvable with nested defaults in play: even when
+          // every RECORDED era contains the defaulted field (the
+          // lacking era expired/pruned), this file may predate it —
+          // an identity read would serve NULL where the
+          // initial-default is owed. No silent NULLs: refuse loudly
+          // (same shape as projOf's rename gate, which fires first
+          // when unsafeEraExists)
+          if (!unsafeEraExists)
+            throw new UnsupportedOperationException(
+              s"cannot resolve the schema era of ${f.path} (its adding " +
+                s"snapshot is unknown/expired) on ${snap.tablePath}, " +
+                "which carries defaulted NESTED fields — the file may " +
+                "predate them and owe the initial-default; rewrite the " +
+                "data (OPTIMIZE / overwrite) to materialize it")
+          Seq.empty // projOf's refusal fires first
         case Some(s) =>
           val fills = nestedInit.filter(nd =>
             !s(nd.ids.last) && nd.ids.init.forall(s))
@@ -1442,6 +1455,8 @@ object IcebergTable {
       if (fromIdx < 0) None
       else Some(snapshot(spark, tablePath,
         snapshotIdAsOf = Some(ids(fromIdx))))
+    val opOf = snapshotEntries(spark, tablePath)
+      .map(e => e._1 -> e._3).toMap
     val legs = scala.collection.mutable.ArrayBuffer[DataFrame]()
     ((fromIdx + 1) to toIdx).foreach { i =>
       val s = snapshot(spark, tablePath, snapshotIdAsOf = Some(ids(i)))
@@ -1449,6 +1464,14 @@ object IcebergTable {
         throw new UnsupportedOperationException(
           s"schema change inside polled snapshot range of $tablePath — " +
             "poll up to the boundary, adapt, continue")
+      // `replace` snapshots (compaction / delete-file rewrite) shuffle
+      // file membership without changing row content — Iceberg's
+      // changelog scan excludes them; emit nothing but ADVANCE the
+      // membership + dead-pair baseline so the next commit diffs
+      // against the post-compaction layout
+      if (opOf.getOrElse(ids(i), "") == "replace") {
+        prevS = Some(s)
+      } else {
       // EQUALITY deletes match by value with strict seq scoping — a
       // faithful row-level feed for them needs the full MOR join;
       // refuse rather than under-report (positions/DVs are served)
@@ -1485,6 +1508,7 @@ object IcebergTable {
         legs += tagged(readAt(survivors, Some(newly), anti = false), "delete")
       }
       prevS = Some(s)
+      }
     }
     legs.reduceOption(_.unionByName(_)).getOrElse(empty)
   }
@@ -4303,10 +4327,16 @@ object IcebergTable {
       // §Schema Evolution): a dotted name walks the struct chain of
       // the CLONED schema and appends the leaf inside it — with a
       // DEFAULT this is exactly the nested-initial-default shape the
-      // era-aware read serves for pre-evolution files
-      val parts = f.name.split("\\.").toSeq
+      // era-aware read serves for pre-evolution files. A BACKTICKED
+      // name (`a.b`) is a literal top-level column whose name contains
+      // a dot — added verbatim, never misrouted as a struct path
+      val parts: Seq[String] =
+        if (f.name.length > 1 && f.name.startsWith("`") &&
+            f.name.endsWith("`"))
+          Seq(f.name.substring(1, f.name.length - 1))
+        else f.name.split("\\.").toSeq
       val (target: ObjectNode, leafName: String) =
-        if (parts.length == 1) (newSchema, f.name)
+        if (parts.length == 1) (newSchema, parts.head)
         else {
           var node: ObjectNode = newSchema
           parts.init.foreach { p =>
@@ -5064,13 +5094,7 @@ object IcebergTable {
     * dropping the re-scan job saved). */
   private def footerRowCounts(conf: org.apache.hadoop.conf.Configuration,
                               ps: Seq[Path]): Map[Path, Long] = {
-    if (ps.isEmpty) return Map.empty
-    if (ps.size == 1) return Map(ps.head -> footerRowCount(conf, ps.head))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
-      Future.traverse(ps)(p => Future(p -> footerRowCount(conf, p))),
-      scala.concurrent.duration.Duration(10, "min")).toMap
+    FooterIo.mapAll(ps)(p => p -> footerRowCount(conf, p)).toMap
   }
 
   /** [[footerFileStats]] for MANY files, read CONCURRENTLY — the
@@ -5078,16 +5102,8 @@ object IcebergTable {
   private def footerFileStatsAll(conf: org.apache.hadoop.conf.Configuration,
                                  items: Seq[(String, Long)])
   : Map[String, FileStats] = {
-    if (items.isEmpty) return Map.empty
-    if (items.size == 1)
-      return Map(items.head._1 ->
-        footerFileStats(conf, new Path(items.head._1), items.head._2))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
-      Future.traverse(items) { case (p, n) =>
-        Future(p -> footerFileStats(conf, new Path(p), n)) },
-      scala.concurrent.duration.Duration(10, "min")).toMap
+    FooterIo.mapAll(items) { case (p, n) =>
+      p -> footerFileStats(conf, new Path(p), n) }.toMap
   }
 
   private def footerFileStats(conf: org.apache.hadoop.conf.Configuration,

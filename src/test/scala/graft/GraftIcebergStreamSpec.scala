@@ -968,4 +968,49 @@ class GraftIcebergStreamSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(rows === Set((1L, "a"), (2L, "b")))
   }
+
+  test("data-file compaction (replace snapshot) inside the polled range emits nothing — batch changes(), CDC stream, and append stream alike") {
+    val dir = tmp("gi-rdf")
+    val t = s"$dir/t"
+    IcebergTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    IcebergTable.write(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    val s0 = IcebergTable.snapshot(spark, t).snapshotId
+    // compaction: file membership changes completely, row content
+    // doesn't — Iceberg's changelog scan excludes replace snapshots
+    IcebergTable.rewriteDataFiles(spark, t, targetFileBytes = 1L << 30)
+    IcebergTable.write(spark, Seq((4L, "d")).toDF("k", "v"), t)
+    val sEnd = IcebergTable.snapshot(spark, t).snapshotId
+    // batch: only the post-compaction append emits — no delete+insert
+    // replay of every compacted-but-unchanged row
+    val ch = IcebergTable.changes(spark, t, s0, sEnd)
+      .select("k", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(ch === Set((4L, "d", "insert")))
+    // CDC stream from creation: each row exactly ONE insert event
+    val events = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    val q = spark.readStream.format("graft-iceberg")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        events ++= batch.select("k", "v", "_change_type")
+          .as[(Long, String, String)].collect()
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(events.sorted === Seq((1L, "a", "insert"), (2L, "b", "insert"),
+      (3L, "c", "insert"), (4L, "d", "insert")))
+    // append-only stream: the replace snapshot neither errors (it
+    // drops files, which a naive overwrite check would reject) nor
+    // leaks the compacted file's rows a second time
+    val seen = scala.collection.mutable.Set[(Long, String)]()
+    val q2 = spark.readStream.format("graft-iceberg").load(t)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= b.select("k", "v").as[(Long, String)].collect(); ()
+      }.start()
+    q2.awaitTermination(120000)
+    assert(seen === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
 }

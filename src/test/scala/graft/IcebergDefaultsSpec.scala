@@ -179,6 +179,26 @@ class IcebergDefaultsSpec extends SparkSpec {
     finally out.close()
   }
 
+  /** Rewrite the latest metadata JSON in place with an arbitrary
+    * mutation — simulates a foreign engine's metadata maintenance. */
+  private def mutateMetadata(t: String)(
+    mutate: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+    val mdir = new org.apache.hadoop.fs.Path(t, "metadata")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = fs.globStatus(new org.apache.hadoop.fs.Path(mdir, "v*.metadata.json"))
+      .map(_.getPath).sortBy(_.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toInt).last
+    val root = {
+      val in = fs.open(top)
+      try M.readTree(in).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    mutate(root)
+    val out = fs.create(top, true)
+    try out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+  }
+
   private def structFieldNode(s: com.fasterxml.jackson.databind.JsonNode,
                               name: String) =
     s.get("fields").elements().asScala
@@ -232,6 +252,49 @@ class IcebergDefaultsSpec extends SparkSpec {
     assert(withNull.length === 1 && withNull.head.isNullAt(1))
   }
 
+  test("era-unresolvable file on a nested-defaulted table refuses loudly even when every RECORDED era has the field") {
+    import org.apache.spark.sql.functions.struct
+    val t = tmp()
+    IcebergTable.write(spark,
+      Seq((1L, 10L)).toDF("k", "g1")
+        .select(col("k"), struct(col("g1")).as("s")), t)
+    IcebergTable.upgradeFormatVersion(spark, t, 3)
+    foreignEvolve(t, newCols = 1) { clone =>
+      val lastId = clone.get("fields").elements().asScala
+        .map(_.get("id").asInt()).max
+      val sType = structFieldNode(clone, "s").get("type")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val g2 = sType.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+      g2.put("id", 100 + lastId); g2.put("name", "g2")
+      g2.put("required", false); g2.put("type", "long")
+      g2.put("initial-default", 5L); g2.put("write-default", 5L)
+    }
+    // sanity: while the era IS resolvable, the default serves
+    assert(IcebergTable.read(spark, t).select(col("s.g2"))
+      .as[Long].collect().toSeq === Seq(5L))
+    // foreign METADATA CLEANUP: prune the pre-evolution schema from
+    // the schemas list and the adding snapshot's schema-id pointer —
+    // every recorded era now contains s.g2, yet the existing file
+    // predates the field and owes the initial-default. An identity
+    // read would serve silent NULL; the read must refuse instead.
+    mutateMetadata(t) { root =>
+      val schemas = root.get("schemas")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val curId = root.get("current-schema-id").asInt()
+      val keep = schemas.elements().asScala
+        .filter(_.get("schema-id").asInt() == curId).toSeq
+      schemas.removeAll(); keep.foreach(schemas.add)
+      root.get("snapshots").elements().asScala.foreach(s =>
+        s.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .remove("schema-id"))
+    }
+    val ex = intercept[UnsupportedOperationException] {
+      IcebergTable.read(spark, t).collect()
+    }
+    assert(ex.getMessage.contains("NESTED"), ex.getMessage)
+  }
+
   test("ADD COLUMN parent.child DEFAULT: the DDL twin of the foreign nested default") {
     import org.apache.spark.sql.functions.struct
     val t = tmp()
@@ -266,6 +329,14 @@ class IcebergDefaultsSpec extends SparkSpec {
       IcebergTable.addColumns(spark, t,
         Seq(StructField("k.x", LongType, nullable = true)))
     }
+    // a BACKTICKED name is a literal top-level column with a dot in
+    // its name — added verbatim, never misrouted as a struct path
+    IcebergTable.addColumns(spark, t,
+      Seq(StructField("`dot.ted`", LongType, nullable = true)))
+    val sch = IcebergTable.read(spark, t).schema
+    assert(sch.fieldNames.contains("dot.ted"), sch.fieldNames.mkString(","))
+    assert(IcebergTable.read(spark, t).select(col("`dot.ted`"))
+      .collect().forall(_.isNullAt(0)))
   }
 
   test("NESTED rename drift refuses loudly: pre-evolution files would silently read null (name-based struct resolution)") {
