@@ -5956,6 +5956,26 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Delta VARIANT end-to-end (PROTOCOL.md §Variant Data Type,
+    // reader+writer feature `variantType`): CREATE stamps the
+    // feature, DML composes over the variant column, variant_get
+    // extracts typed paths — the Delta twin of
+    // `interop_iceberg_variant`
+    "interop_delta_variant" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-dvar")
+        .toString + "/t"
+      graft.sources.DeltaLog.write(s,
+        Tables.nation(s, d).select(col("n_nationkey"),
+          parse_json(to_json(struct(col("n_name").as("nm"),
+            col("n_regionkey").as("rk")))).as("props")), t)
+      graft.sources.DeltaLog.delete(s, t, col("n_nationkey") % 5 === 0)
+      graft.sources.DeltaLog.read(s, t)
+        .select(col("n_nationkey").as("k"),
+          expr("variant_get(props, '$.nm', 'string')").as("nm"),
+          expr("variant_get(props, '$.rk', 'bigint')").as("rk"))
+        .orderBy("k")
+    }),
+
     // Delta TYPE WIDENING end-to-end (PROTOCOL.md §Type Widening,
     // reader+writer feature `typeWidening`): the pre-widening file
     // keeps its NARROW physical int32/float, the post-widening
@@ -9581,6 +9601,12 @@ object SparkEntry {
       s"""SELECT k, nm FROM (
          | SELECT n_nationkey + (i * 100) AS k, n_name AS nm
          | FROM nation, (SELECT UNNEST([0, 1, 2, 3]) AS i))
+         |ORDER BY k""".stripMargin,
+
+    "interop_delta_variant" ->
+      s"""SELECT n_nationkey AS k, n_name AS nm,
+         | CAST(n_regionkey AS BIGINT) AS rk
+         |FROM nation WHERE n_nationkey % 5 <> 0
          |ORDER BY k""".stripMargin,
 
     "interop_delta_widen" ->

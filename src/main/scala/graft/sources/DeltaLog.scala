@@ -111,6 +111,13 @@ object DeltaLog {
       // type; the scan up-casts along the sanctioned promotion matrix
       // (validated at snapshot resolution — see validateTypeWidening)
       "typeWidening", "typeWidening-preview",
+      // UNSHREDDED variant columns (PROTOCOL.md §Variant Data Type):
+      // the parquet Variant binary encoding Spark's VariantType
+      // reads/writes natively — schemaString `variant` parses
+      // straight to Spark VariantType. `variantShredding-preview`
+      // stays UNSUPPORTED on purpose (typed_value decomposition needs
+      // a re-assembling reader; refusing loudly beats misreading)
+      "variantType", "variantType-preview",
       // behavioral no-ops for a correct reader: vacuumProtocolCheck
       // obliges VACUUM implementations to read the protocol first
       // (ours always resolves the snapshot — protocol gate included —
@@ -147,6 +154,43 @@ object DeltaLog {
       case "int" => IntegerType
       case other => org.apache.spark.sql.types.DataType.fromDDL(other)
     }
+
+  /** Reader+writer TABLE FEATURES the schema's own types demand
+    * (PROTOCOL.md): `variantType` for variant columns, `timestampNtz`
+    * for TIMESTAMP WITHOUT TIME ZONE — a log serving these types
+    * without declaring the feature would be protocol-invalid to
+    * real readers. */
+  private def schemaTypeFeatures(schema: StructType): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    def walk(dt: DataType): Unit = dt match {
+      case st: StructType => st.fields.foreach(f => walk(f.dataType))
+      case at: ArrayType => walk(at.elementType)
+      case mt: MapType => walk(mt.keyType); walk(mt.valueType)
+      case _: VariantType => out += "variantType"
+      case TimestampNTZType => out += "timestampNtz"
+      case _ => ()
+    }
+    walk(schema)
+    out.toSeq
+  }
+
+  /** A protocol line upgrading to (3,7) with `features` in BOTH
+    * lists (legacy-implied features enumerated) — None when the
+    * prior protocol already declares them all. */
+  private def readerWriterFeatureLine(protocol: Protocol,
+                                      features: Seq[String])
+  : Option[String] = {
+    if (features.isEmpty) return None
+    val (mrv, mwv, rf, wf) = protocol
+    if (mrv >= 3 && mwv >= 7 &&
+        features.forall(f => rf.contains(f) && wf.contains(f))) None
+    else {
+      val (legacyRf, legacyWf) = legacyImpliedFeatures(mrv, mwv)
+      val rfOut = (rf ++ legacyRf ++ features).distinct.sorted
+      val wfOut = (wf ++ legacyWf ++ features).distinct.sorted
+      Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${rfOut.map(jsEscape).mkString("[", ",", "]")},"writerFeatures":${wfOut.map(jsEscape).mkString("[", ",", "]")}}}""")
+    }
+  }
 
   /** Refuse non-sanctioned recorded type changes LOUDLY at snapshot
     * resolution (never at some later task failure): walks every
@@ -2993,7 +3037,12 @@ object DeltaLog {
 
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     if (v == 0L) {
-      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      // variant / timestamp_ntz columns demand their reader+writer
+      // table features from birth — a (1,2) log serving them would
+      // be protocol-invalid to real readers
+      lines += readerWriterFeatureLine((1, 2, Nil, Nil),
+        schemaTypeFeatures(df.schema)).getOrElse(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
       lines += metaDataLine(tableId, df.schema.json, effParts, now)
     } else if (mergedSchema.isDefined) {
       // schema-evolving append: the widened schema lands in the SAME
@@ -3007,6 +3056,10 @@ object DeltaLog {
           StructType(base.fields.map(f => byName.getOrElse(f.name, f)))
         case None => base
       }
+      // a schema evolution INTRODUCING variant/ntz columns upgrades
+      // the protocol in the same commit
+      lines ++= readerWriterFeatureLine(prior.get.protocol,
+        schemaTypeFeatures(out))
       lines += metaDataLine(tableId, out.json, effParts, now,
         prior.get.configuration)
     } else if (overwrite) {
@@ -3020,10 +3073,12 @@ object DeltaLog {
       // schema with only the watermark metadata updated
       if (mappedPrior.isEmpty &&
         (shape(p.schema) != shape(df.schema) ||
-          p.partitionColumns != effParts))
+          p.partitionColumns != effParts)) {
+        lines ++= readerWriterFeatureLine(p.protocol,
+          schemaTypeFeatures(df.schema))
         lines += metaDataLine(tableId, df.schema.json, effParts, now,
           p.configuration)
-      else identitySchema.foreach(is =>
+      } else identitySchema.foreach(is =>
         lines += metaDataLine(tableId, is.json, effParts, now,
           p.configuration))
       // snapshot paths are absolute; the log stores table-relative —
@@ -4445,8 +4500,12 @@ object DeltaLog {
       deltaPath.getBytes("UTF-8")).toString
     val line = metaDataLine(tableId, widened.json, prior.partitionColumns,
       System.currentTimeMillis(), newConf)
-    // schema widening reads no data — rebases over data-only winners
-    commitCas(spark, deltaPath, v, Seq(line), BlindAppend,
+    // a variant/ntz column addition upgrades the protocol in the
+    // same commit; schema widening reads no data — rebases over
+    // data-only winners
+    val lines = readerWriterFeatureLine(prior.protocol,
+      schemaTypeFeatures(StructType(addedFields))).toSeq :+ line
+    commitCas(spark, deltaPath, v, lines, BlindAppend,
       operation = "ADD COLUMNS")
   }
 
@@ -4714,16 +4773,8 @@ object DeltaLog {
       if (fl.name.equalsIgnoreCase(column)) newField else fl))
     // reader+WRITER feature: force (3,7), enumerate legacy-implied
     // features, declare typeWidening in BOTH lists
-    val (mrv, mwv, rf, wf) = prior.protocol
     val protoLine =
-      if (mrv >= 3 && mwv >= 7 && rf.contains("typeWidening") &&
-          wf.contains("typeWidening")) None
-      else {
-        val (legacyRf, legacyWf) = legacyImpliedFeatures(mrv, mwv)
-        val rfOut = (rf ++ legacyRf :+ "typeWidening").distinct.sorted
-        val wfOut = (wf ++ legacyWf :+ "typeWidening").distinct.sorted
-        Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${rfOut.map(jsEscape).mkString("[", ",", "]")},"writerFeatures":${wfOut.map(jsEscape).mkString("[", ",", "]")}}}""")
-      }
+      readerWriterFeatureLine(prior.protocol, Seq("typeWidening"))
     commitMetaChange(spark, deltaPath, newSchema, prior.partitionColumns,
       prior.configuration + ("delta.enableTypeWidening" -> "true"),
       protoLine, op = "CHANGE COLUMN")
