@@ -170,6 +170,10 @@ object GraftIceberg {
       .map(e => e._1 -> e._3).toMap
     range.foreach { id =>
       val cur = snapAt(spark, tablePath, id, snapSchema)
+      if (cur.files.exists(f => !f.format.equalsIgnoreCase("parquet")))
+        throw new UnsupportedOperationException(
+          s"non-parquet data files in snapshot $id of $tablePath — " +
+            "the stream serves parquet tables; OPTIMIZE to parquet")
       // `replace` snapshots (compaction) rewrite file membership with
       // ZERO row-content change — Iceberg's changelog scan excludes
       // them; advance the baseline silently in every mode so a
@@ -597,6 +601,14 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
         planRange(spark, table.tablePath, table.snap.schema, readPart,
           fromId, toId, cdf = true, skipChangeCommits = false)
       } else {
+        // the DSv2 reader factory decodes parquet; ORC-bearing
+        // tables are served by the resolving reader
+        if (table.snap.files.exists(f =>
+            !f.format.equalsIgnoreCase("parquet")))
+          throw new UnsupportedOperationException(
+            s"non-parquet data files in ${table.tablePath} — the DSv2 " +
+              "scan serves parquet; use IcebergTable.read (the " +
+              "resolving reader dispatches ORC) or OPTIMIZE to parquet")
         val posDeletes = table.snap.deletes.filter(_.content == 1)
         val eqDeletes = table.snap.deletes.filter(_.content == 2)
         if (keyedGroups.isDefined) {

@@ -725,12 +725,17 @@ object IcebergTable {
           val content = fieldOpt(df, "content").map(longOf(_).toInt).getOrElse(0)
           val fmt = df.get("file_format").toString
           // PUFFIN is legal only for v3 deletion-vector entries
-          // (content=1 with a referenced_data_file)
+          // (content=1 with a referenced_data_file); ORC is served
+          // for DATA files (Spark reads ORC natively — footer stats
+          // degrade, never wrong), while DELETE files stay parquet
+          // (the spec's own delete-file encoding)
           if (!fmt.equalsIgnoreCase("parquet") &&
+            !(fmt.equalsIgnoreCase("orc") && content == 0) &&
             !(fmt.equalsIgnoreCase("puffin") && content == 1 &&
               fieldOpt(df, "referenced_data_file").isDefined))
             throw new UnsupportedOperationException(
-              s"non-parquet Iceberg file ($fmt) is not supported")
+              s"Iceberg file format $fmt (content=$content) is not " +
+                "supported — parquet everywhere, orc for data files")
           // sequence number: explicit on the entry, inherited from
           // the manifest-list row otherwise (the v2 inheritance rule)
           val seq = fieldOpt(entry, "sequence_number").map(longOf)
@@ -1209,6 +1214,23 @@ object IcebergTable {
         if (identitySafe) None else Some(p)
       } -> nestedFillsOf(f, sid)
     }
+    // per-group FORMAT dispatch: ORC data files scan through Spark's
+    // native ORC source. ORC has no `_metadata.row_index`, so
+    // position-based frames (MOR delete application, row lineage,
+    // DML match detection) cannot be served over it — refuse loudly;
+    // OPTIMIZE rewrites to parquet and lifts the restriction.
+    def scanOf(schema: StructType, fmt: String, paths: Seq[String]) = {
+      if (withPos && fmt != "parquet")
+        throw new UnsupportedOperationException(
+          s"position-based read over $fmt data files of " +
+            s"${snap.tablePath} is not supported ($fmt has no " +
+            "row-index metadata column) — OPTIMIZE / rewriteDataFiles " +
+            "to parquet first")
+      if (fmt == "orc") spark.read.schema(schema).orc(paths: _*)
+      else spark.read.schema(schema).parquet(paths: _*)
+    }
+    def fmtOf(f: DataFile): String =
+      f.format.toLowerCase(java.util.Locale.ROOT)
     def withMeta(df: DataFrame): DataFrame =
       if (!withPos) df
       else df.select(col("*"), col("_metadata.row_index").as("__ri"))
@@ -1226,16 +1248,15 @@ object IcebergTable {
           col(nd.path.head).withField(nd.path.tail.mkString("."),
             defaultLiteral(nd.dt, nd.init.get)))
       }
-    files.groupBy(projOf).toSeq.sortBy(_._2.head.path).map {
-      case ((None, fills), fs) =>
+    files.groupBy(f => (projOf(f), fmtOf(f))).toSeq
+      .sortBy(_._2.head.path).map {
+      case (((None, fills), fmt), fs) =>
         applyNested(
-          withMeta(spark.read.schema(snap.schema).parquet(fs.map(_.path): _*)),
-          fills)
-      case ((Some(p), fills), fs) =>
+          withMeta(scanOf(snap.schema, fmt, fs.map(_.path))), fills)
+      case (((Some(p), fills), fmt), fs) =>
         val eraStruct = StructType(p.collect {
           case (_, _, dt, Some(e)) => StructField(e, dt, nullable = true) })
-        val base = withMeta(
-          spark.read.schema(eraStruct).parquet(fs.map(_.path): _*))
+        val base = withMeta(scanOf(eraStruct, fmt, fs.map(_.path)))
         val cols = p.map { case (n, id, dt, eo) =>
           eo.map(e => col(e).as(n)).getOrElse(
             initDef.get(id).map(_.as(n))
@@ -1480,6 +1501,13 @@ object IcebergTable {
           s"equality delete files in snapshot ${ids(i)} of $tablePath — " +
             "the change feed serves position deletes and deletion " +
             "vectors; read snapshots instead")
+      // the feed's row reads are parquet scans (+row_index for the
+      // MOR legs) — ORC data files cannot serve them
+      if (s.files.exists(f => !f.format.equalsIgnoreCase("parquet")))
+        throw new UnsupportedOperationException(
+          s"non-parquet data files in snapshot ${ids(i)} of $tablePath " +
+            "— the change feed serves parquet tables; read snapshots " +
+            "instead (or OPTIMIZE to parquet)")
       val prevFiles = prevS.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
       val curFiles = s.files.map(_.path).toSet
       val prevDead = prevS.flatMap(deadPairs)

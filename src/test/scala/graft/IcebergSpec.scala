@@ -99,6 +99,18 @@ class IcebergSpec extends SparkSpec {
     dst.toString
   }
 
+  private def writeOrcDataFile(dir: String, name: String,
+                               df: org.apache.spark.sql.DataFrame): String = {
+    val tmp = Files.createTempDirectory("graft-ice-orcp").toString
+    df.coalesce(1).write.mode("overwrite").orc(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".orc")).get
+    val dst = Paths.get(dir, name)
+    Files.createDirectories(dst.getParent)
+    Files.copy(part.toPath, dst)
+    dst.toString
+  }
+
   private val schemaV1Json =
     """"schema":{"type":"struct","fields":[
       |{"id":1,"name":"id","required":false,"type":"long"},
@@ -223,23 +235,75 @@ class IcebergSpec extends SparkSpec {
     }
     assert(e2.getMessage.toLowerCase.contains("delete"))
 
-    // non-parquet data file
-    val t3 = Files.createTempDirectory("graft-ice-orc").toString
+    // UNKNOWN data file format (ORC is served since r16)
+    val t3 = Files.createTempDirectory("graft-ice-avro").toString
     val m3 = s"$t3/metadata/m1.avro"
-    val l3 = writeAvro(m3, V1Entry, Seq(entry(1, "/nope.orc", fmt = "ORC")))
+    val l3 = writeAvro(m3, V1Entry, Seq(entry(1, "/nope.avro", fmt = "AVRO")))
     val list3 = s"$t3/metadata/sl.avro"
     writeAvro(list3, V1List, Seq(listEntry(m3, l3)))
     commitMetadata(t3, 1, metadataJson(t3, 10L, Seq((10L, 1000L, list3))))
     val e3 = intercept[UnsupportedOperationException] {
       IcebergTable.snapshot(spark, t3)
     }
-    assert(e3.getMessage.contains("ORC"))
+    assert(e3.getMessage.contains("AVRO"))
 
     // not an iceberg table at all
     intercept[IllegalArgumentException] {
       IcebergTable.snapshot(spark,
         Files.createTempDirectory("graft-ice-none").toString)
     }
+  }
+
+  test("ORC data files serve: a mixed parquet+ORC foreign table reads hash-equal to its all-parquet twin; position-based reads refuse") {
+    def build(dir: String, orcSecond: Boolean): Unit = {
+      val f1 = writeDataFile(dir, "data/f1.parquet",
+        Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+      val f2 =
+        if (orcSecond) writeOrcDataFile(dir, "data/f2.orc",
+          Seq((3L, "c"), (4L, "d")).toDF("id", "s"))
+        else writeDataFile(dir, "data/f2.parquet",
+          Seq((3L, "c"), (4L, "d")).toDF("id", "s"))
+      val m1 = s"$dir/metadata/m1.avro"
+      val l1 = writeAvro(m1, V1Entry, Seq(
+        entry(1, f1),
+        entry(1, f2, fmt = if (orcSecond) "ORC" else "PARQUET")))
+      val list = s"$dir/metadata/sl.avro"
+      writeAvro(list, V1List, Seq(listEntry(m1, l1)))
+      commitMetadata(dir, 1, metadataJson(dir, 10L, Seq((10L, 1000L, list))))
+    }
+    val mixed = Files.createTempDirectory("graft-ice-mixed").toString
+    val twin = Files.createTempDirectory("graft-ice-twin").toString
+    build(mixed, orcSecond = true)
+    build(twin, orcSecond = false)
+    val gotMixed = IcebergTable.read(spark, mixed)
+      .as[(Long, String)].collect().toSet
+    val gotTwin = IcebergTable.read(spark, twin)
+      .as[(Long, String)].collect().toSet
+    assert(gotMixed === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(gotMixed === gotTwin)
+    // column pruning + filters flow into the ORC scan too
+    assert(IcebergTable.read(spark, mixed)
+      .where(org.apache.spark.sql.functions.col("id") > 2L)
+      .select("s").as[String].collect().toSet === Set("c", "d"))
+    // POSITION-based frames (row lineage, MOR application, DML match
+    // detection) need row_index — ORC cannot serve them: loud
+    val e = intercept[UnsupportedOperationException] {
+      IcebergTable.readWithRowIds(spark, mixed).collect()
+    }
+    assert(e.getMessage.contains("position-based read"), e.getMessage)
+    // the DSv2 scan decodes parquet — ORC routes to the resolving
+    // reader with a loud pointer
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-iceberg").load(mixed).collect()
+    }
+    assert(e2.toString.contains("resolving reader") ||
+      Option(e2.getCause).exists(_.toString.contains("resolving reader")),
+      e2.toString)
+    // the change feed is parquet-only: loud
+    val e3 = intercept[UnsupportedOperationException] {
+      IcebergTable.changes(spark, mixed, -1L, 10L).collect()
+    }
+    assert(e3.getMessage.contains("non-parquet"), e3.getMessage)
   }
 
   test("v2 merge-on-read: position + equality deletes apply with sequence-number scoping") {
