@@ -5956,6 +5956,28 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // CONVERT TO ICEBERG end-to-end (in-place adoption / `migrate`):
+    // a plain parquet dir becomes snapshot 1 with a name mapping, a
+    // post-adoption RENAME serves pre-adoption files, and appends +
+    // MOR DELETE compose — adoption produces a REAL table
+    "interop_iceberg_convert" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-iconv")
+        .toString + "/t"
+      val n = Tables.nation(s, d).select(col("n_nationkey"),
+        col("n_name"), col("n_regionkey"))
+      n.coalesce(1).write.parquet(t)
+      graft.sources.IcebergTable.convertFrom(s, t)
+      graft.sources.IcebergTable.renameColumn(s, t, "n_name", "nm")
+      graft.sources.IcebergTable.write(s,
+        n.select((col("n_nationkey") + lit(100)).as("n_nationkey"),
+          col("n_name").as("nm"), col("n_regionkey")), t)
+      graft.sources.IcebergTable.delete(s, t, col("n_nationkey") % 5 === 0)
+      graft.sources.IcebergTable.read(s, t)
+        .select(col("n_nationkey").as("k"), col("nm"),
+          col("n_regionkey").cast("bigint").as("rk"))
+        .orderBy("k")
+    }),
+
     // Delta VARIANT end-to-end (PROTOCOL.md §Variant Data Type,
     // reader+writer feature `variantType`): CREATE stamps the
     // feature, DML composes over the variant column, variant_get
@@ -9601,6 +9623,16 @@ object SparkEntry {
       s"""SELECT k, nm FROM (
          | SELECT n_nationkey + (i * 100) AS k, n_name AS nm
          | FROM nation, (SELECT UNNEST([0, 1, 2, 3]) AS i))
+         |ORDER BY k""".stripMargin,
+
+    "interop_iceberg_convert" ->
+      s"""SELECT k, nm, rk FROM (
+         | SELECT n_nationkey AS k, n_name AS nm,
+         |   CAST(n_regionkey AS BIGINT) AS rk FROM nation
+         | UNION ALL
+         | SELECT n_nationkey + 100 AS k, n_name AS nm,
+         |   CAST(n_regionkey AS BIGINT) AS rk FROM nation)
+         |WHERE k % 5 <> 0
          |ORDER BY k""".stripMargin,
 
     "interop_delta_variant" ->

@@ -107,6 +107,12 @@ object GraftSqlStatements {
   private val ConvertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+(?:parquet\s*\.\s*)?'([^']+)'""" +
       """(?:\s+PARTITIONED\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
+  /** `CONVERT TO ICEBERG [parquet.]'<path>'` — in-place adoption of a
+    * parquet dir as an Iceberg table with a name mapping
+    * ([[IcebergTable.convertFrom]]); unpartitioned only. */
+  private val ConvertIcebergRe =
+    ("""(?is)^\s*CONVERT\s+TO\s+ICEBERG\s+(?:parquet\s*\.\s*)?""" +
+      """'([^']+)'\s*;?\s*$""").r
   private val CallRe =
     """(?is)^\s*CALL\s+graft\.system\.(\w+)\s*\((.*)\)\s*;?\s*$""".r
   private val RenameColRe =
@@ -417,6 +423,8 @@ object GraftSqlStatements {
         Option(partCols).map(pc => splitCsv(pc)
           .map(_.trim.split("\\s+").head.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty)).getOrElse(Nil)))
+    case ConvertIcebergRe(path) =>
+      Some(GraftConvertToIcebergCommand(path))
     case CallRe(proc, args) =>
       Some(GraftCallCommand(proc.toLowerCase(java.util.Locale.ROOT),
         args.trim))
@@ -1026,6 +1034,19 @@ case class GraftConvertToDeltaCommand(dir: String, partCols: Seq[String])
 
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(dir, DeltaLog.convertToDelta(spark, dir, partCols)))
+}
+
+/** `CONVERT TO ICEBERG [parquet.]'<path>'` →
+  * [[IcebergTable.convertFrom]]: in-place adoption with
+  * `schema.name-mapping.default` recorded. */
+case class GraftConvertToIcebergCommand(dir: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("snapshot_id", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(dir, IcebergTable.convertFrom(spark, dir)))
 }
 
 /** `CALL graft.system.<proc>(…)` — Iceberg-style maintenance

@@ -856,9 +856,41 @@ object IcebergTable {
   /** id→name maps of every schema era, plus snapshot-id→schema-id —
     * the history [[rawFrame]] resolves renamed/re-added columns
     * through. */
+  /** `schema.name-mapping.default` (spec §Name Mapping
+    * Serialization), parsed to (top-level field-id → first mapped
+    * name, ALL mapped ids incl. nested). The mapping is how
+    * field-id-less ADOPTED files (CONVERT TO ICEBERG / migrate /
+    * add_files) stay resolvable after schema evolution: it pins the
+    * PHYSICAL name each field id had at adoption. */
+  private def parseNameMapping(meta: JsonNode)
+  : Option[(Map[Int, String], Set[Int])] = {
+    val prop = Option(meta.get("properties"))
+      .flatMap(p => Option(p.get("schema.name-mapping.default")))
+      .map(_.asText()).filter(_.nonEmpty)
+    prop.map { js =>
+      val arr = M.readTree(js)
+      val top = scala.collection.mutable.Map[Int, String]()
+      val all = scala.collection.mutable.Set[Int]()
+      def walk(node: JsonNode, topLevel: Boolean): Unit =
+        node.elements().asScala.foreach { e =>
+          val id = Option(e.get("field-id")).map(_.asInt())
+          val names = Option(e.get("names")).toSeq
+            .flatMap(_.elements().asScala.map(_.asText()))
+          id.foreach { i =>
+            all += i
+            if (topLevel && names.nonEmpty) top += i -> names.head
+          }
+          Option(e.get("fields")).foreach(walk(_, topLevel = false))
+        }
+      walk(arr, topLevel = true)
+      (top.toMap, all.toSet)
+    }
+  }
+
   private def schemaEras(spark: SparkSession, tablePath: String)
   : (Map[Int, Map[Int, String]], Map[Long, Int], Map[Int, Set[Int]],
-    Map[Int, Map[Int, (Int, String)]]) = {
+    Map[Int, Map[Int, (Int, String)]],
+    Option[(Map[Int, String], Set[Int])]) = {
     val meta = readJson(spark, latestMetadataFile(spark, tablePath))
     val schemaNodes: Seq[JsonNode] =
       if (meta.has("schemas")) meta.get("schemas").elements().asScala.toSeq
@@ -888,7 +920,7 @@ object IcebergTable {
       .flatMap(s => Option(s.get("schema-id"))
         .map(x => s.get("snapshot-id").asLong() -> x.asInt()))
       .toMap
-    (byId, snapToSchema, idsByEra, nestedByEra)
+    (byId, snapToSchema, idsByEra, nestedByEra, parseNameMapping(meta))
   }
 
   /** Non-top-level field id → (owning TOP-LEVEL field id, dotted path
@@ -1094,7 +1126,7 @@ object IcebergTable {
     // crosses a collection (no silent NULLs, ever)
     val nestedInit: Seq[NestedDefault] =
       snap.nestedDefaults.filter(_.init.nonEmpty)
-    lazy val (eras, snapToSchema, idsByEra, nestedByEra) =
+    lazy val (eras, snapToSchema, idsByEra, nestedByEra, nameMapping) =
       schemaEras(spark, snap.tablePath)
     // NESTED schema drift between a file's era and the read schema:
     // the parquet reader matches struct-inner fields BY NAME, so a
@@ -1130,7 +1162,10 @@ object IcebergTable {
     // null governs and the inner one never surfaces)
     def nestedFillsOf(f: DataFile, sid: Option[Int]): Seq[NestedDefault] = {
       if (nestedInit.isEmpty) return Seq.empty
+      // the adopted-files name mapping pins which ids existed at
+      // adoption — the era-equivalent id set for era-less files
       val eraIds: Option[Set[Int]] = sid.flatMap(idsByEra.get)
+        .orElse(nameMapping.map(_._2))
       eraIds match {
         case None =>
           // era unresolvable with nested defaults in play: even when
@@ -1170,7 +1205,11 @@ object IcebergTable {
       val sid: Option[Int] =
         if (f.addedSnapshotId < 0) None
         else snapToSchema.get(f.addedSnapshotId)
-      val era = sid.flatMap(eras.get)
+      // era-less files (adopted field-id-less parquet, expired
+      // snapshots) resolve through `schema.name-mapping.default`
+      // when the table carries one — the spec's pinned physical
+      // name per field id at adoption time
+      val era = sid.flatMap(eras.get).orElse(nameMapping.map(_._1))
       // a file whose era cannot be resolved (expired snapshot, v1
       // entry without schema-id) on a RENAMED/RE-ADDED table is
       // ambiguous — name-based reading could serve nulls or stale
@@ -4509,7 +4548,7 @@ object IcebergTable {
     val current = snap.schema.fields.toSeq
       .map(f => (f.name, byName.getOrElse(f.name, -1)))
     val nestedInit = snap.nestedDefaults.filter(_.init.nonEmpty)
-    lazy val (eras, snapToSchema, idsByEra, nestedByEra) =
+    lazy val (eras, snapToSchema, idsByEra, nestedByEra, _) =
       schemaEras(spark, snap.tablePath)
     def unsafe(m: Map[Int, String]): Boolean =
       current.exists { case (n, id) => m.get(id) match {
@@ -4988,6 +5027,167 @@ object IcebergTable {
     root.set[JsonNode]("snapshot-log", logArr)
     root.putArray("metadata-log")
     (root, snapId)
+    }
+  }
+
+  /** Serialize `schema.name-mapping.default` (spec §Name Mapping
+    * Serialization) from an Iceberg schema JSON node: one entry per
+    * field — `{"field-id": I, "names": [name]}` — with nested struct
+    * fields under `"fields"` and list/map components as
+    * element/key/value entries. */
+  private def nameMappingJson(schemaObj: JsonNode): String = {
+    def entriesOf(t: JsonNode): Option[ArrayNode] = {
+      if (t == null || !t.isObject) return None
+      if (t.has("fields")) {
+        val arr = M.createArrayNode()
+        t.get("fields").elements().asScala.foreach { f =>
+          val e = arr.addObject()
+          e.put("field-id", f.get("id").asInt())
+          e.putArray("names").add(f.get("name").asText())
+          entriesOf(nodeType(f)).foreach(e.set[JsonNode]("fields", _))
+        }
+        Some(arr)
+      } else Option(t.get("type")).filter(_.isTextual)
+        .map(_.asText()) match {
+        case Some("list") =>
+          val arr = M.createArrayNode()
+          val e = arr.addObject()
+          e.put("field-id", t.get("element-id").asInt())
+          e.putArray("names").add("element")
+          entriesOf(nodeType2(t, "element"))
+            .foreach(e.set[JsonNode]("fields", _))
+          Some(arr)
+        case Some("map") =>
+          val arr = M.createArrayNode()
+          val k = arr.addObject()
+          k.put("field-id", t.get("key-id").asInt())
+          k.putArray("names").add("key")
+          val v = arr.addObject()
+          v.put("field-id", t.get("value-id").asInt())
+          v.putArray("names").add("value")
+          entriesOf(nodeType2(t, "value"))
+            .foreach(v.set[JsonNode]("fields", _))
+          Some(arr)
+        case _ => None
+      }
+    }
+    M.writeValueAsString(entriesOf(schemaObj).getOrElse(M.createArrayNode()))
+  }
+
+  /** In-place ADOPTION of a plain parquet directory as an Iceberg
+    * table — the `CONVERT TO ICEBERG` / `migrate` shape, the Iceberg
+    * twin of [[DeltaLog.convertFrom]]: snapshot 1 adopts every live
+    * parquet file by ABSOLUTE path (no data rewrite), the schema
+    * comes from Spark's parquet inference with fresh field ids, and
+    * the metadata records `schema.name-mapping.default` (spec §Name
+    * Mapping Serialization) pinning each field id's physical name —
+    * so the adopted FIELD-ID-LESS files stay resolvable after schema
+    * evolution: a post-adoption RENAME keeps serving pre-adoption
+    * files through the mapping (graft's reader uses it as the
+    * era-resolution fallback; real engines resolve ids through it
+    * directly). Unpartitioned layout only — hive partition dirs do
+    * not carry the partition columns in the files, which an identity
+    * spec promises. After adoption this is a REAL Iceberg table:
+    * appends, DML, OPTIMIZE, schema evolution all work. */
+  def convertFrom(spark: SparkSession, path: String): Long = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(fsConf)
+    require(fs.exists(dst), s"no directory at $path")
+    val mdir = metaDir(path)
+    require(!fs.exists(mdir) || fs.listStatus(mdir).isEmpty,
+      s"$path already holds Iceberg metadata — it IS an Iceberg table")
+    require(!fs.exists(new Path(dst, "_delta_log")),
+      s"$path holds a _delta_log — mirror the Delta table instead " +
+        "(mirrorFromIceberg/UniForm direction, or CONVERT TO DELTA " +
+        "came first)")
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          if (st.isDirectory) {
+            require(!st.getPath.getName.contains("="),
+              s"hive partition directory ${st.getPath.getName} under " +
+                s"$path — identity partition columns must live IN the " +
+                "data files; rewrite unpartitioned first")
+            walk(st.getPath)
+          }
+          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else Seq.empty
+        }
+    val dataFiles = walk(dst)
+    require(dataFiles.nonEmpty, s"no parquet files under $path")
+    val schema = spark.read.parquet(path).schema
+    casCommit(spark, path) { (prior, _) =>
+      require(prior.isEmpty,
+        s"$path already holds Iceberg metadata — it IS an Iceberg table")
+      var idCounter = 0
+      val nextId = () => { idCounter += 1; idCounter }
+      val schemaObj = sparkTypeToIceberg(schema, nextId)
+        .asInstanceOf[ObjectNode]
+      schemaObj.put("schema-id", 0)
+      val schemaJson = M.writeValueAsString(schemaObj)
+      val snapId = 1L
+      val seq = 1L
+      val atok = java.util.UUID.randomUUID().toString.take(8)
+      val now = System.currentTimeMillis()
+      val counts = footerRowCounts(fsConf, dataFiles)
+      val triples: Seq[(String, Long, Long)] = dataFiles.map(p =>
+        (fs.makeQualified(p).toString, fs.getFileStatus(p).getLen,
+          counts(p)))
+      val fieldInfo: Map[String, (Int, DataType)] =
+        schema.fields.map { f =>
+          val fid = schemaObj.get("fields").elements().asScala
+            .find(_.get("name").asText() == f.name).get.get("id").asInt()
+          f.name -> ((fid, f.dataType))
+        }.toMap
+      val stats = footerFileStatsAll(fsConf,
+        triples.map(t => (t._1, t._3)))
+      val manifest = writeManifest(spark, mdir, s"adopt-$atok-$snapId",
+        schemaJson, triples, snapId, seq, stats = stats,
+        fieldInfo = fieldInfo)
+      val listPath = fs.makeQualified(
+        new Path(mdir, s"snap-$atok-$snapId-manifest-list.avro"))
+      writeAvro(spark, listPath, ManifestFileSchema,
+        Map("format-version" -> "2"), Seq(manifest))
+
+      val root = M.createObjectNode()
+      root.put("format-version", 2)
+      root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+        ("iceberg-convert:" + path).getBytes("UTF-8")).toString)
+      root.put("location", fs.makeQualified(dst).toString)
+      root.put("last-sequence-number", seq)
+      root.put("last-updated-ms", now)
+      root.put("last-column-id", idCounter)
+      root.put("current-schema-id", 0)
+      root.putArray("schemas").add(schemaObj)
+      val specsArr = root.putArray("partition-specs")
+      val sp = specsArr.addObject()
+      sp.put("spec-id", 0)
+      sp.putArray("fields")
+      root.put("default-spec-id", 0)
+      root.put("last-partition-id", 999)
+      root.put("default-sort-order-id", 0)
+      root.putArray("sort-orders").addObject().put("order-id", 0)
+        .putArray("fields")
+      root.putObject("properties").put("schema.name-mapping.default",
+        nameMappingJson(schemaObj))
+      root.put("current-snapshot-id", snapId)
+      val snapsArr = root.putArray("snapshots")
+      val sn = snapsArr.addObject()
+      sn.put("snapshot-id", snapId)
+      sn.put("sequence-number", seq)
+      sn.put("timestamp-ms", now)
+      sn.put("manifest-list", listPath.toString)
+      sn.put("schema-id", 0)
+      sn.putObject("summary").put("operation", "append")
+      val logArr = root.putArray("snapshot-log")
+      val lg = logArr.addObject()
+      lg.put("snapshot-id", snapId)
+      lg.put("timestamp-ms", now)
+      root.putArray("metadata-log")
+      (root, snapId)
     }
   }
 
