@@ -1931,11 +1931,27 @@ object DeltaLog {
       (rel, pv, fs.getFileStatus(fin).getLen, fin)
     }
     fs.delete(tmp, true)
-    // footer stats CONCURRENTLY — independent ranged reads; a
-    // partitioned write adopts dozens of files and a sequential
-    // driver loop was the commit path's remaining serial leg
-    FooterIo.mapAll(renamed) { case (rel, pv, len, fin) =>
-      (rel, pv, len, footerStats(fsConf, fin)) }
+    // footer stats: concurrently on the DRIVER below the gate,
+    // as ONE Spark job over executors above it (task-collected write
+    // statistics — O(files) ranged I/O must not serialize on the
+    // driver at a 100 TB append)
+    val gate = spark.conf
+      .getOption("spark.sql.graft.footerStatsDriverMaxFiles")
+      .map(_.toInt).getOrElse(64)
+    if (renamed.size <= gate)
+      FooterIo.mapAll(renamed) { case (rel, pv, len, fin) =>
+        (rel, pv, len, footerStats(fsConf, fin)) }
+    else {
+      val sc = new SerializableHadoopConf(fsConf)
+      val slices = math.max(1, math.min(renamed.size,
+        spark.sparkContext.defaultParallelism))
+      val statsByPath = spark.sparkContext
+        .parallelize(renamed.map(_._4.toString), slices)
+        .map(s => s -> footerStats(sc.value, new Path(s)))
+        .collect().toMap
+      renamed.map { case (rel, pv, len, fin) =>
+        (rel, pv, len, statsByPath(fin.toString)) }
+    }
   }
 
   /** True when the table declares `delta.enableChangeDataFeed` — the

@@ -1424,9 +1424,12 @@ object IcebergTable {
     * newly-dead set is the pair-diff against the predecessor's dead
     * set; DV decode rides on executors), added files emit only their
     * LIVE rows, and removed files emit only the rows live before
-    * removal. EQUALITY deletes refuse loudly (value matching needs
-    * the full MOR join — under-reporting would be worse). File
-    * contents are still on disk because nothing here vacuums.
+    * removal. EQUALITY-delete commits (the Flink-CDC upsert shape)
+    * serve row-level too: newly-dead rows are the pre-image's LIVE
+    * rows matched null-safely by a strictly-newer equality tuple —
+    * the same seq-scoped application as the batch read, as semi/anti
+    * joins over the keyed scan (nothing row-sized on the driver).
+    * File contents are still on disk because nothing here vacuums.
     * `fromSnapshotId = -1` starts from table creation. Metadata
     * resolution is bounded by the polled tail; data reads are
     * distributed scans of exactly the changed files. A schema change
@@ -1511,6 +1514,63 @@ object IcebergTable {
           out.select(endSnap.schema.fieldNames.map(col).toIndexedSeq: _*)
       }
     }
+    // ---- EQUALITY-delete row-level legs (the Flink-CDC upsert
+    // shape). These helpers compose over a KEYED frame — the data
+    // columns plus `__dp2` (the manifest's exact file_path), `__ri`
+    // (physical position) and `__dataseq` — so position pairs and
+    // equality tuples both scope exactly like the batch read
+    // (liveRowsWithPos): positions at delete_seq >= data_seq,
+    // equality matches null-safely at delete_seq > data_seq.
+    def keyedAt(paths: Seq[String], s: Snapshot): DataFrame = {
+      val base = spark.read.schema(endSnap.schema).parquet(paths: _*)
+        .select(col("*"), col("_metadata.row_index").as("__ri"))
+        .withColumn("__path",
+          regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
+      val pset = paths.toSet
+      val km = broadcast(s.files.filter(f => pset(f.path))
+        .map(f => (fileKey(f.path), f.path, f.seq))
+        .toDF("__path", "__dp2", "__dataseq"))
+      base.join(km, Seq("__path"), "left")
+    }
+    def posJoin(keyed: DataFrame, pairs: DataFrame, anti: Boolean): DataFrame = {
+      val scoped = pairs
+        .select(col("file_path").as("__dp"), col("pos").as("__dri"))
+      keyed.join(scoped,
+        keyed("__dp2") === scoped("__dp") && keyed("__ri") === scoped("__dri"),
+        if (anti) "left_anti" else "left_semi")
+    }
+    def eqFrames(s: Snapshot, eqs: Seq[DeleteFile])
+    : Seq[(Seq[String], DataFrame)] =
+      eqs.groupBy(_.equalityIds.sorted).toSeq.sortBy(_._1.mkString(","))
+        .map { case (eids, dfs) =>
+          val cols = eids.map(s.fieldNames)
+          cols -> dfs.map(d => spark.read.parquet(d.path)
+            .select(cols.map(c => col(c).as(s"__eq_$c")): _*)
+            .withColumn("__eseq", lit(d.seq)))
+            .reduce(_.unionByName(_))
+        }
+    // rows NOT matched by any strictly-newer equality delete
+    def eqAnti(keyed: DataFrame, s: Snapshot, eqs: Seq[DeleteFile]): DataFrame =
+      eqFrames(s, eqs).foldLeft(keyed) { case (k, (cols, eq)) =>
+        k.join(eq, cols.map(c => k(c) <=> eq(s"__eq_$c")).reduce(_ && _) &&
+          eq("__eseq") > k("__dataseq"), "left_anti")
+      }
+    // PEEL the matched rows per column set (chained by exclusion so a
+    // row matching two different column sets emits exactly once)
+    def eqPeel(keyed: DataFrame, s: Snapshot, eqs: Seq[DeleteFile])
+    : Seq[DataFrame] = {
+      var remaining = keyed
+      eqFrames(s, eqs).map { case (cols, eq) =>
+        def cond(k: DataFrame) =
+          cols.map(c => k(c) <=> eq(s"__eq_$c")).reduce(_ && _) &&
+            eq("__eseq") > k("__dataseq")
+        val m = remaining.join(eq, cond(remaining), "left_semi")
+        remaining = remaining.join(eq, cond(remaining), "left_anti")
+        m
+      }
+    }
+    def proj(df: DataFrame): DataFrame =
+      df.select(endSnap.schema.fieldNames.map(col).toIndexedSeq: _*)
     var prevS: Option[Snapshot] =
       if (fromIdx < 0) None
       else Some(snapshot(spark, tablePath,
@@ -1532,14 +1592,6 @@ object IcebergTable {
       if (opOf.getOrElse(ids(i), "") == "replace") {
         prevS = Some(s)
       } else {
-      // EQUALITY deletes match by value with strict seq scoping — a
-      // faithful row-level feed for them needs the full MOR join;
-      // refuse rather than under-report (positions/DVs are served)
-      if (s.deletes.exists(_.content == 2))
-        throw new UnsupportedOperationException(
-          s"equality delete files in snapshot ${ids(i)} of $tablePath — " +
-            "the change feed serves position deletes and deletion " +
-            "vectors; read snapshots instead")
       // the feed's row reads are parquet scans (+row_index for the
       // MOR legs) — ORC data files cannot serve them
       if (s.files.exists(f => !f.format.equalsIgnoreCase("parquet")))
@@ -1551,28 +1603,65 @@ object IcebergTable {
       val curFiles = s.files.map(_.path).toSet
       val prevDead = prevS.flatMap(deadPairs)
       val curDead = deadPairs(s)
+      val eqsPrev = prevS.toSeq.flatMap(_.deletes.filter(_.content == 2))
+      val eqsCur = s.deletes.filter(_.content == 2)
       def tagged(df: DataFrame, tag: String): DataFrame = df
         .withColumn("_change_type", lit(tag))
         .withColumn("_commit_snapshot_id", lit(ids(i)))
-      // INSERT: added files' rows, minus rows already dead at this
-      // snapshot (a carried/folded DV on a fresh file)
       val added = (curFiles -- prevFiles).toSeq.sorted
-      if (added.nonEmpty)
-        legs += tagged(readAt(added, curDead, anti = true), "insert")
-      // DELETE 1: removed files' rows that were LIVE before removal
       val removed = (prevFiles -- curFiles).toSeq.sorted
-      if (removed.nonEmpty)
-        legs += tagged(readAt(removed, prevDead, anti = true), "delete")
-      // DELETE 2: rows of SURVIVING files newly dead in this snapshot
-      // — the merge-on-read DELETE/UPDATE shape (v3 DV or position
-      // parquet), emitted exactly once
       val survivors = (curFiles intersect prevFiles).toSeq.sorted
-      if (survivors.nonEmpty && curDead.isDefined) {
-        val newly = prevDead match {
-          case None => curDead.get
-          case Some(pd) => curDead.get.except(pd)
+      if (eqsPrev.isEmpty && eqsCur.isEmpty) {
+        // position-only path: the pair-diff legs, plans unchanged
+        // INSERT: added files' rows, minus rows already dead at this
+        // snapshot (a carried/folded DV on a fresh file)
+        if (added.nonEmpty)
+          legs += tagged(readAt(added, curDead, anti = true), "insert")
+        // DELETE 1: removed files' rows that were LIVE before removal
+        if (removed.nonEmpty)
+          legs += tagged(readAt(removed, prevDead, anti = true), "delete")
+        // DELETE 2: rows of SURVIVING files newly dead in this
+        // snapshot — the merge-on-read DELETE/UPDATE shape (v3 DV or
+        // position parquet), emitted exactly once
+        if (survivors.nonEmpty && curDead.isDefined) {
+          val newly = prevDead match {
+            case None => curDead.get
+            case Some(pd) => curDead.get.except(pd)
+          }
+          legs += tagged(readAt(survivors, Some(newly), anti = false), "delete")
         }
-        legs += tagged(readAt(survivors, Some(newly), anti = false), "delete")
+      } else {
+        // EQUALITY deletes in play (the Flink-CDC upsert shape): every
+        // leg runs over the keyed frame so value matches scope by
+        // strict sequence number exactly like the batch read —
+        // dead(row) = position-dead ∨ equality-dead; newly-dead =
+        // dead(cur) ∧ live(prev), emitted exactly once
+        if (added.nonEmpty) {
+          var k = keyedAt(added, s)
+          curDead.foreach(cd => k = posJoin(k, cd, anti = true))
+          legs += tagged(proj(eqAnti(k, s, eqsCur)), "insert")
+        }
+        if (removed.nonEmpty) {
+          var k = keyedAt(removed, prevS.get)
+          prevDead.foreach(pd => k = posJoin(k, pd, anti = true))
+          legs += tagged(proj(eqAnti(k, prevS.get, eqsPrev)), "delete")
+        }
+        if (survivors.nonEmpty && (curDead.isDefined || eqsCur.nonEmpty)) {
+          var live = keyedAt(survivors, s)
+          prevDead.foreach(pd => live = posJoin(live, pd, anti = true))
+          val liveBefore = prevS.map(p => eqAnti(live, p, eqsPrev))
+            .getOrElse(live)
+          // newly position-dead (liveBefore already excludes the
+          // previously-dead positions, so semi(cur) IS the diff)
+          curDead.foreach(cd =>
+            legs += tagged(proj(posJoin(liveBefore, cd, anti = false)),
+              "delete"))
+          // newly equality-dead, over rows not position-dead now
+          val rem = curDead.map(cd => posJoin(liveBefore, cd, anti = true))
+            .getOrElse(liveBefore)
+          eqPeel(rem, s, eqsCur).foreach(m =>
+            legs += tagged(proj(m), "delete"))
+        }
       }
       prevS = Some(s)
       }
@@ -2135,7 +2224,7 @@ object IcebergTable {
       if (snap.specFields.isEmpty) Map.empty
       else adoptedFull.map(a => a._1 -> a._4).toMap
     val conf = spark.sparkContext.hadoopConfiguration
-    val fileStats = footerFileStatsAll(conf,
+    val fileStats = footerFileStatsAll(spark,
       adopted.map(a => (a._1, a._3)))
     def shapeOf(s: StructType): Seq[(String, DataType)] =
       s.fields.toSeq.map(f => (f.name, f.dataType))
@@ -2518,7 +2607,7 @@ object IcebergTable {
     fs.delete(tmp, true)
     // row counts from the FOOTERS (read concurrently), not a Spark
     // re-scan job of the data that was just written
-    val counts = footerRowCounts(fsConf, adopted.map(_._1))
+    val counts = footerRowCounts(spark, adopted.map(_._1))
     adopted.map { case (rel, len, tupleVals) =>
       (fs.makeQualified(rel).toString, len, counts(rel), tupleVals) }
   }
@@ -2705,7 +2794,7 @@ object IcebergTable {
         if (snap.specFields.isEmpty) Map.empty
         else adoptedFull.map(a => a._1 -> a._4).toMap
       val conf = spark.sparkContext.hadoopConfiguration
-      val fileStats = footerFileStatsAll(conf,
+      val fileStats = footerFileStatsAll(spark,
         adopted.map(a => (a._1, a._3)))
       (adopted, tuples, fileStats)
     }
@@ -5132,7 +5221,7 @@ object IcebergTable {
       val seq = 1L
       val atok = java.util.UUID.randomUUID().toString.take(8)
       val now = System.currentTimeMillis()
-      val counts = footerRowCounts(fsConf, dataFiles)
+      val counts = footerRowCounts(spark, dataFiles)
       val triples: Seq[(String, Long, Long)] = dataFiles.map(p =>
         (fs.makeQualified(p).toString, fs.getFileStatus(p).getLen,
           counts(p)))
@@ -5142,7 +5231,7 @@ object IcebergTable {
             .find(_.get("name").asText() == f.name).get.get("id").asInt()
           f.name -> ((fid, f.dataType))
         }.toMap
-      val stats = footerFileStatsAll(fsConf,
+      val stats = footerFileStatsAll(spark,
         triples.map(t => (t._1, t._3)))
       val manifest = writeManifest(spark, mdir, s"adopt-$atok-$snapId",
         schemaJson, triples, snapId, seq, stats = stats,
@@ -5316,22 +5405,59 @@ object IcebergTable {
     finally r.close()
   }
 
-  /** Footer row counts for MANY files, read CONCURRENTLY (the reads
-    * are independent ranged I/O — a partitioned commit stages dozens
-    * of files, and a sequential driver loop would give back what
-    * dropping the re-scan job saved). */
-  private def footerRowCounts(conf: org.apache.hadoop.conf.Configuration,
-                              ps: Seq[Path]): Map[Path, Long] = {
-    FooterIo.mapAll(ps)(p => p -> footerRowCount(conf, p)).toMap
+  /** How many staged files the DRIVER footer-reads itself (on the
+    * bounded [[FooterIo]] pool); ABOVE the gate the reads run as ONE
+    * Spark job over the executors — task-collected write statistics.
+    * A 100 TB append staging tens of thousands of files must not
+    * serialize O(files) ranged I/O on the driver, while a 3-file
+    * commit must not pay a job's scheduling latency. */
+  private def driverFooterGate(spark: SparkSession): Int =
+    spark.conf.getOption("spark.sql.graft.footerStatsDriverMaxFiles")
+      .map(_.toInt).getOrElse(64)
+
+  /** Test hook: how many files have been footer-read ON THE DRIVER
+    * (the gate's below-threshold leg). */
+  private[sources] val driverFooterReads =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Footer row counts for MANY files — concurrently on the driver
+    * below [[driverFooterGate]], as a distributed Spark job above it
+    * (the reads are independent ranged I/O either way). */
+  private def footerRowCounts(spark: SparkSession, ps: Seq[Path])
+  : Map[Path, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (ps.size <= driverFooterGate(spark)) {
+      driverFooterReads.addAndGet(ps.size)
+      FooterIo.mapAll(ps)(p => p -> footerRowCount(conf, p)).toMap
+    } else {
+      val sc = new SerializableHadoopConf(conf)
+      val slices = math.max(1, math.min(ps.size,
+        spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(ps.map(_.toString), slices)
+        .map(s => s -> footerRowCount(sc.value, new Path(s)))
+        .collect().map { case (s, n) => new Path(s) -> n }.toMap
+    }
   }
 
-  /** [[footerFileStats]] for MANY files, read CONCURRENTLY — the
-    * same independent-ranged-I/O argument as [[footerRowCounts]]. */
-  private def footerFileStatsAll(conf: org.apache.hadoop.conf.Configuration,
+  /** [[footerFileStats]] for MANY files — same driver-gate /
+    * executor-job split as [[footerRowCounts]]. */
+  private def footerFileStatsAll(spark: SparkSession,
                                  items: Seq[(String, Long)])
   : Map[String, FileStats] = {
-    FooterIo.mapAll(items) { case (p, n) =>
-      p -> footerFileStats(conf, new Path(p), n) }.toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (items.size <= driverFooterGate(spark)) {
+      driverFooterReads.addAndGet(items.size)
+      FooterIo.mapAll(items) { case (p, n) =>
+        p -> footerFileStats(conf, new Path(p), n) }.toMap
+    } else {
+      val sc = new SerializableHadoopConf(conf)
+      val slices = math.max(1, math.min(items.size,
+        spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(items, slices)
+        .map { case (p, n) =>
+          p -> footerFileStats(sc.value, new Path(p), n) }
+        .collect().toMap
+    }
   }
 
   private def footerFileStats(conf: org.apache.hadoop.conf.Configuration,
@@ -5920,7 +6046,7 @@ object IcebergTable {
       }
     // row counts from the FOOTERS (read concurrently), not a Spark
     // re-scan job of the data that was just written
-    val stagedCounts = footerRowCounts(fsConf, adoptedFull.map(_._1))
+    val stagedCounts = footerRowCounts(spark, adoptedFull.map(_._1))
     val adoptedQ = adoptedFull.map { case (rel, len, tupleVals) =>
       (fs.makeQualified(rel).toString, len, stagedCounts(rel), tupleVals) }
     val adopted = adoptedQ.map(a => (a._1, a._2, a._3))
@@ -5931,7 +6057,7 @@ object IcebergTable {
     // per-file column bounds/counts from the parquet footers (no data
     // scan) — external engines and the DSv2 scan prune on them
     val fileStats: Map[String, FileStats] =
-      footerFileStatsAll(fsConf, adopted.map(a => (a._1, a._3)))
+      footerFileStatsAll(spark, adopted.map(a => (a._1, a._3)))
 
     casCommit(spark, tablePath) { (prior, metaVersion) =>
       val priorSnaps: Seq[JsonNode] = prior.toSeq

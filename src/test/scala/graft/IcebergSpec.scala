@@ -247,6 +247,35 @@ class IcebergSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("AVRO"))
 
+    // v3 GEOMETRY/GEOGRAPHY types: no Spark mapping — the schema
+    // parser must refuse loudly, never mis-map (same gate shape the
+    // pre-#443 variant had)
+    Seq("geometry", "geometry(srid:3857)", "geography",
+      "geography(srid:4326,algorithm:spherical)").foreach { geo =>
+      val tg = Files.createTempDirectory("graft-ice-geo").toString
+      val mg = s"$tg/metadata/m1.avro"
+      val fg = writeDataFile(tg, "data/f1.parquet",
+        Seq((1L, "a")).toDF("id", "s"))
+      val lg = writeAvro(mg, V1Entry, Seq(entry(1, fg)))
+      val listg = s"$tg/metadata/slg.avro"
+      writeAvro(listg, V1List, Seq(listEntry(mg, lg)))
+      val geoSchema =
+        s""""schema":{"type":"struct","fields":[
+           |{"id":1,"name":"id","required":false,"type":"long"},
+           |{"id":2,"name":"shape","required":false,"type":"$geo"}]}""".stripMargin
+      commitMetadata(tg, 1,
+        s"""{"format-version":3,"table-uuid":"11111111-2222-3333-4444-555555555555",
+           |"location":"$tg","last-updated-ms":99,"last-column-id":2,
+           |$geoSchema,
+           |"partition-spec":[],"current-snapshot-id":10,
+           |"snapshots":[{"snapshot-id":10,"timestamp-ms":1000,"manifest-list":"$listg","summary":{"operation":"append"}}]}""".stripMargin)
+      val eg = intercept[UnsupportedOperationException] {
+        IcebergTable.snapshot(spark, tg)
+      }
+      assert(eg.getMessage.contains("unsupported Iceberg type"),
+        s"$geo: ${eg.getMessage}")
+    }
+
     // not an iceberg table at all
     intercept[IllegalArgumentException] {
       IcebergTable.snapshot(spark,
@@ -991,6 +1020,60 @@ class IcebergSpec extends SparkSpec {
     val tail = IcebergTable.changes(spark, t, s2, s3)
     assert(tail.where($"_change_type" === "insert").select("k")
       .as[Long].collect().toSeq === Seq(9L))
+  }
+
+  test("changes(): EQUALITY-delete commits serve row-level (the Flink-CDC upsert shape), exactly once, seq-scoped") {
+    val t = Files.createTempDirectory("graft-ice-cdceq").toString + "/t"
+    val s0 = IcebergTable.write(spark,
+      (1L to 4L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), t)
+    // upsert = ONE snapshot: equality delete on k + fresh data file
+    val s1 = IcebergTable.upsertEquality(spark, t,
+      Seq((2L, "UP"), (5L, "NEW")).toDF("k", "v"), Seq("k"))
+    assert(IcebergTable.snapshot(spark, t).deletes.exists(_.content == 2))
+    val ch1 = IcebergTable.changes(spark, t, s0, s1)
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    // the matched pre-image row deletes; the upsert's own file (same
+    // seq as its equality delete — NOT strictly newer) inserts whole
+    assert(ch1 === Set((2L, "v2", "delete"),
+      (2L, "UP", "insert"), (5L, "NEW", "insert")))
+
+    // a later POSITION delete must not replay the equality-dead row
+    IcebergTable.delete(spark, t, $"k" === 3L)
+    val s2 = IcebergTable.snapshot(spark, t).snapshotId
+    val ch2 = IcebergTable.changes(spark, t, s1, s2)
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(ch2 === Set((3L, "v3", "delete")))
+
+    // a SECOND upsert on the same key: only the CURRENT image of k=2
+    // (the s1 row, seq-scoped) deletes — v2/v1 images stay dead-quiet
+    val s3 = IcebergTable.upsertEquality(spark, t,
+      Seq((2L, "UP2")).toDF("k", "v"), Seq("k"))
+    val ch3 = IcebergTable.changes(spark, t, s2, s3)
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(ch3 === Set((2L, "UP", "delete"), (2L, "UP2", "insert")))
+
+    // full-range replica convergence (exactly-once: a multiset replay
+    // with counted applies would diverge on any duplicate emission)
+    val replica = scala.collection.mutable.Map[(Long, String), Int]()
+    IcebergTable.changes(spark, t, -1L, s3)
+      .select("k", "v", "_change_type", "_commit_snapshot_id")
+      .as[(Long, String, String, Long)].collect()
+      .sortBy(_._4).foreach {
+        case (k, v, "insert", _) =>
+          replica.updateWith((k, v))(c => Some(c.getOrElse(0) + 1))
+        case (k, v, "delete", _) =>
+          replica.updateWith((k, v)) {
+            case Some(1) => None
+            case other => fail(s"delete of ($k,$v) at count $other"); None
+          }
+        case other => fail(s"unexpected change row $other")
+      }
+    assert(replica.values.forall(_ == 1))
+    assert(replica.keySet ===
+      IcebergTable.read(spark, t).as[(Long, String)].collect().toSet)
   }
 
   test("catalog serves the iceberg flavor by name, with time travel") {
