@@ -5868,6 +5868,44 @@ object SparkEntry {
         .orderBy("change", "nation")
     }),
 
+    // EQUALITY-DELETE change feed (the Flink-CDC upsert shape): two
+    // equality upserts replay row-level through the DSv2
+    // readChangeFeed scan — each matched pre-image row deletes
+    // exactly once under strict sequence scoping (the SECOND upsert
+    // deletes the first upsert's image, never the long-dead
+    // original), upsert data files insert whole
+    "interop_iceberg_cdceq" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icecdq")
+        .toString + "/t"
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      graft.sources.IcebergTable.write(s, c, t)
+      val from = graft.sources.IcebergTable.snapshot(s, t).snapshotId
+      // upsert #1: zero the balances of nation 3, insert fresh keys
+      graft.sources.IcebergTable.upsertEquality(s, t,
+        c.where(col("c_nationkey") === 3)
+          .select(col("c_custkey"), col("c_nationkey"),
+            lit(0.0).as("c_acctbal"))
+          .unionByName(c.where(col("c_nationkey") === 9)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              col("c_nationkey"), col("c_acctbal"))),
+        Seq("c_custkey"))
+      // upsert #2 on the SAME keys: only the current image deletes
+      graft.sources.IcebergTable.upsertEquality(s, t,
+        c.where(col("c_nationkey") === 3)
+          .select(col("c_custkey"), col("c_nationkey"),
+            lit(1.0).as("c_acctbal")),
+        Seq("c_custkey"))
+      s.read.format("graft-iceberg")
+        .option("readChangeFeed", "true")
+        .option("startingSnapshotId", from.toString)
+        .load(t)
+        .groupBy(col("_change_type").as("change"),
+          col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"), sumD(col("c_acctbal")).as("bal"))
+        .orderBy("change", "nation")
+    }),
+
     // SORT-ORDER-PRESERVING compaction (real Iceberg's rewrite `sort`
     // strategy): a WRITE ORDERED BY table with a small-file pile and
     // a MOR delete scar compacts through range distribution + local
@@ -9594,6 +9632,26 @@ object SparkEntry {
          | UNION ALL
          | SELECT 'insert', c_nationkey, COUNT(*), ${sqlSumD("0.0")}
          | FROM customer WHERE c_nationkey = 11 GROUP BY 2)
+         |ORDER BY change, nation""".stripMargin,
+
+    "interop_iceberg_cdceq" ->
+      s"""SELECT change, nation, COUNT(*) AS n, ${sqlSumD("bal")} AS bal
+         |FROM (
+         | SELECT 'delete' AS change, c_nationkey AS nation,
+         |  c_acctbal AS bal FROM customer WHERE c_nationkey = 3
+         | UNION ALL
+         | SELECT 'delete', c_nationkey, 0.0
+         | FROM customer WHERE c_nationkey = 3
+         | UNION ALL
+         | SELECT 'insert', c_nationkey, 0.0
+         | FROM customer WHERE c_nationkey = 3
+         | UNION ALL
+         | SELECT 'insert', c_nationkey, 1.0
+         | FROM customer WHERE c_nationkey = 3
+         | UNION ALL
+         | SELECT 'insert', c_nationkey, c_acctbal
+         | FROM customer WHERE c_nationkey = 9)
+         |GROUP BY 1, 2
          |ORDER BY change, nation""".stripMargin,
 
     "interop_iceberg_sortcompact" ->

@@ -124,8 +124,11 @@ object GraftIceberg {
     * [[IcebergRowDiffPartition]]s — whole-file partitions whose
     * executors decode the per-file dead-position pair diff and serve
     * each newly-dead row exactly once (the streaming twin of
-    * [[IcebergTable.changes]]). Equality deletes refuse loudly
-    * (value-matching needs the full MOR join — never under-report). */
+    * [[IcebergTable.changes]]). EQUALITY-delete commits (the
+    * Flink-CDC upsert shape) serve row-level too: the newly-dead rows
+    * of each strictly-older surviving file are its live-before rows
+    * value-matching the new tuples, matched on the executors against
+    * the driver-seq-scoped delete refs. */
   def planRange(spark: SparkSession, tablePath: String,
                 snapSchema: StructType, readPartSchema: StructType,
                 fromId: Long, toId: Long, cdf: Boolean,
@@ -141,12 +144,6 @@ object GraftIceberg {
     val range = ids.slice(from + 1, to + 1)
     if (range.isEmpty) return Array.empty
 
-    def eqGate(s: IcebergTable.Snapshot, id: Long): Unit =
-      if (cdf && s.deletes.exists(_.content == 2))
-        throw new UnsupportedOperationException(
-          s"equality delete files in snapshot $id of $tablePath — the " +
-            "change feed serves position deletes and deletion vectors; " +
-            "read snapshots instead")
     def dvMapOf(s: IcebergTable.Snapshot) = s.deletes
       .filter(d => d.content == 1 && d.isDv)
       .groupBy(_.referencedDataFile.getOrElse(""))
@@ -156,11 +153,12 @@ object GraftIceberg {
     var prevS: Option[IcebergTable.Snapshot] =
       if (fromId == -1L) None
       else Some(snapAt(spark, tablePath, fromId, snapSchema))
-    prevS.foreach(s => eqGate(s, fromId))
     val out = Seq.newBuilder[(String, InternalRow, Long)]
-    // (whole-file pf, manifest data path, select?, cur refs, prev refs)
+    // (whole-file pf, manifest data path, select?, cur refs, prev
+    //  refs, equality excludes, equality selects)
     val diff = Seq.newBuilder[(PartitionedFile, String, Boolean,
-      Seq[PosDeleteRef], Seq[PosDeleteRef])]
+      Seq[PosDeleteRef], Seq[PosDeleteRef], Seq[EqDeleteRef],
+      Seq[EqDeleteRef])]
     def wholeFile(key: String, pv: InternalRow, size: Long): PartitionedFile = {
       val sz = math.max(size, 1L)
       PartitionedFile(pv, SparkPath.fromPathString(key), 0L, sz,
@@ -192,24 +190,39 @@ object GraftIceberg {
         prevS.map(_.deletes.map(_.path).toSet).getOrElse(Set.empty)
       val newDeletes = cur.deletes.filterNot(d => prevDeletePaths(d.path))
       if (cdf) {
-        eqGate(cur, id)
         val curDv = dvMapOf(cur); val curPq = pqOf(cur)
         lazy val prevDv = prevS.map(dvMapOf).getOrElse(Map.empty)
         lazy val prevPq = prevS.map(pqOf).getOrElse(Seq.empty)
+        // EQUALITY deletes (the Flink-CDC upsert shape): the driver
+        // pre-scopes by sequence number (strictly newer than the data
+        // file, the spec's rule); executors only value-match
+        val eqPrev = prevS.map(_.deletes.filter(_.content == 2))
+          .getOrElse(Seq.empty)
+        val eqCur = cur.deletes.filter(_.content == 2)
+        def eqRefs(eqs: Seq[IcebergTable.DeleteFile],
+                   f: IcebergTable.DataFile): Seq[EqDeleteRef] =
+          eqs.filter(_.seq > f.seq).map(d =>
+            EqDeleteRef(d.path, d.sizeBytes,
+              d.equalityIds.map(cur.fieldNames)))
         adds.foreach { p =>
           val refs = posRefsFor(cur, curDv, curPq, curFiles(p))
+          val eqA = eqRefs(eqCur, curFiles(p))
           val row = pvRow(readPartSchema, "insert", id)
-          if (refs.isEmpty) out += ((p, row, curFiles(p).sizeBytes))
+          if (refs.isEmpty && eqA.isEmpty)
+            out += ((p, row, curFiles(p).sizeBytes))
           else diff += ((wholeFile(p, row, curFiles(p).sizeBytes), p,
-            false, refs, Nil)) // born with dead rows: live ones insert
+            false, refs, Nil, eqA, Nil)) // born with dead rows: live ones insert
         }
         removes.foreach { p =>
           val refs = prevS.map(s =>
             posRefsFor(s, prevDv, prevPq, prevFiles(p))).getOrElse(Nil)
+          val eqA = prevS.map(_ => eqRefs(eqPrev, prevFiles(p)))
+            .getOrElse(Nil)
           val row = pvRow(readPartSchema, "delete", id)
-          if (refs.isEmpty) out += ((p, row, prevFiles(p).sizeBytes))
+          if (refs.isEmpty && eqA.isEmpty)
+            out += ((p, row, prevFiles(p).sizeBytes))
           else diff += ((wholeFile(p, row, prevFiles(p).sizeBytes), p,
-            false, refs, Nil)) // previously-LIVE rows only
+            false, refs, Nil, eqA, Nil)) // previously-LIVE rows only
         }
         // SURVIVING files whose dead-row state changed: the
         // merge-on-read DELETE/UPDATE shape — newly-dead rows emit
@@ -217,13 +230,15 @@ object GraftIceberg {
         // Only files a CHANGED delete file may reference are
         // candidates — a pure-append step (no delete-set change)
         // pays O(adds), never O(files × deletes) per poll
+        val survivors = (curFiles.keySet intersect prevFiles.keySet)
+          .toSeq.sorted
         val curDelPaths = cur.deletes.map(_.path).toSet
         val changedDel = cur.deletes.filter(d =>
           d.content == 1 && !prevDeletePaths(d.path)) ++
           prevS.toSeq.flatMap(_.deletes.filter(d =>
             d.content == 1 && !curDelPaths(d.path)))
         if (changedDel.nonEmpty)
-          (curFiles.keySet intersect prevFiles.keySet).toSeq.sorted
+          survivors
             .filter(p => changedDel.exists(_.mayReference(p)))
             .foreach { p =>
               val c = posRefsFor(cur, curDv, curPq, curFiles(p))
@@ -232,8 +247,25 @@ object GraftIceberg {
               if (c.nonEmpty && c.toSet != pr.toSet)
                 diff += ((wholeFile(p,
                   pvRow(readPartSchema, "delete", id),
-                  curFiles(p).sizeBytes), p, true, c, pr))
+                  curFiles(p).sizeBytes), p, true, c, pr,
+                  eqRefs(eqPrev, curFiles(p)), Nil))
             }
+        // NEW equality-delete files kill matching rows in every
+        // strictly-older surviving file: emit rows live before (not
+        // position-dead, not matching the PREVIOUS equality set) that
+        // match the new tuples — each exactly once (rows newly
+        // position-dead are excluded here; the pos-diff leg owns them)
+        val newEq = eqCur.filterNot(d => prevDeletePaths(d.path))
+        if (newEq.nonEmpty)
+          survivors.foreach { p =>
+            val f = curFiles(p)
+            val sel = eqRefs(newEq, f)
+            if (sel.nonEmpty)
+              diff += ((wholeFile(p, pvRow(readPartSchema, "delete", id),
+                f.sizeBytes), p, false,
+                posRefsFor(cur, curDv, curPq, f), Nil,
+                eqRefs(eqPrev, f), sel))
+          }
       } else if (removes.nonEmpty || newDeletes.nonEmpty) {
         if (!skipChangeCommits) // drop the whole commit when asked
           throw new UnsupportedOperationException(
@@ -254,9 +286,9 @@ object GraftIceberg {
     }
     val plain = GraftDelta.splitFiles(spark, out.result())
     val diffParts: Array[InputPartition] = diff.result().zipWithIndex.map {
-      case ((pf, dataPath, select, c, pr), i) =>
+      case ((pf, dataPath, select, c, pr, excl, sel), i) =>
         IcebergRowDiffPartition(FilePartition(plain.length + i, Array(pf)),
-          dataPath, select, c, pr): InputPartition
+          dataPath, select, c, pr, excl, sel): InputPartition
     }.toArray
     plain ++ diffParts
   }
@@ -763,17 +795,53 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
 
   /** CDC reads (batch range or stream): plain file partitions plus
     * the row-level [[IcebergRowDiffPartition]] legs — position
-    * deletes / DV blobs decode on executors; equality deletes never
-    * reach here (the planner refuses them). Filters are NOT pushed to
-    * the inner reader: row-diff positions index PHYSICAL rows. */
+    * deletes / DV blobs decode on executors; EQUALITY deletes
+    * value-match on executors against per-column-set delete readers
+    * built here from the table's history (a column set first
+    * committed after a stream started asks for a restart — the same
+    * contract as a schema change). Filters are NOT pushed to the
+    * inner reader: row-diff positions index PHYSICAL rows. */
   private def cdcFactory: PartitionReaderFactory = {
-    val inner = GraftDelta.readerFactory(spark, table.dataSchema, readData,
-      readPart, Array.empty)
     val conf = new SerializableHadoopConf(
       spark.sessionState.newHadoopConfWithOptions(Map.empty))
     val posF = GraftDelta.readerFactory(spark, MorServing.PosDeleteSchema,
       MorServing.PosDeleteSchema, new StructType(), Array.empty)
-    new MorReaderFactory(factory, inner, conf, posF)
+    // equality column sets across the WHOLE history (metadata-only):
+    // a polled range can carry equality deletes from any snapshot in
+    // it, and the factory is built once per scan/stream
+    val eqColSets: Seq[Seq[String]] =
+      IcebergTable.snapshotIds(spark, table.tablePath).flatMap { id =>
+        IcebergTable.snapshot(spark, table.tablePath,
+          snapshotIdAsOf = Some(id))
+          .deletes.filter(_.content == 2).map(_.equalityIds)
+      }.distinct
+        // ids unresolvable under the CURRENT schema belong to eras the
+        // range gate refuses anyway (schema change = restart)
+        .filter(_.forall(table.snap.fieldNames.contains))
+        .map(_.map(table.snap.fieldNames))
+    val eqColUnionCdc =
+      eqColSets.flatten.distinct.filterNot(readData.fieldNames.contains)
+    val augData = StructType(
+      readData.fields ++ eqColUnionCdc.map(c => table.dataSchema(c)))
+    val inner = GraftDelta.readerFactory(spark, table.dataSchema, augData,
+      readPart, Array.empty)
+    val eqFs = eqColSets.map { cols =>
+      val sch = StructType(cols.map(c => table.dataSchema(c)))
+      cols -> GraftDelta.readerFactory(spark, sch, sch, new StructType(),
+        Array.empty)
+    }.toMap
+    val eqIdx = eqColSets.map { cols =>
+      cols -> ((cols.map(augData.fieldIndex).toArray,
+        cols.map(c => augData(c).dataType).toArray))
+    }.toMap
+    val (projIdx, projTypes) =
+      if (eqColUnionCdc.isEmpty) (null, null)
+      else ((readData.fields.indices ++
+        (augData.length until augData.length + readPart.length)).toArray,
+        (readData.fields.map(_.dataType) ++
+          readPart.fields.map(_.dataType)).toArray)
+    new MorReaderFactory(factory, inner, conf, posF, eqFs,
+      projIdx, projTypes, eqIdx)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -82,14 +82,22 @@ private[graft] case class IcebergMorPartition(fp: FilePartition,
   * `curRefs`' positions (an added/removed file carrying a delete
   * pile); `select = true` serves exactly the NEWLY-dead rows:
   * positions(curRefs) minus positions(prevRefs) — a v3 DV commit or
-  * v2 position-delete commit between polled snapshots. Positions
-  * decode on the executor (ranged Puffin reads / cached parquet
-  * decode); the driver ships only file references. */
+  * v2 position-delete commit between polled snapshots. EQUALITY
+  * deletes compose (the Flink-CDC upsert shape): rows matching
+  * `exclEq` (value matches already dead at the leg's baseline) are
+  * dropped from every mode, and a non-empty `selEq` flips the leg
+  * to KEEP ONLY rows matching it — the newly-equality-dead rows of a
+  * surviving file. The driver pre-scopes both by sequence number
+  * (strictly newer than the data file), so the executor only
+  * matches. Positions decode on the executor (ranged Puffin reads /
+  * cached parquet decode); the driver ships only file references. */
 private[graft] case class IcebergRowDiffPartition(fp: FilePartition,
                                                   dataPath: String,
                                                   select: Boolean,
                                                   curRefs: Seq[PosDeleteRef],
-                                                  prevRefs: Seq[PosDeleteRef])
+                                                  prevRefs: Seq[PosDeleteRef],
+                                                  exclEq: Seq[EqDeleteRef] = Nil,
+                                                  selEq: Seq[EqDeleteRef] = Nil)
   extends InputPartition {
   override def preferredLocations(): Array[String] = fp.preferredLocations()
 }
@@ -300,6 +308,86 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
     posBuf.result().distinct.sorted
   }
 
+  /** Decode equality delete refs into null-safe probe sets — one per
+    * distinct column set, each file decoded once per executor
+    * (cached). Refuses column sets absent from the factory: a stream
+    * built before a foreign writer introduced the set cannot read its
+    * delete parquet — restart to adopt it. */
+  private def eqSetsOf(eqRefs: Seq[EqDeleteRef])
+  : Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =
+    eqRefs.groupBy(_.cols).toSeq.map { case (cols, refs) =>
+      val (idx, types) = eqIdx.getOrElse(cols,
+        throw new UnsupportedOperationException(
+          s"equality delete columns ${cols.mkString(",")} were unseen " +
+            "when this scan was built — restart the stream/scan to " +
+            "adopt them"))
+      val cached = refs.map { ref =>
+        DeleteFileCache.getOrLoad(("eq", ref.path, ref.sizeBytes, cols)) {
+          val fresh = new java.util.HashSet[Seq[Any]]()
+          scanFile(eqFactories(cols), ref.path, ref.sizeBytes) { row =>
+            fresh.add(cols.indices.map(i => keyValue(row, i, types(i))))
+          }
+          (fresh, fresh.size.toLong)
+        }
+      }
+      // cached sets are read-only after publication: probe the
+      // single set directly, merge into a fresh one otherwise
+      val set = cached match {
+        case Seq(only) => only
+        case many =>
+          val merged = new java.util.HashSet[Seq[Any]]()
+          many.foreach(merged.addAll)
+          merged
+      }
+      (idx, types, set)
+    }
+
+  /** Keep rows of `base` by their equality-match status: rows
+    * matching `excl` always drop; with `sel` non-empty only rows
+    * matching it are kept. */
+  private def eqFiltered(base: PartitionReader[InternalRow],
+                         excl: Seq[EqDeleteRef],
+                         sel: Seq[EqDeleteRef]): PartitionReader[InternalRow] = {
+    if (excl.isEmpty && sel.isEmpty) return base
+    val exclSets = eqSetsOf(excl)
+    val selSets = eqSetsOf(sel)
+    def matches(row: InternalRow,
+                sets: Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])]): Boolean =
+      sets.exists { case (idx, types, set) =>
+        set.contains(idx.indices.map(i => probeValue(row, idx(i), types(i))))
+      }
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = {
+        while (base.next()) {
+          val row = base.get()
+          if (!matches(row, exclSets) &&
+            (selSets.isEmpty || matches(row, selSets))) return true
+        }
+        false
+      }
+      override def get(): InternalRow = base.get()
+      override def close(): Unit = base.close()
+    }
+  }
+
+  /** Project away equality columns read only for matching. */
+  private def projected(base: PartitionReader[InternalRow]): PartitionReader[InternalRow] =
+    if (projIdx == null) base
+    else new PartitionReader[InternalRow] {
+      override def next(): Boolean = base.next()
+      override def get(): InternalRow = {
+        val in = base.get()
+        val out = new Array[Any](projIdx.length)
+        var i = 0
+        while (i < projIdx.length) {
+          out(i) = in.get(projIdx(i), projTypes(i))
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
+      override def close(): Unit = base.close()
+    }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case DeltaDvPartition(fp, tablePath, select, dvA, dvB) =>
@@ -316,83 +404,29 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
           selectReader(fp, posOf(dvA).filterNot(b), inner)
         }
 
-      case IcebergRowDiffPartition(fp, dataPath, select, curRefs, prevRefs) =>
+      case IcebergRowDiffPartition(fp, dataPath, select, curRefs, prevRefs,
+                                   exclEq, selEq) =>
         val cur = icebergPositions(curRefs, dataPath)
-        if (!select) skipReader(fp, cur, inner)
-        else {
-          // the pair diff: rows dead NOW that were not dead BEFORE —
-          // both sides decode here, the driver shipped only refs
-          val prev = icebergPositions(prevRefs, dataPath).toSet
-          selectReader(fp, cur.filterNot(prev), inner)
-        }
+        val base =
+          if (!select) skipReader(fp, cur, inner)
+          else {
+            // the pair diff: rows dead NOW that were not dead BEFORE —
+            // both sides decode here, the driver shipped only refs
+            val prev = icebergPositions(prevRefs, dataPath).toSet
+            selectReader(fp, cur.filterNot(prev), inner)
+          }
+        projected(eqFiltered(base, exclEq, selEq))
 
       case IcebergMorPartition(fp, dataPath, posRefs, eqRefs) =>
         // 1. applicable position deletes: rows of the delete parquet
         //    naming THIS data file (manifest-form path match, per
         //    spec). Each delete file decodes ONCE per executor into a
         //    data-path-keyed map (cached); this partition just probes.
-        val pos = icebergPositions(posRefs, dataPath)
         // 2. applicable equality deletes: one null-safe tuple set per
         //    distinct column set (each file decodes once per executor)
-        val eqSets: Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])] =
-          eqRefs.groupBy(_.cols).toSeq.map { case (cols, refs) =>
-            val (idx, types) = eqIdx(cols)
-            val cached = refs.map { ref =>
-              DeleteFileCache.getOrLoad(("eq", ref.path, ref.sizeBytes, cols)) {
-                val fresh = new java.util.HashSet[Seq[Any]]()
-                scanFile(eqFactories(cols), ref.path, ref.sizeBytes) { row =>
-                  fresh.add(cols.indices.map(i => keyValue(row, i, types(i))))
-                }
-                (fresh, fresh.size.toLong)
-              }
-            }
-            // cached sets are read-only after publication: probe the
-            // single set directly, merge into a fresh one otherwise
-            val set = cached match {
-              case Seq(only) => only
-              case many =>
-                val merged = new java.util.HashSet[Seq[Any]]()
-                many.foreach(merged.addAll)
-                merged
-            }
-            (idx, types, set)
-          }
-        val base =
-          if (eqSets.isEmpty) skipReader(fp, pos, inner)
-          else {
-            val skipped = skipReader(fp, pos, inner)
-            new PartitionReader[InternalRow] {
-              override def next(): Boolean = {
-                while (skipped.next()) {
-                  val row = skipped.get()
-                  val dead = eqSets.exists { case (idx, types, set) =>
-                    set.contains(idx.indices.map(i =>
-                      probeValue(row, idx(i), types(i))))
-                  }
-                  if (!dead) return true
-                }
-                false
-              }
-              override def get(): InternalRow = skipped.get()
-              override def close(): Unit = skipped.close()
-            }
-          }
         // 3. project away equality columns read only for matching
-        if (projIdx == null) base
-        else new PartitionReader[InternalRow] {
-          override def next(): Boolean = base.next()
-          override def get(): InternalRow = {
-            val in = base.get()
-            val out = new Array[Any](projIdx.length)
-            var i = 0
-            while (i < projIdx.length) {
-              out(i) = in.get(projIdx(i), projTypes(i))
-              i += 1
-            }
-            new GenericInternalRow(out)
-          }
-          override def close(): Unit = base.close()
-        }
+        val pos = icebergPositions(posRefs, dataPath)
+        projected(eqFiltered(skipReader(fp, pos, inner), eqRefs, Nil))
 
       case other => plain.createReader(other)
     }

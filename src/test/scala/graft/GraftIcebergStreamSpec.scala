@@ -888,7 +888,7 @@ class GraftIcebergStreamSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet)
   }
 
-  test("CDC row-level legs on v2 position-delete parquet; batch CDC range reads them; equality deletes refuse") {
+  test("CDC row-level legs on v2 position-delete parquet; batch CDC range reads them; equality-delete upserts serve row-level") {
     val dir = tmp("gi-rowcdc2")
     val t = s"$dir/t"
     IcebergTable.write(spark,
@@ -914,22 +914,40 @@ class GraftIcebergStreamSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet
     assert(lib === changes)
 
-    // equality deletes still refuse loudly in the CDC planner
+    // EQUALITY-delete commits (the Flink-CDC upsert shape) serve
+    // row-level through the DSv2 CDC scan too: the matched pre-image
+    // row deletes, the upsert's own file inserts whole (its equality
+    // delete is NOT strictly newer than its data)
     IcebergTable.upsertEquality(spark, t,
       Seq((4L, "UP")).toDF("k", "v"), Seq("k"))
-    val ex = intercept[Exception] {
-      spark.read.format("graft-iceberg")
-        .option("readChangeFeed", "true")
-        .option("startingSnapshotId", snap1.snapshotId.toString)
-        .load(t).collect()
-    }
-    def rootMsg(e: Throwable): String = {
-      var c: Throwable = e
-      while (c.getCause != null && !Option(c.getMessage)
-        .exists(_.contains("equality delete"))) c = c.getCause
-      Option(c.getMessage).getOrElse("")
-    }
-    assert(rootMsg(ex).contains("equality delete"), ex.getMessage)
+    val chEq = spark.read.format("graft-iceberg")
+      .option("readChangeFeed", "true")
+      .option("startingSnapshotId", snap1.snapshotId.toString)
+      .load(t)
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(chEq === Set((4L, "v4", "delete"), (4L, "UP", "insert")))
+    // library parity again
+    val libEq = IcebergTable.changes(spark, t, snap1.snapshotId,
+      IcebergTable.snapshot(spark, t).snapshotId)
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(libEq === chEq)
+    // a SECOND upsert on the same key through the STREAM: only the
+    // current image deletes (seq scoping); exactly-once per poll
+    val sEq1 = IcebergTable.snapshot(spark, t).snapshotId
+    IcebergTable.upsertEquality(spark, t,
+      Seq((4L, "UP2"), (2L, "BACK")).toDF("k", "v"), Seq("k"))
+    val chEq2 = spark.read.format("graft-iceberg")
+      .option("readChangeFeed", "true")
+      .option("startingSnapshotId", sEq1.toString)
+      .load(t)
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    // k=2's pre-image (2,v2) is long position-dead — only live rows
+    // match; k=4's CURRENT image (UP) deletes, not v4
+    assert(chEq2 === Set((4L, "UP", "delete"),
+      (4L, "UP2", "insert"), (2L, "BACK", "insert")))
   }
 
   test("append-only stream: a row-level DML commit is loud, skipChangeCommits drops it, later pure appends still stream") {

@@ -399,11 +399,13 @@ class IcebergSpec extends SparkSpec {
       (10L, "x"), // f2 survivor: 11 ("b") gone by equality
       (20L, "b"))) // f3: newer than the equality delete — survives
     assert(IcebergTable.read(spark, t).count() === 3L)
-    // change feeds refuse delete-bearing snapshots, loudly
-    val e = intercept[UnsupportedOperationException] {
-      IcebergTable.changes(spark, t, -1L, 10L).count()
-    }
-    assert(e.getMessage.contains("delete files"))
+    // the change feed serves the SAME merge-on-read state: a
+    // delete-bearing initial snapshot inserts exactly its live rows
+    // (position- and equality-dead rows never born into the feed)
+    assert(IcebergTable.changes(spark, t, -1L, 10L)
+      .select("id", "s", "_change_type")
+      .as[(Long, String, String)].collect().toSet === Set(
+      (3L, "c", "insert"), (10L, "x", "insert"), (20L, "b", "insert")))
     // the catalog scan serves the same merge-on-read state — position
     // AND equality deletes, sequence-scoped, decoded on the executors
     val root = Files.createTempDirectory("graft-ice-mor-cat").toString
