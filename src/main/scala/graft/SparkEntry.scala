@@ -6016,6 +6016,85 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // FOREIGN-WRITTEN Delta table end-to-end: the log bytes are
+    // authored HERE as raw JSON actions (never DeltaLog's writer),
+    // composing THREE reader features in one table the way ecosystem
+    // writers ship them — columnMapping (name mode: the files carry
+    // physical col-N names), deletionVectors (a real u-form roaring
+    // DV file over partition 0), and typeWidening (int32 physical
+    // key up-cast to the table's long) on a PARTITIONED layout
+    // (physical partitionValues keys). Proves the reader interops
+    // with the ecosystem, not just with its own writer.
+    "interop_delta_foreign" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val t = java.nio.file.Files.createTempDirectory("graft-q-dfor")
+        .toString + "/t"
+      val conf = s.sparkContext.hadoopConfiguration
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").cast("int").as("col-1"),
+          (col("c_nationkey") % 5).as("col-2"),
+          col("c_acctbal").as("col-3"))
+      def writeFile(rel: String, df: DataFrame): Long = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-q-dforp").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(t, rel)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.length()
+      }
+      val adds = (0L until 5L).map { p =>
+        val sz = writeFile(s"p$p.parquet", c.where(col("col-2") === p)
+          .select(col("col-1"), col("col-3")))
+        val dv =
+          if (p != 0L) ""
+          else { // kill key % 7 == 0 rows at their PHYSICAL positions
+            val pos = s.read.parquet(s"$t/p$p.parquet")
+              .select(col("`col-1`"),
+                col("_metadata.row_index").as("ri"))
+              .where(col("`col-1`") % 7 === 0)
+              .select("ri").collect().map(_.getLong(0)).toSeq.sorted
+            val desc = graft.sources.DeletionVectors
+              .writeDvFile(conf, t, pos)
+            s""","deletionVector":{"storageType":"${desc.storageType}","pathOrInlineDv":"${desc.pathOrInlineDv}","offset":${desc.offset.get},"sizeInBytes":${desc.sizeInBytes},"cardinality":${desc.cardinality}}"""
+          }
+        s"""{"add":{"path":"p$p.parquet","partitionValues":{"col-2":"$p"},"size":$sz,"modificationTime":1,"dataChange":true$dv}}"""
+      }
+      def mb(id: Long, phys: String, widened: Boolean) = {
+        val b = new MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys)
+        if (widened) b.putMetadataArray("delta.typeChanges",
+          Array(new MetadataBuilder().putString("fromType", "integer")
+            .putString("toType", "long").build()))
+        b.build()
+      }
+      val logical = StructType(Seq(
+        StructField("k", LongType, nullable = true,
+          mb(1, "col-1", widened = true)),
+        StructField("p", LongType, nullable = true,
+          mb(2, "col-2", widened = false)),
+        StructField("bal", DoubleType, nullable = true,
+          mb(3, "col-3", widened = false))))
+      val schemaStr = "\"" + logical.json.replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\""
+      val log = java.nio.file.Paths.get(t, "_delta_log")
+      java.nio.file.Files.createDirectories(log)
+      java.nio.file.Files.writeString(
+        log.resolve("00000000000000000000.json"),
+        (Seq(
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors","typeWidening"],"writerFeatures":["columnMapping","deletionVectors","typeWidening"]}}""",
+          s"""{"metaData":{"id":"t-foreign","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3","delta.enableTypeWidening":"true"},"createdTime":1}}"""
+        ) ++ adds).mkString("\n") + "\n")
+      graft.sources.DeltaLog.read(s, t)
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"), sumD(col("bal")).as("bal"),
+          max(col("k")).as("mk"))
+        .orderBy("p")
+    }),
+
     // Delta VARIANT end-to-end (PROTOCOL.md §Variant Data Type,
     // reader+writer feature `variantType`): CREATE stamps the
     // feature, DML composes over the variant column, variant_get
@@ -9692,6 +9771,15 @@ object SparkEntry {
          |   CAST(n_regionkey AS BIGINT) AS rk FROM nation)
          |WHERE k % 5 <> 0
          |ORDER BY k""".stripMargin,
+
+    "interop_delta_foreign" ->
+      s"""SELECT p, COUNT(*) AS n, ${sqlSumD("bal")} AS bal,
+         | MAX(k) AS mk FROM (
+         | SELECT c_nationkey % 5 AS p, c_acctbal AS bal,
+         |  c_custkey AS k FROM customer
+         | WHERE NOT (c_nationkey % 5 = 0 AND c_custkey % 7 = 0))
+         |GROUP BY 1
+         |ORDER BY p""".stripMargin,
 
     "interop_delta_variant" ->
       s"""SELECT n_nationkey AS k, n_name AS nm,

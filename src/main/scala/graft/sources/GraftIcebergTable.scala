@@ -743,7 +743,7 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
         }
       }
     override def createReaderFactory(): PartitionReaderFactory =
-      if (table.cdf) cdcFactory
+      if (table.cdf) cdcFactory(fullHistory = false)
       else if (table.snap.deletes.isEmpty) factory
       else morFactory
   }
@@ -801,16 +801,31 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
     * committed after a stream started asks for a restart — the same
     * contract as a schema change). Filters are NOT pushed to the
     * inner reader: row-diff positions index PHYSICAL rows. */
-  private def cdcFactory: PartitionReaderFactory = {
+  private def cdcFactory(fullHistory: Boolean): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       spark.sessionState.newHadoopConfWithOptions(Map.empty))
     val posF = GraftDelta.readerFactory(spark, MorServing.PosDeleteSchema,
       MorServing.PosDeleteSchema, new StructType(), Array.empty)
-    // equality column sets across the WHOLE history (metadata-only):
-    // a polled range can carry equality deletes from any snapshot in
-    // it, and the factory is built once per scan/stream
+    // equality column sets across the history (metadata-only): a
+    // polled range can carry equality deletes from any snapshot in
+    // it, and the factory is built once per scan/stream. A BATCH CDC
+    // scan pins its range in the options — enumerate only that slice
+    // (plus the baseline snapshot); a STREAM enumerates everything
+    // once at start (future commits usually reuse a historical
+    // column set — the upsert key is stable).
+    val allIds = IcebergTable.snapshotIds(spark, table.tablePath)
+    val scanIds: Seq[Long] =
+      if (fullHistory) allIds
+      else Option(options.get("startingSnapshotId")).map(_.toLong) match {
+        case Some(fromId) =>
+          val toId = Option(options.get("endingSnapshotId")).map(_.toLong)
+            .getOrElse(table.snap.snapshotId)
+          val lo = allIds.indexOf(fromId) // -1 when fromId == -1L
+          allIds.slice(math.max(lo, 0), allIds.indexOf(toId) + 1)
+        case None => allIds
+      }
     val eqColSets: Seq[Seq[String]] =
-      IcebergTable.snapshotIds(spark, table.tablePath).flatMap { id =>
+      scanIds.flatMap { id =>
         IcebergTable.snapshot(spark, table.tablePath,
           snapshotIdAsOf = Some(id))
           .deletes.filter(_.content == 2).map(_.equalityIds)
@@ -846,7 +861,7 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftIcebergMicroBatchStream(spark, table, readPart,
-      if (table.cdf) cdcFactory else factory, options)
+      if (table.cdf) cdcFactory(fullHistory = true) else factory, options)
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.FilePartition]]

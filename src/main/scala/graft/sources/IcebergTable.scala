@@ -1490,48 +1490,41 @@ object IcebergTable {
         .where(col("__dseq") >= col("__dataseq"))
         .select(col("file_path"), col("pos")))
     }
+    // ---- row reads go through the RESOLVING reader (rawFrame): era
+    // projection for renamed columns, v3 initial-defaults, and the
+    // schema-drift refusals — the change feed must serve an old-era
+    // file exactly like the batch read, never a name-based NULL.
+    // KEYED frames add `__dp2` (the manifest's exact file_path),
+    // `__ri` (physical position) and `__dataseq`, so position pairs
+    // and equality tuples both scope exactly like liveRowsWithPos:
+    // positions at delete_seq >= data_seq, equality matches
+    // null-safely at delete_seq > data_seq.
+    def keyedAt(paths: Seq[String], sn: Snapshot): DataFrame = {
+      val pset = paths.toSet
+      val files = sn.files.filter(f => pset(f.path))
+      val km = broadcast(files.map(f => (fileKey(f.path), f.path, f.seq))
+        .toDF("__path", "__dp2", "__dataseq"))
+      rawFrame(spark, sn, files, withPos = true).join(km, Seq("__path"), "left")
+    }
     // read `paths` at their physical positions, keeping rows selected
     // by `sel` (semi) or surviving `anti` (dead-row exclusion)
-    def readAt(paths: Seq[String], pairs: Option[DataFrame],
-               anti: Boolean): DataFrame = {
-      val base = spark.read.schema(endSnap.schema).parquet(paths: _*)
+    def readAt(paths: Seq[String], sn: Snapshot, pairs: Option[DataFrame],
+               anti: Boolean): DataFrame =
       pairs match {
-        case None => base
+        case None =>
+          val pset = paths.toSet
+          rawFrame(spark, sn, sn.files.filter(f => pset(f.path)),
+            withPos = false)
         case Some(pr) =>
           val scoped = pr.where(col("file_path").isin(paths: _*))
             .select(col("file_path").as("__dp"), col("pos").as("__dri"))
-          val keyed = base
-            .select(col("*"), col("_metadata.row_index").as("__ri"))
-            .withColumn("__path",
-              regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
-          val km = broadcast(paths.map(p => (fileKey(p), p))
-            .toDF("__path", "__dp2"))
-          val joined = keyed.join(km, Seq("__path"), "left")
-          val out = joined.join(scoped,
-            joined("__dp2") === scoped("__dp") &&
-              joined("__ri") === scoped("__dri"),
+          val keyed = keyedAt(paths, sn)
+          val out = keyed.join(scoped,
+            keyed("__dp2") === scoped("__dp") &&
+              keyed("__ri") === scoped("__dri"),
             if (anti) "left_anti" else "left_semi")
           out.select(endSnap.schema.fieldNames.map(col).toIndexedSeq: _*)
       }
-    }
-    // ---- EQUALITY-delete row-level legs (the Flink-CDC upsert
-    // shape). These helpers compose over a KEYED frame — the data
-    // columns plus `__dp2` (the manifest's exact file_path), `__ri`
-    // (physical position) and `__dataseq` — so position pairs and
-    // equality tuples both scope exactly like the batch read
-    // (liveRowsWithPos): positions at delete_seq >= data_seq,
-    // equality matches null-safely at delete_seq > data_seq.
-    def keyedAt(paths: Seq[String], s: Snapshot): DataFrame = {
-      val base = spark.read.schema(endSnap.schema).parquet(paths: _*)
-        .select(col("*"), col("_metadata.row_index").as("__ri"))
-        .withColumn("__path",
-          regexp_replace(input_file_name(), "^[a-zA-Z0-9]+:(//)?", ""))
-      val pset = paths.toSet
-      val km = broadcast(s.files.filter(f => pset(f.path))
-        .map(f => (fileKey(f.path), f.path, f.seq))
-        .toDF("__path", "__dp2", "__dataseq"))
-      base.join(km, Seq("__path"), "left")
-    }
     def posJoin(keyed: DataFrame, pairs: DataFrame, anti: Boolean): DataFrame = {
       val scoped = pairs
         .select(col("file_path").as("__dp"), col("pos").as("__dri"))
@@ -1616,10 +1609,11 @@ object IcebergTable {
         // INSERT: added files' rows, minus rows already dead at this
         // snapshot (a carried/folded DV on a fresh file)
         if (added.nonEmpty)
-          legs += tagged(readAt(added, curDead, anti = true), "insert")
+          legs += tagged(readAt(added, s, curDead, anti = true), "insert")
         // DELETE 1: removed files' rows that were LIVE before removal
         if (removed.nonEmpty)
-          legs += tagged(readAt(removed, prevDead, anti = true), "delete")
+          legs += tagged(readAt(removed, prevS.get, prevDead, anti = true),
+            "delete")
         // DELETE 2: rows of SURVIVING files newly dead in this
         // snapshot — the merge-on-read DELETE/UPDATE shape (v3 DV or
         // position parquet), emitted exactly once
@@ -1628,7 +1622,8 @@ object IcebergTable {
             case None => curDead.get
             case Some(pd) => curDead.get.except(pd)
           }
-          legs += tagged(readAt(survivors, Some(newly), anti = false), "delete")
+          legs += tagged(readAt(survivors, s, Some(newly), anti = false),
+            "delete")
         }
       } else {
         // EQUALITY deletes in play (the Flink-CDC upsert shape): every
