@@ -139,6 +139,16 @@ object AvroFiles {
       else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty))
       .map(_.getPath).filter(_.getName.endsWith(".avro")).sortBy(_.getName)
     require(files.nonEmpty, s"no .avro files under $path")
+    readFiles(spark, files.map(_.toString))
+  }
+
+  /** [[read]] over an EXPLICIT file list (the Iceberg manifest-driven
+    * entry point — the table's live files, not a directory listing). */
+  private[sources] def readFiles(spark: SparkSession,
+                                 paths: Seq[String]): DataFrame = {
+    val fs = new Path(paths.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = paths.map(new Path(_))
     val writerSchemaJson = {
       val in = fs.open(files.head)
       val st = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())

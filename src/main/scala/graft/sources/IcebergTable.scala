@@ -725,17 +725,19 @@ object IcebergTable {
           val content = fieldOpt(df, "content").map(longOf(_).toInt).getOrElse(0)
           val fmt = df.get("file_format").toString
           // PUFFIN is legal only for v3 deletion-vector entries
-          // (content=1 with a referenced_data_file); ORC is served
-          // for DATA files (Spark reads ORC natively — footer stats
-          // degrade, never wrong), while DELETE files stay parquet
-          // (the spec's own delete-file encoding)
+          // (content=1 with a referenced_data_file); ORC and AVRO are
+          // served for DATA files (ORC through Spark's native source,
+          // AVRO through the avro-core decoder — footer stats degrade,
+          // never wrong), while DELETE files stay parquet (the spec's
+          // own delete-file encoding)
           if (!fmt.equalsIgnoreCase("parquet") &&
-            !(fmt.equalsIgnoreCase("orc") && content == 0) &&
+            !((fmt.equalsIgnoreCase("orc") || fmt.equalsIgnoreCase("avro"))
+              && content == 0) &&
             !(fmt.equalsIgnoreCase("puffin") && content == 1 &&
               fieldOpt(df, "referenced_data_file").isDefined))
             throw new UnsupportedOperationException(
               s"Iceberg file format $fmt (content=$content) is not " +
-                "supported — parquet everywhere, orc for data files")
+                "supported — parquet everywhere, orc/avro for data files")
           // sequence number: explicit on the entry, inherited from
           // the manifest-list row otherwise (the v2 inheritance rule)
           val seq = fieldOpt(entry, "sequence_number").map(longOf)
@@ -1254,10 +1256,13 @@ object IcebergTable {
       } -> nestedFillsOf(f, sid)
     }
     // per-group FORMAT dispatch: ORC data files scan through Spark's
-    // native ORC source. ORC has no `_metadata.row_index`, so
-    // position-based frames (MOR delete application, row lineage,
-    // DML match detection) cannot be served over it — refuse loudly;
-    // OPTIMIZE rewrites to parquet and lifts the restriction.
+    // native ORC source, AVRO data files through the avro-core
+    // decoder (aligned to the requested struct: present columns cast,
+    // missing columns null — parquet's missing-column behavior).
+    // Neither has `_metadata.row_index`, so position-based frames
+    // (MOR delete application, row lineage, DML match detection)
+    // cannot be served over them — refuse loudly; OPTIMIZE rewrites
+    // to parquet and lifts the restriction.
     def scanOf(schema: StructType, fmt: String, paths: Seq[String]) = {
       if (withPos && fmt != "parquet")
         throw new UnsupportedOperationException(
@@ -1266,6 +1271,13 @@ object IcebergTable {
             "row-index metadata column) — OPTIMIZE / rewriteDataFiles " +
             "to parquet first")
       if (fmt == "orc") spark.read.schema(schema).orc(paths: _*)
+      else if (fmt == "avro") {
+        val raw = AvroFiles.readFiles(spark, paths)
+        val have = raw.columns.toSet
+        raw.select(schema.fields.toSeq.map(f =>
+          if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      }
       else spark.read.schema(schema).parquet(paths: _*)
     }
     def fmtOf(f: DataFile): String =

@@ -344,13 +344,15 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
 
   /** Keep rows of `base` by their equality-match status: rows
     * matching `excl` always drop; with `sel` non-empty only rows
-    * matching it are kept. */
-  private def eqFiltered(base: PartitionReader[InternalRow],
+    * matching it are kept. `base` is by-name so an unseen column set
+    * refuses BEFORE any data file opens. */
+  private def eqFiltered(mkBase: => PartitionReader[InternalRow],
                          excl: Seq[EqDeleteRef],
                          sel: Seq[EqDeleteRef]): PartitionReader[InternalRow] = {
-    if (excl.isEmpty && sel.isEmpty) return base
+    if (excl.isEmpty && sel.isEmpty) return mkBase
     val exclSets = eqSetsOf(excl)
     val selSets = eqSetsOf(sel)
+    val base = mkBase
     def matches(row: InternalRow,
                 sets: Seq[(Array[Int], Array[DataType], java.util.HashSet[Seq[Any]])]): Boolean =
       sets.exists { case (idx, types, set) =>
@@ -406,8 +408,8 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
 
       case IcebergRowDiffPartition(fp, dataPath, select, curRefs, prevRefs,
                                    exclEq, selEq) =>
-        val cur = icebergPositions(curRefs, dataPath)
-        val base =
+        def base = {
+          val cur = icebergPositions(curRefs, dataPath)
           if (!select) skipReader(fp, cur, inner)
           else {
             // the pair diff: rows dead NOW that were not dead BEFORE —
@@ -415,6 +417,7 @@ private[sources] class MorReaderFactory(plain: PartitionReaderFactory,
             val prev = icebergPositions(prevRefs, dataPath).toSet
             selectReader(fp, cur.filterNot(prev), inner)
           }
+        }
         projected(eqFiltered(base, exclEq, selEq))
 
       case IcebergMorPartition(fp, dataPath, posRefs, eqRefs) =>

@@ -888,6 +888,65 @@ class GraftIcebergStreamSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet)
   }
 
+  test("CDC readStream: equality-delete upserts stream exactly-once row changes across checkpointed polls") {
+    val dir = tmp("gi-eqcdc")
+    val t = s"$dir/t"
+    IcebergTable.write(spark,
+      (1L to 6L).map(i => (i, s"v$i")).toDF("k", "v").repartition(2), t)
+    val replica = scala.collection.mutable.Map[(Long, String), Int]()
+      .withDefaultValue(0)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("readChangeFeed", "true")
+        .load(t)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("k", "v", "_change_type", "_commit_snapshot_id")
+            .as[(Long, String, String, Long)].collect().sortBy(_._4)
+            .foreach {
+              case (k, v, "insert", _) => replica((k, v)) += 1
+              case (k, v, "delete", _) => replica((k, v)) -= 1
+              case other => fail(s"unexpected change row $other")
+            }
+          ()
+        }.start()
+      q.awaitTermination(120000)
+    }
+    def live = replica.filter(_._2 > 0).keySet
+    def assertExactlyOnce(): Unit = replica.foreach { case (kv, n) =>
+      assert(n == 0 || n == 1, s"row $kv seen net $n times — not exactly-once")
+    }
+    runOnce()
+    assert(live === (1L to 6L).map(i => (i, s"v$i")).toSet)
+
+    // equality upsert between polls: old image deletes, new inserts
+    IcebergTable.upsertEquality(spark, t,
+      Seq((2L, "UP"), (9L, "NEW")).toDF("k", "v"), Seq("k"))
+    runOnce()
+    assertExactlyOnce()
+    assert(live === IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().toSet)
+    assert(live.contains((2L, "UP")) && !live.contains((2L, "v2")))
+
+    // stacked upsert on the same key: only the CURRENT image deletes
+    IcebergTable.upsertEquality(spark, t,
+      Seq((2L, "UP2")).toDF("k", "v"), Seq("k"))
+    runOnce()
+    assertExactlyOnce()
+    assert(live === IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().toSet)
+
+    // a MOR position delete AFTER equality history composes (the
+    // pos-diff leg must not replay equality-dead rows)
+    IcebergTable.delete(spark, t, col("k") === 4L)
+    runOnce()
+    assertExactlyOnce()
+    assert(live === IcebergTable.read(spark, t)
+      .as[(Long, String)].collect().toSet)
+  }
+
   test("CDC row-level legs on v2 position-delete parquet; batch CDC range reads them; equality-delete upserts serve row-level") {
     val dir = tmp("gi-rowcdc2")
     val t = s"$dir/t"

@@ -235,17 +235,17 @@ class IcebergSpec extends SparkSpec {
     }
     assert(e2.getMessage.toLowerCase.contains("delete"))
 
-    // UNKNOWN data file format (ORC is served since r16)
-    val t3 = Files.createTempDirectory("graft-ice-avro").toString
+    // UNKNOWN data file format (ORC and AVRO are served since r16)
+    val t3 = Files.createTempDirectory("graft-ice-csv").toString
     val m3 = s"$t3/metadata/m1.avro"
-    val l3 = writeAvro(m3, V1Entry, Seq(entry(1, "/nope.avro", fmt = "AVRO")))
+    val l3 = writeAvro(m3, V1Entry, Seq(entry(1, "/nope.csv", fmt = "CSV")))
     val list3 = s"$t3/metadata/sl.avro"
     writeAvro(list3, V1List, Seq(listEntry(m3, l3)))
     commitMetadata(t3, 1, metadataJson(t3, 10L, Seq((10L, 1000L, list3))))
     val e3 = intercept[UnsupportedOperationException] {
       IcebergTable.snapshot(spark, t3)
     }
-    assert(e3.getMessage.contains("AVRO"))
+    assert(e3.getMessage.contains("CSV"))
 
     // v3 GEOMETRY/GEOGRAPHY types: no Spark mapping — the schema
     // parser must refuse loudly, never mis-map (same gate shape the
@@ -284,36 +284,54 @@ class IcebergSpec extends SparkSpec {
   }
 
   test("ORC data files serve: a mixed parquet+ORC foreign table reads hash-equal to its all-parquet twin; position-based reads refuse") {
-    def build(dir: String, orcSecond: Boolean): Unit = {
+    def writeAvroDataFile(dir: String, name: String,
+                          df: org.apache.spark.sql.DataFrame): String = {
+      val tmp = Files.createTempDirectory("graft-ice-avrodf").toString
+      graft.sources.AvroFiles.write(df.coalesce(1), tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".avro")).get
+      val dst = Paths.get(dir, name)
+      Files.createDirectories(dst.getParent)
+      Files.copy(part.toPath, dst)
+      dst.toString
+    }
+    def build(dir: String, multi: Boolean): Unit = {
       val f1 = writeDataFile(dir, "data/f1.parquet",
         Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
       val f2 =
-        if (orcSecond) writeOrcDataFile(dir, "data/f2.orc",
+        if (multi) writeOrcDataFile(dir, "data/f2.orc",
           Seq((3L, "c"), (4L, "d")).toDF("id", "s"))
         else writeDataFile(dir, "data/f2.parquet",
           Seq((3L, "c"), (4L, "d")).toDF("id", "s"))
+      val f3 =
+        if (multi) writeAvroDataFile(dir, "data/f3.avro",
+          Seq((5L, "e")).toDF("id", "s"))
+        else writeDataFile(dir, "data/f3.parquet",
+          Seq((5L, "e")).toDF("id", "s"))
       val m1 = s"$dir/metadata/m1.avro"
       val l1 = writeAvro(m1, V1Entry, Seq(
         entry(1, f1),
-        entry(1, f2, fmt = if (orcSecond) "ORC" else "PARQUET")))
+        entry(1, f2, fmt = if (multi) "ORC" else "PARQUET"),
+        entry(1, f3, fmt = if (multi) "AVRO" else "PARQUET")))
       val list = s"$dir/metadata/sl.avro"
       writeAvro(list, V1List, Seq(listEntry(m1, l1)))
       commitMetadata(dir, 1, metadataJson(dir, 10L, Seq((10L, 1000L, list))))
     }
     val mixed = Files.createTempDirectory("graft-ice-mixed").toString
     val twin = Files.createTempDirectory("graft-ice-twin").toString
-    build(mixed, orcSecond = true)
-    build(twin, orcSecond = false)
+    build(mixed, multi = true)
+    build(twin, multi = false)
     val gotMixed = IcebergTable.read(spark, mixed)
       .as[(Long, String)].collect().toSet
     val gotTwin = IcebergTable.read(spark, twin)
       .as[(Long, String)].collect().toSet
-    assert(gotMixed === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(gotMixed === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e")))
     assert(gotMixed === gotTwin)
-    // column pruning + filters flow into the ORC scan too
+    // column pruning + filters flow into the ORC/AVRO scans too
     assert(IcebergTable.read(spark, mixed)
       .where(org.apache.spark.sql.functions.col("id") > 2L)
-      .select("s").as[String].collect().toSet === Set("c", "d"))
+      .select("s").as[String].collect().toSet === Set("c", "d", "e"))
     // POSITION-based frames (row lineage, MOR application, DML match
     // detection) need row_index — ORC cannot serve them: loud
     val e = intercept[UnsupportedOperationException] {
