@@ -111,13 +111,17 @@ object DeltaLog {
       // type; the scan up-casts along the sanctioned promotion matrix
       // (validated at snapshot resolution — see validateTypeWidening)
       "typeWidening", "typeWidening-preview",
-      // UNSHREDDED variant columns (PROTOCOL.md §Variant Data Type):
-      // the parquet Variant binary encoding Spark's VariantType
-      // reads/writes natively — schemaString `variant` parses
-      // straight to Spark VariantType. `variantShredding-preview`
-      // stays UNSUPPORTED on purpose (typed_value decomposition needs
-      // a re-assembling reader; refusing loudly beats misreading)
+      // variant columns (PROTOCOL.md §Variant Data Type): the parquet
+      // Variant binary encoding Spark's VariantType reads/writes
+      // natively — schemaString `variant` parses straight to Spark
+      // VariantType. SHREDDED variants (§Variant Shredding: per-field
+      // `typed_value` decomposition next to `value`/`metadata`) read
+      // through Spark 4's re-assembling parquet converter
+      // (spark.sql.variant.allowReadingShredded) — the scan requests
+      // VariantType and the converter rebuilds the binary form from
+      // the shredded group per file
       "variantType", "variantType-preview",
+      "variantShredding", "variantShredding-preview",
       // behavioral no-ops for a correct reader: vacuumProtocolCheck
       // obliges VACUUM implementations to read the protocol first
       // (ours always resolves the snapshot — protocol gate included —

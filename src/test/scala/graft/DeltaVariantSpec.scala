@@ -11,8 +11,9 @@ import graft.sources.DeltaLog
   * reader+writer feature `variantType`): schemaString `variant` maps
   * to Spark's VariantType — the same parquet Variant binary encoding
   * — so unshredded variant tables read natively, writes stamp the
-  * feature from birth, DML composes, and `variantShredding-preview`
-  * stays loudly refused. */
+  * feature from birth, DML composes, and SHREDDED variant files
+  * (`variantShredding[-preview]`) re-assemble through Spark 4's
+  * shredded-variant parquet converter. */
 class DeltaVariantSpec extends SparkSpec {
   import spark.implicits._
 
@@ -49,7 +50,7 @@ class DeltaVariantSpec extends SparkSpec {
     assert(after === Map(1L -> Some(10L), 3L -> None, 4L -> Some(40L)))
   }
 
-  test("FOREIGN-shaped log with a variant column reads; variantShredding-preview refuses") {
+  test("FOREIGN-shaped log with a variant column reads; SHREDDED variant files re-assemble") {
     val t = Files.createTempDirectory("graft-dvar-f").toString
     // author the data file with Spark's native variant parquet writer
     val part = Files.createTempDirectory("graft-dvar-part").toString
@@ -87,18 +88,57 @@ class DeltaVariantSpec extends SparkSpec {
       s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,"modificationTime":5,"dataChange":true}}"""))
     assert(DeltaLog.read(spark, t2).count() === 1L)
 
-    // SHREDDED variant needs a re-assembling reader we don't have —
-    // the feature gate refuses loudly
+    // SHREDDED variant (PROTOCOL.md §Variant Shredding): the data
+    // file decomposes fields into typed_value subcolumns next to
+    // value/metadata; Spark 4's re-assembling parquet converter
+    // rebuilds the binary form, so the feature is honored
     val t3 = Files.createTempDirectory("graft-dvar-s").toString
-    Files.copy(src.toPath, Paths.get(t3, "f1.parquet"))
+    val shredPart = Files.createTempDirectory("graft-dvar-shred").toString
+    spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+    try {
+      spark.sql(
+        """SELECT k, parse_json(js) AS v FROM VALUES
+          | (1, '{"x": 42, "tag": "a"}'),
+          | (2, '{"x": 7}'),
+          | (3, '{"deep": {"y": true}}') AS t(k, js)""".stripMargin)
+        .coalesce(1).write.mode("overwrite").parquet(shredPart)
+    } finally {
+      spark.conf.unset("spark.sql.variant.writeShredding.enabled")
+      spark.conf.unset("spark.sql.variant.inferShreddingSchema")
+    }
+    val shredSrc = new java.io.File(shredPart).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    // prove the fixture IS shredded: the parquet footer must carry a
+    // typed_value group (otherwise this test proves nothing)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(shredSrc.toString))
+    assert(footer.getFileMetaData.getSchema.toString.contains("typed_value"),
+      s"fixture not shredded:\n${footer.getFileMetaData.getSchema}")
+    Files.copy(shredSrc.toPath, Paths.get(t3, "f1.parquet"))
+    val schemaJson3 = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("v", VariantType))).json
     commit(t3, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType","variantShredding-preview"],"writerFeatures":["variantType","variantShredding-preview"]}}""",
-      s"""{"metaData":{"id":"t-1","format":{"provider":"parquet","options":{}},"schemaString":${ujson(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
-      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,"modificationTime":5,"dataChange":true}}"""))
-    val e = intercept[UnsupportedOperationException] {
-      DeltaLog.read(spark, t3).collect()
-    }
-    assert(e.getMessage.contains("variantShredding"), e.getMessage)
+      s"""{"metaData":{"id":"t-1","format":{"provider":"parquet","options":{}},"schemaString":${ujson(schemaJson3)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":${shredSrc.length()},"modificationTime":5,"dataChange":true}}"""))
+    val shredded = DeltaLog.read(spark, t3)
+      .select(col("k"),
+        expr("variant_get(v, '$.x', 'bigint')").as("x"),
+        expr("variant_get(v, '$.tag', 'string')").as("tag"),
+        expr("variant_get(v, '$.deep.y', 'boolean')").as("y"))
+      .as[(Int, Option[Long], Option[String], Option[Boolean])]
+      .collect().toSet
+    assert(shredded === Set(
+      (1, Some(42L), Some("a"), None),
+      (2, Some(7L), None, None),
+      (3, None, None, Some(true))))
+    // whole-variant reads rebuild the binary form too
+    assert(DeltaLog.read(spark, t3)
+      .selectExpr("to_json(v)").as[String].collect().toSet
+      .exists(_.contains("42")))
   }
 
   test("ADD COLUMN / schema-evolving append introducing variant upgrades the protocol in the same commit") {

@@ -71,6 +71,40 @@ class IcebergVariantSpec extends SparkSpec {
     assert(got === Map(1L -> 1, 3L -> 3))
   }
 
+  test("SHREDDED variant data files re-assemble through both read paths (spec v3 §Variant shredding)") {
+    val t = tmp()
+    IcebergTable.write(spark,
+      Seq((1L, """{"x": 42, "tag": "a"}"""))
+        .toDF("k", "js").select(col("k"), parse_json(col("js")).as("v")), t)
+    // append a SHREDDED file the way an ecosystem writer would: the
+    // parquet carries per-field typed_value subcolumns
+    spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+    try IcebergTable.write(spark,
+      Seq((2L, """{"x": 7}"""), (3L, """{"deep": {"y": true}}"""))
+        .toDF("k", "js").select(col("k"), parse_json(col("js")).as("v")), t)
+    finally {
+      spark.conf.unset("spark.sql.variant.writeShredding.enabled")
+      spark.conf.unset("spark.sql.variant.inferShreddingSchema")
+    }
+    // prove at least one data file IS shredded (typed_value group)
+    val snap = IcebergTable.snapshot(spark, t)
+    val shredded = snap.files.exists { f =>
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        spark.sparkContext.hadoopConfiguration,
+        new org.apache.hadoop.fs.Path(f.path))
+      footer.getFileMetaData.getSchema.toString.contains("typed_value")
+    }
+    assert(shredded, "no shredded data file in the fixture")
+    val want = Map(1L -> Some(42L), 2L -> Some(7L), 3L -> None)
+    assert(IcebergTable.read(spark, t)
+      .select(col("k"), expr("variant_get(v, '$.x', 'bigint')").as("x"))
+      .as[(Long, Option[Long])].collect().toMap === want)
+    assert(spark.read.format("graft-iceberg").load(t)
+      .select(col("k"), expr("variant_get(v, '$.x', 'bigint')").as("x"))
+      .as[(Long, Option[Long])].collect().toMap === want)
+  }
+
   test("variant refuses below v3: ADD COLUMN on a v2 table is loud; unknown types still refuse") {
     val t = tmp()
     IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "s"), t)
