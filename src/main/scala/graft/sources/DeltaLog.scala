@@ -130,6 +130,58 @@ object DeltaLog {
       // Version (we never rewrite history checkpoints)
       "vacuumProtocolCheck", "checkpointProtection")
 
+  /** writerFeatures this writer actually implements for protocol v7.
+    * PROTOCOL.md §Writer Features: "to write a table, writers must
+    * implement and respect all features listed in writerFeatures" —
+    * committing into a table declaring anything else could silently
+    * break invariants only that feature's writers know how to
+    * maintain, so [[validateWritable]] refuses. */
+  val SupportedWriterFeatures: Set[String] =
+    Set("appendOnly", // delta.appendOnly=true refuses data removal
+      "invariants", // delta.invariants expressions enforced pre-commit
+      "checkConstraints", "generatedColumns", "allowColumnDefaults",
+      "identityColumns", "changeDataFeed", "columnMapping",
+      "deletionVectors", "timestampNtz", "v2Checkpoint",
+      "domainMetadata", "rowTracking", "inCommitTimestamp",
+      "typeWidening", "typeWidening-preview",
+      "variantType", "variantType-preview",
+      "variantShredding", "variantShredding-preview",
+      // OPTIMIZE lays data out by the delta.clustering domain's
+      // clusteringColumns and every commit path carries domains
+      // through — the clustered-table writer contract
+      "clusteredTable",
+      "vacuumProtocolCheck", "checkpointProtection")
+
+  /** Refuse commits this writer cannot make faithfully:
+    *  - a (x,7) table declaring writerFeatures outside
+    *    [[SupportedWriterFeatures]] (the spec's writer rule), or a
+    *    minWriterVersion beyond 7;
+    *  - `delta.appendOnly=true` vs an operation that REMOVES data
+    *    (`removesData`): DELETE/UPDATE/MERGE/overwrite/RESTORE.
+    *    dataChange=false rearrangements (OPTIMIZE) stay legal. */
+  private[sources] def validateWritable(snap: Snapshot,
+                                        removesData: Boolean = false): Unit = {
+    val (_, mwv, _, wf) = snap.protocol
+    if (mwv > 7) throw new UnsupportedOperationException(
+      s"${snap.tablePath} requires minWriterVersion $mwv — this writer " +
+        "implements protocol 7")
+    if (mwv == 7) {
+      val unknown = wf.toSet -- SupportedWriterFeatures
+      if (unknown.nonEmpty) throw new UnsupportedOperationException(
+        s"${snap.tablePath} declares writer features " +
+          s"${unknown.toSeq.sorted.mkString(", ")} this writer does not " +
+          "implement — committing could break invariants only those " +
+          "features' writers maintain (PROTOCOL.md: writers must " +
+          "support every listed writerFeature or fail)")
+    }
+    if (removesData && snap.configuration.get("delta.appendOnly")
+      .exists(_.trim.equalsIgnoreCase("true")))
+      throw new UnsupportedOperationException(
+        s"${snap.tablePath} is APPEND-ONLY (delta.appendOnly=true) — " +
+          "operations that remove or rewrite data are forbidden; unset " +
+          "the property first")
+  }
+
   /** The sanctioned `typeWidening` promotions (Delta PROTOCOL.md
     * §Type Widening): a data file written BEFORE a widening stores
     * the narrow physical type; reads up-cast to the table type. Any
@@ -2728,6 +2780,9 @@ object DeltaLog {
 
     val prior: Option[Snapshot] =
       if (existing.nonEmpty) Some(snapshot(spark, deltaPath)) else None
+    // a declared writer feature we don't implement, or an overwrite
+    // of an append-only table, must refuse BEFORE anything stages
+    prior.foreach(p => validateWritable(p, removesData = overwrite))
     // NESTED column defaults refuse loudly (the Delta twin of the
     // Iceberg nested-defaults gate): Spark/delta-spark only define
     // CURRENT_DEFAULT for top-level columns, so a foreign schema
@@ -3201,6 +3256,7 @@ object DeltaLog {
                zorderBy: Seq[String] = Nil,
                checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     val snap = snapshot(spark, deltaPath)
+    validateWritable(snap) // feature gate before any rewrite
     requireNotColumnMapped(snap, "OPTIMIZE")
     // a CLUSTERED table's declared columns apply when the caller
     // didn't name any — the liquid shape: OPTIMIZE maintains the
@@ -3539,6 +3595,7 @@ object DeltaLog {
     require(versionAsOf.nonEmpty || timestampAsOf.nonEmpty,
       "RESTORE needs a target: versionAsOf or timestampAsOf")
     val cur = snapshot(spark, deltaPath)
+    validateWritable(cur, removesData = true) // RESTORE drops newer rows
     val tgt = snapshot(spark, deltaPath, versionAsOf, timestampAsOf)
     require(tgt.version <= cur.version,
       s"cannot restore $deltaPath forward to version ${tgt.version}")
@@ -3670,6 +3727,7 @@ object DeltaLog {
                        makeAppend: Option[DataFrame => DataFrame]): Option[Long] = {
     import spark.implicits._
     val snap = snapshot(spark, deltaPath)
+    validateWritable(snap, removesData = true)
     requireNotColumnMapped(snap, "row-level DML")
     // a UniForm Iceberg mirror cannot express deletion vectors —
     // route the DML to copy-on-write, which mirrors cleanly
@@ -3892,6 +3950,7 @@ object DeltaLog {
     import spark.implicits._
     require(keyCols.nonEmpty, "MERGE with no key columns")
     val snap = snapshot(spark, deltaPath)
+    validateWritable(snap, removesData = true)
     requireNotColumnMapped(snap, "MERGE")
     keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"unknown merge key $c"))
@@ -4095,6 +4154,7 @@ object DeltaLog {
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE with no clauses")
     val snap = snapshot(spark, deltaPath)
+    validateWritable(snap, removesData = true)
     requireNotColumnMapped(snap, "MERGE")
     keyCols.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"unknown merge key $c"))
@@ -4355,6 +4415,7 @@ object DeltaLog {
                          (transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     import spark.implicits._
     val snap = snapshot(spark, deltaPath)
+    validateWritable(snap, removesData = true)
     requireNotColumnMapped(snap, "row-level DML")
     val candidates = prunedFiles(spark, snap, predicate)
     if (candidates.isEmpty) return snap.version
@@ -4484,6 +4545,7 @@ object DeltaLog {
                  newFields: Seq[StructField]): Long = {
     require(newFields.nonEmpty, "ADD COLUMNS with no columns")
     val prior = snapshot(spark, deltaPath)
+    validateWritable(prior)
     newFields.foreach(f => require(!prior.schema.fieldNames.contains(f.name),
       s"column ${f.name} already exists in ${prior.schema.simpleString}"))
     // on a name-mode column-mapped table, EVERY field must carry a
@@ -4545,6 +4607,7 @@ object DeltaLog {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"constraint name '$name' must be an identifier")
     val prior = snapshot(spark, deltaPath)
+    validateWritable(prior)
     val key = s"delta.constraints.${name.toLowerCase(java.util.Locale.ROOT)}"
     require(!prior.configuration.contains(key),
       s"constraint $name already exists on $deltaPath " +
@@ -4567,6 +4630,7 @@ object DeltaLog {
   def dropCheckConstraint(spark: SparkSession, deltaPath: String,
                           name: String): Long = {
     val prior = snapshot(spark, deltaPath)
+    validateWritable(prior)
     val key = s"delta.constraints.${name.toLowerCase(java.util.Locale.ROOT)}"
     require(prior.configuration.contains(key),
       s"no constraint $name on $deltaPath")
@@ -4621,6 +4685,7 @@ object DeltaLog {
       }
     }
     val prior = snapshot(spark, deltaPath)
+    validateWritable(prior)
     val newConf = prior.configuration ++ props
     // UniForm enable-time compatibility: the in-place Iceberg mirror
     // refuses partitioned/DV-bearing/column-mapped sources — check
@@ -4679,6 +4744,7 @@ object DeltaLog {
                            keys: Seq[String]): Long = {
     require(keys.nonEmpty, "no properties to unset")
     val prior = snapshot(spark, deltaPath)
+    validateWritable(prior)
     commitConfigChange(spark, deltaPath, prior,
       prior.configuration -- keys, featureUpgrade = None)
   }
@@ -4722,6 +4788,7 @@ object DeltaLog {
   def setColumnDefault(spark: SparkSession, deltaPath: String,
                        column: String, default: Option[String]): Long = {
     val prior = snapshot(spark, deltaPath)
+    validateWritable(prior)
     val f = prior.schema.fields.find(_.name.equalsIgnoreCase(column))
       .getOrElse(throw new IllegalArgumentException(
         s"no column $column on $deltaPath"))
@@ -4760,6 +4827,7 @@ object DeltaLog {
   def widenColumnType(spark: SparkSession, deltaPath: String,
                       column: String, to: DataType): Long = {
     val prior = snapshot(spark, deltaPath)
+    validateWritable(prior)
     val f = prior.schema.fields.find(_.name.equalsIgnoreCase(column))
       .getOrElse(throw new IllegalArgumentException(
         s"no column $column on $deltaPath"))
@@ -4815,6 +4883,7 @@ object DeltaLog {
       s"domain '$domain' is system-owned — delta.* domains are " +
         "maintained by their owning DDL (CLUSTER BY, row tracking)")
     val prior = snapshot(spark, deltaPath)
+    validateWritable(prior)
     val lines = writerFeatureLine(prior.protocol, Seq("domainMetadata")).toSeq :+
       domainMetadataLine(domain, configuration, removed = false)
     val v = commitCas(spark, deltaPath,
@@ -4857,6 +4926,7 @@ object DeltaLog {
   def setClusterBy(spark: SparkSession, deltaPath: String,
                    cols: Seq[String]): Long = {
     val prior = snapshot(spark, deltaPath)
+    validateWritable(prior)
     if (cols.isEmpty) {
       // CLUSTER BY NONE on a non-clustered table is a no-op
       if (!prior.domains.contains(ClusteringDomain))
@@ -5142,6 +5212,7 @@ object DeltaLog {
   def renameColumn(spark: SparkSession, deltaPath: String,
                    from: String, to: String): Long = {
     val prior = snapshot(spark, deltaPath)
+    validateWritable(prior)
     require(prior.configuration.get("delta.columnMapping.mode")
       .exists(m => m == "name" || m == "id"),
       s"RENAME COLUMN needs column mapping on $deltaPath — " +
@@ -5174,6 +5245,7 @@ object DeltaLog {
   def dropColumn(spark: SparkSession, deltaPath: String,
                  name: String): Long = {
     val prior = snapshot(spark, deltaPath)
+    validateWritable(prior)
     require(prior.configuration.get("delta.columnMapping.mode")
       .exists(m => m == "name" || m == "id"),
       s"DROP COLUMN needs column mapping on $deltaPath — " +
@@ -5388,6 +5460,22 @@ object DeltaLog {
           val e = f.metadata.getString(GenerationExprKey)
           s"GENERATED column ${f.name} AS ($e)" ->
             !(col(f.name) <=> expr(e).cast(f.dataType))
+        } ++ snap.schema.fields.toSeq
+        // old-style COLUMN INVARIANTS (PROTOCOL.md §Column
+        // Invariants, the legacy writer-v2 feature): metadata key
+        // `delta.invariants` holds {"expression":{"expression":"…"}}
+        // — rows where it does not hold must veto the commit
+        .filter(f => f.metadata.contains("delta.invariants") &&
+          df.columns.contains(f.name))
+        .map { f =>
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(f.metadata.getString("delta.invariants"))
+          val e = Option(node.get("expression"))
+            .flatMap(x => Option(x.get("expression"))).map(_.asText())
+            .getOrElse(throw new UnsupportedOperationException(
+              s"unparseable delta.invariants on ${f.name}: " +
+                f.metadata.getString("delta.invariants")))
+          s"INVARIANT on ${f.name} ($e)" -> !coalesce(expr(e), lit(true))
         } ++ (if (!enforceNotNull) Seq.empty
       else snap.schema.fields.toSeq
         // only when the incoming column CAN hold nulls — a frame whose
