@@ -5868,6 +5868,33 @@ object SparkEntry {
         .orderBy("change", "nation")
     }),
 
+    // ERA-RESOLVED change feed: the polled range's SURVIVOR file was
+    // written before a column RENAME — its newly-dead rows must emit
+    // under the CURRENT name with real values (the resolving-reader
+    // feed; a name-based read would serve NULLs), alongside the
+    // post-rename insert leg
+    "interop_iceberg_cdcrename" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-icecdr")
+        .toString + "/t"
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.sources.IcebergTable.write(s, n, t)
+      val from = graft.sources.IcebergTable.snapshot(s, t).snapshotId
+      graft.sources.IcebergTable.renameColumn(s, t, "n_name", "nation_name")
+      graft.sources.IcebergTable.write(s,
+        n.select((col("n_nationkey") + 100).as("n_nationkey"),
+          col("n_name").as("nation_name"), col("n_regionkey")), t)
+      graft.sources.IcebergTable.delete(s, t, col("n_nationkey") % 7 === 0)
+      val end = graft.sources.IcebergTable.snapshot(s, t).snapshotId
+      graft.sources.IcebergTable.changes(s, t, from, end)
+        .groupBy(col("_change_type").as("change"),
+          col("n_regionkey").as("rk"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey")).as("keysum"),
+          min(col("nation_name")).as("nm"))
+        .orderBy("change", "rk")
+    }),
+
     // EQUALITY-DELETE change feed (the Flink-CDC upsert shape): two
     // equality upserts replay row-level through the DSv2
     // readChangeFeed scan — each matched pre-image row deletes
@@ -9712,6 +9739,20 @@ object SparkEntry {
          | SELECT 'insert', c_nationkey, COUNT(*), ${sqlSumD("0.0")}
          | FROM customer WHERE c_nationkey = 11 GROUP BY 2)
          |ORDER BY change, nation""".stripMargin,
+
+    "interop_iceberg_cdcrename" ->
+      s"""SELECT change, rk, COUNT(*) AS n,
+         | CAST(SUM(k) AS BIGINT) AS keysum, MIN(nm) AS nm FROM (
+         | SELECT 'insert' AS change, n_regionkey AS rk,
+         |  n_nationkey + 100 AS k, n_name AS nm FROM nation
+         | UNION ALL
+         | SELECT 'delete', n_regionkey, n_nationkey, n_name
+         | FROM nation WHERE n_nationkey % 7 = 0
+         | UNION ALL
+         | SELECT 'delete', n_regionkey, n_nationkey + 100, n_name
+         | FROM nation WHERE (n_nationkey + 100) % 7 = 0)
+         |GROUP BY 1, 2
+         |ORDER BY change, rk""".stripMargin,
 
     "interop_iceberg_cdceq" ->
       s"""SELECT change, nation, COUNT(*) AS n, ${sqlSumD("bal")} AS bal
