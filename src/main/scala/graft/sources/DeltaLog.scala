@@ -526,8 +526,8 @@ object DeltaLog {
     * Mixed logs (ICT enabled mid-history, or later disabled) resolve
     * each commit by its own evidence. One head-line read per commit,
     * the DESCRIBE HISTORY I/O shape. */
-  private def commitTimes(spark: SparkSession,
-                          tablePath: String): Seq[(Long, Long)] = {
+  private[sources] def commitTimes(spark: SparkSession,
+                                   tablePath: String): Seq[(Long, Long)] = {
     val fs = logDir(tablePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val M = new com.fasterxml.jackson.databind.ObjectMapper()

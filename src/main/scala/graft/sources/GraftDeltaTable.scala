@@ -767,9 +767,30 @@ private class GraftDeltaMicroBatchStream(spark: SparkSession,
 
   /** Default -1 = replay the table from its creation commit (the
     * replica-building choice; pass the current version to start from
-    * "now"). */
-  private val startingVersion: Long =
-    Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L)
+    * "now"). `startingTimestamp` (epoch millis, or a parseable
+    * timestamp string) is the time-based twin: changes committed AT
+    * OR AFTER it stream — resolved against the commits' ICT-aware
+    * timestamps, real Delta's rule; a future timestamp starts from
+    * "now". Mutually exclusive with `startingVersion`. */
+  private val startingVersion: Long = {
+    val sv = Option(options.get("startingVersion")).map(_.toLong)
+    val st = Option(options.get("startingTimestamp")).map { s =>
+      s.toLongOption.getOrElse {
+        try java.sql.Timestamp.valueOf(s).getTime
+        catch {
+          case _: IllegalArgumentException =>
+            java.time.Instant.parse(s).toEpochMilli
+        }
+      }
+    }
+    require(sv.isEmpty || st.isEmpty,
+      "set at most one of startingVersion / startingTimestamp")
+    st match {
+      case Some(ts) => DeltaLog.commitTimes(spark, table.tablePath)
+        .takeWhile(_._2 < ts).lastOption.map(_._1).getOrElse(-1L)
+      case None => sv.getOrElse(-1L)
+    }
+  }
   private val skipChangeCommits =
     options.getBoolean("skipChangeCommits", false)
   private val ignoreDeletes = options.getBoolean("ignoreDeletes", false)

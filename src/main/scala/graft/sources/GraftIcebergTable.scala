@@ -902,9 +902,27 @@ private class GraftIcebergMicroBatchStream(spark: SparkSession,
   }
 
   /** Default -1 = replay from table creation (the replica-building
-    * choice); pass the current snapshot id to start from "now". */
-  private val startingSnapshotId: Long =
-    Option(options.get("startingSnapshotId")).map(_.toLong).getOrElse(-1L)
+    * choice); pass the current snapshot id to start from "now".
+    * `stream-from-timestamp` (epoch millis — the real Iceberg source
+    * option) is the time-based twin: snapshots committed AT OR AFTER
+    * it stream; a future timestamp starts from "now". Mutually
+    * exclusive with `startingSnapshotId`. */
+  private val startingSnapshotId: Long = {
+    val sid = Option(options.get("startingSnapshotId")).map(_.toLong)
+    val ts = Option(options.get("stream-from-timestamp")).map(_.toLong)
+    require(sid.isEmpty || ts.isEmpty,
+      "set at most one of startingSnapshotId / stream-from-timestamp")
+    ts match {
+      case Some(t) =>
+        val entries = IcebergTable.snapshotEntries(spark, table.tablePath)
+        entries.indexWhere(_._2 >= t) match {
+          case -1 => entries.lastOption.map(_._1).getOrElse(-1L)
+          case 0 => -1L
+          case i => entries(i - 1)._1
+        }
+      case None => sid.getOrElse(-1L)
+    }
+  }
   private val skipChangeCommits =
     options.getBoolean("skipChangeCommits", false)
   private val maxFilesPerTrigger: Option[Int] =

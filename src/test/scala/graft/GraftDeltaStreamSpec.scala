@@ -409,6 +409,41 @@ class GraftDeltaStreamSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet === Set((9L, "insert", 1L)))
   }
 
+  test("startingTimestamp streams only commits at or after it; a future timestamp starts from now") {
+    val dir = tmp("gd-startts")
+    val t = s"$dir/t"
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v").coalesce(1), t) // v0
+    Thread.sleep(60)
+    val ts = System.currentTimeMillis()
+    Thread.sleep(60)
+    DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v").coalesce(1), t) // v1
+    DeltaLog.write(spark, Seq((3L, "c")).toDF("k", "v").coalesce(1), t) // v2
+    def drain(opts: Map[String, String], ck: String): Set[(Long, String)] = {
+      val rows = scala.collection.mutable.Set[(Long, String)]()
+      var r = spark.readStream.format("graft-delta")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(t).writeStream
+        .option("checkpointLocation", s"$dir/$ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows ++= b.select("k", "v").as[(Long, String)].collect()
+          ()
+        }.start()
+      q.awaitTermination(120000)
+      rows.toSet
+    }
+    assert(drain(Map("startingTimestamp" -> ts.toString), "ck1")
+      === Set((2L, "b"), (3L, "c")))
+    // future timestamp: nothing historical streams
+    assert(drain(Map("startingTimestamp" ->
+      (System.currentTimeMillis() + 3600000L).toString), "ck2") === Set.empty)
+    // both options together refuse
+    intercept[Exception] {
+      drain(Map("startingTimestamp" -> ts.toString,
+        "startingVersion" -> "0"), "ck3")
+    }
+  }
+
   test("maxFilesPerTrigger paces catch-up: whole commits admitted, at least one per batch") {
     val dir = tmp("gd-admit")
     val t = s"$dir/t"

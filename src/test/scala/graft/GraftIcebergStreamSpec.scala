@@ -800,6 +800,39 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).count() === 90L)
   }
 
+  test("stream-from-timestamp streams only snapshots at or after it; a future timestamp starts from now") {
+    val dir = tmp("gi-startts")
+    val t = s"$dir/t"
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
+    Thread.sleep(60)
+    val ts = System.currentTimeMillis()
+    Thread.sleep(60)
+    IcebergTable.write(spark, Seq((2L, "b")).toDF("k", "v").coalesce(1), t)
+    IcebergTable.write(spark, Seq((3L, "c")).toDF("k", "v").coalesce(1), t)
+    def drain(opts: Map[String, String], ck: String): Set[(Long, String)] = {
+      val rows = scala.collection.mutable.Set[(Long, String)]()
+      var r = spark.readStream.format("graft-iceberg")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(t).writeStream
+        .option("checkpointLocation", s"$dir/$ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows ++= b.select("k", "v").as[(Long, String)].collect()
+          ()
+        }.start()
+      q.awaitTermination(120000)
+      rows.toSet
+    }
+    assert(drain(Map("stream-from-timestamp" -> ts.toString), "ck1")
+      === Set((2L, "b"), (3L, "c")))
+    assert(drain(Map("stream-from-timestamp" ->
+      (System.currentTimeMillis() + 3600000L).toString), "ck2") === Set.empty)
+    intercept[Exception] {
+      drain(Map("stream-from-timestamp" -> ts.toString,
+        "startingSnapshotId" -> "1"), "ck3")
+    }
+  }
+
   test("maxFilesPerTrigger paces catch-up: whole snapshots admitted, at least one per batch") {
     val dir = tmp("gi-admit")
     val t = s"$dir/t"
