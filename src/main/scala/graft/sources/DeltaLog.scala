@@ -148,8 +148,10 @@ object DeltaLog {
       "variantShredding", "variantShredding-preview",
       // OPTIMIZE lays data out by the delta.clustering domain's
       // clusteringColumns and every commit path carries domains
-      // through — the clustered-table writer contract
-      "clusteredTable",
+      // through — the clustered-table writer contract ("clustering"
+      // is the delta-spark spelling our own CLUSTER BY stamps;
+      // "clusteredTable" the earlier preview spelling)
+      "clustering", "clusteredTable",
       "vacuumProtocolCheck", "checkpointProtection")
 
   /** Refuse commits this writer cannot make faithfully:

@@ -69,6 +69,17 @@ object GraftDelta {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** Epoch millis from an option value: a raw millis long, a
+    * `java.sql.Timestamp`-parseable string, or an ISO instant. */
+  private[sources] def parseTimestampMs(s: String): Long =
+    s.toLongOption.getOrElse {
+      try java.sql.Timestamp.valueOf(s).getTime
+      catch {
+        case _: IllegalArgumentException =>
+          java.time.Instant.parse(s).toEpochMilli
+      }
+    }
+
   /** Stream offset = the last Delta version this consumer has fully
     * processed. Serialized into the streaming checkpoint; a restart
     * resumes at `(version, latest]`. */
@@ -680,10 +691,27 @@ private class GraftDeltaScan(spark: SparkSession, table: GraftDeltaTable,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       if (table.cdf) {
-        val fromV = Option(options.get("startingVersion")).map(_.toLong)
+        // version bounds, or their TIME-based twins resolved against
+        // the commits' ICT-aware timestamps: changes committed at or
+        // after startingTimestamp through at or before endingTimestamp
+        val sv = Option(options.get("startingVersion")).map(_.toLong)
+        val st = Option(options.get("startingTimestamp"))
+          .map(GraftDelta.parseTimestampMs)
+        val ev = Option(options.get("endingVersion")).map(_.toLong)
+        val et = Option(options.get("endingTimestamp"))
+          .map(GraftDelta.parseTimestampMs)
+        require(sv.isEmpty || st.isEmpty,
+          "set at most one of startingVersion / startingTimestamp")
+        require(ev.isEmpty || et.isEmpty,
+          "set at most one of endingVersion / endingTimestamp")
+        lazy val times = DeltaLog.commitTimes(spark, table.tablePath)
+        val fromV = sv.orElse(st.map(ts =>
+          times.takeWhile(_._2 < ts).lastOption.map(_._1).getOrElse(-1L)))
           .getOrElse(throw new IllegalArgumentException(
-            "batch readChangeFeed needs startingVersion (exclusive lower bound)"))
-        val toV = Option(options.get("endingVersion")).map(_.toLong)
+            "batch readChangeFeed needs startingVersion (exclusive " +
+              "lower bound) or startingTimestamp (inclusive)"))
+        val toV = ev.orElse(et.map(ts =>
+          times.takeWhile(_._2 <= ts).lastOption.map(_._1).getOrElse(-1L)))
           .getOrElse(table.snap.version)
         planRange(spark, table.tablePath, table.snap.schema,
           table.snap.partitionColumns, physReadPart, fromV, toV, cdf = true,
@@ -774,15 +802,8 @@ private class GraftDeltaMicroBatchStream(spark: SparkSession,
     * "now". Mutually exclusive with `startingVersion`. */
   private val startingVersion: Long = {
     val sv = Option(options.get("startingVersion")).map(_.toLong)
-    val st = Option(options.get("startingTimestamp")).map { s =>
-      s.toLongOption.getOrElse {
-        try java.sql.Timestamp.valueOf(s).getTime
-        catch {
-          case _: IllegalArgumentException =>
-            java.time.Instant.parse(s).toEpochMilli
-        }
-      }
-    }
+    val st = Option(options.get("startingTimestamp"))
+      .map(GraftDelta.parseTimestampMs)
     require(sv.isEmpty || st.isEmpty,
       "set at most one of startingVersion / startingTimestamp")
     st match {

@@ -624,11 +624,27 @@ private class GraftIcebergScan(spark: SparkSession, table: GraftIcebergTable,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       if (table.cdf) {
-        val fromId = Option(options.get("startingSnapshotId")).map(_.toLong)
+        // id bounds, or their TIME-based twins (the incremental-read
+        // option names): snapshots committed at or after
+        // start-timestamp through at or before end-timestamp
+        val sid = Option(options.get("startingSnapshotId")).map(_.toLong)
+        val st = Option(options.get("start-timestamp")).map(_.toLong)
+        val eid = Option(options.get("endingSnapshotId")).map(_.toLong)
+        val et = Option(options.get("end-timestamp")).map(_.toLong)
+        require(sid.isEmpty || st.isEmpty,
+          "set at most one of startingSnapshotId / start-timestamp")
+        require(eid.isEmpty || et.isEmpty,
+          "set at most one of endingSnapshotId / end-timestamp")
+        lazy val entries =
+          IcebergTable.snapshotEntries(spark, table.tablePath)
+        val fromId = sid.orElse(st.map(ts =>
+          entries.takeWhile(_._2 < ts).lastOption.map(_._1).getOrElse(-1L)))
           .getOrElse(throw new IllegalArgumentException(
             "batch readChangeFeed needs startingSnapshotId (exclusive " +
-              "lower bound; -1 = table creation)"))
-        val toId = Option(options.get("endingSnapshotId")).map(_.toLong)
+              "lower bound; -1 = table creation) or start-timestamp " +
+              "(inclusive)"))
+        val toId = eid.orElse(et.map(ts =>
+          entries.takeWhile(_._2 <= ts).lastOption.map(_._1).getOrElse(-1L)))
           .getOrElse(table.snap.snapshotId)
         planRange(spark, table.tablePath, table.snap.schema, readPart,
           fromId, toId, cdf = true, skipChangeCommits = false)

@@ -28,6 +28,33 @@ class ChangeDataFeedSpec extends SparkSpec {
       .select("k", "v", "_change_type", "_commit_version")
       .as[(Long, String, String, Long)].collect().toSet
 
+  test("batch readChangeFeed takes TIME bounds: startingTimestamp inclusive, endingTimestamp inclusive") {
+    val t = Files.createTempDirectory("graft-cdf-ts").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v").coalesce(1), t) // v0
+    Thread.sleep(60)
+    val ts = System.currentTimeMillis()
+    Thread.sleep(60)
+    DeltaLog.write(spark, Seq((2L, "b")).toDF("k", "v").coalesce(1), t) // v1
+    Thread.sleep(60)
+    val tEnd = System.currentTimeMillis()
+    Thread.sleep(60)
+    DeltaLog.write(spark, Seq((3L, "c")).toDF("k", "v").coalesce(1), t) // v2
+    def cdf(opts: Map[String, String]): Set[(Long, String)] = {
+      var r = spark.read.format("graft-delta")
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(t).select("k", "v").as[(Long, String)].collect().toSet
+    }
+    assert(cdf(Map("startingTimestamp" -> ts.toString))
+      === Set((2L, "b"), (3L, "c")))
+    assert(cdf(Map("startingTimestamp" -> ts.toString,
+      "endingTimestamp" -> tEnd.toString)) === Set((2L, "b")))
+    // version + timestamp bound together refuse
+    intercept[Exception] {
+      cdf(Map("startingTimestamp" -> ts.toString, "startingVersion" -> "0"))
+    }
+  }
+
   test("SET TBLPROPERTIES enables CDF with the protocol bump; COW delete writes precise cdc rows") {
     val root = catalogRoot("del")
     val t = s"$root/ns/t"

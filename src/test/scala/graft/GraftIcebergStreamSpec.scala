@@ -800,6 +800,34 @@ class GraftIcebergStreamSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).count() === 90L)
   }
 
+  test("batch readChangeFeed takes TIME bounds: start-timestamp inclusive, end-timestamp inclusive") {
+    val dir = tmp("gi-cdfts")
+    val t = s"$dir/t"
+    IcebergTable.write(spark, Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
+    Thread.sleep(60)
+    val ts = System.currentTimeMillis()
+    Thread.sleep(60)
+    IcebergTable.write(spark, Seq((2L, "b")).toDF("k", "v").coalesce(1), t)
+    Thread.sleep(60)
+    val tEnd = System.currentTimeMillis()
+    Thread.sleep(60)
+    IcebergTable.write(spark, Seq((3L, "c")).toDF("k", "v").coalesce(1), t)
+    def cdf(opts: Map[String, String]): Set[(Long, String)] = {
+      var r = spark.read.format("graft-iceberg")
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(t).select("k", "v").as[(Long, String)].collect().toSet
+    }
+    assert(cdf(Map("start-timestamp" -> ts.toString))
+      === Set((2L, "b"), (3L, "c")))
+    assert(cdf(Map("start-timestamp" -> ts.toString,
+      "end-timestamp" -> tEnd.toString)) === Set((2L, "b")))
+    intercept[Exception] {
+      cdf(Map("start-timestamp" -> ts.toString,
+        "startingSnapshotId" -> "1"))
+    }
+  }
+
   test("stream-from-timestamp streams only snapshots at or after it; a future timestamp starts from now") {
     val dir = tmp("gi-startts")
     val t = s"$dir/t"
