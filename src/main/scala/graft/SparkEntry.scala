@@ -6021,6 +6021,28 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // HIVE-LAYOUT adoption (the `migrate`/`add_files` shape real
+    // warehouses hit): k=v directory components become IDENTITY
+    // partition columns whose values live in the PATHS — the
+    // resolving reader serves them typed via a basePath scan, the
+    // adopted tuples drive identity pruning, and MOR DELETE composes
+    // over path-served rows
+    "interop_iceberg_hiveconvert" -> ((s, d) => {
+      val t = java.nio.file.Files.createTempDirectory("graft-q-hconv")
+        .toString + "/t"
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          (col("c_nationkey") % 4).as("grp"))
+        .write.partitionBy("grp").parquet(t)
+      graft.sources.IcebergTable.convertFrom(s, t)
+      graft.sources.IcebergTable.delete(s, t, col("c_custkey") % 5 === 0)
+      graft.sources.IcebergTable.read(s, t)
+        .where(col("grp") =!= 1L)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sumD(col("c_acctbal")).as("bal"))
+        .orderBy("grp")
+    }),
+
     // CONVERT TO ICEBERG end-to-end (in-place adoption / `migrate`):
     // a plain parquet dir becomes snapshot 1 with a name mapping, a
     // post-adoption RENAME serves pre-adoption files, and appends +
@@ -9802,6 +9824,15 @@ object SparkEntry {
          | SELECT n_nationkey + (i * 100) AS k, n_name AS nm
          | FROM nation, (SELECT UNNEST([0, 1, 2, 3]) AS i))
          |ORDER BY k""".stripMargin,
+
+    "interop_iceberg_hiveconvert" ->
+      s"""SELECT grp, COUNT(*) AS n, ${sqlSumD("c_acctbal")} AS bal
+         |FROM (
+         | SELECT c_nationkey % 4 AS grp, c_acctbal FROM customer
+         | WHERE c_custkey % 5 <> 0)
+         |WHERE grp <> 1
+         |GROUP BY 1
+         |ORDER BY grp""".stripMargin,
 
     "interop_iceberg_convert" ->
       s"""SELECT k, nm, rk FROM (

@@ -1203,7 +1203,18 @@ object IcebergTable {
           fills
       }
     }
-    def projOf(f: DataFile): (Option[Seq[(String, Int, DataType, Option[String])]], Seq[NestedDefault]) = {
+    // HIVE-ADOPTED identity partitions: a current column ABSENT from
+    // a file's era but carried as an IDENTITY partition value in its
+    // manifest tuple is served from the adopted hive directory
+    // layout — the group scans with `basePath`, so Spark's
+    // path-partition machinery materializes the column with the
+    // requested type (it never lived in those files). Dir names are
+    // the SPEC FIELD's name, pinned at adoption: renaming the source
+    // column later keeps serving (the projection aliases dir name →
+    // current name).
+    val hiveSrc: Map[String, String] = snap.specFields
+      .filter(_.isIdentity).map(pf => pf.source -> pf.name).toMap
+    def projOf(f: DataFile): (Option[Seq[(String, Int, DataType, Option[String])]], Seq[NestedDefault], Boolean) = {
       val sid: Option[Int] =
         if (f.addedSnapshotId < 0) None
         else snapToSchema.get(f.addedSnapshotId)
@@ -1231,7 +1242,12 @@ object IcebergTable {
             "reading it would serve nulls or stale values silently; " +
             "rewrite the data (OPTIMIZE / overwrite) to materialize " +
             "the current nested names")
-      era.flatMap { m =>
+      val hiveBase = era.exists { m =>
+        current.exists { case (n, id, _) =>
+          !m.contains(id) && hiveSrc.get(n)
+            .exists(f.partitionTuple.contains) }
+      }
+      val proj = era.flatMap { m =>
         // the reserved materialized row-lineage columns resolve by
         // their own names in EVERY era (they never rename; files
         // lacking them read null) — without this, a renamed-column
@@ -1239,7 +1255,11 @@ object IcebergTable {
         val p = current.map { case (n, id, dt) =>
           (n, id, dt,
             if (id == RowIdFieldId || id == LastUpdatedSeqFieldId) Some(n)
-            else m.get(id)) }
+            else m.get(id).orElse(
+              // hive-adopted identity column: read under the DIR name
+              if (hiveSrc.get(n).exists(f.partitionTuple.contains))
+                Some(hiveSrc(n))
+              else None)) }
         // identity projection reads plainly — ADD-only evolution stays
         // on the untouched path (a missing column is null either way).
         // NOT identity when a field id renamed, OR when a current name
@@ -1253,7 +1273,8 @@ object IcebergTable {
             !m.valuesIterator.contains(n) && !initDef.contains(id)
         }
         if (identitySafe) None else Some(p)
-      } -> nestedFillsOf(f, sid)
+      }
+      (proj, nestedFillsOf(f, sid), hiveBase)
     }
     // per-group FORMAT dispatch: ORC data files scan through Spark's
     // native ORC source, AVRO data files through the avro-core
@@ -1263,22 +1284,32 @@ object IcebergTable {
     // (MOR delete application, row lineage, DML match detection)
     // cannot be served over them — refuse loudly; OPTIMIZE rewrites
     // to parquet and lifts the restriction.
-    def scanOf(schema: StructType, fmt: String, paths: Seq[String]) = {
+    def scanOf(schema: StructType, fmt: String, paths: Seq[String],
+               hiveBase: Boolean = false) = {
       if (withPos && fmt != "parquet")
         throw new UnsupportedOperationException(
           s"position-based read over $fmt data files of " +
             s"${snap.tablePath} is not supported ($fmt has no " +
             "row-index metadata column) — OPTIMIZE / rewriteDataFiles " +
             "to parquet first")
-      if (fmt == "orc") spark.read.schema(schema).orc(paths: _*)
+      // hive-adopted groups scan with basePath so path-partition
+      // columns materialize (requested-schema typed, no inference)
+      def rd = {
+        val r = spark.read.schema(schema)
+        if (hiveBase) r.option("basePath", snap.tablePath) else r
+      }
+      if (fmt == "orc") rd.orc(paths: _*)
       else if (fmt == "avro") {
+        if (hiveBase) throw new UnsupportedOperationException(
+          s"hive-layout identity partitions over avro data files of " +
+            s"${snap.tablePath} are not supported — OPTIMIZE to parquet")
         val raw = AvroFiles.readFiles(spark, paths)
         val have = raw.columns.toSet
         raw.select(schema.fields.toSeq.map(f =>
           if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)): _*)
       }
-      else spark.read.schema(schema).parquet(paths: _*)
+      else rd.parquet(paths: _*)
     }
     def fmtOf(f: DataFile): String =
       f.format.toLowerCase(java.util.Locale.ROOT)
@@ -1301,13 +1332,15 @@ object IcebergTable {
       }
     files.groupBy(f => (projOf(f), fmtOf(f))).toSeq
       .sortBy(_._2.head.path).map {
-      case (((None, fills), fmt), fs) =>
+      case (((None, fills, hb), fmt), fs) =>
         applyNested(
-          withMeta(scanOf(snap.schema, fmt, fs.map(_.path))), fills)
-      case (((Some(p), fills), fmt), fs) =>
+          withMeta(scanOf(snap.schema, fmt, fs.map(_.path), hb)), fills)
+      case (((Some(p), fills, hb), fmt), fs) =>
+        // era columns DEDUPED: a hive dir name can equal an era
+        // physical name only through the alias map, never twice
         val eraStruct = StructType(p.collect {
           case (_, _, dt, Some(e)) => StructField(e, dt, nullable = true) })
-        val base = withMeta(scanOf(eraStruct, fmt, fs.map(_.path)))
+        val base = withMeta(scanOf(eraStruct, fmt, fs.map(_.path), hb))
         val cols = p.map { case (n, id, dt, eo) =>
           eo.map(e => col(e).as(n)).getOrElse(
             initDef.get(id).map(_.as(n))
@@ -4667,16 +4700,35 @@ object IcebergTable {
     lazy val unsafeEraExists = eras.values.exists(unsafe) ||
       nestedInit.exists(nd => idsByEra.values.exists(s => !s(nd.ids.last))) ||
       nestedByEra.keys.exists(nestedDrift)
+    // HIVE-ADOPTED files serve identity-partition columns from the
+    // directory layout — only the resolving reader knows to; the
+    // name-based DSv2 scan would read NULL, so gate it there. The
+    // test is precise: the file's era lacks a column that IS an
+    // identity partition source whose value the file's tuple carries
+    // (plain ADD COLUMN evolution on a partitioned table never
+    // matches — the new column is not a partition source).
+    val hiveSpecNames: Set[String] = snap.specFields
+      .filter(_.isIdentity).map(_.name).toSet
+    val hiveByName: Map[String, String] = snap.specFields
+      .filter(_.isIdentity).map(pf => pf.source -> pf.name).toMap
+    def hiveAdopted(f: DataFile, m: Map[Int, String]): Boolean =
+      current.exists { case (n, id) =>
+        id > 0 && !m.contains(id) &&
+          hiveByName.get(n).exists(f.partitionTuple.contains) }
     snap.files.exists { f =>
       val sid =
         if (f.addedSnapshotId < 0) None
         else snapToSchema.get(f.addedSnapshotId)
       sid.flatMap(eras.get) match {
         case Some(m) => unsafe(m) || sid.exists(lacksNested) ||
-          sid.exists(nestedDrift)
+          sid.exists(nestedDrift) || hiveAdopted(f, m)
         // unresolvable era on a renamed/re-added table: ambiguous —
-        // the scan must gate (the resolving reader then refuses too)
-        case None => unsafeEraExists
+        // the scan must gate (the resolving reader then refuses too).
+        // Conservatively gate era-less files carrying identity
+        // tuples too (possible hive adoption with a pruned era).
+        case None => unsafeEraExists ||
+          (hiveSpecNames.nonEmpty &&
+            f.partitionTuple.keySet.exists(hiveSpecNames))
       }
     }
   }
@@ -5181,10 +5233,15 @@ object IcebergTable {
     * evolution: a post-adoption RENAME keeps serving pre-adoption
     * files through the mapping (graft's reader uses it as the
     * era-resolution fallback; real engines resolve ids through it
-    * directly). Unpartitioned layout only — hive partition dirs do
-    * not carry the partition columns in the files, which an identity
-    * spec promises. After adoption this is a REAL Iceberg table:
-    * appends, DML, OPTIMIZE, schema evolution all work. */
+    * directly). HIVE LAYOUTS adopt too: `k=v` directory components
+    * become IDENTITY partition columns — the FILE era (schema 0)
+    * carries only the data columns, the current schema appends the
+    * partition columns, per-file partition tuples land in the
+    * manifest (so identity partition PRUNING works from day one),
+    * and the resolving reader serves the values from the directory
+    * layout via a `basePath` scan (the column never lived in the
+    * files). After adoption this is a REAL Iceberg table: appends,
+    * DML, OPTIMIZE, schema evolution all work. */
   def convertFrom(spark: SparkSession, path: String): Long = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(path)
@@ -5197,24 +5254,57 @@ object IcebergTable {
       s"$path holds a _delta_log — mirror the Delta table instead " +
         "(mirrorFromIceberg/UniForm direction, or CONVERT TO DELTA " +
         "came first)")
-    def walk(p: Path): Seq[Path] =
+    def walk(p: Path, parts: Seq[(String, String)])
+    : Seq[(Path, Seq[(String, String)])] =
       fs.listStatus(p).toSeq
         .filterNot(st => st.getPath.getName.startsWith("_") ||
           st.getPath.getName.startsWith("."))
         .flatMap { st =>
           if (st.isDirectory) {
-            require(!st.getPath.getName.contains("="),
-              s"hive partition directory ${st.getPath.getName} under " +
-                s"$path — identity partition columns must live IN the " +
-                "data files; rewrite unpartitioned first")
-            walk(st.getPath)
+            val nm = st.getPath.getName
+            if (nm.contains("=")) {
+              val Array(k, v) = nm.split("=", 2)
+              walk(st.getPath,
+                parts :+ (k -> java.net.URLDecoder.decode(v, "UTF-8")))
+            } else walk(st.getPath, parts)
           }
-          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet"))
+            Seq(st.getPath -> parts)
           else Seq.empty
         }
-    val dataFiles = walk(dst)
+    val filesWithParts = walk(dst, Nil)
+    val dataFiles = filesWithParts.map(_._1)
     require(dataFiles.nonEmpty, s"no parquet files under $path")
-    val schema = spark.read.parquet(path).schema
+    // HIVE LAYOUT: `k=v` directory components become IDENTITY
+    // partition columns — values live in the PATHS, not the files
+    // (the `migrate`/`add_files` shape). Every file must agree on
+    // the partition key sequence.
+    val partKeys: Seq[String] = filesWithParts.head._2.map(_._1)
+    require(filesWithParts.forall(_._2.map(_._1) == partKeys),
+      s"inconsistent hive partition layout under $path: " +
+        s"expected keys ${partKeys.mkString("/")}")
+    def rawOf(v: String): Option[String] =
+      if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)
+    val partTypes: Seq[(String, DataType)] = partKeys.zipWithIndex
+      .map { case (k, i) =>
+        val vals = filesWithParts.flatMap(f => rawOf(f._2(i)._2))
+        val dt: DataType =
+          if (vals.nonEmpty && vals.forall(_.toLongOption.isDefined))
+            LongType
+          else if (vals.nonEmpty && vals.forall(_.toDoubleOption.isDefined))
+            DoubleType
+          else StringType
+        k -> dt
+      }
+    // recursiveFileLookup suppresses Spark's own partition discovery
+    // — the DATA schema is exactly what the files carry
+    val dataSchema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(path).schema
+    partKeys.foreach(k => require(!dataSchema.fieldNames.contains(k),
+      s"hive partition column $k also lives inside the data files " +
+        s"under $path — ambiguous; rewrite one side first"))
+    val schema = StructType(dataSchema.fields ++
+      partTypes.map { case (k, dt) => StructField(k, dt, nullable = true) })
     casCommit(spark, path) { (prior, _) =>
       require(prior.isEmpty,
         s"$path already holds Iceberg metadata — it IS an Iceberg table")
@@ -5223,7 +5313,35 @@ object IcebergTable {
       val schemaObj = sparkTypeToIceberg(schema, nextId)
         .asInstanceOf[ObjectNode]
       schemaObj.put("schema-id", 0)
-      val schemaJson = M.writeValueAsString(schemaObj)
+      val fieldInfo: Map[String, (Int, DataType)] =
+        schema.fields.map { f =>
+          val fid = schemaObj.get("fields").elements().asScala
+            .find(_.get("name").asText() == f.name).get.get("id").asInt()
+          f.name -> ((fid, f.dataType))
+        }.toMap
+      // HIVE layout: the FILE era (schema 0) holds only the DATA
+      // columns — the era machinery then knows the partition columns
+      // never lived in the files and serves them from the directory
+      // layout; the CURRENT schema (1) appends them as identity
+      // partition sources
+      val hive = partKeys.nonEmpty
+      val dataOnlyObj =
+        if (!hive) schemaObj
+        else {
+          val o = schemaObj.deepCopy[ObjectNode]()
+          val keep = M.createArrayNode()
+          o.get("fields").elements().asScala
+            .filterNot(f => partKeys.contains(f.get("name").asText()))
+            .foreach(keep.add)
+          o.set[JsonNode]("fields", keep)
+          o
+        }
+      if (hive) schemaObj.put("schema-id", 1)
+      val fileSchemaJson = M.writeValueAsString(dataOnlyObj)
+      val specFields: Seq[SpecField] = partTypes.zipWithIndex.map {
+        case ((k, dt), i) =>
+          SpecField(k, dt, fieldInfo(k)._1, "identity", 1000 + i)
+      }
       val snapId = 1L
       val seq = 1L
       val atok = java.util.UUID.randomUUID().toString.take(8)
@@ -5232,17 +5350,24 @@ object IcebergTable {
       val triples: Seq[(String, Long, Long)] = dataFiles.map(p =>
         (fs.makeQualified(p).toString, fs.getFileStatus(p).getLen,
           counts(p)))
-      val fieldInfo: Map[String, (Int, DataType)] =
-        schema.fields.map { f =>
-          val fid = schemaObj.get("fields").elements().asScala
-            .find(_.get("name").asText() == f.name).get.get("id").asInt()
-          f.name -> ((fid, f.dataType))
-        }.toMap
+      val tuples: Map[String, Seq[Any]] = filesWithParts.map {
+        case (p, parts) =>
+          fs.makeQualified(p).toString -> parts.zip(partTypes).map {
+            case ((_, v), (_, dt)) => rawOf(v) match {
+              case None => null
+              case Some(raw) => dt match {
+                case LongType => Long.box(raw.toLong)
+                case DoubleType => Double.box(raw.toDouble)
+                case _ => raw
+              }
+            }
+          }
+      }.toMap
       val stats = footerFileStatsAll(spark,
         triples.map(t => (t._1, t._3)))
       val manifest = writeManifest(spark, mdir, s"adopt-$atok-$snapId",
-        schemaJson, triples, snapId, seq, stats = stats,
-        fieldInfo = fieldInfo)
+        fileSchemaJson, triples, snapId, seq, spec = specFields,
+        tuples = tuples, stats = stats, fieldInfo = fieldInfo)
       val listPath = fs.makeQualified(
         new Path(mdir, s"snap-$atok-$snapId-manifest-list.avro"))
       writeAvro(spark, listPath, ManifestFileSchema,
@@ -5256,19 +5381,26 @@ object IcebergTable {
       root.put("last-sequence-number", seq)
       root.put("last-updated-ms", now)
       root.put("last-column-id", idCounter)
-      root.put("current-schema-id", 0)
-      root.putArray("schemas").add(schemaObj)
+      root.put("current-schema-id", if (hive) 1 else 0)
+      val schemasArr = root.putArray("schemas")
+      if (hive) { dataOnlyObj.put("schema-id", 0); schemasArr.add(dataOnlyObj) }
+      schemasArr.add(schemaObj)
       val specsArr = root.putArray("partition-specs")
-      val sp = specsArr.addObject()
-      sp.put("spec-id", 0)
-      sp.putArray("fields")
+      if (specFields.isEmpty) {
+        val sp = specsArr.addObject()
+        sp.put("spec-id", 0)
+        sp.putArray("fields")
+      } else specsArr.add(M.readTree(
+        s"""{"spec-id":0,"fields":${specFieldsJson(specFields)}}"""))
       root.put("default-spec-id", 0)
-      root.put("last-partition-id", 999)
+      root.put("last-partition-id", 999 + specFields.size)
       root.put("default-sort-order-id", 0)
       root.putArray("sort-orders").addObject().put("order-id", 0)
         .putArray("fields")
+      // name mapping pins the FILE columns only — the partition
+      // columns never lived in the parquet
       root.putObject("properties").put("schema.name-mapping.default",
-        nameMappingJson(schemaObj))
+        nameMappingJson(dataOnlyObj))
       root.put("current-snapshot-id", snapId)
       val snapsArr = root.putArray("snapshots")
       val sn = snapsArr.addObject()

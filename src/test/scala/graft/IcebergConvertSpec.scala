@@ -115,14 +115,78 @@ class IcebergConvertSpec extends SparkSpec {
     assert(e.getMessage.contains("renamed"), e.getMessage)
   }
 
-  test("refusals: hive-partitioned dirs, existing Iceberg metadata, Delta dirs") {
-    val p = Files.createTempDirectory("graft-iceconv-h").toString + "/t"
-    Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "s", "p")
-      .write.partitionBy("p").parquet(p)
-    val e1 = intercept[IllegalArgumentException] {
-      IcebergTable.convertFrom(spark, p)
+  test("HIVE-layout adoption: k=v dirs become identity partition columns served from the paths; pruning + DML work") {
+    val t = Files.createTempDirectory("graft-iceconv-hv").toString + "/t"
+    // two partition levels, typed: ds (string date) and region (long)
+    Seq((1L, "a", "2024-01-01", 3L), (2L, "b", "2024-01-01", 3L),
+      (3L, "c", "2024-01-02", 5L), (4L, "d", "2024-01-02", 7L))
+      .toDF("id", "s", "ds", "region")
+      .write.partitionBy("ds", "region").parquet(t)
+    val plain = spark.read.parquet(t)
+      .select("id", "s", "ds", "region")
+      .as[(Long, String, String, Long)].collect().toSet
+    IcebergTable.convertFrom(spark, t)
+    val snap = IcebergTable.snapshot(spark, t)
+    // identity spec recorded; tuples in the manifests
+    assert(snap.specFields.map(f => (f.name, f.transform))
+      === Seq(("ds", "identity"), ("region", "identity")))
+    assert(snap.files.forall(f =>
+      f.partitionTuple.contains("ds") && f.partitionTuple.contains("region")))
+    // the read serves the partition columns FROM THE PATHS, typed
+    assert(IcebergTable.read(spark, t)
+      .select("id", "s", "ds", "region")
+      .as[(Long, String, String, Long)].collect().toSet === plain)
+    assert(IcebergTable.read(spark, t).schema("region").dataType
+      === org.apache.spark.sql.types.LongType)
+    // identity partition PRUNING works from the adopted tuples
+    val pruned = IcebergTable.prunedFiles(spark, snap, col("ds") === "2024-01-01")
+    assert(pruned.size < snap.files.size && pruned.nonEmpty)
+    // filters over partition columns answer correctly
+    assert(IcebergTable.read(spark, t).where(col("region") === 3L)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
+    // the DSv2 scan gates to the resolving reader (name-based scans
+    // cannot serve path-partition columns)
+    val eg = intercept[Exception] {
+      spark.read.format("graft-iceberg").load(t).collect()
     }
-    assert(e1.getMessage.contains("hive partition"), e1.getMessage)
+    assert(eg.toString.contains("IcebergTable.read"), eg.toString)
+    // the adopted table is REAL: a post-adoption append (written
+    // with columns IN the files) unions with path-served files
+    IcebergTable.write(spark,
+      Seq((9L, "z", "2024-01-03", 9L)).toDF("id", "s", "ds", "region"), t,
+      partitionBy = IcebergTable.defaultSpecNames(spark, t))
+    assert(IcebergTable.read(spark, t).count() === 5L)
+    assert(IcebergTable.read(spark, t).where(col("ds") === "2024-01-03")
+      .select("id").as[Long].collect().toSeq === Seq(9L))
+    // MOR DELETE composes: kills a path-served row exactly
+    IcebergTable.delete(spark, t, col("id") === 2L)
+    assert(IcebergTable.read(spark, t)
+      .select("id", "s", "ds", "region")
+      .as[(Long, String, String, Long)].collect().toSet
+      === plain - ((2L, "b", "2024-01-01", 3L)) +
+      ((9L, "z", "2024-01-03", 9L)))
+    // renaming a partition SOURCE refuses (the existing conservative
+    // gate — repartition first); a data column renames fine and the
+    // path-served partition columns keep serving
+    intercept[IllegalArgumentException] {
+      IcebergTable.renameColumn(spark, t, "region", "zone")
+    }
+    IcebergTable.renameColumn(spark, t, "s", "name")
+    assert(IcebergTable.read(spark, t).where(col("region") === 3L)
+      .select("id", "name").as[(Long, String)].collect().toSet
+      === Set((1L, "a")))
+  }
+
+  test("refusals: existing Iceberg metadata, Delta dirs, partition column duplicated inside the files") {
+    val p = Files.createTempDirectory("graft-iceconv-h").toString + "/t"
+    // partition col ALSO inside the files → ambiguous, refuse
+    val amb = Files.createTempDirectory("graft-iceconv-amb").toString + "/t"
+    Seq((1L, "x", "a")).toDF("id", "s", "p")
+      .coalesce(1).write.parquet(s"$amb/p=a")
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergTable.convertFrom(spark, amb)
+    }
+    assert(e1.getMessage.contains("also lives inside"), e1.getMessage)
 
     val t2 = freshDir()
     seed(t2)
