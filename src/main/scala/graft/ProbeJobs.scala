@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.scheduler._
+import scala.collection.mutable
+
+/** Ad-hoc per-JOB profiler: run selected queries (warmup + 1 timed
+  * pass) with a listener recording every Spark job's wall time, task
+  * count and call site, so commit-path-bound queries (many small
+  * sequential jobs) show WHERE the time goes. Not a test.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.ProbeJobs interop_iceberg_dcompact"
+  */
+object ProbeJobs {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val names = if (args.nonEmpty) args.toSeq else Seq("interop_iceberg_dcompact")
+    val spark = graft.sources.GraftSession.local(cpus)
+
+    case class JobRec(id: Int, var desc: String, var start: Long,
+      var end: Long, var tasks: Int, var taskTimeMs: Long)
+    val jobs = mutable.LinkedHashMap[Int, JobRec]()
+    val stageToJob = mutable.Map[Int, Int]()
+    @volatile var record = false
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = if (record) {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
+        jobs.synchronized {
+          jobs(j.jobId) = JobRec(j.jobId, desc, j.time, 0L, 0, 0L)
+          j.stageIds.foreach(sid => stageToJob(sid) = j.jobId)
+        }
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = if (record) {
+        jobs.synchronized { jobs.get(j.jobId).foreach(_.end = j.time) }
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = if (record) {
+        jobs.synchronized {
+          stageToJob.get(t.stageId).flatMap(jobs.get).foreach { r =>
+            r.tasks += 1
+            if (t.taskMetrics != null)
+              r.taskTimeMs += t.taskMetrics.executorRunTime
+          }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    names.foreach { name =>
+      // warmup (codegen/JIT)
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable => println(s"[probe] $name warmup FAILED: $e") }
+      spark.catalog.clearCache()
+      jobs.synchronized { jobs.clear(); stageToJob.clear() }
+      record = true
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      record = false
+      spark.catalog.clearCache()
+      val snap = jobs.synchronized { jobs.values.toVector }
+      val jobWall = snap.map(r => (r.end - r.start).max(0L)).sum / 1e3
+      println(f"\n=== $name: wall $wallS%.3f s, ${snap.size} jobs " +
+        f"(job wall sum $jobWall%.3f s, gap ${wallS - jobWall}%.3f s), $n rows ===")
+      // group jobs by description for a compact profile
+      val byDesc = snap.groupBy(_.desc).map { case (d, rs) =>
+        (d, rs.size, rs.map(r => (r.end - r.start).max(0L)).sum / 1e3,
+          rs.map(_.tasks).sum, rs.map(_.taskTimeMs).sum / 1e3)
+      }.toVector.sortBy(-_._3)
+      byDesc.take(40).foreach { case (d, cnt, wall, tasks, ttime) =>
+        println(f"  ${wall}%8.3f s  n=$cnt%-4d tasks=$tasks%-6d taskTime=${ttime}%8.3f s  $d")
+      }
+    }
+    spark.stop()
+  }
+}

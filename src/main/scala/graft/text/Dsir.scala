@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   *     seeded hash of the doc id (deterministic: same seed, same
   *     selection, any cluster size, no RNG state).
   *
-  * Scale shape at 100 TB: the raw corpus is touched by exactly two
-  * linear passes (q counts; weights+keys), both map-side-combinable;
-  * the only driver-sized object is the k selected rows — the output
-  * contract of a selection. No all-pairs anything.
+  * Scale shape at 100 TB: the raw corpus is touched by exactly ONE
+  * linear ngram pass — the per-doc bucket counts (map-side-combinable)
+  * feed both the raw model `q` (by re-aggregation) and the per-doc
+  * weights; the only driver-sized object is the k selected rows — the
+  * output contract of a selection. No all-pairs anything.
   */
 object Dsir {
 
@@ -68,16 +69,31 @@ object Dsir {
     * a ≤`buckets`-row frame small enough to broadcast. */
   def logRatios(raw: DataFrame, target: DataFrame, textCol: String,
                 buckets: Int = 10000,
-                portable: Boolean = false): DataFrame = {
-    def dist(docs: DataFrame, name: String): DataFrame = {
-      val grams = ngrams(col(textCol))
-      docs.select(explode(grams).as("__gram"))
-        .select(bucketOf(col("__gram"), buckets, portable).as("bucket"))
-        .groupBy("bucket").count().withColumnRenamed("count", name)
-    }
-    val p = dist(target, "p_cnt")
-    val q = dist(raw, "q_cnt")
-    val joined = p.join(q, Seq("bucket"), "full_outer")
+                portable: Boolean = false): DataFrame =
+    logRatiosFromQ(
+      distOf(raw, textCol, buckets, portable, "q_cnt"),
+      target, textCol, buckets, portable)
+
+  /** One corpus pass: per-bucket total gram counts. */
+  private def distOf(docs: DataFrame, textCol: String, buckets: Int,
+                     portable: Boolean, name: String): DataFrame = {
+    val grams = ngrams(col(textCol))
+    docs.select(explode(grams).as("__gram"))
+      .select(bucketOf(col("__gram"), buckets, portable).as("bucket"))
+      .groupBy("bucket").count().withColumnRenamed("count", name)
+  }
+
+  /** [[logRatios]] with the RAW distribution already aggregated —
+    * lets [[importanceWeights]] derive `q` from the per-doc bucket
+    * counts it needs anyway (q_cnt[b] = Σ_doc cnt[doc, b] — the same
+    * integers, one full ngram pass over the raw corpus saved). */
+  private def logRatiosFromQ(qDist: DataFrame, target: DataFrame,
+                             textCol: String, buckets: Int,
+                             portable: Boolean): DataFrame = {
+    val p = distOf(target, textCol, buckets, portable, "p_cnt")
+    val joined = p.join(qDist.withColumnRenamed(
+      qDist.columns.filter(_ != "bucket").head, "q_cnt"),
+      Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("p_cnt"), lit(0L)).as("p_cnt"),
         coalesce(col("q_cnt"), lit(0L)).as("q_cnt"))
@@ -97,7 +113,7 @@ object Dsir {
         math.log((r.getLong(1) + 1).toDouble / (pt + buckets)) -
           math.log((r.getLong(2) + 1).toDouble / (qt + buckets)))
     }
-    val spark = raw.sparkSession
+    val spark = target.sparkSession
     import spark.implicits._
     ratio.toDF("bucket", "logratio")
   }
@@ -107,8 +123,20 @@ object Dsir {
                         target: DataFrame,
                         buckets: Int = 10000,
                         portable: Boolean = false): DataFrame = {
-    val lr = broadcast(logRatios(raw, target, textCol, buckets, portable))
-    bucketCounts(raw, idCol, textCol, buckets, portable)
+    // ONE ngram pass over the raw corpus: the per-doc bucket counts
+    // (needed for the weights anyway) also yield the raw model's
+    // bucket distribution by re-aggregation — q_cnt[b] = Σ_doc
+    // cnt[doc, b], the identical integers the dedicated second pass
+    // produced. The persisted frame is POST-aggregation (≤ buckets
+    // rows per doc, no gram strings), so the cache holds the reduced
+    // counts, never raw text — the persist-reduced-frames rule from
+    // docs/PLANS.md (q_abc_parts / Baskets probes).
+    val counts = graft.Caches.tracked(
+      bucketCounts(raw, idCol, textCol, buckets, portable))
+    val qDist = counts.groupBy("bucket").agg(sum(col("cnt")).as("q_cnt"))
+    val lr = broadcast(
+      logRatiosFromQ(qDist, target, textCol, buckets, portable))
+    counts
       .join(lr, Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt") * col("logratio")).as("logw"))
