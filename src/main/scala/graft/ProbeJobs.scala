@@ -27,8 +27,7 @@ object ProbeJobs {
       override def onJobStart(j: SparkListenerJobStart): Unit = if (record) {
         val desc = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(j.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .orElse(j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("")
         jobs.synchronized {
           jobs(j.jobId) = JobRec(j.jobId, desc, j.time, 0L, 0, 0L)
@@ -73,6 +72,16 @@ object ProbeJobs {
       }.toVector.sortBy(-_._3)
       byDesc.take(40).foreach { case (d, cnt, wall, tasks, ttime) =>
         println(f"  ${wall}%8.3f s  n=$cnt%-4d tasks=$tasks%-6d taskTime=${ttime}%8.3f s  $d")
+      }
+      // gap timeline: time between consecutive jobs (driver-side work)
+      val ordered = snap.sortBy(_.start)
+      val gaps = ordered.sliding(2).collect {
+        case Vector(a, b) if b.start > a.end && a.end > 0 =>
+          (b.start - a.end, a.desc, b.desc)
+      }.toVector.sortBy(-_._1).take(12)
+      println("  -- largest inter-job gaps (driver work): --")
+      gaps.foreach { case (ms, after, before) =>
+        println(f"  ${ms / 1e3}%8.3f s  after [$after] before [$before]")
       }
     }
     spark.stop()

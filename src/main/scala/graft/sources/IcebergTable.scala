@@ -2263,9 +2263,8 @@ object IcebergTable {
     val tuples: Map[String, Seq[Any]] =
       if (snap.specFields.isEmpty) Map.empty
       else adoptedFull.map(a => a._1 -> a._4).toMap
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fileStats = footerFileStatsAll(spark,
-      adopted.map(a => (a._1, a._3)))
+    // stats came along with the staging footer pass (one open/file)
+    val fileStats = adoptedFull.map(a => a._1 -> a._5).toMap
     def shapeOf(s: StructType): Seq[(String, DataType)] =
       s.fields.toSeq.map(f => (f.name, f.dataType))
 
@@ -2589,7 +2588,9 @@ object IcebergTable {
   private def stageDataFiles(spark: SparkSession, df: DataFrame,
                              tablePath: String,
                              pfs: Seq[IcebergPartitioning.PartField],
-                             tag: String): Seq[(String, Long, Long, Seq[Any])] = {
+                             tag: String,
+                             cluster: Boolean = true)
+  : Seq[(String, Long, Long, Seq[Any], FileStats)] = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(tablePath)
     val fs = dst.getFileSystem(fsConf)
@@ -2604,11 +2605,25 @@ object IcebergTable {
         pf, df.schema(pf.source).dataType))
     }
     val tmp = new Path(dst, s".tmp-$tag-${java.util.UUID.randomUUID()}")
-    if (pfs.isEmpty) df.write.parquet(tmp.toString)
-    else pfs.foldLeft(df)((d, pf) =>
+    val withGp = pfs.foldLeft(df)((d, pf) =>
       d.withColumn("gp_" + pf.name, IcebergPartitioning.stagingColumn(
         pf, df.schema(pf.source).dataType)))
-      .write.partitionBy(pfs.map("gp_" + _.name): _*)
+    // CLUSTER by the partition tuple before the fan-out write —
+    // Iceberg's `write.distribution-mode=hash`. Without it every
+    // in-flight partition writes into every touched directory:
+    // |input partitions| × |dirs| near-empty files per DML commit
+    // (measured 32 × 7 ≈ 220 on the partitioned-MOR update at
+    // sf0.1), each paying a rename + a footer read + a manifest
+    // entry. REBALANCE (AQE) sizes output partitions adaptively:
+    // one file per tuple here, skewed tuples SPLIT into several
+    // right-sized files at scale (guide §6 small-files / §2.5).
+    // `cluster = false` for callers that SHAPED the frame already
+    // (rewriteDataFiles' per-partition bin-packing / range splits).
+    val shaped =
+      if (pfs.isEmpty || !cluster) withGp
+      else withGp.hint("rebalance", pfs.map("gp_" + _.name): _*)
+    if (pfs.isEmpty) shaped.write.parquet(tmp.toString)
+    else shaped.write.partitionBy(pfs.map("gp_" + _.name): _*)
       .parquet(tmp.toString)
     val tmpQ = fs.makeQualified(tmp).toString
     def walkStaged(p: Path): Seq[Path] =
@@ -2645,11 +2660,16 @@ object IcebergTable {
         (rel, fs.getFileStatus(rel).getLen, tupleVals)
       }
     fs.delete(tmp, true)
-    // row counts from the FOOTERS (read concurrently), not a Spark
-    // re-scan job of the data that was just written
-    val counts = footerRowCounts(spark, adopted.map(_._1))
+    // row counts AND column stats from the FOOTERS in one open per
+    // file (read concurrently / as one executor job above the gate),
+    // not a Spark re-scan job of the data that was just written
+    val cs = footerCountsAndStats(spark,
+      adopted.map(a => fs.makeQualified(a._1).toString))
     adopted.map { case (rel, len, tupleVals) =>
-      (fs.makeQualified(rel).toString, len, counts(rel), tupleVals) }
+      val q = fs.makeQualified(rel).toString
+      val (n, st) = cs(q)
+      (q, len, n, tupleVals, st)
+    }
   }
 
   /** The default spec as manifest [[SpecField]]s (result types from
@@ -2706,7 +2726,8 @@ object IcebergTable {
                                 removePaths: Set[String] = Set.empty,
                                 preserveRowIds: Boolean = false,
                                 carryRowIdColumn: Boolean = false,
-                                appendPreserved: Option[DataFrame] = None): Long = {
+                                appendPreserved: Option[DataFrame] = None,
+                                clusterStaging: Boolean = true): Long = {
     import spark.implicits._
     val mdir = metaDir(tablePath)
     val fs = fsFor(spark, mdir)
@@ -2828,14 +2849,13 @@ object IcebergTable {
       val adoptedFull = stageDataFiles(spark,
         df.select(outCols.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*),
-        tablePath, snap.specFields, tag)
+        tablePath, snap.specFields, tag, cluster = clusterStaging)
       val adopted = adoptedFull.map(a => (a._1, a._2, a._3))
       val tuples: Map[String, Seq[Any]] =
         if (snap.specFields.isEmpty) Map.empty
         else adoptedFull.map(a => a._1 -> a._4).toMap
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fileStats = footerFileStatsAll(spark,
-        adopted.map(a => (a._1, a._3)))
+      // stats came along with the staging footer pass (one open/file)
+      val fileStats = adoptedFull.map(a => a._1 -> a._5).toMap
       (adopted, tuples, fileStats)
     }
     // the PRESERVED leg (COW survivors): every row's lineage is
@@ -3593,7 +3613,11 @@ object IcebergTable {
       case Some(df) =>
         commitMorSnapshot(spark, tablePath, snap, rows = Seq.empty,
           appendDf = Some(df), operation = "replace",
-          carryExisting = false, preserveRowIds = lineage)
+          carryExisting = false, preserveRowIds = lineage,
+          // the compaction frame is ALREADY shaped (per-partition
+          // bin-packing salt / sort-order range split) — a rebalance
+          // here would undo the deliberate file sizing
+          clusterStaging = false)
     }
   }
 
@@ -5346,10 +5370,11 @@ object IcebergTable {
       val seq = 1L
       val atok = java.util.UUID.randomUUID().toString.take(8)
       val now = System.currentTimeMillis()
-      val counts = footerRowCounts(spark, dataFiles)
+      val cs = footerCountsAndStats(spark,
+        dataFiles.map(p => fs.makeQualified(p).toString))
       val triples: Seq[(String, Long, Long)] = dataFiles.map(p =>
         (fs.makeQualified(p).toString, fs.getFileStatus(p).getLen,
-          counts(p)))
+          cs(fs.makeQualified(p).toString)._1))
       val tuples: Map[String, Seq[Any]] = filesWithParts.map {
         case (p, parts) =>
           fs.makeQualified(p).toString -> parts.zip(partTypes).map {
@@ -5363,8 +5388,7 @@ object IcebergTable {
             }
           }
       }.toMap
-      val stats = footerFileStatsAll(spark,
-        triples.map(t => (t._1, t._3)))
+      val stats = cs.map { case (p, (_, st)) => p -> st }
       val manifest = writeManifest(spark, mdir, s"adopt-$atok-$snapId",
         fileSchemaJson, triples, snapId, seq, spec = specFields,
         tuples = tuples, stats = stats, fieldInfo = fieldInfo)
@@ -5559,52 +5583,60 @@ object IcebergTable {
   private[sources] val driverFooterReads =
     new java.util.concurrent.atomic.AtomicLong
 
-  /** Footer row counts for MANY files — concurrently on the driver
-    * below [[driverFooterGate]], as a distributed Spark job above it
-    * (the reads are independent ranged I/O either way). */
-  private def footerRowCounts(spark: SparkSession, ps: Seq[Path])
-  : Map[Path, Long] = {
+  /** Row count AND column stats for MANY staged files in ONE footer
+    * open per file (each footer was previously opened twice — once
+    * for the count, once for the stats). Same driver-gate /
+    * executor-job split as [[footerRowCounts]]. The count is
+    * REQUIRED (manifests record it; a failed footer read throws);
+    * stats stay best-effort inside [[footerFileStats]]. */
+  private def footerCountsAndStats(spark: SparkSession, ps: Seq[String])
+  : Map[String, (Long, FileStats)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     if (ps.size <= driverFooterGate(spark)) {
       driverFooterReads.addAndGet(ps.size)
-      FooterIo.mapAll(ps)(p => p -> footerRowCount(conf, p)).toMap
+      FooterIo.mapAll(ps)(s => s -> footerCountAndStats(conf, s)).toMap
     } else {
       val sc = new SerializableHadoopConf(conf)
       val slices = math.max(1, math.min(ps.size,
         spark.sparkContext.defaultParallelism))
-      spark.sparkContext.parallelize(ps.map(_.toString), slices)
-        .map(s => s -> footerRowCount(sc.value, new Path(s)))
-        .collect().map { case (s, n) => new Path(s) -> n }.toMap
+      spark.sparkContext.parallelize(ps, slices)
+        .map(s => s -> footerCountAndStats(sc.value, s))
+        .collect().toMap
     }
   }
 
-  /** [[footerFileStats]] for MANY files — same driver-gate /
-    * executor-job split as [[footerRowCounts]]. */
-  private def footerFileStatsAll(spark: SparkSession,
-                                 items: Seq[(String, Long)])
-  : Map[String, FileStats] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    if (items.size <= driverFooterGate(spark)) {
-      driverFooterReads.addAndGet(items.size)
-      FooterIo.mapAll(items) { case (p, n) =>
-        p -> footerFileStats(conf, new Path(p), n) }.toMap
-    } else {
-      val sc = new SerializableHadoopConf(conf)
-      val slices = math.max(1, math.min(items.size,
-        spark.sparkContext.defaultParallelism))
-      spark.sparkContext.parallelize(items, slices)
-        .map { case (p, n) =>
-          p -> footerFileStats(sc.value, new Path(p), n) }
-        .collect().toMap
-    }
+  /** ONE footer open: the file's row count (required — throws on a
+    * failed read) plus its best-effort column stats. */
+  private def footerCountAndStats(
+      conf: org.apache.hadoop.conf.Configuration,
+      s: String): (Long, FileStats) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(s), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val n = blocks.map(_.getRowCount).sum
+      (n, statsFromBlocks(blocks, n))
+    } finally r.close()
   }
 
   private def footerFileStats(conf: org.apache.hadoop.conf.Configuration,
                               p: Path, records: Long): FileStats = try {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val blocks = r.getFooter.getBlocks.asScala.toSeq
+    try statsFromBlocks(r.getFooter.getBlocks.asScala.toSeq, records)
+    finally r.close()
+  } catch { // stats are an optimization: a failed footer read stats nothing
+    case scala.util.control.NonFatal(_) =>
+      FileStats(Map.empty, Map.empty, Map.empty)
+  }
+
+  /** Column stats from ALREADY-read footer blocks (shared by the
+    * one-open-per-file combined pass and [[footerFileStats]]). */
+  private def statsFromBlocks(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      records: Long): FileStats = try {
+    {
       final class Agg {
         var min: Option[BigDecimal] = None
         var max: Option[BigDecimal] = None
@@ -5647,8 +5679,8 @@ object IcebergTable {
         good.map { case (n, a) => n -> a.nulls }.toMap,
         good.collect { case (n, a) if a.min.isDefined && a.max.isDefined =>
           n -> ((a.min.get, a.max.get)) }.toMap)
-    } finally r.close()
-  } catch { // stats are an optimization: a failed footer read stats nothing
+    }
+  } catch { // stats are an optimization: failed stats stat nothing
     case scala.util.control.NonFatal(_) =>
       FileStats(Map.empty, Map.empty, Map.empty)
   }
@@ -6183,20 +6215,22 @@ object IcebergTable {
           throw new IllegalStateException(s"rename failed for $rel")
         (rel, fs.getFileStatus(rel).getLen, tupleVals)
       }
-    // row counts from the FOOTERS (read concurrently), not a Spark
-    // re-scan job of the data that was just written
-    val stagedCounts = footerRowCounts(spark, adoptedFull.map(_._1))
+    // row counts AND per-file column bounds from the FOOTERS in one
+    // open per file (read concurrently / as one executor job above
+    // the gate), not a Spark re-scan of the data that was just
+    // written — external engines and the DSv2 scan prune on them
+    val stagedCs = footerCountsAndStats(spark,
+      adoptedFull.map(a => fs.makeQualified(a._1).toString))
     val adoptedQ = adoptedFull.map { case (rel, len, tupleVals) =>
-      (fs.makeQualified(rel).toString, len, stagedCounts(rel), tupleVals) }
+      val q = fs.makeQualified(rel).toString
+      (q, len, stagedCs(q)._1, tupleVals) }
     val adopted = adoptedQ.map(a => (a._1, a._2, a._3))
     val tuples: Map[String, Seq[Any]] =
       if (partitionBy.isEmpty) Map.empty
       else adoptedQ.map(a => a._1 -> a._4).toMap
     fs.delete(tmp, true)
-    // per-file column bounds/counts from the parquet footers (no data
-    // scan) — external engines and the DSv2 scan prune on them
     val fileStats: Map[String, FileStats] =
-      footerFileStatsAll(spark, adopted.map(a => (a._1, a._3)))
+      stagedCs.map { case (p, (_, st)) => p -> st }
 
     casCommit(spark, tablePath) { (prior, metaVersion) =>
       val priorSnaps: Seq[JsonNode] = prior.toSeq
