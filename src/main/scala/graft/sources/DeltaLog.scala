@@ -686,6 +686,27 @@ object DeltaLog {
     new String(bytes.toArray, "UTF-8")
   }
 
+  /** Bounded LRU of replayed snapshots, keyed by the LOG SEGMENT that
+    * produced them (resolved version + checkpoint ref + the ordered
+    * commit/compaction file list). Commit JSONs, compaction files and
+    * checkpoints are IMMUTABLE once named (they land via atomic
+    * rename under the commit CAS), so the same segment always replays
+    * to the same Snapshot — the key is re-derived from a fresh
+    * directory listing on every call, so the cache cannot go stale
+    * under concurrent writers, cleanup or time travel. snapshot()
+    * runs 2-3× per DML command at the SAME version (gate, commit,
+    * post-read): this is real Delta's SnapshotManagement caching, and
+    * it removes whole log replays (3+ Spark jobs each on the
+    * distributed path) from every command after the first. Entries
+    * are metadata-sized (Snapshot case class); 16 tables bound the
+    * driver footprint. */
+  private val snapshotCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Snapshot](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Snapshot]): Boolean = size() > 16
+      })
+
   /** Resolve the snapshot at `versionAsOf` (default: latest), or at
     * the greatest version whose commit time is <= `timestampAsOf`
     * (epoch ms). Exactly one of the two selectors may be set. */
@@ -781,6 +802,17 @@ object DeltaLog {
     // 10⁵-commit production log needs. Both paths are exercised by
     // the graded suite (small logs here, checkpointed/compacted logs
     // below), so a semantic drift breaks hashes loudly.
+    // segment-keyed cache lookup (see snapshotCache): same resolved
+    // version + same checkpoint + same replay file set → the replay
+    // below is deterministic, serve the parsed Snapshot
+    val segKey = tablePath + "\u0001" + v +
+      cp.fold("")(c => "\u0001" + c.format + ":" + c.version + ":" +
+        c.paths.mkString(",")) +
+      "\u0001" + jsonPaths.mkString("\u0002")
+    val cachedSnap = snapshotCache.get(segKey)
+    if (cachedSnap != null) return cachedSnap
+    def cachePut(s: Snapshot): Snapshot = { snapshotCache.put(segKey, s); s }
+
     val driverMax = spark.conf.getOption(
       "spark.sql.graft.delta.driverReplayMaxBytes")
       .flatMap(_.toLongOption).getOrElse(4L << 20)
@@ -789,7 +821,7 @@ object DeltaLog {
         Long.MaxValue / 1024)).sum <= driverMax) {
       val dir = logDir(tablePath)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      return snapshotDriver(tablePath, v, jsonPaths, fs)
+      return cachePut(snapshotDriver(tablePath, v, jsonPaths, fs))
     }
 
     // JSON tail: distributed text read; the version rides in from
@@ -929,8 +961,8 @@ object DeltaLog {
         .filter(col("__rn") === 1 && !col("removed"))
         .select("domain", "dconf")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    Snapshot(tablePath, v, schema, partCols, files, conf, txns, tableProtocol,
-      domains)
+    cachePut(Snapshot(tablePath, v, schema, partCols, files, conf, txns,
+      tableProtocol, domains))
   }
 
   /** The driver-side twin of [[snapshot]]'s distributed replay (see
