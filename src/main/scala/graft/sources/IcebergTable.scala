@@ -1513,7 +1513,8 @@ object IcebergTable {
       val (dvs, pqs) = pos.partition(_.isDv)
       val pq: Option[DataFrame] =
         if (pqs.isEmpty) None
-        else Some(pqs.map(d => spark.read.parquet(d.path)
+        else Some(pqs.map(d => spark.read.schema(PosDeleteReadSchema)
+          .parquet(d.path)
           .select(col("file_path").cast("string"), col("pos").cast("long"))
           .withColumn("__dseq", lit(d.seq))).reduce(_.unionByName(_)))
       val dv: Option[DataFrame] =
@@ -2252,7 +2253,10 @@ object IcebergTable {
     if (!fs.rename(part.getPath, eqPath))
       throw new IllegalStateException(s"rename failed for $eqPath")
     fs.delete(tmp, true)
-    val nKeys = spark.read.parquet(eqPath.toString).count()
+    // count of the just-written equality-delete file from its footer
+    // (one driver ranged read), not a Spark job
+    val nKeys = footerRowCount(
+      spark.sparkContext.hadoopConfiguration, eqPath)
 
     val specFields = specFieldsOf(snap)
     val adoptedFull = stageDataFiles(spark,
@@ -2413,7 +2417,7 @@ object IcebergTable {
       val pqPos: Option[DataFrame] =
         if (posDeletes.isEmpty) None
         else Some(posDeletes.map { d =>
-          spark.read.parquet(d.path).select(
+          spark.read.schema(PosDeleteReadSchema).parquet(d.path).select(
             col("file_path").cast("string"), col("pos").cast("long"))
             .withColumn("__dseq", lit(d.seq))
         }.reduce(_.unionByName(_)))
@@ -2805,7 +2809,8 @@ object IcebergTable {
           else {
             import org.apache.spark.sql.functions.col
             import spark.implicits._
-            spark.read.parquet(pq.map(_.path): _*)
+            spark.read.schema(PosDeleteReadSchema)
+              .parquet(pq.map(_.path): _*)
               .select(col("file_path").cast("string"), col("pos").cast("long"))
               .where(col("file_path").isin(newByFile.keys.toSeq: _*))
               .as[(String, Long)].collect().toSeq.groupBy(_._1)
@@ -3674,7 +3679,8 @@ object IcebergTable {
       if (posFiles.isEmpty)
         (spark.emptyDataFrame, 0L, 0L)
       else {
-        val pile = spark.read.parquet(posFiles.map(_.path): _*)
+        val pile = spark.read.schema(PosDeleteReadSchema)
+          .parquet(posFiles.map(_.path): _*)
           .select(col("file_path").cast("string").as("file_path"),
             col("pos").cast("long").as("pos"))
         val liveDf = broadcast(livePaths.toSeq.toDF("__live"))
@@ -3702,7 +3708,7 @@ object IcebergTable {
         // file only to the data files it names)
         val tmpQ = fs.makeQualified(tmp).toString
         val stats: Map[String, (Long, String, String)] =
-          spark.read.parquet(tmp.toString)
+          spark.read.schema(PosDeleteReadSchema).parquet(tmp.toString)
             .groupBy(input_file_name().as("__f"))
             .agg(count(lit(1)).as("n"), min("file_path").as("lo"),
               max("file_path").as("hi"))
@@ -5519,6 +5525,13 @@ object IcebergTable {
     * un-statted (truncated lexicographic bounds are where engines
     * ship wrong-skip bugs); a column without bounds simply never
     * skips. */
+  /** The spec's position-delete column shape (file_path: string,
+    * pos: long). Passing it to spark.read skips a per-file footer
+    * schema-inference job on every position-delete read (files may
+    * carry an extra `row` column; subset reads are fine). */
+  private val PosDeleteReadSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType), StructField("pos", LongType)))
+
   final case class FileStats(valueCounts: Map[String, Long],
                              nullCounts: Map[String, Long],
                              bounds: Map[String, (BigDecimal, BigDecimal)])
