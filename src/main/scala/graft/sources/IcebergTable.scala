@@ -527,6 +527,30 @@ object IcebergTable {
 
   // ---------------- snapshot resolution ----------------
 
+  /** Bounded LRU of replayed snapshots, keyed by the METADATA FILE
+    * that produced them (qualified path + length + mtime) plus the
+    * as-of selectors. `v<N>.metadata.json` lands via exclusive create
+    * under the commit CAS and is never rewritten, and everything a
+    * replay reads besides it (manifest lists, manifests) is
+    * UUID-named write-once Avro the metadata file references by
+    * absolute path — so the same key always replays to the same
+    * Snapshot. The key re-derives from a fresh `latestMetadataFile`
+    * listing + getFileStatus on every call (len+mtime guard the
+    * drop-table-recreate-same-path case), so the cache cannot serve
+    * stale state under concurrent writers, metadata cleanup, RESTORE
+    * or time travel. Every DML resolves the snapshot 2-4× at the same
+    * version (plan, stage, commit gate, post-read) and each replay is
+    * a driver-side Jackson+Avro walk of the whole manifest tree —
+    * this is the Iceberg twin of [[DeltaLog]]'s segment-keyed cache.
+    * Entries are metadata-sized (Snapshot case class); 16 bound the
+    * driver footprint. */
+  private val snapshotCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Snapshot](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Snapshot]): Boolean = size() > 16
+      })
+
   /** Resolve the snapshot at `snapshotIdAsOf` (default: the table's
     * current snapshot), or the latest snapshot whose `timestamp-ms`
     * is <= `timestampAsOf`. Exactly one selector may be set. */
@@ -535,7 +559,23 @@ object IcebergTable {
                timestampAsOf: Option[Long] = None): Snapshot = {
     require(snapshotIdAsOf.isEmpty || timestampAsOf.isEmpty,
       "set at most one of snapshotIdAsOf / timestampAsOf")
-    val meta = readJson(spark, latestMetadataFile(spark, tablePath))
+    val mf = latestMetadataFile(spark, tablePath)
+    val st = fsFor(spark, mf).getFileStatus(mf)
+    val key = s"${st.getPath}#${st.getLen}#${st.getModificationTime}#" +
+      s"${snapshotIdAsOf.getOrElse(-1L)}#${timestampAsOf.getOrElse(-1L)}"
+    val hit = snapshotCache.get(key)
+    if (hit != null) return hit
+    val snap = replaySnapshot(spark, tablePath, mf,
+      snapshotIdAsOf, timestampAsOf)
+    snapshotCache.put(key, snap)
+    snap
+  }
+
+  private def replaySnapshot(spark: SparkSession, tablePath: String,
+                             metaFile: Path,
+                             snapshotIdAsOf: Option[Long],
+                             timestampAsOf: Option[Long]): Snapshot = {
+    val meta = readJson(spark, metaFile)
     val fv = meta.get("format-version").asInt()
     if (fv > 3) throw new UnsupportedOperationException(
       s"Iceberg format-version $fv is not supported (v1/v2/v3)")
@@ -2472,13 +2512,17 @@ object IcebergTable {
     import spark.implicits._
     val maxRows = spark.conf.getOption("spark.graft.mor.maxDeleteRows")
       .map(_.toLong).getOrElse(50000L)
-    val matchedDf = graft.Caches.tracked(
-      matchedFrame.select(col("__path"), col("__ri")))
-    val matchedCount = matchedDf.count()
-    if (matchedCount == 0) { matchedDf.unpersist(); return Right(Seq.empty) }
-    if (matchedCount > maxRows) return Left(matchedDf)
-    val matched = matchedDf.as[(String, Long)].collect() // bounded by the gate
-    matchedDf.unpersist()
+    val cap = math.min(maxRows, Int.MaxValue - 2L).toInt
+    val sel = matchedFrame.select(col("__path"), col("__ri"))
+    // ONE bounded action instead of persist + count + collect:
+    // take(cap+1) scans partitions incrementally (executeTake) and
+    // never holds more than cap+1 rows on the driver; getting cap+1
+    // rows back IS the over-the-gate signal. The rare over-gate path
+    // pays one partial scan before the COW fallback materializes the
+    // frame it needs anyway.
+    val matched = sel.as[(String, Long)].take(cap + 1)
+    if (matched.isEmpty) return Right(Seq.empty)
+    if (matched.length > cap) return Left(graft.Caches.tracked(sel))
     def fileKey(p: String) = org.apache.spark.paths.SparkPath
       .fromPathString(p).urlEncoded.replaceFirst("^[a-zA-Z0-9]+:(//)?", "")
     // scan keys back to the MANIFEST's exact file_path strings (the
