@@ -20,10 +20,10 @@ object StackProbe {
             val top = frames.headOption.getOrElse("")
             if (!top.startsWith("jdk.internal.misc.Unsafe") &&
                 !top.contains("EPoll") && !top.contains("SocketDispatcher") &&
-                !top.contains("FileDispatcher") && !top.contains("Thread.getAllStackTraces")) {
+                !top.contains("Thread.getAllStackTraces")) {
               val key = frames.find(f => f.contains("graft") ||
-                f.contains("catalyst") || f.contains("janino") ||
-                f.contains("codegen") || f.contains("adaptive"))
+                f.contains("org.apache.spark") || f.contains("janino") ||
+                f.contains("hadoop"))
                 .map(g => s"${frames.head} ... $g").getOrElse(frames.take(2).mkString(" <- "))
               hist.merge(s"[${t.getName.take(20)}] $key", 1, (a, b) => a + b)
             }

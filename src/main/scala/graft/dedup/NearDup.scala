@@ -663,10 +663,16 @@ object NearDup {
       }
     candidates
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
-      // threshold form: banded O(k·len) DP with early exit, -1 past k
+      // verify BEFORE the pair dedup: the threshold levenshtein
+      // (banded O(k·len) DP, early exit, -1 past k) is map-side and
+      // rejects ~all candidates, so the distinct's shuffle carries
+      // only surviving (id, id, dist) triples instead of every
+      // candidate with both strings. A pair can meet via at most 2
+      // segment indices, so the re-verified duplicates cost less than
+      // the wide shuffle they replace; edit_dist is deterministic, so
+      // the distinct collapses them to the identical row.
       .withColumn("edit_dist", levenshtein(col("s_a"), col("s_b"), k).cast("bigint"))
       .where(col("edit_dist") >= 0 && col("edit_dist") <= k)
-      .select(col("id_a"), col("id_b"), col("edit_dist"))
+      .select(col("id_a"), col("id_b"), col("edit_dist")).distinct()
   }
 }

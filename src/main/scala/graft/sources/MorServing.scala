@@ -23,17 +23,50 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Self-contained serializable Hadoop configuration (the standard
   * write/readFields envelope) — ships the driver's FS settings to the
-  * executors with the reader factory. */
+  * executors with the reader factory.
+  *
+  * The WRITE side memoizes the serialized bytes per Configuration
+  * instance: a session's Hadoop conf is ~100 KB over ~1000 entries
+  * and effectively immutable while queries run, yet every stage whose
+  * task binary carries a factory re-walked and re-wrote all of it ON
+  * THE DAG-SCHEDULER EVENT LOOP (driver stack sampling: Configuration
+  * write/deflate frames dominating `dag-scheduler-event-loop` during
+  * commit-path queries) — serialization there delays every task-set
+  * launch. Keyed WEAKLY by instance identity: a mutated-then-reused
+  * conf object is the caller's bug (Spark's own broadcast of session
+  * confs makes the same assumption). */
+private[sources] object SerializableHadoopConf {
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Configuration, Array[Byte]]())
+  private[sources] def bytesOf(c: Configuration): Array[Byte] = {
+    val hit = cache.get(c)
+    if (hit != null) return hit
+    val bos = new java.io.ByteArrayOutputStream(64 << 10)
+    val dos = new java.io.DataOutputStream(bos)
+    c.write(dos)
+    dos.flush()
+    val bytes = bos.toByteArray
+    cache.put(c, bytes)
+    bytes
+  }
+}
+
 private[sources] class SerializableHadoopConf(@transient var value: Configuration)
   extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()
-    value.write(out)
+    val bytes = SerializableHadoopConf.bytesOf(value)
+    out.writeInt(bytes.length)
+    out.write(bytes)
   }
   private def readObject(in: java.io.ObjectInputStream): Unit = {
     in.defaultReadObject()
+    val n = in.readInt()
+    val bytes = new Array[Byte](n)
+    in.readFully(bytes)
     value = new Configuration(false)
-    value.readFields(in)
+    value.readFields(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
   }
 }
 
