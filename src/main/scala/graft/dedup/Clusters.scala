@@ -46,14 +46,21 @@ object Clusters {
     // materialize the (usually expensive) pair pipeline exactly once
     val e = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .as[(Long, Long)].persist(StorageLevel.MEMORY_AND_DISK)
-    val pairCount = e.count()
-    if (pairCount <= driverThreshold) {
+    // ONE bounded action instead of count + collect (the gatedPositions
+    // pattern): take(threshold+1) scans partitions incrementally, never
+    // holds more than threshold+1 edges on the driver, and getting
+    // threshold+1 back IS the go-distributed signal. Under the gate the
+    // take already returned the whole edge list.
+    val cap = math.min(driverThreshold, Int.MaxValue - 2L).toInt
+    val arr = e.take(cap + 1)
+    if (arr.length <= cap) {
       // union-find with the MIN id as every root (attach larger root
       // under smaller), path-compressed. Parent pointers live in a
       // primitive open-addressing map (two long arrays, no boxing):
       // at the 1M-edge threshold that is ~64 MB worst case instead of
       // several hundred MB of boxed HashMap entries.
-      val parent = new LongLongMap(math.min(pairCount * 2 + 16, 1L << 28).toInt)
+      val parent = new LongLongMap(
+        math.min(arr.length.toLong * 2 + 16, 1L << 28).toInt)
       def find(x: Long): Long = {
         var r = x
         while (parent.get(r) != r) r = parent.get(r)
@@ -61,7 +68,6 @@ object Clusters {
         while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
         r
       }
-      val arr = e.collect()
       e.unpersist()
       arr.foreach { case (a, b) =>
         parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)

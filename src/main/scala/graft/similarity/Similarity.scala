@@ -158,12 +158,21 @@ object Similarity {
         .orderBy(col(idCol).asc).limit(nCells)
         .collect().map(_.getSeq[Double](1)))
     // cosine against centroid i, with the same expression shape the
-    // oracle uses (dot / (norm*norm)) so float results are bit-equal
-    def centCos(v: Column, vn: Column, i: Int): Column = {
-      val c = centroids(i)
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      dot(v, array(c.map(lit): _*)) / (vn * lit(cn))
-    }
+    // oracle uses (dot / (norm*norm)) so float results are bit-equal.
+    // Centroids enter the plan as ONE array-typed literal (indexed by
+    // a foldable element_at, constant-folded back to a per-centroid
+    // array before execution — identical runtime math) instead of
+    // nCells×dim scalar lit()s: scalar doubles inline into the
+    // generated source, so every new centroid set recompiled the
+    // whole-stage codegen; array literals ride the references[] slot,
+    // the source stays byte-identical across centroid sets, and the
+    // Janino cache serves iteration 2+ (measured: the Lloyd-loop gap
+    // in ann_ivf_kmeans was plan re-analysis + codegen, not data).
+    val centLit = typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+    val centNormLit = typedlit(centroids.map(c =>
+      math.sqrt(c.map(x => x * x).sum)).toIndexedSeq)
+    def centCos(v: Column, vn: Column, i: Int): Column =
+      dot(v, element_at(centLit, i + 1)) / (vn * element_at(centNormLit, i + 1))
     // argmax over cells via struct ordering: max cosine, then the
     // SMALLEST cell id on ties (ni = -i, so max ni = min i)
     def bestCells(v: Column, vn: Column, take: Int): Column = {
@@ -208,11 +217,17 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toArray)
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
-      def dist2(vc: Column, i: Int): Column = {
-        val c = centroids(i)
-        val c2 = c.map(x => x * x).sum
-        dot(vc, vc) - lit(2.0) * dot(vc, array(c.map(lit): _*)) + lit(c2)
-      }
+      // one array-typed literal per round (not k×dim scalar lit()s):
+      // keeps the generated source identical across rounds so the
+      // codegen cache serves every iteration after the first — see
+      // the centLit note in [[ivfTopK]]; element_at of a foldable
+      // literal constant-folds, runtime math unchanged
+      val centLit = typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+      val centSqLit = typedlit(centroids.map(c =>
+        c.map(x => x * x).sum).toIndexedSeq)
+      def dist2(vc: Column, i: Int): Column =
+        dot(vc, vc) - lit(2.0) * dot(vc, element_at(centLit, i + 1)) +
+          element_at(centSqLit, i + 1)
       // argmin cell via struct sort: (dist, cell) ascending
       val scored = centroids.indices.map(i =>
         struct(dist2(col("__v"), i).as("d"), lit(i).as("c")))
