@@ -3788,14 +3788,29 @@ object DeltaLog {
                 .cast(f.dataType).as(f.name)
             else col(f.name)): _*)
       }
-    val matchedFull = graft.Caches.tracked(withPv.where(predicate))
-    // the cardinality gate: a cheap count decides the arm; positions
-    // only ever collect when under it
-    val matchedCount = matchedFull.count()
-    if (matchedCount == 0) { matchedFull.unpersist(); return Some(snap.version) }
-    if (matchedCount > maxRows) { matchedFull.unpersist(); return None }
-    val matchedPos = matchedFull.select(col("__path"), col("__ri"))
-      .as[(String, Long)].collect()
+    // A plain DELETE with no change feed needs only the matched
+    // POSITIONS: one bounded take (the gatedPositions pattern —
+    // executeTake stays under the gate on the driver, cap+1 rows back
+    // is the over-gate signal) instead of persist+count+collect.
+    // UPDATE and CDF-enabled tables reuse the matched ROWS (post-image
+    // transform, change legs), so they keep the persisted frame.
+    val needFullRows = makeAppend.isDefined || cdfEnabled(snap)
+    val (matchedFull: Option[DataFrame], matchedPos: Array[(String, Long)]) =
+      if (!needFullRows) {
+        val cap = math.min(maxRows, Int.MaxValue - 2L).toInt
+        val pos = withPv.where(predicate).select(col("__path"), col("__ri"))
+          .as[(String, Long)].take(cap + 1)
+        if (pos.isEmpty) return Some(snap.version)
+        if (pos.length > cap) return None
+        (None, pos)
+      } else {
+        val mf = graft.Caches.tracked(withPv.where(predicate))
+        val matchedCount = mf.count()
+        if (matchedCount == 0) { mf.unpersist(); return Some(snap.version) }
+        if (matchedCount > maxRows) { mf.unpersist(); return None }
+        (Some(mf), mf.select(col("__path"), col("__ri"))
+          .as[(String, Long)].collect())
+      }
 
     val fsConf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(deltaPath)
@@ -3815,7 +3830,7 @@ object DeltaLog {
     // table's layout (same hive staging as write/merge)
     val appendAdds: Seq[(String, Map[String, String], Long, Option[String])] =
       makeAppend.map { mk =>
-        val rows = mk(matchedFull)
+        val rows = mk(matchedFull.get)
           .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
         // the transformed post-image must satisfy CHECK + NOT NULL
         // like every other writer — veto before the DV files land
@@ -3828,18 +3843,18 @@ object DeltaLog {
     val cdcLinesOut: Seq[String] =
       if (!cdfEnabled(snap)) Seq.empty
       else {
-        val body = matchedFull.drop("__path", "__ri")
+        val body = matchedFull.get.drop("__path", "__ri")
         val legs = makeAppend match {
           case None => body.withColumn("_change_type", lit("delete"))
           case Some(mk) =>
             body.withColumn("_change_type", lit("update_preimage"))
-              .unionByName(mk(matchedFull)
+              .unionByName(mk(matchedFull.get)
                 .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
                 .withColumn("_change_type", lit("update_postimage")))
         }
         stageCdcLines(spark, deltaPath, snap, legs, v)
       }
-    matchedFull.unpersist()
+    matchedFull.foreach(_.unpersist())
 
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     // deletionVectors is a table FEATURE: per PROTOCOL.md a reader at
