@@ -3719,9 +3719,9 @@ object IcebergTable {
 
     // merge the pile, dropping dangling rows and duplicate positions
     // (overlapping DML commits may have deleted the same row twice)
-    val (kept, keptCount, pileRows) =
+    val (kept, pileRows) =
       if (posFiles.isEmpty)
-        (spark.emptyDataFrame, 0L, 0L)
+        (spark.emptyDataFrame, 0L)
       else {
         val pile = spark.read.schema(PosDeleteReadSchema)
           .parquet(posFiles.map(_.path): _*)
@@ -3730,23 +3730,34 @@ object IcebergTable {
         val liveDf = broadcast(livePaths.toSeq.toDF("__live"))
         val k = pile.join(liveDf, col("file_path") === col("__live"),
           "left_semi").dropDuplicates("file_path", "pos")
-        (k, k.count(), posFiles.map(_.records).sum)
+        (k, posFiles.map(_.records).sum)
       }
-    if (posFiles.size <= 1 && keptCount == pileRows && danglingDvs.isEmpty)
+    // the already-one-clean-file early exit is the ONLY consumer of an
+    // exact pre-write count — pay that job just on its candidate shape
+    // (≤1 pos file, no dangling DVs) instead of before every rewrite;
+    // multi-file piles go straight to the merge write, whose per-file
+    // stats pass yields the counts the manifest needs anyway
+    if (posFiles.size <= 1 && danglingDvs.isEmpty &&
+      (posFiles.isEmpty || kept.count() == pileRows))
       return snap.snapshotId // already one clean file, nothing dangling
 
     // stage the merged delete parquet (attempt-invariant; unique names)
     val tok = java.util.UUID.randomUUID().toString.take(8)
     val staged: Seq[(String, Long, Long, (String, String))] =
-      if (keptCount == 0L) Seq.empty
+      if (posFiles.isEmpty) Seq.empty
       else {
         val nOut = math.max(1L, (posFiles.map(_.sizeBytes).sum +
           targetFileBytes - 1) / targetFileBytes).toInt
         val tmp = new Path(tablePath,
           s".tmp-dc-$tok-${java.util.UUID.randomUUID()}")
-        kept.repartitionByRange(nOut, col("file_path"), col("pos"))
-          .sortWithinPartitions("file_path", "pos")
-          .write.parquet(tmp.toString)
+        // one output file needs no range partitioner (and no sampling
+        // job): shuffle-to-one + local sort is the same sorted bytes
+        val shaped =
+          if (nOut == 1) kept.repartition(1)
+            .sortWithinPartitions("file_path", "pos")
+          else kept.repartitionByRange(nOut, col("file_path"), col("pos"))
+            .sortWithinPartitions("file_path", "pos")
+        shaped.write.parquet(tmp.toString)
         // per staged part: row count + file_path bounds (tight bounds
         // keep the planner's interval sweep attaching each compacted
         // file only to the data files it names)
