@@ -2801,20 +2801,17 @@ object IcebergTable {
     // spec — the file references data rows by path, not partition)
     val delFile: Option[(String, Long, Long, (String, String))] =
       if (rows.isEmpty || dvMode) None else {
-        val tmp = new Path(tablePath,
-          s".tmp-del-$tok-${java.util.UUID.randomUUID()}")
-        rows.toDF("file_path", "pos").coalesce(1)
-          .sortWithinPartitions("file_path", "pos")
-          .write.parquet(tmp.toString)
-        val part = fs.listStatus(tmp).toSeq
-          .find(_.getPath.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("no delete file written"))
+        // `rows` is the driver-gated match list (≤ mor.maxDeleteRows)
+        // — write the spec-sorted parquet DIRECTLY on the driver
+        // instead of round-tripping it through a one-task Spark job
+        // (task-binary broadcast + launch + commit per DML commit).
+        // The token-unique name keeps the staging attempt-invariant;
+        // an aborted commit leaves an orphan no reader can see.
         val delPath = fs.makeQualified(
           new Path(new Path(tablePath, "data"), s"d$tok-pos-delete-0.parquet"))
         fs.mkdirs(delPath.getParent)
-        if (!fs.rename(part.getPath, delPath))
-          throw new IllegalStateException(s"rename failed for $delPath")
-        fs.delete(tmp, true)
+        PosDeleteIo.writeSorted(
+          spark.sparkContext.hadoopConfiguration, delPath, rows)
         // record the file_path bounds (min/max referenced data file,
         // in the spec's UTF-8 byte order) so readers scope this delete
         // file to the files it actually names
@@ -3718,36 +3715,63 @@ object IcebergTable {
       dvFiles.partition(_.referencedDataFile.exists(livePaths))
 
     // merge the pile, dropping dangling rows and duplicate positions
-    // (overlapping DML commits may have deleted the same row twice)
-    val (kept, pileRows) =
-      if (posFiles.isEmpty)
-        (spark.emptyDataFrame, 0L)
-      else {
-        val pile = spark.read.schema(PosDeleteReadSchema)
-          .parquet(posFiles.map(_.path): _*)
-          .select(col("file_path").cast("string").as("file_path"),
-            col("pos").cast("long").as("pos"))
-        val liveDf = broadcast(livePaths.toSeq.toDF("__live"))
-        val k = pile.join(liveDf, col("file_path") === col("__live"),
-          "left_semi").dropDuplicates("file_path", "pos")
-        (k, posFiles.map(_.records).sum)
-      }
+    // (overlapping DML commits may have deleted the same row twice).
+    // GATE-BOUNDED one-output piles merge ON THE DRIVER (parquet-mr
+    // read + write, zero Spark jobs): the pile's exact row total is
+    // already in the manifests, and the same cardinality bound that
+    // keeps MOR position collects driver-safe bounds this merge.
+    // Larger piles (or a multi-file target split) keep the
+    // distributed merge.
+    val pileRows = posFiles.map(_.records).sum
+    val nOut = math.max(1L, (posFiles.map(_.sizeBytes).sum +
+      targetFileBytes - 1) / targetFileBytes).toInt
+    val morGate = spark.conf.getOption("spark.graft.mor.maxDeleteRows")
+      .map(_.toLong).getOrElse(50000L)
+    val driverMerged: Option[Seq[(String, Long)]] =
+      if (posFiles.isEmpty || nOut != 1 || pileRows > morGate) None
+      else Some(PosDeleteIo.readAll(
+        spark.sparkContext.hadoopConfiguration, posFiles.map(_.path))
+        .filter(r => livePaths(r._1)).distinct)
+    lazy val kept: DataFrame = {
+      val pile = spark.read.schema(PosDeleteReadSchema)
+        .parquet(posFiles.map(_.path): _*)
+        .select(col("file_path").cast("string").as("file_path"),
+          col("pos").cast("long").as("pos"))
+      val liveDf = broadcast(livePaths.toSeq.toDF("__live"))
+      pile.join(liveDf, col("file_path") === col("__live"),
+        "left_semi").dropDuplicates("file_path", "pos")
+    }
     // the already-one-clean-file early exit is the ONLY consumer of an
-    // exact pre-write count — pay that job just on its candidate shape
-    // (≤1 pos file, no dangling DVs) instead of before every rewrite;
-    // multi-file piles go straight to the merge write, whose per-file
-    // stats pass yields the counts the manifest needs anyway
+    // exact pre-write count — free on the driver path; the distributed
+    // path pays that job just on its candidate shape (≤1 pos file, no
+    // dangling DVs) instead of before every rewrite
     if (posFiles.size <= 1 && danglingDvs.isEmpty &&
-      (posFiles.isEmpty || kept.count() == pileRows))
+      (posFiles.isEmpty || driverMerged.map(_.size.toLong == pileRows)
+        .getOrElse(kept.count() == pileRows)))
       return snap.snapshotId // already one clean file, nothing dangling
 
     // stage the merged delete parquet (attempt-invariant; unique names)
     val tok = java.util.UUID.randomUUID().toString.take(8)
     val staged: Seq[(String, Long, Long, (String, String))] =
       if (posFiles.isEmpty) Seq.empty
-      else {
-        val nOut = math.max(1L, (posFiles.map(_.sizeBytes).sum +
-          targetFileBytes - 1) / targetFileBytes).toInt
+      else if (driverMerged.isDefined) {
+        val m = driverMerged.get
+        if (m.isEmpty) Seq.empty
+        else {
+          val dst = fs.makeQualified(new Path(
+            new Path(tablePath, "data"), s"d$tok-pos-delete-0.parquet"))
+          fs.mkdirs(dst.getParent)
+          PosDeleteIo.writeSorted(
+            spark.sparkContext.hadoopConfiguration, dst, m)
+          implicit val utf8Order: Ordering[String] =
+            Ordering.comparatorToOrdering(
+              java.util.Comparator.comparing((s: String) =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+          val ref = m.map(_._1)
+          Seq((dst.toString, fs.getFileStatus(dst).getLen,
+            m.size.toLong, (ref.min, ref.max)))
+        }
+      } else {
         val tmp = new Path(tablePath,
           s".tmp-dc-$tok-${java.util.UUID.randomUUID()}")
         // one output file needs no range partitioner (and no sampling
