@@ -658,6 +658,59 @@ object DeltaLog {
     }
   }
 
+  /** DRIVER-side twin of [[checkpointActions]] for the replay fast
+    * path: the checkpoint's action nodes via [[DeltaCheckpointIo]]
+    * (classic / multipart / v2 parquet or json top + sidecars).
+    * `sidecarBudget` prices the sidecar files (their sizes ride in
+    * the top file's refs) against what is left of
+    * driverReplayMaxBytes. None ⇒ too big or unconvertible — the
+    * caller uses the distributed replay. */
+  private def driverCheckpointNodes(spark: SparkSession, tablePath: String,
+                                    ref: CheckpointRef, sidecarBudget: Long)
+  : Option[Vector[com.fasterxml.jackson.databind.JsonNode]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val top: Option[Vector[com.fasterxml.jackson.databind.JsonNode]] =
+      ref.format match {
+        case "classic" | "multipart" | "v2parquet" =>
+          DeltaCheckpointIo.readActionNodes(conf, M, ref.paths)
+        case "v2json" =>
+          val fs = new Path(ref.paths.head).getFileSystem(conf)
+          val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(new Path(ref.paths.head)), "UTF-8"))
+          try {
+            val buf = Vector.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+            var line = br.readLine()
+            while (line != null) {
+              if (line.trim.nonEmpty) buf += M.readTree(line)
+              line = br.readLine()
+            }
+            Some(buf.result())
+          } finally br.close()
+        case _ => None
+      }
+    top.flatMap { nodes =>
+      val sidecars = nodes.flatMap(n => Option(n.get("sidecar"))
+        .filterNot(_.isNull))
+      if (sidecars.isEmpty) Some(nodes)
+      else {
+        // price the sidecars from the refs; an unknown size refuses
+        val sizes = sidecars.map(s => Option(s.get("sizeInBytes"))
+          .filterNot(_.isNull).map(_.asLong()).getOrElse(Long.MaxValue / 1024))
+        if (sizes.sum > sidecarBudget) None
+        else {
+          val resolved = sidecars.map { s =>
+            val p = s.get("path").asText()
+            if (p.contains(":/") || p.startsWith("/")) p
+            else new Path(new Path(logDir(tablePath), "_sidecars"), p).toString
+          }
+          DeltaCheckpointIo.readActionNodes(conf, M, resolved)
+            .map(nodes ++ _)
+        }
+      }
+    }
+  }
+
   /** The v2 JSON checkpoint line schema: the action columns plus
     * `sidecar` refs (checkpointMetadata is ignored — version is in
     * the file name). */
@@ -816,12 +869,33 @@ object DeltaLog {
     val driverMax = spark.conf.getOption(
       "spark.sql.graft.delta.driverReplayMaxBytes")
       .flatMap(_.toLongOption).getOrElse(4L << 20)
-    if (cp.isEmpty && jsonPaths.nonEmpty && driverMax > 0 &&
-      jsonPaths.map(p => sizeByName.getOrElse(new Path(p).getName,
-        Long.MaxValue / 1024)).sum <= driverMax) {
-      val dir = logDir(tablePath)
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      return cachePut(snapshotDriver(tablePath, v, jsonPaths, fs))
+    if (driverMax > 0 && (jsonPaths.nonEmpty || cp.isDefined)) {
+      // checkpoint files live in the log dir, so the same listing
+      // prices them; sidecar sizes are priced from the top file's
+      // refs inside driverCheckpointNodes
+      val tailBytes = jsonPaths.map(p => sizeByName.getOrElse(
+        new Path(p).getName, Long.MaxValue / 1024)).sum
+      val cpBytes = cp.fold(0L)(_.paths.map(p => sizeByName.getOrElse(
+        new Path(p).getName, Long.MaxValue / 1024)).sum)
+      if (tailBytes + cpBytes <= driverMax) {
+        val dir = logDir(tablePath)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        cp match {
+          case None =>
+            return cachePut(snapshotDriver(tablePath, v, jsonPaths, fs))
+          case Some(ref) =>
+            // a checkpoint the driver can parse (projected parquet →
+            // the SAME JsonNode action shape the tail yields) replays
+            // here too; anything it can't stays distributed
+            driverCheckpointNodes(spark, tablePath, ref,
+              driverMax - tailBytes - cpBytes) match {
+              case Some(nodes) =>
+                return cachePut(snapshotDriver(tablePath, v, jsonPaths,
+                  fs, nodes.map((ref.version, _))))
+              case None => ()
+            }
+        }
+      }
     }
 
     // JSON tail: distributed text read; the version rides in from
@@ -972,11 +1046,15 @@ object DeltaLog {
     * the action from the highest version wins, with add beating
     * remove within one version; txn high-watermarks per appId;
     * latest domainMetadata per domain with removed tombstones
-    * retiring. Only called for checkpoint-less logs under the size
-    * threshold — never row-scaled work. */
+    * retiring. Called for logs under the size threshold — never
+    * row-scaled work. `cpNodes` are CHECKPOINT action nodes (parsed
+    * driver-side, [[DeltaCheckpointIo]]) applied at their checkpoint
+    * version BEFORE the tail, exactly where the distributed path
+    * unions them in. */
   private def snapshotDriver(tablePath: String, v: Long,
                              jsonPaths: Seq[String],
-                             fs: org.apache.hadoop.fs.FileSystem): Snapshot = {
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             cpNodes: Seq[(Long, com.fasterxml.jackson.databind.JsonNode)] = Nil): Snapshot = {
     import scala.jdk.CollectionConverters._
     val M = new com.fasterxml.jackson.databind.ObjectMapper()
     val CompactedR = "(\\d{20})\\.(\\d{20})\\.compacted\\.json".r
@@ -998,6 +1076,43 @@ object DeltaLog {
     val txns = scala.collection.mutable.HashMap[String, Long]()
     val domains =
       scala.collection.mutable.HashMap[String, (Long, String, Boolean)]()
+    def applyNode(ver: Long, n: J): Unit = {
+      opt(n, "protocol").foreach { pn =>
+        protoSeen = true
+        proto = (
+          opt(pn, "minReaderVersion").map(_.asInt()).getOrElse(1),
+          opt(pn, "minWriterVersion").map(_.asInt()).getOrElse(2),
+          opt(pn, "readerFeatures").toSeq
+            .flatMap(_.elements().asScala.map(_.asText())),
+          opt(pn, "writerFeatures").toSeq
+            .flatMap(_.elements().asScala.map(_.asText())))
+      }
+      opt(n, "metaData").foreach(metaNode = _)
+      val add = opt(n, "add")
+      val fileNode = add.orElse(opt(n, "remove"))
+      fileNode.foreach { a =>
+        val pth = a.get("path").asText()
+        val isAdd = add.isDefined
+        fileState.get(pth) match {
+          case Some((ev, _, _)) if ev > ver => ()
+          case Some((ev, eAdd, _)) if ev == ver && eAdd && !isAdd => ()
+          case _ => fileState(pth) = (ver, isAdd, a)
+        }
+      }
+      opt(n, "txn").foreach { t =>
+        val app = t.get("appId").asText()
+        val tv = t.get("version").asLong()
+        if (!txns.get(app).exists(_ >= tv)) txns(app) = tv
+      }
+      opt(n, "domainMetadata").foreach { d =>
+        val dom = d.get("domain").asText()
+        if (!domains.get(dom).exists(_._1 > ver))
+          domains(dom) = (ver,
+            opt(d, "configuration").map(_.asText()).getOrElse(""),
+            opt(d, "removed").exists(_.asBoolean()))
+      }
+    }
+    cpNodes.foreach { case (ver, n) => applyNode(ver, n) }
     jsonPaths.map(p => (versionOf(p), p)).sortBy(_._1).foreach {
       case (ver, p) =>
         val br = new java.io.BufferedReader(
@@ -1005,43 +1120,7 @@ object DeltaLog {
         try {
           var line = br.readLine()
           while (line != null) {
-            if (line.trim.nonEmpty) {
-              val n = M.readTree(line)
-              opt(n, "protocol").foreach { pn =>
-                protoSeen = true
-                proto = (
-                  opt(pn, "minReaderVersion").map(_.asInt()).getOrElse(1),
-                  opt(pn, "minWriterVersion").map(_.asInt()).getOrElse(2),
-                  opt(pn, "readerFeatures").toSeq
-                    .flatMap(_.elements().asScala.map(_.asText())),
-                  opt(pn, "writerFeatures").toSeq
-                    .flatMap(_.elements().asScala.map(_.asText())))
-              }
-              opt(n, "metaData").foreach(metaNode = _)
-              val add = opt(n, "add")
-              val fileNode = add.orElse(opt(n, "remove"))
-              fileNode.foreach { a =>
-                val pth = a.get("path").asText()
-                val isAdd = add.isDefined
-                fileState.get(pth) match {
-                  case Some((ev, _, _)) if ev > ver => ()
-                  case Some((ev, eAdd, _)) if ev == ver && eAdd && !isAdd => ()
-                  case _ => fileState(pth) = (ver, isAdd, a)
-                }
-              }
-              opt(n, "txn").foreach { t =>
-                val app = t.get("appId").asText()
-                val tv = t.get("version").asLong()
-                if (!txns.get(app).exists(_ >= tv)) txns(app) = tv
-              }
-              opt(n, "domainMetadata").foreach { d =>
-                val dom = d.get("domain").asText()
-                if (!domains.get(dom).exists(_._1 > ver))
-                  domains(dom) = (ver,
-                    opt(d, "configuration").map(_.asText()).getOrElse(""),
-                    opt(d, "removed").exists(_.asBoolean()))
-              }
-            }
+            if (line.trim.nonEmpty) applyNode(ver, M.readTree(line))
             line = br.readLine()
           }
         } finally br.close()
@@ -1549,6 +1628,156 @@ object DeltaLog {
 
   // ---------------- incremental / CDC reads ----------------
 
+  /** Parsed actions of a polled commit-JSON tail — the one shape both
+    * change-feed arms consume (every consumer was already a driver
+    * collect; this parses the tail ONCE instead of one Spark job per
+    * projection). */
+  private final case class TailMeta(schemaString: String,
+                                    partitionColumns: Seq[String])
+  private final case class TailCdc(path: String, pv: Map[String, String],
+                                   size: Long, v: Long)
+  private final case class TailFile(path: String, isAdd: Boolean,
+                                    pv: Map[String, String], size: Long,
+                                    mtime: Long,
+                                    dv: Option[DeletionVectors.Descriptor],
+                                    dataChange: Boolean, v: Long)
+
+  /** Parse the polled tail: Jackson ON THE DRIVER when the range's
+    * JSON bytes fit the replay gate
+    * (`spark.sql.graft.delta.driverReplayMaxBytes` — zero Spark jobs),
+    * distributed from_json + projected collects above it (the shape an
+    * unbounded range needs). Both branches yield identical values —
+    * the same parity contract as the snapshot replay fast path. */
+  private def parsedTail(spark: SparkSession, tablePath: String,
+                         jsonPaths: Seq[String])
+  : (Seq[TailMeta], Seq[TailCdc], Seq[TailFile]) = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val driverMax = spark.conf.getOption(
+      "spark.sql.graft.delta.driverReplayMaxBytes")
+      .flatMap(_.toLongOption).getOrElse(4L << 20)
+    val sizeByName = fs.listStatus(dir).toSeq
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    val tailBytes = jsonPaths.map(p => sizeByName.getOrElse(
+      new Path(p).getName, Long.MaxValue / 1024)).sum
+    val VRe = "(\\d{20})\\.json".r
+    def versionOf(p: String): Long = new Path(p).getName match {
+      case VRe(x) => x.toLong
+      case other => throw new IllegalStateException(
+        s"unexpected file in polled tail: $other")
+    }
+    if (driverMax > 0 && tailBytes <= driverMax) {
+      val M = new com.fasterxml.jackson.databind.ObjectMapper()
+      type J = com.fasterxml.jackson.databind.JsonNode
+      def opt(n: J, k: String): Option[J] =
+        Option(n.get(k)).filterNot(_.isNull)
+      def mapOf(n: Option[J]): Map[String, String] = {
+        import scala.jdk.CollectionConverters._
+        n.toSeq.flatMap(_.fields().asScala.map(e => e.getKey ->
+          (if (e.getValue.isNull) null else e.getValue.asText()))).toMap
+      }
+      val metas = Seq.newBuilder[TailMeta]
+      val cdcs = Seq.newBuilder[TailCdc]
+      val files = Seq.newBuilder[TailFile]
+      jsonPaths.foreach { p =>
+        val v = versionOf(p)
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(new Path(p)), "UTF-8"))
+        try {
+          var line = br.readLine()
+          while (line != null) {
+            if (line.trim.nonEmpty) {
+              val n = M.readTree(line)
+              opt(n, "metaData").foreach { m =>
+                import scala.jdk.CollectionConverters._
+                metas += TailMeta(m.get("schemaString").asText(),
+                  opt(m, "partitionColumns").toSeq
+                    .flatMap(_.elements().asScala.map(_.asText())))
+              }
+              opt(n, "cdc").foreach { c =>
+                cdcs += TailCdc(c.get("path").asText(),
+                  mapOf(opt(c, "partitionValues")),
+                  opt(c, "size").map(_.asLong()).getOrElse(0L), v)
+              }
+              val add = opt(n, "add")
+              add.orElse(opt(n, "remove")).foreach { a =>
+                val dv = opt(a, "deletionVector").map { d =>
+                  DeletionVectors.Descriptor(
+                    d.get("storageType").asText(),
+                    d.get("pathOrInlineDv").asText(),
+                    opt(d, "offset").map(_.asInt()),
+                    opt(d, "sizeInBytes").map(_.asInt()).getOrElse(0),
+                    opt(d, "cardinality").map(_.asLong()).getOrElse(0L))
+                }
+                files += TailFile(a.get("path").asText(), add.isDefined,
+                  mapOf(opt(a, "partitionValues")),
+                  opt(a, "size").map(_.asLong()).getOrElse(0L),
+                  opt(a, "modificationTime").map(_.asLong()).getOrElse(0L),
+                  dv.filter(_ => add.isDefined),
+                  opt(a, "dataChange").forall(_.asBoolean()), v)
+              }
+            }
+            line = br.readLine()
+          }
+        } finally br.close()
+      }
+      return (metas.result(), cdcs.result(), files.result())
+    }
+    // over-gate: distributed parse, the SAME projected collects as
+    // before (each bounded: metaData/cdc are per-commit-scaled, the
+    // file projection is what the legs materialize anyway)
+    val acts = spark.read.text(jsonPaths: _*)
+      .select(from_json(col("value"), ActionSchema).as("a"),
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
+          .cast("long").as("__v"))
+      .select(col("a.*"), col("__v"))
+    val metas = acts.filter(col("metaData").isNotNull)
+      .select("metaData.schemaString", "metaData.partitionColumns", "__v")
+      .collect().toSeq.map { m =>
+        TailMeta(m.getAs[String]("schemaString"),
+          Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+            .map(_.toSeq).getOrElse(Seq.empty))
+      }
+    val cdcs = acts.filter(col("cdc").isNotNull)
+      .select(col("cdc.path").as("path"),
+        col("cdc.partitionValues").as("pv"),
+        col("cdc.size").as("size"), col("__v")).collect().toSeq.map { r =>
+        TailCdc(r.getAs[String]("path"),
+          Option(r.getAs[scala.collection.Map[String, String]]("pv"))
+            .map(_.toMap).getOrElse(Map.empty),
+          Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
+          r.getAs[Long]("__v"))
+      }
+    val files = acts
+      .select(
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("add.path").isNotNull.as("is_add"),
+        col("add.partitionValues").as("pv"),
+        col("add.size").as("size"),
+        col("add.modificationTime").as("mtime"),
+        col("add.deletionVector").as("dv"),
+        coalesce(col("add.dataChange"), col("remove.dataChange"), lit(true))
+          .as("data_change"), col("__v"))
+      .filter(col("path").isNotNull).collect().toSeq.map { r =>
+        val dv = Option(r.getAs[org.apache.spark.sql.Row]("dv")).map { d =>
+          DeletionVectors.Descriptor(
+            d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
+            Option(d.getAs[java.lang.Integer]("offset")).map(_.toInt),
+            Option(d.getAs[java.lang.Integer]("sizeInBytes")).map(_.toInt)
+              .getOrElse(0),
+            Option(d.getAs[java.lang.Long]("cardinality")).map(_.toLong)
+              .getOrElse(0L))
+        }
+        TailFile(r.getAs[String]("path"), r.getAs[Boolean]("is_add"),
+          Option(r.getAs[scala.collection.Map[String, String]]("pv"))
+            .map(_.toMap).getOrElse(Map.empty),
+          Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
+          Option(r.getAs[java.lang.Long]("mtime")).map(_.toLong).getOrElse(0L),
+          dv, r.getAs[Boolean]("data_change"), r.getAs[Long]("__v"))
+      }
+    (metas, cdcs, files)
+  }
+
   /** Row-level change feed of a REAL Delta table for the commits in
     * `(fromVersion, toVersion]` — the `startingVersion` incremental
     * poll the reference's silver/gold layers stream from. Each
@@ -1584,65 +1813,46 @@ object DeltaLog {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withVersionCol)
     val jsonPaths = versions
       .map(j => new Path(logDir(tablePath), pad20(j) + ".json").toString)
-    val acts = spark.read.text(jsonPaths: _*)
-      .select(from_json(col("value"), ActionSchema).as("a"),
-        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
-          .cast("long").as("__v"))
-      .select(col("a.*"), col("__v"))
+    // the polled tail, parsed ONCE (driver-side under the replay byte
+    // gate — zero jobs; distributed above it)
+    val (metaActs, cdcActs, allFileActs) =
+      parsedTail(spark, tablePath, jsonPaths)
     // a metaData action in range is fine iff it declares the SAME
     // schema/partitioning the range ends with (table creation at
     // commit 0, a no-op metaData rewrite) — an actual schema change
     // mid-range is the loud-error case
-    acts.filter(col("metaData").isNotNull)
-      .select("metaData.schemaString", "metaData.partitionColumns")
-      .collect().foreach { m =>
-        val sch = DataType.fromJson(m.getAs[String]("schemaString"))
-          .asInstanceOf[StructType]
-        val pcs = Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
-          .map(_.toSeq).getOrElse(Seq.empty)
-        if (sch != endSnap.schema || pcs != endSnap.partitionColumns)
-          throw new UnsupportedOperationException(
-            s"schema/metadata change inside polled range ($fromVersion, " +
-              s"$toVersion] of $tablePath — poll up to the boundary, adapt, continue")
-      }
+    metaActs.foreach { m =>
+      val sch = DataType.fromJson(m.schemaString).asInstanceOf[StructType]
+      if (sch != endSnap.schema ||
+        m.partitionColumns != endSnap.partitionColumns)
+        throw new UnsupportedOperationException(
+          s"schema/metadata change inside polled range ($fromVersion, " +
+            s"$toVersion] of $tablePath — poll up to the boundary, adapt, continue")
+    }
     // PROTOCOL.md CDF reader rule: a commit WITH `cdc` actions serves
     // its row-level changes from those `_change_data` files
     // EXCLUSIVELY (the writer recorded the precise pre/post images);
     // commits without reconstruct from the file-level diff as before
-    val cdcActs = acts.filter(col("cdc").isNotNull)
-      .select(col("cdc.path").as("path"),
-        col("cdc.partitionValues").as("pv"),
-        col("cdc.size").as("size"), col("__v")).collect()
-    val cdcVersions: Set[Long] = cdcActs.map(_.getAs[Long]("__v")).toSet
+    val cdcVersions: Set[Long] = cdcActs.map(_.v).toSet
     // deletion-vector commits re-add the SAME path with a DV; the
     // file-level diff cannot express that, so ranges containing DV
     // adds NOT covered by cdc files take the stateful row-diff
     // replay below instead
-    val dvInRange = acts.filter(col("add.deletionVector").isNotNull)
-      .select("__v").collect().map(_.getLong(0)).exists(v => !cdcVersions(v))
+    val dvInRange = allFileActs
+      .exists(a => a.isAdd && a.dv.isDefined && !cdcVersions(a.v))
     if (dvInRange)
-      return changesWithDv(spark, tablePath, fromVersion, acts, endSnap,
-        cdcActs.toSeq)
+      return changesWithDv(spark, tablePath, fromVersion, allFileActs,
+        endSnap, cdcActs)
     val cdcLegs: Seq[DataFrame] =
-      cdcVersionLegs(spark, tablePath, endSnap, cdcActs.toSeq)
+      cdcVersionLegs(spark, tablePath, endSnap, cdcActs)
         .toSeq.sortBy(_._1).map(_._2)
     // dataChange=false actions (OPTIMIZE / Z-ORDER rewrites) rearrange
     // bytes without changing rows — surfacing them as delete+insert
     // would let a replica consumer drop rows (within-commit apply
     // order of identical delete/insert rows is unspecified), so the
     // change feed skips them, exactly like real Delta CDF
-    val fileActs = acts
-      .filter(coalesce(col("add.dataChange"), col("remove.dataChange"),
-        lit(true)))
-      .filter(if (cdcVersions.isEmpty) lit(true)
-        else !col("__v").isin(cdcVersions.toSeq: _*))
-      .select(
-        coalesce(col("add.path"), col("remove.path")).as("path"),
-        col("add.path").isNotNull.as("is_add"),
-        col("add.partitionValues").as("pv"),
-        col("add.size").as("size"),
-        col("add.modificationTime").as("mtime"), col("__v"))
-      .filter(col("path").isNotNull).collect()
+    val fileActs = allFileActs
+      .filter(a => a.dataChange && !cdcVersions(a.v))
     // removed files carry no partitionValues on the tombstone — they
     // were added earlier: resolve pv from the fromVersion snapshot,
     // or from an add WITHIN the polled range (add+remove both inside
@@ -1656,31 +1866,24 @@ object DeltaLog {
           snapshot(spark, tablePath, versionAsOf = Some(b))
             .files.map(f => f.path -> f.partitionValues).toMap)
           .getOrElse(Map.empty[String, Map[String, String]])
-        val inRange = fileActs.filter(_.getAs[Boolean]("is_add")).map { r =>
-          new Path(tablePath, decodePath(r.getAs[String]("path"))).toString ->
-            Option(r.getAs[scala.collection.Map[String, String]]("pv"))
-              .map(_.toMap).getOrElse(Map.empty[String, String])
+        val inRange = fileActs.filter(_.isAdd).map { a =>
+          new Path(tablePath, decodePath(a.path)).toString -> a.pv
         }.toMap
         fromSnap ++ inRange
       }
     }
     def group(isAdd: Boolean): Seq[(Long, Seq[AddFile])] =
-      fileActs.filter(_.getAs[Boolean]("is_add") == isAdd)
-        .groupBy(_.getAs[Long]("__v")).toSeq.sortBy(_._1)
-        .map { case (cv, rows) =>
-          cv -> rows.toSeq.map { r =>
-            val abs = new Path(tablePath,
-              decodePath(r.getAs[String]("path"))).toString
+      fileActs.filter(_.isAdd == isAdd)
+        .groupBy(_.v).toSeq.sortBy(_._1)
+        .map { case (cv, as) =>
+          cv -> as.map { a =>
+            val abs = new Path(tablePath, decodePath(a.path)).toString
             val pv =
-              if (isAdd) Option(r.getAs[scala.collection.Map[String, String]]("pv"))
-                .map(_.toMap).getOrElse(Map.empty[String, String])
+              if (isAdd) a.pv
               else priorPv.getOrElse(abs, Map.empty[String, String])
-            AddFile(abs,
-              pv,
-              if (isAdd) Option(r.getAs[java.lang.Long]("size"))
-                .map(_.toLong).getOrElse(0L) else 0L,
-              if (isAdd) Option(r.getAs[java.lang.Long]("mtime"))
-                .map(_.toLong).getOrElse(0L) else 0L)
+            AddFile(abs, pv,
+              if (isAdd) a.size else 0L,
+              if (isAdd) a.mtime else 0L)
           }
         }
     // the polled tail is bounded, so a per-commit union keeps the
@@ -1706,16 +1909,12 @@ object DeltaLog {
     * version. Shared by the plain and DV change-feed arms. */
   private def cdcVersionLegs(spark: SparkSession, tablePath: String,
                              endSnap: Snapshot,
-                             cdcActs: Seq[org.apache.spark.sql.Row])
+                             cdcActs: Seq[TailCdc])
   : Map[Long, DataFrame] =
-    cdcActs.groupBy(_.getAs[Long]("__v")).map { case (cv, rows) =>
-      val fls = rows.toSeq.map { r =>
-        AddFile(
-          new Path(tablePath, decodePath(r.getAs[String]("path"))).toString,
-          Option(r.getAs[scala.collection.Map[String, String]]("pv"))
-            .map(_.toMap).getOrElse(Map.empty[String, String]),
-          Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
-          0L)
+    cdcActs.groupBy(_.v).map { case (cv, as) =>
+      val fls = as.map { a =>
+        AddFile(new Path(tablePath, decodePath(a.path)).toString,
+          a.pv, a.size, 0L)
       }
       cv -> readSnapshotAll(spark, endSnap.copy(
         schema = StructType(endSnap.schema.fields :+
@@ -1737,9 +1936,9 @@ object DeltaLog {
     * scans of exactly the changed files, position-selected via a
     * broadcast semi-join on `_metadata.row_index`. */
   private def changesWithDv(spark: SparkSession, tablePath: String,
-                            fromVersion: Long, acts: DataFrame,
+                            fromVersion: Long, allFileActs: Seq[TailFile],
                             endSnap: Snapshot,
-                            cdcActs: Seq[org.apache.spark.sql.Row]): DataFrame = {
+                            cdcActs: Seq[TailCdc]): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val pc = endSnap.partitionColumns
@@ -1757,37 +1956,12 @@ object DeltaLog {
     // dataChange=false OPTIMIZE's file moves, or a later DV delete on
     // the compacted file is misread as a brand-new file and re-emits
     // its whole contents); EMISSION below covers dataChange=true only
-    val actRows = acts
-      .select(
-        coalesce(col("add.path"), col("remove.path")).as("path"),
-        col("add.path").isNotNull.as("is_add"),
-        col("add.partitionValues").as("pv"),
-        col("add.size").as("size"),
-        col("add.modificationTime").as("mtime"),
-        col("add.deletionVector").as("dv"),
-        coalesce(col("add.dataChange"), col("remove.dataChange"), lit(true))
-          .as("data_change"), col("__v"))
-      .filter(col("path").isNotNull).collect()
-    val byCommit: Seq[(Long, Seq[Act])] = actRows
-      .groupBy(_.getAs[Long]("__v")).toSeq.sortBy(_._1)
-      .map { case (cv, rows) =>
-        cv -> rows.toSeq.map { r =>
-          val dv = Option(r.getAs[org.apache.spark.sql.Row]("dv")).map { d =>
-            DeletionVectors.Descriptor(
-              d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
-              Option(d.getAs[java.lang.Integer]("offset")).map(_.toInt),
-              Option(d.getAs[java.lang.Integer]("sizeInBytes")).map(_.toInt)
-                .getOrElse(0),
-              Option(d.getAs[java.lang.Long]("cardinality")).map(_.toLong)
-                .getOrElse(0L))
-          }
-          Act(new Path(tablePath, decodePath(r.getAs[String]("path"))).toString,
-            r.getAs[Boolean]("is_add"),
-            Option(r.getAs[scala.collection.Map[String, String]]("pv"))
-              .map(_.toMap).getOrElse(Map.empty),
-            Option(r.getAs[java.lang.Long]("size")).map(_.toLong).getOrElse(0L),
-            Option(r.getAs[java.lang.Long]("mtime")).map(_.toLong).getOrElse(0L),
-            dv, r.getAs[Boolean]("data_change"))
+    val byCommit: Seq[(Long, Seq[Act])] = allFileActs
+      .groupBy(_.v).toSeq.sortBy(_._1)
+      .map { case (cv, as) =>
+        cv -> as.map { a =>
+          Act(new Path(tablePath, decodePath(a.path)).toString,
+            a.isAdd, a.pv, a.size, a.mtime, a.dv, a.dataChange)
         }
       }
 
@@ -5593,18 +5767,17 @@ object DeltaLog {
     val domainRows = snap.domains.toSeq.sortBy(_._1).map { case (dom, cfg) =>
       Row(dom, cfg, java.lang.Boolean.FALSE)
     }
-    // stage-then-adopt: parquet wants a directory; a checkpoint part
-    // is one file
-    def adoptOne(df: org.apache.spark.sql.DataFrame, target: Path): Long = {
+    // stage-then-adopt: the actions are DRIVER-BUILT rows already —
+    // write the part with Spark's own ParquetWriteSupport on the
+    // driver (same bytes a task writes, none of the one-task job per
+    // part), then rename into place so a concurrent lister never sees
+    // a torn checkpoint
+    def adoptOne(rows: Seq[Row], schema: StructType, target: Path): Long = {
       val tmp = new Path(dst, s".tmp-cp-$version-${java.util.UUID.randomUUID()}")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = fs.listStatus(tmp).toSeq
-        .find(_.getPath.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException("no checkpoint part written"))
+      DriverParquet.write(spark, tmp, schema, rows)
       fs.delete(target, false)
-      if (!fs.rename(part.getPath, target))
+      if (!fs.rename(tmp, target))
         throw new IllegalStateException(s"rename failed for $target")
-      fs.delete(tmp, true)
       fs.getFileStatus(target).getLen
     }
     def writeLastCheckpoint(size: Int): Unit = {
@@ -5624,11 +5797,8 @@ object DeltaLog {
       val scDir = new Path(logDir(deltaPath), "_sidecars")
       fs.mkdirs(scDir)
       val scPath = new Path(scDir, s"$uuid.parquet")
-      val scDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          addRows.map(a => Row(a)), 1),
-        StructType(Seq(ActionSchema("add"))))
-      val scLen = adoptOne(scDf, scPath)
+      val scLen = adoptOne(addRows.map(a => Row(a)),
+        StructType(Seq(ActionSchema("add"))), scPath)
       val scMod = fs.getFileStatus(scPath).getModificationTime
       val topSchema = StructType(ActionSchema.fields ++ Seq(
         StructField("checkpointMetadata", StructType(Seq(
@@ -5646,9 +5816,7 @@ object DeltaLog {
           txnRows.map(t => top(txn = t)) ++
           domainRows.map(d => top(dm = d)) :+
           top(sc = Row(s"$uuid.parquet", scLen, scMod))
-      val topDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(topRows, 1), topSchema)
-      adoptOne(topDf, new Path(logDir(deltaPath),
+      adoptOne(topRows, topSchema, new Path(logDir(deltaPath),
         pad20(version) + s".checkpoint.$uuid.parquet"))
       writeLastCheckpoint(topRows.size + addRows.size)
       return
@@ -5660,10 +5828,7 @@ object DeltaLog {
         (addRows.map(a => Row(null, null, a, null, null, null, null)) ++
           txnRows.map(t => Row(null, null, null, null, t, null, null)) ++
           domainRows.map(d => Row(null, null, null, null, null, d, null))))
-    val cpDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(ActionSchema.fields))
-    adoptOne(cpDf, new Path(logDir(deltaPath),
+    adoptOne(rows, StructType(ActionSchema.fields), new Path(logDir(deltaPath),
       pad20(version) + ".checkpoint.parquet"))
     writeLastCheckpoint(rows.size)
   }
