@@ -23,10 +23,23 @@ object ProbeJobs {
     val jobs = mutable.LinkedHashMap[Int, JobRec]()
     val stageToJob = mutable.Map[Int, Int]()
     @volatile var record = false
+    // SQL executions carry the triggering call site in their start
+    // event — attribute each job to it (the stage name is just the
+    // async-execution wrapper frame)
+    val execDesc = mutable.Map[Long, String]()
     val listener = new SparkListener {
+      override def onOtherEvent(e: SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execDesc.synchronized { execDesc(s.executionId) = s.description }
+        case _ => ()
+      }
       override def onJobStart(j: SparkListenerJobStart): Unit = if (record) {
         val desc = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => execDesc.synchronized {
+            execDesc.get(id.toLong) }.map(_.takeWhile(_ != '\n')))
+          .orElse(Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))))
           .orElse(j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("")
         jobs.synchronized {

@@ -4194,11 +4194,12 @@ object DeltaLog {
         s"table schema ${snap.schema.simpleString}")
     val src = graft.Caches.tracked(
       source.select(snap.schema.fieldNames.map(col): _*))
-    if (src.isEmpty) return snap.version
     // ambiguity gate: one source row per key, or the merge is
-    // order-dependent — refuse rather than half-apply
-    require(src.groupBy(keyCols.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count() == 0L,
+    // order-dependent — refuse rather than half-apply. ONE action
+    // serves emptiness + the gate (SourceGate).
+    val (nSrc, maxKeyMult) = SourceGate(src, keyCols)
+    if (nSrc == 0L) return snap.version
+    require(maxKeyMult <= 1L,
       "merge source has duplicate keys — aggregate it first")
     // CHECK constraints + NOT NULL bind every writer: the source rows
     // ARE the commit's new rows (replacements + inserts) — a
@@ -4403,10 +4404,11 @@ object DeltaLog {
           s"WHEN NOT MATCHED THEN INSERT must cover column $c")))
     val src = graft.Caches.tracked(source)
     // a BY SOURCE clause acts on UNMATCHED target rows, so an empty
-    // source is not a no-op when it is present
-    if (src.isEmpty && bySource.isEmpty) { src.unpersist(); return snap.version }
-    require(src.groupBy(keyCols.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count() == 0L,
+    // source is not a no-op when it is present. ONE action serves
+    // emptiness + the key-ambiguity gate (SourceGate).
+    val (nSrc, maxKeyMult) = SourceGate(src, keyCols)
+    if (nSrc == 0L && bySource.isEmpty) { src.unpersist(); return snap.version }
+    require(maxKeyMult <= 1L,
       "merge source has duplicate keys — aggregate it first")
     val pc = snap.partitionColumns
     val dataSchema = StructType(snap.schema.filterNot(f => pc.contains(f.name)))

@@ -45,6 +45,13 @@ object GraftSession {
       // parquet.field.id resolve against parquet field ids
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      // executeTake (every take/limit/isEmpty action, incl. the MOR
+      // DML cardinality gates) starts at ONE partition by default and
+      // escalates 1→4→16… — each round a whole Spark job. One task
+      // WAVE as the first round (scale-adaptive: `cores` is the
+      // cluster's parallelism) resolves typical takes in a single job
+      // and still escalates for pathological ones.
+      .config("spark.sql.limit.initialNumPartitions", cores)
 
   /** Local session for tests/benchmarks on this machine. */
   def local(cores: Int): SparkSession = {

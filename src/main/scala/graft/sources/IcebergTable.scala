@@ -2068,9 +2068,10 @@ object IcebergTable {
         s"table schema ${snap.schema.simpleString}")
     val src = graft.Caches.tracked(
       source.select(snap.schema.fieldNames.map(col): _*))
-    if (src.isEmpty) { src.unpersist(); return snap.snapshotId }
-    require(src.groupBy(keyCols.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count() == 0L,
+    // ONE action serves emptiness + the key-ambiguity gate
+    val (nSrc, maxKeyMult) = SourceGate(src, keyCols)
+    if (nSrc == 0L) { src.unpersist(); return snap.snapshotId }
+    require(maxKeyMult <= 1L,
       "merge source has duplicate keys — aggregate it first")
     val cur = liveRowsWithPos(spark, snap, snap.files)
     val matched = cur.join(src.select(keyCols.map(col): _*),
@@ -2143,11 +2144,12 @@ object IcebergTable {
       }
     }
     val src = graft.Caches.tracked(source)
-    if (src.isEmpty && bySource.isEmpty) {
+    // ONE action serves emptiness + the key-ambiguity gate
+    val (nSrc, maxKeyMult) = SourceGate(src, keyCols)
+    if (nSrc == 0L && bySource.isEmpty) {
       src.unpersist(); return snap.snapshotId
     }
-    require(src.groupBy(keyCols.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count() == 0L,
+    require(maxKeyMult <= 1L,
       "merge source has duplicate keys — aggregate it first")
     val cur = graft.Caches.tracked(liveRowsWithPos(spark, snap, snap.files))
     try {
@@ -2251,9 +2253,10 @@ object IcebergTable {
         s"match table schema ${snap.schema.simpleString}")
     val src = graft.Caches.tracked(
       source.select(snap.schema.fieldNames.map(col): _*))
-    if (src.isEmpty) { src.unpersist(); return snap.snapshotId }
-    require(src.groupBy(keyCols.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count() == 0L,
+    // ONE action serves emptiness + the key-ambiguity gate
+    val (nSrc, maxKeyMult) = SourceGate(src, keyCols)
+    if (nSrc == 0L) { src.unpersist(); return snap.snapshotId }
+    require(maxKeyMult <= 1L,
       "upsert source has duplicate keys — aggregate it first")
     // field ids of the key columns (equality_ids)
     val keyIds = {
